@@ -1,13 +1,29 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.ops.{Aggregates, Functions, LlmOps, Relational, StreamingOps, WindowOps}
+
+/** Driver contract — see /root/repo/SURVEY.md §2 (operator inventory) and §7.
+  *
+  * `queries` holds one entry per implemented operator; `oracleSql` holds the
+  * DuckDB-equivalent SQL for every oracle-verified operator (non-SQL-
+  * expressible ops — approximate/streaming/side-effecting — are ScalaTest-
+  * verified instead and intentionally absent from `oracleSql`).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query (TPC-H-Q1 pricing summary) on sf0.001; driver
+    * smoke-checks rows > 0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    queries("agg_group")(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    Relational.queries ++ Aggregates.queries ++ WindowOps.queries ++
+      Functions.queries ++ StreamingOps.queries ++ LlmOps.queries
+
+  /** For each oracle-verified key in `queries`, equivalent SQL runnable by
+    * DuckDB on the same parquet tables. */
+  def oracleSql: Map[String, String] =
+    Relational.oracles ++ Aggregates.oracles ++ WindowOps.oracles ++
+      Functions.oracles ++ StreamingOps.oracles ++ LlmOps.oracles
 }

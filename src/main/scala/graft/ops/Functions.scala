@@ -1,0 +1,282 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
+import org.apache.spark.sql.graftbridge.GraftBridge
+import graft.Tables
+import org.apache.spark.sql.graftbridge.CosineSimilarity
+
+/** SURVEY.md §2.8 scalar-function families + §2.9 UDF/UDTF surface.
+  *
+  * All fn_* queries are pure per-row projections — they stay inside one
+  * whole-stage-codegen span with zero shuffles (the ORDER BY at the end is
+  * the only exchange). Output types are aligned with the DuckDB oracle
+  * (ints cast explicitly where DuckDB widens to BIGINT).
+  */
+object Functions {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    "fn_string" -> ((s, d) =>
+      Tables.part(s, d).select(
+        col("p_partkey"),
+        upper(col("p_name")).as("up"),
+        lower(col("p_type")).as("lo"),
+        trim(concat(lit("  "), col("p_brand"), lit("  "))).as("tr"),
+        substring(col("p_name"), 1, 5).as("sub"),
+        length(col("p_name")).as("len"),
+        concat(col("p_brand"), lit("/"), col("p_type")).as("cat"),
+        lpad(col("p_size").cast("string"), 4, "0").as("pad"),
+        regexp_replace(col("p_name"), "a", "@").as("rrep"),
+        regexp_extract(col("p_name"), "([a-z]+)$", 1).as("rext"),
+        instr(col("p_name"), "e").as("pos_e"),
+        element_at(split(col("p_name"), " "), 1).as("w1"),
+        col("p_name").like("%bolt%").as("has_bolt"))
+        .orderBy("p_partkey")),
+
+    "fn_date" -> ((s, d) =>
+      Tables.orders(s, d).select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).as("yr"),
+        month(col("o_orderdate")).as("mo"),
+        quarter(col("o_orderdate")).as("qt"),
+        dayofweek(col("o_orderdate")).as("dw"),
+        date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM-dd").as("mon_start"),
+        date_format(date_add(to_date(col("o_orderdate")), 30), "yyyy-MM-dd").as("plus30"),
+        date_format(add_months(to_date(col("o_orderdate")), 3), "yyyy-MM-dd").as("plus3m"),
+        date_format(last_day(col("o_orderdate")), "yyyy-MM-dd").as("mon_end"),
+        datediff(lit("2002-01-01").cast("date"), to_date(col("o_orderdate"))).as("days_to"),
+        months_between(lit("2002-01-01").cast("timestamp"), date_trunc("month", col("o_orderdate")))
+          .cast("int").as("mons_to"))
+        .orderBy("o_orderkey")),
+
+    "fn_math" -> ((s, d) =>
+      Tables.part(s, d).select(
+        col("p_partkey"),
+        round(col("p_retailprice") * 1.1, 2).as("r2"),
+        floor(col("p_retailprice")).as("fl"),
+        ceil(col("p_retailprice")).as("ce"),
+        abs(col("p_size") * -1).as("ab"),
+        pow(col("p_size"), 2).as("pw"),
+        round(sqrt(col("p_size")), 6).as("sq"),
+        round(log(col("p_retailprice")), 6).as("lnp"),
+        round(log10(col("p_retailprice")), 6).as("l10"),
+        round(exp(col("p_size") / lit(10.0)), 6).as("ex"),
+        (col("p_size") % 7).as("md"),
+        signum(col("p_size") - 20).cast("int").as("sg"),
+        greatest(col("p_size"), lit(25)).as("gr"),
+        least(col("p_size"), lit(25)).as("ls"))
+        .orderBy("p_partkey")),
+
+    "fn_conditional" -> ((s, d) =>
+      Tables.orders(s, d).select(
+        col("o_orderkey"),
+        when(col("o_totalprice") > 300000, "big")
+          .when(col("o_totalprice") > 100000, "mid")
+          .otherwise("small").as("size_cat"),
+        expr("CASE o_orderstatus WHEN 'F' THEN 'finished' WHEN 'O' THEN 'open' ELSE 'other' END").as("st"),
+        expr("IF(o_totalprice > 250000, 1, 0)").as("flag"),
+        coalesce(expr("NULLIF(o_orderstatus, 'P')"), lit("pending")).as("co"),
+        col("o_orderpriority").isin("1-URGENT", "2-HIGH").as("is_hi"))
+        .orderBy("o_orderkey")),
+
+    "fn_cast" -> ((s, d) =>
+      Tables.customer(s, d).select(
+        col("c_custkey"),
+        col("c_acctbal").cast("string").as("bal_str"),
+        col("c_custkey").cast("double").as("ck_d"),
+        col("c_custkey").cast("string").as("ck_s"),
+        expr("TRY_CAST(c_mktsegment AS INT)").as("seg_i"),
+        expr("TRY_CAST(SUBSTRING(c_name, 10, 9) AS BIGINT)").as("name_num"),
+        lit("123.456").cast("decimal(18,2)").as("dec_c"),
+        expr("TRY_CAST('2024-02-30' AS DATE)").as("bad_date"),
+        round(col("c_acctbal")).cast("long").as("bal_rl"))
+        .orderBy("c_custkey")),
+
+    "fn_array" -> ((s, d) =>
+      Tables.documents(s, d)
+        .withColumn("t", split(col("text"), " "))
+        .select(
+          col("doc_id"),
+          size(col("t")).as("n_toks"),
+          array_contains(col("t"), "key").as("has_key"),
+          slice(col("t"), 1, 3).as("first3"),
+          array_sort(array_distinct(col("t"))).as("uniq"),
+          element_at(col("t"), 1).as("first_tok"),
+          array_sort(concat(slice(col("t"), 1, 2), array(lit("zz")))).as("plus_zz"))
+        .orderBy("doc_id")),
+
+    "fn_map" -> ((s, d) =>
+      Tables.documents(s, d)
+        .withColumn("m", map_from_arrays(
+          array(lit("lang"), lit("source")), array(col("lang"), col("source"))))
+        .select(
+          col("doc_id"),
+          array_sort(map_keys(col("m"))).as("m_keys"),
+          element_at(col("m"), "lang").as("lang_v"),
+          element_at(col("m"), "source").as("src_v"),
+          size(col("m")).as("m_size"))
+        .orderBy("doc_id")),
+
+    "fn_json" -> ((s, d) =>
+      Tables.events(s, d)
+        .select(col("event_id"), col("props"),
+          get_json_object(col("props"), "$.k").cast("int").as("k1"),
+          from_json(col("props"), StructType(Seq(StructField("k", IntegerType))))
+            .getField("k").as("k2"))
+        .select(col("event_id"), col("k1"), col("k2"),
+          expr("json_tuple(props, 'k')").as("k3s"))
+        .select(col("event_id"), col("k1"), col("k2"), col("k3s").cast("int").as("k3"))
+        .orderBy("event_id")),
+
+    "fn_hash" -> ((s, d) =>
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        md5(col("text")).as("md5h"),
+        sha2(col("text"), 256).as("sha256h"),
+        md5(upper(col("text"))).as("md5u"))
+        .orderBy("doc_id")),
+
+    // Registered Scala UDF, usable from DataFrame & SQL.
+    "udf_scalar" -> ((s, d) => {
+      s.udf.register("rev_words", (t: String) => t.split(" ").reverse.mkString(" "))
+      Tables.part(s, d)
+        .select(col("p_partkey"), call_function("rev_words", col("p_name")).as("rev"))
+        .orderBy("p_partkey")
+    }),
+
+    // Native Catalyst expression with codegen (no oracle — ScalaTest
+    // cross-checks against a plain-Scala reference implementation).
+    "udf_expr_custom" -> ((s, d) => {
+      GraftBridge.registerFunction(s, "cosine_sim",
+        exprs => CosineSimilarity(exprs(0), exprs(1)))
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      val p = e.where(col("vec_id") < 5)
+        .select(col("vec_id").as("a_id"), col("emb").as("a_emb"))
+      p.join(e.where(col("vec_id") < 50), col("vec_id") =!= col("a_id"))
+        .select(col("a_id"), col("vec_id").as("b_id"),
+          round(call_function("cosine_sim", col("a_emb"), col("emb")), 4).as("sim"))
+        .orderBy("a_id", "b_id")
+    }),
+
+    "udtf_explode" -> ((s, d) =>
+      Tables.documents(s, d)
+        .where(col("doc_id") < 20)
+        .select(col("doc_id"), posexplode(split(col("text"), " ")))
+        .select(col("doc_id"), (col("pos") + 1).as("pos1"), col("col").as("token"))
+        .orderBy("doc_id", "pos1"))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "fn_string" ->
+      """SELECT p_partkey,
+        |  upper(p_name) AS up, lower(p_type) AS lo,
+        |  trim('  ' || p_brand || '  ') AS tr,
+        |  substring(p_name, 1, 5) AS sub,
+        |  CAST(length(p_name) AS INT) AS len,
+        |  p_brand || '/' || p_type AS cat,
+        |  lpad(CAST(p_size AS VARCHAR), 4, '0') AS pad,
+        |  regexp_replace(p_name, 'a', '@', 'g') AS rrep,
+        |  regexp_extract(p_name, '([a-z]+)$', 1) AS rext,
+        |  CAST(instr(p_name, 'e') AS INT) AS pos_e,
+        |  string_split(p_name, ' ')[1] AS w1,
+        |  p_name LIKE '%bolt%' AS has_bolt
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "fn_date" ->
+      """SELECT o_orderkey,
+        |  CAST(year(o_orderdate) AS INT) AS yr,
+        |  CAST(month(o_orderdate) AS INT) AS mo,
+        |  CAST(quarter(o_orderdate) AS INT) AS qt,
+        |  CAST(dayofweek(o_orderdate) + 1 AS INT) AS dw,
+        |  strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS mon_start,
+        |  strftime(CAST(o_orderdate AS DATE) + 30, '%Y-%m-%d') AS plus30,
+        |  strftime(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH, '%Y-%m-%d') AS plus3m,
+        |  strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS mon_end,
+        |  CAST(datediff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS INT) AS days_to,
+        |  CAST(datediff('month', date_trunc('month', CAST(o_orderdate AS DATE)), DATE '2002-01-01') AS INT) AS mons_to
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "fn_math" ->
+      """SELECT p_partkey,
+        |  round(p_retailprice * 1.1, 2) AS r2,
+        |  CAST(floor(p_retailprice) AS BIGINT) AS fl,
+        |  CAST(ceil(p_retailprice) AS BIGINT) AS ce,
+        |  abs(p_size * -1) AS ab,
+        |  power(p_size, 2) AS pw,
+        |  round(sqrt(p_size), 6) AS sq,
+        |  round(ln(p_retailprice), 6) AS lnp,
+        |  round(log10(p_retailprice), 6) AS l10,
+        |  round(exp(p_size / 10.0), 6) AS ex,
+        |  p_size % 7 AS md,
+        |  CAST(sign(p_size - 20) AS INT) AS sg,
+        |  greatest(p_size, 25) AS gr,
+        |  least(p_size, 25) AS ls
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "fn_conditional" ->
+      """SELECT o_orderkey,
+        |  CASE WHEN o_totalprice > 300000 THEN 'big'
+        |       WHEN o_totalprice > 100000 THEN 'mid' ELSE 'small' END AS size_cat,
+        |  CASE o_orderstatus WHEN 'F' THEN 'finished' WHEN 'O' THEN 'open' ELSE 'other' END AS st,
+        |  IF(o_totalprice > 250000, 1, 0) AS flag,
+        |  COALESCE(NULLIF(o_orderstatus, 'P'), 'pending') AS co,
+        |  o_orderpriority IN ('1-URGENT', '2-HIGH') AS is_hi
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "fn_cast" ->
+      """SELECT c_custkey,
+        |  CAST(c_acctbal AS VARCHAR) AS bal_str,
+        |  CAST(c_custkey AS DOUBLE) AS ck_d,
+        |  CAST(c_custkey AS VARCHAR) AS ck_s,
+        |  TRY_CAST(c_mktsegment AS INT) AS seg_i,
+        |  TRY_CAST(substring(c_name, 10, 9) AS BIGINT) AS name_num,
+        |  CAST('123.456' AS DECIMAL(18,2)) AS dec_c,
+        |  TRY_CAST('2024-02-30' AS DATE) AS bad_date,
+        |  CAST(round(c_acctbal) AS BIGINT) AS bal_rl
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "fn_array" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS INT) AS n_toks,
+        |  list_contains(string_split(text, ' '), 'key') AS has_key,
+        |  string_split(text, ' ')[1:3] AS first3,
+        |  list_sort(list_distinct(string_split(text, ' '))) AS uniq,
+        |  string_split(text, ' ')[1] AS first_tok,
+        |  list_sort(list_concat(string_split(text, ' ')[1:2], ['zz'])) AS plus_zz
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "fn_map" ->
+      """SELECT doc_id,
+        |  list_sort(map_keys(MAP(['lang','source'], [lang, source]))) AS m_keys,
+        |  MAP(['lang','source'], [lang, source])['lang'][1] AS lang_v,
+        |  MAP(['lang','source'], [lang, source])['source'][1] AS src_v,
+        |  CAST(cardinality(MAP(['lang','source'], [lang, source])) AS INT) AS m_size
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "fn_json" ->
+      """SELECT event_id,
+        |  CAST(json_extract(props, '$.k') AS INT) AS k1,
+        |  CAST(json_extract(props, '$.k') AS INT) AS k2,
+        |  CAST(json_extract(props, '$.k') AS INT) AS k3
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "fn_hash" ->
+      """SELECT doc_id, md5(text) AS md5h, sha256(text) AS sha256h,
+        |  md5(upper(text)) AS md5u
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "udf_scalar" ->
+      """SELECT p_partkey,
+        |  array_to_string(list_reverse(string_split(p_name, ' ')), ' ') AS rev
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "udtf_explode" ->
+      """SELECT doc_id,
+        |  generate_subscripts(string_split(text, ' '), 1) AS pos1,
+        |  unnest(string_split(text, ' ')) AS token
+        |FROM documents WHERE doc_id < 20 ORDER BY doc_id, pos1""".stripMargin
+  )
+}

@@ -1,0 +1,191 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.GraftBridge
+import graft.Tables
+import org.apache.spark.sql.graftbridge.CosineSimilarity
+
+/** SURVEY.md §2.11 — LLM-training-data pipeline operators: dedup (exact +
+  * near-dup), similarity search, text analysis, multimodal join.
+  *
+  * Scale posture: the near-dup candidate set is generated from an inverted
+  * shingle index (only co-shingled pairs materialize — the same structure
+  * MinHash-LSH banding gives at 100 TB, where `MinHashLSH.approxSimilarityJoin`
+  * replaces the exact index); similarity search broadcasts the probe set so
+  * the corpus is scanned once with no shuffle.
+  */
+object LlmOps {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** 3-token shingles per doc, distinct, via array transform (no join). */
+  private def shingles(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .select(col("doc_id"),
+        explode(array_distinct(expr(
+          "transform(sequence(0, size(t) - 3), i -> concat_ws(' ', t[i], t[i+1], t[i+2]))"
+        ))).as("s"))
+
+  val queries: Map[String, Q] = Map(
+    // Exact dedup by content hash: keep lowest doc_id per md5(text).
+    "llm_dedup_exact" -> ((s, d) => {
+      val h = Tables.documents(s, d).withColumn("h", md5(col("text")))
+      val keep = h.groupBy("h").agg(min("doc_id").as("keep_id"))
+      h.join(keep, "h")
+        .withColumn("is_kept", col("doc_id") === col("keep_id"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          count(when(col("is_kept"), 1)).as("n_kept"),
+          count(when(!col("is_kept"), 1)).as("n_dropped"))
+        .orderBy("lang")
+    }),
+
+    // Near-duplicate pairs by 3-gram-shingle Jaccard >= 0.5. Candidates come
+    // from the inverted shingle index self-join; Jaccard is computed exactly
+    // on full shingle sets (|∩| from the index, |∪| = |A|+|B|-|∩|).
+    "llm_dedup_near" -> ((s, d) => {
+      val sh = shingles(s, d)
+      val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val inter = sh.as("x").join(sh.as("y"),
+          col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
+        .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+        .agg(count(lit(1)).as("c"))
+      inter
+        .join(sz.as("sa"), col("a") === col("sa.doc_id"))
+        .join(sz.as("sb"), col("b") === col("sb.doc_id"))
+        .withColumn("jaccard",
+          round(col("c") * lit(1.0) / (col("sa.n") + col("sb.n") - col("c")), 4))
+        .where(col("jaccard") >= 0.5)
+        .select("a", "b", "jaccard")
+        .orderBy("a", "b")
+    }),
+
+    // Similarity search: top-5 cosine neighbors for probe set vec_id < 10,
+    // using the native CosineSimilarity expression; rank on ROUNDED sims so
+    // ordering is identical across engines.
+    "llm_sim_topk" -> ((s, d) => {
+      GraftBridge.registerFunction(s, "cosine_sim",
+        exprs => CosineSimilarity(exprs(0), exprs(1)))
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      val p = e.where(col("vec_id") < 10)
+        .select(col("vec_id").as("probe_id"), col("emb").as("p_emb"))
+      val w = Window.partitionBy("probe_id").orderBy(desc("sim"), col("neighbor_id"))
+      broadcast(p).join(e, col("vec_id") =!= col("probe_id"))
+        .select(col("probe_id"), col("vec_id").as("neighbor_id"),
+          round(call_function("cosine_sim", col("p_emb"), col("emb")), 4).as("sim"))
+        .withColumn("rnk", row_number().over(w))
+        .where(col("rnk") <= 5)
+        .orderBy("probe_id", "rnk")
+    }),
+
+    // Text analysis: global top-20 tokens.
+    "llm_text_tokens" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("cnt"))
+        .orderBy(desc("cnt"), col("token"))
+        .limit(20)),
+
+    // Per-language corpus stats.
+    "llm_text_stats" -> ((s, d) =>
+      Tables.documents(s, d)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("source")).as("n_sources"),
+          sum(col("n_chars")).as("total_chars"),
+          round(sum(col("n_chars")).cast("double") / count(lit(1)), 4).as("avg_chars"),
+          round(sum(size(split(col("text"), " ")).cast("long")).cast("double") / count(lit(1)), 4)
+            .as("avg_tokens"))
+        .orderBy("lang")),
+
+    // Multimodal: text table ⋈ vector table; per (lang,label) count + mean
+    // cosine of each doc's embedding to its label centroid.
+    "llm_multimodal" -> ((s, d) => {
+      val ex = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("label"),
+          posexplode(col("embedding").cast("array<double>")).as(Seq("dim", "v")))
+      val cent = ex.groupBy("label", "dim")
+        .agg((sum("v") / count(lit(1))).as("cv"))
+      val percos = ex.join(cent, Seq("label", "dim"))
+        .groupBy("vec_id", "label")
+        .agg((sum(col("v") * col("cv"))
+          / (sqrt(sum(col("v") * col("v"))) * sqrt(sum(col("cv") * col("cv"))))).as("cos"))
+      Tables.documents(s, d)
+        .join(percos, col("doc_id") === col("vec_id"))
+        .groupBy("lang", "label")
+        .agg(count(lit(1)).as("n_docs"),
+          round(sum("cos") / count(lit(1)), 4).as("avg_cos"))
+        .orderBy("lang", "label")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "llm_dedup_exact" ->
+      """WITH h AS (SELECT doc_id, lang, md5(text) AS h FROM documents),
+        |k AS (SELECT h, MIN(doc_id) AS keep_id FROM h GROUP BY h)
+        |SELECT lang, COUNT(*) AS n_docs,
+        |  COUNT(CASE WHEN doc_id = keep_id THEN 1 END) AS n_kept,
+        |  COUNT(CASE WHEN doc_id <> keep_id THEN 1 END) AS n_dropped
+        |FROM h JOIN k USING (h)
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "llm_dedup_near" ->
+      """WITH dd AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        |         generate_series(1, len(t) - 2), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS s
+        |       FROM dd),
+        |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS c
+        |          FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+        |          GROUP BY 1, 2)
+        |SELECT a, b, ROUND(c * 1.0 / (sa.n + sb.n - c), 4) AS jaccard
+        |FROM inter JOIN sz sa ON a = sa.doc_id JOIN sz sb ON b = sb.doc_id
+        |WHERE ROUND(c * 1.0 / (sa.n + sb.n - c), 4) >= 0.5
+        |ORDER BY a, b""".stripMargin,
+
+    "llm_sim_topk" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |p AS (SELECT vec_id AS probe_id, emb AS p_emb FROM e WHERE vec_id < 10),
+        |sim AS (SELECT probe_id, vec_id AS neighbor_id,
+        |          ROUND(list_cosine_similarity(p_emb, emb), 4) AS sim
+        |        FROM p, e WHERE vec_id <> probe_id),
+        |r AS (SELECT probe_id, neighbor_id, sim,
+        |        CAST(ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY sim DESC, neighbor_id) AS INT) AS rnk
+        |      FROM sim)
+        |SELECT probe_id, neighbor_id, sim, rnk FROM r WHERE rnk <= 5
+        |ORDER BY probe_id, rnk""".stripMargin,
+
+    "llm_text_tokens" ->
+      """SELECT token, COUNT(*) AS cnt FROM (
+        |  SELECT unnest(string_split(text, ' ')) AS token FROM documents
+        |) GROUP BY token ORDER BY cnt DESC, token LIMIT 20""".stripMargin,
+
+    "llm_text_stats" ->
+      """SELECT lang, COUNT(*) AS n_docs, COUNT(DISTINCT source) AS n_sources,
+        |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+        |  ROUND(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*), 4) AS avg_chars,
+        |  ROUND(CAST(SUM(len(string_split(text, ' '))) AS DOUBLE) / COUNT(*), 4) AS avg_tokens
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "llm_multimodal" ->
+      """WITH ex AS (
+        |  SELECT vec_id, label, generate_subscripts(embedding, 1) - 1 AS dim,
+        |    CAST(unnest(embedding) AS DOUBLE) AS v
+        |  FROM embeddings
+        |),
+        |cent AS (SELECT label, dim, SUM(v) / COUNT(*) AS cv FROM ex GROUP BY label, dim),
+        |percos AS (
+        |  SELECT vec_id, ex.label,
+        |    SUM(v * cv) / (SQRT(SUM(v * v)) * SQRT(SUM(cv * cv))) AS cos
+        |  FROM ex JOIN cent ON ex.label = cent.label AND ex.dim = cent.dim
+        |  GROUP BY vec_id, ex.label
+        |)
+        |SELECT lang, label, COUNT(*) AS n_docs,
+        |  ROUND(SUM(cos) / COUNT(*), 4) AS avg_cos
+        |FROM documents JOIN percos ON doc_id = vec_id
+        |GROUP BY lang, label ORDER BY lang, label""".stripMargin
+  )
+}

@@ -1,0 +1,401 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** SURVEY.md §2.1 scans, §2.2 projection/filter, §2.3 joins, §2.6 sorts,
+  * §2.7 set ops.
+  *
+  * Every oracle-verified query ends in a total ORDER BY mirrored exactly in
+  * the DuckDB SQL (SURVEY.md §7.3 rule 1); money aggregates use the
+  * DECIMAL(18,4) per-row-cast recipe (rule 2); event timestamps compare on
+  * exact raw nanoseconds and are emitted second-formatted (rule 3).
+  */
+object Relational {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val HourUs = 3600L * 1000 * 1000
+
+  private def dec(c: Column): Column = c.cast("decimal(18,4)")
+  private def fmtTs(c: Column): Column = date_format(c, "yyyy-MM-dd HH:mm:ss")
+
+  val queries: Map[String, Q] = Map(
+    // ---- §2.1 scans ----
+    "scan_parquet" -> ((s, d) => Tables.nation(s, d).orderBy("n_nationkey")),
+
+    "scan_pruned" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .where(col("l_shipdate") >= lit("2001-01-01").cast("timestamp"))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          date_format(col("l_shipdate"), "yyyy-MM-dd").as("ship_date"))
+        .orderBy("l_orderkey", "l_linenumber", "ship_date")),
+
+    // Engine sink capability: parquet write→read round-trip (rows>0 check
+    // only; schema/data equality asserted in ScalaTest).
+    "sink_roundtrip" -> ((s, d) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_sink").toString
+      Tables.nation(s, d).write.mode("overwrite").parquet(s"$tmp/nation_rt")
+      s.read.parquet(s"$tmp/nation_rt").orderBy("n_nationkey")
+    }),
+
+    // CSV/JSON source with schema inference round-trips nation (rows-only
+    // check here; full schema assertions in ScalaTest).
+    "source_csv_json_infer" -> ((s, d) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_src").toString
+      val n = Tables.nation(s, d)
+      n.write.mode("overwrite").option("header", "true").csv(s"$tmp/nation_csv")
+      n.write.mode("overwrite").json(s"$tmp/nation_json")
+      val fromCsv = s.read.option("header", "true").option("inferSchema", "true")
+        .csv(s"$tmp/nation_csv")
+      val fromJson = s.read.json(s"$tmp/nation_json")
+      fromCsv.select(lit("csv").as("src") +: count_all_cols(fromCsv): _*)
+        .unionByName(fromJson.select(lit("json").as("src") +: count_all_cols(fromJson): _*))
+        .groupBy("src").count().orderBy("src")
+    }),
+
+    // ---- §2.2 projection / filter ----
+    "proj_expr" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          dec(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
+          (col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax")))
+            .cast("decimal(18,6)").as("charge"))
+        .orderBy("l_orderkey", "l_linenumber", "revenue", "charge")
+        .limit(1000)),
+
+    "filter_pred" -> ((s, d) =>
+      Tables.orders(s, d)
+        .where(col("o_orderstatus").isin("F", "P")
+          && col("o_totalprice").between(50000, 150000)
+          && col("o_orderpriority").like("1%")
+          && !(col("o_custkey") % 10 === 3))
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority")
+        .orderBy("o_orderkey")),
+
+    "filter_null_semantics" -> ((s, d) =>
+      Tables.customer(s, d)
+        .withColumn("seg_n", expr("NULLIF(c_mktsegment, 'BUILDING')"))
+        .where(col("seg_n").isNull || col("seg_n").like("F%"))
+        .select(col("c_custkey"), col("seg_n"),
+          coalesce(col("seg_n"), lit("none")).as("seg_c"),
+          (col("seg_n") <=> lit("FURNITURE")).as("seg_eq_f"),
+          col("seg_n").isNotNull.as("seg_nn"))
+        .orderBy("c_custkey")),
+
+    // ---- §2.3 joins ----
+    "join_inner" -> ((s, d) =>
+      Tables.orders(s, d)
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .select("o_orderkey", "o_custkey", "c_name", "o_totalprice")
+        .orderBy("o_orderkey")),
+
+    "join_broadcast" -> ((s, d) =>
+      Tables.customer(s, d)
+        .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+        .select("c_custkey", "c_name", "n_name", "r_name")
+        .orderBy("c_custkey")),
+
+    // TPC-H-Q5-style 5-way join; dims broadcast so only the two fact tables
+    // shuffle on their join keys — the plan that survives a 100× scale-up.
+    "join_multiway" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+        .where(col("r_name") === "ASIA"
+          && col("o_orderdate") >= lit("1996-01-01").cast("timestamp")
+          && col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+        .groupBy("n_name")
+        .agg(sum(dec(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue"))
+        .orderBy(desc("revenue"), col("n_name"))),
+
+    "join_left_outer" -> ((s, d) => {
+      val big = Tables.orders(s, d).where(col("o_totalprice") > 400000)
+      Tables.customer(s, d)
+        .join(big, col("c_custkey") === col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("n_big"),
+          coalesce(sum(dec(col("o_totalprice"))), lit(0).cast("decimal(18,4)")).as("big_total"))
+        .orderBy("c_custkey")
+    }),
+
+    "join_full_outer" -> ((s, d) => {
+      val sc = Tables.supplier(s, d).where(col("s_acctbal") > 5000)
+        .groupBy("s_nationkey").agg(count(lit(1)).as("n_supp"))
+      val cc = Tables.customer(s, d).where(col("c_acctbal") > 9000)
+        .groupBy("c_nationkey").agg(count(lit(1)).as("n_cust"))
+      sc.join(cc, col("s_nationkey") === col("c_nationkey"), "full")
+        .select(coalesce(col("s_nationkey"), col("c_nationkey")).as("nationkey"),
+          coalesce(col("n_supp"), lit(0L)).as("n_supp"),
+          coalesce(col("n_cust"), lit(0L)).as("n_cust"))
+        .orderBy("nationkey")
+    }),
+
+    "join_semi" -> ((s, d) =>
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d).where(col("o_totalprice") > 400000),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")),
+
+    "join_anti" -> ((s, d) =>
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d).where(col("o_totalprice") > 400000),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")),
+
+    "join_cross" -> ((s, d) =>
+      Tables.region(s, d).select("r_name")
+        .crossJoin(Tables.nation(s, d).select("n_name"))
+        .orderBy("r_name", "n_name")),
+
+    // Equi key + non-equi residual condition (theta).
+    "join_theta" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .join(Tables.part(s, d),
+          col("l_partkey") === col("p_partkey")
+            && col("l_extendedprice") > col("p_retailprice") * 10)
+        .select("l_orderkey", "l_linenumber", "p_partkey", "l_extendedprice", "p_retailprice")
+        .orderBy("l_orderkey", "l_linenumber", "p_partkey", "l_extendedprice")),
+
+    // (purchase, error) pairs of the same user with the error strictly
+    // inside (purchase, purchase+1h]. Comparison on exact raw nanoseconds.
+    "join_range_interval" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      val p = e.where(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("user_id"),
+          col("ts_us").as("p_us"), col("ts").as("p_ts"))
+      val x = e.where(col("event_type") === "error")
+        .select(col("event_id").as("e_id"), col("user_id").as("e_user"),
+          col("ts_us").as("e_us"), col("ts").as("e_ts"))
+      p.join(x, col("user_id") === col("e_user")
+          && col("e_us") > col("p_us") && col("e_us") <= col("p_us") + lit(HourUs))
+        .select(col("p_id"), col("e_id"), col("user_id"),
+          fmtTs(col("p_ts")).as("p_ts"), fmtTs(col("e_ts")).as("e_ts"))
+        .orderBy("p_id", "e_id")
+    }),
+
+    // As-of join: for each purchase, the user's most recent view at-or-before
+    // it. Spark has no native batch as-of; the idiomatic formulation is a
+    // ranged join + row_number window kept to rank 1 (SURVEY.md §2.3).
+    "join_asof" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      val p = e.where(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("user_id"),
+          col("ts_us").as("p_us"), col("ts").as("p_ts"))
+      val v = e.where(col("event_type") === "view")
+        .select(col("event_id").as("v_id"), col("user_id").as("v_user"),
+          col("ts_us").as("v_us"), col("ts").as("v_ts"))
+      val w = Window.partitionBy("p_id").orderBy(desc("v_us"), desc("v_id"))
+      p.join(v, col("user_id") === col("v_user") && col("v_us") <= col("p_us"))
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select(col("p_id"), col("user_id"), fmtTs(col("p_ts")).as("p_ts"),
+          col("v_id"), fmtTs(col("v_ts")).as("v_ts"))
+        .orderBy("p_id")
+    }),
+
+    // ---- §2.6 sorts / limits ----
+    "sort_multi" -> ((s, d) =>
+      Tables.customer(s, d)
+        .withColumn("seg_n", expr("NULLIF(c_mktsegment, 'BUILDING')"))
+        .select("c_custkey", "c_nationkey", "seg_n", "c_acctbal")
+        .orderBy(col("c_nationkey").asc, col("seg_n").desc_nulls_last, col("c_custkey").asc)),
+
+    "sort_limit_topk" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          dec(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+        .orderBy(desc("revenue"), col("l_orderkey"), col("l_linenumber"))
+        .limit(20)),
+
+    "limit_offset" -> ((s, d) =>
+      Tables.customer(s, d).select("c_custkey", "c_name")
+        .orderBy("c_custkey").offset(10).limit(10)),
+
+    // ---- §2.7 set operations ----
+    "set_union_all" -> ((s, d) =>
+      custProj(s, d).unionAll(suppProj(s, d)).orderBy("nationkey", "acctbal")),
+
+    "set_union_distinct" -> ((s, d) =>
+      custProj(s, d).union(suppProj(s, d)).distinct().orderBy("nationkey", "acctbal")),
+
+    "set_intersect" -> ((s, d) =>
+      Tables.customer(s, d).select(col("c_nationkey").as("nationkey"))
+        .intersectAll(Tables.supplier(s, d).select(col("s_nationkey").as("nationkey")))
+        .groupBy("nationkey").agg(count(lit(1)).as("all_cnt"))
+        .orderBy("nationkey")),
+
+    "set_except" -> ((s, d) => {
+      val a = Tables.customer(s, d).select(col("c_nationkey").as("nationkey"))
+      val b = Tables.supplier(s, d).where(col("s_acctbal") > 5000)
+        .select(col("s_nationkey").as("nationkey"))
+      val exa = a.exceptAll(b).groupBy("nationkey").agg(count(lit(1)).as("n_exall"))
+      a.except(b)
+        .join(exa, Seq("nationkey"), "left")
+        .na.fill(0L, Seq("n_exall"))
+        .orderBy("nationkey")
+    })
+  )
+
+  private def custProj(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d).select(col("c_nationkey").as("nationkey"), col("c_acctbal").as("acctbal"))
+  private def suppProj(s: SparkSession, d: String): DataFrame =
+    Tables.supplier(s, d).select(col("s_nationkey").as("nationkey"), col("s_acctbal").as("acctbal"))
+
+  /** Columns of df as a stable projection (helper for source_csv_json_infer). */
+  private def count_all_cols(df: DataFrame): Seq[Column] = df.columns.toSeq.map(c => col(c).cast("string").as(c))
+
+  val oracles: Map[String, String] = Map(
+    "scan_parquet" ->
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
+
+    "scan_pruned" ->
+      """SELECT l_orderkey, l_linenumber, strftime(l_shipdate, '%Y-%m-%d') AS ship_date
+        |FROM lineitem WHERE l_shipdate >= TIMESTAMP '2001-01-01 00:00:00'
+        |ORDER BY l_orderkey, l_linenumber, ship_date""".stripMargin,
+
+    "proj_expr" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)) AS revenue,
+        |  CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6)) AS charge
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber, revenue, charge LIMIT 1000""".stripMargin,
+
+    "filter_pred" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderpriority
+        |FROM orders
+        |WHERE o_orderstatus IN ('F','P') AND o_totalprice BETWEEN 50000 AND 150000
+        |  AND o_orderpriority LIKE '1%' AND NOT (o_custkey % 10 = 3)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "filter_null_semantics" ->
+      """SELECT c_custkey, NULLIF(c_mktsegment,'BUILDING') AS seg_n,
+        |  COALESCE(NULLIF(c_mktsegment,'BUILDING'), 'none') AS seg_c,
+        |  NULLIF(c_mktsegment,'BUILDING') IS NOT DISTINCT FROM 'FURNITURE' AS seg_eq_f,
+        |  NULLIF(c_mktsegment,'BUILDING') IS NOT NULL AS seg_nn
+        |FROM customer
+        |WHERE NULLIF(c_mktsegment,'BUILDING') IS NULL OR NULLIF(c_mktsegment,'BUILDING') LIKE 'F%'
+        |ORDER BY c_custkey""".stripMargin,
+
+    "join_inner" ->
+      """SELECT o_orderkey, o_custkey, c_name, o_totalprice
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "join_broadcast" ->
+      """SELECT c_custkey, c_name, n_name, r_name
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |ORDER BY c_custkey""".stripMargin,
+
+    "join_multiway" ->
+      """SELECT n_name, SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA' AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+
+    "join_left_outer" ->
+      """SELECT c_custkey, COUNT(o_orderkey) AS n_big,
+        |  COALESCE(SUM(CAST(o_totalprice AS DECIMAL(18,4))), CAST(0 AS DECIMAL(18,4))) AS big_total
+        |FROM customer LEFT JOIN (SELECT * FROM orders WHERE o_totalprice > 400000) o
+        |  ON c_custkey = o.o_custkey
+        |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
+
+    "join_full_outer" ->
+      """SELECT COALESCE(sc.s_nationkey, cc.c_nationkey) AS nationkey,
+        |  COALESCE(sc.n_supp, 0) AS n_supp, COALESCE(cc.n_cust, 0) AS n_cust
+        |FROM (SELECT s_nationkey, COUNT(*) AS n_supp FROM supplier WHERE s_acctbal > 5000 GROUP BY s_nationkey) sc
+        |FULL JOIN (SELECT c_nationkey, COUNT(*) AS n_cust FROM customer WHERE c_acctbal > 9000 GROUP BY c_nationkey) cc
+        |  ON sc.s_nationkey = cc.c_nationkey
+        |ORDER BY nationkey""".stripMargin,
+
+    "join_semi" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "join_anti" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "join_cross" ->
+      """SELECT r_name, n_name FROM region CROSS JOIN nation ORDER BY r_name, n_name""",
+
+    "join_theta" ->
+      """SELECT l_orderkey, l_linenumber, p_partkey, l_extendedprice, p_retailprice
+        |FROM lineitem JOIN part ON l_partkey = p_partkey AND l_extendedprice > p_retailprice * 10
+        |ORDER BY l_orderkey, l_linenumber, p_partkey, l_extendedprice""".stripMargin,
+
+    "join_range_interval" ->
+      """SELECT p.event_id AS p_id, e.event_id AS e_id, p.user_id AS user_id,
+        |  strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS p_ts, strftime(e.ts, '%Y-%m-%d %H:%M:%S') AS e_ts
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |JOIN (SELECT * FROM events WHERE event_type = 'error') e
+        |  ON p.user_id = e.user_id AND epoch_us(e.ts) > epoch_us(p.ts)
+        |  AND epoch_us(e.ts) <= epoch_us(p.ts) + 3600000000
+        |ORDER BY p_id, e_id""".stripMargin,
+
+    "join_asof" ->
+      """SELECT p.event_id AS p_id, p.user_id AS user_id,
+        |  strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS p_ts,
+        |  v.event_id AS v_id, strftime(v.ts, '%Y-%m-%d %H:%M:%S') AS v_ts
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF JOIN (SELECT * FROM events WHERE event_type = 'view') v
+        |  ON p.user_id = v.user_id AND v.ts <= p.ts
+        |ORDER BY p_id""".stripMargin,
+
+    "sort_multi" ->
+      """SELECT c_custkey, c_nationkey, NULLIF(c_mktsegment,'BUILDING') AS seg_n, c_acctbal
+        |FROM customer
+        |ORDER BY c_nationkey ASC, seg_n DESC NULLS LAST, c_custkey ASC""".stripMargin,
+
+    "sort_limit_topk" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)) AS revenue
+        |FROM lineitem ORDER BY revenue DESC, l_orderkey, l_linenumber LIMIT 20""".stripMargin,
+
+    "limit_offset" ->
+      "SELECT c_custkey, c_name FROM customer ORDER BY c_custkey LIMIT 10 OFFSET 10",
+
+    "set_union_all" ->
+      """SELECT * FROM (
+        |  SELECT c_nationkey AS nationkey, c_acctbal AS acctbal FROM customer
+        |  UNION ALL
+        |  SELECT s_nationkey, s_acctbal FROM supplier
+        |) ORDER BY nationkey, acctbal""".stripMargin,
+
+    "set_union_distinct" ->
+      """SELECT * FROM (
+        |  SELECT c_nationkey AS nationkey, c_acctbal AS acctbal FROM customer
+        |  UNION
+        |  SELECT s_nationkey, s_acctbal FROM supplier
+        |) ORDER BY nationkey, acctbal""".stripMargin,
+
+    "set_intersect" ->
+      """SELECT nationkey, COUNT(*) AS all_cnt FROM (
+        |  SELECT c_nationkey AS nationkey FROM customer
+        |  INTERSECT ALL
+        |  SELECT s_nationkey FROM supplier
+        |) GROUP BY nationkey ORDER BY nationkey""".stripMargin,
+
+    "set_except" ->
+      """SELECT e.nationkey, COALESCE(x.n_exall, 0) AS n_exall
+        |FROM (SELECT c_nationkey AS nationkey FROM customer
+        |      EXCEPT SELECT s_nationkey FROM supplier WHERE s_acctbal > 5000) e
+        |LEFT JOIN (SELECT nationkey, COUNT(*) AS n_exall FROM (
+        |    SELECT c_nationkey AS nationkey FROM customer
+        |    EXCEPT ALL SELECT s_nationkey FROM supplier WHERE s_acctbal > 5000
+        |  ) GROUP BY nationkey) x USING (nationkey)
+        |ORDER BY e.nationkey""".stripMargin
+  )
+}

@@ -1,0 +1,190 @@
+package graft.ops
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import graft.Tables
+
+/** Event row shape used by the MemoryStream-driven streaming ops. */
+case class SEvent(event_id: Long, ts: Timestamp, user_id: Long, event_type: String, value: Double)
+
+/** SURVEY.md §2.10 — streaming semantics.
+  *
+  * The window operators (`stream_tumbling`/`stream_sliding`/`stream_session`)
+  * use the batch ≡ streaming equivalence of Spark's `window()` /
+  * `session_window()` and are oracle-verified on static parquet. The three
+  * pure-streaming ops (watermark late-drop, stateful dedup, custom state
+  * machine) run a real Structured Streaming query over an in-memory source
+  * inside the query function and return the sink table — semantics that
+  * DuckDB cannot express (rows-only driver check; full assertions in
+  * ScalaTest).
+  */
+object StreamingOps {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def fmt(c: org.apache.spark.sql.Column) = date_format(c, "yyyy-MM-dd HH:mm:ss")
+
+  val queries: Map[String, Q] = Map(
+    // 1-hour tumbling windows: count + exact value cents per event_type.
+    "stream_tumbling" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(round(col("value") * 100).cast("long")).as("value_cents"))
+        .select(fmt(col("window.start")).as("win_start"), col("event_type"),
+          col("cnt"), col("value_cents"))
+        .orderBy("win_start", "event_type")),
+
+    // 10-minute windows sliding every 5 minutes (each event in 2 windows).
+    "stream_sliding" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "10 minutes", "5 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(fmt(col("window.start")).as("win_start"), col("event_type"), col("cnt"))
+        .orderBy("win_start", "event_type")),
+
+    // Session windows per user with a 30-minute inactivity gap.
+    "stream_session" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(col("user_id"), fmt(col("session_window.start")).as("s_start"),
+          fmt(col("session_window.end")).as("s_end"), col("cnt"))
+        .orderBy("user_id", "s_start")),
+
+    // Event-time watermark: rows later than watermark-delay are dropped and
+    // only finalized windows are emitted (append mode).
+    "stream_watermark_late" -> ((s, d) => runStream(s) { (ms, sink) =>
+      val q = ms.toDF()
+        .withWatermark("ts", "10 minutes")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(fmt(col("window.start")).as("win_start"), col("event_type"), col("cnt"))
+        .writeStream.format("memory").queryName(sink).outputMode("append").start()
+      ms.addData(
+        SEvent(1, Timestamp.valueOf("2024-01-01 10:00:00"), 1, "view", 1.0),
+        SEvent(2, Timestamp.valueOf("2024-01-01 10:10:00"), 1, "view", 1.0),
+        SEvent(3, Timestamp.valueOf("2024-01-01 10:50:00"), 2, "click", 1.0),
+        SEvent(4, Timestamp.valueOf("2024-01-01 11:05:00"), 2, "view", 1.0))
+      q.processAllAvailable()
+      ms.addData(
+        SEvent(5, Timestamp.valueOf("2024-01-01 13:00:00"), 1, "click", 1.0),
+        // late beyond watermark (13:00 − 10 min = 12:50 > 10:05 window end) → dropped
+        SEvent(6, Timestamp.valueOf("2024-01-01 10:05:00"), 1, "view", 1.0))
+      q.processAllAvailable()
+      q.stop()
+    }),
+
+    // Streaming dropDuplicates within the watermark: re-sent event_ids are
+    // suppressed.
+    "stream_dedup_stateful" -> ((s, d) => runStream(s) { (ms, sink) =>
+      val q = ms.toDF()
+        .withWatermark("ts", "10 minutes")
+        .dropDuplicates("event_id")
+        .select(col("event_id"), col("user_id"), col("event_type"))
+        .writeStream.format("memory").queryName(sink).outputMode("append").start()
+      ms.addData(
+        SEvent(1, Timestamp.valueOf("2024-01-01 10:00:00"), 1, "view", 1.0),
+        SEvent(2, Timestamp.valueOf("2024-01-01 10:01:00"), 1, "click", 1.0),
+        SEvent(3, Timestamp.valueOf("2024-01-01 10:02:00"), 2, "view", 1.0))
+      q.processAllAvailable()
+      ms.addData(
+        SEvent(2, Timestamp.valueOf("2024-01-01 10:03:00"), 1, "click", 1.0), // dup → dropped
+        SEvent(4, Timestamp.valueOf("2024-01-01 10:04:00"), 2, "purchase", 1.0))
+      q.processAllAvailable()
+      q.stop()
+    }),
+
+    // Arbitrary stateful processing: per-user running (count, value-sum)
+    // state machine via flatMapGroupsWithState, emitting updated stats on
+    // every batch.
+    "stream_stateful_custom" -> ((s, d) => {
+      val classic = s.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      import classic.implicits._
+      implicit val sq = classic.sqlContext
+      val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[SEvent]
+      val sink = newSinkName()
+      val q = ms.toDS()
+        .groupByKey(_.user_id)
+        .flatMapGroupsWithState[(Long, Double), (Long, Long, Double)](
+          OutputMode.Append, GroupStateTimeout.NoTimeout) {
+          (user: Long, rows: Iterator[SEvent], state: GroupState[(Long, Double)]) =>
+            val (n0, v0) = state.getOption.getOrElse((0L, 0.0))
+            var n = n0; var v = v0
+            rows.foreach { e => n += 1; v += e.value }
+            state.update((n, v))
+            Iterator((user, n, v))
+        }
+        .toDF("user_id", "n_events", "total_value")
+        .writeStream.format("memory").queryName(sink).outputMode("append").start()
+      ms.addData(
+        SEvent(1, Timestamp.valueOf("2024-01-01 10:00:00"), 1, "view", 2.0),
+        SEvent(2, Timestamp.valueOf("2024-01-01 10:01:00"), 1, "click", 3.0),
+        SEvent(3, Timestamp.valueOf("2024-01-01 10:02:00"), 2, "view", 5.0))
+      q.processAllAvailable()
+      ms.addData(
+        SEvent(4, Timestamp.valueOf("2024-01-01 10:03:00"), 1, "purchase", 10.0))
+      q.processAllAvailable()
+      q.stop()
+      s.table(sink).orderBy("user_id", "n_events")
+    })
+  )
+
+  private def newSinkName(): String =
+    "graft_sink_" + java.util.UUID.randomUUID().toString.replace("-", "")
+
+  /** Run a MemoryStream[SEvent]-fed streaming query; return the sink table. */
+  private def runStream(s: SparkSession)(
+      body: (org.apache.spark.sql.execution.streaming.runtime.MemoryStream[SEvent], String) => Unit): DataFrame = {
+    val classic = s.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    import classic.implicits._
+    implicit val sq = classic.sqlContext
+    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[SEvent]
+    val sink = newSinkName()
+    body(ms, sink)
+    s.table(sink).orderBy(s.table(sink).columns.map(col).toSeq: _*)
+  }
+
+  val oracles: Map[String, String] = Map(
+    "stream_tumbling" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS win_start,
+        |  event_type, COUNT(*) AS cnt,
+        |  CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+        |FROM events GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin,
+
+    // Sliding 10-min/5-min ≡ each event contributes to its 5-min-aligned
+    // bucket and the one before it (1970-epoch-aligned, same as Spark).
+    "stream_sliding" ->
+      """WITH b AS (
+        |  SELECT (epoch_us(ts) // 300000000) AS bucket, event_type FROM events
+        |), w AS (
+        |  SELECT bucket AS wb, event_type FROM b
+        |  UNION ALL
+        |  SELECT bucket - 1, event_type FROM b
+        |)
+        |SELECT strftime(make_timestamp(wb * 300000000), '%Y-%m-%d %H:%M:%S') AS win_start,
+        |  event_type, COUNT(*) AS cnt
+        |FROM w GROUP BY wb, event_type ORDER BY win_start, event_type""".stripMargin,
+
+    // Classic SQL sessionization (lag → gap flag → cumulative session id),
+    // gap test strictly > 30 min — matches Spark session_window semantics
+    // (verified experimentally, SURVEY.md §7.5.3).
+    "stream_session" ->
+      """WITH x AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |         OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        |), y AS (
+        |  SELECT user_id, ts,
+        |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM x
+        |)
+        |SELECT user_id, strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS s_start,
+        |  strftime(MAX(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS s_end,
+        |  COUNT(*) AS cnt
+        |FROM y GROUP BY user_id, sid ORDER BY user_id, s_start""".stripMargin
+  )
+}

@@ -1,0 +1,179 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** SURVEY.md §2.5 window functions.
+  *
+  * Determinism: every window ORDER BY ends in a unique key (so row_number &
+  * frames are reproducible), and rank/dense_rank are exercised on a
+  * low-cardinality bucket key so real ties exist while output order stays
+  * total. Money sums inside frames use exact arithmetic (DECIMAL or integer
+  * cents) so running values hash-match DuckDB bit-for-bit.
+  */
+object WindowOps {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def dec(c: Column): Column = c.cast("decimal(18,4)")
+  /** Exact integer cents from a 2-dp double price: round(x*100) is the same
+    * IEEE double then the same half-up rounding in Spark and DuckDB. */
+  private def cents(c: Column): Column = round(c * 100).cast("long")
+
+  val queries: Map[String, Q] = Map(
+    "win_rank" -> ((s, d) => {
+      val bucket = (floor(col("o_totalprice") / 50000) * 50000).cast("long").as("price_bucket")
+      val w1 = Window.partitionBy("o_orderstatus").orderBy(desc("price_bucket"))
+      val w2 = Window.partitionBy("o_orderstatus").orderBy(desc("price_bucket"), col("o_orderkey"))
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderstatus"), bucket)
+        .withColumn("rnk", rank().over(w1))
+        .withColumn("drnk", dense_rank().over(w1))
+        .withColumn("rn", row_number().over(w2))
+        .orderBy("o_orderstatus", "rn")
+    }),
+
+    "win_topk_per_group" -> ((s, d) => {
+      val w = Window.partitionBy("c_mktsegment").orderBy(desc("o_totalprice"), col("o_orderkey"))
+      Tables.orders(s, d)
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .select(col("c_mktsegment"), col("o_orderkey"), col("o_totalprice"))
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") <= 3)
+        .orderBy("c_mktsegment", "rn")
+    }),
+
+    "win_running" -> ((s, d) => {
+      val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+          dec(col("o_totalprice")).as("price"))
+        .withColumn("run_total", sum(col("price")).over(w))
+        .select(col("o_custkey"), col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
+          col("price"), col("run_total"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
+    // Centered ±2-day moving average over daily revenue; avg computed from
+    // exact integer cents so both engines divide identical operands.
+    "win_sliding_frame" -> ((s, d) => {
+      val daily = Tables.orders(s, d)
+        .groupBy(date_format(col("o_orderdate"), "yyyy-MM-dd").as("day"))
+        .agg(sum(cents(col("o_totalprice"))).as("day_cents"))
+      val w = Window.orderBy("day").rowsBetween(-2, 2)
+      daily
+        .withColumn("frame_cents", sum(col("day_cents")).over(w))
+        .withColumn("frame_days", count(lit(1)).over(w))
+        .withColumn("moving_avg",
+          round(col("frame_cents") * lit(1.0) / col("frame_days") / 100, 2))
+        .select("day", "day_cents", "moving_avg")
+        .orderBy("day")
+    }),
+
+    // Value-based RANGE frame: orders within $1000 below the current price.
+    "win_range_frame" -> ((s, d) => {
+      val w = Window.orderBy(col("o_totalprice")).rangeBetween(-1000, 0)
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_totalprice"), cents(col("o_totalprice")).as("c"))
+        .withColumn("n_in_range", count(lit(1)).over(w))
+        .withColumn("cents_in_range", sum(col("c")).over(w))
+        .select("o_orderkey", "o_totalprice", "n_in_range", "cents_in_range")
+        .orderBy("o_totalprice", "o_orderkey")
+    }),
+
+    "win_lead_lag" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+      Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("ts_us"), col("value"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"))
+        .withColumn("prev_value", lag("value", 1).over(w))
+        .withColumn("next_value", lead("value", 1).over(w))
+        .withColumn("gap_us", col("ts_us") - lag("ts_us", 1).over(w))
+        .select("event_id", "user_id", "ts_s", "value", "prev_value", "next_value", "gap_us")
+        .orderBy("user_id", "event_id")
+    }),
+
+    "win_analytic" -> ((s, d) => {
+      val wo = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+      val wf = wo.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+        .withColumn("tile", ntile(4).over(wo))
+        .withColumn("pr", round(percent_rank().over(wo), 6))
+        .withColumn("cd", round(cume_dist().over(wo), 6))
+        .withColumn("first_ck", first(col("c_custkey")).over(wo))
+        .withColumn("last_ck", last(col("c_custkey")).over(wf))
+        .orderBy("c_mktsegment", "c_acctbal", "c_custkey")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "win_rank" ->
+      """SELECT o_orderkey, o_orderstatus,
+        |  CAST(FLOOR(o_totalprice / 50000) * 50000 AS BIGINT) AS price_bucket,
+        |  CAST(RANK() OVER (PARTITION BY o_orderstatus ORDER BY CAST(FLOOR(o_totalprice / 50000) * 50000 AS BIGINT) DESC) AS INT) AS rnk,
+        |  CAST(DENSE_RANK() OVER (PARTITION BY o_orderstatus ORDER BY CAST(FLOOR(o_totalprice / 50000) * 50000 AS BIGINT) DESC) AS INT) AS drnk,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY o_orderstatus ORDER BY CAST(FLOOR(o_totalprice / 50000) * 50000 AS BIGINT) DESC, o_orderkey) AS INT) AS rn
+        |FROM orders ORDER BY o_orderstatus, rn""".stripMargin,
+
+    "win_topk_per_group" ->
+      """SELECT c_mktsegment, o_orderkey, o_totalprice, rn FROM (
+        |  SELECT c_mktsegment, o_orderkey, o_totalprice,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY c_mktsegment ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rn
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |) WHERE rn <= 3 ORDER BY c_mktsegment, rn""".stripMargin,
+
+    "win_running" ->
+      """SELECT o_custkey, o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+        |  CAST(o_totalprice AS DECIMAL(18,4)) AS price,
+        |  SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_total
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "win_sliding_frame" ->
+      """WITH daily AS (
+        |  SELECT strftime(o_orderdate, '%Y-%m-%d') AS day,
+        |    SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS day_cents
+        |  FROM orders GROUP BY 1
+        |)
+        |SELECT day, day_cents,
+        |  ROUND(SUM(day_cents) OVER w * 1.0 / COUNT(*) OVER w / 100, 2) AS moving_avg
+        |FROM daily
+        |WINDOW w AS (ORDER BY day ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING)
+        |ORDER BY day""".stripMargin,
+
+    "win_range_frame" ->
+      """SELECT o_orderkey, o_totalprice,
+        |  COUNT(*) OVER w AS n_in_range,
+        |  SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) OVER w AS cents_in_range
+        |FROM orders
+        |WINDOW w AS (ORDER BY o_totalprice RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW)
+        |ORDER BY o_totalprice, o_orderkey""".stripMargin,
+
+    "win_lead_lag" ->
+      """SELECT event_id, user_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s, value,
+        |  LAG(value, 1) OVER w AS prev_value,
+        |  LEAD(value, 1) OVER w AS next_value,
+        |  epoch_us(ts) - LAG(epoch_us(ts), 1) OVER w AS gap_us
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+        |ORDER BY user_id, event_id""".stripMargin,
+
+    "win_analytic" ->
+      """SELECT c_custkey, c_mktsegment, c_acctbal,
+        |  CAST(NTILE(4) OVER wo AS INT) AS tile,
+        |  ROUND(PERCENT_RANK() OVER wo, 6) AS pr,
+        |  ROUND(CUME_DIST() OVER wo, 6) AS cd,
+        |  FIRST_VALUE(c_custkey) OVER wo AS first_ck,
+        |  LAST_VALUE(c_custkey) OVER wf AS last_ck
+        |FROM customer
+        |WINDOW wo AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey),
+        |  wf AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY c_mktsegment, c_acctbal, c_custkey""".stripMargin
+  )
+}
