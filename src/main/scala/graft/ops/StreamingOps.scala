@@ -69,10 +69,11 @@ object StreamingOps {
         SEvent(3, Timestamp.valueOf("2024-01-01 10:50:00"), 2, "click", 1.0),
         SEvent(4, Timestamp.valueOf("2024-01-01 11:05:00"), 2, "view", 1.0))
       q.processAllAvailable()
-      ms.addData(
-        SEvent(5, Timestamp.valueOf("2024-01-01 13:00:00"), 1, "click", 1.0),
-        // late beyond watermark (13:00 − 10 min = 12:50 > 10:05 window end) → dropped
-        SEvent(6, Timestamp.valueOf("2024-01-01 10:05:00"), 1, "view", 1.0))
+      // advance the watermark to 12:50 — hour-10/11 windows finalize
+      ms.addData(SEvent(5, Timestamp.valueOf("2024-01-01 13:00:00"), 1, "click", 1.0))
+      q.processAllAvailable()
+      // now later than the watermark AND its window already closed → dropped
+      ms.addData(SEvent(6, Timestamp.valueOf("2024-01-01 10:05:00"), 1, "view", 1.0))
       q.processAllAvailable()
       q.stop()
     }),

@@ -1,0 +1,58 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** SURVEY §5.2 plan-shape assertions: the physical plans carry the
+  * scale-critical shapes — broadcast joins for dims, TakeOrderedAndProject
+  * for top-k, two-phase HashAggregate, and parquet pushdown/pruning.
+  */
+class PlanShapeSpec extends AnyFunSuite with SparkFixture {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("join_broadcast uses BroadcastHashJoin for both dims") {
+    val p = plan("join_broadcast")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+  }
+
+  test("join_multiway broadcasts nation/region (no shuffle for dims)") {
+    assert(plan("join_multiway").contains("BroadcastHashJoin"))
+  }
+
+  test("sort_limit_topk plans TakeOrderedAndProject (no global sort)") {
+    assert(plan("sort_limit_topk").contains("TakeOrderedAndProject"))
+  }
+
+  test("agg_group plans two-phase HashAggregate") {
+    val p = plan("agg_group")
+    assert("HashAggregate".r.findAllIn(p).length >= 2, p.take(2000))
+  }
+
+  test("scan_pruned pushes the shipdate filter into the parquet scan") {
+    val p = SparkEntry.queries("scan_pruned")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters") && p.contains("l_shipdate"), p.take(2000))
+  }
+
+  test("scan_pruned reads only the three needed columns") {
+    val p = SparkEntry.queries("scan_pruned")(spark, sf)
+      .queryExecution.executedPlan.toString
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("l_orderkey") && readSchema.contains("l_shipdate"))
+    assert(!readSchema.contains("l_extendedprice"), readSchema)
+  }
+
+  test("fn_string stays in one whole-stage codegen span before the sort") {
+    // AQE's pre-execution plan string hides codegen stars; ask for the
+    // codegen explain explicitly.
+    val s = SparkEntry.queries("fn_string")(spark, sf)
+      .queryExecution.explainString(org.apache.spark.sql.execution.ExplainMode.fromString("codegen"))
+    assert(s.contains("WholeStageCodegen"), s.take(1000))
+  }
+
+  test("llm_sim_topk broadcasts the probe set") {
+    assert(plan("llm_sim_topk").contains("BroadcastNestedLoopJoin") ||
+      plan("llm_sim_topk").contains("BroadcastHashJoin"))
+  }
+}

@@ -1,0 +1,48 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** §2.1 sink/source capabilities: parquet round-trip fidelity and CSV/JSON
+  * schema inference (the two non-oracle scan ops).
+  */
+class SourceSinkSpec extends AnyFunSuite with SparkFixture {
+
+  test("parquet write→read round-trip preserves schema and data") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_rt_test").toString
+    val n = Tables.nation(spark, sf)
+    n.write.mode("overwrite").parquet(s"$tmp/n")
+    val back = spark.read.parquet(s"$tmp/n")
+    assert(back.schema == n.schema)
+    assert(back.orderBy("n_nationkey").collect().toSeq ==
+      n.orderBy("n_nationkey").collect().toSeq)
+  }
+
+  test("csv inferSchema recovers integer columns; json preserves values") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_src_test").toString
+    val n = Tables.nation(spark, sf)
+    n.write.mode("overwrite").option("header", "true").csv(s"$tmp/csv")
+    n.write.mode("overwrite").json(s"$tmp/json")
+    val csv = spark.read.option("header", "true").option("inferSchema", "true").csv(s"$tmp/csv")
+    val json = spark.read.json(s"$tmp/json")
+    assert(csv.count() == 25 && json.count() == 25)
+    // inference: keys come back numeric, not string
+    assert(csv.schema("n_nationkey").dataType.typeName == "integer")
+    assert(json.schema("n_nationkey").dataType.typeName == "long")
+    val names = json.orderBy("n_nationkey").collect().map(_.getAs[String]("n_name")).toSeq
+    assert(names == n.orderBy("n_nationkey").collect().map(_.getString(1)).toSeq)
+  }
+
+  test("dedup is idempotent (property)") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sf).withColumn("h", md5(col("text")))
+    val once = docs.dropDuplicates("h")
+    val twice = once.dropDuplicates("h")
+    assert(once.count() == twice.count())
+  }
+
+  test("union_distinct == union_all.distinct (property)") {
+    val a = Tables.customer(spark, sf).select("c_nationkey")
+    val b = Tables.supplier(spark, sf).select("s_nationkey")
+    assert(a.union(b).distinct().count() == a.unionAll(b).distinct().count())
+  }
+}
