@@ -42,16 +42,24 @@ object LlmOps {
         .orderBy("lang")
     }),
 
-    // Near-duplicate pairs by 3-gram-shingle Jaccard >= 0.5. Candidates come
-    // from the inverted shingle index self-join; Jaccard is computed exactly
-    // on full shingle sets (|∩| from the index, |∪| = |A|+|B|-|∩|).
+    // Near-duplicate pairs by 3-gram-shingle Jaccard >= 0.5. Candidate
+    // pairs come from per-shingle POSTING LISTS (group by shingle, emit the
+    // co-occurring doc pairs) instead of a self-join — one shuffle on the
+    // shingle, pairs bounded by sum(df²) which stays tiny because common
+    // shingles are rare; Jaccard is exact (|∩| from the postings,
+    // |∪| = |A|+|B|-|∩|).
     "llm_dedup_near" -> ((s, d) => {
       val sh = shingles(s, d)
       val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      val inter = sh.as("x").join(sh.as("y"),
-          col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
-        .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
-        .agg(count(lit(1)).as("c"))
+      val inter = sh.groupBy("s")
+        .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+        .where(size(col("ds")) > 1)
+        .select(explode(expr(
+          """flatten(transform(sequence(0, size(ds) - 2),
+            |  i -> transform(sequence(i + 1, size(ds) - 1),
+            |    j -> struct(ds[i] AS a, ds[j] AS b))))""".stripMargin)).as("p"))
+        .select(col("p.a").as("a"), col("p.b").as("b"))
+        .groupBy("a", "b").agg(count(lit(1)).as("c"))
       inter
         .join(sz.as("sa"), col("a") === col("sa.doc_id"))
         .join(sz.as("sb"), col("b") === col("sb.doc_id"))
