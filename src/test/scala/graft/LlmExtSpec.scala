@@ -58,6 +58,18 @@ class LlmExtSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("llm_sim_topk_native (custom Strategy/Exec) equals the composed operator") {
+    val composed = SparkEntry.queries("llm_sim_topk")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val nativeDf = SparkEntry.queries("llm_sim_topk_native")(spark, sf)
+    val native = nativeDf.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(native == composed)
+    // physical nodes render with the "Exec" suffix stripped
+    val plan = nativeDf.queryExecution.executedPlan.toString
+    assert(plan.contains("CosineTopK"), plan.take(1500))
+  }
+
   test("mm_decode_meta round-trips payload metadata deterministically") {
     val rows = SparkEntry.queries("mm_decode_meta")(spark, sf).collect()
     assert(rows.length == 500)
