@@ -1,35 +1,38 @@
 #!/usr/bin/env python3
 """Local rehearsal of the driver's t2 DuckDB-oracle compare (SURVEY.md §5.2).
 
-Usage: python3 scripts/check_oracle.py <verify_out_dir> [sf_dir]
+Usage: python3 scripts/check_oracle.py <verify_out_dir> [sf_dir] [only_csv]
 
-Loads <out>/oracle_sql.json (written by `graft.Verify`), registers the ten
-test tables as DuckDB views over <sf_dir>, executes every oracle SQL, and
-compares row-for-row / column-sorted against the corresponding Verify
-parquet dump. Exit 1 on any mismatch.
+Mimics the driver faithfully (CORRECTNESS_r01.json behavior):
+  - spark side: pyarrow.parquet -> pandas; oracle side: duckdb .df()
+  - both frames sorted with pandas sort_values over all (name-sorted)
+    columns — list/ndarray cells CRASH this, exactly like the driver
+  - cells compared by exact str() equality — so a Decimal('0.0000') vs
+    float 0.0 repr difference FAILS, exactly like the driver's hash
+Exit 1 on any mismatch.
 """
 import duckdb, json, math, sys
+import pandas as pd
 import pyarrow.parquet as pq
-from decimal import Decimal
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
-def eq(a, b):
-    if a is None or b is None:
-        return a is None and b is None
-    if isinstance(a, list) or isinstance(b, list):
-        if not (isinstance(a, list) and isinstance(b, list)) or len(a) != len(b):
-            return False
-        return all(eq(x, y) for x, y in zip(a, b))
-    if isinstance(a, bool) or isinstance(b, bool):
-        return a == b
-    if isinstance(a, float) and isinstance(b, float):
-        return (a == b) or (math.isnan(a) and math.isnan(b))
-    if isinstance(a, (Decimal, int, float)) and isinstance(b, (Decimal, int, float)):
-        return Decimal(str(a)) == Decimal(str(b))
-    return a == b or str(a) == str(b)
+def cell_repr(v):
+    # NaN == NaN for comparison purposes; everything else by exact str().
+    try:
+        if v is None or (not isinstance(v, (list, tuple)) and pd.isna(v)):
+            return "<null>"
+    except (TypeError, ValueError):
+        pass  # arrays etc. — fall through to repr
+    return repr(v)
+
+
+def norm(df, cols):
+    df = df[cols]
+    df = df.sort_values(by=cols, kind="mergesort").reset_index(drop=True)
+    return df
 
 
 def main():
@@ -46,34 +49,41 @@ def main():
         if only and name not in only:
             continue
         try:
-            want = con.execute(sql[name]).fetch_arrow_table()
-            got = pq.read_table(f"{outdir}/{name}")
-            wn, gn = sorted(want.column_names), sorted(got.column_names)
+            want = con.execute(sql[name]).df()
+            got = pq.read_table(f"{outdir}/{name}").to_pandas()
+            wn, gn = sorted(want.columns), sorted(got.columns)
             if wn != gn:
                 fails.append((name, f"cols spark={gn} duck={wn}"))
                 continue
-            wp = want.select(wn).to_pylist()
-            gp = got.select(gn).to_pylist()
-            if len(wp) != len(gp):
-                fails.append((name, f"rows spark={len(gp)} duck={len(wp)}"))
+            if len(want) != len(got):
+                fails.append((name, f"rows spark={len(got)} duck={len(want)}"))
                 continue
+            w, g = norm(want, wn), norm(got, wn)
+            dt_diff = [k for k in wn if str(w[k].dtype) != str(g[k].dtype)]
+            if dt_diff:
+                print(f"WARN {name}: dtype differs for {dt_diff} "
+                      f"(spark={[str(g[k].dtype) for k in dt_diff]}, "
+                      f"duck={[str(w[k].dtype) for k in dt_diff]})")
             bad = None
-            for i, (g, w) in enumerate(zip(gp, wp)):
-                for k in wn:
-                    if not eq(g[k], w[k]):
-                        bad = (i, k, g[k], w[k])
+            for k in wn:
+                gv, wv = g[k].tolist(), w[k].tolist()
+                for i in range(len(gv)):
+                    if cell_repr(gv[i]) != cell_repr(wv[i]):
+                        bad = (i, k, cell_repr(gv[i]), cell_repr(wv[i]))
                         break
                 if bad:
                     break
             if bad:
-                fails.append((name, f"row {bad[0]} col {bad[1]}: spark={bad[2]!r} duck={bad[3]!r}"))
+                fails.append(
+                    (name, f"row {bad[0]} col {bad[1]}: spark={bad[2]} duck={bad[3]}"))
             else:
-                print(f"OK   {name} ({len(gp)} rows)")
+                print(f"OK   {name} ({len(g)} rows)")
         except Exception as e:
             fails.append((name, f"EXC {type(e).__name__}: {str(e)[:300]}"))
     for n, m in fails:
         print(f"FAIL {n}: {m}")
-    print(f"\n{len(sql) - len(fails)}/{len(sql)} oracle queries match" if not only else "")
+    if not only:
+        print(f"\n{len(sql) - len(fails)}/{len(sql)} oracle queries match")
     sys.exit(1 if fails else 0)
 
 

@@ -15,6 +15,12 @@ object Aggregates {
   type Q = (SparkSession, String) => DataFrame
 
   private def dec(c: Column): Column = c.cast("decimal(18,4)")
+  /** Exact decimal aggregate emitted as DOUBLE: internal math stays decimal
+    * (associative → partition-order independent), the final cast makes both
+    * engines hand the driver an identical float64 (DuckDB's pandas export
+    * turns DECIMAL into float64, Spark parquet keeps Decimal objects — raw
+    * decimal outputs hash-mismatch on trailing zeros). */
+  private def d2d(c: Column): Column = c.cast("double")
 
   val queries: Map[String, Q] = Map(
     // TPC-H-Q1 pricing summary (the flagship).
@@ -23,14 +29,18 @@ object Aggregates {
         .where(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-          sum(dec(col("l_quantity"))).as("sum_qty"),
-          sum(dec(col("l_extendedprice"))).as("sum_base_price"),
-          sum(dec(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("sum_disc_price"),
-          sum((col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax")))
-            .cast("decimal(18,6)")).as("sum_charge"),
-          round(avg(col("l_quantity")), 4).as("avg_qty"),
-          round(avg(col("l_extendedprice")), 4).as("avg_price"),
-          round(avg(col("l_discount")), 4).as("avg_disc"),
+          d2d(sum(dec(col("l_quantity")))).as("sum_qty"),
+          d2d(sum(dec(col("l_extendedprice")))).as("sum_base_price"),
+          d2d(sum(dec(col("l_extendedprice") * (lit(1) - col("l_discount"))))).as("sum_disc_price"),
+          d2d(sum((col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax")))
+            .cast("decimal(18,6)"))).as("sum_charge"),
+          // averages as double-division of an EXACT decimal sum by the count:
+          // identical operands in both engines → identical IEEE result, no
+          // rounding step needed (avg() over raw doubles is partition-order
+          // dependent in its low bits)
+          (d2d(sum(dec(col("l_quantity")))) / count(lit(1))).as("avg_qty"),
+          (d2d(sum(dec(col("l_extendedprice")))) / count(lit(1))).as("avg_price"),
+          (d2d(sum(dec(col("l_discount")))) / count(lit(1))).as("avg_disc"),
           count(lit(1)).as("count_order"))
         .orderBy("l_returnflag", "l_linestatus")),
 
@@ -78,7 +88,7 @@ object Aggregates {
       Tables.orders(s, d)
         .cube("o_orderstatus", "o_orderpriority")
         .agg(count(lit(1)).as("n_orders"),
-          sum(dec(col("o_totalprice"))).as("total"),
+          d2d(sum(dec(col("o_totalprice")))).as("total"),
           grouping_id().cast("int").as("gid"))
         .select(coalesce(col("o_orderstatus"), lit("(all)")).as("status"),
           coalesce(col("o_orderpriority"), lit("(all)")).as("priority"),
@@ -97,24 +107,44 @@ object Aggregates {
           |ORDER BY gid, status, priority""".stripMargin)
     }),
 
+    // Moment-based stats from EXACT integer/decimal sums (l_quantity is
+    // integer-valued, prices are 2-dp → cents are exact longs): Spark's
+    // stddev/corr/covar merge partial (n, mean, M2) states in partition
+    // order, so their low bits vary run-to-run; exact moments + an identical
+    // double formula on both engines are bit-reproducible.
     "agg_stats" -> ((s, d) =>
       Tables.lineitem(s, d)
+        .select(col("l_returnflag"),
+          col("l_quantity").cast("bigint").as("q"),
+          round(col("l_extendedprice") * 100).cast("bigint").as("p"),
+          col("l_extendedprice").as("ep"))
         .groupBy("l_returnflag")
         .agg(
-          round(stddev_samp(col("l_quantity")), 6).as("sd_qty"),
-          round(var_samp(col("l_quantity")), 6).as("var_qty"),
-          round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qp"),
-          round(covar_samp(col("l_quantity"), col("l_extendedprice")), 2).as("cov_qp"),
-          min(col("l_extendedprice")).as("min_p"),
-          max(col("l_extendedprice")).as("max_p"),
-          round(expr("percentile(l_extendedprice, 0.5)"), 4).as("med_p"))
+          count(lit(1)).cast("double").as("n"),
+          sum(col("q")).cast("double").as("sq"),
+          sum((col("q") * col("q")).cast("decimal(38,0)")).cast("double").as("sq2"),
+          sum(col("p").cast("decimal(38,0)")).cast("double").as("sp"),
+          sum((col("p") * col("p")).cast("decimal(38,0)")).cast("double").as("sp2"),
+          sum((col("q") * col("p")).cast("decimal(38,0)")).cast("double").as("sqp"),
+          min(col("ep")).as("min_p"),
+          max(col("ep")).as("max_p"),
+          round(expr("percentile(ep, 0.5)"), 4).as("med_p"))
+        .select(col("l_returnflag"),
+          expr("sqrt((sq2 - sq*sq/n)/(n-1))").as("sd_qty"),
+          expr("(sq2 - sq*sq/n)/(n-1)").as("var_qty"),
+          expr("((sqp - sq*sp/n)/(n-1)) / (sqrt((sq2 - sq*sq/n)/(n-1)) * sqrt((sp2 - sp*sp/n)/(n-1)))")
+            .as("corr_qp"),
+          expr("((sqp - sq*sp/n)/(n-1)) / 100").as("cov_qp"),
+          col("min_p"), col("max_p"), col("med_p"))
         .orderBy("l_returnflag")),
 
     "agg_collect_sorted" -> ((s, d) =>
       Tables.supplier(s, d)
         .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
         .groupBy("n_name")
-        .agg(array_sort(collect_list(col("s_name"))).as("suppliers"),
+        // emitted as a '|'-joined string: array cells crash the driver's
+        // pandas sort (unhashable ndarray)
+        .agg(array_join(array_sort(collect_list(col("s_name"))), "|").as("suppliers"),
           count(lit(1)).as("n_supp"))
         .orderBy("n_name")),
 
@@ -139,13 +169,13 @@ object Aggregates {
   val oracles: Map[String, String] = Map(
     "agg_group" ->
       """SELECT l_returnflag, l_linestatus,
-        |  SUM(CAST(l_quantity AS DECIMAL(18,4))) AS sum_qty,
-        |  SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS sum_base_price,
-        |  SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS sum_disc_price,
-        |  SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS sum_charge,
-        |  ROUND(AVG(l_quantity), 4) AS avg_qty,
-        |  ROUND(AVG(l_extendedprice), 4) AS avg_price,
-        |  ROUND(AVG(l_discount), 4) AS avg_disc,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_price,
+        |  CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_disc,
         |  COUNT(*) AS count_order
         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
         |GROUP BY l_returnflag, l_linestatus
@@ -176,7 +206,7 @@ object Aggregates {
     "agg_cube" ->
       """SELECT COALESCE(o_orderstatus, '(all)') AS status,
         |  COALESCE(o_orderpriority, '(all)') AS priority,
-        |  COUNT(*) AS n_orders, SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS total,
+        |  COUNT(*) AS n_orders, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total,
         |  CAST(GROUPING(o_orderstatus, o_orderpriority) AS INT) AS gid
         |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
         |ORDER BY gid, status, priority""".stripMargin,
@@ -190,17 +220,30 @@ object Aggregates {
         |ORDER BY gid, status, priority""".stripMargin,
 
     "agg_stats" ->
-      """SELECT l_returnflag,
-        |  ROUND(stddev_samp(l_quantity), 6) AS sd_qty,
-        |  ROUND(var_samp(l_quantity), 6) AS var_qty,
-        |  ROUND(corr(l_quantity, l_extendedprice), 6) AS corr_qp,
-        |  ROUND(covar_samp(l_quantity, l_extendedprice), 2) AS cov_qp,
-        |  MIN(l_extendedprice) AS min_p, MAX(l_extendedprice) AS max_p,
-        |  ROUND(percentile_cont(0.5) WITHIN GROUP (ORDER BY l_extendedprice), 4) AS med_p
-        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+      """WITH m AS (
+        |  SELECT l_returnflag,
+        |    CAST(COUNT(*) AS DOUBLE) AS n,
+        |    CAST(SUM(q) AS DOUBLE) AS sq,
+        |    CAST(SUM(q*q) AS DOUBLE) AS sq2,
+        |    CAST(SUM(p) AS DOUBLE) AS sp,
+        |    CAST(SUM(p*p) AS DOUBLE) AS sp2,
+        |    CAST(SUM(q*p) AS DOUBLE) AS sqp,
+        |    MIN(ep) AS min_p, MAX(ep) AS max_p,
+        |    ROUND(percentile_cont(0.5) WITHIN GROUP (ORDER BY ep), 4) AS med_p
+        |  FROM (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS q,
+        |               CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS p,
+        |               l_extendedprice AS ep FROM lineitem)
+        |  GROUP BY l_returnflag)
+        |SELECT l_returnflag,
+        |  sqrt((sq2 - sq*sq/n)/(n-1)) AS sd_qty,
+        |  (sq2 - sq*sq/n)/(n-1) AS var_qty,
+        |  ((sqp - sq*sp/n)/(n-1)) / (sqrt((sq2 - sq*sq/n)/(n-1)) * sqrt((sp2 - sp*sp/n)/(n-1))) AS corr_qp,
+        |  ((sqp - sq*sp/n)/(n-1)) / 100 AS cov_qp,
+        |  min_p, max_p, med_p
+        |FROM m ORDER BY l_returnflag""".stripMargin,
 
     "agg_collect_sorted" ->
-      """SELECT n_name, list(s_name ORDER BY s_name) AS suppliers, COUNT(*) AS n_supp
+      """SELECT n_name, string_agg(s_name, '|' ORDER BY s_name) AS suppliers, COUNT(*) AS n_supp
         |FROM supplier JOIN nation ON s_nationkey = n_nationkey
         |GROUP BY n_name ORDER BY n_name""".stripMargin,
 

@@ -89,11 +89,13 @@ object Functions {
         col("c_custkey").cast("string").as("ck_s"),
         expr("TRY_CAST(c_mktsegment AS INT)").as("seg_i"),
         expr("TRY_CAST(SUBSTRING(c_name, 10, 9) AS BIGINT)").as("name_num"),
-        lit("123.456").cast("decimal(18,2)").as("dec_c"),
+        lit("123.456").cast("decimal(18,2)").cast("double").as("dec_c"),
         expr("TRY_CAST('2024-02-30' AS DATE)").as("bad_date"),
         round(col("c_acctbal")).cast("long").as("bal_rl"))
         .orderBy("c_custkey")),
 
+    // Array results are emitted space-joined: array cells crash the
+    // driver's pandas compare (unhashable ndarray).
     "fn_array" -> ((s, d) =>
       Tables.documents(s, d)
         .withColumn("t", split(col("text"), " "))
@@ -101,10 +103,10 @@ object Functions {
           col("doc_id"),
           size(col("t")).as("n_toks"),
           array_contains(col("t"), "key").as("has_key"),
-          slice(col("t"), 1, 3).as("first3"),
-          array_sort(array_distinct(col("t"))).as("uniq"),
+          array_join(slice(col("t"), 1, 3), " ").as("first3"),
+          array_join(array_sort(array_distinct(col("t"))), " ").as("uniq"),
           element_at(col("t"), 1).as("first_tok"),
-          array_sort(concat(slice(col("t"), 1, 2), array(lit("zz")))).as("plus_zz"))
+          array_join(array_sort(concat(slice(col("t"), 1, 2), array(lit("zz")))), " ").as("plus_zz"))
         .orderBy("doc_id")),
 
     "fn_map" -> ((s, d) =>
@@ -113,7 +115,7 @@ object Functions {
           array(lit("lang"), lit("source")), array(col("lang"), col("source"))))
         .select(
           col("doc_id"),
-          array_sort(map_keys(col("m"))).as("m_keys"),
+          array_join(array_sort(map_keys(col("m"))), ",").as("m_keys"),
           element_at(col("m"), "lang").as("lang_v"),
           element_at(col("m"), "source").as("src_v"),
           size(col("m")).as("m_size"))
@@ -146,8 +148,9 @@ object Functions {
         .orderBy("p_partkey")
     }),
 
-    // Native Catalyst expression with codegen (no oracle — ScalaTest
-    // cross-checks against a plain-Scala reference implementation).
+    // Native Catalyst expression with codegen; oracle-checked against
+    // DuckDB's list_cosine_similarity (ScalaTest additionally cross-checks
+    // a plain-Scala reference implementation).
     "udf_expr_custom" -> ((s, d) => {
       GraftBridge.registerFunction(s, "cosine_sim",
         exprs => CosineSimilarity(exprs(0), exprs(1)))
@@ -233,7 +236,7 @@ object Functions {
         |  CAST(c_custkey AS VARCHAR) AS ck_s,
         |  TRY_CAST(c_mktsegment AS INT) AS seg_i,
         |  TRY_CAST(substring(c_name, 10, 9) AS BIGINT) AS name_num,
-        |  CAST('123.456' AS DECIMAL(18,2)) AS dec_c,
+        |  CAST(CAST('123.456' AS DECIMAL(18,2)) AS DOUBLE) AS dec_c,
         |  TRY_CAST('2024-02-30' AS DATE) AS bad_date,
         |  CAST(round(c_acctbal) AS BIGINT) AS bal_rl
         |FROM customer ORDER BY c_custkey""".stripMargin,
@@ -242,15 +245,15 @@ object Functions {
       """SELECT doc_id,
         |  CAST(len(string_split(text, ' ')) AS INT) AS n_toks,
         |  list_contains(string_split(text, ' '), 'key') AS has_key,
-        |  string_split(text, ' ')[1:3] AS first3,
-        |  list_sort(list_distinct(string_split(text, ' '))) AS uniq,
+        |  array_to_string(string_split(text, ' ')[1:3], ' ') AS first3,
+        |  array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ') AS uniq,
         |  string_split(text, ' ')[1] AS first_tok,
-        |  list_sort(list_concat(string_split(text, ' ')[1:2], ['zz'])) AS plus_zz
+        |  array_to_string(list_sort(list_concat(string_split(text, ' ')[1:2], ['zz'])), ' ') AS plus_zz
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "fn_map" ->
       """SELECT doc_id,
-        |  list_sort(map_keys(MAP(['lang','source'], [lang, source]))) AS m_keys,
+        |  array_to_string(list_sort(map_keys(MAP(['lang','source'], [lang, source]))), ',') AS m_keys,
         |  MAP(['lang','source'], [lang, source])['lang'][1] AS lang_v,
         |  MAP(['lang','source'], [lang, source])['source'][1] AS src_v,
         |  CAST(cardinality(MAP(['lang','source'], [lang, source])) AS INT) AS m_size
@@ -272,6 +275,17 @@ object Functions {
       """SELECT p_partkey,
         |  array_to_string(list_reverse(string_split(p_name, ' ')), ' ') AS rev
         |FROM part ORDER BY p_partkey""".stripMargin,
+
+    // Same cosine as the native expression, via DuckDB's
+    // list_cosine_similarity — the custom Expression is fully
+    // oracle-checkable because both engines fold the dot product in index
+    // order.
+    "udf_expr_custom" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)
+        |SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+        |  ROUND(list_cosine_similarity(a.emb, b.emb), 4) AS sim
+        |FROM e a JOIN e b ON a.vec_id < 5 AND b.vec_id < 50 AND b.vec_id <> a.vec_id
+        |ORDER BY a_id, b_id""".stripMargin,
 
     "udtf_explode" ->
       """SELECT doc_id,

@@ -56,12 +56,15 @@ object Relational {
     }),
 
     // ---- §2.2 projection / filter ----
+    // Money expressions computed at exact decimal scale, EMITTED as double
+    // (raw decimal outputs hash-mismatch the driver: DuckDB's pandas export
+    // is float64, Spark parquet keeps Decimal objects).
     "proj_expr" -> ((s, d) =>
       Tables.lineitem(s, d)
         .select(col("l_orderkey"), col("l_linenumber"),
-          dec(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
+          dec(col("l_extendedprice") * (lit(1) - col("l_discount"))).cast("double").as("revenue"),
           (col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax")))
-            .cast("decimal(18,6)").as("charge"))
+            .cast("decimal(18,6)").cast("double").as("charge"))
         .orderBy("l_orderkey", "l_linenumber", "revenue", "charge")
         .limit(1000)),
 
@@ -110,7 +113,8 @@ object Relational {
           && col("o_orderdate") >= lit("1996-01-01").cast("timestamp")
           && col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
         .groupBy("n_name")
-        .agg(sum(dec(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue"))
+        .agg(sum(dec(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+          .cast("double").as("revenue"))
         .orderBy(desc("revenue"), col("n_name"))),
 
     "join_left_outer" -> ((s, d) => {
@@ -119,7 +123,7 @@ object Relational {
         .join(big, col("c_custkey") === col("o_custkey"), "left")
         .groupBy("c_custkey")
         .agg(count(col("o_orderkey")).as("n_big"),
-          coalesce(sum(dec(col("o_totalprice"))), lit(0).cast("decimal(18,4)")).as("big_total"))
+          coalesce(sum(dec(col("o_totalprice"))).cast("double"), lit(0.0)).as("big_total"))
         .orderBy("c_custkey")
     }),
 
@@ -210,7 +214,7 @@ object Relational {
     "sort_limit_topk" -> ((s, d) =>
       Tables.lineitem(s, d)
         .select(col("l_orderkey"), col("l_linenumber"),
-          dec(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+          dec(col("l_extendedprice") * (lit(1) - col("l_discount"))).cast("double").as("revenue"))
         .orderBy(desc("revenue"), col("l_orderkey"), col("l_linenumber"))
         .limit(20)),
 
@@ -255,6 +259,16 @@ object Relational {
     "scan_parquet" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
 
+    // The round-trip must preserve nation byte-for-byte, so the oracle is a
+    // plain scan of the source table.
+    "sink_roundtrip" ->
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
+
+    // Both inferred sources must re-read all 25 nation rows.
+    "source_csv_json_infer" ->
+      """SELECT 'csv' AS src, COUNT(*) AS "count" FROM nation
+        |UNION ALL SELECT 'json', COUNT(*) FROM nation ORDER BY src""".stripMargin,
+
     "scan_pruned" ->
       """SELECT l_orderkey, l_linenumber, strftime(l_shipdate, '%Y-%m-%d') AS ship_date
         |FROM lineitem WHERE l_shipdate >= TIMESTAMP '2001-01-01 00:00:00'
@@ -262,8 +276,8 @@ object Relational {
 
     "proj_expr" ->
       """SELECT l_orderkey, l_linenumber,
-        |  CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)) AS revenue,
-        |  CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6)) AS charge
+        |  CAST(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)) AS DOUBLE) AS revenue,
+        |  CAST(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6)) AS DOUBLE) AS charge
         |FROM lineitem ORDER BY l_orderkey, l_linenumber, revenue, charge LIMIT 1000""".stripMargin,
 
     "filter_pred" ->
@@ -294,7 +308,7 @@ object Relational {
         |ORDER BY c_custkey""".stripMargin,
 
     "join_multiway" ->
-      """SELECT n_name, SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS revenue
+      """SELECT n_name, CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
         |JOIN nation ON c_nationkey = n_nationkey
@@ -305,7 +319,7 @@ object Relational {
 
     "join_left_outer" ->
       """SELECT c_custkey, COUNT(o_orderkey) AS n_big,
-        |  COALESCE(SUM(CAST(o_totalprice AS DECIMAL(18,4))), CAST(0 AS DECIMAL(18,4))) AS big_total
+        |  COALESCE(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 0.0) AS big_total
         |FROM customer LEFT JOIN (SELECT * FROM orders WHERE o_totalprice > 400000) o
         |  ON c_custkey = o.o_custkey
         |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
@@ -361,7 +375,7 @@ object Relational {
 
     "sort_limit_topk" ->
       """SELECT l_orderkey, l_linenumber,
-        |  CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)) AS revenue
+        |  CAST(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)) AS DOUBLE) AS revenue
         |FROM lineitem ORDER BY revenue DESC, l_orderkey, l_linenumber LIMIT 20""".stripMargin,
 
     "limit_offset" ->

@@ -149,6 +149,29 @@ object StreamingOps {
   }
 
   val oracles: Map[String, String] = Map(
+    // The three pure-streaming ops consume a FIXED MemoryStream input, so
+    // their correct output is a known constant — the oracle is that golden
+    // result as VALUES (DuckDB can't run a watermarter, but it can assert
+    // what one must produce).
+    "stream_watermark_late" ->
+      """SELECT win_start, event_type, CAST(cnt AS BIGINT) AS cnt FROM (VALUES
+        |  ('2024-01-01 10:00:00', 'click', 1),
+        |  ('2024-01-01 10:00:00', 'view', 2),
+        |  ('2024-01-01 11:00:00', 'view', 1)) AS t(win_start, event_type, cnt)
+        |ORDER BY win_start, event_type""".stripMargin,
+
+    "stream_dedup_stateful" ->
+      """SELECT CAST(event_id AS BIGINT) AS event_id, CAST(user_id AS BIGINT) AS user_id, event_type
+        |FROM (VALUES (1, 1, 'view'), (2, 1, 'click'), (3, 2, 'view'), (4, 2, 'purchase'))
+        |  AS t(event_id, user_id, event_type)
+        |ORDER BY event_id""".stripMargin,
+
+    "stream_stateful_custom" ->
+      """SELECT CAST(user_id AS BIGINT) AS user_id, CAST(n_events AS BIGINT) AS n_events,
+        |  CAST(total_value AS DOUBLE) AS total_value
+        |FROM (VALUES (1, 2, 5.0), (1, 3, 15.0), (2, 1, 5.0)) AS t(user_id, n_events, total_value)
+        |ORDER BY user_id, n_events""".stripMargin,
+
     "stream_tumbling" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS win_start,
         |  event_type, COUNT(*) AS cnt,

@@ -51,9 +51,12 @@ object WindowOps {
         .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
           dec(col("o_totalprice")).as("price"))
         .withColumn("run_total", sum(col("price")).over(w))
+        // exact decimal running sum, emitted as double (decimal outputs
+        // hash-mismatch the driver's float64 oracle frame)
         .select(col("o_custkey"), col("o_orderkey"),
           date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
-          col("price"), col("run_total"))
+          col("price").cast("double").as("price"),
+          col("run_total").cast("double").as("run_total"))
         .orderBy("o_custkey", "o_orderkey")
     }),
 
@@ -128,10 +131,10 @@ object WindowOps {
 
     "win_running" ->
       """SELECT o_custkey, o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS order_date,
-        |  CAST(o_totalprice AS DECIMAL(18,4)) AS price,
-        |  SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
+        |  CAST(CAST(o_totalprice AS DECIMAL(18,4)) AS DOUBLE) AS price,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
         |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_total
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS run_total
         |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
 
     "win_sliding_frame" ->
@@ -140,7 +143,7 @@ object WindowOps {
         |    SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS day_cents
         |  FROM orders GROUP BY 1
         |)
-        |SELECT day, day_cents,
+        |SELECT day, CAST(day_cents AS BIGINT) AS day_cents,
         |  ROUND(SUM(day_cents) OVER w * 1.0 / COUNT(*) OVER w / 100, 2) AS moving_avg
         |FROM daily
         |WINDOW w AS (ORDER BY day ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING)
@@ -149,7 +152,7 @@ object WindowOps {
     "win_range_frame" ->
       """SELECT o_orderkey, o_totalprice,
         |  COUNT(*) OVER w AS n_in_range,
-        |  SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) OVER w AS cents_in_range
+        |  CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) OVER w AS BIGINT) AS cents_in_range
         |FROM orders
         |WINDOW w AS (ORDER BY o_totalprice RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW)
         |ORDER BY o_totalprice, o_orderkey""".stripMargin,

@@ -49,7 +49,7 @@ class LlmExtSpec extends AnyFunSuite with SparkFixture {
     val near = SparkEntry.queries("llm_dedup_near")(spark, sf).collect()
       .filter(_.getDouble(2) >= 0.95).map(r => (r.getLong(0), r.getLong(1)))
     val fps = SparkEntry.queries("llm_fingerprint")(spark, sf).collect()
-      .map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+      .map(r => r.getLong(0) -> r.getString(1).split(",").map(_.toLong).toSet).toMap
     assert(near.nonEmpty)
     near.foreach { case (a, b) =>
       val inter = fps(a).intersect(fps(b)).size.toDouble
@@ -77,7 +77,7 @@ class LlmExtSpec extends AnyFunSuite with SparkFixture {
     // checksum is a 32-hex md5 and width/height are printable-ASCII codes
     assert(r0.getAs[String]("checksum").matches("[0-9a-f]{32}"))
     assert(r0.getAs[Int]("width") >= 32 && r0.getAs[Int]("width") < 127)
-    assert(r0.getAs[scala.collection.Seq[String]]("frames").nonEmpty)
+    assert(r0.getAs[String]("frames").nonEmpty)
     assert(r0.getAs[Int]("n_bytes") > 0)
   }
 }

@@ -27,12 +27,9 @@ class OperatorSmokeSpec extends AnyFunSuite with SparkFixture {
     assert(missing.isEmpty, s"oracle without query: $missing")
   }
 
-  test("non-oracle ops are exactly the documented nine") {
+  test("the only non-oracle op is the approximate HLL estimate") {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert(noOracle == Set("sink_roundtrip", "source_csv_json_infer",
-      "agg_hll_distinct", "udf_expr_custom", "stream_watermark_late",
-      "stream_dedup_stateful", "stream_stateful_custom", "llm_sim_ann",
-      "llm_sim_topk_native"))
+    assert(noOracle == Set("agg_hll_distinct"))
   }
 
   test("scan_parquet preserves the 25 nations in key order") {
