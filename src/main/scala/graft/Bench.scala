@@ -10,6 +10,13 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Session warm-up so the first measured query doesn't absorb one-time
+    // JVM/codegen/parquet-reader initialization (~4 s): a tiny aggregate, a
+    // shuffle, and one parquet footer read.
+    spark.range(1000).selectExpr("sum(id)").collect()
+    spark.range(1000).repartition(2).groupBy((org.apache.spark.sql.functions.col("id") % 10))
+      .count().collect()
+    spark.read.parquet(s"$sfDir/nation.parquet").count()
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -101,7 +101,7 @@ object StreamingOps {
     // Arbitrary stateful processing: per-user running (count, value-sum)
     // state machine via flatMapGroupsWithState, emitting updated stats on
     // every batch.
-    "stream_stateful_custom" -> ((s, d) => {
+    "stream_stateful_custom" -> ((s, d) => withFewShufflePartitions(s) {
       val classic = s.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       import classic.implicits._
       implicit val sq = classic.sqlContext
@@ -136,7 +136,12 @@ object StreamingOps {
   private def newSinkName(): String =
     "graft_sink_" + java.util.UUID.randomUUID().toString.replace("-", "")
 
-  /** Run a MemoryStream[SEvent]-fed streaming query; return the sink table. */
+  /** Run a MemoryStream[SEvent]-fed streaming query; return the sink table.
+    *
+    * Streaming state stores open one instance per shuffle partition per
+    * micro-batch — pure fixed overhead for a hand-fed demo stream, so the
+    * partition count is pinned low for the query's duration (on a real
+    * cluster this is the same knob, sized to key cardinality instead). */
   private def runStream(s: SparkSession)(
       body: (org.apache.spark.sql.execution.streaming.runtime.MemoryStream[SEvent], String) => Unit): DataFrame = {
     val classic = s.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
@@ -144,8 +149,14 @@ object StreamingOps {
     implicit val sq = classic.sqlContext
     val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[SEvent]
     val sink = newSinkName()
-    body(ms, sink)
+    withFewShufflePartitions(s) { body(ms, sink) }
     s.table(sink).orderBy(s.table(sink).columns.map(col).toSeq: _*)
+  }
+
+  private def withFewShufflePartitions[T](s: SparkSession)(body: => T): T = {
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "2")
+    try body finally s.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
   val oracles: Map[String, String] = Map(
