@@ -61,8 +61,8 @@ object LlmOps {
         .select(col("p.a").as("a"), col("p.b").as("b"))
         .groupBy("a", "b").agg(count(lit(1)).as("c"))
       inter
-        .join(sz.as("sa"), col("a") === col("sa.doc_id"))
-        .join(sz.as("sb"), col("b") === col("sb.doc_id"))
+        .join(broadcast(sz.as("sa")), col("a") === col("sa.doc_id"))
+        .join(broadcast(sz.as("sb")), col("b") === col("sb.doc_id"))
         .withColumn("jaccard",
           round(col("c") * lit(1.0) / (col("sa.n") + col("sb.n") - col("c")), 4))
         .where(col("jaccard") >= 0.5)

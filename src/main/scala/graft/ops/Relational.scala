@@ -158,6 +158,19 @@ object Relational {
         .crossJoin(Tables.nation(s, d).select("n_name"))
         .orderBy("r_name", "n_name")),
 
+    // Skew-resilient salted join (Scale.saltedJoin): join keys become
+    // (key, salt) so a hot orderkey fans out across 8 shuffle partitions;
+    // result is identical to the plain join, which is exactly what the
+    // oracle checks.
+    "join_skew_salted" -> ((s, d) =>
+      Scale.saltedJoin(Tables.lineitem(s, d), Tables.orders(s, d),
+          col("l_orderkey"), col("o_orderkey"), 8)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_items"),
+          sum(dec(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+            .cast("double").as("revenue"))
+        .orderBy("o_orderpriority")),
+
     // Equi key + non-equi residual condition (theta).
     "join_theta" -> ((s, d) =>
       Tables.lineitem(s, d)
@@ -344,6 +357,13 @@ object Relational {
 
     "join_cross" ->
       """SELECT r_name, n_name FROM region CROSS JOIN nation ORDER BY r_name, n_name""",
+
+    // The salted join must be row-identical to the plain equi-join.
+    "join_skew_salted" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_items,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     "join_theta" ->
       """SELECT l_orderkey, l_linenumber, p_partkey, l_extendedprice, p_retailprice

@@ -55,4 +55,23 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
     assert(plan("llm_sim_topk").contains("BroadcastNestedLoopJoin") ||
       plan("llm_sim_topk").contains("BroadcastHashJoin"))
   }
+
+  test("join_skew_salted shuffles on (key, salt) and matches the plain join") {
+    val p = plan("join_skew_salted")
+    assert(p.contains("__graft_salt"), p.take(2000))
+    val salted = SparkEntry.queries("join_skew_salted")(spark, sf).collect()
+    val plain = graft.Tables.lineitem(spark, sf)
+      .join(graft.Tables.orders(spark, sf),
+        org.apache.spark.sql.functions.col("l_orderkey") ===
+          org.apache.spark.sql.functions.col("o_orderkey"))
+      .groupBy("o_orderpriority").count().orderBy("o_orderpriority").collect()
+    assert(salted.map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      plain.map(r => (r.getString(0), r.getLong(1))).toSeq)
+  }
+
+  test("llm_dedup_minhash pre-aggregates minhashes map-side (partial_min)") {
+    val p = plan("llm_dedup_minhash")
+    assert(p.contains("partial_min") || p.contains("partial min") ||
+      "HashAggregate".r.findAllIn(p).length >= 2, p.take(3000))
+  }
 }
