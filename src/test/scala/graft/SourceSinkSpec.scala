@@ -32,6 +32,28 @@ class SourceSinkSpec extends AnyFunSuite with SparkFixture {
     assert(names == n.orderBy("n_nationkey").collect().map(_.getString(1)).toSeq)
   }
 
+  test("orc write→read round-trip preserves schema and data") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_orc_test").toString
+    val n = Tables.nation(spark, sf)
+    n.write.mode("overwrite").orc(s"$tmp/n")
+    val back = spark.read.orc(s"$tmp/n")
+    assert(back.schema == n.schema)
+    assert(back.orderBy("n_nationkey").collect().toSeq ==
+      n.orderBy("n_nationkey").collect().toSeq)
+  }
+
+  test("text source reads lines; csv with explicit schema skips inference") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_txt_test").toString
+    val n = Tables.nation(spark, sf)
+    n.select(org.apache.spark.sql.functions.col("n_name")).write.mode("overwrite").text(s"$tmp/t")
+    val lines = spark.read.text(s"$tmp/t")
+    assert(lines.count() == 25 && lines.schema.fieldNames.toSeq == Seq("value"))
+    n.write.mode("overwrite").option("header", "true").csv(s"$tmp/c")
+    val schemed = spark.read.option("header", "true").schema(n.schema).csv(s"$tmp/c")
+    assert(schemed.schema == n.schema)
+    assert(schemed.count() == 25)
+  }
+
   test("dedup is idempotent (property)") {
     import org.apache.spark.sql.functions._
     val docs = Tables.documents(spark, sf).withColumn("h", md5(col("text")))
