@@ -40,6 +40,23 @@ object Relational {
       s.read.parquet(s"$tmp/nation_rt").orderBy("n_nationkey")
     }),
 
+    // Partitioned warehouse sink + partition-pruned read: orders written
+    // partitionBy(year), then a single-partition scan aggregates 1997 — at
+    // 100 TB this is the layout that turns a full-table scan into reading
+    // one directory. Oracle = the same aggregate filtered from the source.
+    "sink_partitioned" -> ((s, d) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_part").toString
+      Tables.orders(s, d)
+        .withColumn("o_year", year(col("o_orderdate")))
+        .write.mode("overwrite").partitionBy("o_year").parquet(s"$tmp/orders_p")
+      s.read.parquet(s"$tmp/orders_p")
+        .where(col("o_year") === 1997)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(dec(col("o_totalprice"))).cast("double").as("total"))
+        .orderBy("o_orderpriority")
+    }),
+
     // CSV/JSON source with schema inference round-trips nation (rows-only
     // check here; full schema assertions in ScalaTest).
     "source_csv_json_infer" -> ((s, d) => {
@@ -276,6 +293,14 @@ object Relational {
     // plain scan of the source table.
     "sink_roundtrip" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
+
+    // The pruned-partition aggregate must equal the same aggregate filtered
+    // from the unpartitioned source.
+    "sink_partitioned" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+        |FROM orders WHERE year(o_orderdate) = 1997
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     // Both inferred sources must re-read all 25 nation rows.
     "source_csv_json_infer" ->
