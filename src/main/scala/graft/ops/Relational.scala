@@ -234,6 +234,24 @@ object Relational {
         .orderBy("p_id")
     }),
 
+    // Native as-of join (AsOfJoinExec): co-partitioned sort-merge — one
+    // exchange per side, per-partition sorts, a single forward pass; no
+    // (purchase × earlier-view) pair set is ever materialized, unlike the
+    // composed join_asof. Same output, same DuckDB ASOF JOIN oracle.
+    "join_asof_native" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      val p = e.where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts_us"))
+      val v = e.where(col("event_type") === "view")
+        .select(col("event_id"), col("user_id"), col("ts_us"))
+      org.apache.spark.sql.graftbridge.AsOfJoinApi.asof(s, p, v)
+        .select(col("l_id").as("p_id"), col("k").as("user_id"),
+          fmtTs(timestamp_micros(col("l_ts"))).as("p_ts"),
+          col("r_id").as("v_id"),
+          fmtTs(timestamp_micros(col("r_ts"))).as("v_ts"))
+        .orderBy("p_id")
+    }),
+
     // ---- §2.6 sorts / limits ----
     "sort_multi" -> ((s, d) =>
       Tables.customer(s, d)
@@ -405,6 +423,17 @@ object Relational {
         |ORDER BY p_id, e_id""".stripMargin,
 
     "join_asof" ->
+      """SELECT p.event_id AS p_id, p.user_id AS user_id,
+        |  strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS p_ts,
+        |  v.event_id AS v_id, strftime(v.ts, '%Y-%m-%d %H:%M:%S') AS v_ts
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF JOIN (SELECT * FROM events WHERE event_type = 'view') v
+        |  ON p.user_id = v.user_id AND v.ts <= p.ts
+        |ORDER BY p_id""".stripMargin,
+
+    // Identical oracle to join_asof — the native operator must produce the
+    // same rows as DuckDB's ASOF JOIN.
+    "join_asof_native" ->
       """SELECT p.event_id AS p_id, p.user_id AS user_id,
         |  strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS p_ts,
         |  v.event_id AS v_id, strftime(v.ts, '%Y-%m-%d %H:%M:%S') AS v_ts

@@ -69,6 +69,16 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
       plain.map(r => (r.getString(0), r.getLong(1))).toSeq)
   }
 
+  test("join_asof_native plans AsOfJoinExec and equals the composed join_asof") {
+    val p = plan("join_asof_native")
+    assert(p.contains("AsOfJoin"), p.take(2000))
+    val native = SparkEntry.queries("join_asof_native")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3), r.getString(4))).toSet
+    val composed = SparkEntry.queries("join_asof")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3), r.getString(4))).toSet
+    assert(native == composed)
+  }
+
   test("llm_dedup_minhash pre-aggregates minhashes map-side (partial_min)") {
     val p = plan("llm_dedup_minhash")
     assert(p.contains("partial_min") || p.contains("partial min") ||
