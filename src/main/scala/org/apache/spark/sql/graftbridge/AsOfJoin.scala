@@ -57,10 +57,14 @@ case class AsOfJoinExec(
 
   // both sides hash-partitioned on the key and sorted (key, ts, id) — the
   // planner inserts the exchanges/sorts; the merge below is then a single
-  // forward pass per partition
-  override def requiredChildDistribution: Seq[Distribution] = Seq(
-    ClusteredDistribution(Seq(left.output(1))),
-    ClusteredDistribution(Seq(right.output(1))))
+  // forward pass per partition. The partition COUNT is pinned on both
+  // distributions: zipPartitions needs identical partitioning, and without
+  // the pin AQE may coalesce the two shuffles asymmetrically.
+  override def requiredChildDistribution: Seq[Distribution] = {
+    val n = Some(conf.numShufflePartitions)
+    Seq(ClusteredDistribution(Seq(left.output(1)), requiredNumPartitions = n),
+      ClusteredDistribution(Seq(right.output(1)), requiredNumPartitions = n))
+  }
   override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
     Seq(SortOrder(left.output(1), Ascending), SortOrder(left.output(2), Ascending),
       SortOrder(left.output(0), Ascending)),
