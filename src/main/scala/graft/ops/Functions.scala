@@ -121,6 +121,18 @@ object Functions {
           size(col("m")).as("m_size"))
         .orderBy("doc_id")),
 
+    "fn_bitwise" -> ((s, d) =>
+      Tables.part(s, d).select(
+        col("p_partkey"),
+        (col("p_size").bitwiseAND(lit(12))).as("b_and"),
+        (col("p_size").bitwiseOR(lit(5))).as("b_or"),
+        (col("p_size").bitwiseXOR(lit(21))).as("b_xor"),
+        expr("shiftleft(p_size, 2)").as("b_shl"),
+        expr("shiftright(p_size, 1)").as("b_shr"),
+        expr("CAST(bit_count(p_size) AS INT)").as("b_cnt"),
+        expr("~p_size").as("b_not"))
+        .orderBy("p_partkey")),
+
     "fn_json" -> ((s, d) =>
       Tables.events(s, d)
         .select(col("event_id"), col("props"),
@@ -258,6 +270,17 @@ object Functions {
         |  MAP(['lang','source'], [lang, source])['source'][1] AS src_v,
         |  CAST(cardinality(MAP(['lang','source'], [lang, source])) AS INT) AS m_size
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "fn_bitwise" ->
+      """SELECT p_partkey,
+        |  p_size & 12 AS b_and,
+        |  p_size | 5 AS b_or,
+        |  xor(p_size, 21) AS b_xor,
+        |  p_size << 2 AS b_shl,
+        |  p_size >> 1 AS b_shr,
+        |  CAST(bit_count(p_size) AS INT) AS b_cnt,
+        |  ~p_size AS b_not
+        |FROM part ORDER BY p_partkey""".stripMargin,
 
     "fn_json" ->
       """SELECT event_id,

@@ -98,6 +98,63 @@ object StreamingOps {
       q.stop()
     }),
 
+    // Stream ⋈ static: each streamed event enriched from a broadcast static
+    // dimension (left join, unmatched users tagged 'none') — the
+    // enrichment-join shape of a real ingest pipeline.
+    "stream_static_join" -> ((s, d) => runStream(s) { (ms, sink) =>
+      val classic = s.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      import classic.implicits._
+      val tiers = Seq((1L, "gold"), (2L, "silver"), (3L, "bronze")).toDF("t_user", "tier")
+      val q = ms.toDF()
+        .join(broadcast(tiers), col("user_id") === col("t_user"), "left")
+        .select(col("event_id"), col("user_id"),
+          coalesce(col("tier"), lit("none")).as("tier"), col("event_type"))
+        .writeStream.format("memory").queryName(sink).outputMode("append").start()
+      ms.addData(
+        SEvent(1, Timestamp.valueOf("2024-01-01 10:00:00"), 1, "view", 1.0),
+        SEvent(2, Timestamp.valueOf("2024-01-01 10:01:00"), 2, "click", 1.0),
+        SEvent(3, Timestamp.valueOf("2024-01-01 10:02:00"), 4, "purchase", 1.0))
+      q.processAllAvailable()
+      q.stop()
+    }),
+
+    // Stream ⋈ stream: purchases joined to views of the same user within
+    // the 10 minutes before the purchase, both sides watermarked so join
+    // state is bounded — the canonical event-correlation join.
+    "stream_stream_join" -> ((s, d) => withFewShufflePartitions(s) {
+      val classic = s.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      import classic.implicits._
+      implicit val sq = classic.sqlContext
+      val mp = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[SEvent]
+      val mv = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[SEvent]
+      val sink = newSinkName()
+      val p = mp.toDF()
+        .select(col("event_id").as("p_id"), col("user_id"), col("ts").as("p_ts"))
+        .withWatermark("p_ts", "10 minutes")
+      val v = mv.toDF()
+        .select(col("event_id").as("v_id"), col("user_id").as("v_user"), col("ts").as("v_ts"))
+        .withWatermark("v_ts", "10 minutes")
+      val q = p.join(v,
+          col("user_id") === col("v_user")
+            && col("v_ts") >= col("p_ts") - expr("INTERVAL 10 MINUTES")
+            && col("v_ts") <= col("p_ts"))
+        .select(col("p_id"), col("user_id"), fmt(col("p_ts")).as("p_ts"),
+          col("v_id"), fmt(col("v_ts")).as("v_ts"))
+        .writeStream.format("memory").queryName(sink).outputMode("append").start()
+      mv.addData(
+        SEvent(101, Timestamp.valueOf("2024-01-01 10:00:00"), 1, "view", 1.0),
+        SEvent(102, Timestamp.valueOf("2024-01-01 10:20:00"), 1, "view", 1.0),
+        SEvent(103, Timestamp.valueOf("2024-01-01 10:00:00"), 2, "view", 1.0))
+      mp.addData(
+        SEvent(201, Timestamp.valueOf("2024-01-01 10:05:00"), 1, "purchase", 1.0),
+        SEvent(202, Timestamp.valueOf("2024-01-01 10:30:00"), 2, "purchase", 1.0))
+      q.processAllAvailable()
+      mp.addData(SEvent(203, Timestamp.valueOf("2024-01-01 10:25:00"), 1, "purchase", 1.0))
+      q.processAllAvailable()
+      q.stop()
+      s.table(sink).orderBy("p_id", "v_id")
+    }),
+
     // Arbitrary stateful processing: per-user running (count, value-sum)
     // state machine via flatMapGroupsWithState, emitting updated stats on
     // every batch.
@@ -182,6 +239,25 @@ object StreamingOps {
         |  CAST(total_value AS DOUBLE) AS total_value
         |FROM (VALUES (1, 2, 5.0), (1, 3, 15.0), (2, 1, 5.0)) AS t(user_id, n_events, total_value)
         |ORDER BY user_id, n_events""".stripMargin,
+
+    "stream_static_join" ->
+      """SELECT CAST(event_id AS BIGINT) AS event_id, CAST(user_id AS BIGINT) AS user_id,
+        |  tier, event_type
+        |FROM (VALUES (1, 1, 'gold', 'view'), (2, 2, 'silver', 'click'),
+        |             (3, 4, 'none', 'purchase')) AS t(event_id, user_id, tier, event_type)
+        |ORDER BY event_id""".stripMargin,
+
+    // Matches: purchase 201 (10:05, u1) ← view 101 (10:00); purchase 203
+    // (10:25, u1) ← view 102 (10:20). Purchase 202 (10:30, u2) has no view
+    // in (10:20, 10:30]; view 103 precedes it by >10 min.
+    "stream_stream_join" ->
+      """SELECT CAST(p_id AS BIGINT) AS p_id, CAST(user_id AS BIGINT) AS user_id, p_ts,
+        |  CAST(v_id AS BIGINT) AS v_id, v_ts
+        |FROM (VALUES
+        |  (201, 1, '2024-01-01 10:05:00', 101, '2024-01-01 10:00:00'),
+        |  (203, 1, '2024-01-01 10:25:00', 102, '2024-01-01 10:20:00'))
+        |  AS t(p_id, user_id, p_ts, v_id, v_ts)
+        |ORDER BY p_id, v_id""".stripMargin,
 
     "stream_tumbling" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS win_start,
