@@ -69,6 +69,11 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
       plain.map(r => (r.getString(0), r.getLong(1))).toSeq)
   }
 
+  test("sink_partitioned prunes to the o_year=1997 partition at scan time") {
+    val p = plan("sink_partitioned")
+    assert(p.contains("PartitionFilters") && p.contains("o_year"), p.take(3000))
+  }
+
   test("join_asof_native plans AsOfJoinExec and equals the composed join_asof") {
     val p = plan("join_asof_native")
     assert(p.contains("AsOfJoin"), p.take(2000))
