@@ -84,6 +84,16 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
     assert(native == composed)
   }
 
+  test("llm_dedup_embed_native plans AllPairsCosineExec and equals the composed op") {
+    val p = plan("llm_dedup_embed_native")
+    assert(p.contains("AllPairsCosine"), p.take(2000))
+    val native = SparkEntry.queries("llm_dedup_embed_native")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val composed = SparkEntry.queries("llm_dedup_embed")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(native == composed)
+  }
+
   test("llm_dedup_minhash pre-aggregates minhashes map-side (partial_min)") {
     val p = plan("llm_dedup_minhash")
     assert(p.contains("partial_min") || p.contains("partial min") ||
