@@ -31,7 +31,13 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // the driver keeps only the TAIL of stdout, so the graded fields
+    // (metric/value/sf) go LAST on the line; the full JSON is also written
+    // to bench.json so no per-query value is ever truncated away
+    val json = s"""{"queries":$qs,"metric":"total","value":$total,"unit":"sec","sf":"$sfDir"}"""
+    java.nio.file.Files.write(java.nio.file.Paths.get("bench.json"),
+      json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    println(json)
     spark.stop()
   }
 }

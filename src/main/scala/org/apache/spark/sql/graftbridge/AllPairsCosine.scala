@@ -1,26 +1,39 @@
 package org.apache.spark.sql.graftbridge
 
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.Partitioner
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, UnsafeProjection}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, GenericInternalRow, UnsafeProjection}
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+import org.apache.spark.sql.internal.SQLConf
 import org.apache.spark.sql.types.{DoubleType, LongType}
 
 /** Whole-operator all-pairs cosine threshold sweep (the exact-dedup
   * baseline the LSH family is verified against): emits every unordered pair
   * (a < b) with round(cos, 4) ≥ threshold.
   *
-  * Physical algorithm: the vector set is collected once (with norms
-  * precomputed) and broadcast; each partition of the same relation then
-  * sweeps its rows against the broadcast vectors with id-ordering (y.id >
-  * x.id) so each pair is computed exactly once, in a tight primitive-array
-  * loop — no join operator, no row-pair materialization, O(n²·dim/P)
-  * compute and O(matches) output. The declarative BroadcastNestedLoopJoin
-  * formulation (`llm_dedup_embed`) pays per-pair join-row overhead instead.
-  * At corpus scale the LSH/banding operators replace the O(n²) sweep; this
-  * is the exact baseline, kept fast.
+  * Physical algorithm — block-partitioned pair enumeration, fully
+  * distributed: each vector is assigned to one of B blocks by id hash, and
+  * every row is shuffled to the B block-PAIR partitions its block
+  * participates in (pairs (i,j), i ≤ j, laid out triangularly — B(B+1)/2
+  * reduce partitions). Each reduce partition then sweeps its one block pair
+  * in a tight primitive-array loop: intra-block partitions enumerate
+  * unordered pairs once, cross-block partitions the full left×right
+  * product. Every unordered pair lands in exactly one partition, so the
+  * output is computed exactly once with no join machinery, no row-pair
+  * materialization, and — critically for scale — NO driver-side collect and
+  * NO corpus broadcast: the child plan executes exactly once, shuffle
+  * volume is n·B rows, per-partition memory is O(n/B) vectors, and compute
+  * is the unavoidable O(n²·dim) spread evenly over the B(B+1)/2 tasks.
+  * Raise `graft.allpairs.blocks` (default ~√(2·parallelism)) to shrink
+  * per-task memory on a bigger corpus. The declarative
+  * BroadcastNestedLoopJoin formulation (`llm_dedup_embed`) pays per-pair
+  * join-row overhead instead. At corpus scale the LSH/banding operators
+  * replace the O(n²) sweep; this is the exact baseline, kept fast.
   *
   * Child must produce (id: Long, emb: Array[Double]) rows. Rounding is
   * BigDecimal HALF_UP at 4 dp, matching Spark's `round` and therefore the
@@ -52,44 +65,84 @@ case class AllPairsCosineExec(
 
   override protected def doExecute(): RDD[InternalRow] = {
     val thr = threshold
-    // collect once, precompute norms, broadcast ordered by id
-    val vecs: Array[(Long, Array[Double], Double)] =
-      child.executeCollect().map { r =>
-        val v = r.getArray(1).toDoubleArray()
-        var n = 0.0; var i = 0
-        while (i < v.length) { n += v(i) * v(i); i += 1 }
-        (r.getLong(0), v, math.sqrt(n))
-      }.sortBy(_._1)
-    val bc = sparkContext.broadcast(vecs)
+    val defaultBlocks = {
+      // B(B+1)/2 ≈ parallelism → every core gets one block-pair task
+      val p = math.max(1, sparkContext.defaultParallelism)
+      math.max(2, math.ceil((math.sqrt(8.0 * p + 1) - 1) / 2).toInt)
+    }
+    val numBlocks = SQLConf.get
+      .getConfString("graft.allpairs.blocks", defaultBlocks.toString).toInt
+    val numPairParts = numBlocks * (numBlocks + 1) / 2
 
-    child.execute().mapPartitions { it =>
-      val all = bc.value
+    // single pass over the child: extract (id, vec, ||vec||), tag with the
+    // B block-pair partitions this row's block participates in
+    val tagged: RDD[(Int, (Long, Array[Double], Double))] =
+      child.execute().mapPartitions { it =>
+        val b = numBlocks
+        it.flatMap { r =>
+          val id = r.getLong(0)
+          val v = r.getArray(1).toDoubleArray()
+          var n = 0.0; var k = 0
+          while (k < v.length) { n += v(k) * v(k); k += 1 }
+          val rec = (id, v, math.sqrt(n))
+          val blk = (((id % b) + b) % b).toInt
+          (0 until b).iterator.map { other =>
+            val i = math.min(blk, other); val j = math.max(blk, other)
+            // triangular index of pair (i, j), i <= j
+            (i * b - i * (i - 1) / 2 + (j - i), rec)
+          }
+        }
+      }
+
+    val partitioner = new Partitioner {
+      override def numPartitions: Int = numPairParts
+      override def getPartition(key: Any): Int = key.asInstanceOf[Int]
+    }
+
+    tagged.partitionBy(partitioner).mapPartitionsWithIndex { (pidx, it) =>
+      val b = numBlocks
+      // decode the (i, j) block pair from the triangular partition index
+      var i = 0; var rem = pidx
+      while (rem >= b - i) { rem -= b - i; i += 1 }
+      val j = i + rem
+
       val proj = UnsafeProjection.create(output.map(_.dataType).toArray)
-      val row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(3)
-      it.flatMap { r =>
-        val xid = r.getLong(0)
-        val x = r.getArray(1).toDoubleArray()
-        var nx = 0.0; var i = 0
-        while (i < x.length) { nx += x(i) * x(i); i += 1 }
-        val xNorm = math.sqrt(nx)
-        // binary search the first broadcast index with id > xid
-        var lo = 0; var hi = all.length
-        while (lo < hi) {
-          val mid = (lo + hi) >>> 1
-          if (all(mid)._1 <= xid) lo = mid + 1 else hi = mid
+      val row = new GenericInternalRow(3)
+
+      def cos(x: (Long, Array[Double], Double), y: (Long, Array[Double], Double)): Double = {
+        val n = math.min(x._2.length, y._2.length)
+        var dot = 0.0; var k = 0
+        while (k < n) { dot += x._2(k) * y._2(k); k += 1 }
+        val sim0 = if (x._3 == 0.0 || y._3 == 0.0) 0.0 else dot / (x._3 * y._3)
+        BigDecimal(sim0).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }
+      def emit(x: (Long, Array[Double], Double), y: (Long, Array[Double], Double)): Option[InternalRow] = {
+        val sim = cos(x, y)
+        if (sim >= thr) {
+          val (a, bb) = if (x._1 < y._1) (x._1, y._1) else (y._1, x._1)
+          row.update(0, a); row.update(1, bb); row.update(2, sim)
+          Some(proj(row).copy(): InternalRow)
+        } else None
+      }
+
+      if (i == j) {
+        // intra-block: every unordered pair once (equal ids never pair,
+        // matching the strict id< contract)
+        val arr = it.map(_._2).toArray
+        (0 until arr.length).iterator.flatMap { p =>
+          (p + 1 until arr.length).iterator.flatMap { q =>
+            if (arr(p)._1 == arr(q)._1) None else emit(arr(p), arr(q))
+          }
         }
-        (lo until all.length).iterator.flatMap { j =>
-          val (yid, y, yNorm) = all(j)
-          val n = math.min(x.length, y.length)
-          var dot = 0.0; var k = 0
-          while (k < n) { dot += x(k) * y(k); k += 1 }
-          val sim0 = if (xNorm == 0.0 || yNorm == 0.0) 0.0 else dot / (xNorm * yNorm)
-          val sim = BigDecimal(sim0).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
-          if (sim >= thr) {
-            row.update(0, xid); row.update(1, yid); row.update(2, sim)
-            Some(proj(row).copy(): InternalRow)
-          } else None
+      } else {
+        // cross-block: full left×right product; ids can't collide across
+        // blocks (block is a function of id)
+        val left = new ArrayBuffer[(Long, Array[Double], Double)]
+        val right = new ArrayBuffer[(Long, Array[Double], Double)]
+        it.foreach { case (_, rec) =>
+          if ((((rec._1 % b) + b) % b).toInt == i) left += rec else right += rec
         }
+        left.iterator.flatMap { x => right.iterator.flatMap { y => emit(x, y) } }
       }
     }
   }

@@ -94,9 +94,73 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
     assert(native == composed)
   }
 
-  test("llm_dedup_minhash pre-aggregates minhashes map-side (partial_min)") {
+  test("llm_dedup_minhash pre-aggregates the minhash columns map-side") {
+    // specifically partial min over the quarter-hash columns — a generic
+    // HashAggregate count would pass vacuously on any aggregate plan
     val p = plan("llm_dedup_minhash")
-    assert(p.contains("partial_min") || p.contains("partial min") ||
-      "HashAggregate".r.findAllIn(p).length >= 2, p.take(3000))
+    assert(p.contains("partial_min(h0") || p.contains("min(h0"), p.take(3000))
+    assert("HashAggregate".r.findAllIn(p).length >= 2, p.take(3000))
+  }
+
+  test("dedup band joins broadcast small, shuffle past the size guard — same rows") {
+    // small regime (default guard): hints pinned → broadcast band joins
+    assert(plan("llm_dedup_minhash").contains("BroadcastHashJoin"))
+    assert(plan("llm_dedup_simhash").contains("BroadcastHashJoin"))
+    val small = SparkEntry.queries("llm_dedup_minhash")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // large regime (guard forced to 0, auto-broadcast off — what the
+    // planner sees at a 100× corpus): every dedup join degrades to a
+    // shuffle join, and the rows don't change
+    spark.conf.set("graft.broadcast.guard.maxBytes", "0")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      for (q <- Seq("llm_dedup_minhash", "llm_dedup_simhash")) {
+        val p = plan(q)
+        assert(!p.contains("BroadcastHashJoin"), s"$q: ${p.take(3000)}")
+        assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"), s"$q: ${p.take(3000)}")
+      }
+      val large = SparkEntry.queries("llm_dedup_minhash")(spark, sf).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(small == large && small.nonEmpty)
+    } finally {
+      spark.conf.unset("graft.broadcast.guard.maxBytes")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+
+  test("AllPairsCosineExec executes its child exactly once (no driver collect)") {
+    val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    import classic.implicits._
+    val n = 64
+    val reads = spark.sparkContext.longAccumulator("allpairs-child-reads")
+    val src = spark.sparkContext.parallelize(0 until n, 4).map { i =>
+      reads.add(1)
+      (i.toLong, Array.tabulate(8)(d => ((i * 31 + d * 7) % 13).toDouble))
+    }
+    val df = src.toDF("vec_id", "emb")
+    val out = org.apache.spark.sql.graftbridge.AllPairsCosineApi
+      .pairs(spark, df, -1.0).collect()
+    // every unordered pair exactly once, each source row read exactly once
+    assert(out.length == n * (n - 1) / 2, s"pairs=${out.length}")
+    assert(reads.value == n, s"child rows read ${reads.value} times, want $n")
+    assert(out.forall(r => r.getLong(0) < r.getLong(1)))
+  }
+
+  test("AllPairsCosineExec output is invariant to the block count") {
+    val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    import classic.implicits._
+    val df = (0 until 40)
+      .map(i => (i.toLong, Array.tabulate(6)(d => math.sin(i * 2.0 + d).abs)))
+      .toDF("vec_id", "emb")
+    def run(): Set[(Long, Long, Double)] =
+      org.apache.spark.sql.graftbridge.AllPairsCosineApi.pairs(spark, df, 0.5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val base = run()
+    spark.conf.set("graft.allpairs.blocks", "2")
+    val b2 = try run() finally spark.conf.unset("graft.allpairs.blocks")
+    spark.conf.set("graft.allpairs.blocks", "11")
+    val b11 = try run() finally spark.conf.unset("graft.allpairs.blocks")
+    assert(base == b2 && base == b11)
+    assert(base.nonEmpty)
   }
 }
