@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.ops.{Aggregates, Functions, LlmExt, LlmOps, Relational, StreamingOps, WindowOps}
+import graft.ops.{Aggregates, Functions, LlmExt, LlmOps, Relational, StreamingOps, Warehouse, WindowOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 (operator inventory) and §7.
   *
@@ -19,11 +19,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Aggregates.queries ++ WindowOps.queries ++
-      Functions.queries ++ StreamingOps.queries ++ LlmOps.queries ++ LlmExt.queries
+      Functions.queries ++ StreamingOps.queries ++ LlmOps.queries ++
+      LlmExt.queries ++ Warehouse.queries
 
   /** For each oracle-verified key in `queries`, equivalent SQL runnable by
     * DuckDB on the same parquet tables. */
   def oracleSql: Map[String, String] =
     Relational.oracles ++ Aggregates.oracles ++ WindowOps.oracles ++
-      Functions.oracles ++ StreamingOps.oracles ++ LlmOps.oracles ++ LlmExt.oracles
+      Functions.oracles ++ StreamingOps.oracles ++ LlmOps.oracles ++
+      LlmExt.oracles ++ Warehouse.oracles
 }

@@ -61,6 +61,19 @@ object Aggregates {
           countDistinct(col("l_orderkey")).as("nd_ord"))
         .orderBy("l_returnflag")),
 
+    // Pivot (the reporting shape over this star schema): order counts per
+    // priority, one column per order status. Explicit pivot values keep the
+    // plan a single two-phase aggregate — no distinct-values pre-query —
+    // which is also what you'd do at 100 TB (inferring pivot columns needs
+    // an extra full scan). Missing combos emit 0 to match FILTER counts.
+    "agg_pivot" -> ((s, d) =>
+      Tables.orders(s, d)
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .count()
+        .na.fill(0L, Seq("F", "O", "P"))
+        .orderBy("o_orderpriority")),
+
     "agg_having" -> ((s, d) =>
       Tables.orders(s, d)
         .groupBy("o_custkey")
@@ -190,6 +203,16 @@ object Aggregates {
       """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS nd_part,
         |  COUNT(DISTINCT l_suppkey) AS nd_supp, COUNT(DISTINCT l_orderkey) AS nd_ord
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // FILTERed counts are DuckDB's spelling of the same pivot; Spark's
+    // count-pivot emits NULL for empty combos, filled to 0 on the Spark
+    // side to match COUNT's 0.
+    "agg_pivot" ->
+      """SELECT o_orderpriority,
+        |  COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS "F",
+        |  COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS "O",
+        |  COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS "P"
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     "agg_having" ->
       """SELECT o_custkey, COUNT(*) AS n_orders FROM orders

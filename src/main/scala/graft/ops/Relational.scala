@@ -33,11 +33,12 @@ object Relational {
         .orderBy("l_orderkey", "l_linenumber", "ship_date")),
 
     // Engine sink capability: parquet write→read round-trip (rows>0 check
-    // only; schema/data equality asserted in ScalaTest).
+    // only; schema/data equality asserted in ScalaTest). All sink ops write
+    // fixed subdirs of the per-JVM Scratch dir (overwrite mode) so repeated
+    // runs don't accumulate temp data.
     "sink_roundtrip" -> ((s, d) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft_sink").toString
-      Tables.nation(s, d).write.mode("overwrite").parquet(s"$tmp/nation_rt")
-      s.read.parquet(s"$tmp/nation_rt").orderBy("n_nationkey")
+      Tables.nation(s, d).write.mode("overwrite").parquet(s"${Scratch.dir}/nation_rt")
+      s.read.parquet(s"${Scratch.dir}/nation_rt").orderBy("n_nationkey")
     }),
 
     // Partitioned warehouse sink + partition-pruned read: orders written
@@ -45,7 +46,7 @@ object Relational {
     // 100 TB this is the layout that turns a full-table scan into reading
     // one directory. Oracle = the same aggregate filtered from the source.
     "sink_partitioned" -> ((s, d) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft_part").toString
+      val tmp = s"${Scratch.dir}/part"
       Tables.orders(s, d)
         .withColumn("o_year", year(col("o_orderdate")))
         .write.mode("overwrite").partitionBy("o_year").parquet(s"$tmp/orders_p")
@@ -60,7 +61,7 @@ object Relational {
     // CSV/JSON source with schema inference round-trips nation (rows-only
     // check here; full schema assertions in ScalaTest).
     "source_csv_json_infer" -> ((s, d) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft_src").toString
+      val tmp = s"${Scratch.dir}/src"
       val n = Tables.nation(s, d)
       n.write.mode("overwrite").option("header", "true").csv(s"$tmp/nation_csv")
       n.write.mode("overwrite").json(s"$tmp/nation_json")
@@ -252,6 +253,26 @@ object Relational {
         .orderBy("p_id")
     }),
 
+    // Correlated scalar subquery (each customer vs their nation's average
+    // balance), issued as SQL text so Catalyst's decorrelation
+    // (RewriteCorrelatedScalarSubquery) runs: the per-row subquery becomes
+    // ONE aggregate over customer joined back on c_nationkey — no
+    // nested-loop-per-row survives (asserted in PlanShapeSpec). The average
+    // is the exact-moment recipe (sum of decimals cast to double / count)
+    // written identically in the oracle so the doubles are bit-equal.
+    "subquery_scalar_corr" -> ((s, d) => {
+      Tables.customer(s, d).createOrReplaceTempView("graft_customer_v")
+      s.sql(
+        """SELECT c_custkey, c_acctbal, nat_avg FROM (
+          |  SELECT c1.c_custkey, c1.c_acctbal,
+          |    (SELECT CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*)
+          |     FROM graft_customer_v c2
+          |     WHERE c2.c_nationkey = c1.c_nationkey) AS nat_avg
+          |  FROM graft_customer_v c1)
+          |WHERE c_acctbal > nat_avg
+          |ORDER BY c_custkey""".stripMargin)
+    }),
+
     // ---- §2.6 sorts / limits ----
     "sort_multi" -> ((s, d) =>
       Tables.customer(s, d)
@@ -441,6 +462,17 @@ object Relational {
         |ASOF JOIN (SELECT * FROM events WHERE event_type = 'view') v
         |  ON p.user_id = v.user_id AND v.ts <= p.ts
         |ORDER BY p_id""".stripMargin,
+
+    // Same decorrelated-average formulation, same exact-moment double math.
+    "subquery_scalar_corr" ->
+      """SELECT c_custkey, c_acctbal, nat_avg FROM (
+        |  SELECT c1.c_custkey, c1.c_acctbal,
+        |    (SELECT CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*)
+        |     FROM customer c2
+        |     WHERE c2.c_nationkey = c1.c_nationkey) AS nat_avg
+        |  FROM customer c1)
+        |WHERE c_acctbal > nat_avg
+        |ORDER BY c_custkey""".stripMargin,
 
     "sort_multi" ->
       """SELECT c_custkey, c_nationkey, NULLIF(c_mktsegment,'BUILDING') AS seg_n, c_acctbal

@@ -1,0 +1,125 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** One scratch directory per JVM for all sink/warehouse operators, deleted
+  * recursively on JVM exit. Operators write FIXED subdirs in overwrite
+  * mode, so repeated Verify/Bench invocations inside one JVM reuse the same
+  * paths — no unbounded /tmp growth across runs (and nothing survives the
+  * process).
+  */
+object Scratch {
+  lazy val dir: String = {
+    val p = java.nio.file.Files.createTempDirectory("graft_scratch")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => delete(p.toFile)))
+    p.toString
+  }
+  private def delete(f: java.io.File): Unit = {
+    Option(f.listFiles).foreach(_.foreach(delete))
+    f.delete(); ()
+  }
+}
+
+/** Warehouse-layer operators (SURVEY.md §2.13, round 3): the Hive-warehouse
+  * capabilities a Spark-SQL analytics service exposes beyond plain parquet
+  * scans — catalog DDL (CREATE TABLE / INSERT OVERWRITE / `spark.table`
+  * read-back), bucketed layout whose equi-join plans NO exchange on the
+  * bucket key (the standard shuffle-elimination layout tool: at 100 TB the
+  * fact-fact join is pre-shuffled once at write time and never again), and
+  * dynamic partition pruning (the dim-side filter prunes fact partitions at
+  * RUNTIME via a dynamicpruning subquery — the flagship Spark warehouse
+  * optimization for star-schema scans).
+  */
+object Warehouse {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def dec(c: Column): Column = c.cast("decimal(18,4)")
+
+  val queries: Map[String, Q] = Map(
+    // Catalog DDL lifecycle as a graded query: CREATE TABLE USING parquet
+    // (external location in the scratch dir so re-creation is idempotent
+    // across JVMs), INSERT OVERWRITE from the source scan, read back via
+    // the catalog. Oracle = plain scan of the inserted rows.
+    "warehouse_table_ops" -> ((s, d) => {
+      s.sql(
+        s"""CREATE TABLE IF NOT EXISTS graft_wh_nation
+           |  (n_nationkey INT, n_name STRING, n_regionkey INT)
+           |  USING parquet LOCATION '${Scratch.dir}/wh_nation'""".stripMargin)
+      Tables.nation(s, d).createOrReplaceTempView("graft_wh_nation_src")
+      s.sql(
+        """INSERT OVERWRITE TABLE graft_wh_nation
+          |SELECT n_nationkey, n_name, n_regionkey FROM graft_wh_nation_src""".stripMargin)
+      s.table("graft_wh_nation").orderBy("n_nationkey")
+    }),
+
+    // Bucketed warehouse layout: orders and customer both bucketed 8 ways
+    // on the join key at write time, so the join scans co-located buckets
+    // and plans no exchange under the SortMergeJoin (asserted in
+    // PlanShapeSpec) — only the final small aggregation shuffles. Oracle =
+    // the same join/aggregate from the unbucketed sources.
+    "sink_bucketed" -> ((s, d) => {
+      Tables.orders(s, d).write.mode("overwrite")
+        .bucketBy(8, "o_custkey").sortBy("o_custkey")
+        .option("path", s"${Scratch.dir}/bkt_orders")
+        .saveAsTable("graft_bkt_orders")
+      Tables.customer(s, d).write.mode("overwrite")
+        .bucketBy(8, "c_custkey").sortBy("c_custkey")
+        .option("path", s"${Scratch.dir}/bkt_customer")
+        .saveAsTable("graft_bkt_customer")
+      s.table("graft_bkt_orders")
+        .join(s.table("graft_bkt_customer"), col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(dec(col("o_totalprice"))).cast("double").as("total"))
+        .orderBy("c_mktsegment")
+    }),
+
+    // Dynamic partition pruning: orders partitioned by year, year-dim with
+    // a filter on a NON-join column (`label`), joined on the partition
+    // column. The 1997 partition is selected at runtime by the
+    // dynamicpruning subquery Spark injects from the broadcast dim —
+    // asserted in PlanShapeSpec — so the fact scan reads one directory, not
+    // the table. Oracle replays the dim derivation + join in SQL.
+    "join_dpp" -> ((s, d) => {
+      val base = s"${Scratch.dir}/dpp"
+      Tables.orders(s, d)
+        .withColumn("o_year", year(col("o_orderdate")))
+        .write.mode("overwrite").partitionBy("o_year").parquet(s"$base/orders_p")
+      Tables.orders(s, d)
+        .select(year(col("o_orderdate")).as("yr")).distinct()
+        .withColumn("label", concat(lit("Y"), col("yr")))
+        .write.mode("overwrite").parquet(s"$base/year_dim")
+      val fact = s.read.parquet(s"$base/orders_p")
+      val dim = s.read.parquet(s"$base/year_dim").where(col("label") === "Y1997")
+      fact.join(dim, col("o_year") === col("yr"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(dec(col("o_totalprice"))).cast("double").as("total"))
+        .orderBy("o_orderpriority")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    // The DDL round-trip must reproduce the source rows exactly.
+    "warehouse_table_ops" ->
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
+
+    // The bucketed join must equal the plain join of the sources.
+    "sink_bucketed" ->
+      """SELECT c_mktsegment, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "join_dpp" ->
+      """WITH dim AS (SELECT DISTINCT year(o_orderdate) AS yr FROM orders),
+        |d2 AS (SELECT yr, 'Y' || CAST(yr AS VARCHAR) AS label FROM dim)
+        |SELECT o_orderpriority, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+        |FROM orders o JOIN d2 ON year(o.o_orderdate) = d2.yr
+        |WHERE d2.label = 'Y1997'
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+  )
+}

@@ -102,6 +102,34 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
     assert("HashAggregate".r.findAllIn(p).length >= 2, p.take(3000))
   }
 
+  test("sink_bucketed joins without an exchange on the bucket key") {
+    // at test scale the tiny dim auto-broadcasts (also exchange-free);
+    // force the shuffle-join regime — a 100 TB fact-fact join — to prove
+    // the bucketed layout itself eliminates the key exchange
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p = plan("sink_bucketed")
+      assert(!p.contains("Exchange hashpartitioning(o_custkey"), p.take(3000))
+      assert(!p.contains("Exchange hashpartitioning(c_custkey"), p.take(3000))
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"), p.take(3000))
+      assert(p.contains("SelectedBucketsCount") || p.contains("Bucketed: true"), p.take(3000))
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
+  test("join_dpp prunes fact partitions at runtime (dynamicpruningexpression)") {
+    val p = plan("join_dpp")
+    assert(p.toLowerCase.contains("dynamicpruningexpression"), p.take(3000))
+  }
+
+  test("subquery_scalar_corr decorrelates to an aggregate + equi-join") {
+    val p = plan("subquery_scalar_corr")
+    // RewriteCorrelatedScalarSubquery must leave no per-row nested loop
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p.take(3000))
+    assert(p.contains("HashAggregate"), p.take(3000))
+    assert(p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin")
+      || p.contains("ShuffledHashJoin"), p.take(3000))
+  }
+
   test("dedup band joins broadcast small, shuffle past the size guard — same rows") {
     // small regime (default guard): hints pinned → broadcast band joins
     assert(plan("llm_dedup_minhash").contains("BroadcastHashJoin"))
