@@ -22,11 +22,14 @@ object Scale {
     * `salt` ways on the big side. Row-identical to the unsalted join. */
   def saltedJoin(big: DataFrame, small: DataFrame,
       bigKey: Column, smallKey: Column, salt: Int): DataFrame = {
-    // deterministic per-row salt: cheap hash of the join key + a row nonce
-    // would ALSO work, but key-only salting keeps co-located rows of one
-    // key spread too (pmod of the row id is uniform and execution-stable
-    // for a deterministic source)
-    val b = big.withColumn(SaltCol, pmod(monotonically_increasing_id(), lit(salt)))
+    // deterministic per-row salt: xxhash64 over the whole row, so the salt
+    // assignment is a pure function of the DATA — identical across
+    // partition layouts, re-executions and AQE re-plans (pmod of
+    // monotonically_increasing_id is multiset-equivalent but silently
+    // depends on partition assignment). Rows of one hot key differ in
+    // their other columns, so the hash still spreads the key `salt` ways.
+    val b = big.withColumn(SaltCol,
+      pmod(xxhash64(big.columns.toSeq.map(col): _*), lit(salt.toLong)))
     val s = small
       .withColumn(SaltCol, explode(sequence(lit(0), lit(salt - 1))))
       .withColumn(SaltCol, col(SaltCol).cast("long"))
