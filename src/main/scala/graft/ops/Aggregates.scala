@@ -74,6 +74,45 @@ object Aggregates {
         .na.fill(0L, Seq("F", "O", "P"))
         .orderBy("o_orderpriority")),
 
+    // Unpivot (melt) — the inverse reporting shape: the pivoted counts
+    // back to (priority, status, cnt) rows. Spark's native unpivot is a
+    // zero-shuffle projection (Expand), so the only shuffle is the pivot's
+    // own aggregate.
+    "agg_unpivot" -> ((s, d) => {
+      val pv = Tables.orders(s, d)
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .count()
+        .na.fill(0L, Seq("F", "O", "P"))
+      pv.unpivot(Array(col("o_orderpriority")),
+          Array(col("F"), col("O"), col("P")), "status", "cnt")
+        .orderBy("o_orderpriority", "status")
+    }),
+
+    // Exact percentiles with linear interpolation. l_quantity is
+    // integer-valued and the probe points are binary fractions (.25/.5/.75
+    // of an integer index are exact in IEEE), so Spark's `percentile` and
+    // DuckDB's `quantile_cont` interpolate to the identical double — no
+    // rounding step needed.
+    "agg_percentile" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(expr("percentile(l_quantity, 0.25)").as("q25"),
+          expr("percentile(l_quantity, 0.5)").as("median"),
+          expr("percentile(l_quantity, 0.75)").as("q75"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag")),
+
+    // Calendar-bucketed event rollup (the canonical time-series shape):
+    // hourly event counts + distinct users per type. Buckets on the µs
+    // timestamp both engines share (TESTDATA ns truncation rule).
+    "agg_time_bucket" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("hr"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("n_users"))
+        .orderBy("hr", "event_type")),
+
     "agg_having" -> ((s, d) =>
       Tables.orders(s, d)
         .groupBy("o_custkey")
@@ -213,6 +252,32 @@ object Aggregates {
         |  COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS "O",
         |  COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS "P"
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    // UNION ALL of the FILTERed counts is the relational spelling of the
+    // unpivoted pivot.
+    "agg_unpivot" ->
+      """WITH p AS (SELECT o_orderpriority,
+        |    COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS f,
+        |    COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS o,
+        |    COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS pp
+        |  FROM orders GROUP BY o_orderpriority)
+        |SELECT o_orderpriority, 'F' AS status, f AS cnt FROM p
+        |UNION ALL SELECT o_orderpriority, 'O', o FROM p
+        |UNION ALL SELECT o_orderpriority, 'P', pp FROM p
+        |ORDER BY o_orderpriority, status""".stripMargin,
+
+    "agg_percentile" ->
+      """SELECT l_returnflag,
+        |  quantile_cont(l_quantity, 0.25) AS q25,
+        |  quantile_cont(l_quantity, 0.5) AS median,
+        |  quantile_cont(l_quantity, 0.75) AS q75,
+        |  COUNT(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "agg_time_bucket" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hr, event_type,
+        |  COUNT(*) AS n, COUNT(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY 1, 2 ORDER BY hr, event_type""".stripMargin,
 
     "agg_having" ->
       """SELECT o_custkey, COUNT(*) AS n_orders FROM orders

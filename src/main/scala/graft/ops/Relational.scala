@@ -273,6 +273,22 @@ object Relational {
           |ORDER BY c_custkey""".stripMargin)
     }),
 
+    // NOT IN subquery — three-valued-logic semantics force Spark's
+    // null-aware anti join (s_nationkey is nullable by schema, so a plain
+    // anti join would be WRONG if a null appeared); with
+    // spark.sql.optimizeNullAwareAntiJoin (default on) this plans a
+    // single-key NAAJ BroadcastHashJoin, not a nested loop (asserted in
+    // PlanShapeSpec).
+    "subquery_not_in" -> ((s, d) => {
+      Tables.customer(s, d).createOrReplaceTempView("graft_cust_ni_v")
+      Tables.supplier(s, d).createOrReplaceTempView("graft_supp_ni_v")
+      s.sql(
+        """SELECT c_custkey, c_name, c_nationkey FROM graft_cust_ni_v
+          |WHERE c_nationkey NOT IN
+          |  (SELECT s_nationkey FROM graft_supp_ni_v WHERE s_acctbal > 9000)
+          |ORDER BY c_custkey""".stripMargin)
+    }),
+
     // ---- §2.6 sorts / limits ----
     "sort_multi" -> ((s, d) =>
       Tables.customer(s, d)
@@ -472,6 +488,12 @@ object Relational {
         |     WHERE c2.c_nationkey = c1.c_nationkey) AS nat_avg
         |  FROM customer c1)
         |WHERE c_acctbal > nat_avg
+        |ORDER BY c_custkey""".stripMargin,
+
+    "subquery_not_in" ->
+      """SELECT c_custkey, c_name, c_nationkey FROM customer
+        |WHERE c_nationkey NOT IN
+        |  (SELECT s_nationkey FROM supplier WHERE s_acctbal > 9000)
         |ORDER BY c_custkey""".stripMargin,
 
     "sort_multi" ->

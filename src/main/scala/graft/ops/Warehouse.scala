@@ -76,6 +76,22 @@ object Warehouse {
         .orderBy("c_mktsegment")
     }),
 
+    // View layer: a temp view defined by DDL over the source scan, queried
+    // through the catalog — views are pure plan macros (zero storage, the
+    // definition inlines into the consumer's plan, so pushdown/pruning act
+    // through them). Oracle = the same query over the source.
+    "warehouse_view_ops" -> ((s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("graft_orders_src_v")
+      s.sql(
+        """CREATE OR REPLACE TEMPORARY VIEW graft_big_orders_v AS
+          |SELECT o_custkey, o_totalprice FROM graft_orders_src_v
+          |WHERE o_totalprice > 200000""".stripMargin)
+      s.sql(
+        """SELECT o_custkey, COUNT(*) AS n_big,
+          |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+          |FROM graft_big_orders_v GROUP BY o_custkey ORDER BY o_custkey""".stripMargin)
+    }),
+
     // Dynamic partition pruning: orders partitioned by year, year-dim with
     // a filter on a NON-join column (`label`), joined on the partition
     // column. The 1997 partition is selected at runtime by the
@@ -112,6 +128,12 @@ object Warehouse {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "warehouse_view_ops" ->
+      """SELECT o_custkey, COUNT(*) AS n_big,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+        |FROM orders WHERE o_totalprice > 200000
+        |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
 
     "join_dpp" ->
       """WITH dim AS (SELECT DISTINCT year(o_orderdate) AS yr FROM orders),

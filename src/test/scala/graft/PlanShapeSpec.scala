@@ -121,6 +121,12 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
     assert(p.toLowerCase.contains("dynamicpruningexpression"), p.take(3000))
   }
 
+  test("subquery_not_in plans a null-aware anti join, not a nested loop") {
+    val p = plan("subquery_not_in")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p.take(3000))
+    assert(p.contains("LeftAnti"), p.take(3000))
+  }
+
   test("subquery_scalar_corr decorrelates to an aggregate + equi-join") {
     val p = plan("subquery_scalar_corr")
     // RewriteCorrelatedScalarSubquery must leave no per-row nested loop
