@@ -92,6 +92,50 @@ object Warehouse {
           |FROM graft_big_orders_v GROUP BY o_custkey ORDER BY o_custkey""".stripMargin)
     }),
 
+    // Runtime bloom-filter join (the runtime-filter companion to DPP for
+    // UNpartitioned data): a selective dim-side filter is turned into a
+    // bloom filter that prunes the fact scan's rows before the shuffle —
+    // at 100 TB this cuts the shuffled fact volume by the dim selectivity
+    // without any partitioning prerequisite. Runs in a child session so
+    // the injection thresholds (sized for clusters) and the disabled
+    // auto-broadcast (to force the shuffle join the filter applies to)
+    // don't leak into other operators' plans. Oracle = the plain join.
+    "join_bloom_filtered" -> ((s, d) => {
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
+      // the dim filter keeps 10% of parts at every scale factor (a price
+      // threshold isn't scale-stable: retailprice spans 900–919.9 at
+      // sf0.001 but 900–999.9 at sf0.1)
+      Tables.lineitem(s2, d)
+        .join(Tables.part(s2, d).where(col("p_partkey") % 10 === 0),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy("p_partkey")
+        .agg(count(lit(1)).as("n_items"),
+          sum(dec(col("l_extendedprice"))).cast("double").as("revenue"))
+        .orderBy("p_partkey")
+    }),
+
+    // Small-file compaction — the standing maintenance job of a streaming-
+    // ingest warehouse: a 16-file landing zone is rewritten as 2 files
+    // (coalesce = no shuffle, just fewer write tasks); at 100 TB this is
+    // what keeps scan task counts and parquet footer overhead bounded.
+    // Row equality with the source is the oracle; the file-count drop is
+    // asserted in ScalaTest.
+    "sink_compacted" -> ((s, d) => {
+      val base = s"${Scratch.dir}/compact"
+      Tables.orders(s, d).repartition(16).write.mode("overwrite").parquet(s"$base/landing")
+      s.read.parquet(s"$base/landing").coalesce(2)
+        .write.mode("overwrite").parquet(s"$base/compacted")
+      s.read.parquet(s"$base/compacted")
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(dec(col("o_totalprice"))).cast("double").as("total"))
+        .orderBy("o_orderstatus")
+    }),
+
     // Dynamic partition pruning: orders partitioned by year, year-dim with
     // a filter on a NON-join column (`label`), joined on the partition
     // column. The 1997 partition is selected at runtime by the
@@ -134,6 +178,18 @@ object Warehouse {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
         |FROM orders WHERE o_totalprice > 200000
         |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+
+    "join_bloom_filtered" ->
+      """SELECT p_partkey, COUNT(*) AS n_items,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_partkey % 10 = 0
+        |GROUP BY p_partkey ORDER BY p_partkey""".stripMargin,
+
+    "sink_compacted" ->
+      """SELECT o_orderstatus, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     "join_dpp" ->
       """WITH dim AS (SELECT DISTINCT year(o_orderdate) AS yr FROM orders),

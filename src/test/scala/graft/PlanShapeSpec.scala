@@ -121,6 +121,21 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
     assert(p.toLowerCase.contains("dynamicpruningexpression"), p.take(3000))
   }
 
+  test("join_bloom_filtered injects a runtime bloom filter on the fact scan") {
+    val p = plan("join_bloom_filtered")
+    assert(p.contains("might_contain"), p.take(3000))
+    assert(p.contains("bloom_filter_agg") || p.contains("BloomFilter"), p.take(3000))
+  }
+
+  test("sink_compacted rewrites the 16-file landing zone as at most 2 files") {
+    SparkEntry.queries("sink_compacted")(spark, sf).collect()
+    def parquetFiles(sub: String): Int =
+      new java.io.File(s"${graft.ops.Scratch.dir}/compact/$sub").listFiles()
+        .count(_.getName.endsWith(".parquet"))
+    assert(parquetFiles("landing") == 16)
+    assert(parquetFiles("compacted") <= 2)
+  }
+
   test("subquery_not_in plans a null-aware anti join, not a nested loop") {
     val p = plan("subquery_not_in")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p.take(3000))
