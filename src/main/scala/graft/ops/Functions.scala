@@ -109,6 +109,23 @@ object Functions {
           array_join(array_sort(concat(slice(col("t"), 1, 2), array(lit("zz")))), " ").as("plus_zz"))
         .orderBy("doc_id")),
 
+    // Nested struct columns (the Hive complex-type surface beside array and
+    // map): build a two-level struct, then navigate dotted paths back to
+    // flat output columns — struct cells themselves can't be emitted (the
+    // driver's pandas compare), which mirrors real consumers projecting
+    // leaves.
+    "fn_struct" -> ((s, d) =>
+      Tables.customer(s, d)
+        .withColumn("cust", struct(
+          col("c_custkey").as("key"), col("c_name").as("name"),
+          struct(col("c_nationkey").as("nk"), col("c_mktsegment").as("seg")).as("geo")))
+        .select(
+          col("cust.key").as("k"),
+          col("cust.geo.nk").as("nk"),
+          upper(col("cust.name")).as("uname"),
+          concat(col("cust.geo.seg"), lit("#"), col("cust.key")).as("tag"))
+        .orderBy("k")),
+
     "fn_map" -> ((s, d) =>
       Tables.documents(s, d)
         .withColumn("m", map_from_arrays(
@@ -262,6 +279,14 @@ object Functions {
         |  string_split(text, ' ')[1] AS first_tok,
         |  array_to_string(list_sort(list_concat(string_split(text, ' ')[1:2], ['zz'])), ' ') AS plus_zz
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "fn_struct" ->
+      """WITH s AS (SELECT struct_pack(key := c_custkey, name := c_name,
+        |    geo := struct_pack(nk := c_nationkey, seg := c_mktsegment)) AS cust
+        |  FROM customer)
+        |SELECT cust.key AS k, cust.geo.nk AS nk, upper(cust.name) AS uname,
+        |  cust.geo.seg || '#' || CAST(cust.key AS VARCHAR) AS tag
+        |FROM s ORDER BY k""".stripMargin,
 
     "fn_map" ->
       """SELECT doc_id,

@@ -41,6 +41,14 @@ object Relational {
       s.read.parquet(s"${Scratch.dir}/nation_rt").orderBy("n_nationkey")
     }),
 
+    // ORC round-trip: the second columnar warehouse format a Hive-style
+    // service serves (schema preserved end-to-end; DuckDB cannot read ORC,
+    // so the oracle is the source scan the round-trip must reproduce).
+    "source_orc_roundtrip" -> ((s, d) => {
+      Tables.nation(s, d).write.mode("overwrite").orc(s"${Scratch.dir}/nation_orc")
+      s.read.orc(s"${Scratch.dir}/nation_orc").orderBy("n_nationkey")
+    }),
+
     // Partitioned warehouse sink + partition-pruned read: orders written
     // partitionBy(year), then a single-partition scan aggregates 1997 — at
     // 100 TB this is the layout that turns a full-table scan into reading
@@ -347,6 +355,10 @@ object Relational {
     // The round-trip must preserve nation byte-for-byte, so the oracle is a
     // plain scan of the source table.
     "sink_roundtrip" ->
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
+
+    // The ORC round-trip must reproduce nation exactly.
+    "source_orc_roundtrip" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
 
     // The pruned-partition aggregate must equal the same aggregate filtered
