@@ -297,6 +297,22 @@ object Relational {
           |ORDER BY c_custkey""".stripMargin)
     }),
 
+    // Correlated LATERAL subquery with LIMIT (top-2 customers per nation):
+    // a per-row dependent subquery that Catalyst decorrelates into a
+    // window-ranked join — the other decorrelation path beside the scalar
+    // subquery, and the SQL spelling of win_topk_per_group.
+    "join_lateral" -> ((s, d) => {
+      Tables.nation(s, d).createOrReplaceTempView("graft_nation_lat_v")
+      Tables.customer(s, d).createOrReplaceTempView("graft_cust_lat_v")
+      s.sql(
+        """SELECT n.n_name, c.c_custkey, c.c_acctbal
+          |FROM graft_nation_lat_v n,
+          |LATERAL (SELECT c_custkey, c_acctbal FROM graft_cust_lat_v
+          |         WHERE c_nationkey = n.n_nationkey
+          |         ORDER BY c_acctbal DESC, c_custkey LIMIT 2) c
+          |ORDER BY n.n_name, c.c_acctbal DESC, c.c_custkey""".stripMargin)
+    }),
+
     // ---- §2.6 sorts / limits ----
     "sort_multi" -> ((s, d) =>
       Tables.customer(s, d)
@@ -501,6 +517,14 @@ object Relational {
         |  FROM customer c1)
         |WHERE c_acctbal > nat_avg
         |ORDER BY c_custkey""".stripMargin,
+
+    "join_lateral" ->
+      """SELECT n.n_name, c.c_custkey, c.c_acctbal
+        |FROM nation n,
+        |LATERAL (SELECT c_custkey, c_acctbal FROM customer
+        |         WHERE c_nationkey = n.n_nationkey
+        |         ORDER BY c_acctbal DESC, c_custkey LIMIT 2) c
+        |ORDER BY n.n_name, c.c_acctbal DESC, c.c_custkey""".stripMargin,
 
     "subquery_not_in" ->
       """SELECT c_custkey, c_name, c_nationkey FROM customer
