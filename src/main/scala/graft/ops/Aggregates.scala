@@ -113,6 +113,17 @@ object Aggregates {
         .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("n_users"))
         .orderBy("hr", "event_type")),
 
+    // Boolean aggregates (the SQL:2016 every/any surface) + conditional
+    // count — all plain two-phase aggregates.
+    "agg_bool" -> ((s, d) =>
+      Tables.orders(s, d)
+        .groupBy("o_orderpriority")
+        .agg(
+          expr("bool_and(o_totalprice > 1000)").as("all_over_1k"),
+          expr("bool_or(o_orderstatus = 'P')").as("any_pending"),
+          expr("count_if(o_orderstatus = 'F')").as("n_f"))
+        .orderBy("o_orderpriority")),
+
     "agg_having" -> ((s, d) =>
       Tables.orders(s, d)
         .groupBy("o_custkey")
@@ -278,6 +289,13 @@ object Aggregates {
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hr, event_type,
         |  COUNT(*) AS n, COUNT(DISTINCT user_id) AS n_users
         |FROM events GROUP BY 1, 2 ORDER BY hr, event_type""".stripMargin,
+
+    "agg_bool" ->
+      """SELECT o_orderpriority,
+        |  bool_and(o_totalprice > 1000) AS all_over_1k,
+        |  bool_or(o_orderstatus = 'P') AS any_pending,
+        |  COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_f
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     "agg_having" ->
       """SELECT o_custkey, COUNT(*) AS n_orders FROM orders

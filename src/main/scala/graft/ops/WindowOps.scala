@@ -99,6 +99,21 @@ object WindowOps {
         .orderBy("user_id", "event_id")
     }),
 
+    // IGNORE NULLS window (the gap-fill / last-observation-carried-forward
+    // shape): negative balances are nulled out, then each row carries the
+    // most recent non-null balance forward within its segment — a pure
+    // window pass, no self-join.
+    "win_ignore_nulls" -> ((s, d) => {
+      val w = Window.partitionBy("c_mktsegment").orderBy("c_custkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.customer(s, d)
+        .withColumn("bal_n", expr("CASE WHEN c_acctbal < 0 THEN NULL ELSE c_acctbal END"))
+        .select(col("c_custkey"), col("c_mktsegment"), col("bal_n"),
+          last(col("bal_n"), ignoreNulls = true).over(w).as("bal_ff"),
+          first(col("bal_n"), ignoreNulls = true).over(w).as("bal_first_nn"))
+        .orderBy("c_custkey")
+    }),
+
     "win_analytic" -> ((s, d) => {
       val wo = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
       val wf = wo.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
@@ -165,6 +180,18 @@ object WindowOps {
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
         |ORDER BY user_id, event_id""".stripMargin,
+
+    "win_ignore_nulls" ->
+      """SELECT c_custkey, c_mktsegment,
+        |  CASE WHEN c_acctbal < 0 THEN NULL ELSE c_acctbal END AS bal_n,
+        |  LAST_VALUE(CASE WHEN c_acctbal < 0 THEN NULL ELSE c_acctbal END IGNORE NULLS)
+        |    OVER w AS bal_ff,
+        |  FIRST_VALUE(CASE WHEN c_acctbal < 0 THEN NULL ELSE c_acctbal END IGNORE NULLS)
+        |    OVER w AS bal_first_nn
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_custkey
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY c_custkey""".stripMargin,
 
     "win_analytic" ->
       """SELECT c_custkey, c_mktsegment, c_acctbal,
