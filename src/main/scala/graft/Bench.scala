@@ -32,12 +32,14 @@ object Bench {
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     // the driver keeps only the TAIL of stdout, so the graded fields
-    // (metric/value/sf) go LAST on the line; the full JSON is also written
-    // to bench.json so no per-query value is ever truncated away
+    // (metric/value/sf) go LAST on the line; the graded println comes
+    // FIRST and the bench.json copy is strictly best-effort (an unwritable
+    // cwd must not swallow the stdout contract)
     val json = s"""{"queries":$qs,"metric":"total","value":$total,"unit":"sec","sf":"$sfDir"}"""
-    java.nio.file.Files.write(java.nio.file.Paths.get("bench.json"),
-      json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     println(json)
+    try java.nio.file.Files.write(java.nio.file.Paths.get("bench.json"),
+      json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case _: java.io.IOException => () }
     spark.stop()
   }
 }

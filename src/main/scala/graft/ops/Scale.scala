@@ -26,8 +26,12 @@ object Scale {
     // assignment is a pure function of the DATA — identical across
     // partition layouts, re-executions and AQE re-plans (pmod of
     // monotonically_increasing_id is multiset-equivalent but silently
-    // depends on partition assignment). Rows of one hot key differ in
-    // their other columns, so the hash still spreads the key `salt` ways.
+    // depends on partition assignment). Rows of one hot key normally
+    // differ in their other columns, so the hash spreads the key `salt`
+    // ways. KNOWN LIMIT: byte-identical duplicate rows hash to ONE salt —
+    // if your skew is millions of exact-duplicate rows, dedup-count first
+    // or add an explicit nonce column; results stay correct either way,
+    // only the spreading is lost.
     val b = big.withColumn(SaltCol,
       pmod(xxhash64(big.columns.toSeq.map(col): _*), lit(salt.toLong)))
     val s = small

@@ -37,6 +37,24 @@ object Warehouse {
 
   private def dec(c: Column): Column = c.cast("decimal(18,4)")
 
+  /** One bloom-configured child session per parent session (not per
+    * invocation — best-of-2 bench and repeated Verify runs would otherwise
+    * accumulate session state on the shared SparkContext forever). */
+  private val bloomSessions =
+    new java.util.WeakHashMap[SparkSession, SparkSession]()
+  private def bloomSession(s: SparkSession): SparkSession =
+    bloomSessions.synchronized {
+      Option(bloomSessions.get(s)).getOrElse {
+        val s2 = s.newSession()
+        s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+        s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
+        bloomSessions.put(s, s2)
+        s2
+      }
+    }
+
   val queries: Map[String, Q] = Map(
     // Catalog DDL lifecycle as a graded query: CREATE TABLE USING parquet
     // (external location in the scratch dir so re-creation is idempotent
@@ -101,11 +119,7 @@ object Warehouse {
     // auto-broadcast (to force the shuffle join the filter applies to)
     // don't leak into other operators' plans. Oracle = the plain join.
     "join_bloom_filtered" -> ((s, d) => {
-      val s2 = s.newSession()
-      s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-      s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
-      s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
-      s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
+      val s2 = bloomSession(s)
       // the dim filter keeps 10% of parts at every scale factor (a price
       // threshold isn't scale-stable: retailprice spans 900–919.9 at
       // sf0.001 but 900–999.9 at sf0.1)

@@ -152,9 +152,16 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
   }
 
   test("dedup band joins broadcast small, shuffle past the size guard — same rows") {
-    // small regime (default guard): hints pinned → broadcast band joins
-    assert(plan("llm_dedup_minhash").contains("BroadcastHashJoin"))
-    assert(plan("llm_dedup_simhash").contains("BroadcastHashJoin"))
+    // small regime (default guard): EVERY join is a pinned broadcast — a
+    // single surviving SortMergeJoin would mean a hint was silently
+    // withheld (the round-3 review found exactly that: join-derived frames
+    // carry product-of-children stats, so the guard must key off the
+    // corpus scan, not the frame)
+    for (q <- Seq("llm_dedup_minhash", "llm_dedup_simhash")) {
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin"), s"$q: ${p.take(3000)}")
+      assert(!p.contains("SortMergeJoin"), s"$q small-regime SMJ: ${p.take(3000)}")
+    }
     val small = SparkEntry.queries("llm_dedup_minhash")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     // large regime (guard forced to 0, auto-broadcast off — what the
