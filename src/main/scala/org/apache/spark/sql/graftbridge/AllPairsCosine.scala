@@ -72,7 +72,12 @@ case class AllPairsCosineExec(
     }
     val numBlocks = SQLConf.get
       .getConfString("graft.allpairs.blocks", defaultBlocks.toString).toInt
+    // fail fast on a bad user conf: 0 would divide-by-zero in executors,
+    // negatives break the partitioner, >2048 overflows the triangular count
+    require(numBlocks >= 1 && numBlocks <= 2048,
+      s"graft.allpairs.blocks must be in [1, 2048], got $numBlocks")
     val numPairParts = numBlocks * (numBlocks + 1) / 2
+    val localOutput = output // don't capture `this` (whole plan tree) in closures
 
     // single pass over the child: extract (id, vec, ||vec||), tag with the
     // B block-pair partitions this row's block participates in
@@ -106,7 +111,7 @@ case class AllPairsCosineExec(
       while (rem >= b - i) { rem -= b - i; i += 1 }
       val j = i + rem
 
-      val proj = UnsafeProjection.create(output.map(_.dataType).toArray)
+      val proj = UnsafeProjection.create(localOutput.map(_.dataType).toArray)
       val row = new GenericInternalRow(3)
 
       def cos(x: (Long, Array[Double], Double), y: (Long, Array[Double], Double)): Double = {
@@ -161,15 +166,8 @@ object AllPairsCosineStrategy extends SparkStrategy {
 object AllPairsCosineApi {
   /** Install the strategy (idempotent) and sweep `vectors` — shaped
     * (id: Long, emb: Array[Double]) — for pairs with cos ≥ threshold. */
-  def pairs(spark: SparkSession, vectors: DataFrame, threshold: Double): DataFrame = {
-    val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-    if (!classic.experimental.extraStrategies.contains(AllPairsCosineStrategy)) {
-      classic.experimental.extraStrategies =
-        classic.experimental.extraStrategies :+ AllPairsCosineStrategy
+  def pairs(spark: SparkSession, vectors: DataFrame, threshold: Double): DataFrame =
+    GraftBridge.planNative(spark, AllPairsCosineStrategy, Seq(vectors)) {
+      case Seq(v) => AllPairsCosine(v, threshold, AllPairsCosine.freshOutput())
     }
-    val node = AllPairsCosine(
-      classic.sessionState.analyzer.execute(vectors.queryExecution.logical),
-      threshold, AllPairsCosine.freshOutput())
-    org.apache.spark.sql.classic.Dataset.ofRows(classic, node)
-  }
 }

@@ -13,7 +13,11 @@ import org.apache.spark.sql.types.LongType
   * row, the right row with the same key and the greatest timestamp ≤ the
   * left timestamp (ties on timestamp broken by greatest id). Inner
   * semantics — left rows with no prior right row are dropped — matching
-  * DuckDB's `ASOF JOIN`.
+  * DuckDB's `ASOF JOIN`. Caveat: the greatest-id tie-break on EQUAL
+  * (key, ts) right rows is this operator's (and the composed window
+  * formulation's) deterministic choice; DuckDB's ASOF tie choice for
+  * duplicate timestamps is unspecified, so oracle comparisons rely on the
+  * fixtures' per-user-unique event timestamps.
   *
   * The composed formulation (ranged join + per-key window rank) materializes
   * every (left, earlier-right) PAIR before the rank-1 filter — quadratic per
@@ -71,9 +75,10 @@ case class AsOfJoinExec(
     Seq(SortOrder(right.output(1), Ascending), SortOrder(right.output(2), Ascending),
       SortOrder(right.output(0), Ascending)))
 
-  override protected def doExecute(): RDD[InternalRow] =
+  override protected def doExecute(): RDD[InternalRow] = {
+    val localOutput = output // don't capture `this` (whole plan tree) in the closure
     left.execute().zipPartitions(right.execute()) { (lit, rit) =>
-      val proj = UnsafeProjection.create(output.map(_.dataType).toArray)
+      val proj = UnsafeProjection.create(localOutput.map(_.dataType).toArray)
       val row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(5)
       val rBuf = rit.buffered
       // latest right row consumed for the current key
@@ -100,6 +105,7 @@ case class AsOfJoinExec(
         } else None
       }
     }
+  }
 
   override protected def withNewChildrenInternal(
       newLeft: SparkPlan, newRight: SparkPlan): SparkPlan =
@@ -116,16 +122,8 @@ object AsOfJoinStrategy extends SparkStrategy {
 object AsOfJoinApi {
   /** Install the strategy (idempotent) and join `probes asof corpus`, both
     * shaped (id: Long, key: Long, ts: Long). */
-  def asof(spark: SparkSession, leftDf: DataFrame, rightDf: DataFrame): DataFrame = {
-    val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-    if (!classic.experimental.extraStrategies.contains(AsOfJoinStrategy)) {
-      classic.experimental.extraStrategies =
-        classic.experimental.extraStrategies :+ AsOfJoinStrategy
+  def asof(spark: SparkSession, leftDf: DataFrame, rightDf: DataFrame): DataFrame =
+    GraftBridge.planNative(spark, AsOfJoinStrategy, Seq(leftDf, rightDf)) {
+      case Seq(l, r) => AsOfJoin(l, r, AsOfJoin.freshOutput())
     }
-    val node = AsOfJoin(
-      classic.sessionState.analyzer.execute(leftDf.queryExecution.logical),
-      classic.sessionState.analyzer.execute(rightDf.queryExecution.logical),
-      AsOfJoin.freshOutput())
-    org.apache.spark.sql.classic.Dataset.ofRows(classic, node)
-  }
 }

@@ -11,8 +11,10 @@ import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, Double
   * the preferred extension point for hot-path scalar logic at scale.
   *
   * Semantics: dot(a,b) / (|a|·|b|) over the common prefix length; 0.0 when
-  * either norm is zero; NULL if either input (or any element) is NULL-free
-  * input is assumed — element nulls are treated as 0 via getDouble.
+  * either norm is zero; NULL only when a whole input array is NULL
+  * (nullSafeEval). Element-level nulls do NOT propagate: getDouble reads
+  * them as 0 — callers needing strict element-null semantics must filter
+  * upstream.
   */
 case class CosineSimilarity(left: Expression, right: Expression)
     extends BinaryExpression with ExpectsInputTypes {

@@ -6,6 +6,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, UnsafeProjection}
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.internal.SQLConf
 import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
 
 /** Whole-operator extension point demo (SURVEY §4 names this exact operator
@@ -66,19 +67,44 @@ case class CosineTopKExec(
     a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
 
   override protected def doExecute(): RDD[InternalRow] = {
+    require(k > 0, s"CosineTopK: k must be positive, got $k")
     val kLocal = k
-    val probeVecs: Array[(Long, Array[Double])] =
-      probes.executeCollect().map { r =>
-        (r.getLong(0), r.getArray(1).toDoubleArray())
+    // the probe set is collected by contract ("small, bounded") — enforce
+    // the contract instead of OOMing the driver when a caller passes a
+    // corpus-sized frame by mistake
+    val maxProbes = SQLConf.get
+      .getConfString("graft.topk.maxProbes", "100000").toInt
+    val collected = probes.executeCollect()
+    require(collected.length <= maxProbes,
+      s"CosineTopK: probe side has ${collected.length} rows, over the " +
+        s"graft.topk.maxProbes cap of $maxProbes — the probe set is " +
+        "broadcast, so pass the bounded side as probes (or raise the cap)")
+    // probe norms computed ONCE here, not per (corpus row × probe)
+    val probeVecs: Array[(Long, Array[Double], Double)] =
+      collected.map { r =>
+        val v = r.getArray(1).toDoubleArray()
+        var n = 0.0; var i = 0
+        while (i < v.length) { n += v(i) * v(i); i += 1 }
+        (r.getLong(0), v, math.sqrt(n))
       }
     val bc = sparkContext.broadcast(probeVecs)
+    val localOutput = output // don't capture `this` (whole plan tree) in closures
 
     def topInsert(buf: Array[(Double, Long)], cand: (Double, Long)): Array[(Double, Long)] = {
-      // buf kept sorted best-first, length <= k
-      if (buf.length < kLocal || better(cand, buf.last)) {
-        val merged = (buf :+ cand).sortWith(better)
-        if (merged.length > kLocal) merged.take(kLocal) else merged
-      } else buf
+      // buf kept sorted best-first, length <= k; single binary-search
+      // insert instead of a full re-sort per accepted candidate
+      if (buf.length >= kLocal && !better(cand, buf(buf.length - 1))) return buf
+      var lo = 0; var hi = buf.length
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        if (better(buf(mid), cand)) lo = mid + 1 else hi = mid
+      }
+      val outLen = math.min(buf.length + 1, kLocal)
+      val out = new Array[(Double, Long)](outLen)
+      System.arraycopy(buf, 0, out, 0, lo)
+      out(lo) = cand
+      System.arraycopy(buf, lo, out, lo + 1, outLen - lo - 1)
+      out
     }
 
     val partials: RDD[(Long, Array[(Double, Long)])] =
@@ -88,17 +114,19 @@ case class CosineTopKExec(
         it.foreach { row =>
           val id = row.getLong(0)
           val v = row.getArray(1).toDoubleArray()
+          // corpus-row norm computed once per row, not once per probe
+          var nb = 0.0; var j = 0
+          while (j < v.length) { nb += v(j) * v(j); j += 1 }
+          val vNorm = math.sqrt(nb)
           var p = 0
           while (p < ps.length) {
-            val (pid, pv) = ps(p)
+            val (pid, pv, pNorm) = ps(p)
             if (pid != id) {
-              var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+              var dot = 0.0; var i = 0
               val n = math.min(v.length, pv.length)
-              while (i < n) {
-                dot += v(i) * pv(i); na += pv(i) * pv(i); nb += v(i) * v(i); i += 1
-              }
-              val sim0 = if (na == 0.0 || nb == 0.0) 0.0
-                         else dot / (math.sqrt(na) * math.sqrt(nb))
+              while (i < n) { dot += v(i) * pv(i); i += 1 }
+              val sim0 = if (pNorm == 0.0 || vNorm == 0.0) 0.0
+                         else dot / (pNorm * vNorm)
               // round to 4 dp BEFORE ranking, matching the composed operator
               val sim = BigDecimal(sim0).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
               best(pid) = topInsert(best.getOrElse(pid, Array.empty), (sim, id))
@@ -115,7 +143,7 @@ case class CosineTopKExec(
     }
 
     merged.mapPartitions { it =>
-      val proj = UnsafeProjection.create(output.map(_.dataType).toArray)
+      val proj = UnsafeProjection.create(localOutput.map(_.dataType).toArray)
       val row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(4)
       it.flatMap { case (pid, top) =>
         top.iterator.zipWithIndex.map { case ((sim, nid), i) =>
@@ -146,15 +174,9 @@ object CosineTopKApi {
     * post-hoc registration point for planner strategies — the harness owns
     * session construction, so `SparkSessionExtensions` is not available. */
   def topK(spark: SparkSession, probes: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
-    val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-    if (!classic.experimental.extraStrategies.contains(CosineTopKStrategy)) {
-      classic.experimental.extraStrategies =
-        classic.experimental.extraStrategies :+ CosineTopKStrategy
+    require(k > 0, s"topK: k must be positive, got $k")
+    GraftBridge.planNative(spark, CosineTopKStrategy, Seq(probes, corpus)) {
+      case Seq(p, c) => CosineTopK(p, c, k, CosineTopK.freshOutput())
     }
-    val node = CosineTopK(
-      classic.sessionState.analyzer.execute(probes.queryExecution.logical),
-      classic.sessionState.analyzer.execute(corpus.queryExecution.logical), k,
-      CosineTopK.freshOutput())
-    org.apache.spark.sql.classic.Dataset.ofRows(classic, node)
   }
 }

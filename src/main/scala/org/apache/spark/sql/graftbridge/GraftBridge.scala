@@ -23,4 +23,25 @@ object GraftBridge {
     classic.sessionState.functionRegistry
       .createOrReplaceTempFunction(name, builder, "scala_udf")
   }
+
+  /** Shared plumbing for the native whole-operator APIs (as-of join,
+    * cosine top-k, all-pairs sweep): install the strategy once (idempotent
+    * — `experimental.extraStrategies` is the public post-hoc registration
+    * point, since the harness owns session construction) and wrap the
+    * node built from the children's ALREADY-analyzed plans (re-running the
+    * analyzer on an analyzed plan is wasted work) in a DataFrame. */
+  def planNative(
+      spark: SparkSession,
+      strategy: org.apache.spark.sql.execution.SparkStrategy,
+      children: Seq[org.apache.spark.sql.DataFrame])(
+      build: Seq[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] =>
+        org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): org.apache.spark.sql.DataFrame = {
+    val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    if (!classic.experimental.extraStrategies.contains(strategy)) {
+      classic.experimental.extraStrategies =
+        classic.experimental.extraStrategies :+ strategy
+    }
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      classic, build(children.map(_.queryExecution.analyzed)))
+  }
 }
