@@ -88,4 +88,33 @@ class ExtensionsSpec extends AnyFunSuite with SparkFixture {
     val out = spark.sql("SELECT rev_words('a b c')").collect()(0).getString(0)
     assert(out == "c b a")
   }
+
+  test("CosineTopK rejects k <= 0 and enforces the probe-size cap") {
+    val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    import classic.implicits._
+    val vecs = (0L until 8L).map(i => (i, Array(1.0, i.toDouble))).toDF("vec_id", "emb")
+    intercept[IllegalArgumentException] {
+      org.apache.spark.sql.graftbridge.CosineTopKApi.topK(spark, vecs, vecs, 0)
+    }
+    spark.conf.set("graft.topk.maxProbes", "3")
+    try {
+      val err = intercept[Exception] {
+        org.apache.spark.sql.graftbridge.CosineTopKApi.topK(spark, vecs, vecs, 2).collect()
+      }
+      assert(err.getMessage.contains("graft.topk.maxProbes"), err.getMessage)
+    } finally spark.conf.unset("graft.topk.maxProbes")
+  }
+
+  test("AllPairsCosine rejects an invalid block-count conf up front") {
+    val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    import classic.implicits._
+    val vecs = (0L until 8L).map(i => (i, Array(1.0, i.toDouble))).toDF("vec_id", "emb")
+    spark.conf.set("graft.allpairs.blocks", "0")
+    try {
+      val err = intercept[Exception] {
+        org.apache.spark.sql.graftbridge.AllPairsCosineApi.pairs(spark, vecs, 0.0).collect()
+      }
+      assert(err.getMessage.contains("graft.allpairs.blocks"), err.getMessage)
+    } finally spark.conf.unset("graft.allpairs.blocks")
+  }
 }
