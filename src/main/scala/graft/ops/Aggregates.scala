@@ -14,7 +14,6 @@ import graft.functions.GeoMean
 object Aggregates {
   type Q = (SparkSession, String) => DataFrame
 
-  private def dec(c: Column): Column = c.cast("decimal(18,4)")
   /** Exact decimal aggregate emitted as DOUBLE: internal math stays decimal
     * (associative → partition-order independent), the final cast makes both
     * engines hand the driver an identical float64 (DuckDB's pandas export

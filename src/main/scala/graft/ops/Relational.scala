@@ -18,7 +18,6 @@ object Relational {
 
   private val HourUs = 3600L * 1000 * 1000
 
-  private def dec(c: Column): Column = c.cast("decimal(18,4)")
   private def fmtTs(c: Column): Column = date_format(c, "yyyy-MM-dd HH:mm:ss")
 
   val queries: Map[String, Q] = Map(

@@ -32,8 +32,17 @@ object Scale {
     // if your skew is millions of exact-duplicate rows, dedup-count first
     // or add an explicit nonce column; results stay correct either way,
     // only the spreading is lost.
-    val b = big.withColumn(SaltCol,
-      pmod(xxhash64(big.columns.toSeq.map(col): _*), lit(salt.toLong)))
+    // contract narrowed vs a row-id salt: hashing references columns by
+    // name and xxhash64 rejects map types, so fail fast with a clear
+    // message instead of an opaque planner error
+    require(big.columns.toSeq.distinct.length == big.columns.length,
+      "saltedJoin: big side must have distinct column names (hash salt references columns by name)")
+    val hashable = big.schema.fields
+      .filterNot(f => f.dataType.isInstanceOf[org.apache.spark.sql.types.MapType])
+      .map(f => col(f.name)).toSeq
+    require(hashable.nonEmpty,
+      "saltedJoin: big side needs at least one non-map column to derive the row salt")
+    val b = big.withColumn(SaltCol, pmod(xxhash64(hashable: _*), lit(salt.toLong)))
     val s = small
       .withColumn(SaltCol, explode(sequence(lit(0), lit(salt - 1))))
       .withColumn(SaltCol, col(SaltCol).cast("long"))

@@ -4,24 +4,6 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 
-/** One scratch directory per JVM for all sink/warehouse operators, deleted
-  * recursively on JVM exit. Operators write FIXED subdirs in overwrite
-  * mode, so repeated Verify/Bench invocations inside one JVM reuse the same
-  * paths — no unbounded /tmp growth across runs (and nothing survives the
-  * process).
-  */
-object Scratch {
-  lazy val dir: String = {
-    val p = java.nio.file.Files.createTempDirectory("graft_scratch")
-    Runtime.getRuntime.addShutdownHook(new Thread(() => delete(p.toFile)))
-    p.toString
-  }
-  private def delete(f: java.io.File): Unit = {
-    Option(f.listFiles).foreach(_.foreach(delete))
-    f.delete(); ()
-  }
-}
-
 /** Warehouse-layer operators (SURVEY.md §2.13, round 3): the Hive-warehouse
   * capabilities a Spark-SQL analytics service exposes beyond plain parquet
   * scans — catalog DDL (CREATE TABLE / INSERT OVERWRITE / `spark.table`
@@ -35,7 +17,6 @@ object Scratch {
 object Warehouse {
   type Q = (SparkSession, String) => DataFrame
 
-  private def dec(c: Column): Column = c.cast("decimal(18,4)")
 
   /** One bloom-configured child session per parent session (not per
     * invocation — best-of-2 bench and repeated Verify runs would otherwise

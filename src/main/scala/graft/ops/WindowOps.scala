@@ -16,7 +16,6 @@ import graft.Tables
 object WindowOps {
   type Q = (SparkSession, String) => DataFrame
 
-  private def dec(c: Column): Column = c.cast("decimal(18,4)")
   /** Exact integer cents from a 2-dp double price: round(x*100) is the same
     * IEEE double then the same half-up rounding in Spark and DuckDB. */
   private def cents(c: Column): Column = round(c * 100).cast("long")
