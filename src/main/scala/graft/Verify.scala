@@ -7,11 +7,20 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // Hive catalog (embedded Derby) so DDL survives session/catalog reloads
+    // (warehouse_metastore_ops); the metastore DB lives in the per-JVM
+    // scratch dir — a production deployment points ConnectionURL at a
+    // shared RDBMS instead, everything else is unchanged.
+    System.setProperty("derby.stream.error.file", s"${graft.ops.Scratch.dir}/derby.log")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .enableHiveSupport()
+      .config("spark.sql.warehouse.dir", s"${graft.ops.Scratch.dir}/warehouse")
+      .config("javax.jdo.option.ConnectionURL",
+        s"jdbc:derby:;databaseName=${graft.ops.Scratch.dir}/metastore_db;create=true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

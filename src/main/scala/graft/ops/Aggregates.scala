@@ -210,12 +210,21 @@ object Aggregates {
           count(lit(1)).as("n_supp"))
         .orderBy("n_name")),
 
-    // Approximate distinct via HyperLogLog++ (no oracle — ScalaTest asserts
-    // the estimate is within rsd of the exact count).
+    // Approximate distinct via HyperLogLog++. The raw estimate can't be
+    // replayed by another engine, so the graded row carries the exact
+    // count plus an error-bound verdict (|approx − exact| ≤ 3·rsd·exact)
+    // computed against the in-query estimate — rows/schema/hash all
+    // oracle-checkable, and only the estimate VALUE stays engine-local
+    // (ScalaTest additionally bounds it directly). Spark's HLL++ is
+    // deterministic for fixed data, so hll_ok is stable run-to-run.
     "agg_hll_distinct" -> ((s, d) =>
       Tables.events(s, d)
         .groupBy("event_type")
-        .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"))
+        .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
+          countDistinct(col("user_id")).as("n_exact"))
+        .select(col("event_type"), col("n_exact"),
+          (abs(col("approx_users") - col("n_exact"))
+            <= lit(3 * 0.02) * col("n_exact")).as("hll_ok"))
         .orderBy("event_type")),
 
     // Custom typed UDAF (Aggregator): geometric mean.
@@ -229,6 +238,13 @@ object Aggregates {
   )
 
   val oracles: Map[String, String] = Map(
+    // The estimate itself is engine-local; the graded columns are the
+    // exact count and the error-bound verdict, which DuckDB CAN replay
+    // (hll_ok must be TRUE for every group or the hash mismatches).
+    "agg_hll_distinct" ->
+      """SELECT event_type, COUNT(DISTINCT user_id) AS n_exact, TRUE AS hll_ok
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
     "agg_group" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,

@@ -131,8 +131,11 @@ object Warehouse {
         .orderBy("o_orderstatus")
     }),
 
-    // Dynamic partition pruning: orders partitioned by year, year-dim with
-    // a filter on a NON-join column (`label`), joined on the partition
+    // Dynamic partition pruning: orders partitioned by year — registered as
+    // a CATALOG partitioned table (how the Hive service would actually
+    // serve it; partitions resolved via the metastore file index, and
+    // SHOW PARTITIONS / MSCK apply to it — WarehouseSpec) — and a year-dim
+    // with a filter on a NON-join column (`label`), joined on the partition
     // column. The 1997 partition is selected at runtime by the
     // dynamicpruning subquery Spark injects from the broadcast dim —
     // asserted in PlanShapeSpec — so the fact scan reads one directory, not
@@ -141,18 +144,97 @@ object Warehouse {
       val base = s"${Scratch.dir}/dpp"
       Tables.orders(s, d)
         .withColumn("o_year", year(col("o_orderdate")))
-        .write.mode("overwrite").partitionBy("o_year").parquet(s"$base/orders_p")
+        .write.mode("overwrite").partitionBy("o_year")
+        .option("path", s"$base/orders_p").saveAsTable("graft_dpp_orders")
       Tables.orders(s, d)
         .select(year(col("o_orderdate")).as("yr")).distinct()
         .withColumn("label", concat(lit("Y"), col("yr")))
         .write.mode("overwrite").parquet(s"$base/year_dim")
-      val fact = s.read.parquet(s"$base/orders_p")
+      val fact = s.table("graft_dpp_orders")
       val dim = s.read.parquet(s"$base/year_dim").where(col("label") === "Y1997")
       fact.join(dim, col("o_year") === col("yr"))
         .groupBy("o_orderpriority")
         .agg(count(lit(1)).as("n_orders"),
           sum(dec(col("o_totalprice"))).cast("double").as("total"))
         .orderBy("o_orderpriority")
+    }),
+
+    // Persistent-metastore partition lifecycle — the day-2 Hive operation
+    // set: a DATABASE plus an external year-partitioned table registered in
+    // the (Derby-backed) Hive metastore, one partition's METADATA dropped
+    // and rediscovered from the directory layout via MSCK REPAIR, and the
+    // graded read issued from a NEW session — the table must resolve
+    // through the metastore, not session temp state. (ALTER TABLE
+    // ADD/DROP PARTITION and SHOW PARTITIONS are asserted in
+    // WarehouseSpec; at 100 TB this catalog is what turns "a pile of
+    // directories" into tables that survive the service restarting.)
+    "warehouse_metastore_ops" -> ((s, d) => {
+      s.sql("CREATE DATABASE IF NOT EXISTS graft_db")
+      Tables.orders(s, d)
+        .withColumn("o_year", year(col("o_orderdate")))
+        .write.mode("overwrite").partitionBy("o_year")
+        .option("path", s"${Scratch.dir}/meta/orders_p")
+        .saveAsTable("graft_db.orders_part")
+      // external table ⇒ DROP PARTITION removes metadata only; MSCK
+      // rediscovers the directory and re-registers it
+      s.sql("ALTER TABLE graft_db.orders_part DROP IF EXISTS PARTITION (o_year=1996)")
+      s.sql("MSCK REPAIR TABLE graft_db.orders_part")
+      val s2 = s.newSession()
+      s2.sql("SHOW PARTITIONS graft_db.orders_part").count()
+      s2.table("graft_db.orders_part")
+        .groupBy("o_year")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(dec(col("o_totalprice"))).cast("double").as("total"))
+        .orderBy("o_year")
+    }),
+
+    // ANALYZE TABLE / CBO stats surface: table + column statistics computed
+    // into the catalog, which is what lets the cost-based planner size
+    // joins and filters from DATA instead of file sizes (the round-3
+    // broadcast guard existed precisely because derived-frame estimates
+    // without stats are garbage — this op is the real fix). WarehouseSpec
+    // asserts the planner consumed them: exact rowCount visible under CBO
+    // and a stats-driven selectivity estimate on a filtered scan. Oracle =
+    // the same rollup from the source parquet.
+    "warehouse_stats_cbo" -> ((s, d) => {
+      Tables.orders(s, d)
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+        .write.mode("overwrite")
+        .option("path", s"${Scratch.dir}/stats/orders")
+        .saveAsTable("graft_stats_orders")
+      s.sql("ANALYZE TABLE graft_stats_orders COMPUTE STATISTICS")
+      s.sql("ANALYZE TABLE graft_stats_orders COMPUTE STATISTICS " +
+        "FOR COLUMNS o_orderkey, o_custkey, o_orderstatus, o_totalprice")
+      s.table("graft_stats_orders")
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_orders"),
+          countDistinct(col("o_custkey")).as("n_custs"),
+          sum(dec(col("o_totalprice"))).cast("double").as("total"))
+        .orderBy("o_orderstatus")
+    }),
+
+    // Dynamic partition overwrite — the standard warehouse ingest pattern:
+    // a full year-partitioned load, then ONE year restated by a second
+    // write with partitionOverwriteMode=dynamic (a writer option, so the
+    // session conf never leaks): only partitions present in the incoming
+    // frame are replaced, every other year's files are untouched
+    // (file-identity asserted in WarehouseSpec). The oracle proves the
+    // post-state: 1997 holds only the restated subset, all other years the
+    // full load. The restated subset keys on o_orderkey % 2 (scale-stable
+    // — a price threshold selects a different fraction per SF).
+    "sink_partition_overwrite_dynamic" -> ((s, d) => {
+      val base = s"${Scratch.dir}/dynover/orders_p"
+      val src = Tables.orders(s, d).withColumn("o_year", year(col("o_orderdate")))
+      src.write.mode("overwrite").partitionBy("o_year").parquet(base)
+      src.where(col("o_year") === 1997 && col("o_orderkey") % 2 === 0)
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("o_year").parquet(base)
+      s.read.parquet(base)
+        .groupBy("o_year")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(dec(col("o_totalprice"))).cast("double").as("total"))
+        .orderBy("o_year")
     })
   )
 
@@ -193,6 +275,29 @@ object Warehouse {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
         |FROM orders o JOIN d2 ON year(o.o_orderdate) = d2.yr
         |WHERE d2.label = 'Y1997'
-        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    // The metastore round-trip must reproduce the per-year rollup of the
+    // source exactly (DROP PARTITION + MSCK is metadata-only on an
+    // external table — losing rows here means the lifecycle lost data).
+    "warehouse_metastore_ops" ->
+      """SELECT CAST(year(o_orderdate) AS INT) AS o_year, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+        |FROM orders GROUP BY 1 ORDER BY o_year""".stripMargin,
+
+    "warehouse_stats_cbo" ->
+      """SELECT o_orderstatus, COUNT(*) AS n_orders,
+        |  COUNT(DISTINCT o_custkey) AS n_custs,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    // Post-state proof: 1997 carries only the restated even-key subset,
+    // every other year the untouched full load.
+    "sink_partition_overwrite_dynamic" ->
+      """SELECT CAST(year(o_orderdate) AS INT) AS o_year, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+        |FROM orders
+        |WHERE year(o_orderdate) <> 1997 OR o_orderkey % 2 = 0
+        |GROUP BY 1 ORDER BY o_year""".stripMargin
   )
 }

@@ -84,14 +84,31 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
     assert(native == composed)
   }
 
-  test("llm_dedup_embed_native plans AllPairsCosineExec and equals the composed op") {
-    val p = plan("llm_dedup_embed_native")
-    assert(p.contains("AllPairsCosine"), p.take(2000))
-    val native = SparkEntry.queries("llm_dedup_embed_native")(spark, sf).collect()
+  test("llm_dedup_embed ships AllPairsCosineExec (no BNLJ corpus square) and equals the declarative formulation") {
+    import org.apache.spark.sql.functions.{call_function, col, round => fround, sqrt => fsqrt}
+    for (q <- Seq("llm_dedup_embed", "llm_dedup_embed_native")) {
+      val p = plan(q)
+      assert(p.contains("AllPairsCosine"), s"$q: ${p.take(2000)}")
+      assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+        s"$q plans the corpus square: ${p.take(2000)}")
+    }
+    val native = SparkEntry.queries("llm_dedup_embed")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
-    val composed = SparkEntry.queries("llm_dedup_embed")(spark, sf).collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
-    assert(native == composed)
+    // the declarative pure-theta self-join (the old graded formulation,
+    // demoted here: it plans a BroadcastNestedLoopJoin over the corpus
+    // square) is the independent cross-check the native sweep must equal
+    org.apache.spark.sql.graftbridge.GraftBridge.registerFunction(spark, "dot_product",
+      exprs => org.apache.spark.sql.graftbridge.DotProduct(exprs(0), exprs(1)))
+    val e = graft.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      .withColumn("nrm", fsqrt(call_function("dot_product", col("emb"), col("emb"))))
+    val composed = e.as("x").join(e.as("y"), col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"),
+        fround(call_function("dot_product", col("x.emb"), col("y.emb"))
+          / (col("x.nrm") * col("y.nrm")), 4).as("cos"))
+      .where(col("cos") >= 0.45)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(native == composed && native.nonEmpty)
   }
 
   test("llm_dedup_minhash pre-aggregates the minhash columns map-side") {
@@ -162,11 +179,16 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
       assert(p.contains("BroadcastHashJoin"), s"$q: ${p.take(3000)}")
       assert(!p.contains("SortMergeJoin"), s"$q small-regime SMJ: ${p.take(3000)}")
     }
-    val small = SparkEntry.queries("llm_dedup_minhash")(spark, sf).collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    def rows(q: String): Set[(Long, Long, Double)] =
+      SparkEntry.queries(q)(spark, sf).collect()
+        .map(r => (r.getLong(0), r.getLong(1),
+          if (r.schema(2).dataType == org.apache.spark.sql.types.IntegerType)
+            r.getInt(2).toDouble else r.getDouble(2))).toSet
+    val small = Seq("llm_dedup_minhash", "llm_dedup_simhash").map(q => q -> rows(q)).toMap
     // large regime (guard forced to 0, auto-broadcast off — what the
     // planner sees at a 100× corpus): every dedup join degrades to a
-    // shuffle join, and the rows don't change
+    // shuffle join, and the rows don't change — the 100 TB plan is
+    // EXECUTED here, not just planned
     spark.conf.set("graft.broadcast.guard.maxBytes", "0")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
@@ -174,10 +196,9 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
         val p = plan(q)
         assert(!p.contains("BroadcastHashJoin"), s"$q: ${p.take(3000)}")
         assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"), s"$q: ${p.take(3000)}")
+        val large = rows(q)
+        assert(small(q) == large && large.nonEmpty, s"$q large-regime rows diverge")
       }
-      val large = SparkEntry.queries("llm_dedup_minhash")(spark, sf).collect()
-        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
-      assert(small == large && small.nonEmpty)
     } finally {
       spark.conf.unset("graft.broadcast.guard.maxBytes")
       spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")

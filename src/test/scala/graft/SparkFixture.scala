@@ -10,12 +10,19 @@ import org.scalatest.Suite
   */
 object SparkFixture {
   lazy val spark: SparkSession = {
+    // mirror the driver/Verify Hive-catalog setup (embedded Derby in the
+    // per-JVM scratch dir) so catalog/metastore ops behave identically
+    System.setProperty("derby.stream.error.file", s"${graft.ops.Scratch.dir}/derby.log")
     val s = SparkSession.builder()
       .master("local[4]")
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .enableHiveSupport()
+      .config("spark.sql.warehouse.dir", s"${graft.ops.Scratch.dir}/warehouse")
+      .config("javax.jdo.option.ConnectionURL",
+        s"jdbc:derby:;databaseName=${graft.ops.Scratch.dir}/metastore_db;create=true")
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     s

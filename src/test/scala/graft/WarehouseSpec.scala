@@ -46,6 +46,77 @@ class WarehouseSpec extends AnyFunSuite with SparkFixture {
     assert(dirs.length > 1 && dirs.contains("o_year=1997"))
   }
 
+  test("metastore table survives a session reload; partition DDL works") {
+    SparkEntry.queries("warehouse_metastore_ops")(spark, sf).collect()
+    // resolution from a NEW session goes through the Hive (Derby) metastore
+    val s2 = spark.newSession()
+    assert(s2.catalog.tableExists("graft_db.orders_part"))
+    def parts(): Set[String] =
+      s2.sql("SHOW PARTITIONS graft_db.orders_part").collect()
+        .map(_.getString(0)).toSet
+    val base = parts()
+    assert(base.nonEmpty && base.forall(_.startsWith("o_year=")), base)
+    // the op dropped o_year=1996's metadata and MSCK re-registered it
+    assert(base.contains("o_year=1996"), base)
+    // day-2 DDL: ADD PARTITION registers new metadata, DROP removes it
+    s2.sql("ALTER TABLE graft_db.orders_part ADD IF NOT EXISTS PARTITION (o_year=2099)")
+    assert(parts().contains("o_year=2099"))
+    s2.sql("ALTER TABLE graft_db.orders_part DROP IF EXISTS PARTITION (o_year=2099)")
+    assert(!parts().contains("o_year=2099"))
+    // external table: partition rows came back intact after DROP + MSCK
+    val got = s2.table("graft_db.orders_part")
+      .where(col("o_year") === 1996).count()
+    val want = Tables.orders(s2, sf).where(year(col("o_orderdate")) === 1996).count()
+    assert(got == want && want > 0)
+  }
+
+  test("ANALYZE TABLE stats are consumed by the CBO planner") {
+    SparkEntry.queries("warehouse_stats_cbo")(spark, sf).collect()
+    val cbo = spark.newSession()
+    cbo.conf.set("spark.sql.cbo.enabled", "true")
+    val exact = cbo.table("graft_stats_orders").count()
+    // stats visitors read SQLConf.get (thread-local ACTIVE session), so the
+    // CBO session must be active while stats are computed — exactly as it
+    // is when the planner itself runs inside that session
+    org.apache.spark.sql.SparkSession.setActiveSession(cbo)
+    try {
+      val stats = cbo.table("graft_stats_orders")
+        .queryExecution.optimizedPlan.stats
+      assert(stats.rowCount.contains(BigInt(exact)),
+        s"planner does not see the ANALYZE rowCount: ${stats.rowCount} vs $exact")
+      // column stats drive filter selectivity: the estimate for a filtered
+      // scan must be strictly below the table cardinality (without column
+      // stats CBO has no rowCount for the filter at all)
+      val filtered = cbo.table("graft_stats_orders")
+        .where(col("o_orderstatus") === "F")
+        .queryExecution.optimizedPlan.stats
+      assert(filtered.rowCount.isDefined && filtered.rowCount.get < exact,
+        s"filter estimate not stats-driven: ${filtered.rowCount}")
+    } finally org.apache.spark.sql.SparkSession.setActiveSession(spark)
+  }
+
+  test("dynamic partition overwrite restates one year, other files untouched") {
+    val base = s"${graft.ops.Scratch.dir}/dynover/orders_p"
+    SparkEntry.queries("sink_partition_overwrite_dynamic")(spark, sf).collect()
+    def files(year: Int): Set[String] =
+      Option(new java.io.File(s"$base/o_year=$year").listFiles())
+        .map(_.map(_.getName).filter(_.endsWith(".parquet")).toSet).getOrElse(Set())
+    val before1995 = files(1995)
+    val before1997 = files(1997)
+    assert(before1995.nonEmpty && before1997.nonEmpty)
+    // re-run ONLY the restating write: every other partition's files keep
+    // their identity (dynamic mode never lists, deletes or rewrites them)
+    val src = Tables.orders(spark, sf).withColumn("o_year", year(col("o_orderdate")))
+    src.where(col("o_year") === 1997 && col("o_orderkey") % 2 === 0)
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("o_year").parquet(base)
+    assert(files(1995) == before1995, "untouched partition was rewritten")
+    assert(files(1997) != before1997, "restated partition kept stale files")
+    val got = spark.read.parquet(base).where(col("o_year") === 1997).count()
+    val want = src.where(col("o_year") === 1997 && col("o_orderkey") % 2 === 0).count()
+    assert(got == want && want > 0)
+  }
+
   test("bucketed write co-locates join keys (saveAsTable)") {
     spark.sql("DROP TABLE IF EXISTS graft_orders_b")
     Tables.orders(spark, sf)
