@@ -227,6 +227,23 @@ object Aggregates {
             <= lit(3 * 0.02) * col("n_exact")).as("hll_ok"))
         .orderBy("event_type")),
 
+    // Approximate percentile (t-digest-class sketch beside the exact
+    // interpolated agg_percentile): graded with the same bound-verdict
+    // pattern as the HLL op — exact median + a flag that the sketch landed
+    // within tolerance (±2% relative, or ±1 absolute: the sketch returns a
+    // DATA value while the exact median may interpolate x.5 between
+    // integer quantities). l_quantity is integer-valued, so the exact
+    // interpolation is binary-exact cross-engine (agg_percentile law).
+    "agg_approx_percentile" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(expr("approx_percentile(l_quantity, 0.5D, 10000)").as("ap"),
+          expr("percentile(l_quantity, 0.5D)").as("exact_p50"))
+        .select(col("l_returnflag"), col("exact_p50"),
+          (abs(col("ap") - col("exact_p50"))
+            <= greatest(col("exact_p50") * 0.02, lit(1.0))).as("approx_ok"))
+        .orderBy("l_returnflag")),
+
     // Custom typed UDAF (Aggregator): geometric mean.
     "agg_udaf_geomean" -> ((s, d) => {
       val gm = udaf(GeoMean)
@@ -244,6 +261,12 @@ object Aggregates {
     "agg_hll_distinct" ->
       """SELECT event_type, COUNT(DISTINCT user_id) AS n_exact, TRUE AS hll_ok
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // Same bound-verdict pattern: the sketch value stays engine-local, the
+    // exact median and the in-tolerance flag are what the hash grades.
+    "agg_approx_percentile" ->
+      """SELECT l_returnflag, quantile_cont(l_quantity, 0.5) AS exact_p50, TRUE AS approx_ok
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "agg_group" ->
       """SELECT l_returnflag, l_linestatus,

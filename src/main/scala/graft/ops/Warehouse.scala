@@ -213,6 +213,45 @@ object Warehouse {
         .orderBy("o_orderstatus")
     }),
 
+    // CREATE TABLE AS SELECT — the one-statement derived-table surface
+    // every SQL warehouse user reaches for first. Managed parquet table in
+    // the (scratch) warehouse dir so DROP deletes data and re-runs are
+    // idempotent; the filter keys on c_custkey % (scale-stable — a balance
+    // threshold selects a different fraction per SF).
+    "warehouse_ctas" -> ((s, d) => {
+      Tables.customer(s, d).createOrReplaceTempView("graft_ctas_src")
+      s.sql("DROP TABLE IF EXISTS graft_ctas_cust")
+      s.sql(
+        """CREATE TABLE graft_ctas_cust USING parquet AS
+          |SELECT c_custkey, c_name, c_acctbal, c_mktsegment
+          |FROM graft_ctas_src WHERE c_custkey % 10 = 0""".stripMargin)
+      s.table("graft_ctas_cust")
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_cust"),
+          sum(dec(col("c_acctbal"))).cast("double").as("balance"))
+        .orderBy("c_mktsegment")
+    }),
+
+    // CACHE TABLE — the interactive-service working-set surface: an eagerly
+    // cached derived view (columnar in-memory), consumed through
+    // InMemoryTableScan (plan-asserted in WarehouseSpec). At 100 TB the
+    // cached relation is the small hot aggregate/dimension layer, never the
+    // fact table; the cache is partition-distributed, not driver-side.
+    "warehouse_cache_ops" -> ((s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("graft_cache_src")
+      s.sql("UNCACHE TABLE IF EXISTS graft_cache_hot")
+      s.catalog.dropTempView("graft_cache_hot")
+      s.sql(
+        """CACHE TABLE graft_cache_hot AS
+          |SELECT o_orderstatus, o_orderpriority, o_totalprice
+          |FROM graft_cache_src WHERE o_orderkey % 4 = 0""".stripMargin)
+      s.table("graft_cache_hot")
+        .groupBy("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(dec(col("o_totalprice"))).cast("double").as("total"))
+        .orderBy("o_orderstatus", "o_orderpriority")
+    }),
+
     // Dynamic partition overwrite — the standard warehouse ingest pattern:
     // a full year-partitioned load, then ONE year restated by a second
     // write with partitionOverwriteMode=dynamic (a writer option, so the
@@ -284,6 +323,19 @@ object Warehouse {
       """SELECT CAST(year(o_orderdate) AS INT) AS o_year, COUNT(*) AS n_orders,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
         |FROM orders GROUP BY 1 ORDER BY o_year""".stripMargin,
+
+    "warehouse_ctas" ->
+      """SELECT c_mktsegment, COUNT(*) AS n_cust,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS balance
+        |FROM customer WHERE c_custkey % 10 = 0
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "warehouse_cache_ops" ->
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+        |FROM orders WHERE o_orderkey % 4 = 0
+        |GROUP BY o_orderstatus, o_orderpriority
+        |ORDER BY o_orderstatus, o_orderpriority""".stripMargin,
 
     "warehouse_stats_cbo" ->
       """SELECT o_orderstatus, COUNT(*) AS n_orders,

@@ -117,6 +117,23 @@ class WarehouseSpec extends AnyFunSuite with SparkFixture {
     assert(got == want && want > 0)
   }
 
+  test("warehouse_cache_ops reads through the in-memory columnar cache") {
+    val df = SparkEntry.queries("warehouse_cache_ops")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("InMemoryTableScan") || p.contains("Scan In-memory"), p.take(2000))
+    assert(df.count() > 0)
+    // idempotent re-run (bench calls it 3×): no view/cache collision
+    assert(SparkEntry.queries("warehouse_cache_ops")(spark, sf).count() == df.count())
+  }
+
+  test("warehouse_ctas creates a managed table whose rows match the selection") {
+    SparkEntry.queries("warehouse_ctas")(spark, sf).collect()
+    assert(spark.catalog.tableExists("graft_ctas_cust"))
+    val got = spark.table("graft_ctas_cust").count()
+    val want = Tables.customer(spark, sf).where(col("c_custkey") % 10 === 0).count()
+    assert(got == want && want > 0)
+  }
+
   test("bucketed write co-locates join keys (saveAsTable)") {
     spark.sql("DROP TABLE IF EXISTS graft_orders_b")
     Tables.orders(spark, sf)
