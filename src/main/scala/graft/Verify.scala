@@ -5,7 +5,12 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    // Optional 3rd arg: comma-separated subset of query names (local
+    // iteration); the driver always calls with exactly two args.
+    val (sfDir, outDir, only) = args match {
+      case Array(a, b)    => (a, b, Set.empty[String])
+      case Array(a, b, c) => (a, b, c.split(",").filter(_.nonEmpty).toSet)
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     // Hive catalog (embedded Derby) so DDL survives session/catalog reloads
     // (warehouse_metastore_ops); the metastore DB lives in the per-JVM
@@ -24,7 +29,9 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    SparkEntry.queries
+      .filter { case (name, _) => only.isEmpty || only(name) }
+      .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

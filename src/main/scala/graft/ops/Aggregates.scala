@@ -244,6 +244,77 @@ object Aggregates {
             <= greatest(col("exact_p50") * 0.02, lit(1.0))).as("approx_ok"))
         .orderBy("l_returnflag")),
 
+    // SQL-2016 LISTAGG (Spark 4.0+): ordered string aggregation — the
+    // canonical "names per group" report. Deterministic because the
+    // WITHIN GROUP order is total (names are unique).
+    "agg_listagg" -> ((s, d) => {
+      Tables.customer(s, d).where(col("c_custkey") % 50 === 0)
+        .createOrReplaceTempView("graft_listagg_src")
+      s.sql(
+        """SELECT c_mktsegment,
+          |  listagg(c_name, ',') WITHIN GROUP (ORDER BY c_name) AS names,
+          |  COUNT(*) AS n_cust
+          |FROM graft_listagg_src
+          |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
+    }),
+
+    // Linear-regression aggregates. Graded values come from EXACT integer
+    // moments (decimal sums cast to double, then identical IEEE arithmetic
+    // in both engines — the agg_stats law); the built-in regr_slope /
+    // regr_intercept / regr_r2 / regr_count surface is exercised alongside
+    // and graded via a tolerance verdict (their streaming double merges are
+    // partition-order-dependent in the low bits, so the raw values can
+    // never hash-match cross-engine).
+    "agg_regression" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .select(col("l_returnflag"),
+          col("l_quantity").cast("bigint").as("q"),
+          round(col("l_extendedprice") * 100).cast("bigint").as("p"))
+        .groupBy("l_returnflag")
+        .agg(
+          count(lit(1)).cast("double").as("n"),
+          sum(col("q").cast("decimal(38,0)")).cast("double").as("sq"),
+          sum(col("p").cast("decimal(38,0)")).cast("double").as("sp"),
+          sum((col("q") * col("q")).cast("decimal(38,0)")).cast("double").as("sq2"),
+          sum((col("p") * col("p")).cast("decimal(38,0)")).cast("double").as("sp2"),
+          sum((col("q") * col("p")).cast("decimal(38,0)")).cast("double").as("sqp"),
+          expr("regr_slope(p, q)").as("bs"),
+          expr("regr_intercept(p, q)").as("bi"),
+          expr("regr_r2(p, q)").as("br"),
+          expr("regr_count(p, q)").cast("double").as("bn"))
+        .select(col("l_returnflag"),
+          expr("(sqp - sq*sp/n)/(sq2 - sq*sq/n)").as("slope"),
+          expr("sp/n - (sqp - sq*sp/n)/(sq2 - sq*sq/n) * sq/n").as("icept"),
+          expr("((sqp - sq*sp/n)*(sqp - sq*sp/n))/((sq2 - sq*sq/n)*(sp2 - sp*sp/n))").as("r2"),
+          col("n"),
+          (abs(col("bs") - expr("(sqp - sq*sp/n)/(sq2 - sq*sq/n)"))
+            <= abs(expr("(sqp - sq*sp/n)/(sq2 - sq*sq/n)")) * 1e-6
+            && abs(col("bi") - expr("sp/n - (sqp - sq*sp/n)/(sq2 - sq*sq/n) * sq/n"))
+              <= abs(expr("sp/n - (sqp - sq*sp/n)/(sq2 - sq*sq/n) * sq/n")) * 1e-6
+            && abs(col("br") - expr("((sqp - sq*sp/n)*(sqp - sq*sp/n))/((sq2 - sq*sq/n)*(sp2 - sp*sp/n))"))
+              <= lit(1e-6)
+            && col("bn") === col("n")).as("builtin_ok"))
+        .orderBy("l_returnflag")),
+
+    // Robust statistics: median + MAD + IQR — the outlier-filter stage of a
+    // data-quality pipeline. All quantiles are exact interpolations at
+    // binary-fraction probes over integer-valued doubles (bit-equal to
+    // DuckDB's quantile_cont, the agg_percentile law); the MAD's absolute
+    // deviations land on the 0.5 grid so their median is exact too. The
+    // per-group median joins back via broadcast — two passes, no collect.
+    "agg_median_mad" -> ((s, d) => {
+      val base = Tables.lineitem(s, d)
+        .select(col("l_returnflag"), col("l_quantity").as("q"))
+      val med = base.groupBy("l_returnflag")
+        .agg(expr("percentile(q, 0.5D)").as("med"))
+      base.join(broadcast(med), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(max(col("med")).as("med"),
+          expr("percentile(abs(q - med), 0.5D)").as("mad"),
+          (expr("percentile(q, 0.75D)") - expr("percentile(q, 0.25D)")).as("iqr"))
+        .orderBy("l_returnflag")
+    }),
+
     // Custom typed UDAF (Aggregator): geometric mean.
     "agg_udaf_geomean" -> ((s, d) => {
       val gm = udaf(GeoMean)
@@ -267,6 +338,43 @@ object Aggregates {
     "agg_approx_percentile" ->
       """SELECT l_returnflag, quantile_cont(l_quantity, 0.5) AS exact_p50, TRUE AS approx_ok
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "agg_listagg" ->
+      """SELECT c_mktsegment, string_agg(c_name, ',' ORDER BY c_name) AS names,
+        |  COUNT(*) AS n_cust
+        |FROM customer WHERE c_custkey % 50 = 0
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    // Identical exact-moment arithmetic, spelled with the same expression
+    // text so both engines execute the same IEEE operation sequence; the
+    // built-in-vs-exact verdict is replayed as TRUE.
+    "agg_regression" ->
+      """WITH m AS (
+        |  SELECT l_returnflag,
+        |    CAST(COUNT(*) AS DOUBLE) AS n,
+        |    CAST(SUM(q) AS DOUBLE) AS sq,
+        |    CAST(SUM(p) AS DOUBLE) AS sp,
+        |    CAST(SUM(q*q) AS DOUBLE) AS sq2,
+        |    CAST(SUM(p*p) AS DOUBLE) AS sp2,
+        |    CAST(SUM(q*p) AS DOUBLE) AS sqp
+        |  FROM (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS q,
+        |               CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS p FROM lineitem)
+        |  GROUP BY l_returnflag)
+        |SELECT l_returnflag,
+        |  (sqp - sq*sp/n)/(sq2 - sq*sq/n) AS slope,
+        |  sp/n - (sqp - sq*sp/n)/(sq2 - sq*sq/n) * sq/n AS icept,
+        |  ((sqp - sq*sp/n)*(sqp - sq*sp/n))/((sq2 - sq*sq/n)*(sp2 - sp*sp/n)) AS r2,
+        |  n, TRUE AS builtin_ok
+        |FROM m ORDER BY l_returnflag""".stripMargin,
+
+    "agg_median_mad" ->
+      """WITH m AS (SELECT l_returnflag, quantile_cont(l_quantity, 0.5) AS med
+        |           FROM lineitem GROUP BY l_returnflag)
+        |SELECT l.l_returnflag, MAX(med) AS med,
+        |  quantile_cont(abs(l_quantity - med), 0.5) AS mad,
+        |  quantile_cont(l_quantity, 0.75) - quantile_cont(l_quantity, 0.25) AS iqr
+        |FROM lineitem l JOIN m ON l.l_returnflag = m.l_returnflag
+        |GROUP BY l.l_returnflag ORDER BY 1""".stripMargin,
 
     "agg_group" ->
       """SELECT l_returnflag, l_linestatus,

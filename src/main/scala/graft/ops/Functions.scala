@@ -198,7 +198,34 @@ object Functions {
         .where(col("doc_id") < 20)
         .select(col("doc_id"), posexplode(split(col("text"), " ")))
         .select(col("doc_id"), (col("pos") + 1).as("pos1"), col("col").as("token"))
-        .orderBy("doc_id", "pos1"))
+        .orderBy("doc_id", "pos1")),
+
+    // Regex surface: extract (group), count, match-test, extract-all.
+    // Column-API literals only — an expr() string would re-escape \b.
+    "fn_regex" -> ((s, d) =>
+      Tables.documents(s, d)
+        .where(col("doc_id") % 5 === 0)
+        .select(col("doc_id"),
+          regexp_extract(col("text"), "^([a-z]+) ([a-z]+)", 2).as("second_tok"),
+          regexp_count(col("text"), lit("(key|value)")).as("n_kv"),
+          col("text").rlike("spark").as("has_spark"),
+          array_join(slice(regexp_extract_all(col("text"),
+            lit("\\b(scan|sort|merge)\\b"), lit(1)), 1, 5), "|").as("first_ops"))
+        .orderBy("doc_id")),
+
+    // Spark 4 VARIANT type: parse_json → typed variant_get paths (including
+    // a missing path → NULL and a nested-array literal). DuckDB replays it
+    // through its JSON extraction operators.
+    "fn_variant" -> ((s, d) =>
+      Tables.events(s, d)
+        .where(col("event_id") % 100 === 0)
+        .select(col("event_id"), expr("parse_json(props)").as("v"))
+        .select(col("event_id"),
+          expr("variant_get(v, '$.k', 'int')").as("k_int"),
+          expr("variant_get(v, '$.k', 'string')").as("k_str"),
+          expr("variant_get(v, '$.missing', 'int')").as("k_missing"),
+          expr("variant_get(parse_json('[1, {\"a\": 7}]'), '$[1].a', 'int')").as("nested"))
+        .orderBy("event_id"))
   )
 
   val oracles: Map[String, String] = Map(
@@ -339,6 +366,23 @@ object Functions {
       """SELECT doc_id,
         |  generate_subscripts(string_split(text, ' '), 1) AS pos1,
         |  unnest(string_split(text, ' ')) AS token
-        |FROM documents WHERE doc_id < 20 ORDER BY doc_id, pos1""".stripMargin
+        |FROM documents WHERE doc_id < 20 ORDER BY doc_id, pos1""".stripMargin,
+
+    "fn_regex" ->
+      """SELECT doc_id,
+        |  regexp_extract(text, '^([a-z]+) ([a-z]+)', 2) AS second_tok,
+        |  CAST(len(regexp_extract_all(text, '(key|value)')) AS INT) AS n_kv,
+        |  regexp_matches(text, 'spark') AS has_spark,
+        |  COALESCE(array_to_string(list_slice(
+        |    regexp_extract_all(text, '\b(scan|sort|merge)\b', 1), 1, 5), '|'), '') AS first_ops
+        |FROM documents WHERE doc_id % 5 = 0 ORDER BY doc_id""".stripMargin,
+
+    "fn_variant" ->
+      """SELECT event_id,
+        |  CAST(json_extract(props, '$.k') AS INTEGER) AS k_int,
+        |  json_extract_string(props, '$.k') AS k_str,
+        |  CAST(json_extract(props, '$.missing') AS INTEGER) AS k_missing,
+        |  CAST(json_extract('[1, {"a": 7}]', '$[1].a') AS INTEGER) AS nested
+        |FROM events WHERE event_id % 100 = 0 ORDER BY event_id""".stripMargin
   )
 }

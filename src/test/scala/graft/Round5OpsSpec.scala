@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantic checks for the round-5 operators (beyond the smoke/oracle
+  * gates): SQL-2016 aggregates, regex/VARIANT functions, and the
+  * pipeline-assembly family.
+  */
+class Round5OpsSpec extends AnyFunSuite with SparkFixture {
+
+  test("agg_listagg emits comma-joined names in sorted order, count-consistent") {
+    val rows = SparkEntry.queries("agg_listagg")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val names = r.getString(1).split(",").toSeq
+      assert(names == names.sorted, s"unsorted listagg for ${r.getString(0)}")
+      assert(names.length == r.getLong(2), "n_cust disagrees with listagg length")
+    }
+  }
+
+  test("agg_regression exact moments match a driver-side reference; builtins in tolerance") {
+    val got = SparkEntry.queries("agg_regression")(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getBoolean(5)))
+      .toMap
+    val data = Tables.lineitem(spark, sf)
+      .select(col("l_returnflag"), col("l_quantity").cast("bigint"),
+        round(col("l_extendedprice") * 100).cast("bigint"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    data.groupBy(_._1).foreach { case (flag, rows) =>
+      val n = rows.length.toDouble
+      val sq = rows.map(_._2).sum.toDouble; val sp = rows.map(_._3).sum.toDouble
+      val sq2 = rows.map(r => r._2 * r._2).sum.toDouble
+      val sqp = rows.map(r => r._2 * r._3).sum.toDouble
+      val slope = (sqp - sq * sp / n) / (sq2 - sq * sq / n)
+      val icept = sp / n - slope * sq / n
+      val (gs, gi, _, ok) = got(flag)
+      assert(math.abs(gs - slope) <= math.abs(slope) * 1e-9, s"$flag slope")
+      assert(math.abs(gi - icept) <= math.abs(icept) * 1e-6, s"$flag intercept")
+      assert(ok, s"$flag builtin regr_* out of tolerance")
+    }
+  }
+
+  test("agg_median_mad matches a sorted-array reference median/MAD") {
+    def medianOf(xs: Seq[Double]): Double = {
+      val s = xs.sorted; val n = s.length
+      if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
+    }
+    val got = SparkEntry.queries("agg_median_mad")(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    Tables.lineitem(spark, sf).select("l_returnflag", "l_quantity").collect()
+      .map(r => (r.getString(0), r.getDouble(1))).groupBy(_._1)
+      .foreach { case (flag, rows) =>
+        val xs = rows.map(_._2).toSeq
+        val med = medianOf(xs)
+        val mad = medianOf(xs.map(x => math.abs(x - med)))
+        assert(got(flag)._1 == med, s"$flag median")
+        assert(got(flag)._2 == mad, s"$flag MAD")
+      }
+  }
+
+  test("fn_regex second_tok/n_kv agree with a driver-side regex") {
+    val rows = SparkEntry.queries("fn_regex")(spark, sf).collect()
+    val texts = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val t = texts(r.getLong(0))
+      val m = "^([a-z]+) ([a-z]+)".r.findFirstMatchIn(t)
+      assert(r.getString(1) == m.map(_.group(2)).getOrElse(""))
+      assert(r.getInt(2) == "(key|value)".r.findAllIn(t).length)
+    }
+  }
+
+  test("fn_variant extracts typed paths and NULL for missing") {
+    val rows = SparkEntry.queries("fn_variant")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getInt(1).toString == r.getString(2), "k_int vs k_str")
+      assert(r.isNullAt(3), "missing path must be NULL")
+      assert(r.getInt(4) == 7, "nested array path")
+    }
+  }
+}
