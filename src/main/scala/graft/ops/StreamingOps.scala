@@ -101,6 +101,42 @@ object StreamingOps {
     // Stream ⋈ static: each streamed event enriched from a broadcast static
     // dimension (left join, unmatched users tagged 'none') — the
     // enrichment-join shape of a real ingest pipeline.
+    // foreachBatch sink — the standard "stream into a warehouse" bridge:
+    // each micro-batch lands as its own parquet dir keyed by batch_id
+    // (overwrite per batch id = idempotent replay, the exactly-once
+    // pattern), then the graded read aggregates the landed data. Two
+    // explicit micro-batches with a deterministic payload.
+    "stream_foreach_batch" -> ((s, d) => {
+      val classic = s.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      import classic.implicits._
+      implicit val sq = classic.sqlContext
+      val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[SEvent]
+      val dir = s"${Scratch.dir}/feb"
+      withFewShufflePartitions(s) {
+        val q = ms.toDF().writeStream.outputMode("append")
+          .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+            batch.withColumn("batch_id", lit(id))
+              .write.mode("overwrite").parquet(s"$dir/b$id")
+          }
+          .start()
+        ms.addData(
+          SEvent(1, Timestamp.valueOf("2024-01-01 10:00:00"), 1, "view", 1.0),
+          SEvent(2, Timestamp.valueOf("2024-01-01 10:01:00"), 2, "click", 2.0))
+        q.processAllAvailable()
+        ms.addData(
+          SEvent(3, Timestamp.valueOf("2024-01-01 10:02:00"), 1, "view", 3.0),
+          SEvent(4, Timestamp.valueOf("2024-01-01 10:03:00"), 3, "purchase", 4.0))
+        q.processAllAvailable()
+        q.stop()
+      }
+      s.read.parquet(s"$dir/b0", s"$dir/b1")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("value") * 100).cast("long")).as("cents"),
+          countDistinct(col("batch_id")).as("n_batches"))
+        .orderBy("event_type")
+    }),
+
     "stream_static_join" -> ((s, d) => runStream(s) { (ms, sink) =>
       val classic = s.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       import classic.implicits._
@@ -239,6 +275,15 @@ object StreamingOps {
         |  CAST(total_value AS DOUBLE) AS total_value
         |FROM (VALUES (1, 2, 5.0), (1, 3, 15.0), (2, 1, 5.0)) AS t(user_id, n_events, total_value)
         |ORDER BY user_id, n_events""".stripMargin,
+
+    // Golden post-state of the two fixed micro-batches: view appears in
+    // both batches (events 1 and 3), click/purchase in one each.
+    "stream_foreach_batch" ->
+      """SELECT event_type, CAST(n AS BIGINT) AS n, CAST(cents AS BIGINT) AS cents,
+        |  CAST(n_batches AS BIGINT) AS n_batches
+        |FROM (VALUES ('click', 1, 200, 1), ('purchase', 1, 400, 1), ('view', 2, 400, 2))
+        |  AS t(event_type, n, cents, n_batches)
+        |ORDER BY event_type""".stripMargin,
 
     "stream_static_join" ->
       """SELECT CAST(event_id AS BIGINT) AS event_id, CAST(user_id AS BIGINT) AS user_id,

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -237,6 +238,58 @@ object Warehouse {
     // InMemoryTableScan (plan-asserted in WarehouseSpec). At 100 TB the
     // cached relation is the small hot aggregate/dimension layer, never the
     // fact table; the cache is partition-distributed, not driver-side.
+    // SCD type-2 dimension build — the standard warehouse history table:
+    // per user, collapse the event stream to type-change rows, each valid
+    // [valid_from, valid_to) with an open current row. Two window passes
+    // over the SAME (user_id) partitioning — one shuffle, the second
+    // window reuses it. Total order inside a user is (ts_us, event_id)
+    // so duplicate timestamps cannot make the intervals nondeterministic.
+    "warehouse_scd2" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+      Tables.events(s, d)
+        .where(col("user_id") % 20 === 0)
+        .select(col("user_id"), col("event_type"), col("ts_us"), col("event_id"))
+        .withColumn("prev", lag(col("event_type"), 1).over(w))
+        .where(col("prev").isNull || col("prev") =!= col("event_type"))
+        .withColumn("valid_to", lead(col("ts_us"), 1).over(w))
+        .select(col("user_id"), col("event_type"),
+          col("ts_us").as("valid_from"), col("valid_to"),
+          col("valid_to").isNull.as("is_current"))
+        .orderBy("user_id", "valid_from", "event_type")
+    }),
+
+    // MERGE-style SCD1 upsert on a plain-parquet warehouse (vanilla Spark
+    // has no row-level MERGE for v1 tables, so this IS the production
+    // pattern): base FULL OUTER JOIN change-batch on the key, updates win
+    // via coalesce, inserts survive the outer side, result atomically
+    // rewritten. The change-batch is derived (bal+100 for key%7, cloned
+    // inserts for key%11) so the oracle can replay the post-state from the
+    // source alone. At 100 TB the same plan runs partition-wise under
+    // dynamic overwrite; the join shuffles on the upsert key only.
+    "sink_merge_upsert" -> ((s, d) => {
+      val base = Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"), col("c_acctbal"))
+      val upd = base.where(col("c_custkey") % 7 === 0)
+        .select(col("c_custkey"), col("c_name").as("u_name"),
+          col("c_mktsegment").as("u_seg"), (col("c_acctbal") + 100.0).as("u_bal"))
+        .unionAll(base.where(col("c_custkey") % 11 === 0)
+          .select((col("c_custkey") + 10000000L).as("c_custkey"),
+            concat(lit("NEW "), col("c_name")).as("u_name"),
+            col("c_mktsegment").as("u_seg"), col("c_acctbal").as("u_bal")))
+      val merged = base.join(upd, Seq("c_custkey"), "full_outer")
+        .select(col("c_custkey"),
+          coalesce(col("u_name"), col("c_name")).as("c_name"),
+          coalesce(col("u_seg"), col("c_mktsegment")).as("c_mktsegment"),
+          coalesce(col("u_bal"), col("c_acctbal")).as("c_acctbal"))
+      merged.write.mode("overwrite").parquet(s"${Scratch.dir}/merge_upsert")
+      s.read.parquet(s"${Scratch.dir}/merge_upsert")
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(dec(col("c_acctbal"))).cast("double").as("balance"),
+          sum(when(col("c_custkey") >= 10000000L, 1L).otherwise(0L)).as("n_inserted"))
+        .orderBy("c_mktsegment")
+    }),
+
     "warehouse_cache_ops" -> ((s, d) => {
       Tables.orders(s, d).createOrReplaceTempView("graft_cache_src")
       s.sql("UNCACHE TABLE IF EXISTS graft_cache_hot")
@@ -329,6 +382,33 @@ object Warehouse {
         |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS balance
         |FROM customer WHERE c_custkey % 10 = 0
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "warehouse_scd2" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id
+        |           FROM events WHERE user_id % 20 = 0),
+        |c AS (SELECT *, lag(event_type)
+        |        OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev FROM e),
+        |f AS (SELECT user_id, event_type, ts_us, event_id FROM c
+        |      WHERE prev IS NULL OR prev <> event_type)
+        |SELECT user_id, event_type, ts_us AS valid_from,
+        |  lead(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS valid_to,
+        |  lead(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) IS NULL AS is_current
+        |FROM f ORDER BY user_id, valid_from, event_type""".stripMargin,
+
+    // Post-state replay: key%7 rows carry bal+100, key%11 rows appear twice
+    // (original + cloned insert with the shifted key).
+    "sink_merge_upsert" ->
+      """WITH post AS (
+        |  SELECT c_custkey, c_mktsegment,
+        |    CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 100.0 ELSE c_acctbal END AS bal
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT c_custkey + 10000000, c_mktsegment, c_acctbal
+        |  FROM customer WHERE c_custkey % 11 = 0)
+        |SELECT c_mktsegment, COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(bal AS DECIMAL(18,4))) AS DOUBLE) AS balance,
+        |  CAST(SUM(CASE WHEN c_custkey >= 10000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_inserted
+        |FROM post GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
 
     "warehouse_cache_ops" ->
       """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,

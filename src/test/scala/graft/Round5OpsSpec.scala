@@ -72,6 +72,49 @@ class Round5OpsSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("warehouse_scd2 intervals chain per user with exactly one open row") {
+    val rows = SparkEntry.queries("warehouse_scd2")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)), r.getBoolean(4)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (user, hist0) =>
+      val hist = hist0.sortBy(_._3)
+      assert(hist.count(_._5) == 1, s"user $user: open rows != 1")
+      assert(hist.last._4.isEmpty && hist.last._5, s"user $user: last row must be open")
+      hist.sliding(2).foreach {
+        case Array((_, t1, _, Some(to1), _), (_, t2, from2, _, _)) =>
+          assert(to1 == from2, s"user $user: interval gap")
+          assert(t1 != t2, s"user $user: consecutive rows with same type")
+        case _ => ()
+      }
+    }
+  }
+
+  test("sink_merge_upsert post-state: updates bump balance, inserts add rows") {
+    val base = Tables.customer(spark, sf)
+    val got = SparkEntry.queries("sink_merge_upsert")(spark, sf).collect()
+    val nRows = got.map(_.getLong(1)).sum
+    val nIns = got.map(_.getLong(3)).sum
+    val expIns = base.where(col("c_custkey") % 11 === 0).count()
+    assert(nIns == expIns)
+    assert(nRows == base.count() + expIns)
+    val gotBal = got.map(_.getDouble(2)).sum
+    val baseBal = base.select(sum(col("c_acctbal").cast("decimal(18,4)")).cast("double"))
+      .collect()(0).getDouble(0)
+    val updN = base.where(col("c_custkey") % 7 === 0).count()
+    val insBal = base.where(col("c_custkey") % 11 === 0)
+      .select(sum(col("c_acctbal").cast("decimal(18,4)")).cast("double"))
+      .collect()(0).getDouble(0)
+    assert(math.abs(gotBal - (baseBal + insBal + 100.0 * updN)) < 1e-4)
+  }
+
+  test("stream_foreach_batch lands both micro-batches exactly once") {
+    val got = SparkEntry.queries("stream_foreach_batch")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == Seq(("click", 1L, 200L, 1L), ("purchase", 1L, 400L, 1L),
+      ("view", 2L, 400L, 2L)))
+  }
+
   test("fn_variant extracts typed paths and NULL for missing") {
     val rows = SparkEntry.queries("fn_variant")(spark, sf).collect()
     assert(rows.nonEmpty)
