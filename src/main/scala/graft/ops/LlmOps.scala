@@ -20,13 +20,42 @@ object LlmOps {
   type Q = (SparkSession, String) => DataFrame
 
   /** 3-token shingles per doc, distinct, via array transform (no join). */
-  private def shingles(s: SparkSession, d: String): DataFrame =
+  private[ops] def shingles(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .select(col("doc_id"), split(col("text"), " ").as("t"))
       .select(col("doc_id"),
         explode(array_distinct(expr(
           "transform(sequence(0, size(t) - 3), i -> concat_ws(' ', t[i], t[i+1], t[i+2]))"
         ))).as("s"))
+
+  /** Near-duplicate pairs (a < b) by 3-gram-shingle Jaccard >= 0.5 —
+    * shared by `llm_dedup_near` and the cluster/canonicalize stage
+    * (`llm_dedup_cluster`). Candidate pairs come from per-shingle POSTING
+    * LISTS (group by shingle, emit the co-occurring doc pairs) instead of
+    * a self-join — one shuffle on the shingle, pairs bounded by sum(df²)
+    * which stays tiny because common shingles are rare; Jaccard is exact
+    * (|∩| from the postings, |∪| = |A|+|B|-|∩|).
+    */
+  private[ops] def nearPairs(s: SparkSession, d: String): DataFrame = {
+    val sh = shingles(s, d)
+    val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = sh.groupBy("s")
+      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+      .where(size(col("ds")) > 1)
+      .select(explode(expr(
+        """flatten(transform(sequence(0, size(ds) - 2),
+          |  i -> transform(sequence(i + 1, size(ds) - 1),
+          |    j -> struct(ds[i] AS a, ds[j] AS b))))""".stripMargin)).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("c"))
+    inter
+      .join(broadcast(sz.as("sa")), col("a") === col("sa.doc_id"))
+      .join(broadcast(sz.as("sb")), col("b") === col("sb.doc_id"))
+      .withColumn("jaccard",
+        round(col("c") * lit(1.0) / (col("sa.n") + col("sb.n") - col("c")), 4))
+      .where(col("jaccard") >= 0.5)
+      .select("a", "b", "jaccard")
+  }
 
   val queries: Map[String, Q] = Map(
     // Exact dedup by content hash: keep lowest doc_id per md5(text).
@@ -48,27 +77,7 @@ object LlmOps {
     // shingle, pairs bounded by sum(df²) which stays tiny because common
     // shingles are rare; Jaccard is exact (|∩| from the postings,
     // |∪| = |A|+|B|-|∩|).
-    "llm_dedup_near" -> ((s, d) => {
-      val sh = shingles(s, d)
-      val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      val inter = sh.groupBy("s")
-        .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
-        .where(size(col("ds")) > 1)
-        .select(explode(expr(
-          """flatten(transform(sequence(0, size(ds) - 2),
-            |  i -> transform(sequence(i + 1, size(ds) - 1),
-            |    j -> struct(ds[i] AS a, ds[j] AS b))))""".stripMargin)).as("p"))
-        .select(col("p.a").as("a"), col("p.b").as("b"))
-        .groupBy("a", "b").agg(count(lit(1)).as("c"))
-      inter
-        .join(broadcast(sz.as("sa")), col("a") === col("sa.doc_id"))
-        .join(broadcast(sz.as("sb")), col("b") === col("sb.doc_id"))
-        .withColumn("jaccard",
-          round(col("c") * lit(1.0) / (col("sa.n") + col("sb.n") - col("c")), 4))
-        .where(col("jaccard") >= 0.5)
-        .select("a", "b", "jaccard")
-        .orderBy("a", "b")
-    }),
+    "llm_dedup_near" -> ((s, d) => nearPairs(s, d).orderBy("a", "b")),
 
     // Similarity search: top-5 cosine neighbors for probe set vec_id < 10,
     // using the native CosineSimilarity expression; rank on ROUNDED sims so

@@ -1,0 +1,253 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Round-5 LLM-pipeline assembly operators: dedup clustering (connected
+  * components over the near-dup pair graph — the step that turns pairwise
+  * similarity into "keep one doc per cluster"), train/test contamination
+  * audit, within-doc repetition metrics, RAG-style overlapping chunking,
+  * and per-doc salient-term extraction.
+  *
+  * Scale posture: clustering is Pregel-style min-label propagation — a
+  * driver LOOP (bounded by component diameter, ≤ maxIters) over fully
+  * distributed join+aggregate steps with per-iteration lineage truncation;
+  * no vertex set is ever collected. Contamination shuffles on the shingle
+  * (the join key a 1000-executor cluster hashes evenly); repetition and
+  * chunking are pure per-row projections (no shuffle at all); top-terms is
+  * two hash aggregations plus a per-doc window.
+  */
+object LlmPipeline {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** md5-derived uniform split key, identical in DuckDB (llm_sample_split
+    * family): u < 0.8·2³² → train, u ≥ 0.9·2³² → test. */
+  private val TrainCap = 3435973836L
+  private val TestFloor = 3865470566L
+
+  private val ChunkW = 64
+  private val ChunkS = 48
+
+  val queries: Map[String, Q] = Map(
+    // Connected components over the near-dup graph (Jaccard ≥ 0.5 pairs
+    // from the shared posting-list generator): min-label propagation to a
+    // fixpoint — each node ends with the smallest doc_id reachable from it,
+    // i.e. the cluster's canonical id. The loop is data-diameter bounded
+    // (near-dup clusters are shallow; capped at graft.cc.maxIters), each
+    // step a distributed join + min-aggregate, localCheckpoint truncating
+    // the plan between rounds exactly like GraphX's Pregel. Converged
+    // labels are asserted (a non-converged exit throws rather than
+    // returning wrong clusters).
+    "llm_dedup_cluster" -> ((s, d) => {
+      val maxIters = s.conf.get("graft.cc.maxIters", "20").toInt
+      val pairs = nearPairsOf(s, d).select("a", "b")
+      val edges = pairs.unionAll(pairs.select(col("b").as("a"), col("a").as("b")))
+        .localCheckpoint()
+      val nodes = edges.select(col("a").as("id")).distinct()
+      var labels = nodes.withColumn("lbl", col("id")).localCheckpoint()
+      var changed = 1L
+      var iter = 0
+      while (changed > 0 && iter < maxIters) {
+        val nbrMin = edges.join(labels, col("b") === col("id"))
+          .select(col("a").as("id"), col("lbl"))
+        val next = labels.unionAll(nbrMin)
+          .groupBy("id").agg(min("lbl").as("lbl"))
+          .localCheckpoint()
+        changed = next.join(labels.withColumnRenamed("lbl", "prev"), "id")
+          .where(col("lbl") =!= col("prev")).count()
+        labels = next
+        iter += 1
+      }
+      require(changed == 0, s"label propagation did not converge in $maxIters iters")
+      val sizes = labels.groupBy("lbl").agg(count(lit(1)).as("cluster_size"))
+      labels.join(sizes, "lbl")
+        .select(col("id").as("doc_id"), col("lbl").as("cluster_id"),
+          col("cluster_size"))
+        .orderBy("doc_id")
+    }),
+
+    // Train/test contamination audit (decontamination stage): deterministic
+    // hash split, distinct 3-gram shingles, and for every test doc the
+    // fraction of its shingles that also occur anywhere in train. The join
+    // shuffles on the shingle string; the train side is pre-distinct so
+    // each shingle crosses the wire once.
+    "llm_contamination" -> ((s, d) => {
+      val sh = Tables.documents(s, d)
+        .withColumn("u", expr(
+          "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT)"))
+        .select(col("doc_id"), col("u"), split(col("text"), " ").as("t"))
+        .select(col("doc_id"), col("u"), explode(array_distinct(expr(
+          "transform(sequence(0, size(t) - 3), i -> concat_ws(' ', t[i], t[i+1], t[i+2]))"
+        ))).as("sg"))
+      val train = sh.where(col("u") < TrainCap).select(col("sg").as("tsg")).distinct()
+      sh.where(col("u") >= TestFloor).select(col("doc_id"), col("sg"))
+        .join(train, col("sg") === col("tsg"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_shingles"),
+          sum(when(col("tsg").isNotNull, 1L).otherwise(0L)).as("n_contaminated"))
+        .withColumn("contamination",
+          round(col("n_contaminated") / col("n_shingles").cast("double"), 4))
+        .orderBy("doc_id")
+    }),
+
+    // Within-doc repetition metrics (Gopher-style quality filters):
+    // duplicate-bigram and duplicate-trigram fractions, computed entirely
+    // inside array expressions — a pure projection, zero shuffle, linear
+    // in corpus size at any scale.
+    "llm_repetition" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("t"))
+        .withColumn("bi", expr(
+          "transform(sequence(0, size(t) - 2), i -> concat_ws(' ', t[i], t[i+1]))"))
+        .withColumn("tri", expr(
+          "transform(sequence(0, size(t) - 3), i -> concat_ws(' ', t[i], t[i+1], t[i+2]))"))
+        .select(col("doc_id"), size(col("t")).as("n_tokens"),
+          round((size(col("bi")) - size(array_distinct(col("bi"))))
+            / size(col("bi")).cast("double"), 4).as("dup_bigram_frac"),
+          round((size(col("tri")) - size(array_distinct(col("tri"))))
+            / size(col("tri")).cast("double"), 4).as("dup_trigram_frac"))
+        .orderBy("doc_id")),
+
+    // Overlapping token-window chunking (the RAG/context-window ingestion
+    // shape): W=64-token windows at stride S=48, chunk count
+    // 1 + ceil((n−W)/S) — integer arithmetic only (DIV truncates alike in
+    // both engines; a double ceil would not). Pure projection + explode.
+    "llm_chunk" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("t"))
+        .withColumn("n", size(col("t")))
+        .withColumn("nc", expr(
+          s"1 + CASE WHEN n > $ChunkW THEN ((n - $ChunkW) + ${ChunkS - 1}) DIV $ChunkS ELSE 0 END"))
+        .select(col("doc_id"), col("n").as("n_tokens"),
+          explode(expr("sequence(0, nc - 1)")).as("chunk_idx"),
+          col("t"))
+        .withColumn("start_tok", col("chunk_idx") * ChunkS)
+        .withColumn("chunk_len", least(lit(ChunkW), col("n_tokens") - col("start_tok")))
+        .select(col("doc_id"), col("n_tokens"), col("chunk_idx").cast("int").as("chunk_idx"),
+          col("start_tok").cast("int").as("start_tok"), col("chunk_len").cast("int").as("chunk_len"),
+          expr("t[start_tok]").as("first_tok"),
+          expr("t[start_tok + chunk_len - 1]").as("last_tok"))
+        .orderBy("doc_id", "chunk_idx")),
+
+    // Salient terms per doc: tf × (N/df) — idf linearized to keep the
+    // arithmetic purely rational (+,-,×,÷ are IEEE-identical cross-engine;
+    // a libm log is not), which preserves the per-term df ranking. Top-3
+    // per doc by (rounded score desc, term asc) — a total order, so the
+    // window pick is deterministic.
+    "llm_top_terms" -> ((s, d) => {
+      val tok = Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+      val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val nd = Tables.documents(s, d).agg(count(lit(1)).as("nd"))
+      val scored = tf
+        .join(broadcast(dl), "doc_id")
+        .join(dfreq, "term")
+        .crossJoin(broadcast(nd))
+        .withColumn("score", round(
+          (col("tf") / col("dl").cast("double"))
+            * (col("nd") / col("df").cast("double")), 6))
+      val w = Window.partitionBy("doc_id")
+        .orderBy(col("score").desc, col("term").asc)
+      scored.withColumn("rank", row_number().over(w))
+        .where(col("rank") <= 3)
+        .select(col("doc_id"), col("rank"), col("term"), col("score"), col("tf"))
+        .orderBy("doc_id", "rank")
+    })
+  )
+
+  /** Indirection so the shared pair generator lives with its family in
+    * LlmOps but this object reads naturally. */
+  private def nearPairsOf(s: SparkSession, d: String): DataFrame =
+    LlmOps.nearPairs(s, d)
+
+  /** Shared shingle/pair SQL fragments (mirrors LlmOps.nearPairs). */
+  private val pairsSql =
+    """dd AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+      |         generate_series(1, len(t) - 2), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS s
+      |       FROM dd),
+      |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+      |inter AS (SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS c
+      |          FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+      |          GROUP BY 1, 2),
+      |pairs AS (SELECT a, b FROM inter
+      |          JOIN sz sa ON a = sa.doc_id JOIN sz sb ON b = sb.doc_id
+      |          WHERE ROUND(c * 1.0 / (sa.n + sb.n - c), 4) >= 0.5)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    // Transitive closure by recursive CTE; MIN over the closure is the
+    // same component-minimum the label propagation converges to.
+    "llm_dedup_cluster" ->
+      s"""WITH RECURSIVE
+         |$pairsSql,
+         |edges AS (SELECT a, b FROM pairs UNION ALL SELECT b AS a, a AS b FROM pairs),
+         |reach AS (SELECT a AS src, a AS dst FROM edges
+         |          UNION
+         |          SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
+         |lbl AS (SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY src),
+         |sizes AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM lbl GROUP BY cluster_id)
+         |SELECT doc_id, l.cluster_id, cluster_size
+         |FROM lbl l JOIN sizes z ON l.cluster_id = z.cluster_id
+         |ORDER BY doc_id""".stripMargin,
+
+    "llm_contamination" ->
+      s"""WITH dd AS (SELECT doc_id,
+         |    ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS u,
+         |    string_split(text, ' ') AS t FROM documents),
+         |sh AS (SELECT doc_id, u, unnest(list_distinct(list_transform(
+         |         generate_series(1, len(t) - 2), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS sg
+         |       FROM dd),
+         |train AS (SELECT DISTINCT sg AS tsg FROM sh WHERE u < $TrainCap),
+         |test AS (SELECT doc_id, sg FROM sh WHERE u >= $TestFloor)
+         |SELECT test.doc_id, COUNT(*) AS n_shingles,
+         |  CAST(SUM(CASE WHEN tsg IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
+         |  ROUND(CAST(SUM(CASE WHEN tsg IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    / CAST(COUNT(*) AS DOUBLE), 4) AS contamination
+         |FROM test LEFT JOIN train ON test.sg = train.tsg
+         |GROUP BY test.doc_id ORDER BY doc_id""".stripMargin,
+
+    "llm_repetition" ->
+      """WITH x AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |g AS (SELECT doc_id, len(t) AS n_tokens,
+        |    list_transform(generate_series(1, len(t) - 1), i -> t[i] || ' ' || t[i+1]) AS bi,
+        |    list_transform(generate_series(1, len(t) - 2), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) AS tri
+        |  FROM x)
+        |SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens,
+        |  ROUND((len(bi) - len(list_distinct(bi))) / CAST(len(bi) AS DOUBLE), 4) AS dup_bigram_frac,
+        |  ROUND((len(tri) - len(list_distinct(tri))) / CAST(len(tri) AS DOUBLE), 4) AS dup_trigram_frac
+        |FROM g ORDER BY doc_id""".stripMargin,
+
+    "llm_chunk" ->
+      """WITH x AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |y AS (SELECT doc_id, t, len(t) AS n,
+        |    1 + CASE WHEN len(t) > 64 THEN ((len(t) - 64) + 47) // 48 ELSE 0 END AS nc
+        |  FROM x),
+        |z AS (SELECT doc_id, t, n, unnest(generate_series(0, nc - 1)) AS chunk_idx FROM y)
+        |SELECT doc_id, CAST(n AS INT) AS n_tokens, CAST(chunk_idx AS INT) AS chunk_idx,
+        |  CAST(chunk_idx * 48 AS INT) AS start_tok,
+        |  CAST(least(64, n - chunk_idx * 48) AS INT) AS chunk_len,
+        |  t[chunk_idx * 48 + 1] AS first_tok,
+        |  t[chunk_idx * 48 + least(64, n - chunk_idx * 48)] AS last_tok
+        |FROM z ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    "llm_top_terms" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term),
+        |dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
+        |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+        |nd AS (SELECT COUNT(*) AS nd FROM documents),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.term, tf.tf,
+        |    ROUND((tf / CAST(dl AS DOUBLE)) * (nd / CAST(df AS DOUBLE)), 6) AS score
+        |  FROM tf JOIN dl ON tf.doc_id = dl.doc_id
+        |       JOIN df ON tf.term = df.term CROSS JOIN nd),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+        |        ORDER BY score DESC, term ASC) AS rank FROM scored)
+        |SELECT doc_id, CAST(rank AS INT) AS rank, term, score, tf
+        |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin
+  )
+}

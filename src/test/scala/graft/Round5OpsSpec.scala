@@ -115,6 +115,84 @@ class Round5OpsSpec extends AnyFunSuite with SparkFixture {
       ("view", 2L, 400L, 2L)))
   }
 
+  test("llm_dedup_cluster agrees with a driver-side union-find over the pair graph") {
+    val pairs = SparkEntry.queries("llm_dedup_near")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+      .map(id => id -> find(id)).toMap
+    val got = SparkEntry.queries("llm_dedup_cluster")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.map(_._1).toSet == expected.keySet, "node set mismatch")
+    got.foreach { case (id, cl, sz) =>
+      assert(cl == expected(id), s"doc $id: cluster $cl != ${expected(id)}")
+      assert(sz == expected.values.count(_ == cl), s"cluster $cl size")
+    }
+  }
+
+  test("llm_repetition matches a driver-side n-gram recount") {
+    val texts = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val got = SparkEntry.queries("llm_repetition")(spark, sf).collect()
+    assert(got.length == texts.size)
+    got.take(25).foreach { r =>
+      val t = texts(r.getLong(0)).split(" ")
+      val bi = t.sliding(2).map(_.mkString(" ")).toSeq
+      val exp = BigDecimal((bi.length - bi.distinct.length).toDouble / bi.length)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getInt(1) == t.length)
+      assert(r.getDouble(2) == exp, s"doc ${r.getLong(0)} dup_bigram_frac")
+    }
+  }
+
+  test("llm_chunk windows tile each doc at stride 48 and cover the tail") {
+    val rows = SparkEntry.queries("llm_chunk")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4)))
+    rows.groupBy(_._1).foreach { case (doc, cs0) =>
+      val cs = cs0.sortBy(_._3)
+      val n = cs.head._2
+      assert(cs.map(_._4).toSeq == cs.indices.map(_ * 48), s"doc $doc strides")
+      assert(cs.last._4 + cs.last._5 == n, s"doc $doc tail not covered")
+      assert(cs.init.forall(_._5 == 64), s"doc $doc non-final chunk len")
+      assert(cs.last._5 >= 1 && cs.last._5 <= 64)
+    }
+  }
+
+  test("llm_contamination ratios are consistent and bounded") {
+    val rows = SparkEntry.queries("llm_contamination")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, c, f) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(c >= 0 && c <= n)
+      val exp = BigDecimal(c.toDouble / n)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(f == exp)
+    }
+  }
+
+  test("llm_top_terms emits 3 ranked terms per doc with non-increasing scores") {
+    val rows = SparkEntry.queries("llm_top_terms")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getDouble(3)))
+    rows.groupBy(_._1).foreach { case (doc, ts0) =>
+      val ts = ts0.sortBy(_._2)
+      assert(ts.map(_._2).toSeq == (1 to ts.length), s"doc $doc ranks")
+      assert(ts.length <= 3)
+      ts.sliding(2).foreach {
+        case Array(hi, lo) =>
+          assert(hi._4 > lo._4 || (hi._4 == lo._4 && hi._3 < lo._3), s"doc $doc order")
+        case _ => ()
+      }
+    }
+  }
+
   test("fn_variant extracts typed paths and NULL for missing") {
     val rows = SparkEntry.queries("fn_variant")(spark, sf).collect()
     assert(rows.nonEmpty)
