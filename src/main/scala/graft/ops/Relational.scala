@@ -80,6 +80,48 @@ object Relational {
         .groupBy("src").count().orderBy("src")
     }),
 
+    // Text-line source (the log-ingestion shape): docs flattened to
+    // tab-delimited lines, read back with spark.read.text + split parse,
+    // graded per-language rollup. Tokens are space-separated so the tab
+    // delimiter cannot collide.
+    "source_text_roundtrip" -> ((s, d) => {
+      val tmp = s"${Scratch.dir}/txt"
+      Tables.documents(s, d)
+        .select(concat_ws("\t", col("doc_id"), col("lang"), col("text")).as("value"))
+        .write.mode("overwrite").text(tmp)
+      s.read.text(tmp)
+        .select(split(col("value"), "\t").as("f"))
+        .select(col("f").getItem(0).cast("bigint").as("doc_id"),
+          col("f").getItem(1).as("lang"),
+          length(col("f").getItem(2)).as("text_len"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("text_len")).cast("bigint").as("n_chars"))
+        .orderBy("lang")
+    }),
+
+    // JDBC source/sink round-trip through embedded Derby (the federation
+    // surface: same API reads Postgres/MySQL on a cluster). The read back
+    // is RANGE-PARTITIONED on the key (partitionColumn/numPartitions) — 4
+    // parallel connections, the shape that scales a federated ingest.
+    // Derby uppercases identifiers; aliased back on read.
+    "source_jdbc_roundtrip" -> ((s, d) => {
+      val url = s"jdbc:derby:;databaseName=${Scratch.dir}/jdbc_db;create=true"
+      Tables.nation(s, d)
+        .write.mode("overwrite").format("jdbc")
+        .option("url", url).option("dbtable", "GRAFT_NATION")
+        .save()
+      s.read.format("jdbc")
+        .option("url", url).option("dbtable", "GRAFT_NATION")
+        .option("partitionColumn", "N_NATIONKEY")
+        .option("lowerBound", "0").option("upperBound", "25")
+        .option("numPartitions", "4")
+        .load()
+        .select(col("N_NATIONKEY").as("n_nationkey"), col("N_NAME").as("n_name"),
+          col("N_REGIONKEY").as("n_regionkey"))
+        .orderBy("n_nationkey")
+    }),
+
     // ---- §2.2 projection / filter ----
     // Money expressions computed at exact decimal scale, EMITTED as double
     // (raw decimal outputs hash-mismatch the driver: DuckDB's pandas export
@@ -388,6 +430,14 @@ object Relational {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
         |FROM orders WHERE year(o_orderdate) = 1997
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "source_text_roundtrip" ->
+      """SELECT lang, COUNT(*) AS n_docs, CAST(SUM(length(text)) AS BIGINT) AS n_chars
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "source_jdbc_roundtrip" ->
+      """SELECT n_nationkey, n_name, n_regionkey FROM nation
+        |ORDER BY n_nationkey""".stripMargin,
 
     // Both inferred sources must re-read all 25 nation rows.
     "source_csv_json_infer" ->
