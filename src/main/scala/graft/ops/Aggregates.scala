@@ -315,6 +315,23 @@ object Aggregates {
         .orderBy("l_returnflag")
     }),
 
+    // arg-max/arg-min aggregates (max_by/min_by, Spark 3.0+ / DuckDB
+    // arg_max): which order carries the group's extreme price. The ordering
+    // key is (cents · 2³³ + orderkey) — UNIQUE, because max_by on a tied
+    // raw price is engine-arbitrary; cents < 2²⁹ and orderkey < 2³³ keep
+    // the packed key exact in a BIGINT at bench scales (a 100 TB deployment
+    // widens to a DECIMAL or a struct ordering key).
+    "agg_argminmax" -> ((s, d) =>
+      Tables.orders(s, d)
+        .withColumn("ok", expr(
+          "CAST(ROUND(o_totalprice * 100) AS BIGINT) * 8589934592 + o_orderkey"))
+        .groupBy("o_orderstatus")
+        .agg(expr("max_by(o_orderkey, ok)").as("max_price_order"),
+          expr("min_by(o_orderkey, ok)").as("min_price_order"),
+          max(col("o_totalprice")).as("max_price"),
+          min(col("o_totalprice")).as("min_price"))
+        .orderBy("o_orderstatus")),
+
     // Custom typed UDAF (Aggregator): geometric mean.
     "agg_udaf_geomean" -> ((s, d) => {
       val gm = udaf(GeoMean)
@@ -338,6 +355,16 @@ object Aggregates {
     "agg_approx_percentile" ->
       """SELECT l_returnflag, quantile_cont(l_quantity, 0.5) AS exact_p50, TRUE AS approx_ok
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "agg_argminmax" ->
+      """WITH o AS (SELECT *,
+        |    CAST(ROUND(o_totalprice * 100) AS BIGINT) * 8589934592 + o_orderkey AS ok
+        |  FROM orders)
+        |SELECT o_orderstatus,
+        |  arg_max(o_orderkey, ok) AS max_price_order,
+        |  arg_min(o_orderkey, ok) AS min_price_order,
+        |  MAX(o_totalprice) AS max_price, MIN(o_totalprice) AS min_price
+        |FROM o GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     "agg_listagg" ->
       """SELECT c_mktsegment, string_agg(c_name, ',' ORDER BY c_name) AS names,

@@ -200,6 +200,17 @@ object Functions {
         .select(col("doc_id"), (col("pos") + 1).as("pos1"), col("col").as("token"))
         .orderBy("doc_id", "pos1")),
 
+    // Binary/encoding surface: hex of an integer, base64 of UTF-8 bytes,
+    // and a decode(unbase64(...)) round-trip identity.
+    "fn_binary" -> ((s, d) =>
+      Tables.part(s, d)
+        .select(col("p_partkey"),
+          hex(col("p_partkey")).as("hex_key"),
+          base64(col("p_name").cast("binary")).as("name_b64"),
+          (decode(unbase64(base64(col("p_name").cast("binary"))), "UTF-8")
+            === col("p_name")).as("rt_ok"))
+        .orderBy("p_partkey")),
+
     // Regex surface: extract (group), count, match-test, extract-all.
     // Column-API literals only — an expr() string would re-escape \b.
     "fn_regex" -> ((s, d) =>
@@ -367,6 +378,12 @@ object Functions {
         |  generate_subscripts(string_split(text, ' '), 1) AS pos1,
         |  unnest(string_split(text, ' ')) AS token
         |FROM documents WHERE doc_id < 20 ORDER BY doc_id, pos1""".stripMargin,
+
+    "fn_binary" ->
+      """SELECT p_partkey, hex(p_partkey) AS hex_key,
+        |  to_base64(encode(p_name)) AS name_b64,
+        |  decode(from_base64(to_base64(encode(p_name)))) = p_name AS rt_ok
+        |FROM part ORDER BY p_partkey""".stripMargin,
 
     "fn_regex" ->
       """SELECT doc_id,

@@ -131,6 +131,54 @@ object LlmPipeline {
           expr("t[start_tok + chunk_len - 1]").as("last_tok"))
         .orderBy("doc_id", "chunk_idx")),
 
+    // Corpus bigram language-model table: for the 10 most frequent first
+    // tokens, the top-3 continuations with conditional probability
+    // p(w2|w1) = c(w1,w2)/c(w1·) — pure counts and one rational division,
+    // deterministic cross-engine. Two hash aggregations (bigram, then
+    // margin) + two small windows; everything shuffles on token keys.
+    "llm_bigram_lm" -> ((s, d) => {
+      val bi = Tables.documents(s, d)
+        .select(split(col("text"), " ").as("t"))
+        .select(explode(expr(
+          "transform(sequence(0, size(t) - 2), i -> struct(t[i] AS w1, t[i+1] AS w2))")).as("p"))
+        .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+        .groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      val c1 = bi.groupBy("w1").agg(sum("c12").cast("bigint").as("c1"))
+      val topW1 = c1
+        .withColumn("r1", row_number().over(
+          Window.orderBy(col("c1").desc, col("w1").asc)))
+        .where(col("r1") <= 10)
+      bi.join(topW1, "w1")
+        .withColumn("p", round(col("c12") / col("c1").cast("double"), 6))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("w1").orderBy(col("c12").desc, col("w2").asc)))
+        .where(col("rk") <= 3)
+        .select(col("w1"), col("rk").cast("int").as("rk"), col("w2"),
+          col("c12"), col("c1"), col("p"))
+        .orderBy("w1", "rk")
+    }),
+
+    // Vocabulary coverage curve — the BPE-prep diagnostic: terms by
+    // frequency with cumulative corpus coverage; top-100 emitted. The
+    // cumsum window runs over the (freq desc, term) total order; coverage
+    // is a rational fraction of the corpus token count (no collect — the
+    // total joins in as a 1-row broadcast).
+    "llm_vocab_coverage" -> ((s, d) => {
+      val tf = Tables.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("term"))
+        .groupBy("term").agg(count(lit(1)).as("freq"))
+      val tot = tf.agg(sum("freq").cast("bigint").as("total"))
+      val w = Window.orderBy(col("freq").desc, col("term").asc)
+      tf.withColumn("rank", row_number().over(w))
+        .withColumn("cum", sum("freq").over(
+          w.rowsBetween(Window.unboundedPreceding, 0)).cast("bigint"))
+        .where(col("rank") <= 100)
+        .crossJoin(broadcast(tot))
+        .select(col("rank").cast("int").as("rank"), col("term"), col("freq"),
+          round(col("cum") / col("total").cast("double"), 6).as("coverage"))
+        .orderBy("rank")
+    }),
+
     // Salient terms per doc: tf × (N/df) — idf linearized to keep the
     // arithmetic purely rational (+,-,×,÷ are IEEE-identical cross-engine;
     // a libm log is not), which preserves the per-term df ranking. Top-3
@@ -233,6 +281,33 @@ object LlmPipeline {
         |  t[chunk_idx * 48 + 1] AS first_tok,
         |  t[chunk_idx * 48 + least(64, n - chunk_idx * 48)] AS last_tok
         |FROM z ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    "llm_bigram_lm" ->
+      """WITH t AS (SELECT string_split(text, ' ') AS t FROM documents),
+        |bi AS (SELECT t[i] AS w1, t[i+1] AS w2, COUNT(*) AS c12
+        |       FROM t, unnest(generate_series(1, len(t) - 1)) u(i)
+        |       GROUP BY t[i], t[i+1]),
+        |c1 AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM bi GROUP BY w1),
+        |top1 AS (SELECT *, row_number() OVER (ORDER BY c1 DESC, w1 ASC) AS r1 FROM c1),
+        |j AS (SELECT bi.w1, bi.w2, bi.c12, top1.c1,
+        |        ROUND(bi.c12 / CAST(top1.c1 AS DOUBLE), 6) AS p,
+        |        row_number() OVER (PARTITION BY bi.w1 ORDER BY bi.c12 DESC, bi.w2 ASC) AS rk
+        |      FROM bi JOIN top1 ON bi.w1 = top1.w1 WHERE top1.r1 <= 10)
+        |SELECT w1, CAST(rk AS INT) AS rk, w2, c12, c1, p
+        |FROM j WHERE rk <= 3 ORDER BY w1, rk""".stripMargin,
+
+    "llm_vocab_coverage" ->
+      """WITH tf AS (SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+        |f AS (SELECT term, COUNT(*) AS freq FROM tf GROUP BY term),
+        |tot AS (SELECT CAST(SUM(freq) AS BIGINT) AS total FROM f),
+        |r AS (SELECT term, freq,
+        |        row_number() OVER (ORDER BY freq DESC, term ASC) AS rank,
+        |        CAST(SUM(freq) OVER (ORDER BY freq DESC, term ASC
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        |      FROM f)
+        |SELECT CAST(rank AS INT) AS rank, term, freq,
+        |  ROUND(cum / CAST(total AS DOUBLE), 6) AS coverage
+        |FROM r CROSS JOIN tot WHERE rank <= 100 ORDER BY rank""".stripMargin,
 
     "llm_top_terms" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),

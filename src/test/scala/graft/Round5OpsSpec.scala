@@ -224,6 +224,53 @@ class Round5OpsSpec extends AnyFunSuite with SparkFixture {
     assert(q10.map(_.getDouble(2)).sliding(2).forall(w => w.length < 2 || w(0) >= w(1)))
   }
 
+  test("agg_argminmax picks orders that actually carry the group extremes") {
+    val prices = Tables.orders(spark, sf).select("o_orderkey", "o_totalprice")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    SparkEntry.queries("agg_argminmax")(spark, sf).collect().foreach { r =>
+      assert(prices(r.getLong(1)) == r.getDouble(3), "max_by order price != max")
+      assert(prices(r.getLong(2)) == r.getDouble(4), "min_by order price != min")
+    }
+  }
+
+  test("fn_binary round-trips and hex-encodes like the JVM") {
+    val rows = SparkEntry.queries("fn_binary")(spark, sf).collect()
+    rows.foreach { r =>
+      assert(r.getString(1) == java.lang.Long.toHexString(r.getLong(0)).toUpperCase)
+      assert(r.getBoolean(3), s"base64 round-trip failed for key ${r.getLong(0)}")
+    }
+  }
+
+  test("llm_bigram_lm probabilities are consistent conditionals") {
+    val rows = SparkEntry.queries("llm_bigram_lm")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (c12, c1, p) = (r.getLong(3), r.getLong(4), r.getDouble(5))
+      assert(c12 <= c1 && p > 0.0 && p <= 1.0)
+      val exp = BigDecimal(c12.toDouble / c1)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(p == exp)
+    }
+    assert(rows.map(_.getString(0)).distinct.length <= 10)
+  }
+
+  test("llm_vocab_coverage is a nondecreasing curve ending at most at 1") {
+    val cov = SparkEntry.queries("llm_vocab_coverage")(spark, sf).collect()
+      .map(_.getDouble(3))
+    assert(cov.nonEmpty)
+    assert(cov.sliding(2).forall(w => w.length < 2 || w(0) <= w(1)))
+    assert(cov.last <= 1.0 + 1e-9)
+  }
+
+  test("tpch plans broadcast the dimension sides and never plan a cartesian") {
+    Seq("tpch_q3", "tpch_q5", "tpch_q10").foreach { q =>
+      val p = SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan.toString
+      assert(p.contains("BroadcastHashJoin"), s"$q: no broadcast join\n${p.take(1500)}")
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$q plans a product join")
+    }
+  }
+
   test("fn_variant extracts typed paths and NULL for missing") {
     val rows = SparkEntry.queries("fn_variant")(spark, sf).collect()
     assert(rows.nonEmpty)
