@@ -315,6 +315,19 @@ object Aggregates {
         .orderBy("l_returnflag")
     }),
 
+    // Fixed-width histogram binning on exact cents (integer DIV — a double
+    // floor() would round differently at bucket edges): the profiling
+    // pass a data-quality pipeline runs per column.
+    "agg_histogram" -> ((s, d) =>
+      Tables.orders(s, d)
+        .withColumn("bucket", expr(
+          "CAST(ROUND(o_totalprice * 100) AS BIGINT) DIV 6000000"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_orders"),
+          min(col("o_totalprice")).as("lo"),
+          max(col("o_totalprice")).as("hi"))
+        .orderBy("bucket")),
+
     // arg-max/arg-min aggregates (max_by/min_by, Spark 3.0+ / DuckDB
     // arg_max): which order carries the group's extreme price. The ordering
     // key is (cents · 2³³ + orderkey) — UNIQUE, because max_by on a tied
@@ -355,6 +368,11 @@ object Aggregates {
     "agg_approx_percentile" ->
       """SELECT l_returnflag, quantile_cont(l_quantity, 0.5) AS exact_p50, TRUE AS approx_ok
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "agg_histogram" ->
+      """SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) // 6000000 AS bucket,
+        |  COUNT(*) AS n_orders, MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
+        |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin,
 
     "agg_argminmax" ->
       """WITH o AS (SELECT *,

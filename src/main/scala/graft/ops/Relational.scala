@@ -155,6 +155,26 @@ object Relational {
         .orderBy("c_custkey")),
 
     // ---- §2.3 joins ----
+    // Null-safe equi-join (<=> / IS NOT DISTINCT FROM): NULL keys MATCH
+    // each other — the join plans an EqualNullSafe key (NULLs hash to one
+    // partition instead of being dropped like a plain equi-join would).
+    // Every tenth key is nulled on both sides so the NULL×NULL block is
+    // exercised; output is the per-key pair/row accounting.
+    "join_null_safe_eq" -> ((s, d) => {
+      val a = Tables.customer(s, d).select(col("c_custkey"),
+        expr("CASE WHEN c_custkey % 10 = 0 THEN NULL ELSE c_nationkey END").as("k"))
+      val b = Tables.supplier(s, d).select(col("s_suppkey"),
+        expr("CASE WHEN s_suppkey % 10 = 0 THEN NULL ELSE s_nationkey END").as("k2"))
+      a.join(b, col("k") <=> col("k2"))
+        // nationkey's physical parquet type varies by SF (int32 at
+        // sf0.001, int64 at sf0.01+) — pin the output type
+        .groupBy(coalesce(col("k"), lit(-1)).cast("bigint").as("nation_key"))
+        .agg(count(lit(1)).as("n_pairs"),
+          countDistinct(col("c_custkey")).as("n_cust"),
+          countDistinct(col("s_suppkey")).as("n_supp"))
+        .orderBy("nation_key")
+    }),
+
     "join_inner" -> ((s, d) =>
       Tables.orders(s, d)
         .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
@@ -430,6 +450,18 @@ object Relational {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
         |FROM orders WHERE year(o_orderdate) = 1997
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "join_null_safe_eq" ->
+      """WITH a AS (SELECT c_custkey,
+        |    CASE WHEN c_custkey % 10 = 0 THEN NULL ELSE c_nationkey END AS k
+        |  FROM customer),
+        |b AS (SELECT s_suppkey,
+        |    CASE WHEN s_suppkey % 10 = 0 THEN NULL ELSE s_nationkey END AS k2
+        |  FROM supplier)
+        |SELECT COALESCE(k, -1) AS nation_key, COUNT(*) AS n_pairs,
+        |  COUNT(DISTINCT c_custkey) AS n_cust, COUNT(DISTINCT s_suppkey) AS n_supp
+        |FROM a JOIN b ON k IS NOT DISTINCT FROM k2
+        |GROUP BY COALESCE(k, -1) ORDER BY nation_key""".stripMargin,
 
     "source_text_roundtrip" ->
       """SELECT lang, COUNT(*) AS n_docs, CAST(SUM(length(text)) AS BIGINT) AS n_chars

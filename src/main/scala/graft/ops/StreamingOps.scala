@@ -101,6 +101,28 @@ object StreamingOps {
     // Stream ⋈ static: each streamed event enriched from a broadcast static
     // dimension (left join, unmatched users tagged 'none') — the
     // enrichment-join shape of a real ingest pipeline.
+    // Complete output mode: the running aggregate is fully re-emitted per
+    // trigger (the memory sink holds the final totals after the last
+    // batch) — the dashboard-serving mode beside append's finalized-only
+    // semantics.
+    "stream_complete_agg" -> ((s, d) => runStream(s) { (ms, sink) =>
+      val q = ms.toDF()
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("cnt"),
+          sum(round(col("value") * 100).cast("long")).as("cents"))
+        .writeStream.format("memory").queryName(sink).outputMode("complete").start()
+      ms.addData(
+        SEvent(1, Timestamp.valueOf("2024-01-01 10:00:00"), 1, "view", 1.0),
+        SEvent(2, Timestamp.valueOf("2024-01-01 10:01:00"), 2, "click", 2.0))
+      q.processAllAvailable()
+      ms.addData(
+        SEvent(3, Timestamp.valueOf("2024-01-01 10:02:00"), 1, "view", 3.0),
+        SEvent(4, Timestamp.valueOf("2024-01-01 10:03:00"), 3, "view", 0.5),
+        SEvent(5, Timestamp.valueOf("2024-01-01 10:04:00"), 3, "purchase", 4.0))
+      q.processAllAvailable()
+      q.stop()
+    }),
+
     // foreachBatch sink — the standard "stream into a warehouse" bridge:
     // each micro-batch lands as its own parquet dir keyed by batch_id
     // (overwrite per batch id = idempotent replay, the exactly-once
@@ -275,6 +297,14 @@ object StreamingOps {
         |  CAST(total_value AS DOUBLE) AS total_value
         |FROM (VALUES (1, 2, 5.0), (1, 3, 15.0), (2, 1, 5.0)) AS t(user_id, n_events, total_value)
         |ORDER BY user_id, n_events""".stripMargin,
+
+    // Complete-mode final state: totals over both batches (view 3 events /
+    // 450 cents, click 1/200, purchase 1/400).
+    "stream_complete_agg" ->
+      """SELECT event_type, CAST(cnt AS BIGINT) AS cnt, CAST(cents AS BIGINT) AS cents
+        |FROM (VALUES ('click', 1, 200), ('purchase', 1, 400), ('view', 3, 450))
+        |  AS t(event_type, cnt, cents)
+        |ORDER BY event_type""".stripMargin,
 
     // Golden post-state of the two fixed micro-batches: view appears in
     // both batches (events 1 and 3), click/purchase in one each.

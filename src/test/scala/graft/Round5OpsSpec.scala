@@ -271,6 +271,33 @@ class Round5OpsSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("join_null_safe_eq matches the NULL block as one group") {
+    val rows = SparkEntry.queries("join_null_safe_eq")(spark, sf).collect()
+      .map(r => r.getAs[Number](0).longValue ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val nullCust = Tables.customer(spark, sf).where(col("c_custkey") % 10 === 0).count()
+    val nullSupp = Tables.supplier(spark, sf).where(col("s_suppkey") % 10 === 0).count()
+    assert(rows.contains(-1L), "NULL<=>NULL block missing")
+    assert(rows(-1L) == ((nullCust * nullSupp, nullCust, nullSupp)),
+      "NULL block must be the full cross of null-keyed rows")
+  }
+
+  test("stream_complete_agg holds the final running totals") {
+    val got = SparkEntry.queries("stream_complete_agg")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq(("click", 1L, 200L), ("purchase", 1L, 400L), ("view", 3L, 450L)))
+  }
+
+  test("agg_histogram partitions all orders into in-bound buckets") {
+    val rows = SparkEntry.queries("agg_histogram")(spark, sf).collect()
+    assert(rows.map(_.getLong(1)).sum == Tables.orders(spark, sf).count())
+    rows.foreach { r =>
+      val (b, lo, hi) = (r.getLong(0), r.getDouble(2), r.getDouble(3))
+      assert(lo <= hi)
+      assert(math.round(lo * 100) / 6000000 == b && math.round(hi * 100) / 6000000 == b)
+    }
+  }
+
   test("fn_variant extracts typed paths and NULL for missing") {
     val rows = SparkEntry.queries("fn_variant")(spark, sf).collect()
     assert(rows.nonEmpty)
