@@ -16,6 +16,9 @@ object SparkFixture {
     val s = SparkSession.builder()
       .master("local[4]")
       .appName("graft-test")
+      // the config-driven deployment path (GraftExtensionsSpec asserts
+      // its effects on a clean child session)
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
