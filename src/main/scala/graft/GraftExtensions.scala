@@ -33,20 +33,27 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   }
 }
 
-/** Domain optimizer rule: cosine of an expression with ITSELF is 1 by
-  * definition — except the zero vector, where the engine's convention
-  * (CosineSimilarity.scala) is 0. The rewrite keeps exactly that
-  * semantics while dropping the similarity's 3n multiplications to the
-  * n of a single self-dot-product zero test. Self-pairs slip into real
-  * plans when a dedup self-join's `a < b` guard is relaxed to `a <= b`
-  * or a probe set overlaps the corpus.
+/** Domain optimizer rule: cosine of an expression with ITSELF is rewritten
+  * from the 3n-multiplication similarity to d/d over a single
+  * self-dot-product d = dot(x, x) — n multiplications, and every edge
+  * case falls out of the division itself: NULL input → d NULL → NULL
+  * result; a NaN/±Inf element → d NaN/Inf → NaN (matching the full
+  * expression's Inf/Inf); zero vector → guarded to the engine's 0.0
+  * convention (CosineSimilarity.scala). For finite nonzero vectors the
+  * result is the exact mathematical 1.0 (the unrewritten float
+  * computation can land 1 ulp off 1.0 — the rewrite is the MORE accurate
+  * value, documented as intentional canonicalization). Self-pairs slip
+  * into real plans when a dedup self-join's `a < b` guard is relaxed to
+  * `a <= b` or a probe set overlaps the corpus.
   */
 object SelfCosineIdentity extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.transformAllExpressions {
       case CosineSimilarity(l, r) if l.deterministic && l.semanticEquals(r) =>
+        val d = DotProduct(l, l)
         If(org.apache.spark.sql.catalyst.expressions.EqualTo(
-            DotProduct(l, l), Literal(0.0, DoubleType)),
-          Literal(0.0, DoubleType), Literal(1.0, DoubleType))
+            d, Literal(0.0, DoubleType)),
+          Literal(0.0, DoubleType),
+          org.apache.spark.sql.catalyst.expressions.Divide(d, d))
     }
 }

@@ -23,6 +23,9 @@ object LlmOps {
   private[ops] def shingles(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .select(col("doc_id"), split(col("text"), " ").as("t"))
+      // guard: Spark sequence(0, -1) DESCENDS (phantom n-grams on <3-token
+      // docs) while DuckDB's generate_series is empty — filter them out
+      .where(size(col("t")) > 2)
       .select(col("doc_id"),
         explode(array_distinct(expr(
           "transform(sequence(0, size(t) - 3), i -> concat_ws(' ', t[i], t[i+1], t[i+2]))"
@@ -139,6 +142,20 @@ object LlmOps {
     })
   )
 
+  /** DuckDB CTE fragment mirroring `nearPairs` (dd/sh/sz/inter) — the ONE
+    * SQL copy of the shingle/posting-list pair generator; llm_dedup_near's
+    * oracle and LlmPipeline's cluster oracle both build on it, so the
+    * shingle width and Jaccard threshold cannot silently diverge. */
+  private[ops] val nearPairsSqlCtes: String =
+    """dd AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+      |         generate_series(1, len(t) - 2), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS s
+      |       FROM dd),
+      |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+      |inter AS (SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS c
+      |          FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+      |          GROUP BY 1, 2)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "llm_dedup_exact" ->
       """WITH h AS (SELECT doc_id, lang, md5(text) AS h FROM documents),
@@ -150,18 +167,11 @@ object LlmOps {
         |GROUP BY lang ORDER BY lang""".stripMargin,
 
     "llm_dedup_near" ->
-      """WITH dd AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
-        |         generate_series(1, len(t) - 2), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS s
-        |       FROM dd),
-        |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
-        |inter AS (SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS c
-        |          FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
-        |          GROUP BY 1, 2)
-        |SELECT a, b, ROUND(c * 1.0 / (sa.n + sb.n - c), 4) AS jaccard
-        |FROM inter JOIN sz sa ON a = sa.doc_id JOIN sz sb ON b = sb.doc_id
-        |WHERE ROUND(c * 1.0 / (sa.n + sb.n - c), 4) >= 0.5
-        |ORDER BY a, b""".stripMargin,
+      s"""WITH $nearPairsSqlCtes
+         |SELECT a, b, ROUND(c * 1.0 / (sa.n + sb.n - c), 4) AS jaccard
+         |FROM inter JOIN sz sa ON a = sa.doc_id JOIN sz sb ON b = sb.doc_id
+         |WHERE ROUND(c * 1.0 / (sa.n + sb.n - c), 4) >= 0.5
+         |ORDER BY a, b""".stripMargin,
 
     "llm_sim_topk" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),

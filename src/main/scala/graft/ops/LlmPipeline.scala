@@ -78,6 +78,8 @@ object LlmPipeline {
         .withColumn("u", expr(
           "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT)"))
         .select(col("doc_id"), col("u"), split(col("text"), " ").as("t"))
+        // <3-token docs: Spark sequence(0, -1) descends; DuckDB is empty
+        .where(size(col("t")) > 2)
         .select(col("doc_id"), col("u"), explode(array_distinct(expr(
           "transform(sequence(0, size(t) - 3), i -> concat_ws(' ', t[i], t[i+1], t[i+2]))"
         ))).as("sg"))
@@ -99,15 +101,24 @@ object LlmPipeline {
     "llm_repetition" -> ((s, d) =>
       Tables.documents(s, d)
         .select(col("doc_id"), split(col("text"), " ").as("t"))
+        // n-gram arrays guarded: Spark sequence(0, -1) DESCENDS for short
+        // docs (phantom n-grams) where DuckDB's generate_series is empty;
+        // short-doc fractions are defined as 0.0 on both engines
         .withColumn("bi", expr(
-          "transform(sequence(0, size(t) - 2), i -> concat_ws(' ', t[i], t[i+1]))"))
+          """CASE WHEN size(t) >= 2
+            |  THEN transform(sequence(0, size(t) - 2), i -> concat_ws(' ', t[i], t[i+1]))
+            |  ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin))
         .withColumn("tri", expr(
-          "transform(sequence(0, size(t) - 3), i -> concat_ws(' ', t[i], t[i+1], t[i+2]))"))
+          """CASE WHEN size(t) >= 3
+            |  THEN transform(sequence(0, size(t) - 3), i -> concat_ws(' ', t[i], t[i+1], t[i+2]))
+            |  ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin))
         .select(col("doc_id"), size(col("t")).as("n_tokens"),
-          round((size(col("bi")) - size(array_distinct(col("bi"))))
-            / size(col("bi")).cast("double"), 4).as("dup_bigram_frac"),
-          round((size(col("tri")) - size(array_distinct(col("tri"))))
-            / size(col("tri")).cast("double"), 4).as("dup_trigram_frac"))
+          when(size(col("bi")) === 0, 0.0).otherwise(
+            round((size(col("bi")) - size(array_distinct(col("bi"))))
+              / size(col("bi")).cast("double"), 4)).as("dup_bigram_frac"),
+          when(size(col("tri")) === 0, 0.0).otherwise(
+            round((size(col("tri")) - size(array_distinct(col("tri"))))
+              / size(col("tri")).cast("double"), 4)).as("dup_trigram_frac"))
         .orderBy("doc_id")),
 
     // Overlapping token-window chunking (the RAG/context-window ingestion
@@ -139,15 +150,15 @@ object LlmPipeline {
     "llm_bigram_lm" -> ((s, d) => {
       val bi = Tables.documents(s, d)
         .select(split(col("text"), " ").as("t"))
+        .where(size(col("t")) >= 2) // sequence(0, -1) would descend
         .select(explode(expr(
           "transform(sequence(0, size(t) - 2), i -> struct(t[i] AS w1, t[i+1] AS w2))")).as("p"))
         .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
         .groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
       val c1 = bi.groupBy("w1").agg(sum("c12").cast("bigint").as("c1"))
-      val topW1 = c1
-        .withColumn("r1", row_number().over(
-          Window.orderBy(col("c1").desc, col("w1").asc)))
-        .where(col("r1") <= 10)
+      // distributed TakeOrdered, NOT a global unpartitioned window (which
+      // would sort the whole vocabulary in one task)
+      val topW1 = c1.orderBy(col("c1").desc, col("w1").asc).limit(10)
       bi.join(topW1, "w1")
         .withColumn("p", round(col("c12") / col("c1").cast("double"), 6))
         .withColumn("rk", row_number().over(
@@ -168,11 +179,15 @@ object LlmPipeline {
         .select(explode(split(col("text"), " ")).as("term"))
         .groupBy("term").agg(count(lit(1)).as("freq"))
       val tot = tf.agg(sum("freq").cast("bigint").as("total"))
+      // distributed TakeOrdered to the top-100 FIRST; the rank/cumsum
+      // window then runs over a constant-size frame (an unpartitioned
+      // window over the full vocab would be a single-task sort). The
+      // cumulative sum at rank k <= 100 only needs the top-100 rows.
+      val top = tf.orderBy(col("freq").desc, col("term").asc).limit(100)
       val w = Window.orderBy(col("freq").desc, col("term").asc)
-      tf.withColumn("rank", row_number().over(w))
+      top.withColumn("rank", row_number().over(w))
         .withColumn("cum", sum("freq").over(
           w.rowsBetween(Window.unboundedPreceding, 0)).cast("bigint"))
-        .where(col("rank") <= 100)
         .crossJoin(broadcast(tot))
         .select(col("rank").cast("int").as("rank"), col("term"), col("freq"),
           round(col("cum") / col("total").cast("double"), 6).as("coverage"))
@@ -191,8 +206,11 @@ object LlmPipeline {
       val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
       val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
       val nd = Tables.documents(s, d).agg(count(lit(1)).as("nd"))
+      // dl is corpus-cardinality (one row per doc) — a broadcast hint here
+      // is exactly the corpus-broadcast anti-pattern; the plain join
+      // co-partitions with tf on doc_id. Only the 1-row total gets a hint.
       val scored = tf
-        .join(broadcast(dl), "doc_id")
+        .join(dl, "doc_id")
         .join(dfreq, "term")
         .crossJoin(broadcast(nd))
         .withColumn("score", round(
@@ -212,19 +230,13 @@ object LlmPipeline {
   private def nearPairsOf(s: SparkSession, d: String): DataFrame =
     LlmOps.nearPairs(s, d)
 
-  /** Shared shingle/pair SQL fragments (mirrors LlmOps.nearPairs). */
+  /** The shared shingle/pair CTEs (ONE copy, in LlmOps next to
+    * `nearPairs`) plus the thresholded pair set. */
   private val pairsSql =
-    """dd AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-      |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
-      |         generate_series(1, len(t) - 2), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS s
-      |       FROM dd),
-      |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
-      |inter AS (SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS c
-      |          FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
-      |          GROUP BY 1, 2),
-      |pairs AS (SELECT a, b FROM inter
-      |          JOIN sz sa ON a = sa.doc_id JOIN sz sb ON b = sb.doc_id
-      |          WHERE ROUND(c * 1.0 / (sa.n + sb.n - c), 4) >= 0.5)""".stripMargin
+    s"""${LlmOps.nearPairsSqlCtes},
+       |pairs AS (SELECT a, b FROM inter
+       |          JOIN sz sa ON a = sa.doc_id JOIN sz sb ON b = sb.doc_id
+       |          WHERE ROUND(c * 1.0 / (sa.n + sb.n - c), 4) >= 0.5)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     // Transitive closure by recursive CTE; MIN over the closure is the

@@ -255,7 +255,10 @@ object Warehouse {
         .select(col("user_id"), col("event_type"),
           col("ts_us").as("valid_from"), col("valid_to"),
           col("valid_to").isNull.as("is_current"))
-        .orderBy("user_id", "valid_from", "event_type")
+        // valid_to completes the total order: interleaved duplicate
+        // timestamps (view@T, click@T, view@T) can yield two rows with
+        // identical (user, valid_from, type) differing only in valid_to
+        .orderBy("user_id", "valid_from", "event_type", "valid_to")
     }),
 
     // MERGE-style SCD1 upsert on a plain-parquet warehouse (vanilla Spark
@@ -393,7 +396,7 @@ object Warehouse {
         |SELECT user_id, event_type, ts_us AS valid_from,
         |  lead(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS valid_to,
         |  lead(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) IS NULL AS is_current
-        |FROM f ORDER BY user_id, valid_from, event_type""".stripMargin,
+        |FROM f ORDER BY user_id, valid_from, event_type, valid_to""".stripMargin,
 
     // Post-state replay: key%7 rows carry bal+100, key%11 rows appear twice
     // (original + cloned insert with the shifted key).

@@ -48,6 +48,17 @@ class GraftExtensionsSpec extends AnyFunSuite with SparkFixture {
     assert(r.getDouble(0) == 0.0)
   }
 
+  test("SelfCosineIdentity preserves NULL and NaN propagation") {
+    val r = ext.sql(
+      "SELECT cosine_sim(e, e) AS c FROM (SELECT CAST(NULL AS ARRAY<DOUBLE>) AS e)")
+      .collect()(0)
+    assert(r.isNullAt(0), "NULL input must stay NULL after the rewrite")
+    val n = ext.sql(
+      "SELECT cosine_sim(array(CAST('NaN' AS DOUBLE), 1.0D), array(CAST('NaN' AS DOUBLE), 1.0D)) AS c")
+      .collect()(0)
+    assert(n.getDouble(0).isNaN, "NaN element must stay NaN after the rewrite")
+  }
+
   test("SelfCosineIdentity leaves distinct arguments alone") {
     val df = ext.sql(
       "SELECT cosine_sim(array(1.0D, 0.0D), array(0.0D, 1.0D)) AS c")
