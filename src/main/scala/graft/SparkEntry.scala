@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.ops.{Aggregates, Functions, LlmExt, LlmOps, LlmPipeline, LlmScale, Relational, Showcase, StreamingOps, Warehouse, WindowOps}
+import graft.ops.{Aggregates, Analytics, Functions, LlmExt, LlmOps, LlmPipeline, LlmPrep, LlmScale, Relational, Showcase, StreamingOps, Warehouse, WindowOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 (operator inventory) and §7.
   *
@@ -20,12 +20,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Aggregates.queries ++ WindowOps.queries ++
       Functions.queries ++ StreamingOps.queries ++ LlmOps.queries ++
-      LlmExt.queries ++ LlmScale.queries ++ LlmPipeline.queries ++ Showcase.queries ++ Warehouse.queries
+      LlmExt.queries ++ LlmScale.queries ++ LlmPipeline.queries ++ Showcase.queries ++ Warehouse.queries ++
+      Analytics.queries ++ LlmPrep.queries
 
   /** For each oracle-verified key in `queries`, equivalent SQL runnable by
     * DuckDB on the same parquet tables. */
   def oracleSql: Map[String, String] =
     Relational.oracles ++ Aggregates.oracles ++ WindowOps.oracles ++
       Functions.oracles ++ StreamingOps.oracles ++ LlmOps.oracles ++
-      LlmExt.oracles ++ LlmScale.oracles ++ LlmPipeline.oracles ++ Showcase.oracles ++ Warehouse.oracles
+      LlmExt.oracles ++ LlmScale.oracles ++ LlmPipeline.oracles ++ Showcase.oracles ++ Warehouse.oracles ++
+      Analytics.oracles ++ LlmPrep.oracles
 }

@@ -1,0 +1,184 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Training-data preparation operators (round 5): context-window sequence
+  * packing, PII redaction, per-stratum hash sampling, and multimodal frame
+  * sampling — the last mile between a cleaned corpus and a training run.
+  *
+  * Scale posture: packing is bucketed (32 hash buckets, each packed
+  * independently) so the prefix-sum never serializes into one task — at
+  * 100 TB the bucket count rises with the cluster and the shape is
+  * unchanged; redaction/sampling are pure per-row projections; frame
+  * sampling is a projection + explode whose fan-out is bounded by the
+  * sample stride.
+  */
+object LlmPrep {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** md5-derived uniform key in [0, 2³²) — the same layout-independent,
+    * engine-shared randomness the split/sample family uses. */
+  private val UExpr =
+    "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT)"
+
+  /** Context window (tokens) for packing. */
+  private val Ctx = 1024L
+
+  /** Frame geometry for the multimodal sampler: 32-byte frames, every
+    * 4th frame kept (stride sampling, the video keyframe shape). */
+  private val FrameLen = 32
+  private val Stride = 4
+
+  val queries: Map[String, Q] = Map(
+    // Sequence packing (concat-then-split): docs are ordered by a
+    // layout-independent hash inside 32 independent buckets, token counts
+    // prefix-summed per bucket, and each doc assigned to the context
+    // window its first token lands in. Per-pack rollup reports how full
+    // each window is. The window partitions on the bucket, so no global
+    // single-task prefix sum exists anywhere in the plan.
+    "llm_pack_sequences" -> ((s, d) => {
+      val tok = Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast("bigint").as("n_tok"),
+          expr(UExpr).as("u"))
+        .withColumn("bucket", col("u") % 32)
+      val w = Window.partitionBy("bucket").orderBy("u", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      tok.withColumn("cum", sum(col("n_tok")).over(w))
+        .withColumn("pack_id",
+          col("bucket") * 100000L + expr(s"(cum - n_tok) DIV $Ctx"))
+        .groupBy("pack_id")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"),
+          min("doc_id").as("first_doc"))
+        .select(col("pack_id"), col("n_docs"), col("n_tokens"), col("first_doc"),
+          round(col("n_tokens") / lit(Ctx.toDouble), 4).as("fill"))
+        .orderBy("pack_id")
+    }),
+
+    // PII redaction: deterministic synthetic PII (an email and a phone
+    // derived from doc_id — the corpus itself is synthetic words) is
+    // appended, then scrubbed by the same two regexes in both engines.
+    // Pure projection; the regex classes used ([...], {n,}, +) behave
+    // identically under Java regex and RE2.
+    "llm_pii_redact" -> ((s, d) =>
+      Tables.documents(s, d)
+        .withColumn("aug", concat(col("text"),
+          lit(" contact "), col("source"), col("doc_id").cast("string"),
+          lit("@example.com call +1-555-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+        .withColumn("redacted",
+          regexp_replace(
+            regexp_replace(col("aug"),
+              lit("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"), lit("<EMAIL>")),
+            lit("\\+1-555-[0-9]{4}"), lit("<PHONE>")))
+        .select(col("doc_id"),
+          regexp_count(col("aug"),
+            lit("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}")).as("n_emails"),
+          regexp_count(col("aug"), lit("\\+1-555-[0-9]{4}")).as("n_phones"),
+          length(col("redacted")).as("red_len"),
+          expr("right(redacted, 30)").as("tail"))
+        .orderBy("doc_id")),
+
+    // Stratified sampling: per-language rates applied through the shared
+    // md5 key, so the sample is reproducible across engines, layouts, and
+    // scale factors (a doc's fate depends only on its id). Conditional
+    // aggregation keeps it to one shuffle on the stratum key.
+    "llm_sample_stratified" -> ((s, d) =>
+      Tables.documents(s, d)
+        .withColumn("u", expr(UExpr))
+        .withColumn("rate_milli",
+          when(col("lang") === "en", 500L)
+            .when(col("lang") === "de", 250L)
+            .otherwise(100L))
+        .withColumn("keep", (col("u") % 1000L) < col("rate_milli"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_total"),
+          sum(when(col("keep"), 1L).otherwise(0L)).as("n_sampled"),
+          max(col("rate_milli")).as("rate_milli"))
+        .select(col("lang"), col("n_total"), col("n_sampled"), col("rate_milli"),
+          round(col("n_sampled") / col("n_total").cast("double"), 4).as("frac"))
+        .orderBy("lang")),
+
+    // Multimodal frame sampling: treat each doc's payload as an opaque
+    // byte stream (the real decode is a stubbed codec — mm_decode_meta
+    // carries the mapPartitions plumbing), cut it into fixed 32-byte
+    // frames, keep every 4th, and fingerprint each kept frame. This is
+    // the video keyframe-extraction shape: projection + bounded explode,
+    // no shuffle until a consumer aggregates.
+    "mm_frame_sample" -> ((s, d) =>
+      Tables.documents(s, d).where(col("doc_id") % 20 === 0)
+        .select(col("doc_id"), col("text"), length(col("text")).as("len"))
+        .withColumn("n_frames", expr(s"CAST((len + ${FrameLen - 1}) DIV $FrameLen AS INT)"))
+        .withColumn("frame_idx",
+          explode(sequence(lit(0), col("n_frames") - 1, lit(Stride))))
+        .select(col("doc_id"), col("frame_idx"),
+          (col("frame_idx") * FrameLen).as("off"),
+          least(lit(FrameLen), col("len") - col("frame_idx") * FrameLen).cast("int").as("frame_len"),
+          md5(expr(s"CAST(substring(text, frame_idx * $FrameLen + 1, $FrameLen) AS BINARY)")).as("frame_md5"))
+        .orderBy("doc_id", "frame_idx"))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "llm_pack_sequences" ->
+      s"""WITH t AS (SELECT doc_id,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+         |    ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS u
+         |  FROM documents),
+         |b AS (SELECT *, u % 32 AS bucket FROM t),
+         |c AS (SELECT *, CAST(SUM(n_tok) OVER (PARTITION BY bucket ORDER BY u, doc_id
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+         |      FROM b),
+         |p AS (SELECT *, bucket * 100000 + (cum - n_tok) // $Ctx AS pack_id FROM c)
+         |SELECT pack_id, COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+         |  MIN(doc_id) AS first_doc,
+         |  ROUND(CAST(SUM(n_tok) AS BIGINT) / ${Ctx.toDouble}, 4) AS fill
+         |FROM p GROUP BY pack_id ORDER BY pack_id""".stripMargin,
+
+    "llm_pii_redact" ->
+      """WITH a AS (SELECT doc_id,
+        |    text || ' contact ' || source || CAST(doc_id AS VARCHAR)
+        |      || '@example.com call +1-555-'
+        |      || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS aug
+        |  FROM documents),
+        |r AS (SELECT doc_id, aug,
+        |    regexp_replace(
+        |      regexp_replace(aug, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |      '\+1-555-[0-9]{4}', '<PHONE>', 'g') AS redacted
+        |  FROM a)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(aug, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_emails,
+        |  CAST(len(regexp_extract_all(aug, '\+1-555-[0-9]{4}')) AS INT) AS n_phones,
+        |  CAST(length(redacted) AS INT) AS red_len,
+        |  right(redacted, 30) AS tail
+        |FROM r ORDER BY doc_id""".stripMargin,
+
+    "llm_sample_stratified" ->
+      """WITH t AS (SELECT lang,
+        |    ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS u,
+        |    CASE WHEN lang = 'en' THEN 500 WHEN lang = 'de' THEN 250 ELSE 100 END AS rate_milli
+        |  FROM documents)
+        |SELECT lang, COUNT(*) AS n_total,
+        |  CAST(SUM(CASE WHEN u % 1000 < rate_milli THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+        |  CAST(MAX(rate_milli) AS BIGINT) AS rate_milli,
+        |  ROUND(CAST(SUM(CASE WHEN u % 1000 < rate_milli THEN 1 ELSE 0 END) AS BIGINT)
+        |    / CAST(COUNT(*) AS DOUBLE), 4) AS frac
+        |FROM t GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "mm_frame_sample" ->
+      """WITH d AS (SELECT doc_id, text, length(text) AS len FROM documents
+        |           WHERE doc_id % 20 = 0),
+        |f AS (SELECT doc_id, text, len,
+        |        CAST((len + 31) // 32 AS INT) AS n_frames FROM d),
+        |x AS (SELECT doc_id, text, len,
+        |        CAST(unnest(generate_series(0, n_frames - 1, 4)) AS INT) AS frame_idx
+        |      FROM f)
+        |SELECT doc_id, frame_idx,
+        |  frame_idx * 32 AS off,
+        |  CAST(least(32, len - frame_idx * 32) AS INT) AS frame_len,
+        |  md5(substring(text, frame_idx * 32 + 1, 32)) AS frame_md5
+        |FROM x ORDER BY doc_id, frame_idx""".stripMargin
+  )
+}

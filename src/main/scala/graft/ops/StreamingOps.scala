@@ -123,6 +123,29 @@ object StreamingOps {
       q.stop()
     }),
 
+    // Trigger.AvailableNow over a FILE source — the backfill/catch-up mode:
+    // the stream reads everything currently in the parquet path in rate-
+    // limited micro-batches, then terminates on its own. Unlike the golden
+    // MemoryStream ops this one runs over the REAL events table, so its
+    // oracle is the genuine batch aggregate: file-source backfill must
+    // equal batch execution exactly (the streaming ≡ batch contract).
+    "stream_avail_now" -> ((s, d) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val sch = s.read.parquet(s"$d/events.parquet").schema
+      withFewShufflePartitions(s) {
+        val q = s.readStream.schema(sch).parquet(s"$d/events.parquet")
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            sum(floor(col("value") * 100).cast("bigint")).as("value_cents"))
+          .writeStream.format("memory").queryName("graft_avail_now")
+          .outputMode("complete")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      s.table("graft_avail_now").orderBy("event_type")
+    }),
+
     // foreachBatch sink — the standard "stream into a warehouse" bridge:
     // each micro-batch lands as its own parquet dir keyed by batch_id
     // (overwrite per batch id = idempotent replay, the exactly-once
@@ -305,6 +328,13 @@ object StreamingOps {
         |FROM (VALUES ('click', 1, 200), ('purchase', 1, 400), ('view', 3, 450))
         |  AS t(event_type, cnt, cents)
         |ORDER BY event_type""".stripMargin,
+
+    // Real oracle (not golden): the backfill must equal the batch
+    // aggregate over the same parquet.
+    "stream_avail_now" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     // Golden post-state of the two fixed micro-batches: view appears in
     // both batches (events 1 and 3), click/purchase in one each.

@@ -238,6 +238,18 @@ object Warehouse {
     // InMemoryTableScan (plan-asserted in WarehouseSpec). At 100 TB the
     // cached relation is the small hot aggregate/dimension layer, never the
     // fact table; the cache is partition-distributed, not driver-side.
+    "warehouse_cache_ops" -> ((s, d) => {
+      Tables.nation(s, d).createOrReplaceTempView("graft_cache_nation")
+      Tables.customer(s, d).createOrReplaceTempView("graft_cache_customer")
+      s.sql("CACHE TABLE graft_cache_nation")
+      s.sql(
+        """SELECT n.n_name, COUNT(*) AS n_cust,
+          |  CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS balance
+          |FROM graft_cache_customer c
+          |JOIN graft_cache_nation n ON c.c_nationkey = n.n_nationkey
+          |GROUP BY n.n_name ORDER BY n.n_name""".stripMargin)
+    }),
+
     // SCD type-2 dimension build — the standard warehouse history table:
     // per user, collapse the event stream to type-change rows, each valid
     // [valid_from, valid_to) with an open current row. Two window passes
@@ -385,6 +397,12 @@ object Warehouse {
         |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS balance
         |FROM customer WHERE c_custkey % 10 = 0
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "warehouse_cache_ops" ->
+      """SELECT n_name, COUNT(*) AS n_cust,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS balance
+        |FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
 
     "warehouse_scd2" ->
       """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id
