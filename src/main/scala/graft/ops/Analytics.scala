@@ -126,7 +126,88 @@ object Analytics {
           (abs(col("bsk") - col("skew")) <= greatest(abs(col("skew")) * 1e-6, lit(1e-9))
             && abs(col("bku") - col("kurt")) <= greatest(abs(col("kurt")) * 1e-6, lit(1e-9)))
             .as("builtin_ok"))
-        .orderBy("l_returnflag"))
+        .orderBy("l_returnflag")),
+
+    // Cohort retention matrix (the product-analytics staple): users are
+    // cohorted by the ISO week of their first event; each later active
+    // week lands in an integer week-offset bucket (day-diff DIV 7 —
+    // engine-independent integer arithmetic, no second truncation).
+    // Two shuffles: min-day per user (user_id), then the matrix rollup
+    // on (cohort_week, week_offset) — both hash-even at any scale.
+    "agg_cohort_retention" -> ((s, d) => {
+      val e = Tables.events(s, d)
+        .select(col("user_id"), to_date(col("ts")).as("day"))
+      val first = e.groupBy("user_id").agg(min("day").as("d0"))
+      e.join(first, "user_id")
+        .select(col("user_id"),
+          date_format(date_trunc("week", col("d0")), "yyyy-MM-dd").as("cohort_week"),
+          expr("CAST(datediff(day, d0) AS BIGINT) DIV 7").as("week_offset"))
+        .distinct()
+        .groupBy("cohort_week", "week_offset")
+        .agg(countDistinct("user_id").as("n_users"))
+        .orderBy("cohort_week", "week_offset")
+    }),
+
+    // Gaps-and-islands (consecutive-day activity streaks): the classic
+    // day_num − row_number island key over distinct active days. One
+    // shuffle on user_id serves the window and both rollups; per-user
+    // state is a handful of scalars, so the shape is unchanged at 10⁹
+    // users.
+    "win_gaps_islands" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("day_num")
+      Tables.events(s, d)
+        .select(col("user_id"),
+          datediff(to_date(col("ts")), lit("1970-01-01")).cast("bigint").as("day_num"))
+        .distinct()
+        .withColumn("island", col("day_num") - row_number().over(w))
+        .groupBy("user_id", "island").agg(count(lit(1)).as("len"))
+        .groupBy("user_id")
+        .agg(sum("len").as("n_active_days"),
+          count(lit(1)).as("n_streaks"),
+          max("len").as("max_streak"))
+        .orderBy("user_id")
+    }),
+
+    // First/last-touch attribution: each purchase credits the user's
+    // first and most recent non-purchase touchpoint strictly before it
+    // ((ts_us, event_id) total order; IGNORE NULLS windows over the
+    // preceding frame). One shuffle on user_id; the rollup keys are
+    // tiny enumerations.
+    "win_attribution" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val touch = when(col("event_type") =!= "purchase", col("event_type"))
+      Tables.events(s, d)
+        .select(col("user_id"), col("ts_us"), col("event_id"),
+          col("event_type"), col("value"))
+        .withColumn("first_touch", first(touch, ignoreNulls = true).over(w))
+        .withColumn("last_touch", last(touch, ignoreNulls = true).over(w))
+        .where(col("event_type") === "purchase")
+        .groupBy(
+          coalesce(col("first_touch"), lit("(none)")).as("first_touch"),
+          coalesce(col("last_touch"), lit("(none)")).as("last_touch"))
+        .agg(count(lit(1)).as("n_purchases"),
+          sum(floor(col("value") * 100).cast("bigint")).as("value_cents"))
+        .orderBy("first_touch", "last_touch")
+    }),
+
+    // Deterministic mode (most-frequent value per group) — the builtin
+    // `mode()` breaks ties engine-arbitrarily, so the graded op makes the
+    // tie explicit: count desc, then value asc, via one row_number over
+    // the counts relation. Two aggregations, both partial-aggregated
+    // map-side; no distinct-value list is ever held per group.
+    "agg_mode" -> ((s, d) => {
+      val counts = Tables.orders(s, d)
+        .groupBy("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy("o_orderstatus")
+        .orderBy(col("n").desc, col("o_orderpriority"))
+      counts.withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select(col("o_orderstatus"), col("o_orderpriority").as("mode_priority"),
+          col("n").as("n_mode"))
+        .orderBy("o_orderstatus")
+    })
   )
 
   val oracles: Map[String, String] = Map(
@@ -196,6 +277,54 @@ object Analytics {
         |  m3/(sqrt(m2)*sqrt(m2)*sqrt(m2)) AS skew,
         |  m4/(m2*m2) - 3 AS kurt,
         |  TRUE AS builtin_ok
-        |FROM c ORDER BY l_returnflag""".stripMargin
+        |FROM c ORDER BY l_returnflag""".stripMargin,
+
+    "agg_cohort_retention" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+        |f AS (SELECT user_id, MIN(day) AS d0 FROM e GROUP BY user_id),
+        |a AS (SELECT DISTINCT e.user_id,
+        |        strftime(date_trunc('week', f.d0), '%Y-%m-%d') AS cohort_week,
+        |        CAST((e.day - f.d0) AS BIGINT) // 7 AS week_offset
+        |      FROM e JOIN f ON e.user_id = f.user_id)
+        |SELECT cohort_week, week_offset, COUNT(DISTINCT user_id) AS n_users
+        |FROM a GROUP BY cohort_week, week_offset
+        |ORDER BY cohort_week, week_offset""".stripMargin,
+
+    "win_gaps_islands" ->
+      """WITH dd AS (SELECT DISTINCT user_id,
+        |        CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day_num
+        |      FROM events),
+        |i AS (SELECT user_id, day_num,
+        |        day_num - row_number() OVER (PARTITION BY user_id ORDER BY day_num) AS island
+        |      FROM dd),
+        |st AS (SELECT user_id, island, COUNT(*) AS len FROM i GROUP BY user_id, island)
+        |SELECT user_id, CAST(SUM(len) AS BIGINT) AS n_active_days,
+        |  COUNT(*) AS n_streaks, CAST(MAX(len) AS BIGINT) AS max_streak
+        |FROM st GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "win_attribution" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type, value FROM events),
+        |t AS (SELECT user_id, ts_us, event_id, event_type, value,
+        |        first_value(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS)
+        |          OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS first_touch,
+        |        last_value(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS)
+        |          OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_touch
+        |      FROM e)
+        |SELECT COALESCE(first_touch, '(none)') AS first_touch,
+        |  COALESCE(last_touch, '(none)') AS last_touch,
+        |  COUNT(*) AS n_purchases,
+        |  CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+        |FROM t WHERE event_type = 'purchase'
+        |GROUP BY 1, 2 ORDER BY first_touch, last_touch""".stripMargin,
+
+    "agg_mode" ->
+      """WITH c AS (SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+        |           FROM orders GROUP BY o_orderstatus, o_orderpriority),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY o_orderstatus
+        |        ORDER BY n DESC, o_orderpriority) AS rn FROM c)
+        |SELECT o_orderstatus, o_orderpriority AS mode_priority, n AS n_mode
+        |FROM r WHERE rn = 1 ORDER BY o_orderstatus""".stripMargin
   )
 }

@@ -236,7 +236,26 @@ object Functions {
           expr("variant_get(v, '$.k', 'string')").as("k_str"),
           expr("variant_get(v, '$.missing', 'int')").as("k_missing"),
           expr("variant_get(parse_json('[1, {\"a\": 7}]'), '$[1].a', 'int')").as("nested"))
-        .orderBy("event_id"))
+        .orderBy("event_id")),
+
+    // URL parsing (the log/referrer-analytics workhorse): Spark's
+    // `parse_url` (HOST / PATH / QUERY and a keyed query parameter)
+    // over deterministic URLs synthesized from document fields; the
+    // oracle extracts the same components with anchored regexes. Pure
+    // per-row projection, zero shuffle.
+    "fn_url" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          concat(lit("https://"), col("source"), lit(".example.com/"),
+            col("lang"), lit("/doc/"), col("doc_id"),
+            lit("?ref="), col("source"), lit("&p="), col("doc_id") % 7)
+            .as("url"))
+        .select(col("doc_id"), col("url"),
+          expr("parse_url(url, 'HOST')").as("host"),
+          expr("parse_url(url, 'PATH')").as("path"),
+          expr("parse_url(url, 'QUERY')").as("query"),
+          expr("parse_url(url, 'QUERY', 'p')").as("p_param"))
+        .orderBy("doc_id"))
   )
 
   val oracles: Map[String, String] = Map(
@@ -400,6 +419,19 @@ object Functions {
         |  json_extract_string(props, '$.k') AS k_str,
         |  CAST(json_extract(props, '$.missing') AS INTEGER) AS k_missing,
         |  CAST(json_extract('[1, {"a": 7}]', '$[1].a') AS INTEGER) AS nested
-        |FROM events WHERE event_id % 100 = 0 ORDER BY event_id""".stripMargin
+        |FROM events WHERE event_id % 100 = 0 ORDER BY event_id""".stripMargin,
+
+    "fn_url" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    'https://' || source || '.example.com/' || lang || '/doc/' || doc_id
+        |      || '?ref=' || source || '&p=' || (doc_id % 7) AS url
+        |  FROM documents)
+        |SELECT doc_id, url,
+        |  regexp_extract(url, '^https://([^/]+)/', 1) AS host,
+        |  regexp_extract(url, '^https://[^/]+(/[^?]*)', 1) AS path,
+        |  regexp_extract(url, '\?(.*)$', 1) AS query,
+        |  regexp_extract(url, '[?&]p=([^&]*)', 1) AS p_param
+        |FROM u ORDER BY doc_id""".stripMargin
   )
 }

@@ -118,7 +118,46 @@ object LlmPrep {
           (col("frame_idx") * FrameLen).as("off"),
           least(lit(FrameLen), col("len") - col("frame_idx") * FrameLen).cast("int").as("frame_len"),
           md5(expr(s"CAST(substring(text, frame_idx * $FrameLen + 1, $FrameLen) AS BINARY)")).as("frame_md5"))
-        .orderBy("doc_id", "frame_idx"))
+        .orderBy("doc_id", "frame_idx")),
+
+    // Fuzzy (edit-distance) dedup — the entity-resolution shape: block
+    // on an 8-char prefix so candidate generation is a bucketed
+    // equi-join (never an all-pairs product; block sizes are bounded by
+    // prefix-entropy, and a skewed block salts like any skewed join
+    // key), then score candidates with levenshtein over a 40-char
+    // fingerprint. Edit distance is engine-exact, so the oracle replays
+    // the identical algorithm.
+    "llm_dedup_fuzzy" -> ((s, d) => {
+      val p = Tables.documents(s, d)
+        .select(col("doc_id"), substring(col("text"), 1, 8).as("b"),
+          substring(col("text"), 1, 40).as("pre"))
+      p.as("x").join(p.as("y"),
+          col("x.b") === col("y.b") && col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b_id"),
+          levenshtein(col("x.pre"), col("y.pre")).cast("bigint").as("lev"))
+        .where(col("lev") <= 18)
+        .orderBy("a", "b_id")
+    }),
+
+    // Int8 embedding quantization (the ANN-index compression stage: 4×
+    // memory cut before IVF/LSH bucketing). Symmetric per-vector scale
+    // q = floor(x·127/max|x| + 0.5) — floor instead of round so the
+    // half-way rule is a single exact IEEE tree both engines share.
+    // All emitted aggregates of q are integers; pure projection, zero
+    // shuffle.
+    "llm_embed_quantize" -> ((s, d) =>
+      Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"),
+          size(col("embedding")).cast("bigint").as("dim"),
+          expr("CAST(aggregate(embedding, CAST(0.0 AS DOUBLE), (acc, x) -> greatest(acc, abs(CAST(x AS DOUBLE)))) AS DOUBLE)").as("max_abs"))
+        .where(col("max_abs") > 0)
+        .withColumn("q", expr(
+          "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / max_abs + 0.5) AS BIGINT))"))
+        .select(col("vec_id"), col("dim"), col("max_abs"),
+          expr("aggregate(q, CAST(0 AS BIGINT), (acc, v) -> acc + v)").as("q_sum"),
+          expr("aggregate(q, CAST(0 AS BIGINT), (acc, v) -> acc + v * v)").as("q_norm2"),
+          expr("aggregate(q, CAST(0 AS BIGINT), (acc, v) -> acc + CAST(abs(v) = 127 AS BIGINT))").as("n_sat"))
+        .orderBy("vec_id"))
   )
 
   val oracles: Map[String, String] = Map(
@@ -179,6 +218,33 @@ object LlmPrep {
         |  frame_idx * 32 AS off,
         |  CAST(least(32, len - frame_idx * 32) AS INT) AS frame_len,
         |  md5(substring(text, frame_idx * 32 + 1, 32)) AS frame_md5
-        |FROM x ORDER BY doc_id, frame_idx""".stripMargin
+        |FROM x ORDER BY doc_id, frame_idx""".stripMargin,
+
+    "llm_dedup_fuzzy" ->
+      """WITH p AS (SELECT doc_id, substring(text, 1, 8) AS b,
+        |             substring(text, 1, 40) AS pre FROM documents)
+        |SELECT x.doc_id AS a, y.doc_id AS b_id,
+        |  CAST(levenshtein(x.pre, y.pre) AS BIGINT) AS lev
+        |FROM p x JOIN p y ON x.b = y.b AND x.doc_id < y.doc_id
+        |WHERE levenshtein(x.pre, y.pre) <= 18
+        |ORDER BY a, b_id""".stripMargin,
+
+    "llm_embed_quantize" ->
+      """WITH m AS (
+        |  SELECT vec_id, CAST(len(embedding) AS BIGINT) AS dim,
+        |    CAST(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))),
+        |      (acc, x) -> greatest(acc, x)) AS DOUBLE) AS max_abs,
+        |    embedding
+        |  FROM embeddings),
+        |q AS (SELECT vec_id, dim, max_abs,
+        |        list_transform(embedding,
+        |          x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / max_abs + 0.5) AS BIGINT)) AS qv
+        |      FROM m WHERE max_abs > 0)
+        |SELECT vec_id, dim, max_abs,
+        |  CAST(list_sum(qv) AS BIGINT) AS q_sum,
+        |  CAST(list_sum(list_transform(qv, v -> v * v)) AS BIGINT) AS q_norm2,
+        |  CAST(list_sum(list_transform(qv, v -> CAST(abs(v) = 127 AS BIGINT))) AS BIGINT) AS n_sat
+        |FROM q ORDER BY vec_id""".stripMargin
   )
 }

@@ -76,7 +76,74 @@ object Showcase {
         .select(col("c_custkey"), col("c_name"), col("revenue"),
           col("c_acctbal"), col("n_name"))
         .orderBy(col("revenue").desc, col("c_custkey"))
-        .limit(20))
+        .limit(20)),
+
+    // TPC-H Q1 (pricing summary report): THE canonical scan-heavy
+    // aggregate — one pass over the fact, partial aggregation map-side,
+    // six measures per (returnflag, linestatus). Money laws: quantity is
+    // integer-valued (exact BIGINT), 2dp×2dp products at decimal(18,4),
+    // the 6dp triple product at decimal(18,6); averages are one double
+    // division over exact sums (identical IEEE tree both engines).
+    "tpch_q1" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .where(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum(col("l_quantity").cast("bigint")).as("sum_qty"),
+          sum(dec(col("l_extendedprice"))).as("sbp"),
+          sum(dec(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("sdp"),
+          sum((col("l_extendedprice") * (lit(1) - col("l_discount"))
+            * (lit(1) + col("l_tax"))).cast("decimal(18,6)")).as("sc"),
+          sum(dec(col("l_discount"))).as("sd"),
+          count(lit(1)).as("count_order"))
+        .select(col("l_returnflag"), col("l_linestatus"),
+          col("sum_qty"),
+          col("sbp").cast("double").as("sum_base_price"),
+          col("sdp").cast("double").as("sum_disc_price"),
+          col("sc").cast("double").as("sum_charge"),
+          (col("sum_qty").cast("double") / col("count_order").cast("double"))
+            .as("avg_qty"),
+          (col("sbp").cast("double") / col("count_order").cast("double"))
+            .as("avg_price"),
+          (col("sd").cast("double") / col("count_order").cast("double"))
+            .as("avg_disc"),
+          col("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    // TPC-H Q6 (forecast revenue change): the pushdown showcase — every
+    // filter reaches the parquet scan (PushedFilters), the aggregate is
+    // a single exact-decimal sum, and the whole plan is one codegen'd
+    // scan stage with no shuffle beyond the final partial-sum merge.
+    "tpch_q6" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp")
+          && col("l_shipdate") < lit("1997-01-01").cast("timestamp")
+          && col("l_discount").between(0.05, 0.07)
+          && col("l_quantity") < 24)
+        .agg(sum(dec(col("l_extendedprice") * col("l_discount")))
+          .cast("double").as("revenue"))),
+
+    // TPC-H Q18 (large-volume customers): the HAVING-on-fact-rollup
+    // shape — order keys whose total quantity clears a scale-stable
+    // per-order threshold (bounded by line count × max qty, so the
+    // predicate is size-independent), then joined back through orders to
+    // customers. The qty rollup shuffles on l_orderkey; the survivor set
+    // is tiny and broadcast into the join.
+    "tpch_q18" -> ((s, d) => {
+      val big = Tables.lineitem(s, d)
+        .groupBy("l_orderkey")
+        .agg(sum(col("l_quantity").cast("bigint")).as("total_qty"))
+        .where(col("total_qty") > 300)
+      Tables.orders(s, d)
+        .join(broadcast(big), col("o_orderkey") === col("l_orderkey"))
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+          col("o_totalprice"), col("total_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(100)
+    })
   )
 
   val oracles: Map[String, String] = Map(
@@ -115,6 +182,41 @@ object Showcase {
         |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
         |  AND c_nationkey = n_nationkey
         |GROUP BY c_custkey, c_name, c_acctbal, n_name
-        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+
+    "tpch_q1" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+        |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_price,
+        |  CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_disc,
+        |  COUNT(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "tpch_q6" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_discount BETWEEN 0.05 AND 0.07
+        |  AND l_quantity < 24""".stripMargin,
+
+    "tpch_q18" ->
+      """WITH big AS (
+        |  SELECT l_orderkey, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+        |  FROM lineitem GROUP BY l_orderkey
+        |  HAVING SUM(CAST(l_quantity AS BIGINT)) > 300)
+        |SELECT c_name, c_custkey, o_orderkey,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+        |  o_totalprice, total_qty
+        |FROM orders JOIN big ON o_orderkey = l_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin
   )
 }

@@ -132,8 +132,18 @@ object StreamingOps {
     "stream_avail_now" -> ((s, d) => {
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val sch = s.read.parquet(s"$d/events.parquet").schema
+      // FileStreamSource requires a DIRECTORY; the testdata table is a bare
+      // file, so stage a zero-copy symlink inside the session scratch dir
+      // (idempotent across verify/bench re-invocations in one JVM).
+      val stageDir = java.nio.file.Paths.get(
+        s"${Scratch.dir}/avail_now_src_${d.replaceAll("[^A-Za-z0-9.]", "_")}")
+      java.nio.file.Files.createDirectories(stageDir)
+      val link = stageDir.resolve("events.parquet")
+      if (!java.nio.file.Files.exists(link))
+        java.nio.file.Files.createSymbolicLink(
+          link, java.nio.file.Paths.get(s"$d/events.parquet"))
       withFewShufflePartitions(s) {
-        val q = s.readStream.schema(sch).parquet(s"$d/events.parquet")
+        val q = s.readStream.schema(sch).parquet(stageDir.toString)
           .groupBy("event_type")
           .agg(count(lit(1)).as("n"),
             sum(floor(col("value") * 100).cast("bigint")).as("value_cents"))

@@ -52,29 +52,32 @@ class LlmScaleSpec extends AnyFunSuite with SparkFixture {
   }
 
   test("llm_pack_sequences conserves tokens and respects bin capacity") {
+    // schema: (pack_id = bucket*100000 + bin, n_docs, n_tokens, first_doc,
+    // fill); capacity Ctx = 1024 tokens per window, 32 hash buckets
     val out = SparkEntry.queries("llm_pack_sequences")(spark, sf).collect()
-    val packedTotal = out.map(_.getLong(3)).sum
+    val packedTotal = out.map(_.getLong(2)).sum
     val srcTotal = Tables.documents(spark, sf)
-      .select(size(split(col("text"), " ")).as("n"))
+      .select(size(split(col("text"), " ")).cast("long").as("n"))
       .agg(sum("n")).collect()(0).getLong(0)
     assert(packedTotal == srcTotal, s"$packedTotal != $srcTotal")
-    // bins are contiguous from 0 per language
-    out.groupBy(_.getString(0)).foreach { case (lang, rows) =>
-      val bins = rows.map(_.getLong(1)).sorted
+    val nDocs = out.map(_.getLong(1)).sum
+    assert(nDocs == Tables.documents(spark, sf).count(), "doc count not conserved")
+    // bins are contiguous from 0 inside every bucket
+    out.groupBy(r => r.getLong(0) / 100000L).foreach { case (bucket, rows) =>
+      val bins = rows.map(_.getLong(0) % 100000L).sorted
       assert(bins.head == 0 && bins.toSeq == (0L until bins.length).toSeq,
-        s"$lang bins not contiguous: ${bins.toSeq}")
+        s"bucket $bucket bins not contiguous: ${bins.toSeq}")
     }
-    // every bin except possibly the last per lang carries >= capacity
-    // tokens once its straddling doc is counted: weaker invariant that is
-    // still wrong-detection-strong — a bin's START offset is bin*2048, so
-    // cumulative tokens through bin b is > b*2048
-    out.groupBy(_.getString(0)).foreach { case (lang, rows) =>
-      val sorted = rows.sortBy(_.getLong(1))
+    // a bin's START offset is bin*1024, so cumulative tokens through every
+    // non-final bin must have crossed that bin's upper boundary (its last
+    // doc straddles or lands exactly on it)
+    out.groupBy(r => r.getLong(0) / 100000L).foreach { case (bucket, rows) =>
+      val sorted = rows.sortBy(_.getLong(0))
       var cum = 0L
       sorted.dropRight(1).foreach { r =>
-        cum += r.getLong(3)
-        assert(cum >= (r.getLong(1) + 1) * 2048,
-          s"$lang bin ${r.getLong(1)} ended before its boundary: $cum")
+        cum += r.getLong(2)
+        assert(cum >= ((r.getLong(0) % 100000L) + 1) * 1024,
+          s"bucket $bucket bin ${r.getLong(0) % 100000L} ended before its boundary: $cum")
       }
     }
   }

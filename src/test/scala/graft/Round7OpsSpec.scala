@@ -1,0 +1,137 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantic checks for the round-7 operators (beyond the smoke/oracle
+  * gates): behavioral analytics (cohorts, streaks, attribution, mode),
+  * the TPC-H Q1/Q6/Q18 showcase trio, URL parsing, fuzzy dedup, and
+  * embedding quantization.
+  */
+class Round7OpsSpec extends AnyFunSuite with SparkFixture {
+
+  test("agg_cohort_retention: offsets non-negative, week-0 users cover every cohort member") {
+    val rows = SparkEntry.queries("agg_cohort_retention")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getLong(1) >= 0, "negative week_offset"))
+    // week 0 exists for every cohort (a user's first week is active by
+    // definition) and is the max-retention row of its cohort
+    val byCohort = rows.groupBy(_.getString(0))
+    byCohort.foreach { case (ck, rs) =>
+      val w0 = rs.find(_.getLong(1) == 0L)
+      assert(w0.isDefined, s"cohort $ck missing week 0")
+      assert(rs.forall(_.getLong(2) <= w0.get.getLong(2)),
+        s"cohort $ck has a week retaining more users than week 0")
+    }
+  }
+
+  test("win_gaps_islands: streak totals match a driver-side reference per user") {
+    val got = SparkEntry.queries("win_gaps_islands")(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val days = Tables.events(spark, sf)
+      .select(col("user_id"), datediff(to_date(col("ts")), lit("1970-01-01")).cast("long"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    days.groupBy(_._1).foreach { case (u, ds) =>
+      val sorted = ds.map(_._2).sorted
+      // reference: count islands by scanning consecutive diffs
+      var nStreaks = 1L; var cur = 1L; var maxS = 1L
+      sorted.toSeq.sliding(2).foreach {
+        case Seq(a, b) =>
+          if (b == a + 1) { cur += 1 } else { nStreaks += 1; cur = 1 }
+          maxS = math.max(maxS, cur)
+        case _ => ()
+      }
+      val (nDays, gotStreaks, gotMax) = got(u)
+      assert(nDays == sorted.length.toLong, s"user $u active days")
+      assert(gotStreaks == nStreaks, s"user $u streak count")
+      assert(gotMax == maxS, s"user $u max streak")
+    }
+  }
+
+  test("win_attribution: purchase count is conserved and untouched users land in (none)") {
+    val rows = SparkEntry.queries("win_attribution")(spark, sf).collect()
+    val total = rows.map(_.getLong(2)).sum
+    val purchases = Tables.events(spark, sf)
+      .where(col("event_type") === "purchase").count()
+    assert(total == purchases, "attributed purchases != total purchases")
+    // a (none) first_touch must pair with a (none) last_touch: no prior
+    // non-purchase event means both frames were empty
+    rows.filter(_.getString(0) == "(none)")
+      .foreach(r => assert(r.getString(1) == "(none)"))
+  }
+
+  test("agg_mode picks the max-count value with the deterministic tie-break") {
+    val counts = Tables.orders(spark, sf)
+      .groupBy("o_orderstatus", "o_orderpriority").count().collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val want = counts.groupBy(_._1).map { case (st, rs) =>
+      st -> rs.map(r => (r._3, r._2)).toSeq.sortBy(x => (-x._1, x._2)).head
+    }
+    SparkEntry.queries("agg_mode")(spark, sf).collect().foreach { r =>
+      val (n, prio) = want(r.getString(0))
+      assert(r.getString(1) == prio && r.getLong(2) == n, s"mode for ${r.getString(0)}")
+    }
+  }
+
+  test("tpch_q1: group sums reconcile with the ungrouped totals") {
+    val rows = SparkEntry.queries("tpch_q1")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val cnt = rows.map(_.getLong(9)).sum
+    val expected = Tables.lineitem(spark, sf)
+      .where(col("l_shipdate") <= lit("1998-09-02").cast("timestamp")).count()
+    assert(cnt == expected, "count_order total")
+    rows.foreach { r =>
+      assert(math.abs(r.getDouble(6) - r.getLong(2).toDouble / r.getLong(9)) < 1e-9,
+        "avg_qty inconsistent with sum_qty/count")
+    }
+  }
+
+  test("tpch_q6 equals the filtered exact-decimal sum computed directly") {
+    val got = SparkEntry.queries("tpch_q6")(spark, sf).collect()(0).getDouble(0)
+    val want = Tables.lineitem(spark, sf)
+      .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp")
+        && col("l_shipdate") < lit("1997-01-01").cast("timestamp")
+        && col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+      .agg(sum((col("l_extendedprice") * col("l_discount")).cast("decimal(18,4)")))
+      .collect()(0).getDecimal(0)
+    assert(got == want.doubleValue, "q6 revenue")
+  }
+
+  test("tpch_q18: every survivor clears the quantity threshold; ordering is total") {
+    val rows = SparkEntry.queries("tpch_q18")(spark, sf).collect()
+    rows.foreach(r => assert(r.getLong(5) > 300, "total_qty below threshold"))
+    val keys = rows.map(r => (-r.getDouble(4), r.getLong(2)))
+    assert(keys.toSeq == keys.toSeq.sorted, "not ordered by (price desc, orderkey)")
+  }
+
+  test("fn_url components reassemble into the original url") {
+    SparkEntry.queries("fn_url")(spark, sf).collect().foreach { r =>
+      val (url, host, path, query) = (r.getString(1), r.getString(2), r.getString(3), r.getString(4))
+      assert(url == s"https://$host$path?$query", s"decomposition of $url")
+      assert(r.getString(5) == (r.getLong(0) % 7).toString, "p_param")
+    }
+  }
+
+  test("llm_dedup_fuzzy: zero-distance pairs are exactly the equal 40-char prefixes") {
+    val pairs = SparkEntry.queries("llm_dedup_fuzzy")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val pre = Tables.documents(spark, sf)
+      .select(col("doc_id"), substring(col("text"), 1, 40)).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    pairs.foreach { case (a, b, lev) =>
+      assert(a < b, "pair not canonically ordered")
+      assert((lev == 0L) == (pre(a) == pre(b)), s"lev($a,$b) zero-iff-equal")
+    }
+  }
+
+  test("llm_embed_quantize: q_norm2 bounds, saturation counted, scale positive") {
+    val rows = SparkEntry.queries("llm_embed_quantize")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (dim, maxAbs, qn2, nSat) = (r.getLong(1), r.getDouble(2), r.getLong(4), r.getLong(5))
+      assert(maxAbs > 0)
+      assert(nSat >= 1, "the max-|x| component must quantize to ±127")
+      assert(qn2 <= dim * 127L * 127L, "q_norm2 exceeds dim*127^2")
+    }
+  }
+}
