@@ -207,6 +207,41 @@ object Analytics {
         .select(col("o_orderstatus"), col("o_orderpriority").as("mode_priority"),
           col("n").as("n_mode"))
         .orderBy("o_orderstatus")
+    }),
+
+    // Pairwise Pearson correlation matrix (feature-analysis stage) over
+    // (quantity, price-cents, discount-cents), graded via exact
+    // DECIMAL(38,0) cross-moments + the shared IEEE correlation tree
+    // (agg_skew_kurt pattern); the streaming corr() builtin is verified
+    // in-op against the exact value with a tolerance verdict column.
+    "agg_corr_matrix" -> ((s, d) => {
+      def cr(sxy: String, sx: String, sy: String, sxx: String, syy: String) =
+        expr(s"(n*$sxy - $sx*$sy) / (sqrt(n*$sxx - $sx*$sx) * sqrt(n*$syy - $sy*$sy))")
+      Tables.lineitem(s, d)
+        .select(col("l_returnflag"),
+          col("l_quantity").cast("bigint").as("q"),
+          round(col("l_extendedprice") * 100).cast("bigint").as("p"),
+          round(col("l_discount") * 100).cast("bigint").as("dd"))
+        .groupBy("l_returnflag")
+        .agg(
+          count(lit(1)).cast("double").as("n"),
+          sum(col("q").cast("decimal(38,0)")).cast("double").as("sq"),
+          sum(col("p").cast("decimal(38,0)")).cast("double").as("sp"),
+          sum(col("dd").cast("decimal(38,0)")).cast("double").as("sd"),
+          sum((col("q") * col("q")).cast("decimal(38,0)")).cast("double").as("sqq"),
+          sum((col("p").cast("decimal(38,0)") * col("p"))).cast("double").as("spp"),
+          sum((col("dd") * col("dd")).cast("decimal(38,0)")).cast("double").as("sdd"),
+          sum((col("q") * col("p")).cast("decimal(38,0)")).cast("double").as("sqp"),
+          sum((col("q") * col("dd")).cast("decimal(38,0)")).cast("double").as("sqd"),
+          sum((col("p").cast("decimal(38,0)") * col("dd"))).cast("double").as("spd"),
+          corr(col("q").cast("double"), col("p").cast("double")).as("bqp"))
+        .withColumn("corr_qp", cr("sqp", "sq", "sp", "sqq", "spp"))
+        .withColumn("corr_qd", cr("sqd", "sq", "sd", "sqq", "sdd"))
+        .withColumn("corr_pd", cr("spd", "sp", "sd", "spp", "sdd"))
+        .select(col("l_returnflag"), col("n"),
+          col("corr_qp"), col("corr_qd"), col("corr_pd"),
+          (abs(col("bqp") - col("corr_qp")) <= lit(1e-6)).as("builtin_ok"))
+        .orderBy("l_returnflag")
     })
   )
 
@@ -325,6 +360,33 @@ object Analytics {
         |r AS (SELECT *, row_number() OVER (PARTITION BY o_orderstatus
         |        ORDER BY n DESC, o_orderpriority) AS rn FROM c)
         |SELECT o_orderstatus, o_orderpriority AS mode_priority, n AS n_mode
-        |FROM r WHERE rn = 1 ORDER BY o_orderstatus""".stripMargin
+        |FROM r WHERE rn = 1 ORDER BY o_orderstatus""".stripMargin,
+
+    // Same exact-moment inputs and character-identical IEEE correlation
+    // tree as the Spark op — doubles are bit-equal (agg_skew_kurt law).
+    "agg_corr_matrix" ->
+      """WITH b AS (SELECT l_returnflag,
+        |    CAST(l_quantity AS BIGINT) AS q,
+        |    CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS p,
+        |    CAST(ROUND(l_discount * 100) AS BIGINT) AS dd
+        |  FROM lineitem),
+        |m AS (SELECT l_returnflag,
+        |    CAST(COUNT(*) AS DOUBLE) AS n,
+        |    CAST(SUM(q::HUGEINT) AS DOUBLE) AS sq,
+        |    CAST(SUM(p::HUGEINT) AS DOUBLE) AS sp,
+        |    CAST(SUM(dd::HUGEINT) AS DOUBLE) AS sd,
+        |    CAST(SUM(q::HUGEINT * q) AS DOUBLE) AS sqq,
+        |    CAST(SUM(p::HUGEINT * p) AS DOUBLE) AS spp,
+        |    CAST(SUM(dd::HUGEINT * dd) AS DOUBLE) AS sdd,
+        |    CAST(SUM(q::HUGEINT * p) AS DOUBLE) AS sqp,
+        |    CAST(SUM(q::HUGEINT * dd) AS DOUBLE) AS sqd,
+        |    CAST(SUM(p::HUGEINT * dd) AS DOUBLE) AS spd
+        |  FROM b GROUP BY l_returnflag)
+        |SELECT l_returnflag, n,
+        |  (n*sqp - sq*sp) / (sqrt(n*sqq - sq*sq) * sqrt(n*spp - sp*sp)) AS corr_qp,
+        |  (n*sqd - sq*sd) / (sqrt(n*sqq - sq*sq) * sqrt(n*sdd - sd*sd)) AS corr_qd,
+        |  (n*spd - sp*sd) / (sqrt(n*spp - sp*sp) * sqrt(n*sdd - sd*sd)) AS corr_pd,
+        |  TRUE AS builtin_ok
+        |FROM m ORDER BY l_returnflag""".stripMargin
   )
 }

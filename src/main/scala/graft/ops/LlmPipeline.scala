@@ -222,7 +222,31 @@ object LlmPipeline {
         .where(col("rank") <= 3)
         .select(col("doc_id"), col("rank"), col("term"), col("score"), col("tf"))
         .orderBy("doc_id", "rank")
-    })
+    }),
+
+    // Corpus datasheet (the "dataset card" rollup every training-data
+    // release ships): per-language doc/token/source tallies, exact-text
+    // duplication rate, and mean document length — counts and rational
+    // divisions only, one shuffle on the language key plus the distinct
+    // sub-aggregates Spark plans as expand+two-phase.
+    "llm_corpus_stats" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("lang"), col("source"), col("text"),
+          size(split(col("text"), " ")).cast("bigint").as("n_tok"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_tok").as("n_tokens"),
+          countDistinct("source").as("n_sources"),
+          countDistinct("text").as("n_distinct_texts"),
+          min("n_tok").as("min_tok"), max("n_tok").as("max_tok"))
+        .select(col("lang"), col("n_docs"), col("n_tokens"), col("n_sources"),
+          col("n_distinct_texts"),
+          round(lit(1.0) - col("n_distinct_texts").cast("double")
+            / col("n_docs").cast("double"), 6).as("dup_rate"),
+          (col("n_tokens").cast("double") / col("n_docs").cast("double"))
+            .as("avg_tok"),
+          col("min_tok"), col("max_tok"))
+        .orderBy("lang"))
   )
 
   /** Indirection so the shared pair generator lives with its family in
@@ -335,6 +359,20 @@ object LlmPipeline {
         |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
         |        ORDER BY score DESC, term ASC) AS rank FROM scored)
         |SELECT doc_id, CAST(rank AS INT) AS rank, term, score, tf
-        |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin
+        |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+
+    "llm_corpus_stats" ->
+      """WITH t AS (SELECT lang, source, text,
+        |             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        |           FROM documents)
+        |SELECT lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+        |  COUNT(DISTINCT source) AS n_sources,
+        |  COUNT(DISTINCT text) AS n_distinct_texts,
+        |  ROUND(1.0 - COUNT(DISTINCT text) / CAST(COUNT(*) AS DOUBLE), 6) AS dup_rate,
+        |  CAST(SUM(n_tok) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_tok,
+        |  CAST(MIN(n_tok) AS BIGINT) AS min_tok,
+        |  CAST(MAX(n_tok) AS BIGINT) AS max_tok
+        |FROM t GROUP BY lang ORDER BY lang""".stripMargin
   )
 }

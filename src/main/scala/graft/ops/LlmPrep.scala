@@ -157,7 +157,25 @@ object LlmPrep {
           expr("aggregate(q, CAST(0 AS BIGINT), (acc, v) -> acc + v)").as("q_sum"),
           expr("aggregate(q, CAST(0 AS BIGINT), (acc, v) -> acc + v * v)").as("q_norm2"),
           expr("aggregate(q, CAST(0 AS BIGINT), (acc, v) -> acc + CAST(abs(v) = 127 AS BIGINT))").as("n_sat"))
-        .orderBy("vec_id"))
+        .orderBy("vec_id")),
+
+    // 2-D patchification (the ViT patch-embedding plumbing): the opaque
+    // payload is a raster of 32-byte rows; each 8×8 patch concatenates
+    // its 8 row-slices and fingerprints them. Bounded two-level explode
+    // (patch-row × patch-col), per-row projection, no shuffle — at 100 TB
+    // this is exactly the shape feeding a patch-embedding UDF batch.
+    "mm_patchify" -> ((s, d) =>
+      Tables.documents(s, d).where(col("doc_id") % 20 === 1)
+        .select(col("doc_id"), col("text"), length(col("text")).as("len"))
+        // patch rows cover ceil(len/256) bands of 8 raster rows each
+        .withColumn("pr", explode(expr("sequence(0, CAST((len + 255) DIV 256 AS INT) - 1)")))
+        .withColumn("pc", explode(expr("sequence(0, 3)")))
+        .select(col("doc_id"), col("pr"), col("pc"),
+          expr("array_join(transform(sequence(0, 7), r -> substring(text, (pr * 8 + r) * 32 + pc * 8 + 1, 8)), '')").as("patch"))
+        .select(col("doc_id"), col("pr"), col("pc"),
+          length(col("patch")).as("patch_len"), md5(expr("CAST(patch AS BINARY)")).as("patch_md5"))
+        .where(col("patch_len") > 0)
+        .orderBy("doc_id", "pr", "pc"))
   )
 
   val oracles: Map[String, String] = Map(
@@ -245,6 +263,24 @@ object LlmPrep {
         |  CAST(list_sum(qv) AS BIGINT) AS q_sum,
         |  CAST(list_sum(list_transform(qv, v -> v * v)) AS BIGINT) AS q_norm2,
         |  CAST(list_sum(list_transform(qv, v -> CAST(abs(v) = 127 AS BIGINT))) AS BIGINT) AS n_sat
-        |FROM q ORDER BY vec_id""".stripMargin
+        |FROM q ORDER BY vec_id""".stripMargin,
+
+    "mm_patchify" ->
+      """WITH d AS (SELECT doc_id, text, length(text) AS len FROM documents
+        |           WHERE doc_id % 20 = 1),
+        |pr AS (SELECT doc_id, text, len,
+        |         CAST(unnest(generate_series(0, CAST((len + 255) // 256 AS INT) - 1)) AS INT) AS pr
+        |       FROM d),
+        |g AS (SELECT doc_id, text, len, pr,
+        |        CAST(unnest(generate_series(0, 3)) AS INT) AS pc
+        |      FROM pr),
+        |p AS (SELECT doc_id, pr, pc,
+        |        array_to_string(list_transform(generate_series(0, 7),
+        |          r -> substring(text, (pr * 8 + r) * 32 + pc * 8 + 1, 8)), '') AS patch
+        |      FROM g)
+        |SELECT doc_id, pr, pc, CAST(length(patch) AS INT) AS patch_len,
+        |  md5(patch) AS patch_md5
+        |FROM p WHERE length(patch) > 0
+        |ORDER BY doc_id, pr, pc""".stripMargin
   )
 }

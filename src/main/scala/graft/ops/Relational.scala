@@ -419,6 +419,37 @@ object Relational {
         .join(exa, Seq("nationkey"), "left")
         .na.fill(0L, Seq("n_exall"))
         .orderBy("nationkey")
+    }),
+
+    // INTERSECT ALL — multiset intersection semantics (min of the two
+    // multiplicities per value), the bag-algebra twin of set_except's
+    // EXCEPT ALL. Spark plans a left-semi-style hash join over counted
+    // groups; the rollup makes the multiplicity contract visible.
+    "set_intersect_all" -> ((s, d) => {
+      // CAST the key: parquet int width differs across SF dirs (§7.3)
+      val a = Tables.customer(s, d)
+        .select(col("c_nationkey").cast("bigint").as("nationkey"))
+      val b = Tables.supplier(s, d).where(col("s_acctbal") > 2000)
+        .select(col("s_nationkey").cast("bigint").as("nationkey"))
+      a.intersectAll(b)
+        .groupBy("nationkey").agg(count(lit(1)).as("n_interall"))
+        .orderBy("nationkey")
+    }),
+
+    // Correlated EXISTS / NOT EXISTS — the other decorrelation shape
+    // next to subquery_scalar_corr/subquery_not_in: EXISTS rewrites to a
+    // left-semi join, NOT EXISTS to a left-anti join, both shuffling on
+    // the correlation key (never a per-row re-execution).
+    "subquery_exists" -> ((s, d) => {
+      Tables.customer(s, d).createOrReplaceTempView("graft_cust_ex_v")
+      Tables.orders(s, d).createOrReplaceTempView("graft_ord_ex_v")
+      s.sql(
+        """SELECT c_custkey, c_name FROM graft_cust_ex_v c
+          |WHERE EXISTS (SELECT 1 FROM graft_ord_ex_v o
+          |              WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+          |  AND NOT EXISTS (SELECT 1 FROM graft_ord_ex_v o2
+          |                  WHERE o2.o_custkey = c.c_custkey AND o2.o_totalprice > 400000)
+          |ORDER BY c_custkey""".stripMargin)
     })
   )
 
@@ -660,6 +691,21 @@ object Relational {
         |    SELECT c_nationkey AS nationkey FROM customer
         |    EXCEPT ALL SELECT s_nationkey FROM supplier WHERE s_acctbal > 5000
         |  ) GROUP BY nationkey) x USING (nationkey)
-        |ORDER BY e.nationkey""".stripMargin
+        |ORDER BY e.nationkey""".stripMargin,
+
+    "set_intersect_all" ->
+      """SELECT nationkey, COUNT(*) AS n_interall FROM (
+        |  SELECT CAST(c_nationkey AS BIGINT) AS nationkey FROM customer
+        |  INTERSECT ALL
+        |  SELECT CAST(s_nationkey AS BIGINT) FROM supplier WHERE s_acctbal > 2000)
+        |GROUP BY nationkey ORDER BY nationkey""".stripMargin,
+
+    "subquery_exists" ->
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+        |  AND NOT EXISTS (SELECT 1 FROM orders o2
+        |                  WHERE o2.o_custkey = c.c_custkey AND o2.o_totalprice > 400000)
+        |ORDER BY c_custkey""".stripMargin
   )
 }

@@ -124,6 +124,24 @@ object WindowOps {
         .withColumn("first_ck", first(col("c_custkey")).over(wo))
         .withColumn("last_ck", last(col("c_custkey")).over(wf))
         .orderBy("c_mktsegment", "c_acctbal", "c_custkey")
+    }),
+
+    // Ratio-to-report (share-of-total per partition): each order's share
+    // of its status group's exact-cents total — one whole-partition sum
+    // window, then one double division both engines evaluate on identical
+    // BIGINT inputs. No second shuffle: share ranks piggyback the same
+    // partitioning.
+    "win_ratio_to_report" -> ((s, d) => {
+      val w = Window.partitionBy("o_orderstatus")
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          round(col("o_totalprice") * 100).cast("bigint").as("cents"))
+        .withColumn("grp_cents", sum("cents").over(w))
+        .select(col("o_orderkey"), col("o_orderstatus"), col("cents"),
+          col("grp_cents"),
+          (col("cents").cast("double") / col("grp_cents").cast("double"))
+            .as("share"))
+        .orderBy("o_orderkey")
     })
   )
 
@@ -203,6 +221,15 @@ object WindowOps {
         |WINDOW wo AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey),
         |  wf AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey
         |         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
-        |ORDER BY c_mktsegment, c_acctbal, c_custkey""".stripMargin
+        |ORDER BY c_mktsegment, c_acctbal, c_custkey""".stripMargin,
+
+    "win_ratio_to_report" ->
+      """WITH t AS (SELECT o_orderkey, o_orderstatus,
+        |             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+        |           FROM orders)
+        |SELECT o_orderkey, o_orderstatus, cents,
+        |  CAST(SUM(cents) OVER (PARTITION BY o_orderstatus) AS BIGINT) AS grp_cents,
+        |  CAST(cents AS DOUBLE) / CAST(CAST(SUM(cents) OVER (PARTITION BY o_orderstatus) AS BIGINT) AS DOUBLE) AS share
+        |FROM t ORDER BY o_orderkey""".stripMargin
   )
 }

@@ -124,6 +124,78 @@ class Round7OpsSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("set_intersect_all multiplicities are the min of the two sides' counts") {
+    val got = SparkEntry.queries("set_intersect_all")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ca = Tables.customer(spark, sf)
+      .groupBy(col("c_nationkey").cast("bigint")).count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val sb = Tables.supplier(spark, sf).where(col("s_acctbal") > 2000)
+      .groupBy(col("s_nationkey").cast("bigint")).count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = ca.keySet.intersect(sb.keySet)
+      .map(k => k -> math.min(ca(k), sb(k))).toMap
+    assert(got == want)
+  }
+
+  test("subquery_exists equals the semi/anti-join composition") {
+    val got = SparkEntry.queries("subquery_exists")(spark, sf).collect()
+      .map(_.getLong(0)).toSet
+    val o = Tables.orders(spark, sf)
+    val want = Tables.customer(spark, sf)
+      .join(o.where(col("o_orderstatus") === "F"),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .join(o.where(col("o_totalprice") > 400000),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey").collect().map(_.getLong(0)).toSet
+    assert(got == want)
+  }
+
+  test("win_ratio_to_report shares sum to 1 per partition") {
+    val rows = SparkEntry.queries("win_ratio_to_report")(spark, sf).collect()
+    rows.groupBy(_.getString(1)).foreach { case (st, rs) =>
+      val cents = rs.map(_.getLong(2)).sum
+      assert(rs.forall(_.getLong(3) == cents), s"$st grp_cents inconsistent")
+      assert(math.abs(rs.map(_.getDouble(4)).sum - 1.0) < 1e-9, s"$st shares != 1")
+    }
+  }
+
+  test("llm_corpus_stats token totals and dup rate reconcile") {
+    val rows = SparkEntry.queries("llm_corpus_stats")(spark, sf).collect()
+    val totalDocs = rows.map(_.getLong(1)).sum
+    assert(totalDocs == Tables.documents(spark, sf).count())
+    rows.foreach { r =>
+      assert(r.getLong(4) <= r.getLong(1), "distinct texts exceed docs")
+      assert(r.getLong(7) <= r.getLong(8), "min_tok > max_tok")
+      assert(r.getDouble(5) >= 0.0 && r.getDouble(5) < 1.0, "dup_rate range")
+    }
+  }
+
+  test("mm_patchify: full interior patches are 64 bytes; grid covers the payload") {
+    val rows = SparkEntry.queries("mm_patchify")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val lens = Tables.documents(spark, sf).where(col("doc_id") % 20 === 1)
+      .select(col("doc_id"), length(col("text"))).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    rows.groupBy(_.getLong(0)).foreach { case (doc, rs) =>
+      val covered = rs.map(_.getInt(3)).sum
+      assert(covered == lens(doc), s"doc $doc patch bytes != payload length")
+      // every patch except those on the ragged edge is exactly 8*8 bytes
+      rs.foreach(r => assert(r.getInt(3) <= 64, "patch overflow"))
+    }
+  }
+
+  test("agg_corr_matrix: diagonal-free pairs in [-1,1], builtin within tolerance") {
+    val rows = SparkEntry.queries("agg_corr_matrix")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      Seq(2, 3, 4).foreach { i =>
+        assert(math.abs(r.getDouble(i)) <= 1.0 + 1e-12, s"corr col $i out of range")
+      }
+      assert(r.getBoolean(5), "builtin corr out of tolerance")
+    }
+  }
+
   test("llm_embed_quantize: q_norm2 bounds, saturation counted, scale positive") {
     val rows = SparkEntry.queries("llm_embed_quantize")(spark, sf).collect()
     assert(rows.nonEmpty)
