@@ -51,6 +51,31 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
     assert(s.contains("WholeStageCodegen"), s.take(1000))
   }
 
+  test("tpch_q6 pushes every filter into the parquet scan") {
+    val p = plan("tpch_q6")
+    val pushed = p.linesIterator.find(_.contains("PushedFilters")).getOrElse("")
+    assert(pushed.contains("l_shipdate") && pushed.contains("l_discount")
+      && pushed.contains("l_quantity"), pushed)
+    // projection pruned to the four referenced columns
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("l_orderkey"), readSchema)
+  }
+
+  test("tpch_q18 broadcasts the tiny HAVING-survivor set") {
+    assert(plan("tpch_q18").contains("BroadcastHashJoin"))
+  }
+
+  test("subquery_exists decorrelates to semi + anti hash joins (no nested loop)") {
+    val p = plan("subquery_exists")
+    assert(p.contains("LeftSemi") && p.contains("LeftAnti"), p.take(3000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), "EXISTS fell back to a nested loop")
+  }
+
+  test("win_attribution shares one user_id shuffle across both window passes") {
+    val p = plan("win_attribution")
+    assert("Exchange hashpartitioning\\(user_id".r.findAllIn(p).length == 1, p.take(3000))
+  }
+
   test("llm_sim_topk broadcasts the probe set") {
     assert(plan("llm_sim_topk").contains("BroadcastNestedLoopJoin") ||
       plan("llm_sim_topk").contains("BroadcastHashJoin"))
