@@ -143,6 +143,30 @@ object Showcase {
           col("o_totalprice"), col("total_qty"))
         .orderBy(col("o_totalprice").desc, col("o_orderkey"))
         .limit(100)
+    }),
+
+    // TPC-H Q7 (volume shipping): bilateral trade between two nations —
+    // the double-dimension join (nation keyed once through the supplier,
+    // once through the customer) with a symmetric pair predicate and a
+    // per-(nation pair, year) revenue rollup. Both nation sides broadcast;
+    // the lineitem-orders shuffle is the only big exchange.
+    "tpch_q7" -> ((s, d) => {
+      val n1 = Tables.nation(s, d).select(col("n_nationkey").as("n1_key"), col("n_name").as("supp_nation"))
+      val n2 = Tables.nation(s, d).select(col("n_nationkey").as("n2_key"), col("n_name").as("cust_nation"))
+      Tables.supplier(s, d)
+        .join(Tables.lineitem(s, d), col("s_suppkey") === col("l_suppkey"))
+        .where(col("l_shipdate") >= lit("1995-01-01").cast("timestamp")
+          && col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+        .join(Tables.orders(s, d), col("o_orderkey") === col("l_orderkey"))
+        .join(Tables.customer(s, d), col("c_custkey") === col("o_custkey"))
+        .join(broadcast(n1), col("s_nationkey") === col("n1_key"))
+        .join(broadcast(n2), col("c_nationkey") === col("n2_key"))
+        .where((col("supp_nation") === "NATION_3" && col("cust_nation") === "NATION_7")
+          || (col("supp_nation") === "NATION_7" && col("cust_nation") === "NATION_3"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).as("l_year"))
+        .agg(rev(col("l_extendedprice"), col("l_discount")).as("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
     })
   )
 
@@ -217,6 +241,20 @@ object Showcase {
         |  o_totalprice, total_qty
         |FROM orders JOIN big ON o_orderkey = l_orderkey
         |  JOIN customer ON o_custkey = c_custkey
-        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+
+    "tpch_q7" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |  CAST(year(l_shipdate) AS INT) AS l_year,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM supplier, lineitem, orders, customer, nation n1, nation n2
+        |WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+        |  AND c_custkey = o_custkey
+        |  AND s_nationkey = n1.n_nationkey AND c_nationkey = n2.n_nationkey
+        |  AND ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+        |    OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+        |  AND l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
   )
 }

@@ -142,6 +142,23 @@ object WindowOps {
           (col("cents").cast("double") / col("grp_cents").cast("double"))
             .as("share"))
         .orderBy("o_orderkey")
+    }),
+
+    // Running median (any-aggregate-as-window surface): exact median of
+    // value-cents over the growing per-user frame, (ts_us, event_id)
+    // total order. Binary-fraction quantiles over integers are bit-exact
+    // cross-engine (§7.3). Frames are per-user (≲100 rows) so the
+    // per-row recompute is bounded; at corpus scale the user key
+    // partitions the work evenly.
+    "win_running_median" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, d)
+        .select(col("user_id"), col("ts_us"), col("event_id"),
+          floor(col("value") * 100).cast("bigint").as("cents"))
+        .withColumn("run_med", expr("percentile(cents, 0.5)")
+          .over(w))
+        .orderBy("user_id", "ts_us", "event_id")
     })
   )
 
@@ -230,6 +247,15 @@ object WindowOps {
         |SELECT o_orderkey, o_orderstatus, cents,
         |  CAST(SUM(cents) OVER (PARTITION BY o_orderstatus) AS BIGINT) AS grp_cents,
         |  CAST(cents AS DOUBLE) / CAST(CAST(SUM(cents) OVER (PARTITION BY o_orderstatus) AS BIGINT) AS DOUBLE) AS share
-        |FROM t ORDER BY o_orderkey""".stripMargin
+        |FROM t ORDER BY o_orderkey""".stripMargin,
+
+    "win_running_median" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+        |             CAST(FLOOR(value * 100) AS BIGINT) AS cents
+        |           FROM events)
+        |SELECT user_id, ts_us, event_id, cents,
+        |  quantile_cont(cents, 0.5) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_med
+        |FROM e ORDER BY user_id, ts_us, event_id""".stripMargin
   )
 }

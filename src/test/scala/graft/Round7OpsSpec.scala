@@ -196,6 +196,32 @@ class Round7OpsSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("tpch_q7 is symmetric: both nation orientations present with 1995/1996 years") {
+    val rows = SparkEntry.queries("tpch_q7")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val pairs = rows.map(r => (r.getString(0), r.getString(1))).toSet
+    pairs.foreach { case (a, b) => assert(a != b, "self-pair leaked") }
+    rows.foreach(r => assert(Set(1995, 1996).contains(r.getInt(2)), "year outside filter"))
+  }
+
+  test("win_running_median: last value per user equals the full-frame exact median") {
+    def medianOf(xs: Seq[Long]): Double = {
+      val s = xs.sorted; val n = s.length
+      if (n % 2 == 1) s(n / 2).toDouble else (s(n / 2 - 1) + s(n / 2)) / 2.0
+    }
+    val rows = SparkEntry.queries("win_running_median")(spark, sf).collect()
+    val byUser = rows.groupBy(_.getLong(0))
+    byUser.foreach { case (u, rs) =>
+      val ordered = rs.sortBy(r => (r.getLong(1), r.getLong(2)))
+      assert(ordered.last.getDouble(4) == medianOf(ordered.map(_.getLong(3)).toSeq),
+        s"user $u final running median")
+      // prefix check at the midpoint too
+      val half = ordered.take(ordered.length / 2 + 1)
+      assert(half.last.getDouble(4) == medianOf(half.map(_.getLong(3)).toSeq),
+        s"user $u midpoint running median")
+    }
+  }
+
   test("llm_embed_quantize: q_norm2 bounds, saturation counted, scale positive") {
     val rows = SparkEntry.queries("llm_embed_quantize")(spark, sf).collect()
     assert(rows.nonEmpty)
