@@ -242,7 +242,28 @@ object Analytics {
           col("corr_qp"), col("corr_qd"), col("corr_pd"),
           (abs(col("bqp") - col("corr_qp")) <= lit(1e-6)).as("builtin_ok"))
         .orderBy("l_returnflag")
-    })
+    }),
+
+    // Quantity-weighted price statistics (the weighted-aggregate surface
+    // every pricing/index pipeline needs): weighted mean and variance
+    // from exact integer moments — Σw, Σw·x, Σw·x² accumulate in
+    // DECIMAL(38,0) (associative, partition-order free), the mean/var
+    // arithmetic is the shared IEEE tree. One partial-aggregated pass.
+    "agg_weighted_stats" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .select(col("l_returnflag"),
+          col("l_quantity").cast("bigint").as("w"),
+          round(col("l_extendedprice") * 100).cast("bigint").as("x"))
+        .groupBy("l_returnflag")
+        .agg(
+          sum(col("w").cast("decimal(38,0)")).cast("double").as("sw"),
+          sum((col("w") * col("x")).cast("decimal(38,0)")).cast("double").as("swx"),
+          sum((col("w").cast("decimal(38,0)") * col("x") * col("x")))
+            .cast("double").as("swx2"))
+        .withColumn("wmean", expr("swx/sw"))
+        .withColumn("wvar", expr("swx2/sw - (swx/sw)*(swx/sw)"))
+        .select(col("l_returnflag"), col("sw"), col("wmean"), col("wvar"))
+        .orderBy("l_returnflag"))
   )
 
   val oracles: Map[String, String] = Map(
@@ -387,6 +408,20 @@ object Analytics {
         |  (n*sqd - sq*sd) / (sqrt(n*sqq - sq*sq) * sqrt(n*sdd - sd*sd)) AS corr_qd,
         |  (n*spd - sp*sd) / (sqrt(n*spp - sp*sp) * sqrt(n*sdd - sd*sd)) AS corr_pd,
         |  TRUE AS builtin_ok
+        |FROM m ORDER BY l_returnflag""".stripMargin,
+
+    "agg_weighted_stats" ->
+      """WITH b AS (SELECT l_returnflag,
+        |    CAST(l_quantity AS BIGINT) AS w,
+        |    CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS x
+        |  FROM lineitem),
+        |m AS (SELECT l_returnflag,
+        |    CAST(SUM(w::HUGEINT) AS DOUBLE) AS sw,
+        |    CAST(SUM(w::HUGEINT * x) AS DOUBLE) AS swx,
+        |    CAST(SUM(w::HUGEINT * x * x) AS DOUBLE) AS swx2
+        |  FROM b GROUP BY l_returnflag)
+        |SELECT l_returnflag, sw, swx/sw AS wmean,
+        |  swx2/sw - (swx/sw)*(swx/sw) AS wvar
         |FROM m ORDER BY l_returnflag""".stripMargin
   )
 }

@@ -246,7 +246,35 @@ object LlmPipeline {
           (col("n_tokens").cast("double") / col("n_docs").cast("double"))
             .as("avg_tok"),
           col("min_tok"), col("max_tok"))
-        .orderBy("lang"))
+        .orderBy("lang")),
+
+    // Pair-level contamination report (the audit detail behind
+    // llm_contamination's per-doc fractions): which TRAIN doc leaked into
+    // which TEST doc, scored by shared distinct trigrams over the test
+    // doc's trigram count. Candidates come from a posting-list join on
+    // the shingle key (volume bounded by Σdf_train·df_test per shingle,
+    // never |test|×|train|), then one rollup per pair.
+    "llm_ngram_overlap" -> ((s, d) => {
+      val sh = Tables.documents(s, d)
+        .withColumn("u", expr(
+          "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT)"))
+        .select(col("doc_id"), col("u"), split(col("text"), " ").as("t"))
+        .where(size(col("t")) > 2)
+        .select(col("doc_id"), col("u"), explode(array_distinct(expr(
+          "transform(sequence(0, size(t) - 3), i -> concat_ws(' ', t[i], t[i+1], t[i+2]))"
+        ))).as("sg"))
+      val test = sh.where(col("u") >= TestFloor).select(col("doc_id").as("test_id"), col("sg"))
+      val train = sh.where(col("u") < TrainCap).select(col("doc_id").as("train_id"), col("sg"))
+      val testSz = test.groupBy("test_id").agg(count(lit(1)).as("n_test"))
+      test.join(train, "sg")
+        .groupBy("test_id", "train_id").agg(count(lit(1)).as("n_shared"))
+        .join(testSz, "test_id")
+        .withColumn("overlap",
+          round(col("n_shared") / col("n_test").cast("double"), 4))
+        .where(col("overlap") >= 0.2)
+        .select("test_id", "train_id", "n_shared", "overlap")
+        .orderBy("test_id", "train_id")
+    })
   )
 
   /** Indirection so the shared pair generator lives with its family in
@@ -373,6 +401,24 @@ object LlmPipeline {
         |  CAST(SUM(n_tok) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_tok,
         |  CAST(MIN(n_tok) AS BIGINT) AS min_tok,
         |  CAST(MAX(n_tok) AS BIGINT) AS max_tok
-        |FROM t GROUP BY lang ORDER BY lang""".stripMargin
+        |FROM t GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "llm_ngram_overlap" ->
+      s"""WITH dd AS (SELECT doc_id,
+         |    ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS u,
+         |    string_split(text, ' ') AS t FROM documents),
+         |sh AS (SELECT doc_id, u, unnest(list_distinct(list_transform(
+         |         generate_series(1, len(t) - 2), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS sg
+         |       FROM dd WHERE len(t) > 2),
+         |test AS (SELECT doc_id AS test_id, sg FROM sh WHERE u >= $TestFloor),
+         |train AS (SELECT doc_id AS train_id, sg FROM sh WHERE u < $TrainCap),
+         |ts AS (SELECT test_id, COUNT(*) AS n_test FROM test GROUP BY test_id),
+         |p AS (SELECT test_id, train_id, COUNT(*) AS n_shared
+         |      FROM test JOIN train USING (sg) GROUP BY test_id, train_id)
+         |SELECT p.test_id AS test_id, p.train_id AS train_id, p.n_shared AS n_shared,
+         |  ROUND(p.n_shared / CAST(ts.n_test AS DOUBLE), 4) AS overlap
+         |FROM p JOIN ts ON p.test_id = ts.test_id
+         |WHERE ROUND(p.n_shared / CAST(ts.n_test AS DOUBLE), 4) >= 0.2
+         |ORDER BY p.test_id, p.train_id""".stripMargin
   )
 }

@@ -167,7 +167,61 @@ object Showcase {
           year(col("l_shipdate")).as("l_year"))
         .agg(rev(col("l_extendedprice"), col("l_discount")).as("revenue"))
         .orderBy("supp_nation", "cust_nation", "l_year")
-    })
+    }),
+
+    // TPC-H Q8 (national market share): one nation's share of a
+    // region-filtered, part-type-filtered market per order year — the
+    // conditional-sum-over-total shape. Numerator and denominator are
+    // exact decimal sums; the share is one double division both engines
+    // evaluate on identical inputs.
+    "tpch_q8" -> ((s, d) => {
+      val europe = Tables.nation(s, d)
+        .join(broadcast(Tables.region(s, d).where(col("r_name") === "EUROPE")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey").as("cn_key"))
+      val sn = Tables.nation(s, d)
+        .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+      Tables.lineitem(s, d)
+        .join(broadcast(Tables.part(s, d).where(col("p_type") === "STANDARD")),
+          col("l_partkey") === col("p_partkey"))
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .where(col("o_orderdate") >= lit("1995-01-01").cast("timestamp")
+          && col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(europe), col("c_nationkey") === col("cn_key"))
+        .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(sn), col("s_nationkey") === col("sn_key"))
+        .groupBy(year(col("o_orderdate")).as("o_year"))
+        .agg(
+          sum(when(col("supp_nation") === "NATION_5",
+            dec(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+            .otherwise(lit(0).cast("decimal(18,4)"))).as("nat"),
+          sum(dec(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("tot"))
+        .select(col("o_year"),
+          col("nat").cast("double").as("nation_rev"),
+          col("tot").cast("double").as("total_rev"),
+          (col("nat").cast("double") / col("tot").cast("double")).as("mkt_share"))
+        .orderBy("o_year")
+    }),
+
+    // TPC-H Q14 (promotion effect): promo revenue share of one ship
+    // month — conditional exact-decimal sum over total, one shared
+    // double division, lineitem⋈part with the part side broadcast.
+    "tpch_q14" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .where(col("l_shipdate") >= lit("1996-09-01").cast("timestamp")
+          && col("l_shipdate") < lit("1996-10-01").cast("timestamp"))
+        .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
+        .agg(
+          sum(when(col("p_type") === "PROMO",
+            dec(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+            .otherwise(lit(0).cast("decimal(18,4)"))).as("promo"),
+          sum(dec(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("tot"))
+        .select(
+          col("promo").cast("double").as("promo_rev"),
+          col("tot").cast("double").as("total_rev"),
+          (lit(100.0) * col("promo").cast("double") / col("tot").cast("double"))
+            .as("promo_share")))
   )
 
   val oracles: Map[String, String] = Map(
@@ -255,6 +309,43 @@ object Showcase {
         |    OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
         |  AND l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
         |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
-        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
+    "tpch_q8" ->
+      """WITH g AS (
+        |  SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+        |    SUM(CASE WHEN n2.n_name = 'NATION_5'
+        |        THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))
+        |        ELSE CAST(0 AS DECIMAL(18,4)) END) AS nat,
+        |    SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS tot
+        |  FROM lineitem
+        |    JOIN part ON l_partkey = p_partkey AND p_type = 'STANDARD'
+        |    JOIN orders ON l_orderkey = o_orderkey
+        |    JOIN customer ON o_custkey = c_custkey
+        |    JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        |    JOIN region ON n1.n_regionkey = r_regionkey AND r_name = 'EUROPE'
+        |    JOIN supplier ON l_suppkey = s_suppkey
+        |    JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        |  WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+        |    AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  GROUP BY 1)
+        |SELECT o_year, CAST(nat AS DOUBLE) AS nation_rev,
+        |  CAST(tot AS DOUBLE) AS total_rev,
+        |  CAST(nat AS DOUBLE) / CAST(tot AS DOUBLE) AS mkt_share
+        |FROM g ORDER BY o_year""".stripMargin,
+
+    "tpch_q14" ->
+      """SELECT
+        |  CAST(SUM(CASE WHEN p_type = 'PROMO'
+        |      THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))
+        |      ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) AS promo_rev,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS total_rev,
+        |  100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+        |      THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))
+        |      ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+        |    / CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS promo_share
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1996-10-01 00:00:00'""".stripMargin
   )
 }

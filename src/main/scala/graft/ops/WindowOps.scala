@@ -159,6 +159,21 @@ object WindowOps {
         .withColumn("run_med", expr("percentile(cents, 0.5)")
           .over(w))
         .orderBy("user_id", "ts_us", "event_id")
+    }),
+
+    // lead/lag IGNORE NULLS (the sensor-reading carry shape): the nearest
+    // non-null observation before/after each row, skipping nulls rather
+    // than counting them as offsets. view-rows carry no value here, so
+    // the windows hop over them; (ts_us, event_id) total order.
+    "win_lead_lag_nulls" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+      Tables.events(s, d)
+        .select(col("user_id"), col("ts_us"), col("event_id"),
+          when(col("event_type") =!= "view",
+            floor(col("value") * 100).cast("bigint")).as("val_n"))
+        .withColumn("prev_nn", lag(col("val_n"), 1, null, ignoreNulls = true).over(w))
+        .withColumn("next_nn", lead(col("val_n"), 1, null, ignoreNulls = true).over(w))
+        .orderBy("user_id", "ts_us", "event_id")
     })
   )
 
@@ -256,6 +271,18 @@ object WindowOps {
         |SELECT user_id, ts_us, event_id, cents,
         |  quantile_cont(cents, 0.5) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_med
-        |FROM e ORDER BY user_id, ts_us, event_id""".stripMargin
+        |FROM e ORDER BY user_id, ts_us, event_id""".stripMargin,
+
+    "win_lead_lag_nulls" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+        |    CASE WHEN event_type <> 'view'
+        |      THEN CAST(FLOOR(value * 100) AS BIGINT) END AS val_n
+        |  FROM events)
+        |SELECT user_id, ts_us, event_id, val_n,
+        |  lag(val_n IGNORE NULLS) OVER w AS prev_nn,
+        |  lead(val_n IGNORE NULLS) OVER w AS next_nn
+        |FROM e
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+        |ORDER BY user_id, ts_us, event_id""".stripMargin
   )
 }

@@ -222,6 +222,56 @@ class Round7OpsSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("tpch_q8/q14 shares are fractions of their own totals") {
+    SparkEntry.queries("tpch_q8")(spark, sf).collect().foreach { r =>
+      val (nat, tot, share) = (r.getDouble(1), r.getDouble(2), r.getDouble(3))
+      assert(nat >= 0 && nat <= tot, "nation slice outside total")
+      assert(share == nat / tot, "share not the declared division")
+    }
+    val q14 = SparkEntry.queries("tpch_q14")(spark, sf).collect()(0)
+    assert(q14.getDouble(0) <= q14.getDouble(1))
+    assert(q14.getDouble(2) >= 0.0 && q14.getDouble(2) <= 100.0)
+  }
+
+  test("agg_weighted_stats matches a driver-side weighted reference") {
+    val got = SparkEntry.queries("agg_weighted_stats")(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    Tables.lineitem(spark, sf)
+      .select(col("l_returnflag"), col("l_quantity").cast("long"),
+        round(col("l_extendedprice") * 100).cast("long")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).groupBy(_._1)
+      .foreach { case (flag, rows) =>
+        val sw = rows.map(_._2).sum.toDouble
+        val swx = rows.map(r => BigInt(r._2) * BigInt(r._3)).sum.toDouble
+        val (gsw, gmean, gvar) = got(flag)
+        assert(gsw == sw, s"$flag weight total")
+        assert(math.abs(gmean - swx / sw) <= math.abs(gmean) * 1e-12, s"$flag wmean")
+        assert(gvar > 0, s"$flag wvar sign")
+      }
+  }
+
+  test("win_lead_lag_nulls: prev_nn is the nearest preceding non-null value") {
+    val rows = SparkEntry.queries("win_lead_lag_nulls")(spark, sf).collect()
+    rows.groupBy(_.getLong(0)).foreach { case (u, rs) =>
+      val ordered = rs.sortBy(r => (r.getLong(1), r.getLong(2)))
+      var lastNN: Option[Long] = None
+      ordered.foreach { r =>
+        val got = if (r.isNullAt(4)) None else Some(r.getLong(4))
+        assert(got == lastNN, s"user $u prev_nn at ts ${r.getLong(1)}")
+        if (!r.isNullAt(3)) lastNN = Some(r.getLong(3))
+      }
+    }
+  }
+
+  test("llm_ngram_overlap pairs respect the split and the overlap floor") {
+    val rows = SparkEntry.queries("llm_ngram_overlap")(spark, sf).collect()
+    rows.foreach { r =>
+      assert(r.getLong(0) != r.getLong(1), "self-pair across split is impossible")
+      assert(r.getDouble(3) >= 0.2 && r.getDouble(3) <= 1.0, "overlap out of band")
+      assert(r.getLong(2) >= 1)
+    }
+  }
+
   test("llm_embed_quantize: q_norm2 bounds, saturation counted, scale positive") {
     val rows = SparkEntry.queries("llm_embed_quantize")(spark, sf).collect()
     assert(rows.nonEmpty)
