@@ -1,0 +1,158 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Case class for the typed-Dataset surface (must live outside the op so
+  * the Encoder derives from a stable top-level type). */
+case class LineSlim(l_returnflag: String, l_quantity: Double, l_extendedprice: Double)
+
+/** API-surface operators (round 7): the Dataset/DataFrame entry points a
+  * library user reaches beyond plain column expressions — typed Datasets
+  * with case-class Encoders, NA-handling, stat helpers (crosstab), outer
+  * explode, and the range-partitioned sorted parquet layout.
+  *
+  * Scale posture: every op here compiles down to the same shuffle-
+  * conscious plans as the expression API (typed groupByKey hashes the
+  * key like groupBy; crosstab is one two-key count + a tiny pivot;
+  * range-sorted writes are the zone-map/data-skipping layout for 100 TB
+  * scans).
+  */
+object ApiSurface {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // Typed Dataset aggregation: case-class Encoder, typed filter/map,
+    // groupByKey + typed aggregators. The lambdas are opaque to Catalyst
+    // (scan loses column pruning beyond the .as projection — which is
+    // why the projection comes FIRST), but the aggregation itself still
+    // plans partial/final HashAggregate on the key.
+    "ds_typed_agg" -> ((s, d) => {
+      val classic = s.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      import classic.implicits._
+      def sumBy(f: LineSlim => Long) =
+        new org.apache.spark.sql.expressions.Aggregator[LineSlim, Long, Long] {
+          def zero = 0L
+          def reduce(b: Long, a: LineSlim) = b + f(a)
+          def merge(b1: Long, b2: Long) = b1 + b2
+          def finish(b: Long) = b
+          def bufferEncoder = implicitly[org.apache.spark.sql.Encoder[Long]]
+          def outputEncoder = implicitly[org.apache.spark.sql.Encoder[Long]]
+        }.toColumn
+      val ds = Tables.lineitem(s, d)
+        .select(col("l_returnflag"), col("l_quantity"), col("l_extendedprice"))
+        .as[LineSlim]
+      ds.filter(_.l_quantity >= 10.0)
+        .groupByKey(_.l_returnflag)
+        .agg(
+          sumBy(_.l_quantity.toLong),
+          sumBy(r => math.round(r.l_extendedprice * 100)),
+          sumBy(_ => 1L))
+        .toDF("l_returnflag", "sum_qty", "cents", "n")
+        .orderBy("l_returnflag")
+    }),
+
+    // NA handling (DataFrameNaFunctions): nulls introduced on a
+    // deterministic predicate, then fill / drop accounting in one pass
+    // over the filled frame — the ingest-cleanup surface.
+    "fn_na_handling" -> ((s, d) => {
+      val e = Tables.events(s, d)
+        .select(col("event_id"), col("event_type"),
+          when(col("event_type") =!= "view",
+            floor(col("value") * 100).cast("bigint")).as("cents_n"))
+      val filled = e.na.fill(-1L, Seq("cents_n"))
+      filled.groupBy("event_type")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(col("cents_n") === -1L, 1L).otherwise(0L)).as("n_filled"),
+          sum(when(col("cents_n") =!= -1L, col("cents_n")).otherwise(0L)).as("cents_sum"))
+        .orderBy("event_type")
+    }),
+
+    // stat.crosstab — the contingency-table helper: one two-key count
+    // shuffles, the pivot is a tiny projection. Column names come from
+    // the data (priority values), which is exactly what the driver's
+    // name-sorted compare exercises.
+    "agg_crosstab" -> ((s, d) =>
+      Tables.orders(s, d)
+        .stat.crosstab("o_orderstatus", "o_orderpriority")
+        .orderBy("o_orderstatus_o_orderpriority")),
+
+    // explode_outer — the empty-collection row-preserving explode: docs
+    // whose z-token list is empty still emit one null-token row (an
+    // inner explode would drop them). Per-doc accounting proves the
+    // outer semantics.
+    "udtf_explode_outer" -> ((s, d) =>
+      Tables.documents(s, d)
+        .withColumn("ztoks", expr("filter(split(text, ' '), t -> t LIKE 'z%')"))
+        .select(col("doc_id"), explode_outer(col("ztoks")).as("ztok"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_rows"),
+          count(col("ztok")).as("n_ztoks"))
+        .orderBy("doc_id")),
+
+    // Range-partitioned sorted parquet (the zone-map layout): rows range-
+    // partitioned on the sort key and sorted inside each file, so file-
+    // and row-group-level min/max stats prune a key-range scan to a
+    // single file at any scale. Graded read = a range aggregate over the
+    // written layout.
+    "sink_range_sorted" -> ((s, d) => {
+      val dir = s"${Scratch.dir}/range_sorted_${d.replaceAll("[^A-Za-z0-9.]", "_")}"
+      Tables.orders(s, d)
+        .repartitionByRange(4, col("o_orderkey"))
+        .sortWithinPartitions("o_orderkey")
+        .write.mode("overwrite").parquet(dir)
+      s.read.parquet(dir)
+        .where(col("o_orderkey") >= 1000 && col("o_orderkey") < 2000)
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("o_totalprice") * 100).cast("bigint")).as("cents"),
+          min("o_orderkey").as("min_k"), max("o_orderkey").as("max_k"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "ds_typed_agg" ->
+      """SELECT l_returnflag,
+        |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        |  CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS cents,
+        |  COUNT(*) AS n
+        |FROM lineitem WHERE l_quantity >= 10.0
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "fn_na_handling" ->
+      """WITH e AS (SELECT event_id, event_type,
+        |    CASE WHEN event_type <> 'view'
+        |      THEN CAST(FLOOR(value * 100) AS BIGINT) ELSE -1 END AS cents_f
+        |  FROM events)
+        |SELECT event_type, COUNT(*) AS n_rows,
+        |  CAST(SUM(CASE WHEN cents_f = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_filled,
+        |  CAST(SUM(CASE WHEN cents_f <> -1 THEN cents_f ELSE 0 END) AS BIGINT) AS cents_sum
+        |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "agg_crosstab" ->
+      """SELECT o_orderstatus AS o_orderstatus_o_orderpriority,
+        |  CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS "1-URGENT",
+        |  CAST(SUM(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS BIGINT) AS "2-HIGH",
+        |  CAST(SUM(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END) AS BIGINT) AS "3-MEDIUM",
+        |  CAST(SUM(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0 END) AS BIGINT) AS "4-NOT SPECIFIED",
+        |  CAST(SUM(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS BIGINT) AS "5-LOW"
+        |FROM orders GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
+
+    "udtf_explode_outer" ->
+      """WITH z AS (SELECT doc_id,
+        |    list_filter(string_split(text, ' '), t -> t LIKE 'z%') AS ztoks
+        |  FROM documents),
+        |x AS (SELECT doc_id,
+        |        unnest(CASE WHEN len(ztoks) = 0 THEN [NULL] ELSE ztoks END) AS ztok
+        |      FROM z)
+        |SELECT doc_id, COUNT(*) AS n_rows, COUNT(ztok) AS n_ztoks
+        |FROM x GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "sink_range_sorted" ->
+      """SELECT COUNT(*) AS n,
+        |  CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents,
+        |  MIN(o_orderkey) AS min_k, MAX(o_orderkey) AS max_k
+        |FROM orders WHERE o_orderkey >= 1000 AND o_orderkey < 2000""".stripMargin
+  )
+}

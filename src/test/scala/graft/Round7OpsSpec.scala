@@ -272,6 +272,47 @@ class Round7OpsSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("ds_typed_agg equals the untyped column-expression aggregate") {
+    val typedRows = SparkEntry.queries("ds_typed_agg")(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val untyped = Tables.lineitem(spark, sf).where(col("l_quantity") >= 10.0)
+      .groupBy("l_returnflag")
+      .agg(sum(col("l_quantity").cast("long")), sum(round(col("l_extendedprice") * 100).cast("long")), count(lit(1)))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(typedRows == untyped)
+  }
+
+  test("fn_na_handling: every view row is filled, non-view rows are not") {
+    SparkEntry.queries("fn_na_handling")(spark, sf).collect().foreach { r =>
+      if (r.getString(0) == "view") assert(r.getLong(1) == r.getLong(2), "views not all filled")
+      else assert(r.getLong(2) == 0L, s"${r.getString(0)} rows spuriously filled")
+    }
+  }
+
+  test("agg_crosstab cells sum to the orders row count") {
+    val rows = SparkEntry.queries("agg_crosstab")(spark, sf).collect()
+    val total = rows.map(r => (1 until r.length).map(i => r.getLong(i)).sum).sum
+    assert(total == Tables.orders(spark, sf).count(), "crosstab cells != row count")
+  }
+
+  test("udtf_explode_outer keeps empty-list docs as a single null-token row") {
+    val rows = SparkEntry.queries("udtf_explode_outer")(spark, sf).collect()
+    assert(rows.length == Tables.documents(spark, sf).count().toInt,
+      "outer explode dropped docs")
+    rows.foreach { r =>
+      if (r.getLong(2) == 0L) assert(r.getLong(1) == 1L, s"doc ${r.getLong(0)} empty-list row count")
+      else assert(r.getLong(1) == r.getLong(2), s"doc ${r.getLong(0)} row/token mismatch")
+    }
+  }
+
+  test("sink_range_sorted writes one sorted file per range partition") {
+    SparkEntry.queries("sink_range_sorted")(spark, sf).collect()
+    val dir = new java.io.File(s"${graft.ops.Scratch.dir}").listFiles()
+      .filter(f => f.getName.startsWith("range_sorted_") && f.getName.contains("sf0.001")).head
+    val parts = dir.listFiles().count(_.getName.endsWith(".parquet"))
+    assert(parts == 4, s"expected 4 range files, saw $parts")
+  }
+
   test("llm_embed_quantize: q_norm2 bounds, saturation counted, scale positive") {
     val rows = SparkEntry.queries("llm_embed_quantize")(spark, sf).collect()
     assert(rows.nonEmpty)
