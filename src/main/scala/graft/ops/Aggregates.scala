@@ -352,7 +352,23 @@ object Aggregates {
         .groupBy("o_orderstatus")
         .agg(round(gm(col("o_totalprice")), 2).as("geomean"))
         .orderBy("o_orderstatus")
-    })
+    }),
+
+    // grouping()/grouping_id() over ROLLUP — the bit-vector that tells a
+    // report row which dimensions were aggregated away (both engines use
+    // the same MSB-first bit order; the oracle replays GROUPING(a,b)).
+    "agg_grouping_id" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          grouping(col("l_returnflag")).cast("int").as("g_flag"),
+          grouping(col("l_linestatus")).cast("int").as("g_status"),
+          grouping_id().cast("bigint").as("gid"))
+        .select(
+          coalesce(col("l_returnflag"), lit("(all)")).as("l_returnflag"),
+          coalesce(col("l_linestatus"), lit("(all)")).as("l_linestatus"),
+          col("n"), col("g_flag"), col("g_status"), col("gid"))
+        .orderBy("gid", "l_returnflag", "l_linestatus"))
   )
 
   val oracles: Map[String, String] = Map(
@@ -546,6 +562,16 @@ object Aggregates {
 
     "agg_udaf_geomean" ->
       """SELECT o_orderstatus, ROUND(EXP(AVG(LN(o_totalprice))), 2) AS geomean
-        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "agg_grouping_id" ->
+      """SELECT COALESCE(l_returnflag, '(all)') AS l_returnflag,
+        |  COALESCE(l_linestatus, '(all)') AS l_linestatus,
+        |  COUNT(*) AS n,
+        |  CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+        |  CAST(GROUPING(l_linestatus) AS INT) AS g_status,
+        |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin
   )
 }

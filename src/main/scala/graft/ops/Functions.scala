@@ -255,6 +255,24 @@ object Functions {
           expr("parse_url(url, 'PATH')").as("path"),
           expr("parse_url(url, 'QUERY')").as("query"),
           expr("parse_url(url, 'QUERY', 'p')").as("p_param"))
+        .orderBy("doc_id")),
+
+    // Array higher-order functions as a graded surface (zip_with /
+    // exists / forall / aggregate / array_position) — all codegen-free
+    // lambda evaluation but still one linear projection per row; the
+    // oracle recomputes the same values with DuckDB's list vocabulary
+    // (a deliberate same-semantics-different-operators check).
+    "fn_array_hof" -> ((s, d) =>
+      Tables.documents(s, d)
+        .withColumn("t", split(col("text"), " "))
+        .withColumn("la", expr("transform(t, x -> length(x))"))
+        .select(col("doc_id"),
+          size(col("t")).as("n"),
+          expr("aggregate(zip_with(la, reverse(la), (x, y) -> x * y), 0, (acc, v) -> acc + v)")
+            .as("zsum"),
+          expr("exists(t, x -> length(x) >= 7)").as("any_long"),
+          expr("forall(t, x -> length(x) <= 12)").as("all_short"),
+          expr("array_position(t, 'data')").as("pos_data"))
         .orderBy("doc_id"))
   )
 
@@ -432,6 +450,19 @@ object Functions {
         |  regexp_extract(url, '^https://[^/]+(/[^?]*)', 1) AS path,
         |  regexp_extract(url, '\?(.*)$', 1) AS query,
         |  regexp_extract(url, '[?&]p=([^&]*)', 1) AS p_param
-        |FROM u ORDER BY doc_id""".stripMargin
+        |FROM u ORDER BY doc_id""".stripMargin,
+
+    "fn_array_hof" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |l AS (SELECT doc_id, t,
+        |        list_transform(t, x -> length(x)) AS la,
+        |        list_reverse(list_transform(t, x -> length(x))) AS lar
+        |      FROM d)
+        |SELECT doc_id, CAST(len(t) AS INT) AS n,
+        |  CAST(list_sum(list_transform(generate_series(1, len(t)), i -> la[i] * lar[i])) AS INT) AS zsum,
+        |  len(list_filter(t, x -> length(x) >= 7)) > 0 AS any_long,
+        |  len(list_filter(t, x -> length(x) > 12)) = 0 AS all_short,
+        |  CAST(list_position(t, 'data') AS BIGINT) AS pos_data
+        |FROM l ORDER BY doc_id""".stripMargin
   )
 }

@@ -313,6 +313,33 @@ class Round7OpsSpec extends AnyFunSuite with SparkFixture {
     assert(parts == 4, s"expected 4 range files, saw $parts")
   }
 
+  test("fn_array_hof matches a driver-side recomputation per doc") {
+    val texts = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1)).toMap
+    SparkEntry.queries("fn_array_hof")(spark, sf).collect().foreach { r =>
+      val toks = texts(r.getLong(0))
+      val lens = toks.map(_.length)
+      assert(r.getInt(1) == toks.length, "n")
+      assert(r.getInt(2) == lens.zip(lens.reverse).map { case (a, b) => a * b }.sum, "zsum")
+      assert(r.getBoolean(3) == lens.exists(_ >= 7), "any_long")
+      assert(r.getBoolean(4) == lens.forall(_ <= 12), "all_short")
+      assert(r.getLong(5) == (toks.indexOf("data") + 1).toLong, "pos_data")
+    }
+  }
+
+  test("agg_grouping_id: bit vector matches null pattern, totals reconcile") {
+    val rows = SparkEntry.queries("agg_grouping_id")(spark, sf).collect()
+    val total = Tables.lineitem(spark, sf).count()
+    assert(rows.filter(_.getLong(5) == 3L).map(_.getLong(2)).sum == total, "grand total")
+    assert(rows.filter(_.getLong(5) == 0L).map(_.getLong(2)).sum == total, "leaf total")
+    rows.foreach { r =>
+      val gid = (r.getInt(3).toLong << 1) | r.getInt(4).toLong
+      assert(gid == r.getLong(5), "grouping_id != packed grouping bits")
+      assert((r.getInt(3) == 1) == (r.getString(0) == "(all)"), "flag bit vs null")
+      assert((r.getInt(4) == 1) == (r.getString(1) == "(all)"), "status bit vs null")
+    }
+  }
+
   test("llm_embed_quantize: q_norm2 bounds, saturation counted, scale positive") {
     val rows = SparkEntry.queries("llm_embed_quantize")(spark, sf).collect()
     assert(rows.nonEmpty)
