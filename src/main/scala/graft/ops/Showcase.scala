@@ -221,7 +221,135 @@ object Showcase {
           col("promo").cast("double").as("promo_rev"),
           col("tot").cast("double").as("total_rev"),
           (lit(100.0) * col("promo").cast("double") / col("tot").cast("double"))
-            .as("promo_share")))
+            .as("promo_share"))),
+
+    // TPC-H Q4 (order priority checking), adapted: the synthetic schema
+    // has no commit/receipt dates, so "late" is a lineitem shipped more
+    // than 60 days after its order date. The EXISTS decorrelates to a
+    // left-semi hash join on the order key with the date comparison as
+    // the join residual — one pass over each table, no per-row subquery.
+    "tpch_q4" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+        .where(col("o_orderdate") >= lit("1996-07-01").cast("timestamp")
+          && col("o_orderdate") < lit("1996-10-01").cast("timestamp"))
+      o.join(Tables.lineitem(s, d).select("l_orderkey", "l_shipdate"),
+          col("l_orderkey") === col("o_orderkey")
+            && col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAY"),
+          "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // TPC-H Q12 (shipping-mode / late-lines), adapted: l_returnflag plays
+    // the ship-mode role and "late" is shipped ≥90 days after the order
+    // date. The shape is the point: fact-to-fact equi join, residual
+    // range predicate, conditional counts split by priority class.
+    "tpch_q12" -> ((s, d) =>
+      Tables.orders(s, d)
+        .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+        .where(col("l_returnflag").isin("A", "R")
+          && col("l_shipdate") >= col("o_orderdate") + expr("INTERVAL 90 DAY")
+          && col("l_shipdate") >= lit("1996-01-01").cast("timestamp")
+          && col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+        .groupBy("l_returnflag")
+        .agg(
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+            .otherwise(0L)).as("high_line_count"),
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0L)
+            .otherwise(1L)).as("low_line_count"))
+        .orderBy("l_returnflag")),
+
+    // TPC-H Q13 (customer distribution): LEFT OUTER join with an
+    // ON-clause filter (priority stands in for the comment pattern), then
+    // the double aggregation — orders per customer, customers per order
+    // count. Customers with zero surviving orders must appear (c_count=0),
+    // which is exactly what the outer join + count(non-null) encodes.
+    "tpch_q13" -> ((s, d) => {
+      val perCust = Tables.customer(s, d)
+        .join(Tables.orders(s, d).where(col("o_orderpriority") =!= "5-LOW"),
+          col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("c_count"))
+      perCust.groupBy("c_count").agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    }),
+
+    // TPC-H Q15 (top supplier): quarterly revenue per supplier, keep the
+    // max. Revenue stays DECIMAL through the max-equality join so the
+    // tie test is exact (no IEEE max-vs-sum mismatch); the 1-row max
+    // relation is broadcast.
+    "tpch_q15" -> ((s, d) => {
+      val rev = Tables.lineitem(s, d)
+        .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp")
+          && col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+        .groupBy(col("l_suppkey"))
+        .agg(sum(dec(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("tr"))
+      val top = rev.agg(max(col("tr")).as("max_tr"))
+      Tables.supplier(s, d)
+        .join(rev, col("s_suppkey") === col("l_suppkey"))
+        .join(broadcast(top), col("tr") === col("max_tr"))
+        .select(col("s_suppkey"), col("s_name"),
+          col("tr").cast("double").as("total_revenue"))
+        .orderBy("s_suppkey")
+    }),
+
+    // TPC-H Q17 (small-quantity-order revenue): the correlated-average
+    // shape — rows below 20% of their part's mean quantity. The per-part
+    // mean is a window over the ALREADY part-filtered fact (a part's mean
+    // is unchanged by dropping other parts), so the one window shuffle
+    // runs on the small side of the broadcast join, not the full fact.
+    "tpch_q17" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("l_partkey")
+      Tables.lineitem(s, d)
+        .join(broadcast(Tables.part(s, d)
+          .where(col("p_brand") === "Brand#3" && col("p_size") <= 10)),
+          col("l_partkey") === col("p_partkey"))
+        .withColumn("qlim", lit(0.2)
+          * (sum(col("l_quantity").cast("bigint")).over(w).cast("double")
+            / count(lit(1)).over(w).cast("double")))
+        .where(col("l_quantity") < col("qlim"))
+        .agg((sum(dec(col("l_extendedprice"))).cast("double") / lit(7.0))
+          .as("avg_yearly"))
+    }),
+
+    // TPC-H Q19 (discounted revenue): three OR'd predicate groups that
+    // each mix part and lineitem columns — the disjunctive-pushdown
+    // showcase. One broadcast hash join on the part key; the OR residual
+    // is evaluated post-join inside the same codegen stage.
+    "tpch_q19" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
+        .where(
+          (col("p_brand") === "Brand#1" && col("p_size").between(1, 5)
+            && col("l_quantity").between(1, 11))
+          || (col("p_brand") === "Brand#2" && col("p_size").between(1, 10)
+            && col("l_quantity").between(10, 20))
+          || (col("p_brand") === "Brand#3" && col("p_size").between(1, 15)
+            && col("l_quantity").between(20, 30)))
+        .agg(sum(dec(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+          .cast("double").as("revenue"))),
+
+    // TPC-H Q22 (global sales opportunity), adapted: nation keys play the
+    // phone country codes and "never ordered" becomes "no order since
+    // 2000-07-01" (the synthetic keyspace gives every customer at least
+    // one order). Scalar-subquery threshold broadcast, NOT EXISTS as a
+    // left-anti join on the recent-orders projection.
+    "tpch_q22" -> ((s, d) => {
+      val cust = Tables.customer(s, d).where(col("c_nationkey").isin(1, 3, 5, 7, 9))
+      val avgBal = cust.where(col("c_acctbal") > 0)
+        .agg((sum(dec(col("c_acctbal"))).cast("double")
+          / count(lit(1)).cast("double")).as("avgbal"))
+      val recent = Tables.orders(s, d)
+        .where(col("o_orderdate") >= lit("2000-07-01").cast("timestamp"))
+        .select("o_custkey")
+      cust.join(broadcast(avgBal)).where(col("c_acctbal") > col("avgbal"))
+        .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_nationkey").as("cntrycode"))
+        .agg(count(lit(1)).as("numcust"),
+          sum(dec(col("c_acctbal"))).cast("double").as("totacctbal"))
+        .orderBy("cntrycode")
+    })
   )
 
   val oracles: Map[String, String] = Map(
@@ -346,6 +474,88 @@ object Showcase {
         |    / CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS promo_share
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |WHERE l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
-        |  AND l_shipdate < TIMESTAMP '1996-10-01 00:00:00'""".stripMargin
+        |  AND l_shipdate < TIMESTAMP '1996-10-01 00:00:00'""".stripMargin,
+
+    "tpch_q4" ->
+      """SELECT o_orderpriority, COUNT(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1996-10-01 00:00:00'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey
+        |                AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "tpch_q12" ->
+      """SELECT l_returnflag,
+        |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+        |      THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE l_returnflag IN ('A','R')
+        |  AND l_shipdate >= o_orderdate + INTERVAL 90 DAY
+        |  AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "tpch_q13" ->
+      """WITH c_orders AS (
+        |  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        |  FROM customer LEFT OUTER JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+        |  GROUP BY c_custkey)
+        |SELECT c_count, COUNT(*) AS custdist
+        |FROM c_orders GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+
+    "tpch_q15" ->
+      """WITH revenue AS (
+        |  SELECT l_suppkey AS supplier_no,
+        |    SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS tr
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, CAST(tr AS DOUBLE) AS total_revenue
+        |FROM supplier JOIN revenue ON s_suppkey = supplier_no
+        |WHERE tr = (SELECT MAX(tr) FROM revenue)
+        |ORDER BY s_suppkey""".stripMargin,
+
+    "tpch_q17" ->
+      """WITH pa AS (
+        |  SELECT l_partkey,
+        |    0.2 * (CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE)
+        |      / CAST(COUNT(*) AS DOUBLE)) AS qlim
+        |  FROM lineitem GROUP BY l_partkey)
+        |SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / 7.0
+        |  AS avg_yearly
+        |FROM lineitem
+        |  JOIN part ON p_partkey = l_partkey
+        |  JOIN pa ON pa.l_partkey = lineitem.l_partkey
+        |WHERE p_brand = 'Brand#3' AND p_size <= 10 AND l_quantity < qlim""".stripMargin,
+
+    "tpch_q19" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5
+        |        AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10
+        |        AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+        |        AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+
+    "tpch_q22" ->
+      """SELECT c_nationkey AS cntrycode, COUNT(*) AS numcust,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS totacctbal
+        |FROM customer
+        |WHERE c_nationkey IN (1,3,5,7,9)
+        |  AND c_acctbal > (
+        |    SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE)
+        |      / CAST(COUNT(*) AS DOUBLE)
+        |    FROM customer WHERE c_acctbal > 0 AND c_nationkey IN (1,3,5,7,9))
+        |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |                  AND o_orderdate >= TIMESTAMP '2000-07-01 00:00:00')
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin
   )
 }
