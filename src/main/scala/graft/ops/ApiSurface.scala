@@ -107,6 +107,55 @@ object ApiSurface {
         .agg(count(lit(1)).as("n"),
           sum(round(col("o_totalprice") * 100).cast("bigint")).as("cents"),
           min("o_orderkey").as("min_k"), max("o_orderkey").as("max_k"))
+    }),
+
+    // Observation metrics (df.observe): per-job data-quality counters
+    // collected on the DRIVER as the job runs — zero extra passes, zero
+    // extra shuffles (an AccumulatorV2 piggybacks on the existing scan).
+    // The graded frame is the observed metrics themselves; the oracle
+    // recomputes them as plain aggregates.
+    "api_observe" -> ((s, d) => {
+      val obs = org.apache.spark.sql.Observation()
+      val observed = Tables.orders(s, d).observe(obs,
+        count(lit(1)).as("n_orders"),
+        sum(dec(col("o_totalprice"))).cast("double").as("total_price"),
+        min(col("o_orderkey")).as("min_key"),
+        max(col("o_orderkey")).as("max_key"))
+      observed.foreach(_ => ()) // one action materializes the counters
+      val m = obs.get
+      val classic = s.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      import classic.implicits._
+      Seq((m("n_orders").asInstanceOf[Long], m("total_price").asInstanceOf[Double],
+        m("min_key").asInstanceOf[Long], m("max_key").asInstanceOf[Long]))
+        .toDF("n_orders", "total_price", "min_key", "max_key")
+    }),
+
+    // Dataset.transpose — the report-shaping pivot of a SMALL aggregate
+    // (rows become columns; strictly a driver-sized operation, which is
+    // why it follows a groupBy that reduced the fact to 3 rows). Column
+    // names come from the index column's data, exercising the driver's
+    // name-sorted compare the same way crosstab does.
+    "api_transpose" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(sum(col("l_quantity").cast("bigint")).as("qty"),
+          count(lit(1)).as("cnt"))
+        .transpose(col("l_returnflag"))
+        .orderBy("key")),
+
+    // JSONL roundtrip — the interchange format every training-data
+    // pipeline exports to. Explicit read schema (inference would widen
+    // int64 on empty partitions); graded read is a per-language rollup
+    // of the landed files.
+    "sink_jsonl" -> ((s, d) => {
+      val dir = s"${Scratch.dir}/jsonl_docs_${d.replaceAll("[^A-Za-z0-9.]", "_")}"
+      Tables.documents(s, d).select("doc_id", "lang", "source", "n_chars")
+        .write.mode("overwrite").json(dir)
+      s.read.schema("doc_id BIGINT, lang STRING, source STRING, n_chars BIGINT")
+        .json(dir)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars"))
+        .orderBy("lang")
     })
   )
 
@@ -153,6 +202,32 @@ object ApiSurface {
       """SELECT COUNT(*) AS n,
         |  CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents,
         |  MIN(o_orderkey) AS min_k, MAX(o_orderkey) AS max_k
-        |FROM orders WHERE o_orderkey >= 1000 AND o_orderkey < 2000""".stripMargin
+        |FROM orders WHERE o_orderkey >= 1000 AND o_orderkey < 2000""".stripMargin,
+
+    "api_observe" ->
+      """SELECT COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_price,
+        |  MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
+        |FROM orders""".stripMargin,
+
+    "api_transpose" ->
+      """SELECT 'cnt' AS key,
+        |  (SELECT COUNT(*) FROM lineitem WHERE l_returnflag = 'A') AS "A",
+        |  (SELECT COUNT(*) FROM lineitem WHERE l_returnflag = 'N') AS "N",
+        |  (SELECT COUNT(*) FROM lineitem WHERE l_returnflag = 'R') AS "R"
+        |UNION ALL
+        |SELECT 'qty',
+        |  (SELECT CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT)
+        |   FROM lineitem WHERE l_returnflag = 'A'),
+        |  (SELECT CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT)
+        |   FROM lineitem WHERE l_returnflag = 'N'),
+        |  (SELECT CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT)
+        |   FROM lineitem WHERE l_returnflag = 'R')
+        |ORDER BY key""".stripMargin,
+
+    "sink_jsonl" ->
+      """SELECT lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS chars
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
   )
 }

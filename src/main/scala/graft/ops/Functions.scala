@@ -273,7 +273,44 @@ object Functions {
           expr("exists(t, x -> length(x) >= 7)").as("any_long"),
           expr("forall(t, x -> length(x) <= 12)").as("all_short"),
           expr("array_position(t, 'data')").as("pos_data"))
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // Map higher-order functions (transform_keys / transform_values /
+    // map_filter / map_zip_with) — the map twin of fn_array_hof. The map
+    // is built from literal-keyed arrays so iteration order is the
+    // construction order on both engines; the oracle recomputes each
+    // lambda directly from p_size arithmetic (DuckDB has no map HOFs,
+    // and none are needed to pin the semantics).
+    "fn_map_hof" -> ((s, d) =>
+      Tables.part(s, d)
+        .withColumn("m", map_from_arrays(
+          array(lit("a"), lit("b"), lit("c")),
+          array(col("p_size"), col("p_size") * 2, col("p_size") * 3)))
+        .select(col("p_partkey"),
+          expr("array_join(map_values(transform_values(m, (k, v) -> v + length(k))), ',')")
+            .as("tv"),
+          expr("array_join(map_keys(transform_keys(m, (k, v) -> concat(k, v % 2))), ',')")
+            .as("tk"),
+          expr("size(map_filter(m, (k, v) -> v % 2 = 0))").as("n_even"),
+          expr("array_join(map_values(map_zip_with(m, m, (k, v1, v2) -> v1 + v2)), ',')")
+            .as("mz"))
+        .orderBy("p_partkey")),
+
+    // Array generators (sequence / array_repeat / flatten / slice with
+    // negative-step sequences) — the constructive side of the array
+    // surface; fn_array/fn_array_hof cover navigation and lambdas.
+    "fn_array_gen" -> ((s, d) =>
+      Tables.part(s, d)
+        .withColumn("sq", sequence(lit(1), col("p_size")))
+        .select(col("p_partkey"),
+          size(col("sq")).as("n"),
+          expr("aggregate(sq, 0L, (a, x) -> a + x)").as("tri"),
+          array_join(array_repeat(col("p_brand"), 3), ",").as("rep3"),
+          array_join(flatten(array(slice(col("sq"), 1, 2), array(lit(0)))), ",")
+            .as("flat"),
+          expr("array_join(transform(sequence(p_size, 1, -2), x -> CAST(x AS STRING)), ',')")
+            .as("desc_odds"))
+        .orderBy("p_partkey"))
   )
 
   val oracles: Map[String, String] = Map(
@@ -463,6 +500,23 @@ object Functions {
         |  len(list_filter(t, x -> length(x) >= 7)) > 0 AS any_long,
         |  len(list_filter(t, x -> length(x) > 12)) = 0 AS all_short,
         |  CAST(list_position(t, 'data') AS BIGINT) AS pos_data
-        |FROM l ORDER BY doc_id""".stripMargin
+        |FROM l ORDER BY doc_id""".stripMargin,
+
+    "fn_map_hof" ->
+      """SELECT p_partkey,
+        |  (p_size + 1) || ',' || (2*p_size + 1) || ',' || (3*p_size + 1) AS tv,
+        |  'a' || (p_size % 2) || ',b0,c' || (p_size % 2) AS tk,
+        |  CAST(CASE WHEN p_size % 2 = 0 THEN 3 ELSE 1 END AS INT) AS n_even,
+        |  (2*p_size) || ',' || (4*p_size) || ',' || (6*p_size) AS mz
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "fn_array_gen" ->
+      """SELECT p_partkey,
+        |  CAST(p_size AS INT) AS n,
+        |  CAST(p_size * (p_size + 1) / 2 AS BIGINT) AS tri,
+        |  p_brand || ',' || p_brand || ',' || p_brand AS rep3,
+        |  array_to_string(list_concat(list_slice(range(1, p_size + 1), 1, 2), [0]), ',') AS flat,
+        |  array_to_string(list_transform(range(p_size, 0, -2), x -> CAST(x AS VARCHAR)), ',') AS desc_odds
+        |FROM part ORDER BY p_partkey""".stripMargin
   )
 }

@@ -274,7 +274,27 @@ object LlmPipeline {
         .where(col("overlap") >= 0.2)
         .select("test_id", "train_id", "n_shared", "overlap")
         .orderBy("test_id", "train_id")
-    })
+    }),
+
+    // URL-canonicalization dedup — the first dedup stage of every web
+    // crawl: many URLs name one resource, so the canonical form (lowered
+    // host + path; query string and fragment dropped) is the group key.
+    // URLs are synthesized from doc fields (same recipe as fn_url, plus
+    // tracking params and a fragment); canonicalization goes through
+    // parse_url, the grouping is one hash shuffle on the canonical key —
+    // linear at any corpus size. Keeper = min doc_id per group.
+    "llm_dedup_url" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          concat(lit("https://"), upper(col("source")), lit(".Example.COM/"),
+            col("lang"), lit("/doc/"), col("doc_id") % 100,
+            lit("?utm_source=feed&ref="), col("source"), lit("#sec-2")).as("url"))
+        .withColumn("curl", concat(
+          lower(expr("parse_url(url, 'HOST')")), expr("parse_url(url, 'PATH')")))
+        .groupBy("curl")
+        .agg(count(lit(1)).as("n_dups"), min(col("doc_id")).as("keeper"))
+        .where(col("n_dups") > 1)
+        .orderBy("curl"))
   )
 
   /** Indirection so the shared pair generator lives with its family in
@@ -419,6 +439,16 @@ object LlmPipeline {
          |  ROUND(p.n_shared / CAST(ts.n_test AS DOUBLE), 4) AS overlap
          |FROM p JOIN ts ON p.test_id = ts.test_id
          |WHERE ROUND(p.n_shared / CAST(ts.n_test AS DOUBLE), 4) >= 0.2
-         |ORDER BY p.test_id, p.train_id""".stripMargin
+         |ORDER BY p.test_id, p.train_id""".stripMargin,
+
+    "llm_dedup_url" ->
+      """WITH c AS (
+        |  SELECT doc_id,
+        |    lower(source) || '.example.com/' || lang || '/doc/'
+        |      || (doc_id % 100) AS curl
+        |  FROM documents)
+        |SELECT curl, COUNT(*) AS n_dups, MIN(doc_id) AS keeper
+        |FROM c GROUP BY curl HAVING COUNT(*) > 1
+        |ORDER BY curl""".stripMargin
   )
 }

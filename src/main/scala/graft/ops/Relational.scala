@@ -450,6 +450,23 @@ object Relational {
           |  AND NOT EXISTS (SELECT 1 FROM graft_ord_ex_v o2
           |                  WHERE o2.o_custkey = c.c_custkey AND o2.o_totalprice > 400000)
           |ORDER BY c_custkey""".stripMargin)
+    }),
+
+    // EXISTS under OR — the subquery position a semi join CANNOT serve
+    // (a semi join drops the non-matching rows the other disjunct must
+    // still see). Catalyst plans an ExistenceJoin: a left join emitting a
+    // boolean `exists` column consumed by the disjunction — every row
+    // survives to the filter. PlanShapeSpec asserts the plan.
+    "subquery_exists_or" -> ((s, d) => {
+      Tables.customer(s, d).createOrReplaceTempView("graft_cust_eor_v")
+      Tables.orders(s, d).createOrReplaceTempView("graft_ord_eor_v")
+      s.sql(
+        """SELECT c_custkey, c_mktsegment, c_acctbal FROM graft_cust_eor_v c
+          |WHERE c_acctbal > 9900
+          |   OR EXISTS (SELECT 1 FROM graft_ord_eor_v o
+          |              WHERE o.o_custkey = c.c_custkey
+          |                AND o.o_totalprice > 490000)
+          |ORDER BY c_custkey""".stripMargin)
     })
   )
 
@@ -706,6 +723,14 @@ object Relational {
         |              WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
         |  AND NOT EXISTS (SELECT 1 FROM orders o2
         |                  WHERE o2.o_custkey = c.c_custkey AND o2.o_totalprice > 400000)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "subquery_exists_or" ->
+      """SELECT c_custkey, c_mktsegment, c_acctbal FROM customer c
+        |WHERE c_acctbal > 9900
+        |   OR EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey
+        |                AND o.o_totalprice > 490000)
         |ORDER BY c_custkey""".stripMargin
   )
 }

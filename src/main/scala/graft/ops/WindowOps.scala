@@ -174,6 +174,21 @@ object WindowOps {
         .withColumn("prev_nn", lag(col("val_n"), 1, null, ignoreNulls = true).over(w))
         .withColumn("next_nn", lead(col("val_n"), 1, null, ignoreNulls = true).over(w))
         .orderBy("user_id", "ts_us", "event_id")
+    }),
+
+    // COUNT(DISTINCT) OVER — an operator Spark's window engine lacks
+    // outright (it rejects DISTINCT aggregates in windows), composed from
+    // what it has: dense_rank over the partition ordered by the counted
+    // key, then the partition max of that rank. Two window passes over
+    // ONE sort order (same partitioning → one shuffle, one sort). DuckDB
+    // runs the native COUNT(DISTINCT ...) OVER as the oracle.
+    "win_count_distinct" -> ((s, d) => {
+      val wseg = Window.partitionBy("c_mktsegment")
+      Tables.customer(s, d)
+        .withColumn("dr", dense_rank().over(wseg.orderBy("c_nationkey")))
+        .withColumn("nd_nations", max(col("dr")).over(wseg).cast("bigint"))
+        .select(col("c_custkey"), col("c_mktsegment"), col("nd_nations"))
+        .orderBy("c_custkey")
     })
   )
 
@@ -283,6 +298,12 @@ object WindowOps {
         |  lead(val_n IGNORE NULLS) OVER w AS next_nn
         |FROM e
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
-        |ORDER BY user_id, ts_us, event_id""".stripMargin
+        |ORDER BY user_id, ts_us, event_id""".stripMargin,
+
+    "win_count_distinct" ->
+      """SELECT c_custkey, c_mktsegment,
+        |  COUNT(DISTINCT c_nationkey)
+        |    OVER (PARTITION BY c_mktsegment) AS nd_nations
+        |FROM customer ORDER BY c_custkey""".stripMargin
   )
 }

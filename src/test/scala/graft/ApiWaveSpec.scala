@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantic checks for the round-7 API/function wave: map HOFs, array
+  * generators, COUNT(DISTINCT) windows, Observation metrics, transpose,
+  * JSONL roundtrip, and URL-canonicalization dedup.
+  */
+class ApiWaveSpec extends AnyFunSuite with SparkFixture {
+
+  test("fn_map_hof lambdas follow the p_size arithmetic") {
+    val sizes = Tables.part(spark, sf).select("p_partkey", "p_size").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    SparkEntry.queries("fn_map_hof")(spark, sf).collect().foreach { r =>
+      val p = sizes(r.getLong(0))
+      assert(r.getString(1) == s"${p + 1},${2 * p + 1},${3 * p + 1}", "transform_values")
+      assert(r.getString(2) == s"a${p % 2},b0,c${p % 2}", "transform_keys")
+      assert(r.getInt(3) == (if (p % 2 == 0) 3 else 1), "map_filter")
+      assert(r.getString(4) == s"${2 * p},${4 * p},${6 * p}", "map_zip_with")
+    }
+  }
+
+  test("fn_array_gen: triangular sums and descending odd/even ladders") {
+    SparkEntry.queries("fn_array_gen")(spark, sf).collect().foreach { r =>
+      val n = r.getInt(1).toLong
+      assert(r.getLong(2) == n * (n + 1) / 2, "aggregate over sequence")
+      assert(r.getString(4).split(",").head == "1" && r.getString(4).endsWith(",0"), "flatten")
+      val lad = r.getString(5).split(",").map(_.toLong)
+      assert(lad.head == n && lad.last >= 1 && lad.sliding(2).forall {
+        case Array(a, b) => a - b == 2; case _ => true
+      }, "negative-step sequence")
+    }
+  }
+
+  test("win_count_distinct equals groupBy countDistinct per segment") {
+    val expected = Tables.customer(spark, sf).groupBy("c_mktsegment")
+      .agg(countDistinct("c_nationkey").as("nd")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    SparkEntry.queries("win_count_distinct")(spark, sf).collect().foreach { r =>
+      assert(r.getLong(2) == expected(r.getString(1)), s"segment ${r.getString(1)}")
+    }
+  }
+
+  test("api_observe metrics equal the direct aggregate (no second pass needed)") {
+    val got = SparkEntry.queries("api_observe")(spark, sf).collect()(0)
+    val direct = Tables.orders(spark, sf).agg(
+      count(lit(1)), sum(expr("CAST(o_totalprice AS DECIMAL(18,4))")).cast("double"),
+      min("o_orderkey"), max("o_orderkey")).collect()(0)
+    assert(got.getLong(0) == direct.getLong(0))
+    assert(got.getDouble(1) == direct.getDouble(1))
+    assert(got.getLong(2) == direct.getLong(2) && got.getLong(3) == direct.getLong(3))
+  }
+
+  test("api_transpose is the exact pivot of the pre-aggregate") {
+    val pre = Tables.lineitem(spark, sf).groupBy("l_returnflag")
+      .agg(sum(col("l_quantity").cast("bigint")).as("qty"), count(lit(1)).as("cnt"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val t = SparkEntry.queries("api_transpose")(spark, sf)
+    assert(t.columns.head == "key" && t.columns.tail.sorted.sameElements(pre.keys.toArray.sorted))
+    val rows = t.collect().map(r => r.getString(0) ->
+      t.columns.tail.zipWithIndex.map { case (c, i) => c -> r.getLong(i + 1) }.toMap).toMap
+    pre.foreach { case (flag, (qty, cnt)) =>
+      assert(rows("qty")(flag) == qty && rows("cnt")(flag) == cnt, s"flag $flag")
+    }
+  }
+
+  test("sink_jsonl roundtrip conserves documents per language") {
+    val got = SparkEntry.queries("sink_jsonl")(spark, sf).collect()
+    assert(got.map(_.getLong(1)).sum == Tables.documents(spark, sf).count())
+    val chars = Tables.documents(spark, sf).groupBy("lang")
+      .agg(sum("n_chars")).collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    got.foreach(r => assert(r.getLong(2) == chars(r.getString(0)), s"lang ${r.getString(0)}"))
+  }
+
+  test("llm_dedup_url: groups are real collisions and keepers are group minima") {
+    val rows = SparkEntry.queries("llm_dedup_url")(spark, sf).collect()
+    assert(rows.forall(_.getLong(1) >= 2), "a reported group must be a duplicate")
+    // independent canonicalization
+    val canon = Tables.documents(spark, sf)
+      .select(col("doc_id"), concat(lower(col("source")), lit(".example.com/"),
+        col("lang"), lit("/doc/"), col("doc_id") % 100).as("curl"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val groups = canon.groupBy(_._2).view.mapValues(_.map(_._1)).toMap
+    rows.foreach { r =>
+      val ids = groups(r.getString(0))
+      assert(ids.length.toLong == r.getLong(1), "group size")
+      assert(ids.min == r.getLong(2), "keeper is min doc_id")
+    }
+    assert(rows.length == groups.count(_._2.length > 1), "every dup group reported")
+  }
+}

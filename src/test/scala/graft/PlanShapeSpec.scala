@@ -265,4 +265,16 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
     assert(base == b2 && base == b11)
     assert(base.nonEmpty)
   }
+
+  test("subquery_exists_or plans an ExistenceJoin (EXISTS under OR keeps all rows)") {
+    val opt = SparkEntry.queries("subquery_exists_or")(spark, sf)
+      .queryExecution.optimizedPlan.toString
+    assert(opt.contains("ExistenceJoin"), opt.take(3000))
+  }
+
+  test("win_count_distinct runs both window passes on ONE segment shuffle") {
+    val p = plan("win_count_distinct")
+    assert("Exchange hashpartitioning\\(c_mktsegment".r.findAllIn(p).length == 1,
+      p.take(3000))
+  }
 }
