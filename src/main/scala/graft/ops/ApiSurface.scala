@@ -31,14 +31,20 @@ object ApiSurface {
     "ds_typed_agg" -> ((s, d) => {
       val classic = s.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       import classic.implicits._
+      // Encoders come from the session-free Encoders factory, NOT from
+      // classic.implicits: resolving them implicitly captures the
+      // SparkSession in the Aggregator closure, and the session stops
+      // being serializable once anything initializes its lazy
+      // ObservationManager (e.g. api_observe) — a latent
+      // Task-not-serializable triggered only by op ordering.
       def sumBy(f: LineSlim => Long) =
         new org.apache.spark.sql.expressions.Aggregator[LineSlim, Long, Long] {
           def zero = 0L
           def reduce(b: Long, a: LineSlim) = b + f(a)
           def merge(b1: Long, b2: Long) = b1 + b2
           def finish(b: Long) = b
-          def bufferEncoder = implicitly[org.apache.spark.sql.Encoder[Long]]
-          def outputEncoder = implicitly[org.apache.spark.sql.Encoder[Long]]
+          def bufferEncoder = org.apache.spark.sql.Encoders.scalaLong
+          def outputEncoder = org.apache.spark.sql.Encoders.scalaLong
         }.toColumn
       val ds = Tables.lineitem(s, d)
         .select(col("l_returnflag"), col("l_quantity"), col("l_extendedprice"))

@@ -40,7 +40,12 @@ object LlmOps {
     * (|∩| from the postings, |∪| = |A|+|B|-|∩|).
     */
   private[ops] def nearPairs(s: SparkSession, d: String): DataFrame = {
-    val sh = shingles(s, d)
+    // Shuffle the 8-byte xxhash64 of each shingle instead of the ~25-byte
+    // string: the posting-list groupBy is the plan's one big exchange and
+    // the hash is 3× narrower. Per-doc distinctness happened pre-hash, so
+    // |A|,|B| are exact; a 64-bit collision (P ≈ n²/2⁶⁵ per shingle pair)
+    // could only inflate c — at warehouse scale swap in a 128-bit digest.
+    val sh = shingles(s, d).select(col("doc_id"), xxhash64(col("s")).as("s"))
     val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = sh.groupBy("s")
       .agg(sort_array(collect_list(col("doc_id"))).as("ds"))

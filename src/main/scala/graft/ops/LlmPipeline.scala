@@ -47,20 +47,28 @@ object LlmPipeline {
         .localCheckpoint()
       val nodes = edges.select(col("a").as("id")).distinct()
       var labels = nodes.withColumn("lbl", col("id")).localCheckpoint()
-      var changed = 1L
+      // Min-label propagation only ever DECREASES labels, so Σlbl strictly
+      // decreases until the fixpoint: convergence = unchanged sum. That is
+      // one cheap aggregate on the (tiny) label relation per round instead
+      // of a join-and-count against the previous round.
+      def lblSum(df: DataFrame): java.math.BigDecimal =
+        df.agg(sum(col("lbl").cast("decimal(38,0)"))).collect()(0).getDecimal(0)
+      var prevSum = lblSum(labels)
+      var converged = false
       var iter = 0
-      while (changed > 0 && iter < maxIters) {
+      while (!converged && iter < maxIters) {
         val nbrMin = edges.join(labels, col("b") === col("id"))
           .select(col("a").as("id"), col("lbl"))
         val next = labels.unionAll(nbrMin)
           .groupBy("id").agg(min("lbl").as("lbl"))
           .localCheckpoint()
-        changed = next.join(labels.withColumnRenamed("lbl", "prev"), "id")
-          .where(col("lbl") =!= col("prev")).count()
+        val nextSum = lblSum(next)
+        converged = nextSum.compareTo(prevSum) == 0
+        prevSum = nextSum
         labels = next
         iter += 1
       }
-      require(changed == 0, s"label propagation did not converge in $maxIters iters")
+      require(converged, s"label propagation did not converge in $maxIters iters")
       val sizes = labels.groupBy("lbl").agg(count(lit(1)).as("cluster_size"))
       labels.join(sizes, "lbl")
         .select(col("id").as("doc_id"), col("lbl").as("cluster_id"),

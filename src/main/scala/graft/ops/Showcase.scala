@@ -260,18 +260,22 @@ object Showcase {
             .otherwise(1L)).as("low_line_count"))
         .orderBy("l_returnflag")),
 
-    // TPC-H Q13 (customer distribution): LEFT OUTER join with an
-    // ON-clause filter (priority stands in for the comment pattern), then
-    // the double aggregation — orders per customer, customers per order
-    // count. Customers with zero surviving orders must appear (c_count=0),
-    // which is exactly what the outer join + count(non-null) encodes.
+    // TPC-H Q13 (customer distribution): orders per customer, then
+    // customers per order count; the ON-clause priority filter stands in
+    // for the comment pattern. The fact is pre-aggregated to one row per
+    // custkey BEFORE the outer join (map-side partial count + one narrow
+    // shuffle) — joining raw orders to customers first would shuffle the
+    // whole fact wide. Customers with zero surviving orders appear as
+    // c_count=0 via the outer join + coalesce.
     "tpch_q13" -> ((s, d) => {
-      val perCust = Tables.customer(s, d)
-        .join(Tables.orders(s, d).where(col("o_orderpriority") =!= "5-LOW"),
-          col("c_custkey") === col("o_custkey"), "left_outer")
-        .groupBy("c_custkey")
-        .agg(count(col("o_orderkey")).as("c_count"))
-      perCust.groupBy("c_count").agg(count(lit(1)).as("custdist"))
+      val perCust = Tables.orders(s, d)
+        .where(col("o_orderpriority") =!= "5-LOW")
+        .groupBy("o_custkey")
+        .agg(count(lit(1)).as("n_ord"))
+      Tables.customer(s, d)
+        .join(perCust, col("c_custkey") === col("o_custkey"), "left_outer")
+        .select(coalesce(col("n_ord"), lit(0L)).as("c_count"))
+        .groupBy("c_count").agg(count(lit(1)).as("custdist"))
         .orderBy(col("custdist").desc, col("c_count").desc)
     }),
 
