@@ -302,7 +302,60 @@ object LlmPipeline {
         .groupBy("curl")
         .agg(count(lit(1)).as("n_dups"), min(col("doc_id")).as("keeper"))
         .where(col("n_dups") > 1)
-        .orderBy("curl"))
+        .orderBy("curl")),
+
+    // LM-fluency (perplexity-class) quality filter: score each doc by its
+    // mean bigram negative-log-likelihood under the corpus bigram LM and
+    // keep the 25 worst. Every doc bigram exists in the corpus counts (the
+    // doc contributed it), so no smoothing is needed. Determinism: each
+    // -ln p is rounded to integer MICRO-nats first, so the per-doc sum is
+    // an exact BIGINT (double sums over join-scattered rows would be
+    // partition-order dependent — the agg_group money law, applied to
+    // logs); the mean is one shared double division at the end.
+    "llm_ppl_filter" -> ((s, d) => {
+      val bi = Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("t"))
+        .where(size(col("t")) >= 2) // sequence(0, -1) would descend
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(0, size(t) - 2), i -> struct(t[i] AS w1, t[i+1] AS w2))")).as("p"))
+        .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+      val c12 = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      val c1 = c12.groupBy("w1").agg(sum("c12").cast("bigint").as("c1"))
+      bi.join(c12, Seq("w1", "w2")).join(c1, Seq("w1"))
+        .select(col("doc_id"),
+          round(-log(col("c12").cast("double") / col("c1").cast("double")) * 1e6)
+            .cast("bigint").as("nll_micro"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bi"), sum(col("nll_micro")).as("sum_nll"))
+        .withColumn("avg_nll",
+          col("sum_nll").cast("double") / (col("n_bi").cast("double") * 1e6))
+        .orderBy(col("avg_nll").desc, col("doc_id"))
+        .limit(25)
+    }),
+
+    // Span-level dedup (the line/paragraph-dedup stage): docs are cut into
+    // non-overlapping 8-token spans; a span seen in MORE THAN ONE doc is
+    // boilerplate. Per-doc accounting of shared spans over the posting-
+    // list groupBy — the same sub-quadratic shape as the shingle family,
+    // one shuffle on the span.
+    "llm_dedup_span" -> ((s, d) => {
+      val sp = Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("t"))
+        .where(size(col("t")) >= 8)
+        .select(col("doc_id"), explode(expr(
+          """transform(sequence(0, CAST(floor(size(t) / 8) AS INT) - 1),
+            |  i -> concat_ws(' ', slice(t, 8 * i + 1, 8)))""".stripMargin)).as("span"))
+      val dup = sp.groupBy("span")
+        .agg(countDistinct("doc_id").as("nd")).where(col("nd") > 1)
+        .select("span")
+      val tot = sp.groupBy("doc_id").agg(count(lit(1)).as("n_spans"))
+      sp.join(dup, "span")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+        .join(tot, "doc_id")
+        .select(col("doc_id"), col("n_spans"), col("n_shared"),
+          round(col("n_shared") / col("n_spans").cast("double"), 4).as("shared_frac"))
+        .orderBy("doc_id")
+    })
   )
 
   /** Indirection so the shared pair generator lives with its family in
@@ -457,6 +510,37 @@ object LlmPipeline {
         |  FROM documents)
         |SELECT curl, COUNT(*) AS n_dups, MIN(doc_id) AS keeper
         |FROM c GROUP BY curl HAVING COUNT(*) > 1
-        |ORDER BY curl""".stripMargin
+        |ORDER BY curl""".stripMargin,
+
+    "llm_ppl_filter" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |bi AS (SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+        |       FROM t, unnest(generate_series(1, len(t) - 1)) u(i)),
+        |c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM bi GROUP BY w1, w2),
+        |c1 AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM c12 GROUP BY w1),
+        |sc AS (SELECT bi.doc_id,
+        |         CAST(ROUND(-ln(CAST(c12.c12 AS DOUBLE) / CAST(c1.c1 AS DOUBLE)) * 1e6)
+        |           AS BIGINT) AS nll_micro
+        |       FROM bi JOIN c12 USING (w1, w2) JOIN c1 USING (w1))
+        |SELECT doc_id, COUNT(*) AS n_bi,
+        |  CAST(SUM(nll_micro) AS BIGINT) AS sum_nll,
+        |  CAST(SUM(nll_micro) AS DOUBLE) / (CAST(COUNT(*) AS DOUBLE) * 1e6) AS avg_nll
+        |FROM sc GROUP BY doc_id
+        |ORDER BY avg_nll DESC, doc_id LIMIT 25""".stripMargin,
+
+    "llm_dedup_span" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sp AS (SELECT doc_id, array_to_string(t[(8*i+1):(8*i+8)], ' ') AS span
+        |       FROM t, unnest(generate_series(0,
+        |         CAST(floor(len(t) / 8) AS INT) - 1)) u(i)),
+        |dup AS (SELECT span FROM sp GROUP BY span
+        |        HAVING COUNT(DISTINCT doc_id) > 1),
+        |tot AS (SELECT doc_id, COUNT(*) AS n_spans FROM sp GROUP BY doc_id)
+        |SELECT sp.doc_id AS doc_id, tot.n_spans AS n_spans,
+        |  COUNT(*) AS n_shared,
+        |  ROUND(COUNT(*) / CAST(tot.n_spans AS DOUBLE), 4) AS shared_frac
+        |FROM sp JOIN dup USING (span) JOIN tot ON sp.doc_id = tot.doc_id
+        |GROUP BY sp.doc_id, tot.n_spans
+        |ORDER BY doc_id""".stripMargin
   )
 }

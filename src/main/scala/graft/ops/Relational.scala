@@ -48,6 +48,27 @@ object Relational {
       s.read.orc(s"${Scratch.dir}/nation_orc").orderBy("n_nationkey")
     }),
 
+    // Schema evolution across file generations (the day-2 warehouse
+    // reality): old files lack a column newer files carry; mergeSchema
+    // unions the footers and back-fills nulls on the old generation. The
+    // graded read proves both generations land and the missing column
+    // nulls out exactly where it should.
+    "source_schema_evolution" -> ((s, d) => {
+      val dir = s"${Scratch.dir}/schema_evo_${d.replaceAll("[^A-Za-z0-9.]", "_")}"
+      val o = Tables.orders(s, d)
+      o.where(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .write.mode("overwrite").parquet(s"$dir/v1")
+      o.where(col("o_orderdate") >= lit("1998-01-01").cast("timestamp"))
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+        .write.mode("overwrite").parquet(s"$dir/v2")
+      s.read.option("mergeSchema", "true").parquet(s"$dir/v1", s"$dir/v2")
+        .groupBy(coalesce(col("o_orderpriority"), lit("(pre-upgrade)")).as("prio"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("o_totalprice") * 100).cast("bigint")).as("cents"))
+        .orderBy("prio")
+    }),
+
     // Partitioned warehouse sink + partition-pruned read: orders written
     // partitionBy(year), then a single-partition scan aggregates 1997 — at
     // 100 TB this is the layout that turns a full-table scan into reading
@@ -490,6 +511,13 @@ object Relational {
     // The ORC round-trip must reproduce nation exactly.
     "source_orc_roundtrip" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
+
+    "source_schema_evolution" ->
+      """SELECT CASE WHEN o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+        |    THEN o_orderpriority ELSE '(pre-upgrade)' END AS prio,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // The pruned-partition aggregate must equal the same aggregate filtered
     // from the unpartitioned source.

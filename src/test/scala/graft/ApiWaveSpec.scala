@@ -89,4 +89,37 @@ class ApiWaveSpec extends AnyFunSuite with SparkFixture {
     }
     assert(rows.length == groups.count(_._2.length > 1), "every dup group reported")
   }
+
+  test("llm_ppl_filter: scores positive, internally consistent, worst-first") {
+    val rows = SparkEntry.queries("llm_ppl_filter")(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 25)
+    rows.foreach { r =>
+      assert(r.getLong(2) >= 0, "negative NLL sum for an in-corpus bigram")
+      assert(r.getDouble(3) == r.getLong(2).toDouble / (r.getLong(1).toDouble * 1e6),
+        "avg is not the declared division")
+    }
+    val avgs = rows.map(_.getDouble(3))
+    assert(avgs.zip(avgs.tail).forall { case (a, b) => a >= b }, "not worst-first")
+  }
+
+  test("llm_dedup_span matches a driver-side span recount") {
+    val rows = SparkEntry.queries("llm_dedup_span")(spark, sf).collect()
+    val spans = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .flatMap { r =>
+        val t = r.getString(1).split(" ")
+        (0 until t.length / 8).map(i => (r.getLong(0), t.slice(8 * i, 8 * i + 8).mkString(" ")))
+      }
+    val dupSpans = spans.groupBy(_._2).filter(_._2.map(_._1).distinct.length > 1).keySet
+    val perDocShared = spans.filter(p => dupSpans.contains(p._2))
+      .groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    assert(rows.map(r => r.getLong(0) -> r.getLong(2)).toMap == perDocShared)
+    rows.foreach(r => assert(r.getLong(2) <= r.getLong(1) && r.getDouble(3) <= 1.0))
+  }
+
+  test("source_schema_evolution: both generations land, old rows null out") {
+    val rows = SparkEntry.queries("source_schema_evolution")(spark, sf).collect()
+    assert(rows.exists(_.getString(0) == "(pre-upgrade)"), "v1 generation missing")
+    assert(rows.map(_.getLong(1)).sum == Tables.orders(spark, sf).count(),
+      "row conservation across file generations")
+  }
 }
