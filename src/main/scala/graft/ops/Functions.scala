@@ -310,6 +310,21 @@ object Functions {
             .as("flat"),
           expr("array_join(transform(sequence(p_size, 1, -2), x -> CAST(x AS STRING)), ',')")
             .as("desc_odds"))
+        .orderBy("p_partkey")),
+
+    // The second string tier: split_part / substring_index / overlay /
+    // translate / repeat / left / right — the ETL-parsing vocabulary
+    // beyond fn_string's core. DuckDB lacks overlay and substring_index;
+    // the oracle rebuilds both from substr/list primitives.
+    "fn_string_extras" -> ((s, d) =>
+      Tables.part(s, d).select(
+        col("p_partkey"),
+        expr("split_part(p_name, ' ', 1)").as("sp"),
+        expr("substring_index(p_name, ' ', 1)").as("si"),
+        expr("overlay(p_brand, 'XX', 2)").as("ov"),
+        translate(col("p_type"), "AEO", "aeo").as("tr"),
+        expr("repeat(left(p_type, 2), 3)").as("rp"),
+        expr("right(p_type, 3)").as("rt"))
         .orderBy("p_partkey"))
   )
 
@@ -517,6 +532,16 @@ object Functions {
         |  p_brand || ',' || p_brand || ',' || p_brand AS rep3,
         |  array_to_string(list_concat(list_slice(range(1, p_size + 1), 1, 2), [0]), ',') AS flat,
         |  array_to_string(list_transform(range(p_size, 0, -2), x -> CAST(x AS VARCHAR)), ',') AS desc_odds
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "fn_string_extras" ->
+      """SELECT p_partkey,
+        |  split_part(p_name, ' ', 1) AS sp,
+        |  string_split(p_name, ' ')[1] AS si,
+        |  left(p_brand, 1) || 'XX' || substr(p_brand, 4) AS ov,
+        |  translate(p_type, 'AEO', 'aeo') AS tr,
+        |  repeat(left(p_type, 2), 3) AS rp,
+        |  right(p_type, 3) AS rt
         |FROM part ORDER BY p_partkey""".stripMargin
   )
 }

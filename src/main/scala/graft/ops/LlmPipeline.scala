@@ -355,7 +355,43 @@ object LlmPipeline {
         .select(col("doc_id"), col("n_spans"), col("n_shared"),
           round(col("n_shared") / col("n_spans").cast("double"), 4).as("shared_frac"))
         .orderBy("doc_id")
-    })
+    }),
+
+    // BPE merge-candidate counts (tokenizer-training step 1): adjacent
+    // character-pair frequencies weighted by word frequency. The pair
+    // explosion runs over the (already tiny) word-count relation, not the
+    // corpus — the same rollup-first discipline as tpch_q13; top-20
+    // merge candidates emitted.
+    "llm_bpe_pairs" -> ((s, d) => {
+      val wc = Tables.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("c"))
+      wc.where(length(col("w")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")).as("pair"),
+          col("c"))
+        .groupBy("pair").agg(sum("c").cast("bigint").as("freq"))
+        .orderBy(col("freq").desc, col("pair"))
+        .limit(20)
+    }),
+
+    // Cross-modal pair assembly (the CLIP-style training-pair stage):
+    // text rows joined to their embedding rows by id, emitting per-pair
+    // features (token count, L2 norm, mean element, label). One equi
+    // join; both element folds are sequential left-to-right in both
+    // engines, rounded at the boundary.
+    "mm_embed_join" -> ((s, d) =>
+      Tables.documents(s, d)
+        .join(Tables.embeddings(s, d), col("doc_id") === col("vec_id"))
+        .select(col("doc_id"), col("lang"),
+          size(split(col("text"), " ")).as("n_toks"),
+          round(sqrt(expr(
+            "aggregate(embedding, 0D, (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))")), 4)
+            .as("emb_norm"),
+          round(expr("aggregate(embedding, 0D, (a, x) -> a + CAST(x AS DOUBLE))") / 64, 6)
+            .as("emb_mean"),
+          col("label"))
+        .orderBy("doc_id"))
   )
 
   /** Indirection so the shared pair generator lives with its family in
@@ -541,6 +577,25 @@ object LlmPipeline {
         |  ROUND(COUNT(*) / CAST(tot.n_spans AS DOUBLE), 4) AS shared_frac
         |FROM sp JOIN dup USING (span) JOIN tot ON sp.doc_id = tot.doc_id
         |GROUP BY sp.doc_id, tot.n_spans
+        |ORDER BY doc_id""".stripMargin,
+
+    "llm_bpe_pairs" ->
+      """WITH wf AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+        |wc AS (SELECT w, COUNT(*) AS c FROM wf GROUP BY w)
+        |SELECT w[i:i+1] AS pair, CAST(SUM(c) AS BIGINT) AS freq
+        |FROM wc, unnest(generate_series(1, length(w) - 1)) u(i)
+        |WHERE length(w) >= 2
+        |GROUP BY 1 ORDER BY freq DESC, pair LIMIT 20""".stripMargin,
+
+    "mm_embed_join" ->
+      """SELECT d.doc_id AS doc_id, d.lang AS lang,
+        |  CAST(len(string_split(d.text, ' ')) AS INT) AS n_toks,
+        |  ROUND(sqrt(list_sum(list_transform(e.embedding,
+        |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4) AS emb_norm,
+        |  ROUND(list_sum(list_transform(e.embedding,
+        |    x -> CAST(x AS DOUBLE))) / 64, 6) AS emb_mean,
+        |  e.label AS label
+        |FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
         |ORDER BY doc_id""".stripMargin
   )
 }

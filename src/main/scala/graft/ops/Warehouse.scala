@@ -342,6 +342,33 @@ object Warehouse {
         .agg(count(lit(1)).as("n_orders"),
           sum(dec(col("o_totalprice"))).cast("double").as("total"))
         .orderBy("o_year")
+    }),
+
+    // Data-quality audit — the nightly warehouse health check a Hive
+    // service actually serves: null keys, domain violations, duplicate
+    // keys, FK orphans, derived-column drift. One single-pass aggregate
+    // per table (two checks share the lineitem scan) + a left-anti probe
+    // for orphans; emitted as (check, n) rows so the report is one frame.
+    "warehouse_quality_audit" -> ((s, d) => {
+      val cust = Tables.customer(s, d).agg(
+        sum(when(col("c_acctbal") < 0, 1L).otherwise(0L)).as("neg"),
+        (count(lit(1)) - countDistinct(col("c_custkey"))).as("dups"))
+      val li = Tables.lineitem(s, d).agg(
+        sum(when(col("l_orderkey").isNull, 1L).otherwise(0L)).as("nullkey"),
+        sum(when(!col("l_quantity").between(1, 50), 1L).otherwise(0L)).as("qtyrange"))
+      val orph = Tables.orders(s, d)
+        .join(Tables.customer(s, d).select("c_custkey"),
+          col("o_custkey") === col("c_custkey"), "left_anti")
+        .agg(count(lit(1)).as("n"))
+      val docs = Tables.documents(s, d).agg(
+        sum(when(col("n_chars") =!= length(col("text")), 1L).otherwise(0L)).as("drift"))
+      cust.select(lit("customer_neg_acctbal").as("check"), col("neg").as("n"))
+        .unionAll(cust.select(lit("customer_dup_keys"), col("dups")))
+        .unionAll(li.select(lit("lineitem_null_orderkey"), col("nullkey")))
+        .unionAll(li.select(lit("lineitem_qty_out_of_range"), col("qtyrange")))
+        .unionAll(orph.select(lit("orders_fk_orphans"), col("n")))
+        .unionAll(docs.select(lit("documents_nchars_drift"), col("drift")))
+        .orderBy("check")
     })
   )
 
@@ -451,6 +478,22 @@ object Warehouse {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
         |FROM orders
         |WHERE year(o_orderdate) <> 1997 OR o_orderkey % 2 = 0
-        |GROUP BY 1 ORDER BY o_year""".stripMargin
+        |GROUP BY 1 ORDER BY o_year""".stripMargin,
+
+    "warehouse_quality_audit" ->
+      """SELECT 'customer_dup_keys' AS "check",
+        |  (SELECT COUNT(*) - COUNT(DISTINCT c_custkey) FROM customer) AS n
+        |UNION ALL SELECT 'customer_neg_acctbal',
+        |  (SELECT COUNT(*) FROM customer WHERE c_acctbal < 0)
+        |UNION ALL SELECT 'documents_nchars_drift',
+        |  (SELECT COUNT(*) FROM documents WHERE n_chars <> length(text))
+        |UNION ALL SELECT 'lineitem_null_orderkey',
+        |  (SELECT COUNT(*) FROM lineitem WHERE l_orderkey IS NULL)
+        |UNION ALL SELECT 'lineitem_qty_out_of_range',
+        |  (SELECT COUNT(*) FROM lineitem WHERE l_quantity NOT BETWEEN 1 AND 50)
+        |UNION ALL SELECT 'orders_fk_orphans',
+        |  (SELECT COUNT(*) FROM orders o WHERE NOT EXISTS
+        |    (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+        |ORDER BY "check"""".stripMargin
   )
 }

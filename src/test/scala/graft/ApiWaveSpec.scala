@@ -122,4 +122,53 @@ class ApiWaveSpec extends AnyFunSuite with SparkFixture {
     assert(rows.map(_.getLong(1)).sum == Tables.orders(spark, sf).count(),
       "row conservation across file generations")
   }
+
+  test("fn_string_extras agrees with plain-Scala string ops per row") {
+    val names = Tables.part(spark, sf).select("p_partkey", "p_name", "p_brand", "p_type")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getString(2), r.getString(3))).toMap
+    SparkEntry.queries("fn_string_extras")(spark, sf).collect().foreach { r =>
+      val (name, brand, ptype) = names(r.getLong(0))
+      assert(r.getString(1) == name.split(" ").head, "split_part")
+      assert(r.getString(2) == name.split(" ").head, "substring_index")
+      assert(r.getString(3) == brand.substring(0, 1) + "XX" + brand.drop(3), "overlay")
+      assert(r.getString(4) == ptype.map {
+        case 'A' => 'a'; case 'E' => 'e'; case 'O' => 'o'; case c => c }, "translate")
+      assert(r.getString(5) == ptype.take(2) * 3, "repeat(left)")
+      assert(r.getString(6) == ptype.takeRight(3), "right")
+    }
+  }
+
+  test("warehouse_quality_audit: six checks, clean data everywhere except acctbal") {
+    val rows = SparkEntry.queries("warehouse_quality_audit")(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows.size == 6)
+    val negExpected = Tables.customer(spark, sf).where(col("c_acctbal") < 0).count()
+    assert(rows("customer_neg_acctbal") == negExpected)
+    Seq("customer_dup_keys", "lineitem_null_orderkey", "lineitem_qty_out_of_range",
+      "orders_fk_orphans", "documents_nchars_drift")
+      .foreach(k => assert(rows(k) == 0L, s"$k should be clean in the fixtures"))
+  }
+
+  test("llm_bpe_pairs: frequencies match a driver-side recount of the top pair") {
+    val rows = SparkEntry.queries("llm_bpe_pairs")(spark, sf).collect()
+    assert(rows.length <= 20 && rows.nonEmpty)
+    val freqs = rows.map(_.getLong(1))
+    assert(freqs.zip(freqs.tail).forall { case (a, b) => a >= b }, "not sorted desc")
+    val (topPair, topFreq) = (rows.head.getString(0), rows.head.getLong(1))
+    val recount = Tables.documents(spark, sf).select("text").collect()
+      .flatMap(_.getString(0).split(" "))
+      .map(w => w.sliding(2).count(_ == topPair)).sum
+    assert(recount.toLong == topFreq, s"driver recount of '$topPair'")
+  }
+
+  test("mm_embed_join: norms are ~1 (normalized embeddings) and ids pair 1:1") {
+    val rows = SparkEntry.queries("mm_embed_join")(spark, sf).collect()
+    val nEmb = Tables.embeddings(spark, sf).count()
+    val nDoc = Tables.documents(spark, sf).count()
+    assert(rows.length.toLong == math.min(nEmb, nDoc), "join cardinality")
+    rows.foreach { r =>
+      assert(math.abs(r.getDouble(3) - 1.0) < 0.01, s"doc ${r.getLong(0)} norm")
+      assert(r.getInt(2) > 0)
+    }
+  }
 }
