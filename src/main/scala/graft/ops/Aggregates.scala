@@ -227,6 +227,49 @@ object Aggregates {
             <= lit(3 * 0.02) * col("n_exact")).as("hll_ok"))
         .orderBy("event_type")),
 
+    // Exact distinct counting via bitmap aggregates — the warehouse trick
+    // for high-cardinality COUNT(DISTINCT) at scale: keys bucket into
+    // 32k-bit bitmaps (bitmap_bucket_number/bit_position), partial bitmaps
+    // OR together map-side, and the final count is a popcount sum. EXACT,
+    // mergeable, shuffle-light — and fully oracle-gradeable, unlike a
+    // sketch.
+    "agg_bitmap_distinct" -> ((s, d) => {
+      Tables.customer(s, d).createOrReplaceTempView("graft_cust_bm_v")
+      s.sql(
+        """WITH b AS (
+          |  SELECT c_mktsegment, bitmap_bucket_number(c_custkey) AS bkt,
+          |         bitmap_construct_agg(bitmap_bit_position(c_custkey)) AS bm
+          |  FROM graft_cust_bm_v GROUP BY 1, 2)
+          |SELECT c_mktsegment, CAST(SUM(bitmap_count(bm)) AS BIGINT) AS nd_customers
+          |FROM b GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
+    }),
+
+    // Mergeable HLL sketches (hll_sketch_agg / hll_union_agg) — the
+    // pre-aggregation pattern that makes distinct counts cheap at 100 TB:
+    // one sketch per partition (here per order year) stored once, any
+    // rollup answered by UNIONING sketches instead of rescanning rows.
+    // Graded with the bound-verdict pattern: exact companions + in-
+    // tolerance flags; the sketch bytes stay engine-local.
+    "agg_hll_merge" -> ((s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("graft_ord_hll_v")
+      s.sql(
+        """WITH yearly AS (
+          |  SELECT year(o_orderdate) AS o_year,
+          |         hll_sketch_agg(o_custkey) AS sk,
+          |         COUNT(DISTINCT o_custkey) AS nd_exact
+          |  FROM graft_ord_hll_v GROUP BY 1),
+          |merged AS (
+          |  SELECT hll_sketch_estimate(hll_union_agg(sk)) AS est_total FROM yearly),
+          |exact AS (SELECT COUNT(DISTINCT o_custkey) AS nd_total FROM graft_ord_hll_v)
+          |SELECT y.o_year, y.nd_exact,
+          |       abs(hll_sketch_estimate(y.sk) - y.nd_exact) <= 0.05 * y.nd_exact
+          |         AS year_ok,
+          |       e.nd_total,
+          |       abs(m.est_total - e.nd_total) <= 0.05 * e.nd_total AS merge_ok
+          |FROM yearly y CROSS JOIN merged m CROSS JOIN exact e
+          |ORDER BY o_year""".stripMargin)
+    }),
+
     // Approximate percentile (t-digest-class sketch beside the exact
     // interpolated agg_percentile): graded with the same bound-verdict
     // pattern as the HLL op — exact median + a flag that the sketch landed
@@ -378,6 +421,17 @@ object Aggregates {
     "agg_hll_distinct" ->
       """SELECT event_type, COUNT(DISTINCT user_id) AS n_exact, TRUE AS hll_ok
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "agg_bitmap_distinct" ->
+      """SELECT c_mktsegment, COUNT(DISTINCT c_custkey) AS nd_customers
+        |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "agg_hll_merge" ->
+      """SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+        |  COUNT(DISTINCT o_custkey) AS nd_exact, TRUE AS year_ok,
+        |  (SELECT COUNT(DISTINCT o_custkey) FROM orders) AS nd_total,
+        |  TRUE AS merge_ok
+        |FROM orders GROUP BY 1 ORDER BY o_year""".stripMargin,
 
     // Same bound-verdict pattern: the sketch value stays engine-local, the
     // exact median and the in-tolerance flag are what the hash grades.

@@ -189,6 +189,24 @@ object WindowOps {
         .withColumn("nd_nations", max(col("dr")).over(wseg).cast("bigint"))
         .select(col("c_custkey"), col("c_mktsegment"), col("nd_nations"))
         .orderBy("c_custkey")
+    }),
+
+    // Event-sequence pattern detection (the MATCH_RECOGNIZE shape Spark
+    // lacks, composed from lead chains): users whose stream contains the
+    // CONSECUTIVE view→click→purchase funnel, per-user match counts over
+    // the (ts_us, event_id) total order. One window shuffle; agg_funnel
+    // covers the unordered variant.
+    "win_event_pattern" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+      Tables.events(s, d)
+        .select(col("user_id"), col("ts_us"), col("event_id"), col("event_type"))
+        .withColumn("n1", lead("event_type", 1).over(w))
+        .withColumn("n2", lead("event_type", 2).over(w))
+        .where(col("event_type") === "view"
+          && col("n1") === "click" && col("n2") === "purchase")
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_matches"), min("ts_us").as("first_match_us"))
+        .orderBy("user_id")
     })
   )
 
@@ -304,6 +322,16 @@ object WindowOps {
       """SELECT c_custkey, c_mktsegment,
         |  COUNT(DISTINCT c_nationkey)
         |    OVER (PARTITION BY c_mktsegment) AS nd_nations
-        |FROM customer ORDER BY c_custkey""".stripMargin
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "win_event_pattern" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type
+        |           FROM events),
+        |l AS (SELECT *, LEAD(event_type, 1) OVER w AS n1,
+        |        LEAD(event_type, 2) OVER w AS n2
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id))
+        |SELECT user_id, COUNT(*) AS n_matches, MIN(ts_us) AS first_match_us
+        |FROM l WHERE event_type = 'view' AND n1 = 'click' AND n2 = 'purchase'
+        |GROUP BY user_id ORDER BY user_id""".stripMargin
   )
 }

@@ -171,4 +171,36 @@ class ApiWaveSpec extends AnyFunSuite with SparkFixture {
       assert(r.getInt(2) > 0)
     }
   }
+
+  test("agg_bitmap_distinct is EXACTLY countDistinct (bitmaps are not a sketch)") {
+    val got = SparkEntry.queries("agg_bitmap_distinct")(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = Tables.customer(spark, sf).groupBy("c_mktsegment")
+      .agg(countDistinct("c_custkey")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == exact)
+  }
+
+  test("agg_hll_merge: per-year and merged estimates inside the declared bound") {
+    val rows = SparkEntry.queries("agg_hll_merge")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getBoolean(2), s"year ${r.getInt(0)} sketch out of tolerance")
+      assert(r.getBoolean(4), "merged sketch out of tolerance")
+      assert(r.getLong(1) <= r.getLong(3), "a year cannot exceed the total")
+    }
+  }
+
+  test("win_event_pattern matches a driver-side scan for the funnel") {
+    val got = SparkEntry.queries("win_event_pattern")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val events = Tables.events(spark, sf)
+      .select("user_id", "ts_us", "event_id", "event_type").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val expected = events.groupBy(_._1).view.mapValues { es =>
+      val types = es.sortBy(e => (e._2, e._3)).map(_._4)
+      types.sliding(3).count(_.sameElements(Seq("view", "click", "purchase"))).toLong
+    }.filter(_._2 > 0).toMap
+    assert(got == expected)
+  }
 }
