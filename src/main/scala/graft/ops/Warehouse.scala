@@ -369,6 +369,26 @@ object Warehouse {
         .unionAll(orph.select(lit("orders_fk_orphans"), col("n")))
         .unionAll(docs.select(lit("documents_nchars_drift"), col("drift")))
         .orderBy("check")
+    }),
+
+    // Incremental materialized-view maintenance: the MV state is a set of
+    // MERGEABLE partials (count + exact-decimal sum per key). A new batch
+    // produces its own partials and the refresh is a re-aggregate of
+    // (old state ∪ batch partials) — O(|MV| + |batch|), never a base-table
+    // rescan. The two "loads" split every group (orderkey parity) so each
+    // output row genuinely merges two partials; the oracle is the full
+    // recompute the incremental path must equal.
+    "warehouse_incremental_mv" -> ((s, d) => {
+      def partials(df: DataFrame): DataFrame = df
+        .groupBy(year(col("o_orderdate")).as("o_year"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("pn"), sum(dec(col("o_totalprice"))).as("psum"))
+      val load1 = partials(Tables.orders(s, d).where(col("o_orderkey") % 2 === 0))
+      val load2 = partials(Tables.orders(s, d).where(col("o_orderkey") % 2 === 1))
+      load1.unionAll(load2)
+        .groupBy("o_year", "o_orderstatus")
+        .agg(sum(col("pn")).cast("bigint").as("n_orders"),
+          sum(col("psum")).cast("double").as("total"))
+        .orderBy("o_year", "o_orderstatus")
     })
   )
 
@@ -494,6 +514,12 @@ object Warehouse {
         |UNION ALL SELECT 'orders_fk_orphans',
         |  (SELECT COUNT(*) FROM orders o WHERE NOT EXISTS
         |    (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
-        |ORDER BY "check"""".stripMargin
+        |ORDER BY "check"""".stripMargin,
+
+    "warehouse_incremental_mv" ->
+      """SELECT CAST(year(o_orderdate) AS INT) AS o_year, o_orderstatus,
+        |  COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+        |FROM orders GROUP BY 1, 2 ORDER BY o_year, o_orderstatus""".stripMargin
   )
 }

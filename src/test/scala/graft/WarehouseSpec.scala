@@ -149,4 +149,16 @@ class WarehouseSpec extends AnyFunSuite with SparkFixture {
     assert(!plan.contains("Exchange hashpartitioning(o_custkey"), plan.take(2000))
     spark.sql("DROP TABLE graft_orders_b")
   }
+
+  test("warehouse_incremental_mv: merged partials equal the full recompute") {
+    val got = SparkEntry.queries("warehouse_incremental_mv")(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    val full = Tables.orders(spark, sf)
+      .groupBy(org.apache.spark.sql.functions.year(col("o_orderdate")).as("y"),
+        col("o_orderstatus"))
+      .agg(count(lit(1)),
+        sum(expr("CAST(o_totalprice AS DECIMAL(18,4))")).cast("double"))
+      .collect().map(r => (r.getInt(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(got == full, "incremental refresh diverged from recompute")
+  }
 }
