@@ -103,7 +103,7 @@ object ApiSurface {
     // single file at any scale. Graded read = a range aggregate over the
     // written layout.
     "sink_range_sorted" -> ((s, d) => {
-      val dir = s"${Scratch.dir}/range_sorted_${d.replaceAll("[^A-Za-z0-9.]", "_")}"
+      val dir = Scratch.opDir("range_sorted", d)
       Tables.orders(s, d)
         .repartitionByRange(4, col("o_orderkey"))
         .sortWithinPartitions("o_orderkey")
@@ -154,7 +154,7 @@ object ApiSurface {
     // int64 on empty partitions); graded read is a per-language rollup
     // of the landed files.
     "sink_jsonl" -> ((s, d) => {
-      val dir = s"${Scratch.dir}/jsonl_docs_${d.replaceAll("[^A-Za-z0-9.]", "_")}"
+      val dir = Scratch.opDir("jsonl_docs", d)
       Tables.documents(s, d).select("doc_id", "lang", "source", "n_chars")
         .write.mode("overwrite").json(dir)
       s.read.schema("doc_id BIGINT, lang STRING, source STRING, n_chars BIGINT")

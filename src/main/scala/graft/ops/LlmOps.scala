@@ -43,8 +43,10 @@ object LlmOps {
     // Shuffle the 8-byte xxhash64 of each shingle instead of the ~25-byte
     // string: the posting-list groupBy is the plan's one big exchange and
     // the hash is 3× narrower. Per-doc distinctness happened pre-hash, so
-    // |A|,|B| are exact; a 64-bit collision (P ≈ n²/2⁶⁵ per shingle pair)
-    // could only inflate c — at warehouse scale swap in a 128-bit digest.
+    // |A|,|B| are exact. A 64-bit collision (P ≈ n²/2⁶⁵ per shingle pair)
+    // across docs could only inflate c; within one doc it would duplicate
+    // a (doc, hash) row and surface as a self-pair — the a<b guard below
+    // drops that row. At warehouse scale swap in a 128-bit digest.
     val sh = shingles(s, d).select(col("doc_id"), xxhash64(col("s")).as("s"))
     val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = sh.groupBy("s")
@@ -55,6 +57,7 @@ object LlmOps {
           |  i -> transform(sequence(i + 1, size(ds) - 1),
           |    j -> struct(ds[i] AS a, ds[j] AS b))))""".stripMargin)).as("p"))
       .select(col("p.a").as("a"), col("p.b").as("b"))
+      .where(col("a") =!= col("b")) // intra-doc hash collision guard
       .groupBy("a", "b").agg(count(lit(1)).as("c"))
     inter
       .join(broadcast(sz.as("sa")), col("a") === col("sa.doc_id"))

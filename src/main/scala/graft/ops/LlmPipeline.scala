@@ -51,8 +51,12 @@ object LlmPipeline {
       // decreases until the fixpoint: convergence = unchanged sum. That is
       // one cheap aggregate on the (tiny) label relation per round instead
       // of a join-and-count against the previous round.
-      def lblSum(df: DataFrame): java.math.BigDecimal =
-        df.agg(sum(col("lbl").cast("decimal(38,0)"))).collect()(0).getDecimal(0)
+      def lblSum(df: DataFrame): java.math.BigDecimal = {
+        // empty label frame sums to SQL NULL — normalize so the empty
+        // graph (no qualifying pairs) converges instead of NPEing
+        val v = df.agg(sum(col("lbl").cast("decimal(38,0)"))).collect()(0).getDecimal(0)
+        if (v == null) java.math.BigDecimal.ZERO else v
+      }
       var prevSum = lblSum(labels)
       var converged = false
       var iter = 0
@@ -313,12 +317,16 @@ object LlmPipeline {
     // partition-order dependent — the agg_group money law, applied to
     // logs); the mean is one shared double division at the end.
     "llm_ppl_filter" -> ((s, d) => {
+      // bi feeds THREE consumers (c12, c1 via c12, and the probe side of
+      // the join); localCheckpoint materializes the explode once instead
+      // of re-running the scan+split subtree per consumer.
       val bi = Tables.documents(s, d)
         .select(col("doc_id"), split(col("text"), " ").as("t"))
         .where(size(col("t")) >= 2) // sequence(0, -1) would descend
         .select(col("doc_id"), explode(expr(
           "transform(sequence(0, size(t) - 2), i -> struct(t[i] AS w1, t[i+1] AS w2))")).as("p"))
         .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+        .localCheckpoint()
       val c12 = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
       val c1 = c12.groupBy("w1").agg(sum("c12").cast("bigint").as("c1"))
       bi.join(c12, Seq("w1", "w2")).join(c1, Seq("w1"))
@@ -339,12 +347,14 @@ object LlmPipeline {
     // list groupBy — the same sub-quadratic shape as the shingle family,
     // one shuffle on the span.
     "llm_dedup_span" -> ((s, d) => {
+      // three consumers (dup, tot, probe) — materialize the explode once
       val sp = Tables.documents(s, d)
         .select(col("doc_id"), split(col("text"), " ").as("t"))
         .where(size(col("t")) >= 8)
         .select(col("doc_id"), explode(expr(
           """transform(sequence(0, CAST(floor(size(t) / 8) AS INT) - 1),
             |  i -> concat_ws(' ', slice(t, 8 * i + 1, 8)))""".stripMargin)).as("span"))
+        .localCheckpoint()
       val dup = sp.groupBy("span")
         .agg(countDistinct("doc_id").as("nd")).where(col("nd") > 1)
         .select("span")

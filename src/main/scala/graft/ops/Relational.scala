@@ -54,7 +54,7 @@ object Relational {
     // graded read proves both generations land and the missing column
     // nulls out exactly where it should.
     "source_schema_evolution" -> ((s, d) => {
-      val dir = s"${Scratch.dir}/schema_evo_${d.replaceAll("[^A-Za-z0-9.]", "_")}"
+      val dir = Scratch.opDir("schema_evo", d)
       val o = Tables.orders(s, d)
       o.where(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
         .select("o_orderkey", "o_custkey", "o_totalprice")

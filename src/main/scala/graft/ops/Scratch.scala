@@ -18,6 +18,12 @@ object Scratch {
     Runtime.getRuntime.addShutdownHook(new Thread(() => delete(p.toFile)))
     p.toString
   }
+
+  /** Scratch subdir keyed by op prefix AND sf dir — ops whose output
+    * depends on the input scale need distinct paths per sf within one JVM
+    * (the test fixture and Verify can touch several scales). */
+  def opDir(prefix: String, sfDir: String): String =
+    s"$dir/${prefix}_${sfDir.replaceAll("[^A-Za-z0-9.]", "_")}"
   private def delete(f: java.io.File): Unit = {
     Option(f.listFiles).foreach(_.foreach(delete))
     f.delete(); ()

@@ -136,7 +136,7 @@ object StreamingOps {
       // file, so stage a zero-copy symlink inside the session scratch dir
       // (idempotent across verify/bench re-invocations in one JVM).
       val stageDir = java.nio.file.Paths.get(
-        s"${Scratch.dir}/avail_now_src_${d.replaceAll("[^A-Za-z0-9.]", "_")}")
+        Scratch.opDir("avail_now_src", d))
       java.nio.file.Files.createDirectories(stageDir)
       val link = stageDir.resolve("events.parquet")
       if (!java.nio.file.Files.exists(link))

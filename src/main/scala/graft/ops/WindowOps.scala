@@ -186,7 +186,13 @@ object WindowOps {
       val wseg = Window.partitionBy("c_mktsegment")
       Tables.customer(s, d)
         .withColumn("dr", dense_rank().over(wseg.orderBy("c_nationkey")))
-        .withColumn("nd_nations", max(col("dr")).over(wseg).cast("bigint"))
+        // COUNT(DISTINCT) ignores NULLs; dense_rank ranks them (first).
+        // Subtract the null rank when the partition has one so the
+        // composition matches the native semantics on any fixture.
+        .withColumn("has_null",
+          max(col("c_nationkey").isNull.cast("int")).over(wseg))
+        .withColumn("nd_nations",
+          (max(col("dr")).over(wseg) - col("has_null")).cast("bigint"))
         .select(col("c_custkey"), col("c_mktsegment"), col("nd_nations"))
         .orderBy("c_custkey")
     }),
