@@ -104,14 +104,15 @@ object LlmScale {
         .orderBy("doc_id")
     }),
 
-    // Deterministic sequence packing: the GPT-style batch-assembly stage —
-    // concatenate each language's docs in doc_id order and cut the token
-    // stream every 2048 tokens; a doc's bin is start_offset DIV capacity
-    // (integer arithmetic only — a double division would round in DuckDB
-    // but truncate in Spark). One window per language partition (parallel
-    // across groups — the 100 TB layout shards the stream key further),
-    // then a small rollup per (lang, bin).
-    "llm_pack_sequences" -> ((s, d) => {
+    // Per-LANGUAGE sequence packing: concatenate each language's docs in
+    // doc_id order and cut the token stream every 2048 tokens; a doc's
+    // bin is start_offset DIV capacity (integer arithmetic only — a
+    // double division would round in DuckDB but truncate in Spark). One
+    // window per language partition; the bucket-hash twin that shards
+    // the stream key for 100 TB is llm_pack_sequences (LlmPrep). This
+    // entry was silently shadowed by that twin's identical map key until
+    // round 7 renamed it — both packings are graded now.
+    "llm_pack_lang" -> ((s, d) => {
       val w = Window.partitionBy("lang").orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, 0)
       Tables.documents(s, d)
@@ -158,7 +159,7 @@ object LlmScale {
         |  substring(regexp_replace(text, '\b(key|hash|value)\b', '<X>', 'g'), 1, 60) AS scrubbed_prefix
         |FROM documents ORDER BY doc_id""".stripMargin,
 
-    "llm_pack_sequences" ->
+    "llm_pack_lang" ->
       """WITH t AS (SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tokens FROM documents),
         |c AS (SELECT doc_id, lang, n_tokens,
         |    SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id

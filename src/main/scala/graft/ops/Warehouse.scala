@@ -238,7 +238,10 @@ object Warehouse {
     // InMemoryTableScan (plan-asserted in WarehouseSpec). At 100 TB the
     // cached relation is the small hot aggregate/dimension layer, never the
     // fact table; the cache is partition-distributed, not driver-side.
-    "warehouse_cache_ops" -> ((s, d) => {
+    // (renamed from a shadowed duplicate of warehouse_cache_ops in round
+    // 7 — the CACHE TABLE + cached-dim JOIN shape, distinct from the
+    // CACHE TABLE AS SELECT lifecycle op below)
+    "warehouse_cache_join" -> ((s, d) => {
       Tables.nation(s, d).createOrReplaceTempView("graft_cache_nation")
       Tables.customer(s, d).createOrReplaceTempView("graft_cache_customer")
       s.sql("CACHE TABLE graft_cache_nation")
@@ -445,7 +448,7 @@ object Warehouse {
         |FROM customer WHERE c_custkey % 10 = 0
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
 
-    "warehouse_cache_ops" ->
+    "warehouse_cache_join" ->
       """SELECT n_name, COUNT(*) AS n_cust,
         |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS balance
         |FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey

@@ -32,6 +32,42 @@ class OperatorSmokeSpec extends AnyFunSuite with SparkFixture {
     assert(noOracle.isEmpty, s"ops without oracle: $noOracle")
   }
 
+  test("no operator key is silently shadowed across family maps") {
+    // ++-merging the family maps makes a duplicate key LAST-WINS silently;
+    // round 7 found two ops dead that way (llm_pack_lang,
+    // warehouse_cache_join — since renamed). Sum-of-sizes equality makes
+    // any future duplicate an immediate failure naming the key.
+    import graft.ops._
+    val families: Seq[(String, Map[String, _])] = Seq(
+      "Relational" -> Relational.queries, "Aggregates" -> Aggregates.queries,
+      "WindowOps" -> WindowOps.queries, "Functions" -> Functions.queries,
+      "StreamingOps" -> StreamingOps.queries, "LlmOps" -> LlmOps.queries,
+      "LlmExt" -> LlmExt.queries, "LlmScale" -> LlmScale.queries,
+      "LlmPipeline" -> LlmPipeline.queries, "Showcase" -> Showcase.queries,
+      "Warehouse" -> Warehouse.queries, "Analytics" -> Analytics.queries,
+      "LlmPrep" -> LlmPrep.queries, "ApiSurface" -> ApiSurface.queries)
+    val all = families.flatMap { case (fam, m) => m.keys.map(_ -> fam) }
+    val dups = all.groupBy(_._1).filter(_._2.length > 1)
+    assert(dups.isEmpty,
+      s"duplicate op keys: ${dups.map { case (k, fs) => s"$k in ${fs.map(_._2).mkString("+")}" }}")
+    assert(all.size == SparkEntry.queries.size)
+    // a duplicate INSIDE one Map literal collapses before runtime can see
+    // it — scan the source for op-entry patterns as the stronger guard
+    val opsDir = java.nio.file.Paths.get("src/main/scala/graft/ops")
+    if (java.nio.file.Files.isDirectory(opsDir)) {
+      val entry = """"([a-z0-9_]+)" -> \(\(s""".r
+      val fromSrc = java.nio.file.Files.list(opsDir).toArray.toSeq
+        .map(_.toString).filter(_.endsWith(".scala"))
+        .flatMap { f =>
+          val body = new String(java.nio.file.Files.readAllBytes(
+            java.nio.file.Paths.get(f)), java.nio.charset.StandardCharsets.UTF_8)
+          entry.findAllMatchIn(body).map(m => m.group(1) -> f)
+        }
+      val srcDups = fromSrc.groupBy(_._1).filter(_._2.length > 1)
+      assert(srcDups.isEmpty, s"duplicate op entries in source: ${srcDups.keys}")
+    }
+  }
+
   test("scan_parquet preserves the 25 nations in key order") {
     val rows = SparkEntry.queries("scan_parquet")(spark, sf).collect()
     assert(rows.length == 25)
