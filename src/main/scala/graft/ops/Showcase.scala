@@ -353,6 +353,77 @@ object Showcase {
         .agg(count(lit(1)).as("numcust"),
           sum(dec(col("c_acctbal"))).cast("double").as("totacctbal"))
         .orderBy("cntrycode")
+    }),
+
+    // TPC-H Q9 (product type profit), adapted: no partsupp table, so
+    // supply cost is proxied at 60% of retail price. The shape is intact:
+    // five-table join through the fact, LIKE-filtered part side
+    // broadcast, per-(nation, year) exact-decimal profit rollup.
+    "tpch_q9" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .join(broadcast(Tables.part(s, d).where(col("p_name").like("%red%"))),
+          col("p_partkey") === col("l_partkey"))
+        .join(Tables.supplier(s, d), col("s_suppkey") === col("l_suppkey"))
+        .join(Tables.orders(s, d), col("o_orderkey") === col("l_orderkey"))
+        .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name").as("nation"), year(col("o_orderdate")).as("o_year"))
+        .agg(sum(dec(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          - dec(lit(0.6) * col("p_retailprice") * col("l_quantity")))
+          .cast("double").as("profit"))
+        .orderBy(col("nation"), col("o_year").desc)),
+
+    // TPC-H Q21 (suppliers who kept orders waiting), adapted: "late" is
+    // shipped >90 days after the order date (no commit/receipt dates).
+    // The double-correlated EXISTS / NOT EXISTS against the SAME fact —
+    // the hardest decorrelation in the suite — planned by Catalyst as a
+    // semi + anti join pair on the order key with the date residuals.
+    "tpch_q21" -> ((s, d) => {
+      Tables.lineitem(s, d).createOrReplaceTempView("graft_li_q21_v")
+      Tables.orders(s, d).createOrReplaceTempView("graft_ord_q21_v")
+      Tables.supplier(s, d).createOrReplaceTempView("graft_supp_q21_v")
+      s.sql(
+        """SELECT s_name, COUNT(*) AS numwait
+          |FROM graft_li_q21_v l1
+          |  JOIN graft_ord_q21_v ON o_orderkey = l1.l_orderkey
+          |    AND o_orderstatus = 'F'
+          |  JOIN graft_supp_q21_v ON s_suppkey = l1.l_suppkey
+          |WHERE l1.l_shipdate > o_orderdate + INTERVAL 90 DAY
+          |  AND EXISTS (SELECT 1 FROM graft_li_q21_v l2
+          |              WHERE l2.l_orderkey = l1.l_orderkey
+          |                AND l2.l_suppkey <> l1.l_suppkey)
+          |  AND NOT EXISTS (SELECT 1 FROM graft_li_q21_v l3
+          |                  WHERE l3.l_orderkey = l1.l_orderkey
+          |                    AND l3.l_suppkey <> l1.l_suppkey
+          |                    AND l3.l_shipdate > o_orderdate + INTERVAL 90 DAY)
+          |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 10""".stripMargin)
+    }),
+
+    // TPC-H Q2 (minimum-cost supplier), adapted: the part-supplier
+    // relation is derived from observed lineitem pairs and "cost" is the
+    // supplier's account balance (no partsupp). The correlated scalar
+    // min decorrelates by hand into a groupBy + equality join — raw
+    // stored doubles compared without arithmetic, so the tie test is
+    // exact. The region-dim side is broadcast; the pair relation is the
+    // one real shuffle.
+    "tpch_q2" -> ((s, d) => {
+      val ps = Tables.lineitem(s, d)
+        .select(col("l_partkey").as("partkey"), col("l_suppkey").as("suppkey"))
+        .distinct()
+      val eu = Tables.supplier(s, d)
+        .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d).where(col("r_name") === "EUROPE")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("s_suppkey"), col("s_name"), col("s_acctbal"), col("n_name"))
+      val pseu = ps.join(eu, col("suppkey") === col("s_suppkey"))
+      val minBal = pseu.groupBy("partkey").agg(min("s_acctbal").as("min_bal"))
+      Tables.part(s, d).where(col("p_size") <= 5)
+        .join(pseu, col("p_partkey") === col("partkey"))
+        .join(minBal, Seq("partkey"))
+        .where(col("s_acctbal") === col("min_bal"))
+        .select(col("s_acctbal"), col("s_name"), col("n_name"),
+          col("p_partkey"), col("p_name"))
+        .orderBy("s_acctbal", "n_name", "s_name", "p_partkey")
+        .limit(20)
     })
   )
 
@@ -560,6 +631,48 @@ object Showcase {
         |    FROM customer WHERE c_acctbal > 0 AND c_nationkey IN (1,3,5,7,9))
         |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
         |                  AND o_orderdate >= TIMESTAMP '2000-07-01 00:00:00')
-        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+
+    "tpch_q9" ->
+      """SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))
+        |         - CAST(0.6 * p_retailprice * l_quantity AS DECIMAL(18,4)))
+        |    AS DOUBLE) AS profit
+        |FROM lineitem
+        |  JOIN part ON p_partkey = l_partkey
+        |  JOIN supplier ON s_suppkey = l_suppkey
+        |  JOIN orders ON o_orderkey = l_orderkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |WHERE p_name LIKE '%red%'
+        |GROUP BY 1, 2 ORDER BY nation, o_year DESC""".stripMargin,
+
+    "tpch_q21" ->
+      """SELECT s_name, COUNT(*) AS numwait
+        |FROM lineitem l1
+        |  JOIN orders ON o_orderkey = l1.l_orderkey AND o_orderstatus = 'F'
+        |  JOIN supplier ON s_suppkey = l1.l_suppkey
+        |WHERE l1.l_shipdate > o_orderdate + INTERVAL 90 DAY
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND l3.l_shipdate > o_orderdate + INTERVAL 90 DAY)
+        |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 10""".stripMargin,
+
+    "tpch_q2" ->
+      """WITH ps AS (SELECT DISTINCT l_partkey AS partkey, l_suppkey AS suppkey
+        |            FROM lineitem),
+        |eu AS (SELECT s_suppkey, s_name, s_acctbal, n_name FROM supplier
+        |       JOIN nation ON s_nationkey = n_nationkey
+        |       JOIN region ON n_regionkey = r_regionkey AND r_name = 'EUROPE')
+        |SELECT s_acctbal, s_name, n_name, p_partkey, p_name
+        |FROM part JOIN ps ON p_partkey = partkey JOIN eu ON s_suppkey = suppkey
+        |WHERE p_size <= 5
+        |  AND s_acctbal = (SELECT MIN(eu2.s_acctbal)
+        |                   FROM ps ps2 JOIN eu eu2 ON eu2.s_suppkey = ps2.suppkey
+        |                   WHERE ps2.partkey = p_partkey)
+        |ORDER BY s_acctbal, n_name, s_name, p_partkey LIMIT 20""".stripMargin
   )
 }

@@ -122,4 +122,61 @@ class TpchSuiteSpec extends AnyFunSuite with SparkFixture {
     assert(rows.map(r => r.getInt(0) -> r.getLong(1)).toMap == expCounts,
       "per-bucket counts != independent recomputation")
   }
+
+  test("tpch_q9: grouped profits sum to the ungrouped total") {
+    val rows = SparkEntry.queries("tpch_q9")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val total = Tables.lineitem(spark, sf)
+      .join(Tables.part(spark, sf).where(col("p_name").like("%red%")),
+        col("p_partkey") === col("l_partkey"))
+      .agg(sum(expr(
+        """CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))
+          | - CAST(0.6 * p_retailprice * l_quantity AS DECIMAL(18,4))""".stripMargin))
+        .cast("double")).collect()(0).getDouble(0)
+    val grouped = rows.map(r => BigDecimal(r.getDouble(2))).sum.toDouble
+    assert(math.abs(grouped - total) < 1e-6 * math.abs(total), "profit conservation")
+  }
+
+  test("tpch_q21 equals a driver-side replay of the double-EXISTS logic") {
+    val lines = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate").cast("timestamp").cast("long").as("us"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val fOrders = Tables.orders(spark, sf).where(col("o_orderstatus") === "F")
+      .select(col("o_orderkey"), col("o_orderdate").cast("timestamp").cast("long").as("us")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val names = Tables.supplier(spark, sf).select("s_suppkey", "s_name").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val byOrder = lines.groupBy(_._1)
+    val ninetyDaysUs = 90L * 24 * 3600 // cast-to-long = epoch seconds
+    val waits = scala.collection.mutable.Map[String, Long]().withDefaultValue(0L)
+    for {
+      (ok, ls) <- byOrder; odate <- fOrders.get(ok)
+      l1 <- ls if l1._3 > odate + ninetyDaysUs
+      others = ls.filter(_._2 != l1._2)
+      if others.nonEmpty && !others.exists(_._3 > odate + ninetyDaysUs)
+    } waits(names(l1._2)) += 1
+    val expected = waits.toSeq.sortBy { case (n, w) => (-w, n) }.take(10)
+    val got = SparkEntry.queries("tpch_q21")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == expected, s"replay mismatch: got $got expected $expected")
+  }
+
+  test("tpch_q2: each winner's balance is the min over its part's EU suppliers") {
+    val rows = SparkEntry.queries("tpch_q2")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val euSupp = Tables.supplier(spark, sf)
+      .join(Tables.nation(spark, sf), col("s_nationkey") === col("n_nationkey"))
+      .join(Tables.region(spark, sf).where(col("r_name") === "EUROPE"),
+        col("n_regionkey") === col("r_regionkey"))
+      .select("s_suppkey", "s_acctbal").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val pairs = Tables.lineitem(spark, sf).select("l_partkey", "l_suppkey")
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val minPerPart = pairs.filter(p => euSupp.contains(p._2))
+      .groupBy(_._1).view.mapValues(_.map(p => euSupp(p._2)).min).toMap
+    rows.foreach { r =>
+      assert(r.getDouble(0) == minPerPart(r.getLong(3)),
+        s"part ${r.getLong(3)} winner balance is not the min")
+    }
+  }
 }
