@@ -277,4 +277,11 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
     assert("Exchange hashpartitioning\\(c_mktsegment".r.findAllIn(p).length == 1,
       p.take(3000))
   }
+
+  test("tpch_q21 decorrelates both EXISTS to hash joins (no nested loop)") {
+    val p = plan("tpch_q21")
+    assert(p.contains("LeftSemi") && p.contains("LeftAnti"), p.take(3000))
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "correlated EXISTS fell back to a nested loop")
+  }
 }
