@@ -16,55 +16,78 @@ import graft.Tables
 object LlmScale {
   type Q = (SparkSession, String) => DataFrame
 
-  private val SrpPlanes = 16
   private val SrpDims = 64 // embeddings.parquet vector width (TESTDATA.md)
   private val PackCapacity = 2048
 
+  /** Conf-driven SRP-LSH geometry. Defaults: 128 planes banded 8×16 —
+    * 2¹⁶ bucket values PER BAND, so E[bucket size] is n/65536 per band and
+    * the within-bucket candidate join stays near-linear at 10⁹ vectors
+    * (the round-7 4×4-bit layout had 16 values/band: every bucket held
+    * n/16 vectors and the candidate join went quadratic — the suite's
+    * slowest query at 12× the exact sweep). The oracle SQL replays the
+    * DEFAULT geometry; override the knobs only alongside a matching
+    * oracle. Returns (planes, bands, bitsPerBand). */
+  private[graft] def lshConfig(s: SparkSession): (Int, Int, Int) = {
+    val planes = s.conf.get("graft.lsh.planes", "128").toInt
+    val bands = s.conf.get("graft.lsh.bands", "8").toInt
+    require(planes > 0 && bands > 0 && planes % bands == 0,
+      s"graft.lsh.planes ($planes) must be a positive multiple of graft.lsh.bands ($bands)")
+    (planes, bands, planes / bands)
+  }
+
   /** Deterministic signed-random-projection hyperplanes, derived from
     * md5("p:k") so the DuckDB oracle rebuilds the IDENTICAL matrix in SQL:
-    * w = ((first-32-bits % 2001) − 1000) / 1000 ∈ [−1, 1]. Computed once on
-    * the driver (16×64 literals — plan constants, no data dependence). */
-  private lazy val srpPlanes: Array[Array[Double]] = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    Array.tabulate(SrpPlanes, SrpDims) { (p, k) =>
-      md.reset()
-      val hex = md.digest(s"$p:$k".getBytes("UTF-8"))
-        .map("%02x".format(_)).mkString.take(8)
-      ((java.lang.Long.parseLong(hex, 16) % 2001) - 1000) / 1000.0
-    }
-  }
+    * w = ((first-32-bits % 2001) − 1000) / 1000 ∈ [−1, 1]. Computed once
+    * per plane count on the driver (planes×64 literals — plan constants,
+    * no data dependence; constant-folded into one array literal). */
+  private val planeCache = scala.collection.concurrent.TrieMap.empty[Int, Array[Array[Double]]]
+  private def srpPlanes(nPlanes: Int): Array[Array[Double]] =
+    planeCache.getOrElseUpdate(nPlanes, {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      Array.tabulate(nPlanes, SrpDims) { (p, k) =>
+        md.reset()
+        val hex = md.digest(s"$p:$k".getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.take(8)
+        ((java.lang.Long.parseLong(hex, 16) % 2001) - 1000) / 1000.0
+      }
+    })
 
   val queries: Map[String, Q] = Map(
     // Embedding near-dup via signed-random-projection LSH — the
     // sub-quadratic path the exact sweeps (llm_dedup_embed*) hand over to
-    // at corpus scale: 16 sign bits per vector (one pass, 16·dim flops,
-    // embarrassingly parallel), banded 4×4 so candidate pairs come from a
-    // bucketed equi-join (four shuffle keys per vector — NEVER an all-pairs
-    // product), then exact-cosine verification of the candidate set only.
-    // Output is the LSH-recalled subset of the exact pair set (precision 1
-    // by construction — every emitted pair is exactly verified). The 4×4
-    // banding puts recall at ≈0.54 AT the 0.45 threshold boundary
-    // (p_band = (1 − θ/π)⁴ per band, OR over 4 bands), rising toward 1
-    // for closer pairs — the standard LSH recall curve; tune planes/bands
-    // per corpus (real near-dup corpora sit at cos ≥ 0.9 where recall ≈ 1
-    // and buckets are far more selective than on this near-random synthetic
-    // data). Recall vs the exact sweep is asserted in ScalaTest; the
-    // oracle replays the identical algorithm — same md5-derived planes,
-    // same banding — in DuckDB SQL, so the op is fully hash-graded despite
+    // at corpus scale: `planes` sign bits per vector (one pass, planes·dim
+    // flops, embarrassingly parallel), banded `bands`×`bits` so candidate
+    // pairs come from a bucketed equi-join (one shuffle key per band —
+    // NEVER an all-pairs product), then exact-cosine scoring of the
+    // candidate set only. Output is the scored candidate set — every
+    // banding collision with its exact cosine and an `is_dup` verdict at
+    // the 0.45 threshold (precision 1 by construction: every emitted
+    // verdict is exactly verified; LSH-as-candidate-generator is the
+    // production shape — the dup threshold is downstream policy).
+    // Recall economics of the default 8×16 geometry: p_band = (1 − θ/π)¹⁶,
+    // OR over 8 bands — ≈1 for true near-dups (cos ≥ 0.99 → recall
+    // ≈ 1−2e-9; cos 0.9 → ≈ 0.50), while BACKGROUND pairs at the 0.45
+    // boundary of this near-random fixture almost never collide (that is
+    // the point: selectivity at the boundary is what keeps buckets O(1)).
+    // Planted-near-dup recall is asserted in LlmScaleSpec; the key
+    // cardinality floor (≥2¹⁶) in PlanShapeSpec. The oracle replays the
+    // identical algorithm — same md5-derived planes, same banding, same
+    // scoring — in DuckDB SQL, so the op is fully hash-graded despite
     // being approximate.
     "llm_dedup_embed_lsh" -> ((s, d) => {
       GraftBridge.registerFunction(s, "dot_product",
         exprs => DotProduct(exprs(0), exprs(1)))
+      val (nPlanes, nBands, nBits) = lshConfig(s)
       val e = Tables.embeddings(s, d)
         .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
-      val wLit = array(srpPlanes.map(row => array(row.map(lit(_)): _*)): _*)
-      // 4 bands × 4 bits, packed little-endian per band
+      val wLit = array(srpPlanes(nPlanes).map(row => array(row.map(lit(_)): _*)): _*)
+      // `bands` bands × `bits` bits, packed little-endian per band
       val banded = e.withColumn("wm", wLit)
         .withColumn("bits", expr(
           "transform(wm, w -> CASE WHEN round(dot_product(emb, w), 4) >= 0 THEN 1 ELSE 0 END)"))
         .withColumn("band", expr(
-          s"""transform(sequence(0, ${SrpPlanes / 4 - 1}),
-             |  b -> aggregate(sequence(0, 3), 0, (acc, i) -> acc + bits[b * 4 + i] * shiftleft(1, i)))"""
+          s"""transform(sequence(0, ${nBands - 1}),
+             |  b -> aggregate(sequence(0, ${nBits - 1}), 0, (acc, i) -> acc + bits[b * $nBits + i] * shiftleft(1, i)))"""
             .stripMargin))
         .select(col("vec_id"), posexplode(col("band")).as(Seq("bidx", "bval")))
       val cand = banded.as("x").join(banded.as("y"),
@@ -81,8 +104,8 @@ object LlmScale {
         .withColumn("cos", round(
           call_function("dot_product", col("emb_a"), col("emb_b"))
             / (col("nrm_a") * col("nrm_b")), 4))
-        .where(col("cos") >= 0.45)
-        .select("a", "b", "cos")
+        .withColumn("is_dup", col("cos") >= 0.45)
+        .select("a", "b", "cos", "is_dup")
         .orderBy("a", "b")
     }),
 
@@ -128,27 +151,28 @@ object LlmScale {
   )
 
   val oracles: Map[String, String] = Map(
-    // Identical algorithm replayed: same md5-derived planes, same 4-dp
-    // rounded sign bits, same 2×8 banding, same exact verify.
+    // Identical algorithm replayed at the DEFAULT geometry (128 planes,
+    // 8 bands × 16 bits): same md5-derived planes, same 4-dp rounded sign
+    // bits, same banding, same exact candidate scoring.
     "llm_dedup_embed_lsh" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
          |pw AS (SELECT p, k,
          |    ((('0x' || substring(md5(CAST(p AS VARCHAR) || ':' || CAST(k AS VARCHAR)), 1, 8))::BIGINT % 2001) - 1000) / 1000.0 AS w
-         |  FROM generate_series(0, ${SrpPlanes - 1}) t(p), generate_series(0, ${SrpDims - 1}) u(k)),
+         |  FROM generate_series(0, 127) t(p), generate_series(0, ${SrpDims - 1}) u(k)),
          |planes AS (SELECT p, list(w ORDER BY k) AS wv FROM pw GROUP BY p),
          |bits AS (SELECT vec_id, p,
          |    CASE WHEN ROUND(list_dot_product(emb, wv), 4) >= 0 THEN 1 ELSE 0 END AS bit
          |  FROM e, planes),
-         |bands AS (SELECT vec_id, CAST(p // 4 AS INT) AS bidx,
-         |    CAST(SUM(bit * (1 << CAST(p % 4 AS INT))) AS BIGINT) AS bval
-         |  FROM bits GROUP BY vec_id, p // 4),
+         |bands AS (SELECT vec_id, CAST(p // 16 AS INT) AS bidx,
+         |    CAST(SUM(bit * (1 << CAST(p % 16 AS INT))) AS BIGINT) AS bval
+         |  FROM bits GROUP BY vec_id, p // 16),
          |cand AS (SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
          |  FROM bands x JOIN bands y
          |    ON x.bidx = y.bidx AND x.bval = y.bval AND x.vec_id < y.vec_id),
          |en AS (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm FROM e)
-         |SELECT a, b, ROUND(list_dot_product(x.emb, y.emb) / (x.nrm * y.nrm), 4) AS cos
+         |SELECT a, b, ROUND(list_dot_product(x.emb, y.emb) / (x.nrm * y.nrm), 4) AS cos,
+         |  ROUND(list_dot_product(x.emb, y.emb) / (x.nrm * y.nrm), 4) >= 0.45 AS is_dup
          |FROM cand JOIN en x ON a = x.vec_id JOIN en y ON b = y.vec_id
-         |WHERE ROUND(list_dot_product(x.emb, y.emb) / (x.nrm * y.nrm), 4) >= 0.45
          |ORDER BY a, b""".stripMargin,
 
     "llm_text_scrub" ->

@@ -230,6 +230,23 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("llm_dedup_embed_lsh candidate-join keys span ≥2^16 values per band (scale contract)") {
+    // The quantity that controls E[bucket size] at 10⁹ vectors: with b-bit
+    // bands a bucket holds ~n/2^b vectors, and the within-bucket self-join
+    // is quadratic in that. 16-bit bands keep it near-linear; the round-7
+    // 4-bit layout (16 values/band) went quadratic and was the suite's
+    // slowest query. Guard the floor so a conf/default regression is loud.
+    val (planes, bands, bits) = graft.ops.LlmScale.lshConfig(spark)
+    assert(bits >= 16, s"bits/band $bits < 16 — bucket count ${1L << bits} per band")
+    assert((bands.toLong << bits) >= 65536L,
+      s"total key cardinality ${bands.toLong << bits} < 2^16")
+    assert(planes == bands * bits)
+    // and the candidate generation stays a bucketed equi-join
+    val p = plan("llm_dedup_embed_lsh")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      p.take(3000))
+  }
+
   test("AllPairsCosineExec executes its child exactly once (no driver collect)") {
     val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
     import classic.implicits._
