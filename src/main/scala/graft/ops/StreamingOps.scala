@@ -10,6 +10,28 @@ import graft.Tables
 /** Event row shape used by the MemoryStream-driven streaming ops. */
 case class SEvent(event_id: Long, ts: Timestamp, user_id: Long, event_type: String, value: Double)
 
+/** Spark 4 StatefulProcessor for `stream_stateful_custom`: per-user running
+  * (count, value-sum) held in typed ValueState, updated stats emitted every
+  * batch. A named top-level class (not an anonymous one inside the query
+  * lambda) so the checkpointed operator metadata has a stable class name. */
+private[ops] class RunningStatsProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[Long, SEvent, (Long, Long, Double)] {
+  @transient private var st: org.apache.spark.sql.streaming.ValueState[(Long, Double)] = _
+  override def init(outputMode: OutputMode,
+      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+    st = getHandle.getValueState[(Long, Double)]("agg",
+      org.apache.spark.sql.Encoders.product[(Long, Double)],
+      org.apache.spark.sql.streaming.TTLConfig.NONE)
+  override def handleInputRows(user: Long, rows: Iterator[SEvent],
+      tv: org.apache.spark.sql.streaming.TimerValues): Iterator[(Long, Long, Double)] = {
+    val (n0, v0) = if (st.exists()) st.get() else (0L, 0.0)
+    var n = n0; var v = v0
+    rows.foreach { e => n += 1; v += e.value }
+    st.update((n, v))
+    Iterator((user, n, v))
+  }
+}
+
 /** SURVEY.md §2.10 — streaming semantics.
   *
   * The window operators (`stream_tumbling`/`stream_sliding`/`stream_session`)
@@ -247,9 +269,46 @@ object StreamingOps {
     }),
 
     // Arbitrary stateful processing: per-user running (count, value-sum)
-    // state machine via flatMapGroupsWithState, emitting updated stats on
-    // every batch.
-    "stream_stateful_custom" -> ((s, d) => withFewShufflePartitions(s) {
+    // state machine via Spark 4's transformWithState (StatefulProcessor +
+    // typed ValueState) over the RocksDB state store provider — the
+    // current arbitrary-state API and the 100 TB state-size answer (state
+    // lives off-heap/on-disk per partition, not in executor heap). The
+    // pre-4.x flatMapGroupsWithState twin is kept as a test-only
+    // comparison surface (statefulCustomLegacy below; StreamingSpec
+    // asserts identical output across the two APIs).
+    "stream_stateful_custom" -> ((s, d) => withRocksDBStateStore(s) {
+      withFewShufflePartitions(s) {
+        val classic = s.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+        import classic.implicits._
+        implicit val sq = classic.sqlContext
+        val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[SEvent]
+        val sink = newSinkName()
+        val q = ms.toDS()
+          .groupByKey(_.user_id)
+          .transformWithState(new RunningStatsProcessor,
+            org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append())
+          .toDF("user_id", "n_events", "total_value")
+          .writeStream.format("memory").queryName(sink).outputMode("append").start()
+        ms.addData(
+          SEvent(1, Timestamp.valueOf("2024-01-01 10:00:00"), 1, "view", 2.0),
+          SEvent(2, Timestamp.valueOf("2024-01-01 10:01:00"), 1, "click", 3.0),
+          SEvent(3, Timestamp.valueOf("2024-01-01 10:02:00"), 2, "view", 5.0))
+        q.processAllAvailable()
+        ms.addData(
+          SEvent(4, Timestamp.valueOf("2024-01-01 10:03:00"), 1, "purchase", 10.0))
+        q.processAllAvailable()
+        q.stop()
+        s.table(sink).orderBy("user_id", "n_events")
+      }
+    })
+  )
+
+  /** flatMapGroupsWithState twin of stream_stateful_custom — the pre-4.x
+    * arbitrary-state API, kept as the cross-API comparison surface
+    * (StreamingSpec asserts it emits exactly the graded op's rows); not in
+    * the graded `queries` map. */
+  private[graft] def statefulCustomLegacy(s: SparkSession): DataFrame =
+    withFewShufflePartitions(s) {
       val classic = s.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       import classic.implicits._
       implicit val sq = classic.sqlContext
@@ -278,8 +337,7 @@ object StreamingOps {
       q.processAllAvailable()
       q.stop()
       s.table(sink).orderBy("user_id", "n_events")
-    })
-  )
+    }
 
   private def newSinkName(): String =
     "graft_sink_" + java.util.UUID.randomUUID().toString.replace("-", "")
@@ -305,6 +363,22 @@ object StreamingOps {
     val prev = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", "2")
     try body finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
+  /** transformWithState requires the RocksDB state store provider (state
+    * off-heap/on-disk per partition — the store that holds 100 TB-scale
+    * state; the default HDFS-backed store keeps every key in executor
+    * heap). Scoped set/restore: the conf is read at query START, so
+    * restoring after stop() leaves concurrent ops unaffected. */
+  private def withRocksDBStateStore[T](s: SparkSession)(body: => T): T = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try body finally prev match {
+      case Some(p) => s.conf.set(key, p)
+      case None => s.conf.unset(key)
+    }
   }
 
   val oracles: Map[String, String] = Map(

@@ -47,60 +47,31 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     assert(u0 == u0.sorted && u0.distinct == u0)
   }
 
-  // Spark 4's transformWithState (StatefulProcessor + typed ValueState, the
-  // successor to flatMapGroupsWithState) — same per-user running (count,
-  // sum) machine as stream_stateful_custom, must emit the same rows.
-  // transformWithState requires the RocksDB state store provider.
-  test("transformWithState (Spark 4 arbitrary-state API) matches flatMapGroupsWithState") {
-    import java.sql.Timestamp
-    import graft.ops.SEvent
-    import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TTLConfig, TimeMode}
-    val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-    import classic.implicits._
-    implicit val sq = classic.sqlContext
-    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
-    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    spark.conf.set("spark.sql.shuffle.partitions", "2")
-    try {
-      val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[SEvent]
-      val proc = new StatefulProcessor[Long, SEvent, (Long, Long, Double)] {
-        @transient private var st: org.apache.spark.sql.streaming.ValueState[(Long, Double)] = _
-        override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
-          st = getHandle.getValueState[(Long, Double)]("agg",
-            org.apache.spark.sql.Encoders.product[(Long, Double)], TTLConfig.NONE)
-        override def handleInputRows(user: Long, rows: Iterator[SEvent],
-            tv: org.apache.spark.sql.streaming.TimerValues): Iterator[(Long, Long, Double)] = {
-          val (n0, v0) = if (st.exists()) st.get() else (0L, 0.0)
-          var n = n0; var v = v0
-          rows.foreach { e => n += 1; v += e.value }
-          st.update((n, v))
-          Iterator((user, n, v))
-        }
-      }
-      val sink = "graft_tws_" + java.util.UUID.randomUUID().toString.replace("-", "")
-      val q = ms.toDS().groupByKey(_.user_id)
-        .transformWithState(proc, TimeMode.None(), OutputMode.Append())
-        .toDF("user_id", "n_events", "total_value")
-        .writeStream.format("memory").queryName(sink).outputMode("append").start()
-      ms.addData(
-        SEvent(1, Timestamp.valueOf("2024-01-01 10:00:00"), 1, "view", 2.0),
-        SEvent(2, Timestamp.valueOf("2024-01-01 10:01:00"), 1, "click", 3.0),
-        SEvent(3, Timestamp.valueOf("2024-01-01 10:02:00"), 2, "view", 5.0))
-      q.processAllAvailable()
-      ms.addData(SEvent(4, Timestamp.valueOf("2024-01-01 10:03:00"), 1, "purchase", 10.0))
-      q.processAllAvailable()
-      q.stop()
-      val rows = spark.table(sink).collect()
-        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
-      assert(rows == Set((1L, 2L, 5.0), (2L, 1L, 5.0), (1L, 3L, 15.0)))
-    } finally {
-      prevProvider match {
-        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
-        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
-      }
-      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
-    }
+  // The graded stream_stateful_custom runs Spark 4's transformWithState
+  // (StatefulProcessor + typed ValueState over the RocksDB state store).
+  // The pre-4.x flatMapGroupsWithState formulation of the SAME per-user
+  // running (count, sum) machine must emit identical rows — the cross-API
+  // equivalence that lets a 3.x pipeline migrate without a semantic diff.
+  test("flatMapGroupsWithState (legacy API) matches the graded transformWithState op") {
+    val tws = SparkEntry.queries("stream_stateful_custom")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val legacy = graft.ops.StreamingOps.statefulCustomLegacy(spark)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(tws == legacy && tws == Set((1L, 2L, 5.0), (2L, 1L, 5.0), (1L, 3L, 15.0)))
+  }
+
+  test("stream_stateful_custom runs on the RocksDB state store provider") {
+    // the op pins the provider for the query's lifetime and restores after;
+    // prove the restore AND that the query really ran on RocksDB (the
+    // provider is read at query start - a wrong conf key would silently
+    // fall back to the HDFS-backed store)
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val before = spark.conf.getOption(key)
+    val rows = SparkEntry.queries("stream_stateful_custom")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(spark.conf.getOption(key) == before, "provider conf leaked")
+    // RocksDB provider loads its JNI-backed store eagerly; reaching here
+    // without a query-start error IS the evidence (transformWithState
+    // REFUSES to run on the default HDFS provider in Spark 4.1).
   }
 }
