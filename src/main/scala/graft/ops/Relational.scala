@@ -101,6 +101,55 @@ object Relational {
         .groupBy("src").count().orderBy("src")
     }),
 
+    // Malformed-ingest surface — the first thing a crawl corpus throws at
+    // an ingest pipeline: PERMISSIVE CSV parsing with an explicit schema +
+    // `_corrupt_record` accounting over a deliberately corrupt staged file
+    // (fixed corpus: a type error, an arity-short line, an arity-long
+    // line among clean rows). PERMISSIVE keeps every row — parseable
+    // fields populated, the raw line preserved in the corrupt column —
+    // rather than failing the job; at 100 TB one bad crawl line must
+    // never kill the load (DROPMALFORMED/FAILFAST are the stricter modes
+    // of the same reader). Measured semantics (pinned in SourceSinkSpec):
+    // type errors, arity-SHORT and arity-LONG lines all go corrupt with
+    // the raw line preserved and parseable prefix fields kept — PROVIDED
+    // the whole schema is required: under column pruning the parser only
+    // validates the pruned schema, and an arity-long line passes as
+    // clean (the ingest-audit gotcha this op demonstrates and defends
+    // against by referencing every column). Fixed input → golden-counts
+    // oracle.
+    "source_csv_badrecords" -> ((s, d) => {
+      val dir = s"${Scratch.dir}/badcsv"
+      val lines = Seq(
+        "id,name,val",
+        "0,alpha,10",
+        "1,beta,notanint",
+        "junk-line-no-commas",
+        "2,gamma,30,extra",
+        "3,delta,40",
+        "4,epsilon,50")
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+      java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/part.csv"),
+        lines.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val parsed = s.read
+        .schema("id INT, name STRING, val INT, _corrupt_record STRING")
+        .option("header", "true").option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(dir)
+      // every schema column is referenced below ON PURPOSE: corruption
+      // flagging follows the REQUIRED schema (a pruned read that skips
+      // `name` never notices the arity-long line's extra token and calls
+      // it clean) — requiring all columns pins the full-parse semantics
+      parsed
+        .withColumn("bucket",
+          when(col("_corrupt_record").isNull, lit("clean")).otherwise(lit("corrupt")))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(coalesce(col("val"), lit(0))).cast("bigint").as("sum_val"),
+          count(col("id")).as("n_parsed_ids"),
+          count(col("name")).as("n_parsed_names"))
+        .orderBy("bucket")
+    }),
+
     // Text-line source (the log-ingestion shape): docs flattened to
     // tab-delimited lines, read back with spark.read.text + split parse,
     // graded per-language rollup. Tokens are space-separated so the tab
@@ -283,6 +332,27 @@ object Relational {
           sum(dec(col("l_extendedprice") * (lit(1) - col("l_discount"))))
             .cast("double").as("revenue"))
         .orderBy("o_orderpriority")),
+
+    // AQE's AUTOMATIC skew remedy — the runtime twin of join_skew_salted's
+    // manual salting: more than half of lineitem collapses onto hot_key 0
+    // (a real o_orderkey, so the join stays total and 1:1 against the
+    // unique dim side), the shuffle partition holding it dwarfs the
+    // median, and OptimizeSkewedJoin splits it into advisory-sized
+    // sub-reads at runtime, replicating the dim's matching partition per
+    // split — no plan-time salting, no row changes. Skew thresholds are
+    // scoped to this query and sized for fixture scale (the 256 MB
+    // default only fires on real clusters — where it fires UNTUNED on
+    // exactly this plan); the executed plan's skew=true marker is
+    // asserted in PlanShapeSpec. Execution happens INSIDE the conf scope
+    // (a lazily returned frame would execute after restore), landing in
+    // scratch parquet; the graded read is the rollup. Oracle = plain join.
+    "join_skew_aqe" -> ((s, d) => {
+      val out = Scratch.opDir("skew_aqe", d)
+      withSkewAqeConfs(s) {
+        skewAqeFrame(s, d).write.mode("overwrite").parquet(out)
+      }
+      s.read.parquet(out).orderBy("o_orderpriority")
+    }),
 
     // Equi key + non-equi residual condition (theta).
     "join_theta" -> ((s, d) =>
@@ -491,6 +561,49 @@ object Relational {
     })
   )
 
+  /** Skewed join + conf scope shared by `join_skew_aqe` and the
+    * PlanShapeSpec skew=true assertion. The frame: lineitem with >half its
+    * rows remapped to hot_key 0, equi-joined to the unique-keyed orders
+    * dim, rolled up per priority. */
+  private[graft] def skewAqeFrame(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      // AQE splits a skewed REDUCE partition at map-output granularity; the
+      // single-file fixture scan is ONE map task, which is unsplittable by
+      // construction. The round-robin repartition stands in for the
+      // thousands of scan tasks a real fact table has — it changes no rows
+      // and at cluster scale would simply not be there.
+      .repartition(8)
+      .withColumn("hot_key",
+        when(col("l_orderkey") % 2 === 0, lit(0L)).otherwise(col("l_orderkey")))
+      .join(Tables.orders(s, d), col("hot_key") === col("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_items"),
+        sum(dec(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+          .cast("double").as("revenue"))
+      .orderBy("o_orderpriority")
+
+  /** Scoped AQE-skew-join regime: split threshold/advisory size lowered to
+    * fixture scale so OptimizeSkewedJoin demonstrably fires, broadcasts off
+    * so the join is a genuine two-sided shuffle SMJ (the 100 TB fact-join
+    * shape). Set/restore around EXECUTION — these knobs are read when the
+    * query runs, and a 1 KB advisory size must never leak into other ops. */
+  private[graft] def withSkewAqeConfs[T](s: SparkSession)(body: => T): T = {
+    val confs = Seq(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2.0",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "2048",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "1024",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.map { case (k, _) => k -> s.conf.getOption(k) }
+    confs.foreach { case (k, v) => s.conf.set(k, v) }
+    try body finally prev.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None) => s.conf.unset(k)
+    }
+  }
+
   private def custProj(s: SparkSession, d: String): DataFrame =
     Tables.customer(s, d).select(col("c_nationkey").as("nationkey"), col("c_acctbal").as("acctbal"))
   private def suppProj(s: SparkSession, d: String): DataFrame =
@@ -627,6 +740,27 @@ object Relational {
 
     "join_cross" ->
       """SELECT r_name, n_name FROM region CROSS JOIN nation ORDER BY r_name, n_name""",
+
+    // Golden post-state of the fixed 6-line corpus (DuckDB cannot replay
+    // Spark's PERMISSIVE parser; the constants ARE the contract): clean =
+    // {0/10, 3/40, 4/50}; corrupt = the type error (id+name parse, val
+    // does not), the arity-short junk line (nothing parses), and the
+    // arity-long line (prefix fields parse, raw line preserved).
+    "source_csv_badrecords" ->
+      """SELECT bucket, CAST(n_rows AS BIGINT) AS n_rows, CAST(sum_val AS BIGINT) AS sum_val,
+        |  CAST(n_parsed_ids AS BIGINT) AS n_parsed_ids, CAST(n_parsed_names AS BIGINT) AS n_parsed_names
+        |FROM (VALUES ('clean', 3, 100, 3, 3), ('corrupt', 3, 30, 2, 2))
+        |  AS t(bucket, n_rows, sum_val, n_parsed_ids, n_parsed_names)
+        |ORDER BY bucket""".stripMargin,
+
+    // The AQE-split join must equal the plain join on the same remapped key.
+    "join_skew_aqe" ->
+      """WITH f AS (SELECT CASE WHEN l_orderkey % 2 = 0 THEN 0 ELSE l_orderkey END AS hot_key,
+        |  l_extendedprice, l_discount FROM lineitem)
+        |SELECT o_orderpriority, COUNT(*) AS n_items,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM f JOIN orders ON hot_key = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     // The salted join must be row-identical to the plain equi-join.
     "join_skew_salted" ->

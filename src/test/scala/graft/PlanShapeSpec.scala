@@ -94,6 +94,19 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
       plain.map(r => (r.getString(0), r.getLong(1))).toSeq)
   }
 
+  test("join_skew_aqe fires OptimizeSkewedJoin at runtime (skew=true in the adaptive plan)") {
+    // the automatic twin of join_skew_salted: same skew, zero plan-time
+    // intervention — AQE must detect the hot partition and split it
+    graft.ops.Relational.withSkewAqeConfs(spark) {
+      val df = graft.ops.Relational.skewAqeFrame(spark, sf)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("skew=true"), p.take(4000))
+    }
+    // and no skew-regime conf leaked out of the scope
+    assert(spark.conf.get("spark.sql.adaptive.advisoryPartitionSizeInBytes", "default") != "1024")
+  }
+
   test("sink_partitioned prunes to the o_year=1997 partition at scan time") {
     val p = plan("sink_partitioned")
     assert(p.contains("PartitionFilters") && p.contains("o_year"), p.take(3000))

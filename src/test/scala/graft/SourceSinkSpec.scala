@@ -54,6 +54,50 @@ class SourceSinkSpec extends AnyFunSuite with SparkFixture {
     assert(schemed.count() == 25)
   }
 
+  test("source_csv_badrecords: PERMISSIVE parse semantics, line by line") {
+    import org.apache.spark.sql.functions._
+    // run the op once so the corrupt corpus is staged
+    val agg = SparkEntry.queries("source_csv_badrecords")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    assert(agg == Set(("clean", 3L, 100L, 3L, 3L), ("corrupt", 3L, 30L, 2L, 2L)))
+    // pin the per-line behavior the golden constants derive from (full
+    // schema required -> full-parse corruption semantics)
+    val rows = spark.read
+      .schema("id INT, name STRING, val INT, _corrupt_record STRING")
+      .option("header", "true").option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .csv(s"${graft.ops.Scratch.dir}/badcsv")
+      .collect().map(r => (Option(r.get(0)), Option(r.get(1)), Option(r.get(2)),
+        Option(r.get(3)))).toSet
+    assert(rows.size == 6)
+    // type error: id+name parse, val nulls, raw line preserved
+    assert(rows.contains((Some(1), Some("beta"), None, Some("1,beta,notanint"))))
+    // arity-short junk: nothing parses, raw line preserved
+    assert(rows.contains((None, None, None, Some("junk-line-no-commas"))))
+    // arity-LONG: prefix fields parse but the row IS corrupt under a
+    // full-schema read; a PRUNED read that skips `name` calls it clean -
+    // the required-schema dependence the op defends against
+    assert(rows.contains((Some(2), Some("gamma"), Some(30), Some("2,gamma,30,extra"))))
+    val pruned = spark.read
+      .schema("id INT, name STRING, val INT, _corrupt_record STRING")
+      .option("header", "true").option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .csv(s"${graft.ops.Scratch.dir}/badcsv")
+      .select("id", "val", "_corrupt_record")
+      .collect().map(r => (Option(r.get(0)), Option(r.get(1)), Option(r.get(2)))).toSet
+    assert(pruned.contains((Some(2), Some(30), None)),
+      "pruned read should miss the arity-long corruption (documented gotcha)")
+    // DROPMALFORMED on the same file keeps only the 3 fully-parseable rows
+    // (collect(), not count(): count()'s empty required schema parses no
+    // columns, detects no malformation, and drops nothing - same
+    // required-schema dependence as above)
+    val dropped = spark.read.schema("id INT, name STRING, val INT")
+      .option("header", "true").option("mode", "DROPMALFORMED")
+      .csv(s"${graft.ops.Scratch.dir}/badcsv")
+      .collect()
+    assert(dropped.map(_.getInt(0)).sorted.toSeq == Seq(0, 3, 4), dropped.mkString("; "))
+  }
+
   test("dedup is idempotent (property)") {
     import org.apache.spark.sql.functions._
     val docs = Tables.documents(spark, sf).withColumn("h", md5(col("text")))
