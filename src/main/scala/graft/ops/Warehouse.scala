@@ -276,36 +276,28 @@ object Warehouse {
         .orderBy("user_id", "valid_from", "event_type", "valid_to")
     }),
 
-    // MERGE-style SCD1 upsert on a plain-parquet warehouse (vanilla Spark
-    // has no row-level MERGE for v1 tables, so this IS the production
-    // pattern): base FULL OUTER JOIN change-batch on the key, updates win
-    // via coalesce, inserts survive the outer side, result atomically
-    // rewritten. The change-batch is derived (bal+100 for key%7, cloned
-    // inserts for key%11) so the oracle can replay the post-state from the
-    // source alone. At 100 TB the same plan runs partition-wise under
-    // dynamic overwrite; the join shuffles on the upsert key only.
+    // PARTITION-SCOPED MERGE upsert on a plain-parquet warehouse (vanilla
+    // Spark has no row-level MERGE for v1 tables, so this IS the
+    // production pattern): the base is partitioned on o_year; the change
+    // batch (price restatements for 1997 keys ≡0 mod 7, cloned inserts
+    // into 1996) names its target partitions; the merge full-outer-joins
+    // ONLY those partitions' rows against the batch and rewrites ONLY
+    // them via dynamic partition overwrite — every other partition's
+    // files keep their byte identity (asserted in WarehouseSpec), so a
+    // merge costs O(changed partitions), never O(table). The hot
+    // partition list comes from the batch itself: a driver-side collect
+    // of partition KEYS — metadata, not data. Round 7's formulation
+    // rewrote the whole table per merge; at 100 TB that is the
+    // difference between a nightly job and an impossibility.
     "sink_merge_upsert" -> ((s, d) => {
-      val base = Tables.customer(s, d)
-        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"), col("c_acctbal"))
-      val upd = base.where(col("c_custkey") % 7 === 0)
-        .select(col("c_custkey"), col("c_name").as("u_name"),
-          col("c_mktsegment").as("u_seg"), (col("c_acctbal") + 100.0).as("u_bal"))
-        .unionAll(base.where(col("c_custkey") % 11 === 0)
-          .select((col("c_custkey") + 10000000L).as("c_custkey"),
-            concat(lit("NEW "), col("c_name")).as("u_name"),
-            col("c_mktsegment").as("u_seg"), col("c_acctbal").as("u_bal")))
-      val merged = base.join(upd, Seq("c_custkey"), "full_outer")
-        .select(col("c_custkey"),
-          coalesce(col("u_name"), col("c_name")).as("c_name"),
-          coalesce(col("u_seg"), col("c_mktsegment")).as("c_mktsegment"),
-          coalesce(col("u_bal"), col("c_acctbal")).as("c_acctbal"))
-      merged.write.mode("overwrite").parquet(s"${Scratch.dir}/merge_upsert")
-      s.read.parquet(s"${Scratch.dir}/merge_upsert")
-        .groupBy("c_mktsegment")
+      val dir = mergeUpsertLoad(s, d)
+      mergeUpsertRestate(s, d, dir)
+      s.read.parquet(dir)
+        .groupBy("o_year")
         .agg(count(lit(1)).as("n_rows"),
-          sum(dec(col("c_acctbal"))).cast("double").as("balance"),
-          sum(when(col("c_custkey") >= 10000000L, 1L).otherwise(0L)).as("n_inserted"))
-        .orderBy("c_mktsegment")
+          sum(dec(col("o_totalprice"))).cast("double").as("total"),
+          sum(when(col("o_orderkey") >= 10000000L, 1L).otherwise(0L)).as("n_inserted"))
+        .orderBy("o_year")
     }),
 
     "warehouse_cache_ops" -> ((s, d) => {
@@ -395,6 +387,48 @@ object Warehouse {
     })
   )
 
+  /** Phase 1 of sink_merge_upsert: the partitioned full load. Split out so
+    * WarehouseSpec can capture per-partition file identity between load
+    * and restatement. */
+  private[graft] def mergeUpsertLoad(s: SparkSession, d: String): String = {
+    val dir = Scratch.opDir("merge_part", d)
+    Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        year(col("o_orderdate")).as("o_year"))
+      .write.mode("overwrite").partitionBy("o_year").parquet(dir)
+    dir
+  }
+
+  /** Phase 2: the partition-scoped restatement — full-outer merge of the
+    * change batch against ONLY its target partitions, written back under
+    * dynamic partition overwrite. */
+  private[graft] def mergeUpsertRestate(s: SparkSession, d: String, dir: String): Unit = {
+    val src = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        year(col("o_orderdate")).as("o_year"))
+    val upd = src.where(col("o_year") === 1997 && col("o_orderkey") % 7 === 0)
+      .select(col("o_orderkey").as("u_key"), col("o_year").as("u_year"),
+        (col("o_totalprice") + lit(100.0)).as("u_price"), col("o_custkey").as("u_cust"))
+      .unionAll(src.where(col("o_year") === 1996 && col("o_orderkey") % 11 === 0)
+        .select((col("o_orderkey") + 10000000L).as("u_key"), col("o_year").as("u_year"),
+          col("o_totalprice").as("u_price"), col("o_custkey").as("u_cust")))
+    // the batch's partition keys — a driver-side collect of METADATA
+    // (distinct partition values), the same O(partitions) scale as any
+    // metastore listing; never row data
+    val hotYears = upd.select("u_year").distinct().collect().map(_.getInt(0)).toSeq
+    val merged = s.read.parquet(dir)
+      .where(col("o_year").isin(hotYears: _*))
+      .join(upd, col("o_orderkey") === col("u_key") && col("o_year") === col("u_year"),
+        "full_outer")
+      .select(
+        coalesce(col("o_orderkey"), col("u_key")).as("o_orderkey"),
+        coalesce(col("u_cust"), col("o_custkey")).as("o_custkey"),
+        coalesce(col("u_price"), col("o_totalprice")).as("o_totalprice"),
+        coalesce(col("o_year"), col("u_year")).as("o_year"))
+    merged.write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("o_year").parquet(dir)
+  }
+
   val oracles: Map[String, String] = Map(
     // The DDL round-trip must reproduce the source rows exactly.
     "warehouse_table_ops" ->
@@ -468,18 +502,23 @@ object Warehouse {
 
     // Post-state replay: key%7 rows carry bal+100, key%11 rows appear twice
     // (original + cloned insert with the shifted key).
+    // Post-state replay from the source alone: updates bump 1997 keys
+    // ≡0 mod 7 by 100, inserts clone 1996 keys ≡0 mod 11 shifted +10M.
     "sink_merge_upsert" ->
-      """WITH post AS (
-        |  SELECT c_custkey, c_mktsegment,
-        |    CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 100.0 ELSE c_acctbal END AS bal
-        |  FROM customer
+      """WITH src AS (SELECT o_orderkey, o_totalprice, year(o_orderdate) AS o_year FROM orders),
+        |post AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_year = 1997 AND o_orderkey % 7 = 0
+        |         THEN o_totalprice + 100.0 ELSE o_totalprice END AS o_totalprice,
+        |    o_year
+        |  FROM src
         |  UNION ALL
-        |  SELECT c_custkey + 10000000, c_mktsegment, c_acctbal
-        |  FROM customer WHERE c_custkey % 11 = 0)
-        |SELECT c_mktsegment, COUNT(*) AS n_rows,
-        |  CAST(SUM(CAST(bal AS DECIMAL(18,4))) AS DOUBLE) AS balance,
-        |  CAST(SUM(CASE WHEN c_custkey >= 10000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_inserted
-        |FROM post GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+        |  SELECT o_orderkey + 10000000, o_totalprice, o_year
+        |  FROM src WHERE o_year = 1996 AND o_orderkey % 11 = 0)
+        |SELECT o_year, COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total,
+        |  CAST(SUM(CASE WHEN o_orderkey >= 10000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_inserted
+        |FROM post GROUP BY o_year ORDER BY o_year""".stripMargin,
 
     "warehouse_cache_ops" ->
       """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,

@@ -90,22 +90,30 @@ class Round5OpsSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
-  test("sink_merge_upsert post-state: updates bump balance, inserts add rows") {
-    val base = Tables.customer(spark, sf)
+  test("sink_merge_upsert post-state: updates bump 1997 totals, inserts land in 1996") {
+    import org.apache.spark.sql.functions.year
+    val base = Tables.orders(spark, sf)
+      .withColumn("o_year", year(col("o_orderdate")))
     val got = SparkEntry.queries("sink_merge_upsert")(spark, sf).collect()
-    val nRows = got.map(_.getLong(1)).sum
-    val nIns = got.map(_.getLong(3)).sum
-    val expIns = base.where(col("c_custkey") % 11 === 0).count()
-    assert(nIns == expIns)
-    assert(nRows == base.count() + expIns)
-    val gotBal = got.map(_.getDouble(2)).sum
-    val baseBal = base.select(sum(col("c_acctbal").cast("decimal(18,4)")).cast("double"))
-      .collect()(0).getDouble(0)
-    val updN = base.where(col("c_custkey") % 7 === 0).count()
-    val insBal = base.where(col("c_custkey") % 11 === 0)
-      .select(sum(col("c_acctbal").cast("decimal(18,4)")).cast("double"))
-      .collect()(0).getDouble(0)
-    assert(math.abs(gotBal - (baseBal + insBal + 100.0 * updN)) < 1e-4)
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getDouble(2), r.getLong(3))).toMap
+    // row accounting: only 1996 gains rows (the cloned inserts)
+    val expIns = base.where(col("o_year") === 1996 && col("o_orderkey") % 11 === 0).count()
+    assert(got(1996)._3 == expIns && expIns > 0)
+    assert(got.filterKeys(_ != 1996).values.forall(_._3 == 0L))
+    base.groupBy("o_year").count().collect().foreach { r =>
+      val (y, n) = (r.getInt(0), r.getLong(1))
+      assert(got(y)._1 == n + (if (y == 1996) expIns else 0L), s"year $y row count")
+    }
+    // money accounting: 1997 gains exactly 100 per updated key; untouched
+    // years' totals equal the source aggregate bit-for-bit
+    val updN = base.where(col("o_year") === 1997 && col("o_orderkey") % 7 === 0).count()
+    val srcTotals = base.groupBy("o_year")
+      .agg(sum(col("o_totalprice").cast("decimal(18,4)")).cast("double").as("t"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    assert(math.abs(got(1997)._2 - (srcTotals(1997) + 100.0 * updN)) < 1e-4)
+    srcTotals.keys.filter(y => y != 1996 && y != 1997).foreach { y =>
+      assert(got(y)._2 == srcTotals(y), s"untouched year $y total drifted")
+    }
   }
 
   test("stream_foreach_batch lands both micro-batches exactly once") {

@@ -150,6 +150,28 @@ class WarehouseSpec extends AnyFunSuite with SparkFixture {
     spark.sql("DROP TABLE graft_orders_b")
   }
 
+  test("partition-scoped merge rewrites ONLY the batch's partitions (file identity)") {
+    // load, snapshot per-partition file names, restate, compare: the merge
+    // may touch 1996 and 1997 (the change batch's partitions) and nothing
+    // else — the O(delta)-not-O(table) property the op exists for
+    val dir = graft.ops.Warehouse.mergeUpsertLoad(spark, sf)
+    def files(year: Int): Set[String] =
+      Option(new java.io.File(s"$dir/o_year=$year").listFiles())
+        .map(_.map(_.getName).filter(_.endsWith(".parquet")).toSet).getOrElse(Set())
+    val years = new java.io.File(dir).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("o_year="))
+      .map(_.getName.stripPrefix("o_year=").toInt).sorted
+    assert(years.contains(1996) && years.contains(1997), years.mkString(","))
+    val before = years.map(y => y -> files(y)).toMap
+    graft.ops.Warehouse.mergeUpsertRestate(spark, sf, dir)
+    years.foreach { y =>
+      if (y == 1996 || y == 1997)
+        assert(files(y) != before(y), s"restated partition $y kept stale files")
+      else
+        assert(files(y) == before(y), s"untouched partition $y was rewritten")
+    }
+  }
+
   test("warehouse_incremental_mv: merged partials equal the full recompute") {
     val got = SparkEntry.queries("warehouse_incremental_mv")(spark, sf).collect()
       .map(r => (r.getInt(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
