@@ -299,6 +299,12 @@ object Functions {
     // Array generators (sequence / array_repeat / flatten / slice with
     // negative-step sequences) — the constructive side of the array
     // surface; fn_array/fn_array_hof cover navigation and lambdas.
+    // DOMAIN ASSUMPTION (fixture contract, FIXTURES.md): p_size ∈ [1, 50].
+    // At p_size <= 0 the engines diverge — Spark's sequence(1, p_size)
+    // descends ([1, 0]) while the oracle's range(1, p_size + 1) is empty,
+    // and sequence(p_size, 1, -2) would throw. If fixtures are ever
+    // regenerated with non-positive sizes, guard with greatest(p_size, 1)
+    // in BOTH engines.
     "fn_array_gen" -> ((s, d) =>
       Tables.part(s, d)
         .withColumn("sq", sequence(lit(1), col("p_size")))

@@ -12,8 +12,8 @@ import org.apache.spark.sql.graftbridge.CosineSimilarity
   *
   * Scale posture: the near-dup candidate set is generated from an inverted
   * shingle index (only co-shingled pairs materialize — the same structure
-  * MinHash-LSH banding gives at 100 TB, where `MinHashLSH.approxSimilarityJoin`
-  * replaces the exact index); similarity search broadcasts the probe set so
+  * the banded MinHash-LSH of `llm_dedup_minhash` (LlmExt) keeps sub-
+  * quadratic at 100 TB); similarity search broadcasts the probe set so
   * the corpus is scanned once with no shuffle.
   */
 object LlmOps {

@@ -135,11 +135,18 @@ object Relational {
         .option("header", "true").option("mode", "PERMISSIVE")
         .option("columnNameOfCorruptRecord", "_corrupt_record")
         .csv(dir)
-      // every schema column is referenced below ON PURPOSE: corruption
-      // flagging follows the REQUIRED schema (a pruned read that skips
-      // `name` never notices the arity-long line's extra token and calls
-      // it clean) — requiring all columns pins the full-parse semantics
-      parsed
+      // LAND the parsed rows before auditing — for two load-bearing
+      // reasons: (a) corruption flagging follows the REQUIRED schema (a
+      // pruned read that skips `name` never notices the arity-long line's
+      // extra token, and a bare count() prunes to the corrupt column
+      // alone, which Spark rejects outright:
+      // UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN) — the
+      // landing write materializes every column, pinning full-parse
+      // semantics for ALL downstream queries; (b) it is the production
+      // shape anyway: parse once, land, audit the landing.
+      val landed = s"${Scratch.dir}/badcsv_landed"
+      parsed.write.mode("overwrite").parquet(landed)
+      s.read.parquet(landed)
         .withColumn("bucket",
           when(col("_corrupt_record").isNull, lit("clean")).otherwise(lit("corrupt")))
         .groupBy("bucket")

@@ -303,6 +303,11 @@ object Showcase {
     // mean is a window over the ALREADY part-filtered fact (a part's mean
     // is unchanged by dropping other parts), so the one window shuffle
     // runs on the small side of the broadcast join, not the full fact.
+    // DOMAIN ASSUMPTION (fixture contract): l_quantity is integral
+    // (∈ [1, 50]) — the BIGINT cast of the quantity sum truncates in
+    // Spark but rounds in DuckDB, and the two agree only on whole
+    // numbers. Fractional quantities would need an explicit ROUND before
+    // the cast in both engines.
     "tpch_q17" -> ((s, d) => {
       val w = org.apache.spark.sql.expressions.Window.partitionBy("l_partkey")
       Tables.lineitem(s, d)

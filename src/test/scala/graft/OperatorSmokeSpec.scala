@@ -52,20 +52,24 @@ class OperatorSmokeSpec extends AnyFunSuite with SparkFixture {
       s"duplicate op keys: ${dups.map { case (k, fs) => s"$k in ${fs.map(_._2).mkString("+")}" }}")
     assert(all.size == SparkEntry.queries.size)
     // a duplicate INSIDE one Map literal collapses before runtime can see
-    // it — scan the source for op-entry patterns as the stronger guard
+    // it — scan the source for op-entry patterns as the stronger guard.
+    // FAIL (don't skip) when the dir is absent: a silent no-op here would
+    // quietly disable the stronger of the two shadowing guards.
     val opsDir = java.nio.file.Paths.get("src/main/scala/graft/ops")
-    if (java.nio.file.Files.isDirectory(opsDir)) {
-      val entry = """"([a-z0-9_]+)" -> \(\(s""".r
-      val fromSrc = java.nio.file.Files.list(opsDir).toArray.toSeq
-        .map(_.toString).filter(_.endsWith(".scala"))
-        .flatMap { f =>
-          val body = new String(java.nio.file.Files.readAllBytes(
-            java.nio.file.Paths.get(f)), java.nio.charset.StandardCharsets.UTF_8)
-          entry.findAllMatchIn(body).map(m => m.group(1) -> f)
-        }
-      val srcDups = fromSrc.groupBy(_._1).filter(_._2.length > 1)
-      assert(srcDups.isEmpty, s"duplicate op entries in source: ${srcDups.keys}")
-    }
+    assert(java.nio.file.Files.isDirectory(opsDir),
+      s"ops source dir not found from cwd ${System.getProperty("user.dir")} — " +
+        "run tests from the repo root so the source-scan guard can run")
+    val entry = """"([a-z0-9_]+)" -> \(\(s""".r
+    val stream = java.nio.file.Files.list(opsDir)
+    val srcFiles = try stream.toArray.toSeq.map(_.toString) finally stream.close()
+    val fromSrc = srcFiles.filter(_.endsWith(".scala"))
+      .flatMap { f =>
+        val body = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(f)), java.nio.charset.StandardCharsets.UTF_8)
+        entry.findAllMatchIn(body).map(m => m.group(1) -> f)
+      }
+    val srcDups = fromSrc.groupBy(_._1).filter(_._2.length > 1)
+    assert(srcDups.isEmpty, s"duplicate op entries in source: ${srcDups.keys}")
   }
 
   test("scan_parquet preserves the 25 nations in key order") {
