@@ -366,6 +366,31 @@ object Warehouse {
         .orderBy("check")
     }),
 
+    // Materialized-view QUERY REWRITE — the serving half that
+    // warehouse_incremental_mv's maintenance half feeds: the MV (exact
+    // mergeable partials per (year, status)) is registered and CACHED;
+    // a user query at a COARSER grain (per year) is answered by
+    // re-aggregating the MV's partials — the base table is never
+    // scanned (plan-asserted in WarehouseSpec: InMemoryTableScan, no
+    // orders file scan). Spark has no automatic MV matching for v1
+    // tables, so the rewrite is performed by the service layer — this
+    // op IS that layer's contract: any rollup whose grouping is a
+    // coarsening of the MV's grain and whose aggregates are mergeable
+    // (count→sum, sum→sum) is answerable from |MV| rows instead of the
+    // 100 TB base.
+    "warehouse_mv_rewrite" -> ((s, d) => {
+      Tables.orders(s, d)
+        .groupBy(year(col("o_orderdate")).as("o_year"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("pn"), sum(dec(col("o_totalprice"))).as("psum"))
+        .createOrReplaceTempView("graft_mv_orders")
+      s.sql("CACHE TABLE graft_mv_orders")
+      s.table("graft_mv_orders")
+        .groupBy("o_year")
+        .agg(sum(col("pn")).cast("bigint").as("n_orders"),
+          sum(col("psum")).cast("double").as("total"))
+        .orderBy("o_year")
+    }),
+
     // Incremental materialized-view maintenance: the MV state is a set of
     // MERGEABLE partials (count + exact-decimal sum per key). A new batch
     // produces its own partials and the refresh is a re-aggregate of
@@ -562,6 +587,14 @@ object Warehouse {
       """SELECT CAST(year(o_orderdate) AS INT) AS o_year, o_orderstatus,
         |  COUNT(*) AS n_orders,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
-        |FROM orders GROUP BY 1, 2 ORDER BY o_year, o_orderstatus""".stripMargin
+        |FROM orders GROUP BY 1, 2 ORDER BY o_year, o_orderstatus""".stripMargin,
+
+    // The MV-answered rollup must equal the base-table aggregate exactly
+    // (the rewrite's correctness contract).
+    "warehouse_mv_rewrite" ->
+      """SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+        |  COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+        |FROM orders GROUP BY 1 ORDER BY o_year""".stripMargin
   )
 }

@@ -172,6 +172,29 @@ class WarehouseSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("warehouse_mv_rewrite answers from the cached MV, never the base table") {
+    val df = SparkEntry.queries("warehouse_mv_rewrite")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    // the EXECUTED tree must bottom out at the in-memory MV scan; the
+    // InMemoryRelation node prints its (unexecuted) build plan below
+    // itself, which legitimately names the base table — inspect only the
+    // executed portion above it
+    val executed = p.split("InMemoryRelation")(0)
+    assert(executed.contains("InMemoryTableScan") || executed.contains("Scan In-memory"),
+      executed.take(2000))
+    assert(!executed.contains("orders.parquet"),
+      s"MV rewrite scanned the base: ${executed.take(2000)}")
+    // and the MV answer equals the direct base rollup bit-for-bit
+    val got = df.collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSeq
+    val want = Tables.orders(spark, sf)
+      .groupBy(org.apache.spark.sql.functions.year(col("o_orderdate")).as("o_year"))
+      .agg(count(lit(1)).cast("bigint").as("n"),
+        sum(col("o_totalprice").cast("decimal(18,4)")).cast("double").as("t"))
+      .orderBy("o_year")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got == want)
+  }
+
   test("warehouse_incremental_mv: merged partials equal the full recompute") {
     val got = SparkEntry.queries("warehouse_incremental_mv")(spark, sf).collect()
       .map(r => (r.getInt(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
