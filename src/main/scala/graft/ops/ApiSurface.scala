@@ -162,6 +162,37 @@ object ApiSurface {
         .groupBy("lang")
         .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars"))
         .orderBy("lang")
+    }),
+
+    // Parameterized SQL (Spark 3.5+/4 surface): named parameter markers
+    // (:name) bound server-side — the injection-safe service-layer query
+    // path — plus the IDENTIFIER() clause resolving a table name from a
+    // parameter (the thing string interpolation cannot do safely).
+    "api_sql_params" -> ((s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("graft_param_orders")
+      s.sql(
+        """SELECT o_orderstatus, COUNT(*) AS n_orders,
+          |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+          |FROM IDENTIFIER(:tbl) WHERE o_totalprice > :minp
+          |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+        Map("tbl" -> "graft_param_orders", "minp" -> 150000))
+    }),
+
+    // SQL-body scalar UDFs (new in Spark 4): CREATE FUNCTION ... RETURN
+    // <expr> — a declarative function the optimizer INLINES into the plan
+    // (stays inside codegen, unlike a JVM closure), and the first UDF
+    // shape a SQL-first warehouse user reaches for.
+    "udf_sql" -> ((s, d) => {
+      s.sql("""CREATE OR REPLACE TEMPORARY FUNCTION graft_taxed(p DOUBLE, t DOUBLE)
+              |RETURNS DOUBLE RETURN p * (1.0 + t)""".stripMargin)
+      s.sql("""CREATE OR REPLACE TEMPORARY FUNCTION graft_size_band(sz INT)
+              |RETURNS STRING RETURN CASE WHEN sz <= 10 THEN 'small'
+              |  WHEN sz <= 30 THEN 'medium' ELSE 'large' END""".stripMargin)
+      Tables.part(s, d).createOrReplaceTempView("graft_sqludf_part")
+      s.sql(
+        """SELECT p_partkey, ROUND(graft_taxed(p_retailprice, 0.08), 4) AS taxed,
+          |  graft_size_band(CAST(p_size AS INT)) AS band
+          |FROM graft_sqludf_part ORDER BY p_partkey""".stripMargin)
     })
   )
 
@@ -234,6 +265,20 @@ object ApiSurface {
     "sink_jsonl" ->
       """SELECT lang, COUNT(*) AS n_docs,
         |  CAST(SUM(n_chars) AS BIGINT) AS chars
-        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // The parameter-bound query must equal its literal-inlined equivalent.
+    "api_sql_params" ->
+      """SELECT o_orderstatus, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+        |FROM orders WHERE o_totalprice > 150000
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    // The SQL UDF bodies replayed inline (what the optimizer itself does).
+    "udf_sql" ->
+      """SELECT p_partkey, ROUND(p_retailprice * (1.0 + 0.08), 4) AS taxed,
+        |  CASE WHEN p_size <= 10 THEN 'small'
+        |       WHEN p_size <= 30 THEN 'medium' ELSE 'large' END AS band
+        |FROM part ORDER BY p_partkey""".stripMargin
   )
 }

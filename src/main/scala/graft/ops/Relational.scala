@@ -101,6 +101,23 @@ object Relational {
         .groupBy("src").count().orderBy("src")
     }),
 
+    // Native XML source (new in Spark 4 — the former spark-xml package
+    // folded into core): nation round-tripped through rowTag-delimited
+    // XML with schema inference on read, graded as a per-region rollup
+    // the source table must reproduce. The remaining first-class source
+    // format after parquet/ORC/CSV/JSON/text/JDBC.
+    "source_xml_roundtrip" -> ((s, d) => {
+      val tmp = s"${Scratch.dir}/xml/nation_xml"
+      Tables.nation(s, d).write.mode("overwrite")
+        .option("rowTag", "nation").format("xml").save(tmp)
+      s.read.option("rowTag", "nation").format("xml").load(tmp)
+        .groupBy(col("n_regionkey").cast("int").as("n_regionkey"))
+        .agg(count(lit(1)).as("n_nations"),
+          sum(col("n_nationkey")).cast("bigint").as("key_sum"),
+          min(col("n_name")).as("first_name"))
+        .orderBy("n_regionkey")
+    }),
+
     // Malformed-ingest surface — the first thing a crawl corpus throws at
     // an ingest pipeline: PERMISSIVE CSV parsing with an explicit schema +
     // `_corrupt_record` accounting over a deliberately corrupt staged file
@@ -747,6 +764,12 @@ object Relational {
 
     "join_cross" ->
       """SELECT r_name, n_name FROM region CROSS JOIN nation ORDER BY r_name, n_name""",
+
+    // The XML round-trip must reproduce the source table's rollup.
+    "source_xml_roundtrip" ->
+      """SELECT CAST(n_regionkey AS INT) AS n_regionkey, COUNT(*) AS n_nations,
+        |  CAST(SUM(n_nationkey) AS BIGINT) AS key_sum, MIN(n_name) AS first_name
+        |FROM nation GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // Golden post-state of the fixed 6-line corpus (DuckDB cannot replay
     // Spark's PERMISSIVE parser; the constants ARE the contract): clean =
