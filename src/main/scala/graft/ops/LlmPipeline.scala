@@ -32,14 +32,19 @@ object LlmPipeline {
 
   val queries: Map[String, Q] = Map(
     // Connected components over the near-dup graph (Jaccard ≥ 0.5 pairs
-    // from the shared posting-list generator): min-label propagation to a
-    // fixpoint — each node ends with the smallest doc_id reachable from it,
-    // i.e. the cluster's canonical id. The loop is data-diameter bounded
-    // (near-dup clusters are shallow; capped at graft.cc.maxIters), each
-    // step a distributed join + min-aggregate, localCheckpoint truncating
-    // the plan between rounds exactly like GraphX's Pregel. Converged
-    // labels are asserted (a non-converged exit throws rather than
-    // returning wrong clusters).
+    // from the shared posting-list generator): min-label propagation WITH
+    // POINTER DOUBLING to a fixpoint — each node ends with the smallest
+    // doc_id reachable from it, i.e. the cluster's canonical id. Each
+    // round does one neighbor-min hop AND one label-shortcut jump
+    // (lbl ← lbl(lbl); labels only decrease, so the jump is monotone and
+    // halves the remaining label-chain depth), making convergence
+    // O(log diameter) rounds instead of the O(diameter) of plain
+    // propagation — the remedy for adversarial path-shaped graphs at
+    // corpus scale (capped at graft.cc.maxIters; 20 rounds covers
+    // diameters past 10⁶). Each step is a distributed join +
+    // min-aggregate, localCheckpoint truncating the plan between rounds
+    // exactly like GraphX's Pregel. Converged labels are asserted (a
+    // non-converged exit throws rather than returning wrong clusters).
     "llm_dedup_cluster" -> ((s, d) => {
       val maxIters = s.conf.get("graft.cc.maxIters", "20").toInt
       val pairs = nearPairsOf(s, d).select("a", "b")
@@ -63,9 +68,19 @@ object LlmPipeline {
       while (!converged && iter < maxIters) {
         val nbrMin = edges.join(labels, col("b") === col("id"))
           .select(col("a").as("id"), col("lbl"))
-        val next = labels.unionAll(nbrMin)
+        // checkpoint BEFORE the self-join: the jump below joins hop with
+        // itself, and self-joining the un-materialized union+agg plan
+        // trips Union constraint rewriting on duplicate attribute ids
+        val hop = labels.unionAll(nbrMin)
           .groupBy("id").agg(min("lbl").as("lbl"))
           .localCheckpoint()
+        // pointer doubling: every label IS a node id, so jump each node to
+        // its label's label — one extra self-join of the (small) label
+        // relation per round buys O(log d) total rounds
+        val next = hop.as("x")
+          .join(hop.as("y"), col("x.lbl") === col("y.id"), "left")
+          .select(col("x.id").as("id"),
+            coalesce(col("y.lbl"), col("x.lbl")).as("lbl"))
         val nextSum = lblSum(next)
         converged = nextSum.compareTo(prevSum) == 0
         prevSum = nextSum
