@@ -64,13 +64,40 @@ object Lakehouse {
     ()
   }
 
-  private[graft] def commit(root: String, v: Int, files: Seq[FileEntry]): Unit = {
-    val body = files.sortBy(_.path)
-      .map(f => s"${f.path}\t${f.rows}\t${f.minKey}\t${f.maxKey}")
+  /** Write manifest v, then swap the pointer. `batches` records the
+    * streaming micro-batch ids folded into this snapshot (a `#batches:`
+    * header line) — the snapshot itself carries the exactly-once ledger,
+    * so a sink replaying a micro-batch after a crash consults ONE
+    * atomically-committed object, exactly how real formats store the
+    * (queryId, batchId) watermark in snapshot metadata. */
+  private[graft] def commit(root: String, v: Int, files: Seq[FileEntry],
+      batches: Set[Long] = Set.empty): Unit = {
+    val header =
+      if (batches.isEmpty) Seq.empty
+      else Seq(s"#batches:${batches.toSeq.sorted.mkString(",")}")
+    val body = (header ++ files.sortBy(_.path)
+      .map(f => s"${f.path}\t${f.rows}\t${f.minKey}\t${f.maxKey}"))
       .mkString("\n")
     atomicWrite(manifestPath(root, v), body)
     atomicWrite(metaDir(root).resolve("CURRENT"), v.toString)
   }
+
+  /** Optimistic-concurrency commit: succeed only if the table is still at
+    * `expected` — the compare-and-swap every lakehouse commit protocol
+    * performs, so two writers that both planned against v1 cannot both
+    * land as v2 (the loser re-plans against the winner's snapshot). The
+    * check-then-move window is closed here by synchronizing per-JVM; a
+    * multi-writer deployment closes it with the same CAS provided by a
+    * catalog service or an object store's if-match precondition — the
+    * planning/validation contract (what to CAS, when to re-plan) is
+    * identical. */
+  private[graft] def commitIf(root: String, expected: Option[Int], v: Int,
+      files: Seq[FileEntry], batches: Set[Long] = Set.empty): Boolean =
+    commitLock.synchronized {
+      if (currentVersion(root) != expected) false
+      else { commit(root, v, files, batches); true }
+    }
+  private val commitLock = new Object
 
   private[graft] def currentVersion(root: String): Option[Int] = {
     val p = metaDir(root).resolve("CURRENT")
@@ -79,14 +106,21 @@ object Lakehouse {
     else None
   }
 
-  private[graft] def manifest(root: String, v: Int): Seq[FileEntry] = {
-    val raw = new String(Files.readAllBytes(manifestPath(root, v)),
-      StandardCharsets.UTF_8)
-    raw.split("\n").filter(_.nonEmpty).toSeq.map { line =>
+  private def manifestLines(root: String, v: Int): Seq[String] =
+    new String(Files.readAllBytes(manifestPath(root, v)), StandardCharsets.UTF_8)
+      .split("\n").filter(_.nonEmpty).toSeq
+
+  private[graft] def manifest(root: String, v: Int): Seq[FileEntry] =
+    manifestLines(root, v).filterNot(_.startsWith("#")).map { line =>
       val Array(p, r, lo, hi) = line.split("\t")
       FileEntry(p, r.toLong, lo.toLong, hi.toLong)
     }
-  }
+
+  /** Micro-batch ids already folded into snapshot v (exactly-once ledger). */
+  private[graft] def manifestBatches(root: String, v: Int): Set[Long] =
+    manifestLines(root, v).find(_.startsWith("#batches:"))
+      .map(_.stripPrefix("#batches:").split(",").map(_.toLong).toSet)
+      .getOrElse(Set.empty)
 
   /** Snapshot read: the manifest IS the file listing (no directory scan). */
   private[graft] def readSnapshot(s: SparkSession, root: String, v: Int): DataFrame =
@@ -96,11 +130,12 @@ object Lakehouse {
     * by `input_file_name` — the write-side stats collection every table
     * format performs (real formats take them from parquet footers; the
     * contract is identical: exact per-file min/max/count on the merge key). */
-  private def fileStats(s: SparkSession, dir: String): Seq[FileEntry] =
+  private def fileStats(s: SparkSession, dir: String,
+      keyCol: String = "o_orderkey"): Seq[FileEntry] =
     s.read.parquet(dir)
       .groupBy(input_file_name().as("path"))
       .agg(count(lit(1)).as("rows"),
-        min(col("o_orderkey")).as("lo"), max(col("o_orderkey")).as("hi"))
+        min(col(keyCol)).as("lo"), max(col(keyCol)).as("hi"))
       .collect() // O(files) metadata rows, never data
       .toSeq
       .map(r => FileEntry(r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
@@ -122,7 +157,7 @@ object Lakehouse {
     */
   private[graft] def ensureTable(s: SparkSession, d: String): String = {
     val root = Scratch.opDir("snap_tbl", d)
-    if (currentVersion(root).contains(2)) return root
+    if (currentVersion(root).exists(_ >= 2)) return root
 
     // v1: base load. repartitionByRange gives each file a tight, disjoint
     // o_orderkey range — the clustered layout a lakehouse maintains so
@@ -175,6 +210,77 @@ object Lakehouse {
     root
   }
 
+  /** v3 = compaction of v2: every v2 file bin-packed into 2 range-clustered
+    * files, committed via CAS against v2 — the standing maintenance job of
+    * a lakehouse (streaming appends accrete small files; compaction
+    * restores scan efficiency). The defining property is that it is
+    * INVISIBLE to queries: v3 reads byte-equal content to v2 (the graded
+    * oracle is literally v2's), and v2 stays readable (readers pinned to
+    * the old snapshot are unaffected mid-rewrite). */
+  private[graft] def ensureCompacted(s: SparkSession, d: String): String = {
+    val root = ensureTable(s, d)
+    if (currentVersion(root).contains(3)) return root
+    val packDir = s"$root/compact-v3"
+    readSnapshot(s, root, 2)
+      .repartitionByRange(2, col("o_orderkey"))
+      .sortWithinPartitions("o_orderkey")
+      .write.mode("overwrite").parquet(packDir)
+    commitIf(root, Some(2), 3, fileStats(s, packDir))
+    root
+  }
+
+  /** Exactly-once streaming append: fold micro-batch `batchId` into the
+    * table unless the current snapshot's ledger already holds it — the
+    * foreachBatch → lakehouse bridge. Idempotent by construction: the data
+    * write is an overwrite of a batch-keyed dir, and the ledger lives IN
+    * the atomically-committed snapshot, so a replayed batch (Spark's
+    * at-least-once foreachBatch contract after a crash) is a no-op and the
+    * sink upgrades to exactly-once. */
+  private[graft] def appendBatch(s: SparkSession, root: String, keyCol: String,
+      batchId: Long, df: DataFrame): Unit = {
+    val cur = currentVersion(root)
+    val (prior, ledger) = cur match {
+      case Some(v) => (manifest(root, v), manifestBatches(root, v))
+      case None    => (Seq.empty[FileEntry], Set.empty[Long])
+    }
+    if (ledger.contains(batchId)) return // replayed batch: already committed
+    val dir = s"$root/b$batchId"
+    df.write.mode("overwrite").parquet(dir)
+    commitIf(root, cur, cur.getOrElse(0) + 1,
+      prior ++ fileStats(s, dir, keyCol), ledger + batchId)
+    ()
+  }
+
+  /** Builds (idempotently, per sf dir) the streaming-ingested table: the
+    * events table staged as 4 files, streamed with Trigger.AvailableNow at
+    * maxFilesPerTrigger=2 (≥2 real micro-batches), each batch appended via
+    * `appendBatch`. Content is split-invariant, so the graded oracle is
+    * the plain batch aggregate — the streaming ≡ batch contract, now with
+    * an ACID table in the middle. */
+  private[graft] def ensureStreamTable(s: SparkSession, d: String): String = {
+    val root = Scratch.opDir("snap_stream", d)
+    if (currentVersion(root).exists(_ >= 1)) return root
+    // Stage: project the streamed columns ONCE into 4 parquet files (drops
+    // the TIMESTAMP(NANOS) column so the file stream needs no legacy conf).
+    val stage = s"$root/stage"
+    Tables.events(s, d)
+      .select(col("event_id"), col("event_type"),
+        floor(col("value") * 100).cast("bigint").as("value_cents"))
+      .repartition(4)
+      .write.mode("overwrite").parquet(stage)
+    val sch = s.read.parquet(stage).schema
+    val q = s.readStream.schema(sch).option("maxFilesPerTrigger", "2")
+      .parquet(stage)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        appendBatch(batch.sparkSession, root, "event_id", id, batch)
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    root
+  }
+
   val queries: Map[String, Q] = Map(
     // The ACID MERGE: graded output is the post-merge table read through
     // the v2 manifest. Oracle replays the batch from `orders` alone —
@@ -201,6 +307,33 @@ object Lakehouse {
         .agg(count(lit(1)).as("n_rows"),
           sum(dec(col("o_totalprice"))).cast("double").as("total"))
         .orderBy("o_year")
+    }),
+
+    // Compaction as a SNAPSHOT COMMIT: v3 bin-packs v2's files and must be
+    // invisible to queries — the oracle is v2's post-state, LakehouseSpec
+    // asserts the file count dropped and v2 stayed readable.
+    "warehouse_snapshot_compact" -> ((s, d) => {
+      val root = ensureCompacted(s, d)
+      readSnapshot(s, root, 3)
+        .groupBy("o_year")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(dec(col("o_totalprice"))).cast("double").as("total"),
+          sum(when(col("o_orderkey") >= 10000000L, 1L).otherwise(0L)).as("n_inserted"))
+        .orderBy("o_year")
+    }),
+
+    // Exactly-once streaming ingest into the ACID table: an AvailableNow
+    // file stream appends each micro-batch via a ledger-carrying snapshot
+    // commit; the graded read aggregates the TABLE. Real oracle (not
+    // golden): the streamed content must equal the batch aggregate over
+    // events — the streaming ≡ batch contract with a lakehouse in between.
+    "stream_lakehouse_sink" -> ((s, d) => {
+      val root = ensureStreamTable(s, d)
+      readSnapshot(s, root, currentVersion(root).get)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(col("value_cents")).as("value_cents"))
+        .orderBy("event_type")
     })
   )
 
@@ -230,6 +363,30 @@ object Lakehouse {
     "warehouse_time_travel" ->
       """SELECT year(o_orderdate) AS o_year, COUNT(*) AS n_rows,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
-        |FROM orders GROUP BY o_year ORDER BY o_year""".stripMargin
+        |FROM orders GROUP BY o_year ORDER BY o_year""".stripMargin,
+
+    // Compaction must be invisible: v3 reads v2's exact post-state.
+    "warehouse_snapshot_compact" ->
+      """WITH thr AS (SELECT MAX(o_orderkey) // 10 AS t FROM orders),
+        |src AS (SELECT o_orderkey, year(o_orderdate) AS o_year, o_totalprice FROM orders),
+        |post AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey <= (SELECT t FROM thr) AND o_orderkey % 7 = 0
+        |         THEN o_totalprice + 100.0 ELSE o_totalprice END AS o_totalprice,
+        |    o_year
+        |  FROM src
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000, o_totalprice, o_year
+        |  FROM src WHERE o_orderkey <= (SELECT t FROM thr) AND o_orderkey % 11 = 0)
+        |SELECT o_year, COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total,
+        |  CAST(SUM(CASE WHEN o_orderkey >= 10000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_inserted
+        |FROM post GROUP BY o_year ORDER BY o_year""".stripMargin,
+
+    // Streamed-through-the-table content must equal the batch aggregate.
+    "stream_lakehouse_sink" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
   )
 }
