@@ -219,13 +219,41 @@ object Lakehouse {
     * the old snapshot are unaffected mid-rewrite). */
   private[graft] def ensureCompacted(s: SparkSession, d: String): String = {
     val root = ensureTable(s, d)
-    if (currentVersion(root).contains(3)) return root
+    if (currentVersion(root).exists(_ >= 3)) return root
     val packDir = s"$root/compact-v3"
     readSnapshot(s, root, 2)
       .repartitionByRange(2, col("o_orderkey"))
       .sortWithinPartitions("o_orderkey")
       .write.mode("overwrite").parquet(packDir)
     commitIf(root, Some(2), 3, fileStats(s, packDir))
+    root
+  }
+
+  /** v4 = row-level DELETE (the right-to-be-forgotten verb that completes
+    * the table's DML surface beside MERGE's update/insert): remove keys
+    * ≡0 mod 13 inside the decile, copy-on-write. Same planning contract as
+    * MERGE — the delete predicate's key range prunes against per-file
+    * stats on the driver, only overlapping files are rewritten minus the
+    * deleted rows, the rest carry by reference. At 100 TB a targeted
+    * erasure batch touches the files holding those keys, never the corpus;
+    * full physical erasure additionally requires expiring the older
+    * snapshots that still reference the pre-delete files (retention is a
+    * policy knob, the mechanism here is the snapshot layer itself). */
+  private[graft] def ensureDeleted(s: SparkSession, d: String): String = {
+    val root = ensureCompacted(s, d)
+    if (currentVersion(root).exists(_ >= 4)) return root
+    val v3 = manifest(root, 3)
+    // decile threshold over the BASE key domain (v1 stats) — v3's maxKey
+    // includes the +10M inserted keys and would skew the decile
+    val thr = manifest(root, 1).map(_.maxKey).max / 10L
+    val (touched, untouched) = v3.partition(_.minKey <= thr)
+    val delDir = s"$root/del-v4"
+    s.read.parquet(touched.map(_.path): _*)
+      .where(!(col("o_orderkey") % 13 === 0 && col("o_orderkey") <= thr))
+      .repartitionByRange(1, col("o_orderkey"))
+      .sortWithinPartitions("o_orderkey")
+      .write.mode("overwrite").parquet(delDir)
+    commitIf(root, Some(3), 4, untouched ++ fileStats(s, delDir))
     root
   }
 
@@ -322,6 +350,19 @@ object Lakehouse {
         .orderBy("o_year")
     }),
 
+    // Row-level DELETE, COW + stats-pruned like MERGE: v4 drops keys
+    // ≡0 mod 13 inside the decile. Oracle = v2's post-state minus exactly
+    // those rows; LakehouseSpec asserts pruning and that v3 stays readable.
+    "warehouse_snapshot_delete" -> ((s, d) => {
+      val root = ensureDeleted(s, d)
+      readSnapshot(s, root, 4)
+        .groupBy("o_year")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(dec(col("o_totalprice"))).cast("double").as("total"),
+          sum(when(col("o_orderkey") >= 10000000L, 1L).otherwise(0L)).as("n_inserted"))
+        .orderBy("o_year")
+    }),
+
     // Exactly-once streaming ingest into the ACID table: an AvailableNow
     // file stream appends each micro-batch via a ledger-carrying snapshot
     // commit; the graded read aggregates the TABLE. Real oracle (not
@@ -382,6 +423,27 @@ object Lakehouse {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total,
         |  CAST(SUM(CASE WHEN o_orderkey >= 10000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_inserted
         |FROM post GROUP BY o_year ORDER BY o_year""".stripMargin,
+
+    // v2 post-state minus the deleted keys (≡0 mod 13 inside the decile;
+    // the +10M inserted keys are outside the decile so none are deleted).
+    "warehouse_snapshot_delete" ->
+      """WITH thr AS (SELECT MAX(o_orderkey) // 10 AS t FROM orders),
+        |src AS (SELECT o_orderkey, year(o_orderdate) AS o_year, o_totalprice FROM orders),
+        |post AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey <= (SELECT t FROM thr) AND o_orderkey % 7 = 0
+        |         THEN o_totalprice + 100.0 ELSE o_totalprice END AS o_totalprice,
+        |    o_year
+        |  FROM src
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000, o_totalprice, o_year
+        |  FROM src WHERE o_orderkey <= (SELECT t FROM thr) AND o_orderkey % 11 = 0)
+        |SELECT o_year, COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total,
+        |  CAST(SUM(CASE WHEN o_orderkey >= 10000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_inserted
+        |FROM post
+        |WHERE NOT (o_orderkey % 13 = 0 AND o_orderkey <= (SELECT t FROM thr))
+        |GROUP BY o_year ORDER BY o_year""".stripMargin,
 
     // Streamed-through-the-table content must equal the batch aggregate.
     "stream_lakehouse_sink" ->
