@@ -155,8 +155,9 @@ object Lakehouse {
     * order-independent; repeat invocations in one JVM reuse the committed
     * table (CURRENT == 2 short-circuits).
     */
-  private[graft] def ensureTable(s: SparkSession, d: String): String = {
-    val root = Scratch.opDir("snap_tbl", d)
+  private[graft] def ensureTable(s: SparkSession, d: String,
+      prefix: String = "snap_tbl"): String = {
+    val root = Scratch.opDir(prefix, d)
     if (currentVersion(root).exists(_ >= 2)) return root
 
     // v1: base load. repartitionByRange gives each file a tight, disjoint
@@ -255,6 +256,36 @@ object Lakehouse {
       .write.mode("overwrite").parquet(delDir)
     commitIf(root, Some(3), 4, untouched ++ fileStats(s, delDir))
     root
+  }
+
+  /** Snapshot retention / vacuum — the OTHER half of ACID maintenance and
+    * the completion of DELETE's erasure story: physically remove every
+    * data file referenced ONLY by expired snapshots, then drop their
+    * manifests. Readers of kept snapshots are untouched (their files are
+    * the `referenced` set); the current snapshot can never be expired.
+    * Driver-side O(files) metadata work, file deletes are idempotent. */
+  private[graft] def expireSnapshots(root: String, keep: Set[Int]): Unit = {
+    val cur = currentVersion(root)
+      .getOrElse(sys.error(s"no committed snapshot at $root"))
+    require(keep.contains(cur), s"cannot expire the current snapshot v$cur")
+    def localPath(p: String): Path =
+      if (p.startsWith("file:")) Paths.get(new java.net.URI(p).getPath)
+      else Paths.get(p)
+    val versions = {
+      val st = Files.list(metaDir(root))
+      try st.toArray.map(_.toString)
+        .flatMap("""v(\d+)\.manifest$""".r.findFirstMatchIn(_))
+        .map(_.group(1).toInt).toSet
+      finally st.close()
+    }
+    val expired = versions.diff(keep)
+    val referenced = keep.intersect(versions)
+      .flatMap(v => manifest(root, v).map(e => localPath(e.path).normalize))
+    expired.foreach { v =>
+      manifest(root, v).map(e => localPath(e.path).normalize)
+        .filterNot(referenced).foreach(Files.deleteIfExists)
+      Files.deleteIfExists(manifestPath(root, v))
+    }
   }
 
   /** Exactly-once streaming append: fold micro-batch `batchId` into the
@@ -363,6 +394,52 @@ object Lakehouse {
         .orderBy("o_year")
     }),
 
+    // CDC / incremental consumption: the change rows between two snapshots,
+    // computed from the MANIFEST DIFF — files shared by v1 and v2 were
+    // carried by reference and cannot contain changes, so only the
+    // rewritten/new files (and their v1 pre-images) are read and
+    // multiset-diffed. At 100 TB an incremental consumer reads O(changed
+    // files), never the table — the changelog a downstream training
+    // pipeline tails instead of re-scanning the corpus. Row-level output:
+    // every update carries its new value, every insert its row.
+    "warehouse_snapshot_changes" -> ((s, d) => {
+      val root = ensureTable(s, d)
+      val v1 = manifest(root, 1)
+      val v2 = manifest(root, 2)
+      val shared = v1.map(_.path).toSet.intersect(v2.map(_.path).toSet)
+      val newFiles = v2.filterNot(e => shared(e.path)).map(_.path)
+      val preImage = v1.filterNot(e => shared(e.path)).map(_.path)
+      s.read.parquet(newFiles: _*)
+        .exceptAll(s.read.parquet(preImage: _*))
+        .withColumn("change_type",
+          when(col("o_orderkey") >= 10000000L, lit("insert")).otherwise(lit("update")))
+        .orderBy("o_orderkey")
+    }),
+
+    // Governance: column masking + row-level security as a view contract —
+    // the Ranger/warehouse-policy surface a Hive service enforces. The
+    // masked view exposes customers with the numeric identity in c_name
+    // REDACTED to its last 3 digits, balances bucketed to 100s (k-anon
+    // coarsening), and a row filter hiding an entire segment. Pure plan
+    // macro: pushdown/pruning act through it, zero storage, and consumers
+    // cannot name the hidden columns at all.
+    "warehouse_masked_view" -> ((s, d) => {
+      Tables.customer(s, d).createOrReplaceTempView("graft_cust_raw")
+      s.sql(
+        """CREATE OR REPLACE TEMPORARY VIEW graft_cust_masked AS
+          |SELECT c_custkey,
+          |  CONCAT('Customer#***', RIGHT(c_name, 3)) AS c_name_masked,
+          |  CAST(FLOOR(c_acctbal / 100) * 100 AS DOUBLE) AS acctbal_bucket,
+          |  c_mktsegment
+          |FROM graft_cust_raw
+          |WHERE c_mktsegment <> 'AUTOMOBILE'""".stripMargin)
+      s.table("graft_cust_masked")
+        .groupBy("c_mktsegment", "acctbal_bucket")
+        .agg(count(lit(1)).as("n_cust"),
+          countDistinct(col("c_name_masked")).as("n_masked_names"))
+        .orderBy("c_mktsegment", "acctbal_bucket")
+    }),
+
     // Exactly-once streaming ingest into the ACID table: an AvailableNow
     // file stream appends each micro-batch via a ledger-carrying snapshot
     // commit; the graded read aggregates the TABLE. Real oracle (not
@@ -444,6 +521,29 @@ object Lakehouse {
         |FROM post
         |WHERE NOT (o_orderkey % 13 = 0 AND o_orderkey <= (SELECT t FROM thr))
         |GROUP BY o_year ORDER BY o_year""".stripMargin,
+
+    // The changelog replayed from the source: updates with their new
+    // values, inserts with their rows (keys ≡0 mod 77 emit both).
+    "warehouse_snapshot_changes" ->
+      """WITH thr AS (SELECT MAX(o_orderkey) // 10 AS t FROM orders),
+        |src AS (SELECT o_orderkey, year(o_orderdate) AS o_year, o_totalprice FROM orders)
+        |SELECT o_orderkey, o_year, o_totalprice + 100.0 AS o_totalprice,
+        |  'update' AS change_type
+        |FROM src WHERE o_orderkey <= (SELECT t FROM thr) AND o_orderkey % 7 = 0
+        |UNION ALL
+        |SELECT o_orderkey + 10000000, o_year, o_totalprice, 'insert'
+        |FROM src WHERE o_orderkey <= (SELECT t FROM thr) AND o_orderkey % 11 = 0
+        |ORDER BY o_orderkey""".stripMargin,
+
+    // The masked-view rollup replayed inline — the policy (mask, bucket,
+    // row filter) must transform identically in both engines.
+    "warehouse_masked_view" ->
+      """SELECT c_mktsegment,
+        |  CAST(FLOOR(c_acctbal / 100) * 100 AS DOUBLE) AS acctbal_bucket,
+        |  COUNT(*) AS n_cust,
+        |  COUNT(DISTINCT CONCAT('Customer#***', RIGHT(c_name, 3))) AS n_masked_names
+        |FROM customer WHERE c_mktsegment <> 'AUTOMOBILE'
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // Streamed-through-the-table content must equal the batch aggregate.
     "stream_lakehouse_sink" ->

@@ -130,6 +130,51 @@ class LakehouseSpec extends AnyFunSuite with SparkFixture {
     assert(v3df.count() > v4df.count())
   }
 
+  test("CDC manifest-diff emits exactly the update+insert rows, typed") {
+    val r = root
+    val thr = Lakehouse.manifest(r, 1).map(_.maxKey).max / 10L
+    val base = Lakehouse.readSnapshot(spark, r, 1)
+    val nUpd = base.where(col("o_orderkey") <= thr && col("o_orderkey") % 7 === 0).count()
+    val nIns = base.where(col("o_orderkey") <= thr && col("o_orderkey") % 11 === 0).count()
+    val ch = SparkEntry.queries("warehouse_snapshot_changes")(spark, sf)
+    val byType = ch.groupBy("change_type").count().collect()
+      .map(row => row.getString(0) -> row.getLong(1)).toMap
+    assert(byType == Map("update" -> nUpd, "insert" -> nIns))
+    // every update key is inside the pruned decile
+    assert(ch.where(col("change_type") === "update" && col("o_orderkey") > thr).count() == 0)
+  }
+
+  test("masked view hides the filtered segment and redacts identity") {
+    SparkEntry.queries("warehouse_masked_view")(spark, sf).collect() // defines the view
+    val v = spark.table("graft_cust_masked")
+    assert(v.where(col("c_mktsegment") === "AUTOMOBILE").count() == 0)
+    assert(v.where(!col("c_name_masked").rlike("^Customer#\\*\\*\\*\\d{3}$")).count() == 0)
+    // the policy view exposes NO raw name/balance column at all
+    assert(!v.columns.contains("c_name") && !v.columns.contains("c_acctbal"))
+  }
+
+  test("snapshot expiry vacuums only unreferenced files; kept snapshots intact") {
+    val r = Lakehouse.ensureTable(spark, sf, "snap_exp")
+    val v1Only = Lakehouse.manifest(r, 1).map(_.path).toSet
+      .diff(Lakehouse.manifest(r, 2).map(_.path).toSet)
+    assert(v1Only.nonEmpty)
+    val before = Lakehouse.readSnapshot(spark, r, 2).count()
+    Lakehouse.expireSnapshots(r, keep = Set(2))
+    // v1's exclusive files are physically gone, v1's manifest dropped
+    v1Only.foreach { p =>
+      val lp = java.nio.file.Paths.get(new java.net.URI(p).getPath)
+      assert(!java.nio.file.Files.exists(lp), s"expired file survived: $p")
+    }
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(r, "_meta", "v1.manifest")))
+    // the kept snapshot still reads in full
+    assert(Lakehouse.readSnapshot(spark, r, 2).count() == before)
+    // the current snapshot is protected
+    intercept[IllegalArgumentException] {
+      Lakehouse.expireSnapshots(r, keep = Set(1))
+    }
+  }
+
   test("streaming sink is exactly-once: a replayed micro-batch is a no-op") {
     val r = Lakehouse.ensureStreamTable(spark, sf)
     val cur = Lakehouse.currentVersion(r).get
