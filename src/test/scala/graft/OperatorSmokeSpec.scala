@@ -45,7 +45,8 @@ class OperatorSmokeSpec extends AnyFunSuite with SparkFixture {
       "LlmExt" -> LlmExt.queries, "LlmScale" -> LlmScale.queries,
       "LlmPipeline" -> LlmPipeline.queries, "Showcase" -> Showcase.queries,
       "Warehouse" -> Warehouse.queries, "Analytics" -> Analytics.queries,
-      "LlmPrep" -> LlmPrep.queries, "ApiSurface" -> ApiSurface.queries)
+      "LlmPrep" -> LlmPrep.queries, "ApiSurface" -> ApiSurface.queries,
+      "Lakehouse" -> Lakehouse.queries)
     val all = families.flatMap { case (fam, m) => m.keys.map(_ -> fam) }
     val dups = all.groupBy(_._1).filter(_._2.length > 1)
     assert(dups.isEmpty,
