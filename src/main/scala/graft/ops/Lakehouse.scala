@@ -126,6 +126,25 @@ object Lakehouse {
   private[graft] def readSnapshot(s: SparkSession, root: String, v: Int): DataFrame =
     s.read.parquet(manifest(root, v).map(_.path): _*)
 
+  /** Snapshot read with reader-schema reconciliation: after a schema
+    * evolution commit the manifest mixes files written under the old and
+    * new schemas; mergeSchema unions the footers so old files surface the
+    * added column as NULL. Without it Spark takes one file's schema at
+    * random — a nondeterminism this helper exists to forbid on any
+    * post-evolution snapshot. */
+  private[graft] def readSnapshotMerged(s: SparkSession, root: String, v: Int): DataFrame =
+    s.read.option("mergeSchema", "true").parquet(manifest(root, v).map(_.path): _*)
+
+  /** READ-side file skipping — the scan twin of the COW write path's
+    * pruning: a key-range predicate is intersected with the manifest's
+    * per-file [min,max] on the driver, and only overlapping files are
+    * handed to the scan. At 100 TB this is the difference between a
+    * point-range query reading the table and reading the 1-2 files that
+    * can possibly hold the range (the residual predicate still applies —
+    * stats admit false positives, never false negatives). */
+  private[graft] def pruneFiles(root: String, v: Int, lo: Long, hi: Long): Seq[FileEntry] =
+    manifest(root, v).filter(e => e.minKey <= hi && e.maxKey > lo)
+
   /** Per-file stats for newly written parquet: one distributed pass grouped
     * by `input_file_name` — the write-side stats collection every table
     * format performs (real formats take them from parquet footers; the
@@ -255,6 +274,65 @@ object Lakehouse {
       .sortWithinPartitions("o_orderkey")
       .write.mode("overwrite").parquet(delDir)
     commitIf(root, Some(3), 4, untouched ++ fileStats(s, delDir))
+    root
+  }
+
+  /** v5 = SCHEMA EVOLUTION as a snapshot commit: a backfill batch arrives
+    * with a NEW column (`o_channel`) and is committed as an append — every
+    * pre-evolution file carries into v5 BY REFERENCE, unrewritten (adding
+    * a column to a 100 TB table must be a metadata operation, not a table
+    * rewrite). The manifest format is unchanged; the read path reconciles
+    * schemas per-footer via `readSnapshotMerged`, surfacing the column as
+    * NULL for old rows. Batch = base keys ≡0 mod 101 shifted +40M, tagged
+    * `backfill`. */
+  private[graft] def ensureEvolved(s: SparkSession, d: String): String = {
+    val root = ensureDeleted(s, d)
+    if (currentVersion(root).exists(_ >= 5)) return root
+    val evDir = s"$root/evolve-v5"
+    readSnapshot(s, root, 1)
+      .where(col("o_orderkey") % 101 === 0)
+      .select((col("o_orderkey") + 40000000L).as("o_orderkey"), col("o_year"),
+        col("o_totalprice"), lit("backfill").as("o_channel"))
+      .coalesce(1).write.mode("overwrite").parquet(evDir)
+    commitIf(root, Some(4), 5, manifest(root, 4) ++ fileStats(s, evDir))
+    root
+  }
+
+  /** Builds (idempotently) the two-writer conflict table: both writers
+    * stage an append batch and PLAN against the same snapshot (v2); writer
+    * A's CAS lands as v3; writer B's CAS against its planned base is
+    * REJECTED (the table moved), so B rebases — re-reads the CURRENT
+    * manifest, re-validates (append batches can never conflict row-wise;
+    * a MERGE rebase would re-check file overlap against the winner's
+    * rewrites), and retries against v3 — landing as v4. This is the
+    * optimistic-concurrency loop every multi-writer lakehouse runs on
+    * every commit; the graded output proves NEITHER batch was lost
+    * (isolation + durability through a conflict). A = keys ≡0 mod 97
+    * shifted +20M, B = keys ≡0 mod 89 shifted +30M, both sourced from the
+    * v2 post-state each writer actually read. */
+  private[graft] def ensureConflicted(s: SparkSession, d: String): String = {
+    val root = ensureTable(s, d, "snap_cc")
+    if (currentVersion(root).exists(_ >= 4)) return root
+    val v2 = manifest(root, 2)
+    val snap2 = readSnapshot(s, root, 2)
+    val aDir = s"$root/writer-a"; val bDir = s"$root/writer-b"
+    snap2.where(col("o_orderkey") % 97 === 0)
+      .select((col("o_orderkey") + 20000000L).as("o_orderkey"), col("o_year"),
+        col("o_totalprice"))
+      .coalesce(1).write.mode("overwrite").parquet(aDir)
+    snap2.where(col("o_orderkey") % 89 === 0)
+      .select((col("o_orderkey") + 30000000L).as("o_orderkey"), col("o_year"),
+        col("o_totalprice"))
+      .coalesce(1).write.mode("overwrite").parquet(bDir)
+    val fa = fileStats(s, aDir); val fb = fileStats(s, bDir)
+    // Writer A lands first: clean CAS v2 -> v3.
+    require(commitIf(root, Some(2), 3, v2 ++ fa), "writer A expected a clean CAS")
+    // Writer B's CAS against its planned base MUST be rejected — this
+    // require IS the isolation property under test, not error handling.
+    require(!commitIf(root, Some(2), 3, v2 ++ fb), "stale CAS must be rejected")
+    // Rebase: replan against the winner's snapshot, retry.
+    require(commitIf(root, Some(3), 4, manifest(root, 3) ++ fb),
+      "rebased CAS should land")
     root
   }
 
@@ -440,6 +518,52 @@ object Lakehouse {
         .orderBy("c_mktsegment", "acctbal_bucket")
     }),
 
+    // READ-side data skipping: a key-range query planned against manifest
+    // stats reads only the files whose [min,max] can hold the range —
+    // LakehouseSpec asserts the pruned file set is a strict minority of
+    // the snapshot. The range (4*thr, 5*thr] sits above the merge decile
+    // and below the insert keys, so the oracle is the plain base filter.
+    "warehouse_snapshot_skip" -> ((s, d) => {
+      val root = ensureTable(s, d)
+      val thr = manifest(root, 1).map(_.maxKey).max / 10L
+      val lo = 4 * thr; val hi = 5 * thr
+      val hit = pruneFiles(root, 2, lo, hi)
+      s.read.parquet(hit.map(_.path): _*)
+        .where(col("o_orderkey") > lo && col("o_orderkey") <= hi)
+        .groupBy("o_year")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(dec(col("o_totalprice"))).cast("double").as("total"))
+        .orderBy("o_year")
+    }),
+
+    // Optimistic concurrency: two writers planned against one snapshot;
+    // the loser's CAS is rejected and it rebases onto the winner before
+    // landing. Graded output = the final table holding BOTH batches —
+    // proof no committed write was lost through the conflict.
+    "warehouse_snapshot_conflict" -> ((s, d) => {
+      val root = ensureConflicted(s, d)
+      readSnapshot(s, root, 4)
+        .groupBy("o_year")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(dec(col("o_totalprice"))).cast("double").as("total"),
+          sum(when(col("o_orderkey") >= 20000000L && col("o_orderkey") < 30000000L, 1L)
+            .otherwise(0L)).as("n_writer_a"),
+          sum(when(col("o_orderkey") >= 30000000L, 1L).otherwise(0L)).as("n_writer_b"))
+        .orderBy("o_year")
+    }),
+
+    // Schema evolution: v5 adds `o_channel` via an appended backfill file;
+    // pre-evolution files carry by reference (LakehouseSpec asserts zero
+    // rewrites) and read back with the column NULL -> 'base'.
+    "warehouse_snapshot_evolve" -> ((s, d) => {
+      val root = ensureEvolved(s, d)
+      readSnapshotMerged(s, root, 5)
+        .groupBy(col("o_year"), coalesce(col("o_channel"), lit("base")).as("channel"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(dec(col("o_totalprice"))).cast("double").as("total"))
+        .orderBy("o_year", "channel")
+    }),
+
     // Exactly-once streaming ingest into the ACID table: an AvailableNow
     // file stream appends each micro-batch via a ledger-carrying snapshot
     // commit; the graded read aggregates the TABLE. Real oracle (not
@@ -534,6 +658,74 @@ object Lakehouse {
         |SELECT o_orderkey + 10000000, o_year, o_totalprice, 'insert'
         |FROM src WHERE o_orderkey <= (SELECT t FROM thr) AND o_orderkey % 11 = 0
         |ORDER BY o_orderkey""".stripMargin,
+
+    // Stats-skipped read ≡ plain filter over the base: the range sits
+    // above the merge decile (no updates) and below +10M (no inserts).
+    "warehouse_snapshot_skip" ->
+      """WITH thr AS (SELECT MAX(o_orderkey) // 10 AS t FROM orders)
+        |SELECT year(o_orderdate) AS o_year, COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+        |FROM orders
+        |WHERE o_orderkey > 4 * (SELECT t FROM thr)
+        |  AND o_orderkey <= 5 * (SELECT t FROM thr)
+        |GROUP BY o_year ORDER BY o_year""".stripMargin,
+
+    // Both writers' batches must survive the conflict: final state = v2
+    // post-state + A's rows (+20M, keys ≡0 mod 97 of what A read) + B's
+    // rows (+30M, keys ≡0 mod 89).
+    "warehouse_snapshot_conflict" ->
+      """WITH thr AS (SELECT MAX(o_orderkey) // 10 AS t FROM orders),
+        |src AS (SELECT o_orderkey, year(o_orderdate) AS o_year, o_totalprice FROM orders),
+        |post AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey <= (SELECT t FROM thr) AND o_orderkey % 7 = 0
+        |         THEN o_totalprice + 100.0 ELSE o_totalprice END AS o_totalprice,
+        |    o_year
+        |  FROM src
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000, o_totalprice, o_year
+        |  FROM src WHERE o_orderkey <= (SELECT t FROM thr) AND o_orderkey % 11 = 0),
+        |final AS (
+        |  SELECT * FROM post
+        |  UNION ALL
+        |  SELECT o_orderkey + 20000000, o_totalprice, o_year
+        |  FROM post WHERE o_orderkey % 97 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 30000000, o_totalprice, o_year
+        |  FROM post WHERE o_orderkey % 89 = 0)
+        |SELECT o_year, COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total,
+        |  CAST(SUM(CASE WHEN o_orderkey >= 20000000 AND o_orderkey < 30000000
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS n_writer_a,
+        |  CAST(SUM(CASE WHEN o_orderkey >= 30000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_writer_b
+        |FROM final GROUP BY o_year ORDER BY o_year""".stripMargin,
+
+    // Post-delete state tagged 'base' plus the backfill batch (keys ≡0
+    // mod 101 shifted +40M) tagged 'backfill' — old rows surface the
+    // evolved column as NULL on the engine side and coalesce to 'base'.
+    "warehouse_snapshot_evolve" ->
+      """WITH thr AS (SELECT MAX(o_orderkey) // 10 AS t FROM orders),
+        |src AS (SELECT o_orderkey, year(o_orderdate) AS o_year, o_totalprice FROM orders),
+        |post AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey <= (SELECT t FROM thr) AND o_orderkey % 7 = 0
+        |         THEN o_totalprice + 100.0 ELSE o_totalprice END AS o_totalprice,
+        |    o_year
+        |  FROM src
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000, o_totalprice, o_year
+        |  FROM src WHERE o_orderkey <= (SELECT t FROM thr) AND o_orderkey % 11 = 0),
+        |kept AS (
+        |  SELECT * FROM post
+        |  WHERE NOT (o_orderkey % 13 = 0 AND o_orderkey <= (SELECT t FROM thr))),
+        |final AS (
+        |  SELECT o_year, o_totalprice, 'base' AS channel FROM kept
+        |  UNION ALL
+        |  SELECT o_year, o_totalprice, 'backfill' AS channel
+        |  FROM src WHERE o_orderkey % 101 = 0)
+        |SELECT o_year, channel, COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+        |FROM final GROUP BY o_year, channel ORDER BY o_year, channel""".stripMargin,
 
     // The masked-view rollup replayed inline — the policy (mask, bucket,
     // row filter) must transform identically in both engines.

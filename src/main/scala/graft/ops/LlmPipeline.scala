@@ -400,6 +400,42 @@ object LlmPipeline {
         .limit(20)
     }),
 
+    // BM25 relevance ranking — the retrieval-quality scorer of a
+    // training-data curation stack (query-targeted corpus slicing,
+    // contamination triage, eval-set mining). Classic Okapi BM25
+    // (k1=1.2, b=0.75) over the whitespace token stream: the explode is
+    // filtered to the query terms BEFORE the tf groupBy (scan-linear,
+    // never a full posting list), df/N/avgdl are one broadcast row each.
+    // Determinism: per-(doc,term) contributions are rounded to integer
+    // MICRO-units and summed as BIGINT (the llm_ppl_filter law — double
+    // sums over join-scattered rows are partition-order dependent);
+    // expression shapes mirror the oracle token-for-token so both
+    // engines compute identical doubles before the single rounding.
+    "llm_bm25" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("t"))
+      val dl = docs.select(col("doc_id"), size(col("t")).cast("bigint").as("dl"))
+      val st = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))
+      val tf = docs.select(col("doc_id"), explode(col("t")).as("w"))
+        .where(col("w").isin("vector", "stream", "hash"))
+        .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy("w").agg(count(lit(1)).as("df"))
+      tf.join(dl, Seq("doc_id")).join(broadcast(df), Seq("w"))
+        .crossJoin(broadcast(st))
+        .withColumn("avgdl",
+          col("sum_dl").cast("double") / col("n_docs").cast("double"))
+        .withColumn("s_micro", round(
+          log((col("n_docs").cast("double") - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
+            * (col("tf") * 2.2)
+            / (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl")))
+            * 1e6).cast("bigint"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_q_terms"), sum("s_micro").as("score_micro"))
+        .withColumn("bm25", col("score_micro").cast("double") / 1e6)
+        .orderBy(col("score_micro").desc, col("doc_id"))
+        .limit(20)
+    }),
+
     // Cross-modal pair assembly (the CLIP-style training-pair stage):
     // text rows joined to their embedding rows by id, emitting per-pair
     // features (token count, L2 norm, mean element, label). One equi
@@ -588,6 +624,29 @@ object LlmPipeline {
         |  CAST(SUM(nll_micro) AS DOUBLE) / (CAST(COUNT(*) AS DOUBLE) * 1e6) AS avg_nll
         |FROM sc GROUP BY doc_id
         |ORDER BY avg_nll DESC, doc_id LIMIT 25""".stripMargin,
+
+    // Okapi BM25 replayed term-for-term; the single ROUND to micro-units
+    // happens on identically-shaped double expressions in both engines.
+    "llm_bm25" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+        |dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
+        |st AS (SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS sum_dl FROM dl),
+        |tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM tok
+        |       WHERE w IN ('vector', 'stream', 'hash') GROUP BY doc_id, w),
+        |df AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY w),
+        |sc AS (SELECT tf.doc_id,
+        |         CAST(ROUND(
+        |           ln((CAST(st.n_docs AS DOUBLE) - df.df + 0.5) / (df.df + 0.5) + 1.0)
+        |           * (tf.tf * 2.2)
+        |           / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl /
+        |              (CAST(st.sum_dl AS DOUBLE) / CAST(st.n_docs AS DOUBLE))))
+        |           * 1e6) AS BIGINT) AS s_micro
+        |       FROM tf JOIN dl USING (doc_id) JOIN df USING (w) CROSS JOIN st)
+        |SELECT doc_id, COUNT(*) AS n_q_terms,
+        |  CAST(SUM(s_micro) AS BIGINT) AS score_micro,
+        |  CAST(SUM(s_micro) AS DOUBLE) / 1e6 AS bm25
+        |FROM sc GROUP BY doc_id
+        |ORDER BY score_micro DESC, doc_id LIMIT 20""".stripMargin,
 
     "llm_dedup_span" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),

@@ -102,6 +102,30 @@ class ApiWaveSpec extends AnyFunSuite with SparkFixture {
     assert(avgs.zip(avgs.tail).forall { case (a, b) => a >= b }, "not worst-first")
   }
 
+  test("llm_bm25: top-k ranked by descending score, recomputed driver-side") {
+    val rows = SparkEntry.queries("llm_bm25")(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    val scores = rows.map(_.getLong(2))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b }, "not score-desc")
+    assert(scores.forall(_ > 0), "BM25 with +1 idf must be positive")
+    // driver-side BM25 recount over the same tokenization and constants
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1))
+    val q = Set("vector", "stream", "hash")
+    val n = docs.length.toDouble
+    val avgdl = docs.map(_._2.length.toLong).sum.toDouble / n
+    val tf = docs.map { case (id, t) =>
+      id -> t.filter(q).groupBy(identity).view.mapValues(_.length).toMap }.toMap
+    val df = q.map(w => w -> tf.values.count(_.contains(w))).toMap
+    val expect = tf.collect { case (id, m) if m.nonEmpty =>
+      id -> m.map { case (w, f) =>
+        math.round(math.log((n - df(w) + 0.5) / (df(w) + 0.5) + 1.0) * (f * 2.2) /
+          (f + 1.2 * (0.25 + 0.75 * docs.find(_._1 == id).get._2.length / avgdl)) * 1e6)
+      }.sum
+    }.toSeq.sortBy { case (id, s) => (-s, id) }.take(20)
+    assert(rows.map(r => (r.getLong(0), r.getLong(2))).toSeq == expect)
+  }
+
   test("llm_dedup_span matches a driver-side span recount") {
     val rows = SparkEntry.queries("llm_dedup_span")(spark, sf).collect()
     val spans = Tables.documents(spark, sf).select("doc_id", "text").collect()

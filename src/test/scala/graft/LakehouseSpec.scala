@@ -175,6 +175,55 @@ class LakehouseSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("read-side skipping scans a strict minority of files, same answer as full scan") {
+    val r = root
+    val thr = Lakehouse.manifest(r, 1).map(_.maxKey).max / 10L
+    val (lo, hi) = (4 * thr, 5 * thr)
+    val v2 = Lakehouse.manifest(r, 2)
+    val hit = Lakehouse.pruneFiles(r, 2, lo, hi)
+    assert(hit.nonEmpty && hit.size * 2 < v2.size,
+      s"expected a strict minority of ${v2.size} files, scanned ${hit.size}")
+    // stats admit no false negatives: the skipped read ≡ the full-scan read
+    val skipped = SparkEntry.queries("warehouse_snapshot_skip")(spark, sf)
+    val full = Lakehouse.readSnapshot(spark, r, 2)
+      .where(col("o_orderkey") > lo && col("o_orderkey") <= hi)
+      .groupBy("o_year")
+      .agg(count(lit(1)).as("n_rows"))
+    val n = skipped.agg(sum("n_rows")).collect()(0).getLong(0)
+    assert(n == full.agg(sum("n_rows")).collect()(0).getLong(0) && n > 0)
+  }
+
+  test("conflict: loser's CAS is rejected, rebases onto the winner, neither batch lost") {
+    val r = Lakehouse.ensureConflicted(spark, sf)
+    assert(Lakehouse.currentVersion(r).contains(4))
+    val paths = (v: Int) => Lakehouse.manifest(r, v).map(_.path).toSet
+    val aFiles = paths(3).diff(paths(2)) // what writer A added
+    val bFiles = paths(4).diff(paths(3)) // what writer B added after rebase
+    assert(aFiles.nonEmpty && bFiles.nonEmpty && aFiles.intersect(bFiles).isEmpty)
+    // v3 holds A's file and none of B's; v4 holds both — the commit ORDER
+    assert(aFiles.subsetOf(paths(4)))
+    assert(bFiles.intersect(paths(3)).isEmpty)
+    // both writers' rows are in the final table
+    val v4 = Lakehouse.readSnapshot(spark, r, 4)
+    assert(v4.where(col("o_orderkey") >= 20000000L && col("o_orderkey") < 30000000L).count() > 0)
+    assert(v4.where(col("o_orderkey") >= 30000000L).count() > 0)
+  }
+
+  test("schema evolution is metadata-only: every v4 file carries into v5 unrewritten") {
+    val r = Lakehouse.ensureEvolved(spark, sf)
+    val v4 = Lakehouse.manifest(r, 4).map(_.path).toSet
+    val v5 = Lakehouse.manifest(r, 5).map(_.path).toSet
+    assert(v4.subsetOf(v5), "ADD COLUMN must not rewrite existing files")
+    assert((v5 -- v4).size == 1, "exactly the backfill file is new")
+    // old rows surface the evolved column as NULL; new rows carry it
+    val m = Lakehouse.readSnapshotMerged(spark, r, 5)
+    assert(m.columns.contains("o_channel"))
+    assert(m.where(col("o_channel").isNull).count() ==
+      Lakehouse.readSnapshot(spark, r, 4).count())
+    assert(m.where(col("o_channel") === "backfill")
+      .where(col("o_orderkey") < 40000000L).count() == 0)
+  }
+
   test("streaming sink is exactly-once: a replayed micro-batch is a no-op") {
     val r = Lakehouse.ensureStreamTable(spark, sf)
     val cur = Lakehouse.currentVersion(r).get
