@@ -31,15 +31,29 @@ object LlmOps {
           "transform(sequence(0, size(t) - 3), i -> concat_ws(' ', t[i], t[i+1], t[i+2]))"
         ))).as("s"))
 
+  /** Default posting-list document-frequency cap: shingles occurring in
+    * more than this many documents are dropped from candidate generation
+    * (and, mirrored, from the oracle CTE). ONE constant feeds both engines
+    * so the cutoff cannot silently diverge. */
+  private[ops] val DfCapDefault = 64
+
   /** Near-duplicate pairs (a < b) by 3-gram-shingle Jaccard >= 0.5 —
     * shared by `llm_dedup_near` and the cluster/canonicalize stage
     * (`llm_dedup_cluster`). Candidate pairs come from per-shingle POSTING
     * LISTS (group by shingle, emit the co-occurring doc pairs) instead of
-    * a self-join — one shuffle on the shingle, pairs bounded by sum(df²)
-    * which stays tiny because common shingles are rare; Jaccard is exact
-    * (|∩| from the postings, |∪| = |A|+|B|-|∩|).
+    * a self-join — one shuffle on the shingle, pairs bounded by
+    * sum(min(df, cap)²): `graft.dedup.dfCap` (default 64) drops
+    * ultra-common "boilerplate" shingles whose posting lists would emit
+    * O(df²) pairs — at web scale a single million-doc shingle would
+    * otherwise materialize ~10¹² candidates. Dropping a hot shingle only
+    * removes evidence shared by >cap docs; genuinely near-duplicate pairs
+    * still co-occur on their many RARE shingles, so recall on planted
+    * dups is asserted in LlmScaleSpec. Jaccard stays exact over the
+    * surviving shingles (|∩| from the postings, |∪| = |A|+|B|-|∩|).
     */
   private[ops] def nearPairs(s: SparkSession, d: String): DataFrame = {
+    val dfCap = s.conf.get("graft.dedup.dfCap", DfCapDefault.toString).toInt
+    require(dfCap >= 2, s"graft.dedup.dfCap ($dfCap) must be >= 2")
     // Shuffle the 8-byte xxhash64 of each shingle instead of the ~25-byte
     // string: the posting-list groupBy is the plan's one big exchange and
     // the hash is 3× narrower. Per-doc distinctness happened pre-hash, so
@@ -51,7 +65,7 @@ object LlmOps {
     val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = sh.groupBy("s")
       .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
-      .where(size(col("ds")) > 1)
+      .where(size(col("ds")).between(2, dfCap))
       .select(explode(expr(
         """flatten(transform(sequence(0, size(ds) - 2),
           |  i -> transform(sequence(i + 1, size(ds) - 1),
@@ -150,19 +164,24 @@ object LlmOps {
     })
   )
 
-  /** DuckDB CTE fragment mirroring `nearPairs` (dd/sh/sz/inter) — the ONE
-    * SQL copy of the shingle/posting-list pair generator; llm_dedup_near's
-    * oracle and LlmPipeline's cluster oracle both build on it, so the
-    * shingle width and Jaccard threshold cannot silently diverge. */
+  /** DuckDB CTE fragment mirroring `nearPairs` (dd/sh/sz/keep/inter) — the
+    * ONE SQL copy of the shingle/posting-list pair generator; llm_dedup_
+    * near's oracle and LlmPipeline's cluster oracle both build on it, so
+    * the shingle width, Jaccard threshold and df cap cannot silently
+    * diverge. `keep` replays the [2, dfCap] document-frequency band;
+    * `sz` stays UNCAPPED (the Jaccard denominator uses full doc sizes —
+    * only intersection evidence is capped, in both engines). */
   private[ops] val nearPairsSqlCtes: String =
-    """dd AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-      |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
-      |         generate_series(1, len(t) - 2), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS s
-      |       FROM dd),
-      |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
-      |inter AS (SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS c
-      |          FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
-      |          GROUP BY 1, 2)""".stripMargin
+    s"""dd AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+       |         generate_series(1, len(t) - 2), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS s
+       |       FROM dd),
+       |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+       |keep AS (SELECT s FROM sh GROUP BY s HAVING COUNT(*) BETWEEN 2 AND $DfCapDefault),
+       |inter AS (SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS c
+       |          FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+       |          JOIN keep ON x.s = keep.s
+       |          GROUP BY 1, 2)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "llm_dedup_exact" ->

@@ -49,6 +49,38 @@ class LlmScaleSpec extends AnyFunSuite with SparkFixture {
     assert(recalled >= 16, s"planted recall $recalled/20")
   }
 
+  test("nearPairs df cap bounds hot-shingle pair explosion, keeps rare-shingle recall") {
+    // The 100-TB dedup contract: a boilerplate shingle shared by df docs
+    // would emit C(df,2) candidate pairs — graft.dedup.dfCap drops such
+    // shingles from candidate generation entirely. Plant 12 identical
+    // "boilerplate" docs (every shingle df=12) plus one genuine near-dup
+    // pair on rare (df=2) shingles; with cap=8 the 66 boilerplate pairs
+    // must vanish while the rare-shingle pair is still recalled, and with
+    // the default cap (64 > 12) all 66 reappear — the cap, not the
+    // threshold, is what bounded them.
+    val stage = graft.ops.Scratch.opDir("dfcap", sf)
+    val sp = spark
+    import sp.implicits._
+    val boiler = "alpha beta gamma delta epsilon zeta eta theta"
+    val near1 = "unique one two three four five six seven"
+    val near2 = "unique one two three four five six eight"
+    val docs = (1L to 12L).map(i => (i, boiler, "en", "synth", boiler.length.toLong)) ++
+      Seq((100L, near1, "en", "synth", near1.length.toLong),
+        (101L, near2, "en", "synth", near2.length.toLong))
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$stage/documents.parquet")
+    spark.conf.set("graft.dedup.dfCap", "8")
+    try {
+      val capped = SparkEntry.queries("llm_dedup_near")(spark, stage).collect()
+      assert(!capped.exists(_.getLong(0) <= 12L), "hot-shingle pairs leaked past the df cap")
+      assert(capped.exists(r => r.getLong(0) == 100L && r.getLong(1) == 101L),
+        "rare-shingle near-dup pair lost under the df cap")
+    } finally spark.conf.unset("graft.dedup.dfCap")
+    val full = SparkEntry.queries("llm_dedup_near")(spark, stage).collect()
+    assert(full.count(_.getLong(0) <= 12L) == 66,
+      "default cap (64) should leave the df=12 boilerplate pairs intact")
+  }
+
   test("llm_dedup_simhash 2-of-8 combination keys: pigeonhole recall, smaller candidates") {
     // Driver-side replay of both candidate generators over the real
     // simhashes: the 2-of-8 block-combination scheme must (a) recall every
