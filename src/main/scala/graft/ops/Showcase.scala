@@ -379,28 +379,39 @@ object Showcase {
 
     // TPC-H Q21 (suppliers who kept orders waiting), adapted: "late" is
     // shipped >90 days after the order date (no commit/receipt dates).
-    // The double-correlated EXISTS / NOT EXISTS against the SAME fact —
-    // the hardest decorrelation in the suite — planned by Catalyst as a
-    // semi + anti join pair on the order key with the date residuals.
+    // The textbook form double-correlates EXISTS / NOT EXISTS against the
+    // SAME fact, which Catalyst decorrelates into a semi + anti join pair
+    // — three lineitem shuffles on the order key. Both correlations are
+    // per-order set predicates, so this plan folds them into ONE rollup:
+    // per (order, supplier) late-row counts (the join and both rollups all
+    // hash on the order key, so lineitem is shuffled exactly once — the
+    // groupBys reuse the join exchange), then per-order filters
+    // n_supps >= 2 (the EXISTS: some other supplier in the order) and
+    // n_late_supps == 1 (the NOT EXISTS: no OTHER supplier late; l1's own
+    // supplier is late by construction). Each waiting supplier contributes
+    // its late ROW count, matching the original COUNT(*) over l1 rows.
     "tpch_q21" -> ((s, d) => {
-      Tables.lineitem(s, d).createOrReplaceTempView("graft_li_q21_v")
-      Tables.orders(s, d).createOrReplaceTempView("graft_ord_q21_v")
-      Tables.supplier(s, d).createOrReplaceTempView("graft_supp_q21_v")
-      s.sql(
-        """SELECT s_name, COUNT(*) AS numwait
-          |FROM graft_li_q21_v l1
-          |  JOIN graft_ord_q21_v ON o_orderkey = l1.l_orderkey
-          |    AND o_orderstatus = 'F'
-          |  JOIN graft_supp_q21_v ON s_suppkey = l1.l_suppkey
-          |WHERE l1.l_shipdate > o_orderdate + INTERVAL 90 DAY
-          |  AND EXISTS (SELECT 1 FROM graft_li_q21_v l2
-          |              WHERE l2.l_orderkey = l1.l_orderkey
-          |                AND l2.l_suppkey <> l1.l_suppkey)
-          |  AND NOT EXISTS (SELECT 1 FROM graft_li_q21_v l3
-          |                  WHERE l3.l_orderkey = l1.l_orderkey
-          |                    AND l3.l_suppkey <> l1.l_suppkey
-          |                    AND l3.l_shipdate > o_orderdate + INTERVAL 90 DAY)
-          |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 10""".stripMargin)
+      val late = col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAY")
+      val perSupp = Tables.lineitem(s, d)
+        .select("l_orderkey", "l_suppkey", "l_shipdate")
+        .join(Tables.orders(s, d).where(col("o_orderstatus") === "F")
+          .select("o_orderkey", "o_orderdate"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(count(when(late, 1)).as("late_rows"))
+      val waits = perSupp.groupBy("l_orderkey")
+        .agg(count(lit(1)).as("n_supps"),
+          count(when(col("late_rows") > 0, 1)).as("n_late_supps"),
+          max(when(col("late_rows") > 0,
+            struct(col("l_suppkey"), col("late_rows")))).as("lw"))
+        .where(col("n_supps") >= 2 && col("n_late_supps") === 1)
+      waits
+        .join(broadcast(Tables.supplier(s, d)),
+          col("lw.l_suppkey") === col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(sum(col("lw.late_rows")).as("numwait"))
+        .orderBy(desc("numwait"), col("s_name"))
+        .limit(10)
     }),
 
     // TPC-H Q2 (minimum-cost supplier), adapted: the part-supplier

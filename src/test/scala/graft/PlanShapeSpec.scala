@@ -308,10 +308,21 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
       p.take(3000))
   }
 
-  test("tpch_q21 decorrelates both EXISTS to hash joins (no nested loop)") {
+  test("tpch_q21 scans lineitem once (per-order rollup, no semi/anti re-scans)") {
+    // The folded form replaces the semi + anti join pair (3 lineitem
+    // scans + 3 fact exchanges) with one join + two rollups hashed on the
+    // order key: lineitem is read once, fact-sized data crosses the wire
+    // once (the second exchange carries the narrow per-(order,supplier)
+    // rollup; when orders shuffles instead of broadcasting at full scale,
+    // even that collapses into the join's orderkey partitioning), and the
+    // supplier join broadcasts.
     val p = plan("tpch_q21")
-    assert(p.contains("LeftSemi") && p.contains("LeftAnti"), p.take(3000))
-    assert(!p.contains("BroadcastNestedLoopJoin"),
-      "correlated EXISTS fell back to a nested loop")
+    assert("lineitem\\.parquet".r.findAllIn(p).length == 1, p.take(3000))
+    // fact exchange + narrow rollup exchange; the third exchange in the
+    // plan hashes on s_name over ≤|supplier| rows — not fact-sized
+    assert("Exchange hashpartitioning\\(l_orderkey".r.findAllIn(p).length <= 2,
+      p.take(3000))
+    assert(!p.contains("LeftSemi") && !p.contains("LeftAnti"), p.take(3000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(3000))
   }
 }
