@@ -76,12 +76,28 @@ object WindowOps {
     }),
 
     // Value-based RANGE frame: orders within $1000 below the current price.
+    // A global ORDER BY window would put the whole table in ONE task (the
+    // textbook window scale-killer), so the price domain is banded at the
+    // frame width: every frame [p-1000, p] spans at most the row's own
+    // $1000 band and the one below, so each row is emitted once into its
+    // own band and once as a frame-contributing "ghost" into the band
+    // above, and the identical RANGE frame runs PARTITIONED by band —
+    // every row of the global frame is present in the row's partition
+    // exactly once (own band as real, band below as ghost; band-2 rows
+    // are > $1000 away by construction). One hash shuffle of 2n narrow
+    // rows, per-band sorts, all bands in parallel; ghosts are dropped
+    // after the window pass.
     "win_range_frame" -> ((s, d) => {
-      val w = Window.orderBy(col("o_totalprice")).rangeBetween(-1000, 0)
-      Tables.orders(s, d)
+      val base = Tables.orders(s, d)
         .select(col("o_orderkey"), col("o_totalprice"), cents(col("o_totalprice")).as("c"))
+      val band = floor(col("o_totalprice") / 1000)
+      val real = base.withColumn("band", band).withColumn("is_real", lit(true))
+      val ghost = base.withColumn("band", band + 1).withColumn("is_real", lit(false))
+      val w = Window.partitionBy("band").orderBy(col("o_totalprice")).rangeBetween(-1000, 0)
+      real.unionAll(ghost)
         .withColumn("n_in_range", count(lit(1)).over(w))
         .withColumn("cents_in_range", sum(col("c")).over(w))
+        .where(col("is_real"))
         .select("o_orderkey", "o_totalprice", "n_in_range", "cents_in_range")
         .orderBy("o_totalprice", "o_orderkey")
     }),

@@ -308,6 +308,16 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
       p.take(3000))
   }
 
+  test("win_range_frame windows on a banded hash partition, not a single task") {
+    // The $1000-band + ghost-row rewrite must keep the RANGE window OFF
+    // the single-partition path: the window's exchange hashes on the band
+    // key (parallel across bands); only the final presentation sort may
+    // range-partition globally.
+    val p = plan("win_range_frame")
+    assert(p.contains("Exchange hashpartitioning(band"), p.take(3000))
+    assert(!p.contains("Exchange SinglePartition"), p.take(3000))
+  }
+
   test("tpch_q21 scans lineitem once (per-order rollup, no semi/anti re-scans)") {
     // The folded form replaces the semi + anti join pair (3 lineitem
     // scans + 3 fact exchanges) with one join + two rollups hashed on the
