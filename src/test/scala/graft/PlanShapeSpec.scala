@@ -308,6 +308,19 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
       p.take(3000))
   }
 
+  test("llm_vocab_coverage takes the top-100 BEFORE the cumsum window (no full-vocab sort)") {
+    // The rank/cumsum window is unpartitioned by construction (a global
+    // coverage curve), so the plan must bound its input to the top-100
+    // via a distributed TakeOrderedAndProject — the window sorting the
+    // whole vocabulary in one task is the regression this guards.
+    val p = plan("llm_vocab_coverage")
+    assert(p.contains("TakeOrderedAndProject"), p.take(3000))
+    val windowAt = p.indexOf("Window")
+    val takeAt = p.indexOf("TakeOrderedAndProject")
+    assert(windowAt >= 0 && takeAt > windowAt,
+      "TakeOrderedAndProject must feed the Window (appear beneath it in the plan)\n" + p.take(3000))
+  }
+
   test("win_range_frame windows on a banded hash partition, not a single task") {
     // The $1000-band + ghost-row rewrite must keep the RANGE window OFF
     // the single-partition path: the window's exchange hashes on the band
