@@ -54,7 +54,11 @@ object Bench {
       try {
         val txt = new String(java.nio.file.Files.readAllBytes(
           java.nio.file.Paths.get("bench.json")), java.nio.charset.StandardCharsets.UTF_8)
-        """"([a-z0-9_]+)":([0-9.Ee+-]+)""".r.findAllMatchIn(txt)
+        // scope the scrape to the "queries" object — the top-level numeric
+        // keys (calib_sec, value) must not leak into the per-query priors
+        val qobj = """"queries":\{([^}]*)\}""".r.findFirstMatchIn(txt)
+          .map(_.group(1)).getOrElse("")
+        """"([a-z0-9_]+)":([0-9.Ee+-]+)""".r.findAllMatchIn(qobj)
           .map(m => m.group(1) -> m.group(2).toDouble).toMap
       } catch { case _: Throwable => Map.empty }
     // median-of-3 per query: run 1 pays plan compile + codegen JIT; the

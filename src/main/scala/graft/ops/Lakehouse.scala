@@ -245,7 +245,11 @@ object Lakehouse {
       .repartitionByRange(2, col("o_orderkey"))
       .sortWithinPartitions("o_orderkey")
       .write.mode("overwrite").parquet(packDir)
-    commitIf(root, Some(2), 3, fileStats(s, packDir))
+    // a rejected CAS here means re-entry after a partial failure left the
+    // table somewhere unexpected — fail loudly now, not later with a
+    // confusing missing-manifest read
+    require(commitIf(root, Some(2), 3, fileStats(s, packDir)),
+      s"compaction expected table at v2 (found ${currentVersion(root)})")
     root
   }
 
@@ -273,7 +277,8 @@ object Lakehouse {
       .repartitionByRange(1, col("o_orderkey"))
       .sortWithinPartitions("o_orderkey")
       .write.mode("overwrite").parquet(delDir)
-    commitIf(root, Some(3), 4, untouched ++ fileStats(s, delDir))
+    require(commitIf(root, Some(3), 4, untouched ++ fileStats(s, delDir)),
+      s"delete expected table at v3 (found ${currentVersion(root)})")
     root
   }
 
@@ -294,7 +299,8 @@ object Lakehouse {
       .select((col("o_orderkey") + 40000000L).as("o_orderkey"), col("o_year"),
         col("o_totalprice"), lit("backfill").as("o_channel"))
       .coalesce(1).write.mode("overwrite").parquet(evDir)
-    commitIf(root, Some(4), 5, manifest(root, 4) ++ fileStats(s, evDir))
+    require(commitIf(root, Some(4), 5, manifest(root, 4) ++ fileStats(s, evDir)),
+      s"schema evolution expected table at v4 (found ${currentVersion(root)})")
     root
   }
 
@@ -313,24 +319,35 @@ object Lakehouse {
   private[graft] def ensureConflicted(s: SparkSession, d: String): String = {
     val root = ensureTable(s, d, "snap_cc")
     if (currentVersion(root).exists(_ >= 4)) return root
-    val v2 = manifest(root, 2)
     val snap2 = readSnapshot(s, root, 2)
-    val aDir = s"$root/writer-a"; val bDir = s"$root/writer-b"
-    snap2.where(col("o_orderkey") % 97 === 0)
-      .select((col("o_orderkey") + 20000000L).as("o_orderkey"), col("o_year"),
-        col("o_totalprice"))
-      .coalesce(1).write.mode("overwrite").parquet(aDir)
+    // B's batch is staged unconditionally (never referenced until its
+    // commit below); A's batch + the v2->v3 race are only replayed when
+    // the table really is at v2 — on RE-ENTRY after a partial failure that
+    // left the table at v3, writer A's files are live manifest references
+    // and must not be rewritten, so the resume path skips straight to B's
+    // rebase instead of throwing 'writer A expected a clean CAS'.
+    val bDir = s"$root/writer-b"
     snap2.where(col("o_orderkey") % 89 === 0)
       .select((col("o_orderkey") + 30000000L).as("o_orderkey"), col("o_year"),
         col("o_totalprice"))
       .coalesce(1).write.mode("overwrite").parquet(bDir)
-    val fa = fileStats(s, aDir); val fb = fileStats(s, bDir)
-    // Writer A lands first: clean CAS v2 -> v3.
-    require(commitIf(root, Some(2), 3, v2 ++ fa), "writer A expected a clean CAS")
-    // Writer B's CAS against its planned base MUST be rejected — this
-    // require IS the isolation property under test, not error handling.
-    require(!commitIf(root, Some(2), 3, v2 ++ fb), "stale CAS must be rejected")
-    // Rebase: replan against the winner's snapshot, retry.
+    val fb = fileStats(s, bDir)
+    if (currentVersion(root).contains(2)) {
+      val v2 = manifest(root, 2)
+      val aDir = s"$root/writer-a"
+      snap2.where(col("o_orderkey") % 97 === 0)
+        .select((col("o_orderkey") + 20000000L).as("o_orderkey"), col("o_year"),
+          col("o_totalprice"))
+        .coalesce(1).write.mode("overwrite").parquet(aDir)
+      val fa = fileStats(s, aDir)
+      // Writer A lands first: clean CAS v2 -> v3.
+      require(commitIf(root, Some(2), 3, v2 ++ fa), "writer A expected a clean CAS")
+      // Writer B's CAS against its planned base MUST be rejected — this
+      // require IS the isolation property under test, not error handling.
+      require(!commitIf(root, Some(2), 3, v2 ++ fb), "stale CAS must be rejected")
+    }
+    // Rebase: replan against the winner's snapshot, retry (reached both on
+    // the fresh path and on resume-from-v3).
     require(commitIf(root, Some(3), 4, manifest(root, 3) ++ fb),
       "rebased CAS should land")
     root
@@ -375,17 +392,37 @@ object Lakehouse {
     * sink upgrades to exactly-once. */
   private[graft] def appendBatch(s: SparkSession, root: String, keyCol: String,
       batchId: Long, df: DataFrame): Unit = {
-    val cur = currentVersion(root)
-    val (prior, ledger) = cur match {
-      case Some(v) => (manifest(root, v), manifestBatches(root, v))
-      case None    => (Seq.empty[FileEntry], Set.empty[Long])
-    }
-    if (ledger.contains(batchId)) return // replayed batch: already committed
+    // CAS retry loop: if another writer (or a maintenance job) advanced
+    // the table between our snapshot read and the commit, the commit is
+    // rejected — re-read CURRENT + ledger, re-check the batch id (the
+    // winner may have been a replay of this very batch), and retry against
+    // the new snapshot. Appends never conflict row-wise, so the rebase is
+    // just re-reading metadata; the data files are written once. A
+    // SILENTLY dropped batch here would break the exactly-once contract
+    // while the streaming engine records the batch as committed, so
+    // exhausting retries throws rather than returns.
     val dir = s"$root/b$batchId"
-    df.write.mode("overwrite").parquet(dir)
-    commitIf(root, cur, cur.getOrElse(0) + 1,
-      prior ++ fileStats(s, dir, keyCol), ledger + batchId)
-    ()
+    var wrote = false
+    var stats: Seq[FileEntry] = Seq.empty
+    var attempts = 0
+    while (true) {
+      val cur = currentVersion(root)
+      val (prior, ledger) = cur match {
+        case Some(v) => (manifest(root, v), manifestBatches(root, v))
+        case None    => (Seq.empty[FileEntry], Set.empty[Long])
+      }
+      if (ledger.contains(batchId)) return // replayed batch: already committed
+      if (!wrote) {
+        df.write.mode("overwrite").parquet(dir)
+        stats = fileStats(s, dir, keyCol)
+        wrote = true
+      }
+      if (commitIf(root, cur, cur.getOrElse(0) + 1, prior ++ stats,
+          ledger + batchId)) return
+      attempts += 1
+      require(attempts < 20,
+        s"appendBatch b$batchId: lost $attempts CAS races at $root — giving up loudly")
+    }
   }
 
   /** Builds (idempotently, per sf dir) the streaming-ingested table: the

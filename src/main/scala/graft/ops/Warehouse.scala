@@ -450,6 +450,16 @@ object Warehouse {
         coalesce(col("u_cust"), col("o_custkey")).as("o_custkey"),
         coalesce(col("u_price"), col("o_totalprice")).as("o_totalprice"),
         coalesce(col("o_year"), col("u_year")).as("o_year"))
+    // SAFETY DEPENDENCY: this reads `dir` and overwrites the same `dir` in
+    // one job, which is safe ONLY under DYNAMIC partition overwrite (the
+    // per-write option below, authoritative over any session conf): hot
+    // partitions are deleted at commit time, after the scan — whose file
+    // listing was materialized eagerly at DataFrame creation — has run.
+    // Under static overwrite Spark deletes the WHOLE target before the
+    // scan and the job silently emits empty partitions. If this write is
+    // ever restructured, stage to a sibling dir and swap instead. The
+    // byte-identity check in sink_merge_upsert's post-state guards the
+    // cold partitions against exactly this regression.
     merged.write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
       .partitionBy("o_year").parquet(dir)
   }
