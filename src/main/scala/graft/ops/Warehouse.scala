@@ -92,6 +92,41 @@ object Warehouse {
           |FROM graft_big_orders_v GROUP BY o_custkey ORDER BY o_custkey""".stripMargin)
     }),
 
+    // PERSISTENT (metastore-backed) views — the cross-session sharing
+    // contract `warehouse_view_ops`' temp views lack: both a plain
+    // filtered view and a PII-masking governance view are CREATE VIEWed
+    // into the Derby-backed catalog over a metastore table, then queried
+    // from a NEW session, so the definitions must round-trip through the
+    // metastore (exactly the `warehouse_metastore_ops` proof, lifted to
+    // the view/governance layer). Views stay pure plan macros — zero
+    // storage, pushdown acts through them — but the macro is now shared
+    // infrastructure: every session gets the same masking policy. Oracle
+    // = the same filter/mask/join over the source parquet.
+    "warehouse_view_metastore" -> ((s, d) => {
+      s.sql("CREATE DATABASE IF NOT EXISTS graft_db")
+      Tables.customer(s, d)
+        .select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+        .write.mode("overwrite")
+        .option("path", s"${Scratch.dir}/meta/cust_gov")
+        .saveAsTable("graft_db.cust_gov")
+      s.sql(
+        """CREATE OR REPLACE VIEW graft_db.rich_cust_v AS
+          |SELECT c_custkey, c_mktsegment, c_acctbal FROM graft_db.cust_gov
+          |WHERE c_acctbal > 5000""".stripMargin)
+      s.sql(
+        """CREATE OR REPLACE VIEW graft_db.cust_masked_pv AS
+          |SELECT c_custkey, CONCAT('Customer#***', RIGHT(c_name, 3)) AS name_masked
+          |FROM graft_db.cust_gov""".stripMargin)
+      val s2 = s.newSession()
+      s2.table("graft_db.rich_cust_v")
+        .join(s2.table("graft_db.cust_masked_pv"), "c_custkey")
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_rich"),
+          sum(dec(col("c_acctbal"))).cast("double").as("total_bal"),
+          countDistinct(col("name_masked")).as("n_masked_names"))
+        .orderBy("c_mktsegment")
+    }),
+
     // Runtime bloom-filter join (the runtime-filter companion to DPP for
     // UNpartitioned data): a selective dim-side filter is turned into a
     // bloom filter that prunes the fact scan's rows before the shuffle —
@@ -510,6 +545,18 @@ object Warehouse {
       """SELECT CAST(year(o_orderdate) AS INT) AS o_year, COUNT(*) AS n_orders,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
         |FROM orders GROUP BY 1 ORDER BY o_year""".stripMargin,
+
+    "warehouse_view_metastore" ->
+      """WITH rich AS (SELECT c_custkey, c_mktsegment, c_acctbal
+        |              FROM customer WHERE c_acctbal > 5000),
+        |mask AS (SELECT c_custkey,
+        |           'Customer#***' || RIGHT(c_name, 3) AS name_masked
+        |         FROM customer)
+        |SELECT c_mktsegment, COUNT(*) AS n_rich,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS total_bal,
+        |  COUNT(DISTINCT name_masked) AS n_masked_names
+        |FROM rich JOIN mask USING (c_custkey)
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
 
     "warehouse_ctas" ->
       """SELECT c_mktsegment, COUNT(*) AS n_cust,

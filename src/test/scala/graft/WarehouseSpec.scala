@@ -70,6 +70,22 @@ class WarehouseSpec extends AnyFunSuite with SparkFixture {
     assert(got == want && want > 0)
   }
 
+  test("persistent views round-trip the metastore; masking applies in every session") {
+    SparkEntry.queries("warehouse_view_metastore")(spark, sf).collect()
+    // a THIRD session (the op already proved a second) resolves both view
+    // definitions from the Derby metastore — nothing session-local involved
+    val s3 = spark.newSession()
+    assert(s3.catalog.tableExists("graft_db.rich_cust_v"))
+    assert(s3.catalog.tableExists("graft_db.cust_masked_pv"))
+    // the governance contract: the masked view never exposes a raw name
+    val masked = s3.table("graft_db.cust_masked_pv").collect()
+    assert(masked.nonEmpty)
+    assert(masked.forall(_.getString(1).startsWith("Customer#***")))
+    // views are plan macros: the filter predicate reaches the parquet scan
+    val p = s3.table("graft_db.rich_cust_v").queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters") && p.contains("c_acctbal"), p.take(2000))
+  }
+
   test("ANALYZE TABLE stats are consumed by the CBO planner") {
     SparkEntry.queries("warehouse_stats_cbo")(spark, sf).collect()
     val cbo = spark.newSession()
