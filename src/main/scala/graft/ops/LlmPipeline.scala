@@ -28,6 +28,7 @@ object LlmPipeline {
   private val TestFloor = 3865470566L
 
   private val ChunkW = 64
+  private val BpeRounds = 5
   private val ChunkS = 48
 
   val queries: Map[String, Q] = Map(
@@ -400,6 +401,62 @@ object LlmPipeline {
         .limit(20)
     }),
 
+    // BPE merge LOOP (tokenizer training, the part a pipeline actually
+    // runs — `llm_bpe_pairs` is its single-round counting step): 5 rounds
+    // of count-adjacent-pairs → pick max (freq, pair) deterministically →
+    // greedy leftmost non-overlapping merge applied to every word, all
+    // over the word-frequency ROLLUP (vocab-sized, corpus-weighted — the
+    // corpus is scanned exactly once for the rollup, every round after
+    // that is O(vocab)). The merge application is a codegen'd aggregate()
+    // fold over the symbol array; per-round driver sync is one scalar
+    // collect (the argmax pair), the `llm_dedup_cluster` iterative shape,
+    // with localCheckpoint truncating lineage between rounds. Emits one
+    // row per round: the learned merge, its frequency, and the corpus
+    // symbol count after applying it (monotone decreasing — asserted in
+    // Round7OpsSpec-style law in LlmScaleSpec).
+    "llm_bpe_merge" -> ((s, d) => {
+      val wc = Tables.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("w"))
+        .where(length(col("w")) >= 1)
+        .groupBy("w").agg(count(lit(1)).as("c"))
+      var syms = wc.select(col("w"), col("c"),
+        expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))").as("syms"))
+        .localCheckpoint()
+      val out = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long, Long)]()
+      for (r <- 1 to BpeRounds) {
+        val best = syms.where(size(col("syms")) > 1)
+          .select(explode(expr(
+            "transform(sequence(1, size(syms) - 1), " +
+              "i -> struct(element_at(syms, i) AS a, element_at(syms, i + 1) AS b))"))
+            .as("p"), col("c"))
+          .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+          .agg(sum("c").cast("bigint").as("f"))
+          .orderBy(col("f").desc, col("a"), col("b"))
+          .limit(1).collect()(0)
+        val (a, b, f) = (best.getString(0), best.getString(1), best.getLong(2))
+        val la = lit(a); val lb = lit(b)
+        // greedy leftmost merge as a string fold seeded with the first
+        // symbol (mirrors DuckDB's list_reduce init semantics): symbols
+        // stay space-delimited in the accumulator, so "ends with ' a'"
+        // (or equals a) AND next == b detects a mergeable boundary
+        val folded = aggregate(
+          slice(col("syms"), lit(2), size(col("syms")) - 1),
+          element_at(col("syms"), 1),
+          (acc, x) => when(
+            (acc === la || acc.endsWith(concat(lit(" "), la))) && x === lb,
+            concat(acc.substr(lit(1), length(acc) - lit(a.length)), la, lb))
+            .otherwise(concat(acc, lit(" "), x)))
+        syms = syms.withColumn("syms",
+          when(size(col("syms")) < 2, col("syms")).otherwise(split(folded, " ")))
+          .localCheckpoint()
+        val n = syms.agg(sum(col("c") * size(col("syms"))).cast("bigint"))
+          .collect()(0).getLong(0)
+        out += ((r, a, b, f, n))
+      }
+      s.createDataFrame(out.toSeq)
+        .toDF("round", "a", "b", "freq", "n_syms").orderBy("round")
+    }),
+
     // BM25 relevance ranking — the retrieval-quality scorer of a
     // training-data curation stack (query-targeted corpus slicing,
     // contamination triage, eval-set mining). Classic Okapi BM25
@@ -468,7 +525,37 @@ object LlmPipeline {
        |          JOIN sz sa ON a = sa.doc_id JOIN sz sb ON b = sb.doc_id
        |          WHERE ROUND(c * 1.0 / (sa.n + sb.n - c), 4) >= 0.5)""".stripMargin
 
+  /** Chained-CTE replay of the BPE merge loop: round k recomputes the
+    * argmax pair over r(k-1) and reapplies the SAME greedy leftmost fold
+    * (list_reduce seeds with the first element — the Spark side mirrors
+    * that by folding slice(syms, 2, ...) from element_at(syms, 1)). */
+  private def bpeMergeOracle: String = {
+    def round(k: Int) =
+      s"""p$k AS (SELECT syms[i] AS a, syms[i+1] AS b, CAST(SUM(c) AS BIGINT) AS f
+         |       FROM r${k - 1}, unnest(generate_series(1, len(syms) - 1)) AS u(i)
+         |       WHERE len(syms) > 1 GROUP BY 1, 2),
+         |b$k AS (SELECT a, b, f FROM p$k ORDER BY f DESC, a, b LIMIT 1),
+         |r$k AS (SELECT w, c, CASE WHEN len(syms) < 2 THEN syms ELSE
+         |        string_split(list_reduce(syms, (acc, x) ->
+         |          CASE WHEN (acc = a OR ends_with(acc, ' ' || a)) AND x = b
+         |               THEN left(acc, length(acc) - length(a)) || a || b
+         |               ELSE acc || ' ' || x END), ' ') END AS syms
+         |     FROM r${k - 1}, b$k),
+         |t$k AS (SELECT CAST(SUM(c * len(syms)) AS BIGINT) AS n FROM r$k)""".stripMargin
+    val rows = (1 to BpeRounds)
+      .map(k => s"SELECT CAST($k AS INT) AS round, a, b, f AS freq, " +
+        s"(SELECT n FROM t$k) AS n_syms FROM b$k")
+      .mkString(" UNION ALL ")
+    s"""WITH wf AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+       |wc AS (SELECT w, COUNT(*) AS c FROM wf WHERE length(w) >= 1 GROUP BY w),
+       |r0 AS (SELECT w, c, list_transform(generate_series(1, length(w)),
+       |         i -> substring(w, i, 1)) AS syms FROM wc),
+       |${(1 to BpeRounds).map(round).mkString(",\n")}
+       |SELECT * FROM ($rows) ORDER BY round""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "llm_bpe_merge" -> bpeMergeOracle,
     // Transitive closure by recursive CTE; MIN over the closure is the
     // same component-minimum the label propagation converges to.
     "llm_dedup_cluster" ->

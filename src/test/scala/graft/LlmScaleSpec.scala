@@ -49,6 +49,28 @@ class LlmScaleSpec extends AnyFunSuite with SparkFixture {
     assert(recalled >= 16, s"planted recall $recalled/20")
   }
 
+  test("llm_bpe_merge learns merges that compress the corpus monotonically") {
+    val rows = SparkEntry.queries("llm_bpe_merge")(spark, sf).collect()
+    assert(rows.length == 5)
+    assert(rows.map(_.getInt(0)).toSeq == Seq(1, 2, 3, 4, 5))
+    // every learned merge has positive support
+    assert(rows.forall(_.getLong(3) > 0))
+    // each round's merge removes exactly one symbol per application, so
+    // the corpus symbol count must STRICTLY decrease round over round —
+    // and by exactly that round's merge frequency IF no merged pair
+    // overlaps itself; greedy non-overlap makes it <= freq, > 0
+    val ns = rows.map(_.getLong(4)).toSeq
+    assert(ns.zip(ns.tail).forall { case (prev, next) => next < prev },
+      s"symbol counts not strictly decreasing: $ns")
+    val freqs = rows.map(_.getLong(3)).toSeq
+    // round 1's drop is bounded by its pair frequency
+    val corpus = Tables.documents(spark, sf)
+      .select(org.apache.spark.sql.functions.expr(
+        "sum(length(replace(text, ' ', '')))")).collect()(0).getLong(0)
+    assert(corpus - ns.head <= freqs.head && corpus - ns.head > 0,
+      s"round-1 drop ${corpus - ns.head} vs freq ${freqs.head}")
+  }
+
   test("nearPairs df cap bounds hot-shingle pair explosion, keeps rare-shingle recall") {
     // The 100-TB dedup contract: a boilerplate shingle shared by df docs
     // would emit C(df,2) candidate pairs — graft.dedup.dfCap drops such
