@@ -244,6 +244,42 @@ object Aggregates {
           |FROM b GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
     }),
 
+    // DataFrame stat sketches — `stat.freqItems` (heavy hitters, the
+    // Karp-Papadimitriou-Shenker one-pass sketch) + `stat.sampleBy`
+    // (stratified sample by per-stratum fractions), the profiling twins of
+    // crosstab/approx_percentile. Graded with the exact-companion +
+    // bound-verdict pattern: `freq_ok` replays the sketch's ONE guarantee
+    // (every stratum whose true share >= the support threshold must be
+    // reported frequent — false positives allowed, misses not), `samp_ok`
+    // bounds the per-stratum sample count at 5 sigma of Binomial(n, f) —
+    // wide enough that the fixed-seed deterministic sampler can never
+    // flake, tight enough that a broken sampler (0%, 100%, wrong stratum)
+    // fails every group. The sketch internals stay engine-local; DuckDB
+    // replays the exact counts and TRUE verdicts.
+    "agg_freq_items" -> ((s, d) => {
+      val cust = Tables.customer(s, d)
+      val support = 0.1
+      val frac = 0.2
+      val total = cust.count()
+      val frequent = cust.stat.freqItems(Seq("c_mktsegment"), support)
+        .collect()(0).getSeq[String](0).toSet
+      val strata = cust.select("c_mktsegment").distinct()
+        .collect().map(_.getString(0))
+      val sampled = cust.stat
+        .sampleBy("c_mktsegment", strata.map(_ -> frac).toMap, 42L)
+        .groupBy("c_mktsegment").agg(count(lit(1)).as("n_sampled"))
+      cust.groupBy("c_mktsegment").agg(count(lit(1)).as("n_exact"))
+        .join(sampled, Seq("c_mktsegment"), "left")
+        .select(col("c_mktsegment"), col("n_exact"),
+          // sketch contract: true share >= support ⇒ reported frequent
+          (!(col("n_exact") >= lit(support * total)) ||
+            col("c_mktsegment").isin(frequent.toSeq: _*)).as("freq_ok"),
+          (abs(coalesce(col("n_sampled"), lit(0L)) - lit(frac) * col("n_exact"))
+            <= lit(5.0) * sqrt(lit(frac * (1 - frac)) * col("n_exact")))
+            .as("samp_ok"))
+        .orderBy("c_mktsegment")
+    }),
+
     // Mergeable HLL sketches (hll_sketch_agg / hll_union_agg) — the
     // pre-aggregation pattern that makes distinct counts cheap at 100 TB:
     // one sketch per partition (here per order year) stored once, any
@@ -424,6 +460,11 @@ object Aggregates {
 
     "agg_bitmap_distinct" ->
       """SELECT c_mktsegment, COUNT(DISTINCT c_custkey) AS nd_customers
+        |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "agg_freq_items" ->
+      """SELECT c_mktsegment, COUNT(*) AS n_exact,
+        |  TRUE AS freq_ok, TRUE AS samp_ok
         |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
 
     "agg_hll_merge" ->
