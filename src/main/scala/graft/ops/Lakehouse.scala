@@ -44,9 +44,13 @@ import graft.Tables
 object Lakehouse {
   type Q = (SparkSession, String) => DataFrame
 
-  /** One live data file: absolute path + pruning stats on the merge key. */
+  /** One live data file: absolute path + pruning stats on the merge key,
+    * plus optional stats on a SECOND clustering key (re-clustering
+    * commits record both). Unbounded defaults mean "no information" —
+    * key2 pruning then keeps the file, never wrongly drops it. */
   private[graft] final case class FileEntry(
-      path: String, rows: Long, minKey: Long, maxKey: Long)
+      path: String, rows: Long, minKey: Long, maxKey: Long,
+      minKey2: Long = Long.MinValue, maxKey2: Long = Long.MaxValue)
 
   private def metaDir(root: String): Path = Paths.get(root, "_meta")
 
@@ -76,7 +80,8 @@ object Lakehouse {
       if (batches.isEmpty) Seq.empty
       else Seq(s"#batches:${batches.toSeq.sorted.mkString(",")}")
     val body = (header ++ files.sortBy(_.path)
-      .map(f => s"${f.path}\t${f.rows}\t${f.minKey}\t${f.maxKey}"))
+      .map(f => s"${f.path}\t${f.rows}\t${f.minKey}\t${f.maxKey}" +
+        s"\t${f.minKey2}\t${f.maxKey2}"))
       .mkString("\n")
     atomicWrite(manifestPath(root, v), body)
     atomicWrite(metaDir(root).resolve("CURRENT"), v.toString)
@@ -112,8 +117,13 @@ object Lakehouse {
 
   private[graft] def manifest(root: String, v: Int): Seq[FileEntry] =
     manifestLines(root, v).filterNot(_.startsWith("#")).map { line =>
-      val Array(p, r, lo, hi) = line.split("\t")
-      FileEntry(p, r.toLong, lo.toLong, hi.toLong)
+      line.split("\t") match {
+        case Array(p, r, lo, hi) => // legacy 4-field line: no key2 stats
+          FileEntry(p, r.toLong, lo.toLong, hi.toLong)
+        case Array(p, r, lo, hi, lo2, hi2) =>
+          FileEntry(p, r.toLong, lo.toLong, hi.toLong, lo2.toLong, hi2.toLong)
+        case other => sys.error(s"malformed manifest line (${other.length} fields)")
+      }
     }
 
   /** Micro-batch ids already folded into snapshot v (exactly-once ledger). */
@@ -150,14 +160,25 @@ object Lakehouse {
     * format performs (real formats take them from parquet footers; the
     * contract is identical: exact per-file min/max/count on the merge key). */
   private def fileStats(s: SparkSession, dir: String,
-      keyCol: String = "o_orderkey"): Seq[FileEntry] =
-    s.read.parquet(dir)
-      .groupBy(input_file_name().as("path"))
-      .agg(count(lit(1)).as("rows"),
-        min(col(keyCol)).as("lo"), max(col(keyCol)).as("hi"))
-      .collect() // O(files) metadata rows, never data
-      .toSeq
-      .map(r => FileEntry(r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      keyCol: String = "o_orderkey", key2Col: Option[String] = None): Seq[FileEntry] = {
+    val base = s.read.parquet(dir).groupBy(input_file_name().as("path"))
+    key2Col match {
+      case None =>
+        base.agg(count(lit(1)).as("rows"),
+          min(col(keyCol)).as("lo"), max(col(keyCol)).as("hi"))
+          .collect() // O(files) metadata rows, never data
+          .toSeq
+          .map(r => FileEntry(r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      case Some(k2) =>
+        base.agg(count(lit(1)).as("rows"),
+          min(col(keyCol)).as("lo"), max(col(keyCol)).as("hi"),
+          min(col(k2)).cast("bigint").as("lo2"), max(col(k2)).cast("bigint").as("hi2"))
+          .collect()
+          .toSeq
+          .map(r => FileEntry(r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+            r.getLong(4), r.getLong(5)))
+    }
+  }
 
   /** Builds (idempotently, per sf dir) the two-snapshot table:
     *
@@ -252,6 +273,38 @@ object Lakehouse {
       s"compaction expected table at v2 (found ${currentVersion(root)})")
     root
   }
+
+  /** Re-clustering (OPTIMIZE/z-order analogue) on its OWN table prefix:
+    * v3 re-sorts every live v2 file on a SECOND clustering key
+    * (o_year, o_orderkey) and commits manifest stats for BOTH keys — the
+    * maintenance verb that restores pruning power after query patterns
+    * drift (a table merge-keyed on o_orderkey gives year-scoped queries
+    * zero skipping; after the rewrite a year predicate prunes to the 1-2
+    * files that can hold it). Like compaction it is content-INVISIBLE
+    * (the graded oracle is v2's post-state), old snapshots stay readable,
+    * and the commit is the same CAS. At 100 TB the rewrite is a bounded
+    * background job (bin-packed range partitions), not a table-blocking
+    * operation — readers pin their snapshot throughout. */
+  private[graft] def ensureReclustered(s: SparkSession, d: String): String = {
+    val root = ensureTable(s, d, "snap_rc")
+    if (currentVersion(root).exists(_ >= 3)) return root
+    val rcDir = s"$root/recluster-v3"
+    readSnapshot(s, root, 2)
+      .repartitionByRange(4, col("o_year"), col("o_orderkey"))
+      .sortWithinPartitions("o_year", "o_orderkey")
+      .write.mode("overwrite").parquet(rcDir)
+    require(commitIf(root, Some(2), 3,
+      fileStats(s, rcDir, "o_orderkey", Some("o_year"))),
+      s"recluster expected table at v2 (found ${currentVersion(root)})")
+    root
+  }
+
+  /** Key2-range file skipping over a re-clustered snapshot: inclusive
+    * [lo, hi] intersection with the manifest's per-file second-key stats.
+    * Files from pre-recluster commits carry unbounded key2 stats and are
+    * always kept — false positives, never false negatives. */
+  private[graft] def pruneFilesByKey2(root: String, v: Int, lo: Long, hi: Long): Seq[FileEntry] =
+    manifest(root, v).filter(e => e.minKey2 <= hi && e.maxKey2 >= lo)
 
   /** v4 = row-level DELETE (the right-to-be-forgotten verb that completes
     * the table's DML surface beside MERGE's update/insert): remove keys
@@ -573,6 +626,26 @@ object Lakehouse {
         .orderBy("o_year")
     }),
 
+    // Re-clustering restores data skipping on a DRIFTED query key: the
+    // graded read prunes the re-sorted snapshot's files on the SECOND
+    // clustering key's manifest stats (a strict minority must survive —
+    // the require IS the skipping contract), applies the residual year
+    // predicate, and must still read v2's exact post-state content (the
+    // rewrite is content-invisible, like compaction).
+    "warehouse_snapshot_recluster" -> ((s, d) => {
+      val root = ensureReclustered(s, d)
+      val live = manifest(root, 3)
+      val hit = pruneFilesByKey2(root, 3, 1997L, 1997L)
+      require(hit.nonEmpty && hit.size < live.size,
+        s"year pruning should hit a strict minority of files (${hit.size}/${live.size})")
+      s.read.parquet(hit.map(_.path): _*)
+        .where(col("o_year") === 1997)
+        .agg(count(lit(1)).as("n_rows"),
+          sum(dec(col("o_totalprice"))).cast("double").as("total"),
+          sum(when(col("o_orderkey") >= 10000000L, 1L).otherwise(0L)).as("n_inserted"))
+        .select(lit(1997).as("o_year"), col("n_rows"), col("total"), col("n_inserted"))
+    }),
+
     // Optimistic concurrency: two writers planned against one snapshot;
     // the loser's CAS is rejected and it rebases onto the winner before
     // landing. Graded output = the final table holding BOTH batches —
@@ -706,6 +779,24 @@ object Lakehouse {
         |WHERE o_orderkey > 4 * (SELECT t FROM thr)
         |  AND o_orderkey <= 5 * (SELECT t FROM thr)
         |GROUP BY o_year ORDER BY o_year""".stripMargin,
+
+    // The re-clustered snapshot reads v2's post-state, filtered to 1997.
+    "warehouse_snapshot_recluster" ->
+      """WITH thr AS (SELECT MAX(o_orderkey) // 10 AS t FROM orders),
+        |src AS (SELECT o_orderkey, year(o_orderdate) AS o_year, o_totalprice FROM orders),
+        |post AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey <= (SELECT t FROM thr) AND o_orderkey % 7 = 0
+        |         THEN o_totalprice + 100.0 ELSE o_totalprice END AS o_totalprice,
+        |    o_year
+        |  FROM src
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000, o_totalprice, o_year
+        |  FROM src WHERE o_orderkey <= (SELECT t FROM thr) AND o_orderkey % 11 = 0)
+        |SELECT CAST(1997 AS INT) AS o_year, COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total,
+        |  CAST(SUM(CASE WHEN o_orderkey >= 10000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_inserted
+        |FROM post WHERE o_year = 1997""".stripMargin,
 
     // Both writers' batches must survive the conflict: final state = v2
     // post-state + A's rows (+20M, keys ≡0 mod 97 of what A read) + B's

@@ -224,6 +224,35 @@ class LakehouseSpec extends AnyFunSuite with SparkFixture {
       .where(col("o_orderkey") < 40000000L).count() == 0)
   }
 
+  test("recluster: second-key pruning gains power, content invisible, v2 survives") {
+    val r = Lakehouse.ensureReclustered(spark, sf)
+    val v3 = Lakehouse.manifest(r, 3)
+    // BOTH keys' stats are recorded on the re-sorted files
+    assert(v3.forall(e => e.minKey2 != Long.MinValue && e.maxKey2 != Long.MaxValue),
+      "recluster commit must carry second-key stats")
+    // the new clustering key prunes to a strict minority of files...
+    val hit = Lakehouse.pruneFilesByKey2(r, 3, 1997L, 1997L)
+    assert(hit.nonEmpty && hit.size < v3.size, s"${hit.size}/${v3.size}")
+    // ...and the pruned read misses NOTHING (stats admit no false negatives)
+    val prunedCount = spark.read.parquet(hit.map(_.path): _*)
+      .where(col("o_year") === 1997).count()
+    val fullCount = Lakehouse.readSnapshot(spark, r, 3)
+      .where(col("o_year") === 1997).count()
+    assert(prunedCount == fullCount && fullCount > 0)
+    // pre-recluster v2 files carry unbounded key2 stats: key2 pruning on
+    // v2 keeps every file (correct, powerless) — the compat contract
+    assert(Lakehouse.pruneFilesByKey2(r, 2, 1997L, 1997L).size ==
+      Lakehouse.manifest(r, 2).size)
+    // content-invisible: v3 reads v2's exact bytes; v2 stays readable
+    def fingerprint(v: Int): (Long, java.math.BigDecimal) = {
+      val row = Lakehouse.readSnapshot(spark, r, v)
+        .agg(count(lit(1)), sum(col("o_totalprice").cast("decimal(18,4)")))
+        .collect()(0)
+      (row.getLong(0), row.getDecimal(1))
+    }
+    assert(fingerprint(3) == fingerprint(2))
+  }
+
   test("streaming sink is exactly-once: a replayed micro-batch is a no-op") {
     val r = Lakehouse.ensureStreamTable(spark, sf)
     val cur = Lakehouse.currentVersion(r).get
