@@ -280,6 +280,41 @@ object Aggregates {
         .orderBy("c_mktsegment")
     }),
 
+    // COUNT-MIN SKETCH — the frequency-estimation sketch beside the HLL
+    // (distinct) and KPS (freqItems) ones: d=4 hash rows × w=64 buckets,
+    // each key counted once per row at an md5-derived bucket, point
+    // estimate = min over the 4 rows' counters. The sketch is 256 cells
+    // REGARDLESS of stream size and merges by cell-wise addition — at
+    // 100 TB the counters build in one scan-linear pass (map-side partial
+    // agg collapses each partition to ≤256 rows before the shuffle) and
+    // heavy-hitter point queries never rescan the stream. Both the
+    // estimates AND the one-sided guarantee (CMS never underestimates)
+    // are DETERMINISTIC here because the hash is the cross-engine md5
+    // recipe — so the oracle hash-grades the estimates themselves, not
+    // just a tolerance verdict. Probes: the 20 most frequent customers.
+    "agg_cms_freq" -> ((s, d) => {
+      val depth = 4; val width = 64
+      val bucketOf = (kExpr: String, j: String) =>
+        s"CAST(conv(substring(md5(concat($j, ':', $kExpr)), 1, 8), 16, 10) AS BIGINT) % $width"
+      val cells = Tables.orders(s, d)
+        .select(col("o_custkey").cast("string").as("k"))
+        .select(explode(sequence(lit(0), lit(depth - 1))).as("j"), col("k"))
+        .withColumn("bucket", expr(bucketOf("k", "j")))
+        .groupBy("j", "bucket").agg(count(lit(1)).as("cnt"))
+      val topKeys = Tables.orders(s, d)
+        .groupBy("o_custkey").agg(count(lit(1)).as("exact_n"))
+        .orderBy(col("exact_n").desc, col("o_custkey")).limit(20)
+      topKeys
+        .select(col("o_custkey"), col("exact_n"),
+          explode(sequence(lit(0), lit(depth - 1))).as("j"))
+        .withColumn("bucket", expr(bucketOf("CAST(o_custkey AS STRING)", "j")))
+        .join(broadcast(cells), Seq("j", "bucket"))
+        .groupBy("o_custkey", "exact_n")
+        .agg(min("cnt").as("cms_est"))
+        .withColumn("never_under", col("cms_est") >= col("exact_n"))
+        .orderBy("o_custkey")
+    }),
+
     // Mergeable HLL sketches (hll_sketch_agg / hll_union_agg) — the
     // pre-aggregation pattern that makes distinct counts cheap at 100 TB:
     // one sketch per partition (here per order year) stored once, any
@@ -466,6 +501,27 @@ object Aggregates {
       """SELECT c_mktsegment, COUNT(*) AS n_exact,
         |  TRUE AS freq_ok, TRUE AS samp_ok
         |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    // Full cross-engine replay — the md5 bucket hash is deterministic, so
+    // DuckDB rebuilds the identical 256-cell sketch and the ESTIMATES
+    // hash-match, not just a verdict.
+    "agg_cms_freq" ->
+      """WITH ks AS (SELECT CAST(o_custkey AS VARCHAR) AS k FROM orders),
+        |cells AS (
+        |  SELECT j, ('0x' || substring(md5(j || ':' || k), 1, 8))::BIGINT % 64 AS bucket,
+        |         COUNT(*) AS cnt
+        |  FROM ks, unnest([0, 1, 2, 3]) AS t(j) GROUP BY 1, 2),
+        |topk AS (SELECT o_custkey, COUNT(*) AS exact_n FROM orders
+        |         GROUP BY 1 ORDER BY exact_n DESC, o_custkey LIMIT 20),
+        |probe AS (
+        |  SELECT o_custkey, exact_n, j,
+        |    ('0x' || substring(md5(j || ':' || CAST(o_custkey AS VARCHAR)), 1, 8))::BIGINT
+        |      % 64 AS bucket
+        |  FROM topk, unnest([0, 1, 2, 3]) AS t(j))
+        |SELECT p.o_custkey, p.exact_n, MIN(c.cnt) AS cms_est,
+        |  MIN(c.cnt) >= p.exact_n AS never_under
+        |FROM probe p JOIN cells c USING (j, bucket)
+        |GROUP BY 1, 2 ORDER BY p.o_custkey""".stripMargin,
 
     "agg_hll_merge" ->
       """SELECT CAST(year(o_orderdate) AS INT) AS o_year,

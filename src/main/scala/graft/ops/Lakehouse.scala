@@ -74,7 +74,7 @@ object Lakehouse {
     * so a sink replaying a micro-batch after a crash consults ONE
     * atomically-committed object, exactly how real formats store the
     * (queryId, batchId) watermark in snapshot metadata. */
-  private[graft] def commit(root: String, v: Int, files: Seq[FileEntry],
+  private[graft] def writeManifest(root: String, v: Int, files: Seq[FileEntry],
       batches: Set[Long] = Set.empty): Unit = {
     val header =
       if (batches.isEmpty) Seq.empty
@@ -84,6 +84,11 @@ object Lakehouse {
         s"\t${f.minKey2}\t${f.maxKey2}"))
       .mkString("\n")
     atomicWrite(manifestPath(root, v), body)
+  }
+
+  private[graft] def commit(root: String, v: Int, files: Seq[FileEntry],
+      batches: Set[Long] = Set.empty): Unit = {
+    writeManifest(root, v, files, batches)
     atomicWrite(metaDir(root).resolve("CURRENT"), v.toString)
   }
 
@@ -354,6 +359,64 @@ object Lakehouse {
       .coalesce(1).write.mode("overwrite").parquet(evDir)
     require(commitIf(root, Some(4), 5, manifest(root, 4) ++ fileStats(s, evDir)),
       s"schema evolution expected table at v4 (found ${currentVersion(root)})")
+    root
+  }
+
+  /** ROLLBACK as a snapshot commit (the incident-recovery verb): restore
+    * the table to v1's state by committing v3 whose manifest is v1's file
+    * list CARRIED BY REFERENCE — a pure metadata operation (zero data
+    * files written or deleted; asserted in LakehouseSpec), exactly how
+    * production table formats implement rollback. History is preserved:
+    * the "bad" v2 stays readable for forensics until retention expires
+    * it, and the rollback itself is an ordinary CAS commit that a
+    * concurrent writer would conflict against. At 100 TB this is the
+    * difference between an O(files-list) pointer flip and re-loading the
+    * table from upstream. Own prefix: the main table's v3+ chain
+    * (compact/delete/evolve) must not collide with this commit. */
+  private[graft] def ensureRolledBack(s: SparkSession, d: String): String = {
+    val root = ensureTable(s, d, "snap_rb")
+    if (currentVersion(root).exists(_ >= 3)) return root
+    require(commitIf(root, Some(2), 3, manifest(root, 1)),
+      s"rollback expected table at v2 (found ${currentVersion(root)})")
+    root
+  }
+
+  /** Branches and tags — named refs beside the CURRENT pointer
+    * (`_meta/ref_<name>`), the Iceberg-style multi-ref surface that lets a
+    * pipeline stage writes on a DEV branch while MAIN serves readers, and
+    * pin immutable TAGS for reproducible training runs. A ref is just a
+    * version number written atomically; branch commits advance the ref,
+    * never CURRENT, so the two histories share one immutable
+    * file/manifest pool (a branch is O(1) metadata to create, like a
+    * snapshot). Builds (idempotently): tag `release` pinned at v2, branch
+    * `dev` forked at v2, then one append batch (keys ≡0 mod 103 shifted
+    * +50M) committed AS v3 ON THE BRANCH — CURRENT stays 2 (asserted in
+    * LakehouseSpec: main is isolated from branch writes). */
+  private[graft] def writeRef(root: String, name: String, v: Int): Unit =
+    atomicWrite(metaDir(root).resolve(s"ref_$name"), v.toString)
+
+  private[graft] def readRef(root: String, name: String): Int = {
+    val p = metaDir(root).resolve(s"ref_$name")
+    new String(Files.readAllBytes(p), StandardCharsets.UTF_8).trim.toInt
+  }
+
+  private[graft] def ensureBranched(s: SparkSession, d: String): String = {
+    val root = ensureTable(s, d, "snap_br")
+    val refP = metaDir(root).resolve("ref_dev")
+    if (Files.exists(refP) && readRef(root, "dev") >= 3) return root
+    writeRef(root, "release", 2) // immutable tag: pins v2 forever
+    writeRef(root, "dev", 2)     // branch head, forked at v2
+    val devDir = s"$root/dev-append"
+    readSnapshot(s, root, 2)
+      .where(col("o_orderkey") % 103 === 0)
+      .select((col("o_orderkey") + 50000000L).as("o_orderkey"), col("o_year"),
+        col("o_totalprice"))
+      .coalesce(1).write.mode("overwrite").parquet(devDir)
+    // branch commit: manifest v3 = branch head's files + the batch; only
+    // the dev ref advances, CURRENT (= the main ref) is never touched —
+    // in a production format every ref update is the same CAS primitive.
+    writeManifest(root, 3, manifest(root, readRef(root, "dev")) ++ fileStats(s, devDir))
+    writeRef(root, "dev", 3)
     root
   }
 
@@ -662,6 +725,43 @@ object Lakehouse {
         .orderBy("o_year")
     }),
 
+    // ROLLBACK: v3 restores v1's state by re-committing v1's manifest —
+    // pure metadata, zero data movement (LakehouseSpec asserts the file
+    // sets are identical and nothing was written). Oracle = the untouched
+    // base load, even though the "bad" v2 merge still exists and stays
+    // readable for forensics.
+    "warehouse_snapshot_rollback" -> ((s, d) => {
+      val root = ensureRolledBack(s, d)
+      readSnapshot(s, root, 3)
+        .groupBy("o_year")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(dec(col("o_totalprice"))).cast("double").as("total"),
+          sum(when(col("o_orderkey") >= 10000000L, 1L).otherwise(0L)).as("n_merge_rows"))
+        .orderBy("o_year")
+    }),
+
+    // Branches + tags: the graded read walks all three refs — main
+    // (CURRENT, must NOT see the branch write), the dev branch head (must
+    // hold the append), and the immutable release tag (pinned at the fork
+    // point) — proving writer isolation between refs over one shared
+    // file pool. Oracle replays main/tag as the v2 post-state and dev as
+    // post-state + the ≡0 mod 103 batch shifted +50M.
+    "warehouse_branch_tag" -> ((s, d) => {
+      val root = ensureBranched(s, d)
+      def rollup(df: DataFrame, label: String): DataFrame = df
+        .groupBy("o_year")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(dec(col("o_totalprice"))).cast("double").as("total"),
+          sum(when(col("o_orderkey") >= 50000000L, 1L).otherwise(0L))
+            .as("n_branch_only"))
+        .select(lit(label).as("branch"), col("o_year"), col("n_rows"),
+          col("total"), col("n_branch_only"))
+      rollup(readSnapshot(s, root, currentVersion(root).get), "main")
+        .unionAll(rollup(readSnapshot(s, root, readRef(root, "dev")), "dev"))
+        .unionAll(rollup(readSnapshot(s, root, readRef(root, "release")), "tag_release"))
+        .orderBy("branch", "o_year")
+    }),
+
     // Schema evolution: v5 adds `o_channel` via an appended backfill file;
     // pre-evolution files carry by reference (LakehouseSpec asserts zero
     // rewrites) and read back with the column NULL -> 'base'.
@@ -827,6 +927,45 @@ object Lakehouse {
         |                THEN 1 ELSE 0 END) AS BIGINT) AS n_writer_a,
         |  CAST(SUM(CASE WHEN o_orderkey >= 30000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_writer_b
         |FROM final GROUP BY o_year ORDER BY o_year""".stripMargin,
+
+    // Rollback restores the untouched base load (the v2 merge never
+    // happened as far as v3 readers are concerned): zero rows at +10M
+    // keys, totals equal to orders.
+    "warehouse_snapshot_rollback" ->
+      """SELECT year(o_orderdate) AS o_year, COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total,
+        |  CAST(0 AS BIGINT) AS n_merge_rows
+        |FROM orders GROUP BY o_year ORDER BY o_year""".stripMargin,
+
+    // Three refs over one file pool: main and the release tag read the v2
+    // post-state (the branch write is invisible to them); dev reads the
+    // post-state plus its append batch (post keys ≡0 mod 103, +50M).
+    "warehouse_branch_tag" ->
+      """WITH thr AS (SELECT MAX(o_orderkey) // 10 AS t FROM orders),
+        |src AS (SELECT o_orderkey, year(o_orderdate) AS o_year, o_totalprice FROM orders),
+        |post AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey <= (SELECT t FROM thr) AND o_orderkey % 7 = 0
+        |         THEN o_totalprice + 100.0 ELSE o_totalprice END AS o_totalprice,
+        |    o_year
+        |  FROM src
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000, o_totalprice, o_year
+        |  FROM src WHERE o_orderkey <= (SELECT t FROM thr) AND o_orderkey % 11 = 0),
+        |dev AS (
+        |  SELECT * FROM post
+        |  UNION ALL
+        |  SELECT o_orderkey + 50000000, o_totalprice, o_year
+        |  FROM post WHERE o_orderkey % 103 = 0),
+        |refs AS (
+        |  SELECT 'main' AS branch, * FROM post
+        |  UNION ALL SELECT 'dev' AS branch, * FROM dev
+        |  UNION ALL SELECT 'tag_release' AS branch, * FROM post)
+        |SELECT branch, o_year, COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total,
+        |  CAST(SUM(CASE WHEN o_orderkey >= 50000000 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_branch_only
+        |FROM refs GROUP BY branch, o_year ORDER BY branch, o_year""".stripMargin,
 
     // Post-delete state tagged 'base' plus the backfill batch (keys ≡0
     // mod 101 shifted +40M) tagged 'backfill' — old rows surface the

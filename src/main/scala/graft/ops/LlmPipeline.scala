@@ -77,11 +77,20 @@ object LlmPipeline {
           .localCheckpoint()
         // pointer doubling: every label IS a node id, so jump each node to
         // its label's label — one extra self-join of the (small) label
-        // relation per round buys O(log d) total rounds
+        // relation per round buys O(log d) total rounds. Checkpoint the
+        // result eagerly: the convergence sum below AND next round's
+        // nbrMin/hop all read it, so an unmaterialized join would be
+        // recomputed three times per round. The trailing re-alias mints
+        // fresh attribute ids over the checkpointed RDD — next round's
+        // union(labels, nbrMin) would otherwise carry the SAME lbl id in
+        // both children (nbrMin projects labels' own attribute), which
+        // trips Union constraint rewriting once the plan is a LogicalRDD.
         val next = hop.as("x")
           .join(hop.as("y"), col("x.lbl") === col("y.id"), "left")
           .select(col("x.id").as("id"),
             coalesce(col("y.lbl"), col("x.lbl")).as("lbl"))
+          .localCheckpoint()
+          .select(col("id").as("id"), col("lbl").as("lbl"))
         val nextSum = lblSum(next)
         converged = nextSum.compareTo(prevSum) == 0
         prevSum = nextSum
@@ -415,46 +424,42 @@ object LlmPipeline {
     // symbol count after applying it (monotone decreasing — asserted in
     // Round7OpsSpec-style law in LlmScaleSpec).
     "llm_bpe_merge" -> ((s, d) => {
-      val wc = Tables.documents(s, d)
-        .select(explode(split(col("text"), " ")).as("w"))
-        .where(length(col("w")) >= 1)
-        .groupBy("w").agg(count(lit(1)).as("c"))
-      var syms = wc.select(col("w"), col("c"),
-        expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))").as("syms"))
-        .localCheckpoint()
-      val out = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long, Long)]()
-      for (r <- 1 to BpeRounds) {
-        val best = syms.where(size(col("syms")) > 1)
-          .select(explode(expr(
-            "transform(sequence(1, size(syms) - 1), " +
-              "i -> struct(element_at(syms, i) AS a, element_at(syms, i + 1) AS b))"))
-            .as("p"), col("c"))
-          .groupBy(col("p.a").as("a"), col("p.b").as("b"))
-          .agg(sum("c").cast("bigint").as("f"))
-          .orderBy(col("f").desc, col("a"), col("b"))
-          .limit(1).collect()(0)
-        val (a, b, f) = (best.getString(0), best.getString(1), best.getLong(2))
-        val la = lit(a); val lb = lit(b)
-        // greedy leftmost merge as a string fold seeded with the first
-        // symbol (mirrors DuckDB's list_reduce init semantics): symbols
-        // stay space-delimited in the accumulator, so "ends with ' a'"
-        // (or equals a) AND next == b detects a mergeable boundary
-        val folded = aggregate(
-          slice(col("syms"), lit(2), size(col("syms")) - 1),
-          element_at(col("syms"), 1),
-          (acc, x) => when(
-            (acc === la || acc.endsWith(concat(lit(" "), la))) && x === lb,
-            concat(acc.substr(lit(1), length(acc) - lit(a.length)), la, lb))
-            .otherwise(concat(acc, lit(" "), x)))
-        syms = syms.withColumn("syms",
-          when(size(col("syms")) < 2, col("syms")).otherwise(split(folded, " ")))
-          .localCheckpoint()
-        val n = syms.agg(sum(col("c") * size(col("syms"))).cast("bigint"))
-          .collect()(0).getLong(0)
-        out += ((r, a, b, f, n))
-      }
-      s.createDataFrame(out.toSeq)
+      val (_, rounds) = bpeTrain(s, d)
+      s.createDataFrame(rounds)
         .toDF("round", "a", "b", "freq", "n_syms").orderBy("round")
+    }),
+
+    // BPE ENCODE (tokenizer-training step 3 — the apply side of the
+    // train/encode pair): segment every corpus word with the merges the
+    // loop above learned and report per-language token economics (docs,
+    // words, chars, BPE tokens, tokens-per-100-chars — the fertility
+    // metric a tokenizer is judged by). The trained symbol table is
+    // vocab-sized, so applying it is one broadcast hash join against the
+    // corpus word stream — the corpus is scanned once and never carries
+    // symbol arrays through a shuffle (sizes are projected to ints before
+    // the aggregate). At 100 TB: training cost is O(vocab) per round
+    // (above), encoding cost is one scan + broadcast lookup — exactly how
+    // a production tokenizer-application stage runs. All outputs are
+    // integer sums (exact cross-engine); the single ratio is one rounded
+    // division of two BIGINTs.
+    "llm_bpe_encode" -> ((s, d) => {
+      val (syms, _) = bpeTrain(s, d)
+      val vocab = syms.select(col("w"),
+        size(col("syms")).cast("bigint").as("n_toks"),
+        length(col("w")).cast("bigint").as("n_chars"))
+      val words = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          explode(split(col("text"), " ")).as("w"))
+        .where(length(col("w")) >= 1)
+      words.join(broadcast(vocab), Seq("w"))
+        .groupBy("lang")
+        .agg(countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_words"),
+          sum("n_chars").as("n_chars"),
+          sum("n_toks").as("n_tokens"))
+        .withColumn("toks_per_100chars",
+          round(col("n_tokens") * lit(100.0) / col("n_chars"), 4))
+        .orderBy("lang")
     }),
 
     // BM25 relevance ranking — the retrieval-quality scorer of a
@@ -517,6 +522,62 @@ object LlmPipeline {
   private def nearPairsOf(s: SparkSession, d: String): DataFrame =
     LlmOps.nearPairs(s, d)
 
+  /** The BPE training loop shared by `llm_bpe_merge` (reports the learned
+    * merges) and `llm_bpe_encode` (applies them): `BpeRounds` rounds of
+    * count-adjacent-pairs → deterministic argmax (freq, pair) → greedy
+    * leftmost non-overlapping merge, all over the word-frequency ROLLUP
+    * (vocab-sized, corpus-weighted — the corpus is scanned exactly once
+    * for the rollup, every round after that is O(vocab)). The merge
+    * application is a codegen'd aggregate() fold over the symbol array;
+    * per-round driver sync is one scalar collect (the argmax pair), the
+    * `llm_dedup_cluster` iterative shape, with localCheckpoint truncating
+    * lineage between rounds. Returns the final per-word symbol table
+    * (w, c, syms) and one row per round: (round, a, b, freq, corpus
+    * symbol count after the merge — monotone decreasing, asserted in
+    * LlmScaleSpec). */
+  private def bpeTrain(s: SparkSession, d: String)
+      : (DataFrame, Seq[(Int, String, String, Long, Long)]) = {
+    val wc = Tables.documents(s, d)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .where(length(col("w")) >= 1)
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    var syms = wc.select(col("w"), col("c"),
+      expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))").as("syms"))
+      .localCheckpoint()
+    val out = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long, Long)]()
+    for (r <- 1 to BpeRounds) {
+      val best = syms.where(size(col("syms")) > 1)
+        .select(explode(expr(
+          "transform(sequence(1, size(syms) - 1), " +
+            "i -> struct(element_at(syms, i) AS a, element_at(syms, i + 1) AS b))"))
+          .as("p"), col("c"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum("c").cast("bigint").as("f"))
+        .orderBy(col("f").desc, col("a"), col("b"))
+        .limit(1).collect()(0)
+      val (a, b, f) = (best.getString(0), best.getString(1), best.getLong(2))
+      val la = lit(a); val lb = lit(b)
+      // greedy leftmost merge as a string fold seeded with the first
+      // symbol (mirrors DuckDB's list_reduce init semantics): symbols
+      // stay space-delimited in the accumulator, so "ends with ' a'"
+      // (or equals a) AND next == b detects a mergeable boundary
+      val folded = aggregate(
+        slice(col("syms"), lit(2), size(col("syms")) - 1),
+        element_at(col("syms"), 1),
+        (acc, x) => when(
+          (acc === la || acc.endsWith(concat(lit(" "), la))) && x === lb,
+          concat(acc.substr(lit(1), length(acc) - lit(a.length)), la, lb))
+          .otherwise(concat(acc, lit(" "), x)))
+      syms = syms.withColumn("syms",
+        when(size(col("syms")) < 2, col("syms")).otherwise(split(folded, " ")))
+        .localCheckpoint()
+      val n = syms.agg(sum(col("c") * size(col("syms"))).cast("bigint"))
+        .collect()(0).getLong(0)
+      out += ((r, a, b, f, n))
+    }
+    (syms, out.toSeq)
+  }
+
   /** The shared shingle/pair CTEs (ONE copy, in LlmOps next to
     * `nearPairs`) plus the thresholded pair set. */
   private val pairsSql =
@@ -525,11 +586,13 @@ object LlmPipeline {
        |          JOIN sz sa ON a = sa.doc_id JOIN sz sb ON b = sb.doc_id
        |          WHERE ROUND(c * 1.0 / (sa.n + sb.n - c), 4) >= 0.5)""".stripMargin
 
-  /** Chained-CTE replay of the BPE merge loop: round k recomputes the
-    * argmax pair over r(k-1) and reapplies the SAME greedy leftmost fold
-    * (list_reduce seeds with the first element — the Spark side mirrors
-    * that by folding slice(syms, 2, ...) from element_at(syms, 1)). */
-  private def bpeMergeOracle: String = {
+  /** Chained-CTE replay of the BPE training loop (shared by the merge and
+    * encode oracles): round k recomputes the argmax pair over r(k-1) and
+    * reapplies the SAME greedy leftmost fold (list_reduce seeds with the
+    * first element — the Spark side mirrors that by folding
+    * slice(syms, 2, ...) from element_at(syms, 1)). Ends at
+    * r$BpeRounds = the trained per-word symbol table. */
+  private def bpeTrainCtes: String = {
     def round(k: Int) =
       s"""p$k AS (SELECT syms[i] AS a, syms[i+1] AS b, CAST(SUM(c) AS BIGINT) AS f
          |       FROM r${k - 1}, unnest(generate_series(1, len(syms) - 1)) AS u(i)
@@ -542,20 +605,43 @@ object LlmPipeline {
          |               ELSE acc || ' ' || x END), ' ') END AS syms
          |     FROM r${k - 1}, b$k),
          |t$k AS (SELECT CAST(SUM(c * len(syms)) AS BIGINT) AS n FROM r$k)""".stripMargin
+    s"""wf AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+       |wc AS (SELECT w, COUNT(*) AS c FROM wf WHERE length(w) >= 1 GROUP BY w),
+       |r0 AS (SELECT w, c, list_transform(generate_series(1, length(w)),
+       |         i -> substring(w, i, 1)) AS syms FROM wc),
+       |${(1 to BpeRounds).map(round).mkString(",\n")}""".stripMargin
+  }
+
+  private def bpeMergeOracle: String = {
     val rows = (1 to BpeRounds)
       .map(k => s"SELECT CAST($k AS INT) AS round, a, b, f AS freq, " +
         s"(SELECT n FROM t$k) AS n_syms FROM b$k")
       .mkString(" UNION ALL ")
-    s"""WITH wf AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
-       |wc AS (SELECT w, COUNT(*) AS c FROM wf WHERE length(w) >= 1 GROUP BY w),
-       |r0 AS (SELECT w, c, list_transform(generate_series(1, length(w)),
-       |         i -> substring(w, i, 1)) AS syms FROM wc),
-       |${(1 to BpeRounds).map(round).mkString(",\n")}
+    s"""WITH $bpeTrainCtes
        |SELECT * FROM ($rows) ORDER BY round""".stripMargin
   }
 
+  /** Encode = the trained table (r$BpeRounds) joined back to the corpus
+    * word stream; all sums integer, one rounded ratio at the end. */
+  private def bpeEncodeOracle: String =
+    s"""WITH $bpeTrainCtes,
+       |dw AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
+       |       FROM documents),
+       |enc AS (SELECT dw.doc_id, dw.lang,
+       |               CAST(length(dw.w) AS BIGINT) AS n_chars,
+       |               CAST(len(r$BpeRounds.syms) AS BIGINT) AS n_toks
+       |        FROM dw JOIN r$BpeRounds ON dw.w = r$BpeRounds.w
+       |        WHERE length(dw.w) >= 1)
+       |SELECT lang, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       |  CAST(COUNT(*) AS BIGINT) AS n_words,
+       |  CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+       |  CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+       |  ROUND(SUM(n_toks) * 100.0 / SUM(n_chars), 4) AS toks_per_100chars
+       |FROM enc GROUP BY lang ORDER BY lang""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "llm_bpe_merge" -> bpeMergeOracle,
+    "llm_bpe_encode" -> bpeEncodeOracle,
     // Transitive closure by recursive CTE; MIN over the closure is the
     // same component-minimum the label propagation converges to.
     "llm_dedup_cluster" ->

@@ -404,6 +404,39 @@ object Relational {
         .orderBy("p_id", "e_id")
     }),
 
+    // BANDED range join — the scale path for pure interval predicates
+    // (join_range_interval above has an equi user key to hash on; here
+    // there is NONE, and Spark's only native plan for `lo <= x < hi`
+    // against a small side is BroadcastNestedLoopJoin: every probe row
+    // tests EVERY interval, O(rows × intervals), and with a large
+    // interval side no plan exists at all). The banding rewrite derives
+    // an equi key both sides can compute: buckets of width >= the widest
+    // interval, the interval side exploded into the few buckets it
+    // overlaps, the probe side hashed to floor(x/B) — one hash join plus
+    // a residual containment filter, O(rows), shuffle-partitionable on
+    // the bucket. Intervals here are deliberately IRREGULAR (quadratic
+    // in n_nationkey) so no trivial closed-form bucket exists.
+    // PlanShapeSpec asserts the nested-loop join is gone.
+    "join_range_banded" -> ((s, d) => {
+      val bucketW = 49000L // >= widest band: (2*24+1)*1000
+      val bands = Tables.nation(s, d).select(
+        col("n_nationkey").as("band_id"),
+        (col("n_nationkey") * col("n_nationkey") * 1000).cast("double").as("lo"),
+        ((col("n_nationkey") + 1) * (col("n_nationkey") + 1) * 1000)
+          .cast("double").as("hi"))
+      val bandBuckets = bands.withColumn("bucket",
+        explode(sequence(floor(col("lo") / bucketW), floor(col("hi") / bucketW))))
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_totalprice"),
+          floor(col("o_totalprice") / bucketW).as("bucket"))
+        .join(bandBuckets, Seq("bucket"))
+        .where(col("o_totalprice") >= col("lo") && col("o_totalprice") < col("hi"))
+        .groupBy("band_id")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(dec(col("o_totalprice"))).cast("double").as("total"))
+        .orderBy("band_id")
+    }),
+
     // As-of join: for each purchase, the user's most recent view at-or-before
     // it. Spark has no native batch as-of; the idiomatic formulation is a
     // ranged join + row_number window kept to rank 1 (SURVEY.md §2.3).
@@ -812,6 +845,18 @@ object Relational {
         |  ON p.user_id = e.user_id AND epoch_us(e.ts) > epoch_us(p.ts)
         |  AND epoch_us(e.ts) <= epoch_us(p.ts) + 3600000000
         |ORDER BY p_id, e_id""".stripMargin,
+
+    // The oracle states the PURE range join — the banding rewrite must be
+    // semantically invisible.
+    "join_range_banded" ->
+      """WITH bands AS (SELECT n_nationkey AS band_id,
+        |  n_nationkey * n_nationkey * 1000.0 AS lo,
+        |  (n_nationkey + 1) * (n_nationkey + 1) * 1000.0 AS hi FROM nation)
+        |SELECT band_id, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+        |FROM orders JOIN bands
+        |  ON o_totalprice >= lo AND o_totalprice < hi
+        |GROUP BY band_id ORDER BY band_id""".stripMargin,
 
     "join_asof" ->
       """SELECT p.event_id AS p_id, p.user_id AS user_id,

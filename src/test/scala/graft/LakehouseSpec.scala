@@ -253,6 +253,46 @@ class LakehouseSpec extends AnyFunSuite with SparkFixture {
     assert(fingerprint(3) == fingerprint(2))
   }
 
+  test("rollback: pure metadata commit — v3 references v1's exact files, v2 survives") {
+    val r = Lakehouse.ensureRolledBack(spark, sf)
+    val v1 = Lakehouse.manifest(r, 1)
+    val v3 = Lakehouse.manifest(r, 3)
+    // rollback carries v1's manifest verbatim: identical file set AND stats
+    assert(v3.toSet == v1.toSet, "rollback must re-reference v1's files byte-for-byte")
+    assert(Lakehouse.currentVersion(r).contains(3))
+    // no data was written by the rollback: every live file predates it
+    // (directories under root are only load-v1 / cow-v2 / ins-v2 / _meta)
+    val dirs = java.nio.file.Files.list(java.nio.file.Paths.get(r))
+      .toArray.map(_.toString.split('/').last).toSet
+    assert(dirs == Set("load-v1", "cow-v2", "ins-v2", "_meta"),
+      s"rollback wrote data: $dirs")
+    // the rolled-back "bad" v2 stays readable for forensics
+    assert(Lakehouse.readSnapshot(spark, r, 2)
+      .where(col("o_orderkey") >= 10000000L).count() > 0)
+    // and v3 content equals v1 content
+    assert(Lakehouse.readSnapshot(spark, r, 3)
+      .exceptAll(Lakehouse.readSnapshot(spark, r, 1)).isEmpty)
+  }
+
+  test("branch/tag: dev write invisible to main and the pinned tag, one shared file pool") {
+    val r = Lakehouse.ensureBranched(spark, sf)
+    // main (CURRENT) never advanced past the fork point
+    assert(Lakehouse.currentVersion(r).contains(2), "branch commit must not move main")
+    assert(Lakehouse.readRef(r, "dev") == 3)
+    assert(Lakehouse.readRef(r, "release") == 2)
+    // branch holds the append; main and the tag do not
+    val devOnly = (v: Int) => Lakehouse.readSnapshot(spark, r, v)
+      .where(col("o_orderkey") >= 50000000L).count()
+    assert(devOnly(Lakehouse.readRef(r, "dev")) > 0)
+    assert(devOnly(Lakehouse.currentVersion(r).get) == 0)
+    assert(devOnly(Lakehouse.readRef(r, "release")) == 0)
+    // one shared pool: every main file is referenced by the branch manifest
+    val mainFiles = Lakehouse.manifest(r, 2).map(_.path).toSet
+    val devFiles = Lakehouse.manifest(r, 3).map(_.path).toSet
+    assert(mainFiles.subsetOf(devFiles), "branch must share the fork point's files")
+    assert((devFiles -- mainFiles).nonEmpty, "branch head must add its batch file")
+  }
+
   test("streaming sink is exactly-once: a replayed micro-batch is a no-op") {
     val r = Lakehouse.ensureStreamTable(spark, sf)
     val cur = Lakehouse.currentVersion(r).get

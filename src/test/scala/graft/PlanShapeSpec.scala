@@ -81,6 +81,13 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
       plan("llm_sim_topk").contains("BroadcastHashJoin"))
   }
 
+  test("join_range_banded plans a hash equi-join on the bucket (no nested loop)") {
+    val p = plan("join_range_banded")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      p.take(3000))
+    assert(p.contains("HashJoin"), "banding should yield a hash equi-join on the bucket")
+  }
+
   test("join_skew_salted shuffles on (key, salt) and matches the plain join") {
     val p = plan("join_skew_salted")
     assert(p.contains("__graft_salt"), p.take(2000))

@@ -29,4 +29,37 @@ class Round9OpsSpec extends AnyFunSuite with SparkFixture {
       assert(math.abs(s - 0.2 * n) <= 5 * sigma, s"$seg: sampled $s of $n")
     }
   }
+
+  test("llm_bpe_encode: token totals tie out to the merge loop's final corpus size") {
+    val enc = SparkEntry.queries("llm_bpe_encode")(spark, sf).collect()
+    assert(enc.nonEmpty)
+    // compression: merges only ever shrink words, and every 1-char word
+    // stays 1 token, so tokens <= chars with strict gain somewhere
+    val totToks = enc.map(_.getLong(4)).sum
+    val totChars = enc.map(_.getLong(3)).sum
+    assert(totToks <= totChars && totToks > 0)
+    assert(totToks < totChars, "5 merge rounds must compress the corpus")
+    // exact cross-op invariant: encoding the corpus with the learned
+    // merges must account for EXACTLY the final n_syms the training loop
+    // reported (same vocab, same corpus weights)
+    val lastNSyms = SparkEntry.queries("llm_bpe_merge")(spark, sf)
+      .orderBy(col("round").desc).limit(1).collect()(0).getLong(4)
+    assert(totToks == lastNSyms,
+      s"encode totals $totToks != training's final corpus symbols $lastNSyms")
+  }
+
+  test("agg_cms_freq: the sketch never underestimates and stays within the epsilon bound") {
+    val rows = SparkEntry.queries("agg_cms_freq")(spark, sf).collect()
+    assert(rows.length == 20)
+    val n = Tables.orders(spark, sf).count()
+    rows.foreach { r =>
+      val (exact, est) = (r.getLong(1), r.getLong(2))
+      assert(r.getBoolean(3) && est >= exact, s"CMS underestimated: $est < $exact")
+      // Markov bound with d=4 rows, w=64 buckets: overshoot <= e/w * N holds
+      // with prob 1-e^-4 per key; 4x that slack cannot flake on a fixed
+      // dataset + fixed hash (it is deterministic here, this is a sanity rail)
+      assert(est - exact <= 4 * math.E / 64 * n,
+        s"CMS overshoot ${est - exact} implausibly large for N=$n")
+    }
+  }
 }
