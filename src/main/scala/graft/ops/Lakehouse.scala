@@ -420,6 +420,30 @@ object Lakehouse {
     root
   }
 
+  /** Manifest entries hold what `input_file_name()` reports — a `file:`
+    * URI on a local filesystem — while GC and existence checks need an OS
+    * path; production formats hit the identical seam (manifest URIs vs
+    * the FileSystem API) and resolve it the same way. */
+  private[graft] def localPath(p: String): Path =
+    if (p.startsWith("file:")) Paths.get(new java.net.URI(p).getPath)
+    else Paths.get(p)
+
+  /** Builds (idempotently) the expired-retention table graded by
+    * `warehouse_snapshot_expire`: the standard v1+v2 fixture with v1
+    * dropped below the retention floor via [[expireSnapshots]] — v1's COW
+    * pre-images (referenced by no retained manifest) are physically
+    * deleted, everything v2 references is untouched. Idempotency key is
+    * the expired manifest itself: once v1.manifest is gone the table is
+    * in its terminal fixture state. Own prefix — the LakehouseSpec expiry
+    * unit test drives expireSnapshots against its own `snap_exp` table
+    * and must not race this one. */
+  private[graft] def ensureExpired(s: SparkSession, d: String): String = {
+    val root = ensureTable(s, d, "snap_gc")
+    if (!Files.exists(manifestPath(root, 1))) return root
+    expireSnapshots(root, keep = Set(currentVersion(root).get))
+    root
+  }
+
   /** Builds (idempotently) the two-writer conflict table: both writers
     * stage an append batch and PLAN against the same snapshot (v2); writer
     * A's CAS lands as v3; writer B's CAS against its planned base is
@@ -479,9 +503,6 @@ object Lakehouse {
     val cur = currentVersion(root)
       .getOrElse(sys.error(s"no committed snapshot at $root"))
     require(keep.contains(cur), s"cannot expire the current snapshot v$cur")
-    def localPath(p: String): Path =
-      if (p.startsWith("file:")) Paths.get(new java.net.URI(p).getPath)
-      else Paths.get(p)
     val versions = {
       val st = Files.list(metaDir(root))
       try st.toArray.map(_.toString)
@@ -762,6 +783,64 @@ object Lakehouse {
         .orderBy("branch", "o_year")
     }),
 
+    // Snapshot expiration + VACUUM: after dropping v1 and deleting its
+    // orphaned COW pre-images, the CURRENT snapshot must still read its
+    // exact post-state (live files untouched — the content rollup IS that
+    // proof), and the two verdict columns certify the GC did its work:
+    // every live manifest entry still exists on disk, and the expired
+    // manifest is gone (time travel below the floor now correctly fails).
+    "warehouse_snapshot_expire" -> ((s, d) => {
+      val root = ensureExpired(s, d)
+      val cur = currentVersion(root).get
+      val liveIntact = manifest(root, cur)
+        .forall(e => Files.exists(localPath(e.path)))
+      val expiredGone = !Files.exists(manifestPath(root, 1))
+      readSnapshot(s, root, cur)
+        .groupBy("o_year")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(dec(col("o_totalprice"))).cast("double").as("total"),
+          sum(when(col("o_orderkey") >= 10000000L, 1L).otherwise(0L)).as("n_inserted"))
+        .withColumn("live_intact", lit(liveIntact))
+        .withColumn("expired_gone", lit(expiredGone))
+        .orderBy("o_year")
+    }),
+
+    // Incremental view maintenance driven by the CDC feed: the consumer
+    // holds a materialized per-year rollup of v1 and advances it to v2 by
+    // folding in the manifest-diff changelog with RETRACTIONS — changed
+    // files' post-images count +1, their pre-images count -1 (carried-by-
+    // reference files cannot contain changes and are never read). The
+    // graded output is the incrementally-maintained MV; the oracle is the
+    // FULL v2 recompute — their equality is the IVM correctness contract.
+    // At 100 TB the consumer reads O(changed files) + its own MV instead
+    // of re-scanning the table: the standing pattern for every downstream
+    // rollup a training pipeline keeps warm.
+    "warehouse_cdc_apply" -> ((s, d) => {
+      val root = ensureTable(s, d)
+      val v1 = manifest(root, 1)
+      val v2 = manifest(root, 2)
+      val shared = v1.map(_.path).toSet.intersect(v2.map(_.path).toSet)
+      val post = s.read.parquet(v2.filterNot(e => shared(e.path)).map(_.path): _*)
+      val pre = s.read.parquet(v1.filterNot(e => shared(e.path)).map(_.path): _*)
+      val mv1 = readSnapshot(s, root, 1)
+        .groupBy("o_year")
+        .agg(count(lit(1)).as("n_rows"), sum(dec(col("o_totalprice"))).as("total"))
+      val delta = post.exceptAll(pre).withColumn("sgn", lit(1L))
+        .unionAll(pre.exceptAll(post).withColumn("sgn", lit(-1L)))
+        .groupBy("o_year")
+        .agg(sum(col("sgn")).as("d_rows"),
+          sum(dec(col("o_totalprice")) * col("sgn")).as("d_total"))
+      mv1.join(delta, Seq("o_year"), "full_outer")
+        .select(col("o_year"),
+          (coalesce(col("n_rows"), lit(0L)) + coalesce(col("d_rows"), lit(0L)))
+            .as("n_rows"),
+          (coalesce(col("total"), lit(BigDecimal(0)).cast("decimal(18,4)"))
+            + coalesce(col("d_total"), lit(BigDecimal(0)).cast("decimal(18,4)")))
+            .cast("double").as("total"))
+        .where(col("n_rows") > 0)
+        .orderBy("o_year")
+    }),
+
     // Schema evolution: v5 adds `o_channel` via an appended backfill file;
     // pre-evolution files carry by reference (LakehouseSpec asserts zero
     // rewrites) and read back with the column NULL -> 'base'.
@@ -966,6 +1045,45 @@ object Lakehouse {
         |  CAST(SUM(CASE WHEN o_orderkey >= 50000000 THEN 1 ELSE 0 END) AS BIGINT)
         |    AS n_branch_only
         |FROM refs GROUP BY branch, o_year ORDER BY branch, o_year""".stripMargin,
+
+    // Expiration is content-invisible to the retained snapshot: the
+    // CURRENT rollup is v2's exact post-state; the verdict columns must
+    // both come back TRUE (no live file lost, expired manifest dropped).
+    "warehouse_snapshot_expire" ->
+      """WITH thr AS (SELECT MAX(o_orderkey) // 10 AS t FROM orders),
+        |src AS (SELECT o_orderkey, year(o_orderdate) AS o_year, o_totalprice FROM orders),
+        |post AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey <= (SELECT t FROM thr) AND o_orderkey % 7 = 0
+        |         THEN o_totalprice + 100.0 ELSE o_totalprice END AS o_totalprice,
+        |    o_year
+        |  FROM src
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000, o_totalprice, o_year
+        |  FROM src WHERE o_orderkey <= (SELECT t FROM thr) AND o_orderkey % 11 = 0)
+        |SELECT o_year, COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total,
+        |  CAST(SUM(CASE WHEN o_orderkey >= 10000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_inserted,
+        |  TRUE AS live_intact, TRUE AS expired_gone
+        |FROM post GROUP BY o_year ORDER BY o_year""".stripMargin,
+
+    // The incrementally-maintained MV must equal the full v2 recompute —
+    // the oracle IS the full recompute, so equality is the grade.
+    "warehouse_cdc_apply" ->
+      """WITH thr AS (SELECT MAX(o_orderkey) // 10 AS t FROM orders),
+        |src AS (SELECT o_orderkey, year(o_orderdate) AS o_year, o_totalprice FROM orders),
+        |post AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey <= (SELECT t FROM thr) AND o_orderkey % 7 = 0
+        |         THEN o_totalprice + 100.0 ELSE o_totalprice END AS o_totalprice,
+        |    o_year
+        |  FROM src
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000, o_totalprice, o_year
+        |  FROM src WHERE o_orderkey <= (SELECT t FROM thr) AND o_orderkey % 11 = 0)
+        |SELECT o_year, COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+        |FROM post GROUP BY o_year ORDER BY o_year""".stripMargin,
 
     // Post-delete state tagged 'base' plus the backfill batch (keys ≡0
     // mod 101 shifted +40M) tagged 'backfill' — old rows surface the

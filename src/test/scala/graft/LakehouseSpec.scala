@@ -293,6 +293,38 @@ class LakehouseSpec extends AnyFunSuite with SparkFixture {
     assert((devFiles -- mainFiles).nonEmpty, "branch head must add its batch file")
   }
 
+  test("expire: disk holds exactly the retained manifests' files afterwards") {
+    val r = Lakehouse.ensureExpired(spark, sf)
+    val cur = Lakehouse.currentVersion(r).get
+    val live = Lakehouse.manifest(r, cur)
+      .map(e => Lakehouse.localPath(e.path).toString).toSet
+    // VACUUM postcondition: parquet files on disk == live manifest refs —
+    // no orphan survived, no live file was lost
+    val onDisk = java.nio.file.Files.walk(java.nio.file.Paths.get(r))
+      .toArray.map(_.toString)
+      .filter(p => p.endsWith(".parquet") && !p.contains("/_meta"))
+      .toSet
+    assert(onDisk == live, s"orphans=${onDisk -- live} lost=${live -- onDisk}")
+    // the expired version's manifest is gone; the retained snapshot reads
+    // the exact post-state (same content as the untouched acid table's v2)
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(r, "_meta", "v1.manifest")))
+    val acid = Lakehouse.ensureTable(spark, sf)
+    assert(Lakehouse.readSnapshot(spark, r, cur)
+      .exceptAll(Lakehouse.readSnapshot(spark, acid, 2)).isEmpty)
+  }
+
+  test("cdc_apply: incremental MV equals the full recompute over v2") {
+    val full = SparkEntry.queries("warehouse_cdc_apply")(spark, sf)
+    val root = Lakehouse.ensureTable(spark, sf)
+    val recompute = Lakehouse.readSnapshot(spark, root, 2)
+      .groupBy("o_year")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("o_totalprice").cast("decimal(18,4)")).cast("double").as("total"))
+    assert(full.exceptAll(recompute).isEmpty &&
+      recompute.exceptAll(full).isEmpty)
+  }
+
   test("streaming sink is exactly-once: a replayed micro-batch is a no-op") {
     val r = Lakehouse.ensureStreamTable(spark, sf)
     val cur = Lakehouse.currentVersion(r).get
