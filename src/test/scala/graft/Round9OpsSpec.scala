@@ -48,6 +48,32 @@ class Round9OpsSpec extends AnyFunSuite with SparkFixture {
       s"encode totals $totToks != training's final corpus symbols $lastNSyms")
   }
 
+  test("llm_quality_classifier: non-degenerate split, keep_rate consistent") {
+    val rows = SparkEntry.queries("llm_quality_classifier")(spark, sf).collect()
+    val (docs, keeps) = (rows.map(_.getLong(1)).sum, rows.map(_.getLong(2)).sum)
+    assert(keeps > 0 && keeps < docs,
+      s"classifier must split the corpus, kept $keeps of $docs")
+    rows.foreach { r =>
+      val rate = r.getDouble(3)
+      assert(rate >= 0.0 && rate <= 1.0)
+      assert(math.abs(rate - r.getLong(2).toDouble / r.getLong(1)) < 1e-3)
+    }
+  }
+
+  test("llm_data_mixture: epoch cap holds and reweighting points toward the target") {
+    val rows = SparkEntry.queries("llm_data_mixture")(spark, sf).collect()
+    val byLang = rows.map(r => r.getString(0) -> r).toMap
+    rows.foreach { r =>
+      val (toks, epochs, eff) = (r.getLong(2), r.getDouble(5), r.getLong(6))
+      assert(epochs > 0.0 && epochs <= 3.0)
+      assert(eff <= (3.0 * toks).toLong && math.abs(eff - epochs * toks) <= 1)
+    }
+    // 'en' dominates the corpus (actual ~0.55 > target 0.30) so it is
+    // DOWN-sampled; the minority languages are up-sampled
+    assert(byLang("en").getDouble(5) < 1.0)
+    assert(byLang("de").getDouble(5) > 1.0)
+  }
+
   test("agg_cms_freq: the sketch never underestimates and stays within the epsilon bound") {
     val rows = SparkEntry.queries("agg_cms_freq")(spark, sf).collect()
     assert(rows.length == 20)
