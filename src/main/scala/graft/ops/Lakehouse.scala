@@ -444,6 +444,56 @@ object Lakehouse {
     root
   }
 
+  /** Z-ORDER clustering commit — MULTI-dimensional data skipping, the
+    * step past `recluster`'s single-key re-sort: re-lays the table out
+    * along a space-filling curve (bit-interleave of both keys normalized
+    * to 16 bits), so every file covers a compact region in BOTH
+    * dimensions and per-file [min,max] stats have pruning power for
+    * point-range predicates on EITHER key simultaneously — a linear sort
+    * gives perfect stats on one key and useless full-span stats on the
+    * other (asserted against v1 in LakehouseSpec). The z-value is a
+    * codegen'd HOF fold (no UDF), computed only during the rewrite and
+    * dropped before the write; the commit is ordinary CAS + two-key
+    * manifest stats. At 100 TB this is how a table serves both
+    * "by order" and "by customer" access patterns from one layout.
+    *
+    * v1 = orders (key, custkey, year, price) range-laid-out on o_orderkey
+    * only; v2 = all files rewritten in z order. The two normalization
+    * maxima come from v1's manifest stats — driver-side metadata, no
+    * scan. */
+  private[graft] def ensureZordered(s: SparkSession, d: String): String = {
+    val root = Scratch.opDir("snap_zo", d)
+    if (currentVersion(root).exists(_ >= 2)) return root
+    val loadDir = s"$root/load-v1"
+    Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey"),
+        year(col("o_orderdate")).as("o_year"), col("o_totalprice"))
+      .repartitionByRange(16, col("o_orderkey"))
+      .sortWithinPartitions("o_orderkey")
+      .write.mode("overwrite").parquet(loadDir)
+    val v1Files = fileStats(s, loadDir, "o_orderkey", Some("o_custkey"))
+    commit(root, 1, v1Files)
+
+    val maxO = v1Files.map(_.maxKey).max
+    val maxC = v1Files.map(_.maxKey2).max
+    val zDir = s"$root/z-v2"
+    readSnapshot(s, root, 1)
+      .withColumn("ok16", col("o_orderkey") * 65535L / lit(maxO))
+      .withColumn("ck16", col("o_custkey") * 65535L / lit(maxC))
+      .withColumn("z", expr(
+        """aggregate(sequence(0, 15), 0L, (acc, i) ->
+          |  acc | shiftleft(shiftright(ok16, i) & 1, 2 * i)
+          |      | shiftleft(shiftright(ck16, i) & 1, 2 * i + 1))""".stripMargin))
+      .repartitionByRange(16, col("z"))
+      .sortWithinPartitions("z")
+      .drop("ok16", "ck16", "z")
+      .write.mode("overwrite").parquet(zDir)
+    require(commitIf(root, Some(1), 2,
+      fileStats(s, zDir, "o_orderkey", Some("o_custkey"))),
+      s"z-order commit expected table at v1 (found ${currentVersion(root)})")
+    root
+  }
+
   /** Builds (idempotently) the two-writer conflict table: both writers
     * stage an append batch and PLAN against the same snapshot (v2); writer
     * A's CAS lands as v3; writer B's CAS against its planned base is
@@ -841,6 +891,30 @@ object Lakehouse {
         .orderBy("o_year")
     }),
 
+    // Z-order data skipping on the SECOND dimension: a custkey point-range
+    // query plans against v2's per-file [minKey2,maxKey2], keeps a strict
+    // minority of files (the require IS the multi-dim skipping contract —
+    // v1's orderkey-sorted layout cannot prune this predicate at all,
+    // asserted in LakehouseSpec), applies the residual filter, and must
+    // read exactly the base table's matching rows (the rewrite is
+    // content-invisible).
+    "warehouse_snapshot_zorder" -> ((s, d) => {
+      val root = ensureZordered(s, d)
+      val live = manifest(root, 2)
+      val thr2 = live.map(_.maxKey2).max / 10L
+      val (lo2, hi2) = (4 * thr2, 5 * thr2)
+      val hit = live.filter(e => e.minKey2 <= hi2 && e.maxKey2 > lo2)
+      require(hit.size * 2 < live.size,
+        s"z-order must restore custkey skipping: ${hit.size} of ${live.size}")
+      s.read.parquet(hit.map(_.path): _*)
+        .where(col("o_custkey") > lo2 && col("o_custkey") <= hi2)
+        .groupBy("o_year")
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("o_custkey")).as("n_cust"),
+          sum(dec(col("o_totalprice"))).cast("double").as("total"))
+        .orderBy("o_year")
+    }),
+
     // Schema evolution: v5 adds `o_channel` via an appended backfill file;
     // pre-evolution files carry by reference (LakehouseSpec asserts zero
     // rewrites) and read back with the column NULL -> 'base'.
@@ -1084,6 +1158,18 @@ object Lakehouse {
         |SELECT o_year, COUNT(*) AS n_rows,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
         |FROM post GROUP BY o_year ORDER BY o_year""".stripMargin,
+
+    // Z-order is content-invisible: the skipped read equals the plain
+    // base filter (thr2 = max custkey // 10, same floor division).
+    "warehouse_snapshot_zorder" ->
+      """WITH thr AS (SELECT MAX(o_custkey) // 10 AS t FROM orders)
+        |SELECT year(o_orderdate) AS o_year, COUNT(*) AS n_rows,
+        |  CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_cust,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+        |FROM orders
+        |WHERE o_custkey > 4 * (SELECT t FROM thr)
+        |  AND o_custkey <= 5 * (SELECT t FROM thr)
+        |GROUP BY o_year ORDER BY o_year""".stripMargin,
 
     // Post-delete state tagged 'base' plus the backfill batch (keys ≡0
     // mod 101 shifted +40M) tagged 'backfill' — old rows surface the

@@ -325,6 +325,31 @@ class LakehouseSpec extends AnyFunSuite with SparkFixture {
       recompute.exceptAll(full).isEmpty)
   }
 
+  test("zorder: custkey stats gain power the linear layout lacks; content invariant") {
+    val r = Lakehouse.ensureZordered(spark, sf)
+    val v1 = Lakehouse.manifest(r, 1)
+    val v2 = Lakehouse.manifest(r, 2)
+    val thr2 = v2.map(_.maxKey2).max / 10L
+    val (lo2, hi2) = (4 * thr2, 5 * thr2)
+    def hits(m: Seq[Lakehouse.FileEntry]) =
+      m.count(e => e.minKey2 <= hi2 && e.maxKey2 > lo2)
+    // v1 is sorted on o_orderkey: every file spans ~the full custkey range,
+    // so custkey stats prune nothing (or nearly nothing)
+    assert(hits(v1) * 2 > v1.size,
+      s"linear layout should be unprunable on custkey: ${hits(v1)} of ${v1.size}")
+    // the z-ordered layout prunes the same predicate to a strict minority
+    assert(hits(v2) * 2 < v2.size,
+      s"z-order should prune custkey: ${hits(v2)} of ${v2.size}")
+    // and the FIRST key keeps skipping power too (compact z-regions bound
+    // both dimensions): a 10%-band orderkey predicate skips at least one file
+    val thr1 = v2.map(_.maxKey).max / 10L
+    val hit1 = v2.count(e => e.minKey <= 5 * thr1 && e.maxKey > 4 * thr1)
+    assert(hit1 < v2.size, s"orderkey skipping lost: $hit1 of ${v2.size}")
+    // content invariance
+    assert(Lakehouse.readSnapshot(spark, r, 2)
+      .exceptAll(Lakehouse.readSnapshot(spark, r, 1)).isEmpty)
+  }
+
   test("streaming sink is exactly-once: a replayed micro-batch is a no-op") {
     val r = Lakehouse.ensureStreamTable(spark, sf)
     val cur = Lakehouse.currentVersion(r).get
