@@ -263,8 +263,40 @@ object Analytics {
         .withColumn("wmean", expr("swx/sw"))
         .withColumn("wvar", expr("swx2/sw - (swx/sw)*(swx/sw)"))
         .select(col("l_returnflag"), col("sw"), col("wmean"), col("wvar"))
-        .orderBy("l_returnflag"))
+        .orderBy("l_returnflag")),
+
+    // Exponentially weighted moving average per user over the event-value
+    // stream (the time-series smoother next to gap-fill and sessionize).
+    // Weights half-decay per step, truncated at 8 lags (128, 64, …, 1 for
+    // lags 0..7 — EwmaW below): integer weights make the smoother a ratio
+    // of two BIGINT sums, `Σ wᵢ·xᵢ DIV Σ wᵢ(present)` — exact and
+    // partition-order free in both engines, unlike a recursive
+    // `α·x + (1−α)·prev` float recurrence (not windowable in Spark and
+    // FP-order dependent anyway); truncation error vs the infinite tail
+    // is < 1/256 of the oldest retained weight, below the cent quantum.
+    // One window shuffle on user_id, eight lag reads of the SAME sorted
+    // frame (Spark collapses same-window functions into one WindowExec).
+    // Scale: identical to win_lead_lag — per-user frames, no global sort,
+    // per-row state is 8 longs.
+    "win_ewma" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+      val x = floor(col("value") * 100).cast("bigint")
+      val terms = EwmaW.zipWithIndex.map { case (wt, i) =>
+        coalesce(lag(x, i).over(w) * wt, lit(0L)) }
+      val denom = EwmaW.zipWithIndex.map { case (wt, i) =>
+        when(lag(x, i).over(w).isNotNull, wt).otherwise(0L) }
+      Tables.events(s, d)
+        .select(col("user_id"), col("ts_us"), col("event_id"), col("value"))
+        .withColumn("num", terms.reduce(_ + _))
+        .withColumn("den", denom.reduce(_ + _))
+        .withColumn("ewma_cents", expr("num DIV den"))
+        .select("user_id", "ts_us", "event_id", "ewma_cents")
+        .orderBy("user_id", "ts_us", "event_id")
+    })
   )
+
+  /** `win_ewma`'s truncated half-decay weights for lags 0..7. */
+  private val EwmaW = Seq(128L, 64L, 32L, 16L, 8L, 4L, 2L, 1L)
 
   val oracles: Map[String, String] = Map(
     "win_sessionize" ->
@@ -422,6 +454,24 @@ object Analytics {
         |  FROM b GROUP BY l_returnflag)
         |SELECT l_returnflag, sw, swx/sw AS wmean,
         |  swx2/sw - (swx/sw)*(swx/sw) AS wvar
-        |FROM m ORDER BY l_returnflag""".stripMargin
+        |FROM m ORDER BY l_returnflag""".stripMargin,
+
+    // Generated from the same EwmaW constants as the Spark plan so the
+    // weight vector can never drift between the two engines.
+    "win_ewma" -> {
+      val lags = EwmaW.indices.map(i => s"lag(x, $i) OVER w AS x$i").mkString(", ")
+      val num = EwmaW.zipWithIndex
+        .map { case (wt, i) => s"COALESCE($wt * x$i, 0)" }.mkString(" + ")
+      val den = EwmaW.zipWithIndex
+        .map { case (wt, i) => s"CASE WHEN x$i IS NULL THEN 0 ELSE $wt END" }
+        .mkString(" + ")
+      s"""WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+         |    CAST(floor(value * 100) AS BIGINT) AS x FROM events),
+         |l AS (SELECT user_id, ts_us, event_id, $lags
+         |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id))
+         |SELECT user_id, ts_us, event_id,
+         |  ($num) // ($den) AS ewma_cents
+         |FROM l ORDER BY user_id, ts_us, event_id""".stripMargin
+    }
   )
 }

@@ -440,6 +440,81 @@ object Showcase {
           col("p_partkey"), col("p_name"))
         .orderBy("s_acctbal", "n_name", "s_name", "p_partkey")
         .limit(20)
+    }),
+
+    // TPC-H Q11 (important stock identification), adapted: no partsupp,
+    // so a part's "stock value" is the observed supply value — the sum of
+    // extended prices its nation-3/19 suppliers shipped. The original's
+    // fraction threshold is scale-DEPENDENT (0.0001/SF); here the cut is
+    // scale-free: keep parts above 1.5× the average part value, expressed
+    // as the cross-multiplied integer-exact decimal comparison
+    // val·np·2 > tot·3 (no division, no doubles — both engines compare
+    // exact decimals). The per-part rollup shuffles the filtered fact
+    // once on l_partkey; the (total, count) threshold is one broadcast
+    // row, so the filter is map-side — the same shape the original's
+    // HAVING-subquery plan decorrelates to.
+    "tpch_q11" -> ((s, d) => {
+      val v = Tables.lineitem(s, d)
+        .join(broadcast(Tables.supplier(s, d)
+          .where(col("s_nationkey").isin(3, 19))), col("s_suppkey") === col("l_suppkey"))
+        .groupBy(col("l_partkey"))
+        .agg(sum(dec(col("l_extendedprice"))).as("val"))
+      val t = v.agg(sum(col("val")).as("tot"), count(lit(1)).as("np"))
+      v.join(broadcast(t))
+        .where(col("val") * col("np") * 2 > col("tot") * 3)
+        .select(col("l_partkey"), col("val").cast("double").as("value"))
+        .orderBy(desc("value"), col("l_partkey"))
+    }),
+
+    // TPC-H Q16 (parts/supplier relationship), adapted: the part-supplier
+    // relation is the DISTINCT (l_partkey, l_suppkey) pairs observed in
+    // the fact, and "customer complaints" becomes a negative account
+    // balance. Shape intact: brand/type/size exclusion filters on the
+    // broadcast part side, complaining suppliers removed by a broadcast
+    // anti join BEFORE the distinct-supplier rollup, grouped counts
+    // ordered by (cnt desc, attrs). The distinct and the count-distinct
+    // both hash on the same part-attribute keys.
+    "tpch_q16" -> ((s, d) => {
+      val ps = Tables.lineitem(s, d)
+        .select("l_partkey", "l_suppkey").distinct()
+      val complainers = Tables.supplier(s, d)
+        .where(col("s_acctbal") < 0).select("s_suppkey")
+      ps.join(broadcast(Tables.part(s, d)
+          .where(col("p_brand") =!= "Brand#1" && !col("p_type").like("PROMO%")
+            && col("p_size").isin(1, 5, 9, 14, 19, 23, 36, 45))),
+          col("p_partkey") === col("l_partkey"))
+        .join(broadcast(complainers),
+          col("l_suppkey") === col("s_suppkey"), "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+        .orderBy(desc("supplier_cnt"), col("p_brand"), col("p_type"), col("p_size"))
+    }),
+
+    // TPC-H Q20 (potential part promotion), adapted: no ps_availqty, so
+    // "excess stock" becomes a relative share — a supplier qualifies for
+    // a part if its 1997 shipped quantity exceeds half the per-supplier
+    // average for that part, i.e. 2·qty·nsup > tot in exact BIGINTs
+    // (cross-multiplied; quantities are integral). The correlated inner
+    // subquery decorrelates into a per-part rollup joined back on the
+    // part key; name-filtered parts are broadcast into the fact scan, the
+    // nation filter is a broadcast semi at the end — one fact shuffle on
+    // (partkey, suppkey) total.
+    "tpch_q20" -> ((s, d) => {
+      val q = Tables.lineitem(s, d)
+        .where(year(col("l_shipdate")) === 1997)
+        .join(broadcast(Tables.part(s, d).where(col("p_name").like("%a%"))
+          .select("p_partkey")), col("p_partkey") === col("l_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(sum(col("l_quantity").cast("bigint")).as("qty"))
+      val pp = q.groupBy("l_partkey")
+        .agg(sum("qty").as("tot"), count(lit(1)).as("nsup"))
+      q.join(pp, Seq("l_partkey"))
+        .where(col("qty") * col("nsup") * 2 > col("tot"))
+        .select("l_suppkey").distinct()
+        .join(Tables.supplier(s, d).where(col("s_nationkey").isin(7, 11, 19)),
+          col("s_suppkey") === col("l_suppkey"))
+        .select(col("s_name"), col("s_acctbal"))
+        .orderBy("s_name")
     })
   )
 
@@ -689,6 +764,42 @@ object Showcase {
         |  AND s_acctbal = (SELECT MIN(eu2.s_acctbal)
         |                   FROM ps ps2 JOIN eu eu2 ON eu2.s_suppkey = ps2.suppkey
         |                   WHERE ps2.partkey = p_partkey)
-        |ORDER BY s_acctbal, n_name, s_name, p_partkey LIMIT 20""".stripMargin
+        |ORDER BY s_acctbal, n_name, s_name, p_partkey LIMIT 20""".stripMargin,
+
+    "tpch_q11" ->
+      """WITH v AS (
+        |  SELECT l_partkey, SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS val
+        |  FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
+        |  WHERE s_nationkey IN (3, 19) GROUP BY 1),
+        |t AS (SELECT SUM(val) AS tot, COUNT(*) AS np FROM v)
+        |SELECT l_partkey, CAST(val AS DOUBLE) AS value
+        |FROM v, t WHERE val * np * 2 > tot * 3
+        |ORDER BY value DESC, l_partkey""".stripMargin,
+
+    "tpch_q16" ->
+      """WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+        |SELECT p_brand, p_type, p_size,
+        |  COUNT(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM ps JOIN part ON p_partkey = l_partkey
+        |WHERE p_brand <> 'Brand#1' AND p_type NOT LIKE 'PROMO%'
+        |  AND p_size IN (1, 5, 9, 14, 19, 23, 36, 45)
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY 1, 2, 3
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+
+    "tpch_q20" ->
+      """WITH q AS (
+        |  SELECT l_partkey, l_suppkey, SUM(CAST(l_quantity AS BIGINT)) AS qty
+        |  FROM lineitem JOIN part ON p_partkey = l_partkey
+        |  WHERE p_name LIKE '%a%' AND year(l_shipdate) = 1997
+        |  GROUP BY 1, 2),
+        |pp AS (SELECT l_partkey, SUM(qty) AS tot, COUNT(*) AS nsup
+        |       FROM q GROUP BY 1)
+        |SELECT s_name, s_acctbal
+        |FROM (SELECT DISTINCT l_suppkey FROM q JOIN pp USING (l_partkey)
+        |      WHERE 2 * qty * nsup > tot) w
+        |JOIN supplier ON s_suppkey = l_suppkey
+        |WHERE s_nationkey IN (7, 11, 19)
+        |ORDER BY s_name""".stripMargin
   )
 }

@@ -88,4 +88,94 @@ class Round9OpsSpec extends AnyFunSuite with SparkFixture {
         s"CMS overshoot ${est - exact} implausibly large for N=$n")
     }
   }
+
+  test("tpch_q11: every returned part sits above 1.5x the average supply value") {
+    val rows = SparkEntry.queries("tpch_q11")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // recompute the unfiltered per-part rollup directly
+    val v = Tables.lineitem(spark, sf)
+      .join(Tables.supplier(spark, sf).where(col("s_nationkey").isin(3, 19)),
+        col("s_suppkey") === col("l_suppkey"))
+      .groupBy("l_partkey")
+      .agg(sum(col("l_extendedprice").cast("decimal(18,4)")).as("v"))
+      .collect().map(r => r.getLong(0) -> r.getDecimal(1).doubleValue()).toMap
+    val avg = v.values.sum / v.size
+    rows.foreach { r =>
+      assert(r.getDouble(1) > 1.5 * avg - 1e-6,
+        s"part ${r.getLong(0)} value ${r.getDouble(1)} under 1.5x avg $avg")
+    }
+    // and no part above the cut is missing
+    assert(rows.length == v.values.count(_ * v.size * 2 > v.values.sum * 3))
+  }
+
+  test("tpch_q16: excluded brands/types/sizes and complaining suppliers never appear") {
+    val rows = SparkEntry.queries("tpch_q16")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getString(0) != "Brand#1" && !r.getString(1).startsWith("PROMO"))
+      assert(Set(1, 5, 9, 14, 19, 23, 36, 45).contains(r.getInt(2)))
+    }
+    // counts can never exceed the clean-supplier universe
+    val good = Tables.supplier(spark, sf).where(col("s_acctbal") >= 0).count()
+    assert(rows.forall(_.getLong(3) <= good))
+  }
+
+  test("tpch_q20: returned suppliers are exactly those with an above-half-average part") {
+    val got = SparkEntry.queries("tpch_q20")(spark, sf).collect()
+      .map(_.getString(0)).toSet
+    val q = Tables.lineitem(spark, sf)
+      .where(year(col("l_shipdate")) === 1997)
+      .join(Tables.part(spark, sf).where(col("p_name").like("%a%"))
+        .select("p_partkey"), col("p_partkey") === col("l_partkey"))
+      .groupBy("l_partkey", "l_suppkey")
+      .agg(sum(col("l_quantity").cast("bigint")).as("qty"))
+    val pp = q.groupBy("l_partkey")
+      .agg(sum("qty").as("tot"), count(lit(1)).as("nsup"))
+    val expect = q.join(pp, "l_partkey")
+      .where(col("qty") * col("nsup") * 2 > col("tot"))
+      .join(Tables.supplier(spark, sf).where(col("s_nationkey").isin(7, 11, 19)),
+        col("s_suppkey") === col("l_suppkey"))
+      .select("s_name").distinct().collect().map(_.getString(0)).toSet
+    assert(got == expect && got.nonEmpty)
+  }
+
+  test("win_ewma: a user's first event is its own EWMA; later rows stay inside the 8-frame hull") {
+    val df = SparkEntry.queries("win_ewma")(spark, sf)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    // rebuild cents per (user, ts_us, event_id) to check hull bounds
+    val cents = Tables.events(spark, sf)
+      .select(col("user_id"), col("ts_us"), col("event_id"),
+        floor(col("value") * 100).cast("bigint").as("c"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) -> r.getLong(3)).toMap
+    val byUser = rows.groupBy(_.getLong(0))
+    byUser.foreach { case (_, rs) =>
+      val sorted = rs.sortBy(r => (r.getLong(1), r.getLong(2)))
+      val vals = sorted.map(r => cents((r.getLong(0), r.getLong(1), r.getLong(2))))
+      // first row: EWMA == own value exactly
+      assert(sorted.head.getLong(3) == vals.head)
+      // every row: EWMA within [min, max] of its trailing 8 values
+      sorted.zipWithIndex.foreach { case (r, i) =>
+        val win = vals.slice(math.max(0, i - 7), i + 1)
+        assert(r.getLong(3) >= win.min && r.getLong(3) <= win.max,
+          s"ewma ${r.getLong(3)} outside hull [${win.min}, ${win.max}]")
+      }
+    }
+  }
+
+  test("graph_pagerank: teleport floor, mass conservation, and full node coverage") {
+    val rows = SparkEntry.queries("graph_pagerank")(spark, sf).collect()
+    val nNations = Tables.nation(spark, sf).count()
+    assert(rows.length == nNations, "one rank row per nation")
+    val ranks = rows.map(_.getLong(1))
+    // damping floor: every rank >= teleport mass 0.15 * 1e6
+    assert(ranks.forall(_ >= 150000L))
+    // total mass: bounded above by N * 1e6 (integer truncation + dangling
+    // mass only ever LOSE rank) and must retain most of it
+    assert(ranks.sum <= nNations * 1000000L)
+    assert(ranks.sum >= (nNations * 1000000L * 7) / 10, s"lost too much mass: ${ranks.sum}")
+    // rank double column is exactly micro/1e6
+    rows.foreach(r => assert(r.getDouble(2) == r.getLong(1).toDouble / 1e6))
+  }
 }
