@@ -32,7 +32,7 @@ object LlmPrep {
   private val FrameLen = 32
   private val Stride = 4
 
-  val queries: Map[String, Q] = Map(
+  private val mainQueries: Map[String, Q] = Map(
     // Sequence packing (concat-then-split): docs are ordered by a
     // layout-independent hash inside 32 independent buckets, token counts
     // prefix-summed per bucket, and each doc assigned to the context
@@ -178,6 +178,62 @@ object LlmPrep {
         .orderBy("doc_id", "pr", "pc"))
   )
 
+  /** Deterministic weighted sampling + 4-bit product-style quantization
+    * (split out of the main Map only to keep it under the compiler's
+    * method-size comfort zone; merged in `queries` below). */
+  private val extraQueries: Map[String, Q] = Map(
+    // Weighted sampling without replacement, deterministic (the mixture-
+    // construction primitive next to llm_sample_stratified's equal-
+    // fraction strata): priority = md5-hash(doc_id) DIV weight — a doc
+    // with k× the weight has a k×-compressed priority range, so the
+    // bottom-k cut favors heavy docs proportionally, yet the draw is a
+    // pure function of (doc_id, weight) — re-runnable, audit-stable,
+    // seedless (the llm_sample_split law). Scale: priority is computed
+    // scan-side and the bottom-k is TakeOrdered (per-partition heaps +
+    // one tiny merge), never a global sort.
+    "llm_sample_weighted" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("n_chars").cast("bigint").as("w"),
+          expr("CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10) AS BIGINT)")
+            .as("h"))
+        .where(col("w") > 0)
+        .withColumn("priority", expr("h DIV w"))
+        .select("doc_id", "w", "priority")
+        .orderBy("priority", "doc_id")
+        .limit(50)),
+
+    // 4-bit scalar-grid quantization with nibble-packed codes (the PQ-
+    // style compression step after llm_embed_quantize's int8: 16× memory
+    // cut for ANN candidate filtering). Per-DIMENSION min/max come from
+    // one global rollup (a 64-row broadcast); each element quantizes to
+    // (x−mn)·15 DIV (mx−mn) on exact micro-int values, dims 0..7 pack
+    // into one BIGINT of nibbles, and the reconstruction error is
+    // reported per vector in micro-units. All integer after the one
+    // float→micro floor, so codes and errors hash-grade exactly.
+    // Scale: posexplode is a projection (no shuffle); the only exchanges
+    // are the 64-row stats rollup and the per-vector re-assembly, both
+    // on even keys.
+    "llm_embed_pq" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), posexplode(col("embedding")))
+        .withColumn("xm", floor(col("col").cast("double") * 10000).cast("bigint"))
+      val stats = e.groupBy("pos").agg(min("xm").as("mn"), max("xm").as("mx"))
+      e.join(broadcast(stats), "pos")
+        .withColumn("code", expr(
+          "CASE WHEN mx = mn THEN CAST(0 AS BIGINT) ELSE ((xm - mn) * 15) DIV (mx - mn) END"))
+        .withColumn("deq", expr("mn + (code * (mx - mn)) DIV 15"))
+        .withColumn("err", abs(col("xm") - col("deq")))
+        .groupBy("vec_id")
+        .agg(
+          sum(when(col("pos") < 8,
+            expr("code * CAST(pow(16, pos) AS BIGINT)")).otherwise(lit(0L)))
+            .as("code0"),
+          sum("err").as("err_total"), max("err").as("err_max"))
+        .orderBy("vec_id")
+    }))
+
+  val queries: Map[String, Q] = mainQueries ++ extraQueries
+
   val oracles: Map[String, String] = Map(
     "llm_pack_sequences" ->
       s"""WITH t AS (SELECT doc_id,
@@ -281,6 +337,31 @@ object LlmPrep {
         |SELECT doc_id, pr, pc, CAST(length(patch) AS INT) AS patch_len,
         |  md5(patch) AS patch_md5
         |FROM p WHERE length(patch) > 0
-        |ORDER BY doc_id, pr, pc""".stripMargin
+        |ORDER BY doc_id, pr, pc""".stripMargin,
+
+    "llm_sample_weighted" ->
+      """SELECT doc_id, CAST(n_chars AS BIGINT) AS w,
+        |  ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+        |    // CAST(n_chars AS BIGINT) AS priority
+        |FROM documents WHERE n_chars > 0
+        |ORDER BY priority, doc_id LIMIT 50""".stripMargin,
+
+    "llm_embed_pq" ->
+      """WITH e AS (SELECT vec_id,
+        |    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 10000) AS BIGINT) AS xm,
+        |    generate_subscripts(embedding, 1) - 1 AS pos
+        |  FROM embeddings),
+        |st AS (SELECT pos, MIN(xm) AS mn, MAX(xm) AS mx FROM e GROUP BY 1),
+        |c AS (SELECT vec_id, e.pos, xm, mn, mx,
+        |    CASE WHEN mx = mn THEN CAST(0 AS BIGINT)
+        |         ELSE ((xm - mn) * 15) // (mx - mn) END AS code
+        |  FROM e JOIN st ON e.pos = st.pos),
+        |r AS (SELECT *, mn + (code * (mx - mn)) // 15 AS deq FROM c)
+        |SELECT vec_id,
+        |  CAST(SUM(CASE WHEN pos < 8 THEN code * CAST(pow(16, pos) AS BIGINT)
+        |           ELSE 0 END) AS BIGINT) AS code0,
+        |  CAST(SUM(abs(xm - deq)) AS BIGINT) AS err_total,
+        |  CAST(MAX(abs(xm - deq)) AS BIGINT) AS err_max
+        |FROM r GROUP BY vec_id ORDER BY vec_id""".stripMargin
   )
 }

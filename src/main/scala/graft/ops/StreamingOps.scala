@@ -268,6 +268,56 @@ object StreamingOps {
       s.table(sink).orderBy("p_id", "v_id")
     }),
 
+    // Stream ⋈ stream LEFT OUTER: same correlation window as
+    // stream_stream_join, but every purchase row emits — matched rows
+    // immediately, unmatched ones with NULL view columns once the
+    // watermark passes their join window and state eviction proves no
+    // view can still arrive (the outer-null contract that distinguishes
+    // "no match yet" from "no match ever"). Three watermark-advancing
+    // waves after the probe batch make the eviction deterministic: each
+    // wave is a self-matching (view, purchase) pair 1h+ later, so the
+    // watermark ratchets far past 10:30 and purchase 202's null row must
+    // be flushed by the final trigger.
+    "stream_stream_left" -> ((s, d) => withFewShufflePartitions(s) {
+      val classic = s.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      import classic.implicits._
+      implicit val sq = classic.sqlContext
+      val mp = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[SEvent]
+      val mv = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[SEvent]
+      val sink = newSinkName()
+      val p = mp.toDF()
+        .select(col("event_id").as("p_id"), col("user_id"), col("ts").as("p_ts"))
+        .withWatermark("p_ts", "10 minutes")
+      val v = mv.toDF()
+        .select(col("event_id").as("v_id"), col("user_id").as("v_user"), col("ts").as("v_ts"))
+        .withWatermark("v_ts", "10 minutes")
+      val q = p.join(v,
+          col("user_id") === col("v_user")
+            && col("v_ts") >= col("p_ts") - expr("INTERVAL 10 MINUTES")
+            && col("v_ts") <= col("p_ts"), "left_outer")
+        .select(col("p_id"), col("user_id"), fmt(col("p_ts")).as("p_ts"),
+          col("v_id"), fmt(col("v_ts")).as("v_ts"))
+        .writeStream.format("memory").queryName(sink).outputMode("append").start()
+      mv.addData(
+        SEvent(101, Timestamp.valueOf("2024-01-01 10:00:00"), 1, "view", 1.0),
+        SEvent(103, Timestamp.valueOf("2024-01-01 10:00:00"), 2, "view", 1.0))
+      mp.addData(
+        SEvent(201, Timestamp.valueOf("2024-01-01 10:05:00"), 1, "purchase", 1.0),
+        SEvent(202, Timestamp.valueOf("2024-01-01 10:30:00"), 2, "purchase", 1.0))
+      q.processAllAvailable()
+      mv.addData(SEvent(104, Timestamp.valueOf("2024-01-01 12:00:00"), 3, "view", 1.0))
+      mp.addData(SEvent(204, Timestamp.valueOf("2024-01-01 12:00:00"), 3, "purchase", 1.0))
+      q.processAllAvailable()
+      mv.addData(SEvent(105, Timestamp.valueOf("2024-01-01 13:00:00"), 4, "view", 1.0))
+      mp.addData(SEvent(206, Timestamp.valueOf("2024-01-01 13:00:00"), 4, "purchase", 1.0))
+      q.processAllAvailable()
+      mv.addData(SEvent(106, Timestamp.valueOf("2024-01-01 14:00:00"), 5, "view", 1.0))
+      mp.addData(SEvent(208, Timestamp.valueOf("2024-01-01 14:00:00"), 5, "purchase", 1.0))
+      q.processAllAvailable()
+      q.stop()
+      s.table(sink).orderBy("p_id", "v_id")
+    }),
+
     // Arbitrary stateful processing: per-user running (count, value-sum)
     // state machine via Spark 4's transformWithState (StatefulProcessor +
     // typed ValueState) over the RocksDB state store provider — the
@@ -445,6 +495,22 @@ object StreamingOps {
         |FROM (VALUES
         |  (201, 1, '2024-01-01 10:05:00', 101, '2024-01-01 10:00:00'),
         |  (203, 1, '2024-01-01 10:25:00', 102, '2024-01-01 10:20:00'))
+        |  AS t(p_id, user_id, p_ts, v_id, v_ts)
+        |ORDER BY p_id, v_id""".stripMargin,
+
+    // Matched: 201←101 (u1, in-window), plus the three self-matching
+    // watermark-advancing pairs. Outer null: purchase 202 (u2, 10:30) —
+    // view 103 precedes it by >10 min, and the watermark's final position
+    // (13:50) is far past its window, so the engine PROVED no match.
+    "stream_stream_left" ->
+      """SELECT CAST(p_id AS BIGINT) AS p_id, CAST(user_id AS BIGINT) AS user_id, p_ts,
+        |  CAST(v_id AS BIGINT) AS v_id, v_ts
+        |FROM (VALUES
+        |  (201, 1, '2024-01-01 10:05:00', 101, '2024-01-01 10:00:00'),
+        |  (202, 2, '2024-01-01 10:30:00', NULL, NULL),
+        |  (204, 3, '2024-01-01 12:00:00', 104, '2024-01-01 12:00:00'),
+        |  (206, 4, '2024-01-01 13:00:00', 105, '2024-01-01 13:00:00'),
+        |  (208, 5, '2024-01-01 14:00:00', 106, '2024-01-01 14:00:00'))
         |  AS t(p_id, user_id, p_ts, v_id, v_ts)
         |ORDER BY p_id, v_id""".stripMargin,
 

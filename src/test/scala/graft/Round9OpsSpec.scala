@@ -164,6 +164,49 @@ class Round9OpsSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("llm_sample_weighted: exactly the bottom-50 priorities, favoring heavy docs") {
+    val rows = SparkEntry.queries("llm_sample_weighted")(spark, sf).collect()
+    assert(rows.length == 50)
+    // recompute every doc's priority and check the cut is exact
+    val all = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("n_chars").cast("bigint").as("w"),
+        expr("CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10) AS BIGINT) DIV CAST(n_chars AS BIGINT)").as("p"))
+      .where(col("w") > 0)
+      .collect().map(r => (r.getLong(2), r.getLong(0), r.getLong(1)))
+    val expect = all.sortBy(t => (t._1, t._2)).take(50).map(_._2).toSet
+    assert(rows.map(_.getLong(0)).toSet == expect)
+    // weighting law: the weighted draw favors long docs — the sample's
+    // mean weight beats the corpus mean (deterministic on the fixture)
+    val corpusMean = all.map(_._3).sum.toDouble / all.length
+    val sampleMean = rows.map(_.getLong(1)).sum.toDouble / rows.length
+    assert(sampleMean > corpusMean,
+      s"weighted sample mean $sampleMean not above corpus mean $corpusMean")
+  }
+
+  test("llm_embed_pq: nibble-packed codes in range, error bounded by the grid step") {
+    val rows = SparkEntry.queries("llm_embed_pq")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // 8 nibbles of 4 bits: code0 in [0, 16^8)
+    assert(rows.forall(r => r.getLong(1) >= 0 && r.getLong(1) < (1L << 32)))
+    // reconstruction error per element can't exceed the coarsest grid step
+    val step = Tables.embeddings(spark, sf)
+      .select(posexplode(col("embedding")))
+      .withColumn("xm", floor(col("col").cast("double") * 10000).cast("bigint"))
+      .groupBy("pos").agg((max("xm") - min("xm")).as("range"))
+      .agg(max(expr("(range + 14) DIV 15"))).collect()(0).getLong(0)
+    assert(rows.forall(_.getLong(3) <= step),
+      s"err_max above the grid step $step")
+  }
+
+  test("stream_stream_left: the watermark-proven unmatched purchase emits a null row") {
+    val rows = SparkEntry.queries("stream_stream_left")(spark, sf).collect()
+    assert(rows.length == 5)
+    val unmatched = rows.filter(_.isNullAt(3))
+    assert(unmatched.length == 1 && unmatched(0).getLong(0) == 202L,
+      "exactly purchase 202 must emit with NULL view columns")
+    assert(rows.filter(!_.isNullAt(3)).length == 4)
+  }
+
   test("graph_pagerank: teleport floor, mass conservation, and full node coverage") {
     val rows = SparkEntry.queries("graph_pagerank")(spark, sf).collect()
     val nNations = Tables.nation(spark, sf).count()
