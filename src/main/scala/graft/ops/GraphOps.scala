@@ -5,23 +5,22 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 
 /** Graph analytics over relations derived from the fact tables — the
-  * PageRank/centrality family a warehouse serves next to the iterative
-  * connected-components already in `llm_dedup_cluster`.
+  * PageRank/centrality/motif family a warehouse serves next to the
+  * iterative connected-components already in `llm_dedup_cluster`.
   *
   * Scale posture: the expensive part is building the edge list (a fact-
   * fact join + rollup — one shuffle on the order key, dimensions
-  * broadcast); the iteration then runs over the AGGREGATED graph
-  * (≤ |nations|² rows), re-joined per round exactly like a Pregel
-  * superstep. At 100 TB the edge rollup is the same one-shuffle
+  * broadcast); the algorithms then run over the AGGREGATED graph
+  * (≤ |nations|² rows), re-joined per step exactly like Pregel
+  * supersteps. At 100 TB the edge rollup is the same one-shuffle
   * aggregate, and a bigger node domain (users, domains, hosts) keeps the
-  * identical join-per-round shape — every step is a key-partitioned
+  * identical join-per-step shape — every step is a key-partitioned
   * equi-join + groupBy, never a driver-side adjacency structure.
   *
-  * Determinism: ranks are BIGINT micro-units; every step is integer
-  * multiply / integer DIV / integer sum (associative, partition-order
-  * free), so after any number of rounds both engines hold bit-identical
-  * ranks — no FP drift, unlike double-valued PageRank whose sums are
-  * partition-order dependent.
+  * Determinism: ranks are BIGINT micro-units and triangle counts are
+  * exact integers; every step is integer multiply / integer DIV /
+  * integer sum (associative, partition-order free), so both engines hold
+  * bit-identical results — no FP drift.
   */
 object GraphOps {
   type Q = (SparkSession, String) => DataFrame
@@ -31,25 +30,42 @@ object GraphOps {
     * graph; the oracle replays the same 5 rounds as chained CTEs). */
   private val PrIters = 5
 
+  /** Directed nation trade edges: src→dst weighted by how many lineitems
+    * customers of nation src bought from suppliers of nation dst. The
+    * one real shuffle of the family; localCheckpoint'd so the iterative
+    * consumers read the ≤625-row graph, not the fact lineage. */
+  private def tradeEdges(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d).select("l_orderkey", "l_suppkey")
+      .join(Tables.orders(s, d).select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(s, d).select("c_custkey", "c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.supplier(s, d).select("s_suppkey", "s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
+      .agg(count(lit(1)).as("w"))
+      .localCheckpoint()
+
+  /** The oracle twin of `tradeEdges` (kept adjacent so they drift
+    * together or not at all). */
+  private val EdgesCte =
+    """edges AS (
+      |  SELECT c_nationkey AS src, s_nationkey AS dst,
+      |    COUNT(*)::BIGINT AS w
+      |  FROM lineitem
+      |  JOIN orders ON o_orderkey = l_orderkey
+      |  JOIN customer ON c_custkey = o_custkey
+      |  JOIN supplier ON s_suppkey = l_suppkey
+      |  GROUP BY 1, 2)""".stripMargin
+
   val queries: Map[String, Q] = Map(
-    // Weighted PageRank over the nation trade graph: an edge src→dst
-    // weighted by how many lineitems customers of nation src bought from
-    // suppliers of nation dst. Damping 0.85 in micro-units:
+    // Weighted PageRank over the nation trade graph. Damping 0.85 in
+    // micro-units:
     //   r' = 150000 + (85 · Σ_in (r · w DIV out_w)) DIV 100
-    // (teleport 0.15 · 1e6, all-integer). The edge rollup is
-    // localCheckpoint'd so the 5 iteration rounds read the 625-row graph,
-    // not the fact lineage, and the per-round plan stays O(edges).
+    // (teleport 0.15 · 1e6, all-integer). Each round is one equi-join +
+    // groupBy over the checkpointed edge rollup.
     "graph_pagerank" -> ((s, d) => {
-      val edges = Tables.lineitem(s, d).select("l_orderkey", "l_suppkey")
-        .join(Tables.orders(s, d).select("o_orderkey", "o_custkey"),
-          col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(Tables.customer(s, d).select("c_custkey", "c_nationkey")),
-          col("o_custkey") === col("c_custkey"))
-        .join(broadcast(Tables.supplier(s, d).select("s_suppkey", "s_nationkey")),
-          col("l_suppkey") === col("s_suppkey"))
-        .groupBy(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
-        .agg(count(lit(1)).as("w"))
-        .localCheckpoint()
+      val edges = tradeEdges(s, d)
       val outw = edges.groupBy("src").agg(sum("w").as("ow"))
       val ew = edges.join(outw, "src")
       val nodes = Tables.nation(s, d).select(col("n_nationkey").as("node"))
@@ -68,6 +84,39 @@ object GraphOps {
         .select(col("node").as("n_nationkey"), col("r").as("rank_micro"),
           (col("r").cast("double") / 1e6).as("rank"))
         .orderBy("n_nationkey")
+    }),
+
+    // Triangle counting (the clustering-coefficient numerator / community
+    // motif): undirected trade edges thinned to the above-average-weight
+    // backbone (scale-FREE cut, cross-multiplied exact integers — the
+    // tpch_q11 law), then the canonical two-join oriented enumeration:
+    // wedges a<b<c from (a,b)⋈(b,c), closed by (a,c). Orienting every
+    // edge low→high counts each triangle exactly once and bounds the
+    // wedge fan-out by the smaller endpoint's degree — the standard
+    // distributed-triangle trick. Per-node participation via a bounded
+    // 3-way explode; nations outside any triangle report 0.
+    "graph_triangles" -> ((s, d) => {
+      val und = tradeEdges(s, d).where(col("src") =!= col("dst"))
+        .select(least(col("src"), col("dst")).as("a"),
+          greatest(col("src"), col("dst")).as("b"), col("w"))
+        .groupBy("a", "b").agg(sum("w").as("w"))
+      val tot = und.agg(sum("w").as("tw"), count(lit(1)).as("ne"))
+      val heavy = und.join(broadcast(tot))
+        .where(col("w") * col("ne") > col("tw"))
+        .select("a", "b").localCheckpoint()
+      val wedges = heavy
+        .join(heavy.select(col("a").as("b"), col("b").as("c")), "b")
+      val tri = wedges
+        .join(heavy.select(col("a"), col("b").as("c")), Seq("a", "c"))
+        .select("a", "b", "c")
+      val perNode = tri
+        .select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+        .groupBy("node").agg(count(lit(1)).as("cnt"))
+      Tables.nation(s, d).select(col("n_nationkey").as("node"))
+        .join(perNode, Seq("node"), "left")
+        .select(col("node"),
+          coalesce(col("cnt"), lit(0L)).as("n_triangles"))
+        .orderBy("node")
     })
   )
 
@@ -85,14 +134,7 @@ object GraphOps {
            |    CAST(150000 + (85 * COALESCE(c$i.contrib, 0)) // 100 AS BIGINT) AS r
            |  FROM nodes n LEFT JOIN c$i ON c$i.node = n.node)"""
       }.mkString(",\n")
-      s"""WITH edges AS (
-         |  SELECT c_nationkey AS src, s_nationkey AS dst,
-         |    COUNT(*)::BIGINT AS w
-         |  FROM lineitem
-         |  JOIN orders ON o_orderkey = l_orderkey
-         |  JOIN customer ON c_custkey = o_custkey
-         |  JOIN supplier ON s_suppkey = l_suppkey
-         |  GROUP BY 1, 2),
+      s"""WITH $EdgesCte,
          |outw AS (SELECT src, CAST(SUM(w) AS BIGINT) AS ow FROM edges GROUP BY 1),
          |nodes AS (SELECT n_nationkey AS node FROM nation),
          |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM nodes),
@@ -100,6 +142,23 @@ object GraphOps {
          |SELECT node AS n_nationkey, r AS rank_micro,
          |  CAST(r AS DOUBLE) / 1e6 AS rank
          |FROM r$PrIters ORDER BY n_nationkey""".stripMargin
-    }
+    },
+
+    "graph_triangles" ->
+      s"""WITH $EdgesCte,
+         |und AS (SELECT LEAST(src, dst) AS a, GREATEST(src, dst) AS b,
+         |    CAST(SUM(w) AS BIGINT) AS w
+         |  FROM edges WHERE src <> dst GROUP BY 1, 2),
+         |t AS (SELECT CAST(SUM(w) AS BIGINT) AS tw, COUNT(*) AS ne FROM und),
+         |h AS (SELECT a, b FROM und, t WHERE w * ne > tw),
+         |w2 AS (SELECT h1.a, h1.b, h2.b AS c
+         |  FROM h h1 JOIN h h2 ON h1.b = h2.a),
+         |tri AS (SELECT w2.a, w2.b, w2.c
+         |  FROM w2 JOIN h h3 ON h3.a = w2.a AND h3.b = w2.c),
+         |x AS (SELECT unnest([a, b, c]) AS node FROM tri),
+         |g AS (SELECT node, COUNT(*) AS cnt FROM x GROUP BY 1)
+         |SELECT n_nationkey AS node, CAST(COALESCE(cnt, 0) AS BIGINT) AS n_triangles
+         |FROM nation LEFT JOIN g ON node = n_nationkey
+         |ORDER BY node""".stripMargin
   )
 }

@@ -311,6 +311,97 @@ object Lakehouse {
   private[graft] def pruneFilesByKey2(root: String, v: Int, lo: Long, hi: Long): Seq[FileEntry] =
     manifest(root, v).filter(e => e.minKey2 <= hi && e.maxKey2 >= lo)
 
+  /** Bloom sidecar geometry: 65536 bits × 4 hashes. At the largest test
+    * file cardinality (sf0.1: ~9k rows/file, ~8.5k distinct custkeys)
+    * kn/m ≈ 0.52 → false-positive rate ≈ 2.7%; at sf0.01 it is ~1e-5.
+    * A production table sizes m from the footer's distinct count per
+    * file — the sidecar mechanism is unchanged. */
+  private val BloomBits = 65536
+  private val BloomK = 4
+
+  /** Driver-side twin of the build's Spark-SQL hash
+    * (`conv(substring(md5('j:key'),1,15),16,10) % BloomBits`): the point
+    * lookup plans against the sidecar WITHOUT a Spark job, so the same
+    * positions must be computable on the driver. BloomIndexSpec asserts
+    * byte parity between the two. */
+  private[graft] def bloomPositions(key: Long): Seq[Int] =
+    (0 until BloomK).map { j =>
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$j:$key".getBytes(StandardCharsets.UTF_8))
+        .map(b => f"$b%02x").mkString.substring(0, 15)
+      (java.lang.Long.parseLong(hex, 16) % BloomBits).toInt
+    }
+
+  private def bloomPath(root: String, v: Int): Path =
+    metaDir(root).resolve(s"v$v.bloom")
+
+  /** Puffin-style auxiliary stats blob: one hex-encoded bloom bitmap per
+    * live file, committed beside (not inside) the manifest so readers
+    * that don't know about it are unaffected. */
+  private def writeBloomSidecar(root: String, v: Int,
+      blooms: Map[String, java.util.BitSet]): Unit =
+    atomicWrite(bloomPath(root, v), blooms.toSeq.sortBy(_._1)
+      .map { case (p, bs) =>
+        s"$p\t${bs.toByteArray.map(b => f"$b%02x").mkString}" }
+      .mkString("\n"))
+
+  private def readBloomSidecar(root: String, v: Int): Map[String, java.util.BitSet] =
+    new String(Files.readAllBytes(bloomPath(root, v)), StandardCharsets.UTF_8)
+      .split("\n").filter(_.nonEmpty).map { line =>
+        val Array(p, hex) = line.split("\t")
+        p -> java.util.BitSet.valueOf(
+          hex.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray)
+      }.toMap
+
+  /** Membership pruning on an UNCLUSTERED key: keep a file iff its bloom
+    * holds all k bits of the probe (or it has no sidecar entry — false
+    * positives allowed, false negatives never). min/max stats are useless
+    * for a point lookup on a key uncorrelated with the layout; this is
+    * the index that serves it. */
+  private[graft] def bloomPruneFiles(root: String, v: Int, key: Long): Seq[FileEntry] = {
+    val blooms = readBloomSidecar(root, v)
+    val pos = bloomPositions(key)
+    manifest(root, v).filter(e =>
+      blooms.get(e.path).forall(bs => pos.forall(bs.get)))
+  }
+
+  /** v2 = bloom-index maintenance commit on its own table prefix: v1
+    * range-lays orders on o_orderkey (so o_custkey is scattered — the
+    * layout where min/max pruning has ZERO power for customer lookups),
+    * then one distributed pass builds a per-file bloom over o_custkey
+    * (k hash positions exploded scan-side, one shuffle on the file name,
+    * O(files) bitmap rows back to the driver) and commits it as a
+    * sidecar. Data files are untouched — like recluster/compact this is
+    * a pure maintenance commit, CAS-protected. */
+  private[graft] def ensureBloomTable(s: SparkSession, d: String): String = {
+    val root = Scratch.opDir("bloom_tbl", d)
+    if (currentVersion(root).exists(_ >= 2)) return root
+    val loadDir = s"$root/load-v1"
+    Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .repartitionByRange(16, col("o_orderkey"))
+      .sortWithinPartitions("o_orderkey")
+      .write.mode("overwrite").parquet(loadDir)
+    commit(root, 1, fileStats(s, loadDir))
+    val posCols = (0 until BloomK).map(j => expr(
+      s"CAST(conv(substring(md5(concat('$j:', CAST(o_custkey AS STRING))), " +
+        s"1, 15), 16, 10) AS BIGINT) % $BloomBits").cast("int"))
+    val perFile = s.read.parquet(manifest(root, 1).map(_.path): _*)
+      .select(input_file_name().as("path"),
+        explode(array(posCols: _*)).as("pos"))
+      .groupBy("path").agg(collect_set(col("pos")).as("bits"))
+      .collect() // O(files) bitmap rows, never data
+    val blooms = perFile.map { r =>
+      val bs = new java.util.BitSet(BloomBits)
+      r.getSeq[Int](1).foreach(bs.set)
+      r.getString(0) -> bs
+    }.toMap
+    writeBloomSidecar(root, 2, blooms)
+    require(commitIf(root, Some(1), 2, manifest(root, 1)),
+      s"bloom commit expected table at v1 (found ${currentVersion(root)})")
+    root
+  }
+
   /** v4 = row-level DELETE (the right-to-be-forgotten verb that completes
     * the table's DML surface beside MERGE's update/insert): remove keys
     * ≡0 mod 13 inside the decile, copy-on-write. Same planning contract as
@@ -760,6 +851,27 @@ object Lakehouse {
         .orderBy("o_year")
     }),
 
+    // Point-lookup pruning on an UNCLUSTERED key via the bloom sidecar:
+    // the probe customer's orders are scattered across the o_orderkey-
+    // laid files (min/max stats keep everything), but the per-file bloom
+    // keeps only the ~10 files that can possibly hold the key — the
+    // secondary-index verb beside range skipping (min/max), key2 stats
+    // (recluster) and z-order. The residual equality predicate still
+    // applies: blooms admit false positives, never false negatives.
+    "warehouse_snapshot_bloom" -> ((s, d) => {
+      val root = ensureBloomTable(s, d)
+      val probe = readSnapshot(s, root, 2)
+        .agg(min("o_custkey")).collect()(0).getLong(0)
+      val live = manifest(root, 2)
+      val hit = bloomPruneFiles(root, 2, probe)
+      require(hit.nonEmpty && hit.size < live.size,
+        s"bloom pruning should drop some files (kept ${hit.size}/${live.size})")
+      s.read.parquet(hit.map(_.path): _*)
+        .where(col("o_custkey") === probe)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy("o_orderkey")
+    }),
+
     // Re-clustering restores data skipping on a DRIFTED query key: the
     // graded read prunes the re-sorted snapshot's files on the SECOND
     // clustering key's manifest stats (a strict minority must survive —
@@ -1032,6 +1144,14 @@ object Lakehouse {
         |WHERE o_orderkey > 4 * (SELECT t FROM thr)
         |  AND o_orderkey <= 5 * (SELECT t FROM thr)
         |GROUP BY o_year ORDER BY o_year""".stripMargin,
+
+    // The bloom table is v1 content (no merge batch); the lookup result
+    // must equal the plain filter — membership pruning is invisible.
+    "warehouse_snapshot_bloom" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders
+        |WHERE o_custkey = (SELECT MIN(o_custkey) FROM orders)
+        |ORDER BY o_orderkey""".stripMargin,
 
     // The re-clustered snapshot reads v2's post-state, filtered to 1997.
     "warehouse_snapshot_recluster" ->

@@ -367,4 +367,31 @@ class LakehouseSpec extends AnyFunSuite with SparkFixture {
       .agg(sum("n")).collect()(0).getLong(0)
     assert(streamed == Tables.events(spark, sf).count())
   }
+
+  test("bloom index: driver hash parity with the build, no false negatives, real pruning") {
+    // driver-side bloomPositions must equal the Spark-SQL build hash for
+    // any key — the sidecar is useless (or worse, wrong) otherwise
+    val keys = Seq(1L, 42L, 777L, 123456789L)
+    val fromSpark = spark.sql(keys.map { k =>
+      (0 until 4).map(j =>
+        s"CAST(conv(substring(md5(concat('$j:', CAST($k AS STRING))), 1, 15), 16, 10) AS BIGINT) % 65536")
+        .mkString("SELECT array(", ", ", ")")
+    }.mkString(" UNION ALL ")).collect().map(_.getSeq[Long](0).map(_.toInt))
+    keys.zip(fromSpark).foreach { case (k, expect) =>
+      assert(Lakehouse.bloomPositions(k) == expect, s"hash drift for key $k")
+    }
+    val r = Lakehouse.ensureBloomTable(spark, sf)
+    val live = Lakehouse.manifest(r, 2)
+    // no false negatives: EVERY custkey's pruned file set covers all the
+    // files that actually hold it (checked for a sample of 20 keys)
+    val fileOf = spark.read.parquet(live.map(_.path): _*)
+      .select(col("o_custkey"), org.apache.spark.sql.functions.input_file_name().as("f"))
+      .collect().groupBy(_.getLong(0)).view.mapValues(_.map(_.getString(1)).toSet).toMap
+    fileOf.keys.toSeq.sorted.take(20).foreach { k =>
+      val kept = Lakehouse.bloomPruneFiles(r, 2, k).map(_.path).toSet
+      assert(fileOf(k).subsetOf(kept), s"false negative for custkey $k")
+      // and pruning does real work for a point lookup
+      assert(kept.size < live.size, s"no pruning for custkey $k")
+    }
+  }
 }

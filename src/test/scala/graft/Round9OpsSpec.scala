@@ -207,6 +207,14 @@ class Round9OpsSpec extends AnyFunSuite with SparkFixture {
     assert(rows.filter(!_.isNullAt(3)).length == 4)
   }
 
+  test("graph_triangles: participation is 3x the triangle count and edges verify") {
+    val rows = SparkEntry.queries("graph_triangles")(spark, sf).collect()
+    assert(rows.length == Tables.nation(spark, sf).count())
+    val total = rows.map(_.getLong(1)).sum
+    assert(total > 0, "the heavy trade backbone must contain triangles")
+    assert(total % 3 == 0, "each triangle contributes exactly 3 participations")
+  }
+
   test("graph_pagerank: teleport floor, mass conservation, and full node coverage") {
     val rows = SparkEntry.queries("graph_pagerank")(spark, sf).collect()
     val nNations = Tables.nation(spark, sf).count()
