@@ -58,6 +58,32 @@ object GraphOps {
       |  JOIN supplier ON s_suppkey = l_suppkey
       |  GROUP BY 1, 2)""".stripMargin
 
+  /** Above-average-weight undirected backbone (the scale-free cut shared
+    * by the motif/path ops): und edge weight sums both orientations, the
+    * cut is the cross-multiplied exact-integer compare (tpch_q11 law). */
+  private def heavyBackbone(s: SparkSession, d: String): DataFrame = {
+    val und = tradeEdges(s, d).where(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"), col("w"))
+      .groupBy("a", "b").agg(sum("w").as("w"))
+    val tot = und.agg(sum("w").as("tw"), count(lit(1)).as("ne"))
+    und.join(broadcast(tot))
+      .where(col("w") * col("ne") > col("tw"))
+      .select("a", "b").localCheckpoint()
+  }
+
+  /** Oracle twin of `heavyBackbone` (chains after EdgesCte). */
+  private val HeavyCte =
+    """und AS (SELECT LEAST(src, dst) AS a, GREATEST(src, dst) AS b,
+      |    CAST(SUM(w) AS BIGINT) AS w
+      |  FROM edges WHERE src <> dst GROUP BY 1, 2),
+      |t AS (SELECT CAST(SUM(w) AS BIGINT) AS tw, COUNT(*) AS ne FROM und),
+      |h AS (SELECT a, b FROM und, t WHERE w * ne > tw)""".stripMargin
+
+  /** Fixed BFS relaxation rounds (diameter of the fixture backbone is
+    * ≤ 3; round 4 is the convergence slack the oracle replays too). */
+  private val BfsIters = 4
+
   val queries: Map[String, Q] = Map(
     // Weighted PageRank over the nation trade graph. Damping 0.85 in
     // micro-units:
@@ -96,14 +122,7 @@ object GraphOps {
     // distributed-triangle trick. Per-node participation via a bounded
     // 3-way explode; nations outside any triangle report 0.
     "graph_triangles" -> ((s, d) => {
-      val und = tradeEdges(s, d).where(col("src") =!= col("dst"))
-        .select(least(col("src"), col("dst")).as("a"),
-          greatest(col("src"), col("dst")).as("b"), col("w"))
-        .groupBy("a", "b").agg(sum("w").as("w"))
-      val tot = und.agg(sum("w").as("tw"), count(lit(1)).as("ne"))
-      val heavy = und.join(broadcast(tot))
-        .where(col("w") * col("ne") > col("tw"))
-        .select("a", "b").localCheckpoint()
+      val heavy = heavyBackbone(s, d)
       val wedges = heavy
         .join(heavy.select(col("a").as("b"), col("b").as("c")), "b")
       val tri = wedges
@@ -117,6 +136,33 @@ object GraphOps {
         .select(col("node"),
           coalesce(col("cnt"), lit(0L)).as("n_triangles"))
         .orderBy("node")
+    }),
+
+    // Multi-source-capable BFS (here single source: the backbone's
+    // smallest endpoint — guaranteed connected at every scale, unlike a
+    // fixed nation id) over the heavy backbone — hop distances by
+    // iterative frontier relaxation:
+    //   dist' = min(dist, min over neighbors (dist_nbr + 1))
+    // per round, the Bellman-Ford/Pregel shape; unreachable stays at the
+    // 99 sentinel. Each round is one equi-join + min-groupBy over the
+    // checkpointed backbone (both orientations), bounded state per node.
+    "graph_bfs" -> ((s, d) => {
+      val heavy = heavyBackbone(s, d)
+      val bi = heavy.select(col("a").as("src"), col("b").as("dst"))
+        .unionAll(heavy.select(col("b").as("src"), col("a").as("dst")))
+      val src = heavy.agg(min(col("a")).cast("long")).collect()(0).getLong(0)
+      val nodes = Tables.nation(s, d).select(col("n_nationkey").as("node"))
+      var dist = nodes.withColumn("dist",
+        when(col("node") === src, 0L).otherwise(lit(99L)))
+      for (_ <- 1 to BfsIters) {
+        val relax = bi.join(dist.withColumnRenamed("node", "src"), "src")
+          .select(col("dst").as("node"), (col("dist") + 1).as("cand"))
+          .groupBy("node").agg(min("cand").as("cand"))
+        dist = dist.join(relax, Seq("node"), "left")
+          .select(col("node"),
+            least(col("dist"), coalesce(col("cand"), lit(99L))).as("dist"))
+      }
+      dist.orderBy("node")
     })
   )
 
@@ -146,11 +192,7 @@ object GraphOps {
 
     "graph_triangles" ->
       s"""WITH $EdgesCte,
-         |und AS (SELECT LEAST(src, dst) AS a, GREATEST(src, dst) AS b,
-         |    CAST(SUM(w) AS BIGINT) AS w
-         |  FROM edges WHERE src <> dst GROUP BY 1, 2),
-         |t AS (SELECT CAST(SUM(w) AS BIGINT) AS tw, COUNT(*) AS ne FROM und),
-         |h AS (SELECT a, b FROM und, t WHERE w * ne > tw),
+         |$HeavyCte,
          |w2 AS (SELECT h1.a, h1.b, h2.b AS c
          |  FROM h h1 JOIN h h2 ON h1.b = h2.a),
          |tri AS (SELECT w2.a, w2.b, w2.c
@@ -159,6 +201,29 @@ object GraphOps {
          |g AS (SELECT node, COUNT(*) AS cnt FROM x GROUP BY 1)
          |SELECT n_nationkey AS node, CAST(COALESCE(cnt, 0) AS BIGINT) AS n_triangles
          |FROM nation LEFT JOIN g ON node = n_nationkey
-         |ORDER BY node""".stripMargin
+         |ORDER BY node""".stripMargin,
+
+    // BFS rounds replayed as chained CTEs from the same BfsIters constant.
+    "graph_bfs" -> {
+      val iters = (1 to BfsIters).map { i =>
+        val p = s"d${i - 1}"
+        s"""c$i AS (SELECT bi.dst AS node, CAST(MIN($p.dist + 1) AS BIGINT) AS cand
+           |  FROM bi JOIN $p ON $p.node = bi.src GROUP BY 1),
+           |d$i AS (SELECT n.node,
+           |    CAST(LEAST($p.dist, COALESCE(c$i.cand, 99)) AS BIGINT) AS dist
+           |  FROM nodes n JOIN $p ON $p.node = n.node
+           |  LEFT JOIN c$i ON c$i.node = n.node)"""
+      }.mkString(",\n")
+      s"""WITH $EdgesCte,
+         |$HeavyCte,
+         |bi AS (SELECT a AS src, b AS dst FROM h
+         |       UNION ALL SELECT b, a FROM h),
+         |nodes AS (SELECT n_nationkey AS node FROM nation),
+         |d0 AS (SELECT node, CASE WHEN node = (SELECT MIN(a) FROM h)
+         |                         THEN CAST(0 AS BIGINT)
+         |                         ELSE CAST(99 AS BIGINT) END AS dist FROM nodes),
+         |$iters
+         |SELECT node, dist FROM d$BfsIters ORDER BY node""".stripMargin
+    }
   )
 }

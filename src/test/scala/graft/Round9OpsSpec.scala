@@ -215,6 +215,26 @@ class Round9OpsSpec extends AnyFunSuite with SparkFixture {
     assert(total % 3 == 0, "each triangle contributes exactly 3 participations")
   }
 
+  test("graph_bfs: one source at 0, frontier distances consistent, sentinel for unreached") {
+    val rows = SparkEntry.queries("graph_bfs")(spark, sf).collect()
+    assert(rows.length == Tables.nation(spark, sf).count())
+    val dist = rows.map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(dist.values.count(_ == 0L) == 1, "exactly one source at distance 0")
+    assert(dist.values.forall(v => (v >= 0 && v <= 4) || v == 99L),
+      "distances are hop counts within the iteration budget or the sentinel")
+    assert(dist.values.count(_ < 99L) > 1, "the backbone must reach beyond the source")
+  }
+
+  test("agg_hll_intersect: inclusion-exclusion verdicts hold and exacts tie out") {
+    val r = SparkEntry.queries("agg_hll_intersect")(spark, sf).collect()
+    assert(r.length == 1)
+    val row = r(0)
+    assert(row.getLong(0) + row.getLong(1) - row.getLong(2) == row.getLong(3),
+      "union_exact must equal na + nb - inter")
+    assert(row.getBoolean(4) && row.getBoolean(5),
+      "sketch union and intersection estimates must land inside their bounds")
+  }
+
   test("graph_pagerank: teleport floor, mass conservation, and full node coverage") {
     val rows = SparkEntry.queries("graph_pagerank")(spark, sf).collect()
     val nNations = Tables.nation(spark, sf).count()
