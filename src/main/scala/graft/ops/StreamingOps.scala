@@ -145,6 +145,31 @@ object StreamingOps {
       q.stop()
     }),
 
+    // UPDATE output mode — the third output semantics beside append
+    // (finalized-groups-only) and complete (full re-emit): each trigger
+    // emits ONLY the groups the batch changed, so the memory sink holds
+    // the update LOG — click appears once (batch 2 never touched it),
+    // view twice (both batches did). This is the mode that feeds an
+    // upsert/CDC sink at 100 TB: per-trigger traffic is O(changed
+    // groups), not O(all groups) like complete.
+    "stream_update_agg" -> ((s, d) => runStream(s) { (ms, sink) =>
+      val q = ms.toDF()
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("cnt"),
+          sum(round(col("value") * 100).cast("long")).as("cents"))
+        .writeStream.format("memory").queryName(sink).outputMode("update").start()
+      ms.addData(
+        SEvent(1, Timestamp.valueOf("2024-01-01 10:00:00"), 1, "view", 1.0),
+        SEvent(2, Timestamp.valueOf("2024-01-01 10:01:00"), 2, "click", 2.0))
+      q.processAllAvailable()
+      ms.addData(
+        SEvent(3, Timestamp.valueOf("2024-01-01 10:02:00"), 1, "view", 3.0),
+        SEvent(4, Timestamp.valueOf("2024-01-01 10:03:00"), 3, "view", 0.5),
+        SEvent(5, Timestamp.valueOf("2024-01-01 10:04:00"), 3, "purchase", 4.0))
+      q.processAllAvailable()
+      q.stop()
+    }),
+
     // Trigger.AvailableNow over a FILE source — the backfill/catch-up mode:
     // the stream reads everything currently in the parquet path in rate-
     // limited micro-batches, then terminates on its own. Unlike the golden
@@ -485,6 +510,16 @@ object StreamingOps {
         |FROM (VALUES (1, 1, 'gold', 'view'), (2, 2, 'silver', 'click'),
         |             (3, 4, 'none', 'purchase')) AS t(event_id, user_id, tier, event_type)
         |ORDER BY event_id""".stripMargin,
+
+    // The update LOG: batch 1 emits view(1,100) + click(1,200); batch 2
+    // re-emits view(3,450) and first-emits purchase(1,400); click is
+    // untouched by batch 2 and must NOT reappear.
+    "stream_update_agg" ->
+      """SELECT event_type, CAST(cnt AS BIGINT) AS cnt, CAST(cents AS BIGINT) AS cents
+        |FROM (VALUES ('click', 1, 200), ('purchase', 1, 400),
+        |             ('view', 1, 100), ('view', 3, 450))
+        |  AS t(event_type, cnt, cents)
+        |ORDER BY event_type, cnt, cents""".stripMargin,
 
     // Matches: purchase 201 (10:05, u1) ← view 101 (10:00); purchase 203
     // (10:25, u1) ← view 102 (10:20). Purchase 202 (10:30, u2) has no view

@@ -235,6 +235,26 @@ class Round9OpsSpec extends AnyFunSuite with SparkFixture {
       "sketch union and intersection estimates must land inside their bounds")
   }
 
+  test("stream_update_agg: the update log re-emits only changed groups") {
+    val rows = SparkEntry.queries("stream_update_agg")(spark, sf).collect()
+    assert(rows.length == 4, "2 view updates + 1 click + 1 purchase")
+    val byType = rows.groupBy(_.getString(0))
+    assert(byType("click").length == 1, "click untouched by batch 2 must not re-emit")
+    assert(byType("view").length == 2, "view changed in both batches")
+    assert(byType("view").map(_.getLong(1)).max == 3L, "final view count")
+  }
+
+  test("llm_mmr_rerank: greedy picks are distinct, rank 1 is the relevance argmax") {
+    val rows = SparkEntry.queries("llm_mmr_rerank")(spark, sf).collect()
+    assert(rows.length == 5)
+    assert(rows.map(_.getLong(1)).distinct.length == 5, "no repeated picks")
+    val s1 = rows.find(_.getInt(0) == 1).get
+    assert(s1.getLong(3) == 7 * rows.map(_.getLong(2)).max,
+      "rank 1 must be the pure-relevance argmax (empty penalty)")
+    // every later score is bounded by the first (penalties only subtract)
+    assert(rows.forall(_.getLong(3) <= s1.getLong(3)))
+  }
+
   test("graph_pagerank: teleport floor, mass conservation, and full node coverage") {
     val rows = SparkEntry.queries("graph_pagerank")(spark, sf).collect()
     val nNations = Tables.nation(spark, sf).count()
