@@ -138,6 +138,34 @@ object GraphOps {
         .orderBy("node")
     }),
 
+    // Local clustering coefficient per node: 2·tri / (deg·(deg−1)) over
+    // the heavy backbone, emitted as exact micro-units
+    // ((2·tri·10⁶) DIV (deg·(deg−1)) — integer, no FP division) beside
+    // the raw degree and triangle counts. Reuses the oriented wedge
+    // enumeration; the degree rollup is one groupBy over the
+    // bidirectional edge list.
+    "graph_clustering_coeff" -> ((s, d) => {
+      val heavy = heavyBackbone(s, d)
+      val bi = heavy.select(col("a").as("node"))
+        .unionAll(heavy.select(col("b").as("node")))
+      val deg = bi.groupBy("node").agg(count(lit(1)).as("deg"))
+      val wedges = heavy
+        .join(heavy.select(col("a").as("b"), col("b").as("c")), "b")
+      val tri = wedges
+        .join(heavy.select(col("a"), col("b").as("c")), Seq("a", "c"))
+        .select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+        .groupBy("node").agg(count(lit(1)).as("tri"))
+      Tables.nation(s, d).select(col("n_nationkey").as("node"))
+        .join(deg, Seq("node"), "left")
+        .join(tri, Seq("node"), "left")
+        .select(col("node"),
+          coalesce(col("deg"), lit(0L)).as("deg"),
+          coalesce(col("tri"), lit(0L)).as("n_triangles"))
+        .withColumn("coeff_micro", expr(
+          "CASE WHEN deg >= 2 THEN (2 * n_triangles * 1000000) DIV (deg * (deg - 1)) ELSE CAST(0 AS BIGINT) END"))
+        .orderBy("node")
+    }),
+
     // Multi-source-capable BFS (here single source: the backbone's
     // smallest endpoint — guaranteed connected at every scale, unlike a
     // fixed nation id) over the heavy backbone — hop distances by
@@ -201,6 +229,29 @@ object GraphOps {
          |g AS (SELECT node, COUNT(*) AS cnt FROM x GROUP BY 1)
          |SELECT n_nationkey AS node, CAST(COALESCE(cnt, 0) AS BIGINT) AS n_triangles
          |FROM nation LEFT JOIN g ON node = n_nationkey
+         |ORDER BY node""".stripMargin,
+
+    "graph_clustering_coeff" ->
+      s"""WITH $EdgesCte,
+         |$HeavyCte,
+         |bi AS (SELECT a AS node FROM h UNION ALL SELECT b FROM h),
+         |deg AS (SELECT node, COUNT(*) AS deg FROM bi GROUP BY 1),
+         |w2 AS (SELECT h1.a, h1.b, h2.b AS c
+         |  FROM h h1 JOIN h h2 ON h1.b = h2.a),
+         |trirows AS (SELECT w2.a, w2.b, w2.c
+         |  FROM w2 JOIN h h3 ON h3.a = w2.a AND h3.b = w2.c),
+         |x AS (SELECT unnest([a, b, c]) AS node FROM trirows),
+         |tri AS (SELECT node, COUNT(*) AS tri FROM x GROUP BY 1)
+         |SELECT n_nationkey AS node,
+         |  CAST(COALESCE(deg.deg, 0) AS BIGINT) AS deg,
+         |  CAST(COALESCE(tri.tri, 0) AS BIGINT) AS n_triangles,
+         |  CAST(CASE WHEN COALESCE(deg.deg, 0) >= 2
+         |       THEN (2 * COALESCE(tri.tri, 0) * 1000000)
+         |            // (COALESCE(deg.deg, 0) * (COALESCE(deg.deg, 0) - 1))
+         |       ELSE 0 END AS BIGINT) AS coeff_micro
+         |FROM nation
+         |LEFT JOIN deg ON deg.node = n_nationkey
+         |LEFT JOIN tri ON tri.node = n_nationkey
          |ORDER BY node""".stripMargin,
 
     // BFS rounds replayed as chained CTEs from the same BfsIters constant.

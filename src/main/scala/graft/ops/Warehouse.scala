@@ -379,6 +379,38 @@ object Warehouse {
     // keys, FK orphans, derived-column drift. One single-pass aggregate
     // per table (two checks share the lineitem scan) + a left-anti probe
     // for orphans; emitted as (check, n) rows so the report is one frame.
+    // Expectation SUITE with verdicts (the Deequ-style quality GATE
+    // beside warehouse_quality_audit's raw violation counts): each
+    // constraint reports its measured metric as an exact micro-fraction
+    // (ok·10⁶ DIV rows — integer, hash-gradeable) plus a boolean verdict;
+    // a CI/ingest pipeline keys its promote/quarantine decision off the
+    // verdicts. One pass computes the four single-table metrics
+    // (multi-aggregate, map-side partials); referential integrity is a
+    // broadcast semi join count. At 100 TB the suite is two scans total,
+    // each scan-linear with scalar state per metric.
+    "warehouse_expectations" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val m = o.agg(
+        count(lit(1)).as("n_rows"),
+        count(col("o_orderstatus")).as("nn_status"),
+        countDistinct(col("o_orderkey")).as("nd_key"),
+        sum(when(col("o_orderstatus").isin("F", "O", "P"), 1L).otherwise(0L))
+          .as("ok_status"),
+        sum(when(col("o_totalprice") > 0, 1L).otherwise(0L)).as("ok_price"))
+      val fk = o.join(broadcast(Tables.customer(s, d).select("c_custkey")),
+        col("o_custkey") === col("c_custkey"), "left_semi")
+        .agg(count(lit(1)).as("ok_fk"))
+      m.crossJoin(fk).selectExpr(
+        """stack(5,
+          |  'completeness_status', (nn_status * 1000000) DIV n_rows, nn_status = n_rows,
+          |  'uniqueness_orderkey', (nd_key * 1000000) DIV n_rows, nd_key = n_rows,
+          |  'accepted_status_values', (ok_status * 1000000) DIV n_rows, ok_status = n_rows,
+          |  'range_totalprice_positive', (ok_price * 1000000) DIV n_rows, ok_price = n_rows,
+          |  'referential_custkey', (ok_fk * 1000000) DIV n_rows, ok_fk = n_rows
+          |) AS (check_name, metric_micro, passed)""".stripMargin)
+        .orderBy("check_name")
+    }),
+
     "warehouse_quality_audit" -> ((s, d) => {
       val cust = Tables.customer(s, d).agg(
         sum(when(col("c_acctbal") < 0, 1L).otherwise(0L)).as("neg"),
@@ -639,6 +671,30 @@ object Warehouse {
         |  (SELECT COUNT(*) FROM orders o WHERE NOT EXISTS
         |    (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
         |ORDER BY "check"""".stripMargin,
+
+    "warehouse_expectations" ->
+      """WITH m AS (SELECT COUNT(*) AS n_rows,
+        |    COUNT(o_orderstatus) AS nn_status,
+        |    COUNT(DISTINCT o_orderkey) AS nd_key,
+        |    CAST(SUM(CASE WHEN o_orderstatus IN ('F','O','P') THEN 1 ELSE 0 END) AS BIGINT) AS ok_status,
+        |    CAST(SUM(CASE WHEN o_totalprice > 0 THEN 1 ELSE 0 END) AS BIGINT) AS ok_price
+        |  FROM orders),
+        |f AS (SELECT COUNT(*) AS ok_fk FROM orders
+        |      WHERE o_custkey IN (SELECT c_custkey FROM customer))
+        |SELECT * FROM (
+        |  SELECT 'completeness_status' AS check_name,
+        |    CAST((nn_status * 1000000) // n_rows AS BIGINT) AS metric_micro,
+        |    nn_status = n_rows AS passed FROM m
+        |  UNION ALL SELECT 'uniqueness_orderkey',
+        |    CAST((nd_key * 1000000) // n_rows AS BIGINT), nd_key = n_rows FROM m
+        |  UNION ALL SELECT 'accepted_status_values',
+        |    CAST((ok_status * 1000000) // n_rows AS BIGINT), ok_status = n_rows FROM m
+        |  UNION ALL SELECT 'range_totalprice_positive',
+        |    CAST((ok_price * 1000000) // n_rows AS BIGINT), ok_price = n_rows FROM m
+        |  UNION ALL SELECT 'referential_custkey',
+        |    CAST((f.ok_fk * 1000000) // m.n_rows AS BIGINT), f.ok_fk = m.n_rows
+        |  FROM m, f)
+        |ORDER BY check_name""".stripMargin,
 
     "warehouse_incremental_mv" ->
       """SELECT CAST(year(o_orderdate) AS INT) AS o_year, o_orderstatus,

@@ -255,6 +255,30 @@ class Round9OpsSpec extends AnyFunSuite with SparkFixture {
     assert(rows.forall(_.getLong(3) <= s1.getLong(3)))
   }
 
+  test("graph_clustering_coeff: coefficients in [0,1] micro, tie out with triangles") {
+    val rows = SparkEntry.queries("graph_clustering_coeff")(spark, sf).collect()
+    assert(rows.length == Tables.nation(spark, sf).count())
+    rows.foreach { r =>
+      val (deg, tri, c) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(c >= 0 && c <= 1000000, s"coeff out of range: $c")
+      if (deg < 2) assert(c == 0)
+      else assert(c == (2 * tri * 1000000) / (deg * (deg - 1)))
+    }
+    // triangle column must agree with the graph_triangles op
+    val triOp = SparkEntry.queries("graph_triangles")(spark, sf).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    rows.foreach(r => assert(r.getLong(2) == triOp(r.getInt(0))))
+  }
+
+  test("warehouse_expectations: clean fixture passes every gate at full metric") {
+    val rows = SparkEntry.queries("warehouse_expectations")(spark, sf).collect()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      assert(r.getBoolean(2), s"${r.getString(0)} failed on the clean fixture")
+      assert(r.getLong(1) == 1000000L, s"${r.getString(0)} metric not 100%")
+    }
+  }
+
   test("graph_pagerank: teleport floor, mass conservation, and full node coverage") {
     val rows = SparkEntry.queries("graph_pagerank")(spark, sf).collect()
     val nNations = Tables.nation(spark, sf).count()
