@@ -454,11 +454,15 @@ object Showcase {
     // row, so the filter is map-side — the same shape the original's
     // HAVING-subquery plan decorrelates to.
     "tpch_q11" -> ((s, d) => {
+      // localCheckpoint: the rollup feeds BOTH the threshold aggregate and
+      // the filter join — without it Spark rebuilds it from the fact twice
+      // (two scans + two l_partkey exchanges; PlanShapeSpec guards this)
       val v = Tables.lineitem(s, d)
         .join(broadcast(Tables.supplier(s, d)
           .where(col("s_nationkey").isin(3, 19))), col("s_suppkey") === col("l_suppkey"))
         .groupBy(col("l_partkey"))
         .agg(sum(dec(col("l_extendedprice"))).as("val"))
+        .localCheckpoint()
       val t = v.agg(sum(col("val")).as("tot"), count(lit(1)).as("np"))
       v.join(broadcast(t))
         .where(col("val") * col("np") * 2 > col("tot") * 3)

@@ -355,4 +355,39 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
     assert(!p.contains("LeftSemi") && !p.contains("LeftAnti"), p.take(3000))
     assert(!p.contains("BroadcastNestedLoopJoin"), p.take(3000))
   }
+
+  test("win_ewma reads all 16 lags over ONE user_id exchange") {
+    // Spark plans the zero-offset frame (lag 0) separately from the
+    // shifted ones, so up to two Window operators may stack — what
+    // matters at scale is that they share a single shuffle.
+    val p = plan("win_ewma")
+    assert("Window ".r.findAllIn(p).length <= 2, p.take(3000))
+    assert("Exchange hashpartitioning\\(user_id".r.findAllIn(p).length == 1,
+      p.take(3000))
+    assert(!p.contains("Exchange SinglePartition"), p.take(3000))
+  }
+
+  test("tpch_q11 materializes the rollup once and broadcasts the 1-row threshold") {
+    // The checkpointed per-part rollup feeds BOTH the threshold aggregate
+    // and the filter join from ONE fact pass (Scan ExistingRDD in the
+    // final plan — no second l_partkey exchange, no second lineitem
+    // scan); the (total, count) threshold is a 1-row broadcast build.
+    val p = plan("tpch_q11")
+    assert(p.contains("Scan ExistingRDD"), p.take(3000))
+    assert(p.contains("BroadcastExchange"), p.take(3000))
+    assert(!p.contains("Exchange hashpartitioning(l_partkey"), p.take(3000))
+    assert(!p.contains("lineitem.parquet"), p.take(3000))
+  }
+
+  test("tpch_q20 keeps parts broadcast and never plans a cartesian product") {
+    val p = plan("tpch_q20")
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
+
+  test("tpch_q16 removes complainers with a broadcast anti join") {
+    val p = plan("tpch_q16")
+    assert(p.contains("LeftAnti"), p.take(3000))
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+  }
 }
