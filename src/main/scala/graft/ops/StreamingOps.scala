@@ -298,11 +298,11 @@ object StreamingOps {
     // immediately, unmatched ones with NULL view columns once the
     // watermark passes their join window and state eviction proves no
     // view can still arrive (the outer-null contract that distinguishes
-    // "no match yet" from "no match ever"). Three watermark-advancing
+    // "no match yet" from "no match ever"). Two watermark-advancing
     // waves after the probe batch make the eviction deterministic: each
-    // wave is a self-matching (view, purchase) pair 1h+ later, so the
-    // watermark ratchets far past 10:30 and purchase 202's null row must
-    // be flushed by the final trigger.
+    // wave is a self-matching (view, purchase) pair 1h+ later — wave 2
+    // ratchets the watermark past 202's window and wave 3's trigger
+    // flushes its null row.
     "stream_stream_left" -> ((s, d) => withFewShufflePartitions(s) {
       val classic = s.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       import classic.implicits._
@@ -335,9 +335,6 @@ object StreamingOps {
       q.processAllAvailable()
       mv.addData(SEvent(105, Timestamp.valueOf("2024-01-01 13:00:00"), 4, "view", 1.0))
       mp.addData(SEvent(206, Timestamp.valueOf("2024-01-01 13:00:00"), 4, "purchase", 1.0))
-      q.processAllAvailable()
-      mv.addData(SEvent(106, Timestamp.valueOf("2024-01-01 14:00:00"), 5, "view", 1.0))
-      mp.addData(SEvent(208, Timestamp.valueOf("2024-01-01 14:00:00"), 5, "purchase", 1.0))
       q.processAllAvailable()
       q.stop()
       s.table(sink).orderBy("p_id", "v_id")
@@ -533,10 +530,11 @@ object StreamingOps {
         |  AS t(p_id, user_id, p_ts, v_id, v_ts)
         |ORDER BY p_id, v_id""".stripMargin,
 
-    // Matched: 201←101 (u1, in-window), plus the three self-matching
+    // Matched: 201←101 (u1, in-window), plus the two self-matching
     // watermark-advancing pairs. Outer null: purchase 202 (u2, 10:30) —
-    // view 103 precedes it by >10 min, and the watermark's final position
-    // (13:50) is far past its window, so the engine PROVED no match.
+    // view 103 precedes it by >10 min; wave 2 moves the watermark to
+    // 11:50 (past 202's window) and wave 3's trigger flushes the proven
+    // non-match.
     "stream_stream_left" ->
       """SELECT CAST(p_id AS BIGINT) AS p_id, CAST(user_id AS BIGINT) AS user_id, p_ts,
         |  CAST(v_id AS BIGINT) AS v_id, v_ts
@@ -544,8 +542,7 @@ object StreamingOps {
         |  (201, 1, '2024-01-01 10:05:00', 101, '2024-01-01 10:00:00'),
         |  (202, 2, '2024-01-01 10:30:00', NULL, NULL),
         |  (204, 3, '2024-01-01 12:00:00', 104, '2024-01-01 12:00:00'),
-        |  (206, 4, '2024-01-01 13:00:00', 105, '2024-01-01 13:00:00'),
-        |  (208, 5, '2024-01-01 14:00:00', 106, '2024-01-01 14:00:00'))
+        |  (206, 4, '2024-01-01 13:00:00', 105, '2024-01-01 13:00:00'))
         |  AS t(p_id, user_id, p_ts, v_id, v_ts)
         |ORDER BY p_id, v_id""".stripMargin,
 

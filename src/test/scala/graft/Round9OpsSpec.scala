@@ -200,11 +200,11 @@ class Round9OpsSpec extends AnyFunSuite with SparkFixture {
 
   test("stream_stream_left: the watermark-proven unmatched purchase emits a null row") {
     val rows = SparkEntry.queries("stream_stream_left")(spark, sf).collect()
-    assert(rows.length == 5)
+    assert(rows.length == 4)
     val unmatched = rows.filter(_.isNullAt(3))
     assert(unmatched.length == 1 && unmatched(0).getLong(0) == 202L,
       "exactly purchase 202 must emit with NULL view columns")
-    assert(rows.filter(!_.isNullAt(3)).length == 4)
+    assert(rows.filter(!_.isNullAt(3)).length == 3)
   }
 
   test("graph_triangles: participation is 3x the triangle count and edges verify") {
