@@ -292,6 +292,69 @@ object Analytics {
         .withColumn("ewma_cents", expr("num DIV den"))
         .select("user_id", "ts_us", "event_id", "ewma_cents")
         .orderBy("user_id", "ts_us", "event_id")
+    }),
+
+    // Shannon entropy / diversity profile of each user-bucket's event-type
+    // mix (the distribution-drift metric a data pipeline monitors next to
+    // the quality audit). All inputs to the FP tail are EXACT integer
+    // aggregates (counts, Σcnt², Σ round(cnt·ln cnt ·1e6) as BIGINT), so
+    // the derived H = ln(N) − Σcntlncnt/1e6/N and Gini = 1 − Σcnt²/N² are
+    // fixed IEEE expression trees over identical operands in both engines
+    // (the 6-dp round masks the one libm-divergent primitive, ln — the
+    // fn_math precedent). Two map-side rollups, no extra shuffle.
+    "agg_entropy" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy((col("user_id") % 10).as("bucket"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy("bucket")
+        .agg(sum("cnt").as("n"),
+          count(lit(1)).as("n_types"),
+          sum(col("cnt") * col("cnt")).as("s2"),
+          sum(round(col("cnt") * log(col("cnt")) * 1e6).cast("bigint")).as("slog"))
+        .select(col("bucket"), col("n"), col("n_types"),
+          round(expr("ln(n) - (slog / 1e6) / n"), 6).as("entropy"),
+          round(expr("(ln(n) - (slog / 1e6) / n) / ln(n_types)"), 6).as("entropy_norm"),
+          round(expr("1.0 - s2 / (n * n)"), 6).as("gini"))
+        .orderBy("bucket")),
+
+    // Welch's two-sample t-test between two customer segments' order
+    // values (the A/B-readout every experimentation pipeline computes).
+    // Cents are exact BIGINTs; n/Σx/Σx² accumulate as DECIMAL(38,0), so
+    // mean, Welch variance, t-statistic and Welch–Satterthwaite df are
+    // all derived from exact operands via one shared expression tree —
+    // bit-identical cross-engine, no rounding needed except for display.
+    // One broadcast dim join + a single conditional-sum aggregate.
+    "agg_ab_ttest" -> ((s, d) => {
+      val segs = Seq("BUILDING", "MACHINERY")
+      val isA = col("c_mktsegment") === segs.head
+      val cents = round(col("o_totalprice") * 100).cast("bigint")
+      Tables.orders(s, d)
+        .join(broadcast(Tables.customer(s, d).select("c_custkey", "c_mktsegment")),
+          col("o_custkey") === col("c_custkey"))
+        .where(col("c_mktsegment").isin(segs: _*))
+        .select(isA.as("a"), cents.as("x"))
+        .agg(
+          sum(when(col("a"), 1L).otherwise(0L)).cast("double").as("n1"),
+          sum(when(!col("a"), 1L).otherwise(0L)).cast("double").as("n2"),
+          sum(when(col("a"), col("x")).otherwise(0L).cast("decimal(38,0)"))
+            .cast("double").as("s1"),
+          sum(when(!col("a"), col("x")).otherwise(0L).cast("decimal(38,0)"))
+            .cast("double").as("s2"),
+          sum(when(col("a"), col("x") * col("x")).otherwise(0L).cast("decimal(38,0)"))
+            .cast("double").as("q1"),
+          sum(when(!col("a"), col("x") * col("x")).otherwise(0L).cast("decimal(38,0)"))
+            .cast("double").as("q2"))
+        .withColumn("v1", expr("(q1 - s1*s1/n1) / (n1 - 1)"))
+        .withColumn("v2", expr("(q2 - s2*s2/n2) / (n2 - 1)"))
+        .withColumn("se2", expr("v1/n1 + v2/n2"))
+        .select(
+          col("n1").cast("bigint").as("n1"),
+          col("n2").cast("bigint").as("n2"),
+          expr("s1/n1/100").as("mean1"),
+          expr("s2/n2/100").as("mean2"),
+          expr("(s1/n1 - s2/n2) / sqrt(se2)").as("t_stat"),
+          expr("se2*se2 / ((v1/n1)*(v1/n1)/(n1-1) + (v2/n2)*(v2/n2)/(n2-1))").as("welch_df"),
+          expr("abs((s1/n1 - s2/n2) / sqrt(se2)) > 1.96").as("significant"))
     })
   )
 
@@ -472,6 +535,49 @@ object Analytics {
          |SELECT user_id, ts_us, event_id,
          |  ($num) // ($den) AS ewma_cents
          |FROM l ORDER BY user_id, ts_us, event_id""".stripMargin
-    }
+    },
+
+    // Same two-level rollup: exact integer aggregates feed the shared
+    // IEEE expression tree; ln is the only libm call, masked by round-6.
+    "agg_entropy" ->
+      """WITH c AS (SELECT user_id % 10 AS bucket, event_type, COUNT(*) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |r AS (SELECT bucket, CAST(SUM(cnt) AS BIGINT) AS n,
+        |    COUNT(*) AS n_types,
+        |    CAST(SUM(cnt * cnt) AS BIGINT) AS s2,
+        |    CAST(SUM(CAST(ROUND(cnt * ln(cnt) * 1e6) AS BIGINT)) AS BIGINT) AS slog
+        |  FROM c GROUP BY 1)
+        |SELECT bucket, n, n_types,
+        |  ROUND(ln(n) - (slog / 1e6) / n, 6) AS entropy,
+        |  ROUND((ln(n) - (slog / 1e6) / n) / ln(n_types), 6) AS entropy_norm,
+        |  ROUND(1.0 - s2 / (CAST(n AS DOUBLE) * n), 6) AS gini
+        |FROM r ORDER BY bucket""".stripMargin,
+
+    // Exact conditional DECIMAL sums → the identical Welch expression
+    // tree. significant is derived from the same t value.
+    "agg_ab_ttest" ->
+      """WITH j AS (SELECT c_mktsegment = 'BUILDING' AS a,
+        |    CAST(ROUND(o_totalprice * 100) AS BIGINT) AS x
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')),
+        |m AS (SELECT
+        |    CAST(SUM(CASE WHEN a THEN 1 ELSE 0 END) AS DOUBLE) AS n1,
+        |    CAST(SUM(CASE WHEN a THEN 0 ELSE 1 END) AS DOUBLE) AS n2,
+        |    CAST(SUM(CASE WHEN a THEN x::HUGEINT ELSE 0 END) AS DOUBLE) AS s1,
+        |    CAST(SUM(CASE WHEN a THEN 0 ELSE x::HUGEINT END) AS DOUBLE) AS s2,
+        |    CAST(SUM(CASE WHEN a THEN x::HUGEINT * x ELSE 0 END) AS DOUBLE) AS q1,
+        |    CAST(SUM(CASE WHEN a THEN 0 ELSE x::HUGEINT * x END) AS DOUBLE) AS q2
+        |  FROM j),
+        |v AS (SELECT *,
+        |    (q1 - s1*s1/n1) / (n1 - 1) AS v1,
+        |    (q2 - s2*s2/n2) / (n2 - 1) AS v2
+        |  FROM m),
+        |w AS (SELECT *, v1/n1 + v2/n2 AS se2 FROM v)
+        |SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+        |  s1/n1/100 AS mean1, s2/n2/100 AS mean2,
+        |  (s1/n1 - s2/n2) / sqrt(se2) AS t_stat,
+        |  se2*se2 / ((v1/n1)*(v1/n1)/(n1-1) + (v2/n2)*(v2/n2)/(n2-1)) AS welch_df,
+        |  abs((s1/n1 - s2/n2) / sqrt(se2)) > 1.96 AS significant
+        |FROM w""".stripMargin
   )
 }

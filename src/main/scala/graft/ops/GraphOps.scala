@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -83,6 +84,43 @@ object GraphOps {
   /** Fixed BFS relaxation rounds (diameter of the fixture backbone is
     * ≤ 3; round 4 is the convergence slack the oracle replays too). */
   private val BfsIters = 4
+
+  /** Min-label propagation rounds for connected components: converges in
+    * diameter rounds; 5 = diameter bound + slack, replayed by the oracle.
+    * The O(log n) pointer-doubling variant of the same computation lives
+    * in `llm_dedup_cluster`; fixed synchronous rounds are used here so
+    * the oracle can replay them as chained CTEs. */
+  private val CcIters = 5
+
+  /** Synchronous label-propagation (community detection) rounds. LPA
+    * stabilizes on the 25-node backbone within 3 synchronous rounds;
+    * every round is deterministic (exact integer weight tallies,
+    * (Σw DESC, label ASC) tie-break), so both engines replay the same
+    * community assignment bit-for-bit. */
+  private val LpIters = 3
+
+  /** `heavyBackbone` with the edge weight kept — the label-propagation
+    * family tallies neighbor votes BY WEIGHT, not just adjacency. */
+  private def heavyBackboneW(s: SparkSession, d: String): DataFrame = {
+    val und = tradeEdges(s, d).where(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"), col("w"))
+      .groupBy("a", "b").agg(sum("w").as("w"))
+    val tot = und.agg(sum("w").as("tw"), count(lit(1)).as("ne"))
+    und.join(broadcast(tot))
+      .where(col("w") * col("ne") > col("tw"))
+      .select("a", "b", "w").localCheckpoint()
+  }
+
+  /** Oracle twin of `heavyBackboneW` (chains after EdgesCte; the und/t
+    * CTEs are shared with HeavyCte's text, duplicated here so each oracle
+    * stays self-contained). */
+  private val HeavyWCte =
+    """und AS (SELECT LEAST(src, dst) AS a, GREATEST(src, dst) AS b,
+      |    CAST(SUM(w) AS BIGINT) AS w
+      |  FROM edges WHERE src <> dst GROUP BY 1, 2),
+      |t AS (SELECT CAST(SUM(w) AS BIGINT) AS tw, COUNT(*) AS ne FROM und),
+      |hw AS (SELECT a, b, w FROM und, t WHERE w * ne > tw)""".stripMargin
 
   val queries: Map[String, Q] = Map(
     // Weighted PageRank over the nation trade graph. Damping 0.85 in
@@ -191,6 +229,63 @@ object GraphOps {
             least(col("dist"), coalesce(col("cand"), lit(99L))).as("dist"))
       }
       dist.orderBy("node")
+    }),
+
+    // Connected components by synchronous min-label propagation over the
+    // heavy backbone: label' = min(label, min over neighbors' labels) per
+    // round — every node ends labeled with the smallest node id reachable
+    // from it; isolated nations form singleton components. Each round is
+    // one equi-join + min-groupBy (the Pregel superstep shape); component
+    // sizes come from one final rollup joined back.
+    "graph_components" -> ((s, d) => {
+      val heavy = heavyBackbone(s, d)
+      val bi = heavy.select(col("a").as("src"), col("b").as("dst"))
+        .unionAll(heavy.select(col("b").as("src"), col("a").as("dst")))
+      val nodes = Tables.nation(s, d).select(col("n_nationkey").as("node"))
+      var comp = nodes.withColumn("comp", col("node").cast("long"))
+      for (_ <- 1 to CcIters) {
+        val cand = bi.join(comp.select(col("node").as("src"), col("comp").as("scomp")), "src")
+          .groupBy(col("dst").as("node")).agg(min("scomp").as("cand"))
+        comp = comp.join(cand, Seq("node"), "left")
+          .select(col("node"),
+            least(col("comp"), coalesce(col("cand"), col("comp"))).as("comp"))
+      }
+      val sizes = comp.groupBy("comp").agg(count(lit(1)).as("csize"))
+      comp.join(sizes, "comp")
+        .select(col("node"), col("comp").as("component"),
+          col("csize").as("component_size"))
+        .orderBy("node")
+    }),
+
+    // Label-propagation community detection over the WEIGHTED backbone:
+    // every node starts in its own community; each synchronous round it
+    // adopts the label with the highest total incident edge weight among
+    // its neighbors (tie → smallest label), keeping its label when it has
+    // no neighbors. Exact integer tallies + a total tie order make the
+    // rounds engine-replayable — the determinism LPA normally lacks.
+    "graph_label_prop" -> ((s, d) => {
+      val hw = heavyBackboneW(s, d)
+      val bi = hw.select(col("a").as("src"), col("b").as("dst"), col("w"))
+        .unionAll(hw.select(col("b").as("src"), col("a").as("dst"), col("w")))
+      val nodes = Tables.nation(s, d).select(col("n_nationkey").as("node"))
+      var lab = nodes.withColumn("lab", col("node").cast("long"))
+      for (_ <- 1 to LpIters) {
+        val tally = bi.join(lab.select(col("node").as("src"), col("lab").as("nlab")), "src")
+          .groupBy(col("dst").as("node"), col("nlab"))
+          .agg(sum("w").as("sw"))
+        val pick = tally
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("node").orderBy(desc("sw"), col("nlab"))))
+          .where(col("rn") === 1)
+          .select(col("node"), col("nlab").as("cand"))
+        lab = lab.join(pick, Seq("node"), "left")
+          .select(col("node"), coalesce(col("cand"), col("lab")).as("lab"))
+      }
+      val sizes = lab.groupBy("lab").agg(count(lit(1)).as("csize"))
+      lab.join(sizes, "lab")
+        .select(col("node"), col("lab").as("community"),
+          col("csize").as("community_size"))
+        .orderBy("node")
     })
   )
 
@@ -275,6 +370,61 @@ object GraphOps {
          |                         ELSE CAST(99 AS BIGINT) END AS dist FROM nodes),
          |$iters
          |SELECT node, dist FROM d$BfsIters ORDER BY node""".stripMargin
+    },
+
+    // Min-label rounds replayed as chained CTEs from the same CcIters
+    // constant, then the size rollup joined back.
+    "graph_components" -> {
+      val iters = (1 to CcIters).map { i =>
+        val p = s"l${i - 1}"
+        s"""c$i AS (SELECT bi.dst AS node, CAST(MIN($p.comp) AS BIGINT) AS cand
+           |  FROM bi JOIN $p ON $p.node = bi.src GROUP BY 1),
+           |l$i AS (SELECT n.node,
+           |    CAST(LEAST($p.comp, COALESCE(c$i.cand, $p.comp)) AS BIGINT) AS comp
+           |  FROM nodes n JOIN $p ON $p.node = n.node
+           |  LEFT JOIN c$i ON c$i.node = n.node)"""
+      }.mkString(",\n")
+      s"""WITH $EdgesCte,
+         |$HeavyCte,
+         |bi AS (SELECT a AS src, b AS dst FROM h
+         |       UNION ALL SELECT b, a FROM h),
+         |nodes AS (SELECT n_nationkey AS node FROM nation),
+         |l0 AS (SELECT node, CAST(node AS BIGINT) AS comp FROM nodes),
+         |$iters,
+         |sz AS (SELECT comp, COUNT(*) AS cs FROM l$CcIters GROUP BY 1)
+         |SELECT l.node, l.comp AS component, CAST(sz.cs AS BIGINT) AS component_size
+         |FROM l$CcIters l JOIN sz ON sz.comp = l.comp
+         |ORDER BY l.node""".stripMargin
+    },
+
+    // The LPA rounds replayed from the same LpIters constant: weighted
+    // tally → (Σw DESC, label ASC) pick → synchronous relabel.
+    "graph_label_prop" -> {
+      val iters = (1 to LpIters).map { i =>
+        val p = s"l${i - 1}"
+        s"""t$i AS (SELECT bi.dst AS node, $p.lab AS nlab,
+           |    CAST(SUM(bi.w) AS BIGINT) AS sw
+           |  FROM bi JOIN $p ON $p.node = bi.src GROUP BY 1, 2),
+           |p$i AS (SELECT node, nlab,
+           |    ROW_NUMBER() OVER (PARTITION BY node ORDER BY sw DESC, nlab ASC) AS rn
+           |  FROM t$i),
+           |l$i AS (SELECT n.node,
+           |    CAST(COALESCE(w$i.nlab, $p.lab) AS BIGINT) AS lab
+           |  FROM nodes n JOIN $p ON $p.node = n.node
+           |  LEFT JOIN (SELECT node, nlab FROM p$i WHERE rn = 1) w$i
+           |    ON w$i.node = n.node)"""
+      }.mkString(",\n")
+      s"""WITH $EdgesCte,
+         |$HeavyWCte,
+         |bi AS (SELECT a AS src, b AS dst, w FROM hw
+         |       UNION ALL SELECT b, a, w FROM hw),
+         |nodes AS (SELECT n_nationkey AS node FROM nation),
+         |l0 AS (SELECT node, CAST(node AS BIGINT) AS lab FROM nodes),
+         |$iters,
+         |sz AS (SELECT lab, COUNT(*) AS cs FROM l$LpIters GROUP BY 1)
+         |SELECT l.node, l.lab AS community, CAST(sz.cs AS BIGINT) AS community_size
+         |FROM l$LpIters l JOIN sz ON sz.lab = l.lab
+         |ORDER BY l.node""".stripMargin
     }
   )
 }

@@ -733,6 +733,149 @@ object Lakehouse {
     root
   }
 
+  // ------------------------------------------------------------------
+  // Deletion vectors — MERGE-ON-READ row-level delete. The COW path
+  // (`ensureDeleted`) rewrites every file a delete touches; a DV commit
+  // rewrites NOTHING: it records the deleted rows' (file, position) pairs
+  // in a sidecar and carries every data file into the new snapshot by
+  // reference. Positions come from the scan itself (`_metadata.row_index`,
+  // the parquet reader's per-file row ordinal — no shuffle, no synthetic
+  // ids), so at 100 TB a delete is O(matched rows) metadata, and the
+  // latency trade every table format offers (write-cheap MOR now,
+  // read-clean purge later) is explicit: `ensureDvPurged` is the
+  // maintenance job that folds the DV back into clean files.
+  // ------------------------------------------------------------------
+  private def dvPath(root: String, v: Int): Path = metaDir(root).resolve(s"v$v.dv")
+
+  /** DV sidecar: one `path \t position` line per deleted row, written
+    * atomically beside the manifest. Production formats pack this as a
+    * roaring bitmap per file; the text layout changes size, not the
+    * (file, position) contract the read path joins on. */
+  private[graft] def writeDv(root: String, v: Int, dv: Seq[(String, Long)]): Unit =
+    atomicWrite(dvPath(root, v), dv.sorted.map { case (p, i) => s"$p\t$i" }.mkString("\n"))
+
+  private[graft] def readDvEntries(root: String, v: Int): Seq[(String, Long)] = {
+    val p = dvPath(root, v)
+    if (!Files.exists(p)) Seq.empty
+    else {
+      import scala.jdk.CollectionConverters._
+      Files.readAllLines(p).asScala.toSeq.filter(_.nonEmpty).map { l =>
+        val t = l.split("\t"); (t(0), t(1).toLong)
+      }
+    }
+  }
+
+  /** Snapshot read with the version's deletion vector applied: the scan
+    * surfaces each row's (file, position) from parquet metadata and
+    * anti-joins the broadcast DV. A version without a sidecar reads clean
+    * (post-purge snapshots take this branch). */
+  private[graft] def readSnapshotMor(s: SparkSession, root: String, v: Int): DataFrame = {
+    import s.implicits._
+    val entries = readDvEntries(root, v)
+    val scan = readSnapshot(s, root, v)
+    if (entries.isEmpty) scan
+    else {
+      val dv = entries.toDF("dv_path", "dv_pos")
+      scan
+        .withColumn("_file", col("_metadata.file_path"))
+        .withColumn("_pos", col("_metadata.row_index"))
+        .join(broadcast(dv),
+          col("_file") === col("dv_path") && col("_pos") === col("dv_pos"),
+          "left_anti")
+        .drop("_file", "_pos")
+    }
+  }
+
+  /** v3 = DV DELETE of keys ≡0 mod 17 (disjoint from the COW delete's mod
+    * 13 so the two stories stay independent): the doomed rows' positions
+    * are harvested in ONE scan, the manifest carries v2's files untouched
+    * (byte identity asserted in LakehouseSpec), and the commit is the same
+    * CAS every other writer uses. The driver-side collect is O(deleted
+    * rows) — the DV itself; a production writer would fold positions into
+    * per-file bitmaps distributedly, same contract. */
+  private[graft] def ensureDvTable(s: SparkSession, d: String): String = {
+    val root = ensureTable(s, d, "snap_dv")
+    if (currentVersion(root).exists(_ >= 3)) return root
+    val doomed = readSnapshot(s, root, 2)
+      .where(col("o_orderkey") % 17 === 0)
+      .select(col("_metadata.file_path").as("p"), col("_metadata.row_index").as("i"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    writeDv(root, 3, doomed)
+    require(commitIf(root, Some(2), 3, manifest(root, 2)),
+      s"dv delete expected table at v2 (found ${currentVersion(root)})")
+    root
+  }
+
+  /** v4 = DV PURGE — the standing maintenance job that rewrites ONLY the
+    * files the v3 sidecar names (applying their deletions) and carries
+    * every clean file by reference; the new snapshot has no sidecar, so
+    * reads take the fast path again. Invisible to queries by construction:
+    * the graded oracle is v3's. */
+  private[graft] def ensureDvPurged(s: SparkSession, d: String): String = {
+    val root = ensureDvTable(s, d)
+    if (currentVersion(root).exists(_ >= 4)) return root
+    import s.implicits._
+    val entries = readDvEntries(root, 3)
+    // the sidecar stores `_metadata.file_path` URIs, the manifest stores
+    // `input_file_name()` URIs — same files, different file:/ spellings;
+    // compare on the normalized local path
+    val dvFiles = entries.map(e => localPath(e._1).toString).toSet
+    val (touched, untouched) =
+      manifest(root, 3).partition(e => dvFiles.contains(localPath(e.path).toString))
+    require(touched.nonEmpty, "DV purge found no files to rewrite — path-format drift?")
+    val purgeDir = s"$root/purge-v4"
+    s.read.parquet(touched.map(_.path): _*)
+      .withColumn("_file", col("_metadata.file_path"))
+      .withColumn("_pos", col("_metadata.row_index"))
+      .join(broadcast(entries.toDF("dv_path", "dv_pos")),
+        col("_file") === col("dv_path") && col("_pos") === col("dv_pos"),
+        "left_anti")
+      .drop("_file", "_pos")
+      .repartitionByRange(1, col("o_orderkey"))
+      .sortWithinPartitions("o_orderkey")
+      .write.mode("overwrite").parquet(purgeDir)
+    require(commitIf(root, Some(3), 4, untouched ++ fileStats(s, purgeDir)),
+      s"dv purge expected table at v3 (found ${currentVersion(root)})")
+    root
+  }
+
+  // ------------------------------------------------------------------
+  // Partition-spec evolution — the Iceberg capability that a table's
+  // LAYOUT can change without rewriting history: v1 files were laid out
+  // under spec 1 (clustered by o_orderkey; no year stats), the v2 append
+  // lands under spec 2 (clustered by o_year, per-file year stats in the
+  // manifest's key2 slots), and OLD FILES CARRY BY REFERENCE. Scan
+  // planning prunes each file by whatever stats ITS spec recorded:
+  // unbounded key2 defaults mean spec-1 files are never wrongly dropped,
+  // spec-2 files prune tight. At 100 TB this is how a table switches
+  // partitioning (e.g. daily → hourly) as data grows — a metadata
+  // decision, not a 100 TB rewrite.
+  // ------------------------------------------------------------------
+  private[graft] def ensureSpecEvolved(s: SparkSession, d: String): String = {
+    val root = Scratch.opDir("snap_pe", d)
+    if (currentVersion(root).exists(_ >= 2)) return root
+    val loadDir = s"$root/load-v1"
+    Tables.orders(s, d)
+      .select(col("o_orderkey"), year(col("o_orderdate")).as("o_year"),
+        col("o_totalprice"))
+      .repartitionByRange(8, col("o_orderkey"))
+      .sortWithinPartitions("o_orderkey")
+      .write.mode("overwrite").parquet(loadDir)
+    commit(root, 1, fileStats(s, loadDir)) // spec 1: key stats only
+    val batchDir = s"$root/batch-v2"
+    readSnapshot(s, root, 1)
+      .where(col("o_orderkey") % 97 === 0)
+      .select((col("o_orderkey") + 70000000L).as("o_orderkey"), col("o_year"),
+        col("o_totalprice"))
+      .repartitionByRange(4, col("o_year"), col("o_orderkey"))
+      .sortWithinPartitions("o_year", "o_orderkey")
+      .write.mode("overwrite").parquet(batchDir)
+    require(commitIf(root, Some(1), 2,
+      manifest(root, 1) ++ fileStats(s, batchDir, key2Col = Some("o_year"))),
+      s"spec evolution expected table at v1 (found ${currentVersion(root)})")
+    root
+  }
+
   val queries: Map[String, Q] = Map(
     // The ACID MERGE: graded output is the post-merge table read through
     // the v2 manifest. Oracle replays the batch from `orders` alone —
@@ -785,6 +928,49 @@ object Lakehouse {
           sum(dec(col("o_totalprice"))).cast("double").as("total"),
           sum(when(col("o_orderkey") >= 10000000L, 1L).otherwise(0L)).as("n_inserted"))
         .orderBy("o_year")
+    }),
+
+    // Merge-on-read DELETE: the graded output is the post-DV state read
+    // through the (file, position) anti-join — while ZERO data files were
+    // rewritten (LakehouseSpec asserts byte identity of every v3 file with
+    // its v2 twin). Oracle = the COW post-state minus keys ≡0 mod 17.
+    "warehouse_snapshot_dv" -> ((s, d) => {
+      val root = ensureDvTable(s, d)
+      readSnapshotMor(s, root, 3)
+        .groupBy("o_year")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(dec(col("o_totalprice"))).cast("double").as("total"),
+          sum(when(col("o_orderkey") >= 10000000L, 1L).otherwise(0L)).as("n_inserted"))
+        .orderBy("o_year")
+    }),
+
+    // DV purge: v4 folds the sidecar into clean files (rewriting ONLY the
+    // files the DV names) and must be invisible to queries — the oracle is
+    // byte-for-byte v3's, read through the same MOR path (which now takes
+    // the no-sidecar fast branch).
+    "warehouse_dv_purge" -> ((s, d) => {
+      val root = ensureDvPurged(s, d)
+      readSnapshotMor(s, root, 4)
+        .groupBy("o_year")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(dec(col("o_totalprice"))).cast("double").as("total"),
+          sum(when(col("o_orderkey") >= 10000000L, 1L).otherwise(0L)).as("n_inserted"))
+        .orderBy("o_year")
+    }),
+
+    // Partition-spec evolution: a year-scoped query plans against the
+    // two-spec manifest — spec-2 files prune by their year stats, spec-1
+    // files (no year info) are all kept and filtered by the residual
+    // predicate. LakehouseSpec asserts the plan actually dropped spec-2
+    // files while keeping every spec-1 file.
+    "warehouse_partition_evolve" -> ((s, d) => {
+      val root = ensureSpecEvolved(s, d)
+      val files = pruneFilesByKey2(root, 2, 1995L, 1995L)
+      s.read.parquet(files.map(_.path): _*)
+        .where(col("o_year") === 1995)
+        .agg(count(lit(1)).as("n_rows"),
+          sum(dec(col("o_totalprice"))).cast("double").as("total"),
+          sum(when(col("o_orderkey") >= 70000000L, 1L).otherwise(0L)).as("n_newspec"))
     }),
 
     // CDC / incremental consumption: the change rows between two snapshots,
@@ -1120,6 +1306,60 @@ object Lakehouse {
         |FROM post
         |WHERE NOT (o_orderkey % 13 = 0 AND o_orderkey <= (SELECT t FROM thr))
         |GROUP BY o_year ORDER BY o_year""".stripMargin,
+
+    // Post-merge state minus the DV'd keys (≡0 mod 17), replayed from
+    // `orders` — identical content read through zero rewritten files.
+    "warehouse_snapshot_dv" ->
+      """WITH thr AS (SELECT MAX(o_orderkey) // 10 AS t FROM orders),
+        |src AS (SELECT o_orderkey, year(o_orderdate) AS o_year, o_totalprice FROM orders),
+        |post AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey <= (SELECT t FROM thr) AND o_orderkey % 7 = 0
+        |         THEN o_totalprice + 100.0 ELSE o_totalprice END AS o_totalprice,
+        |    o_year
+        |  FROM src
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000, o_totalprice, o_year
+        |  FROM src WHERE o_orderkey <= (SELECT t FROM thr) AND o_orderkey % 11 = 0)
+        |SELECT o_year, COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total,
+        |  CAST(SUM(CASE WHEN o_orderkey >= 10000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_inserted
+        |FROM post
+        |WHERE o_orderkey % 17 <> 0
+        |GROUP BY o_year ORDER BY o_year""".stripMargin,
+
+    // The purge is invisible: v4 reads exactly v3's content.
+    "warehouse_dv_purge" ->
+      """WITH thr AS (SELECT MAX(o_orderkey) // 10 AS t FROM orders),
+        |src AS (SELECT o_orderkey, year(o_orderdate) AS o_year, o_totalprice FROM orders),
+        |post AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey <= (SELECT t FROM thr) AND o_orderkey % 7 = 0
+        |         THEN o_totalprice + 100.0 ELSE o_totalprice END AS o_totalprice,
+        |    o_year
+        |  FROM src
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000, o_totalprice, o_year
+        |  FROM src WHERE o_orderkey <= (SELECT t FROM thr) AND o_orderkey % 11 = 0)
+        |SELECT o_year, COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total,
+        |  CAST(SUM(CASE WHEN o_orderkey >= 10000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_inserted
+        |FROM post
+        |WHERE o_orderkey % 17 <> 0
+        |GROUP BY o_year ORDER BY o_year""".stripMargin,
+
+    // Both specs' rows for the queried year, replayed from `orders`.
+    "warehouse_partition_evolve" ->
+      """WITH src AS (SELECT o_orderkey, year(o_orderdate) AS o_year, o_totalprice FROM orders),
+        |post AS (
+        |  SELECT * FROM src
+        |  UNION ALL
+        |  SELECT o_orderkey + 70000000, o_year, o_totalprice
+        |  FROM src WHERE o_orderkey % 97 = 0)
+        |SELECT COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total,
+        |  CAST(SUM(CASE WHEN o_orderkey >= 70000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_newspec
+        |FROM post WHERE o_year = 1995""".stripMargin,
 
     // The changelog replayed from the source: updates with their new
     // values, inserts with their rows (keys ≡0 mod 77 emit both).

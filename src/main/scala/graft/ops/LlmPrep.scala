@@ -230,7 +230,60 @@ object LlmPrep {
             .as("code0"),
           sum("err").as("err_total"), max("err").as("err_max"))
         .orderBy("vec_id")
-    }))
+    }),
+
+    // Balanced shard assignment for distributed training dataloaders:
+    // docs sorted by token count DESC are dealt to K shards in SERPENTINE
+    // order (pass 0: 0..K−1, pass 1: K−1..0, …) — the classic folded-deal
+    // that bounds per-shard token skew by one document per pass pair.
+    // The global rank is computed DISTRIBUTEDLY: per-band row_number
+    // (band = tokens DIV 64 — band boundaries align with the sort key)
+    // plus broadcast cumulative band offsets from an O(bands)-row rollup;
+    // no single-task global window (the win_range_frame banding law).
+    // The oracle states the SPEC with a plain global ROW_NUMBER.
+    "llm_shard_balance" -> ((s, d) => {
+      val k = 8
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast("bigint").as("tokens"))
+        .withColumn("band", expr("tokens DIV 64"))
+      val offsets = toks.groupBy("band").agg(count(lit(1)).as("bn"))
+        .withColumn("off",
+          coalesce(sum("bn").over(
+            Window.orderBy(desc("band")).rowsBetween(Window.unboundedPreceding, -1)),
+            lit(0L)))
+        .select("band", "off")
+      val ranked = toks.join(broadcast(offsets), "band")
+        .withColumn("lr", row_number().over(
+          Window.partitionBy("band").orderBy(desc("tokens"), col("doc_id"))))
+        .withColumn("rank", col("off") + col("lr"))
+      ranked
+        .withColumn("pass", expr(s"(rank - 1) DIV $k"))
+        .withColumn("pos", expr(s"(rank - 1) % $k"))
+        .withColumn("shard", expr(s"CAST(CASE WHEN pass % 2 = 0 THEN pos ELSE ${k - 1} - pos END AS BIGINT)"))
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"), sum("tokens").as("tok_total"),
+          max("tokens").as("tok_max"))
+        .orderBy("shard")
+    }),
+
+    // Audio chunking plumbing (the STFT/feature-window pre-step of an
+    // audio training pipeline): OVERLAPPING fixed windows — win 48, hop
+    // 16 — over each doc's byte stream (the container has no audio
+    // codecs, so bytes stand in for PCM samples; the boundary math,
+    // explode shape and per-chunk fingerprint are the real plumbing,
+    // exactly as mm_frame_sample does for video). Distinct from
+    // frame_sample: windows OVERLAP (hop < win), the mel/STFT layout.
+    // Pure projection + generator — no shuffle.
+    "mm_audio_chunks" -> ((s, d) =>
+      Tables.documents(s, d).where(col("doc_id") % 10 === 3)
+        .select(col("doc_id"), col("text"), length(col("text")).as("len"))
+        .withColumn("off", explode(sequence(lit(0), col("len") - 1, lit(16))))
+        .select(col("doc_id"), expr("off DIV 16").cast("int").as("chunk_idx"),
+          col("off").cast("int").as("off"),
+          least(lit(48), col("len") - col("off")).cast("int").as("chunk_len"),
+          md5(expr("CAST(substring(text, off + 1, 48) AS BINARY)")).as("chunk_md5"))
+        .orderBy("doc_id", "chunk_idx")))
 
   val queries: Map[String, Q] = mainQueries ++ extraQueries
 
@@ -362,6 +415,34 @@ object LlmPrep {
         |           ELSE 0 END) AS BIGINT) AS code0,
         |  CAST(SUM(abs(xm - deq)) AS BIGINT) AS err_total,
         |  CAST(MAX(abs(xm - deq)) AS BIGINT) AS err_max
-        |FROM r GROUP BY vec_id ORDER BY vec_id""".stripMargin
+        |FROM r GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+
+    // The SPEC form: one global ROW_NUMBER states the serpentine deal the
+    // banded Spark plan must reproduce exactly.
+    "llm_shard_balance" ->
+      """WITH t AS (SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS tokens
+        |  FROM documents),
+        |r AS (SELECT doc_id, tokens,
+        |    ROW_NUMBER() OVER (ORDER BY tokens DESC, doc_id) AS rank FROM t),
+        |a AS (SELECT tokens,
+        |    CASE WHEN ((rank - 1) // 8) % 2 = 0 THEN (rank - 1) % 8
+        |         ELSE 7 - (rank - 1) % 8 END AS shard
+        |  FROM r)
+        |SELECT CAST(shard AS BIGINT) AS shard, COUNT(*) AS n_docs,
+        |  CAST(SUM(tokens) AS BIGINT) AS tok_total,
+        |  CAST(MAX(tokens) AS BIGINT) AS tok_max
+        |FROM a GROUP BY shard ORDER BY shard""".stripMargin,
+
+    "mm_audio_chunks" ->
+      """WITH d AS (SELECT doc_id, text, length(text) AS len FROM documents
+        |           WHERE doc_id % 10 = 3),
+        |x AS (SELECT doc_id, text, len,
+        |        CAST(unnest(generate_series(0, len - 1, 16)) AS INT) AS off
+        |      FROM d)
+        |SELECT doc_id, CAST(off // 16 AS INT) AS chunk_idx, off,
+        |  CAST(least(48, len - off) AS INT) AS chunk_len,
+        |  md5(substring(text, off + 1, 48)) AS chunk_md5
+        |FROM x ORDER BY doc_id, chunk_idx""".stripMargin
   )
 }

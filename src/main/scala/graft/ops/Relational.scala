@@ -437,6 +437,45 @@ object Relational {
         .orderBy("band_id")
     }),
 
+    // Spatial epsilon-neighborhood self-join via GRID BUCKETING — the 2-D
+    // twin of join_range_banded: points land in eps-sized cells, each
+    // probe checks only its 3×3 neighborhood, so candidates are bounded by
+    // local density instead of n² (a cross join + distance filter is the
+    // plan this op exists to avoid; a skewed cell salts like any hot
+    // key). Coordinates are integer hashes (key·48271 / key·69621 mod
+    // 100000 = a 1000×1000 grid at 0.01 resolution), squared distance is
+    // pure BIGINT — both engines bit-identical, no FP anywhere. Each
+    // qualifying pair appears exactly once: the probe-side 3×3 explosion
+    // covers every cell a neighbor within eps can occupy, and a<b dedups.
+    "join_spatial_grid" -> ((s, d) => {
+      val eps = 1000L // cell edge == eps ⇒ 3×3 neighborhood suffices
+      // md5-derived coordinates, NOT a multiplicative hash: k·a mod m over
+      // consecutive keys is a 2-D lattice whose nonzero vectors all exceed
+      // eps at fixture scale (0 pairs) and collapse to ~n pairs per lucky
+      // Δ at 10× — the md5 scatter is genuinely uniform and replayable.
+      val pts = Tables.part(s, d).select(
+        col("p_partkey").as("id"),
+        expr("CAST(conv(substring(md5(concat('x:', CAST(p_partkey AS STRING))), 1, 8), 16, 10) AS BIGINT) % 100000").as("x"),
+        expr("CAST(conv(substring(md5(concat('y:', CAST(p_partkey AS STRING))), 1, 8), 16, 10) AS BIGINT) % 100000").as("y"))
+      val build = pts
+        .withColumn("cx", expr(s"x DIV $eps"))
+        .withColumn("cy", expr(s"y DIV $eps"))
+      val probe = pts
+        .select(col("id").as("b_id"), col("x").as("bx"), col("y").as("by"))
+        .withColumn("ox", explode(array(lit(-1L), lit(0L), lit(1L))))
+        .withColumn("oy", explode(array(lit(-1L), lit(0L), lit(1L))))
+        .withColumn("cx", expr(s"bx DIV $eps + ox"))
+        .withColumn("cy", expr(s"by DIV $eps + oy"))
+      build.join(probe, Seq("cx", "cy"))
+        .where(col("id") < col("b_id"))
+        .withColumn("d2",
+          (col("x") - col("bx")) * (col("x") - col("bx")) +
+            (col("y") - col("by")) * (col("y") - col("by")))
+        .where(col("d2") <= eps * eps)
+        .select(col("id").as("a_id"), col("b_id"), col("d2"))
+        .orderBy("a_id", "b_id")
+    }),
+
     // As-of join: for each purchase, the user's most recent view at-or-before
     // it. Spark has no native batch as-of; the idiomatic formulation is a
     // ranged join + row_number window kept to rank 1 (SURVEY.md §2.3).
@@ -857,6 +896,20 @@ object Relational {
         |FROM orders JOIN bands
         |  ON o_totalprice >= lo AND o_totalprice < hi
         |GROUP BY band_id ORDER BY band_id""".stripMargin,
+
+    // The oracle skips the grid and checks the DEFINITION: every pair
+    // within eps, by brute force — the grid plan must produce exactly
+    // the brute-force answer.
+    "join_spatial_grid" ->
+      """WITH p AS (SELECT p_partkey AS id,
+        |    ('0x' || substring(md5('x:' || CAST(p_partkey AS VARCHAR)), 1, 8))::BIGINT % 100000 AS x,
+        |    ('0x' || substring(md5('y:' || CAST(p_partkey AS VARCHAR)), 1, 8))::BIGINT % 100000 AS y
+        |  FROM part)
+        |SELECT a.id AS a_id, b.id AS b_id,
+        |  CAST((a.x - b.x)*(a.x - b.x) + (a.y - b.y)*(a.y - b.y) AS BIGINT) AS d2
+        |FROM p a JOIN p b ON a.id < b.id
+        |WHERE (a.x - b.x)*(a.x - b.x) + (a.y - b.y)*(a.y - b.y) <= 1000000
+        |ORDER BY a_id, b_id""".stripMargin,
 
     "join_asof" ->
       """SELECT p.event_id AS p_id, p.user_id AS user_id,

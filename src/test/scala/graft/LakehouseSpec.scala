@@ -394,4 +394,60 @@ class LakehouseSpec extends AnyFunSuite with SparkFixture {
       assert(kept.size < live.size, s"no pruning for custkey $k")
     }
   }
+
+  test("deletion vector: v3 rewrites ZERO files; MOR read drops exactly the DV'd rows") {
+    val r = Lakehouse.ensureDvTable(spark, sf)
+    val v2 = Lakehouse.manifest(r, 2)
+    val v3 = Lakehouse.manifest(r, 3)
+    // pure metadata commit: identical file list, identical on-disk bytes
+    assert(v2.map(_.path).toSet == v3.map(_.path).toSet, "DV delete must not touch data files")
+    v3.foreach { e =>
+      assert(java.nio.file.Files.size(Lakehouse.localPath(e.path)) > 0)
+    }
+    val plain = Lakehouse.readSnapshot(spark, r, 3)
+    val mor = Lakehouse.readSnapshotMor(spark, r, 3)
+    val doomed = plain.where(col("o_orderkey") % 17 === 0).count()
+    assert(doomed > 0, "fixture must actually delete something")
+    assert(mor.count() == plain.count() - doomed)
+    assert(mor.where(col("o_orderkey") % 17 === 0).count() == 0)
+    // snapshot isolation: v2 (same files, no sidecar) still reads pre-delete
+    assert(Lakehouse.readSnapshotMor(spark, r, 2).count() == plain.count())
+  }
+
+  test("DV purge rewrites only sidecar-named files and is invisible to queries") {
+    val r = Lakehouse.ensureDvPurged(spark, sf)
+    val dvFiles = Lakehouse.readDvEntries(r, 3)
+      .map(e => Lakehouse.localPath(e._1).toString).toSet
+    assert(dvFiles.nonEmpty)
+    val v3 = Lakehouse.manifest(r, 3).map(e => Lakehouse.localPath(e.path).toString).toSet
+    val v4 = Lakehouse.manifest(r, 4).map(e => Lakehouse.localPath(e.path).toString).toSet
+    // clean files carry by reference; DV'd files are replaced
+    assert((v3 -- dvFiles).subsetOf(v4), "clean files must carry by reference")
+    assert(v4.intersect(dvFiles).isEmpty, "purged files must leave the manifest")
+    // v4 has no sidecar, and reads exactly v3's MOR content
+    assert(Lakehouse.readDvEntries(r, 4).isEmpty)
+    val a = Lakehouse.readSnapshotMor(spark, r, 3)
+    val b = Lakehouse.readSnapshotMor(spark, r, 4)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
+
+  test("partition-spec evolution: old-spec files never pruned, new-spec files prune tight") {
+    val r = Lakehouse.ensureSpecEvolved(spark, sf)
+    val v1 = Lakehouse.manifest(r, 1).map(_.path).toSet
+    val v2 = Lakehouse.manifest(r, 2)
+    assert(v1.subsetOf(v2.map(_.path).toSet), "spec change must not rewrite old files")
+    val hit = Lakehouse.pruneFilesByKey2(r, 2, 1995L, 1995L)
+    // every spec-1 file is kept (no stats ⇒ no false negatives possible)...
+    assert(v1.subsetOf(hit.map(_.path).toSet))
+    // ...and at least one spec-2 file is actually pruned by its year stats
+    val spec2 = v2.map(_.path).toSet -- v1
+    assert(spec2.nonEmpty)
+    assert(hit.map(_.path).toSet.intersect(spec2).size < spec2.size,
+      s"year pruning did no work: kept all ${spec2.size} spec-2 files")
+    // pruned read == full read under the residual predicate
+    val full = Lakehouse.readSnapshot(spark, r, 2).where(col("o_year") === 1995).count()
+    val pruned = spark.read.parquet(hit.map(_.path).toSeq: _*)
+      .where(col("o_year") === 1995).count()
+    assert(pruned == full && full > 0)
+  }
 }

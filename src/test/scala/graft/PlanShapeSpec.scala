@@ -88,6 +88,13 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
     assert(p.contains("HashJoin"), "banding should yield a hash equi-join on the bucket")
   }
 
+  test("join_spatial_grid plans a hash equi-join on the cell (no nested loop)") {
+    val p = plan("join_spatial_grid")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      p.take(3000))
+    assert(p.contains("HashJoin"), "grid bucketing should yield a hash equi-join on (cx, cy)")
+  }
+
   test("join_skew_salted shuffles on (key, salt) and matches the plain join") {
     val p = plan("join_skew_salted")
     assert(p.contains("__graft_salt"), p.take(2000))

@@ -293,4 +293,48 @@ class Round9OpsSpec extends AnyFunSuite with SparkFixture {
     // rank double column is exactly micro/1e6
     rows.foreach(r => assert(r.getDouble(2) == r.getLong(1).toDouble / 1e6))
   }
+
+  test("graph_components: labels close over edges, sizes tie out, isolates are singletons") {
+    def L(r: org.apache.spark.sql.Row, i: Int): Long = r.getAs[Number](i).longValue
+    val rows = SparkEntry.queries("graph_components")(spark, sf).collect()
+    val comp = rows.map(r => L(r, 0) -> L(r, 1)).toMap
+    assert(rows.length == Tables.nation(spark, sf).count())
+    // a component label is always one of its members' ids (the minimum)
+    val members = rows.groupBy(L(_, 1)).view.mapValues(_.map(L(_, 0)).toSet).toMap
+    members.foreach { case (lab, ms) => assert(ms.contains(lab) && ms.min == lab) }
+    // size column ties out with the actual partition
+    rows.foreach(r => assert(L(r, 2) == members(L(r, 1)).size.toLong))
+    // every backbone edge joins two nodes of the SAME component (closure —
+    // 5 rounds actually converged on this graph)
+    val edges = Tables.lineitem(spark, sf)
+      .join(Tables.orders(spark, sf), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, sf), col("o_custkey") === col("c_custkey"))
+      .join(Tables.supplier(spark, sf), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
+      .agg(count(lit(1)).as("w"))
+    val und = edges.where(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"), col("w"))
+      .groupBy("a", "b").agg(sum("w").as("w"))
+    val tot = und.agg(sum("w").cast("long"), count(lit(1))).collect()(0)
+    val (tw, ne) = (tot.getLong(0), tot.getLong(1))
+    und.collect().filter(r => r.getLong(2) * ne > tw).foreach { r =>
+      assert(comp(L(r, 0)) == comp(L(r, 1)),
+        s"edge (${L(r, 0)},${L(r, 1)}) crosses components")
+    }
+  }
+
+  test("graph_label_prop: deterministic, labels are member ids, sizes partition the nodes") {
+    def L(r: org.apache.spark.sql.Row, i: Int): Long = r.getAs[Number](i).longValue
+    val a = SparkEntry.queries("graph_label_prop")(spark, sf).collect()
+    val b = SparkEntry.queries("graph_label_prop")(spark, sf).collect()
+    assert(a.map(_.toString).toSeq == b.map(_.toString).toSeq, "LPA must be deterministic")
+    val byComm = a.groupBy(L(_, 1)).view.mapValues(_.map(L(_, 0)).toSet).toMap
+    // sizes tie out and partition all nations
+    a.foreach(r => assert(L(r, 2) == byComm(L(r, 1)).size.toLong))
+    assert(byComm.values.map(_.size).sum == a.length)
+    // each community label is a real node id (labels only ever propagate)
+    val nodes = a.map(L(_, 0)).toSet
+    byComm.keys.foreach(lab => assert(nodes.contains(lab)))
+  }
 }
