@@ -340,6 +340,51 @@ object StreamingOps {
       s.table(sink).orderBy("p_id", "v_id")
     }),
 
+    // FULL-outer stream-stream join — completes the streaming join matrix
+    // (inner/left/full): same interval condition and watermark proofs as
+    // stream_stream_left, but BOTH sides' unmatched rows emit null-padded
+    // once the opposite watermark passes their join window (purchase 202
+    // finds no view in its 10-minute lookback; view 103 has no purchase
+    // within 10 minutes after it — each emits exactly once, from state
+    // eviction, never from a timer). v_user is kept in the output so
+    // right-only rows stay identifiable.
+    "stream_stream_full" -> ((s, d) => withFewShufflePartitions(s) {
+      val classic = s.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      import classic.implicits._
+      implicit val sq = classic.sqlContext
+      val mp = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[SEvent]
+      val mv = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[SEvent]
+      val sink = newSinkName()
+      val p = mp.toDF()
+        .select(col("event_id").as("p_id"), col("user_id"), col("ts").as("p_ts"))
+        .withWatermark("p_ts", "10 minutes")
+      val v = mv.toDF()
+        .select(col("event_id").as("v_id"), col("user_id").as("v_user"), col("ts").as("v_ts"))
+        .withWatermark("v_ts", "10 minutes")
+      val q = p.join(v,
+          col("user_id") === col("v_user")
+            && col("v_ts") >= col("p_ts") - expr("INTERVAL 10 MINUTES")
+            && col("v_ts") <= col("p_ts"), "full_outer")
+        .select(col("p_id"), col("user_id"), fmt(col("p_ts")).as("p_ts"),
+          col("v_id"), col("v_user"), fmt(col("v_ts")).as("v_ts"))
+        .writeStream.format("memory").queryName(sink).outputMode("append").start()
+      mv.addData(
+        SEvent(101, Timestamp.valueOf("2024-01-01 10:00:00"), 1, "view", 1.0),
+        SEvent(103, Timestamp.valueOf("2024-01-01 10:00:00"), 2, "view", 1.0))
+      mp.addData(
+        SEvent(201, Timestamp.valueOf("2024-01-01 10:05:00"), 1, "purchase", 1.0),
+        SEvent(202, Timestamp.valueOf("2024-01-01 10:30:00"), 2, "purchase", 1.0))
+      q.processAllAvailable()
+      mv.addData(SEvent(104, Timestamp.valueOf("2024-01-01 12:00:00"), 3, "view", 1.0))
+      mp.addData(SEvent(204, Timestamp.valueOf("2024-01-01 12:00:00"), 3, "purchase", 1.0))
+      q.processAllAvailable()
+      mv.addData(SEvent(105, Timestamp.valueOf("2024-01-01 13:00:00"), 4, "view", 1.0))
+      mp.addData(SEvent(206, Timestamp.valueOf("2024-01-01 13:00:00"), 4, "purchase", 1.0))
+      q.processAllAvailable()
+      q.stop()
+      s.table(sink).orderBy("p_id", "v_id")
+    }),
+
     // Arbitrary stateful processing: per-user running (count, value-sum)
     // state machine via Spark 4's transformWithState (StatefulProcessor +
     // typed ValueState) over the RocksDB state store provider — the
@@ -544,6 +589,20 @@ object StreamingOps {
         |  (204, 3, '2024-01-01 12:00:00', 104, '2024-01-01 12:00:00'),
         |  (206, 4, '2024-01-01 13:00:00', 105, '2024-01-01 13:00:00'))
         |  AS t(p_id, user_id, p_ts, v_id, v_ts)
+        |ORDER BY p_id, v_id""".stripMargin,
+
+    // The left-join golden set plus the one right-only row (view 103 has
+    // no purchase within its 10-minute window).
+    "stream_stream_full" ->
+      """SELECT CAST(p_id AS BIGINT) AS p_id, CAST(user_id AS BIGINT) AS user_id, p_ts,
+        |  CAST(v_id AS BIGINT) AS v_id, CAST(v_user AS BIGINT) AS v_user, v_ts
+        |FROM (VALUES
+        |  (201, 1, '2024-01-01 10:05:00', 101, 1, '2024-01-01 10:00:00'),
+        |  (202, 2, '2024-01-01 10:30:00', NULL, NULL, NULL),
+        |  (NULL, NULL, NULL, 103, 2, '2024-01-01 10:00:00'),
+        |  (204, 3, '2024-01-01 12:00:00', 104, 3, '2024-01-01 12:00:00'),
+        |  (206, 4, '2024-01-01 13:00:00', 105, 4, '2024-01-01 13:00:00'))
+        |  AS t(p_id, user_id, p_ts, v_id, v_user, v_ts)
         |ORDER BY p_id, v_id""".stripMargin,
 
     "stream_tumbling" ->

@@ -229,6 +229,31 @@ object WindowOps {
         .groupBy("user_id")
         .agg(count(lit(1)).as("n_matches"), min("ts_us").as("first_match_us"))
         .orderBy("user_id")
+    }),
+
+    // Rolling z-score anomaly flag per user (the monitoring twin of
+    // win_ewma): an event is an outlier when its value deviates from its
+    // trailing-8-frame mean by more than 2 population sigmas. The test is
+    // ALL-INTEGER — z² > 4 cross-multiplies to (x·n − Σx)² > 4·(n·Σx² − Σx²̂)
+    // over exact BIGINT cents — so the flag is bit-identical cross-engine
+    // with zero FP anywhere (stricter than the round-6 law: no rounding at
+    // all). One window shuffle on user_id; both frame sums read the same
+    // sorted frame. Frames shorter than 4 never flag (variance too noisy).
+    "win_zscore_outlier" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+        .rowsBetween(-7, 0)
+      Tables.events(s, d)
+        .select(col("user_id"), col("ts_us"), col("event_id"),
+          floor(col("value") * 100).cast("bigint").as("cents"))
+        .withColumn("n", count(lit(1)).over(w))
+        .withColumn("sm", sum("cents").over(w))
+        .withColumn("sq", sum(col("cents") * col("cents")).over(w))
+        .withColumn("dev", col("cents") * col("n") - col("sm"))
+        .withColumn("outlier",
+          col("n") >= 4 &&
+            col("dev") * col("dev") > lit(4L) * (col("n") * col("sq") - col("sm") * col("sm")))
+        .select("user_id", "ts_us", "event_id", "cents", "n", "outlier")
+        .orderBy("user_id", "ts_us", "event_id")
     })
   )
 
@@ -354,6 +379,21 @@ object WindowOps {
         |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id))
         |SELECT user_id, COUNT(*) AS n_matches, MIN(ts_us) AS first_match_us
         |FROM l WHERE event_type = 'view' AND n1 = 'click' AND n2 = 'purchase'
-        |GROUP BY user_id ORDER BY user_id""".stripMargin
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // Same cross-multiplied integer test — no FP on either engine.
+    "win_zscore_outlier" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+        |    CAST(floor(value * 100) AS BIGINT) AS cents FROM events),
+        |f AS (SELECT user_id, ts_us, event_id, cents,
+        |    CAST(COUNT(*) OVER w AS BIGINT) AS n,
+        |    CAST(SUM(cents) OVER w AS BIGINT) AS sm,
+        |    CAST(SUM(cents * cents) OVER w AS BIGINT) AS sq
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id
+        |                      ROWS BETWEEN 7 PRECEDING AND CURRENT ROW))
+        |SELECT user_id, ts_us, event_id, cents, n,
+        |  n >= 4 AND (cents * n - sm) * (cents * n - sm) > 4 * (n * sq - sm * sm)
+        |    AS outlier
+        |FROM f ORDER BY user_id, ts_us, event_id""".stripMargin
   )
 }
