@@ -155,6 +155,34 @@ object Warehouse {
     // what keeps scan task counts and parquet footer overhead bounded.
     // Row equality with the source is the oracle; the file-count drop is
     // asserted in ScalaTest.
+    // Parquet-native BLOOM FILTERS (the file-format twin of the
+    // lakehouse's sidecar bloom index): the writer embeds a per-row-group
+    // bloom on o_custkey — an UNCLUSTERED key min/max stats can't prune —
+    // and the reader's row-group filter consults it for point predicates
+    // (parquet.filter.bloom.enabled, on by default). SourceSinkSpec
+    // asserts the bloom bytes are really in the footer. At 100 TB this is
+    // row-group-level skipping INSIDE files, composing with file-level
+    // stats pruning above it.
+    "sink_parquet_bloom" -> ((s, d) => {
+      val dir = Scratch.opDir("pqbloom", d)
+      Tables.orders(s, d).select("o_orderkey", "o_custkey", "o_totalprice")
+        .repartition(4, col("o_orderkey"))
+        .write.mode("overwrite")
+        .option("parquet.bloom.filter.enabled#o_custkey", "true")
+        .option("parquet.bloom.filter.expected.ndv#o_custkey", "20000")
+        // parquet-mr SKIPS the bloom when a column ends fully
+        // dictionary-encoded (the dictionary already is a perfect
+        // membership filter) — turn the dictionary off for exactly this
+        // column so the bloom is actually materialized at every sf
+        .option("parquet.enable.dictionary#o_custkey", "false")
+        .parquet(dir)
+      s.read.parquet(dir).where(col("o_custkey").isin(7L, 19L, 101L))
+        .groupBy("o_custkey")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(dec(col("o_totalprice"))).cast("double").as("total"))
+        .orderBy("o_custkey")
+    }),
+
     "sink_compacted" -> ((s, d) => {
       val base = s"${Scratch.dir}/compact"
       Tables.orders(s, d).repartition(16).write.mode("overwrite").parquet(s"$base/landing")
@@ -560,6 +588,13 @@ object Warehouse {
       """SELECT o_orderstatus, COUNT(*) AS n_orders,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    // The bloom round-trip must read back the exact point-lookup rows.
+    "sink_parquet_bloom" ->
+      """SELECT o_custkey, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+        |FROM orders WHERE o_custkey IN (7, 19, 101)
+        |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
 
     "join_dpp" ->
       """WITH dim AS (SELECT DISTINCT year(o_orderdate) AS yr FROM orders),

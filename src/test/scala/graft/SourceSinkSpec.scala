@@ -111,4 +111,34 @@ class SourceSinkSpec extends AnyFunSuite with SparkFixture {
     val b = Tables.supplier(spark, sf).select("s_nationkey")
     assert(a.union(b).distinct().count() == a.unionAll(b).distinct().count())
   }
+
+  test("sink_parquet_bloom really embeds a bloom filter on o_custkey, and only there") {
+    // run the op so the files exist, and sanity the read-back rows
+    val rows = SparkEntry.queries("sink_parquet_bloom")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val dir = new java.io.File(graft.ops.Scratch.opDir("pqbloom", sf))
+    val pf = dir.listFiles().filter(_.getName.endsWith(".parquet")).minBy(_.getName)
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(pf.getAbsolutePath), conf))
+    try {
+      import scala.jdk.CollectionConverters._
+      val cols = reader.getFooter.getBlocks.asScala.head.getColumns.asScala
+      val byName = cols.map(c => c.getPath.toDotString -> c.getBloomFilterOffset).toMap
+      assert(byName("o_custkey") >= 0, s"no bloom on o_custkey: $byName")
+      assert(byName("o_orderkey") < 0, "bloom must be scoped to the requested column")
+    } finally reader.close()
+  }
+
+  test("llm_kmeans_embed: clusters partition the corpus, deterministic across runs") {
+    val rows = SparkEntry.queries("llm_kmeans_embed")(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 8)
+    val nTotal = Tables.embeddings(spark, sf).count()
+    assert(rows.map(_.getLong(1)).sum == nTotal, "every vector assigned exactly once")
+    assert(rows.forall(_.getLong(2) >= 0L))
+    // determinism: a second run reproduces the same report
+    val again = SparkEntry.queries("llm_kmeans_embed")(spark, sf).collect()
+    assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
 }
