@@ -178,6 +178,23 @@ object ApiSurface {
         Map("tbl" -> "graft_param_orders", "minp" -> 150000))
     }),
 
+    // SQL PIPE syntax (new in Spark 4): the |> operator-chain dialect —
+    // FROM … |> WHERE … |> AGGREGATE … GROUP BY … |> WHERE (post-agg
+    // filter without repeating the aggregate, HAVING's successor) |>
+    // ORDER BY. Same plan as the classic form (the oracle IS the classic
+    // form) — the surface matters for pipeline-authoring parity.
+    "api_sql_pipe" -> ((s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("graft_pipe_orders")
+      s.sql(
+        """FROM graft_pipe_orders
+          ||> WHERE o_orderstatus <> 'P'
+          ||> AGGREGATE COUNT(*) AS n_orders,
+          |     CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+          |   GROUP BY o_orderpriority
+          ||> WHERE n_orders > 1
+          ||> ORDER BY o_orderpriority""".stripMargin)
+    }),
+
     // SQL-body scalar UDFs (new in Spark 4): CREATE FUNCTION ... RETURN
     // <expr> — a declarative function the optimizer INLINES into the plan
     // (stays inside codegen, unlike a JVM closure), and the first UDF
@@ -273,6 +290,14 @@ object ApiSurface {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
         |FROM orders WHERE o_totalprice > 150000
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    // The pipe chain replayed in classic form.
+    "api_sql_pipe" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+        |FROM orders WHERE o_orderstatus <> 'P'
+        |GROUP BY o_orderpriority HAVING COUNT(*) > 1
+        |ORDER BY o_orderpriority""".stripMargin,
 
     // The SQL UDF bodies replayed inline (what the optimizer itself does).
     "udf_sql" ->

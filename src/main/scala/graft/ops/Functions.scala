@@ -81,6 +81,23 @@ object Functions {
         col("o_orderpriority").isin("1-URGENT", "2-HIGH").as("is_hi"))
         .orderBy("o_orderkey")),
 
+    // Error-safe arithmetic (ANSI-mode pipelines fail loudly; the try_*
+    // family turns row-level poison — overflow, /0, bad index — into
+    // NULLs a pipeline can quarantine instead of dying on). The oracle
+    // replays each failure condition as an explicit CASE, pinning exactly
+    // WHICH rows must null out: bigint-overflow adds/multiplies, double
+    // and decimal /0, and an out-of-bounds 1-based array index.
+    "fn_try_arith" -> ((s, d) =>
+      Tables.part(s, d).select(
+        col("p_partkey"),
+        expr("try_add(9223372036854775800L, p_partkey)").as("ta"),
+        expr("try_multiply(4611686018427387904L, CAST(p_size AS BIGINT))").as("tm"),
+        expr("try_divide(100.0D, CAST(p_size - 25 AS DOUBLE))").as("td"),
+        expr("try_divide(CAST(1 AS DECIMAL(10,2)), CAST(p_size % 2 AS DECIMAL(10,0)))")
+          .cast("double").as("tdec"),
+        expr("try_element_at(array(10, 20, 30), p_size)").as("te"))
+        .orderBy("p_partkey")),
+
     "fn_cast" -> ((s, d) =>
       Tables.customer(s, d).select(
         col("c_custkey"),
@@ -390,6 +407,20 @@ object Functions {
         |  COALESCE(NULLIF(o_orderstatus, 'P'), 'pending') AS co,
         |  o_orderpriority IN ('1-URGENT', '2-HIGH') AS is_hi
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    // Each failure condition pinned explicitly: the CASE guard must null
+    // out exactly the rows Spark's try_* nulls.
+    "fn_try_arith" ->
+      """SELECT p_partkey,
+        |  CASE WHEN p_partkey > 7 THEN NULL
+        |       ELSE CAST(9223372036854775800 + p_partkey AS BIGINT) END AS ta,
+        |  CASE WHEN p_size >= 2 THEN NULL
+        |       ELSE CAST(4611686018427387904 * CAST(p_size AS BIGINT) AS BIGINT) END AS tm,
+        |  CASE WHEN p_size = 25 THEN NULL
+        |       ELSE 100.0 / CAST(p_size - 25 AS DOUBLE) END AS td,
+        |  CASE WHEN p_size % 2 = 0 THEN NULL ELSE 1.0 END AS tdec,
+        |  ([10, 20, 30])[p_size] AS te
+        |FROM part ORDER BY p_partkey""".stripMargin,
 
     "fn_cast" ->
       """SELECT c_custkey,

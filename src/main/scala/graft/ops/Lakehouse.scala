@@ -876,6 +876,33 @@ object Lakehouse {
     root
   }
 
+  // ------------------------------------------------------------------
+  // Shallow clone — a zero-copy TABLE fork: a new table root whose v1
+  // manifest references the SOURCE table's live files by path (the
+  // cross-table generalization of branch refs: a clone has its own
+  // version history and CURRENT pointer, but shares the immutable file
+  // pool until it diverges). Cloning a 100 TB table for a dev/test/
+  // what-if workload is O(manifest) metadata; writes to the clone land
+  // as ordinary commits on the CLONE's chain and never touch the source.
+  // ------------------------------------------------------------------
+  private[graft] def ensureCloned(s: SparkSession, d: String): String = {
+    val src = ensureTable(s, d)
+    val root = Scratch.opDir("snap_clone", d)
+    if (currentVersion(root).exists(_ >= 2)) return root
+    commit(root, 1, manifest(src, 2)) // zero-copy fork of the source's live state
+    // divergence: one append batch committed on the CLONE ONLY (keys ≡0
+    // mod 107 shifted +90M) — the source stays at its own history
+    val devDir = s"$root/clone-append"
+    readSnapshot(s, root, 1)
+      .where(col("o_orderkey") % 107 === 0 && col("o_orderkey") < 10000000L)
+      .select((col("o_orderkey") + 90000000L).as("o_orderkey"), col("o_year"),
+        col("o_totalprice"))
+      .coalesce(1).write.mode("overwrite").parquet(devDir)
+    require(commitIf(root, Some(1), 2, manifest(root, 1) ++ fileStats(s, devDir)),
+      s"clone append expected clone at v1 (found ${currentVersion(root)})")
+    root
+  }
+
   val queries: Map[String, Q] = Map(
     // The ACID MERGE: graded output is the post-merge table read through
     // the v2 manifest. Oracle replays the batch from `orders` alone —
@@ -927,6 +954,21 @@ object Lakehouse {
         .agg(count(lit(1)).as("n_rows"),
           sum(dec(col("o_totalprice"))).cast("double").as("total"),
           sum(when(col("o_orderkey") >= 10000000L, 1L).otherwise(0L)).as("n_inserted"))
+        .orderBy("o_year")
+    }),
+
+    // Shallow clone: the graded output is the DIVERGED clone (source's
+    // live state + the clone-only append) — while the clone's v1 copied
+    // zero data files and the source table is byte-untouched
+    // (LakehouseSpec asserts both). Oracle = the ACID post-state plus
+    // the replayed clone batch.
+    "warehouse_clone_shallow" -> ((s, d) => {
+      val root = ensureCloned(s, d)
+      readSnapshot(s, root, 2)
+        .groupBy("o_year")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(dec(col("o_totalprice"))).cast("double").as("total"),
+          sum(when(col("o_orderkey") >= 90000000L, 1L).otherwise(0L)).as("n_cloned"))
         .orderBy("o_year")
     }),
 
@@ -1305,6 +1347,30 @@ object Lakehouse {
         |  CAST(SUM(CASE WHEN o_orderkey >= 10000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_inserted
         |FROM post
         |WHERE NOT (o_orderkey % 13 = 0 AND o_orderkey <= (SELECT t FROM thr))
+        |GROUP BY o_year ORDER BY o_year""".stripMargin,
+
+    // ACID post-state plus the clone-only batch (base keys ≡0 mod 107
+    // shifted +90M), replayed from `orders`.
+    "warehouse_clone_shallow" ->
+      """WITH thr AS (SELECT MAX(o_orderkey) // 10 AS t FROM orders),
+        |src AS (SELECT o_orderkey, year(o_orderdate) AS o_year, o_totalprice FROM orders),
+        |post AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey <= (SELECT t FROM thr) AND o_orderkey % 7 = 0
+        |         THEN o_totalprice + 100.0 ELSE o_totalprice END AS o_totalprice,
+        |    o_year
+        |  FROM src
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000, o_totalprice, o_year
+        |  FROM src WHERE o_orderkey <= (SELECT t FROM thr) AND o_orderkey % 11 = 0),
+        |clonebatch AS (
+        |  SELECT o_orderkey + 90000000 AS o_orderkey, o_totalprice, o_year
+        |  FROM post WHERE o_orderkey % 107 = 0 AND o_orderkey < 10000000),
+        |allrows AS (SELECT * FROM post UNION ALL SELECT * FROM clonebatch)
+        |SELECT o_year, COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total,
+        |  CAST(SUM(CASE WHEN o_orderkey >= 90000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_cloned
+        |FROM allrows
         |GROUP BY o_year ORDER BY o_year""".stripMargin,
 
     // Post-merge state minus the DV'd keys (≡0 mod 17), replayed from

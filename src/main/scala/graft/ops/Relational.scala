@@ -639,6 +639,22 @@ object Relational {
           |ORDER BY c_custkey""".stripMargin)
     }),
 
+    // Multi-column (row-value) IN subquery: the tuple membership form —
+    // (custkey, status) pairs against a derived pair set — that planners
+    // must turn into a multi-key semi join, not two independent INs
+    // (which would accept mixed pairs). Null-free keys here, so the
+    // semi-join rewrite is exact in both engines.
+    "subquery_in_multicol" -> ((s, d) => {
+      Tables.customer(s, d).createOrReplaceTempView("graft_cust_mc_v")
+      Tables.orders(s, d).createOrReplaceTempView("graft_ord_mc_v")
+      s.sql(
+        """SELECT o_orderkey, o_custkey, o_orderstatus
+          |FROM graft_ord_mc_v
+          |WHERE (o_custkey, o_orderstatus) IN
+          |  (SELECT c_custkey, 'F' FROM graft_cust_mc_v WHERE c_acctbal < 0)
+          |ORDER BY o_orderkey""".stripMargin)
+    }),
+
     // EXISTS under OR — the subquery position a semi join CANNOT serve
     // (a semi join drops the non-matching rows the other disjunct must
     // still see). Catalyst plans an ExistenceJoin: a left join emitting a
@@ -1014,6 +1030,16 @@ object Relational {
         |  AND NOT EXISTS (SELECT 1 FROM orders o2
         |                  WHERE o2.o_custkey = c.c_custkey AND o2.o_totalprice > 400000)
         |ORDER BY c_custkey""".stripMargin,
+
+    // DuckDB has no row-value IN subquery; the EXISTS form is the exact
+    // tuple-membership semantics (keys are null-free).
+    "subquery_in_multicol" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus
+        |FROM orders
+        |WHERE EXISTS (SELECT 1 FROM customer
+        |              WHERE c_custkey = o_custkey AND c_acctbal < 0
+        |                AND o_orderstatus = 'F')
+        |ORDER BY o_orderkey""".stripMargin,
 
     "subquery_exists_or" ->
       """SELECT c_custkey, c_mktsegment, c_acctbal FROM customer c

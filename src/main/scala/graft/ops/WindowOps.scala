@@ -231,6 +231,25 @@ object WindowOps {
         .orderBy("user_id")
     }),
 
+    // nth_value over explicit frames — the remaining analytic-function
+    // surface beside first/last (win_ignore_nulls) and lead/lag: the
+    // 3rd-highest order value per status from the FULL frame, and the
+    // 2nd-seen value from the RUNNING frame (null until two rows have
+    // arrived — the frame-sensitivity nth_value exists to expose).
+    // Total order (cents DESC, key) makes every nth pick engine-exact.
+    "win_nth_value" -> ((s, d) => {
+      val base = Window.partitionBy("o_orderstatus")
+        .orderBy(desc("cents"), col("o_orderkey"))
+      val full = base.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val run = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          round(col("o_totalprice") * 100).cast("bigint").as("cents"))
+        .withColumn("third_highest", nth_value(col("cents"), 3).over(full))
+        .withColumn("second_seen", nth_value(col("cents"), 2).over(run))
+        .orderBy("o_orderkey")
+    }),
+
     // Rolling z-score anomaly flag per user (the monitoring twin of
     // win_ewma): an event is an outlier when its value deviates from its
     // trailing-8-frame mean by more than 2 population sigmas. The test is
@@ -380,6 +399,18 @@ object WindowOps {
         |SELECT user_id, COUNT(*) AS n_matches, MIN(ts_us) AS first_match_us
         |FROM l WHERE event_type = 'view' AND n1 = 'click' AND n2 = 'purchase'
         |GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "win_nth_value" ->
+      """WITH o AS (SELECT o_orderkey, o_orderstatus,
+        |    CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents FROM orders)
+        |SELECT o_orderkey, o_orderstatus, cents,
+        |  nth_value(cents, 3) OVER (PARTITION BY o_orderstatus
+        |    ORDER BY cents DESC, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS third_highest,
+        |  nth_value(cents, 2) OVER (PARTITION BY o_orderstatus
+        |    ORDER BY cents DESC, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS second_seen
+        |FROM o ORDER BY o_orderkey""".stripMargin,
 
     // Same cross-multiplied integer test — no FP on either engine.
     "win_zscore_outlier" ->

@@ -431,6 +431,24 @@ class LakehouseSpec extends AnyFunSuite with SparkFixture {
     assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
   }
 
+  test("shallow clone: zero-copy fork, diverges on its own chain, source untouched") {
+    val srcCountBefore = Lakehouse.readSnapshot(spark, root, 2).count()
+    val r = Lakehouse.ensureCloned(spark, sf)
+    // v1 of the clone references the source's exact live files — no copies
+    val srcV2 = Lakehouse.manifest(root, 2).map(_.path).toSet
+    val cloneV1 = Lakehouse.manifest(r, 1).map(_.path).toSet
+    assert(cloneV1 == srcV2, "clone v1 must reference the source's files verbatim")
+    // divergence stayed on the clone: exactly one new file, source history intact
+    val cloneV2 = Lakehouse.manifest(r, 2).map(_.path).toSet
+    assert((cloneV2 -- cloneV1).size == 1)
+    assert(Lakehouse.currentVersion(root).contains(2) ||
+      Lakehouse.currentVersion(root).exists(_ >= 2), "source chain unaffected")
+    assert(Lakehouse.readSnapshot(spark, root, 2).count() == srcCountBefore)
+    // the clone's appended rows never appear through the source's manifest
+    assert(Lakehouse.readSnapshot(spark, root, 2)
+      .where(col("o_orderkey") >= 90000000L).count() == 0)
+  }
+
   test("partition-spec evolution: old-spec files never pruned, new-spec files prune tight") {
     val r = Lakehouse.ensureSpecEvolved(spark, sf)
     val v1 = Lakehouse.manifest(r, 1).map(_.path).toSet
