@@ -324,6 +324,20 @@ class Round9OpsSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("llm_dedup_incremental equals the full dedup restricted to batch-vs-corpus pairs") {
+    val inc = SparkEntry.queries("llm_dedup_incremental")(spark, sf).collect()
+      .map(r => (Set(r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    // every returned pair is (new, old)
+    SparkEntry.queries("llm_dedup_incremental")(spark, sf).collect().foreach { r =>
+      assert(r.getLong(0) % 17 == 5 && r.getLong(1) % 17 != 5)
+    }
+    val full = SparkEntry.queries("llm_dedup_minhash")(spark, sf).collect()
+      .filter(r => (r.getLong(0) % 17 == 5) != (r.getLong(1) % 17 == 5))
+      .map(r => (Set(r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(inc == full,
+      s"incremental ${inc.keySet} != restricted full dedup ${full.keySet}")
+  }
+
   test("graph_label_prop: deterministic, labels are member ids, sizes partition the nodes") {
     def L(r: org.apache.spark.sql.Row, i: Int): Long = r.getAs[Number](i).longValue
     val a = SparkEntry.queries("graph_label_prop")(spark, sf).collect()
