@@ -61,7 +61,7 @@ object GraphOps {
   /** The oracle twin of `tradeEdges` (kept adjacent so they drift
     * together or not at all). */
   private val EdgesCte =
-    """edges AS (
+    """edges AS MATERIALIZED (
       |  SELECT c_nationkey AS src, s_nationkey AS dst,
       |    COUNT(*)::BIGINT AS w
       |  FROM lineitem
@@ -86,11 +86,11 @@ object GraphOps {
 
   /** Oracle twin of `heavyBackbone` (chains after EdgesCte). */
   private val HeavyCte =
-    """und AS (SELECT LEAST(src, dst) AS a, GREATEST(src, dst) AS b,
+    """und AS MATERIALIZED (SELECT LEAST(src, dst) AS a, GREATEST(src, dst) AS b,
       |    CAST(SUM(w) AS BIGINT) AS w
       |  FROM edges WHERE src <> dst GROUP BY 1, 2),
-      |t AS (SELECT CAST(SUM(w) AS BIGINT) AS tw, COUNT(*) AS ne FROM und),
-      |h AS (SELECT a, b FROM und, t WHERE w * ne > tw)""".stripMargin
+      |t AS MATERIALIZED (SELECT CAST(SUM(w) AS BIGINT) AS tw, COUNT(*) AS ne FROM und),
+      |h AS MATERIALIZED (SELECT a, b FROM und, t WHERE w * ne > tw)""".stripMargin
 
   /** Fixed BFS relaxation rounds (diameter of the fixture backbone is
     * ≤ 3; round 4 is the convergence slack the oracle replays too). */
@@ -127,11 +127,11 @@ object GraphOps {
     * CTEs are shared with HeavyCte's text, duplicated here so each oracle
     * stays self-contained). */
   private val HeavyWCte =
-    """und AS (SELECT LEAST(src, dst) AS a, GREATEST(src, dst) AS b,
+    """und AS MATERIALIZED (SELECT LEAST(src, dst) AS a, GREATEST(src, dst) AS b,
       |    CAST(SUM(w) AS BIGINT) AS w
       |  FROM edges WHERE src <> dst GROUP BY 1, 2),
-      |t AS (SELECT CAST(SUM(w) AS BIGINT) AS tw, COUNT(*) AS ne FROM und),
-      |hw AS (SELECT a, b, w FROM und, t WHERE w * ne > tw)""".stripMargin
+      |t AS MATERIALIZED (SELECT CAST(SUM(w) AS BIGINT) AS tw, COUNT(*) AS ne FROM und),
+      |hw AS MATERIALIZED (SELECT a, b, w FROM und, t WHERE w * ne > tw)""".stripMargin
 
   val queries: Map[String, Q] = Map(
     // Weighted PageRank over the nation trade graph. Damping 0.85 in
@@ -312,16 +312,16 @@ object GraphOps {
     "graph_pagerank" -> {
       val iters = (1 to PrIters).map { i =>
         val p = s"r${i - 1}"
-        s"""c$i AS (SELECT e.dst AS node,
+        s"""c$i AS MATERIALIZED (SELECT e.dst AS node,
            |    CAST(SUM(($p.r * e.w) // x.ow) AS BIGINT) AS contrib
            |  FROM edges e JOIN outw x ON e.src = x.src
            |  JOIN $p ON $p.node = e.src GROUP BY 1),
-           |r$i AS (SELECT n.node,
+           |r$i AS MATERIALIZED (SELECT n.node,
            |    CAST(150000 + (85 * COALESCE(c$i.contrib, 0)) // 100 AS BIGINT) AS r
            |  FROM nodes n LEFT JOIN c$i ON c$i.node = n.node)"""
       }.mkString(",\n")
       s"""WITH $EdgesCte,
-         |outw AS (SELECT src, CAST(SUM(w) AS BIGINT) AS ow FROM edges GROUP BY 1),
+         |outw AS MATERIALIZED (SELECT src, CAST(SUM(w) AS BIGINT) AS ow FROM edges GROUP BY 1),
          |nodes AS (SELECT n_nationkey AS node FROM nation),
          |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM nodes),
          |$iters
@@ -370,16 +370,16 @@ object GraphOps {
     "graph_bfs" -> {
       val iters = (1 to BfsIters).map { i =>
         val p = s"d${i - 1}"
-        s"""c$i AS (SELECT bi.dst AS node, CAST(MIN($p.dist + 1) AS BIGINT) AS cand
+        s"""c$i AS MATERIALIZED (SELECT bi.dst AS node, CAST(MIN($p.dist + 1) AS BIGINT) AS cand
            |  FROM bi JOIN $p ON $p.node = bi.src GROUP BY 1),
-           |d$i AS (SELECT n.node,
+           |d$i AS MATERIALIZED (SELECT n.node,
            |    CAST(LEAST($p.dist, COALESCE(c$i.cand, 99)) AS BIGINT) AS dist
            |  FROM nodes n JOIN $p ON $p.node = n.node
            |  LEFT JOIN c$i ON c$i.node = n.node)"""
       }.mkString(",\n")
       s"""WITH $EdgesCte,
          |$HeavyCte,
-         |bi AS (SELECT a AS src, b AS dst FROM h
+         |bi AS MATERIALIZED (SELECT a AS src, b AS dst FROM h
          |       UNION ALL SELECT b, a FROM h),
          |nodes AS (SELECT n_nationkey AS node FROM nation),
          |d0 AS (SELECT node, CASE WHEN node = (SELECT MIN(a) FROM h)
@@ -394,16 +394,16 @@ object GraphOps {
     "graph_components" -> {
       val iters = (1 to CcIters).map { i =>
         val p = s"l${i - 1}"
-        s"""c$i AS (SELECT bi.dst AS node, CAST(MIN($p.comp) AS BIGINT) AS cand
+        s"""c$i AS MATERIALIZED (SELECT bi.dst AS node, CAST(MIN($p.comp) AS BIGINT) AS cand
            |  FROM bi JOIN $p ON $p.node = bi.src GROUP BY 1),
-           |l$i AS (SELECT n.node,
+           |l$i AS MATERIALIZED (SELECT n.node,
            |    CAST(LEAST($p.comp, COALESCE(c$i.cand, $p.comp)) AS BIGINT) AS comp
            |  FROM nodes n JOIN $p ON $p.node = n.node
            |  LEFT JOIN c$i ON c$i.node = n.node)"""
       }.mkString(",\n")
       s"""WITH $EdgesCte,
          |$HeavyCte,
-         |bi AS (SELECT a AS src, b AS dst FROM h
+         |bi AS MATERIALIZED (SELECT a AS src, b AS dst FROM h
          |       UNION ALL SELECT b, a FROM h),
          |nodes AS (SELECT n_nationkey AS node FROM nation),
          |l0 AS (SELECT node, CAST(node AS BIGINT) AS comp FROM nodes),
@@ -419,13 +419,13 @@ object GraphOps {
     "graph_label_prop" -> {
       val iters = (1 to LpIters).map { i =>
         val p = s"l${i - 1}"
-        s"""t$i AS (SELECT bi.dst AS node, $p.lab AS nlab,
+        s"""t$i AS MATERIALIZED (SELECT bi.dst AS node, $p.lab AS nlab,
            |    CAST(SUM(bi.w) AS BIGINT) AS sw
            |  FROM bi JOIN $p ON $p.node = bi.src GROUP BY 1, 2),
-           |p$i AS (SELECT node, nlab,
+           |p$i AS MATERIALIZED (SELECT node, nlab,
            |    ROW_NUMBER() OVER (PARTITION BY node ORDER BY sw DESC, nlab ASC) AS rn
            |  FROM t$i),
-           |l$i AS (SELECT n.node,
+           |l$i AS MATERIALIZED (SELECT n.node,
            |    CAST(COALESCE(w$i.nlab, $p.lab) AS BIGINT) AS lab
            |  FROM nodes n JOIN $p ON $p.node = n.node
            |  LEFT JOIN (SELECT node, nlab FROM p$i WHERE rn = 1) w$i
@@ -433,7 +433,7 @@ object GraphOps {
       }.mkString(",\n")
       s"""WITH $EdgesCte,
          |$HeavyWCte,
-         |bi AS (SELECT a AS src, b AS dst, w FROM hw
+         |bi AS MATERIALIZED (SELECT a AS src, b AS dst, w FROM hw
          |       UNION ALL SELECT b, a, w FROM hw),
          |nodes AS (SELECT n_nationkey AS node FROM nation),
          |l0 AS (SELECT node, CAST(node AS BIGINT) AS lab FROM nodes),
