@@ -267,6 +267,55 @@ object LlmPrep {
         .orderBy("shard")
     }),
 
+    // Preference-pair assembly (the RLHF/DPO dataset construction step):
+    // within each (lang, source) "prompt group", the highest- and
+    // lowest-scoring docs form a (chosen, rejected) pair with its score
+    // margin. Score = lexical diversity in milli (1000·uniq DIV tokens —
+    // exact integer); both picks are ROW_NUMBER=1 under a total order, so
+    // the pair set is engine-exact; degenerate groups (chosen == rejected)
+    // drop. Two windows over ONE (lang, source) exchange.
+    "llm_preference_pairs" -> ((s, d) => {
+      val t = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("source"),
+          size(split(col("text"), " ")).cast("bigint").as("toks"),
+          size(array_distinct(split(col("text"), " "))).cast("bigint").as("uniq"))
+        .withColumn("score", expr("(uniq * 1000) DIV toks"))
+      val wB = Window.partitionBy("lang", "source").orderBy(desc("score"), col("doc_id"))
+      val wW = Window.partitionBy("lang", "source").orderBy(col("score"), col("doc_id"))
+      val best = t.withColumn("rn", row_number().over(wB)).where(col("rn") === 1)
+        .select(col("lang"), col("source"),
+          col("doc_id").as("chosen_id"), col("score").as("chosen_score"))
+      val worst = t.withColumn("rn", row_number().over(wW)).where(col("rn") === 1)
+        .select(col("lang"), col("source"),
+          col("doc_id").as("rejected_id"), col("score").as("rejected_score"))
+      best.join(worst, Seq("lang", "source"))
+        .where(col("chosen_id") =!= col("rejected_id"))
+        .withColumn("margin", col("chosen_score") - col("rejected_score"))
+        .orderBy("lang", "source")
+    }),
+
+    // Contrastive training-batch assembly (the CLIP-style pairing step):
+    // each doc with an embedding anchors one positive (its own vector)
+    // and k=3 DETERMINISTIC negatives — (anchor·31 + j·7919) mod n, bumped
+    // off the anchor on collision — so the sampled batch is re-runnable
+    // and audit-stable (the llm_sample_split law, applied to negative
+    // sampling). Pure projection + one broadcast count, no shuffle beyond
+    // the anchor join.
+    "mm_contrastive_pairs" -> ((s, d) => {
+      val e = Tables.embeddings(s, d).select(col("vec_id"))
+      val n = e.agg(count(lit(1)).as("n_vecs"))
+      Tables.documents(s, d).select(col("doc_id"))
+        .join(e, col("doc_id") === col("vec_id"))
+        .crossJoin(broadcast(n))
+        .withColumn("j", explode(array(lit(1L), lit(2L), lit(3L))))
+        .withColumn("raw", expr("(doc_id * 31 + j * 7919) % n_vecs"))
+        .withColumn("neg_vec",
+          expr("CASE WHEN raw = doc_id THEN (raw + 1) % n_vecs ELSE raw END"))
+        .select(col("doc_id").as("anchor"), col("vec_id").as("pos_vec"),
+          col("j").as("neg_rank"), col("neg_vec"))
+        .orderBy("anchor", "neg_rank")
+    }),
+
     // Audio chunking plumbing (the STFT/feature-window pre-step of an
     // audio training pipeline): OVERLAPPING fixed windows — win 48, hop
     // 16 — over each doc's byte stream (the container has no audio
@@ -433,6 +482,39 @@ object LlmPrep {
         |  CAST(SUM(tokens) AS BIGINT) AS tok_total,
         |  CAST(MAX(tokens) AS BIGINT) AS tok_max
         |FROM a GROUP BY shard ORDER BY shard""".stripMargin,
+
+    // Same two ROW_NUMBER picks under the same total order.
+    "llm_preference_pairs" ->
+      """WITH t AS (SELECT doc_id, lang, source,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS toks,
+        |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS uniq
+        |  FROM documents),
+        |sc AS (SELECT *, (uniq * 1000) // toks AS score FROM t),
+        |b AS (SELECT lang, source, doc_id AS chosen_id, score AS chosen_score
+        |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY lang, source
+        |          ORDER BY score DESC, doc_id) AS rn FROM sc) WHERE rn = 1),
+        |w AS (SELECT lang, source, doc_id AS rejected_id, score AS rejected_score
+        |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY lang, source
+        |          ORDER BY score ASC, doc_id) AS rn FROM sc) WHERE rn = 1)
+        |SELECT b.lang, b.source, chosen_id, chosen_score,
+        |  rejected_id, rejected_score,
+        |  CAST(chosen_score - rejected_score AS BIGINT) AS margin
+        |FROM b JOIN w ON b.lang = w.lang AND b.source = w.source
+        |WHERE chosen_id <> rejected_id
+        |ORDER BY b.lang, b.source""".stripMargin,
+
+    // Deterministic negative replay: same affine sample, same bump rule.
+    "mm_contrastive_pairs" ->
+      """WITH n AS (SELECT COUNT(*) AS n_vecs FROM embeddings),
+        |a AS (SELECT doc_id, vec_id FROM documents
+        |      JOIN embeddings ON doc_id = vec_id),
+        |x AS (SELECT doc_id, vec_id, CAST(unnest([1, 2, 3]) AS BIGINT) AS j FROM a),
+        |r AS (SELECT doc_id, vec_id, j,
+        |    (doc_id * 31 + j * 7919) % n_vecs AS raw, n_vecs
+        |  FROM x, n)
+        |SELECT doc_id AS anchor, vec_id AS pos_vec, j AS neg_rank,
+        |  CAST(CASE WHEN raw = doc_id THEN (raw + 1) % n_vecs ELSE raw END AS BIGINT) AS neg_vec
+        |FROM r ORDER BY anchor, neg_rank""".stripMargin,
 
     "mm_audio_chunks" ->
       """WITH d AS (SELECT doc_id, text, length(text) AS len FROM documents
