@@ -51,9 +51,22 @@ object LlmOps {
     * dups is asserted in LlmScaleSpec. Jaccard stays exact over the
     * surviving shingles (|∩| from the postings, |∪| = |A|+|B|-|∩|).
     */
+  /** Verified near-dup pairs, materialized once per (JVM, sf, dfCap) into
+    * the scratch dir: three consumers (near, cluster, span) share the one
+    * posting-list shuffle instead of re-running it — the graph-edge-cache
+    * law. The cache key carries the df cap so conf changes (LlmScaleSpec)
+    * never read a stale pair set. */
   private[ops] def nearPairs(s: SparkSession, d: String): DataFrame = {
     val dfCap = s.conf.get("graft.dedup.dfCap", DfCapDefault.toString).toInt
     require(dfCap >= 2, s"graft.dedup.dfCap ($dfCap) must be >= 2")
+    val dir = Scratch.opDir(s"near_pairs_cap$dfCap", d)
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "_SUCCESS"))) {
+      nearPairsCompute(s, d, dfCap).coalesce(1).write.mode("overwrite").parquet(dir)
+    }
+    s.read.parquet(dir)
+  }
+
+  private def nearPairsCompute(s: SparkSession, d: String, dfCap: Int): DataFrame = {
     // Shuffle the 8-byte xxhash64 of each shingle instead of the ~25-byte
     // string: the posting-list groupBy is the plan's one big exchange and
     // the hash is 3× narrower. Per-doc distinctness happened pre-hash, so
