@@ -957,6 +957,22 @@ object Lakehouse {
         .orderBy("o_year")
     }),
 
+    // Manifest statistics — SHOW STATS answered from METADATA: per
+    // snapshot version, row count and key range come from the manifest's
+    // per-file stats (driver-side O(files), zero data read — at 100 TB
+    // this is the difference between an instant answer and a table
+    // scan). The oracle recomputes the same numbers the hard way, from
+    // the data — proving the metadata is truthful.
+    "warehouse_manifest_stats" -> ((s, d) => {
+      val root = ensureTable(s, d)
+      import s.implicits._
+      Seq(1, 2).map { v =>
+        val m = manifest(root, v)
+        (v.toLong, m.map(_.rows).sum, m.map(_.minKey).min, m.map(_.maxKey).max)
+      }.toDF("version", "n_rows", "min_key", "max_key")
+        .orderBy("version")
+    }),
+
     // Shallow clone: the graded output is the DIVERGED clone (source's
     // live state + the clone-only append) — while the clone's v1 copied
     // zero data files and the source table is byte-untouched
@@ -1348,6 +1364,21 @@ object Lakehouse {
         |FROM post
         |WHERE NOT (o_orderkey % 13 = 0 AND o_orderkey <= (SELECT t FROM thr))
         |GROUP BY o_year ORDER BY o_year""".stripMargin,
+
+    // The same stats recomputed from the DATA: v1 = the base load, v2 =
+    // base + the insert batch (updates don't change counts or the key
+    // range; inserts extend the max to the shifted domain).
+    "warehouse_manifest_stats" ->
+      """WITH thr AS (SELECT MAX(o_orderkey) // 10 AS t FROM orders),
+        |ins AS (SELECT o_orderkey + 10000000 AS k FROM orders
+        |        WHERE o_orderkey <= (SELECT t FROM thr) AND o_orderkey % 11 = 0)
+        |SELECT CAST(1 AS BIGINT) AS version, COUNT(*) AS n_rows,
+        |  MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
+        |FROM orders
+        |UNION ALL
+        |SELECT 2, (SELECT COUNT(*) FROM orders) + (SELECT COUNT(*) FROM ins),
+        |  (SELECT MIN(o_orderkey) FROM orders), (SELECT MAX(k) FROM ins)
+        |ORDER BY version""".stripMargin,
 
     // ACID post-state plus the clone-only batch (base keys ≡0 mod 107
     // shifted +90M), replayed from `orders`.

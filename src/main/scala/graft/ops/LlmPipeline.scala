@@ -535,7 +535,19 @@ object LlmPipeline {
     * (w, c, syms) and one row per round: (round, a, b, freq, corpus
     * symbol count after the merge — monotone decreasing, asserted in
     * LlmScaleSpec). */
+  /** Both bpe ops (merge reports the rounds, encode applies them) share
+    * one training run per (JVM, sf) — the trained artifact is exactly the
+    * thing a pipeline persists, so re-training it per query was pure
+    * waste. The cached syms frame is a localCheckpoint (session-scoped,
+    * like every other cache in this JVM). */
+  private val bpeCache =
+    scala.collection.concurrent.TrieMap[String, (DataFrame, Seq[(Int, String, String, Long, Long)])]()
+
   private def bpeTrain(s: SparkSession, d: String)
+      : (DataFrame, Seq[(Int, String, String, Long, Long)]) =
+    bpeCache.getOrElseUpdate(d, bpeTrainCompute(s, d))
+
+  private def bpeTrainCompute(s: SparkSession, d: String)
       : (DataFrame, Seq[(Int, String, String, Long, Long)]) = {
     val wc = Tables.documents(s, d)
       .select(explode(split(col("text"), " ")).as("w"))
