@@ -22,6 +22,22 @@ object Aggregates {
   private def d2d(c: Column): Column = c.cast("double")
 
   val queries: Map[String, Q] = Map(
+    // Bitwise reduction aggregates (bit_and / bit_or / bit_xor) — the
+    // flag-mask rollup shape (permission masks, feature bitsets, bloom
+    // words): all three are associative and commutative, so Spark plans
+    // a partial-aggregate map-side combine exactly like SUM — one
+    // shuffle of 3 longs per group regardless of input size. bit_count
+    // (popcount) rides along as the per-row scalar folded into a SUM.
+    "agg_bitwise" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          expr("bit_and(l_orderkey % 256)").as("mask_and"),
+          expr("bit_or(l_orderkey % 256)").as("mask_or"),
+          expr("bit_xor(l_orderkey % 256)").as("mask_xor"),
+          expr("CAST(sum(bit_count(l_orderkey)) AS BIGINT)").as("popcount_sum"))
+        .orderBy("l_returnflag")),
+
     // TPC-H-Q1 pricing summary (the flagship).
     "agg_group" -> ((s, d) =>
       Tables.lineitem(s, d)
@@ -523,6 +539,16 @@ object Aggregates {
   )
 
   val oracles: Map[String, String] = Map(
+    // DuckDB ships the same three reduction aggregates; popcount via
+    // bit_count on the BIGINT key.
+    "agg_bitwise" ->
+      """SELECT l_returnflag,
+        |  CAST(bit_and(l_orderkey % 256) AS BIGINT) AS mask_and,
+        |  CAST(bit_or(l_orderkey % 256) AS BIGINT) AS mask_or,
+        |  CAST(bit_xor(l_orderkey % 256) AS BIGINT) AS mask_xor,
+        |  CAST(SUM(bit_count(l_orderkey)) AS BIGINT) AS popcount_sum
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
     // The estimate itself is engine-local; the graded columns are the
     // exact count and the error-bound verdict, which DuckDB CAN replay
     // (hll_ok must be TRUE for every group or the hash mismatches).

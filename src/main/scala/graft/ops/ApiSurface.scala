@@ -178,6 +178,21 @@ object ApiSurface {
         Map("tbl" -> "graft_param_orders", "minp" -> 150000))
     }),
 
+    // GROUP BY ALL / ORDER BY ALL (SQL-2023-adjacent sugar, in Spark
+    // since 3.4): every non-aggregate select item becomes a grouping
+    // key, and the ordering covers the full select list — the
+    // exploratory-SQL dialect DuckDB popularized. The resolved plan is
+    // identical to the explicit form (the oracle IS the explicit form),
+    // so pushdown/partial-agg behavior is unchanged.
+    "api_sql_group_all" -> ((s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("graft_gba_orders")
+      s.sql(
+        """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+          |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+          |FROM graft_gba_orders
+          |GROUP BY ALL ORDER BY ALL""".stripMargin)
+    }),
+
     // SQL PIPE syntax (new in Spark 4): the |> operator-chain dialect —
     // FROM … |> WHERE … |> AGGREGATE … GROUP BY … |> WHERE (post-agg
     // filter without repeating the aggregate, HAVING's successor) |>
@@ -290,6 +305,18 @@ object ApiSurface {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
         |FROM orders WHERE o_totalprice > 150000
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    // GROUP BY ALL replayed in the explicit classic form. ORDER BY ALL
+    // sorts by the full select list left-to-right; (status, priority)
+    // is already a unique grouping key, so the trailing aggregate sort
+    // keys can never reorder anything — the explicit two-key sort is
+    // total for the same reason.
+    "api_sql_group_all" ->
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+        |FROM orders
+        |GROUP BY o_orderstatus, o_orderpriority
+        |ORDER BY o_orderstatus, o_orderpriority""".stripMargin,
 
     // The pipe chain replayed in classic form.
     "api_sql_pipe" ->

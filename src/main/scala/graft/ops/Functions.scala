@@ -81,6 +81,52 @@ object Functions {
         col("o_orderpriority").isin("1-URGENT", "2-HIGH").as("is_hi"))
         .orderBy("o_orderkey")),
 
+    // Collated string semantics (new in Spark 4): UTF8_LCASE makes
+    // comparison, equality, AND grouping case-insensitive at the TYPE
+    // level — no lower() rewrapping at every call site, and the hash
+    // aggregate buckets collation-equal keys together natively. The
+    // group key is re-emitted through lower() because the raw
+    // representative a collated groupBy surfaces ('BUILDING' vs
+    // 'building') is first-encounter nondeterministic; everything else
+    // (counts, exact cents, CI equality tally) is order-free.
+    "fn_collation" -> ((s, d) => {
+      val mixed = Tables.customer(s, d).select(
+        expr("CASE WHEN c_custkey % 2 = 0 THEN lower(c_mktsegment) ELSE c_mktsegment END")
+          .as("seg"),
+        expr("CAST(ROUND(c_acctbal * 100) AS BIGINT)").as("cents"))
+      mixed
+        .groupBy(expr("collate(seg, 'UTF8_LCASE')").as("segc"))
+        .agg(
+          count(lit(1)).as("n_rows"),
+          countDistinct(col("seg")).as("n_raw_spellings"),
+          sum("cents").as("cents"),
+          expr("CAST(count_if(collate(seg, 'UTF8_LCASE') = 'BUILDING') AS BIGINT)")
+            .as("n_eq_ci"))
+        .select(lower(col("segc")).as("seg"), col("n_rows"),
+          col("n_raw_spellings"), col("cents"), col("n_eq_ci"))
+        .orderBy("seg")
+    }),
+
+    // ANSI interval TYPES (year-month + day-time, first-class since
+    // Spark 3.2): construction via make_ym_interval/make_dt_interval,
+    // timestamp−timestamp subtraction producing a day-time interval,
+    // component extraction, and integer interval division — emitted as
+    // plain INT/BIGINT/STRING so the parquet boundary stays
+    // engine-neutral. Anchor 2030-01-01 keeps every difference positive
+    // at all scale factors (events end in 2024), so truncation-direction
+    // semantics can never diverge between engines.
+    "fn_interval" -> ((s, d) =>
+      Tables.events(s, d).select(
+        col("event_id"),
+        expr("CAST(extract(DAY FROM (TIMESTAMP '2030-01-01 00:00:00' - ts)) AS INT)").as("dd"),
+        expr("CAST(extract(HOUR FROM (TIMESTAMP '2030-01-01 00:00:00' - ts)) AS INT)").as("hh"),
+        expr("CAST(extract(MINUTE FROM (TIMESTAMP '2030-01-01 00:00:00' - ts)) AS INT)").as("mi"),
+        expr("CAST(extract(SECOND FROM (TIMESTAMP '2030-01-01 00:00:00' - ts)) AS INT)").as("ss"),
+        expr("date_format(ts + make_ym_interval(1, 7), 'yyyy-MM-dd HH:mm:ss')").as("plus_ym"),
+        expr("date_format(ts + make_dt_interval(2, 3, 30, 10), 'yyyy-MM-dd HH:mm:ss')").as("plus_dt"),
+        expr("CAST((TIMESTAMP '2030-01-01 00:00:00' - ts) DIV INTERVAL 1 HOUR AS BIGINT)").as("tot_hours"))
+        .orderBy("event_id")),
+
     // Error-safe arithmetic (ANSI-mode pipelines fail loudly; the try_*
     // family turns row-level poison — overflow, /0, bad index — into
     // NULLs a pipeline can quarantine instead of dying on). The oracle
@@ -407,6 +453,37 @@ object Functions {
         |  COALESCE(NULLIF(o_orderstatus, 'P'), 'pending') AS co,
         |  o_orderpriority IN ('1-URGENT', '2-HIGH') AS is_hi
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    // The collation semantics replayed via lower(): a UTF8_LCASE group
+    // key IS lower-case equivalence, so lower()-grouping is the exact
+    // oracle. DuckDB SUM(BIGINT) widens to HUGEINT — cast back.
+    "fn_collation" ->
+      """WITH m AS (SELECT
+        |    CASE WHEN c_custkey % 2 = 0 THEN lower(c_mktsegment)
+        |         ELSE c_mktsegment END AS seg,
+        |    CAST(ROUND(c_acctbal * 100) AS BIGINT) AS cents
+        |  FROM customer)
+        |SELECT lower(seg) AS seg, COUNT(*) AS n_rows,
+        |  COUNT(DISTINCT seg) AS n_raw_spellings,
+        |  CAST(SUM(cents) AS BIGINT) AS cents,
+        |  CAST(COUNT(*) FILTER (WHERE lower(seg) = 'building') AS BIGINT) AS n_eq_ci
+        |FROM m GROUP BY lower(seg) ORDER BY seg""".stripMargin,
+
+    // Interval components via date_part over the same ts−anchor
+    // difference (both engines truncate the fractional second toward
+    // zero on positive intervals); total hours via exact integer µs
+    // division — DuckDB's date_diff counts calendar-boundary crossings,
+    // NOT elapsed units, so it is deliberately avoided.
+    "fn_interval" ->
+      """SELECT event_id,
+        |  CAST(date_part('day',    TIMESTAMP '2030-01-01 00:00:00' - ts) AS INT) AS dd,
+        |  CAST(date_part('hour',   TIMESTAMP '2030-01-01 00:00:00' - ts) AS INT) AS hh,
+        |  CAST(date_part('minute', TIMESTAMP '2030-01-01 00:00:00' - ts) AS INT) AS mi,
+        |  CAST(date_part('second', TIMESTAMP '2030-01-01 00:00:00' - ts) AS INT) AS ss,
+        |  strftime(ts + INTERVAL 1 YEAR + INTERVAL 7 MONTH, '%Y-%m-%d %H:%M:%S') AS plus_ym,
+        |  strftime(ts + INTERVAL '2 days 3 hours 30 minutes 10 seconds', '%Y-%m-%d %H:%M:%S') AS plus_dt,
+        |  CAST((epoch_us(TIMESTAMP '2030-01-01 00:00:00') - epoch_us(ts)) // 3600000000 AS BIGINT) AS tot_hours
+        |FROM events ORDER BY event_id""".stripMargin,
 
     // Each failure condition pinned explicitly: the CASE guard must null
     // out exactly the rows Spark's try_* nulls.

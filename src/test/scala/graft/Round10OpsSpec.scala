@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantic checks for the round-9 continuation wave beyond the oracle
+  * gate: bitwise reduction laws, GROUP BY ALL plan equivalence, collated
+  * grouping, and interval-type component arithmetic.
+  */
+class Round10OpsSpec extends AnyFunSuite with SparkFixture {
+
+  test("agg_bitwise: reduction lattice laws hold per group") {
+    val rows = SparkEntry.queries("agg_bitwise")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (and, or, xor, pop) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      // AND is a subset of OR; XOR is a subset of OR; popcount positive
+      assert((and & or) == and, s"${r.getString(0)}: AND ⊄ OR")
+      assert((xor & or) == xor, s"${r.getString(0)}: XOR ⊄ OR")
+      assert(pop > 0)
+      assert(and >= 0 && or <= 255, "masks must stay inside the % 256 domain")
+    }
+  }
+
+  test("api_sql_group_all: GROUP BY ALL equals the explicit grouping") {
+    val sugar = SparkEntry.queries("api_sql_group_all")(spark, sf).collect()
+    val explicitRows = Tables.orders(spark, sf)
+      .groupBy("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,4)")).cast("double").as("total"))
+      .orderBy("o_orderstatus", "o_orderpriority").collect()
+    assert(sugar.map(_.toString).toSeq == explicitRows.map(_.toString).toSeq)
+  }
+
+  test("fn_collation: UTF8_LCASE grouping merges both spellings of every segment") {
+    val rows = SparkEntry.queries("fn_collation")(spark, sf).collect()
+    assert(rows.length == 5, s"expected 5 case-merged segments, got ${rows.length}")
+    rows.foreach { r =>
+      assert(r.getLong(2) == 2L,
+        s"${r.getString(0)}: expected exactly the UPPER and lower spellings")
+      val expectEq = if (r.getString(0) == "building") r.getLong(1) else 0L
+      assert(r.getLong(4) == expectEq,
+        s"${r.getString(0)}: collated equality must match the whole group or none")
+    }
+    // the case-merged totals must tie out to the raw table
+    assert(rows.map(_.getLong(1)).sum ==
+      Tables.customer(spark, sf).count())
+  }
+
+  test("fn_interval: components recompose into the exact elapsed time") {
+    val anchorUs = java.time.Instant.parse("2030-01-01T00:00:00Z").toEpochMilli * 1000L
+    val rows = SparkEntry.queries("fn_interval")(spark, sf)
+      .join(Tables.events(spark, sf).select("event_id", "ts_us"), "event_id")
+      .limit(500).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (dd, hh, mi, ss) = (r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4))
+      val totHours = r.getLong(7)
+      val tsUs = r.getLong(8)
+      val elapsedUs = anchorUs - tsUs
+      // extract() components recompose to the truncated-second elapsed time
+      val recomposedSec = ((dd * 24L + hh) * 60L + mi) * 60L + ss
+      assert(recomposedSec == elapsedUs / 1000000L,
+        s"event ${r.getLong(0)}: $dd/$hh/$mi/$ss != ${elapsedUs / 1000000L}s")
+      // interval DIV is exact integer division of the same difference
+      assert(totHours == elapsedUs / 3600000000L)
+    }
+  }
+}
