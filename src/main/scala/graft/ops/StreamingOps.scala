@@ -385,6 +385,96 @@ object StreamingOps {
       s.table(sink).orderBy("p_id", "v_id")
     }),
 
+    // LEFT-SEMI stream-stream join — the existence filter of the matrix
+    // (inner/left/full/semi now all covered): a purchase emits exactly
+    // ONCE as soon as any view of the same user lands in its 10-minute
+    // lookback, with no view columns and no duplicate on a second match;
+    // an unmatched purchase never emits at all. The stream_stream_join
+    // fixture plus view 106 (10:22, u1): purchase 203's window
+    // [10:15, 10:25] then holds TWO matching views (102 @10:20, 106
+    // @10:22) yet 203 appears once — existence semantics AND
+    // exactly-once emission in the same golden set; 202 (u2) stays
+    // matchless and absent.
+    "stream_stream_semi" -> ((s, d) => withFewShufflePartitions(s) {
+      val classic = s.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      import classic.implicits._
+      implicit val sq = classic.sqlContext
+      val mp = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[SEvent]
+      val mv = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[SEvent]
+      val sink = newSinkName()
+      val p = mp.toDF()
+        .select(col("event_id").as("p_id"), col("user_id"), col("ts").as("p_ts"))
+        .withWatermark("p_ts", "10 minutes")
+      val v = mv.toDF()
+        .select(col("event_id").as("v_id"), col("user_id").as("v_user"), col("ts").as("v_ts"))
+        .withWatermark("v_ts", "10 minutes")
+      val q = p.join(v,
+          col("user_id") === col("v_user")
+            && col("v_ts") >= col("p_ts") - expr("INTERVAL 10 MINUTES")
+            && col("v_ts") <= col("p_ts"), "left_semi")
+        .select(col("p_id"), col("user_id"), fmt(col("p_ts")).as("p_ts"))
+        .writeStream.format("memory").queryName(sink).outputMode("append").start()
+      mv.addData(
+        SEvent(101, Timestamp.valueOf("2024-01-01 10:00:00"), 1, "view", 1.0),
+        SEvent(102, Timestamp.valueOf("2024-01-01 10:20:00"), 1, "view", 1.0),
+        SEvent(106, Timestamp.valueOf("2024-01-01 10:22:00"), 1, "view", 1.0),
+        SEvent(103, Timestamp.valueOf("2024-01-01 10:00:00"), 2, "view", 1.0))
+      mp.addData(
+        SEvent(201, Timestamp.valueOf("2024-01-01 10:05:00"), 1, "purchase", 1.0),
+        SEvent(202, Timestamp.valueOf("2024-01-01 10:30:00"), 2, "purchase", 1.0))
+      q.processAllAvailable()
+      mp.addData(SEvent(203, Timestamp.valueOf("2024-01-01 10:25:00"), 1, "purchase", 1.0))
+      q.processAllAvailable()
+      q.stop()
+      s.table(sink).orderBy("p_id")
+    }),
+
+    // UNION of two independently-watermarked streams feeding one
+    // windowed aggregate — the multi-source ingestion shape (two Kafka
+    // topics with different lateness SLAs landing in one table). Spark's
+    // multipleWatermarkPolicy defaults to MIN: the global watermark is
+    // the LAXEST branch's, so a row the tight branch (s1, 10 min) would
+    // already refuse is still accepted while the lax branch (s2, 30 min)
+    // lags behind — event 4 (11:15) lands AFTER s1's own watermark has
+    // passed 12:50 but before the global 11:30, proving the policy; a
+    // row behind even the global watermark (event 53, 10:15 into the
+    // closed 10:00 window) drops. Append mode: only min-watermark-closed
+    // windows emit; the 20:00 flush wave never does.
+    "stream_union_watermark" -> ((s, d) => withFewShufflePartitions(s) {
+      val classic = s.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      import classic.implicits._
+      implicit val sq = classic.sqlContext
+      val m1 = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[SEvent]
+      val m2 = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[SEvent]
+      val sink = newSinkName()
+      val s1 = m1.toDF().withColumn("src", lit("s1")).withWatermark("ts", "10 minutes")
+      val s2 = m2.toDF().withColumn("src", lit("s2")).withWatermark("ts", "30 minutes")
+      val q = s1.unionByName(s2)
+        .groupBy(window(col("ts"), "1 hour"), col("src"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(fmt(col("window.start")).as("win_start"), col("src"), col("cnt"))
+        .writeStream.format("memory").queryName(sink).outputMode("append").start()
+      m1.addData(
+        SEvent(1, Timestamp.valueOf("2024-01-01 10:00:00"), 1, "view", 1.0),
+        SEvent(2, Timestamp.valueOf("2024-01-01 10:30:00"), 1, "view", 1.0))
+      m2.addData(SEvent(51, Timestamp.valueOf("2024-01-01 10:05:00"), 2, "view", 1.0))
+      q.processAllAvailable()
+      // global wm -> min(12:50, 11:30) = 11:30; closes [10:00, 11:00)
+      m1.addData(SEvent(3, Timestamp.valueOf("2024-01-01 13:00:00"), 1, "view", 1.0))
+      m2.addData(SEvent(52, Timestamp.valueOf("2024-01-01 12:00:00"), 2, "view", 1.0))
+      q.processAllAvailable()
+      // 4 accepted only because the GLOBAL watermark is the min; 53 drops
+      m1.addData(SEvent(4, Timestamp.valueOf("2024-01-01 11:15:00"), 1, "view", 1.0))
+      m2.addData(SEvent(53, Timestamp.valueOf("2024-01-01 10:15:00"), 2, "view", 1.0))
+      q.processAllAvailable()
+      // flush wave: wm -> 19:30, closes everything before [20:00, 21:00)
+      m1.addData(SEvent(5, Timestamp.valueOf("2024-01-01 20:00:00"), 1, "view", 1.0))
+      m2.addData(SEvent(54, Timestamp.valueOf("2024-01-01 20:00:00"), 2, "view", 1.0))
+      q.processAllAvailable()
+      q.stop()
+      s.table(sink).orderBy("win_start", "src")
+    }),
+
     // Arbitrary stateful processing: per-user running (count, value-sum)
     // state machine via Spark 4's transformWithState (StatefulProcessor +
     // typed ValueState) over the RocksDB state store provider — the
@@ -590,6 +680,32 @@ object StreamingOps {
         |  (206, 4, '2024-01-01 13:00:00', 105, '2024-01-01 13:00:00'))
         |  AS t(p_id, user_id, p_ts, v_id, v_ts)
         |ORDER BY p_id, v_id""".stripMargin,
+
+    // Semi-join golden set: 201 (matched 101) and 203 (matched 102 AND
+    // 106 — one output row regardless); 202 never matched, never emitted.
+    "stream_stream_semi" ->
+      """SELECT CAST(p_id AS BIGINT) AS p_id, CAST(user_id AS BIGINT) AS user_id, p_ts
+        |FROM (VALUES
+        |  (201, 1, '2024-01-01 10:05:00'),
+        |  (203, 1, '2024-01-01 10:25:00'))
+        |  AS t(p_id, user_id, p_ts)
+        |ORDER BY p_id""".stripMargin,
+
+    // The min-watermark union golden set: [10:00) closed by the global
+    // 11:30 watermark with both sources' counts; 11:00/12:00/13:00
+    // closed by the 19:30 flush; event 4 (11:15, behind s1's own
+    // watermark but ahead of the global min) counted, late event 53
+    // dropped, the 20:00 flush window still open → absent.
+    "stream_union_watermark" ->
+      """SELECT win_start, src, CAST(cnt AS BIGINT) AS cnt
+        |FROM (VALUES
+        |  ('2024-01-01 10:00:00', 's1', 2),
+        |  ('2024-01-01 10:00:00', 's2', 1),
+        |  ('2024-01-01 11:00:00', 's1', 1),
+        |  ('2024-01-01 12:00:00', 's2', 1),
+        |  ('2024-01-01 13:00:00', 's1', 1))
+        |  AS t(win_start, src, cnt)
+        |ORDER BY win_start, src""".stripMargin,
 
     // The left-join golden set plus the one right-only row (view 103 has
     // no purchase within its 10-minute window).

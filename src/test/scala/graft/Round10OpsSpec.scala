@@ -48,6 +48,27 @@ class Round10OpsSpec extends AnyFunSuite with SparkFixture {
       Tables.customer(spark, sf).count())
   }
 
+  test("stream_stream_semi: existence join emits each matched purchase exactly once") {
+    val rows = SparkEntry.queries("stream_stream_semi")(spark, sf).collect()
+    // 203 has two in-window views; a plain inner join would emit it twice
+    assert(rows.map(_.getLong(0)).toSeq == Seq(201L, 203L))
+    assert(rows.map(_.getLong(0)).distinct.length == rows.length)
+  }
+
+  test("stream_union_watermark: global watermark is the min across branches") {
+    val rows = SparkEntry.queries("stream_union_watermark")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    // event 4 (11:15) was behind s1's own 12:50 watermark — only the MIN
+    // policy admits it
+    assert(rows.contains(("2024-01-01 11:00:00", "s1", 1L)),
+      "min-watermark row missing — policy regressed to max/per-branch")
+    // late event 53 into the closed 10:00 window must NOT have landed
+    assert(rows.count(_._1 == "2024-01-01 10:00:00") == 2)
+    assert(rows.filter(_._1 == "2024-01-01 10:00:00").map(_._3).sum == 3L)
+    // the flush window itself never closes, so never emits
+    assert(!rows.exists(_._1 == "2024-01-01 20:00:00"))
+  }
+
   test("fn_interval: components recompose into the exact elapsed time") {
     val anchorUs = java.time.Instant.parse("2030-01-01T00:00:00Z").toEpochMilli * 1000L
     val rows = SparkEntry.queries("fn_interval")(spark, sf)
