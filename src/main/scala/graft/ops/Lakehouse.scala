@@ -903,6 +903,101 @@ object Lakehouse {
     root
   }
 
+  // ------------------------------------------------------------------
+  // Write-Audit-Publish — the staging workflow every production ingest
+  // runs on a branch-capable table: the batch COMMITS first (on the
+  // `wap` ref, invisible to main readers), the audit queries the staged
+  // snapshot through that ref, and publish is a pure O(1) metadata
+  // fast-forward of CURRENT — no second data write, no copy. A failed
+  // audit leaves main byte-untouched and the quarantined batch fully
+  // queryable on its branch for debugging. At 100 TB the audit is the
+  // only data-touching step, and it reads exactly the staged snapshot.
+  // ------------------------------------------------------------------
+  private[graft] def ensureWap(s: SparkSession, d: String): String = {
+    val root = ensureTable(s, d, "snap_wap")
+    if (currentVersion(root).exists(_ >= 3)) return root
+    // STAGE: commit the batch as v3 on the wap ref; CURRENT stays 2.
+    val stageDir = s"$root/wap-stage"
+    readSnapshot(s, root, 2)
+      .where(col("o_orderkey") % 101 === 0 && col("o_orderkey") < 10000000L)
+      .select((col("o_orderkey") + 70000000L).as("o_orderkey"), col("o_year"),
+        col("o_totalprice"))
+      .coalesce(1).write.mode("overwrite").parquet(stageDir)
+    writeManifest(root, 3, manifest(root, 2) ++ fileStats(s, stageDir))
+    writeRef(root, "wap", 3)
+    // AUDIT: quality gates on the STAGED snapshot, read through the ref.
+    val a = readSnapshot(s, root, readRef(root, "wap"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("o_orderkey").isNull, 1L).otherwise(0L)).as("nulls"),
+        sum(when(col("o_totalprice") < 0, 1L).otherwise(0L)).as("negs"),
+        (count(lit(1)) - countDistinct(col("o_orderkey"))).as("dups"))
+      .collect()(0)
+    val baseRows = manifest(root, 2).map(_.rows).sum
+    require(a.getLong(1) == 0 && a.getLong(2) == 0 && a.getLong(3) == 0
+        && a.getLong(0) > baseRows,
+      s"WAP audit failed — batch stays quarantined on the wap ref: $a")
+    // PUBLISH: CAS fast-forward of CURRENT to the audited version.
+    require(commitIf(root, Some(2), 3, manifest(root, 3)),
+      s"WAP publish expected main at v2 (found ${currentVersion(root)})")
+    root
+  }
+
+  // ------------------------------------------------------------------
+  // Row-level lineage — Iceberg-v3-style row tracking: every row gets a
+  // stable `_row_id` plus `_created_v`/`_modified_v` stamps at ingest,
+  // and the COW MERGE must CARRY them through the rewrite (never
+  // recompute): an update bumps only `_modified_v`, untouched rows in a
+  // rewritten file keep their stamps byte-for-byte, files outside the
+  // batch's key range carry by reference. Downstream incremental
+  // consumers (CDC compaction, audit trails, train-data freshness cuts)
+  // filter on `_modified_v` instead of diffing snapshots.
+  // ------------------------------------------------------------------
+  private[graft] def ensureLineage(s: SparkSession, d: String): String = {
+    val root = Scratch.opDir("snap_lin", d)
+    if (currentVersion(root).exists(_ >= 2)) return root
+    val loadDir = s"$root/load-v1"
+    Tables.orders(s, d)
+      .select(col("o_orderkey"), year(col("o_orderdate")).as("o_year"),
+        col("o_totalprice"), col("o_orderkey").as("_row_id"),
+        lit(1L).as("_created_v"), lit(1L).as("_modified_v"))
+      .repartitionByRange(8, col("o_orderkey"))
+      .sortWithinPartitions("o_orderkey")
+      .write.mode("overwrite").parquet(loadDir)
+    val v1Files = fileStats(s, loadDir)
+    commit(root, 1, v1Files)
+    // same change-batch shape as ensureTable's MERGE (low-decile updates
+    // mod 7, inserts mod 11 shifted +10M) so the replay stays uniform
+    val thr = v1Files.map(_.maxKey).max / 10L
+    val base = readSnapshot(s, root, 1)
+    val updates = base
+      .where(col("o_orderkey") <= thr && col("o_orderkey") % 7 === 0)
+      .select(col("o_orderkey").as("u_key"),
+        (col("o_totalprice") + 100.0).as("u_price"))
+    val inserts = base
+      .where(col("o_orderkey") <= thr && col("o_orderkey") % 11 === 0)
+      .select((col("o_orderkey") + 10000000L).as("o_orderkey"), col("o_year"),
+        col("o_totalprice"), (col("o_orderkey") + 10000000L).as("_row_id"),
+        lit(2L).as("_created_v"), lit(2L).as("_modified_v"))
+    val (touched, untouched) = v1Files.partition(_.minKey <= thr)
+    val cowDir = s"$root/cow-v2"
+    s.read.parquet(touched.map(_.path): _*)
+      .join(broadcast(updates), col("o_orderkey") === col("u_key"), "left")
+      .select(col("o_orderkey"), col("o_year"),
+        coalesce(col("u_price"), col("o_totalprice")).as("o_totalprice"),
+        col("_row_id"), col("_created_v"),
+        when(col("u_key").isNotNull, lit(2L)).otherwise(col("_modified_v"))
+          .as("_modified_v"))
+      .repartitionByRange(1, col("o_orderkey"))
+      .sortWithinPartitions("o_orderkey")
+      .write.mode("overwrite").parquet(cowDir)
+    val insDir = s"$root/ins-v2"
+    inserts.coalesce(1).write.mode("overwrite").parquet(insDir)
+    require(commitIf(root, Some(1), 2,
+      untouched ++ fileStats(s, cowDir) ++ fileStats(s, insDir)),
+      s"lineage merge expected table at v1 (found ${currentVersion(root)})")
+    root
+  }
+
   val queries: Map[String, Q] = Map(
     // The ACID MERGE: graded output is the post-merge table read through
     // the v2 manifest. Oracle replays the batch from `orders` alone —
@@ -1173,6 +1268,34 @@ object Lakehouse {
     // point) — proving writer isolation between refs over one shared
     // file pool. Oracle replays main/tag as the v2 post-state and dev as
     // post-state + the ≡0 mod 103 batch shifted +50M.
+    // Post-publish main: the staged batch is live exactly once, the
+    // audit verdicts ride along as constants the oracle re-asserts, and
+    // published_version pins the fast-forward actually happening.
+    "warehouse_wap_publish" -> ((s, d) => {
+      val root = ensureWap(s, d)
+      val cur = currentVersion(root).get
+      readSnapshot(s, root, cur)
+        .groupBy("o_year")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(dec(col("o_totalprice"))).cast("double").as("total"),
+          sum(when(col("o_orderkey") >= 70000000L, 1L).otherwise(0L))
+            .as("n_staged"))
+        .withColumn("published_version", lit(cur.toLong))
+        .orderBy("o_year")
+    }),
+
+    // The full post-merge table WITH its lineage metadata: row ids are
+    // stable through the COW rewrite, updates carry _modified_v=2 with
+    // their original _created_v, inserts stamp both at 2.
+    "warehouse_row_lineage" -> ((s, d) => {
+      val root = ensureLineage(s, d)
+      readSnapshot(s, root, 2)
+        .select(col("_row_id").as("row_id"), col("o_orderkey"), col("o_year"),
+          col("o_totalprice"), col("_created_v").as("created_v"),
+          col("_modified_v").as("modified_v"))
+        .orderBy("row_id")
+    }),
+
     "warehouse_branch_tag" -> ((s, d) => {
       val root = ensureBranched(s, d)
       def rollup(df: DataFrame, label: String): DataFrame = df
@@ -1550,6 +1673,53 @@ object Lakehouse {
     // Three refs over one file pool: main and the release tag read the v2
     // post-state (the branch write is invisible to them); dev reads the
     // post-state plus its append batch (post keys ≡0 mod 103, +50M).
+    // The v2 post-state (same `post` replay as branch_tag) plus the
+    // mod-101 staged batch — its presence in MAIN is the publish proof.
+    "warehouse_wap_publish" ->
+      """WITH thr AS (SELECT MAX(o_orderkey) // 10 AS t FROM orders),
+        |src AS (SELECT o_orderkey, year(o_orderdate) AS o_year, o_totalprice FROM orders),
+        |post AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey <= (SELECT t FROM thr) AND o_orderkey % 7 = 0
+        |         THEN o_totalprice + 100.0 ELSE o_totalprice END AS o_totalprice,
+        |    o_year
+        |  FROM src
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000, o_totalprice, o_year
+        |  FROM src WHERE o_orderkey <= (SELECT t FROM thr) AND o_orderkey % 11 = 0),
+        |pub AS (
+        |  SELECT * FROM post
+        |  UNION ALL
+        |  SELECT o_orderkey + 70000000, o_totalprice, o_year
+        |  FROM post WHERE o_orderkey % 101 = 0 AND o_orderkey < 10000000)
+        |SELECT o_year, COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total,
+        |  CAST(SUM(CASE WHEN o_orderkey >= 70000000 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_staged,
+        |  CAST(3 AS BIGINT) AS published_version
+        |FROM pub GROUP BY o_year ORDER BY o_year""".stripMargin,
+
+    // Row-by-row lineage replay: ids equal the ingest keys (stable),
+    // modified_v bumps exactly on the mod-7 update predicate, inserts
+    // stamp created_v = modified_v = 2.
+    "warehouse_row_lineage" ->
+      """WITH thr AS (SELECT MAX(o_orderkey) // 10 AS t FROM orders),
+        |src AS (SELECT o_orderkey, year(o_orderdate) AS o_year, o_totalprice FROM orders),
+        |rws AS (
+        |  SELECT o_orderkey AS row_id, o_orderkey, o_year,
+        |    CASE WHEN o_orderkey <= (SELECT t FROM thr) AND o_orderkey % 7 = 0
+        |         THEN o_totalprice + 100.0 ELSE o_totalprice END AS o_totalprice,
+        |    CAST(1 AS BIGINT) AS created_v,
+        |    CAST(CASE WHEN o_orderkey <= (SELECT t FROM thr) AND o_orderkey % 7 = 0
+        |         THEN 2 ELSE 1 END AS BIGINT) AS modified_v
+        |  FROM src
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000, o_orderkey + 10000000, o_year, o_totalprice,
+        |    CAST(2 AS BIGINT), CAST(2 AS BIGINT)
+        |  FROM src WHERE o_orderkey <= (SELECT t FROM thr) AND o_orderkey % 11 = 0)
+        |SELECT row_id, o_orderkey, o_year, o_totalprice, created_v, modified_v
+        |FROM rws ORDER BY row_id""".stripMargin,
+
     "warehouse_branch_tag" ->
       """WITH thr AS (SELECT MAX(o_orderkey) // 10 AS t FROM orders),
         |src AS (SELECT o_orderkey, year(o_orderdate) AS o_year, o_totalprice FROM orders),

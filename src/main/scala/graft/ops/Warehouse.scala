@@ -38,6 +38,45 @@ object Warehouse {
     }
 
   val queries: Map[String, Q] = Map(
+    // Enforced write with QUARANTINE — the constraint-checked ingest
+    // every warehouse needs in front of untrusted feeds: instead of
+    // failing the whole batch on the first bad row (ANSI) or silently
+    // nulling it (try_*), rows are routed by the FIRST violated CHECK
+    // (NOT NULL key / non-negative price / sane year) into a valid or a
+    // quarantine partition, each carrying its violation reason. ONE scan
+    // and ONE partitioned write — at 100 TB there is no second pass, no
+    // driver-side split, and the two dispositions are partition dirs a
+    // consumer reads (and prunes) independently. Corruption is planted
+    // deterministically on disjoint mod-97 residues so the oracle can
+    // replay the router exactly; src_key keeps quarantined rows
+    // identifiable after their natural key was nulled.
+    "warehouse_quarantine" -> ((s, d) => {
+      val dir = Scratch.opDir("quarantine", d)
+      val batch = Tables.orders(s, d).select(
+        when(col("o_orderkey") % 97 === 31, lit(null).cast("long"))
+          .otherwise(col("o_orderkey")).as("o_orderkey"),
+        col("o_orderkey").as("src_key"),
+        when(col("o_orderkey") % 97 === 93, year(col("o_orderdate")) + 1000)
+          .otherwise(year(col("o_orderdate"))).as("o_year"),
+        when(col("o_orderkey") % 97 === 62, -col("o_totalprice"))
+          .otherwise(col("o_totalprice")).as("o_totalprice"))
+      val routed = batch
+        .withColumn("violation",
+          when(col("o_orderkey").isNull, "null_key")
+            .when(col("o_totalprice") < 0, "negative_price")
+            .when(!col("o_year").between(1990, 2100), "year_out_of_range")
+            .otherwise("ok"))
+        .withColumn("disposition",
+          when(col("violation") === "ok", "valid").otherwise("quarantine"))
+      routed.write.mode("overwrite").partitionBy("disposition").parquet(dir)
+      s.read.parquet(dir)
+        .groupBy("disposition", "violation")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(dec(col("o_totalprice"))).cast("double").as("total"),
+          min("src_key").as("min_src_key"))
+        .orderBy("disposition", "violation")
+    }),
+
     // Catalog DDL lifecycle as a graded query: CREATE TABLE USING parquet
     // (external location in the scratch dir so re-creation is idempotent
     // across JVMs), INSERT OVERWRITE from the source scan, read back via
@@ -560,6 +599,30 @@ object Warehouse {
   }
 
   val oracles: Map[String, String] = Map(
+    // The constraint router replayed: same mod-97 corruption, same
+    // first-violation precedence (null_key > negative_price > year).
+    "warehouse_quarantine" ->
+      """WITH b AS (SELECT
+        |    CASE WHEN o_orderkey % 97 = 31 THEN NULL ELSE o_orderkey END AS k,
+        |    o_orderkey AS src_key,
+        |    CASE WHEN o_orderkey % 97 = 93 THEN year(o_orderdate) + 1000
+        |         ELSE year(o_orderdate) END AS y,
+        |    CASE WHEN o_orderkey % 97 = 62 THEN -o_totalprice
+        |         ELSE o_totalprice END AS p
+        |  FROM orders),
+        |c AS (SELECT *,
+        |    CASE WHEN k IS NULL THEN 'null_key'
+        |         WHEN p < 0 THEN 'negative_price'
+        |         WHEN y NOT BETWEEN 1990 AND 2100 THEN 'year_out_of_range'
+        |         ELSE 'ok' END AS violation
+        |  FROM b)
+        |SELECT CASE WHEN violation = 'ok' THEN 'valid' ELSE 'quarantine' END
+        |    AS disposition,
+        |  violation, COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(p AS DECIMAL(18,4))) AS DOUBLE) AS total,
+        |  CAST(MIN(src_key) AS BIGINT) AS min_src_key
+        |FROM c GROUP BY 1, 2 ORDER BY disposition, violation""".stripMargin,
+
     // The DDL round-trip must reproduce the source rows exactly.
     "warehouse_table_ops" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",

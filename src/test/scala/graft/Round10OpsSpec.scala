@@ -69,6 +69,54 @@ class Round10OpsSpec extends AnyFunSuite with SparkFixture {
     assert(!rows.exists(_._1 == "2024-01-01 20:00:00"))
   }
 
+  test("warehouse_wap_publish: publish is a metadata fast-forward of the audited branch") {
+    import graft.ops.Lakehouse
+    val root = Lakehouse.ensureWap(spark, sf)
+    assert(Lakehouse.currentVersion(root).contains(3))
+    assert(Lakehouse.readRef(root, "wap") == 3)
+    // publish re-used the staged manifest: every v2 file carried by
+    // reference into v3 (no data was rewritten at publish time)
+    val v2 = Lakehouse.manifest(root, 2).map(_.path).toSet
+    val v3 = Lakehouse.manifest(root, 3).map(_.path).toSet
+    assert(v2.subsetOf(v3))
+    assert((v3 -- v2).size == 1, "exactly the one staged file is new")
+  }
+
+  test("warehouse_row_lineage: ids and stamps survive the COW rewrite") {
+    import graft.ops.Lakehouse
+    val root = Lakehouse.ensureLineage(spark, sf)
+    // files outside the batch's key range carried by reference
+    val v1 = Lakehouse.manifest(root, 1).map(_.path).toSet
+    val v2 = Lakehouse.manifest(root, 2).map(_.path).toSet
+    assert((v1 & v2).nonEmpty, "untouched files must carry by reference")
+    // row-level: ids equal ingest keys; modified_v bumps exactly on the
+    // update predicate; inserts stamp created_v = 2
+    val rows = SparkEntry.queries("warehouse_row_lineage")(spark, sf).collect()
+    val thr = rows.filter(_.getLong(5) == 1L).map(_.getLong(1)).max / 10L
+    rows.foreach { r =>
+      val (rid, key, created, modified) =
+        (r.getLong(0), r.getLong(1), r.getLong(4), r.getLong(5))
+      assert(rid == key, "row id must be the stable ingest id")
+      if (key >= 10000000L) assert(created == 2L && modified == 2L)
+      else {
+        assert(created == 1L)
+        val expect = if (key <= thr && key % 7 == 0) 2L else 1L
+        assert(modified == expect, s"key $key: modified_v $modified != $expect")
+      }
+    }
+  }
+
+  test("warehouse_quarantine: router ties out to the planted corruption") {
+    val rows = SparkEntry.queries("warehouse_quarantine")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val keys = Tables.orders(spark, sf).select("o_orderkey")
+      .collect().map(_.getLong(0))
+    assert(rows(("quarantine", "null_key")) == keys.count(_ % 97 == 31))
+    assert(rows(("quarantine", "negative_price")) == keys.count(_ % 97 == 62))
+    assert(rows(("quarantine", "year_out_of_range")) == keys.count(_ % 97 == 93))
+    assert(rows.values.sum == keys.length, "every row routed exactly once")
+  }
+
   test("fn_interval: components recompose into the exact elapsed time") {
     val anchorUs = java.time.Instant.parse("2030-01-01T00:00:00Z").toEpochMilli * 1000L
     val rows = SparkEntry.queries("fn_interval")(spark, sf)
