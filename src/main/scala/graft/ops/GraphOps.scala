@@ -112,7 +112,7 @@ object GraphOps {
 
   /** `heavyBackbone` with the edge weight kept — the label-propagation
     * family tallies neighbor votes BY WEIGHT, not just adjacency. */
-  private def heavyBackboneW(s: SparkSession, d: String): DataFrame = {
+  private[graft] def heavyBackboneW(s: SparkSession, d: String): DataFrame = {
     val und = tradeEdges(s, d).where(col("src") =!= col("dst"))
       .select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"), col("w"))
@@ -133,7 +133,43 @@ object GraphOps {
       |t AS MATERIALIZED (SELECT CAST(SUM(w) AS BIGINT) AS tw, COUNT(*) AS ne FROM und),
       |hw AS MATERIALIZED (SELECT a, b, w FROM und, t WHERE w * ne > tw)""".stripMargin
 
+  /** Weighted-SSSP geometry: integer edge cost = max(1, 1e6 DIV w) —
+    * heavier trade = cheaper hop — relaxed for 6 Bellman-Ford rounds
+    * (diameter bound ≤ 3 hops, but a cheap 3-hop path can undercut an
+    * expensive 1-hop edge, so weighted convergence needs the extra
+    * slack; the oracle replays the same 6 rounds). 1e12 = unreachable. */
+  private val SsspIters = 6
+  private val SsspInf = 999999999999L
+
   val queries: Map[String, Q] = Map(
+    // Single-source WEIGHTED shortest paths over the weighted backbone —
+    // the routing/centrality primitive BFS's unit hops can't express:
+    // dist′ = min(dist, min over in-neighbors (dist + cost)), all exact
+    // BIGINT so both engines replay bit-identically. Each round is one
+    // equi-join + min-groupBy over the checkpointed backbone (the Pregel
+    // superstep shape); per-node state is one long regardless of scale.
+    "graph_sssp_weighted" -> ((s, d) => {
+      val hw = heavyBackboneW(s, d)
+      val bi = hw.select(col("a").as("src"), col("b").as("dst"), col("w"))
+        .unionAll(hw.select(col("b").as("src"), col("a").as("dst"), col("w")))
+        .withColumn("cost", expr("GREATEST(CAST(1 AS BIGINT), 1000000 DIV w)"))
+      val src = hw.agg(min(col("a")).cast("long")).collect()(0).getLong(0)
+      val nodes = Tables.nation(s, d).select(col("n_nationkey").as("node"))
+      var dist = nodes.withColumn("dist",
+        when(col("node") === src, 0L).otherwise(lit(SsspInf)))
+      for (i <- 1 to SsspIters) {
+        val relax = bi.join(dist.withColumnRenamed("node", "src"), "src")
+          .select(col("dst").as("node"), (col("dist") + col("cost")).as("cand"))
+          .groupBy("node").agg(min("cand").as("cand"))
+        dist = dist.join(relax, Seq("node"), "left")
+          .select(col("node"),
+            least(col("dist"), coalesce(col("cand"), lit(SsspInf))).as("dist"))
+        // same plan-doubling containment as graph_components
+        if (i == 3) dist = dist.localCheckpoint()
+      }
+      dist.orderBy("node")
+    }),
+
     // Weighted PageRank over the nation trade graph. Damping 0.85 in
     // micro-units:
     //   r' = 150000 + (85 · Σ_in (r · w DIV out_w)) DIV 100
@@ -307,6 +343,32 @@ object GraphOps {
   )
 
   val oracles: Map[String, String] = Map(
+    // The 6 weighted relaxation rounds replayed as chained CTEs from the
+    // same constants (cost formula inlined in the bi CTE).
+    "graph_sssp_weighted" -> {
+      val iters = (1 to SsspIters).map { i =>
+        val p = s"d${i - 1}"
+        s"""c$i AS MATERIALIZED (SELECT bi.dst AS node,
+           |    CAST(MIN($p.dist + bi.cost) AS BIGINT) AS cand
+           |  FROM bi JOIN $p ON $p.node = bi.src GROUP BY 1),
+           |d$i AS MATERIALIZED (SELECT n.node,
+           |    CAST(LEAST($p.dist, COALESCE(c$i.cand, 999999999999)) AS BIGINT) AS dist
+           |  FROM nodes n JOIN $p ON $p.node = n.node
+           |  LEFT JOIN c$i ON c$i.node = n.node)"""
+      }.mkString(",\n")
+      s"""WITH $EdgesCte,
+         |$HeavyWCte,
+         |bi AS MATERIALIZED (
+         |  SELECT a AS src, b AS dst, GREATEST(1, 1000000 // w) AS cost FROM hw
+         |  UNION ALL SELECT b, a, GREATEST(1, 1000000 // w) FROM hw),
+         |nodes AS (SELECT n_nationkey AS node FROM nation),
+         |d0 AS (SELECT node, CASE WHEN node = (SELECT MIN(a) FROM hw)
+         |                         THEN CAST(0 AS BIGINT)
+         |                         ELSE CAST(999999999999 AS BIGINT) END AS dist FROM nodes),
+         |$iters
+         |SELECT node, dist FROM d$SsspIters ORDER BY node""".stripMargin
+    },
+
     // The 5 power-iteration rounds replayed as chained CTEs, generated
     // from the same PrIters constant so round counts can never drift.
     "graph_pagerank" -> {

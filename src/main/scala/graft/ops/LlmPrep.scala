@@ -332,11 +332,71 @@ object LlmPrep {
           col("off").cast("int").as("off"),
           least(lit(48), col("len") - col("off")).cast("int").as("chunk_len"),
           md5(expr("CAST(substring(text, off + 1, 48) AS BINARY)")).as("chunk_md5"))
-        .orderBy("doc_id", "chunk_idx")))
+        .orderBy("doc_id", "chunk_idx")),
+
+    // Audio↔video alignment — the A/V sync step of a multimodal ingest:
+    // fixed-cadence video frames (32-unit stride over the doc's byte
+    // timeline) as-of-joined to VARIABLE-length audio chunks (lengths
+    // 20 + (doc_id + k) % 13 — content-irregular, so the chunk that
+    // covers a frame is NOT computable in closed form and a genuine
+    // as-of join is required). Runs on the native AsOfJoinExec (one
+    // co-partition exchange + a single forward merge per doc — the plan
+    // that survives a 100 TB timeline; the composed range-join+rank
+    // formulation materializes every frame×earlier-chunk pair).
+    // sync_lag = frame offset into its covering chunk.
+    "mm_av_sync" -> ((s, d) => {
+      val docs = Tables.documents(s, d).where(col("doc_id") % 20 === 0)
+        .select(col("doc_id"), length(col("text")).cast("long").as("len"))
+      val frames = docs
+        .select(col("doc_id"),
+          explode(sequence(lit(0L), expr("(len + 31) DIV 32 - 1"))).as("frame_idx"))
+        .select((col("doc_id") * 10000 + col("frame_idx")).as("id"),
+          col("doc_id").as("key"), (col("frame_idx") * 32L).as("ts"))
+      val chunks = docs
+        .select(col("doc_id"), col("len"),
+          explode(sequence(lit(0L), expr("(len + 19) DIV 20 - 1"))).as("k"))
+        .withColumn("clen", expr("20 + (doc_id + k) % 13"))
+        .withColumn("start",
+          sum(col("clen")).over(Window.partitionBy("doc_id").orderBy("k"))
+            - col("clen"))
+        .where(col("start") < col("len"))
+        .select((col("doc_id") * 10000 + col("k")).as("id"),
+          col("doc_id").as("key"), col("start").as("ts"))
+      org.apache.spark.sql.graftbridge.AsOfJoinApi.asof(s, frames, chunks)
+        .select(col("k").as("doc_id"), (col("l_id") % 10000).as("frame_idx"),
+          col("l_ts").as("frame_off"), (col("r_id") % 10000).as("chunk_idx"),
+          col("r_ts").as("chunk_start"),
+          (col("l_ts") - col("r_ts")).as("sync_lag"))
+        .orderBy("doc_id", "frame_idx")
+    }))
 
   val queries: Map[String, Q] = mainQueries ++ extraQueries
 
   val oracles: Map[String, String] = Map(
+    // DuckDB's native ASOF JOIN replays the alignment; the windowed
+    // prefix sum rebuilds the irregular chunk starts.
+    "mm_av_sync" ->
+      """WITH d AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS len
+        |           FROM documents WHERE doc_id % 20 = 0),
+        |fr AS (SELECT doc_id,
+        |    CAST(unnest(generate_series(0, (len + 31) // 32 - 1)) AS BIGINT) AS frame_idx
+        |  FROM d),
+        |f AS (SELECT doc_id, frame_idx, frame_idx * 32 AS ts FROM fr),
+        |ck0 AS (SELECT doc_id, len,
+        |    CAST(unnest(generate_series(0, (len + 19) // 20 - 1)) AS BIGINT) AS k
+        |  FROM d),
+        |ck1 AS (SELECT doc_id, len, k, 20 + (doc_id + k) % 13 AS clen FROM ck0),
+        |ck AS (SELECT doc_id, k,
+        |    CAST(SUM(clen) OVER (PARTITION BY doc_id ORDER BY k) - clen AS BIGINT)
+        |      AS strt, len
+        |  FROM ck1),
+        |cks AS (SELECT doc_id, k, strt FROM ck WHERE strt < len)
+        |SELECT f.doc_id, f.frame_idx, CAST(f.ts AS BIGINT) AS frame_off,
+        |  c.k AS chunk_idx, c.strt AS chunk_start,
+        |  CAST(f.ts - c.strt AS BIGINT) AS sync_lag
+        |FROM f ASOF JOIN cks c ON f.doc_id = c.doc_id AND c.strt <= f.ts
+        |ORDER BY f.doc_id, f.frame_idx""".stripMargin,
+
     "llm_pack_sequences" ->
       s"""WITH t AS (SELECT doc_id,
          |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,

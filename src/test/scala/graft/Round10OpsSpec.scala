@@ -117,6 +117,50 @@ class Round10OpsSpec extends AnyFunSuite with SparkFixture {
     assert(rows.values.sum == keys.length, "every row routed exactly once")
   }
 
+  test("llm_semdedup: ledger balances and the prune actually bites") {
+    val rows = SparkEntry.queries("llm_semdedup")(spark, sf).collect()
+    val nVecs = Tables.embeddings(spark, sf).count()
+    assert(rows.map(_.getLong(1)).sum == nVecs, "every vector is in exactly one cluster")
+    rows.foreach { r =>
+      assert(r.getLong(3) <= r.getLong(2), "can't drop more than the pair count")
+      assert(r.getLong(4) == r.getLong(1) - r.getLong(3))
+    }
+    assert(rows.map(_.getLong(3)).sum > 0, "fixture plants near-dups; none dropped")
+  }
+
+  test("graph_sssp_weighted: converged distances satisfy the relaxation invariant") {
+    val inf = 999999999999L
+    val dist = SparkEntry.queries("graph_sssp_weighted")(spark, sf)
+      .collect()
+      .map(r => r.getAs[Number](0).longValue() -> r.getAs[Number](1).longValue())
+      .toMap
+    assert(dist.values.min == 0L, "source at distance 0")
+    assert(dist.values.count(_ < inf) >= 2, "the source's component settles")
+    // converged Bellman-Ford: no edge can still relax — for every
+    // backbone edge, |d(a) − d(b)| <= cost(a, b)
+    val edges = graft.ops.GraphOps.heavyBackboneW(spark, sf)
+      .collect().map(r => (r.getAs[Number](0).longValue(),
+        r.getAs[Number](1).longValue(), r.getAs[Number](2).longValue()))
+    edges.foreach { case (a, b, w) =>
+      val cost = math.max(1L, 1000000L / w)
+      val (da, db) = (dist(a), dist(b))
+      if (da < inf || db < inf)
+        assert(math.abs(da - db) <= cost,
+          s"edge ($a,$b,w=$w): |${da} - ${db}| > $cost — one more round would relax")
+    }
+  }
+
+  test("mm_av_sync: every frame lands inside its covering chunk") {
+    val rows = SparkEntry.queries("mm_av_sync")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (doc, k, lag) = (r.getLong(0), r.getLong(3), r.getLong(5))
+      val clen = 20 + (doc + k) % 13
+      assert(lag >= 0 && lag < clen,
+        s"doc $doc frame ${r.getLong(1)}: lag $lag outside chunk len $clen")
+    }
+  }
+
   test("fn_interval: components recompose into the exact elapsed time") {
     val anchorUs = java.time.Instant.parse("2030-01-01T00:00:00Z").toEpochMilli * 1000L
     val rows = SparkEntry.queries("fn_interval")(spark, sf)
