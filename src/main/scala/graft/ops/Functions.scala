@@ -81,6 +81,28 @@ object Functions {
         col("o_orderpriority").isin("1-URGENT", "2-HIGH").as("is_hi"))
         .orderBy("o_orderkey")),
 
+    // CSV scalar codec (to_csv/from_csv — the row-level twin of the
+    // source_csv readers): serialize a struct to one CSV line and parse
+    // it back with a DDL schema, including the quoting path (the
+    // `tricky` field embeds the delimiter, so the writer MUST quote it
+    // and the parser must unquote losslessly). Integer/string fields
+    // only — float-to-string formatting is engine-specific and belongs
+    // to the readers' tolerant parse, not an exact-roundtrip contract.
+    "fn_csv" -> ((s, d) =>
+      Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_mktsegment"), col("c_nationkey"),
+          concat(col("c_mktsegment"), lit(","), col("c_name")).as("tricky0"))
+        .select(col("c_custkey"),
+          expr("to_csv(struct(c_custkey, c_mktsegment, c_nationkey, tricky0))")
+            .as("line"))
+        .select(col("c_custkey"), col("line"),
+          expr("from_csv(line, 'k BIGINT, seg STRING, nk BIGINT, tricky STRING')")
+            .as("p"))
+        .select(col("c_custkey"), col("line"), col("p.k").as("k"),
+          col("p.seg").as("seg"), col("p.nk").as("nk"),
+          col("p.tricky").as("tricky"))
+        .orderBy("c_custkey")),
+
     // Collated string semantics (new in Spark 4): UTF8_LCASE makes
     // comparison, equality, AND grouping case-insensitive at the TYPE
     // level — no lower() rewrapping at every call site, and the hash
@@ -453,6 +475,18 @@ object Functions {
         |  COALESCE(NULLIF(o_orderstatus, 'P'), 'pending') AS co,
         |  o_orderpriority IN ('1-URGENT', '2-HIGH') AS is_hi
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    // The CSV line rebuilt by string concat (minimal quoting: only the
+    // field containing the delimiter is quoted) and the parsed fields
+    // replayed from the source columns directly.
+    "fn_csv" ->
+      """SELECT c_custkey,
+        |  c_custkey || ',' || c_mktsegment || ',' || c_nationkey ||
+        |    ',"' || c_mktsegment || ',' || c_name || '"' AS line,
+        |  c_custkey AS k, c_mktsegment AS seg,
+        |  CAST(c_nationkey AS BIGINT) AS nk,
+        |  c_mktsegment || ',' || c_name AS tricky
+        |FROM customer ORDER BY c_custkey""".stripMargin,
 
     // The collation semantics replayed via lower(): a UTF8_LCASE group
     // key IS lower-case equivalence, so lower()-grouping is the exact

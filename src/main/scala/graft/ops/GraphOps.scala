@@ -141,6 +141,12 @@ object GraphOps {
   private val SsspIters = 6
   private val SsspInf = 999999999999L
 
+  /** HITS rounds: hubs/authorities stabilize in rank order on the dense
+    * 25-node trade graph within 3 mutually-recursive rounds; per-round
+    * max-normalization to 10⁶ micro-units keeps every value in [0, 10⁶]
+    * (and the h·w / a·w products far from Long overflow). */
+  private val HitsIters = 3
+
   val queries: Map[String, Q] = Map(
     // Single-source WEIGHTED shortest paths over the weighted backbone —
     // the routing/centrality primitive BFS's unit hops can't express:
@@ -195,6 +201,40 @@ object GraphOps {
         .select(col("node").as("n_nationkey"), col("r").as("rank_micro"),
           (col("r").cast("double") / 1e6).as("rank"))
         .orderBy("n_nationkey")
+    }),
+
+    // HITS hubs & authorities over the DIRECTED weighted trade graph —
+    // the mutually-recursive centrality PageRank's single score can't
+    // express (a nation can be a big buyer-hub without being a seller-
+    // authority): a′(v) = Σ_in h(u)·w, h′(v) = Σ_out a(u)·w, each
+    // max-normalized to 10⁶ micro-units per round — all-integer, so the
+    // rounds replay bit-identically. Two equi-join + groupBy supersteps
+    // per round over the checkpointed edge rollup plus one 1-row
+    // broadcast max; self-loops excluded (they would self-amplify).
+    "graph_hits" -> ((s, d) => {
+      val edges = tradeEdges(s, d).where(col("src") =!= col("dst"))
+      val nodes = Tables.nation(s, d).select(col("n_nationkey").as("node"))
+      var hub = nodes.withColumn("h", lit(1000000L))
+      var auth: DataFrame = null
+      for (i <- 1 to HitsIters) {
+        val araw = edges.join(hub.select(col("node").as("src"), col("h")), "src")
+          .groupBy(col("dst").as("node")).agg(sum(col("h") * col("w")).as("ar"))
+        auth = nodes.join(araw, Seq("node"), "left")
+          .crossJoin(broadcast(araw.agg(max("ar").as("am"))))
+          .select(col("node"),
+            expr("(coalesce(ar, CAST(0 AS BIGINT)) * 1000000) DIV am").as("a"))
+        val hraw = edges.join(auth.select(col("node").as("dst"), col("a")), "dst")
+          .groupBy(col("src").as("node")).agg(sum(col("a") * col("w")).as("hr"))
+        hub = nodes.join(hraw, Seq("node"), "left")
+          .crossJoin(broadcast(hraw.agg(max("hr").as("hm"))))
+          .select(col("node"),
+            expr("(coalesce(hr, CAST(0 AS BIGINT)) * 1000000) DIV hm").as("h"))
+        // contain the mutually-recursive plan doubling mid-loop
+        if (i == 2) { hub = hub.localCheckpoint(); auth = auth.localCheckpoint() }
+      }
+      hub.join(auth, "node")
+        .select(col("node"), col("h").as("hub_micro"), col("a").as("auth_micro"))
+        .orderBy("node")
     }),
 
     // Triangle counting (the clustering-coefficient numerator / community
@@ -390,6 +430,33 @@ object GraphOps {
          |SELECT node AS n_nationkey, r AS rank_micro,
          |  CAST(r AS DOUBLE) / 1e6 AS rank
          |FROM r$PrIters ORDER BY n_nationkey""".stripMargin
+    },
+
+    // The 3 HITS rounds replayed as chained CTEs from the same constant:
+    // raw tally → max-normalize, authorities then hubs each round.
+    "graph_hits" -> {
+      val iters = (1 to HitsIters).map { i =>
+        val p = s"h${i - 1}"
+        s"""ar$i AS MATERIALIZED (SELECT ed.dst AS node, CAST(SUM($p.h * ed.w) AS BIGINT) AS ar
+           |  FROM ed JOIN $p ON $p.node = ed.src GROUP BY 1),
+           |a$i AS MATERIALIZED (SELECT n.node,
+           |    CAST((COALESCE(ar, 0) * 1000000) // (SELECT MAX(ar) FROM ar$i) AS BIGINT) AS a
+           |  FROM nodes n LEFT JOIN ar$i ON ar$i.node = n.node),
+           |hr$i AS MATERIALIZED (SELECT ed.src AS node, CAST(SUM(a$i.a * ed.w) AS BIGINT) AS hr
+           |  FROM ed JOIN a$i ON a$i.node = ed.dst GROUP BY 1),
+           |h$i AS MATERIALIZED (SELECT n.node,
+           |    CAST((COALESCE(hr, 0) * 1000000) // (SELECT MAX(hr) FROM hr$i) AS BIGINT) AS h
+           |  FROM nodes n LEFT JOIN hr$i ON hr$i.node = n.node)"""
+      }.mkString(",\n")
+      s"""WITH $EdgesCte,
+         |ed AS MATERIALIZED (SELECT src, dst, w FROM edges WHERE src <> dst),
+         |nodes AS (SELECT n_nationkey AS node FROM nation),
+         |h0 AS (SELECT node, CAST(1000000 AS BIGINT) AS h FROM nodes),
+         |$iters
+         |SELECT h$HitsIters.node, h$HitsIters.h AS hub_micro,
+         |  a$HitsIters.a AS auth_micro
+         |FROM h$HitsIters JOIN a$HitsIters ON a$HitsIters.node = h$HitsIters.node
+         |ORDER BY h$HitsIters.node""".stripMargin
     },
 
     "graph_triangles" ->

@@ -462,6 +462,60 @@ object LlmPipeline {
         .orderBy("lang")
     }),
 
+    // The learned subword VOCABULARY as a table — what a tokenizer
+    // release actually ships (and the deliverable the merge loop trains):
+    // every symbol surviving in the trained per-word table, with its
+    // corpus-weighted occurrence count and whether it is a learned merge
+    // or a base character. Reads the SAME cached training run as
+    // merge/encode — three graded consumers, one training job.
+    "llm_bpe_vocab" -> ((s, d) => {
+      val (syms, _) = bpeTrain(s, d)
+      syms.select(col("c"), explode(col("syms")).as("sym"))
+        .groupBy("sym")
+        .agg(sum("c").cast("bigint").as("n_occurrences"))
+        .withColumn("sym_len", length(col("sym")).cast("int"))
+        .withColumn("is_merged", col("sym_len") > 1)
+        .orderBy(desc("n_occurrences"), col("sym"))
+    }),
+
+    // Stupid-backoff n-gram scoring (the web-scale LM smoothing that
+    // needs NO discount estimation — Brants et al.'s point): a bigram
+    // observed >= 3 times scores at its MLE, a rare one backs off to
+    // 0.4 × the unigram MLE. All exact integer micro-units (every score
+    // is (count·10⁶) DIV denom), so both engines replay the branch AND
+    // the arithmetic bit-identically; top-50 via distributed
+    // TakeOrdered on the (score, w1, w2) total order — never a global
+    // sort. Counts are two shuffle aggregates over one corpus scan each;
+    // the unigram table joins in by key (broadcast-sized vocabulary).
+    "llm_trigram_backoff" -> ((s, d) => {
+      val t = Tables.documents(s, d).select(split(col("text"), " ").as("t"))
+      val bi = t.where(size(col("t")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(0, size(t) - 2), i -> struct(t[i] AS w1, t[i+1] AS w2))"))
+          .as("p"))
+        .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+        .groupBy("w1", "w2").agg(count(lit(1)).cast("bigint").as("c2"))
+      val uni = t.select(explode(col("t")).as("w"))
+        .groupBy("w").agg(count(lit(1)).cast("bigint").as("c1"))
+      val tot = uni.agg(sum("c1").cast("bigint").as("n"))
+      val scored = bi
+        .join(uni.select(col("w").as("w1"), col("c1").as("c1ctx")), "w1")
+        .join(uni.select(col("w").as("w2"), col("c1").as("c1w")), "w2")
+        .crossJoin(broadcast(tot))
+        .withColumn("used_backoff", col("c2") < 3)
+        .withColumn("score_micro", expr(
+          "CASE WHEN c2 >= 3 THEN (c2 * 1000000) DIV c1ctx " +
+            "ELSE (4 * ((c1w * 1000000) DIV n)) DIV 10 END"))
+      // top-25 of EACH branch, so the graded output exercises both the
+      // MLE path and the backoff path (a single global top-k is all-MLE
+      // — backoff scores are discounted by construction)
+      def top(df: org.apache.spark.sql.DataFrame) = df
+        .orderBy(desc("score_micro"), col("w1"), col("w2")).limit(25)
+        .select("w1", "w2", "c2", "score_micro", "used_backoff")
+      top(scored.where(!col("used_backoff")))
+        .unionAll(top(scored.where(col("used_backoff"))))
+    }),
+
     // BM25 relevance ranking — the retrieval-quality scorer of a
     // training-data curation stack (query-targeted corpus slicing,
     // contamination triage, eval-set mining). Classic Okapi BM25
@@ -651,9 +705,39 @@ object LlmPipeline {
        |  ROUND(SUM(n_toks) * 100.0 / SUM(n_chars), 4) AS toks_per_100chars
        |FROM enc GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** Vocabulary dump from the same replayed training run. */
+  private def bpeVocabOracle: String =
+    s"""WITH $bpeTrainCtes,
+       |v AS (SELECT unnest(syms) AS sym, c FROM r$BpeRounds)
+       |SELECT sym, CAST(SUM(c) AS BIGINT) AS n_occurrences,
+       |  CAST(length(sym) AS INT) AS sym_len, length(sym) > 1 AS is_merged
+       |FROM v GROUP BY sym ORDER BY n_occurrences DESC, sym""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "llm_bpe_merge" -> bpeMergeOracle,
     "llm_bpe_encode" -> bpeEncodeOracle,
+    "llm_bpe_vocab" -> bpeVocabOracle,
+
+    // The backoff branch and its integer arithmetic replayed exactly.
+    "llm_trigram_backoff" ->
+      """WITH t AS (SELECT string_split(text, ' ') AS t FROM documents),
+        |bi AS (SELECT t[i] AS w1, t[i+1] AS w2, CAST(COUNT(*) AS BIGINT) AS c2
+        |  FROM t, unnest(generate_series(1, len(t) - 1)) u(i)
+        |  WHERE len(t) >= 2 GROUP BY 1, 2),
+        |uni AS (SELECT unnest(t) AS w FROM t),
+        |uc AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c1 FROM uni GROUP BY 1),
+        |n AS (SELECT CAST(SUM(c1) AS BIGINT) AS n FROM uc),
+        |sc AS (SELECT w1, w2, c2,
+        |    CAST(CASE WHEN c2 >= 3 THEN (c2 * 1000000) // cx.c1
+        |         ELSE (4 * ((cw.c1 * 1000000) // n.n)) // 10 END AS BIGINT)
+        |      AS score_micro,
+        |    c2 < 3 AS used_backoff
+        |  FROM bi JOIN uc cx ON bi.w1 = cx.w JOIN uc cw ON bi.w2 = cw.w, n)
+        |SELECT * FROM (SELECT * FROM sc WHERE NOT used_backoff
+        |               ORDER BY score_micro DESC, w1, w2 LIMIT 25)
+        |UNION ALL
+        |SELECT * FROM (SELECT * FROM sc WHERE used_backoff
+        |               ORDER BY score_micro DESC, w1, w2 LIMIT 25)""".stripMargin,
     // Transitive closure by recursive CTE; MIN over the closure is the
     // same component-minimum the label propagation converges to.
     "llm_dedup_cluster" ->

@@ -161,6 +161,51 @@ class Round10OpsSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("llm_bpe_vocab: learned merges appear in the shipped vocabulary") {
+    val vocab = SparkEntry.queries("llm_bpe_vocab")(spark, sf).collect()
+    val merges = SparkEntry.queries("llm_bpe_merge")(spark, sf).collect()
+      .map(r => r.getString(1) + r.getString(2))
+    val merged = vocab.filter(_.getBoolean(3)).map(_.getString(0)).toSet
+    assert(merged.nonEmpty, "no multi-char symbols in the vocab")
+    // every multi-char vocab symbol must be one of the learned merges
+    assert(merged.subsetOf(merges.toSet),
+      s"unexplained merged symbols: ${merged -- merges.toSet}")
+    assert(vocab.forall(_.getLong(1) > 0))
+  }
+
+  test("llm_trigram_backoff: both scoring branches are graded and discounted correctly") {
+    val rows = SparkEntry.queries("llm_trigram_backoff")(spark, sf).collect()
+    val (bo, mle) = rows.partition(_.getBoolean(4))
+    assert(mle.nonEmpty && bo.nonEmpty, "one branch missing from the graded cut")
+    assert(mle.forall(_.getLong(2) >= 3) && bo.forall(_.getLong(2) < 3))
+    // backoff is a DISCOUNTED unigram estimate: it can never reach the
+    // certainty score of a deterministic context (1e6)
+    assert(bo.forall(_.getLong(3) < 1000000L))
+  }
+
+  test("fn_csv: the quoted roundtrip is lossless") {
+    val rows = SparkEntry.queries("fn_csv")(spark, sf).limit(200).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(2) == r.getLong(0), "parsed key != source key")
+      assert(r.getString(1).contains("\""), "delimiter-bearing field must be quoted")
+      assert(r.getString(5).contains(","), "tricky field lost its delimiter")
+      assert(r.getString(5).startsWith(r.getString(3) + ","),
+        "tricky field must unquote to seg,name")
+    }
+  }
+
+  test("graph_hits: per-round normalization pins both score maxima at 1e6") {
+    val rows = SparkEntry.queries("graph_hits")(spark, sf).collect()
+    val hubs = rows.map(_.getLong(1)); val auths = rows.map(_.getLong(2))
+    assert(hubs.max == 1000000L && auths.max == 1000000L)
+    assert(hubs.forall(h => h >= 0 && h <= 1000000L))
+    assert(auths.forall(a => a >= 0 && a <= 1000000L))
+    // hubs and authorities measure different roles — the two rankings
+    // must not be the identical vector on a directed trade graph
+    assert(!hubs.sameElements(auths))
+  }
+
   test("fn_interval: components recompose into the exact elapsed time") {
     val anchorUs = java.time.Instant.parse("2030-01-01T00:00:00Z").toEpochMilli * 1000L
     val rows = SparkEntry.queries("fn_interval")(spark, sf)
