@@ -81,6 +81,24 @@ object Functions {
         col("o_orderpriority").isin("1-URGENT", "2-HIGH").as("is_hi"))
         .orderBy("o_orderkey")),
 
+    // Column-level encryption (aes_encrypt/aes_decrypt — PII-at-rest for
+    // individual columns, the governance primitive under masked views):
+    // GCM roundtrip must restore the plaintext exactly (graded), a
+    // wrong-key try_aes_decrypt must fail CLOSED to NULL (graded), and
+    // the ciphertext must actually differ from the plaintext bytes
+    // (graded as a boolean — the ciphertext itself is IV-randomized, so
+    // only its properties are cross-engine facts, never its bytes).
+    "fn_crypto" -> ((s, d) =>
+      Tables.customer(s, d).select(
+        col("c_custkey"),
+        expr("CAST(aes_decrypt(aes_encrypt(c_name, '0123456789abcdef'), " +
+          "'0123456789abcdef') AS STRING)").as("name_rt"),
+        expr("CAST(aes_encrypt(c_name, '0123456789abcdef') AS STRING) <> c_name")
+          .as("ct_differs"),
+        expr("try_aes_decrypt(aes_encrypt(c_name, '0123456789abcdef'), " +
+          "'fedcba9876543210') IS NULL").as("wrong_key_fails_closed"))
+        .orderBy("c_custkey")),
+
     // CSV scalar codec (to_csv/from_csv — the row-level twin of the
     // source_csv readers): serialize a struct to one CSV line and parse
     // it back with a DDL schema, including the quoting path (the
@@ -475,6 +493,13 @@ object Functions {
         |  COALESCE(NULLIF(o_orderstatus, 'P'), 'pending') AS co,
         |  o_orderpriority IN ('1-URGENT', '2-HIGH') AS is_hi
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    // Roundtrip identity and both failure-mode verdicts replayed as
+    // facts about the plaintext.
+    "fn_crypto" ->
+      """SELECT c_custkey, c_name AS name_rt,
+        |  TRUE AS ct_differs, TRUE AS wrong_key_fails_closed
+        |FROM customer ORDER BY c_custkey""".stripMargin,
 
     // The CSV line rebuilt by string concat (minimal quoting: only the
     // field containing the delimiter is quoted) and the parsed fields

@@ -1268,6 +1268,25 @@ object Lakehouse {
     // point) — proving writer isolation between refs over one shared
     // file pool. Oracle replays main/tag as the v2 post-state and dev as
     // post-state + the ≡0 mod 103 batch shifted +50M.
+    // DESCRIBE HISTORY from METADATA ONLY: the commit log (version, row
+    // count, rows added) assembled from the manifest chain's per-file
+    // stats — driver-side O(versions × files), ZERO data read (instant
+    // on a 100 TB table); the oracle recomputes the same numbers from
+    // the data, proving the metadata ledger truthful — the same
+    // metadata-vs-data contract as warehouse_manifest_stats, extended
+    // across the whole history.
+    "warehouse_history" -> ((s, d) => {
+      val root = ensureTable(s, d)
+      val cur = currentVersion(root).get
+      val counts = (1 to cur).map(v => manifest(root, v).map(_.rows).sum)
+      val hist = (1 to cur).map { v =>
+        val prev = if (v == 1) 0L else counts(v - 2)
+        (v.toLong, counts(v - 1), counts(v - 1) - prev)
+      }
+      s.createDataFrame(hist).toDF("version", "n_rows", "rows_added")
+        .orderBy("version")
+    }),
+
     // Post-publish main: the staged batch is live exactly once, the
     // audit verdicts ride along as constants the oracle re-asserts, and
     // published_version pins the fast-forward actually happening.
@@ -1673,6 +1692,20 @@ object Lakehouse {
     // Three refs over one file pool: main and the release tag read the v2
     // post-state (the branch write is invisible to them); dev reads the
     // post-state plus its append batch (post keys ≡0 mod 103, +50M).
+    // The manifest ledger recomputed from data: v1 = the base load, v2
+    // adds exactly the mod-11 insert batch (updates are count-neutral).
+    "warehouse_history" ->
+      """WITH thr AS (SELECT MAX(o_orderkey) // 10 AS t FROM orders),
+        |b AS (SELECT COUNT(*) AS c FROM orders),
+        |i AS (SELECT COUNT(*) AS c FROM orders
+        |      WHERE o_orderkey <= (SELECT t FROM thr) AND o_orderkey % 11 = 0)
+        |SELECT CAST(1 AS BIGINT) AS version, CAST(b.c AS BIGINT) AS n_rows,
+        |  CAST(b.c AS BIGINT) AS rows_added FROM b
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), CAST(b.c + i.c AS BIGINT), CAST(i.c AS BIGINT)
+        |FROM b, i
+        |ORDER BY version""".stripMargin,
+
     // The v2 post-state (same `post` replay as branch_tag) plus the
     // mod-101 staged batch — its presence in MAIN is the publish proof.
     "warehouse_wap_publish" ->

@@ -88,6 +88,30 @@ object Relational {
 
     // CSV/JSON source with schema inference round-trips nation (rows-only
     // check here; full schema assertions in ScalaTest).
+    // NESTED JSON roundtrip — the document-shaped interchange format
+    // (API exports, event payloads): orders nested per customer as an
+    // array<struct> (sort_array pins the nondeterministic collect_list
+    // order), written as JSON lines, read back with full schema
+    // INFERENCE (array + struct nesting reconstructed from data alone),
+    // then un-nested with explode and rolled up. The rollup must equal
+    // the flat-relational replay — nesting is proven lossless.
+    "source_json_nested" -> ((s, d) => {
+      val tmp = s"${Scratch.dir}/src/orders_nested_json"
+      Tables.orders(s, d)
+        .select(col("o_custkey"),
+          struct(col("o_orderkey"),
+            expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)").as("cents")).as("o"))
+        .groupBy("o_custkey")
+        .agg(sort_array(collect_list(col("o"))).as("orders"))
+        .write.mode("overwrite").json(tmp)
+      s.read.json(tmp)
+        .select(col("o_custkey"), explode(col("orders")).as("o"))
+        .groupBy("o_custkey")
+        .agg(count(lit(1)).as("n_orders"), sum("o.cents").as("cents"),
+          max("o.o_orderkey").as("max_key"))
+        .orderBy("o_custkey")
+    }),
+
     "source_csv_json_infer" -> ((s, d) => {
       val tmp = s"${Scratch.dir}/src"
       val n = Tables.nation(s, d)
@@ -773,6 +797,15 @@ object Relational {
         |ORDER BY n_nationkey""".stripMargin,
 
     // Both inferred sources must re-read all 25 nation rows.
+    // The nested roundtrip replayed flat — if any order was lost or
+    // duplicated through nest/write/infer/read/explode, a count or sum
+    // diverges.
+    "source_json_nested" ->
+      """SELECT o_custkey, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents,
+        |  MAX(o_orderkey) AS max_key
+        |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+
     "source_csv_json_infer" ->
       """SELECT 'csv' AS src, COUNT(*) AS "count" FROM nation
         |UNION ALL SELECT 'json', COUNT(*) FROM nation ORDER BY src""".stripMargin,

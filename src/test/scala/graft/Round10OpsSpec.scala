@@ -206,6 +206,44 @@ class Round10OpsSpec extends AnyFunSuite with SparkFixture {
     assert(!hubs.sameElements(auths))
   }
 
+  test("fn_crypto: roundtrip restores plaintext and wrong keys fail closed") {
+    val rows = SparkEntry.queries("fn_crypto")(spark, sf).limit(100).collect()
+    val names = Tables.customer(spark, sf).select("c_custkey", "c_name")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getString(1) == names(r.getLong(0)), "decrypt(encrypt(x)) != x")
+      assert(r.getBoolean(2), "ciphertext equals plaintext")
+      assert(r.getBoolean(3), "wrong-key decrypt must fail closed to NULL")
+    }
+  }
+
+  test("warehouse_history: the metadata ledger ties out to the snapshots") {
+    import graft.ops.Lakehouse
+    val hist = SparkEntry.queries("warehouse_history")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(hist.map(_._1).toSeq == (1L to hist.length))
+    // each version's metadata row count equals the actual snapshot count
+    val root = Lakehouse.ensureTable(spark, sf)
+    hist.foreach { case (v, n, _) =>
+      assert(n == Lakehouse.readSnapshot(spark, root, v.toInt).count(),
+        s"v$v: manifest row count lies")
+    }
+    // deltas telescope back to the totals
+    assert(hist.map(_._3).sum == hist.last._2)
+  }
+
+  test("source_json_nested: nesting through JSON inference is lossless") {
+    val viaJson = SparkEntry.queries("source_json_nested")(spark, sf).collect()
+    val direct = Tables.orders(spark, sf)
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)")).as("cents"),
+        max("o_orderkey").as("max_key"))
+      .orderBy("o_custkey").collect()
+    assert(viaJson.map(_.toString).toSeq == direct.map(_.toString).toSeq)
+  }
+
   test("fn_interval: components recompose into the exact elapsed time") {
     val anchorUs = java.time.Instant.parse("2030-01-01T00:00:00Z").toEpochMilli * 1000L
     val rows = SparkEntry.queries("fn_interval")(spark, sf)
