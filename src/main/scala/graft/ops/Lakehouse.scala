@@ -998,6 +998,74 @@ object Lakehouse {
     root
   }
 
+  // ------------------------------------------------------------------
+  // Catalog-atomic MULTI-TABLE transaction — the capability most table
+  // formats lack (Iceberg/Delta commit one table at a time): moving the
+  // 1997 archive year from the hot table to the archive table must be
+  // all-or-nothing ACROSS BOTH. The trick: readers resolve BOTH tables'
+  // versions from ONE catalog pointer file ("va vb"), so staging each
+  // table's next manifest publishes NOTHING — the single atomic swap of
+  // the catalog pointer is the whole commit, and a crash between the
+  // two manifest writes leaves readers on the old pair (asserted: the
+  // per-table CURRENT pointers still say v1; they are not the publish
+  // mechanism here). The hot table's delete is file-pruned on the
+  // manifest's year stats (year-clustered layout), archive appends by
+  // reference — same COW economics as the single-table MERGE.
+  // ------------------------------------------------------------------
+  private[graft] def catVersions(base: String): (Int, Int) = {
+    val p = Paths.get(base, "CATALOG_CURRENT")
+    val parts = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+      .trim.split(" ")
+    (parts(0).toInt, parts(1).toInt)
+  }
+
+  private[graft] def ensureMultiTxn(s: SparkSession, d: String): String = {
+    val base = Scratch.opDir("snap_mtx", d)
+    val catP = Paths.get(base, "CATALOG_CURRENT")
+    if (Files.exists(catP) && catVersions(base) == ((2, 2))) return base
+    Files.createDirectories(Paths.get(base))
+    val aRoot = s"$base/hot"; val bRoot = s"$base/archive"
+    val src = Tables.orders(s, d).select(col("o_orderkey"),
+      year(col("o_orderdate")).as("o_year"), col("o_totalprice"))
+    // v1 loads: hot = 1997+, archive = pre-1997; hot is YEAR-clustered so
+    // the archival delete below can prune by the manifest's year stats
+    val aLoad = s"$aRoot/load-v1"
+    src.where(col("o_year") >= 1997)
+      .repartitionByRange(4, col("o_year"), col("o_orderkey"))
+      .sortWithinPartitions("o_year", "o_orderkey")
+      .write.mode("overwrite").parquet(aLoad)
+    commit(aRoot, 1, fileStats(s, aLoad, key2Col = Some("o_year")))
+    val bLoad = s"$bRoot/load-v1"
+    src.where(col("o_year") < 1997)
+      .repartitionByRange(4, col("o_orderkey"))
+      .sortWithinPartitions("o_orderkey")
+      .write.mode("overwrite").parquet(bLoad)
+    commit(bRoot, 1, fileStats(s, bLoad))
+    atomicWrite(catP, "1 1")
+    // ---- the transaction: stage BOTH tables' v2, publish with ONE swap
+    val aFiles = manifest(aRoot, 1)
+    val (touched, untouched) = aFiles.partition(f =>
+      f.minKey2 <= 1997L && 1997L <= f.maxKey2)
+    val keepDir = s"$aRoot/keep-v2"
+    s.read.parquet(touched.map(_.path): _*)
+      .where(col("o_year") =!= 1997)
+      .repartitionByRange(1, col("o_orderkey"))
+      .sortWithinPartitions("o_orderkey")
+      .write.mode("overwrite").parquet(keepDir)
+    val moveDir = s"$bRoot/moved-v2"
+    s.read.parquet(touched.map(_.path): _*)
+      .where(col("o_year") === 1997)
+      .coalesce(1).write.mode("overwrite").parquet(moveDir)
+    writeManifest(aRoot, 2,
+      untouched ++ fileStats(s, keepDir, key2Col = Some("o_year")))
+    writeManifest(bRoot, 2, manifest(bRoot, 1) ++ fileStats(s, moveDir))
+    // both manifests staged, nothing published; the one-file CAS commits
+    require(catVersions(base) == ((1, 1)),
+      s"multi-table CAS expected catalog at (1,1), found ${catVersions(base)}")
+    atomicWrite(catP, "2 2")
+    base
+  }
+
   val queries: Map[String, Q] = Map(
     // The ACID MERGE: graded output is the post-merge table read through
     // the v2 manifest. Oracle replays the batch from `orders` alone —
@@ -1268,6 +1336,24 @@ object Lakehouse {
     // point) — proving writer isolation between refs over one shared
     // file pool. Oracle replays main/tag as the v2 post-state and dev as
     // post-state + the ≡0 mod 103 batch shifted +50M.
+    // Post-transaction state of BOTH tables, resolved through the
+    // catalog pointer (never the per-table CURRENTs): the 1997 rows
+    // appear in archive and are gone from hot — exactly once, across
+    // tables, from one atomic swap.
+    "warehouse_multi_table_txn" -> ((s, d) => {
+      val base = ensureMultiTxn(s, d)
+      val (va, vb) = catVersions(base)
+      def roll(root: String, v: Int, label: String) =
+        readSnapshot(s, root, v)
+          .groupBy("o_year")
+          .agg(count(lit(1)).as("n_rows"),
+            sum(dec(col("o_totalprice"))).cast("double").as("total"))
+          .select(lit(label).as("tbl"), col("o_year"), col("n_rows"), col("total"))
+      roll(s"$base/hot", va, "hot")
+        .unionAll(roll(s"$base/archive", vb, "archive"))
+        .orderBy("tbl", "o_year")
+    }),
+
     // DESCRIBE HISTORY from METADATA ONLY: the commit log (version, row
     // count, rows added) assembled from the manifest chain's per-file
     // stats — driver-side O(versions × files), ZERO data read (instant
@@ -1692,6 +1778,18 @@ object Lakehouse {
     // Three refs over one file pool: main and the release tag read the v2
     // post-state (the branch write is invisible to them); dev reads the
     // post-state plus its append batch (post keys ≡0 mod 103, +50M).
+    // The cross-table move replayed: post-txn hot = 1998+, archive =
+    // everything through 1997.
+    "warehouse_multi_table_txn" ->
+      """WITH src AS (SELECT o_orderkey, year(o_orderdate) AS o_year, o_totalprice
+        |  FROM orders),
+        |lab AS (SELECT CASE WHEN o_year >= 1998 THEN 'hot' ELSE 'archive' END AS tbl,
+        |    o_year, o_totalprice
+        |  FROM src)
+        |SELECT tbl, o_year, COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+        |FROM lab GROUP BY tbl, o_year ORDER BY tbl, o_year""".stripMargin,
+
     // The manifest ledger recomputed from data: v1 = the base load, v2
     // adds exactly the mod-11 insert batch (updates are count-neutral).
     "warehouse_history" ->

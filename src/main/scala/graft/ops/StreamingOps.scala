@@ -32,6 +32,46 @@ private[ops] class RunningStatsProcessor
   }
 }
 
+/** Spark 4 StatefulProcessor for `stream_stateful_timers`: EVENT-TIME
+  * TIMER-driven session finalization — the half of arbitrary stateful
+  * processing `RunningStatsProcessor` doesn't cover (it emits on input;
+  * this emits on TIME). Each input batch folds events into the session
+  * (count, max event-time) and re-arms the single per-key timer at
+  * maxTs + 30 min; when the WATERMARK crosses that expiry,
+  * `handleExpiredTimer` emits the closed session exactly once and clears
+  * state — sessions close because time passed, not because more data
+  * arrived. Deterministic under golden waves: watermark progression is a
+  * pure function of the fed batches. */
+private[ops] class SessionTimerProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[Long, SEvent, (Long, Long, String)] {
+  private val GapMs = 30L * 60 * 1000
+  @transient private var st: org.apache.spark.sql.streaming.ValueState[(Long, Long)] = _
+  override def init(outputMode: OutputMode,
+      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+    st = getHandle.getValueState[(Long, Long)]("sess",
+      org.apache.spark.sql.Encoders.product[(Long, Long)],
+      org.apache.spark.sql.streaming.TTLConfig.NONE)
+  override def handleInputRows(user: Long, rows: Iterator[SEvent],
+      tv: org.apache.spark.sql.streaming.TimerValues): Iterator[(Long, Long, String)] = {
+    val (c0, m0) = if (st.exists()) st.get() else (0L, 0L)
+    var c = c0; var m = m0
+    rows.foreach { e => c += 1; m = math.max(m, e.ts.getTime) }
+    if (c0 > 0 && m != m0) getHandle.deleteTimer(m0 + GapMs)
+    if (c0 == 0 || m != m0) getHandle.registerTimer(m + GapMs)
+    st.update((c, m))
+    Iterator.empty
+  }
+  override def handleExpiredTimer(user: Long,
+      tv: org.apache.spark.sql.streaming.TimerValues,
+      info: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[(Long, Long, String)] = {
+    val (c, m) = st.get()
+    st.clear()
+    val end = java.time.Instant.ofEpochMilli(m).atZone(java.time.ZoneOffset.UTC)
+      .format(java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss"))
+    Iterator((user, c, end))
+  }
+}
+
 /** SURVEY.md §2.10 — streaming semantics.
   *
   * The window operators (`stream_tumbling`/`stream_sliding`/`stream_session`)
@@ -483,6 +523,46 @@ object StreamingOps {
     // pre-4.x flatMapGroupsWithState twin is kept as a test-only
     // comparison surface (statefulCustomLegacy below; StreamingSpec
     // asserts identical output across the two APIs).
+    // TIMER-driven session close over transformWithState + event-time:
+    // sessions emit when the WATERMARK crosses their 30-min-gap timer,
+    // never on input — u1 closes TWO sessions (10:00-10:05 flushed by
+    // u3's wave; 13:00 flushed by u4's), u4's own session never closes
+    // (nothing advances the watermark past it) and must be absent.
+    "stream_stateful_timers" -> ((s, d) => withRocksDBStateStore(s) {
+      withFewShufflePartitions(s) {
+        val classic = s.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+        import classic.implicits._
+        implicit val sq = classic.sqlContext
+        val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[SEvent]
+        val sink = newSinkName()
+        val q = ms.toDS()
+          .withWatermark("ts", "10 minutes")
+          .groupByKey(_.user_id)
+          .transformWithState(new SessionTimerProcessor,
+            org.apache.spark.sql.streaming.TimeMode.EventTime(), OutputMode.Append())
+          .toDF("user_id", "n_events", "session_end")
+          .writeStream.format("memory").queryName(sink).outputMode("append").start()
+        ms.addData(
+          SEvent(1, Timestamp.valueOf("2024-01-01 10:00:00"), 1, "view", 1.0),
+          SEvent(2, Timestamp.valueOf("2024-01-01 10:05:00"), 1, "click", 1.0),
+          SEvent(3, Timestamp.valueOf("2024-01-01 10:00:00"), 2, "view", 1.0))
+        q.processAllAvailable()
+        // u3 advances the watermark to 11:50 -> u1 (timer 10:35) and u2
+        // (10:30) close
+        ms.addData(SEvent(4, Timestamp.valueOf("2024-01-01 12:00:00"), 3, "view", 1.0))
+        q.processAllAvailable()
+        // u1 reopens; watermark 12:50 closes u3 (timer 12:30)
+        ms.addData(SEvent(5, Timestamp.valueOf("2024-01-01 13:00:00"), 1, "view", 1.0))
+        q.processAllAvailable()
+        // u4's far-future wave (watermark 19:50) closes u1's second
+        // session (timer 13:30); u4 itself stays open forever
+        ms.addData(SEvent(6, Timestamp.valueOf("2024-01-01 20:00:00"), 4, "view", 1.0))
+        q.processAllAvailable()
+        q.stop()
+        s.table(sink).orderBy("user_id", "session_end")
+      }
+    }),
+
     "stream_stateful_custom" -> ((s, d) => withRocksDBStateStore(s) {
       withFewShufflePartitions(s) {
         val classic = s.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
@@ -605,6 +685,16 @@ object StreamingOps {
         |FROM (VALUES (1, 1, 'view'), (2, 1, 'click'), (3, 2, 'view'), (4, 2, 'purchase'))
         |  AS t(event_id, user_id, event_type)
         |ORDER BY event_id""".stripMargin,
+
+    // The four timer-closed sessions; u4's open session is the graded
+    // ABSENCE.
+    "stream_stateful_timers" ->
+      """SELECT CAST(user_id AS BIGINT) AS user_id, CAST(n AS BIGINT) AS n_events,
+        |  session_end
+        |FROM (VALUES (1, 2, '2024-01-01 10:05:00'), (1, 1, '2024-01-01 13:00:00'),
+        |             (2, 1, '2024-01-01 10:00:00'), (3, 1, '2024-01-01 12:00:00'))
+        |  AS t(user_id, n, session_end)
+        |ORDER BY user_id, session_end""".stripMargin,
 
     "stream_stateful_custom" ->
       """SELECT CAST(user_id AS BIGINT) AS user_id, CAST(n_events AS BIGINT) AS n_events,

@@ -244,6 +244,38 @@ class Round10OpsSpec extends AnyFunSuite with SparkFixture {
     assert(viaJson.map(_.toString).toSeq == direct.map(_.toString).toSeq)
   }
 
+  test("stream_stateful_timers: sessions close on watermark, not on input") {
+    val rows = SparkEntry.queries("stream_stateful_timers")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(rows.length == 4)
+    // u1's session split in two proves the timer actually fired between
+    // the 10:05 and 13:00 events
+    assert(rows.count(_._1 == 1L) == 2)
+    // u4's session is still open (nothing advanced the watermark past
+    // its gap) — emitting it would mean time-based close never happened
+    assert(!rows.exists(_._1 == 4L))
+  }
+
+  test("warehouse_multi_table_txn: one catalog swap moves a year across tables") {
+    import graft.ops.Lakehouse
+    val base = Lakehouse.ensureMultiTxn(spark, sf)
+    val (va, vb) = Lakehouse.catVersions(base)
+    assert((va, vb) == ((2, 2)))
+    // the per-table CURRENT pointers were never advanced: staging did
+    // not publish, only the catalog swap did
+    assert(Lakehouse.currentVersion(s"$base/hot").contains(1))
+    assert(Lakehouse.currentVersion(s"$base/archive").contains(1))
+    val hot = Lakehouse.readSnapshot(spark, s"$base/hot", va)
+    val arch = Lakehouse.readSnapshot(spark, s"$base/archive", vb)
+    assert(hot.where(col("o_year") === 1997).count() == 0, "1997 still in hot")
+    val moved = arch.where(col("o_year") === 1997).count()
+    val expected = Tables.orders(spark, sf)
+      .where(expr("year(o_orderdate) = 1997")).count()
+    assert(moved == expected, s"archive holds $moved of $expected 1997 rows")
+    // no rows lost or duplicated across the pair
+    assert(hot.count() + arch.count() == Tables.orders(spark, sf).count())
+  }
+
   test("fn_interval: components recompose into the exact elapsed time") {
     val anchorUs = java.time.Instant.parse("2030-01-01T00:00:00Z").toEpochMilli * 1000L
     val rows = SparkEntry.queries("fn_interval")(spark, sf)
