@@ -397,4 +397,35 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
     assert(p.contains("LeftAnti"), p.take(3000))
     assert(p.contains("BroadcastHashJoin"), p.take(3000))
   }
+
+  test("llm_semdedup pairs come from a cid equi-join, never a nested loop") {
+    val p = plan("llm_semdedup")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      p.take(3000))
+  }
+
+  test("llm_trigram_backoff cuts both branches with TakeOrderedAndProject") {
+    val p = plan("llm_trigram_backoff")
+    assert("TakeOrderedAndProject".r.findAllIn(p).length >= 2, p.take(3000))
+    // a plain global Sort would be the vocabulary-sized scale-killer
+    assert(!p.contains("Sort [") || p.contains("TakeOrderedAndProject"), p.take(3000))
+  }
+
+  test("agg_bitwise partial-aggregates map-side like SUM") {
+    assert("HashAggregate".r.findAllIn(plan("agg_bitwise")).length >= 2)
+  }
+
+  test("mm_av_sync runs on the native AsOfJoin merge (one exchange per side)") {
+    val p = plan("mm_av_sync")
+    assert(p.contains("AsOfJoin"), p.take(3000))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(3000))
+  }
+
+  test("graph_hits rounds broadcast the 1-row normalizer, never shuffle it") {
+    val p = plan("graph_hits")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
 }
