@@ -1362,7 +1362,10 @@ object Lakehouse {
     // metadata-vs-data contract as warehouse_manifest_stats, extended
     // across the whole history.
     "warehouse_history" -> ((s, d) => {
-      val root = ensureTable(s, d)
+      // own prefix: the shared snap_tbl root gains v3..v5 when the
+      // compaction/delete/evolution ops run first in the same JVM —
+      // the ledger op must not be order-dependent on its siblings
+      val root = ensureTable(s, d, "snap_hist")
       val cur = currentVersion(root).get
       val counts = (1 to cur).map(v => manifest(root, v).map(_.rows).sum)
       val hist = (1 to cur).map { v =>

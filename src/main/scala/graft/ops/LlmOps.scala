@@ -56,7 +56,7 @@ object LlmOps {
     * posting-list shuffle instead of re-running it — the graph-edge-cache
     * law. The cache key carries the df cap so conf changes (LlmScaleSpec)
     * never read a stale pair set. */
-  private[ops] def nearPairs(s: SparkSession, d: String): DataFrame = {
+  private[graft] def nearPairs(s: SparkSession, d: String): DataFrame = {
     val dfCap = s.conf.get("graft.dedup.dfCap", DfCapDefault.toString).toInt
     require(dfCap >= 2, s"graft.dedup.dfCap ($dfCap) must be >= 2")
     val dir = Scratch.opDir(s"near_pairs_cap$dfCap", d)

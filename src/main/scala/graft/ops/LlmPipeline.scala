@@ -462,6 +462,50 @@ object LlmPipeline {
         .orderBy("lang")
     }),
 
+    // Cross-source LEAKAGE matrix — which pairs of ingest sources share
+    // near-duplicate content (mirror sites, syndication, scraped
+    // re-posts): the verified near-dup pair set (one materialized build
+    // per JVM/sf, shared with llm_dedup_near/_cluster) joined to each
+    // side's source, rolled up per unordered source pair with the
+    // intra-source pairs flagged apart. The curation decision this
+    // feeds: which source to DROP wholesale before paying per-doc dedup.
+    "llm_cross_source_leakage" -> ((s, d) => {
+      val src = Tables.documents(s, d).select(col("doc_id"), col("source"))
+      LlmOps.nearPairs(s, d)
+        .join(broadcast(src.select(col("doc_id").as("a"), col("source").as("sa"))), "a")
+        .join(broadcast(src.select(col("doc_id").as("b"), col("source").as("sb"))), "b")
+        .select(least(col("sa"), col("sb")).as("src_a"),
+          greatest(col("sa"), col("sb")).as("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(count(lit(1)).as("n_pairs"))
+        .withColumn("is_cross", col("src_a") =!= col("src_b"))
+        .orderBy("src_a", "src_b")
+    }),
+
+    // SFT loss-mask accounting — the supervised-finetuning prep step
+    // that decides which tokens the loss actually trains on: docs are
+    // segmented into fixed 64-char turns alternating user/assistant
+    // roles (even/odd turn index — the chat-template shape), and only
+    // assistant turns are trainable. Emitted per doc: turn count, total
+    // vs trainable whitespace tokens, and the trainable share in exact
+    // ppm (integer DIV — no FP). Pure projection + bounded explode, no
+    // shuffle until the final per-doc rollup.
+    "llm_loss_masking" -> ((s, d) => {
+      val turns = Tables.documents(s, d)
+        .select(col("doc_id"), col("text"), length(col("text")).as("len"))
+        .withColumn("t", explode(sequence(lit(0), expr("CAST((len + 63) DIV 64 AS INT) - 1"))))
+        .select(col("doc_id"), col("t"),
+          size(split(expr("substring(text, t * 64 + 1, 64)"), " ")).cast("bigint")
+            .as("toks"))
+      turns.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_turns"),
+          sum("toks").as("toks_total"),
+          sum(when(col("t") % 2 === 1, col("toks")).otherwise(0L)).as("toks_trainable"))
+        .withColumn("trainable_ppm",
+          expr("(toks_trainable * 1000000) DIV toks_total"))
+        .orderBy("doc_id")
+    }),
+
     // The learned subword VOCABULARY as a table — what a tokenizer
     // release actually ships (and the deliverable the merge loop trains):
     // every symbol surviving in the trained per-word table, with its
@@ -717,6 +761,36 @@ object LlmPipeline {
     "llm_bpe_merge" -> bpeMergeOracle,
     "llm_bpe_encode" -> bpeEncodeOracle,
     "llm_bpe_vocab" -> bpeVocabOracle,
+
+    // The shared near-pair CTEs + per-source-pair rollup.
+    "llm_cross_source_leakage" ->
+      s"""WITH $pairsSql,
+         |lab AS (SELECT LEAST(da.source, db.source) AS src_a,
+         |    GREATEST(da.source, db.source) AS src_b
+         |  FROM pairs
+         |  JOIN documents da ON pairs.a = da.doc_id
+         |  JOIN documents db ON pairs.b = db.doc_id)
+         |SELECT src_a, src_b, COUNT(*) AS n_pairs, src_a <> src_b AS is_cross
+         |FROM lab GROUP BY 1, 2 ORDER BY src_a, src_b""".stripMargin,
+
+    // The 64-char turn segmentation and whitespace token counts replayed
+    // with the same 1-based substring window.
+    "llm_loss_masking" ->
+      """WITH d AS (SELECT doc_id, text, length(text) AS len FROM documents),
+        |turns AS (SELECT doc_id,
+        |    CAST(unnest(generate_series(0, (len + 63) // 64 - 1)) AS INT) AS t,
+        |    text FROM d),
+        |tk AS (SELECT doc_id, t,
+        |    CAST(len(string_split(substring(text, t * 64 + 1, 64), ' ')) AS BIGINT)
+        |      AS toks
+        |  FROM turns)
+        |SELECT doc_id, COUNT(*) AS n_turns,
+        |  CAST(SUM(toks) AS BIGINT) AS toks_total,
+        |  CAST(SUM(CASE WHEN t % 2 = 1 THEN toks ELSE 0 END) AS BIGINT)
+        |    AS toks_trainable,
+        |  CAST((SUM(CASE WHEN t % 2 = 1 THEN toks ELSE 0 END) * 1000000)
+        |    // SUM(toks) AS BIGINT) AS trainable_ppm
+        |FROM tk GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // The backoff branch and its integer arithmetic replayed exactly.
     "llm_trigram_backoff" ->

@@ -88,6 +88,38 @@ object Relational {
 
     // CSV/JSON source with schema inference round-trips nation (rows-only
     // check here; full schema assertions in ScalaTest).
+    // RAW BINARY ingest (`binaryFile` source) — the front door for
+    // multimodal corpora: whole files land as (path, mtime, length,
+    // content BINARY) rows with NO decode, the shape every image/audio
+    // pipeline starts from (mm_decode_meta is the next stage). The
+    // fixture stage writes one .bin per sampled doc (driver-side
+    // O(sample) — fixture construction, not the operator; at scale the
+    // blobs already exist); the graded read proves identity: byte
+    // length + md5(content) must equal the source text's, with the id
+    // recovered from the file path. pathGlobFilter prunes non-matching
+    // files at LISTING time, before any read.
+    "source_binary_files" -> ((s, d) => {
+      val dir = Scratch.opDir("binfiles", d)
+      val staged = java.nio.file.Paths.get(dir, "_STAGED")
+      if (!java.nio.file.Files.exists(staged)) {
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+        Tables.documents(s, d).where(col("doc_id") % 50 === 0)
+          .select(col("doc_id"), col("text")).collect()
+          .foreach { r =>
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(dir, f"doc_${r.getLong(0)}%08d.bin"),
+              r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          }
+        java.nio.file.Files.write(staged, Array.emptyByteArray)
+      }
+      s.read.format("binaryFile").option("pathGlobFilter", "*.bin").load(dir)
+        .select(
+          regexp_extract(col("path"), "doc_(\\d+)\\.bin", 1).cast("bigint")
+            .as("doc_id"),
+          col("length"), md5(col("content")).as("content_md5"))
+        .orderBy("doc_id")
+    }),
+
     // NESTED JSON roundtrip — the document-shaped interchange format
     // (API exports, event payloads): orders nested per customer as an
     // array<struct> (sort_array pins the nondeterministic collect_list
@@ -797,6 +829,14 @@ object Relational {
         |ORDER BY n_nationkey""".stripMargin,
 
     // Both inferred sources must re-read all 25 nation rows.
+    // Byte identity replayed from the source table (the corpus is
+    // ASCII, so char length == byte length; md5 hashes UTF-8 bytes in
+    // both engines).
+    "source_binary_files" ->
+      """SELECT doc_id, CAST(length(text) AS BIGINT) AS length,
+        |  md5(text) AS content_md5
+        |FROM documents WHERE doc_id % 50 = 0 ORDER BY doc_id""".stripMargin,
+
     // The nested roundtrip replayed flat — if any order was lost or
     // duplicated through nest/write/infer/read/explode, a count or sum
     // diverges.

@@ -224,7 +224,7 @@ class Round10OpsSpec extends AnyFunSuite with SparkFixture {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(hist.map(_._1).toSeq == (1L to hist.length))
     // each version's metadata row count equals the actual snapshot count
-    val root = Lakehouse.ensureTable(spark, sf)
+    val root = Lakehouse.ensureTable(spark, sf, "snap_hist")
     hist.foreach { case (v, n, _) =>
       assert(n == Lakehouse.readSnapshot(spark, root, v.toInt).count(),
         s"v$v: manifest row count lies")
@@ -274,6 +274,40 @@ class Round10OpsSpec extends AnyFunSuite with SparkFixture {
     assert(moved == expected, s"archive holds $moved of $expected 1997 rows")
     // no rows lost or duplicated across the pair
     assert(hot.count() + arch.count() == Tables.orders(spark, sf).count())
+  }
+
+  test("llm_cross_source_leakage: the matrix covers exactly the verified pair set") {
+    val rows = SparkEntry.queries("llm_cross_source_leakage")(spark, sf).collect()
+    val nPairs = graft.ops.LlmOps.nearPairs(spark, sf).count()
+    assert(rows.map(_.getLong(2)).sum == nPairs, "every near-dup pair counted once")
+    rows.foreach { r =>
+      assert(r.getString(0) <= r.getString(1), "source pair must be ordered")
+      assert(r.getBoolean(3) == (r.getString(0) != r.getString(1)))
+    }
+  }
+
+  test("llm_loss_masking: trainable tokens are a strict subset with exact shares") {
+    val rows = SparkEntry.queries("llm_loss_masking")(spark, sf).collect()
+    assert(rows.length == Tables.documents(spark, sf).count())
+    rows.foreach { r =>
+      val (total, train, ppm) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(train <= total)
+      assert(ppm == train * 1000000L / total)
+      // single-turn docs have no assistant turn at all
+      if (r.getLong(1) == 1L) assert(train == 0L)
+    }
+  }
+
+  test("source_binary_files: raw-ingest bytes are identical to the source text") {
+    val rows = SparkEntry.queries("source_binary_files")(spark, sf).collect()
+    val src = Tables.documents(spark, sf).where(col("doc_id") % 50 === 0)
+      .select(col("doc_id"), md5(col("text")).as("h"), length(col("text")).as("l"))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getInt(1 + 1))).toMap
+    assert(rows.length == src.size)
+    rows.foreach { r =>
+      val (h, l) = src(r.getLong(0))
+      assert(r.getString(2) == h && r.getLong(1) == l.toLong)
+    }
   }
 
   test("fn_interval: components recompose into the exact elapsed time") {
