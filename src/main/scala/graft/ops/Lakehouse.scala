@@ -1066,6 +1066,31 @@ object Lakehouse {
     base
   }
 
+  // ------------------------------------------------------------------
+  // Orphan-file scan — the crashed-writer cleanup that completes the
+  // maintenance trio (compaction, snapshot expiry, orphan removal): a
+  // data file a dying writer left behind is referenced by NO manifest
+  // version, invisible to every reader, and pure storage leak. The scan
+  // is set-difference of the directory walk against the union of ALL
+  // manifests' file sets — O(files) metadata, no data read; removal is
+  // idempotent (the _ORPHANS_CLEANED marker keeps repeat invocations in
+  // one JVM byte-stable for the bench's re-runs).
+  // ------------------------------------------------------------------
+  private[graft] def ensureOrphaned(s: SparkSession, d: String): String = {
+    val root = ensureTable(s, d, "snap_orph")
+    val marker = Paths.get(root, "_ORPHANS_CLEANED")
+    val crashDir = s"$root/crashed-write"
+    if (!Files.exists(marker) && !Files.exists(Paths.get(crashDir))) {
+      // simulate the dying writer: data staged, no manifest ever written
+      readSnapshot(s, root, 2)
+        .where(col("o_orderkey") % 113 === 0 && col("o_orderkey") < 10000000L)
+        .select((col("o_orderkey") + 80000000L).as("o_orderkey"), col("o_year"),
+          col("o_totalprice"))
+        .coalesce(1).write.mode("overwrite").parquet(crashDir)
+    }
+    root
+  }
+
   val queries: Map[String, Q] = Map(
     // The ACID MERGE: graded output is the post-merge table read through
     // the v2 manifest. Oracle replays the batch from `orders` alone —
@@ -1352,6 +1377,45 @@ object Lakehouse {
       roll(s"$base/hot", va, "hot")
         .unionAll(roll(s"$base/archive", vb, "archive"))
         .orderBy("tbl", "o_year")
+    }),
+
+    // Orphan scan + removal, then the graded proof: the table's post-
+    // state is byte-identical to the pre-scan snapshot (cleanup touched
+    // ONLY unreferenced files), the orphan is physically gone, and every
+    // live manifest entry still exists.
+    "warehouse_orphan_scan" -> ((s, d) => {
+      val root = ensureOrphaned(s, d)
+      val cur = currentVersion(root).get
+      val live = (1 to cur).flatMap(v => manifest(root, v))
+        .map(e => localPath(e.path).toAbsolutePath.toString).toSet
+      val walk = java.nio.file.Files.walk(Paths.get(root))
+      val onDisk = try {
+        import scala.jdk.CollectionConverters._
+        walk.iterator().asScala
+          .filter(p => p.toString.endsWith(".parquet"))
+          .map(_.toAbsolutePath.toString).toVector
+      } finally walk.close()
+      val orphans = onDisk.filterNot(live)
+      orphans.foreach(p => Files.deleteIfExists(Paths.get(p)))
+      atomicWrite(Paths.get(root, "_ORPHANS_CLEANED"), "done")
+      // gone = no data (.parquet) left under the crash dir; _SUCCESS-style
+      // markers may remain, they reference nothing
+      val crash = Paths.get(s"$root/crashed-write")
+      val orphanGone = !Files.exists(crash) || {
+        import scala.jdk.CollectionConverters._
+        val st = java.nio.file.Files.walk(crash)
+        try !st.iterator().asScala.exists(_.toString.endsWith(".parquet"))
+        finally st.close()
+      }
+      val liveIntact = manifest(root, cur)
+        .forall(e => Files.exists(localPath(e.path)))
+      readSnapshot(s, root, cur)
+        .groupBy("o_year")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(dec(col("o_totalprice"))).cast("double").as("total"))
+        .withColumn("orphan_gone", lit(orphanGone))
+        .withColumn("live_intact", lit(liveIntact))
+        .orderBy("o_year")
     }),
 
     // DESCRIBE HISTORY from METADATA ONLY: the commit log (version, row
@@ -1792,6 +1856,25 @@ object Lakehouse {
         |SELECT tbl, o_year, COUNT(*) AS n_rows,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
         |FROM lab GROUP BY tbl, o_year ORDER BY tbl, o_year""".stripMargin,
+
+    // Cleanup is invisible to the table: the post-state is the ordinary
+    // v2 replay, and both verdicts must be TRUE.
+    "warehouse_orphan_scan" ->
+      """WITH thr AS (SELECT MAX(o_orderkey) // 10 AS t FROM orders),
+        |src AS (SELECT o_orderkey, year(o_orderdate) AS o_year, o_totalprice FROM orders),
+        |post AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey <= (SELECT t FROM thr) AND o_orderkey % 7 = 0
+        |         THEN o_totalprice + 100.0 ELSE o_totalprice END AS o_totalprice,
+        |    o_year
+        |  FROM src
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000, o_totalprice, o_year
+        |  FROM src WHERE o_orderkey <= (SELECT t FROM thr) AND o_orderkey % 11 = 0)
+        |SELECT o_year, COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total,
+        |  TRUE AS orphan_gone, TRUE AS live_intact
+        |FROM post GROUP BY o_year ORDER BY o_year""".stripMargin,
 
     // The manifest ledger recomputed from data: v1 = the base load, v2
     // adds exactly the mod-11 insert batch (updates are count-neutral).

@@ -334,6 +334,30 @@ object LlmPrep {
           md5(expr("CAST(substring(text, off + 1, 48) AS BINARY)")).as("chunk_md5"))
         .orderBy("doc_id", "chunk_idx")),
 
+    // Pad-efficiency report for length-bucketed batching — the
+    // throughput decision every training run makes: batching docs of
+    // similar length (32-token buckets, pad to the bucket max) vs one
+    // global pad-to-max. Emitted per bucket: doc/token counts, the
+    // bucket's pad target, wasted pad slots bucketed vs global — all
+    // exact integers; the global max joins in as a 1-row broadcast
+    // (never a driver collect). The ratio of the two waste columns IS
+    // the case for bucketing.
+    "llm_pad_efficiency" -> ((s, d) => {
+      val t = Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast("bigint").as("toks"))
+        .withColumn("bucket", expr("toks DIV 32"))
+      val gmax = t.agg(max("toks").as("gmax"))
+      t.crossJoin(broadcast(gmax))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("toks").as("toks_sum"),
+          max("toks").as("bucket_max"),
+          (max("toks") * count(lit(1)) - sum("toks")).as("pad_bucketed"),
+          (first("gmax") * count(lit(1)) - sum("toks")).as("pad_global"))
+        .orderBy("bucket")
+    }),
+
     // Audio↔video alignment — the A/V sync step of a multimodal ingest:
     // fixed-cadence video frames (32-unit stride over the doc's byte
     // timeline) as-of-joined to VARIABLE-length audio chunks (lengths
@@ -373,6 +397,20 @@ object LlmPrep {
   val queries: Map[String, Q] = mainQueries ++ extraQueries
 
   val oracles: Map[String, String] = Map(
+    // The bucket rollup replayed; the global max is a scalar subquery.
+    "llm_pad_efficiency" ->
+      """WITH t AS (SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
+        |  FROM documents),
+        |b AS (SELECT toks, toks // 32 AS bucket FROM t),
+        |g AS (SELECT MAX(toks) AS gmax FROM t)
+        |SELECT bucket, COUNT(*) AS n_docs,
+        |  CAST(SUM(toks) AS BIGINT) AS toks_sum,
+        |  CAST(MAX(toks) AS BIGINT) AS bucket_max,
+        |  CAST(MAX(toks) * COUNT(*) - SUM(toks) AS BIGINT) AS pad_bucketed,
+        |  CAST((SELECT gmax FROM g) * COUNT(*) - SUM(toks) AS BIGINT) AS pad_global
+        |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
+
     // DuckDB's native ASOF JOIN replays the alignment; the windowed
     // prefix sum rebuilds the irregular chunk starts.
     "mm_av_sync" ->

@@ -570,6 +570,27 @@ object Relational {
         .orderBy("p_id")
     }),
 
+    // FORWARD as-of join — pandas merge_asof(direction='forward'): for
+    // every purchase, the EARLIEST view at-or-after it (the "next
+    // touchpoint" direction; join_asof/join_asof_native are backward).
+    // Runs on the SAME native AsOfJoinExec by the negation trick:
+    // backward-asof over negated timestamps IS forward-asof (greatest
+    // -ts ≤ -t ⟺ smallest ts ≥ t), so one merge operator serves both
+    // directions — no second custom exec, same one-exchange plan.
+    "join_asof_forward" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      val p = e.where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), (-col("ts_us")).as("ts_us"))
+      val v = e.where(col("event_type") === "view")
+        .select(col("event_id"), col("user_id"), (-col("ts_us")).as("ts_us"))
+      org.apache.spark.sql.graftbridge.AsOfJoinApi.asof(s, p, v)
+        .select(col("l_id").as("p_id"), col("k").as("user_id"),
+          fmtTs(timestamp_micros(-col("l_ts"))).as("p_ts"),
+          col("r_id").as("v_id"),
+          fmtTs(timestamp_micros(-col("r_ts"))).as("v_ts"))
+        .orderBy("p_id")
+    }),
+
     // Correlated scalar subquery (each customer vs their nation's average
     // balance), issued as SQL text so Catalyst's decorrelation
     // (RewriteCorrelatedScalarSubquery) runs: the per-row subquery becomes
@@ -1011,6 +1032,16 @@ object Relational {
 
     // Identical oracle to join_asof — the native operator must produce the
     // same rows as DuckDB's ASOF JOIN.
+    // DuckDB's ASOF accepts the forward inequality directly.
+    "join_asof_forward" ->
+      """SELECT p.event_id AS p_id, p.user_id AS user_id,
+        |  strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS p_ts,
+        |  v.event_id AS v_id, strftime(v.ts, '%Y-%m-%d %H:%M:%S') AS v_ts
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF JOIN (SELECT * FROM events WHERE event_type = 'view') v
+        |  ON p.user_id = v.user_id AND v.ts >= p.ts
+        |ORDER BY p_id""".stripMargin,
+
     "join_asof_native" ->
       """SELECT p.event_id AS p_id, p.user_id AS user_id,
         |  strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS p_ts,

@@ -523,6 +523,45 @@ object StreamingOps {
     // pre-4.x flatMapGroupsWithState twin is kept as a test-only
     // comparison surface (statefulCustomLegacy below; StreamingSpec
     // asserts identical output across the two APIs).
+    // Streaming OBSERVABILITY: the per-batch progress metrics every
+    // production monitor scrapes (StreamingQueryProgress.numInputRows,
+    // stateOperators row counts) — graded from `recentProgress` after an
+    // append aggregate over three fixed waves. No-data batches (0 input
+    // rows) are filtered and the data batches re-sequenced, so the
+    // golden set is independent of how many bookkeeping batches the
+    // engine interleaves — graded facts: 3 data batches with 3/2/1
+    // input rows and a monotonically growing distinct-user state.
+    "stream_listener_metrics" -> ((s, d) => withFewShufflePartitions(s) {
+      val classic = s.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      import classic.implicits._
+      implicit val sq = classic.sqlContext
+      val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[SEvent]
+      val sink = newSinkName()
+      val q = ms.toDF()
+        .groupBy("user_id").agg(count(lit(1)).as("n"))
+        .writeStream.format("memory").queryName(sink).outputMode("update").start()
+      ms.addData(
+        SEvent(1, Timestamp.valueOf("2024-01-01 10:00:00"), 1, "view", 1.0),
+        SEvent(2, Timestamp.valueOf("2024-01-01 10:01:00"), 2, "view", 1.0),
+        SEvent(3, Timestamp.valueOf("2024-01-01 10:02:00"), 3, "view", 1.0))
+      q.processAllAvailable()
+      ms.addData(
+        SEvent(4, Timestamp.valueOf("2024-01-01 10:03:00"), 1, "click", 1.0),
+        SEvent(5, Timestamp.valueOf("2024-01-01 10:04:00"), 4, "view", 1.0))
+      q.processAllAvailable()
+      ms.addData(SEvent(6, Timestamp.valueOf("2024-01-01 10:05:00"), 5, "view", 1.0))
+      q.processAllAvailable()
+      val metrics = q.recentProgress.toSeq
+        .filter(_.numInputRows > 0)
+        .map(p => (p.numInputRows,
+          p.stateOperators.headOption.map(_.numRowsTotal).getOrElse(0L)))
+      q.stop()
+      s.createDataFrame(metrics.zipWithIndex.map { case ((in, st), i) =>
+        (i + 1L, in, st)
+      }).toDF("batch_seq", "num_input_rows", "state_rows_total")
+        .orderBy("batch_seq")
+    }),
+
     // TIMER-driven session close over transformWithState + event-time:
     // sessions emit when the WATERMARK crosses their 30-min-gap timer,
     // never on input — u1 closes TWO sessions (10:00-10:05 flushed by
@@ -685,6 +724,16 @@ object StreamingOps {
         |FROM (VALUES (1, 1, 'view'), (2, 1, 'click'), (3, 2, 'view'), (4, 2, 'purchase'))
         |  AS t(event_id, user_id, event_type)
         |ORDER BY event_id""".stripMargin,
+
+    // The progress ledger: 3/2/1 input rows; distinct-user state grows
+    // 3 → 4 → 5 (batch 2 brings one repeat user + one new).
+    "stream_listener_metrics" ->
+      """SELECT CAST(batch_seq AS BIGINT) AS batch_seq,
+        |  CAST(n AS BIGINT) AS num_input_rows,
+        |  CAST(st AS BIGINT) AS state_rows_total
+        |FROM (VALUES (1, 3, 3), (2, 2, 4), (3, 1, 5))
+        |  AS t(batch_seq, n, st)
+        |ORDER BY batch_seq""".stripMargin,
 
     // The four timer-closed sessions; u4's open session is the graded
     // ABSENCE.
