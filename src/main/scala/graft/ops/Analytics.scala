@@ -355,6 +355,46 @@ object Analytics {
           expr("(s1/n1 - s2/n2) / sqrt(se2)").as("t_stat"),
           expr("se2*se2 / ((v1/n1)*(v1/n1)/(n1-1) + (v2/n2)*(v2/n2)/(n2-1))").as("welch_df"),
           expr("abs((s1/n1 - s2/n2) / sqrt(se2)) > 1.96").as("significant"))
+    }),
+
+    // Lag-k autocorrelation (ACF, lags 1..3) of the daily event-count
+    // series — the seasonality probe a monitoring layer runs over every
+    // metric series. The time axis is datediff from the series start
+    // (index survives calendar gaps, unlike ROW_NUMBER), lag pairs are a
+    // keyed self-join on t = t+k, and the Pearson algebra is cleared of
+    // divisions by multiplying through by n²: every sum is an exact
+    // DECIMAL(38,0) (associative, partition-order free) and the single
+    // double division at the end is the same IEEE expression tree DuckDB
+    // evaluates — bit-identical across engines, the agg_skew_kurt law.
+    // Scale: the daily rollup is the only fact shuffle; the series frame
+    // is one row per day (tiny at any corpus size), so the lag join and
+    // the stats broadcast are metadata-scale.
+    "win_acf" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("x"))
+      val idx = daily.crossJoin(broadcast(daily.agg(min("day").as("d0"))))
+        .select(datediff(col("day"), col("d0")).cast("bigint").as("t"), col("x"))
+        .localCheckpoint()
+      val stats = idx.agg(
+        count(lit(1)).as("n"),
+        sum(col("x").cast("decimal(38,0)")).as("s1"),
+        sum((col("x") * col("x")).cast("decimal(38,0)")).as("s2"))
+      val lagged = idx
+        .crossJoin(s.range(1, 4).select(col("id").as("k")))
+        .join(idx.select(col("t").as("t2"), col("x").as("y")),
+          col("t2") === col("t") + col("k"))
+        .groupBy("k")
+        .agg(
+          sum((col("x") * col("y")).cast("decimal(38,0)")).as("ck"),
+          sum(col("x").cast("decimal(38,0)")).as("ak"),
+          sum(col("y").cast("decimal(38,0)")).as("bk"),
+          count(lit(1)).as("nk"))
+      lagged.crossJoin(broadcast(stats))
+        .select(col("k"), col("nk"),
+          expr("""CAST(CAST(n AS DECIMAL(38,0))*n*ck - n*s1*ak - n*s1*bk + nk*s1*s1 AS DOUBLE)
+                 / CAST(CAST(n AS DECIMAL(38,0))*n*s2 - n*s1*s1 AS DOUBLE)""").as("acf"))
+        .orderBy("k")
     })
   )
 
@@ -578,6 +618,32 @@ object Analytics {
         |  (s1/n1 - s2/n2) / sqrt(se2) AS t_stat,
         |  se2*se2 / ((v1/n1)*(v1/n1)/(n1-1) + (v2/n2)*(v2/n2)/(n2-1)) AS welch_df,
         |  abs((s1/n1 - s2/n2) / sqrt(se2)) > 1.96 AS significant
-        |FROM w""".stripMargin
+        |FROM w""".stripMargin,
+
+    // Same n²-cleared Pearson algebra, same single double division.
+    "win_acf" ->
+      """WITH daily AS MATERIALIZED (
+        |  SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1),
+        |d0 AS (SELECT MIN(day) AS d0 FROM daily),
+        |idx AS MATERIALIZED (
+        |  SELECT CAST(date_diff('day', d0, day) AS BIGINT) AS t, x
+        |  FROM daily, d0),
+        |s AS MATERIALIZED (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(x) AS DECIMAL(38,0)) AS s1,
+        |    CAST(SUM(x*x) AS DECIMAL(38,0)) AS s2 FROM idx),
+        |lags AS MATERIALIZED (
+        |  SELECT CAST(v.k AS BIGINT) AS k,
+        |    CAST(SUM(i.x * j.x) AS DECIMAL(38,0)) AS ck,
+        |    CAST(SUM(i.x) AS DECIMAL(38,0)) AS ak,
+        |    CAST(SUM(j.x) AS DECIMAL(38,0)) AS bk,
+        |    CAST(COUNT(*) AS BIGINT) AS nk
+        |  FROM (VALUES (1),(2),(3)) v(k)
+        |  JOIN idx i ON TRUE JOIN idx j ON j.t = i.t + v.k
+        |  GROUP BY 1)
+        |SELECT k, nk,
+        |  CAST(CAST(n AS DECIMAL(38,0))*n*ck - n*s1*ak - n*s1*bk + nk*s1*s1 AS DOUBLE)
+        |  / CAST(CAST(n AS DECIMAL(38,0))*n*s2 - n*s1*s1 AS DOUBLE) AS acf
+        |FROM lags, s ORDER BY k""".stripMargin
   )
 }

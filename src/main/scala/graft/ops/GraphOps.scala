@@ -110,6 +110,13 @@ object GraphOps {
     * community assignment bit-for-bit. */
   private val LpIters = 3
 
+  /** k-core peeling: k = 6 removes a meaningful shell of the fixture
+    * backbone (7 of 25 nations peel away, cascades included) while the
+    * fixpoint lands by round 5; 6 rounds = fixpoint + the slack round
+    * the spec checks. The oracle replays the same 6 rounds. */
+  private val KcK = 6
+  private val KcIters = 6
+
   /** `heavyBackbone` with the edge weight kept — the label-propagation
     * family tallies neighbor votes BY WEIGHT, not just adjacency. */
   private[graft] def heavyBackboneW(s: SparkSession, d: String): DataFrame = {
@@ -379,6 +386,73 @@ object GraphOps {
         .select(col("node"), col("lab").as("community"),
           col("csize").as("community_size"))
         .orderBy("node")
+    }),
+
+    // k-core decomposition (k = KcK) by synchronous peeling over the
+    // heavy backbone: every round drops each node whose surviving degree
+    // is below k together with its incident edges; cascading removals
+    // reach the fixpoint within KcIters rounds (ScalaTest asserts rounds
+    // KcIters−1 and KcIters agree, so the constant carries slack). Each
+    // round is one degree rollup + two semi joins over the checkpointed
+    // ≤|V|²-row backbone — the Pregel superstep shape; at 100 TB the
+    // same rounds run over a key-partitioned edge list with per-node
+    // scalar state, never a driver-side adjacency structure. Output:
+    // the nodes that survive in the k-core with their in-core degree.
+    "graph_kcore" -> ((s, d) => {
+      var edges = heavyBackbone(s, d)
+      for (i <- 1 to KcIters) {
+        val keep = edges.select(col("a").as("n"))
+          .unionAll(edges.select(col("b").as("n")))
+          .groupBy("n").agg(count(lit(1)).as("deg"))
+          .where(col("deg") >= KcK)
+        edges = edges
+          .join(keep.select(col("n").as("a")), Seq("a"), "left_semi")
+          .join(keep.select(col("n").as("b")), Seq("b"), "left_semi")
+          .select("a", "b")
+        // same doubling-plan lesson as graph_components: one mid-loop
+        // eager cut keeps the replayed plan shallow
+        if (i == 3) edges = edges.localCheckpoint()
+      }
+      edges.select(col("a").as("node")).unionAll(edges.select(col("b").as("node")))
+        // CAST the key: parquet int width differs across SF dirs (§7.3)
+        .groupBy(col("node").cast("bigint").as("node"))
+        .agg(count(lit(1)).as("core_deg"))
+        .orderBy("node")
+    }),
+
+    // Harmonic closeness centrality: all-pairs hop distances by BfsIters
+    // rounds of frontier relaxation over the (u, v) pair frame — the
+    // multi-source generalization of graph_bfs (25² rows on the fixture;
+    // at scale the pair frame is |V|·|landmarks| with a sampled landmark
+    // set, same shape). Harmonic (Σ 1/d) instead of classic closeness so
+    // disconnected pairs contribute 0 naturally; each reciprocal is the
+    // exact integer 1e6 DIV d, so the centrality is a BIGINT micro-sum —
+    // no FP, engine-identical. Per-round: one equi-join + min-groupBy
+    // keyed (u, v); per-pair state is one long.
+    "graph_closeness" -> ((s, d) => {
+      val heavy = heavyBackbone(s, d)
+      val bi = heavy.select(col("a").cast("bigint").as("src"), col("b").cast("bigint").as("dst"))
+        .unionAll(heavy.select(col("b").cast("bigint").as("src"), col("a").cast("bigint").as("dst")))
+      val nodes = Tables.nation(s, d).select(col("n_nationkey").cast("bigint").as("u"))
+      var dist = nodes.crossJoin(nodes.select(col("u").as("v")))
+        .withColumn("dist", when(col("u") === col("v"), 0L).otherwise(lit(99L)))
+      for (i <- 1 to BfsIters) {
+        val relax = dist.join(bi, dist("v") === bi("src"))
+          .select(col("u"), col("dst").as("v"), (col("dist") + 1).as("cand"))
+          .groupBy("u", "v").agg(min("cand").as("cand"))
+        dist = dist.join(relax, Seq("u", "v"), "left")
+          .select(col("u"), col("v"),
+            least(col("dist"), coalesce(col("cand"), lit(99L))).as("dist"))
+        if (i == 2) dist = dist.localCheckpoint()
+      }
+      val h = dist.where(col("u") =!= col("v") && col("dist") < 99)
+        .groupBy("u").agg(count(lit(1)).as("n_reach"),
+          sum(expr("1000000 DIV dist")).as("harmonic_micro"))
+      nodes.join(h, Seq("u"), "left")
+        .select(col("u").as("node"),
+          coalesce(col("n_reach"), lit(0L)).as("n_reach"),
+          coalesce(col("harmonic_micro"), lit(0L)).as("harmonic_micro"))
+        .orderBy("node")
     })
   )
 
@@ -571,6 +645,55 @@ object GraphOps {
          |SELECT l.node, l.lab AS community, CAST(sz.cs AS BIGINT) AS community_size
          |FROM l$LpIters l JOIN sz ON sz.lab = l.lab
          |ORDER BY l.node""".stripMargin
+    },
+
+    // The KcIters peel rounds replayed as chained CTEs from the same
+    // constants (e0 = the HeavyCte backbone `h`).
+    "graph_kcore" -> {
+      val iters = (1 to KcIters).map { i =>
+        val p = if (i == 1) "h" else s"e${i - 1}"
+        s"""d$i AS MATERIALIZED (SELECT n FROM (
+           |    SELECT a AS n FROM $p UNION ALL SELECT b FROM $p)
+           |  GROUP BY n HAVING COUNT(*) >= $KcK),
+           |e$i AS MATERIALIZED (SELECT a, b FROM $p
+           |  WHERE a IN (SELECT n FROM d$i) AND b IN (SELECT n FROM d$i))"""
+      }.mkString(",\n")
+      s"""WITH $EdgesCte,
+         |$HeavyCte,
+         |$iters
+         |SELECT CAST(node AS BIGINT) AS node, CAST(COUNT(*) AS BIGINT) AS core_deg
+         |FROM (SELECT a AS node FROM e$KcIters UNION ALL SELECT b FROM e$KcIters)
+         |GROUP BY node ORDER BY node""".stripMargin
+    },
+
+    // The BfsIters all-pairs relaxation rounds replayed as chained CTEs,
+    // then the 1e6 DIV d harmonic rollup.
+    "graph_closeness" -> {
+      val iters = (1 to BfsIters).map { i =>
+        val p = s"p${i - 1}"
+        s"""c$i AS MATERIALIZED (SELECT $p.u, bi.dst AS v,
+           |    CAST(MIN($p.dist + 1) AS BIGINT) AS cand
+           |  FROM bi JOIN $p ON $p.v = bi.src GROUP BY 1, 2),
+           |p$i AS MATERIALIZED (SELECT q.u, q.v,
+           |    CAST(LEAST(q.dist, COALESCE(c$i.cand, 99)) AS BIGINT) AS dist
+           |  FROM $p q LEFT JOIN c$i ON c$i.u = q.u AND c$i.v = q.v)"""
+      }.mkString(",\n")
+      s"""WITH $EdgesCte,
+         |$HeavyCte,
+         |bi AS MATERIALIZED (SELECT CAST(a AS BIGINT) AS src, CAST(b AS BIGINT) AS dst FROM h
+         |       UNION ALL SELECT CAST(b AS BIGINT), CAST(a AS BIGINT) FROM h),
+         |nodes AS (SELECT CAST(n_nationkey AS BIGINT) AS u FROM nation),
+         |p0 AS MATERIALIZED (SELECT n1.u, n2.u AS v,
+         |    CAST(CASE WHEN n1.u = n2.u THEN 0 ELSE 99 END AS BIGINT) AS dist
+         |  FROM nodes n1, nodes n2),
+         |$iters,
+         |hc AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS n_reach,
+         |    CAST(SUM(1000000 // dist) AS BIGINT) AS harmonic_micro
+         |  FROM p$BfsIters WHERE u <> v AND dist < 99 GROUP BY u)
+         |SELECT nodes.u AS node, CAST(COALESCE(n_reach, 0) AS BIGINT) AS n_reach,
+         |  CAST(COALESCE(harmonic_micro, 0) AS BIGINT) AS harmonic_micro
+         |FROM nodes LEFT JOIN hc ON hc.u = nodes.u
+         |ORDER BY node""".stripMargin
     }
   )
 }

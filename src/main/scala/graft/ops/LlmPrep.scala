@@ -178,6 +178,110 @@ object LlmPrep {
         .orderBy("doc_id", "pr", "pc"))
   )
 
+  /** Shard byte budget for `mm_shard_pack` (webdataset-style): small at
+    * fixture scale so every bucket yields several shards; at 100 TB the
+    * same code runs with a 100 MB–1 GB budget and more buckets. */
+  private val ShardBytes = 4096L
+
+  /** Per-record container overhead (the tar-header shape): payload =
+    * n_chars + header. */
+  private val RecHeader = 64L
+
+  private val shardQueries: Map[String, Q] = Map(
+    // Webdataset-style shard packing — the byte-budget twin of
+    // llm_pack_sequences' token packing: records (payload + fixed header)
+    // are hash-ordered inside 8 independent bucket streams, prefix-summed,
+    // and assigned to the shard their FIRST byte lands in; the output is
+    // the shard MANIFEST (doc count, bytes, id range, fill) a downstream
+    // dataloader consumes. The window partitions on the bucket, so no
+    // global single-task prefix sum exists; at 100 TB bucket count scales
+    // with the cluster and each shard's manifest row stays O(1) state.
+    "mm_shard_pack" -> ((s, d) => {
+      val rec = Tables.documents(s, d)
+        .select(col("doc_id"),
+          (col("n_chars").cast("bigint") + RecHeader).as("bytes"),
+          expr(UExpr).as("u"))
+        .withColumn("bucket", col("u") % 8)
+      val w = Window.partitionBy("bucket").orderBy("u", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      rec.withColumn("cum", sum(col("bytes")).over(w))
+        .withColumn("shard_id",
+          col("bucket") * 100000L + expr(s"(cum - bytes) DIV $ShardBytes"))
+        .groupBy("shard_id")
+        .agg(count(lit(1)).as("n_docs"), sum("bytes").as("n_bytes"),
+          min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+        .withColumn("fill_milli", expr(s"(n_bytes * 1000) DIV $ShardBytes"))
+        .orderBy("shard_id")
+    }),
+
+    // Aspect-ratio bucketing (the SDXL-style resolution-bucket batcher):
+    // synthetic (w, h) image metadata derived from the shared hash (the
+    // decode itself is the stubbed codec — mm_decode_meta's law), each
+    // image routed to the nearest of 5 canonical target resolutions by
+    // integer ratio_milli ranges, then the resize-to-fit/pad accounting:
+    // scale_milli = min(tw·1000 DIV w, th·1000 DIV h), scaled dims floor,
+    // pad = target pixels − scaled pixels — every step integer, both
+    // engines replay it exactly. The report (images, source px, pad px,
+    // pad ppm per bucket) is the batch-efficiency signal that justifies
+    // bucketing over naive pad-to-max. Pure projection + one 5-row
+    // rollup; zero shuffle before the final tiny aggregate.
+    "mm_resolution_bucket" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), expr(UExpr).as("u"))
+        .withColumn("w", lit(256L) + (col("u") % 8) * 128L)
+        .withColumn("h", expr("256 + ((u DIV 8) % 8) * 128"))
+        .withColumn("ratio_milli", expr("(w * 1000) DIV h"))
+        .withColumn("bucket", expr(
+          """CASE WHEN ratio_milli < 667 THEN 'portrait_tall'
+            |     WHEN ratio_milli < 910 THEN 'portrait'
+            |     WHEN ratio_milli <= 1100 THEN 'square'
+            |     WHEN ratio_milli <= 1500 THEN 'landscape'
+            |     ELSE 'landscape_wide' END""".stripMargin))
+        .withColumn("tw", expr(
+          """CASE bucket WHEN 'portrait_tall' THEN 768 WHEN 'portrait' THEN 832
+            |  WHEN 'square' THEN 1024 WHEN 'landscape' THEN 1152
+            |  ELSE 1344 END""".stripMargin).cast("bigint"))
+        .withColumn("th", expr(
+          """CASE bucket WHEN 'portrait_tall' THEN 1344 WHEN 'portrait' THEN 1152
+            |  WHEN 'square' THEN 1024 WHEN 'landscape' THEN 832
+            |  ELSE 768 END""".stripMargin).cast("bigint"))
+        .withColumn("scale_milli", least(expr("(tw * 1000) DIV w"), expr("(th * 1000) DIV h")))
+        .withColumn("sw", expr("(w * scale_milli) DIV 1000"))
+        .withColumn("sh", expr("(h * scale_milli) DIV 1000"))
+        .groupBy("bucket", "tw", "th")
+        .agg(count(lit(1)).as("n_images"),
+          sum(expr("w * h")).as("src_px"),
+          sum(expr("tw * th - sw * sh")).as("pad_px"))
+        .withColumn("pad_ppm", expr("(pad_px * 1000000) DIV (n_images * tw * th)"))
+        .orderBy("bucket")),
+
+    // Deterministic weighted interleave (the mixture SCHEDULER next to
+    // llm_data_mixture's epoch budgeting): weighted fair queueing —
+    // doc i of a weight-w source gets virtual finish time i·1e6 DIV w,
+    // and the global schedule is the first N rows of the (vtime, lang,
+    // doc_id) total order, so a weight-5 source appears 5× as often as a
+    // weight-1 source at every schedule prefix. Per-source sequence
+    // numbers partition on lang (no global window); the top-N is an
+    // ordered limit (TakeOrderedAndProject — per-partition heaps + one
+    // tiny merge, never a full sort); the final position column is a
+    // window over the already-limited N rows (driver-scale, documented).
+    "llm_interleave_mixture" -> ((s, d) => {
+      val seq = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), expr(UExpr).as("u"))
+        .withColumn("wt", expr(
+          """CASE lang WHEN 'en' THEN 5 WHEN 'es' THEN 3 WHEN 'de' THEN 3
+            |  WHEN 'fr' THEN 2 ELSE 2 END""".stripMargin).cast("bigint"))
+        .withColumn("seq", row_number().over(
+          Window.partitionBy("lang").orderBy("u", "doc_id")).cast("bigint"))
+        .withColumn("vtime", expr("(seq * 1000000) DIV wt"))
+      seq.orderBy("vtime", "lang", "doc_id").limit(200)
+        .withColumn("pos", row_number().over(
+          Window.orderBy("vtime", "lang", "doc_id")).cast("bigint"))
+        .select("pos", "vtime", "lang", "doc_id")
+        .orderBy("pos")
+    })
+  )
+
   /** Deterministic weighted sampling + 4-bit product-style quantization
     * (split out of the main Map only to keep it under the compiler's
     * method-size comfort zone; merged in `queries` below). */
@@ -394,7 +498,7 @@ object LlmPrep {
         .orderBy("doc_id", "frame_idx")
     }))
 
-  val queries: Map[String, Q] = mainQueries ++ extraQueries
+  val queries: Map[String, Q] = mainQueries ++ extraQueries ++ shardQueries
 
   val oracles: Map[String, String] = Map(
     // The bucket rollup replayed; the global max is a scalar subquery.
@@ -623,6 +727,70 @@ object LlmPrep {
         |SELECT doc_id, CAST(off // 16 AS INT) AS chunk_idx, off,
         |  CAST(least(48, len - off) AS INT) AS chunk_len,
         |  md5(substring(text, off + 1, 48)) AS chunk_md5
-        |FROM x ORDER BY doc_id, chunk_idx""".stripMargin
+        |FROM x ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    // Bucketed byte-budget packing replayed with the same constants.
+    "mm_shard_pack" ->
+      s"""WITH t AS (SELECT doc_id, CAST(n_chars + $RecHeader AS BIGINT) AS bytes,
+         |    ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS u
+         |  FROM documents),
+         |b AS (SELECT *, u % 8 AS bucket FROM t),
+         |c AS (SELECT *, CAST(SUM(bytes) OVER (PARTITION BY bucket ORDER BY u, doc_id
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+         |      FROM b),
+         |p AS (SELECT *, bucket * 100000 + (cum - bytes) // $ShardBytes AS shard_id
+         |      FROM c)
+         |SELECT shard_id, COUNT(*) AS n_docs, CAST(SUM(bytes) AS BIGINT) AS n_bytes,
+         |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc,
+         |  (CAST(SUM(bytes) AS BIGINT) * 1000) // $ShardBytes AS fill_milli
+         |FROM p GROUP BY shard_id ORDER BY shard_id""".stripMargin,
+
+    // Same synthetic geometry, same integer resize/pad accounting.
+    "mm_resolution_bucket" ->
+      """WITH g AS MATERIALIZED (SELECT doc_id,
+        |    ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS u
+        |  FROM documents),
+        |m AS (SELECT doc_id, 256 + (u % 8) * 128 AS w,
+        |    256 + ((u // 8) % 8) * 128 AS h FROM g),
+        |r AS (SELECT *, (w * 1000) // h AS ratio_milli FROM m),
+        |b AS (SELECT *,
+        |    CASE WHEN ratio_milli < 667 THEN 'portrait_tall'
+        |         WHEN ratio_milli < 910 THEN 'portrait'
+        |         WHEN ratio_milli <= 1100 THEN 'square'
+        |         WHEN ratio_milli <= 1500 THEN 'landscape'
+        |         ELSE 'landscape_wide' END AS bucket FROM r),
+        |t AS (SELECT *,
+        |    CAST(CASE bucket WHEN 'portrait_tall' THEN 768 WHEN 'portrait' THEN 832
+        |      WHEN 'square' THEN 1024 WHEN 'landscape' THEN 1152
+        |      ELSE 1344 END AS BIGINT) AS tw,
+        |    CAST(CASE bucket WHEN 'portrait_tall' THEN 1344 WHEN 'portrait' THEN 1152
+        |      WHEN 'square' THEN 1024 WHEN 'landscape' THEN 832
+        |      ELSE 768 END AS BIGINT) AS th FROM b),
+        |sc AS (SELECT *, LEAST((tw * 1000) // w, (th * 1000) // h) AS scale_milli
+        |  FROM t),
+        |f AS (SELECT *, (w * scale_milli) // 1000 AS sw,
+        |    (h * scale_milli) // 1000 AS sh FROM sc)
+        |SELECT bucket, tw, th, COUNT(*) AS n_images,
+        |  CAST(SUM(w * h) AS BIGINT) AS src_px,
+        |  CAST(SUM(tw * th - sw * sh) AS BIGINT) AS pad_px,
+        |  (CAST(SUM(tw * th - sw * sh) AS BIGINT) * 1000000)
+        |    // (COUNT(*) * tw * th) AS pad_ppm
+        |FROM f GROUP BY bucket, tw, th ORDER BY bucket""".stripMargin,
+
+    // Same WFQ virtual-time schedule, replayed with windows + QUALIFY-free
+    // nesting (the limit is a plain ORDER BY ... LIMIT in DuckDB too).
+    "llm_interleave_mixture" ->
+      """WITH g AS MATERIALIZED (SELECT doc_id, lang,
+        |    ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS u,
+        |    CAST(CASE lang WHEN 'en' THEN 5 WHEN 'es' THEN 3 WHEN 'de' THEN 3
+        |      WHEN 'fr' THEN 2 ELSE 2 END AS BIGINT) AS wt
+        |  FROM documents),
+        |s AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY u, doc_id)
+        |    AS BIGINT) AS seq FROM g),
+        |v AS (SELECT *, (seq * 1000000) // wt AS vtime FROM s),
+        |l AS (SELECT * FROM v ORDER BY vtime, lang, doc_id LIMIT 200)
+        |SELECT CAST(ROW_NUMBER() OVER (ORDER BY vtime, lang, doc_id) AS BIGINT) AS pos,
+        |  vtime, lang, doc_id
+        |FROM l ORDER BY pos""".stripMargin
   )
 }

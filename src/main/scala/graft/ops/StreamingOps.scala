@@ -160,6 +160,37 @@ object StreamingOps {
       q.stop()
     }),
 
+    // dropDuplicatesWithinWatermark — the BOUNDED-state dedup (the one
+    // that scales to an unbounded stream): a key's state lives only until
+    // the watermark passes its event time + delay, after which the same
+    // event_id is legitimately emitted AGAIN. Contrast with
+    // stream_dedup_stateful, whose plain dropDuplicates holds every key
+    // forever (unbounded state at 100 TB). The golden set pins both
+    // behaviors: the in-window re-send of id 2 is dropped, the post-
+    // eviction re-send of id 1 re-emits (event_id 1 appears twice).
+    "stream_dedup_watermark" -> ((s, d) => runStream(s) { (ms, sink) =>
+      val q = ms.toDF()
+        .withWatermark("ts", "10 minutes")
+        .dropDuplicatesWithinWatermark("event_id")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          date_format(col("ts"), "HH:mm").as("hm"))
+        .writeStream.format("memory").queryName(sink).outputMode("append").start()
+      ms.addData(
+        SEvent(1, Timestamp.valueOf("2024-01-01 10:00:00"), 1, "view", 1.0),
+        SEvent(2, Timestamp.valueOf("2024-01-01 10:01:00"), 1, "click", 1.0))
+      q.processAllAvailable()
+      ms.addData(
+        // within id 2's 10-min dedup window → dropped
+        SEvent(2, Timestamp.valueOf("2024-01-01 10:02:00"), 1, "click", 1.0),
+        // advances the watermark to 10:20 → ids 1 and 2 evicted
+        SEvent(3, Timestamp.valueOf("2024-01-01 10:30:00"), 2, "view", 1.0))
+      q.processAllAvailable()
+      // id 1's state is gone → re-emitted despite being a "duplicate"
+      ms.addData(SEvent(1, Timestamp.valueOf("2024-01-01 10:25:00"), 1, "view", 1.0))
+      q.processAllAvailable()
+      q.stop()
+    }),
+
     // Stream ⋈ static: each streamed event enriched from a broadcast static
     // dimension (left join, unmatched users tagged 'none') — the
     // enrichment-join shape of a real ingest pipeline.
@@ -724,6 +755,16 @@ object StreamingOps {
         |FROM (VALUES (1, 1, 'view'), (2, 1, 'click'), (3, 2, 'view'), (4, 2, 'purchase'))
         |  AS t(event_id, user_id, event_type)
         |ORDER BY event_id""".stripMargin,
+
+    // Golden set: id 2's in-window re-send suppressed; id 1 re-emitted
+    // after its dedup state is evicted by the watermark.
+    "stream_dedup_watermark" ->
+      """SELECT CAST(event_id AS BIGINT) AS event_id,
+        |  CAST(user_id AS BIGINT) AS user_id, event_type, hm
+        |FROM (VALUES (1, 1, 'view', '10:00'), (1, 1, 'view', '10:25'),
+        |             (2, 1, 'click', '10:01'), (3, 2, 'view', '10:30'))
+        |  AS t(event_id, user_id, event_type, hm)
+        |ORDER BY event_id, hm""".stripMargin,
 
     // The progress ledger: 3/2/1 input rows; distinct-user state grows
     // 3 → 4 → 5 (batch 2 brings one repeat user + one new).
