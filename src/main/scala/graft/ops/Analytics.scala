@@ -395,6 +395,61 @@ object Analytics {
           expr("""CAST(CAST(n AS DECIMAL(38,0))*n*ck - n*s1*ak - n*s1*bk + nk*s1*s1 AS DOUBLE)
                  / CAST(CAST(n AS DECIMAL(38,0))*n*s2 - n*s1*s1 AS DOUBLE)""").as("acf"))
         .orderBy("k")
+    }),
+
+    // Theil–Sen robust trend per event type: the median of all pairwise
+    // slopes of the daily count series — the outlier-proof alternative to
+    // OLS (agg_regression) every metric-drift monitor wants. Each slope
+    // is ONE double division (dy·1.0/dt) — the identical IEEE tree in
+    // both engines — and the median of an odd pair count picks an element
+    // (an even count averages two doubles, also engine-identical). The
+    // pair join is quadratic in DAYS, not rows (bounded by the series
+    // length after the one fact-rollup shuffle); at 100 TB the daily
+    // frame is still one row per (type, day).
+    "agg_theil_sen" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("x"))
+      val idx = daily.crossJoin(broadcast(daily.agg(min("day").as("d0"))))
+        .select(col("event_type"),
+          datediff(col("day"), col("d0")).cast("bigint").as("t"), col("x"))
+        .localCheckpoint()
+      idx.as("i").join(idx.as("j"),
+          col("i.event_type") === col("j.event_type") && col("i.t") < col("j.t"))
+        .select(col("i.event_type").as("event_type"),
+          ((col("j.x") - col("i.x")) * lit(1.0) / (col("j.t") - col("i.t"))).as("slope"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_pairs"), expr("median(slope)").as("slope_per_day"))
+        .orderBy("event_type")
+    }),
+
+    // CUSUM changepoint detection per event type — where did the daily
+    // series' mean shift? The classic statistic max_r |Σ_{t≤r}(x_t − x̄)|
+    // is cleared of the fractional mean by multiplying through by n:
+    // stat_r = n·cum_r − r·S1 (exact BIGINT, sign preserved — no DIV on
+    // negatives, which floors differently across engines). The argmax is
+    // a ROW_NUMBER pick under the (|stat| DESC, r ASC) total order. Two
+    // windows over one event_type exchange + a broadcast of the per-type
+    // totals; series length per type is days, not rows.
+    "win_changepoint" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("x"))
+      val tot = daily.groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("x").as("s1"))
+      val w = Window.partitionBy("event_type").orderBy("day")
+      val c = daily
+        .withColumn("r", row_number().over(w).cast("bigint"))
+        .withColumn("cum", sum("x").over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .join(broadcast(tot), "event_type")
+        .withColumn("stat", col("n") * col("cum") - col("r") * col("s1"))
+      c.withColumn("rn", row_number().over(
+          Window.partitionBy("event_type").orderBy(abs(col("stat")).desc, col("r"))))
+        .where(col("rn") === 1)
+        .select(col("event_type"), col("n").as("n_days"), col("r").as("cp_rank"),
+          date_format(col("day"), "yyyy-MM-dd").as("cp_day"), col("stat").as("cusum_stat"))
+        .orderBy("event_type")
     })
   )
 
@@ -644,6 +699,41 @@ object Analytics {
         |SELECT k, nk,
         |  CAST(CAST(n AS DECIMAL(38,0))*n*ck - n*s1*ak - n*s1*bk + nk*s1*s1 AS DOUBLE)
         |  / CAST(CAST(n AS DECIMAL(38,0))*n*s2 - n*s1*s1 AS DOUBLE) AS acf
-        |FROM lags, s ORDER BY k""".stripMargin
+        |FROM lags, s ORDER BY k""".stripMargin,
+
+    // Same single-division slopes, same element-or-mean median.
+    "agg_theil_sen" ->
+      """WITH daily AS MATERIALIZED (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2),
+        |d0 AS (SELECT MIN(day) AS d0 FROM daily),
+        |idx AS MATERIALIZED (
+        |  SELECT event_type, CAST(date_diff('day', d0, day) AS BIGINT) AS t, x
+        |  FROM daily, d0),
+        |p AS (SELECT i.event_type, (j.x - i.x) * 1.0 / (j.t - i.t) AS slope
+        |  FROM idx i JOIN idx j ON i.event_type = j.event_type AND i.t < j.t)
+        |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |  median(slope) AS slope_per_day
+        |FROM p GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Same n-cleared CUSUM statistic, same (|stat| DESC, r ASC) pick.
+    "win_changepoint" ->
+      """WITH daily AS MATERIALIZED (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2),
+        |tot AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(x) AS BIGINT) AS s1 FROM daily GROUP BY 1),
+        |c AS (SELECT d.event_type, d.day, tot.n, tot.s1,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY d.event_type ORDER BY d.day) AS BIGINT) AS r,
+        |    CAST(SUM(x) OVER (PARTITION BY d.event_type ORDER BY d.day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        |  FROM daily d JOIN tot USING (event_type)),
+        |s AS (SELECT *, n * cum - r * s1 AS stat,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type
+        |      ORDER BY abs(n * cum - r * s1) DESC, r) AS rn
+        |  FROM c)
+        |SELECT event_type, n AS n_days, r AS cp_rank,
+        |  strftime(day, '%Y-%m-%d') AS cp_day, CAST(stat AS BIGINT) AS cusum_stat
+        |FROM s WHERE rn = 1 ORDER BY event_type""".stripMargin
   )
 }

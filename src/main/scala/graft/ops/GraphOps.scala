@@ -453,6 +453,99 @@ object GraphOps {
           coalesce(col("n_reach"), lit(0L)).as("n_reach"),
           coalesce(col("harmonic_micro"), lit(0L)).as("harmonic_micro"))
         .orderBy("node")
+    }),
+
+    // Shortest-path counts (σ_st from graph_bfs's source — the Brandes
+    // forward pass / path-redundancy metric): level-synchronous BFS where
+    // each new layer's count is the SUM of its predecessors' counts
+    // (np(v) = Σ np(w) over neighbors w one level closer). Layers are
+    // disjoint by construction (anti-join against the visited set), so
+    // the per-round shape is one equi-join + sum-groupBy + anti-join —
+    // exact integers, engine-replayable; nodes beyond BfsIters hops are
+    // absent in both engines. Output: (node, n_paths, dist) per reached
+    // node.
+    "graph_path_counts" -> ((s, d) => {
+      val heavy = heavyBackbone(s, d)
+      val bi = heavy.select(col("a").cast("bigint").as("src"), col("b").cast("bigint").as("dst"))
+        .unionAll(heavy.select(col("b").cast("bigint").as("src"), col("a").cast("bigint").as("dst")))
+      val srcId = heavy.agg(min(col("a")).cast("long")).collect()(0).getLong(0)
+      var layer = s.range(1)
+        .select(lit(srcId).as("node"), lit(1L).as("np"), lit(0L).as("dist"))
+        .localCheckpoint()
+      var visited = layer.select("node").localCheckpoint()
+      val layers = scala.collection.mutable.ArrayBuffer(layer)
+      for (i <- 1 to BfsIters) {
+        layer = bi.join(layer.withColumnRenamed("node", "src"), "src")
+          .join(visited.select(col("node").as("dst")), Seq("dst"), "left_anti")
+          .groupBy(col("dst").as("node")).agg(sum("np").as("np"))
+          .withColumn("dist", lit(i.toLong))
+          .select("node", "np", "dist")
+          .localCheckpoint()
+        layers += layer
+        visited = visited.unionAll(layer.select("node")).localCheckpoint()
+      }
+      layers.reduce(_ unionAll _)
+        .select(col("node"), col("np").as("n_paths"), col("dist"))
+        .orderBy("node")
+    }),
+
+    // Stress centrality — how many shortest paths pass THROUGH each node
+    // (the exact-integer member of the betweenness family; betweenness
+    // itself divides by σ_st and leaves rationals): σ_st(v) =
+    // np(s,v)·np(v,t) whenever dist(s,v)+dist(v,t) = dist(s,t), summed
+    // over unordered pairs s<t. Three phases, all Pregel-shaped: the
+    // all-pairs dist relaxation (graph_closeness's frame), the layered
+    // all-pairs path counts (graph_path_counts generalized to every
+    // source), and one triple join over the (u,v)-keyed frames. Exact
+    // BIGINTs end to end; at scale phases 1–2 run per landmark sample
+    // and the triple join stays keyed on the middle node.
+    "graph_stress" -> ((s, d) => {
+      val heavy = heavyBackbone(s, d)
+      val bi = heavy.select(col("a").cast("bigint").as("src"), col("b").cast("bigint").as("dst"))
+        .unionAll(heavy.select(col("b").cast("bigint").as("src"), col("a").cast("bigint").as("dst")))
+        .localCheckpoint()
+      val nodes = Tables.nation(s, d).select(col("n_nationkey").cast("bigint").as("u"))
+      var dist = nodes.crossJoin(nodes.select(col("u").as("v")))
+        .withColumn("dist", when(col("u") === col("v"), 0L).otherwise(lit(99L)))
+      for (i <- 1 to BfsIters) {
+        val relax = dist.join(bi, dist("v") === bi("src"))
+          .select(col("u"), col("dst").as("v"), (col("dist") + 1).as("cand"))
+          .groupBy("u", "v").agg(min("cand").as("cand"))
+        dist = dist.join(relax, Seq("u", "v"), "left")
+          .select(col("u"), col("v"),
+            least(col("dist"), coalesce(col("cand"), lit(99L))).as("dist"))
+        if (i == 2) dist = dist.localCheckpoint()
+      }
+      dist = dist.localCheckpoint()
+      var layer = nodes
+        .select(col("u"), col("u").as("v"), lit(1L).as("np"), lit(0L).as("dist"))
+        .localCheckpoint()
+      val layers = scala.collection.mutable.ArrayBuffer(layer)
+      for (i <- 1 to BfsIters) {
+        layer = layer.join(bi, layer("v") === bi("src"))
+          .select(col("u"), col("dst").as("v"), col("np"))
+          .join(dist.where(col("dist") === i).select("u", "v"), Seq("u", "v"), "left_semi")
+          .groupBy("u", "v").agg(sum("np").as("np"))
+          .withColumn("dist", lit(i.toLong))
+          .select("u", "v", "np", "dist")
+          .localCheckpoint()
+        layers += layer
+      }
+      val np = layers.reduce(_ unionAll _).where(col("dist") >= 1)
+      val a = np.select(col("u").as("s"), col("v").as("m"),
+        col("np").as("np1"), col("dist").as("d1"))
+      val b = np.select(col("u").as("m"), col("v").as("t"),
+        col("np").as("np2"), col("dist").as("d2"))
+      val st = dist.select(col("u").as("s"), col("v").as("t"), col("dist").as("d_st"))
+      val through = a.join(b, Seq("m"))
+        .where(col("s") < col("t"))
+        .join(st, Seq("s", "t"))
+        .where(col("d1") + col("d2") === col("d_st"))
+        .groupBy(col("m").as("node"))
+        .agg(sum(col("np1") * col("np2")).as("stress"))
+      nodes.select(col("u").as("node")).join(through, Seq("node"), "left")
+        .select(col("node"), coalesce(col("stress"), lit(0L)).as("stress"))
+        .orderBy("node")
     })
   )
 
@@ -693,6 +786,74 @@ object GraphOps {
          |SELECT nodes.u AS node, CAST(COALESCE(n_reach, 0) AS BIGINT) AS n_reach,
          |  CAST(COALESCE(harmonic_micro, 0) AS BIGINT) AS harmonic_micro
          |FROM nodes LEFT JOIN hc ON hc.u = nodes.u
+         |ORDER BY node""".stripMargin
+    },
+
+    // The BFS layers replayed as chained CTEs: f_i = next disjoint layer
+    // with summed predecessor counts, v_i = visited set so far.
+    "graph_path_counts" -> {
+      val iters = (1 to BfsIters).map { i =>
+        val p = i - 1
+        s"""f$i AS MATERIALIZED (SELECT bi.dst AS node,
+           |    CAST(SUM(f$p.np) AS BIGINT) AS np, CAST($i AS BIGINT) AS dist
+           |  FROM bi JOIN f$p ON f$p.node = bi.src
+           |  WHERE bi.dst NOT IN (SELECT node FROM v$p)
+           |  GROUP BY 1),
+           |v$i AS MATERIALIZED (SELECT node FROM v$p UNION ALL SELECT node FROM f$i)"""
+      }.mkString(",\n")
+      val union = (0 to BfsIters).map(i => s"SELECT * FROM f$i").mkString(" UNION ALL ")
+      s"""WITH $EdgesCte,
+         |$HeavyCte,
+         |bi AS MATERIALIZED (SELECT CAST(a AS BIGINT) AS src, CAST(b AS BIGINT) AS dst FROM h
+         |       UNION ALL SELECT CAST(b AS BIGINT), CAST(a AS BIGINT) FROM h),
+         |f0 AS MATERIALIZED (SELECT CAST((SELECT MIN(a) FROM h) AS BIGINT) AS node,
+         |    CAST(1 AS BIGINT) AS np, CAST(0 AS BIGINT) AS dist),
+         |v0 AS (SELECT node FROM f0),
+         |$iters
+         |SELECT node, np AS n_paths, dist FROM ($union)
+         |ORDER BY node""".stripMargin
+    },
+
+    // All-pairs dist rounds + all-pairs layered path counts + the
+    // through-node triple join, all replayed from the same constants.
+    "graph_stress" -> {
+      val dIters = (1 to BfsIters).map { i =>
+        val p = s"p${i - 1}"
+        s"""c$i AS MATERIALIZED (SELECT $p.u, bi.dst AS v,
+           |    CAST(MIN($p.dist + 1) AS BIGINT) AS cand
+           |  FROM bi JOIN $p ON $p.v = bi.src GROUP BY 1, 2),
+           |p$i AS MATERIALIZED (SELECT q.u, q.v,
+           |    CAST(LEAST(q.dist, COALESCE(c$i.cand, 99)) AS BIGINT) AS dist
+           |  FROM $p q LEFT JOIN c$i ON c$i.u = q.u AND c$i.v = q.v)"""
+      }.mkString(",\n")
+      val nIters = (1 to BfsIters).map { i =>
+        s"""n$i AS MATERIALIZED (SELECT l.u, bi.dst AS v,
+           |    CAST(SUM(l.np) AS BIGINT) AS np, CAST($i AS BIGINT) AS dist
+           |  FROM n${i - 1} l JOIN bi ON bi.src = l.v
+           |  JOIN p$BfsIters dd ON dd.u = l.u AND dd.v = bi.dst AND dd.dist = $i
+           |  GROUP BY 1, 2)"""
+      }.mkString(",\n")
+      val union = (1 to BfsIters).map(i => s"SELECT * FROM n$i").mkString(" UNION ALL ")
+      s"""WITH $EdgesCte,
+         |$HeavyCte,
+         |bi AS MATERIALIZED (SELECT CAST(a AS BIGINT) AS src, CAST(b AS BIGINT) AS dst FROM h
+         |       UNION ALL SELECT CAST(b AS BIGINT), CAST(a AS BIGINT) FROM h),
+         |nodes AS (SELECT CAST(n_nationkey AS BIGINT) AS u FROM nation),
+         |p0 AS MATERIALIZED (SELECT n1.u, n2.u AS v,
+         |    CAST(CASE WHEN n1.u = n2.u THEN 0 ELSE 99 END AS BIGINT) AS dist
+         |  FROM nodes n1, nodes n2),
+         |$dIters,
+         |n0 AS MATERIALIZED (SELECT u, u AS v, CAST(1 AS BIGINT) AS np,
+         |    CAST(0 AS BIGINT) AS dist FROM nodes),
+         |$nIters,
+         |allnp AS MATERIALIZED ($union),
+         |thru AS (SELECT a.v AS m, CAST(SUM(a.np * b.np) AS BIGINT) AS stress
+         |  FROM allnp a JOIN allnp b ON b.u = a.v
+         |  JOIN p$BfsIters d ON d.u = a.u AND d.v = b.v
+         |  WHERE a.u < b.v AND a.dist + b.dist = d.dist
+         |  GROUP BY 1)
+         |SELECT nodes.u AS node, CAST(COALESCE(thru.stress, 0) AS BIGINT) AS stress
+         |FROM nodes LEFT JOIN thru ON thru.m = nodes.u
          |ORDER BY node""".stripMargin
     }
   )

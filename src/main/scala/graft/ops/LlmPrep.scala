@@ -279,6 +279,38 @@ object LlmPrep {
           Window.orderBy("vtime", "lang", "doc_id")).cast("bigint"))
         .select("pos", "vtime", "lang", "doc_id")
         .orderBy("pos")
+    }),
+
+    // Importance resampling by quality weight — systematic (low-variance)
+    // sampling, the deterministic twin of multinomial draws: within each
+    // language stratum, docs are hash-ordered, their quality weights
+    // (llm_preference_pairs' lexical-diversity milli, +1 floor) prefix-
+    // summed, and a doc is selected iff its weight span crosses one of K
+    // equally spaced quantile boundaries — floor((cum·K)/W) strictly
+    // increases across the span. Every step is positive-operand integer
+    // arithmetic, so both engines draw the IDENTICAL sample; selection
+    // probability is proportional to weight with zero variance beyond
+    // discretization. Per-stratum windows (no global cumsum), one lang
+    // shuffle; at 100 TB K scales per stratum and the shape holds.
+    "llm_importance_resample" -> ((s, d) => {
+      val K = 50L
+      val t = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), expr(UExpr).as("u"),
+          size(split(col("text"), " ")).cast("bigint").as("toks"),
+          size(array_distinct(split(col("text"), " "))).cast("bigint").as("uniq"))
+        .withColumn("w", expr("(uniq * 1000) DIV toks + 1"))
+      val win = Window.partitionBy("lang").orderBy("u", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val tot = t.groupBy("lang").agg(sum("w").as("wtot"))
+      t.withColumn("cum", sum("w").over(win))
+        .join(broadcast(tot), "lang")
+        .withColumn("sel", expr(s"(cum * $K) DIV wtot > ((cum - w) * $K) DIV wtot"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), max("wtot").as("w_total"),
+          sum(when(col("sel"), 1L).otherwise(0L)).as("n_selected"),
+          sum(when(col("sel"), col("w")).otherwise(0L)).as("w_selected"),
+          min(when(col("sel"), col("doc_id"))).as("first_sel"))
+        .orderBy("lang")
     })
   )
 
@@ -791,6 +823,28 @@ object LlmPrep {
         |l AS (SELECT * FROM v ORDER BY vtime, lang, doc_id LIMIT 200)
         |SELECT CAST(ROW_NUMBER() OVER (ORDER BY vtime, lang, doc_id) AS BIGINT) AS pos,
         |  vtime, lang, doc_id
-        |FROM l ORDER BY pos""".stripMargin
+        |FROM l ORDER BY pos""".stripMargin,
+
+    // Same weights, same per-stratum cumsum, same boundary-crossing rule.
+    "llm_importance_resample" ->
+      """WITH t AS MATERIALIZED (SELECT doc_id, lang,
+        |    ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS u,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS toks,
+        |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS uniq
+        |  FROM documents),
+        |w AS (SELECT *, (uniq * 1000) // toks + 1 AS w FROM t),
+        |c AS (SELECT *, CAST(SUM(w) OVER (PARTITION BY lang ORDER BY u, doc_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        |      FROM w),
+        |g AS (SELECT lang, CAST(SUM(w) AS BIGINT) AS wtot FROM w GROUP BY 1),
+        |s AS (SELECT c.*, g.wtot,
+        |    (cum * 50) // wtot > ((cum - w) * 50) // wtot AS sel
+        |  FROM c JOIN g USING (lang))
+        |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(MAX(wtot) AS BIGINT) AS w_total,
+        |  CAST(SUM(CASE WHEN sel THEN 1 ELSE 0 END) AS BIGINT) AS n_selected,
+        |  CAST(SUM(CASE WHEN sel THEN w ELSE 0 END) AS BIGINT) AS w_selected,
+        |  MIN(CASE WHEN sel THEN doc_id END) AS first_sel
+        |FROM s GROUP BY lang ORDER BY lang""".stripMargin
   )
 }

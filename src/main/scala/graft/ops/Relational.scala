@@ -48,6 +48,73 @@ object Relational {
       s.read.orc(s"${Scratch.dir}/nation_orc").orderBy("n_nationkey")
     }),
 
+    // Parquet modular encryption (PARQUET-1178 — column + footer
+    // encryption at rest, the storage-layer twin of fn_crypto's
+    // cell-level AES): orders written with an encrypted footer (key kf)
+    // and two encrypted columns (key kc) through
+    // PropertiesDrivenCryptoFactory + the conf-backed ConfKms client,
+    // then read back with the keys and rolled up. Two graded VERDICTS
+    // ride along: the files really are ciphertext (first bytes = "PARE",
+    // the encrypted-footer magic, not "PAR1"), and a keyless reader is
+    // DENIED (fresh KMS token so the probe can't hit the key cache —
+    // fails closed, no plaintext fallback). The oracle replays the
+    // rollup from the source table + TRUE verdicts: encryption must be
+    // exactly invisible to an authorized reader. Scale: encryption is
+    // per-file writer/reader work — fully parallel, no extra shuffle.
+    "source_parquet_encrypted" -> ((s, d) => {
+      val dir = Scratch.opDir("pq_enc", d)
+      val hc = s.sparkContext.hadoopConfiguration
+      val confKeys = Seq("parquet.crypto.factory.class",
+        "parquet.encryption.kms.client.class", "parquet.encryption.key.access.token",
+        "graft.encryption.key.list")
+      val prev = confKeys.map(k => k -> Option(hc.get(k)))
+      val keyList = "kf:AAECAwQFBgcICQoLDA0ODw==,kc:EBESExQVFhcYGRobHB0eHw=="
+      try {
+        hc.set("parquet.crypto.factory.class",
+          "org.apache.parquet.crypto.keytools.PropertiesDrivenCryptoFactory")
+        hc.set("parquet.encryption.kms.client.class", "graft.ops.ConfKms")
+        hc.set("graft.encryption.key.list", keyList)
+        Tables.orders(s, d)
+          .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+          .write.mode("overwrite")
+          .option("parquet.encryption.footer.key", "kf")
+          .option("parquet.encryption.column.keys", "kc:o_totalprice,o_custkey")
+          .parquet(dir)
+        // verdict 1 (driver-side, O(1) IO): encrypted-footer files open
+        // with the "PARE" magic instead of plaintext parquet's "PAR1"
+        val part = new java.io.File(dir).listFiles()
+          .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+          .minBy(_.getName)
+        val magic = {
+          val in = new java.io.FileInputStream(part)
+          try { val b = new Array[Byte](4); in.read(b); new String(b, "US-ASCII") }
+          finally in.close()
+        }
+        // verdict 2: a reader whose KMS holds no keys is denied — fresh
+        // access token forces a new ConfKms instance past the client cache
+        val denied =
+          try {
+            hc.set("parquet.encryption.key.access.token", "denied-probe")
+            hc.set("graft.encryption.key.list", "")
+            s.read.parquet(dir).count(); false
+          } catch { case _: Throwable => true }
+          finally {
+            hc.set("graft.encryption.key.list", keyList)
+            hc.unset("parquet.encryption.key.access.token")
+          }
+        s.read.parquet(dir)
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n_orders"),
+            sum(dec(col("o_totalprice"))).cast("double").as("total"))
+          .withColumn("footer_encrypted", lit(magic == "PARE"))
+          .withColumn("unreadable_without_key", lit(denied))
+          .orderBy("o_orderstatus")
+          .localCheckpoint() // pin rows before the finally clears the conf
+      } finally prev.foreach { case (k, v) =>
+        v match { case Some(x) => hc.set(k, x); case None => hc.unset(k) }
+      }
+    }),
+
     // Schema evolution across file generations (the day-2 warehouse
     // reality): old files lack a column newer files carry; mergeSchema
     // unions the footers and back-fills nulls on the old generation. The
@@ -591,6 +658,29 @@ object Relational {
         .orderBy("p_id")
     }),
 
+    // As-of join with TOLERANCE — pandas merge_asof(tolerance=...): the
+    // most recent view counts only if it is within 24h of the purchase;
+    // staler matches drop (inner semantics, like the native operator).
+    // The bound composes as a post-filter on the one-row-per-purchase
+    // asof OUTPUT — the single-merge-pass plan is untouched, the filter
+    // is free — instead of widening the ranged-join candidate set. The
+    // gap rides along in exact minutes (µs DIV, both positive).
+    "join_asof_tolerance" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      val p = e.where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts_us"))
+      val v = e.where(col("event_type") === "view")
+        .select(col("event_id"), col("user_id"), col("ts_us"))
+      org.apache.spark.sql.graftbridge.AsOfJoinApi.asof(s, p, v)
+        .where(col("l_ts") - col("r_ts") <= 86400000000L)
+        .select(col("l_id").as("p_id"), col("k").as("user_id"),
+          fmtTs(timestamp_micros(col("l_ts"))).as("p_ts"),
+          col("r_id").as("v_id"),
+          fmtTs(timestamp_micros(col("r_ts"))).as("v_ts"),
+          expr("(l_ts - r_ts) DIV 60000000").as("gap_min"))
+        .orderBy("p_id")
+    }),
+
     // Correlated scalar subquery (each customer vs their nation's average
     // balance), issued as SQL text so Catalyst's decorrelation
     // (RewriteCorrelatedScalarSubquery) runs: the per-row subquery becomes
@@ -813,6 +903,14 @@ object Relational {
     // The ORC round-trip must reproduce nation exactly.
     "source_orc_roundtrip" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
+
+    // Encryption must be invisible to an authorized reader: the rollup
+    // replays from the source table; the verdicts are pinned TRUE.
+    "source_parquet_encrypted" ->
+      """SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total,
+        |  TRUE AS footer_encrypted, TRUE AS unreadable_without_key
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "source_schema_evolution" ->
       """SELECT CASE WHEN o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
@@ -1049,6 +1147,20 @@ object Relational {
         |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
         |ASOF JOIN (SELECT * FROM events WHERE event_type = 'view') v
         |  ON p.user_id = v.user_id AND v.ts <= p.ts
+        |ORDER BY p_id""".stripMargin,
+
+    // DuckDB ASOF + the same 24h post-filter and exact-minute gap.
+    "join_asof_tolerance" ->
+      """SELECT p_id, user_id, p_ts, v_id, v_ts, gap_min FROM (
+        |  SELECT p.event_id AS p_id, p.user_id AS user_id,
+        |    strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS p_ts,
+        |    v.event_id AS v_id, strftime(v.ts, '%Y-%m-%d %H:%M:%S') AS v_ts,
+        |    (epoch_us(p.ts) - epoch_us(v.ts)) // 60000000 AS gap_min,
+        |    epoch_us(p.ts) - epoch_us(v.ts) AS gap_us
+        |  FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |  ASOF JOIN (SELECT * FROM events WHERE event_type = 'view') v
+        |    ON p.user_id = v.user_id AND v.ts <= p.ts)
+        |WHERE gap_us <= 86400000000
         |ORDER BY p_id""".stripMargin,
 
     // Same decorrelated-average formulation, same exact-moment double math.

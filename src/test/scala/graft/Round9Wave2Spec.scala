@@ -119,4 +119,90 @@ class Round9Wave2Spec extends AnyFunSuite with SparkFixture {
       assert(math.abs(got - expected) <= 2.5, s"$lang: $got vs ~$expected")
     }
   }
+
+  test("agg_theil_sen: pair counts are n-choose-2 of each type's day span") {
+    val rows = SparkEntry.queries("agg_theil_sen")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val days = Tables.events(spark, sf)
+      .groupBy("event_type").agg(countDistinct(to_date(col("ts"))).as("nd"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      val nd = days(r.getString(0))
+      assert(r.getLong(1) == nd * (nd - 1) / 2, s"pair count mismatch: $r")
+      // a daily count series can't have a median slope steeper than its range
+      assert(math.abs(r.getDouble(2)) < 10000.0)
+    }
+  }
+
+  test("graph_path_counts: source seeds 1 path at dist 0, layer-1 counts are 1") {
+    val rows = SparkEntry.queries("graph_path_counts")(spark, SparkFixture.sf001).collect()
+    val byDist = rows.groupBy(_.getLong(2))
+    assert(byDist(0L).length == 1 && byDist(0L).head.getLong(1) == 1L)
+    // simple graph: exactly one shortest path to every direct neighbor
+    byDist.get(1L).foreach(l => assert(l.forall(_.getLong(1) == 1L)))
+    assert(rows.forall(r => r.getLong(1) >= 1L && r.getLong(2) <= 4L))
+    // layers are disjoint: each node appears once
+    assert(rows.map(_.getLong(0)).distinct.length == rows.length)
+  }
+
+  test("llm_importance_resample: systematic draw hits ~K per stratum, weights conserved") {
+    val rows = SparkEntry.queries("llm_importance_resample")(spark, SparkFixture.sf001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nDocs, wTot, nSel, wSel) = (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      // boundary-crossing selection emits at most K=50 docs and at least
+      // one per non-empty stratum; selected weight is a sub-multiset
+      assert(nSel >= 1 && nSel <= 50 && nSel <= nDocs, s"selection count: $r")
+      assert(wSel > 0 && wSel <= wTot, s"weight conservation: $r")
+    }
+  }
+
+  test("source_parquet_encrypted: both verdicts hold and the rollup matches plaintext") {
+    val rows = SparkEntry.queries("source_parquet_encrypted")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getBoolean(3)), "files must carry the PARE encrypted-footer magic")
+    assert(rows.forall(_.getBoolean(4)), "keyless read must be denied")
+    val plain = Tables.orders(spark, sf).groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach(r => assert(r.getLong(1) == plain(r.getString(0)),
+      s"authorized read must see exactly the plaintext rows: $r"))
+  }
+
+  test("win_changepoint: rank in range; the full-series CUSUM closes at zero") {
+    val rows = SparkEntry.queries("win_changepoint")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, rank) = (r.getLong(1), r.getLong(2))
+      assert(rank >= 1 && rank <= n, s"rank out of range: $r")
+      // stat_n = n*S1 - n*S1 = 0, so a nonzero max-|stat| pick is < n
+      assert(r.getLong(4) == 0L || rank < n, s"nonzero stat at series end: $r")
+    }
+  }
+
+  test("join_asof_tolerance: subset of the native asof within the 24h bound") {
+    val tol = SparkEntry.queries("join_asof_tolerance")(spark, sf).collect()
+    val full = SparkEntry.queries("join_asof_native")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(3))).toSet
+    assert(tol.nonEmpty && tol.length <= full.size)
+    tol.foreach { r =>
+      assert(full.contains((r.getLong(0), r.getLong(3))),
+        s"tolerance row not in the unbounded asof: $r")
+      val gap = r.getLong(5)
+      assert(gap >= 0 && gap <= 1440, s"gap outside 24h: $r")
+    }
+  }
+
+  test("graph_stress: degree-1 backbone nodes are never interior to a shortest path") {
+    val stress = SparkEntry.queries("graph_stress")(spark, SparkFixture.sf001)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(stress.values.forall(_ >= 0L))
+    assert(stress.values.exists(_ > 0L), "some node must carry traffic")
+    // clustering_coeff's node column keeps the parquet int width
+    val deg = SparkEntry.queries("graph_clustering_coeff")(spark, SparkFixture.sf001)
+      .collect().map(r => r.getAs[Number](0).longValue -> r.getLong(1)).toMap
+    deg.filter(_._2 <= 1).keys.foreach { n =>
+      assert(stress(n) == 0L, s"degree<=1 node $n has nonzero stress")
+    }
+  }
 }
