@@ -530,7 +530,86 @@ object LlmPrep {
         .orderBy("doc_id", "frame_idx")
     }))
 
-  val queries: Map[String, Q] = mainQueries ++ extraQueries ++ shardQueries
+  /** Band-bucket population cap for `mm_dedup_phash` — the dfCap law
+    * applied to perceptual-hash buckets: a band value shared by more docs
+    * than this is a degenerate key (flat-color thumbnails, boilerplate
+    * frames) and is dropped from candidate generation, keeping the
+    * candidate join sub-quadratic on any corpus. */
+  private val PhashBucketCap = 64L
+
+  private val wave6Queries: Map[String, Q] = Map(
+    // Perceptual-hash near-dup over the stubbed image codec (the visual
+    // member of the dedup family, next to simhash's token space): each
+    // doc's byte stream is resized to a fixed 31-tile grid (tile length
+    // ceil(len/31) — the pHash resize step; 31 tiles × 2 bits = 62 bits
+    // keeps the hash inside a positive BIGINT, where a 32-tile packing
+    // would overflow engines with checked shifts), each tile contributes
+    // 2 fingerprint bits, and the phash changes only in the tiles a
+    // local edit touches — hamming distance counts perturbed tiles.
+    // Candidate generation is banded LSH (4×16-bit bands, exact-match
+    // buckets) with a population cap per bucket (PhashBucketCap — the
+    // dfCap law, so a degenerate band value can never drive an O(n²)
+    // bucket join), then candidates verify with EXACT hamming ≤ 8.
+    // Deterministic end to end → the oracle replays tile hashing, the
+    // cap, and the verify. Scale: 32 md5s/doc scan-side, one band
+    // exchange, capped buckets — the same shape as llm_dedup_simhash.
+    "mm_dedup_phash" -> ((s, d) => {
+      val ph = Tables.documents(s, d)
+        .select(col("doc_id"), col("text"), length(col("text")).cast("bigint").as("len"))
+        .where(col("len") >= 64) // thumbnails below 2 bytes/tile carry no signal
+        .withColumn("tl", expr("(len + 30) DIV 31"))
+        .withColumn("ph", expr(
+          """aggregate(sequence(0, 30), CAST(0 AS BIGINT), (acc, i) ->
+            |  acc + shiftleft(
+            |    CAST(conv(substring(md5(CAST(substring(text, i * tl + 1, tl) AS BINARY)), 1, 1), 16, 10) AS BIGINT) & 3,
+            |    2 * i))""".stripMargin))
+        .select("doc_id", "ph")
+      val bands = ph.select(col("doc_id"), col("ph"),
+          explode(expr("sequence(0, 3)")).as("k"))
+        .withColumn("bv", expr("(ph >> (k * 16)) & 65535"))
+      val live = bands.groupBy("k", "bv").agg(count(lit(1)).as("n"))
+        .where(col("n") <= PhashBucketCap).select("k", "bv")
+      val capped = bands.join(live, Seq("k", "bv"), "left_semi")
+      capped.as("x").join(capped.as("y"),
+          col("x.k") === col("y.k") && col("x.bv") === col("y.bv")
+            && col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+          col("x.ph").as("pa"), col("y.ph").as("pb"))
+        .distinct()
+        .withColumn("hamming", expr("CAST(bit_count(pa ^ pb) AS INT)"))
+        .where(col("hamming") <= 8)
+        .select("a", "b", "hamming")
+        .orderBy("a", "b")
+    }),
+
+    // Whitespace tokenizer with char-offset mapping (the HF-tokenizers
+    // offset_mapping contract every span-level task — NER, extractive QA,
+    // span dedup — needs): token i's start offset is the prefix sum of
+    // earlier token lengths plus the i separators before it, end = start
+    // + len, and the mapping is SELF-VERIFYING — `ok` re-slices the
+    // source text at [start, end) and compares. Consecutive separators
+    // yield empty tokens with zero-width spans (both engines' split law).
+    // One per-doc window (parallel across docs, series length = tokens
+    // per doc); 1-in-20 doc sample bounds the emitted rows.
+    "llm_tokenize_offsets" -> ((s, d) =>
+      Tables.documents(s, d).where(col("doc_id") % 20 === 2)
+        .select(col("doc_id"), col("text"),
+          posexplode(split(col("text"), " ")).as(Seq("pos", "token")))
+        .withColumn("tlen", length(col("token")).cast("bigint"))
+        .withColumn("start_off",
+          sum(col("tlen") + 1).over(
+            Window.partitionBy("doc_id").orderBy("pos")
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            - col("tlen") - 1)
+        .select(col("doc_id"), col("pos").cast("bigint").as("pos"), col("token"),
+          col("start_off"), (col("start_off") + col("tlen")).as("end_off"),
+          (expr("substring(text, CAST(start_off AS INT) + 1, CAST(tlen AS INT))")
+            === col("token")).as("ok"))
+        .orderBy("doc_id", "pos"))
+  )
+
+  val queries: Map[String, Q] =
+    mainQueries ++ extraQueries ++ shardQueries ++ wave6Queries
 
   val oracles: Map[String, String] = Map(
     // The bucket rollup replayed; the global max is a scalar subquery.
@@ -845,6 +924,48 @@ object LlmPrep {
         |  CAST(SUM(CASE WHEN sel THEN 1 ELSE 0 END) AS BIGINT) AS n_selected,
         |  CAST(SUM(CASE WHEN sel THEN w ELSE 0 END) AS BIGINT) AS w_selected,
         |  MIN(CASE WHEN sel THEN doc_id END) AS first_sel
-        |FROM s GROUP BY lang ORDER BY lang""".stripMargin
+        |FROM s GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // Same 31-tile resize, 2-bit tile fingerprints, capped band buckets,
+    // and exact-hamming verify.
+    "mm_dedup_phash" ->
+      """WITH t AS MATERIALIZED (SELECT doc_id, text,
+        |    CAST(length(text) AS BIGINT) AS len,
+        |    (CAST(length(text) AS BIGINT) + 30) // 31 AS tl
+        |  FROM documents WHERE length(text) >= 64),
+        |b AS (SELECT doc_id,
+        |    ((('0x' || substring(md5(substring(text, CAST(i * tl AS INT) + 1, CAST(tl AS INT))), 1, 1))::BIGINT & 3) << (2 * i)) AS contrib
+        |  FROM t, (SELECT unnest(range(0, 31)) AS i)),
+        |ph AS MATERIALIZED (SELECT doc_id, CAST(SUM(contrib) AS BIGINT) AS ph
+        |  FROM b GROUP BY 1),
+        |bands AS MATERIALIZED (SELECT doc_id, ph, k, (ph >> (k * 16)) & 65535 AS bv
+        |  FROM ph, (SELECT unnest(range(0, 4)) AS k)),
+        |live AS (SELECT k, bv FROM bands GROUP BY 1, 2 HAVING COUNT(*) <= 64),
+        |capped AS MATERIALIZED (SELECT bands.* FROM bands JOIN live USING (k, bv)),
+        |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+        |    x.ph AS pa, y.ph AS pb
+        |  FROM capped x JOIN capped y
+        |    ON x.k = y.k AND x.bv = y.bv AND x.doc_id < y.doc_id)
+        |SELECT a, b, CAST(bit_count(xor(pa, pb)) AS INT) AS hamming
+        |FROM cand WHERE bit_count(xor(pa, pb)) <= 8
+        |ORDER BY a, b""".stripMargin,
+
+    // Same split law, same prefix-sum offsets, same re-slice check.
+    "llm_tokenize_offsets" ->
+      """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks
+        |  FROM documents WHERE doc_id % 20 = 2),
+        |u AS (SELECT doc_id, text,
+        |    unnest(toks) AS token,
+        |    CAST(generate_subscripts(toks, 1) - 1 AS BIGINT) AS pos
+        |  FROM t),
+        |w AS (SELECT doc_id, text, pos, token,
+        |    CAST(length(token) AS BIGINT) AS tlen,
+        |    CAST(SUM(length(token) + 1) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      - length(token) - 1 AS BIGINT) AS start_off
+        |  FROM u)
+        |SELECT doc_id, pos, token, start_off, start_off + tlen AS end_off,
+        |  substring(text, CAST(start_off AS INT) + 1, CAST(tlen AS INT)) = token AS ok
+        |FROM w ORDER BY doc_id, pos""".stripMargin
   )
 }

@@ -837,6 +837,29 @@ object Relational {
           |              WHERE o.o_custkey = c.c_custkey
           |                AND o.o_totalprice > 490000)
           |ORDER BY c_custkey""".stripMargin)
+    }),
+
+    // Quantified comparisons — x > ALL(S) / x > ANY(S) per customer
+    // against their nation's supplier balances. Spark SQL has no
+    // ANY/ALL-subquery syntax, so the engine applies the textbook
+    // quantifier-to-aggregate rewrite Catalyst would need: > ALL(S) ⟺
+    // S empty OR x > max(S); > ANY(S) ⟺ S nonempty AND x > min(S)
+    // (exact under non-null S — TPC-H acctbals; the empty branches are
+    // live: nations without suppliers make ALL vacuously true, ANY
+    // false). One 25-row broadcast replaces per-row subquery execution;
+    // the oracle runs DuckDB's NATIVE > ALL / > ANY quantifiers, so the
+    // rewrite is graded against the real semantics, not itself.
+    "subquery_any_all" -> ((s, d) => {
+      val sup = Tables.supplier(s, d)
+        .groupBy(col("s_nationkey").as("nk"))
+        .agg(max("s_acctbal").as("mx"), min("s_acctbal").as("mn"))
+      Tables.customer(s, d)
+        .join(broadcast(sup), col("c_nationkey") === col("nk"), "left")
+        .select(col("c_custkey"),
+          col("c_acctbal").cast("double").as("acctbal"),
+          (col("mx").isNull || col("c_acctbal") > col("mx")).as("beats_all"),
+          (col("mn").isNotNull && col("c_acctbal") > col("mn")).as("beats_any"))
+        .orderBy("c_custkey")
     })
   )
 
@@ -1263,6 +1286,15 @@ object Relational {
         |   OR EXISTS (SELECT 1 FROM orders o
         |              WHERE o.o_custkey = c.c_custkey
         |                AND o.o_totalprice > 490000)
-        |ORDER BY c_custkey""".stripMargin
+        |ORDER BY c_custkey""".stripMargin,
+
+    // DuckDB's native quantifiers grade the engine's aggregate rewrite.
+    "subquery_any_all" ->
+      """SELECT c_custkey, CAST(c_acctbal AS DOUBLE) AS acctbal,
+        |  c_acctbal > ALL (SELECT s_acctbal FROM supplier s
+        |                   WHERE s.s_nationkey = c.c_nationkey) AS beats_all,
+        |  c_acctbal > ANY (SELECT s_acctbal FROM supplier s
+        |                   WHERE s.s_nationkey = c.c_nationkey) AS beats_any
+        |FROM customer c ORDER BY c_custkey""".stripMargin
   )
 }
