@@ -450,6 +450,33 @@ object Analytics {
         .select(col("event_type"), col("n").as("n_days"), col("r").as("cp_rank"),
           date_format(col("day"), "yyyy-MM-dd").as("cp_day"), col("stat").as("cusum_stat"))
         .orderBy("event_type")
+    }),
+
+    // Maximum drawdown per event type — the peak-to-trough collapse
+    // metric (the risk twin of win_changepoint's mean shift): running
+    // peak = MAX over the unbounded-preceding frame of the daily count
+    // series, drawdown_r = peak_r − x_r (exact BIGINT), and the max-
+    // drawdown day is the ROW_NUMBER=1 pick under (drawdown DESC, day
+    // ASC). One per-type window + one argmax window over the same
+    // exchange; series length is days, not rows.
+    "win_drawdown" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("x"))
+      val w = Window.partitionBy("event_type").orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      daily
+        .withColumn("peak", max("x").over(w))
+        .withColumn("dd", col("peak") - col("x"))
+        .withColumn("n_days",
+          count(lit(1)).over(Window.partitionBy("event_type")))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("event_type").orderBy(desc("dd"), col("day"))))
+        .where(col("rn") === 1)
+        .select(col("event_type"), col("n_days"),
+          col("peak").as("peak_count"), col("dd").as("max_drawdown"),
+          date_format(col("day"), "yyyy-MM-dd").as("dd_day"))
+        .orderBy("event_type")
     })
   )
 
@@ -734,6 +761,23 @@ object Analytics {
         |  FROM c)
         |SELECT event_type, n AS n_days, r AS cp_rank,
         |  strftime(day, '%Y-%m-%d') AS cp_day, CAST(stat AS BIGINT) AS cusum_stat
+        |FROM s WHERE rn = 1 ORDER BY event_type""".stripMargin,
+
+    // Same running peak, same (drawdown DESC, day ASC) argmax pick.
+    "win_drawdown" ->
+      """WITH daily AS MATERIALIZED (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2),
+        |p AS (SELECT event_type, day, x,
+        |    CAST(MAX(x) OVER (PARTITION BY event_type ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS peak,
+        |    CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n_days
+        |  FROM daily),
+        |s AS (SELECT *, peak - x AS dd,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY peak - x DESC, day) AS rn
+        |  FROM p)
+        |SELECT event_type, n_days, peak AS peak_count, CAST(dd AS BIGINT) AS max_drawdown,
+        |  strftime(day, '%Y-%m-%d') AS dd_day
         |FROM s WHERE rn = 1 ORDER BY event_type""".stripMargin
   )
 }

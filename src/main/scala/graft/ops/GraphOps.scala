@@ -546,6 +546,68 @@ object GraphOps {
       nodes.select(col("u").as("node")).join(through, Seq("node"), "left")
         .select(col("node"), coalesce(col("stress"), lit(0L)).as("stress"))
         .orderBy("node")
+    }),
+
+    // Jaccard link prediction — score NON-adjacent backbone pairs by
+    // neighbor-set overlap (the classic common-neighbors recommender):
+    // cn(u,v) = |N(u) ∩ N(v)| from one self-join of the bi-directed edge
+    // list on the shared neighbor, degrees from one rollup, candidates
+    // anti-joined against the live edge set, score = 1000·cn DIV
+    // (deg_u + deg_v − cn) in exact milli. Shapes: two equi-joins + one
+    // anti-join, all keyed — at 100 TB the neighbor self-join is the
+    // triangle-count shape and caps the same way (degree-capped
+    // adjacency); everything integer → hash-graded.
+    "graph_jaccard_link_pred" -> ((s, d) => {
+      val heavy = heavyBackbone(s, d)
+      val bi = heavy.select(col("a").cast("bigint").as("src"), col("b").cast("bigint").as("dst"))
+        .unionAll(heavy.select(col("b").cast("bigint").as("src"), col("a").cast("bigint").as("dst")))
+        .localCheckpoint()
+      val deg = bi.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      val cn = bi.select(col("src").as("n"), col("dst").as("u"))
+        .join(bi.select(col("src").as("n"), col("dst").as("v")), Seq("n"))
+        .where(col("u") < col("v"))
+        .groupBy("u", "v").agg(count(lit(1)).as("cn"))
+      cn.join(bi.select(col("src").as("u"), col("dst").as("v")), Seq("u", "v"), "left_anti")
+        .join(deg.select(col("src").as("u"), col("deg").as("du")), Seq("u"))
+        .join(deg.select(col("src").as("v"), col("deg").as("dv")), Seq("v"))
+        .select(col("u"), col("v"), col("cn"),
+          expr("(cn * 1000) DIV (du + dv - cn)").as("jaccard_milli"))
+        .orderBy("u", "v")
+    }),
+
+    // Deterministic random walks (the node2vec/DeepWalk sampling stage of
+    // a graph-embedding pipeline, made replayable): every backbone node
+    // starts one walk of 4 steps; at step t from node v the walk picks
+    // neighbor rank h(start,v,t) mod deg(v), where the adjacency is
+    // ranked once (ROW_NUMBER per src over dst) and h is the shared
+    // md5-integer law — a pure function of the walk state, so both
+    // engines draw the IDENTICAL corpus and a re-run is audit-stable
+    // (the llm_sample_split law, applied to graph sampling). Per step:
+    // one equi-join on (node, rank) — the frontier never fans out, so k
+    // steps cost k keyed joins; at 100 TB walks shard by start node.
+    "graph_random_walk" -> ((s, d) => {
+      val heavy = heavyBackbone(s, d)
+      val bi = heavy.select(col("a").cast("bigint").as("src"), col("b").cast("bigint").as("dst"))
+        .unionAll(heavy.select(col("b").cast("bigint").as("src"), col("a").cast("bigint").as("dst")))
+      val ad = bi
+        .withColumn("r", row_number().over(
+          Window.partitionBy("src").orderBy("dst")).cast("bigint") - 1)
+        .withColumn("deg", count(lit(1)).over(Window.partitionBy("src")))
+        .localCheckpoint()
+      var walk = ad.select(col("src").as("start")).distinct()
+        .select(col("start"), col("start").as("node"), lit(0L).as("step"))
+        .localCheckpoint()
+      val steps = scala.collection.mutable.ArrayBuffer(walk)
+      for (t <- 1 to 4) {
+        walk = walk.select(col("start"), col("node"))
+          .withColumn("h", expr(
+            s"CAST(conv(substring(md5(concat(CAST(start AS STRING), ':', CAST(node AS STRING), ':', '$t')), 1, 8), 16, 10) AS BIGINT)"))
+          .join(ad, col("node") === col("src") && expr("h % deg") === col("r"))
+          .select(col("start"), col("dst").as("node"), lit(t.toLong).as("step"))
+          .localCheckpoint()
+        steps += walk
+      }
+      steps.reduce(_ unionAll _).orderBy("start", "step")
     })
   )
 
@@ -855,6 +917,51 @@ object GraphOps {
          |SELECT nodes.u AS node, CAST(COALESCE(thru.stress, 0) AS BIGINT) AS stress
          |FROM nodes LEFT JOIN thru ON thru.m = nodes.u
          |ORDER BY node""".stripMargin
+    },
+
+    // Same common-neighbor join, same anti-join, same exact-milli score.
+    "graph_jaccard_link_pred" ->
+      s"""WITH $EdgesCte,
+         |$HeavyCte,
+         |bi AS MATERIALIZED (SELECT CAST(a AS BIGINT) AS src, CAST(b AS BIGINT) AS dst FROM h
+         |       UNION ALL SELECT CAST(b AS BIGINT), CAST(a AS BIGINT) FROM h),
+         |deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM bi GROUP BY 1),
+         |cn AS (SELECT x.dst AS u, y.dst AS v, CAST(COUNT(*) AS BIGINT) AS cn
+         |  FROM bi x JOIN bi y ON x.src = y.src AND x.dst < y.dst
+         |  GROUP BY 1, 2),
+         |nonadj AS (SELECT cn.* FROM cn
+         |  WHERE NOT EXISTS (SELECT 1 FROM bi WHERE bi.src = cn.u AND bi.dst = cn.v))
+         |SELECT u, v, cn, (cn * 1000) // (du.deg + dv.deg - cn) AS jaccard_milli
+         |FROM nonadj
+         |JOIN deg du ON du.src = nonadj.u
+         |JOIN deg dv ON dv.src = nonadj.v
+         |ORDER BY u, v""".stripMargin,
+
+    // The ranked adjacency + 4 hash-picked hops replayed as chained CTEs.
+    "graph_random_walk" -> {
+      val hops = (1 to 4).map { t =>
+        val p = t - 1
+        s"""w$t AS MATERIALIZED (SELECT w$p.start, ad.dst AS node,
+           |    CAST($t AS BIGINT) AS step
+           |  FROM w$p JOIN ad ON ad.src = w$p.node
+           |    AND ad.r = ('0x' || substring(md5(
+           |      CAST(w$p.start AS VARCHAR) || ':' || CAST(w$p.node AS VARCHAR) || ':' || '$t'),
+           |      1, 8))::BIGINT % ad.deg)"""
+      }.mkString(",\n")
+      val union = (0 to 4).map(i => s"SELECT * FROM w$i").mkString(" UNION ALL ")
+      s"""WITH $EdgesCte,
+         |$HeavyCte,
+         |bi AS MATERIALIZED (SELECT CAST(a AS BIGINT) AS src, CAST(b AS BIGINT) AS dst FROM h
+         |       UNION ALL SELECT CAST(b AS BIGINT), CAST(a AS BIGINT) FROM h),
+         |ad AS MATERIALIZED (SELECT src, dst,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY src ORDER BY dst) AS BIGINT) - 1 AS r,
+         |    CAST(COUNT(*) OVER (PARTITION BY src) AS BIGINT) AS deg
+         |  FROM bi),
+         |w0 AS MATERIALIZED (SELECT DISTINCT src AS start, src AS node,
+         |    CAST(0 AS BIGINT) AS step FROM bi),
+         |$hops
+         |SELECT start, node, step FROM ($union)
+         |ORDER BY start, step""".stripMargin
     }
   )
 }

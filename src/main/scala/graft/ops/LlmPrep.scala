@@ -605,7 +605,31 @@ object LlmPrep {
           col("start_off"), (col("start_off") + col("tlen")).as("end_off"),
           (expr("substring(text, CAST(start_off AS INT) + 1, CAST(tlen AS INT))")
             === col("token")).as("ok"))
-        .orderBy("doc_id", "pos"))
+        .orderBy("doc_id", "pos")),
+
+    // k-anonymity release (the governance gate beside llm_pii_redact's
+    // cell-level scrub): quasi-identifier = (lang, source, length bucket);
+    // any combination shared by fewer than k=5 docs re-identifies, so
+    // suppressed groups GENERALIZE to the ('*','*',-1) bucket and re-
+    // aggregate — the released table provably contains no group below k
+    // except the explicit generalized remainder. Two keyed rollups
+    // (QI, then masked QI), no row leaves the cluster; at 100 TB the QI
+    // cardinality, not the corpus, bounds state.
+    "llm_k_anonymity" -> ((s, d) => {
+      val k = 5L
+      val g = Tables.documents(s, d)
+        .groupBy(col("lang"), col("source"),
+          expr("CAST(n_chars AS BIGINT) DIV 200").as("len_bucket"))
+        .agg(count(lit(1)).as("n"))
+      g.select(
+          when(col("n") >= k, col("lang")).otherwise(lit("*")).as("lang"),
+          when(col("n") >= k, col("source")).otherwise(lit("*")).as("source"),
+          when(col("n") >= k, col("len_bucket")).otherwise(lit(-1L)).as("len_bucket"),
+          col("n"), (col("n") >= k).as("released"))
+        .groupBy("lang", "source", "len_bucket", "released")
+        .agg(sum("n").as("n_docs"), count(lit(1)).as("n_groups"))
+        .orderBy("lang", "source", "len_bucket")
+    })
   )
 
   val queries: Map[String, Q] =
@@ -966,6 +990,23 @@ object LlmPrep {
         |  FROM u)
         |SELECT doc_id, pos, token, start_off, start_off + tlen AS end_off,
         |  substring(text, CAST(start_off AS INT) + 1, CAST(tlen AS INT)) = token AS ok
-        |FROM w ORDER BY doc_id, pos""".stripMargin
+        |FROM w ORDER BY doc_id, pos""".stripMargin,
+
+    // Same QI rollup, same generalize-below-k re-aggregation.
+    "llm_k_anonymity" ->
+      """WITH g AS (SELECT lang, source,
+        |    CAST(n_chars AS BIGINT) // 200 AS len_bucket,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM documents GROUP BY 1, 2, 3),
+        |m AS (SELECT
+        |    CASE WHEN n >= 5 THEN lang ELSE '*' END AS lang,
+        |    CASE WHEN n >= 5 THEN source ELSE '*' END AS source,
+        |    CASE WHEN n >= 5 THEN len_bucket ELSE -1 END AS len_bucket,
+        |    n, n >= 5 AS released
+        |  FROM g)
+        |SELECT lang, source, len_bucket, released,
+        |  CAST(SUM(n) AS BIGINT) AS n_docs, CAST(COUNT(*) AS BIGINT) AS n_groups
+        |FROM m GROUP BY 1, 2, 3, 4
+        |ORDER BY lang, source, len_bucket""".stripMargin
   )
 }

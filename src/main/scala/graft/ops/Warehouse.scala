@@ -543,6 +543,41 @@ object Warehouse {
         .agg(sum(col("pn")).cast("bigint").as("n_orders"),
           sum(col("psum")).cast("double").as("total"))
         .orderBy("o_year", "o_orderstatus")
+    }),
+
+    // Table diff / reconciliation — the generation-over-generation audit
+    // every migration and CDC backfill ends with: generation 2 is derived
+    // from orders by a deterministic edit script (keys ≡0 mod 97 deleted,
+    // ≡0 mod 89 repriced +1.00, ≡0 mod 101 cloned to a shifted key as
+    // inserts), then ONE full-outer join on the key classifies every row
+    // added / removed / changed, emitting old and new price side by side.
+    // Unchanged rows (the 100 TB bulk) are filtered before the sort, so
+    // the output is proportional to the CHANGE SET, not the table; at
+    // scale the join co-partitions on the key and storage-level
+    // generation diffs (warehouse_snapshot_changes) skip untouched files
+    // entirely — this op is the row-level semantic on top.
+    "warehouse_table_diff" -> ((s, d) => {
+      val v1 = Tables.orders(s, d)
+        .select(col("o_orderkey").cast("bigint").as("k"),
+          dec(col("o_totalprice")).as("price"))
+      val v2 = v1.where(col("k") % 97 =!= 0)
+        .select(col("k"),
+          when(col("k") % 89 === 0, col("price") + lit(1).cast("decimal(18,4)"))
+            .otherwise(col("price")).as("price"))
+        .unionAll(v1.where(col("k") % 101 === 0)
+          .select((col("k") + 100000000L).as("k"), col("price")))
+      v1.select(col("k"), col("price").as("old_price"))
+        .join(v2.select(col("k"), col("price").as("new_price")), Seq("k"), "full_outer")
+        .withColumn("change",
+          when(col("old_price").isNull, lit("added"))
+            .when(col("new_price").isNull, lit("removed"))
+            .when(col("old_price") =!= col("new_price"), lit("changed"))
+            .otherwise(lit("unchanged")))
+        .where(col("change") =!= "unchanged")
+        .select(col("k").as("o_orderkey"), col("change"),
+          col("old_price").cast("double").as("old_price"),
+          col("new_price").cast("double").as("new_price"))
+        .orderBy("o_orderkey")
     })
   )
 
@@ -806,6 +841,27 @@ object Warehouse {
       """SELECT CAST(year(o_orderdate) AS INT) AS o_year,
         |  COUNT(*) AS n_orders,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
-        |FROM orders GROUP BY 1 ORDER BY o_year""".stripMargin
+        |FROM orders GROUP BY 1 ORDER BY o_year""".stripMargin,
+
+    // Same edit script, same full-outer classification.
+    "warehouse_table_diff" ->
+      """WITH v1 AS (SELECT CAST(o_orderkey AS BIGINT) AS k,
+        |    CAST(o_totalprice AS DECIMAL(18,4)) AS price FROM orders),
+        |v2 AS (
+        |  SELECT k, CASE WHEN k % 89 = 0 THEN price + 1 ELSE price END AS price
+        |  FROM v1 WHERE k % 97 <> 0
+        |  UNION ALL
+        |  SELECT k + 100000000, price FROM v1 WHERE k % 101 = 0),
+        |d AS (SELECT COALESCE(v1.k, v2.k) AS o_orderkey,
+        |    v1.price AS old_price, v2.price AS new_price,
+        |    CASE WHEN v1.k IS NULL THEN 'added'
+        |         WHEN v2.k IS NULL THEN 'removed'
+        |         WHEN v1.price <> v2.price THEN 'changed'
+        |         ELSE 'unchanged' END AS change
+        |  FROM v1 FULL OUTER JOIN v2 ON v1.k = v2.k)
+        |SELECT o_orderkey, change, CAST(old_price AS DOUBLE) AS old_price,
+        |  CAST(new_price AS DOUBLE) AS new_price
+        |FROM d WHERE change <> 'unchanged'
+        |ORDER BY o_orderkey""".stripMargin
   )
 }
