@@ -477,6 +477,54 @@ object Analytics {
           col("peak").as("peak_count"), col("dd").as("max_drawdown"),
           date_format(col("day"), "yyyy-MM-dd").as("dd_day"))
         .orderBy("event_type")
+    }),
+
+    // Benford first-digit audit over order totals — the classic fraud /
+    // data-quality screen: first significant digit via integer cents →
+    // string head (no log10 on data, whose last-ulp could differ across
+    // libms), observed share in exact ppm, expected ppm as the PUBLISHED
+    // Benford constants (floor(log10(1+1/d)·1e6) — literals in BOTH
+    // engines, so no transcendental enters the hash), deviation exact.
+    // One 9-group rollup + a broadcast total; scan-side digit extraction.
+    "agg_benford" -> ((s, d) => {
+      val expected = "CAST(CASE digit WHEN 1 THEN 301029 WHEN 2 THEN 176091 " +
+        "WHEN 3 THEN 124938 WHEN 4 THEN 96910 WHEN 5 THEN 79181 " +
+        "WHEN 6 THEN 66946 WHEN 7 THEN 57991 WHEN 8 THEN 51152 ELSE 45757 END AS BIGINT)"
+      val digits = Tables.orders(s, d)
+        .select(expr(
+          "CAST(substring(CAST(CAST(o_totalprice * 100 AS BIGINT) AS STRING), 1, 1) AS BIGINT)")
+          .as("digit"))
+        .groupBy("digit").agg(count(lit(1)).as("n_obs"))
+      digits.crossJoin(broadcast(digits.agg(sum("n_obs").as("n_total"))))
+        .withColumn("obs_ppm", expr("(n_obs * 1000000) DIV n_total"))
+        .withColumn("expected_ppm", expr(expected))
+        .select(col("digit"), col("n_obs"), col("obs_ppm"), col("expected_ppm"),
+          (col("obs_ppm") - col("expected_ppm")).as("dev_ppm"))
+        .orderBy("digit")
+    }),
+
+    // Day-of-week seasonality index per event type (the STL seasonal
+    // component, integer-exact): dow from the epoch-day congruence
+    // (days+4) mod 7 — NEVER an engine dayofweek builtin, whose origin
+    // differs across engines — and index_milli = mean(dow) over
+    // mean(all) cross-multiplied into one exact integer DIV:
+    // (n_dow · total_days · 1000) DIV (n_total · dow_days). One rollup
+    // per grain + a broadcast of per-type totals.
+    "agg_seasonality" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("x"))
+        .withColumn("dow", expr("(datediff(day, DATE'1970-01-01') + 4) % 7"))
+      val byDow = daily.groupBy("event_type", "dow")
+        .agg(sum("x").as("n_dow"), count(lit(1)).as("dow_days"))
+      val tot = daily.groupBy("event_type")
+        .agg(sum("x").as("n_total"), count(lit(1)).as("total_days"))
+      byDow.join(broadcast(tot), "event_type")
+        .select(col("event_type"), col("dow").cast("bigint").as("dow"),
+          col("n_dow"), col("dow_days"),
+          expr("(n_dow * total_days * 1000) DIV (n_total * dow_days)")
+            .as("index_milli"))
+        .orderBy("event_type", "dow")
     })
   )
 
@@ -778,6 +826,41 @@ object Analytics {
         |  FROM p)
         |SELECT event_type, n_days, peak AS peak_count, CAST(dd AS BIGINT) AS max_drawdown,
         |  strftime(day, '%Y-%m-%d') AS dd_day
-        |FROM s WHERE rn = 1 ORDER BY event_type""".stripMargin
+        |FROM s WHERE rn = 1 ORDER BY event_type""".stripMargin,
+
+    // Same string-head digit law, same published-constant expectations.
+    "agg_benford" ->
+      """WITH d AS (SELECT CAST(substring(CAST(CAST(o_totalprice * 100 AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit
+        |  FROM orders),
+        |g AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS n_obs FROM d GROUP BY 1),
+        |t AS (SELECT CAST(SUM(n_obs) AS BIGINT) AS n_total FROM g)
+        |SELECT digit, n_obs,
+        |  (n_obs * 1000000) // n_total AS obs_ppm,
+        |  CAST(CASE digit WHEN 1 THEN 301029 WHEN 2 THEN 176091
+        |    WHEN 3 THEN 124938 WHEN 4 THEN 96910 WHEN 5 THEN 79181
+        |    WHEN 6 THEN 66946 WHEN 7 THEN 57991 WHEN 8 THEN 51152
+        |    ELSE 45757 END AS BIGINT) AS expected_ppm,
+        |  (n_obs * 1000000) // n_total - CASE digit WHEN 1 THEN 301029
+        |    WHEN 2 THEN 176091 WHEN 3 THEN 124938 WHEN 4 THEN 96910
+        |    WHEN 5 THEN 79181 WHEN 6 THEN 66946 WHEN 7 THEN 57991
+        |    WHEN 8 THEN 51152 ELSE 45757 END AS dev_ppm
+        |FROM g, t ORDER BY digit""".stripMargin,
+
+    // Same epoch-day congruence, same cross-multiplied index.
+    "agg_seasonality" ->
+      """WITH daily AS MATERIALIZED (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2),
+        |dw AS (SELECT event_type, day, x,
+        |    (CAST(date_diff('day', DATE '1970-01-01', day) AS BIGINT) + 4) % 7 AS dow
+        |  FROM daily),
+        |bydow AS (SELECT event_type, dow, CAST(SUM(x) AS BIGINT) AS n_dow,
+        |    CAST(COUNT(*) AS BIGINT) AS dow_days FROM dw GROUP BY 1, 2),
+        |tot AS (SELECT event_type, CAST(SUM(x) AS BIGINT) AS n_total,
+        |    CAST(COUNT(*) AS BIGINT) AS total_days FROM dw GROUP BY 1)
+        |SELECT event_type, dow, n_dow, dow_days,
+        |  (n_dow * total_days * 1000) // (n_total * dow_days) AS index_milli
+        |FROM bydow JOIN tot USING (event_type)
+        |ORDER BY event_type, dow""".stripMargin
   )
 }

@@ -608,6 +608,45 @@ object GraphOps {
         steps += walk
       }
       steps.reduce(_ unionAll _).orderBy("start", "step")
+    }),
+
+    // Weighted modularity of the REGION partition over the trade backbone
+    // — the community-quality score that tells a pipeline whether a
+    // partition (here the geographic one) explains the graph's weight:
+    // Q_c = in_c/m − (deg_c/2m)², emitted as the EXACT integer pair
+    // (q_num, q_den) = (4·m·in_c − deg_c², 4·m²) plus ONE shared-IEEE
+    // division — no rational ever rounds before the hash. in_c from one
+    // intra-community filter, deg_c from the bi-directed degree rollup;
+    // nodes with no backbone edge contribute zero through the left join.
+    // At 100 TB the three rollups are keyed and the totals broadcast.
+    "graph_modularity" -> ((s, d) => {
+      val hw = heavyBackboneW(s, d)
+        .select(col("a").cast("bigint").as("a"), col("b").cast("bigint").as("b"), col("w"))
+      val m = hw.agg(sum("w").as("m"))
+      val reg = Tables.nation(s, d)
+        .select(col("n_nationkey").cast("bigint").as("node"),
+          col("n_regionkey").cast("bigint").as("region"))
+      val deg = hw.select(col("a").as("node"), col("w"))
+        .unionAll(hw.select(col("b").as("node"), col("w")))
+        .groupBy("node").agg(sum("w").as("dw"))
+      val degC = reg.join(deg, Seq("node"), "left")
+        .groupBy("region")
+        .agg(count(lit(1)).as("n_nodes"),
+          sum(coalesce(col("dw"), lit(0L))).as("deg_w"))
+      val inC = hw
+        .join(reg.select(col("node").as("a"), col("region").as("ra")), Seq("a"))
+        .join(reg.select(col("node").as("b"), col("region").as("rb")), Seq("b"))
+        .where(col("ra") === col("rb"))
+        .groupBy(col("ra").as("region")).agg(sum("w").as("in_w"))
+      degC.join(inC, Seq("region"), "left")
+        .crossJoin(broadcast(m))
+        .withColumn("in_w", coalesce(col("in_w"), lit(0L)))
+        .withColumn("q_num", expr("4 * m * in_w - deg_w * deg_w"))
+        .withColumn("q_den", expr("4 * m * m"))
+        .select(col("region"), col("n_nodes"), col("in_w"), col("deg_w"),
+          col("q_num"), col("q_den"),
+          (col("q_num").cast("double") / col("q_den").cast("double")).as("q"))
+        .orderBy("region")
     })
   )
 
@@ -962,6 +1001,34 @@ object GraphOps {
          |$hops
          |SELECT start, node, step FROM ($union)
          |ORDER BY start, step""".stripMargin
-    }
+    },
+
+    // Same exact integer (q_num, q_den) pair, same single division.
+    "graph_modularity" ->
+      s"""WITH $EdgesCte,
+         |$HeavyWCte,
+         |m AS (SELECT CAST(SUM(w) AS BIGINT) AS m FROM hw),
+         |reg AS (SELECT CAST(n_nationkey AS BIGINT) AS node,
+         |    CAST(n_regionkey AS BIGINT) AS region FROM nation),
+         |deg AS (SELECT node, CAST(SUM(w) AS BIGINT) AS dw FROM (
+         |    SELECT CAST(a AS BIGINT) AS node, w FROM hw
+         |    UNION ALL SELECT CAST(b AS BIGINT), w FROM hw)
+         |  GROUP BY 1),
+         |degc AS (SELECT region, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+         |    CAST(SUM(COALESCE(dw, 0)) AS BIGINT) AS deg_w
+         |  FROM reg LEFT JOIN deg USING (node) GROUP BY 1),
+         |inc AS (SELECT ra.region, CAST(SUM(w) AS BIGINT) AS in_w
+         |  FROM hw
+         |  JOIN reg ra ON ra.node = CAST(hw.a AS BIGINT)
+         |  JOIN reg rb ON rb.node = CAST(hw.b AS BIGINT)
+         |  WHERE ra.region = rb.region GROUP BY 1)
+         |SELECT degc.region, n_nodes,
+         |  CAST(COALESCE(in_w, 0) AS BIGINT) AS in_w, deg_w,
+         |  CAST(4 * m * COALESCE(in_w, 0) - deg_w * deg_w AS BIGINT) AS q_num,
+         |  CAST(4 * m * m AS BIGINT) AS q_den,
+         |  CAST(4 * m * COALESCE(in_w, 0) - deg_w * deg_w AS DOUBLE)
+         |    / CAST(4 * m * m AS DOUBLE) AS q
+         |FROM degc LEFT JOIN inc ON inc.region = degc.region, m
+         |ORDER BY degc.region""".stripMargin
   )
 }

@@ -629,6 +629,29 @@ object LlmPrep {
         .groupBy("lang", "source", "len_bucket", "released")
         .agg(sum("n").as("n_docs"), count(lit(1)).as("n_groups"))
         .orderBy("lang", "source", "len_bucket")
+    }),
+
+    // N-gram novelty curve — how much of each doc is UNSEEN in all
+    // earlier docs (doc_id order = ingest order): a trigram's first
+    // owner is min(doc_id) over its occurrence set (one window over the
+    // shingle exchange — no second join back), a doc's novelty is the
+    // ppm of its distinct trigrams it owns first. The curve every
+    // dedup/curation pass watches: falling novelty = the corpus is
+    // repeating itself. Same shingle law as llm_dedup_minhash; docs
+    // under 3 tokens have no trigrams and drop in both engines.
+    "llm_ngram_novelty" -> ((s, d) => {
+      val sh = Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("t"))
+        .where(size(col("t")) > 2)
+        .select(col("doc_id"), explode(array_distinct(expr(
+          "transform(sequence(0, size(t) - 3), i -> concat_ws(' ', t[i], t[i+1], t[i+2]))"
+        ))).as("s"))
+      sh.withColumn("first_doc", min("doc_id").over(Window.partitionBy("s")))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_shingles"),
+          sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
+        .withColumn("novelty_ppm", expr("(n_novel * 1000000) DIV n_shingles"))
+        .orderBy("doc_id")
     })
   )
 
@@ -1007,6 +1030,22 @@ object LlmPrep {
         |SELECT lang, source, len_bucket, released,
         |  CAST(SUM(n) AS BIGINT) AS n_docs, CAST(COUNT(*) AS BIGINT) AS n_groups
         |FROM m GROUP BY 1, 2, 3, 4
-        |ORDER BY lang, source, len_bucket""".stripMargin
+        |ORDER BY lang, source, len_bucket""".stripMargin,
+
+    // Same shingle law, same first-owner window, same exact ppm.
+    "llm_ngram_novelty" ->
+      """WITH dd AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        |         generate_series(1, len(t) - 2), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS s
+        |       FROM dd),
+        |f AS (SELECT doc_id, s,
+        |    CAST(MIN(doc_id) OVER (PARTITION BY s) AS BIGINT) AS first_doc
+        |  FROM sh),
+        |g AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles,
+        |    CAST(SUM(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
+        |  FROM f GROUP BY 1)
+        |SELECT doc_id, n_shingles, n_novel,
+        |  (n_novel * 1000000) // n_shingles AS novelty_ppm
+        |FROM g ORDER BY doc_id""".stripMargin
   )
 }
