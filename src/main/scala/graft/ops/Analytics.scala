@@ -492,7 +492,7 @@ object Analytics {
         "WHEN 6 THEN 66946 WHEN 7 THEN 57991 WHEN 8 THEN 51152 ELSE 45757 END AS BIGINT)"
       val digits = Tables.orders(s, d)
         .select(expr(
-          "CAST(substring(CAST(CAST(o_totalprice * 100 AS BIGINT) AS STRING), 1, 1) AS BIGINT)")
+          "CAST(substring(CAST(CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 100 AS BIGINT) AS STRING), 1, 1) AS BIGINT)")
           .as("digit"))
         .groupBy("digit").agg(count(lit(1)).as("n_obs"))
       digits.crossJoin(broadcast(digits.agg(sum("n_obs").as("n_total"))))
@@ -525,6 +525,69 @@ object Analytics {
           expr("(n_dow * total_days * 1000) DIV (n_total * dow_days)")
             .as("index_milli"))
         .orderBy("event_type", "dow")
+    }),
+
+    // Gini coefficient of order value per customer region — the
+    // inequality metric every spend/usage report carries: on integer
+    // cents ranked inside each region (rank order within ties is
+    // irrelevant — equal x makes Σi·x tie-invariant), G = (2Σi·x −
+    // (n+1)Σx) / (n·Σx), emitted as the EXACT (g_num, g_den) BIGINT pair
+    // + one shared-IEEE division. One fact-dim join (nation/region
+    // broadcast via customer), one per-region window, one rollup.
+    "agg_gini" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"),
+          expr("CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 100 AS BIGINT)").as("cents"))
+        .join(Tables.customer(s, d).select("c_custkey", "c_nationkey"),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, d).select(
+          col("n_nationkey"), col("n_regionkey").cast("bigint").as("region"))),
+          col("c_nationkey") === col("n_nationkey"))
+      o.withColumn("i", row_number().over(
+          Window.partitionBy("region").orderBy("cents", "o_orderkey")).cast("bigint"))
+        .groupBy("region")
+        .agg(count(lit(1)).as("n_orders"), sum("cents").as("sum_cents"),
+          sum(expr("i * cents")).as("sum_ix"))
+        .withColumn("g_num", expr("2 * sum_ix - (n_orders + 1) * sum_cents"))
+        .withColumn("g_den", expr("n_orders * sum_cents"))
+        .select(col("region"), col("n_orders"), col("sum_cents"),
+          col("g_num"), col("g_den"),
+          (col("g_num").cast("double") / col("g_den").cast("double")).as("gini"))
+        .orderBy("region")
+    }),
+
+    // 7-day rolling correlation between the view and purchase daily
+    // series — the co-movement monitor beside win_ewma/win_acf: both
+    // series' counts are exact integers, the rolling frame accumulates
+    // exact sums (every product < 2⁵³, so the double casts are lossless),
+    // and r = (n·Sxy − Sx·Sy)/(√(n·Sxx−Sx²)·√(n·Syy−Sy²)) uses only
+    // division and IEEE-correctly-rounded sqrt — engine-identical. The
+    // global window runs over the per-DAY aggregate (calendar-bounded,
+    // the win_sliding_frame law), never over raw events.
+    "win_rolling_corr" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+        .agg(count(lit(1)).as("c"))
+      val x = daily.where(col("event_type") === "view").select(col("day"), col("c").as("x"))
+      val y = daily.where(col("event_type") === "purchase").select(col("day"), col("c").as("y"))
+      val w = Window.orderBy("day").rowsBetween(-6, Window.currentRow)
+      x.join(y, Seq("day"))
+        .withColumn("n", count(lit(1)).over(w))
+        .withColumn("sx", sum("x").over(w)).withColumn("sy", sum("y").over(w))
+        .withColumn("sxy", sum(expr("x * y")).over(w))
+        .withColumn("sxx", sum(expr("x * x")).over(w))
+        .withColumn("syy", sum(expr("y * y")).over(w))
+        .where(col("n") === 7)
+        .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("n"), col("sx"), col("sy"), col("sxy"),
+          // zero-variance windows yield NULL, not a NaN whose propagation
+          // rules could differ between engines
+          expr("""CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+                 THEN CAST(n * sxy - sx * sy AS DOUBLE)
+                   / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                      * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+                 ELSE NULL END""").as("r"))
+        .orderBy("day")
     })
   )
 
@@ -830,7 +893,7 @@ object Analytics {
 
     // Same string-head digit law, same published-constant expectations.
     "agg_benford" ->
-      """WITH d AS (SELECT CAST(substring(CAST(CAST(o_totalprice * 100 AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit
+      """WITH d AS (SELECT CAST(substring(CAST(CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 100 AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit
         |  FROM orders),
         |g AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS n_obs FROM d GROUP BY 1),
         |t AS (SELECT CAST(SUM(n_obs) AS BIGINT) AS n_total FROM g)
@@ -861,6 +924,51 @@ object Analytics {
         |SELECT event_type, dow, n_dow, dow_days,
         |  (n_dow * total_days * 1000) // (n_total * dow_days) AS index_milli
         |FROM bydow JOIN tot USING (event_type)
-        |ORDER BY event_type, dow""".stripMargin
+        |ORDER BY event_type, dow""".stripMargin,
+
+    // Same cents ranks (tie-invariant), same exact pair + one division.
+    "agg_gini" ->
+      """WITH o AS (SELECT o_orderkey, n_regionkey AS region,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 100 AS BIGINT) AS cents
+        |  FROM orders
+        |  JOIN customer ON c_custkey = o_custkey
+        |  JOIN nation ON n_nationkey = c_nationkey),
+        |r AS (SELECT CAST(region AS BIGINT) AS region, cents,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY region ORDER BY cents, o_orderkey) AS BIGINT) AS i
+        |  FROM o),
+        |g AS (SELECT region, CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |    CAST(SUM(cents) AS BIGINT) AS sum_cents,
+        |    CAST(SUM(i * cents) AS BIGINT) AS sum_ix
+        |  FROM r GROUP BY 1)
+        |SELECT region, n_orders, sum_cents,
+        |  CAST(2 * sum_ix - (n_orders + 1) * sum_cents AS BIGINT) AS g_num,
+        |  CAST(n_orders * sum_cents AS BIGINT) AS g_den,
+        |  CAST(2 * sum_ix - (n_orders + 1) * sum_cents AS DOUBLE)
+        |    / CAST(n_orders * sum_cents AS DOUBLE) AS gini
+        |FROM g ORDER BY region""".stripMargin,
+
+    // Same exact rolling sums, same guarded sqrt/division tree.
+    "win_rolling_corr" ->
+      """WITH daily AS MATERIALIZED (
+        |  SELECT CAST(ts AS DATE) AS day, event_type, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2),
+        |xy AS (SELECT x.day, x.c AS x, y.c AS y
+        |  FROM (SELECT day, c FROM daily WHERE event_type = 'view') x
+        |  JOIN (SELECT day, c FROM daily WHERE event_type = 'purchase') y USING (day)),
+        |w AS (SELECT day,
+        |    CAST(COUNT(*) OVER f AS BIGINT) AS n,
+        |    CAST(SUM(x) OVER f AS BIGINT) AS sx, CAST(SUM(y) OVER f AS BIGINT) AS sy,
+        |    CAST(SUM(x * y) OVER f AS BIGINT) AS sxy,
+        |    CAST(SUM(x * x) OVER f AS BIGINT) AS sxx,
+        |    CAST(SUM(y * y) OVER f AS BIGINT) AS syy
+        |  FROM xy
+        |  WINDOW f AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+        |SELECT strftime(day, '%Y-%m-%d') AS day, n, sx, sy, sxy,
+        |  CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+        |    THEN CAST(n * sxy - sx * sy AS DOUBLE)
+        |      / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+        |         * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+        |    ELSE NULL END AS r
+        |FROM w WHERE n = 7 ORDER BY day""".stripMargin
   )
 }

@@ -647,6 +647,30 @@ object GraphOps {
           col("q_num"), col("q_den"),
           (col("q_num").cast("double") / col("q_den").cast("double")).as("q"))
         .orderBy("region")
+    }),
+
+    // Degree assortativity of the backbone — do high-degree nodes link to
+    // high-degree nodes? Pearson r over the directed edge list's endpoint
+    // degree pairs (x, y). Because the list holds both orientations the
+    // marginals coincide (Σx = Σy, Σx² = Σy²), so r = (n·Σxy − Σx·Σy) /
+    // (n·Σx² − (Σx)²) — an EXACT integer num/den pair plus one shared-
+    // IEEE division, no sqrt at all. One degree rollup + one keyed join
+    // per endpoint + a scalar aggregate; the constant output row is the
+    // whole shuffle footprint at any scale.
+    "graph_assortativity" -> ((s, d) => {
+      val heavy = heavyBackbone(s, d)
+      val bi = heavy.select(col("a").cast("bigint").as("src"), col("b").cast("bigint").as("dst"))
+        .unionAll(heavy.select(col("b").cast("bigint").as("src"), col("a").cast("bigint").as("dst")))
+      val deg = bi.groupBy("src").agg(count(lit(1)).as("deg"))
+      bi.join(deg.select(col("src"), col("deg").as("x")), Seq("src"))
+        .join(deg.select(col("src").as("dst"), col("deg").as("y")), Seq("dst"))
+        .agg(count(lit(1)).as("n_edges"), sum("x").as("sum_x"),
+          sum(expr("x * y")).as("sum_xy"), sum(expr("x * x")).as("sum_x2"))
+        .withColumn("r_num", expr("n_edges * sum_xy - sum_x * sum_x"))
+        .withColumn("r_den", expr("n_edges * sum_x2 - sum_x * sum_x"))
+        .select(col("n_edges"), col("sum_x"), col("sum_xy"), col("sum_x2"),
+          col("r_num"), col("r_den"),
+          (col("r_num").cast("double") / col("r_den").cast("double")).as("r"))
     })
   )
 
@@ -1029,6 +1053,25 @@ object GraphOps {
          |  CAST(4 * m * COALESCE(in_w, 0) - deg_w * deg_w AS DOUBLE)
          |    / CAST(4 * m * m AS DOUBLE) AS q
          |FROM degc LEFT JOIN inc ON inc.region = degc.region, m
-         |ORDER BY degc.region""".stripMargin
+         |ORDER BY degc.region""".stripMargin,
+
+    // Same symmetric-marginal identity, same exact pair + one division.
+    "graph_assortativity" ->
+      s"""WITH $EdgesCte,
+         |$HeavyCte,
+         |bi AS MATERIALIZED (SELECT CAST(a AS BIGINT) AS src, CAST(b AS BIGINT) AS dst FROM h
+         |       UNION ALL SELECT CAST(b AS BIGINT), CAST(a AS BIGINT) FROM h),
+         |deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM bi GROUP BY 1),
+         |e AS (SELECT dx.deg AS x, dy.deg AS y
+         |  FROM bi JOIN deg dx ON dx.src = bi.src JOIN deg dy ON dy.src = bi.dst),
+         |s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges,
+         |    CAST(SUM(x) AS BIGINT) AS sum_x, CAST(SUM(x * y) AS BIGINT) AS sum_xy,
+         |    CAST(SUM(x * x) AS BIGINT) AS sum_x2 FROM e)
+         |SELECT n_edges, sum_x, sum_xy, sum_x2,
+         |  CAST(n_edges * sum_xy - sum_x * sum_x AS BIGINT) AS r_num,
+         |  CAST(n_edges * sum_x2 - sum_x * sum_x AS BIGINT) AS r_den,
+         |  CAST(n_edges * sum_xy - sum_x * sum_x AS DOUBLE)
+         |    / CAST(n_edges * sum_x2 - sum_x * sum_x AS DOUBLE) AS r
+         |FROM s""".stripMargin
   )
 }

@@ -652,7 +652,27 @@ object LlmPrep {
           sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
         .withColumn("novelty_ppm", expr("(n_novel * 1000000) DIV n_shingles"))
         .orderBy("doc_id")
-    })
+    }),
+
+    // Feature hashing (the sklearn HashingVectorizer / Vowpal-Wabbit
+    // trick — fixed-width feature vectors with NO vocabulary state): a
+    // token lands in bucket h mod 16 with sign (−1)^bit from an
+    // independent hash bit, so collisions cancel in expectation; per
+    // (doc, bucket) the signed sum IS the feature value. The md5-integer
+    // law is the engine-shared randomness, so both sides build the
+    // identical vectors. Pure scan-side projection + one (doc, bucket)
+    // rollup — stateless, which is exactly why the trick scales: no
+    // vocab broadcast, no dictionary shuffle, 16→2²⁰ buckets is a
+    // constant change.
+    "llm_feature_hashing" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .withColumn("h", expr("CAST(conv(substring(md5(w), 1, 8), 16, 10) AS BIGINT)"))
+        .select(col("doc_id"), (col("h") % 16).as("bucket"),
+          expr("CAST(CASE WHEN (h DIV 16) % 2 = 0 THEN 1 ELSE -1 END AS BIGINT)").as("sgn"))
+        .groupBy("doc_id", "bucket")
+        .agg(count(lit(1)).as("n_tokens"), sum("sgn").as("feat"))
+        .orderBy("doc_id", "bucket"))
   )
 
   val queries: Map[String, Q] =
@@ -1046,6 +1066,18 @@ object LlmPrep {
         |  FROM f GROUP BY 1)
         |SELECT doc_id, n_shingles, n_novel,
         |  (n_novel * 1000000) // n_shingles AS novelty_ppm
-        |FROM g ORDER BY doc_id""".stripMargin
+        |FROM g ORDER BY doc_id""".stripMargin,
+
+    // Same bucket/sign hash law, same signed-sum features.
+    "llm_feature_hashing" ->
+      """WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+        |h AS (SELECT doc_id,
+        |    ('0x' || substring(md5(w), 1, 8))::BIGINT AS h FROM tk),
+        |f AS (SELECT doc_id, h % 16 AS bucket,
+        |    CAST(CASE WHEN (h // 16) % 2 = 0 THEN 1 ELSE -1 END AS BIGINT) AS sgn
+        |  FROM h)
+        |SELECT doc_id, bucket, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(sgn) AS BIGINT) AS feat
+        |FROM f GROUP BY 1, 2 ORDER BY doc_id, bucket""".stripMargin
   )
 }
