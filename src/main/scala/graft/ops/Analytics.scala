@@ -588,6 +588,73 @@ object Analytics {
                       * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
                  ELSE NULL END""").as("r"))
         .orderBy("day")
+    }),
+
+    // Two-sample Kolmogorov–Smirnov drift statistic — the train/serve
+    // skew detector: D = max |F₁ − F₂| over order-value cents of the
+    // 'F' vs 'O' populations, computed EXACTLY as max |cum₁·n₂ − cum₂·n₁|
+    // over (n₁·n₂). The CDF prefix sums are BANDED two-phase (the
+    // win_range_frame law): per-value rollup → per-band running sums +
+    // carry-in offsets from the tiny band-total frame — no global
+    // single-task sort ever exists; at 100 TB bands shard the value
+    // domain and only the band-count-sized offset frame is serial.
+    "agg_ks_drift" -> ((s, d) => {
+      val v = Tables.orders(s, d)
+        .where(col("o_orderstatus").isin("F", "O"))
+        .select(expr("CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 100 AS BIGINT)").as("cents"),
+          col("o_orderstatus").as("grp"))
+        .groupBy("cents")
+        .agg(sum(when(col("grp") === "F", 1L).otherwise(0L)).as("c1"),
+          sum(when(col("grp") === "O", 1L).otherwise(0L)).as("c2"))
+        .withColumn("band", expr("cents DIV 2000000"))
+      val bandTot = v.groupBy("band").agg(sum("c1").as("b1"), sum("c2").as("b2"))
+        .withColumn("off1", coalesce(sum("b1").over(
+          Window.orderBy("band").rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .withColumn("off2", coalesce(sum("b2").over(
+          Window.orderBy("band").rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select("band", "off1", "off2")
+      val wb = Window.partitionBy("band").orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cdf = v.join(broadcast(bandTot), "band")
+        .withColumn("cum1", col("off1") + sum("c1").over(wb))
+        .withColumn("cum2", col("off2") + sum("c2").over(wb))
+      cdf.crossJoin(broadcast(cdf.agg(max("cum1").as("n1"), max("cum2").as("n2"))))
+        .withColumn("diff", abs(col("cum1") * col("n2") - col("cum2") * col("n1")))
+        .withColumn("rn", row_number().over(
+          Window.orderBy(desc("diff"), col("cents"))))
+        .where(col("rn") === 1)
+        .select(col("n1"), col("n2"), col("cents").as("at_cents"),
+          col("diff").as("d_num"), (col("n1") * col("n2")).as("d_den"),
+          (col("diff").cast("double") / (col("n1") * col("n2")).cast("double")).as("d"))
+    }),
+
+    // Chi-square of independence between market segment and order
+    // priority — is the mix independent? Per contingency cell the engine
+    // keeps the deviation obs·N − row·col as an EXACT BIGINT (the square
+    // would overflow int64 past ~sf0.1, so it is formed in doubles on a
+    // value < 2⁵³ — lossless, engine-identical) and divides once by the
+    // exact N·row·col. Never a cross-denominator double SUM whose
+    // addition order could differ. One fact-dim join (customer broadcast
+    // at fixture scale, co-partitioned at 100 TB), one cell rollup, two
+    // tiny marginal broadcasts.
+    "agg_chisq" -> ((s, d) => {
+      val cells = Tables.orders(s, d)
+        .join(Tables.customer(s, d).select("c_custkey", "c_mktsegment"),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment").as("segment"),
+          col("o_orderpriority").as("priority"))
+        .agg(count(lit(1)).as("obs"))
+      val rowT = cells.groupBy("segment").agg(sum("obs").as("row_tot"))
+      val colT = cells.groupBy("priority").agg(sum("obs").as("col_tot"))
+      val n = cells.agg(sum("obs").as("n"))
+      cells.join(broadcast(rowT), "segment").join(broadcast(colT), "priority")
+        .crossJoin(broadcast(n))
+        .withColumn("dev", expr("obs * n - row_tot * col_tot"))
+        .select(col("segment"), col("priority"), col("obs"),
+          col("row_tot"), col("col_tot"), col("dev"),
+          expr("""CAST(dev AS DOUBLE) * CAST(dev AS DOUBLE)
+                 / CAST(n * row_tot * col_tot AS DOUBLE)""").as("chi_cell"))
+        .orderBy("segment", "priority")
     })
   )
 
@@ -969,6 +1036,57 @@ object Analytics {
         |      / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
         |         * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
         |    ELSE NULL END AS r
-        |FROM w WHERE n = 7 ORDER BY day""".stripMargin
+        |FROM w WHERE n = 7 ORDER BY day""".stripMargin,
+
+    // Same per-value rollup, banded prefix sums, and exact cross-
+    // multiplied max pick.
+    "agg_ks_drift" ->
+      """WITH v AS MATERIALIZED (
+        |  SELECT CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 100 AS BIGINT) AS cents,
+        |    CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+        |    CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS c2
+        |  FROM orders WHERE o_orderstatus IN ('F', 'O') GROUP BY 1),
+        |b AS (SELECT cents, c1, c2, cents // 2000000 AS band FROM v),
+        |bt AS (SELECT band, CAST(SUM(c1) AS BIGINT) AS b1,
+        |    CAST(SUM(c2) AS BIGINT) AS b2 FROM b GROUP BY 1),
+        |off AS (SELECT band,
+        |    CAST(COALESCE(SUM(b1) OVER (ORDER BY band
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off1,
+        |    CAST(COALESCE(SUM(b2) OVER (ORDER BY band
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off2
+        |  FROM bt),
+        |cdf AS (SELECT b.cents,
+        |    off1 + CAST(SUM(c1) OVER (PARTITION BY b.band ORDER BY cents
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum1,
+        |    off2 + CAST(SUM(c2) OVER (PARTITION BY b.band ORDER BY cents
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum2
+        |  FROM b JOIN off USING (band)),
+        |t AS (SELECT CAST(MAX(cum1) AS BIGINT) AS n1,
+        |    CAST(MAX(cum2) AS BIGINT) AS n2 FROM cdf),
+        |s AS (SELECT cents, cum1, cum2, n1, n2,
+        |    CAST(abs(cum1 * n2 - cum2 * n1) AS BIGINT) AS diff,
+        |    ROW_NUMBER() OVER (ORDER BY abs(cum1 * n2 - cum2 * n1) DESC, cents) AS rn
+        |  FROM cdf, t)
+        |SELECT n1, n2, cents AS at_cents, diff AS d_num,
+        |  CAST(n1 * n2 AS BIGINT) AS d_den,
+        |  CAST(diff AS DOUBLE) / CAST(n1 * n2 AS DOUBLE) AS d
+        |FROM s WHERE rn = 1""".stripMargin,
+
+    // Same exact deviation, same lossless double square, one division.
+    "agg_chisq" ->
+      """WITH cells AS (SELECT c_mktsegment AS segment, o_orderpriority AS priority,
+        |    CAST(COUNT(*) AS BIGINT) AS obs
+        |  FROM orders JOIN customer ON c_custkey = o_custkey
+        |  GROUP BY 1, 2),
+        |r AS (SELECT segment, CAST(SUM(obs) AS BIGINT) AS row_tot FROM cells GROUP BY 1),
+        |c AS (SELECT priority, CAST(SUM(obs) AS BIGINT) AS col_tot FROM cells GROUP BY 1),
+        |t AS (SELECT CAST(SUM(obs) AS BIGINT) AS n FROM cells)
+        |SELECT segment, priority, obs, row_tot, col_tot,
+        |  CAST(obs * n - row_tot * col_tot AS BIGINT) AS dev,
+        |  CAST(obs * n - row_tot * col_tot AS DOUBLE)
+        |    * CAST(obs * n - row_tot * col_tot AS DOUBLE)
+        |    / CAST(n * row_tot * col_tot AS DOUBLE) AS chi_cell
+        |FROM cells JOIN r USING (segment) JOIN c USING (priority), t
+        |ORDER BY segment, priority""".stripMargin
   )
 }

@@ -675,8 +675,39 @@ object LlmPrep {
         .orderBy("doc_id", "bucket"))
   )
 
+  /** Scene-cut hamming threshold (bits of the 8-bit frame fingerprint
+    * that must differ before a frame starts a new shot). */
+  private val SceneCutBits = 5
+
+  private val wave10Queries: Map[String, Q] = Map(
+    // Video scene-cut detection over the stubbed codec (the shot-
+    // boundary stage of a video ingest — every clip pipeline segments
+    // before captioning/embedding): frames are the 32-byte stride-1
+    // windows of the doc's byte stream (mm_frame_sample's geometry),
+    // each fingerprints to 8 bits of its md5, and a frame opens a new
+    // shot when its fingerprint's hamming distance to the PREVIOUS frame
+    // reaches the threshold — the feature-delta law real detectors apply
+    // to histogram/embedding deltas, on deterministic features both
+    // engines share. One per-doc lag window over a projection; fan-out
+    // bounded by frame count.
+    "mm_scene_cut" -> ((s, d) =>
+      Tables.documents(s, d).where(col("doc_id") % 20 === 0)
+        .select(col("doc_id"), col("text"), length(col("text")).as("len"))
+        .withColumn("frame_idx",
+          explode(expr(s"sequence(0, CAST((len + ${FrameLen - 1}) DIV $FrameLen AS INT) - 1)")))
+        .withColumn("fp", expr(
+          s"CAST(conv(substring(md5(CAST(substring(text, frame_idx * $FrameLen + 1, $FrameLen) AS BINARY)), 1, 2), 16, 10) AS BIGINT)"))
+        .withColumn("prev_fp", lag("fp", 1).over(
+          Window.partitionBy("doc_id").orderBy("frame_idx")))
+        .withColumn("hd", expr("CAST(bit_count(fp ^ prev_fp) AS BIGINT)"))
+        .where(col("hd") >= SceneCutBits)
+        .select(col("doc_id"), col("frame_idx").cast("bigint").as("frame_idx"),
+          col("fp"), col("prev_fp"), col("hd"))
+        .orderBy("doc_id", "frame_idx"))
+  )
+
   val queries: Map[String, Q] =
-    mainQueries ++ extraQueries ++ shardQueries ++ wave6Queries
+    mainQueries ++ extraQueries ++ shardQueries ++ wave6Queries ++ wave10Queries
 
   val oracles: Map[String, String] = Map(
     // The bucket rollup replayed; the global max is a scalar subquery.
@@ -1078,6 +1109,21 @@ object LlmPrep {
         |  FROM h)
         |SELECT doc_id, bucket, CAST(COUNT(*) AS BIGINT) AS n_tokens,
         |  CAST(SUM(sgn) AS BIGINT) AS feat
-        |FROM f GROUP BY 1, 2 ORDER BY doc_id, bucket""".stripMargin
+        |FROM f GROUP BY 1, 2 ORDER BY doc_id, bucket""".stripMargin,
+
+    // Same frame geometry, same 8-bit fingerprint, same lag threshold.
+    "mm_scene_cut" ->
+      """WITH d AS (SELECT doc_id, text, length(text) AS len
+        |  FROM documents WHERE doc_id % 20 = 0),
+        |f AS (SELECT doc_id, i AS frame_idx,
+        |    ('0x' || substring(md5(substring(text, i * 32 + 1, 32)), 1, 2))::BIGINT AS fp
+        |  FROM d, LATERAL (SELECT unnest(range(0, CAST((len + 31) // 32 AS INT))) AS i)),
+        |l AS (SELECT doc_id, frame_idx, fp,
+        |    LAG(fp) OVER (PARTITION BY doc_id ORDER BY frame_idx) AS prev_fp
+        |  FROM f)
+        |SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx, fp, prev_fp,
+        |  CAST(bit_count(xor(fp, prev_fp)) AS BIGINT) AS hd
+        |FROM l WHERE bit_count(xor(fp, prev_fp)) >= 5
+        |ORDER BY doc_id, frame_idx""".stripMargin
   )
 }

@@ -839,6 +839,44 @@ object Relational {
           |ORDER BY c_custkey""".stripMargin)
     }),
 
+    // As-of join, NEAREST direction — pandas merge_asof(direction=
+    // 'nearest'), completing the backward/forward/tolerance family: one
+    // backward and one forward pass on the SAME native merge operator
+    // (forward via the negation trick), full-outer-combined per purchase,
+    // winner = smaller absolute gap, ties to backward (the pandas rule).
+    // Two one-exchange merge plans + one keyed combine join — never a
+    // widened range-join candidate set.
+    "join_asof_nearest" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      def side(t: String) = e.where(col("event_type") === t)
+        .select(col("event_id"), col("user_id"), col("ts_us"))
+      val bwd = org.apache.spark.sql.graftbridge.AsOfJoinApi
+        .asof(s, side("purchase"), side("view"))
+        .select(col("l_id").as("p_id"), col("k").as("user_id"),
+          col("l_ts").as("p_ts"), col("r_id").as("b_vid"),
+          (col("l_ts") - col("r_ts")).as("b_gap"))
+      val p2 = side("purchase").select(col("event_id"), col("user_id"),
+        (-col("ts_us")).as("ts_us"))
+      val v2 = side("view").select(col("event_id"), col("user_id"),
+        (-col("ts_us")).as("ts_us"))
+      val fwd = org.apache.spark.sql.graftbridge.AsOfJoinApi.asof(s, p2, v2)
+        .select(col("l_id").as("p_id"), col("k").as("f_user_id"),
+          (-col("l_ts")).as("f_pts"), col("r_id").as("f_vid"),
+          (col("l_ts") - col("r_ts")).as("f_gap"))
+      bwd.join(fwd, Seq("p_id"), "full_outer")
+        .select(col("p_id"),
+          coalesce(col("user_id"), col("f_user_id")).as("user_id"),
+          fmtTs(timestamp_micros(coalesce(col("p_ts"), col("f_pts")))).as("p_ts"),
+          when(col("f_gap").isNull || (col("b_gap").isNotNull && col("b_gap") <= col("f_gap")),
+            lit("backward")).otherwise(lit("forward")).as("direction"),
+          when(col("f_gap").isNull || (col("b_gap").isNotNull && col("b_gap") <= col("f_gap")),
+            col("b_vid")).otherwise(col("f_vid")).as("v_id"),
+          least(coalesce(col("b_gap"), lit(Long.MaxValue)),
+            coalesce(col("f_gap"), lit(Long.MaxValue)))
+            .as("gap_us"))
+        .orderBy("p_id")
+    }),
+
     // Quantified comparisons — x > ALL(S) / x > ANY(S) per customer
     // against their nation's supplier balances. Spark SQL has no
     // ANY/ALL-subquery syntax, so the engine applies the textbook
@@ -1287,6 +1325,28 @@ object Relational {
         |              WHERE o.o_custkey = c.c_custkey
         |                AND o.o_totalprice > 490000)
         |ORDER BY c_custkey""".stripMargin,
+
+    // Two DuckDB ASOF passes combined by the same smaller-|gap| rule.
+    "join_asof_nearest" ->
+      """WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+        |v AS (SELECT * FROM events WHERE event_type = 'view'),
+        |b AS (SELECT p.event_id AS p_id, p.user_id, p.ts AS p_ts,
+        |    v.event_id AS b_vid, epoch_us(p.ts) - epoch_us(v.ts) AS b_gap
+        |  FROM p ASOF JOIN v ON p.user_id = v.user_id AND v.ts <= p.ts),
+        |f AS (SELECT p.event_id AS p_id, p.user_id AS f_user_id, p.ts AS f_pts,
+        |    v.event_id AS f_vid, epoch_us(v.ts) - epoch_us(p.ts) AS f_gap
+        |  FROM p ASOF JOIN v ON p.user_id = v.user_id AND v.ts >= p.ts)
+        |SELECT COALESCE(b.p_id, f.p_id) AS p_id,
+        |  COALESCE(b.user_id, f.f_user_id) AS user_id,
+        |  strftime(COALESCE(b.p_ts, f.f_pts), '%Y-%m-%d %H:%M:%S') AS p_ts,
+        |  CASE WHEN f.f_gap IS NULL OR (b.b_gap IS NOT NULL AND b.b_gap <= f.f_gap)
+        |    THEN 'backward' ELSE 'forward' END AS direction,
+        |  CASE WHEN f.f_gap IS NULL OR (b.b_gap IS NOT NULL AND b.b_gap <= f.f_gap)
+        |    THEN b.b_vid ELSE f.f_vid END AS v_id,
+        |  CAST(LEAST(COALESCE(b.b_gap, 9223372036854775807),
+        |    COALESCE(f.f_gap, 9223372036854775807)) AS BIGINT) AS gap_us
+        |FROM b FULL OUTER JOIN f ON b.p_id = f.p_id
+        |ORDER BY p_id""".stripMargin,
 
     // DuckDB's native quantifiers grade the engine's aggregate rewrite.
     "subquery_any_all" ->
