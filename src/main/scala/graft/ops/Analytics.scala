@@ -655,6 +655,28 @@ object Analytics {
           expr("""CAST(dev AS DOUBLE) * CAST(dev AS DOUBLE)
                  / CAST(n * row_tot * col_tot AS DOUBLE)""").as("chi_cell"))
         .orderBy("segment", "priority")
+    }),
+
+    // Total-variation distance between the priority mixes of the F and O
+    // order populations — the CATEGORICAL drift metric beside
+    // agg_ks_drift's ordinal D: TV = ½ Σ_c |p_c − q_c| computed entirely
+    // on cross-multiplied integers, Σ|c₁·n₂ − c₂·n₁| over 2·n₁·n₂ —
+    // exact to the last ppm, no float until the single final division.
+    // One category rollup + a broadcast of the two population totals.
+    "agg_tv_distance" -> ((s, d) => {
+      val c = Tables.orders(s, d)
+        .where(col("o_orderstatus").isin("F", "O"))
+        .groupBy(col("o_orderpriority").as("priority"))
+        .agg(sum(when(col("o_orderstatus") === "F", 1L).otherwise(0L)).as("c1"),
+          sum(when(col("o_orderstatus") === "O", 1L).otherwise(0L)).as("c2"))
+      c.crossJoin(broadcast(c.agg(sum("c1").as("n1"), sum("c2").as("n2"))))
+        .agg(count(lit(1)).as("n_categories"),
+          max("n1").as("n1"), max("n2").as("n2"),
+          sum(abs(col("c1") * col("n2") - col("c2") * col("n1"))).as("tv_num"))
+        .withColumn("tv_den", expr("2 * n1 * n2"))
+        .select(col("n_categories"), col("n1"), col("n2"),
+          col("tv_num"), col("tv_den"),
+          (col("tv_num").cast("double") / col("tv_den").cast("double")).as("tv"))
     })
   )
 
@@ -1087,6 +1109,21 @@ object Analytics {
         |    * CAST(obs * n - row_tot * col_tot AS DOUBLE)
         |    / CAST(n * row_tot * col_tot AS DOUBLE) AS chi_cell
         |FROM cells JOIN r USING (segment) JOIN c USING (priority), t
-        |ORDER BY segment, priority""".stripMargin
+        |ORDER BY segment, priority""".stripMargin,
+
+    // Same cross-multiplied integer TV, one final division.
+    "agg_tv_distance" ->
+      """WITH c AS (SELECT o_orderpriority AS priority,
+        |    CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+        |    CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS c2
+        |  FROM orders WHERE o_orderstatus IN ('F', 'O') GROUP BY 1),
+        |t AS (SELECT CAST(SUM(c1) AS BIGINT) AS n1, CAST(SUM(c2) AS BIGINT) AS n2 FROM c)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_categories,
+        |  CAST(MAX(n1) AS BIGINT) AS n1, CAST(MAX(n2) AS BIGINT) AS n2,
+        |  CAST(SUM(abs(c1 * n2 - c2 * n1)) AS BIGINT) AS tv_num,
+        |  CAST(2 * MAX(n1) * MAX(n2) AS BIGINT) AS tv_den,
+        |  CAST(SUM(abs(c1 * n2 - c2 * n1)) AS DOUBLE)
+        |    / CAST(2 * MAX(n1) * MAX(n2) AS DOUBLE) AS tv
+        |FROM c, t""".stripMargin
   )
 }

@@ -703,7 +703,46 @@ object LlmPrep {
         .where(col("hd") >= SceneCutBits)
         .select(col("doc_id"), col("frame_idx").cast("bigint").as("frame_idx"),
           col("fp"), col("prev_fp"), col("hd"))
-        .orderBy("doc_id", "frame_idx"))
+        .orderBy("doc_id", "frame_idx")),
+
+    // Stopword-density quality filter with a DATA-DERIVED stopword list:
+    // the corpus's 5 most frequent tokens (ordered-limit with (count
+    // DESC, token) tiebreak — TakeOrderedAndProject, never a full sort)
+    // are the de-facto stopwords, each doc reports its density against
+    // them in exact ppm, and the verdict flags boilerplate (density
+    // above 400‰ of tokens). Self-calibrating — no shipped wordlist to
+    // drift from the corpus language mix; the 5-row list broadcasts.
+    "llm_stopword_density" -> ((s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      val stop = toks.groupBy("w").agg(count(lit(1)).as("c"))
+        .orderBy(desc("c"), col("w")).limit(5)
+        .select(col("w").as("sw"))
+      toks.join(broadcast(stop), col("w") === col("sw"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(when(col("sw").isNotNull, 1L).otherwise(0L)).as("n_stop"))
+        .withColumn("density_ppm", expr("(n_stop * 1000000) DIV n_tokens"))
+        .withColumn("boilerplate", col("density_ppm") > 400000L)
+        .orderBy("doc_id")
+    }),
+
+    // Lexical diversity per language — type-token ratio and hapax share,
+    // the corpus-health panel beside llm_corpus_stats: TTR = distinct
+    // terms over running tokens (ppm), hapax = share of terms seen ONCE
+    // (high hapax + low TTR at scale = scraped boilerplate plus noise).
+    // Two keyed rollups ((lang, term) then lang) — the classic two-level
+    // distinct that never holds a vocabulary in memory.
+    "llm_ttr_diversity" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("lang"), explode(split(col("text"), " ")).as("w"))
+        .groupBy("lang", "w").agg(count(lit(1)).as("c"))
+        .groupBy("lang")
+        .agg(sum("c").as("n_tokens"), count(lit(1)).as("n_types"),
+          sum(when(col("c") === 1, 1L).otherwise(0L)).as("n_hapax"))
+        .withColumn("ttr_ppm", expr("(n_types * 1000000) DIV n_tokens"))
+        .withColumn("hapax_ppm", expr("(n_hapax * 1000000) DIV n_types"))
+        .orderBy("lang"))
   )
 
   val queries: Map[String, Q] =
@@ -1124,6 +1163,33 @@ object LlmPrep {
         |SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx, fp, prev_fp,
         |  CAST(bit_count(xor(fp, prev_fp)) AS BIGINT) AS hd
         |FROM l WHERE bit_count(xor(fp, prev_fp)) >= 5
-        |ORDER BY doc_id, frame_idx""".stripMargin
+        |ORDER BY doc_id, frame_idx""".stripMargin,
+
+    // Same top-5 derivation (count DESC, token tiebreak), same ppm law.
+    "llm_stopword_density" ->
+      """WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+        |stop AS (SELECT w AS sw FROM tk GROUP BY w
+        |  ORDER BY COUNT(*) DESC, w LIMIT 5),
+        |g AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |    CAST(SUM(CASE WHEN sw IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_stop
+        |  FROM tk LEFT JOIN stop ON tk.w = stop.sw
+        |  GROUP BY 1)
+        |SELECT doc_id, n_tokens, n_stop,
+        |  (n_stop * 1000000) // n_tokens AS density_ppm,
+        |  (n_stop * 1000000) // n_tokens > 400000 AS boilerplate
+        |FROM g ORDER BY doc_id""".stripMargin,
+
+    // Same two-level rollup, same ppm ratios.
+    "llm_ttr_diversity" ->
+      """WITH tk AS (SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents),
+        |tc AS (SELECT lang, w, CAST(COUNT(*) AS BIGINT) AS c FROM tk GROUP BY 1, 2),
+        |g AS (SELECT lang, CAST(SUM(c) AS BIGINT) AS n_tokens,
+        |    CAST(COUNT(*) AS BIGINT) AS n_types,
+        |    CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax
+        |  FROM tc GROUP BY 1)
+        |SELECT lang, n_tokens, n_types, n_hapax,
+        |  (n_types * 1000000) // n_tokens AS ttr_ppm,
+        |  (n_hapax * 1000000) // n_types AS hapax_ppm
+        |FROM g ORDER BY lang""".stripMargin
   )
 }

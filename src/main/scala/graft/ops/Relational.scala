@@ -877,6 +877,45 @@ object Relational {
         .orderBy("p_id")
     }),
 
+    // Point-in-time dimension join — the feature-store correctness op:
+    // facts must see the dimension VERSION valid at their event time,
+    // never a later one (lookahead leakage poisons training data). A
+    // 3-version SCD2-style supplier rate card is derived deterministically
+    // (version k valid from day 8000+800k+jitter(suppkey)), and every
+    // lineitem resolves its shipping-day version on the native backward
+    // as-of merge — per key ONE co-partition exchange + a single merge
+    // pass, the plan that survives a 100 TB fact table (the composed
+    // range-join formulation materializes every fact×earlier-version
+    // pair). Facts shipped before version 0 drop (inner asof, both
+    // engines). Output: per (supplier, version) audit rollup.
+    "join_point_in_time" -> ((s, d) => {
+      val versions = Tables.supplier(s, d)
+        .select(col("s_suppkey").cast("bigint").as("sk"),
+          explode(expr("sequence(0, 2)")).as("k"))
+        .select((col("sk") * 10 + col("k")).as("id"), col("sk").as("key"),
+          expr("CAST(8000 + k * 800 + sk % 97 AS BIGINT)").as("ts"))
+      // facts pre-aggregate per (supplier, day) BEFORE the merge — version
+      // resolution depends only on (key, ts), so the asof probe set shrinks
+      // from |lineitem| to |supplier × live days| and the join-back is 1:1
+      val fr = Tables.lineitem(s, d)
+        .groupBy(col("l_suppkey").cast("bigint").as("key"),
+          expr("CAST(datediff(CAST(l_shipdate AS DATE), DATE'1970-01-01') AS BIGINT)").as("ts"))
+        .agg(count(lit(1)).as("n"),
+          sum(expr("CAST(CAST(l_quantity AS DECIMAL(18,4)) AS BIGINT)")).as("qty"))
+        .localCheckpoint()
+      val probes = fr.select((col("key") * 100000 + col("ts")).as("id"),
+        col("key"), col("ts"))
+      org.apache.spark.sql.graftbridge.AsOfJoinApi.asof(s, probes, versions)
+        .join(fr, col("k") === fr("key") && col("l_ts") === fr("ts"))
+        .select(col("k").as("s_suppkey"), (col("r_id") % 10).as("version"),
+          col("l_ts"), col("n"), col("qty"))
+        .groupBy("s_suppkey", "version")
+        .agg(sum("n").as("n_items"), sum("qty").as("qty_total"),
+          min("l_ts").as("first_day"), max("l_ts").as("last_day"))
+        .withColumn("rate_bps", expr("CAST(100 + version * 25 AS BIGINT)"))
+        .orderBy("s_suppkey", "version")
+    }),
+
     // Quantified comparisons — x > ALL(S) / x > ANY(S) per customer
     // against their nation's supplier balances. Spark SQL has no
     // ANY/ALL-subquery syntax, so the engine applies the textbook
@@ -1325,6 +1364,25 @@ object Relational {
         |              WHERE o.o_custkey = c.c_custkey
         |                AND o.o_totalprice > 490000)
         |ORDER BY c_custkey""".stripMargin,
+
+    // DuckDB ASOF on the same derived version table and fact rollup.
+    "join_point_in_time" ->
+      """WITH v AS (SELECT CAST(s_suppkey AS BIGINT) AS sk, k,
+        |    CAST(8000 + k * 800 + s_suppkey % 97 AS BIGINT) AS vf
+        |  FROM supplier, (SELECT unnest(range(0, 3)) AS k)),
+        |fr AS (SELECT CAST(l_suppkey AS BIGINT) AS key,
+        |    CAST(date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE)) AS BIGINT) AS ts,
+        |    CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,4)) AS BIGINT)) AS BIGINT) AS qty
+        |  FROM lineitem GROUP BY 1, 2),
+        |pit AS (SELECT fr.key AS s_suppkey, v.k AS version, fr.ts, fr.n, fr.qty
+        |  FROM fr ASOF JOIN v ON fr.key = v.sk AND v.vf <= fr.ts)
+        |SELECT s_suppkey, CAST(version AS BIGINT) AS version,
+        |  CAST(SUM(n) AS BIGINT) AS n_items, CAST(SUM(qty) AS BIGINT) AS qty_total,
+        |  CAST(MIN(ts) AS BIGINT) AS first_day, CAST(MAX(ts) AS BIGINT) AS last_day,
+        |  CAST(100 + version * 25 AS BIGINT) AS rate_bps
+        |FROM pit GROUP BY s_suppkey, version
+        |ORDER BY s_suppkey, version""".stripMargin,
 
     // Two DuckDB ASOF passes combined by the same smaller-|gap| rule.
     "join_asof_nearest" ->
