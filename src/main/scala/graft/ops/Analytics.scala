@@ -677,6 +677,40 @@ object Analytics {
         .select(col("n_categories"), col("n1"), col("n2"),
           col("tv_num"), col("tv_den"),
           (col("tv_num").cast("double") / col("tv_den").cast("double")).as("tv"))
+    }),
+
+    // Winsorized mean of customer balance per market segment — the
+    // robust location estimate (clamp to the p5/p95 ELEMENTS, then
+    // average): bounds are rank-picked values (lo = value at rank
+    // ceil(0.05n), hi = at ceil(0.95n) under the (cents, custkey) total
+    // order — discrete percentiles, so NO interpolation arithmetic
+    // exists to diverge), clamping and the sum stay exact BIGINT cents,
+    // and the mean is one final division. Negative balances are fine:
+    // nothing divides until the end. One per-segment window + a 5-row
+    // bound broadcast.
+    "agg_winsorized_mean" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_mktsegment").as("segment"),
+          expr("CAST(CAST(c_acctbal AS DECIMAL(18,4)) * 100 AS BIGINT)").as("cents"))
+      val ranked = c
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("segment").orderBy("cents", "c_custkey")).cast("bigint"))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy("segment")))
+      val bounds = ranked
+        .withColumn("lo_rank", expr("greatest((n * 5 + 99) DIV 100, CAST(1 AS BIGINT))"))
+        .withColumn("hi_rank", expr("(n * 95 + 99) DIV 100"))
+        .where(col("rn") === col("lo_rank") || col("rn") === col("hi_rank"))
+        .groupBy("segment").agg(min("cents").as("lo"), max("cents").as("hi"))
+      ranked.join(broadcast(bounds), "segment")
+        .withColumn("w", expr("greatest(lo, least(hi, cents))"))
+        .groupBy("segment")
+        .agg(count(lit(1)).as("n_customers"), max("lo").as("lo_cents"),
+          max("hi").as("hi_cents"), sum("w").as("w_sum"),
+          sum(when(col("cents") < col("lo") || col("cents") > col("hi"), 1L)
+            .otherwise(0L)).as("n_clamped"))
+        .withColumn("wmean_cents",
+          (col("w_sum").cast("double") / col("n_customers").cast("double")))
+        .orderBy("segment")
     })
   )
 
@@ -1124,6 +1158,28 @@ object Analytics {
         |  CAST(2 * MAX(n1) * MAX(n2) AS BIGINT) AS tv_den,
         |  CAST(SUM(abs(c1 * n2 - c2 * n1)) AS DOUBLE)
         |    / CAST(2 * MAX(n1) * MAX(n2) AS DOUBLE) AS tv
-        |FROM c, t""".stripMargin
+        |FROM c, t""".stripMargin,
+
+    // Same discrete rank-picked bounds, same exact clamp-and-sum.
+    "agg_winsorized_mean" ->
+      """WITH c AS (SELECT c_custkey, c_mktsegment AS segment,
+        |    CAST(CAST(c_acctbal AS DECIMAL(18,4)) * 100 AS BIGINT) AS cents
+        |  FROM customer),
+        |r AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY segment
+        |      ORDER BY cents, c_custkey) AS BIGINT) AS rn,
+        |    CAST(COUNT(*) OVER (PARTITION BY segment) AS BIGINT) AS n
+        |  FROM c),
+        |b AS (SELECT segment, CAST(MIN(cents) AS BIGINT) AS lo,
+        |    CAST(MAX(cents) AS BIGINT) AS hi
+        |  FROM r
+        |  WHERE rn = GREATEST((n * 5 + 99) // 100, 1) OR rn = (n * 95 + 99) // 100
+        |  GROUP BY 1)
+        |SELECT segment, CAST(COUNT(*) AS BIGINT) AS n_customers,
+        |  CAST(MAX(lo) AS BIGINT) AS lo_cents, CAST(MAX(hi) AS BIGINT) AS hi_cents,
+        |  CAST(SUM(GREATEST(lo, LEAST(hi, cents))) AS BIGINT) AS w_sum,
+        |  CAST(SUM(CASE WHEN cents < lo OR cents > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clamped,
+        |  CAST(SUM(GREATEST(lo, LEAST(hi, cents))) AS DOUBLE) / COUNT(*) AS wmean_cents
+        |FROM r JOIN b USING (segment)
+        |GROUP BY segment ORDER BY segment""".stripMargin
   )
 }

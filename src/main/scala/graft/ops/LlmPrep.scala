@@ -742,7 +742,43 @@ object LlmPrep {
           sum(when(col("c") === 1, 1L).otherwise(0L)).as("n_hapax"))
         .withColumn("ttr_ppm", expr("(n_types * 1000000) DIV n_tokens"))
         .withColumn("hapax_ppm", expr("(n_hapax * 1000000) DIV n_types"))
-        .orderBy("lang"))
+        .orderBy("lang")),
+
+    // Content-defined chunking (the rsync/FastCDC law, the chunker real
+    // dedup storage runs INSTEAD of llm_chunk's fixed windows): a chunk
+    // boundary falls wherever the hash of the trailing 8-byte window ≡ 0
+    // (mod 64) — so an insertion reshuffles only the chunks it touches,
+    // never the whole tail (fixed windows shift EVERYTHING after an
+    // edit; that is the entire point of CDC). Boundaries = hash-selected
+    // positions ∪ the doc end, chunk spans from lag() over the boundary
+    // set, chunk identity = md5 of the span. Per-position hashing is a
+    // scan-side projection; the boundary frame is len/64-sized before
+    // the one per-doc window.
+    "llm_cdc_chunk" -> ((s, d) => {
+      val docs = Tables.documents(s, d).where(col("doc_id") % 10 === 5)
+        .select(col("doc_id"), col("text"), length(col("text")).cast("bigint").as("len"))
+        .where(col("len") >= 8)
+      val hashBounds = docs
+        .withColumn("i", explode(expr("sequence(8, CAST(len AS INT))")))
+        .where(expr(
+          "CAST(conv(substring(md5(CAST(substring(text, i - 7, 8) AS BINARY)), 1, 4), 16, 10) AS BIGINT) % 64 = 0"))
+        .select(col("doc_id"), col("i").cast("bigint").as("b"))
+      val bounds = hashBounds
+        .unionAll(docs.select(col("doc_id"), col("len").as("b")))
+        .distinct()
+      bounds
+        .withColumn("start", coalesce(lag("b", 1).over(
+          Window.partitionBy("doc_id").orderBy("b")), lit(0L)))
+        .where(col("b") > col("start"))
+        .join(docs.select("doc_id", "text"), Seq("doc_id"))
+        .withColumn("chunk_idx", row_number().over(
+          Window.partitionBy("doc_id").orderBy("b")).cast("bigint") - 1)
+        .select(col("doc_id"), col("chunk_idx"), col("start"),
+          (col("b") - col("start")).as("chunk_len"),
+          md5(expr("CAST(substring(text, CAST(start AS INT) + 1, CAST(b - start AS INT)) AS BINARY)"))
+            .as("chunk_md5"))
+        .orderBy("doc_id", "chunk_idx")
+    })
   )
 
   val queries: Map[String, Q] =
@@ -1190,6 +1226,27 @@ object LlmPrep {
         |SELECT lang, n_tokens, n_types, n_hapax,
         |  (n_types * 1000000) // n_tokens AS ttr_ppm,
         |  (n_hapax * 1000000) // n_types AS hapax_ppm
-        |FROM g ORDER BY lang""".stripMargin
+        |FROM g ORDER BY lang""".stripMargin,
+
+    // Same rolling-window boundary law, same lag-spanned chunks.
+    "llm_cdc_chunk" ->
+      """WITH d AS (SELECT doc_id, text, CAST(length(text) AS BIGINT) AS len
+        |  FROM documents WHERE doc_id % 10 = 5 AND length(text) >= 8),
+        |hb AS (SELECT doc_id, CAST(i AS BIGINT) AS b
+        |  FROM d, LATERAL (SELECT unnest(range(8, CAST(len AS INT) + 1)) AS i)
+        |  WHERE ('0x' || substring(md5(substring(text, CAST(i - 7 AS INT), 8)), 1, 4))::BIGINT % 64 = 0),
+        |bounds AS (SELECT DISTINCT doc_id, b FROM
+        |  (SELECT doc_id, b FROM hb UNION ALL SELECT doc_id, len FROM d)),
+        |sp AS (SELECT doc_id, b,
+        |    COALESCE(LAG(b) OVER (PARTITION BY doc_id ORDER BY b), 0) AS start
+        |  FROM bounds),
+        |ch AS (SELECT sp.doc_id, sp.b, sp.start,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY sp.doc_id ORDER BY sp.b) AS BIGINT) - 1 AS chunk_idx,
+        |    d.text
+        |  FROM sp JOIN d ON d.doc_id = sp.doc_id
+        |  WHERE sp.b > sp.start)
+        |SELECT doc_id, chunk_idx, start, b - start AS chunk_len,
+        |  md5(substring(text, CAST(start AS INT) + 1, CAST(b - start AS INT))) AS chunk_md5
+        |FROM ch ORDER BY doc_id, chunk_idx""".stripMargin
   )
 }

@@ -501,6 +501,24 @@ object Relational {
       s.read.parquet(out).orderBy("o_orderpriority")
     }),
 
+    // AQE join-strategy switch — the second adaptive re-plan (beside
+    // join_skew_aqe's skew split): the dim side is a FILTERED orders
+    // subset whose compile-time stats look join-worthy of a full
+    // shuffle (static broadcast disabled), but whose runtime size is
+    // tiny — AQE reads the materialized shuffle stats and rewrites the
+    // sort-merge join into a broadcast hash join mid-query. On a real
+    // cluster this is the difference between shuffling the 100 TB fact
+    // and shipping a few MB; PlanShapeSpec asserts the executed plan
+    // ends as BroadcastHashJoin under AdaptiveSparkPlan. Execution
+    // happens INSIDE the conf scope; the graded read is the rollup.
+    "join_aqe_bhj_switch" -> ((s, d) => {
+      val out = Scratch.opDir("aqe_bhj", d)
+      withBhjSwitchConfs(s) {
+        aqeBhjFrame(s, d).write.mode("overwrite").parquet(out)
+      }
+      s.read.parquet(out).orderBy("o_orderpriority")
+    }),
+
     // Equi key + non-equi residual condition (theta).
     "join_theta" -> ((s, d) =>
       Tables.lineitem(s, d)
@@ -983,6 +1001,34 @@ object Relational {
     }
   }
 
+  /** High-value-orders join shared by `join_aqe_bhj_switch` and the
+    * PlanShapeSpec broadcast-switch assertion: the filtered dim is tiny
+    * at runtime but statically unknown. */
+  private[graft] def aqeBhjFrame(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .join(Tables.orders(s, d).where(col("o_totalprice") > 450000),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_items"),
+        sum(dec(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+          .cast("double").as("revenue"))
+
+  /** Conf scope for the AQE broadcast switch: static broadcast OFF (the
+    * planner must start from a sort-merge join), adaptive broadcast ON so
+    * only the RUNTIME shuffle stats can trigger the rewrite. */
+  private[graft] def withBhjSwitchConfs[T](s: SparkSession)(body: => T): T = {
+    val confs = Seq(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "10485760")
+    val prev = confs.map { case (k, _) => k -> s.conf.getOption(k) }
+    confs.foreach { case (k, v) => s.conf.set(k, v) }
+    try body finally prev.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None) => s.conf.unset(k)
+    }
+  }
+
   private def custProj(s: SparkSession, d: String): DataFrame =
     Tables.customer(s, d).select(col("c_nationkey").as("nationkey"), col("c_acctbal").as("acctbal"))
   private def suppProj(s: SparkSession, d: String): DataFrame =
@@ -1364,6 +1410,14 @@ object Relational {
         |              WHERE o.o_custkey = c.c_custkey
         |                AND o.o_totalprice > 490000)
         |ORDER BY c_custkey""".stripMargin,
+
+    // The rollup replayed as a plain join — adaptivity must be invisible.
+    "join_aqe_bhj_switch" ->
+      """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_items,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_totalprice > 450000
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // DuckDB ASOF on the same derived version table and fact rollup.
     "join_point_in_time" ->
