@@ -711,6 +711,34 @@ object Analytics {
         .withColumn("wmean_cents",
           (col("w_sum").cast("double") / col("n_customers").cast("double")))
         .orderBy("segment")
+    }),
+
+    // Poisson bootstrap of the mean order value — THE scalable bootstrap
+    // (resampling-with-replacement needs the whole dataset per replica;
+    // the Poisson trick gives each row an independent Poisson(1) weight
+    // per replica, so all B replicas stream in ONE scan with map-side
+    // combine). Weights are deterministic: u = md5(orderkey:b) uniform,
+    // w = inverse-CDF lookup against the published Poisson(1) cumulative
+    // thresholds (literals in both engines — no transcendental on data).
+    // Per replica the mean is an exact (Σw·cents, Σw) pair + one
+    // division; the replica spread IS the confidence interval (spec).
+    "agg_poisson_bootstrap" -> ((s, d) => {
+      val thresholds = // floor(1e6 · P(Pois(1) ≤ k)), k = 0..6
+        "CASE WHEN v < 367879 THEN 0 WHEN v < 735758 THEN 1 WHEN v < 919698 THEN 2 " +
+        "WHEN v < 981011 THEN 3 WHEN v < 996340 THEN 4 WHEN v < 999405 THEN 5 " +
+        "WHEN v < 999916 THEN 6 ELSE 7 END"
+      Tables.orders(s, d)
+        .select(col("o_orderkey"),
+          expr("CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 100 AS BIGINT)").as("cents"),
+          explode(expr("sequence(0, 19)")).as("b"))
+        .withColumn("v", expr(
+          "CAST(conv(substring(md5(concat(CAST(o_orderkey AS STRING), ':', CAST(b AS STRING))), 1, 8), 16, 10) AS BIGINT) % 1000000"))
+        .withColumn("w", expr(s"CAST($thresholds AS BIGINT)"))
+        .groupBy(col("b").cast("bigint").as("replica"))
+        .agg(sum("w").as("n_eff"), sum(expr("w * cents")).as("w_sum"))
+        .withColumn("mean_cents",
+          col("w_sum").cast("double") / col("n_eff").cast("double"))
+        .orderBy("replica")
     })
   )
 
@@ -1180,6 +1208,25 @@ object Analytics {
         |  CAST(SUM(CASE WHEN cents < lo OR cents > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clamped,
         |  CAST(SUM(GREATEST(lo, LEAST(hi, cents))) AS DOUBLE) / COUNT(*) AS wmean_cents
         |FROM r JOIN b USING (segment)
-        |GROUP BY segment ORDER BY segment""".stripMargin
+        |GROUP BY segment ORDER BY segment""".stripMargin,
+
+    // Same hash-uniform draw, same published Poisson(1) thresholds.
+    "agg_poisson_bootstrap" ->
+      """WITH o AS (SELECT o_orderkey,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 100 AS BIGINT) AS cents
+        |  FROM orders),
+        |r AS (SELECT o_orderkey, cents, b,
+        |    ('0x' || substring(md5(CAST(o_orderkey AS VARCHAR) || ':' || CAST(b AS VARCHAR)), 1, 8))::BIGINT % 1000000 AS v
+        |  FROM o, (SELECT unnest(range(0, 20)) AS b)),
+        |w AS (SELECT CAST(b AS BIGINT) AS replica, cents,
+        |    CAST(CASE WHEN v < 367879 THEN 0 WHEN v < 735758 THEN 1
+        |      WHEN v < 919698 THEN 2 WHEN v < 981011 THEN 3
+        |      WHEN v < 996340 THEN 4 WHEN v < 999405 THEN 5
+        |      WHEN v < 999916 THEN 6 ELSE 7 END AS BIGINT) AS w
+        |  FROM r)
+        |SELECT replica, CAST(SUM(w) AS BIGINT) AS n_eff,
+        |  CAST(SUM(w * cents) AS BIGINT) AS w_sum,
+        |  CAST(SUM(w * cents) AS DOUBLE) / CAST(SUM(w) AS DOUBLE) AS mean_cents
+        |FROM w GROUP BY replica ORDER BY replica""".stripMargin
   )
 }

@@ -778,6 +778,26 @@ object LlmPrep {
           md5(expr("CAST(substring(text, CAST(start AS INT) + 1, CAST(b - start AS INT)) AS BINARY)"))
             .as("chunk_md5"))
         .orderBy("doc_id", "chunk_idx")
+    }),
+
+    // ANN recall@5 — the retrieval-quality audit every approximate index
+    // must pass before it replaces brute force: per probe, how many of
+    // the EXACT top-5 neighbors (llm_sim_topk's full scan) does the IVF
+    // path (llm_sim_ann's √n-centroid nprobe=4 search) return? Both
+    // sides are the graded operators themselves — the eval composes
+    // them, so an index regression fails THIS op too. recall in exact
+    // ppm; the left join keeps probes the ANN missed entirely.
+    "llm_ann_recall" -> ((s, d) => {
+      val exact = LlmOps.queries("llm_sim_topk")(s, d)
+        .select(col("probe_id"), col("neighbor_id"))
+      val ann = LlmExt.queries("llm_sim_ann")(s, d)
+        .select(col("probe_id"), col("neighbor_id"), lit(1L).as("hit"))
+      exact.join(ann, Seq("probe_id", "neighbor_id"), "left")
+        .groupBy("probe_id")
+        .agg(count(lit(1)).as("n_exact"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+        .withColumn("recall_ppm", expr("(n_hit * 1000000) DIV n_exact"))
+        .orderBy("probe_id")
     })
   )
 
@@ -1247,6 +1267,49 @@ object LlmPrep {
         |  WHERE sp.b > sp.start)
         |SELECT doc_id, chunk_idx, start, b - start AS chunk_len,
         |  md5(substring(text, CAST(start AS INT) + 1, CAST(b - start AS INT))) AS chunk_md5
-        |FROM ch ORDER BY doc_id, chunk_idx""".stripMargin
+        |FROM ch ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    // Both graded pipelines replayed (llm_sim_topk's exact scan and
+    // llm_sim_ann's IVF search), then the same left-join recall rollup.
+    "llm_ann_recall" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |p AS (SELECT vec_id AS probe_id, emb AS p_emb FROM e WHERE vec_id < 10),
+        |exact AS (SELECT probe_id, neighbor_id FROM (
+        |  SELECT probe_id, vec_id AS neighbor_id,
+        |    ROW_NUMBER() OVER (PARTITION BY probe_id
+        |      ORDER BY ROUND(list_cosine_similarity(p_emb, emb), 4) DESC, vec_id) AS rnk
+        |  FROM p, e WHERE vec_id <> probe_id)
+        |  WHERE rnk <= 5),
+        |st AS (SELECT COUNT(*) AS n_tot FROM e),
+        |cent AS (SELECT vec_id AS cid, emb AS cemb FROM e, st
+        |         WHERE ('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT * 1.0
+        |               < 4294967296.0 / sqrt(n_tot * 1.0)),
+        |assigned AS (
+        |  SELECT vec_id, emb, cluster FROM (
+        |    SELECT e.vec_id, e.emb, c.cid AS cluster,
+        |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+        |        ORDER BY ROUND(list_cosine_similarity(e.emb, c.cemb), 4) DESC, c.cid) AS crn
+        |    FROM e CROSS JOIN cent c)
+        |  WHERE crn = 1),
+        |probes AS (
+        |  SELECT probe_id, p_emb, cluster FROM (
+        |    SELECT p.probe_id, p.p_emb, c.cid AS cluster,
+        |      ROW_NUMBER() OVER (PARTITION BY p.probe_id
+        |        ORDER BY ROUND(list_cosine_similarity(p.p_emb, c.cemb), 4) DESC, c.cid) AS prn
+        |    FROM p CROSS JOIN cent c)
+        |  WHERE prn <= 4),
+        |ann AS (SELECT probe_id, neighbor_id, 1 AS hit FROM (
+        |  SELECT pr.probe_id, a.vec_id AS neighbor_id,
+        |    ROW_NUMBER() OVER (PARTITION BY pr.probe_id
+        |      ORDER BY ROUND(list_cosine_similarity(pr.p_emb, a.emb), 4) DESC, a.vec_id) AS rnk
+        |  FROM probes pr JOIN assigned a ON pr.cluster = a.cluster
+        |  WHERE a.vec_id <> pr.probe_id)
+        |  WHERE rnk <= 5)
+        |SELECT exact.probe_id, CAST(COUNT(*) AS BIGINT) AS n_exact,
+        |  CAST(SUM(COALESCE(hit, 0)) AS BIGINT) AS n_hit,
+        |  (CAST(SUM(COALESCE(hit, 0)) AS BIGINT) * 1000000) // CAST(COUNT(*) AS BIGINT) AS recall_ppm
+        |FROM exact LEFT JOIN ann
+        |  ON ann.probe_id = exact.probe_id AND ann.neighbor_id = exact.neighbor_id
+        |GROUP BY exact.probe_id ORDER BY 1""".stripMargin
   )
 }

@@ -297,6 +297,43 @@ object Relational {
         .orderBy("bucket")
     }),
 
+    // JSONL twin of source_csv_badrecords — the schema-on-read audit for
+    // the other half of real ingest traffic: PERMISSIVE mode keeps every
+    // record, a type-mismatched field NULLs out while its siblings still
+    // parse (partial-result semantics), a non-JSON line nulls everything,
+    // and both land in _corrupt_record. Same land-then-audit shape (the
+    // landing write pins full-parse semantics; a pruned read would skip
+    // the corruption check entirely).
+    "source_json_badrecords" -> ((s, d) => {
+      val dir = s"${Scratch.dir}/badjson"
+      val lines = Seq(
+        """{"id":0,"name":"alpha","val":10}""",
+        """{"id":1,"name":"beta","val":"notanint"}""",
+        "this is not json",
+        """{"id":2,"name":"gamma","val":30,"extra":true}""",
+        """{"id":3,"name":"delta"}""",
+        """{"id":4,"name":"epsilon","val":50}""")
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+      java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/part.jsonl"),
+        lines.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val parsed = s.read
+        .schema("id INT, name STRING, val INT, _corrupt_record STRING")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(dir)
+      val landed = s"${Scratch.dir}/badjson_landed"
+      parsed.write.mode("overwrite").parquet(landed)
+      s.read.parquet(landed)
+        .withColumn("bucket",
+          when(col("_corrupt_record").isNull, lit("clean")).otherwise(lit("corrupt")))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(coalesce(col("val"), lit(0))).cast("bigint").as("sum_val"),
+          count(col("id")).as("n_parsed_ids"),
+          count(col("name")).as("n_parsed_names"))
+        .orderBy("bucket")
+    }),
+
     // Text-line source (the log-ingestion shape): docs flattened to
     // tab-delimited lines, read back with spark.read.text + split parse,
     // graded per-language rollup. Tokens are space-separated so the tab
@@ -1206,6 +1243,16 @@ object Relational {
       """SELECT bucket, CAST(n_rows AS BIGINT) AS n_rows, CAST(sum_val AS BIGINT) AS sum_val,
         |  CAST(n_parsed_ids AS BIGINT) AS n_parsed_ids, CAST(n_parsed_names AS BIGINT) AS n_parsed_names
         |FROM (VALUES ('clean', 3, 100, 3, 3), ('corrupt', 3, 30, 2, 2))
+        |  AS t(bucket, n_rows, sum_val, n_parsed_ids, n_parsed_names)
+        |ORDER BY bucket""".stripMargin,
+
+    // Golden set pinning PERMISSIVE JSON semantics: the type-mismatch row
+    // keeps its parsed siblings (partial results), the non-JSON line
+    // parses nothing, both are corrupt; missing fields are NULL but clean.
+    "source_json_badrecords" ->
+      """SELECT bucket, CAST(n_rows AS BIGINT) AS n_rows, CAST(sum_val AS BIGINT) AS sum_val,
+        |  CAST(n_parsed_ids AS BIGINT) AS n_parsed_ids, CAST(n_parsed_names AS BIGINT) AS n_parsed_names
+        |FROM (VALUES ('clean', 4, 90, 4, 4), ('corrupt', 2, 0, 1, 1))
         |  AS t(bucket, n_rows, sum_val, n_parsed_ids, n_parsed_names)
         |ORDER BY bucket""".stripMargin,
 
