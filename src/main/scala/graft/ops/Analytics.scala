@@ -739,6 +739,38 @@ object Analytics {
         .withColumn("mean_cents",
           col("w_sum").cast("double") / col("n_eff").cast("double"))
         .orderBy("replica")
+    }),
+
+    // Market-basket association rules over co-ordered part BRANDS —
+    // support / confidence / lift, the retail affinity analysis: basket
+    // = distinct brands per order (the distinct caps the pair fan-out at
+    // C(brands,2) per order — never line-item-quadratic), pairs from ONE
+    // self-join on the order key, confidence and lift in exact
+    // cross-multiplied milli/ppm (lift_ppm = support·N·10⁶ DIV
+    // (supp_a·supp_b)). Dimension broadcast, fact co-partitioned on the
+    // order key at scale.
+    "agg_market_basket" -> ((s, d) => {
+      val basket = Tables.lineitem(s, d)
+        .join(broadcast(Tables.part(s, d).select("p_partkey", "p_brand")),
+          col("l_partkey") === col("p_partkey"))
+        .select(col("l_orderkey").as("okey"), col("p_brand").as("brand"))
+        .distinct()
+        .localCheckpoint()
+      val nOrders = basket.select("okey").distinct().count()
+      val supp = basket.groupBy("brand").agg(count(lit(1)).as("s"))
+      val pairs = basket.as("x").join(basket.as("y"),
+          col("x.okey") === col("y.okey") && col("x.brand") < col("y.brand"))
+        .groupBy(col("x.brand").as("brand_a"), col("y.brand").as("brand_b"))
+        .agg(count(lit(1)).as("support"))
+        .where(col("support") >= 10)
+      pairs
+        .join(broadcast(supp.select(col("brand").as("brand_a"), col("s").as("supp_a"))), "brand_a")
+        .join(broadcast(supp.select(col("brand").as("brand_b"), col("s").as("supp_b"))), "brand_b")
+        .select(col("brand_a"), col("brand_b"), col("support"),
+          col("supp_a"), col("supp_b"),
+          expr("(support * 1000) DIV supp_a").as("confidence_milli"),
+          expr(s"(support * $nOrders * 1000000) DIV (supp_a * supp_b)").as("lift_ppm"))
+        .orderBy("brand_a", "brand_b")
     })
   )
 
@@ -1227,6 +1259,25 @@ object Analytics {
         |SELECT replica, CAST(SUM(w) AS BIGINT) AS n_eff,
         |  CAST(SUM(w * cents) AS BIGINT) AS w_sum,
         |  CAST(SUM(w * cents) AS DOUBLE) / CAST(SUM(w) AS DOUBLE) AS mean_cents
-        |FROM w GROUP BY replica ORDER BY replica""".stripMargin
+        |FROM w GROUP BY replica ORDER BY replica""".stripMargin,
+
+    // Same distinct baskets, same exact milli/ppm rule metrics.
+    "agg_market_basket" ->
+      """WITH basket AS MATERIALIZED (
+        |  SELECT DISTINCT l_orderkey AS okey, p_brand AS brand
+        |  FROM lineitem JOIN part ON p_partkey = l_partkey),
+        |n AS (SELECT CAST(COUNT(DISTINCT okey) AS BIGINT) AS n_orders FROM basket),
+        |supp AS (SELECT brand, CAST(COUNT(*) AS BIGINT) AS s FROM basket GROUP BY 1),
+        |pairs AS (SELECT x.brand AS brand_a, y.brand AS brand_b,
+        |    CAST(COUNT(*) AS BIGINT) AS support
+        |  FROM basket x JOIN basket y ON x.okey = y.okey AND x.brand < y.brand
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 10)
+        |SELECT brand_a, brand_b, support, sa.s AS supp_a, sb.s AS supp_b,
+        |  (support * 1000) // sa.s AS confidence_milli,
+        |  (support * n_orders * 1000000) // (sa.s * sb.s) AS lift_ppm
+        |FROM pairs
+        |JOIN supp sa ON sa.brand = pairs.brand_a
+        |JOIN supp sb ON sb.brand = pairs.brand_b, n
+        |ORDER BY brand_a, brand_b""".stripMargin
   )
 }

@@ -798,7 +798,58 @@ object LlmPrep {
           sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
         .withColumn("recall_ppm", expr("(n_hit * 1000000) DIV n_exact"))
         .orderBy("probe_id")
-    })
+    }),
+
+    // Greenlist watermark DETECTOR (the Kirchenbauer et al. scheme a
+    // provenance pipeline runs over incoming text): a bigram is "green"
+    // when hash(prev, cur) ≡ 0 (mod 4); unwatermarked text is green ~25%
+    // of the time, watermarked generation biased the sampler toward
+    // green. Per doc: exact (green, bigram) counts, the one-sided z =
+    // (4g−n)/√(3n) via IEEE sqrt, and the VERDICT on pure integers —
+    // z > 2 ⟺ 4g−n > 0 ∧ (4g−n)² > 12n — so the flag can never split
+    // on a ulp. Scan-side bigram hashing + one doc rollup.
+    "llm_watermark_detect" -> ((s, d) => {
+      val bg = Tables.documents(s, d)
+        .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+        .withColumn("prev", lag("w", 1).over(
+          Window.partitionBy("doc_id").orderBy("pos")))
+        .where(col("prev").isNotNull)
+        .withColumn("green", expr(
+          "CAST(conv(substring(md5(concat(prev, '|', w)), 1, 8), 16, 10) AS BIGINT) % 4 = 0"))
+      bg.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          sum(when(col("green"), 1L).otherwise(0L)).as("n_green"))
+        .withColumn("z", expr(
+          "CAST(4 * n_green - n_bigrams AS DOUBLE) / sqrt(CAST(3 * n_bigrams AS DOUBLE))"))
+        .withColumn("watermarked", expr(
+          "4 * n_green - n_bigrams > 0 AND (4 * n_green - n_bigrams) * (4 * n_green - n_bigrams) > 12 * n_bigrams"))
+        .orderBy("doc_id")
+    }),
+
+    // T5-style span corruption plan (the denoising-objective prep step):
+    // whole 3-token blocks mask wherever hash(doc, block) ≡ 0 (mod 8) —
+    // E[mask density] = 1/8, spans never fragment, and the mask is a
+    // pure function of (doc_id, position) so the training run is
+    // re-runnable. Emits the per-doc accounting (tokens, masked, spans,
+    // visible ppm) plus the md5 of the 0/1 flag string — the full mask
+    // pinned in one hash without shipping it. All HOF scan-side work,
+    // one projection, no shuffle beyond the final sort.
+    "llm_span_corruption" -> ((s, d) =>
+      Tables.documents(s, d).where(col("doc_id") % 10 === 7)
+        .select(col("doc_id"), split(col("text"), " ").as("t"))
+        .withColumn("n", size(col("t")).cast("bigint"))
+        .withColumn("flags", expr(
+          """transform(sequence(0, CAST(n AS INT) - 1), i ->
+            |  CASE WHEN CAST(conv(substring(md5(concat(CAST(doc_id AS STRING), ':', CAST(i DIV 3 AS STRING))), 1, 8), 16, 10) AS BIGINT) % 8 = 0
+            |  THEN '1' ELSE '0' END)""".stripMargin))
+        .withColumn("n_masked", expr("CAST(size(filter(flags, f -> f = '1')) AS BIGINT)"))
+        .withColumn("n_spans", expr(
+          """CAST(size(filter(sequence(0, CAST((n + 2) DIV 3 AS INT) - 1), j ->
+            |  CAST(conv(substring(md5(concat(CAST(doc_id AS STRING), ':', CAST(j AS STRING))), 1, 8), 16, 10) AS BIGINT) % 8 = 0)) AS BIGINT)""".stripMargin))
+        .select(col("doc_id"), col("n").as("n_tokens"), col("n_masked"), col("n_spans"),
+          expr("((n - n_masked) * 1000000) DIV n").as("visible_ppm"),
+          md5(expr("CAST(array_join(flags, '') AS BINARY)")).as("mask_md5"))
+        .orderBy("doc_id"))
   )
 
   val queries: Map[String, Q] =
@@ -1310,6 +1361,45 @@ object LlmPrep {
         |  (CAST(SUM(COALESCE(hit, 0)) AS BIGINT) * 1000000) // CAST(COUNT(*) AS BIGINT) AS recall_ppm
         |FROM exact LEFT JOIN ann
         |  ON ann.probe_id = exact.probe_id AND ann.neighbor_id = exact.neighbor_id
-        |GROUP BY exact.probe_id ORDER BY 1""".stripMargin
+        |GROUP BY exact.probe_id ORDER BY 1""".stripMargin,
+
+    // Same bigram hash, same sqrt z, same integer verdict.
+    "llm_watermark_detect" ->
+      """WITH tk AS (SELECT doc_id, w, pos FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+        |      generate_subscripts(string_split(text, ' '), 1) AS pos
+        |    FROM documents)),
+        |bg AS (SELECT doc_id, w,
+        |    LAG(w) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+        |  FROM tk),
+        |g AS (SELECT doc_id,
+        |    CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+        |    CAST(SUM(CASE WHEN ('0x' || substring(md5(prev || '|' || w), 1, 8))::BIGINT % 4 = 0
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_green
+        |  FROM bg WHERE prev IS NOT NULL GROUP BY 1)
+        |SELECT doc_id, n_bigrams, n_green,
+        |  CAST(4 * n_green - n_bigrams AS DOUBLE) / sqrt(CAST(3 * n_bigrams AS DOUBLE)) AS z,
+        |  4 * n_green - n_bigrams > 0
+        |    AND (4 * n_green - n_bigrams) * (4 * n_green - n_bigrams) > 12 * n_bigrams AS watermarked
+        |FROM g ORDER BY doc_id""".stripMargin,
+
+    // Same block-hash mask law, same flag-string fingerprint.
+    "llm_span_corruption" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t
+        |  FROM documents WHERE doc_id % 10 = 7),
+        |f AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n,
+        |    list_transform(range(0, len(t)), i ->
+        |      CASE WHEN ('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':' || CAST(i // 3 AS VARCHAR)), 1, 8))::BIGINT % 8 = 0
+        |      THEN '1' ELSE '0' END) AS flags
+        |  FROM d),
+        |m AS (SELECT doc_id, n, flags,
+        |    CAST(len(list_filter(flags, f -> f = '1')) AS BIGINT) AS n_masked,
+        |    CAST(len(list_filter(range(0, CAST((n + 2) // 3 AS INT)), j ->
+        |      ('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':' || CAST(j AS VARCHAR)), 1, 8))::BIGINT % 8 = 0)) AS BIGINT) AS n_spans
+        |  FROM f)
+        |SELECT doc_id, n AS n_tokens, n_masked, n_spans,
+        |  ((n - n_masked) * 1000000) // n AS visible_ppm,
+        |  md5(array_to_string(flags, '')) AS mask_md5
+        |FROM m ORDER BY doc_id""".stripMargin
   )
 }
