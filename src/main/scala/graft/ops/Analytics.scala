@@ -771,6 +771,34 @@ object Analytics {
           expr("(support * 1000) DIV supp_a").as("confidence_milli"),
           expr(s"(support * $nOrders * 1000000) DIV (supp_a * supp_b)").as("lift_ppm"))
         .orderBy("brand_a", "brand_b")
+    }),
+
+    // Pareto concentration of revenue per customer region — "do the top
+    // 10% of customers carry the book?": per-customer revenue in exact
+    // cents, ranked DESC inside each region, the top decile's share in
+    // exact ppm via one cross-multiplied DIV. The rank window partitions
+    // by region (parallel); customer-level revenue is one fact rollup.
+    "agg_pareto_concentration" -> ((s, d) => {
+      val rev = Tables.orders(s, d)
+        .join(Tables.customer(s, d).select("c_custkey", "c_nationkey"),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, d).select(
+          col("n_nationkey"), col("n_regionkey").cast("bigint").as("region"))),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("region"), col("c_custkey"))
+        .agg(sum(expr("CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 100 AS BIGINT)")).as("cents"))
+      rev
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("region").orderBy(desc("cents"), col("c_custkey"))).cast("bigint"))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy("region")))
+        .withColumn("top", col("rn") <= expr("greatest(n DIV 10, CAST(1 AS BIGINT))"))
+        .groupBy("region")
+        .agg(count(lit(1)).as("n_customers"),
+          sum(when(col("top"), 1L).otherwise(0L)).as("n_top"),
+          sum("cents").as("total_cents"),
+          sum(when(col("top"), col("cents")).otherwise(0L)).as("top_cents"))
+        .withColumn("share_ppm", expr("(top_cents * 1000000) DIV total_cents"))
+        .orderBy("region")
     })
   )
 
@@ -1278,6 +1306,27 @@ object Analytics {
         |FROM pairs
         |JOIN supp sa ON sa.brand = pairs.brand_a
         |JOIN supp sb ON sb.brand = pairs.brand_b, n
-        |ORDER BY brand_a, brand_b""".stripMargin
+        |ORDER BY brand_a, brand_b""".stripMargin,
+
+    // Same (cents DESC, custkey) ranks, same decile cut and exact share.
+    "agg_pareto_concentration" ->
+      """WITH rev AS (SELECT CAST(n_regionkey AS BIGINT) AS region, c_custkey,
+        |    CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 100 AS BIGINT)) AS BIGINT) AS cents
+        |  FROM orders
+        |  JOIN customer ON c_custkey = o_custkey
+        |  JOIN nation ON n_nationkey = c_nationkey
+        |  GROUP BY 1, 2),
+        |r AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY region
+        |      ORDER BY cents DESC, c_custkey) AS BIGINT) AS rn,
+        |    CAST(COUNT(*) OVER (PARTITION BY region) AS BIGINT) AS n
+        |  FROM rev),
+        |t AS (SELECT *, rn <= GREATEST(n // 10, 1) AS top FROM r)
+        |SELECT region, CAST(COUNT(*) AS BIGINT) AS n_customers,
+        |  CAST(SUM(CASE WHEN top THEN 1 ELSE 0 END) AS BIGINT) AS n_top,
+        |  CAST(SUM(cents) AS BIGINT) AS total_cents,
+        |  CAST(SUM(CASE WHEN top THEN cents ELSE 0 END) AS BIGINT) AS top_cents,
+        |  (CAST(SUM(CASE WHEN top THEN cents ELSE 0 END) AS BIGINT) * 1000000)
+        |    // CAST(SUM(cents) AS BIGINT) AS share_ppm
+        |FROM t GROUP BY region ORDER BY region""".stripMargin
   )
 }

@@ -225,10 +225,59 @@ object ApiSurface {
         """SELECT p_partkey, ROUND(graft_taxed(p_retailprice, 0.08), 4) AS taxed,
           |  graft_size_band(CAST(p_size AS INT)) AS band
           |FROM graft_sqludf_part ORDER BY p_partkey""".stripMargin)
+    }),
+
+    // Typed COGROUP (KeyValueGroupedDataset.cogroup — the Dataset API's
+    // full-outer per-key merge, the surface a JVM-first user reaches for
+    // when both sides need imperative per-key logic): customers and
+    // suppliers cogrouped by nation; each side's iterator folds into
+    // exact cents sums INSIDE the function (never a collect), emitting
+    // one row per nation with both balances and the gap. Plans one
+    // co-partition exchange per side — the same shuffle a join would
+    // cost — and the oracle is the relational full-outer rollup the
+    // typed path must equal.
+    "ds_typed_cogroup" -> ((s, d) => {
+      val classic = s.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      import classic.implicits._
+      val cust = Tables.customer(s, d)
+        .select(col("c_nationkey").cast("long").as("nk"),
+          expr("CAST(CAST(c_acctbal AS DECIMAL(18,4)) * 100 AS BIGINT)").as("cents"))
+        .as[(Long, Long)]
+      val supp = Tables.supplier(s, d)
+        .select(col("s_nationkey").cast("long").as("nk"),
+          expr("CAST(CAST(s_acctbal AS DECIMAL(18,4)) * 100 AS BIGINT)").as("cents"))
+        .as[(Long, Long)]
+      cust.groupByKey(_._1).cogroup(supp.groupByKey(_._1)) { (nk, cs, ss) =>
+        var cn = 0L; var cSum = 0L
+        cs.foreach { c => cn += 1; cSum += c._2 }
+        var sn = 0L; var sSum = 0L
+        ss.foreach { x => sn += 1; sSum += x._2 }
+        Iterator((nk, cn, cSum, sn, sSum, cSum - sSum))
+      }.toDF("nationkey", "n_cust", "cust_cents", "n_supp", "supp_cents", "gap_cents")
+        .orderBy("nationkey")
     })
   )
 
   val oracles: Map[String, String] = Map(
+    // The relational full-outer rollup the typed cogroup must equal.
+    "ds_typed_cogroup" ->
+      """WITH c AS (SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
+        |    CAST(COUNT(*) AS BIGINT) AS n_cust,
+        |    CAST(SUM(CAST(CAST(c_acctbal AS DECIMAL(18,4)) * 100 AS BIGINT)) AS BIGINT) AS cust_cents
+        |  FROM customer GROUP BY 1),
+        |s AS (SELECT CAST(s_nationkey AS BIGINT) AS nationkey,
+        |    CAST(COUNT(*) AS BIGINT) AS n_supp,
+        |    CAST(SUM(CAST(CAST(s_acctbal AS DECIMAL(18,4)) * 100 AS BIGINT)) AS BIGINT) AS supp_cents
+        |  FROM supplier GROUP BY 1)
+        |SELECT COALESCE(c.nationkey, s.nationkey) AS nationkey,
+        |  CAST(COALESCE(n_cust, 0) AS BIGINT) AS n_cust,
+        |  CAST(COALESCE(cust_cents, 0) AS BIGINT) AS cust_cents,
+        |  CAST(COALESCE(n_supp, 0) AS BIGINT) AS n_supp,
+        |  CAST(COALESCE(supp_cents, 0) AS BIGINT) AS supp_cents,
+        |  CAST(COALESCE(cust_cents, 0) - COALESCE(supp_cents, 0) AS BIGINT) AS gap_cents
+        |FROM c FULL OUTER JOIN s ON c.nationkey = s.nationkey
+        |ORDER BY nationkey""".stripMargin,
+
     "ds_typed_agg" ->
       """SELECT l_returnflag,
         |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,

@@ -578,7 +578,34 @@ object Warehouse {
           col("old_price").cast("double").as("old_price"),
           col("new_price").cast("double").as("new_price"))
         .orderBy("o_orderkey")
-    })
+    }),
+
+    // Crypto-shredding (the GDPR erasure pattern for immutable storage:
+    // encrypt every subject's PII under a PER-SUBJECT key, then "erase"
+    // by deleting only the key — the ciphertext in parquet/backups
+    // becomes permanently unreadable without a rewrite): names encrypt
+    // under key(custkey) = md5-derived; the key table then LOSES every
+    // custkey ≡ 3 (mod 10) (the erasure request batch), and the read
+    // path try-decrypts with the surviving key or a dead key. Graded:
+    // per-segment counts of recovered vs shredded + the fail-closed
+    // verdicts (recovered plaintext matches, shredded rows yield NULL —
+    // never garbage). AES-GCM per row; all scan-side, one rollup.
+    "warehouse_crypto_shred" -> ((s, d) =>
+      Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_mktsegment").as("segment"), col("c_name"))
+        .withColumn("true_key", expr("substring(md5(concat('k:', CAST(c_custkey AS STRING))), 1, 16)"))
+        .withColumn("ct", expr("aes_encrypt(c_name, true_key)"))
+        .withColumn("erased", col("c_custkey") % 10 === 3)
+        // the key table after the erasure batch: dead key for erased subjects
+        .withColumn("live_key", expr("CASE WHEN erased THEN 'deadbeefdeadbeef' ELSE true_key END"))
+        .withColumn("pt", expr("CAST(try_aes_decrypt(ct, live_key) AS STRING)"))
+        .groupBy("segment")
+        .agg(count(lit(1)).as("n_customers"),
+          sum(when(col("erased"), 1L).otherwise(0L)).as("n_shredded"),
+          sum(when(col("pt").isNotNull, 1L).otherwise(0L)).as("n_recovered"),
+          min(when(!col("erased"), col("pt") === col("c_name"))).as("recovered_intact"),
+          min(when(col("erased"), col("pt").isNull)).as("shredded_unreadable"))
+        .orderBy("segment"))
   )
 
   /** Phase 1 of sink_merge_upsert: the partitioned full load. Split out so
@@ -862,6 +889,15 @@ object Warehouse {
         |SELECT o_orderkey, change, CAST(old_price AS DOUBLE) AS old_price,
         |  CAST(new_price AS DOUBLE) AS new_price
         |FROM d WHERE change <> 'unchanged'
-        |ORDER BY o_orderkey""".stripMargin
+        |ORDER BY o_orderkey""".stripMargin,
+
+    // Erasure accounting replayed from the modulus law; crypto verdicts
+    // pinned TRUE (recovered plaintext intact, shredded unreadable).
+    "warehouse_crypto_shred" ->
+      """SELECT c_mktsegment AS segment, CAST(COUNT(*) AS BIGINT) AS n_customers,
+        |  CAST(SUM(CASE WHEN c_custkey % 10 = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_shredded,
+        |  CAST(SUM(CASE WHEN c_custkey % 10 = 3 THEN 0 ELSE 1 END) AS BIGINT) AS n_recovered,
+        |  TRUE AS recovered_intact, TRUE AS shredded_unreadable
+        |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }
