@@ -799,6 +799,58 @@ object Analytics {
           sum(when(col("top"), col("cents")).otherwise(0L)).as("top_cents"))
         .withColumn("share_ppm", expr("(top_cents * 1000000) DIV total_cents"))
         .orderBy("region")
+    }),
+
+    // First-order Markov transition matrix of user behavior — the
+    // event-type chain a sequence model (or a simple next-action
+    // predictor) trains on: per user the event stream in exact-µs order
+    // (ts_us, event_id tiebreak — never raw ts), lag gives (from → to),
+    // the matrix rolls up with row-normalized probabilities in exact
+    // milli. One user exchange + one 25-cell rollup.
+    "win_markov_chain" -> ((s, d) => {
+      val t = Tables.events(s, d)
+        .withColumn("prev", lag("event_type", 1).over(
+          Window.partitionBy("user_id").orderBy("ts_us", "event_id")))
+        .where(col("prev").isNotNull)
+        .groupBy(col("prev").as("from_type"), col("event_type").as("to_type"))
+        .agg(count(lit(1)).as("n"))
+      val rowT = t.groupBy("from_type").agg(sum("n").as("from_total"))
+      t.join(broadcast(rowT), "from_type")
+        .select(col("from_type"), col("to_type"), col("n"), col("from_total"),
+          expr("(n * 1000) DIV from_total").as("prob_milli"))
+        .orderBy("from_type", "to_type")
+    }),
+
+    // Kaplan–Meier life table for user churn — the survival analysis a
+    // retention team runs: lifetime = weeks between a user's first and
+    // last event; a user still active in the observation window's final
+    // week is CENSORED at their lifetime, everyone else is a churn
+    // event. Classic risk-set recursion n_t = n_{t−1} − d_{t−1} −
+    // c_{t−1} via one prefix-sum window over the tiny per-week frame;
+    // hazard in exact milli. (The survival product Π(1−d/n) is left to
+    // the reader — a float product's order is not an engine contract;
+    // the risk table IS.)
+    "agg_survival_table" -> ((s, d) => {
+      val users = Tables.events(s, d)
+        .groupBy("user_id")
+        .agg(min(expr("ts_us DIV 86400000000")).as("first_day"),
+          max(expr("ts_us DIV 86400000000")).as("last_day"))
+      val horizon = users.agg(max("last_day").as("max_day"))
+      val lt = users.crossJoin(broadcast(horizon))
+        .withColumn("t_week", expr("(last_day - first_day) DIV 7"))
+        .withColumn("censored", col("last_day") >= col("max_day") - 7)
+        .groupBy("t_week")
+        .agg(sum(when(!col("censored"), 1L).otherwise(0L)).as("d_events"),
+          sum(when(col("censored"), 1L).otherwise(0L)).as("c_censored"))
+      val nTotal = lt.agg(sum(expr("d_events + c_censored")).as("n_users"))
+      lt.crossJoin(broadcast(nTotal))
+        .withColumn("n_at_risk", col("n_users") - coalesce(
+          sum(expr("d_events + c_censored")).over(
+            Window.orderBy("t_week").rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+        .select(col("t_week"), col("n_at_risk"), col("d_events"), col("c_censored"),
+          expr("(d_events * 1000) DIV n_at_risk").as("hazard_milli"))
+        .orderBy("t_week")
     })
   )
 
@@ -1327,6 +1379,42 @@ object Analytics {
         |  CAST(SUM(CASE WHEN top THEN cents ELSE 0 END) AS BIGINT) AS top_cents,
         |  (CAST(SUM(CASE WHEN top THEN cents ELSE 0 END) AS BIGINT) * 1000000)
         |    // CAST(SUM(cents) AS BIGINT) AS share_ppm
-        |FROM t GROUP BY region ORDER BY region""".stripMargin
+        |FROM t GROUP BY region ORDER BY region""".stripMargin,
+
+    // Same µs ordering, same row-normalized exact milli.
+    "win_markov_chain" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |    epoch_us(ts) AS ts_us FROM events),
+        |l AS (SELECT event_type,
+        |    LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev
+        |  FROM e),
+        |t AS (SELECT prev AS from_type, event_type AS to_type,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM l WHERE prev IS NOT NULL GROUP BY 1, 2),
+        |rt AS (SELECT from_type, CAST(SUM(n) AS BIGINT) AS from_total FROM t GROUP BY 1)
+        |SELECT from_type, to_type, n, from_total,
+        |  (n * 1000) // from_total AS prob_milli
+        |FROM t JOIN rt USING (from_type)
+        |ORDER BY from_type, to_type""".stripMargin,
+
+    // Same week buckets, same censoring rule, same risk-set recursion.
+    "agg_survival_table" ->
+      """WITH u AS (SELECT user_id,
+        |    CAST(MIN(epoch_us(ts) // 86400000000) AS BIGINT) AS first_day,
+        |    CAST(MAX(epoch_us(ts) // 86400000000) AS BIGINT) AS last_day
+        |  FROM events GROUP BY 1),
+        |h AS (SELECT CAST(MAX(last_day) AS BIGINT) AS max_day FROM u),
+        |lt AS (SELECT (last_day - first_day) // 7 AS t_week,
+        |    CAST(SUM(CASE WHEN last_day >= max_day - 7 THEN 0 ELSE 1 END) AS BIGINT) AS d_events,
+        |    CAST(SUM(CASE WHEN last_day >= max_day - 7 THEN 1 ELSE 0 END) AS BIGINT) AS c_censored
+        |  FROM u, h GROUP BY 1),
+        |n AS (SELECT CAST(SUM(d_events + c_censored) AS BIGINT) AS n_users FROM lt),
+        |r AS (SELECT t_week, d_events, c_censored,
+        |    n_users - CAST(COALESCE(SUM(d_events + c_censored) OVER (ORDER BY t_week
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS n_at_risk
+        |  FROM lt, n)
+        |SELECT t_week, n_at_risk, d_events, c_censored,
+        |  (d_events * 1000) // n_at_risk AS hazard_milli
+        |FROM r ORDER BY t_week""".stripMargin
   )
 }

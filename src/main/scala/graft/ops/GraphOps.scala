@@ -671,6 +671,42 @@ object GraphOps {
         .select(col("n_edges"), col("sum_x"), col("sum_xy"), col("sum_x2"),
           col("r_num"), col("r_den"),
           (col("r_num").cast("double") / col("r_den").cast("double")).as("r"))
+    }),
+
+    // Conductance of each region cut — modularity's decision-theoretic
+    // sibling (the metric partitioners MINIMIZE): φ(S) = cut(S) /
+    // min(vol(S), vol(V∖S)), where cut = vol − 2·intra on the weighted
+    // backbone — all exact BIGINTs from the same three keyed rollups,
+    // φ as the exact (num, den) pair + one division; a region holding
+    // every live edge has den 0 and reports NULL, not a NaN.
+    "graph_conductance" -> ((s, d) => {
+      val hw = heavyBackboneW(s, d)
+        .select(col("a").cast("bigint").as("a"), col("b").cast("bigint").as("b"), col("w"))
+      val m = hw.agg(sum("w").as("m"))
+      val reg = Tables.nation(s, d)
+        .select(col("n_nationkey").cast("bigint").as("node"),
+          col("n_regionkey").cast("bigint").as("region"))
+      val deg = hw.select(col("a").as("node"), col("w"))
+        .unionAll(hw.select(col("b").as("node"), col("w")))
+        .groupBy("node").agg(sum("w").as("dw"))
+      val volC = reg.join(deg, Seq("node"), "left")
+        .groupBy("region")
+        .agg(count(lit(1)).as("n_nodes"), sum(coalesce(col("dw"), lit(0L))).as("vol"))
+      val inC = hw
+        .join(reg.select(col("node").as("a"), col("region").as("ra")), Seq("a"))
+        .join(reg.select(col("node").as("b"), col("region").as("rb")), Seq("b"))
+        .where(col("ra") === col("rb"))
+        .groupBy(col("ra").as("region")).agg(sum("w").as("in_w"))
+      volC.join(inC, Seq("region"), "left")
+        .crossJoin(broadcast(m))
+        .withColumn("in_w", coalesce(col("in_w"), lit(0L)))
+        .withColumn("cut_w", expr("vol - 2 * in_w"))
+        .withColumn("phi_den", expr("least(vol, 2 * m - vol)"))
+        .select(col("region"), col("n_nodes"), col("vol"), col("cut_w"), col("phi_den"),
+          expr("""CASE WHEN phi_den > 0
+                 THEN CAST(cut_w AS DOUBLE) / CAST(phi_den AS DOUBLE)
+                 ELSE NULL END""").as("phi"))
+        .orderBy("region")
     })
   )
 
@@ -1072,6 +1108,35 @@ object GraphOps {
          |  CAST(n_edges * sum_x2 - sum_x * sum_x AS BIGINT) AS r_den,
          |  CAST(n_edges * sum_xy - sum_x * sum_x AS DOUBLE)
          |    / CAST(n_edges * sum_x2 - sum_x * sum_x AS DOUBLE) AS r
-         |FROM s""".stripMargin
+         |FROM s""".stripMargin,
+
+    // Same three rollups, same cut = vol − 2·intra, same guarded division.
+    "graph_conductance" ->
+      s"""WITH $EdgesCte,
+         |$HeavyWCte,
+         |m AS (SELECT CAST(SUM(w) AS BIGINT) AS m FROM hw),
+         |reg AS (SELECT CAST(n_nationkey AS BIGINT) AS node,
+         |    CAST(n_regionkey AS BIGINT) AS region FROM nation),
+         |deg AS (SELECT node, CAST(SUM(w) AS BIGINT) AS dw FROM (
+         |    SELECT CAST(a AS BIGINT) AS node, w FROM hw
+         |    UNION ALL SELECT CAST(b AS BIGINT), w FROM hw)
+         |  GROUP BY 1),
+         |volc AS (SELECT region, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+         |    CAST(SUM(COALESCE(dw, 0)) AS BIGINT) AS vol
+         |  FROM reg LEFT JOIN deg USING (node) GROUP BY 1),
+         |inc AS (SELECT ra.region, CAST(SUM(w) AS BIGINT) AS in_w
+         |  FROM hw
+         |  JOIN reg ra ON ra.node = CAST(hw.a AS BIGINT)
+         |  JOIN reg rb ON rb.node = CAST(hw.b AS BIGINT)
+         |  WHERE ra.region = rb.region GROUP BY 1)
+         |SELECT volc.region, n_nodes, vol,
+         |  CAST(vol - 2 * COALESCE(in_w, 0) AS BIGINT) AS cut_w,
+         |  CAST(LEAST(vol, 2 * m - vol) AS BIGINT) AS phi_den,
+         |  CASE WHEN LEAST(vol, 2 * m - vol) > 0
+         |    THEN CAST(vol - 2 * COALESCE(in_w, 0) AS DOUBLE)
+         |      / CAST(LEAST(vol, 2 * m - vol) AS DOUBLE)
+         |    ELSE NULL END AS phi
+         |FROM volc LEFT JOIN inc ON inc.region = volc.region, m
+         |ORDER BY volc.region""".stripMargin
   )
 }
