@@ -255,10 +255,33 @@ object ApiSurface {
         Iterator((nk, cn, cSum, sn, sSum, cSum - sSum))
       }.toDF("nationkey", "n_cust", "cust_cents", "n_supp", "supp_cents", "gap_cents")
         .orderBy("nationkey")
+    }),
+
+    // EXECUTE IMMEDIATE (the SQL-scripting dynamic-dispatch surface new
+    // in Spark 4, beside api_sql_params' client-side binding): the query
+    // TEXT lives in a session variable, positional parameters bind via
+    // USING — the stored-procedure idiom a migrating warehouse user
+    // expects to keep. The dispatched plan is ordinary Catalyst — same
+    // pushdown, same rollup shape as writing the query directly.
+    "api_sql_execute_immediate" -> ((s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("graft_ei_orders")
+      s.sql("DECLARE OR REPLACE VARIABLE graft_ei_stmt STRING")
+      s.sql(
+        """SET VAR graft_ei_stmt =
+          |  'SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_orders,
+          |     CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+          |   FROM graft_ei_orders WHERE o_totalprice > ? GROUP BY 1 ORDER BY 1'""".stripMargin)
+      s.sql("EXECUTE IMMEDIATE graft_ei_stmt USING 100000")
     })
   )
 
   val oracles: Map[String, String] = Map(
+    // The dispatched text inlined — dynamic dispatch must be invisible.
+    "api_sql_execute_immediate" ->
+      """SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+        |FROM orders WHERE o_totalprice > 100000 GROUP BY 1 ORDER BY 1""".stripMargin,
+
     // The relational full-outer rollup the typed cogroup must equal.
     "ds_typed_cogroup" ->
       """WITH c AS (SELECT CAST(c_nationkey AS BIGINT) AS nationkey,

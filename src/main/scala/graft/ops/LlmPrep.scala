@@ -849,7 +849,55 @@ object LlmPrep {
         .select(col("doc_id"), col("n").as("n_tokens"), col("n_masked"), col("n_spans"),
           expr("((n - n_masked) * 1000000) DIV n").as("visible_ppm"),
           md5(expr("CAST(array_join(flags, '') AS BINARY)")).as("mask_md5"))
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // Temperature-scaled language mixture (the multilingual re-balancing
+    // law from the mBERT/XLM-R line: sample language ℓ ∝ n_ℓ^(1/T), so
+    // low-resource languages up-weight): T = 2 makes the power an
+    // INTEGER square root — computed exactly (k = ⌊√n⌋ with a ±1
+    // correction against k², so a float sqrt boundary can never leak
+    // into the hash) — and every share is one cross-multiplied ppm DIV.
+    // One per-language rollup + a broadcast total.
+    "llm_mixture_temperature" -> ((s, d) => {
+      val isqrt = "CAST(sqrt(CAST(n_tokens AS DOUBLE)) AS BIGINT)"
+      val t = Tables.documents(s, d)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(split(col("text"), " ")).cast("bigint")).as("n_tokens"))
+        .withColumn("k", expr(isqrt))
+        .withColumn("w", expr(
+          """CASE WHEN (k + 1) * (k + 1) <= n_tokens THEN k + 1
+            |     WHEN k * k > n_tokens THEN k - 1 ELSE k END""".stripMargin))
+      t.crossJoin(broadcast(t.agg(sum("w").as("w_total"),
+          sum("n_tokens").as("tok_total"))))
+        .select(col("lang"), col("n_docs"), col("n_tokens"), col("w"),
+          expr("(n_tokens * 1000000) DIV tok_total").as("natural_ppm"),
+          expr("(w * 1000000) DIV w_total").as("sampled_ppm"))
+        .orderBy("lang")
+    }),
+
+    // Sliding-window chunking with overlap — the RAG-ingest default
+    // (llm_chunk is gap-free fixed windows, llm_cdc_chunk is
+    // content-defined; retrieval wants OVERLAP so no answer span is ever
+    // split across a boundary): 64-token windows at stride 48, the last
+    // window clamped to the tail, chunk identity = md5 of the joined
+    // token slice. Pure HOF slice per chunk — scan-side explode, no
+    // shuffle beyond the sort.
+    "llm_chunk_overlap" -> ((s, d) =>
+      Tables.documents(s, d).where(col("doc_id") % 10 === 1)
+        .select(col("doc_id"), split(col("text"), " ").as("t"))
+        .withColumn("n", size(col("t")).cast("bigint"))
+        .withColumn("chunk_idx", explode(expr(
+          "sequence(0, CAST(greatest((n - 17) DIV 48, CAST(0 AS BIGINT)) AS INT))")))
+        .withColumn("start_tok", col("chunk_idx").cast("bigint") * 48)
+        .withColumn("chunk_toks",
+          expr("least(CAST(64 AS BIGINT), n - start_tok)"))
+        .select(col("doc_id"), col("chunk_idx").cast("bigint").as("chunk_idx"),
+          col("start_tok"), col("chunk_toks"),
+          md5(expr(
+            "CAST(array_join(slice(t, CAST(start_tok AS INT) + 1, CAST(chunk_toks AS INT)), ' ') AS BINARY)"))
+            .as("chunk_md5"))
+        .orderBy("doc_id", "chunk_idx"))
   )
 
   val queries: Map[String, Q] =
@@ -1400,6 +1448,38 @@ object LlmPrep {
         |SELECT doc_id, n AS n_tokens, n_masked, n_spans,
         |  ((n - n_masked) * 1000000) // n AS visible_ppm,
         |  md5(array_to_string(flags, '')) AS mask_md5
-        |FROM m ORDER BY doc_id""".stripMargin
+        |FROM m ORDER BY doc_id""".stripMargin,
+
+    // Same exact integer sqrt (±1-corrected), same ppm shares.
+    "llm_mixture_temperature" ->
+      """WITH g AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY 1),
+        |k AS (SELECT *, CAST(sqrt(CAST(n_tokens AS DOUBLE)) AS BIGINT) AS k0 FROM g),
+        |w AS (SELECT lang, n_docs, n_tokens,
+        |    CAST(CASE WHEN (k0 + 1) * (k0 + 1) <= n_tokens THEN k0 + 1
+        |         WHEN k0 * k0 > n_tokens THEN k0 - 1 ELSE k0 END AS BIGINT) AS w
+        |  FROM k),
+        |t AS (SELECT CAST(SUM(w) AS BIGINT) AS w_total,
+        |    CAST(SUM(n_tokens) AS BIGINT) AS tok_total FROM w)
+        |SELECT lang, n_docs, n_tokens, w,
+        |  (n_tokens * 1000000) // tok_total AS natural_ppm,
+        |  (w * 1000000) // w_total AS sampled_ppm
+        |FROM w, t ORDER BY lang""".stripMargin,
+
+    // Same stride-48 window law, same clamped tail, same slice hash.
+    "llm_chunk_overlap" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+        |  FROM documents WHERE doc_id % 10 = 1),
+        |c AS (SELECT doc_id, t, n, CAST(i AS BIGINT) AS chunk_idx,
+        |    CAST(i AS BIGINT) * 48 AS start_tok
+        |  FROM d, LATERAL (SELECT unnest(range(0,
+        |    CAST(GREATEST((n - 17) // 48, 0) AS INT) + 1)) AS i))
+        |SELECT doc_id, chunk_idx, start_tok,
+        |  LEAST(64, n - start_tok) AS chunk_toks,
+        |  md5(array_to_string(array_slice(t, CAST(start_tok AS INT) + 1,
+        |    CAST(start_tok + LEAST(64, n - start_tok) AS INT)), ' ')) AS chunk_md5
+        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin
   )
 }

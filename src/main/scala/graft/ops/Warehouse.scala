@@ -605,7 +605,39 @@ object Warehouse {
           sum(when(col("pt").isNotNull, 1L).otherwise(0L)).as("n_recovered"),
           min(when(!col("erased"), col("pt") === col("c_name"))).as("recovered_intact"),
           min(when(col("erased"), col("pt").isNull)).as("shredded_unreadable"))
-        .orderBy("segment"))
+        .orderBy("segment")),
+
+    // Order-independent table fingerprint — the replication/migration
+    // validator: checksum = XOR of per-row content hashes (md5 of the
+    // canonical column serialization, low 63 bits) + the row count —
+    // commutative, so partitioning, file order and shuffle plans cannot
+    // change it, and it compares across engines and copies in O(1). Three
+    // copies grade the contract: a reshuffled copy MATCHES, a one-row
+    // tamper DIFFERS — both as verdict columns against the original.
+    // One scan + one scalar agg per copy; at 100 TB this is the cheapest
+    // full-content audit that exists (one pass, no sort, no join).
+    "warehouse_table_checksum" -> ((s, d) => {
+      def fp(df: DataFrame) = df
+        .select(expr(
+          """CAST(conv(substring(md5(concat_ws('|',
+            |  CAST(o_orderkey AS STRING), CAST(o_custkey AS STRING),
+            |  o_orderstatus, CAST(CAST(o_totalprice AS DECIMAL(18,4)) AS STRING))), 2, 15), 16, 10) AS BIGINT)""".stripMargin)
+          .as("h"))
+        .agg(count(lit(1)).as("n"),
+          expr("CAST(bit_xor(h) AS BIGINT)").as("xsum"))
+      val base = Tables.orders(s, d)
+      val orig = fp(base)
+      val reshuffled = fp(base.repartition(7, col("o_custkey")))
+      val tampered = fp(base.withColumn("o_totalprice",
+        when(col("o_orderkey") === 7, col("o_totalprice") + 1)
+          .otherwise(col("o_totalprice"))))
+      orig.select(col("n").as("n_rows"), col("xsum"))
+        .crossJoin(reshuffled.select(col("n").as("n2"), col("xsum").as("x2")))
+        .crossJoin(tampered.select(col("n").as("n3"), col("xsum").as("x3")))
+        .select(col("n_rows"), col("xsum"),
+          (col("n2") === col("n_rows") && col("x2") === col("xsum")).as("replica_matches"),
+          (col("n3") === col("n_rows") && col("x3") =!= col("xsum")).as("tamper_detected"))
+    })
   )
 
   /** Phase 1 of sink_merge_upsert: the partitioned full load. Split out so
@@ -898,6 +930,17 @@ object Warehouse {
         |  CAST(SUM(CASE WHEN c_custkey % 10 = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_shredded,
         |  CAST(SUM(CASE WHEN c_custkey % 10 = 3 THEN 0 ELSE 1 END) AS BIGINT) AS n_recovered,
         |  TRUE AS recovered_intact, TRUE AS shredded_unreadable
-        |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Same canonical serialization and XOR law; verdicts pinned TRUE.
+    "warehouse_table_checksum" ->
+      """WITH h AS (SELECT ('0x' || substring(md5(concat_ws('|',
+        |    CAST(o_orderkey AS VARCHAR), CAST(o_custkey AS VARCHAR),
+        |    o_orderstatus, CAST(CAST(o_totalprice AS DECIMAL(18,4)) AS VARCHAR))), 2, 15))::BIGINT AS h
+        |  FROM orders)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(bit_xor(h) AS BIGINT) AS xsum,
+        |  TRUE AS replica_matches, TRUE AS tamper_detected
+        |FROM h""".stripMargin
   )
 }
