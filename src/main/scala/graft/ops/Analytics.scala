@@ -851,6 +851,52 @@ object Analytics {
         .select(col("t_week"), col("n_at_risk"), col("d_events"), col("c_censored"),
           expr("(d_events * 1000) DIV n_at_risk").as("hazard_milli"))
         .orderBy("t_week")
+    }),
+
+    // Velocity alerting — the fraud/abuse rate check: an event fires an
+    // alert when its user produced ≥ 5 events inside the TRAILING DAY,
+    // counted by a per-user RANGE frame over exact µs (ties at the same
+    // microsecond all join the frame — both engines' RANGE law). The
+    // window partitions by user (parallel, state bounded by a user's
+    // in-window burst); output is proportional to the ALERTS.
+    "win_velocity_alert" -> ((s, d) =>
+      Tables.events(s, d)
+        .withColumn("n_1d", count(lit(1)).over(
+          Window.partitionBy("user_id").orderBy("ts_us")
+            .rangeBetween(-86400000000L, 0)))
+        .where(col("n_1d") >= 5)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          expr("ts_us DIV 1000000").as("ts_sec"), col("n_1d"))
+        .orderBy("user_id", "ts_sec", "event_id")),
+
+    // RFM customer segmentation — the CRM workhorse: recency (last order
+    // day), frequency (orders), monetary (exact cents) per customer,
+    // each scored 1–5 by NTILE inside the customer's REGION under a
+    // (metric, custkey) TOTAL order (the tiebreak makes ntile's
+    // equal-split assignment engine-exact; the region partition keeps
+    // the rank windows parallel — a GLOBAL ntile would be the one-task
+    // sort that dies at 10⁹ customers), then the (region, r, f, m)
+    // cells roll up. One fact rollup + three windows over one region
+    // exchange + a small cell rollup.
+    "agg_rfm" -> ((s, d) => {
+      val c = Tables.orders(s, d)
+        .groupBy(col("o_custkey"))
+        .agg(max(expr("CAST(datediff(CAST(o_orderdate AS DATE), DATE'1970-01-01') AS BIGINT)")).as("r_day"),
+          count(lit(1)).as("f_cnt"),
+          sum(expr("CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 100 AS BIGINT)")).as("m_cents"))
+        .join(Tables.customer(s, d).select("c_custkey", "c_nationkey"),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, d).select(
+          col("n_nationkey"), col("n_regionkey").cast("bigint").as("region"))),
+          col("c_nationkey") === col("n_nationkey"))
+      def score(m: String) = ntile(5).over(
+        Window.partitionBy("region").orderBy(col(m), col("o_custkey"))).cast("bigint")
+      c.withColumn("r_score", score("r_day"))
+        .withColumn("f_score", score("f_cnt"))
+        .withColumn("m_score", score("m_cents"))
+        .groupBy("region", "r_score", "f_score", "m_score")
+        .agg(count(lit(1)).as("n_customers"), sum("m_cents").as("cell_cents"))
+        .orderBy("region", "r_score", "f_score", "m_score")
     })
   )
 
@@ -1415,6 +1461,40 @@ object Analytics {
         |  FROM lt, n)
         |SELECT t_week, n_at_risk, d_events, c_censored,
         |  (d_events * 1000) // n_at_risk AS hazard_milli
-        |FROM r ORDER BY t_week""".stripMargin
+        |FROM r ORDER BY t_week""".stripMargin,
+
+    // Same exact-µs RANGE frame and threshold.
+    "win_velocity_alert" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |    CAST(epoch_us(ts) AS BIGINT) AS ts_us FROM events),
+        |w AS (SELECT user_id, event_id, event_type, ts_us,
+        |    CAST(COUNT(*) OVER (PARTITION BY user_id ORDER BY ts_us
+        |      RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_1d
+        |  FROM e)
+        |SELECT user_id, event_id, event_type, ts_us // 1000000 AS ts_sec, n_1d
+        |FROM w WHERE n_1d >= 5
+        |ORDER BY user_id, ts_sec, event_id""".stripMargin,
+
+    // Same per-region ntile scores under the same total order.
+    "agg_rfm" ->
+      """WITH c AS (SELECT o_custkey,
+        |    CAST(MAX(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))) AS BIGINT) AS r_day,
+        |    CAST(COUNT(*) AS BIGINT) AS f_cnt,
+        |    CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 100 AS BIGINT)) AS BIGINT) AS m_cents
+        |  FROM orders GROUP BY 1),
+        |j AS (SELECT c.*, CAST(n_regionkey AS BIGINT) AS region
+        |  FROM c JOIN customer ON c_custkey = o_custkey
+        |  JOIN nation ON n_nationkey = c_nationkey),
+        |sc AS (SELECT region,
+        |    CAST(NTILE(5) OVER (PARTITION BY region ORDER BY r_day, o_custkey) AS BIGINT) AS r_score,
+        |    CAST(NTILE(5) OVER (PARTITION BY region ORDER BY f_cnt, o_custkey) AS BIGINT) AS f_score,
+        |    CAST(NTILE(5) OVER (PARTITION BY region ORDER BY m_cents, o_custkey) AS BIGINT) AS m_score,
+        |    m_cents
+        |  FROM j)
+        |SELECT region, r_score, f_score, m_score,
+        |  CAST(COUNT(*) AS BIGINT) AS n_customers,
+        |  CAST(SUM(m_cents) AS BIGINT) AS cell_cents
+        |FROM sc GROUP BY 1, 2, 3, 4
+        |ORDER BY region, r_score, f_score, m_score""".stripMargin
   )
 }

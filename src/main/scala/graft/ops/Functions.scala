@@ -434,10 +434,52 @@ object Functions {
         translate(col("p_type"), "AEO", "aeo").as("tr"),
         expr("repeat(left(p_type, 2), 3)").as("rp"),
         expr("right(p_type, 3)").as("rt"))
-        .orderBy("p_partkey"))
+        .orderBy("p_partkey")),
+
+    // Deterministic namespaced UUID (RFC 4122 v3 — md5-based): the
+    // stable-surrogate-key generator a warehouse uses when the SAME
+    // entity must mint the SAME id on every run and every engine (uuid()
+    // is random; hash alone isn't an id format downstream tools accept).
+    // Layout surgery on the md5 hex: version nibble forced to '3',
+    // variant nibble to 8–b via (hex mod 4); verdicts assert the format
+    // contract. Pure projection, zero shuffle.
+    "fn_uuid_deterministic" -> ((s, d) =>
+      Tables.customer(s, d)
+        .select(col("c_custkey"),
+          md5(expr("CAST(concat('graft-ns:', CAST(c_custkey AS STRING)) AS BINARY)")).as("h"))
+        .select(col("c_custkey"),
+          expr("""concat(
+                |  substring(h, 1, 8), '-', substring(h, 9, 4), '-',
+                |  '3', substring(h, 14, 3), '-',
+                |  CASE CAST(conv(substring(h, 17, 1), 16, 10) AS INT) % 4
+                |    WHEN 0 THEN '8' WHEN 1 THEN '9' WHEN 2 THEN 'a' ELSE 'b' END,
+                |  substring(h, 18, 3), '-', substring(h, 21, 12))""".stripMargin).as("uuid"))
+        .select(col("c_custkey"), col("uuid"),
+          (length(col("uuid")) === 36).as("len_ok"),
+          (substring(col("uuid"), 15, 1) === "3").as("version_ok"),
+          expr("substring(uuid, 20, 1) IN ('8', '9', 'a', 'b')").as("variant_ok"))
+        .orderBy("c_custkey"))
   )
 
   val oracles: Map[String, String] = Map(
+    // Same hex surgery over the same namespaced md5.
+    "fn_uuid_deterministic" ->
+      """WITH h AS (SELECT c_custkey,
+        |    md5('graft-ns:' || CAST(c_custkey AS VARCHAR)) AS h
+        |  FROM customer),
+        |u AS (SELECT c_custkey,
+        |    substring(h, 1, 8) || '-' || substring(h, 9, 4) || '-' ||
+        |    '3' || substring(h, 14, 3) || '-' ||
+        |    (CASE ('0x' || substring(h, 17, 1))::BIGINT % 4
+        |      WHEN 0 THEN '8' WHEN 1 THEN '9' WHEN 2 THEN 'a' ELSE 'b' END) ||
+        |    substring(h, 18, 3) || '-' || substring(h, 21, 12) AS uuid
+        |  FROM h)
+        |SELECT c_custkey, uuid,
+        |  length(uuid) = 36 AS len_ok,
+        |  substring(uuid, 15, 1) = '3' AS version_ok,
+        |  substring(uuid, 20, 1) IN ('8', '9', 'a', 'b') AS variant_ok
+        |FROM u ORDER BY c_custkey""".stripMargin,
+
     "fn_string" ->
       """SELECT p_partkey,
         |  upper(p_name) AS up, lower(p_type) AS lo,

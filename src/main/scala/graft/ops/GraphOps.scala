@@ -707,6 +707,25 @@ object GraphOps {
                  THEN CAST(cut_w AS DOUBLE) / CAST(phi_den AS DOUBLE)
                  ELSE NULL END""").as("phi"))
         .orderBy("region")
+    }),
+
+    // Reciprocity of the DIRECTED trade graph — does flow go both ways?
+    // Unweighted: share of directed edges whose reverse exists; weighted:
+    // Σ min(w, w_reverse) over Σ w (the balanced-flow share). One
+    // self-join on the reversed key + a scalar rollup, exact ppm.
+    "graph_reciprocity" -> ((s, d) => {
+      val e = tradeEdges(s, d).where(col("src") =!= col("dst"))
+        .select(col("src").cast("bigint").as("src"),
+          col("dst").cast("bigint").as("dst"), col("w"))
+      e.join(e.select(col("dst").as("src"), col("src").as("dst"),
+            col("w").as("w_rev")), Seq("src", "dst"), "left")
+        .agg(count(lit(1)).as("n_edges"),
+          sum(when(col("w_rev").isNotNull, 1L).otherwise(0L)).as("n_mutual"),
+          sum("w").as("w_total"),
+          sum(least(col("w"), coalesce(col("w_rev"), lit(0L)))).as("w_balanced"))
+        .select(col("n_edges"), col("n_mutual"), col("w_total"), col("w_balanced"),
+          expr("(n_mutual * 1000000) DIV n_edges").as("recip_ppm"),
+          expr("(w_balanced * 1000000) DIV w_total").as("w_recip_ppm"))
     })
   )
 
@@ -1137,6 +1156,23 @@ object GraphOps {
          |      / CAST(LEAST(vol, 2 * m - vol) AS DOUBLE)
          |    ELSE NULL END AS phi
          |FROM volc LEFT JOIN inc ON inc.region = volc.region, m
-         |ORDER BY volc.region""".stripMargin
+         |ORDER BY volc.region""".stripMargin,
+
+    // Same reversed-key self-join, same exact ppm shares.
+    "graph_reciprocity" ->
+      s"""WITH $EdgesCte,
+         |e AS (SELECT CAST(src AS BIGINT) AS src, CAST(dst AS BIGINT) AS dst, w
+         |  FROM edges WHERE src <> dst),
+         |j AS (SELECT e.src, e.dst, e.w, r.w AS w_rev
+         |  FROM e LEFT JOIN e r ON r.src = e.dst AND r.dst = e.src)
+         |SELECT CAST(COUNT(*) AS BIGINT) AS n_edges,
+         |  CAST(SUM(CASE WHEN w_rev IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_mutual,
+         |  CAST(SUM(w) AS BIGINT) AS w_total,
+         |  CAST(SUM(LEAST(w, COALESCE(w_rev, 0))) AS BIGINT) AS w_balanced,
+         |  (CAST(SUM(CASE WHEN w_rev IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) * 1000000)
+         |    // CAST(COUNT(*) AS BIGINT) AS recip_ppm,
+         |  (CAST(SUM(LEAST(w, COALESCE(w_rev, 0))) AS BIGINT) * 1000000)
+         |    // CAST(SUM(w) AS BIGINT) AS w_recip_ppm
+         |FROM j""".stripMargin
   )
 }
