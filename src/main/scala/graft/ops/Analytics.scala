@@ -897,6 +897,62 @@ object Analytics {
         .groupBy("region", "r_score", "f_score", "m_score")
         .agg(count(lit(1)).as("n_customers"), sum("m_cents").as("cell_cents"))
         .orderBy("region", "r_score", "f_score", "m_score")
+    }),
+
+    // Interval-union coverage — how much wall-clock was each user
+    // ACTIVE, counting each hour-long activity window once however many
+    // events overlap it? The classic sweep: per user, events in µs
+    // order, a window [ts, ts+1h] starts a NEW segment iff it begins
+    // after the running max end of everything before it (one exclusive
+    // prefix-max window); segment ids are the running sum of those
+    // flags; coverage = Σ per-segment (max end − min start). Exact µs,
+    // two windows + two rollups, all partitioned by user.
+    "win_interval_coverage" -> ((s, d) => {
+      val iv = Tables.events(s, d)
+        .select(col("user_id"), col("ts_us").as("st"),
+          (col("ts_us") + 3600000000L).as("en"))
+      val w = Window.partitionBy("user_id").orderBy("st", "en")
+      val seg = iv
+        .withColumn("max_end_prev", max("en").over(
+          w.rowsBetween(Window.unboundedPreceding, -1)))
+        .withColumn("new_seg",
+          when(col("max_end_prev").isNull || col("st") > col("max_end_prev"), 1L)
+            .otherwise(0L))
+        .withColumn("seg_id", sum("new_seg").over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      seg.groupBy("user_id", "seg_id")
+        .agg(count(lit(1)).as("n_ev"), min("st").as("s0"), max("en").as("e1"))
+        .groupBy("user_id")
+        .agg(sum("n_ev").as("n_events"), count(lit(1)).as("n_segments"),
+          sum(expr("e1 - s0")).as("coverage_us"))
+        .withColumn("dedup_ratio_ppm",
+          expr("(coverage_us * 1000000) DIV (n_events * 3600000000)"))
+        .orderBy("user_id")
+    }),
+
+    // Local-peak detection on the daily series per event type — the
+    // spike finder feeding alerting/annotation: a day is a peak when it
+    // strictly beats BOTH neighbors (lag/lead — series edges can't
+    // peak) AND clears the series mean by 10%, compared cross-multiplied
+    // (10·x·n > 11·S1 — no fractional mean ever materializes). One per-type
+    // window + a broadcast of per-type totals; output is the peaks.
+    "win_peak_detect" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("x"))
+      val tot = daily.groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("x").as("s1"))
+      val w = Window.partitionBy("event_type").orderBy("day")
+      daily
+        .withColumn("prev", lag("x", 1).over(w))
+        .withColumn("next", lead("x", 1).over(w))
+        .join(broadcast(tot), "event_type")
+        .where(col("prev").isNotNull && col("next").isNotNull
+          && col("x") > col("prev") && col("x") > col("next")
+          && col("x") * col("n") * 10 > col("s1") * 11)
+        .select(col("event_type"), date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("x"), col("prev"), col("next"))
+        .orderBy("event_type", "day")
     })
   )
 
@@ -1495,6 +1551,48 @@ object Analytics {
         |  CAST(COUNT(*) AS BIGINT) AS n_customers,
         |  CAST(SUM(m_cents) AS BIGINT) AS cell_cents
         |FROM sc GROUP BY 1, 2, 3, 4
-        |ORDER BY region, r_score, f_score, m_score""".stripMargin
+        |ORDER BY region, r_score, f_score, m_score""".stripMargin,
+
+    // Same sweep: exclusive prefix max, flag, running segment id.
+    "win_interval_coverage" ->
+      """WITH iv AS (SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS st,
+        |    CAST(epoch_us(ts) + 3600000000 AS BIGINT) AS en FROM events),
+        |m AS (SELECT user_id, st, en,
+        |    CAST(MAX(en) OVER (PARTITION BY user_id ORDER BY st, en
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT) AS max_end_prev
+        |  FROM iv),
+        |f AS (SELECT *, CASE WHEN max_end_prev IS NULL OR st > max_end_prev
+        |    THEN 1 ELSE 0 END AS new_seg FROM m),
+        |g AS (SELECT user_id, st, en,
+        |    CAST(SUM(new_seg) OVER (PARTITION BY user_id ORDER BY st, en
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS seg_id
+        |  FROM f),
+        |sg AS (SELECT user_id, seg_id, CAST(COUNT(*) AS BIGINT) AS n_ev,
+        |    CAST(MIN(st) AS BIGINT) AS s0, CAST(MAX(en) AS BIGINT) AS e1
+        |  FROM g GROUP BY 1, 2)
+        |SELECT user_id, CAST(SUM(n_ev) AS BIGINT) AS n_events,
+        |  CAST(COUNT(*) AS BIGINT) AS n_segments,
+        |  CAST(SUM(e1 - s0) AS BIGINT) AS coverage_us,
+        |  (CAST(SUM(e1 - s0) AS BIGINT) * 1000000)
+        |    // (CAST(SUM(n_ev) AS BIGINT) * 3600000000) AS dedup_ratio_ppm
+        |FROM sg GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // Same lag/lead neighborhood and cross-multiplied prominence.
+    "win_peak_detect" ->
+      """WITH daily AS MATERIALIZED (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2),
+        |tot AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(x) AS BIGINT) AS s1 FROM daily GROUP BY 1),
+        |l AS (SELECT d.event_type, d.day, d.x, tot.n, tot.s1,
+        |    LAG(x) OVER (PARTITION BY d.event_type ORDER BY day) AS prev,
+        |    LEAD(x) OVER (PARTITION BY d.event_type ORDER BY day) AS next
+        |  FROM daily d JOIN tot USING (event_type))
+        |SELECT event_type, strftime(day, '%Y-%m-%d') AS day,
+        |  x, CAST(prev AS BIGINT) AS prev, CAST(next AS BIGINT) AS next
+        |FROM l
+        |WHERE prev IS NOT NULL AND next IS NOT NULL
+        |  AND x > prev AND x > next AND x * n * 10 > s1 * 11
+        |ORDER BY event_type, day""".stripMargin
   )
 }

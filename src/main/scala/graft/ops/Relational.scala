@@ -297,6 +297,33 @@ object Relational {
         .orderBy("bucket")
     }),
 
+    // Multi-line CSV (RFC 4180 quoting in anger): a quoted field spans a
+    // RECORD-EMBEDDED NEWLINE and another embeds escaped double quotes —
+    // the two cases that break every naive line-splitting reader and the
+    // reason multiLine=true exists (it forgoes file splitting: one file
+    // = one parse unit, the documented trade-off). Golden oracle rebuilds
+    // the expected field VALUES with chr(10)-spliced SQL, so the parse is
+    // graded byte-for-byte via length/newline-count/md5.
+    "source_csv_multiline" -> ((s, d) => {
+      val dir = s"${Scratch.dir}/mlcsv"
+      val content = "id,name,notes\n" +
+        "0,alpha,\"line one\nline two\"\n" +
+        "1,beta,\"say \"\"hi\"\", ok\"\n" +
+        "2,gamma,plain\n"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+      java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/part.csv"),
+        content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      s.read.schema("id INT, name STRING, notes STRING")
+        .option("header", "true").option("multiLine", "true")
+        .option("quote", "\"").option("escape", "\"")
+        .csv(dir)
+        .select(col("id").cast("bigint").as("id"), col("name"),
+          length(col("notes")).cast("bigint").as("notes_len"),
+          (size(split(col("notes"), "\n", -1)) - 1).cast("bigint").as("n_newlines"),
+          md5(expr("CAST(notes AS BINARY)")).as("notes_md5"))
+        .orderBy("id")
+    }),
+
     // JSONL twin of source_csv_badrecords — the schema-on-read audit for
     // the other half of real ingest traffic: PERMISSIVE mode keeps every
     // record, a type-mismatched field NULLs out while its siblings still
@@ -1245,6 +1272,20 @@ object Relational {
         |FROM (VALUES ('clean', 3, 100, 3, 3), ('corrupt', 3, 30, 2, 2))
         |  AS t(bucket, n_rows, sum_val, n_parsed_ids, n_parsed_names)
         |ORDER BY bucket""".stripMargin,
+
+    // Expected fields rebuilt with chr(10) splices; parse graded
+    // byte-for-byte via the derived length/newline/md5 columns.
+    "source_csv_multiline" ->
+      """WITH exp AS (
+        |  SELECT * FROM (VALUES
+        |    (0, 'alpha', 'line one' || chr(10) || 'line two'),
+        |    (1, 'beta', 'say "hi", ok'),
+        |    (2, 'gamma', 'plain')) AS t(id, name, notes))
+        |SELECT CAST(id AS BIGINT) AS id, name,
+        |  CAST(length(notes) AS BIGINT) AS notes_len,
+        |  CAST(length(notes) - length(replace(notes, chr(10), '')) AS BIGINT) AS n_newlines,
+        |  md5(notes) AS notes_md5
+        |FROM exp ORDER BY id""".stripMargin,
 
     // Golden set pinning PERMISSIVE JSON semantics: the type-mismatch row
     // keeps its parsed siblings (partial results), the non-JSON line
