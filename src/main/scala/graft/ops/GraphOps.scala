@@ -726,6 +726,36 @@ object GraphOps {
         .select(col("n_edges"), col("n_mutual"), col("w_total"), col("w_balanced"),
           expr("(n_mutual * 1000000) DIV n_edges").as("recip_ppm"),
           expr("(w_balanced * 1000000) DIV w_total").as("w_recip_ppm"))
+    }),
+
+    // 4-truss of the backbone — EDGE-level cohesion (graph_kcore peels
+    // nodes by degree; the truss peels edges by TRIANGLE support, the
+    // stricter community filter): an edge survives while it sits in ≥ 2
+    // triangles among surviving edges. Three peel rounds (fixed, replayed
+    // identically by the oracle; the dense fixture converges in fewer),
+    // each round = one common-neighbor count over the current edge set —
+    // the triangle-join shape, all keyed. Output: surviving edges + final
+    // support.
+    "graph_ktruss" -> ((s, d) => {
+      def support(e: DataFrame): DataFrame = {
+        val bi = e.select(col("a").as("src"), col("b").as("dst"))
+          .unionAll(e.select(col("b").as("src"), col("a").as("dst")))
+        e.join(bi.select(col("dst").as("a"), col("src").as("n")), Seq("a"))
+          .join(bi.select(col("dst").as("b"), col("src").as("n")), Seq("b", "n"))
+          .groupBy("a", "b").agg(count(lit(1)).as("sup"))
+      }
+      var e = heavyBackbone(s, d)
+        .select(col("a").cast("bigint").as("a"), col("b").cast("bigint").as("b"))
+        .localCheckpoint()
+      for (_ <- 1 to 3) {
+        e = e.join(support(e), Seq("a", "b"), "left")
+          .where(coalesce(col("sup"), lit(0L)) >= 2)
+          .select("a", "b")
+          .localCheckpoint()
+      }
+      e.join(support(e), Seq("a", "b"), "left")
+        .select(col("a"), col("b"), coalesce(col("sup"), lit(0L)).as("support"))
+        .orderBy("a", "b")
     })
   )
 
@@ -1173,6 +1203,32 @@ object GraphOps {
          |    // CAST(COUNT(*) AS BIGINT) AS recip_ppm,
          |  (CAST(SUM(LEAST(w, COALESCE(w_rev, 0))) AS BIGINT) * 1000000)
          |    // CAST(SUM(w) AS BIGINT) AS w_recip_ppm
-         |FROM j""".stripMargin
+         |FROM j""".stripMargin,
+
+    // The three peel rounds replayed as chained CTEs over the same
+    // common-neighbor support join.
+    "graph_ktruss" -> {
+      def supCte(i: Int) =
+        s"""s$i AS (SELECT e.a, e.b, CAST(COUNT(*) AS BIGINT) AS sup
+           |  FROM e$i e
+           |  JOIN (SELECT a AS u, b AS v FROM e$i UNION ALL SELECT b, a FROM e$i) x ON x.v = e.a
+           |  JOIN (SELECT a AS u, b AS v FROM e$i UNION ALL SELECT b, a FROM e$i) y
+           |    ON y.v = e.b AND y.u = x.u
+           |  GROUP BY 1, 2)"""
+      val rounds = (0 until 3).map { i =>
+        s"""${supCte(i)},
+           |e${i + 1} AS MATERIALIZED (SELECT e.a, e.b FROM e$i e
+           |  JOIN s$i ON s$i.a = e.a AND s$i.b = e.b
+           |  WHERE s$i.sup >= 2)"""
+      }.mkString(",\n")
+      s"""WITH $EdgesCte,
+         |$HeavyCte,
+         |e0 AS MATERIALIZED (SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b FROM h),
+         |$rounds,
+         |${supCte(3)}
+         |SELECT e.a, e.b, CAST(COALESCE(s3.sup, 0) AS BIGINT) AS support
+         |FROM e3 e LEFT JOIN s3 ON s3.a = e.a AND s3.b = e.b
+         |ORDER BY e.a, e.b""".stripMargin
+    }
   )
 }

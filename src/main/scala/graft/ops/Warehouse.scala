@@ -637,6 +637,31 @@ object Warehouse {
         .select(col("n_rows"), col("xsum"),
           (col("n2") === col("n_rows") && col("x2") === col("xsum")).as("replica_matches"),
           (col("n3") === col("n_rows") && col("x3") =!= col("xsum")).as("tamper_detected"))
+    }),
+
+    // Hot/warm/cold tiering plan — the storage-lifecycle report an ILM
+    // (information lifecycle management) job consumes: per order-year
+    // partition, age against the dataset's OWN max year (never
+    // wall-clock — the plan must be re-runnable), tier by age bands,
+    // byte budget from a fixed row-width estimate, and the action a
+    // mover would take (keep / compact+tier / archive). Partition-grain
+    // rollup — at 100 TB this reads the manifest row counts, not data.
+    "warehouse_hot_cold_tiering" -> ((s, d) => {
+      val byYear = Tables.orders(s, d)
+        .groupBy(year(col("o_orderdate")).cast("bigint").as("o_year"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(expr("CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 100 AS BIGINT)")).as("cents"))
+      byYear.crossJoin(broadcast(byYear.agg(max("o_year").as("max_year"))))
+        .withColumn("age_years", col("max_year") - col("o_year"))
+        .withColumn("tier", expr(
+          "CASE WHEN age_years <= 1 THEN 'hot' WHEN age_years <= 3 THEN 'warm' ELSE 'cold' END"))
+        .withColumn("est_bytes", col("n_rows") * 120L)
+        .withColumn("action", expr(
+          """CASE WHEN age_years <= 1 THEN 'keep'
+            |     WHEN age_years <= 3 THEN 'compact+tier'
+            |     ELSE 'archive' END""".stripMargin))
+        .select("o_year", "age_years", "tier", "n_rows", "cents", "est_bytes", "action")
+        .orderBy("o_year")
     })
   )
 
@@ -941,6 +966,22 @@ object Warehouse {
         |SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
         |  CAST(bit_xor(h) AS BIGINT) AS xsum,
         |  TRUE AS replica_matches, TRUE AS tamper_detected
-        |FROM h""".stripMargin
+        |FROM h""".stripMargin,
+
+    // Same self-relative age bands and byte estimate.
+    "warehouse_hot_cold_tiering" ->
+      """WITH y AS (SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |    CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |    CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 100 AS BIGINT)) AS BIGINT) AS cents
+        |  FROM orders GROUP BY 1),
+        |m AS (SELECT CAST(MAX(o_year) AS BIGINT) AS max_year FROM y)
+        |SELECT o_year, max_year - o_year AS age_years,
+        |  CASE WHEN max_year - o_year <= 1 THEN 'hot'
+        |       WHEN max_year - o_year <= 3 THEN 'warm' ELSE 'cold' END AS tier,
+        |  n_rows, cents, CAST(n_rows * 120 AS BIGINT) AS est_bytes,
+        |  CASE WHEN max_year - o_year <= 1 THEN 'keep'
+        |       WHEN max_year - o_year <= 3 THEN 'compact+tier'
+        |       ELSE 'archive' END AS action
+        |FROM y, m ORDER BY o_year""".stripMargin
   )
 }
