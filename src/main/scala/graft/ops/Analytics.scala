@@ -953,6 +953,28 @@ object Analytics {
         .select(col("event_type"), date_format(col("day"), "yyyy-MM-dd").as("day"),
           col("x"), col("prev"), col("next"))
         .orderBy("event_type", "day")
+    }),
+
+    // Seasonal-naive forecast backtest — the MASE discipline (is a
+    // 7-day-seasonal forecast better than persistence?): forecast_t =
+    // x_{t−7}, baseline_t = x_{t−1}, scored over the days where BOTH
+    // exist, MASE = Σ|seasonal error| / Σ|naive error| in exact ppm —
+    // absolute errors of integers, one final DIV. Two lags over one
+    // per-type window; < 1000000 ppm means the seasonal model wins.
+    "agg_forecast_backtest" -> ((s, d) => {
+      val w = Window.partitionBy("event_type").orderBy("day")
+      Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("x"))
+        .withColumn("f7", lag("x", 7).over(w))
+        .withColumn("f1", lag("x", 1).over(w))
+        .where(col("f7").isNotNull)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_eval"),
+          sum(abs(col("x") - col("f7"))).as("sae_seasonal"),
+          sum(abs(col("x") - col("f1"))).as("sae_naive"))
+        .withColumn("mase_ppm", expr("(sae_seasonal * 1000000) DIV sae_naive"))
+        .orderBy("event_type")
     })
   )
 
@@ -1593,6 +1615,23 @@ object Analytics {
         |FROM l
         |WHERE prev IS NOT NULL AND next IS NOT NULL
         |  AND x > prev AND x > next AND x * n * 10 > s1 * 11
-        |ORDER BY event_type, day""".stripMargin
+        |ORDER BY event_type, day""".stripMargin,
+
+    // Same lag-7/lag-1 frame, same exact absolute-error sums.
+    "agg_forecast_backtest" ->
+      """WITH daily AS MATERIALIZED (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2),
+        |l AS (SELECT event_type, x,
+        |    LAG(x, 7) OVER (PARTITION BY event_type ORDER BY day) AS f7,
+        |    LAG(x, 1) OVER (PARTITION BY event_type ORDER BY day) AS f1
+        |  FROM daily)
+        |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_eval,
+        |  CAST(SUM(abs(x - f7)) AS BIGINT) AS sae_seasonal,
+        |  CAST(SUM(abs(x - f1)) AS BIGINT) AS sae_naive,
+        |  (CAST(SUM(abs(x - f7)) AS BIGINT) * 1000000)
+        |    // CAST(SUM(abs(x - f1)) AS BIGINT) AS mase_ppm
+        |FROM l WHERE f7 IS NOT NULL
+        |GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

@@ -897,7 +897,31 @@ object LlmPrep {
           md5(expr(
             "CAST(array_join(slice(t, CAST(start_tok AS INT) + 1, CAST(chunk_toks AS INT)), ' ') AS BINARY)"))
             .as("chunk_md5"))
-        .orderBy("doc_id", "chunk_idx"))
+        .orderBy("doc_id", "chunk_idx")),
+
+    // Cross-language vocabulary overlap — how much surface form do two
+    // languages share (loanwords, numerals, markup — the signal that
+    // leaks language-ID and contaminates per-lang dedup)? Per-language
+    // vocabularies from one (lang, token) rollup, pairwise intersection
+    // from ONE self-join on the token (a<b canonical), Jaccard in exact
+    // ppm. The token join is keyed — never a vocab×vocab product.
+    "llm_vocab_overlap" -> ((s, d) => {
+      val v = Tables.documents(s, d)
+        .select(col("lang"), explode(split(col("text"), " ")).as("w"))
+        .distinct()
+        .localCheckpoint()
+      val sizes = v.groupBy("lang").agg(count(lit(1)).as("n"))
+      val inter = v.as("x").join(v.as("y"),
+          col("x.w") === col("y.w") && col("x.lang") < col("y.lang"))
+        .groupBy(col("x.lang").as("lang_a"), col("y.lang").as("lang_b"))
+        .agg(count(lit(1)).as("n_shared"))
+      inter
+        .join(broadcast(sizes.select(col("lang").as("lang_a"), col("n").as("n_a"))), "lang_a")
+        .join(broadcast(sizes.select(col("lang").as("lang_b"), col("n").as("n_b"))), "lang_b")
+        .select(col("lang_a"), col("lang_b"), col("n_a"), col("n_b"), col("n_shared"),
+          expr("(n_shared * 1000000) DIV (n_a + n_b - n_shared)").as("jaccard_ppm"))
+        .orderBy("lang_a", "lang_b")
+    })
   )
 
   val queries: Map[String, Q] =
@@ -1480,6 +1504,21 @@ object LlmPrep {
         |  LEAST(64, n - start_tok) AS chunk_toks,
         |  md5(array_to_string(array_slice(t, CAST(start_tok AS INT) + 1,
         |    CAST(start_tok + LEAST(64, n - start_tok) AS INT)), ' ')) AS chunk_md5
-        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin
+        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    // Same distinct vocabularies, same canonical pair join, same ppm.
+    "llm_vocab_overlap" ->
+      """WITH v AS MATERIALIZED (SELECT DISTINCT lang, w FROM (
+        |    SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents)),
+        |sz AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n FROM v GROUP BY 1),
+        |i AS (SELECT x.lang AS lang_a, y.lang AS lang_b,
+        |    CAST(COUNT(*) AS BIGINT) AS n_shared
+        |  FROM v x JOIN v y ON x.w = y.w AND x.lang < y.lang
+        |  GROUP BY 1, 2)
+        |SELECT lang_a, lang_b, sa.n AS n_a, sb.n AS n_b, n_shared,
+        |  (n_shared * 1000000) // (sa.n + sb.n - n_shared) AS jaccard_ppm
+        |FROM i JOIN sz sa ON sa.lang = i.lang_a
+        |JOIN sz sb ON sb.lang = i.lang_b
+        |ORDER BY lang_a, lang_b""".stripMargin
   )
 }

@@ -662,6 +662,45 @@ object Warehouse {
             |     ELSE 'archive' END""".stripMargin))
         .select("o_year", "age_years", "tier", "n_rows", "cents", "est_bytes", "action")
         .orderBy("o_year")
+    }),
+
+    // Schema diff between two table generations — the migration
+    // pre-flight every pipeline upgrade runs: generation 2 drops a
+    // column, adds one, and widens a type; the diff reads ONLY parquet
+    // footers (schema metadata — O(files), zero data IO at any scale)
+    // and classifies every column added / removed / type_changed /
+    // unchanged. Schema-as-data: the footer fields become a relation so
+    // the report is queryable like everything else.
+    "warehouse_schema_diff" -> ((s, d) => {
+      val v1Dir = Scratch.opDir("schdiff_v1", d)
+      val v2Dir = Scratch.opDir("schdiff_v2", d)
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice").cast("float").as("o_totalprice"),
+          col("o_custkey"))
+        .limit(10).write.mode("overwrite").parquet(v1Dir)
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice").cast("double").as("o_totalprice"), // widened
+          col("o_orderpriority"))                                // added (o_custkey dropped)
+        .limit(10).write.mode("overwrite").parquet(v2Dir)
+      val f1 = s.read.parquet(v1Dir).schema.fields
+        .map(f => (f.name, f.dataType.simpleString)).toMap
+      val f2 = s.read.parquet(v2Dir).schema.fields
+        .map(f => (f.name, f.dataType.simpleString)).toMap
+      val rows = (f1.keySet ++ f2.keySet).toSeq.sorted.map { c =>
+        val status = (f1.get(c), f2.get(c)) match {
+          case (Some(a), Some(b)) if a == b => "unchanged"
+          case (Some(_), Some(_))           => "type_changed"
+          case (Some(_), None)              => "removed"
+          case _                            => "added"
+        }
+        (c, f1.getOrElse(c, "(absent)"), f2.getOrElse(c, "(absent)"), status)
+      }
+      val classic = s.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      import classic.implicits._
+      classic.createDataset(rows).toDF("column_name", "v1_type", "v2_type", "status")
+        .orderBy("column_name")
     })
   )
 
@@ -982,6 +1021,17 @@ object Warehouse {
         |  CASE WHEN max_year - o_year <= 1 THEN 'keep'
         |       WHEN max_year - o_year <= 3 THEN 'compact+tier'
         |       ELSE 'archive' END AS action
-        |FROM y, m ORDER BY o_year""".stripMargin
+        |FROM y, m ORDER BY o_year""".stripMargin,
+
+    // Golden classification of the three scripted schema edits.
+    "warehouse_schema_diff" ->
+      """SELECT * FROM (VALUES
+        |  ('o_custkey', 'bigint', '(absent)', 'removed'),
+        |  ('o_orderkey', 'bigint', 'bigint', 'unchanged'),
+        |  ('o_orderpriority', '(absent)', 'string', 'added'),
+        |  ('o_orderstatus', 'string', 'string', 'unchanged'),
+        |  ('o_totalprice', 'float', 'double', 'type_changed'))
+        |  AS t(column_name, v1_type, v2_type, status)
+        |ORDER BY column_name""".stripMargin
   )
 }
