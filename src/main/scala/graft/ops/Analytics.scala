@@ -975,6 +975,40 @@ object Analytics {
           sum(abs(col("x") - col("f1"))).as("sae_naive"))
         .withColumn("mase_ppm", expr("(sae_seasonal * 1000000) DIV sae_naive"))
         .orderBy("event_type")
+    }),
+
+    // CUPED covariate adjustment (the experimentation-platform variance
+    // killer: regress the experiment metric on its PRE-period value,
+    // θ = cov(x,y)/var(x), and the adjusted metric's variance drops by
+    // ρ²): per customer x = pre-1996 spend, y = post spend, in exact
+    // cents; every moment accumulates in DECIMAL(38,0) (n·Σxy overflows
+    // int64 — the decimal lattice keeps it exact), and θ/ρ² are formed
+    // from those exact values by IEEE ops only. One fact rollup + one
+    // scalar aggregate.
+    "agg_cuped_theta" -> ((s, d) => {
+      val per = Tables.orders(s, d)
+        .groupBy("o_custkey")
+        .agg(
+          sum(when(col("o_orderdate") < "1996-01-01",
+            expr("CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 100 AS BIGINT)"))
+            .otherwise(0L)).as("x"),
+          sum(when(col("o_orderdate") >= "1996-01-01",
+            expr("CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 100 AS BIGINT)"))
+            .otherwise(0L)).as("y"))
+      per.agg(count(lit(1)).as("n"),
+          sum(col("x").cast("decimal(38,0)")).as("sx"),
+          sum(col("y").cast("decimal(38,0)")).as("sy"),
+          sum((col("x").cast("decimal(38,0)") * col("y")).cast("decimal(38,0)")).as("sxy"),
+          sum((col("x").cast("decimal(38,0)") * col("x")).cast("decimal(38,0)")).as("sxx"),
+          sum((col("y").cast("decimal(38,0)") * col("y")).cast("decimal(38,0)")).as("syy"))
+        .withColumn("cov_num", expr("CAST(CAST(n AS DECIMAL(38,0)) * sxy - sx * sy AS DOUBLE)"))
+        .withColumn("var_x", expr("CAST(CAST(n AS DECIMAL(38,0)) * sxx - sx * sx AS DOUBLE)"))
+        .withColumn("var_y", expr("CAST(CAST(n AS DECIMAL(38,0)) * syy - sy * sy AS DOUBLE)"))
+        .select(col("n"),
+          expr("CAST(sx AS DOUBLE)").as("sum_x"),
+          expr("CAST(sy AS DOUBLE)").as("sum_y"),
+          expr("cov_num / var_x").as("theta"),
+          expr("cov_num * cov_num / (var_x * var_y)").as("rho2"))
     })
   )
 
@@ -1632,6 +1666,33 @@ object Analytics {
         |  (CAST(SUM(abs(x - f7)) AS BIGINT) * 1000000)
         |    // CAST(SUM(abs(x - f1)) AS BIGINT) AS mase_ppm
         |FROM l WHERE f7 IS NOT NULL
-        |GROUP BY 1 ORDER BY 1""".stripMargin
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Same decimal-exact moments, same IEEE-only θ/ρ² formation.
+    "agg_cuped_theta" ->
+      """WITH per AS (SELECT o_custkey,
+        |    CAST(SUM(CASE WHEN o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+        |      THEN CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 100 AS BIGINT)
+        |      ELSE 0 END) AS BIGINT) AS x,
+        |    CAST(SUM(CASE WHEN o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |      THEN CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 100 AS BIGINT)
+        |      ELSE 0 END) AS BIGINT) AS y
+        |  FROM orders GROUP BY 1),
+        |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CAST(x AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sx,
+        |    CAST(SUM(CAST(y AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sy,
+        |    CAST(SUM(CAST(x AS DECIMAL(38,0)) * y) AS DECIMAL(38,0)) AS sxy,
+        |    CAST(SUM(CAST(x AS DECIMAL(38,0)) * x) AS DECIMAL(38,0)) AS sxx,
+        |    CAST(SUM(CAST(y AS DECIMAL(38,0)) * y) AS DECIMAL(38,0)) AS syy
+        |  FROM per),
+        |p AS (SELECT n,
+        |    CAST(CAST(n AS DECIMAL(38,0)) * sxy - sx * sy AS DOUBLE) AS cov_num,
+        |    CAST(CAST(n AS DECIMAL(38,0)) * sxx - sx * sx AS DOUBLE) AS var_x,
+        |    CAST(CAST(n AS DECIMAL(38,0)) * syy - sy * sy AS DOUBLE) AS var_y,
+        |    CAST(sx AS DOUBLE) AS sum_x, CAST(sy AS DOUBLE) AS sum_y
+        |  FROM m)
+        |SELECT n, sum_x, sum_y, cov_num / var_x AS theta,
+        |  cov_num * cov_num / (var_x * var_y) AS rho2
+        |FROM p""".stripMargin
   )
 }

@@ -701,6 +701,41 @@ object Warehouse {
       import classic.implicits._
       classic.createDataset(rows).toDF("column_name", "v1_type", "v2_type", "status")
         .orderBy("column_name")
+    }),
+
+    // Late-arriving dimension (the classic ETL race: facts land before
+    // their dimension row): customers ≡ 0 (mod 7) miss the first dim
+    // load, so their facts mint INFERRED placeholder members (the
+    // early-arriving-fact pattern — facts are never dropped or stalled);
+    // the late dim batch then upgrades placeholders in place. Graded:
+    // per-provenance rollup + the fail-safe verdicts (no fact orphaned,
+    // no placeholder left once the late batch lands). Anti-join +
+    // left join — all keyed; placeholder minting is fact-rollup-sized.
+    "warehouse_late_dim" -> ((s, d) => {
+      val facts = Tables.orders(s, d)
+        .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_orders"))
+      val dimOnTime = Tables.customer(s, d).where(col("c_custkey") % 7 =!= 0)
+        .select(col("c_custkey"), col("c_name"))
+      val dimLate = Tables.customer(s, d).where(col("c_custkey") % 7 === 0)
+        .select(col("c_custkey").as("l_key"), col("c_name").as("l_name"))
+      val phase1 = facts
+        .join(dimOnTime, col("o_custkey") === col("c_custkey"), "left")
+        .withColumn("member_name",
+          coalesce(col("c_name"), lit("(inferred)")))
+        .withColumn("inferred", col("c_name").isNull)
+      val resolved = phase1
+        .join(dimLate, col("o_custkey") === col("l_key"), "left")
+        .withColumn("final_name",
+          when(col("inferred") && col("l_name").isNotNull, col("l_name"))
+            .otherwise(col("member_name")))
+        .withColumn("provenance",
+          when(!col("inferred"), lit("on_time"))
+            .when(col("l_name").isNotNull, lit("late"))
+            .otherwise(lit("unresolved")))
+      resolved.groupBy("provenance")
+        .agg(count(lit(1)).as("n_customers"), sum("n_orders").as("n_orders"),
+          min(col("final_name") =!= "(inferred)").as("no_placeholder_left"))
+        .orderBy("provenance")
     })
   )
 
@@ -1032,6 +1067,16 @@ object Warehouse {
         |  ('o_orderstatus', 'string', 'string', 'unchanged'),
         |  ('o_totalprice', 'float', 'double', 'type_changed'))
         |  AS t(column_name, v1_type, v2_type, status)
-        |ORDER BY column_name""".stripMargin
+        |ORDER BY column_name""".stripMargin,
+
+    // The provenance split replayed from the modulus law; verdict TRUE.
+    "warehouse_late_dim" ->
+      """WITH f AS (SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders
+        |  FROM orders GROUP BY 1)
+        |SELECT CASE WHEN o_custkey % 7 = 0 THEN 'late' ELSE 'on_time' END AS provenance,
+        |  CAST(COUNT(*) AS BIGINT) AS n_customers,
+        |  CAST(SUM(n_orders) AS BIGINT) AS n_orders,
+        |  TRUE AS no_placeholder_left
+        |FROM f GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }
