@@ -1009,6 +1009,33 @@ object Analytics {
           expr("CAST(sy AS DOUBLE)").as("sum_y"),
           expr("cov_num / var_x").as("theta"),
           expr("cov_num * cov_num / (var_x * var_y)").as("rho2"))
+    }),
+
+    // Herfindahl–Hirschman concentration index per region — the
+    // antitrust/market-structure metric beside gini/pareto: firms =
+    // nations, HHI = Σ share², computed as (Σ cents²)·10⁶ DIV (Σ cents)²
+    // entirely in DECIMAL(38,0) (nation-level cents² overflows int64 at
+    // sf0.1) with ONE exact integer DIV into ppm — 10⁶/n ppm is perfect
+    // competition, 10⁶ is monopoly. Two keyed rollups.
+    "agg_herfindahl" -> ((s, d) => {
+      val byNation = Tables.orders(s, d)
+        .join(Tables.customer(s, d).select("c_custkey", "c_nationkey"),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, d).select(
+          col("n_nationkey"), col("n_regionkey").cast("bigint").as("region"))),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("region"), col("c_nationkey"))
+        .agg(sum(expr("CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 100 AS BIGINT)")).as("cents"))
+      byNation.groupBy("region")
+        .agg(count(lit(1)).as("n_firms"),
+          sum(col("cents").cast("decimal(38,0)")).as("tot"),
+          sum((col("cents").cast("decimal(38,0)") * col("cents")).cast("decimal(38,0)")).as("sq"))
+        .select(col("region"), col("n_firms"),
+          expr("CAST(tot AS DOUBLE)").as("total_cents"),
+          expr("CAST(CAST(sq * 1000000 AS DECIMAL(38,0)) DIV CAST(tot * tot AS DECIMAL(38,0)) AS BIGINT)")
+            .as("hhi_ppm"),
+          expr("CAST(sq AS DOUBLE) / (CAST(tot AS DOUBLE) * CAST(tot AS DOUBLE))").as("hhi"))
+        .orderBy("region")
     })
   )
 
@@ -1693,6 +1720,23 @@ object Analytics {
         |  FROM m)
         |SELECT n, sum_x, sum_y, cov_num / var_x AS theta,
         |  cov_num * cov_num / (var_x * var_y) AS rho2
-        |FROM p""".stripMargin
+        |FROM p""".stripMargin,
+
+    // Same decimal-exact Σcents² over (Σcents)², same ppm DIV.
+    "agg_herfindahl" ->
+      """WITH n AS (SELECT CAST(n_regionkey AS BIGINT) AS region, c_nationkey,
+        |    CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 100 AS BIGINT)) AS BIGINT) AS cents
+        |  FROM orders
+        |  JOIN customer ON c_custkey = o_custkey
+        |  JOIN nation ON n_nationkey = c_nationkey
+        |  GROUP BY 1, 2),
+        |g AS (SELECT region, CAST(COUNT(*) AS BIGINT) AS n_firms,
+        |    CAST(SUM(CAST(cents AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS tot,
+        |    CAST(SUM(CAST(cents AS DECIMAL(38,0)) * cents) AS DECIMAL(38,0)) AS sq
+        |  FROM n GROUP BY 1)
+        |SELECT region, n_firms, CAST(tot AS DOUBLE) AS total_cents,
+        |  CAST(CAST(sq * 1000000 AS HUGEINT) // CAST(tot * tot AS HUGEINT) AS BIGINT) AS hhi_ppm,
+        |  CAST(sq AS DOUBLE) / (CAST(tot AS DOUBLE) * CAST(tot AS DOUBLE)) AS hhi
+        |FROM g ORDER BY region""".stripMargin
   )
 }

@@ -458,7 +458,33 @@ object Functions {
           (length(col("uuid")) === 36).as("len_ok"),
           (substring(col("uuid"), 15, 1) === "3").as("version_ok"),
           expr("substring(uuid, 20, 1) IN ('8', '9', 'a', 'b')").as("variant_ok"))
-        .orderBy("c_custkey"))
+        .orderBy("c_custkey")),
+
+    // Luhn checksum (ISO/IEC 7812 — the card/IMEI/member-id validity
+    // law every PII scrubber and intake validator implements): from the
+    // RIGHT, every second digit doubles (minus 9 past 9), the total must
+    // divide by 10. Per key the op reports the Luhn sum, the validity
+    // verdict, and the CHECK DIGIT that would make key·10+c valid (the
+    // issuance direction — computed by the parity-shifted sum). Pure
+    // HOF digit algebra, scan-side, no shuffle.
+    "fn_luhn_check" -> ((s, d) => {
+      def luhnSum(parity: Int) =
+        s"""aggregate(sequence(1, length(ds)), 0, (acc, i) ->
+           |  acc + CASE WHEN (i - 1) % 2 = $parity
+           |    THEN IF((ascii(substring(ds, i, 1)) - 48) * 2 > 9,
+           |            (ascii(substring(ds, i, 1)) - 48) * 2 - 9,
+           |            (ascii(substring(ds, i, 1)) - 48) * 2)
+           |    ELSE ascii(substring(ds, i, 1)) - 48 END)""".stripMargin
+      Tables.customer(s, d)
+        .select(col("c_custkey"),
+          reverse(expr("CAST(c_custkey AS STRING)")).as("ds"))
+        .withColumn("luhn_sum", expr(luhnSum(1)).cast("bigint"))
+        .withColumn("shifted_sum", expr(luhnSum(0)).cast("bigint"))
+        .select(col("c_custkey"), col("luhn_sum"),
+          (col("luhn_sum") % 10 === 0).as("valid"),
+          expr("CAST((10 - shifted_sum % 10) % 10 AS BIGINT)").as("check_digit"))
+        .orderBy("c_custkey")
+    })
   )
 
   val oracles: Map[String, String] = Map(
@@ -479,6 +505,28 @@ object Functions {
         |  substring(uuid, 15, 1) = '3' AS version_ok,
         |  substring(uuid, 20, 1) IN ('8', '9', 'a', 'b') AS variant_ok
         |FROM u ORDER BY c_custkey""".stripMargin,
+
+    // Same right-to-left doubling law and parity-shifted check digit.
+    "fn_luhn_check" ->
+      """WITH s AS (SELECT c_custkey, reverse(CAST(c_custkey AS VARCHAR)) AS ds
+        |  FROM customer),
+        |l AS (SELECT c_custkey,
+        |    CAST(list_sum(list_transform(range(1, length(ds) + 1), i ->
+        |      CASE WHEN (i - 1) % 2 = 1
+        |        THEN CASE WHEN (ascii(substring(ds, CAST(i AS INT), 1)) - 48) * 2 > 9
+        |          THEN (ascii(substring(ds, CAST(i AS INT), 1)) - 48) * 2 - 9
+        |          ELSE (ascii(substring(ds, CAST(i AS INT), 1)) - 48) * 2 END
+        |        ELSE ascii(substring(ds, CAST(i AS INT), 1)) - 48 END)) AS BIGINT) AS luhn_sum,
+        |    CAST(list_sum(list_transform(range(1, length(ds) + 1), i ->
+        |      CASE WHEN (i - 1) % 2 = 0
+        |        THEN CASE WHEN (ascii(substring(ds, CAST(i AS INT), 1)) - 48) * 2 > 9
+        |          THEN (ascii(substring(ds, CAST(i AS INT), 1)) - 48) * 2 - 9
+        |          ELSE (ascii(substring(ds, CAST(i AS INT), 1)) - 48) * 2 END
+        |        ELSE ascii(substring(ds, CAST(i AS INT), 1)) - 48 END)) AS BIGINT) AS shifted_sum
+        |  FROM s)
+        |SELECT c_custkey, luhn_sum, luhn_sum % 10 = 0 AS valid,
+        |  CAST((10 - shifted_sum % 10) % 10 AS BIGINT) AS check_digit
+        |FROM l ORDER BY c_custkey""".stripMargin,
 
     "fn_string" ->
       """SELECT p_partkey,
