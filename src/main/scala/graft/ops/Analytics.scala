@@ -1036,7 +1036,27 @@ object Analytics {
             .as("hhi_ppm"),
           expr("CAST(sq AS DOUBLE) / (CAST(tot AS DOUBLE) * CAST(tot AS DOUBLE))").as("hhi"))
         .orderBy("region")
-    })
+    }),
+
+    // Sample-ratio-mismatch guard — the FIRST check any A/B readout must
+    // pass (a biased assignment invalidates every downstream metric
+    // before it is read): deterministic 50/50 split on the md5-uniform
+    // draw, one-cell chi-square (n₀−n₁)²/(n₀+n₁) formed in lossless
+    // doubles from exact counts, verdict on the pure-integer law
+    // (n₀−n₁)² > 4·(n₀+n₁) ⟺ |z| > 2 — no ulp can flip the alarm.
+    // One scan, one scalar aggregate.
+    "agg_ab_srm" -> ((s, d) =>
+      Tables.orders(s, d)
+        .select(expr(
+          "CAST(conv(substring(md5(concat('srm:', CAST(o_orderkey AS STRING))), 1, 8), 16, 10) AS BIGINT) % 2")
+          .as("arm"))
+        .agg(sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n0"),
+          sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n1"))
+        .select(col("n0"), col("n1"),
+          (col("n0") - col("n1")).as("dev"),
+          expr("""CAST(n0 - n1 AS DOUBLE) * CAST(n0 - n1 AS DOUBLE)
+                 / CAST(n0 + n1 AS DOUBLE)""").as("srm_stat"),
+          expr("(n0 - n1) * (n0 - n1) > 4 * (n0 + n1)").as("srm_alarm")))
   )
 
   /** `win_ewma`'s truncated half-decay weights for lags 0..7. */
@@ -1737,6 +1757,20 @@ object Analytics {
         |SELECT region, n_firms, CAST(tot AS DOUBLE) AS total_cents,
         |  CAST(CAST(sq * 1000000 AS HUGEINT) // CAST(tot * tot AS HUGEINT) AS BIGINT) AS hhi_ppm,
         |  CAST(sq AS DOUBLE) / (CAST(tot AS DOUBLE) * CAST(tot AS DOUBLE)) AS hhi
-        |FROM g ORDER BY region""".stripMargin
+        |FROM g ORDER BY region""".stripMargin,
+
+    // Same md5 split, same lossless-double statistic, same integer alarm.
+    "agg_ab_srm" ->
+      """WITH a AS (SELECT
+        |    ('0x' || substring(md5('srm:' || CAST(o_orderkey AS VARCHAR)), 1, 8))::BIGINT % 2 AS arm
+        |  FROM orders),
+        |c AS (SELECT CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+        |    CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1
+        |  FROM a)
+        |SELECT n0, n1, CAST(n0 - n1 AS BIGINT) AS dev,
+        |  CAST(n0 - n1 AS DOUBLE) * CAST(n0 - n1 AS DOUBLE)
+        |    / CAST(n0 + n1 AS DOUBLE) AS srm_stat,
+        |  (n0 - n1) * (n0 - n1) > 4 * (n0 + n1) AS srm_alarm
+        |FROM c""".stripMargin
   )
 }

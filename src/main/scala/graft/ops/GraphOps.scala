@@ -756,6 +756,37 @@ object GraphOps {
       e.join(support(e), Seq("a", "b"), "left")
         .select(col("a"), col("b"), coalesce(col("sup"), lit(0L)).as("support"))
         .orderBy("a", "b")
+    }),
+
+    // Rich-club coefficient — do the hubs trade among THEMSELVES? For
+    // each degree threshold k: the nodes with degree > k, the edges
+    // both of whose endpoints qualify, and φ(k) = 2·E_k / (n_k(n_k−1))
+    // in exact ppm — rising φ with k is the rich-club effect. One
+    // degree rollup broadcast against the edge list, one pass per
+    // threshold over the same frame (a 4-row explode, not 4 jobs).
+    "graph_rich_club" -> ((s, d) => {
+      val heavy = heavyBackbone(s, d)
+        .select(col("a").cast("bigint").as("a"), col("b").cast("bigint").as("b"))
+      val deg = heavy.select(col("a").as("node"))
+        .unionAll(heavy.select(col("b").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("deg"))
+      val ks = Seq(2L, 4L, 6L, 8L)
+      val edgesK = heavy
+        .join(broadcast(deg.select(col("node").as("a"), col("deg").as("da"))), Seq("a"))
+        .join(broadcast(deg.select(col("node").as("b"), col("deg").as("db"))), Seq("b"))
+        .withColumn("k", explode(lit(ks.toArray)))
+        .where(col("da") > col("k") && col("db") > col("k"))
+        .groupBy("k").agg(count(lit(1)).as("e_k"))
+      val nodesK = deg.withColumn("k", explode(lit(ks.toArray)))
+        .where(col("deg") > col("k"))
+        .groupBy("k").agg(count(lit(1)).as("n_k"))
+      nodesK.join(edgesK, Seq("k"), "left")
+        .withColumn("e_k", coalesce(col("e_k"), lit(0L)))
+        .select(col("k"), col("n_k"), col("e_k"),
+          expr("""CASE WHEN n_k >= 2
+                 THEN (e_k * 2 * 1000000) DIV (n_k * (n_k - 1))
+                 ELSE NULL END""").as("phi_ppm"))
+        .orderBy("k")
     })
   )
 
@@ -1229,6 +1260,29 @@ object GraphOps {
          |SELECT e.a, e.b, CAST(COALESCE(s3.sup, 0) AS BIGINT) AS support
          |FROM e3 e LEFT JOIN s3 ON s3.a = e.a AND s3.b = e.b
          |ORDER BY e.a, e.b""".stripMargin
-    }
+    },
+
+    // Same thresholds, same hub-edge filter, same exact ppm density.
+    "graph_rich_club" ->
+      s"""WITH $EdgesCte,
+         |$HeavyCte,
+         |e AS (SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b FROM h),
+         |deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+         |    SELECT a AS node FROM e UNION ALL SELECT b FROM e)
+         |  GROUP BY 1),
+         |ks AS (SELECT CAST(unnest([2, 4, 6, 8]) AS BIGINT) AS k),
+         |ek AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS e_k
+         |  FROM e
+         |  JOIN deg da ON da.node = e.a
+         |  JOIN deg db ON db.node = e.b, ks
+         |  WHERE da.deg > k AND db.deg > k GROUP BY 1),
+         |nk AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS n_k
+         |  FROM deg, ks WHERE deg > k GROUP BY 1)
+         |SELECT nk.k, n_k, CAST(COALESCE(e_k, 0) AS BIGINT) AS e_k,
+         |  CASE WHEN n_k >= 2
+         |    THEN (COALESCE(e_k, 0) * 2 * 1000000) // (n_k * (n_k - 1))
+         |    ELSE NULL END AS phi_ppm
+         |FROM nk LEFT JOIN ek ON ek.k = nk.k
+         |ORDER BY nk.k""".stripMargin
   )
 }

@@ -921,6 +921,31 @@ object LlmPrep {
         .select(col("lang_a"), col("lang_b"), col("n_a"), col("n_b"), col("n_shared"),
           expr("(n_shared * 1000000) DIV (n_a + n_b - n_shared)").as("jaccard_ppm"))
         .orderBy("lang_a", "lang_b")
+    }),
+
+    // Hard-negative mining (the contrastive-training stage between
+    // random negatives and near-duplicates): per anchor the top-3
+    // candidates inside the similarity BAND [0.05, 0.5) — similar
+    // enough to be informative, far enough to be true negatives (above
+    // the band is a near-dup risk, below it the gradient is noise).
+    // Reuses the native CosineSimilarity expression on rounded sims
+    // (engine-identical ordering); one broadcast probe join + a per-
+    // anchor ordered-limit.
+    "llm_hard_negatives" -> ((s, d) => {
+      org.apache.spark.sql.graftbridge.GraftBridge.registerFunction(s, "cosine_sim",
+        exprs => org.apache.spark.sql.graftbridge.CosineSimilarity(exprs(0), exprs(1)))
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      val p = e.where(col("vec_id") < 10)
+        .select(col("vec_id").as("anchor_id"), col("emb").as("a_emb"))
+      val w = Window.partitionBy("anchor_id").orderBy(desc("sim"), col("negative_id"))
+      broadcast(p).join(e, col("vec_id") =!= col("anchor_id"))
+        .select(col("anchor_id"), col("vec_id").as("negative_id"),
+          round(call_function("cosine_sim", col("a_emb"), col("emb")), 4).as("sim"))
+        .where(col("sim") >= 0.05 && col("sim") < 0.5)
+        .withColumn("rnk", row_number().over(w))
+        .where(col("rnk") <= 3)
+        .orderBy("anchor_id", "rnk")
     })
   )
 
@@ -1519,6 +1544,21 @@ object LlmPrep {
         |  (n_shared * 1000000) // (sa.n + sb.n - n_shared) AS jaccard_ppm
         |FROM i JOIN sz sa ON sa.lang = i.lang_a
         |JOIN sz sb ON sb.lang = i.lang_b
-        |ORDER BY lang_a, lang_b""".stripMargin
+        |ORDER BY lang_a, lang_b""".stripMargin,
+
+    // Same rounded-cosine band, same ordered-limit per anchor.
+    "llm_hard_negatives" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |p AS (SELECT vec_id AS anchor_id, emb AS a_emb FROM e WHERE vec_id < 10),
+        |sim AS (SELECT anchor_id, vec_id AS negative_id,
+        |    ROUND(list_cosine_similarity(a_emb, emb), 4) AS sim
+        |  FROM p, e WHERE vec_id <> anchor_id),
+        |b AS (SELECT * FROM sim WHERE sim >= 0.05 AND sim < 0.5),
+        |r AS (SELECT anchor_id, negative_id, sim,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY anchor_id
+        |      ORDER BY sim DESC, negative_id) AS INT) AS rnk
+        |  FROM b)
+        |SELECT anchor_id, negative_id, sim, rnk FROM r WHERE rnk <= 3
+        |ORDER BY anchor_id, rnk""".stripMargin
   )
 }
