@@ -1056,7 +1056,39 @@ object Analytics {
           (col("n0") - col("n1")).as("dev"),
           expr("""CAST(n0 - n1 AS DOUBLE) * CAST(n0 - n1 AS DOUBLE)
                  / CAST(n0 + n1 AS DOUBLE)""").as("srm_stat"),
-          expr("(n0 - n1) * (n0 - n1) > 4 * (n0 + n1)").as("srm_alarm")))
+          expr("(n0 - n1) * (n0 - n1) > 4 * (n0 + n1)").as("srm_alarm"))),
+
+    // Decile lift table — the model-evaluation classic: treat order
+    // value as the "model score", urgency (priority 1/2) as the label,
+    // decile by NTILE(10) inside each region (the stratified variant —
+    // a GLOBAL decile is the one-task sort that dies at scale), then
+    // the lift table aggregates the strata per decile with cumulative
+    // capture in exact ppm (the 10-row cumulative frame is trivially
+    // serial). Decile 1 = highest scores.
+    "agg_lift_curve" -> ((s, d) => {
+      val scored = Tables.orders(s, d)
+        .join(Tables.customer(s, d).select("c_custkey", "c_nationkey"),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, d).select(
+          col("n_nationkey"), col("n_regionkey").cast("bigint").as("region"))),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("region"), col("o_orderkey"),
+          expr("CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 100 AS BIGINT)").as("score"),
+          when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+            .otherwise(0L).as("label"))
+        .withColumn("decile", ntile(10).over(
+          Window.partitionBy("region").orderBy(desc("score"), col("o_orderkey"))).cast("bigint"))
+      val byDecile = scored.groupBy("decile")
+        .agg(count(lit(1)).as("n"), sum("label").as("n_pos"))
+      byDecile
+        .crossJoin(broadcast(byDecile.agg(sum("n_pos").as("total_pos"))))
+        .withColumn("cum_pos", sum("n_pos").over(
+          Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .select(col("decile"), col("n"), col("n_pos"),
+          expr("(n_pos * 1000000) DIV n").as("rate_ppm"),
+          expr("(cum_pos * 1000000) DIV total_pos").as("cum_capture_ppm"))
+        .orderBy("decile")
+    })
   )
 
   /** `win_ewma`'s truncated half-decay weights for lags 0..7. */
@@ -1771,6 +1803,28 @@ object Analytics {
         |  CAST(n0 - n1 AS DOUBLE) * CAST(n0 - n1 AS DOUBLE)
         |    / CAST(n0 + n1 AS DOUBLE) AS srm_stat,
         |  (n0 - n1) * (n0 - n1) > 4 * (n0 + n1) AS srm_alarm
-        |FROM c""".stripMargin
+        |FROM c""".stripMargin,
+
+    // Same region-stratified deciles, same cumulative capture.
+    "agg_lift_curve" ->
+      """WITH s AS (SELECT CAST(n_regionkey AS BIGINT) AS region, o_orderkey,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 100 AS BIGINT) AS score,
+        |    CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END AS label
+        |  FROM orders
+        |  JOIN customer ON c_custkey = o_custkey
+        |  JOIN nation ON n_nationkey = c_nationkey),
+        |dd AS (SELECT *, CAST(NTILE(10) OVER (PARTITION BY region
+        |    ORDER BY score DESC, o_orderkey) AS BIGINT) AS decile FROM s),
+        |g AS (SELECT decile, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(label) AS BIGINT) AS n_pos FROM dd GROUP BY 1),
+        |t AS (SELECT CAST(SUM(n_pos) AS BIGINT) AS total_pos FROM g),
+        |c AS (SELECT g.*, total_pos,
+        |    CAST(SUM(n_pos) OVER (ORDER BY decile
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_pos
+        |  FROM g, t)
+        |SELECT decile, n, n_pos,
+        |  (n_pos * 1000000) // n AS rate_ppm,
+        |  (cum_pos * 1000000) // total_pos AS cum_capture_ppm
+        |FROM c ORDER BY decile""".stripMargin
   )
 }

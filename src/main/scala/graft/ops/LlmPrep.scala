@@ -946,6 +946,42 @@ object LlmPrep {
         .withColumn("rnk", row_number().over(w))
         .where(col("rnk") <= 3)
         .orderBy("anchor_id", "rnk")
+    }),
+
+    // Curation filter funnel — the attrition report every data pipeline
+    // publishes beside its output (which stage costs how much corpus?):
+    // four chained gates (min length, known language, lexical diversity,
+    // exact-dup survivor — first doc_id per text wins) evaluated as
+    // FLAGS in one pass, the funnel counts derived by summing flag
+    // prefixes — no stage re-scans, stage order explicit. One window
+    // (exact-dup rank per text) + one scalar rollup, unpivoted to the
+    // per-stage report.
+    "llm_filter_funnel" -> ((s, d) => {
+      val flagged = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("text"),
+          col("n_chars").cast("bigint").as("len"),
+          size(split(col("text"), " ")).cast("bigint").as("toks"),
+          size(array_distinct(split(col("text"), " "))).cast("bigint").as("uniq"))
+        .withColumn("first_of_text", row_number().over(
+          Window.partitionBy("text").orderBy("doc_id")) === 1)
+        .withColumn("g1", col("len") >= 64)
+        .withColumn("g2", col("g1") && col("lang").isin("en", "de", "fr", "es", "ja"))
+        .withColumn("g3", col("g2") && expr("(uniq * 1000) DIV toks >= 300"))
+        .withColumn("g4", col("g3") && col("first_of_text"))
+      val agg = flagged.agg(
+        count(lit(1)).as("n0"),
+        sum(when(col("g1"), 1L).otherwise(0L)).as("n1"),
+        sum(when(col("g2"), 1L).otherwise(0L)).as("n2"),
+        sum(when(col("g3"), 1L).otherwise(0L)).as("n3"),
+        sum(when(col("g4"), 1L).otherwise(0L)).as("n4"))
+      agg.select(expr(
+          """stack(4,
+            |  1L, 'min_length',  n0, n1,
+            |  2L, 'known_lang',  n1, n2,
+            |  3L, 'diversity',   n2, n3,
+            |  4L, 'exact_dedup', n3, n4) AS (stage, gate, n_in, n_out)""".stripMargin))
+        .withColumn("drop_ppm", expr("((n_in - n_out) * 1000000) DIV n_in"))
+        .orderBy("stage")
     })
   )
 
@@ -1559,6 +1595,37 @@ object LlmPrep {
         |      ORDER BY sim DESC, negative_id) AS INT) AS rnk
         |  FROM b)
         |SELECT anchor_id, negative_id, sim, rnk FROM r WHERE rnk <= 3
-        |ORDER BY anchor_id, rnk""".stripMargin
+        |ORDER BY anchor_id, rnk""".stripMargin,
+
+    // Same chained gates, same one-pass flags, same funnel unpivot.
+    "llm_filter_funnel" ->
+      """WITH f AS (SELECT doc_id, lang, text,
+        |    CAST(n_chars AS BIGINT) AS len,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS toks,
+        |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS uniq,
+        |    ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) = 1 AS first_of_text
+        |  FROM documents),
+        |g AS (SELECT *,
+        |    len >= 64 AS g1,
+        |    len >= 64 AND lang IN ('en', 'de', 'fr', 'es', 'ja') AS g2,
+        |    len >= 64 AND lang IN ('en', 'de', 'fr', 'es', 'ja')
+        |      AND (uniq * 1000) // toks >= 300 AS g3,
+        |    len >= 64 AND lang IN ('en', 'de', 'fr', 'es', 'ja')
+        |      AND (uniq * 1000) // toks >= 300 AND first_of_text AS g4
+        |  FROM f),
+        |a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n0,
+        |    CAST(SUM(CASE WHEN g1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |    CAST(SUM(CASE WHEN g2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+        |    CAST(SUM(CASE WHEN g3 THEN 1 ELSE 0 END) AS BIGINT) AS n3,
+        |    CAST(SUM(CASE WHEN g4 THEN 1 ELSE 0 END) AS BIGINT) AS n4
+        |  FROM g),
+        |u AS (
+        |  SELECT 1 AS stage, 'min_length' AS gate, n0 AS n_in, n1 AS n_out FROM a
+        |  UNION ALL SELECT 2, 'known_lang', n1, n2 FROM a
+        |  UNION ALL SELECT 3, 'diversity', n2, n3 FROM a
+        |  UNION ALL SELECT 4, 'exact_dedup', n3, n4 FROM a)
+        |SELECT CAST(stage AS BIGINT) AS stage, gate, n_in, n_out,
+        |  ((n_in - n_out) * 1000000) // n_in AS drop_ppm
+        |FROM u ORDER BY stage""".stripMargin
   )
 }
