@@ -1088,6 +1088,30 @@ object Analytics {
           expr("(n_pos * 1000000) DIV n").as("rate_ppm"),
           expr("(cum_pos * 1000000) DIV total_pos").as("cum_capture_ppm"))
         .orderBy("decile")
+    }),
+
+    // Net-dollar-retention cohort matrix — the SaaS-finance twin of
+    // agg_cohort_retention's headcounts: cohort = a customer's FIRST
+    // order year, each later year's revenue over the cohort's own
+    // first-year revenue in exact ppm (NDR > 10⁶ = expansion). One
+    // first-year rollup joined back to the per-(customer, year) cents
+    // frame, then the matrix rollup + a broadcast of cohort baselines.
+    "agg_ndr_matrix" -> ((s, d) => {
+      val perCY = Tables.orders(s, d)
+        .groupBy(col("o_custkey"), year(col("o_orderdate")).cast("bigint").as("yr"))
+        .agg(sum(expr("CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 100 AS BIGINT)")).as("cents"))
+        .localCheckpoint()
+      val cohort = perCY.groupBy("o_custkey").agg(min("yr").as("cohort"))
+      val cells = perCY.join(cohort, "o_custkey")
+        .groupBy("cohort", "yr")
+        .agg(count(lit(1)).as("n_active"), sum("cents").as("revenue_cents"))
+      val base = cells.where(col("yr") === col("cohort"))
+        .select(col("cohort"), col("revenue_cents").as("base_cents"))
+      cells.join(broadcast(base), "cohort")
+        .select(col("cohort"), col("yr"), (col("yr") - col("cohort")).as("age"),
+          col("n_active"), col("revenue_cents"),
+          expr("(revenue_cents * 1000000) DIV base_cents").as("ndr_ppm"))
+        .orderBy("cohort", "yr")
     })
   )
 
@@ -1825,6 +1849,21 @@ object Analytics {
         |SELECT decile, n, n_pos,
         |  (n_pos * 1000000) // n AS rate_ppm,
         |  (cum_pos * 1000000) // total_pos AS cum_capture_ppm
-        |FROM c ORDER BY decile""".stripMargin
+        |FROM c ORDER BY decile""".stripMargin,
+
+    // Same first-year cohorts, same exact-ppm retention ratio.
+    "agg_ndr_matrix" ->
+      """WITH cy AS (SELECT o_custkey, CAST(year(o_orderdate) AS BIGINT) AS yr,
+        |    CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 100 AS BIGINT)) AS BIGINT) AS cents
+        |  FROM orders GROUP BY 1, 2),
+        |co AS (SELECT o_custkey, CAST(MIN(yr) AS BIGINT) AS cohort FROM cy GROUP BY 1),
+        |cells AS (SELECT cohort, yr, CAST(COUNT(*) AS BIGINT) AS n_active,
+        |    CAST(SUM(cents) AS BIGINT) AS revenue_cents
+        |  FROM cy JOIN co USING (o_custkey) GROUP BY 1, 2),
+        |b AS (SELECT cohort, revenue_cents AS base_cents FROM cells WHERE yr = cohort)
+        |SELECT cohort, yr, yr - cohort AS age, n_active, revenue_cents,
+        |  (revenue_cents * 1000000) // base_cents AS ndr_ppm
+        |FROM cells JOIN b USING (cohort)
+        |ORDER BY cohort, yr""".stripMargin
   )
 }

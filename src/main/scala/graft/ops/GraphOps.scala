@@ -787,6 +787,37 @@ object GraphOps {
                  THEN (e_k * 2 * 1000000) DIV (n_k * (n_k - 1))
                  ELSE NULL END""").as("phi_ppm"))
         .orderBy("k")
+    }),
+
+    // Characteristic path length + diameter — the small-world summary
+    // (the two numbers every topology report leads with): all-pairs
+    // distances from the same 4-round relaxation the stress op uses,
+    // then one scalar rollup over unordered reachable pairs — average
+    // in exact milli (Σdist·1000 DIV pairs), diameter = max. At scale
+    // the relaxation runs per landmark sample; the output is O(1).
+    "graph_path_stats" -> ((s, d) => {
+      val heavy = heavyBackbone(s, d)
+      val bi = heavy.select(col("a").cast("bigint").as("src"), col("b").cast("bigint").as("dst"))
+        .unionAll(heavy.select(col("b").cast("bigint").as("src"), col("a").cast("bigint").as("dst")))
+        .localCheckpoint()
+      val nodes = Tables.nation(s, d).select(col("n_nationkey").cast("bigint").as("u"))
+      var dist = nodes.crossJoin(nodes.select(col("u").as("v")))
+        .withColumn("dist", when(col("u") === col("v"), 0L).otherwise(lit(99L)))
+      for (i <- 1 to BfsIters) {
+        val relax = dist.join(bi, dist("v") === bi("src"))
+          .select(col("u"), col("dst").as("v"), (col("dist") + 1).as("cand"))
+          .groupBy("u", "v").agg(min("cand").as("cand"))
+        dist = dist.join(relax, Seq("u", "v"), "left")
+          .select(col("u"), col("v"),
+            least(col("dist"), coalesce(col("cand"), lit(99L))).as("dist"))
+        if (i == 2) dist = dist.localCheckpoint()
+      }
+      dist.where(col("u") < col("v"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(when(col("dist") < 99, 1L).otherwise(0L)).as("n_reachable"),
+          sum(when(col("dist") < 99, col("dist")).otherwise(0L)).as("sum_dist"),
+          max(when(col("dist") < 99, col("dist"))).as("diameter"))
+        .withColumn("avg_path_milli", expr("(sum_dist * 1000) DIV n_reachable"))
     })
   )
 
@@ -1283,6 +1314,35 @@ object GraphOps {
          |    THEN (COALESCE(e_k, 0) * 2 * 1000000) // (n_k * (n_k - 1))
          |    ELSE NULL END AS phi_ppm
          |FROM nk LEFT JOIN ek ON ek.k = nk.k
-         |ORDER BY nk.k""".stripMargin
+         |ORDER BY nk.k""".stripMargin,
+
+    // Same relaxation rounds, same unordered-pair rollup.
+    "graph_path_stats" -> {
+      val dIters = (1 to BfsIters).map { i =>
+        val p = s"p${i - 1}"
+        s"""c$i AS MATERIALIZED (SELECT $p.u, bi.dst AS v,
+           |    CAST(MIN($p.dist + 1) AS BIGINT) AS cand
+           |  FROM bi JOIN $p ON $p.v = bi.src GROUP BY 1, 2),
+           |p$i AS MATERIALIZED (SELECT q.u, q.v,
+           |    CAST(LEAST(q.dist, COALESCE(c$i.cand, 99)) AS BIGINT) AS dist
+           |  FROM $p q LEFT JOIN c$i ON c$i.u = q.u AND c$i.v = q.v)"""
+      }.mkString(",\n")
+      s"""WITH $EdgesCte,
+         |$HeavyCte,
+         |bi AS MATERIALIZED (SELECT CAST(a AS BIGINT) AS src, CAST(b AS BIGINT) AS dst FROM h
+         |       UNION ALL SELECT CAST(b AS BIGINT), CAST(a AS BIGINT) FROM h),
+         |nodes AS (SELECT CAST(n_nationkey AS BIGINT) AS u FROM nation),
+         |p0 AS MATERIALIZED (SELECT n1.u, n2.u AS v,
+         |    CAST(CASE WHEN n1.u = n2.u THEN 0 ELSE 99 END AS BIGINT) AS dist
+         |  FROM nodes n1, nodes n2),
+         |$dIters
+         |SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         |  CAST(SUM(CASE WHEN dist < 99 THEN 1 ELSE 0 END) AS BIGINT) AS n_reachable,
+         |  CAST(SUM(CASE WHEN dist < 99 THEN dist ELSE 0 END) AS BIGINT) AS sum_dist,
+         |  CAST(MAX(CASE WHEN dist < 99 THEN dist END) AS BIGINT) AS diameter,
+         |  (CAST(SUM(CASE WHEN dist < 99 THEN dist ELSE 0 END) AS BIGINT) * 1000)
+         |    // CAST(SUM(CASE WHEN dist < 99 THEN 1 ELSE 0 END) AS BIGINT) AS avg_path_milli
+         |FROM p$BfsIters WHERE u < v""".stripMargin
+    }
   )
 }
