@@ -982,7 +982,48 @@ object LlmPrep {
             |  4L, 'exact_dedup', n3, n4) AS (stage, gate, n_in, n_out)""".stripMargin))
         .withColumn("drop_ppm", expr("((n_in - n_out) * 1000000) DIV n_in"))
         .orderBy("stage")
-    })
+    }),
+
+    // Zipf's-law audit — the corpus-linguistics sanity check (natural
+    // text has rank·frequency ≈ constant; synthetic or templated text
+    // deviates hard): top-30 tokens by (count DESC, token) ordered-limit
+    // (TakeOrderedAndProject, never a full vocab sort), the Zipf
+    // invariant rank·freq, and its level relative to the rank-1 token
+    // in exact ppm. One vocab rollup + a 30-row window.
+    "llm_zipf_check" -> ((s, d) => {
+      val top = Tables.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("freq"))
+        .orderBy(desc("freq"), col("w")).limit(30)
+      top
+        .withColumn("rank", row_number().over(
+          Window.orderBy(desc("freq"), col("w"))).cast("bigint"))
+        .crossJoin(broadcast(top.agg(max("freq").as("f1"))))
+        .select(col("rank"), col("w").as("token"), col("freq"),
+          (col("rank") * col("freq")).as("zipf_product"),
+          expr("(rank * freq * 1000000) DIV f1").as("rel_ppm"))
+        .orderBy("rank")
+    }),
+
+    // Embedding norm audit — the encoder-health check an embedding
+    // pipeline runs before indexing (near-zero norms = dead encoder
+    // output, exploding norms = missing normalization; both poison
+    // cosine retrieval): ‖x‖² per vector via an ORDERED left fold over
+    // the array (both engines fold in element order, so the IEEE sum is
+    // bit-identical), floored to exact micro; vectors band into $2-wide
+    // buckets with a degenerate flag. One projection + one band rollup.
+    "mm_embedding_norm_audit" -> ((s, d) =>
+      Tables.embeddings(s, d)
+        .select(col("vec_id"),
+          expr("""CAST(floor(aggregate(CAST(embedding AS ARRAY<DOUBLE>),
+                 CAST(0.0 AS DOUBLE), (acc, x) -> acc + x * x) * 1000000) AS BIGINT)""")
+            .as("l2sq_micro"))
+        .withColumn("band", expr("l2sq_micro DIV 2000000"))
+        .groupBy("band")
+        .agg(count(lit(1)).as("n_vectors"),
+          min("l2sq_micro").as("min_l2sq"), max("l2sq_micro").as("max_l2sq"),
+          sum(when(col("l2sq_micro") < 100000L, 1L).otherwise(0L)).as("n_near_zero"))
+        .orderBy("band"))
   )
 
   val queries: Map[String, Q] =
@@ -1626,6 +1667,32 @@ object LlmPrep {
         |  UNION ALL SELECT 4, 'exact_dedup', n3, n4 FROM a)
         |SELECT CAST(stage AS BIGINT) AS stage, gate, n_in, n_out,
         |  ((n_in - n_out) * 1000000) // n_in AS drop_ppm
-        |FROM u ORDER BY stage""".stripMargin
+        |FROM u ORDER BY stage""".stripMargin,
+
+    // Same top-30 cut, same rank·freq invariant, same ppm scaling.
+    "llm_zipf_check" ->
+      """WITH tk AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+        |v AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS freq FROM tk GROUP BY 1
+        |  ORDER BY freq DESC, w LIMIT 30),
+        |r AS (SELECT w, freq,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY freq DESC, w) AS BIGINT) AS rank
+        |  FROM v),
+        |m AS (SELECT CAST(MAX(freq) AS BIGINT) AS f1 FROM v)
+        |SELECT rank, w AS token, freq, CAST(rank * freq AS BIGINT) AS zipf_product,
+        |  (rank * freq * 1000000) // f1 AS rel_ppm
+        |FROM r, m ORDER BY rank""".stripMargin,
+
+    // Same ordered fold, same micro floor, same bands.
+    "mm_embedding_norm_audit" ->
+      """WITH n AS (SELECT vec_id,
+        |    CAST(floor(list_reduce(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x),
+        |      (acc, x) -> acc + x) * 1000000) AS BIGINT) AS l2sq_micro
+        |  FROM embeddings),
+        |b AS (SELECT *, l2sq_micro // 2000000 AS band FROM n)
+        |SELECT band, CAST(COUNT(*) AS BIGINT) AS n_vectors,
+        |  CAST(MIN(l2sq_micro) AS BIGINT) AS min_l2sq,
+        |  CAST(MAX(l2sq_micro) AS BIGINT) AS max_l2sq,
+        |  CAST(SUM(CASE WHEN l2sq_micro < 100000 THEN 1 ELSE 0 END) AS BIGINT) AS n_near_zero
+        |FROM b GROUP BY 1 ORDER BY band""".stripMargin
   )
 }
