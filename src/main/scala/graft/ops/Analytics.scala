@@ -1112,6 +1112,29 @@ object Analytics {
           col("n_active"), col("revenue_cents"),
           expr("(revenue_cents * 1000000) DIV base_cents").as("ndr_ppm"))
         .orderBy("cohort", "yr")
+    }),
+
+    // Week-over-week growth per event type — the first chart on every
+    // operational dashboard: ISO-agnostic weeks from the epoch-day
+    // congruence (days DIV 7 — never an engine week() builtin, whose
+    // year-boundary rules differ), growth in exact ppm via the
+    // cross-multiplied (this − prev)·10⁶ DIV prev. One weekly rollup +
+    // one lag per type.
+    "win_wow_growth" -> ((s, d) => {
+      val weekly = Tables.events(s, d)
+        .groupBy(col("event_type"),
+          expr("(ts_us DIV 86400000000) DIV 7").as("week"))
+        .agg(count(lit(1)).as("x"))
+      weekly
+        .withColumn("prev", lag("x", 1).over(
+          Window.partitionBy("event_type").orderBy("week")))
+        .where(col("prev").isNotNull)
+        .select(col("event_type"), col("week"), col("x"), col("prev"),
+          // negative numerators floor vs truncate differently across
+          // engines — divide positive magnitudes, negate after
+          expr("""CASE WHEN x >= prev THEN ((x - prev) * 1000000) DIV prev
+                 ELSE -(((prev - x) * 1000000) DIV prev) END""").as("growth_ppm"))
+        .orderBy("event_type", "week")
     })
   )
 
@@ -1864,6 +1887,21 @@ object Analytics {
         |SELECT cohort, yr, yr - cohort AS age, n_active, revenue_cents,
         |  (revenue_cents * 1000000) // base_cents AS ndr_ppm
         |FROM cells JOIN b USING (cohort)
-        |ORDER BY cohort, yr""".stripMargin
+        |ORDER BY cohort, yr""".stripMargin,
+
+    // Same epoch-week buckets, same sign-safe growth division.
+    "win_wow_growth" ->
+      """WITH w AS (SELECT event_type,
+        |    (CAST(epoch_us(ts) AS BIGINT) // 86400000000) // 7 AS week,
+        |    CAST(COUNT(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2),
+        |l AS (SELECT event_type, week, x,
+        |    LAG(x) OVER (PARTITION BY event_type ORDER BY week) AS prev
+        |  FROM w)
+        |SELECT event_type, week, x, CAST(prev AS BIGINT) AS prev,
+        |  CAST(CASE WHEN x >= prev THEN ((x - prev) * 1000000) // prev
+        |    ELSE -(((prev - x) * 1000000) // prev) END AS BIGINT) AS growth_ppm
+        |FROM l WHERE prev IS NOT NULL
+        |ORDER BY event_type, week""".stripMargin
   )
 }

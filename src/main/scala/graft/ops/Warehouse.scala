@@ -736,6 +736,37 @@ object Warehouse {
         .agg(count(lit(1)).as("n_customers"), sum("n_orders").as("n_orders"),
           min(col("final_name") =!= "(inferred)").as("no_placeholder_left"))
         .orderBy("provenance")
+    }),
+
+    // Referential-integrity audit — the constraint check a lakehouse
+    // must RUN because it cannot ENFORCE (no transactional FKs over
+    // parquet): primary-key uniqueness on orders, foreign-key coverage
+    // of lineitem→orders, both on the clean data AND against an
+    // injected violation batch (one duplicated key, one orphan fact) —
+    // the audit must catch exactly what was planted, graded as counts +
+    // verdicts. Two keyed anti-joins + two distinct rollups.
+    "warehouse_referential_audit" -> ((s, d) => {
+      val o = Tables.orders(s, d).select(col("o_orderkey").cast("bigint").as("k"))
+      val l = Tables.lineitem(s, d).select(col("l_orderkey").cast("bigint").as("fk"))
+      // injected violation batch: re-append the smallest key (PK dup)
+      // and an orphan fact referencing a key that cannot exist
+      val oBad = o.unionAll(o.orderBy("k").limit(1))
+      val lBad = l.unionAll(l.limit(1).select((col("fk") * 0 - 1).as("fk")))
+      def pkDups(df: DataFrame) = df.groupBy("k").agg(count(lit(1)).as("c"))
+        .where(col("c") > 1).count()
+      def fkOrphans(facts: DataFrame, dim: DataFrame) =
+        facts.join(dim, facts("fk") === dim("k"), "left_anti").count()
+      val cleanDup = pkDups(o)
+      val cleanOrphan = fkOrphans(l, o)
+      val badDup = pkDups(oBad)
+      val badOrphan = fkOrphans(lBad, o)
+      val classic = s.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      import classic.implicits._
+      classic.createDataset(Seq(
+          ("clean", cleanDup, cleanOrphan, cleanDup == 0 && cleanOrphan == 0),
+          ("injected", badDup, badOrphan, badDup == 1 && badOrphan == 1)))
+        .toDF("batch", "pk_duplicates", "fk_orphans", "verdict")
+        .orderBy("batch")
     })
   )
 
@@ -1068,6 +1099,15 @@ object Warehouse {
         |  ('o_totalprice', 'float', 'double', 'type_changed'))
         |  AS t(column_name, v1_type, v2_type, status)
         |ORDER BY column_name""".stripMargin,
+
+    // Clean data is violation-free by TPC-H construction; the injected
+    // batch contains exactly the planted pair. All four counts pinned.
+    "warehouse_referential_audit" ->
+      """SELECT * FROM (VALUES
+        |  ('clean', CAST(0 AS BIGINT), CAST(0 AS BIGINT), TRUE),
+        |  ('injected', CAST(1 AS BIGINT), CAST(1 AS BIGINT), TRUE))
+        |  AS t(batch, pk_duplicates, fk_orphans, verdict)
+        |ORDER BY batch""".stripMargin,
 
     // The provenance split replayed from the modulus law; verdict TRUE.
     "warehouse_late_dim" ->
