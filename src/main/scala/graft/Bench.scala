@@ -91,6 +91,14 @@ object Bench {
       try java.nio.file.Files.write(java.nio.file.Paths.get("bench.json"),
         json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       catch { case _: java.io.IOException => () }
+    // The driver keeps only the TAIL of stdout and the full per-query map
+    // (~12 KB at 389 queries) overflowed it in round 9 (BENCH_r09.json
+    // parsed:null). The LAST line is therefore a compact summary — same
+    // graded fields, `queries` trimmed to the 10 slowest — that always
+    // fits the captured tail; bench.json keeps the full detail.
+    val slow10 = results.toSeq.sortBy(-_._2).take(10)
+      .map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+    println(s"""{"queries":$slow10,"n_queries":${results.size},"calib_sec":$calib,"metric":"total","value":$total,"unit":"sec","sf":"$sfDir"}""")
     spark.stop()
   }
 }

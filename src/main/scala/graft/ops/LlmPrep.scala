@@ -27,6 +27,13 @@ object LlmPrep {
   /** Context window (tokens) for packing. */
   private val Ctx = 1024L
 
+  /** Per-bucket shard/pack id span: shard_id = bucket * span + idx. 2^40
+    * so a bucket can hold ~10^12 shards before colliding into the next
+    * bucket's id space — at the documented 100 MB–1 GB budgets over
+    * 100 TB (~12.5 TB/bucket) the worst case is ~1.3e5 shards, 7 orders
+    * of magnitude of headroom (the old 100000 multiplier had none). */
+  private val ShardIdSpan = 1L << 40
+
   /** Frame geometry for the multimodal sampler: 32-byte frames, every
     * 4th frame kept (stride sampling, the video keyframe shape). */
   private val FrameLen = 32
@@ -49,7 +56,7 @@ object LlmPrep {
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       tok.withColumn("cum", sum(col("n_tok")).over(w))
         .withColumn("pack_id",
-          col("bucket") * 100000L + expr(s"(cum - n_tok) DIV $Ctx"))
+          col("bucket") * ShardIdSpan + expr(s"(cum - n_tok) DIV $Ctx"))
         .groupBy("pack_id")
         .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"),
           min("doc_id").as("first_doc"))
@@ -206,7 +213,7 @@ object LlmPrep {
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       rec.withColumn("cum", sum(col("bytes")).over(w))
         .withColumn("shard_id",
-          col("bucket") * 100000L + expr(s"(cum - bytes) DIV $ShardBytes"))
+          col("bucket") * ShardIdSpan + expr(s"(cum - bytes) DIV $ShardBytes"))
         .groupBy("shard_id")
         .agg(count(lit(1)).as("n_docs"), sum("bytes").as("n_bytes"),
           min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
@@ -693,6 +700,7 @@ object LlmPrep {
     "mm_scene_cut" -> ((s, d) =>
       Tables.documents(s, d).where(col("doc_id") % 20 === 0)
         .select(col("doc_id"), col("text"), length(col("text")).as("len"))
+        .where(col("len") >= 1) // empty doc: sequence(0,-1) would descend
         .withColumn("frame_idx",
           explode(expr(s"sequence(0, CAST((len + ${FrameLen - 1}) DIV $FrameLen AS INT) - 1)")))
         .withColumn("fp", expr(
@@ -1077,7 +1085,7 @@ object LlmPrep {
          |c AS (SELECT *, CAST(SUM(n_tok) OVER (PARTITION BY bucket ORDER BY u, doc_id
          |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
          |      FROM b),
-         |p AS (SELECT *, bucket * 100000 + (cum - n_tok) // $Ctx AS pack_id FROM c)
+         |p AS (SELECT *, bucket * $ShardIdSpan + (cum - n_tok) // $Ctx AS pack_id FROM c)
          |SELECT pack_id, COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
          |  MIN(doc_id) AS first_doc,
          |  ROUND(CAST(SUM(n_tok) AS BIGINT) / ${Ctx.toDouble}, 4) AS fill
@@ -1267,7 +1275,7 @@ object LlmPrep {
          |c AS (SELECT *, CAST(SUM(bytes) OVER (PARTITION BY bucket ORDER BY u, doc_id
          |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
          |      FROM b),
-         |p AS (SELECT *, bucket * 100000 + (cum - bytes) // $ShardBytes AS shard_id
+         |p AS (SELECT *, bucket * $ShardIdSpan + (cum - bytes) // $ShardBytes AS shard_id
          |      FROM c)
          |SELECT shard_id, COUNT(*) AS n_docs, CAST(SUM(bytes) AS BIGINT) AS n_bytes,
          |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc,
@@ -1434,7 +1442,7 @@ object LlmPrep {
     // Same frame geometry, same 8-bit fingerprint, same lag threshold.
     "mm_scene_cut" ->
       """WITH d AS (SELECT doc_id, text, length(text) AS len
-        |  FROM documents WHERE doc_id % 20 = 0),
+        |  FROM documents WHERE doc_id % 20 = 0 AND length(text) >= 1),
         |f AS (SELECT doc_id, i AS frame_idx,
         |    ('0x' || substring(md5(substring(text, i * 32 + 1, 32)), 1, 2))::BIGINT AS fp
         |  FROM d, LATERAL (SELECT unnest(range(0, CAST((len + 31) // 32 AS INT))) AS i)),
@@ -1685,7 +1693,8 @@ object LlmPrep {
     // Same ordered fold, same micro floor, same bands.
     "mm_embedding_norm_audit" ->
       """WITH n AS (SELECT vec_id,
-        |    CAST(floor(list_reduce(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x),
+        |    CAST(floor(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)),
         |      (acc, x) -> acc + x) * 1000000) AS BIGINT) AS l2sq_micro
         |  FROM embeddings),
         |b AS (SELECT *, l2sq_micro // 2000000 AS band FROM n)

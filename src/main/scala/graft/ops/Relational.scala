@@ -92,12 +92,28 @@ object Relational {
         }
         // verdict 2: a reader whose KMS holds no keys is denied — fresh
         // access token forces a new ConfKms instance past the client cache
+        // Fail-closed contract: only the crypto denial chain counts as
+        // "denied" — any OTHER failure (bad path, codec bug) rethrows so
+        // the verdict cannot false-pass.
+        def isCryptoDenial(t: Throwable): Boolean = {
+          var c: Throwable = t
+          var hit = false
+          while (c != null && !hit) {
+            val n = c.getClass.getName
+            hit = n.endsWith("KeyAccessDeniedException") ||
+              n.endsWith("ParquetCryptoRuntimeException")
+            c = if (c.getCause eq c) null else c.getCause
+          }
+          hit
+        }
         val denied =
           try {
             hc.set("parquet.encryption.key.access.token", "denied-probe")
             hc.set("graft.encryption.key.list", "")
             s.read.parquet(dir).count(); false
-          } catch { case _: Throwable => true }
+          } catch {
+            case t: Throwable if isCryptoDenial(t) => true
+          }
           finally {
             hc.set("graft.encryption.key.list", keyList)
             hc.unset("parquet.encryption.key.access.token")

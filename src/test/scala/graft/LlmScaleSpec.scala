@@ -169,7 +169,7 @@ class LlmScaleSpec extends AnyFunSuite with SparkFixture {
   }
 
   test("llm_pack_sequences conserves tokens and respects bin capacity") {
-    // schema: (pack_id = bucket*100000 + bin, n_docs, n_tokens, first_doc,
+    // schema: (pack_id = bucket*2^40 + bin, n_docs, n_tokens, first_doc,
     // fill); capacity Ctx = 1024 tokens per window, 32 hash buckets
     val out = SparkEntry.queries("llm_pack_sequences")(spark, sf).collect()
     val packedTotal = out.map(_.getLong(2)).sum
@@ -180,21 +180,21 @@ class LlmScaleSpec extends AnyFunSuite with SparkFixture {
     val nDocs = out.map(_.getLong(1)).sum
     assert(nDocs == Tables.documents(spark, sf).count(), "doc count not conserved")
     // bins are contiguous from 0 inside every bucket
-    out.groupBy(r => r.getLong(0) / 100000L).foreach { case (bucket, rows) =>
-      val bins = rows.map(_.getLong(0) % 100000L).sorted
+    out.groupBy(r => r.getLong(0) / (1L << 40)).foreach { case (bucket, rows) =>
+      val bins = rows.map(_.getLong(0) % (1L << 40)).sorted
       assert(bins.head == 0 && bins.toSeq == (0L until bins.length).toSeq,
         s"bucket $bucket bins not contiguous: ${bins.toSeq}")
     }
     // a bin's START offset is bin*1024, so cumulative tokens through every
     // non-final bin must have crossed that bin's upper boundary (its last
     // doc straddles or lands exactly on it)
-    out.groupBy(r => r.getLong(0) / 100000L).foreach { case (bucket, rows) =>
+    out.groupBy(r => r.getLong(0) / (1L << 40)).foreach { case (bucket, rows) =>
       val sorted = rows.sortBy(_.getLong(0))
       var cum = 0L
       sorted.dropRight(1).foreach { r =>
         cum += r.getLong(2)
-        assert(cum >= ((r.getLong(0) % 100000L) + 1) * 1024,
-          s"bucket $bucket bin ${r.getLong(0) % 100000L} ended before its boundary: $cum")
+        assert(cum >= ((r.getLong(0) % (1L << 40)) + 1) * 1024,
+          s"bucket $bucket bin ${r.getLong(0) % (1L << 40)} ended before its boundary: $cum")
       }
     }
   }
