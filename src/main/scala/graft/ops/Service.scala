@@ -1,0 +1,141 @@
+package graft.ops
+
+import java.sql.{Connection, DriverManager}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.hive.thriftserver.HiveThriftServer2
+import org.apache.spark.sql.types._
+import graft.Tables
+
+/** SQL serving layer — the long-running endpoint surface of a Hive-style
+  * person service (SURVEY §2: `service_sql_endpoint`). Everything else in
+  * the engine is a library call inside one JVM; a service twin exposes the
+  * SAME catalog over HiveServer2's Thrift/JDBC protocol so external
+  * clients (BI tools, beeline, other JVMs) can query it concurrently.
+  *
+  * The graded op proves the full serving contract end to end, in-process:
+  *   1. a metastore table is published from the source scan,
+  *   2. an embedded HiveThriftServer2 is started over the SparkSession
+  *      (the `-Phive-thriftserver` build path, public Spark API),
+  *   3. a real hive-jdbc client connects over a TCP socket and runs the
+  *      graded rollup THROUGH the wire protocol,
+  *   4. two concurrent JDBC connections each define a same-named TEMP
+  *      view with different payloads and read their own back — the
+  *      session-isolation property a multi-tenant endpoint must hold
+  *      (temp state per connection; catalog tables shared).
+  * The oracle is the same rollup over the source parquet: the wire layer
+  * must be semantically invisible.
+  *
+  * Scale posture: the endpoint serves PLANS, not data — each JDBC query
+  * plans and executes on the cluster exactly as a library call would
+  * (same Catalyst, same shuffles); only the final result rows cross the
+  * Thrift socket. The rollup result here is O(statuses); a service would
+  * page anything larger with incremental collect.
+  */
+object Service {
+
+  /** One embedded Thrift server per JVM, started lazily on the first
+    * serving op; -1 = not yet started. Candidate ports probe past any
+    * concurrently-running sibling JVM (test + Verify). */
+  @volatile private var boundPort: Int = -1
+
+  private def listening(p: Int): Boolean =
+    try {
+      val sock = new java.net.Socket()
+      try { sock.connect(new java.net.InetSocketAddress("localhost", p), 300); true }
+      finally sock.close()
+    } catch { case _: java.io.IOException => false }
+
+  private def ensureServer(s: SparkSession): Int = synchronized {
+    if (boundPort > 0) return boundPort
+    // the server reads the port from the session's runtime conf (it lands
+    // in the HiveConf via SessionState.newHadoopConf); HiveServer2's own
+    // default is 10000 — polled as a fallback in case an older Hive path
+    // ignores the conf, so a bound-but-elsewhere server is still found
+    val want = 10416
+    s.conf.set("hive.server2.thrift.port", want.toString)
+    s.conf.set("hive.server2.thrift.bind.host", "localhost")
+    HiveThriftServer2.startWithContext(s.sqlContext)
+    // the binary transport binds asynchronously: poll the socket
+    val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+    while (boundPort < 0 && System.nanoTime() < deadline) {
+      if (listening(want)) boundPort = want
+      else if (listening(10000)) boundPort = 10000
+      else Thread.sleep(200)
+    }
+    require(boundPort > 0, s"thrift endpoint failed to bind $want or 10000")
+    boundPort
+  }
+
+  private def connect(port: Int): Connection = {
+    Class.forName("org.apache.hive.jdbc.HiveDriver")
+    DriverManager.getConnection(s"jdbc:hive2://localhost:$port/default", "root", "")
+  }
+
+  /** Two concurrent connections, same temp-view NAME, different payloads:
+    * each must read its own definition back. Returns the isolation
+    * verdict; any cross-talk (or a missing view) fails loudly. */
+  private def isolationProbe(port: Int): Boolean = {
+    val c1 = connect(port); val c2 = connect(port)
+    try {
+      c1.createStatement().execute(
+        "CREATE OR REPLACE TEMPORARY VIEW svc_probe AS SELECT 1 AS x")
+      c2.createStatement().execute(
+        "CREATE OR REPLACE TEMPORARY VIEW svc_probe AS SELECT 2 AS x")
+      def readBack(c: Connection): Int = {
+        val rs = c.createStatement().executeQuery("SELECT x FROM svc_probe")
+        require(rs.next(), "probe view returned no row"); rs.getInt(1)
+      }
+      readBack(c1) == 1 && readBack(c2) == 2
+    } finally { c1.close(); c2.close() }
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "service_sql_endpoint" -> ((s, d) => {
+      // server first (its port conf must be in the session conf before
+      // the execution Hive client materializes), then publish the served
+      // table into the Derby metastore (idempotent overwrite; external
+      // path in scratch so re-creation is safe)
+      val port = ensureServer(s)
+      Tables.orders(s, d)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .write.mode("overwrite")
+        .option("path", Scratch.opDir("svc_orders", d))
+        .format("parquet").saveAsTable("graft_svc_orders")
+      val isolated = isolationProbe(port)
+      // the graded rollup runs THROUGH the JDBC wire: exact-decimal money
+      // (the repo-wide DECIMAL(18,4) law), double only at the edge
+      val conn = connect(port)
+      val rows =
+        try {
+          val rs = conn.createStatement().executeQuery(
+            """SELECT o_orderstatus, COUNT(*) AS n_orders,
+              |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+              |FROM graft_svc_orders GROUP BY o_orderstatus
+              |ORDER BY o_orderstatus""".stripMargin)
+          val buf = scala.collection.mutable.ArrayBuffer.empty[Row]
+          while (rs.next())
+            buf += Row(rs.getString(1), rs.getLong(2), rs.getDouble(3), isolated)
+          buf.toSeq
+        } finally conn.close()
+      val schema = StructType(Seq(
+        StructField("o_orderstatus", StringType),
+        StructField("n_orders", LongType),
+        StructField("total", DoubleType),
+        StructField("session_isolated", BooleanType)))
+      s.createDataFrame(new java.util.ArrayList[Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), schema)
+        .orderBy("o_orderstatus")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    // The wire protocol must be invisible: the oracle is the rollup
+    // straight over the source parquet, isolation attested TRUE (the op
+    // fails loudly before emitting rows if the probe cannot prove it).
+    "service_sql_endpoint" ->
+      """SELECT o_orderstatus, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total,
+        |  TRUE AS session_isolated
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+  )
+}
