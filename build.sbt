@@ -11,6 +11,10 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The scale witness (10^6-doc corpora, ~10 min) runs once per round via
+//   testOnly graft.ScaleWitnessSpec -- -n graft.ScaleWitness
+// and is excluded from the default `sbt test` run:
+Test / testOptions += Tests.Argument(TestFrameworks.ScalaTest, "-l", "graft.ScaleWitness")
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -41,7 +41,7 @@ object LlmScale {
     * per plane count on the driver (planes×64 literals — plan constants,
     * no data dependence; constant-folded into one array literal). */
   private val planeCache = scala.collection.concurrent.TrieMap.empty[Int, Array[Array[Double]]]
-  private def srpPlanes(nPlanes: Int): Array[Array[Double]] =
+  private[graft] def srpPlanes(nPlanes: Int): Array[Array[Double]] =
     planeCache.getOrElseUpdate(nPlanes, {
       val md = java.security.MessageDigest.getInstance("MD5")
       Array.tabulate(nPlanes, SrpDims) { (p, k) =>
