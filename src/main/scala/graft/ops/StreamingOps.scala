@@ -14,7 +14,7 @@ case class SEvent(event_id: Long, ts: Timestamp, user_id: Long, event_type: Stri
   * (count, value-sum) held in typed ValueState, updated stats emitted every
   * batch. A named top-level class (not an anonymous one inside the query
   * lambda) so the checkpointed operator metadata has a stable class name. */
-private[ops] class RunningStatsProcessor
+private[graft] class RunningStatsProcessor
     extends org.apache.spark.sql.streaming.StatefulProcessor[Long, SEvent, (Long, Long, Double)] {
   @transient private var st: org.apache.spark.sql.streaming.ValueState[(Long, Double)] = _
   override def init(outputMode: OutputMode,
