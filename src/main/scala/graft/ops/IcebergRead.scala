@@ -1,0 +1,233 @@
+package graft.ops
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+import org.apache.avro.Schema
+import org.apache.avro.file.{DataFileReader, DataFileWriter}
+import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericRecord}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Read-only Apache Iceberg v2 interop (SURVEY §2.27, VERDICT r9 stretch):
+  * a reader for the PUBLISHED Iceberg table-format layout — table-metadata
+  * JSON → manifest-list Avro → manifest Avro → live parquet data files —
+  * implemented from the public spec (iceberg.apache.org/spec: format
+  * version 2 field names/ids), with no Iceberg library on the classpath
+  * (only avro-core ships with Spark). The fixture table is hand-built
+  * against the same spec, with two snapshots exercising the reader's
+  * three status semantics: snapshot 1 has files A,B ADDED; snapshot 2
+  * rewrites the manifest to A EXISTING + B DELETED and appends C ADDED —
+  * a reader must serve (A,B) at snapshot 1, (A,C) at snapshot 2, and
+  * never surface the tombstoned B.
+  *
+  * Scale posture: the metadata walk is driver-side O(manifests) exactly
+  * like the in-house lakehouse ledger (a production reader distributes
+  * manifest scanning for 10⁶-file tables — same access path, parallelized
+  * over the manifest list); data IO is one pruned parquet scan of the
+  * live file set.
+  */
+object IcebergRead {
+
+  private val ManifestEntrySchema = new Schema.Parser().parse(
+    """{"type":"record","name":"manifest_entry","fields":[
+      |  {"name":"status","type":"int","field-id":0},
+      |  {"name":"snapshot_id","type":["null","long"],"default":null,"field-id":1},
+      |  {"name":"sequence_number","type":["null","long"],"default":null,"field-id":3},
+      |  {"name":"file_sequence_number","type":["null","long"],"default":null,"field-id":4},
+      |  {"name":"data_file","field-id":2,"type":{"type":"record","name":"r2","fields":[
+      |    {"name":"content","type":"int","field-id":134},
+      |    {"name":"file_path","type":"string","field-id":100},
+      |    {"name":"file_format","type":"string","field-id":101},
+      |    {"name":"partition","field-id":102,"type":{"type":"record","name":"r102","fields":[]}},
+      |    {"name":"record_count","type":"long","field-id":103},
+      |    {"name":"file_size_in_bytes","type":"long","field-id":104}
+      |  ]}}
+      |]}""".stripMargin)
+
+  private val ManifestFileSchema = new Schema.Parser().parse(
+    """{"type":"record","name":"manifest_file","fields":[
+      |  {"name":"manifest_path","type":"string","field-id":500},
+      |  {"name":"manifest_length","type":"long","field-id":501},
+      |  {"name":"partition_spec_id","type":"int","field-id":502},
+      |  {"name":"content","type":"int","field-id":517},
+      |  {"name":"sequence_number","type":"long","field-id":515},
+      |  {"name":"min_sequence_number","type":"long","field-id":516},
+      |  {"name":"added_snapshot_id","type":"long","field-id":503},
+      |  {"name":"added_files_count","type":"int","field-id":504},
+      |  {"name":"existing_files_count","type":"int","field-id":505},
+      |  {"name":"deleted_files_count","type":"int","field-id":506},
+      |  {"name":"added_rows_count","type":"long","field-id":512},
+      |  {"name":"existing_rows_count","type":"long","field-id":513},
+      |  {"name":"deleted_rows_count","type":"long","field-id":514}
+      |]}""".stripMargin)
+
+  private def writeAvro(path: String, schema: Schema, recs: Seq[GenericRecord]): Long = {
+    val w = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](schema))
+    w.create(schema, new java.io.File(path))
+    recs.foreach(w.append)
+    w.close()
+    Files.size(Paths.get(path))
+  }
+
+  private def readAvro(path: String, schema: Schema): Seq[GenericRecord] = {
+    val r = new DataFileReader[GenericRecord](new java.io.File(path),
+      new GenericDatumReader[GenericRecord](schema))
+    val buf = scala.collection.mutable.ArrayBuffer.empty[GenericRecord]
+    while (r.hasNext) buf += r.next()
+    r.close()
+    buf.toSeq
+  }
+
+  /** One parquet DATA FILE (not a directory) under the table's data/ dir. */
+  private def writeDataFile(s: SparkSession, df: DataFrame, dir: String, name: String): (String, Long) = {
+    val tmp = s"$dir/_tmp_$name"
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    val part = new java.io.File(tmp).listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).head
+    val dest = Paths.get(dir, "data", s"$name.parquet")
+    Files.createDirectories(dest.getParent)
+    Files.move(part.toPath, dest, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    new java.io.File(tmp).listFiles().foreach(_.delete()); new java.io.File(tmp).delete()
+    (dest.toString, df.count())
+  }
+
+  private def entry(status: Int, snap: Long, seq: Long, path: String, rows: Long): GenericRecord = {
+    val df = new GenericData.Record(ManifestEntrySchema.getField("data_file").schema())
+    df.put("content", 0) // 0 = DATA per spec
+    df.put("file_path", path)
+    df.put("file_format", "PARQUET")
+    df.put("partition", new GenericData.Record(
+      ManifestEntrySchema.getField("data_file").schema().getField("partition").schema()))
+    df.put("record_count", rows)
+    df.put("file_size_in_bytes", Files.size(Paths.get(path)))
+    val e = new GenericData.Record(ManifestEntrySchema)
+    e.put("status", status); e.put("snapshot_id", snap)
+    e.put("sequence_number", seq); e.put("file_sequence_number", seq)
+    e.put("data_file", df)
+    e
+  }
+
+  private def manifestFile(path: String, len: Long, snap: Long, seq: Long,
+      added: Int, existing: Int, deleted: Int,
+      addedRows: Long, existingRows: Long, deletedRows: Long): GenericRecord = {
+    val m = new GenericData.Record(ManifestFileSchema)
+    m.put("manifest_path", path); m.put("manifest_length", len)
+    m.put("partition_spec_id", 0); m.put("content", 0) // 0 = data manifest
+    m.put("sequence_number", seq); m.put("min_sequence_number", 1L)
+    m.put("added_snapshot_id", snap)
+    m.put("added_files_count", added); m.put("existing_files_count", existing)
+    m.put("deleted_files_count", deleted)
+    m.put("added_rows_count", addedRows); m.put("existing_rows_count", existingRows)
+    m.put("deleted_rows_count", deletedRows)
+    m
+  }
+
+  /** Build the two-snapshot fixture table once per (JVM, sf). */
+  private[graft] def ensureTable(s: SparkSession, d: String): String = {
+    val root = Scratch.opDir("iceberg_tbl", d)
+    val done = Paths.get(root, "_DONE")
+    if (Files.exists(done)) return root
+    Files.createDirectories(Paths.get(root, "metadata"))
+    val o = Tables.orders(s, d).select("o_orderkey", "o_orderstatus", "o_totalprice")
+    val (fa, na) = writeDataFile(s, o.where(col("o_orderkey") % 3 === 0), root, "A")
+    val (fb, nb) = writeDataFile(s, o.where(col("o_orderkey") % 3 === 1), root, "B")
+    val (fc, nc) = writeDataFile(s, o.where(col("o_orderkey") % 3 === 2), root, "C")
+    // snapshot 1001 (seq 1): manifest m1 adds A and B
+    val m1 = s"$root/metadata/m1.avro"
+    val m1len = writeAvro(m1, ManifestEntrySchema,
+      Seq(entry(1, 1001L, 1L, fa, na), entry(1, 1001L, 1L, fb, nb)))
+    val ml1 = s"$root/metadata/snap-1001.avro"
+    writeAvro(ml1, ManifestFileSchema,
+      Seq(manifestFile(m1, m1len, 1001L, 1L, 2, 0, 0, na + nb, 0L, 0L)))
+    // snapshot 1002 (seq 2): manifest m2 REWRITES m1's content (A EXISTING,
+    // B DELETED — the tombstone a v2 reader must skip) and adds C
+    val m2 = s"$root/metadata/m2.avro"
+    val m2len = writeAvro(m2, ManifestEntrySchema,
+      Seq(entry(0, 1001L, 1L, fa, na), entry(2, 1002L, 2L, fb, nb),
+        entry(1, 1002L, 2L, fc, nc)))
+    val ml2 = s"$root/metadata/snap-1002.avro"
+    writeAvro(ml2, ManifestFileSchema,
+      Seq(manifestFile(m2, m2len, 1002L, 2L, 1, 1, 1, nc, na, nb)))
+    val meta =
+      s"""{"format-version":2,"table-uuid":"9e2f1c5a-0000-4000-8000-000000000042",
+         |"location":"$root","last-sequence-number":2,"last-updated-ms":1700000000000,
+         |"last-column-id":3,"current-schema-id":0,
+         |"schemas":[{"schema-id":0,"type":"struct","fields":[
+         |  {"id":1,"name":"o_orderkey","required":false,"type":"long"},
+         |  {"id":2,"name":"o_orderstatus","required":false,"type":"string"},
+         |  {"id":3,"name":"o_totalprice","required":false,"type":"double"}]}],
+         |"default-spec-id":0,"partition-specs":[{"spec-id":0,"fields":[]}],
+         |"last-partition-id":999,"default-sort-order-id":0,
+         |"sort-orders":[{"order-id":0,"fields":[]}],
+         |"current-snapshot-id":1002,
+         |"snapshots":[
+         |  {"snapshot-id":1001,"sequence-number":1,"timestamp-ms":1699999000000,
+         |   "manifest-list":"$ml1","summary":{"operation":"append"}},
+         |  {"snapshot-id":1002,"sequence-number":2,"timestamp-ms":1700000000000,
+         |   "manifest-list":"$ml2","summary":{"operation":"overwrite"}}]}""".stripMargin
+    Files.write(Paths.get(root, "metadata", "v2.metadata.json"),
+      meta.getBytes(StandardCharsets.UTF_8))
+    Files.createFile(done)
+    root
+  }
+
+  /** THE READER: metadata JSON → snapshot → manifest list → manifests →
+    * live (status != DELETED) parquet paths. Minimal-but-real JSON
+    * extraction (flat keys the spec requires; no library). */
+  private[graft] def liveFiles(root: String, snapshotId: Option[Long]): Seq[String] = {
+    val meta = new String(Files.readAllBytes(
+      Paths.get(root, "metadata", "v2.metadata.json")), StandardCharsets.UTF_8)
+    val current = """"current-snapshot-id":(\d+)""".r
+      .findFirstMatchIn(meta).map(_.group(1).toLong)
+      .getOrElse(sys.error("no current-snapshot-id in table metadata"))
+    val want = snapshotId.getOrElse(current)
+    val manifestList = s""""snapshot-id":$want[^}]*"manifest-list":"([^"]+)"""".r
+      .findFirstMatchIn(meta).map(_.group(1))
+      .getOrElse(sys.error(s"snapshot $want not found in table metadata"))
+    readAvro(manifestList, ManifestFileSchema)
+      .map(_.get("manifest_path").toString)
+      .flatMap { mp =>
+        readAvro(mp, ManifestEntrySchema).collect {
+          case e if e.get("status").asInstanceOf[Int] != 2 => // 2 = DELETED
+            e.get("data_file").asInstanceOf[GenericRecord].get("file_path").toString
+        }
+      }
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "source_iceberg_read" -> ((s, d) => {
+      val root = ensureTable(s, d)
+      def rollup(snap: Long): DataFrame =
+        s.read.parquet(liveFiles(root, Some(snap)): _*)
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n_orders"),
+            sum(dec(col("o_totalprice"))).cast("double").as("total"))
+          .withColumn("snapshot_id", lit(snap))
+      // current-snapshot resolution must agree with the explicit id
+      val cur = liveFiles(root, None).sorted
+      require(cur == liveFiles(root, Some(1002L)).sorted,
+        "current-snapshot-id did not resolve to snapshot 1002")
+      rollup(1001L).unionByName(rollup(1002L))
+        .select("snapshot_id", "o_orderstatus", "n_orders", "total")
+        .orderBy("snapshot_id", "o_orderstatus")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    // Replays file membership from the deterministic build: snapshot 1001
+    // serves files A (%3=0) and B (%3=1); snapshot 1002 serves A and C
+    // (%3=2) — B is tombstoned (status DELETED) and must not be read.
+    "source_iceberg_read" ->
+      """WITH s1 AS (SELECT CAST(1001 AS BIGINT) AS snapshot_id, o_orderstatus,
+        |    COUNT(*) AS n_orders,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+        |  FROM orders WHERE o_orderkey % 3 IN (0, 1) GROUP BY 2),
+        |s2 AS (SELECT CAST(1002 AS BIGINT) AS snapshot_id, o_orderstatus,
+        |    COUNT(*) AS n_orders,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+        |  FROM orders WHERE o_orderkey % 3 IN (0, 2) GROUP BY 2)
+        |SELECT * FROM s1 UNION ALL SELECT * FROM s2
+        |ORDER BY snapshot_id, o_orderstatus""".stripMargin
+  )
+}

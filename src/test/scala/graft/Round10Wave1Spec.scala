@@ -42,4 +42,23 @@ class Round10Wave1Spec extends AnyFunSuite with SparkFixture {
       assert(r.getLong(2) >= 0 && r.getLong(2) <= 1000000L, s"auth out of range: $r")
     }
   }
+
+  test("source_iceberg_read: tombstone skipped, time-travel consistent, counts conserve") {
+    val root = graft.ops.IcebergRead.ensureTable(spark, sf)
+    val live1 = graft.ops.IcebergRead.liveFiles(root, Some(1001L))
+    val live2 = graft.ops.IcebergRead.liveFiles(root, Some(1002L))
+    assert(live1.size == 2 && live2.size == 2)
+    // A persists across snapshots; B only in snapshot 1; C only in 2
+    assert(live1.exists(_.endsWith("A.parquet")) && live1.exists(_.endsWith("B.parquet")))
+    assert(live2.exists(_.endsWith("A.parquet")) && live2.exists(_.endsWith("C.parquet")))
+    assert(!live2.exists(_.endsWith("B.parquet")), "DELETED tombstone was served")
+    // each snapshot's row count equals its mod-class population
+    val rows = SparkEntry.queries("source_iceberg_read")(spark, sf).collect()
+    val n = Tables.orders(spark, sf).count()
+    val bySnap = rows.groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(2)).sum)
+    val c0 = Tables.orders(spark, sf).where(col("o_orderkey") % 3 === 0).count()
+    val c1 = Tables.orders(spark, sf).where(col("o_orderkey") % 3 === 1).count()
+    assert(bySnap(1001L) == c0 + c1)
+    assert(bySnap(1002L) == n - c1)
+  }
 }
