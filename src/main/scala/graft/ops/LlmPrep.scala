@@ -1034,8 +1034,80 @@ object LlmPrep {
         .orderBy("band"))
   )
 
+  /** Round-10 wave: the distributed-dataloader contract + the packed-
+    * attention accounting that justifies llm_pack_sequences downstream. */
+  private val wave11Queries: Map[String, Q] = Map(
+    // Distributed dataloader epoch plan (the PyTorch DistributedSampler
+    // contract a training job keys on): per epoch the corpus is shuffled
+    // by the deterministic md5(epoch:doc) order, round-robin sharded over
+    // world_size=4 ranks (rank r takes shuffled positions r, r+W, …), and
+    // drop_last trims each rank to whole batches of 8 — the graded plan is
+    // each (epoch, rank)'s sample/batch/drop accounting plus a checksum of
+    // the USED sample set, so any divergence in shuffle, sharding, or
+    // trimming is caught. Two epochs prove the reshuffle actually changes
+    // assignments. One global ROW_NUMBER per epoch (the 100 TB shape
+    // shards the sort by hash prefix exactly like llm_sample_split); all
+    // arithmetic integer.
+    "llm_dataloader_epoch_plan" -> ((s, d) => {
+      val W = 4; val B = 8
+      val epochs = Seq(0, 1).map { ep =>
+        val shuffled = Tables.documents(s, d)
+          .select(col("doc_id"),
+            expr(s"CAST(conv(substring(md5(concat('$ep:', CAST(doc_id AS STRING))), 1, 8), 16, 10) AS BIGINT)")
+              .as("u"))
+          .withColumn("pos",
+            row_number().over(Window.orderBy("u", "doc_id")).cast("bigint") - 1)
+          .withColumn("rank", col("pos") % W)
+          .withColumn("rank_pos", expr(s"pos DIV $W"))
+        val perRank = Window.partitionBy("rank")
+        shuffled
+          .withColumn("n_rank", count(lit(1)).over(perRank))
+          .withColumn("used", col("rank_pos") < expr(s"(n_rank DIV $B) * $B"))
+          .groupBy("rank")
+          .agg(count(lit(1)).as("n_samples"),
+            expr(s"CAST(count(1) DIV $B AS BIGINT)").as("n_batches"),
+            sum(when(!col("used"), 1L).otherwise(0L)).as("n_dropped"),
+            sum(when(col("used"), col("doc_id")).otherwise(0L)).as("used_checksum"))
+          .withColumn("epoch", lit(ep.toLong))
+      }
+      epochs.reduce(_ unionByName _)
+        .select("epoch", "rank", "n_samples", "n_batches", "n_dropped", "used_checksum")
+        .orderBy("epoch", "rank")
+    }),
+
+    // Packed-attention savings report — the accounting that justifies
+    // sequence packing to the training stack: packing only pays if the
+    // attention mask is BLOCK-DIAGONAL (each doc attends to itself), so
+    // the saved cells per pack are (Σlen)² − Σlen² in exact integers and
+    // the savings ppm is the graded headline. Reuses the exact
+    // llm_pack_sequences assignment (same buckets, same prefix sums) so
+    // the two reports can never drift apart.
+    "llm_attention_block_savings" -> ((s, d) => {
+      val tok = Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast("bigint").as("n_tok"),
+          expr(UExpr).as("u"))
+        .withColumn("bucket", col("u") % 32)
+      val w = Window.partitionBy("bucket").orderBy("u", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      tok.withColumn("cum", sum(col("n_tok")).over(w))
+        .withColumn("pack_id",
+          col("bucket") * ShardIdSpan + expr(s"(cum - n_tok) DIV $Ctx"))
+        .groupBy("pack_id")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_tok").as("n_tokens"),
+          sum(col("n_tok") * col("n_tok")).as("blocked_cells"))
+        .withColumn("full_cells", col("n_tokens") * col("n_tokens"))
+        .withColumn("savings_ppm",
+          expr("((full_cells - blocked_cells) * 1000000) DIV full_cells"))
+        .select("pack_id", "n_docs", "n_tokens", "blocked_cells", "full_cells", "savings_ppm")
+        .orderBy("pack_id")
+    })
+  )
+
   val queries: Map[String, Q] =
-    mainQueries ++ extraQueries ++ shardQueries ++ wave6Queries ++ wave10Queries
+    mainQueries ++ extraQueries ++ shardQueries ++ wave6Queries ++ wave10Queries ++
+      wave11Queries
 
   val oracles: Map[String, String] = Map(
     // The bucket rollup replayed; the global max is a scalar subquery.
@@ -1702,6 +1774,47 @@ object LlmPrep {
         |  CAST(MIN(l2sq_micro) AS BIGINT) AS min_l2sq,
         |  CAST(MAX(l2sq_micro) AS BIGINT) AS max_l2sq,
         |  CAST(SUM(CASE WHEN l2sq_micro < 100000 THEN 1 ELSE 0 END) AS BIGINT) AS n_near_zero
-        |FROM b GROUP BY 1 ORDER BY band""".stripMargin
+        |FROM b GROUP BY 1 ORDER BY band""".stripMargin,
+
+    // Same md5(epoch:doc) shuffle order, same round-robin mod-4 sharding,
+    // same whole-batch trim — integer end to end.
+    "llm_dataloader_epoch_plan" ->
+      """WITH e AS (SELECT 0 AS epoch UNION ALL SELECT 1),
+        |s AS (SELECT epoch, doc_id,
+        |    ('0x' || substring(md5(CAST(epoch AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS u
+        |  FROM documents, e),
+        |p AS (SELECT epoch, doc_id,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY epoch ORDER BY u, doc_id) AS BIGINT) - 1 AS pos
+        |  FROM s),
+        |r AS (SELECT epoch, doc_id, pos % 4 AS rnk, pos // 4 AS rank_pos FROM p),
+        |g AS (SELECT *, COUNT(*) OVER (PARTITION BY epoch, rnk) AS n_rank FROM r)
+        |SELECT CAST(epoch AS BIGINT) AS epoch, rnk AS rank,
+        |  CAST(COUNT(*) AS BIGINT) AS n_samples,
+        |  CAST(COUNT(*) // 8 AS BIGINT) AS n_batches,
+        |  CAST(SUM(CASE WHEN rank_pos < (n_rank // 8) * 8 THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped,
+        |  CAST(SUM(CASE WHEN rank_pos < (n_rank // 8) * 8 THEN doc_id ELSE 0 END) AS BIGINT) AS used_checksum
+        |FROM g GROUP BY epoch, rnk ORDER BY epoch, rank""".stripMargin,
+
+    // Same bucketed prefix-sum pack assignment as llm_pack_sequences;
+    // cells in exact BIGINT (max (Σtok)²·10⁶ ≈ 10¹² — no overflow).
+    "llm_attention_block_savings" ->
+      s"""WITH t AS (SELECT doc_id,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+         |    ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS u
+         |  FROM documents),
+         |b AS (SELECT *, u % 32 AS bucket FROM t),
+         |c AS (SELECT *, CAST(SUM(n_tok) OVER (PARTITION BY bucket ORDER BY u, doc_id
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+         |      FROM b),
+         |p AS (SELECT *, bucket * $ShardIdSpan + (cum - n_tok) // $Ctx AS pack_id FROM c),
+         |g AS (SELECT pack_id, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |    CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+         |    CAST(SUM(n_tok * n_tok) AS BIGINT) AS blocked_cells
+         |  FROM p GROUP BY pack_id)
+         |SELECT pack_id, n_docs, n_tokens, blocked_cells,
+         |  n_tokens * n_tokens AS full_cells,
+         |  ((n_tokens * n_tokens - blocked_cells) * 1000000) // (n_tokens * n_tokens)
+         |    AS savings_ppm
+         |FROM g ORDER BY pack_id""".stripMargin
   )
 }

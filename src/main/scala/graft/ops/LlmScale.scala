@@ -148,6 +148,28 @@ object LlmScale {
         .agg(count(lit(1)).as("n_docs"),
           sum("n_tokens").cast("bigint").as("bin_tokens"))
         .orderBy("lang", "bin")
+    }),
+
+    // Character-level edit distance between adjacent-id doc pairs — the
+    // EXACT verifier tier below the hash sketches (minhash/simhash prune
+    // candidates; Levenshtein is what a curation pipeline runs on the
+    // survivors when token Jaccard is too coarse, e.g. near-identical
+    // boilerplate differing by numerals). Both engines implement the
+    // classic Wagner–Fischer distance, so the scores hash-grade exactly;
+    // similarity is the cross-multiplied integer 1000 − (1000·lev) DIV
+    // max(len). 1-in-20 sampled pairs bound the O(len²) per-pair DP; at
+    // corpus scale this op runs on LSH candidates, never all pairs.
+    "llm_edit_distance" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      docs.as("x").where(col("doc_id") % 20 === 7)
+        .join(docs.as("y"), col("y.doc_id") === col("x.doc_id") + 1)
+        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+          levenshtein(col("x.text"), col("y.text")).cast("bigint").as("lev"),
+          length(col("x.text")).cast("bigint").as("len_a"),
+          length(col("y.text")).cast("bigint").as("len_b"))
+        .withColumn("sim_milli",
+          expr("1000 - (1000 * lev) DIV greatest(len_a, len_b)"))
+        .orderBy("a")
     })
   )
 
@@ -192,6 +214,20 @@ object LlmScale {
         |  FROM t)
         |SELECT lang, CAST((cum - n_tokens) // 2048 AS BIGINT) AS bin, COUNT(*) AS n_docs,
         |  CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens
-        |FROM c GROUP BY lang, (cum - n_tokens) // 2048 ORDER BY lang, bin""".stripMargin
+        |FROM c GROUP BY lang, (cum - n_tokens) // 2048 ORDER BY lang, bin""".stripMargin,
+
+    // Same classic Wagner–Fischer distance; both operands of the milli
+    // division are non-negative so DIV (truncate) == // (floor).
+    "llm_edit_distance" ->
+      """SELECT x.doc_id AS a, y.doc_id AS b,
+        |  CAST(levenshtein(x.text, y.text) AS BIGINT) AS lev,
+        |  CAST(length(x.text) AS BIGINT) AS len_a,
+        |  CAST(length(y.text) AS BIGINT) AS len_b,
+        |  1000 - (1000 * CAST(levenshtein(x.text, y.text) AS BIGINT))
+        |    // GREATEST(CAST(length(x.text) AS BIGINT), CAST(length(y.text) AS BIGINT))
+        |    AS sim_milli
+        |FROM documents x JOIN documents y ON y.doc_id = x.doc_id + 1
+        |WHERE x.doc_id % 20 = 7
+        |ORDER BY a""".stripMargin
   )
 }

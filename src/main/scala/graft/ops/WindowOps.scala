@@ -273,6 +273,26 @@ object WindowOps {
             col("dev") * col("dev") > lit(4L) * (col("n") * col("sq") - col("sm") * col("sm")))
         .select("user_id", "ts_us", "event_id", "cents", "n", "outlier")
         .orderBy("user_id", "ts_us", "event_id")
+    }),
+
+    // Fractional ranking functions completing the §2.5 rank family:
+    // percent_rank = (rank−1)/(n−1) and cume_dist = peers_through_row/n
+    // are the SAME two small-integer IEEE divisions in both engines, and
+    // ntile(4) distributes the remainder to the leading tiles per the
+    // standard — all three over one (status)-partitioned exchange with a
+    // (price, orderkey) total order. 1-in-20 sample bounds emitted rows;
+    // per-partition window work parallelizes across statuses at any scale.
+    "win_rank_fractions" -> ((s, d) => {
+      val w = Window.partitionBy("o_orderstatus")
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        .withColumn("pr", percent_rank().over(w))
+        .withColumn("cd", cume_dist().over(w))
+        .withColumn("tile", ntile(4).over(w).cast("bigint"))
+        .where(col("o_orderkey") % 20 === 3)
+        .select("o_orderkey", "o_orderstatus", "pr", "cd", "tile")
+        .orderBy("o_orderstatus", "o_orderkey")
     })
   )
 
@@ -425,6 +445,19 @@ object WindowOps {
         |SELECT user_id, ts_us, event_id, cents, n,
         |  n >= 4 AND (cents * n - sm) * (cents * n - sm) > 4 * (n * sq - sm * sm)
         |    AS outlier
-        |FROM f ORDER BY user_id, ts_us, event_id""".stripMargin
+        |FROM f ORDER BY user_id, ts_us, event_id""".stripMargin,
+
+    // Same (price, orderkey) total order; the sample filter applies AFTER
+    // the windows so both engines rank the full partition.
+    "win_rank_fractions" ->
+      """WITH f AS (SELECT o_orderkey, o_orderstatus,
+        |    percent_rank() OVER w AS pr,
+        |    cume_dist() OVER w AS cd,
+        |    CAST(ntile(4) OVER w AS BIGINT) AS tile
+        |  FROM orders
+        |  WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey))
+        |SELECT o_orderkey, o_orderstatus, pr, cd, tile
+        |FROM f WHERE o_orderkey % 20 = 3
+        |ORDER BY o_orderstatus, o_orderkey""".stripMargin
   )
 }
