@@ -1135,6 +1135,43 @@ object Analytics {
           expr("""CASE WHEN x >= prev THEN ((x - prev) * 1000000) DIV prev
                  ELSE -(((prev - x) * 1000000) DIV prev) END""").as("growth_ppm"))
         .orderBy("event_type", "week")
+    }),
+
+    // Delta-method CI for a RATIO metric (revenue per order, clustered by
+    // customer) — the estimator every experimentation platform needs
+    // because ratio metrics violate the iid assumption the plain t-test
+    // (agg_ab_ttest) makes: the unit of randomization is the customer, so
+    // Var(ΣX/ΣY) is the first-order expansion (vx − 2R·cov + R²·vy)/(n·ȳ²)
+    // over per-customer (x=cents, y=orders) pairs. All six sums exact
+    // DECIMAL(38,0)/HUGEINT then ONE cast to double; the CI algebra is the
+    // identical IEEE expression tree in both engines (sqrt on data is
+    // IEEE-exact). One shuffle to customer grain, one to segment grain.
+    "agg_delta_method_ci" -> ((s, d) => {
+      val per = Tables.orders(s, d)
+        .join(broadcast(Tables.customer(s, d).select("c_custkey", "c_mktsegment")),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_custkey"), col("c_mktsegment").as("seg"))
+        .agg(sum(round(col("o_totalprice") * 100).cast("bigint")).as("x"),
+          count(lit(1)).as("y"))
+      per.groupBy("seg")
+        .agg(
+          count(lit(1)).cast("double").as("n"),
+          sum(col("x").cast("decimal(38,0)")).cast("double").as("sx"),
+          sum(col("y").cast("decimal(38,0)")).cast("double").as("sy"),
+          sum((col("x") * col("x")).cast("decimal(38,0)")).cast("double").as("sxx"),
+          sum((col("y") * col("y")).cast("decimal(38,0)")).cast("double").as("syy"),
+          sum((col("x") * col("y")).cast("decimal(38,0)")).cast("double").as("sxy"))
+        .withColumn("r", expr("sx / sy"))
+        .withColumn("vx", expr("(sxx - sx*sx/n) / (n - 1)"))
+        .withColumn("vy", expr("(syy - sy*sy/n) / (n - 1)"))
+        .withColumn("cxy", expr("(sxy - sx*sy/n) / (n - 1)"))
+        .withColumn("se",
+          expr("sqrt((vx - 2*r*cxy + r*r*vy) / ((sy/n)*(sy/n)) / n)"))
+        .select(col("seg"), col("n").cast("bigint").as("n_customers"),
+          expr("r / 100").as("rev_per_order"),
+          expr("(r - 1.96*se) / 100").as("ci_lo"),
+          expr("(r + 1.96*se) / 100").as("ci_hi"))
+        .orderBy("seg")
     })
   )
 
@@ -1902,6 +1939,35 @@ object Analytics {
         |  CAST(CASE WHEN x >= prev THEN ((x - prev) * 1000000) // prev
         |    ELSE -(((prev - x) * 1000000) // prev) END AS BIGINT) AS growth_ppm
         |FROM l WHERE prev IS NOT NULL
-        |ORDER BY event_type, week""".stripMargin
+        |ORDER BY event_type, week""".stripMargin,
+
+    // Same per-customer grain, same six exact sums, same IEEE tree for
+    // the delta-method variance and CI.
+    "agg_delta_method_ci" ->
+      """WITH per AS (SELECT c_custkey, c_mktsegment AS seg,
+        |    CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS x,
+        |    CAST(COUNT(*) AS BIGINT) AS y
+        |  FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1, 2),
+        |m AS (SELECT seg,
+        |    CAST(COUNT(*) AS DOUBLE) AS n,
+        |    CAST(SUM(x::HUGEINT) AS DOUBLE) AS sx,
+        |    CAST(SUM(y::HUGEINT) AS DOUBLE) AS sy,
+        |    CAST(SUM(x::HUGEINT * x) AS DOUBLE) AS sxx,
+        |    CAST(SUM(y::HUGEINT * y) AS DOUBLE) AS syy,
+        |    CAST(SUM(x::HUGEINT * y) AS DOUBLE) AS sxy
+        |  FROM per GROUP BY seg),
+        |c AS (SELECT seg, n, sx, sy, sx / sy AS r,
+        |    (sxx - sx*sx/n) / (n - 1) AS vx,
+        |    (syy - sy*sy/n) / (n - 1) AS vy,
+        |    (sxy - sx*sy/n) / (n - 1) AS cxy
+        |  FROM m),
+        |f AS (SELECT seg, n, r,
+        |    sqrt((vx - 2*r*cxy + r*r*vy) / ((sy/n)*(sy/n)) / n) AS se
+        |  FROM c)
+        |SELECT seg, CAST(n AS BIGINT) AS n_customers,
+        |  r / 100 AS rev_per_order,
+        |  (r - 1.96*se) / 100 AS ci_lo,
+        |  (r + 1.96*se) / 100 AS ci_hi
+        |FROM f ORDER BY seg""".stripMargin
   )
 }

@@ -829,6 +829,32 @@ object GraphOps {
           sum(when(col("dist") < 99, col("dist")).otherwise(0L)).as("sum_dist"),
           max(when(col("dist") < 99, col("dist"))).as("diameter"))
         .withColumn("avg_path_milli", expr("(sum_dist * 1000) DIV n_reachable"))
+    }),
+
+    // Katz centrality — the attenuated all-walk centrality that PageRank's
+    // out-degree normalization hides (a node pointed to by many LOW-degree
+    // nodes scores high here, low there): k′(v) = β + α·Σ_in k(u) over the
+    // UNWEIGHTED adjacency (presence, self-loops excluded), β = 10⁶
+    // micro-units, α = 1/200 (in-degree ≤ 24 keeps α·λ_max ≤ 0.12 ≪ 1 so
+    // 3 rounds converge to the micro-unit). All-integer recurrence
+    // (non-negative, so DIV == floor == //) — the rounds replay
+    // bit-identically as chained CTEs; each round is one equi-join +
+    // groupBy superstep over the checkpointed edge rollup.
+    "graph_katz" -> ((s, d) => {
+      val adj = tradeEdges(s, d).where(col("src") =!= col("dst"))
+        .select("src", "dst").localCheckpoint()
+      val nodes = Tables.nation(s, d).select(col("n_nationkey").as("node"))
+      var k = nodes.withColumn("k", lit(1000000L))
+      for (i <- 1 to 3) {
+        val contrib = adj.join(k.withColumnRenamed("node", "src"), "src")
+          .groupBy(col("dst").as("node")).agg(sum("k").as("sk"))
+        k = nodes.join(contrib, Seq("node"), "left")
+          .select(col("node"),
+            expr("1000000 + coalesce(sk, CAST(0 AS BIGINT)) DIV 200").as("k"))
+        if (i == 2) k = k.localCheckpoint()
+      }
+      k.select(col("node").as("n_nationkey"), col("k").as("katz_micro"))
+        .orderBy("n_nationkey")
     })
   )
 
@@ -1354,6 +1380,25 @@ object GraphOps {
          |  (CAST(SUM(CASE WHEN dist < 99 THEN dist ELSE 0 END) AS BIGINT) * 1000)
          |    // CAST(SUM(CASE WHEN dist < 99 THEN 1 ELSE 0 END) AS BIGINT) AS avg_path_milli
          |FROM p$BfsIters WHERE u < v""".stripMargin
+    },
+
+    // The same 3 attenuated supersteps as chained CTEs; everything
+    // non-negative BIGINT so // (floor) == DIV (truncate).
+    "graph_katz" -> {
+      val iters = (1 to 3).map { i =>
+        val p = s"k${i - 1}"
+        s"""c$i AS MATERIALIZED (SELECT a.dst AS node, CAST(SUM($p.k) AS BIGINT) AS sk
+           |  FROM adj a JOIN $p ON $p.node = a.src GROUP BY 1),
+           |k$i AS MATERIALIZED (SELECT n.node,
+           |    CAST(1000000 + COALESCE(c$i.sk, 0) // 200 AS BIGINT) AS k
+           |  FROM nodes n LEFT JOIN c$i ON c$i.node = n.node)"""
+      }.mkString(",\n")
+      s"""WITH $EdgesCte,
+         |adj AS MATERIALIZED (SELECT src, dst FROM edges WHERE src <> dst),
+         |nodes AS (SELECT n_nationkey AS node FROM nation),
+         |k0 AS (SELECT node, CAST(1000000 AS BIGINT) AS k FROM nodes),
+         |$iters
+         |SELECT node AS n_nationkey, k AS katz_micro FROM k3 ORDER BY 1""".stripMargin
     }
   )
 }

@@ -203,6 +203,68 @@ object Relational {
         .orderBy("doc_id")
     }),
 
+    // Avro container-file ingest — the interchange format message buses
+    // and schema registries standardize on. Only avro-core ships in the
+    // sandbox (no spark-avro DataFrame source), so the op IS the
+    // distributed decode shape: container files staged once (4 files
+    // keyed by okey%4), then a binaryFile scan + per-file
+    // GenericDatumReader decode inside mapPartitions — the opaque-codec
+    // law (mm_decode_meta): Spark parallelizes at file granularity
+    // exactly as spark-avro parallelizes at Avro-block granularity; the
+    // rollup after the decode is ordinary codegen'd relational algebra.
+    // Oracle = the same rollup straight off the parquet subset.
+    "source_avro_ingest" -> ((s, d) => {
+      val dir = Scratch.opDir("avroingest", d)
+      val staged = java.nio.file.Paths.get(dir, "_STAGED")
+      if (!java.nio.file.Files.exists(staged)) {
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+        val schema = new org.apache.avro.Schema.Parser().parse(
+          """{"type":"record","name":"order_msg","fields":[
+            |{"name":"okey","type":"long"},{"name":"status","type":"string"},
+            |{"name":"cents","type":"long"}]}""".stripMargin)
+        val rows = Tables.orders(s, d).where(col("o_orderkey") % 10 === 0)
+          .select(col("o_orderkey"), col("o_orderstatus"),
+            round(col("o_totalprice") * 100).cast("bigint")).collect()
+        rows.groupBy(r => (r.getLong(0) / 10) % 4).foreach { case (part, rs) =>
+          val w = new org.apache.avro.file.DataFileWriter(
+            new org.apache.avro.generic.GenericDatumWriter[
+              org.apache.avro.generic.GenericRecord](schema))
+          w.create(schema, new java.io.File(s"$dir/part_$part.avro"))
+          rs.sortBy(_.getLong(0)).foreach { r =>
+            val rec = new org.apache.avro.generic.GenericData.Record(schema)
+            rec.put("okey", r.getLong(0))
+            rec.put("status", r.getString(1))
+            rec.put("cents", r.getLong(2))
+            w.append(rec)
+          }
+          w.close()
+        }
+        java.nio.file.Files.write(staged, Array.emptyByteArray)
+      }
+      import s.implicits._
+      s.read.format("binaryFile").option("pathGlobFilter", "*.avro").load(dir)
+        .select("content").as[Array[Byte]]
+        .mapPartitions { it =>
+          it.flatMap { bytes =>
+            val in = new org.apache.avro.file.DataFileStream(
+              new java.io.ByteArrayInputStream(bytes),
+              new org.apache.avro.generic.GenericDatumReader[
+                org.apache.avro.generic.GenericRecord]())
+            val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long)]
+            while (in.hasNext) {
+              val r = in.next()
+              buf += ((r.get("okey").asInstanceOf[Long],
+                r.get("status").toString, r.get("cents").asInstanceOf[Long]))
+            }
+            in.close(); buf
+          }
+        }.toDF("okey", "status", "cents")
+        .groupBy("status")
+        .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"),
+          min("okey").as("min_key"), max("okey").as("max_key"))
+        .orderBy("status")
+    }),
+
     // NESTED JSON roundtrip — the document-shaped interchange format
     // (API exports, event payloads): orders nested per customer as an
     // array<struct> (sort_array pins the nondeterministic collect_list
@@ -1181,6 +1243,15 @@ object Relational {
       """SELECT doc_id, CAST(length(text) AS BIGINT) AS length,
         |  md5(text) AS content_md5
         |FROM documents WHERE doc_id % 50 = 0 ORDER BY doc_id""".stripMargin,
+
+    // If any record was lost, duplicated, or altered through the Avro
+    // write/decode, a count, sum, or key extreme diverges.
+    "source_avro_ingest" ->
+      """SELECT o_orderstatus AS status, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+        |  MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
+        |FROM orders WHERE o_orderkey % 10 = 0
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // The nested roundtrip replayed flat — if any order was lost or
     // duplicated through nest/write/infer/read/explode, a count or sum
