@@ -535,7 +535,24 @@ object Aggregates {
           coalesce(col("l_returnflag"), lit("(all)")).as("l_returnflag"),
           coalesce(col("l_linestatus"), lit("(all)")).as("l_linestatus"),
           col("n"), col("g_flag"), col("g_status"), col("gid"))
-        .orderBy("gid", "l_returnflag", "l_linestatus"))
+        .orderBy("gid", "l_returnflag", "l_linestatus")),
+
+    // Power-of-two (log₂) bucketed histogram — the HDR-histogram shape a
+    // metrics pipeline uses for latency/amount distributions (exponential
+    // buckets keep the tail resolved at constant memory). The bucket
+    // index floor(log₂(cents)) is derived WITHOUT transcendentals on
+    // data: length(bin(x))−1 on the BIGINT — bit-length is exact in both
+    // engines where IEEE log2 could straddle a ULP at 2^k boundaries.
+    // One groupBy shuffle on ≤40 buckets; map-side partials do the work.
+    "agg_log_histogram" -> ((s, d) =>
+      Tables.orders(s, d)
+        .select(round(col("o_totalprice") * 100).cast("bigint").as("cents"))
+        .where(col("cents") >= 1)
+        .withColumn("bucket", (length(bin(col("cents"))) - 1).cast("bigint"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"),
+          min("cents").as("min_cents"), max("cents").as("max_cents"))
+        .orderBy("bucket"))
   )
 
   val oracles: Map[String, String] = Map(
@@ -801,6 +818,19 @@ object Aggregates {
         |  CAST(GROUPING(l_linestatus) AS INT) AS g_status,
         |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
-        |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin
+        |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin,
+
+    // Same bit-length bucket (DuckDB bin() is the same minimal binary
+    // string for positive BIGINTs).
+    "agg_log_histogram" ->
+      """WITH c AS (SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders),
+        |b AS (SELECT cents,
+        |    CAST(length(bin(cents)) - 1 AS BIGINT) AS bucket
+        |  FROM c WHERE cents >= 1)
+        |SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(cents) AS BIGINT) AS sum_cents,
+        |  MIN(cents) AS min_cents, MAX(cents) AS max_cents
+        |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin
   )
 }

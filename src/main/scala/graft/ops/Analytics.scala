@@ -1172,6 +1172,35 @@ object Analytics {
           expr("(r - 1.96*se) / 100").as("ci_lo"),
           expr("(r + 1.96*se) / 100").as("ci_hi"))
         .orderBy("seg")
+    }),
+
+    // A/B sample-size calculator (the power analysis run BEFORE an
+    // experiment launches): per-arm n = 2·(z_α/2+z_β)²·σ²/δ² for 80%
+    // power at α=0.05 against a 2%-of-mean MDE, from each segment's
+    // observed per-customer revenue variance. z quantiles are LITERALS
+    // (1.96, 0.8416 — the transcendental law allows constants), variance
+    // comes from exact DECIMAL(38,0)/HUGEINT sums, and the one division
+    // chain is the same IEEE tree in both engines; CEIL is exact.
+    "agg_power_analysis" -> ((s, d) => {
+      val per = Tables.orders(s, d)
+        .join(broadcast(Tables.customer(s, d).select("c_custkey", "c_mktsegment")),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_custkey"), col("c_mktsegment").as("seg"))
+        .agg(sum(round(col("o_totalprice") * 100).cast("bigint")).as("x"))
+      per.groupBy("seg")
+        .agg(
+          count(lit(1)).cast("double").as("n"),
+          sum(col("x").cast("decimal(38,0)")).cast("double").as("sx"),
+          sum((col("x") * col("x")).cast("decimal(38,0)")).cast("double").as("sxx"))
+        .withColumn("mean", expr("sx / n"))
+        .withColumn("variance", expr("(sxx - sx*sx/n) / (n - 1)"))
+        .withColumn("mde", expr("mean * 0.02"))
+        .select(col("seg"), col("n").cast("bigint").as("n_observed"),
+          expr("mean / 100").as("mean_rev"),
+          expr("sqrt(variance) / 100").as("sd_rev"),
+          expr("CAST(CEIL(2 * (1.96 + 0.8416) * (1.96 + 0.8416) * variance / (mde * mde)) AS BIGINT)")
+            .as("n_required_per_arm"))
+        .orderBy("seg")
     })
   )
 
@@ -1968,6 +1997,27 @@ object Analytics {
         |  r / 100 AS rev_per_order,
         |  (r - 1.96*se) / 100 AS ci_lo,
         |  (r + 1.96*se) / 100 AS ci_hi
+        |FROM f ORDER BY seg""".stripMargin,
+
+    // Same exact sums, same literal z quantiles, same IEEE chain.
+    "agg_power_analysis" ->
+      """WITH per AS (SELECT c_custkey, c_mktsegment AS seg,
+        |    CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS x
+        |  FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1, 2),
+        |m AS (SELECT seg,
+        |    CAST(COUNT(*) AS DOUBLE) AS n,
+        |    CAST(SUM(x::HUGEINT) AS DOUBLE) AS sx,
+        |    CAST(SUM(x::HUGEINT * x) AS DOUBLE) AS sxx
+        |  FROM per GROUP BY seg),
+        |c AS (SELECT seg, n, sx / n AS mean,
+        |    (sxx - sx*sx/n) / (n - 1) AS variance
+        |  FROM m),
+        |f AS (SELECT seg, n, mean, variance, mean * 0.02 AS mde FROM c)
+        |SELECT seg, CAST(n AS BIGINT) AS n_observed,
+        |  mean / 100 AS mean_rev,
+        |  sqrt(variance) / 100 AS sd_rev,
+        |  CAST(CEIL(2 * (1.96 + 0.8416) * (1.96 + 0.8416) * variance / (mde * mde)) AS BIGINT)
+        |    AS n_required_per_arm
         |FROM f ORDER BY seg""".stripMargin
   )
 }

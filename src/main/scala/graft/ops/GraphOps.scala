@@ -855,6 +855,30 @@ object GraphOps {
       }
       k.select(col("node").as("n_nationkey"), col("k").as("katz_micro"))
         .orderBy("n_nationkey")
+    }),
+
+    // Degree distribution + CCDF — the first chart of every topology
+    // report (power-law vs Poisson decides which scale-out strategy the
+    // graph family needs). Undirected degree = distinct neighbors either
+    // direction, self-loops excluded; per-degree node counts plus the
+    // complementary CDF (nodes with degree ≥ d) in exact milli via one
+    // descending running sum over the ≤|V| histogram rows. Two tiny
+    // shuffles after the shared edge rollup; output O(max degree).
+    "graph_degree_histogram" -> ((s, d) => {
+      val e = tradeEdges(s, d).where(col("src") =!= col("dst"))
+      val deg = e.select(col("src").as("node"), col("dst").as("nbr"))
+        .unionAll(e.select(col("dst").as("node"), col("src").as("nbr")))
+        .distinct()
+        .groupBy("node").agg(count(lit(1)).as("degree"))
+      val hist = deg.groupBy("degree").agg(count(lit(1)).as("n_nodes"))
+      val total = Tables.nation(s, d).count()
+      hist
+        .withColumn("n_at_least",
+          sum("n_nodes").over(Window.orderBy(col("degree").desc)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("ccdf_milli", expr(s"(n_at_least * 1000) DIV $total"))
+        .select("degree", "n_nodes", "n_at_least", "ccdf_milli")
+        .orderBy("degree")
     })
   )
 
@@ -1399,6 +1423,22 @@ object GraphOps {
          |k0 AS (SELECT node, CAST(1000000 AS BIGINT) AS k FROM nodes),
          |$iters
          |SELECT node AS n_nationkey, k AS katz_micro FROM k3 ORDER BY 1""".stripMargin
-    }
+    },
+
+    // Same undirected distinct-neighbor degree, same descending running
+    // sum; total node count is the nation cardinality scalar.
+    "graph_degree_histogram" ->
+      s"""WITH $EdgesCte,
+         |und AS (SELECT DISTINCT src AS node, dst AS nbr FROM edges WHERE src <> dst
+         |  UNION SELECT DISTINCT dst AS node, src AS nbr FROM edges WHERE src <> dst),
+         |deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS degree FROM und GROUP BY node),
+         |h AS (SELECT degree, CAST(COUNT(*) AS BIGINT) AS n_nodes FROM deg GROUP BY degree),
+         |c AS (SELECT degree, n_nodes,
+         |    CAST(SUM(n_nodes) OVER (ORDER BY degree DESC
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_at_least
+         |  FROM h)
+         |SELECT degree, n_nodes, n_at_least,
+         |  (n_at_least * 1000) // (SELECT COUNT(*) FROM nation) AS ccdf_milli
+         |FROM c ORDER BY degree""".stripMargin
   )
 }

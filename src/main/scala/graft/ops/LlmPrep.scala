@@ -1102,7 +1102,30 @@ object LlmPrep {
           expr("((full_cells - blocked_cells) * 1000000) DIV full_cells"))
         .select("pack_id", "n_docs", "n_tokens", "blocked_cells", "full_cells", "savings_ppm")
         .orderBy("pack_id")
-    })
+    }),
+
+    // Tokenizer fertility per language — THE tokenizer-evaluation metric
+    // (bytes/token and chars/token): a language whose fertility runs high
+    // pays more sequence length per byte of content, which skews both
+    // training cost and the mixture weights llm_data_mixture computes.
+    // Corpus-level ratio of exact sums (never an average of per-doc
+    // ratios — that would weight short docs up), in exact milli; bytes
+    // via octet_length (UTF-8 octets) vs chars via char length, all
+    // non-negative so DIV == floor. One groupBy shuffle on |langs| keys.
+    "llm_tokenizer_fertility" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("lang"),
+          octet_length(col("text")).cast("bigint").as("bytes"),
+          length(col("text")).cast("bigint").as("chars"),
+          size(split(col("text"), " ")).cast("bigint").as("toks"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum("bytes").as("sum_bytes"),
+          sum("chars").as("sum_chars"), sum("toks").as("sum_tokens"))
+        .withColumn("bytes_per_token_milli",
+          expr("(sum_bytes * 1000) DIV sum_tokens"))
+        .withColumn("chars_per_token_milli",
+          expr("(sum_chars * 1000) DIV sum_tokens"))
+        .orderBy("lang"))
   )
 
   val queries: Map[String, Q] =
@@ -1815,6 +1838,24 @@ object LlmPrep {
          |  n_tokens * n_tokens AS full_cells,
          |  ((n_tokens * n_tokens - blocked_cells) * 1000000) // (n_tokens * n_tokens)
          |    AS savings_ppm
-         |FROM g ORDER BY pack_id""".stripMargin
+         |FROM g ORDER BY pack_id""".stripMargin,
+
+    // strlen = UTF-8 bytes, length = chars in DuckDB — the same
+    // byte/char split as Spark's octet_length/length.
+    "llm_tokenizer_fertility" ->
+      """WITH t AS (SELECT lang,
+        |    CAST(strlen(text) AS BIGINT) AS bytes,
+        |    CAST(length(text) AS BIGINT) AS chars,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
+        |  FROM documents),
+        |g AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(bytes) AS BIGINT) AS sum_bytes,
+        |    CAST(SUM(chars) AS BIGINT) AS sum_chars,
+        |    CAST(SUM(toks) AS BIGINT) AS sum_tokens
+        |  FROM t GROUP BY lang)
+        |SELECT lang, n_docs, sum_bytes, sum_chars, sum_tokens,
+        |  (sum_bytes * 1000) // sum_tokens AS bytes_per_token_milli,
+        |  (sum_chars * 1000) // sum_tokens AS chars_per_token_milli
+        |FROM g ORDER BY lang""".stripMargin
   )
 }
