@@ -1201,6 +1201,41 @@ object Analytics {
           expr("CAST(CEIL(2 * (1.96 + 0.8416) * (1.96 + 0.8416) * variance / (mde * mde)) AS BIGINT)")
             .as("n_required_per_arm"))
         .orderBy("seg")
+    }),
+
+    // Mann–Whitney U (Wilcoxon rank-sum) — the nonparametric two-sample
+    // test the t-test family needs when revenue is heavy-tailed: ranks
+    // replace values, so outliers can't dominate. Midranks stay INTEGER
+    // by doubling: 2·midrank = 2·rank + ties − 1 (rank() gives
+    // 1+count(<v), a same-value partition count gives ties), so
+    // 2U₁ = Σ_A 2·midrank − n₁(n₁+1) is an exact BIGINT in both engines;
+    // the normal approximation z = (2U₁ − n₁n₂)/√(n₁n₂(n₁+n₂+1)/3)
+    // (both sides doubled) is ONE double expression from exact integers.
+    // Fixture-global rank window; the 100 TB shape range-partitions the
+    // sort exactly like llm_sample_split's hash-prefix sharding.
+    "agg_mann_whitney" -> ((s, d) => {
+      val segs = Seq("BUILDING", "MACHINERY")
+      val ranked = Tables.orders(s, d)
+        .join(broadcast(Tables.customer(s, d).select("c_custkey", "c_mktsegment")),
+          col("o_custkey") === col("c_custkey"))
+        .where(col("c_mktsegment").isin(segs: _*))
+        .select((col("c_mktsegment") === segs.head).as("a"),
+          round(col("o_totalprice") * 100).cast("bigint").as("v"))
+        .withColumn("rnk", rank().over(Window.orderBy("v")).cast("bigint"))
+        .withColumn("ties", count(lit(1)).over(Window.partitionBy("v")).cast("bigint"))
+      ranked.agg(
+          sum(when(col("a"), 1L).otherwise(0L)).as("n1"),
+          sum(when(!col("a"), 1L).otherwise(0L)).as("n2"),
+          sum(when(col("a"), col("rnk") * 2 + col("ties") - 1).otherwise(0L)
+            .cast("decimal(38,0)")).cast("bigint").as("r1_x2"))
+        .withColumn("u1_x2", expr("r1_x2 - n1 * (n1 + 1)"))
+        .select(col("n1"), col("n2"), col("u1_x2"),
+          expr("""(CAST(u1_x2 AS DOUBLE) - CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))
+                 / sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) * CAST(n1 + n2 + 1 AS DOUBLE) / 3)""")
+            .as("z"),
+          expr("""abs((CAST(u1_x2 AS DOUBLE) - CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))
+                 / sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) * CAST(n1 + n2 + 1 AS DOUBLE) / 3)) > 1.96""")
+            .as("significant"))
     })
   )
 
@@ -2018,6 +2053,30 @@ object Analytics {
         |  sqrt(variance) / 100 AS sd_rev,
         |  CAST(CEIL(2 * (1.96 + 0.8416) * (1.96 + 0.8416) * variance / (mde * mde)) AS BIGINT)
         |    AS n_required_per_arm
-        |FROM f ORDER BY seg""".stripMargin
+        |FROM f ORDER BY seg""".stripMargin,
+
+    // Same doubled-midrank integers, same one-shot z expression.
+    "agg_mann_whitney" ->
+      """WITH j AS (SELECT c_mktsegment = 'BUILDING' AS a,
+        |    CAST(ROUND(o_totalprice * 100) AS BIGINT) AS v
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')),
+        |r AS (SELECT a, v,
+        |    CAST(rank() OVER (ORDER BY v) AS BIGINT) AS rnk,
+        |    CAST(COUNT(*) OVER (PARTITION BY v) AS BIGINT) AS ties
+        |  FROM j),
+        |m AS (SELECT
+        |    CAST(SUM(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |    CAST(SUM(CASE WHEN a THEN 0 ELSE 1 END) AS BIGINT) AS n2,
+        |    CAST(SUM(CASE WHEN a THEN (rnk * 2 + ties - 1)::HUGEINT ELSE 0 END) AS BIGINT) AS r1_x2
+        |  FROM r),
+        |u AS (SELECT n1, n2, r1_x2 - n1 * (n1 + 1) AS u1_x2 FROM m)
+        |SELECT n1, n2, u1_x2,
+        |  (CAST(u1_x2 AS DOUBLE) - CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))
+        |    / sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) * CAST(n1 + n2 + 1 AS DOUBLE) / 3) AS z,
+        |  abs((CAST(u1_x2 AS DOUBLE) - CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))
+        |    / sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) * CAST(n1 + n2 + 1 AS DOUBLE) / 3)) > 1.96
+        |    AS significant
+        |FROM u""".stripMargin
   )
 }

@@ -198,6 +198,30 @@ object ApiSurface {
     // filter without repeating the aggregate, HAVING's successor) |>
     // ORDER BY. Same plan as the classic form (the oracle IS the classic
     // form) — the surface matters for pipeline-authoring parity.
+    // Recursive CTE (new in Spark 4 — UnionLoop): ancestor walk up the
+    // deterministic binary-tree hierarchy parent(n) = (n−1) DIV 2 over
+    // the nation keys, emitting (node, ancestor, depth) until the root —
+    // the org-chart/BOM traversal shape SQL-first users previously had to
+    // leave SQL for. Guarded recursion (ancestor > 0) terminates in
+    // ⌈log₂ 25⌉ rounds; all-integer, non-negative, so DIV == floor. The
+    // per-depth rollup grades every recursion level at once.
+    "api_sql_recursive" -> ((s, d) => {
+      Tables.nation(s, d).createOrReplaceTempView("graft_rec_nation")
+      s.sql(
+        """WITH RECURSIVE anc(node, ancestor, depth) AS (
+          |  SELECT CAST(n_nationkey AS BIGINT), CAST(n_nationkey AS BIGINT),
+          |    CAST(0 AS BIGINT) FROM graft_rec_nation
+          |  UNION ALL
+          |  SELECT a.node, (a.ancestor - 1) DIV 2, a.depth + 1
+          |  FROM anc a WHERE a.ancestor > 0
+          |)
+          |SELECT CAST(depth AS BIGINT) AS depth,
+          |  CAST(COUNT(*) AS BIGINT) AS n_nodes,
+          |  CAST(SUM(node) AS BIGINT) AS sum_node,
+          |  CAST(SUM(ancestor) AS BIGINT) AS sum_anc
+          |FROM anc GROUP BY depth ORDER BY depth""".stripMargin)
+    }),
+
     "api_sql_pipe" -> ((s, d) => {
       Tables.orders(s, d).createOrReplaceTempView("graft_pipe_orders")
       s.sql(
@@ -389,6 +413,20 @@ object ApiSurface {
         |FROM orders
         |GROUP BY o_orderstatus, o_orderpriority
         |ORDER BY o_orderstatus, o_orderpriority""".stripMargin,
+
+    // The identical guarded recursion; // is DIV on non-negatives.
+    "api_sql_recursive" ->
+      """WITH RECURSIVE anc(node, ancestor, depth) AS (
+        |  SELECT n_nationkey, n_nationkey, 0 FROM nation
+        |  UNION ALL
+        |  SELECT a.node, (a.ancestor - 1) // 2, a.depth + 1
+        |  FROM anc a WHERE a.ancestor > 0
+        |)
+        |SELECT CAST(depth AS BIGINT) AS depth,
+        |  CAST(COUNT(*) AS BIGINT) AS n_nodes,
+        |  CAST(SUM(node) AS BIGINT) AS sum_node,
+        |  CAST(SUM(ancestor) AS BIGINT) AS sum_anc
+        |FROM anc GROUP BY depth ORDER BY depth""".stripMargin,
 
     // The pipe chain replayed in classic form.
     "api_sql_pipe" ->

@@ -879,6 +879,32 @@ object GraphOps {
         .withColumn("ccdf_milli", expr(s"(n_at_least * 1000) DIV $total"))
         .select("degree", "n_nodes", "n_at_least", "ccdf_milli")
         .orderBy("degree")
+    }),
+
+    // Bipartite projection — customer–supplier co-purchase graph folded
+    // onto suppliers (the collaborative-filtering backbone): suppliers
+    // are linked with weight = #shared customers. The quadratic hazard is
+    // a hot customer (every pair of its suppliers becomes an edge —
+    // O(deg²)); the dfCap law bounds it: customers above 20 distinct
+    // suppliers are dropped BEFORE pairing (mirrored in the oracle CTE),
+    // exactly llm_dedup_near's posting-list cap. Output is the weight
+    // histogram (O(max weight) rows), not the pair list.
+    "graph_bipartite_project" -> ((s, d) => {
+      val cs = Tables.lineitem(s, d).select("l_orderkey", "l_suppkey")
+        .join(Tables.orders(s, d).select("o_orderkey", "o_custkey"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("c"), col("l_suppkey").as("sup"))
+        .distinct()
+      val deg = cs.groupBy("c").agg(count(lit(1)).as("nsup"))
+      val kept = cs.join(deg.where(col("nsup") <= 20), "c")
+        .select("c", "sup").localCheckpoint()
+      kept.as("a")
+        .join(kept.as("b"),
+          col("a.c") === col("b.c") && col("a.sup") < col("b.sup"))
+        .groupBy(col("a.sup").as("s1"), col("b.sup").as("s2"))
+        .agg(count(lit(1)).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("n_pairs"))
+        .orderBy("w")
     })
   )
 
@@ -1439,6 +1465,19 @@ object GraphOps {
          |  FROM h)
          |SELECT degree, n_nodes, n_at_least,
          |  (n_at_least * 1000) // (SELECT COUNT(*) FROM nation) AS ccdf_milli
-         |FROM c ORDER BY degree""".stripMargin
+         |FROM c ORDER BY degree""".stripMargin,
+
+    // Same distinct bipartite edges, same ≤20 cap before pairing.
+    "graph_bipartite_project" ->
+      """WITH cs AS (SELECT DISTINCT o_custkey AS c, l_suppkey AS sup
+        |  FROM lineitem JOIN orders ON o_orderkey = l_orderkey),
+        |deg AS (SELECT c, COUNT(*) AS nsup FROM cs GROUP BY c),
+        |kept AS (SELECT cs.c, cs.sup FROM cs JOIN deg ON cs.c = deg.c
+        |  WHERE deg.nsup <= 20),
+        |p AS (SELECT a.sup AS s1, b.sup AS s2, CAST(COUNT(*) AS BIGINT) AS w
+        |  FROM kept a JOIN kept b ON a.c = b.c AND a.sup < b.sup
+        |  GROUP BY 1, 2)
+        |SELECT w, CAST(COUNT(*) AS BIGINT) AS n_pairs
+        |FROM p GROUP BY w ORDER BY w""".stripMargin
   )
 }

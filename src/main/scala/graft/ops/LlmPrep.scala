@@ -1125,7 +1125,34 @@ object LlmPrep {
           expr("(sum_bytes * 1000) DIV sum_tokens"))
         .withColumn("chars_per_token_milli",
           expr("(sum_chars * 1000) DIV sum_tokens"))
-        .orderBy("lang"))
+        .orderBy("lang")),
+
+    // SFT chat-template rendering — the assembly step between raw
+    // (prompt, response) pairs and llm_loss_masking's token spans: each
+    // sampled pair is rendered into the special-token template and the
+    // op grades the SPAN ARITHMETIC the masker downstream depends on
+    // (assistant offset = total − response − |<|end|>|, mask ppm) plus
+    // an md5 fingerprint of the rendered string, so any template drift
+    // (delimiter, ordering, whitespace) breaks the hash. Pure per-row
+    // projection — embarrassingly parallel at any scale.
+    "llm_sft_chat_template" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      docs.as("p").where(col("doc_id") % 10 === 4)
+        .join(docs.as("r"), col("r.doc_id") === col("p.doc_id") + 1)
+        .select(col("p.doc_id").as("pair_id"),
+          concat(lit("<|system|>You are a helpful assistant.\n<|user|>"),
+            col("p.text"), lit("\n<|assistant|>"), col("r.text"),
+            lit("<|end|>")).as("rendered"),
+          length(col("r.text")).cast("bigint").as("asst_len"))
+        .select(col("pair_id"),
+          length(col("rendered")).cast("bigint").as("total_len"),
+          (length(col("rendered")).cast("bigint") - col("asst_len") - 7L)
+            .as("asst_off"),
+          col("asst_len"),
+          expr("(asst_len * 1000000) DIV length(rendered)").as("mask_ppm"),
+          md5(col("rendered")).as("render_md5"))
+        .orderBy("pair_id")
+    })
   )
 
   val queries: Map[String, Q] =
@@ -1856,6 +1883,23 @@ object LlmPrep {
         |SELECT lang, n_docs, sum_bytes, sum_chars, sum_tokens,
         |  (sum_bytes * 1000) // sum_tokens AS bytes_per_token_milli,
         |  (sum_chars * 1000) // sum_tokens AS chars_per_token_milli
-        |FROM g ORDER BY lang""".stripMargin
+        |FROM g ORDER BY lang""".stripMargin,
+
+    // Same template literals, same span arithmetic, same md5.
+    "llm_sft_chat_template" ->
+      """WITH pr AS (SELECT p.doc_id AS pair_id,
+        |    '<|system|>You are a helpful assistant.
+        |<|user|>' || p.text || '
+        |<|assistant|>' || r.text || '<|end|>' AS rendered,
+        |    CAST(length(r.text) AS BIGINT) AS asst_len
+        |  FROM documents p JOIN documents r ON r.doc_id = p.doc_id + 1
+        |  WHERE p.doc_id % 10 = 4)
+        |SELECT pair_id,
+        |  CAST(length(rendered) AS BIGINT) AS total_len,
+        |  CAST(length(rendered) AS BIGINT) - asst_len - 7 AS asst_off,
+        |  asst_len,
+        |  (asst_len * 1000000) // CAST(length(rendered) AS BIGINT) AS mask_ppm,
+        |  md5(rendered) AS render_md5
+        |FROM pr ORDER BY pair_id""".stripMargin
   )
 }

@@ -159,6 +159,31 @@ object LlmScale {
     // similarity is the cross-multiplied integer 1000 − (1000·lev) DIV
     // max(len). 1-in-20 sampled pairs bound the O(len²) per-pair DP; at
     // corpus scale this op runs on LSH candidates, never all pairs.
+    // Code-fragment detection — the corpus-composition signal a data
+    // mixture needs (code-heavy shards train differently): per doc,
+    // EXACT substring counts of code-indicative punctuation (semicolons,
+    // braces, parens — length-minus-replace, no regex engine in the hot
+    // path, bit-identical cross-engine), scored as weighted punct per
+    // 1000 chars; per-source rollup with a corpus-level score from the
+    // sums (never a mean of per-doc ratios) and a flagged-doc count.
+    "llm_code_detect" -> ((s, d) => {
+      val t = Tables.documents(s, d).select(col("source"),
+        length(col("text")).cast("bigint").as("chars"),
+        expr("CAST(length(text) - length(replace(text, ';', '')) AS BIGINT)").as("semis"),
+        expr("CAST(length(text) - length(replace(text, '{', '')) AS BIGINT)").as("braces"),
+        expr("CAST(length(text) - length(replace(text, '(', '')) AS BIGINT)").as("parens"))
+        .withColumn("score_milli",
+          expr("((semis * 3 + braces * 3 + parens) * 1000) DIV greatest(chars, 1)"))
+      t.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("chars").as("sum_chars"),
+          sum("semis").as("sum_semis"), sum("braces").as("sum_braces"),
+          sum("parens").as("sum_parens"),
+          sum(when(col("score_milli") > 5, 1L).otherwise(0L)).as("n_flagged"))
+        .withColumn("corpus_score_milli",
+          expr("((sum_semis * 3 + sum_braces * 3 + sum_parens) * 1000) DIV sum_chars"))
+        .orderBy("source")
+    }),
+
     "llm_edit_distance" -> ((s, d) => {
       val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
       docs.as("x").where(col("doc_id") % 20 === 7)
@@ -215,6 +240,28 @@ object LlmScale {
         |SELECT lang, CAST((cum - n_tokens) // 2048 AS BIGINT) AS bin, COUNT(*) AS n_docs,
         |  CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens
         |FROM c GROUP BY lang, (cum - n_tokens) // 2048 ORDER BY lang, bin""".stripMargin,
+
+    // Same literal replace counts, same weighted-milli score from sums.
+    "llm_code_detect" ->
+      """WITH t AS (SELECT source,
+        |    CAST(length(text) AS BIGINT) AS chars,
+        |    CAST(length(text) - length(replace(text, ';', '')) AS BIGINT) AS semis,
+        |    CAST(length(text) - length(replace(text, '{', '')) AS BIGINT) AS braces,
+        |    CAST(length(text) - length(replace(text, '(', '')) AS BIGINT) AS parens
+        |  FROM documents),
+        |sc AS (SELECT *,
+        |    ((semis * 3 + braces * 3 + parens) * 1000) // GREATEST(chars, 1) AS score_milli
+        |  FROM t)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(chars) AS BIGINT) AS sum_chars,
+        |  CAST(SUM(semis) AS BIGINT) AS sum_semis,
+        |  CAST(SUM(braces) AS BIGINT) AS sum_braces,
+        |  CAST(SUM(parens) AS BIGINT) AS sum_parens,
+        |  CAST(SUM(CASE WHEN score_milli > 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+        |  ((CAST(SUM(semis) AS BIGINT) * 3 + CAST(SUM(braces) AS BIGINT) * 3
+        |    + CAST(SUM(parens) AS BIGINT)) * 1000) // CAST(SUM(chars) AS BIGINT)
+        |    AS corpus_score_milli
+        |FROM sc GROUP BY source ORDER BY source""".stripMargin,
 
     // Same classic Wagner–Fischer distance; both operands of the milli
     // division are non-negative so DIV (truncate) == // (floor).

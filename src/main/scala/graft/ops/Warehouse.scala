@@ -767,6 +767,57 @@ object Warehouse {
           ("injected", badDup, badOrphan, badDup == 1 && badOrphan == 1)))
         .toDF("batch", "pk_duplicates", "fk_orphans", "verdict")
         .orderBy("batch")
+    }),
+
+    // Compaction (OPTIMIZE) planning — the maintenance query a lakehouse
+    // runs over its file manifest to decide which small files coalesce
+    // into which target-size outputs: per partition, files under the
+    // small-file threshold are packed into target bins by a deterministic
+    // prefix sum (the llm_pack_sequences law applied to manifests), and
+    // the plan reports per-bin file count, bytes, and fill factor —
+    // big-enough files are left alone (rewrite amplification costs more
+    // than the read amplification saves). Manifest derived
+    // deterministically from the fact table (file = (status, custkey%200)
+    // group, KB = Σcents DIV 100); the plan itself is O(files) — the
+    // 100 TB shape plans millions of manifest rows, never data bytes.
+    "warehouse_compaction_plan" -> ((s, d) => {
+      val TargetKb = 16384L
+      val SmallKb = 5000L
+      val files = Tables.orders(s, d)
+        .groupBy(col("o_orderstatus").as("part"),
+          (col("o_custkey") % 200).as("file_id"))
+        .agg(sum(round(col("o_totalprice") * 100).cast("bigint")).as("sum_cents"))
+        .withColumn("kb", expr("sum_cents DIV 100000"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("part").orderBy("kb", "file_id")
+      files.where(col("kb") < SmallKb)
+        .withColumn("cum", sum("kb").over(
+          w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.currentRow)))
+        .withColumn("bin", expr(s"(cum - kb) DIV $TargetKb"))
+        .groupBy("part", "bin")
+        .agg(count(lit(1)).as("n_files"), sum("kb").as("bin_kb"))
+        .withColumn("fill_ppm", expr(s"(bin_kb * 1000000) DIV $TargetKb"))
+        .orderBy("part", "bin")
+    }),
+
+    // Partition-skew audit — the report a warehouse runs BEFORE a big
+    // join/write to decide whether AQE skew handling or salting is
+    // needed: per-partition row counts (status × priority — 'P' status
+    // is genuinely rare in the data, so real skew exists to catch),
+    // rolled into max/avg/min with an exact-ppm skew ratio and a flag at
+    // 2×. O(partitions) output; the count rollup is one map-side-partial
+    // shuffle at any scale.
+    "warehouse_partition_skew_audit" -> ((s, d) => {
+      val parts = Tables.orders(s, d)
+        .groupBy(col("o_orderstatus").as("status"),
+          col("o_orderpriority").as("priority"))
+        .agg(count(lit(1)).as("n_rows"))
+      parts.agg(count(lit(1)).as("n_parts"), sum("n_rows").as("total_rows"),
+          min("n_rows").as("min_rows"), max("n_rows").as("max_rows"))
+        .withColumn("avg_rows", expr("total_rows DIV n_parts"))
+        .withColumn("skew_ppm", expr("(max_rows * 1000000) DIV avg_rows"))
+        .withColumn("skewed", col("skew_ppm") > 2000000L)
     })
   )
 
@@ -1117,6 +1168,37 @@ object Warehouse {
         |  CAST(COUNT(*) AS BIGINT) AS n_customers,
         |  CAST(SUM(n_orders) AS BIGINT) AS n_orders,
         |  TRUE AS no_placeholder_left
-        |FROM f GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM f GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Same manifest derivation, same (kb, file_id)-ordered prefix-sum
+    // binning; everything non-negative BIGINT.
+    "warehouse_compaction_plan" ->
+      """WITH f AS (SELECT o_orderstatus AS part, o_custkey % 200 AS file_id,
+        |    CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) // 100000 AS kb
+        |  FROM orders GROUP BY 1, 2),
+        |sm AS (SELECT * FROM f WHERE kb < 5000),
+        |c AS (SELECT *, CAST(SUM(kb) OVER (PARTITION BY part ORDER BY kb, file_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        |  FROM sm),
+        |b AS (SELECT part, (cum - kb) // 16384 AS bin, kb FROM c)
+        |SELECT part, bin, CAST(COUNT(*) AS BIGINT) AS n_files,
+        |  CAST(SUM(kb) AS BIGINT) AS bin_kb,
+        |  (CAST(SUM(kb) AS BIGINT) * 1000000) // 16384 AS fill_ppm
+        |FROM b GROUP BY part, bin ORDER BY part, bin""".stripMargin,
+
+    // Same partition rollup, same exact-ppm skew algebra.
+    "warehouse_partition_skew_audit" ->
+      """WITH p AS (SELECT o_orderstatus AS status, o_orderpriority AS priority,
+        |    CAST(COUNT(*) AS BIGINT) AS n_rows
+        |  FROM orders GROUP BY 1, 2),
+        |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_parts,
+        |    CAST(SUM(n_rows) AS BIGINT) AS total_rows,
+        |    MIN(n_rows) AS min_rows, MAX(n_rows) AS max_rows
+        |  FROM p),
+        |a AS (SELECT *, total_rows // n_parts AS avg_rows FROM m)
+        |SELECT n_parts, total_rows, min_rows, max_rows, avg_rows,
+        |  (max_rows * 1000000) // avg_rows AS skew_ppm,
+        |  (max_rows * 1000000) // avg_rows > 2000000 AS skewed
+        |FROM a""".stripMargin
   )
 }
