@@ -1236,6 +1236,33 @@ object Analytics {
           expr("""abs((CAST(u1_x2 AS DOUBLE) - CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))
                  / sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) * CAST(n1 + n2 + 1 AS DOUBLE) / 3)) > 1.96""")
             .as("significant"))
+    }),
+
+    // ROC AUC as the rank statistic it IS (AUC = U/(n₁n₂), the
+    // probability a random positive outscores a random negative, ties at
+    // half) — scored EXACTLY in integers via the same doubled midranks as
+    // agg_mann_whitney: auc_ppm = 2U₁·10⁶ DIV (2·2·n₁n₂)… i.e.
+    // u1_x2·10⁶ DIV (2n₁n₂), products in DECIMAL(38,0)/HUGEINT so the
+    // ppm is bit-identical at any corpus size; Gini = 2·AUC−1 stays pure
+    // subtraction (no negative division hazard). Classifier-eval shape:
+    // label = high-value order (top status F), score = order cents.
+    "agg_auc_roc" -> ((s, d) => {
+      val ranked = Tables.orders(s, d)
+        .select((col("o_orderstatus") === "F").as("pos"),
+          round(col("o_totalprice") * 100).cast("bigint").as("v"))
+        .withColumn("rnk", rank().over(Window.orderBy("v")).cast("bigint"))
+        .withColumn("ties", count(lit(1)).over(Window.partitionBy("v")).cast("bigint"))
+      ranked.agg(
+          sum(when(col("pos"), 1L).otherwise(0L)).as("n_pos"),
+          sum(when(!col("pos"), 1L).otherwise(0L)).as("n_neg"),
+          sum(when(col("pos"), col("rnk") * 2 + col("ties") - 1).otherwise(0L)
+            .cast("decimal(38,0)")).cast("bigint").as("r_x2"))
+        .withColumn("u_x2", expr("r_x2 - n_pos * (n_pos + 1)"))
+        .select(col("n_pos"), col("n_neg"), col("u_x2"),
+          expr("""CAST(CAST(u_x2 AS DECIMAL(38,0)) * 1000000
+                 DIV (2 * CAST(n_pos AS DECIMAL(38,0)) * n_neg) AS BIGINT)""")
+            .as("auc_ppm"))
+        .withColumn("gini_signed_ppm", col("auc_ppm") * 2 - 1000000L)
     })
   )
 
@@ -2077,6 +2104,28 @@ object Analytics {
         |  abs((CAST(u1_x2 AS DOUBLE) - CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))
         |    / sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) * CAST(n1 + n2 + 1 AS DOUBLE) / 3)) > 1.96
         |    AS significant
-        |FROM u""".stripMargin
+        |FROM u""".stripMargin,
+
+    // Same doubled midranks; HUGEINT products, // floors non-negatives.
+    "agg_auc_roc" ->
+      """WITH j AS (SELECT o_orderstatus = 'F' AS pos,
+        |    CAST(ROUND(o_totalprice * 100) AS BIGINT) AS v
+        |  FROM orders),
+        |r AS (SELECT pos, v,
+        |    CAST(rank() OVER (ORDER BY v) AS BIGINT) AS rnk,
+        |    CAST(COUNT(*) OVER (PARTITION BY v) AS BIGINT) AS ties
+        |  FROM j),
+        |m AS (SELECT
+        |    CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+        |    CAST(SUM(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT) AS n_neg,
+        |    CAST(SUM(CASE WHEN pos THEN (rnk * 2 + ties - 1)::HUGEINT ELSE 0 END) AS BIGINT) AS r_x2
+        |  FROM r),
+        |u AS (SELECT n_pos, n_neg, r_x2 - n_pos * (n_pos + 1) AS u_x2 FROM m),
+        |a AS (SELECT n_pos, n_neg, u_x2,
+        |    CAST((u_x2::HUGEINT * 1000000) // (2::HUGEINT * n_pos * n_neg) AS BIGINT) AS auc_ppm
+        |  FROM u)
+        |SELECT n_pos, n_neg, u_x2, auc_ppm,
+        |  auc_ppm * 2 - 1000000 AS gini_signed_ppm
+        |FROM a""".stripMargin
   )
 }

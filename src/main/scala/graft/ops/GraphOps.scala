@@ -905,6 +905,39 @@ object GraphOps {
         .agg(count(lit(1)).as("w"))
         .groupBy("w").agg(count(lit(1)).as("n_pairs"))
         .orderBy("w")
+    }),
+
+    // Personalized PageRank — the "importance RELATIVE to a seed set"
+    // variant that powers related-item recommendation: identical
+    // integer power iteration to graph_pagerank except ALL teleport mass
+    // returns to the 3 seed nations (25·150000 DIV 3 µ-units each, 0
+    // elsewhere), so scores measure proximity to the seeds instead of
+    // global centrality. Same superstep shape over the shared edge
+    // rollup; 5 rounds replay bit-identically.
+    "graph_ppr" -> ((s, d) => {
+      val seeds = Seq(0L, 1L, 2L)
+      val edges = tradeEdges(s, d)
+      val outw = edges.groupBy("src").agg(sum("w").as("ow"))
+      val ew = edges.join(outw, "src")
+      val nodes = Tables.nation(s, d)
+        .select(col("n_nationkey").cast("bigint").as("node"))
+        .withColumn("seed_base",
+          when(col("node").isin(seeds: _*), lit(25L * 150000L / 3)).otherwise(0L))
+      var rank = nodes.withColumn("r", lit(1000000L))
+      for (i <- 1 to PrIters) {
+        val contrib = ew
+          .join(rank.select(col("node").as("src"), col("r")), "src")
+          .select(col("dst").as("node"), expr("(r * w) DIV ow").as("c"))
+          .groupBy("node").agg(sum("c").as("contrib"))
+        rank = nodes.join(contrib, Seq("node"), "left")
+          .select(col("node"), col("seed_base"),
+            expr("seed_base + (85 * coalesce(contrib, CAST(0 AS BIGINT))) DIV 100")
+              .as("r"))
+        if (i == 3) rank = rank.localCheckpoint()
+      }
+      rank.select(col("node").as("n_nationkey"), col("r").as("ppr_micro"),
+          (col("seed_base") > 0).as("is_seed"))
+        .orderBy("n_nationkey")
     })
   )
 
@@ -1478,6 +1511,30 @@ object GraphOps {
         |  FROM kept a JOIN kept b ON a.c = b.c AND a.sup < b.sup
         |  GROUP BY 1, 2)
         |SELECT w, CAST(COUNT(*) AS BIGINT) AS n_pairs
-        |FROM p GROUP BY w ORDER BY w""".stripMargin
+        |FROM p GROUP BY w ORDER BY w""".stripMargin,
+
+    // The same 5 seed-teleport supersteps as chained CTEs.
+    "graph_ppr" -> {
+      val iters = (1 to PrIters).map { i =>
+        val p = s"r${i - 1}"
+        s"""c$i AS MATERIALIZED (SELECT e.dst AS node,
+           |    CAST(SUM(($p.r * e.w) // x.ow) AS BIGINT) AS contrib
+           |  FROM edges e JOIN outw x ON e.src = x.src
+           |  JOIN $p ON $p.node = e.src GROUP BY 1),
+           |r$i AS MATERIALIZED (SELECT n.node, n.seed_base,
+           |    CAST(n.seed_base + (85 * COALESCE(c$i.contrib, 0)) // 100 AS BIGINT) AS r
+           |  FROM nodes n LEFT JOIN c$i ON c$i.node = n.node)"""
+      }.mkString(",\n")
+      s"""WITH $EdgesCte,
+         |outw AS MATERIALIZED (SELECT src, CAST(SUM(w) AS BIGINT) AS ow FROM edges GROUP BY 1),
+         |nodes AS (SELECT CAST(n_nationkey AS BIGINT) AS node,
+         |    CAST(CASE WHEN n_nationkey IN (0, 1, 2) THEN 25 * 150000 // 3 ELSE 0 END AS BIGINT)
+         |      AS seed_base
+         |  FROM nation),
+         |r0 AS (SELECT node, seed_base, CAST(1000000 AS BIGINT) AS r FROM nodes),
+         |$iters
+         |SELECT node AS n_nationkey, r AS ppr_micro, seed_base > 0 AS is_seed
+         |FROM r$PrIters ORDER BY 1""".stripMargin
+    }
   )
 }

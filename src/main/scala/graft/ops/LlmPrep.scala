@@ -1152,7 +1152,34 @@ object LlmPrep {
           expr("(asst_len * 1000000) DIV length(rendered)").as("mask_ppm"),
           md5(col("rendered")).as("render_md5"))
         .orderBy("pair_id")
-    })
+    }),
+
+    // Expected-calibration-error table — the reliability diagram that
+    // audits llm_quality_classifier-style scores before they gate data:
+    // per confidence decile, observed accuracy vs stated confidence.
+    // Probabilities and outcomes are the shared md5-integer randomness
+    // (conf = md5('c:'+id)%1000, outcome fires when an INDEPENDENT
+    // md5('y:'+id)%1000 draw lands under conf — calibrated by
+    // construction, so the audited gaps are pure sampling noise); all
+    // milli-unit integer arithmetic, |conf−acc| needs no division. One
+    // 10-key groupBy.
+    "llm_calibration_error" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          expr("CAST(conv(substring(md5(concat('c:', CAST(doc_id AS STRING))), 1, 8), 16, 10) AS BIGINT) % 1000")
+            .as("conf"),
+          expr("CAST(conv(substring(md5(concat('y:', CAST(doc_id AS STRING))), 1, 8), 16, 10) AS BIGINT) % 1000")
+            .as("draw"))
+        .withColumn("y", col("draw") < col("conf"))
+        .withColumn("bucket", expr("conf DIV 100"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"), sum("conf").as("sum_conf"),
+          sum(when(col("y"), 1L).otherwise(0L)).as("n_pos"))
+        .withColumn("conf_milli", expr("sum_conf DIV n"))
+        .withColumn("acc_milli", expr("(n_pos * 1000) DIV n"))
+        .withColumn("gap_milli", abs(col("conf_milli") - col("acc_milli")))
+        .select("bucket", "n", "conf_milli", "acc_milli", "gap_milli")
+        .orderBy("bucket"))
   )
 
   val queries: Map[String, Q] =
@@ -1900,6 +1927,23 @@ object LlmPrep {
         |  asst_len,
         |  (asst_len * 1000000) // CAST(length(rendered) AS BIGINT) AS mask_ppm,
         |  md5(rendered) AS render_md5
-        |FROM pr ORDER BY pair_id""".stripMargin
+        |FROM pr ORDER BY pair_id""".stripMargin,
+
+    // Same two independent md5 draws, same decile buckets, same integer
+    // milli gaps.
+    "llm_calibration_error" ->
+      """WITH t AS (SELECT doc_id,
+        |    ('0x' || substring(md5('c:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 1000 AS conf,
+        |    ('0x' || substring(md5('y:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 1000 AS draw
+        |  FROM documents),
+        |b AS (SELECT conf // 100 AS bucket, conf, draw < conf AS y FROM t),
+        |g AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(conf) AS BIGINT) AS sum_conf,
+        |    CAST(SUM(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS n_pos
+        |  FROM b GROUP BY bucket)
+        |SELECT bucket, n, sum_conf // n AS conf_milli,
+        |  (n_pos * 1000) // n AS acc_milli,
+        |  abs(sum_conf // n - (n_pos * 1000) // n) AS gap_milli
+        |FROM g ORDER BY bucket""".stripMargin
   )
 }

@@ -265,6 +265,35 @@ object Relational {
         .orderBy("status")
     }),
 
+    // Parquet footer audit — physical-layout observability (the check a
+    // storage layer runs to trust its own metadata): each table's footer
+    // row counts, summed across row groups via the parquet-hadoop API,
+    // must equal the table's logical COUNT(*). Footers decode inside
+    // mapPartitions over the file list (one task per file — at 100 TB
+    // this is the manifest-scale distributed metadata scan, data bytes
+    // never read); the oracle recomputes the counts logically.
+    "source_parquet_footer_audit" -> ((s, d) => {
+      import s.implicits._
+      val tables = Seq("customer", "lineitem", "orders")
+      s.createDataset(tables.map(t => (t, s"$d/$t.parquet")))
+        .repartition(tables.length)
+        .mapPartitions { it =>
+          it.map { case (tbl, path) =>
+            val conf = new org.apache.hadoop.conf.Configuration()
+            val in = org.apache.parquet.hadoop.util.HadoopInputFile
+              .fromPath(new org.apache.hadoop.fs.Path(path), conf)
+            val rd = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+            try {
+              var rows = 0L
+              val blocks = rd.getFooter.getBlocks
+              for (i <- 0 until blocks.size()) rows += blocks.get(i).getRowCount
+              (tbl, rows)
+            } finally rd.close()
+          }
+        }.toDF("tbl", "footer_rows")
+        .orderBy("tbl")
+    }),
+
     // NESTED JSON roundtrip — the document-shaped interchange format
     // (API exports, event payloads): orders nested per customer as an
     // array<struct> (sort_array pins the nondeterministic collect_list
@@ -1243,6 +1272,15 @@ object Relational {
       """SELECT doc_id, CAST(length(text) AS BIGINT) AS length,
         |  md5(text) AS content_md5
         |FROM documents WHERE doc_id % 50 = 0 ORDER BY doc_id""".stripMargin,
+
+    // The footer metadata must agree with the logical row counts.
+    "source_parquet_footer_audit" ->
+      """SELECT 'customer' AS tbl, CAST(COUNT(*) AS BIGINT) AS footer_rows FROM customer
+        |UNION ALL
+        |SELECT 'lineitem', CAST(COUNT(*) AS BIGINT) FROM lineitem
+        |UNION ALL
+        |SELECT 'orders', CAST(COUNT(*) AS BIGINT) FROM orders
+        |ORDER BY tbl""".stripMargin,
 
     // If any record was lost, duplicated, or altered through the Avro
     // write/decode, a count, sum, or key extreme diverges.
