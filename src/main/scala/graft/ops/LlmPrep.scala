@@ -1179,7 +1179,79 @@ object LlmPrep {
         .withColumn("acc_milli", expr("(n_pos * 1000) DIV n"))
         .withColumn("gap_milli", abs(col("conf_milli") - col("acc_milli")))
         .select("bucket", "n", "conf_milli", "acc_milli", "gap_milli")
-        .orderBy("bucket"))
+        .orderBy("bucket")),
+
+    // Modality sniffing by MAGIC BYTES — the decode-free router at the
+    // front of a multimodal ingest (files lie about extensions; headers
+    // don't): staged blobs carry real PNG/JPEG/RIFF-WAVE headers, the
+    // binaryFile scan classifies on hex(prefix) only (first 12 bytes —
+    // no codec, no full read at the logical level), and the rollup
+    // counts bytes per detected modality. Oracle replays the generator
+    // rule (doc_id mod 3 picks the header) arithmetically.
+    "mm_magic_sniff" -> ((s, d) => {
+      val dir = Scratch.opDir("magicsniff", d)
+      val staged = java.nio.file.Paths.get(dir, "_STAGED")
+      if (!java.nio.file.Files.exists(staged)) {
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+        val png = Array(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte)
+        val jpg = Array(0xFF, 0xD8, 0xFF).map(_.toByte)
+        val wav = "RIFF".getBytes("UTF-8") ++ Array[Byte](0, 0, 0, 0) ++
+          "WAVE".getBytes("UTF-8")
+        Tables.documents(s, d).where(col("doc_id") % 40 === 0)
+          .select(col("doc_id"), col("text")).collect()
+          .foreach { r =>
+            val header = (r.getLong(0) / 40) % 3 match {
+              case 0 => png; case 1 => jpg; case _ => wav
+            }
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(dir, f"blob_${r.getLong(0)}%08d.bin"),
+              header ++ r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          }
+        java.nio.file.Files.write(staged, Array.emptyByteArray)
+      }
+      s.read.format("binaryFile").option("pathGlobFilter", "*.bin").load(dir)
+        .select(col("length"),
+          when(hex(expr("substring(content, 1, 8)")) === "89504E470D0A1A0A", "image_png")
+            .when(hex(expr("substring(content, 1, 3)")) === "FFD8FF", "image_jpeg")
+            .when(hex(expr("substring(content, 1, 4)")) === "52494646" &&
+              hex(expr("substring(content, 9, 4)")) === "57415645", "audio_wav")
+            .otherwise("unknown").as("modality"))
+        .groupBy("modality")
+        .agg(count(lit(1)).as("n_files"), sum("length").as("sum_bytes"))
+        .orderBy("modality")
+    }),
+
+    // Mergeable-statistics witness — the algebraic property EVERY
+    // distributed corpus-stats job leans on (partials from independent
+    // batches must merge to the full answer, or incremental pipelines
+    // silently drift): token-count moments computed per batch half, then
+    // MERGED (sums add, mins min, maxes max), graded side-by-side with
+    // the direct full-corpus pass — verdict column per statistic.
+    "llm_mergeable_stats" -> ((s, d) => {
+      val t = Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast("bigint").as("tok"))
+        .withColumn("batch", col("doc_id") % 2)
+      val partials = t.groupBy("batch")
+        .agg(count(lit(1)).as("n"),
+          sum(col("tok").cast("decimal(38,0)")).cast("bigint").as("s"),
+          sum((col("tok") * col("tok")).cast("decimal(38,0)")).cast("bigint").as("q"),
+          min("tok").as("mn"), max("tok").as("mx"))
+      val merged = partials.agg(
+        sum("n").cast("bigint").as("m_n"), sum("s").cast("bigint").as("m_s"),
+        sum("q").cast("bigint").as("m_q"), min("mn").as("m_mn"), max("mx").as("m_mx"))
+      val full = t.agg(count(lit(1)).as("f_n"),
+        sum(col("tok").cast("decimal(38,0)")).cast("bigint").as("f_s"),
+        sum((col("tok") * col("tok")).cast("decimal(38,0)")).cast("bigint").as("f_q"),
+        min("tok").as("f_mn"), max("tok").as("f_mx"))
+      merged.crossJoin(full)
+        .select(col("m_n"), col("f_n"), col("m_s"), col("f_s"),
+          col("m_q"), col("f_q"), col("m_mn"), col("f_mn"),
+          col("m_mx"), col("f_mx"),
+          (col("m_n") === col("f_n") && col("m_s") === col("f_s") &&
+            col("m_q") === col("f_q") && col("m_mn") === col("f_mn") &&
+            col("m_mx") === col("f_mx")).as("merge_exact"))
+    })
   )
 
   val queries: Map[String, Q] =
@@ -1944,6 +2016,43 @@ object LlmPrep {
         |SELECT bucket, n, sum_conf // n AS conf_milli,
         |  (n_pos * 1000) // n AS acc_milli,
         |  abs(sum_conf // n - (n_pos * 1000) // n) AS gap_milli
-        |FROM g ORDER BY bucket""".stripMargin
+        |FROM g ORDER BY bucket""".stripMargin,
+
+    // The generator rule replayed arithmetically: header length by
+    // doc_id/40 mod 3 (png 8, jpeg 3, wav 12), bytes = strlen + header.
+    "mm_magic_sniff" ->
+      """WITH b AS (SELECT doc_id, (doc_id // 40) % 3 AS kind,
+        |    CAST(strlen(text) AS BIGINT) AS body
+        |  FROM documents WHERE doc_id % 40 = 0)
+        |SELECT CASE kind WHEN 0 THEN 'image_png' WHEN 1 THEN 'image_jpeg'
+        |    ELSE 'audio_wav' END AS modality,
+        |  CAST(COUNT(*) AS BIGINT) AS n_files,
+        |  CAST(SUM(body + CASE kind WHEN 0 THEN 8 WHEN 1 THEN 3 ELSE 12 END) AS BIGINT)
+        |    AS sum_bytes
+        |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Identical partial/merge/full algebra; every sum exact.
+    "llm_mergeable_stats" ->
+      """WITH t AS (SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS tok,
+        |    doc_id % 2 AS batch
+        |  FROM documents),
+        |p AS (SELECT batch, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(tok::HUGEINT) AS BIGINT) AS s,
+        |    CAST(SUM(tok::HUGEINT * tok) AS BIGINT) AS q,
+        |    MIN(tok) AS mn, MAX(tok) AS mx
+        |  FROM t GROUP BY batch),
+        |m AS (SELECT CAST(SUM(n) AS BIGINT) AS m_n, CAST(SUM(s) AS BIGINT) AS m_s,
+        |    CAST(SUM(q) AS BIGINT) AS m_q, MIN(mn) AS m_mn, MAX(mx) AS m_mx
+        |  FROM p),
+        |f AS (SELECT CAST(COUNT(*) AS BIGINT) AS f_n,
+        |    CAST(SUM(tok::HUGEINT) AS BIGINT) AS f_s,
+        |    CAST(SUM(tok::HUGEINT * tok) AS BIGINT) AS f_q,
+        |    MIN(tok) AS f_mn, MAX(tok) AS f_mx
+        |  FROM t)
+        |SELECT m_n, f_n, m_s, f_s, m_q, f_q, m_mn, f_mn, m_mx, f_mx,
+        |  m_n = f_n AND m_s = f_s AND m_q = f_q AND m_mn = f_mn AND m_mx = f_mx
+        |    AS merge_exact
+        |FROM m, f""".stripMargin
   )
 }

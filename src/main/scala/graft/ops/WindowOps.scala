@@ -293,6 +293,33 @@ object WindowOps {
         .where(col("o_orderkey") % 20 === 3)
         .select("o_orderkey", "o_orderstatus", "pr", "cd", "tile")
         .orderBy("o_orderstatus", "o_orderkey")
+    }),
+
+    // Time-weighted average (TWAP) — the metric that replaces the plain
+    // mean whenever observations are IRREGULARLY spaced (a value held
+    // for an hour must weigh 60× one held a minute): per user, each
+    // event's cents is weighted by its holding interval Δt = next ts −
+    // ts (lead; the open last interval is dropped), and the per-user
+    // TWAP is Σ(v·Δt) DIV ΣΔt — products cents×µs overflow-guarded
+    // through DECIMAL(38,0)/HUGEINT, division non-negative. One user_id
+    // exchange shared by the lead and the rollup.
+    "win_twap" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+      Tables.events(s, d)
+        .select(col("user_id"), col("ts_us"), col("event_id"),
+          floor(col("value") * 100).cast("bigint").as("cents"))
+        .withColumn("dt_us", lead("ts_us", 1).over(w) - col("ts_us"))
+        .where(col("dt_us").isNotNull)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_intervals"),
+          sum((col("cents") * col("dt_us")).cast("decimal(38,0)"))
+            .cast("decimal(38,0)").as("vw"),
+          sum(col("dt_us").cast("decimal(38,0)")).cast("bigint").as("total_us"))
+        .withColumn("twap_cents", expr("CAST(vw DIV total_us AS BIGINT)"))
+        .where(col("user_id") % 10 === 2)
+        .select(col("user_id"), col("n_intervals"),
+          col("vw").cast("bigint").as("vw_sum"), col("total_us"), col("twap_cents"))
+        .orderBy("user_id")
     })
   )
 
@@ -458,6 +485,23 @@ object WindowOps {
         |  WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey))
         |SELECT o_orderkey, o_orderstatus, pr, cd, tile
         |FROM f WHERE o_orderkey % 20 = 3
-        |ORDER BY o_orderstatus, o_orderkey""".stripMargin
+        |ORDER BY o_orderstatus, o_orderkey""".stripMargin,
+
+    // Same lead intervals, HUGEINT products, // on non-negatives.
+    "win_twap" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+        |    CAST(FLOOR(value * 100) AS BIGINT) AS cents
+        |  FROM events),
+        |i AS (SELECT user_id, cents,
+        |    lead(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) - ts_us
+        |      AS dt_us
+        |  FROM e),
+        |g AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_intervals,
+        |    SUM(cents::HUGEINT * dt_us) AS vw,
+        |    CAST(SUM(dt_us::HUGEINT) AS BIGINT) AS total_us
+        |  FROM i WHERE dt_us IS NOT NULL GROUP BY user_id)
+        |SELECT user_id, n_intervals, CAST(vw AS BIGINT) AS vw_sum, total_us,
+        |  CAST(vw // total_us AS BIGINT) AS twap_cents
+        |FROM g WHERE user_id % 10 = 2 ORDER BY user_id""".stripMargin
   )
 }
