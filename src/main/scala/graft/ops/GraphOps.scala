@@ -938,6 +938,31 @@ object GraphOps {
       rank.select(col("node").as("n_nationkey"), col("r").as("ppr_micro"),
           (col("seed_base") > 0).as("is_seed"))
         .orderBy("n_nationkey")
+    }),
+
+    // Sampled-estimator audit for triangle counting — the estimator a
+    // 100 TB graph runs FIRST (exact counting joins every wedge; a
+    // p=1/4 edge sample costs ~p² of that and unbiased-rescales by
+    // 1/p³ = 64): edges kept iff the md5 coin lands 0-of-4 (shared
+    // randomness law), triangles counted on the sampled set, and the
+    // SIGNED error vs the exact count graded sign-safely in ppm — the
+    // op carries its own ground truth, so the estimator can never
+    // silently drift.
+    "graph_triangle_estimate" -> ((s, d) => {
+      val und = heavyBackboneW(s, d).select("a", "b").localCheckpoint()
+      def tri(e: DataFrame): DataFrame =
+        e.as("ab").join(e.as("bc"), col("ab.b") === col("bc.a"))
+          .join(e.as("ac"),
+            col("ac.a") === col("ab.a") && col("ac.b") === col("bc.b"))
+          .agg(count(lit(1)).as("n"))
+      val coin = expr(
+        "CAST(conv(substring(md5(concat('tri:', CAST(a AS STRING), ':', CAST(b AS STRING))), 1, 8), 16, 10) AS BIGINT) % 4")
+      tri(und).select(col("n").as("exact_triangles"))
+        .crossJoin(tri(und.where(coin === 0)).select((col("n") * 64).as("estimated")))
+        .withColumn("err_signed_ppm",
+          expr("""CASE WHEN estimated >= exact_triangles
+                 THEN ((estimated - exact_triangles) * 1000000) DIV exact_triangles
+                 ELSE -(((exact_triangles - estimated) * 1000000) DIV exact_triangles) END"""))
     })
   )
 
@@ -1535,6 +1560,27 @@ object GraphOps {
          |$iters
          |SELECT node AS n_nationkey, r AS ppr_micro, seed_base > 0 AS is_seed
          |FROM r$PrIters ORDER BY 1""".stripMargin
-    }
+    },
+
+    // Same backbone, same md5 coin, same wedge-closing join, same
+    // sign-safe ppm error.
+    "graph_triangle_estimate" ->
+      s"""WITH $EdgesCte,
+         |$HeavyWCte,
+         |h AS (SELECT a, b FROM hw),
+         |sam AS (SELECT a, b FROM h
+         |  WHERE ('0x' || substring(md5('tri:' || CAST(a AS VARCHAR) || ':' || CAST(b AS VARCHAR)), 1, 8))::BIGINT % 4 = 0),
+         |ex AS (SELECT CAST(COUNT(*) AS BIGINT) AS exact_triangles
+         |  FROM h ab JOIN h bc ON ab.b = bc.a
+         |  JOIN h ac ON ac.a = ab.a AND ac.b = bc.b),
+         |es AS (SELECT CAST(COUNT(*) AS BIGINT) * 64 AS estimated
+         |  FROM sam ab JOIN sam bc ON ab.b = bc.a
+         |  JOIN sam ac ON ac.a = ab.a AND ac.b = bc.b)
+         |SELECT exact_triangles, estimated,
+         |  CASE WHEN estimated >= exact_triangles
+         |    THEN ((estimated - exact_triangles) * 1000000) // exact_triangles
+         |    ELSE -(((exact_triangles - estimated) * 1000000) // exact_triangles) END
+         |    AS err_signed_ppm
+         |FROM ex, es""".stripMargin
   )
 }

@@ -159,6 +159,60 @@ object LlmScale {
     // similarity is the cross-multiplied integer 1000 − (1000·lev) DIV
     // max(len). 1-in-20 sampled pairs bound the O(len²) per-pair DP; at
     // corpus scale this op runs on LSH candidates, never all pairs.
+    // Per-domain document cap — the balancing rule every web-scale
+    // corpus applies (one hot domain must not swamp the mixture): keep
+    // at most K=50 docs per source by the deterministic md5 priority
+    // (the shared-randomness law — a fair lottery, not newest-first
+    // bias), report kept/dropped/token counts per source. One window
+    // rank per source partition; at 100 TB the per-key top-K shape is
+    // exactly win_topk_per_group's.
+    "llm_domain_cap" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("source").orderBy("u", "doc_id")
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          size(split(col("text"), " ")).cast("bigint").as("tok"),
+          expr("CAST(conv(substring(md5(concat('cap:', CAST(doc_id AS STRING))), 1, 8), 16, 10) AS BIGINT)")
+            .as("u"))
+        .withColumn("rn", row_number().over(w).cast("bigint"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("rn") <= 50, 1L).otherwise(0L)).as("n_kept"),
+          sum(when(col("rn") > 50, 1L).otherwise(0L)).as("n_dropped"),
+          sum(when(col("rn") <= 50, col("tok")).otherwise(0L)).as("kept_tokens"))
+        .orderBy("source")
+    }),
+
+    // Token-budget split — train/val/test cut by TOKEN share (80/10/10),
+    // not doc count (a doc-count split skews when length correlates with
+    // source): docs ordered by the md5 lottery, split assigned by the
+    // START of each doc's cumulative token span (the same start-based
+    // law as llm_pack_sequences), per-split doc/token totals + exact-ppm
+    // share. Global cum window at fixture scale; the 100 TB shape
+    // hash-prefix-shards the order exactly like llm_sample_split.
+    "llm_token_budget_split" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window.orderBy("u", "doc_id")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      val t = Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast("bigint").as("tok"),
+          expr("CAST(conv(substring(md5(concat('split:', CAST(doc_id AS STRING))), 1, 8), 16, 10) AS BIGINT)")
+            .as("u"))
+      val total = t.agg(sum(col("tok").cast("decimal(38,0)")).cast("bigint"))
+        .head.getLong(0)
+      t.withColumn("cum", sum("tok").over(w))
+        .withColumn("split",
+          expr(s"""CASE WHEN (cum - tok) * 10 < ${total}L * 8 THEN 'train'
+                  WHEN (cum - tok) * 10 < ${total}L * 9 THEN 'val'
+                  ELSE 'test' END"""))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("tok").cast("decimal(38,0)")).cast("bigint").as("tokens"))
+        .withColumn("share_ppm", expr(s"(tokens * 1000000) DIV ${total}L"))
+        .orderBy("split")
+    }),
+
     // Word-pair PMI / lift — the collocation statistic a corpus
     // curation stack uses to mine salient phrases: for word pairs
     // co-occurring in documents, lift = P(x,y)/(P(x)P(y)) scored as
@@ -273,6 +327,42 @@ object LlmScale {
         |SELECT lang, CAST((cum - n_tokens) // 2048 AS BIGINT) AS bin, COUNT(*) AS n_docs,
         |  CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens
         |FROM c GROUP BY lang, (cum - n_tokens) // 2048 ORDER BY lang, bin""".stripMargin,
+
+    // Same md5 lottery rank, same start-based budget cut.
+    "llm_domain_cap" ->
+      """WITH t AS (SELECT doc_id, source,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS tok,
+        |    ('0x' || substring(md5('cap:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS u
+        |  FROM documents),
+        |r AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY u, doc_id) AS BIGINT) AS rn
+        |  FROM t)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(CASE WHEN rn <= 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  CAST(SUM(CASE WHEN rn > 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+        |  CAST(SUM(CASE WHEN rn <= 50 THEN tok ELSE 0 END) AS BIGINT) AS kept_tokens
+        |FROM r GROUP BY source ORDER BY source""".stripMargin,
+
+    // Same lottery order, same start-based 80/10/10 cut, same exact ppm.
+    "llm_token_budget_split" ->
+      """WITH t AS (SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS tok,
+        |    ('0x' || substring(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS u
+        |  FROM documents),
+        |tt AS (SELECT CAST(SUM(tok::HUGEINT) AS BIGINT) AS total FROM t),
+        |c AS (SELECT doc_id, tok,
+        |    CAST(SUM(tok) OVER (ORDER BY u, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        |  FROM t),
+        |sp AS (SELECT doc_id, tok,
+        |    CASE WHEN (cum - tok) * 10 < total * 8 THEN 'train'
+        |      WHEN (cum - tok) * 10 < total * 9 THEN 'val'
+        |      ELSE 'test' END AS split
+        |  FROM c, tt)
+        |SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(tok::HUGEINT) AS BIGINT) AS tokens,
+        |  (CAST(SUM(tok::HUGEINT) AS BIGINT) * 1000000) // (SELECT total FROM tt)
+        |    AS share_ppm
+        |FROM sp GROUP BY split ORDER BY split""".stripMargin,
 
     // Same df band, same per-doc pair join, same HUGEINT lift.
     "llm_word_pmi" ->
