@@ -1265,6 +1265,32 @@ object Analytics {
         .withColumn("gini_signed_ppm", col("auc_ppm") * 2 - 1000000L)
     }),
 
+    // Hodges–Lehmann estimator — the robust location estimate (median of
+    // all pairwise Walsh averages) that beats both mean (outlier-fragile)
+    // and median (inefficient) on heavy-tailed revenue. Pair sums stay
+    // INTEGER (half only at the very end); the median of the O(k²)
+    // Walsh sums is the exact lower-median by (sum, i, j) total order.
+    // The pair square is bounded by sampling the inputs 1-in-100 (at
+    // 100 TB the estimator runs per stratum on bounded samples — the
+    // documented O(k²) metadata shape of llm_mmr_rerank).
+    "agg_hodges_lehmann" -> ((s, d) => {
+      val xs = Tables.orders(s, d)
+        .where(col("o_orderkey") % 100 === 0)
+        .select(col("o_orderkey").as("i"),
+          round(col("o_totalprice") * 100).cast("bigint").as("x"))
+        .localCheckpoint()
+      val pairs = xs.as("a").join(xs.as("b"), col("a.i") <= col("b.i"))
+        .select(col("a.i").as("i"), col("b.i").as("j"),
+          (col("a.x") + col("b.x")).as("s2"))
+      val ranked = pairs
+        .withColumn("rn", row_number()
+          .over(Window.orderBy(col("s2"), col("i"), col("j"))).cast("bigint"))
+      val n = ranked.agg(count(lit(1))).head.getLong(0)
+      ranked.where(col("rn") === (n + 1) / 2)
+        .select(lit(n).as("n_pairs"), col("s2").as("median_pair_sum"),
+          expr("s2 DIV 2").as("hl_cents"))
+    }),
+
     // Holt's linear (double-exponential) smoothing — the level+TREND
     // forecaster win_ewma can't express (EWMA lags a trending series
     // forever; Holt tracks the slope). The coupled recurrence
@@ -2170,6 +2196,19 @@ object Analytics {
         |SELECT n_pos, n_neg, u_x2, auc_ppm,
         |  auc_ppm * 2 - 1000000 AS gini_signed_ppm
         |FROM a""".stripMargin,
+
+    // Same sampled pairs, same (sum, i, j) lower-median pick.
+    "agg_hodges_lehmann" ->
+      """WITH xs AS (SELECT o_orderkey AS i,
+        |    CAST(ROUND(o_totalprice * 100) AS BIGINT) AS x
+        |  FROM orders WHERE o_orderkey % 100 = 0),
+        |p AS (SELECT a.i AS i, b.i AS j, a.x + b.x AS s2
+        |  FROM xs a JOIN xs b ON a.i <= b.i),
+        |r AS (SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY s2, i, j) AS BIGINT) AS rn
+        |  FROM p),
+        |t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM p)
+        |SELECT t.n AS n_pairs, r.s2 AS median_pair_sum, r.s2 // 2 AS hl_cents
+        |FROM r, t WHERE r.rn = (t.n + 1) // 2""".stripMargin,
 
     // Same recurrence replayed as a RECURSIVE CTE stepping the row index
     // (DuckDB 1.0.0's list_reduce mis-binds the accumulator when the

@@ -484,7 +484,44 @@ object Functions {
           (col("luhn_sum") % 10 === 0).as("valid"),
           expr("CAST((10 - shifted_sum % 10) % 10 AS BIGINT)").as("check_digit"))
         .orderBy("c_custkey")
-    })
+    }),
+
+    // XPath extraction (Spark ships the xpath_* family; DuckDB has no
+    // XPath, so the oracle replays the EXTRACTION CONTRACT instead: we
+    // author the XML from table columns, therefore what xpath_long /
+    // xpath_string must return IS the source column — any parser drift
+    // breaks the rollup). Status rides as an attribute to cover the
+    // @attr axis as well as element text.
+    "fn_xpath" -> ((s, d) =>
+      Tables.orders(s, d)
+        .select(concat(lit("<o s=\""), col("o_orderstatus"), lit("\"><k>"),
+          col("o_orderkey"), lit("</k><c>"),
+          round(col("o_totalprice") * 100).cast("bigint"), lit("</c></o>"))
+          .as("xml"))
+        .select(
+          expr("xpath_string(xml, '/o/@s')").as("status"),
+          expr("xpath_long(xml, '/o/k')").as("okey"),
+          expr("xpath_long(xml, '/o/c')").as("cents"))
+        .groupBy("status")
+        .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"),
+          max("okey").as("max_key"))
+        .orderBy("status")),
+
+    // width_bucket histogram — the SQL-standard equi-width bucketizer:
+    // Spark's builtin vs the oracle's pure integer replication
+    // 1 + (x·n) floor-div span (+ the under/overflow buckets 0 and n+1).
+    // Exactness note: the builtin computes in DOUBLE, but cents·10 and
+    // the span are both integers ≤ 2⁵³, so the quotient floors
+    // identically to integer division at every boundary.
+    "fn_width_bucket" -> ((s, d) =>
+      Tables.orders(s, d)
+        .select(round(col("o_totalprice") * 100).cast("bigint").as("cents"))
+        .withColumn("bucket",
+          expr("CAST(width_bucket(cents, 0, 60000000, 10) AS BIGINT)"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"), min("cents").as("min_cents"),
+          max("cents").as("max_cents"))
+        .orderBy("bucket"))
   )
 
   val oracles: Map[String, String] = Map(
@@ -805,6 +842,26 @@ object Functions {
         |  translate(p_type, 'AEO', 'aeo') AS tr,
         |  repeat(left(p_type, 2), 3) AS rp,
         |  right(p_type, 3) AS rt
-        |FROM part ORDER BY p_partkey""".stripMargin
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    // We authored the XML, so the extracted fields are the columns.
+    "fn_xpath" ->
+      """SELECT o_orderstatus AS status, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+        |  MAX(o_orderkey) AS max_key
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Pure integer replication of the SQL-standard bucket function.
+    "fn_width_bucket" ->
+      """WITH c AS (SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders),
+        |b AS (SELECT cents,
+        |    CASE WHEN cents < 0 THEN 0
+        |      WHEN cents >= 60000000 THEN 11
+        |      ELSE 1 + (cents * 10) // 60000000 END AS bucket
+        |  FROM c)
+        |SELECT CAST(bucket AS BIGINT) AS bucket, CAST(COUNT(*) AS BIGINT) AS n,
+        |  MIN(cents) AS min_cents, MAX(cents) AS max_cents
+        |FROM b GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

@@ -1221,6 +1221,31 @@ object LlmPrep {
         .orderBy("modality")
     }),
 
+    // Layout reading order — the document-AI preprocessing step between
+    // OCR boxes and text assembly (a page's boxes must serialize
+    // row-major or the text scrambles): 12 synthetic boxes per sampled
+    // page with md5-integer coordinates, ordered by (row band = y DIV
+    // 140, x, box) — the standard XY-cut approximation — and graded as a
+    // per-page order checksum Σ box_id·rank (any transposition changes
+    // it). Pure window arithmetic; pages are independent at any scale.
+    "mm_layout_reading_order" -> ((s, d) => {
+      val boxes = Tables.documents(s, d).where(col("doc_id") % 25 === 0)
+        .select(col("doc_id"), explode(expr("sequence(0, 11)")).as("box"))
+        .select(col("doc_id"), col("box"),
+          expr("CAST(conv(substring(md5(concat('x:', CAST(doc_id AS STRING), ':', CAST(box AS STRING))), 1, 8), 16, 10) AS BIGINT) % 1000")
+            .as("x"),
+          expr("CAST(conv(substring(md5(concat('y:', CAST(doc_id AS STRING), ':', CAST(box AS STRING))), 1, 8), 16, 10) AS BIGINT) % 1400")
+            .as("y"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy(expr("y DIV 140"), col("x"), col("box"))
+      boxes.withColumn("rank", row_number().over(w).cast("bigint"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_boxes"),
+          sum(col("box") * col("rank")).as("order_checksum"),
+          max(expr("y DIV 140")).as("max_band"))
+        .orderBy("doc_id")
+    }),
+
     // Mergeable-statistics witness — the algebraic property EVERY
     // distributed corpus-stats job leans on (partials from independent
     // batches must merge to the full answer, or incremental pipelines
@@ -2030,6 +2055,22 @@ object LlmPrep {
         |  CAST(SUM(body + CASE kind WHEN 0 THEN 8 WHEN 1 THEN 3 ELSE 12 END) AS BIGINT)
         |    AS sum_bytes
         |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Same md5 coordinates, same (band, x, box) order, same checksum.
+    "mm_layout_reading_order" ->
+      """WITH pg AS (SELECT doc_id, unnest(range(0, 12)) AS box
+        |  FROM documents WHERE doc_id % 25 = 0),
+        |b AS (SELECT doc_id, box,
+        |    ('0x' || substring(md5('x:' || CAST(doc_id AS VARCHAR) || ':' || CAST(box AS VARCHAR)), 1, 8))::BIGINT % 1000 AS x,
+        |    ('0x' || substring(md5('y:' || CAST(doc_id AS VARCHAR) || ':' || CAST(box AS VARCHAR)), 1, 8))::BIGINT % 1400 AS y
+        |  FROM pg),
+        |r AS (SELECT doc_id, box, y // 140 AS band,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY y // 140, x, box) AS BIGINT) AS rnk
+        |  FROM b)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_boxes,
+        |  CAST(SUM(box * rnk) AS BIGINT) AS order_checksum,
+        |  MAX(band) AS max_band
+        |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // Identical partial/merge/full algebra; every sum exact.
     "llm_mergeable_stats" ->
