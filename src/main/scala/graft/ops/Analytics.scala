@@ -1265,6 +1265,31 @@ object Analytics {
         .withColumn("gini_signed_ppm", col("auc_ppm") * 2 - 1000000L)
     }),
 
+    // Two-proportion z-test — the A/B test for a BINARY outcome
+    // (conversion), which agg_ab_ttest's mean comparison mis-models:
+    // pooled p̂ under H₀, z = (p̂₁−p̂₂)/√(p̂(1−p̂)(1/n₁+1/n₂)). The four
+    // counts are exact; the z is ONE double expression over them with
+    // the identical IEEE tree in both engines. Conversion = urgent-
+    // priority order; arms = the two fixture segments.
+    "agg_two_proportion_z" -> ((s, d) => {
+      val segs = Seq("BUILDING", "MACHINERY")
+      Tables.orders(s, d)
+        .join(broadcast(Tables.customer(s, d).select("c_custkey", "c_mktsegment")),
+          col("o_custkey") === col("c_custkey"))
+        .where(col("c_mktsegment").isin(segs: _*))
+        .select((col("c_mktsegment") === segs.head).as("a"),
+          (col("o_orderpriority") === "1-URGENT").as("conv"))
+        .agg(
+          sum(when(col("a"), 1L).otherwise(0L)).as("n1"),
+          sum(when(!col("a"), 1L).otherwise(0L)).as("n2"),
+          sum(when(col("a") && col("conv"), 1L).otherwise(0L)).as("x1"),
+          sum(when(!col("a") && col("conv"), 1L).otherwise(0L)).as("x2"))
+        .withColumn("z",
+          expr("""(CAST(x1 AS DOUBLE)/n1 - CAST(x2 AS DOUBLE)/n2)
+                 / sqrt((CAST(x1 + x2 AS DOUBLE)/(n1 + n2)) * (1 - CAST(x1 + x2 AS DOUBLE)/(n1 + n2)) * (1.0/n1 + 1.0/n2))"""))
+        .withColumn("significant", expr("abs(z) > 1.96"))
+    }),
+
     // Hodges–Lehmann estimator — the robust location estimate (median of
     // all pairwise Walsh averages) that beats both mean (outlier-fragile)
     // and median (inefficient) on heavy-tailed revenue. Pair sums stay
@@ -2196,6 +2221,25 @@ object Analytics {
         |SELECT n_pos, n_neg, u_x2, auc_ppm,
         |  auc_ppm * 2 - 1000000 AS gini_signed_ppm
         |FROM a""".stripMargin,
+
+    // Same exact counts, same pooled-p̂ IEEE tree.
+    "agg_two_proportion_z" ->
+      """WITH j AS (SELECT c_mktsegment = 'BUILDING' AS a,
+        |    o_orderpriority = '1-URGENT' AS conv
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')),
+        |m AS (SELECT
+        |    CAST(SUM(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |    CAST(SUM(CASE WHEN a THEN 0 ELSE 1 END) AS BIGINT) AS n2,
+        |    CAST(SUM(CASE WHEN a AND conv THEN 1 ELSE 0 END) AS BIGINT) AS x1,
+        |    CAST(SUM(CASE WHEN NOT a AND conv THEN 1 ELSE 0 END) AS BIGINT) AS x2
+        |  FROM j),
+        |z AS (SELECT n1, n2, x1, x2,
+        |    (CAST(x1 AS DOUBLE)/n1 - CAST(x2 AS DOUBLE)/n2)
+        |      / sqrt((CAST(x1 + x2 AS DOUBLE)/(n1 + n2)) * (1 - CAST(x1 + x2 AS DOUBLE)/(n1 + n2)) * (1.0/n1 + 1.0/n2))
+        |      AS z
+        |  FROM m)
+        |SELECT n1, n2, x1, x2, z, abs(z) > 1.96 AS significant FROM z""".stripMargin,
 
     // Same sampled pairs, same (sum, i, j) lower-median pick.
     "agg_hodges_lehmann" ->

@@ -963,6 +963,30 @@ object GraphOps {
           expr("""CASE WHEN estimated >= exact_triangles
                  THEN ((estimated - exact_triangles) * 1000000) DIV exact_triangles
                  ELSE -(((exact_triangles - estimated) * 1000000) DIV exact_triangles) END"""))
+    }),
+
+    // Critical-path layering over the DAG orientation (a<b) of the
+    // backbone — the scheduling decomposition (which tasks can run in
+    // parallel; how deep is the dependency chain): L(v) = longest hop
+    // path ending at v, relaxed Bellman-style for 6 rounds (≥ any
+    // chain in a 25-node backbone), layer histogram + the critical
+    // length as max. Each round is one equi-join + groupBy superstep —
+    // the Pregel shape of the whole family.
+    "graph_critical_path" -> ((s, d) => {
+      val dag = heavyBackboneW(s, d).select("a", "b").localCheckpoint()
+      val nodes = Tables.nation(s, d).select(col("n_nationkey").as("node"))
+      var lvl = nodes.withColumn("l", lit(0L))
+      for (i <- 1 to 6) {
+        val relax = dag.join(lvl.select(col("node").as("a"), col("l")), "a")
+          .groupBy(col("b").as("node")).agg(max(col("l") + 1).as("cand"))
+        lvl = lvl.join(relax, Seq("node"), "left")
+          .select(col("node"),
+            greatest(col("l"), coalesce(col("cand"), lit(0L))).as("l"))
+        if (i == 3) lvl = lvl.localCheckpoint()
+      }
+      lvl.groupBy(col("l").as("layer"))
+        .agg(count(lit(1)).as("n_nodes"))
+        .orderBy("layer")
     })
   )
 
@@ -1581,6 +1605,27 @@ object GraphOps {
          |    THEN ((estimated - exact_triangles) * 1000000) // exact_triangles
          |    ELSE -(((exact_triangles - estimated) * 1000000) // exact_triangles) END
          |    AS err_signed_ppm
-         |FROM ex, es""".stripMargin
+         |FROM ex, es""".stripMargin,
+
+    // The same 6 longest-path relaxation rounds as chained CTEs.
+    "graph_critical_path" -> {
+      val iters = (1 to 6).map { i =>
+        val p = s"l${i - 1}"
+        s"""c$i AS MATERIALIZED (SELECT h.b AS node, CAST(MAX($p.l + 1) AS BIGINT) AS cand
+           |  FROM h JOIN $p ON $p.node = h.a GROUP BY 1),
+           |l$i AS MATERIALIZED (SELECT n.node,
+           |    CAST(GREATEST($p.l, COALESCE(c$i.cand, 0)) AS BIGINT) AS l
+           |  FROM nodes n JOIN $p ON $p.node = n.node
+           |  LEFT JOIN c$i ON c$i.node = n.node)"""
+      }.mkString(",\n")
+      s"""WITH $EdgesCte,
+         |$HeavyWCte,
+         |h AS (SELECT a, b FROM hw),
+         |nodes AS (SELECT n_nationkey AS node FROM nation),
+         |l0 AS (SELECT node, CAST(0 AS BIGINT) AS l FROM nodes),
+         |$iters
+         |SELECT l AS layer, CAST(COUNT(*) AS BIGINT) AS n_nodes
+         |FROM l6 GROUP BY l ORDER BY layer""".stripMargin
+    }
   )
 }

@@ -183,6 +183,27 @@ object LlmScale {
         .orderBy("source")
     }),
 
+    // pass@k eval estimator — the UNBIASED combinatorial estimator
+    // 1 − C(n−c, k)/C(n,k) (Codex/HumanEval's formula; the naive
+    // "any of k sampled" resamples with bias): n=10 attempts per task,
+    // c correct from the md5 draw, k=5, scored EXACTLY in ppm because
+    // every binomial here is a small integer (C(10,5)=252, C(10−c,5)
+    // a 6-entry lookup) — no floating combinatorics, no drift. Rolled
+    // up per correct-count c so every branch of the estimator is graded.
+    "llm_pass_at_k" -> ((s, d) => {
+      val binom = "CASE 10 - c WHEN 10 THEN 252 WHEN 9 THEN 126 WHEN 8 THEN 56" +
+        " WHEN 7 THEN 21 WHEN 6 THEN 6 WHEN 5 THEN 1 ELSE 0 END"
+      Tables.documents(s, d).where(col("doc_id") % 20 === 5)
+        .select(col("doc_id"),
+          expr("CAST(conv(substring(md5(concat('pass:', CAST(doc_id AS STRING))), 1, 8), 16, 10) AS BIGINT) % 11")
+            .as("c"))
+        .withColumn("pass_at_5_ppm",
+          expr(s"((252 - ($binom)) * 1000000) DIV 252"))
+        .groupBy("c", "pass_at_5_ppm")
+        .agg(count(lit(1)).as("n_tasks"))
+        .orderBy("c")
+    }),
+
     // Token-budget split — train/val/test cut by TOKEN share (80/10/10),
     // not doc count (a doc-count split skews when length correlates with
     // source): docs ordered by the md5 lottery, split assigned by the
@@ -327,6 +348,19 @@ object LlmScale {
         |SELECT lang, CAST((cum - n_tokens) // 2048 AS BIGINT) AS bin, COUNT(*) AS n_docs,
         |  CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens
         |FROM c GROUP BY lang, (cum - n_tokens) // 2048 ORDER BY lang, bin""".stripMargin,
+
+    // Same md5 draw, same 6-entry binomial lookup, same exact ppm.
+    "llm_pass_at_k" ->
+      """WITH t AS (SELECT doc_id,
+        |    ('0x' || substring(md5('pass:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 11 AS c
+        |  FROM documents WHERE doc_id % 20 = 5),
+        |p AS (SELECT c,
+        |    CAST(((252 - (CASE 10 - c WHEN 10 THEN 252 WHEN 9 THEN 126 WHEN 8 THEN 56
+        |      WHEN 7 THEN 21 WHEN 6 THEN 6 WHEN 5 THEN 1 ELSE 0 END)) * 1000000) // 252
+        |      AS BIGINT) AS pass_at_5_ppm
+        |  FROM t)
+        |SELECT c, pass_at_5_ppm, CAST(COUNT(*) AS BIGINT) AS n_tasks
+        |FROM p GROUP BY 1, 2 ORDER BY c""".stripMargin,
 
     // Same md5 lottery rank, same start-based budget cut.
     "llm_domain_cap" ->
