@@ -1265,6 +1265,36 @@ object Analytics {
         .withColumn("gini_signed_ppm", col("auc_ppm") * 2 - 1000000L)
     }),
 
+    // Stationary distribution of the event-type Markov chain — the
+    // long-run mix win_markov_chain's one-step matrix only implies:
+    // π′(j) = Σ_i π(i)·c(i,j) DIV r(i) iterated 5 rounds from uniform
+    // 10⁶-µ mass, all integer (each term non-negative), so the rounds
+    // replay bit-identically as chained CTEs. Each round is one
+    // broadcast-sized matrix join — the graph-superstep shape on a
+    // 5-state chain.
+    "agg_markov_stationary" -> ((s, d) => {
+      val t = Tables.events(s, d)
+        .withColumn("prev", lag("event_type", 1).over(
+          Window.partitionBy("user_id").orderBy("ts_us", "event_id")))
+        .where(col("prev").isNotNull)
+        .groupBy(col("prev").as("i"), col("event_type").as("j"))
+        .agg(count(lit(1)).as("n"))
+      val rowT = t.groupBy("i").agg(sum("n").as("r"))
+      val m = t.join(rowT, "i").localCheckpoint()
+      val states = m.select(col("i").as("state")).distinct()
+      var pi = states.withColumn("p", lit(1000000L))
+      for (k <- 1 to 5) {
+        pi = states.join(
+          m.join(pi.select(col("state").as("i"), col("p")), "i")
+            .select(col("j").as("state"), expr("(p * n) DIV r").as("c"))
+            .groupBy("state").agg(sum("c").as("pn")),
+          Seq("state"), "left")
+          .select(col("state"), coalesce(col("pn"), lit(0L)).as("p"))
+        if (k == 3) pi = pi.localCheckpoint()
+      }
+      pi.select(col("state"), col("p").as("pi_micro")).orderBy("state")
+    }),
+
     // Two-proportion z-test — the A/B test for a BINARY outcome
     // (conversion), which agg_ab_ttest's mean comparison mis-models:
     // pooled p̂ under H₀, z = (p̂₁−p̂₂)/√(p̂(1−p̂)(1/n₁+1/n₂)). The four
@@ -2221,6 +2251,32 @@ object Analytics {
         |SELECT n_pos, n_neg, u_x2, auc_ppm,
         |  auc_ppm * 2 - 1000000 AS gini_signed_ppm
         |FROM a""".stripMargin,
+
+    // The same 5 integer matrix-vector rounds as chained CTEs.
+    "agg_markov_stationary" -> {
+      val iters = (1 to 5).map { k =>
+        val p = s"p${k - 1}"
+        s"""c$k AS MATERIALIZED (SELECT m.j AS state,
+           |    CAST(SUM(($p.p * m.n) // m.r) AS BIGINT) AS pn
+           |  FROM m JOIN $p ON $p.state = m.i GROUP BY 1),
+           |p$k AS MATERIALIZED (SELECT s.state,
+           |    CAST(COALESCE(c$k.pn, 0) AS BIGINT) AS p
+           |  FROM states s LEFT JOIN c$k ON c$k.state = s.state)"""
+      }.mkString(",\n")
+      s"""WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us
+         |  FROM events),
+         |l AS (SELECT event_type AS j,
+         |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS i
+         |  FROM e),
+         |t AS (SELECT i, j, CAST(COUNT(*) AS BIGINT) AS n FROM l
+         |  WHERE i IS NOT NULL GROUP BY 1, 2),
+         |rt AS (SELECT i, CAST(SUM(n) AS BIGINT) AS r FROM t GROUP BY 1),
+         |m AS (SELECT t.i, t.j, t.n, rt.r FROM t JOIN rt ON rt.i = t.i),
+         |states AS (SELECT DISTINCT i AS state FROM m),
+         |p0 AS (SELECT state, CAST(1000000 AS BIGINT) AS p FROM states),
+         |$iters
+         |SELECT state, p AS pi_micro FROM p5 ORDER BY state""".stripMargin
+    },
 
     // Same exact counts, same pooled-p̂ IEEE tree.
     "agg_two_proportion_z" ->

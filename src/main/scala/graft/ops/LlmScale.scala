@@ -267,6 +267,30 @@ object LlmScale {
         .select("w1", "w2", "c1", "c2", "cxy", "lift_ppm")
     }),
 
+    // Prompt-injection screen — the corpus-defense pass run before
+    // documents can reach a tool-using model's context: EXACT
+    // case-folded substring counts of canonical injection phrases
+    // (length-minus-replace DIV phrase length — no regex engine
+    // divergence possible), per-source flag + hit totals. Same
+    // bit-identical mechanics as llm_code_detect, pointed at the
+    // security axis a curation pipeline must also carry.
+    "llm_injection_screen" -> ((s, d) => {
+      val phrases = Seq("ignore previous", "system prompt", "disregard all")
+      val hits = phrases.zipWithIndex.map { case (p, i) =>
+        expr(s"CAST((length(lt) - length(replace(lt, '$p', ''))) DIV ${p.length} AS BIGINT)")
+          .as(s"h$i")
+      }
+      val t = Tables.documents(s, d)
+        .select(col("source"), lower(col("text")).as("lt"))
+        .select(Seq(col("source")) ++ hits: _*)
+        .withColumn("doc_hits", col("h0") + col("h1") + col("h2"))
+      t.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("doc_hits") > 0, 1L).otherwise(0L)).as("n_flagged"),
+          sum("doc_hits").as("total_hits"))
+        .orderBy("source")
+    }),
+
     // Code-fragment detection — the corpus-composition signal a data
     // mixture needs (code-heavy shards train differently): per doc,
     // EXACT substring counts of code-indicative punctuation (semicolons,
@@ -348,6 +372,20 @@ object LlmScale {
         |SELECT lang, CAST((cum - n_tokens) // 2048 AS BIGINT) AS bin, COUNT(*) AS n_docs,
         |  CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens
         |FROM c GROUP BY lang, (cum - n_tokens) // 2048 ORDER BY lang, bin""".stripMargin,
+
+    // Same case-folded literal counts, same flags.
+    "llm_injection_screen" ->
+      """WITH t AS (SELECT source, lower(text) AS lt FROM documents),
+        |h AS (SELECT source,
+        |    CAST((length(lt) - length(replace(lt, 'ignore previous', ''))) // 15 AS BIGINT)
+        |    + CAST((length(lt) - length(replace(lt, 'system prompt', ''))) // 13 AS BIGINT)
+        |    + CAST((length(lt) - length(replace(lt, 'disregard all', ''))) // 13 AS BIGINT)
+        |      AS doc_hits
+        |  FROM t)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(CASE WHEN doc_hits > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+        |  CAST(SUM(doc_hits) AS BIGINT) AS total_hits
+        |FROM h GROUP BY source ORDER BY source""".stripMargin,
 
     // Same md5 draw, same 6-entry binomial lookup, same exact ppm.
     "llm_pass_at_k" ->

@@ -818,6 +818,33 @@ object Warehouse {
         .withColumn("avg_rows", expr("total_rows DIV n_parts"))
         .withColumn("skew_ppm", expr("(max_rows * 1000000) DIV avg_rows"))
         .withColumn("skewed", col("skew_ppm") > 2000000L)
+    }),
+
+    // Distributed surrogate-id block allocator — how a parallel loader
+    // mints collision-free dense ids WITHOUT a sequence bottleneck: each
+    // partition takes a contiguous block [base, base+n) sized by its row
+    // count, bases from one cumulative sum over the tiny partition
+    // manifest (never over data). The tiling verdict is graded in-band:
+    // every block's end must equal the next block's base and the last
+    // must equal the total — a gap or overlap flips a row.
+    "warehouse_id_allocator" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy("status", "priority")
+      val blocks = Tables.orders(s, d)
+        .groupBy(col("o_orderstatus").as("status"),
+          col("o_orderpriority").as("priority"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("base",
+          sum("n").over(w.rowsBetween(
+            org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)))
+        .withColumn("base", coalesce(col("base"), lit(0L)))
+      val total = Tables.orders(s, d).count()
+      blocks
+        .withColumn("next_base",
+          coalesce(lead("base", 1).over(w), lit(total)))
+        .withColumn("tiles", col("base") + col("n") === col("next_base"))
+        .select("status", "priority", "n", "base", "next_base", "tiles")
+        .orderBy("status", "priority")
     })
   )
 
@@ -1199,6 +1226,22 @@ object Warehouse {
         |SELECT n_parts, total_rows, min_rows, max_rows, avg_rows,
         |  (max_rows * 1000000) // avg_rows AS skew_ppm,
         |  (max_rows * 1000000) // avg_rows > 2000000 AS skewed
-        |FROM a""".stripMargin
+        |FROM a""".stripMargin,
+
+    // Same manifest cumulative bases, same tiling verdict.
+    "warehouse_id_allocator" ->
+      """WITH g AS (SELECT o_orderstatus AS status, o_orderpriority AS priority,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM orders GROUP BY 1, 2),
+        |b AS (SELECT *, CAST(COALESCE(SUM(n) OVER (ORDER BY status, priority
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS base
+        |  FROM g),
+        |t AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM orders)
+        |SELECT status, priority, n, base,
+        |  CAST(COALESCE(LEAD(base) OVER (ORDER BY status, priority),
+        |    (SELECT total FROM t)) AS BIGINT) AS next_base,
+        |  base + n = COALESCE(LEAD(base) OVER (ORDER BY status, priority),
+        |    (SELECT total FROM t)) AS tiles
+        |FROM b ORDER BY status, priority""".stripMargin
   )
 }
