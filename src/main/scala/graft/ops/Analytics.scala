@@ -1265,6 +1265,31 @@ object Analytics {
         .withColumn("gini_signed_ppm", col("auc_ppm") * 2 - 1000000L)
     }),
 
+    // Benjamini–Hochberg FDR correction — the multiple-testing gate
+    // every metrics platform needs once it runs agg_ab_ttest across 20
+    // metrics at once (5% per-test α inflates family-wise errors): order
+    // the p-values, k* = max{k : p₍k₎ ≤ k·α/m}, reject ranks ≤ k*. The
+    // step-up condition cross-multiplies to the INTEGER test 2p ≤ 5k
+    // (α=0.05, m=20, milli units) so the cutoff is exact; p-values are
+    // the shared md5 randomness. One tiny window; output one row per
+    // hypothesis with the cutoff broadcast.
+    "agg_benjamini_hochberg" -> ((s, d) => {
+      val w = Window.orderBy("p_milli", "h")
+      Tables.nation(s, d).where(col("n_nationkey") < 20)
+        .select(col("n_nationkey").cast("bigint").as("h"))
+        .withColumn("p_milli",
+          expr("CAST(conv(substring(md5(concat('bh:', CAST(h AS STRING))), 1, 8), 16, 10) AS BIGINT) % 1000"))
+        .withColumn("rnk", row_number().over(w).cast("bigint"))
+        .withColumn("step_ok", expr("2 * p_milli <= 5 * rnk"))
+        .withColumn("k_star",
+          coalesce(max(when(col("step_ok"), col("rnk"))).over(
+            Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)),
+            lit(0L)))
+        .withColumn("rejected", col("rnk") <= col("k_star"))
+        .select("h", "p_milli", "rnk", "step_ok", "k_star", "rejected")
+        .orderBy("h")
+    }),
+
     // Stationary distribution of the event-type Markov chain — the
     // long-run mix win_markov_chain's one-step matrix only implies:
     // π′(j) = Σ_i π(i)·c(i,j) DIV r(i) iterated 5 rounds from uniform
@@ -2251,6 +2276,20 @@ object Analytics {
         |SELECT n_pos, n_neg, u_x2, auc_ppm,
         |  auc_ppm * 2 - 1000000 AS gini_signed_ppm
         |FROM a""".stripMargin,
+
+    // Same md5 p-values, same integer step-up condition.
+    "agg_benjamini_hochberg" ->
+      """WITH t AS (SELECT CAST(n_nationkey AS BIGINT) AS h,
+        |    ('0x' || substring(md5('bh:' || CAST(n_nationkey AS VARCHAR)), 1, 8))::BIGINT % 1000
+        |      AS p_milli
+        |  FROM nation WHERE n_nationkey < 20),
+        |r AS (SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY p_milli, h) AS BIGINT) AS rnk
+        |  FROM t),
+        |s AS (SELECT *, 2 * p_milli <= 5 * rnk AS step_ok FROM r),
+        |k AS (SELECT CAST(COALESCE(MAX(CASE WHEN step_ok THEN rnk END), 0) AS BIGINT)
+        |    AS k_star FROM s)
+        |SELECT h, p_milli, rnk, step_ok, k.k_star, rnk <= k.k_star AS rejected
+        |FROM s, k ORDER BY h""".stripMargin,
 
     // The same 5 integer matrix-vector rounds as chained CTEs.
     "agg_markov_stationary" -> {

@@ -1221,6 +1221,37 @@ object LlmPrep {
         .orderBy("modality")
     }),
 
+    // Tool-call trace audit — agentic training data's equivalent of the
+    // quality rollup: traces are AUTHORED as real JSON (to_json over
+    // typed structs), then parsed back through from_json + explode —
+    // the serialize→parse roundtrip IS the op (a schema drift or quoting
+    // bug breaks the rollup) — and audited per tool: call counts, error
+    // rates, latency totals, all from the shared md5 randomness so the
+    // oracle can replay arithmetically without JSON.
+    "llm_tool_trace_audit" -> ((s, d) => {
+      def u(ns: String, k: Int) =
+        s"CAST(conv(substring(md5(concat('$ns:', CAST(doc_id AS STRING), ':$k')), 1, 8), 16, 10) AS BIGINT)"
+      val calls = (0 to 2).map { k =>
+        struct(
+          expr(s"CASE ${u("tool", k)} % 3 WHEN 0 THEN 'code' WHEN 1 THEN 'fetch' ELSE 'search' END")
+            .as("tool"),
+          expr(s"IF(${u("st", k)} % 5 = 0, 'error', 'ok')").as("status"),
+          expr(s"${u("ms", k)} % 500").as("ms"))
+      }
+      Tables.documents(s, d).where(col("doc_id") % 15 === 0)
+        .select(col("doc_id"), to_json(array(calls: _*)).as("trace"))
+        .select(col("doc_id"),
+          from_json(col("trace"), org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.StructType.fromDDL(
+              "tool STRING, status STRING, ms BIGINT"))).as("calls"))
+        .select(explode(col("calls")).as("c"))
+        .groupBy(col("c.tool").as("tool"))
+        .agg(count(lit(1)).as("n_calls"),
+          sum(when(col("c.status") === "error", 1L).otherwise(0L)).as("n_errors"),
+          sum("c.ms").as("total_ms"))
+        .orderBy("tool")
+    }),
+
     // Layout reading order — the document-AI preprocessing step between
     // OCR boxes and text assembly (a page's boxes must serialize
     // row-major or the text scrambles): 12 synthetic boxes per sampled
@@ -2055,6 +2086,22 @@ object LlmPrep {
         |  CAST(SUM(body + CASE kind WHEN 0 THEN 8 WHEN 1 THEN 3 ELSE 12 END) AS BIGINT)
         |    AS sum_bytes
         |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // The trace arithmetic replayed without JSON (the roundtrip is the
+    // Spark-side claim; the numbers are the shared md5 randomness).
+    "llm_tool_trace_audit" ->
+      """WITH k AS (SELECT unnest([0, 1, 2]) AS k),
+        |c AS (SELECT doc_id, k.k,
+        |    CASE ('0x' || substring(md5('tool:' || CAST(doc_id AS VARCHAR) || ':' || CAST(k.k AS VARCHAR)), 1, 8))::BIGINT % 3
+        |      WHEN 0 THEN 'code' WHEN 1 THEN 'fetch' ELSE 'search' END AS tool,
+        |    CASE WHEN ('0x' || substring(md5('st:' || CAST(doc_id AS VARCHAR) || ':' || CAST(k.k AS VARCHAR)), 1, 8))::BIGINT % 5 = 0
+        |      THEN 'error' ELSE 'ok' END AS status,
+        |    ('0x' || substring(md5('ms:' || CAST(doc_id AS VARCHAR) || ':' || CAST(k.k AS VARCHAR)), 1, 8))::BIGINT % 500 AS ms
+        |  FROM documents, k WHERE doc_id % 15 = 0)
+        |SELECT tool, CAST(COUNT(*) AS BIGINT) AS n_calls,
+        |  CAST(SUM(CASE WHEN status = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_errors,
+        |  CAST(SUM(ms) AS BIGINT) AS total_ms
+        |FROM c GROUP BY tool ORDER BY tool""".stripMargin,
 
     // Same md5 coordinates, same (band, x, box) order, same checksum.
     "mm_layout_reading_order" ->

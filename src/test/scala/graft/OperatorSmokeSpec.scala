@@ -47,7 +47,8 @@ class OperatorSmokeSpec extends AnyFunSuite with SparkFixture {
       "Warehouse" -> Warehouse.queries, "Analytics" -> Analytics.queries,
       "LlmPrep" -> LlmPrep.queries, "ApiSurface" -> ApiSurface.queries,
       "Lakehouse" -> Lakehouse.queries, "GraphOps" -> GraphOps.queries,
-      "Service" -> Service.queries, "IcebergRead" -> IcebergRead.queries)
+      "Service" -> Service.queries, "IcebergRead" -> IcebergRead.queries,
+      "DeltaRead" -> DeltaRead.queries)
     val all = families.flatMap { case (fam, m) => m.keys.map(_ -> fam) }
     val dups = all.groupBy(_._1).filter(_._2.length > 1)
     assert(dups.isEmpty,
