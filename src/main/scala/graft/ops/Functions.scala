@@ -507,6 +507,26 @@ object Functions {
           max("okey").as("max_key"))
         .orderBy("status")),
 
+    // str_to_map parsing — the key:value config-string decode every
+    // log-ingest layer runs (user agents, feature flags, k=v baggage):
+    // the kv strings are AUTHORED from table columns, parsed back with
+    // str_to_map, and the values extracted BY KEY — a delimiter or
+    // quoting bug breaks the rollup; the oracle replays the authored
+    // arithmetic directly (map iteration order never observed).
+    "fn_str_to_map" -> ((s, d) =>
+      Tables.orders(s, d)
+        .select(concat(lit("grp:g"), col("o_orderkey") % 5,
+          lit(",cents:"), round(col("o_totalprice") * 100).cast("bigint"),
+          lit(",pr:"), col("o_orderpriority")).as("kv"))
+        .select(expr("str_to_map(kv, ',', ':')").as("m"))
+        .select(expr("m['grp']").as("grp"),
+          expr("CAST(m['cents'] AS BIGINT)").as("cents"),
+          expr("m['pr']").as("pr"))
+        .groupBy("grp")
+        .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"),
+          countDistinct("pr").cast("bigint").as("n_priorities"))
+        .orderBy("grp")),
+
     // width_bucket histogram — the SQL-standard equi-width bucketizer:
     // Spark's builtin vs the oracle's pure integer replication
     // 1 + (x·n) floor-div span (+ the under/overflow buckets 0 and n+1).
@@ -849,6 +869,14 @@ object Functions {
       """SELECT o_orderstatus AS status, CAST(COUNT(*) AS BIGINT) AS n,
         |  CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
         |  MAX(o_orderkey) AS max_key
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // The authored kv fields replayed arithmetically.
+    "fn_str_to_map" ->
+      """SELECT 'g' || CAST(o_orderkey % 5 AS VARCHAR) AS grp,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+        |  CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS n_priorities
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // Pure integer replication of the SQL-standard bucket function.

@@ -1221,6 +1221,42 @@ object LlmPrep {
         .orderBy("modality")
     }),
 
+    // Length-bias audit over the preference pairs — RLHF's best-known
+    // failure mode (reward models prefer LONGER answers regardless of
+    // quality; a pair set where chosen systematically out-lengths
+    // rejected will train verbosity, not helpfulness): rebuilds the
+    // exact llm_preference_pairs selection, compares token lengths
+    // side-by-side, and grades the share of chosen-longer pairs in
+    // exact ppm with a both-tails verdict band [40%, 60%].
+    "llm_length_bias_audit" -> ((s, d) => {
+      val t = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("source"),
+          size(split(col("text"), " ")).cast("bigint").as("toks"),
+          size(array_distinct(split(col("text"), " "))).cast("bigint").as("uniq"))
+        .withColumn("score", expr("(uniq * 1000) DIV toks"))
+      val wB = org.apache.spark.sql.expressions.Window
+        .partitionBy("lang", "source").orderBy(desc("score"), col("doc_id"))
+      val wW = org.apache.spark.sql.expressions.Window
+        .partitionBy("lang", "source").orderBy(col("score"), col("doc_id"))
+      val best = t.withColumn("rn", row_number().over(wB)).where(col("rn") === 1)
+        .select(col("lang"), col("source"), col("toks").as("chosen_toks"),
+          col("doc_id").as("chosen_id"))
+      val worst = t.withColumn("rn", row_number().over(wW)).where(col("rn") === 1)
+        .select(col("lang"), col("source"), col("toks").as("rejected_toks"),
+          col("doc_id").as("rejected_id"))
+      best.join(worst, Seq("lang", "source"))
+        .where(col("chosen_id") =!= col("rejected_id"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(when(col("chosen_toks") > col("rejected_toks"), 1L).otherwise(0L))
+            .as("n_chosen_longer"),
+          sum(when(col("chosen_toks") === col("rejected_toks"), 1L).otherwise(0L))
+            .as("n_ties"))
+        .withColumn("longer_ppm",
+          expr("(n_chosen_longer * 1000000) DIV (n_pairs - n_ties)"))
+        .withColumn("biased",
+          col("longer_ppm") > 600000L || col("longer_ppm") < 400000L)
+    }),
+
     // Tool-call trace audit — agentic training data's equivalent of the
     // quality rollup: traces are AUTHORED as real JSON (to_json over
     // typed structs), then parsed back through from_json + explode —
@@ -2086,6 +2122,34 @@ object LlmPrep {
         |  CAST(SUM(body + CASE kind WHEN 0 THEN 8 WHEN 1 THEN 3 ELSE 12 END) AS BIGINT)
         |    AS sum_bytes
         |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Same pair selection, same side-by-side length compare.
+    "llm_length_bias_audit" ->
+      """WITH t AS (SELECT doc_id, lang, source,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS toks,
+        |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS uniq
+        |  FROM documents),
+        |sc AS (SELECT *, (uniq * 1000) // toks AS score FROM t),
+        |b AS (SELECT lang, source, toks AS chosen_toks, doc_id AS chosen_id
+        |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY lang, source
+        |      ORDER BY score DESC, doc_id) AS rn FROM sc) WHERE rn = 1),
+        |w AS (SELECT lang, source, toks AS rejected_toks, doc_id AS rejected_id
+        |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY lang, source
+        |      ORDER BY score, doc_id) AS rn FROM sc) WHERE rn = 1),
+        |p AS (SELECT b.chosen_toks, w.rejected_toks
+        |  FROM b JOIN w ON b.lang = w.lang AND b.source = w.source
+        |  WHERE b.chosen_id <> w.rejected_id),
+        |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |    CAST(SUM(CASE WHEN chosen_toks > rejected_toks THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_chosen_longer,
+        |    CAST(SUM(CASE WHEN chosen_toks = rejected_toks THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_ties
+        |  FROM p)
+        |SELECT n_pairs, n_chosen_longer, n_ties,
+        |  (n_chosen_longer * 1000000) // (n_pairs - n_ties) AS longer_ppm,
+        |  (n_chosen_longer * 1000000) // (n_pairs - n_ties) > 600000
+        |    OR (n_chosen_longer * 1000000) // (n_pairs - n_ties) < 400000 AS biased
+        |FROM m""".stripMargin,
 
     // The trace arithmetic replayed without JSON (the roundtrip is the
     // Spark-side claim; the numbers are the shared md5 randomness).

@@ -310,6 +310,70 @@ object StreamingOps {
         .orderBy("event_type")
     }),
 
+    // Streaming APPEND into the Delta-protocol log — the write side of
+    // `source_delta_read`'s interop: each micro-batch lands one parquet
+    // file plus ONE versioned commit JSON (version = batch id + 1 after
+    // the metadata commit 0), and exactly-once falls out of the
+    // version-file existence check — a replayed batch finds its commit
+    // already present and becomes a no-op, the same idempotence contract
+    // as the in-house lakehouse CAS. The graded read reconstructs the
+    // live set by folding the log (DeltaRead.liveFiles — reader and
+    // writer must agree on the protocol or the rollup breaks).
+    "sink_delta_append" -> ((s, d) => {
+      val root = Scratch.opDir("delta_sink", d)
+      val done = java.nio.file.Paths.get(root, "_LANDED")
+      if (!java.nio.file.Files.exists(done)) {
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(root, "data"))
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(root, "_delta_log"))
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(root, "_delta_log", f"${0L}%020d.json"),
+          Seq(
+            """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+            """{"metaData":{"id":"graft-delta-sink","format":{"provider":"parquet","options":{}},"schemaString":"{}","partitionColumns":[],"configuration":{}}}""")
+            .mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        val classic = s.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+        import classic.implicits._
+        implicit val sq = classic.sqlContext
+        val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[SEvent]
+        withFewShufflePartitions(s) {
+          val q = ms.toDF().writeStream.outputMode("append")
+            .foreachBatch {
+              (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+                val commit = java.nio.file.Paths.get(
+                  root, "_delta_log", f"${id + 1}%020d.json")
+                if (!java.nio.file.Files.exists(commit)) {
+                  val stage = s"$root/stage_$id"
+                  batch.coalesce(1).write.mode("overwrite").parquet(stage)
+                  val part = new java.io.File(stage).listFiles
+                    .find(_.getName.endsWith(".parquet")).get
+                  java.nio.file.Files.move(part.toPath,
+                    java.nio.file.Paths.get(root, "data", s"b$id.parquet"))
+                  java.nio.file.Files.write(commit,
+                    s"""{"add":{"path":"data/b$id.parquet","partitionValues":{},"size":1,"modificationTime":0,"dataChange":true}}"""
+                      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+                }
+                ()
+            }
+            .start()
+          ms.addData(
+            SEvent(1, Timestamp.valueOf("2024-01-01 10:00:00"), 1, "view", 1.0),
+            SEvent(2, Timestamp.valueOf("2024-01-01 10:01:00"), 2, "click", 2.5))
+          q.processAllAvailable()
+          ms.addData(
+            SEvent(3, Timestamp.valueOf("2024-01-01 10:02:00"), 1, "view", 3.25),
+            SEvent(4, Timestamp.valueOf("2024-01-01 10:03:00"), 3, "purchase", 4.75))
+          q.processAllAvailable()
+          q.stop()
+        }
+        java.nio.file.Files.write(done, Array.emptyByteArray)
+      }
+      s.read.parquet(DeltaRead.liveFiles(root, None): _*)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("value") * 100).cast("bigint")).as("cents"))
+        .orderBy("event_type")
+    }),
+
     // Message-bus ingest with OFFSET TRACKING — the Kafka-shaped source
     // contract (VERDICT r9 "missing" #2) witnessed honestly without a
     // broker: the bus is a staged directory of per-(partition, chunk)
@@ -891,6 +955,14 @@ object StreamingOps {
       """SELECT event_type, COUNT(*) AS n,
         |  CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // Golden post-state of the two fixed micro-batches through the
+    // Delta log: view in both (100 + 325), click and purchase once.
+    "sink_delta_append" ->
+      """SELECT event_type, CAST(n AS BIGINT) AS n, CAST(cents AS BIGINT) AS cents
+        |FROM (VALUES ('click', 1, 250), ('purchase', 1, 475), ('view', 2, 425))
+        |  AS t(event_type, n, cents)
+        |ORDER BY event_type""".stripMargin,
 
     // The bus replayed flat: same sample, same per-partition offset
     // stamping, same contiguity algebra — any replay or drop across the
