@@ -1265,6 +1265,45 @@ object Analytics {
         .withColumn("gini_signed_ppm", col("auc_ppm") * 2 - 1000000L)
     }),
 
+    // Cramér's V — the EFFECT SIZE agg_chisq's raw statistic lacks (χ²
+    // grows with n, so "significant" says nothing about strength): V =
+    // √(χ²/(n·(min(r,c)−1))) on the same segment×priority table. χ² is
+    // summed from the exact cross-multiplied integer deviations (the
+    // agg_chisq law) and the one √ at the end is IEEE-exact; r and c are
+    // exact counts, min via LEAST.
+    "agg_cramers_v" -> ((s, d) => {
+      val cells = Tables.orders(s, d)
+        .join(broadcast(Tables.customer(s, d).select("c_custkey", "c_mktsegment")),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment").as("segment"),
+          col("o_orderpriority").as("priority"))
+        .agg(count(lit(1)).as("obs"))
+        .localCheckpoint()
+      val rowT = cells.groupBy("segment").agg(sum("obs").as("row_tot"))
+      val colT = cells.groupBy("priority").agg(sum("obs").as("col_tot"))
+      val n = cells.agg(sum("obs").as("n"))
+      val dims = cells.agg(
+        countDistinct("segment").cast("bigint").as("r"),
+        countDistinct("priority").cast("bigint").as("c"))
+      cells.join(broadcast(rowT), "segment").join(broadcast(colT), "priority")
+        .crossJoin(broadcast(n))
+        .withColumn("dev", expr("obs * n - row_tot * col_tot"))
+        .withColumn("chi_cell",
+          expr("""CAST(dev AS DOUBLE) * CAST(dev AS DOUBLE)
+                 / CAST(n * row_tot * col_tot AS DOUBLE)"""))
+        // χ² summed by an ORDERED fold over the (segment, priority)-sorted
+        // cells — a plain SUM of doubles is partition-order dependent and
+        // would drift a ulp between engines (the round-9 ordered-fold law)
+        .agg(expr("""aggregate(
+               transform(sort_array(collect_list(named_struct('s', segment, 'p', priority, 'v', chi_cell))), t -> t.v),
+               CAST(0.0 AS DOUBLE), (a, x) -> a + x)""").as("chi2"),
+          max("n").as("n"))
+        .crossJoin(broadcast(dims))
+        .select(col("n"), col("r"), col("c"), col("chi2"),
+          expr("sqrt(chi2 / (CAST(n AS DOUBLE) * CAST(least(r, c) - 1 AS DOUBLE)))")
+            .as("cramers_v"))
+    }),
+
     // Benjamini–Hochberg FDR correction — the multiple-testing gate
     // every metrics platform needs once it runs agg_ab_ttest across 20
     // metrics at once (5% per-test α inflates family-wise errors): order
@@ -2276,6 +2315,32 @@ object Analytics {
         |SELECT n_pos, n_neg, u_x2, auc_ppm,
         |  auc_ppm * 2 - 1000000 AS gini_signed_ppm
         |FROM a""".stripMargin,
+
+    // Same integer deviations, same ordered fold, same final sqrt tree.
+    "agg_cramers_v" ->
+      """WITH cells AS (SELECT c_mktsegment AS segment, o_orderpriority AS priority,
+        |    CAST(COUNT(*) AS BIGINT) AS obs
+        |  FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1, 2),
+        |rt AS (SELECT segment, CAST(SUM(obs) AS BIGINT) AS row_tot FROM cells GROUP BY 1),
+        |ct AS (SELECT priority, CAST(SUM(obs) AS BIGINT) AS col_tot FROM cells GROUP BY 1),
+        |nn AS (SELECT CAST(SUM(obs) AS BIGINT) AS n FROM cells),
+        |dims AS (SELECT CAST(COUNT(DISTINCT segment) AS BIGINT) AS r,
+        |    CAST(COUNT(DISTINCT priority) AS BIGINT) AS c FROM cells),
+        |cc AS (SELECT cells.segment, cells.priority,
+        |    (CAST(obs * n - row_tot * col_tot AS DOUBLE)
+        |      * CAST(obs * n - row_tot * col_tot AS DOUBLE))
+        |      / CAST(n * row_tot * col_tot AS DOUBLE) AS chi_cell, n
+        |  FROM cells JOIN rt ON rt.segment = cells.segment
+        |  JOIN ct ON ct.priority = cells.priority, nn),
+        |s AS (SELECT CAST(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list(chi_cell ORDER BY segment, priority)), (a, x) -> a + x) AS DOUBLE)
+        |      AS chi2,
+        |    MAX(n) AS n
+        |  FROM cc)
+        |SELECT s.n, dims.r, dims.c, s.chi2,
+        |  sqrt(s.chi2 / (CAST(s.n AS DOUBLE) * CAST(least(dims.r, dims.c) - 1 AS DOUBLE)))
+        |    AS cramers_v
+        |FROM s, dims""".stripMargin,
 
     // Same md5 p-values, same integer step-up condition.
     "agg_benjamini_hochberg" ->

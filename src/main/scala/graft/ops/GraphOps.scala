@@ -965,6 +965,28 @@ object GraphOps {
                  ELSE -(((exact_triangles - estimated) * 1000000) DIV exact_triangles) END"""))
     }),
 
+    // Ego-network reach — the per-node 1-hop/2-hop audience sizes a
+    // social or recommendation layer quotes ("friends, friends-of-
+    // friends"): undirected backbone adjacency, 2-hop set as ONE
+    // mid-keyed self-join (never per-node BFS), distinct union minus
+    // self. Output O(|V|); the self-join is the wedge shape already
+    // bounded by the backbone's density.
+    "graph_ego_stats" -> ((s, d) => {
+      val h = heavyBackboneW(s, d).select("a", "b")
+      val adj = h.unionAll(h.select(col("b").as("a"), col("a").as("b")))
+        .distinct().localCheckpoint()
+      val oneHop = adj.select(col("a").as("u"), col("b").as("v"))
+      val twoHop = adj.select(col("a").as("u"), col("b").as("m"))
+        .join(adj.select(col("a").as("m"), col("b").as("v")), "m")
+        .select("u", "v")
+      val reach = oneHop.unionAll(twoHop).where(col("u") =!= col("v")).distinct()
+      val deg = oneHop.groupBy("u").agg(count(lit(1)).as("degree"))
+      reach.groupBy("u").agg(count(lit(1)).as("n_within_2"))
+        .join(deg, "u")
+        .select(col("u").cast("bigint").as("node"), col("degree"), col("n_within_2"))
+        .orderBy("node")
+    }),
+
     // Critical-path layering over the DAG orientation (a<b) of the
     // backbone — the scheduling decomposition (which tasks can run in
     // parallel; how deep is the dependency chain): L(v) = longest hop
@@ -1606,6 +1628,23 @@ object GraphOps {
          |    ELSE -(((exact_triangles - estimated) * 1000000) // exact_triangles) END
          |    AS err_signed_ppm
          |FROM ex, es""".stripMargin,
+
+    // Same undirected adjacency, same one mid-keyed 2-hop join.
+    "graph_ego_stats" ->
+      s"""WITH $EdgesCte,
+         |$HeavyWCte,
+         |adj AS (SELECT a, b FROM hw UNION SELECT b AS a, a AS b FROM hw),
+         |one AS (SELECT a AS u, b AS v FROM adj),
+         |two AS (SELECT x.a AS u, y.b AS v
+         |  FROM adj x JOIN adj y ON y.a = x.b),
+         |reach AS (SELECT DISTINCT u, v FROM (
+         |  SELECT u, v FROM one UNION ALL SELECT u, v FROM two)
+         |  WHERE u <> v),
+         |deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS degree FROM one GROUP BY u)
+         |SELECT r.u AS node, deg.degree,
+         |  CAST(COUNT(*) AS BIGINT) AS n_within_2
+         |FROM reach r JOIN deg ON deg.u = r.u
+         |GROUP BY r.u, deg.degree ORDER BY node""".stripMargin,
 
     // The same 6 longest-path relaxation rounds as chained CTEs.
     "graph_critical_path" -> {

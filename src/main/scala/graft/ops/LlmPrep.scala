@@ -1221,6 +1221,61 @@ object LlmPrep {
         .orderBy("modality")
     }),
 
+    // IVF + PQ composed — the PRODUCTION ANN shape (FAISS's IVF-PQ):
+    // coarse hash-sampled centroids prune the corpus to nprobe=2 cells,
+    // then candidates re-rank by ASYMMETRIC distance (probe's exact
+    // integer vector against the candidate's 4-bit dequantized codes) —
+    // compression on the corpus side only, where the memory is. Every
+    // stage is exact integer arithmetic (micro-scaled dims, per-dim
+    // min/max PQ grid, BIGINT dots), so the full pipeline replays in
+    // SQL. Top-3 by (approx dot, id) total order per probe.
+    "llm_ann_ivf_pq" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), posexplode(col("embedding")))
+        .withColumn("xm", floor(col("col").cast("double") * 10000).cast("bigint"))
+        .select("vec_id", "pos", "xm").localCheckpoint()
+      val stats = e.groupBy("pos").agg(min("xm").as("mn"), max("xm").as("mx"))
+      val deq = e.join(broadcast(stats), "pos")
+        .withColumn("code", expr(
+          "CASE WHEN mx = mn THEN CAST(0 AS BIGINT) ELSE ((xm - mn) * 15) DIV (mx - mn) END"))
+        .withColumn("deq", expr("mn + (code * (mx - mn)) DIV 15"))
+        .select("vec_id", "pos", "deq")
+      val cent = e.where(
+        expr("CAST(conv(substring(md5(CAST(vec_id AS STRING)), 1, 8), 16, 10) AS BIGINT) % 22 = 0"))
+        .select(col("vec_id").as("cid"), col("pos"), col("xm").as("cm"))
+      val wAssign = org.apache.spark.sql.expressions.Window
+        .partitionBy("vec_id").orderBy(desc("dot"), col("cid"))
+      val assigned = e.join(cent, "pos")
+        .groupBy("vec_id", "cid")
+        .agg(sum((col("xm") * col("cm")).cast("decimal(38,0)")).cast("bigint").as("dot"))
+        .withColumn("rn", row_number().over(wAssign)).where(col("rn") === 1)
+        .select(col("vec_id"), col("cid").as("cluster"))
+      val probes = e.where(col("vec_id") < 10)
+        .select(col("vec_id").as("probe_id"), col("pos"), col("xm").as("pm"))
+      val wProbe = org.apache.spark.sql.expressions.Window
+        .partitionBy("probe_id").orderBy(desc("dot"), col("cid"))
+      val probeCells = probes.join(cent, "pos")
+        .groupBy("probe_id", "cid")
+        .agg(sum((col("pm") * col("cm")).cast("decimal(38,0)")).cast("bigint").as("dot"))
+        .withColumn("rn", row_number().over(wProbe)).where(col("rn") <= 2)
+        .select(col("probe_id"), col("cid").as("cluster"))
+      val wTop = org.apache.spark.sql.expressions.Window
+        .partitionBy("probe_id").orderBy(desc("qdot"), col("neighbor_id"))
+      val deqN = deq.select(col("vec_id").as("neighbor_id"),
+        col("pos").as("dpos"), col("deq"))
+      probeCells.join(assigned, Seq("cluster"))
+        .where(col("vec_id") =!= col("probe_id"))
+        .select(col("probe_id"), col("vec_id").as("neighbor_id"))
+        .join(probes, "probe_id")
+        .join(deqN, Seq("neighbor_id"))
+        .where(col("dpos") === col("pos"))
+        .groupBy("probe_id", "neighbor_id")
+        .agg(sum((col("pm") * col("deq")).cast("decimal(38,0)")).cast("bigint").as("qdot"))
+        .withColumn("rnk", row_number().over(wTop).cast("bigint"))
+        .where(col("rnk") <= 3)
+        .orderBy("probe_id", "rnk")
+    }),
+
     // Length-bias audit over the preference pairs — RLHF's best-known
     // failure mode (reward models prefer LONGER answers regardless of
     // quality; a pair set where chosen systematically out-lengths
@@ -2122,6 +2177,48 @@ object LlmPrep {
         |  CAST(SUM(body + CASE kind WHEN 0 THEN 8 WHEN 1 THEN 3 ELSE 12 END) AS BIGINT)
         |    AS sum_bytes
         |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // The whole IVF-PQ pipeline replayed: same micro dims, same PQ grid,
+    // same md5 centroids, same integer dots, same (qdot, id) top-3.
+    "llm_ann_ivf_pq" ->
+      """WITH e AS (SELECT vec_id,
+        |    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 10000) AS BIGINT) AS xm,
+        |    generate_subscripts(embedding, 1) - 1 AS pos
+        |  FROM embeddings),
+        |st AS (SELECT pos, MIN(xm) AS mn, MAX(xm) AS mx FROM e GROUP BY 1),
+        |dq AS (SELECT vec_id, e.pos,
+        |    mn + ((CASE WHEN mx = mn THEN CAST(0 AS BIGINT)
+        |      ELSE ((xm - mn) * 15) // (mx - mn) END) * (mx - mn)) // 15 AS deq
+        |  FROM e JOIN st ON e.pos = st.pos),
+        |cent AS (SELECT vec_id AS cid, pos, xm AS cm FROM e
+        |  WHERE ('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT % 22 = 0),
+        |adot AS (SELECT e.vec_id, c.cid,
+        |    CAST(SUM(e.xm::HUGEINT * c.cm) AS BIGINT) AS dot
+        |  FROM e JOIN cent c ON c.pos = e.pos GROUP BY 1, 2),
+        |assigned AS (SELECT vec_id, cid AS cluster FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dot DESC, cid) AS rn
+        |    FROM adot) WHERE rn = 1),
+        |pr AS (SELECT vec_id AS probe_id, pos, xm AS pm FROM e WHERE vec_id < 10),
+        |pdot AS (SELECT p.probe_id, c.cid,
+        |    CAST(SUM(p.pm::HUGEINT * c.cm) AS BIGINT) AS dot
+        |  FROM pr p JOIN cent c ON c.pos = p.pos GROUP BY 1, 2),
+        |cells AS (SELECT probe_id, cid AS cluster FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY dot DESC, cid) AS rn
+        |    FROM pdot) WHERE rn <= 2),
+        |cand AS (SELECT ce.probe_id, a.vec_id AS neighbor_id
+        |  FROM cells ce JOIN assigned a ON a.cluster = ce.cluster
+        |  WHERE a.vec_id <> ce.probe_id),
+        |q AS (SELECT cd.probe_id, cd.neighbor_id,
+        |    CAST(SUM(p.pm::HUGEINT * d.deq) AS BIGINT) AS qdot
+        |  FROM cand cd
+        |  JOIN pr p ON p.probe_id = cd.probe_id
+        |  JOIN dq d ON d.vec_id = cd.neighbor_id AND d.pos = p.pos
+        |  GROUP BY 1, 2)
+        |SELECT probe_id, neighbor_id, qdot, rnk FROM (
+        |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY probe_id
+        |      ORDER BY qdot DESC, neighbor_id) AS BIGINT) AS rnk
+        |  FROM q) WHERE rnk <= 3
+        |ORDER BY probe_id, rnk""".stripMargin,
 
     // Same pair selection, same side-by-side length compare.
     "llm_length_bias_audit" ->
