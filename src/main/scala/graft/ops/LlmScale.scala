@@ -183,6 +183,59 @@ object LlmScale {
         .orderBy("source")
     }),
 
+    // Speculative-decoding acceptance audit — the serving-side planner
+    // for draft models (speedup = E[accepted run] + 1, and the whole
+    // scheme stalls if acceptance collapses): per task, K=8 draft/target
+    // token draws from two independent md5 streams, the accepted run =
+    // positions before the FIRST mismatch (exactly speculative
+    // decoding's stop rule — later matches don't count). First-mismatch
+    // via array_position with a shared NULL/0-absent CASE (Spark returns
+    // 0, DuckDB NULL — one CASE covers both). Histogram over run
+    // lengths; mean in exact milli.
+    "llm_spec_decode_accept" -> ((s, d) => {
+      def draw(ns: String) =
+        s"CAST(conv(substring(md5(concat('$ns:', CAST(doc_id AS STRING), ':', CAST(k AS STRING))), 1, 8), 16, 10) AS BIGINT) % 4"
+      Tables.documents(s, d).where(col("doc_id") % 10 === 7)
+        .select(col("doc_id"),
+          expr(s"""transform(sequence(0, 7), k -> (${draw("draft")}) = (${draw("tgt")}))""")
+            .as("matches"))
+        .withColumn("pos", expr("array_position(matches, false)"))
+        .withColumn("accepted",
+          expr("CAST(CASE WHEN pos IS NULL OR pos = 0 THEN 8 ELSE pos - 1 END AS BIGINT)"))
+        .groupBy("accepted")
+        .agg(count(lit(1)).as("n_tasks"))
+        .orderBy("accepted")
+    }),
+
+    // GRPO group-relative advantage — the policy-gradient baseline the
+    // current RLHF wave standardizes on (no value network; each prompt's
+    // n=8 sampled rewards are baselined against their OWN group mean):
+    // adv·n stays integer via the cross-multiplied form r·n − Σr, and
+    // the milli advantage divides sign-safely (negative advantages are
+    // the POINT). Per-group accounting: above-mean count + extreme
+    // advantages; Σadv·n ≡ 0 is the identity the spec asserts.
+    "llm_grpo_advantage" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), expr("doc_id DIV 8").as("grp"),
+          expr("CAST(conv(substring(md5(concat('rw:', CAST(doc_id AS STRING))), 1, 8), 16, 10) AS BIGINT) % 1000")
+            .as("r"))
+        .withColumn("n", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("grp")))
+        .withColumn("sr", sum("r").over(
+          org.apache.spark.sql.expressions.Window.partitionBy("grp")))
+        .withColumn("adv_x_n", col("r") * col("n") - col("sr"))
+        .withColumn("adv_milli",
+          expr("""CASE WHEN adv_x_n >= 0 THEN (adv_x_n * 1000) DIV n
+                 ELSE -(((0 - adv_x_n) * 1000) DIV n) END"""))
+        .groupBy("grp")
+        .agg(count(lit(1)).as("n_samples"),
+          sum(when(col("adv_x_n") > 0, 1L).otherwise(0L)).as("n_above_mean"),
+          max("adv_milli").as("max_adv_milli"),
+          min("adv_milli").as("min_adv_milli"),
+          sum("adv_x_n").as("sum_adv_x_n"))
+        .where(col("grp") % 25 === 3)
+        .orderBy("grp")),
+
     // pass@k eval estimator — the UNBIASED combinatorial estimator
     // 1 − C(n−c, k)/C(n,k) (Codex/HumanEval's formula; the naive
     // "any of k sampled" resamples with bias): n=10 attempts per task,
@@ -372,6 +425,38 @@ object LlmScale {
         |SELECT lang, CAST((cum - n_tokens) // 2048 AS BIGINT) AS bin, COUNT(*) AS n_docs,
         |  CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens
         |FROM c GROUP BY lang, (cum - n_tokens) // 2048 ORDER BY lang, bin""".stripMargin,
+
+    // Same two md5 streams, same first-mismatch CASE.
+    "llm_spec_decode_accept" ->
+      """WITH t AS (SELECT doc_id,
+        |    list_transform(range(0, 8), k ->
+        |      ('0x' || substring(md5('draft:' || CAST(doc_id AS VARCHAR) || ':' || CAST(k AS VARCHAR)), 1, 8))::BIGINT % 4
+        |      = ('0x' || substring(md5('tgt:' || CAST(doc_id AS VARCHAR) || ':' || CAST(k AS VARCHAR)), 1, 8))::BIGINT % 4)
+        |      AS matches
+        |  FROM documents WHERE doc_id % 10 = 7),
+        |p AS (SELECT doc_id, list_position(matches, false) AS pos FROM t),
+        |a AS (SELECT CAST(CASE WHEN pos IS NULL OR pos = 0 THEN 8 ELSE pos - 1 END AS BIGINT)
+        |    AS accepted FROM p)
+        |SELECT accepted, CAST(COUNT(*) AS BIGINT) AS n_tasks
+        |FROM a GROUP BY accepted ORDER BY accepted""".stripMargin,
+
+    // Same cross-multiplied advantages, same sign-safe milli division.
+    "llm_grpo_advantage" ->
+      """WITH t AS (SELECT doc_id, doc_id // 8 AS grp,
+        |    ('0x' || substring(md5('rw:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 1000 AS r
+        |  FROM documents),
+        |w AS (SELECT *, CAST(COUNT(*) OVER (PARTITION BY grp) AS BIGINT) AS n,
+        |    CAST(SUM(r) OVER (PARTITION BY grp) AS BIGINT) AS sr
+        |  FROM t),
+        |a AS (SELECT *, r * n - sr AS adv_x_n,
+        |    CASE WHEN r * n - sr >= 0 THEN ((r * n - sr) * 1000) // n
+        |      ELSE -(((0 - (r * n - sr)) * 1000) // n) END AS adv_milli
+        |  FROM w)
+        |SELECT grp, CAST(COUNT(*) AS BIGINT) AS n_samples,
+        |  CAST(SUM(CASE WHEN adv_x_n > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_above_mean,
+        |  MAX(adv_milli) AS max_adv_milli, MIN(adv_milli) AS min_adv_milli,
+        |  CAST(SUM(adv_x_n) AS BIGINT) AS sum_adv_x_n
+        |FROM a GROUP BY grp HAVING grp % 25 = 3 ORDER BY grp""".stripMargin,
 
     // Same case-folded literal counts, same flags.
     "llm_injection_screen" ->

@@ -295,6 +295,32 @@ object WindowOps {
         .orderBy("o_orderstatus", "o_orderkey")
     }),
 
+    // RSI (relative strength index) — the bounded momentum oscillator
+    // that complements win_drawdown's path metric: over the trailing
+    // 14-frame window, RSI = gains/(gains+losses) in exact milli (the
+    // canonical 0–100 scale ×10), with delta split into gain/loss
+    // magnitudes so every operand stays non-negative; flat windows pin
+    // to the neutral 500. One user_id exchange shared by the lag and
+    // both frame sums.
+    "win_rsi" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+      val frame = w.rowsBetween(-13, 0)
+      Tables.events(s, d)
+        .select(col("user_id"), col("ts_us"), col("event_id"),
+          floor(col("value") * 100).cast("bigint").as("cents"))
+        .withColumn("delta", col("cents") - lag("cents", 1).over(w))
+        .withColumn("gain", when(col("delta") > 0, col("delta")).otherwise(0L))
+        .withColumn("loss", when(col("delta") < 0, -col("delta")).otherwise(0L))
+        .withColumn("gains", sum("gain").over(frame))
+        .withColumn("losses", sum("loss").over(frame))
+        .withColumn("rsi_milli",
+          expr("""CASE WHEN gains + losses = 0 OR gains IS NULL THEN 500
+                 ELSE (gains * 1000) DIV (gains + losses) END"""))
+        .where(col("event_id") % 20 === 6)
+        .select("user_id", "ts_us", "event_id", "rsi_milli")
+        .orderBy("user_id", "ts_us", "event_id")
+    }),
+
     // Time-weighted average (TWAP) — the metric that replaces the plain
     // mean whenever observations are IRREGULARLY spaced (a value held
     // for an hour must weigh 60× one held a minute): per user, each
@@ -486,6 +512,26 @@ object WindowOps {
         |SELECT o_orderkey, o_orderstatus, pr, cd, tile
         |FROM f WHERE o_orderkey % 20 = 3
         |ORDER BY o_orderstatus, o_orderkey""".stripMargin,
+
+    // Same delta split, same 14-frame sums, same neutral pin.
+    "win_rsi" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+        |    CAST(FLOOR(value * 100) AS BIGINT) AS cents
+        |  FROM events),
+        |dl AS (SELECT *, cents - lag(cents) OVER w AS delta FROM e
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+        |g AS (SELECT *, CASE WHEN delta > 0 THEN delta ELSE 0 END AS gain,
+        |    CASE WHEN delta < 0 THEN -delta ELSE 0 END AS loss FROM dl),
+        |f AS (SELECT user_id, ts_us, event_id,
+        |    CAST(SUM(gain) OVER w2 AS BIGINT) AS gains,
+        |    CAST(SUM(loss) OVER w2 AS BIGINT) AS losses
+        |  FROM g WINDOW w2 AS (PARTITION BY user_id ORDER BY ts_us, event_id
+        |    ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+        |SELECT user_id, ts_us, event_id,
+        |  CAST(CASE WHEN gains + losses = 0 OR gains IS NULL THEN 500
+        |    ELSE (gains * 1000) // (gains + losses) END AS BIGINT) AS rsi_milli
+        |FROM f WHERE event_id % 20 = 6
+        |ORDER BY user_id, ts_us, event_id""".stripMargin,
 
     // Same lead intervals, HUGEINT products, // on non-negatives.
     "win_twap" ->
