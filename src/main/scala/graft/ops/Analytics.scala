@@ -1265,6 +1265,34 @@ object Analytics {
         .withColumn("gini_signed_ppm", col("auc_ppm") * 2 - 1000000L)
     }),
 
+    // Empirical-Bayes shrinkage — the hierarchical estimator a metrics
+    // platform applies to small-segment conversion rates (a 30-order
+    // segment's raw rate is noise; shrink it toward the global prior
+    // with strength m=100 pseudo-observations): shrunk = (x + m·p̄)/(n+m)
+    // kept EXACT by clearing denominators — ppm = (x·N + m·X)·10⁶ DIV
+    // (N·(n+m)) in DECIMAL(38,0)/HUGEINT. The shrinkage contract
+    // (|shrunk − global| ≤ |raw − global|) is graded as a verdict column.
+    "agg_eb_shrinkage" -> ((s, d) => {
+      val seg = Tables.orders(s, d)
+        .join(broadcast(Tables.customer(s, d).select("c_custkey", "c_mktsegment")),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment").as("segment"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("o_orderpriority") === "1-URGENT", 1L).otherwise(0L)).as("x"))
+      val glob = seg.agg(sum("n").as("nn"), sum("x").as("xx"))
+      seg.crossJoin(broadcast(glob))
+        .withColumn("raw_ppm", expr("(x * 1000000) DIV n"))
+        .withColumn("global_ppm", expr("(xx * 1000000) DIV nn"))
+        .withColumn("shrunk_ppm", expr(
+          """CAST((CAST(x AS DECIMAL(38,0)) * nn + 100 * CAST(xx AS DECIMAL(38,0)))
+             * 1000000 DIV (CAST(nn AS DECIMAL(38,0)) * (n + 100)) AS BIGINT)"""))
+        .withColumn("contracts",
+          abs(col("shrunk_ppm") - col("global_ppm")) <=
+            abs(col("raw_ppm") - col("global_ppm")))
+        .select("segment", "n", "x", "raw_ppm", "shrunk_ppm", "global_ppm", "contracts")
+        .orderBy("segment")
+    }),
+
     // Cramér's V — the EFFECT SIZE agg_chisq's raw statistic lacks (χ²
     // grows with n, so "significant" says nothing about strength): V =
     // √(χ²/(n·(min(r,c)−1))) on the same segment×priority table. χ² is
@@ -2315,6 +2343,23 @@ object Analytics {
         |SELECT n_pos, n_neg, u_x2, auc_ppm,
         |  auc_ppm * 2 - 1000000 AS gini_signed_ppm
         |FROM a""".stripMargin,
+
+    // Same cleared-denominator rational, same contraction verdict.
+    "agg_eb_shrinkage" ->
+      """WITH seg AS (SELECT c_mktsegment AS segment,
+        |    CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS x
+        |  FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1),
+        |g AS (SELECT CAST(SUM(n) AS BIGINT) AS nn, CAST(SUM(x) AS BIGINT) AS xx FROM seg),
+        |j AS (SELECT segment, n, x, nn, xx,
+        |    (x * 1000000) // n AS raw_ppm,
+        |    (xx * 1000000) // nn AS global_ppm,
+        |    CAST(((x::HUGEINT * nn + 100 * xx::HUGEINT) * 1000000)
+        |      // (nn::HUGEINT * (n + 100)) AS BIGINT) AS shrunk_ppm
+        |  FROM seg, g)
+        |SELECT segment, n, x, raw_ppm, shrunk_ppm, global_ppm,
+        |  abs(shrunk_ppm - global_ppm) <= abs(raw_ppm - global_ppm) AS contracts
+        |FROM j ORDER BY segment""".stripMargin,
 
     // Same integer deviations, same ordered fold, same final sqrt tree.
     "agg_cramers_v" ->

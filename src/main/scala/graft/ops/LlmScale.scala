@@ -183,6 +183,30 @@ object LlmScale {
         .orderBy("source")
     }),
 
+    // EM / F1 answer-overlap eval — the SQuAD-style scoring every QA
+    // eval harness runs: predictions and golds are the leading 30-token
+    // windows of paired docs, EM is exact string equality, and the
+    // token-set F1 = 2·|∩|/(|P|+|G|) is an EXACT rational in ppm (the
+    // harmonic mean of set precision/recall clears to one division —
+    // no floats). Set semantics (distinct tokens) declared, not
+    // multiset — the variant most eval stacks actually implement.
+    "llm_em_f1_eval" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("text"),
+          array_distinct(slice(split(col("text"), " "), 1, 30)).as("toks"))
+      docs.as("a").where(col("doc_id") % 20 === 9)
+        .join(docs.as("b"), col("b.doc_id") === col("a.doc_id") + 1)
+        .select(col("a.doc_id").as("pair_id"),
+          (col("a.text") === col("b.text")).as("exact_match"),
+          size(col("a.toks")).cast("bigint").as("n_pred"),
+          size(col("b.toks")).cast("bigint").as("n_gold"),
+          size(array_intersect(col("a.toks"), col("b.toks"))).cast("bigint")
+            .as("overlap"))
+        .withColumn("f1_ppm",
+          expr("(2 * overlap * 1000000) DIV (n_pred + n_gold)"))
+        .orderBy("pair_id")
+    }),
+
     // Speculative-decoding acceptance audit — the serving-side planner
     // for draft models (speedup = E[accepted run] + 1, and the whole
     // scheme stalls if acceptance collapses): per task, K=8 draft/target
@@ -425,6 +449,22 @@ object LlmScale {
         |SELECT lang, CAST((cum - n_tokens) // 2048 AS BIGINT) AS bin, COUNT(*) AS n_docs,
         |  CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens
         |FROM c GROUP BY lang, (cum - n_tokens) // 2048 ORDER BY lang, bin""".stripMargin,
+
+    // Same 30-token distinct windows, same cleared harmonic mean.
+    "llm_em_f1_eval" ->
+      """WITH t AS (SELECT doc_id, text,
+        |    list_distinct(string_split(text, ' ')[1:30]) AS toks
+        |  FROM documents)
+        |SELECT a.doc_id AS pair_id,
+        |  a.text = b.text AS exact_match,
+        |  CAST(len(a.toks) AS BIGINT) AS n_pred,
+        |  CAST(len(b.toks) AS BIGINT) AS n_gold,
+        |  CAST(len(list_intersect(a.toks, b.toks)) AS BIGINT) AS overlap,
+        |  (2 * CAST(len(list_intersect(a.toks, b.toks)) AS BIGINT) * 1000000)
+        |    // (CAST(len(a.toks) AS BIGINT) + CAST(len(b.toks) AS BIGINT)) AS f1_ppm
+        |FROM t a JOIN t b ON b.doc_id = a.doc_id + 1
+        |WHERE a.doc_id % 20 = 9
+        |ORDER BY pair_id""".stripMargin,
 
     // Same two md5 streams, same first-mismatch CASE.
     "llm_spec_decode_accept" ->

@@ -295,6 +295,31 @@ object WindowOps {
         .orderBy("o_orderstatus", "o_orderkey")
     }),
 
+    // Maximum concurrency (the "minimum meeting rooms" sweep) — the
+    // capacity question interval-coverage's union length can't answer
+    // (how many 30-minute event intervals OVERLAP at the worst moment):
+    // each interval contributes a +1 at its start and a −1 at its end,
+    // one ordered cumulative sum per event_type finds the peak; ends
+    // sort BEFORE starts at the same instant (delta ascending — the
+    // half-open [s, e) convention both engines must share). Output
+    // O(types); the sweep shuffles once on event_type.
+    "win_max_concurrency" -> ((s, d) => {
+      val half = 1800L * 1000 * 1000
+      val e = Tables.events(s, d)
+        .select(col("event_type"), col("ts_us"), col("event_id"))
+      val deltas = e.select(col("event_type"), col("ts_us").as("t"),
+          lit(1L).as("delta"), col("event_id"))
+        .unionAll(e.select(col("event_type"), (col("ts_us") + half).as("t"),
+          lit(-1L).as("delta"), col("event_id")))
+      val w = Window.partitionBy("event_type").orderBy("t", "delta", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      deltas.withColumn("conc", sum("delta").over(w))
+        .groupBy("event_type")
+        .agg((count(lit(1)) / 2).cast("bigint").as("n_intervals"),
+          max("conc").as("max_concurrent"))
+        .orderBy("event_type")
+    }),
+
     // RSI (relative strength index) — the bounded momentum oscillator
     // that complements win_drawdown's path metric: over the trailing
     // 14-frame window, RSI = gains/(gains+losses) in exact milli (the
@@ -512,6 +537,20 @@ object WindowOps {
         |SELECT o_orderkey, o_orderstatus, pr, cd, tile
         |FROM f WHERE o_orderkey % 20 = 3
         |ORDER BY o_orderstatus, o_orderkey""".stripMargin,
+
+    // Same ±1 sweep, same (t, delta, id) order, ends before starts.
+    "win_max_concurrency" ->
+      """WITH e AS (SELECT event_type, epoch_us(ts) AS ts_us, event_id FROM events),
+        |d AS (SELECT event_type, ts_us AS t, CAST(1 AS BIGINT) AS delta, event_id FROM e
+        |  UNION ALL
+        |  SELECT event_type, ts_us + 1800000000 AS t, CAST(-1 AS BIGINT), event_id FROM e),
+        |c AS (SELECT event_type,
+        |    CAST(SUM(delta) OVER (PARTITION BY event_type ORDER BY t, delta, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS conc
+        |  FROM d)
+        |SELECT event_type, CAST(COUNT(*) // 2 AS BIGINT) AS n_intervals,
+        |  MAX(conc) AS max_concurrent
+        |FROM c GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     // Same delta split, same 14-frame sums, same neutral pin.
     "win_rsi" ->
