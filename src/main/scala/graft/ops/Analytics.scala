@@ -1265,6 +1265,29 @@ object Analytics {
         .withColumn("gini_signed_ppm", col("auc_ppm") * 2 - 1000000L)
     }),
 
+    // Capture–recapture (Lincoln–Petersen) population estimate — the
+    // estimator a data-quality team uses to size an UNKNOWN population
+    // (how many customers exist across two overlapping partial
+    // extracts): N̂ = n_A·n_B DIV |A∩B| from two independent md5
+    // samples, graded against the KNOWN true count with a sign-safe ppm
+    // error — the estimator carries its own ground truth like
+    // graph_triangle_estimate. All integer; one pass, two cheap flags.
+    "agg_capture_recapture" -> ((s, d) => {
+      def coin(ns: String) =
+        expr(s"CAST(conv(substring(md5(concat('$ns:', CAST(c_custkey AS STRING))), 1, 8), 16, 10) AS BIGINT) % 4 = 0")
+      Tables.customer(s, d)
+        .select(coin("cap_a").as("a"), coin("cap_b").as("b"))
+        .agg(count(lit(1)).as("true_n"),
+          sum(when(col("a"), 1L).otherwise(0L)).as("n_a"),
+          sum(when(col("b"), 1L).otherwise(0L)).as("n_b"),
+          sum(when(col("a") && col("b"), 1L).otherwise(0L)).as("overlap"))
+        .withColumn("estimated", expr("(n_a * n_b) DIV overlap"))
+        .withColumn("err_signed_ppm",
+          expr("""CASE WHEN estimated >= true_n
+                 THEN ((estimated - true_n) * 1000000) DIV true_n
+                 ELSE -(((true_n - estimated) * 1000000) DIV true_n) END"""))
+    }),
+
     // Empirical-Bayes shrinkage — the hierarchical estimator a metrics
     // platform applies to small-segment conversion rates (a 30-order
     // segment's raw rate is noise; shrink it toward the global prior
@@ -2343,6 +2366,24 @@ object Analytics {
         |SELECT n_pos, n_neg, u_x2, auc_ppm,
         |  auc_ppm * 2 - 1000000 AS gini_signed_ppm
         |FROM a""".stripMargin,
+
+    // Same two md5 coins, same integer estimator, same sign-safe error.
+    "agg_capture_recapture" ->
+      """WITH t AS (SELECT
+        |    ('0x' || substring(md5('cap_a:' || CAST(c_custkey AS VARCHAR)), 1, 8))::BIGINT % 4 = 0 AS a,
+        |    ('0x' || substring(md5('cap_b:' || CAST(c_custkey AS VARCHAR)), 1, 8))::BIGINT % 4 = 0 AS b
+        |  FROM customer),
+        |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS true_n,
+        |    CAST(SUM(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |    CAST(SUM(CASE WHEN b THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+        |    CAST(SUM(CASE WHEN a AND b THEN 1 ELSE 0 END) AS BIGINT) AS overlap
+        |  FROM t),
+        |e AS (SELECT *, (n_a * n_b) // overlap AS estimated FROM m)
+        |SELECT true_n, n_a, n_b, overlap, estimated,
+        |  CASE WHEN estimated >= true_n
+        |    THEN ((estimated - true_n) * 1000000) // true_n
+        |    ELSE -(((true_n - estimated) * 1000000) // true_n) END AS err_signed_ppm
+        |FROM e""".stripMargin,
 
     // Same cleared-denominator rational, same contraction verdict.
     "agg_eb_shrinkage" ->

@@ -183,6 +183,58 @@ object LlmScale {
         .orderBy("source")
     }),
 
+    // Canary audit — the CONTROLLED test of the contamination pipeline
+    // (a screen that can't find planted canaries can't be trusted on
+    // real leakage): 20 canaries with unique md5 marker tokens are
+    // UNIONED into the corpus, and the same substring detection the
+    // contamination ops use must find each EXACTLY once (its own
+    // planted copy — twice would mean a collision, zero a broken
+    // screen). Recall graded in exact ppm.
+    "llm_canary_audit" -> ((s, d) => {
+      val canaries = Tables.nation(s, d).where(col("n_nationkey") < 20)
+        .select(col("n_nationkey").cast("bigint").as("ck"),
+          expr("md5(concat('cn:', CAST(n_nationkey AS STRING)))").as("marker"))
+        .withColumn("ctext", concat(lit("canary marker "), col("marker")))
+      val corpus = Tables.documents(s, d).select(col("text"))
+        .unionByName(canaries.select(col("ctext").as("text")))
+      val hits = canaries.crossJoin(corpus)
+        .where(expr("position(marker IN text) > 0"))
+        .groupBy("ck").agg(count(lit(1)).as("n_hits"))
+      canaries.select("ck").join(hits, Seq("ck"), "left")
+        .select(col("ck"), coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+        .agg(count(lit(1)).as("n_canaries"),
+          sum(when(col("n_hits") === 1, 1L).otherwise(0L)).as("n_found_once"),
+          max("n_hits").as("max_hits"))
+        .withColumn("recall_ppm",
+          expr("(n_found_once * 1000000) DIV n_canaries"))
+    }),
+
+    // Reciprocal-rank fusion — the standard zero-tuning way to merge a
+    // lexical and a semantic ranking (BM25 meets embeddings): RRF(d) =
+    // Σ 1/(60+rank_i), computed as the DETERMINISTIC integer surrogate
+    // 10⁹ DIV (60+r) summed over both rankings (the exact-rational
+    // ordering at this scale — documented engine contract, no float
+    // sums). Two rank windows over one sampled doc set, top-10 fused by
+    // (score, id) total order.
+    "llm_rrf_fusion" -> ((s, d) => {
+      val t = Tables.documents(s, d).where(col("doc_id") % 5 === 0)
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast("bigint").as("toks"),
+          size(array_distinct(split(col("text"), " "))).cast("bigint").as("uniq"),
+          expr("CAST(conv(substring(md5(concat('sem:', CAST(doc_id AS STRING))), 1, 8), 16, 10) AS BIGINT)")
+            .as("semv"))
+        .withColumn("lex", expr("(uniq * 1000) DIV toks"))
+      val w1 = org.apache.spark.sql.expressions.Window.orderBy(desc("lex"), col("doc_id"))
+      val w2 = org.apache.spark.sql.expressions.Window.orderBy(col("semv"), col("doc_id"))
+      t.withColumn("r1", row_number().over(w1).cast("bigint"))
+        .withColumn("r2", row_number().over(w2).cast("bigint"))
+        .withColumn("rrf_scaled",
+          expr("1000000000 DIV (60 + r1) + 1000000000 DIV (60 + r2)"))
+        .orderBy(desc("rrf_scaled"), col("doc_id"))
+        .limit(10)
+        .select("doc_id", "r1", "r2", "rrf_scaled")
+    }),
+
     // EM / F1 answer-overlap eval — the SQuAD-style scoring every QA
     // eval harness runs: predictions and golds are the leading 30-token
     // windows of paired docs, EM is exact string equality, and the
@@ -449,6 +501,42 @@ object LlmScale {
         |SELECT lang, CAST((cum - n_tokens) // 2048 AS BIGINT) AS bin, COUNT(*) AS n_docs,
         |  CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens
         |FROM c GROUP BY lang, (cum - n_tokens) // 2048 ORDER BY lang, bin""".stripMargin,
+
+    // Same planted markers, same substring detection, same exact recall.
+    "llm_canary_audit" ->
+      """WITH can AS (SELECT CAST(n_nationkey AS BIGINT) AS ck,
+        |    md5('cn:' || CAST(n_nationkey AS VARCHAR)) AS marker
+        |  FROM nation WHERE n_nationkey < 20),
+        |corpus AS (SELECT text FROM documents
+        |  UNION ALL SELECT 'canary marker ' || marker FROM can),
+        |h AS (SELECT ck, CAST(COUNT(*) AS BIGINT) AS n_hits
+        |  FROM can, corpus WHERE position(marker IN text) > 0 GROUP BY ck),
+        |f AS (SELECT can.ck, COALESCE(h.n_hits, 0) AS n_hits
+        |  FROM can LEFT JOIN h ON h.ck = can.ck),
+        |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_canaries,
+        |    CAST(SUM(CASE WHEN n_hits = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_found_once,
+        |    CAST(MAX(n_hits) AS BIGINT) AS max_hits
+        |  FROM f)
+        |SELECT n_canaries, n_found_once, max_hits,
+        |  (n_found_once * 1000000) // n_canaries AS recall_ppm
+        |FROM m""".stripMargin,
+
+    // Same two rank windows, same integer RRF surrogate, same top-10.
+    "llm_rrf_fusion" ->
+      """WITH t AS (SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS toks,
+        |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS uniq,
+        |    ('0x' || substring(md5('sem:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS semv
+        |  FROM documents WHERE doc_id % 5 = 0),
+        |l AS (SELECT *, (uniq * 1000) // toks AS lex FROM t),
+        |r AS (SELECT doc_id,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY lex DESC, doc_id) AS BIGINT) AS r1,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY semv, doc_id) AS BIGINT) AS r2
+        |  FROM l)
+        |SELECT doc_id, r1, r2,
+        |  1000000000 // (60 + r1) + 1000000000 // (60 + r2) AS rrf_scaled
+        |FROM r
+        |ORDER BY rrf_scaled DESC, doc_id LIMIT 10""".stripMargin,
 
     // Same 30-token distinct windows, same cleared harmonic mean.
     "llm_em_f1_eval" ->
