@@ -1265,6 +1265,59 @@ object Analytics {
         .withColumn("gini_signed_ppm", col("auc_ppm") * 2 - 1000000L)
     }),
 
+    // Wald–Wolfowitz runs test — the randomness check a pipeline runs
+    // on a sequence BEFORE trusting iid-based statistics on it (sorted
+    // or batched data fails it instantly): binarize each order against
+    // the integer mean, count runs via one lag over the key order, and
+    // score z = (R − μ_R)/σ_R with μ, σ² the exact closed forms over
+    // (n₁, n₂) — every input to the one double expression is an exact
+    // integer, the tree identical in both engines.
+    "agg_runs_test" -> ((s, d) => {
+      val w = Window.orderBy("o_orderkey")
+      val t = Tables.orders(s, d)
+        .select(col("o_orderkey"),
+          round(col("o_totalprice") * 100).cast("bigint").as("cents"))
+      val mrow = t.agg(sum(col("cents").cast("decimal(38,0)")).cast("bigint"),
+        count(lit(1))).head
+      val mean = mrow.getLong(0) / mrow.getLong(1)
+      t.withColumn("above", col("cents") > mean)
+        .withColumn("prev", lag("above", 1).over(w))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("above"), 1L).otherwise(0L)).as("n1"),
+          sum(when(!col("above"), 1L).otherwise(0L)).as("n2"),
+          (sum(when(col("prev").isNull || col("prev") =!= col("above"), 1L)
+            .otherwise(0L))).as("runs"))
+        // the cancellation R − μ_R happens in EXACT integers (num =
+        // ((R−1)·n − 2n₁n₂); a float μ would amplify a ulp by the ~10³
+        // cancellation factor), then ONE double division by n·σ =
+        // √(2n₁n₂(2n₁n₂−n)/(n−1))
+        .withColumn("num", expr("(runs - 1) * n - 2 * n1 * n2"))
+        .withColumn("z", expr(
+          """CAST(num AS DOUBLE)
+             / sqrt(CAST(2 * n1 * n2 AS DOUBLE) * CAST(2 * n1 * n2 - n AS DOUBLE) / CAST(n - 1 AS DOUBLE))"""))
+        .withColumn("looks_random", expr("abs(z) < 1.96"))
+    }),
+
+    // McNemar's test — the PAIRED comparison of two classifiers on the
+    // SAME tasks (the unpaired two-proportion z wastes the pairing):
+    // only the discordant cells matter, χ² = (b−c)²/(b+c), and the
+    // α=0.05 significance test cross-multiplies to the ALL-INTEGER
+    // 100·(b−c)² > 384·(b+c) — zero floats anywhere. Model verdicts are
+    // two md5 streams with different accuracy rates (A: %10<6, B:
+    // %10<5) so the discordance is real.
+    "agg_mcnemar" -> ((s, d) => {
+      def verdict(ns: String, thr: Int) =
+        expr(s"CAST(conv(substring(md5(concat('$ns:', CAST(doc_id AS STRING))), 1, 8), 16, 10) AS BIGINT) % 10 < $thr")
+      Tables.documents(s, d)
+        .select(verdict("ma", 6).as("a_ok"), verdict("mb", 5).as("b_ok"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("a_ok") && !col("b_ok"), 1L).otherwise(0L)).as("b_disc"),
+          sum(when(!col("a_ok") && col("b_ok"), 1L).otherwise(0L)).as("c_disc"))
+        .withColumn("chi2_x100_num", expr("100 * (b_disc - c_disc) * (b_disc - c_disc)"))
+        .withColumn("threshold_x100", expr("384 * (b_disc + c_disc)"))
+        .withColumn("significant", col("chi2_x100_num") > col("threshold_x100"))
+    }),
+
     // Capture–recapture (Lincoln–Petersen) population estimate — the
     // estimator a data-quality team uses to size an UNKNOWN population
     // (how many customers exist across two overlapping partial
@@ -2366,6 +2419,45 @@ object Analytics {
         |SELECT n_pos, n_neg, u_x2, auc_ppm,
         |  auc_ppm * 2 - 1000000 AS gini_signed_ppm
         |FROM a""".stripMargin,
+
+    // Same integer mean threshold, same lag transition count, same tree.
+    "agg_runs_test" ->
+      """WITH t AS (SELECT o_orderkey,
+        |    CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders),
+        |mn AS (SELECT CAST(SUM(cents::HUGEINT) AS BIGINT)
+        |    // CAST(COUNT(*) AS BIGINT) AS mean FROM t),
+        |b AS (SELECT o_orderkey, cents > (SELECT mean FROM mn) AS above FROM t),
+        |l AS (SELECT above, lag(above) OVER (ORDER BY o_orderkey) AS prev FROM b),
+        |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CASE WHEN above THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |    CAST(SUM(CASE WHEN above THEN 0 ELSE 1 END) AS BIGINT) AS n2,
+        |    CAST(SUM(CASE WHEN prev IS NULL OR prev <> above THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS runs
+        |  FROM l),
+        |z AS (SELECT *, (runs - 1) * n - 2 * n1 * n2 AS num,
+        |    CAST((runs - 1) * n - 2 * n1 * n2 AS DOUBLE)
+        |      / sqrt(CAST(2 * n1 * n2 AS DOUBLE) * CAST(2 * n1 * n2 - n AS DOUBLE) / CAST(n - 1 AS DOUBLE))
+        |      AS z
+        |  FROM m)
+        |SELECT n, n1, n2, runs, num, z, abs(z) < 1.96 AS looks_random FROM z""".stripMargin,
+
+    // Same two verdict streams, same all-integer cross-multiplied test.
+    "agg_mcnemar" ->
+      """WITH t AS (SELECT
+        |    ('0x' || substring(md5('ma:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10 < 6 AS a_ok,
+        |    ('0x' || substring(md5('mb:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10 < 5 AS b_ok
+        |  FROM documents),
+        |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CASE WHEN a_ok AND NOT b_ok THEN 1 ELSE 0 END) AS BIGINT) AS b_disc,
+        |    CAST(SUM(CASE WHEN NOT a_ok AND b_ok THEN 1 ELSE 0 END) AS BIGINT) AS c_disc
+        |  FROM t)
+        |SELECT n, b_disc, c_disc,
+        |  100 * (b_disc - c_disc) * (b_disc - c_disc) AS chi2_x100_num,
+        |  384 * (b_disc + c_disc) AS threshold_x100,
+        |  100 * (b_disc - c_disc) * (b_disc - c_disc) > 384 * (b_disc + c_disc)
+        |    AS significant
+        |FROM m""".stripMargin,
 
     // Same two md5 coins, same integer estimator, same sign-safe error.
     "agg_capture_recapture" ->

@@ -183,6 +183,32 @@ object LlmScale {
         .orderBy("source")
     }),
 
+    // Needle-in-a-haystack eval-data generator — the long-context probe
+    // set (needle planted at controlled DEPTH fractions; retrieval
+    // quality is then measured per depth): context = doc text, needle
+    // spliced at depth d/10 of the CHARACTER length, d from the md5
+    // draw; the graded artifact is the span arithmetic every scorer
+    // depends on (needle offset = (len·d) DIV 10, total length
+    // conserves, per-depth sample counts balanced-ish). Pure projection.
+    "llm_needle_gen" -> ((s, d) => {
+      val needle = "THE-NEEDLE-7391"
+      Tables.documents(s, d).where(col("doc_id") % 8 === 1)
+        .select(col("doc_id"), col("text"),
+          expr("CAST(conv(substring(md5(concat('nd:', CAST(doc_id AS STRING))), 1, 8), 16, 10) AS BIGINT) % 11")
+            .as("depth"))
+        .withColumn("len", length(col("text")).cast("bigint"))
+        .withColumn("off", expr("(len * depth) DIV 10"))
+        .withColumn("stuffed",
+          expr(s"concat(substring(text, 1, CAST(off AS INT)), '$needle', substring(text, CAST(off AS INT) + 1))"))
+        .groupBy("depth")
+        .agg(count(lit(1)).as("n_samples"),
+          sum(length(col("stuffed")).cast("bigint") - col("len")).as("delta_len"),
+          min("off").as("min_off"), max("off").as("max_off"))
+        .withColumn("len_conserved",
+          col("delta_len") === col("n_samples") * needle.length)
+        .orderBy("depth")
+    }),
+
     // Canary audit — the CONTROLLED test of the contamination pipeline
     // (a screen that can't find planted canaries can't be trusted on
     // real leakage): 20 canaries with unique md5 marker tokens are
@@ -501,6 +527,23 @@ object LlmScale {
         |SELECT lang, CAST((cum - n_tokens) // 2048 AS BIGINT) AS bin, COUNT(*) AS n_docs,
         |  CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens
         |FROM c GROUP BY lang, (cum - n_tokens) // 2048 ORDER BY lang, bin""".stripMargin,
+
+    // Same depth draw, same splice arithmetic, same conservation law.
+    "llm_needle_gen" ->
+      """WITH t AS (SELECT doc_id, text,
+        |    ('0x' || substring(md5('nd:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 11 AS depth,
+        |    CAST(length(text) AS BIGINT) AS len
+        |  FROM documents WHERE doc_id % 8 = 1),
+        |s AS (SELECT *, (len * depth) // 10 AS off,
+        |    substring(text, 1, CAST((len * depth) // 10 AS INT)) || 'THE-NEEDLE-7391'
+        |      || substring(text, CAST((len * depth) // 10 AS INT) + 1) AS stuffed
+        |  FROM t)
+        |SELECT depth, CAST(COUNT(*) AS BIGINT) AS n_samples,
+        |  CAST(SUM(CAST(length(stuffed) AS BIGINT) - len) AS BIGINT) AS delta_len,
+        |  MIN(off) AS min_off, MAX(off) AS max_off,
+        |  CAST(SUM(CAST(length(stuffed) AS BIGINT) - len) AS BIGINT)
+        |    = CAST(COUNT(*) AS BIGINT) * 15 AS len_conserved
+        |FROM s GROUP BY depth ORDER BY depth""".stripMargin,
 
     // Same planted markers, same substring detection, same exact recall.
     "llm_canary_audit" ->
