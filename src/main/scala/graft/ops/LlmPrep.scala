@@ -1240,8 +1240,10 @@ object LlmPrep {
           "CASE WHEN mx = mn THEN CAST(0 AS BIGINT) ELSE ((xm - mn) * 15) DIV (mx - mn) END"))
         .withColumn("deq", expr("mn + (code * (mx - mn)) DIV 15"))
         .select("vec_id", "pos", "deq")
+      // modulus 70 keeps E[#centroids] near √n at the 5k-vector bench
+      // scale (the IVF sizing law) — %22 grew the assign join linearly
       val cent = e.where(
-        expr("CAST(conv(substring(md5(CAST(vec_id AS STRING)), 1, 8), 16, 10) AS BIGINT) % 22 = 0"))
+        expr("CAST(conv(substring(md5(CAST(vec_id AS STRING)), 1, 8), 16, 10) AS BIGINT) % 70 = 0"))
         .select(col("vec_id").as("cid"), col("pos"), col("xm").as("cm"))
       val wAssign = org.apache.spark.sql.expressions.Window
         .partitionBy("vec_id").orderBy(desc("dot"), col("cid"))
@@ -2191,7 +2193,7 @@ object LlmPrep {
         |      ELSE ((xm - mn) * 15) // (mx - mn) END) * (mx - mn)) // 15 AS deq
         |  FROM e JOIN st ON e.pos = st.pos),
         |cent AS (SELECT vec_id AS cid, pos, xm AS cm FROM e
-        |  WHERE ('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT % 22 = 0),
+        |  WHERE ('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT % 70 = 0),
         |adot AS (SELECT e.vec_id, c.cid,
         |    CAST(SUM(e.xm::HUGEINT * c.cm) AS BIGINT) AS dot
         |  FROM e JOIN cent c ON c.pos = e.pos GROUP BY 1, 2),

@@ -183,6 +183,34 @@ object LlmScale {
         .orderBy("source")
     }),
 
+    // Dedup-tier sensitivity audit — planted mutations with KNOWN edit
+    // distance probe the fuzzy tier the way llm_canary_audit probes the
+    // contamination screen: each sampled doc spawns a NEAR mutant (3
+    // leading chars replaced — distance exactly 3) and a FAR mutant (32
+    // chars of md5 splice — distance ≫ threshold), the levenshtein ≤ 5
+    // rule must flag ALL near and NO far pairs; sensitivity and
+    // specificity graded in exact ppm. A screen that fails either tail
+    // is mistuned, and this op catches the retune.
+    "llm_dedup_sensitivity" -> ((s, d) => {
+      val base = Tables.documents(s, d).where(col("doc_id") % 100 === 3)
+        .select(col("doc_id"), col("text"))
+        .where(length(col("text")) >= 40)
+      val pairs = base
+        .withColumn("near", concat(lit("ZZZ"), expr("substring(text, 4)")))
+        .withColumn("far", concat(md5(col("text")), expr("substring(text, 33)")))
+      pairs
+        .select(col("doc_id"),
+          levenshtein(col("text"), col("near")).cast("bigint").as("lev_near"),
+          levenshtein(col("text"), col("far")).cast("bigint").as("lev_far"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(when(col("lev_near") <= 5, 1L).otherwise(0L)).as("near_flagged"),
+          sum(when(col("lev_far") <= 5, 1L).otherwise(0L)).as("far_flagged"))
+        .withColumn("sensitivity_ppm",
+          expr("(near_flagged * 1000000) DIV n_pairs"))
+        .withColumn("specificity_ppm",
+          expr("((n_pairs - far_flagged) * 1000000) DIV n_pairs"))
+    }),
+
     // Needle-in-a-haystack eval-data generator — the long-context probe
     // set (needle planted at controlled DEPTH fractions; retrieval
     // quality is then measured per depth): context = doc text, needle
@@ -527,6 +555,23 @@ object LlmScale {
         |SELECT lang, CAST((cum - n_tokens) // 2048 AS BIGINT) AS bin, COUNT(*) AS n_docs,
         |  CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens
         |FROM c GROUP BY lang, (cum - n_tokens) // 2048 ORDER BY lang, bin""".stripMargin,
+
+    // Same planted mutants, same Wagner–Fischer distance, same rule.
+    "llm_dedup_sensitivity" ->
+      """WITH b AS (SELECT doc_id, text FROM documents
+        |  WHERE doc_id % 100 = 3 AND length(text) >= 40),
+        |p AS (SELECT doc_id,
+        |    CAST(levenshtein(text, 'ZZZ' || substring(text, 4)) AS BIGINT) AS lev_near,
+        |    CAST(levenshtein(text, md5(text) || substring(text, 33)) AS BIGINT) AS lev_far
+        |  FROM b),
+        |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |    CAST(SUM(CASE WHEN lev_near <= 5 THEN 1 ELSE 0 END) AS BIGINT) AS near_flagged,
+        |    CAST(SUM(CASE WHEN lev_far <= 5 THEN 1 ELSE 0 END) AS BIGINT) AS far_flagged
+        |  FROM p)
+        |SELECT n_pairs, near_flagged, far_flagged,
+        |  (near_flagged * 1000000) // n_pairs AS sensitivity_ppm,
+        |  ((n_pairs - far_flagged) * 1000000) // n_pairs AS specificity_ppm
+        |FROM m""".stripMargin,
 
     // Same depth draw, same splice arithmetic, same conservation law.
     "llm_needle_gen" ->

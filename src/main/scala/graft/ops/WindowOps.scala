@@ -295,6 +295,28 @@ object WindowOps {
         .orderBy("o_orderstatus", "o_orderkey")
     }),
 
+    // 2-D Pareto frontier (skyline) — "best price for its recency":
+    // an order is on the frontier iff no other order beats it on BOTH
+    // price and order date. The classic sort-sweep: scan in (price
+    // DESC, key) order keeping rows whose day strictly exceeds every
+    // earlier row's running max day — one window cummax, no O(n²)
+    // dominance join. Strict dominance on both axes; frontier is tiny
+    // relative to n at any scale.
+    "win_skyline_2d" -> ((s, d) => {
+      val w = Window.orderBy(desc("cents"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Tables.orders(s, d)
+        .select(col("o_orderkey"),
+          round(col("o_totalprice") * 100).cast("bigint").as("cents"),
+          expr("CAST(CAST(o_orderdate AS DATE) - DATE '1992-01-01' AS BIGINT)")
+            .as("day"))
+        .withColumn("best_day_before", max("day").over(w))
+        .where(col("best_day_before").isNull ||
+          col("day") > col("best_day_before"))
+        .select("o_orderkey", "cents", "day")
+        .orderBy("o_orderkey")
+    }),
+
     // Maximum concurrency (the "minimum meeting rooms" sweep) — the
     // capacity question interval-coverage's union length can't answer
     // (how many 30-minute event intervals OVERLAP at the worst moment):
@@ -537,6 +559,19 @@ object WindowOps {
         |SELECT o_orderkey, o_orderstatus, pr, cd, tile
         |FROM f WHERE o_orderkey % 20 = 3
         |ORDER BY o_orderstatus, o_orderkey""".stripMargin,
+
+    // Same sort-sweep, same strict-dominance rule.
+    "win_skyline_2d" ->
+      """WITH t AS (SELECT o_orderkey,
+        |    CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+        |    CAST(CAST(o_orderdate AS DATE) - DATE '1992-01-01' AS BIGINT) AS day
+        |  FROM orders),
+        |s AS (SELECT *, MAX(day) OVER (ORDER BY cents DESC, o_orderkey
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS best_day_before
+        |  FROM t)
+        |SELECT o_orderkey, cents, day FROM s
+        |WHERE best_day_before IS NULL OR day > best_day_before
+        |ORDER BY o_orderkey""".stripMargin,
 
     // Same ±1 sweep, same (t, delta, id) order, ends before starts.
     "win_max_concurrency" ->
