@@ -1265,6 +1265,38 @@ object Analytics {
         .withColumn("gini_signed_ppm", col("auc_ppm") * 2 - 1000000L)
     }),
 
+    // Cohen's κ — inter-annotator agreement CORRECTED FOR CHANCE (raw
+    // percent-agree flatters raters who both spam the majority class):
+    // κ = (n·agree − Σ_c m1_c·m2_c) / (n² − Σ_c m1_c·m2_c), an EXACT
+    // integer rational scored sign-safely in ppm. Rater 2 copies rater 1
+    // three times in four and answers independently otherwise, so the
+    // planted κ is real and the chance correction has work to do.
+    "agg_cohens_kappa" -> ((s, d) => {
+      def u(ns: String) =
+        s"CAST(conv(substring(md5(concat('$ns:', CAST(doc_id AS STRING))), 1, 8), 16, 10) AS BIGINT)"
+      val t = Tables.documents(s, d)
+        .select(col("doc_id"))
+        .withColumn("r1", expr(s"${u("k1")} % 3"))
+        .withColumn("r2",
+          expr(s"IF(${u("k2")} % 4 = 0, ${u("k3")} % 3, ${u("k1")} % 3)"))
+      val m = t.agg(count(lit(1)).as("n"),
+        sum(when(col("r1") === col("r2"), 1L).otherwise(0L)).as("agree"),
+        sum(when(col("r1") === 0, 1L).otherwise(0L)).as("m1_0"),
+        sum(when(col("r1") === 1, 1L).otherwise(0L)).as("m1_1"),
+        sum(when(col("r1") === 2, 1L).otherwise(0L)).as("m1_2"),
+        sum(when(col("r2") === 0, 1L).otherwise(0L)).as("m2_0"),
+        sum(when(col("r2") === 1, 1L).otherwise(0L)).as("m2_1"),
+        sum(when(col("r2") === 2, 1L).otherwise(0L)).as("m2_2"))
+      m.withColumn("s_chance",
+          expr("m1_0 * m2_0 + m1_1 * m2_1 + m1_2 * m2_2"))
+        .withColumn("kappa_num", expr("n * agree - s_chance"))
+        .withColumn("kappa_den", expr("n * n - s_chance"))
+        .withColumn("kappa_ppm", expr(
+          """CASE WHEN kappa_num >= 0 THEN (kappa_num * 1000000) DIV kappa_den
+             ELSE -(((0 - kappa_num) * 1000000) DIV kappa_den) END"""))
+        .select("n", "agree", "s_chance", "kappa_ppm")
+    }),
+
     // Wald–Wolfowitz runs test — the randomness check a pipeline runs
     // on a sequence BEFORE trusting iid-based statistics on it (sorted
     // or batched data fails it instantly): binarize each order against
@@ -2419,6 +2451,32 @@ object Analytics {
         |SELECT n_pos, n_neg, u_x2, auc_ppm,
         |  auc_ppm * 2 - 1000000 AS gini_signed_ppm
         |FROM a""".stripMargin,
+
+    // Same rater construction, same exact integer rational.
+    "agg_cohens_kappa" ->
+      """WITH t AS (SELECT doc_id,
+        |    ('0x' || substring(md5('k1:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 3 AS r1,
+        |    CASE WHEN ('0x' || substring(md5('k2:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 4 = 0
+        |      THEN ('0x' || substring(md5('k3:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 3
+        |      ELSE ('0x' || substring(md5('k1:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 3 END AS r2
+        |  FROM documents),
+        |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CASE WHEN r1 = r2 THEN 1 ELSE 0 END) AS BIGINT) AS agree,
+        |    CAST(SUM(CASE WHEN r1 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS m1_0,
+        |    CAST(SUM(CASE WHEN r1 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS m1_1,
+        |    CAST(SUM(CASE WHEN r1 = 2 THEN 1 ELSE 0 END) AS BIGINT) AS m1_2,
+        |    CAST(SUM(CASE WHEN r2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS m2_0,
+        |    CAST(SUM(CASE WHEN r2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS m2_1,
+        |    CAST(SUM(CASE WHEN r2 = 2 THEN 1 ELSE 0 END) AS BIGINT) AS m2_2
+        |  FROM t),
+        |k AS (SELECT n, agree,
+        |    m1_0 * m2_0 + m1_1 * m2_1 + m1_2 * m2_2 AS s_chance FROM m)
+        |SELECT n, agree, s_chance,
+        |  CASE WHEN n * agree - s_chance >= 0
+        |    THEN ((n * agree - s_chance) * 1000000) // (n * n - s_chance)
+        |    ELSE -(((0 - (n * agree - s_chance)) * 1000000) // (n * n - s_chance)) END
+        |    AS kappa_ppm
+        |FROM k""".stripMargin,
 
     // Same integer mean threshold, same lag transition count, same tree.
     "agg_runs_test" ->

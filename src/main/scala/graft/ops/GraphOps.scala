@@ -965,6 +965,40 @@ object GraphOps {
                  ELSE -(((exact_triangles - estimated) * 1000000) DIV exact_triangles) END"""))
     }),
 
+    // Distributed greedy maximal matching — the pairing primitive
+    // (assignment seeding, graph coarsening) computed Luby-style: per
+    // round, an edge joins the matching iff its (a·1000+b) key is the
+    // MINIMUM incident key at BOTH endpoints (locally verifiable — no
+    // coordination), matched nodes leave, 4 rounds empty a 25-node
+    // backbone. Each round is two tiny rollups + one anti-join; the
+    // matching is maximal because a surviving edge would have won some
+    // round.
+    "graph_greedy_matching" -> ((s, d) => {
+      var edges = heavyBackboneW(s, d)
+        .select(col("a").cast("bigint").as("a"), col("b").cast("bigint").as("b"))
+        .localCheckpoint()
+      var acc: DataFrame = null
+      for (r <- 1 to 4) {
+        val e2 = edges.withColumn("k", col("a") * 1000 + col("b"))
+        val ends = e2.select(col("a").as("node"), col("k"))
+          .unionAll(e2.select(col("b").as("node"), col("k")))
+        val mk = ends.groupBy("node").agg(min("k").as("mk"))
+        val sel = e2
+          .join(mk.select(col("node").as("a"), col("mk").as("ma")), "a")
+          .join(mk.select(col("node").as("b"), col("mk").as("mb")), "b")
+          .where(col("k") === col("ma") && col("k") === col("mb"))
+          .select(col("a"), col("b")).withColumn("round", lit(r.toLong))
+          .localCheckpoint()
+        acc = if (acc == null) sel else acc.unionByName(sel)
+        val mn = sel.select(col("a").as("n")).unionAll(sel.select(col("b").as("n")))
+        edges = edges
+          .join(mn, edges("a") === mn("n"), "left_anti")
+          .join(mn, edges("b") === mn("n"), "left_anti")
+          .localCheckpoint()
+      }
+      acc.orderBy("a", "b")
+    }),
+
     // Ego-network reach — the per-node 1-hop/2-hop audience sizes a
     // social or recommendation layer quotes ("friends, friends-of-
     // friends"): undirected backbone adjacency, 2-hop set as ONE
@@ -1628,6 +1662,32 @@ object GraphOps {
          |    ELSE -(((exact_triangles - estimated) * 1000000) // exact_triangles) END
          |    AS err_signed_ppm
          |FROM ex, es""".stripMargin,
+
+    // The same 4 local-minimum rounds as chained CTEs.
+    "graph_greedy_matching" -> {
+      val rounds = (1 to 4).map { i =>
+        val p = s"e${i - 1}"
+        s"""k$i AS MATERIALIZED (SELECT a, b, a * 1000 + b AS k FROM $p),
+           |mk$i AS MATERIALIZED (SELECT node, MIN(k) AS mk FROM (
+           |  SELECT a AS node, k FROM k$i UNION ALL SELECT b AS node, k FROM k$i)
+           |  GROUP BY node),
+           |sel$i AS MATERIALIZED (SELECT t.a, t.b, CAST($i AS BIGINT) AS round
+           |  FROM k$i t JOIN mk$i x ON x.node = t.a JOIN mk$i y ON y.node = t.b
+           |  WHERE t.k = x.mk AND t.k = y.mk),
+           |mn$i AS MATERIALIZED (SELECT a AS n FROM sel$i UNION SELECT b FROM sel$i),
+           |e$i AS MATERIALIZED (SELECT a, b FROM $p
+           |  WHERE a NOT IN (SELECT n FROM mn$i) AND b NOT IN (SELECT n FROM mn$i))"""
+      }.mkString(",\n")
+      s"""WITH $EdgesCte,
+         |$HeavyWCte,
+         |e0 AS (SELECT a, b FROM hw),
+         |$rounds
+         |SELECT a, b, round FROM sel1
+         |UNION ALL SELECT a, b, round FROM sel2
+         |UNION ALL SELECT a, b, round FROM sel3
+         |UNION ALL SELECT a, b, round FROM sel4
+         |ORDER BY a, b""".stripMargin
+    },
 
     // Same undirected adjacency, same one mid-keyed 2-hop join.
     "graph_ego_stats" ->

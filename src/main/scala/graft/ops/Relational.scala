@@ -265,6 +265,35 @@ object Relational {
         .orderBy("status")
     }),
 
+    // Whole-file text ingest (`wholetext`) — the one-document-per-file
+    // shape a crawled corpus lands in (line-based text readers would
+    // shred multi-line documents into rows): each staged file comes back
+    // as exactly one row, identity proven by md5 + length against the
+    // source column; the file key recovered from input_file_name().
+    "source_wholetext" -> ((s, d) => {
+      val dir = Scratch.opDir("wholetext", d)
+      val staged = java.nio.file.Paths.get(dir, "_STAGED")
+      if (!java.nio.file.Files.exists(staged)) {
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+        Tables.documents(s, d).where(col("doc_id") % 75 === 0)
+          .select(col("doc_id"), col("text")).collect()
+          .foreach { r =>
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(dir, f"doc_${r.getLong(0)}%08d.txt"),
+              r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          }
+        java.nio.file.Files.write(staged, Array.emptyByteArray)
+      }
+      s.read.option("wholetext", "true")
+        .option("pathGlobFilter", "*.txt").text(dir)
+        .select(
+          regexp_extract(input_file_name(), "doc_(\\d+)\\.txt", 1).cast("bigint")
+            .as("doc_id"),
+          length(col("value")).cast("bigint").as("n_chars"),
+          md5(col("value")).as("text_md5"))
+        .orderBy("doc_id")
+    }),
+
     // Compression-codec roundtrip matrix — the IO conformance sweep a
     // storage layer certifies once per engine upgrade: the same subset
     // written under snappy/gzip/zstd/lz4 parquet compression, each read
@@ -1298,6 +1327,12 @@ object Relational {
       """SELECT doc_id, CAST(length(text) AS BIGINT) AS length,
         |  md5(text) AS content_md5
         |FROM documents WHERE doc_id % 50 = 0 ORDER BY doc_id""".stripMargin,
+
+    // One row per file, identity by md5 + length.
+    "source_wholetext" ->
+      """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+        |  md5(text) AS text_md5
+        |FROM documents WHERE doc_id % 75 = 0 ORDER BY doc_id""".stripMargin,
 
     // The same rollup must hold under every codec.
     "sink_codec_matrix" ->
