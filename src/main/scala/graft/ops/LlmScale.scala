@@ -183,6 +183,57 @@ object LlmScale {
         .orderBy("source")
     }),
 
+    // Fill-in-the-middle transform — the code-model pretraining
+    // permutation (PSM: <PRE>prefix<SUF>suffix<MID>middle): two md5 cut
+    // points split each doc, the rendered string reorders the three
+    // spans with marker tokens, and the graded artifact is the span
+    // arithmetic + md5 fingerprint (an off-by-one in either cut
+    // scrambles training targets silently — the hash catches it).
+    // Conservation: rendered length = len + 15 marker chars.
+    "llm_fim_transform" -> ((s, d) => {
+      def u(ns: String) =
+        s"CAST(conv(substring(md5(concat('$ns:', CAST(doc_id AS STRING))), 1, 8), 16, 10) AS BIGINT)"
+      Tables.documents(s, d).where(col("doc_id") % 6 === 2)
+        .select(col("doc_id"), col("text"),
+          length(col("text")).cast("bigint").as("len"))
+        .withColumn("cut1", expr(s"(len * (${u("f1")} % 500)) DIV 1000"))
+        .withColumn("cut2", expr(s"cut1 + (len * (${u("f2")} % 400)) DIV 1000"))
+        .withColumn("rendered", expr(
+          """concat('<PRE>', substring(text, 1, CAST(cut1 AS INT)),
+             '<SUF>', substring(text, CAST(cut2 AS INT) + 1),
+             '<MID>', substring(text, CAST(cut1 AS INT) + 1, CAST(cut2 - cut1 AS INT)))"""))
+        .select(col("doc_id"), col("len"), col("cut1"), col("cut2"),
+          length(col("rendered")).cast("bigint").as("total_len"),
+          (length(col("rendered")).cast("bigint") === col("len") + 15)
+            .as("conserved"),
+          md5(col("rendered")).as("render_md5"))
+        .orderBy("doc_id")
+    }),
+
+    // Prefix-cache planning — the serving-cost analysis behind prompt
+    // caching (shared prefixes are computed once and reused; the plan
+    // quantifies how much): prompts grouped by their leading 16 chars,
+    // hits = group size − 1, saved chars = hits × prefix length, and
+    // the headline savings share in exact ppm of total prompt chars.
+    // One groupBy on the prefix key — at serving scale this IS the
+    // radix layer of the prefix tree.
+    "llm_prefix_cache_plan" -> ((s, d) => {
+      val t = Tables.documents(s, d)
+        .select(expr("substring(text, 1, 16)").as("prefix"),
+          length(col("text")).cast("bigint").as("chars"))
+      val g = t.groupBy("prefix")
+        .agg(count(lit(1)).as("n"), sum("chars").as("grp_chars"))
+      g.agg(sum("n").cast("bigint").as("total_prompts"),
+          count(lit(1)).as("n_groups"),
+          sum(when(col("n") >= 2, 1L).otherwise(0L)).as("n_shared_groups"),
+          sum(expr("(n - 1) * 16").cast("decimal(38,0)")).cast("bigint")
+            .as("saved_chars"),
+          sum(col("grp_chars").cast("decimal(38,0)")).cast("bigint")
+            .as("total_chars"))
+        .withColumn("savings_ppm",
+          expr("(saved_chars * 1000000) DIV total_chars"))
+    }),
+
     // Dedup-tier sensitivity audit — planted mutations with KNOWN edit
     // distance probe the fuzzy tier the way llm_canary_audit probes the
     // contamination screen: each sampled doc spawns a NEAR mutant (3
@@ -555,6 +606,47 @@ object LlmScale {
         |SELECT lang, CAST((cum - n_tokens) // 2048 AS BIGINT) AS bin, COUNT(*) AS n_docs,
         |  CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens
         |FROM c GROUP BY lang, (cum - n_tokens) // 2048 ORDER BY lang, bin""".stripMargin,
+
+    // Same cuts, same PSM ordering, same conservation law.
+    "llm_fim_transform" ->
+      """WITH t AS (SELECT doc_id, text,
+        |    CAST(length(text) AS BIGINT) AS len,
+        |    ('0x' || substring(md5('f1:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 500 AS u1,
+        |    ('0x' || substring(md5('f2:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 400 AS u2
+        |  FROM documents WHERE doc_id % 6 = 2),
+        |c AS (SELECT doc_id, text, len,
+        |    (len * u1) // 1000 AS cut1,
+        |    (len * u1) // 1000 + (len * u2) // 1000 AS cut2
+        |  FROM t),
+        |r AS (SELECT doc_id, len, cut1, cut2,
+        |    '<PRE>' || substring(text, 1, CAST(cut1 AS INT))
+        |    || '<SUF>' || substring(text, CAST(cut2 AS INT) + 1)
+        |    || '<MID>' || substring(text, CAST(cut1 AS INT) + 1, CAST(cut2 - cut1 AS INT))
+        |      AS rendered
+        |  FROM c)
+        |SELECT doc_id, len, cut1, cut2,
+        |  CAST(length(rendered) AS BIGINT) AS total_len,
+        |  CAST(length(rendered) AS BIGINT) = len + 15 AS conserved,
+        |  md5(rendered) AS render_md5
+        |FROM r ORDER BY doc_id""".stripMargin,
+
+    // Same 16-char radix grouping, same savings accounting.
+    "llm_prefix_cache_plan" ->
+      """WITH t AS (SELECT substring(text, 1, 16) AS prefix,
+        |    CAST(length(text) AS BIGINT) AS chars
+        |  FROM documents),
+        |g AS (SELECT prefix, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(chars) AS BIGINT) AS grp_chars
+        |  FROM t GROUP BY prefix),
+        |m AS (SELECT CAST(SUM(n) AS BIGINT) AS total_prompts,
+        |    CAST(COUNT(*) AS BIGINT) AS n_groups,
+        |    CAST(SUM(CASE WHEN n >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared_groups,
+        |    CAST(SUM((n - 1) * 16)::HUGEINT AS BIGINT) AS saved_chars,
+        |    CAST(SUM(grp_chars::HUGEINT) AS BIGINT) AS total_chars
+        |  FROM g)
+        |SELECT total_prompts, n_groups, n_shared_groups, saved_chars, total_chars,
+        |  (saved_chars * 1000000) // total_chars AS savings_ppm
+        |FROM m""".stripMargin,
 
     // Same planted mutants, same Wagner–Fischer distance, same rule.
     "llm_dedup_sensitivity" ->
