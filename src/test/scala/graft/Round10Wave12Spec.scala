@@ -8,7 +8,9 @@ class Round10Wave12Spec extends AnyFunSuite with SparkFixture {
 
   test("fn_xpath: extraction recovers the authored columns exactly") {
     val rows = SparkEntry.queries("fn_xpath")(spark, sf).collect()
-    val direct = Tables.orders(spark, sf).groupBy("o_orderstatus")
+    val direct = Tables.orders(spark, sf)
+      .where(col("o_orderkey") % 5 === 0)
+      .groupBy("o_orderstatus")
       .agg(count(lit(1)).as("n")).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(rows.length == direct.size)
