@@ -1265,6 +1265,27 @@ object Analytics {
         .withColumn("gini_signed_ppm", col("auc_ppm") * 2 - 1000000L)
     }),
 
+    // OHLC candles — the time-bucketed open/high/low/close rollup every
+    // market/metrics dashboard draws: open and close are POSITIONAL
+    // (first/last value in the bucket by time), expressed as
+    // min_by/max_by (Spark) ↔ arg_min/arg_max (DuckDB) over a single
+    // composite BIGINT order key (second·10⁶ + event_id — collision-free
+    // because event ids fit the low digits), so the positional picks are
+    // total-ordered and hash-exact. One groupBy on (type, hour).
+    "agg_ohlc_candles" -> ((s, d) =>
+      Tables.events(s, d)
+        .select(col("event_type"),
+          expr("CAST(ts_us DIV 3600000000 AS BIGINT)").as("hour"),
+          floor(col("value") * 100).cast("bigint").as("cents"),
+          expr("(ts_us DIV 1000000) * 1000000 + event_id % 1000000").as("ok"))
+        .groupBy("event_type", "hour")
+        .agg(count(lit(1)).as("volume"),
+          expr("min_by(cents, ok)").as("open"),
+          max("cents").as("high"), min("cents").as("low"),
+          expr("max_by(cents, ok)").as("close"))
+        .where(col("hour") % 12 === 5)
+        .orderBy("event_type", "hour")),
+
     // Cohen's κ — inter-annotator agreement CORRECTED FOR CHANCE (raw
     // percent-agree flatters raters who both spam the majority class):
     // κ = (n·agree − Σ_c m1_c·m2_c) / (n² − Σ_c m1_c·m2_c), an EXACT
@@ -2451,6 +2472,19 @@ object Analytics {
         |SELECT n_pos, n_neg, u_x2, auc_ppm,
         |  auc_ppm * 2 - 1000000 AS gini_signed_ppm
         |FROM a""".stripMargin,
+
+    // Same composite order key, arg_min/arg_max twin the positional picks.
+    "agg_ohlc_candles" ->
+      """WITH e AS (SELECT event_type,
+        |    CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS hour,
+        |    CAST(FLOOR(value * 100) AS BIGINT) AS cents,
+        |    (epoch_us(ts) // 1000000) * 1000000 + event_id % 1000000 AS ok
+        |  FROM events)
+        |SELECT event_type, hour, CAST(COUNT(*) AS BIGINT) AS volume,
+        |  arg_min(cents, ok) AS open, MAX(cents) AS high, MIN(cents) AS low,
+        |  arg_max(cents, ok) AS close
+        |FROM e GROUP BY 1, 2 HAVING hour % 12 = 5
+        |ORDER BY event_type, hour""".stripMargin,
 
     // Same rater construction, same exact integer rational.
     "agg_cohens_kappa" ->

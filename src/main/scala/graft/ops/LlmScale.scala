@@ -183,6 +183,36 @@ object LlmScale {
         .orderBy("source")
     }),
 
+    // Mean reciprocal rank — retrieval's headline metric, scored as an
+    // EXACT RATIONAL: every rank divides lcm(1..20) = 232792560, so
+    // MRR = Σ(LCM DIV rank) over LCM·n needs no floats at all. Probes
+    // are 20-doc groups, the relevant doc is the group's min md5('rel')
+    // draw, its rank comes from the per-group score ordering — real
+    // window mechanics under an eval metric that usually gets computed
+    // sloppily in doubles.
+    "llm_retrieval_mrr" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("grp").orderBy(desc("score"), col("doc_id"))
+      val wRel = org.apache.spark.sql.expressions.Window
+        .partitionBy("grp").orderBy(col("rel"), col("doc_id"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), expr("doc_id DIV 20").as("grp"),
+          expr("CAST(conv(substring(md5(concat('sc:', CAST(doc_id AS STRING))), 1, 8), 16, 10) AS BIGINT)")
+            .as("score"),
+          expr("CAST(conv(substring(md5(concat('rel:', CAST(doc_id AS STRING))), 1, 8), 16, 10) AS BIGINT)")
+            .as("rel"))
+        .withColumn("rnk", row_number().over(w).cast("bigint"))
+        .withColumn("rel_rn", row_number().over(wRel))
+        .where(col("rel_rn") === 1)
+        .agg(count(lit(1)).as("n_probes"),
+          sum(expr("232792560 DIV rnk")).as("mrr_num"),
+          sum(when(col("rnk") === 1, 1L).otherwise(0L)).as("n_at_1"),
+          sum(when(col("rnk") <= 5, 1L).otherwise(0L)).as("n_at_5"))
+        .withColumn("mrr_ppm",
+          expr("(mrr_num * 1000000) DIV (232792560 * n_probes)"))
+        .withColumn("hit_at_5_ppm", expr("(n_at_5 * 1000000) DIV n_probes"))
+    }),
+
     // Fill-in-the-middle transform — the code-model pretraining
     // permutation (PSM: <PRE>prefix<SUF>suffix<MID>middle): two md5 cut
     // points split each doc, the rendered string reorders the three
@@ -606,6 +636,27 @@ object LlmScale {
         |SELECT lang, CAST((cum - n_tokens) // 2048 AS BIGINT) AS bin, COUNT(*) AS n_docs,
         |  CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens
         |FROM c GROUP BY lang, (cum - n_tokens) // 2048 ORDER BY lang, bin""".stripMargin,
+
+    // Same group construction, same LCM-exact reciprocal ranks.
+    "llm_retrieval_mrr" ->
+      """WITH t AS (SELECT doc_id, doc_id // 20 AS grp,
+        |    ('0x' || substring(md5('sc:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS score,
+        |    ('0x' || substring(md5('rel:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS rel
+        |  FROM documents),
+        |r AS (SELECT *,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY grp ORDER BY score DESC, doc_id) AS BIGINT) AS rnk,
+        |    ROW_NUMBER() OVER (PARTITION BY grp ORDER BY rel, doc_id) AS rel_rn
+        |  FROM t),
+        |p AS (SELECT grp, rnk FROM r WHERE rel_rn = 1),
+        |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_probes,
+        |    CAST(SUM(232792560 // rnk) AS BIGINT) AS mrr_num,
+        |    CAST(SUM(CASE WHEN rnk = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_at_1,
+        |    CAST(SUM(CASE WHEN rnk <= 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_at_5
+        |  FROM p)
+        |SELECT n_probes, mrr_num, n_at_1, n_at_5,
+        |  (mrr_num * 1000000) // (232792560 * n_probes) AS mrr_ppm,
+        |  (n_at_5 * 1000000) // n_probes AS hit_at_5_ppm
+        |FROM m""".stripMargin,
 
     // Same cuts, same PSM ordering, same conservation law.
     "llm_fim_transform" ->
