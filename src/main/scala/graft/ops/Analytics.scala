@@ -1265,6 +1265,36 @@ object Analytics {
         .withColumn("gini_signed_ppm", col("auc_ppm") * 2 - 1000000L)
     }),
 
+    // Friedman test — the k-treatment PAIRED rank test (the
+    // nonparametric repeated-measures ANOVA; McNemar handles 2 binary,
+    // this handles k ordinal): per block (doc), the 3 treatment scores
+    // rank 1..3 by pairwise-comparison COUNTING (deterministic
+    // index tie-break — the engine contract — no midrank floats), rank
+    // sums Rj, and χ²_F = 12ΣRj²/(nk(k+1)) − 3n(k+1) kept as an exact
+    // integer rational (num, den); df=2 significance cross-multiplies
+    // to 100·num > 599·den. Treatment 2 carries a planted +25 shift.
+    "agg_friedman" -> ((s, d) => {
+      def sc(j: Int) =
+        s"(CAST(conv(substring(md5(concat('t$j:', CAST(doc_id AS STRING))), 1, 8), 16, 10) AS BIGINT) % 1000 + ${j * 25})"
+      def rank(j: Int) = {
+        val others = (0 to 2).filter(_ != j).map { i =>
+          s"(CASE WHEN ${sc(i)} < ${sc(j)} OR (${sc(i)} = ${sc(j)} AND $i < $j) THEN 1 ELSE 0 END)"
+        }.mkString(" + ")
+        s"1 + $others"
+      }
+      val t = Tables.documents(s, d).select(col("doc_id"))
+        .withColumn("r0", expr(rank(0)).cast("long"))
+        .withColumn("r1", expr(rank(1)).cast("long"))
+        .withColumn("r2", expr(rank(2)).cast("long"))
+      t.agg(count(lit(1)).as("n"),
+          sum("r0").as("rs0"), sum("r1").as("rs1"), sum("r2").as("rs2"))
+        .withColumn("chi2_num", expr(
+          "12 * (rs0*rs0 + rs1*rs1 + rs2*rs2) - 3 * n * 4 * (n * 3 * 4)"))
+        .withColumn("chi2_den", expr("n * 3 * 4"))
+        .withColumn("significant", expr("100 * chi2_num > 599 * chi2_den"))
+        .select("n", "rs0", "rs1", "rs2", "chi2_num", "chi2_den", "significant")
+    }),
+
     // OHLC candles — the time-bucketed open/high/low/close rollup every
     // market/metrics dashboard draws: open and close are POSITIONAL
     // (first/last value in the bucket by time), expressed as
@@ -2472,6 +2502,33 @@ object Analytics {
         |SELECT n_pos, n_neg, u_x2, auc_ppm,
         |  auc_ppm * 2 - 1000000 AS gini_signed_ppm
         |FROM a""".stripMargin,
+
+    // Same comparison-counted ranks, same integer rational chi-square.
+    "agg_friedman" -> {
+      def sc(j: Int) =
+        s"(('0x' || substring(md5('t$j:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 1000 + ${j * 25})"
+      def rank(j: Int) = {
+        val others = (0 to 2).filter(_ != j).map { i =>
+          s"(CASE WHEN ${sc(i)} < ${sc(j)} OR (${sc(i)} = ${sc(j)} AND $i < $j) THEN 1 ELSE 0 END)"
+        }.mkString(" + ")
+        s"1 + $others"
+      }
+      s"""WITH t AS (SELECT doc_id,
+         |    CAST(${rank(0)} AS BIGINT) AS r0,
+         |    CAST(${rank(1)} AS BIGINT) AS r1,
+         |    CAST(${rank(2)} AS BIGINT) AS r2
+         |  FROM documents),
+         |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         |    CAST(SUM(r0) AS BIGINT) AS rs0, CAST(SUM(r1) AS BIGINT) AS rs1,
+         |    CAST(SUM(r2) AS BIGINT) AS rs2
+         |  FROM t)
+         |SELECT n, rs0, rs1, rs2,
+         |  12 * (rs0*rs0 + rs1*rs1 + rs2*rs2) - 3 * n * 4 * (n * 3 * 4) AS chi2_num,
+         |  n * 3 * 4 AS chi2_den,
+         |  100 * (12 * (rs0*rs0 + rs1*rs1 + rs2*rs2) - 3 * n * 4 * (n * 3 * 4))
+         |    > 599 * (n * 3 * 4) AS significant
+         |FROM m""".stripMargin
+    },
 
     // Same composite order key, arg_min/arg_max twin the positional picks.
     "agg_ohlc_candles" ->

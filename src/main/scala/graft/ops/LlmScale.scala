@@ -183,6 +183,30 @@ object LlmScale {
         .orderBy("source")
     }),
 
+    // MoE router load-balance audit — the expert-utilization report a
+    // mixture-of-experts trainer watches (a collapsed router starves
+    // experts and wastes capacity): routing from the md5 draw with a
+    // PLANTED hot expert (40% direct + uniform residue to expert 0),
+    // per-expert counts, and the imbalance factor k·Σc²/(Σc)² — exactly
+    // 1 when uniform, k when collapsed — in exact ppm via HUGEINT /
+    // DECIMAL(38,0) cross-multiplication; flag at 1.5×.
+    "llm_moe_balance" -> ((s, d) => {
+      val route = expr(
+        """CASE WHEN CAST(conv(substring(md5(concat('rt:', CAST(doc_id AS STRING))), 1, 8), 16, 10) AS BIGINT) % 100 < 40
+          THEN CAST(0 AS BIGINT)
+          ELSE (CAST(conv(substring(md5(concat('rt:', CAST(doc_id AS STRING))), 1, 8), 16, 10) AS BIGINT) DIV 100) % 8 END""")
+      val c = Tables.documents(s, d)
+        .select(route.as("expert"))
+        .groupBy("expert").agg(count(lit(1)).as("c"))
+      c.agg(count(lit(1)).as("k"),
+          sum("c").cast("bigint").as("n"),
+          sum((col("c") * col("c")).cast("decimal(38,0)")).cast("bigint").as("sq"),
+          max("c").as("max_c"))
+        .withColumn("imbalance_ppm", expr(
+          "CAST(CAST(k AS DECIMAL(38,0)) * sq * 1000000 DIV (CAST(n AS DECIMAL(38,0)) * n) AS BIGINT)"))
+        .withColumn("collapsed", col("imbalance_ppm") > 1500000L)
+    }),
+
     // Mean reciprocal rank — retrieval's headline metric, scored as an
     // EXACT RATIONAL: every rank divides lcm(1..20) = 232792560, so
     // MRR = Σ(LCM DIV rank) over LCM·n needs no floats at all. Probes
@@ -636,6 +660,24 @@ object LlmScale {
         |SELECT lang, CAST((cum - n_tokens) // 2048 AS BIGINT) AS bin, COUNT(*) AS n_docs,
         |  CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens
         |FROM c GROUP BY lang, (cum - n_tokens) // 2048 ORDER BY lang, bin""".stripMargin,
+
+    // Same planted routing, same cross-multiplied imbalance factor.
+    "llm_moe_balance" ->
+      """WITH t AS (SELECT CASE
+        |    WHEN ('0x' || substring(md5('rt:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 40
+        |    THEN CAST(0 AS BIGINT)
+        |    ELSE (('0x' || substring(md5('rt:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT // 100) % 8 END
+        |      AS expert
+        |  FROM documents),
+        |c AS (SELECT expert, CAST(COUNT(*) AS BIGINT) AS c FROM t GROUP BY expert),
+        |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS k, CAST(SUM(c) AS BIGINT) AS n,
+        |    CAST(SUM(c::HUGEINT * c) AS BIGINT) AS sq, MAX(c) AS max_c
+        |  FROM c)
+        |SELECT k, n, sq, max_c,
+        |  CAST((k::HUGEINT * sq * 1000000) // (n::HUGEINT * n) AS BIGINT) AS imbalance_ppm,
+        |  CAST((k::HUGEINT * sq * 1000000) // (n::HUGEINT * n) AS BIGINT) > 1500000
+        |    AS collapsed
+        |FROM m""".stripMargin,
 
     // Same group construction, same LCM-exact reciprocal ranks.
     "llm_retrieval_mrr" ->
