@@ -183,6 +183,51 @@ object LlmScale {
         .orderBy("source")
     }),
 
+    // Warmup-stable-decay LR schedule plan — the token-budget ledger a
+    // training launch derives from the CORPUS (8% warmup / 80% stable /
+    // 12% decay over total tokens, step = 4096-token batches): phase
+    // boundaries by the start-based cut law, per-phase token and step
+    // counts, and the tiling verdict (phases must partition the budget
+    // exactly — an off-by-one here silently shifts every LR in the
+    // run). Pure integer planning over one corpus-total scalar.
+    "llm_lr_schedule_plan" -> ((s, d) => {
+      val total = Tables.documents(s, d)
+        .agg(sum(size(split(col("text"), " ")).cast("decimal(38,0)"))
+          .cast("bigint")).head.getLong(0)
+      val classic = s.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      import classic.implicits._
+      val b1 = total * 8 / 100
+      val b2 = total * 88 / 100
+      classic.createDataset(Seq(
+          ("1_warmup", 0L, b1), ("2_stable", b1, b2), ("3_decay", b2, total)))
+        .toDF("phase", "start_tok", "end_tok")
+        .withColumn("phase_tokens", col("end_tok") - col("start_tok"))
+        .withColumn("n_steps", expr("(phase_tokens + 4095) DIV 4096"))
+        .withColumn("share_ppm", expr(s"(phase_tokens * 1000000) DIV ${total}L"))
+        .orderBy("phase")
+    }),
+
+    // Sliding-window attention savings — the memory case for SWA next
+    // to llm_attention_block_savings' packing case: causal-full cells =
+    // L(L+1)/2, sliding-window cells = w(w+1)/2 + (L−w)·w for L ≥ w
+    // (else the full triangle), both CLOSED-FORM integers per doc —
+    // no per-position explode — rolled up per length band with exact
+    // savings ppm. w = 128 whitespace tokens.
+    "llm_swa_savings" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(size(split(col("text"), " ")).cast("bigint").as("len"))
+        .withColumn("full_cells", expr("(len * (len + 1)) DIV 2"))
+        .withColumn("swa_cells", expr(
+          "CASE WHEN len <= 128 THEN (len * (len + 1)) DIV 2 ELSE (128 * 129) DIV 2 + (len - 128) * 128 END"))
+        .withColumn("band", expr("len DIV 64"))
+        .groupBy("band")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("full_cells").cast("decimal(38,0)")).cast("bigint").as("full_total"),
+          sum(col("swa_cells").cast("decimal(38,0)")).cast("bigint").as("swa_total"))
+        .withColumn("savings_ppm",
+          expr("((full_total - swa_total) * 1000000) DIV full_total"))
+        .orderBy("band")),
+
     // MoE router load-balance audit — the expert-utilization report a
     // mixture-of-experts trainer watches (a collapsed router starves
     // experts and wastes capacity): routing from the md5 draw with a
@@ -660,6 +705,36 @@ object LlmScale {
         |SELECT lang, CAST((cum - n_tokens) // 2048 AS BIGINT) AS bin, COUNT(*) AS n_docs,
         |  CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens
         |FROM c GROUP BY lang, (cum - n_tokens) // 2048 ORDER BY lang, bin""".stripMargin,
+
+    // Same corpus total, same start-based boundaries, same ceil steps.
+    "llm_lr_schedule_plan" ->
+      """WITH tt AS (SELECT CAST(SUM(CAST(len(string_split(text, ' ')) AS HUGEINT)) AS BIGINT)
+        |    AS total FROM documents),
+        |p AS (SELECT '1_warmup' AS phase, CAST(0 AS BIGINT) AS start_tok,
+        |    total * 8 // 100 AS end_tok FROM tt
+        |  UNION ALL SELECT '2_stable', total * 8 // 100, total * 88 // 100 FROM tt
+        |  UNION ALL SELECT '3_decay', total * 88 // 100, total FROM tt)
+        |SELECT phase, start_tok, end_tok,
+        |  end_tok - start_tok AS phase_tokens,
+        |  (end_tok - start_tok + 4095) // 4096 AS n_steps,
+        |  ((end_tok - start_tok) * 1000000) // (SELECT total FROM tt) AS share_ppm
+        |FROM p ORDER BY phase""".stripMargin,
+
+    // Same closed forms, same bands, same exact ppm.
+    "llm_swa_savings" ->
+      """WITH t AS (SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS len
+        |  FROM documents),
+        |c AS (SELECT len, (len * (len + 1)) // 2 AS full_cells,
+        |    CASE WHEN len <= 128 THEN (len * (len + 1)) // 2
+        |      ELSE (128 * 129) // 2 + (len - 128) * 128 END AS swa_cells,
+        |    len // 64 AS band
+        |  FROM t)
+        |SELECT band, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(full_cells::HUGEINT) AS BIGINT) AS full_total,
+        |  CAST(SUM(swa_cells::HUGEINT) AS BIGINT) AS swa_total,
+        |  ((CAST(SUM(full_cells::HUGEINT) AS BIGINT) - CAST(SUM(swa_cells::HUGEINT) AS BIGINT)) * 1000000)
+        |    // CAST(SUM(full_cells::HUGEINT) AS BIGINT) AS savings_ppm
+        |FROM c GROUP BY band ORDER BY band""".stripMargin,
 
     // Same planted routing, same cross-multiplied imbalance factor.
     "llm_moe_balance" ->
