@@ -1265,6 +1265,37 @@ object Analytics {
         .withColumn("gini_signed_ppm", col("auc_ppm") * 2 - 1000000L)
     }),
 
+    // Spearman rank correlation — the monotone-association metric that
+    // ignores the marginal distributions Pearson is hostage to: both
+    // variables (order price; the customer's order count) become ranks
+    // with a deterministic key tie-break (documented engine contract —
+    // no midrank floats), and ρ = (n(n²−1) − 6Σd²)/(n(n²−1)) is scored
+    // as an exact SIGN-SAFE ppm with DECIMAL(38,0)/HUGEINT products
+    // (6Σd²·10⁶ clears int64 at full n). 1-in-10 order sample bounds
+    // the two global rank windows.
+    "agg_spearman" -> ((s, d) => {
+      val counts = Tables.orders(s, d).groupBy("o_custkey")
+        .agg(count(lit(1)).as("cust_orders"))
+      val t = Tables.orders(s, d).where(col("o_orderkey") % 10 === 4)
+        .join(counts, "o_custkey")
+        .select(col("o_orderkey"),
+          round(col("o_totalprice") * 100).cast("bigint").as("x"),
+          col("cust_orders").as("y"))
+      val wx = Window.orderBy(col("x"), col("o_orderkey"))
+      val wy = Window.orderBy(col("y"), col("o_orderkey"))
+      t.withColumn("rx", row_number().over(wx).cast("bigint"))
+        .withColumn("ry", row_number().over(wy).cast("bigint"))
+        .withColumn("d2", (col("rx") - col("ry")) * (col("rx") - col("ry")))
+        .agg(count(lit(1)).as("n"),
+          sum(col("d2").cast("decimal(38,0)")).cast("bigint").as("sum_d2"))
+        .withColumn("rho_ppm", expr(
+          """CASE WHEN CAST(n AS DECIMAL(38,0)) * (n*n - 1) - 6 * CAST(sum_d2 AS DECIMAL(38,0)) >= 0
+             THEN CAST((CAST(n AS DECIMAL(38,0)) * (n*n - 1) - 6 * CAST(sum_d2 AS DECIMAL(38,0))) * 1000000
+               DIV (CAST(n AS DECIMAL(38,0)) * (n*n - 1)) AS BIGINT)
+             ELSE -CAST((6 * CAST(sum_d2 AS DECIMAL(38,0)) - CAST(n AS DECIMAL(38,0)) * (n*n - 1)) * 1000000
+               DIV (CAST(n AS DECIMAL(38,0)) * (n*n - 1)) AS BIGINT) END"""))
+    }),
+
     // Friedman test — the k-treatment PAIRED rank test (the
     // nonparametric repeated-measures ANOVA; McNemar handles 2 binary,
     // this handles k ordinal): per block (doc), the 3 treatment scores
@@ -2502,6 +2533,30 @@ object Analytics {
         |SELECT n_pos, n_neg, u_x2, auc_ppm,
         |  auc_ppm * 2 - 1000000 AS gini_signed_ppm
         |FROM a""".stripMargin,
+
+    // Same key tie-break ranks, same HUGEINT sign-safe rational.
+    "agg_spearman" ->
+      """WITH cc AS (SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS cust_orders
+        |  FROM orders GROUP BY 1),
+        |t AS (SELECT o.o_orderkey,
+        |    CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS x,
+        |    cc.cust_orders AS y
+        |  FROM orders o JOIN cc ON cc.o_custkey = o.o_custkey
+        |  WHERE o.o_orderkey % 10 = 4),
+        |r AS (SELECT *,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY x, o_orderkey) AS BIGINT) AS rx,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY y, o_orderkey) AS BIGINT) AS ry
+        |  FROM t),
+        |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(((rx - ry) * (rx - ry))::HUGEINT) AS BIGINT) AS sum_d2
+        |  FROM r)
+        |SELECT n, sum_d2,
+        |  CASE WHEN n::HUGEINT * (n*n - 1) - 6 * sum_d2::HUGEINT >= 0
+        |    THEN CAST((n::HUGEINT * (n*n - 1) - 6 * sum_d2::HUGEINT) * 1000000
+        |      // (n::HUGEINT * (n*n - 1)) AS BIGINT)
+        |    ELSE -CAST((6 * sum_d2::HUGEINT - n::HUGEINT * (n*n - 1)) * 1000000
+        |      // (n::HUGEINT * (n*n - 1)) AS BIGINT) END AS rho_ppm
+        |FROM m""".stripMargin,
 
     // Same comparison-counted ranks, same integer rational chi-square.
     "agg_friedman" -> {

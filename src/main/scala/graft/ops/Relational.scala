@@ -265,6 +265,44 @@ object Relational {
         .orderBy("status")
     }),
 
+    // Gzip'd line-text ingest — the compressed-text path crawl dumps
+    // arrive on (Hadoop's codec layer decompresses .gz transparently on
+    // READ; each .gz is one split — the classic small-archives shape):
+    // staged shards of TSV lines gzip'd with java.util.zip, read back
+    // through spark.read.text, split and rolled up; conservation proves
+    // the codec path is lossless. (Non-splittable gz = one task per
+    // shard — stage several shards for parallelism, as a crawl does.)
+    "source_text_gzip" -> ((s, d) => {
+      val dir = Scratch.opDir("textgz", d)
+      val staged = java.nio.file.Paths.get(dir, "_STAGED")
+      if (!java.nio.file.Files.exists(staged)) {
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+        val rows = Tables.orders(s, d).where(col("o_orderkey") % 7 === 0)
+          .select(col("o_orderkey"), col("o_orderstatus"),
+            round(col("o_totalprice") * 100).cast("bigint")).collect()
+        rows.groupBy(r => (r.getLong(0) / 7) % 3).foreach { case (part, rs) =>
+          val out = new java.util.zip.GZIPOutputStream(
+            java.nio.file.Files.newOutputStream(
+              java.nio.file.Paths.get(dir, s"shard_$part.tsv.gz")))
+          rs.sortBy(_.getLong(0)).foreach { r =>
+            out.write(s"${r.getLong(0)}\t${r.getString(1)}\t${r.getLong(2)}\n"
+              .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          }
+          out.close()
+        }
+        java.nio.file.Files.write(staged, Array.emptyByteArray)
+      }
+      s.read.option("pathGlobFilter", "*.gz").text(dir)
+        .select(split(col("value"), "\t").as("f"))
+        .select(col("f").getItem(0).cast("bigint").as("okey"),
+          col("f").getItem(1).as("status"),
+          col("f").getItem(2).cast("bigint").as("cents"))
+        .groupBy("status")
+        .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"),
+          min("okey").as("min_key"), max("okey").as("max_key"))
+        .orderBy("status")
+    }),
+
     // Whole-file text ingest (`wholetext`) — the one-document-per-file
     // shape a crawled corpus lands in (line-based text readers would
     // shred multi-line documents into rows): each staged file comes back
@@ -1327,6 +1365,14 @@ object Relational {
       """SELECT doc_id, CAST(length(text) AS BIGINT) AS length,
         |  md5(text) AS content_md5
         |FROM documents WHERE doc_id % 50 = 0 ORDER BY doc_id""".stripMargin,
+
+    // The gz codec path must be lossless.
+    "source_text_gzip" ->
+      """SELECT o_orderstatus AS status, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+        |  MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
+        |FROM orders WHERE o_orderkey % 7 = 0
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // One row per file, identity by md5 + length.
     "source_wholetext" ->
