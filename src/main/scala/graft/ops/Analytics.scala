@@ -1265,6 +1265,39 @@ object Analytics {
         .withColumn("gini_signed_ppm", col("auc_ppm") * 2 - 1000000L)
     }),
 
+    // Gini-impurity split scoring — the decision-tree criterion (how
+    // well does segment membership predict order priority?), distinct
+    // from agg_gini's wealth concentration: per branch the impurity
+    // 1 − Σp² is the exact rational (n² − Σc²)/n², and the split score
+    // is the n-weighted average — all cross-multiplied to exact ppm in
+    // DECIMAL(38,0)/HUGEINT; the parent impurity rides along so the
+    // GAIN (parent − weighted children, the quantity a learner ranks
+    // splits by) is graded too. One (branch, label) rollup.
+    "agg_split_gini" -> ((s, d) => {
+      val cells = Tables.orders(s, d)
+        .join(broadcast(Tables.customer(s, d).select("c_custkey", "c_mktsegment")),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment").as("branch"),
+          col("o_orderpriority").as("label"))
+        .agg(count(lit(1)).as("c"))
+        .localCheckpoint()
+      val branch = cells.groupBy("branch")
+        .agg(sum("c").as("n"),
+          sum((col("c") * col("c")).cast("decimal(38,0)")).cast("bigint").as("sq"))
+        .withColumn("impurity_ppm", expr(
+          "CAST((CAST(n AS DECIMAL(38,0)) * n - sq) * 1000000 DIV (CAST(n AS DECIMAL(38,0)) * n) AS BIGINT)"))
+      val parent = cells.groupBy("label").agg(sum("c").as("pc"))
+        .agg(sum("pc").as("pn"),
+          sum((col("pc") * col("pc")).cast("decimal(38,0)")).cast("bigint").as("psq"))
+        .withColumn("parent_ppm", expr(
+          "CAST((CAST(pn AS DECIMAL(38,0)) * pn - psq) * 1000000 DIV (CAST(pn AS DECIMAL(38,0)) * pn) AS BIGINT)"))
+      branch.crossJoin(broadcast(parent.select("pn", "parent_ppm")))
+        .withColumn("weighted_ppm", expr(
+          "CAST(CAST(n AS DECIMAL(38,0)) * impurity_ppm DIV pn AS BIGINT)"))
+        .select("branch", "n", "impurity_ppm", "weighted_ppm", "parent_ppm")
+        .orderBy("branch")
+    }),
+
     // Spearman rank correlation — the monotone-association metric that
     // ignores the marginal distributions Pearson is hostage to: both
     // variables (order price; the customer's order count) become ranks
@@ -2533,6 +2566,31 @@ object Analytics {
         |SELECT n_pos, n_neg, u_x2, auc_ppm,
         |  auc_ppm * 2 - 1000000 AS gini_signed_ppm
         |FROM a""".stripMargin,
+
+    // Same cell rollup, same cross-multiplied impurities.
+    "agg_split_gini" ->
+      """WITH cells AS (SELECT c_mktsegment AS branch, o_orderpriority AS label,
+        |    CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1, 2),
+        |b AS (SELECT branch, CAST(SUM(c) AS BIGINT) AS n,
+        |    CAST(SUM(c::HUGEINT * c) AS BIGINT) AS sq
+        |  FROM cells GROUP BY branch),
+        |bi AS (SELECT branch, n,
+        |    CAST((n::HUGEINT * n - sq) * 1000000 // (n::HUGEINT * n) AS BIGINT)
+        |      AS impurity_ppm
+        |  FROM b),
+        |pl AS (SELECT label, CAST(SUM(c) AS BIGINT) AS pc FROM cells GROUP BY label),
+        |p AS (SELECT CAST(SUM(pc) AS BIGINT) AS pn,
+        |    CAST(SUM(pc::HUGEINT * pc) AS BIGINT) AS psq
+        |  FROM pl),
+        |pp AS (SELECT pn,
+        |    CAST((pn::HUGEINT * pn - psq) * 1000000 // (pn::HUGEINT * pn) AS BIGINT)
+        |      AS parent_ppm
+        |  FROM p)
+        |SELECT bi.branch, bi.n, bi.impurity_ppm,
+        |  CAST(bi.n::HUGEINT * bi.impurity_ppm // pp.pn AS BIGINT) AS weighted_ppm,
+        |  pp.parent_ppm
+        |FROM bi, pp ORDER BY bi.branch""".stripMargin,
 
     // Same key tie-break ranks, same HUGEINT sign-safe rational.
     "agg_spearman" ->
