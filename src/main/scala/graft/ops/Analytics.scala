@@ -1702,7 +1702,176 @@ object Analytics {
             (col("st.l") + col("st.t") * 3).as("forecast_h3_cents"))
           .orderBy("event_type")
       }
-    }
+    },
+
+    // Kendall's τ-b — the CONCORDANCE-counting rank correlation (Spearman's
+    // companion that weighs every pair, not every rank gap): on a 1-in-100
+    // order sample, all ordered pairs classify as concordant / discordant /
+    // x-tied / y-tied with EXACT integer counts (products of cent and count
+    // diffs stay far inside int64), and τ_b = (C−D)/√((n₀−Tx)(n₀−Ty)) is ONE
+    // double division over one sqrt of a product of exact ints — both
+    // factors < 2⁵³ so the double product is exact and the IEEE result is
+    // engine-identical. The pair join is a broadcast nested loop over the
+    // small sample (the O(n²) statistic is intentionally sample-bounded; at
+    // 100 TB you'd keep exactly this sample-first shape).
+    "agg_kendall_tau" -> ((s, d) => {
+      val counts = Tables.orders(s, d).groupBy("o_custkey")
+        .agg(count(lit(1)).as("cust_orders"))
+      val t = Tables.orders(s, d).where(col("o_orderkey") % 100 === 7)
+        .join(counts, "o_custkey")
+        .select(col("o_orderkey").as("k"),
+          round(col("o_totalprice") * 100).cast("bigint").as("x"),
+          col("cust_orders").as("y"))
+      val a = t.select(col("k").as("ka"), col("x").as("xa"), col("y").as("ya"))
+      val b = t.select(col("k").as("kb"), col("x").as("xb"), col("y").as("yb"))
+      a.join(b, col("ka") < col("kb"))
+        .agg(count(lit(1)).as("n0"),
+          sum(when((col("xa") - col("xb")) * (col("ya") - col("yb")) > 0, 1L)
+            .otherwise(0L)).as("nc"),
+          sum(when((col("xa") - col("xb")) * (col("ya") - col("yb")) < 0, 1L)
+            .otherwise(0L)).as("nd"),
+          sum(when(col("xa") === col("xb"), 1L).otherwise(0L)).as("tx"),
+          sum(when(col("ya") === col("yb"), 1L).otherwise(0L)).as("ty"))
+        .withColumn("tau_b", expr(
+          """CASE WHEN n0 > tx AND n0 > ty
+             THEN CAST(nc - nd AS DOUBLE)
+               / sqrt(CAST(n0 - tx AS DOUBLE) * CAST(n0 - ty AS DOUBLE))
+             ELSE 0.0 END"""))
+    }),
+
+    // Kruskal–Wallis H — the k-sample UNPAIRED rank test (one-way ANOVA on
+    // ranks; Mann–Whitney generalized past two groups, Friedman's unpaired
+    // twin): global ranks over a 1-in-10 order sample use the deterministic
+    // (cents, key) tie-break (engine contract — no midrank floats), per-
+    // priority rank sums and counts stay exact BIGINTs, and
+    // H = 12·ΣRⱼ²/nⱼ / (N(N+1)) − 3(N+1) is a FIXED-SHAPE double expression
+    // (five casted divisions summed left-to-right, one final division) —
+    // every operand an exact integer, so both engines walk the identical
+    // IEEE op sequence. Significance cross-checks H > 9.488 (χ², df=4).
+    "agg_kruskal_wallis" -> ((s, d) => {
+      val t = Tables.orders(s, d).where(col("o_orderkey") % 10 === 3)
+        .select(substring(col("o_orderpriority"), 1, 1).cast("int").as("g"),
+          round(col("o_totalprice") * 100).cast("bigint").as("x"),
+          col("o_orderkey"))
+      val w = Window.orderBy(col("x"), col("o_orderkey"))
+      val r = t.withColumn("rk", row_number().over(w).cast("bigint"))
+      val aggs = (1 to 5).flatMap { j =>
+        Seq(sum(when(col("g") === j, col("rk"))).as(s"r$j"),
+          sum(when(col("g") === j, 1L).otherwise(0L)).as(s"n$j"))
+      }
+      r.agg(count(lit(1)).as("n"), aggs: _*)
+        .withColumn("h", expr(
+          """12.0 * (CAST(r1*r1 AS DOUBLE) / n1 + CAST(r2*r2 AS DOUBLE) / n2
+             + CAST(r3*r3 AS DOUBLE) / n3 + CAST(r4*r4 AS DOUBLE) / n4
+             + CAST(r5*r5 AS DOUBLE) / n5)
+             / (CAST(n AS DOUBLE) * (n + 1)) - 3.0 * (n + 1)"""))
+        .withColumn("significant", expr("h > 9.488"))
+    }),
+
+    // Bollinger bands — the rolling mean ± 2σ envelope every monitoring and
+    // trading dashboard draws: a single 20-row window per event_type (one
+    // shuffle serves count/sum/sum-of-squares), the variance numerator
+    // n·Σx²−(Σx)² stays an EXACT integer in cents² (catastrophic
+    // cancellation happens in integers, the agg_runs_test law), and the
+    // bands are a fixed double expression over exact ints (one sqrt — the
+    // sqrt-on-data allowance). Emitted rows subsample 1-in-5 AFTER the
+    // window so the frame itself is complete.
+    "win_bollinger" -> ((s, d) => {
+      val w = Window.partitionBy("event_type")
+        .orderBy(col("ts_us"), col("event_id")).rowsBetween(-19, 0)
+      Tables.events(s, d)
+        .select(col("event_type"), col("event_id"), col("ts_us"),
+          floor(col("value") * 100).cast("bigint").as("cents"))
+        .withColumn("nw", count(lit(1)).over(w))
+        .withColumn("sw", sum("cents").over(w))
+        .withColumn("qw", sum(col("cents") * col("cents")).over(w))
+        .where(col("nw") === 20 && col("event_id") % 5 === 2)
+        .withColumn("var_num", expr("20 * qw - sw * sw"))
+        .withColumn("mid", expr("CAST(sw AS DOUBLE) / 20.0"))
+        .withColumn("upper_band", expr(
+          "CAST(sw AS DOUBLE) / 20.0 + 2.0 * sqrt(CAST(20 * qw - sw * sw AS DOUBLE) / 380.0)"))
+        .withColumn("lower_band", expr(
+          "CAST(sw AS DOUBLE) / 20.0 - 2.0 * sqrt(CAST(20 * qw - sw * sw AS DOUBLE) / 380.0)"))
+        .select("event_type", "event_id", "cents", "sw", "var_num",
+          "mid", "upper_band", "lower_band")
+        .orderBy("event_type", "event_id")
+    }),
+
+    // Cochran's Q — the k-treatment BINARY repeated-measures test (McNemar
+    // past two treatments; Friedman's 0/1 specialization): three planted
+    // success rates (1/5, 2/5, 3/5) from the shared md5-integer randomness,
+    // column totals Cⱼ and row totals Rᵢ exact BIGINTs, and
+    // Q = (k−1)(kΣCⱼ²−N²)/(kN−ΣRᵢ²) an EXACT integer rational (numerator
+    // ≥ 0 by Cauchy–Schwarz, so DIV == //); df=2 significance
+    // cross-multiplies to 1000·num > 5991·den. One scan, one aggregate.
+    "agg_cochran_q" -> ((s, d) => {
+      def x(j: Int) =
+        s"(CASE WHEN CAST(conv(substring(md5(concat('cq$j:', CAST(doc_id AS STRING))), 1, 8), 16, 10) AS BIGINT) % 5 < ${j + 1} THEN 1 ELSE 0 END)"
+      Tables.documents(s, d).select(col("doc_id"))
+        .withColumn("x0", expr(x(0)).cast("long"))
+        .withColumn("x1", expr(x(1)).cast("long"))
+        .withColumn("x2", expr(x(2)).cast("long"))
+        .agg(count(lit(1)).as("n"),
+          sum("x0").as("c0"), sum("x1").as("c1"), sum("x2").as("c2"),
+          sum(expr("(x0 + x1 + x2) * (x0 + x1 + x2)")).as("sum_r2"))
+        .withColumn("nn", expr("c0 + c1 + c2"))
+        .withColumn("q_num", expr("2 * (3 * (c0*c0 + c1*c1 + c2*c2) - nn * nn)"))
+        .withColumn("q_den", expr("3 * nn - sum_r2"))
+        .withColumn("q_milli", expr("1000 * q_num DIV q_den"))
+        .withColumn("significant", expr("1000 * q_num > 5991 * q_den"))
+    }),
+
+    // Stochastic oscillator — %K = (close−L₁₄)/(H₁₄−L₁₄) with %D its
+    // 3-period mean, the overbought/oversold gauge next to win_rsi's
+    // momentum and win_bollinger's volatility: rolling 14-row min/max per
+    // event_type (one shuffle serves both), %K an exact NON-NEGATIVE ppm
+    // DIV, %D the truncated mean of three non-negative ppms (DIV == //),
+    // rows kept only once all three %K frames are complete (rn ≥ 16).
+    "win_stochastic_osc" -> ((s, d) => {
+      val ord = Window.partitionBy("event_type")
+        .orderBy(col("ts_us"), col("event_id"))
+      val w14 = ord.rowsBetween(-13, 0)
+      Tables.events(s, d)
+        .select(col("event_type"), col("event_id"), col("ts_us"),
+          floor(col("value") * 100).cast("bigint").as("cents"))
+        .withColumn("rn", row_number().over(ord).cast("bigint"))
+        .withColumn("h14", max("cents").over(w14))
+        .withColumn("l14", min("cents").over(w14))
+        .withColumn("k_ppm", expr(
+          "CASE WHEN h14 > l14 THEN (cents - l14) * 1000000 DIV (h14 - l14) ELSE 500000 END"))
+        .withColumn("d_ppm", expr(
+          "(k_ppm + lag(k_ppm, 1) OVER (PARTITION BY event_type ORDER BY ts_us, event_id)" +
+            " + lag(k_ppm, 2) OVER (PARTITION BY event_type ORDER BY ts_us, event_id)) DIV 3"))
+        .where(col("rn") >= 16 && col("event_id") % 5 === 1)
+        .select("event_type", "event_id", "cents", "h14", "l14", "k_ppm", "d_ppm")
+        .orderBy("event_type", "event_id")
+    }),
+
+    // chrF-2 — the character-bigram F-score MT/eval metric (robust to
+    // tokenization where BLEU is hostage to it): adjacent even/odd docs
+    // pair as (hypothesis, reference), char-bigram MULTISET counts per
+    // side, overlap = Σ min(cₕ, cᵣ) via an inner join (absent grams
+    // contribute 0), and chrF2 = 5·P·R/(4P+R) CLEARED to the single
+    // integer division 5·ov·10⁶ DIV (4·cr + ch) — the em_f1 harmonic-mean
+    // clearing law. One explode per side, one (pair, gram) join.
+    "llm_chrf" -> ((s, d) => {
+      def grams(mod: Int) = Tables.documents(s, d)
+        .where(col("doc_id") % 20 === mod && length(col("text")) >= 2)
+        .select(expr("doc_id DIV 20").as("pair"),
+          explode(expr("transform(sequence(1, CAST(length(text) - 1 AS INT)), i -> substring(text, i, 2))")).as("gram"))
+        .groupBy("pair", "gram").agg(count(lit(1)).as("c"))
+      val h = grams(0).withColumnRenamed("c", "ch_g")
+      val r = grams(1).withColumnRenamed("c", "cr_g")
+      val totH = h.groupBy("pair").agg(sum("ch_g").as("ch"))
+      val totR = r.groupBy("pair").agg(sum("cr_g").as("cr"))
+      val ov = h.join(r, Seq("pair", "gram"))
+        .groupBy("pair").agg(sum(least(col("ch_g"), col("cr_g"))).as("ov_raw"))
+      totH.join(totR, "pair").join(ov, Seq("pair"), "left")
+        .withColumn("ov", coalesce(col("ov_raw"), lit(0L)))
+        .withColumn("chrf2_ppm", expr("5 * ov * 1000000 DIV (4 * cr + ch)"))
+        .select("pair", "ch", "cr", "ov", "chrf2_ppm")
+        .orderBy("pair")
+    })
   )
 
   /** `win_ewma`'s truncated half-decay weights for lags 0..7. */
@@ -2884,6 +3053,152 @@ object Analytics {
          |FROM h JOIN s ON s.event_type = h.het AND s.rn = h.hrn
          |WHERE s.rn = s.n_days
          |ORDER BY event_type""".stripMargin
-    }
+    },
+
+    // Same pair classification, same exact-int-product single-sqrt double.
+    "agg_kendall_tau" ->
+      """WITH cc AS (SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS cust_orders
+        |  FROM orders GROUP BY 1),
+        |t AS (SELECT o.o_orderkey AS k,
+        |    CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS x,
+        |    cc.cust_orders AS y
+        |  FROM orders o JOIN cc ON cc.o_custkey = o.o_custkey
+        |  WHERE o.o_orderkey % 100 = 7),
+        |p AS (SELECT CAST(COUNT(*) AS BIGINT) AS n0,
+        |    CAST(SUM(CASE WHEN (a.x - b.x) * (a.y - b.y) > 0 THEN 1 ELSE 0 END) AS BIGINT) AS nc,
+        |    CAST(SUM(CASE WHEN (a.x - b.x) * (a.y - b.y) < 0 THEN 1 ELSE 0 END) AS BIGINT) AS nd,
+        |    CAST(SUM(CASE WHEN a.x = b.x THEN 1 ELSE 0 END) AS BIGINT) AS tx,
+        |    CAST(SUM(CASE WHEN a.y = b.y THEN 1 ELSE 0 END) AS BIGINT) AS ty
+        |  FROM t a JOIN t b ON a.k < b.k)
+        |SELECT n0, nc, nd, tx, ty,
+        |  CASE WHEN n0 > tx AND n0 > ty
+        |    THEN CAST(nc - nd AS DOUBLE)
+        |      / sqrt(CAST(n0 - tx AS DOUBLE) * CAST(n0 - ty AS DOUBLE))
+        |    ELSE 0.0 END AS tau_b
+        |FROM p""".stripMargin,
+
+    // Same key tie-break ranks, same fixed-shape IEEE expression.
+    "agg_kruskal_wallis" ->
+      """WITH t AS (SELECT
+        |    CAST(substring(o_orderpriority, 1, 1) AS INTEGER) AS g,
+        |    CAST(ROUND(o_totalprice * 100) AS BIGINT) AS x,
+        |    o_orderkey
+        |  FROM orders WHERE o_orderkey % 10 = 3),
+        |r AS (SELECT g,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY x, o_orderkey) AS BIGINT) AS rk
+        |  FROM t),
+        |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CASE WHEN g = 1 THEN rk END) AS BIGINT) AS r1,
+        |    CAST(SUM(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |    CAST(SUM(CASE WHEN g = 2 THEN rk END) AS BIGINT) AS r2,
+        |    CAST(SUM(CASE WHEN g = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+        |    CAST(SUM(CASE WHEN g = 3 THEN rk END) AS BIGINT) AS r3,
+        |    CAST(SUM(CASE WHEN g = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n3,
+        |    CAST(SUM(CASE WHEN g = 4 THEN rk END) AS BIGINT) AS r4,
+        |    CAST(SUM(CASE WHEN g = 4 THEN 1 ELSE 0 END) AS BIGINT) AS n4,
+        |    CAST(SUM(CASE WHEN g = 5 THEN rk END) AS BIGINT) AS r5,
+        |    CAST(SUM(CASE WHEN g = 5 THEN 1 ELSE 0 END) AS BIGINT) AS n5
+        |  FROM r)
+        |SELECT n, r1, n1, r2, n2, r3, n3, r4, n4, r5, n5,
+        |  12.0 * (CAST(r1*r1 AS DOUBLE) / n1 + CAST(r2*r2 AS DOUBLE) / n2
+        |  + CAST(r3*r3 AS DOUBLE) / n3 + CAST(r4*r4 AS DOUBLE) / n4
+        |  + CAST(r5*r5 AS DOUBLE) / n5)
+        |  / (CAST(n AS DOUBLE) * (n + 1)) - 3.0 * (n + 1) AS h,
+        |  12.0 * (CAST(r1*r1 AS DOUBLE) / n1 + CAST(r2*r2 AS DOUBLE) / n2
+        |  + CAST(r3*r3 AS DOUBLE) / n3 + CAST(r4*r4 AS DOUBLE) / n4
+        |  + CAST(r5*r5 AS DOUBLE) / n5)
+        |  / (CAST(n AS DOUBLE) * (n + 1)) - 3.0 * (n + 1) > 9.488 AS significant
+        |FROM m""".stripMargin,
+
+    // Same exact-integer variance numerator, same single-sqrt bands.
+    "win_bollinger" ->
+      """WITH e AS (SELECT event_type, event_id, epoch_us(ts) AS ts_us,
+        |    CAST(FLOOR(value * 100) AS BIGINT) AS cents FROM events),
+        |w AS (SELECT event_type, event_id, cents,
+        |    CAST(COUNT(*) OVER win AS BIGINT) AS nw,
+        |    CAST(SUM(cents) OVER win AS BIGINT) AS sw,
+        |    CAST(SUM(cents * cents) OVER win AS BIGINT) AS qw
+        |  FROM e
+        |  WINDOW win AS (PARTITION BY event_type ORDER BY ts_us, event_id
+        |    ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))
+        |SELECT event_type, event_id, cents, sw, 20 * qw - sw * sw AS var_num,
+        |  CAST(sw AS DOUBLE) / 20.0 AS mid,
+        |  CAST(sw AS DOUBLE) / 20.0
+        |    + 2.0 * sqrt(CAST(20 * qw - sw * sw AS DOUBLE) / 380.0) AS upper_band,
+        |  CAST(sw AS DOUBLE) / 20.0
+        |    - 2.0 * sqrt(CAST(20 * qw - sw * sw AS DOUBLE) / 380.0) AS lower_band
+        |FROM w WHERE nw = 20 AND event_id % 5 = 2
+        |ORDER BY event_type, event_id""".stripMargin,
+
+    // Same md5 successes, same Cauchy–Schwarz-non-negative rational.
+    "agg_cochran_q" -> {
+      def x(j: Int) =
+        s"(CASE WHEN ('0x' || substring(md5('cq$j:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 5 < ${j + 1} THEN 1 ELSE 0 END)"
+      s"""WITH t AS (SELECT doc_id,
+         |    CAST(${x(0)} AS BIGINT) AS x0,
+         |    CAST(${x(1)} AS BIGINT) AS x1,
+         |    CAST(${x(2)} AS BIGINT) AS x2
+         |  FROM documents),
+         |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         |    CAST(SUM(x0) AS BIGINT) AS c0, CAST(SUM(x1) AS BIGINT) AS c1,
+         |    CAST(SUM(x2) AS BIGINT) AS c2,
+         |    CAST(SUM((x0 + x1 + x2) * (x0 + x1 + x2)) AS BIGINT) AS sum_r2
+         |  FROM t)
+         |SELECT n, c0, c1, c2, sum_r2, c0 + c1 + c2 AS nn,
+         |  2 * (3 * (c0*c0 + c1*c1 + c2*c2) - (c0+c1+c2) * (c0+c1+c2)) AS q_num,
+         |  3 * (c0+c1+c2) - sum_r2 AS q_den,
+         |  1000 * (2 * (3 * (c0*c0 + c1*c1 + c2*c2) - (c0+c1+c2) * (c0+c1+c2)))
+         |    // (3 * (c0+c1+c2) - sum_r2) AS q_milli,
+         |  1000 * (2 * (3 * (c0*c0 + c1*c1 + c2*c2) - (c0+c1+c2) * (c0+c1+c2)))
+         |    > 5991 * (3 * (c0+c1+c2) - sum_r2) AS significant
+         |FROM m""".stripMargin
+    },
+
+    // Same rolling extremes, same non-negative ppm DIVs.
+    "win_stochastic_osc" ->
+      """WITH e AS (SELECT event_type, event_id, epoch_us(ts) AS ts_us,
+        |    CAST(FLOOR(value * 100) AS BIGINT) AS cents FROM events),
+        |w AS (SELECT event_type, event_id, ts_us, cents,
+        |    CAST(ROW_NUMBER() OVER ord AS BIGINT) AS rn,
+        |    CAST(MAX(cents) OVER w14 AS BIGINT) AS h14,
+        |    CAST(MIN(cents) OVER w14 AS BIGINT) AS l14
+        |  FROM e
+        |  WINDOW ord AS (PARTITION BY event_type ORDER BY ts_us, event_id),
+        |    w14 AS (PARTITION BY event_type ORDER BY ts_us, event_id
+        |      ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)),
+        |k AS (SELECT *,
+        |    CASE WHEN h14 > l14 THEN (cents - l14) * 1000000 // (h14 - l14)
+        |      ELSE 500000 END AS k_ppm
+        |  FROM w),
+        |dd AS (SELECT *,
+        |    (k_ppm + lag(k_ppm, 1) OVER ord2 + lag(k_ppm, 2) OVER ord2) // 3 AS d_ppm
+        |  FROM k
+        |  WINDOW ord2 AS (PARTITION BY event_type ORDER BY ts_us, event_id))
+        |SELECT event_type, event_id, cents, h14, l14, k_ppm, d_ppm
+        |FROM dd WHERE rn >= 16 AND event_id % 5 = 1
+        |ORDER BY event_type, event_id""".stripMargin,
+
+    // Same multiset bigrams, same cleared harmonic mean.
+    "llm_chrf" ->
+      """WITH h AS (SELECT doc_id // 20 AS pair, substring(text, CAST(i AS INTEGER), 2) AS gram,
+        |    CAST(COUNT(*) AS BIGINT) AS ch_g
+        |  FROM documents, range(1, length(text)) r(i)
+        |  WHERE doc_id % 20 = 0 AND length(text) >= 2
+        |  GROUP BY 1, 2),
+        |r AS (SELECT doc_id // 20 AS pair, substring(text, CAST(i AS INTEGER), 2) AS gram,
+        |    CAST(COUNT(*) AS BIGINT) AS cr_g
+        |  FROM documents, range(1, length(text)) r(i)
+        |  WHERE doc_id % 20 = 1 AND length(text) >= 2
+        |  GROUP BY 1, 2),
+        |th AS (SELECT pair, CAST(SUM(ch_g) AS BIGINT) AS ch FROM h GROUP BY 1),
+        |tr AS (SELECT pair, CAST(SUM(cr_g) AS BIGINT) AS cr FROM r GROUP BY 1),
+        |o AS (SELECT h.pair, CAST(SUM(LEAST(h.ch_g, r.cr_g)) AS BIGINT) AS ov_raw
+        |  FROM h JOIN r ON h.pair = r.pair AND h.gram = r.gram GROUP BY 1)
+        |SELECT th.pair, th.ch, tr.cr,
+        |  COALESCE(o.ov_raw, 0) AS ov,
+        |  5 * COALESCE(o.ov_raw, 0) * 1000000 // (4 * tr.cr + th.ch) AS chrf2_ppm
+        |FROM th JOIN tr ON th.pair = tr.pair
+        |LEFT JOIN o ON o.pair = th.pair
+        |ORDER BY th.pair""".stripMargin
   )
 }
