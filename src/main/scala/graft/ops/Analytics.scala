@@ -3182,12 +3182,12 @@ object Analytics {
     "llm_chrf" ->
       """WITH h AS (SELECT doc_id // 20 AS pair, substring(text, CAST(i AS INTEGER), 2) AS gram,
         |    CAST(COUNT(*) AS BIGINT) AS ch_g
-        |  FROM documents, range(1, length(text)) r(i)
+        |  FROM documents, LATERAL (SELECT unnest(range(1, CAST(length(text) AS INT))) AS i) u
         |  WHERE doc_id % 20 = 0 AND length(text) >= 2
         |  GROUP BY 1, 2),
         |r AS (SELECT doc_id // 20 AS pair, substring(text, CAST(i AS INTEGER), 2) AS gram,
         |    CAST(COUNT(*) AS BIGINT) AS cr_g
-        |  FROM documents, range(1, length(text)) r(i)
+        |  FROM documents, LATERAL (SELECT unnest(range(1, CAST(length(text) AS INT))) AS i) u
         |  WHERE doc_id % 20 = 1 AND length(text) >= 2
         |  GROUP BY 1, 2),
         |th AS (SELECT pair, CAST(SUM(ch_g) AS BIGINT) AS ch FROM h GROUP BY 1),
