@@ -1871,6 +1871,93 @@ object Analytics {
         .withColumn("chrf2_ppm", expr("5 * ov * 1000000 DIV (4 * cr + ch)"))
         .select("pair", "ch", "cr", "ov", "chrf2_ppm")
         .orderBy("pair")
+    }),
+
+    // Jarque–Bera normality test — skewness² and excess kurtosis from raw
+    // power sums with the CANCELLATION IN EXACT INTEGERS law taken to the
+    // 4th moment: A2 = nΣx²−(Σx)², A3 = n²Σx³−3nΣxΣx²+2(Σx)³,
+    // A4 = n³Σx⁴−4n²ΣxΣx³+6n(Σx)²Σx²−3(Σx)⁴ all DECIMAL(38,0)-exact
+    // (the (Σx)⁴ term peaks ~10³⁵, inside both DECIMAL(38,0) and HUGEINT),
+    // then S² = A3²/A2³ and kurt = A4/A2² — the n-powers cancel
+    // ALGEBRAICALLY, so only correctly-rounded decimal→double casts and a
+    // fixed IEEE shape remain. JB = n(S²/6+(kurt−3)²/24), χ² df=2 at 5.991.
+    "agg_jarque_bera" -> ((s, d) => {
+      Tables.events(s, d)
+        .select(col("event_type"),
+          floor(col("value") * 100).cast("bigint").as("c"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(col("c").cast("decimal(38,0)")).as("s1"),
+          sum((col("c") * col("c")).cast("decimal(38,0)")).as("s2"),
+          sum((col("c") * col("c") * col("c")).cast("decimal(38,0)")).as("s3"),
+          sum((col("c") * col("c") * col("c") * col("c")).cast("decimal(38,0)")).as("s4"))
+        .withColumn("a2", expr("n * s2 - s1 * s1"))
+        .withColumn("a3", expr("n * n * s3 - 3 * n * s1 * s2 + 2 * s1 * s1 * s1"))
+        .withColumn("a4", expr(
+          "n * n * n * s4 - 4 * n * n * s1 * s3 + 6 * n * s1 * s1 * s2 - 3 * s1 * s1 * s1 * s1"))
+        .withColumn("skew2", expr(
+          "CAST(a3 AS DOUBLE) * CAST(a3 AS DOUBLE) / (CAST(a2 AS DOUBLE) * CAST(a2 AS DOUBLE) * CAST(a2 AS DOUBLE))"))
+        .withColumn("kurt", expr(
+          "CAST(a4 AS DOUBLE) / (CAST(a2 AS DOUBLE) * CAST(a2 AS DOUBLE))"))
+        .withColumn("jb", expr(
+          "CAST(n AS DOUBLE) * (CAST(a3 AS DOUBLE) * CAST(a3 AS DOUBLE) / (CAST(a2 AS DOUBLE) * CAST(a2 AS DOUBLE) * CAST(a2 AS DOUBLE)) / 6.0"
+            + " + (CAST(a4 AS DOUBLE) / (CAST(a2 AS DOUBLE) * CAST(a2 AS DOUBLE)) - 3.0) * (CAST(a4 AS DOUBLE) / (CAST(a2 AS DOUBLE) * CAST(a2 AS DOUBLE)) - 3.0) / 24.0)"))
+        .withColumn("normal_rejected", expr("CAST(n AS DOUBLE) * (CAST(a3 AS DOUBLE) * CAST(a3 AS DOUBLE) / (CAST(a2 AS DOUBLE) * CAST(a2 AS DOUBLE) * CAST(a2 AS DOUBLE)) / 6.0"
+            + " + (CAST(a4 AS DOUBLE) / (CAST(a2 AS DOUBLE) * CAST(a2 AS DOUBLE)) - 3.0) * (CAST(a4 AS DOUBLE) / (CAST(a2 AS DOUBLE) * CAST(a2 AS DOUBLE)) - 3.0) / 24.0) > 5.991"))
+        .select("event_type", "n", "skew2", "kurt", "jb", "normal_rejected")
+        .orderBy("event_type")
+    }),
+
+    // Page's L — the ORDERED-alternative trend test Friedman cannot see
+    // (Friedman asks "any difference?", Page asks "does treatment 2 beat 1
+    // beat 0?"): the same comparison-counted ranks with deterministic index
+    // tie-break, L = ΣΣ j·Rⱼ an exact integer, E[L] = 12n and Var[L] = 2n
+    // closed-form for k=3, and the DIRECTIONAL z² significance
+    // cross-multiplies to 1000·(L−12n)² > 3841·2n AND L > 12n. The planted
+    // +80/treatment shift is exactly the monotone alternative L exists for.
+    "agg_page_trend" -> ((s, d) => {
+      def sc(j: Int) =
+        s"(CAST(conv(substring(md5(concat('pg$j:', CAST(doc_id AS STRING))), 1, 8), 16, 10) AS BIGINT) % 1000 + ${j * 80})"
+      def rank(j: Int) = {
+        val others = (0 to 2).filter(_ != j).map { i =>
+          s"(CASE WHEN ${sc(i)} < ${sc(j)} OR (${sc(i)} = ${sc(j)} AND $i < $j) THEN 1 ELSE 0 END)"
+        }.mkString(" + ")
+        s"1 + $others"
+      }
+      Tables.documents(s, d).select(col("doc_id"))
+        .withColumn("r0", expr(rank(0)).cast("long"))
+        .withColumn("r1", expr(rank(1)).cast("long"))
+        .withColumn("r2", expr(rank(2)).cast("long"))
+        .agg(count(lit(1)).as("n"),
+          sum("r0").as("rs0"), sum("r1").as("rs1"), sum("r2").as("rs2"))
+        .withColumn("l_stat", expr("rs0 + 2 * rs1 + 3 * rs2"))
+        .withColumn("z2_num", expr("(l_stat - 12 * n) * (l_stat - 12 * n)"))
+        .withColumn("z2_den", expr("2 * n"))
+        .withColumn("trend_up", expr(
+          "l_stat > 12 * n AND 1000 * (l_stat - 12 * n) * (l_stat - 12 * n) > 3841 * (2 * n)"))
+    }),
+
+    // Donchian channel — the breakout detector whose frame EXCLUDES the
+    // current row (bollinger/stochastic frames include it — an inclusive
+    // frame can never break its own channel): 20-row trailing max/min per
+    // event_type over ROWS -20..-1, signal = +1 above the prior high / −1
+    // below the prior low / 0 inside, all integer compares on cents. The
+    // three windows (extremes + row_number) share one (type, ts) shuffle.
+    "win_donchian" -> ((s, d) => {
+      val ord = Window.partitionBy("event_type")
+        .orderBy(col("ts_us"), col("event_id"))
+      val wex = ord.rowsBetween(-20, -1)
+      Tables.events(s, d)
+        .select(col("event_type"), col("event_id"), col("ts_us"),
+          floor(col("value") * 100).cast("bigint").as("cents"))
+        .withColumn("rn", row_number().over(ord).cast("bigint"))
+        .withColumn("hi20", max("cents").over(wex))
+        .withColumn("lo20", min("cents").over(wex))
+        .withColumn("sig", expr(
+          "CAST(CASE WHEN cents > hi20 THEN 1 WHEN cents < lo20 THEN -1 ELSE 0 END AS BIGINT)"))
+        .where(col("rn") >= 21 && col("event_id") % 5 === 3)
+        .select("event_type", "event_id", "cents", "hi20", "lo20", "sig")
+        .orderBy("event_type", "event_id")
     })
   )
 
@@ -3199,6 +3286,81 @@ object Analytics {
         |  5 * COALESCE(o.ov_raw, 0) * 1000000 // (4 * tr.cr + th.ch) AS chrf2_ppm
         |FROM th JOIN tr ON th.pair = tr.pair
         |LEFT JOIN o ON o.pair = th.pair
-        |ORDER BY th.pair""".stripMargin
+        |ORDER BY th.pair""".stripMargin,
+
+    // Same exact HUGEINT central moments, same algebraic n-cancellation.
+    "agg_jarque_bera" ->
+      """WITH e AS (SELECT event_type,
+        |    CAST(FLOOR(value * 100) AS BIGINT) AS c FROM events),
+        |m AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |    SUM(c::HUGEINT) AS s1,
+        |    SUM(c::HUGEINT * c) AS s2,
+        |    SUM(c::HUGEINT * c * c) AS s3,
+        |    SUM(c::HUGEINT * c * c * c) AS s4
+        |  FROM e GROUP BY 1),
+        |a AS (SELECT event_type, n,
+        |    n * s2 - s1 * s1 AS a2,
+        |    n * n * s3 - 3 * n * s1 * s2 + 2 * s1 * s1 * s1 AS a3,
+        |    n * n * n * s4 - 4 * n * n * s1 * s3 + 6 * n * s1 * s1 * s2
+        |      - 3 * s1 * s1 * s1 * s1 AS a4
+        |  FROM m)
+        |SELECT event_type, n,
+        |  CAST(a3 AS DOUBLE) * CAST(a3 AS DOUBLE)
+        |    / (CAST(a2 AS DOUBLE) * CAST(a2 AS DOUBLE) * CAST(a2 AS DOUBLE)) AS skew2,
+        |  CAST(a4 AS DOUBLE) / (CAST(a2 AS DOUBLE) * CAST(a2 AS DOUBLE)) AS kurt,
+        |  CAST(n AS DOUBLE) * (CAST(a3 AS DOUBLE) * CAST(a3 AS DOUBLE)
+        |    / (CAST(a2 AS DOUBLE) * CAST(a2 AS DOUBLE) * CAST(a2 AS DOUBLE)) / 6.0
+        |    + (CAST(a4 AS DOUBLE) / (CAST(a2 AS DOUBLE) * CAST(a2 AS DOUBLE)) - 3.0)
+        |    * (CAST(a4 AS DOUBLE) / (CAST(a2 AS DOUBLE) * CAST(a2 AS DOUBLE)) - 3.0) / 24.0) AS jb,
+        |  CAST(n AS DOUBLE) * (CAST(a3 AS DOUBLE) * CAST(a3 AS DOUBLE)
+        |    / (CAST(a2 AS DOUBLE) * CAST(a2 AS DOUBLE) * CAST(a2 AS DOUBLE)) / 6.0
+        |    + (CAST(a4 AS DOUBLE) / (CAST(a2 AS DOUBLE) * CAST(a2 AS DOUBLE)) - 3.0)
+        |    * (CAST(a4 AS DOUBLE) / (CAST(a2 AS DOUBLE) * CAST(a2 AS DOUBLE)) - 3.0) / 24.0) > 5.991 AS normal_rejected
+        |FROM a ORDER BY event_type""".stripMargin,
+
+    // Same comparison-counted ranks, same closed-form directional z².
+    "agg_page_trend" -> {
+      def sc(j: Int) =
+        s"(('0x' || substring(md5('pg$j:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 1000 + ${j * 80})"
+      def rank(j: Int) = {
+        val others = (0 to 2).filter(_ != j).map { i =>
+          s"(CASE WHEN ${sc(i)} < ${sc(j)} OR (${sc(i)} = ${sc(j)} AND $i < $j) THEN 1 ELSE 0 END)"
+        }.mkString(" + ")
+        s"1 + $others"
+      }
+      s"""WITH t AS (SELECT doc_id,
+         |    CAST(${rank(0)} AS BIGINT) AS r0,
+         |    CAST(${rank(1)} AS BIGINT) AS r1,
+         |    CAST(${rank(2)} AS BIGINT) AS r2
+         |  FROM documents),
+         |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         |    CAST(SUM(r0) AS BIGINT) AS rs0, CAST(SUM(r1) AS BIGINT) AS rs1,
+         |    CAST(SUM(r2) AS BIGINT) AS rs2
+         |  FROM t)
+         |SELECT n, rs0, rs1, rs2, rs0 + 2 * rs1 + 3 * rs2 AS l_stat,
+         |  (rs0 + 2 * rs1 + 3 * rs2 - 12 * n) * (rs0 + 2 * rs1 + 3 * rs2 - 12 * n) AS z2_num,
+         |  2 * n AS z2_den,
+         |  rs0 + 2 * rs1 + 3 * rs2 > 12 * n
+         |    AND 1000 * (rs0 + 2 * rs1 + 3 * rs2 - 12 * n) * (rs0 + 2 * rs1 + 3 * rs2 - 12 * n)
+         |    > 3841 * (2 * n) AS trend_up
+         |FROM m""".stripMargin
+    },
+
+    // Same exclusive trailing frame, same integer breakout compares.
+    "win_donchian" ->
+      """WITH e AS (SELECT event_type, event_id, epoch_us(ts) AS ts_us,
+        |    CAST(FLOOR(value * 100) AS BIGINT) AS cents FROM events),
+        |w AS (SELECT event_type, event_id, cents,
+        |    CAST(ROW_NUMBER() OVER ord AS BIGINT) AS rn,
+        |    CAST(MAX(cents) OVER wex AS BIGINT) AS hi20,
+        |    CAST(MIN(cents) OVER wex AS BIGINT) AS lo20
+        |  FROM e
+        |  WINDOW ord AS (PARTITION BY event_type ORDER BY ts_us, event_id),
+        |    wex AS (PARTITION BY event_type ORDER BY ts_us, event_id
+        |      ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING))
+        |SELECT event_type, event_id, cents, hi20, lo20,
+        |  CAST(CASE WHEN cents > hi20 THEN 1 WHEN cents < lo20 THEN -1 ELSE 0 END AS BIGINT) AS sig
+        |FROM w WHERE rn >= 21 AND event_id % 5 = 3
+        |ORDER BY event_type, event_id""".stripMargin
   )
 }
