@@ -1958,6 +1958,98 @@ object Analytics {
         .where(col("rn") >= 21 && col("event_id") % 5 === 3)
         .select("event_type", "event_id", "cents", "hi20", "lo20", "sig")
         .orderBy("event_type", "event_id")
+    }),
+
+    // nDCG@5 — the GRADED-relevance ranking metric (MRR sees only the first
+    // hit; nDCG weighs every graded position): 20-doc probe groups, graded
+    // rel 0–3 and scores from the shared md5 randomness, ranked and ideal
+    // position picks via conditional MAX over two deterministic windows,
+    // and DCG = Σ relᵢ·wᵢ with wᵢ = 1/log₂(i+1) FIXED-POINT in micro-units
+    // (1000000, 630930, 500000, 430677, 386853 — no float sum exists to
+    // drift, and a trial double version DID drift 1 ulp cross-engine via
+    // FMA contraction); nDCG = dcg·10⁶ DIV idcg exact.
+    "llm_ndcg" -> ((s, d) => {
+      def u(ns: String) =
+        s"CAST(conv(substring(md5(concat('$ns:', CAST(doc_id AS STRING))), 1, 8), 16, 10) AS BIGINT)"
+      val t = Tables.documents(s, d).select(col("doc_id"))
+        .withColumn("qid", expr("doc_id DIV 20"))
+        .withColumn("rel", expr(s"${u("rel")} % 4"))
+        .withColumn("score", expr(s"${u("sc")} % 10000"))
+      val wRank = Window.partitionBy("qid")
+        .orderBy(col("score").desc, col("doc_id"))
+      val wIdeal = Window.partitionBy("qid")
+        .orderBy(col("rel").desc, col("doc_id"))
+      val picks = (1 to 5).flatMap { i =>
+        Seq(max(when(col("rn") === i, col("rel"))).as(s"r$i"),
+          max(when(col("irn") === i, col("rel"))).as(s"i$i"))
+      }
+      def dcgExpr(p: String) =
+        s"""CAST(COALESCE(${p}1, 0) * 1000000 + COALESCE(${p}2, 0) * 630930
+           + COALESCE(${p}3, 0) * 500000 + COALESCE(${p}4, 0) * 430677
+           + COALESCE(${p}5, 0) * 386853 AS BIGINT)"""
+      t.withColumn("rn", row_number().over(wRank))
+        .withColumn("irn", row_number().over(wIdeal))
+        .groupBy("qid").agg(picks.head, picks.tail: _*)
+        .withColumn("dcg_micro", expr(dcgExpr("r")))
+        .withColumn("idcg_micro", expr(dcgExpr("i")))
+        .withColumn("ndcg_ppm", expr(
+          "CASE WHEN idcg_micro > 0 THEN dcg_micro * 1000000 DIV idcg_micro ELSE CAST(0 AS BIGINT) END"))
+        .select("qid", "dcg_micro", "idcg_micro", "ndcg_ppm")
+        .orderBy("qid")
+    }),
+
+    // Bowley quartile skewness — the ROBUST skew jarque_bera's moment S²
+    // is not (one wild outlier owns a third moment; quartiles shrug):
+    // deterministic quartile PICKS at rn = (n+1)k/4 DIV (the engine's
+    // no-interpolation quantile contract), Bowley = (Q3+Q1−2Q2)/(Q3−Q1)
+    // as a sign-safe exact ppm. The rank window and the count share one
+    // event_type shuffle.
+    "agg_bowley_skew" -> ((s, d) => {
+      val part = Window.partitionBy("event_type")
+      val ord = part.orderBy(col("cents"), col("event_id"))
+      Tables.events(s, d)
+        .select(col("event_type"), col("event_id"),
+          floor(col("value") * 100).cast("bigint").as("cents"))
+        .withColumn("rn", row_number().over(ord).cast("bigint"))
+        .withColumn("cnt", count(lit(1)).over(part))
+        .groupBy("event_type")
+        .agg(max("cnt").as("n"),
+          max(when(col("rn") === expr("(cnt + 1) DIV 4"), col("cents"))).as("q1"),
+          max(when(col("rn") === expr("(cnt + 1) DIV 2"), col("cents"))).as("q2"),
+          max(when(col("rn") === expr("(3 * (cnt + 1)) DIV 4"), col("cents"))).as("q3"))
+        .withColumn("bowley_ppm", expr(
+          """CASE WHEN q3 = q1 THEN CAST(0 AS BIGINT)
+             WHEN q3 + q1 - 2 * q2 >= 0
+               THEN (q3 + q1 - 2 * q2) * 1000000 DIV (q3 - q1)
+             ELSE -((-(q3 + q1 - 2 * q2)) * 1000000 DIV (q3 - q1)) END"""))
+        .orderBy("event_type")
+    }),
+
+    // Grubbs' outlier test — "is the most extreme point too extreme for a
+    // normal sample?": the deviation numerator n·xᵢ−Σx stays an EXACT
+    // integer per row (no mean float ever exists), A2 = nΣx²−(Σx)² exact,
+    // and G² = maxdev²(n−1)/(n·A2) an exact DECIMAL(38,0) rational scored
+    // in ppm; the G > 4 alarm cross-multiplies to ppm > 16·10⁶. The
+    // whole-partition sum window and the final rollup share one shuffle.
+    "agg_grubbs" -> ((s, d) => {
+      val part = Window.partitionBy("event_type")
+      Tables.events(s, d)
+        .select(col("event_type"),
+          floor(col("value") * 100).cast("bigint").as("cents"))
+        .withColumn("sw", sum("cents").over(part))
+        .withColumn("cw", count(lit(1)).over(part))
+        .withColumn("dev", abs(col("cw") * col("cents") - col("sw")))
+        .groupBy("event_type")
+        .agg(max("cw").as("n"), max("dev").as("maxdev"),
+          max("sw").as("s1"),
+          sum((col("cents") * col("cents")).cast("decimal(38,0)")).as("s2"))
+        .withColumn("a2", expr("CAST(n * s2 - CAST(s1 AS DECIMAL(38,0)) * s1 AS DECIMAL(38,0))"))
+        .withColumn("g2_ppm", expr(
+          "CAST(CAST(maxdev AS DECIMAL(38,0)) * maxdev * (n - 1) * 1000000 DIV (n * a2) AS BIGINT)"))
+        .withColumn("outlier_alarm", expr("g2_ppm > 16000000"))
+        .select(col("event_type"), col("n"), col("maxdev"),
+          col("a2").cast("double").as("a2_d"), col("g2_ppm"), col("outlier_alarm"))
+        .orderBy("event_type")
     })
   )
 
@@ -3361,6 +3453,75 @@ object Analytics {
         |SELECT event_type, event_id, cents, hi20, lo20,
         |  CAST(CASE WHEN cents > hi20 THEN 1 WHEN cents < lo20 THEN -1 ELSE 0 END AS BIGINT) AS sig
         |FROM w WHERE rn >= 21 AND event_id % 5 = 3
-        |ORDER BY event_type, event_id""".stripMargin
+        |ORDER BY event_type, event_id""".stripMargin,
+
+    // Same md5 grades, same literal-constant weights, same one division.
+    "llm_ndcg" -> {
+      def dcg(p: String) =
+        s"""CAST(COALESCE(${p}1, 0) * 1000000 + COALESCE(${p}2, 0) * 630930
+           |  + COALESCE(${p}3, 0) * 500000 + COALESCE(${p}4, 0) * 430677
+           |  + COALESCE(${p}5, 0) * 386853 AS BIGINT)""".stripMargin
+      s"""WITH t AS (SELECT doc_id, doc_id // 20 AS qid,
+         |    ('0x' || substring(md5('rel:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 4 AS rel,
+         |    ('0x' || substring(md5('sc:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000 AS score
+         |  FROM documents),
+         |r AS (SELECT qid, rel,
+         |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rn,
+         |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY rel DESC, doc_id) AS irn
+         |  FROM t),
+         |p AS (SELECT qid,
+         |    MAX(CASE WHEN rn = 1 THEN rel END) AS r1, MAX(CASE WHEN irn = 1 THEN rel END) AS i1,
+         |    MAX(CASE WHEN rn = 2 THEN rel END) AS r2, MAX(CASE WHEN irn = 2 THEN rel END) AS i2,
+         |    MAX(CASE WHEN rn = 3 THEN rel END) AS r3, MAX(CASE WHEN irn = 3 THEN rel END) AS i3,
+         |    MAX(CASE WHEN rn = 4 THEN rel END) AS r4, MAX(CASE WHEN irn = 4 THEN rel END) AS i4,
+         |    MAX(CASE WHEN rn = 5 THEN rel END) AS r5, MAX(CASE WHEN irn = 5 THEN rel END) AS i5
+         |  FROM r GROUP BY 1)
+         |SELECT qid, ${dcg("r")} AS dcg_micro, ${dcg("i")} AS idcg_micro,
+         |  CASE WHEN (${dcg("i")}) > 0
+         |    THEN (${dcg("r")}) * 1000000 // (${dcg("i")})
+         |    ELSE CAST(0 AS BIGINT) END AS ndcg_ppm
+         |FROM p ORDER BY qid""".stripMargin
+    },
+
+    // Same deterministic quartile picks, same sign-safe rational.
+    "agg_bowley_skew" ->
+      """WITH e AS (SELECT event_type, event_id,
+        |    CAST(FLOOR(value * 100) AS BIGINT) AS cents FROM events),
+        |w AS (SELECT event_type, cents,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY cents, event_id) AS BIGINT) AS rn,
+        |    CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS cnt
+        |  FROM e),
+        |q AS (SELECT event_type, CAST(MAX(cnt) AS BIGINT) AS n,
+        |    CAST(MAX(CASE WHEN rn = (cnt + 1) // 4 THEN cents END) AS BIGINT) AS q1,
+        |    CAST(MAX(CASE WHEN rn = (cnt + 1) // 2 THEN cents END) AS BIGINT) AS q2,
+        |    CAST(MAX(CASE WHEN rn = (3 * (cnt + 1)) // 4 THEN cents END) AS BIGINT) AS q3
+        |  FROM w GROUP BY 1)
+        |SELECT event_type, n, q1, q2, q3,
+        |  CASE WHEN q3 = q1 THEN CAST(0 AS BIGINT)
+        |    WHEN q3 + q1 - 2 * q2 >= 0
+        |      THEN (q3 + q1 - 2 * q2) * 1000000 // (q3 - q1)
+        |    ELSE -((-(q3 + q1 - 2 * q2)) * 1000000 // (q3 - q1)) END AS bowley_ppm
+        |FROM q ORDER BY event_type""".stripMargin,
+
+    // Same exact deviation numerator, same DECIMAL/HUGEINT rational.
+    "agg_grubbs" ->
+      """WITH e AS (SELECT event_type,
+        |    CAST(FLOOR(value * 100) AS BIGINT) AS cents FROM events),
+        |w AS (SELECT event_type, cents,
+        |    CAST(SUM(cents) OVER (PARTITION BY event_type) AS BIGINT) AS sw,
+        |    CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS cw
+        |  FROM e),
+        |g AS (SELECT event_type, CAST(MAX(cw) AS BIGINT) AS n,
+        |    CAST(MAX(abs(cw * cents - sw)) AS BIGINT) AS maxdev,
+        |    CAST(MAX(sw) AS BIGINT) AS s1,
+        |    SUM(cents::HUGEINT * cents) AS s2
+        |  FROM w GROUP BY 1),
+        |a AS (SELECT event_type, n, maxdev,
+        |    n * s2 - s1::HUGEINT * s1 AS a2
+        |  FROM g)
+        |SELECT event_type, n, maxdev, CAST(a2 AS DOUBLE) AS a2_d,
+        |  CAST(maxdev::HUGEINT * maxdev * (n - 1) * 1000000 // (n * a2) AS BIGINT) AS g2_ppm,
+        |  CAST(maxdev::HUGEINT * maxdev * (n - 1) * 1000000 // (n * a2) AS BIGINT) > 16000000 AS outlier_alarm
+        |FROM a ORDER BY event_type""".stripMargin
   )
 }
