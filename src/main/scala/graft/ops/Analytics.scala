@@ -2050,7 +2050,78 @@ object Analytics {
         .select(col("event_type"), col("n"), col("maxdev"),
           col("a2").cast("double").as("a2_d"), col("g2_ppm"), col("outlier_alarm"))
         .orderBy("event_type")
-    })
+    }),
+
+    // One-sided CUSUM drift — the sequential detector that ACCUMULATES
+    // small shifts win_changepoint's single split and win_peak_detect's
+    // local spikes both miss: S⁺ᵢ = max(0, S⁺ᵢ₋₁ + xᵢ−t−k) unrolls to
+    // cumsum(x−t−k) − running-min(cumsum) — two frames over ONE ordered
+    // window, all exact integer cents (t=24500 target, k=2000 slack), so
+    // the classically-recursive statistic needs no recursion at all.
+    "win_cusum" -> ((s, d) => {
+      val ord = Window.partitionBy("event_type")
+        .orderBy(col("ts_us"), col("event_id"))
+      val run = ord.rowsBetween(Window.unboundedPreceding, 0)
+      Tables.events(s, d)
+        .select(col("event_type"), col("event_id"), col("ts_us"),
+          floor(col("value") * 100).cast("bigint").as("cents"))
+        .withColumn("c_hi", sum(expr("cents - 24500 - 2000")).over(run))
+        .withColumn("c_lo", sum(expr("24500 - 2000 - cents")).over(run))
+        .withColumn("s_hi", expr("c_hi - least(min(c_hi) OVER (PARTITION BY event_type ORDER BY ts_us, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), CAST(0 AS BIGINT))"))
+        .withColumn("s_lo", expr("c_lo - least(min(c_lo) OVER (PARTITION BY event_type ORDER BY ts_us, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), CAST(0 AS BIGINT))"))
+        .withColumn("drift_alarm", expr(
+          "CAST(CASE WHEN s_hi > 500000 THEN 1 WHEN s_lo > 500000 THEN -1 ELSE 0 END AS BIGINT)"))
+        .where(col("event_id") % 20 === 4)
+        .select("event_type", "event_id", "cents", "s_hi", "s_lo", "drift_alarm")
+        .orderBy("event_type", "event_id")
+    }),
+
+    // Z-order (Morton) curve — the ACTUAL bit-interleave under every
+    // multi-dimensional clustering claim (snapshot_zorder grades the file
+    // skipping; this grades the curve itself): morton = Σ x-bit i → bit 2i,
+    // y-bit i → bit 2i+1 as a fixed shift/mask expression, and the
+    // LOCALITY THEOREM is graded — every morton-DIV-64 block must be an
+    // exact 8×8 tile (x/y spans ≤ 7), which is precisely why z-ordered
+    // files prune on BOTH columns at 100 TB.
+    "fn_zorder_curve" -> ((s, d) => {
+      val morton = (0 to 7).map { i =>
+        s"(shiftleft((x8 >> $i) & 1, ${2 * i}) + shiftleft((y8 >> $i) & 1, ${2 * i + 1}))"
+      }.mkString(" + ")
+      Tables.orders(s, d)
+        .select(expr("o_custkey % 256").as("x8"),
+          expr("o_orderkey % 256").as("y8"))
+        .withColumn("morton", expr(s"CAST($morton AS BIGINT)"))
+        .withColumn("tile", expr("morton DIV 64"))
+        .groupBy("tile")
+        .agg(count(lit(1)).as("n_rows"),
+          min("x8").as("x_min"), max("x8").as("x_max"),
+          min("y8").as("y_min"), max("y8").as("y_max"))
+        .withColumn("locality_ok", expr(
+          "x_max - x_min <= 7 AND y_max - y_min <= 7"))
+        .where(col("tile") % 16 === 1)
+        .orderBy("tile")
+    }),
+
+    // KV-cache budget planning — the serving-memory ledger next to
+    // llm_prefix_cache_plan's compute ledger: per 512-token length band,
+    // bytes/token = 2(K+V)·32 layers·8 KV heads·128 dim·2 B fp16 = 131072
+    // EXACTLY (a power of two — the integer plan is exact), band totals,
+    // and the max concurrent sequences a 16 GiB budget admits at the
+    // band's worst-case length — the number a batch scheduler actually
+    // needs. All integer DIVs on non-negative operands.
+    "llm_kv_cache_plan" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(expr("CAST(length(text) DIV 4 AS BIGINT)").as("tokens"))
+        .withColumn("band", expr("tokens DIV 512"))
+        .groupBy("band")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("tokens").as("band_tokens"),
+          max("tokens").as("max_tokens"))
+        .withColumn("kv_bytes_per_seq", expr("max_tokens * 131072"))
+        .withColumn("band_kv_bytes", expr("band_tokens * 131072"))
+        .withColumn("seqs_at_16g", expr(
+          "CASE WHEN max_tokens = 0 THEN CAST(0 AS BIGINT) ELSE 17179869184 DIV (max_tokens * 131072) END"))
+        .orderBy("band"))
   )
 
   /** `win_ewma`'s truncated half-decay weights for lags 0..7. */
@@ -3522,6 +3593,59 @@ object Analytics {
         |SELECT event_type, n, maxdev, CAST(a2 AS DOUBLE) AS a2_d,
         |  CAST(maxdev::HUGEINT * maxdev * (n - 1) * 1000000 // (n * a2) AS BIGINT) AS g2_ppm,
         |  CAST(maxdev::HUGEINT * maxdev * (n - 1) * 1000000 // (n * a2) AS BIGINT) > 16000000 AS outlier_alarm
-        |FROM a ORDER BY event_type""".stripMargin
+        |FROM a ORDER BY event_type""".stripMargin,
+
+    // Same recursion-free unrolling, same exact integer drift.
+    "win_cusum" ->
+      """WITH e AS (SELECT event_type, event_id, epoch_us(ts) AS ts_us,
+        |    CAST(FLOOR(value * 100) AS BIGINT) AS cents FROM events),
+        |c AS (SELECT event_type, event_id, ts_us, cents,
+        |    CAST(SUM(cents - 24500 - 2000) OVER run AS BIGINT) AS c_hi,
+        |    CAST(SUM(24500 - 2000 - cents) OVER run AS BIGINT) AS c_lo
+        |  FROM e
+        |  WINDOW run AS (PARTITION BY event_type ORDER BY ts_us, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |s AS (SELECT event_type, event_id, cents,
+        |    c_hi - LEAST(CAST(MIN(c_hi) OVER run AS BIGINT), CAST(0 AS BIGINT)) AS s_hi,
+        |    c_lo - LEAST(CAST(MIN(c_lo) OVER run AS BIGINT), CAST(0 AS BIGINT)) AS s_lo
+        |  FROM c
+        |  WINDOW run AS (PARTITION BY event_type ORDER BY ts_us, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT event_type, event_id, cents, s_hi, s_lo,
+        |  CAST(CASE WHEN s_hi > 500000 THEN 1 WHEN s_lo > 500000 THEN -1 ELSE 0 END AS BIGINT) AS drift_alarm
+        |FROM s WHERE event_id % 20 = 4
+        |ORDER BY event_type, event_id""".stripMargin,
+
+    // Same bit interleave, same graded 8×8 tile theorem.
+    "fn_zorder_curve" -> {
+      val morton = (0 to 7).map { i =>
+        s"((((x8 >> $i) & 1) << ${2 * i}) + (((y8 >> $i) & 1) << ${2 * i + 1}))"
+      }.mkString(" + ")
+      s"""WITH b AS (SELECT o_custkey % 256 AS x8, o_orderkey % 256 AS y8
+         |  FROM orders),
+         |m AS (SELECT x8, y8, CAST($morton AS BIGINT) AS morton FROM b),
+         |t AS (SELECT morton // 64 AS tile, CAST(COUNT(*) AS BIGINT) AS n_rows,
+         |    CAST(MIN(x8) AS BIGINT) AS x_min, CAST(MAX(x8) AS BIGINT) AS x_max,
+         |    CAST(MIN(y8) AS BIGINT) AS y_min, CAST(MAX(y8) AS BIGINT) AS y_max
+         |  FROM m GROUP BY 1)
+         |SELECT tile, n_rows, x_min, x_max, y_min, y_max,
+         |  x_max - x_min <= 7 AND y_max - y_min <= 7 AS locality_ok
+         |FROM t WHERE tile % 16 = 1 ORDER BY tile""".stripMargin
+    },
+
+    // Same power-of-two byte ledger, same integer admission DIVs.
+    "llm_kv_cache_plan" ->
+      """WITH t AS (SELECT CAST(length(text) // 4 AS BIGINT) AS tokens
+        |  FROM documents),
+        |b AS (SELECT tokens // 512 AS band, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(tokens) AS BIGINT) AS band_tokens,
+        |    CAST(MAX(tokens) AS BIGINT) AS max_tokens
+        |  FROM t GROUP BY 1)
+        |SELECT band, n_docs, band_tokens, max_tokens,
+        |  max_tokens * 131072 AS kv_bytes_per_seq,
+        |  band_tokens * 131072 AS band_kv_bytes,
+        |  CASE WHEN max_tokens = 0 THEN CAST(0 AS BIGINT)
+        |    ELSE 17179869184 // (max_tokens * 131072) END AS seqs_at_16g
+        |FROM b ORDER BY band""".stripMargin
   )
 }
