@@ -2122,6 +2122,84 @@ object Analytics {
         .withColumn("seqs_at_16g", expr(
           "CASE WHEN max_tokens = 0 THEN CAST(0 AS BIGINT) ELSE 17179869184 DIV (max_tokens * 131072) END"))
         .orderBy("band"))
+    ,
+
+    // SPRT — Wald's sequential probability-ratio test (the always-valid
+    // A/B stopper next to agg_ab_ttest's fixed-horizon test): Bernoulli
+    // H₀ p=.5 vs H₁ p=.6 with a planted .6 stream, the log-likelihood
+    // walk carried in MICRO-NAT INTEGERS (+182322 per success = 10⁶·ln1.2,
+    // −223144 per failure = 10⁶·ln0.8 — transcendentals frozen into
+    // literals, the walk itself pure integer cumsum), Wald bounds
+    // ±2944439 = 10⁶·ln19 (α=β=.05), and the FIRST crossing index found
+    // by conditional MIN — no driver-side loop walks the sequence.
+    "agg_sprt" -> ((s, d) => {
+      val ord = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+      Tables.documents(s, d).select(col("doc_id"))
+        .withColumn("success", expr(
+          "CASE WHEN CAST(conv(substring(md5(concat('sprt:', CAST(doc_id AS STRING))), 1, 8), 16, 10) AS BIGINT) % 10 < 6 THEN 1 ELSE 0 END"))
+        .withColumn("llr_step", expr(
+          "CAST(CASE WHEN success = 1 THEN 182322 ELSE -223144 END AS BIGINT)"))
+        .withColumn("cum", sum("llr_step").over(ord))
+        .withColumn("rn", row_number().over(Window.orderBy("doc_id")).cast("bigint"))
+        .agg(count(lit(1)).as("n"),
+          sum("success").as("successes"),
+          max("cum").as("max_llr"), min("cum").as("min_llr"),
+          min(when(col("cum") >= 2944439L, col("rn"))).as("first_accept"),
+          min(when(col("cum") <= -2944439L, col("rn"))).as("first_reject"))
+        .withColumn("decision", expr(
+          """CASE
+             WHEN first_accept IS NOT NULL AND (first_reject IS NULL OR first_accept < first_reject) THEN 'accept_h1'
+             WHEN first_reject IS NOT NULL THEN 'accept_h0'
+             ELSE 'continue' END"""))
+    }),
+
+    // Differential-privacy ε ledger — the privacy-budget accountant every
+    // governed analytics deployment runs beside its RLS/masking layer
+    // (warehouse_rls_matrix guards rows, this guards AGGREGATE LEAKAGE):
+    // each query event spends mechanism-priced micro-ε (Laplace 100000,
+    // Gaussian 50000, exact reads 250000), basic composition SUMS them per
+    // analyst, and the 3.0-ε budget verdict plus the overspend amount are
+    // exact integers. The mechanism pricing is a fixed CASE — one scan.
+    "llm_dp_epsilon_ledger" -> ((s, d) =>
+      Tables.events(s, d)
+        .select(expr("user_id % 20").as("analyst"), col("event_type"))
+        .withColumn("eps_micro", expr(
+          """CAST(CASE WHEN event_type = 'view' THEN 50000
+             WHEN event_type = 'click' THEN 100000
+             ELSE 250000 END AS BIGINT)"""))
+        .groupBy("analyst")
+        .agg(count(lit(1)).as("n_queries"),
+          sum("eps_micro").as("eps_spent_micro"))
+        .withColumn("over_budget", expr("eps_spent_micro > 3000000"))
+        .withColumn("overspend_micro", expr(
+          "greatest(eps_spent_micro - 3000000, CAST(0 AS BIGINT))"))
+        .orderBy("analyst")),
+
+    // Trimmed mean — the OTHER robust location estimator (winsorized CLAMPS
+    // the tails to the cut points; trimming DROPS them — different
+    // statistic, different breakdown behavior): per event_type, shed the
+    // bottom and top 5% by deterministic (cents, id) rank, exact integer
+    // mean of the kept cents via non-negative DIV, plain mean alongside so
+    // the robustness gap itself is graded. Rank + count share one shuffle.
+    "agg_trimmed_mean" -> ((s, d) => {
+      val part = Window.partitionBy("event_type")
+      val ord = part.orderBy(col("cents"), col("event_id"))
+      Tables.events(s, d)
+        .select(col("event_type"), col("event_id"),
+          floor(col("value") * 100).cast("bigint").as("cents"))
+        .withColumn("rn", row_number().over(ord).cast("bigint"))
+        .withColumn("cnt", count(lit(1)).over(part))
+        .groupBy("event_type")
+        .agg(max("cnt").as("n"),
+          sum("cents").as("total"),
+          sum(when(col("rn") > expr("cnt DIV 20") &&
+            col("rn") <= expr("cnt - cnt DIV 20"), col("cents"))).as("kept_total"),
+          sum(when(col("rn") > expr("cnt DIV 20") &&
+            col("rn") <= expr("cnt - cnt DIV 20"), 1L).otherwise(0L)).as("kept"))
+        .withColumn("mean_cents", expr("total DIV n"))
+        .withColumn("trimmed_mean_cents", expr("kept_total DIV kept"))
+        .orderBy("event_type")
+    })
   )
 
   /** `win_ewma`'s truncated half-decay weights for lags 0..7. */
@@ -3646,6 +3724,62 @@ object Analytics {
         |  band_tokens * 131072 AS band_kv_bytes,
         |  CASE WHEN max_tokens = 0 THEN CAST(0 AS BIGINT)
         |    ELSE 17179869184 // (max_tokens * 131072) END AS seqs_at_16g
-        |FROM b ORDER BY band""".stripMargin
+        |FROM b ORDER BY band""".stripMargin,
+
+    // Same micro-nat integer walk, same conditional-MIN first crossing.
+    "agg_sprt" ->
+      """WITH t AS (SELECT doc_id,
+        |    CASE WHEN ('0x' || substring(md5('sprt:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10 < 6
+        |      THEN 1 ELSE 0 END AS success
+        |  FROM documents),
+        |w AS (SELECT doc_id, success,
+        |    CAST(SUM(CASE WHEN success = 1 THEN 182322 ELSE -223144 END)
+        |      OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY doc_id) AS BIGINT) AS rn
+        |  FROM t)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(success) AS BIGINT) AS successes,
+        |  CAST(MAX(cum) AS BIGINT) AS max_llr, CAST(MIN(cum) AS BIGINT) AS min_llr,
+        |  CAST(MIN(CASE WHEN cum >= 2944439 THEN rn END) AS BIGINT) AS first_accept,
+        |  CAST(MIN(CASE WHEN cum <= -2944439 THEN rn END) AS BIGINT) AS first_reject,
+        |  CASE
+        |    WHEN MIN(CASE WHEN cum >= 2944439 THEN rn END) IS NOT NULL
+        |      AND (MIN(CASE WHEN cum <= -2944439 THEN rn END) IS NULL
+        |        OR MIN(CASE WHEN cum >= 2944439 THEN rn END) < MIN(CASE WHEN cum <= -2944439 THEN rn END))
+        |      THEN 'accept_h1'
+        |    WHEN MIN(CASE WHEN cum <= -2944439 THEN rn END) IS NOT NULL THEN 'accept_h0'
+        |    ELSE 'continue' END AS decision
+        |FROM w""".stripMargin,
+
+    // Same mechanism pricing, same basic-composition integer sums.
+    "llm_dp_epsilon_ledger" ->
+      """WITH q AS (SELECT user_id % 20 AS analyst,
+        |    CAST(CASE WHEN event_type = 'view' THEN 50000
+        |      WHEN event_type = 'click' THEN 100000
+        |      ELSE 250000 END AS BIGINT) AS eps_micro
+        |  FROM events)
+        |SELECT analyst, CAST(COUNT(*) AS BIGINT) AS n_queries,
+        |  CAST(SUM(eps_micro) AS BIGINT) AS eps_spent_micro,
+        |  CAST(SUM(eps_micro) AS BIGINT) > 3000000 AS over_budget,
+        |  GREATEST(CAST(SUM(eps_micro) AS BIGINT) - 3000000, CAST(0 AS BIGINT)) AS overspend_micro
+        |FROM q GROUP BY 1 ORDER BY analyst""".stripMargin,
+
+    // Same deterministic rank trim, same non-negative integer means.
+    "agg_trimmed_mean" ->
+      """WITH e AS (SELECT event_type, event_id,
+        |    CAST(FLOOR(value * 100) AS BIGINT) AS cents FROM events),
+        |w AS (SELECT event_type, cents,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY cents, event_id) AS BIGINT) AS rn,
+        |    CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS cnt
+        |  FROM e),
+        |g AS (SELECT event_type, CAST(MAX(cnt) AS BIGINT) AS n,
+        |    CAST(SUM(cents) AS BIGINT) AS total,
+        |    CAST(SUM(CASE WHEN rn > cnt // 20 AND rn <= cnt - cnt // 20 THEN cents END) AS BIGINT) AS kept_total,
+        |    CAST(SUM(CASE WHEN rn > cnt // 20 AND rn <= cnt - cnt // 20 THEN 1 ELSE 0 END) AS BIGINT) AS kept
+        |  FROM w GROUP BY 1)
+        |SELECT event_type, n, total, kept_total, kept,
+        |  total // n AS mean_cents,
+        |  kept_total // kept AS trimmed_mean_cents
+        |FROM g ORDER BY event_type""".stripMargin
   )
 }
