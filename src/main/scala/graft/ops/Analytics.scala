@@ -2199,6 +2199,79 @@ object Analytics {
         .withColumn("mean_cents", expr("total DIV n"))
         .withColumn("trimmed_mean_cents", expr("kept_total DIV kept"))
         .orderBy("event_type")
+    }),
+
+    // Geohash — the TEXTUAL spatial index beside fn_zorder_curve's numeric
+    // one (same interleave theorem, but the prefix IS the containment
+    // relation — truncate a geohash and you name the parent cell):
+    // deterministic md5 lat/lon in micro-degrees, 10-bit quantization per
+    // axis by exact DIV, the 20-bit lon-first interleave as a fixed
+    // shift/mask expression, and 4 base32 chars picked by substring into
+    // the standard alphabet literal — every step integer or table lookup.
+    "fn_geohash" -> ((s, d) => {
+      def u(ns: String) =
+        s"CAST(conv(substring(md5(concat('$ns:', CAST(event_id AS STRING))), 1, 8), 16, 10) AS BIGINT)"
+      val z = (0 to 9).map { i =>
+        s"(shiftleft((lonq >> ${9 - i}) & 1, ${19 - 2 * i}) + shiftleft((latq >> ${9 - i}) & 1, ${18 - 2 * i}))"
+      }.mkString(" + ")
+      val chars = (0 to 3).map { k =>
+        s"substring('0123456789bcdefghjkmnpqrstuvwxyz', CAST(((z >> ${15 - 5 * k}) & 31) + 1 AS INT), 1)"
+      }.mkString(", ")
+      Tables.events(s, d).select(col("event_id"))
+        .where(col("event_id") % 20 === 6)
+        .withColumn("lat_micro", expr(s"${u("lat")} % 180000001 - 90000000"))
+        .withColumn("lon_micro", expr(s"${u("lon")} % 360000001 - 180000000"))
+        .withColumn("latq", expr("(lat_micro + 90000000) * 1024 DIV 180000001"))
+        .withColumn("lonq", expr("(lon_micro + 180000000) * 1024 DIV 360000001"))
+        .withColumn("z", expr(s"CAST($z AS BIGINT)"))
+        .withColumn("geohash4", expr(s"concat($chars)"))
+        .select("event_id", "lat_micro", "lon_micro", "z", "geohash4")
+        .orderBy("event_id")
+    }),
+
+    // Weighted median — the order statistic where every row votes its
+    // weight (median_mad counts rows; a traffic-weighted latency SLO
+    // counts requests): deterministic (cents, id) order, running weight
+    // cumsum, and the pick is the FIRST row where 2·cumw ≥ totw — a
+    // conditional MIN, exact because the condition is monotone along the
+    // ordered cents. Rank window and totals share one event_type shuffle.
+    "agg_weighted_median" -> ((s, d) => {
+      val part = Window.partitionBy("event_type")
+      val run = part.orderBy(col("cents"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      Tables.events(s, d)
+        .select(col("event_type"), col("event_id"),
+          floor(col("value") * 100).cast("bigint").as("cents"),
+          expr("user_id % 7 + 1").as("w"))
+        .withColumn("cumw", sum("w").over(run))
+        .withColumn("totw", sum("w").over(part))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), max("totw").as("total_weight"),
+          min(when(expr("2 * cumw >= totw"), col("cents"))).as("weighted_median_cents"),
+          sum(expr("w * cents")).as("wsum"))
+        .withColumn("weighted_mean_cents", expr("wsum DIV total_weight"))
+        .orderBy("event_type")
+    }),
+
+    // GDPR erasure audit — the right-to-be-forgotten VERIFIER beside
+    // warehouse_crypto_shred's key-deletion mechanism (shredding claims
+    // erasure; this PROVES it by hunting survivors): the erasure set is
+    // user_id ≡ 4 (mod 11), the post-erasure table plants leak rows
+    // (event_id ≡ 7 mod 13 survive), and the audit inner-joins survivors
+    // to the erasure list — per-user leak counts plus the global verdict.
+    // The erasure list broadcasts; the scan never shuffles the fact side.
+    "warehouse_erasure_audit" -> ((s, d) => {
+      val erased = Tables.events(s, d)
+        .where(expr("user_id % 11 = 4"))
+        .select(col("user_id")).distinct()
+      val postErasure = Tables.events(s, d)
+        .where(expr("user_id % 11 != 4 OR event_id % 13 = 7"))
+      postErasure.join(broadcast(erased), Seq("user_id"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("leaked_rows"),
+          min("event_id").as("first_leak_event"))
+        .withColumn("erasure_violated", lit(true))
+        .orderBy("user_id")
     })
   )
 
@@ -3780,6 +3853,56 @@ object Analytics {
         |SELECT event_type, n, total, kept_total, kept,
         |  total // n AS mean_cents,
         |  kept_total // kept AS trimmed_mean_cents
-        |FROM g ORDER BY event_type""".stripMargin
+        |FROM g ORDER BY event_type""".stripMargin,
+
+    // Same interleave, same base32 table lookups.
+    "fn_geohash" -> {
+      val z = (0 to 9).map { i =>
+        s"((((lonq >> ${9 - i}) & 1) << ${19 - 2 * i}) + (((latq >> ${9 - i}) & 1) << ${18 - 2 * i}))"
+      }.mkString(" + ")
+      val chars = (0 to 3).map { k =>
+        s"substring('0123456789bcdefghjkmnpqrstuvwxyz', CAST(((z >> ${15 - 5 * k}) & 31) + 1 AS INT), 1)"
+      }.mkString(" || ")
+      s"""WITH e AS (SELECT event_id,
+         |    ('0x' || substring(md5('lat:' || CAST(event_id AS VARCHAR)), 1, 8))::BIGINT % 180000001 - 90000000 AS lat_micro,
+         |    ('0x' || substring(md5('lon:' || CAST(event_id AS VARCHAR)), 1, 8))::BIGINT % 360000001 - 180000000 AS lon_micro
+         |  FROM events WHERE event_id % 20 = 6),
+         |q AS (SELECT event_id, lat_micro, lon_micro,
+         |    (lat_micro + 90000000) * 1024 // 180000001 AS latq,
+         |    (lon_micro + 180000000) * 1024 // 360000001 AS lonq
+         |  FROM e),
+         |m AS (SELECT event_id, lat_micro, lon_micro, CAST($z AS BIGINT) AS z FROM q)
+         |SELECT event_id, lat_micro, lon_micro, z, $chars AS geohash4
+         |FROM m ORDER BY event_id""".stripMargin
+    },
+
+    // Same monotone conditional-MIN pick, same exact integer weights.
+    "agg_weighted_median" ->
+      """WITH e AS (SELECT event_type, event_id,
+        |    CAST(FLOOR(value * 100) AS BIGINT) AS cents,
+        |    user_id % 7 + 1 AS w
+        |  FROM events),
+        |w AS (SELECT event_type, cents, w,
+        |    CAST(SUM(w) OVER (PARTITION BY event_type ORDER BY cents, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cumw,
+        |    CAST(SUM(w) OVER (PARTITION BY event_type) AS BIGINT) AS totw
+        |  FROM e)
+        |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(MAX(totw) AS BIGINT) AS total_weight,
+        |  CAST(MIN(CASE WHEN 2 * cumw >= totw THEN cents END) AS BIGINT) AS weighted_median_cents,
+        |  CAST(SUM(w * cents) AS BIGINT) AS wsum,
+        |  CAST(SUM(w * cents) AS BIGINT) // CAST(MAX(totw) AS BIGINT) AS weighted_mean_cents
+        |FROM w GROUP BY 1 ORDER BY event_type""".stripMargin,
+
+    // Same planted survivors, same broadcast-shaped witness join.
+    "warehouse_erasure_audit" ->
+      """WITH erased AS (SELECT DISTINCT user_id FROM events WHERE user_id % 11 = 4),
+        |post AS (SELECT user_id, event_id FROM events
+        |  WHERE user_id % 11 != 4 OR event_id % 13 = 7)
+        |SELECT p.user_id, CAST(COUNT(*) AS BIGINT) AS leaked_rows,
+        |  CAST(MIN(p.event_id) AS BIGINT) AS first_leak_event,
+        |  TRUE AS erasure_violated
+        |FROM post p JOIN erased x ON x.user_id = p.user_id
+        |GROUP BY 1 ORDER BY p.user_id""".stripMargin
   )
 }
