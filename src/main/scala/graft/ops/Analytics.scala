@@ -2272,6 +2272,39 @@ object Analytics {
           min("event_id").as("first_leak_event"))
         .withColumn("erasure_violated", lit(true))
         .orderBy("user_id")
+    }),
+
+    // Cohen's d — the EFFECT SIZE the t-test's p-value hides (a huge n
+    // makes a trivial shift "significant"; d asks if it MATTERS): md5
+    // arm split with a planted +3000-cent treatment shift, and
+    // d² = (m₁−m₀)²/s²_pooled cleared to ONE exact-integer rational —
+    // (n₀S₁−n₁S₀)²(n₀+n₁−2) / (n₀n₁(n₀A₂₁+n₁A₂₀)) with every A₂ᵢ the
+    // exact cancellation-free variance numerator — scored in micro with
+    // the direction emitted separately (the square forgets the sign).
+    "agg_cohens_d" -> ((s, d) => {
+      Tables.events(s, d)
+        .select(col("event_id"),
+          floor(col("value") * 100).cast("bigint").as("c0"))
+        .withColumn("arm", expr(
+          "CAST(conv(substring(md5(concat('cd:', CAST(event_id AS STRING))), 1, 8), 16, 10) AS BIGINT) % 2"))
+        .withColumn("x", expr("c0 + arm * 3000"))
+        .agg(
+          sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n0"),
+          sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n1"),
+          sum(when(col("arm") === 0, col("x"))).as("s0"),
+          sum(when(col("arm") === 1, col("x"))).as("s1"),
+          sum(when(col("arm") === 0, (col("x") * col("x")).cast("decimal(38,0)"))).as("ss0"),
+          sum(when(col("arm") === 1, (col("x") * col("x")).cast("decimal(38,0)"))).as("ss1"))
+        .withColumn("a20", expr("n0 * ss0 - CAST(s0 AS DECIMAL(38,0)) * s0"))
+        .withColumn("a21", expr("n1 * ss1 - CAST(s1 AS DECIMAL(38,0)) * s1"))
+        .withColumn("d2_micro", expr(
+          """CAST((CAST(n0 AS DECIMAL(38,0)) * s1 - CAST(n1 AS DECIMAL(38,0)) * s0)
+             * (CAST(n0 AS DECIMAL(38,0)) * s1 - CAST(n1 AS DECIMAL(38,0)) * s0)
+             * (n0 + n1 - 2) * 1000000
+             DIV (CAST(n0 AS DECIMAL(38,0)) * n1 * (n0 * a21 + n1 * a20)) AS BIGINT)"""))
+        .withColumn("direction", expr(
+          "CAST(CASE WHEN n0 * s1 - n1 * s0 > 0 THEN 1 WHEN n0 * s1 - n1 * s0 < 0 THEN -1 ELSE 0 END AS BIGINT)"))
+        .select("n0", "n1", "s0", "s1", "d2_micro", "direction")
     })
   )
 
@@ -3903,6 +3936,34 @@ object Analytics {
         |  CAST(MIN(p.event_id) AS BIGINT) AS first_leak_event,
         |  TRUE AS erasure_violated
         |FROM post p JOIN erased x ON x.user_id = p.user_id
-        |GROUP BY 1 ORDER BY p.user_id""".stripMargin
+        |GROUP BY 1 ORDER BY p.user_id""".stripMargin,
+
+    // Same md5 arms, same single cleared HUGEINT rational.
+    "agg_cohens_d" ->
+      """WITH t AS (SELECT event_id,
+        |    CAST(FLOOR(value * 100) AS BIGINT) AS c0,
+        |    ('0x' || substring(md5('cd:' || CAST(event_id AS VARCHAR)), 1, 8))::BIGINT % 2 AS arm
+        |  FROM events),
+        |x AS (SELECT arm, c0 + arm * 3000 AS x FROM t),
+        |m AS (SELECT
+        |    CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+        |    CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |    CAST(SUM(CASE WHEN arm = 0 THEN x END) AS BIGINT) AS s0,
+        |    CAST(SUM(CASE WHEN arm = 1 THEN x END) AS BIGINT) AS s1,
+        |    SUM(CASE WHEN arm = 0 THEN x::HUGEINT * x END) AS ss0,
+        |    SUM(CASE WHEN arm = 1 THEN x::HUGEINT * x END) AS ss1
+        |  FROM x),
+        |a AS (SELECT n0, n1, s0, s1,
+        |    n0 * ss0 - s0::HUGEINT * s0 AS a20,
+        |    n1 * ss1 - s1::HUGEINT * s1 AS a21
+        |  FROM m)
+        |SELECT n0, n1, s0, s1,
+        |  CAST((n0::HUGEINT * s1 - n1::HUGEINT * s0)
+        |    * (n0::HUGEINT * s1 - n1::HUGEINT * s0)
+        |    * (n0 + n1 - 2) * 1000000
+        |    // (n0::HUGEINT * n1 * (n0 * a21 + n1 * a20)) AS BIGINT) AS d2_micro,
+        |  CAST(CASE WHEN n0 * s1 - n1 * s0 > 0 THEN 1
+        |    WHEN n0 * s1 - n1 * s0 < 0 THEN -1 ELSE 0 END AS BIGINT) AS direction
+        |FROM a""".stripMargin
   )
 }

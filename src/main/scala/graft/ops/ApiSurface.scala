@@ -296,10 +296,87 @@ object ApiSurface {
           |     CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
           |   FROM graft_ei_orders WHERE o_totalprice > ? GROUP BY 1 ORDER BY 1'""".stripMargin)
       s.sql("EXECUTE IMMEDIATE graft_ei_stmt USING 100000")
+    }),
+
+    // Typed joinWith — the Dataset join that KEEPS both sides as typed
+    // values (a join returns flattened columns; joinWith returns
+    // Dataset[(L, R)], the surface for downstream typed logic): orders
+    // joinWith customer on the key equality, the pair mapped to a typed
+    // projection, then rolled up per market segment in exact cents. The
+    // join itself plans the same SortMergeJoin/broadcast a DataFrame join
+    // would — joinWith changes the OUTPUT SHAPE, not the physical plan.
+    "ds_typed_joinwith" -> ((s, d) => {
+      val classic = s.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      import classic.implicits._
+      val ords = Tables.orders(s, d)
+        .select(col("o_custkey").cast("long").as("ck"),
+          expr("CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 100 AS BIGINT)").as("cents"))
+        .as[(Long, Long)]
+      val cust = Tables.customer(s, d)
+        .select(col("c_custkey").cast("long").as("ck"),
+          col("c_mktsegment").as("seg"))
+        .as[(Long, String)]
+      ords.joinWith(cust, ords("ck") === cust("ck"), "inner")
+        .map { case (o, c) => (c._2, o._2) }
+        .toDF("seg", "cents")
+        .groupBy("seg")
+        .agg(count(lit(1)).as("n_orders"), sum("cents").as("seg_cents"))
+        .orderBy("seg")
+    }),
+
+    // Typed flatMapGroups — per-key imperative logic over an UNORDERED
+    // group iterator (the contract a typed user must respect; anything
+    // order-dependent is a latent bug): a single fold tracks the top-2
+    // (cents, event_id) pairs under lexicographic comparison, so the
+    // result is deterministic REGARDLESS of iterator order. One row per
+    // event_type; plans one key exchange like any groupBy.
+    "ds_typed_flatmap_groups" -> ((s, d) => {
+      val classic = s.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      import classic.implicits._
+      val ev = Tables.events(s, d)
+        .select(col("event_type"), col("event_id").cast("long"),
+          expr("CAST(FLOOR(value * 100) AS BIGINT)").as("cents"))
+        .as[(String, Long, Long)]
+      ev.groupByKey(_._1).flatMapGroups { (tpe, it) =>
+        var t1: (Long, Long) = (-1L, -1L)
+        var t2: (Long, Long) = (-1L, -1L)
+        it.foreach { case (_, id, c) =>
+          val cand = (c, id)
+          if (cand._1 > t1._1 || (cand._1 == t1._1 && cand._2 > t1._2)) {
+            t2 = t1; t1 = cand
+          } else if (cand._1 > t2._1 || (cand._1 == t2._1 && cand._2 > t2._2)) {
+            t2 = cand
+          }
+        }
+        Iterator((tpe, t1._1, t1._2, t2._1, t2._2))
+      }.toDF("event_type", "top1_cents", "top1_id", "top2_cents", "top2_id")
+        .orderBy("event_type")
     })
   )
 
   val oracles: Map[String, String] = Map(
+    // The relational join+rollup the typed pair path must equal.
+    "ds_typed_joinwith" ->
+      """SELECT c.c_mktsegment AS seg, CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |  CAST(SUM(CAST(CAST(o.o_totalprice AS DECIMAL(18,4)) * 100 AS BIGINT)) AS BIGINT) AS seg_cents
+        |FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+        |GROUP BY 1 ORDER BY seg""".stripMargin,
+
+    // The window top-2 the unordered-iterator fold must equal.
+    "ds_typed_flatmap_groups" ->
+      """WITH e AS (SELECT event_type, CAST(event_id AS BIGINT) AS event_id,
+        |    CAST(FLOOR(value * 100) AS BIGINT) AS cents FROM events),
+        |r AS (SELECT event_type, event_id, cents,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type
+        |      ORDER BY cents DESC, event_id DESC) AS rn
+        |  FROM e)
+        |SELECT event_type,
+        |  CAST(MAX(CASE WHEN rn = 1 THEN cents END) AS BIGINT) AS top1_cents,
+        |  CAST(MAX(CASE WHEN rn = 1 THEN event_id END) AS BIGINT) AS top1_id,
+        |  CAST(MAX(CASE WHEN rn = 2 THEN cents END) AS BIGINT) AS top2_cents,
+        |  CAST(MAX(CASE WHEN rn = 2 THEN event_id END) AS BIGINT) AS top2_id
+        |FROM r GROUP BY 1 ORDER BY event_type""".stripMargin,
+
     // The dispatched text inlined — dynamic dispatch must be invisible.
     "api_sql_execute_immediate" ->
       """SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_orders,
