@@ -2305,6 +2305,97 @@ object Analytics {
         .withColumn("direction", expr(
           "CAST(CASE WHEN n0 * s1 - n1 * s0 > 0 THEN 1 WHEN n0 * s1 - n1 * s0 < 0 THEN -1 ELSE 0 END AS BIGINT)"))
         .select("n0", "n1", "s0", "s1", "d2_micro", "direction")
+    }),
+
+    // Classical seasonal decomposition (trend + seasonal + residual — the
+    // decomposition win_holt_linear forecasts OVER): hourly means per
+    // type, trend = centered 25-point moving mean (full frames only),
+    // detrended = hourly − trend (negative — every mean over it uses the
+    // SIGN-SAFE DIV split), seasonal = hour-of-day mean of detrended via
+    // a second partition window (no join), residual closes the identity
+    // hourly = trend + seasonal + residual EXACTLY (integer arithmetic
+    // forgives nothing and the identity is graded).
+    "win_seasonal_decompose" -> ((s, d) => {
+      val hourly = Tables.events(s, d)
+        .select(col("event_type"),
+          expr("ts_us DIV 3600000000").as("hour"),
+          floor(col("value") * 100).cast("bigint").as("cents"))
+        .groupBy("event_type", "hour")
+        .agg(count(lit(1)).as("nh"), sum("cents").as("sh"))
+        .withColumn("h_mean", expr("sh DIV nh"))
+      val ord = Window.partitionBy("event_type").orderBy("hour")
+      val c25 = ord.rowsBetween(-12, 12)
+      val t = hourly
+        .withColumn("tw_n", count(lit(1)).over(c25))
+        .withColumn("tw_s", sum("h_mean").over(c25))
+        .withColumn("trend", expr("CASE WHEN tw_n = 25 THEN tw_s DIV 25 END"))
+        .withColumn("det", expr("h_mean - trend"))
+        .withColumn("hod", expr("hour % 24"))
+      val whod = Window.partitionBy("event_type", "hod")
+      t.withColumn("sd_s", sum(when(col("det").isNotNull, col("det"))).over(whod))
+        .withColumn("sd_n", sum(when(col("det").isNotNull, 1L).otherwise(0L)).over(whod))
+        .withColumn("seasonal", expr(
+          """CASE WHEN sd_n = 0 THEN CAST(NULL AS BIGINT)
+             WHEN sd_s >= 0 THEN sd_s DIV sd_n
+             ELSE -((-sd_s) DIV sd_n) END"""))
+        .withColumn("residual", expr("det - seasonal"))
+        .where(col("trend").isNotNull && col("hour") % 3 === 1)
+        .select("event_type", "hour", "h_mean", "trend", "seasonal", "residual")
+        .orderBy("event_type", "hour")
+    }),
+
+    // Grid-bucketed nearest neighbor — the SPATIAL JOIN that answers
+    // "closest point", not "same cell" (join_spatial_grid's containment):
+    // md5 micro-coordinates, 20×20 grid cells as the blocking key, the
+    // within-cell pair join ranked by EXACT squared distance with id
+    // tie-break (no sqrt needed — argmin of d² is argmin of d), rn=1 per
+    // point. The cell key bounds the pair blow-up exactly the way a
+    // 100 TB spatial index would.
+    "join_nearest_spatial" -> ((s, d) => {
+      def u(ns: String) =
+        s"CAST(conv(substring(md5(concat('$ns:', CAST(event_id AS STRING))), 1, 8), 16, 10) AS BIGINT)"
+      val pts = Tables.events(s, d)
+        .where(col("event_id") % 10 === 2)
+        .select(col("event_id"))
+        .withColumn("x", expr(s"${u("px")} % 1000000"))
+        .withColumn("y", expr(s"${u("py")} % 1000000"))
+        .withColumn("cell", expr("(x DIV 50000) * 100 + y DIV 50000"))
+        .withColumnRenamed("event_id", "pid")
+      val a = pts.select(col("pid").as("a_id"), col("x").as("ax"),
+        col("y").as("ay"), col("cell"))
+      val b = pts.select(col("pid").as("b_id"), col("x").as("bx"),
+        col("y").as("by"), col("cell"))
+      val w = Window.partitionBy("a_id").orderBy(col("dist2"), col("b_id"))
+      a.join(b, Seq("cell")).where(col("a_id") =!= col("b_id"))
+        .withColumn("dist2", expr("(ax - bx) * (ax - bx) + (ay - by) * (ay - by)"))
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select("a_id", "b_id", "dist2", "cell")
+        .orderBy("a_id")
+    }),
+
+    // TTL retention planning — the lifecycle ledger a 100 TB warehouse
+    // runs nightly (snapshot_expire ages SNAPSHOTS; this ages DATA
+    // partitions): (type, day) partitions, age against the corpus's own
+    // max day (no wall clock — determinism), hot ≤ 7 d / warm ≤ 21 d /
+    // delete beyond (the fixture spans 30 days — all three tiers populate), per-tier partition/row/byte rollup with reclaimable
+    // bytes; the max-day broadcast is one tiny cross join.
+    "warehouse_ttl_retention_plan" -> ((s, d) => {
+      val parts = Tables.events(s, d)
+        .select(col("event_type"), expr("ts_us DIV 86400000000").as("day"))
+        .groupBy("event_type", "day")
+        .agg(count(lit(1)).as("p_rows"))
+      val maxDay = parts.agg(max("day").as("max_day"))
+      parts.crossJoin(broadcast(maxDay))
+        .withColumn("age_days", expr("max_day - day"))
+        .withColumn("tier", expr(
+          "CASE WHEN age_days <= 7 THEN 'hot' WHEN age_days <= 21 THEN 'warm' ELSE 'delete' END"))
+        .groupBy("tier")
+        .agg(count(lit(1)).as("n_partitions"),
+          sum("p_rows").as("n_rows"),
+          sum(expr("p_rows * 96")).as("est_bytes"),
+          sum(expr("CASE WHEN age_days > 21 THEN p_rows * 96 ELSE 0 END")).as("reclaim_bytes"))
+        .orderBy("tier")
     })
   )
 
@@ -3964,6 +4055,73 @@ object Analytics {
         |    // (n0::HUGEINT * n1 * (n0 * a21 + n1 * a20)) AS BIGINT) AS d2_micro,
         |  CAST(CASE WHEN n0 * s1 - n1 * s0 > 0 THEN 1
         |    WHEN n0 * s1 - n1 * s0 < 0 THEN -1 ELSE 0 END AS BIGINT) AS direction
-        |FROM a""".stripMargin
+        |FROM a""".stripMargin,
+
+    // Same centered frame, same sign-safe seasonal means, same identity.
+    "win_seasonal_decompose" ->
+      """WITH h AS (SELECT event_type, epoch_us(ts) // 3600000000 AS hour,
+        |    CAST(COUNT(*) AS BIGINT) AS nh,
+        |    CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS sh
+        |  FROM events GROUP BY 1, 2),
+        |hm AS (SELECT event_type, hour, sh // nh AS h_mean FROM h),
+        |t AS (SELECT event_type, hour, h_mean,
+        |    CAST(COUNT(*) OVER c25 AS BIGINT) AS tw_n,
+        |    CAST(SUM(h_mean) OVER c25 AS BIGINT) AS tw_s
+        |  FROM hm
+        |  WINDOW c25 AS (PARTITION BY event_type ORDER BY hour
+        |    ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)),
+        |dt AS (SELECT event_type, hour, h_mean,
+        |    CASE WHEN tw_n = 25 THEN tw_s // 25 END AS trend,
+        |    h_mean - (CASE WHEN tw_n = 25 THEN tw_s // 25 END) AS det,
+        |    hour % 24 AS hod
+        |  FROM t),
+        |sd AS (SELECT event_type, hour, h_mean, trend, det,
+        |    CAST(SUM(CASE WHEN det IS NOT NULL THEN det END)
+        |      OVER (PARTITION BY event_type, hod) AS BIGINT) AS sd_s,
+        |    CAST(SUM(CASE WHEN det IS NOT NULL THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY event_type, hod) AS BIGINT) AS sd_n
+        |  FROM dt)
+        |SELECT event_type, hour, h_mean, trend,
+        |  CASE WHEN sd_n = 0 THEN CAST(NULL AS BIGINT)
+        |    WHEN sd_s >= 0 THEN sd_s // sd_n
+        |    ELSE -((-sd_s) // sd_n) END AS seasonal,
+        |  det - (CASE WHEN sd_n = 0 THEN CAST(NULL AS BIGINT)
+        |    WHEN sd_s >= 0 THEN sd_s // sd_n
+        |    ELSE -((-sd_s) // sd_n) END) AS residual
+        |FROM sd WHERE trend IS NOT NULL AND hour % 3 = 1
+        |ORDER BY event_type, hour""".stripMargin,
+
+    // Same grid blocking, same exact squared-distance argmin.
+    "join_nearest_spatial" ->
+      """WITH p AS (SELECT event_id AS pid,
+        |    ('0x' || substring(md5('px:' || CAST(event_id AS VARCHAR)), 1, 8))::BIGINT % 1000000 AS x,
+        |    ('0x' || substring(md5('py:' || CAST(event_id AS VARCHAR)), 1, 8))::BIGINT % 1000000 AS y
+        |  FROM events WHERE event_id % 10 = 2),
+        |c AS (SELECT pid, x, y, (x // 50000) * 100 + y // 50000 AS cell FROM p),
+        |j AS (SELECT a.pid AS a_id, b.pid AS b_id, a.cell,
+        |    (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS dist2
+        |  FROM c a JOIN c b ON a.cell = b.cell AND a.pid != b.pid),
+        |r AS (SELECT a_id, b_id, dist2, cell,
+        |    ROW_NUMBER() OVER (PARTITION BY a_id ORDER BY dist2, b_id) AS rn
+        |  FROM j)
+        |SELECT a_id, b_id, dist2, cell FROM r WHERE rn = 1
+        |ORDER BY a_id""".stripMargin,
+
+    // Same wall-clock-free aging, same per-tier byte ledger.
+    "warehouse_ttl_retention_plan" ->
+      """WITH parts AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |    CAST(COUNT(*) AS BIGINT) AS p_rows
+        |  FROM events GROUP BY 1, 2),
+        |m AS (SELECT MAX(day) AS max_day FROM parts),
+        |aged AS (SELECT p.*, m.max_day - p.day AS age_days FROM parts p, m),
+        |t AS (SELECT *,
+        |    CASE WHEN age_days <= 7 THEN 'hot'
+        |      WHEN age_days <= 21 THEN 'warm' ELSE 'delete' END AS tier
+        |  FROM aged)
+        |SELECT tier, CAST(COUNT(*) AS BIGINT) AS n_partitions,
+        |  CAST(SUM(p_rows) AS BIGINT) AS n_rows,
+        |  CAST(SUM(p_rows * 96) AS BIGINT) AS est_bytes,
+        |  CAST(SUM(CASE WHEN age_days > 21 THEN p_rows * 96 ELSE 0 END) AS BIGINT) AS reclaim_bytes
+        |FROM t GROUP BY 1 ORDER BY tier""".stripMargin
   )
 }
