@@ -2396,6 +2396,88 @@ object Analytics {
           sum(expr("p_rows * 96")).as("est_bytes"),
           sum(expr("CASE WHEN age_days > 21 THEN p_rows * 96 ELSE 0 END")).as("reclaim_bytes"))
         .orderBy("tier")
+    }),
+
+    // IPv4/CIDR classification — the network-analytics primitive (flow
+    // logs, abuse triage, egress audits) this engine had zero coverage
+    // for: 32-bit addresses from md5, RFC-1918 containment decided by the
+    // SHIFT COMPARE ip >> (32−p) = base >> (32−p) (the hardware's own
+    // longest-prefix idea, no string parsing), dotted-quad rendered by
+    // pure DIV/mod, per-block rollup. Everything integer or concat.
+    "fn_ipv4_cidr" -> ((s, d) => {
+      Tables.events(s, d)
+        .select(col("event_id"))
+        .withColumn("ip", expr(
+          "CAST(conv(substring(md5(concat('ip:', CAST(event_id AS STRING))), 1, 8), 16, 10) AS BIGINT) % 4294967296"))
+        .withColumn("block", expr(
+          """CASE WHEN ip >> 24 = 10 THEN '10.0.0.0/8'
+             WHEN ip >> 20 = 2753 THEN '172.16.0.0/12'
+             WHEN ip >> 16 = 49320 THEN '192.168.0.0/16'
+             ELSE 'public' END"""))
+        .withColumn("dotted", expr(
+          "concat(CAST(ip DIV 16777216 AS STRING), '.', CAST(ip DIV 65536 % 256 AS STRING), '.', CAST(ip DIV 256 % 256 AS STRING), '.', CAST(ip % 256 AS STRING))"))
+        .groupBy("block")
+        .agg(count(lit(1)).as("n_ips"),
+          min("ip").as("min_ip"), max("ip").as("max_ip"),
+          min("dotted").as("min_dotted"))
+        .orderBy("block")
+    }),
+
+    // MCQ position-bias audit — the eval pathology where a model prefers
+    // slot A regardless of content (llm_length_bias_audit's sibling; both
+    // are judge-validity checks): uniform md5 truth slots, a PLANTED
+    // 40%-toward-slot-0 predictor, per-slot prediction counts and
+    // accuracy in exact ppm, and the uniformity χ² = (4Σc²−N²)/N kept as
+    // an integer rational with the df=3 flag cross-multiplied.
+    "llm_mcq_position_bias" -> ((s, d) => {
+      def u(ns: String) =
+        s"CAST(conv(substring(md5(concat('$ns:', CAST(doc_id AS STRING))), 1, 8), 16, 10) AS BIGINT)"
+      val t = Tables.documents(s, d).select(col("doc_id"))
+        .withColumn("truth", expr(s"${u("mcqt")} % 4"))
+        .withColumn("pred", expr(
+          s"CASE WHEN ${u("mcqb")} % 10 < 4 THEN CAST(0 AS BIGINT) ELSE ${u("mcqp")} % 4 END"))
+      val slots = (0 to 3).flatMap { j =>
+        Seq(sum(when(col("pred") === j, 1L).otherwise(0L)).as(s"c$j"),
+          sum(when(col("pred") === j && col("truth") === j, 1L).otherwise(0L)).as(s"hit$j"))
+      }
+      t.agg(count(lit(1)).as("n"), slots: _*)
+        .withColumn("chi2_num", expr(
+          "4 * (c0*c0 + c1*c1 + c2*c2 + c3*c3) - n * n"))
+        .withColumn("chi2_den", col("n"))
+        .withColumn("biased", expr("1000 * chi2_num > 7815 * chi2_den"))
+        .withColumn("acc0_ppm", expr("CASE WHEN c0 = 0 THEN CAST(0 AS BIGINT) ELSE hit0 * 1000000 DIV c0 END"))
+        .withColumn("acc_rest_ppm", expr(
+          "CASE WHEN c1 + c2 + c3 = 0 THEN CAST(0 AS BIGINT) ELSE (hit1 + hit2 + hit3) * 1000000 DIV (c1 + c2 + c3) END"))
+        .select("n", "c0", "c1", "c2", "c3", "chi2_num", "chi2_den",
+          "biased", "acc0_ppm", "acc_rest_ppm")
+    }),
+
+    // MAPE / sMAPE — the forecast-error pair every capacity dashboard
+    // quotes (agg_forecast_backtest grades a model; these grade the ERROR
+    // METRIC itself): seasonal-naive forecast = hourly mean lagged 24 h,
+    // per-row errors cleared to fixed-point ppm by one non-negative DIV
+    // each (|a−f|·10⁶ DIV a; 2|a−f|·10⁶ DIV (a+f)), then truncated means
+    // — the documented fixed-point contract, deterministic cross-engine.
+    "agg_mape_smape" -> ((s, d) => {
+      val hourly = Tables.events(s, d)
+        .select(col("event_type"),
+          expr("ts_us DIV 3600000000").as("hour"),
+          floor(col("value") * 100).cast("bigint").as("cents"))
+        .groupBy("event_type", "hour")
+        .agg(count(lit(1)).as("nh"), sum("cents").as("sh"))
+        .withColumn("a", expr("sh DIV nh"))
+      val ord = Window.partitionBy("event_type").orderBy("hour")
+      hourly.withColumn("f", lag("a", 24).over(ord))
+        .where(col("f").isNotNull && col("a") > 0 && expr("a + f > 0"))
+        .withColumn("ape_ppm", expr("abs(a - f) * 1000000 DIV a"))
+        .withColumn("sape_ppm", expr("2 * abs(a - f) * 1000000 DIV (a + f)"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum("ape_ppm").as("ape_sum"), sum("sape_ppm").as("sape_sum"))
+        .withColumn("mape_ppm", expr("ape_sum DIV n"))
+        .withColumn("smape_ppm", expr("sape_sum DIV n"))
+        .select("event_type", "n", "mape_ppm", "smape_ppm")
+        .orderBy("event_type")
     })
   )
 
@@ -4122,6 +4204,70 @@ object Analytics {
         |  CAST(SUM(p_rows) AS BIGINT) AS n_rows,
         |  CAST(SUM(p_rows * 96) AS BIGINT) AS est_bytes,
         |  CAST(SUM(CASE WHEN age_days > 21 THEN p_rows * 96 ELSE 0 END) AS BIGINT) AS reclaim_bytes
-        |FROM t GROUP BY 1 ORDER BY tier""".stripMargin
+        |FROM t GROUP BY 1 ORDER BY tier""".stripMargin,
+
+    // Same shift-compare containment, same DIV/mod dotted rendering.
+    "fn_ipv4_cidr" ->
+      """WITH i AS (SELECT event_id,
+        |    ('0x' || substring(md5('ip:' || CAST(event_id AS VARCHAR)), 1, 8))::BIGINT % 4294967296 AS ip
+        |  FROM events),
+        |c AS (SELECT ip,
+        |    CASE WHEN ip >> 24 = 10 THEN '10.0.0.0/8'
+        |      WHEN ip >> 20 = 2753 THEN '172.16.0.0/12'
+        |      WHEN ip >> 16 = 49320 THEN '192.168.0.0/16'
+        |      ELSE 'public' END AS block,
+        |    CAST(ip // 16777216 AS VARCHAR) || '.' || CAST(ip // 65536 % 256 AS VARCHAR)
+        |      || '.' || CAST(ip // 256 % 256 AS VARCHAR) || '.' || CAST(ip % 256 AS VARCHAR) AS dotted
+        |  FROM i)
+        |SELECT block, CAST(COUNT(*) AS BIGINT) AS n_ips,
+        |  CAST(MIN(ip) AS BIGINT) AS min_ip, CAST(MAX(ip) AS BIGINT) AS max_ip,
+        |  MIN(dotted) AS min_dotted
+        |FROM c GROUP BY 1 ORDER BY block""".stripMargin,
+
+    // Same planted slot-0 pull, same integer uniformity rational.
+    "llm_mcq_position_bias" ->
+      """WITH t AS (SELECT doc_id,
+        |    ('0x' || substring(md5('mcqt:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 4 AS truth,
+        |    CASE WHEN ('0x' || substring(md5('mcqb:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10 < 4
+        |      THEN 0
+        |      ELSE ('0x' || substring(md5('mcqp:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 4 END AS pred
+        |  FROM documents),
+        |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CASE WHEN pred = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c0,
+        |    CAST(SUM(CASE WHEN pred = 0 AND truth = 0 THEN 1 ELSE 0 END) AS BIGINT) AS hit0,
+        |    CAST(SUM(CASE WHEN pred = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+        |    CAST(SUM(CASE WHEN pred = 1 AND truth = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hit1,
+        |    CAST(SUM(CASE WHEN pred = 2 THEN 1 ELSE 0 END) AS BIGINT) AS c2,
+        |    CAST(SUM(CASE WHEN pred = 2 AND truth = 2 THEN 1 ELSE 0 END) AS BIGINT) AS hit2,
+        |    CAST(SUM(CASE WHEN pred = 3 THEN 1 ELSE 0 END) AS BIGINT) AS c3,
+        |    CAST(SUM(CASE WHEN pred = 3 AND truth = 3 THEN 1 ELSE 0 END) AS BIGINT) AS hit3
+        |  FROM t)
+        |SELECT n, c0, c1, c2, c3,
+        |  4 * (c0*c0 + c1*c1 + c2*c2 + c3*c3) - n * n AS chi2_num,
+        |  n AS chi2_den,
+        |  1000 * (4 * (c0*c0 + c1*c1 + c2*c2 + c3*c3) - n * n) > 7815 * n AS biased,
+        |  CASE WHEN c0 = 0 THEN CAST(0 AS BIGINT) ELSE hit0 * 1000000 // c0 END AS acc0_ppm,
+        |  CASE WHEN c1 + c2 + c3 = 0 THEN CAST(0 AS BIGINT)
+        |    ELSE (hit1 + hit2 + hit3) * 1000000 // (c1 + c2 + c3) END AS acc_rest_ppm
+        |FROM m""".stripMargin,
+
+    // Same seasonal-naive forecast, same fixed-point per-row clearing.
+    "agg_mape_smape" ->
+      """WITH h AS (SELECT event_type, epoch_us(ts) // 3600000000 AS hour,
+        |    CAST(COUNT(*) AS BIGINT) AS nh,
+        |    CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS sh
+        |  FROM events GROUP BY 1, 2),
+        |a AS (SELECT event_type, hour, sh // nh AS a FROM h),
+        |f AS (SELECT event_type, hour, a,
+        |    lag(a, 24) OVER (PARTITION BY event_type ORDER BY hour) AS f
+        |  FROM a),
+        |e AS (SELECT event_type,
+        |    abs(a - f) * 1000000 // a AS ape_ppm,
+        |    2 * abs(a - f) * 1000000 // (a + f) AS sape_ppm
+        |  FROM f WHERE f IS NOT NULL AND a > 0 AND a + f > 0)
+        |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(ape_ppm) AS BIGINT) // COUNT(*) AS mape_ppm,
+        |  CAST(SUM(sape_ppm) AS BIGINT) // COUNT(*) AS smape_ppm
+        |FROM e GROUP BY 1 ORDER BY event_type""".stripMargin
   )
 }
