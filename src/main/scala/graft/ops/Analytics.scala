@@ -1890,7 +1890,10 @@ object Analytics {
           sum(col("c").cast("decimal(38,0)")).as("s1"),
           sum((col("c") * col("c")).cast("decimal(38,0)")).as("s2"),
           sum((col("c") * col("c") * col("c")).cast("decimal(38,0)")).as("s3"),
-          sum((col("c") * col("c") * col("c") * col("c")).cast("decimal(38,0)")).as("s4"))
+          // c^4 peaks ~9.9e18 at sf0.1 — beyond int64: square in LONG
+          // (c^2 <= 3.2e9, safe), then multiply as DECIMAL(38,0)
+          sum((col("c") * col("c")).cast("decimal(38,0)") *
+            (col("c") * col("c")).cast("decimal(38,0)")).as("s4"))
         .withColumn("a2", expr("n * s2 - s1 * s1"))
         .withColumn("a3", expr("n * n * s3 - 3 * n * s1 * s2 + 2 * s1 * s1 * s1"))
         .withColumn("a4", expr(
@@ -2478,6 +2481,75 @@ object Analytics {
         .withColumn("smape_ppm", expr("sape_sum DIV n"))
         .select("event_type", "n", "mape_ppm", "smape_ppm")
         .orderBy("event_type")
+    }),
+
+    // Best-of-N sampling audit — the inference-time scaling move (sample
+    // N, keep the reward model's favorite) graded for what it actually
+    // buys: 10-candidate groups, latent quality q and a NOISY proxy score
+    // q + U(−200,200) (an imperfect reward model — the realistic case),
+    // the BoN pick is the score-argmax via a deterministic window, and
+    // the ledger reports picked/oracle/first-sample quality plus the
+    // win rate over the baseline — regret included, exact integers only.
+    "llm_best_of_n" -> ((s, d) => {
+      def u(ns: String) =
+        s"CAST(conv(substring(md5(concat('$ns:', CAST(doc_id AS STRING))), 1, 8), 16, 10) AS BIGINT)"
+      val t = Tables.documents(s, d).select(col("doc_id"))
+        .withColumn("grp", expr("doc_id DIV 10"))
+        .withColumn("q", expr(s"${u("bq")} % 1000"))
+        .withColumn("score", expr(s"q + ${u("be")} % 400 - 200"))
+      val w = Window.partitionBy("grp")
+        .orderBy(col("score").desc, col("doc_id"))
+      val g = t.withColumn("rn", row_number().over(w))
+        .groupBy("grp")
+        .agg(count(lit(1)).as("k"),
+          max(when(col("rn") === 1, col("q"))).as("picked_q"),
+          max("q").as("oracle_q"),
+          max(when(expr("doc_id % 10 = 0"), col("q"))).as("first_q"))
+        .where(col("k") === 10)
+      g.agg(count(lit(1)).as("n_groups"),
+          sum("picked_q").as("picked_sum"),
+          sum("oracle_q").as("oracle_sum"),
+          sum("first_q").as("first_sum"),
+          sum(when(col("picked_q") > col("first_q"), 1L).otherwise(0L)).as("wins"))
+        .withColumn("picked_mean_milli", expr("picked_sum * 1000 DIV n_groups"))
+        .withColumn("regret_mean_milli", expr("(oracle_sum - picked_sum) * 1000 DIV n_groups"))
+        .withColumn("win_rate_ppm", expr("wins * 1000000 DIV n_groups"))
+        .select("n_groups", "picked_sum", "oracle_sum", "first_sum",
+          "picked_mean_milli", "regret_mean_milli", "win_rate_ppm")
+    }),
+
+    // Self-consistency voting — sample k=5 answers and take the MAJORITY
+    // (the eval-time ensembling llm_pass_at_k estimates and this one
+    // executes): per question, each sample is right with p=0.4 plus
+    // uniform noise (effective p≈0.55), the vote tally is a fixed CASE
+    // cascade with the ties-to-smallest-index contract, and the ledger
+    // grades majority accuracy AGAINST single-sample accuracy — the gain
+    // is the whole point and it is exact-integer end to end.
+    "llm_self_consistency" -> ((s, d) => {
+      def u(ns: String) =
+        s"CAST(conv(substring(md5(concat('$ns:', CAST(doc_id AS STRING))), 1, 8), 16, 10) AS BIGINT)"
+      def samp(i: Int) =
+        s"(CASE WHEN ${u(s"scs$i")} % 10 < 4 THEN truth ELSE ${u(s"scr$i")} % 4 END)"
+      val votes = (0 to 3).map { a =>
+        val terms = (1 to 5).map(i => s"(CASE WHEN s$i = $a THEN 1 ELSE 0 END)").mkString(" + ")
+        (s"v$a", s"CAST($terms AS BIGINT)")
+      }
+      var t = Tables.documents(s, d).select(col("doc_id"))
+        .withColumn("truth", expr(s"${u("sct")} % 4"))
+      (1 to 5).foreach { i => t = t.withColumn(s"s$i", expr(samp(i))) }
+      votes.foreach { case (name, ex) => t = t.withColumn(name, expr(ex)) }
+      t.withColumn("maj", expr(
+          """CAST(CASE WHEN v0 >= v1 AND v0 >= v2 AND v0 >= v3 THEN 0
+             WHEN v1 >= v2 AND v1 >= v3 THEN 1
+             WHEN v2 >= v3 THEN 2 ELSE 3 END AS BIGINT)"""))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("s1") === col("truth"), 1L).otherwise(0L)).as("single_hits"),
+          sum(when(col("maj") === col("truth"), 1L).otherwise(0L)).as("maj_hits"))
+        .withColumn("single_acc_ppm", expr("single_hits * 1000000 DIV n"))
+        .withColumn("maj_acc_ppm", expr("maj_hits * 1000000 DIV n"))
+        // difference of two already-truncated ppms — exact, sign-safe by
+        // construction (never a DIV over a negative numerator)
+        .withColumn("gain_ppm", expr("maj_hits * 1000000 DIV n - single_hits * 1000000 DIV n"))
     })
   )
 
@@ -4268,6 +4340,65 @@ object Analytics {
         |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
         |  CAST(SUM(ape_ppm) AS BIGINT) // COUNT(*) AS mape_ppm,
         |  CAST(SUM(sape_ppm) AS BIGINT) // COUNT(*) AS smape_ppm
-        |FROM e GROUP BY 1 ORDER BY event_type""".stripMargin
+        |FROM e GROUP BY 1 ORDER BY event_type""".stripMargin,
+
+    // Same noisy proxy, same deterministic argmax, same regret ledger.
+    "llm_best_of_n" ->
+      """WITH t AS (SELECT doc_id, doc_id // 10 AS grp,
+        |    ('0x' || substring(md5('bq:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 1000 AS q,
+        |    ('0x' || substring(md5('bq:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 1000
+        |      + ('0x' || substring(md5('be:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 400 - 200 AS score
+        |  FROM documents),
+        |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY grp ORDER BY score DESC, doc_id) AS rn
+        |  FROM t),
+        |g AS (SELECT grp, CAST(COUNT(*) AS BIGINT) AS k,
+        |    CAST(MAX(CASE WHEN rn = 1 THEN q END) AS BIGINT) AS picked_q,
+        |    CAST(MAX(q) AS BIGINT) AS oracle_q,
+        |    CAST(MAX(CASE WHEN doc_id % 10 = 0 THEN q END) AS BIGINT) AS first_q
+        |  FROM r GROUP BY 1),
+        |f AS (SELECT * FROM g WHERE k = 10)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+        |  CAST(SUM(picked_q) AS BIGINT) AS picked_sum,
+        |  CAST(SUM(oracle_q) AS BIGINT) AS oracle_sum,
+        |  CAST(SUM(first_q) AS BIGINT) AS first_sum,
+        |  CAST(SUM(picked_q) AS BIGINT) * 1000 // COUNT(*) AS picked_mean_milli,
+        |  (CAST(SUM(oracle_q) AS BIGINT) - CAST(SUM(picked_q) AS BIGINT)) * 1000 // COUNT(*) AS regret_mean_milli,
+        |  CAST(SUM(CASE WHEN picked_q > first_q THEN 1 ELSE 0 END) AS BIGINT) * 1000000 // COUNT(*) AS win_rate_ppm
+        |FROM f""".stripMargin,
+
+    // Same vote cascade with ties-to-smallest, same exact gain.
+    "llm_self_consistency" -> {
+      def u(ns: String) =
+        s"(('0x' || substring(md5('$ns:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT)"
+      def samp(i: Int) =
+        s"(CASE WHEN ${u(s"scs$i")} % 10 < 4 THEN truth ELSE ${u(s"scr$i")} % 4 END)"
+      val sampCols = (1 to 5).map(i => s"    ${samp(i)} AS s$i").mkString(",\n")
+      val voteCols = (0 to 3).map { a =>
+        val terms = (1 to 5).map(i => s"(CASE WHEN s$i = $a THEN 1 ELSE 0 END)").mkString(" + ")
+        s"    CAST($terms AS BIGINT) AS v$a"
+      }.mkString(",\n")
+      s"""WITH t AS (SELECT doc_id,
+         |    ${u("sct")} % 4 AS truth
+         |  FROM documents),
+         |s AS (SELECT doc_id, truth,
+         |$sampCols
+         |  FROM t),
+         |v AS (SELECT doc_id, truth, s1,
+         |$voteCols
+         |  FROM s),
+         |m AS (SELECT *,
+         |    CAST(CASE WHEN v0 >= v1 AND v0 >= v2 AND v0 >= v3 THEN 0
+         |      WHEN v1 >= v2 AND v1 >= v3 THEN 1
+         |      WHEN v2 >= v3 THEN 2 ELSE 3 END AS BIGINT) AS maj
+         |  FROM v)
+         |SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         |  CAST(SUM(CASE WHEN s1 = truth THEN 1 ELSE 0 END) AS BIGINT) AS single_hits,
+         |  CAST(SUM(CASE WHEN maj = truth THEN 1 ELSE 0 END) AS BIGINT) AS maj_hits,
+         |  CAST(SUM(CASE WHEN s1 = truth THEN 1 ELSE 0 END) AS BIGINT) * 1000000 // COUNT(*) AS single_acc_ppm,
+         |  CAST(SUM(CASE WHEN maj = truth THEN 1 ELSE 0 END) AS BIGINT) * 1000000 // COUNT(*) AS maj_acc_ppm,
+         |  CAST(SUM(CASE WHEN maj = truth THEN 1 ELSE 0 END) AS BIGINT) * 1000000 // COUNT(*)
+         |    - CAST(SUM(CASE WHEN s1 = truth THEN 1 ELSE 0 END) AS BIGINT) * 1000000 // COUNT(*) AS gain_ppm
+         |FROM m""".stripMargin
+    }
   )
 }

@@ -1043,8 +1043,50 @@ object GraphOps {
       lvl.groupBy(col("l").as("layer"))
         .agg(count(lit(1)).as("n_nodes"))
         .orderBy("layer")
+    }),
+
+    // Strongly connected components — the FORWARD-BACKWARD peel (the
+    // Coloring/FB-trim building block every distributed SCC engine
+    // iterates): the directed graph is the deterministically SPARSIFIED
+    // trade graph (w % 7 < 2 keeps ~2/7 of arcs, and since w(u→v) ≠
+    // w(v→u) the sparsified graph is genuinely asymmetric), lf = min
+    // label over ancestors and lb = min label over descendants by 6
+    // synchronous min-label rounds each, and a node is CONFIRMED in the
+    // SCC of node m iff lf = lb = m — the pair inequality is exactly the
+    // not-yet-peeled frontier a second FB round would recurse into.
+    "graph_scc" -> ((s, d) => {
+      val arcs = tradeEdges(s, d)
+        .where(col("src") =!= col("dst") && col("w") % 7 < 2)
+        .select("src", "dst").localCheckpoint()
+      val rev = arcs.select(col("dst").as("src"), col("src").as("dst"))
+      val nodes = Tables.nation(s, d).select(col("n_nationkey").as("node"))
+      def minLabel(edges: DataFrame): DataFrame = {
+        var lab = nodes.withColumn("l", col("node").cast("long"))
+        for (i <- 1 to SccIters) {
+          val cand = edges
+            .join(lab.select(col("node").as("src"), col("l").as("sl")), "src")
+            .groupBy(col("dst").as("node")).agg(min("sl").as("cand"))
+          lab = lab.join(cand, Seq("node"), "left")
+            .select(col("node"),
+              least(col("l"), coalesce(col("cand"), col("l"))).as("l"))
+          if (i == 3) lab = lab.localCheckpoint()
+        }
+        lab
+      }
+      val lf = minLabel(arcs).withColumnRenamed("l", "lf")
+      val lb = minLabel(rev).withColumnRenamed("l", "lb")
+      lf.join(lb, "node")
+        .withColumn("confirmed", col("lf") === col("lb"))
+        .withColumn("scc", expr("CASE WHEN lf = lb THEN lf ELSE CAST(-1 AS BIGINT) END"))
+        .select("node", "lf", "lb", "confirmed", "scc")
+        .orderBy("node")
     })
   )
+
+  /** Fixed min-label rounds for graph_scc's forward/backward sweeps
+    * (diameter of the 25-node sparsified trade graph is well under 6;
+    * the oracle replays the same rounds as chained CTEs). */
+  private val SccIters = 6
 
   val oracles: Map[String, String] = Map(
     // The 6 weighted relaxation rounds replayed as chained CTEs from the
@@ -1725,6 +1767,33 @@ object GraphOps {
          |$iters
          |SELECT l AS layer, CAST(COUNT(*) AS BIGINT) AS n_nodes
          |FROM l6 GROUP BY l ORDER BY layer""".stripMargin
+    },
+
+    // Same sparsified arcs, same 6 min-label rounds per direction.
+    "graph_scc" -> {
+      def sweep(p: String, edges: String) = (1 to 6).map { i =>
+        val prev = s"$p${i - 1}"
+        s"""${p}c$i AS MATERIALIZED (SELECT e.dst AS node, CAST(MIN($prev.l) AS BIGINT) AS cand
+           |  FROM $edges e JOIN $prev ON $prev.node = e.src GROUP BY 1),
+           |$p$i AS MATERIALIZED (SELECT n.node,
+           |    CAST(LEAST($prev.l, COALESCE(${p}c$i.cand, $prev.l)) AS BIGINT) AS l
+           |  FROM nodes n JOIN $prev ON $prev.node = n.node
+           |  LEFT JOIN ${p}c$i ON ${p}c$i.node = n.node)"""
+      }.mkString(",\n")
+      s"""WITH $EdgesCte,
+         |arcs AS MATERIALIZED (SELECT src, dst FROM edges
+         |  WHERE src != dst AND w % 7 < 2),
+         |rarcs AS MATERIALIZED (SELECT dst AS src, src AS dst FROM arcs),
+         |nodes AS (SELECT n_nationkey AS node FROM nation),
+         |f0 AS (SELECT node, CAST(node AS BIGINT) AS l FROM nodes),
+         |${sweep("f", "arcs")},
+         |b0 AS (SELECT node, CAST(node AS BIGINT) AS l FROM nodes),
+         |${sweep("b", "rarcs")}
+         |SELECT f6.node, f6.l AS lf, b6.l AS lb,
+         |  f6.l = b6.l AS confirmed,
+         |  CASE WHEN f6.l = b6.l THEN f6.l ELSE CAST(-1 AS BIGINT) END AS scc
+         |FROM f6 JOIN b6 ON b6.node = f6.node
+         |ORDER BY f6.node""".stripMargin
     }
   )
 }
