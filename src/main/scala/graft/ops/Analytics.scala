@@ -2550,6 +2550,203 @@ object Analytics {
         // difference of two already-truncated ppms — exact, sign-safe by
         // construction (never a DIV over a negative numerator)
         .withColumn("gain_ppm", expr("maj_hits * 1000000 DIV n - single_hits * 1000000 DIV n"))
+    }),
+
+    // Tukey fences — the NONPARAMETRIC outlier rule beside agg_grubbs'
+    // normal-theory one (Grubbs assumes Gaussian tails; Tukey only needs
+    // quartiles): rank-picked Q1/Q3 per type, and the 1.5·IQR fences are
+    // kept EXACT by scaling the comparison by 2 — outlier iff
+    // 2x < 2Q1−3·IQR or 2x > 2Q3+3·IQR, no halves ever materialize. The
+    // rank window and the fence counts share one event_type shuffle.
+    "agg_tukey_fences" -> ((s, d) => {
+      val part = Window.partitionBy("event_type")
+      val ord = part.orderBy(col("cents"), col("event_id"))
+      Tables.events(s, d)
+        .select(col("event_type"), col("event_id"),
+          floor(col("value") * 100).cast("bigint").as("cents"))
+        .withColumn("rn", row_number().over(ord).cast("bigint"))
+        .withColumn("cnt", count(lit(1)).over(part))
+        .withColumn("q1", max(when(col("rn") === expr("(cnt + 1) DIV 4"), col("cents"))).over(part))
+        .withColumn("q3", max(when(col("rn") === expr("(3 * (cnt + 1)) DIV 4"), col("cents"))).over(part))
+        .groupBy("event_type")
+        .agg(max("cnt").as("n"), max("q1").as("q1"), max("q3").as("q3"),
+          sum(when(expr("2 * cents < 2 * q1 - 3 * (q3 - q1)"), 1L).otherwise(0L)).as("n_out_low"),
+          sum(when(expr("2 * cents > 2 * q3 + 3 * (q3 - q1)"), 1L).otherwise(0L)).as("n_out_high"))
+        .withColumn("iqr", expr("q3 - q1"))
+        .orderBy("event_type")
+    }),
+
+    // Membership-inference audit — the PRIVACY EVAL beside the DP ledger
+    // (the ledger budgets leakage; this MEASURES it): planted members get
+    // a −300-milli loss discount, the attack ranks by loss, and its AUC
+    // is the exact Mann–Whitney rank-sum rational (nonmember rank sum
+    // minus its own minimum over nm·nn, in ppm — deterministic (loss, id)
+    // tie-break, no floats). AUC > 0.6 flags the model as leaking.
+    "llm_membership_inference" -> ((s, d) => {
+      def u(ns: String) =
+        s"CAST(conv(substring(md5(concat('$ns:', CAST(doc_id AS STRING))), 1, 8), 16, 10) AS BIGINT)"
+      val t = Tables.documents(s, d).select(col("doc_id"))
+        .withColumn("member", expr(s"${u("mem")} % 2"))
+        .withColumn("loss_milli", expr(s"2000 + ${u("ln")} % 1000 - member * 300"))
+      val w = Window.orderBy(col("loss_milli"), col("doc_id"))
+      t.withColumn("rk", row_number().over(w).cast("bigint"))
+        .agg(count(lit(1)).as("n"),
+          sum("member").as("nm"),
+          sum(when(col("member") === 0, col("rk"))).as("rs_nonmember"))
+        .withColumn("nn", expr("n - nm"))
+        .withColumn("auc_ppm", expr(
+          "(rs_nonmember - nn * (nn + 1) DIV 2) * 1000000 DIV (nn * nm)"))
+        .withColumn("leaking", expr("auc_ppm > 600000"))
+        .select("n", "nm", "nn", "rs_nonmember", "auc_ppm", "leaking")
+    }),
+
+    // Rolling VWAP — the volume-weighted price beside win_twap's
+    // time-weighted one (fills weigh by traded size, not elapsed time):
+    // one 20-row frame per type carries Σp·v and Σv, the quotient is a
+    // single non-negative integer DIV per row, and the synthetic volume
+    // user_id%7+1 keeps every weight in [1,7] — exact end to end.
+    "win_vwap" -> ((s, d) => {
+      val w20 = Window.partitionBy("event_type")
+        .orderBy(col("ts_us"), col("event_id")).rowsBetween(-19, 0)
+      Tables.events(s, d)
+        .select(col("event_type"), col("event_id"), col("ts_us"),
+          floor(col("value") * 100).cast("bigint").as("cents"),
+          expr("user_id % 7 + 1").as("vol"))
+        .withColumn("nw", count(lit(1)).over(w20))
+        .withColumn("pv", sum(expr("cents * vol")).over(w20))
+        .withColumn("v", sum("vol").over(w20))
+        .where(col("nw") === 20 && col("event_id") % 7 === 3)
+        .withColumn("vwap_cents", expr("pv DIV v"))
+        .select("event_type", "event_id", "cents", "vol", "pv", "v", "vwap_cents")
+        .orderBy("event_type", "event_id")
+    }),
+
+    // Access-log anomaly — the behavioral layer of the governance stack
+    // (rls_matrix says WHO may read, dp_epsilon_ledger prices WHAT they
+    // read, this watches HOW OFTEN): per (analyst, hour) access counts,
+    // each analyst's own MEDIAN hourly rate by deterministic rank pick,
+    // and hours above 2× that personal baseline flag — all integer
+    // compares, robust to the analyst's own scale by construction.
+    "warehouse_access_anomaly" -> ((s, d) => {
+      val hourly = Tables.events(s, d)
+        .select(expr("user_id % 20").as("analyst"),
+          expr("ts_us DIV 3600000000").as("hour"))
+        .groupBy("analyst", "hour")
+        .agg(count(lit(1)).as("accesses"))
+      val part = Window.partitionBy("analyst")
+      val ord = part.orderBy(col("accesses"), col("hour"))
+      hourly
+        .withColumn("rn", row_number().over(ord).cast("bigint"))
+        .withColumn("nh", count(lit(1)).over(part))
+        .withColumn("med", max(when(col("rn") === expr("(nh + 1) DIV 2"), col("accesses"))).over(part))
+        .groupBy("analyst")
+        .agg(max("nh").as("n_hours"), max("med").as("median_rate"),
+          sum(when(expr("accesses > 2 * med"), 1L).otherwise(0L)).as("n_anomalous_hours"),
+          max(when(expr("accesses > 2 * med"), col("accesses"))).as("peak_anomaly"))
+        .withColumn("peak_anomaly", coalesce(col("peak_anomaly"), lit(0L)))
+        .orderBy("analyst")
+    }),
+
+    // Gradient-noise-scale estimate — the critical-batch-size diagnostic
+    // (McCandlish et al.'s B_simple ≈ tr(Σ)/|G|², the number that says
+    // when bigger batches stop helping): 64 md5 shard-gradient proxies,
+    // variance numerator A2 = nΣg²−(Σg)² in exact integers (the
+    // cancellation law), and B_milli = A2·n·1000 DIV ((n−1)·(Σg)²) one
+    // exact rational — the whole estimator never touches a float.
+    "llm_grad_noise_scale" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"))
+        .withColumn("shard", expr("doc_id % 64"))
+        .withColumn("g", expr(
+          "1000 + CAST(conv(substring(md5(concat('gns:', CAST(doc_id AS STRING))), 1, 8), 16, 10) AS BIGINT) % 400 - 200"))
+        .groupBy("shard").agg(sum("g").as("gs"))
+        .agg(count(lit(1)).as("n"),
+          sum("gs").as("s1"),
+          sum((col("gs") * col("gs")).cast("decimal(38,0)")).cast("bigint").as("s2"))
+        .withColumn("a2", expr("n * s2 - s1 * s1"))
+        .withColumn("b_simple_milli", expr(
+          "CAST(CAST(a2 AS DECIMAL(38,0)) * n * 1000 DIV ((n - 1) * CAST(s1 AS DECIMAL(38,0)) * s1) AS BIGINT)"))
+        .select("n", "s1", "s2", "a2", "b_simple_milli")
+    }),
+
+    // Bloom-filter sizing plan — the parameter table behind
+    // sink_parquet_bloom (that op USES a bloom filter; this one SIZES it):
+    // for p=0.01 the optimal bits/key is ln p⁻¹/(ln 2)² ≈ 9.585 (frozen
+    // to the integer literal 9585 milli-bits — no runtime transcendental)
+    // and k = 7 hashes; per 512-token corpus band the plan emits ceil'd
+    // bits, bytes, and k — the exact integer ledger an ingest job ships.
+    "fn_bloom_parameters" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(expr("CAST(length(text) DIV 4 AS BIGINT) DIV 512").as("band"))
+        .groupBy("band")
+        .agg(count(lit(1)).as("n_keys"))
+        .withColumn("m_bits", expr("(n_keys * 9585 + 999) DIV 1000"))
+        .withColumn("m_bytes", expr("((n_keys * 9585 + 999) DIV 1000 + 7) DIV 8"))
+        .withColumn("k_hashes", lit(7L))
+        .withColumn("bits_per_key_milli", lit(9585L))
+        .orderBy("band")),
+
+    // Allen's interval algebra — ALL 13 temporal relations classified by
+    // one endpoint CASE cascade (join_range_interval finds overlaps; this
+    // NAMES the relationship — the vocabulary schedulers, CDC mergers and
+    // temporal reasoners share): md5 interval pairs, the seven base
+    // relations + six inverses from pure integer endpoint compares, and
+    // the distribution rollup proves the cascade partitions (every pair
+    // classifies exactly once — graded by count conservation).
+    "fn_allen_intervals" -> ((s, d) => {
+      def u(ns: String) =
+        s"CAST(conv(substring(md5(concat('$ns:', CAST(event_id AS STRING))), 1, 8), 16, 10) AS BIGINT)"
+      Tables.events(s, d).select(col("event_id"))
+        .withColumn("a1", expr(s"${u("ia")} % 1000"))
+        .withColumn("a2", expr(s"a1 + ${u("il")} % 100 + 1"))
+        .withColumn("b1", expr(s"${u("ib")} % 1000"))
+        .withColumn("b2", expr(s"b1 + ${u("im")} % 100 + 1"))
+        .withColumn("rel", expr(
+          """CASE
+             WHEN a2 < b1 THEN 'precedes'
+             WHEN a2 = b1 THEN 'meets'
+             WHEN b2 < a1 THEN 'preceded_by'
+             WHEN b2 = a1 THEN 'met_by'
+             WHEN a1 = b1 AND a2 = b2 THEN 'equals'
+             WHEN a1 = b1 AND a2 < b2 THEN 'starts'
+             WHEN a1 = b1 AND a2 > b2 THEN 'started_by'
+             WHEN a2 = b2 AND a1 > b1 THEN 'finishes'
+             WHEN a2 = b2 AND a1 < b1 THEN 'finished_by'
+             WHEN a1 > b1 AND a2 < b2 THEN 'during'
+             WHEN a1 < b1 AND a2 > b2 THEN 'contains'
+             WHEN a1 < b1 AND a2 < b2 THEN 'overlaps'
+             ELSE 'overlapped_by' END"""))
+        .groupBy("rel")
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy("rel")
+    }),
+
+    // Mann–Kendall trend test — the DISTRIBUTION-FREE monotone-trend
+    // detector (agg_page_trend needs blocked treatments; MK asks one
+    // series "are you drifting?"): daily mean cents, S = Σ_{i<j}
+    // sign(xⱼ−xᵢ) over all day pairs (exact integer, ~30 days → trivial
+    // pair join), Var(S) = n(n−1)(2n+5)/18 closed-form, and the z²
+    // verdict cross-multiplies to 18000·S² > 3841·n(n−1)(2n+5) — no
+    // variance float, no sqrt, ties contribute sign 0 (documented).
+    "agg_mk_trend" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .select(expr("ts_us DIV 86400000000").as("day"),
+          floor(col("value") * 100).cast("bigint").as("cents"))
+        .groupBy("day").agg(count(lit(1)).as("nd"), sum("cents").as("sd"))
+        .withColumn("x", expr("sd DIV nd"))
+        .select("day", "x")
+      val a = daily.select(col("day").as("di"), col("x").as("xi"))
+      val b = daily.select(col("day").as("dj"), col("x").as("xj"))
+      a.join(b, col("di") < col("dj"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(expr("CAST(CASE WHEN xj > xi THEN 1 WHEN xj < xi THEN -1 ELSE 0 END AS BIGINT)")).as("s_stat"))
+        .withColumn("n", expr(
+          "CAST((1 + CAST(sqrt(CAST(8 * n_pairs + 1 AS DOUBLE)) AS BIGINT)) DIV 2 AS BIGINT)"))
+        .withColumn("var_num", expr("n * (n - 1) * (2 * n + 5)"))
+        .withColumn("trending", expr("18000 * s_stat * s_stat > 3841 * var_num"))
+        .withColumn("direction", expr(
+          "CAST(CASE WHEN s_stat > 0 THEN 1 WHEN s_stat < 0 THEN -1 ELSE 0 END AS BIGINT)"))
+        .select("n", "n_pairs", "s_stat", "var_num", "trending", "direction")
     })
   )
 
@@ -4399,6 +4596,156 @@ object Analytics {
          |  CAST(SUM(CASE WHEN maj = truth THEN 1 ELSE 0 END) AS BIGINT) * 1000000 // COUNT(*)
          |    - CAST(SUM(CASE WHEN s1 = truth THEN 1 ELSE 0 END) AS BIGINT) * 1000000 // COUNT(*) AS gain_ppm
          |FROM m""".stripMargin
-    }
+    },
+
+    // Same rank-picked quartiles, same ×2-scaled exact fences.
+    "agg_tukey_fences" ->
+      """WITH e AS (SELECT event_type, event_id,
+        |    CAST(FLOOR(value * 100) AS BIGINT) AS cents FROM events),
+        |w AS (SELECT event_type, cents,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY cents, event_id) AS BIGINT) AS rn,
+        |    CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS cnt
+        |  FROM e),
+        |q AS (SELECT event_type, cents, cnt,
+        |    CAST(MAX(CASE WHEN rn = (cnt + 1) // 4 THEN cents END)
+        |      OVER (PARTITION BY event_type) AS BIGINT) AS q1,
+        |    CAST(MAX(CASE WHEN rn = (3 * (cnt + 1)) // 4 THEN cents END)
+        |      OVER (PARTITION BY event_type) AS BIGINT) AS q3
+        |  FROM w)
+        |SELECT event_type, CAST(MAX(cnt) AS BIGINT) AS n,
+        |  CAST(MAX(q1) AS BIGINT) AS q1, CAST(MAX(q3) AS BIGINT) AS q3,
+        |  CAST(SUM(CASE WHEN 2 * cents < 2 * q1 - 3 * (q3 - q1) THEN 1 ELSE 0 END) AS BIGINT) AS n_out_low,
+        |  CAST(SUM(CASE WHEN 2 * cents > 2 * q3 + 3 * (q3 - q1) THEN 1 ELSE 0 END) AS BIGINT) AS n_out_high,
+        |  CAST(MAX(q3) - MAX(q1) AS BIGINT) AS iqr
+        |FROM q GROUP BY 1 ORDER BY event_type""".stripMargin,
+
+    // Same planted discount, same exact rank-sum AUC.
+    "llm_membership_inference" ->
+      """WITH t AS (SELECT doc_id,
+        |    ('0x' || substring(md5('mem:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 2 AS member,
+        |    2000 + ('0x' || substring(md5('ln:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 1000
+        |      - (('0x' || substring(md5('mem:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 2) * 300 AS loss_milli
+        |  FROM documents),
+        |r AS (SELECT *,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY loss_milli, doc_id) AS BIGINT) AS rk
+        |  FROM t),
+        |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(member) AS BIGINT) AS nm,
+        |    CAST(SUM(CASE WHEN member = 0 THEN rk END) AS BIGINT) AS rs_nonmember
+        |  FROM r)
+        |SELECT n, nm, n - nm AS nn, rs_nonmember,
+        |  (rs_nonmember - (n - nm) * (n - nm + 1) // 2) * 1000000 // ((n - nm) * nm) AS auc_ppm,
+        |  (rs_nonmember - (n - nm) * (n - nm + 1) // 2) * 1000000 // ((n - nm) * nm) > 600000 AS leaking
+        |FROM m""".stripMargin,
+
+    // Same 20-row weight frame, same single non-negative quotient.
+    "win_vwap" ->
+      """WITH e AS (SELECT event_type, event_id, epoch_us(ts) AS ts_us,
+        |    CAST(FLOOR(value * 100) AS BIGINT) AS cents,
+        |    user_id % 7 + 1 AS vol
+        |  FROM events),
+        |w AS (SELECT event_type, event_id, cents, vol,
+        |    CAST(COUNT(*) OVER w20 AS BIGINT) AS nw,
+        |    CAST(SUM(cents * vol) OVER w20 AS BIGINT) AS pv,
+        |    CAST(SUM(vol) OVER w20 AS BIGINT) AS v
+        |  FROM e
+        |  WINDOW w20 AS (PARTITION BY event_type ORDER BY ts_us, event_id
+        |    ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))
+        |SELECT event_type, event_id, cents, vol, pv, v, pv // v AS vwap_cents
+        |FROM w WHERE nw = 20 AND event_id % 7 = 3
+        |ORDER BY event_type, event_id""".stripMargin,
+
+    // Same personal-median baseline, same integer 2× flags.
+    "warehouse_access_anomaly" ->
+      """WITH h AS (SELECT user_id % 20 AS analyst, epoch_us(ts) // 3600000000 AS hour,
+        |    CAST(COUNT(*) AS BIGINT) AS accesses
+        |  FROM events GROUP BY 1, 2),
+        |w AS (SELECT analyst, hour, accesses,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY analyst ORDER BY accesses, hour) AS BIGINT) AS rn,
+        |    CAST(COUNT(*) OVER (PARTITION BY analyst) AS BIGINT) AS nh
+        |  FROM h),
+        |m AS (SELECT analyst, hour, accesses, nh,
+        |    CAST(MAX(CASE WHEN rn = (nh + 1) // 2 THEN accesses END)
+        |      OVER (PARTITION BY analyst) AS BIGINT) AS med
+        |  FROM w)
+        |SELECT analyst, CAST(MAX(nh) AS BIGINT) AS n_hours,
+        |  CAST(MAX(med) AS BIGINT) AS median_rate,
+        |  CAST(SUM(CASE WHEN accesses > 2 * med THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalous_hours,
+        |  COALESCE(CAST(MAX(CASE WHEN accesses > 2 * med THEN accesses END) AS BIGINT), 0) AS peak_anomaly
+        |FROM m GROUP BY 1 ORDER BY analyst""".stripMargin,
+
+    // Same shard proxies, same cancellation-law exact rational.
+    "llm_grad_noise_scale" ->
+      """WITH t AS (SELECT doc_id % 64 AS shard,
+        |    1000 + ('0x' || substring(md5('gns:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 400 - 200 AS g
+        |  FROM documents),
+        |sh AS (SELECT shard, CAST(SUM(g) AS BIGINT) AS gs FROM t GROUP BY 1),
+        |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(gs) AS BIGINT) AS s1,
+        |    CAST(SUM(gs::HUGEINT * gs) AS BIGINT) AS s2
+        |  FROM sh)
+        |SELECT n, s1, s2, n * s2 - s1 * s1 AS a2,
+        |  CAST((n * s2 - s1 * s1)::HUGEINT * n * 1000
+        |    // ((n - 1) * s1::HUGEINT * s1) AS BIGINT) AS b_simple_milli
+        |FROM m""".stripMargin,
+
+    // Same frozen 9585 milli-bits/key, same ceil'd integer ledger.
+    "fn_bloom_parameters" ->
+      """WITH b AS (SELECT CAST(length(text) // 4 AS BIGINT) // 512 AS band
+        |  FROM documents),
+        |g AS (SELECT band, CAST(COUNT(*) AS BIGINT) AS n_keys FROM b GROUP BY 1)
+        |SELECT band, n_keys,
+        |  (n_keys * 9585 + 999) // 1000 AS m_bits,
+        |  ((n_keys * 9585 + 999) // 1000 + 7) // 8 AS m_bytes,
+        |  CAST(7 AS BIGINT) AS k_hashes,
+        |  CAST(9585 AS BIGINT) AS bits_per_key_milli
+        |FROM g ORDER BY band""".stripMargin,
+
+    // Same endpoint cascade, same partition-of-13 rollup.
+    "fn_allen_intervals" -> {
+      def u(ns: String) =
+        s"(('0x' || substring(md5('$ns:' || CAST(event_id AS VARCHAR)), 1, 8))::BIGINT)"
+      s"""WITH t AS (SELECT event_id,
+         |    ${u("ia")} % 1000 AS a1,
+         |    ${u("ia")} % 1000 + ${u("il")} % 100 + 1 AS a2,
+         |    ${u("ib")} % 1000 AS b1,
+         |    ${u("ib")} % 1000 + ${u("im")} % 100 + 1 AS b2
+         |  FROM events),
+         |c AS (SELECT CASE
+         |    WHEN a2 < b1 THEN 'precedes'
+         |    WHEN a2 = b1 THEN 'meets'
+         |    WHEN b2 < a1 THEN 'preceded_by'
+         |    WHEN b2 = a1 THEN 'met_by'
+         |    WHEN a1 = b1 AND a2 = b2 THEN 'equals'
+         |    WHEN a1 = b1 AND a2 < b2 THEN 'starts'
+         |    WHEN a1 = b1 AND a2 > b2 THEN 'started_by'
+         |    WHEN a2 = b2 AND a1 > b1 THEN 'finishes'
+         |    WHEN a2 = b2 AND a1 < b1 THEN 'finished_by'
+         |    WHEN a1 > b1 AND a2 < b2 THEN 'during'
+         |    WHEN a1 < b1 AND a2 > b2 THEN 'contains'
+         |    WHEN a1 < b1 AND a2 < b2 THEN 'overlaps'
+         |    ELSE 'overlapped_by' END AS rel
+         |  FROM t)
+         |SELECT rel, CAST(COUNT(*) AS BIGINT) AS n_pairs
+         |FROM c GROUP BY 1 ORDER BY rel""".stripMargin
+    },
+
+    // Same exact pair signs, same closed-form cross-multiplied verdict.
+    "agg_mk_trend" ->
+      """WITH daily AS (SELECT epoch_us(ts) // 86400000000 AS day,
+        |    CAST(COUNT(*) AS BIGINT) AS nd,
+        |    CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS sd
+        |  FROM events GROUP BY 1),
+        |x AS (SELECT day, sd // nd AS x FROM daily),
+        |p AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |    CAST(SUM(CASE WHEN b.x > a.x THEN 1 WHEN b.x < a.x THEN -1 ELSE 0 END) AS BIGINT) AS s_stat
+        |  FROM x a JOIN x b ON a.day < b.day),
+        |m AS (SELECT n_pairs, s_stat,
+        |    CAST((1 + CAST(sqrt(CAST(8 * n_pairs + 1 AS DOUBLE)) AS BIGINT)) // 2 AS BIGINT) AS n
+        |  FROM p)
+        |SELECT n, n_pairs, s_stat, n * (n - 1) * (2 * n + 5) AS var_num,
+        |  18000 * s_stat * s_stat > 3841 * (n * (n - 1) * (2 * n + 5)) AS trending,
+        |  CAST(CASE WHEN s_stat > 0 THEN 1 WHEN s_stat < 0 THEN -1 ELSE 0 END AS BIGINT) AS direction
+        |FROM m""".stripMargin
   )
 }

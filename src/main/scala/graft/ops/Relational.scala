@@ -303,6 +303,40 @@ object Relational {
         .orderBy("status")
     }),
 
+    // Fixed-width text ingest — the COBOL/mainframe exchange format that
+    // still feeds real warehouses (no delimiters to trust or escape: the
+    // SCHEMA IS THE OFFSETS): records staged as 25-char lines (12-digit
+    // zero-padded key, 1-char status, 12-digit cents), read back with
+    // pure substring slicing, and the per-status rollup must equal the
+    // relational source — a parser bug of even one column shifts a digit
+    // and the cents sum catches it.
+    "source_fixed_width" -> ((s, d) => {
+      val dir = Scratch.opDir("fixedwidth", d)
+      val staged = java.nio.file.Paths.get(dir, "_STAGED")
+      if (!java.nio.file.Files.exists(staged)) {
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+        val rows = Tables.orders(s, d).where(col("o_orderkey") % 11 === 0)
+          .select(col("o_orderkey"), col("o_orderstatus"),
+            round(col("o_totalprice") * 100).cast("bigint")).collect()
+        val sb = new StringBuilder
+        rows.sortBy(_.getLong(0)).foreach { r =>
+          sb.append(f"${r.getLong(0)}%012d${r.getString(1)}${r.getLong(2)}%012d\n")
+        }
+        java.nio.file.Files.write(java.nio.file.Paths.get(dir, "records.dat"),
+          sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        java.nio.file.Files.write(staged, Array.emptyByteArray)
+      }
+      s.read.option("pathGlobFilter", "*.dat").text(dir)
+        .select(
+          substring(col("value"), 1, 12).cast("bigint").as("okey"),
+          substring(col("value"), 13, 1).as("status"),
+          substring(col("value"), 14, 12).cast("bigint").as("cents"))
+        .groupBy("status")
+        .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"),
+          min("okey").as("min_key"), max("okey").as("max_key"))
+        .orderBy("status")
+    }),
+
     // Whole-file text ingest (`wholetext`) — the one-document-per-file
     // shape a crawled corpus lands in (line-based text readers would
     // shred multi-line documents into rows): each staged file comes back
@@ -1372,6 +1406,14 @@ object Relational {
         |  CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
         |  MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
         |FROM orders WHERE o_orderkey % 7 = 0
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Offset slicing must reproduce the relational rollup exactly.
+    "source_fixed_width" ->
+      """SELECT o_orderstatus AS status, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+        |  MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
+        |FROM orders WHERE o_orderkey % 11 = 0
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // One row per file, identity by md5 + length.
