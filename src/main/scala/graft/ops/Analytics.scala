@@ -2747,7 +2747,83 @@ object Analytics {
         .withColumn("direction", expr(
           "CAST(CASE WHEN s_stat > 0 THEN 1 WHEN s_stat < 0 THEN -1 ELSE 0 END AS BIGINT)"))
         .select("n", "n_pairs", "s_stat", "var_num", "trending", "direction")
-    })
+    }),
+
+    // Process capability Cp/Cpk — the SLO-margin index (how many sigmas
+    // of headroom a spec window leaves; the SRE reading of a
+    // manufacturing classic): spec limits 500..56000 cents, variance from
+    // the exact A2 numerator, σ by ONE sqrt over an exact rational, and
+    // Cp = (USL−LSL)/6σ, Cpk = min(USL−μ, μ−LSL)/3σ as fixed double
+    // shapes where μ enters ONLY via the exact n·USL−Σx integer
+    // numerators — means never materialize as floats.
+    "agg_process_capability" -> ((s, d) => {
+      Tables.events(s, d)
+        .select(col("event_type"),
+          floor(col("value") * 100).cast("bigint").as("c"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("c").as("s1"),
+          sum((col("c") * col("c")).cast("decimal(38,0)")).cast("bigint").as("s2"))
+        .withColumn("a2", expr("n * s2 - s1 * s1"))
+        .withColumn("sigma", expr(
+          "sqrt(CAST(a2 AS DOUBLE) / (CAST(n AS DOUBLE) * (n - 1)))"))
+        .withColumn("cp", expr(
+          "CAST(55500 AS DOUBLE) / (6.0 * sqrt(CAST(a2 AS DOUBLE) / (CAST(n AS DOUBLE) * (n - 1))))"))
+        .withColumn("cpk", expr(
+          """CAST(least(56000 * n - s1, s1 - 500 * n) AS DOUBLE) / CAST(n AS DOUBLE)
+             / (3.0 * sqrt(CAST(a2 AS DOUBLE) / (CAST(n AS DOUBLE) * (n - 1))))"""))
+        .withColumn("capable", expr(
+          "least(56000 * n - s1, s1 - 500 * n) * least(56000 * n - s1, s1 - 500 * n) * 100 > 9 * a2 * 9"))
+        .select("event_type", "n", "a2", "sigma", "cp", "cpk", "capable")
+        .orderBy("event_type")
+    }),
+
+    // Beta-binomial posterior — the BAYESIAN reading of a conversion rate
+    // (agg_ab_ttest asks "significant?"; this asks "what do we BELIEVE?"):
+    // Beta(2,8) prior on an md5 arm with a planted 30% rate, posterior
+    // Beta(2+k, 8+n−k) summarized by its EXACT rational moments — mean
+    // (2+k)/(10+n) and variance αβ/((α+β)²(α+β+1)) both cleared to ppm
+    // integer DIVs (numerators non-negative), plus the prior-vs-data
+    // shrinkage gap the Bayesian machinery exists to show.
+    "agg_beta_binomial" -> ((s, d) => {
+      Tables.documents(s, d).select(col("doc_id"))
+        .withColumn("hit", expr(
+          "CASE WHEN CAST(conv(substring(md5(concat('bb:', CAST(doc_id AS STRING))), 1, 8), 16, 10) AS BIGINT) % 10 < 3 THEN 1 ELSE 0 END"))
+        .agg(count(lit(1)).as("n"), sum("hit").cast("long").as("k"))
+        .withColumn("alpha_post", expr("2 + k"))
+        .withColumn("beta_post", expr("8 + n - k"))
+        .withColumn("post_mean_ppm", expr(
+          "alpha_post * 1000000 DIV (alpha_post + beta_post)"))
+        .withColumn("post_var_ppb", expr(
+          """CAST(CAST(alpha_post AS DECIMAL(38,0)) * beta_post * 1000000000
+             DIV (CAST(alpha_post + beta_post AS DECIMAL(38,0)) * (alpha_post + beta_post)
+               * (alpha_post + beta_post + 1)) AS BIGINT)"""))
+        .withColumn("mle_ppm", expr("k * 1000000 DIV n"))
+        .withColumn("shrinkage_ppm", expr(
+          "alpha_post * 1000000 DIV (alpha_post + beta_post) - k * 1000000 DIV n"))
+    }),
+
+    // Tokenizer-drift audit — what a tokenizer UPGRADE does to every
+    // token-denominated contract downstream (billing, context budgets,
+    // packing plans): v1 = chars DIV 4 vs v2 = (chars + spaces) DIV 5 as
+    // two deterministic tokenizers, per-language totals for both, drift
+    // in SIGN-SAFE ppm, and the repriced-budget verdict (drift beyond
+    // ±5% flags the lang for re-budgeting). One scan, one rollup.
+    "llm_tokenizer_drift" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("lang"),
+          expr("CAST(length(text) AS BIGINT)").as("chars"),
+          expr("CAST(length(text) - length(replace(text, ' ', '')) AS BIGINT)").as("spaces"))
+        .withColumn("t1", expr("chars DIV 4"))
+        .withColumn("t2", expr("(chars + spaces) DIV 5"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("t1").as("tokens_v1"), sum("t2").as("tokens_v2"))
+        .withColumn("drift_ppm", expr(
+          """CASE WHEN tokens_v2 - tokens_v1 >= 0
+             THEN (tokens_v2 - tokens_v1) * 1000000 DIV tokens_v1
+             ELSE -((tokens_v1 - tokens_v2) * 1000000 DIV tokens_v1) END"""))
+        .withColumn("rebudget", expr("drift_ppm > 50000 OR drift_ppm < -50000"))
+        .orderBy("lang"))
   )
 
   /** `win_ewma`'s truncated half-decay weights for lags 0..7. */
