@@ -4822,6 +4822,56 @@ object Analytics {
         |SELECT n, n_pairs, s_stat, n * (n - 1) * (2 * n + 5) AS var_num,
         |  18000 * s_stat * s_stat > 3841 * (n * (n - 1) * (2 * n + 5)) AS trending,
         |  CAST(CASE WHEN s_stat > 0 THEN 1 WHEN s_stat < 0 THEN -1 ELSE 0 END AS BIGINT) AS direction
-        |FROM m""".stripMargin
+        |FROM m""".stripMargin,
+
+    // Same A2 numerator in int64 (fits: max n·s2 ≈ 2.0e16 at sf0.1), same
+    // one-sqrt-over-exact-rational σ, same chained-division cp/cpk shapes.
+    "agg_process_capability" ->
+      """WITH e AS (SELECT event_type, CAST(FLOOR(value * 100) AS BIGINT) AS c FROM events),
+        |g AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(c) AS BIGINT) AS s1,
+        |    CAST(SUM(CAST(c AS HUGEINT) * c) AS BIGINT) AS s2
+        |  FROM e GROUP BY 1),
+        |a AS (SELECT event_type, n, n * s2 - s1 * s1 AS a2, s1 FROM g)
+        |SELECT event_type, n, a2,
+        |  sqrt(CAST(a2 AS DOUBLE) / (CAST(n AS DOUBLE) * (n - 1))) AS sigma,
+        |  CAST(55500 AS DOUBLE) / (6.0 * sqrt(CAST(a2 AS DOUBLE) / (CAST(n AS DOUBLE) * (n - 1)))) AS cp,
+        |  CAST(least(56000 * n - s1, s1 - 500 * n) AS DOUBLE) / CAST(n AS DOUBLE)
+        |    / (3.0 * sqrt(CAST(a2 AS DOUBLE) / (CAST(n AS DOUBLE) * (n - 1)))) AS cpk,
+        |  least(56000 * n - s1, s1 - 500 * n) * least(56000 * n - s1, s1 - 500 * n) * 100 > 9 * a2 * 9 AS capable
+        |FROM a ORDER BY event_type""".stripMargin,
+
+    // Same md5 arm draw, same exact-rational posterior moments cleared to
+    // ppm/ppb integer DIVs (all numerators non-negative).
+    "agg_beta_binomial" ->
+      """WITH h AS (SELECT CASE WHEN ('0x' || substring(md5('bb:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10 < 3
+        |      THEN 1 ELSE 0 END AS hit FROM documents),
+        |a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(hit) AS BIGINT) AS k FROM h),
+        |p AS (SELECT n, k, 2 + k AS alpha_post, 8 + n - k AS beta_post FROM a)
+        |SELECT n, k, alpha_post, beta_post,
+        |  alpha_post * 1000000 // (alpha_post + beta_post) AS post_mean_ppm,
+        |  CAST(CAST(alpha_post AS HUGEINT) * beta_post * 1000000000
+        |    // (CAST(alpha_post + beta_post AS HUGEINT) * (alpha_post + beta_post)
+        |      * (alpha_post + beta_post + 1)) AS BIGINT) AS post_var_ppb,
+        |  k * 1000000 // n AS mle_ppm,
+        |  alpha_post * 1000000 // (alpha_post + beta_post) - k * 1000000 // n AS shrinkage_ppm
+        |FROM p""".stripMargin,
+
+    // Same two deterministic tokenizers, same sign-safe ppm clearing.
+    "llm_tokenizer_drift" ->
+      """WITH t AS (SELECT lang, CAST(length(text) AS BIGINT) AS chars,
+        |    CAST(length(text) - length(replace(text, ' ', '')) AS BIGINT) AS spaces
+        |  FROM documents),
+        |g AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(chars // 4) AS BIGINT) AS tokens_v1,
+        |    CAST(SUM((chars + spaces) // 5) AS BIGINT) AS tokens_v2
+        |  FROM t GROUP BY 1),
+        |d AS (SELECT lang, n_docs, tokens_v1, tokens_v2,
+        |    CASE WHEN tokens_v2 >= tokens_v1 THEN (tokens_v2 - tokens_v1) * 1000000 // tokens_v1
+        |      ELSE -((tokens_v1 - tokens_v2) * 1000000 // tokens_v1) END AS drift_ppm
+        |  FROM g)
+        |SELECT lang, n_docs, tokens_v1, tokens_v2, drift_ppm,
+        |  drift_ppm > 50000 OR drift_ppm < -50000 AS rebudget
+        |FROM d ORDER BY lang""".stripMargin
   )
 }
