@@ -1363,15 +1363,17 @@ object Analytics {
     // market/metrics dashboard draws: open and close are POSITIONAL
     // (first/last value in the bucket by time), expressed as
     // min_by/max_by (Spark) ↔ arg_min/arg_max (DuckDB) over a single
-    // composite BIGINT order key (second·10⁶ + event_id — collision-free
-    // because event ids fit the low digits), so the positional picks are
-    // total-ordered and hash-exact. One groupBy on (type, hour).
+    // composite BIGINT order key: second-WITHIN-HOUR (< 2¹²; the picks
+    // only ever compare inside one (type, hour) group, where the hour
+    // prefix is constant) · 2⁴⁰ + full event_id — collision-free for ids
+    // up to 2⁴⁰ (the ShardIdSpan law; the old second·10⁶ + id%10⁶ key
+    // collided once ids reached 10⁶), and the whole key stays < 2⁵³.
     "agg_ohlc_candles" -> ((s, d) =>
       Tables.events(s, d)
         .select(col("event_type"),
           expr("CAST(ts_us DIV 3600000000 AS BIGINT)").as("hour"),
           floor(col("value") * 100).cast("bigint").as("cents"),
-          expr("(ts_us DIV 1000000) * 1000000 + event_id % 1000000").as("ok"))
+          expr("((ts_us DIV 1000000) % 3600) * 1099511627776 + event_id").as("ok"))
         .groupBy("event_type", "hour")
         .agg(count(lit(1)).as("volume"),
           expr("min_by(cents, ok)").as("open"),
@@ -1638,25 +1640,31 @@ object Analytics {
     // Hodges–Lehmann estimator — the robust location estimate (median of
     // all pairwise Walsh averages) that beats both mean (outlier-fragile)
     // and median (inefficient) on heavy-tailed revenue. Pair sums stay
-    // INTEGER (half only at the very end); the median of the O(k²)
-    // Walsh sums is the exact lower-median by (sum, i, j) total order.
-    // The pair square is bounded by sampling the inputs 1-in-100 (at
-    // 100 TB the estimator runs per stratum on bounded samples — the
-    // documented O(k²) metadata shape of llm_mmr_rerank).
+    // INTEGER (half only at the very end); the median of the Walsh sums
+    // is the exact lower-median by (sum, i, j) total order. The pair
+    // square is bounded by a FIXED-SIZE deterministic sample (hash top-k,
+    // the llm_mmr_rerank candidate-pool pattern): k = 512 is CONSTANT in
+    // corpus size, so the Walsh square is k(k+1)/2 = 131,328 pairs at ANY
+    // scale — a proportional %-sample would grow it quadratically. The
+    // top-k plans as TakeOrderedAndProject (per-partition top-k, driver
+    // merge of k rows), and the median is count-then-top-m over the same
+    // (s2,i,j) total order — no global row_number window anywhere.
     "agg_hodges_lehmann" -> ((s, d) => {
+      val k = 512
       val xs = Tables.orders(s, d)
-        .where(col("o_orderkey") % 100 === 0)
         .select(col("o_orderkey").as("i"),
-          round(col("o_totalprice") * 100).cast("bigint").as("x"))
+          round(col("o_totalprice") * 100).cast("bigint").as("x"),
+          expr("CAST(conv(substring(md5(concat('hl:', CAST(o_orderkey AS STRING))), 1, 8), 16, 10) AS BIGINT)").as("h"))
+        .orderBy("h", "i").limit(k)
+        .select("i", "x")
         .localCheckpoint()
       val pairs = xs.as("a").join(xs.as("b"), col("a.i") <= col("b.i"))
         .select(col("a.i").as("i"), col("b.i").as("j"),
           (col("a.x") + col("b.x")).as("s2"))
-      val ranked = pairs
-        .withColumn("rn", row_number()
-          .over(Window.orderBy(col("s2"), col("i"), col("j"))).cast("bigint"))
-      val n = ranked.agg(count(lit(1))).head.getLong(0)
-      ranked.where(col("rn") === (n + 1) / 2)
+      val n = pairs.agg(count(lit(1))).head.getLong(0)
+      val m = ((n + 1) / 2).toInt // bounded: n <= k(k+1)/2 by construction
+      pairs.orderBy(col("s2"), col("i"), col("j")).limit(m)
+        .orderBy(col("s2").desc, col("i").desc, col("j").desc).limit(1)
         .select(lit(n).as("n_pairs"), col("s2").as("median_pair_sum"),
           expr("s2 DIV 2").as("hl_cents"))
     }),
@@ -3769,7 +3777,7 @@ object Analytics {
       """WITH e AS (SELECT event_type,
         |    CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS hour,
         |    CAST(FLOOR(value * 100) AS BIGINT) AS cents,
-        |    (epoch_us(ts) // 1000000) * 1000000 + event_id % 1000000 AS ok
+        |    ((epoch_us(ts) // 1000000) % 3600) * 1099511627776 + event_id AS ok
         |  FROM events)
         |SELECT event_type, hour, CAST(COUNT(*) AS BIGINT) AS volume,
         |  arg_min(cents, ok) AS open, MAX(cents) AS high, MIN(cents) AS low,
@@ -3962,11 +3970,15 @@ object Analytics {
         |  FROM m)
         |SELECT n1, n2, x1, x2, z, abs(z) > 1.96 AS significant FROM z""".stripMargin,
 
-    // Same sampled pairs, same (sum, i, j) lower-median pick.
+    // Same hash-top-k fixed-size sample (cap mirrored), same (sum, i, j)
+    // lower-median pick (the oracle may row_number; only the ENGINE must
+    // be window-free).
     "agg_hodges_lehmann" ->
-      """WITH xs AS (SELECT o_orderkey AS i,
-        |    CAST(ROUND(o_totalprice * 100) AS BIGINT) AS x
-        |  FROM orders WHERE o_orderkey % 100 = 0),
+      """WITH s AS (SELECT o_orderkey AS i,
+        |    CAST(ROUND(o_totalprice * 100) AS BIGINT) AS x,
+        |    ('0x' || substring(md5('hl:' || CAST(o_orderkey AS VARCHAR)), 1, 8))::BIGINT AS h
+        |  FROM orders),
+        |xs AS (SELECT i, x FROM s ORDER BY h, i LIMIT 512),
         |p AS (SELECT a.i AS i, b.i AS j, a.x + b.x AS s2
         |  FROM xs a JOIN xs b ON a.i <= b.i),
         |r AS (SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY s2, i, j) AS BIGINT) AS rn

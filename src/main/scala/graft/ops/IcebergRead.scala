@@ -173,17 +173,22 @@ object IcebergRead {
   }
 
   /** THE READER: metadata JSON → snapshot → manifest list → manifests →
-    * live (status != DELETED) parquet paths. Minimal-but-real JSON
-    * extraction (flat keys the spec requires; no library). */
+    * live (status != DELETED) parquet paths. Metadata is parsed with
+    * Jackson (ships with Spark; same as DeltaRead) — the spec does not
+    * fix field order inside a snapshot entry, so regex extraction would
+    * break the moment e.g. `summary` precedes `manifest-list`. */
   private[graft] def liveFiles(root: String, snapshotId: Option[Long]): Seq[String] = {
+    import scala.jdk.CollectionConverters._
     val meta = new String(Files.readAllBytes(
       Paths.get(root, "metadata", "v2.metadata.json")), StandardCharsets.UTF_8)
-    val current = """"current-snapshot-id":(\d+)""".r
-      .findFirstMatchIn(meta).map(_.group(1).toLong)
+    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(meta)
+    val current = Option(node.get("current-snapshot-id")).map(_.asLong)
       .getOrElse(sys.error("no current-snapshot-id in table metadata"))
     val want = snapshotId.getOrElse(current)
-    val manifestList = s""""snapshot-id":$want[^}]*"manifest-list":"([^"]+)"""".r
-      .findFirstMatchIn(meta).map(_.group(1))
+    val manifestList = Option(node.get("snapshots")).toSeq
+      .flatMap(_.elements().asScala)
+      .find(sn => Option(sn.get("snapshot-id")).exists(_.asLong == want))
+      .flatMap(sn => Option(sn.get("manifest-list")).map(_.asText))
       .getOrElse(sys.error(s"snapshot $want not found in table metadata"))
     readAvro(manifestList, ManifestFileSchema)
       .map(_.get("manifest_path").toString)

@@ -45,24 +45,50 @@ object Service {
       finally sock.close()
     } catch { case _: java.io.IOException => false }
 
+  // JVM-unique identity token: a sibling JVM (test + Verify run
+  // concurrently) may have its own Thrift server on the same ports, and
+  // attaching to THAT one grades a foreign catalog. Every port candidate
+  // must echo this token back before it is accepted. The token rides in a
+  // GLOBAL temp view: the Thrift server opens each JDBC connection as a
+  // fresh `newSession()` (runtime conf set after startup is NOT
+  // inherited), but global temp views live in the shared state every
+  // session of THIS SparkContext sees — and no foreign JVM does.
+  private val svcToken = java.util.UUID.randomUUID().toString.replace("-", "")
+
+  /** True iff the server at `p` is THIS JVM's (echoes our token view). */
+  private def identityOk(p: Int): Boolean =
+    try {
+      val c = connect(p)
+      try {
+        val rs = c.createStatement().executeQuery(
+          s"SELECT t FROM global_temp.svc_ident_$svcToken")
+        rs.next() && svcToken == rs.getString(1)
+      } finally c.close()
+    } catch { case scala.util.control.NonFatal(_) => false }
+
   private def ensureServer(s: SparkSession): Int = synchronized {
     if (boundPort > 0) return boundPort
     // the server reads the port from the session's runtime conf (it lands
-    // in the HiveConf via SessionState.newHadoopConf); HiveServer2's own
-    // default is 10000 — polled as a fallback in case an older Hive path
-    // ignores the conf, so a bound-but-elsewhere server is still found
-    val want = 10416
+    // in the HiveConf via SessionState.newHadoopConf); the port is
+    // per-JVM randomized (pid-salted) so concurrent sibling JVMs don't
+    // collide, and HiveServer2's own default 10000 is polled as a
+    // fallback in case an older Hive path ignores the conf — both gated
+    // behind the identity probe above.
+    val want = 10416 + (ProcessHandle.current().pid() % 483).toInt
+    s.sql(s"CREATE OR REPLACE GLOBAL TEMPORARY VIEW svc_ident_$svcToken " +
+      s"AS SELECT '$svcToken' AS t")
     s.conf.set("hive.server2.thrift.port", want.toString)
     s.conf.set("hive.server2.thrift.bind.host", "localhost")
     HiveThriftServer2.startWithContext(s.sqlContext)
     // the binary transport binds asynchronously: poll the socket
     val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
     while (boundPort < 0 && System.nanoTime() < deadline) {
-      if (listening(want)) boundPort = want
-      else if (listening(10000)) boundPort = 10000
+      if (listening(want) && identityOk(want)) boundPort = want
+      else if (listening(10000) && identityOk(10000)) boundPort = 10000
       else Thread.sleep(200)
     }
-    require(boundPort > 0, s"thrift endpoint failed to bind $want or 10000")
+    require(boundPort > 0,
+      s"thrift endpoint failed to bind $want or 10000 with our token")
     boundPort
   }
 

@@ -346,8 +346,13 @@ object StreamingOps {
                   batch.coalesce(1).write.mode("overwrite").parquet(stage)
                   val part = new java.io.File(stage).listFiles
                     .find(_.getName.endsWith(".parquet")).get
+                  // REPLACE_EXISTING: a crash between the move and the
+                  // commit write leaves an orphan data file; the replayed
+                  // batch must then overwrite it (idempotent), not throw
+                  // FileAlreadyExistsException.
                   java.nio.file.Files.move(part.toPath,
-                    java.nio.file.Paths.get(root, "data", s"b$id.parquet"))
+                    java.nio.file.Paths.get(root, "data", s"b$id.parquet"),
+                    java.nio.file.StandardCopyOption.REPLACE_EXISTING)
                   java.nio.file.Files.write(commit,
                     s"""{"add":{"path":"data/b$id.parquet","partitionValues":{},"size":1,"modificationTime":0,"dataChange":true}}"""
                       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
