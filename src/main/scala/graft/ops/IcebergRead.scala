@@ -124,8 +124,13 @@ object IcebergRead {
   }
 
   /** Build the two-snapshot fixture table once per (JVM, sf). */
-  private[graft] def ensureTable(s: SparkSession, d: String): String = {
-    val root = Scratch.opDir("iceberg_tbl", d)
+  private[graft] def ensureTable(s: SparkSession, d: String): String =
+    ensureTableAt(s, d, "iceberg_tbl")
+
+  /** Same fixture at a caller-chosen root — the write-side op appends to
+    * its OWN copy so the read op's current-snapshot assertion stays true. */
+  private[graft] def ensureTableAt(s: SparkSession, d: String, name: String): String = {
+    val root = Scratch.opDir(name, d)
     val done = Paths.get(root, "_DONE")
     if (Files.exists(done)) return root
     Files.createDirectories(Paths.get(root, "metadata"))
@@ -177,10 +182,20 @@ object IcebergRead {
     * Jackson (ships with Spark; same as DeltaRead) — the spec does not
     * fix field order inside a snapshot entry, so regex extraction would
     * break the moment e.g. `summary` precedes `manifest-list`. */
+  /** Highest vN.metadata.json — the table's current metadata version
+    * (the CAS in the append path makes version files immutable, so
+    * "largest N" is the committed head exactly as the spec intends). */
+  private[graft] def latestMetadata(root: String): java.nio.file.Path = {
+    val vs = new java.io.File(root, "metadata").listFiles()
+      .filter(_.getName.matches("v\\d+\\.metadata\\.json"))
+    require(vs.nonEmpty, s"no metadata version file under $root/metadata")
+    vs.maxBy(_.getName.stripPrefix("v").stripSuffix(".metadata.json").toInt).toPath
+  }
+
   private[graft] def liveFiles(root: String, snapshotId: Option[Long]): Seq[String] = {
     import scala.jdk.CollectionConverters._
-    val meta = new String(Files.readAllBytes(
-      Paths.get(root, "metadata", "v2.metadata.json")), StandardCharsets.UTF_8)
+    val meta = new String(Files.readAllBytes(latestMetadata(root)),
+      StandardCharsets.UTF_8)
     val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(meta)
     val current = Option(node.get("current-snapshot-id")).map(_.asLong)
       .getOrElse(sys.error("no current-snapshot-id in table metadata"))
@@ -200,7 +215,90 @@ object IcebergRead {
       }
   }
 
+  /** Write-side interop: COMMIT an append snapshot (1003) to the fixture
+    * table, exactly the way the spec's append operation does it —
+    *   1. one new parquet data file D (the tombstoned B slice restored),
+    *   2. a new manifest m3 (D ADDED, sequence 3),
+    *   3. a new manifest LIST = the previous snapshot's manifest entries
+    *      + m3 (append keeps prior manifests; their statuses replay),
+    *   4. a new metadata version v3 committed by CAS: write to a temp
+    *      file, then an atomic no-replace move — a concurrent committer
+    *      loses with FileAlreadyExistsException and must re-read, which
+    *      is precisely Iceberg's optimistic-concurrency contract.
+    * Re-entry (v3 already present) skips straight to grading, so the op
+    * is idempotent per (JVM, sf). */
+  private def appendSnapshot(s: SparkSession, d: String): String = {
+    val root = ensureTableAt(s, d, "iceberg_tbl_w")
+    val v3 = Paths.get(root, "metadata", "v3.metadata.json")
+    if (!Files.exists(v3)) {
+      import scala.jdk.CollectionConverters._
+      val o = Tables.orders(s, d).select("o_orderkey", "o_orderstatus", "o_totalprice")
+      val (fd, nd) = writeDataFile(s, o.where(col("o_orderkey") % 3 === 1), root, "D")
+      val m3 = s"$root/metadata/m3.avro"
+      val m3len = writeAvro(m3, ManifestEntrySchema, Seq(entry(1, 1003L, 3L, fd, nd)))
+      // previous snapshot's manifest list (from the CURRENT metadata, not
+      // an assumed name — the commit must build on the head it read)
+      val meta = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(new String(Files.readAllBytes(latestMetadata(root)), StandardCharsets.UTF_8))
+      val current = meta.get("current-snapshot-id").asLong
+      val prevMl = meta.get("snapshots").elements().asScala
+        .find(_.get("snapshot-id").asLong == current)
+        .map(_.get("manifest-list").asText)
+        .getOrElse(sys.error("current snapshot missing from metadata"))
+      val prevEntries = readAvro(prevMl, ManifestFileSchema)
+      val ml3 = s"$root/metadata/snap-1003.avro"
+      writeAvro(ml3, ManifestFileSchema,
+        manifestFile(m3, m3len, 1003L, 3L, 1, 0, 0, nd, 0L, 0L) +: prevEntries)
+      val ml1 = s"$root/metadata/snap-1001.avro"
+      val ml2 = s"$root/metadata/snap-1002.avro"
+      val newMeta =
+        s"""{"format-version":2,"table-uuid":"9e2f1c5a-0000-4000-8000-000000000042",
+           |"location":"$root","last-sequence-number":3,"last-updated-ms":1700000100000,
+           |"last-column-id":3,"current-schema-id":0,
+           |"schemas":[{"schema-id":0,"type":"struct","fields":[
+           |  {"id":1,"name":"o_orderkey","required":false,"type":"long"},
+           |  {"id":2,"name":"o_orderstatus","required":false,"type":"string"},
+           |  {"id":3,"name":"o_totalprice","required":false,"type":"double"}]}],
+           |"default-spec-id":0,"partition-specs":[{"spec-id":0,"fields":[]}],
+           |"last-partition-id":999,"default-sort-order-id":0,
+           |"sort-orders":[{"order-id":0,"fields":[]}],
+           |"current-snapshot-id":1003,
+           |"snapshots":[
+           |  {"snapshot-id":1001,"sequence-number":1,"timestamp-ms":1699999000000,
+           |   "manifest-list":"$ml1","summary":{"operation":"append"}},
+           |  {"snapshot-id":1002,"sequence-number":2,"timestamp-ms":1700000000000,
+           |   "manifest-list":"$ml2","summary":{"operation":"overwrite"}},
+           |  {"snapshot-id":1003,"sequence-number":3,"timestamp-ms":1700000100000,
+           |   "manifest-list":"$ml3","summary":{"operation":"append"}}]}""".stripMargin
+      val tmp = Files.createTempFile(Paths.get(root, "metadata"), "v3-", ".tmp")
+      Files.write(tmp, newMeta.getBytes(StandardCharsets.UTF_8))
+      try Files.move(tmp, v3) // no REPLACE_EXISTING: this IS the CAS
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          Files.deleteIfExists(tmp) // lost the race; the winner's commit stands
+      }
+    }
+    root
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sink_iceberg_append" -> ((s, d) => {
+      val root = appendSnapshot(s, d)
+      def rollup(snap: Long): DataFrame =
+        s.read.parquet(liveFiles(root, Some(snap)): _*)
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n_orders"),
+            sum(dec(col("o_totalprice"))).cast("double").as("total"))
+          .withColumn("snapshot_id", lit(snap))
+      // the committed head must resolve to 1003, and time travel to the
+      // PRE-append snapshot must be byte-stable (append never rewrites)
+      require(liveFiles(root, None).sorted == liveFiles(root, Some(1003L)).sorted,
+        "current-snapshot-id did not resolve to the appended snapshot")
+      rollup(1002L).unionByName(rollup(1003L))
+        .select("snapshot_id", "o_orderstatus", "n_orders", "total")
+        .orderBy("snapshot_id", "o_orderstatus")
+    }),
+
     "source_iceberg_read" -> ((s, d) => {
       val root = ensureTable(s, d)
       def rollup(snap: Long): DataFrame =
@@ -220,6 +318,20 @@ object IcebergRead {
   )
 
   val oracles: Map[String, String] = Map(
+    // File-membership replay of the committed append: snapshot 1002 still
+    // serves A (%3=0) and C (%3=2) — time travel is stable — and 1003
+    // serves A, C, and the restored D (%3=1) = the whole corpus.
+    "sink_iceberg_append" ->
+      """WITH s1 AS (SELECT CAST(1002 AS BIGINT) AS snapshot_id, o_orderstatus,
+        |    COUNT(*) AS n_orders,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+        |  FROM orders WHERE o_orderkey % 3 IN (0, 2) GROUP BY 2),
+        |s2 AS (SELECT CAST(1003 AS BIGINT) AS snapshot_id, o_orderstatus,
+        |    COUNT(*) AS n_orders,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+        |  FROM orders GROUP BY 2)
+        |SELECT * FROM s1 UNION ALL SELECT * FROM s2
+        |ORDER BY snapshot_id, o_orderstatus""".stripMargin,
     // Replays file membership from the deterministic build: snapshot 1001
     // serves files A (%3=0) and B (%3=1); snapshot 1002 serves A and C
     // (%3=2) — B is tombstoned (status DELETED) and must not be read.
