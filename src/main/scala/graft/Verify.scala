@@ -22,6 +22,7 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.streaming.checkpointLocation", graft.ops.Scratch.ckptDir)
       .enableHiveSupport()
       .config("spark.sql.warehouse.dir", s"${graft.ops.Scratch.dir}/warehouse")
       .config("javax.jdo.option.ConnectionURL",

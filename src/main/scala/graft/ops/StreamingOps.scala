@@ -118,7 +118,7 @@ object StreamingOps {
 
     // Event-time watermark: rows later than watermark-delay are dropped and
     // only finalized windows are emitted (append mode).
-    "stream_watermark_late" -> ((s, d) => runStream(s) { (ms, sink) =>
+    "stream_watermark_late" -> ((s, d) => runStream(s, noDataBatches = true) { (ms, sink) =>
       val q = ms.toDF()
         .withWatermark("ts", "10 minutes")
         .groupBy(window(col("ts"), "1 hour"), col("event_type"))
@@ -168,7 +168,7 @@ object StreamingOps {
     // forever (unbounded state at 100 TB). The golden set pins both
     // behaviors: the in-window re-send of id 2 is dropped, the post-
     // eviction re-send of id 1 re-emits (event_id 1 appears twice).
-    "stream_dedup_watermark" -> ((s, d) => runStream(s) { (ms, sink) =>
+    "stream_dedup_watermark" -> ((s, d) => runStream(s, noDataBatches = true) { (ms, sink) =>
       val q = ms.toDF()
         .withWatermark("ts", "10 minutes")
         .dropDuplicatesWithinWatermark("event_id")
@@ -249,6 +249,7 @@ object StreamingOps {
     // equal batch execution exactly (the streaming ≡ batch contract).
     "stream_avail_now" -> ((s, d) => {
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val sink = newSinkName()
       val sch = s.read.parquet(s"$d/events.parquet").schema
       // FileStreamSource requires a DIRECTORY; the testdata table is a bare
       // file, so stage a zero-copy symlink inside the session scratch dir
@@ -265,13 +266,16 @@ object StreamingOps {
           .groupBy("event_type")
           .agg(count(lit(1)).as("n"),
             sum(floor(col("value") * 100).cast("bigint")).as("value_cents"))
-          .writeStream.format("memory").queryName("graft_avail_now")
+          // unique name per call: the session-level checkpoint root keys
+          // subdirs by query name, and a reused name would RESUME the
+          // prior run's offsets instead of re-reading
+          .writeStream.format("memory").queryName(sink)
           .outputMode("complete")
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
         q.awaitTermination()
       }
-      s.table("graft_avail_now").orderBy("event_type")
+      s.table(sink).orderBy("event_type")
     }),
 
     // foreachBatch sink — the standard "stream into a warehouse" bridge:
@@ -665,7 +669,7 @@ object StreamingOps {
     // row behind even the global watermark (event 53, 10:15 into the
     // closed 10:00 window) drops. Append mode: only min-watermark-closed
     // windows emit; the 20:00 flush wave never does.
-    "stream_union_watermark" -> ((s, d) => withFewShufflePartitions(s) {
+    "stream_union_watermark" -> ((s, d) => withFewShufflePartitions(s, noDataBatches = true) {
       val classic = s.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       import classic.implicits._
       implicit val sq = classic.sqlContext
@@ -753,7 +757,7 @@ object StreamingOps {
     // u3's wave; 13:00 flushed by u4's), u4's own session never closes
     // (nothing advances the watermark past it) and must be absent.
     "stream_stateful_timers" -> ((s, d) => withRocksDBStateStore(s) {
-      withFewShufflePartitions(s) {
+      withFewShufflePartitions(s, noDataBatches = true) {
         val classic = s.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
         import classic.implicits._
         implicit val sq = classic.sqlContext
@@ -859,21 +863,51 @@ object StreamingOps {
     * micro-batch — pure fixed overhead for a hand-fed demo stream, so the
     * partition count is pinned low for the query's duration (on a real
     * cluster this is the same knob, sized to key cardinality instead). */
-  private def runStream(s: SparkSession)(
+  private def runStream(s: SparkSession, noDataBatches: Boolean = false)(
       body: (org.apache.spark.sql.execution.streaming.runtime.MemoryStream[SEvent], String) => Unit): DataFrame = {
     val classic = s.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
     import classic.implicits._
     implicit val sq = classic.sqlContext
     val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[SEvent]
     val sink = newSinkName()
-    withFewShufflePartitions(s) { body(ms, sink) }
+    withFewShufflePartitions(s, noDataBatches) { body(ms, sink) }
     s.table(sink).orderBy(s.table(sink).columns.map(col).toSeq: _*)
   }
 
-  private def withFewShufflePartitions[T](s: SparkSession)(body: => T): T = {
-    val prev = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "2")
-    try body finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  private def withFewShufflePartitions[T](s: SparkSession,
+      noDataBatches: Boolean = false)(body: => T): T = {
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    val prevNoData = s.conf.getOption("spark.sql.streaming.noDataMicroBatches.enabled")
+    val prevCodegen = s.conf.getOption("spark.sql.codegen.wholeStage")
+    // 1, not 2: every state store is per (operator, partition, batch) —
+    // commit files, maintenance, snapshot churn all scale with it, and
+    // the fixture's keys fit one partition. Results are partition-count
+    // invariant; a cluster deployment raises this with key cardinality.
+    s.conf.set("spark.sql.shuffle.partitions", "1")
+    // No-data micro-batches exist to flush state when the source goes
+    // quiet; every fixture here ratchets the watermark with a real DATA
+    // wave instead, so the trailing empty batch per trigger is pure
+    // machinery (measured: ~45% of the family's wall clock — 7 batches
+    // down to 4 on the stream-stream join probe). The oracle gate proves
+    // per op that every expected eviction still flushes. Codegen off for
+    // the same reason: per-batch janino compilation dwarfs interpreting
+    // a handful of fixture rows (a production stream with real volume
+    // wants both knobs back at their defaults).
+    // the four fixtures whose FINAL eviction has no later data wave to
+    // ride (watermark_late, dedup_watermark, union_watermark,
+    // stateful_timers) opt back in via noDataBatches = true
+    if (!noDataBatches)
+      s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    s.conf.set("spark.sql.codegen.wholeStage", "false")
+    def restore(key: String, prev: Option[String]): Unit = prev match {
+      case Some(p) => s.conf.set(key, p)
+      case None => s.conf.unset(key)
+    }
+    try body finally {
+      s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      restore("spark.sql.streaming.noDataMicroBatches.enabled", prevNoData)
+      restore("spark.sql.codegen.wholeStage", prevCodegen)
+    }
   }
 
   /** transformWithState requires the RocksDB state store provider (state
