@@ -2810,6 +2810,82 @@ object Analytics {
           "alpha_post * 1000000 DIV (alpha_post + beta_post) - k * 1000000 DIV n"))
     }),
 
+    // One-way ANOVA — the PARAMETRIC k-group mean test beside
+    // agg_kruskal_wallis' rank-based one: per-type exact integer moments
+    // (n, Σc, Σc² through DECIMAL(38,0)), group and grand means FROZEN to
+    // milli-cent fixed point (the documented fixed-point contract — both
+    // engines truncate identically), SSB = Σnᵢ(mᵢ−m)² exact in int64,
+    // SSW = Σ(10⁶qᵢ − 2000sᵢmᵢ + nᵢmᵢ²) exact in DECIMAL(38,0) (the
+    // cancellation-law shape at milli scale), and the F verdict fully
+    // cross-multiplied against F(4,∞)=2.372: 10⁹·SSB·(n−k) > 2372·(k−1)·SSWsc.
+    "agg_anova_oneway" -> ((s, d) => {
+      val g = Tables.events(s, d)
+        .select(col("event_type"), floor(col("value") * 100).cast("bigint").as("c"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("ni"), sum("c").as("si"),
+          sum((col("c") * col("c")).cast("decimal(38,0)")).as("qi"))
+        .withColumn("mi", expr("si * 1000 DIV ni"))
+      val grand = g.agg(count(lit(1)).as("k"), sum("ni").as("n"), sum("si").as("stot"))
+        .withColumn("m", expr("stot * 1000 DIV n"))
+      g.crossJoin(broadcast(grand))
+        .select(col("k"), col("n"),
+          expr("ni * (mi - m) * (mi - m)").as("ssb_i"),
+          expr("""CAST(1000000 AS DECIMAL(38,0)) * qi
+                 - CAST(2000 AS DECIMAL(38,0)) * si * mi
+                 + CAST(ni AS DECIMAL(38,0)) * mi * mi""").as("ssw_i"))
+        .groupBy("k", "n")
+        .agg(sum("ssb_i").as("ssb"),
+          sum("ssw_i").cast("decimal(38,0)").as("ssw_sc"))
+        .withColumn("ssw_cents2", expr("CAST(ssw_sc DIV 1000000 AS BIGINT)"))
+        .withColumn("f_milli", expr(
+          """CAST(CAST(ssb AS DECIMAL(38,0)) * (n - k) * 1000000000
+             DIV (CAST(k - 1 AS DECIMAL(38,0)) * ssw_sc) AS BIGINT)"""))
+        .withColumn("significant", expr(
+          "CAST(ssb AS DECIMAL(38,0)) * (n - k) * 1000000000 > 2372 * (CAST(k - 1 AS DECIMAL(38,0)) * ssw_sc) * 1000000"))
+        .select("k", "n", "ssb", "ssw_cents2", "f_milli", "significant")
+    }),
+
+    // Brown–Forsythe (median-based Levene) — the VARIANCE-homogeneity
+    // test ANOVA's equal-variance assumption needs checked against:
+    // per-type lower median by exact rank pick, z = |c − medᵢ| exact
+    // cents, then the SAME milli-frozen one-way-F machinery run on z.
+    // Median + deviations share one per-type window shuffle.
+    "agg_levene_bf" -> ((s, d) => {
+      val w = Window.partitionBy("event_type").orderBy("c", "event_id")
+      val cnt = Window.partitionBy("event_type")
+      val base = Tables.events(s, d)
+        .select(col("event_type"), col("event_id"),
+          floor(col("value") * 100).cast("bigint").as("c"))
+        .withColumn("rn", row_number().over(w).cast("bigint"))
+        .withColumn("ni", count(lit(1)).over(cnt).cast("bigint"))
+      val med = base.where(col("rn") === expr("(ni + 1) DIV 2"))
+        .select(col("event_type"), col("c").as("med"))
+      val z = base.join(broadcast(med), "event_type")
+        .select(col("event_type"), expr("abs(c - med)").as("z"))
+      val g = z.groupBy("event_type")
+        .agg(count(lit(1)).as("ni"), sum("z").as("si"),
+          sum((col("z") * col("z")).cast("decimal(38,0)")).as("qi"))
+        .withColumn("mi", expr("si * 1000 DIV ni"))
+      val grand = g.agg(count(lit(1)).as("k"), sum("ni").as("n"), sum("si").as("stot"))
+        .withColumn("m", expr("stot * 1000 DIV n"))
+      g.crossJoin(broadcast(grand))
+        .select(col("k"), col("n"),
+          expr("ni * (mi - m) * (mi - m)").as("ssb_i"),
+          expr("""CAST(1000000 AS DECIMAL(38,0)) * qi
+                 - CAST(2000 AS DECIMAL(38,0)) * si * mi
+                 + CAST(ni AS DECIMAL(38,0)) * mi * mi""").as("ssw_i"))
+        .groupBy("k", "n")
+        .agg(sum("ssb_i").as("ssb"),
+          sum("ssw_i").cast("decimal(38,0)").as("ssw_sc"))
+        .withColumn("ssw_cents2", expr("CAST(ssw_sc DIV 1000000 AS BIGINT)"))
+        .withColumn("f_milli", expr(
+          """CAST(CAST(ssb AS DECIMAL(38,0)) * (n - k) * 1000000000
+             DIV (CAST(k - 1 AS DECIMAL(38,0)) * ssw_sc) AS BIGINT)"""))
+        .withColumn("heteroscedastic", expr(
+          "CAST(ssb AS DECIMAL(38,0)) * (n - k) * 1000000000 > 2372 * (CAST(k - 1 AS DECIMAL(38,0)) * ssw_sc) * 1000000"))
+        .select("k", "n", "ssb", "ssw_cents2", "f_milli", "heteroscedastic")
+    }),
+
     // Tokenizer-drift audit — what a tokenizer UPGRADE does to every
     // token-denominated contract downstream (billing, context budgets,
     // packing plans): v1 = chars DIV 4 vs v2 = (chars + spaces) DIV 5 as
@@ -4867,6 +4943,62 @@ object Analytics {
         |      * (alpha_post + beta_post + 1)) AS BIGINT) AS post_var_ppb,
         |  k * 1000000 // n AS mle_ppm,
         |  alpha_post * 1000000 // (alpha_post + beta_post) - k * 1000000 // n AS shrinkage_ppm
+        |FROM p""".stripMargin,
+
+    // Same milli-frozen means, same cancellation-law SSW in HUGEINT,
+    // same cross-multiplied F verdict.
+    "agg_anova_oneway" ->
+      """WITH e AS (SELECT event_type, CAST(FLOOR(value * 100) AS BIGINT) AS c FROM events),
+        |g AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS ni,
+        |    CAST(SUM(c) AS BIGINT) AS si,
+        |    SUM(CAST(c AS HUGEINT) * c) AS qi
+        |  FROM e GROUP BY 1),
+        |gm AS (SELECT *, si * 1000 // ni AS mi FROM g),
+        |t AS (SELECT CAST(COUNT(*) AS BIGINT) AS k, CAST(SUM(ni) AS BIGINT) AS n,
+        |    CAST(SUM(si) AS BIGINT) AS stot FROM gm),
+        |tm AS (SELECT *, stot * 1000 // n AS m FROM t),
+        |p AS (SELECT k, n,
+        |    CAST(SUM(ni * (mi - m) * (mi - m)) AS BIGINT) AS ssb,
+        |    SUM(1000000::HUGEINT * qi - 2000::HUGEINT * si * mi
+        |      + ni::HUGEINT * mi * mi) AS ssw_sc
+        |  FROM gm CROSS JOIN tm GROUP BY 1, 2)
+        |SELECT k, n, ssb, CAST(ssw_sc // 1000000 AS BIGINT) AS ssw_cents2,
+        |  CAST(ssb::HUGEINT * (n - k) * 1000000000
+        |    // ((k - 1)::HUGEINT * ssw_sc) AS BIGINT) AS f_milli,
+        |  ssb::HUGEINT * (n - k) * 1000000000
+        |    > 2372 * ((k - 1)::HUGEINT * ssw_sc) * 1000000 AS significant
+        |FROM p""".stripMargin,
+
+    // Same rank-picked medians, same exact |c − med| deviations, same
+    // milli-frozen F machinery.
+    "agg_levene_bf" ->
+      """WITH e AS (SELECT event_type, event_id,
+        |    CAST(FLOOR(value * 100) AS BIGINT) AS c FROM events),
+        |r AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+        |      ORDER BY c, event_id) AS BIGINT) AS rn,
+        |    CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS ni0
+        |  FROM e),
+        |md AS (SELECT event_type, c AS med FROM r WHERE rn = (ni0 + 1) // 2),
+        |z AS (SELECT e.event_type, abs(c - med) AS z
+        |  FROM e JOIN md ON e.event_type = md.event_type),
+        |g AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS ni,
+        |    CAST(SUM(z) AS BIGINT) AS si,
+        |    SUM(CAST(z AS HUGEINT) * z) AS qi
+        |  FROM z GROUP BY 1),
+        |gm AS (SELECT *, si * 1000 // ni AS mi FROM g),
+        |t AS (SELECT CAST(COUNT(*) AS BIGINT) AS k, CAST(SUM(ni) AS BIGINT) AS n,
+        |    CAST(SUM(si) AS BIGINT) AS stot FROM gm),
+        |tm AS (SELECT *, stot * 1000 // n AS m FROM t),
+        |p AS (SELECT k, n,
+        |    CAST(SUM(ni * (mi - m) * (mi - m)) AS BIGINT) AS ssb,
+        |    SUM(1000000::HUGEINT * qi - 2000::HUGEINT * si * mi
+        |      + ni::HUGEINT * mi * mi) AS ssw_sc
+        |  FROM gm CROSS JOIN tm GROUP BY 1, 2)
+        |SELECT k, n, ssb, CAST(ssw_sc // 1000000 AS BIGINT) AS ssw_cents2,
+        |  CAST(ssb::HUGEINT * (n - k) * 1000000000
+        |    // ((k - 1)::HUGEINT * ssw_sc) AS BIGINT) AS f_milli,
+        |  ssb::HUGEINT * (n - k) * 1000000000
+        |    > 2372 * ((k - 1)::HUGEINT * ssw_sc) * 1000000 AS heteroscedastic
         |FROM p""".stripMargin,
 
     // Same two deterministic tokenizers, same sign-safe ppm clearing.

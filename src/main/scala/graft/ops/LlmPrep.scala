@@ -1240,10 +1240,16 @@ object LlmPrep {
           "CASE WHEN mx = mn THEN CAST(0 AS BIGINT) ELSE ((xm - mn) * 15) DIV (mx - mn) END"))
         .withColumn("deq", expr("mn + (code * (mx - mn)) DIV 15"))
         .select("vec_id", "pos", "deq")
-      // modulus 70 keeps E[#centroids] near √n at the 5k-vector bench
-      // scale (the IVF sizing law) — %22 grew the assign join linearly
+      // ADAPTIVE √n centroid sizing (the IVF law): modulus √n yields
+      // E[#centroids] = n/√n = √n, so the assign join stays Θ(n^1.5) at
+      // EVERY corpus size — the round-10 fixed %70 was right only at the
+      // 2k-vector bench scale and went quadratic past it (caught by the
+      // round-11 scale witness). floor(sqrt(count)) is IEEE-identical in
+      // both engines (sqrt on data is allowed by the exactness laws).
+      val nVecs = Tables.embeddings(s, d).count()
+      val mod = math.max(1L, math.sqrt(nVecs.toDouble).toLong)
       val cent = e.where(
-        expr("CAST(conv(substring(md5(CAST(vec_id AS STRING)), 1, 8), 16, 10) AS BIGINT) % 70 = 0"))
+        expr(s"CAST(conv(substring(md5(CAST(vec_id AS STRING)), 1, 8), 16, 10) AS BIGINT) % $mod = 0"))
         .select(col("vec_id").as("cid"), col("pos"), col("xm").as("cm"))
       val wAssign = org.apache.spark.sql.expressions.Window
         .partitionBy("vec_id").orderBy(desc("dot"), col("cid"))
@@ -2193,7 +2199,9 @@ object LlmPrep {
         |      ELSE ((xm - mn) * 15) // (mx - mn) END) * (mx - mn)) // 15 AS deq
         |  FROM e JOIN st ON e.pos = st.pos),
         |cent AS (SELECT vec_id AS cid, pos, xm AS cm FROM e
-        |  WHERE ('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT % 70 = 0),
+        |  WHERE ('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT
+        |    % (SELECT GREATEST(1, CAST(FLOOR(SQRT(CAST(COUNT(*) AS DOUBLE))) AS BIGINT))
+        |       FROM embeddings) = 0),
         |adot AS (SELECT e.vec_id, c.cid,
         |    CAST(SUM(e.xm::HUGEINT * c.cm) AS BIGINT) AS dot
         |  FROM e JOIN cent c ON c.pos = e.pos GROUP BY 1, 2),

@@ -53,6 +53,91 @@ object LlmScale {
     })
 
   val queries: Map[String, Q] = Map(
+    // BLEU component ledger — clipped n-gram precision + brevity, the
+    // MT-eval classic beside llm_chrf's character F-score (chrF is
+    // tokenization-robust; BLEU is the reference metric reviewers still
+    // ask for): adjacent %20-paired docs as (hypothesis, reference),
+    // clipped unigram/bigram MULTISET overlaps Σ min(cₕ, cᵣ) via (pair,
+    // gram) joins (linear — same shape the chrF plan proved out), both
+    // precisions and the brevity ratio cleared to exact ppm; the
+    // exp(1−r/c) smoothing is downstream policy, so the LEDGER stays
+    // transcendental-free and hash-exact.
+    "llm_bleu_components" -> ((s, d) => {
+      def side(mod: Int) = Tables.documents(s, d)
+        .where(col("doc_id") % 20 === mod)
+        .select(expr("doc_id DIV 20").as("pair"), split(col("text"), " ").as("t"))
+      def grams(df: org.apache.spark.sql.DataFrame, n: Int) = df
+        .where(size(col("t")) >= n)
+        .select(col("pair"), explode(expr(
+          s"transform(sequence(0, size(t) - $n), i -> concat_ws(' ', slice(t, i + 1, $n)))")).as("g"))
+        .groupBy("pair", "g").agg(count(lit(1)).as("c"))
+      val h = side(0); val r = side(1)
+      val lens = h.select(col("pair"), size(col("t")).cast("bigint").as("h_len"))
+        .join(r.select(col("pair"), size(col("t")).cast("bigint").as("r_len")), "pair")
+      def prec(n: Int, ov: String, tot: String) = {
+        val hg = grams(h, n).withColumnRenamed("c", "ch")
+        val rg = grams(r, n).withColumnRenamed("c", "cr")
+        val o = hg.join(rg, Seq("pair", "g"))
+          .groupBy("pair").agg(sum(least(col("ch"), col("cr"))).as(ov))
+        hg.groupBy("pair").agg(sum("ch").as(tot))
+          .join(o, Seq("pair"), "left")
+          .withColumn(ov, coalesce(col(ov), lit(0L)))
+      }
+      lens.join(prec(1, "ov1", "tot1"), "pair")
+        .join(prec(2, "ov2", "tot2"), "pair")
+        .withColumn("p1_ppm", expr("ov1 * 1000000 DIV tot1"))
+        .withColumn("p2_ppm", expr("CASE WHEN tot2 = 0 THEN CAST(0 AS BIGINT) ELSE ov2 * 1000000 DIV tot2 END"))
+        .withColumn("brevity_ppm", expr("h_len * 1000000 DIV r_len"))
+        .withColumn("bp_applies", col("h_len") < col("r_len"))
+        .select("pair", "h_len", "r_len", "ov1", "tot1", "p1_ppm",
+          "ov2", "tot2", "p2_ppm", "brevity_ppm", "bp_applies")
+        .orderBy("pair")
+    }),
+
+    // Chinchilla compute-budget plan — the 20-tokens-per-parameter
+    // compute-optimal law as a LEDGER over the corpus the engine curates
+    // (Hoffmann et al.'s public result; the planning question every
+    // pretraining run starts with): corpus tokens T from the frozen
+    // chars-DIV-4 tokenizer, a parameter grid as literal rows, D_opt =
+    // 20N, FLOPs = 6·N·D_opt in DECIMAL(38,0), epochs over the corpus in
+    // exact ppm, and the data-limited verdict T < D_opt. One scan.
+    "llm_chinchilla_plan" -> ((s, d) => {
+      val t = Tables.documents(s, d)
+        .agg(sum(expr("CAST(length(text) DIV 4 AS BIGINT)")).as("corpus_tokens"))
+      val grid = t.crossJoin(
+        t.sparkSession.range(0, 4).select(
+          expr("element_at(array(CAST(1e8 AS BIGINT), CAST(1e9 AS BIGINT), CAST(7e9 AS BIGINT), CAST(7e10 AS BIGINT)), CAST(id + 1 AS INT))").as("params")))
+      grid
+        .withColumn("d_opt", expr("params * 20"))
+        // FLOPs in MEGA-FLOP units so 6·N·D stays int64 (raw 6·N·20N hits
+        // 5.9e23 at 70B; params are 1e8 multiples so both DIV 1000 are exact)
+        .withColumn("flops_m", expr("6 * (params DIV 1000) * (params * 20 DIV 1000)"))
+        .withColumn("epochs_ppm", expr("params * 20 * 1000000 DIV corpus_tokens"))
+        .withColumn("data_limited", col("corpus_tokens") < col("d_opt"))
+        .select("params", "corpus_tokens", "d_opt", "flops_m", "epochs_ppm", "data_limited")
+        .orderBy("params")
+    }),
+
+    // Paged-attention KV block plan — vLLM's block-table accounting
+    // (llm_kv_cache_plan budgets BYTES per band; this budgets BLOCKS and
+    // the fragmentation paging exists to kill): block size 16 tokens,
+    // per-doc blocks = ceil(len/16), internal fragmentation = last-block
+    // waste, vs the naive contiguous allocator that reserves max-len for
+    // every sequence. Per-lang rollup, savings in exact ppm.
+    "llm_paged_kv_plan" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("lang"), expr("CAST(length(text) DIV 4 AS BIGINT)").as("toks"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("toks").as("total_tokens"),
+          sum(expr("(toks + 15) DIV 16")).as("paged_blocks"),
+          max(expr("(toks + 15) DIV 16")).as("max_blocks"))
+        .withColumn("frag_tokens", expr("paged_blocks * 16 - total_tokens"))
+        .withColumn("naive_blocks", expr("max_blocks * n_docs"))
+        .withColumn("saved_ppm", expr(
+          "(naive_blocks - paged_blocks) * 1000000 DIV naive_blocks"))
+        .orderBy("lang")),
+
     // Embedding near-dup via signed-random-projection LSH — the
     // sub-quadratic path the exact sweeps (llm_dedup_embed*) hand over to
     // at corpus scale: `planes` sign bits per vector (one pass, planes·dim
@@ -664,6 +749,74 @@ object LlmScale {
   )
 
   val oracles: Map[String, String] = Map(
+    // Same pairing, same clipped multiset overlaps, same ppm clearing.
+    "llm_bleu_components" ->
+      """WITH h AS (SELECT doc_id // 20 AS pair, string_split(text, ' ') AS t
+        |  FROM documents WHERE doc_id % 20 = 0),
+        |r AS (SELECT doc_id // 20 AS pair, string_split(text, ' ') AS t
+        |  FROM documents WHERE doc_id % 20 = 1),
+        |lens AS (SELECT h.pair, CAST(len(h.t) AS BIGINT) AS h_len,
+        |    CAST(len(r.t) AS BIGINT) AS r_len
+        |  FROM h JOIN r ON h.pair = r.pair),
+        |h1 AS (SELECT pair, unnest(t) AS g FROM h),
+        |r1 AS (SELECT pair, unnest(t) AS g FROM r),
+        |h1c AS (SELECT pair, g, COUNT(*) AS ch FROM h1 GROUP BY 1, 2),
+        |r1c AS (SELECT pair, g, COUNT(*) AS cr FROM r1 GROUP BY 1, 2),
+        |o1 AS (SELECT h1c.pair, CAST(SUM(LEAST(ch, cr)) AS BIGINT) AS ov1
+        |  FROM h1c JOIN r1c ON h1c.pair = r1c.pair AND h1c.g = r1c.g GROUP BY 1),
+        |t1 AS (SELECT pair, CAST(SUM(ch) AS BIGINT) AS tot1 FROM h1c GROUP BY 1),
+        |h2 AS (SELECT pair, unnest(list_transform(generate_series(1, len(t) - 1),
+        |    i -> t[i] || ' ' || t[i + 1])) AS g
+        |  FROM h WHERE len(t) >= 2),
+        |r2 AS (SELECT pair, unnest(list_transform(generate_series(1, len(t) - 1),
+        |    i -> t[i] || ' ' || t[i + 1])) AS g
+        |  FROM r WHERE len(t) >= 2),
+        |h2c AS (SELECT pair, g, COUNT(*) AS ch FROM h2 GROUP BY 1, 2),
+        |r2c AS (SELECT pair, g, COUNT(*) AS cr FROM r2 GROUP BY 1, 2),
+        |o2 AS (SELECT h2c.pair, CAST(SUM(LEAST(ch, cr)) AS BIGINT) AS ov2
+        |  FROM h2c JOIN r2c ON h2c.pair = r2c.pair AND h2c.g = r2c.g GROUP BY 1),
+        |t2 AS (SELECT pair, CAST(SUM(ch) AS BIGINT) AS tot2 FROM h2c GROUP BY 1)
+        |SELECT lens.pair, h_len, r_len,
+        |  COALESCE(ov1, 0) AS ov1, tot1, COALESCE(ov1, 0) * 1000000 // tot1 AS p1_ppm,
+        |  COALESCE(ov2, 0) AS ov2, tot2,
+        |  CAST(CASE WHEN tot2 = 0 THEN 0
+        |    ELSE COALESCE(ov2, 0) * 1000000 // tot2 END AS BIGINT) AS p2_ppm,
+        |  h_len * 1000000 // r_len AS brevity_ppm,
+        |  h_len < r_len AS bp_applies
+        |FROM lens JOIN t1 ON lens.pair = t1.pair
+        |LEFT JOIN o1 ON lens.pair = o1.pair
+        |JOIN t2 ON lens.pair = t2.pair
+        |LEFT JOIN o2 ON lens.pair = o2.pair
+        |ORDER BY lens.pair""".stripMargin,
+
+    // Same frozen tokenizer, same 20N law, same DECIMAL-wide FLOPs.
+    "llm_chinchilla_plan" ->
+      """WITH t AS (SELECT CAST(SUM(length(text) // 4) AS BIGINT) AS corpus_tokens
+        |  FROM documents),
+        |g(params) AS (VALUES (CAST(1e8 AS BIGINT)), (CAST(1e9 AS BIGINT)),
+        |  (CAST(7e9 AS BIGINT)), (CAST(7e10 AS BIGINT)))
+        |SELECT params, corpus_tokens, params * 20 AS d_opt,
+        |  6 * (params // 1000) * (params * 20 // 1000) AS flops_m,
+        |  params * 20 * 1000000 // corpus_tokens AS epochs_ppm,
+        |  corpus_tokens < params * 20 AS data_limited
+        |FROM g CROSS JOIN t ORDER BY params""".stripMargin,
+
+    // Same 16-token blocks, same ceil and waste arithmetic.
+    "llm_paged_kv_plan" ->
+      """WITH d AS (SELECT lang, CAST(length(text) // 4 AS BIGINT) AS toks
+        |  FROM documents),
+        |g AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(toks) AS BIGINT) AS total_tokens,
+        |    CAST(SUM((toks + 15) // 16) AS BIGINT) AS paged_blocks,
+        |    CAST(MAX((toks + 15) // 16) AS BIGINT) AS max_blocks
+        |  FROM d GROUP BY 1)
+        |SELECT lang, n_docs, total_tokens, paged_blocks, max_blocks,
+        |  paged_blocks * 16 - total_tokens AS frag_tokens,
+        |  max_blocks * n_docs AS naive_blocks,
+        |  (max_blocks * n_docs - paged_blocks) * 1000000
+        |    // (max_blocks * n_docs) AS saved_ppm
+        |FROM g ORDER BY lang""".stripMargin,
+
     // Identical algorithm replayed at the DEFAULT geometry (128 planes,
     // 8 bands × 16 bits): same md5-derived planes, same 4-dp rounded sign
     // bits, same banding, same exact candidate scoring.

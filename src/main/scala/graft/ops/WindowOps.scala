@@ -393,10 +393,126 @@ object WindowOps {
         .select(col("user_id"), col("n_intervals"),
           col("vw").cast("bigint").as("vw_sum"), col("total_us"), col("twap_cents"))
         .orderBy("user_id")
+    }),
+
+    // MACD — the fast-minus-slow EMA momentum indicator beside win_rsi's
+    // oscillator: both EMAs as TRUNCATED integer-weight folds over lags
+    // 0..7 (the win_ewma law — geometric 128..1/255 for fast, linear
+    // 8..1/36 for slow, each DIV'd by the weight mass actually PRESENT so
+    // warm-up rows stay exact), signal = 3-row trailing mean of macd,
+    // histogram = macd − signal with a sign-safe spread. One per-user
+    // window shuffle shared by every layer.
+    "win_macd" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+      val fastW = Seq(128L, 64L, 32L, 16L, 8L, 4L, 2L, 1L)
+      val slowW = Seq(8L, 7L, 6L, 5L, 4L, 3L, 2L, 1L)
+      def ema(ws: Seq[Long], name: String)(df: org.apache.spark.sql.DataFrame) = {
+        val withLags = ws.indices.foldLeft(df)((acc, i) =>
+          acc.withColumn(s"x$i", lag("cents", i).over(w)))
+        val num = ws.zipWithIndex.map { case (wt, i) => s"COALESCE($wt * x$i, 0)" }.mkString(" + ")
+        val den = ws.zipWithIndex.map { case (wt, i) => s"CASE WHEN x$i IS NULL THEN 0 ELSE $wt END" }.mkString(" + ")
+        withLags.withColumn(name, expr(s"($num) * 1000 DIV ($den)"))
+          .drop(ws.indices.map(i => s"x$i"): _*)
+      }
+      val base = Tables.events(s, d)
+        .select(col("user_id"), col("ts_us"), col("event_id"),
+          floor(col("value") * 100).cast("bigint").as("cents"))
+      val m = ema(slowW, "slow_milli")(ema(fastW, "fast_milli")(base))
+        .withColumn("macd_milli", col("fast_milli") - col("slow_milli"))
+      m.withColumn("m1", lag("macd_milli", 1).over(w))
+        .withColumn("m2", lag("macd_milli", 2).over(w))
+        .withColumn("signal_milli", expr(
+          """CASE WHEN (macd_milli + COALESCE(m1, 0) + COALESCE(m2, 0)) >= 0
+             THEN (macd_milli + COALESCE(m1, 0) + COALESCE(m2, 0))
+               DIV (1 + CASE WHEN m1 IS NULL THEN 0 ELSE 1 END + CASE WHEN m2 IS NULL THEN 0 ELSE 1 END)
+             ELSE -((0 - (macd_milli + COALESCE(m1, 0) + COALESCE(m2, 0)))
+               DIV (1 + CASE WHEN m1 IS NULL THEN 0 ELSE 1 END + CASE WHEN m2 IS NULL THEN 0 ELSE 1 END)) END"""))
+        .withColumn("hist_milli", col("macd_milli") - col("signal_milli"))
+        .where(col("event_id") % 20 === 9)
+        .select("user_id", "ts_us", "event_id", "fast_milli", "slow_milli",
+          "macd_milli", "signal_milli", "hist_milli")
+        .orderBy("user_id", "ts_us", "event_id")
+    }),
+
+    // Aroon — "periods since the extreme" trend gauge (win_rsi reads
+    // magnitudes; Aroon reads RECENCY): over a 14-row frame, argmax and
+    // argmin recovered from ONE composite key cents·2⁴⁰ + rn (the
+    // ShardIdSpan law — max ties break to the LATEST row, min ties to the
+    // EARLIEST, both engines by the same integer order), aroon = (13 −
+    // rows-since-extreme)·1000 DIV 13. One per-user window shuffle.
+    "win_aroon" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+      val frame = w.rowsBetween(-13, 0)
+      Tables.events(s, d)
+        .select(col("user_id"), col("ts_us"), col("event_id"),
+          floor(col("value") * 100).cast("bigint").as("cents"))
+        .withColumn("rn", row_number().over(w).cast("bigint"))
+        .withColumn("amax", max(expr("cents * 1099511627776 + rn")).over(frame))
+        .withColumn("amin", min(expr("cents * 1099511627776 + rn")).over(frame))
+        .withColumn("since_max", col("rn") - expr("amax % 1099511627776"))
+        .withColumn("since_min", col("rn") - expr("amin % 1099511627776"))
+        .withColumn("aroon_up_milli", expr("(13 - since_max) * 1000 DIV 13"))
+        .withColumn("aroon_dn_milli", expr("(13 - since_min) * 1000 DIV 13"))
+        .where(col("event_id") % 20 === 11)
+        .select("user_id", "ts_us", "event_id", "since_max", "since_min",
+          "aroon_up_milli", "aroon_dn_milli")
+        .orderBy("user_id", "ts_us", "event_id")
     })
   )
 
   val oracles: Map[String, String] = Map(
+    // Same truncated-weight folds (weights and masses regenerated from
+    // the same Seqs), same sign-safe signal mean.
+    "win_macd" -> {
+      val fastW = Seq(128L, 64L, 32L, 16L, 8L, 4L, 2L, 1L)
+      val slowW = Seq(8L, 7L, 6L, 5L, 4L, 3L, 2L, 1L)
+      val lags = fastW.indices.map(i => s"lag(cents, $i) OVER w AS x$i").mkString(", ")
+      def num(ws: Seq[Long]) =
+        ws.zipWithIndex.map { case (wt, i) => s"COALESCE($wt * x$i, 0)" }.mkString(" + ")
+      def den(ws: Seq[Long]) =
+        ws.zipWithIndex.map { case (wt, i) => s"CASE WHEN x$i IS NULL THEN 0 ELSE $wt END" }.mkString(" + ")
+      s"""WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+         |    CAST(FLOOR(value * 100) AS BIGINT) AS cents FROM events),
+         |l AS (SELECT user_id, ts_us, event_id, $lags
+         |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+         |m AS (SELECT user_id, ts_us, event_id,
+         |    (${num(fastW)}) * 1000 // (${den(fastW)}) AS fast_milli,
+         |    (${num(slowW)}) * 1000 // (${den(slowW)}) AS slow_milli
+         |  FROM l),
+         |mm AS (SELECT *, fast_milli - slow_milli AS macd_milli FROM m),
+         |m3 AS (SELECT *, lag(macd_milli, 1) OVER w2 AS p1,
+         |    lag(macd_milli, 2) OVER w2 AS p2
+         |  FROM mm WINDOW w2 AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+         |sg AS (SELECT *, macd_milli + COALESCE(p1, 0) + COALESCE(p2, 0) AS sm,
+         |    1 + (CASE WHEN p1 IS NULL THEN 0 ELSE 1 END)
+         |      + (CASE WHEN p2 IS NULL THEN 0 ELSE 1 END) AS cnt FROM m3),
+         |sig AS (SELECT *, CASE WHEN sm >= 0 THEN sm // cnt
+         |    ELSE -((0 - sm) // cnt) END AS signal_milli FROM sg)
+         |SELECT user_id, ts_us, event_id, fast_milli, slow_milli, macd_milli,
+         |  signal_milli, macd_milli - signal_milli AS hist_milli
+         |FROM sig WHERE event_id % 20 = 9
+         |ORDER BY user_id, ts_us, event_id""".stripMargin
+    },
+
+    // Same composite argmax/argmin key, same recency clearing.
+    "win_aroon" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+        |    CAST(FLOOR(value * 100) AS BIGINT) AS cents FROM events),
+        |r AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+        |      ORDER BY ts_us, event_id) AS BIGINT) AS rn FROM e),
+        |f AS (SELECT *,
+        |    MAX(cents * 1099511627776 + rn) OVER w2 AS amax,
+        |    MIN(cents * 1099511627776 + rn) OVER w2 AS amin
+        |  FROM r WINDOW w2 AS (PARTITION BY user_id ORDER BY ts_us, event_id
+        |    ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+        |SELECT user_id, ts_us, event_id,
+        |  rn - (amax % 1099511627776) AS since_max,
+        |  rn - (amin % 1099511627776) AS since_min,
+        |  (13 - (rn - (amax % 1099511627776))) * 1000 // 13 AS aroon_up_milli,
+        |  (13 - (rn - (amin % 1099511627776))) * 1000 // 13 AS aroon_dn_milli
+        |FROM f WHERE event_id % 20 = 11
+        |ORDER BY user_id, ts_us, event_id""".stripMargin,
+
     "win_rank" ->
       """SELECT o_orderkey, o_orderstatus,
         |  CAST(FLOOR(o_totalprice / 50000) * 50000 AS BIGINT) AS price_bucket,

@@ -61,6 +61,13 @@ object ScaleCorpus {
       .select(col("id").as("vec_id"), col("embedding"),
         (col("id") % 10).cast("int").as("label"))
       .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    // minimal orders table (the HL estimator's input): price = md5-derived
+    // cents so the Walsh-pair median has real spread at every size
+    s.range(0, nDocs, 1, 32)
+      .select(col("id").as("o_orderkey"),
+        (expr("CAST(conv(substring(md5(concat('op:', CAST(id AS STRING))), 1, 8), 16, 10) AS BIGINT) % 900000")
+          .cast("double") / 100.0 + 1000.0).as("o_totalprice"))
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
     java.nio.file.Files.createFile(done)
     dir
   }
@@ -130,6 +137,32 @@ class ScaleWitnessSpec extends AnyFunSuite {
       f"| `$op` | ${ts(0)}%.1f | ${ts(1)}%.1f | ${ts(2)}%.1f | ${slope(ts)}%.2f |"
     }
     java.nio.file.Files.write(java.nio.file.Paths.get("/tmp/scale_witness_table.md"),
+      scala.jdk.CollectionConverters.SeqHasAsJava(lines).asJava)
+  }
+
+  test("round-11 heavy families measured near-linear across 10^4..10^6 docs", ScaleWitness) {
+    val results = Seq(
+      // IVF-PQ with √n-ADAPTIVE centroid sizing (round-11 fix): assignment
+      // is Θ(n^1.5) by construction — bound at the analytic exponent
+      "llm_ann_ivf_pq" -> 1.8,
+      // chrF joins on (pair, gram): pairs are disjoint doc pairs, grams
+      // per pair are corpus-length-bounded → linear
+      "llm_chrf" -> 1.5,
+      // HL estimator after the fixed-size hash-top-k fix: the only data-
+      // dependent work left is the top-k scan → linear
+      "agg_hodges_lehmann" -> 1.4
+    ).map { case (op, maxSlope) =>
+      val ts = timeTiers(op)
+      val sl = slope(ts)
+      info(f"$op%-22s t=${ts.map(t => f"$t%.1f").mkString("/")}s slope=$sl%.2f (max $maxSlope)")
+      assert(sl < maxSlope,
+        f"$op runtime slope $sl%.2f exceeds $maxSlope (times ${ts.mkString(", ")})")
+      op -> ts
+    }
+    val lines = results.map { case (op, ts) =>
+      f"| `$op` | ${ts(0)}%.1f | ${ts(1)}%.1f | ${ts(2)}%.1f | ${slope(ts)}%.2f |"
+    }
+    java.nio.file.Files.write(java.nio.file.Paths.get("/tmp/scale_witness_r11.md"),
       scala.jdk.CollectionConverters.SeqHasAsJava(lines).asJava)
   }
 
