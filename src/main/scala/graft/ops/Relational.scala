@@ -421,6 +421,63 @@ object Relational {
         .orderBy("tbl")
     }),
 
+    // Row-group pruning — the IO-skipping layer UNDER predicate pushdown
+    // (footer_audit trusts the metadata; this USES it): orders staged
+    // key-sorted into one parquet file with a tiny block size so MANY row
+    // groups form, the footer's per-group o_orderkey min/max planned
+    // against a mid-range predicate, and the graded row attests (a) the
+    // file really is multi-group, (b) pruning really dropped groups, and
+    // (c) the pruned plan's rollup equals the logical filter — metadata
+    // planning must be semantically invisible. At 100 TB this exact walk
+    // runs per file in the manifest scan; data bytes of pruned groups are
+    // never read.
+    "source_parquet_rowgroup_prune" -> ((s, d) => {
+      val dir = Scratch.opDir("rg_prune", d)
+      val marker = java.nio.file.Paths.get(dir, "_STAGED")
+      if (!java.nio.file.Files.exists(marker)) {
+        Tables.orders(s, d).select("o_orderkey", "o_totalprice")
+          .orderBy("o_orderkey").coalesce(1)
+          .write.mode("overwrite")
+          // 8 KiB row groups: small enough that even the sf0.001 test
+          // fixture (~1.5k rows) splits into several groups
+          .option("parquet.block.size", 8192)
+          .option("parquet.page.size", 2048)
+          .parquet(dir)
+        java.nio.file.Files.createFile(marker)
+      }
+      val part = new java.io.File(dir).listFiles()
+        .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).head
+      val conf = new org.apache.hadoop.conf.Configuration()
+      val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(part.getPath), conf))
+      val (groups, maxKey) =
+        try {
+          val bs = rd.getFooter.getBlocks
+          val gs = (0 until bs.size()).map { i =>
+            val chunk = (0 until bs.get(i).getColumns.size())
+              .map(bs.get(i).getColumns.get(_))
+              .find(_.getPath.toDotString == "o_orderkey").get
+            val st = chunk.getStatistics
+            (st.genericGetMin.asInstanceOf[java.lang.Long].longValue(),
+              st.genericGetMax.asInstanceOf[java.lang.Long].longValue())
+          }
+          (gs, gs.map(_._2).max)
+        } finally rd.close()
+      val (lo, hi) = (maxKey / 4, maxKey / 2)
+      val kept = groups.count { case (mn, mx) => mx >= lo && mn <= hi }
+      val multiGroup = groups.size > 1
+      val effective = kept < groups.size
+      s.read.parquet(dir)
+        .where(col("o_orderkey").between(lo, hi))
+        .agg(count(lit(1)).as("n_match"),
+          sum(round(col("o_totalprice") * 100).cast("bigint")).as("sum_cents"))
+        .select(lit(multiGroup).as("multi_group"),
+          lit(effective).as("pruning_effective"),
+          lit(lo).as("lo"), lit(hi).as("hi"),
+          col("n_match"), col("sum_cents"))
+    }),
+
     // NESTED JSON roundtrip — the document-shaped interchange format
     // (API exports, event payloads): orders nested per customer as an
     // array<struct> (sort_array pins the nondeterministic collect_list
@@ -1433,6 +1490,18 @@ object Relational {
         |FROM c, r ORDER BY codec""".stripMargin,
 
     // The footer metadata must agree with the logical row counts.
+    // Planning over footers must be invisible: TRUE attestations + the
+    // logical filter replay (lo/hi derived from the same max key).
+    "source_parquet_rowgroup_prune" ->
+      """WITH m AS (SELECT MAX(o_orderkey) AS mk FROM orders),
+        |b AS (SELECT mk // 4 AS lo, mk // 2 AS hi FROM m)
+        |SELECT TRUE AS multi_group, TRUE AS pruning_effective, lo, hi,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM orders, b
+        |    WHERE o_orderkey BETWEEN lo AND hi) AS n_match,
+        |  (SELECT CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    FROM orders, b WHERE o_orderkey BETWEEN lo AND hi) AS sum_cents
+        |FROM b""".stripMargin,
+
     "source_parquet_footer_audit" ->
       """SELECT 'customer' AS tbl, CAST(COUNT(*) AS BIGINT) AS footer_rows FROM customer
         |UNION ALL

@@ -898,6 +898,89 @@ object Warehouse {
         .orderBy("principal", "object")
     }),
 
+    // Z-order layout plan — the SKIPPING-POWER ledger behind every
+    // OPTIMIZE ZORDER BY (fn_zorder_curve grades the curve; this grades
+    // what the curve BUYS): the same rows filed two ways — 16 z-range
+    // files (morton DIV 4096 — range partitioning, never a global ntile
+    // sort) vs 16 orderkey-range files — then one planted x-dimension
+    // probe is planned against each layout's per-file min/max. Z-files
+    // keep both dims tight so most files prune; linear files hold random
+    // x so ALL survive — the row ledger quantifies exactly what a
+    // 100 TB reader would skip. One scan, two metadata rollups.
+    "warehouse_zorder_layout" -> ((s, d) => {
+      val morton = (0 to 7).map { i =>
+        s"(shiftleft((x8 >> $i) & 1, ${2 * i}) + shiftleft((y8 >> $i) & 1, ${2 * i + 1}))"
+      }.mkString(" + ")
+      val base = Tables.orders(s, d)
+        .select(expr("o_custkey % 256").as("x8"),
+          expr("o_orderkey % 256").as("y8"))
+        .withColumn("zfile", expr(s"CAST(($morton) DIV 4096 AS BIGINT)"))
+        .withColumn("lfile", expr("CAST(y8 DIV 16 AS BIGINT)"))
+        .withColumn("hit", expr("x8 BETWEEN 32 AND 47"))
+        .localCheckpoint()
+      def layout(fileCol: String, name: String) = base
+        .groupBy(col(fileCol).as("file_id"))
+        .agg(count(lit(1)).as("n_rows"),
+          min("x8").as("x_min"), max("x8").as("x_max"),
+          sum(when(col("hit"), 1L).otherwise(0L)).as("matching"))
+        .withColumn("scanned", expr("x_max >= 32 AND x_min <= 47"))
+        .agg(count(lit(1)).as("n_files"),
+          sum(when(col("scanned"), 1L).otherwise(0L)).as("files_scanned"),
+          sum(when(col("scanned"), col("n_rows")).otherwise(0L)).as("rows_scanned"),
+          sum("matching").as("matching_rows"))
+        .withColumn("layout", lit(name))
+      layout("zfile", "zorder").unionByName(layout("lfile", "linear"))
+        .select("layout", "n_files", "files_scanned", "rows_scanned", "matching_rows")
+        .orderBy("layout")
+    }),
+
+    // ANALYZE-style column statistics — the stats a cost-based planner
+    // feeds on (ndv → join sizing, nulls → filter selectivity, extremes →
+    // range pruning): one unpivoted ledger over four orders columns,
+    // exact NDV (a production run swaps in HLL per agg_hll_distinct —
+    // same shape), min/max as strings so the schema is uniform, mean
+    // value length in exact milli. One scan per column family.
+    "warehouse_stats_collect" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      def statsOf(c: String) = o.agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as("n_nulls"),
+        countDistinct(col(c)).as("ndv"),
+        min(col(c).cast("string")).as("min_s"),
+        max(col(c).cast("string")).as("max_s"),
+        expr(s"sum(length(CAST($c AS STRING))) * 1000").as("len_sc"))
+        .withColumn("avg_len_milli", expr("len_sc DIV n_rows"))
+        .withColumn("col_name", lit(c)).drop("len_sc")
+      Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
+        .map(statsOf).reduce(_ unionByName _)
+        .select("col_name", "n_rows", "n_nulls", "ndv", "min_s", "max_s", "avg_len_milli")
+        .orderBy("col_name")
+    }),
+
+    // Deterministic TABLESAMPLE — hash sampling with the estimator
+    // attached (BERNOULLI sampling is irreproducible across runs; a
+    // md5-keyed 1-in-8 sample is exactly repeatable on any cluster AND
+    // grades its own estimation error): scaled-up total vs true total,
+    // error in SIGN-SAFE ppm. The whole point at 100 TB: stats from the
+    // sample, error bound known, one scan.
+    "warehouse_tablesample" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+        .select(col("o_orderkey"),
+          round(col("o_totalprice") * 100).cast("bigint").as("cents"))
+        .withColumn("in_sample", expr(
+          "CAST(conv(substring(md5(concat('ts:', CAST(o_orderkey AS STRING))), 1, 8), 16, 10) AS BIGINT) % 8 = 0"))
+      o.agg(count(lit(1)).as("n_total"),
+          sum("cents").as("true_cents"),
+          sum(when(col("in_sample"), 1L).otherwise(0L)).as("n_sample"),
+          sum(when(col("in_sample"), col("cents")).otherwise(0L)).as("sample_cents"))
+        .withColumn("est_cents", expr("sample_cents * 8"))
+        .withColumn("err_ppm", expr(
+          """CASE WHEN est_cents >= true_cents
+             THEN (est_cents - true_cents) * 1000000 DIV true_cents
+             ELSE -((true_cents - est_cents) * 1000000 DIV true_cents) END"""))
+        .select("n_total", "n_sample", "true_cents", "sample_cents", "est_cents", "err_ppm")
+    }),
+
     // Distributed surrogate-id block allocator — how a parallel loader
     // mints collision-free dense ids WITHOUT a sequence bottleneck: each
     // partition takes a contiguous block [base, base+n) sized by its row
@@ -1351,6 +1434,81 @@ object Warehouse {
         |  CAST(CASE WHEN d.allowed THEN ro.sum_cents ELSE 0 END AS BIGINT) AS sum_cents
         |FROM d JOIN ro USING (object)
         |ORDER BY principal, object""".stripMargin,
+
+    // Same two filings, same per-file min/max planning, same probe.
+    "warehouse_zorder_layout" -> {
+      val morton = (0 to 7).map { i =>
+        s"((((x8 >> $i) & 1) << ${2 * i}) + (((y8 >> $i) & 1) << ${2 * i + 1}))"
+      }.mkString(" + ")
+      s"""WITH b AS (SELECT o_custkey % 256 AS x8, o_orderkey % 256 AS y8
+         |  FROM orders),
+         |m AS (SELECT x8, y8, CAST(($morton) // 4096 AS BIGINT) AS zfile,
+         |    CAST(y8 // 16 AS BIGINT) AS lfile,
+         |    x8 BETWEEN 32 AND 47 AS hit FROM b),
+         |z AS (SELECT zfile, COUNT(*) AS n_rows, MIN(x8) AS xmn, MAX(x8) AS xmx,
+         |    CAST(SUM(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT) AS matching
+         |  FROM m GROUP BY 1),
+         |l AS (SELECT lfile, COUNT(*) AS n_rows, MIN(x8) AS xmn, MAX(x8) AS xmx,
+         |    CAST(SUM(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT) AS matching
+         |  FROM m GROUP BY 1),
+         |zz AS (SELECT 'zorder' AS layout, CAST(COUNT(*) AS BIGINT) AS n_files,
+         |    CAST(SUM(CASE WHEN xmx >= 32 AND xmn <= 47 THEN 1 ELSE 0 END) AS BIGINT) AS files_scanned,
+         |    CAST(SUM(CASE WHEN xmx >= 32 AND xmn <= 47 THEN n_rows ELSE 0 END) AS BIGINT) AS rows_scanned,
+         |    CAST(SUM(matching) AS BIGINT) AS matching_rows FROM z),
+         |ll AS (SELECT 'linear' AS layout, CAST(COUNT(*) AS BIGINT) AS n_files,
+         |    CAST(SUM(CASE WHEN xmx >= 32 AND xmn <= 47 THEN 1 ELSE 0 END) AS BIGINT) AS files_scanned,
+         |    CAST(SUM(CASE WHEN xmx >= 32 AND xmn <= 47 THEN n_rows ELSE 0 END) AS BIGINT) AS rows_scanned,
+         |    CAST(SUM(matching) AS BIGINT) AS matching_rows FROM l)
+         |SELECT * FROM ll UNION ALL SELECT * FROM zz ORDER BY layout""".stripMargin
+    },
+
+    // Same four columns, same exact NDV and string extremes.
+    "warehouse_stats_collect" ->
+      """WITH k AS (SELECT 'o_orderkey' AS col_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |    CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+        |    CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS ndv,
+        |    MIN(CAST(o_orderkey AS VARCHAR)) AS min_s, MAX(CAST(o_orderkey AS VARCHAR)) AS max_s,
+        |    CAST(SUM(length(CAST(o_orderkey AS VARCHAR))) * 1000 // COUNT(*) AS BIGINT) AS avg_len_milli
+        |  FROM orders),
+        |c AS (SELECT 'o_custkey' AS col_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |    CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+        |    CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS ndv,
+        |    MIN(CAST(o_custkey AS VARCHAR)) AS min_s, MAX(CAST(o_custkey AS VARCHAR)) AS max_s,
+        |    CAST(SUM(length(CAST(o_custkey AS VARCHAR))) * 1000 // COUNT(*) AS BIGINT) AS avg_len_milli
+        |  FROM orders),
+        |st AS (SELECT 'o_orderstatus', CAST(COUNT(*) AS BIGINT),
+        |    CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |    CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT),
+        |    MIN(o_orderstatus), MAX(o_orderstatus),
+        |    CAST(SUM(length(o_orderstatus)) * 1000 // COUNT(*) AS BIGINT)
+        |  FROM orders),
+        |pr AS (SELECT 'o_orderpriority', CAST(COUNT(*) AS BIGINT),
+        |    CAST(SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |    CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT),
+        |    MIN(o_orderpriority), MAX(o_orderpriority),
+        |    CAST(SUM(length(o_orderpriority)) * 1000 // COUNT(*) AS BIGINT)
+        |  FROM orders)
+        |SELECT * FROM c UNION ALL SELECT * FROM k
+        |UNION ALL SELECT * FROM pr UNION ALL SELECT * FROM st
+        |ORDER BY col_name""".stripMargin,
+
+    // Same md5 membership, same scale-up, same sign-safe error.
+    "warehouse_tablesample" ->
+      """WITH o AS (SELECT o_orderkey,
+        |    CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+        |    ('0x' || substring(md5('ts:' || CAST(o_orderkey AS VARCHAR)), 1, 8))::BIGINT % 8 = 0 AS in_sample
+        |  FROM orders),
+        |a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total,
+        |    CAST(SUM(cents) AS BIGINT) AS true_cents,
+        |    CAST(SUM(CASE WHEN in_sample THEN 1 ELSE 0 END) AS BIGINT) AS n_sample,
+        |    CAST(SUM(CASE WHEN in_sample THEN cents ELSE 0 END) AS BIGINT) AS sample_cents
+        |  FROM o),
+        |e AS (SELECT *, sample_cents * 8 AS est_cents FROM a)
+        |SELECT n_total, n_sample, true_cents, sample_cents, est_cents,
+        |  CASE WHEN est_cents >= true_cents
+        |    THEN (est_cents - true_cents) * 1000000 // true_cents
+        |    ELSE -((true_cents - est_cents) * 1000000 // true_cents) END AS err_ppm
+        |FROM e""".stripMargin,
 
     // Same manifest cumulative bases, same tiling verdict.
     "warehouse_id_allocator" ->
