@@ -287,6 +287,32 @@ object ApiSurface {
     // USING — the stored-procedure idiom a migrating warehouse user
     // expects to keep. The dispatched plan is ordinary Catalyst — same
     // pushdown, same rollup shape as writing the query directly.
+    // SQL SCRIPTING — the Spark 4.x procedural surface (BEGIN/DECLARE/
+    // WHILE/SET, SQL:2023 PSM shape): the rollup is computed by a LOOP
+    // that slices orders into three residue classes and accumulates
+    // through script VARIABLES; the driver-visible result is the final
+    // SELECT, which must equal the plain one-statement rollup — the
+    // procedural machinery must be semantically invisible.
+    "api_sql_scripting" -> ((s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("graft_script_orders")
+      s.conf.set("spark.sql.scripting.enabled", "true")
+      s.sql(
+        """BEGIN
+          |  DECLARE total_cents BIGINT DEFAULT 0;
+          |  DECLARE n_seen BIGINT DEFAULT 0;
+          |  DECLARE i INT DEFAULT 0;
+          |  WHILE i < 3 DO
+          |    SET total_cents = total_cents + (
+          |      SELECT COALESCE(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 100 AS BIGINT)), 0)
+          |      FROM graft_script_orders WHERE o_orderkey % 3 = i);
+          |    SET n_seen = n_seen + (
+          |      SELECT COUNT(*) FROM graft_script_orders WHERE o_orderkey % 3 = i);
+          |    SET i = i + 1;
+          |  END WHILE;
+          |  SELECT n_seen, total_cents, CAST(i AS BIGINT) AS n_loops;
+          |END""".stripMargin)
+    }),
+
     "api_sql_execute_immediate" -> ((s, d) => {
       Tables.orders(s, d).createOrReplaceTempView("graft_ei_orders")
       s.sql("DECLARE OR REPLACE VARIABLE graft_ei_stmt STRING")
@@ -378,6 +404,13 @@ object ApiSurface {
         |FROM r GROUP BY 1 ORDER BY event_type""".stripMargin,
 
     // The dispatched text inlined — dynamic dispatch must be invisible.
+    // The loop must be invisible: whole-table rollup + the loop count.
+    "api_sql_scripting" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_seen,
+        |  CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 100 AS BIGINT)) AS BIGINT) AS total_cents,
+        |  CAST(3 AS BIGINT) AS n_loops
+        |FROM orders""".stripMargin,
+
     "api_sql_execute_immediate" ->
       """SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_orders,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total

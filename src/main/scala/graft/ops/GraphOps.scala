@@ -155,6 +155,75 @@ object GraphOps {
   private val HitsIters = 3
 
   val queries: Map[String, Q] = Map(
+    // Eccentricity / radius / diameter — the DISTANCE-extremes summary
+    // beside graph_closeness' distance-means one: the same BfsIters
+    // min-plus relaxation over the heavy backbone, then per-node ecc =
+    // max finite distance, and the graph's radius (min ecc) and diameter
+    // (max ecc) attached by one broadcast so central/peripheral verdicts
+    // grade in-band. Distances stay small exact integers.
+    "graph_eccentricity" -> ((s, d) => {
+      val heavy = heavyBackbone(s, d)
+      val bi = heavy.select(col("a").cast("bigint").as("src"), col("b").cast("bigint").as("dst"))
+        .unionAll(heavy.select(col("b").cast("bigint").as("src"), col("a").cast("bigint").as("dst")))
+      val nodes = Tables.nation(s, d).select(col("n_nationkey").cast("bigint").as("u"))
+      var dist = nodes.crossJoin(nodes.select(col("u").as("v")))
+        .withColumn("dist", when(col("u") === col("v"), 0L).otherwise(lit(99L)))
+      for (i <- 1 to BfsIters) {
+        val relax = dist.join(bi, dist("v") === bi("src"))
+          .select(col("u"), col("dst").as("v"), (col("dist") + 1).as("cand"))
+          .groupBy("u", "v").agg(min("cand").as("cand"))
+        dist = dist.join(relax, Seq("u", "v"), "left")
+          .select(col("u"), col("v"),
+            least(col("dist"), coalesce(col("cand"), lit(99L))).as("dist"))
+        if (i == 2) dist = dist.localCheckpoint()
+      }
+      val ecc = dist.where(col("u") =!= col("v") && col("dist") < 99)
+        .groupBy("u").agg(max("dist").as("ecc"), count(lit(1)).as("n_reach"))
+      val bounds = ecc.agg(min("ecc").as("radius"), max("ecc").as("diameter"))
+      ecc.crossJoin(broadcast(bounds))
+        .select(col("u").as("node"), col("n_reach"), col("ecc"),
+          col("radius"), col("diameter"),
+          (col("ecc") === col("radius")).as("central"),
+          (col("ecc") === col("diameter")).as("peripheral"))
+        .orderBy("node")
+    }),
+
+    // Directed dyad + triangle census — the motif SPECTRUM reading of the
+    // trade graph (graph_triangles counts undirected closure; this
+    // separates RECIPROCITY at the dyad level and CYCLES vs HIERARCHY at
+    // the triad level): deterministic w%3 sparsification, mutual/asym/
+    // null dyad counts, cyclic triangles counted once via the min-node
+    // anchor, transitive triples counted directly. Bounded |V| = nations;
+    // every count exact.
+    "graph_triad_census" -> ((s, d) => {
+      val e = tradeEdges(s, d)
+        .where(col("src") =!= col("dst") && col("w") % 3 === 0)
+        .select(col("src").cast("bigint").as("src"), col("dst").cast("bigint").as("dst"))
+        .localCheckpoint()
+      val nNodes = Tables.nation(s, d).count()
+      val rev = e.select(col("dst").as("src"), col("src").as("dst"))
+      val mutual = e.intersect(rev).where(col("src") < col("dst")).count()
+      val undirected = e.select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b")).distinct().count()
+      val asym = undirected - mutual
+      val nulls = nNodes * (nNodes - 1) / 2 - undirected
+      val e1 = e.select(col("src").as("a"), col("dst").as("b"))
+      val e2 = e.select(col("src").as("b"), col("dst").as("c"))
+      val e3 = e.select(col("src").as("c"), col("dst").as("a2"))
+      val cyc = e1.join(e2, "b").join(e3, "c")
+        .where(col("a") === col("a2") && col("a") < col("b") && col("a") < col("c")
+          && col("b") =!= col("c")).count()
+      val e3t = e.select(col("src").as("a3"), col("dst").as("c2"))
+      val trans = e1.join(e2, "b").join(e3t,
+          col("a") === col("a3") && col("c") === col("c2"))
+        .where(col("a") =!= col("c") && col("a") =!= col("b") && col("b") =!= col("c"))
+        .count()
+      val s2 = e.sparkSession
+      import s2.implicits._
+      Seq((nNodes, e.count(), mutual, asym, nulls, cyc, trans))
+        .toDF("n_nodes", "n_dir_edges", "mutual", "asym", "nulls",
+          "cyclic_triangles", "transitive_triples")
+    }),
     // Single-source WEIGHTED shortest paths over the weighted backbone —
     // the routing/centrality primitive BFS's unit hops can't express:
     // dist′ = min(dist, min over in-neighbors (dist + cost)), all exact
@@ -1089,6 +1158,61 @@ object GraphOps {
   private val SccIters = 6
 
   val oracles: Map[String, String] = Map(
+    // Same relaxation chain as graph_closeness, extremes instead of means.
+    "graph_eccentricity" -> {
+      val iters = (1 to BfsIters).map { i =>
+        val p = s"p${i - 1}"
+        s"""c$i AS MATERIALIZED (SELECT $p.u, bi.dst AS v,
+           |    CAST(MIN($p.dist + 1) AS BIGINT) AS cand
+           |  FROM bi JOIN $p ON $p.v = bi.src GROUP BY 1, 2),
+           |p$i AS MATERIALIZED (SELECT q.u, q.v,
+           |    CAST(LEAST(q.dist, COALESCE(c$i.cand, 99)) AS BIGINT) AS dist
+           |  FROM $p q LEFT JOIN c$i ON c$i.u = q.u AND c$i.v = q.v)"""
+      }.mkString(",\n")
+      s"""WITH $EdgesCte,
+         |$HeavyCte,
+         |bi AS MATERIALIZED (SELECT CAST(a AS BIGINT) AS src, CAST(b AS BIGINT) AS dst FROM h
+         |       UNION ALL SELECT CAST(b AS BIGINT), CAST(a AS BIGINT) FROM h),
+         |nodes AS (SELECT CAST(n_nationkey AS BIGINT) AS u FROM nation),
+         |p0 AS MATERIALIZED (SELECT n1.u, n2.u AS v,
+         |    CAST(CASE WHEN n1.u = n2.u THEN 0 ELSE 99 END AS BIGINT) AS dist
+         |  FROM nodes n1, nodes n2),
+         |$iters,
+         |ec AS (SELECT u, CAST(MAX(dist) AS BIGINT) AS ecc,
+         |    CAST(COUNT(*) AS BIGINT) AS n_reach
+         |  FROM p$BfsIters WHERE u <> v AND dist < 99 GROUP BY 1),
+         |bd AS (SELECT CAST(MIN(ecc) AS BIGINT) AS radius,
+         |    CAST(MAX(ecc) AS BIGINT) AS diameter FROM ec)
+         |SELECT u AS node, n_reach, ecc, radius, diameter,
+         |  ecc = radius AS central, ecc = diameter AS peripheral
+         |FROM ec CROSS JOIN bd ORDER BY node""".stripMargin
+    },
+
+    // Same sparsification, same anchored cycle count, same direct
+    // transitive count.
+    "graph_triad_census" ->
+      s"""WITH $EdgesCte,
+         |e AS MATERIALIZED (SELECT CAST(src AS BIGINT) AS src, CAST(dst AS BIGINT) AS dst
+         |  FROM edges WHERE src <> dst AND w % 3 = 0),
+         |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes FROM nation),
+         |mu AS (SELECT CAST(COUNT(*) AS BIGINT) AS mutual
+         |  FROM e a JOIN e b ON a.src = b.dst AND a.dst = b.src
+         |  WHERE a.src < a.dst),
+         |ug AS (SELECT CAST(COUNT(*) AS BIGINT) AS undirected FROM (
+         |  SELECT DISTINCT LEAST(src, dst), GREATEST(src, dst) FROM e)),
+         |cy AS (SELECT CAST(COUNT(*) AS BIGINT) AS cyclic_triangles
+         |  FROM e x JOIN e y ON x.dst = y.src JOIN e z ON y.dst = z.src
+         |  WHERE z.dst = x.src AND x.src < x.dst AND x.src < y.dst
+         |    AND x.dst <> y.dst),
+         |tr AS (SELECT CAST(COUNT(*) AS BIGINT) AS transitive_triples
+         |  FROM e x JOIN e y ON x.dst = y.src JOIN e z
+         |    ON z.src = x.src AND z.dst = y.dst
+         |  WHERE x.src <> y.dst AND x.src <> x.dst AND x.dst <> y.dst),
+         |ne AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_dir_edges FROM e)
+         |SELECT n_nodes, n_dir_edges, mutual, undirected - mutual AS asym,
+         |  n_nodes * (n_nodes - 1) // 2 - undirected AS nulls,
+         |  cyclic_triangles, transitive_triples
+         |FROM n, ne, mu, ug, cy, tr""".stripMargin,
     // The 6 weighted relaxation rounds replayed as chained CTEs from the
     // same constants (cost formula inlined in the bi CTE).
     "graph_sssp_weighted" -> {

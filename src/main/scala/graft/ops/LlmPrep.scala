@@ -1037,6 +1037,30 @@ object LlmPrep {
   /** Round-10 wave: the distributed-dataloader contract + the packed-
     * attention accounting that justifies llm_pack_sequences downstream. */
   private val wave11Queries: Map[String, Q] = Map(
+    // EXIF privacy audit — the metadata-governance step of image ingest
+    // (mm_decode_meta reads structural fields; this audits the PRIVACY
+    // ones a release pipeline must strip): deterministic md5-derived
+    // EXIF facets per staged image (orientation 1–8, GPS-present 1-in-5,
+    // timestamp-present 2-in-3), per-source ledger of exposure counts,
+    // GPS rate in exact ppm, and the must_strip verdict any nonzero GPS
+    // count flips. One scan, one rollup.
+    "mm_exif_audit" -> ((s, d) => {
+      def u(ns: String) =
+        s"CAST(conv(substring(md5(concat('$ns:', CAST(doc_id AS STRING))), 1, 8), 16, 10) AS BIGINT)"
+      Tables.documents(s, d).where(col("doc_id") % 40 === 0)
+        .select(col("doc_id"), col("source"))
+        .withColumn("orientation", expr(s"1 + ${u("eo")} % 8"))
+        .withColumn("has_gps", expr(s"${u("eg")} % 5 = 0"))
+        .withColumn("has_ts", expr(s"${u("et")} % 3 < 2"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_images"),
+          sum(when(col("has_gps"), 1L).otherwise(0L)).as("n_gps"),
+          sum(when(col("has_ts"), 1L).otherwise(0L)).as("n_ts"),
+          sum(when(col("orientation") > 1, 1L).otherwise(0L)).as("n_rotated"))
+        .withColumn("gps_ppm", expr("n_gps * 1000000 DIV n_images"))
+        .withColumn("must_strip", col("n_gps") > 0)
+        .orderBy("source")
+    }),
     // Distributed dataloader epoch plan (the PyTorch DistributedSampler
     // contract a training job keys on): per epoch the corpus is shuffled
     // by the deterministic md5(epoch:doc) order, round-robin sharded over
@@ -1414,6 +1438,22 @@ object LlmPrep {
       wave11Queries
 
   val oracles: Map[String, String] = Map(
+    // Same md5 facets, same exposure ledger.
+    "mm_exif_audit" ->
+      """WITH i AS (SELECT doc_id, source,
+        |    1 + ('0x' || substring(md5('eo:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 8 AS orientation,
+        |    ('0x' || substring(md5('eg:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 5 = 0 AS has_gps,
+        |    ('0x' || substring(md5('et:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 3 < 2 AS has_ts
+        |  FROM documents WHERE doc_id % 40 = 0),
+        |g AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_images,
+        |    CAST(SUM(CASE WHEN has_gps THEN 1 ELSE 0 END) AS BIGINT) AS n_gps,
+        |    CAST(SUM(CASE WHEN has_ts THEN 1 ELSE 0 END) AS BIGINT) AS n_ts,
+        |    CAST(SUM(CASE WHEN orientation > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_rotated
+        |  FROM i GROUP BY 1)
+        |SELECT source, n_images, n_gps, n_ts, n_rotated,
+        |  n_gps * 1000000 // n_images AS gps_ppm, n_gps > 0 AS must_strip
+        |FROM g ORDER BY source""".stripMargin,
+
     // The bucket rollup replayed; the global max is a scalar subquery.
     "llm_pad_efficiency" ->
       """WITH t AS (SELECT doc_id,
