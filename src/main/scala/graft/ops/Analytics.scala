@@ -1712,6 +1712,89 @@ object Analytics {
       }
     },
 
+    // Alpha-beta (steady-state Kalman) filter — the constant-gain state
+    // estimator beside win_holt_linear's exponential smoother (Holt
+    // smooths; this TRACKS through an innovation: predict l+t, correct by
+    // gains α=0.2, β=0.1 on the residual): per-type daily series, the
+    // 2-component state stepped by an ORDERED HOF fold in integer cents
+    // with SIGN-SAFE DIV 10 (residuals go negative), seeded from the
+    // first observation. Same struct-state fold law as Holt — the oracle
+    // must replay as a RECURSIVE CTE (DuckDB list_reduce mis-binds
+    // struct accumulators, probe-verified round 10).
+    "win_kalman_ab" -> {
+      def sdiv10(e: String, div: String) =
+        s"CASE WHEN ($e) >= 0 THEN ($e) $div 10 ELSE -((0 - ($e)) $div 10) END"
+      (s: SparkSession, d: String) => {
+        val res = "e.l - (acc.l + acc.t)"
+        val lNew = s"(acc.l + acc.t) + ${sdiv10(s"2 * ($res)", "DIV")}"
+        val tNew = s"acc.t + ${sdiv10(res, "DIV")}"
+        Tables.events(s, d)
+          .groupBy(col("event_type"),
+            expr("CAST(ts_us DIV 86400000000 AS BIGINT)").as("day"))
+          .agg(sum(floor(col("value") * 100).cast("bigint")).as("cents"))
+          .groupBy("event_type")
+          .agg(expr("sort_array(collect_list(named_struct('d', day, 'c', cents)))")
+            .as("series"))
+          .select(col("event_type"),
+            size(col("series")).cast("bigint").as("n_days"),
+            expr(s"""aggregate(
+                    transform(series, s -> named_struct('l', s.c, 't', CAST(0 AS BIGINT))),
+                    named_struct('l', CAST(0 AS BIGINT), 't', CAST(0 AS BIGINT), 'i', CAST(0 AS BIGINT)),
+                    (acc, e) -> CASE WHEN acc.i = 0
+                      THEN named_struct('l', e.l, 't', CAST(0 AS BIGINT), 'i', CAST(1 AS BIGINT))
+                      ELSE named_struct('l', CAST($lNew AS BIGINT), 't', CAST($tNew AS BIGINT), 'i', CAST(1 AS BIGINT)) END)""").as("st"))
+          .select(col("event_type"), col("n_days"),
+            col("st.l").as("level_cents"), col("st.t").as("trend_cents"),
+            (col("st.l") + col("st.t")).as("pred_next_cents"))
+          .orderBy("event_type")
+      }
+    },
+
+    // Ljung–Box portmanteau test — "is this series WHITE NOISE?" (the
+    // residual-diagnostics classic; agg_runs_test asks it of signs, this
+    // of AUTOCORRELATION): daily mean cents (DIV-frozen), deviations
+    // d_t = n·x_t − S exact (cleared of the mean division), lag-1..3
+    // autocovariances as exact integer products REDUCED by DIV 10⁶ (the
+    // documented fixed-point contract — keeps the cross-multiplied
+    // verdict inside DECIMAL(38,0)), Q against χ²₃(.05) = 7.815 fully
+    // cross-multiplied. The series is O(days) — bounded metadata — so
+    // the one global window is a ≤hundreds-row sort, not a data sort.
+    "agg_ljung_box" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(expr("CAST(ts_us DIV 86400000000 AS BIGINT)").as("day"))
+        .agg(sum(floor(col("value") * 100).cast("bigint")).as("sc"),
+          count(lit(1)).as("nd"))
+        .withColumn("x", expr("sc DIV nd"))
+      val tot = daily.agg(count(lit(1)).as("n"), sum("x").as("stot"))
+      val w = Window.orderBy("day")
+      val dev = daily.crossJoin(broadcast(tot))
+        .select(col("day"), col("n"), (col("n") * col("x") - col("stot")).as("dv"))
+        .withColumn("d1", lead("dv", 1).over(w))
+        .withColumn("d2", lead("dv", 2).over(w))
+        .withColumn("d3", lead("dv", 3).over(w))
+      dev.groupBy("n")
+        .agg(
+          sum((col("dv") * col("dv")).cast("decimal(38,0)")).as("c0r_sc"),
+          sum((col("dv") * coalesce(col("d1"), lit(0L))).cast("decimal(38,0)")).as("c1r_sc"),
+          sum((col("dv") * coalesce(col("d2"), lit(0L))).cast("decimal(38,0)")).as("c2r_sc"),
+          sum((col("dv") * coalesce(col("d3"), lit(0L))).cast("decimal(38,0)")).as("c3r_sc"))
+        .select(col("n"),
+          expr("CAST(CASE WHEN c0r_sc >= 0 THEN c0r_sc DIV 1000000 ELSE -((0 - c0r_sc) DIV 1000000) END AS BIGINT)").as("c0r"),
+          expr("CAST(CASE WHEN c1r_sc >= 0 THEN c1r_sc DIV 1000000 ELSE -((0 - c1r_sc) DIV 1000000) END AS BIGINT)").as("c1r"),
+          expr("CAST(CASE WHEN c2r_sc >= 0 THEN c2r_sc DIV 1000000 ELSE -((0 - c2r_sc) DIV 1000000) END AS BIGINT)").as("c2r"),
+          expr("CAST(CASE WHEN c3r_sc >= 0 THEN c3r_sc DIV 1000000 ELSE -((0 - c3r_sc) DIV 1000000) END AS BIGINT)").as("c3r"))
+        .withColumn("num", expr(
+          """CAST(c1r AS DECIMAL(38,0)) * c1r * ((n - 2) * (n - 3))
+           + CAST(c2r AS DECIMAL(38,0)) * c2r * ((n - 1) * (n - 3))
+           + CAST(c3r AS DECIMAL(38,0)) * c3r * ((n - 1) * (n - 2))"""))
+        .withColumn("den", expr(
+          "CAST(c0r AS DECIMAL(38,0)) * c0r * ((n - 1) * (n - 2) * (n - 3))"))
+        .withColumn("q_milli", expr(
+          "CAST(1000 * (n * (n + 2)) * num DIV den AS BIGINT)"))
+        .withColumn("autocorrelated", expr("1000 * (n * (n + 2)) * num > 7815 * den"))
+        .select("n", "c0r", "c1r", "c2r", "c3r", "q_milli", "autocorrelated")
+    }),
+
     // Kendall's τ-b — the CONCORDANCE-counting rank correlation (Spearman's
     // companion that weighs every pair, not every rank gap): on a 1-in-100
     // order sample, all ordered pairs classify as concordant / discordant /
@@ -4944,6 +5027,72 @@ object Analytics {
         |  k * 1000000 // n AS mle_ppm,
         |  alpha_post * 1000000 // (alpha_post + beta_post) - k * 1000000 // n AS shrinkage_ppm
         |FROM p""".stripMargin,
+
+    // Same innovation recurrence replayed as a RECURSIVE CTE (the
+    // struct-fold law), sign-safe // mirroring sign-safe DIV.
+    "win_kalman_ab" -> {
+      def sdiv10(e: String) =
+        s"CASE WHEN ($e) >= 0 THEN ($e) // 10 ELSE -((0 - ($e)) // 10) END"
+      val res = "s.cents - (h.l + h.t)"
+      val lNew = s"(h.l + h.t) + ${sdiv10(s"2 * ($res)")}"
+      val tNew = s"h.t + ${sdiv10(res)}"
+      s"""WITH RECURSIVE e AS (SELECT event_type,
+         |    CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+         |    CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS cents
+         |  FROM events GROUP BY 1, 2),
+         |s AS (SELECT event_type, cents,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS BIGINT) AS rn,
+         |    CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n_days
+         |  FROM e),
+         |h(het, hrn, l, t) AS (
+         |  SELECT event_type, rn, cents, CAST(0 AS BIGINT) FROM s WHERE rn = 1
+         |  UNION ALL
+         |  SELECT s.event_type, s.rn,
+         |    CAST($lNew AS BIGINT), CAST($tNew AS BIGINT)
+         |  FROM h JOIN s ON s.event_type = h.het AND s.rn = h.hrn + 1
+         |)
+         |SELECT h.het AS event_type, s.n_days, h.l AS level_cents,
+         |  h.t AS trend_cents, h.l + h.t AS pred_next_cents
+         |FROM h JOIN s ON s.event_type = h.het AND s.rn = h.hrn
+         |WHERE s.rn = s.n_days
+         |ORDER BY event_type""".stripMargin
+    },
+
+    // Same cleared deviations, same DIV-reduced autocovariances, same
+    // cross-multiplied portmanteau verdict.
+    "agg_ljung_box" ->
+      """WITH daily AS (SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+        |    CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS sc,
+        |    CAST(COUNT(*) AS BIGINT) AS nd
+        |  FROM events GROUP BY 1),
+        |x AS (SELECT day, sc // nd AS x FROM daily),
+        |t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS stot FROM x),
+        |dv AS (SELECT day, n, n * x - stot AS dv FROM x CROSS JOIN t),
+        |ld AS (SELECT *, lead(dv, 1) OVER w AS d1, lead(dv, 2) OVER w AS d2,
+        |    lead(dv, 3) OVER w AS d3
+        |  FROM dv WINDOW w AS (ORDER BY day)),
+        |raw AS (SELECT n,
+        |    SUM(dv::HUGEINT * dv) AS c0s,
+        |    SUM(dv::HUGEINT * COALESCE(d1, 0)) AS c1s,
+        |    SUM(dv::HUGEINT * COALESCE(d2, 0)) AS c2s,
+        |    SUM(dv::HUGEINT * COALESCE(d3, 0)) AS c3s
+        |  FROM ld GROUP BY 1),
+        |cs AS (SELECT n,
+        |    CAST(CASE WHEN c0s >= 0 THEN c0s // 1000000 ELSE -((0 - c0s) // 1000000) END AS BIGINT) AS c0r,
+        |    CAST(CASE WHEN c1s >= 0 THEN c1s // 1000000 ELSE -((0 - c1s) // 1000000) END AS BIGINT) AS c1r,
+        |    CAST(CASE WHEN c2s >= 0 THEN c2s // 1000000 ELSE -((0 - c2s) // 1000000) END AS BIGINT) AS c2r,
+        |    CAST(CASE WHEN c3s >= 0 THEN c3s // 1000000 ELSE -((0 - c3s) // 1000000) END AS BIGINT) AS c3r
+        |  FROM raw),
+        |q AS (SELECT *,
+        |    c1r::HUGEINT * c1r * ((n - 2) * (n - 3))
+        |      + c2r::HUGEINT * c2r * ((n - 1) * (n - 3))
+        |      + c3r::HUGEINT * c3r * ((n - 1) * (n - 2)) AS num,
+        |    c0r::HUGEINT * c0r * ((n - 1) * (n - 2) * (n - 3)) AS den
+        |  FROM cs)
+        |SELECT n, c0r, c1r, c2r, c3r,
+        |  CAST(1000 * (n * (n + 2)) * num // den AS BIGINT) AS q_milli,
+        |  1000 * (n * (n + 2)) * num > 7815 * den AS autocorrelated
+        |FROM q""".stripMargin,
 
     // Same milli-frozen means, same cancellation-law SSW in HUGEINT,
     // same cross-multiplied F verdict.

@@ -53,6 +53,34 @@ object LlmScale {
     })
 
   val queries: Map[String, Q] = Map(
+    // RoPE context-extension plan — position-interpolation accounting
+    // (Chen et al.'s linear PI, the public recipe every long-context
+    // finetune starts from): a planted md5 workload multiplier turns doc
+    // token counts into context demands, and each target window in
+    // {8k, 16k, 32k, 128k} gets the ledger a finetune plan needs — how
+    // many sequences fit the 4096 base as-is, how many the interpolated
+    // window rescues, how many still overflow, and the position-scale
+    // factor in exact ppm (the NTK-theta variant needs a pow(); linear
+    // PI keeps the whole plan integer). One scan × 4 literal targets.
+    "llm_rope_scaling_plan" -> ((s, d) => {
+      val demands = Tables.documents(s, d)
+        .select(expr("CAST(length(text) DIV 4 AS BIGINT)").as("toks"),
+          expr("1 + CAST(conv(substring(md5(concat('rope:', CAST(doc_id AS STRING))), 1, 8), 16, 10) AS BIGINT) % 512").as("mult"))
+        .select(expr("toks * mult").as("demand"))
+      val targets = demands.sparkSession.range(0, 4).select(
+        expr("element_at(array(CAST(8192 AS BIGINT), CAST(16384 AS BIGINT), CAST(32768 AS BIGINT), CAST(131072 AS BIGINT)), CAST(id + 1 AS INT))").as("target_ctx"))
+      demands.crossJoin(broadcast(targets))
+        .groupBy("target_ctx")
+        .agg(count(lit(1)).as("n_seqs"),
+          sum(when(col("demand") <= 4096, 1L).otherwise(0L)).as("n_fit_base"),
+          sum(when(col("demand") > 4096 && col("demand") <= col("target_ctx"), 1L)
+            .otherwise(0L)).as("n_interpolated"),
+          sum(when(col("demand") > col("target_ctx"), 1L).otherwise(0L)).as("n_overflow"))
+        .withColumn("scale_ppm", expr("target_ctx * 1000000 DIV 4096"))
+        .withColumn("interp_ppm", expr("CAST(4096 AS BIGINT) * 1000000 DIV target_ctx"))
+        .orderBy("target_ctx")
+    }),
+
     // BLEU component ledger — clipped n-gram precision + brevity, the
     // MT-eval classic beside llm_chrf's character F-score (chrF is
     // tokenization-robust; BLEU is the reference metric reviewers still
@@ -749,6 +777,22 @@ object LlmScale {
   )
 
   val oracles: Map[String, String] = Map(
+    // Same planted demands, same target grid, same integer ledger.
+    "llm_rope_scaling_plan" ->
+      """WITH dm AS (SELECT (length(text) // 4)
+        |      * (1 + ('0x' || substring(md5('rope:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 512) AS demand
+        |  FROM documents),
+        |tg(target_ctx) AS (VALUES (CAST(8192 AS BIGINT)), (CAST(16384 AS BIGINT)),
+        |  (CAST(32768 AS BIGINT)), (CAST(131072 AS BIGINT)))
+        |SELECT target_ctx, CAST(COUNT(*) AS BIGINT) AS n_seqs,
+        |  CAST(SUM(CASE WHEN demand <= 4096 THEN 1 ELSE 0 END) AS BIGINT) AS n_fit_base,
+        |  CAST(SUM(CASE WHEN demand > 4096 AND demand <= target_ctx THEN 1 ELSE 0 END) AS BIGINT) AS n_interpolated,
+        |  CAST(SUM(CASE WHEN demand > target_ctx THEN 1 ELSE 0 END) AS BIGINT) AS n_overflow,
+        |  target_ctx * 1000000 // 4096 AS scale_ppm,
+        |  CAST(4096 AS BIGINT) * 1000000 // target_ctx AS interp_ppm
+        |FROM dm CROSS JOIN tg GROUP BY target_ctx
+        |ORDER BY target_ctx""".stripMargin,
+
     // Same pairing, same clipped multiset overlaps, same ppm clearing.
     "llm_bleu_components" ->
       """WITH h AS (SELECT doc_id // 20 AS pair, string_split(text, ' ') AS t

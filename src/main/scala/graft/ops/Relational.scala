@@ -421,6 +421,38 @@ object Relational {
         .orderBy("tbl")
     }),
 
+    // Hidden METADATA columns — Spark's `_metadata` struct on file
+    // sources (file_path / file_name / size / row_index): orders staged
+    // partitioned by status, read back with the partition value recovered
+    // from `_metadata.file_path` instead of the data — the path-derived
+    // rollup must equal the data-derived one (the file layout IS
+    // metadata; the columns must tell the truth about it). Per-partition
+    // file counts ride along: at 100 TB this is how a reader audits
+    // partition layout without trusting the catalog.
+    "source_metadata_columns" -> ((s, d) => {
+      val dir = Scratch.opDir("meta_cols", d)
+      val marker = java.nio.file.Paths.get(dir, "_STAGED")
+      if (!java.nio.file.Files.exists(marker)) {
+        Tables.orders(s, d).select("o_orderkey", "o_orderstatus", "o_totalprice")
+          .write.mode("overwrite").partitionBy("o_orderstatus").parquet(dir)
+        java.nio.file.Files.createFile(marker)
+      }
+      s.read.parquet(dir)
+        .select(col("o_orderstatus"),
+          round(col("o_totalprice") * 100).cast("bigint").as("cents"),
+          col("_metadata.file_path").as("fp"))
+        .withColumn("status_from_path",
+          regexp_extract(col("fp"), "o_orderstatus=([^/]+)/", 1))
+        .groupBy("status_from_path")
+        .agg(count(lit(1)).as("n_rows"), sum("cents").as("sum_cents"),
+          countDistinct(col("fp")).as("n_files"),
+          sum(when(col("o_orderstatus") === col("status_from_path"), 1L)
+            .otherwise(0L)).as("n_consistent"))
+        .withColumn("path_truthful", col("n_consistent") === col("n_rows"))
+        .select("status_from_path", "n_rows", "sum_cents", "path_truthful")
+        .orderBy("status_from_path")
+    }),
+
     // Row-group pruning — the IO-skipping layer UNDER predicate pushdown
     // (footer_audit trusts the metadata; this USES it): orders staged
     // key-sorted into one parquet file with a tiny block size so MANY row
@@ -1490,6 +1522,14 @@ object Relational {
         |FROM c, r ORDER BY codec""".stripMargin,
 
     // The footer metadata must agree with the logical row counts.
+    // The path-derived rollup must equal the data-derived one.
+    "source_metadata_columns" ->
+      """SELECT o_orderstatus AS status_from_path,
+        |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+        |  TRUE AS path_truthful
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
     // Planning over footers must be invisible: TRUE attestations + the
     // logical filter replay (lo/hi derived from the same max key).
     "source_parquet_rowgroup_prune" ->
