@@ -1712,6 +1712,77 @@ object Analytics {
       }
     },
 
+    // CUSUM changepoint LOCATOR — "the mean shifted WHERE?" (win_cusum
+    // raises the alarm; this finds the split): centered cumulative sums
+    // over the daily series with deviations cleared of the mean division
+    // (n·x − S exact), the best split = argmax |CS_t| recovered from ONE
+    // composite max (|cs|·2²⁰ + reversed rn so ties break to the EARLIEST
+    // day — both engines by the same integer order), and the before/after
+    // means DIV-frozen to milli for the shift ledger. The series is
+    // O(days) bounded metadata; the one global window sorts ≤ hundreds
+    // of rows.
+    "agg_changepoint" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(expr("CAST(ts_us DIV 86400000000 AS BIGINT)").as("day"))
+        .agg(sum(floor(col("value") * 100).cast("bigint")).as("sc"),
+          count(lit(1)).as("nd"))
+        .withColumn("x", expr("sc DIV nd"))
+      val tot = daily.agg(count(lit(1)).as("n"), sum("x").as("stot"))
+      val w = Window.orderBy("day")
+      val cs = daily.crossJoin(broadcast(tot))
+        .withColumn("rn", row_number().over(w).cast("bigint"))
+        .withColumn("cs", sum(expr("n * x - stot")).over(
+          w.rowsBetween(Window.unboundedPreceding, 0)))
+        .select(col("day"), col("rn"), col("n"), col("x"), col("cs"))
+      val best = cs.agg(max(expr("abs(cs) * 1048576 + (1048575 - rn)")).as("amax"))
+        .select(expr("1048575 - (amax % 1048576)").as("best_rn"),
+          expr("amax DIV 1048576").as("best_abs_cs"))
+      val bestRow = cs.crossJoin(broadcast(best))
+        .where(col("rn") === col("best_rn"))
+        .select(col("day").as("split_day"), col("best_rn"), col("best_abs_cs"),
+          col("n"))
+      cs.crossJoin(broadcast(bestRow.drop("n")))
+        .groupBy("split_day", "best_rn", "best_abs_cs")
+        .agg(max("n").as("n"),
+          sum(when(col("rn") <= col("best_rn"), col("x")).otherwise(0L)).as("s_before"),
+          sum(when(col("rn") > col("best_rn"), col("x")).otherwise(0L)).as("s_after"))
+        .select(col("n"), col("split_day"), col("best_rn"), col("best_abs_cs"),
+          expr("s_before * 1000 DIV best_rn").as("mean_before_milli"),
+          expr("CASE WHEN n = best_rn THEN CAST(0 AS BIGINT) ELSE s_after * 1000 DIV (n - best_rn) END").as("mean_after_milli"))
+    }),
+
+    // Lorenz curve POINTS — the distribution agg_gini summarizes to one
+    // number, materialized as per-region deciles (the points a fairness
+    // dashboard actually draws): same region rank as agg_gini, decile by
+    // integer DIV over the attached group count, cumulative share in
+    // exact ppm via a 50-row decile window. The per-region rank window is
+    // the gini shuffle reused, not a new global sort.
+    "agg_lorenz_points" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"),
+          expr("CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 100 AS BIGINT)").as("cents"))
+        .join(Tables.customer(s, d).select("c_custkey", "c_nationkey"),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, d).select(
+          col("n_nationkey"), col("n_regionkey").cast("bigint").as("region"))),
+          col("c_nationkey") === col("n_nationkey"))
+      val wr = Window.partitionBy("region")
+      val ranked = o
+        .withColumn("i", row_number().over(wr.orderBy("cents", "o_orderkey")).cast("bigint"))
+        .withColumn("nr", count(lit(1)).over(wr).cast("bigint"))
+        .withColumn("decile", expr("(i - 1) * 10 DIV nr"))
+      val dec = ranked.groupBy("region", "decile")
+        .agg(count(lit(1)).as("n_orders"), sum("cents").as("dec_cents"))
+      val wd = Window.partitionBy("region").orderBy("decile")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      dec
+        .withColumn("cum_cents", sum("dec_cents").over(wd))
+        .withColumn("tot_cents", sum("dec_cents").over(wr))
+        .withColumn("cum_share_ppm", expr("cum_cents * 1000000 DIV tot_cents"))
+        .select("region", "decile", "n_orders", "dec_cents", "cum_cents", "cum_share_ppm")
+        .orderBy("region", "decile")
+    }),
+
     // Alpha-beta (steady-state Kalman) filter — the constant-gain state
     // estimator beside win_holt_linear's exponential smoother (Holt
     // smooths; this TRACKS through an innovation: predict l+t, correct by
@@ -5027,6 +5098,60 @@ object Analytics {
         |  k * 1000000 // n AS mle_ppm,
         |  alpha_post * 1000000 // (alpha_post + beta_post) - k * 1000000 // n AS shrinkage_ppm
         |FROM p""".stripMargin,
+
+    // Same cleared cumsum, same composite earliest-tie argmax, same
+    // DIV-frozen shift ledger.
+    "agg_changepoint" ->
+      """WITH daily AS (SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+        |    CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS sc,
+        |    CAST(COUNT(*) AS BIGINT) AS nd
+        |  FROM events GROUP BY 1),
+        |x AS (SELECT day, sc // nd AS x FROM daily),
+        |t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS stot FROM x),
+        |c AS (SELECT day, x, n,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) AS rn,
+        |    CAST(SUM(n * x - stot) OVER (ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cs
+        |  FROM x CROSS JOIN t),
+        |b AS (SELECT CAST(MAX(abs(cs) * 1048576 + (1048575 - rn)) AS BIGINT) AS amax FROM c),
+        |bb AS (SELECT 1048575 - (amax % 1048576) AS best_rn,
+        |    amax // 1048576 AS best_abs_cs FROM b),
+        |sd AS (SELECT c.day AS split_day, bb.best_rn, bb.best_abs_cs
+        |  FROM c JOIN bb ON c.rn = bb.best_rn),
+        |agg AS (SELECT sd.split_day, sd.best_rn, sd.best_abs_cs,
+        |    MAX(c.n) AS n,
+        |    CAST(SUM(CASE WHEN c.rn <= sd.best_rn THEN c.x ELSE 0 END) AS BIGINT) AS s_before,
+        |    CAST(SUM(CASE WHEN c.rn > sd.best_rn THEN c.x ELSE 0 END) AS BIGINT) AS s_after
+        |  FROM c CROSS JOIN sd GROUP BY 1, 2, 3)
+        |SELECT n, split_day, best_rn, best_abs_cs,
+        |  s_before * 1000 // best_rn AS mean_before_milli,
+        |  CAST(CASE WHEN n = best_rn THEN 0
+        |    ELSE s_after * 1000 // (n - best_rn) END AS BIGINT) AS mean_after_milli
+        |FROM agg""".stripMargin,
+
+    // Same gini rank reused, same decile DIV, same ppm shares.
+    "agg_lorenz_points" ->
+      """WITH o AS (SELECT o_orderkey, n_regionkey AS region,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 100 AS BIGINT) AS cents
+        |  FROM orders
+        |  JOIN customer ON c_custkey = o_custkey
+        |  JOIN nation ON n_nationkey = c_nationkey),
+        |r AS (SELECT CAST(region AS BIGINT) AS region, cents,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY region ORDER BY cents, o_orderkey) AS BIGINT) AS i,
+        |    CAST(COUNT(*) OVER (PARTITION BY region) AS BIGINT) AS nr
+        |  FROM o),
+        |dc AS (SELECT region, (i - 1) * 10 // nr AS decile,
+        |    CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |    CAST(SUM(cents) AS BIGINT) AS dec_cents
+        |  FROM r GROUP BY 1, 2),
+        |cm AS (SELECT *,
+        |    CAST(SUM(dec_cents) OVER (PARTITION BY region ORDER BY decile
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_cents,
+        |    CAST(SUM(dec_cents) OVER (PARTITION BY region) AS BIGINT) AS tot_cents
+        |  FROM dc)
+        |SELECT region, decile, n_orders, dec_cents, cum_cents,
+        |  cum_cents * 1000000 // tot_cents AS cum_share_ppm
+        |FROM cm ORDER BY region, decile""".stripMargin,
 
     // Same innovation recurrence replayed as a RECURSIVE CTE (the
     // struct-fold law), sign-safe // mirroring sign-safe DIV.

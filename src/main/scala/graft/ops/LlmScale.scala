@@ -53,6 +53,35 @@ object LlmScale {
     })
 
   val queries: Map[String, Q] = Map(
+    // Dataset card — the per-source DATASHEET a curated corpus ships
+    // with (Gebru et al.'s datasheets; every release pipeline materializes
+    // one): size, language spread, token mass from the frozen tokenizer,
+    // mean tokens in exact milli, short-doc rate in ppm, and the dominant
+    // language by (count DESC, lang ASC) — the tie-break total order both
+    // engines share. One scan, one per-source rollup + one tiny window.
+    "llm_dataset_card" -> ((s, d) => {
+      val t = Tables.documents(s, d)
+        .select(col("source"), col("lang"),
+          expr("CAST(length(text) DIV 4 AS BIGINT)").as("toks"))
+      val perLang = t.groupBy("source", "lang").agg(count(lit(1)).as("nl"))
+      val top = perLang
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("source").orderBy(desc("nl"), col("lang"))))
+        .where(col("rn") === 1)
+        .select(col("source"), col("lang").as("top_lang"), col("nl").as("top_lang_docs"))
+      t.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct("lang").as("n_langs"),
+          sum("toks").as("total_tokens"),
+          sum(when(col("toks") < 20, 1L).otherwise(0L)).as("n_short"))
+        .withColumn("mean_tokens_milli", expr("total_tokens * 1000 DIV n_docs"))
+        .withColumn("short_ppm", expr("n_short * 1000000 DIV n_docs"))
+        .join(broadcast(top), "source")
+        .select("source", "n_docs", "n_langs", "total_tokens",
+          "mean_tokens_milli", "short_ppm", "top_lang", "top_lang_docs")
+        .orderBy("source")
+    }),
+
     // RoPE context-extension plan — position-interpolation accounting
     // (Chen et al.'s linear PI, the public recipe every long-context
     // finetune starts from): a planted md5 workload multiplier turns doc
@@ -777,6 +806,27 @@ object LlmScale {
   )
 
   val oracles: Map[String, String] = Map(
+    // Same datasheet rollup, same (count DESC, lang ASC) dominance order.
+    "llm_dataset_card" ->
+      """WITH t AS (SELECT source, lang, CAST(length(text) // 4 AS BIGINT) AS toks
+        |  FROM documents),
+        |pl AS (SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS nl
+        |  FROM t GROUP BY 1, 2),
+        |tp AS (SELECT source, lang AS top_lang, nl AS top_lang_docs FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+        |      ORDER BY nl DESC, lang) AS rn FROM pl) WHERE rn = 1),
+        |g AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+        |    CAST(SUM(toks) AS BIGINT) AS total_tokens,
+        |    CAST(SUM(CASE WHEN toks < 20 THEN 1 ELSE 0 END) AS BIGINT) AS n_short
+        |  FROM t GROUP BY 1)
+        |SELECT g.source, n_docs, n_langs, total_tokens,
+        |  total_tokens * 1000 // n_docs AS mean_tokens_milli,
+        |  n_short * 1000000 // n_docs AS short_ppm,
+        |  top_lang, top_lang_docs
+        |FROM g JOIN tp ON g.source = tp.source
+        |ORDER BY g.source""".stripMargin,
+
     // Same planted demands, same target grid, same integer ledger.
     "llm_rope_scaling_plan" ->
       """WITH dm AS (SELECT (length(text) // 4)

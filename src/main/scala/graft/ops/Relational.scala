@@ -421,6 +421,41 @@ object Relational {
         .orderBy("tbl")
     }),
 
+    // CSV DIALECT SNIFFING — the ingest step before any schema work (the
+    // file never announces its delimiter): a semicolon-delimited staging
+    // of orders is sniffed by counting candidate separators across the
+    // raw text lines (a one-pass aggregate — python's csv.Sniffer logic
+    // as a distributed rollup), the winner re-drives a real csv read, and
+    // the parsed rollup must equal the relational replay — a wrong sniff
+    // collapses columns and is caught by the oracle.
+    "source_csv_dialect_sniff" -> ((s, d) => {
+      val dir = Scratch.opDir("csv_sniff", d)
+      val marker = java.nio.file.Paths.get(dir, "_STAGED")
+      if (!java.nio.file.Files.exists(marker)) {
+        Tables.orders(s, d).select("o_orderkey", "o_orderstatus", "o_totalprice")
+          .write.mode("overwrite").option("sep", ";").option("header", "true")
+          .csv(dir)
+        java.nio.file.Files.createFile(marker)
+      }
+      val counts = s.read.text(dir)
+        .agg(
+          sum(expr("length(value) - length(replace(value, ';', ''))")).as("n_semi"),
+          sum(expr("length(value) - length(replace(value, ',', ''))")).as("n_comma"),
+          sum(expr("length(value) - length(replace(value, '\t', ''))")).as("n_tab"))
+        .head()
+      val (semi, comma, tab) = (counts.getLong(0), counts.getLong(1), counts.getLong(2))
+      val sep = if (semi >= comma && semi >= tab) ";" else if (comma >= tab) "," else "\t"
+      val sniffedSemicolon = sep == ";"
+      s.read.option("sep", sep).option("header", "true")
+        .option("inferSchema", "true").csv(dir)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(round(col("o_totalprice") * 100).cast("bigint")).as("sum_cents"))
+        .withColumn("sniffed_semicolon", lit(sniffedSemicolon))
+        .select("o_orderstatus", "n_orders", "sum_cents", "sniffed_semicolon")
+        .orderBy("o_orderstatus")
+    }),
+
     // Hidden METADATA columns — Spark's `_metadata` struct on file
     // sources (file_path / file_name / size / row_index): orders staged
     // partitioned by status, read back with the partition value recovered
@@ -1522,6 +1557,13 @@ object Relational {
         |FROM c, r ORDER BY codec""".stripMargin,
 
     // The footer metadata must agree with the logical row counts.
+    // The sniffed parse must be byte-faithful to the relational source.
+    "source_csv_dialect_sniff" ->
+      """SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |  CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+        |  TRUE AS sniffed_semicolon
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
     // The path-derived rollup must equal the data-derived one.
     "source_metadata_columns" ->
       """SELECT o_orderstatus AS status_from_path,

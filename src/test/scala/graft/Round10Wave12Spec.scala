@@ -32,10 +32,15 @@ class Round10Wave12Spec extends AnyFunSuite with SparkFixture {
   }
 
   test("agg_hodges_lehmann: the estimate sits between the sample extremes") {
+    // round 11 replaced the proportional %100 sample with a FIXED-size
+    // hash-top-k (k = 512) sample — recompute the same sample here
     val r = SparkEntry.queries("agg_hodges_lehmann")(spark, sf).collect().head
-    val xs = Tables.orders(spark, sf).where(col("o_orderkey") % 100 === 0)
-      .select(round(col("o_totalprice") * 100).cast("bigint")).collect()
-      .map(_.getLong(0))
+    val xs = Tables.orders(spark, sf)
+      .select(col("o_orderkey").as("i"),
+        round(col("o_totalprice") * 100).cast("bigint").as("x"),
+        expr("CAST(conv(substring(md5(concat('hl:', CAST(o_orderkey AS STRING))), 1, 8), 16, 10) AS BIGINT)").as("h"))
+      .orderBy("h", "i").limit(512)
+      .select("x").collect().map(_.getLong(0))
     val k = xs.length.toLong
     assert(r.getLong(0) == k * (k + 1) / 2, "pair count must be C(k+1,2)")
     assert(r.getLong(2) >= xs.min && r.getLong(2) <= xs.max,
