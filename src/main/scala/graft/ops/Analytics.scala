@@ -1712,6 +1712,74 @@ object Analytics {
       }
     },
 
+    // Kaplan–Meier product-limit estimator — the right-censoring-aware
+    // survival curve (agg_survival_table buckets a life table; this is
+    // the ESTIMATOR the table approximates): PLANTED md5 lifetimes
+    // (0–99 days) right-censored at the fixed 60-day study horizon
+    // (~40% censoring, so the estimator has real work at every scale —
+    // the observed first-to-last-event span censors nearly everyone on
+    // a uniformly-active fixture), cohorts by user_id % 3. S folds over
+    // the ordered death times as S′ = S·(n_t−d_t) DIV n_t in ppm
+    // (non-negative DIV; a SCALAR accumulator, but the elements are
+    // structs, so the oracle still replays via RECURSIVE CTE per the
+    // round-10 fold law). At-risk counts come from one descending
+    // cumulative window per cohort — no per-time rescan.
+    "agg_kaplan_meier" -> ((s, d) => {
+      val lab = Tables.events(s, d).select("user_id").distinct()
+        .withColumn("dur_raw", expr(
+          "CAST(conv(substring(md5(concat('km:', CAST(user_id AS STRING))), 1, 8), 16, 10) AS BIGINT) % 100"))
+        .select((col("user_id") % 3).as("cohort"),
+          least(col("dur_raw"), lit(60L)).as("dur"),
+          when(col("dur_raw") <= 60, 1L).otherwise(0L).as("ev"))
+      val byDur = lab.groupBy("cohort", "dur")
+        .agg(count(lit(1)).as("n_here"), sum("ev").as("d"))
+      val wAtRisk = Window.partitionBy("cohort").orderBy(desc("dur"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val times = byDur
+        .withColumn("r", sum("n_here").over(wAtRisk))
+        .where(col("d") > 0)
+      val folded = times.groupBy("cohort")
+        .agg(count(lit(1)).as("n_death_times"),
+          expr("sort_array(collect_list(named_struct('t', dur, 'd', d, 'r', r)))").as("steps"))
+        .withColumn("s_ppm", expr(
+          """aggregate(steps, CAST(1000000 AS BIGINT),
+             (acc, e) -> acc * (e.r - e.d) DIV e.r)"""))
+      val cohorts = lab.groupBy("cohort")
+        .agg(count(lit(1)).as("n_users"), sum("ev").as("n_events"),
+          sum(expr("1 - ev")).as("n_censored"))
+      cohorts.join(folded, "cohort")
+        .select("cohort", "n_users", "n_events", "n_censored",
+          "n_death_times", "s_ppm")
+        .orderBy("cohort")
+    }),
+
+    // Ulcer index — the DRAWDOWN-depth volatility measure (win_drawdown
+    // reports the max; this integrates the squares — the metric that
+    // punishes long deep valleys over brief dips): per-type daily means
+    // (DIV-frozen), running peak, drawdown in exact basis points, and
+    // ulcer = sqrt(Σdd²/n) as ONE sqrt over the exact integer rational
+    // (the agg_jarque_bera law). One per-type window shuffle.
+    "win_ulcer_index" -> ((s, d) => {
+      val w = Window.partitionBy("event_type").orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      Tables.events(s, d)
+        .groupBy(col("event_type"),
+          expr("CAST(ts_us DIV 86400000000 AS BIGINT)").as("day"))
+        .agg(sum(floor(col("value") * 100).cast("bigint")).as("sc"),
+          count(lit(1)).as("nd"))
+        .withColumn("x", expr("sc DIV nd"))
+        .withColumn("peak", max("x").over(w))
+        .withColumn("dd_bp", expr("(peak - x) * 10000 DIV peak"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_days"),
+          max("dd_bp").as("max_dd_bp"),
+          sum(expr("dd_bp * dd_bp")).as("sum_dd2"))
+        .withColumn("ulcer_bp", expr(
+          "sqrt(CAST(sum_dd2 AS DOUBLE) / CAST(n_days AS DOUBLE))"))
+        .select("event_type", "n_days", "max_dd_bp", "sum_dd2", "ulcer_bp")
+        .orderBy("event_type")
+    }),
+
     // CUSUM changepoint LOCATOR — "the mean shifted WHERE?" (win_cusum
     // raises the alarm; this finds the split): centered cumulative sums
     // over the daily series with deviations cleared of the mean division
@@ -5098,6 +5166,68 @@ object Analytics {
         |  k * 1000000 // n AS mle_ppm,
         |  alpha_post * 1000000 // (alpha_post + beta_post) - k * 1000000 // n AS shrinkage_ppm
         |FROM p""".stripMargin,
+
+    // Same planted lifetimes, same at-risk cumulative, same ppm product
+    // fold — replayed as a RECURSIVE CTE over the death-time index
+    // (struct elements, so list_reduce is out per the fold law).
+    "agg_kaplan_meier" ->
+      """WITH RECURSIVE u AS (SELECT DISTINCT user_id FROM events),
+        |pl AS (SELECT user_id,
+        |    ('0x' || substring(md5('km:' || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS dur_raw
+        |  FROM u),
+        |lab AS (SELECT user_id % 3 AS cohort, LEAST(dur_raw, 60) AS dur,
+        |    CASE WHEN dur_raw <= 60 THEN 1 ELSE 0 END AS evt
+        |  FROM pl),
+        |bd AS (SELECT cohort, dur, CAST(COUNT(*) AS BIGINT) AS n_here,
+        |    CAST(SUM(evt) AS BIGINT) AS d FROM lab GROUP BY 1, 2),
+        |tm AS (SELECT cohort, dur, d,
+        |    CAST(SUM(n_here) OVER (PARTITION BY cohort ORDER BY dur DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS r
+        |  FROM bd),
+        |dt AS (SELECT cohort, dur, d, r,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY cohort ORDER BY dur) AS BIGINT) AS rn,
+        |    CAST(COUNT(*) OVER (PARTITION BY cohort) AS BIGINT) AS nt
+        |  FROM tm WHERE d > 0),
+        |f(coh, frn, s_ppm) AS (
+        |  SELECT cohort, CAST(0 AS BIGINT), CAST(1000000 AS BIGINT)
+        |  FROM (SELECT DISTINCT cohort FROM dt)
+        |  UNION ALL
+        |  SELECT dt.cohort, dt.rn, f.s_ppm * (dt.r - dt.d) // dt.r
+        |  FROM f JOIN dt ON dt.cohort = f.coh AND dt.rn = f.frn + 1
+        |),
+        |fin AS (SELECT coh AS cohort, s_ppm FROM f
+        |  JOIN (SELECT cohort AS c2, MAX(nt) AS nt FROM dt GROUP BY 1) q
+        |    ON q.c2 = f.coh AND f.frn = q.nt),
+        |co AS (SELECT cohort, CAST(COUNT(*) AS BIGINT) AS n_users,
+        |    CAST(SUM(evt) AS BIGINT) AS n_events,
+        |    CAST(SUM(1 - evt) AS BIGINT) AS n_censored
+        |  FROM lab GROUP BY 1),
+        |ndt AS (SELECT cohort, CAST(COUNT(*) AS BIGINT) AS n_death_times
+        |  FROM dt GROUP BY 1)
+        |SELECT co.cohort, n_users, n_events, n_censored, n_death_times, s_ppm
+        |FROM co JOIN ndt ON co.cohort = ndt.cohort
+        |JOIN fin ON fin.cohort = co.cohort
+        |ORDER BY co.cohort""".stripMargin,
+
+    // Same frozen daily means, same bp drawdowns, same one-sqrt rational.
+    "win_ulcer_index" ->
+      """WITH daily AS (SELECT event_type,
+        |    CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+        |    CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS sc,
+        |    CAST(COUNT(*) AS BIGINT) AS nd
+        |  FROM events GROUP BY 1, 2),
+        |x AS (SELECT event_type, day, sc // nd AS x FROM daily),
+        |p AS (SELECT *, CAST(MAX(x) OVER (PARTITION BY event_type ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS peak
+        |  FROM x),
+        |dd AS (SELECT event_type, (peak - x) * 10000 // peak AS dd_bp FROM p),
+        |g AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+        |    CAST(MAX(dd_bp) AS BIGINT) AS max_dd_bp,
+        |    CAST(SUM(dd_bp * dd_bp) AS BIGINT) AS sum_dd2
+        |  FROM dd GROUP BY 1)
+        |SELECT event_type, n_days, max_dd_bp, sum_dd2,
+        |  sqrt(CAST(sum_dd2 AS DOUBLE) / CAST(n_days AS DOUBLE)) AS ulcer_bp
+        |FROM g ORDER BY event_type""".stripMargin,
 
     // Same cleared cumsum, same composite earliest-tie argmax, same
     // DIV-frozen shift ledger.

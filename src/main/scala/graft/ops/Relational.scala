@@ -421,6 +421,34 @@ object Relational {
         .orderBy("tbl")
     }),
 
+    // JOIN STRATEGY HINTS — the planner-steering surface (MERGE vs
+    // BROADCAST): the SAME logical join forced down both physical paths,
+    // each executed plan inspected for the strategy it was told to use
+    // (SortMergeJoin / BroadcastHashJoin), and the rollup graded from the
+    // MERGE path — hints must change the PLAN, never the ANSWER. The
+    // in-band booleans attest both strategies actually planned; at
+    // 100 TB this is the knob that turns a 2-hour shuffle into a
+    // 2-minute broadcast (or an OOM — which is why both must stay
+    // available and semantically identical).
+    "join_hint_strategies" -> ((s, d) => {
+      val o = Tables.orders(s, d).select(col("o_custkey"),
+        round(col("o_totalprice") * 100).cast("bigint").as("cents"))
+      val c = Tables.customer(s, d).select("c_custkey", "c_mktsegment")
+      def rollup(j: DataFrame) = j
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"), sum("cents").as("sum_cents"))
+      val merged = rollup(o.join(c.hint("merge"), col("o_custkey") === col("c_custkey")))
+      val bcast = rollup(o.join(c.hint("broadcast"), col("o_custkey") === col("c_custkey")))
+      val mergePlanned = merged.queryExecution.executedPlan.toString
+        .contains("SortMergeJoin")
+      val bcastPlanned = bcast.queryExecution.executedPlan.toString
+        .contains("BroadcastHashJoin")
+      merged
+        .withColumn("merge_planned", lit(mergePlanned))
+        .withColumn("broadcast_planned", lit(bcastPlanned))
+        .orderBy("c_mktsegment")
+    }),
+
     // CSV DIALECT SNIFFING — the ingest step before any schema work (the
     // file never announces its delimiter): a semicolon-delimited staging
     // of orders is sniffed by counting candidate separators across the
@@ -1557,6 +1585,14 @@ object Relational {
         |FROM c, r ORDER BY codec""".stripMargin,
 
     // The footer metadata must agree with the logical row counts.
+    // Hints must be answer-invisible: the plain rollup + TRUE plan flags.
+    "join_hint_strategies" ->
+      """SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |  CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+        |  TRUE AS merge_planned, TRUE AS broadcast_planned
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
     // The sniffed parse must be byte-faithful to the relational source.
     "source_csv_dialect_sniff" ->
       """SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_orders,
