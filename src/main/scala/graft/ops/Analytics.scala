@@ -1712,6 +1712,61 @@ object Analytics {
       }
     },
 
+    // Empirical Q–Q points — "are these two distributions the SAME
+    // SHAPE?" read off quantile-vs-quantile (agg_ks_drift gives one
+    // max-gap number; this gives the nine points an analyst actually
+    // plots): per-type rank windows, decile values by the exact
+    // lower-quantile rank pick rn = 1 + (n−1)·q DIV 10, click-vs-view
+    // paired by decile with the exact cent gap. Two partitioned rank
+    // windows, one 9-row join.
+    "agg_qq_points" -> ((s, d) => {
+      def deciles(t: String, xName: String) = {
+        val w = Window.partitionBy("event_type").orderBy("cents", "event_id")
+        Tables.events(s, d).where(col("event_type") === t)
+          .select(col("event_type"), col("event_id"),
+            floor(col("value") * 100).cast("bigint").as("cents"))
+          .withColumn("rn", row_number().over(w).cast("bigint"))
+          .withColumn("n", count(lit(1)).over(Window.partitionBy("event_type")).cast("bigint"))
+          .crossJoin(broadcast(s.range(1, 10).select(col("id").as("q"))))
+          .where(col("rn") === expr("1 + (n - 1) * q DIV 10"))
+          .select(col("q"), col("cents").as(xName))
+      }
+      deciles("click", "click_cents").join(deciles("view", "view_cents"), "q")
+        .withColumn("gap_cents", col("click_cents") - col("view_cents"))
+        .orderBy("q")
+    }),
+
+    // Floor-trader pivot points — the support/resistance ladder computed
+    // from the PRIOR day's OHLC (agg_ohlc_candles builds the candles;
+    // this trades off them): everything ×3-SCALED so the (H+L+C)/3 pivot
+    // never materializes a third (the agg_tukey_fences ×2 law), R1/S1/
+    // R2/S2 ladders in exact scaled cents, and the next day's close
+    // graded against R1 for the breakout verdict. One per-type day
+    // window.
+    "win_pivot_points" -> ((s, d) => {
+      val w = Window.partitionBy("event_type").orderBy("day")
+      Tables.events(s, d)
+        .select(col("event_type"),
+          expr("CAST(ts_us DIV 86400000000 AS BIGINT)").as("day"),
+          floor(col("value") * 100).cast("bigint").as("cents"),
+          expr("((ts_us DIV 1000000) % 86400) * 1099511627776 + event_id").as("ok"))
+        .groupBy("event_type", "day")
+        .agg(max("cents").as("h"), min("cents").as("l"),
+          expr("max_by(cents, ok)").as("c"))
+        .withColumn("p3", expr("h + l + c"))
+        .withColumn("r1_3", expr("2 * p3 - 3 * l"))
+        .withColumn("s1_3", expr("2 * p3 - 3 * h"))
+        .withColumn("r2_3", expr("p3 + 3 * (h - l)"))
+        .withColumn("s2_3", expr("p3 - 3 * (h - l)"))
+        .withColumn("next_c", lead("c", 1).over(w))
+        .where(col("next_c").isNotNull && col("day") % 12 === 5)
+        .withColumn("breakout_up", expr("3 * next_c > r1_3"))
+        .withColumn("breakdown", expr("3 * next_c < s1_3"))
+        .select("event_type", "day", "p3", "r1_3", "s1_3", "r2_3", "s2_3",
+          "breakout_up", "breakdown")
+        .orderBy("event_type", "day")
+    }),
+
     // Kaplan–Meier product-limit estimator — the right-censoring-aware
     // survival curve (agg_survival_table buckets a life table; this is
     // the ESTIMATOR the table approximates): PLANTED md5 lifetimes
@@ -5166,6 +5221,45 @@ object Analytics {
         |  k * 1000000 // n AS mle_ppm,
         |  alpha_post * 1000000 // (alpha_post + beta_post) - k * 1000000 // n AS shrinkage_ppm
         |FROM p""".stripMargin,
+
+    // Same rank picks, same decile pairing.
+    "agg_qq_points" ->
+      """WITH e AS (SELECT event_type, event_id,
+        |    CAST(FLOOR(value * 100) AS BIGINT) AS cents FROM events
+        |  WHERE event_type IN ('click', 'view')),
+        |r AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+        |      ORDER BY cents, event_id) AS BIGINT) AS rn,
+        |    CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+        |  FROM e),
+        |q AS (SELECT CAST(q AS BIGINT) AS q FROM generate_series(1, 9) t(q)),
+        |ck AS (SELECT q, cents AS click_cents FROM r JOIN q
+        |  ON rn = 1 + (n - 1) * q // 10 WHERE event_type = 'click'),
+        |vw AS (SELECT q, cents AS view_cents FROM r JOIN q
+        |  ON rn = 1 + (n - 1) * q // 10 WHERE event_type = 'view')
+        |SELECT ck.q, click_cents, view_cents,
+        |  click_cents - view_cents AS gap_cents
+        |FROM ck JOIN vw ON ck.q = vw.q ORDER BY ck.q""".stripMargin,
+
+    // Same ×3-scaled ladder, same day-scoped positional close key.
+    "win_pivot_points" ->
+      """WITH e AS (SELECT event_type,
+        |    CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+        |    CAST(FLOOR(value * 100) AS BIGINT) AS cents,
+        |    ((epoch_us(ts) // 1000000) % 86400) * 1099511627776 + event_id AS ok
+        |  FROM events),
+        |o AS (SELECT event_type, day, MAX(cents) AS h, MIN(cents) AS l,
+        |    arg_max(cents, ok) AS c
+        |  FROM e GROUP BY 1, 2),
+        |p AS (SELECT *, h + l + c AS p3,
+        |    lead(c) OVER (PARTITION BY event_type ORDER BY day) AS next_c
+        |  FROM o)
+        |SELECT event_type, day, p3,
+        |  2 * p3 - 3 * l AS r1_3, 2 * p3 - 3 * h AS s1_3,
+        |  p3 + 3 * (h - l) AS r2_3, p3 - 3 * (h - l) AS s2_3,
+        |  3 * next_c > 2 * p3 - 3 * l AS breakout_up,
+        |  3 * next_c < 2 * p3 - 3 * h AS breakdown
+        |FROM p WHERE next_c IS NOT NULL AND day % 12 = 5
+        |ORDER BY event_type, day""".stripMargin,
 
     // Same planted lifetimes, same at-risk cumulative, same ppm product
     // fold — replayed as a RECURSIVE CTE over the death-time index

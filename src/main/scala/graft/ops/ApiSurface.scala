@@ -287,6 +287,30 @@ object ApiSurface {
     // USING — the stored-procedure idiom a migrating warehouse user
     // expects to keep. The dispatched plan is ordinary Catalyst — same
     // pushdown, same rollup shape as writing the query directly.
+    // CHECKPOINT lineage truncation — the iterative-algorithm survival
+    // tool (every round-10 graph loop leans on it): a multi-stage plan
+    // localCheckpoint'd mid-pipeline must (a) truncate its logical plan
+    // to a single leaf — the attested node-count drop — and (b) change
+    // NOTHING about the answer. At 100 TB this is what keeps a 50-round
+    // iteration from re-planning 50 stacked stages.
+    "api_checkpoint_truncation" -> ((s, d) => {
+      val staged = Tables.orders(s, d)
+        .select(col("o_orderstatus"),
+          round(col("o_totalprice") * 100).cast("bigint").as("cents"))
+        .where(col("cents") > 0)
+        .withColumn("bucket", expr("cents DIV 1000000"))
+      def nodes(df: DataFrame): Long =
+        df.queryExecution.optimizedPlan.collect { case p => p }.size.toLong
+      val before = nodes(staged)
+      val cp = staged.localCheckpoint()
+      val after = nodes(cp)
+      cp.groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_orders"), sum("cents").as("sum_cents"))
+        .withColumn("plan_truncated", lit(after < before))
+        .withColumn("leaf_only", lit(after == 1L))
+        .orderBy("o_orderstatus")
+    }),
+
     // SQL SCRIPTING — the Spark 4.x procedural surface (BEGIN/DECLARE/
     // WHILE/SET, SQL:2023 PSM shape): the rollup is computed by a LOOP
     // that slices orders into three residue classes and accumulates
@@ -404,6 +428,14 @@ object ApiSurface {
         |FROM r GROUP BY 1 ORDER BY event_type""".stripMargin,
 
     // The dispatched text inlined — dynamic dispatch must be invisible.
+    // Truncation must be answer-invisible: plain rollup + TRUE flags.
+    "api_checkpoint_truncation" ->
+      """SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |  CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+        |  TRUE AS plan_truncated, TRUE AS leaf_only
+        |FROM orders WHERE ROUND(o_totalprice * 100) > 0
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
     // The loop must be invisible: whole-table rollup + the loop count.
     "api_sql_scripting" ->
       """SELECT CAST(COUNT(*) AS BIGINT) AS n_seen,

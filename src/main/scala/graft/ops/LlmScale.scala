@@ -53,6 +53,38 @@ object LlmScale {
     })
 
   val queries: Map[String, Q] = Map(
+    // Eval leaderboard — the tournament rollup an eval harness publishes
+    // (llm_best_of_n picks within one model; this RANKS models across
+    // tasks): 5 planted models × 8 tasks with md5 scores + an index-
+    // proportional skill bonus (so the true ordering is knowable), total
+    // score, pairwise task WINS against every other model in exact
+    // counts, win rate in ppm, and dense rank by (total DESC, model ASC).
+    // The pair join is 5×5×8 metadata.
+    "llm_leaderboard" -> ((s, d) => {
+      val sc = Tables.documents(s, d).where(col("doc_id") < 8)
+        .select(col("doc_id").as("task"))
+        .crossJoin(broadcast(Tables.documents(s, d).sparkSession
+          .range(0, 5).select(col("id").as("model"))))
+        .withColumn("score", expr(
+          """CAST(conv(substring(md5(concat('lb:', CAST(model AS STRING), ':', CAST(task AS STRING))), 1, 8), 16, 10) AS BIGINT) % 1000
+             + model * 600"""))
+        .localCheckpoint()
+      val wins = sc.as("a").join(sc.as("b"),
+          col("a.task") === col("b.task") && col("a.model") =!= col("b.model"))
+        .groupBy(col("a.model").as("model"))
+        .agg(sum(when(col("a.score") > col("b.score"), 1L).otherwise(0L)).as("wins"),
+          count(lit(1)).as("n_matches"))
+      val totals = sc.groupBy("model")
+        .agg(count(lit(1)).as("n_tasks"), sum("score").as("total_score"))
+      totals.join(wins, "model")
+        .withColumn("win_ppm", expr("wins * 1000000 DIV n_matches"))
+        .withColumn("rank", row_number().over(
+          Window.orderBy(desc("total_score"), col("model"))).cast("bigint"))
+        .select("model", "n_tasks", "total_score", "wins", "n_matches",
+          "win_ppm", "rank")
+        .orderBy("model")
+    }),
+
     // Dataset card — the per-source DATASHEET a curated corpus ships
     // with (Gebru et al.'s datasheets; every release pipeline materializes
     // one): size, language spread, token mass from the frozen tokenizer,
@@ -806,6 +838,27 @@ object LlmScale {
   )
 
   val oracles: Map[String, String] = Map(
+    // Same planted scores, same pairwise wins, same dense order.
+    "llm_leaderboard" ->
+      """WITH t AS (SELECT doc_id AS task FROM documents WHERE doc_id < 8),
+        |m(model) AS (VALUES (CAST(0 AS BIGINT)), (CAST(1 AS BIGINT)),
+        |  (CAST(2 AS BIGINT)), (CAST(3 AS BIGINT)), (CAST(4 AS BIGINT))),
+        |sc AS (SELECT task, model,
+        |    ('0x' || substring(md5('lb:' || CAST(model AS VARCHAR) || ':' || CAST(task AS VARCHAR)), 1, 8))::BIGINT % 1000
+        |      + model * 600 AS score
+        |  FROM t CROSS JOIN m),
+        |w AS (SELECT a.model, CAST(SUM(CASE WHEN a.score > b.score THEN 1 ELSE 0 END) AS BIGINT) AS wins,
+        |    CAST(COUNT(*) AS BIGINT) AS n_matches
+        |  FROM sc a JOIN sc b ON a.task = b.task AND a.model <> b.model
+        |  GROUP BY 1),
+        |tt AS (SELECT model, CAST(COUNT(*) AS BIGINT) AS n_tasks,
+        |    CAST(SUM(score) AS BIGINT) AS total_score FROM sc GROUP BY 1)
+        |SELECT tt.model, n_tasks, total_score, wins, n_matches,
+        |  wins * 1000000 // n_matches AS win_ppm,
+        |  CAST(ROW_NUMBER() OVER (ORDER BY total_score DESC, tt.model) AS BIGINT) AS rank
+        |FROM tt JOIN w ON tt.model = w.model
+        |ORDER BY tt.model""".stripMargin,
+
     // Same datasheet rollup, same (count DESC, lang ASC) dominance order.
     "llm_dataset_card" ->
       """WITH t AS (SELECT source, lang, CAST(length(text) // 4 AS BIGINT) AS toks
