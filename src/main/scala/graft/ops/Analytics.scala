@@ -1712,6 +1712,48 @@ object Analytics {
       }
     },
 
+    // Permutation test — the RESAMPLING significance test beside
+    // agg_ab_ttest's parametric one and agg_poisson_bootstrap's CI (no
+    // normality assumption anywhere): planted +150-milli treatment arm,
+    // K = 64 md5-derived sign-flip permutations evaluated in ONE 64×
+    // fan-out (never a driver loop), every mean comparison fully
+    // cross-multiplied — |s_Aj·n_Bj − s_Bj·n_Aj|·(n_A·n_B) vs the
+    // observed diff times (n_Aj·n_Bj), DECIMAL(38,0) guarded — and
+    // p = (1+#exceed)/(K+1) cleared to exact ppm.
+    "agg_permutation_test" -> ((s, d) => {
+      def u(ns: String, idExpr: String) =
+        s"CAST(conv(substring(md5(concat('$ns:', $idExpr)), 1, 8), 16, 10) AS BIGINT)"
+      val base = Tables.documents(s, d).select(col("doc_id"))
+        .withColumn("arm", expr(s"${u("pa", "CAST(doc_id AS STRING)")} % 2"))
+        .withColumn("x", expr(
+          s"${u("pm", "CAST(doc_id AS STRING)")} % 1000 + arm * 150"))
+        .localCheckpoint()
+      val obs = base.agg(
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("arm") === 1, col("x")).otherwise(0L)).as("s_a"),
+        sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n_b"),
+        sum(when(col("arm") === 0, col("x")).otherwise(0L)).as("s_b"))
+        .withColumn("d_obs", expr("abs(s_a * n_b - s_b * n_a)"))
+      val perms = base.crossJoin(broadcast(s.range(0, 64).select(col("id").as("perm"))))
+        .withColumn("parm", expr(
+          s"${u("pp", "concat(CAST(perm AS STRING), ':', CAST(doc_id AS STRING))")} % 2"))
+        .groupBy("perm")
+        .agg(sum(when(col("parm") === 1, 1L).otherwise(0L)).as("n_aj"),
+          sum(when(col("parm") === 1, col("x")).otherwise(0L)).as("s_aj"),
+          sum(when(col("parm") === 0, 1L).otherwise(0L)).as("n_bj"),
+          sum(when(col("parm") === 0, col("x")).otherwise(0L)).as("s_bj"))
+      perms.crossJoin(broadcast(obs))
+        .withColumn("exceeds", expr(
+          """CAST(abs(s_aj * n_bj - s_bj * n_aj) AS DECIMAL(38,0)) * (n_a * n_b)
+             >= CAST(d_obs AS DECIMAL(38,0)) * (n_aj * n_bj)"""))
+        .groupBy("n_a", "n_b", "d_obs")
+        .agg(count(lit(1)).as("n_perms"),
+          sum(when(col("exceeds"), 1L).otherwise(0L)).as("n_exceed"))
+        .withColumn("p_ppm", expr("(1 + n_exceed) * 1000000 DIV (n_perms + 1)"))
+        .withColumn("significant", col("p_ppm") < 50000L)
+        .select("n_a", "n_b", "d_obs", "n_perms", "n_exceed", "p_ppm", "significant")
+    }),
+
     // Empirical Q–Q points — "are these two distributions the SAME
     // SHAPE?" read off quantile-vs-quantile (agg_ks_drift gives one
     // max-gap number; this gives the nine points an analyst actually
@@ -5221,6 +5263,40 @@ object Analytics {
         |  k * 1000000 // n AS mle_ppm,
         |  alpha_post * 1000000 // (alpha_post + beta_post) - k * 1000000 // n AS shrinkage_ppm
         |FROM p""".stripMargin,
+
+    // Same planted arm, same 64 sign-flips, same cleared comparisons.
+    "agg_permutation_test" ->
+      """WITH b AS (SELECT doc_id,
+        |    ('0x' || substring(md5('pa:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 2 AS arm
+        |  FROM documents),
+        |bx AS (SELECT doc_id, arm,
+        |    ('0x' || substring(md5('pm:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 1000
+        |      + arm * 150 AS x
+        |  FROM b),
+        |o AS (SELECT CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |    CAST(SUM(CASE WHEN arm = 1 THEN x ELSE 0 END) AS BIGINT) AS s_a,
+        |    CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+        |    CAST(SUM(CASE WHEN arm = 0 THEN x ELSE 0 END) AS BIGINT) AS s_b
+        |  FROM bx),
+        |ob AS (SELECT *, abs(s_a * n_b - s_b * n_a) AS d_obs FROM o),
+        |pm AS (SELECT perm, doc_id, x,
+        |    ('0x' || substring(md5('pp:' || CAST(perm AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 2 AS parm
+        |  FROM bx CROSS JOIN (SELECT CAST(p AS BIGINT) AS perm
+        |    FROM generate_series(0, 63) t(p))),
+        |pj AS (SELECT perm,
+        |    CAST(SUM(CASE WHEN parm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_aj,
+        |    CAST(SUM(CASE WHEN parm = 1 THEN x ELSE 0 END) AS BIGINT) AS s_aj,
+        |    CAST(SUM(CASE WHEN parm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_bj,
+        |    CAST(SUM(CASE WHEN parm = 0 THEN x ELSE 0 END) AS BIGINT) AS s_bj
+        |  FROM pm GROUP BY 1),
+        |ex AS (SELECT n_a, n_b, d_obs, CAST(COUNT(*) AS BIGINT) AS n_perms,
+        |    CAST(SUM(CASE WHEN abs(s_aj * n_bj - s_bj * n_aj)::HUGEINT * (n_a * n_b)
+        |      >= d_obs::HUGEINT * (n_aj * n_bj) THEN 1 ELSE 0 END) AS BIGINT) AS n_exceed
+        |  FROM pj CROSS JOIN ob GROUP BY 1, 2, 3)
+        |SELECT n_a, n_b, d_obs, n_perms, n_exceed,
+        |  (1 + n_exceed) * 1000000 // (n_perms + 1) AS p_ppm,
+        |  (1 + n_exceed) * 1000000 // (n_perms + 1) < 50000 AS significant
+        |FROM ex""".stripMargin,
 
     // Same rank picks, same decile pairing.
     "agg_qq_points" ->

@@ -421,6 +421,46 @@ object Relational {
         .orderBy("tbl")
     }),
 
+    // Parquet FORMAT-V2 roundtrip — the encoding generation jump
+    // (DataPageV2 + DELTA_BINARY_PACKED for ints, the layout modern
+    // columnar readers expect): orders written with writer version
+    // PARQUET_2_0, the footer inspected to attest a delta encoding was
+    // REALLY used on the int64 key column, and the read-back rollup must
+    // equal the relational replay — encodings are a storage detail, never
+    // a semantic one.
+    "source_parquet_v2_roundtrip" -> ((s, d) => {
+      val dir = Scratch.opDir("pq_v2", d)
+      val marker = java.nio.file.Paths.get(dir, "_STAGED")
+      if (!java.nio.file.Files.exists(marker)) {
+        Tables.orders(s, d).select("o_orderkey", "o_orderstatus", "o_totalprice")
+          .orderBy("o_orderkey").coalesce(1)
+          .write.mode("overwrite")
+          .option("parquet.writer.version", "PARQUET_2_0")
+          .parquet(dir)
+        java.nio.file.Files.createFile(marker)
+      }
+      val part = new java.io.File(dir).listFiles()
+        .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).head
+      val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(part.getPath),
+          new org.apache.hadoop.conf.Configuration()))
+      val deltaUsed =
+        try {
+          val b0 = rd.getFooter.getBlocks.get(0)
+          (0 until b0.getColumns.size()).map(b0.getColumns.get(_))
+            .find(_.getPath.toDotString == "o_orderkey").get
+            .getEncodings.toString.contains("DELTA_BINARY_PACKED")
+        } finally rd.close()
+      s.read.parquet(dir)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(round(col("o_totalprice") * 100).cast("bigint")).as("sum_cents"))
+        .withColumn("delta_encoded", lit(deltaUsed))
+        .select("o_orderstatus", "n_orders", "sum_cents", "delta_encoded")
+        .orderBy("o_orderstatus")
+    }),
+
     // JOIN STRATEGY HINTS — the planner-steering surface (MERGE vs
     // BROADCAST): the SAME logical join forced down both physical paths,
     // each executed plan inspected for the strategy it was told to use
@@ -1585,6 +1625,13 @@ object Relational {
         |FROM c, r ORDER BY codec""".stripMargin,
 
     // The footer metadata must agree with the logical row counts.
+    // Encodings must be answer-invisible: plain rollup + TRUE attestation.
+    "source_parquet_v2_roundtrip" ->
+      """SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |  CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+        |  TRUE AS delta_encoded
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
     // Hints must be answer-invisible: the plain rollup + TRUE plan flags.
     "join_hint_strategies" ->
       """SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_orders,

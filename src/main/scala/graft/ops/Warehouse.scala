@@ -898,6 +898,36 @@ object Warehouse {
         .orderBy("principal", "object")
     }),
 
+    // Hash-chain audit log — TAMPER-EVIDENT change history (the
+    // append-only ledger a governance story ends with: each record's
+    // hash seals everything before it): a deterministic change feed
+    // (every 50th order) folded into h′ = md5(h ‖ record) from a genesis
+    // seed — an ordered SCALAR-accumulator fold, so both engines agree —
+    // and tamper evidence PROVEN in-band by replaying the same chain
+    // with one record altered: the heads must diverge. O(feed) with one
+    // sorted collect per chain; a production ledger folds per block and
+    // chains block heads, same algebra.
+    "warehouse_hash_chain_audit" -> ((s, d) => {
+      val recs = Tables.orders(s, d).where(col("o_orderkey") % 50 === 0)
+        .select(col("o_orderkey").as("k"),
+          concat_ws(":", col("o_orderkey"), col("o_orderstatus"),
+            round(col("o_totalprice") * 100).cast("bigint")).as("rec"))
+      val n = recs.count()
+      val mid = n / 2
+      recs.orderBy("k")
+        .agg(expr("sort_array(collect_list(named_struct('k', k, 'r', rec)))").as("rs"))
+        .select(
+          lit(n).as("n_records"),
+          expr("""aggregate(rs, 'genesis', (h, e) -> md5(concat(h, '|', e.r)))""")
+            .as("head_hash"),
+          expr(s"""aggregate(
+                  transform(rs, (e, i) -> CASE WHEN i = $mid
+                    THEN named_struct('k', e.k, 'r', concat(e.r, 'X')) ELSE e END),
+                  'genesis', (h, e) -> md5(concat(h, '|', e.r)))""").as("tampered_head"))
+        .withColumn("tamper_detected", col("head_hash") =!= col("tampered_head"))
+        .select("n_records", "head_hash", "tamper_detected")
+    }),
+
     // Z-order layout plan — the SKIPPING-POWER ledger behind every
     // OPTIMIZE ZORDER BY (fn_zorder_curve grades the curve; this grades
     // what the curve BUYS): the same rows filed two ways — 16 z-range
@@ -1434,6 +1464,27 @@ object Warehouse {
         |  CAST(CASE WHEN d.allowed THEN ro.sum_cents ELSE 0 END AS BIGINT) AS sum_cents
         |FROM d JOIN ro USING (object)
         |ORDER BY principal, object""".stripMargin,
+
+    // Same feed, same fold (list_reduce over a VARCHAR list is a SCALAR
+    // accumulator — allowed by the round-10 fold law; only struct
+    // accumulators mis-bind), same single-record tamper replay.
+    "warehouse_hash_chain_audit" ->
+      """WITH r AS (SELECT o_orderkey AS k,
+        |    CAST(o_orderkey AS VARCHAR) || ':' || o_orderstatus || ':'
+        |      || CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT) AS VARCHAR) AS rec
+        |  FROM orders WHERE o_orderkey % 50 = 0),
+        |l AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_records,
+        |    list(rec ORDER BY k) AS rs FROM r),
+        |h AS (SELECT n_records,
+        |    list_reduce(list_prepend('genesis', rs),
+        |      (h, e) -> md5(h || '|' || e)) AS head_hash,
+        |    list_reduce(list_prepend('genesis',
+        |      list_transform(generate_series(1, len(rs)),
+        |        i -> CASE WHEN i = len(rs) // 2 + 1 THEN rs[i] || 'X' ELSE rs[i] END)),
+        |      (h, e) -> md5(h || '|' || e)) AS tampered_head
+        |  FROM l)
+        |SELECT n_records, head_hash, head_hash <> tampered_head AS tamper_detected
+        |FROM h""".stripMargin,
 
     // Same two filings, same per-file min/max planning, same probe.
     "warehouse_zorder_layout" -> {
