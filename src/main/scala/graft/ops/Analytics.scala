@@ -1754,6 +1754,185 @@ object Analytics {
         .select("n_a", "n_b", "d_obs", "n_perms", "n_exceed", "p_ppm", "significant")
     }),
 
+    // Matthews correlation coefficient — the single-number binary-
+    // classifier grade that survives class imbalance (accuracy lies when
+    // 95% of labels are negative; MCC cannot): planted 80%-faithful
+    // predictor over md5 truth, confusion counts exact, MCC reported as
+    // its SIGN-SAFE SQUARE in ppm — mcc² = num²/den with num = TP·TN −
+    // FP·FN exact in int64 and den = the four marginal products under
+    // DECIMAL(38,0) (exceeds int64 past ~50k rows), so not one float
+    // exists anywhere — and the |MCC| > 0.5 verdict fully
+    // cross-multiplied (4·num² > den).
+    "agg_mcc" -> ((s, d) => {
+      def u(ns: String) =
+        s"CAST(conv(substring(md5(concat('$ns:', CAST(doc_id AS STRING))), 1, 8), 16, 10) AS BIGINT)"
+      val t = Tables.documents(s, d).select(col("doc_id"))
+        .withColumn("truth", expr(s"${u("mct")} % 2"))
+        .withColumn("pred", expr(s"IF(${u("mcf")} % 10 < 2, 1 - truth, truth)"))
+      t.agg(count(lit(1)).as("n"),
+          sum(when(col("truth") === 1 && col("pred") === 1, 1L).otherwise(0L)).as("tp"),
+          sum(when(col("truth") === 0 && col("pred") === 1, 1L).otherwise(0L)).as("fp"),
+          sum(when(col("truth") === 0 && col("pred") === 0, 1L).otherwise(0L)).as("tn"),
+          sum(when(col("truth") === 1 && col("pred") === 0, 1L).otherwise(0L)).as("fn"))
+        .withColumn("num", expr("tp * tn - fp * fn"))
+        .withColumn("den", expr(
+          """CAST(tp + fp AS DECIMAL(38,0)) * (tp + fn)
+             * (tn + fp) * (tn + fn)"""))
+        .withColumn("mcc2_ppm", expr(
+          """CASE WHEN num >= 0
+             THEN (CAST(num AS DECIMAL(38,0)) * num * 1000000) DIV den
+             ELSE -((CAST(0 - num AS DECIMAL(38,0)) * (0 - num) * 1000000) DIV den)
+             END"""))
+        .withColumn("strong", expr(
+          "num >= 0 AND CAST(num AS DECIMAL(38,0)) * num * 4 > den"))
+        .select(col("n"), col("tp"), col("fp"), col("tn"), col("fn"),
+          col("num"), col("mcc2_ppm").cast("long").as("mcc2_ppm"), col("strong"))
+    }),
+
+    // Macro/micro F1 — the MULTICLASS eval ledger (agg_mcc grades binary;
+    // this grades the 3-class case the way shared-task leaderboards do):
+    // planted 80%-faithful predictor, per-class TP/FP/FN exact, per-class
+    // F1 = 2·TP·10⁶ DIV (2TP+FP+FN) (one non-negative integer DIV each —
+    // no harmonic-mean floats), micro-F1 = accuracy (multiclass identity),
+    // macro-F1 = truncated mean of the three class ppms.
+    "agg_f1_multiclass" -> ((s, d) => {
+      def u(ns: String) =
+        s"CAST(conv(substring(md5(concat('$ns:', CAST(doc_id AS STRING))), 1, 8), 16, 10) AS BIGINT)"
+      val t = Tables.documents(s, d).select(col("doc_id"))
+        .withColumn("truth", expr(s"${u("f1t")} % 3"))
+        .withColumn("pred", expr(
+          s"IF(${u("f1f")} % 10 < 2, (truth + 1 + ${u("f1p")} % 2) % 3, truth)"))
+      val per = (0 to 2).flatMap { c =>
+        Seq(sum(when(col("truth") === c && col("pred") === c, 1L).otherwise(0L)).as(s"tp$c"),
+          sum(when(col("truth") =!= c && col("pred") === c, 1L).otherwise(0L)).as(s"fp$c"),
+          sum(when(col("truth") === c && col("pred") =!= c, 1L).otherwise(0L)).as(s"fn$c"))
+      }
+      t.agg(count(lit(1)).as("n"), per: _*)
+        .withColumn("micro_f1_ppm", expr("(tp0 + tp1 + tp2) * 1000000 DIV n"))
+        .withColumn("f1_0_ppm", expr("2 * tp0 * 1000000 DIV (2 * tp0 + fp0 + fn0)"))
+        .withColumn("f1_1_ppm", expr("2 * tp1 * 1000000 DIV (2 * tp1 + fp1 + fn1)"))
+        .withColumn("f1_2_ppm", expr("2 * tp2 * 1000000 DIV (2 * tp2 + fp2 + fn2)"))
+        .withColumn("macro_f1_ppm", expr("(f1_0_ppm + f1_1_ppm + f1_2_ppm) DIV 3"))
+        .select("n", "tp0", "fp0", "fn0", "tp1", "fp1", "fn1",
+          "tp2", "fp2", "fn2", "micro_f1_ppm",
+          "f1_0_ppm", "f1_1_ppm", "f1_2_ppm", "macro_f1_ppm")
+    }),
+
+    // VaR / CVaR (expected shortfall) — the tail-risk pair every risk
+    // desk and SLO dashboard quotes (p99 latency IS VaR; the mean beyond
+    // it IS CVaR — and CVaR is the coherent one): per-type losses in
+    // exact cents, k = ceil(n/20) worst picked by a deterministic rank
+    // window (cents desc, event_id), VaR = the k-th worst, CVaR = the
+    // truncated mean of the k worst — one partitioned sort, integer
+    // arithmetic end to end.
+    "agg_cvar_es" -> ((s, d) => {
+      val w = Window.partitionBy("event_type")
+        .orderBy(col("cents").desc, col("event_id"))
+      Tables.events(s, d)
+        .select(col("event_type"), col("event_id"),
+          floor(col("value") * 100).cast("bigint").as("cents"))
+        .withColumn("rn", row_number().over(w).cast("bigint"))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy("event_type")))
+        .withColumn("k", expr("(n + 19) DIV 20"))
+        .where(col("rn") <= col("k"))
+        .groupBy("event_type")
+        .agg(max("n").as("n"), max("k").as("k"),
+          min("cents").as("var_cents"),
+          expr("sum(cents) DIV max(k)").as("cvar_cents"))
+        .select("event_type", "n", "k", "var_cents", "cvar_cents")
+        .orderBy("event_type")
+    }),
+
+    // Ichimoku cloud — the five-line trend system (donchian gives one
+    // channel; ichimoku layers three midpoints plus the 26-bar
+    // DISPLACEMENT that makes the "cloud"): all midpoints kept EXACT by
+    // ×2/×4 scaling (tenkan_x2 = hi9+lo9, senkou_a_x4 = tenkan_x2 +
+    // kijun_x2 — no halves ever materialize), senkou spans lagged 26
+    // rows (the defining quirk — the cloud under TODAY's price was
+    // computed 26 bars ago), chikou = close led 26, above-cloud verdict
+    // by 4·cents vs both spans in x4 units. Three rows-frames + two
+    // shifts on ONE partitioned sort.
+    "win_ichimoku" -> ((s, d) => {
+      val ord = Window.partitionBy("event_type")
+        .orderBy(col("ts_us"), col("event_id"))
+      def mid2(nm: String, k: Int) =
+        (max("cents").over(ord.rowsBetween(-(k - 1), 0)) +
+          min("cents").over(ord.rowsBetween(-(k - 1), 0))).as(nm)
+      Tables.events(s, d)
+        .select(col("event_type"), col("event_id"), col("ts_us"),
+          floor(col("value") * 100).cast("bigint").as("cents"))
+        .withColumn("rn", row_number().over(ord).cast("bigint"))
+        .withColumn("tenkan_x2", mid2("tenkan_x2", 9))
+        .withColumn("kijun_x2", mid2("kijun_x2", 26))
+        .withColumn("spanb_now_x2", mid2("spanb_now_x2", 52))
+        .withColumn("senkou_a_x4",
+          lag(expr("tenkan_x2 + kijun_x2"), 26).over(ord))
+        .withColumn("senkou_b_x4", lag(expr("spanb_now_x2 * 2"), 26).over(ord))
+        .withColumn("chikou", lead("cents", 26).over(ord))
+        .where(col("rn") >= 78 && col("event_id") % 5 === 2)
+        .withColumn("above_cloud", expr(
+          "cents * 4 > senkou_a_x4 AND cents * 4 > senkou_b_x4"))
+        .select("event_type", "event_id", "cents", "tenkan_x2", "kijun_x2",
+          "senkou_a_x4", "senkou_b_x4", "chikou", "above_cloud")
+        .orderBy("event_type", "event_id")
+    }),
+
+    // Odds ratio / risk ratio — the 2×2 epidemiology pair (agg_chisq
+    // asks "associated?"; this asks "HOW STRONG, in the units a
+    // clinician quotes"): planted exposure with 30%→45% outcome lift,
+    // OR = ad/(bc) and RR = a(c+d)/(c(a+b)) as exact integer ppms, the
+    // χ²>3.841 association verdict fully cross-multiplied with the
+    // marginal product under DECIMAL(38,0) (exceeds int64 past ~50k).
+    "agg_odds_ratio" -> ((s, d) => {
+      def u(ns: String) =
+        s"CAST(conv(substring(md5(concat('$ns:', CAST(doc_id AS STRING))), 1, 8), 16, 10) AS BIGINT)"
+      val t = Tables.documents(s, d).select(col("doc_id"))
+        .withColumn("exposed", expr(s"${u("ore")} % 2"))
+        .withColumn("outcome", expr(
+          s"IF(${u("oro")} % 100 < 30 + exposed * 15, 1, 0)"))
+      t.agg(
+          sum(when(col("exposed") === 1 && col("outcome") === 1, 1L).otherwise(0L)).as("a"),
+          sum(when(col("exposed") === 1 && col("outcome") === 0, 1L).otherwise(0L)).as("b"),
+          sum(when(col("exposed") === 0 && col("outcome") === 1, 1L).otherwise(0L)).as("c"),
+          sum(when(col("exposed") === 0 && col("outcome") === 0, 1L).otherwise(0L)).as("d"))
+        .withColumn("or_ppm", expr(
+          "(CAST(a AS DECIMAL(38,0)) * d * 1000000) DIV (CAST(b AS DECIMAL(38,0)) * c)").cast("long"))
+        .withColumn("rr_ppm", expr(
+          "(CAST(a AS DECIMAL(38,0)) * (c + d) * 1000000) DIV (CAST(c AS DECIMAL(38,0)) * (a + b))").cast("long"))
+        .withColumn("assoc", expr(
+          """CAST((a + b + c + d) AS DECIMAL(38,0)) * (a * d - b * c) * (a * d - b * c) * 1000
+             > CAST(3841 AS DECIMAL(38,0)) * (a + b) * (c + d) * (a + c) * (b + d)"""))
+        .select("a", "b", "c", "d", "or_ppm", "rr_ppm", "assoc")
+    }),
+
+    // On-balance volume — the volume-flow confirmation line (win_vwap
+    // weights price BY volume; OBV signs volume BY price direction):
+    // md5-derived integer volumes, delta = cents − lag, OBV = running
+    // Σ sign(delta)·vol — an exact integer cumsum on one partitioned
+    // sort — rolled up to the final/extreme ledger per type (the shape
+    // a scanner tests divergence against).
+    "win_obv" -> ((s, d) => {
+      val ord = Window.partitionBy("event_type")
+        .orderBy(col("ts_us"), col("event_id"))
+      Tables.events(s, d)
+        .select(col("event_type"), col("event_id"), col("ts_us"),
+          floor(col("value") * 100).cast("bigint").as("cents"),
+          expr("CAST(conv(substring(md5(concat('obv:', CAST(event_id AS STRING))), 1, 8), 16, 10) AS BIGINT) % 100 + 1").as("vol"))
+        .withColumn("delta", col("cents") - lag("cents", 1).over(ord))
+        .withColumn("flow", expr(
+          "CASE WHEN delta > 0 THEN vol WHEN delta < 0 THEN -vol ELSE CAST(0 AS BIGINT) END"))
+        .withColumn("obv", sum(when(col("flow").isNotNull, col("flow"))
+          .otherwise(0L)).over(ord))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          // the final OBV is the total signed flow — a plain exact sum,
+          // no order sensitivity
+          sum(coalesce(col("flow"), lit(0L))).as("obv_final"),
+          max("obv").as("obv_max"), min("obv").as("obv_min"))
+        .select("event_type", "n", "obv_final", "obv_max", "obv_min")
+        .orderBy("event_type")
+    }),
+
     // Empirical Q–Q points — "are these two distributions the SAME
     // SHAPE?" read off quantile-vs-quantile (agg_ks_drift gives one
     // max-gap number; this gives the nine points an analyst actually
@@ -5297,6 +5476,143 @@ object Analytics {
         |  (1 + n_exceed) * 1000000 // (n_perms + 1) AS p_ppm,
         |  (1 + n_exceed) * 1000000 // (n_perms + 1) < 50000 AS significant
         |FROM ex""".stripMargin,
+
+    // Same confusion, same HUGEINT marginal product, same sign-safe square.
+    "agg_mcc" ->
+      """WITH t AS (SELECT doc_id,
+        |    ('0x' || substring(md5('mct:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 2 AS truth,
+        |    ('0x' || substring(md5('mcf:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10 AS flip
+        |  FROM documents),
+        |p AS (SELECT truth,
+        |    CASE WHEN flip < 2 THEN 1 - truth ELSE truth END AS pred FROM t),
+        |c AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CASE WHEN truth = 1 AND pred = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+        |    CAST(SUM(CASE WHEN truth = 0 AND pred = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+        |    CAST(SUM(CASE WHEN truth = 0 AND pred = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+        |    CAST(SUM(CASE WHEN truth = 1 AND pred = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fn
+        |  FROM p),
+        |m AS (SELECT *, tp * tn - fp * fn AS num,
+        |    (tp + fp)::HUGEINT * (tp + fn) * (tn + fp) * (tn + fn) AS den
+        |  FROM c)
+        |SELECT n, tp, fp, tn, fn, num,
+        |  CAST(CASE WHEN num >= 0 THEN (num::HUGEINT * num * 1000000) // den
+        |    ELSE -(((0 - num)::HUGEINT * (0 - num) * 1000000) // den) END AS BIGINT)
+        |    AS mcc2_ppm,
+        |  num >= 0 AND num::HUGEINT * num * 4 > den AS strong
+        |FROM m""".stripMargin,
+
+    // Same planted predictor, same per-class ppm divisions.
+    "agg_f1_multiclass" ->
+      """WITH t AS (SELECT doc_id,
+        |    ('0x' || substring(md5('f1t:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 3 AS truth,
+        |    ('0x' || substring(md5('f1f:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10 AS flip,
+        |    ('0x' || substring(md5('f1p:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 2 AS alt
+        |  FROM documents),
+        |p AS (SELECT truth,
+        |    CASE WHEN flip < 2 THEN (truth + 1 + alt) % 3 ELSE truth END AS pred FROM t),
+        |c AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CASE WHEN truth = 0 AND pred = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tp0,
+        |    CAST(SUM(CASE WHEN truth <> 0 AND pred = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp0,
+        |    CAST(SUM(CASE WHEN truth = 0 AND pred <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS fn0,
+        |    CAST(SUM(CASE WHEN truth = 1 AND pred = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp1,
+        |    CAST(SUM(CASE WHEN truth <> 1 AND pred = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fp1,
+        |    CAST(SUM(CASE WHEN truth = 1 AND pred <> 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn1,
+        |    CAST(SUM(CASE WHEN truth = 2 AND pred = 2 THEN 1 ELSE 0 END) AS BIGINT) AS tp2,
+        |    CAST(SUM(CASE WHEN truth <> 2 AND pred = 2 THEN 1 ELSE 0 END) AS BIGINT) AS fp2,
+        |    CAST(SUM(CASE WHEN truth = 2 AND pred <> 2 THEN 1 ELSE 0 END) AS BIGINT) AS fn2
+        |  FROM p),
+        |f AS (SELECT *,
+        |    (tp0 + tp1 + tp2) * 1000000 // n AS micro_f1_ppm,
+        |    2 * tp0 * 1000000 // (2 * tp0 + fp0 + fn0) AS f1_0_ppm,
+        |    2 * tp1 * 1000000 // (2 * tp1 + fp1 + fn1) AS f1_1_ppm,
+        |    2 * tp2 * 1000000 // (2 * tp2 + fp2 + fn2) AS f1_2_ppm
+        |  FROM c)
+        |SELECT n, tp0, fp0, fn0, tp1, fp1, fn1, tp2, fp2, fn2, micro_f1_ppm,
+        |  f1_0_ppm, f1_1_ppm, f1_2_ppm,
+        |  (f1_0_ppm + f1_1_ppm + f1_2_ppm) // 3 AS macro_f1_ppm
+        |FROM f""".stripMargin,
+
+    // Same ×2/×4 scaling, same 26-row displacement, same verdict.
+    "win_ichimoku" ->
+      """WITH e AS (SELECT event_type, event_id, epoch_us(ts) AS ts_us,
+        |    CAST(FLOOR(value * 100) AS BIGINT) AS cents FROM events),
+        |w AS (SELECT event_type, event_id, cents,
+        |    CAST(ROW_NUMBER() OVER o AS BIGINT) AS rn,
+        |    MAX(cents) OVER w9 + MIN(cents) OVER w9 AS tenkan_x2,
+        |    MAX(cents) OVER w26 + MIN(cents) OVER w26 AS kijun_x2,
+        |    MAX(cents) OVER w52 + MIN(cents) OVER w52 AS spanb_now_x2,
+        |    LEAD(cents, 26) OVER o AS chikou
+        |  FROM e WINDOW
+        |    o AS (PARTITION BY event_type ORDER BY ts_us, event_id),
+        |    w9 AS (PARTITION BY event_type ORDER BY ts_us, event_id
+        |      ROWS BETWEEN 8 PRECEDING AND CURRENT ROW),
+        |    w26 AS (PARTITION BY event_type ORDER BY ts_us, event_id
+        |      ROWS BETWEEN 25 PRECEDING AND CURRENT ROW),
+        |    w52 AS (PARTITION BY event_type ORDER BY ts_us, event_id
+        |      ROWS BETWEEN 51 PRECEDING AND CURRENT ROW)),
+        |s AS (SELECT *,
+        |    LAG(tenkan_x2 + kijun_x2, 26) OVER o2 AS senkou_a_x4,
+        |    LAG(spanb_now_x2 * 2, 26) OVER o2 AS senkou_b_x4
+        |  FROM w WINDOW o2 AS (PARTITION BY event_type ORDER BY rn))
+        |SELECT event_type, event_id, cents, tenkan_x2, kijun_x2,
+        |  senkou_a_x4, senkou_b_x4, chikou,
+        |  cents * 4 > senkou_a_x4 AND cents * 4 > senkou_b_x4 AS above_cloud
+        |FROM s WHERE rn >= 78 AND event_id % 5 = 2
+        |ORDER BY event_type, event_id""".stripMargin,
+
+    // Same 2×2, same HUGEINT cross-multiplied verdict.
+    "agg_odds_ratio" ->
+      """WITH t AS (SELECT doc_id,
+        |    ('0x' || substring(md5('ore:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 2 AS exposed,
+        |    ('0x' || substring(md5('oro:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS r
+        |  FROM documents),
+        |x AS (SELECT exposed, CASE WHEN r < 30 + exposed * 15 THEN 1 ELSE 0 END AS outcome FROM t),
+        |c AS (SELECT
+        |    CAST(SUM(CASE WHEN exposed = 1 AND outcome = 1 THEN 1 ELSE 0 END) AS BIGINT) AS a,
+        |    CAST(SUM(CASE WHEN exposed = 1 AND outcome = 0 THEN 1 ELSE 0 END) AS BIGINT) AS b,
+        |    CAST(SUM(CASE WHEN exposed = 0 AND outcome = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c,
+        |    CAST(SUM(CASE WHEN exposed = 0 AND outcome = 0 THEN 1 ELSE 0 END) AS BIGINT) AS d
+        |  FROM x)
+        |SELECT a, b, c, d,
+        |  CAST((a::HUGEINT * d * 1000000) // (b::HUGEINT * c) AS BIGINT) AS or_ppm,
+        |  CAST((a::HUGEINT * (c + d) * 1000000) // (c::HUGEINT * (a + b)) AS BIGINT) AS rr_ppm,
+        |  (a + b + c + d)::HUGEINT * (a * d - b * c) * (a * d - b * c) * 1000
+        |    > 3841::HUGEINT * (a + b) * (c + d) * (a + c) * (b + d) AS assoc
+        |FROM c""".stripMargin,
+
+    // Same signed flow, same cumsum extremes.
+    "win_obv" ->
+      """WITH e AS (SELECT event_type, event_id, epoch_us(ts) AS ts_us,
+        |    CAST(FLOOR(value * 100) AS BIGINT) AS cents,
+        |    ('0x' || substring(md5('obv:' || CAST(event_id AS VARCHAR)), 1, 8))::BIGINT % 100 + 1 AS vol
+        |  FROM events),
+        |d AS (SELECT *, cents - LAG(cents, 1) OVER o AS delta
+        |  FROM e WINDOW o AS (PARTITION BY event_type ORDER BY ts_us, event_id)),
+        |f AS (SELECT *, CASE WHEN delta > 0 THEN vol WHEN delta < 0 THEN -vol
+        |    ELSE CAST(0 AS BIGINT) END AS flow FROM d),
+        |r AS (SELECT event_type, flow,
+        |    SUM(COALESCE(flow, 0)) OVER (PARTITION BY event_type
+        |      ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING) AS obv
+        |  FROM f)
+        |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(COALESCE(flow, 0)) AS BIGINT) AS obv_final,
+        |  CAST(MAX(obv) AS BIGINT) AS obv_max, CAST(MIN(obv) AS BIGINT) AS obv_min
+        |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // Same rank pick, same truncated tail mean.
+    "agg_cvar_es" ->
+      """WITH e AS (SELECT event_type, event_id,
+        |    CAST(FLOOR(value * 100) AS BIGINT) AS cents FROM events),
+        |r AS (SELECT event_type, cents,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+        |      ORDER BY cents DESC, event_id) AS BIGINT) AS rn,
+        |    CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+        |  FROM e),
+        |k AS (SELECT *, (n + 19) // 20 AS k FROM r)
+        |SELECT event_type, MAX(n) AS n, MAX(k) AS k,
+        |  MIN(cents) AS var_cents, CAST(SUM(cents) // MAX(k) AS BIGINT) AS cvar_cents
+        |FROM k WHERE rn <= k
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     // Same rank picks, same decile pairing.
     "agg_qq_points" ->

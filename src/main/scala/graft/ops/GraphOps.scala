@@ -655,6 +655,33 @@ object GraphOps {
         .orderBy("u", "v")
     }),
 
+    // Resource-allocation link prediction — the EXACT-RATIONAL sibling of
+    // Adamic–Adar (AA's 1/ln deg is a transcendental on data, banned by
+    // the exactness laws; RA's 1/deg clears to integers): for each
+    // non-adjacent pair (u,v), RA = Σ_{z∈Γ(u)∩Γ(v)} 1/deg(z) accumulated
+    // in micro-units with ONE integer DIV per common neighbor — the
+    // per-term truncation IS the cross-engine contract, and an integer
+    // sum is partition-order independent where a float sum is not. Same
+    // one-join wedge enumeration as jaccard_link_pred: O(Σ deg²) through
+    // the hub z, never all-pairs.
+    "graph_resource_alloc_link_pred" -> ((s, d) => {
+      val heavy = heavyBackbone(s, d)
+      val bi = heavy.select(col("a").cast("bigint").as("src"), col("b").cast("bigint").as("dst"))
+        .unionAll(heavy.select(col("b").cast("bigint").as("src"), col("a").cast("bigint").as("dst")))
+        .localCheckpoint()
+      val deg = bi.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      bi.select(col("src").as("z"), col("dst").as("u"))
+        .join(bi.select(col("src").as("z"), col("dst").as("v")), Seq("z"))
+        .where(col("u") < col("v"))
+        .join(deg.select(col("src").as("z"), col("deg").as("dz")), Seq("z"))
+        .groupBy("u", "v")
+        .agg(count(lit(1)).as("cn"),
+          sum(expr("1000000 DIV dz")).as("ra_micro"))
+        .join(bi.select(col("src").as("u"), col("dst").as("v")), Seq("u", "v"), "left_anti")
+        .select("u", "v", "cn", "ra_micro")
+        .orderBy("u", "v")
+    }),
+
     // Deterministic random walks (the node2vec/DeepWalk sampling stage of
     // a graph-embedding pipeline, made replayable): every backbone node
     // starts one walk of 4 steps; at step t from node v the walk picks
@@ -1536,6 +1563,22 @@ object GraphOps {
          |FROM nonadj
          |JOIN deg du ON du.src = nonadj.u
          |JOIN deg dv ON dv.src = nonadj.v
+         |ORDER BY u, v""".stripMargin,
+
+    // Same wedge enumeration, same per-term micro-unit truncation.
+    "graph_resource_alloc_link_pred" ->
+      s"""WITH $EdgesCte,
+         |$HeavyCte,
+         |bi AS MATERIALIZED (SELECT CAST(a AS BIGINT) AS src, CAST(b AS BIGINT) AS dst FROM h
+         |       UNION ALL SELECT CAST(b AS BIGINT), CAST(a AS BIGINT) FROM h),
+         |deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM bi GROUP BY 1),
+         |wed AS (SELECT x.dst AS u, y.dst AS v, CAST(COUNT(*) AS BIGINT) AS cn,
+         |    CAST(SUM(1000000 // dz.deg) AS BIGINT) AS ra_micro
+         |  FROM bi x JOIN bi y ON x.src = y.src AND x.dst < y.dst
+         |  JOIN deg dz ON dz.src = x.src
+         |  GROUP BY 1, 2)
+         |SELECT u, v, cn, ra_micro FROM wed
+         |WHERE NOT EXISTS (SELECT 1 FROM bi WHERE bi.src = wed.u AND bi.dst = wed.v)
          |ORDER BY u, v""".stripMargin,
 
     // The ranked adjacency + 4 hash-picked hops replayed as chained CTEs.

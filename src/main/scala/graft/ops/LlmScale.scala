@@ -53,6 +53,51 @@ object LlmScale {
     })
 
   val queries: Map[String, Q] = Map(
+    // RAG citation audit — does the answer's bibliography actually exist
+    // and come from the right shelf? (llm_injection_screen guards the
+    // prompt; this guards the CITATIONS a RAG answer emits): every 7th
+    // doc is an "answer" citing 3 md5-derived doc ids drawn from a
+    // 1.25×max_id span — so ~20% of citations are HALLUCINATED by
+    // construction — validity = the cited id exists (left join against
+    // the corpus), support = the cited doc shares the answer's source
+    // (an on-topic proxy), and the ledger reports citation validity ppm,
+    // fully-grounded answers, and the hallucination rate. One explode,
+    // one broadcast-able dim join at 100 TB (the id→source side is the
+    // small one after dedup), integer ppms only.
+    "llm_rag_citation_check" -> ((s, d) => {
+      import org.apache.spark.sql.functions.broadcast
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("source"))
+        .localCheckpoint()
+      val mx = docs.agg(max("doc_id").as("max_id"))
+      def u(k: Int) =
+        s"CAST(conv(substring(md5(concat('rc$k:', CAST(doc_id AS STRING))), 1, 8), 16, 10) AS BIGINT)"
+      val cites = docs.where(col("doc_id") % 7 === 0)
+        .crossJoin(broadcast(mx))
+        .select(col("doc_id").as("ans_id"), col("source").as("ans_source"),
+          array((1 to 3).map(k => expr(s"${u(k)} % (max_id * 5 DIV 4 + 1)")): _*).as("cs"))
+        .select(col("ans_id"), col("ans_source"), explode(col("cs")).as("cited_id"))
+      val checked = cites
+        .join(docs.select(col("doc_id").as("cited_id"),
+          col("source").as("cited_source")), Seq("cited_id"), "left")
+        .withColumn("valid", col("cited_source").isNotNull)
+        .withColumn("supported", col("cited_source") === col("ans_source"))
+      checked.groupBy("ans_id")
+        .agg(count(lit(1)).as("k"),
+          sum(when(col("valid"), 1L).otherwise(0L)).as("k_valid"),
+          sum(when(col("supported"), 1L).otherwise(0L)).as("k_support"))
+        .agg(count(lit(1)).as("n_answers"),
+          sum("k").as("n_citations"),
+          sum("k_valid").as("n_valid"),
+          sum("k_support").as("n_support"),
+          sum(when(col("k_valid") === col("k"), 1L).otherwise(0L)).as("n_grounded"))
+        .withColumn("valid_ppm", expr("n_valid * 1000000 DIV n_citations"))
+        .withColumn("halluc_ppm", expr(
+          "(n_citations - n_valid) * 1000000 DIV n_citations"))
+        .withColumn("grounded_ppm", expr("n_grounded * 1000000 DIV n_answers"))
+        .select("n_answers", "n_citations", "n_valid", "n_support",
+          "n_grounded", "valid_ppm", "halluc_ppm", "grounded_ppm")
+    }),
+
     // Eval leaderboard — the tournament rollup an eval harness publishes
     // (llm_best_of_n picks within one model; this RANKS models across
     // tasks): 5 planted models × 8 tasks with md5 scores + an index-
@@ -838,6 +883,36 @@ object LlmScale {
   )
 
   val oracles: Map[String, String] = Map(
+    // Same 1.25×-span citations, same existence join, same ppms.
+    "llm_rag_citation_check" ->
+      """WITH mx AS (SELECT MAX(doc_id) AS max_id FROM documents),
+        |a AS (SELECT doc_id AS ans_id, source AS ans_source
+        |  FROM documents WHERE doc_id % 7 = 0),
+        |c AS (SELECT ans_id, ans_source,
+        |    ('0x' || substring(md5('rc' || CAST(k AS VARCHAR) || ':'
+        |      || CAST(ans_id AS VARCHAR)), 1, 8))::BIGINT
+        |      % (max_id * 5 // 4 + 1) AS cited_id
+        |  FROM a CROSS JOIN mx CROSS JOIN (SELECT UNNEST([1, 2, 3]) AS k)),
+        |j AS (SELECT c.ans_id, c.cited_id,
+        |    d.source IS NOT NULL AS valid,
+        |    COALESCE(d.source = c.ans_source, FALSE) AS supported
+        |  FROM c LEFT JOIN documents d ON d.doc_id = c.cited_id),
+        |per AS (SELECT ans_id, CAST(COUNT(*) AS BIGINT) AS k,
+        |    CAST(SUM(CASE WHEN valid THEN 1 ELSE 0 END) AS BIGINT) AS k_valid,
+        |    CAST(SUM(CASE WHEN supported THEN 1 ELSE 0 END) AS BIGINT) AS k_support
+        |  FROM j GROUP BY 1),
+        |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_answers,
+        |    CAST(SUM(k) AS BIGINT) AS n_citations,
+        |    CAST(SUM(k_valid) AS BIGINT) AS n_valid,
+        |    CAST(SUM(k_support) AS BIGINT) AS n_support,
+        |    CAST(SUM(CASE WHEN k_valid = k THEN 1 ELSE 0 END) AS BIGINT) AS n_grounded
+        |  FROM per)
+        |SELECT n_answers, n_citations, n_valid, n_support, n_grounded,
+        |  n_valid * 1000000 // n_citations AS valid_ppm,
+        |  (n_citations - n_valid) * 1000000 // n_citations AS halluc_ppm,
+        |  n_grounded * 1000000 // n_answers AS grounded_ppm
+        |FROM tot""".stripMargin,
+
     // Same planted scores, same pairwise wins, same dense order.
     "llm_leaderboard" ->
       """WITH t AS (SELECT doc_id AS task FROM documents WHERE doc_id < 8),
