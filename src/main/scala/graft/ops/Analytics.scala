@@ -1933,6 +1933,136 @@ object Analytics {
         .orderBy("event_type")
     }),
 
+    // Brier score — the PROPER scoring rule for probability forecasts
+    // (llm_calibration_error bins the gap; Brier is the single number a
+    // forecast tournament ranks by, and propriety means miscalibration
+    // ALWAYS costs): p ~ uniform ppm, outcome planted truly Bernoulli(p)
+    // (the calibrated forecaster), an overconfident rival that pushes
+    // every p toward its nearest extreme; Brier = Σ(p−y)² in exact ppm²
+    // integers summed under DECIMAL(38,0) (10⁻¹² units × n exceeds int64
+    // past ~9M rows), ONE integer DIV by n at the end. The calibrated
+    // forecaster must win — graded as a boolean, not a float.
+    "agg_brier_score" -> ((s, d) => {
+      def u(ns: String) =
+        s"CAST(conv(substring(md5(concat('$ns:', CAST(doc_id AS STRING))), 1, 8), 16, 10) AS BIGINT)"
+      Tables.documents(s, d).select(col("doc_id"))
+        .withColumn("p_ppm", expr(s"(${u("brp")} % 1001) * 1000"))
+        .withColumn("y", expr(s"IF(${u("bry")} % 1000000 < p_ppm, 1, 0)"))
+        .withColumn("q_ppm", expr(
+          "IF(p_ppm >= 500000, (p_ppm + 1000000) DIV 2, p_ppm DIV 2)"))
+        .agg(count(lit(1)).as("n"),
+          sum(expr(
+            "CAST(p_ppm - y * 1000000 AS DECIMAL(38,0)) * (p_ppm - y * 1000000)")).as("se_cal"),
+          sum(expr(
+            "CAST(q_ppm - y * 1000000 AS DECIMAL(38,0)) * (q_ppm - y * 1000000)")).as("se_over"))
+        .withColumn("brier_cal_e12", expr("se_cal DIV n").cast("long"))
+        .withColumn("brier_over_e12", expr("se_over DIV n").cast("long"))
+        .withColumn("calibrated_wins", col("se_cal") < col("se_over"))
+        .select("n", "brier_cal_e12", "brier_over_e12", "calibrated_wins")
+    }),
+
+    // Youden's J / optimal operating point — WHERE to put the threshold
+    // (agg_auc_roc grades the ranking as a whole; a DEPLOYED classifier
+    // needs one cut, and J = TPR − FPR is the cut that maximizes
+    // balanced accuracy): planted +300k score separation, 19-point
+    // threshold grid (50k..950k ppm) in ONE broadcast fan-out, the
+    // argmax taken entirely on the exact numerator TP·N − FP·P (the P·N
+    // denominator is threshold-invariant, so no division participates
+    // in the comparison), winner picked deterministically (num desc,
+    // thr asc) over the 19-row grid — the only window is grid-sized.
+    "agg_youden_j" -> ((s, d) => {
+      def u(ns: String) =
+        s"CAST(conv(substring(md5(concat('$ns:', CAST(doc_id AS STRING))), 1, 8), 16, 10) AS BIGINT)"
+      val t = Tables.documents(s, d).select(col("doc_id"))
+        .withColumn("truth", expr(s"${u("yjt")} % 2"))
+        .withColumn("score", expr(s"${u("yjs")} % 700000 + truth * 300000"))
+      val tot = t.agg(sum(col("truth")).as("p"),
+        sum(expr("1 - truth")).as("nneg"))
+      t.crossJoin(broadcast(s.range(1, 20).select((col("id") * 50000L).as("thr"))))
+        .groupBy("thr")
+        .agg(sum(when(col("truth") === 1 && col("score") >= col("thr"), 1L)
+            .otherwise(0L)).as("tp"),
+          sum(when(col("truth") === 0 && col("score") >= col("thr"), 1L)
+            .otherwise(0L)).as("fp"))
+        .crossJoin(broadcast(tot)) // single-row scalar attach
+        .withColumn("j_num", expr("tp * nneg - fp * p"))
+        // 19 rows — bounded by the grid, not by n
+        .withColumn("rk", row_number().over(
+          Window.orderBy(col("j_num").desc, col("thr"))))
+        .where(col("rk") === 1)
+        // j_num at the argmax is positive by construction (+300k plant),
+        // so the DIV numerator is never negative
+        .withColumn("j_ppm", expr(
+          "(CAST(j_num AS DECIMAL(38,0)) * 1000000) DIV (CAST(p AS DECIMAL(38,0)) * nneg)").cast("long"))
+        .select("thr", "tp", "fp", "p", "nneg", "j_num", "j_ppm")
+    }),
+
+    // Wilcoxon signed-rank — the PAIRED nonparametric test
+    // (agg_mann_whitney compares two independent groups; this tests
+    // before/after on the SAME subject, the A/A-with-treatment shape):
+    // before = md5 milli-score, after = before + planted +25 shift +
+    // symmetric ±50 noise, zero diffs dropped (the textbook rule),
+    // |diff| ranked with AVERAGE ranks kept exact in ×2 units
+    // (2·cum_less + cnt + 1 — no .5 ever materializes), computed at the
+    // GROUP level — the rank window runs over ≤ 75 distinct |diff|
+    // values (bounded by the noise domain, not by n). W⁺ₓ₂ = Σ r2 over
+    // positive diffs; z² verdict fully cross-multiplied with the exact
+    // tie-corrected variance: 6·10⁴·(W2−E2)² > 38416·var6 where
+    // E2 = n(n+1)/2 and var6 = n(n+1)(2n+1) − Σ(t³−t)/2, both exact.
+    "agg_wilcoxon_signed_rank" -> ((s, d) => {
+      def u(ns: String) =
+        s"CAST(conv(substring(md5(concat('$ns:', CAST(doc_id AS STRING))), 1, 8), 16, 10) AS BIGINT)"
+      val t = Tables.documents(s, d).select(col("doc_id"))
+        .withColumn("before", expr(s"${u("wsb")} % 1000"))
+        .withColumn("diff", expr(s"25 + ${u("wsn")} % 101 - 50"))
+        .where(col("diff") =!= 0)
+        .withColumn("adiff", abs(col("diff")))
+      t.groupBy("adiff")
+        .agg(count(lit(1)).as("cnt"),
+          sum(when(col("diff") > 0, 1L).otherwise(0L)).as("cnt_pos"))
+        // ≤ 75 groups: the unpartitioned window is domain-bounded
+        .withColumn("cum_less", coalesce(sum("cnt").over(
+          Window.orderBy("adiff").rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+        .withColumn("r2", expr("2 * cum_less + cnt + 1"))
+        .agg(sum("cnt").as("n"),
+          sum(expr("r2 * cnt_pos")).as("w2_plus"),
+          // t³−t is always even; tie3 ≈ n³/75² stays in int64 to sf10
+          sum(expr("cnt * cnt * cnt - cnt")).as("tie3"))
+        .withColumn("e2", expr("n * (n + 1) DIV 2"))
+        .withColumn("significant", expr(
+          """CAST(6 AS DECIMAL(38,0)) * 10000 * (w2_plus - e2) * (w2_plus - e2)
+             > CAST(38416 AS DECIMAL(38,0))
+               * (CAST(n AS DECIMAL(38,0)) * (n + 1) * (2 * n + 1) - tie3 DIV 2)"""))
+        .select("n", "w2_plus", "e2", "tie3", "significant")
+    }),
+
+    // ATR — average true range (win_bollinger reads dispersion from
+    // closes alone; TR folds the overnight GAP against the prior close,
+    // which is what actually hurts a stop-loss): per-bar hi/lo spread
+    // from md5 (±49 around the close), first-bar prior-close defined as
+    // the close itself (TR degrades to h−l — engine-neutral, no NULL
+    // greatest semantics in play), TR = greatest(h−l, |h−pc|, |l−pc|)
+    // exact, ATR reported ×14 as the 14-bar rolling TR sum — the ×14
+    // scaling law: no division ever happens. One partitioned sort.
+    "win_atr" -> ((s, d) => {
+      val ord = Window.partitionBy("event_type").orderBy(col("ts_us"), col("event_id"))
+      def u(ns: String) =
+        s"CAST(conv(substring(md5(concat('$ns:', CAST(event_id AS STRING))), 1, 8), 16, 10) AS BIGINT)"
+      Tables.events(s, d)
+        .select(col("event_type"), col("event_id"), col("ts_us"),
+          floor(col("value") * 100).cast("bigint").as("cents"))
+        .withColumn("h", expr(s"cents + ${u("ath")} % 50"))
+        .withColumn("l", expr(s"cents - ${u("atl")} % 50"))
+        .withColumn("pc", coalesce(lag("cents", 1).over(ord), col("cents")))
+        .withColumn("tr", expr("greatest(h - l, abs(h - pc), abs(l - pc))"))
+        .withColumn("rn", row_number().over(ord).cast("bigint"))
+        .withColumn("atr_x14", sum("tr").over(ord.rowsBetween(-13, 0)))
+        .where(col("rn") >= 14 && col("event_id") % 7 === 3)
+        .select("event_type", "event_id", "cents", "tr", "atr_x14")
+        .orderBy("event_type", "event_id")
+    }),
+
     // Empirical Q–Q points — "are these two distributions the SAME
     // SHAPE?" read off quantile-vs-quantile (agg_ks_drift gives one
     // max-gap number; this gives the nine points an analyst actually
@@ -5598,6 +5728,85 @@ object Analytics {
         |  CAST(SUM(COALESCE(flow, 0)) AS BIGINT) AS obv_final,
         |  CAST(MAX(obv) AS BIGINT) AS obv_max, CAST(MIN(obv) AS BIGINT) AS obv_min
         |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // Same planted Bernoulli(p), same ppm² sums, same single DIV.
+    "agg_brier_score" ->
+      """WITH t AS (SELECT doc_id,
+        |    (('0x' || substring(md5('brp:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 1001) * 1000 AS p_ppm
+        |  FROM documents),
+        |y AS (SELECT *,
+        |    CASE WHEN ('0x' || substring(md5('bry:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 1000000 < p_ppm
+        |      THEN 1 ELSE 0 END AS y,
+        |    CASE WHEN p_ppm >= 500000 THEN (p_ppm + 1000000) // 2
+        |      ELSE p_ppm // 2 END AS q_ppm
+        |  FROM t)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(p_ppm - y * 1000000 AS HUGEINT) * (p_ppm - y * 1000000)) // COUNT(*) AS BIGINT) AS brier_cal_e12,
+        |  CAST(SUM(CAST(q_ppm - y * 1000000 AS HUGEINT) * (q_ppm - y * 1000000)) // COUNT(*) AS BIGINT) AS brier_over_e12,
+        |  SUM(CAST(p_ppm - y * 1000000 AS HUGEINT) * (p_ppm - y * 1000000))
+        |    < SUM(CAST(q_ppm - y * 1000000 AS HUGEINT) * (q_ppm - y * 1000000)) AS calibrated_wins
+        |FROM y""".stripMargin,
+
+    // Same grid, same numerator-only argmax, same deterministic pick.
+    "agg_youden_j" ->
+      """WITH t AS (SELECT doc_id,
+        |    ('0x' || substring(md5('yjt:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 2 AS truth
+        |  FROM documents),
+        |sc AS (SELECT *,
+        |    ('0x' || substring(md5('yjs:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 700000
+        |      + truth * 300000 AS score FROM t),
+        |tot AS (SELECT CAST(SUM(truth) AS BIGINT) AS p,
+        |    CAST(SUM(1 - truth) AS BIGINT) AS nneg FROM sc),
+        |g AS (SELECT CAST(v AS BIGINT) * 50000 AS thr FROM generate_series(1, 19) s(v)),
+        |cm AS (SELECT thr,
+        |    CAST(SUM(CASE WHEN truth = 1 AND score >= thr THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+        |    CAST(SUM(CASE WHEN truth = 0 AND score >= thr THEN 1 ELSE 0 END) AS BIGINT) AS fp
+        |  FROM sc CROSS JOIN g GROUP BY thr),
+        |j AS (SELECT cm.*, p, nneg, tp * nneg - fp * p AS j_num FROM cm CROSS JOIN tot)
+        |SELECT thr, tp, fp, p, nneg, j_num,
+        |  CAST((CAST(j_num AS HUGEINT) * 1000000) // (CAST(p AS HUGEINT) * nneg) AS BIGINT) AS j_ppm
+        |FROM j ORDER BY j_num DESC, thr LIMIT 1""".stripMargin,
+
+    // Same group-level ×2 average ranks, same tie-corrected verdict.
+    "agg_wilcoxon_signed_rank" ->
+      """WITH t AS (SELECT doc_id,
+        |    25 + ('0x' || substring(md5('wsn:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 101 - 50 AS diff
+        |  FROM documents),
+        |nz AS (SELECT diff, ABS(diff) AS adiff FROM t WHERE diff <> 0),
+        |g AS (SELECT adiff, CAST(COUNT(*) AS BIGINT) AS cnt,
+        |    CAST(SUM(CASE WHEN diff > 0 THEN 1 ELSE 0 END) AS BIGINT) AS cnt_pos
+        |  FROM nz GROUP BY adiff),
+        |r AS (SELECT *, COALESCE(CAST(SUM(cnt) OVER (ORDER BY adiff
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS cum_less
+        |  FROM g),
+        |w AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n,
+        |    CAST(SUM((2 * cum_less + cnt + 1) * cnt_pos) AS BIGINT) AS w2_plus,
+        |    CAST(SUM(cnt * cnt * cnt - cnt) AS BIGINT) AS tie3
+        |  FROM r)
+        |SELECT n, w2_plus, n * (n + 1) // 2 AS e2, tie3,
+        |  CAST(6 AS HUGEINT) * 10000 * (w2_plus - n * (n + 1) // 2) * (w2_plus - n * (n + 1) // 2)
+        |    > CAST(38416 AS HUGEINT)
+        |      * (CAST(n AS HUGEINT) * (n + 1) * (2 * n + 1) - tie3 // 2) AS significant
+        |FROM w""".stripMargin,
+
+    // Same md5 spreads, same first-bar pc=close rule, same ×14 sum.
+    "win_atr" ->
+      """WITH e AS (SELECT event_type, event_id, epoch_us(ts) AS ts_us,
+        |    CAST(FLOOR(value * 100) AS BIGINT) AS cents FROM events),
+        |h AS (SELECT *,
+        |    cents + ('0x' || substring(md5('ath:' || CAST(event_id AS VARCHAR)), 1, 8))::BIGINT % 50 AS h,
+        |    cents - ('0x' || substring(md5('atl:' || CAST(event_id AS VARCHAR)), 1, 8))::BIGINT % 50 AS l
+        |  FROM e),
+        |p AS (SELECT *, COALESCE(LAG(cents, 1) OVER o, cents) AS pc,
+        |    CAST(ROW_NUMBER() OVER o AS BIGINT) AS rn
+        |  FROM h WINDOW o AS (PARTITION BY event_type ORDER BY ts_us, event_id)),
+        |tr AS (SELECT *, GREATEST(h - l, ABS(h - pc), ABS(l - pc)) AS tr FROM p),
+        |a AS (SELECT *, CAST(SUM(tr) OVER (PARTITION BY event_type
+        |      ORDER BY ts_us, event_id ROWS BETWEEN 13 PRECEDING AND CURRENT ROW) AS BIGINT) AS atr_x14
+        |  FROM tr)
+        |SELECT event_type, event_id, cents, tr, atr_x14 FROM a
+        |WHERE rn >= 14 AND event_id % 7 = 3
+        |ORDER BY event_type, event_id""".stripMargin,
 
     // Same rank pick, same truncated tail mean.
     "agg_cvar_es" ->

@@ -98,6 +98,41 @@ object LlmScale {
           "n_grounded", "valid_ppm", "halluc_ppm", "grounded_ppm")
     }),
 
+    // Unicode anomaly screen — the invisible-character audit a training
+    // pipeline runs BEFORE tokenization (zero-width chars split tokens
+    // invisibly, bidi controls reorder rendered text — both are
+    // injection/steganography vectors; llm_injection_screen reads the
+    // words, this reads the CODEPOINTS): pollution planted
+    // deterministically (every 13th doc gets a zero-width space spliced
+    // at char 40 plus a trailing RLO override; every 29th a replacement
+    // char), screen = regexp_count over \x{...} codepoint classes —
+    // identical semantics in Java regex and RE2, passed as a literal
+    // column so no SQL escape dialect ever touches the pattern. One
+    // scan, one groupBy(source); ppms in exact integers.
+    "llm_unicode_anomaly" -> ((s, d) => {
+      val zws = "​"; val rlo = "‮"; val rep = "�"
+      Tables.documents(s, d).select(col("doc_id"), col("source"), col("text"))
+        .withColumn("txt", expr(
+          s"""CASE WHEN doc_id % 13 = 0
+                THEN concat(substring(text, 1, 40), '$zws', substring(text, 41), '$rlo')
+              WHEN doc_id % 29 = 0 THEN concat(text, '$rep')
+              ELSE text END"""))
+        .withColumn("zw", regexp_count(col("txt"),
+          lit("[\\x{200B}\\x{200C}\\x{200D}\\x{FEFF}]")))
+        .withColumn("bidi", regexp_count(col("txt"),
+          lit("[\\x{202A}-\\x{202E}\\x{2066}-\\x{2069}]")))
+        .withColumn("repl", regexp_count(col("txt"), lit("\\x{FFFD}")))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("zw") + col("bidi") + col("repl") > 0, 1L)
+            .otherwise(0L)).as("flagged"),
+          sum("zw").as("zw_total"),
+          sum("bidi").as("bidi_total"),
+          sum("repl").as("repl_total"))
+        .withColumn("flagged_ppm", expr("flagged * 1000000 DIV n_docs"))
+        .orderBy("source")
+    }),
+
     // Eval leaderboard — the tournament rollup an eval harness publishes
     // (llm_best_of_n picks within one model; this RANKS models across
     // tasks): 5 planted models × 8 tasks with md5 scores + an index-
@@ -912,6 +947,27 @@ object LlmScale {
         |  (n_citations - n_valid) * 1000000 // n_citations AS halluc_ppm,
         |  n_grounded * 1000000 // n_answers AS grounded_ppm
         |FROM tot""".stripMargin,
+
+    // Same planted pollution (chr() codepoints), same RE2 classes.
+    "llm_unicode_anomaly" ->
+      """WITH t AS (SELECT doc_id, source,
+        |    CASE WHEN doc_id % 13 = 0
+        |        THEN substring(text, 1, 40) || chr(8203) || substring(text, 41) || chr(8238)
+        |      WHEN doc_id % 29 = 0 THEN text || chr(65533)
+        |      ELSE text END AS txt
+        |  FROM documents),
+        |c AS (SELECT source,
+        |    len(regexp_extract_all(txt, '[\x{200B}\x{200C}\x{200D}\x{FEFF}]')) AS zw,
+        |    len(regexp_extract_all(txt, '[\x{202A}-\x{202E}\x{2066}-\x{2069}]')) AS bidi,
+        |    len(regexp_extract_all(txt, '\x{FFFD}')) AS repl
+        |  FROM t)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(CASE WHEN zw + bidi + repl > 0 THEN 1 ELSE 0 END) AS BIGINT) AS flagged,
+        |  CAST(SUM(zw) AS BIGINT) AS zw_total,
+        |  CAST(SUM(bidi) AS BIGINT) AS bidi_total,
+        |  CAST(SUM(repl) AS BIGINT) AS repl_total,
+        |  CAST(SUM(CASE WHEN zw + bidi + repl > 0 THEN 1 ELSE 0 END) * 1000000 // COUNT(*) AS BIGINT) AS flagged_ppm
+        |FROM c GROUP BY source ORDER BY source""".stripMargin,
 
     // Same planted scores, same pairwise wins, same dense order.
     "llm_leaderboard" ->
