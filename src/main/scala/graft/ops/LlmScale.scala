@@ -110,7 +110,7 @@ object LlmScale {
     // column so no SQL escape dialect ever touches the pattern. One
     // scan, one groupBy(source); ppms in exact integers.
     "llm_unicode_anomaly" -> ((s, d) => {
-      val zws = "​"; val rlo = "‮"; val rep = "�"
+      val zws = "\u200B"; val rlo = "\u202E"; val rep = "\uFFFD"
       Tables.documents(s, d).select(col("doc_id"), col("source"), col("text"))
         .withColumn("txt", expr(
           s"""CASE WHEN doc_id % 13 = 0
