@@ -2063,6 +2063,89 @@ object Analytics {
         .orderBy("event_type", "event_id")
     }),
 
+    // Isotonic calibration (PAV) — fit the best MONOTONE curve through
+    // binned outcome rates (llm_calibration_error measures the gap;
+    // this REPAIRS it, the standard post-hoc calibrator for classifier
+    // scores): planted rising rate with a deliberate dip at bin 7 (so
+    // pooling genuinely cascades), 20 score bins, and the fit computed
+    // by the PAV MINIMAX identity fit_k = min_{j≥k} max_{i≤k}
+    // mean(i..j) — no sequential pooling loop exists; the whole fit is
+    // two bounded group-bys over a 20³ interval grid. Each interval
+    // mean is one integer DIV to ppm, and min/max over integer ppms is
+    // order-free — deterministic in both engines by construction.
+    // Monotonicity of the result follows from the minimax lattice
+    // argument regardless of the ppm truncation.
+    "agg_isotonic_pav" -> ((s, d) => {
+      def u(ns: String) =
+        s"CAST(conv(substring(md5(concat('$ns:', CAST(doc_id AS STRING))), 1, 8), 16, 10) AS BIGINT)"
+      val b = Tables.documents(s, d).select(col("doc_id"))
+        .withColumn("bin", expr(s"${u("ipb")} % 1000 DIV 50"))
+        .withColumn("y", expr(
+          s"IF(${u("ipy")} % 1000 < 200 + bin * 40 - IF(bin = 7, 250, 0), 1, 0)"))
+        .groupBy("bin").agg(count(lit(1)).as("n"), sum("y").as("y"))
+      // 20 bins: every window/join below is domain-bounded, never O(n)
+      val w20 = Window.orderBy("bin")
+      val pre = b.withColumn("cn", sum("n").over(w20))
+        .withColumn("cy", sum("y").over(w20))
+        .withColumn("cnl", col("cn") - col("n"))
+        .withColumn("cyl", col("cy") - col("y"))
+      val pairs = pre.select(col("bin").as("i"), col("cnl"), col("cyl"))
+        .join(pre.select(col("bin").as("j"), col("cn"), col("cy")),
+          col("i") <= col("j"))
+        .select(col("i"), col("j"),
+          expr("(cy - cyl) * 1000000 DIV (cn - cnl)").as("m_ppm"))
+      val mx = pairs
+        .join(broadcast(s.range(0, 20).select(col("id").as("k"))),
+          col("i") <= col("k") && col("k") <= col("j"))
+        .groupBy("k", "j").agg(max("m_ppm").as("mx"))
+      val fit = mx.groupBy("k").agg(min("mx").as("fit_ppm"))
+      b.join(fit, col("bin") === col("k"))
+        .withColumn("raw_ppm", expr("y * 1000000 DIV n"))
+        .select("bin", "n", "y", "raw_ppm", "fit_ppm")
+        .orderBy("bin")
+    }),
+
+    // TOST equivalence — the test agg_ab_ttest CANNOT do: proving two
+    // arms are the SAME within a margin (absence of significance is not
+    // evidence of absence; two one-sided tests are). Planted 30.0% vs
+    // 30.3% conversion under a 10% = 1/10 margin (exact — m_num =
+    // n1·n2 DIV 10, no ppm truncation; wide enough that the verdict is
+    // deterministic down to the 500-doc sf0.001 fixture), both one-sided z tests AND the
+    // naive two-sided test fully cross-multiplied: the cleared form is
+    // (m±d)²·N·10⁶ > Z²·10⁶·s·(N−s)·n1·n2 with d = x1·n2 − x2·n1 exact,
+    // pooled s = x1+x2, Z²·10⁶ = 2706025 (one-sided 1.645) / 3841600
+    // (two-sided 1.96) — DECIMAL(38,0) guarded (exceeds int64 past
+    // ~10k rows). The planted truth: equivalent = true, naive = false.
+    "agg_tost_equivalence" -> ((s, d) => {
+      def u(ns: String) =
+        s"CAST(conv(substring(md5(concat('$ns:', CAST(doc_id AS STRING))), 1, 8), 16, 10) AS BIGINT)"
+      Tables.documents(s, d).select(col("doc_id"))
+        .withColumn("arm", expr(s"${u("tse")} % 2"))
+        .withColumn("conv", expr(s"IF(${u("tsc")} % 1000 < 300 + arm * 3, 1, 0)"))
+        .agg(sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n1"),
+          sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n2"),
+          sum(when(col("arm") === 1, col("conv")).otherwise(0L)).as("x1"),
+          sum(when(col("arm") === 0, col("conv")).otherwise(0L)).as("x2"))
+        .withColumn("d_num", expr("x1 * n2 - x2 * n1"))
+        .withColumn("m_num", expr("n1 * n2 DIV 10"))
+        .withColumn("s_pool", expr("x1 + x2"))
+        .withColumn("nn", expr("n1 + n2"))
+        .withColumn("equiv_low", expr(
+          """m_num + d_num > 0 AND
+             CAST(m_num + d_num AS DECIMAL(38,0)) * (m_num + d_num) * nn * 1000000
+             > CAST(2706025 AS DECIMAL(38,0)) * s_pool * (nn - s_pool) * n1 * n2"""))
+        .withColumn("equiv_high", expr(
+          """m_num - d_num > 0 AND
+             CAST(m_num - d_num AS DECIMAL(38,0)) * (m_num - d_num) * nn * 1000000
+             > CAST(2706025 AS DECIMAL(38,0)) * s_pool * (nn - s_pool) * n1 * n2"""))
+        .withColumn("equivalent", col("equiv_low") && col("equiv_high"))
+        .withColumn("naive_significant", expr(
+          """CAST(d_num AS DECIMAL(38,0)) * d_num * nn * 1000000
+             > CAST(3841600 AS DECIMAL(38,0)) * s_pool * (nn - s_pool) * n1 * n2"""))
+        .select("n1", "n2", "x1", "x2", "d_num", "m_num",
+          "equiv_low", "equiv_high", "equivalent", "naive_significant")
+    }),
+
     // Empirical Q–Q points — "are these two distributions the SAME
     // SHAPE?" read off quantile-vs-quantile (agg_ks_drift gives one
     // max-gap number; this gives the nine points an analyst actually
@@ -5728,6 +5811,63 @@ object Analytics {
         |  CAST(SUM(COALESCE(flow, 0)) AS BIGINT) AS obv_final,
         |  CAST(MAX(obv) AS BIGINT) AS obv_max, CAST(MIN(obv) AS BIGINT) AS obv_min
         |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // Same planted dip, same 20³ interval-grid minimax.
+    "agg_isotonic_pav" ->
+      """WITH b AS (SELECT
+        |    ('0x' || substring(md5('ipb:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 1000 // 50 AS bin,
+        |    CASE WHEN ('0x' || substring(md5('ipy:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 1000
+        |      < 200 + (('0x' || substring(md5('ipb:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 1000 // 50) * 40
+        |        - CASE WHEN ('0x' || substring(md5('ipb:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 1000 // 50 = 7
+        |          THEN 250 ELSE 0 END
+        |      THEN 1 ELSE 0 END AS y
+        |  FROM documents),
+        |g AS (SELECT bin, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(y) AS BIGINT) AS y
+        |  FROM b GROUP BY bin),
+        |pre AS (SELECT *, CAST(SUM(n) OVER (ORDER BY bin) AS BIGINT) AS cn,
+        |    CAST(SUM(y) OVER (ORDER BY bin) AS BIGINT) AS cy FROM g),
+        |pairs AS (SELECT i.bin AS i, j.bin AS j,
+        |    (j.cy - (i.cy - i.y)) * 1000000 // (j.cn - (i.cn - i.n)) AS m_ppm
+        |  FROM pre i JOIN pre j ON i.bin <= j.bin),
+        |ks AS (SELECT CAST(k AS BIGINT) AS k FROM generate_series(0, 19) s(k)),
+        |mx AS (SELECT k, j, MAX(m_ppm) AS mx FROM pairs JOIN ks
+        |  ON i <= k AND k <= j GROUP BY k, j),
+        |fit AS (SELECT k, CAST(MIN(mx) AS BIGINT) AS fit_ppm FROM mx GROUP BY k)
+        |SELECT bin, n, y, y * 1000000 // n AS raw_ppm, fit_ppm
+        |FROM g JOIN fit ON bin = k ORDER BY bin""".stripMargin,
+
+    // Same cleared one-sided pair, same naive two-sided contrast.
+    "agg_tost_equivalence" ->
+      """WITH t AS (SELECT doc_id,
+        |    ('0x' || substring(md5('tse:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 2 AS arm
+        |  FROM documents),
+        |c AS (SELECT arm,
+        |    CASE WHEN ('0x' || substring(md5('tsc:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 1000
+        |      < 300 + arm * 3 THEN 1 ELSE 0 END AS conv FROM t),
+        |a AS (SELECT
+        |    CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |    CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+        |    CAST(SUM(CASE WHEN arm = 1 THEN conv ELSE 0 END) AS BIGINT) AS x1,
+        |    CAST(SUM(CASE WHEN arm = 0 THEN conv ELSE 0 END) AS BIGINT) AS x2
+        |  FROM c),
+        |e AS (SELECT *, x1 * n2 - x2 * n1 AS d_num, n1 * n2 // 10 AS m_num,
+        |    x1 + x2 AS s_pool, n1 + n2 AS nn FROM a)
+        |SELECT n1, n2, x1, x2, d_num, m_num,
+        |  m_num + d_num > 0 AND
+        |    CAST(m_num + d_num AS HUGEINT) * (m_num + d_num) * nn * 1000000
+        |    > CAST(2706025 AS HUGEINT) * s_pool * (nn - s_pool) * n1 * n2 AS equiv_low,
+        |  m_num - d_num > 0 AND
+        |    CAST(m_num - d_num AS HUGEINT) * (m_num - d_num) * nn * 1000000
+        |    > CAST(2706025 AS HUGEINT) * s_pool * (nn - s_pool) * n1 * n2 AS equiv_high,
+        |  (m_num + d_num > 0 AND
+        |    CAST(m_num + d_num AS HUGEINT) * (m_num + d_num) * nn * 1000000
+        |    > CAST(2706025 AS HUGEINT) * s_pool * (nn - s_pool) * n1 * n2)
+        |  AND (m_num - d_num > 0 AND
+        |    CAST(m_num - d_num AS HUGEINT) * (m_num - d_num) * nn * 1000000
+        |    > CAST(2706025 AS HUGEINT) * s_pool * (nn - s_pool) * n1 * n2) AS equivalent,
+        |  CAST(d_num AS HUGEINT) * d_num * nn * 1000000
+        |    > CAST(3841600 AS HUGEINT) * s_pool * (nn - s_pool) * n1 * n2 AS naive_significant
+        |FROM e""".stripMargin,
 
     // Same planted Bernoulli(p), same ppm² sums, same single DIV.
     "agg_brier_score" ->

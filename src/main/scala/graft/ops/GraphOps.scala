@@ -155,6 +155,28 @@ object GraphOps {
   private val HitsIters = 3
 
   val queries: Map[String, Q] = Map(
+    // Four-cycle (rectangle) census — the quadrilateral motif beside
+    // graph_triangles' triangle one (rectangles are the butterfly motif
+    // of co-purchase / co-citation analysis: two nodes sharing TWO
+    // distinct neighbors): common-neighbor counts per diagonal pair via
+    // the wedge join through each center — O(Σdeg²), never all-pairs —
+    // rects = C(cn,2) exact; every 4-cycle is seen by exactly its two
+    // diagonals, so the global total is Σ/2 (parity + conservation
+    // asserted in ScalaTest). Output: the cn ≥ 2 diagonal pairs.
+    "graph_four_cycles" -> ((s, d) => {
+      val e = heavyBackbone(s, d)
+      val bi = e.select(col("a").as("src"), col("b").as("dst"))
+        .unionAll(e.select(col("b").as("src"), col("a").as("dst")))
+      bi.as("e1").join(bi.as("e2"),
+          col("e1.src") === col("e2.src") && col("e1.dst") < col("e2.dst"))
+        .select(col("e1.dst").cast("bigint").as("u"),
+          col("e2.dst").cast("bigint").as("v"))
+        .groupBy("u", "v").agg(count(lit(1)).as("cn"))
+        .where(col("cn") >= 2)
+        .withColumn("rects", expr("cn * (cn - 1) DIV 2"))
+        .orderBy("u", "v")
+    }),
+
     // Eccentricity / radius / diameter — the DISTANCE-extremes summary
     // beside graph_closeness' distance-means one: the same BfsIters
     // min-plus relaxation over the heavy backbone, then per-node ecc =
@@ -1548,6 +1570,18 @@ object GraphOps {
     },
 
     // Same common-neighbor join, same anti-join, same exact-milli score.
+    // Same wedge join, same diagonal-pair C(cn,2).
+    "graph_four_cycles" ->
+      s"""WITH $EdgesCte,
+         |$HeavyCte,
+         |bi AS MATERIALIZED (SELECT CAST(a AS BIGINT) AS src, CAST(b AS BIGINT) AS dst FROM h
+         |       UNION ALL SELECT CAST(b AS BIGINT), CAST(a AS BIGINT) FROM h),
+         |wd AS (SELECT e1.dst AS u, e2.dst AS v FROM bi e1 JOIN bi e2
+         |  ON e1.src = e2.src AND e1.dst < e2.dst)
+         |SELECT u, v, CAST(COUNT(*) AS BIGINT) AS cn,
+         |  CAST(COUNT(*) AS BIGINT) * (COUNT(*) - 1) // 2 AS rects
+         |FROM wd GROUP BY 1, 2 HAVING COUNT(*) >= 2 ORDER BY 1, 2""".stripMargin,
+
     "graph_jaccard_link_pred" ->
       s"""WITH $EdgesCte,
          |$HeavyCte,

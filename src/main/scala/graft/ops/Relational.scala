@@ -169,6 +169,36 @@ object Relational {
         .orderBy("o_orderpriority")
     }),
 
+    // Hive-layout partition DISCOVERY — the read-side dual of
+    // sink_partitioned: the fixture stages key=value directories the
+    // way a FOREIGN writer would (four plain per-year writes into
+    // o_year=YYYY dirs — the year column lives ONLY in the directory
+    // name, never in any parquet file), then one basePath read must
+    // (a) discover the layout, (b) infer o_year as a typed partition
+    // column, and (c) prune the 1995 slice at LISTING time from the
+    // o_year >= 1996 filter — at 100 TB this pruning is the difference
+    // between reading 3 years and reading a decade. The spec asserts
+    // the physical plan carries the PartitionFilters; the oracle
+    // replays the rollup straight off orders.
+    "source_hive_partition_infer" -> ((s, d) => {
+      val dir = Scratch.opDir("hivepart", d)
+      val staged = java.nio.file.Paths.get(dir, "_STAGED")
+      if (!java.nio.file.Files.exists(staged)) {
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+        (1995 to 1998).foreach { y =>
+          Tables.orders(s, d).where(year(col("o_orderdate")) === y)
+            .write.mode("overwrite").parquet(s"$dir/o_year=$y")
+        }
+        java.nio.file.Files.write(staged, Array.emptyByteArray)
+      }
+      s.read.option("basePath", dir).parquet((1995 to 1998).map(y => s"$dir/o_year=$y"): _*)
+        .where(col("o_year") >= 1996)
+        .groupBy(col("o_year").cast("bigint").as("o_year"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(dec(col("o_totalprice"))).cast("double").as("total"))
+        .orderBy("o_year")
+    }),
+
     // CSV/JSON source with schema inference round-trips nation (rows-only
     // check here; full schema assertions in ScalaTest).
     // RAW BINARY ingest (`binaryFile` source) — the front door for
@@ -1562,6 +1592,15 @@ object Relational {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
         |FROM orders WHERE year(o_orderdate) = 1997
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    // Same rollup replayed straight off orders (the staged hive layout
+    // holds exactly the 1995–1998 slices).
+    "source_hive_partition_infer" ->
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |  CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+        |FROM orders WHERE year(o_orderdate) BETWEEN 1996 AND 1998
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "join_null_safe_eq" ->
       """WITH a AS (SELECT c_custkey,
