@@ -2146,6 +2146,127 @@ object Analytics {
           "equiv_low", "equiv_high", "equivalent", "naive_significant")
     }),
 
+    // RANSAC line fit — the ROBUST regression that survives what
+    // agg_theil_sen merely dampens (10% wild outliers whose y is pure
+    // noise): planted y = 3x + 50 ± 20 for the 90% inlier mass, K = 32
+    // candidate lines through md5-top-64 point pairs (top-k sample —
+    // the HL fixed-size-sample law, never a global window over n),
+    // inlier test fully cross-multiplied |（y−y1)(x2−x1) − (x−x1)(y2−y1)|
+    // ≤ tol·(x2−x1) — no division anywhere in the hot path — winner by
+    // (inliers DESC, k ASC) over the 32-row candidate frame, slope
+    // reported sign-safe milli (magnitude DIV, then negate).
+    "agg_ransac_line" -> ((s, d) => {
+      def u(ns: String) =
+        s"CAST(conv(substring(md5(concat('$ns:', CAST(doc_id AS STRING))), 1, 8), 16, 10) AS BIGINT)"
+      val pts = Tables.documents(s, d).select(col("doc_id"))
+        .withColumn("x", expr(s"${u("rsx")} % 1000"))
+        .withColumn("y", expr(
+          s"""IF(${u("rso")} % 10 = 0, ${u("rsw")} % 3000,
+                3 * x + 50 + ${u("rsn")} % 41 - 20)"""))
+        .localCheckpoint()
+      // fixed-size deterministic sample: the 64 smallest md5s, paired
+      val cand = pts
+        .withColumn("hk", expr(s"md5(concat('rsk:', CAST(doc_id AS STRING)))"))
+        .orderBy("hk").limit(64)
+        .withColumn("idx", row_number().over(Window.orderBy("hk")) - 1)
+        .withColumn("k", expr("idx DIV 2"))
+        .groupBy("k")
+        .agg(min(struct(col("idx"), col("x"), col("y"))).as("p1"),
+          max(struct(col("idx"), col("x"), col("y"))).as("p2"))
+        .select(col("k"), col("p1.x").as("x1"), col("p1.y").as("y1"),
+          col("p2.x").as("x2"), col("p2.y").as("y2"))
+        .where(col("x1") =!= col("x2"))
+      val scored = pts.crossJoin(broadcast(cand))
+        .withColumn("inlier", expr(
+          """abs((y - y1) * (x2 - x1) - (x - x1) * (y2 - y1))
+             <= 25 * abs(x2 - x1)"""))
+        .groupBy("k", "x1", "y1", "x2", "y2")
+        .agg(sum(when(col("inlier"), 1L).otherwise(0L)).as("n_inliers"),
+          count(lit(1)).as("n"))
+      scored
+        .withColumn("rk", row_number().over(
+          Window.orderBy(col("n_inliers").desc, col("k")))) // 32 rows
+        .where(col("rk") === 1)
+        .withColumn("slope_milli", expr(
+          """CASE WHEN (y2 - y1) * (x2 - x1) >= 0
+             THEN abs(y2 - y1) * 1000 DIV abs(x2 - x1)
+             ELSE -(abs(y2 - y1) * 1000 DIV abs(x2 - x1)) END"""))
+        .select("k", "x1", "y1", "x2", "y2", "n", "n_inliers", "slope_milli")
+    }),
+
+    // Log-rank test — the TEST companion to agg_kaplan_meier's curve
+    // ("are these two survival curves the same?" — the question every
+    // retention/reliability A/B asks): planted higher hazard in arm 1,
+    // ~30% censoring, per-event-time at-risk counts by a suffix sum
+    // over the ≤50 DISTINCT times (domain-bounded window, never n),
+    // expectation and variance accumulated in micro-units with one
+    // integer DIV per time (per-term truncation is the declared
+    // contract, the graph_resource_alloc law), and the χ² verdict
+    // cleared to OE² > 3841600·V_micro under DECIMAL(38,0).
+    "agg_logrank_test" -> ((s, d) => {
+      def u(ns: String) =
+        s"CAST(conv(substring(md5(concat('$ns:', CAST(doc_id AS STRING))), 1, 8), 16, 10) AS BIGINT)"
+      val subj = Tables.documents(s, d).select(col("doc_id"))
+        .withColumn("arm", expr(s"${u("lra")} % 2"))
+        .withColumn("t", expr(s"${u("lrt")} % 50 + 1 - arm * IF(${u("lrh")} % 10 < 4, 1, 0) * (${u("lrt")} % 50 DIV 2)"))
+        .withColumn("event", expr(s"IF(${u("lre")} % 10 < 7, 1, 0)"))
+      val byT = subj.groupBy("t")
+        .agg(count(lit(1)).as("c"),
+          sum(when(col("arm") === 1, 1L).otherwise(0L)).as("c1"),
+          sum(col("event")).as("d"),
+          sum(when(col("arm") === 1, col("event")).otherwise(0L)).as("d1"))
+      // ≤ 50 distinct times: the unpartitioned window is domain-bounded
+      val wAtRisk = Window.orderBy(col("t").desc)
+        .rowsBetween(Window.unboundedPreceding, 0)
+      byT
+        .withColumn("n_at", sum("c").over(wAtRisk))
+        .withColumn("n1_at", sum("c1").over(wAtRisk))
+        .where(col("d") > 0)
+        .withColumn("e1_micro", expr("d * n1_at * 1000000 DIV n_at"))
+        .withColumn("v_micro", expr(
+          """CASE WHEN n_at > 1
+             THEN (CAST(d AS DECIMAL(38,0)) * (n_at - d) * n1_at * (n_at - n1_at) * 1000000)
+                  DIV (CAST(n_at AS DECIMAL(38,0)) * n_at * (n_at - 1))
+             ELSE CAST(0 AS DECIMAL(38,0)) END"""))
+        .agg(sum("d1").as("o1"),
+          sum("e1_micro").as("e1_micro"),
+          sum("v_micro").cast("long").as("v_micro"))
+        .withColumn("oe_micro", expr("o1 * 1000000 - e1_micro"))
+        .withColumn("significant", expr(
+          """CAST(oe_micro AS DECIMAL(38,0)) * oe_micro
+             > CAST(3841600 AS DECIMAL(38,0)) * v_micro"""))
+        .select("o1", "e1_micro", "v_micro", "oe_micro", "significant")
+    }),
+
+    // Accumulation/Distribution line — WHERE the volume flows inside
+    // each bar (win_obv signs the WHOLE bar's volume by direction; A/D
+    // weights it by the close's position in the range): CLV·vol =
+    // (2c−h−l)·vol over (h−l), kept exact as a per-term sign-safe
+    // milli DIV (magnitude then negate — the division-law), zero-range
+    // bars contribute 0, ADL = exact integer cumsum on one partitioned
+    // sort, sampled ledger rows.
+    "win_adline" -> ((s, d) => {
+      val ord = Window.partitionBy("event_type").orderBy(col("ts_us"), col("event_id"))
+      def u(ns: String) =
+        s"CAST(conv(substring(md5(concat('$ns:', CAST(event_id AS STRING))), 1, 8), 16, 10) AS BIGINT)"
+      Tables.events(s, d)
+        .select(col("event_type"), col("event_id"), col("ts_us"),
+          floor(col("value") * 100).cast("bigint").as("cents"))
+        .withColumn("h", expr(s"cents + ${u("adh")} % 50"))
+        .withColumn("l", expr(s"cents - ${u("adl")} % 50"))
+        .withColumn("vol", expr(s"${u("adv")} % 100 + 1"))
+        .withColumn("mfv_milli", expr(
+          """CASE WHEN h = l THEN CAST(0 AS BIGINT)
+             WHEN 2 * cents - h - l >= 0
+             THEN (2 * cents - h - l) * vol * 1000 DIV (h - l)
+             ELSE -((h + l - 2 * cents) * vol * 1000 DIV (h - l)) END"""))
+        .withColumn("adl_milli", sum("mfv_milli").over(ord))
+        .withColumn("rn", row_number().over(ord).cast("bigint"))
+        .where(col("event_id") % 7 === 2)
+        .select("event_type", "event_id", "cents", "mfv_milli", "adl_milli")
+        .orderBy("event_type", "event_id")
+    }),
+
     // Empirical Q–Q points — "are these two distributions the SAME
     // SHAPE?" read off quantile-vs-quantile (agg_ks_drift gives one
     // max-gap number; this gives the nine points an analyst actually
@@ -5811,6 +5932,93 @@ object Analytics {
         |  CAST(SUM(COALESCE(flow, 0)) AS BIGINT) AS obv_final,
         |  CAST(MAX(obv) AS BIGINT) AS obv_max, CAST(MIN(obv) AS BIGINT) AS obv_min
         |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // Same top-64 pairing, same cross-multiplied inlier test.
+    "agg_ransac_line" ->
+      """WITH pts AS (SELECT doc_id,
+        |    ('0x' || substring(md5('rsx:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 1000 AS x
+        |  FROM documents),
+        |py AS (SELECT doc_id, x,
+        |    CASE WHEN ('0x' || substring(md5('rso:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10 = 0
+        |      THEN ('0x' || substring(md5('rsw:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 3000
+        |      ELSE 3 * x + 50 + ('0x' || substring(md5('rsn:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 41 - 20
+        |    END AS y FROM pts),
+        |top AS (SELECT *, md5('rsk:' || CAST(doc_id AS VARCHAR)) AS hk
+        |  FROM py ORDER BY hk LIMIT 64),
+        |idx AS (SELECT x, y, CAST(ROW_NUMBER() OVER (ORDER BY hk) - 1 AS BIGINT) AS idx FROM top),
+        |cand AS (SELECT idx // 2 AS k,
+        |    MIN({'idx': idx, 'x': x, 'y': y}) AS p1,
+        |    MAX({'idx': idx, 'x': x, 'y': y}) AS p2
+        |  FROM idx GROUP BY 1),
+        |cl AS (SELECT k, p1.x AS x1, p1.y AS y1, p2.x AS x2, p2.y AS y2
+        |  FROM cand WHERE p1.x <> p2.x),
+        |sc AS (SELECT k, x1, y1, x2, y2,
+        |    CAST(SUM(CASE WHEN ABS((y - y1) * (x2 - x1) - (x - x1) * (y2 - y1))
+        |      <= 25 * ABS(x2 - x1) THEN 1 ELSE 0 END) AS BIGINT) AS n_inliers,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM py CROSS JOIN cl GROUP BY 1, 2, 3, 4, 5)
+        |SELECT k, x1, y1, x2, y2, n, n_inliers,
+        |  CASE WHEN (y2 - y1) * (x2 - x1) >= 0
+        |    THEN ABS(y2 - y1) * 1000 // ABS(x2 - x1)
+        |    ELSE -(ABS(y2 - y1) * 1000 // ABS(x2 - x1)) END AS slope_milli
+        |FROM sc ORDER BY n_inliers DESC, k LIMIT 1""".stripMargin,
+
+    // Same suffix-sum at-risk counts, same per-term micro truncation.
+    "agg_logrank_test" ->
+      """WITH s AS (SELECT doc_id,
+        |    ('0x' || substring(md5('lra:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 2 AS arm,
+        |    ('0x' || substring(md5('lrt:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 50 AS tb,
+        |    CASE WHEN ('0x' || substring(md5('lrh:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10 < 4
+        |      THEN 1 ELSE 0 END AS hz,
+        |    CASE WHEN ('0x' || substring(md5('lre:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10 < 7
+        |      THEN 1 ELSE 0 END AS event
+        |  FROM documents),
+        |t AS (SELECT arm, tb + 1 - arm * hz * (tb // 2) AS t, event FROM s),
+        |g AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS c,
+        |    CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+        |    CAST(SUM(event) AS BIGINT) AS d,
+        |    CAST(SUM(CASE WHEN arm = 1 THEN event ELSE 0 END) AS BIGINT) AS d1
+        |  FROM t GROUP BY 1),
+        |r AS (SELECT *, CAST(SUM(c) OVER (ORDER BY t DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_at,
+        |    CAST(SUM(c1) OVER (ORDER BY t DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n1_at
+        |  FROM g),
+        |m AS (SELECT d1, d * n1_at * 1000000 // n_at AS e1_micro,
+        |    CASE WHEN n_at > 1
+        |      THEN (CAST(d AS HUGEINT) * (n_at - d) * n1_at * (n_at - n1_at) * 1000000)
+        |           // (CAST(n_at AS HUGEINT) * n_at * (n_at - 1))
+        |      ELSE CAST(0 AS HUGEINT) END AS v_micro
+        |  FROM r WHERE d > 0),
+        |a AS (SELECT CAST(SUM(d1) AS BIGINT) AS o1,
+        |    CAST(SUM(e1_micro) AS BIGINT) AS e1_micro,
+        |    CAST(SUM(v_micro) AS BIGINT) AS v_micro FROM m)
+        |SELECT o1, e1_micro, v_micro, o1 * 1000000 - e1_micro AS oe_micro,
+        |  CAST(o1 * 1000000 - e1_micro AS HUGEINT) * (o1 * 1000000 - e1_micro)
+        |    > CAST(3841600 AS HUGEINT) * v_micro AS significant
+        |FROM a""".stripMargin,
+
+    // Same zero-range guard, same sign-safe per-term milli DIV.
+    "win_adline" ->
+      """WITH e AS (SELECT event_type, event_id, epoch_us(ts) AS ts_us,
+        |    CAST(FLOOR(value * 100) AS BIGINT) AS cents,
+        |    CAST(FLOOR(value * 100) AS BIGINT)
+        |      + ('0x' || substring(md5('adh:' || CAST(event_id AS VARCHAR)), 1, 8))::BIGINT % 50 AS h,
+        |    CAST(FLOOR(value * 100) AS BIGINT)
+        |      - ('0x' || substring(md5('adl:' || CAST(event_id AS VARCHAR)), 1, 8))::BIGINT % 50 AS l,
+        |    ('0x' || substring(md5('adv:' || CAST(event_id AS VARCHAR)), 1, 8))::BIGINT % 100 + 1 AS vol
+        |  FROM events),
+        |m AS (SELECT *,
+        |    CASE WHEN h = l THEN CAST(0 AS BIGINT)
+        |      WHEN 2 * cents - h - l >= 0
+        |      THEN (2 * cents - h - l) * vol * 1000 // (h - l)
+        |      ELSE -((h + l - 2 * cents) * vol * 1000 // (h - l)) END AS mfv_milli
+        |  FROM e),
+        |a AS (SELECT *, CAST(SUM(mfv_milli) OVER (PARTITION BY event_type
+        |      ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS adl_milli
+        |  FROM m)
+        |SELECT event_type, event_id, cents, mfv_milli, adl_milli FROM a
+        |WHERE event_id % 7 = 2 ORDER BY event_type, event_id""".stripMargin,
 
     // Same planted dip, same 20³ interval-grid minimax.
     "agg_isotonic_pav" ->

@@ -133,6 +133,41 @@ object LlmScale {
         .orderBy("source")
     }),
 
+    // Slop screen — the stock-phrase / em-dash-density audit a 2026
+    // training pipeline runs against MODEL-GENERATED contamination
+    // (llm_contamination catches eval leakage; this catches the
+    // stylistic fingerprint of synthetic text flooding a crawl):
+    // pollution planted deterministically (every 11th doc gets the full
+    // slop sentence with two em-dashes, every 19th a single stock verb),
+    // counting by the pure substring identity (len − len(replace))/|p|
+    // — exact integers, NO regex dialect in play — flag = lexicon hits
+    // ≥ 2 OR em-dashes ≥ 2, per-source ledger in ppm.
+    "llm_slop_screen" -> ((s, d) => {
+      val dash = "—"
+      val slop1 = s" It is not just a tool, it is a tapestry. We delve deeper $dash a testament to progress $dash"
+      val slop2 = " We delve into it."
+      def cnt(p: String, nm: String) =
+        expr(s"CAST((length(txt) - length(replace(txt, '$p', ''))) DIV ${p.length} AS BIGINT)").as(nm)
+      Tables.documents(s, d).select(col("doc_id"), col("source"), col("text"))
+        .withColumn("txt", expr(
+          s"""lower(CASE WHEN doc_id % 11 = 0 THEN concat(text, '$slop1')
+              WHEN doc_id % 19 = 0 THEN concat(text, '$slop2')
+              ELSE text END)"""))
+        .select(col("source"), cnt("delve", "delve"), cnt("tapestry", "tapestry"),
+          cnt("testament", "testament"), cnt(dash, "emdash"))
+        .withColumn("flagged", (col("delve") + col("tapestry") + col("testament") >= 2) ||
+          col("emdash") >= 2)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("flagged"), 1L).otherwise(0L)).as("n_flagged"),
+          sum("delve").as("delve_total"),
+          sum("tapestry").as("tapestry_total"),
+          sum("testament").as("testament_total"),
+          sum("emdash").as("emdash_total"))
+        .withColumn("flagged_ppm", expr("n_flagged * 1000000 DIV n_docs"))
+        .orderBy("source")
+    }),
+
     // Eval leaderboard — the tournament rollup an eval harness publishes
     // (llm_best_of_n picks within one model; this RANKS models across
     // tasks): 5 planted models × 8 tasks with md5 scores + an index-
@@ -968,6 +1003,31 @@ object LlmScale {
         |  CAST(SUM(repl) AS BIGINT) AS repl_total,
         |  CAST(SUM(CASE WHEN zw + bidi + repl > 0 THEN 1 ELSE 0 END) * 1000000 // COUNT(*) AS BIGINT) AS flagged_ppm
         |FROM c GROUP BY source ORDER BY source""".stripMargin,
+
+    // Same planted slop, same substring-identity counting.
+    "llm_slop_screen" ->
+      """WITH t AS (SELECT doc_id, source,
+        |    lower(CASE WHEN doc_id % 11 = 0
+        |        THEN text || ' It is not just a tool, it is a tapestry. We delve deeper '
+        |          || chr(8212) || ' a testament to progress ' || chr(8212)
+        |      WHEN doc_id % 19 = 0 THEN text || ' We delve into it.'
+        |      ELSE text END) AS txt
+        |  FROM documents),
+        |c AS (SELECT source,
+        |    (len(txt) - len(replace(txt, 'delve', ''))) // 5 AS delve,
+        |    (len(txt) - len(replace(txt, 'tapestry', ''))) // 8 AS tapestry,
+        |    (len(txt) - len(replace(txt, 'testament', ''))) // 9 AS testament,
+        |    (len(txt) - len(replace(txt, chr(8212), ''))) // 1 AS emdash
+        |  FROM t),
+        |f AS (SELECT *, delve + tapestry + testament >= 2 OR emdash >= 2 AS flagged FROM c)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(CASE WHEN flagged THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+        |  CAST(SUM(delve) AS BIGINT) AS delve_total,
+        |  CAST(SUM(tapestry) AS BIGINT) AS tapestry_total,
+        |  CAST(SUM(testament) AS BIGINT) AS testament_total,
+        |  CAST(SUM(emdash) AS BIGINT) AS emdash_total,
+        |  CAST(SUM(CASE WHEN flagged THEN 1 ELSE 0 END) * 1000000 // COUNT(*) AS BIGINT) AS flagged_ppm
+        |FROM f GROUP BY source ORDER BY source""".stripMargin,
 
     // Same planted scores, same pairwise wins, same dense order.
     "llm_leaderboard" ->
