@@ -2267,6 +2267,119 @@ object Analytics {
         .orderBy("event_type", "event_id")
     }),
 
+    // Partial correlation — does x relate to y AFTER controlling for z?
+    // (agg_corr_matrix reports marginals; confounding is THE reason
+    // marginals lie): planted x and y driven ONLY by the shared z, so
+    // the marginal is strong and the partial is null — exactly the
+    // confounder signature. Everything from ten exact power sums;
+    // r² reported sign-safe (the agg_mcc square law); the partial's
+    // S-products exceed DECIMAL(38,0) when squared, so both engines
+    // apply the SAME declared ÷10⁶ scale-down DIV before squaring
+    // (scaled-integer truncation — deterministic by construction).
+    "agg_partial_corr" -> ((s, d) => {
+      def u(ns: String) =
+        s"CAST(conv(substring(md5(concat('$ns:', CAST(doc_id AS STRING))), 1, 8), 16, 10) AS BIGINT)"
+      Tables.documents(s, d).select(col("doc_id"))
+        .withColumn("z", expr(s"${u("pcz")} % 100"))
+        .withColumn("x", expr(s"z + ${u("pcx")} % 50"))
+        .withColumn("y", expr(s"z + ${u("pcy")} % 50"))
+        .agg(count(lit(1)).as("n"),
+          sum("x").as("sx"), sum("y").as("sy"), sum("z").as("sz"),
+          sum(expr("x * x")).as("sxx"), sum(expr("y * y")).as("syy"),
+          sum(expr("z * z")).as("szz"), sum(expr("x * y")).as("sxy"),
+          sum(expr("x * z")).as("sxz"), sum(expr("y * z")).as("syz"))
+        .withColumn("cxx", expr("n * sxx - sx * sx"))
+        .withColumn("cyy", expr("n * syy - sy * sy"))
+        .withColumn("czz", expr("n * szz - sz * sz"))
+        .withColumn("cxy", expr("n * sxy - sx * sy"))
+        .withColumn("cxz", expr("n * sxz - sx * sz"))
+        .withColumn("cyz", expr("n * syz - sy * sz"))
+        .withColumn("rxy2_ppm", expr(
+          """CASE WHEN cxy >= 0
+             THEN (CAST(cxy AS DECIMAL(38,0)) * cxy * 1000000) DIV (CAST(cxx AS DECIMAL(38,0)) * cyy)
+             ELSE -((CAST(0 - cxy AS DECIMAL(38,0)) * (0 - cxy) * 1000000) DIV (CAST(cxx AS DECIMAL(38,0)) * cyy))
+             END""").cast("long"))
+        .withColumn("pnum_s", expr(
+          "(CAST(cxy AS DECIMAL(38,0)) * czz - CAST(cxz AS DECIMAL(38,0)) * cyz) DIV 1000000"))
+        .withColumn("pd1_s", expr(
+          "(CAST(cxx AS DECIMAL(38,0)) * czz - CAST(cxz AS DECIMAL(38,0)) * cxz) DIV 1000000"))
+        .withColumn("pd2_s", expr(
+          "(CAST(cyy AS DECIMAL(38,0)) * czz - CAST(cyz AS DECIMAL(38,0)) * cyz) DIV 1000000"))
+        .withColumn("partial2_ppm", expr(
+          """CASE WHEN pd1_s <= 0 OR pd2_s <= 0 THEN CAST(0 AS BIGINT)
+             WHEN pnum_s >= 0
+             THEN (CAST(pnum_s AS DECIMAL(38,0)) * pnum_s * 1000000)
+                  DIV (CAST(pd1_s AS DECIMAL(38,0)) * pd2_s)
+             ELSE -((CAST(0 - pnum_s AS DECIMAL(38,0)) * (0 - pnum_s) * 1000000)
+                  DIV (CAST(pd1_s AS DECIMAL(38,0)) * pd2_s))
+             END""").cast("long"))
+        .withColumn("marginal_strong", col("rxy2_ppm") > 250000L)
+        .withColumn("confounder_detected",
+          col("rxy2_ppm") > 250000L && abs(col("partial2_ppm")) < 50000L)
+        .select("n", "cxy", "cxz", "cyz", "rxy2_ppm", "partial2_ppm",
+          "marginal_strong", "confounder_detected")
+    }),
+
+    // Cronbach's alpha — the internal-consistency grade every survey /
+    // multi-item eval battery reports (do the k items measure ONE
+    // construct?): 4 planted items = shared true score + item noise,
+    // α = k/(k−1)·(1 − Σσᵢ²/σ_total²) fully rational in the n²-cleared
+    // variance sums — one sign-safe DIV to ppm — and the α > 0.7
+    // publishing bar fully cross-multiplied.
+    "agg_cronbach_alpha" -> ((s, d) => {
+      def u(ns: String) =
+        s"CAST(conv(substring(md5(concat('$ns:', CAST(doc_id AS STRING))), 1, 8), 16, 10) AS BIGINT)"
+      val t = (1 to 4).foldLeft(
+        Tables.documents(s, d).select(col("doc_id"))
+          .withColumn("tt", expr(s"${u("cat")} % 100"))) { (df, j) =>
+        df.withColumn(s"i$j", expr(s"tt + ${u("ca" + j)} % 50"))
+      }.withColumn("tot", expr("i1 + i2 + i3 + i4"))
+      t.agg(count(lit(1)).as("n"),
+          sum("i1").as("s1"), sum(expr("i1 * i1")).as("q1"),
+          sum("i2").as("s2"), sum(expr("i2 * i2")).as("q2"),
+          sum("i3").as("s3"), sum(expr("i3 * i3")).as("q3"),
+          sum("i4").as("s4"), sum(expr("i4 * i4")).as("q4"),
+          sum("tot").as("st"), sum(expr("tot * tot")).as("qt"))
+        .withColumn("v_items", expr(
+          "(n * q1 - s1 * s1) + (n * q2 - s2 * s2) + (n * q3 - s3 * s3) + (n * q4 - s4 * s4)"))
+        .withColumn("v_total", expr("n * qt - st * st"))
+        .withColumn("alpha_ppm", expr(
+          """CASE WHEN v_total - v_items >= 0
+             THEN (CAST(v_total - v_items AS DECIMAL(38,0)) * 4 * 1000000) DIV (CAST(v_total AS DECIMAL(38,0)) * 3)
+             ELSE -((CAST(v_items - v_total AS DECIMAL(38,0)) * 4 * 1000000) DIV (CAST(v_total AS DECIMAL(38,0)) * 3))
+             END""").cast("long"))
+        .withColumn("reliable", expr(
+          "CAST(v_total - v_items AS DECIMAL(38,0)) * 4 * 10 > CAST(v_total AS DECIMAL(38,0)) * 3 * 7"))
+        .select("n", "v_items", "v_total", "alpha_ppm", "reliable")
+    }),
+
+    // Regression leverage / influence audit — WHICH points own the OLS
+    // fit agg_regression reports (five planted far-x points; leverage,
+    // not residual, is what a robustness review reads first): hᵢ = 1/n +
+    // (xᵢ−x̄)²/Sxx with the h > 4/n rule-of-thumb cleared to the exact
+    // integer comparison dev² > 3·CXX (dev = n·xᵢ − Σx, CXX = n·Σx² −
+    // (Σx)² — no mean ever materializes), leverage reported in ppm with
+    // the two declared DIV truncations. One broadcast scalar attach.
+    "agg_regression_influence" -> ((s, d) => {
+      def u(ns: String) =
+        s"CAST(conv(substring(md5(concat('$ns:', CAST(doc_id AS STRING))), 1, 8), 16, 10) AS BIGINT)"
+      val pts = Tables.documents(s, d).select(col("doc_id"))
+        .withColumn("x", expr(
+          s"IF(doc_id < 5, 5000 + doc_id * 100, ${u("rix")} % 1000)"))
+        .withColumn("y", expr(s"2 * x + 100 + ${u("rin")} % 101 - 50"))
+      val tot = pts.agg(count(lit(1)).as("n"),
+        sum("x").as("sx"), sum(expr("x * x")).as("sx2"))
+        .withColumn("cxx", expr("n * sx2 - sx * sx"))
+      pts.crossJoin(broadcast(tot)) // single-row scalar attach
+        .withColumn("dev", expr("n * x - sx"))
+        .where(expr("CAST(dev AS DECIMAL(38,0)) * dev > CAST(3 AS DECIMAL(38,0)) * cxx"))
+        .withColumn("leverage_ppm", expr(
+          """(CAST(dev AS DECIMAL(38,0)) * dev * 1000000) DIV (CAST(n AS DECIMAL(38,0)) * cxx)
+             + 1000000 DIV n""").cast("long"))
+        .select("doc_id", "x", "y", "leverage_ppm")
+        .orderBy("doc_id")
+    }),
+
     // Empirical Q–Q points — "are these two distributions the SAME
     // SHAPE?" read off quantile-vs-quantile (agg_ks_drift gives one
     // max-gap number; this gives the nine points an analyst actually
@@ -5932,6 +6045,94 @@ object Analytics {
         |  CAST(SUM(COALESCE(flow, 0)) AS BIGINT) AS obv_final,
         |  CAST(MAX(obv) AS BIGINT) AS obv_max, CAST(MIN(obv) AS BIGINT) AS obv_min
         |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // Same ten power sums, same declared ÷10⁶ scale-down before squaring.
+    "agg_partial_corr" ->
+      """WITH t AS (SELECT doc_id,
+        |    ('0x' || substring(md5('pcz:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS z
+        |  FROM documents),
+        |v AS (SELECT z,
+        |    z + ('0x' || substring(md5('pcx:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 50 AS x,
+        |    z + ('0x' || substring(md5('pcy:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 50 AS y
+        |  FROM t),
+        |a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy, CAST(SUM(z) AS BIGINT) AS sz,
+        |    CAST(SUM(x * x) AS BIGINT) AS sxx, CAST(SUM(y * y) AS BIGINT) AS syy,
+        |    CAST(SUM(z * z) AS BIGINT) AS szz, CAST(SUM(x * y) AS BIGINT) AS sxy,
+        |    CAST(SUM(x * z) AS BIGINT) AS sxz, CAST(SUM(y * z) AS BIGINT) AS syz
+        |  FROM v),
+        |c AS (SELECT n, n * sxy - sx * sy AS cxy, n * sxz - sx * sz AS cxz,
+        |    n * syz - sy * sz AS cyz, n * sxx - sx * sx AS cxx,
+        |    n * syy - sy * sy AS cyy, n * szz - sz * sz AS czz FROM a),
+        |p AS (SELECT *,
+        |    CASE WHEN cxy >= 0
+        |      THEN (CAST(cxy AS HUGEINT) * cxy * 1000000) // (CAST(cxx AS HUGEINT) * cyy)
+        |      ELSE -((CAST(0 - cxy AS HUGEINT) * (0 - cxy) * 1000000) // (CAST(cxx AS HUGEINT) * cyy))
+        |    END AS rxy2_ppm,
+        |    (CAST(cxy AS HUGEINT) * czz - CAST(cxz AS HUGEINT) * cyz) // 1000000 AS pnum_s,
+        |    (CAST(cxx AS HUGEINT) * czz - CAST(cxz AS HUGEINT) * cxz) // 1000000 AS pd1_s,
+        |    (CAST(cyy AS HUGEINT) * czz - CAST(cyz AS HUGEINT) * cyz) // 1000000 AS pd2_s
+        |  FROM c),
+        |q AS (SELECT *,
+        |    CASE WHEN pd1_s <= 0 OR pd2_s <= 0 THEN CAST(0 AS HUGEINT)
+        |      WHEN pnum_s >= 0 THEN (pnum_s * pnum_s * 1000000) // (pd1_s * pd2_s)
+        |      ELSE -(((0 - pnum_s) * (0 - pnum_s) * 1000000) // (pd1_s * pd2_s))
+        |    END AS partial2_ppm FROM p)
+        |SELECT n, cxy, cxz, cyz, CAST(rxy2_ppm AS BIGINT) AS rxy2_ppm,
+        |  CAST(partial2_ppm AS BIGINT) AS partial2_ppm,
+        |  rxy2_ppm > 250000 AS marginal_strong,
+        |  rxy2_ppm > 250000 AND ABS(partial2_ppm) < 50000 AS confounder_detected
+        |FROM q""".stripMargin,
+
+    // Same n²-cleared variance sums, same cross-multiplied 0.7 bar.
+    "agg_cronbach_alpha" ->
+      """WITH t AS (SELECT doc_id,
+        |    ('0x' || substring(md5('cat:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS tt
+        |  FROM documents),
+        |i AS (SELECT
+        |    tt + ('0x' || substring(md5('ca1:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 50 AS i1,
+        |    tt + ('0x' || substring(md5('ca2:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 50 AS i2,
+        |    tt + ('0x' || substring(md5('ca3:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 50 AS i3,
+        |    tt + ('0x' || substring(md5('ca4:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 50 AS i4
+        |  FROM t),
+        |s AS (SELECT i1, i2, i3, i4, i1 + i2 + i3 + i4 AS tot FROM i),
+        |a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(i1) AS BIGINT) AS s1, CAST(SUM(i1 * i1) AS BIGINT) AS q1,
+        |    CAST(SUM(i2) AS BIGINT) AS s2, CAST(SUM(i2 * i2) AS BIGINT) AS q2,
+        |    CAST(SUM(i3) AS BIGINT) AS s3, CAST(SUM(i3 * i3) AS BIGINT) AS q3,
+        |    CAST(SUM(i4) AS BIGINT) AS s4, CAST(SUM(i4 * i4) AS BIGINT) AS q4,
+        |    CAST(SUM(tot) AS BIGINT) AS st, CAST(SUM(tot * tot) AS BIGINT) AS qt
+        |  FROM s),
+        |v AS (SELECT n,
+        |    (n * q1 - s1 * s1) + (n * q2 - s2 * s2) + (n * q3 - s3 * s3) + (n * q4 - s4 * s4) AS v_items,
+        |    n * qt - st * st AS v_total FROM a)
+        |SELECT n, v_items, v_total,
+        |  CAST(CASE WHEN v_total - v_items >= 0
+        |    THEN (CAST(v_total - v_items AS HUGEINT) * 4 * 1000000) // (CAST(v_total AS HUGEINT) * 3)
+        |    ELSE -((CAST(v_items - v_total AS HUGEINT) * 4 * 1000000) // (CAST(v_total AS HUGEINT) * 3))
+        |  END AS BIGINT) AS alpha_ppm,
+        |  CAST(v_total - v_items AS HUGEINT) * 4 * 10 > CAST(v_total AS HUGEINT) * 3 * 7 AS reliable
+        |FROM v""".stripMargin,
+
+    // Same cleared leverage rule, same two declared truncations.
+    "agg_regression_influence" ->
+      """WITH p AS (SELECT doc_id,
+        |    CASE WHEN doc_id < 5 THEN 5000 + doc_id * 100
+        |      ELSE ('0x' || substring(md5('rix:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 1000
+        |    END AS x
+        |  FROM documents),
+        |py AS (SELECT doc_id, x,
+        |    2 * x + 100 + ('0x' || substring(md5('rin:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 101 - 50 AS y
+        |  FROM p),
+        |t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS sx,
+        |    CAST(SUM(x * x) AS BIGINT) AS sx2 FROM py),
+        |c AS (SELECT n, sx, n * sx2 - sx * sx AS cxx FROM t),
+        |f AS (SELECT doc_id, x, y, n * x - sx AS dev, n, cxx FROM py CROSS JOIN c
+        |  WHERE CAST(n * x - sx AS HUGEINT) * (n * x - sx) > CAST(3 AS HUGEINT) * cxx)
+        |SELECT doc_id, x, y,
+        |  CAST((CAST(dev AS HUGEINT) * dev * 1000000) // (CAST(n AS HUGEINT) * cxx)
+        |    + 1000000 // n AS BIGINT) AS leverage_ppm
+        |FROM f ORDER BY doc_id""".stripMargin,
 
     // Same top-64 pairing, same cross-multiplied inlier test.
     "agg_ransac_line" ->

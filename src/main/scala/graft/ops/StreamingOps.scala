@@ -32,6 +32,41 @@ private[graft] class RunningStatsProcessor
   }
 }
 
+/** Spark 4 StatefulProcessor for `stream_state_collections`: the MAP and
+  * LIST state primitives RunningStatsProcessor's single ValueState doesn't
+  * touch — per-key MapState(event_type → count) incremented per row and
+  * ListState of cents appended per row, the composite ledger re-derived
+  * from BOTH collections on every emit. At scale these are the state
+  * shapes that matter: MapState updates are per-entry point-writes into
+  * the state store (never read-modify-write of a whole blob), so a key
+  * with 10⁶ entries costs O(delta) per batch, not O(size). */
+private[ops] class CollectionStateProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[Long, SEvent, (Long, String, Long, Long, Long)] {
+  @transient private var counts: org.apache.spark.sql.streaming.MapState[String, Long] = _
+  @transient private var cents: org.apache.spark.sql.streaming.ListState[Long] = _
+  override def init(outputMode: OutputMode,
+      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
+    val h = getHandle
+    counts = h.getMapState[String, Long]("counts",
+      org.apache.spark.sql.Encoders.STRING, org.apache.spark.sql.Encoders.scalaLong,
+      org.apache.spark.sql.streaming.TTLConfig.NONE)
+    cents = h.getListState[Long]("cents",
+      org.apache.spark.sql.Encoders.scalaLong,
+      org.apache.spark.sql.streaming.TTLConfig.NONE)
+  }
+  override def handleInputRows(user: Long, rows: Iterator[SEvent],
+      tv: org.apache.spark.sql.streaming.TimerValues): Iterator[(Long, String, Long, Long, Long)] = {
+    rows.foreach { e =>
+      val k = e.event_type
+      counts.updateValue(k, (if (counts.containsKey(k)) counts.getValue(k) else 0L) + 1L)
+      cents.appendValue(math.floor(e.value * 100).toLong)
+    }
+    val ledger = counts.iterator().map { case (k, v) => s"$k:$v" }.toSeq.sorted.mkString("|")
+    val vs = cents.get().toSeq
+    Iterator((user, ledger, vs.length.toLong, vs.sum, vs.max))
+  }
+}
+
 /** Spark 4 StatefulProcessor for `stream_stateful_timers`: EVENT-TIME
   * TIMER-driven session finalization — the half of arbitrary stateful
   * processing `RunningStatsProcessor` doesn't cover (it emits on input;
@@ -791,6 +826,38 @@ object StreamingOps {
       }
     }),
 
+    // MapState + ListState through transformWithState — the two
+    // collection state primitives beside stream_stateful_custom's
+    // ValueState (a per-type counter map and an append-only cents list
+    // per key, the ledger re-derived from both on every batch). Golden
+    // two-wave feed; oracle = the exact four append-mode emissions.
+    "stream_state_collections" -> ((s, d) => withRocksDBStateStore(s) {
+      withFewShufflePartitions(s) {
+        val classic = s.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+        import classic.implicits._
+        implicit val sq = classic.sqlContext
+        val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[SEvent]
+        val sink = newSinkName()
+        val q = ms.toDS()
+          .groupByKey(_.user_id)
+          .transformWithState(new CollectionStateProcessor,
+            org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append())
+          .toDF("user_id", "type_ledger", "n_values", "total_cents", "max_cents")
+          .writeStream.format("memory").queryName(sink).outputMode("append").start()
+        ms.addData(
+          SEvent(1, Timestamp.valueOf("2024-01-01 10:00:00"), 1, "view", 2.0),
+          SEvent(2, Timestamp.valueOf("2024-01-01 10:01:00"), 1, "click", 3.0),
+          SEvent(3, Timestamp.valueOf("2024-01-01 10:02:00"), 2, "view", 5.0))
+        q.processAllAvailable()
+        ms.addData(
+          SEvent(4, Timestamp.valueOf("2024-01-01 10:03:00"), 1, "purchase", 10.0),
+          SEvent(5, Timestamp.valueOf("2024-01-01 10:04:00"), 2, "view", 1.0))
+        q.processAllAvailable()
+        q.stop()
+        s.table(sink).orderBy("user_id", "n_values")
+      }
+    }),
+
     "stream_stateful_custom" -> ((s, d) => withRocksDBStateStore(s) {
       withFewShufflePartitions(s) {
         val classic = s.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
@@ -973,6 +1040,21 @@ object StreamingOps {
         |             (2, 1, '2024-01-01 10:00:00'), (3, 1, '2024-01-01 12:00:00'))
         |  AS t(user_id, n, session_end)
         |ORDER BY user_id, session_end""".stripMargin,
+
+    // Golden append-mode emissions of the two-wave collection-state feed:
+    // u1 {view,click}→{+purchase}, u2 {view}→{+view}.
+    "stream_state_collections" ->
+      """SELECT CAST(user_id AS BIGINT) AS user_id, type_ledger,
+        |  CAST(n_values AS BIGINT) AS n_values,
+        |  CAST(total_cents AS BIGINT) AS total_cents,
+        |  CAST(max_cents AS BIGINT) AS max_cents
+        |FROM (VALUES
+        |  (1, 'click:1|view:1', 2, 500, 300),
+        |  (1, 'click:1|purchase:1|view:1', 3, 1500, 1000),
+        |  (2, 'view:1', 1, 500, 500),
+        |  (2, 'view:2', 2, 600, 500))
+        |  AS t(user_id, type_ledger, n_values, total_cents, max_cents)
+        |ORDER BY user_id, n_values""".stripMargin,
 
     "stream_stateful_custom" ->
       """SELECT CAST(user_id AS BIGINT) AS user_id, CAST(n_events AS BIGINT) AS n_events,
