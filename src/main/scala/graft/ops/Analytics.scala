@@ -2380,6 +2380,26 @@ object Analytics {
         .orderBy("doc_id")
     }),
 
+    // Pinball (quantile) loss — the scoring rule for QUANTILE forecasts
+    // (agg_mape_smape grades point forecasts; capacity planning quotes
+    // p90s, and pinball is the proper score for them): planted uniform
+    // demand, forecaster A quotes the TRUE p90 (900), forecaster B
+    // quotes the median as if it were the p90 — the asymmetric 9:1 loss
+    // kept exact by the ×10 scaling law (10·L = 9·overage or 1·
+    // underage, all integers), per-type ledger; A must win everywhere.
+    "agg_pinball_loss" -> ((s, d) => {
+      Tables.events(s, d)
+        .select(col("event_type"),
+          expr("CAST(conv(substring(md5(concat('pb:', CAST(event_id AS STRING))), 1, 8), 16, 10) AS BIGINT) % 1000").as("a"))
+        .withColumn("la_x10", expr("IF(a >= 900, 9 * (a - 900), 900 - a)"))
+        .withColumn("lb_x10", expr("IF(a >= 500, 9 * (a - 500), 500 - a)"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum("la_x10").as("loss_a_x10"), sum("lb_x10").as("loss_b_x10"))
+        .withColumn("calibrated_wins", col("loss_a_x10") < col("loss_b_x10"))
+        .orderBy("event_type")
+    }),
+
     // Empirical Q–Q points — "are these two distributions the SAME
     // SHAPE?" read off quantile-vs-quantile (agg_ks_drift gives one
     // max-gap number; this gives the nine points an analyst actually
@@ -6045,6 +6065,21 @@ object Analytics {
         |  CAST(SUM(COALESCE(flow, 0)) AS BIGINT) AS obv_final,
         |  CAST(MAX(obv) AS BIGINT) AS obv_max, CAST(MIN(obv) AS BIGINT) AS obv_min
         |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // Same planted demand, same ×10 asymmetric loss.
+    "agg_pinball_loss" ->
+      """WITH e AS (SELECT event_type,
+        |    ('0x' || substring(md5('pb:' || CAST(event_id AS VARCHAR)), 1, 8))::BIGINT % 1000 AS a
+        |  FROM events),
+        |l AS (SELECT event_type,
+        |    CASE WHEN a >= 900 THEN 9 * (a - 900) ELSE 900 - a END AS la_x10,
+        |    CASE WHEN a >= 500 THEN 9 * (a - 500) ELSE 500 - a END AS lb_x10
+        |  FROM e)
+        |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(la_x10) AS BIGINT) AS loss_a_x10,
+        |  CAST(SUM(lb_x10) AS BIGINT) AS loss_b_x10,
+        |  SUM(la_x10) < SUM(lb_x10) AS calibrated_wins
+        |FROM l GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     // Same ten power sums, same declared ÷10⁶ scale-down before squaring.
     "agg_partial_corr" ->

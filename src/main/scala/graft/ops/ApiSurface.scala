@@ -168,6 +168,29 @@ object ApiSurface {
     // (:name) bound server-side — the injection-safe service-layer query
     // path — plus the IDENTIFIER() clause resolving a table name from a
     // parameter (the thing string interpolation cannot do safely).
+    // DISTRIBUTE BY / SORT BY — the physical-layout SQL surface (CLUSTER
+    // BY = both): the inner query repartitions on the bucket key and
+    // sorts WITHIN partitions (no global sort — the cheap kind), the
+    // plan must carry hashpartitioning(bucket) + a non-global Sort (spec
+    // asserts both), and the outer rollup grades content conservation —
+    // at 100 TB this layout op is what feeds every bucketed write and
+    // co-located join. Oracle replays the rollup without the layout.
+    "api_sql_cluster_by" -> ((s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("graft_csb_orders")
+      s.sql(
+        """SELECT bucket, COUNT(*) AS n_orders,
+          |  CAST(SUM(cents) AS BIGINT) AS cents,
+          |  CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
+          |  CAST(MAX(o_orderkey) AS BIGINT) AS max_key
+          |FROM (
+          |  SELECT o_orderkey, o_custkey % 16 AS bucket,
+          |    CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents
+          |  FROM graft_csb_orders
+          |  DISTRIBUTE BY bucket SORT BY bucket, o_orderkey
+          |)
+          |GROUP BY bucket ORDER BY bucket""".stripMargin)
+    }),
+
     "api_sql_params" -> ((s, d) => {
       Tables.orders(s, d).createOrReplaceTempView("graft_param_orders")
       s.sql(
@@ -536,6 +559,14 @@ object ApiSurface {
       """SELECT lang, COUNT(*) AS n_docs,
         |  CAST(SUM(n_chars) AS BIGINT) AS chars
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // Layout-free replay: DISTRIBUTE/SORT BY must not change content.
+    "api_sql_cluster_by" ->
+      """SELECT o_custkey % 16 AS bucket, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents,
+        |  CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
+        |  CAST(MAX(o_orderkey) AS BIGINT) AS max_key
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // The parameter-bound query must equal its literal-inlined equivalent.
     "api_sql_params" ->

@@ -168,6 +168,33 @@ object LlmScale {
         .orderBy("source")
     }),
 
+    // Numeric answer extraction + EM — the GSM-style eval grader
+    // (llm_em_f1_eval compares token sets; math benchmarks compare THE
+    // NUMBER, and the extraction step is where graders disagree):
+    // synthetic answer sentences with distractor numbers up front, a $
+    // prefix on every 3rd, a planted wrong answer on every 10th; the
+    // contract is LAST-number extraction (regexp_extract_all + take(-1),
+    // digit-class pattern identical in Java regex and RE2), graded
+    // against the gold in exact ppm.
+    "llm_answer_extract_eval" -> ((s, d) => {
+      def u(ns: String) =
+        s"CAST(conv(substring(md5(concat('$ns:', CAST(doc_id AS STRING))), 1, 8), 16, 10) AS BIGINT)"
+      Tables.documents(s, d).select(col("doc_id"))
+        .withColumn("gold", expr(s"${u("aeg")} % 1000"))
+        .withColumn("pred_val", expr(s"IF(${u("aew")} % 10 = 0, gold + 1, gold)"))
+        .withColumn("ans", expr(
+          """concat('Given 42 apples and 17 pears, the answer is ',
+             IF(doc_id % 3 = 0, '$', ''), CAST(pred_val AS STRING), '.')"""))
+        .withColumn("extracted", expr(
+          "CAST(element_at(regexp_extract_all(ans, '[0-9]+', 0), -1) AS BIGINT)"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("extracted").isNotNull, 1L).otherwise(0L)).as("n_extracted"),
+          sum(when(col("extracted") === col("gold"), 1L).otherwise(0L)).as("n_correct"))
+        .withColumn("em_ppm", expr("n_correct * 1000000 DIV n"))
+        .withColumn("wrong_ppm", expr("(n - n_correct) * 1000000 DIV n"))
+        .select("n", "n_extracted", "n_correct", "em_ppm", "wrong_ppm")
+    }),
+
     // Eval leaderboard — the tournament rollup an eval harness publishes
     // (llm_best_of_n picks within one model; this RANKS models across
     // tasks): 5 planted models × 8 tasks with md5 scores + an index-
@@ -1003,6 +1030,29 @@ object LlmScale {
         |  CAST(SUM(repl) AS BIGINT) AS repl_total,
         |  CAST(SUM(CASE WHEN zw + bidi + repl > 0 THEN 1 ELSE 0 END) * 1000000 // COUNT(*) AS BIGINT) AS flagged_ppm
         |FROM c GROUP BY source ORDER BY source""".stripMargin,
+
+    // Same synthetic sentences, same last-number extraction contract.
+    "llm_answer_extract_eval" ->
+      """WITH t AS (SELECT doc_id,
+        |    ('0x' || substring(md5('aeg:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 1000 AS gold
+        |  FROM documents),
+        |p AS (SELECT doc_id, gold,
+        |    CASE WHEN ('0x' || substring(md5('aew:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10 = 0
+        |      THEN gold + 1 ELSE gold END AS pred_val FROM t),
+        |a AS (SELECT gold,
+        |    'Given 42 apples and 17 pears, the answer is '
+        |      || CASE WHEN doc_id % 3 = 0 THEN '$' ELSE '' END
+        |      || CAST(pred_val AS VARCHAR) || '.' AS ans FROM p),
+        |x AS (SELECT gold,
+        |    CAST(list_extract(regexp_extract_all(ans, '[0-9]+'),
+        |      len(regexp_extract_all(ans, '[0-9]+'))) AS BIGINT) AS extracted
+        |  FROM a)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CASE WHEN extracted IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_extracted,
+        |  CAST(SUM(CASE WHEN extracted = gold THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+        |  CAST(SUM(CASE WHEN extracted = gold THEN 1 ELSE 0 END) * 1000000 // COUNT(*) AS BIGINT) AS em_ppm,
+        |  CAST((COUNT(*) - SUM(CASE WHEN extracted = gold THEN 1 ELSE 0 END)) * 1000000 // COUNT(*) AS BIGINT) AS wrong_ppm
+        |FROM x""".stripMargin,
 
     // Same planted slop, same substring-identity counting.
     "llm_slop_screen" ->

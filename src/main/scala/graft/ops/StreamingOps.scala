@@ -67,6 +67,34 @@ private[ops] class CollectionStateProcessor
   }
 }
 
+/** Spark 4 StatefulProcessorWithInitialState for `stream_initial_state`:
+  * the WARM-START half of arbitrary stateful processing — production
+  * streaming jobs don't start from zero, they bootstrap per-key state
+  * from a warehouse snapshot and then fold live events on top. Keys
+  * present in the snapshot continue their (n, cents) tallies; unseen
+  * keys start fresh. handleInitialState runs once per snapshot key at
+  * query start, before any input batch. */
+private[ops] class WarmStartStatsProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessorWithInitialState[Long, SEvent, (Long, Long, Long), (Long, Long)] {
+  @transient private var st: org.apache.spark.sql.streaming.ValueState[(Long, Long)] = _
+  override def init(outputMode: OutputMode,
+      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+    st = getHandle.getValueState[(Long, Long)]("agg",
+      org.apache.spark.sql.Encoders.product[(Long, Long)],
+      org.apache.spark.sql.streaming.TTLConfig.NONE)
+  override def handleInitialState(key: Long, initialState: (Long, Long),
+      timerValues: org.apache.spark.sql.streaming.TimerValues): Unit =
+    st.update(initialState)
+  override def handleInputRows(user: Long, rows: Iterator[SEvent],
+      tv: org.apache.spark.sql.streaming.TimerValues): Iterator[(Long, Long, Long)] = {
+    val (n0, c0) = if (st.exists()) st.get() else (0L, 0L)
+    var n = n0; var c = c0
+    rows.foreach { e => n += 1; c += math.floor(e.value * 100).toLong }
+    st.update((n, c))
+    Iterator((user, n, c))
+  }
+}
+
 /** Spark 4 StatefulProcessor for `stream_stateful_timers`: EVENT-TIME
   * TIMER-driven session finalization — the half of arbitrary stateful
   * processing `RunningStatsProcessor` doesn't cover (it emits on input;
@@ -826,6 +854,40 @@ object StreamingOps {
       }
     }),
 
+    // transformWithState with INITIAL STATE — bootstrap per-key state
+    // from a batch snapshot (the warehouse-to-stream warm start every
+    // production migration needs): u1 and u3 arrive pre-seeded, u2
+    // starts cold; the first live batches must CONTINUE the seeded
+    // tallies, not restart them. Golden feed; oracle = the three
+    // append-mode emissions.
+    "stream_initial_state" -> ((s, d) => withRocksDBStateStore(s) {
+      withFewShufflePartitions(s) {
+        val classic = s.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+        import classic.implicits._
+        implicit val sq = classic.sqlContext
+        val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[SEvent]
+        val snapshot = classic.createDataset(Seq(1L -> (5L, 1000L), 3L -> (2L, 300L)))
+          .groupByKey(_._1).mapValues(_._2)
+        val sink = newSinkName()
+        val q = ms.toDS()
+          .groupByKey(_.user_id)
+          .transformWithState(new WarmStartStatsProcessor,
+            org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append(),
+            snapshot)
+          .toDF("user_id", "n_events", "total_cents")
+          .writeStream.format("memory").queryName(sink).outputMode("append").start()
+        ms.addData(
+          SEvent(1, Timestamp.valueOf("2024-01-01 10:00:00"), 1, "view", 2.0),
+          SEvent(2, Timestamp.valueOf("2024-01-01 10:01:00"), 2, "click", 3.0))
+        q.processAllAvailable()
+        ms.addData(
+          SEvent(3, Timestamp.valueOf("2024-01-01 10:02:00"), 3, "view", 1.0))
+        q.processAllAvailable()
+        q.stop()
+        s.table(sink).orderBy("user_id")
+      }
+    }),
+
     // MapState + ListState through transformWithState — the two
     // collection state primitives beside stream_stateful_custom's
     // ValueState (a per-type counter map and an append-only cents list
@@ -1040,6 +1102,16 @@ object StreamingOps {
         |             (2, 1, '2024-01-01 10:00:00'), (3, 1, '2024-01-01 12:00:00'))
         |  AS t(user_id, n, session_end)
         |ORDER BY user_id, session_end""".stripMargin,
+
+    // Golden warm-start emissions: u1 continues its (5, 1000) seed,
+    // u2 starts cold, u3 continues (2, 300).
+    "stream_initial_state" ->
+      """SELECT CAST(user_id AS BIGINT) AS user_id,
+        |  CAST(n_events AS BIGINT) AS n_events,
+        |  CAST(total_cents AS BIGINT) AS total_cents
+        |FROM (VALUES (1, 6, 1200), (2, 1, 300), (3, 3, 400))
+        |  AS t(user_id, n_events, total_cents)
+        |ORDER BY user_id""".stripMargin,
 
     // Golden append-mode emissions of the two-wave collection-state feed:
     // u1 {view,click}→{+purchase}, u2 {view}→{+view}.
