@@ -2400,6 +2400,39 @@ object Analytics {
         .orderBy("event_type")
     }),
 
+    // Durbin–Watson — the serial-correlation alarm every regression
+    // report carries (agg_acf plots the whole correlogram; DW is the
+    // single 0–4 number referees look at, ≈2(1−ρ)): the SAME planted
+    // values measured under two orderings — a slow triangular drift
+    // (time order; successive diffs tiny → DW ≪ 2) and an md5 shuffle
+    // of identical values (diffs ≈ white → DW ≈ 2) — so the statistic's
+    // entire signal is the ORDERING, proven on one dataset. Cleared
+    // exactly: dw_milli = n·Σdiff²·1000 DIV (n·Σx² − Sx²); the Σdiff²
+    // window is the standard per-type partitioned sort.
+    "agg_durbin_watson" -> ((s, d) => {
+      def series(ordCol: String, label: String) = {
+        val w = Window.partitionBy("event_type").orderBy(col(ordCol), col("event_id"))
+        Tables.events(s, d)
+          .select(col("event_type"), col("event_id"), col("ts_us"),
+            expr("CAST(conv(substring(md5(concat('dwk:', CAST(event_id AS STRING))), 1, 8), 16, 10) AS BIGINT)").as("hk"))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("event_type").orderBy(col("ts_us"), col("event_id"))).cast("bigint"))
+          .withColumn("x", expr("5 * abs(rn % 200 - 100) + hk % 20"))
+          .withColumn("df", col("x") - lag("x", 1).over(w))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"), sum("x").as("sx"),
+            sum(expr("x * x")).as("sxx"),
+            sum(expr("df * df")).as("sd2"))
+          .withColumn("series", lit(label))
+      }
+      series("ts_us", "time_ordered").unionByName(series("hk", "shuffled"))
+        .withColumn("dw_milli", expr(
+          "(CAST(n AS DECIMAL(38,0)) * sd2 * 1000) DIV (CAST(n AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sx)").cast("long"))
+        .withColumn("autocorrelated", col("dw_milli") < 1000L)
+        .select("event_type", "series", "n", "sd2", "dw_milli", "autocorrelated")
+        .orderBy("event_type", "series")
+    }),
+
     // Empirical Q–Q points — "are these two distributions the SAME
     // SHAPE?" read off quantile-vs-quantile (agg_ks_drift gives one
     // max-gap number; this gives the nine points an analyst actually
@@ -6065,6 +6098,32 @@ object Analytics {
         |  CAST(SUM(COALESCE(flow, 0)) AS BIGINT) AS obv_final,
         |  CAST(MAX(obv) AS BIGINT) AS obv_max, CAST(MIN(obv) AS BIGINT) AS obv_min
         |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // Same one dataset, same two orderings, same cleared milli DIV.
+    "agg_durbin_watson" ->
+      """WITH e AS (SELECT event_type, event_id, epoch_us(ts) AS ts_us,
+        |    ('0x' || substring(md5('dwk:' || CAST(event_id AS VARCHAR)), 1, 8))::BIGINT AS hk
+        |  FROM events),
+        |r AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+        |      ORDER BY ts_us, event_id) AS BIGINT) AS rn FROM e),
+        |x AS (SELECT *, 5 * ABS(rn % 200 - 100) + hk % 20 AS x FROM r),
+        |t AS (SELECT event_type, 'time_ordered' AS series,
+        |    x - LAG(x, 1) OVER (PARTITION BY event_type ORDER BY ts_us, event_id) AS df, x
+        |  FROM x
+        |  UNION ALL
+        |  SELECT event_type, 'shuffled' AS series,
+        |    x - LAG(x, 1) OVER (PARTITION BY event_type ORDER BY hk, event_id) AS df, x
+        |  FROM x),
+        |a AS (SELECT event_type, series, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(x * x) AS BIGINT) AS sxx,
+        |    CAST(SUM(df * df) AS BIGINT) AS sd2
+        |  FROM t GROUP BY 1, 2)
+        |SELECT event_type, series, n, sd2,
+        |  CAST((CAST(n AS HUGEINT) * sd2 * 1000)
+        |    // (CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx) AS BIGINT) AS dw_milli,
+        |  (CAST(n AS HUGEINT) * sd2 * 1000)
+        |    // (CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx) < 1000 AS autocorrelated
+        |FROM a ORDER BY event_type, series""".stripMargin,
 
     // Same planted demand, same ×10 asymmetric loss.
     "agg_pinball_loss" ->

@@ -281,7 +281,240 @@ object IcebergRead {
     root
   }
 
+  /** MERGE-ON-READ: scan the live data files with Spark's file-metadata
+    * columns, anti-join the POSITION-delete set on (file_path, row_index)
+    * and the EQUALITY-delete set on its equality column — both delete
+    * applies are DISTRIBUTED joins, never a driver loop, which is exactly
+    * how it must work when a 100 TB table carries 10⁹ tombstones.
+    * Deletes apply to data files whose sequence ≤ the delete's sequence;
+    * this fixture's only delete snapshot is the head, so the guard is
+    * vacuous here and the entries' sequence fields carry the proof.
+    * data_file.content: 1 = position deletes (file_path, pos columns),
+    * 2 = equality deletes (the equality-id columns themselves). */
+  private def readMergeOnRead(s: SparkSession, root: String, snap: Long): DataFrame = {
+    val (dataFs, posFs, eqFs) = liveDataAndDeletes(root, Some(snap))
+    var df = s.read.parquet(dataFs: _*)
+      .withColumn("_fp", expr("_metadata.file_path"))
+      .withColumn("_pos", expr("_metadata.row_index"))
+    if (posFs.nonEmpty) df = df.join(
+      s.read.parquet(posFs: _*).select(col("file_path").as("_fp"), col("pos").as("_pos")),
+      Seq("_fp", "_pos"), "left_anti")
+    if (eqFs.nonEmpty) df = df.join(
+      s.read.parquet(eqFs: _*).select(col("o_orderkey")),
+      Seq("o_orderkey"), "left_anti")
+    df.drop("_fp", "_pos")
+  }
+
+  private def liveDataAndDeletes(root: String, snap: Option[Long]): (Seq[String], Seq[String], Seq[String]) = {
+    import scala.jdk.CollectionConverters._
+    val meta = new String(Files.readAllBytes(latestMetadata(root)), StandardCharsets.UTF_8)
+    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(meta)
+    val want = snap.getOrElse(node.get("current-snapshot-id").asLong)
+    val manifestList = node.get("snapshots").elements().asScala
+      .find(_.get("snapshot-id").asLong == want)
+      .map(_.get("manifest-list").asText)
+      .getOrElse(sys.error(s"snapshot $want not found"))
+    val live = readAvro(manifestList, ManifestFileSchema)
+      .map(_.get("manifest_path").toString)
+      .flatMap { mp =>
+        readAvro(mp, ManifestEntrySchema).collect {
+          case e if e.get("status").asInstanceOf[Int] != 2 =>
+            val df = e.get("data_file").asInstanceOf[GenericRecord]
+            (df.get("content").asInstanceOf[Int], df.get("file_path").toString)
+        }
+      }
+    (live.collect { case (0, p) => p },
+      live.collect { case (1, p) => p },
+      live.collect { case (2, p) => p })
+  }
+
+  /** Commit snapshot 1003 to a fresh fixture copy: a v2 POSITION-DELETE
+    * file (spec field ids 2147483546 file_path / 2147483545 pos, written
+    * through Spark's parquet field-id support) tombstoning file A's
+    * o_orderkey % 9 = 0 rows, carried by a content=1 DELETE manifest,
+    * manifest list = prior entries + the delete manifest, metadata CAS'd
+    * to v3 exactly like the append path. The delete file itself is
+    * WRITTEN distributedly — positions come from the same
+    * _metadata.row_index scan the reader uses, so paths match by
+    * construction. */
+  private def deleteSnapshot(s: SparkSession, d: String): String = {
+    val root = ensureTableAt(s, d, "iceberg_tbl_del")
+    val v3 = Paths.get(root, "metadata", "v3.metadata.json")
+    if (!Files.exists(v3)) {
+      import scala.jdk.CollectionConverters._
+      val fa = s"$root/data/A.parquet"
+      val fieldId = (n: Long) => new org.apache.spark.sql.types.MetadataBuilder()
+        .putLong("parquet.field.id", n).build()
+      val delDf = s.read.parquet(fa)
+        .withColumn("fp", expr("_metadata.file_path"))
+        .withColumn("rp", expr("_metadata.row_index"))
+        .where(col("o_orderkey") % 9 === 0)
+        .select(col("fp").as("file_path", fieldId(2147483546L)),
+          col("rp").as("pos", fieldId(2147483545L)))
+      val prevWrite = s.conf.getOption("spark.sql.parquet.fieldId.write.enabled")
+      s.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+      val (fdel, ndel) = try writeDataFile(s, delDf, root, "A-deletes")
+      finally prevWrite.foreach(s.conf.set("spark.sql.parquet.fieldId.write.enabled", _))
+      val m3 = s"$root/metadata/m3-deletes.avro"
+      val delEntry = {
+        val e = entry(1, 1003L, 3L, fdel, ndel)
+        e.get("data_file").asInstanceOf[GenericRecord].put("content", 1) // POSITION_DELETES
+        e
+      }
+      val m3len = writeAvro(m3, ManifestEntrySchema, Seq(delEntry))
+      val meta = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(new String(Files.readAllBytes(latestMetadata(root)), StandardCharsets.UTF_8))
+      val current = meta.get("current-snapshot-id").asLong
+      val prevMl = meta.get("snapshots").elements().asScala
+        .find(_.get("snapshot-id").asLong == current)
+        .map(_.get("manifest-list").asText)
+        .getOrElse(sys.error("current snapshot missing from metadata"))
+      val prevEntries = readAvro(prevMl, ManifestFileSchema)
+      val ml3 = s"$root/metadata/snap-1003.avro"
+      val delManifest = {
+        val m = manifestFile(m3, m3len, 1003L, 3L, 1, 0, 0, ndel, 0L, 0L)
+        m.put("content", 1) // DELETE manifest
+        m
+      }
+      writeAvro(ml3, ManifestFileSchema, delManifest +: prevEntries)
+      val ml1 = s"$root/metadata/snap-1001.avro"
+      val ml2 = s"$root/metadata/snap-1002.avro"
+      val newMeta =
+        s"""{"format-version":2,"table-uuid":"9e2f1c5a-0000-4000-8000-000000000042",
+           |"location":"$root","last-sequence-number":3,"last-updated-ms":1700000200000,
+           |"last-column-id":3,"current-schema-id":0,
+           |"schemas":[{"schema-id":0,"type":"struct","fields":[
+           |  {"id":1,"name":"o_orderkey","required":false,"type":"long"},
+           |  {"id":2,"name":"o_orderstatus","required":false,"type":"string"},
+           |  {"id":3,"name":"o_totalprice","required":false,"type":"double"}]}],
+           |"default-spec-id":0,"partition-specs":[{"spec-id":0,"fields":[]}],
+           |"last-partition-id":999,"default-sort-order-id":0,
+           |"sort-orders":[{"order-id":0,"fields":[]}],
+           |"current-snapshot-id":1003,
+           |"snapshots":[
+           |  {"snapshot-id":1001,"sequence-number":1,"timestamp-ms":1699999000000,
+           |   "manifest-list":"$ml1","summary":{"operation":"append"}},
+           |  {"snapshot-id":1002,"sequence-number":2,"timestamp-ms":1700000000000,
+           |   "manifest-list":"$ml2","summary":{"operation":"overwrite"}},
+           |  {"snapshot-id":1003,"sequence-number":3,"timestamp-ms":1700000200000,
+           |   "manifest-list":"$ml3","summary":{"operation":"delete"}}]}""".stripMargin
+      val tmp = Files.createTempFile(Paths.get(root, "metadata"), "v3-", ".tmp")
+      Files.write(tmp, newMeta.getBytes(StandardCharsets.UTF_8))
+      try Files.move(tmp, v3)
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException => Files.deleteIfExists(tmp)
+      }
+    }
+    root
+  }
+
+  /** Commit snapshot 1003 with a v2 EQUALITY-delete file (content=2):
+    * the delete file holds the equality column itself (o_orderkey,
+    * field id 1 = the schema's id for it, written through Spark's
+    * parquet field-id support) — every row whose key matches ANY delete
+    * row is dead, regardless of which data file holds it. This is the
+    * delete flavor streaming CDC writers emit (they can't know
+    * positions); position deletes are the compaction-time flavor. */
+  private def eqDeleteSnapshot(s: SparkSession, d: String): String = {
+    val root = ensureTableAt(s, d, "iceberg_tbl_eqdel")
+    val v3 = Paths.get(root, "metadata", "v3.metadata.json")
+    if (!Files.exists(v3)) {
+      import scala.jdk.CollectionConverters._
+      val fieldId = new org.apache.spark.sql.types.MetadataBuilder()
+        .putLong("parquet.field.id", 1L).build()
+      val delDf = Tables.orders(s, d)
+        .where(col("o_orderkey") % 14 === 0)
+        .select(col("o_orderkey").as("o_orderkey", fieldId))
+      val prevWrite = s.conf.getOption("spark.sql.parquet.fieldId.write.enabled")
+      s.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+      val (fdel, ndel) = try writeDataFile(s, delDf, root, "eq-deletes")
+      finally prevWrite.foreach(s.conf.set("spark.sql.parquet.fieldId.write.enabled", _))
+      val m3 = s"$root/metadata/m3-eqdeletes.avro"
+      val delEntry = {
+        val e = entry(1, 1003L, 3L, fdel, ndel)
+        e.get("data_file").asInstanceOf[GenericRecord].put("content", 2) // EQUALITY_DELETES
+        e
+      }
+      val m3len = writeAvro(m3, ManifestEntrySchema, Seq(delEntry))
+      val meta = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(new String(Files.readAllBytes(latestMetadata(root)), StandardCharsets.UTF_8))
+      val current = meta.get("current-snapshot-id").asLong
+      val prevMl = meta.get("snapshots").elements().asScala
+        .find(_.get("snapshot-id").asLong == current)
+        .map(_.get("manifest-list").asText)
+        .getOrElse(sys.error("current snapshot missing from metadata"))
+      val prevEntries = readAvro(prevMl, ManifestFileSchema)
+      val ml3 = s"$root/metadata/snap-1003.avro"
+      val delManifest = {
+        val m = manifestFile(m3, m3len, 1003L, 3L, 1, 0, 0, ndel, 0L, 0L)
+        m.put("content", 1) // DELETE manifest
+        m
+      }
+      writeAvro(ml3, ManifestFileSchema, delManifest +: prevEntries)
+      val ml1 = s"$root/metadata/snap-1001.avro"
+      val ml2 = s"$root/metadata/snap-1002.avro"
+      val newMeta =
+        s"""{"format-version":2,"table-uuid":"9e2f1c5a-0000-4000-8000-000000000042",
+           |"location":"$root","last-sequence-number":3,"last-updated-ms":1700000300000,
+           |"last-column-id":3,"current-schema-id":0,
+           |"schemas":[{"schema-id":0,"type":"struct","fields":[
+           |  {"id":1,"name":"o_orderkey","required":false,"type":"long"},
+           |  {"id":2,"name":"o_orderstatus","required":false,"type":"string"},
+           |  {"id":3,"name":"o_totalprice","required":false,"type":"double"}]}],
+           |"default-spec-id":0,"partition-specs":[{"spec-id":0,"fields":[]}],
+           |"last-partition-id":999,"default-sort-order-id":0,
+           |"sort-orders":[{"order-id":0,"fields":[]}],
+           |"current-snapshot-id":1003,
+           |"snapshots":[
+           |  {"snapshot-id":1001,"sequence-number":1,"timestamp-ms":1699999000000,
+           |   "manifest-list":"$ml1","summary":{"operation":"append"}},
+           |  {"snapshot-id":1002,"sequence-number":2,"timestamp-ms":1700000000000,
+           |   "manifest-list":"$ml2","summary":{"operation":"overwrite"}},
+           |  {"snapshot-id":1003,"sequence-number":3,"timestamp-ms":1700000300000,
+           |   "manifest-list":"$ml3","summary":{"operation":"delete"}}]}""".stripMargin
+      val tmp = Files.createTempFile(Paths.get(root, "metadata"), "v3-", ".tmp")
+      Files.write(tmp, newMeta.getBytes(StandardCharsets.UTF_8))
+      try Files.move(tmp, v3)
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException => Files.deleteIfExists(tmp)
+      }
+    }
+    root
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Row-level DELETE through v2 EQUALITY-delete files (the CDC-writer
+    // flavor), applied merge-on-read by a distributed key anti-join:
+    // snapshot 1003 kills every %14=0 key; 1002 time-travels intact.
+    "sink_iceberg_eq_delete" -> ((s, d) => {
+      val root = eqDeleteSnapshot(s, d)
+      def rollup(snap: Long): DataFrame =
+        readMergeOnRead(s, root, snap)
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n_orders"),
+            sum(dec(col("o_totalprice"))).cast("double").as("total"))
+          .withColumn("snapshot_id", lit(snap))
+      rollup(1002L).unionByName(rollup(1003L))
+        .select("snapshot_id", "o_orderstatus", "n_orders", "total")
+        .orderBy("snapshot_id", "o_orderstatus")
+    }),
+
+    // Row-level DELETE through v2 position-delete files, applied
+    // merge-on-read: snapshot 1003 tombstones file A's %9=0 rows without
+    // rewriting A; time travel to 1002 still serves A intact.
+    "sink_iceberg_delete" -> ((s, d) => {
+      val root = deleteSnapshot(s, d)
+      def rollup(snap: Long): DataFrame =
+        readMergeOnRead(s, root, snap)
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n_orders"),
+            sum(dec(col("o_totalprice"))).cast("double").as("total"))
+          .withColumn("snapshot_id", lit(snap))
+      rollup(1002L).unionByName(rollup(1003L))
+        .select("snapshot_id", "o_orderstatus", "n_orders", "total")
+        .orderBy("snapshot_id", "o_orderstatus")
+    }),
+
     "sink_iceberg_append" -> ((s, d) => {
       val root = appendSnapshot(s, d)
       def rollup(snap: Long): DataFrame =
@@ -318,6 +551,39 @@ object IcebergRead {
   )
 
   val oracles: Map[String, String] = Map(
+    // Key-membership replay: snapshot 1002 = A (%3=0) + C (%3=2) intact;
+    // 1003 = the same minus every %14=0 key (the equality-delete set).
+    "sink_iceberg_eq_delete" ->
+      """WITH s1 AS (SELECT CAST(1002 AS BIGINT) AS snapshot_id, o_orderstatus,
+        |    COUNT(*) AS n_orders,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+        |  FROM orders WHERE o_orderkey % 3 IN (0, 2) GROUP BY 2),
+        |s2 AS (SELECT CAST(1003 AS BIGINT) AS snapshot_id, o_orderstatus,
+        |    COUNT(*) AS n_orders,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+        |  FROM orders
+        |  WHERE o_orderkey % 3 IN (0, 2) AND o_orderkey % 14 <> 0
+        |  GROUP BY 2)
+        |SELECT * FROM s1 UNION ALL SELECT * FROM s2
+        |ORDER BY snapshot_id, o_orderstatus""".stripMargin,
+
+    // File+position membership replay: snapshot 1002 = A (%3=0) and C
+    // (%3=2) intact; snapshot 1003 = the same files with A's %9=0 rows
+    // position-deleted (%9=0 ⊂ %3=0, so the predicate replays exactly).
+    "sink_iceberg_delete" ->
+      """WITH s1 AS (SELECT CAST(1002 AS BIGINT) AS snapshot_id, o_orderstatus,
+        |    COUNT(*) AS n_orders,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+        |  FROM orders WHERE o_orderkey % 3 IN (0, 2) GROUP BY 2),
+        |s2 AS (SELECT CAST(1003 AS BIGINT) AS snapshot_id, o_orderstatus,
+        |    COUNT(*) AS n_orders,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+        |  FROM orders
+        |  WHERE (o_orderkey % 3 = 0 AND o_orderkey % 9 <> 0) OR o_orderkey % 3 = 2
+        |  GROUP BY 2)
+        |SELECT * FROM s1 UNION ALL SELECT * FROM s2
+        |ORDER BY snapshot_id, o_orderstatus""".stripMargin,
+
     // File-membership replay of the committed append: snapshot 1002 still
     // serves A (%3=0) and C (%3=2) — time travel is stable — and 1003
     // serves A, C, and the restored D (%3=1) = the whole corpus.
