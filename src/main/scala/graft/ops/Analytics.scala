@@ -2433,6 +2433,96 @@ object Analytics {
         .orderBy("event_type", "series")
     }),
 
+    // Fleiss' kappa — multi-rater agreement (agg_cohens_kappa stops at
+    // TWO raters; every labeling pipeline runs 3+ and Fleiss is the
+    // number the annotation report quotes): 3 planted raters with 80%
+    // fidelity to a latent label, per-item category counts n_ic, and κ
+    // cleared COMPLETELY to one sign-safe DIV — κ = (3AN − 2S) /
+    // (18N² − 2S) with A = ΣᵢΣ_c n_ic(n_ic−1) and S = ΣT_c², both exact
+    // integers (the 6N / 9N² denominators cancel into the single
+    // rational).
+    "agg_fleiss_kappa" -> ((s, d) => {
+      def u(ns: String) =
+        s"CAST(conv(substring(md5(concat('$ns:', CAST(doc_id AS STRING))), 1, 8), 16, 10) AS BIGINT)"
+      val t = Tables.documents(s, d).select(col("doc_id"))
+        .withColumn("truth", expr(s"${u("fkt")} % 3"))
+      val rated = (1 to 3).foldLeft(t) { (df, r) =>
+        df.withColumn(s"r$r", expr(
+          s"IF(${u("fkf" + r)} % 10 < 8, truth, (truth + 1 + ${u("fko" + r)} % 2) % 3)"))
+      }
+      val counted = (0 to 2).foldLeft(rated) { (df, c) =>
+        df.withColumn(s"n$c", expr(
+          s"IF(r1 = $c, 1, 0) + IF(r2 = $c, 1, 0) + IF(r3 = $c, 1, 0)"))
+      }.withColumn("pairs", expr("n0 * (n0 - 1) + n1 * (n1 - 1) + n2 * (n2 - 1)"))
+      counted.agg(count(lit(1)).as("n_items"),
+          sum("pairs").as("a"),
+          sum("n0").as("t0"), sum("n1").as("t1"), sum("n2").as("t2"))
+        .withColumn("s2", expr("t0 * t0 + t1 * t1 + t2 * t2"))
+        .withColumn("kappa_ppm", expr(
+          """CASE WHEN 3 * a * n_items - 2 * s2 >= 0
+             THEN (CAST(3 AS DECIMAL(38,0)) * a * n_items - CAST(2 AS DECIMAL(38,0)) * s2) * 1000000
+                  DIV (CAST(18 AS DECIMAL(38,0)) * n_items * n_items - CAST(2 AS DECIMAL(38,0)) * s2)
+             ELSE -((CAST(2 AS DECIMAL(38,0)) * s2 - CAST(3 AS DECIMAL(38,0)) * a * n_items) * 1000000
+                  DIV (CAST(18 AS DECIMAL(38,0)) * n_items * n_items - CAST(2 AS DECIMAL(38,0)) * s2))
+             END""").cast("long"))
+        .withColumn("substantial", col("kappa_ppm") > 400000L)
+        .select("n_items", "a", "s2", "kappa_ppm", "substantial")
+    }),
+
+    // Kendall's W — concordance across m RANKERS (agg_kendall_tau
+    // correlates two; a judge panel needs the m-way number): 4 planted
+    // judges scoring 8 items with an index-proportional skill signal,
+    // per-judge ranks by an 8-row window, rank sums R_i, and
+    // W = 12·ΣD²/(m²(k³−k)) with D = R_i − m(k+1)/2 — every quantity an
+    // exact integer (m(k+1)/2 = 18 here), one DIV to ppm.
+    "agg_kendall_w" -> ((s, d) => {
+      val items = Tables.documents(s, d).where(col("doc_id") < 8)
+        .select(col("doc_id").as("item"))
+      val judges = broadcast(s.range(0, 4).select(col("id").as("judge")))
+      val scored = items.crossJoin(judges)
+        .withColumn("score", expr(
+          """CAST(conv(substring(md5(concat('kw:', CAST(judge AS STRING), ':',
+             CAST(item AS STRING))), 1, 8), 16, 10) AS BIGINT) % 1000 + item * 400"""))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("judge").orderBy(col("score"), col("item"))).cast("bigint"))
+      scored.groupBy("item").agg(sum("rk").as("r_sum"))
+        .withColumn("d", col("r_sum") - lit(18L)) // m(k+1)/2 = 4·9/2
+        .agg(count(lit(1)).as("k"), sum(expr("d * d")).as("sum_d2"))
+        .withColumn("m", lit(4L))
+        // m²(k³−k) = 16·504 = 8064
+        .withColumn("w_ppm", expr("12 * sum_d2 * 1000000 DIV 8064"))
+        .withColumn("concordant", col("w_ppm") > 700000L)
+        .select("k", "m", "sum_d2", "w_ppm", "concordant")
+    }),
+
+    // Bland–Altman — method-agreement analysis (do two instruments
+    // measure the SAME thing?): planted +20 bias with two-tier noise
+    // (10% heavy tail so the limits actually exclude something), bias
+    // in exact milli, and the outside-limits count via the fully
+    // cross-multiplied per-row test (n·dᵢ − Sd)²·10⁴ > 38416·(nΣd²−Sd²)
+    // — population variance, no sqrt, no float.
+    "agg_bland_altman" -> ((s, d) => {
+      def u(ns: String) =
+        s"CAST(conv(substring(md5(concat('$ns:', CAST(doc_id AS STRING))), 1, 8), 16, 10) AS BIGINT)"
+      val t = Tables.documents(s, d).select(col("doc_id"))
+        .withColumn("diff", expr(
+          s"""20 + IF(${u("bao")} % 10 = 0,
+                ${u("ban")} % 181 - 90, ${u("ban")} % 61 - 30)"""))
+      val tot = t.agg(count(lit(1)).as("n"), sum("diff").as("sd"),
+        sum(expr("diff * diff")).as("sd2"))
+      t.crossJoin(broadcast(tot)) // single-row scalar attach
+        .withColumn("outside", expr(
+          """CAST(n * diff - sd AS DECIMAL(38,0)) * (n * diff - sd) * 10000
+             > CAST(38416 AS DECIMAL(38,0)) * (n * sd2 - sd * sd)"""))
+        .groupBy("n", "sd", "sd2")
+        .agg(sum(when(col("outside"), 1L).otherwise(0L)).as("n_outside"))
+        .withColumn("bias_milli", expr(
+          """CASE WHEN sd >= 0 THEN sd * 1000 DIV n
+             ELSE -((0 - sd) * 1000 DIV n) END"""))
+        .withColumn("outside_ppm", expr("n_outside * 1000000 DIV n"))
+        .select("n", "bias_milli", "n_outside", "outside_ppm")
+    }),
+
     // Empirical Q–Q points — "are these two distributions the SAME
     // SHAPE?" read off quantile-vs-quantile (agg_ks_drift gives one
     // max-gap number; this gives the nine points an analyst actually
@@ -6098,6 +6188,82 @@ object Analytics {
         |  CAST(SUM(COALESCE(flow, 0)) AS BIGINT) AS obv_final,
         |  CAST(MAX(obv) AS BIGINT) AS obv_max, CAST(MIN(obv) AS BIGINT) AS obv_min
         |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // Same 3-rater plant, same single-rational clearing.
+    "agg_fleiss_kappa" ->
+      """WITH t AS (SELECT doc_id,
+        |    ('0x' || substring(md5('fkt:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 3 AS truth
+        |  FROM documents),
+        |r AS (SELECT doc_id, truth,
+        |    CASE WHEN ('0x' || substring(md5('fkf1:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10 < 8
+        |      THEN truth ELSE (truth + 1 + ('0x' || substring(md5('fko1:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 2) % 3 END AS r1,
+        |    CASE WHEN ('0x' || substring(md5('fkf2:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10 < 8
+        |      THEN truth ELSE (truth + 1 + ('0x' || substring(md5('fko2:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 2) % 3 END AS r2,
+        |    CASE WHEN ('0x' || substring(md5('fkf3:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10 < 8
+        |      THEN truth ELSE (truth + 1 + ('0x' || substring(md5('fko3:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 2) % 3 END AS r3
+        |  FROM t),
+        |c AS (SELECT
+        |    CASE WHEN r1 = 0 THEN 1 ELSE 0 END + CASE WHEN r2 = 0 THEN 1 ELSE 0 END + CASE WHEN r3 = 0 THEN 1 ELSE 0 END AS n0,
+        |    CASE WHEN r1 = 1 THEN 1 ELSE 0 END + CASE WHEN r2 = 1 THEN 1 ELSE 0 END + CASE WHEN r3 = 1 THEN 1 ELSE 0 END AS n1,
+        |    CASE WHEN r1 = 2 THEN 1 ELSE 0 END + CASE WHEN r2 = 2 THEN 1 ELSE 0 END + CASE WHEN r3 = 2 THEN 1 ELSE 0 END AS n2
+        |  FROM r),
+        |a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_items,
+        |    CAST(SUM(n0 * (n0 - 1) + n1 * (n1 - 1) + n2 * (n2 - 1)) AS BIGINT) AS a,
+        |    CAST(SUM(n0) AS BIGINT) AS t0, CAST(SUM(n1) AS BIGINT) AS t1,
+        |    CAST(SUM(n2) AS BIGINT) AS t2
+        |  FROM c),
+        |k AS (SELECT n_items, a, t0 * t0 + t1 * t1 + t2 * t2 AS s2 FROM a)
+        |SELECT n_items, a, s2,
+        |  CAST(CASE WHEN 3 * a * n_items - 2 * s2 >= 0
+        |    THEN (CAST(3 AS HUGEINT) * a * n_items - CAST(2 AS HUGEINT) * s2) * 1000000
+        |         // (CAST(18 AS HUGEINT) * n_items * n_items - CAST(2 AS HUGEINT) * s2)
+        |    ELSE -((CAST(2 AS HUGEINT) * s2 - CAST(3 AS HUGEINT) * a * n_items) * 1000000
+        |         // (CAST(18 AS HUGEINT) * n_items * n_items - CAST(2 AS HUGEINT) * s2))
+        |  END AS BIGINT) AS kappa_ppm,
+        |  CAST(CASE WHEN 3 * a * n_items - 2 * s2 >= 0
+        |    THEN (CAST(3 AS HUGEINT) * a * n_items - CAST(2 AS HUGEINT) * s2) * 1000000
+        |         // (CAST(18 AS HUGEINT) * n_items * n_items - CAST(2 AS HUGEINT) * s2)
+        |    ELSE -((CAST(2 AS HUGEINT) * s2 - CAST(3 AS HUGEINT) * a * n_items) * 1000000
+        |         // (CAST(18 AS HUGEINT) * n_items * n_items - CAST(2 AS HUGEINT) * s2))
+        |  END AS BIGINT) > 400000 AS substantial
+        |FROM k""".stripMargin,
+
+    // Same 8-item judge panel, same exact rank sums.
+    "agg_kendall_w" ->
+      """WITH items AS (SELECT doc_id AS item FROM documents WHERE doc_id < 8),
+        |j AS (SELECT CAST(v AS BIGINT) AS judge FROM generate_series(0, 3) s(v)),
+        |sc AS (SELECT item, judge,
+        |    ('0x' || substring(md5('kw:' || CAST(judge AS VARCHAR) || ':' || CAST(item AS VARCHAR)), 1, 8))::BIGINT % 1000
+        |      + item * 400 AS score
+        |  FROM items CROSS JOIN j),
+        |rk AS (SELECT item, CAST(ROW_NUMBER() OVER (PARTITION BY judge
+        |      ORDER BY score, item) AS BIGINT) AS rk FROM sc),
+        |rs AS (SELECT item, SUM(rk) - 18 AS d FROM rk GROUP BY item),
+        |w AS (SELECT CAST(COUNT(*) AS BIGINT) AS k,
+        |    CAST(SUM(d * d) AS BIGINT) AS sum_d2 FROM rs)
+        |SELECT k, CAST(4 AS BIGINT) AS m, sum_d2,
+        |  12 * sum_d2 * 1000000 // 8064 AS w_ppm,
+        |  12 * sum_d2 * 1000000 // 8064 > 700000 AS concordant
+        |FROM w""".stripMargin,
+
+    // Same two-tier noise, same cross-multiplied limits test.
+    "agg_bland_altman" ->
+      """WITH t AS (SELECT doc_id,
+        |    20 + CASE WHEN ('0x' || substring(md5('bao:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10 = 0
+        |      THEN ('0x' || substring(md5('ban:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 181 - 90
+        |      ELSE ('0x' || substring(md5('ban:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 61 - 30
+        |    END AS diff
+        |  FROM documents),
+        |a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(diff) AS BIGINT) AS sd,
+        |    CAST(SUM(diff * diff) AS BIGINT) AS sd2 FROM t),
+        |o AS (SELECT n, sd, sd2,
+        |    CAST(SUM(CASE WHEN CAST(n * diff - sd AS HUGEINT) * (n * diff - sd) * 10000
+        |      > CAST(38416 AS HUGEINT) * (n * sd2 - sd * sd) THEN 1 ELSE 0 END) AS BIGINT) AS n_outside
+        |  FROM t CROSS JOIN a GROUP BY 1, 2, 3)
+        |SELECT n,
+        |  CASE WHEN sd >= 0 THEN sd * 1000 // n ELSE -((0 - sd) * 1000 // n) END AS bias_milli,
+        |  n_outside, n_outside * 1000000 // n AS outside_ppm
+        |FROM o""".stripMargin,
 
     // Same one dataset, same two orderings, same cleared milli DIV.
     "agg_durbin_watson" ->

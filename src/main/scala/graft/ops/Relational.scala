@@ -169,6 +169,32 @@ object Relational {
         .orderBy("o_orderpriority")
     }),
 
+    // RECURSIVE file lookup — the non-hive nested-directory ingest
+    // (source_hive_partition_infer's opposite number: the layout is
+    // y1995/, y1996/ — NO key=value, so partition inference must stay
+    // OFF and recursiveFileLookup must walk the tree): stage two
+    // year-named subdirs, read with recursiveFileLookup=true, grade the
+    // rollup; the spec asserts the schema contains NO inferred
+    // partition column — silently inventing one is the failure mode
+    // this option exists to prevent.
+    "source_recursive_lookup" -> ((s, d) => {
+      val dir = Scratch.opDir("recdirs", d)
+      val staged = java.nio.file.Paths.get(dir, "_STAGED")
+      if (!java.nio.file.Files.exists(staged)) {
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+        Seq(1995, 1996).foreach { y =>
+          Tables.orders(s, d).where(year(col("o_orderdate")) === y)
+            .write.mode("overwrite").parquet(s"$dir/y$y/batch")
+        }
+        java.nio.file.Files.write(staged, Array.emptyByteArray)
+      }
+      s.read.option("recursiveFileLookup", "true").parquet(dir)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(dec(col("o_totalprice"))).cast("double").as("total"))
+        .orderBy("o_orderpriority")
+    }),
+
     // Hive-layout partition DISCOVERY — the read-side dual of
     // sink_partitioned: the fixture stages key=value directories the
     // way a FOREIGN writer would (four plain per-year writes into
@@ -1592,6 +1618,13 @@ object Relational {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
         |FROM orders WHERE year(o_orderdate) = 1997
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    // Same rollup off orders (the nested tree holds the 1995–1996 slices).
+    "source_recursive_lookup" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+        |FROM orders WHERE year(o_orderdate) IN (1995, 1996)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // Same rollup replayed straight off orders (the staged hive layout
     // holds exactly the 1995–1998 slices).
