@@ -2523,6 +2523,100 @@ object Analytics {
         .select("n", "bias_milli", "n_outside", "outside_ppm")
     }),
 
+    // Tail dependence — do extremes CO-OCCUR? (agg_corr_matrix measures
+    // the middle of the distribution; risk lives in the joint tail, and
+    // a Gaussian copula's tail dependence is ZERO no matter the
+    // correlation): a shared SPIKE REGIME (z > 90 lifts both series by
+    // +100) vs an independent pair with private spikes, λ̂ =
+    // P(y > T | x > T) at the fixed documented extreme cut T = 150 —
+    // pure counts, two integer DIVs, no rank window anywhere (the cut
+    // is by VALUE, so no global sort exists to bottleneck at scale).
+    // Analytic: λ_dep ≈ P(noise > 50) ≈ 0.49; λ_ind ≈ 0.09·0.49 ≈ 0.04.
+    "agg_tail_dependence" -> ((s, d) => {
+      def u(ns: String) =
+        s"CAST(conv(substring(md5(concat('$ns:', CAST(doc_id AS STRING))), 1, 8), 16, 10) AS BIGINT)"
+      Tables.documents(s, d).select(col("doc_id"))
+        .withColumn("z", expr(s"${u("tdz")} % 100"))
+        .withColumn("x", expr(s"IF(z > 90, 100, 0) + ${u("tdx")} % 100"))
+        .withColumn("y", expr(s"IF(z > 90, 100, 0) + ${u("tdy")} % 100"))
+        .withColumn("x2", expr(
+          s"IF(${u("tdu")} % 100 > 90, 100, 0) + ${u("tdv")} % 100"))
+        .withColumn("y2", expr(
+          s"IF(${u("tdw")} % 100 > 90, 100, 0) + ${u("tdq")} % 100"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("x") > 150, 1L).otherwise(0L)).as("nx"),
+          sum(when(col("x") > 150 && col("y") > 150, 1L).otherwise(0L)).as("nxy"),
+          sum(when(col("x2") > 150, 1L).otherwise(0L)).as("nx2"),
+          sum(when(col("x2") > 150 && col("y2") > 150, 1L).otherwise(0L)).as("nxy2"))
+        .withColumn("lambda_dep_ppm", expr("nxy * 1000000 DIV nx"))
+        .withColumn("lambda_ind_ppm", expr("nxy2 * 1000000 DIV nx2"))
+        .withColumn("tail_dependent", col("lambda_dep_ppm") > col("lambda_ind_ppm") * 3)
+        .select("n", "nx", "nxy", "nx2", "nxy2",
+          "lambda_dep_ppm", "lambda_ind_ppm", "tail_dependent")
+    }),
+
+    // Lin's CCC — concordance correlation (agg_bland_altman plots the
+    // disagreement; CCC is the single number that punishes BOTH scatter
+    // and location shift, which Pearson forgives): the same latent pair
+    // measured twice — once aligned, once with a planted +10 shift —
+    // CCC = 2Cxy / (Cxx + Cyy + (Sx−Sy)²) — ONE exact rational (the n²
+    // clearing makes the mean-shift term (Sx−Sy)², no mean ever
+    // materializes), sign-safe DIV to ppm; the shift must cost CCC.
+    "agg_lin_ccc" -> ((s, d) => {
+      def u(ns: String) =
+        s"CAST(conv(substring(md5(concat('$ns:', CAST(doc_id AS STRING))), 1, 8), 16, 10) AS BIGINT)"
+      def pair(shift: Int, label: String) =
+        Tables.documents(s, d).select(col("doc_id"))
+          .withColumn("z", expr(s"${u("lcz")} % 100"))
+          .withColumn("x", expr(s"z + ${u("lcx")} % 30"))
+          .withColumn("y", expr(s"z + ${u("lcy")} % 30 + $shift"))
+          .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+            sum(expr("x * x")).as("sxx"), sum(expr("y * y")).as("syy"),
+            sum(expr("x * y")).as("sxy"))
+          .withColumn("pair", lit(label))
+      pair(0, "aligned").unionByName(pair(10, "shifted"))
+        .withColumn("cxy", expr("n * sxy - sx * sy"))
+        .withColumn("cxx", expr("n * sxx - sx * sx"))
+        .withColumn("cyy", expr("n * syy - sy * sy"))
+        .withColumn("ccc_ppm", expr(
+          """CASE WHEN cxy >= 0
+             THEN (CAST(2 AS DECIMAL(38,0)) * cxy * 1000000)
+                  DIV (CAST(cxx AS DECIMAL(38,0)) + cyy + CAST(sx - sy AS DECIMAL(38,0)) * (sx - sy))
+             ELSE -((CAST(2 AS DECIMAL(38,0)) * (0 - cxy) * 1000000)
+                  DIV (CAST(cxx AS DECIMAL(38,0)) + cyy + CAST(sx - sy AS DECIMAL(38,0)) * (sx - sy)))
+             END""").cast("long"))
+        .select("pair", "n", "cxy", "ccc_ppm")
+        .orderBy("pair")
+    }),
+
+    // Theil's U2 — is the forecaster better than the NAIVE carry-forward?
+    // (agg_mape_smape scores a forecast in isolation; U2 scores it
+    // against the benchmark that costs nothing): the 2-bar smoother
+    // f_t = (a_{t−1} + a_{t−2}) DIV 2 vs naive f_t = a_{t−1} on the
+    // per-type cent series, U2² = Σ(f−a)² / Σ(naive−a)² as one exact
+    // ppm DIV per type — squared form declared (no sqrt exists), and
+    // on an i.i.d.-ish series the smoother's 1.5σ² must beat the
+    // naive's 2σ².
+    "agg_theil_u2" -> ((s, d) => {
+      val ord = Window.partitionBy("event_type").orderBy(col("ts_us"), col("event_id"))
+      Tables.events(s, d)
+        .select(col("event_type"), col("event_id"), col("ts_us"),
+          floor(col("value") * 100).cast("bigint").as("a"))
+        .withColumn("p1", lag("a", 1).over(ord))
+        .withColumn("p2", lag("a", 2).over(ord))
+        .where(col("p2").isNotNull)
+        .withColumn("f", expr("(p1 + p2) DIV 2"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(expr("(f - a) * (f - a)")).as("sse_model"),
+          sum(expr("(p1 - a) * (p1 - a)")).as("sse_naive"))
+        .withColumn("u2_sq_ppm", expr(
+          "(CAST(sse_model AS DECIMAL(38,0)) * 1000000) DIV sse_naive").cast("long"))
+        .withColumn("beats_naive", col("sse_model") < col("sse_naive"))
+        .select("event_type", "n", "sse_model", "sse_naive", "u2_sq_ppm", "beats_naive")
+        .orderBy("event_type")
+    }),
+
     // Empirical Q–Q points — "are these two distributions the SAME
     // SHAPE?" read off quantile-vs-quantile (agg_ks_drift gives one
     // max-gap number; this gives the nine points an analyst actually
@@ -6188,6 +6282,77 @@ object Analytics {
         |  CAST(SUM(COALESCE(flow, 0)) AS BIGINT) AS obv_final,
         |  CAST(MAX(obv) AS BIGINT) AS obv_max, CAST(MIN(obv) AS BIGINT) AS obv_min
         |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // Same fixed value cut, same pure-count conditionals.
+    "agg_tail_dependence" ->
+      """WITH t AS (SELECT doc_id,
+        |    ('0x' || substring(md5('tdz:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS z
+        |  FROM documents),
+        |v AS (SELECT
+        |    CASE WHEN z > 90 THEN 100 ELSE 0 END
+        |      + ('0x' || substring(md5('tdx:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS x,
+        |    CASE WHEN z > 90 THEN 100 ELSE 0 END
+        |      + ('0x' || substring(md5('tdy:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS y,
+        |    CASE WHEN ('0x' || substring(md5('tdu:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 > 90 THEN 100 ELSE 0 END
+        |      + ('0x' || substring(md5('tdv:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS x2,
+        |    CASE WHEN ('0x' || substring(md5('tdw:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 > 90 THEN 100 ELSE 0 END
+        |      + ('0x' || substring(md5('tdq:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS y2
+        |  FROM t),
+        |a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CASE WHEN x > 150 THEN 1 ELSE 0 END) AS BIGINT) AS nx,
+        |    CAST(SUM(CASE WHEN x > 150 AND y > 150 THEN 1 ELSE 0 END) AS BIGINT) AS nxy,
+        |    CAST(SUM(CASE WHEN x2 > 150 THEN 1 ELSE 0 END) AS BIGINT) AS nx2,
+        |    CAST(SUM(CASE WHEN x2 > 150 AND y2 > 150 THEN 1 ELSE 0 END) AS BIGINT) AS nxy2
+        |  FROM v)
+        |SELECT n, nx, nxy, nx2, nxy2,
+        |  nxy * 1000000 // nx AS lambda_dep_ppm,
+        |  nxy2 * 1000000 // nx2 AS lambda_ind_ppm,
+        |  nxy * 1000000 // nx > (nxy2 * 1000000 // nx2) * 3 AS tail_dependent
+        |FROM a""".stripMargin,
+
+    // Same n²-cleared single rational, same shift penalty.
+    "agg_lin_ccc" ->
+      """WITH t AS (SELECT doc_id,
+        |    ('0x' || substring(md5('lcz:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS z,
+        |    ('0x' || substring(md5('lcx:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 30 AS ex,
+        |    ('0x' || substring(md5('lcy:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 30 AS ey
+        |  FROM documents),
+        |p AS (SELECT 'aligned' AS pair, 0 AS shift FROM (VALUES (1)) s(v)
+        |  UNION ALL SELECT 'shifted', 10 FROM (VALUES (1)) s(v)),
+        |a AS (SELECT pair, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(z + ex) AS BIGINT) AS sx,
+        |    CAST(SUM(z + ey + shift) AS BIGINT) AS sy,
+        |    CAST(SUM((z + ex) * (z + ex)) AS BIGINT) AS sxx,
+        |    CAST(SUM((z + ey + shift) * (z + ey + shift)) AS BIGINT) AS syy,
+        |    CAST(SUM((z + ex) * (z + ey + shift)) AS BIGINT) AS sxy
+        |  FROM t CROSS JOIN p GROUP BY pair),
+        |c AS (SELECT pair, n, n * sxy - sx * sy AS cxy,
+        |    n * sxx - sx * sx AS cxx, n * syy - sy * sy AS cyy,
+        |    sx - sy AS ds FROM a)
+        |SELECT pair, n, cxy,
+        |  CAST(CASE WHEN cxy >= 0
+        |    THEN (CAST(2 AS HUGEINT) * cxy * 1000000)
+        |         // (CAST(cxx AS HUGEINT) + cyy + CAST(ds AS HUGEINT) * ds)
+        |    ELSE -((CAST(2 AS HUGEINT) * (0 - cxy) * 1000000)
+        |         // (CAST(cxx AS HUGEINT) + cyy + CAST(ds AS HUGEINT) * ds))
+        |  END AS BIGINT) AS ccc_ppm
+        |FROM c ORDER BY pair""".stripMargin,
+
+    // Same 2-bar smoother vs naive, same squared-form ppm.
+    "agg_theil_u2" ->
+      """WITH e AS (SELECT event_type, event_id, epoch_us(ts) AS ts_us,
+        |    CAST(FLOOR(value * 100) AS BIGINT) AS a FROM events),
+        |l AS (SELECT *, LAG(a, 1) OVER o AS p1, LAG(a, 2) OVER o AS p2
+        |  FROM e WINDOW o AS (PARTITION BY event_type ORDER BY ts_us, event_id)),
+        |f AS (SELECT event_type, a, p1, (p1 + p2) // 2 AS f FROM l WHERE p2 IS NOT NULL),
+        |g AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM((f - a) * (f - a)) AS BIGINT) AS sse_model,
+        |    CAST(SUM((p1 - a) * (p1 - a)) AS BIGINT) AS sse_naive
+        |  FROM f GROUP BY 1)
+        |SELECT event_type, n, sse_model, sse_naive,
+        |  CAST((CAST(sse_model AS HUGEINT) * 1000000) // sse_naive AS BIGINT) AS u2_sq_ppm,
+        |  sse_model < sse_naive AS beats_naive
+        |FROM g ORDER BY event_type""".stripMargin,
 
     // Same 3-rater plant, same single-rational clearing.
     "agg_fleiss_kappa" ->
