@@ -2617,6 +2617,87 @@ object Analytics {
         .orderBy("event_type")
     }),
 
+    // Stratified ATE — the causal estimate a confounded A/B needs
+    // (agg_ab_ttest assumes randomization; real logs don't have it):
+    // planted propensity RISING with stratum z (20%→80%) while z also
+    // lifts the outcome — the naive diff-in-means is biased UP by
+    // construction, and stratification removes exactly that bias.
+    // Per-stratum diff cleared to one sign-safe milli DIV (per-term
+    // truncation declared, 5 strata), ATE = the n_z-weighted average in
+    // one more DIV; truth +30 recovered, naive bias flagged.
+    "agg_stratified_ate" -> ((s, d) => {
+      def u(ns: String) =
+        s"CAST(conv(substring(md5(concat('$ns:', CAST(doc_id AS STRING))), 1, 8), 16, 10) AS BIGINT)"
+      val t = Tables.documents(s, d).select(col("doc_id"))
+        .withColumn("z", expr(s"${u("saz")} % 5"))
+        .withColumn("t", expr(s"IF(${u("sat")} % 100 < 20 + 15 * z, 1, 0)"))
+        .withColumn("y", expr(s"100 + 30 * t + 20 * z + ${u("say")} % 21 - 10"))
+      val strata = t.groupBy("z")
+        .agg(count(lit(1)).as("nz"),
+          sum(col("t")).as("n1"),
+          sum(expr("1 - t")).as("n0"),
+          sum(expr("t * y")).as("sy1"),
+          sum(expr("(1 - t) * y")).as("sy0"))
+        .withColumn("diff_milli", expr(
+          """CASE WHEN sy1 * n0 - sy0 * n1 >= 0
+             THEN (sy1 * n0 - sy0 * n1) * 1000 DIV (n1 * n0)
+             ELSE -((sy0 * n1 - sy1 * n0) * 1000 DIV (n1 * n0)) END"""))
+      val naive = t.agg(
+          sum(col("t")).as("m1"), sum(expr("1 - t")).as("m0"),
+          sum(expr("t * y")).as("ty"), sum(expr("(1 - t) * y")).as("cy"))
+        .withColumn("naive_milli", expr("(ty * m0 - cy * m1) * 1000 DIV (m1 * m0)"))
+        .select("naive_milli")
+      strata.agg(sum("nz").as("n"),
+          sum(expr("nz * diff_milli")).as("wsum"))
+        .withColumn("ate_milli", expr(
+          """CASE WHEN wsum >= 0 THEN wsum DIV n
+             ELSE -((0 - wsum) DIV n) END"""))
+        .crossJoin(broadcast(naive)) // single-row scalar attach
+        .withColumn("bias_detected", col("naive_milli") > col("ate_milli") + 5000L)
+        .select("n", "ate_milli", "naive_milli", "bias_detected")
+    }),
+
+    // MMD over discrete buckets — distribution shift as a DISTANCE
+    // (agg_ks_drift reports the max gap, agg_tv_distance the L1; the
+    // squared-kernel MMD is what gradient-based shift detectors use):
+    // treatment sample with 40% of its mass collapsed onto bucket 0 vs
+    // a control split of the SAME distribution (the null), MMD² =
+    // Σ_b (ca_b·nb − cb_b·na)² cleared over (na·nb)² under
+    // DECIMAL(38,0), reported in e12 units; shift must dominate the
+    // null by an order of magnitude. Two groupBys, one 10-row join.
+    "agg_mmd_buckets" -> ((s, d) => {
+      def u(ns: String) =
+        s"CAST(conv(substring(md5(concat('$ns:', CAST(doc_id AS STRING))), 1, 8), 16, 10) AS BIGINT)"
+      val t = Tables.documents(s, d).select(col("doc_id"))
+        .withColumn("half", expr("doc_id % 2"))
+        .withColumn("base", expr(s"${u("mmb")} % 10"))
+        .withColumn("shifted", expr(s"IF(${u("mms")} % 10 < 4, 0, base)"))
+      def mmd(colA: String, whereA: String, colB: String, whereB: String) = {
+        val a = t.where(expr(whereA)).groupBy(expr(colA).as("b"))
+          .agg(count(lit(1)).as("ca"))
+        val b = t.where(expr(whereB)).groupBy(expr(colB).as("b"))
+          .agg(count(lit(1)).as("cb"))
+        a.join(b, Seq("b"), "full_outer")
+          .na.fill(0L, Seq("ca", "cb"))
+          .agg(sum("ca").as("na"), sum("cb").as("nb"),
+            collect_list(struct(col("b"), col("ca"), col("cb"))).as("bs"))
+          .withColumn("mmd2_e12", expr(
+            """aggregate(bs, CAST(0 AS DECIMAL(38,0)),
+               (acc, e) -> acc + CAST(e.ca * nb - e.cb * na AS DECIMAL(38,0)) * (e.ca * nb - e.cb * na))
+               * 1000000000000 DIV (CAST(na AS DECIMAL(38,0)) * na * nb * nb)""").cast("long"))
+          .select("na", "nb", "mmd2_e12")
+      }
+      val shift = mmd("base", "half = 0", "shifted", "half = 1")
+        .withColumnRenamed("mmd2_e12", "mmd2_shift_e12")
+        .withColumnRenamed("na", "n_base").withColumnRenamed("nb", "n_shift")
+      val nul = mmd("base", "half = 0", "base", "half = 1")
+        .select(col("mmd2_e12").as("mmd2_null_e12"))
+      shift.crossJoin(broadcast(nul))
+        .withColumn("shift_detected",
+          col("mmd2_shift_e12") > col("mmd2_null_e12") * 10)
+        .select("n_base", "n_shift", "mmd2_shift_e12", "mmd2_null_e12", "shift_detected")
+    }),
+
     // Empirical Q–Q points — "are these two distributions the SAME
     // SHAPE?" read off quantile-vs-quantile (agg_ks_drift gives one
     // max-gap number; this gives the nine points an analyst actually
@@ -6282,6 +6363,68 @@ object Analytics {
         |  CAST(SUM(COALESCE(flow, 0)) AS BIGINT) AS obv_final,
         |  CAST(MAX(obv) AS BIGINT) AS obv_max, CAST(MIN(obv) AS BIGINT) AS obv_min
         |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // Same 5-stratum clearing, same declared per-term milli truncation.
+    "agg_stratified_ate" ->
+      """WITH t AS (SELECT doc_id,
+        |    ('0x' || substring(md5('saz:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 5 AS z
+        |  FROM documents),
+        |v AS (SELECT z,
+        |    CASE WHEN ('0x' || substring(md5('sat:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100
+        |      < 20 + 15 * z THEN 1 ELSE 0 END AS t,
+        |    ('0x' || substring(md5('say:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 21 - 10 AS e
+        |  FROM t),
+        |y AS (SELECT z, t, 100 + 30 * t + 20 * z + e AS y FROM v),
+        |s AS (SELECT z, CAST(COUNT(*) AS BIGINT) AS nz,
+        |    CAST(SUM(t) AS BIGINT) AS n1, CAST(SUM(1 - t) AS BIGINT) AS n0,
+        |    CAST(SUM(t * y) AS BIGINT) AS sy1, CAST(SUM((1 - t) * y) AS BIGINT) AS sy0
+        |  FROM y GROUP BY z),
+        |dm AS (SELECT *, CASE WHEN sy1 * n0 - sy0 * n1 >= 0
+        |    THEN (sy1 * n0 - sy0 * n1) * 1000 // (n1 * n0)
+        |    ELSE -((sy0 * n1 - sy1 * n0) * 1000 // (n1 * n0)) END AS diff_milli
+        |  FROM s),
+        |ate AS (SELECT CAST(SUM(nz) AS BIGINT) AS n,
+        |    CAST(SUM(nz * diff_milli) AS BIGINT) AS wsum FROM dm),
+        |nv AS (SELECT CAST(SUM(t) AS BIGINT) AS m1, CAST(SUM(1 - t) AS BIGINT) AS m0,
+        |    CAST(SUM(t * y) AS BIGINT) AS ty, CAST(SUM((1 - t) * y) AS BIGINT) AS cy
+        |  FROM y)
+        |SELECT n,
+        |  CASE WHEN wsum >= 0 THEN wsum // n ELSE -((0 - wsum) // n) END AS ate_milli,
+        |  (ty * m0 - cy * m1) * 1000 // (m1 * m0) AS naive_milli,
+        |  (ty * m0 - cy * m1) * 1000 // (m1 * m0)
+        |    > (CASE WHEN wsum >= 0 THEN wsum // n ELSE -((0 - wsum) // n) END) + 5000 AS bias_detected
+        |FROM ate CROSS JOIN nv""".stripMargin,
+
+    // Same bucket counts, same (ca·nb − cb·na)² clearing, plain SQL sum.
+    "agg_mmd_buckets" ->
+      """WITH t AS (SELECT doc_id, doc_id % 2 AS half,
+        |    ('0x' || substring(md5('mmb:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10 AS base,
+        |    CASE WHEN ('0x' || substring(md5('mms:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10 < 4
+        |      THEN 0 ELSE ('0x' || substring(md5('mmb:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10
+        |    END AS shifted
+        |  FROM documents),
+        |sa AS (SELECT base AS b, CAST(COUNT(*) AS BIGINT) AS ca FROM t WHERE half = 0 GROUP BY 1),
+        |sb AS (SELECT shifted AS b, CAST(COUNT(*) AS BIGINT) AS cb FROM t WHERE half = 1 GROUP BY 1),
+        |sj AS (SELECT COALESCE(ca, 0) AS ca, COALESCE(cb, 0) AS cb
+        |  FROM sa FULL OUTER JOIN sb ON sa.b = sb.b),
+        |sm AS (SELECT CAST(SUM(ca) AS BIGINT) AS na, CAST(SUM(cb) AS BIGINT) AS nb,
+        |    SUM(CAST(0 AS HUGEINT)) AS zero FROM sj),
+        |shift AS (SELECT na, nb,
+        |    CAST((SELECT SUM(CAST(ca * nb - cb * na AS HUGEINT) * (ca * nb - cb * na)) FROM sj)
+        |      * 1000000000000 // (CAST(na AS HUGEINT) * na * nb * nb) AS BIGINT) AS mmd2_shift_e12
+        |  FROM sm),
+        |na_ AS (SELECT base AS b, CAST(COUNT(*) AS BIGINT) AS ca FROM t WHERE half = 0 GROUP BY 1),
+        |nb_ AS (SELECT base AS b, CAST(COUNT(*) AS BIGINT) AS cb FROM t WHERE half = 1 GROUP BY 1),
+        |nj AS (SELECT COALESCE(ca, 0) AS ca, COALESCE(cb, 0) AS cb
+        |  FROM na_ FULL OUTER JOIN nb_ ON na_.b = nb_.b),
+        |nm AS (SELECT CAST(SUM(ca) AS BIGINT) AS na, CAST(SUM(cb) AS BIGINT) AS nb FROM nj),
+        |nul AS (SELECT
+        |    CAST((SELECT SUM(CAST(ca * nb - cb * na AS HUGEINT) * (ca * nb - cb * na)) FROM nj)
+        |      * 1000000000000 // (CAST(na AS HUGEINT) * na * nb * nb) AS BIGINT) AS mmd2_null_e12
+        |  FROM nm)
+        |SELECT na AS n_base, nb AS n_shift, mmd2_shift_e12, mmd2_null_e12,
+        |  mmd2_shift_e12 > mmd2_null_e12 * 10 AS shift_detected
+        |FROM shift CROSS JOIN nul""".stripMargin,
 
     // Same fixed value cut, same pure-count conditionals.
     "agg_tail_dependence" ->
