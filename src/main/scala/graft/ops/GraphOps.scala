@@ -177,6 +177,56 @@ object GraphOps {
         .orderBy("u", "v")
     }),
 
+    // node2vec biased walk — the SECOND-ORDER walk graph_random_walk
+    // can't express (the next hop depends on where you CAME FROM: p
+    // discourages returning, q trades breadth vs depth; p = q = 2 here,
+    // integer weights 1/2/1 for return/triangle/far): per step the
+    // candidate frame is (state × neighbors), the triangle class comes
+    // from one adjacency left-join against prev, and the draw is the
+    // exact cumulative-weight pick cum ≤ md5 % total < cum+w over a
+    // per-state window of ≤ deg ≤ 24 rows. Step 1 degenerates to
+    // uniform (prev = start is a neighbor's neighbor for every
+    // candidate) exactly like the paper's init. 4 steps, replayed by
+    // the oracle as chained CTEs.
+    "graph_node2vec_walk" -> ((s, d) => {
+      val heavy = heavyBackbone(s, d)
+      val bi = heavy.select(col("a").cast("bigint").as("src"), col("b").cast("bigint").as("dst"))
+        .unionAll(heavy.select(col("b").cast("bigint").as("src"), col("a").cast("bigint").as("dst")))
+        .localCheckpoint()
+      val adj = bi.select(col("src").as("p_src"), col("dst").as("p_dst"))
+      var walk = bi.select(col("src").as("start")).distinct()
+        .select(col("start"), col("start").as("node"), col("start").as("prev"),
+          lit(0L).as("step"))
+        .localCheckpoint()
+      val steps = scala.collection.mutable.ArrayBuffer(walk)
+      for (t <- 1 to 4) {
+        val cand = walk.select(col("start"), col("node"), col("prev"))
+          .join(bi, col("node") === col("src"))
+          .join(adj, col("p_src") === col("prev") && col("p_dst") === col("dst"), "left")
+          .withColumn("w", expr(
+            """CASE WHEN dst = prev THEN 1
+               WHEN p_dst IS NOT NULL THEN 2
+               ELSE 1 END"""))
+        val ws = Window.partitionBy("start", "node", "prev").orderBy("dst")
+        walk = cand
+          .withColumn("cum", coalesce(sum("w").over(
+            ws.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .withColumn("tot", sum("w").over(
+            ws.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+          .withColumn("r", expr(
+            s"""CAST(conv(substring(md5(concat(CAST(start AS STRING), ':',
+                CAST(prev AS STRING), ':', CAST(node AS STRING), ':', '$t')), 1, 8), 16, 10) AS BIGINT)
+                % tot"""))
+          .where(col("r") >= col("cum") && col("r") < col("cum") + col("w"))
+          .select(col("start"), col("dst").as("node"), col("node").as("prev"),
+            lit(t.toLong).as("step"))
+          .localCheckpoint()
+        steps += walk
+      }
+      steps.reduce(_ unionAll _).select("start", "step", "node", "prev")
+        .orderBy("start", "step")
+    }),
+
     // Eccentricity / radius / diameter — the DISTANCE-extremes summary
     // beside graph_closeness' distance-means one: the same BfsIters
     // min-plus relaxation over the heavy backbone, then per-node ecc =
@@ -1570,6 +1620,43 @@ object GraphOps {
     },
 
     // Same common-neighbor join, same anti-join, same exact-milli score.
+    // Same integer 1/2/1 bias weights, same cumulative-weight pick.
+    "graph_node2vec_walk" -> {
+      val hops = (1 to 4).map { t =>
+        val p = t - 1
+        s"""c$t AS MATERIALIZED (SELECT w$p.start, w$p.node, w$p.prev, bi.dst,
+           |    CASE WHEN bi.dst = w$p.prev THEN 1
+           |      WHEN adj.p_dst IS NOT NULL THEN 2 ELSE 1 END AS w
+           |  FROM w$p JOIN bi ON bi.src = w$p.node
+           |  LEFT JOIN adj ON adj.p_src = w$p.prev AND adj.p_dst = bi.dst),
+           |k$t AS MATERIALIZED (SELECT *,
+           |    COALESCE(CAST(SUM(w) OVER (PARTITION BY start, node, prev ORDER BY dst
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS cum,
+           |    CAST(SUM(w) OVER (PARTITION BY start, node, prev) AS BIGINT) AS tot
+           |  FROM c$t),
+           |w$t AS MATERIALIZED (SELECT start, dst AS node, node AS prev,
+           |    CAST($t AS BIGINT) AS step
+           |  FROM k$t
+           |  WHERE ('0x' || substring(md5(CAST(start AS VARCHAR) || ':'
+           |      || CAST(prev AS VARCHAR) || ':' || CAST(node AS VARCHAR) || ':' || '$t'),
+           |      1, 8))::BIGINT % tot >= cum
+           |    AND ('0x' || substring(md5(CAST(start AS VARCHAR) || ':'
+           |      || CAST(prev AS VARCHAR) || ':' || CAST(node AS VARCHAR) || ':' || '$t'),
+           |      1, 8))::BIGINT % tot < cum + w)"""
+      }.mkString(",\n")
+      val union = (0 to 4).map(i => s"SELECT * FROM w$i").mkString(" UNION ALL ")
+      s"""WITH $EdgesCte,
+         |$HeavyCte,
+         |bi AS MATERIALIZED (SELECT CAST(a AS BIGINT) AS src, CAST(b AS BIGINT) AS dst FROM h
+         |       UNION ALL SELECT CAST(b AS BIGINT), CAST(a AS BIGINT) FROM h),
+         |adj AS MATERIALIZED (SELECT src AS p_src, dst AS p_dst FROM bi),
+         |w0 AS MATERIALIZED (SELECT DISTINCT src AS start, src AS node, src AS prev,
+         |    CAST(0 AS BIGINT) AS step FROM bi),
+         |$hops
+         |SELECT start, step, node, prev FROM ($union)
+         |ORDER BY start, step""".stripMargin
+    },
+
     // Same wedge join, same diagonal-pair C(cn,2).
     "graph_four_cycles" ->
       s"""WITH $EdgesCte,
