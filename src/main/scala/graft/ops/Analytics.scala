@@ -2698,6 +2698,68 @@ object Analytics {
         .select("n_base", "n_shift", "mmd2_shift_e12", "mmd2_null_e12", "shift_detected")
     }),
 
+    // SPC control-chart rules — Western Electric 1 & 4, the shop-floor
+    // alarm grammar (win_zscore_outlier flags points; SPC flags
+    // PATTERNS): planted spikes (every 97th event) for rule 1 and a
+    // planted 12-bar drift segment for rule 4, centerline and sigma as
+    // the n²-cleared sums so rule 1 is the exact comparison
+    // (n·x − Sx)² > 9·(nΣx²−Sx²) and rule 4 is an 8-bar rolling count
+    // of the exact side test n·x > Sx. One scalar attach, one
+    // partitioned sort; flagged-point ledger per type.
+    "win_spc_rules" -> ((s, d) => {
+      def u(ns: String) =
+        s"CAST(conv(substring(md5(concat('$ns:', CAST(event_id AS STRING))), 1, 8), 16, 10) AS BIGINT)"
+      val base = Tables.events(s, d)
+        .select(col("event_type"), col("event_id"), col("ts_us"))
+        .withColumn("rn0", row_number().over(
+          Window.partitionBy("event_type").orderBy(col("ts_us"), col("event_id"))).cast("bigint"))
+        .withColumn("x", expr(
+          s"""500 + ${u("spn")} % 41 - 20
+              + IF(event_id % 97 = 0, 150, 0)
+              + IF(rn0 % 250 < 12, 40, 0)"""))
+      val tot = base.groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum(expr("x * x")).as("sxx"))
+      val ord = Window.partitionBy("event_type").orderBy(col("ts_us"), col("event_id"))
+      base.join(broadcast(tot), "event_type")
+        .withColumn("rule1", expr(
+          """CAST(n * x - sx AS DECIMAL(38,0)) * (n * x - sx)
+             > CAST(9 AS DECIMAL(38,0)) * (n * sxx - sx * sx)"""))
+        .withColumn("above", when(expr("n * x > sx"), 1L).otherwise(0L))
+        .withColumn("run8", sum("above").over(ord.rowsBetween(-7, 0)))
+        .withColumn("rn", row_number().over(ord).cast("bigint"))
+        .withColumn("rule4", col("rn") >= 8 && (col("run8") === 8L || col("run8") === 0L))
+        .where(col("rule1") || col("rule4"))
+        .select("event_type", "event_id", "x", "rule1", "rule4")
+        .orderBy("event_type", "event_id")
+    }),
+
+    // Chandelier exit — the volatility-scaled trailing stop (win_donchian
+    // trails the raw extreme; the chandelier backs off by 3 ATRs so
+    // normal noise doesn't stop you out): stop×14 = 14·HH22 − 3·ATR×14,
+    // everything in the ×14 scaling law (no division ever), exit signal
+    // = 14·close < stop×14. One partitioned sort, two rows-frames.
+    "win_chandelier_exit" -> ((s, d) => {
+      val ord = Window.partitionBy("event_type").orderBy(col("ts_us"), col("event_id"))
+      def u(ns: String) =
+        s"CAST(conv(substring(md5(concat('$ns:', CAST(event_id AS STRING))), 1, 8), 16, 10) AS BIGINT)"
+      Tables.events(s, d)
+        .select(col("event_type"), col("event_id"), col("ts_us"),
+          floor(col("value") * 100).cast("bigint").as("cents"))
+        .withColumn("h", expr(s"cents + ${u("ceh")} % 50"))
+        .withColumn("l", expr(s"cents - ${u("cel")} % 50"))
+        .withColumn("pc", coalesce(lag("cents", 1).over(ord), col("cents")))
+        .withColumn("tr", expr("greatest(h - l, abs(h - pc), abs(l - pc))"))
+        .withColumn("rn", row_number().over(ord).cast("bigint"))
+        .withColumn("atr_x14", sum("tr").over(ord.rowsBetween(-13, 0)))
+        .withColumn("hh22", max("h").over(ord.rowsBetween(-21, 0)))
+        .withColumn("stop_x14", expr("14 * hh22 - 3 * atr_x14"))
+        .withColumn("exit_signal", expr("14 * cents < stop_x14"))
+        .where(col("rn") >= 22 && col("event_id") % 11 === 5)
+        .select("event_type", "event_id", "cents", "hh22", "atr_x14",
+          "stop_x14", "exit_signal")
+        .orderBy("event_type", "event_id")
+    }),
+
     // Empirical Q–Q points — "are these two distributions the SAME
     // SHAPE?" read off quantile-vs-quantile (agg_ks_drift gives one
     // max-gap number; this gives the nine points an analyst actually
@@ -6363,6 +6425,60 @@ object Analytics {
         |  CAST(SUM(COALESCE(flow, 0)) AS BIGINT) AS obv_final,
         |  CAST(MAX(obv) AS BIGINT) AS obv_max, CAST(MIN(obv) AS BIGINT) AS obv_min
         |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // Same planted spikes/drift, same cleared rule comparisons.
+    "win_spc_rules" ->
+      """WITH e AS (SELECT event_type, event_id, epoch_us(ts) AS ts_us,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+        |      ORDER BY epoch_us(ts), event_id) AS BIGINT) AS rn0
+        |  FROM events),
+        |x AS (SELECT *, 500 + ('0x' || substring(md5('spn:' || CAST(event_id AS VARCHAR)), 1, 8))::BIGINT % 41 - 20
+        |    + CASE WHEN event_id % 97 = 0 THEN 150 ELSE 0 END
+        |    + CASE WHEN rn0 % 250 < 12 THEN 40 ELSE 0 END AS x
+        |  FROM e),
+        |t AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(x * x) AS BIGINT) AS sxx
+        |  FROM x GROUP BY 1),
+        |j AS (SELECT x.*, t.n, t.sx, t.sxx,
+        |    CAST(n * x - sx AS HUGEINT) * (n * x - sx)
+        |      > CAST(9 AS HUGEINT) * (n * sxx - sx * sx) AS rule1,
+        |    CASE WHEN n * x > sx THEN 1 ELSE 0 END AS above
+        |  FROM x JOIN t USING (event_type)),
+        |w AS (SELECT *, CAST(SUM(above) OVER (PARTITION BY event_type
+        |      ORDER BY ts_us, event_id ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS BIGINT) AS run8,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+        |      ORDER BY ts_us, event_id) AS BIGINT) AS rn
+        |  FROM j)
+        |SELECT event_type, event_id, x, rule1,
+        |  rn >= 8 AND (run8 = 8 OR run8 = 0) AS rule4
+        |FROM w WHERE rule1 OR (rn >= 8 AND (run8 = 8 OR run8 = 0))
+        |ORDER BY event_type, event_id""".stripMargin,
+
+    // Same ×14 scaling, same 22-bar trail, same 3-ATR backoff.
+    "win_chandelier_exit" ->
+      """WITH e AS (SELECT event_type, event_id, epoch_us(ts) AS ts_us,
+        |    CAST(FLOOR(value * 100) AS BIGINT) AS cents FROM events),
+        |h AS (SELECT *,
+        |    cents + ('0x' || substring(md5('ceh:' || CAST(event_id AS VARCHAR)), 1, 8))::BIGINT % 50 AS h,
+        |    cents - ('0x' || substring(md5('cel:' || CAST(event_id AS VARCHAR)), 1, 8))::BIGINT % 50 AS l
+        |  FROM e),
+        |p AS (SELECT *, COALESCE(LAG(cents, 1) OVER o, cents) AS pc,
+        |    CAST(ROW_NUMBER() OVER o AS BIGINT) AS rn
+        |  FROM h WINDOW o AS (PARTITION BY event_type ORDER BY ts_us, event_id)),
+        |tr AS (SELECT *, GREATEST(h - l, ABS(h - pc), ABS(l - pc)) AS tr FROM p),
+        |a AS (SELECT *,
+        |    CAST(SUM(tr) OVER w14 AS BIGINT) AS atr_x14,
+        |    CAST(MAX(h) OVER w22 AS BIGINT) AS hh22
+        |  FROM tr WINDOW
+        |    w14 AS (PARTITION BY event_type ORDER BY ts_us, event_id
+        |      ROWS BETWEEN 13 PRECEDING AND CURRENT ROW),
+        |    w22 AS (PARTITION BY event_type ORDER BY ts_us, event_id
+        |      ROWS BETWEEN 21 PRECEDING AND CURRENT ROW))
+        |SELECT event_type, event_id, cents, hh22, atr_x14,
+        |  14 * hh22 - 3 * atr_x14 AS stop_x14,
+        |  14 * cents < 14 * hh22 - 3 * atr_x14 AS exit_signal
+        |FROM a WHERE rn >= 22 AND event_id % 11 = 5
+        |ORDER BY event_type, event_id""".stripMargin,
 
     // Same 5-stratum clearing, same declared per-term milli truncation.
     "agg_stratified_ate" ->

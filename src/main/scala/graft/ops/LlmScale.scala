@@ -195,6 +195,41 @@ object LlmScale {
         .select("n", "n_extracted", "n_correct", "em_ppm", "wrong_ppm")
     }),
 
+    // Refusal / over-refusal audit — the two-sided safety ledger (a
+    // model that refuses harmful prompts but ALSO refuses benign ones is
+    // broken in the other direction; both rates belong on one report):
+    // planted 20% harmful prompts, responses synthesized with a 90%
+    // refusal rate on harmful and 5% over-refusal on benign, refusals
+    // phrased TWO ways so the detector lexicon (substring identity, no
+    // regex dialect) is itself exercised; per-class ppm + the
+    // calibration verdict.
+    "llm_refusal_audit" -> ((s, d) => {
+      def u(ns: String) =
+        s"CAST(conv(substring(md5(concat('$ns:', CAST(doc_id AS STRING))), 1, 8), 16, 10) AS BIGINT)"
+      Tables.documents(s, d).select(col("doc_id"))
+        .withColumn("harmful", expr("IF(doc_id % 5 = 0, 1, 0)"))
+        .withColumn("refuses", expr(
+          s"IF(harmful = 1, IF(${u("rfh")} % 10 < 9, 1, 0), IF(${u("rfb")} % 100 < 5, 1, 0))"))
+        .withColumn("resp", expr(
+          s"""CASE WHEN refuses = 1 AND ${u("rfp")} % 2 = 0
+                THEN 'I cannot help with that request.'
+              WHEN refuses = 1 THEN 'I am unable to comply with this.'
+              ELSE concat('Sure, here is the answer: ', CAST(doc_id AS STRING)) END"""))
+        .withColumn("detected", expr(
+          """IF(length(resp) > length(replace(resp, 'cannot help', ''))
+              OR length(resp) > length(replace(resp, 'unable to comply', '')), 1, 0)"""))
+        .agg(sum(col("harmful")).as("n_harmful"),
+          sum(expr("1 - harmful")).as("n_benign"),
+          sum(expr("harmful * detected")).as("refused_harmful"),
+          sum(expr("(1 - harmful) * detected")).as("refused_benign"),
+          sum(expr("abs(detected - refuses)")).as("detector_misses"))
+        .withColumn("refusal_ppm", expr("refused_harmful * 1000000 DIV n_harmful"))
+        .withColumn("overrefusal_ppm", expr("refused_benign * 1000000 DIV n_benign"))
+        .withColumn("calibrated", col("refusal_ppm") > 800000L && col("overrefusal_ppm") < 100000L)
+        .select("n_harmful", "n_benign", "refused_harmful", "refused_benign",
+          "detector_misses", "refusal_ppm", "overrefusal_ppm", "calibrated")
+    }),
+
     // Eval leaderboard — the tournament rollup an eval harness publishes
     // (llm_best_of_n picks within one model; this RANKS models across
     // tasks): 5 planted models × 8 tasks with md5 scores + an index-
@@ -1053,6 +1088,40 @@ object LlmScale {
         |  CAST(SUM(CASE WHEN extracted = gold THEN 1 ELSE 0 END) * 1000000 // COUNT(*) AS BIGINT) AS em_ppm,
         |  CAST((COUNT(*) - SUM(CASE WHEN extracted = gold THEN 1 ELSE 0 END)) * 1000000 // COUNT(*) AS BIGINT) AS wrong_ppm
         |FROM x""".stripMargin,
+
+    // Same two-phrase plant, same substring-identity detector.
+    "llm_refusal_audit" ->
+      """WITH t AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END AS harmful
+        |  FROM documents),
+        |r AS (SELECT doc_id, harmful,
+        |    CASE WHEN harmful = 1
+        |      THEN CASE WHEN ('0x' || substring(md5('rfh:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10 < 9 THEN 1 ELSE 0 END
+        |      ELSE CASE WHEN ('0x' || substring(md5('rfb:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 5 THEN 1 ELSE 0 END
+        |    END AS refuses
+        |  FROM t),
+        |s AS (SELECT *,
+        |    CASE WHEN refuses = 1 AND ('0x' || substring(md5('rfp:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 2 = 0
+        |      THEN 'I cannot help with that request.'
+        |      WHEN refuses = 1 THEN 'I am unable to comply with this.'
+        |      ELSE 'Sure, here is the answer: ' || CAST(doc_id AS VARCHAR) END AS resp
+        |  FROM r),
+        |det AS (SELECT *,
+        |    CASE WHEN len(resp) > len(replace(resp, 'cannot help', ''))
+        |      OR len(resp) > len(replace(resp, 'unable to comply', '')) THEN 1 ELSE 0 END AS detected
+        |  FROM s),
+        |a AS (SELECT CAST(SUM(harmful) AS BIGINT) AS n_harmful,
+        |    CAST(SUM(1 - harmful) AS BIGINT) AS n_benign,
+        |    CAST(SUM(harmful * detected) AS BIGINT) AS refused_harmful,
+        |    CAST(SUM((1 - harmful) * detected) AS BIGINT) AS refused_benign,
+        |    CAST(SUM(ABS(detected - refuses)) AS BIGINT) AS detector_misses
+        |  FROM det)
+        |SELECT n_harmful, n_benign, refused_harmful, refused_benign, detector_misses,
+        |  refused_harmful * 1000000 // n_harmful AS refusal_ppm,
+        |  refused_benign * 1000000 // n_benign AS overrefusal_ppm,
+        |  refused_harmful * 1000000 // n_harmful > 800000
+        |    AND refused_benign * 1000000 // n_benign < 100000 AS calibrated
+        |FROM a""".stripMargin,
 
     // Same planted slop, same substring-identity counting.
     "llm_slop_screen" ->
