@@ -18,6 +18,86 @@ object Round11Ops {
     s"CAST(conv(substring(md5(concat('$ns:', CAST($id AS STRING))), 1, 8), 16, 10) AS BIGINT)"
 
   val queries: Map[String, Q] = Map(
+    // Bucket PRUNING — the read-side payoff sink_bucketed's layout buys
+    // (writing buckets is half the story; a point-lookup on the bucket
+    // key must scan 1/16th of the files, and the plan SAYS so —
+    // "SelectedBucketsCount: 1 out of 16", spec-asserted): per-sf
+    // bucketed copy of orders, literal equality filter on the smallest
+    // live custkey (resolved once, O(1) driver-side — the literal is
+    // what makes pruning kick in), rollup graded against the plain
+    // parquet replay. At 100 TB this is the difference between one
+    // bucket file and the whole table.
+    "warehouse_bucket_pruning" -> ((s, d) => {
+      val tbl = "graft_bktp_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      if (!s.catalog.tableExists(tbl)) {
+        Tables.orders(s, d).write.mode("overwrite")
+          .bucketBy(16, "o_custkey").sortBy("o_custkey")
+          .option("path", s"${Scratch.dir}/$tbl")
+          .saveAsTable(tbl)
+      }
+      val minKey = Tables.orders(s, d).agg(min("o_custkey")).collect()(0).getLong(0)
+      s.table(tbl)
+        .where(col("o_custkey") === minKey)
+        .groupBy("o_custkey")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(expr("CAST(FLOOR(o_totalprice * 100) AS BIGINT)")).as("cents"),
+          min("o_orderkey").as("min_key"), max("o_orderkey").as("max_key"))
+        .select(col("o_custkey").cast("bigint").as("o_custkey"),
+          col("n_orders"), col("cents"),
+          col("min_key").cast("bigint").as("min_key"),
+          col("max_key").cast("bigint").as("max_key"))
+    }),
+
+    // SELECT * EXCEPT — the wide-table ergonomics surface (on a 400-
+    // column training-features table, "everything but the blob columns"
+    // is how every exploratory query starts): star expansion minus an
+    // explicit column set, resolved at ANALYSIS time (the scan must
+    // prune to the kept columns exactly as if they were spelled out —
+    // the oracle IS the spelled-out form). Sampled row-level output
+    // under the unique-orderkey total order.
+    "api_sql_star_except" -> ((s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("graft_sxe_orders")
+      s.sql(
+        """SELECT * EXCEPT (o_totalprice, o_orderdate)
+          |FROM graft_sxe_orders
+          |WHERE o_orderkey % 100 = 1
+          |ORDER BY o_orderkey""".stripMargin)
+    }),
+
+    // Record highs — the H_n law (in any exchangeable tie-free sequence
+    // the expected number of running records is the harmonic number —
+    // position, not values, drives it): per-type md5 shuffle order with
+    // an INDEPENDENT-namespace tie-break key (order and value sharing a
+    // hash would break exchangeability), records by a running strict
+    // max, E in exact micro as Σ 10⁶ DIV i over a broadcast range, and
+    // the 3σ sanity verdict cross-multiplied with Var ≈ H_n.
+    "win_record_highs" -> ((s, d) => {
+      val ord = Window.partitionBy("event_type").orderBy(col("ok"))
+      val recs = Tables.events(s, d)
+        .select(col("event_type"), col("event_id"),
+          floor(col("value") * 100).cast("bigint").as("cents"))
+        .withColumn("ok", expr(u("ro", "event_id")))
+        // 2^33 span keeps the composite collision-free and cents-major
+        .withColumn("x", expr(s"cents * 8589934592 + ${u("rv", "event_id")}"))
+        .withColumn("rm", max("x").over(ord.rowsBetween(Window.unboundedPreceding, -1)))
+        .withColumn("is_record", col("rm").isNull || col("x") > col("rm"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("is_record"), 1L).otherwise(0L)).as("records"))
+      val maxN = recs.agg(max("n")).collect()(0).getLong(0)
+      val harmonics = recs.select("event_type", "n")
+        .join(s.range(1, maxN + 1).select(col("id").as("i")), col("i") <= col("n"))
+        .groupBy("event_type")
+        .agg(sum(expr("1000000 DIV i")).as("e_micro"))
+      recs.join(harmonics, "event_type")
+        .withColumn("within_3sigma", expr(
+          """CAST(records * 1000000 - e_micro AS DECIMAL(38,0))
+             * (records * 1000000 - e_micro)
+             < CAST(9 AS DECIMAL(38,0)) * e_micro * 1000000"""))
+        .select("event_type", "n", "records", "e_micro", "within_3sigma")
+        .orderBy("event_type")
+    }),
+
     // Volume profile — WHERE the volume traded, not when (win_vwap
     // averages over time; the profile histograms over PRICE): md5
     // volumes into 100-cent price buckets, POC = the modal bucket
@@ -103,6 +183,49 @@ object Round11Ops {
   )
 
   val oracles: Map[String, String] = Map(
+    // Same literal point-lookup replayed without the bucket layout.
+    "warehouse_bucket_pruning" ->
+      """SELECT CAST(o_custkey AS BIGINT) AS o_custkey,
+        |  CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |  CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents,
+        |  CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
+        |  CAST(MAX(o_orderkey) AS BIGINT) AS max_key
+        |FROM orders WHERE o_custkey = (SELECT MIN(o_custkey) FROM orders)
+        |GROUP BY 1""".stripMargin,
+
+    // The spelled-out form the star-except expansion must equal.
+    "api_sql_star_except" ->
+      """SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+        |  CAST(o_custkey AS BIGINT) AS o_custkey,
+        |  o_orderstatus, o_orderpriority
+        |FROM orders WHERE o_orderkey % 100 = 1
+        |ORDER BY o_orderkey""".stripMargin,
+
+    // Same shuffle order, same tie-free composite, same harmonic sum.
+    "win_record_highs" ->
+      """WITH e AS (SELECT event_type, event_id,
+        |    CAST(FLOOR(value * 100) AS BIGINT) AS cents,
+        |    ('0x' || substring(md5('ro:' || CAST(event_id AS VARCHAR)), 1, 8))::BIGINT AS ok,
+        |    CAST(FLOOR(value * 100) AS BIGINT) * 8589934592
+        |      + ('0x' || substring(md5('rv:' || CAST(event_id AS VARCHAR)), 1, 8))::BIGINT AS x
+        |  FROM events),
+        |r AS (SELECT event_type, x,
+        |    MAX(x) OVER (PARTITION BY event_type ORDER BY ok
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS rm
+        |  FROM e),
+        |g AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CASE WHEN rm IS NULL OR x > rm THEN 1 ELSE 0 END) AS BIGINT) AS records
+        |  FROM r GROUP BY 1),
+        |idx AS (SELECT CAST(ROW_NUMBER() OVER () AS BIGINT) AS i FROM events),
+        |h AS (SELECT event_type, CAST(SUM(1000000 // idx.i) AS BIGINT) AS e_micro
+        |  FROM g JOIN idx ON idx.i <= g.n
+        |  GROUP BY 1)
+        |SELECT g.event_type, n, records, e_micro,
+        |  CAST(records * 1000000 - e_micro AS HUGEINT) * (records * 1000000 - e_micro)
+        |    < CAST(9 AS HUGEINT) * e_micro * 1000000 AS within_3sigma
+        |FROM g JOIN h ON g.event_type = h.event_type
+        |ORDER BY g.event_type""".stripMargin,
+
     // Same price buckets, same volume-ranked 70% value area.
     "win_volume_profile" ->
       """WITH e AS (SELECT event_type,
