@@ -64,6 +64,111 @@ object Round11Ops {
           |ORDER BY o_orderkey""".stripMargin)
     }),
 
+    // Clustering-depth audit — how INTERLEAVED a table's files are on
+    // its sort key (the metric a lakehouse OPTIMIZE decision reads:
+    // depth 1 = perfectly clustered, depth = n_files means every file
+    // overlaps every point): the SAME orders written two ways — 8
+    // modulo-sliced files (every file spans the whole key range) and 8
+    // arithmetic range buckets (disjoint) — per-file min/max read back
+    // through _metadata.file_path to PROVE the physical layout, then
+    // max depth and overlapping pairs from the 8×8 interval frame
+    // (bounded by file count; the production form is a sweep over file
+    // stats, same numbers). Oracle recomputes both layouts' bucket
+    // min/max arithmetically from orders.
+    "warehouse_clustering_depth" -> ((s, d) => {
+      val dir = Scratch.opDir("clusdepth", d)
+      val staged = java.nio.file.Paths.get(dir, "_STAGED")
+      val o = Tables.orders(s, d).select(col("o_orderkey"))
+      val mx = o.agg(max("o_orderkey")).collect()(0).getLong(0)
+      if (!java.nio.file.Files.exists(staged)) {
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+        (0 to 7).foreach { b =>
+          o.where(col("o_orderkey") % 8 === b)
+            .write.mode("overwrite").parquet(s"$dir/mod/f$b")
+          o.where(expr(s"least(o_orderkey * 8 DIV ${mx + 1}, 7)") === b)
+            .write.mode("overwrite").parquet(s"$dir/range/f$b")
+        }
+        java.nio.file.Files.write(staged, Array.emptyByteArray)
+      }
+      def stats(sub: String, label: String) =
+        s.read.parquet((0 to 7).map(b => s"$dir/$sub/f$b"): _*)
+          .withColumn("f", regexp_extract(expr("_metadata.file_path"), s"/$sub/f(\\d+)/", 1).cast("bigint"))
+          .groupBy("f")
+          .agg(min("o_orderkey").as("lo"), max("o_orderkey").as("hi"))
+          .withColumn("layout", lit(label))
+      val files = stats("mod", "modulo").unionByName(stats("range", "range"))
+      files.as("a").join(files.as("b"),
+          col("a.layout") === col("b.layout"))
+        .groupBy(col("a.layout").as("layout"), col("a.f").as("f"))
+        .agg(
+          // depth at a.lo = files covering that point
+          sum(when(col("b.lo") <= col("a.lo") && col("a.lo") <= col("b.hi"), 1L)
+            .otherwise(0L)).as("depth_at_lo"),
+          sum(when(col("a.f") < col("b.f") &&
+            col("a.lo") <= col("b.hi") && col("b.lo") <= col("a.hi"), 1L)
+            .otherwise(0L)).as("pairs_from_f"))
+        .groupBy("layout")
+        .agg(count(lit(1)).as("n_files"),
+          max("depth_at_lo").as("max_depth"),
+          sum("pairs_from_f").as("overlap_pairs"))
+        .orderBy("layout")
+    }),
+
+    // PR-AUC — the imbalanced-retrieval grade beside agg_auc_roc (ROC
+    // flatters a 10%-positive problem; precision–recall does not):
+    // planted 10% positives with +300k score lift, 19-threshold grid,
+    // step integration Σ ΔTP·P_i with each precision one integer DIV
+    // (per-term truncation declared) and the common recall denominator
+    // P factored out until the final DIV. Verdict: beats the
+    // positive-rate baseline 5×.
+    "agg_auc_pr" -> ((s, d) => {
+      val t = Tables.documents(s, d).select(col("doc_id"))
+        .withColumn("truth", expr(s"IF(${u("apt")} % 10 = 0, 1, 0)"))
+        .withColumn("score", expr(s"${u("aps")} % 700000 + truth * 300000"))
+      val grid = t.crossJoin(broadcast(s.range(1, 20).select((lit(1000000L) - col("id") * 50000L).as("thr"))))
+        .groupBy("thr")
+        .agg(sum(when(col("truth") === 1 && col("score") >= col("thr"), 1L)
+            .otherwise(0L)).as("tp"),
+          sum(when(col("truth") === 0 && col("score") >= col("thr"), 1L)
+            .otherwise(0L)).as("fp"))
+      val tot = t.agg(sum("truth").as("p"), count(lit(1)).as("n"))
+      val w19 = Window.orderBy(col("thr").desc) // 19 rows — grid-bounded
+      grid
+        .withColumn("tp_prev", coalesce(lag("tp", 1).over(w19), lit(0L)))
+        .withColumn("contrib", expr(
+          "CASE WHEN tp + fp > 0 THEN (tp - tp_prev) * tp * 1000000 DIV (tp + fp) ELSE 0 END"))
+        .agg(sum("contrib").as("contrib_sum"))
+        .crossJoin(broadcast(tot)) // single-row scalar attach
+        .withColumn("auc_pr_ppm", expr("contrib_sum DIV p"))
+        .withColumn("baseline_ppm", expr("p * 1000000 DIV n"))
+        .withColumn("informative", expr("auc_pr_ppm > 5 * baseline_ppm"))
+        .select("p", "n", "auc_pr_ppm", "baseline_ppm", "informative")
+    }),
+
+    // Negative-binomial moment fit — WHAT overdispersed counts look
+    // like as parameters (agg_dispersion_index flags the condition;
+    // capacity models need r and p): a 3-rate Poisson-ish mixture
+    // (means 0.5/2/3.5 — genuinely overdispersed), method-of-moments
+    // r = m²/(v−m) and p = m/v cleared to the exact rationals
+    // r = Sx²/(nΣx²−Sx²−n·Sx) and p = n·Sx/(nΣx²−Sx²) — two DIVs, the
+    // v > m guard graded as its own boolean.
+    "agg_negbin_moments" -> ((s, d) => {
+      Tables.documents(s, d).select(col("doc_id"))
+        .withColumn("g", expr(s"${u("nbg")} % 3"))
+        .withColumn("x", expr(s"${u("nbx")} % (2 + 3 * g)"))
+        .agg(count(lit(1)).as("n"), sum("x").as("sx"),
+          sum(expr("x * x")).as("sxx"))
+        .withColumn("overdispersed", expr("n * sxx - sx * sx > n * sx"))
+        .withColumn("r_milli", expr(
+          """CASE WHEN n * sxx - sx * sx - n * sx > 0
+             THEN CAST(sx AS DECIMAL(38,0)) * sx * 1000
+                  DIV (CAST(n AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sx - CAST(n AS DECIMAL(38,0)) * sx)
+             ELSE CAST(-1 AS DECIMAL(38,0)) END""").cast("long"))
+        .withColumn("p_ppm", expr(
+          "(CAST(n AS DECIMAL(38,0)) * sx * 1000000) DIV (CAST(n AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sx)").cast("long"))
+        .select("n", "sx", "overdispersed", "r_milli", "p_ppm")
+    }),
+
     // Record highs — the H_n law (in any exchangeable tie-free sequence
     // the expected number of running records is the harmonic number —
     // position, not values, drives it): per-type md5 shuffle order with
@@ -200,6 +305,68 @@ object Round11Ops {
         |  o_orderstatus, o_orderpriority
         |FROM orders WHERE o_orderkey % 100 = 1
         |ORDER BY o_orderkey""".stripMargin,
+
+    // Same two layouts recomputed arithmetically from orders.
+    "warehouse_clustering_depth" ->
+      """WITH mx AS (SELECT MAX(o_orderkey) AS mx FROM orders),
+        |modf AS (SELECT o_orderkey % 8 AS f,
+        |    CAST(MIN(o_orderkey) AS BIGINT) AS lo, CAST(MAX(o_orderkey) AS BIGINT) AS hi
+        |  FROM orders GROUP BY 1),
+        |rngf AS (SELECT LEAST(o_orderkey * 8 // (mx + 1), 7) AS f,
+        |    CAST(MIN(o_orderkey) AS BIGINT) AS lo, CAST(MAX(o_orderkey) AS BIGINT) AS hi
+        |  FROM orders CROSS JOIN mx GROUP BY 1),
+        |files AS (SELECT 'modulo' AS layout, f, lo, hi FROM modf
+        |  UNION ALL SELECT 'range', f, lo, hi FROM rngf),
+        |pf AS (SELECT a.layout, a.f,
+        |    CAST(SUM(CASE WHEN b.lo <= a.lo AND a.lo <= b.hi THEN 1 ELSE 0 END) AS BIGINT) AS depth_at_lo,
+        |    CAST(SUM(CASE WHEN a.f < b.f AND a.lo <= b.hi AND b.lo <= a.hi THEN 1 ELSE 0 END) AS BIGINT) AS pairs_from_f
+        |  FROM files a JOIN files b ON a.layout = b.layout
+        |  GROUP BY 1, 2)
+        |SELECT layout, CAST(COUNT(*) AS BIGINT) AS n_files,
+        |  CAST(MAX(depth_at_lo) AS BIGINT) AS max_depth,
+        |  CAST(SUM(pairs_from_f) AS BIGINT) AS overlap_pairs
+        |FROM pf GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Same grid, same per-term precision truncation, same final DIV.
+    "agg_auc_pr" ->
+      """WITH t AS (SELECT doc_id,
+        |    CASE WHEN ('0x' || substring(md5('apt:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10 = 0
+        |      THEN 1 ELSE 0 END AS truth
+        |  FROM documents),
+        |sc AS (SELECT truth,
+        |    ('0x' || substring(md5('aps:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 700000
+        |      + truth * 300000 AS score FROM t),
+        |g AS (SELECT CAST(1000000 - v * 50000 AS BIGINT) AS thr FROM generate_series(1, 19) s(v)),
+        |cm AS (SELECT thr,
+        |    CAST(SUM(CASE WHEN truth = 1 AND score >= thr THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+        |    CAST(SUM(CASE WHEN truth = 0 AND score >= thr THEN 1 ELSE 0 END) AS BIGINT) AS fp
+        |  FROM sc CROSS JOIN g GROUP BY 1),
+        |st AS (SELECT *, COALESCE(LAG(tp, 1) OVER (ORDER BY thr DESC), 0) AS tp_prev FROM cm),
+        |c AS (SELECT CAST(SUM(CASE WHEN tp + fp > 0
+        |    THEN (tp - tp_prev) * tp * 1000000 // (tp + fp) ELSE 0 END) AS BIGINT) AS contrib_sum
+        |  FROM st),
+        |tot AS (SELECT CAST(SUM(truth) AS BIGINT) AS p, CAST(COUNT(*) AS BIGINT) AS n FROM t)
+        |SELECT p, n, contrib_sum // p AS auc_pr_ppm,
+        |  p * 1000000 // n AS baseline_ppm,
+        |  contrib_sum // p > 5 * (p * 1000000 // n) AS informative
+        |FROM c CROSS JOIN tot""".stripMargin,
+
+    // Same mixture plant, same cleared moment rationals.
+    "agg_negbin_moments" ->
+      """WITH t AS (SELECT doc_id,
+        |    ('0x' || substring(md5('nbg:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 3 AS g
+        |  FROM documents),
+        |v AS (SELECT ('0x' || substring(md5('nbx:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % (2 + 3 * g) AS x FROM t),
+        |a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS sx,
+        |    CAST(SUM(x * x) AS BIGINT) AS sxx FROM v)
+        |SELECT n, sx, n * sxx - sx * sx > n * sx AS overdispersed,
+        |  CAST(CASE WHEN n * sxx - sx * sx - n * sx > 0
+        |    THEN CAST(sx AS HUGEINT) * sx * 1000
+        |      // (CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx - CAST(n AS HUGEINT) * sx)
+        |    ELSE -1 END AS BIGINT) AS r_milli,
+        |  CAST((CAST(n AS HUGEINT) * sx * 1000000)
+        |    // (CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx) AS BIGINT) AS p_ppm
+        |FROM a""".stripMargin,
 
     // Same shuffle order, same tie-free composite, same harmonic sum.
     "win_record_highs" ->
