@@ -169,6 +169,85 @@ object Round11Ops {
         .select("n", "sx", "overdispersed", "r_milli", "p_ppm")
     }),
 
+    // JSON-schema conformance audit — the structured-output gate every
+    // tool-calling pipeline runs (the model SAID it returned
+    // {answer, confidence, sources}; did it?): planted breakage —
+    // truncation (malformed — unclosed object), missing confidence, a
+    // string-typed confidence — classified through from_json's PERMISSIVE
+    // semantics (malformed ⇒ null struct; missing-or-wrong-typed field ⇒
+    // null field), which line up exactly with json_valid + TRY_CAST on the
+    // oracle side. Per-class counts + ppm.
+    "llm_json_schema_validate" -> ((s, d) => {
+      val t = Tables.documents(s, d).select(col("doc_id"))
+        .withColumn("conf", expr(s"${u("jsc")} % 100"))
+        .withColumn("resp", expr(
+          """CASE
+             WHEN doc_id % 19 = 0 THEN concat('{"answer":"a","confidence":', CAST(conf AS STRING), ',"sources":[1,2]')
+             WHEN doc_id % 13 = 0 THEN '{"answer":"a","sources":[1,2]}'
+             WHEN doc_id % 17 = 0 THEN '{"answer":"a","confidence":"high","sources":[1,2]}'
+             ELSE concat('{"answer":"a","confidence":', CAST(conf AS STRING), ',"sources":[1,2]}')
+             END"""))
+        .withColumn("parsed", expr(
+          "from_json(resp, 'answer STRING, confidence BIGINT, sources ARRAY<BIGINT>')"))
+        .withColumn("malformed", col("parsed").isNull ||
+          (col("parsed.answer").isNull && col("parsed.confidence").isNull &&
+            col("parsed.sources").isNull))
+        .withColumn("conf_bad", !col("malformed") && col("parsed.confidence").isNull)
+        .withColumn("valid", !col("malformed") && !col("conf_bad") &&
+          expr("size(parsed.sources) = 2"))
+      t.agg(count(lit(1)).as("n"),
+          sum(when(col("malformed"), 1L).otherwise(0L)).as("n_malformed"),
+          sum(when(col("conf_bad"), 1L).otherwise(0L)).as("n_conf_bad"),
+          sum(when(col("valid"), 1L).otherwise(0L)).as("n_valid"))
+        .withColumn("valid_ppm", expr("n_valid * 1000000 DIV n"))
+        .select("n", "n_malformed", "n_conf_bad", "n_valid", "valid_ppm")
+    }),
+
+    // Holm–Bonferroni — the step-down multiple-testing gate beside
+    // agg_benjamini_hochberg's FDR one (Holm controls FWER — the bar a
+    // safety claim needs): 5 planted real effects among 20 hypotheses,
+    // step-down over the 20-row rank window as a running AND (reject
+    // while every smaller p passed p·(m−i+1) ≤ α·10⁶ — all integers),
+    // plain Bonferroni emitted beside it to show what step-down buys.
+    "agg_holm_bonferroni" -> ((s, d) => {
+      val hyp = Tables.documents(s, d).where(col("doc_id") < 20)
+        .select(col("doc_id").as("h"))
+        .withColumn("p_ppm", expr(
+          s"IF(h < 5, ${u("hbp", "h")} % 500, ${u("hbq", "h")} % 1000000)"))
+      val w20 = Window.orderBy(col("p_ppm"), col("h")) // 20 rows
+      hyp
+        .withColumn("i", row_number().over(w20).cast("bigint"))
+        .withColumn("pass", expr("p_ppm * (20 - i + 1) <= 50000"))
+        .withColumn("holm_rejected", min(when(col("pass"), 1L).otherwise(0L))
+          .over(w20.rowsBetween(Window.unboundedPreceding, 0)) === 1L)
+        .withColumn("bonf_rejected", expr("p_ppm * 20 <= 50000"))
+        .select("h", "i", "p_ppm", "holm_rejected", "bonf_rejected")
+        .orderBy("i")
+    }),
+
+    // Base36 roundtrip — the compact-id codec shard names and URL slugs
+    // use: fixed-width 7-digit encode by unrolled DIV/MOD (36⁷ > 7·10¹⁰
+    // covers every key), decode by alphabet position, and the roundtrip
+    // identity GRADED per row — the decode must reproduce the key
+    // exactly in both engines.
+    "fn_base36_roundtrip" -> ((s, d) => {
+      val alpha = "0123456789abcdefghijklmnopqrstuvwxyz"
+      val enc = (0 to 6).reverse.map(i =>
+        s"substring('$alpha', CAST(o_orderkey DIV ${math.pow(36, i).toLong} % 36 AS INT) + 1, 1)")
+        .mkString("concat(", ", ", ")")
+      val dec = (0 to 6).map(i =>
+        s"(CAST(instr('$alpha', substring(b36, ${7 - i}, 1)) AS BIGINT) - 1) * ${math.pow(36, i).toLong}")
+        .mkString(" + ")
+      Tables.orders(s, d).select(col("o_orderkey"))
+        .where(col("o_orderkey") % 100 === 1)
+        .withColumn("b36", expr(enc))
+        .withColumn("decoded", expr(dec))
+        .withColumn("roundtrip_ok", col("decoded") === col("o_orderkey"))
+        .select(col("o_orderkey").cast("bigint").as("o_orderkey"),
+          col("b36"), col("decoded"), col("roundtrip_ok"))
+        .orderBy("o_orderkey")
+    }),
+
     // Record highs — the H_n law (in any exchangeable tie-free sequence
     // the expected number of running records is the harmonic number —
     // position, not values, drives it): per-type md5 shuffle order with
@@ -305,6 +384,67 @@ object Round11Ops {
         |  o_orderstatus, o_orderpriority
         |FROM orders WHERE o_orderkey % 100 = 1
         |ORDER BY o_orderkey""".stripMargin,
+
+    // Same planted breakage, same json_valid + TRY_CAST classes.
+    "llm_json_schema_validate" ->
+      """WITH t AS (SELECT doc_id,
+        |    ('0x' || substring(md5('jsc:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS conf
+        |  FROM documents),
+        |r AS (SELECT doc_id,
+        |    CASE
+        |      WHEN doc_id % 19 = 0 THEN '{"answer":"a","confidence":' || CAST(conf AS VARCHAR) || ',"sources":[1,2]'
+        |      WHEN doc_id % 13 = 0 THEN '{"answer":"a","sources":[1,2]}'
+        |      WHEN doc_id % 17 = 0 THEN '{"answer":"a","confidence":"high","sources":[1,2]}'
+        |      ELSE '{"answer":"a","confidence":' || CAST(conf AS VARCHAR) || ',"sources":[1,2]}'
+        |    END AS resp
+        |  FROM t),
+        |c AS (SELECT
+        |    CASE WHEN NOT json_valid(resp) THEN 1 ELSE 0 END AS malformed,
+        |    CASE WHEN json_valid(resp)
+        |      AND TRY_CAST(json_extract_string(resp, '$.confidence') AS BIGINT) IS NULL
+        |      THEN 1 ELSE 0 END AS conf_bad,
+        |    CASE WHEN json_valid(resp)
+        |      AND TRY_CAST(json_extract_string(resp, '$.confidence') AS BIGINT) IS NOT NULL
+        |      AND json_array_length(json_extract(resp, '$.sources')) = 2
+        |      THEN 1 ELSE 0 END AS valid
+        |  FROM r)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(malformed) AS BIGINT) AS n_malformed,
+        |  CAST(SUM(conf_bad) AS BIGINT) AS n_conf_bad,
+        |  CAST(SUM(valid) AS BIGINT) AS n_valid,
+        |  CAST(SUM(valid) * 1000000 // COUNT(*) AS BIGINT) AS valid_ppm
+        |FROM c""".stripMargin,
+
+    // Same step-down running AND over the 20-row rank order.
+    "agg_holm_bonferroni" ->
+      """WITH h AS (SELECT doc_id AS h FROM documents WHERE doc_id < 20),
+        |p AS (SELECT h,
+        |    CASE WHEN h < 5
+        |      THEN ('0x' || substring(md5('hbp:' || CAST(h AS VARCHAR)), 1, 8))::BIGINT % 500
+        |      ELSE ('0x' || substring(md5('hbq:' || CAST(h AS VARCHAR)), 1, 8))::BIGINT % 1000000
+        |    END AS p_ppm
+        |  FROM h),
+        |r AS (SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY p_ppm, h) AS BIGINT) AS i FROM p),
+        |s AS (SELECT *, CASE WHEN p_ppm * (20 - i + 1) <= 50000 THEN 1 ELSE 0 END AS pass FROM r),
+        |q AS (SELECT *, MIN(pass) OVER (ORDER BY p_ppm, h
+        |    ROWS UNBOUNDED PRECEDING) = 1 AS holm_rejected FROM s)
+        |SELECT h, i, p_ppm, holm_rejected,
+        |  p_ppm * 20 <= 50000 AS bonf_rejected
+        |FROM q ORDER BY i""".stripMargin,
+
+    // Same unrolled 7-digit codec, same graded identity.
+    "fn_base36_roundtrip" ->
+      ("""WITH e AS (SELECT o_orderkey,
+        |    """ + (0 to 6).reverse.map(i =>
+            s"substring('0123456789abcdefghijklmnopqrstuvwxyz', CAST(o_orderkey // ${math.pow(36, i).toLong} % 36 AS INT) + 1, 1)")
+            .mkString(" || ") + """ AS b36
+        |  FROM orders WHERE o_orderkey % 100 = 1),
+        |d AS (SELECT *, """ + (0 to 6).map(i =>
+            s"(CAST(instr('0123456789abcdefghijklmnopqrstuvwxyz', substring(b36, ${7 - i}, 1)) AS BIGINT) - 1) * ${math.pow(36, i).toLong}")
+            .mkString(" + ") + """ AS decoded FROM e)
+        |SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey, b36, decoded,
+        |  decoded = o_orderkey AS roundtrip_ok
+        |FROM d ORDER BY o_orderkey""").stripMargin,
 
     // Same two layouts recomputed arithmetically from orders.
     "warehouse_clustering_depth" ->
