@@ -248,6 +248,100 @@ object Round11Ops {
         .orderBy("o_orderkey")
     }),
 
+    // Cochran–Armitage trend test — "does the rate RISE with dose?"
+    // (agg_chisq asks association; ordered exposure groups deserve the
+    // one-degree trend question): planted 25%→45% conversion across 5
+    // ordered doses with integer scores w = 0..4, T = Σwᵢ(xᵢN − nᵢX)
+    // exact, Var·N² = X(N−X)·(N·Σwᵢ²nᵢ − (Σwᵢnᵢ)²) exact, and the z²
+    // verdict fully cross-multiplied T²·N·10⁴·... — no float anywhere.
+    "agg_cochran_armitage" -> ((s, d) => {
+      val t = Tables.documents(s, d).select(col("doc_id"))
+        .withColumn("dose", expr(s"${u("cad")} % 5"))
+        .withColumn("conv", expr(s"IF(${u("cac")} % 100 < 25 + 5 * dose, 1, 0)"))
+      t.groupBy("dose")
+        .agg(count(lit(1)).as("ni"), sum("conv").as("xi"))
+        .agg(sum("ni").as("nn"), sum("xi").as("xx"),
+          sum(expr("dose * xi")).as("swx"),
+          sum(expr("dose * ni")).as("swn"),
+          sum(expr("dose * dose * ni")).as("sw2n"))
+        .withColumn("t_num", expr("swx * nn - swn * xx"))
+        .withColumn("var_n3", expr(
+          "CAST(xx AS DECIMAL(38,0)) * (nn - xx) * (CAST(nn AS DECIMAL(38,0)) * sw2n - CAST(swn AS DECIMAL(38,0)) * swn)"))
+        .withColumn("significant", expr(
+          """CAST(t_num AS DECIMAL(38,0)) * t_num * nn * 1000000
+             > CAST(3841600 AS DECIMAL(38,0)) * var_n3"""))
+        .select(col("nn"), col("xx"), col("t_num"),
+          col("var_n3").cast("long").as("var_n3"), col("significant"))
+    }),
+
+    // Page–Hinkley — the SEQUENTIAL drift alarm (agg_ks_drift compares
+    // two finished samples; PH watches a STREAM and fires mid-flight):
+    // the documented fixed-reference variant (μ = 500, the planted
+    // pre-shift mean; δ = 5 slack, λ = 2000 threshold — all integers),
+    // planted +80 shift at the 60% mark of each type's series,
+    // PH_t = cumsum(x−μ−δ) − running min, alarm when > λ. Two
+    // running-window passes on one partitioned sort; ledger = first
+    // alarm position fraction + alarm count, and the alarm must land
+    // AFTER the shift point.
+    "win_page_hinkley" -> ((s, d) => {
+      val ord = Window.partitionBy("event_type").orderBy(col("ts_us"), col("event_id"))
+      Tables.events(s, d)
+        .select(col("event_type"), col("event_id"), col("ts_us"))
+        .withColumn("n_t", count(lit(1)).over(Window.partitionBy("event_type")))
+        .withColumn("rn", row_number().over(ord).cast("bigint"))
+        .withColumn("x", expr(
+          s"500 + ${u("phn", "event_id")} % 41 - 20 + IF(rn * 10 > n_t * 6, 80, 0)"))
+        .withColumn("m_t", sum(expr("x - 500 - 5")).over(
+          ord.rowsBetween(Window.unboundedPreceding, 0)))
+        .withColumn("m_min", min("m_t").over(
+          ord.rowsBetween(Window.unboundedPreceding, 0)))
+        .withColumn("alarm", expr("m_t - m_min > 2000"))
+        .groupBy("event_type")
+        .agg(max("n_t").as("n"),
+          sum(when(col("alarm"), 1L).otherwise(0L)).as("n_alarms"),
+          min(when(col("alarm"), col("rn"))).as("first_alarm_rn"))
+        .withColumn("first_alarm_pct", expr("first_alarm_rn * 100 DIV n"))
+        .withColumn("fired_after_shift", expr("first_alarm_rn * 10 > n * 6"))
+        .select("event_type", "n", "n_alarms", "first_alarm_rn",
+          "first_alarm_pct", "fired_after_shift")
+        .orderBy("event_type")
+    }),
+
+    // Matryoshka truncation recall — what 16 of 64 dims COST (MRL
+    // embeddings promise graceful truncation; this measures it): both
+    // engines quantize the SAME float embeddings to exact milli
+    // integers (floor(e·1000) — identical IEEE input, identical floor),
+    // top-1 by integer dot product under the (dot DESC, cand ASC) total
+    // order, full-dim vs 16-dim prefix, recall@1 = agreement rate. The
+    // dims explode into a (vec, idx, q) frame joined on idx — the shape
+    // that scales as n·d, never materializing a matrix.
+    "llm_matryoshka_recall" -> ((s, d) => {
+      val dims = Tables.embeddings(s, d)
+        .select(col("vec_id"), posexplode(col("embedding")))
+        .select(col("vec_id"), col("pos").cast("bigint").as("idx"),
+          expr("CAST(FLOOR(col * 1000) AS BIGINT)").as("q"))
+        .localCheckpoint()
+      def top1(maxIdx: Long, nm: String) = {
+        val dots = dims.where(col("idx") < maxIdx)
+          .select(col("vec_id").as("probe"), col("idx"), col("q").as("pq"))
+          .where(col("probe") < 10)
+          .join(dims.where(col("idx") < maxIdx)
+            .select(col("vec_id").as("cand"), col("idx"), col("q").as("cq")), "idx")
+          .where(col("probe") =!= col("cand"))
+          .groupBy("probe", "cand")
+          .agg(sum(expr("pq * cq")).as("dot"))
+        dots.withColumn("rk", row_number().over(
+            Window.partitionBy("probe").orderBy(col("dot").desc, col("cand"))))
+          .where(col("rk") === 1)
+          .select(col("probe"), col("cand").as(nm))
+      }
+      top1(64L, "full_top1").join(top1(16L, "trunc_top1"), "probe")
+        .agg(count(lit(1)).as("n_probes"),
+          sum(when(col("full_top1") === col("trunc_top1"), 1L).otherwise(0L)).as("n_match"))
+        .withColumn("recall1_ppm", expr("n_match * 1000000 DIV n_probes"))
+        .select("n_probes", "n_match", "recall1_ppm")
+    }),
+
     // Record highs — the H_n law (in any exchangeable tie-free sequence
     // the expected number of running records is the harmonic number —
     // position, not values, drives it): per-type md5 shuffle order with
@@ -384,6 +478,75 @@ object Round11Ops {
         |  o_orderstatus, o_orderpriority
         |FROM orders WHERE o_orderkey % 100 = 1
         |ORDER BY o_orderkey""".stripMargin,
+
+    // Same integer trend statistic, same cross-multiplied z².
+    "agg_cochran_armitage" ->
+      """WITH t AS (SELECT doc_id,
+        |    ('0x' || substring(md5('cad:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 5 AS dose
+        |  FROM documents),
+        |c AS (SELECT dose,
+        |    CASE WHEN ('0x' || substring(md5('cac:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100
+        |      < 25 + 5 * dose THEN 1 ELSE 0 END AS conv
+        |  FROM t),
+        |g AS (SELECT dose, CAST(COUNT(*) AS BIGINT) AS ni, CAST(SUM(conv) AS BIGINT) AS xi
+        |  FROM c GROUP BY 1),
+        |a AS (SELECT CAST(SUM(ni) AS BIGINT) AS nn, CAST(SUM(xi) AS BIGINT) AS xx,
+        |    CAST(SUM(dose * xi) AS BIGINT) AS swx, CAST(SUM(dose * ni) AS BIGINT) AS swn,
+        |    CAST(SUM(dose * dose * ni) AS BIGINT) AS sw2n FROM g)
+        |SELECT nn, xx, swx * nn - swn * xx AS t_num,
+        |  CAST(CAST(xx AS HUGEINT) * (nn - xx)
+        |    * (CAST(nn AS HUGEINT) * sw2n - CAST(swn AS HUGEINT) * swn) AS BIGINT) AS var_n3,
+        |  CAST(swx * nn - swn * xx AS HUGEINT) * (swx * nn - swn * xx) * nn * 1000000
+        |    > CAST(3841600 AS HUGEINT) * (CAST(xx AS HUGEINT) * (nn - xx)
+        |      * (CAST(nn AS HUGEINT) * sw2n - CAST(swn AS HUGEINT) * swn)) AS significant
+        |FROM a""".stripMargin,
+
+    // Same fixed-reference PH recursion-free form, same planted shift.
+    "win_page_hinkley" ->
+      """WITH e AS (SELECT event_type, event_id, epoch_us(ts) AS ts_us,
+        |    CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n_t,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+        |      ORDER BY epoch_us(ts), event_id) AS BIGINT) AS rn
+        |  FROM events),
+        |x AS (SELECT *, 500 + ('0x' || substring(md5('phn:' || CAST(event_id AS VARCHAR)), 1, 8))::BIGINT % 41 - 20
+        |    + CASE WHEN rn * 10 > n_t * 6 THEN 80 ELSE 0 END AS x
+        |  FROM e),
+        |m AS (SELECT *, CAST(SUM(x - 500 - 5) OVER w AS BIGINT) AS m_t
+        |  FROM x WINDOW w AS (PARTITION BY event_type ORDER BY ts_us, event_id
+        |    ROWS UNBOUNDED PRECEDING)),
+        |mm AS (SELECT *, CAST(MIN(m_t) OVER (PARTITION BY event_type ORDER BY ts_us, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS m_min FROM m),
+        |al AS (SELECT *, m_t - m_min > 2000 AS alarm FROM mm),
+        |g AS (SELECT event_type, CAST(MAX(n_t) AS BIGINT) AS n,
+        |    CAST(SUM(CASE WHEN alarm THEN 1 ELSE 0 END) AS BIGINT) AS n_alarms,
+        |    CAST(MIN(CASE WHEN alarm THEN rn END) AS BIGINT) AS first_alarm_rn
+        |  FROM al GROUP BY 1)
+        |SELECT event_type, n, n_alarms, first_alarm_rn,
+        |  first_alarm_rn * 100 // n AS first_alarm_pct,
+        |  first_alarm_rn * 10 > n * 6 AS fired_after_shift
+        |FROM g ORDER BY event_type""".stripMargin,
+
+    // Same milli quantization, same (dot DESC, cand ASC) total order.
+    "llm_matryoshka_recall" ->
+      """WITH dims AS (SELECT vec_id, CAST(i - 1 AS BIGINT) AS idx,
+        |    CAST(FLOOR(embedding[i] * 1000) AS BIGINT) AS q
+        |  FROM embeddings, generate_series(1, 64) t(i)),
+        |dots AS (SELECT w AS width, p.vec_id AS probe, c.vec_id AS cand,
+        |    CAST(SUM(p.q * c.q) AS BIGINT) AS dot
+        |  FROM dims p JOIN dims c ON p.idx = c.idx
+        |  CROSS JOIN (SELECT UNNEST([16, 64]) AS w) wt
+        |  WHERE p.vec_id < 10 AND p.vec_id <> c.vec_id AND p.idx < w AND c.idx < w
+        |  GROUP BY 1, 2, 3),
+        |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY width, probe
+        |    ORDER BY dot DESC, cand) AS rk FROM dots),
+        |t1 AS (SELECT probe,
+        |    MAX(CASE WHEN width = 64 THEN cand END) AS full_top1,
+        |    MAX(CASE WHEN width = 16 THEN cand END) AS trunc_top1
+        |  FROM r WHERE rk = 1 GROUP BY 1)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_probes,
+        |  CAST(SUM(CASE WHEN full_top1 = trunc_top1 THEN 1 ELSE 0 END) AS BIGINT) AS n_match,
+        |  CAST(SUM(CASE WHEN full_top1 = trunc_top1 THEN 1 ELSE 0 END) * 1000000 // COUNT(*) AS BIGINT) AS recall1_ppm
+        |FROM t1""".stripMargin,
 
     // Same planted breakage, same json_valid + TRY_CAST classes.
     "llm_json_schema_validate" ->
