@@ -92,6 +92,13 @@ object GraphOps {
       |t AS MATERIALIZED (SELECT CAST(SUM(w) AS BIGINT) AS tw, COUNT(*) AS ne FROM und),
       |h AS MATERIALIZED (SELECT a, b FROM und, t WHERE w * ne > tw)""".stripMargin
 
+  /** The heavy backbone, shared with Round11Ops.graph_coreness. */
+  private[ops] def backboneForCoreness(s: SparkSession, d: String): DataFrame =
+    heavyBackbone(s, d)
+
+  /** Oracle CTE prefix shared with Round11Ops (edges + heavy cut). */
+  private[ops] def coreOracleCtes: String = s"$EdgesCte,\n$HeavyCte"
+
   /** Fixed BFS relaxation rounds (diameter of the fixture backbone is
     * ≤ 3; round 4 is the convergence slack the oracle replays too). */
   private val BfsIters = 4

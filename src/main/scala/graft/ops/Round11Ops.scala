@@ -342,6 +342,89 @@ object Round11Ops {
         .select("n_probes", "n_match", "recall1_ppm")
     }),
 
+    // Coreness (full shell decomposition) — graph_kcore answers "who
+    // survives k=6?"; coreness labels EVERY node with its maximal k
+    // (the standard influence proxy): peel at k = 1..8 (8 > the
+    // backbone's max degree bound / ties), each k a fixed 6-round
+    // synchronous peel exactly like graph_kcore, coreness = the largest
+    // k the node survives. 48 bounded joins with a checkpoint per k —
+    // plan depth, not data; at scale each peel is the same degree
+    // rollup + semi-join superstep. Oracle replays all 48 rounds as
+    // chained CTEs (generated, like the walk ops).
+    "graph_coreness" -> ((s, d) => {
+      val base = GraphOps.backboneForCoreness(s, d)
+      val nodes = base.select(col("a").as("node"))
+        .unionAll(base.select(col("b").as("node"))).distinct()
+      var core = nodes.withColumn("coreness", lit(0L))
+      for (k <- 1 to 8) {
+        var edges = base
+        for (r <- 1 to 6) {
+          val keep = edges.select(col("a").as("n"))
+            .unionAll(edges.select(col("b").as("n")))
+            .groupBy("n").agg(count(lit(1)).as("deg"))
+            .where(col("deg") >= k)
+          edges = edges
+            .join(keep.select(col("n").as("a")), Seq("a"), "left_semi")
+            .join(keep.select(col("n").as("b")), Seq("b"), "left_semi")
+            .select("a", "b")
+          // the keep branch references edges AGAIN, so the lazy plan
+          // doubles per round — the graph_kcore mid-loop-cut lesson:
+          // eager-cut every other round or Catalyst optimizes a 2⁶-wide
+          // tree per k (observed: minutes of driver CPU)
+          if (r % 2 == 0) edges = edges.localCheckpoint()
+        }
+        val survivors = edges.select(col("a").as("node"))
+          .unionAll(edges.select(col("b").as("node"))).distinct()
+          .withColumn("k", lit(k.toLong))
+        core = core.join(survivors, Seq("node"), "left")
+          .select(col("node"),
+            greatest(col("coreness"), coalesce(col("k"), lit(0L))).as("coreness"))
+          .localCheckpoint()
+      }
+      core.select(col("node").cast("bigint").as("node"), col("coreness"))
+        .orderBy("node")
+    }),
+
+    // unionByName with missing columns — the schema-drift append every
+    // long-lived pipeline hits (v2 of the feed added a column; v1 rows
+    // must union in with NULLs, BY NAME, never by position): two
+    // projections of orders with different column sets, allowMissing
+    // fills the gaps; the oracle is the explicit NULL-padded UNION.
+    "api_union_missing_cols" -> ((s, d) => {
+      val v1 = Tables.orders(s, d).where(col("o_orderkey") % 200 === 1)
+        .select(col("o_orderkey"), col("o_orderstatus"))
+      val v2 = Tables.orders(s, d).where(col("o_orderkey") % 200 === 2)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          expr("CAST(FLOOR(o_totalprice * 100) AS BIGINT)").as("cents"))
+      v1.unionByName(v2, allowMissingColumns = true)
+        .select(col("o_orderkey").cast("bigint").as("o_orderkey"),
+          col("o_orderstatus"), col("cents"))
+        .orderBy("o_orderkey")
+    }),
+
+    // Bit-packing roundtrip — eight 8-bit fields in one BIGINT (the
+    // feature-store trick that turns 8 columns into 1): pack by shifts
+    // (exact powers of two — multiplication, no float), unpack by
+    // DIV/MOD, every field's roundtrip GRADED; byte 7 kept < 128 so the
+    // packed value stays in signed int64.
+    "fn_bitpack_roundtrip" -> ((s, d) => {
+      val fields = (0 to 7).map(i =>
+        expr(s"${u(s"bp$i", "event_id")} % ${if (i == 7) 128 else 256}").as(s"f$i"))
+      val pack = (0 to 7).map(i => s"f$i * ${1L << (8 * i)}").mkString(" + ")
+      val unpacks = (0 to 7).map(i =>
+        expr(s"packed DIV ${1L << (8 * i)} % ${if (i == 7) 128 else 256}").as(s"u$i"))
+      val ok = (0 to 7).map(i => s"u$i = f$i").mkString(" AND ")
+      Tables.events(s, d).select(col("event_id"))
+        .where(col("event_id") % 50 === 3)
+        .select(col("event_id") +: fields: _*)
+        .withColumn("packed", expr(pack))
+        .select((col("event_id") +: col("packed") +: (0 to 7).map(i => col(s"f$i"))) ++
+          unpacks: _*)
+        .withColumn("roundtrip_ok", expr(ok))
+        .select("event_id", "packed", "f0", "f7", "roundtrip_ok")
+        .orderBy("event_id")
+    }),
+
     // Record highs — the H_n law (in any exchangeable tie-free sequence
     // the expected number of running records is the harmonic number —
     // position, not values, drives it): per-type md5 shuffle order with
@@ -478,6 +561,55 @@ object Round11Ops {
         |  o_orderstatus, o_orderpriority
         |FROM orders WHERE o_orderkey % 100 = 1
         |ORDER BY o_orderkey""".stripMargin,
+
+    // Same 8×6 peel replayed as generated chained CTEs.
+    "graph_coreness" -> {
+      val peels = (1 to 8).map { k =>
+        val rounds = (1 to 6).map { r =>
+          val prev = if (r == 1) "h" else s"e${k}_${r - 1}"
+          s"""k${k}_$r AS (SELECT n FROM (
+             |    SELECT a AS n FROM $prev UNION ALL SELECT b FROM $prev) t
+             |  GROUP BY n HAVING COUNT(*) >= $k),
+             |e${k}_$r AS MATERIALIZED (SELECT a, b FROM $prev
+             |  WHERE a IN (SELECT n FROM k${k}_$r) AND b IN (SELECT n FROM k${k}_$r))"""
+        }.mkString(",\n")
+        s"""$rounds,
+           |s$k AS (SELECT DISTINCT n AS node, CAST($k AS BIGINT) AS k FROM (
+           |  SELECT a AS n FROM e${k}_6 UNION ALL SELECT b FROM e${k}_6) t)"""
+      }.mkString(",\n")
+      val survUnion = (1 to 8).map(k => s"SELECT * FROM s$k").mkString(" UNION ALL ")
+      s"""WITH ${GraphOps.coreOracleCtes},
+         |$peels,
+         |nodes AS (SELECT DISTINCT CAST(a AS BIGINT) AS node FROM h
+         |  UNION SELECT DISTINCT CAST(b AS BIGINT) FROM h),
+         |surv AS ($survUnion)
+         |SELECT nodes.node, CAST(COALESCE(MAX(surv.k), 0) AS BIGINT) AS coreness
+         |FROM nodes LEFT JOIN surv ON CAST(surv.node AS BIGINT) = nodes.node
+         |GROUP BY 1 ORDER BY 1""".stripMargin
+    },
+
+    // The explicit NULL-padded form the by-name union must equal.
+    "api_union_missing_cols" ->
+      """SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey, o_orderstatus,
+        |  CAST(NULL AS BIGINT) AS cents
+        |FROM orders WHERE o_orderkey % 200 = 1
+        |UNION ALL
+        |SELECT CAST(o_orderkey AS BIGINT), o_orderstatus,
+        |  CAST(FLOOR(o_totalprice * 100) AS BIGINT)
+        |FROM orders WHERE o_orderkey % 200 = 2
+        |ORDER BY o_orderkey""".stripMargin,
+
+    // Same shift pack, same DIV/MOD unpack, same graded identity.
+    "fn_bitpack_roundtrip" ->
+      ("""WITH f AS (SELECT event_id, """ + (0 to 7).map(i =>
+          s"('0x' || substring(md5('bp$i:' || CAST(event_id AS VARCHAR)), 1, 8))::BIGINT % ${if (i == 7) 128 else 256} AS f$i")
+          .mkString(", ") + """
+        |  FROM events WHERE event_id % 50 = 3),
+        |p AS (SELECT *, """ + (0 to 7).map(i => s"f$i * ${1L << (8 * i)}").mkString(" + ") + """ AS packed FROM f)
+        |SELECT event_id, packed, f0, f7,
+        |  """ + (0 to 7).map(i =>
+          s"packed // ${1L << (8 * i)} % ${if (i == 7) 128 else 256} = f$i").mkString(" AND ") + """ AS roundtrip_ok
+        |FROM p ORDER BY event_id""").stripMargin,
 
     // Same integer trend statistic, same cross-multiplied z².
     "agg_cochran_armitage" ->
