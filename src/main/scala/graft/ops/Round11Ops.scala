@@ -343,46 +343,36 @@ object Round11Ops {
     }),
 
     // Coreness (full shell decomposition) — graph_kcore answers "who
-    // survives k=6?"; coreness labels EVERY node with its maximal k
-    // (the standard influence proxy): peel at k = 1..8 (8 > the
-    // backbone's max degree bound / ties), each k a fixed 6-round
-    // synchronous peel exactly like graph_kcore, coreness = the largest
-    // k the node survives. 48 bounded joins with a checkpoint per k —
-    // plan depth, not data; at scale each peel is the same degree
-    // rollup + semi-join superstep. Oracle replays all 48 rounds as
-    // chained CTEs (generated, like the walk ops).
+    // survives k=6?"; coreness labels EVERY node with its maximal k.
+    // Computed by the DISTRIBUTED h-index fixpoint (Lü et al.: c⁰ =
+    // degree; c^{t+1}(v) = h-index of the neighbors' c^t; the fixpoint
+    // IS the coreness) — six synchronous rounds, each one neighbor join
+    // + a per-node rank window over ≤ deg rows + a groupBy. Six
+    // materializations total where the naive per-k peel needs 48 (first
+    // cut of this op ran 8.9 s at sf0.1; this one is in the graph-op
+    // envelope) — and at scale the h-index superstep is exactly how
+    // coreness ships on Pregel-style systems. Oracle replays the same
+    // six rounds as generated CTEs; ScalaTest pins c ≥ 6 ≡ graph_kcore.
     "graph_coreness" -> ((s, d) => {
       val base = GraphOps.backboneForCoreness(s, d)
-      val nodes = base.select(col("a").as("node"))
-        .unionAll(base.select(col("b").as("node"))).distinct()
-      var core = nodes.withColumn("coreness", lit(0L))
-      for (k <- 1 to 8) {
-        var edges = base
-        for (r <- 1 to 6) {
-          val keep = edges.select(col("a").as("n"))
-            .unionAll(edges.select(col("b").as("n")))
-            .groupBy("n").agg(count(lit(1)).as("deg"))
-            .where(col("deg") >= k)
-          edges = edges
-            .join(keep.select(col("n").as("a")), Seq("a"), "left_semi")
-            .join(keep.select(col("n").as("b")), Seq("b"), "left_semi")
-            .select("a", "b")
-          // the keep branch references edges AGAIN, so the lazy plan
-          // doubles per round — the graph_kcore mid-loop-cut lesson:
-          // eager-cut every other round or Catalyst optimizes a 2⁶-wide
-          // tree per k (observed: minutes of driver CPU)
-          if (r % 2 == 0) edges = edges.localCheckpoint()
-        }
-        val survivors = edges.select(col("a").as("node"))
-          .unionAll(edges.select(col("b").as("node"))).distinct()
-          .withColumn("k", lit(k.toLong))
-        core = core.join(survivors, Seq("node"), "left")
-          .select(col("node"),
-            greatest(col("coreness"), coalesce(col("k"), lit(0L))).as("coreness"))
+      val bi = base.select(col("a").cast("bigint").as("src"), col("b").cast("bigint").as("dst"))
+        .unionAll(base.select(col("b").cast("bigint").as("src"), col("a").cast("bigint").as("dst")))
+        .localCheckpoint()
+      var core = bi.groupBy(col("src").as("node"))
+        .agg(count(lit(1)).as("c"))
+      for (_ <- 1 to 6) {
+        val nbr = bi.join(core.select(col("node").as("dst"), col("c").as("nc")), "dst")
+          .select(col("src").as("node"), col("nc"))
+        // h-index: rank neighbor values desc; h = max over rows of
+        // min(rank, value) — the window is ≤ deg rows per node
+        val w = Window.partitionBy("node").orderBy(col("nc").desc)
+        core = nbr
+          .withColumn("rn", row_number().over(w).cast("bigint"))
+          .groupBy("node")
+          .agg(max(least(col("rn"), col("nc"))).as("c"))
           .localCheckpoint()
       }
-      core.select(col("node").cast("bigint").as("node"), col("coreness"))
-        .orderBy("node")
+      core.select(col("node"), col("c").as("coreness")).orderBy("node")
     }),
 
     // unionByName with missing columns — the schema-drift append every
@@ -562,30 +552,24 @@ object Round11Ops {
         |FROM orders WHERE o_orderkey % 100 = 1
         |ORDER BY o_orderkey""".stripMargin,
 
-    // Same 8×6 peel replayed as generated chained CTEs.
+    // Same six h-index rounds replayed as generated chained CTEs.
     "graph_coreness" -> {
-      val peels = (1 to 8).map { k =>
-        val rounds = (1 to 6).map { r =>
-          val prev = if (r == 1) "h" else s"e${k}_${r - 1}"
-          s"""k${k}_$r AS (SELECT n FROM (
-             |    SELECT a AS n FROM $prev UNION ALL SELECT b FROM $prev) t
-             |  GROUP BY n HAVING COUNT(*) >= $k),
-             |e${k}_$r AS MATERIALIZED (SELECT a, b FROM $prev
-             |  WHERE a IN (SELECT n FROM k${k}_$r) AND b IN (SELECT n FROM k${k}_$r))"""
-        }.mkString(",\n")
-        s"""$rounds,
-           |s$k AS (SELECT DISTINCT n AS node, CAST($k AS BIGINT) AS k FROM (
-           |  SELECT a AS n FROM e${k}_6 UNION ALL SELECT b FROM e${k}_6) t)"""
+      val rounds = (1 to 6).map { t =>
+        val prev = if (t == 1) "c0" else s"c${t - 1}"
+        s"""n$t AS (SELECT bi.src AS node, p.c AS nc
+           |  FROM bi JOIN $prev p ON p.node = bi.dst),
+           |r$t AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY node
+           |    ORDER BY nc DESC) AS BIGINT) AS rn FROM n$t),
+           |c$t AS MATERIALIZED (SELECT node, CAST(MAX(LEAST(rn, nc)) AS BIGINT) AS c
+           |  FROM r$t GROUP BY 1)"""
       }.mkString(",\n")
-      val survUnion = (1 to 8).map(k => s"SELECT * FROM s$k").mkString(" UNION ALL ")
       s"""WITH ${GraphOps.coreOracleCtes},
-         |$peels,
-         |nodes AS (SELECT DISTINCT CAST(a AS BIGINT) AS node FROM h
-         |  UNION SELECT DISTINCT CAST(b AS BIGINT) FROM h),
-         |surv AS ($survUnion)
-         |SELECT nodes.node, CAST(COALESCE(MAX(surv.k), 0) AS BIGINT) AS coreness
-         |FROM nodes LEFT JOIN surv ON CAST(surv.node AS BIGINT) = nodes.node
-         |GROUP BY 1 ORDER BY 1""".stripMargin
+         |bi AS MATERIALIZED (SELECT CAST(a AS BIGINT) AS src, CAST(b AS BIGINT) AS dst FROM h
+         |       UNION ALL SELECT CAST(b AS BIGINT), CAST(a AS BIGINT) FROM h),
+         |c0 AS MATERIALIZED (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS c
+         |  FROM bi GROUP BY 1),
+         |$rounds
+         |SELECT node, c AS coreness FROM c6 ORDER BY node""".stripMargin
     },
 
     // The explicit NULL-padded form the by-name union must equal.

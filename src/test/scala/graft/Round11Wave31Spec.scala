@@ -16,7 +16,7 @@ class Round11Wave31Spec extends AnyFunSuite with SparkFixture {
       .map(_.getLong(0)).toSet
     assert(core.filter(_._2 >= 6).keySet == k6,
       "coreness ≥ 6 must equal the k=6 core membership")
-    assert(core.values.forall(c => c >= 0 && c <= 8))
+    assert(core.values.forall(c => c >= 0 && c <= 24), "bounded by max degree")
     assert(core.values.exists(_ >= 1), "the backbone has a non-trivial core")
   }
 
