@@ -415,6 +415,94 @@ object Round11Ops {
         .orderBy("event_id")
     }),
 
+    // 2³ factorial effects — the DOE contrast table (ab_ttest measures
+    // one factor; an experiment with three knobs wants main effects AND
+    // the interaction from ONE design): planted y = 100 + 20A + 10B +
+    // 0C + 15AB ± 10, cell means over the 8 cells in declared per-cell
+    // milli DIVs, main effects as 4-pair contrast averages, the AB
+    // interaction as the difference-of-differences; the dead factor C
+    // must read ≈ 0.
+    "agg_factorial_effects" -> ((s, d) => {
+      val t = Tables.documents(s, d).select(col("doc_id"))
+        .withColumn("a", expr(s"${u("fea")} % 2"))
+        .withColumn("b", expr(s"${u("feb")} % 2"))
+        .withColumn("c", expr(s"${u("fec")} % 2"))
+        .withColumn("y", expr(
+          s"100 + 20 * a + 10 * b + 15 * a * b + ${u("fen")} % 21 - 10"))
+      val cells = t.groupBy("a", "b", "c")
+        .agg(count(lit(1)).as("n"), sum("y").as("sy"))
+        .withColumn("m_milli", expr(
+          """CASE WHEN sy >= 0 THEN sy * 1000 DIV n
+             ELSE -((0 - sy) * 1000 DIV n) END"""))
+      cells.agg(
+          sum(expr("IF(a = 1, m_milli, -m_milli)")).as("ca"),
+          sum(expr("IF(b = 1, m_milli, -m_milli)")).as("cb"),
+          sum(expr("IF(c = 1, m_milli, -m_milli)")).as("cc"),
+          sum(expr("IF(a = b, m_milli, -m_milli)")).as("cab"),
+          sum("n").as("n_total"))
+        .withColumn("effect_a_milli", expr(
+          "CASE WHEN ca >= 0 THEN ca DIV 4 ELSE -((0 - ca) DIV 4) END"))
+        .withColumn("effect_b_milli", expr(
+          "CASE WHEN cb >= 0 THEN cb DIV 4 ELSE -((0 - cb) DIV 4) END"))
+        .withColumn("effect_c_milli", expr(
+          "CASE WHEN cc >= 0 THEN cc DIV 4 ELSE -((0 - cc) DIV 4) END"))
+        .withColumn("effect_ab_milli", expr(
+          "CASE WHEN cab >= 0 THEN cab DIV 4 ELSE -((0 - cab) DIV 4) END"))
+        .select("n_total", "effect_a_milli", "effect_b_milli",
+          "effect_c_milli", "effect_ab_milli")
+    }),
+
+    // Interrupted time series — the policy-change regression (was the
+    // intervention a LEVEL jump, a SLOPE change, or both?): planted
+    // y = 200 + 3·rn pre-cut, +500 level and +2 extra slope post-cut,
+    // segment OLS entirely in cleared integers CENTERED AT THE CUT (so
+    // each intercept IS the level at the intervention — the jump is
+    // their difference), slopes and intercepts as sign-safe milli DIVs
+    // (the division law), per type.
+    "agg_its_segmented" -> ((s, d) => {
+      val ord = Window.partitionBy("event_type").orderBy(col("ts_us"), col("event_id"))
+      val base = Tables.events(s, d)
+        .select(col("event_type"), col("event_id"), col("ts_us"))
+        .withColumn("n_t", count(lit(1)).over(Window.partitionBy("event_type")))
+        .withColumn("rn", row_number().over(ord).cast("bigint"))
+        .withColumn("cut", expr("n_t * 6 DIV 10"))
+        .withColumn("post", expr("IF(rn > cut, 1, 0)"))
+        .withColumn("y", expr(
+          s"""200 + 3 * rn + ${u("its", "event_id")} % 21 - 10
+              + post * (500 + 2 * (rn - cut))"""))
+        .withColumn("uu", expr("rn - cut"))
+      def seg(name: String) = Seq(
+        sum(when(col("post") === (if (name == "post") 1 else 0), 1L).otherwise(0L)).as(s"n_$name"),
+        sum(when(col("post") === (if (name == "post") 1 else 0), col("uu")).otherwise(0L)).as(s"su_$name"),
+        sum(when(col("post") === (if (name == "post") 1 else 0), col("y")).otherwise(0L)).as(s"sy_$name"),
+        sum(when(col("post") === (if (name == "post") 1 else 0), expr("uu * uu")).otherwise(0L)).as(s"suu_$name"),
+        sum(when(col("post") === (if (name == "post") 1 else 0), expr("uu * y")).otherwise(0L)).as(s"suy_$name"))
+      def milliDiv(num: String, den: String) =
+        s"""CASE WHEN $num >= 0
+           THEN (CAST($num AS DECIMAL(38,0)) * 1000) DIV ($den)
+           ELSE -((CAST(0 - ($num) AS DECIMAL(38,0)) * 1000) DIV ($den)) END"""
+      base.groupBy("event_type")
+        .agg((seg("pre") ++ seg("post")).head, (seg("pre") ++ seg("post")).tail: _*)
+        .withColumn("slope_pre_milli", expr(milliDiv(
+          "n_pre * suy_pre - su_pre * sy_pre",
+          "CAST(n_pre AS DECIMAL(38,0)) * suu_pre - CAST(su_pre AS DECIMAL(38,0)) * su_pre")).cast("long"))
+        .withColumn("slope_post_milli", expr(milliDiv(
+          "n_post * suy_post - su_post * sy_post",
+          "CAST(n_post AS DECIMAL(38,0)) * suu_post - CAST(su_post AS DECIMAL(38,0)) * su_post")).cast("long"))
+        .withColumn("level_pre_milli", expr(
+          """CASE WHEN sy_pre * 1000 - slope_pre_milli * su_pre >= 0
+             THEN (sy_pre * 1000 - slope_pre_milli * su_pre) DIV n_pre
+             ELSE -((slope_pre_milli * su_pre - sy_pre * 1000) DIV n_pre) END"""))
+        .withColumn("level_post_milli", expr(
+          """CASE WHEN sy_post * 1000 - slope_post_milli * su_post >= 0
+             THEN (sy_post * 1000 - slope_post_milli * su_post) DIV n_post
+             ELSE -((slope_post_milli * su_post - sy_post * 1000) DIV n_post) END"""))
+        .withColumn("jump_milli", expr("level_post_milli - level_pre_milli"))
+        .select("event_type", "slope_pre_milli", "slope_post_milli",
+          "level_pre_milli", "level_post_milli", "jump_milli")
+        .orderBy("event_type")
+    }),
+
     // Record highs — the H_n law (in any exchangeable tie-free sequence
     // the expected number of running records is the harmonic number —
     // position, not values, drives it): per-type md5 shuffle order with
@@ -551,6 +639,86 @@ object Round11Ops {
         |  o_orderstatus, o_orderpriority
         |FROM orders WHERE o_orderkey % 100 = 1
         |ORDER BY o_orderkey""".stripMargin,
+
+    // Same unweighted cell means, same ±contrasts ÷ 4.
+    "agg_factorial_effects" ->
+      """WITH t AS (SELECT doc_id,
+        |    ('0x' || substring(md5('fea:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 2 AS a,
+        |    ('0x' || substring(md5('feb:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 2 AS b,
+        |    ('0x' || substring(md5('fec:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 2 AS c,
+        |    ('0x' || substring(md5('fen:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 21 - 10 AS e
+        |  FROM documents),
+        |y AS (SELECT a, b, c, 100 + 20 * a + 10 * b + 15 * a * b + e AS y FROM t),
+        |cells AS (SELECT a, b, c, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(y) AS BIGINT) AS sy
+        |  FROM y GROUP BY 1, 2, 3),
+        |m AS (SELECT *, CASE WHEN sy >= 0 THEN sy * 1000 // n
+        |    ELSE -((0 - sy) * 1000 // n) END AS m_milli FROM cells),
+        |ct AS (SELECT
+        |    CAST(SUM(CASE WHEN a = 1 THEN m_milli ELSE -m_milli END) AS BIGINT) AS ca,
+        |    CAST(SUM(CASE WHEN b = 1 THEN m_milli ELSE -m_milli END) AS BIGINT) AS cb,
+        |    CAST(SUM(CASE WHEN c = 1 THEN m_milli ELSE -m_milli END) AS BIGINT) AS cc,
+        |    CAST(SUM(CASE WHEN a = b THEN m_milli ELSE -m_milli END) AS BIGINT) AS cab,
+        |    CAST(SUM(n) AS BIGINT) AS n_total
+        |  FROM m)
+        |SELECT n_total,
+        |  CASE WHEN ca >= 0 THEN ca // 4 ELSE -((0 - ca) // 4) END AS effect_a_milli,
+        |  CASE WHEN cb >= 0 THEN cb // 4 ELSE -((0 - cb) // 4) END AS effect_b_milli,
+        |  CASE WHEN cc >= 0 THEN cc // 4 ELSE -((0 - cc) // 4) END AS effect_c_milli,
+        |  CASE WHEN cab >= 0 THEN cab // 4 ELSE -((0 - cab) // 4) END AS effect_ab_milli
+        |FROM ct""".stripMargin,
+
+    // Same cut-centered segment OLS, same sign-safe milli DIVs.
+    "agg_its_segmented" ->
+      """WITH e AS (SELECT event_type, event_id, epoch_us(ts) AS ts_us,
+        |    CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n_t,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+        |      ORDER BY epoch_us(ts), event_id) AS BIGINT) AS rn
+        |  FROM events),
+        |x AS (SELECT *, n_t * 6 // 10 AS cut,
+        |    CASE WHEN rn > n_t * 6 // 10 THEN 1 ELSE 0 END AS post FROM e),
+        |y AS (SELECT *, rn - cut AS uu,
+        |    200 + 3 * rn + ('0x' || substring(md5('its:' || CAST(event_id AS VARCHAR)), 1, 8))::BIGINT % 21 - 10
+        |      + post * (500 + 2 * (rn - cut)) AS y
+        |  FROM x),
+        |g AS (SELECT event_type,
+        |    CAST(SUM(CASE WHEN post = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pre,
+        |    CAST(SUM(CASE WHEN post = 0 THEN uu ELSE 0 END) AS BIGINT) AS su_pre,
+        |    CAST(SUM(CASE WHEN post = 0 THEN y ELSE 0 END) AS BIGINT) AS sy_pre,
+        |    CAST(SUM(CASE WHEN post = 0 THEN uu * uu ELSE 0 END) AS BIGINT) AS suu_pre,
+        |    CAST(SUM(CASE WHEN post = 0 THEN uu * y ELSE 0 END) AS BIGINT) AS suy_pre,
+        |    CAST(SUM(CASE WHEN post = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_post,
+        |    CAST(SUM(CASE WHEN post = 1 THEN uu ELSE 0 END) AS BIGINT) AS su_post,
+        |    CAST(SUM(CASE WHEN post = 1 THEN y ELSE 0 END) AS BIGINT) AS sy_post,
+        |    CAST(SUM(CASE WHEN post = 1 THEN uu * uu ELSE 0 END) AS BIGINT) AS suu_post,
+        |    CAST(SUM(CASE WHEN post = 1 THEN uu * y ELSE 0 END) AS BIGINT) AS suy_post
+        |  FROM y GROUP BY 1),
+        |sl AS (SELECT *,
+        |    CASE WHEN n_pre * suy_pre - su_pre * sy_pre >= 0
+        |      THEN (CAST(n_pre * suy_pre - su_pre * sy_pre AS HUGEINT) * 1000)
+        |        // (CAST(n_pre AS HUGEINT) * suu_pre - CAST(su_pre AS HUGEINT) * su_pre)
+        |      ELSE -((CAST(su_pre * sy_pre - n_pre * suy_pre AS HUGEINT) * 1000)
+        |        // (CAST(n_pre AS HUGEINT) * suu_pre - CAST(su_pre AS HUGEINT) * su_pre)) END AS slope_pre_milli,
+        |    CASE WHEN n_post * suy_post - su_post * sy_post >= 0
+        |      THEN (CAST(n_post * suy_post - su_post * sy_post AS HUGEINT) * 1000)
+        |        // (CAST(n_post AS HUGEINT) * suu_post - CAST(su_post AS HUGEINT) * su_post)
+        |      ELSE -((CAST(su_post * sy_post - n_post * suy_post AS HUGEINT) * 1000)
+        |        // (CAST(n_post AS HUGEINT) * suu_post - CAST(su_post AS HUGEINT) * su_post)) END AS slope_post_milli
+        |  FROM g),
+        |lv AS (SELECT *,
+        |    CASE WHEN sy_pre * 1000 - slope_pre_milli * su_pre >= 0
+        |      THEN (sy_pre * 1000 - slope_pre_milli * su_pre) // n_pre
+        |      ELSE -((slope_pre_milli * su_pre - sy_pre * 1000) // n_pre) END AS level_pre_milli,
+        |    CASE WHEN sy_post * 1000 - slope_post_milli * su_post >= 0
+        |      THEN (sy_post * 1000 - slope_post_milli * su_post) // n_post
+        |      ELSE -((slope_post_milli * su_post - sy_post * 1000) // n_post) END AS level_post_milli
+        |  FROM sl)
+        |SELECT event_type,
+        |  CAST(slope_pre_milli AS BIGINT) AS slope_pre_milli,
+        |  CAST(slope_post_milli AS BIGINT) AS slope_post_milli,
+        |  CAST(level_pre_milli AS BIGINT) AS level_pre_milli,
+        |  CAST(level_post_milli AS BIGINT) AS level_post_milli,
+        |  CAST(level_post_milli - level_pre_milli AS BIGINT) AS jump_milli
+        |FROM lv ORDER BY event_type""".stripMargin,
 
     // Same six h-index rounds replayed as generated chained CTEs.
     "graph_coreness" -> {
