@@ -503,6 +503,64 @@ object Round11Ops {
         .orderBy("event_type")
     }),
 
+    // Momentum / rate-of-change — the percent-change oscillator beside
+    // win_rsi's bounded one: ROC = (x_t − x_{t−12})/x_{t−12} as a
+    // sign-safe milli DIV (cents are positive, so the denominator is
+    // safe; the numerator takes the magnitude-negate law), one
+    // partitioned sort, sampled ledger with the overbought/oversold
+    // ±80-milli flags.
+    "win_momentum_roc" -> ((s, d) => {
+      val ord = Window.partitionBy("event_type").orderBy(col("ts_us"), col("event_id"))
+      Tables.events(s, d)
+        .select(col("event_type"), col("event_id"), col("ts_us"),
+          floor(col("value") * 100).cast("bigint").as("cents"))
+        .withColumn("prev", lag("cents", 12).over(ord))
+        .where(col("prev").isNotNull && col("prev") > 0 && col("event_id") % 9 === 4)
+        .withColumn("roc_milli", expr(
+          """CASE WHEN cents - prev >= 0
+             THEN (cents - prev) * 1000 DIV prev
+             ELSE -((prev - cents) * 1000 DIV prev) END"""))
+        .withColumn("signal", expr(
+          """CASE WHEN roc_milli > 80 THEN 'overbought'
+             WHEN roc_milli < -80 THEN 'oversold' ELSE 'neutral' END"""))
+        .select("event_type", "event_id", "cents", "prev", "roc_milli", "signal")
+        .orderBy("event_type", "event_id")
+    }),
+
+    // Benford MAD conformity — the auditor's number (agg_benford asks
+    // "does it deviate?"; Nigrini's MAD bands say HOW MUCH): the nine
+    // Benford ppm masses as shared integer LITERALS (the
+    // transcendental-on-literals law — log10(1+1/d) never evaluates at
+    // runtime), two planted populations from the SAME hash stream —
+    // uniform values (first digits nowhere near Benford) and exact
+    // powers of two (whose leading digits famously track Benford) —
+    // MAD = Σ|p̂_d − benford_d| DIV 9 in exact ppm; the uniform
+    // population must fail conformity and sit far above the 2^k one.
+    "agg_benford_mad" -> ((s, d) => {
+      val benford = Map(1 -> 301030L, 2 -> 176091L, 3 -> 124939L,
+        4 -> 96910L, 5 -> 79181L, 6 -> 66947L, 7 -> 57992L, 8 -> 51153L,
+        9 -> 45757L)
+      val bCase = (1 to 9).map(dd => s"WHEN d = $dd THEN ${benford(dd)}")
+        .mkString("CASE ", " ", " ELSE 0 END")
+      def firstDigit(xExpr: String, label: String) =
+        Tables.documents(s, d).select(col("doc_id"))
+          .withColumn("x", expr(xExpr))
+          .withColumn("d", expr("CAST(substring(CAST(x AS STRING), 1, 1) AS BIGINT)"))
+          .groupBy("d").agg(count(lit(1)).as("c"))
+          .withColumn("series", lit(label))
+      val uni = firstDigit(s"${u("bfu")} % 99000 + 1000", "uniform")
+      val pow = firstDigit(
+        s"shiftleft(CAST(1 AS BIGINT), CAST(${u("bfp")} % 30 AS INT))", "pow2")
+      uni.unionByName(pow)
+        .withColumn("n", sum("c").over(Window.partitionBy("series")))
+        .withColumn("gap", expr(s"abs(c * 1000000 DIV n - ($bCase))"))
+        .groupBy("series")
+        .agg(max("n").as("n"), count(lit(1)).as("n_digits"),
+          expr("sum(gap) DIV 9").as("mad_ppm"))
+        .withColumn("conforms", col("mad_ppm") < 15000L)
+        .orderBy("series")
+    }),
+
     // Record highs — the H_n law (in any exchangeable tie-free sequence
     // the expected number of running records is the harmonic number —
     // position, not values, drives it): per-type md5 shuffle order with
@@ -639,6 +697,45 @@ object Round11Ops {
         |  o_orderstatus, o_orderpriority
         |FROM orders WHERE o_orderkey % 100 = 1
         |ORDER BY o_orderkey""".stripMargin,
+
+    // Same lag-12 sampling, same sign-safe milli ROC.
+    "win_momentum_roc" ->
+      """WITH e AS (SELECT event_type, event_id, epoch_us(ts) AS ts_us,
+        |    CAST(FLOOR(value * 100) AS BIGINT) AS cents FROM events),
+        |l AS (SELECT *, LAG(cents, 12) OVER (PARTITION BY event_type
+        |    ORDER BY ts_us, event_id) AS prev FROM e),
+        |r AS (SELECT *, CASE WHEN cents - prev >= 0
+        |    THEN (cents - prev) * 1000 // prev
+        |    ELSE -((prev - cents) * 1000 // prev) END AS roc_milli
+        |  FROM l WHERE prev IS NOT NULL AND prev > 0 AND event_id % 9 = 4)
+        |SELECT event_type, event_id, cents, prev, roc_milli,
+        |  CASE WHEN roc_milli > 80 THEN 'overbought'
+        |    WHEN roc_milli < -80 THEN 'oversold' ELSE 'neutral' END AS signal
+        |FROM r ORDER BY event_type, event_id""".stripMargin,
+
+    // Same literal Benford masses, same first-digit ppm gaps.
+    "agg_benford_mad" ->
+      """WITH uni AS (SELECT 'uniform' AS series,
+        |    ('0x' || substring(md5('bfu:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 99000 + 1000 AS x
+        |  FROM documents),
+        |p2 AS (SELECT 'pow2' AS series,
+        |    CAST(1 AS BIGINT) << CAST(('0x' || substring(md5('bfp:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 30 AS INT) AS x
+        |  FROM documents),
+        |a AS (SELECT series, CAST(substring(CAST(x AS VARCHAR), 1, 1) AS BIGINT) AS d
+        |  FROM (SELECT * FROM uni UNION ALL SELECT * FROM p2)),
+        |g AS (SELECT series, d, CAST(COUNT(*) AS BIGINT) AS c FROM a GROUP BY 1, 2),
+        |t AS (SELECT *, CAST(SUM(c) OVER (PARTITION BY series) AS BIGINT) AS n FROM g),
+        |m AS (SELECT series, n,
+        |    ABS(c * 1000000 // n - (CASE WHEN d = 1 THEN 301030 WHEN d = 2 THEN 176091
+        |      WHEN d = 3 THEN 124939 WHEN d = 4 THEN 96910 WHEN d = 5 THEN 79181
+        |      WHEN d = 6 THEN 66947 WHEN d = 7 THEN 57992 WHEN d = 8 THEN 51153
+        |      WHEN d = 9 THEN 45757 ELSE 0 END)) AS gap
+        |  FROM t)
+        |SELECT series, CAST(MAX(n) AS BIGINT) AS n,
+        |  CAST(COUNT(*) AS BIGINT) AS n_digits,
+        |  CAST(SUM(gap) // 9 AS BIGINT) AS mad_ppm,
+        |  SUM(gap) // 9 < 15000 AS conforms
+        |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // Same unweighted cell means, same ±contrasts ÷ 4.
     "agg_factorial_effects" ->
