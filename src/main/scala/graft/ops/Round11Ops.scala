@@ -561,6 +561,67 @@ object Round11Ops {
         .orderBy("series")
     }),
 
+    // OEE — overall equipment effectiveness, the manufacturing KPI that
+    // multiplies three ratios (availability × performance × quality);
+    // each planted ratio is an exact count fraction, each stage one
+    // declared ppm DIV, and the product re-truncates through ppm² —
+    // both engines replay the identical truncation chain, and the world
+    //-class ≥ 85% verdict is graded on the final ppm.
+    "agg_oee" -> ((s, d) => {
+      Tables.events(s, d).select(col("event_id"), col("event_type"))
+        .withColumn("scheduled", lit(1L))
+        .withColumn("running", expr(s"IF(${u("oea", "event_id")} % 100 < 92, 1, 0)"))
+        .withColumn("at_speed", expr(
+          s"IF(running = 1 AND ${u("oep", "event_id")} % 100 < 96, 1, 0)"))
+        .withColumn("good", expr(
+          s"IF(at_speed = 1 AND ${u("oeq", "event_id")} % 100 < 97, 1, 0)"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum("running").as("run_units"),
+          sum("at_speed").as("speed_units"),
+          sum("good").as("good_units"))
+        .withColumn("availability_ppm", expr("run_units * 1000000 DIV n"))
+        .withColumn("performance_ppm", expr("speed_units * 1000000 DIV run_units"))
+        .withColumn("quality_ppm", expr("good_units * 1000000 DIV speed_units"))
+        .withColumn("oee_ppm", expr(
+          """availability_ppm * performance_ppm DIV 1000000
+             * quality_ppm DIV 1000000"""))
+        .withColumn("world_class", col("oee_ppm") >= 850000L)
+        .select("event_type", "n", "availability_ppm", "performance_ppm",
+          "quality_ppm", "oee_ppm", "world_class")
+        .orderBy("event_type")
+    }),
+
+    // MTBF / MTTR — the reliability pair read off an event log (uptime
+    // between failures, downtime to repair): planted ~2% failure marks
+    // on the per-type time axis, inter-failure gaps in exact
+    // microseconds via lag over failure events only, MTBF = Σgap DIV
+    // (k−1) and the failure-rate ppm beside it — the shape every SRE
+    // error-budget review reads.
+    "win_mtbf" -> ((s, d) => {
+      val fails = Tables.events(s, d)
+        .select(col("event_type"), col("event_id"), col("ts_us"))
+        .where(expr(s"${u("mtf", "event_id")} % 50 = 0"))
+      val ord = Window.partitionBy("event_type").orderBy(col("ts_us"), col("event_id"))
+      val gaps = fails
+        .withColumn("prev_ts", lag("ts_us", 1).over(ord))
+        .where(col("prev_ts").isNotNull)
+        .withColumn("gap_us", col("ts_us") - col("prev_ts"))
+      val totals = Tables.events(s, d).groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"))
+      gaps.groupBy("event_type")
+        .agg(count(lit(1)).as("n_gaps"),
+          sum("gap_us").as("uptime_us"),
+          max("gap_us").as("max_gap_us"))
+        .withColumn("mtbf_us", expr(
+          "CASE WHEN uptime_us >= 0 THEN uptime_us DIV n_gaps ELSE 0 END"))
+        .join(totals, "event_type")
+        .withColumn("failure_rate_ppm", expr("(n_gaps + 1) * 1000000 DIV n_events"))
+        .select("event_type", "n_events", "n_gaps", "mtbf_us",
+          "max_gap_us", "failure_rate_ppm")
+        .orderBy("event_type")
+    }),
+
     // Record highs — the H_n law (in any exchangeable tie-free sequence
     // the expected number of running records is the harmonic number —
     // position, not values, drives it): per-type md5 shuffle order with
@@ -697,6 +758,53 @@ object Round11Ops {
         |  o_orderstatus, o_orderpriority
         |FROM orders WHERE o_orderkey % 100 = 1
         |ORDER BY o_orderkey""".stripMargin,
+
+    // Same three planted ratios, same ppm truncation chain.
+    "agg_oee" ->
+      """WITH t AS (SELECT event_type, event_id,
+        |    CASE WHEN ('0x' || substring(md5('oea:' || CAST(event_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 92
+        |      THEN 1 ELSE 0 END AS running
+        |  FROM events),
+        |v AS (SELECT event_type, running,
+        |    CASE WHEN running = 1 AND ('0x' || substring(md5('oep:' || CAST(event_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 96
+        |      THEN 1 ELSE 0 END AS at_speed,
+        |    event_id
+        |  FROM t),
+        |w AS (SELECT event_type, running, at_speed,
+        |    CASE WHEN at_speed = 1 AND ('0x' || substring(md5('oeq:' || CAST(event_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 97
+        |      THEN 1 ELSE 0 END AS good
+        |  FROM v),
+        |g AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(running) AS BIGINT) AS run_units,
+        |    CAST(SUM(at_speed) AS BIGINT) AS speed_units,
+        |    CAST(SUM(good) AS BIGINT) AS good_units
+        |  FROM w GROUP BY 1),
+        |p AS (SELECT *, run_units * 1000000 // n AS availability_ppm,
+        |    speed_units * 1000000 // run_units AS performance_ppm,
+        |    good_units * 1000000 // speed_units AS quality_ppm FROM g)
+        |SELECT event_type, n, availability_ppm, performance_ppm, quality_ppm,
+        |  availability_ppm * performance_ppm // 1000000 * quality_ppm // 1000000 AS oee_ppm,
+        |  availability_ppm * performance_ppm // 1000000 * quality_ppm // 1000000 >= 850000 AS world_class
+        |FROM p ORDER BY event_type""".stripMargin,
+
+    // Same ~2% failure marks, same inter-failure gap arithmetic.
+    "win_mtbf" ->
+      """WITH f AS (SELECT event_type, event_id, epoch_us(ts) AS ts_us
+        |  FROM events
+        |  WHERE ('0x' || substring(md5('mtf:' || CAST(event_id AS VARCHAR)), 1, 8))::BIGINT % 50 = 0),
+        |l AS (SELECT *, LAG(ts_us, 1) OVER (PARTITION BY event_type
+        |    ORDER BY ts_us, event_id) AS prev_ts FROM f),
+        |g AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_gaps,
+        |    CAST(SUM(ts_us - prev_ts) AS BIGINT) AS uptime_us,
+        |    CAST(MAX(ts_us - prev_ts) AS BIGINT) AS max_gap_us
+        |  FROM l WHERE prev_ts IS NOT NULL GROUP BY 1),
+        |t AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events
+        |  FROM events GROUP BY 1)
+        |SELECT g.event_type, n_events, n_gaps,
+        |  CASE WHEN uptime_us >= 0 THEN uptime_us // n_gaps ELSE 0 END AS mtbf_us,
+        |  max_gap_us, (n_gaps + 1) * 1000000 // n_events AS failure_rate_ppm
+        |FROM g JOIN t ON g.event_type = t.event_type
+        |ORDER BY g.event_type""".stripMargin,
 
     // Same lag-12 sampling, same sign-safe milli ROC.
     "win_momentum_roc" ->
