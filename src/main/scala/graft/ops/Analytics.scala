@@ -756,7 +756,11 @@ object Analytics {
         .select(col("l_orderkey").as("okey"), col("p_brand").as("brand"))
         .distinct()
         .localCheckpoint()
-      val nOrders = basket.select("okey").distinct().count()
+      // N as a broadcast scalar-attach, NOT a driver-side count(): the
+      // whole rule set stays one DAG / one job instead of a separate
+      // count job blocking the pairs join.
+      val nOrders = broadcast(
+        basket.agg(countDistinct(col("okey")).as("n_orders")))
       val supp = basket.groupBy("brand").agg(count(lit(1)).as("s"))
       val pairs = basket.as("x").join(basket.as("y"),
           col("x.okey") === col("y.okey") && col("x.brand") < col("y.brand"))
@@ -766,10 +770,11 @@ object Analytics {
       pairs
         .join(broadcast(supp.select(col("brand").as("brand_a"), col("s").as("supp_a"))), "brand_a")
         .join(broadcast(supp.select(col("brand").as("brand_b"), col("s").as("supp_b"))), "brand_b")
+        .crossJoin(nOrders)
         .select(col("brand_a"), col("brand_b"), col("support"),
           col("supp_a"), col("supp_b"),
           expr("(support * 1000) DIV supp_a").as("confidence_milli"),
-          expr(s"(support * $nOrders * 1000000) DIV (supp_a * supp_b)").as("lift_ppm"))
+          expr("(support * n_orders * 1000000) DIV (supp_a * supp_b)").as("lift_ppm"))
         .orderBy("brand_a", "brand_b")
     }),
 

@@ -1,0 +1,668 @@
+package graft.ops
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables
+
+/** Round-12 operators. Same small-compilation-unit discipline as
+  * Round11Ops (Analytics.scala recompiles cost minutes; this file costs
+  * seconds), same paired impl/oracle style, same engine-exactness laws
+  * (exact-integer metrics, md5 shared randomness, DECIMAL money).
+  */
+object Round12Ops {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Spec channels for the Arrow-batch proof, set by `udf_arrow_batch`
+    * on execution: number of Arrow batches seen and total rows across
+    * them. rows/batches >> 1 proves whole columnar batches flow through
+    * the vectorized path (a per-row path would average 1). */
+  @volatile var arrowBatches: org.apache.spark.util.LongAccumulator = _
+  @volatile var arrowRows: org.apache.spark.util.LongAccumulator = _
+
+  val queries: Map[String, Q] = Map(
+    // Arrow-vectorized batch UDF — the Scala-native `mapInArrow` class of
+    // operator: whole Arrow RecordBatches in, whole RecordBatches out,
+    // user code touching columnar VECTORS (VarCharVector/BigIntVector),
+    // never a row iterator. The compute is a byte-level text profiler
+    // (UTF-8 byte length + whitespace-run token count) that reads each
+    // document's raw UTF-8 bytes straight out of the VarChar data buffer
+    // — zero String allocation, zero row boxing; the shape every
+    // vectorized tokenizer/codec over a 100 TB corpus wants. Batch size
+    // rides spark.sql.execution.arrow.maxRecordsPerBatch (10k default),
+    // so executor memory per task is bounded regardless of corpus size;
+    // partitions stream batch-by-batch through constant-size roots.
+    "udf_arrow_batch" -> ((s, d) => {
+      val in = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val inSchema = in.schema
+      val outSchema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("n_tokens", LongType),
+        StructField("n_bytes", LongType)))
+      val tz = s.conf.get("spark.sql.session.timeZone")
+      val nBatches = s.sparkContext.longAccumulator("graft_arrow_batches")
+      val nRows = s.sparkContext.longAccumulator("graft_arrow_rows")
+      arrowBatches = nBatches; arrowRows = nRows
+      import org.apache.spark.sql.graftbridge.ArrowBatchBridge
+      val outBatches = ArrowBatchBridge.toBatchRdd(in).mapPartitions { batches =>
+        if (!batches.hasNext) Iterator.empty
+        else {
+          val alloc = new org.apache.arrow.memory.RootAllocator()
+          val inRoot = org.apache.arrow.vector.VectorSchemaRoot.create(
+            ArrowBatchBridge.arrowSchema(inSchema, tz), alloc)
+          val outRoot = org.apache.arrow.vector.VectorSchemaRoot.create(
+            ArrowBatchBridge.arrowSchema(outSchema, tz), alloc)
+          val out = batches.map { bytes =>
+            ArrowBatchBridge.loadBatch(bytes, inRoot, alloc)
+            val n = inRoot.getRowCount
+            nBatches.add(1L); nRows.add(n.toLong)
+            val ids = inRoot.getVector(0).asInstanceOf[org.apache.arrow.vector.BigIntVector]
+            val txt = inRoot.getVector(1).asInstanceOf[org.apache.arrow.vector.VarCharVector]
+            outRoot.allocateNew()
+            val oIds = outRoot.getVector(0).asInstanceOf[org.apache.arrow.vector.BigIntVector]
+            val oTok = outRoot.getVector(1).asInstanceOf[org.apache.arrow.vector.BigIntVector]
+            val oByt = outRoot.getVector(2).asInstanceOf[org.apache.arrow.vector.BigIntVector]
+            var i = 0
+            while (i < n) {
+              if (ids.isNull(i)) oIds.setNull(i) else oIds.setSafe(i, ids.get(i))
+              if (txt.isNull(i)) { oTok.setNull(i); oByt.setNull(i) }
+              else {
+                // raw UTF-8 bytes, in place: a token is a maximal run of
+                // non-ASCII-whitespace bytes (multi-byte code points are
+                // all >= 0x80, never mistaken for whitespace)
+                val b = txt.get(i)
+                var toks = 0L; var inTok = false; var j = 0
+                while (j < b.length) {
+                  val ws = b(j) == ' ' || b(j) == '\t' || b(j) == '\n' || b(j) == '\r'
+                  if (!ws && !inTok) { toks += 1; inTok = true }
+                  else if (ws) inTok = false
+                  j += 1
+                }
+                oTok.setSafe(i, toks); oByt.setSafe(i, b.length.toLong)
+              }
+              i += 1
+            }
+            outRoot.setRowCount(n)
+            ArrowBatchBridge.writeBatch(outRoot)
+          }
+          new Iterator[Array[Byte]] {
+            def hasNext: Boolean = {
+              val h = out.hasNext
+              if (!h) { inRoot.close(); outRoot.close(); alloc.close() }
+              h
+            }
+            def next(): Array[Byte] = out.next()
+          }
+        }
+      }
+      ArrowBatchBridge.fromBatchRdd(s, outBatches, outSchema, tz).orderBy("doc_id")
+    }),
+
+    // Hive ACID (ORC merge-on-read) — the warehouse sibling of the
+    // Iceberg/Delta readers: a transactional table on disk is base files
+    // plus insert deltas plus DELETE deltas keyed by synthetic row
+    // identity (originalTransaction, bucket, rowId), and a reader must
+    // merge them on the fly. The layout is staged once per scale from
+    // the orders table with the real ACID directory grammar
+    // (base_0000001 / delta_0000002_0000002 / delete_delta_0000003_
+    // 0000003) and the real row-id schema; the graded read lists the
+    // directory, unions base + insert deltas, and applies the delete
+    // delta with a DISTRIBUTED anti-join on the 3-part row id (never a
+    // collected delete set — a delete delta at 100 TB can hold 10⁹
+    // ids). Oracle replays the delete predicates over the source.
+    "source_hive_acid_read" -> ((s, d) => {
+      val root = Scratch.opDir("hive_acid", d)
+      val rootP = java.nio.file.Paths.get(root)
+      if (!java.nio.file.Files.exists(rootP.resolve("_STAGED"))) {
+        val o = Tables.orders(s, d).select(
+          col("o_orderkey").cast("bigint").as("k"),
+          col("o_orderstatus"), col("o_totalprice"))
+        def acidify(df: DataFrame, txn: Long) = df.select(
+          lit(0).as("operation"),
+          lit(txn).as("originalTransaction"),
+          (col("k") % 4).cast("int").as("bucket"),
+          col("k").as("rowId"),
+          lit(txn).as("currentTransaction"),
+          struct(col("k").as("o_orderkey"), col("o_orderstatus"),
+            col("o_totalprice")).as("row"))
+        acidify(o.where(col("k") % 2 === 0), 1L)
+          .write.mode("overwrite").orc(s"$root/base_0000001")
+        acidify(o.where(col("k") % 2 === 1), 2L)
+          .write.mode("overwrite").orc(s"$root/delta_0000002_0000002")
+        // delete delta: a third transaction removes every 10th base row
+        // and every odd multiple of 7 from the insert delta. A delete
+        // delta carries only row IDENTITY — no payload (the ACID layout
+        // nulls `row`; omitting the column entirely keeps the ORC
+        // vectorized reader happy and the bytes smaller).
+        o.where(col("k") % 10 === 0 || (col("k") % 2 === 1 && col("k") % 7 === 0))
+          .select(lit(2).as("operation"),
+            when(col("k") % 2 === 0, 1L).otherwise(2L).as("originalTransaction"),
+            (col("k") % 4).cast("int").as("bucket"),
+            col("k").as("rowId"),
+            lit(3L).as("currentTransaction"))
+          .write.mode("overwrite").orc(s"$root/delete_delta_0000003_0000003")
+        java.nio.file.Files.createFile(rootP.resolve("_STAGED"))
+      }
+      // ---- the reader: directory-grammar listing (driver-side, O(dirs),
+      // like any table-format snapshot resolution), then distributed MOR.
+      // The native ORC reader recognizes the exact 6-field ACID tuple as
+      // a transactional file and remaps pruned reads against the payload
+      // struct (AIOOBE / vector-cast crashes — reproduced on a minimal
+      // fixture: 6 acid-named cols + struct breaks, 5 cols or renamed
+      // cols work). Hive's ORC path reads the same files correctly, so
+      // it is pinned for the merge scans and the tiny rollup is
+      // checkpointed inside the scope.
+      val prevVec = s.conf.getOption("spark.sql.orc.impl")
+      s.conf.set("spark.sql.orc.impl", "hive")
+      try {
+        val dirs = java.nio.file.Files.list(rootP).iterator().asScala
+          .map(_.getFileName.toString).toSeq.sorted
+        val live = dirs.filter(n => n.startsWith("base_") || n.startsWith("delta_"))
+        val dels = dirs.filter(_.startsWith("delete_delta_"))
+        val rows = live.map(n => s.read.orc(s"$root/$n")).reduce(_ unionByName _)
+        val deleted = dels.map(n => s.read.orc(s"$root/$n")).reduce(_ unionByName _)
+          .select("originalTransaction", "bucket", "rowId")
+        rows.join(deleted, Seq("originalTransaction", "bucket", "rowId"), "left_anti")
+          .select(col("row.o_orderstatus").as("o_orderstatus"),
+            col("row.o_totalprice").as("o_totalprice"))
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n_orders"),
+            sum(expr("CAST(FLOOR(o_totalprice * 100) AS BIGINT)")).as("cents"))
+          .orderBy("o_orderstatus")
+          .localCheckpoint() // materialize before the conf is restored
+      } finally prevVec match {
+        case Some(p) => s.conf.set("spark.sql.orc.impl", p)
+        case None => s.conf.unset("spark.sql.orc.impl")
+      }
+    }),
+
+    // ANN index maintenance lifecycle — completes llm_dedup_incremental's
+    // serving story for the IVF side: a PERSISTED index ages as the
+    // corpus drifts, and the maintenance job (re-centroid + compact)
+    // must restore recall. Deterministic build: corpus = vec_id %5 ≠ 4;
+    // drift batch = vec_id %5 = 4 with every coordinate shifted +5000
+    // milli-units (a planted embedding-space drift — the incoming query
+    // load now lives where the index has no vectors). Phase 'stale':
+    // the index built BEFORE the drift landed (√n md5-sampled member
+    // centroids over the corpus, nearest-centroid assignment by exact
+    // integer dot product, corpus rows only in the files) is asked
+    // about the drift probes — 2-probe cell search, top-3 by exact dot.
+    // Every true neighbor is an unindexed drift vector, so recall@3 is
+    // 0: the crisp signature of a stale serving index. Phase
+    // 'refreshed': the maintenance pass re-samples centroids over
+    // corpus ∪ drift, re-assigns EVERYTHING, compacts the index
+    // parquet, and re-answers — recall recovers to ≥95%. Graded:
+    // per-phase centroid count and recall@3 vs brute-force truth in
+    // exact ppm; Round12WaveSpec asserts the recovery. All arithmetic
+    // is exact integers on floor(x·10⁴), so DuckDB replays bit-for-bit;
+    // the assignment join is Θ(n·√n) at every scale (the IVF law from
+    // llm_ann_ivf_pq).
+    "llm_ann_index_maintain" -> ((s, d) => {
+      val raw = Tables.embeddings(s, d)
+        .select(col("vec_id"), posexplode(col("embedding")))
+        .withColumn("xm", floor(col("col").cast("double") * 10000).cast("bigint"))
+        .select("vec_id", "pos", "xm")
+      val corpus = raw.where(col("vec_id") % 5 =!= 4)
+      val drift = raw.where(col("vec_id") % 5 === 4)
+        .withColumn("xm", col("xm") + 5000L)
+      val union = corpus.unionByName(drift).localCheckpoint()
+      val nCorpus = Tables.embeddings(s, d).where(col("vec_id") % 5 =!= 4).count()
+      val nTotal = Tables.embeddings(s, d).count()
+      def centroidsOf(vecs: DataFrame, mod: Long) = vecs.where(
+        expr(s"CAST(conv(substring(md5(CAST(vec_id AS STRING)), 1, 8), 16, 10) AS BIGINT) % $mod = 0"))
+        .select(col("vec_id").as("cid"), col("pos"), col("xm").as("cm"))
+      val probes = drift.where(col("vec_id") % 25 === 4)
+        .select(col("vec_id").as("probe_id"), col("pos"), col("xm").as("pm"))
+        .localCheckpoint()
+      // brute-force truth is drift-independent of the index; computed once
+      val wT = Window.partitionBy("probe_id").orderBy(desc("qdot"), col("vec_id"))
+      val truth = probes.join(
+          union.select(col("vec_id"), col("pos"), col("xm")), "pos")
+        .where(col("vec_id") =!= col("probe_id"))
+        .groupBy("probe_id", "vec_id")
+        .agg(sum((col("pm") * col("xm")).cast("decimal(38,0)")).cast("bigint").as("qdot"))
+        .withColumn("rk", row_number().over(wT)).where(col("rk") <= 3)
+        .select(col("probe_id"), col("vec_id"))
+        .localCheckpoint()
+      def phase(name: String, cent0: DataFrame, indexed: DataFrame,
+          idxDir: String): DataFrame = {
+        val cent = cent0.localCheckpoint()
+        val wA = Window.partitionBy("vec_id").orderBy(desc("dot"), col("cid"))
+        // the persisted index: (vec_id, cluster) over the vectors that
+        // EXISTED at build time — written, then read back (the
+        // lifecycle under grade is the FILES, not the lineage)
+        indexed.join(cent, "pos")
+          .groupBy("vec_id", "cid")
+          .agg(sum((col("xm") * col("cm")).cast("decimal(38,0)")).cast("bigint").as("dot"))
+          .withColumn("rn", row_number().over(wA)).where(col("rn") === 1)
+          .select(col("vec_id"), col("cid").as("cluster"))
+          .write.mode("overwrite").parquet(idxDir)
+        val assigned = s.read.parquet(idxDir)
+        val wP = Window.partitionBy("probe_id").orderBy(desc("dot"), col("cid"))
+        val cells = probes.join(cent, "pos")
+          .groupBy("probe_id", "cid")
+          .agg(sum((col("pm") * col("cm")).cast("decimal(38,0)")).cast("bigint").as("dot"))
+          .withColumn("rn", row_number().over(wP)).where(col("rn") <= 2)
+          .select(col("probe_id"), col("cid").as("cluster"))
+        val approx = cells.join(assigned, Seq("cluster"))
+          .where(col("vec_id") =!= col("probe_id"))
+          .select("probe_id", "vec_id").distinct()
+          .join(probes, "probe_id")
+          .join(union.select(col("vec_id"), col("pos"), col("xm")),
+            Seq("vec_id", "pos"))
+          .groupBy("probe_id", "vec_id")
+          .agg(sum((col("pm") * col("xm")).cast("decimal(38,0)")).cast("bigint").as("qdot"))
+          .withColumn("rk", row_number().over(wT)).where(col("rk") <= 3)
+          .select(col("probe_id"), col("vec_id"))
+        approx.join(truth, Seq("probe_id", "vec_id"), "left_semi")
+          .agg(count(lit(1)).as("hits"))
+          .crossJoin(broadcast(truth.agg(count(lit(1)).as("n_truth"))))
+          .crossJoin(broadcast(
+            cent.select("cid").distinct().agg(count(lit(1)).as("n_centroids"))))
+          .select(lit(name).as("phase"), col("n_centroids"),
+            col("n_truth"), col("hits"),
+            expr("(hits * 1000000) DIV n_truth").as("recall_ppm"))
+      }
+      val modStale = math.max(1L, math.sqrt(nCorpus.toDouble).toLong)
+      val modFresh = math.max(1L, math.sqrt(nTotal.toDouble).toLong)
+      val stale = phase("stale", centroidsOf(corpus, modStale), corpus,
+        Scratch.opDir("ann_idx_stale", d))
+      val fresh = phase("refreshed", centroidsOf(union, modFresh), union,
+        Scratch.opDir("ann_idx_fresh", d))
+      stale.unionByName(fresh).orderBy("phase")
+    }),
+
+    // Two-sample Kolmogorov–Smirnov — the distribution-shift test a
+    // data-drift monitor runs between cohorts: cohorts = orderkey
+    // parity over exact price cents, ECDFs compared at every distinct
+    // value via one cumulative window (D as an exact cross-multiplied
+    // integer: max |c0·n1 − c1·n0|), and the α=0.05 verdict by squaring
+    // the critical band — D² · 10⁶ > 1.358² · (n0+n1) · n0·n1 — in
+    // DECIMAL(38,0) (D_num² alone overflows int64 at sf0.1). One value
+    // rollup + one ordered window; no pairwise work at any scale.
+    "agg_ks_test" -> ((s, d) => {
+      val t = Tables.orders(s, d).select(
+        expr("CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 100 AS BIGINT)").as("cents"),
+        (col("o_orderkey") % 2).cast("int").as("grp"))
+      val byVal = t.groupBy("cents").agg(
+          sum(when(col("grp") === 0, 1L).otherwise(0L)).as("d0"),
+          sum(when(col("grp") === 1, 1L).otherwise(0L)).as("d1"))
+        .withColumn("bkt", expr("cents DIV 10000000"))
+      // the global cumulative is TWO-LEVEL so no single task ever sorts
+      // the whole value domain: a bounded $100k-band prefix (≤ a few
+      // hundred bands at any sf — the only serial window) plus a
+      // per-band partitioned cumsum; c = band offset + within-band.
+      val wBand = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+      val bandPrefix = byVal.groupBy("bkt")
+        .agg(sum("d0").as("b0"), sum("d1").as("b1"))
+        .withColumn("off0", coalesce(sum("b0").over(wBand), lit(0L)))
+        .withColumn("off1", coalesce(sum("b1").over(wBand), lit(0L)))
+        .select("bkt", "off0", "off1")
+      val wIn = Window.partitionBy("bkt").orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      byVal
+        .withColumn("i0", sum("d0").over(wIn))
+        .withColumn("i1", sum("d1").over(wIn))
+        .join(broadcast(bandPrefix), "bkt")
+        .select((col("off0") + col("i0")).as("c0"), (col("off1") + col("i1")).as("c1"))
+        .crossJoin(broadcast(t.groupBy().agg(
+          sum(when(col("grp") === 0, 1L).otherwise(0L)).as("n0"),
+          sum(when(col("grp") === 1, 1L).otherwise(0L)).as("n1"))))
+        .select(col("n0"), col("n1"),
+          abs(col("c0") * col("n1") - col("c1") * col("n0")).as("gap"))
+        .groupBy("n0", "n1").agg(max("gap").as("d_num"))
+        .select(col("n0"), col("n1"), col("d_num"),
+          expr("(d_num * 1000) DIV (n0 * n1)").as("d_milli"),
+          expr("""CAST(d_num AS DECIMAL(38,0)) * d_num * 1000000
+                 | > CAST(1844164 AS DECIMAL(38,0)) * (n0 + n1) * n0 * n1""".stripMargin)
+            .as("reject_95"))
+    }),
+
+    // Cliff's delta — the nonparametric effect size beside the
+    // mann-whitney TEST (significance says "different"; delta says "by
+    // how much"): δ = (#(a>b) − #(a<b)) / (n_a·n_b) between view and
+    // purchase event values, computed WITHOUT the pairwise product —
+    // one distinct-value rollup, one cumulative window, #(a>b) =
+    // Σ nA(v)·cumB(<v). Exact sign-safe milli; Romano's magnitude bands
+    // as integer literals (|δ| < 147 negligible, < 330 small, < 474
+    // medium, else large).
+    "agg_cliffs_delta" -> ((s, d) => {
+      val t = Tables.events(s, d)
+        .where(col("event_type").isin("view", "purchase"))
+        .select(expr("CAST(FLOOR(value * 100) AS BIGINT)").as("cents"),
+          col("event_type"))
+      val byVal = t.groupBy("cents").agg(
+          sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("na"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("nb"))
+        .withColumn("bkt", expr("cents DIV 100"))
+      // two-level cumulative (the agg_ks_test law): bounded per-dollar
+      // band prefix + partitioned within-band window; above = total −
+      // below − ties
+      val wBand = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+      val bandPrefix = byVal.groupBy("bkt").agg(sum("nb").as("bb"))
+        .withColumn("off_b", coalesce(sum("bb").over(wBand), lit(0L)))
+        .select("bkt", "off_b")
+      val wIn = Window.partitionBy("bkt").orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      byVal
+        .withColumn("in_b", coalesce(sum("nb").over(wIn), lit(0L)))
+        .join(broadcast(bandPrefix), "bkt")
+        .withColumn("b_below", col("off_b") + col("in_b"))
+        .crossJoin(broadcast(t.where(col("event_type") === "purchase")
+          .agg(count(lit(1)).as("nb_total"))))
+        .withColumn("b_above", col("nb_total") - col("b_below") - col("nb"))
+        .groupBy()
+        .agg(sum("na").as("n_a"), sum("nb").as("n_b"),
+          sum(col("na") * col("b_below")).as("gt"),
+          sum(col("na") * col("b_above")).as("lt"))
+        .select(col("n_a"), col("n_b"), col("gt"), col("lt"),
+          expr("""CAST(IF(gt >= lt, (gt - lt) * 1000 DIV (n_a * n_b),
+                 |  -((lt - gt) * 1000 DIV (n_a * n_b))) AS BIGINT)""".stripMargin)
+            .as("delta_milli"))
+        .withColumn("magnitude", expr(
+          """CASE WHEN abs(delta_milli) < 147 THEN 'negligible'
+            |     WHEN abs(delta_milli) < 330 THEN 'small'
+            |     WHEN abs(delta_milli) < 474 THEN 'medium'
+            |     ELSE 'large' END""".stripMargin))
+    }),
+
+    // Eval-set decontamination — the n-gram overlap screen every
+    // training-corpus release runs against its benchmark suite (a train
+    // doc sharing an 8-gram with an eval doc leaks the benchmark). The
+    // benchmark is BUILT the way real leaks happen: eval slot = doc_id
+    // ≡ 7 (mod 31); half the slots (≡ 7 mod 62, when the neighbor is
+    // long enough) carry a 20-token EXCERPT of the train doc beside
+    // them, the rest carry clean text. The screen itself never sees the
+    // construction: 8-token shingles md5-hashed on both sides, overlap
+    // by ONE hash-equijoin (distinct grams per doc — never doc-
+    // pairwise), contaminated = any shared gram; headline in exact ppm
+    // over the train count. The planted excerpts are exactly what it
+    // must recover.
+    "llm_decontam_ngram" -> ((s, d) => {
+      val base = Tables.documents(s, d)
+      val evalDocs = base.where(col("doc_id") % 31 === 7)
+        .join(base.select((col("doc_id") + 1).as("doc_id"),
+          split(col("text"), " ").as("prev_t")), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          expr("""IF(doc_id % 62 = 7 AND prev_t IS NOT NULL AND size(prev_t) >= 24,
+                 |   concat_ws(' ', slice(prev_t, 5, 20)), text)""".stripMargin)
+            .as("text"))
+      def gramsOf(docs: DataFrame, idCol: String) = docs
+        .select(col("doc_id"), split(col("text"), " ").as("t"))
+        .where(size(col("t")) > 7)
+        .select(col("doc_id").as(idCol), explode(array_distinct(expr(
+          """transform(sequence(0, size(t) - 8),
+            |  i -> md5(concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3],
+            |                          t[i+4], t[i+5], t[i+6], t[i+7])))""".stripMargin)))
+          .as("g"))
+      val trainDocs = base.where(col("doc_id") % 31 =!= 7).select("doc_id", "text")
+      val hits = gramsOf(trainDocs, "train_id")
+        .join(gramsOf(evalDocs, "eval_id"), "g")
+        .groupBy("train_id")
+        .agg(count(lit(1)).as("shared_grams"))
+      val nTrain = broadcast(trainDocs.agg(count(lit(1)).as("n_train")))
+      val nEval = broadcast(evalDocs.agg(count(lit(1)).as("n_eval")))
+      hits.agg(count(lit(1)).as("n_contaminated"),
+          coalesce(sum("shared_grams"), lit(0L)).as("shared_gram_pairs"))
+        .crossJoin(nTrain).crossJoin(nEval)
+        .select(col("n_train"), col("n_eval"), col("n_contaminated"),
+          col("shared_gram_pairs"),
+          expr("(n_contaminated * 1000000) DIV n_train").as("contam_ppm"))
+    }),
+
+    // Arc price elasticity of demand per brand — the pricing-analytics
+    // classic, midpoint form, between the 1995–1998-05 and post-1998-06
+    // halves of the ship axis: e = (q2−q1)(p1+p2) / ((q1+q2)(p2−p1))
+    // with p = cents/qty CROSS-MULTIPLIED AWAY — the whole quotient
+    // collapses to (Δq·(c1·q2 + c2·q1)) / (Σq·(c2·q1 − c1·q2)), exact
+    // integers end to end (DECIMAL(38,0): cents·qty² passes int64),
+    // sign-safe milli DIV (magnitude then negate). Inelastic-band
+    // verdict |e| < 1000 milli. One fact rollup per (brand, half).
+    "agg_arc_elasticity" -> ((s, d) => {
+      val t = Tables.lineitem(s, d)
+        .join(broadcast(Tables.part(s, d).select("p_partkey", "p_brand")),
+          col("l_partkey") === col("p_partkey"))
+        .select(col("p_brand"),
+          when(col("l_shipdate") < lit("1998-06-01").cast("date"), 1)
+            .otherwise(2).as("half"),
+          col("l_quantity").cast("bigint").as("q"),
+          expr("CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * 100 AS BIGINT)").as("c"))
+      val agg = t.groupBy("p_brand", "half")
+        .agg(sum("q").as("q"), sum("c").as("c"))
+      val h1 = agg.where(col("half") === 1)
+        .select(col("p_brand"), col("q").as("q1"), col("c").as("c1"))
+      val h2 = agg.where(col("half") === 2)
+        .select(col("p_brand"), col("q").as("q2"), col("c").as("c2"))
+      h1.join(h2, "p_brand")
+        .select(col("p_brand"), col("q1"), col("q2"),
+          expr("CAST(c1 AS DECIMAL(38,0)) * q2 + CAST(c2 AS DECIMAL(38,0)) * q1")
+            .as("p_sum_num"),
+          expr("CAST(c2 AS DECIMAL(38,0)) * q1 - CAST(c1 AS DECIMAL(38,0)) * q2")
+            .as("p_diff_num"))
+        .where(col("p_diff_num") =!= 0)
+        .select(col("p_brand"), col("q1"), col("q2"),
+          expr("""CAST(IF((q2 - q1) * p_sum_num >= 0,
+                 |        abs((q2 - q1) * p_sum_num) * 1000 DIV abs((q1 + q2) * p_diff_num),
+                 |       -(abs((q2 - q1) * p_sum_num) * 1000 DIV abs((q1 + q2) * p_diff_num)))
+                 |  * IF(p_diff_num < 0, -1, 1) AS BIGINT)""".stripMargin)
+            .as("elasticity_milli"))
+        .withColumn("inelastic", abs(col("elasticity_milli")) < 1000L)
+        .orderBy("p_brand")
+    }),
+
+    // Vortex indicator — the trend-reversal oscillator beside win_atr
+    // (same daily OHLC synthesis law: exact cents, per event type):
+    // VM+ = |high_t − low_{t−1}|, VM− = |low_t − high_{t−1}|, true
+    // range = max(high−low, |high−prev_close|, |low−prev_close|), all
+    // summed over a trailing 14-day frame, VI± in exact milli DIVs.
+    // Crossover signal VI+ > VI−. Two lag columns + three frame sums
+    // over one (type, day) exchange; days are bounded, types parallel.
+    "win_vortex" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .select(col("event_type"), expr("CAST(ts_us DIV 86400000000 AS BIGINT)").as("day"),
+          expr("CAST(FLOOR(value * 100) AS BIGINT)").as("cents"),
+          col("ts_us"), col("event_id"))
+        .groupBy("event_type", "day")
+        .agg(max("cents").as("high"), min("cents").as("low"),
+          // composite scalar ordering key (µs·10⁶ + id, wide decimal —
+          // DuckDB's max_by cannot order by a struct): event_id stays
+          // far below 10⁶ at every graded sf
+          max_by(col("cents"),
+            expr("CAST(ts_us AS DECIMAL(38,0)) * 1000000 + event_id")).as("close"))
+      val w = Window.partitionBy("event_type").orderBy("day")
+      val frame = Window.partitionBy("event_type").orderBy("day")
+        .rowsBetween(-13, Window.currentRow)
+      val withLag = daily
+        .withColumn("prev_low", lag("low", 1).over(w))
+        .withColumn("prev_high", lag("high", 1).over(w))
+        .withColumn("prev_close", lag("close", 1).over(w))
+        .where(col("prev_low").isNotNull)
+        .withColumn("vm_plus", abs(col("high") - col("prev_low")))
+        .withColumn("vm_minus", abs(col("low") - col("prev_high")))
+        .withColumn("tr", greatest(col("high") - col("low"),
+          abs(col("high") - col("prev_close")),
+          abs(col("low") - col("prev_close"))))
+      withLag
+        .withColumn("rn", row_number().over(w))
+        .withColumn("svp", sum("vm_plus").over(frame))
+        .withColumn("svm", sum("vm_minus").over(frame))
+        .withColumn("str", sum("tr").over(frame))
+        .where(col("rn") >= 14 && col("str") > 0)
+        .select(col("event_type"), col("day"),
+          expr("(svp * 1000) DIV str").as("vi_plus_milli"),
+          expr("(svm * 1000) DIV str").as("vi_minus_milli"))
+        .withColumn("uptrend", col("vi_plus_milli") > col("vi_minus_milli"))
+        .where(col("day") % 5 === 0)
+        .orderBy("event_type", "day")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    // Byte-level profile replay: strlen is BYTES in DuckDB; tokens =
+    // non-empty pieces after splitting on ASCII-whitespace runs.
+    "udf_arrow_batch" ->
+      """SELECT doc_id,
+        |  CAST(len(list_filter(regexp_split_to_array(text, '[ \t\n\r]+'),
+        |    x -> x <> '')) AS BIGINT) AS n_tokens,
+        |  CAST(strlen(text) AS BIGINT) AS n_bytes
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Merge-on-read replay: live = inserts of txns 1 (even keys) and 2
+    // (odd keys) minus the txn-3 delete set (every 10th key; odd
+    // multiples of 7).
+    "source_hive_acid_read" ->
+      """SELECT o_orderstatus, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM orders
+        |WHERE NOT (o_orderkey % 10 = 0
+        |       OR (o_orderkey % 2 = 1 AND o_orderkey % 7 = 0))
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    // Full lifecycle replay in SQL: same md5 centroid sampling, same
+    // exact-integer dots, same 2-probe/top-3 search, both phases.
+    "llm_ann_index_maintain" -> AnnMaintainOracle.sql,
+
+    // Same distinct-value ECDF walk; the verdict compare is HUGEINT in
+    // DuckDB (its native wide integer) against Spark's DECIMAL(38,0).
+    "agg_ks_test" ->
+      """WITH t AS (SELECT CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 100 AS BIGINT) AS cents,
+        |    CAST(o_orderkey % 2 AS INT) AS grp FROM orders),
+        |v AS (SELECT cents,
+        |    SUM(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS d0,
+        |    SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS d1
+        |  FROM t GROUP BY cents),
+        |c AS (SELECT cents,
+        |    SUM(d0) OVER (ORDER BY cents ROWS UNBOUNDED PRECEDING) AS c0,
+        |    SUM(d1) OVER (ORDER BY cents ROWS UNBOUNDED PRECEDING) AS c1
+        |  FROM v),
+        |n AS (SELECT SUM(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS n0,
+        |    SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS n1 FROM t)
+        |SELECT CAST(n0 AS BIGINT) AS n0, CAST(n1 AS BIGINT) AS n1,
+        |  CAST(MAX(ABS(c0 * n1 - c1 * n0)) AS BIGINT) AS d_num,
+        |  CAST(MAX(ABS(c0 * n1 - c1 * n0)) * 1000 // (n0 * n1) AS BIGINT) AS d_milli,
+        |  (CAST(MAX(ABS(c0 * n1 - c1 * n0)) AS HUGEINT)
+        |     * MAX(ABS(c0 * n1 - c1 * n0)) * 1000000
+        |   > CAST(1844164 AS HUGEINT) * (n0 + n1) * n0 * n1) AS reject_95
+        |FROM c, n GROUP BY n0, n1""".stripMargin,
+
+    // Same rollup-plus-cumulative construction; sign-safe magnitude DIV.
+    "agg_cliffs_delta" ->
+      """WITH t AS (SELECT CAST(FLOOR(value * 100) AS BIGINT) AS cents, event_type
+        |  FROM events WHERE event_type IN ('view', 'purchase')),
+        |v AS (SELECT cents,
+        |    SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS na,
+        |    SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS nb
+        |  FROM t GROUP BY cents),
+        |c AS (SELECT cents, na, nb,
+        |    COALESCE(SUM(nb) OVER (ORDER BY cents
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS b_below,
+        |    COALESCE(SUM(nb) OVER (ORDER BY cents
+        |      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING), 0) AS b_above
+        |  FROM v),
+        |a AS (SELECT CAST(SUM(na) AS BIGINT) AS n_a, CAST(SUM(nb) AS BIGINT) AS n_b,
+        |    CAST(SUM(na * b_below) AS BIGINT) AS gt,
+        |    CAST(SUM(na * b_above) AS BIGINT) AS lt FROM c),
+        |dm AS (SELECT n_a, n_b, gt, lt,
+        |    CAST(CASE WHEN gt >= lt THEN (gt - lt) * 1000 // (n_a * n_b)
+        |         ELSE -((lt - gt) * 1000 // (n_a * n_b)) END AS BIGINT) AS delta_milli
+        |  FROM a)
+        |SELECT n_a, n_b, gt, lt, delta_milli,
+        |  CASE WHEN ABS(delta_milli) < 147 THEN 'negligible'
+        |       WHEN ABS(delta_milli) < 330 THEN 'small'
+        |       WHEN ABS(delta_milli) < 474 THEN 'medium'
+        |       ELSE 'large' END AS magnitude
+        |FROM dm""".stripMargin,
+
+    // Same excerpt plant (eval slots ≡7 mod 62 carry tokens 5..24 of
+    // the neighbor), same 8-token md5 shingles, same hash equijoin.
+    "llm_decontam_ngram" ->
+      """WITH evd AS (
+        |  SELECT e.doc_id,
+        |    CASE WHEN e.doc_id % 62 = 7 AND p.text IS NOT NULL
+        |              AND len(string_split(p.text, ' ')) >= 24
+        |         THEN array_to_string(string_split(p.text, ' ')[5:24], ' ')
+        |         ELSE e.text END AS text
+        |  FROM documents e LEFT JOIN documents p ON p.doc_id = e.doc_id - 1
+        |  WHERE e.doc_id % 31 = 7),
+        |trd AS (SELECT doc_id, text FROM documents WHERE doc_id % 31 <> 7),
+        |sht AS (SELECT doc_id AS train_id, unnest(list_distinct(list_transform(
+        |         generate_series(1, len(string_split(text, ' ')) - 7),
+        |         i -> md5(array_to_string(string_split(text, ' ')[i:i+7], ' '))))) AS g
+        |       FROM trd WHERE len(string_split(text, ' ')) > 7),
+        |she AS (SELECT doc_id AS eval_id, unnest(list_distinct(list_transform(
+        |         generate_series(1, len(string_split(text, ' ')) - 7),
+        |         i -> md5(array_to_string(string_split(text, ' ')[i:i+7], ' '))))) AS g
+        |       FROM evd WHERE len(string_split(text, ' ')) > 7),
+        |hits AS (SELECT train_id, COUNT(*) AS shared_grams
+        |  FROM sht JOIN she USING (g) GROUP BY train_id),
+        |agg AS (SELECT COUNT(*) AS n_c, COALESCE(SUM(shared_grams), 0) AS sgp FROM hits),
+        |nt AS (SELECT COUNT(*) AS n_train FROM trd),
+        |ne AS (SELECT COUNT(*) AS n_eval FROM evd)
+        |SELECT CAST(n_train AS BIGINT) AS n_train, CAST(n_eval AS BIGINT) AS n_eval,
+        |  CAST(n_c AS BIGINT) AS n_contaminated,
+        |  CAST(sgp AS BIGINT) AS shared_gram_pairs,
+        |  CAST((n_c * 1000000) // n_train AS BIGINT) AS contam_ppm
+        |FROM agg, nt, ne""".stripMargin,
+
+    // Same cross-multiplied midpoint form in HUGEINT.
+    "agg_arc_elasticity" ->
+      """WITH t AS (
+        |  SELECT p_brand,
+        |    CASE WHEN l_shipdate < DATE '1998-06-01' THEN 1 ELSE 2 END AS half,
+        |    CAST(l_quantity AS BIGINT) AS q,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * 100 AS BIGINT) AS c
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+        |a AS (SELECT p_brand, half, CAST(SUM(q) AS BIGINT) AS q,
+        |    CAST(SUM(c) AS BIGINT) AS c FROM t GROUP BY 1, 2),
+        |j AS (SELECT h1.p_brand, h1.q AS q1, h2.q AS q2,
+        |    CAST(h1.c AS HUGEINT) * h2.q + CAST(h2.c AS HUGEINT) * h1.q AS p_sum_num,
+        |    CAST(h2.c AS HUGEINT) * h1.q - CAST(h1.c AS HUGEINT) * h2.q AS p_diff_num
+        |  FROM a h1 JOIN a h2 ON h1.p_brand = h2.p_brand
+        |  WHERE h1.half = 1 AND h2.half = 2)
+        |SELECT p_brand, q1, q2,
+        |  CAST((CASE WHEN (q2 - q1) * p_sum_num >= 0
+        |        THEN ABS((q2 - q1) * p_sum_num) * 1000 // ABS((q1 + q2) * p_diff_num)
+        |        ELSE -(ABS((q2 - q1) * p_sum_num) * 1000 // ABS((q1 + q2) * p_diff_num)) END)
+        |    * (CASE WHEN p_diff_num < 0 THEN -1 ELSE 1 END) AS BIGINT) AS elasticity_milli,
+        |  ABS(CAST((CASE WHEN (q2 - q1) * p_sum_num >= 0
+        |        THEN ABS((q2 - q1) * p_sum_num) * 1000 // ABS((q1 + q2) * p_diff_num)
+        |        ELSE -(ABS((q2 - q1) * p_sum_num) * 1000 // ABS((q1 + q2) * p_diff_num)) END)
+        |    * (CASE WHEN p_diff_num < 0 THEN -1 ELSE 1 END) AS BIGINT)) < 1000 AS inelastic
+        |FROM j WHERE p_diff_num <> 0 ORDER BY p_brand""".stripMargin,
+
+    // Same OHLC synthesis (close = value at the max composite
+    // µs·10⁶+id key), same 14-frame sums and milli DIVs.
+    "win_vortex" ->
+      """WITH e AS (SELECT event_type,
+        |    CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+        |    CAST(FLOOR(value * 100) AS BIGINT) AS cents,
+        |    epoch_us(ts) AS ts_us, event_id
+        |  FROM events),
+        |daily AS (SELECT event_type, day, MAX(cents) AS high, MIN(cents) AS low,
+        |    MAX_BY(cents, CAST(ts_us AS HUGEINT) * 1000000 + event_id) AS close
+        |  FROM e GROUP BY 1, 2),
+        |lagd AS (SELECT event_type, day, high, low, close,
+        |    LAG(low) OVER w AS prev_low, LAG(high) OVER w AS prev_high,
+        |    LAG(close) OVER w AS prev_close
+        |  FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+        |vm AS (SELECT event_type, day,
+        |    ABS(high - prev_low) AS vm_plus, ABS(low - prev_high) AS vm_minus,
+        |    GREATEST(high - low, ABS(high - prev_close), ABS(low - prev_close)) AS tr
+        |  FROM lagd WHERE prev_low IS NOT NULL),
+        |fr AS (SELECT event_type, day,
+        |    ROW_NUMBER() OVER w AS rn,
+        |    SUM(vm_plus) OVER f AS svp, SUM(vm_minus) OVER f AS svm,
+        |    SUM(tr) OVER f AS str
+        |  FROM vm WINDOW
+        |    w AS (PARTITION BY event_type ORDER BY day),
+        |    f AS (PARTITION BY event_type ORDER BY day ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+        |SELECT event_type, day,
+        |  CAST((svp * 1000) // str AS BIGINT) AS vi_plus_milli,
+        |  CAST((svm * 1000) // str AS BIGINT) AS vi_minus_milli,
+        |  (svp * 1000) // str > (svm * 1000) // str AS uptrend
+        |FROM fr WHERE rn >= 14 AND str > 0 AND day % 5 = 0
+        |ORDER BY event_type, day""".stripMargin
+  )
+}

