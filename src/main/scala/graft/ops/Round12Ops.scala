@@ -496,6 +496,243 @@ object Round12Ops {
         .withColumn("uptrend", col("vi_plus_milli") > col("vi_minus_milli"))
         .where(col("day") % 5 === 0)
         .orderBy("event_type", "day")
+    }),
+
+    // Mood's median test — "do the k groups share a median?" without any
+    // normality assumption: the grand LOWER median of exact cents found
+    // by the two-level cumulative (never a quantile sketch — the test
+    // needs the exact split point), per-priority above/≤ counts, and the
+    // χ² compare against the df=4 critical value with every quotient
+    // DECLARED: term_g = (a_g·N − n_g·A)² DIV n_g (truncation identical
+    // in both engines), reject iff Σterm > (9488·A·B) DIV 1000.
+    "agg_mood_median" -> ((s, d) => {
+      val t = Tables.orders(s, d).select(
+        expr("CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 100 AS BIGINT)").as("cents"),
+        col("o_orderpriority").as("grp"))
+      val byVal = t.groupBy("cents").agg(count(lit(1)).as("n"))
+        .withColumn("bkt", expr("cents DIV 10000000"))
+      val wBand = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+      val bandPrefix = byVal.groupBy("bkt").agg(sum("n").as("bn"))
+        .withColumn("off", coalesce(sum("bn").over(wBand), lit(0L)))
+        .select("bkt", "off")
+      val wIn = Window.partitionBy("bkt").orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val med = byVal
+        .withColumn("cum", sum("n").over(wIn))
+        .join(broadcast(bandPrefix), "bkt")
+        .crossJoin(broadcast(t.agg(count(lit(1)).as("nn"))))
+        .where(col("off") + col("cum") >= expr("(nn + 1) DIV 2"))
+        .agg(min("cents").as("median_cents"))
+      val counts = t.crossJoin(broadcast(med))
+        .groupBy("grp")
+        .agg(count(lit(1)).as("n_g"),
+          sum(when(col("cents") > col("median_cents"), 1L).otherwise(0L)).as("a_g"))
+      counts
+        .crossJoin(broadcast(counts.agg(sum("n_g").as("nn"), sum("a_g").as("aa"))))
+        .select(col("grp"), col("n_g"), col("a_g"), col("nn"), col("aa"),
+          expr("""CAST((CAST(a_g AS DECIMAL(38,0)) * nn - CAST(n_g AS DECIMAL(38,0)) * aa)
+                 | * (CAST(a_g AS DECIMAL(38,0)) * nn - CAST(n_g AS DECIMAL(38,0)) * aa)
+                 | DIV n_g AS DECIMAL(38,0))""".stripMargin).as("term"))
+        .groupBy("nn", "aa")
+        .agg(count(lit(1)).as("k_groups"), sum("term").as("stat_num"))
+        .select(col("k_groups"), col("nn").as("n_total"), col("aa").as("n_above"),
+          // each term is ≤ (a·N − n·A)²/n ~ 1e12 and k ≤ 5 — the sum
+          // fits a BIGINT with room (the intermediates needed 38,0)
+          col("stat_num").cast("bigint").as("stat_num"),
+          // χ² = Σterm / (A·B); reject at df=4, α=.05 iff Σterm·1000 >
+          // 9488·A·B (9.488 as an exact integer literal)
+          expr("CAST(stat_num AS DECIMAL(38,0)) * 1000 > CAST(9488 AS DECIMAL(38,0)) * aa * (nn - aa)")
+            .as("reject_95"))
+    }),
+
+    // Mann–Kendall trend test + Sen slope — the nonparametric trend pair
+    // every monitoring stack wants on a daily KPI: S = Σ sign pairs over
+    // the BOUNDED day axis (a self-join on O(days)² pairs — days are a
+    // calendar, not data), tie-corrected variance as exact integers,
+    // |S|−1 squared against 1.96²·Var cross-multiplied, and Sen slope =
+    // lower-median of per-pair micro-slopes (each pair's Δcents·10⁶ DIV
+    // Δday — a DECLARED truncation, identical in both engines).
+    "agg_mann_kendall" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .select(col("event_type"),
+          expr("CAST(ts_us DIV 86400000000 AS BIGINT)").as("day"),
+          expr("CAST(FLOOR(value * 100) AS BIGINT)").as("cents"))
+        .groupBy("event_type", "day").agg(sum("cents").as("v"))
+        .localCheckpoint()
+      val pairs = daily.as("x").join(daily.as("y"),
+          col("x.event_type") === col("y.event_type") && col("x.day") < col("y.day"))
+        .select(col("x.event_type").as("event_type"),
+          (col("y.day") - col("x.day")).as("dd"),
+          (col("y.v") - col("x.v")).as("dv"))
+      val sVar = pairs.groupBy("event_type")
+        .agg(sum(signum(col("dv")).cast("bigint")).as("s_stat"))
+        .join(daily.groupBy("event_type").agg(count(lit(1)).as("n")), "event_type")
+        .join(daily.groupBy("event_type", "v").agg(count(lit(1)).as("t"))
+          .groupBy("event_type")
+          .agg(sum(expr("t * (t - 1) * (2 * t + 5)")).as("tie_num")), "event_type")
+        .withColumn("var_num", expr("n * (n - 1) * (2 * n + 5) - tie_num"))
+      val wSen = Window.partitionBy("event_type")
+        .orderBy("slope_micro", "dd", "dv")
+      val sen = pairs
+        .withColumn("slope_micro", expr(
+          "CAST(IF(dv >= 0, (dv * 1000000) DIV dd, -((-dv * 1000000) DIV dd)) AS BIGINT)"))
+        .withColumn("rn", row_number().over(wSen))
+        .join(broadcast(pairs.groupBy("event_type").agg(count(lit(1)).as("np"))),
+          "event_type")
+        .where(col("rn") === expr("(np + 1) DIV 2"))
+        .select(col("event_type"), col("slope_micro").as("sen_slope_micro"))
+      sVar.join(sen, "event_type")
+        .select(col("event_type"), col("n").as("n_days"), col("s_stat"),
+          col("var_num"), col("sen_slope_micro"),
+          expr("""CASE WHEN s_stat > 0 AND (s_stat - 1) * (s_stat - 1) * 18 * 10000
+                 |       > 38416 * var_num THEN 'increasing'
+                 |     WHEN s_stat < 0 AND (s_stat + 1) * (s_stat + 1) * 18 * 10000
+                 |       > 38416 * var_num THEN 'decreasing'
+                 |     ELSE 'none' END""".stripMargin).as("trend"))
+        .orderBy("event_type")
+    }),
+
+    // Somers' D — the ASYMMETRIC ordinal association (Kendall τ's
+    // directional sibling; the standard effect size for "does priority
+    // band predict spend?"): the 1-in-100 order sample (the
+    // agg_kendall_tau sampling law — pairwise on a sample, never the
+    // corpus), X = priority digit, Y = exact cents; D_y|x = (C−D)/(n0 −
+    // ties_x) and D_x|y = (C−D)/(n0 − ties_y), both sign-safe exact
+    // milli.
+    "agg_somers_d" -> ((s, d) => {
+      val t = Tables.orders(s, d).where(col("o_orderkey") % 100 === 7)
+        .select(col("o_orderkey").as("k"),
+          substring(col("o_orderpriority"), 1, 1).cast("bigint").as("x"),
+          expr("CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 100 AS BIGINT)").as("y"))
+      val a = t.select(col("k").as("ka"), col("x").as("xa"), col("y").as("ya"))
+      val b = t.select(col("k").as("kb"), col("x").as("xb"), col("y").as("yb"))
+      a.join(b, col("ka") < col("kb"))
+        .agg(count(lit(1)).as("n0"),
+          sum(when((col("xa") - col("xb")) * (col("ya") - col("yb")) > 0, 1L)
+            .otherwise(0L)).as("nc"),
+          sum(when((col("xa") - col("xb")) * (col("ya") - col("yb")) < 0, 1L)
+            .otherwise(0L)).as("nd"),
+          sum(when(col("xa") === col("xb"), 1L).otherwise(0L)).as("tx"),
+          sum(when(col("ya") === col("yb"), 1L).otherwise(0L)).as("ty"))
+        .select(col("n0"), col("nc"), col("nd"), col("tx"), col("ty"),
+          expr("""CAST(IF(nc >= nd, ((nc - nd) * 1000) DIV (n0 - tx),
+                 |  -(((nd - nc) * 1000) DIV (n0 - tx))) AS BIGINT)""".stripMargin)
+            .as("d_yx_milli"),
+          expr("""CAST(IF(nc >= nd, ((nc - nd) * 1000) DIV (n0 - ty),
+                 |  -(((nd - nc) * 1000) DIV (n0 - ty))) AS BIGINT)""".stripMargin)
+            .as("d_xy_milli"))
+    }),
+
+    // Krippendorff's alpha (nominal) — the chance-corrected agreement
+    // coefficient that, unlike Fleiss' κ beside it, is THE standard when
+    // units/raters are incomplete: 3 synthetic raters per sampled doc,
+    // each following a planted base label 80% of the time (md5 draws);
+    // Do = mismatched rater pairs / 3n, De from the pooled coincidence
+    // frequencies with the small-sample N(N−1) denominator, α in exact
+    // ppm via ONE cross-multiplied DIV.
+    "agg_krippendorff_alpha" -> ((s, d) => {
+      def u(ns: String, extra: String) =
+        s"CAST(conv(substring(md5(concat('$ns:', CAST(doc_id AS STRING), ':', $extra)), 1, 8), 16, 10) AS BIGINT)"
+      val codes = Tables.documents(s, d).where(col("doc_id") % 11 === 0)
+        .select(col("doc_id"), explode(expr("sequence(0, 2)")).as("r"))
+        .withColumn("code", expr(
+          s"""IF(${u("kn", "CAST(r AS STRING)")} % 10 < 8,
+             |   ${u("kb", "'b'")} % 4,
+             |   ${u("kc", "CAST(r AS STRING)")} % 4)""".stripMargin))
+        .localCheckpoint()
+      val mism = codes.as("p").join(codes.as("q"),
+          col("p.doc_id") === col("q.doc_id") && col("p.r") < col("q.r"))
+        .agg(sum(when(col("p.code") =!= col("q.code"), 1L).otherwise(0L))
+          .as("mismatch"), count(lit(1)).as("pairs"))
+      val freq = codes.groupBy("code").agg(count(lit(1)).as("nk"))
+        .agg(sum("nk").as("nn"), sum(expr("nk * nk")).as("sq"))
+      mism.crossJoin(broadcast(freq))
+        .select(col("mismatch"), col("pairs"), col("nn").as("n_values"),
+          expr("nn * nn - sq").as("de_num"),
+          expr("""CAST(1000000 - (mismatch * nn * (nn - 1) * 1000000)
+                 | DIV (pairs * (nn * nn - sq)) AS BIGINT)""".stripMargin)
+            .as("alpha_ppm"))
+    }),
+
+    // Nelson–Aalen cumulative hazard — Kaplan–Meier's hazard-scale twin
+    // (KM multiplies survival; NA sums d/n, the estimator a reliability
+    // team plots for wear-out): synthetic per-user lifetimes (death day
+    // = md5 % 90, every 7th user right-censored at half its day), the
+    // bounded 90-day axis walked with one cumulative window, each step
+    // d·10⁶ DIV n_at_risk a DECLARED truncation summed exactly.
+    "agg_nelson_aalen" -> ((s, d) => {
+      def u(ns: String) =
+        s"CAST(conv(substring(md5(concat('$ns:', CAST(user_id AS STRING))), 1, 8), 16, 10) AS BIGINT)"
+      val subj = Tables.events(s, d).select("user_id").distinct()
+        .withColumn("raw_day", expr(s"${u("na")} % 90 + 1"))
+        .withColumn("censored", expr(s"${u("nc")} % 7 = 0"))
+        .withColumn("day", expr("IF(censored, raw_day DIV 2 + 1, raw_day)"))
+      val total = subj.agg(count(lit(1)).as("n_total"))
+      val byDay = subj.groupBy("day")
+        .agg(sum(when(!col("censored"), 1L).otherwise(0L)).as("d"),
+          count(lit(1)).as("leaving"))
+      val w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, -1)
+      val wCum = Window.orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      byDay.crossJoin(broadcast(total))
+        .withColumn("left_before", coalesce(sum("leaving").over(w), lit(0L)))
+        .withColumn("n_risk", col("n_total") - col("left_before"))
+        .where(col("d") > 0)
+        .withColumn("step_micro", expr("(d * 1000000) DIV n_risk"))
+        .withColumn("hazard_micro", sum("step_micro").over(wCum))
+        .select(col("day"), col("n_risk"), col("d"),
+          col("step_micro"), col("hazard_micro"))
+        .orderBy("day")
+    }),
+
+    // Economic order quantity per brand — the inventory-planning classic
+    // off the demand rollup: EOQ = √(2DS/H) with the quotient 2DS DIV H
+    // cleared to an exact integer FIRST and ONE final sqrt (the
+    // jarque-bera one-sqrt law; the integer stays < 2⁵³ so both engines
+    // see the identical IEEE value), order cadence and cycle length as
+    // declared integer DIVs.
+    "agg_eoq" -> ((s, d) => {
+      val orderCostCents = 5000L
+      val holdCentsPerUnitYear = 250L
+      Tables.lineitem(s, d)
+        .join(broadcast(Tables.part(s, d).select("p_partkey", "p_brand")),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(sum(col("l_quantity").cast("bigint")).as("d_units"))
+        .withColumn("eoq_units", expr(
+          s"CAST(FLOOR(sqrt(CAST((2 * d_units * $orderCostCents) DIV $holdCentsPerUnitYear AS DOUBLE))) AS BIGINT)"))
+        .withColumn("orders_per_year", expr("(d_units + eoq_units - 1) DIV eoq_units"))
+        .withColumn("cycle_days_milli", expr("(eoq_units * 365000) DIV d_units"))
+        .orderBy("p_brand")
+    }),
+
+    // Overlapping-interval coalescing (merge sessions into islands) —
+    // the gaps-and-islands SIBLING that merges by OVERLAP, not by gap
+    // threshold: each event opens a 30-minute validity interval, a new
+    // island starts where an interval's start clears every prior end
+    // (running MAX of end, exclusive frame), islands counted and their
+    // exact µs coverage summed. Per-user windows — fully parallel on
+    // the user axis at any scale.
+    "agg_interval_merge" -> ((s, d) => {
+      val iv = Tables.events(s, d).select(col("user_id"),
+        col("ts_us").as("start_us"),
+        (col("ts_us") + 1800000000L).as("end_us"))
+      val w = Window.partitionBy("user_id").orderBy("start_us", "end_us")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val wCum = Window.partitionBy("user_id").orderBy("start_us", "end_us")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val islands = iv
+        .withColumn("max_end_before", max("end_us").over(w))
+        .withColumn("new_island",
+          when(col("max_end_before").isNull
+            || col("start_us") > col("max_end_before"), 1L).otherwise(0L))
+        .withColumn("island", sum("new_island").over(wCum))
+      islands.groupBy("user_id", "island")
+        .agg(count(lit(1)).as("n_iv"), min("start_us").as("s"), max("end_us").as("e"))
+        .agg(countDistinct("user_id").as("n_users"),
+          sum("n_iv").as("n_intervals"),
+          count(lit(1)).as("n_islands"),
+          sum(expr("e - s")).as("covered_us"))
     })
   )
 
@@ -663,6 +900,166 @@ object Round12Ops {
         |  CAST((svm * 1000) // str AS BIGINT) AS vi_minus_milli,
         |  (svp * 1000) // str > (svm * 1000) // str AS uptrend
         |FROM fr WHERE rn >= 14 AND str > 0 AND day % 5 = 0
-        |ORDER BY event_type, day""".stripMargin
+        |ORDER BY event_type, day""".stripMargin,
+
+    // Same exact-median split, same declared per-term truncation.
+    "agg_mood_median" ->
+      """WITH t AS (SELECT CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 100 AS BIGINT) AS cents,
+        |    o_orderpriority AS grp FROM orders),
+        |v AS (SELECT cents, COUNT(*) AS n FROM t GROUP BY cents),
+        |c AS (SELECT cents, SUM(n) OVER (ORDER BY cents ROWS UNBOUNDED PRECEDING) AS cum FROM v),
+        |nn0 AS (SELECT COUNT(*) AS nn FROM t),
+        |med AS (SELECT MIN(cents) AS median_cents FROM c, nn0 WHERE cum >= (nn + 1) // 2),
+        |cnt AS (SELECT grp, COUNT(*) AS n_g,
+        |    SUM(CASE WHEN cents > median_cents THEN 1 ELSE 0 END) AS a_g
+        |  FROM t, med GROUP BY grp),
+        |tot AS (SELECT CAST(SUM(n_g) AS BIGINT) AS nn, CAST(SUM(a_g) AS BIGINT) AS aa FROM cnt),
+        |terms AS (SELECT
+        |    (CAST(a_g AS HUGEINT) * nn - CAST(n_g AS HUGEINT) * aa)
+        |      * (CAST(a_g AS HUGEINT) * nn - CAST(n_g AS HUGEINT) * aa) // n_g AS term,
+        |    nn, aa
+        |  FROM cnt, tot)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS k_groups, nn AS n_total, aa AS n_above,
+        |  CAST(SUM(term) AS BIGINT) AS stat_num,
+        |  CAST(SUM(term) AS HUGEINT) * 1000 > CAST(9488 AS HUGEINT) * aa * (nn - aa) AS reject_95
+        |FROM terms GROUP BY nn, aa""".stripMargin,
+
+    // Same bounded-day pair sweep, tie-corrected variance, squared
+    // z-compare, and lower-median Sen slope with the declared per-pair
+    // micro truncation.
+    "agg_mann_kendall" ->
+      """WITH e AS (SELECT event_type, CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+        |    CAST(FLOOR(value * 100) AS BIGINT) AS cents FROM events),
+        |daily AS (SELECT event_type, day, CAST(SUM(cents) AS BIGINT) AS v
+        |  FROM e GROUP BY 1, 2),
+        |pairs AS (SELECT x.event_type, y.day - x.day AS dd, y.v - x.v AS dv
+        |  FROM daily x JOIN daily y
+        |    ON x.event_type = y.event_type AND x.day < y.day),
+        |sv AS (SELECT event_type, CAST(SUM(SIGN(dv)) AS BIGINT) AS s_stat
+        |  FROM pairs GROUP BY 1),
+        |nd AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM daily GROUP BY 1),
+        |ties AS (SELECT event_type,
+        |    CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_num
+        |  FROM (SELECT event_type, v, COUNT(*) AS t FROM daily GROUP BY 1, 2)
+        |  GROUP BY 1),
+        |sl AS (SELECT event_type,
+        |    CASE WHEN dv >= 0 THEN (dv * 1000000) // dd
+        |         ELSE -((-dv * 1000000) // dd) END AS slope_micro, dd, dv
+        |  FROM pairs),
+        |sen AS (SELECT event_type, slope_micro AS sen_slope_micro FROM (
+        |    SELECT event_type, slope_micro,
+        |      ROW_NUMBER() OVER (PARTITION BY event_type
+        |        ORDER BY slope_micro, dd, dv) AS rn,
+        |      COUNT(*) OVER (PARTITION BY event_type) AS np
+        |    FROM sl) WHERE rn = (np + 1) // 2)
+        |SELECT nd.event_type, n AS n_days, s_stat,
+        |  n * (n - 1) * (2 * n + 5) - tie_num AS var_num, sen_slope_micro,
+        |  CASE WHEN s_stat > 0 AND (s_stat - 1) * (s_stat - 1) * 18 * 10000
+        |         > 38416 * (n * (n - 1) * (2 * n + 5) - tie_num) THEN 'increasing'
+        |       WHEN s_stat < 0 AND (s_stat + 1) * (s_stat + 1) * 18 * 10000
+        |         > 38416 * (n * (n - 1) * (2 * n + 5) - tie_num) THEN 'decreasing'
+        |       ELSE 'none' END AS trend
+        |FROM nd JOIN sv USING (event_type) JOIN ties USING (event_type)
+        |  JOIN sen USING (event_type)
+        |ORDER BY event_type""".stripMargin,
+
+    // Same 1-in-100 sample and pairwise counts, both direction DIVs.
+    "agg_somers_d" ->
+      """WITH t AS (SELECT o_orderkey AS k,
+        |    CAST(substring(o_orderpriority, 1, 1) AS BIGINT) AS x,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 100 AS BIGINT) AS y
+        |  FROM orders WHERE o_orderkey % 100 = 7),
+        |p AS (SELECT CAST(COUNT(*) AS BIGINT) AS n0,
+        |    CAST(SUM(CASE WHEN (a.x - b.x) * (a.y - b.y) > 0 THEN 1 ELSE 0 END) AS BIGINT) AS nc,
+        |    CAST(SUM(CASE WHEN (a.x - b.x) * (a.y - b.y) < 0 THEN 1 ELSE 0 END) AS BIGINT) AS nd,
+        |    CAST(SUM(CASE WHEN a.x = b.x THEN 1 ELSE 0 END) AS BIGINT) AS tx,
+        |    CAST(SUM(CASE WHEN a.y = b.y THEN 1 ELSE 0 END) AS BIGINT) AS ty
+        |  FROM t a JOIN t b ON a.k < b.k)
+        |SELECT n0, nc, nd, tx, ty,
+        |  CAST(CASE WHEN nc >= nd THEN ((nc - nd) * 1000) // (n0 - tx)
+        |       ELSE -(((nd - nc) * 1000) // (n0 - tx)) END AS BIGINT) AS d_yx_milli,
+        |  CAST(CASE WHEN nc >= nd THEN ((nc - nd) * 1000) // (n0 - ty)
+        |       ELSE -(((nd - nc) * 1000) // (n0 - ty)) END AS BIGINT) AS d_xy_milli
+        |FROM p""".stripMargin,
+
+    // Same planted 80%-agreement raters, same Do/De cross-multiplied α.
+    "agg_krippendorff_alpha" ->
+      """WITH codes AS (SELECT doc_id, CAST(i AS BIGINT) AS r,
+        |    CASE WHEN ('0x' || substring(md5('kn:' || CAST(doc_id AS VARCHAR) || ':'
+        |        || CAST(i AS VARCHAR)), 1, 8))::BIGINT % 10 < 8
+        |      THEN ('0x' || substring(md5('kb:' || CAST(doc_id AS VARCHAR) || ':b'), 1, 8))::BIGINT % 4
+        |      ELSE ('0x' || substring(md5('kc:' || CAST(doc_id AS VARCHAR) || ':'
+        |        || CAST(i AS VARCHAR)), 1, 8))::BIGINT % 4 END AS code
+        |  FROM documents, generate_series(0, 2) t(i) WHERE doc_id % 11 = 0),
+        |m AS (SELECT CAST(SUM(CASE WHEN p.code <> q.code THEN 1 ELSE 0 END) AS BIGINT) AS mismatch,
+        |    CAST(COUNT(*) AS BIGINT) AS pairs
+        |  FROM codes p JOIN codes q ON p.doc_id = q.doc_id AND p.r < q.r),
+        |f AS (SELECT CAST(SUM(nk) AS BIGINT) AS nn, CAST(SUM(nk * nk) AS BIGINT) AS sq
+        |  FROM (SELECT code, COUNT(*) AS nk FROM codes GROUP BY code))
+        |SELECT mismatch, pairs, nn AS n_values, nn * nn - sq AS de_num,
+        |  CAST(1000000 - (mismatch * nn * (nn - 1) * 1000000)
+        |    // (pairs * (nn * nn - sq)) AS BIGINT) AS alpha_ppm
+        |FROM m, f""".stripMargin,
+
+    // Same synthetic lifetimes, same declared per-step micro truncation.
+    "agg_nelson_aalen" ->
+      """WITH subj AS (SELECT user_id,
+        |    ('0x' || substring(md5('na:' || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 90 + 1 AS raw_day,
+        |    ('0x' || substring(md5('nc:' || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 7 = 0 AS censored
+        |  FROM (SELECT DISTINCT user_id FROM events)),
+        |s2 AS (SELECT user_id, censored,
+        |    CASE WHEN censored THEN raw_day // 2 + 1 ELSE raw_day END AS day FROM subj),
+        |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM s2),
+        |bd AS (SELECT day,
+        |    CAST(SUM(CASE WHEN NOT censored THEN 1 ELSE 0 END) AS BIGINT) AS d,
+        |    CAST(COUNT(*) AS BIGINT) AS leaving
+        |  FROM s2 GROUP BY day),
+        |r AS (SELECT day, d, leaving,
+        |    n_total - COALESCE(SUM(leaving) OVER (ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_risk
+        |  FROM bd, tot),
+        |st AS (SELECT day, n_risk, d, (d * 1000000) // n_risk AS step_micro
+        |  FROM r WHERE d > 0)
+        |SELECT day, CAST(n_risk AS BIGINT) AS n_risk, d,
+        |  CAST(step_micro AS BIGINT) AS step_micro,
+        |  CAST(SUM(step_micro) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS BIGINT)
+        |    AS hazard_micro
+        |FROM st ORDER BY day""".stripMargin,
+
+    // Same cleared quotient, one IEEE sqrt, declared cadence DIVs.
+    "agg_eoq" ->
+      """WITH a AS (SELECT p_brand, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS d_units
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY p_brand),
+        |e AS (SELECT p_brand, d_units,
+        |    CAST(FLOOR(SQRT(CAST((2 * d_units * 5000) // 250 AS DOUBLE))) AS BIGINT) AS eoq_units
+        |  FROM a)
+        |SELECT p_brand, d_units, eoq_units,
+        |  (d_units + eoq_units - 1) // eoq_units AS orders_per_year,
+        |  (eoq_units * 365000) // d_units AS cycle_days_milli
+        |FROM e ORDER BY p_brand""".stripMargin,
+
+    // Same running-max island construction and exact coverage algebra.
+    "agg_interval_merge" ->
+      """WITH iv AS (SELECT user_id, epoch_us(ts) AS start_us,
+        |    epoch_us(ts) + 1800000000 AS end_us FROM events),
+        |isl AS (SELECT user_id, start_us, end_us,
+        |    CASE WHEN MAX(end_us) OVER (PARTITION BY user_id ORDER BY start_us, end_us
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+        |      OR start_us > MAX(end_us) OVER (PARTITION BY user_id ORDER BY start_us, end_us
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      THEN 1 ELSE 0 END AS new_island
+        |  FROM iv),
+        |num AS (SELECT user_id, start_us, end_us,
+        |    SUM(new_island) OVER (PARTITION BY user_id ORDER BY start_us, end_us
+        |      ROWS UNBOUNDED PRECEDING) AS island
+        |  FROM isl),
+        |g AS (SELECT user_id, island, COUNT(*) AS n_iv,
+        |    MIN(start_us) AS s, MAX(end_us) AS e
+        |  FROM num GROUP BY 1, 2)
+        |SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+        |  CAST(SUM(n_iv) AS BIGINT) AS n_intervals,
+        |  CAST(COUNT(*) AS BIGINT) AS n_islands,
+        |  CAST(SUM(e - s) AS BIGINT) AS covered_us
+        |FROM g""".stripMargin
   )
 }
