@@ -733,6 +733,149 @@ object Round12Ops {
           sum("n_iv").as("n_intervals"),
           count(lit(1)).as("n_islands"),
           sum(expr("e - s")).as("covered_us"))
+    }),
+
+    // EXACT repeated-substring dedup (the Lee et al. substring-level
+    // family beside the document-level minhash/simhash ops): 12-token
+    // windows md5-hashed, a window is "memorized text" when its hash
+    // appears in ≥2 DISTINCT docs, and each doc's flagged windows merge
+    // into maximal spans with the interval-island construction (running
+    // MAX of window end over token positions — the agg_interval_merge
+    // law applied to token space). Graded per language: docs affected,
+    // merged spans, repeated tokens, repeat ppm of the corpus token
+    // mass. Window hashing is one scan + one hash-shuffle; the flagged
+    // set is |repeats|-bounded, never pairwise.
+    "llm_dedup_substring" -> ((s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), split(col("text"), " ").as("t"))
+      val wins = toks.where(size(col("t")) >= 12)
+        .select(col("doc_id"), col("lang"),
+          posexplode(expr(
+            "transform(sequence(0, size(t) - 12), i -> md5(concat_ws(' ', slice(t, i + 1, 12))))")))
+        .select(col("doc_id"), col("lang"), col("pos"), col("col").as("h"))
+      val repeated = wins.groupBy("h")
+        .agg(countDistinct("doc_id").as("nd")).where(col("nd") >= 2)
+        .select("h")
+      val flagged = wins.join(repeated, "h")
+        .select(col("doc_id"), col("lang"), col("pos").as("i"),
+          (col("pos") + 11L).as("e"))
+      val w = Window.partitionBy("doc_id").orderBy("i", "e")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val wCum = Window.partitionBy("doc_id").orderBy("i", "e")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val spans = flagged
+        .withColumn("max_e", max("e").over(w))
+        .withColumn("brk",
+          when(col("max_e").isNull || col("i") > col("max_e") + 1, 1L).otherwise(0L))
+        .withColumn("island", sum("brk").over(wCum))
+        .groupBy("doc_id", "lang", "island")
+        .agg(min("i").as("s0"), max("e").as("e0"))
+      val tokMass = toks.groupBy("lang")
+        .agg(sum(size(col("t")).cast("bigint")).as("total_tokens"))
+      spans.groupBy("lang")
+        .agg(countDistinct("doc_id").as("n_docs_affected"),
+          count(lit(1)).as("n_spans"),
+          sum(expr("e0 - s0 + 1")).as("repeated_tokens"))
+        .join(tokMass, "lang")
+        .withColumn("repeat_ppm",
+          expr("(repeated_tokens * 1000000) DIV total_tokens"))
+        .orderBy("lang")
+    }),
+
+    // Domain-mix reweighting by multiplicative weights — the DoReMi-
+    // shaped loop that tilts the training mix toward domains with
+    // excess loss, in its exact-integer LINEARIZED form (w ← w·(1000 +
+    // loss_milli) DIV 1000 per round — exp() on data is banned by the
+    // exactness laws and unnecessary at this step size): 5 language
+    // domains, 5 rounds of md5-synthesized excess loss, the per-step
+    // truncation UNROLLED closed-form (portable verbatim to the
+    // oracle), final share in exact ppm of the summed weights. Constant
+    // domain count → the whole op is a 5-row rollup at any corpus
+    // scale.
+    "llm_domain_mix_mw" -> ((s, d) => {
+      def loss(t: Int) =
+        s"(CAST(conv(substring(md5(concat('mw:', lang, ':', '$t')), 1, 8), 16, 10) AS BIGINT) % 400)"
+      val domains = Tables.documents(s, d).groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"))
+      val stepped = domains.withColumn("w", expr(
+        (0 until 5).foldLeft("CAST(1000000 AS BIGINT)") {
+          (acc, t) => s"(($acc * (1000 + ${loss(t)})) DIV 1000)"
+        }))
+      stepped
+        .crossJoin(broadcast(stepped.agg(sum("w").as("w_total"))))
+        .select(col("lang"), col("n_docs"), col("w"),
+          expr("(w * 1000000) DIV w_total").as("share_ppm"))
+        .orderBy("lang")
+    }),
+
+    // Largest-remainder apportionment — the exact-integer allocation
+    // every budget/sampling planner needs (seats ≡ sampling slots ≡
+    // shard counts): 100 slots across the 5 regions by revenue cents;
+    // base = quota floor, the remainder ranking (remainder DESC, region
+    // ASC) hands out the leftover slots, Σ = 100 exactly by
+    // construction (the property round-off proportional allocation
+    // always violates).
+    "agg_apportionment" -> ((s, d) => {
+      val rev = Tables.orders(s, d)
+        .join(Tables.customer(s, d).select("c_custkey", "c_nationkey"),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, d).select(
+          col("n_nationkey"), col("n_regionkey").cast("bigint").as("region"))),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy("region")
+        .agg(sum(expr("CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 100 AS BIGINT)"))
+          .as("cents"))
+      val withBase = rev
+        .crossJoin(broadcast(rev.agg(sum("cents").as("total"))))
+        .withColumn("base", expr("(cents * 100) DIV total"))
+        .withColumn("rem", expr("(cents * 100) % total"))
+      val wRem = Window.orderBy(desc("rem"), col("region"))
+      withBase
+        .crossJoin(broadcast(withBase.agg(sum("base").as("base_sum"))))
+        .withColumn("rk", row_number().over(wRem).cast("bigint"))
+        .withColumn("seats",
+          expr("base + IF(rk <= 100 - base_sum, 1, 0)"))
+        .select(col("region"), col("cents"), col("base"), col("seats"))
+        .orderBy("region")
+    }),
+
+    // Rate-limited deterministic streaming source — the non-file,
+    // non-memory SOURCE surface (rate-micro-batch: fixed rowsPerBatch,
+    // pinned startTimestamp, fixed per-batch advance — the load
+    // generator whose output is a pure function of the batch index):
+    // batches 0 and 1 land via foreachBatch (later batches ignored by
+    // the batch-id guard), giving values 0..99 at two known
+    // timestamps; graded rollup = per-second value count + exact sum.
+    "stream_rate_source" -> ((s, d) => {
+      val sink = "graft_rate_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val got = new java.util.concurrent.atomic.AtomicLong(0)
+      val buf = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+      val q = s.readStream.format("rate-micro-batch")
+        .option("rowsPerBatch", "50")
+        .option("startTimestamp", "0")
+        .option("advanceMillisPerBatch", "1000")
+        .load()
+        .writeStream.foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+          if (id < 2) {
+            df.select(unix_millis(col("timestamp")), col("value"))
+              .collect()
+              .foreach(r => buf.add((r.getLong(0), r.getLong(1))))
+            got.addAndGet(df.count())
+          }
+          ()
+        }
+        .start()
+      try {
+        val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+        while (got.get() < 100 && System.nanoTime() < deadline) Thread.sleep(50)
+        require(got.get() >= 100, s"rate source produced ${got.get()} rows")
+      } finally q.stop()
+      import scala.jdk.CollectionConverters._
+      val rows = buf.asScala.toSeq.map { case (ms, v) => (ms, v) }
+      s.createDataFrame(rows).toDF("ts_ms", "value")
+        .groupBy((col("ts_ms") / 1000).cast("bigint").as("second"))
+        .agg(count(lit(1)).as("n"), sum("value").as("value_sum"))
+        .orderBy("second")
     })
   )
 
@@ -1060,6 +1203,81 @@ object Round12Ops {
         |  CAST(SUM(n_iv) AS BIGINT) AS n_intervals,
         |  CAST(COUNT(*) AS BIGINT) AS n_islands,
         |  CAST(SUM(e - s) AS BIGINT) AS covered_us
-        |FROM g""".stripMargin
+        |FROM g""".stripMargin,
+
+    // Same 12-token windows, ≥2-distinct-doc flag, island merge in
+    // token space, per-language ppm.
+    "llm_dedup_substring" ->
+      """WITH dd AS (SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents),
+        |w AS (SELECT doc_id, lang, CAST(i - 1 AS BIGINT) AS i,
+        |    md5(array_to_string(t[i:i+11], ' ')) AS h
+        |  FROM dd, LATERAL (SELECT unnest(generate_series(1, len(t) - 11)) AS i)
+        |  WHERE len(t) >= 12),
+        |rep AS (SELECT h FROM w GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2),
+        |fl AS (SELECT doc_id, lang, i, i + 11 AS e FROM w JOIN rep USING (h)),
+        |mk AS (SELECT doc_id, lang, i, e,
+        |    MAX(e) OVER (PARTITION BY doc_id ORDER BY i, e
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS max_e
+        |  FROM fl),
+        |br AS (SELECT doc_id, lang, i, e,
+        |    CASE WHEN max_e IS NULL OR i > max_e + 1 THEN 1 ELSE 0 END AS brk
+        |  FROM mk),
+        |isl AS (SELECT doc_id, lang, i, e,
+        |    SUM(brk) OVER (PARTITION BY doc_id ORDER BY i, e ROWS UNBOUNDED PRECEDING) AS island
+        |  FROM br),
+        |sp AS (SELECT doc_id, lang, island, MIN(i) AS s0, MAX(e) AS e0
+        |  FROM isl GROUP BY 1, 2, 3),
+        |tm AS (SELECT lang, CAST(SUM(len(t)) AS BIGINT) AS total_tokens FROM dd GROUP BY lang)
+        |SELECT sp.lang, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs_affected,
+        |  CAST(COUNT(*) AS BIGINT) AS n_spans,
+        |  CAST(SUM(e0 - s0 + 1) AS BIGINT) AS repeated_tokens,
+        |  total_tokens,
+        |  CAST((SUM(e0 - s0 + 1) * 1000000) // total_tokens AS BIGINT) AS repeat_ppm
+        |FROM sp JOIN tm ON sp.lang = tm.lang
+        |GROUP BY sp.lang, total_tokens ORDER BY sp.lang""".stripMargin,
+
+    // Same unrolled per-step truncation, same ppm share.
+    "llm_domain_mix_mw" ->
+      """WITH d0 AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents GROUP BY lang),
+        |st AS (SELECT lang, n_docs,
+        |  ((((((((((1000000
+        |    * (1000 + ('0x' || substring(md5('mw:' || lang || ':' || '0'), 1, 8))::BIGINT % 400)) // 1000)
+        |    * (1000 + ('0x' || substring(md5('mw:' || lang || ':' || '1'), 1, 8))::BIGINT % 400)) // 1000)
+        |    * (1000 + ('0x' || substring(md5('mw:' || lang || ':' || '2'), 1, 8))::BIGINT % 400)) // 1000)
+        |    * (1000 + ('0x' || substring(md5('mw:' || lang || ':' || '3'), 1, 8))::BIGINT % 400)) // 1000)
+        |    * (1000 + ('0x' || substring(md5('mw:' || lang || ':' || '4'), 1, 8))::BIGINT % 400)) // 1000)
+        |    AS w
+        |  FROM d0),
+        |tt AS (SELECT CAST(SUM(w) AS BIGINT) AS w_total FROM st)
+        |SELECT lang, n_docs, CAST(w AS BIGINT) AS w,
+        |  CAST((w * 1000000) // w_total AS BIGINT) AS share_ppm
+        |FROM st, tt ORDER BY lang""".stripMargin,
+
+    // Same floor quotas and remainder ranking; Σseats = 100 exactly.
+    "agg_apportionment" ->
+      """WITH rev AS (SELECT CAST(n_regionkey AS BIGINT) AS region,
+        |    CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 100 AS BIGINT)) AS BIGINT) AS cents
+        |  FROM orders
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  GROUP BY 1),
+        |t AS (SELECT CAST(SUM(cents) AS BIGINT) AS total FROM rev),
+        |b AS (SELECT region, cents,
+        |    (cents * 100) // total AS base, (cents * 100) % total AS rem
+        |  FROM rev, t),
+        |bs AS (SELECT CAST(SUM(base) AS BIGINT) AS base_sum FROM b),
+        |r AS (SELECT region, cents, base, rem,
+        |    ROW_NUMBER() OVER (ORDER BY rem DESC, region) AS rk FROM b)
+        |SELECT region, cents, CAST(base AS BIGINT) AS base,
+        |  CAST(base + (CASE WHEN rk <= 100 - base_sum THEN 1 ELSE 0 END) AS BIGINT) AS seats
+        |FROM r, bs ORDER BY region""".stripMargin,
+
+    // Golden: batches 0 and 1 of the pinned rate source — 50 values per
+    // batch, one second apart, value ranges 0..49 / 50..99.
+    "stream_rate_source" ->
+      """SELECT CAST(second AS BIGINT) AS second, CAST(n AS BIGINT) AS n,
+        |  CAST(value_sum AS BIGINT) AS value_sum
+        |FROM (VALUES (0, 50, 1225), (1, 50, 3725)) AS t(second, n, value_sum)
+        |ORDER BY second""".stripMargin
   )
 }
