@@ -876,7 +876,108 @@ object Round12Ops {
         .groupBy((col("ts_ms") / 1000).cast("bigint").as("second"))
         .agg(count(lit(1)).as("n"), sum("value").as("value_sum"))
         .orderBy("second")
-    })
+    }),
+
+    // Activation-checkpointing plan — the √L memory/recompute tradeoff
+    // every training stack sizes before a run: for each model config
+    // (layers, hidden — the standard ladder), per-layer activation
+    // bytes A = 14·s·b·h·2 (bf16, the usual transformer multiplier as
+    // a literal), k = floor(√L) segments ⇒ resident memory falls from
+    // L·A to (ceil(L/k)+k)·A while backward re-runs the L−k
+    // non-boundary forwards (overhead over the 3L fwd+bwd baseline).
+    // All exact integers; constant config table at any scale.
+    "llm_act_ckpt_plan" -> ((s, d) => {
+      val cfg = s.createDataFrame(Seq(
+        ("125m", 12L, 768L), ("1b", 24L, 2048L), ("7b", 32L, 4096L),
+        ("30b", 48L, 6144L), ("70b", 80L, 8192L)))
+        .toDF("model", "layers", "hidden")
+      cfg
+        .withColumn("act_bytes_per_layer",
+          expr("14 * 4096 * 8 * hidden * 2"))
+        .withColumn("k_segments",
+          expr("CAST(FLOOR(sqrt(CAST(layers AS DOUBLE))) AS BIGINT)"))
+        .withColumn("mem_no_ckpt_mb",
+          expr("(layers * act_bytes_per_layer) DIV 1048576"))
+        .withColumn("mem_ckpt_mb", expr(
+          "(((layers + k_segments - 1) DIV k_segments + k_segments) * act_bytes_per_layer) DIV 1048576"))
+        .withColumn("mem_save_ppm",
+          expr("((mem_no_ckpt_mb - mem_ckpt_mb) * 1000000) DIV mem_no_ckpt_mb"))
+        .withColumn("recompute_overhead_ppm",
+          expr("((layers - k_segments) * 1000000) DIV (3 * layers)"))
+        .select("model", "layers", "hidden", "k_segments",
+          "mem_no_ckpt_mb", "mem_ckpt_mb", "mem_save_ppm",
+          "recompute_overhead_ppm")
+        .orderBy("layers")
+    }),
+
+    // ULID encode/decode roundtrip — the sortable-id surface (48-bit ms
+    // timestamp + 80-bit randomness, Crockford base32): digits computed
+    // by pure 5-bit DIV/MOD arithmetic in three int64 pieces (10-char
+    // time, 8+8-char randomness halves — 2¹²⁸ fits neither engine's
+    // integers, the split is the law), decoded back by the inverse
+    // arithmetic, roundtrip graded row-by-row; ORDER BY the ULID string
+    // itself exercises the lexicographic-equals-chronological property
+    // the format exists for.
+    "fn_ulid_roundtrip" -> ((s, d) => {
+      val alpha = "0123456789ABCDEFGHJKMNPQRSTVWXYZ"
+      def dig(src: String, k: Int) =
+        s"substring('$alpha', CAST(($src DIV ${math.pow(32, k).toLong}) % 32 AS INT) + 1, 1)"
+      val timeChars = (9 to 0 by -1).map(k => dig("ts_ms", k)).mkString(", ")
+      val r1Chars = (7 to 0 by -1).map(k => dig("r1", k)).mkString(", ")
+      val r2Chars = (7 to 0 by -1).map(k => dig("r2", k)).mkString(", ")
+      def undig(colName: String, from: Int, n: Int) =
+        (0 until n).map { i =>
+          s"(CAST(instr('$alpha', substring($colName, ${from + i}, 1)) AS BIGINT) - 1) * ${math.pow(32, n - 1 - i).toLong}"
+        }.mkString(" + ")
+      Tables.events(s, d).where(col("event_id") % 17 === 0)
+        .select(col("event_id"),
+          expr("ts_us DIV 1000").as("ts_ms"),
+          expr("CAST(conv(substring(md5(concat('u1:', CAST(event_id AS STRING))), 1, 10), 16, 10) AS BIGINT) % 1099511627776")
+            .as("r1"),
+          expr("CAST(conv(substring(md5(concat('u2:', CAST(event_id AS STRING))), 1, 10), 16, 10) AS BIGINT) % 1099511627776")
+            .as("r2"))
+        .withColumn("ulid", expr(s"concat($timeChars, $r1Chars, $r2Chars)"))
+        .withColumn("ts_ms_decoded", expr(undig("ulid", 1, 10)))
+        .withColumn("r1_decoded", expr(undig("ulid", 11, 8)))
+        .withColumn("roundtrip_ok",
+          expr("ts_ms_decoded = ts_ms AND r1_decoded = r1"))
+        .select("event_id", "ulid", "ts_ms", "ts_ms_decoded", "roundtrip_ok")
+        .orderBy("ulid", "event_id")
+    }),
+
+    // Renko brick chart — the noise-filtering price transform (a brick
+    // lays only when price crosses a full grid level, so chop inside a
+    // brick vanishes): daily close levels on a 500-cent grid, bricks =
+    // |Δlevel| per day split by direction, reversals counted where the
+    // direction flips. Lag windows per event type over the bounded day
+    // axis; exact integers end to end.
+    "win_renko" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .select(col("event_type"),
+          expr("CAST(ts_us DIV 86400000000 AS BIGINT)").as("day"),
+          expr("CAST(FLOOR(value * 100) AS BIGINT)").as("cents"),
+          col("ts_us"), col("event_id"))
+        .groupBy("event_type", "day")
+        .agg(max_by(col("cents"),
+          expr("CAST(ts_us AS DECIMAL(38,0)) * 1000000 + event_id")).as("close"))
+        .withColumn("level", expr("close DIV 500"))
+      val w = Window.partitionBy("event_type").orderBy("day")
+      daily
+        .withColumn("prev_level", lag("level", 1).over(w))
+        .where(col("prev_level").isNotNull)
+        .withColumn("dl", col("level") - col("prev_level"))
+        .withColumn("dir", signum(col("dl")).cast("bigint"))
+        .withColumn("prev_dir", lag("dir", 1).over(
+          Window.partitionBy("event_type").orderBy("day")))
+        .groupBy("event_type")
+        .agg(sum(when(col("dl") > 0, col("dl")).otherwise(0L)).as("bricks_up"),
+          sum(when(col("dl") < 0, -col("dl")).otherwise(0L)).as("bricks_down"),
+          sum(when(col("dir") =!= 0 && col("prev_dir").isNotNull
+            && col("prev_dir") =!= 0 && col("dir") =!= col("prev_dir"), 1L)
+            .otherwise(0L)).as("n_reversals"))
+        .orderBy("event_type")
+    }),
+
   )
 
   val oracles: Map[String, String] = Map(
@@ -1278,6 +1379,55 @@ object Round12Ops {
       """SELECT CAST(second AS BIGINT) AS second, CAST(n AS BIGINT) AS n,
         |  CAST(value_sum AS BIGINT) AS value_sum
         |FROM (VALUES (0, 50, 1225), (1, 50, 3725)) AS t(second, n, value_sum)
-        |ORDER BY second""".stripMargin
+        |ORDER BY second""".stripMargin,
+
+    // Same config ladder and integer plan arithmetic.
+    "llm_act_ckpt_plan" ->
+      """WITH cfg AS (SELECT * FROM (VALUES
+        |    ('125m', 12, 768), ('1b', 24, 2048), ('7b', 32, 4096),
+        |    ('30b', 48, 6144), ('70b', 80, 8192)) AS t(model, layers, hidden)),
+        |p AS (SELECT model, CAST(layers AS BIGINT) AS layers,
+        |    CAST(hidden AS BIGINT) AS hidden,
+        |    14 * 4096 * 8 * CAST(hidden AS BIGINT) * 2 AS a,
+        |    CAST(FLOOR(SQRT(CAST(layers AS DOUBLE))) AS BIGINT) AS k
+        |  FROM cfg),
+        |m AS (SELECT model, layers, hidden, k AS k_segments,
+        |    (layers * a) // 1048576 AS mem_no_ckpt_mb,
+        |    (((layers + k - 1) // k + k) * a) // 1048576 AS mem_ckpt_mb
+        |  FROM p)
+        |SELECT model, layers, hidden, k_segments, mem_no_ckpt_mb, mem_ckpt_mb,
+        |  ((mem_no_ckpt_mb - mem_ckpt_mb) * 1000000) // mem_no_ckpt_mb AS mem_save_ppm,
+        |  ((layers - k_segments) * 1000000) // (3 * layers) AS recompute_overhead_ppm
+        |FROM m ORDER BY layers""".stripMargin,
+
+    // Same three-piece base32 arithmetic, same Crockford alphabet.
+    "fn_ulid_roundtrip" -> UlidOracle.sql,
+
+    // Same grid levels, direction split, zero-days-break-runs reversal
+    // rule.
+    "win_renko" ->
+      """WITH e AS (SELECT event_type,
+        |    CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+        |    CAST(FLOOR(value * 100) AS BIGINT) AS cents,
+        |    epoch_us(ts) AS ts_us, event_id
+        |  FROM events),
+        |daily AS (SELECT event_type, day,
+        |    MAX_BY(cents, CAST(ts_us AS HUGEINT) * 1000000 + event_id) // 500 AS level
+        |  FROM e GROUP BY 1, 2),
+        |lv AS (SELECT event_type, day, level,
+        |    LAG(level) OVER w AS prev_level
+        |  FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+        |dl AS (SELECT event_type, day, level - prev_level AS dl,
+        |    CAST(SIGN(level - prev_level) AS BIGINT) AS dir
+        |  FROM lv WHERE prev_level IS NOT NULL),
+        |dd AS (SELECT event_type, dl, dir,
+        |    LAG(dir) OVER (PARTITION BY event_type ORDER BY day) AS prev_dir
+        |  FROM dl)
+        |SELECT event_type,
+        |  CAST(SUM(CASE WHEN dl > 0 THEN dl ELSE 0 END) AS BIGINT) AS bricks_up,
+        |  CAST(SUM(CASE WHEN dl < 0 THEN -dl ELSE 0 END) AS BIGINT) AS bricks_down,
+        |  CAST(SUM(CASE WHEN dir <> 0 AND prev_dir IS NOT NULL AND prev_dir <> 0
+        |       AND dir <> prev_dir THEN 1 ELSE 0 END) AS BIGINT) AS n_reversals
+        |FROM dd GROUP BY event_type ORDER BY event_type""".stripMargin
   )
 }
