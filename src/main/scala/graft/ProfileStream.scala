@@ -13,12 +13,14 @@ object ProfileStream {
     val op = args.headOption.getOrElse("stream_stream_left")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     System.setProperty("derby.stream.error.file", s"${graft.ops.Scratch.dir}/derby.log")
-    val spark = SparkSession.builder()
+    val b0 = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.streaming.checkpointLocation", graft.ops.Scratch.ckptDir)
+    val spark = sys.env.get("GRAFT_CKPT_FM")
+      .fold(b0)(c => b0.config("spark.sql.streaming.checkpointFileManagerClass", c))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val batches = scala.collection.mutable.ArrayBuffer.empty[String]

@@ -159,12 +159,27 @@ object Round12Ops {
       try {
         val dirs = java.nio.file.Files.list(rootP).iterator().asScala
           .map(_.getFileName.toString).toSeq.sorted
-        val live = dirs.filter(n => n.startsWith("base_") || n.startsWith("delta_"))
-        val dels = dirs.filter(_.startsWith("delete_delta_"))
+        // ACID snapshot resolution: serve the HIGHEST base and only the
+        // deltas committed AFTER it (a compaction writes base_N and the
+        // folded-in deltas become invisible — without this watermark a
+        // post-compaction read would double-count)
+        val baseTxn = dirs.filter(_.startsWith("base_"))
+          .map(_.stripPrefix("base_").toLong).max
+        def startTxn(n: String) = { val p = n.split("_"); p(p.length - 2).toLong }
+        val live = f"base_$baseTxn%07d" +: dirs.filter(n =>
+          n.startsWith("delta_") && startTxn(n) > baseTxn)
+        val dels = dirs.filter(n =>
+          n.startsWith("delete_delta_") && startTxn(n) > baseTxn)
         val rows = live.map(n => s.read.orc(s"$root/$n")).reduce(_ unionByName _)
-        val deleted = dels.map(n => s.read.orc(s"$root/$n")).reduce(_ unionByName _)
-          .select("originalTransaction", "bucket", "rowId")
-        rows.join(deleted, Seq("originalTransaction", "bucket", "rowId"), "left_anti")
+        val merged =
+          if (dels.isEmpty) rows
+          else {
+            val deleted = dels.map(n => s.read.orc(s"$root/$n")).reduce(_ unionByName _)
+              .select("originalTransaction", "bucket", "rowId")
+            rows.join(deleted,
+              Seq("originalTransaction", "bucket", "rowId"), "left_anti")
+          }
+        merged
           .select(col("row.o_orderstatus").as("o_orderstatus"),
             col("row.o_totalprice").as("o_totalprice"))
           .groupBy("o_orderstatus")
