@@ -12,6 +12,10 @@ import graft.Tables
 object Round12bOps {
   type Q = (SparkSession, String) => DataFrame
 
+  /** Truncated exponential weights (α≈1/2, 7 lags) for the Keltner
+    * midline — finite-lag integer EWMA, the win_ewma law. */
+  private val KeltnerW = Seq(64L, 32L, 16L, 8L, 4L, 2L, 1L)
+
   val queries: Map[String, Q] = Map(
     // EXCEPT ALL — bag difference (multiplicities subtract, floor 0), the
     // third bag-algebra operator next to set_union_all/set_intersect_all.
@@ -130,6 +134,142 @@ object Round12bOps {
           sum(expr("CASE WHEN prev_zone IS NOT NULL AND zone <> prev_zone THEN 1 ELSE 0 END"))
             .as("n_transitions"))
         .orderBy("event_type")
+    }),
+
+    // Keltner channel — EWMA midline of typical price ± 2×ATR(10) bands.
+    // Midline is the finite-lag integer EWMA (win_ewma law: literal
+    // weight vector, num DIV den); true range reuses the win_atr
+    // synthetic high/low (own md5 namespaces → an independent series).
+    // All milli-scaled integers; one shuffle, all windows on one sort.
+    "win_keltner" -> ((s, d) => {
+      val ord = Window.partitionBy("event_type").orderBy(col("ts_us"), col("event_id"))
+      def u(ns: String) =
+        s"CAST(conv(substring(md5(concat('$ns:', CAST(event_id AS STRING))), 1, 8), 16, 10) AS BIGINT)"
+      val terms = KeltnerW.zipWithIndex.map { case (wt, i) =>
+        coalesce(lag(col("tp_milli"), i).over(ord) * wt, lit(0L)) }
+      val denom = KeltnerW.zipWithIndex.map { case (wt, i) =>
+        when(lag(col("tp_milli"), i).over(ord).isNotNull, wt).otherwise(0L) }
+      Tables.events(s, d)
+        .select(col("event_type"), col("event_id"), col("ts_us"),
+          floor(col("value") * 100).cast("bigint").as("cents"))
+        .withColumn("h", expr(s"cents + ${u("kch")} % 60"))
+        .withColumn("l", expr(s"cents - ${u("kcl")} % 60"))
+        .withColumn("tp_milli", expr("(h + l + cents) * 1000 DIV 3"))
+        .withColumn("pc", coalesce(lag("cents", 1).over(ord), col("cents")))
+        .withColumn("tr", expr("greatest(h - l, abs(h - pc), abs(l - pc))"))
+        .withColumn("rn", row_number().over(ord).cast("bigint"))
+        .withColumn("kw_num", terms.reduce(_ + _))
+        .withColumn("kw_den", denom.reduce(_ + _))
+        .withColumn("mid_milli", expr("kw_num DIV kw_den"))
+        .withColumn("atr10_sum", sum("tr").over(ord.rowsBetween(-9, 0)))
+        .withColumn("upper_milli", expr("mid_milli + atr10_sum * 200"))
+        .withColumn("lower_milli", expr("mid_milli - atr10_sum * 200"))
+        .withColumn("band_pos", expr(
+          "CASE WHEN cents * 1000 > upper_milli THEN 'ABOVE' " +
+            "WHEN cents * 1000 < lower_milli THEN 'BELOW' ELSE 'IN' END"))
+        .where(col("rn") >= 10 && col("event_id") % 9 === 4)
+        .select("event_type", "event_id", "cents", "mid_milli",
+          "upper_milli", "lower_milli", "band_pos")
+        .orderBy("event_type", "event_id")
+    }),
+
+    // Money Flow Index — volume-weighted RSI over DAILY bars built from
+    // the raw event stream (bar h/l/c/volume from one group-by; c by the
+    // composite max_by law): raw flow = typical-price milli × volume,
+    // split by bar-to-bar tp direction (flat bars drop, declared), 14-day
+    // rolling pos/neg sums, mfi ppm = pos·10⁶ DIV (pos+neg). Daily bars
+    // shrink the window input ~1000×; at 100 TB the bar build is the only
+    // full-data pass and it's map-side partial-aggregated.
+    "win_mfi" -> ((s, d) => {
+      val ord = Window.partitionBy("event_type").orderBy("day")
+      val w14 = ord.rowsBetween(-13, 0)
+      Tables.events(s, d)
+        .select(col("event_type"), col("event_id"), col("ts_us"),
+          expr("ts_us DIV 86400000000").as("day"),
+          floor(col("value") * 100).cast("bigint").as("cents"))
+        .groupBy("event_type", "day")
+        .agg(max("cents").as("h"), min("cents").as("l"),
+          expr("max_by(cents, struct(ts_us, event_id))").as("c"),
+          count(lit(1)).as("volume"))
+        .withColumn("tp_milli", expr("(h + l + c) * 1000 DIV 3"))
+        .withColumn("prev_tp", lag("tp_milli", 1).over(ord))
+        .withColumn("pos_mf", expr(
+          "CASE WHEN prev_tp IS NOT NULL AND tp_milli > prev_tp THEN tp_milli * volume ELSE 0 END"))
+        .withColumn("neg_mf", expr(
+          "CASE WHEN prev_tp IS NOT NULL AND tp_milli < prev_tp THEN tp_milli * volume ELSE 0 END"))
+        .withColumn("rn", row_number().over(ord).cast("bigint"))
+        .withColumn("pos14", sum("pos_mf").over(w14))
+        .withColumn("neg14", sum("neg_mf").over(w14))
+        .withColumn("mfi_ppm", expr(
+          "CASE WHEN pos14 + neg14 > 0 THEN pos14 * 1000000 DIV (pos14 + neg14) ELSE 500000 END"))
+        .where(col("rn") >= 14)
+        .select("event_type", "day", "tp_milli", "volume", "pos14", "neg14", "mfi_ppm")
+        .orderBy("event_type", "day")
+    }),
+
+    // Commodity Channel Index (20-period) — the one indicator whose mean
+    // deviation is anchored on the WINDOW'S OWN mean (Σ|TP_i − SMA_t|
+    // with SMA_t fixed per row), so it is NOT a plain window sum: the
+    // frame's TPs ride along as a bounded 20-element array and an
+    // integer fold computes Σ|20·tp_i − s20| with denominators cleared.
+    // cci_milli = (20·tp − s20)·4·10⁶ DIV (3·dsum), negative numerator by
+    // the magnitude-then-negate law. Constant 20-element arrays per row —
+    // memory bounded regardless of scale.
+    "win_cci" -> ((s, d) => {
+      val ord = Window.partitionBy("event_type").orderBy(col("ts_us"), col("event_id"))
+      val w20 = ord.rowsBetween(-19, 0)
+      Tables.events(s, d)
+        .select(col("event_type"), col("event_id"), col("ts_us"),
+          floor(col("value") * 100).cast("bigint").as("tp"))
+        .withColumn("rn", row_number().over(ord).cast("bigint"))
+        .withColumn("s20", sum("tp").over(w20))
+        .withColumn("tps", collect_list("tp").over(w20))
+        .withColumn("dsum", expr(
+          "aggregate(tps, CAST(0 AS BIGINT), (a, x) -> a + abs(20 * x - s20))"))
+        .withColumn("cci_milli", expr(
+          """CASE WHEN dsum = 0 THEN 0
+            |  WHEN 20 * tp >= s20 THEN (20 * tp - s20) * 4000000 DIV (3 * dsum)
+            |  ELSE -((s20 - 20 * tp) * 4000000 DIV (3 * dsum)) END""".stripMargin))
+        .where(col("rn") >= 20 && col("event_id") % 11 === 5)
+        .select("event_type", "event_id", "tp", "s20", "dsum", "cci_milli")
+        .orderBy("event_type", "event_id")
+    }),
+
+    // SemVer 2.0 precedence — real field-wise comparison, not a lexicon
+    // rank: numeric core, release > any prerelease, prerelease
+    // identifiers compared field-by-field (numeric < alphanumeric,
+    // numeric numerically, alpha lexically, shorter prefix first).
+    // Deterministic version corpus from part keys + md5-picked
+    // prerelease tags; the graded output is each version's global
+    // precedence rank — any parse or ordering divergence shifts ranks.
+    "fn_semver_compare" -> ((s, d) => {
+      val pre = "CASE CAST(conv(substring(md5(concat('sv:', CAST(pk AS STRING))), 1, 8), 16, 10) AS BIGINT) % 6 " +
+        "WHEN 0 THEN '' WHEN 1 THEN 'alpha' WHEN 2 THEN 'alpha.1' " +
+        "WHEN 3 THEN 'beta.2' WHEN 4 THEN 'rc.1' ELSE 'rc.10' END"
+      def fld(i: Int) = Seq(
+        s"CASE WHEN split_part(pre, '.', $i) = '' THEN -1 " +
+          s"WHEN split_part(pre, '.', $i) RLIKE '^[0-9]+$$' THEN 0 ELSE 1 END AS f${i}_type",
+        s"CASE WHEN split_part(pre, '.', $i) RLIKE '^[0-9]+$$' " +
+          s"THEN CAST(split_part(pre, '.', $i) AS BIGINT) ELSE -1 END AS f${i}_num",
+        s"CASE WHEN split_part(pre, '.', $i) <> '' AND NOT split_part(pre, '.', $i) RLIKE '^[0-9]+$$' " +
+          s"THEN split_part(pre, '.', $i) ELSE '' END AS f${i}_str")
+      val ord = Window.orderBy(col("maj"), col("mnr"), col("pat"), col("rel_flag"),
+        col("f1_type"), col("f1_num"), col("f1_str"),
+        col("f2_type"), col("f2_num"), col("f2_str"), col("pk"))
+      Tables.part(s, d)
+        .select(col("p_partkey").cast("bigint").as("pk"))
+        .where(col("pk") % 7 === 2)
+        .withColumn("maj", expr("pk % 4")).withColumn("mnr", expr("pk DIV 4 % 5"))
+        .withColumn("pat", expr("pk DIV 20 % 10"))
+        .withColumn("pre", expr(pre))
+        .withColumn("version", expr(
+          "concat(maj, '.', mnr, '.', pat, CASE WHEN pre = '' THEN '' ELSE concat('-', pre) END)"))
+        .withColumn("rel_flag", expr("CASE WHEN pre = '' THEN 1 ELSE 0 END"))
+        .selectExpr(Seq("pk", "version", "maj", "mnr", "pat", "rel_flag", "pre") ++
+          fld(1) ++ fld(2): _*)
+        .withColumn("prec_rank", row_number().over(ord).cast("bigint"))
+        .select("pk", "version", "prec_rank")
+        .orderBy("pk")
     })
   )
 
@@ -184,6 +324,124 @@ object Round12bOps {
         |  CAST(SUM(bd) AS BIGINT) AS total_bdays,
         |  CAST(CAST(SUM(bd) AS BIGINT) * 1000 // COUNT(*) AS BIGINT) AS avg_bdays_milli
         |FROM g GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    // Same synthetic h/l namespaces, same literal weight vector, same
+    // milli scaling.
+    "win_keltner" -> {
+      val lags = KeltnerW.indices.map(i => s"lag(tp_milli, $i) OVER o AS t$i").mkString(", ")
+      val num = KeltnerW.zipWithIndex
+        .map { case (wt, i) => s"COALESCE($wt * t$i, 0)" }.mkString(" + ")
+      val den = KeltnerW.zipWithIndex
+        .map { case (wt, i) => s"CASE WHEN t$i IS NULL THEN 0 ELSE $wt END" }
+        .mkString(" + ")
+      s"""WITH e AS (SELECT event_type, event_id, epoch_us(ts) AS ts_us,
+         |    CAST(FLOOR(value * 100) AS BIGINT) AS cents FROM events),
+         |hl AS (SELECT *,
+         |    cents + ('0x' || substring(md5('kch:' || CAST(event_id AS VARCHAR)), 1, 8))::BIGINT % 60 AS h,
+         |    cents - ('0x' || substring(md5('kcl:' || CAST(event_id AS VARCHAR)), 1, 8))::BIGINT % 60 AS l
+         |  FROM e),
+         |tp AS (SELECT *, (h + l + cents) * 1000 // 3 AS tp_milli,
+         |    COALESCE(LAG(cents, 1) OVER o, cents) AS pc,
+         |    CAST(ROW_NUMBER() OVER o AS BIGINT) AS rn
+         |  FROM hl WINDOW o AS (PARTITION BY event_type ORDER BY ts_us, event_id)),
+         |tr AS (SELECT *, GREATEST(h - l, ABS(h - pc), ABS(l - pc)) AS tr,
+         |    $lags
+         |  FROM tp WINDOW o AS (PARTITION BY event_type ORDER BY ts_us, event_id)),
+         |m AS (SELECT *, ($num) // ($den) AS mid_milli,
+         |    CAST(SUM(tr) OVER (PARTITION BY event_type ORDER BY ts_us, event_id
+         |      ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS BIGINT) AS atr10_sum
+         |  FROM tr),
+         |b AS (SELECT *, mid_milli + atr10_sum * 200 AS upper_milli,
+         |    mid_milli - atr10_sum * 200 AS lower_milli FROM m)
+         |SELECT event_type, event_id, cents, mid_milli, upper_milli, lower_milli,
+         |  CASE WHEN cents * 1000 > upper_milli THEN 'ABOVE'
+         |    WHEN cents * 1000 < lower_milli THEN 'BELOW' ELSE 'IN' END AS band_pos
+         |FROM b WHERE rn >= 10 AND event_id % 9 = 4
+         |ORDER BY event_type, event_id""".stripMargin
+    },
+
+    // Same daily bars (composite max_by law), same direction split, same
+    // rolling sums.
+    "win_mfi" ->
+      """WITH e AS (SELECT event_type, event_id, epoch_us(ts) AS ts_us,
+        |    epoch_us(ts) // 86400000000 AS day,
+        |    CAST(FLOOR(value * 100) AS BIGINT) AS cents FROM events),
+        |bar AS (SELECT event_type, day,
+        |    MAX(cents) AS h, MIN(cents) AS l,
+        |    MAX_BY(cents, CAST(ts_us AS HUGEINT) * 1000000 + event_id) AS c,
+        |    CAST(COUNT(*) AS BIGINT) AS volume
+        |  FROM e GROUP BY 1, 2),
+        |tp AS (SELECT *, (h + l + c) * 1000 // 3 AS tp_milli FROM bar),
+        |dir AS (SELECT *, LAG(tp_milli) OVER w AS prev_tp,
+        |    CAST(ROW_NUMBER() OVER w AS BIGINT) AS rn
+        |  FROM tp WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+        |mf AS (SELECT *,
+        |    CASE WHEN prev_tp IS NOT NULL AND tp_milli > prev_tp
+        |      THEN tp_milli * volume ELSE 0 END AS pos_mf,
+        |    CASE WHEN prev_tp IS NOT NULL AND tp_milli < prev_tp
+        |      THEN tp_milli * volume ELSE 0 END AS neg_mf
+        |  FROM dir),
+        |s AS (SELECT *,
+        |    CAST(SUM(pos_mf) OVER w14 AS BIGINT) AS pos14,
+        |    CAST(SUM(neg_mf) OVER w14 AS BIGINT) AS neg14
+        |  FROM mf WINDOW w14 AS (PARTITION BY event_type ORDER BY day
+        |    ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+        |SELECT event_type, day, tp_milli, volume, pos14, neg14,
+        |  CASE WHEN pos14 + neg14 > 0 THEN pos14 * 1000000 // (pos14 + neg14)
+        |    ELSE 500000 END AS mfi_ppm
+        |FROM s WHERE rn >= 14
+        |ORDER BY event_type, day""".stripMargin,
+
+    // Same 20-element frame list, same cleared-denominator fold, same
+    // magnitude-then-negate division.
+    "win_cci" ->
+      """WITH e AS (SELECT event_type, event_id, epoch_us(ts) AS ts_us,
+        |    CAST(FLOOR(value * 100) AS BIGINT) AS tp FROM events),
+        |w AS (SELECT event_type, event_id, ts_us, tp,
+        |    CAST(ROW_NUMBER() OVER o AS BIGINT) AS rn,
+        |    CAST(SUM(tp) OVER w20 AS BIGINT) AS s20,
+        |    list(tp) OVER w20 AS tps
+        |  FROM e
+        |  WINDOW o AS (PARTITION BY event_type ORDER BY ts_us, event_id),
+        |    w20 AS (PARTITION BY event_type ORDER BY ts_us, event_id
+        |      ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)),
+        |dv AS (SELECT *, CAST(list_sum(list_transform(tps,
+        |      x -> ABS(20 * x - s20))) AS BIGINT) AS dsum FROM w)
+        |SELECT event_type, event_id, tp, s20, dsum,
+        |  CASE WHEN dsum = 0 THEN 0
+        |    WHEN 20 * tp >= s20 THEN (20 * tp - s20) * 4000000 // (3 * dsum)
+        |    ELSE -((s20 - 20 * tp) * 4000000 // (3 * dsum)) END AS cci_milli
+        |FROM dv WHERE rn >= 20 AND event_id % 11 = 5
+        |ORDER BY event_type, event_id""".stripMargin,
+
+    // Same md5 tag pick, same field-wise precedence key, same global
+    // row_number.
+    "fn_semver_compare" ->
+      """WITH p AS (SELECT CAST(p_partkey AS BIGINT) AS pk FROM part
+        |  WHERE p_partkey % 7 = 2),
+        |v AS (SELECT pk, pk % 4 AS maj, pk // 4 % 5 AS mnr, pk // 20 % 10 AS pat,
+        |    CASE ('0x' || substring(md5('sv:' || CAST(pk AS VARCHAR)), 1, 8))::BIGINT % 6
+        |      WHEN 0 THEN '' WHEN 1 THEN 'alpha' WHEN 2 THEN 'alpha.1'
+        |      WHEN 3 THEN 'beta.2' WHEN 4 THEN 'rc.1' ELSE 'rc.10' END AS pre
+        |  FROM p),
+        |f AS (SELECT *,
+        |    CAST(maj AS VARCHAR) || '.' || CAST(mnr AS VARCHAR) || '.' || CAST(pat AS VARCHAR) ||
+        |      CASE WHEN pre = '' THEN '' ELSE '-' || pre END AS version,
+        |    CASE WHEN pre = '' THEN 1 ELSE 0 END AS rel_flag,
+        |    split_part(pre, '.', 1) AS p1, split_part(pre, '.', 2) AS p2
+        |  FROM v),
+        |k AS (SELECT *,
+        |    CASE WHEN p1 = '' THEN -1 WHEN regexp_matches(p1, '^[0-9]+$') THEN 0 ELSE 1 END AS f1_type,
+        |    CASE WHEN regexp_matches(p1, '^[0-9]+$') THEN CAST(p1 AS BIGINT) ELSE -1 END AS f1_num,
+        |    CASE WHEN p1 <> '' AND NOT regexp_matches(p1, '^[0-9]+$') THEN p1 ELSE '' END AS f1_str,
+        |    CASE WHEN p2 = '' THEN -1 WHEN regexp_matches(p2, '^[0-9]+$') THEN 0 ELSE 1 END AS f2_type,
+        |    CASE WHEN regexp_matches(p2, '^[0-9]+$') THEN CAST(p2 AS BIGINT) ELSE -1 END AS f2_num,
+        |    CASE WHEN p2 <> '' AND NOT regexp_matches(p2, '^[0-9]+$') THEN p2 ELSE '' END AS f2_str
+        |  FROM f)
+        |SELECT pk, version,
+        |  CAST(ROW_NUMBER() OVER (ORDER BY maj, mnr, pat, rel_flag,
+        |    f1_type, f1_num, f1_str, f2_type, f2_num, f2_str, pk) AS BIGINT) AS prec_rank
+        |FROM k ORDER BY pk""".stripMargin,
 
     // Same 10-period extremes, same zone thresholds, same lag transition
     // count.
