@@ -270,6 +270,105 @@ object Round12bOps {
         .withColumn("prec_rank", row_number().over(ord).cast("bigint"))
         .select("pk", "version", "prec_rank")
         .orderBy("pk")
+    }),
+
+    // Pipeline-parallel (1F1B) plan — bubble fraction, per-stage weight
+    // memory, peak activation stash across a (model × stages ×
+    // microbatches) grid. bubble = (p−1)/(m+p−1) exact ppm; stash depth
+    // at the first stage = min(m, p) in-flight microbatches. Constant
+    // 30-row grid, pure integer arithmetic (the llm_act_ckpt_plan
+    // family: sizing math a 100 TB training job does before launch).
+    "llm_pipeline_parallel_plan" -> ((s, d) => {
+      val grid = for {
+        (model, layers, hidden) <- Seq(("1b", 24L, 2048L), ("7b", 32L, 4096L),
+          ("30b", 48L, 6144L), ("70b", 80L, 8192L), ("180b", 105L, 12288L))
+        p <- Seq(2L, 4L, 8L); m <- Seq(8L, 32L, 128L)
+      } yield (model, layers, hidden, p, m)
+      s.createDataFrame(grid).toDF("model", "layers", "hidden", "p", "m")
+        .withColumn("bubble_ppm", expr("(p - 1) * 1000000 DIV (m + p - 1)"))
+        .withColumn("layers_per_stage", expr("(layers + p - 1) DIV p"))
+        .withColumn("stage_weight_mb",
+          expr("(layers_per_stage * 12 * hidden * hidden * 2) DIV 1048576"))
+        .withColumn("stash_microbatches", expr("least(m, p)"))
+        .withColumn("stash_mb",
+          expr("(stash_microbatches * 14 * 2048 * hidden * 2) DIV 1048576"))
+        .withColumn("efficiency_ppm", expr("1000000 - bubble_ppm"))
+        .select("model", "p", "m", "bubble_ppm", "layers_per_stage",
+          "stage_weight_mb", "stash_microbatches", "stash_mb", "efficiency_ppm")
+        .orderBy("model", "p", "m")
+    }),
+
+    // Tensor-parallel plan — ring all-reduce bytes per layer and step
+    // across TP degrees: 2 all-reduces/layer (attention out + MLP out) of
+    // b·s·h·2 bytes each, ring cost 2·(t−1)/t of the payload; per-GPU
+    // parameter shard 12h²/t. Exact integers; DIV ordering keeps both
+    // engines identical.
+    "llm_tensor_parallel_plan" -> ((s, d) => {
+      val grid = for {
+        (model, layers, hidden) <- Seq(("1b", 24L, 2048L), ("7b", 32L, 4096L),
+          ("30b", 48L, 6144L), ("70b", 80L, 8192L), ("180b", 105L, 12288L))
+        t <- Seq(2L, 4L, 8L)
+      } yield (model, layers, hidden, t)
+      s.createDataFrame(grid).toDF("model", "layers", "hidden", "t")
+        .withColumn("payload_bytes", expr("8 * 2048 * hidden * 2"))
+        .withColumn("ring_bytes_per_ar", expr("2 * (t - 1) * payload_bytes DIV t"))
+        .withColumn("comm_mb_per_layer", expr("(2 * ring_bytes_per_ar) DIV 1048576"))
+        .withColumn("comm_mb_per_step", expr("(2 * ring_bytes_per_ar * layers) DIV 1048576"))
+        .withColumn("shard_params", expr("12 * hidden * hidden * layers DIV t"))
+        .withColumn("shard_weight_mb", expr("(shard_params * 2) DIV 1048576"))
+        .select("model", "t", "payload_bytes", "ring_bytes_per_ar",
+          "comm_mb_per_layer", "comm_mb_per_step", "shard_params", "shard_weight_mb")
+        .orderBy("model", "t")
+    }),
+
+    // ZeRO partitioning plan — per-GPU bytes for stages 0–3 over data
+    // parallel degree N: weights 2P (bf16) + grads 2P + optimizer 12P
+    // (fp32 master/m/v); stage 1 shards optimizer, stage 2 + grads,
+    // stage 3 + weights. Exact MB via DIV; savings vs stage 0 in ppm.
+    // One row per (model, N, stage) — the grid UNPIVOTS the stage
+    // dimension so downstream queries filter/plot it relationally.
+    "llm_zero_plan" -> ((s, d) => {
+      val grid = for {
+        (model, layers, hidden) <- Seq(("1b", 24L, 2048L), ("7b", 32L, 4096L),
+          ("30b", 48L, 6144L), ("70b", 80L, 8192L), ("180b", 105L, 12288L))
+        n <- Seq(8L, 64L, 512L); stage <- Seq(0L, 1L, 2L, 3L)
+      } yield (model, layers, hidden, n, stage)
+      s.createDataFrame(grid).toDF("model", "layers", "hidden", "n", "stage")
+        .withColumn("params", expr("12 * hidden * hidden * layers"))
+        .withColumn("per_gpu_bytes", expr(
+          """CASE stage
+            |  WHEN 0 THEN 16 * params
+            |  WHEN 1 THEN 4 * params + 12 * params DIV n
+            |  WHEN 2 THEN 2 * params + 14 * params DIV n
+            |  ELSE 16 * params DIV n END""".stripMargin))
+        .withColumn("per_gpu_mb", expr("per_gpu_bytes DIV 1048576"))
+        .withColumn("save_vs_dp_ppm",
+          expr("(16 * params - per_gpu_bytes) * 1000000 DIV (16 * params)"))
+        .select("model", "n", "stage", "params", "per_gpu_mb", "save_vs_dp_ppm")
+        .orderBy("model", "n", "stage")
+    }),
+
+    // LoRA adapter plan — trainable parameter count and optimizer-state
+    // shrink for rank-r adapters on the 4 attention projections (2·h·r
+    // each, per layer): ratio vs full fine-tune in ppm, optimizer bytes
+    // 12·trainable vs 12·P. Pure integers on the same config grid.
+    "llm_lora_plan" -> ((s, d) => {
+      val grid = for {
+        (model, layers, hidden) <- Seq(("1b", 24L, 2048L), ("7b", 32L, 4096L),
+          ("30b", 48L, 6144L), ("70b", 80L, 8192L), ("180b", 105L, 12288L))
+        r <- Seq(8L, 16L, 64L)
+      } yield (model, layers, hidden, r)
+      s.createDataFrame(grid).toDF("model", "layers", "hidden", "r")
+        .withColumn("full_params", expr("12 * hidden * hidden * layers"))
+        .withColumn("lora_params", expr("4 * 2 * hidden * r * layers"))
+        .withColumn("trainable_ppm", expr("lora_params * 1000000 DIV full_params"))
+        .withColumn("full_opt_mb", expr("(12 * full_params) DIV 1048576"))
+        .withColumn("lora_opt_mb", expr("(12 * lora_params) DIV 1048576"))
+        .withColumn("opt_save_ppm", expr(
+          "(full_opt_mb - lora_opt_mb) * 1000000 DIV full_opt_mb"))
+        .select("model", "r", "full_params", "lora_params", "trainable_ppm",
+          "full_opt_mb", "lora_opt_mb", "opt_save_ppm")
+        .orderBy("model", "r")
     })
   )
 
@@ -442,6 +541,85 @@ object Round12bOps {
         |  CAST(ROW_NUMBER() OVER (ORDER BY maj, mnr, pat, rel_flag,
         |    f1_type, f1_num, f1_str, f2_type, f2_num, f2_str, pk) AS BIGINT) AS prec_rank
         |FROM k ORDER BY pk""".stripMargin,
+
+    // Same grids, same integer sizing arithmetic (// = DIV, both
+    // left-associative with *).
+    "llm_pipeline_parallel_plan" ->
+      """WITH cfg AS (SELECT * FROM (VALUES
+        |    ('1b', 24, 2048), ('7b', 32, 4096), ('30b', 48, 6144),
+        |    ('70b', 80, 8192), ('180b', 105, 12288)) AS t(model, layers, hidden)),
+        |g AS (SELECT model, CAST(layers AS BIGINT) AS layers,
+        |    CAST(hidden AS BIGINT) AS hidden, CAST(p AS BIGINT) AS p,
+        |    CAST(m AS BIGINT) AS m
+        |  FROM cfg, (VALUES (2), (4), (8)) AS pp(p),
+        |    (VALUES (8), (32), (128)) AS mm(m)),
+        |x AS (SELECT *, (p - 1) * 1000000 // (m + p - 1) AS bubble_ppm,
+        |    (layers + p - 1) // p AS layers_per_stage,
+        |    LEAST(m, p) AS stash_microbatches
+        |  FROM g)
+        |SELECT model, p, m, bubble_ppm, layers_per_stage,
+        |  (layers_per_stage * 12 * hidden * hidden * 2) // 1048576 AS stage_weight_mb,
+        |  stash_microbatches,
+        |  (stash_microbatches * 14 * 2048 * hidden * 2) // 1048576 AS stash_mb,
+        |  1000000 - bubble_ppm AS efficiency_ppm
+        |FROM x ORDER BY model, p, m""".stripMargin,
+
+    "llm_tensor_parallel_plan" ->
+      """WITH cfg AS (SELECT * FROM (VALUES
+        |    ('1b', 24, 2048), ('7b', 32, 4096), ('30b', 48, 6144),
+        |    ('70b', 80, 8192), ('180b', 105, 12288)) AS c(model, layers, hidden)),
+        |g AS (SELECT model, CAST(layers AS BIGINT) AS layers,
+        |    CAST(hidden AS BIGINT) AS hidden, CAST(t AS BIGINT) AS t
+        |  FROM cfg, (VALUES (2), (4), (8)) AS tt(t)),
+        |x AS (SELECT *, 8 * 2048 * hidden * 2 AS payload_bytes FROM g),
+        |y AS (SELECT *, 2 * (t - 1) * payload_bytes // t AS ring_bytes_per_ar,
+        |    12 * hidden * hidden * layers // t AS shard_params
+        |  FROM x)
+        |SELECT model, t, payload_bytes, ring_bytes_per_ar,
+        |  (2 * ring_bytes_per_ar) // 1048576 AS comm_mb_per_layer,
+        |  (2 * ring_bytes_per_ar * layers) // 1048576 AS comm_mb_per_step,
+        |  shard_params, (shard_params * 2) // 1048576 AS shard_weight_mb
+        |FROM y ORDER BY model, t""".stripMargin,
+
+    "llm_zero_plan" ->
+      """WITH cfg AS (SELECT * FROM (VALUES
+        |    ('1b', 24, 2048), ('7b', 32, 4096), ('30b', 48, 6144),
+        |    ('70b', 80, 8192), ('180b', 105, 12288)) AS c(model, layers, hidden)),
+        |g AS (SELECT model, CAST(layers AS BIGINT) AS layers,
+        |    CAST(hidden AS BIGINT) AS hidden, CAST(n AS BIGINT) AS n,
+        |    CAST(stage AS BIGINT) AS stage
+        |  FROM cfg, (VALUES (8), (64), (512)) AS nn(n),
+        |    (VALUES (0), (1), (2), (3)) AS ss(stage)),
+        |p AS (SELECT *, 12 * hidden * hidden * layers AS params FROM g),
+        |b AS (SELECT *,
+        |    CASE stage
+        |      WHEN 0 THEN 16 * params
+        |      WHEN 1 THEN 4 * params + 12 * params // n
+        |      WHEN 2 THEN 2 * params + 14 * params // n
+        |      ELSE 16 * params // n END AS per_gpu_bytes
+        |  FROM p)
+        |SELECT model, n, stage, params, per_gpu_bytes // 1048576 AS per_gpu_mb,
+        |  (16 * params - per_gpu_bytes) * 1000000 // (16 * params) AS save_vs_dp_ppm
+        |FROM b ORDER BY model, n, stage""".stripMargin,
+
+    "llm_lora_plan" ->
+      """WITH cfg AS (SELECT * FROM (VALUES
+        |    ('1b', 24, 2048), ('7b', 32, 4096), ('30b', 48, 6144),
+        |    ('70b', 80, 8192), ('180b', 105, 12288)) AS c(model, layers, hidden)),
+        |g AS (SELECT model, CAST(layers AS BIGINT) AS layers,
+        |    CAST(hidden AS BIGINT) AS hidden, CAST(r AS BIGINT) AS r
+        |  FROM cfg, (VALUES (8), (16), (64)) AS rr(r)),
+        |p AS (SELECT *, 12 * hidden * hidden * layers AS full_params,
+        |    4 * 2 * hidden * r * layers AS lora_params
+        |  FROM g),
+        |q AS (SELECT *, (12 * full_params) // 1048576 AS full_opt_mb,
+        |    (12 * lora_params) // 1048576 AS lora_opt_mb
+        |  FROM p)
+        |SELECT model, r, full_params, lora_params,
+        |  lora_params * 1000000 // full_params AS trainable_ppm,
+        |  full_opt_mb, lora_opt_mb,
+        |  (full_opt_mb - lora_opt_mb) * 1000000 // full_opt_mb AS opt_save_ppm
+        |FROM q ORDER BY model, r""".stripMargin,
 
     // Same 10-period extremes, same zone thresholds, same lag transition
     // count.
