@@ -369,6 +369,112 @@ object Round12bOps {
         .select("model", "r", "full_params", "lora_params", "trainable_ppm",
           "full_opt_mb", "lora_opt_mb", "opt_save_ppm")
         .orderBy("model", "r")
+    }),
+
+    // ABC/XYZ inventory classification — ABC by cumulative revenue share
+    // (A ≤70%, B ≤90%, boundaries compared in exact integer cross-
+    // multiples, cum·10 vs k·total), XYZ by demand variability with the
+    // CV² bands cleared to integers: X iff 4·(nΣq²−S²) ≤ S², Y iff ≤S².
+    // Two aggregation passes + one ranked cumulative window over the
+    // PART-LEVEL rollup (|parts| rows, not |lineitem|) — the window
+    // never sees the fact table.
+    "agg_abc_xyz" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .select(col("l_partkey").cast("bigint").as("pk"),
+          col("l_quantity").cast("bigint").as("qty"),
+          floor(col("l_extendedprice") * 100).cast("bigint").as("cents"),
+          expr("year(l_shipdate) * 12 + month(l_shipdate)").as("mon"))
+      val monthly = li.groupBy("pk", "mon").agg(sum("qty").as("q"))
+      val xyz = monthly.groupBy("pk").agg(count(lit(1)).as("n_mon"),
+        sum("q").as("sq"), sum(expr("q * q")).as("sq2"))
+        .withColumn("dispersion", expr("n_mon * sq2 - sq * sq"))
+        .withColumn("xyz", expr(
+          "CASE WHEN 4 * dispersion <= sq * sq THEN 'X' " +
+            "WHEN dispersion <= sq * sq THEN 'Y' ELSE 'Z' END"))
+      val rev = li.groupBy("pk").agg(sum("cents").as("rev_cents"))
+      val wcum = Window.orderBy(col("rev_cents").desc, col("pk"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val tot = rev.agg(sum("rev_cents").as("tot_cents"))
+      val abc = rev.crossJoin(broadcast(tot))
+        .withColumn("cum_cents", sum("rev_cents").over(wcum))
+        .withColumn("abc", expr(
+          "CASE WHEN cum_cents * 10 <= 7 * tot_cents THEN 'A' " +
+            "WHEN cum_cents * 10 <= 9 * tot_cents THEN 'B' ELSE 'C' END"))
+      abc.join(xyz, "pk")
+        .groupBy("abc", "xyz")
+        .agg(count(lit(1)).as("n_parts"), sum("rev_cents").as("class_cents"))
+        .orderBy("abc", "xyz")
+    }),
+
+    // Newsvendor order quantity — the critical-fractile q* = smallest q
+    // with F(q) ≥ cu/(cu+co) over the EMPIRICAL daily-demand
+    // distribution (cu=3, co=1 → 3/4 fractile; plus the median for
+    // contrast). Exact order-statistic rank picks (the agg_cvar rank
+    // law): rank ⌈3n/4⌉ with deterministic tie-break. Daily demand =
+    // orders per day per priority class.
+    "agg_newsvendor" -> ((s, d) => {
+      val daily = Tables.orders(s, d)
+        .groupBy(col("o_orderpriority"),
+          datediff(col("o_orderdate"), to_date(lit("1970-01-01"))).as("day"))
+        .agg(count(lit(1)).as("demand"))
+      val ord = Window.partitionBy("o_orderpriority")
+        .orderBy(col("demand"), col("day"))
+      val n = Window.partitionBy("o_orderpriority")
+      daily
+        .withColumn("rn", row_number().over(ord).cast("bigint"))
+        .withColumn("n_days", count(lit(1)).over(n).cast("bigint"))
+        .withColumn("k75", expr("(3 * n_days + 3) DIV 4"))
+        .withColumn("k50", expr("(n_days + 1) DIV 2"))
+        .where(col("rn") === col("k75") || col("rn") === col("k50"))
+        .groupBy("o_orderpriority")
+        .agg(max("n_days").as("n_days"),
+          max(expr("CASE WHEN rn = k75 THEN demand END")).as("q_star"),
+          max(expr("CASE WHEN rn = k50 THEN demand END")).as("q_median"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // Little's law ledger — per event_type: λ (session arrivals/hour,
+    // milli), W (mean session duration µs), L (mean concurrency, milli)
+    // from per-user first/last timestamps. L = λ·W holds exactly by
+    // construction (Σdur/span) — the op PROVES the identity in integer
+    // arithmetic instead of assuming it; the spec asserts the algebra.
+    "agg_littles_law" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy("event_type", "user_id")
+        .agg(min("ts_us").as("t0"), max("ts_us").as("t1"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_sessions"),
+          sum(expr("t1 - t0")).as("sum_dur_us"),
+          (max("t1") - min("t0")).as("span_us"))
+        .withColumn("l_milli", expr("sum_dur_us * 1000 DIV span_us"))
+        .withColumn("w_us", expr("sum_dur_us DIV n_sessions"))
+        .withColumn("lambda_per_hr_milli",
+          expr("n_sessions * 3600000000 * 1000 DIV span_us"))
+        .select("event_type", "n_sessions", "sum_dur_us", "span_us",
+          "l_milli", "w_us", "lambda_per_hr_milli")
+        .orderBy("event_type")
+    }),
+
+    // 4-4-5 retail fiscal calendar — weeks since the epoch Sunday
+    // 1991-12-29 (declared anchor, before every order date so the week
+    // index never goes negative — the DIV law; 52-week fiscal years,
+    // quarters of 13 weeks split 4-4-5): fy, quarter, period all from
+    // one integer week index — O(1) per row, no calendar table join.
+    // Orders roll up by (fy, period) with exact cents.
+    "fn_fiscal_445" -> ((s, d) => {
+      Tables.orders(s, d)
+        .withColumn("wk", expr(
+          "(datediff(o_orderdate, DATE '1991-12-29')) DIV 7"))
+        .withColumn("fy", expr("1992 + wk DIV 52"))
+        .withColumn("wy", expr("wk % 52"))
+        .withColumn("qtr", expr("wy DIV 13 + 1"))
+        .withColumn("wq", expr("wy % 13"))
+        .withColumn("period", expr(
+          "(qtr - 1) * 3 + CASE WHEN wq < 4 THEN 1 WHEN wq < 8 THEN 2 ELSE 3 END"))
+        .groupBy("fy", "period")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(expr("CAST(FLOOR(o_totalprice * 100) AS BIGINT)")).as("cents"))
+        .orderBy("fy", "period")
     })
   )
 
@@ -620,6 +726,85 @@ object Round12bOps {
         |  full_opt_mb, lora_opt_mb,
         |  (full_opt_mb - lora_opt_mb) * 1000000 // full_opt_mb AS opt_save_ppm
         |FROM q ORDER BY model, r""".stripMargin,
+
+    // Same part-level rollups, same cleared CV² bands, same ranked
+    // cumulative boundary comparisons.
+    "agg_abc_xyz" ->
+      """WITH li AS (SELECT CAST(l_partkey AS BIGINT) AS pk,
+        |    CAST(l_quantity AS BIGINT) AS qty,
+        |    CAST(FLOOR(l_extendedprice * 100) AS BIGINT) AS cents,
+        |    year(l_shipdate) * 12 + month(l_shipdate) AS mon
+        |  FROM lineitem),
+        |monthly AS (SELECT pk, mon, CAST(SUM(qty) AS BIGINT) AS q
+        |  FROM li GROUP BY 1, 2),
+        |xyz AS (SELECT pk, CAST(COUNT(*) AS BIGINT) AS n_mon,
+        |    CAST(SUM(q) AS BIGINT) AS sq, CAST(SUM(q * q) AS BIGINT) AS sq2
+        |  FROM monthly GROUP BY 1),
+        |xc AS (SELECT pk,
+        |    CASE WHEN 4 * (n_mon * sq2 - sq * sq) <= sq * sq THEN 'X'
+        |      WHEN n_mon * sq2 - sq * sq <= sq * sq THEN 'Y' ELSE 'Z' END AS xyz
+        |  FROM xyz),
+        |rev AS (SELECT pk, CAST(SUM(cents) AS BIGINT) AS rev_cents
+        |  FROM li GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(rev_cents) AS BIGINT) AS tot_cents FROM rev),
+        |abc AS (SELECT pk, rev_cents,
+        |    CAST(SUM(rev_cents) OVER (ORDER BY rev_cents DESC, pk
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_cents
+        |  FROM rev),
+        |cls AS (SELECT pk, rev_cents,
+        |    CASE WHEN cum_cents * 10 <= 7 * tot_cents THEN 'A'
+        |      WHEN cum_cents * 10 <= 9 * tot_cents THEN 'B' ELSE 'C' END AS abc
+        |  FROM abc, tot)
+        |SELECT abc, xyz, COUNT(*) AS n_parts,
+        |  CAST(SUM(rev_cents) AS BIGINT) AS class_cents
+        |FROM cls JOIN xc USING (pk)
+        |GROUP BY abc, xyz ORDER BY abc, xyz""".stripMargin,
+
+    // Same daily-demand distribution, same rank picks.
+    "agg_newsvendor" ->
+      """WITH daily AS (SELECT o_orderpriority,
+        |    CAST(date_diff('day', DATE '1970-01-01', o_orderdate) AS INT) AS day,
+        |    CAST(COUNT(*) AS BIGINT) AS demand
+        |  FROM orders GROUP BY 1, 2),
+        |r AS (SELECT *,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY demand, day) AS BIGINT) AS rn,
+        |    CAST(COUNT(*) OVER (PARTITION BY o_orderpriority) AS BIGINT) AS n_days
+        |  FROM daily),
+        |k AS (SELECT *, (3 * n_days + 3) // 4 AS k75, (n_days + 1) // 2 AS k50 FROM r)
+        |SELECT o_orderpriority, MAX(n_days) AS n_days,
+        |  MAX(CASE WHEN rn = k75 THEN demand END) AS q_star,
+        |  MAX(CASE WHEN rn = k50 THEN demand END) AS q_median
+        |FROM k WHERE rn = k75 OR rn = k50
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    // Same session rollup, same integer ledger.
+    "agg_littles_law" ->
+      """WITH s AS (SELECT event_type, user_id,
+        |    MIN(epoch_us(ts)) AS t0, MAX(epoch_us(ts)) AS t1
+        |  FROM events GROUP BY 1, 2),
+        |a AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_sessions,
+        |    CAST(SUM(t1 - t0) AS BIGINT) AS sum_dur_us,
+        |    CAST(MAX(t1) - MIN(t0) AS BIGINT) AS span_us
+        |  FROM s GROUP BY 1)
+        |SELECT event_type, n_sessions, sum_dur_us, span_us,
+        |  sum_dur_us * 1000 // span_us AS l_milli,
+        |  sum_dur_us // n_sessions AS w_us,
+        |  n_sessions * 3600000000 * 1000 // span_us AS lambda_per_hr_milli
+        |FROM a ORDER BY event_type""".stripMargin,
+
+    // Same anchor Sunday, same 4-4-5 split.
+    "fn_fiscal_445" ->
+      """WITH w AS (SELECT
+        |    CAST(date_diff('day', DATE '1991-12-29', o_orderdate) AS BIGINT) // 7 AS wk,
+        |    CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders),
+        |f AS (SELECT cents, 1992 + wk // 52 AS fy, wk % 52 AS wy FROM w),
+        |q AS (SELECT cents, fy, wy // 13 + 1 AS qtr, wy % 13 AS wq FROM f)
+        |SELECT fy, (qtr - 1) * 3 +
+        |    CASE WHEN wq < 4 THEN 1 WHEN wq < 8 THEN 2 ELSE 3 END AS period,
+        |  COUNT(*) AS n_orders, CAST(SUM(cents) AS BIGINT) AS cents
+        |FROM q GROUP BY 1, 2 ORDER BY fy, period""".stripMargin,
 
     // Same 10-period extremes, same zone thresholds, same lag transition
     // count.
