@@ -475,6 +475,130 @@ object Round12bOps {
         .agg(count(lit(1)).as("n_orders"),
           sum(expr("CAST(FLOOR(o_totalprice * 100) AS BIGINT)")).as("cents"))
         .orderBy("fy", "period")
+    }),
+
+    // Wiener index + global efficiency — whole-graph distance summary
+    // over the shared heavy backbone (graph_closeness's per-node view,
+    // aggregated to ONE row): W = Σ_{u<v} d(u,v), efficiency = Σ 10⁶ DIV
+    // d (integer-truncated per pair, declared), diameter, mean distance
+    // in milli. Same level-synchronous BFS relaxation (4 rounds, mid
+    // checkpoint — the plan-doubling law), bounded 25-node domain.
+    "graph_wiener_index" -> ((s, d) => {
+      val heavy = GraphOps.backboneForCoreness(s, d)
+      val bi = heavy.select(col("a").cast("bigint").as("src"), col("b").cast("bigint").as("dst"))
+        .unionAll(heavy.select(col("b").cast("bigint").as("src"), col("a").cast("bigint").as("dst")))
+      val nodes = Tables.nation(s, d).select(col("n_nationkey").cast("bigint").as("u"))
+      var dist = nodes.crossJoin(nodes.select(col("u").as("v")))
+        .withColumn("dist", when(col("u") === col("v"), 0L).otherwise(lit(99L)))
+      for (i <- 1 to 4) {
+        val relax = dist.join(bi, dist("v") === bi("src"))
+          .select(col("u"), col("dst").as("v"), (col("dist") + 1).as("cand"))
+          .groupBy("u", "v").agg(min("cand").as("cand"))
+        dist = dist.join(relax, Seq("u", "v"), "left")
+          .select(col("u"), col("v"),
+            least(col("dist"), coalesce(col("cand"), lit(99L))).as("dist"))
+        if (i == 2) dist = dist.localCheckpoint()
+      }
+      val nNodes = nodes.agg(count(lit(1)).as("n_nodes"))
+      dist.where(col("u") < col("v") && col("dist") < 99)
+        .agg(count(lit(1)).as("n_pairs"),
+          sum("dist").as("wiener"),
+          max("dist").as("diameter"),
+          sum(expr("1000000 DIV dist")).as("eff_sum_micro"))
+        .crossJoin(broadcast(nNodes))
+        .withColumn("avg_dist_milli", expr("wiener * 1000 DIV n_pairs"))
+        .select("n_nodes", "n_pairs", "wiener", "diameter",
+          "eff_sum_micro", "avg_dist_milli")
+    }),
+
+    // Direct + indirect (SMR) epidemiological standardization — the
+    // stratum-confounding corrector: planted rising event rate over 8
+    // strata, study groups = market segments, reference = the whole
+    // population. Indirect: E = Σ n_s·d_ref_s·10⁶ DIV n_ref_s (micro),
+    // SMR = obs·10⁹ DIV E (milli). Direct: Σ n_ref_s·(d_s·10⁶ DIV n_s)
+    // DIV N_ref. All integer, divisions in declared order — the exact-
+    // rational family of agg_stratified_ate.
+    "agg_smr_standardization" -> ((s, d) => {
+      val base = Tables.customer(s, d)
+        .select(col("c_mktsegment").as("seg"),
+          expr("CAST(c_custkey AS BIGINT) % 8").as("stratum"),
+          expr("CASE WHEN CAST(conv(substring(md5(concat('smr:', CAST(c_custkey AS STRING))), 1, 8), 16, 10) AS BIGINT) % 1000 " +
+            "< 40 + 15 * (CAST(c_custkey AS BIGINT) % 8) THEN 1 ELSE 0 END").as("ev"))
+      val ref = base.groupBy("stratum")
+        .agg(count(lit(1)).as("n_ref"), sum("ev").as("d_ref"))
+      val refTot = ref.agg(sum("n_ref").as("n_ref_tot"))
+      val study = base.groupBy("seg", "stratum")
+        .agg(count(lit(1)).as("n_s"), sum("ev").as("d_s"))
+      study.join(broadcast(ref), "stratum")
+        .groupBy("seg")
+        .agg(sum("n_s").as("n_study"), sum("d_s").as("obs"),
+          sum(expr("n_s * d_ref * 1000000 DIV n_ref")).as("exp_micro"),
+          sum(expr("n_ref * (d_s * 1000000 DIV n_s)")).as("dir_num"))
+        .crossJoin(broadcast(refTot))
+        .withColumn("smr_milli", expr("obs * 1000000000 DIV exp_micro"))
+        .withColumn("dir_rate_micro", expr("dir_num DIV n_ref_tot"))
+        .withColumn("crude_rate_micro", expr("obs * 1000000 DIV n_study"))
+        .select("seg", "n_study", "obs", "exp_micro", "smr_milli",
+          "dir_rate_micro", "crude_rate_micro")
+        .orderBy("seg")
+    }),
+
+    // Elder's Force Index — volume × close-to-close change on daily
+    // bars, 13-bar rolling sum, pressure classification. The bar build
+    // is the one full-data pass (map-side combine); windows run on the
+    // ~day-count rollup.
+    "win_force_index" -> ((s, d) => {
+      val ord = Window.partitionBy("event_type").orderBy("day")
+      Tables.events(s, d)
+        .select(col("event_type"), col("event_id"), col("ts_us"),
+          expr("ts_us DIV 86400000000").as("day"),
+          floor(col("value") * 100).cast("bigint").as("cents"))
+        .groupBy("event_type", "day")
+        .agg(expr("max_by(cents, struct(ts_us, event_id))").as("c"),
+          count(lit(1)).as("volume"))
+        .withColumn("prev_c", lag("c", 1).over(ord))
+        .withColumn("fi", expr(
+          "CASE WHEN prev_c IS NULL THEN 0 ELSE volume * (c - prev_c) END"))
+        .withColumn("rn", row_number().over(ord).cast("bigint"))
+        .withColumn("fi13", sum("fi").over(ord.rowsBetween(-12, 0)))
+        .withColumn("pressure", expr(
+          "CASE WHEN fi13 > 0 THEN 'BUY' WHEN fi13 < 0 THEN 'SELL' ELSE 'FLAT' END"))
+        .where(col("rn") >= 14)
+        .select("event_type", "day", "c", "volume", "fi", "fi13", "pressure")
+        .orderBy("event_type", "day")
+    }),
+
+    // Elder-Ray bull/bear power — daily-bar high/low minus the finite-
+    // lag integer-EWMA of the close (KeltnerW weight-vector law, milli
+    // scale): bull = h·1000 − ema, bear = l·1000 − ema, plus the
+    // dual-confirmation signal (bull>0 ∧ bear<0 = contested range).
+    "win_elder_ray" -> ((s, d) => {
+      val ord = Window.partitionBy("event_type").orderBy("day")
+      val terms = KeltnerW.zipWithIndex.map { case (wt, i) =>
+        coalesce(lag(col("c"), i).over(ord) * wt, lit(0L)) }
+      val denom = KeltnerW.zipWithIndex.map { case (wt, i) =>
+        when(lag(col("c"), i).over(ord).isNotNull, wt).otherwise(0L) }
+      Tables.events(s, d)
+        .select(col("event_type"), col("event_id"), col("ts_us"),
+          expr("ts_us DIV 86400000000").as("day"),
+          floor(col("value") * 100).cast("bigint").as("cents"))
+        .groupBy("event_type", "day")
+        .agg(max("cents").as("h"), min("cents").as("l"),
+          expr("max_by(cents, struct(ts_us, event_id))").as("c"))
+        .withColumn("e_num", terms.reduce(_ + _))
+        .withColumn("e_den", denom.reduce(_ + _))
+        .withColumn("ema_milli", expr("e_num * 1000 DIV e_den"))
+        .withColumn("bull_milli", expr("h * 1000 - ema_milli"))
+        .withColumn("bear_milli", expr("l * 1000 - ema_milli"))
+        .withColumn("rn", row_number().over(ord).cast("bigint"))
+        .withColumn("signal", expr(
+          """CASE WHEN bull_milli > 0 AND bear_milli > 0 THEN 'STRONG_BULL'
+            |  WHEN bull_milli < 0 AND bear_milli < 0 THEN 'STRONG_BEAR'
+            |  ELSE 'CONTESTED' END""".stripMargin))
+        .where(col("rn") >= 8)
+        .select("event_type", "day", "h", "l", "c", "ema_milli",
+          "bull_milli", "bear_milli", "signal")
+        .orderBy("event_type", "day")
     })
   )
 
@@ -805,6 +929,108 @@ object Round12bOps {
         |    CASE WHEN wq < 4 THEN 1 WHEN wq < 8 THEN 2 ELSE 3 END AS period,
         |  COUNT(*) AS n_orders, CAST(SUM(cents) AS BIGINT) AS cents
         |FROM q GROUP BY 1, 2 ORDER BY fy, period""".stripMargin,
+
+    // Same backbone CTEs (shared with the graph family), same 4 BFS
+    // relaxation rounds, same truncated per-pair efficiency terms.
+    "graph_wiener_index" -> {
+      val iters = (1 to 4).map { i =>
+        val p = s"p${i - 1}"
+        s"""c$i AS MATERIALIZED (SELECT $p.u, bi.dst AS v,
+           |    CAST(MIN($p.dist + 1) AS BIGINT) AS cand
+           |  FROM bi JOIN $p ON $p.v = bi.src GROUP BY 1, 2),
+           |p$i AS MATERIALIZED (SELECT q.u, q.v,
+           |    CAST(LEAST(q.dist, COALESCE(c$i.cand, 99)) AS BIGINT) AS dist
+           |  FROM $p q LEFT JOIN c$i ON c$i.u = q.u AND c$i.v = q.v)"""
+      }.mkString(",\n")
+      s"""WITH ${GraphOps.coreOracleCtes},
+         |bi AS MATERIALIZED (SELECT CAST(a AS BIGINT) AS src, CAST(b AS BIGINT) AS dst FROM h
+         |       UNION ALL SELECT CAST(b AS BIGINT), CAST(a AS BIGINT) FROM h),
+         |nodes AS (SELECT CAST(n_nationkey AS BIGINT) AS u FROM nation),
+         |p0 AS MATERIALIZED (SELECT n1.u, n2.u AS v,
+         |    CAST(CASE WHEN n1.u = n2.u THEN 0 ELSE 99 END AS BIGINT) AS dist
+         |  FROM nodes n1, nodes n2),
+         |$iters,
+         |agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         |    CAST(SUM(dist) AS BIGINT) AS wiener,
+         |    CAST(MAX(dist) AS BIGINT) AS diameter,
+         |    CAST(SUM(1000000 // dist) AS BIGINT) AS eff_sum_micro
+         |  FROM p4 WHERE u < v AND dist < 99)
+         |SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM nodes) AS n_nodes,
+         |  n_pairs, wiener, diameter, eff_sum_micro,
+         |  wiener * 1000 // n_pairs AS avg_dist_milli
+         |FROM agg""".stripMargin
+    },
+
+    // Same planted stratified rates, same declared division order.
+    "agg_smr_standardization" ->
+      """WITH base AS (SELECT c_mktsegment AS seg,
+        |    CAST(c_custkey AS BIGINT) % 8 AS stratum,
+        |    CASE WHEN ('0x' || substring(md5('smr:' || CAST(c_custkey AS VARCHAR)), 1, 8))::BIGINT % 1000
+        |      < 40 + 15 * (CAST(c_custkey AS BIGINT) % 8) THEN 1 ELSE 0 END AS ev
+        |  FROM customer),
+        |ref AS (SELECT stratum, CAST(COUNT(*) AS BIGINT) AS n_ref,
+        |    CAST(SUM(ev) AS BIGINT) AS d_ref FROM base GROUP BY 1),
+        |rt AS (SELECT CAST(SUM(n_ref) AS BIGINT) AS n_ref_tot FROM ref),
+        |study AS (SELECT seg, stratum, CAST(COUNT(*) AS BIGINT) AS n_s,
+        |    CAST(SUM(ev) AS BIGINT) AS d_s FROM base GROUP BY 1, 2),
+        |j AS (SELECT seg, CAST(SUM(n_s) AS BIGINT) AS n_study,
+        |    CAST(SUM(d_s) AS BIGINT) AS obs,
+        |    CAST(SUM(n_s * d_ref * 1000000 // n_ref) AS BIGINT) AS exp_micro,
+        |    CAST(SUM(n_ref * (d_s * 1000000 // n_s)) AS BIGINT) AS dir_num
+        |  FROM study JOIN ref USING (stratum) GROUP BY 1)
+        |SELECT seg, n_study, obs, exp_micro,
+        |  obs * 1000000000 // exp_micro AS smr_milli,
+        |  dir_num // n_ref_tot AS dir_rate_micro,
+        |  obs * 1000000 // n_study AS crude_rate_micro
+        |FROM j, rt ORDER BY seg""".stripMargin,
+
+    // Same daily bars, same 13-bar rolling pressure sum.
+    "win_force_index" ->
+      """WITH e AS (SELECT event_type, event_id, epoch_us(ts) AS ts_us,
+        |    epoch_us(ts) // 86400000000 AS day,
+        |    CAST(FLOOR(value * 100) AS BIGINT) AS cents FROM events),
+        |bar AS (SELECT event_type, day,
+        |    MAX_BY(cents, CAST(ts_us AS HUGEINT) * 1000000 + event_id) AS c,
+        |    CAST(COUNT(*) AS BIGINT) AS volume
+        |  FROM e GROUP BY 1, 2),
+        |f AS (SELECT *, LAG(c) OVER w AS prev_c,
+        |    CAST(ROW_NUMBER() OVER w AS BIGINT) AS rn
+        |  FROM bar WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+        |fi AS (SELECT *, CASE WHEN prev_c IS NULL THEN 0
+        |    ELSE volume * (c - prev_c) END AS fi FROM f),
+        |s AS (SELECT *, CAST(SUM(fi) OVER (PARTITION BY event_type ORDER BY day
+        |    ROWS BETWEEN 12 PRECEDING AND CURRENT ROW) AS BIGINT) AS fi13 FROM fi)
+        |SELECT event_type, day, c, volume, fi, fi13,
+        |  CASE WHEN fi13 > 0 THEN 'BUY' WHEN fi13 < 0 THEN 'SELL'
+        |    ELSE 'FLAT' END AS pressure
+        |FROM s WHERE rn >= 14 ORDER BY event_type, day""".stripMargin,
+
+    // Same bars, same weight-vector EMA, same signal split.
+    "win_elder_ray" -> {
+      val lags = KeltnerW.indices.map(i => s"lag(c, $i) OVER w AS c$i").mkString(", ")
+      val num = KeltnerW.zipWithIndex
+        .map { case (wt, i) => s"COALESCE($wt * c$i, 0)" }.mkString(" + ")
+      val den = KeltnerW.zipWithIndex
+        .map { case (wt, i) => s"CASE WHEN c$i IS NULL THEN 0 ELSE $wt END" }
+        .mkString(" + ")
+      s"""WITH e AS (SELECT event_type, event_id, epoch_us(ts) AS ts_us,
+         |    epoch_us(ts) // 86400000000 AS day,
+         |    CAST(FLOOR(value * 100) AS BIGINT) AS cents FROM events),
+         |bar AS (SELECT event_type, day,
+         |    MAX(cents) AS h, MIN(cents) AS l,
+         |    MAX_BY(cents, CAST(ts_us AS HUGEINT) * 1000000 + event_id) AS c
+         |  FROM e GROUP BY 1, 2),
+         |lg AS (SELECT *, $lags, CAST(ROW_NUMBER() OVER w AS BIGINT) AS rn
+         |  FROM bar WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+         |m AS (SELECT *, ($num) * 1000 // ($den) AS ema_milli FROM lg),
+         |b AS (SELECT *, h * 1000 - ema_milli AS bull_milli,
+         |    l * 1000 - ema_milli AS bear_milli FROM m)
+         |SELECT event_type, day, h, l, c, ema_milli, bull_milli, bear_milli,
+         |  CASE WHEN bull_milli > 0 AND bear_milli > 0 THEN 'STRONG_BULL'
+         |    WHEN bull_milli < 0 AND bear_milli < 0 THEN 'STRONG_BEAR'
+         |    ELSE 'CONTESTED' END AS signal
+         |FROM b WHERE rn >= 8 ORDER BY event_type, day""".stripMargin
+    },
 
     // Same 10-period extremes, same zone thresholds, same lag transition
     // count.
