@@ -599,6 +599,136 @@ object Round12bOps {
         .select("event_type", "day", "h", "l", "c", "ema_milli",
           "bull_milli", "bear_milli", "signal")
         .orderBy("event_type", "day")
+    }),
+
+    // ∞-gram next-token lookup — the suffix-backoff LM query over a
+    // corpus n-gram index (the infini-gram retrieval shape): for each
+    // query 3-token context, find the LONGEST suffix (3→2→1 tokens)
+    // present in the corpus tables and emit its most frequent next token
+    // (ties broken lexically via ranked window, both engines). The
+    // n-gram tables are one posexplode + three shifted self-aligned
+    // grams — built map-side, shuffled once per order on the context
+    // key; at 100 TB each order's table is an independent hash
+    // aggregation, and query matching is three broadcast-able probes.
+    "llm_infinigram_next" -> ((s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), posexplode(split(col("text"), " ")))
+        .toDF("doc_id", "pos", "tok").where(col("tok") =!= "")
+      toks.createOrReplaceTempView("graft_ig_toks")
+      val grams = s.sql(
+        """SELECT t1.doc_id, t1.pos,
+          |  t1.tok AS w1, t2.tok AS w2, t3.tok AS w3, t4.tok AS w4
+          |FROM graft_ig_toks t1
+          |JOIN graft_ig_toks t2 ON t2.doc_id = t1.doc_id AND t2.pos = t1.pos + 1
+          |JOIN graft_ig_toks t3 ON t3.doc_id = t1.doc_id AND t3.pos = t1.pos + 2
+          |JOIN graft_ig_toks t4 ON t4.doc_id = t1.doc_id AND t4.pos = t1.pos + 3""".stripMargin)
+      grams.createOrReplaceTempView("graft_ig_grams")
+      s.sql(
+        """WITH c3 AS (SELECT concat_ws(' ', w1, w2, w3) AS ctx, w4 AS nxt,
+          |    COUNT(*) AS cnt FROM graft_ig_grams GROUP BY 1, 2),
+          |b3 AS (SELECT ctx, nxt, cnt FROM (SELECT *, ROW_NUMBER() OVER
+          |    (PARTITION BY ctx ORDER BY cnt DESC, nxt) AS rn FROM c3) WHERE rn = 1),
+          |c2 AS (SELECT concat_ws(' ', w2, w3) AS ctx, w4 AS nxt,
+          |    COUNT(*) AS cnt FROM graft_ig_grams GROUP BY 1, 2),
+          |b2 AS (SELECT ctx, nxt, cnt FROM (SELECT *, ROW_NUMBER() OVER
+          |    (PARTITION BY ctx ORDER BY cnt DESC, nxt) AS rn FROM c2) WHERE rn = 1),
+          |c1 AS (SELECT w3 AS ctx, w4 AS nxt, COUNT(*) AS cnt
+          |  FROM graft_ig_grams GROUP BY 1, 2),
+          |b1 AS (SELECT ctx, nxt, cnt FROM (SELECT *, ROW_NUMBER() OVER
+          |    (PARTITION BY ctx ORDER BY cnt DESC, nxt) AS rn FROM c1) WHERE rn = 1),
+          |q AS (SELECT doc_id, pos, concat_ws(' ', w1, w2, w3) AS q3,
+          |    concat_ws(' ', w2, w3) AS q2, w3 AS q1, w4 AS truth
+          |  FROM graft_ig_grams WHERE doc_id % 25 = 3 AND pos % 50 = 7)
+          |SELECT q.doc_id, CAST(q.pos AS BIGINT) AS pos,
+          |  CASE WHEN b3.nxt IS NOT NULL THEN 3
+          |    WHEN b2.nxt IS NOT NULL THEN 2 ELSE 1 END AS matched_len,
+          |  COALESCE(b3.nxt, b2.nxt, b1.nxt) AS pred,
+          |  CAST(COALESCE(b3.cnt, b2.cnt, b1.cnt) AS BIGINT) AS cnt,
+          |  CASE WHEN COALESCE(b3.nxt, b2.nxt, b1.nxt) = q.truth THEN 1 ELSE 0 END AS hit
+          |FROM q
+          |LEFT JOIN b3 ON b3.ctx = q.q3
+          |LEFT JOIN b2 ON b2.ctx = q.q2
+          |LEFT JOIN b1 ON b1.ctx = q.q1
+          |ORDER BY q.doc_id, q.pos""".stripMargin)
+    }),
+
+    // Prompt compression (frequency-rank filter) — drop the corpus-wide
+    // top-20 most frequent tokens from each document, preserving order;
+    // the LLMLingua-class "low-information token" cut with a fully
+    // deterministic criterion. Kept tokens re-assemble through a sorted
+    // struct array (no window over the fact table); compression ratio in
+    // exact ppm. The top-20 list is a broadcast — one explode pass, one
+    // 20-row join.
+    "llm_prompt_compression" -> ((s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), posexplode(split(col("text"), " ")))
+        .toDF("doc_id", "pos", "tok").where(col("tok") =!= "")
+      val top20 = toks.groupBy("tok").agg(count(lit(1)).as("freq"))
+        .orderBy(col("freq").desc, col("tok")).limit(20)
+        .select(col("tok").as("stop"))
+      val kept = toks.join(broadcast(top20), toks("tok") === top20("stop"), "left_anti")
+      val nOrig = toks.groupBy("doc_id").agg(count(lit(1)).as("n_orig"))
+      kept.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_kept"),
+          expr("concat_ws(' ', slice(transform(array_sort(" +
+            "collect_list(struct(pos, tok))), x -> x.tok), 1, 8))").as("head_kept"))
+        .join(nOrig, "doc_id")
+        .where(col("doc_id") % 20 === 11)
+        .withColumn("ratio_ppm", expr("n_kept * 1000000 DIV n_orig"))
+        .select("doc_id", "n_orig", "n_kept", "ratio_ppm", "head_kept")
+        .orderBy("doc_id")
+    }),
+
+    // Roman numeral roundtrip — subtractive encode per decimal place
+    // (repeat/CASE, no loops) and a PURELY ALGEBRAIC decode: expand the
+    // six subtractive pairs, then value = Σ letter-count × letter-value
+    // via length-difference counting — zero per-character iteration in
+    // either engine. Graded row-by-row that decode(encode(n)) = n.
+    "fn_roman_roundtrip" -> ((s, d) => {
+      def place(digit: String, one: String, five: String, ten: String) =
+        s"""CASE WHEN $digit = 9 THEN '$one$ten'
+           |  WHEN $digit >= 5 THEN concat('$five', repeat('$one', CAST($digit - 5 AS INT)))
+           |  WHEN $digit = 4 THEN '$one$five'
+           |  ELSE repeat('$one', CAST($digit AS INT)) END""".stripMargin
+      val counts = Seq("M" -> 1000, "D" -> 500, "C" -> 100, "L" -> 50,
+        "X" -> 10, "V" -> 5, "I" -> 1)
+        .map { case (ch, v) =>
+          s"(length(norm) - length(replace(norm, '$ch', ''))) * $v" }
+        .mkString(" + ")
+      s.range(1, 4000).toDF("n").where(col("n") % 7 === 3)
+        .withColumn("roman", expr(
+          s"concat(repeat('M', CAST(n DIV 1000 AS INT)), ${place("(n DIV 100 % 10)", "C", "D", "M")}, " +
+            s"${place("(n DIV 10 % 10)", "X", "L", "C")}, ${place("(n % 10)", "I", "V", "X")})"))
+        .withColumn("norm", expr(
+          "replace(replace(replace(replace(replace(replace(roman, " +
+            "'CM', 'DCCCC'), 'CD', 'CCCC'), 'XC', 'LXXXX'), 'XL', 'XXXX'), " +
+            "'IX', 'VIIII'), 'IV', 'IIII')"))
+        .withColumn("decoded", expr(s"CAST($counts AS BIGINT)"))
+        .select(col("n"), col("roman"), col("decoded"))
+        .orderBy("n")
+    }),
+
+    // M/M/1 queueing ledger — utilization ρ, queue length Lq, wait Wq
+    // from the exact-rational Erlang algebra: ρ ppm = Σ service DIV
+    // span, Lq ppm = ρ²/(1−ρ) as ρ_ppm² DIV (10⁶−ρ_ppm), Wq = Lq/λ.
+    // Service times are bounded deterministic functions of the event
+    // value; everything integer µs/ppm.
+    "agg_mm1_queue" -> ((s, d) => {
+      Tables.events(s, d)
+        .select(col("event_type"), col("ts_us"),
+          expr("(CAST(FLOOR(value * 100) AS BIGINT) % 500 + 1) * 1000").as("svc_us"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_arrivals"),
+          sum("svc_us").as("busy_us"),
+          (max("ts_us") - min("ts_us")).as("span_us"))
+        .withColumn("rho_ppm", expr("busy_us * 1000000 DIV span_us"))
+        .withColumn("lq_micro", expr(
+          "CASE WHEN rho_ppm < 1000000 THEN rho_ppm * rho_ppm DIV (1000000 - rho_ppm) ELSE -1 END"))
+        .withColumn("wq_us", expr(
+          "CASE WHEN lq_micro >= 0 THEN lq_micro * span_us DIV n_arrivals DIV 1000000 ELSE -1 END"))
+        .select("event_type", "n_arrivals", "busy_us", "span_us",
+          "rho_ppm", "lq_micro", "wq_us")
+        .orderBy("event_type")
     })
   )
 
@@ -1031,6 +1161,119 @@ object Round12bOps {
          |    ELSE 'CONTESTED' END AS signal
          |FROM b WHERE rn >= 8 ORDER BY event_type, day""".stripMargin
     },
+
+    // Same gram tables (string_split keeps empty pieces out via filter),
+    // same ranked backoff probes.
+    "llm_infinigram_next" ->
+      """WITH toks AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, t.tok
+        |  FROM documents,
+        |    LATERAL (SELECT unnest(string_split(text, ' ')) AS tok,
+        |      generate_subscripts(string_split(text, ' '), 1) AS i) t
+        |  WHERE t.tok <> ''),
+        |g AS (SELECT t1.doc_id, t1.pos, t1.tok AS w1, t2.tok AS w2,
+        |    t3.tok AS w3, t4.tok AS w4
+        |  FROM toks t1
+        |  JOIN toks t2 ON t2.doc_id = t1.doc_id AND t2.pos = t1.pos + 1
+        |  JOIN toks t3 ON t3.doc_id = t1.doc_id AND t3.pos = t1.pos + 2
+        |  JOIN toks t4 ON t4.doc_id = t1.doc_id AND t4.pos = t1.pos + 3),
+        |c3 AS (SELECT w1 || ' ' || w2 || ' ' || w3 AS ctx, w4 AS nxt,
+        |    COUNT(*) AS cnt FROM g GROUP BY 1, 2),
+        |b3 AS (SELECT ctx, nxt, cnt FROM (SELECT *, ROW_NUMBER() OVER
+        |    (PARTITION BY ctx ORDER BY cnt DESC, nxt) AS rn FROM c3) WHERE rn = 1),
+        |c2 AS (SELECT w2 || ' ' || w3 AS ctx, w4 AS nxt, COUNT(*) AS cnt
+        |  FROM g GROUP BY 1, 2),
+        |b2 AS (SELECT ctx, nxt, cnt FROM (SELECT *, ROW_NUMBER() OVER
+        |    (PARTITION BY ctx ORDER BY cnt DESC, nxt) AS rn FROM c2) WHERE rn = 1),
+        |c1 AS (SELECT w3 AS ctx, w4 AS nxt, COUNT(*) AS cnt FROM g GROUP BY 1, 2),
+        |b1 AS (SELECT ctx, nxt, cnt FROM (SELECT *, ROW_NUMBER() OVER
+        |    (PARTITION BY ctx ORDER BY cnt DESC, nxt) AS rn FROM c1) WHERE rn = 1),
+        |q AS (SELECT doc_id, pos, w1 || ' ' || w2 || ' ' || w3 AS q3,
+        |    w2 || ' ' || w3 AS q2, w3 AS q1, w4 AS truth
+        |  FROM g WHERE doc_id % 25 = 3 AND pos % 50 = 7)
+        |SELECT q.doc_id, q.pos,
+        |  CAST(CASE WHEN b3.nxt IS NOT NULL THEN 3
+        |    WHEN b2.nxt IS NOT NULL THEN 2 ELSE 1 END AS INT) AS matched_len,
+        |  COALESCE(b3.nxt, b2.nxt, b1.nxt) AS pred,
+        |  CAST(COALESCE(b3.cnt, b2.cnt, b1.cnt) AS BIGINT) AS cnt,
+        |  CAST(CASE WHEN COALESCE(b3.nxt, b2.nxt, b1.nxt) = q.truth
+        |    THEN 1 ELSE 0 END AS INT) AS hit
+        |FROM q
+        |LEFT JOIN b3 ON b3.ctx = q.q3
+        |LEFT JOIN b2 ON b2.ctx = q.q2
+        |LEFT JOIN b1 ON b1.ctx = q.q1
+        |ORDER BY q.doc_id, q.pos""".stripMargin,
+
+    // Same top-20 cut (freq desc, token asc), same ordered reassembly.
+    "llm_prompt_compression" ->
+      """WITH toks AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, t.tok
+        |  FROM documents,
+        |    LATERAL (SELECT unnest(string_split(text, ' ')) AS tok,
+        |      generate_subscripts(string_split(text, ' '), 1) AS i) t
+        |  WHERE t.tok <> ''),
+        |top20 AS (SELECT tok AS stop FROM (SELECT tok, COUNT(*) AS freq
+        |  FROM toks GROUP BY 1 ORDER BY freq DESC, tok LIMIT 20)),
+        |kept AS (SELECT * FROM toks WHERE tok NOT IN (SELECT stop FROM top20)),
+        |agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+        |    array_to_string(list(tok ORDER BY pos)[1:8], ' ') AS head_kept
+        |  FROM kept GROUP BY 1),
+        |orig AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_orig
+        |  FROM toks GROUP BY 1)
+        |SELECT doc_id, n_orig, n_kept, n_kept * 1000000 // n_orig AS ratio_ppm,
+        |  head_kept
+        |FROM agg JOIN orig USING (doc_id)
+        |WHERE doc_id % 20 = 11 ORDER BY doc_id""".stripMargin,
+
+    // Same place-wise encode, same algebraic length-difference decode.
+    "fn_roman_roundtrip" ->
+      """WITH n AS (SELECT CAST(g AS BIGINT) AS n
+        |  FROM generate_series(1, 3999) t(g) WHERE g % 7 = 3),
+        |r AS (SELECT n,
+        |    repeat('M', CAST(n // 1000 AS INT)) ||
+        |    CASE WHEN n // 100 % 10 = 9 THEN 'CM'
+        |      WHEN n // 100 % 10 >= 5 THEN 'D' || repeat('C', CAST(n // 100 % 10 - 5 AS INT))
+        |      WHEN n // 100 % 10 = 4 THEN 'CD'
+        |      ELSE repeat('C', CAST(n // 100 % 10 AS INT)) END ||
+        |    CASE WHEN n // 10 % 10 = 9 THEN 'XC'
+        |      WHEN n // 10 % 10 >= 5 THEN 'L' || repeat('X', CAST(n // 10 % 10 - 5 AS INT))
+        |      WHEN n // 10 % 10 = 4 THEN 'XL'
+        |      ELSE repeat('X', CAST(n // 10 % 10 AS INT)) END ||
+        |    CASE WHEN n % 10 = 9 THEN 'IX'
+        |      WHEN n % 10 >= 5 THEN 'V' || repeat('I', CAST(n % 10 - 5 AS INT))
+        |      WHEN n % 10 = 4 THEN 'IV'
+        |      ELSE repeat('I', CAST(n % 10 AS INT)) END AS roman
+        |  FROM n),
+        |x AS (SELECT n, roman,
+        |    replace(replace(replace(replace(replace(replace(roman,
+        |      'CM', 'DCCCC'), 'CD', 'CCCC'), 'XC', 'LXXXX'), 'XL', 'XXXX'),
+        |      'IX', 'VIIII'), 'IV', 'IIII') AS norm
+        |  FROM r)
+        |SELECT n, roman, CAST(
+        |    (length(norm) - length(replace(norm, 'M', ''))) * 1000
+        |  + (length(norm) - length(replace(norm, 'D', ''))) * 500
+        |  + (length(norm) - length(replace(norm, 'C', ''))) * 100
+        |  + (length(norm) - length(replace(norm, 'L', ''))) * 50
+        |  + (length(norm) - length(replace(norm, 'X', ''))) * 10
+        |  + (length(norm) - length(replace(norm, 'V', ''))) * 5
+        |  + (length(norm) - length(replace(norm, 'I', ''))) * 1 AS BIGINT) AS decoded
+        |FROM x ORDER BY n""".stripMargin,
+
+    // Same service-time rule, same Erlang algebra in ppm.
+    "agg_mm1_queue" ->
+      """WITH e AS (SELECT event_type, epoch_us(ts) AS ts_us,
+        |    (CAST(FLOOR(value * 100) AS BIGINT) % 500 + 1) * 1000 AS svc_us
+        |  FROM events),
+        |a AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_arrivals,
+        |    CAST(SUM(svc_us) AS BIGINT) AS busy_us,
+        |    CAST(MAX(ts_us) - MIN(ts_us) AS BIGINT) AS span_us
+        |  FROM e GROUP BY 1),
+        |r AS (SELECT *, busy_us * 1000000 // span_us AS rho_ppm FROM a),
+        |l AS (SELECT *, CASE WHEN rho_ppm < 1000000
+        |    THEN rho_ppm * rho_ppm // (1000000 - rho_ppm) ELSE -1 END AS lq_micro
+        |  FROM r)
+        |SELECT event_type, n_arrivals, busy_us, span_us, rho_ppm, lq_micro,
+        |  CASE WHEN lq_micro >= 0 THEN lq_micro * span_us // n_arrivals // 1000000
+        |    ELSE -1 END AS wq_us
+        |FROM l ORDER BY event_type""".stripMargin,
 
     // Same 10-period extremes, same zone thresholds, same lag transition
     // count.
