@@ -729,6 +729,112 @@ object Round12bOps {
         .select("event_type", "n_arrivals", "busy_us", "span_us",
           "rho_ppm", "lq_micro", "wq_us")
         .orderBy("event_type")
+    }),
+
+    // Aalen–Johansen competing-risks estimator — cumulative incidence
+    // per cause with the overall KM survival as the weight: CIF_k(T) =
+    // Σ_s S(s−)·d_k(s)/n(s), replayed as ONE ordered integer fold whose
+    // accumulator carries (S, CIF₁, CIF₂) simultaneously (the
+    // agg_kaplan_meier fold law extended to a struct state; CIF uses the
+    // PRE-step S). Two planted causes + censoring; S+CIF₁+CIF₂ ≤ 10⁶
+    // with only truncation loss.
+    "agg_aalen_johansen" -> ((s, d) => {
+      val lab = Tables.events(s, d).select("user_id").distinct()
+        .withColumn("dur_raw", expr(
+          "CAST(conv(substring(md5(concat('aj:', CAST(user_id AS STRING))), 1, 8), 16, 10) AS BIGINT) % 100"))
+        .withColumn("cause_raw", expr(
+          "1 + CAST(conv(substring(md5(concat('ajc:', CAST(user_id AS STRING))), 1, 8), 16, 10) AS BIGINT) % 2"))
+        .select((col("user_id") % 3).as("cohort"),
+          least(col("dur_raw"), lit(60L)).as("dur"),
+          when(col("dur_raw") <= 60, col("cause_raw")).otherwise(0L).as("cause"))
+      val byDur = lab.groupBy("cohort", "dur")
+        .agg(count(lit(1)).as("n_here"),
+          sum(expr("CASE WHEN cause = 1 THEN 1 ELSE 0 END")).as("d1"),
+          sum(expr("CASE WHEN cause = 2 THEN 1 ELSE 0 END")).as("d2"))
+      val wAtRisk = Window.partitionBy("cohort").orderBy(desc("dur"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val times = byDur
+        .withColumn("r", sum("n_here").over(wAtRisk))
+        .where(col("d1") + col("d2") > 0)
+      val folded = times.groupBy("cohort")
+        .agg(count(lit(1)).as("n_event_times"),
+          expr("sort_array(collect_list(named_struct('t', dur, 'd1', d1, 'd2', d2, 'r', r)))").as("steps"))
+        .withColumn("fin", expr(
+          """aggregate(steps,
+             named_struct('s', CAST(1000000 AS BIGINT), 'c1', CAST(0 AS BIGINT), 'c2', CAST(0 AS BIGINT)),
+             (acc, e) -> named_struct(
+               's', acc.s * (e.r - e.d1 - e.d2) DIV e.r,
+               'c1', acc.c1 + acc.s * e.d1 DIV e.r,
+               'c2', acc.c2 + acc.s * e.d2 DIV e.r))"""))
+      val cohorts = lab.groupBy("cohort")
+        .agg(count(lit(1)).as("n_users"),
+          sum(expr("CASE WHEN cause = 1 THEN 1 ELSE 0 END")).as("n_cause1"),
+          sum(expr("CASE WHEN cause = 2 THEN 1 ELSE 0 END")).as("n_cause2"),
+          sum(expr("CASE WHEN cause = 0 THEN 1 ELSE 0 END")).as("n_censored"))
+      cohorts.join(folded, "cohort")
+        .select(col("cohort"), col("n_users"), col("n_cause1"), col("n_cause2"),
+          col("n_censored"), col("n_event_times"),
+          expr("fin.s").as("s_ppm"), expr("fin.c1").as("cif1_ppm"),
+          expr("fin.c2").as("cif2_ppm"))
+        .orderBy("cohort")
+    }),
+
+    // Actuarial life table — qx→lx survivorship chain over 8 planted
+    // age bands per segment cohort: lx(b) = radix-truncating product of
+    // (10⁶−qx) over PRECEDING bands, computed per row as a bounded fold
+    // over the window's collected prefix (no pivot, no recursion on the
+    // Spark side); standardized deaths dx_std = lx − lx·(10⁶−qx) DIV
+    // 10⁶. Bounded 8-element arrays, one shuffle.
+    "agg_life_table" -> ((s, d) => {
+      val q = Tables.customer(s, d)
+        .select(col("c_mktsegment").as("seg"),
+          expr("CAST(c_custkey AS BIGINT) % 8").as("band"),
+          expr("CASE WHEN CAST(conv(substring(md5(concat('lt:', CAST(c_custkey AS STRING))), 1, 8), 16, 10) AS BIGINT) % 1000 " +
+            "< 60 + 25 * (CAST(c_custkey AS BIGINT) % 8) THEN 1 ELSE 0 END").as("dx"))
+        .groupBy("seg", "band")
+        .agg(count(lit(1)).as("nx"), sum("dx").as("dx"))
+        .withColumn("qx_ppm", expr("dx * 1000000 DIV nx"))
+      val wPrev = Window.partitionBy("seg").orderBy("band")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      q.withColumn("q_prev", coalesce(collect_list("qx_ppm").over(wPrev),
+          expr("CAST(array() AS ARRAY<BIGINT>)")))
+        .withColumn("lx", expr(
+          "aggregate(q_prev, CAST(1000000 AS BIGINT), (acc, qq) -> acc * (1000000 - qq) DIV 1000000)"))
+        .withColumn("dx_std", expr("lx - lx * (1000000 - qx_ppm) DIV 1000000"))
+        .select("seg", "band", "nx", "dx", "qx_ppm", "lx", "dx_std")
+        .orderBy("seg", "band")
+    }),
+
+    // Williams fractal pivots — strict 5-bar local extremes on daily
+    // bars (high above both neighbors two deep ⇒ UP fractal; low below
+    // ⇒ DOWN; both can coincide). Interior bars only; the lead/lag
+    // probe is four comparisons on one sorted pass.
+    "win_fractals" -> ((s, d) => {
+      val ord = Window.partitionBy("event_type").orderBy("day")
+      Tables.events(s, d)
+        .select(col("event_type"),
+          expr("ts_us DIV 86400000000").as("day"),
+          floor(col("value") * 100).cast("bigint").as("cents"))
+        .groupBy("event_type", "day")
+        .agg(max("cents").as("h"), min("cents").as("l"))
+        .withColumn("rn", row_number().over(ord).cast("bigint"))
+        .withColumn("nn", count(lit(1)).over(Window.partitionBy("event_type")).cast("bigint"))
+        .withColumn("up", expr(
+          "h > lag(h, 1) OVER (PARTITION BY event_type ORDER BY day) AND " +
+            "h > lag(h, 2) OVER (PARTITION BY event_type ORDER BY day) AND " +
+            "h > lead(h, 1) OVER (PARTITION BY event_type ORDER BY day) AND " +
+            "h > lead(h, 2) OVER (PARTITION BY event_type ORDER BY day)"))
+        .withColumn("dn", expr(
+          "l < lag(l, 1) OVER (PARTITION BY event_type ORDER BY day) AND " +
+            "l < lag(l, 2) OVER (PARTITION BY event_type ORDER BY day) AND " +
+            "l < lead(l, 1) OVER (PARTITION BY event_type ORDER BY day) AND " +
+            "l < lead(l, 2) OVER (PARTITION BY event_type ORDER BY day)"))
+        .where(col("rn") >= 3 && col("rn") <= col("nn") - 2 &&
+          (col("up") || col("dn")))
+        .withColumn("kind", expr(
+          "CASE WHEN up AND dn THEN 'BOTH' WHEN up THEN 'UP' ELSE 'DOWN' END"))
+        .select("event_type", "day", "h", "l", "kind")
+        .orderBy("event_type", "day")
     })
   )
 
@@ -1274,6 +1380,96 @@ object Round12bOps {
         |  CASE WHEN lq_micro >= 0 THEN lq_micro * span_us // n_arrivals // 1000000
         |    ELSE -1 END AS wq_us
         |FROM l ORDER BY event_type""".stripMargin,
+
+    // Same planted durations/causes, same recursive struct-state fold
+    // (the KM WITH RECURSIVE law with a 3-component accumulator).
+    "agg_aalen_johansen" ->
+      """WITH RECURSIVE u AS (SELECT DISTINCT user_id FROM events),
+        |pl AS (SELECT user_id,
+        |    ('0x' || substring(md5('aj:' || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS dur_raw,
+        |    1 + ('0x' || substring(md5('ajc:' || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 2 AS cause_raw
+        |  FROM u),
+        |lab AS (SELECT user_id % 3 AS cohort, LEAST(dur_raw, 60) AS dur,
+        |    CASE WHEN dur_raw <= 60 THEN cause_raw ELSE 0 END AS cause
+        |  FROM pl),
+        |bd AS (SELECT cohort, dur, CAST(COUNT(*) AS BIGINT) AS n_here,
+        |    CAST(SUM(CASE WHEN cause = 1 THEN 1 ELSE 0 END) AS BIGINT) AS d1,
+        |    CAST(SUM(CASE WHEN cause = 2 THEN 1 ELSE 0 END) AS BIGINT) AS d2
+        |  FROM lab GROUP BY 1, 2),
+        |tm AS (SELECT cohort, dur, d1, d2,
+        |    CAST(SUM(n_here) OVER (PARTITION BY cohort ORDER BY dur DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS r
+        |  FROM bd),
+        |dt AS (SELECT cohort, dur, d1, d2, r,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY cohort ORDER BY dur) AS BIGINT) AS rn,
+        |    CAST(COUNT(*) OVER (PARTITION BY cohort) AS BIGINT) AS nt
+        |  FROM tm WHERE d1 + d2 > 0),
+        |f(coh, frn, s_ppm, c1, c2) AS (
+        |  SELECT cohort, CAST(0 AS BIGINT), CAST(1000000 AS BIGINT),
+        |    CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+        |  FROM (SELECT DISTINCT cohort FROM dt)
+        |  UNION ALL
+        |  SELECT dt.cohort, dt.rn,
+        |    f.s_ppm * (dt.r - dt.d1 - dt.d2) // dt.r,
+        |    f.c1 + f.s_ppm * dt.d1 // dt.r,
+        |    f.c2 + f.s_ppm * dt.d2 // dt.r
+        |  FROM f JOIN dt ON dt.cohort = f.coh AND dt.rn = f.frn + 1
+        |),
+        |fin AS (SELECT coh AS cohort, s_ppm, c1, c2 FROM f
+        |  JOIN (SELECT cohort AS cc, MAX(nt) AS nt FROM dt GROUP BY 1) q
+        |    ON q.cc = f.coh AND f.frn = q.nt),
+        |co AS (SELECT cohort, CAST(COUNT(*) AS BIGINT) AS n_users,
+        |    CAST(SUM(CASE WHEN cause = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_cause1,
+        |    CAST(SUM(CASE WHEN cause = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_cause2,
+        |    CAST(SUM(CASE WHEN cause = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_censored
+        |  FROM lab GROUP BY 1),
+        |ndt AS (SELECT cohort, CAST(COUNT(*) AS BIGINT) AS n_event_times
+        |  FROM dt GROUP BY 1)
+        |SELECT co.cohort, n_users, n_cause1, n_cause2, n_censored,
+        |  n_event_times, s_ppm, c1 AS cif1_ppm, c2 AS cif2_ppm
+        |FROM co JOIN ndt USING (cohort) JOIN fin USING (cohort)
+        |ORDER BY cohort""".stripMargin,
+
+    // Same planted qx, same prefix-product recursion (band-indexed).
+    "agg_life_table" ->
+      """WITH RECURSIVE q AS (SELECT c_mktsegment AS seg,
+        |    CAST(c_custkey AS BIGINT) % 8 AS band,
+        |    CAST(COUNT(*) AS BIGINT) AS nx,
+        |    CAST(SUM(CASE WHEN ('0x' || substring(md5('lt:' || CAST(c_custkey AS VARCHAR)), 1, 8))::BIGINT % 1000
+        |      < 60 + 25 * (CAST(c_custkey AS BIGINT) % 8) THEN 1 ELSE 0 END) AS BIGINT) AS dx
+        |  FROM customer GROUP BY 1, 2),
+        |qq AS (SELECT *, dx * 1000000 // nx AS qx_ppm FROM q),
+        |f(seg, band, lx) AS (
+        |  SELECT seg, CAST(0 AS BIGINT), CAST(1000000 AS BIGINT)
+        |  FROM (SELECT DISTINCT seg FROM qq)
+        |  UNION ALL
+        |  SELECT f.seg, f.band + 1, f.lx * (1000000 - qq.qx_ppm) // 1000000
+        |  FROM f JOIN qq ON qq.seg = f.seg AND qq.band = f.band
+        |  WHERE f.band < 7
+        |)
+        |SELECT qq.seg AS seg, qq.band AS band, nx, dx, qx_ppm, lx,
+        |  lx - lx * (1000000 - qx_ppm) // 1000000 AS dx_std
+        |FROM qq JOIN f ON f.seg = qq.seg AND f.band = qq.band
+        |ORDER BY seg, band""".stripMargin,
+
+    // Same strict 5-bar probes on the same daily bars.
+    "win_fractals" ->
+      """WITH e AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |    CAST(FLOOR(value * 100) AS BIGINT) AS cents FROM events),
+        |bar AS (SELECT event_type, day, MAX(cents) AS h, MIN(cents) AS l
+        |  FROM e GROUP BY 1, 2),
+        |w AS (SELECT *,
+        |    CAST(ROW_NUMBER() OVER o AS BIGINT) AS rn,
+        |    CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS nn,
+        |    (h > LAG(h, 1) OVER o AND h > LAG(h, 2) OVER o
+        |      AND h > LEAD(h, 1) OVER o AND h > LEAD(h, 2) OVER o) AS up,
+        |    (l < LAG(l, 1) OVER o AND l < LAG(l, 2) OVER o
+        |      AND l < LEAD(l, 1) OVER o AND l < LEAD(l, 2) OVER o) AS dn
+        |  FROM bar WINDOW o AS (PARTITION BY event_type ORDER BY day))
+        |SELECT event_type, day, h, l,
+        |  CASE WHEN up AND dn THEN 'BOTH' WHEN up THEN 'UP' ELSE 'DOWN' END AS kind
+        |FROM w WHERE rn >= 3 AND rn <= nn - 2 AND (up OR dn)
+        |ORDER BY event_type, day""".stripMargin,
 
     // Same 10-period extremes, same zone thresholds, same lag transition
     // count.
