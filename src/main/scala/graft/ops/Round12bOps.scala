@@ -835,6 +835,168 @@ object Round12bOps {
           "CASE WHEN up AND dn THEN 'BOTH' WHEN up THEN 'UP' ELSE 'DOWN' END"))
         .select("event_type", "day", "h", "l", "kind")
         .orderBy("event_type", "day")
+    }),
+
+    // DMI/ADX (sum-smoothed declared variant) — directional movement
+    // +DM/−DM gated one-against-the-other, true range, 14-bar rolling
+    // sums → ±DI ppm, DX ppm = |ΔDI|·10⁶ DIV ΣDI, ADX = 14-bar DX mean;
+    // synthetic h/l via own md5 namespaces (the win_atr law). One sort,
+    // all windows share it; zero denominators guarded.
+    "win_dmi_adx" -> ((s, d) => {
+      val ord = Window.partitionBy("event_type").orderBy(col("ts_us"), col("event_id"))
+      val w14 = ord.rowsBetween(-13, 0)
+      def u(ns: String) =
+        s"CAST(conv(substring(md5(concat('$ns:', CAST(event_id AS STRING))), 1, 8), 16, 10) AS BIGINT)"
+      Tables.events(s, d)
+        .select(col("event_type"), col("event_id"), col("ts_us"),
+          floor(col("value") * 100).cast("bigint").as("cents"))
+        .withColumn("h", expr(s"cents + ${u("dmh")} % 60"))
+        .withColumn("l", expr(s"cents - ${u("dml")} % 60"))
+        .withColumn("ph", lag("h", 1).over(ord))
+        .withColumn("pl", lag("l", 1).over(ord))
+        .withColumn("pc", coalesce(lag("cents", 1).over(ord), col("cents")))
+        .withColumn("up_m", expr("CASE WHEN ph IS NULL THEN 0 ELSE h - ph END"))
+        .withColumn("dn_m", expr("CASE WHEN pl IS NULL THEN 0 ELSE pl - l END"))
+        .withColumn("pdm", expr("CASE WHEN up_m > dn_m AND up_m > 0 THEN up_m ELSE 0 END"))
+        .withColumn("ndm", expr("CASE WHEN dn_m > up_m AND dn_m > 0 THEN dn_m ELSE 0 END"))
+        .withColumn("tr", expr("greatest(h - l, abs(h - pc), abs(l - pc))"))
+        .withColumn("rn", row_number().over(ord).cast("bigint"))
+        .withColumn("pdm14", sum("pdm").over(w14))
+        .withColumn("ndm14", sum("ndm").over(w14))
+        .withColumn("tr14", sum("tr").over(w14))
+        .withColumn("pdi_ppm", expr(
+          "CASE WHEN tr14 > 0 THEN pdm14 * 1000000 DIV tr14 ELSE 0 END"))
+        .withColumn("ndi_ppm", expr(
+          "CASE WHEN tr14 > 0 THEN ndm14 * 1000000 DIV tr14 ELSE 0 END"))
+        .withColumn("dx_ppm", expr(
+          "CASE WHEN pdi_ppm + ndi_ppm > 0 THEN abs(pdi_ppm - ndi_ppm) * 1000000 DIV (pdi_ppm + ndi_ppm) ELSE 0 END"))
+        .withColumn("adx_ppm", expr(
+          "SUM(dx_ppm) OVER (PARTITION BY event_type ORDER BY ts_us, event_id " +
+            "ROWS BETWEEN 13 PRECEDING AND CURRENT ROW) DIV 14"))
+        .where(col("rn") >= 28 && col("event_id") % 13 === 6)
+        .select("event_type", "event_id", "pdi_ppm", "ndi_ppm", "dx_ppm", "adx_ppm")
+        .orderBy("event_type", "event_id")
+    }),
+
+    // Croston's intermittent-demand method — sparse demand (1-in-37
+    // orders), the nonzero-demand subsequence carries BOTH state series:
+    // finite-lag integer EWMA of demand sizes (z) and of inter-arrival
+    // gaps (p), forecast rate = z/p in exact ppm; graded at the final
+    // state per series (composite max_by over the last demand day).
+    "agg_croston" -> ((s, d) => {
+      val daily = Tables.orders(s, d)
+        .where(col("o_orderkey") % 37 === 5)
+        .groupBy(col("o_orderpriority"),
+          datediff(col("o_orderdate"), to_date(lit("1970-01-01")))
+            .cast("bigint").as("day"))
+        .agg(count(lit(1)).as("z"))
+      val ord = Window.partitionBy("o_orderpriority").orderBy("day")
+      val terms = KeltnerW.zipWithIndex.map { case (wt, i) =>
+        coalesce(lag(col("z"), i).over(ord) * wt, lit(0L)) }
+      val denomZ = KeltnerW.zipWithIndex.map { case (wt, i) =>
+        when(lag(col("z"), i).over(ord).isNotNull, wt).otherwise(0L) }
+      val gapTerms = KeltnerW.zipWithIndex.map { case (wt, i) =>
+        coalesce(lag(col("gap"), i).over(ord) * wt, lit(0L)) }
+      val denomG = KeltnerW.zipWithIndex.map { case (wt, i) =>
+        when(lag(col("gap"), i).over(ord).isNotNull, wt).otherwise(0L) }
+      daily
+        .withColumn("gap", col("day") - lag("day", 1).over(ord))
+        .withColumn("rn", row_number().over(ord).cast("bigint"))
+        .withColumn("z_num", terms.reduce(_ + _))
+        .withColumn("z_den", denomZ.reduce(_ + _))
+        .withColumn("z_milli", expr("z_num * 1000 DIV z_den"))
+        .withColumn("g_num", gapTerms.reduce(_ + _))
+        .withColumn("g_den", denomG.reduce(_ + _))
+        .withColumn("p_milli", expr(
+          "CASE WHEN g_den > 0 THEN g_num * 1000 DIV g_den ELSE 0 END"))
+        .withColumn("f_ppm", expr(
+          "CASE WHEN p_milli > 0 THEN z_milli * 1000000 DIV p_milli ELSE 0 END"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_demand_days"),
+          expr("max_by(z_milli, day)").as("z_milli"),
+          expr("max_by(p_milli, day)").as("p_milli"),
+          expr("max_by(f_ppm, day)").as("f_ppm"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // User-agent parse — REAL regexp extraction (family + version + OS)
+    // over deterministic UA strings assembled from literal templates:
+    // the classic log-sessionization fn, graded on the parsed rollup.
+    // One scan, broadcast-free, codegen regexps.
+    "fn_user_agent_parse" -> ((s, d) => {
+      val ua =
+        """CASE CAST(conv(substring(md5(concat('ua:', CAST(c_custkey AS STRING))), 1, 8), 16, 10) AS BIGINT) % 5
+          |  WHEN 0 THEN concat('Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/', 100 + c_custkey % 30, '.0.0.0 Safari/537.36')
+          |  WHEN 1 THEN concat('Mozilla/5.0 (Macintosh; Intel Mac OS X 10_15_7) AppleWebKit/605.1.15 (KHTML, like Gecko) Version/', 14 + c_custkey % 4, '.1 Safari/605.1.15')
+          |  WHEN 2 THEN concat('Mozilla/5.0 (X11; Linux x86_64; rv:', 90 + c_custkey % 20, '.0) Gecko/20100101 Firefox/', 90 + c_custkey % 20, '.0')
+          |  WHEN 3 THEN concat('Mozilla/5.0 (iPhone; CPU iPhone OS 16_', c_custkey % 7, ' like Mac OS X) AppleWebKit/605.1.15 (KHTML, like Gecko) Mobile/15E148')
+          |  ELSE concat('curl/', 7 + c_custkey % 2, '.', c_custkey % 80, '.0') END""".stripMargin
+      Tables.customer(s, d)
+        .withColumn("ua", expr(ua))
+        .withColumn("family", expr(
+          """CASE WHEN ua RLIKE 'Chrome/' THEN 'Chrome'
+            |  WHEN ua RLIKE 'Firefox/' THEN 'Firefox'
+            |  WHEN ua RLIKE 'Version/.*Safari' THEN 'Safari'
+            |  WHEN ua RLIKE '^curl/' THEN 'curl'
+            |  ELSE 'Other' END""".stripMargin))
+        .withColumn("os", expr(
+          """CASE WHEN ua RLIKE 'Windows NT' THEN 'Windows'
+            |  WHEN ua RLIKE 'iPhone OS' THEN 'iOS'
+            |  WHEN ua RLIKE 'Mac OS X' THEN 'macOS'
+            |  WHEN ua RLIKE 'Linux' THEN 'Linux'
+            |  ELSE 'Other' END""".stripMargin))
+        .withColumn("major", expr(
+          "TRY_CAST(nullif(regexp_extract(ua, '(Chrome|Firefox|Version|curl)/([0-9]+)', 2), '') AS BIGINT)"))
+        .groupBy("family", "os")
+        .agg(count(lit(1)).as("n_ua"),
+          min("major").as("min_major"), max("major").as("max_major"))
+        .orderBy("family", "os")
+    }),
+
+    // Cron next-fire resolver — REAL field matching (*, */n, a-b, plain)
+    // over the 5-field expressions, scanned against the next 21 days of
+    // minutes from a literal base; day-of-week from the epoch-day
+    // formula (never the engines' divergent dow conventions). The
+    // minute grid is a bounded 10080-row generate, crossed with 5
+    // expressions (30240×5) — constant work regardless of data scale.
+    "fn_cron_next_fire" -> ((s, d) => {
+      s.createDataFrame(Seq(
+        Tuple1("*/15 * * * *"), Tuple1("0 9 * * 1-5"), Tuple1("30 2 1 * *"),
+        Tuple1("0 0 * * 0"), Tuple1("45 18 15 * *"))).toDF("expr")
+        .createOrReplaceTempView("graft_cron_exprs")
+      s.sql(
+        """WITH mins AS (SELECT explode(sequence(1, 30240)) AS m),
+          |grid AS (SELECT m,
+          |    TIMESTAMP '1995-06-01 00:00:00' + make_interval(0, 0, 0, 0, 0, m, 0) AS ts
+          |  FROM mins),
+          |f AS (SELECT m, ts, minute(ts) AS mi, hour(ts) AS hh, day(ts) AS dom,
+          |    month(ts) AS mo,
+          |    (datediff(CAST(ts AS DATE), DATE '1970-01-01') + 4) % 7 AS dow
+          |  FROM grid),
+          |e AS (SELECT expr,
+          |    split(expr, ' ')[0] AS f_mi, split(expr, ' ')[1] AS f_hh,
+          |    split(expr, ' ')[2] AS f_dom, split(expr, ' ')[3] AS f_mo,
+          |    split(expr, ' ')[4] AS f_dow
+          |  FROM graft_cron_exprs),
+          |j AS (SELECT e.expr, f.m, f.ts FROM e CROSS JOIN f
+          |  WHERE (f_mi = '*' OR (f_mi LIKE '*/%' AND f.mi % CAST(substring(f_mi, 3) AS INT) = 0)
+          |      OR (f_mi RLIKE '^[0-9]+-[0-9]+$' AND f.mi BETWEEN CAST(split(f_mi, '-')[0] AS INT) AND CAST(split(f_mi, '-')[1] AS INT))
+          |      OR f_mi = CAST(f.mi AS STRING))
+          |    AND (f_hh = '*' OR (f_hh LIKE '*/%' AND f.hh % CAST(substring(f_hh, 3) AS INT) = 0)
+          |      OR (f_hh RLIKE '^[0-9]+-[0-9]+$' AND f.hh BETWEEN CAST(split(f_hh, '-')[0] AS INT) AND CAST(split(f_hh, '-')[1] AS INT))
+          |      OR f_hh = CAST(f.hh AS STRING))
+          |    AND (f_dom = '*' OR (f_dom LIKE '*/%' AND f.dom % CAST(substring(f_dom, 3) AS INT) = 0)
+          |      OR (f_dom RLIKE '^[0-9]+-[0-9]+$' AND f.dom BETWEEN CAST(split(f_dom, '-')[0] AS INT) AND CAST(split(f_dom, '-')[1] AS INT))
+          |      OR f_dom = CAST(f.dom AS STRING))
+          |    AND (f_mo = '*' OR (f_mo LIKE '*/%' AND f.mo % CAST(substring(f_mo, 3) AS INT) = 0)
+          |      OR (f_mo RLIKE '^[0-9]+-[0-9]+$' AND f.mo BETWEEN CAST(split(f_mo, '-')[0] AS INT) AND CAST(split(f_mo, '-')[1] AS INT))
+          |      OR f_mo = CAST(f.mo AS STRING))
+          |    AND (f_dow = '*' OR (f_dow LIKE '*/%' AND f.dow % CAST(substring(f_dow, 3) AS INT) = 0)
+          |      OR (f_dow RLIKE '^[0-9]+-[0-9]+$' AND f.dow BETWEEN CAST(split(f_dow, '-')[0] AS INT) AND CAST(split(f_dow, '-')[1] AS INT))
+          |      OR f_dow = CAST(f.dow AS STRING)))
+          |SELECT expr, CAST(MIN(m) AS BIGINT) AS minutes_ahead,
+          |  CAST(MIN(ts) AS STRING) AS next_fire
+          |FROM j GROUP BY expr ORDER BY expr""".stripMargin)
     })
   )
 
@@ -1470,6 +1632,139 @@ object Round12bOps {
         |  CASE WHEN up AND dn THEN 'BOTH' WHEN up THEN 'UP' ELSE 'DOWN' END AS kind
         |FROM w WHERE rn >= 3 AND rn <= nn - 2 AND (up OR dn)
         |ORDER BY event_type, day""".stripMargin,
+
+    // Same md5 h/l namespaces, same gated DM, same 14-bar sums.
+    "win_dmi_adx" ->
+      """WITH e AS (SELECT event_type, event_id, epoch_us(ts) AS ts_us,
+        |    CAST(FLOOR(value * 100) AS BIGINT) AS cents FROM events),
+        |hl AS (SELECT *,
+        |    cents + ('0x' || substring(md5('dmh:' || CAST(event_id AS VARCHAR)), 1, 8))::BIGINT % 60 AS h,
+        |    cents - ('0x' || substring(md5('dml:' || CAST(event_id AS VARCHAR)), 1, 8))::BIGINT % 60 AS l
+        |  FROM e),
+        |p AS (SELECT *, LAG(h) OVER o AS ph, LAG(l) OVER o AS pl,
+        |    COALESCE(LAG(cents) OVER o, cents) AS pc,
+        |    CAST(ROW_NUMBER() OVER o AS BIGINT) AS rn
+        |  FROM hl WINDOW o AS (PARTITION BY event_type ORDER BY ts_us, event_id)),
+        |dm AS (SELECT *,
+        |    CASE WHEN ph IS NULL THEN 0 ELSE h - ph END AS up_m,
+        |    CASE WHEN pl IS NULL THEN 0 ELSE pl - l END AS dn_m,
+        |    GREATEST(h - l, ABS(h - pc), ABS(l - pc)) AS tr
+        |  FROM p),
+        |g AS (SELECT *,
+        |    CASE WHEN up_m > dn_m AND up_m > 0 THEN up_m ELSE 0 END AS pdm,
+        |    CASE WHEN dn_m > up_m AND dn_m > 0 THEN dn_m ELSE 0 END AS ndm
+        |  FROM dm),
+        |s AS (SELECT *,
+        |    CAST(SUM(pdm) OVER w14 AS BIGINT) AS pdm14,
+        |    CAST(SUM(ndm) OVER w14 AS BIGINT) AS ndm14,
+        |    CAST(SUM(tr) OVER w14 AS BIGINT) AS tr14
+        |  FROM g WINDOW w14 AS (PARTITION BY event_type ORDER BY ts_us, event_id
+        |    ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)),
+        |di AS (SELECT *,
+        |    CASE WHEN tr14 > 0 THEN pdm14 * 1000000 // tr14 ELSE 0 END AS pdi_ppm,
+        |    CASE WHEN tr14 > 0 THEN ndm14 * 1000000 // tr14 ELSE 0 END AS ndi_ppm
+        |  FROM s),
+        |dx AS (SELECT *,
+        |    CASE WHEN pdi_ppm + ndi_ppm > 0
+        |      THEN ABS(pdi_ppm - ndi_ppm) * 1000000 // (pdi_ppm + ndi_ppm)
+        |      ELSE 0 END AS dx_ppm
+        |  FROM di),
+        |a AS (SELECT *, CAST(SUM(dx_ppm) OVER (PARTITION BY event_type
+        |      ORDER BY ts_us, event_id ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+        |    AS BIGINT) // 14 AS adx_ppm
+        |  FROM dx)
+        |SELECT event_type, event_id, pdi_ppm, ndi_ppm, dx_ppm, adx_ppm
+        |FROM a WHERE rn >= 28 AND event_id % 13 = 6
+        |ORDER BY event_type, event_id""".stripMargin,
+
+    // Same sparse series, same weight-vector EWMAs, same final-state
+    // pick.
+    "agg_croston" -> {
+      val zl = KeltnerW.indices.map(i => s"lag(z, $i) OVER o AS z$i").mkString(", ")
+      val gl = KeltnerW.indices.map(i => s"lag(gap, $i) OVER o AS g$i").mkString(", ")
+      val zn = KeltnerW.zipWithIndex.map { case (w, i) => s"COALESCE($w * z$i, 0)" }.mkString(" + ")
+      val zd = KeltnerW.zipWithIndex.map { case (w, i) => s"CASE WHEN z$i IS NULL THEN 0 ELSE $w END" }.mkString(" + ")
+      val gn = KeltnerW.zipWithIndex.map { case (w, i) => s"COALESCE($w * g$i, 0)" }.mkString(" + ")
+      val gd = KeltnerW.zipWithIndex.map { case (w, i) => s"CASE WHEN g$i IS NULL THEN 0 ELSE $w END" }.mkString(" + ")
+      s"""WITH daily AS (SELECT o_orderpriority,
+         |    CAST(date_diff('day', DATE '1970-01-01', o_orderdate) AS BIGINT) AS day,
+         |    CAST(COUNT(*) AS BIGINT) AS z
+         |  FROM orders WHERE o_orderkey % 37 = 5 GROUP BY 1, 2),
+         |g AS (SELECT *, day - LAG(day) OVER o AS gap
+         |  FROM daily WINDOW o AS (PARTITION BY o_orderpriority ORDER BY day)),
+         |l AS (SELECT *, $zl, $gl
+         |  FROM g WINDOW o AS (PARTITION BY o_orderpriority ORDER BY day)),
+         |st AS (SELECT *, ($zn) * 1000 // ($zd) AS z_milli,
+         |    CASE WHEN ($gd) > 0 THEN ($gn) * 1000 // ($gd) ELSE 0 END AS p_milli
+         |  FROM l),
+         |ff AS (SELECT *, CASE WHEN p_milli > 0
+         |    THEN z_milli * 1000000 // p_milli ELSE 0 END AS f_ppm FROM st)
+         |SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_demand_days,
+         |  MAX_BY(z_milli, day) AS z_milli, MAX_BY(p_milli, day) AS p_milli,
+         |  MAX_BY(f_ppm, day) AS f_ppm
+         |FROM ff GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+    },
+
+    // Same literal templates, same classification regexps, same major
+    // extraction (TRY_CAST(NULLIF …) mirrors Spark's lax '' → NULL).
+    "fn_user_agent_parse" ->
+      """WITH ua AS (SELECT c_custkey,
+        |    CASE ('0x' || substring(md5('ua:' || CAST(c_custkey AS VARCHAR)), 1, 8))::BIGINT % 5
+        |      WHEN 0 THEN 'Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/' || CAST(100 + c_custkey % 30 AS VARCHAR) || '.0.0.0 Safari/537.36'
+        |      WHEN 1 THEN 'Mozilla/5.0 (Macintosh; Intel Mac OS X 10_15_7) AppleWebKit/605.1.15 (KHTML, like Gecko) Version/' || CAST(14 + c_custkey % 4 AS VARCHAR) || '.1 Safari/605.1.15'
+        |      WHEN 2 THEN 'Mozilla/5.0 (X11; Linux x86_64; rv:' || CAST(90 + c_custkey % 20 AS VARCHAR) || '.0) Gecko/20100101 Firefox/' || CAST(90 + c_custkey % 20 AS VARCHAR) || '.0'
+        |      WHEN 3 THEN 'Mozilla/5.0 (iPhone; CPU iPhone OS 16_' || CAST(c_custkey % 7 AS VARCHAR) || ' like Mac OS X) AppleWebKit/605.1.15 (KHTML, like Gecko) Mobile/15E148'
+        |      ELSE 'curl/' || CAST(7 + c_custkey % 2 AS VARCHAR) || '.' || CAST(c_custkey % 80 AS VARCHAR) || '.0' END AS ua
+        |  FROM customer),
+        |cls AS (SELECT ua,
+        |    CASE WHEN regexp_matches(ua, 'Chrome/') THEN 'Chrome'
+        |      WHEN regexp_matches(ua, 'Firefox/') THEN 'Firefox'
+        |      WHEN regexp_matches(ua, 'Version/.*Safari') THEN 'Safari'
+        |      WHEN regexp_matches(ua, '^curl/') THEN 'curl'
+        |      ELSE 'Other' END AS family,
+        |    CASE WHEN regexp_matches(ua, 'Windows NT') THEN 'Windows'
+        |      WHEN regexp_matches(ua, 'iPhone OS') THEN 'iOS'
+        |      WHEN regexp_matches(ua, 'Mac OS X') THEN 'macOS'
+        |      WHEN regexp_matches(ua, 'Linux') THEN 'Linux'
+        |      ELSE 'Other' END AS os,
+        |    TRY_CAST(NULLIF(regexp_extract(ua,
+        |      '(Chrome|Firefox|Version|curl)/([0-9]+)', 2), '') AS BIGINT) AS major
+        |  FROM ua)
+        |SELECT family, os, COUNT(*) AS n_ua,
+        |  MIN(major) AS min_major, MAX(major) AS max_major
+        |FROM cls GROUP BY 1, 2 ORDER BY family, os""".stripMargin,
+
+    // Same minute grid, same field matcher (string_split is 1-based in
+    // DuckDB), same epoch-day dow formula.
+    "fn_cron_next_fire" -> {
+      def m(fld: String, v: String) =
+        s"""($fld = '*' OR ($fld LIKE '*/%' AND $v % TRY_CAST(substring($fld, 3) AS INT) = 0)
+           |      OR (regexp_matches($fld, '^[0-9]+-[0-9]+$$') AND $v BETWEEN TRY_CAST(string_split($fld, '-')[1] AS INT) AND TRY_CAST(string_split($fld, '-')[2] AS INT))
+           |      OR $fld = CAST($v AS VARCHAR))""".stripMargin
+      s"""WITH ex AS (SELECT * FROM (VALUES ('*/15 * * * *'), ('0 9 * * 1-5'),
+         |    ('30 2 1 * *'), ('0 0 * * 0'), ('45 18 15 * *')) AS t(expr)),
+         |e AS (SELECT expr,
+         |    string_split(expr, ' ')[1] AS f_mi, string_split(expr, ' ')[2] AS f_hh,
+         |    string_split(expr, ' ')[3] AS f_dom, string_split(expr, ' ')[4] AS f_mo,
+         |    string_split(expr, ' ')[5] AS f_dow
+         |  FROM ex),
+         |grid AS (SELECT CAST(g AS BIGINT) AS m,
+         |    TIMESTAMP '1995-06-01 00:00:00' + to_minutes(CAST(g AS BIGINT)) AS ts
+         |  FROM generate_series(1, 30240) t(g)),
+         |f AS (SELECT m, ts, minute(ts) AS mi, hour(ts) AS hh, day(ts) AS dom,
+         |    month(ts) AS mo,
+         |    (date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) + 4) % 7 AS dow
+         |  FROM grid),
+         |j AS (SELECT e.expr, f.m, f.ts FROM e CROSS JOIN f
+         |  WHERE ${m("f_mi", "f.mi")}
+         |    AND ${m("f_hh", "f.hh")}
+         |    AND ${m("f_dom", "f.dom")}
+         |    AND ${m("f_mo", "f.mo")}
+         |    AND ${m("f_dow", "f.dow")})
+         |SELECT expr, CAST(MIN(m) AS BIGINT) AS minutes_ahead,
+         |  CAST(MIN(ts) AS VARCHAR) AS next_fire
+         |FROM j GROUP BY expr ORDER BY expr""".stripMargin
+    },
 
     // Same 10-period extremes, same zone thresholds, same lag transition
     // count.
