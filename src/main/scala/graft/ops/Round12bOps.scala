@@ -16,6 +16,34 @@ object Round12bOps {
     * midline — finite-lag integer EWMA, the win_ewma law. */
   private val KeltnerW = Seq(64L, 32L, 16L, 8L, 4L, 2L, 1L)
 
+  /** Hilbert-curve round chains (order 8, 256×256 grid) shared by the
+    * Spark impl and the DuckDB oracle — ONE generator, two dialects
+    * (`DIV` vs `//`, `a ^ b` vs `xor(a, b)`), so the 8 unrolled rounds
+    * cannot drift between engines. Returns ordered (column, expr)
+    * assignments; Spark chains them as withColumns, DuckDB as one
+    * lateral-alias CTE per round. */
+  private[ops] def hilbertEncodeSteps(xor: (String, String) => String): Seq[Seq[(String, String)]] =
+    (7 to 0 by -1).zipWithIndex.map { case (k, i) =>
+      val s = 1 << k
+      Seq(
+        s"rx$i" -> s"CASE WHEN (x$i & $s) > 0 THEN 1 ELSE 0 END",
+        s"ry$i" -> s"CASE WHEN (y$i & $s) > 0 THEN 1 ELSE 0 END",
+        s"d${i + 1}" -> s"d$i + $s * $s * ${xor(s"(3 * rx$i)", s"ry$i")}",
+        s"x${i + 1}" -> s"CASE WHEN ry$i = 0 THEN (CASE WHEN rx$i = 1 THEN $s - 1 - y$i ELSE y$i END) ELSE x$i END",
+        s"y${i + 1}" -> s"CASE WHEN ry$i = 0 THEN (CASE WHEN rx$i = 1 THEN $s - 1 - x$i ELSE x$i END) ELSE y$i END")
+    }
+
+  private[ops] def hilbertDecodeSteps(xor: (String, String) => String, div: String): Seq[Seq[(String, String)]] =
+    (0 to 7).map { i =>
+      val s = 1 << i
+      Seq(
+        s"sx$i" -> s"CASE WHEN (t$i $div 2) % 2 = 1 THEN 1 ELSE 0 END",
+        s"sy$i" -> s"CASE WHEN ${xor(s"(t$i % 2)", s"sx$i")} = 1 THEN 1 ELSE 0 END",
+        s"a${i + 1}" -> s"(CASE WHEN sy$i = 0 THEN (CASE WHEN sx$i = 1 THEN $s - 1 - b$i ELSE b$i END) ELSE a$i END) + $s * sx$i",
+        s"b${i + 1}" -> s"(CASE WHEN sy$i = 0 THEN (CASE WHEN sx$i = 1 THEN $s - 1 - a$i ELSE a$i END) ELSE b$i END) + $s * sy$i",
+        s"t${i + 1}" -> s"t$i $div 4")
+    }
+
   val queries: Map[String, Q] = Map(
     // EXCEPT ALL — bag difference (multiplicities subtract, floor 0), the
     // third bag-algebra operator next to set_union_all/set_intersect_all.
@@ -997,6 +1025,95 @@ object Round12bOps {
           |SELECT expr, CAST(MIN(m) AS BIGINT) AS minutes_ahead,
           |  CAST(MIN(ts) AS STRING) AS next_fire
           |FROM j GROUP BY expr ORDER BY expr""".stripMargin)
+    }),
+
+    // Heikin-Ashi candles — the recursive smoothing transform:
+    // ha_close = (o+h+l+c) DIV 4 per bar, ha_open = truncating midpoint
+    // chain seeded at the first bar, computed per row as a bounded fold
+    // over the window's collected hc prefix (Spark side — no recursion);
+    // ha_high/low close over the synthetic extremes. Daily bars with
+    // open/close by composite min_by/max_by.
+    "win_heikin_ashi" -> ((s, d) => {
+      val ord = Window.partitionBy("event_type").orderBy("day")
+      val wPrev = ord.rowsBetween(Window.unboundedPreceding, -1)
+      Tables.events(s, d)
+        .select(col("event_type"), col("event_id"), col("ts_us"),
+          expr("ts_us DIV 86400000000").as("day"),
+          floor(col("value") * 100).cast("bigint").as("cents"))
+        .groupBy("event_type", "day")
+        .agg(expr("min_by(cents, struct(ts_us, event_id))").as("o"),
+          max("cents").as("h"), min("cents").as("l"),
+          expr("max_by(cents, struct(ts_us, event_id))").as("c"))
+        .withColumn("hc", expr("(o + h + l + c) DIV 4"))
+        .withColumn("seed", first(expr("(o + c) DIV 2")).over(
+          ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("hc_prev", coalesce(collect_list("hc").over(wPrev),
+          expr("CAST(array() AS ARRAY<BIGINT>)")))
+        .withColumn("ho", expr(
+          "aggregate(hc_prev, seed, (acc, v) -> (acc + v) DIV 2)"))
+        .withColumn("ha_high", greatest(col("h"), col("ho"), col("hc")))
+        .withColumn("ha_low", least(col("l"), col("ho"), col("hc")))
+        .withColumn("candle", expr(
+          "CASE WHEN hc > ho THEN 'BULL' WHEN hc < ho THEN 'BEAR' ELSE 'DOJI' END"))
+        .select("event_type", "day", "ho", "hc", "ha_high", "ha_low", "candle")
+        .orderBy("event_type", "day")
+    }),
+
+    // TRIX — triple-smoothed close momentum: three CHAINED finite-lag
+    // integer EWMAs (each stage re-folds the previous stage's output,
+    // truncating per the weight-vector law), then the 1-bar rate of
+    // change of the third stage in ppm. 21 lag probes on ONE sort.
+    "win_trix" -> ((s, d) => {
+      val ord = Window.partitionBy("event_type").orderBy("day")
+      def fold(src: String, dst: String)(df: DataFrame): DataFrame = {
+        val terms = KeltnerW.zipWithIndex.map { case (wt, i) =>
+          coalesce(lag(col(src), i).over(ord) * wt, lit(0L)) }
+        val denom = KeltnerW.zipWithIndex.map { case (wt, i) =>
+          when(lag(col(src), i).over(ord).isNotNull, wt).otherwise(0L) }
+        df.withColumn(s"${dst}_num", terms.reduce(_ + _))
+          .withColumn(s"${dst}_den", denom.reduce(_ + _))
+          .withColumn(dst, expr(s"${dst}_num DIV ${dst}_den"))
+      }
+      val bars = Tables.events(s, d)
+        .select(col("event_type"), col("event_id"), col("ts_us"),
+          expr("ts_us DIV 86400000000").as("day"),
+          floor(col("value") * 100).cast("bigint").as("cents"))
+        .groupBy("event_type", "day")
+        .agg(expr("max_by(cents, struct(ts_us, event_id))").as("c"))
+      fold("e2", "e3")(fold("e1", "e2")(fold("c", "e1")(bars)))
+        .withColumn("rn", row_number().over(ord).cast("bigint"))
+        .withColumn("pe3", lag("e3", 1).over(ord))
+        .where(col("rn") >= 22)
+        .withColumn("trix_ppm", expr("(e3 - pe3) * 1000000 DIV pe3"))
+        .select("event_type", "day", "c", "e3", "trix_ppm")
+        .orderBy("event_type", "day")
+    }),
+
+    // Hilbert curve index roundtrip (order 8, 256×256) — the locality-
+    // preserving layout key that beats Z-order on axis-aligned range
+    // scans: xy→d and d→xy as EIGHT UNROLLED rotation rounds emitted by
+    // ONE generator for both engines (no loops, pure bit algebra);
+    // graded on the full roundtrip per key.
+    "fn_hilbert_curve" -> ((s, d) => {
+      val enc = hilbertEncodeSteps((a, b) => s"($a ^ $b)")
+      val dec = hilbertDecodeSteps((a, b) => s"($a ^ $b)", "DIV")
+      val base = Tables.part(s, d)
+        .select(col("p_partkey").cast("bigint").as("pk"))
+        .where(col("pk") % 11 === 4)
+        .withColumn("x0", expr("CAST(pk % 256 AS INT)"))
+        .withColumn("y0", expr("CAST(pk DIV 256 % 256 AS INT)"))
+        .withColumn("d0", lit(0))
+      val encoded = enc.flatten.foldLeft(base) { case (df, (n, e)) =>
+        df.withColumn(n, expr(e)) }
+      val withT = encoded.withColumn("t0", col("d8"))
+        .withColumn("a0", lit(0)).withColumn("b0", lit(0))
+      val decoded = dec.flatten.foldLeft(withT) { case (df, (n, e)) =>
+        df.withColumn(n, expr(e)) }
+      decoded
+        .select(col("pk"), col("x0").cast("bigint").as("x"),
+          col("y0").cast("bigint").as("y"), col("d8").cast("bigint").as("hd"),
+          col("a8").cast("bigint").as("xd"), col("b8").cast("bigint").as("yd"))
+        .orderBy("pk")
     })
   )
 
@@ -1764,6 +1881,91 @@ object Round12bOps {
          |SELECT expr, CAST(MIN(m) AS BIGINT) AS minutes_ahead,
          |  CAST(MIN(ts) AS VARCHAR) AS next_fire
          |FROM j GROUP BY expr ORDER BY expr""".stripMargin
+    },
+
+    // Same bars, same truncating midpoint chain (recursion replaces the
+    // Spark-side prefix fold).
+    "win_heikin_ashi" ->
+      """WITH RECURSIVE e AS (SELECT event_type, event_id, epoch_us(ts) AS ts_us,
+        |    epoch_us(ts) // 86400000000 AS day,
+        |    CAST(FLOOR(value * 100) AS BIGINT) AS cents FROM events),
+        |bar AS (SELECT event_type, day,
+        |    MIN_BY(cents, CAST(ts_us AS HUGEINT) * 1000000 + event_id) AS o,
+        |    MAX(cents) AS h, MIN(cents) AS l,
+        |    MAX_BY(cents, CAST(ts_us AS HUGEINT) * 1000000 + event_id) AS c
+        |  FROM e GROUP BY 1, 2),
+        |br AS (SELECT *, (o + h + l + c) // 4 AS hc,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS BIGINT) AS rn,
+        |    CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS nb
+        |  FROM bar),
+        |f(et, frn, ho) AS (
+        |  SELECT event_type, CAST(1 AS BIGINT), (o + c) // 2
+        |  FROM br WHERE rn = 1
+        |  UNION ALL
+        |  SELECT f.et, f.frn + 1, (f.ho + br.hc) // 2
+        |  FROM f JOIN br ON br.event_type = f.et AND br.rn = f.frn
+        |  WHERE f.frn < br.nb
+        |)
+        |SELECT br.event_type, br.day, f.ho, br.hc,
+        |  GREATEST(br.h, f.ho, br.hc) AS ha_high,
+        |  LEAST(br.l, f.ho, br.hc) AS ha_low,
+        |  CASE WHEN br.hc > f.ho THEN 'BULL' WHEN br.hc < f.ho THEN 'BEAR'
+        |    ELSE 'DOJI' END AS candle
+        |FROM br JOIN f ON f.et = br.event_type AND f.frn = br.rn
+        |ORDER BY br.event_type, br.day""".stripMargin,
+
+    // Same three chained weight-vector stages (i = 0 reads the source
+    // column directly; lag OVER the same sort otherwise).
+    "win_trix" -> {
+      def stage(src: String, dst: String) = {
+        val num = KeltnerW.zipWithIndex.map { case (w, i) =>
+          if (i == 0) s"$w * $src" else s"COALESCE($w * lag($src, $i) OVER o, 0)"
+        }.mkString(" + ")
+        val den = KeltnerW.zipWithIndex.map { case (w, i) =>
+          if (i == 0) s"$w" else s"CASE WHEN lag($src, $i) OVER o IS NULL THEN 0 ELSE $w END"
+        }.mkString(" + ")
+        s"SELECT *, ($num) // ($den) AS $dst"
+      }
+      s"""WITH e AS (SELECT event_type, event_id, epoch_us(ts) AS ts_us,
+         |    epoch_us(ts) // 86400000000 AS day,
+         |    CAST(FLOOR(value * 100) AS BIGINT) AS cents FROM events),
+         |bar AS (SELECT event_type, day,
+         |    MAX_BY(cents, CAST(ts_us AS HUGEINT) * 1000000 + event_id) AS c
+         |  FROM e GROUP BY 1, 2),
+         |s1 AS (${stage("c", "e1")} FROM bar
+         |  WINDOW o AS (PARTITION BY event_type ORDER BY day)),
+         |s2 AS (${stage("e1", "e2")} FROM s1
+         |  WINDOW o AS (PARTITION BY event_type ORDER BY day)),
+         |s3 AS (${stage("e2", "e3")} FROM s2
+         |  WINDOW o AS (PARTITION BY event_type ORDER BY day)),
+         |r AS (SELECT *, CAST(ROW_NUMBER() OVER o AS BIGINT) AS rn,
+         |    LAG(e3) OVER o AS pe3
+         |  FROM s3 WINDOW o AS (PARTITION BY event_type ORDER BY day))
+         |SELECT event_type, day, c, e3,
+         |  (e3 - pe3) * 1000000 // pe3 AS trix_ppm
+         |FROM r WHERE rn >= 22 ORDER BY event_type, day""".stripMargin
+    },
+
+    // Same generator, DuckDB dialect (xor(), //, lateral aliases).
+    "fn_hilbert_curve" -> {
+      val enc = hilbertEncodeSteps((a, b) => s"xor($a, $b)").flatten
+        .map { case (n, e) => s"$e AS $n" }.mkString(",\n|    ")
+      val dec = hilbertDecodeSteps((a, b) => s"xor($a, $b)", "//").flatten
+        .map { case (n, e) => s"$e AS $n" }.mkString(",\n|    ")
+      s"""WITH p AS (SELECT CAST(p_partkey AS BIGINT) AS pk FROM part
+         |  WHERE p_partkey % 11 = 4),
+         |base AS (SELECT pk, CAST(pk % 256 AS INT) AS x0,
+         |    CAST(pk // 256 % 256 AS INT) AS y0, 0 AS d0 FROM p),
+         |enc AS (SELECT pk, x0, y0, d0,
+         |    $enc
+         |  FROM base),
+         |dec AS (SELECT *, d8 AS t0, 0 AS a0, 0 AS b0,
+         |    $dec
+         |  FROM enc)
+         |SELECT pk, CAST(x0 AS BIGINT) AS x, CAST(y0 AS BIGINT) AS y,
+         |  CAST(d8 AS BIGINT) AS hd, CAST(a8 AS BIGINT) AS xd,
+         |  CAST(b8 AS BIGINT) AS yd
+         |FROM dec ORDER BY pk""".stripMargin
     },
 
     // Same 10-period extremes, same zone thresholds, same lag transition
