@@ -1,0 +1,276 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Round-12 operators, third compilation unit (Round12bOps.scala crossed
+  * 2k lines; a fresh small file keeps the incremental recompile at ~1 s).
+  * Same paired impl/oracle style, same engine-exactness laws — NOTE the
+  * negative-numerator DIV law is load-bearing twice here (Chaikin money
+  * flow and the AD-line EWMAs): Spark `DIV` truncates toward zero while
+  * DuckDB `//` floors, so every division whose numerator can go negative
+  * is written sign-split (magnitude DIV, then negate) in BOTH dialects.
+  */
+object Round12cOps {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Finite-lag integer EWMA weights (α≈1/2): fast 4-lag and slow 7-lag
+    * probes for the Chaikin oscillator pair — the win_ewma law. */
+  private val FastW = Seq(8L, 4L, 2L, 1L)
+  private val SlowW = Seq(64L, 32L, 16L, 8L, 4L, 2L, 1L)
+
+  val queries: Map[String, Q] = Map(
+    // Chaikin Accumulation/Distribution — per daily bar the money-flow
+    // multiplier ((c-l)-(h-c))/(h-l) scaled ×1000 by bar volume
+    // (sign-split DIV), AD = running sum, oscillator = fast − slow
+    // finite-lag EWMA of AD (sign-split folds). One sort, 11 lag probes.
+    "win_chaikin_ad" -> ((s, d) => {
+      val ord = Window.partitionBy("event_type").orderBy("day")
+      val cum = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      def fold(w: Seq[Long], dst: String)(df: DataFrame): DataFrame = {
+        val num = w.zipWithIndex.map { case (wt, i) =>
+          coalesce(lag(col("ad"), i).over(ord) * wt, lit(0L)) }.reduce(_ + _)
+        val den = w.zipWithIndex.map { case (wt, i) =>
+          when(lag(col("ad"), i).over(ord).isNotNull, wt).otherwise(0L) }
+          .reduce(_ + _)
+        df.withColumn(s"${dst}_n", num).withColumn(s"${dst}_d", den)
+          .withColumn(dst, expr(
+            s"CASE WHEN ${dst}_n < 0 THEN -((-${dst}_n) DIV ${dst}_d) " +
+              s"ELSE ${dst}_n DIV ${dst}_d END"))
+      }
+      val bars = Tables.events(s, d)
+        .select(col("event_type"), col("event_id"), col("ts_us"),
+          expr("ts_us DIV 86400000000").as("day"),
+          floor(col("value") * 100).cast("bigint").as("cents"))
+        .groupBy("event_type", "day")
+        .agg(max("cents").as("h"), min("cents").as("l"),
+          expr("max_by(cents, struct(ts_us, event_id))").as("c"),
+          count(lit(1)).as("vol"))
+        .withColumn("mfv", expr(
+          """CASE WHEN h = l THEN 0L
+            |  WHEN 2 * c - l - h < 0
+            |    THEN -(((l + h - 2 * c) * vol * 1000) DIV (h - l))
+            |  ELSE ((2 * c - l - h) * vol * 1000) DIV (h - l) END"""
+            .stripMargin))
+        .withColumn("ad", sum("mfv").over(cum))
+      fold(SlowW, "ema_slow")(fold(FastW, "ema_fast")(bars))
+        .withColumn("osc", col("ema_fast") - col("ema_slow"))
+        .withColumn("signal", expr(
+          "CASE WHEN osc > 0 THEN 'ACCUM' WHEN osc < 0 THEN 'DISTRIB' " +
+            "ELSE 'FLAT' END"))
+        .select("event_type", "day", "ad", "ema_fast", "ema_slow", "osc",
+          "signal")
+        .orderBy("event_type", "day")
+    }),
+
+    // Snowflake-ID compose/decompose roundtrip — 41-bit millis, 10-bit
+    // worker, 12-bit sequence packed by pure multiplication (no dialect
+    // shift operators), unpacked by DIV/%; k-sortability graded via the
+    // rank identity rank(id) == rank(ts, worker, seq). All fields
+    // non-negative, so truncating and flooring division agree.
+    "fn_snowflake_id" -> ((s, d) => {
+      Tables.orders(s, d)
+        .where(col("o_orderkey") % 7 === 0)
+        .select(col("o_orderkey").as("okey"),
+          // o_orderdate ships as TIMESTAMP_NTZ; session TZ is UTC, so the
+          // cast is wall-clock-identity and matches DuckDB's epoch_ms.
+          expr("unix_millis(CAST(o_orderdate AS TIMESTAMP))").as("ts_ms"),
+          expr("o_custkey % 1024").as("worker"),
+          expr("o_orderkey % 4096").as("seq"))
+        .withColumn("id", expr("ts_ms * 4194304 + worker * 4096 + seq"))
+        .withColumn("ts_back", expr("id DIV 4194304"))
+        .withColumn("worker_back", expr("(id DIV 4096) % 1024"))
+        .withColumn("seq_back", expr("id % 4096"))
+        .withColumn("rank_by_id",
+          row_number().over(Window.orderBy("id", "okey")).cast("bigint"))
+        .withColumn("rank_by_fields", row_number().over(
+          Window.orderBy("ts_ms", "worker", "seq", "okey")).cast("bigint"))
+        .select("okey", "id", "ts_ms", "worker", "seq", "ts_back",
+          "worker_back", "seq_back", "rank_by_id", "rank_by_fields")
+        .orderBy("okey")
+    }),
+
+    // Iterative proportional fitting (raking) — the survey-weighting
+    // workhorse: a (mktsegment × region) count table raked to uniform
+    // row/col targets, TWO unrolled rounds (row-scale, col-scale) × 2 in
+    // exact milli weights. All numerators non-negative; margins via
+    // window sums so the whole fit is one shuffle + four window passes.
+    "agg_ipf_raking" -> ((s, d) => {
+      val all = Window.partitionBy(lit(1))
+      val bySeg = Window.partitionBy("seg")
+      val byReg = Window.partitionBy("reg")
+      def rowScale(src: String, dst: String)(df: DataFrame): DataFrame =
+        df.withColumn(s"${dst}_m", sum(col(src)).over(bySeg))
+          .withColumn(dst, expr(s"($src * tr * 1000) DIV ${dst}_m"))
+      def colScale(src: String, dst: String)(df: DataFrame): DataFrame =
+        df.withColumn(s"${dst}_m", sum(col(src)).over(byReg))
+          .withColumn(dst, expr(s"($src * tc * 1000) DIV ${dst}_m"))
+      val cells = Tables.customer(s, d)
+        .join(broadcast(Tables.nation(s, d)),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_mktsegment").as("seg"),
+          col("n_regionkey").cast("bigint").as("reg"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("total", sum("n").over(all))
+        .withColumn("ns", size(collect_set("seg").over(all)).cast("bigint"))
+        .withColumn("nr", size(collect_set("reg").over(all)).cast("bigint"))
+        .withColumn("tr", expr("total DIV ns"))
+        .withColumn("tc", expr("total DIV nr"))
+        .withColumn("w0", col("n") * 1000L)
+      val fitted = (rowScale("w0", "w1") _)
+        .andThen(colScale("w1", "w2"))
+        .andThen(rowScale("w2", "w3"))
+        .andThen(colScale("w3", "w4"))(cells)
+      fitted
+        .withColumn("col_margin", sum("w4").over(byReg))
+        .select(col("seg"), col("reg"), col("n"), col("w4").as("w_milli"),
+          col("col_margin"))
+        .orderBy("seg", "reg")
+    }),
+
+    // Progressive marginal tax — slab algebra over a synthetic income
+    // (positive-shifted acctbal cents ×9 so all four slabs populate):
+    // per-slab clamp(income−lo, 0, width) × marginal rate, summed exact,
+    // effective rate ppm, rolled up per top bracket.
+    "fn_tax_brackets" -> ((s, d) => {
+      Tables.customer(s, d)
+        .select(col("c_custkey"),
+          ((floor(col("c_acctbal") * 100).cast("bigint") + 100000L) * 9L)
+            .as("income"))
+        .withColumn("a1", expr("LEAST(GREATEST(income - 0, 0L), 1000000L)"))
+        .withColumn("a2", expr(
+          "LEAST(GREATEST(income - 1000000, 0L), 2000000L)"))
+        .withColumn("a3", expr(
+          "LEAST(GREATEST(income - 3000000, 0L), 5000000L)"))
+        .withColumn("a4", expr("GREATEST(income - 8000000, 0L)"))
+        .withColumn("tax", expr(
+          "(a1 * 10 + a2 * 20 + a3 * 30 + a4 * 40) DIV 100"))
+        .withColumn("eff_ppm", expr("tax * 1000000 DIV income"))
+        .withColumn("bracket", expr(
+          """CASE WHEN income > 8000000 THEN '40pct'
+            |  WHEN income > 3000000 THEN '30pct'
+            |  WHEN income > 1000000 THEN '20pct'
+            |  ELSE '10pct' END""".stripMargin))
+        .groupBy("bracket")
+        .agg(count(lit(1)).as("payers"),
+          sum("income").as("sum_income"), sum("tax").as("sum_tax"),
+          min("eff_ppm").as("min_eff_ppm"), max("eff_ppm").as("max_eff_ppm"))
+        .withColumn("avg_eff_ppm", expr("sum_tax * 1000000 DIV sum_income"))
+        .orderBy("bracket")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    // Same bars, same sign-split money flow, same two weight-vector
+    // folds (DuckDB // floors, hence the mirrored magnitude form).
+    "win_chaikin_ad" -> {
+      def stage(w: Seq[Long], dst: String) = {
+        val num = w.zipWithIndex.map { case (wt, i) =>
+          if (i == 0) s"$wt * ad"
+          else s"COALESCE($wt * lag(ad, $i) OVER o, 0)" }.mkString(" + ")
+        val den = w.zipWithIndex.map { case (wt, i) =>
+          if (i == 0) s"$wt"
+          else s"CASE WHEN lag(ad, $i) OVER o IS NULL THEN 0 ELSE $wt END" }
+          .mkString(" + ")
+        s"""SELECT *, CASE WHEN ($num) < 0
+           |    THEN -((-($num)) // ($den)) ELSE ($num) // ($den) END AS $dst"""
+          .stripMargin
+      }
+      s"""WITH e AS (SELECT event_type, event_id, epoch_us(ts) AS ts_us,
+         |    epoch_us(ts) // 86400000000 AS day,
+         |    CAST(FLOOR(value * 100) AS BIGINT) AS cents FROM events),
+         |bar AS (SELECT event_type, day, MAX(cents) AS h, MIN(cents) AS l,
+         |    MAX_BY(cents, CAST(ts_us AS HUGEINT) * 1000000 + event_id) AS c,
+         |    CAST(COUNT(*) AS BIGINT) AS vol
+         |  FROM e GROUP BY 1, 2),
+         |mf AS (SELECT *, CASE WHEN h = l THEN 0
+         |    WHEN 2 * c - l - h < 0
+         |      THEN -(((l + h - 2 * c) * vol * 1000) // (h - l))
+         |    ELSE ((2 * c - l - h) * vol * 1000) // (h - l) END AS mfv
+         |  FROM bar),
+         |adl AS (SELECT *, CAST(SUM(mfv) OVER (PARTITION BY event_type
+         |    ORDER BY day ROWS UNBOUNDED PRECEDING) AS BIGINT) AS ad
+         |  FROM mf),
+         |s1 AS (${stage(FastW, "ema_fast")} FROM adl
+         |  WINDOW o AS (PARTITION BY event_type ORDER BY day)),
+         |s2 AS (${stage(SlowW, "ema_slow")} FROM s1
+         |  WINDOW o AS (PARTITION BY event_type ORDER BY day))
+         |SELECT event_type, day, ad, ema_fast, ema_slow,
+         |  ema_fast - ema_slow AS osc,
+         |  CASE WHEN ema_fast - ema_slow > 0 THEN 'ACCUM'
+         |    WHEN ema_fast - ema_slow < 0 THEN 'DISTRIB'
+         |    ELSE 'FLAT' END AS signal
+         |FROM s2 ORDER BY event_type, day""".stripMargin
+    },
+
+    // Same pack/unpack arithmetic, same rank identity.
+    "fn_snowflake_id" ->
+      """WITH base AS (SELECT o_orderkey AS okey,
+        |    epoch_ms(o_orderdate) AS ts_ms,
+        |    o_custkey % 1024 AS worker, o_orderkey % 4096 AS seq
+        |  FROM orders WHERE o_orderkey % 7 = 0),
+        |packed AS (SELECT *,
+        |    ts_ms * 4194304 + worker * 4096 + seq AS id FROM base)
+        |SELECT okey, id, ts_ms, worker, seq,
+        |  id // 4194304 AS ts_back, (id // 4096) % 1024 AS worker_back,
+        |  id % 4096 AS seq_back,
+        |  CAST(ROW_NUMBER() OVER (ORDER BY id, okey) AS BIGINT)
+        |    AS rank_by_id,
+        |  CAST(ROW_NUMBER() OVER (ORDER BY ts_ms, worker, seq, okey)
+        |    AS BIGINT) AS rank_by_fields
+        |FROM packed ORDER BY okey""".stripMargin,
+
+    // Same four unrolled scalings over the same margins.
+    "agg_ipf_raking" ->
+      """WITH cell AS (SELECT c_mktsegment AS seg,
+        |    CAST(n_regionkey AS BIGINT) AS reg, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |  GROUP BY 1, 2),
+        |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total,
+        |    CAST(COUNT(DISTINCT seg) AS BIGINT) AS ns,
+        |    CAST(COUNT(DISTINCT reg) AS BIGINT) AS nr FROM cell),
+        |c1 AS (SELECT cell.*, n * 1000 AS w0,
+        |    tot.total // tot.ns AS tr, tot.total // tot.nr AS tc
+        |  FROM cell, tot),
+        |r1 AS (SELECT *, (w0 * tr * 1000) //
+        |    CAST(SUM(w0) OVER (PARTITION BY seg) AS BIGINT) AS w1 FROM c1),
+        |r2 AS (SELECT *, (w1 * tc * 1000) //
+        |    CAST(SUM(w1) OVER (PARTITION BY reg) AS BIGINT) AS w2 FROM r1),
+        |r3 AS (SELECT *, (w2 * tr * 1000) //
+        |    CAST(SUM(w2) OVER (PARTITION BY seg) AS BIGINT) AS w3 FROM r2),
+        |r4 AS (SELECT *, (w3 * tc * 1000) //
+        |    CAST(SUM(w3) OVER (PARTITION BY reg) AS BIGINT) AS w4 FROM r3)
+        |SELECT seg, reg, n, w4 AS w_milli,
+        |  CAST(SUM(w4) OVER (PARTITION BY reg) AS BIGINT) AS col_margin
+        |FROM r4 ORDER BY seg, reg""".stripMargin,
+
+    // Same slabs, same clamp algebra, same ppm identities.
+    "fn_tax_brackets" ->
+      """WITH inc AS (SELECT c_custkey,
+        |    (CAST(FLOOR(c_acctbal * 100) AS BIGINT) + 100000) * 9 AS income
+        |  FROM customer),
+        |slab AS (SELECT *,
+        |    LEAST(GREATEST(income - 0, 0), 1000000) AS a1,
+        |    LEAST(GREATEST(income - 1000000, 0), 2000000) AS a2,
+        |    LEAST(GREATEST(income - 3000000, 0), 5000000) AS a3,
+        |    GREATEST(income - 8000000, 0) AS a4
+        |  FROM inc),
+        |taxed AS (SELECT *,
+        |    (a1 * 10 + a2 * 20 + a3 * 30 + a4 * 40) // 100 AS tax,
+        |    CASE WHEN income > 8000000 THEN '40pct'
+        |      WHEN income > 3000000 THEN '30pct'
+        |      WHEN income > 1000000 THEN '20pct'
+        |      ELSE '10pct' END AS bracket
+        |  FROM slab)
+        |SELECT bracket, CAST(COUNT(*) AS BIGINT) AS payers,
+        |  CAST(SUM(income) AS BIGINT) AS sum_income,
+        |  CAST(SUM(tax) AS BIGINT) AS sum_tax,
+        |  MIN(tax * 1000000 // income) AS min_eff_ppm,
+        |  MAX(tax * 1000000 // income) AS max_eff_ppm,
+        |  CAST(SUM(tax) AS BIGINT) * 1000000 // CAST(SUM(income) AS BIGINT)
+        |    AS avg_eff_ppm
+        |FROM taxed GROUP BY bracket ORDER BY bracket""".stripMargin
+  )
+}
