@@ -21,6 +21,13 @@ object Round12cOps {
   private val FastW = Seq(8L, 4L, 2L, 1L)
   private val SlowW = Seq(64L, 32L, 16L, 8L, 4L, 2L, 1L)
 
+  /** Bitcoin base58 alphabet (no 0/O/I/l) — shared by both dialects as a
+    * string literal; digit i ↔ substr(alphabet, i+1, 1). */
+  private val B58 = "123456789ABCDEFGHJKLMNPQRSTUVWXYZabcdefghijkmnopqrstuvwxyz"
+
+  /** 58^k powers for the 6 unrolled base58 digit extractions. */
+  private val B58Pow = Seq(1L, 58L, 3364L, 195112L, 11316496L, 656356768L)
+
   val queries: Map[String, Q] = Map(
     // Chaikin Accumulation/Distribution — per daily bar the money-flow
     // multiplier ((c-l)-(h-c))/(h-l) scaled ×1000 by bar volume
@@ -159,6 +166,134 @@ object Round12cOps {
           min("eff_ppm").as("min_eff_ppm"), max("eff_ppm").as("max_eff_ppm"))
         .withColumn("avg_eff_ppm", expr("sum_tax * 1000000 DIV sum_income"))
         .orderBy("bracket")
+    }),
+
+    // Base58 encode/decode roundtrip (Bitcoin alphabet) — six unrolled
+    // digit extractions DIV 58^k % 58 mapped through ONE shared alphabet
+    // literal, canonical form strips leading '1' (digit 0); decode
+    // re-parses the STRING via per-position alphabet lookup + Horner.
+    // Pure per-row expressions — embarrassingly parallel at any scale.
+    "fn_base58_roundtrip" -> ((s, d) => {
+      val digits = B58Pow.indices.reverse.map { k =>
+        s"SUBSTRING('$B58', CAST(v DIV ${B58Pow(k)} % 58 AS INT) + 1, 1)" }
+        .mkString(", ")
+      val horner = (1 to 6).map { i =>
+        s"(INSTR('$B58', SUBSTRING(padded, $i, 1)) - 1) * ${B58Pow(6 - i)}" }
+        .mkString(" + ")
+      Tables.part(s, d)
+        .where(col("p_partkey") % 13 === 5)
+        .select(col("p_partkey").cast("bigint").as("pk"),
+          (col("p_partkey").cast("bigint") * 977L + 11L).as("v"))
+        .withColumn("b58", expr(
+          s"regexp_replace(CONCAT($digits), '^1+', '')"))
+        .withColumn("padded", expr("LPAD(b58, 6, '1')"))
+        .withColumn("v_back", expr(s"CAST($horner AS BIGINT)"))
+        .select("pk", "v", "b58", "v_back")
+        .orderBy("pk")
+    }),
+
+    // 1-D Wasserstein distance (earth mover's) between the O- and
+    // F-status order-price distributions per priority — the exact
+    // breakpoint form W1 = Σ |F−G|·gap over the sorted union, kept
+    // rational at denominator n·m (no floats): one sort, two running
+    // counts, one lead probe. The distribution-drift metric that, unlike
+    // KS, weighs HOW FAR mass must move.
+    "agg_wasserstein_1d" -> ((s, d) => {
+      val ord = Window.partitionBy("pri").orderBy("cents")
+      val cum = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val all = Window.partitionBy("pri")
+      Tables.orders(s, d)
+        .where(col("o_orderstatus").isin("O", "F"))
+        .select(col("o_orderpriority").as("pri"),
+          col("o_orderstatus").as("st"),
+          floor(col("o_totalprice") * 100).cast("bigint").as("cents"))
+        .groupBy("pri", "cents")
+        .agg(sum(when(col("st") === "O", 1L).otherwise(0L)).as("a"),
+          sum(when(col("st") === "F", 1L).otherwise(0L)).as("b"))
+        .withColumn("ca", sum("a").over(cum))
+        .withColumn("cb", sum("b").over(cum))
+        .withColumn("n", sum("a").over(all))
+        .withColumn("m", sum("b").over(all))
+        .withColumn("gap",
+          coalesce(lead("cents", 1).over(ord) - col("cents"), lit(0L)))
+        .withColumn("contrib", expr("abs(ca * m - cb * n) * gap"))
+        .groupBy("pri")
+        .agg(max("n").as("n"), max("m").as("m"),
+          sum("contrib").as("w1_scaled"))
+        .withColumn("w1_milli", expr("w1_scaled * 1000 DIV (n * m)"))
+        .orderBy("pri")
+    }),
+
+    // Relative Vigor Index — symmetric-weighted MA (1,2,2,1) of close−open
+    // over the same SWMA of high−low, ppm sign-split ratio, then the same
+    // SWMA as a signal line and a crossover flag. Full-window rows only
+    // (rn-gated) so both engines share exact weights; one sort.
+    "win_rvi" -> ((s, d) => {
+      val ord = Window.partitionBy("event_type").orderBy("day")
+      def swma(src: String, dst: String)(df: DataFrame): DataFrame =
+        df.withColumn(dst,
+          coalesce(col(src), lit(0L)) +
+            coalesce(lag(col(src), 1).over(ord) * 2, lit(0L)) +
+            coalesce(lag(col(src), 2).over(ord) * 2, lit(0L)) +
+            coalesce(lag(col(src), 3).over(ord), lit(0L)))
+      val bars = Tables.events(s, d)
+        .select(col("event_type"), col("event_id"), col("ts_us"),
+          expr("ts_us DIV 86400000000").as("day"),
+          floor(col("value") * 100).cast("bigint").as("cents"))
+        .groupBy("event_type", "day")
+        .agg(expr("min_by(cents, struct(ts_us, event_id))").as("o"),
+          max("cents").as("h"), min("cents").as("l"),
+          expr("max_by(cents, struct(ts_us, event_id))").as("c"))
+        .withColumn("co", col("c") - col("o"))
+        .withColumn("hl", col("h") - col("l"))
+        .withColumn("rn", row_number().over(ord).cast("bigint"))
+      swma("hl", "sd")(swma("co", "sn")(bars))
+        .withColumn("rvi_ppm", expr(
+          """CASE WHEN sd = 0 THEN 0L
+            |  WHEN sn < 0 THEN -((-sn) * 1000000 DIV sd)
+            |  ELSE sn * 1000000 DIV sd END""".stripMargin))
+        .withColumn("sig_raw",
+          col("rvi_ppm") + lag("rvi_ppm", 1).over(ord) * 2 +
+            lag("rvi_ppm", 2).over(ord) * 2 + lag("rvi_ppm", 3).over(ord))
+        .where(col("rn") >= 7)
+        .withColumn("signal_ppm", expr(
+          "CASE WHEN sig_raw < 0 THEN -((-sig_raw) DIV 6) " +
+            "ELSE sig_raw DIV 6 END"))
+        .withColumn("cross", expr(
+          "CASE WHEN rvi_ppm > signal_ppm THEN 'ABOVE' " +
+            "WHEN rvi_ppm < signal_ppm THEN 'BELOW' ELSE 'AT' END"))
+        .select("event_type", "day", "rvi_ppm", "signal_ppm", "cross")
+        .orderBy("event_type", "day")
+    }),
+
+    // Bing-maps quadkey roundtrip (level 8) — digit i interleaves the
+    // i-th MSB of y over x (0..3), string concat; decode re-parses each
+    // character with positional powers of two. Tile-prefix containment
+    // (parent = level-7 prefix) ships as a graded column.
+    "fn_quadkey" -> ((s, d) => {
+      val digits = (1 to 8).map { i =>
+        val w = 1 << (8 - i)
+        s"CAST((y DIV $w % 2) * 2 + (x DIV $w % 2) AS STRING)" }
+        .mkString(", ")
+      Tables.part(s, d)
+        .where(col("p_partkey") % 13 === 7)
+        .select(col("p_partkey").cast("bigint").as("pk"))
+        .withColumn("x", expr("pk % 256"))
+        .withColumn("y", expr("pk DIV 256 % 256"))
+        .withColumn("qk", expr(s"CONCAT($digits)"))
+        .withColumn("x_back", expr(
+          (1 to 8).map { i =>
+            val w = 1 << (8 - i)
+            s"(CAST(SUBSTRING(qk, $i, 1) AS BIGINT) % 2) * $w" }
+            .mkString(" + ")))
+        .withColumn("y_back", expr(
+          (1 to 8).map { i =>
+            val w = 1 << (8 - i)
+            s"(CAST(SUBSTRING(qk, $i, 1) AS BIGINT) DIV 2) * $w" }
+            .mkString(" + ")))
+        .withColumn("parent", expr("SUBSTRING(qk, 1, 7)"))
+        .select("pk", "x", "y", "qk", "x_back", "y_back", "parent")
+        .orderBy("pk")
     })
   )
 
@@ -271,6 +406,108 @@ object Round12cOps {
         |  MAX(tax * 1000000 // income) AS max_eff_ppm,
         |  CAST(SUM(tax) AS BIGINT) * 1000000 // CAST(SUM(income) AS BIGINT)
         |    AS avg_eff_ppm
-        |FROM taxed GROUP BY bracket ORDER BY bracket""".stripMargin
+        |FROM taxed GROUP BY bracket ORDER BY bracket""".stripMargin,
+
+    // Same alphabet, same six digit extractions, same Horner re-parse.
+    "fn_base58_roundtrip" -> {
+      val digits = B58Pow.indices.reverse.map { k =>
+        s"SUBSTRING('$B58', CAST(v // ${B58Pow(k)} % 58 AS INT) + 1, 1)" }
+        .mkString(", ")
+      val horner = (1 to 6).map { i =>
+        s"(INSTR('$B58', SUBSTRING(padded, $i, 1)) - 1) * ${B58Pow(6 - i)}" }
+        .mkString(" + ")
+      s"""WITH base AS (SELECT CAST(p_partkey AS BIGINT) AS pk,
+         |    CAST(p_partkey AS BIGINT) * 977 + 11 AS v
+         |  FROM part WHERE p_partkey % 13 = 5),
+         |enc AS (SELECT pk, v,
+         |    regexp_replace(CONCAT($digits), '^1+', '') AS b58 FROM base),
+         |pad AS (SELECT *, LPAD(b58, 6, '1') AS padded FROM enc)
+         |SELECT pk, v, b58, CAST($horner AS BIGINT) AS v_back
+         |FROM pad ORDER BY pk""".stripMargin
+    },
+
+    // Same breakpoint form, same n·m rational denominator.
+    "agg_wasserstein_1d" ->
+      """WITH o AS (SELECT o_orderpriority AS pri, o_orderstatus AS st,
+        |    CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders WHERE o_orderstatus IN ('O', 'F')),
+        |cell AS (SELECT pri, cents,
+        |    CAST(SUM(CASE WHEN st = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS a,
+        |    CAST(SUM(CASE WHEN st = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS b
+        |  FROM o GROUP BY 1, 2),
+        |cum AS (SELECT *,
+        |    CAST(SUM(a) OVER (PARTITION BY pri ORDER BY cents
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS ca,
+        |    CAST(SUM(b) OVER (PARTITION BY pri ORDER BY cents
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cb,
+        |    CAST(SUM(a) OVER (PARTITION BY pri) AS BIGINT) AS n,
+        |    CAST(SUM(b) OVER (PARTITION BY pri) AS BIGINT) AS m,
+        |    COALESCE(LEAD(cents) OVER (PARTITION BY pri ORDER BY cents)
+        |      - cents, 0) AS gap
+        |  FROM cell)
+        |SELECT pri, MAX(n) AS n, MAX(m) AS m,
+        |  CAST(SUM(ABS(ca * m - cb * n) * gap) AS BIGINT) AS w1_scaled,
+        |  CAST(SUM(ABS(ca * m - cb * n) * gap) AS BIGINT) * 1000
+        |    // (MAX(n) * MAX(m)) AS w1_milli
+        |FROM cum GROUP BY pri ORDER BY pri""".stripMargin,
+
+    // Same SWMA weights, same sign-split ppm ratio, same rn gate.
+    "win_rvi" ->
+      """WITH e AS (SELECT event_type, event_id, epoch_us(ts) AS ts_us,
+        |    epoch_us(ts) // 86400000000 AS day,
+        |    CAST(FLOOR(value * 100) AS BIGINT) AS cents FROM events),
+        |bar AS (SELECT event_type, day,
+        |    MIN_BY(cents, CAST(ts_us AS HUGEINT) * 1000000 + event_id) AS o,
+        |    MAX(cents) AS h, MIN(cents) AS l,
+        |    MAX_BY(cents, CAST(ts_us AS HUGEINT) * 1000000 + event_id) AS c
+        |  FROM e GROUP BY 1, 2),
+        |sw AS (SELECT event_type, day, c - o AS co, h - l AS hl,
+        |    CAST(ROW_NUMBER() OVER o AS BIGINT) AS rn
+        |  FROM bar WINDOW o AS (PARTITION BY event_type ORDER BY day)),
+        |sm AS (SELECT *,
+        |    COALESCE(co, 0) + COALESCE(lag(co, 1) OVER o * 2, 0)
+        |      + COALESCE(lag(co, 2) OVER o * 2, 0)
+        |      + COALESCE(lag(co, 3) OVER o, 0) AS sn,
+        |    COALESCE(hl, 0) + COALESCE(lag(hl, 1) OVER o * 2, 0)
+        |      + COALESCE(lag(hl, 2) OVER o * 2, 0)
+        |      + COALESCE(lag(hl, 3) OVER o, 0) AS sd
+        |  FROM sw WINDOW o AS (PARTITION BY event_type ORDER BY day)),
+        |rv AS (SELECT *, CASE WHEN sd = 0 THEN 0
+        |    WHEN sn < 0 THEN -((-sn) * 1000000 // sd)
+        |    ELSE sn * 1000000 // sd END AS rvi_ppm
+        |  FROM sm),
+        |sg AS (SELECT *, rvi_ppm + lag(rvi_ppm, 1) OVER o * 2
+        |    + lag(rvi_ppm, 2) OVER o * 2 + lag(rvi_ppm, 3) OVER o AS sig_raw
+        |  FROM rv WINDOW o AS (PARTITION BY event_type ORDER BY day))
+        |SELECT event_type, day, rvi_ppm,
+        |  CASE WHEN sig_raw < 0 THEN -((-sig_raw) // 6)
+        |    ELSE sig_raw // 6 END AS signal_ppm,
+        |  CASE WHEN rvi_ppm > (CASE WHEN sig_raw < 0 THEN -((-sig_raw) // 6)
+        |      ELSE sig_raw // 6 END) THEN 'ABOVE'
+        |    WHEN rvi_ppm < (CASE WHEN sig_raw < 0 THEN -((-sig_raw) // 6)
+        |      ELSE sig_raw // 6 END) THEN 'BELOW' ELSE 'AT' END AS cross
+        |FROM sg WHERE rn >= 7 ORDER BY event_type, day""".stripMargin,
+
+    // Same interleave digits, same positional re-parse, same prefix.
+    "fn_quadkey" -> {
+      val digits = (1 to 8).map { i =>
+        val w = 1 << (8 - i)
+        s"CAST((y // $w % 2) * 2 + (x // $w % 2) AS STRING)" }
+        .mkString(", ")
+      val xb = (1 to 8).map { i =>
+        val w = 1 << (8 - i)
+        s"(CAST(SUBSTRING(qk, $i, 1) AS BIGINT) % 2) * $w" }.mkString(" + ")
+      val yb = (1 to 8).map { i =>
+        val w = 1 << (8 - i)
+        s"(CAST(SUBSTRING(qk, $i, 1) AS BIGINT) // 2) * $w" }.mkString(" + ")
+      s"""WITH base AS (SELECT CAST(p_partkey AS BIGINT) AS pk,
+         |    CAST(p_partkey AS BIGINT) % 256 AS x,
+         |    CAST(p_partkey AS BIGINT) // 256 % 256 AS y
+         |  FROM part WHERE p_partkey % 13 = 7),
+         |enc AS (SELECT pk, x, y, CONCAT($digits) AS qk FROM base)
+         |SELECT pk, x, y, qk, $xb AS x_back, $yb AS y_back,
+         |  SUBSTRING(qk, 1, 7) AS parent
+         |FROM enc ORDER BY pk""".stripMargin
+    }
   )
 }
