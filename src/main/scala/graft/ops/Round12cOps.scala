@@ -294,6 +294,131 @@ object Round12cOps {
         .withColumn("parent", expr("SUBSTRING(qk, 1, 7)"))
         .select("pk", "x", "y", "qk", "x_back", "y_back", "parent")
         .orderBy("pk")
+    }),
+
+    // Simpson's diversity index per region over customer market
+    // segments — D = 1 − Σnᵢ(nᵢ−1)/(N(N−1)) kept exact in ppm (the
+    // log-free diversity metric, unlike Shannon), plus richness and
+    // dominance (max share ppm). Two-level groupBy, no floats anywhere.
+    "agg_simpson_diversity" -> ((s, d) => {
+      Tables.customer(s, d)
+        .join(broadcast(Tables.nation(s, d)),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_regionkey").cast("bigint").as("reg"),
+          col("c_mktsegment").as("seg"))
+        .agg(count(lit(1)).as("n"))
+        .groupBy("reg")
+        .agg(sum("n").as("total"), count(lit(1)).as("richness"),
+          sum(expr("n * (n - 1)")).as("same_pairs"), max("n").as("max_n"))
+        .withColumn("simpson_ppm", expr(
+          "(total * (total - 1) - same_pairs) * 1000000 " +
+            "DIV (total * (total - 1))"))
+        .withColumn("dominance_ppm", expr("max_n * 1000000 DIV total"))
+        .select("reg", "total", "richness", "simpson_ppm", "dominance_ppm")
+        .orderBy("reg")
+    }),
+
+    // Maidenhead grid locator (6-char, field/square/subsquare) — synthetic
+    // coordinates in QUARTER-ARCMINUTES (1/240°) so every level divides
+    // exactly: lon field 4800u / square 480u / subsquare 20u, lat half
+    // widths. Encode via three place-value extractions per axis through
+    // shared alphabet literals; decode back to the subsquare SW corner and
+    // grade containment. Pure per-row bit/place algebra.
+    "fn_maidenhead" -> ((s, d) => {
+      Tables.part(s, d)
+        .where(col("p_partkey") % 17 === 3)
+        .select(col("p_partkey").cast("bigint").as("pk"))
+        .withColumn("lon_q", expr("pk * 7919 % 86400"))
+        .withColumn("lat_q", expr("pk * 104729 % 43200"))
+        .withColumn("loc", expr(
+          "CONCAT(" +
+            "SUBSTRING('ABCDEFGHIJKLMNOPQR', CAST(lon_q DIV 4800 AS INT) + 1, 1)," +
+            "SUBSTRING('ABCDEFGHIJKLMNOPQR', CAST(lat_q DIV 2400 AS INT) + 1, 1)," +
+            "CAST(lon_q % 4800 DIV 480 AS STRING)," +
+            "CAST(lat_q % 2400 DIV 240 AS STRING)," +
+            "SUBSTRING('abcdefghijklmnopqrstuvwx', CAST(lon_q % 480 DIV 20 AS INT) + 1, 1)," +
+            "SUBSTRING('abcdefghijklmnopqrstuvwx', CAST(lat_q % 240 DIV 10 AS INT) + 1, 1))"))
+        .withColumn("lon_sw", expr(
+          "(INSTR('ABCDEFGHIJKLMNOPQR', SUBSTRING(loc, 1, 1)) - 1) * 4800 " +
+            "+ CAST(SUBSTRING(loc, 3, 1) AS BIGINT) * 480 " +
+            "+ (INSTR('abcdefghijklmnopqrstuvwx', SUBSTRING(loc, 5, 1)) - 1) * 20"))
+        .withColumn("lat_sw", expr(
+          "(INSTR('ABCDEFGHIJKLMNOPQR', SUBSTRING(loc, 2, 1)) - 1) * 2400 " +
+            "+ CAST(SUBSTRING(loc, 4, 1) AS BIGINT) * 240 " +
+            "+ (INSTR('abcdefghijklmnopqrstuvwx', SUBSTRING(loc, 6, 1)) - 1) * 10"))
+        .withColumn("contained", expr(
+          "lon_q >= lon_sw AND lon_q < lon_sw + 20 " +
+            "AND lat_q >= lat_sw AND lat_q < lat_sw + 10"))
+        .select("pk", "lon_q", "lat_q", "loc", "lon_sw", "lat_sw",
+          "contained")
+        .orderBy("pk")
+    }),
+
+    // PAA + SAX symbolization — 5-bar piecewise-aggregate means in exact
+    // milli (sum×1000 DIV count; trailing partial segment kept), then
+    // rank-exact SAX letters a–d by ntile(4) over segment means per
+    // series (the quantile-breakpoint variant — no gaussian floats).
+    // One sort for the bars, one for the symbolization.
+    "win_sax_paa" -> ((s, d) => {
+      val ord = Window.partitionBy("event_type").orderBy("day")
+      val byMean = Window.partitionBy("event_type")
+        .orderBy("paa_milli", "seg_idx")
+      Tables.events(s, d)
+        .select(col("event_type"), col("event_id"), col("ts_us"),
+          expr("ts_us DIV 86400000000").as("day"),
+          floor(col("value") * 100).cast("bigint").as("cents"))
+        .groupBy("event_type", "day")
+        .agg(expr("max_by(cents, struct(ts_us, event_id))").as("c"))
+        .withColumn("rn", row_number().over(ord).cast("bigint"))
+        .withColumn("seg_idx", expr("(rn - 1) DIV 5"))
+        .groupBy("event_type", "seg_idx")
+        .agg(count(lit(1)).as("n_bars"), sum("c").as("seg_sum"))
+        .withColumn("paa_milli", expr(
+          """CASE WHEN seg_sum < 0 THEN -((-seg_sum) * 1000 DIV n_bars)
+            |  ELSE seg_sum * 1000 DIV n_bars END""".stripMargin))
+        .withColumn("q", ntile(4).over(byMean).cast("bigint"))
+        .withColumn("sax", expr("SUBSTRING('abcd', CAST(q AS INT), 1)"))
+        .select("event_type", "seg_idx", "n_bars", "paa_milli", "sax")
+        .orderBy("event_type", "seg_idx")
+    }),
+
+    // Autocorrelation at lags 1–3 — exact rational ACF with the mean
+    // cleared by n-scaling (dev = n·x − S), numerators/denominator as
+    // BIGINT sums, ratio ppm via DECIMAL(38,0) widening (HUGEINT twin on
+    // the oracle side) with sign-split division. One sort, 3 lag probes,
+    // one aggregate.
+    "agg_autocorr_lags" -> ((s, d) => {
+      val ord = Window.partitionBy("event_type").orderBy("day")
+      val all = Window.partitionBy("event_type")
+      def ratio(num: String): String =
+        s"""CAST(CASE WHEN $num < 0
+           |  THEN -((CAST(-$num AS DECIMAL(38,0)) * 1000000)
+           |    DIV CAST(den AS DECIMAL(38,0)))
+           |  ELSE (CAST($num AS DECIMAL(38,0)) * 1000000)
+           |    DIV CAST(den AS DECIMAL(38,0)) END AS BIGINT)""".stripMargin
+      Tables.events(s, d)
+        .select(col("event_type"), col("event_id"), col("ts_us"),
+          expr("ts_us DIV 86400000000").as("day"),
+          floor(col("value") * 100).cast("bigint").as("cents"))
+        .groupBy("event_type", "day")
+        .agg(expr("max_by(cents, struct(ts_us, event_id))").as("c"))
+        .withColumn("nb", count(lit(1)).over(all))
+        .withColumn("sm", sum("c").over(all))
+        .withColumn("dev", expr("nb * c - sm"))
+        .withColumn("d1", lag("dev", 1).over(ord))
+        .withColumn("d2", lag("dev", 2).over(ord))
+        .withColumn("d3", lag("dev", 3).over(ord))
+        .groupBy("event_type")
+        .agg(max("nb").as("n"), sum(expr("dev * dev")).as("den"),
+          sum(expr("dev * d1")).as("num1"),
+          sum(expr("dev * d2")).as("num2"),
+          sum(expr("dev * d3")).as("num3"))
+        .withColumn("r1_ppm", expr(ratio("num1")))
+        .withColumn("r2_ppm", expr(ratio("num2")))
+        .withColumn("r3_ppm", expr(ratio("num3")))
+        .select("event_type", "n", "den", "num1", "num2", "num3",
+          "r1_ppm", "r2_ppm", "r3_ppm")
+        .orderBy("event_type")
     })
   )
 
@@ -508,6 +633,110 @@ object Round12cOps {
          |SELECT pk, x, y, qk, $xb AS x_back, $yb AS y_back,
          |  SUBSTRING(qk, 1, 7) AS parent
          |FROM enc ORDER BY pk""".stripMargin
+    },
+
+    // Same pair algebra, same ppm identities.
+    "agg_simpson_diversity" ->
+      """WITH cell AS (SELECT CAST(n_regionkey AS BIGINT) AS reg,
+        |    c_mktsegment AS seg, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |  GROUP BY 1, 2),
+        |agg AS (SELECT reg, CAST(SUM(n) AS BIGINT) AS total,
+        |    CAST(COUNT(*) AS BIGINT) AS richness,
+        |    CAST(SUM(n * (n - 1)) AS BIGINT) AS same_pairs,
+        |    MAX(n) AS max_n
+        |  FROM cell GROUP BY reg)
+        |SELECT reg, total, richness,
+        |  (total * (total - 1) - same_pairs) * 1000000
+        |    // (total * (total - 1)) AS simpson_ppm,
+        |  max_n * 1000000 // total AS dominance_ppm
+        |FROM agg ORDER BY reg""".stripMargin,
+
+    // Same quarter-arcminute place values, same alphabets, same corner.
+    "fn_maidenhead" ->
+      """WITH base AS (SELECT CAST(p_partkey AS BIGINT) AS pk,
+        |    CAST(p_partkey AS BIGINT) * 7919 % 86400 AS lon_q,
+        |    CAST(p_partkey AS BIGINT) * 104729 % 43200 AS lat_q
+        |  FROM part WHERE p_partkey % 17 = 3),
+        |enc AS (SELECT *, CONCAT(
+        |    SUBSTRING('ABCDEFGHIJKLMNOPQR', CAST(lon_q // 4800 AS INT) + 1, 1),
+        |    SUBSTRING('ABCDEFGHIJKLMNOPQR', CAST(lat_q // 2400 AS INT) + 1, 1),
+        |    CAST(lon_q % 4800 // 480 AS STRING),
+        |    CAST(lat_q % 2400 // 240 AS STRING),
+        |    SUBSTRING('abcdefghijklmnopqrstuvwx', CAST(lon_q % 480 // 20 AS INT) + 1, 1),
+        |    SUBSTRING('abcdefghijklmnopqrstuvwx', CAST(lat_q % 240 // 10 AS INT) + 1, 1)
+        |  ) AS loc FROM base),
+        |dec AS (SELECT *,
+        |    (INSTR('ABCDEFGHIJKLMNOPQR', SUBSTRING(loc, 1, 1)) - 1) * 4800
+        |      + CAST(SUBSTRING(loc, 3, 1) AS BIGINT) * 480
+        |      + (INSTR('abcdefghijklmnopqrstuvwx', SUBSTRING(loc, 5, 1)) - 1) * 20
+        |      AS lon_sw,
+        |    (INSTR('ABCDEFGHIJKLMNOPQR', SUBSTRING(loc, 2, 1)) - 1) * 2400
+        |      + CAST(SUBSTRING(loc, 4, 1) AS BIGINT) * 240
+        |      + (INSTR('abcdefghijklmnopqrstuvwx', SUBSTRING(loc, 6, 1)) - 1) * 10
+        |      AS lat_sw
+        |  FROM enc)
+        |SELECT pk, lon_q, lat_q, loc, lon_sw, lat_sw,
+        |  lon_q >= lon_sw AND lon_q < lon_sw + 20
+        |    AND lat_q >= lat_sw AND lat_q < lat_sw + 10 AS contained
+        |FROM dec ORDER BY pk""".stripMargin,
+
+    // Same 5-bar segments, same milli means, same ntile symbolization.
+    "win_sax_paa" ->
+      """WITH e AS (SELECT event_type, event_id, epoch_us(ts) AS ts_us,
+        |    epoch_us(ts) // 86400000000 AS day,
+        |    CAST(FLOOR(value * 100) AS BIGINT) AS cents FROM events),
+        |bar AS (SELECT event_type, day,
+        |    MAX_BY(cents, CAST(ts_us AS HUGEINT) * 1000000 + event_id) AS c
+        |  FROM e GROUP BY 1, 2),
+        |seg AS (SELECT event_type,
+        |    (CAST(ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day)
+        |      AS BIGINT) - 1) // 5 AS seg_idx, c
+        |  FROM bar),
+        |paa AS (SELECT event_type, seg_idx,
+        |    CAST(COUNT(*) AS BIGINT) AS n_bars,
+        |    CAST(SUM(c) AS BIGINT) AS seg_sum
+        |  FROM seg GROUP BY 1, 2),
+        |m AS (SELECT *, CASE WHEN seg_sum < 0
+        |    THEN -((-seg_sum) * 1000 // n_bars)
+        |    ELSE seg_sum * 1000 // n_bars END AS paa_milli FROM paa)
+        |SELECT event_type, seg_idx, n_bars, paa_milli,
+        |  SUBSTRING('abcd', CAST(NTILE(4) OVER (PARTITION BY event_type
+        |    ORDER BY paa_milli, seg_idx) AS INT), 1) AS sax
+        |FROM m ORDER BY event_type, seg_idx""".stripMargin,
+
+    // Same n-scaled deviations, same HUGEINT-widened sign-split ratios.
+    "agg_autocorr_lags" -> {
+      def ratio(num: String) =
+        s"""CAST(CASE WHEN $num < 0
+           |  THEN -((CAST(-$num AS HUGEINT) * 1000000) // den)
+           |  ELSE (CAST($num AS HUGEINT) * 1000000) // den END AS BIGINT)"""
+          .stripMargin
+      s"""WITH e AS (SELECT event_type, event_id, epoch_us(ts) AS ts_us,
+         |    epoch_us(ts) // 86400000000 AS day,
+         |    CAST(FLOOR(value * 100) AS BIGINT) AS cents FROM events),
+         |bar AS (SELECT event_type, day,
+         |    MAX_BY(cents, CAST(ts_us AS HUGEINT) * 1000000 + event_id) AS c
+         |  FROM e GROUP BY 1, 2),
+         |dv AS (SELECT event_type, day,
+         |    CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS nb,
+         |    CAST(SUM(c) OVER (PARTITION BY event_type) AS BIGINT) AS sm, c
+         |  FROM bar),
+         |lagged AS (SELECT *, nb * c - sm AS dev,
+         |    lag(nb * c - sm, 1) OVER o AS d1,
+         |    lag(nb * c - sm, 2) OVER o AS d2,
+         |    lag(nb * c - sm, 3) OVER o AS d3
+         |  FROM dv WINDOW o AS (PARTITION BY event_type ORDER BY day)),
+         |agg AS (SELECT event_type, MAX(nb) AS n,
+         |    CAST(SUM(dev * dev) AS BIGINT) AS den,
+         |    CAST(SUM(dev * d1) AS BIGINT) AS num1,
+         |    CAST(SUM(dev * d2) AS BIGINT) AS num2,
+         |    CAST(SUM(dev * d3) AS BIGINT) AS num3
+         |  FROM lagged GROUP BY event_type)
+         |SELECT event_type, n, den, num1, num2, num3,
+         |  ${ratio("num1")} AS r1_ppm, ${ratio("num2")} AS r2_ppm,
+         |  ${ratio("num3")} AS r3_ppm
+         |FROM agg ORDER BY event_type""".stripMargin
     }
   )
 }
