@@ -419,6 +419,140 @@ object Round12cOps {
         .select("event_type", "n", "den", "num1", "num2", "num3",
           "r1_ppm", "r2_ppm", "r3_ppm")
         .orderBy("event_type")
+    }),
+
+    // EAN-13 check digit — alternating 1/3 weights over 12 unrolled
+    // digit probes, complement mod 10; a planted single-digit corruption
+    // (+5 on position 7, which always changes the checksum) is graded
+    // invalid. Pure per-row string/digit algebra.
+    "fn_ean13_check" -> ((s, d) => {
+      def wsum(src: String) = (1 to 12).map { i =>
+        val w = if (i % 2 == 1) 1 else 3
+        s"CAST(SUBSTRING($src, $i, 1) AS BIGINT) * $w" }.mkString(" + ")
+      Tables.orders(s, d)
+        .where(col("o_orderkey") % 23 === 11)
+        .select(col("o_orderkey").as("okey"))
+        .withColumn("code12", expr(
+          "LPAD(CAST(okey * 37 + 5 AS STRING), 12, '0')"))
+        .withColumn("chk", expr(s"(10 - (${wsum("code12")}) % 10) % 10"))
+        .withColumn("ean13", expr("CONCAT(code12, CAST(chk AS STRING))"))
+        .withColumn("bad12", expr(
+          "CONCAT(SUBSTRING(code12, 1, 6), " +
+            "CAST((CAST(SUBSTRING(code12, 7, 1) AS BIGINT) + 5) % 10 " +
+            "AS STRING), SUBSTRING(code12, 8, 6))"))
+        .withColumn("bad_valid", expr(
+          s"(10 - (${wsum("bad12")}) % 10) % 10 = chk"))
+        .select("okey", "code12", "chk", "ean13", "bad_valid")
+        .orderBy("okey")
+    }),
+
+    // Ultimate oscillator (7/14/28) — buying pressure c−min(l,prev_c)
+    // over true range, the three horizon averages combined 4:2:1 as ONE
+    // exact rational (cross-multiplied, DECIMAL(38,0)/HUGEINT widened —
+    // the T7·T14·T28 product passes int64). All terms non-negative.
+    "win_ultimate_osc" -> ((s, d) => {
+      val ord = Window.partitionBy("event_type").orderBy("day")
+      def span(k: Int, src: String, dst: String)(df: DataFrame): DataFrame =
+        df.withColumn(dst,
+          sum(col(src)).over(ord.rowsBetween(-(k - 1), 0)))
+      val bars = Tables.events(s, d)
+        .select(col("event_type"), col("event_id"), col("ts_us"),
+          expr("ts_us DIV 86400000000").as("day"),
+          floor(col("value") * 100).cast("bigint").as("cents"))
+        .groupBy("event_type", "day")
+        .agg(max("cents").as("h"), min("cents").as("l"),
+          expr("max_by(cents, struct(ts_us, event_id))").as("c"))
+        .withColumn("pc", lag("c", 1).over(ord))
+        .where(col("pc").isNotNull)
+        .withColumn("bp", expr("c - LEAST(l, pc)"))
+        .withColumn("tr", expr("GREATEST(h, pc) - LEAST(l, pc)"))
+        .withColumn("rn", row_number().over(ord).cast("bigint"))
+      val summed = span(28, "tr", "t28")(span(28, "bp", "b28")(
+        span(14, "tr", "t14")(span(14, "bp", "b14")(
+          span(7, "tr", "t7")(span(7, "bp", "b7")(bars))))))
+      summed
+        .where(col("rn") >= 28)
+        .withColumn("uo_ppm", expr(
+          """CASE WHEN t7 = 0 OR t14 = 0 OR t28 = 0 THEN 0L
+            |ELSE CAST((CAST(4 * b7 AS DECIMAL(38,0)) * t14 * t28
+            |    + CAST(2 * b14 AS DECIMAL(38,0)) * t7 * t28
+            |    + CAST(b28 AS DECIMAL(38,0)) * t7 * t14) * 1000000
+            |  DIV (CAST(7 AS DECIMAL(38,0)) * t7 * t14 * t28) AS BIGINT)
+            |END""".stripMargin))
+        .select("event_type", "day", "b7", "t7", "b14", "t14", "b28",
+          "t28", "uo_ppm")
+        .orderBy("event_type", "day")
+    }),
+
+    // Ordinal-pattern census — each bar's (c, lag1, lag2) triple reduced
+    // to its three pairwise comparison signs (ties kept as '0', so the
+    // census is exact under ties); per-series pattern counts. The
+    // permutation-entropy front end without the log.
+    "win_ordinal_patterns" -> ((s, d) => {
+      val ord = Window.partitionBy("event_type").orderBy("day")
+      Tables.events(s, d)
+        .select(col("event_type"), col("event_id"), col("ts_us"),
+          expr("ts_us DIV 86400000000").as("day"),
+          floor(col("value") * 100).cast("bigint").as("cents"))
+        .groupBy("event_type", "day")
+        .agg(expr("max_by(cents, struct(ts_us, event_id))").as("c"))
+        .withColumn("c1", lag("c", 1).over(ord))
+        .withColumn("c2", lag("c", 2).over(ord))
+        .where(col("c2").isNotNull)
+        .withColumn("pattern", expr(
+          """CONCAT(
+            |  CASE WHEN c > c1 THEN '+' WHEN c < c1 THEN '-' ELSE '0' END,
+            |  CASE WHEN c > c2 THEN '+' WHEN c < c2 THEN '-' ELSE '0' END,
+            |  CASE WHEN c1 > c2 THEN '+' WHEN c1 < c2 THEN '-' ELSE '0'
+            |    END)""".stripMargin))
+        .groupBy("event_type", "pattern")
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy("event_type", "pattern")
+    }),
+
+    // Return periods from weekly block maxima — Weibull plotting
+    // positions kept rational: T = (n+1)/rank exact milli, exceedance
+    // rank/(n+1) ppm; deterministic dense ordering by (max desc, block).
+    // The extreme-value front end without distribution fitting.
+    "agg_return_period" -> ((s, d) => {
+      val byType = Window.partitionBy("event_type")
+      val rankW = Window.partitionBy("event_type")
+        .orderBy(col("wmax").desc, col("week"))
+      Tables.events(s, d)
+        .select(col("event_type"),
+          expr("ts_us DIV 86400000000 DIV 7").as("week"),
+          floor(col("value") * 100).cast("bigint").as("cents"))
+        .groupBy("event_type", "week")
+        .agg(max("cents").as("wmax"))
+        .withColumn("n", count(lit(1)).over(byType))
+        .withColumn("rank", row_number().over(rankW).cast("bigint"))
+        .withColumn("t_milli", expr("(n + 1) * 1000 DIV rank"))
+        .withColumn("exceed_ppm", expr("rank * 1000000 DIV (n + 1)"))
+        .select("event_type", "week", "wmax", "n", "rank", "t_milli",
+          "exceed_ppm")
+        .orderBy("event_type", "week")
+    }),
+
+    // Edit distance — built-in Levenshtein on BOTH engines (one of the
+    // few string kernels they share bit-exactly): consecutive part names
+    // in key order plus a fixed probe, normalized milli by max length.
+    "fn_edit_distance" -> ((s, d) => {
+      val ord = Window.orderBy("pk")
+      Tables.part(s, d)
+        .where(col("p_partkey") % 19 === 2)
+        .select(col("p_partkey").cast("bigint").as("pk"),
+          col("p_name").as("name"))
+        .withColumn("prev_name", lag("name", 1).over(ord))
+        .where(col("prev_name").isNotNull)
+        .withColumn("lev_prev",
+          expr("CAST(levenshtein(name, prev_name) AS BIGINT)"))
+        .withColumn("lev_probe",
+          expr("CAST(levenshtein(name, 'lemon chocolate steel') AS BIGINT)"))
+        .withColumn("norm_milli", expr(
+          "lev_prev * 1000 DIV GREATEST(length(name), length(prev_name))"))
+        .select("pk", "name", "prev_name", "lev_prev", "lev_probe",
+          "norm_milli")
+        .orderBy("pk")
     })
   )
 
@@ -737,6 +871,106 @@ object Round12cOps {
          |  ${ratio("num1")} AS r1_ppm, ${ratio("num2")} AS r2_ppm,
          |  ${ratio("num3")} AS r3_ppm
          |FROM agg ORDER BY event_type""".stripMargin
-    }
+    },
+
+    // Same weights, same complement, same planted corruption.
+    "fn_ean13_check" -> {
+      def wsum(src: String) = (1 to 12).map { i =>
+        val w = if (i % 2 == 1) 1 else 3
+        s"CAST(SUBSTRING($src, $i, 1) AS BIGINT) * $w" }.mkString(" + ")
+      s"""WITH base AS (SELECT o_orderkey AS okey,
+         |    LPAD(CAST(o_orderkey * 37 + 5 AS STRING), 12, '0') AS code12
+         |  FROM orders WHERE o_orderkey % 23 = 11),
+         |ck AS (SELECT *, (10 - (${wsum("code12")}) % 10) % 10 AS chk
+         |  FROM base),
+         |bad AS (SELECT *, CONCAT(SUBSTRING(code12, 1, 6),
+         |    CAST((CAST(SUBSTRING(code12, 7, 1) AS BIGINT) + 5) % 10
+         |      AS STRING), SUBSTRING(code12, 8, 6)) AS bad12 FROM ck)
+         |SELECT okey, code12, chk,
+         |  CONCAT(code12, CAST(chk AS STRING)) AS ean13,
+         |  (10 - (${wsum("bad12")}) % 10) % 10 = chk AS bad_valid
+         |FROM bad ORDER BY okey""".stripMargin
+    },
+
+    // Same bars, same horizon sums, same HUGEINT cross-multiplied blend.
+    "win_ultimate_osc" ->
+      """WITH e AS (SELECT event_type, event_id, epoch_us(ts) AS ts_us,
+        |    epoch_us(ts) // 86400000000 AS day,
+        |    CAST(FLOOR(value * 100) AS BIGINT) AS cents FROM events),
+        |bar AS (SELECT event_type, day, MAX(cents) AS h, MIN(cents) AS l,
+        |    MAX_BY(cents, CAST(ts_us AS HUGEINT) * 1000000 + event_id) AS c
+        |  FROM e GROUP BY 1, 2),
+        |pcs AS (SELECT *, lag(c, 1) OVER o AS pc
+        |  FROM bar WINDOW o AS (PARTITION BY event_type ORDER BY day)),
+        |bt AS (SELECT event_type, day, c - LEAST(l, pc) AS bp,
+        |    GREATEST(h, pc) - LEAST(l, pc) AS tr,
+        |    CAST(ROW_NUMBER() OVER o AS BIGINT) AS rn
+        |  FROM pcs WHERE pc IS NOT NULL
+        |  WINDOW o AS (PARTITION BY event_type ORDER BY day)),
+        |sums AS (SELECT *,
+        |    CAST(SUM(bp) OVER (o ROWS 6 PRECEDING) AS BIGINT) AS b7,
+        |    CAST(SUM(tr) OVER (o ROWS 6 PRECEDING) AS BIGINT) AS t7,
+        |    CAST(SUM(bp) OVER (o ROWS 13 PRECEDING) AS BIGINT) AS b14,
+        |    CAST(SUM(tr) OVER (o ROWS 13 PRECEDING) AS BIGINT) AS t14,
+        |    CAST(SUM(bp) OVER (o ROWS 27 PRECEDING) AS BIGINT) AS b28,
+        |    CAST(SUM(tr) OVER (o ROWS 27 PRECEDING) AS BIGINT) AS t28
+        |  FROM bt WINDOW o AS (PARTITION BY event_type ORDER BY day))
+        |SELECT event_type, day, b7, t7, b14, t14, b28, t28,
+        |  CASE WHEN t7 = 0 OR t14 = 0 OR t28 = 0 THEN 0
+        |    ELSE CAST((CAST(4 * b7 AS HUGEINT) * t14 * t28
+        |        + CAST(2 * b14 AS HUGEINT) * t7 * t28
+        |        + CAST(b28 AS HUGEINT) * t7 * t14) * 1000000
+        |      // (CAST(7 AS HUGEINT) * t7 * t14 * t28) AS BIGINT)
+        |  END AS uo_ppm
+        |FROM sums WHERE rn >= 28 ORDER BY event_type, day""".stripMargin,
+
+    // Same triple signs under ties.
+    "win_ordinal_patterns" ->
+      """WITH e AS (SELECT event_type, event_id, epoch_us(ts) AS ts_us,
+        |    epoch_us(ts) // 86400000000 AS day,
+        |    CAST(FLOOR(value * 100) AS BIGINT) AS cents FROM events),
+        |bar AS (SELECT event_type, day,
+        |    MAX_BY(cents, CAST(ts_us AS HUGEINT) * 1000000 + event_id) AS c
+        |  FROM e GROUP BY 1, 2),
+        |lg AS (SELECT *, lag(c, 1) OVER o AS c1, lag(c, 2) OVER o AS c2
+        |  FROM bar WINDOW o AS (PARTITION BY event_type ORDER BY day)),
+        |pat AS (SELECT event_type, CONCAT(
+        |    CASE WHEN c > c1 THEN '+' WHEN c < c1 THEN '-' ELSE '0' END,
+        |    CASE WHEN c > c2 THEN '+' WHEN c < c2 THEN '-' ELSE '0' END,
+        |    CASE WHEN c1 > c2 THEN '+' WHEN c1 < c2 THEN '-' ELSE '0' END
+        |  ) AS pattern FROM lg WHERE c2 IS NOT NULL)
+        |SELECT event_type, pattern, CAST(COUNT(*) AS BIGINT) AS cnt
+        |FROM pat GROUP BY 1, 2 ORDER BY event_type, pattern""".stripMargin,
+
+    // Same weekly maxima, same Weibull positions, same dense ordering.
+    "agg_return_period" ->
+      """WITH e AS (SELECT event_type,
+        |    epoch_us(ts) // 86400000000 // 7 AS week,
+        |    CAST(FLOOR(value * 100) AS BIGINT) AS cents FROM events),
+        |blk AS (SELECT event_type, week, MAX(cents) AS wmax
+        |  FROM e GROUP BY 1, 2),
+        |rk AS (SELECT *,
+        |    CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+        |      ORDER BY wmax DESC, week) AS BIGINT) AS rank
+        |  FROM blk)
+        |SELECT event_type, week, wmax, n, rank,
+        |  (n + 1) * 1000 // rank AS t_milli,
+        |  rank * 1000000 // (n + 1) AS exceed_ppm
+        |FROM rk ORDER BY event_type, week""".stripMargin,
+
+    // Same built-in Levenshtein kernel, same probe and normalization.
+    "fn_edit_distance" ->
+      """WITH base AS (SELECT CAST(p_partkey AS BIGINT) AS pk,
+        |    p_name AS name FROM part WHERE p_partkey % 19 = 2),
+        |lg AS (SELECT *, lag(name, 1) OVER (ORDER BY pk) AS prev_name
+        |  FROM base)
+        |SELECT pk, name, prev_name,
+        |  CAST(levenshtein(name, prev_name) AS BIGINT) AS lev_prev,
+        |  CAST(levenshtein(name, 'lemon chocolate steel') AS BIGINT)
+        |    AS lev_probe,
+        |  CAST(levenshtein(name, prev_name) AS BIGINT) * 1000
+        |    // GREATEST(length(name), length(prev_name)) AS norm_milli
+        |FROM lg WHERE prev_name IS NOT NULL ORDER BY pk""".stripMargin
   )
 }
