@@ -553,8 +553,115 @@ object Round12cOps {
         .select("pk", "name", "prev_name", "lev_prev", "lev_probe",
           "norm_milli")
         .orderBy("pk")
+    }),
+
+    // Shoelace doubled area of 5 lattice polylines (vertices in key
+    // order, closed by wrapping to the first vertex) — 2A = Σ(xᵢy₊ −
+    // x₊yᵢ) signed + abs, plus the exact Manhattan perimeter. Signed
+    // area is well-defined even if the path self-intersects, so no hull
+    // is needed; one sort per group, two window probes.
+    "fn_shoelace_area" -> ((s, d) => {
+      val ord = Window.partitionBy("grp").orderBy("pk")
+      val full = ord.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.part(s, d)
+        .where(col("p_partkey") % 7 === 1)
+        .select(col("p_partkey").cast("bigint").as("pk"))
+        .withColumn("grp", expr("pk % 5"))
+        .withColumn("x", expr("pk * 31 % 512"))
+        .withColumn("y", expr("pk * 17 % 512"))
+        .withColumn("xn", coalesce(lead("x", 1).over(ord),
+          first("x").over(full)))
+        .withColumn("yn", coalesce(lead("y", 1).over(ord),
+          first("y").over(full)))
+        .groupBy("grp")
+        .agg(count(lit(1)).as("n_vertices"),
+          sum(expr("x * yn - xn * y")).as("area2_signed"),
+          sum(expr("abs(xn - x) + abs(yn - y)")).as("perim_manhattan"))
+        .withColumn("area2_abs", abs(col("area2_signed")))
+        .select("grp", "n_vertices", "area2_signed", "area2_abs",
+          "perim_manhattan")
+        .orderBy("grp")
+    }),
+
+    // Ray-casting point-in-polygon against a literal hexagon — the
+    // crossing test kept DIVISION-FREE by the cross-product sign form
+    // ((x₂−x₁)(py−y₁) − (px−x₁)(y₂−y₁))·sgn(y₂−y₁) > 0, six unrolled
+    // edges from ONE generator (the SQL is dialect-identical: only *,
+    // −, > and CASE). No horizontal edges by construction.
+    "fn_point_in_polygon" -> ((s, d) => {
+      Tables.part(s, d)
+        .where(col("p_partkey") % 11 === 6)
+        .select(col("p_partkey").cast("bigint").as("pk"))
+        .withColumn("px", expr("pk * 13 % 200"))
+        .withColumn("py", expr("pk * 29 % 200"))
+        .withColumn("crossings", expr(s"CAST($pipCrossings AS BIGINT)"))
+        .withColumn("inside", expr("crossings % 2 = 1"))
+        .select("pk", "px", "py", "crossings", "inside")
+        .orderBy("pk")
+    }),
+
+    // Brute-force k-NN on a lattice — 5 probe points (one per region)
+    // broadcast against the sampled point set, Manhattan distance,
+    // top-3 by (dist, id) per probe. The exact-small-probe shape: the
+    // fact side stays distributed, the probe side is a broadcast dim.
+    "fn_grid_knn" -> ((s, d) => {
+      val byProbe = Window.partitionBy("rk").orderBy("dist", "id")
+      val pts = Tables.part(s, d)
+        .where(col("p_partkey") % 11 === 4)
+        .select(col("p_partkey").cast("bigint").as("id"))
+        .withColumn("x", expr("id * 13 % 1000"))
+        .withColumn("y", expr("id * 37 % 1000"))
+      val probes = Tables.region(s, d)
+        .select(col("r_regionkey").cast("bigint").as("rk"))
+        .withColumn("qx", expr("100 + rk * 150"))
+        .withColumn("qy", expr("900 - rk * 130"))
+      pts.crossJoin(broadcast(probes))
+        .withColumn("dist", expr("abs(x - qx) + abs(y - qy)"))
+        .withColumn("rank", row_number().over(byProbe).cast("bigint"))
+        .where(col("rank") <= 3)
+        .select("rk", "rank", "id", "dist")
+        .orderBy("rk", "rank")
+    }),
+
+    // Bresenham/DDA line rasterization (first octant by construction:
+    // dx ≥ 50 > dy) — y(t) = y0 + (2·t·dy + dx) DIV (2·dx), the exact
+    // integer rounding form, stepped by a CONSTANT 0..99 series filtered
+    // to t ≤ dx (the dialect-safe generate_series shape). All
+    // non-negative, embarrassingly parallel.
+    "fn_bresenham_line" -> ((s, d) => {
+      Tables.part(s, d)
+        .where(col("p_partkey") % 41 === 9)
+        .select(col("p_partkey").cast("bigint").as("pk"))
+        .withColumn("x0", expr("pk % 100"))
+        .withColumn("y0", expr("pk * 7 % 100"))
+        .withColumn("dx", expr("50 + pk % 49"))
+        .withColumn("dy", expr("pk % 50"))
+        .withColumn("t", explode(expr("sequence(0L, 99L)")))
+        .where(col("t") <= col("dx"))
+        .withColumn("x", expr("x0 + t"))
+        .withColumn("y", expr("y0 + (2 * t * dy + dx) DIV (2 * dx)"))
+        .select("pk", "t", "x", "y", "dx", "dy")
+        .orderBy("pk", "t")
     })
   )
+
+  /** Hexagon vertices for fn_point_in_polygon — no horizontal edges. */
+  private val HexPoly = Seq((100, 20), (180, 60), (180, 140), (100, 180),
+    (20, 140), (20, 60))
+
+  /** Unrolled ray-casting crossing count — dialect-identical SQL (only
+    * *, −, > and CASE), emitted once for both engines. */
+  private def pipCrossings: String =
+    HexPoly.indices.map { i =>
+      val (x1, y1) = HexPoly(i)
+      val (x2, y2) = HexPoly((i + 1) % HexPoly.size)
+      val sgn = if (y2 > y1) 1 else -1
+      s"""(CASE WHEN (CASE WHEN $y1 > py THEN 1 ELSE 0 END) <>
+         |  (CASE WHEN $y2 > py THEN 1 ELSE 0 END)
+         |  AND ((${x2 - x1}) * (py - $y1) - (px - $x1) * (${y2 - y1}))
+         |    * $sgn > 0 THEN 1 ELSE 0 END)""".stripMargin
+    }.mkString(" + ")
 
   val oracles: Map[String, String] = Map(
     // Same bars, same sign-split money flow, same two weight-vector
@@ -971,6 +1078,69 @@ object Round12cOps {
         |    AS lev_probe,
         |  CAST(levenshtein(name, prev_name) AS BIGINT) * 1000
         |    // GREATEST(length(name), length(prev_name)) AS norm_milli
-        |FROM lg WHERE prev_name IS NOT NULL ORDER BY pk""".stripMargin
+        |FROM lg WHERE prev_name IS NOT NULL ORDER BY pk""".stripMargin,
+
+    // Same wrap-to-first closure, same signed shoelace terms.
+    "fn_shoelace_area" ->
+      """WITH v AS (SELECT CAST(p_partkey AS BIGINT) AS pk,
+        |    CAST(p_partkey AS BIGINT) % 5 AS grp,
+        |    CAST(p_partkey AS BIGINT) * 31 % 512 AS x,
+        |    CAST(p_partkey AS BIGINT) * 17 % 512 AS y
+        |  FROM part WHERE p_partkey % 7 = 1),
+        |nx AS (SELECT *,
+        |    COALESCE(lead(x) OVER o, FIRST_VALUE(x) OVER (PARTITION BY grp
+        |      ORDER BY pk ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED
+        |      FOLLOWING)) AS xn,
+        |    COALESCE(lead(y) OVER o, FIRST_VALUE(y) OVER (PARTITION BY grp
+        |      ORDER BY pk ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED
+        |      FOLLOWING)) AS yn
+        |  FROM v WINDOW o AS (PARTITION BY grp ORDER BY pk))
+        |SELECT grp, CAST(COUNT(*) AS BIGINT) AS n_vertices,
+        |  CAST(SUM(x * yn - xn * y) AS BIGINT) AS area2_signed,
+        |  ABS(CAST(SUM(x * yn - xn * y) AS BIGINT)) AS area2_abs,
+        |  CAST(SUM(ABS(xn - x) + ABS(yn - y)) AS BIGINT) AS perim_manhattan
+        |FROM nx GROUP BY grp ORDER BY grp""".stripMargin,
+
+    // Same hexagon, same division-free crossing tests (shared generator).
+    "fn_point_in_polygon" ->
+      s"""WITH p AS (SELECT CAST(p_partkey AS BIGINT) AS pk,
+         |    CAST(p_partkey AS BIGINT) * 13 % 200 AS px,
+         |    CAST(p_partkey AS BIGINT) * 29 % 200 AS py
+         |  FROM part WHERE p_partkey % 11 = 6),
+         |c AS (SELECT *, $pipCrossings AS crossings FROM p)
+         |SELECT pk, px, py, CAST(crossings AS BIGINT) AS crossings,
+         |  crossings % 2 = 1 AS inside
+         |FROM c ORDER BY pk""".stripMargin,
+
+    // Same probes, same Manhattan metric, same (dist, id) tie-break.
+    "fn_grid_knn" ->
+      """WITH pts AS (SELECT CAST(p_partkey AS BIGINT) AS id,
+        |    CAST(p_partkey AS BIGINT) * 13 % 1000 AS x,
+        |    CAST(p_partkey AS BIGINT) * 37 % 1000 AS y
+        |  FROM part WHERE p_partkey % 11 = 4),
+        |probes AS (SELECT CAST(r_regionkey AS BIGINT) AS rk,
+        |    100 + CAST(r_regionkey AS BIGINT) * 150 AS qx,
+        |    900 - CAST(r_regionkey AS BIGINT) * 130 AS qy FROM region),
+        |d AS (SELECT rk, id, ABS(x - qx) + ABS(y - qy) AS dist
+        |  FROM pts CROSS JOIN probes),
+        |r AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY rk
+        |    ORDER BY dist, id) AS BIGINT) AS rank FROM d)
+        |SELECT rk, rank, id, dist FROM r WHERE rank <= 3
+        |ORDER BY rk, rank""".stripMargin,
+
+    // Same rounding form, same constant series + filter.
+    "fn_bresenham_line" ->
+      """WITH l AS (SELECT CAST(p_partkey AS BIGINT) AS pk,
+        |    CAST(p_partkey AS BIGINT) % 100 AS x0,
+        |    CAST(p_partkey AS BIGINT) * 7 % 100 AS y0,
+        |    50 + CAST(p_partkey AS BIGINT) % 49 AS dx,
+        |    CAST(p_partkey AS BIGINT) % 50 AS dy
+        |  FROM part WHERE p_partkey % 41 = 9),
+        |s AS (SELECT CAST(g AS BIGINT) AS t
+        |  FROM generate_series(0, 99) AS gs(g)),
+        |r AS (SELECT l.*, s.t FROM l CROSS JOIN s WHERE s.t <= l.dx)
+        |SELECT pk, t, x0 + t AS x,
+        |  y0 + (2 * t * dy + dx) // (2 * dx) AS y, dx, dy
+        |FROM r ORDER BY pk, t""".stripMargin
   )
 }
