@@ -643,6 +643,129 @@ object Round12cOps {
         .withColumn("y", expr("y0 + (2 * t * dy + dx) DIV (2 * dx)"))
         .select("pk", "t", "x", "y", "dx", "dy")
         .orderBy("pk", "t")
+    }),
+
+    // Aspect-ratio bucketing for multimodal batch assembly — each synth
+    // image (w,h from doc_id) assigned the closest of five literal
+    // ratios by the EXACT cross-multiplied misfit |w·bh − h·bw|·(144/bh)
+    // (144 = lcm of the bh set, so the comparison is division-free);
+    // argmin via (misfit, bucket) row_number, per-bucket rollup.
+    "mm_aspect_bucket" -> ((s, d) => {
+      val byImg = Window.partitionBy("doc_id").orderBy("cmp", "bname")
+      Tables.documents(s, d)
+        .select(col("doc_id"))
+        .withColumn("w", expr("256 + doc_id * 7 % 1792"))
+        .withColumn("h", expr("256 + doc_id * 11 % 1792"))
+        .withColumn("b", explode(expr(
+          """array(named_struct('bname', '1x1',  'bw', 1L,  'bh', 1L),
+            |      named_struct('bname', '4x3',  'bw', 4L,  'bh', 3L),
+            |      named_struct('bname', '3x4',  'bw', 3L,  'bh', 4L),
+            |      named_struct('bname', '16x9', 'bw', 16L, 'bh', 9L),
+            |      named_struct('bname', '9x16', 'bw', 9L, 'bh', 16L))"""
+            .stripMargin)))
+        .select(col("doc_id"), col("w"), col("h"), col("b.bname").as("bname"),
+          col("b.bw").as("bw"), col("b.bh").as("bh"))
+        .withColumn("cmp", expr("abs(w * bh - h * bw) * (144 DIV bh)"))
+        .withColumn("rk", row_number().over(byImg))
+        .where(col("rk") === 1)
+        .groupBy("bname")
+        .agg(count(lit(1)).as("n_images"), min("cmp").as("min_misfit"),
+          max("cmp").as("max_misfit"))
+        .orderBy("bname")
+    }),
+
+    // Moran's I spatial autocorrelation on the observed 16×16 lattice
+    // cells (rook adjacency, count-valued) — exact rational with the
+    // mean cleared by N-scaling (dev = N·x − S); adjacency by EQUI-join
+    // on exploded neighbor offsets (no cross join), the scale-correct
+    // shape. Ratio via DECIMAL(38,0)/HUGEINT widening, sign-split.
+    "agg_morans_i" -> ((s, d) => {
+      val all = Window.partitionBy(lit(1))
+      val cells = Tables.part(s, d)
+        .where(col("p_partkey") % 7 === 1)
+        .select(col("p_partkey").cast("bigint").as("pk"))
+        .withColumn("cx", expr("pk * 31 % 512 DIV 32"))
+        .withColumn("cy", expr("pk * 17 % 512 DIV 32"))
+        .groupBy("cx", "cy").agg(count(lit(1)).as("cnt"))
+        .withColumn("nc", count(lit(1)).over(all))
+        .withColumn("sm", sum("cnt").over(all))
+        .withColumn("dev", expr("nc * cnt - sm"))
+      val nbr = cells
+        .withColumn("o", explode(expr(
+          "array(named_struct('dx', 1L, 'dy', 0L)," +
+            "named_struct('dx', -1L, 'dy', 0L)," +
+            "named_struct('dx', 0L, 'dy', 1L)," +
+            "named_struct('dx', 0L, 'dy', -1L))")))
+        .select(expr("cx + o.dx").as("nx"), expr("cy + o.dy").as("ny"),
+          col("dev").as("dev_a"))
+      val pairs = nbr.join(
+        cells.select(col("cx").as("nx"), col("cy").as("ny"),
+          col("dev").as("dev_b")),
+        Seq("nx", "ny"))
+      val agg1 = pairs.agg(count(lit(1)).as("w_pairs"),
+        sum(expr("dev_a * dev_b")).as("num"))
+      val agg2 = cells.groupBy().agg(max("nc").as("n_cells"),
+        sum(expr("dev * dev")).as("den"))
+      agg2.crossJoin(broadcast(agg1))
+        .withColumn("i_ppm", expr(
+          """CAST(CASE WHEN den = 0 OR w_pairs = 0 THEN 0
+            |  WHEN num < 0
+            |  THEN -((CAST(n_cells AS DECIMAL(38,0)) * (-num) * 1000000)
+            |    DIV (CAST(w_pairs AS DECIMAL(38,0)) * den))
+            |  ELSE (CAST(n_cells AS DECIMAL(38,0)) * num * 1000000)
+            |    DIV (CAST(w_pairs AS DECIMAL(38,0)) * den)
+            |END AS BIGINT)""".stripMargin))
+        .withColumn("ei_ppm", expr("-(1000000 DIV (n_cells - 1))"))
+        .select("n_cells", "w_pairs", "den", "num", "i_ppm", "ei_ppm")
+    }),
+
+    // Incremental materialized-view maintenance — the base aggregate
+    // (orders before the cutoff) merged with the delta batch by the
+    // partial-aggregate combine laws (cnt: +, sum: +, min: LEAST with
+    // null passthrough, max: GREATEST) equals the full recompute, which
+    // is exactly what the oracle runs. The MV-refresh-without-rescan
+    // shape that matters at 100 TB.
+    "warehouse_mv_incremental" -> ((s, d) => {
+      def slab(pred: String) = Tables.orders(s, d)
+        .where(expr(pred))
+        .groupBy(col("o_orderpriority").as("pri"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(floor(col("o_totalprice") * 100).cast("bigint")).as("sum_cents"),
+          min(floor(col("o_totalprice") * 100).cast("bigint")).as("min_cents"),
+          max(floor(col("o_totalprice") * 100).cast("bigint")).as("max_cents"))
+      val base = slab("CAST(o_orderdate AS DATE) < DATE '1997-01-01'")
+      val delta = slab("CAST(o_orderdate AS DATE) >= DATE '1997-01-01'")
+      base.as("b").join(delta.as("x"), Seq("pri"), "full_outer")
+        .select(col("pri"),
+          (coalesce(col("b.cnt"), lit(0L)) +
+            coalesce(col("x.cnt"), lit(0L))).as("cnt"),
+          (coalesce(col("b.sum_cents"), lit(0L)) +
+            coalesce(col("x.sum_cents"), lit(0L))).as("sum_cents"),
+          least(coalesce(col("b.min_cents"), col("x.min_cents")),
+            coalesce(col("x.min_cents"), col("b.min_cents"))).as("min_cents"),
+          greatest(coalesce(col("b.max_cents"), col("x.max_cents")),
+            coalesce(col("x.max_cents"), col("b.max_cents"))).as("max_cents"))
+        .orderBy("pri")
+    }),
+
+    // Concat-and-split sequence packing plan — documents in id order
+    // concatenated into 2048-token bins (tokens = n_chars DIV 4 + 1,
+    // the char proxy); each doc's [start, end) span yields its bin range
+    // and a straddle flag. One running sum, no shuffle beyond the sort —
+    // the dataloader packing ledger in exact integers.
+    "llm_concat_packing" -> ((s, d) => {
+      val ord = Window.partitionBy(lit(1)).orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.documents(s, d)
+        .select(col("doc_id"), expr("n_chars DIV 4 + 1").as("tokens"))
+        .withColumn("cum_end", sum("tokens").over(ord))
+        .withColumn("start", expr("cum_end - tokens"))
+        .withColumn("start_bin", expr("start DIV 2048"))
+        .withColumn("end_bin", expr("(cum_end - 1) DIV 2048"))
+        .withColumn("straddle", expr("end_bin > start_bin"))
+        .select("doc_id", "tokens", "start", "start_bin", "end_bin",
+          "straddle")
+        .orderBy("doc_id")
     })
   )
 
@@ -1141,6 +1264,69 @@ object Round12cOps {
         |r AS (SELECT l.*, s.t FROM l CROSS JOIN s WHERE s.t <= l.dx)
         |SELECT pk, t, x0 + t AS x,
         |  y0 + (2 * t * dy + dx) // (2 * dx) AS y, dx, dy
-        |FROM r ORDER BY pk, t""".stripMargin
+        |FROM r ORDER BY pk, t""".stripMargin,
+
+    // Same literal ratio set, same lcm-normalized misfit, same argmin.
+    "mm_aspect_bucket" ->
+      """WITH img AS (SELECT doc_id, 256 + doc_id * 7 % 1792 AS w,
+        |    256 + doc_id * 11 % 1792 AS h FROM documents),
+        |b(bname, bw, bh) AS (VALUES ('1x1', 1, 1), ('4x3', 4, 3),
+        |  ('3x4', 3, 4), ('16x9', 16, 9), ('9x16', 9, 16)),
+        |m AS (SELECT img.doc_id, img.w, img.h, b.bname,
+        |    ABS(w * bh - h * bw) * (144 // bh) AS cmp
+        |  FROM img CROSS JOIN b),
+        |pick AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+        |    ORDER BY cmp, bname) AS rk FROM m)
+        |SELECT bname, CAST(COUNT(*) AS BIGINT) AS n_images,
+        |  MIN(cmp) AS min_misfit, MAX(cmp) AS max_misfit
+        |FROM pick WHERE rk = 1 GROUP BY bname ORDER BY bname""".stripMargin,
+
+    // Same observed cells, same rook pairs, same HUGEINT-widened ratio.
+    "agg_morans_i" ->
+      """WITH pts AS (SELECT CAST(p_partkey AS BIGINT) AS pk
+        |  FROM part WHERE p_partkey % 7 = 1),
+        |cell AS (SELECT pk * 31 % 512 // 32 AS cx,
+        |    pk * 17 % 512 // 32 AS cy, CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM pts GROUP BY 1, 2),
+        |dv AS (SELECT *, CAST(COUNT(*) OVER () AS BIGINT) AS nc,
+        |    CAST(SUM(cnt) OVER () AS BIGINT) AS sm FROM cell),
+        |dev AS (SELECT *, nc * cnt - sm AS dev FROM dv),
+        |pairs AS (SELECT a.dev AS dev_a, b.dev AS dev_b
+        |  FROM dev a JOIN dev b
+        |    ON ABS(a.cx - b.cx) + ABS(a.cy - b.cy) = 1),
+        |agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS w_pairs,
+        |    CAST(SUM(dev_a * dev_b) AS BIGINT) AS num FROM pairs),
+        |tot AS (SELECT MAX(nc) AS n_cells,
+        |    CAST(SUM(dev * dev) AS BIGINT) AS den FROM dev)
+        |SELECT n_cells, w_pairs, den, num,
+        |  CAST(CASE WHEN den = 0 OR w_pairs = 0 THEN 0
+        |    WHEN num < 0
+        |    THEN -((CAST(n_cells AS HUGEINT) * (-num) * 1000000)
+        |      // (CAST(w_pairs AS HUGEINT) * den))
+        |    ELSE (CAST(n_cells AS HUGEINT) * num * 1000000)
+        |      // (CAST(w_pairs AS HUGEINT) * den) END AS BIGINT) AS i_ppm,
+        |  -(1000000 // (n_cells - 1)) AS ei_ppm
+        |FROM tot, agg""".stripMargin,
+
+    // The oracle IS the full recompute — the merge must equal it.
+    "warehouse_mv_incremental" ->
+      """SELECT o_orderpriority AS pri, CAST(COUNT(*) AS BIGINT) AS cnt,
+        |  CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS sum_cents,
+        |  MIN(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS min_cents,
+        |  MAX(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS max_cents
+        |FROM orders GROUP BY 1 ORDER BY pri""".stripMargin,
+
+    // Same id order, same char-proxy tokens, same bin arithmetic.
+    "llm_concat_packing" ->
+      """WITH t AS (SELECT doc_id, n_chars // 4 + 1 AS tokens
+        |  FROM documents),
+        |c AS (SELECT *, CAST(SUM(tokens) OVER (ORDER BY doc_id
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_end FROM t)
+        |SELECT doc_id, tokens, cum_end - tokens AS start,
+        |  (cum_end - tokens) // 2048 AS start_bin,
+        |  (cum_end - 1) // 2048 AS end_bin,
+        |  (cum_end - 1) // 2048 > (cum_end - tokens) // 2048 AS straddle
+        |FROM c ORDER BY doc_id""".stripMargin
   )
 }
