@@ -766,8 +766,140 @@ object Round12cOps {
         .select("doc_id", "tokens", "start", "start_bin", "end_bin",
           "straddle")
         .orderBy("doc_id")
+    }),
+
+    // Knox space-time interaction test — pairs close in BOTH space
+    // (Manhattan ≤ 4 on the user lattice) and time (|Δday| ≤ 2) vs the
+    // independence expectation S·T/N. Pair generation is BUCKETED
+    // (4-cells + 3-day buckets, exploded ±1 neighborhoods, equi-join)
+    // — the scale-correct shape; the oracle brute-forces all pairs to
+    // prove the buckets lose nothing. Exact milli ratio.
+    "agg_knox_test" -> ((s, d) => {
+      val base = Tables.events(s, d)
+        .where(col("event_id") % 37 === 0)
+        .select(col("event_id").as("id"),
+          expr("user_id * 13 % 64").as("sx"),
+          expr("user_id * 29 % 64").as("sy"),
+          expr("ts_us DIV 86400000000").as("day"))
+      val nRow = base.agg(count(lit(1)).as("n"))
+      def bucketPairs(bx: String, by: String, offs: Seq[(Int, Int)],
+                      keep: String) = {
+        val a = base
+          .withColumn("bx", expr(bx)).withColumn("by", expr(by))
+          .withColumn("o", explode(expr(
+            offs.map { case (dx, dy) =>
+              s"named_struct('dx', ${dx}L, 'dy', ${dy}L)" }
+              .mkString("array(", ", ", ")"))))
+          .select(col("id").as("id_a"), col("sx").as("sx_a"),
+            col("sy").as("sy_a"), col("day").as("day_a"),
+            expr("bx + o.dx").as("jx"), expr("by + o.dy").as("jy"))
+        val b = base
+          .select(col("id").as("id_b"), col("sx").as("sx_b"),
+            col("sy").as("sy_b"), col("day").as("day_b"),
+            expr(bx).as("jx"), expr(by).as("jy"))
+        a.join(b, Seq("jx", "jy"))
+          .where(col("id_a") < col("id_b"))
+          .where(expr(keep))
+      }
+      val grid9 = for { dx <- -1 to 1; dy <- -1 to 1 } yield (dx, dy)
+      val sPairs = bucketPairs("sx DIV 4", "sy DIV 4", grid9,
+        "abs(sx_a - sx_b) + abs(sy_a - sy_b) <= 4")
+      val sAgg = sPairs.agg(count(lit(1)).as("s_pairs"),
+        sum(expr("CASE WHEN abs(day_a - day_b) <= 2 THEN 1L ELSE 0L END"))
+          .as("x_pairs"))
+      val tAgg = bucketPairs("day DIV 3", "CAST(0 AS BIGINT)",
+        Seq((-1, 0), (0, 0), (1, 0)), "abs(day_a - day_b) <= 2")
+        .agg(count(lit(1)).as("t_pairs"))
+      nRow.crossJoin(broadcast(sAgg)).crossJoin(broadcast(tAgg))
+        .withColumn("npairs", expr("n * (n - 1) DIV 2"))
+        .withColumn("knox_milli", expr(
+          """CASE WHEN s_pairs = 0 OR t_pairs = 0 THEN 0L
+            |  ELSE x_pairs * npairs * 1000 DIV (s_pairs * t_pairs)
+            |END""".stripMargin))
+        .select("n", "npairs", "s_pairs", "t_pairs", "x_pairs",
+          "knox_milli")
+    }),
+
+    // Damm check digit — the anti-symmetric quasigroup walked as 12
+    // unrolled table lookups through ONE 100-char literal (substring at
+    // interim·10 + digit + 1); the zero diagonal makes the final interim
+    // the check digit, and re-walking code‖check must land on 0 (graded).
+    "fn_damm_check" -> ((s, d) => {
+      val chain = (1 to 12).foldLeft("0") { (acc, i) =>
+        s"CAST(SUBSTRING('$DammTbl', CAST(($acc) * 10 + " +
+          s"CAST(SUBSTRING(code12, $i, 1) AS BIGINT) + 1 AS INT), 1) AS BIGINT)"
+      }
+      Tables.orders(s, d)
+        .where(col("o_orderkey") % 29 === 7)
+        .select(col("o_orderkey").as("okey"))
+        .withColumn("code12", expr(
+          "LPAD(CAST(okey * 53 + 9 AS STRING), 12, '0')"))
+        .withColumn("chk", expr(chain))
+        .withColumn("revalid", expr(
+          s"CAST(SUBSTRING('$DammTbl', CAST(chk * 10 + chk + 1 AS INT), 1) " +
+            "AS BIGINT) = 0"))
+        .select("okey", "code12", "chk", "revalid")
+        .orderBy("okey")
+    }),
+
+    // Palma ratio per market segment — top-decile wealth share over the
+    // bottom four deciles, deciles rank-exact via ntile(10) with a
+    // deterministic (cents, custkey) ordering; shares ppm, ratio milli.
+    "agg_palma_ratio" -> ((s, d) => {
+      val bySeg = Window.partitionBy("seg").orderBy("cents", "c_custkey")
+      Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_mktsegment").as("seg"),
+          (floor(col("c_acctbal") * 100).cast("bigint") + 100000L)
+            .as("cents"))
+        .withColumn("decile", ntile(10).over(bySeg).cast("bigint"))
+        .groupBy("seg")
+        .agg(sum("cents").as("total"),
+          sum(when(col("decile") === 10, col("cents")).otherwise(0L))
+            .as("top10"),
+          sum(when(col("decile") <= 4, col("cents")).otherwise(0L))
+            .as("bot40"))
+        .withColumn("top_ppm", expr("top10 * 1000000 DIV total"))
+        .withColumn("bot_ppm", expr("bot40 * 1000000 DIV total"))
+        .withColumn("palma_milli", expr("top10 * 1000 DIV bot40"))
+        .select("seg", "total", "top10", "bot40", "top_ppm", "bot_ppm",
+          "palma_milli")
+        .orderBy("seg")
+    }),
+
+    // TD Setup count — consecutive closes below the close 4 bars back,
+    // the streak computed shuffle-free by the reset pattern (break flags
+    // → running group id → running flag sum inside the group); a 9-bar
+    // streak flags SETUP. One sort, two window passes.
+    "win_td_setup" -> ((s, d) => {
+      val ord = Window.partitionBy("event_type").orderBy("day")
+      val cum = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val inGrp = Window.partitionBy("event_type", "grp").orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, d)
+        .select(col("event_type"), col("event_id"), col("ts_us"),
+          expr("ts_us DIV 86400000000").as("day"),
+          floor(col("value") * 100).cast("bigint").as("cents"))
+        .groupBy("event_type", "day")
+        .agg(expr("max_by(cents, struct(ts_us, event_id))").as("c"))
+        .withColumn("c4", lag("c", 4).over(ord))
+        .withColumn("rn", row_number().over(ord).cast("bigint"))
+        .withColumn("flag", expr(
+          "CASE WHEN c4 IS NOT NULL AND c < c4 THEN 1L ELSE 0L END"))
+        .withColumn("grp", sum(expr("1 - flag")).over(cum))
+        .withColumn("streak", sum("flag").over(inGrp))
+        .where(col("rn") > 4)
+        .withColumn("setup", col("streak") >= 9)
+        .select("event_type", "day", "c", "streak", "setup")
+        .orderBy("event_type", "day")
     })
   )
+
+  /** The Damm anti-symmetric quasigroup (10 rows of 10, zero diagonal)
+    * as one 100-char literal shared by both dialects. */
+  private val DammTbl =
+    "0317598642" + "7092154863" + "4206871359" + "1750983426" +
+      "6123045978" + "3674209581" + "5869720134" + "8945362017" +
+      "9438617205" + "2581436790"
 
   /** Hexagon vertices for fn_point_in_polygon — no horizontal edges. */
   private val HexPoly = Seq((100, 20), (180, 60), (180, 140), (100, 180),
@@ -1327,6 +1459,86 @@ object Round12cOps {
         |  (cum_end - tokens) // 2048 AS start_bin,
         |  (cum_end - 1) // 2048 AS end_bin,
         |  (cum_end - 1) // 2048 > (cum_end - tokens) // 2048 AS straddle
-        |FROM c ORDER BY doc_id""".stripMargin
+        |FROM c ORDER BY doc_id""".stripMargin,
+
+    // The oracle brute-forces ALL pairs — proving the engine's bucketed
+    // pair generation loses nothing.
+    "agg_knox_test" ->
+      """WITH e AS (SELECT event_id AS id, user_id * 13 % 64 AS sx,
+        |    user_id * 29 % 64 AS sy,
+        |    epoch_us(ts) // 86400000000 AS day
+        |  FROM events WHERE event_id % 37 = 0),
+        |p AS (SELECT
+        |    CASE WHEN ABS(a.sx - b.sx) + ABS(a.sy - b.sy) <= 4
+        |      THEN 1 ELSE 0 END AS sc,
+        |    CASE WHEN ABS(a.day - b.day) <= 2 THEN 1 ELSE 0 END AS tc
+        |  FROM e a JOIN e b ON a.id < b.id),
+        |agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS npairs,
+        |    CAST(SUM(sc) AS BIGINT) AS s_pairs,
+        |    CAST(SUM(tc) AS BIGINT) AS t_pairs,
+        |    CAST(SUM(sc * tc) AS BIGINT) AS x_pairs FROM p),
+        |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM e)
+        |SELECT n, npairs, s_pairs, t_pairs, x_pairs,
+        |  CASE WHEN s_pairs = 0 OR t_pairs = 0 THEN 0
+        |    ELSE x_pairs * npairs * 1000 // (s_pairs * t_pairs)
+        |  END AS knox_milli
+        |FROM nn, agg""".stripMargin,
+
+    // Same quasigroup literal, same 12 unrolled lookups.
+    "fn_damm_check" -> {
+      val chain = (1 to 12).foldLeft("0") { (acc, i) =>
+        s"CAST(SUBSTRING('$DammTbl', CAST(($acc) * 10 + " +
+          s"CAST(SUBSTRING(code12, $i, 1) AS BIGINT) + 1 AS INT), 1) AS BIGINT)"
+      }
+      s"""WITH base AS (SELECT o_orderkey AS okey,
+         |    LPAD(CAST(o_orderkey * 53 + 9 AS STRING), 12, '0') AS code12
+         |  FROM orders WHERE o_orderkey % 29 = 7),
+         |ck AS (SELECT *, $chain AS chk FROM base)
+         |SELECT okey, code12, chk,
+         |  CAST(SUBSTRING('$DammTbl', CAST(chk * 10 + chk + 1 AS INT), 1)
+         |    AS BIGINT) = 0 AS revalid
+         |FROM ck ORDER BY okey""".stripMargin
+    },
+
+    // Same deterministic deciles, same shares.
+    "agg_palma_ratio" ->
+      """WITH c AS (SELECT c_custkey, c_mktsegment AS seg,
+        |    CAST(FLOOR(c_acctbal * 100) AS BIGINT) + 100000 AS cents
+        |  FROM customer),
+        |d AS (SELECT *, CAST(NTILE(10) OVER (PARTITION BY seg
+        |    ORDER BY cents, c_custkey) AS BIGINT) AS decile FROM c),
+        |agg AS (SELECT seg, CAST(SUM(cents) AS BIGINT) AS total,
+        |    CAST(SUM(CASE WHEN decile = 10 THEN cents ELSE 0 END)
+        |      AS BIGINT) AS top10,
+        |    CAST(SUM(CASE WHEN decile <= 4 THEN cents ELSE 0 END)
+        |      AS BIGINT) AS bot40
+        |  FROM d GROUP BY seg)
+        |SELECT seg, total, top10, bot40,
+        |  top10 * 1000000 // total AS top_ppm,
+        |  bot40 * 1000000 // total AS bot_ppm,
+        |  top10 * 1000 // bot40 AS palma_milli
+        |FROM agg ORDER BY seg""".stripMargin,
+
+    // Same reset pattern, same 4-bar reference.
+    "win_td_setup" ->
+      """WITH e AS (SELECT event_type, event_id, epoch_us(ts) AS ts_us,
+        |    epoch_us(ts) // 86400000000 AS day,
+        |    CAST(FLOOR(value * 100) AS BIGINT) AS cents FROM events),
+        |bar AS (SELECT event_type, day,
+        |    MAX_BY(cents, CAST(ts_us AS HUGEINT) * 1000000 + event_id) AS c
+        |  FROM e GROUP BY 1, 2),
+        |f AS (SELECT *, lag(c, 4) OVER o AS c4,
+        |    CAST(ROW_NUMBER() OVER o AS BIGINT) AS rn
+        |  FROM bar WINDOW o AS (PARTITION BY event_type ORDER BY day)),
+        |g AS (SELECT *, CASE WHEN c4 IS NOT NULL AND c < c4
+        |    THEN 1 ELSE 0 END AS flag FROM f),
+        |h AS (SELECT *, CAST(SUM(1 - flag) OVER (PARTITION BY event_type
+        |    ORDER BY day ROWS UNBOUNDED PRECEDING) AS BIGINT) AS grp
+        |  FROM g),
+        |i AS (SELECT *, CAST(SUM(flag) OVER (PARTITION BY event_type, grp
+        |    ORDER BY day ROWS UNBOUNDED PRECEDING) AS BIGINT) AS streak
+        |  FROM h)
+        |SELECT event_type, day, c, streak, streak >= 9 AS setup
+        |FROM i WHERE rn > 4 ORDER BY event_type, day""".stripMargin
   )
 }
