@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.{GraftBridge, IntSqrt}
 import graft.Tables
 
 /** Round-12 operators, third compilation unit (Round12bOps.scala crossed
@@ -891,6 +892,108 @@ object Round12cOps {
         .withColumn("setup", col("streak") >= 9)
         .select("event_type", "day", "c", "streak", "setup")
         .orderBy("event_type", "day")
+    }),
+
+    // EXACT integer square root as a native codegen'd Catalyst
+    // expression (IntSqrt.scala: double sqrt + ±1 correction, proven
+    // exact for every non-negative long) — registered post-hoc through
+    // the FunctionRegistry bridge; perfect-square flag and the gap to
+    // the next square graded alongside. The oracle mirrors with DuckDB's
+    // CASE-corrected FLOOR(SQRT(x)).
+    "fn_isqrt_native" -> ((s, d) => {
+      GraftBridge.registerFunction(s, "isqrt", exprs => IntSqrt(exprs(0)))
+      Tables.orders(s, d)
+        .where(col("o_orderkey") % 13 === 3)
+        .select(col("o_orderkey").as("okey"))
+        .withColumn("v", expr("okey * 977 + 13"))
+        .withColumn("isq", call_function("isqrt", col("v")))
+        .withColumn("perfect", expr("isq * isq = v"))
+        .withColumn("gap_up", expr("(isq + 1) * (isq + 1) - v"))
+        .select("okey", "v", "isq", "perfect", "gap_up")
+        .orderBy("okey")
+    }),
+
+    // EXACT integer population stddev floor per segment — σ·n =
+    // √(n·Σx²−S²), so floor(σ) = isqrt(n·Σx²−S²) DIV n with the native
+    // IntSqrt doing the root: a stddev that reaches a graded column with
+    // NO float anywhere (the usual stddev is transcendental-banned).
+    "agg_integer_stddev" -> ((s, d) => {
+      GraftBridge.registerFunction(s, "isqrt", exprs => IntSqrt(exprs(0)))
+      Tables.customer(s, d)
+        .select(col("c_mktsegment").as("seg"),
+          (floor(col("c_acctbal")).cast("bigint") + 1000L).as("dollars"))
+        .groupBy("seg")
+        .agg(count(lit(1)).as("n"), sum("dollars").as("total"),
+          sum(expr("dollars * dollars")).as("ssq"))
+        .withColumn("var_num", expr("n * ssq - total * total"))
+        .withColumn("sd_floor",
+          expr("isqrt(var_num) DIV n"))
+        .select("seg", "n", "total", "ssq", "var_num", "sd_floor")
+        .orderBy("seg")
+    }),
+
+    // Laspeyres & Paasche price indices over matched parts (1996 base →
+    // 1997), unit prices in exact cents (extendedprice·100 DIV quantity),
+    // basket sums cross-graded; Fisher² = L·P in micro (the geometric
+    // mean itself would need a root — its SQUARE is exact).
+    "agg_price_index" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .withColumn("yr", year(col("l_shipdate")))
+        .where(col("yr").isin(1996, 1997))
+        .groupBy(col("l_partkey").as("pk"), col("yr"))
+        .agg(sum(col("l_quantity").cast("bigint")).as("q"),
+          sum(floor(col("l_extendedprice") * 100).cast("bigint")).as("spend"))
+        .withColumn("p", expr("spend DIV q"))
+      val matched = li.groupBy("pk")
+        .agg(max(when(col("yr") === 1996, col("p"))).as("p0"),
+          max(when(col("yr") === 1996, col("q"))).as("q0"),
+          max(when(col("yr") === 1997, col("p"))).as("p1"),
+          max(when(col("yr") === 1997, col("q"))).as("q1"))
+        .where(col("p0").isNotNull && col("p1").isNotNull)
+      matched.agg(count(lit(1)).as("n_items"),
+        sum(expr("p1 * q0")).as("l_num"), sum(expr("p0 * q0")).as("l_den"),
+        sum(expr("p1 * q1")).as("p_num"), sum(expr("p0 * q1")).as("p_den"))
+        .withColumn("laspeyres_milli", expr("l_num * 1000 DIV l_den"))
+        .withColumn("paasche_milli", expr("p_num * 1000 DIV p_den"))
+        .withColumn("fisher_sq_micro",
+          expr("laspeyres_milli * paasche_milli"))
+        .select("n_items", "laspeyres_milli", "paasche_milli",
+          "fisher_sq_micro")
+    }),
+
+    // Fibonacci retracement — trailing-20-bar swing high/low, the five
+    // classic ratios as exact milli interpolations lo + (hi−lo)·r DIV
+    // 1000, current close snapped to its nearest level (ties to the
+    // lower ratio). One sort, two extreme probes.
+    "win_fib_retracement" -> ((s, d) => {
+      val ord = Window.partitionBy("event_type").orderBy("day")
+      val trail = ord.rowsBetween(-19, 0)
+      val ratios = Seq(236, 382, 500, 618, 786)
+      val bars = Tables.events(s, d)
+        .select(col("event_type"), col("event_id"), col("ts_us"),
+          expr("ts_us DIV 86400000000").as("day"),
+          floor(col("value") * 100).cast("bigint").as("cents"))
+        .groupBy("event_type", "day")
+        .agg(expr("max_by(cents, struct(ts_us, event_id))").as("c"))
+        .withColumn("rn", row_number().over(ord).cast("bigint"))
+        .withColumn("hi20", max("c").over(trail))
+        .withColumn("lo20", min("c").over(trail))
+        .where(col("rn") >= 20)
+      val leveled = ratios.zipWithIndex.foldLeft(bars) {
+        case (df, (r, i)) => df.withColumn(s"lv${i + 1}",
+          expr(s"lo20 + (hi20 - lo20) * $r DIV 1000"))
+      }
+      val nearest = (1 to 5).map { i =>
+        s"named_struct('d', abs(c - lv$i), 'i', ${i}L)" }
+        .mkString("array(", ", ", ")")
+      leveled
+        .withColumn("nearest", expr(
+          s"array_min($nearest).i"))
+        .withColumn("dist", expr(
+          s"array_min(transform($nearest, s -> s.d))"))
+        .select("event_type", "day", "c", "hi20", "lo20", "lv1", "lv3",
+          "lv5", "nearest", "dist")
+        .orderBy("event_type", "day")
     })
   )
 
@@ -1539,6 +1642,102 @@ object Round12cOps {
         |    ORDER BY day ROWS UNBOUNDED PRECEDING) AS BIGINT) AS streak
         |  FROM h)
         |SELECT event_type, day, c, streak, streak >= 9 AS setup
-        |FROM i WHERE rn > 4 ORDER BY event_type, day""".stripMargin
+        |FROM i WHERE rn > 4 ORDER BY event_type, day""".stripMargin,
+
+    // DuckDB's corrected FLOOR(SQRT) — the ±1 guards make it exact, the
+    // same algorithm the native expression runs.
+    "fn_isqrt_native" ->
+      s"""WITH base AS (SELECT o_orderkey AS okey,
+         |    o_orderkey * 977 + 13 AS v
+         |  FROM orders WHERE o_orderkey % 13 = 3),
+         |r AS (SELECT *, ${duckIsqrt("v")} AS isq FROM base)
+         |SELECT okey, v, isq, isq * isq = v AS perfect,
+         |  (isq + 1) * (isq + 1) - v AS gap_up
+         |FROM r ORDER BY okey""".stripMargin,
+
+    // Same n-scaled variance numerator, same corrected-root floor.
+    "agg_integer_stddev" ->
+      s"""WITH c AS (SELECT c_mktsegment AS seg,
+         |    CAST(FLOOR(c_acctbal) AS BIGINT) + 1000 AS dollars
+         |  FROM customer),
+         |a AS (SELECT seg, CAST(COUNT(*) AS BIGINT) AS n,
+         |    CAST(SUM(dollars) AS BIGINT) AS total,
+         |    CAST(SUM(dollars * dollars) AS BIGINT) AS ssq
+         |  FROM c GROUP BY seg),
+         |v AS (SELECT *, n * ssq - total * total AS var_num FROM a)
+         |SELECT seg, n, total, ssq, var_num,
+         |  ${duckIsqrt("var_num")} // n AS sd_floor
+         |FROM v ORDER BY seg""".stripMargin,
+
+    // Same matched basket, same cents unit prices, same cross sums.
+    "agg_price_index" ->
+      """WITH li AS (SELECT l_partkey AS pk,
+        |    EXTRACT(year FROM l_shipdate) AS yr,
+        |    CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q,
+        |    CAST(SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT))
+        |      AS BIGINT) AS spend
+        |  FROM lineitem WHERE EXTRACT(year FROM l_shipdate) IN (1996, 1997)
+        |  GROUP BY 1, 2),
+        |pr AS (SELECT *, spend // q AS p FROM li),
+        |m AS (SELECT pk,
+        |    MAX(CASE WHEN yr = 1996 THEN p END) AS p0,
+        |    MAX(CASE WHEN yr = 1996 THEN q END) AS q0,
+        |    MAX(CASE WHEN yr = 1997 THEN p END) AS p1,
+        |    MAX(CASE WHEN yr = 1997 THEN q END) AS q1
+        |  FROM pr GROUP BY pk),
+        |f AS (SELECT * FROM m WHERE p0 IS NOT NULL AND p1 IS NOT NULL),
+        |agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_items,
+        |    CAST(SUM(p1 * q0) AS BIGINT) AS l_num,
+        |    CAST(SUM(p0 * q0) AS BIGINT) AS l_den,
+        |    CAST(SUM(p1 * q1) AS BIGINT) AS p_num,
+        |    CAST(SUM(p0 * q1) AS BIGINT) AS p_den FROM f)
+        |SELECT n_items, l_num * 1000 // l_den AS laspeyres_milli,
+        |  p_num * 1000 // p_den AS paasche_milli,
+        |  (l_num * 1000 // l_den) * (p_num * 1000 // p_den)
+        |    AS fisher_sq_micro
+        |FROM agg""".stripMargin,
+
+    // Same trailing extremes, same milli interpolation, same LEAST-of-
+    // structs argmin (tie to the lower ratio).
+    "win_fib_retracement" -> {
+      val lvls = Seq(236, 382, 500, 618, 786).zipWithIndex.map {
+        case (r, i) => s"lo20 + (hi20 - lo20) * $r // 1000 AS lv${i + 1}" }
+        .mkString(",\n|    ")
+      val dists = (1 to 5).map(i => s"ABS(c - lv$i)").mkString(", ")
+      val caseNearest = (1 to 5).map { i =>
+        s"WHEN ABS(c - lv$i) = mind THEN CAST($i AS BIGINT)" }
+        .mkString("CASE ", " ", " END")
+      s"""WITH e AS (SELECT event_type, event_id, epoch_us(ts) AS ts_us,
+         |    epoch_us(ts) // 86400000000 AS day,
+         |    CAST(FLOOR(value * 100) AS BIGINT) AS cents FROM events),
+         |bar AS (SELECT event_type, day,
+         |    MAX_BY(cents, CAST(ts_us AS HUGEINT) * 1000000 + event_id) AS c
+         |  FROM e GROUP BY 1, 2),
+         |w AS (SELECT *, CAST(ROW_NUMBER() OVER o AS BIGINT) AS rn,
+         |    MAX(c) OVER (o ROWS 19 PRECEDING) AS hi20,
+         |    MIN(c) OVER (o ROWS 19 PRECEDING) AS lo20
+         |  FROM bar WINDOW o AS (PARTITION BY event_type ORDER BY day)),
+         |lv AS (SELECT *,
+         |    $lvls
+         |  FROM w WHERE rn >= 20),
+         |pick AS (SELECT *, LEAST($dists) AS mind FROM lv)
+         |SELECT event_type, day, c, hi20, lo20, lv1, lv3, lv5,
+         |  $caseNearest AS nearest, mind AS dist
+         |FROM pick ORDER BY event_type, day""".stripMargin
+    }
   )
+
+  /** DuckDB exact isqrt: corrected FLOOR(SQRT(x)) — double sqrt is within
+    * one ulp, so the two ±1 guards land on the true integer root. */
+  private def duckIsqrt(x: String): String =
+    s"""(CASE WHEN $x <= 0 THEN 0 ELSE (
+       |  CASE
+       |    WHEN (CAST(FLOOR(SQRT(CAST($x AS DOUBLE))) AS BIGINT) + 1)
+       |      * (CAST(FLOOR(SQRT(CAST($x AS DOUBLE))) AS BIGINT) + 1) <= $x
+       |      THEN CAST(FLOOR(SQRT(CAST($x AS DOUBLE))) AS BIGINT) + 1
+       |    WHEN CAST(FLOOR(SQRT(CAST($x AS DOUBLE))) AS BIGINT)
+       |      * CAST(FLOOR(SQRT(CAST($x AS DOUBLE))) AS BIGINT) > $x
+       |      THEN CAST(FLOOR(SQRT(CAST($x AS DOUBLE))) AS BIGINT) - 1
+       |    ELSE CAST(FLOOR(SQRT(CAST($x AS DOUBLE))) AS BIGINT)
+       |  END) END)""".stripMargin
 }
