@@ -994,8 +994,137 @@ object Round12cOps {
         .select("event_type", "day", "c", "hi20", "lo20", "lv1", "lv3",
           "lv5", "nearest", "dist")
         .orderBy("event_type", "day")
+    }),
+
+    // Sharpe ratio with NO float: daily close-to-close returns in cents,
+    // µ/σ = S/√(n·Σr²−S²) — the n-scaling cancels, so one native
+    // IntSqrt of the variance numerator and a sign-split milli ratio
+    // grade the whole statistic exactly. Per series, one sort.
+    "agg_sharpe_ratio" -> ((s, d) => {
+      GraftBridge.registerFunction(s, "isqrt", exprs => IntSqrt(exprs(0)))
+      val ord = Window.partitionBy("event_type").orderBy("day")
+      Tables.events(s, d)
+        .select(col("event_type"), col("event_id"), col("ts_us"),
+          expr("ts_us DIV 86400000000").as("day"),
+          floor(col("value") * 100).cast("bigint").as("cents"))
+        .groupBy("event_type", "day")
+        .agg(expr("max_by(cents, struct(ts_us, event_id))").as("c"))
+        .withColumn("r", col("c") - lag("c", 1).over(ord))
+        .where(col("r").isNotNull)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("r").as("sr"),
+          sum(expr("r * r")).as("ssq"))
+        .withColumn("var_num", expr("n * ssq - sr * sr"))
+        .withColumn("sd_n", expr("isqrt(var_num)"))
+        .withColumn("sharpe_milli", expr(
+          """CASE WHEN sd_n = 0 THEN 0L
+            |  WHEN sr < 0 THEN -((-sr) * n * 1000 DIV sd_n)
+            |  ELSE sr * n * 1000 DIV sd_n END""".stripMargin))
+        .select("event_type", "n", "sr", "ssq", "var_num", "sd_n",
+          "sharpe_milli")
+        .orderBy("event_type")
+    }),
+
+    // Toy RSA roundtrip (n=3233=61·53, e=17, d=2753) — modpow by
+    // UNROLLED square-and-multiply (e: 4 squarings + 1 multiply; d in
+    // binary 101011000001: 11 squarings, 4 multiplies), every step a
+    // `% 3233` so nothing exceeds n² < 2³². decrypt(encrypt(m)) == m
+    // graded for every message < n. Pure per-row modular algebra.
+    "fn_rsa_modpow" -> ((s, d) => {
+      val enc = modPowSteps("m", 17, "a")
+      val dec = modPowSteps("cipher", 2753, "b")
+      val base = Tables.customer(s, d)
+        .where(col("c_custkey") % 3 === 1)
+        .select(col("c_custkey").as("ck"))
+        .withColumn("m", expr("ck % 3233"))
+      val encd = enc.foldLeft(base) { case (df, (n, e2)) =>
+        df.withColumn(n, expr(e2)) }
+        .withColumn("cipher", col(enc.last._1))
+      val decd = dec.foldLeft(encd) { case (df, (n, e2)) =>
+        df.withColumn(n, expr(e2)) }
+        .withColumn("plain", col(dec.last._1))
+      decd
+        .withColumn("roundtrip", expr("plain = m"))
+        .select("ck", "m", "cipher", "plain", "roundtrip")
+        .orderBy("ck")
+    }),
+
+    // Fletcher-16 checksum over the 12 ASCII digit bytes — the running
+    // double sum collapsed to its CLOSED FORM (s1 = Σbᵢ mod 255,
+    // s2 = Σ(13−i)·bᵢ mod 255), so both engines compute it in one
+    // expression with no iteration at all.
+    "fn_fletcher16" -> ((s, d) => {
+      val s1 = (1 to 12).map(i =>
+        s"(CAST(SUBSTRING(code12, $i, 1) AS BIGINT) + 48)").mkString(" + ")
+      val s2 = (1 to 12).map(i =>
+        s"${13 - i} * (CAST(SUBSTRING(code12, $i, 1) AS BIGINT) + 48)")
+        .mkString(" + ")
+      Tables.orders(s, d)
+        .where(col("o_orderkey") % 31 === 4)
+        .select(col("o_orderkey").as("okey"))
+        .withColumn("code12", expr(
+          "LPAD(CAST(okey * 41 + 3 AS STRING), 12, '0')"))
+        .withColumn("s1", expr(s"($s1) % 255"))
+        .withColumn("s2", expr(s"($s2) % 255"))
+        .withColumn("fletcher", expr("s2 * 256 + s1"))
+        .select("okey", "code12", "s1", "s2", "fletcher")
+        .orderBy("okey")
+    }),
+
+    // Information ratio of each series against the pooled benchmark
+    // (the 'view' series) — active return per day via an equi-join on
+    // day, IR = S_active/√(n·Σa²−S²) through the native IntSqrt,
+    // sign-split milli. The tracking-error statistic with no float.
+    "win_information_ratio" -> ((s, d) => {
+      GraftBridge.registerFunction(s, "isqrt", exprs => IntSqrt(exprs(0)))
+      val ord = Window.partitionBy("event_type").orderBy("day")
+      val bars = Tables.events(s, d)
+        .select(col("event_type"), col("event_id"), col("ts_us"),
+          expr("ts_us DIV 86400000000").as("day"),
+          floor(col("value") * 100).cast("bigint").as("cents"))
+        .groupBy("event_type", "day")
+        .agg(expr("max_by(cents, struct(ts_us, event_id))").as("c"))
+        .withColumn("r", col("c") - lag("c", 1).over(ord))
+        .where(col("r").isNotNull)
+      val bench = bars.where(col("event_type") === "view")
+        .select(col("day"), col("r").as("rb"))
+      bars.where(col("event_type") =!= "view")
+        .join(broadcast(bench), Seq("day"))
+        .withColumn("a", col("r") - col("rb"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("a").as("sa"),
+          sum(expr("a * a")).as("ssq"))
+        .withColumn("te_n", expr("isqrt(n * ssq - sa * sa)"))
+        .withColumn("ir_milli", expr(
+          """CASE WHEN te_n = 0 THEN 0L
+            |  WHEN sa < 0 THEN -((-sa) * n * 1000 DIV te_n)
+            |  ELSE sa * n * 1000 DIV te_n END""".stripMargin))
+        .select("event_type", "n", "sa", "ssq", "te_n", "ir_milli")
+        .orderBy("event_type")
     })
   )
+
+  /** Unrolled square-and-multiply `base^e mod 3233` as NAMED step
+    * assignments (linear size — a single inlined expression would double
+    * per squaring), one generator for both dialects (only * and %). */
+  private def modPowSteps(base: String, e: Int,
+                          pfx: String): Seq[(String, String)] = {
+    val bits = e.toBinaryString.map(_ == '1')
+    val steps = scala.collection.mutable.ArrayBuffer[(String, String)]()
+    steps += (s"${pfx}0" -> s"$base % 3233")
+    var cur = s"${pfx}0"; var idx = 0
+    bits.tail.foreach { bit =>
+      idx += 1
+      steps += (s"$pfx$idx" -> s"$cur * $cur % 3233")
+      cur = s"$pfx$idx"
+      if (bit) {
+        idx += 1
+        steps += (s"$pfx$idx" -> s"$cur * ${pfx}0 % 3233")
+        cur = s"$pfx$idx"
+      }
+    }
+    steps.toSeq
+  }
 
   /** The Damm anti-symmetric quasigroup (10 rows of 10, zero diagonal)
     * as one 100-char literal shared by both dialects. */
@@ -1724,7 +1853,88 @@ object Round12cOps {
          |SELECT event_type, day, c, hi20, lo20, lv1, lv3, lv5,
          |  $caseNearest AS nearest, mind AS dist
          |FROM pick ORDER BY event_type, day""".stripMargin
-    }
+    },
+
+    // Same returns, same corrected-root σ·n, same sign-split milli.
+    "agg_sharpe_ratio" ->
+      s"""WITH e AS (SELECT event_type, event_id, epoch_us(ts) AS ts_us,
+         |    epoch_us(ts) // 86400000000 AS day,
+         |    CAST(FLOOR(value * 100) AS BIGINT) AS cents FROM events),
+         |bar AS (SELECT event_type, day,
+         |    MAX_BY(cents, CAST(ts_us AS HUGEINT) * 1000000 + event_id) AS c
+         |  FROM e GROUP BY 1, 2),
+         |r AS (SELECT event_type, c - lag(c, 1) OVER o AS r
+         |  FROM bar WINDOW o AS (PARTITION BY event_type ORDER BY day)),
+         |a AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+         |    CAST(SUM(r) AS BIGINT) AS sr,
+         |    CAST(SUM(r * r) AS BIGINT) AS ssq
+         |  FROM r WHERE r IS NOT NULL GROUP BY event_type),
+         |v AS (SELECT *, n * ssq - sr * sr AS var_num FROM a),
+         |sq AS (SELECT *, ${duckIsqrt("var_num")} AS sd_n FROM v)
+         |SELECT event_type, n, sr, ssq, var_num, sd_n,
+         |  CASE WHEN sd_n = 0 THEN 0
+         |    WHEN sr < 0 THEN -((-sr) * n * 1000 // sd_n)
+         |    ELSE sr * n * 1000 // sd_n END AS sharpe_milli
+         |FROM sq ORDER BY event_type""".stripMargin,
+
+    // Same step chain (one generator), nested one SELECT per step.
+    "fn_rsa_modpow" -> {
+      val enc = modPowSteps("m", 17, "a")
+      val dec = modPowSteps("cipher", 2753, "b")
+      val encSql = enc.foldLeft(
+        "(SELECT c_custkey AS ck, c_custkey % 3233 AS m FROM customer " +
+          "WHERE c_custkey % 3 = 1)") { case (prev, (n, e2)) =>
+        s"(SELECT *, $e2 AS $n FROM $prev)" }
+      val withCipher =
+        s"(SELECT *, ${enc.last._1} AS cipher FROM $encSql)"
+      val decSql = dec.foldLeft(withCipher) { case (prev, (n, e2)) =>
+        s"(SELECT *, $e2 AS $n FROM $prev)" }
+      s"""SELECT ck, m, cipher, ${dec.last._1} AS plain,
+         |  ${dec.last._1} = m AS roundtrip
+         |FROM $decSql ORDER BY ck""".stripMargin
+    },
+
+    // Same closed-form double sums.
+    "fn_fletcher16" -> {
+      val s1 = (1 to 12).map(i =>
+        s"(CAST(SUBSTRING(code12, $i, 1) AS BIGINT) + 48)").mkString(" + ")
+      val s2 = (1 to 12).map(i =>
+        s"${13 - i} * (CAST(SUBSTRING(code12, $i, 1) AS BIGINT) + 48)")
+        .mkString(" + ")
+      s"""WITH base AS (SELECT o_orderkey AS okey,
+         |    LPAD(CAST(o_orderkey * 41 + 3 AS STRING), 12, '0') AS code12
+         |  FROM orders WHERE o_orderkey % 31 = 4),
+         |f AS (SELECT *, ($s1) % 255 AS s1, ($s2) % 255 AS s2 FROM base)
+         |SELECT okey, code12, s1, s2, s2 * 256 + s1 AS fletcher
+         |FROM f ORDER BY okey""".stripMargin
+    },
+
+    // Same benchmark join, same tracking-error root, same milli ratio.
+    "win_information_ratio" ->
+      s"""WITH e AS (SELECT event_type, event_id, epoch_us(ts) AS ts_us,
+         |    epoch_us(ts) // 86400000000 AS day,
+         |    CAST(FLOOR(value * 100) AS BIGINT) AS cents FROM events),
+         |bar AS (SELECT event_type, day,
+         |    MAX_BY(cents, CAST(ts_us AS HUGEINT) * 1000000 + event_id) AS c
+         |  FROM e GROUP BY 1, 2),
+         |r AS (SELECT event_type, day, c - lag(c, 1) OVER o AS r
+         |  FROM bar WINDOW o AS (PARTITION BY event_type ORDER BY day)),
+         |b AS (SELECT day, r AS rb FROM r
+         |  WHERE event_type = 'view' AND r IS NOT NULL),
+         |j AS (SELECT r.event_type, r.r - b.rb AS a
+         |  FROM r JOIN b ON r.day = b.day
+         |  WHERE r.event_type <> 'view' AND r.r IS NOT NULL),
+         |agg AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+         |    CAST(SUM(a) AS BIGINT) AS sa,
+         |    CAST(SUM(a * a) AS BIGINT) AS ssq
+         |  FROM j GROUP BY event_type),
+         |sq AS (SELECT *, ${duckIsqrt("n * ssq - sa * sa")} AS te_n
+         |  FROM agg)
+         |SELECT event_type, n, sa, ssq, te_n,
+         |  CASE WHEN te_n = 0 THEN 0
+         |    WHEN sa < 0 THEN -((-sa) * n * 1000 // te_n)
+         |    ELSE sa * n * 1000 // te_n END AS ir_milli
+         |FROM sq ORDER BY event_type""".stripMargin
   )
 
   /** DuckDB exact isqrt: corrected FLOOR(SQRT(x)) — double sqrt is within
