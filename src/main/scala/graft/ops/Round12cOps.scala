@@ -1101,6 +1101,113 @@ object Round12cOps {
             |  ELSE sa * n * 1000 DIV te_n END""".stripMargin))
         .select("event_type", "n", "sa", "ssq", "te_n", "ir_milli")
         .orderBy("event_type")
+    }),
+
+    // Verhoeff check digit — the D5 dihedral multiplication, position
+    // permutations and inverse as THREE shared string literals; the
+    // reversed-digit walk unrolled to named step columns by one
+    // generator (the p-row rotates with position i mod 8). Catches all
+    // single substitutions AND adjacent transpositions (spec-proved).
+    "fn_verhoeff_check" -> ((s, d) => {
+      val steps = verhoeffSteps
+      val base = Tables.orders(s, d)
+        .where(col("o_orderkey") % 37 === 2)
+        .select(col("o_orderkey").as("okey"))
+        .withColumn("code12", expr(
+          "LPAD(CAST(okey * 59 + 7 AS STRING), 12, '0')"))
+        .withColumn("v0", lit(0L))
+      val walked = steps.foldLeft(base) { case (df, (n, e2)) =>
+        df.withColumn(n, expr(e2)) }
+      walked
+        .withColumn("chk", expr(
+          s"CAST(SUBSTRING('$VerhoeffInv', CAST(${steps.last._1} AS INT) + 1, 1) AS BIGINT)"))
+        .select("okey", "code12", "chk")
+        .orderBy("okey")
+    }),
+
+    // Josephus survivor (k=2) — the closed form J(n) = 2(n−2^⌊log₂n⌋)+1,
+    // the power-of-two found by a generated 14-rung CASE ladder (no log,
+    // no loop). Pure per-row bit algebra.
+    "fn_josephus" -> ((s, d) => {
+      val ladder = (13 to 0 by -1).map(k =>
+        s"WHEN n >= ${1 << k} THEN ${1 << k}L").mkString(
+        "CASE ", " ", " ELSE 1L END")
+      Tables.part(s, d)
+        .where(col("p_partkey") % 23 === 5)
+        .select(col("p_partkey").cast("bigint").as("pk"))
+        .withColumn("n", expr("pk % 10000 + 1"))
+        .withColumn("p2", expr(ladder))
+        .withColumn("survivor", expr("2 * (n - p2) + 1"))
+        .select("pk", "n", "p2", "survivor")
+        .orderBy("pk")
+    }),
+
+    // McClellan-style breadth oscillator — cross-SECTIONAL: per day the
+    // advance/decline census across the five series, breadth = adv−dec
+    // ×1000, then the fast/slow finite-lag EWMA pair (sign-split folds)
+    // and their difference. One pivot-free rollup + one sort.
+    "win_mcclellan_osc" -> ((s, d) => {
+      val ord = Window.orderBy("day")
+      def fold(w: Seq[Long], dst: String)(df: DataFrame): DataFrame = {
+        val num = w.zipWithIndex.map { case (wt, i) =>
+          coalesce(lag(col("breadth"), i).over(ord) * wt, lit(0L)) }
+          .reduce(_ + _)
+        val den = w.zipWithIndex.map { case (wt, i) =>
+          when(lag(col("breadth"), i).over(ord).isNotNull, wt)
+            .otherwise(0L) }.reduce(_ + _)
+        df.withColumn(s"${dst}_n", num).withColumn(s"${dst}_d", den)
+          .withColumn(dst, expr(
+            s"CASE WHEN ${dst}_n < 0 THEN -((-${dst}_n) DIV ${dst}_d) " +
+              s"ELSE ${dst}_n DIV ${dst}_d END"))
+      }
+      val ordT = Window.partitionBy("event_type").orderBy("day")
+      val breadth = Tables.events(s, d)
+        .select(col("event_type"), col("event_id"), col("ts_us"),
+          expr("ts_us DIV 86400000000").as("day"),
+          floor(col("value") * 100).cast("bigint").as("cents"))
+        .groupBy("event_type", "day")
+        .agg(expr("max_by(cents, struct(ts_us, event_id))").as("c"))
+        .withColumn("r", col("c") - lag("c", 1).over(ordT))
+        .where(col("r").isNotNull)
+        .groupBy("day")
+        .agg(sum(when(col("r") > 0, 1L).otherwise(0L)).as("adv"),
+          sum(when(col("r") < 0, 1L).otherwise(0L)).as("dec"))
+        .withColumn("breadth", expr("(adv - dec) * 1000"))
+      fold(SlowW, "ema_slow")(fold(FastW, "ema_fast")(breadth))
+        .withColumn("osc", col("ema_fast") - col("ema_slow"))
+        .select("day", "adv", "dec", "breadth", "ema_fast", "ema_slow",
+          "osc")
+        .orderBy("day")
+    }),
+
+    // MAD outlier census — lower-median of closes and of absolute
+    // deviations by EXACT rank selection (rn = (n+1) DIV 2 under a
+    // deterministic (value, day) order), outliers at |x−med| > 5·MAD.
+    // The robust-statistics twin of win_zscore_outlier, float-free.
+    "agg_mad_outliers" -> ((s, d) => {
+      val byC = Window.partitionBy("event_type").orderBy("c", "day")
+      val byT = Window.partitionBy("event_type")
+      val byD = Window.partitionBy("event_type").orderBy("absdev", "day")
+      Tables.events(s, d)
+        .select(col("event_type"), col("event_id"), col("ts_us"),
+          expr("ts_us DIV 86400000000").as("day"),
+          floor(col("value") * 100).cast("bigint").as("cents"))
+        .groupBy("event_type", "day")
+        .agg(expr("max_by(cents, struct(ts_us, event_id))").as("c"))
+        .withColumn("n", count(lit(1)).over(byT))
+        .withColumn("rc", row_number().over(byC).cast("bigint"))
+        .withColumn("med", max(when(
+          col("rc") === expr("(n + 1) DIV 2"), col("c"))).over(byT))
+        .withColumn("absdev", abs(col("c") - col("med")))
+        .withColumn("rd", row_number().over(byD).cast("bigint"))
+        .withColumn("mad", max(when(
+          col("rd") === expr("(n + 1) DIV 2"), col("absdev"))).over(byT))
+        .groupBy("event_type")
+        .agg(max("n").as("n"), max("med").as("med"), max("mad").as("mad"),
+          sum(when(col("absdev") > col("mad") * 5, 1L).otherwise(0L))
+            .as("n_outliers"),
+          max("absdev").as("max_absdev"))
+        .orderBy("event_type")
     })
   )
 
@@ -1132,6 +1239,29 @@ object Round12cOps {
     "0317598642" + "7092154863" + "4206871359" + "1750983426" +
       "6123045978" + "3674209581" + "5869720134" + "8945362017" +
       "9438617205" + "2581436790"
+
+  /** Verhoeff D5 dihedral multiplication table (10 rows of 10), the
+    * eight position permutations, and the inverse row — shared string
+    * literals for both dialects. */
+  private val VerhoeffD =
+    "0123456789" + "1234067895" + "2340178956" + "3401289567" +
+      "4012395678" + "5987604321" + "6598710432" + "7659821043" +
+      "8765932104" + "9876543210"
+  private val VerhoeffP = Seq("0123456789", "1576283094", "5803796142",
+    "8916043527", "9453126870", "4286573109", "2793806415", "7046198532")
+  private val VerhoeffInv = "0432156789"
+
+  /** The reversed-digit Verhoeff walk over code12 as named step columns
+    * (v1..v12); position i uses permutation row i mod 8. The emitted SQL
+    * is dialect-identical (SUBSTRING/CAST only). */
+  private def verhoeffSteps: Seq[(String, String)] =
+    (1 to 12).map { i =>
+      val prow = VerhoeffP(i % 8)
+      val g = s"CAST(SUBSTRING(code12, ${13 - i}, 1) AS INT)"
+      val pg = s"CAST(SUBSTRING('$prow', $g + 1, 1) AS INT)"
+      s"v$i" -> (s"CAST(SUBSTRING('$VerhoeffD', " +
+        s"CAST(v${i - 1} AS INT) * 10 + $pg + 1, 1) AS BIGINT)")
+    }
 
   /** Hexagon vertices for fn_point_in_polygon — no horizontal edges. */
   private val HexPoly = Seq((100, 20), (180, 60), (180, 140), (100, 180),
@@ -1934,7 +2064,99 @@ object Round12cOps {
          |  CASE WHEN te_n = 0 THEN 0
          |    WHEN sa < 0 THEN -((-sa) * n * 1000 // te_n)
          |    ELSE sa * n * 1000 // te_n END AS ir_milli
-         |FROM sq ORDER BY event_type""".stripMargin
+         |FROM sq ORDER BY event_type""".stripMargin,
+
+    // Same tables, same reversed walk (dialect-identical step SQL).
+    "fn_verhoeff_check" -> {
+      val walked = verhoeffSteps.foldLeft(
+        "(SELECT o_orderkey AS okey, " +
+          "LPAD(CAST(o_orderkey * 59 + 7 AS STRING), 12, '0') AS code12, " +
+          "CAST(0 AS BIGINT) AS v0 FROM orders WHERE o_orderkey % 37 = 2)"
+      ) { case (prev, (n, e2)) => s"(SELECT *, $e2 AS $n FROM $prev)" }
+      s"""SELECT okey, code12,
+         |  CAST(SUBSTRING('$VerhoeffInv',
+         |    CAST(${verhoeffSteps.last._1} AS INT) + 1, 1) AS BIGINT) AS chk
+         |FROM $walked ORDER BY okey""".stripMargin
+    },
+
+    // Same CASE ladder, same closed form.
+    "fn_josephus" -> {
+      val ladder = (13 to 0 by -1).map(k =>
+        s"WHEN n >= ${1 << k} THEN ${1 << k}").mkString(
+        "CASE ", " ", " ELSE 1 END")
+      s"""WITH base AS (SELECT CAST(p_partkey AS BIGINT) AS pk,
+         |    CAST(p_partkey AS BIGINT) % 10000 + 1 AS n
+         |  FROM part WHERE p_partkey % 23 = 5),
+         |p AS (SELECT *, CAST($ladder AS BIGINT) AS p2 FROM base)
+         |SELECT pk, n, p2, 2 * (n - p2) + 1 AS survivor
+         |FROM p ORDER BY pk""".stripMargin
+    },
+
+    // Same breadth census, same sign-split weight-vector folds.
+    "win_mcclellan_osc" -> {
+      def stage(w: Seq[Long], dst: String) = {
+        val num = w.zipWithIndex.map { case (wt, i) =>
+          if (i == 0) s"$wt * breadth"
+          else s"COALESCE($wt * lag(breadth, $i) OVER o, 0)" }
+          .mkString(" + ")
+        val den = w.zipWithIndex.map { case (wt, i) =>
+          if (i == 0) s"$wt"
+          else s"CASE WHEN lag(breadth, $i) OVER o IS NULL THEN 0 " +
+            s"ELSE $wt END" }.mkString(" + ")
+        s"""SELECT *, CASE WHEN ($num) < 0
+           |    THEN -((-($num)) // ($den)) ELSE ($num) // ($den) END AS $dst"""
+          .stripMargin
+      }
+      s"""WITH e AS (SELECT event_type, event_id, epoch_us(ts) AS ts_us,
+         |    epoch_us(ts) // 86400000000 AS day,
+         |    CAST(FLOOR(value * 100) AS BIGINT) AS cents FROM events),
+         |bar AS (SELECT event_type, day,
+         |    MAX_BY(cents, CAST(ts_us AS HUGEINT) * 1000000 + event_id) AS c
+         |  FROM e GROUP BY 1, 2),
+         |r AS (SELECT event_type, day, c - lag(c, 1) OVER o AS r
+         |  FROM bar WINDOW o AS (PARTITION BY event_type ORDER BY day)),
+         |br AS (SELECT day,
+         |    CAST(SUM(CASE WHEN r > 0 THEN 1 ELSE 0 END) AS BIGINT) AS adv,
+         |    CAST(SUM(CASE WHEN r < 0 THEN 1 ELSE 0 END) AS BIGINT) AS dec,
+         |    CAST(SUM(CASE WHEN r > 0 THEN 1 ELSE 0 END)
+         |      - SUM(CASE WHEN r < 0 THEN 1 ELSE 0 END) AS BIGINT) * 1000
+         |      AS breadth
+         |  FROM r WHERE r IS NOT NULL GROUP BY day),
+         |s1 AS (${stage(FastW, "ema_fast")} FROM br
+         |  WINDOW o AS (ORDER BY day)),
+         |s2 AS (${stage(SlowW, "ema_slow")} FROM s1
+         |  WINDOW o AS (ORDER BY day))
+         |SELECT day, adv, dec, breadth, ema_fast, ema_slow,
+         |  ema_fast - ema_slow AS osc
+         |FROM s2 ORDER BY day""".stripMargin
+    },
+
+    // Same rank selections, same 5·MAD fence.
+    "agg_mad_outliers" ->
+      """WITH e AS (SELECT event_type, event_id, epoch_us(ts) AS ts_us,
+        |    epoch_us(ts) // 86400000000 AS day,
+        |    CAST(FLOOR(value * 100) AS BIGINT) AS cents FROM events),
+        |bar AS (SELECT event_type, day,
+        |    MAX_BY(cents, CAST(ts_us AS HUGEINT) * 1000000 + event_id) AS c
+        |  FROM e GROUP BY 1, 2),
+        |rk AS (SELECT *, CAST(COUNT(*) OVER (PARTITION BY event_type)
+        |      AS BIGINT) AS n,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+        |      ORDER BY c, day) AS BIGINT) AS rc
+        |  FROM bar),
+        |md AS (SELECT *, MAX(CASE WHEN rc = (n + 1) // 2 THEN c END)
+        |    OVER (PARTITION BY event_type) AS med FROM rk),
+        |ad AS (SELECT *, ABS(c - med) AS absdev,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+        |      ORDER BY ABS(c - med), day) AS BIGINT) AS rd
+        |  FROM md),
+        |mm AS (SELECT *, MAX(CASE WHEN rd = (n + 1) // 2 THEN absdev END)
+        |    OVER (PARTITION BY event_type) AS mad FROM ad)
+        |SELECT event_type, MAX(n) AS n, MAX(med) AS med, MAX(mad) AS mad,
+        |  CAST(SUM(CASE WHEN absdev > mad * 5 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_outliers,
+        |  MAX(absdev) AS max_absdev
+        |FROM mm GROUP BY event_type ORDER BY event_type""".stripMargin
   )
 
   /** DuckDB exact isqrt: corrected FLOOR(SQRT(x)) — double sqrt is within
