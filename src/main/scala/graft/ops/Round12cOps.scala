@@ -1208,6 +1208,96 @@ object Round12cOps {
             .as("n_outliers"),
           max("absdev").as("max_absdev"))
         .orderBy("event_type")
+    }),
+
+    // Cantor pairing roundtrip — z = (x+y)(x+y+1)/2 + y, inverted with
+    // the native IntSqrt: w = (isqrt(8z+1)−1) DIV 2, then t, y, x fall
+    // out. The bijection ℕ²→ℕ graded both directions, float-free.
+    "fn_cantor_pairing" -> ((s, d) => {
+      GraftBridge.registerFunction(s, "isqrt", exprs => IntSqrt(exprs(0)))
+      Tables.part(s, d)
+        .where(col("p_partkey") % 29 === 11)
+        .select(col("p_partkey").cast("bigint").as("pk"))
+        .withColumn("x", expr("pk * 3 % 1000"))
+        .withColumn("y", expr("pk * 7 % 1000"))
+        .withColumn("z", expr("(x + y) * (x + y + 1) DIV 2 + y"))
+        .withColumn("w", expr("(isqrt(8 * z + 1) - 1) DIV 2"))
+        .withColumn("y_back", expr("z - w * (w + 1) DIV 2"))
+        .withColumn("x_back", expr("w - y_back"))
+        .select("pk", "x", "y", "z", "w", "x_back", "y_back")
+        .orderBy("pk")
+    }),
+
+    // Ulam square-spiral coordinates — the closed form: ring k =
+    // (isqrt(n−1)+1) DIV 2, offset t = n−(2k−1)²−1, side t DIV 2k, all
+    // through the native IntSqrt; the declared convention is ring k
+    // entering at (k, 1−k) going up. Spec replays an imperative walker.
+    "fn_ulam_spiral" -> ((s, d) => {
+      GraftBridge.registerFunction(s, "isqrt", exprs => IntSqrt(exprs(0)))
+      Tables.part(s, d)
+        .where(col("p_partkey") % 19 === 8)
+        .select(col("p_partkey").cast("bigint").as("pk"))
+        .withColumn("n", expr("pk % 2000 + 1"))
+        .withColumn("k", expr("(isqrt(n - 1) + 1) DIV 2"))
+        .withColumn("t", expr(
+          "CASE WHEN k = 0 THEN 0L ELSE n - (2 * k - 1) * (2 * k - 1) - 1 END"))
+        .withColumn("side", expr(
+          "CASE WHEN k = 0 THEN 0L ELSE t DIV (2 * k) END"))
+        .withColumn("pos", expr(
+          "CASE WHEN k = 0 THEN 0L ELSE t % (2 * k) END"))
+        .withColumn("x", expr(
+          """CASE WHEN k = 0 THEN 0L
+            |  WHEN side = 0 THEN k
+            |  WHEN side = 1 THEN k - 1 - pos
+            |  WHEN side = 2 THEN -k
+            |  ELSE -k + 1 + pos END""".stripMargin))
+        .withColumn("y", expr(
+          """CASE WHEN k = 0 THEN 0L
+            |  WHEN side = 0 THEN -k + 1 + pos
+            |  WHEN side = 1 THEN k
+            |  WHEN side = 2 THEN k - 1 - pos
+            |  ELSE -k END""".stripMargin))
+        .select("pk", "n", "k", "side", "x", "y")
+        .orderBy("pk")
+    }),
+
+    // Binary↔Gray roundtrip — g = n⊕(n DIV 2); decode by log-doubling
+    // xor-shift (5 steps cover 14 bits), xor emitted per dialect by one
+    // lambda (Spark parenthesized `^`, DuckDB xor()); the single-bit
+    // adjacency property graded via a lead probe + bit_count.
+    "fn_gray_code" -> ((s, d) => {
+      val x = (a: String, b: String) => s"($a ^ $b)"
+      Tables.part(s, d)
+        .where(col("p_partkey") % 17 === 9)
+        .select(col("p_partkey").cast("bigint").as("pk"))
+        .withColumn("n", expr("pk % 16384"))
+        .withColumn("g", expr(x("n", "(n DIV 2)")))
+        .withColumn("b1", expr(x("g", "(g DIV 2)")))
+        .withColumn("b2", expr(x("b1", "(b1 DIV 4)")))
+        .withColumn("b3", expr(x("b2", "(b2 DIV 16)")))
+        .withColumn("b4", expr(x("b3", "(b3 DIV 256)")))
+        .withColumn("n_back", expr(x("b4", "(b4 DIV 65536)")))
+        .withColumn("g_next", expr(x("(n + 1)", "((n + 1) DIV 2)")))
+        .withColumn("adj_bits", expr(
+          s"CAST(bit_count(${x("g", "g_next")}) AS BIGINT)"))
+        .select("pk", "n", "g", "n_back", "adj_bits")
+        .orderBy("pk")
+    }),
+
+    // Kish design effect — survey-weighting efficiency: deff =
+    // n·Σw²/(Σw)² and n_eff = (Σw)²/Σw² exact milli per segment; the
+    // companion diagnostic to agg_ipf_raking.
+    "agg_kish_deff" -> ((s, d) => {
+      Tables.customer(s, d)
+        .select(col("c_mktsegment").as("seg"),
+          expr("c_custkey % 7 + 1").as("w"))
+        .groupBy("seg")
+        .agg(count(lit(1)).as("n"), sum("w").as("sw"),
+          sum(expr("w * w")).as("sww"))
+        .withColumn("deff_milli", expr("n * sww * 1000 DIV (sw * sw)"))
+        .withColumn("neff_milli", expr("sw * sw * 1000 DIV sww"))
+        .select("seg", "n", "sw", "sww", "deff_milli", "neff_milli")
+        .orderBy("seg")
     })
   )
 
@@ -2156,7 +2246,74 @@ object Round12cOps {
         |  CAST(SUM(CASE WHEN absdev > mad * 5 THEN 1 ELSE 0 END)
         |    AS BIGINT) AS n_outliers,
         |  MAX(absdev) AS max_absdev
-        |FROM mm GROUP BY event_type ORDER BY event_type""".stripMargin
+        |FROM mm GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // Same pairing algebra, same corrected-root inversion.
+    "fn_cantor_pairing" ->
+      s"""WITH base AS (SELECT CAST(p_partkey AS BIGINT) AS pk,
+         |    CAST(p_partkey AS BIGINT) * 3 % 1000 AS x,
+         |    CAST(p_partkey AS BIGINT) * 7 % 1000 AS y
+         |  FROM part WHERE p_partkey % 29 = 11),
+         |z AS (SELECT *, (x + y) * (x + y + 1) // 2 + y AS z FROM base),
+         |w AS (SELECT *, (${duckIsqrt("8 * z + 1")} - 1) // 2 AS w FROM z)
+         |SELECT pk, x, y, z, w, w - (z - w * (w + 1) // 2) AS x_back,
+         |  z - w * (w + 1) // 2 AS y_back
+         |FROM w ORDER BY pk""".stripMargin,
+
+    // Same ring/side/pos closed form, same convention.
+    "fn_ulam_spiral" ->
+      s"""WITH base AS (SELECT CAST(p_partkey AS BIGINT) AS pk,
+         |    CAST(p_partkey AS BIGINT) % 2000 + 1 AS n
+         |  FROM part WHERE p_partkey % 19 = 8),
+         |k AS (SELECT *, (${duckIsqrt("n - 1")} + 1) // 2 AS k FROM base),
+         |t AS (SELECT *, CASE WHEN k = 0 THEN 0
+         |    ELSE n - (2 * k - 1) * (2 * k - 1) - 1 END AS t FROM k),
+         |sp AS (SELECT *, CASE WHEN k = 0 THEN 0 ELSE t // (2 * k) END
+         |    AS side,
+         |    CASE WHEN k = 0 THEN 0 ELSE t % (2 * k) END AS pos FROM t)
+         |SELECT pk, n, k, side,
+         |  CASE WHEN k = 0 THEN 0
+         |    WHEN side = 0 THEN k
+         |    WHEN side = 1 THEN k - 1 - pos
+         |    WHEN side = 2 THEN -k
+         |    ELSE -k + 1 + pos END AS x,
+         |  CASE WHEN k = 0 THEN 0
+         |    WHEN side = 0 THEN -k + 1 + pos
+         |    WHEN side = 1 THEN k
+         |    WHEN side = 2 THEN k - 1 - pos
+         |    ELSE -k END AS y
+         |FROM sp ORDER BY pk""".stripMargin,
+
+    // Same xor-shift chain through the dialect lambda.
+    "fn_gray_code" -> {
+      val x = (a: String, b: String) => s"xor($a, $b)"
+      s"""WITH base AS (SELECT CAST(p_partkey AS BIGINT) AS pk,
+         |    CAST(p_partkey AS BIGINT) % 16384 AS n
+         |  FROM part WHERE p_partkey % 17 = 9),
+         |g AS (SELECT *, ${x("n", "(n // 2)")} AS g FROM base),
+         |b1 AS (SELECT *, ${x("g", "(g // 2)")} AS b1 FROM g),
+         |b2 AS (SELECT *, ${x("b1", "(b1 // 4)")} AS b2 FROM b1),
+         |b3 AS (SELECT *, ${x("b2", "(b2 // 16)")} AS b3 FROM b2),
+         |b4 AS (SELECT *, ${x("b3", "(b3 // 256)")} AS b4 FROM b3),
+         |f AS (SELECT *, ${x("b4", "(b4 // 65536)")} AS n_back,
+         |    ${x("(n + 1)", "((n + 1) // 2)")} AS g_next FROM b4)
+         |SELECT pk, n, g, n_back,
+         |  CAST(bit_count(${x("g", "g_next")}) AS BIGINT) AS adj_bits
+         |FROM f ORDER BY pk""".stripMargin
+    },
+
+    // Same weights, same milli ratios.
+    "agg_kish_deff" ->
+      """WITH c AS (SELECT c_mktsegment AS seg, c_custkey % 7 + 1 AS w
+        |  FROM customer),
+        |a AS (SELECT seg, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(w) AS BIGINT) AS sw,
+        |    CAST(SUM(w * w) AS BIGINT) AS sww
+        |  FROM c GROUP BY seg)
+        |SELECT seg, n, sw, sww,
+        |  n * sww * 1000 // (sw * sw) AS deff_milli,
+        |  sw * sw * 1000 // sww AS neff_milli
+        |FROM a ORDER BY seg""".stripMargin
   )
 
   /** DuckDB exact isqrt: corrected FLOOR(SQRT(x)) — double sqrt is within
