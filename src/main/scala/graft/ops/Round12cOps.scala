@@ -2318,7 +2318,7 @@ object Round12cOps {
 
   /** DuckDB exact isqrt: corrected FLOOR(SQRT(x)) — double sqrt is within
     * one ulp, so the two ±1 guards land on the true integer root. */
-  private def duckIsqrt(x: String): String =
+  private[ops] def duckIsqrt(x: String): String =
     s"""(CASE WHEN $x <= 0 THEN 0 ELSE (
        |  CASE
        |    WHEN (CAST(FLOOR(SQRT(CAST($x AS DOUBLE))) AS BIGINT) + 1)

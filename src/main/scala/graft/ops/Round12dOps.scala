@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.{GraftBridge, IntSqrt}
 import graft.Tables
 
 /** Round-12 operators, fourth compilation unit (Round12cOps.scala crossed
@@ -122,8 +123,136 @@ object Round12dOps {
         .select("pk", "dec1", "dec2", "frac_milli", "american_milli",
           "implied1_ppm", "overround_ppm")
         .orderBy("pk")
+    }),
+
+    // Quadratic Bézier sampling — B(t)·100 at t = k/10 kept exact by the
+    // integer form (10−k)²P₀ + 2(10−k)kP₁ + k²P₂; endpoints and the
+    // control-hull bound graded. Constant 11-point explode per curve.
+    "fn_bezier_points" -> ((s, d) => {
+      Tables.part(s, d)
+        .where(col("p_partkey") % 31 === 6)
+        .select(col("p_partkey").cast("bigint").as("pk"))
+        .withColumn("y0", expr("pk * 11 % 200"))
+        .withColumn("y1", expr("pk * 23 % 200"))
+        .withColumn("y2", expr("pk * 41 % 200"))
+        .withColumn("k", explode(expr("sequence(0L, 10L)")))
+        .withColumn("bx100", expr(
+          "2 * (10 - k) * k * 50 + k * k * 100"))
+        .withColumn("by100", expr(
+          "(10 - k) * (10 - k) * y0 + 2 * (10 - k) * k * y1 + k * k * y2"))
+        .select("pk", "y0", "y1", "y2", "k", "bx100", "by100")
+        .orderBy("pk", "k")
+    }),
+
+    // TEMA — 3·E1 − 3·E2 + E3 over the three chained finite-lag integer
+    // EWMAs (the win_trix stages, different combination): lag-killing
+    // triple smoothing; 21 lag probes on ONE sort.
+    "win_tema" -> ((s, d) => {
+      val ord = Window.partitionBy("event_type").orderBy("day")
+      val w = Seq(64L, 32L, 16L, 8L, 4L, 2L, 1L)
+      def fold(src: String, dst: String)(df: DataFrame): DataFrame = {
+        val num = w.zipWithIndex.map { case (wt, i) =>
+          coalesce(lag(col(src), i).over(ord) * wt, lit(0L)) }
+          .reduce(_ + _)
+        val den = w.zipWithIndex.map { case (wt, i) =>
+          when(lag(col(src), i).over(ord).isNotNull, wt).otherwise(0L) }
+          .reduce(_ + _)
+        df.withColumn(s"${dst}_n", num).withColumn(s"${dst}_d", den)
+          .withColumn(dst, expr(s"${dst}_n DIV ${dst}_d"))
+      }
+      val bars = Tables.events(s, d)
+        .select(col("event_type"), col("event_id"), col("ts_us"),
+          expr("ts_us DIV 86400000000").as("day"),
+          floor(col("value") * 100).cast("bigint").as("cents"))
+        .groupBy("event_type", "day")
+        .agg(expr("max_by(cents, struct(ts_us, event_id))").as("c"))
+      fold("e2", "e3")(fold("e1", "e2")(fold("c", "e1")(bars)))
+        .withColumn("tema", expr("3 * e1 - 3 * e2 + e3"))
+        .select("event_type", "day", "c", "e1", "e2", "e3", "tema")
+        .orderBy("event_type", "day")
+    }),
+
+    // Empirical Chebyshev coverage — the fraction of closes within k·σ
+    // for k = 2, 3 with σ·n from the native IntSqrt (|n·x−S| ≤ k·isqrt
+    // (n·Σx²−S²), all integers); Chebyshev's 1−1/k² floor is graded in
+    // the spec. One aggregate + one broadcast-back join.
+    "agg_chebyshev_coverage" -> ((s, d) => {
+      GraftBridge.registerFunction(s, "isqrt", exprs => IntSqrt(exprs(0)))
+      val bars = Tables.events(s, d)
+        .select(col("event_type"), col("event_id"), col("ts_us"),
+          expr("ts_us DIV 86400000000").as("day"),
+          floor(col("value") * 100).cast("bigint").as("cents"))
+        .groupBy("event_type", "day")
+        .agg(expr("max_by(cents, struct(ts_us, event_id))").as("c"))
+      val stats = bars.groupBy(col("event_type").as("et"))
+        .agg(count(lit(1)).as("n"), sum("c").as("sm"),
+          sum(expr("c * c")).as("ssq"))
+        .withColumn("sd_n", expr("isqrt(n * ssq - sm * sm)"))
+      bars.join(broadcast(stats), col("event_type") === col("et"))
+        .withColumn("absdev_n", expr("abs(n * c - sm)"))
+        .groupBy("event_type")
+        .agg(max("n").as("n"), max("sd_n").as("sd_n"),
+          sum(when(expr("absdev_n <= 2 * sd_n"), 1L).otherwise(0L))
+            .as("within2"),
+          sum(when(expr("absdev_n <= 3 * sd_n"), 1L).otherwise(0L))
+            .as("within3"))
+        .withColumn("cov2_ppm", expr("within2 * 1000000 DIV n"))
+        .withColumn("cov3_ppm", expr("within3 * 1000000 DIV n"))
+        .select("event_type", "n", "sd_n", "within2", "within3",
+          "cov2_ppm", "cov3_ppm")
+        .orderBy("event_type")
+    }),
+
+    // Continued-fraction convergents — six unrolled Euclid steps with
+    // zero-remainder carry-forward, convergent recurrence hᵢ = aᵢhᵢ₋₁ +
+    // hᵢ₋₂, best rational approximation with denominator ≤ 50 picked by
+    // a descending CASE (k is non-decreasing); approximation error
+    // graded as the exact cross-product |p·k − h·q|.
+    "fn_continued_fraction" -> ((s, d) => {
+      val base = Tables.part(s, d)
+        .where(col("p_partkey") % 37 === 12)
+        .select(col("p_partkey").cast("bigint").as("pk"))
+        .withColumn("p", expr("pk * 7919 % 100000 + 1"))
+        .withColumn("q", expr("pk * 104729 % 100000 + 1"))
+        .withColumn("n0", col("p")).withColumn("d0", col("q"))
+      val walked = cfSteps("DIV").foldLeft(base) { case (df, (n, e)) =>
+        df.withColumn(n, expr(e)) }
+      val pickH = (6 to 1 by -1).map(i =>
+        s"WHEN k$i <= 50 THEN h$i").mkString("CASE ", " ", " ELSE 0L END")
+      val pickK = (6 to 1 by -1).map(i =>
+        s"WHEN k$i <= 50 THEN k$i").mkString("CASE ", " ", " ELSE 1L END")
+      walked
+        .withColumn("best_h", expr(pickH))
+        .withColumn("best_k", expr(pickK))
+        .withColumn("err_num", expr("abs(p * best_k - best_h * q)"))
+        .select("pk", "p", "q", "best_h", "best_k", "err_num")
+        .orderBy("pk")
     })
   )
+
+  /** Six unrolled continued-fraction steps (Euclid quotients + the
+    * convergent recurrence), zero-denominator steps carry the previous
+    * convergent forward. One generator, both dialects. */
+  private def cfSteps(div: String): Seq[(String, String)] =
+    (1 to 6).flatMap { i =>
+      val (np, dp) = (s"n${i - 1}", s"d${i - 1}")
+      val (h1, h2) =
+        if (i == 1) ("1", "0")
+        else if (i == 2) (s"h1", "1")
+        else (s"h${i - 1}", s"h${i - 2}")
+      val (k1, k2) =
+        if (i == 1) ("0", "1")
+        else if (i == 2) (s"k1", "0")
+        else (s"k${i - 1}", s"k${i - 2}")
+      Seq(
+        s"a$i" -> s"CASE WHEN $dp = 0 THEN 0L ELSE $np $div $dp END",
+        s"n$i" -> s"CASE WHEN $dp = 0 THEN $np ELSE $dp END",
+        s"d$i" -> s"CASE WHEN $dp = 0 THEN 0L ELSE $np % $dp END",
+        s"h$i" -> (s"CASE WHEN $dp = 0 THEN ${if (i == 1) "0L" else s"h${i - 1}"} " +
+          s"ELSE a$i * $h1 + $h2 END"),
+        s"k$i" -> (s"CASE WHEN $dp = 0 THEN ${if (i == 1) "1L" else s"k${i - 1}"} " +
+          s"ELSE a$i * $k1 + $k2 END"))
+    }
 
   val oracles: Map[String, String] = Map(
     // Same 12-step ledger through the same generator.
@@ -190,6 +319,100 @@ object Round12dOps {
         |  1000000000 // dec1 AS implied1_ppm,
         |  1000000000 // dec1 + 1000000000 // dec2 - 1000000
         |    AS overround_ppm
-        |FROM b ORDER BY pk""".stripMargin
+        |FROM b ORDER BY pk""".stripMargin,
+
+    // Same integer Bernstein form, same constant 11-point series.
+    "fn_bezier_points" ->
+      """WITH b AS (SELECT CAST(p_partkey AS BIGINT) AS pk,
+        |    CAST(p_partkey AS BIGINT) * 11 % 200 AS y0,
+        |    CAST(p_partkey AS BIGINT) * 23 % 200 AS y1,
+        |    CAST(p_partkey AS BIGINT) * 41 % 200 AS y2
+        |  FROM part WHERE p_partkey % 31 = 6),
+        |s AS (SELECT CAST(g AS BIGINT) AS k
+        |  FROM generate_series(0, 10) AS gs(g))
+        |SELECT pk, y0, y1, y2, k,
+        |  2 * (10 - k) * k * 50 + k * k * 100 AS bx100,
+        |  (10 - k) * (10 - k) * y0 + 2 * (10 - k) * k * y1 + k * k * y2
+        |    AS by100
+        |FROM b CROSS JOIN s ORDER BY pk, k""".stripMargin,
+
+    // Same three chained stages, same 3·E1−3·E2+E3 blend.
+    "win_tema" -> {
+      val w = Seq(64L, 32L, 16L, 8L, 4L, 2L, 1L)
+      def stage(src: String, dst: String) = {
+        val num = w.zipWithIndex.map { case (wt, i) =>
+          if (i == 0) s"$wt * $src"
+          else s"COALESCE($wt * lag($src, $i) OVER o, 0)" }.mkString(" + ")
+        val den = w.zipWithIndex.map { case (wt, i) =>
+          if (i == 0) s"$wt"
+          else s"CASE WHEN lag($src, $i) OVER o IS NULL THEN 0 ELSE $wt END" }
+          .mkString(" + ")
+        s"SELECT *, ($num) // ($den) AS $dst"
+      }
+      s"""WITH e AS (SELECT event_type, event_id, epoch_us(ts) AS ts_us,
+         |    epoch_us(ts) // 86400000000 AS day,
+         |    CAST(FLOOR(value * 100) AS BIGINT) AS cents FROM events),
+         |bar AS (SELECT event_type, day,
+         |    MAX_BY(cents, CAST(ts_us AS HUGEINT) * 1000000 + event_id) AS c
+         |  FROM e GROUP BY 1, 2),
+         |s1 AS (${stage("c", "e1")} FROM bar
+         |  WINDOW o AS (PARTITION BY event_type ORDER BY day)),
+         |s2 AS (${stage("e1", "e2")} FROM s1
+         |  WINDOW o AS (PARTITION BY event_type ORDER BY day)),
+         |s3 AS (${stage("e2", "e3")} FROM s2
+         |  WINDOW o AS (PARTITION BY event_type ORDER BY day))
+         |SELECT event_type, day, c, e1, e2, e3,
+         |  3 * e1 - 3 * e2 + e3 AS tema
+         |FROM s3 ORDER BY event_type, day""".stripMargin
+    },
+
+    // Same n-scaled deviations, same corrected-root fences.
+    "agg_chebyshev_coverage" ->
+      s"""WITH e AS (SELECT event_type, event_id, epoch_us(ts) AS ts_us,
+         |    epoch_us(ts) // 86400000000 AS day,
+         |    CAST(FLOOR(value * 100) AS BIGINT) AS cents FROM events),
+         |bar AS (SELECT event_type, day,
+         |    MAX_BY(cents, CAST(ts_us AS HUGEINT) * 1000000 + event_id) AS c
+         |  FROM e GROUP BY 1, 2),
+         |st AS (SELECT event_type AS et, CAST(COUNT(*) AS BIGINT) AS n,
+         |    CAST(SUM(c) AS BIGINT) AS sm,
+         |    CAST(SUM(c * c) AS BIGINT) AS ssq
+         |  FROM bar GROUP BY event_type),
+         |sq AS (SELECT *, ${Round12cOps.duckIsqrt("n * ssq - sm * sm")}
+         |    AS sd_n FROM st),
+         |j AS (SELECT bar.event_type, sq.n, sq.sd_n,
+         |    ABS(sq.n * bar.c - sq.sm) AS absdev_n
+         |  FROM bar JOIN sq ON bar.event_type = sq.et)
+         |SELECT event_type, MAX(n) AS n, MAX(sd_n) AS sd_n,
+         |  CAST(SUM(CASE WHEN absdev_n <= 2 * sd_n THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS within2,
+         |  CAST(SUM(CASE WHEN absdev_n <= 3 * sd_n THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS within3,
+         |  CAST(SUM(CASE WHEN absdev_n <= 2 * sd_n THEN 1 ELSE 0 END)
+         |    AS BIGINT) * 1000000 // MAX(n) AS cov2_ppm,
+         |  CAST(SUM(CASE WHEN absdev_n <= 3 * sd_n THEN 1 ELSE 0 END)
+         |    AS BIGINT) * 1000000 // MAX(n) AS cov3_ppm
+         |FROM j GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // Same Euclid walk through the same generator, same descending pick.
+    "fn_continued_fraction" -> {
+      val walked = cfSteps("//").foldLeft(
+        "(SELECT CAST(p_partkey AS BIGINT) AS pk, " +
+          "CAST(p_partkey AS BIGINT) * 7919 % 100000 + 1 AS p, " +
+          "CAST(p_partkey AS BIGINT) * 104729 % 100000 + 1 AS q, " +
+          "CAST(p_partkey AS BIGINT) * 7919 % 100000 + 1 AS n0, " +
+          "CAST(p_partkey AS BIGINT) * 104729 % 100000 + 1 AS d0 " +
+          "FROM part WHERE p_partkey % 37 = 12)") {
+        case (prev, (n, e)) =>
+          s"(SELECT *, ${e.replace("0L", "CAST(0 AS BIGINT)")
+            .replace("1L", "CAST(1 AS BIGINT)")} AS $n FROM $prev)" }
+      val pickH = (6 to 1 by -1).map(i =>
+        s"WHEN k$i <= 50 THEN h$i").mkString("CASE ", " ", " ELSE 0 END")
+      val pickK = (6 to 1 by -1).map(i =>
+        s"WHEN k$i <= 50 THEN k$i").mkString("CASE ", " ", " ELSE 1 END")
+      s"""SELECT pk, p, q, $pickH AS best_h, $pickK AS best_k,
+         |  ABS(p * ($pickK) - ($pickH) * q) AS err_num
+         |FROM $walked ORDER BY pk""".stripMargin
+    }
   )
 }
