@@ -227,6 +227,100 @@ object Round12dOps {
         .withColumn("err_num", expr("abs(p * best_k - best_h * q)"))
         .select("pk", "p", "q", "best_h", "best_k", "err_num")
         .orderBy("pk")
+    }),
+
+    // Bag symmetric difference — (A ∖ B) ⊎ (B ∖ A) with multiplicities
+    // (exceptAll/unionByName, the third bag-algebra shape next to
+    // set_except_all): part keys bought by BUILDING vs MACHINERY
+    // customers, graded as per-key surplus counts.
+    "set_symmetric_diff" -> ((s, d) => {
+      def side(seg: String) = Tables.orders(s, d)
+        .where(col("o_orderkey") % 11 === 0)
+        .join(Tables.customer(s, d).where(col("c_mktsegment") === seg),
+          col("o_custkey") === col("c_custkey"))
+        .join(Tables.lineitem(s, d),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_partkey").as("pk"))
+      val a = side("BUILDING"); val b = side("MACHINERY")
+      a.exceptAll(b).unionByName(b.exceptAll(a))
+        .groupBy("pk").agg(count(lit(1)).as("surplus"))
+        .orderBy("pk")
+    }),
+
+    // Typed mapGroups — ONE typed row per key from an unordered group
+    // iterator: a single deterministic fold computes the balance range
+    // and the argmax customer (lexicographic tie-break), the typed twin
+    // of min_by/max_by. Plans one key exchange like any groupBy.
+    "ds_typed_mapgroups" -> ((s, d) => {
+      val classic = s.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      import classic.implicits._
+      val cust = Tables.customer(s, d)
+        .select(col("c_mktsegment"), col("c_custkey").cast("long"),
+          expr("CAST(FLOOR(c_acctbal * 100) AS BIGINT)").as("cents"))
+        .as[(String, Long, Long)]
+      cust.groupByKey(_._1).mapGroups { (seg, it) =>
+        var n = 0L; var lo = Long.MaxValue; var hi = Long.MinValue
+        var argmax = -1L
+        it.foreach { case (_, ck, c) =>
+          n += 1
+          if (c < lo) lo = c
+          if (c > hi || (c == hi && ck > argmax)) { hi = c; argmax = ck }
+        }
+        (seg, n, lo, hi, argmax)
+      }.toDF("seg", "n", "min_cents", "max_cents", "richest_ck")
+        .orderBy("seg")
+    }),
+
+    // DataFrame melt/unpivot API — a wide per-nation aggregate turned
+    // long via Dataset.unpivot (ids/values/variable/value), the Spark 4
+    // API twin of SQL UNPIVOT; the oracle replays with UNION ALL.
+    "api_melt" -> ((s, d) => {
+      val wide = Tables.customer(s, d)
+        .groupBy(col("c_nationkey").cast("bigint").as("nk"))
+        .agg(count(lit(1)).as("n_customers"),
+          sum(floor(col("c_acctbal") * 100).cast("bigint")).as("sum_cents"),
+          max(floor(col("c_acctbal") * 100).cast("bigint")).as("max_cents"))
+      wide.unpivot(
+        Array(col("nk")),
+        Array(col("n_customers"), col("sum_cents"), col("max_cents")),
+        "metric", "value")
+        .orderBy("nk", "metric")
+    }),
+
+    // Conway doomsday day-of-week — anchor 3 for the 1900s, year
+    // doomsday (3 + y₂ + y₂ DIV 4) mod 7, month doomsday dates with the
+    // leap branch; the computed dow is graded AGAINST each engine's own
+    // dayofweek (normalized to 0=Sunday), proving the two calendars and
+    // the algorithm all agree.
+    "fn_doomsday_dow" -> ((s, d) => {
+      Tables.orders(s, d)
+        .where(col("o_orderkey") % 17 === 6)
+        .select(col("o_orderkey").as("okey"),
+          expr("CAST(o_orderdate AS DATE)").as("dt"))
+        .withColumn("y", expr("year(dt)"))
+        .withColumn("m", expr("month(dt)"))
+        .withColumn("dd", expr("day(dt)"))
+        .withColumn("leap", expr(
+          "(y % 4 = 0 AND y % 100 <> 0) OR y % 400 = 0"))
+        .withColumn("anchor", expr("(3 + (y - 1900) + (y - 1900) DIV 4) % 7"))
+        .withColumn("doomdate", expr(
+          """CASE m WHEN 1 THEN CASE WHEN leap THEN 4 ELSE 3 END
+            |  WHEN 2 THEN CASE WHEN leap THEN 29 ELSE 28 END
+            |  WHEN 3 THEN 7 WHEN 4 THEN 4 WHEN 5 THEN 9 WHEN 6 THEN 6
+            |  WHEN 7 THEN 11 WHEN 8 THEN 8 WHEN 9 THEN 5 WHEN 10 THEN 10
+            |  WHEN 11 THEN 7 ELSE 12 END""".stripMargin))
+        .withColumn("dow0", expr(
+          "(anchor + ((dd - doomdate) % 7 + 7) % 7) % 7"))
+        .withColumn("engine_dow0", expr(
+          "CAST(dayofweek(dt) - 1 AS BIGINT)"))
+        .withColumn("agree", expr("dow0 = engine_dow0"))
+        .select(col("okey"), expr("CAST(dt AS STRING)").as("dt"),
+          expr("CAST(y AS BIGINT)").as("y"),
+          expr("CAST(m AS BIGINT)").as("m"),
+          expr("CAST(dd AS BIGINT)").as("dd"),
+          expr("CAST(dow0 AS BIGINT)").as("dow0"),
+          col("engine_dow0"), col("agree"))
+        .orderBy("okey")
     })
   )
 
@@ -413,6 +507,73 @@ object Round12dOps {
       s"""SELECT pk, p, q, $pickH AS best_h, $pickK AS best_k,
          |  ABS(p * ($pickK) - ($pickH) * q) AS err_num
          |FROM $walked ORDER BY pk""".stripMargin
-    }
+    },
+
+    // Same two bag differences, same rollup.
+    "set_symmetric_diff" ->
+      """WITH a AS (SELECT l.l_partkey AS pk
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |  WHERE o.o_orderkey % 11 = 0 AND c.c_mktsegment = 'BUILDING'),
+        |b AS (SELECT l.l_partkey AS pk
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |  WHERE o.o_orderkey % 11 = 0 AND c.c_mktsegment = 'MACHINERY'),
+        |sd AS ((SELECT pk FROM a EXCEPT ALL SELECT pk FROM b)
+        |  UNION ALL
+        |  (SELECT pk FROM b EXCEPT ALL SELECT pk FROM a))
+        |SELECT pk, CAST(COUNT(*) AS BIGINT) AS surplus
+        |FROM sd GROUP BY pk ORDER BY pk""".stripMargin,
+
+    // The relational min/max/argmax the typed fold must equal.
+    "ds_typed_mapgroups" ->
+      """WITH c AS (SELECT c_mktsegment AS seg, c_custkey,
+        |    CAST(FLOOR(c_acctbal * 100) AS BIGINT) AS cents
+        |  FROM customer)
+        |SELECT seg, CAST(COUNT(*) AS BIGINT) AS n,
+        |  MIN(cents) AS min_cents, MAX(cents) AS max_cents,
+        |  CAST(MAX_BY(c_custkey, CAST(cents AS HUGEINT) * 10000000
+        |    + c_custkey) AS BIGINT) AS richest_ck
+        |FROM c GROUP BY seg ORDER BY seg""".stripMargin,
+
+    // The UNION ALL replay of the unpivot.
+    "api_melt" ->
+      """WITH w AS (SELECT CAST(c_nationkey AS BIGINT) AS nk,
+        |    CAST(COUNT(*) AS BIGINT) AS n_customers,
+        |    CAST(SUM(CAST(FLOOR(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+        |      AS sum_cents,
+        |    MAX(CAST(FLOOR(c_acctbal * 100) AS BIGINT)) AS max_cents
+        |  FROM customer GROUP BY 1)
+        |SELECT nk, 'n_customers' AS metric, n_customers AS value FROM w
+        |UNION ALL
+        |SELECT nk, 'sum_cents', sum_cents FROM w
+        |UNION ALL
+        |SELECT nk, 'max_cents', max_cents FROM w
+        |ORDER BY nk, metric""".stripMargin,
+
+    // Same anchors, same month table, engine dow already 0=Sunday here.
+    "fn_doomsday_dow" ->
+      """WITH b AS (SELECT o_orderkey AS okey,
+        |    CAST(o_orderdate AS DATE) AS dt
+        |  FROM orders WHERE o_orderkey % 17 = 6),
+        |f AS (SELECT *, EXTRACT(year FROM dt) AS y,
+        |    EXTRACT(month FROM dt) AS m, EXTRACT(day FROM dt) AS dd
+        |  FROM b),
+        |l AS (SELECT *, (y % 4 = 0 AND y % 100 <> 0) OR y % 400 = 0
+        |    AS leap,
+        |    (3 + (y - 1900) + (y - 1900) // 4) % 7 AS anchor FROM f),
+        |dm AS (SELECT *, CASE m WHEN 1 THEN CASE WHEN leap THEN 4 ELSE 3 END
+        |    WHEN 2 THEN CASE WHEN leap THEN 29 ELSE 28 END
+        |    WHEN 3 THEN 7 WHEN 4 THEN 4 WHEN 5 THEN 9 WHEN 6 THEN 6
+        |    WHEN 7 THEN 11 WHEN 8 THEN 8 WHEN 9 THEN 5 WHEN 10 THEN 10
+        |    WHEN 11 THEN 7 ELSE 12 END AS doomdate FROM l)
+        |SELECT okey, CAST(dt AS STRING) AS dt, CAST(y AS BIGINT) AS y,
+        |  CAST(m AS BIGINT) AS m, CAST(dd AS BIGINT) AS dd,
+        |  CAST((anchor + ((dd - doomdate) % 7 + 7) % 7) % 7 AS BIGINT)
+        |    AS dow0,
+        |  CAST(dayofweek(dt) AS BIGINT) AS engine_dow0,
+        |  (anchor + ((dd - doomdate) % 7 + 7) % 7) % 7
+        |    = dayofweek(dt) AS agree
+        |FROM dm ORDER BY okey""".stripMargin
   )
 }
