@@ -321,6 +321,109 @@ object Round12dOps {
           expr("CAST(dow0 AS BIGINT)").as("dow0"),
           col("engine_dow0"), col("agree"))
         .orderBy("okey")
+    }),
+
+    // Resistor color bands — 2 significant digits + multiplier mapped
+    // through ONE shared color list (element_at / list indexing),
+    // decoded back by array_position; ohms reconstructed through a
+    // 5-rung power ladder. Per-row string/array algebra.
+    "fn_resistor_code" -> ((s, d) => {
+      val colors = "array('black','brown','red','orange','yellow'," +
+        "'green','blue','violet','grey','white')"
+      Tables.part(s, d)
+        .where(col("p_partkey") % 43 === 17)
+        .select(col("p_partkey").cast("bigint").as("pk"))
+        .withColumn("sig", expr("pk % 90 + 10"))
+        .withColumn("expo", expr("pk % 5"))
+        .withColumn("band1", expr(
+          s"element_at($colors, CAST(sig DIV 10 AS INT) + 1)"))
+        .withColumn("band2", expr(
+          s"element_at($colors, CAST(sig % 10 AS INT) + 1)"))
+        .withColumn("band3", expr(
+          s"element_at($colors, CAST(expo AS INT) + 1)"))
+        .withColumn("mult", expr(
+          "CASE expo WHEN 0 THEN 1L WHEN 1 THEN 10L WHEN 2 THEN 100L " +
+            "WHEN 3 THEN 1000L ELSE 10000L END"))
+        .withColumn("ohms", expr("sig * mult"))
+        .withColumn("sig_back", expr(
+          s"(array_position($colors, band1) - 1) * 10 + " +
+            s"(array_position($colors, band2) - 1)"))
+        .withColumn("ohms_back", expr(
+          s"""sig_back * (CASE array_position($colors, band3) - 1
+             |  WHEN 0 THEN 1L WHEN 1 THEN 10L WHEN 2 THEN 100L
+             |  WHEN 3 THEN 1000L ELSE 10000L END)""".stripMargin))
+        .select("pk", "sig", "expo", "band1", "band2", "band3", "ohms",
+          "ohms_back")
+        .orderBy("pk")
+    }),
+
+    // Seven-segment display cost — per-digit lit-segment counts through
+    // ONE 10-char lookup literal ('6255456376'), totalled and maxed over
+    // the 12 unrolled digit probes of the code.
+    "fn_seven_segment" -> ((s, d) => {
+      val segs = "6255456376"
+      val probes = (1 to 12).map(i =>
+        s"CAST(SUBSTRING('$segs', CAST(SUBSTRING(code12, $i, 1) AS INT) + 1," +
+          s" 1) AS BIGINT)")
+      Tables.orders(s, d)
+        .where(col("o_orderkey") % 41 === 19)
+        .select(col("o_orderkey").as("okey"))
+        .withColumn("code12", expr(
+          "LPAD(CAST(okey * 67 + 1 AS STRING), 12, '0')"))
+        .withColumn("total_segments", expr(probes.mkString(" + ")))
+        .withColumn("max_digit_segments", expr(
+          s"GREATEST(${probes.mkString(", ")})"))
+        .select("okey", "code12", "total_segments", "max_digit_segments")
+        .orderBy("okey")
+    }),
+
+    // Logistic map in fixed-point micro — x' = r·x·(10⁶−x) DIV 10⁹ with
+    // r in milli (2.5–4.0), ten unrolled named steps: the chaos ledger
+    // both engines must reproduce bit-for-bit. Per-row arithmetic only.
+    "fn_logistic_map" -> ((s, d) => {
+      val base = Tables.part(s, d)
+        .where(col("p_partkey") % 47 === 21)
+        .select(col("p_partkey").cast("bigint").as("pk"))
+        .withColumn("r_milli", expr("pk % 1500 + 2500"))
+        .withColumn("x0", expr("(pk * 7 % 900 + 50) * 1000"))
+      val walked = (0 until 10).foldLeft(base) { (df, k) =>
+        df.withColumn(s"x${k + 1}", expr(
+          s"r_milli * x$k * (1000000 - x$k) DIV 1000000000")) }
+      walked
+        .select("pk", "r_milli", "x0", "x1", "x2", "x3", "x10")
+        .orderBy("pk")
+    }),
+
+    // Coppock curve — linear-weighted MA (10..1) of ROC14+ROC11 ppm
+    // (sign-split everywhere: momentum can be negative, closes are
+    // positive by data contract), full-window gated. One sort.
+    "win_coppock" -> ((s, d) => {
+      val ord = Window.partitionBy("event_type").orderBy("day")
+      def roc(k: Int, dst: String)(df: DataFrame): DataFrame =
+        df.withColumn(s"c$k", lag("c", k).over(ord))
+          .withColumn(dst, expr(
+            s"""CASE WHEN c$k IS NULL THEN NULL
+               |  WHEN c - c$k < 0 THEN -((c$k - c) * 1000000 DIV c$k)
+               |  ELSE (c - c$k) * 1000000 DIV c$k END""".stripMargin))
+      val bars = Tables.events(s, d)
+        .select(col("event_type"), col("event_id"), col("ts_us"),
+          expr("ts_us DIV 86400000000").as("day"),
+          floor(col("value") * 100).cast("bigint").as("cents"))
+        .groupBy("event_type", "day")
+        .agg(expr("max_by(cents, struct(ts_us, event_id))").as("c"))
+        .withColumn("rn", row_number().over(ord).cast("bigint"))
+      val withRoc = roc(11, "roc11")(roc(14, "roc14")(bars))
+        .withColumn("mom", expr("roc14 + roc11"))
+      val wsum = (0 until 10).map(i =>
+        coalesce(lag(col("mom"), i).over(ord) * (10 - i), lit(0L)))
+        .reduce(_ + _)
+      withRoc
+        .withColumn("wnum", wsum)
+        .where(col("rn") >= 24)
+        .withColumn("coppock_ppm", expr(
+          "CASE WHEN wnum < 0 THEN -((-wnum) DIV 55) ELSE wnum DIV 55 END"))
+        .select("event_type", "day", "c", "mom", "coppock_ppm")
+        .orderBy("event_type", "day")
     })
   )
 
@@ -574,6 +677,86 @@ object Round12dOps {
         |  CAST(dayofweek(dt) AS BIGINT) AS engine_dow0,
         |  (anchor + ((dd - doomdate) % 7 + 7) % 7) % 7
         |    = dayofweek(dt) AS agree
-        |FROM dm ORDER BY okey""".stripMargin
+        |FROM dm ORDER BY okey""".stripMargin,
+
+    // Same color list, same power ladder, same roundtrip.
+    "fn_resistor_code" -> {
+      val colors = "['black','brown','red','orange','yellow'," +
+        "'green','blue','violet','grey','white']"
+      s"""WITH b AS (SELECT CAST(p_partkey AS BIGINT) AS pk,
+         |    CAST(p_partkey AS BIGINT) % 90 + 10 AS sig,
+         |    CAST(p_partkey AS BIGINT) % 5 AS expo
+         |  FROM part WHERE p_partkey % 43 = 17),
+         |e AS (SELECT *, $colors[CAST(sig // 10 AS INT) + 1] AS band1,
+         |    $colors[CAST(sig % 10 AS INT) + 1] AS band2,
+         |    $colors[CAST(expo AS INT) + 1] AS band3,
+         |    CASE expo WHEN 0 THEN 1 WHEN 1 THEN 10 WHEN 2 THEN 100
+         |      WHEN 3 THEN 1000 ELSE 10000 END AS mult
+         |  FROM b),
+         |r AS (SELECT *, (list_position($colors, band1) - 1) * 10
+         |    + (list_position($colors, band2) - 1) AS sig_back
+         |  FROM e)
+         |SELECT pk, sig, expo, band1, band2, band3,
+         |  sig * mult AS ohms,
+         |  CAST(sig_back * (CASE list_position($colors, band3) - 1
+         |    WHEN 0 THEN 1 WHEN 1 THEN 10 WHEN 2 THEN 100
+         |    WHEN 3 THEN 1000 ELSE 10000 END) AS BIGINT) AS ohms_back
+         |FROM r ORDER BY pk""".stripMargin
+    },
+
+    // Same lookup literal, same 12 probes.
+    "fn_seven_segment" -> {
+      val probes = (1 to 12).map(i =>
+        s"CAST(SUBSTRING('6255456376', CAST(SUBSTRING(code12, $i, 1) " +
+          s"AS INT) + 1, 1) AS BIGINT)")
+      s"""WITH b AS (SELECT o_orderkey AS okey,
+         |    LPAD(CAST(o_orderkey * 67 + 1 AS STRING), 12, '0') AS code12
+         |  FROM orders WHERE o_orderkey % 41 = 19)
+         |SELECT okey, code12,
+         |  ${probes.mkString(" + ")} AS total_segments,
+         |  GREATEST(${probes.mkString(", ")}) AS max_digit_segments
+         |FROM b ORDER BY okey""".stripMargin
+    },
+
+    // Same fixed-point recurrence, nested one SELECT per step.
+    "fn_logistic_map" -> {
+      val walked = (0 until 10).foldLeft(
+        "(SELECT CAST(p_partkey AS BIGINT) AS pk, " +
+          "CAST(p_partkey AS BIGINT) % 1500 + 2500 AS r_milli, " +
+          "(CAST(p_partkey AS BIGINT) * 7 % 900 + 50) * 1000 AS x0 " +
+          "FROM part WHERE p_partkey % 47 = 21)") { (prev, k) =>
+        s"(SELECT *, r_milli * x$k * (1000000 - x$k) // 1000000000 " +
+          s"AS x${k + 1} FROM $prev)" }
+      s"""SELECT pk, r_milli, x0, x1, x2, x3, x10
+         |FROM $walked ORDER BY pk""".stripMargin
+    },
+
+    // Same ROC pair, same linear weights, same sign splits.
+    "win_coppock" -> {
+      def roc(k: Int, dst: String) =
+        s"""CASE WHEN lag(c, $k) OVER o IS NULL THEN NULL
+           |  WHEN c - lag(c, $k) OVER o < 0
+           |    THEN -((lag(c, $k) OVER o - c) * 1000000 // lag(c, $k) OVER o)
+           |  ELSE (c - lag(c, $k) OVER o) * 1000000 // lag(c, $k) OVER o
+           |END AS $dst""".stripMargin
+      val wsum = (0 until 10).map(i =>
+        s"COALESCE(lag(mom, $i) OVER o * ${10 - i}, 0)").mkString(" + ")
+      s"""WITH e AS (SELECT event_type, event_id, epoch_us(ts) AS ts_us,
+         |    epoch_us(ts) // 86400000000 AS day,
+         |    CAST(FLOOR(value * 100) AS BIGINT) AS cents FROM events),
+         |bar AS (SELECT event_type, day,
+         |    MAX_BY(cents, CAST(ts_us AS HUGEINT) * 1000000 + event_id) AS c
+         |  FROM e GROUP BY 1, 2),
+         |r AS (SELECT *, CAST(ROW_NUMBER() OVER o AS BIGINT) AS rn,
+         |    ${roc(14, "roc14")}, ${roc(11, "roc11")}
+         |  FROM bar WINDOW o AS (PARTITION BY event_type ORDER BY day)),
+         |m AS (SELECT *, roc14 + roc11 AS mom FROM r),
+         |w AS (SELECT *, $wsum AS wnum
+         |  FROM m WINDOW o AS (PARTITION BY event_type ORDER BY day))
+         |SELECT event_type, day, c, mom,
+         |  CASE WHEN wnum < 0 THEN -((-wnum) // 55) ELSE wnum // 55 END
+         |    AS coppock_ppm
+         |FROM w WHERE rn >= 24 ORDER BY event_type, day""".stripMargin
+    }
   )
 }
