@@ -424,6 +424,122 @@ object Round12dOps {
           "CASE WHEN wnum < 0 THEN -((-wnum) DIV 55) ELSE wnum DIV 55 END"))
         .select("event_type", "day", "c", "mom", "coppock_ppm")
         .orderBy("event_type", "day")
+    }),
+
+    // IBAN check digits (DE) — ISO 7064 mod-97 over the rearranged
+    // 24-digit numeral computed by CHUNKED Horner (4×6-digit steps, so
+    // nothing exceeds 97·10⁶); the full 26-digit validation walk (BBAN ‖
+    // 1314 ‖ check) must land on 1, graded. Per-row digit algebra.
+    "fn_iban_check" -> ((s, d) => {
+      def chunks(src: String, widths: Seq[Int], pfx: String): Seq[(String, String)] = {
+        var off = 1
+        widths.zipWithIndex.map { case (w, i) =>
+          val c = s"CAST(SUBSTRING($src, $off, $w) AS BIGINT)"
+          val prev = if (i == 0) "0" else s"$pfx${i - 1}"
+          off += w
+          s"$pfx$i" -> s"($prev * ${math.pow(10, w).toLong} + $c) % 97"
+        }
+      }
+      val gen = chunks("gen24", Seq(6, 6, 6, 6), "g")
+      val vld = chunks("val24", Seq(6, 6, 6, 6), "v")
+      val base = Tables.orders(s, d)
+        .where(col("o_orderkey") % 43 === 21)
+        .select(col("o_orderkey").as("okey"))
+        .withColumn("bban", expr(
+          "LPAD(CAST(okey * 73 + 11 AS STRING), 18, '0')"))
+        .withColumn("gen24", expr("CONCAT(bban, '131400')"))
+      val genWalked = gen.foldLeft(base) { case (df, (n, e)) =>
+        df.withColumn(n, expr(e)) }
+        .withColumn("chk", expr(s"98 - ${gen.last._1}"))
+        .withColumn("iban", expr(
+          "CONCAT('DE', LPAD(CAST(chk AS STRING), 2, '0'), bban)"))
+        .withColumn("val24", expr(
+          "CONCAT(bban, '1314', LPAD(CAST(chk AS STRING), 2, '0'))"))
+      val valWalked = vld.foldLeft(genWalked) { case (df, (n, e)) =>
+        df.withColumn(n, expr(e)) }
+      valWalked
+        .withColumn("valid", expr(s"${vld.last._1} = 1"))
+        .select("okey", "bban", "chk", "iban", "valid")
+        .orderBy("okey")
+    }),
+
+    // Rescaled-range (R/S) statistic — the Hurst-analysis kernel with NO
+    // float: n-scaled deviations, running cumdev range R·n, σ·n from the
+    // native IntSqrt, R/S = R_n·1000 DIV sd_n exact milli per series.
+    "agg_hurst_rs" -> ((s, d) => {
+      GraftBridge.registerFunction(s, "isqrt", exprs => IntSqrt(exprs(0)))
+      val ord = Window.partitionBy("event_type").orderBy("day")
+      val cum = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val all = Window.partitionBy("event_type")
+      Tables.events(s, d)
+        .select(col("event_type"), col("event_id"), col("ts_us"),
+          expr("ts_us DIV 86400000000").as("day"),
+          floor(col("value") * 100).cast("bigint").as("cents"))
+        .groupBy("event_type", "day")
+        .agg(expr("max_by(cents, struct(ts_us, event_id))").as("c"))
+        .withColumn("n", count(lit(1)).over(all))
+        .withColumn("sm", sum("c").over(all))
+        .withColumn("dev", expr("n * c - sm"))
+        .withColumn("cumdev", sum("dev").over(cum))
+        .groupBy("event_type")
+        .agg(max("n").as("n"),
+          (max("cumdev") - min("cumdev")).as("r_n"),
+          max("sm").as("sm"), sum(expr("c * c")).as("ssq"))
+        .withColumn("sd_n", expr("isqrt(n * ssq - sm * sm)"))
+        .withColumn("rs_milli", expr(
+          "CASE WHEN sd_n = 0 THEN 0L ELSE r_n * 1000 DIV sd_n END"))
+        .select("event_type", "n", "r_n", "sd_n", "rs_milli")
+        .orderBy("event_type")
+    }),
+
+    // Multimodal keyframe/sampling plan — fps from a literal rate list,
+    // duration → total frames, 2-second GOP keyframe count, and the
+    // 16-target stride sample, all ceil-DIV arithmetic. The video-side
+    // dataloader ledger; embarrassingly parallel.
+    "mm_keyframe_plan" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"))
+        .withColumn("fps", expr(
+          "element_at(array(24L, 25L, 30L, 50L, 60L), " +
+            "CAST(doc_id % 5 AS INT) + 1)"))
+        .withColumn("dur_ms", expr("doc_id * 37 % 60000 + 5000"))
+        .withColumn("total_frames", expr("fps * dur_ms DIV 1000"))
+        .withColumn("gop", expr("fps * 2"))
+        .withColumn("n_keyframes", expr(
+          "(total_frames + gop - 1) DIV gop"))
+        .withColumn("stride", expr(
+          "GREATEST(total_frames DIV 16, 1L)"))
+        .withColumn("n_sampled", expr(
+          "(total_frames + stride - 1) DIV stride"))
+        .select("doc_id", "fps", "dur_ms", "total_frames", "n_keyframes",
+          "stride", "n_sampled")
+        .orderBy("doc_id")
+    }),
+
+    // Quartile coefficient of dispersion — rank-exact lower quartiles
+    // (ranks (n+1) DIV 4 and 3(n+1) DIV 4, clamped), IQR and
+    // (Q3−Q1)/(Q3+Q1) ppm on positive-shifted cents. Float-free spread.
+    "agg_quartile_dispersion" -> ((s, d) => {
+      val byC = Window.partitionBy("seg").orderBy("cents", "c_custkey")
+      val all = Window.partitionBy("seg")
+      Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_mktsegment").as("seg"),
+          (floor(col("c_acctbal") * 100).cast("bigint") + 100000L)
+            .as("cents"))
+        .withColumn("n", count(lit(1)).over(all))
+        .withColumn("rk", row_number().over(byC).cast("bigint"))
+        .withColumn("q1", max(when(
+          col("rk") === expr("GREATEST((n + 1) DIV 4, 1L)"),
+          col("cents"))).over(all))
+        .withColumn("q3", max(when(
+          col("rk") === expr("LEAST(3 * (n + 1) DIV 4, n)"),
+          col("cents"))).over(all))
+        .groupBy("seg")
+        .agg(max("n").as("n"), max("q1").as("q1"), max("q3").as("q3"))
+        .withColumn("iqr", expr("q3 - q1"))
+        .withColumn("qcd_ppm", expr("(q3 - q1) * 1000000 DIV (q3 + q1)"))
+        .select("seg", "n", "q1", "q3", "iqr", "qcd_ppm")
+        .orderBy("seg")
     })
   )
 
@@ -757,6 +873,99 @@ object Round12dOps {
          |  CASE WHEN wnum < 0 THEN -((-wnum) // 55) ELSE wnum // 55 END
          |    AS coppock_ppm
          |FROM w WHERE rn >= 24 ORDER BY event_type, day""".stripMargin
-    }
+    },
+
+    // Same chunked Horner walks, same validation landing on 1.
+    "fn_iban_check" -> {
+      def chunks(src: String, widths: Seq[Int], pfx: String) = {
+        var off = 1
+        widths.zipWithIndex.map { case (w, i) =>
+          val c = s"CAST(SUBSTRING($src, $off, $w) AS BIGINT)"
+          val prev = if (i == 0) "0" else s"$pfx${i - 1}"
+          off += w
+          s"$pfx$i" -> s"($prev * ${math.pow(10, w).toLong} + $c) % 97"
+        }
+      }
+      val gen = chunks("gen24", Seq(6, 6, 6, 6), "g")
+      val vld = chunks("val24", Seq(6, 6, 6, 6), "v")
+      val genWalked = gen.foldLeft(
+        "(SELECT o_orderkey AS okey, " +
+          "LPAD(CAST(o_orderkey * 73 + 11 AS STRING), 18, '0') AS bban, " +
+          "CONCAT(LPAD(CAST(o_orderkey * 73 + 11 AS STRING), 18, '0'), " +
+          "'131400') AS gen24 " +
+          "FROM orders WHERE o_orderkey % 43 = 21)") {
+        case (prev, (n, e)) => s"(SELECT *, $e AS $n FROM $prev)" }
+      val withChk =
+        s"""(SELECT *, 98 - ${gen.last._1} AS chk,
+           |  CONCAT('DE', LPAD(CAST(98 - ${gen.last._1} AS STRING), 2, '0'),
+           |    bban) AS iban,
+           |  CONCAT(bban, '1314',
+           |    LPAD(CAST(98 - ${gen.last._1} AS STRING), 2, '0')) AS val24
+           |FROM $genWalked)""".stripMargin
+      val valWalked = vld.foldLeft(withChk) {
+        case (prev, (n, e)) => s"(SELECT *, $e AS $n FROM $prev)" }
+      s"""SELECT okey, bban, chk, iban, ${vld.last._1} = 1 AS valid
+         |FROM $valWalked ORDER BY okey""".stripMargin
+    },
+
+    // Same n-scaled range, same corrected-root denominator.
+    "agg_hurst_rs" ->
+      s"""WITH e AS (SELECT event_type, event_id, epoch_us(ts) AS ts_us,
+         |    epoch_us(ts) // 86400000000 AS day,
+         |    CAST(FLOOR(value * 100) AS BIGINT) AS cents FROM events),
+         |bar AS (SELECT event_type, day,
+         |    MAX_BY(cents, CAST(ts_us AS HUGEINT) * 1000000 + event_id) AS c
+         |  FROM e GROUP BY 1, 2),
+         |dv AS (SELECT *, CAST(COUNT(*) OVER (PARTITION BY event_type)
+         |      AS BIGINT) AS n,
+         |    CAST(SUM(c) OVER (PARTITION BY event_type) AS BIGINT) AS sm
+         |  FROM bar),
+         |cd AS (SELECT *, CAST(SUM(n * c - sm) OVER (PARTITION BY
+         |      event_type ORDER BY day ROWS UNBOUNDED PRECEDING)
+         |      AS BIGINT) AS cumdev FROM dv),
+         |agg AS (SELECT event_type, MAX(n) AS n,
+         |    MAX(cumdev) - MIN(cumdev) AS r_n, MAX(sm) AS sm,
+         |    CAST(SUM(c * c) AS BIGINT) AS ssq
+         |  FROM cd GROUP BY event_type),
+         |sq AS (SELECT *, ${Round12cOps.duckIsqrt("n * ssq - sm * sm")}
+         |    AS sd_n FROM agg)
+         |SELECT event_type, n, r_n, sd_n,
+         |  CASE WHEN sd_n = 0 THEN 0 ELSE r_n * 1000 // sd_n END
+         |    AS rs_milli
+         |FROM sq ORDER BY event_type""".stripMargin,
+
+    // Same rate list, same ceil-DIV ledger.
+    "mm_keyframe_plan" ->
+      """WITH b AS (SELECT doc_id,
+        |    [24, 25, 30, 50, 60][CAST(doc_id % 5 AS INT) + 1] AS fps,
+        |    doc_id * 37 % 60000 + 5000 AS dur_ms FROM documents),
+        |f AS (SELECT *, fps * dur_ms // 1000 AS total_frames,
+        |    fps * 2 AS gop FROM b),
+        |g AS (SELECT *, (total_frames + gop - 1) // gop AS n_keyframes,
+        |    GREATEST(total_frames // 16, 1) AS stride FROM f)
+        |SELECT doc_id, CAST(fps AS BIGINT) AS fps, dur_ms, total_frames,
+        |  n_keyframes, CAST(stride AS BIGINT) AS stride,
+        |  (total_frames + stride - 1) // stride AS n_sampled
+        |FROM g ORDER BY doc_id""".stripMargin,
+
+    // Same clamped rank quartiles, same ppm spread.
+    "agg_quartile_dispersion" ->
+      """WITH c AS (SELECT c_custkey, c_mktsegment AS seg,
+        |    CAST(FLOOR(c_acctbal * 100) AS BIGINT) + 100000 AS cents
+        |  FROM customer),
+        |r AS (SELECT *, CAST(COUNT(*) OVER (PARTITION BY seg) AS BIGINT)
+        |      AS n,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY seg
+        |      ORDER BY cents, c_custkey) AS BIGINT) AS rk
+        |  FROM c),
+        |q AS (SELECT *, MAX(CASE WHEN rk = GREATEST((n + 1) // 4, 1)
+        |      THEN cents END) OVER (PARTITION BY seg) AS q1,
+        |    MAX(CASE WHEN rk = LEAST(3 * (n + 1) // 4, n)
+        |      THEN cents END) OVER (PARTITION BY seg) AS q3
+        |  FROM r)
+        |SELECT seg, MAX(n) AS n, MAX(q1) AS q1, MAX(q3) AS q3,
+        |  MAX(q3) - MAX(q1) AS iqr,
+        |  (MAX(q3) - MAX(q1)) * 1000000 // (MAX(q3) + MAX(q1)) AS qcd_ppm
+        |FROM q GROUP BY seg ORDER BY seg""".stripMargin
   )
 }
