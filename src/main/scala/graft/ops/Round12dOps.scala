@@ -540,6 +540,101 @@ object Round12dOps {
         .withColumn("qcd_ppm", expr("(q3 - q1) * 1000000 DIV (q3 + q1)"))
         .select("seg", "n", "q1", "q3", "iqr", "qcd_ppm")
         .orderBy("seg")
+    }),
+
+    // Chande momentum oscillator — 14-bar up-sum vs down-sum,
+    // CMO = (U−D)·10⁶/(U+D) sign-split; one sort, one gain/loss split.
+    "win_cmo" -> ((s, d) => {
+      val ord = Window.partitionBy("event_type").orderBy("day")
+      val w14 = ord.rowsBetween(-13, 0)
+      Tables.events(s, d)
+        .select(col("event_type"), col("event_id"), col("ts_us"),
+          expr("ts_us DIV 86400000000").as("day"),
+          floor(col("value") * 100).cast("bigint").as("cents"))
+        .groupBy("event_type", "day")
+        .agg(expr("max_by(cents, struct(ts_us, event_id))").as("c"))
+        .withColumn("r", col("c") - lag("c", 1).over(ord))
+        .withColumn("rn", row_number().over(ord).cast("bigint"))
+        .withColumn("up", sum(expr(
+          "CASE WHEN r > 0 THEN r ELSE 0L END")).over(w14))
+        .withColumn("dn", sum(expr(
+          "CASE WHEN r < 0 THEN -r ELSE 0L END")).over(w14))
+        .where(col("rn") >= 15)
+        .withColumn("cmo_ppm", expr(
+          """CASE WHEN up + dn = 0 THEN 0L
+            |  WHEN up < dn THEN -((dn - up) * 1000000 DIV (up + dn))
+            |  ELSE (up - dn) * 1000000 DIV (up + dn) END""".stripMargin))
+        .select("event_type", "day", "up", "dn", "cmo_ppm")
+        .orderBy("event_type", "day")
+    }),
+
+    // RLE compressibility audit — run counts of o_orderstatus under the
+    // physical key order vs re-sorted by (status, key): the layout
+    // decision (sort-before-write) quantified as exact run ratios; the
+    // planning signal that matters when 100 TB hits the encoder.
+    "warehouse_rle_estimate" -> ((s, d) => {
+      val byKey = Window.orderBy("o_orderkey")
+      val bySt = Window.orderBy("st", "o_orderkey")
+      Tables.orders(s, d)
+        .where(col("o_orderkey") % 3 === 0)
+        .select(col("o_orderkey"), col("o_orderstatus").as("st"))
+        .withColumn("brk_key", expr(
+          "CASE WHEN lag(st, 1) OVER (ORDER BY o_orderkey) IS NULL " +
+            "OR lag(st, 1) OVER (ORDER BY o_orderkey) <> st " +
+            "THEN 1L ELSE 0L END"))
+        .withColumn("brk_sorted", expr(
+          "CASE WHEN lag(st, 1) OVER (ORDER BY st, o_orderkey) IS NULL " +
+            "OR lag(st, 1) OVER (ORDER BY st, o_orderkey) <> st " +
+            "THEN 1L ELSE 0L END"))
+        .agg(count(lit(1)).as("n"),
+          sum("brk_key").as("runs_by_key"),
+          sum("brk_sorted").as("runs_sorted"))
+        .withColumn("ratio_key_ppm", expr("runs_by_key * 1000000 DIV n"))
+        .withColumn("ratio_sorted_ppm", expr(
+          "runs_sorted * 1000000 DIV n"))
+        .select("n", "runs_by_key", "runs_sorted", "ratio_key_ppm",
+          "ratio_sorted_ppm")
+    }),
+
+    // Delta-encoding width audit — per 10k-key block the max key delta
+    // under sort, its bit width by a 14-rung CASE ladder, and the ppm
+    // saving vs raw 64-bit storage; the other half of the layout audit.
+    "warehouse_delta_estimate" -> ((s, d) => {
+      val ladder = (13 to 0 by -1).map(k =>
+        s"WHEN max_delta >= ${1L << k} THEN ${k + 1}L")
+        .mkString("CASE ", " ", " ELSE 1L END")
+      val ord = Window.partitionBy("blk").orderBy("o_orderkey")
+      Tables.orders(s, d)
+        .select(col("o_orderkey"))
+        .withColumn("blk", expr("o_orderkey DIV 10000"))
+        .withColumn("delta",
+          col("o_orderkey") - lag("o_orderkey", 1).over(ord))
+        .groupBy("blk")
+        .agg(count(lit(1)).as("n"), max("delta").as("max_delta"))
+        .where(col("n") > 1)
+        .withColumn("bits", expr(ladder))
+        .withColumn("saving_ppm", expr("(64 - bits) * 1000000 DIV 64"))
+        .select("blk", "n", "max_delta", "bits", "saving_ppm")
+        .orderBy("blk")
+    }),
+
+    // Chinese-remainder roundtrip (moduli 7·11·13 = 1001) — residues
+    // recombined through the precomputed Bézout constants 715/364/924,
+    // reconstruction == original graded for every v < 1001. Pure
+    // modular algebra, the shard-and-reassemble number-theory shape.
+    "fn_crt_roundtrip" -> ((s, d) => {
+      Tables.part(s, d)
+        .where(col("p_partkey") % 7 === 4)
+        .select(col("p_partkey").cast("bigint").as("pk"))
+        .withColumn("v", expr("pk % 1001"))
+        .withColumn("r7", expr("v % 7"))
+        .withColumn("r11", expr("v % 11"))
+        .withColumn("r13", expr("v % 13"))
+        .withColumn("v_back", expr(
+          "(r7 * 715 + r11 * 364 + r13 * 924) % 1001"))
+        .withColumn("roundtrip", expr("v_back = v"))
+        .select("pk", "v", "r7", "r11", "r13", "v_back", "roundtrip")
+        .orderBy("pk")
     })
   )
 
@@ -966,6 +1061,82 @@ object Round12dOps {
         |SELECT seg, MAX(n) AS n, MAX(q1) AS q1, MAX(q3) AS q3,
         |  MAX(q3) - MAX(q1) AS iqr,
         |  (MAX(q3) - MAX(q1)) * 1000000 // (MAX(q3) + MAX(q1)) AS qcd_ppm
-        |FROM q GROUP BY seg ORDER BY seg""".stripMargin
+        |FROM q GROUP BY seg ORDER BY seg""".stripMargin,
+
+    // Same 14-bar gain/loss split, same sign-split ratio.
+    "win_cmo" ->
+      """WITH e AS (SELECT event_type, event_id, epoch_us(ts) AS ts_us,
+        |    epoch_us(ts) // 86400000000 AS day,
+        |    CAST(FLOOR(value * 100) AS BIGINT) AS cents FROM events),
+        |bar AS (SELECT event_type, day,
+        |    MAX_BY(cents, CAST(ts_us AS HUGEINT) * 1000000 + event_id) AS c
+        |  FROM e GROUP BY 1, 2),
+        |r AS (SELECT *, c - lag(c, 1) OVER o AS r,
+        |    CAST(ROW_NUMBER() OVER o AS BIGINT) AS rn
+        |  FROM bar WINDOW o AS (PARTITION BY event_type ORDER BY day)),
+        |ud AS (SELECT *,
+        |    CAST(SUM(CASE WHEN r > 0 THEN r ELSE 0 END)
+        |      OVER (o ROWS 13 PRECEDING) AS BIGINT) AS up,
+        |    CAST(SUM(CASE WHEN r < 0 THEN -r ELSE 0 END)
+        |      OVER (o ROWS 13 PRECEDING) AS BIGINT) AS dn
+        |  FROM r WINDOW o AS (PARTITION BY event_type ORDER BY day))
+        |SELECT event_type, day, up, dn,
+        |  CASE WHEN up + dn = 0 THEN 0
+        |    WHEN up < dn THEN -((dn - up) * 1000000 // (up + dn))
+        |    ELSE (up - dn) * 1000000 // (up + dn) END AS cmo_ppm
+        |FROM ud WHERE rn >= 15 ORDER BY event_type, day""".stripMargin,
+
+    // Same run counts under both orderings.
+    "warehouse_rle_estimate" ->
+      """WITH o AS (SELECT o_orderkey, o_orderstatus AS st FROM orders
+        |  WHERE o_orderkey % 3 = 0),
+        |b AS (SELECT *,
+        |    CASE WHEN lag(st, 1) OVER (ORDER BY o_orderkey) IS NULL
+        |      OR lag(st, 1) OVER (ORDER BY o_orderkey) <> st
+        |      THEN 1 ELSE 0 END AS brk_key,
+        |    CASE WHEN lag(st, 1) OVER (ORDER BY st, o_orderkey) IS NULL
+        |      OR lag(st, 1) OVER (ORDER BY st, o_orderkey) <> st
+        |      THEN 1 ELSE 0 END AS brk_sorted
+        |  FROM o)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(brk_key) AS BIGINT) AS runs_by_key,
+        |  CAST(SUM(brk_sorted) AS BIGINT) AS runs_sorted,
+        |  CAST(SUM(brk_key) AS BIGINT) * 1000000 // COUNT(*)
+        |    AS ratio_key_ppm,
+        |  CAST(SUM(brk_sorted) AS BIGINT) * 1000000 // COUNT(*)
+        |    AS ratio_sorted_ppm
+        |FROM b""".stripMargin,
+
+    // Same block deltas, same bit ladder.
+    "warehouse_delta_estimate" -> {
+      val ladder = (13 to 0 by -1).map(k =>
+        s"WHEN max_delta >= ${1L << k} THEN ${k + 1}")
+        .mkString("CASE ", " ", " ELSE 1 END")
+      s"""WITH o AS (SELECT o_orderkey, o_orderkey // 10000 AS blk
+         |  FROM orders),
+         |dl AS (SELECT *, o_orderkey - lag(o_orderkey, 1)
+         |    OVER (PARTITION BY blk ORDER BY o_orderkey) AS delta
+         |  FROM o),
+         |a AS (SELECT blk, CAST(COUNT(*) AS BIGINT) AS n,
+         |    MAX(delta) AS max_delta
+         |  FROM dl GROUP BY blk),
+         |f AS (SELECT *, CAST($ladder AS BIGINT) AS bits
+         |  FROM a WHERE n > 1)
+         |SELECT blk, n, max_delta, bits,
+         |  (64 - bits) * 1000000 // 64 AS saving_ppm
+         |FROM f ORDER BY blk""".stripMargin
+    },
+
+    // Same Bézout recombination.
+    "fn_crt_roundtrip" ->
+      """WITH b AS (SELECT CAST(p_partkey AS BIGINT) AS pk,
+        |    CAST(p_partkey AS BIGINT) % 1001 AS v
+        |  FROM part WHERE p_partkey % 7 = 4)
+        |SELECT pk, v, v % 7 AS r7, v % 11 AS r11, v % 13 AS r13,
+        |  ((v % 7) * 715 + (v % 11) * 364 + (v % 13) * 924) % 1001
+        |    AS v_back,
+        |  ((v % 7) * 715 + (v % 11) * 364 + (v % 13) * 924) % 1001 = v
+        |    AS roundtrip
+        |FROM b ORDER BY pk""".stripMargin
   )
 }
