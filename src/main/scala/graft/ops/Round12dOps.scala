@@ -635,8 +635,112 @@ object Round12dOps {
         .withColumn("roundtrip", expr("v_back = v"))
         .select("pk", "v", "r7", "r11", "r13", "v_back", "roundtrip")
         .orderBy("pk")
+    }),
+
+    // Barycentric coordinates vs a literal triangle — the three signed
+    // doubled sub-areas as EXACT integer cross products (numerators) over
+    // the fixed doubled area (denominator); inside ⟺ all numerators share
+    // the triangle's orientation sign; λ-sum identity graded.
+    "fn_barycentric_coords" -> ((s, d) => {
+      // triangle A(20,20) B(180,40) C(90,180); doubled area =
+      // (B−A)×(C−A) = 160·160 − 20·70 = 24200
+      Tables.part(s, d)
+        .where(col("p_partkey") % 11 === 9)
+        .select(col("p_partkey").cast("bigint").as("pk"))
+        .withColumn("px", expr("pk * 17 % 200"))
+        .withColumn("py", expr("pk * 31 % 200"))
+        .withColumn("la", expr(
+          "(180 - px) * (180 - py) - (90 - px) * (40 - py)"))
+        .withColumn("lb", expr(
+          "(90 - px) * (20 - py) - (20 - px) * (180 - py)"))
+        .withColumn("lc", expr(
+          "(20 - px) * (40 - py) - (180 - px) * (20 - py)"))
+        .withColumn("denom", lit(24200L))
+        .withColumn("inside", expr("la >= 0 AND lb >= 0 AND lc >= 0"))
+        .select("pk", "px", "py", "la", "lb", "lc", "denom", "inside")
+        .orderBy("pk")
+    }),
+
+    // Heron's formula, integer form — 16A² = (a+b+c)(−a+b+c)(a−b+c)
+    // (a+b−c) for sides built to satisfy the triangle inequality by
+    // construction; floor area via the native IntSqrt (A = √(16A²)/4).
+    "fn_heron_area" -> ((s, d) => {
+      GraftBridge.registerFunction(s, "isqrt", exprs => IntSqrt(exprs(0)))
+      Tables.part(s, d)
+        .where(col("p_partkey") % 13 === 8)
+        .select(col("p_partkey").cast("bigint").as("pk"))
+        .withColumn("a", expr("pk % 50 + 50"))
+        .withColumn("b", expr("pk * 3 % 50 + 50"))
+        .withColumn("c", expr("pk * 7 % 50 + 50"))
+        .withColumn("area16", expr(
+          "(a + b + c) * (b + c - a) * (a - b + c) * (a + b - c)"))
+        .withColumn("area_floor", expr("isqrt(area16) DIV 4"))
+        .select("pk", "a", "b", "c", "area16", "area_floor")
+        .orderBy("pk")
+    }),
+
+    // Detrended price oscillator — close minus the 11-bar SMA shifted 6
+    // bars back (the cycle extractor, n/2+1 law); closes are positive by
+    // data contract so the SMA DIV needs no sign split, the DPO
+    // difference is plain subtraction. rn-gated to full windows.
+    "win_dpo" -> ((s, d) => {
+      val ord = Window.partitionBy("event_type").orderBy("day")
+      val w11 = ord.rowsBetween(-10, 0)
+      Tables.events(s, d)
+        .select(col("event_type"), col("event_id"), col("ts_us"),
+          expr("ts_us DIV 86400000000").as("day"),
+          floor(col("value") * 100).cast("bigint").as("cents"))
+        .groupBy("event_type", "day")
+        .agg(expr("max_by(cents, struct(ts_us, event_id))").as("c"))
+        .withColumn("rn", row_number().over(ord).cast("bigint"))
+        .withColumn("sum11", sum("c").over(w11))
+        .withColumn("sma11", expr("sum11 DIV 11"))
+        .withColumn("sma_shift", lag("sma11", 6).over(ord))
+        .where(col("rn") >= 17)
+        .withColumn("dpo", col("c") - col("sma_shift"))
+        .select("event_type", "day", "c", "sma_shift", "dpo")
+        .orderBy("event_type", "day")
+    }),
+
+    // Modular inverse by Fermat — v^(p−2) mod p for the prime 1000003,
+    // square-and-multiply as ~30 named step columns (every step < p² ≈
+    // 10¹² inside int64); v·inv ≡ 1 graded per row.
+    "fn_modinv_fermat" -> ((s, d) => {
+      val steps = modPowSteps("v", 1000001, 1000003L, "w")
+      val base = Tables.part(s, d)
+        .where(col("p_partkey") % 53 === 23)
+        .select(col("p_partkey").cast("bigint").as("pk"))
+        .withColumn("v", expr("pk % 1000002 + 1"))
+      val walked = steps.foldLeft(base) { case (df, (n, e)) =>
+        df.withColumn(n, expr(e)) }
+      walked
+        .withColumn("inv", col(steps.last._1))
+        .withColumn("check_one", expr("v * inv % 1000003"))
+        .select("pk", "v", "inv", "check_one")
+        .orderBy("pk")
     })
   )
+
+  /** Unrolled square-and-multiply `base^e mod m` as named step columns
+    * (pfx-indexed), one generator for both dialects. */
+  private def modPowSteps(base: String, e: Long, m: Long,
+                          pfx: String): Seq[(String, String)] = {
+    val bits = e.toBinaryString.map(_ == '1')
+    val steps = scala.collection.mutable.ArrayBuffer[(String, String)]()
+    steps += (s"${pfx}0" -> s"$base % $m")
+    var cur = s"${pfx}0"; var idx = 0
+    bits.tail.foreach { bit =>
+      idx += 1
+      steps += (s"$pfx$idx" -> s"$cur * $cur % $m")
+      cur = s"$pfx$idx"
+      if (bit) {
+        idx += 1
+        steps += (s"$pfx$idx" -> s"$cur * ${pfx}0 % $m")
+        cur = s"$pfx$idx"
+      }
+    }
+    steps.toSeq
+  }
 
   /** Six unrolled continued-fraction steps (Euclid quotients + the
     * convergent recurrence), zero-denominator steps carry the previous
@@ -1137,6 +1241,65 @@ object Round12dOps {
         |    AS v_back,
         |  ((v % 7) * 715 + (v % 11) * 364 + (v % 13) * 924) % 1001 = v
         |    AS roundtrip
-        |FROM b ORDER BY pk""".stripMargin
+        |FROM b ORDER BY pk""".stripMargin,
+
+    // Same cross products, same orientation test.
+    "fn_barycentric_coords" ->
+      """WITH b AS (SELECT CAST(p_partkey AS BIGINT) AS pk,
+        |    CAST(p_partkey AS BIGINT) * 17 % 200 AS px,
+        |    CAST(p_partkey AS BIGINT) * 31 % 200 AS py
+        |  FROM part WHERE p_partkey % 11 = 9),
+        |l AS (SELECT *,
+        |    (180 - px) * (180 - py) - (90 - px) * (40 - py) AS la,
+        |    (90 - px) * (20 - py) - (20 - px) * (180 - py) AS lb,
+        |    (20 - px) * (40 - py) - (180 - px) * (20 - py) AS lc
+        |  FROM b)
+        |SELECT pk, px, py, la, lb, lc, CAST(24200 AS BIGINT) AS denom,
+        |  la >= 0 AND lb >= 0 AND lc >= 0 AS inside
+        |FROM l ORDER BY pk""".stripMargin,
+
+    // Same integer Heron product, same corrected-root floor.
+    "fn_heron_area" ->
+      s"""WITH b AS (SELECT CAST(p_partkey AS BIGINT) AS pk,
+         |    CAST(p_partkey AS BIGINT) % 50 + 50 AS a,
+         |    CAST(p_partkey AS BIGINT) * 3 % 50 + 50 AS b,
+         |    CAST(p_partkey AS BIGINT) * 7 % 50 + 50 AS c
+         |  FROM part WHERE p_partkey % 13 = 8),
+         |h AS (SELECT *,
+         |    (a + b + c) * (b + c - a) * (a - b + c) * (a + b - c)
+         |      AS area16 FROM b)
+         |SELECT pk, a, b, c, area16,
+         |  ${Round12cOps.duckIsqrt("area16")} // 4 AS area_floor
+         |FROM h ORDER BY pk""".stripMargin,
+
+    // Same truncating SMA, same 11-bar shift.
+    "win_dpo" ->
+      """WITH e AS (SELECT event_type, event_id, epoch_us(ts) AS ts_us,
+        |    epoch_us(ts) // 86400000000 AS day,
+        |    CAST(FLOOR(value * 100) AS BIGINT) AS cents FROM events),
+        |bar AS (SELECT event_type, day,
+        |    MAX_BY(cents, CAST(ts_us AS HUGEINT) * 1000000 + event_id) AS c
+        |  FROM e GROUP BY 1, 2),
+        |w AS (SELECT *, CAST(ROW_NUMBER() OVER o AS BIGINT) AS rn,
+        |    CAST(SUM(c) OVER (o ROWS 10 PRECEDING) AS BIGINT) // 11
+        |      AS sma11
+        |  FROM bar WINDOW o AS (PARTITION BY event_type ORDER BY day)),
+        |s AS (SELECT *, lag(sma11, 6) OVER o AS sma_shift
+        |  FROM w WINDOW o AS (PARTITION BY event_type ORDER BY day))
+        |SELECT event_type, day, c, sma_shift, c - sma_shift AS dpo
+        |FROM s WHERE rn >= 17 ORDER BY event_type, day""".stripMargin,
+
+    // Same step chain through the same generator.
+    "fn_modinv_fermat" -> {
+      val steps = modPowSteps("v", 1000001, 1000003L, "w")
+      val walked = steps.foldLeft(
+        "(SELECT CAST(p_partkey AS BIGINT) AS pk, " +
+          "CAST(p_partkey AS BIGINT) % 1000002 + 1 AS v " +
+          "FROM part WHERE p_partkey % 53 = 23)") {
+        case (prev, (n, e)) => s"(SELECT *, $e AS $n FROM $prev)" }
+      s"""SELECT pk, v, ${steps.last._1} AS inv,
+         |  v * ${steps.last._1} % 1000003 AS check_one
+         |FROM $walked ORDER BY pk""".stripMargin
+    }
   )
 }
