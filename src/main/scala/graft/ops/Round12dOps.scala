@@ -822,6 +822,114 @@ object Round12dOps {
         .withColumn("mad_milli", expr("sad_n * 1000 DIV (n * n)"))
         .select("event_type", "n", "sad_n", "mad_milli")
         .orderBy("event_type")
+    }),
+
+    // Happy-number orbit — 12 unrolled sum-of-squared-digits steps for
+    // seeds < 1000 (every orbit reaches 1 or the 4-cycle within 12);
+    // happy ⟺ any step hits 1 (absorbing). Pure digit algebra.
+    "fn_happy_number" -> ((s, d) => {
+      def sq(src: String) =
+        s"($src DIV 100) * ($src DIV 100) + " +
+          s"($src DIV 10 % 10) * ($src DIV 10 % 10) + " +
+          s"($src % 10) * ($src % 10)"
+      val base = Tables.part(s, d)
+        .where(col("p_partkey") % 29 === 4)
+        .select(col("p_partkey").cast("bigint").as("pk"))
+        .withColumn("h0", expr("pk % 999 + 1"))
+      val walked = (0 until 12).foldLeft(base) { (df, k) =>
+        df.withColumn(s"h${k + 1}", expr(sq(s"h$k"))) }
+      walked
+        .withColumn("happy", expr(
+          (0 to 12).map(k => s"h$k = 1").mkString(" OR ")))
+        .withColumn("h12", col("h12"))
+        .select("pk", "h0", "h12", "happy")
+        .orderBy("pk")
+    }),
+
+    // Kaprekar's 6174 routine — seven unrolled steps of desc−asc over
+    // the four digits, the FULL 4-sort in closed form (max, min, 2nd
+    // largest = GREATEST of pairwise LEASTs, rest by sum); repdigits
+    // (which collapse to 0) filtered by construction. Convergence to
+    // 6174 graded — Kaprekar's theorem says 7 steps always suffice.
+    "fn_kaprekar_6174" -> ((s, d) => {
+      def step(src: String, dst: String)(df: DataFrame): DataFrame =
+        df.withColumn(s"${dst}_a", expr(s"$src DIV 1000"))
+          .withColumn(s"${dst}_b", expr(s"$src DIV 100 % 10"))
+          .withColumn(s"${dst}_c", expr(s"$src DIV 10 % 10"))
+          .withColumn(s"${dst}_d", expr(s"$src % 10"))
+          .withColumn(s"${dst}_s4", expr(
+            s"GREATEST(${dst}_a, ${dst}_b, ${dst}_c, ${dst}_d)"))
+          .withColumn(s"${dst}_s1", expr(
+            s"LEAST(${dst}_a, ${dst}_b, ${dst}_c, ${dst}_d)"))
+          .withColumn(s"${dst}_s3", expr(
+            s"GREATEST(LEAST(${dst}_a, ${dst}_b), LEAST(${dst}_a, ${dst}_c)," +
+              s" LEAST(${dst}_a, ${dst}_d), LEAST(${dst}_b, ${dst}_c)," +
+              s" LEAST(${dst}_b, ${dst}_d), LEAST(${dst}_c, ${dst}_d))"))
+          .withColumn(s"${dst}_s2", expr(
+            s"${dst}_a + ${dst}_b + ${dst}_c + ${dst}_d - ${dst}_s1 " +
+              s"- ${dst}_s3 - ${dst}_s4"))
+          .withColumn(dst, expr(
+            s"(${dst}_s4 * 1000 + ${dst}_s3 * 100 + ${dst}_s2 * 10 " +
+              s"+ ${dst}_s1) - (${dst}_s1 * 1000 + ${dst}_s2 * 100 " +
+              s"+ ${dst}_s3 * 10 + ${dst}_s4)"))
+      val base = Tables.part(s, d)
+        .where(col("p_partkey") % 31 === 11)
+        .select(col("p_partkey").cast("bigint").as("pk"))
+        .withColumn("k0", expr("pk % 9000 + 1000"))
+        .where(expr(
+          "NOT (k0 DIV 1000 = k0 DIV 100 % 10 AND " +
+            "k0 DIV 100 % 10 = k0 DIV 10 % 10 AND " +
+            "k0 DIV 10 % 10 = k0 % 10)"))
+      val walked = (0 until 7).foldLeft(base) { (df, k) =>
+        step(s"k$k", s"k${k + 1}")(df) }
+      walked
+        .withColumn("reached_6174", expr(
+          (1 to 7).map(k => s"k$k = 6174").mkString(" OR ")))
+        .select("pk", "k0", "k7", "reached_6174")
+        .orderBy("pk")
+    }),
+
+    // Digital root + additive persistence — the closed form 1+(n−1)%9
+    // graded against four unrolled digit-sum steps (persistence = count
+    // of steps with a multi-digit state). Pure digit algebra.
+    "fn_digital_root" -> ((s, d) => {
+      def dsum(src: String) =
+        s"$src DIV 100000 + $src DIV 10000 % 10 + $src DIV 1000 % 10 + " +
+          s"$src DIV 100 % 10 + $src DIV 10 % 10 + $src % 10"
+      val base = Tables.part(s, d)
+        .where(col("p_partkey") % 37 === 5)
+        .select(col("p_partkey").cast("bigint").as("pk"))
+        .withColumn("v", expr("pk * 97 % 999999 + 1"))
+        .withColumn("g0", col("v"))
+      val walked = (0 until 4).foldLeft(base) { (df, k) =>
+        df.withColumn(s"g${k + 1}", expr(dsum(s"g$k"))) }
+      walked
+        .withColumn("root_closed", expr("1 + (v - 1) % 9"))
+        .withColumn("root_walked", col("g4"))
+        .withColumn("persistence", expr(
+          (0 until 4).map(k => s"CASE WHEN g$k >= 10 THEN 1L ELSE 0L END")
+            .mkString(" + ")))
+        .withColumn("agree", expr("root_closed = root_walked"))
+        .select("pk", "v", "root_closed", "root_walked", "persistence",
+          "agree")
+        .orderBy("pk")
+    }),
+
+    // Coefficient of variation — σ/µ = isqrt(n·Σx²−S²)·1000 DIV S exact
+    // milli through the native IntSqrt (the n-scalings cancel); per
+    // segment on positive-shifted balances.
+    "agg_coeff_variation" -> ((s, d) => {
+      GraftBridge.registerFunction(s, "isqrt", exprs => IntSqrt(exprs(0)))
+      Tables.customer(s, d)
+        .select(col("c_mktsegment").as("seg"),
+          (floor(col("c_acctbal")).cast("bigint") + 1000L).as("dollars"))
+        .groupBy("seg")
+        .agg(count(lit(1)).as("n"), sum("dollars").as("sm"),
+          sum(expr("dollars * dollars")).as("ssq"))
+        .withColumn("sd_n", expr("isqrt(n * ssq - sm * sm)"))
+        .withColumn("cv_milli", expr("sd_n * 1000 DIV sm"))
+        .select("seg", "n", "sm", "ssq", "sd_n", "cv_milli")
+        .orderBy("seg")
     })
   )
 
@@ -1490,6 +1598,88 @@ object Round12dOps {
         |  CAST(SUM(ABS(n * c - sm)) AS BIGINT) AS sad_n,
         |  CAST(SUM(ABS(n * c - sm)) AS BIGINT) * 1000
         |    // (MAX(n) * MAX(n)) AS mad_milli
-        |FROM dv GROUP BY event_type ORDER BY event_type""".stripMargin
+        |FROM dv GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // Same 12 squared-digit steps, same absorbing test.
+    "fn_happy_number" -> {
+      def sq(src: String) =
+        s"($src // 100) * ($src // 100) + " +
+          s"($src // 10 % 10) * ($src // 10 % 10) + ($src % 10) * ($src % 10)"
+      val walked = (0 until 12).foldLeft(
+        "(SELECT CAST(p_partkey AS BIGINT) AS pk, " +
+          "CAST(p_partkey AS BIGINT) % 999 + 1 AS h0 " +
+          "FROM part WHERE p_partkey % 29 = 4)") { (prev, k) =>
+        s"(SELECT *, ${sq(s"h$k")} AS h${k + 1} FROM $prev)" }
+      s"""SELECT pk, h0, h12,
+         |  ${(0 to 12).map(k => s"h$k = 1").mkString(" OR ")} AS happy
+         |FROM $walked ORDER BY pk""".stripMargin
+    },
+
+    // Same closed-form 4-sort, same seven steps.
+    "fn_kaprekar_6174" -> {
+      def step(src: String, dst: String) =
+        s"""(SELECT *, ${dst}_s4 * 1000 + ${dst}_s3 * 100 + ${dst}_s2 * 10
+           |    + ${dst}_s1 - (${dst}_s1 * 1000 + ${dst}_s2 * 100
+           |    + ${dst}_s3 * 10 + ${dst}_s4) AS $dst FROM
+           |  (SELECT *, ${dst}_a + ${dst}_b + ${dst}_c + ${dst}_d
+           |      - ${dst}_s1 - ${dst}_s3 - ${dst}_s4 AS ${dst}_s2 FROM
+           |    (SELECT *,
+           |      GREATEST(${dst}_a, ${dst}_b, ${dst}_c, ${dst}_d) AS ${dst}_s4,
+           |      LEAST(${dst}_a, ${dst}_b, ${dst}_c, ${dst}_d) AS ${dst}_s1,
+           |      GREATEST(LEAST(${dst}_a, ${dst}_b), LEAST(${dst}_a, ${dst}_c),
+           |        LEAST(${dst}_a, ${dst}_d), LEAST(${dst}_b, ${dst}_c),
+           |        LEAST(${dst}_b, ${dst}_d), LEAST(${dst}_c, ${dst}_d))
+           |        AS ${dst}_s3 FROM
+           |      (SELECT *, $src // 1000 AS ${dst}_a,
+           |        $src // 100 % 10 AS ${dst}_b, $src // 10 % 10 AS ${dst}_c,
+           |        $src % 10 AS ${dst}_d FROM """.stripMargin
+      // innermost query computes k1, outermost k7
+      val open = (6 to 0 by -1).map(k => step(s"k$k", s"k${k + 1}")).mkString
+      val base = "(SELECT CAST(p_partkey AS BIGINT) AS pk, " +
+        "CAST(p_partkey AS BIGINT) % 9000 + 1000 AS k0 " +
+        "FROM part WHERE p_partkey % 31 = 11 AND NOT (" +
+        "(p_partkey % 9000 + 1000) // 1000 = (p_partkey % 9000 + 1000) // 100 % 10 AND " +
+        "(p_partkey % 9000 + 1000) // 100 % 10 = (p_partkey % 9000 + 1000) // 10 % 10 AND " +
+        "(p_partkey % 9000 + 1000) // 10 % 10 = (p_partkey % 9000 + 1000) % 10))"
+      // each step opens four nested SELECTs, all closed after the base
+      val closes = Seq.fill(7)("))))").mkString
+      s"""SELECT pk, k0, k7,
+         |  ${(1 to 7).map(k => s"k$k = 6174").mkString(" OR ")}
+         |    AS reached_6174
+         |FROM $open$base$closes ORDER BY pk""".stripMargin
+    },
+
+    // Same closed form vs the same walked steps.
+    "fn_digital_root" -> {
+      def dsum(src: String) =
+        s"$src // 100000 + $src // 10000 % 10 + $src // 1000 % 10 + " +
+          s"$src // 100 % 10 + $src // 10 % 10 + $src % 10"
+      val walked = (0 until 4).foldLeft(
+        "(SELECT CAST(p_partkey AS BIGINT) AS pk, " +
+          "CAST(p_partkey AS BIGINT) * 97 % 999999 + 1 AS v, " +
+          "CAST(p_partkey AS BIGINT) * 97 % 999999 + 1 AS g0 " +
+          "FROM part WHERE p_partkey % 37 = 5)") { (prev, k) =>
+        s"(SELECT *, ${dsum(s"g$k")} AS g${k + 1} FROM $prev)" }
+      s"""SELECT pk, v, 1 + (v - 1) % 9 AS root_closed, g4 AS root_walked,
+         |  CAST(${(0 until 4).map(k =>
+        s"(CASE WHEN g$k >= 10 THEN 1 ELSE 0 END)").mkString(" + ")}
+         |    AS BIGINT) AS persistence,
+         |  1 + (v - 1) % 9 = g4 AS agree
+         |FROM $walked ORDER BY pk""".stripMargin
+    },
+
+    // Same corrected-root ratio.
+    "agg_coeff_variation" ->
+      s"""WITH c AS (SELECT c_mktsegment AS seg,
+         |    CAST(FLOOR(c_acctbal) AS BIGINT) + 1000 AS dollars
+         |  FROM customer),
+         |a AS (SELECT seg, CAST(COUNT(*) AS BIGINT) AS n,
+         |    CAST(SUM(dollars) AS BIGINT) AS sm,
+         |    CAST(SUM(dollars * dollars) AS BIGINT) AS ssq
+         |  FROM c GROUP BY seg),
+         |sq AS (SELECT *, ${Round12cOps.duckIsqrt("n * ssq - sm * sm")}
+         |    AS sd_n FROM a)
+         |SELECT seg, n, sm, ssq, sd_n, sd_n * 1000 // sm AS cv_milli
+         |FROM sq ORDER BY seg""".stripMargin
   )
 }
