@@ -930,6 +930,109 @@ object Round12dOps {
         .withColumn("cv_milli", expr("sd_n * 1000 DIV sm"))
         .select("seg", "n", "sm", "ssq", "sd_n", "cv_milli")
         .orderBy("seg")
+    }),
+
+    // Aliquot sums via the √n divisor-pair sweep — explode the constant
+    // 1..100 candidate list (100² ≥ the 10⁴ value cap), keep d with
+    // d² ≤ n and d | n, sum d + n/d, correct the perfect-square double
+    // count, subtract n itself; perfect/abundant/deficient classified.
+    // Constant fan-out × distributed rows — the scale-safe shape.
+    "fn_aliquot_sum" -> ((s, d) => {
+      Tables.part(s, d)
+        .where(col("p_partkey") % 41 === 13)
+        .select(col("p_partkey").cast("bigint").as("pk"))
+        .withColumn("n", expr("pk % 10000 + 2"))
+        .withColumn("dd", explode(expr("sequence(1L, 100L)")))
+        .where(expr("dd * dd <= n AND n % dd = 0"))
+        .groupBy("pk", "n")
+        .agg(sum(expr("dd + n DIV dd")).as("pair_sum"),
+          max(expr("CASE WHEN dd * dd = n THEN dd ELSE 0L END"))
+            .as("sq_dup"))
+        .withColumn("aliquot", expr("pair_sum - sq_dup - n"))
+        .withColumn("cls", expr(
+          """CASE WHEN aliquot = n THEN 'PERFECT'
+            |  WHEN aliquot > n THEN 'ABUNDANT'
+            |  ELSE 'DEFICIENT' END""".stripMargin))
+        .select("pk", "n", "aliquot", "cls")
+        .orderBy("pk")
+    }),
+
+    // Atkinson index (ε=2), the DECLARED truncating variant — A = 1 −
+    // HM/AM with the harmonic mean through per-term 10⁹ DIV x
+    // reciprocals (truncation is part of the metric's contract, applied
+    // identically by both engines); inequality in exact ppm.
+    "agg_atkinson_eps2" -> ((s, d) => {
+      Tables.customer(s, d)
+        .select(col("c_mktsegment").as("seg"),
+          (floor(col("c_acctbal")).cast("bigint") + 1001L).as("dollars"))
+        .groupBy("seg")
+        .agg(count(lit(1)).as("n"), sum("dollars").as("sm"),
+          sum(expr("1000000000 DIV dollars")).as("recip_sum"))
+        .withColumn("hm_milli", expr(
+          "n * 1000000000 * 1000 DIV recip_sum"))
+        .withColumn("am_milli", expr("sm * 1000 DIV n"))
+        .withColumn("atkinson_ppm", expr(
+          "1000000 - hm_milli * 1000000 DIV am_milli"))
+        .select("seg", "n", "sm", "recip_sum", "hm_milli", "am_milli",
+          "atkinson_ppm")
+        .orderBy("seg")
+    }),
+
+    // Psychological line — % of up days over the trailing 12 bars in
+    // ppm; minimal by design but the census pattern (bool sum over a
+    // bounded frame) is the one 100 TB sentiment rollups use.
+    "win_psy_line" -> ((s, d) => {
+      val ord = Window.partitionBy("event_type").orderBy("day")
+      val w12 = ord.rowsBetween(-11, 0)
+      Tables.events(s, d)
+        .select(col("event_type"), col("event_id"), col("ts_us"),
+          expr("ts_us DIV 86400000000").as("day"),
+          floor(col("value") * 100).cast("bigint").as("cents"))
+        .groupBy("event_type", "day")
+        .agg(expr("max_by(cents, struct(ts_us, event_id))").as("c"))
+        .withColumn("up", expr(
+          "CASE WHEN c > lag(c, 1) OVER " +
+            "(PARTITION BY event_type ORDER BY day) THEN 1L ELSE 0L END"))
+        .withColumn("rn", row_number().over(ord).cast("bigint"))
+        .withColumn("ups12", sum("up").over(w12))
+        .where(col("rn") >= 13)
+        .withColumn("psy_ppm", expr("ups12 * 1000000 DIV 12"))
+        .select("event_type", "day", "ups12", "psy_ppm")
+        .orderBy("event_type", "day")
+    }),
+
+    // Percentage volume oscillator — bar volumes (event counts) through
+    // the fast/slow weight-vector folds, PVO = (fast−slow)·10⁶/slow
+    // sign-split; volumes positive so the folds need no splits.
+    "win_pvo" -> ((s, d) => {
+      val ord = Window.partitionBy("event_type").orderBy("day")
+      val fast = Seq(8L, 4L, 2L, 1L)
+      val slow = Seq(64L, 32L, 16L, 8L, 4L, 2L, 1L)
+      def foldOk(w: Seq[Long], dst: String)(df: DataFrame): DataFrame = {
+        val num = w.zipWithIndex.map { case (wt, i) =>
+          coalesce(lag(col("vol"), i).over(ord) * wt, lit(0L)) }
+          .reduce(_ + _)
+        val den = w.zipWithIndex.map { case (wt, i) =>
+          when(lag(col("vol"), i).over(ord).isNotNull, wt).otherwise(0L) }
+          .reduce(_ + _)
+        df.withColumn(s"${dst}_n", num).withColumn(s"${dst}_d", den)
+          .withColumn(dst, expr(s"${dst}_n DIV ${dst}_d"))
+      }
+      val bars = Tables.events(s, d)
+        .select(col("event_type"),
+          expr("ts_us DIV 86400000000").as("day"))
+        .groupBy("event_type", "day")
+        .agg(count(lit(1)).as("vol"))
+      foldOk(slow, "ema_slow")(foldOk(fast, "ema_fast")(bars))
+        .withColumn("pvo_ppm", expr(
+          """CASE WHEN ema_slow = 0 THEN 0L
+            |  WHEN ema_fast < ema_slow
+            |    THEN -((ema_slow - ema_fast) * 1000000 DIV ema_slow)
+            |  ELSE (ema_fast - ema_slow) * 1000000 DIV ema_slow
+            |END""".stripMargin))
+        .select("event_type", "day", "vol", "ema_fast", "ema_slow",
+          "pvo_ppm")
+        .orderBy("event_type", "day")
     })
   )
 
@@ -1680,6 +1783,87 @@ object Round12dOps {
          |sq AS (SELECT *, ${Round12cOps.duckIsqrt("n * ssq - sm * sm")}
          |    AS sd_n FROM a)
          |SELECT seg, n, sm, ssq, sd_n, sd_n * 1000 // sm AS cv_milli
-         |FROM sq ORDER BY seg""".stripMargin
+         |FROM sq ORDER BY seg""".stripMargin,
+
+    // Same divisor-pair sweep over the same constant list.
+    "fn_aliquot_sum" ->
+      """WITH b AS (SELECT CAST(p_partkey AS BIGINT) AS pk,
+        |    CAST(p_partkey AS BIGINT) % 10000 + 2 AS n
+        |  FROM part WHERE p_partkey % 41 = 13),
+        |s AS (SELECT CAST(g AS BIGINT) AS dd
+        |  FROM generate_series(1, 100) AS gs(g)),
+        |pairs AS (SELECT pk, n, dd FROM b CROSS JOIN s
+        |  WHERE dd * dd <= n AND n % dd = 0),
+        |agg AS (SELECT pk, n,
+        |    CAST(SUM(dd + n // dd) AS BIGINT) AS pair_sum,
+        |    MAX(CASE WHEN dd * dd = n THEN dd ELSE 0 END) AS sq_dup
+        |  FROM pairs GROUP BY pk, n)
+        |SELECT pk, n, pair_sum - sq_dup - n AS aliquot,
+        |  CASE WHEN pair_sum - sq_dup - n = n THEN 'PERFECT'
+        |    WHEN pair_sum - sq_dup - n > n THEN 'ABUNDANT'
+        |    ELSE 'DEFICIENT' END AS cls
+        |FROM agg ORDER BY pk""".stripMargin,
+
+    // Same declared truncating reciprocals, same ppm identities.
+    "agg_atkinson_eps2" ->
+      """WITH c AS (SELECT c_mktsegment AS seg,
+        |    CAST(FLOOR(c_acctbal) AS BIGINT) + 1001 AS dollars
+        |  FROM customer),
+        |a AS (SELECT seg, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(dollars) AS BIGINT) AS sm,
+        |    CAST(SUM(1000000000 // dollars) AS BIGINT) AS recip_sum
+        |  FROM c GROUP BY seg),
+        |h AS (SELECT *, n * 1000000000 * 1000 // recip_sum AS hm_milli,
+        |    sm * 1000 // n AS am_milli FROM a)
+        |SELECT seg, n, sm, recip_sum, hm_milli, am_milli,
+        |  1000000 - hm_milli * 1000000 // am_milli AS atkinson_ppm
+        |FROM h ORDER BY seg""".stripMargin,
+
+    // Same trailing up-census.
+    "win_psy_line" ->
+      """WITH e AS (SELECT event_type, event_id, epoch_us(ts) AS ts_us,
+        |    epoch_us(ts) // 86400000000 AS day,
+        |    CAST(FLOOR(value * 100) AS BIGINT) AS cents FROM events),
+        |bar AS (SELECT event_type, day,
+        |    MAX_BY(cents, CAST(ts_us AS HUGEINT) * 1000000 + event_id) AS c
+        |  FROM e GROUP BY 1, 2),
+        |u AS (SELECT *, CASE WHEN c > lag(c, 1) OVER o THEN 1 ELSE 0 END
+        |      AS up,
+        |    CAST(ROW_NUMBER() OVER o AS BIGINT) AS rn
+        |  FROM bar WINDOW o AS (PARTITION BY event_type ORDER BY day)),
+        |w AS (SELECT *, CAST(SUM(up) OVER (o ROWS 11 PRECEDING)
+        |      AS BIGINT) AS ups12
+        |  FROM u WINDOW o AS (PARTITION BY event_type ORDER BY day))
+        |SELECT event_type, day, ups12, ups12 * 1000000 // 12 AS psy_ppm
+        |FROM w WHERE rn >= 13 ORDER BY event_type, day""".stripMargin,
+
+    // Same volume folds, same sign-split ratio.
+    "win_pvo" -> {
+      def stage(w: Seq[Long], dst: String) = {
+        val num = w.zipWithIndex.map { case (wt, i) =>
+          if (i == 0) s"$wt * vol"
+          else s"COALESCE($wt * lag(vol, $i) OVER o, 0)" }.mkString(" + ")
+        val den = w.zipWithIndex.map { case (wt, i) =>
+          if (i == 0) s"$wt"
+          else s"CASE WHEN lag(vol, $i) OVER o IS NULL THEN 0 ELSE $wt END" }
+          .mkString(" + ")
+        s"SELECT *, ($num) // ($den) AS $dst"
+      }
+      s"""WITH bar AS (SELECT event_type,
+         |    epoch_us(ts) // 86400000000 AS day,
+         |    CAST(COUNT(*) AS BIGINT) AS vol
+         |  FROM events GROUP BY 1, 2),
+         |s1 AS (${stage(Seq(8L, 4L, 2L, 1L), "ema_fast")} FROM bar
+         |  WINDOW o AS (PARTITION BY event_type ORDER BY day)),
+         |s2 AS (${stage(Seq(64L, 32L, 16L, 8L, 4L, 2L, 1L), "ema_slow")}
+         |  FROM s1 WINDOW o AS (PARTITION BY event_type ORDER BY day))
+         |SELECT event_type, day, vol, ema_fast, ema_slow,
+         |  CASE WHEN ema_slow = 0 THEN 0
+         |    WHEN ema_fast < ema_slow
+         |      THEN -((ema_slow - ema_fast) * 1000000 // ema_slow)
+         |    ELSE (ema_fast - ema_slow) * 1000000 // ema_slow
+         |  END AS pvo_ppm
+         |FROM s2 ORDER BY event_type, day""".stripMargin
+    }
   )
 }
