@@ -1033,6 +1033,108 @@ object Round12dOps {
         .select("event_type", "day", "vol", "ema_fast", "ema_slow",
           "pvo_ppm")
         .orderBy("event_type", "day")
+    }),
+
+    // BCD pack/unpack roundtrip — six decimal digits into nibbles
+    // (Σdᵢ·16ⁱ) and back; the hardware-adjacent encoding as pure
+    // place-value algebra, plus the BCD>binary expansion-factor check.
+    "fn_bcd_roundtrip" -> ((s, d) => {
+      val pack = (0 until 6).map(i =>
+        s"(v DIV ${math.pow(10, i).toLong} % 10) * ${1L << (4 * i)}")
+        .mkString(" + ")
+      val unpack = (0 until 6).map(i =>
+        s"(bcd DIV ${1L << (4 * i)} % 16) * ${math.pow(10, i).toLong}")
+        .mkString(" + ")
+      Tables.part(s, d)
+        .where(col("p_partkey") % 43 === 9)
+        .select(col("p_partkey").cast("bigint").as("pk"))
+        .withColumn("v", expr("pk * 131 % 1000000"))
+        .withColumn("bcd", expr(pack))
+        .withColumn("v_back", expr(unpack))
+        .withColumn("roundtrip", expr("v_back = v"))
+        .withColumn("expanded", expr("bcd >= v"))
+        .select("pk", "v", "bcd", "v_back", "roundtrip", "expanded")
+        .orderBy("pk")
+    }),
+
+    // Excel column letters — bijective base 26 (no zero digit): four
+    // unrolled d = (n−1)%26 / n = (n−1) DIV 26 extractions through ONE
+    // alphabet literal, re-parsed by positional Horner. 1→A, 27→AA,
+    // 703→AAA, the classic off-by-one trap done exactly.
+    "fn_excel_column" -> ((s, d) => {
+      val az = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+      val base = Tables.part(s, d)
+        .where(col("p_partkey") % 47 === 11)
+        .select(col("p_partkey").cast("bigint").as("pk"))
+        .withColumn("n", expr("pk % 400000 + 1"))
+        .withColumn("m0", col("n"))
+      val walked = (0 until 4).foldLeft(base) { (df, k) =>
+        df.withColumn(s"d$k", expr(
+            s"CASE WHEN m$k = 0 THEN -1L ELSE (m$k - 1) % 26 END"))
+          .withColumn(s"m${k + 1}", expr(
+            s"CASE WHEN m$k = 0 THEN 0L ELSE (m$k - 1) DIV 26 END")) }
+      walked
+        .withColumn("col_name", expr(
+          (3 to 0 by -1).map(k =>
+            s"CASE WHEN d$k >= 0 THEN SUBSTRING('$az', CAST(d$k AS INT) " +
+              s"+ 1, 1) ELSE '' END").mkString("CONCAT(", ", ", ")")))
+        .withColumn("n_back", expr(
+          // bijective decode: i-th letter from the right contributes
+          // INSTR (1..26, the bijective digit itself) × 26^(i−1)
+          (1 to 4).map(i =>
+            s"CASE WHEN LENGTH(col_name) >= $i THEN " +
+              s"INSTR('$az', SUBSTRING(col_name, LENGTH(col_name) - $i + 1, 1))" +
+              s" * ${math.pow(26, i - 1).toLong} ELSE 0L END")
+            .mkString(" + ")))
+        .withColumn("roundtrip", expr("n_back = n"))
+        .select("pk", "n", "col_name", "n_back", "roundtrip")
+        .orderBy("pk")
+    }),
+
+    // Pareto 80/20 census — richest-first cumulative balance share per
+    // segment: the head count needed to cover 80% of total, its
+    // population share ppm; rank cumsum + first crossing.
+    "agg_pareto_8020" -> ((s, d) => {
+      val rich = Window.partitionBy("seg")
+        .orderBy(col("cents").desc, col("c_custkey"))
+      val cum = rich.rowsBetween(Window.unboundedPreceding,
+        Window.currentRow)
+      val all = Window.partitionBy("seg")
+      val crossOrd = Window.partitionBy("seg").orderBy("rk")
+      Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_mktsegment").as("seg"),
+          (floor(col("c_acctbal") * 100).cast("bigint") + 100000L)
+            .as("cents"))
+        .withColumn("total", sum("cents").over(all))
+        .withColumn("n", count(lit(1)).over(all))
+        .withColumn("rk", row_number().over(rich).cast("bigint"))
+        .withColumn("cum", sum("cents").over(cum))
+        .where(expr("cum * 5 >= total * 4"))
+        .withColumn("pick", row_number().over(crossOrd))
+        .where(col("pick") === 1)
+        .withColumn("head_share_ppm", expr("rk * 1000000 DIV n"))
+        .select("seg", "n", "total", "rk", "head_share_ppm")
+        .orderBy("seg")
+    }),
+
+    // ISBN-10 check character — Σ(i·dᵢ) mod 11 over nine unrolled digit
+    // probes (the position-weighted mod-11 family member with the 'X'
+    // eleventh symbol); full validation Σ(i·dᵢ)+10·chk ≡ 0 graded.
+    "fn_isbn10_check" -> ((s, d) => {
+      val wsum = (1 to 9).map(i =>
+        s"$i * CAST(SUBSTRING(code9, $i, 1) AS BIGINT)").mkString(" + ")
+      Tables.orders(s, d)
+        .where(col("o_orderkey") % 47 === 13)
+        .select(col("o_orderkey").as("okey"))
+        .withColumn("code9", expr(
+          "LPAD(CAST(okey * 89 + 17 AS STRING), 9, '0')"))
+        .withColumn("rem", expr(s"($wsum) % 11"))
+        .withColumn("chk_char", expr(
+          "CASE WHEN rem = 10 THEN 'X' ELSE CAST(rem AS STRING) END"))
+        .withColumn("isbn10", expr("CONCAT(code9, chk_char)"))
+        .withColumn("valid", expr(s"(($wsum) + 10 * rem) % 11 = 0"))
+        .select("okey", "code9", "rem", "chk_char", "isbn10", "valid")
+        .orderBy("okey")
     })
   )
 
@@ -1864,6 +1966,83 @@ object Round12dOps {
          |    ELSE (ema_fast - ema_slow) * 1000000 // ema_slow
          |  END AS pvo_ppm
          |FROM s2 ORDER BY event_type, day""".stripMargin
+    },
+
+    // Same nibble place values.
+    "fn_bcd_roundtrip" -> {
+      val pack = (0 until 6).map(i =>
+        s"(v // ${math.pow(10, i).toLong} % 10) * ${1L << (4 * i)}")
+        .mkString(" + ")
+      val unpack = (0 until 6).map(i =>
+        s"(bcd // ${1L << (4 * i)} % 16) * ${math.pow(10, i).toLong}")
+        .mkString(" + ")
+      s"""WITH b AS (SELECT CAST(p_partkey AS BIGINT) AS pk,
+         |    CAST(p_partkey AS BIGINT) * 131 % 1000000 AS v
+         |  FROM part WHERE p_partkey % 43 = 9),
+         |p AS (SELECT *, $pack AS bcd FROM b)
+         |SELECT pk, v, bcd, $unpack AS v_back,
+         |  ($unpack) = v AS roundtrip, bcd >= v AS expanded
+         |FROM p ORDER BY pk""".stripMargin
+    },
+
+    // Same bijective digit walk, same Horner re-parse.
+    "fn_excel_column" -> {
+      val az = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+      val walked = (0 until 4).foldLeft(
+        "(SELECT CAST(p_partkey AS BIGINT) AS pk, " +
+          "CAST(p_partkey AS BIGINT) % 400000 + 1 AS n, " +
+          "CAST(p_partkey AS BIGINT) % 400000 + 1 AS m0 " +
+          "FROM part WHERE p_partkey % 47 = 11)") { (prev, k) =>
+        s"(SELECT *, CASE WHEN m$k = 0 THEN -1 ELSE (m$k - 1) % 26 END " +
+          s"AS d$k, CASE WHEN m$k = 0 THEN 0 ELSE (m$k - 1) // 26 END " +
+          s"AS m${k + 1} FROM $prev)" }
+      val name = (3 to 0 by -1).map(k =>
+        s"CASE WHEN d$k >= 0 THEN SUBSTRING('$az', CAST(d$k AS INT) + 1, 1)" +
+          s" ELSE '' END").mkString("CONCAT(", ", ", ")")
+      val back = (1 to 4).map(i =>
+        s"CASE WHEN LENGTH(col_name) >= $i THEN " +
+          s"INSTR('$az', SUBSTRING(col_name, LENGTH(col_name) - $i + 1, 1))" +
+          s" * ${math.pow(26, i - 1).toLong} ELSE 0 END").mkString(" + ")
+      s"""SELECT pk, n, col_name, CAST($back AS BIGINT) AS n_back,
+         |  CAST($back AS BIGINT) = n AS roundtrip
+         |FROM (SELECT *, $name AS col_name FROM $walked)
+         |ORDER BY pk""".stripMargin
+    },
+
+    // Same richest-first crossing.
+    "agg_pareto_8020" ->
+      """WITH c AS (SELECT c_custkey, c_mktsegment AS seg,
+        |    CAST(FLOOR(c_acctbal * 100) AS BIGINT) + 100000 AS cents
+        |  FROM customer),
+        |r AS (SELECT *, CAST(SUM(cents) OVER (PARTITION BY seg)
+        |      AS BIGINT) AS total,
+        |    CAST(COUNT(*) OVER (PARTITION BY seg) AS BIGINT) AS n,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY seg
+        |      ORDER BY cents DESC, c_custkey) AS BIGINT) AS rk,
+        |    CAST(SUM(cents) OVER (PARTITION BY seg
+        |      ORDER BY cents DESC, c_custkey ROWS UNBOUNDED PRECEDING)
+        |      AS BIGINT) AS cum
+        |  FROM c),
+        |x AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY seg ORDER BY rk)
+        |    AS pick FROM r WHERE cum * 5 >= total * 4)
+        |SELECT seg, n, total, rk, rk * 1000000 // n AS head_share_ppm
+        |FROM x WHERE pick = 1 ORDER BY seg""".stripMargin,
+
+    // Same weighted mod-11, same X symbol.
+    "fn_isbn10_check" -> {
+      val wsum = (1 to 9).map(i =>
+        s"$i * CAST(SUBSTRING(code9, $i, 1) AS BIGINT)").mkString(" + ")
+      s"""WITH b AS (SELECT o_orderkey AS okey,
+         |    LPAD(CAST(o_orderkey * 89 + 17 AS STRING), 9, '0') AS code9
+         |  FROM orders WHERE o_orderkey % 47 = 13),
+         |r AS (SELECT *, ($wsum) % 11 AS rem FROM b)
+         |SELECT okey, code9, rem,
+         |  CASE WHEN rem = 10 THEN 'X' ELSE CAST(rem AS STRING) END
+         |    AS chk_char,
+         |  CONCAT(code9, CASE WHEN rem = 10 THEN 'X'
+         |    ELSE CAST(rem AS STRING) END) AS isbn10,
+         |  (($wsum) + 10 * rem) % 11 = 0 AS valid
+         |FROM r ORDER BY okey""".stripMargin
     }
   )
 }
