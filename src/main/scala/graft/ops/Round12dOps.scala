@@ -1135,6 +1135,95 @@ object Round12dOps {
         .withColumn("valid", expr(s"(($wsum) + 10 * rem) % 11 = 0"))
         .select("okey", "code9", "rem", "chk_char", "isbn10", "valid")
         .orderBy("okey")
+    }),
+
+    // Fibonacci–Sylvester greedy Egyptian fractions — three unrolled
+    // steps of 1/⌈q/p⌉ with the exact remainder carried as a rational
+    // (p·c−q, q·c); numerators strictly decrease so three steps always
+    // leave p₃ < p; the full reconstruction identity is spec-proved in
+    // BigInt. q₃ ≤ ~10¹⁶ stays inside int64 by the q ≤ 99 cap.
+    "fn_egyptian_fraction" -> ((s, d) => {
+      val base = Tables.part(s, d)
+        .where(col("p_partkey") % 53 === 31)
+        .select(col("p_partkey").cast("bigint").as("pk"))
+        .withColumn("q0", expr("pk % 98 + 2"))
+        .withColumn("p0", expr("pk * 7 % (q0 - 1) + 1"))
+      val walked = (0 until 3).foldLeft(base) { (df, k) =>
+        df.withColumn(s"c${k + 1}", expr(
+            s"CASE WHEN p$k = 0 THEN 0L ELSE (q$k + p$k - 1) DIV p$k END"))
+          .withColumn(s"p${k + 1}", expr(
+            s"CASE WHEN p$k = 0 THEN 0L ELSE p$k * c${k + 1} - q$k END"))
+          .withColumn(s"q${k + 1}", expr(
+            s"CASE WHEN p$k = 0 THEN q$k ELSE q$k * c${k + 1} END")) }
+      walked
+        .select("pk", "p0", "q0", "c1", "c2", "c3", "p3", "q3")
+        .orderBy("pk")
+    }),
+
+    // True strength index — double-smoothed momentum over double-
+    // smoothed |momentum| (two chained weight-vector folds on each),
+    // sign-split ppm ratio; the zero-lag momentum family's ratio member.
+    "win_tsi" -> ((s, d) => {
+      val ord = Window.partitionBy("event_type").orderBy("day")
+      val w = Seq(64L, 32L, 16L, 8L, 4L, 2L, 1L)
+      def fold(src: String, dst: String, signSplit: Boolean)(
+          df: DataFrame): DataFrame = {
+        val num = w.zipWithIndex.map { case (wt, i) =>
+          coalesce(lag(col(src), i).over(ord) * wt, lit(0L)) }
+          .reduce(_ + _)
+        val den = w.zipWithIndex.map { case (wt, i) =>
+          when(lag(col(src), i).over(ord).isNotNull, wt).otherwise(0L) }
+          .reduce(_ + _)
+        val base = df.withColumn(s"${dst}_n", num)
+          .withColumn(s"${dst}_d", den)
+        if (signSplit) base.withColumn(dst, expr(
+          s"CASE WHEN ${dst}_n < 0 THEN -((-${dst}_n) DIV ${dst}_d) " +
+            s"ELSE ${dst}_n DIV ${dst}_d END"))
+        else base.withColumn(dst, expr(s"${dst}_n DIV ${dst}_d"))
+      }
+      val bars = Tables.events(s, d)
+        .select(col("event_type"), col("event_id"), col("ts_us"),
+          expr("ts_us DIV 86400000000").as("day"),
+          floor(col("value") * 100).cast("bigint").as("cents"))
+        .groupBy("event_type", "day")
+        .agg(expr("max_by(cents, struct(ts_us, event_id))").as("c"))
+        .withColumn("mom", col("c") - lag("c", 1).over(ord))
+        .where(col("mom").isNotNull)
+        .withColumn("amom", abs(col("mom")))
+      val smoothed =
+        fold("a1", "a2", signSplit = false)(
+          fold("amom", "a1", signSplit = false)(
+            fold("m1", "m2", signSplit = true)(
+              fold("mom", "m1", signSplit = true)(bars))))
+      smoothed
+        .withColumn("tsi_ppm", expr(
+          """CASE WHEN a2 = 0 THEN 0L
+            |  WHEN m2 < 0 THEN -((-m2) * 1000000 DIV a2)
+            |  ELSE m2 * 1000000 DIV a2 END""".stripMargin))
+        .select("event_type", "day", "mom", "m2", "a2", "tsi_ppm")
+        .orderBy("event_type", "day")
+    }),
+
+    // Hoover (Robin Hood) index — the share of total wealth that must
+    // move to equalize: Σ|n·xᵢ−T| ppm over 2·n·T, all integers; the
+    // third inequality metric next to Palma and Atkinson.
+    "agg_hoover_index" -> ((s, d) => {
+      val all = Window.partitionBy("seg")
+      Tables.customer(s, d)
+        .select(col("c_mktsegment").as("seg"),
+          (floor(col("c_acctbal") * 100).cast("bigint") + 100000L)
+            .as("cents"))
+        .withColumn("n", count(lit(1)).over(all))
+        .withColumn("t", sum("cents").over(all))
+        .groupBy("seg")
+        .agg(max("n").as("n"), max("t").as("total"),
+          sum(expr("abs(n * cents - t)")).as("sad_n"))
+        .withColumn("hoover_ppm", expr(
+          // sad_n·10⁶ passes int64 at sf0.1 — widen through DECIMAL(38,0)
+          "CAST(CAST(sad_n AS DECIMAL(38,0)) * 1000000 " +
+            "DIV (CAST(2 AS DECIMAL(38,0)) * n * total) AS BIGINT)"))
+        .select("seg", "n", "total", "sad_n", "hoover_ppm")
+        .orderBy("seg")
     })
   )
 
@@ -2043,6 +2132,84 @@ object Round12dOps {
          |    ELSE CAST(rem AS STRING) END) AS isbn10,
          |  (($wsum) + 10 * rem) % 11 = 0 AS valid
          |FROM r ORDER BY okey""".stripMargin
-    }
+    },
+
+    // Same greedy chain through nested per-step SELECTs.
+    "fn_egyptian_fraction" -> {
+      val walked = (0 until 3).foldLeft(
+        "(SELECT pk, p0, q0 FROM (SELECT CAST(p_partkey AS BIGINT) AS pk, " +
+          "CAST(p_partkey AS BIGINT) % 98 + 2 AS q0, " +
+          "CAST(p_partkey AS BIGINT) * 7 % " +
+          "(CAST(p_partkey AS BIGINT) % 98 + 1) + 1 AS p0 " +
+          "FROM part WHERE p_partkey % 53 = 31))") { (prev, k) =>
+        s"(SELECT *, CASE WHEN p$k = 0 THEN 0 " +
+          s"ELSE (q$k + p$k - 1) // p$k END AS c${k + 1}, " +
+          s"CASE WHEN p$k = 0 THEN 0 ELSE p$k * (CASE WHEN p$k = 0 THEN 0 " +
+          s"ELSE (q$k + p$k - 1) // p$k END) - q$k END AS p${k + 1}, " +
+          s"CASE WHEN p$k = 0 THEN q$k ELSE q$k * (CASE WHEN p$k = 0 " +
+          s"THEN 0 ELSE (q$k + p$k - 1) // p$k END) END AS q${k + 1} " +
+          s"FROM $prev)" }
+      s"""SELECT pk, p0, q0, CAST(c1 AS BIGINT) AS c1,
+         |  CAST(c2 AS BIGINT) AS c2, CAST(c3 AS BIGINT) AS c3,
+         |  CAST(p3 AS BIGINT) AS p3, CAST(q3 AS BIGINT) AS q3
+         |FROM $walked ORDER BY pk""".stripMargin
+    },
+
+    // Same four folds, same sign-split ratio.
+    "win_tsi" -> {
+      val w = Seq(64L, 32L, 16L, 8L, 4L, 2L, 1L)
+      def stage(src: String, dst: String, signSplit: Boolean) = {
+        val num = w.zipWithIndex.map { case (wt, i) =>
+          if (i == 0) s"$wt * $src"
+          else s"COALESCE($wt * lag($src, $i) OVER o, 0)" }.mkString(" + ")
+        val den = w.zipWithIndex.map { case (wt, i) =>
+          if (i == 0) s"$wt"
+          else s"CASE WHEN lag($src, $i) OVER o IS NULL THEN 0 ELSE $wt END" }
+          .mkString(" + ")
+        if (signSplit)
+          s"""SELECT *, CASE WHEN ($num) < 0
+             |    THEN -((-($num)) // ($den)) ELSE ($num) // ($den) END
+             |    AS $dst""".stripMargin
+        else s"SELECT *, ($num) // ($den) AS $dst"
+      }
+      s"""WITH e AS (SELECT event_type, event_id, epoch_us(ts) AS ts_us,
+         |    epoch_us(ts) // 86400000000 AS day,
+         |    CAST(FLOOR(value * 100) AS BIGINT) AS cents FROM events),
+         |bar AS (SELECT event_type, day,
+         |    MAX_BY(cents, CAST(ts_us AS HUGEINT) * 1000000 + event_id) AS c
+         |  FROM e GROUP BY 1, 2),
+         |m AS (SELECT event_type, day, c - lag(c, 1) OVER o AS mom
+         |  FROM bar WINDOW o AS (PARTITION BY event_type ORDER BY day)),
+         |mm AS (SELECT *, ABS(mom) AS amom FROM m WHERE mom IS NOT NULL),
+         |s1 AS (${stage("mom", "m1", signSplit = true)} FROM mm
+         |  WINDOW o AS (PARTITION BY event_type ORDER BY day)),
+         |s2 AS (${stage("m1", "m2", signSplit = true)} FROM s1
+         |  WINDOW o AS (PARTITION BY event_type ORDER BY day)),
+         |s3 AS (${stage("amom", "a1", signSplit = false)} FROM s2
+         |  WINDOW o AS (PARTITION BY event_type ORDER BY day)),
+         |s4 AS (${stage("a1", "a2", signSplit = false)} FROM s3
+         |  WINDOW o AS (PARTITION BY event_type ORDER BY day))
+         |SELECT event_type, day, mom, m2, a2,
+         |  CASE WHEN a2 = 0 THEN 0
+         |    WHEN m2 < 0 THEN -((-m2) * 1000000 // a2)
+         |    ELSE m2 * 1000000 // a2 END AS tsi_ppm
+         |FROM s4 ORDER BY event_type, day""".stripMargin
+    },
+
+    // Same n-scaled L1 numerator, same HUGEINT-widened ratio.
+    "agg_hoover_index" ->
+      """WITH c AS (SELECT c_mktsegment AS seg,
+        |    CAST(FLOOR(c_acctbal * 100) AS BIGINT) + 100000 AS cents
+        |  FROM customer),
+        |d AS (SELECT *, CAST(COUNT(*) OVER (PARTITION BY seg) AS BIGINT)
+        |      AS n,
+        |    CAST(SUM(cents) OVER (PARTITION BY seg) AS BIGINT) AS t
+        |  FROM c)
+        |SELECT seg, MAX(n) AS n, MAX(t) AS total,
+        |  CAST(SUM(ABS(n * cents - t)) AS BIGINT) AS sad_n,
+        |  CAST(CAST(SUM(ABS(n * cents - t)) AS HUGEINT) * 1000000
+        |    // (CAST(2 AS HUGEINT) * MAX(n) * MAX(t)) AS BIGINT)
+        |    AS hoover_ppm
+        |FROM d GROUP BY seg ORDER BY seg""".stripMargin
   )
 }
