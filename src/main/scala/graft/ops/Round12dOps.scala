@@ -1224,6 +1224,64 @@ object Round12dOps {
             "DIV (CAST(2 AS DECIMAL(38,0)) * n * total) AS BIGINT)"))
         .select("seg", "n", "total", "sad_n", "hoover_ppm")
         .orderBy("seg")
+    }),
+
+    // Mayan Long Count roundtrip — days since epoch into the mixed-radix
+    // baktun.katun.tun.uinal.kin (20·20·18·20 — uinal is the 18 branch)
+    // and back; the mixed-radix place-value shape calendars actually use.
+    "fn_mayan_long_count" -> ((s, d) => {
+      Tables.orders(s, d)
+        .where(col("o_orderkey") % 53 === 29)
+        .select(col("o_orderkey").as("okey"))
+        .withColumn("days", expr("okey * 97 % 1872000"))
+        .withColumn("kin", expr("days % 20"))
+        .withColumn("uinal", expr("days DIV 20 % 18"))
+        .withColumn("tun", expr("days DIV 360 % 20"))
+        .withColumn("katun", expr("days DIV 7200 % 20"))
+        .withColumn("baktun", expr("days DIV 144000"))
+        .withColumn("lc", expr(
+          "CONCAT(baktun, '.', katun, '.', tun, '.', uinal, '.', kin)"))
+        .withColumn("days_back", expr(
+          "baktun * 144000 + katun * 7200 + tun * 360 + uinal * 20 + kin"))
+        .withColumn("roundtrip", expr("days_back = days"))
+        .select("okey", "days", "lc", "days_back", "roundtrip")
+        .orderBy("okey")
+    }),
+
+    // Four-firm concentration ratio — top-4 balance share per segment by
+    // rank-exact selection; the antitrust screen next to Herfindahl.
+    "agg_cr4" -> ((s, d) => {
+      val rich = Window.partitionBy("seg")
+        .orderBy(col("cents").desc, col("c_custkey"))
+      Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_mktsegment").as("seg"),
+          (floor(col("c_acctbal") * 100).cast("bigint") + 100000L)
+            .as("cents"))
+        .withColumn("rk", row_number().over(rich).cast("bigint"))
+        .groupBy("seg")
+        .agg(count(lit(1)).as("n"), sum("cents").as("total"),
+          sum(when(col("rk") <= 4, col("cents")).otherwise(0L))
+            .as("top4"))
+        .withColumn("cr4_ppm", expr("top4 * 1000000 DIV total"))
+        .select("seg", "n", "total", "top4", "cr4_ppm")
+        .orderBy("seg")
+    }),
+
+    // Gauss circle counts — lattice points inside radius r via the
+    // column sweep Σ(2·isqrt(r²−x²)+1) with the native IntSqrt: the
+    // exact N(r) whose πr² error the spec bounds. Constant explode per
+    // radius, embarrassingly parallel.
+    "fn_gauss_circle" -> ((s, d) => {
+      GraftBridge.registerFunction(s, "isqrt", exprs => IntSqrt(exprs(0)))
+      Tables.region(s, d)
+        .select(col("r_regionkey").cast("bigint").as("rk"))
+        .withColumn("r", expr("20 + rk * 15"))
+        .withColumn("x", explode(expr("sequence(-80L, 80L)")))
+        .where(expr("abs(x) <= r"))
+        .withColumn("col_pts", expr("2 * isqrt(r * r - x * x) + 1"))
+        .groupBy("rk", "r")
+        .agg(sum("col_pts").as("n_inside"), count(lit(1)).as("n_cols"))
+        .orderBy("rk")
     })
   )
 
@@ -2210,6 +2268,50 @@ object Round12dOps {
         |  CAST(CAST(SUM(ABS(n * cents - t)) AS HUGEINT) * 1000000
         |    // (CAST(2 AS HUGEINT) * MAX(n) * MAX(t)) AS BIGINT)
         |    AS hoover_ppm
-        |FROM d GROUP BY seg ORDER BY seg""".stripMargin
+        |FROM d GROUP BY seg ORDER BY seg""".stripMargin,
+
+    // Same mixed radix.
+    "fn_mayan_long_count" ->
+      """WITH b AS (SELECT o_orderkey AS okey,
+        |    o_orderkey * 97 % 1872000 AS days
+        |  FROM orders WHERE o_orderkey % 53 = 29),
+        |p AS (SELECT *, days % 20 AS kin, days // 20 % 18 AS uinal,
+        |    days // 360 % 20 AS tun, days // 7200 % 20 AS katun,
+        |    days // 144000 AS baktun FROM b)
+        |SELECT okey, days,
+        |  CONCAT(baktun, '.', katun, '.', tun, '.', uinal, '.', kin) AS lc,
+        |  baktun * 144000 + katun * 7200 + tun * 360 + uinal * 20 + kin
+        |    AS days_back,
+        |  baktun * 144000 + katun * 7200 + tun * 360 + uinal * 20 + kin
+        |    = days AS roundtrip
+        |FROM p ORDER BY okey""".stripMargin,
+
+    // Same rank-exact top-4 share.
+    "agg_cr4" ->
+      """WITH c AS (SELECT c_custkey, c_mktsegment AS seg,
+        |    CAST(FLOOR(c_acctbal * 100) AS BIGINT) + 100000 AS cents
+        |  FROM customer),
+        |r AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY seg
+        |    ORDER BY cents DESC, c_custkey) AS BIGINT) AS rk FROM c)
+        |SELECT seg, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(cents) AS BIGINT) AS total,
+        |  CAST(SUM(CASE WHEN rk <= 4 THEN cents ELSE 0 END) AS BIGINT)
+        |    AS top4,
+        |  CAST(SUM(CASE WHEN rk <= 4 THEN cents ELSE 0 END) AS BIGINT)
+        |    * 1000000 // CAST(SUM(cents) AS BIGINT) AS cr4_ppm
+        |FROM r GROUP BY seg ORDER BY seg""".stripMargin,
+
+    // Same column sweep, same corrected root.
+    "fn_gauss_circle" ->
+      s"""WITH b AS (SELECT CAST(r_regionkey AS BIGINT) AS rk,
+         |    20 + CAST(r_regionkey AS BIGINT) * 15 AS r FROM region),
+         |s AS (SELECT CAST(g AS BIGINT) AS x
+         |  FROM generate_series(-80, 80) AS gs(g)),
+         |cols AS (SELECT rk, r, x,
+         |    2 * ${Round12cOps.duckIsqrt("r * r - x * x")} + 1 AS col_pts
+         |  FROM b CROSS JOIN s WHERE ABS(x) <= r)
+         |SELECT rk, r, CAST(SUM(col_pts) AS BIGINT) AS n_inside,
+         |  CAST(COUNT(*) AS BIGINT) AS n_cols
+         |FROM cols GROUP BY rk, r ORDER BY rk""".stripMargin
   )
 }
