@@ -1282,6 +1282,73 @@ object Round12dOps {
         .groupBy("rk", "r")
         .agg(sum("col_pts").as("n_inside"), count(lit(1)).as("n_cols"))
         .orderBy("rk")
+    }),
+
+    // Awesome oscillator (5/13 declared spans) — truncating SMAs of the
+    // bar midpoint (h+l) DIV 2, fast minus slow, rn-gated; plus the
+    // saucer signal (two rising AO bars). One sort, two frame sums.
+    "win_awesome_osc" -> ((s, d) => {
+      val ord = Window.partitionBy("event_type").orderBy("day")
+      val w5 = ord.rowsBetween(-4, 0)
+      val w13 = ord.rowsBetween(-12, 0)
+      Tables.events(s, d)
+        .select(col("event_type"), col("event_id"), col("ts_us"),
+          expr("ts_us DIV 86400000000").as("day"),
+          floor(col("value") * 100).cast("bigint").as("cents"))
+        .groupBy("event_type", "day")
+        .agg(max("cents").as("h"), min("cents").as("l"))
+        .withColumn("mid", expr("(h + l) DIV 2"))
+        .withColumn("rn", row_number().over(ord).cast("bigint"))
+        .withColumn("sma5", (sum("mid").over(w5)).as("s5"))
+        .withColumn("sma5", expr("sma5 DIV 5"))
+        .withColumn("sma13", sum("mid").over(w13))
+        .withColumn("sma13", expr("sma13 DIV 13"))
+        .where(col("rn") >= 13)
+        .withColumn("ao", col("sma5") - col("sma13"))
+        .withColumn("prev_ao", lag("ao", 1).over(ord))
+        .withColumn("saucer", expr(
+          "prev_ao IS NOT NULL AND ao > prev_ao"))
+        .select("event_type", "day", "mid", "sma5", "sma13", "ao",
+          "saucer")
+        .orderBy("event_type", "day")
+    }),
+
+    // Text histogram — per-segment counts rendered as exact #-bars
+    // (REPEAT, width = cnt·20 DIV max); the reporting-formatter shape
+    // both engines share bit-identically.
+    "fn_text_histogram" -> ((s, d) => {
+      val all = Window.partitionBy(lit(1))
+      Tables.customer(s, d)
+        .groupBy(col("c_mktsegment").as("seg"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("mx", max("cnt").over(all))
+        .withColumn("width", expr("cnt * 20 DIV mx"))
+        .withColumn("bar", expr("REPEAT('#', CAST(width AS INT))"))
+        .select("seg", "cnt", "width", "bar")
+        .orderBy("seg")
+    }),
+
+    // MASE-style naive comparison — Σ|c−lag1| over Σ|c−lag7| exact
+    // milli per series: is the 1-step naive better than the weekly
+    // seasonal naive? The scale-free forecast-accuracy denominator law.
+    "agg_mase_naive" -> ((s, d) => {
+      val ord = Window.partitionBy("event_type").orderBy("day")
+      Tables.events(s, d)
+        .select(col("event_type"), col("event_id"), col("ts_us"),
+          expr("ts_us DIV 86400000000").as("day"),
+          floor(col("value") * 100).cast("bigint").as("cents"))
+        .groupBy("event_type", "day")
+        .agg(expr("max_by(cents, struct(ts_us, event_id))").as("c"))
+        .withColumn("e1", abs(col("c") - lag("c", 1).over(ord)))
+        .withColumn("e7", abs(col("c") - lag("c", 7).over(ord)))
+        .where(col("e7").isNotNull && col("e1").isNotNull)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("e1").as("sae1"),
+          sum("e7").as("sae7"))
+        .withColumn("mase_milli", expr(
+          "CASE WHEN sae7 = 0 THEN 0L ELSE sae1 * 1000 DIV sae7 END"))
+        .select("event_type", "n", "sae1", "sae7", "mase_milli")
+        .orderBy("event_type")
     })
   )
 
@@ -2312,6 +2379,57 @@ object Round12dOps {
          |  FROM b CROSS JOIN s WHERE ABS(x) <= r)
          |SELECT rk, r, CAST(SUM(col_pts) AS BIGINT) AS n_inside,
          |  CAST(COUNT(*) AS BIGINT) AS n_cols
-         |FROM cols GROUP BY rk, r ORDER BY rk""".stripMargin
+         |FROM cols GROUP BY rk, r ORDER BY rk""".stripMargin,
+
+    // Same midpoint SMAs, same filtered-then-lagged saucer.
+    "win_awesome_osc" ->
+      """WITH e AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |    CAST(FLOOR(value * 100) AS BIGINT) AS cents FROM events),
+        |bar AS (SELECT event_type, day, MAX(cents) AS h, MIN(cents) AS l
+        |  FROM e GROUP BY 1, 2),
+        |m AS (SELECT *, (h + l) // 2 AS mid,
+        |    CAST(ROW_NUMBER() OVER o AS BIGINT) AS rn
+        |  FROM bar WINDOW o AS (PARTITION BY event_type ORDER BY day)),
+        |sm AS (SELECT *,
+        |    CAST(SUM(mid) OVER (o ROWS 4 PRECEDING) AS BIGINT) // 5
+        |      AS sma5,
+        |    CAST(SUM(mid) OVER (o ROWS 12 PRECEDING) AS BIGINT) // 13
+        |      AS sma13
+        |  FROM m WINDOW o AS (PARTITION BY event_type ORDER BY day)),
+        |f AS (SELECT *, sma5 - sma13 AS ao FROM sm WHERE rn >= 13),
+        |g AS (SELECT *, lag(ao, 1) OVER o AS prev_ao
+        |  FROM f WINDOW o AS (PARTITION BY event_type ORDER BY day))
+        |SELECT event_type, day, mid, sma5, sma13, ao,
+        |  prev_ao IS NOT NULL AND ao > prev_ao AS saucer
+        |FROM g ORDER BY event_type, day""".stripMargin,
+
+    // Same exact bar widths.
+    "fn_text_histogram" ->
+      """WITH c AS (SELECT c_mktsegment AS seg,
+        |    CAST(COUNT(*) AS BIGINT) AS cnt FROM customer GROUP BY 1),
+        |m AS (SELECT *, CAST(MAX(cnt) OVER () AS BIGINT) AS mx FROM c)
+        |SELECT seg, cnt, cnt * 20 // mx AS width,
+        |  REPEAT('#', CAST(cnt * 20 // mx AS INT)) AS bar
+        |FROM m ORDER BY seg""".stripMargin,
+
+    // Same paired naive errors.
+    "agg_mase_naive" ->
+      """WITH e AS (SELECT event_type, event_id, epoch_us(ts) AS ts_us,
+        |    epoch_us(ts) // 86400000000 AS day,
+        |    CAST(FLOOR(value * 100) AS BIGINT) AS cents FROM events),
+        |bar AS (SELECT event_type, day,
+        |    MAX_BY(cents, CAST(ts_us AS HUGEINT) * 1000000 + event_id) AS c
+        |  FROM e GROUP BY 1, 2),
+        |er AS (SELECT event_type, ABS(c - lag(c, 1) OVER o) AS e1,
+        |    ABS(c - lag(c, 7) OVER o) AS e7
+        |  FROM bar WINDOW o AS (PARTITION BY event_type ORDER BY day))
+        |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(e1) AS BIGINT) AS sae1,
+        |  CAST(SUM(e7) AS BIGINT) AS sae7,
+        |  CASE WHEN CAST(SUM(e7) AS BIGINT) = 0 THEN 0
+        |    ELSE CAST(SUM(e1) AS BIGINT) * 1000
+        |      // CAST(SUM(e7) AS BIGINT) END AS mase_milli
+        |FROM er WHERE e1 IS NOT NULL AND e7 IS NOT NULL
+        |GROUP BY event_type ORDER BY event_type""".stripMargin
   )
 }
