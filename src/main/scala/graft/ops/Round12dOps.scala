@@ -1349,6 +1349,68 @@ object Round12dOps {
           "CASE WHEN sae7 = 0 THEN 0L ELSE sae1 * 1000 DIV sae7 END"))
         .select("event_type", "n", "sae1", "sae7", "mase_milli")
         .orderBy("event_type")
+    }),
+
+    // Leap-day census — f(y) = y/4 − y/100 + y/400 differenced across a
+    // year span, cross-validated against the ENGINE's own datediff
+    // (total days = 365·Δy + leaps must match exactly); a calendar law
+    // two engines can only agree on if both cores are right.
+    "fn_leap_count" -> ((s, d) => {
+      def f(y: String) = s"($y DIV 4 - $y DIV 100 + $y DIV 400)"
+      Tables.part(s, d)
+        .where(col("p_partkey") % 59 === 17)
+        .select(col("p_partkey").cast("bigint").as("pk"))
+        .withColumn("y1", expr("1900 + pk % 80"))
+        .withColumn("y2", expr("y1 + pk % 40 + 1"))
+        // leap days with Feb 29 of y counted iff y is leap: the span
+        // [Jan 1 y1, Jan 1 y2) contains the Feb 29s of y1..y2-1, which
+        // is f(y2-1) - f(y1-1)
+        .withColumn("leaps", expr(
+          s"${f("(y2 - 1)")} - ${f("(y1 - 1)")}"))
+        .withColumn("span_days", expr("365 * (y2 - y1) + leaps"))
+        .withColumn("engine_days", expr(
+          "CAST(datediff(make_date(CAST(y2 AS INT), 1, 1), " +
+            "make_date(CAST(y1 AS INT), 1, 1)) AS BIGINT)"))
+        .withColumn("agree", expr("span_days = engine_days"))
+        .select("pk", "y1", "y2", "leaps", "span_days", "engine_days",
+          "agree")
+        .orderBy("pk")
+    }),
+
+    // X̄-R control chart — weekly subgroups per series: grand mean and
+    // mean range in exact milli, control limits via the literal A2
+    // constant (577 milli at n≈5, the declared constant); out-of-control
+    // subgroup census. The SPC shape, float-free.
+    "agg_xbar_r_chart" -> ((s, d) => {
+      val byT = Window.partitionBy("event_type")
+      Tables.events(s, d)
+        .select(col("event_type"), col("event_id"), col("ts_us"),
+          expr("ts_us DIV 86400000000 DIV 7").as("week"),
+          expr("ts_us DIV 86400000000").as("day"),
+          floor(col("value") * 100).cast("bigint").as("cents"))
+        .groupBy("event_type", "week", "day")
+        .agg(expr("max_by(cents, struct(ts_us, event_id))").as("c"))
+        .groupBy("event_type", "week")
+        .agg(count(lit(1)).as("sz"), sum("c").as("wsum"),
+          (max("c") - min("c")).as("wrange"))
+        .withColumn("xbar_milli", expr("wsum * 1000 DIV sz"))
+        .withColumn("grand_milli",
+          (sum("wsum").over(byT) * 1000L).cast("bigint"))
+        .withColumn("grand_milli", expr(
+          "grand_milli DIV " +
+            "sum(sz) OVER (PARTITION BY event_type)"))
+        .withColumn("rbar_milli", expr(
+          "sum(wrange) OVER (PARTITION BY event_type) * 1000 DIV " +
+            "count(1) OVER (PARTITION BY event_type)"))
+        .withColumn("ucl_milli", expr(
+          "grand_milli + 577 * rbar_milli DIV 1000"))
+        .withColumn("lcl_milli", expr(
+          "grand_milli - 577 * rbar_milli DIV 1000"))
+        .withColumn("out_of_control", expr(
+          "xbar_milli > ucl_milli OR xbar_milli < lcl_milli"))
+        .select("event_type", "week", "sz", "xbar_milli", "grand_milli",
+          "rbar_milli", "ucl_milli", "lcl_milli", "out_of_control")
+        .orderBy("event_type", "week")
     })
   )
 
@@ -2430,6 +2492,53 @@ object Round12dOps {
         |    ELSE CAST(SUM(e1) AS BIGINT) * 1000
         |      // CAST(SUM(e7) AS BIGINT) END AS mase_milli
         |FROM er WHERE e1 IS NOT NULL AND e7 IS NOT NULL
-        |GROUP BY event_type ORDER BY event_type""".stripMargin
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // Same Gregorian counting, same engine cross-check.
+    "fn_leap_count" ->
+      """WITH b AS (SELECT CAST(p_partkey AS BIGINT) AS pk,
+        |    1900 + CAST(p_partkey AS BIGINT) % 80 AS y1,
+        |    1900 + CAST(p_partkey AS BIGINT) % 80
+        |      + CAST(p_partkey AS BIGINT) % 40 + 1 AS y2
+        |  FROM part WHERE p_partkey % 59 = 17),
+        |l AS (SELECT *, ((y2 - 1) // 4 - (y2 - 1) // 100 + (y2 - 1) // 400)
+        |    - ((y1 - 1) // 4 - (y1 - 1) // 100 + (y1 - 1) // 400) AS leaps
+        |  FROM b)
+        |SELECT pk, y1, y2, leaps, 365 * (y2 - y1) + leaps AS span_days,
+        |  CAST(date_diff('day', make_date(CAST(y1 AS INT), 1, 1),
+        |    make_date(CAST(y2 AS INT), 1, 1)) AS BIGINT) AS engine_days,
+        |  365 * (y2 - y1) + leaps = date_diff('day',
+        |    make_date(CAST(y1 AS INT), 1, 1),
+        |    make_date(CAST(y2 AS INT), 1, 1)) AS agree
+        |FROM l ORDER BY pk""".stripMargin,
+
+    // Same subgroup stats, same declared A2 literal.
+    "agg_xbar_r_chart" ->
+      """WITH e AS (SELECT event_type, event_id, epoch_us(ts) AS ts_us,
+        |    epoch_us(ts) // 86400000000 // 7 AS week,
+        |    epoch_us(ts) // 86400000000 AS day,
+        |    CAST(FLOOR(value * 100) AS BIGINT) AS cents FROM events),
+        |bar AS (SELECT event_type, week, day,
+        |    MAX_BY(cents, CAST(ts_us AS HUGEINT) * 1000000 + event_id) AS c
+        |  FROM e GROUP BY 1, 2, 3),
+        |wk AS (SELECT event_type, week, CAST(COUNT(*) AS BIGINT) AS sz,
+        |    CAST(SUM(c) AS BIGINT) AS wsum,
+        |    MAX(c) - MIN(c) AS wrange
+        |  FROM bar GROUP BY 1, 2),
+        |g AS (SELECT *, wsum * 1000 // sz AS xbar_milli,
+        |    CAST(SUM(wsum) OVER (PARTITION BY event_type) AS BIGINT)
+        |      * 1000 // CAST(SUM(sz) OVER (PARTITION BY event_type)
+        |      AS BIGINT) AS grand_milli,
+        |    CAST(SUM(wrange) OVER (PARTITION BY event_type) AS BIGINT)
+        |      * 1000 // CAST(COUNT(*) OVER (PARTITION BY event_type)
+        |      AS BIGINT) AS rbar_milli
+        |  FROM wk),
+        |c AS (SELECT *, grand_milli + 577 * rbar_milli // 1000 AS ucl_milli,
+        |    grand_milli - 577 * rbar_milli // 1000 AS lcl_milli FROM g)
+        |SELECT event_type, week, sz, xbar_milli, grand_milli, rbar_milli,
+        |  ucl_milli, lcl_milli,
+        |  xbar_milli > ucl_milli OR xbar_milli < lcl_milli
+        |    AS out_of_control
+        |FROM c ORDER BY event_type, week""".stripMargin
   )
 }
