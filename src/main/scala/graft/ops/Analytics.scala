@@ -774,7 +774,11 @@ object Analytics {
         .select(col("brand_a"), col("brand_b"), col("support"),
           col("supp_a"), col("supp_b"),
           expr("(support * 1000) DIV supp_a").as("confidence_milli"),
-          expr("(support * n_orders * 1000000) DIV (supp_a * supp_b)").as("lift_ppm"))
+          // numerator in DECIMAL(38,0): support·N·10⁶ overflows int64
+          // once support and N both reach ~10⁷ (sf≳10); all terms are
+          // positive so DIV == floor on both engines
+          expr("CAST((CAST(support AS DECIMAL(38,0)) * n_orders * 1000000) DIV " +
+            "(CAST(supp_a AS DECIMAL(38,0)) * supp_b) AS BIGINT)").as("lift_ppm"))
         .orderBy("brand_a", "brand_b")
     }),
 
@@ -4740,7 +4744,8 @@ object Analytics {
         |  GROUP BY 1, 2 HAVING COUNT(*) >= 10)
         |SELECT brand_a, brand_b, support, sa.s AS supp_a, sb.s AS supp_b,
         |  (support * 1000) // sa.s AS confidence_milli,
-        |  (support * n_orders * 1000000) // (sa.s * sb.s) AS lift_ppm
+        |  CAST((CAST(support AS HUGEINT) * n_orders * 1000000)
+        |    // (CAST(sa.s AS HUGEINT) * sb.s) AS BIGINT) AS lift_ppm
         |FROM pairs
         |JOIN supp sa ON sa.brand = pairs.brand_a
         |JOIN supp sb ON sb.brand = pairs.brand_b, n

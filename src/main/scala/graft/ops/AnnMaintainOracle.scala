@@ -36,7 +36,12 @@ object AnnMaintainOracle {
       |cent_fresh AS (
       |  SELECT u.vec_id AS cid, u.pos, u.xm AS cm FROM un u, mod_fresh
       |  WHERE ('0x' || substring(md5(CAST(u.vec_id AS VARCHAR)), 1, 8))::BIGINT % mod_fresh.m = 0),
-      |probes AS (SELECT vec_id AS probe_id, pos, xm AS pm FROM drift WHERE vec_id % 25 = 4),
+      |probe_ids AS (
+      |  SELECT vec_id FROM (SELECT DISTINCT vec_id FROM drift)
+      |  ORDER BY md5('probe:' || CAST(vec_id AS VARCHAR)), vec_id LIMIT 200),
+      |probes AS (
+      |  SELECT d.vec_id AS probe_id, d.pos, d.xm AS pm
+      |  FROM drift d JOIN probe_ids pi ON d.vec_id = pi.vec_id),
       |truth AS (
       |  SELECT probe_id, vec_id FROM (
       |    SELECT probe_id, vec_id,

@@ -54,6 +54,17 @@ object Round12Ops {
             ArrowBatchBridge.arrowSchema(inSchema, tz), alloc)
           val outRoot = org.apache.arrow.vector.VectorSchemaRoot.create(
             ArrowBatchBridge.arrowSchema(outSchema, tz), alloc)
+          // Direct memory must not outlive the task even when the
+          // downstream consumer stops early (limit/take, task failure):
+          // a completion listener closes the roots + allocator
+          // unconditionally; the iterator's hasNext close below is only
+          // the eager fast path for fully-drained partitions.
+          var closed = false
+          def closeAll(): Unit = if (!closed) {
+            closed = true; inRoot.close(); outRoot.close(); alloc.close()
+          }
+          Option(org.apache.spark.TaskContext.get()).foreach(
+            _.addTaskCompletionListener[Unit](_ => closeAll()))
           val out = batches.map { bytes =>
             ArrowBatchBridge.loadBatch(bytes, inRoot, alloc)
             val n = inRoot.getRowCount
@@ -90,7 +101,7 @@ object Round12Ops {
           new Iterator[Array[Byte]] {
             def hasNext: Boolean = {
               val h = out.hasNext
-              if (!h) { inRoot.close(); outRoot.close(); alloc.close() }
+              if (!h) closeAll()
               h
             }
             def next(): Array[Byte] = out.next()
@@ -235,7 +246,15 @@ object Round12Ops {
       def centroidsOf(vs: DataFrame, mod: Long) = vs.where(
         expr(s"CAST(conv(substring(md5(CAST(vec_id AS STRING)), 1, 8), 16, 10) AS BIGINT) % $mod = 0"))
         .select(col("vec_id").as("cid"), col("xs").as("cs"))
-      val probes = drift.where(col("vec_id") % 25 === 4)
+      // FIXED-k probe sample (round-13 scale fix): the recall-truth sweep
+      // below is |union| × |probes|; the old vec_id%25 rule grew the probe
+      // set with n, making the sweep O(n²/25) — the md5-ranked top-200
+      // keeps it O(n·k) at every scale. TakeOrdered(200) is a linear scan
+      // with a constant-size heap per partition; mirrored verbatim in
+      // AnnMaintainOracle (ORDER BY md5('probe:'||vec_id), vec_id LIMIT 200).
+      val probes = drift
+        .orderBy(md5(concat(lit("probe:"), col("vec_id").cast("string"))), col("vec_id"))
+        .limit(200)
         .select(col("vec_id").as("probe_id"), col("xs").as("ps"))
         .localCheckpoint()
       // brute-force truth is index-independent; one broadcast sweep
@@ -865,7 +884,6 @@ object Round12Ops {
     // the batch-id guard), giving values 0..99 at two known
     // timestamps; graded rollup = per-second value count + exact sum.
     "stream_rate_source" -> ((s, d) => {
-      val sink = "graft_rate_" + java.util.UUID.randomUUID().toString.replace("-", "")
       val got = new java.util.concurrent.atomic.AtomicLong(0)
       val buf = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
       val q = s.readStream.format("rate-micro-batch")
@@ -875,10 +893,10 @@ object Round12Ops {
         .load()
         .writeStream.foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
           if (id < 2) {
-            df.select(unix_millis(col("timestamp")), col("value"))
+            val batch = df.select(unix_millis(col("timestamp")), col("value"))
               .collect()
-              .foreach(r => buf.add((r.getLong(0), r.getLong(1))))
-            got.addAndGet(df.count())
+            batch.foreach(r => buf.add((r.getLong(0), r.getLong(1))))
+            got.addAndGet(batch.length.toLong) // no second df.count() execution
           }
           ()
         }
@@ -1022,10 +1040,19 @@ object Round12Ops {
           val rows = live.map(n => s.read.orc(s"$root/$n")).reduce(_ unionByName _)
           val deleted = dels.map(n => s.read.orc(s"$root/$n")).reduce(_ unionByName _)
             .select("originalTransaction", "bucket", "rowId")
+          // Row identity must stay UNIQUE under the compacting txn: rows
+          // from base_0000001 and delta_0000002 can share (bucket, rowId),
+          // so re-stamping originalTransaction=3 while keeping the old
+          // rowId would collide the ACID identity and corrupt any future
+          // delete-delta against the new base. Re-number rowId per bucket
+          // over the deterministic (originalTransaction, rowId) order.
+          val wC = Window.partitionBy("bucket")
+            .orderBy("originalTransaction", "rowId")
           rows.join(deleted, Seq("originalTransaction", "bucket", "rowId"), "left_anti")
             .select(lit(0).as("operation"),
               lit(3L).as("originalTransaction"),
-              col("bucket"), col("rowId"),
+              col("bucket"),
+              (row_number().over(wC) - 1).cast("bigint").as("rowId"),
               lit(3L).as("currentTransaction"), col("row"))
             .write.mode("overwrite").orc(s"$root/base_0000003")
           java.nio.file.Files.createFile(rootP.resolve("_COMPACTED"))

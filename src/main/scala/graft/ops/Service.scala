@@ -37,6 +37,9 @@ object Service {
     * serving op; -1 = not yet started. Candidate ports probe past any
     * concurrently-running sibling JVM (test + Verify). */
   @volatile private var boundPort: Int = -1
+  // held as the public Java supertype: the Scala HiveThriftServer2 CLASS
+  // is private[hive]; HiveServer2.stop() is the public lifecycle surface
+  @volatile private var thriftServer: org.apache.hive.service.server.HiveServer2 = _
 
   private def listening(p: Int): Boolean =
     try {
@@ -79,7 +82,7 @@ object Service {
       s"AS SELECT '$svcToken' AS t")
     s.conf.set("hive.server2.thrift.port", want.toString)
     s.conf.set("hive.server2.thrift.bind.host", "localhost")
-    HiveThriftServer2.startWithContext(s.sqlContext)
+    thriftServer = HiveThriftServer2.startWithContext(s.sqlContext)
     // the binary transport binds asynchronously: poll the socket
     val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
     while (boundPort < 0 && System.nanoTime() < deadline) {
@@ -90,6 +93,21 @@ object Service {
     require(boundPort > 0,
       s"thrift endpoint failed to bind $want or 10000 with our token")
     boundPort
+  }
+
+  /** Stop the embedded Thrift server (the Connect-endpoint lesson:
+    * non-daemon server threads must not outlive the op that graded them,
+    * and the driver tail must not fill with client retry storms against
+    * a dead port). Returns true iff the port actually closed. Re-entry
+    * through ensureServer restarts a fresh server. */
+  private def stopThriftServer(): Boolean = synchronized {
+    if (boundPort < 0) return true
+    val p = boundPort
+    if (thriftServer != null) { thriftServer.stop(); thriftServer = null }
+    boundPort = -1
+    val deadline = System.nanoTime() + 15L * 1000 * 1000 * 1000
+    while (listening(p) && System.nanoTime() < deadline) Thread.sleep(100)
+    !listening(p)
   }
 
   private def connect(port: Int): Connection = {
@@ -183,22 +201,117 @@ object Service {
   }
 
   /** Two Connect sessions, same temp-view NAME, different payloads — the
-    * server must keep per-(user, session) temp catalogs apart. */
+    * server must keep per-(user, session) temp catalogs apart. Two
+    * phases (round-12 verdict brief item 7): the sequential
+    * define/read-back pair, then a CONCURRENT storm — both clients on
+    * their own threads, each interleaving 6 redefine+read round trips
+    * against the shared server; every response must carry the session's
+    * own payload (no cross-talk under genuine parallelism, no retry
+    * storms). */
   private def connectIsolationProbe(port: Int): Boolean = {
     val c1 = connectClient(port, "alice"); val c2 = connectClient(port, "bob")
     try {
-      sqlViaConnect(c1, "CREATE OR REPLACE TEMPORARY VIEW cx_probe AS SELECT 1 AS x")
-      sqlViaConnect(c2, "CREATE OR REPLACE TEMPORARY VIEW cx_probe AS SELECT 2 AS x")
       def readBack(c: CxClient): Long = {
         val rows = sqlViaConnect(c, "SELECT CAST(x AS BIGINT) AS x FROM cx_probe")
         require(rows.nonEmpty, "probe view returned no row")
         rows.head.head.asInstanceOf[java.lang.Long].longValue()
       }
-      readBack(c1) == 1L && readBack(c2) == 2L
+      sqlViaConnect(c1, "CREATE OR REPLACE TEMPORARY VIEW cx_probe AS SELECT 1 AS x")
+      sqlViaConnect(c2, "CREATE OR REPLACE TEMPORARY VIEW cx_probe AS SELECT 2 AS x")
+      val seqOk = readBack(c1) == 1L && readBack(c2) == 2L
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+      try {
+        def storm(c: CxClient, want: Long): java.util.concurrent.Callable[Boolean] =
+          () => (1 to 6).forall { i =>
+            sqlViaConnect(c,
+              s"CREATE OR REPLACE TEMPORARY VIEW cx_probe AS SELECT $want AS x, $i AS gen")
+            readBack(c) == want
+          }
+        val f1 = pool.submit(storm(c1, 1L)); val f2 = pool.submit(storm(c2, 2L))
+        seqOk &&
+          f1.get(120, java.util.concurrent.TimeUnit.SECONDS) &&
+          f2.get(120, java.util.concurrent.TimeUnit.SECONDS)
+      } finally pool.shutdownNow()
     } finally { cxShutdown(c1); cxShutdown(c2) }
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // The canonical Hive wire, graded as a full endpoint LIFECYCLE (the
+    // round-12 verdict's brief item 4) — everything a BI tool or beeline
+    // session exercises that `service_sql_endpoint`'s single rollup does
+    // not: (1) catalog DISCOVERY through DatabaseMetaData.getTables (the
+    // first call every JDBC client makes), (2) a parameterized
+    // PreparedStatement executed once per bound status value (plans are
+    // compiled server-side per execution; params cross the wire, not
+    // inlined SQL), (3) incremental fetch: the detail scan pulls through
+    // setFetchSize(100) so result paging — not one giant RPC — moves the
+    // rows, exactly how a service keeps memory bounded when a client asks
+    // for more than a screenful, and (4) CLEAN SHUTDOWN inside the op
+    // scope (the Connect-endpoint lesson): the server is stopped, the
+    // port verified closed, and the verdict graded. Money in exact cents
+    // (BIGINT) end to end; oracle = the same rollup over the source
+    // parquet plus TRUE attest columns — the wire must be invisible.
+    "service_thrift_endpoint" -> ((s, d) => {
+      val port = ensureServer(s)
+      Tables.orders(s, d)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .write.mode("overwrite")
+        .option("path", Scratch.opDir("svc_orders_tl", d))
+        .format("parquet").saveAsTable("graft_svc_orders_tl")
+      val conn = connect(port)
+      val rows =
+        try {
+          // 1) discovery: the published table must surface through the
+          //    standard JDBC metadata call, over the wire
+          val md = conn.getMetaData.getTables(null, "default",
+            "graft_svc_orders_tl", null)
+          val discovered = md.next()
+          require(discovered, "published table not discoverable via getTables")
+          // statuses via the wire (multi-statement session), then one
+          // PreparedStatement bound per status
+          val stRs = conn.createStatement().executeQuery(
+            "SELECT DISTINCT o_orderstatus FROM graft_svc_orders_tl ORDER BY 1")
+          val statuses = Iterator.continually(stRs)
+            .takeWhile(_.next()).map(_.getString(1)).toList
+          val ps = conn.prepareStatement(
+            """SELECT COUNT(*) AS n_orders,
+              |  SUM(CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 100 AS BIGINT)) AS cents
+              |FROM graft_svc_orders_tl WHERE o_orderstatus = ?""".stripMargin)
+          // 3) paged detail: first 500 orderkeys of the FIRST status in
+          //    100-row fetch batches; the client-side count must equal
+          //    the LIMIT'd cardinality (paging is lossless)
+          val pst = conn.createStatement()
+          pst.setFetchSize(100)
+          val page = pst.executeQuery(
+            s"""SELECT o_orderkey FROM graft_svc_orders_tl
+               |WHERE o_orderstatus = '${statuses.head}'
+               |ORDER BY o_orderkey LIMIT 500""".stripMargin)
+          var nPaged = 0L
+          while (page.next()) nPaged += 1
+          statuses.map { st =>
+            ps.setString(1, st)
+            val rs = ps.executeQuery()
+            require(rs.next(), s"prepared rollup returned no row for $st")
+            (st, rs.getLong(1), rs.getLong(2), nPaged)
+          }
+        } finally conn.close()
+      // 4) clean shutdown: port must actually close before grading
+      val stopped = stopThriftServer()
+      require(stopped, "thrift server port failed to close on stop()")
+      val out = rows.map { case (st, n, cents, nPaged) =>
+        Row(st, n, cents, nPaged, true, true) }
+      val schema = StructType(Seq(
+        StructField("o_orderstatus", StringType),
+        StructField("n_orders", LongType),
+        StructField("cents", LongType),
+        StructField("n_paged", LongType),
+        StructField("discovered", BooleanType),
+        StructField("server_stopped", BooleanType)))
+      s.createDataFrame(new java.util.ArrayList[Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(out).asJava), schema)
+        .orderBy("o_orderstatus")
+    }),
+
     "service_connect_endpoint" -> ((s, d) => {
       val port = ensureConnectServer(s)
       val isolated = connectIsolationProbe(port)
@@ -276,6 +389,23 @@ object Service {
   )
 
   val oracles: Map[String, String] = Map(
+    // Wire invisibility again, now for the lifecycle op: the rollup over
+    // the source parquet, n_paged = the LIMIT'd cardinality of the first
+    // status (paging is lossless), attest columns TRUE (the op fails
+    // loudly before emitting rows otherwise).
+    "service_thrift_endpoint" ->
+      """WITH base AS (SELECT o_orderstatus,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 100 AS BIGINT) AS c
+        |  FROM orders),
+        |first_st AS (SELECT MIN(o_orderstatus) AS st FROM base),
+        |paged AS (SELECT LEAST(CAST(500 AS BIGINT), COUNT(*)) AS n_paged
+        |  FROM base, first_st WHERE o_orderstatus = st)
+        |SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |  CAST(SUM(c) AS BIGINT) AS cents,
+        |  (SELECT n_paged FROM paged) AS n_paged,
+        |  TRUE AS discovered, TRUE AS server_stopped
+        |FROM base GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
     // The wire protocol must be invisible: the oracle is the rollup
     // straight over the source parquet, isolation attested TRUE (the op
     // fails loudly before emitting rows if the probe cannot prove it).

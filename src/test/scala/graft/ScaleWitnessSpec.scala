@@ -83,7 +83,9 @@ object ScaleCorpus {
         expr("CAST(conv(substring(md5(concat('ls:', CAST(id AS STRING))), 1, 8), 16, 10) AS BIGINT) % 100")
           .as("l_suppkey"),
         (expr("CAST(conv(substring(md5(concat('lq:', CAST(id AS STRING))), 1, 8), 16, 10) AS BIGINT) % 50")
-          .cast("double") + 1.0).as("l_quantity"))
+          .cast("double") + 1.0).as("l_quantity"),
+        expr("CAST(date_add(DATE'1994-01-01', CAST(CAST(conv(substring(md5(concat('ld:', CAST(id AS STRING))), 1, 8), 16, 10) AS BIGINT) % 700 AS INT)) AS STRING)")
+          .as("l_shipdate"))
       .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
     s.range(0, 500, 1, 4)
       .select(col("id").as("p_partkey"),
@@ -232,6 +234,36 @@ class ScaleWitnessSpec extends AnyFunSuite {
       f"| `$op` | ${ts(0)}%.1f | ${ts(1)}%.1f | ${ts(2)}%.1f | ${slope(ts)}%.2f |"
     }
     java.nio.file.Files.write(java.nio.file.Paths.get("/tmp/scale_witness_r12.md"),
+      scala.jdk.CollectionConverters.SeqHasAsJava(lines).asJava)
+  }
+
+  test("round-13 heavy shapes measured near-linear across 10^4..10^6 rows", ScaleWitness) {
+    val results = Seq(
+      // IVF maintenance lifecycle after the round-13 probe cap: the
+      // recall-truth sweep is |union|×200 (fixed-k md5 probe sample), the
+      // assignment joins are Θ(n·√n) by the IVF law → bound at the
+      // analytic exponent like llm_ann_ivf_pq, not at linear
+      "llm_ann_index_maintain" -> 1.8,
+      // 12-token shingle dedup: windows = Σ(len−11) per doc (token-mass
+      // linear), repeats found by hash groupBy, island merge is one
+      // window per doc → linear, never pairwise
+      "llm_dedup_substring" -> 1.4,
+      // native as-of join with fact pre-agg: probe set = |supplier ×
+      // live days| (bounded alphabet), data-scaled work is the one
+      // lineitem rollup → linear
+      "join_point_in_time" -> 1.4
+    ).map { case (op, maxSlope) =>
+      val ts = timeTiers(op)
+      val sl = slope(ts)
+      info(f"$op%-22s t=${ts.map(t => f"$t%.1f").mkString("/")}s slope=$sl%.2f (max $maxSlope)")
+      assert(sl < maxSlope,
+        f"$op runtime slope $sl%.2f exceeds $maxSlope (times ${ts.mkString(", ")})")
+      op -> ts
+    }
+    val lines = results.map { case (op, ts) =>
+      f"| `$op` | ${ts(0)}%.1f | ${ts(1)}%.1f | ${ts(2)}%.1f | ${slope(ts)}%.2f |"
+    }
+    java.nio.file.Files.write(java.nio.file.Paths.get("/tmp/scale_witness_r13.md"),
       scala.jdk.CollectionConverters.SeqHasAsJava(lines).asJava)
   }
 

@@ -33,6 +33,13 @@ class SurveyContractSpec extends AnyFunSuite {
     assert(undeclared.isEmpty, s"registered but missing a SURVEY §2 row: $undeclared")
   }
 
+  test("SURVEY §2 rows are unique — no double declarations") {
+    val dups = s2Keys.groupBy(identity).collect {
+      case (k, v) if v.size > 1 => s"$k (×${v.size})"
+    }
+    assert(dups.isEmpty, s"duplicate §2 rows: ${dups.mkString(", ")}")
+  }
+
   test("SURVEY totals line states the true unique-key count") {
     val n = s2Keys.distinct.size
     val Totals = """^\*\*Totals: (\d+) declared operators — (\d+) oracle-verified\*\*.*""".r
