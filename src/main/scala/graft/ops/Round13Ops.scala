@@ -1,0 +1,289 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.{GraftBridge, UnicodeNormalize}
+import graft.Tables
+
+/** Round-13 operators — north-star surfaces per the round-12 verdict's
+  * brief item 5 (service/LLM-pipeline shapes, not numerology): Unicode
+  * normalization audit, Hive ACID overlapping-compaction read, audio
+  * VAD chunk planning. Same paired impl/oracle style and engine-
+  * exactness laws as Round11/12Ops: money in integer cents, rates in
+  * ppm, DuckDB SUMs re-CAST from HUGEINT, sign-split DIV where a
+  * negative could reach it.
+  */
+object Round13Ops {
+  type Q = (SparkSession, String) => DataFrame
+
+  import scala.jdk.CollectionConverters._
+
+  val queries: Map[String, Q] = Map(
+    // Unicode NORMALIZATION audit — the canonicalization gate every
+    // multi-script corpus passes before fingerprinting/dedup ("café" has
+    // two code-point spellings; an un-normalized corpus hashes it both
+    // ways and near-dup recall silently drops). Planted per doc_id%5:
+    // a DECOMPOSED e+U+0301 (NFC composes it — the unstable class), the
+    // precomposed form (stable), Greek and Han runs (stable, script
+    // census targets). Graded per (lang, nfc_stable): doc count, exact
+    // per-script char censuses (regex script classes — Java \p{IsX} and
+    // RE2 \p{X} agree on the planted letters), combining-mark count,
+    // and the total chars REMOVED by composition. The normalizer is a
+    // native codegen'd Catalyst expression (UnicodeNormalize — Spark
+    // has no builtin); one linear scan projection + one tiny rollup,
+    // no shuffle beyond the groupBy.
+    "llm_unicode_normalize_audit" -> ((s, d) => {
+      GraftBridge.registerFunction(s, "graft_nfc",
+        exprs => UnicodeNormalize(exprs(0), "NFC"))
+      val dec = " cafe\u0301" // e + combining acute: NFC composes
+      val pre = " caf\u00e9"  // precomposed: NFC-stable
+      val grk = " \u03b1\u03b2\u03b3"
+      val han = " \u4e00\u4e8c"
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("text"))
+        .withColumn("audit", concat(col("text"),
+          when(col("doc_id") % 5 === 1, lit(dec))
+            .when(col("doc_id") % 5 === 2, lit(pre))
+            .when(col("doc_id") % 5 === 3, lit(grk))
+            .when(col("doc_id") % 5 === 4, lit(han))
+            .otherwise(lit(""))))
+        .withColumn("nfc", call_function("graft_nfc", col("audit")))
+        .withColumn("nfc_stable", col("nfc") === col("audit"))
+        .withColumn("g", regexp_count(col("audit"), lit("\\p{IsGreek}")))
+        .withColumn("h", regexp_count(col("audit"), lit("\\p{IsHan}")))
+        .withColumn("m", regexp_count(col("audit"), lit("\\p{Mn}")))
+        .withColumn("dlen", length(col("audit")) - length(col("nfc")))
+        .groupBy("lang", "nfc_stable")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("g").as("greek_chars"), sum("h").as("han_chars"),
+          sum("m").as("combining_marks"), sum("dlen").as("chars_composed"))
+        .orderBy("lang", "nfc_stable")
+    }),
+
+    // Hive ACID OVERLAPPING-COMPACTION read — the snapshot-resolution
+    // grammar source_hive_acid_read's single-epoch layout doesn't
+    // exercise: after a compaction lands base_N, the directory still
+    // holds the PRE-compaction base and deltas (cleaner lag is the
+    // normal steady state) PLUS post-compaction deltas that the new
+    // base does NOT absorb. A correct reader picks the HIGHEST base as
+    // the watermark, serves base_N plus only deltas with txn > N, and
+    // applies only post-watermark delete deltas. The staged decoy dirs
+    // (base_0000001 with doubled prices, delta_0000002) are poison: a
+    // reader that unions every base or every delta grades wrong
+    // immediately. Merge work is one union + one distributed anti-join
+    // on the 3-part row identity — O(visible rows), never a collected
+    // delete set.
+    "source_hive_acid_overlap" -> ((s, d) => {
+      val root = Scratch.opDir("hive_acid_ov", d)
+      val rootP = java.nio.file.Paths.get(root)
+      if (!java.nio.file.Files.exists(rootP.resolve("_STAGED"))) {
+        val o = Tables.orders(s, d).select(
+          col("o_orderkey").cast("bigint").as("k"),
+          col("o_orderstatus"), col("o_totalprice"))
+        def acidify(df: DataFrame, txn: Long) = df.select(
+          lit(0).as("operation"),
+          lit(txn).as("originalTransaction"),
+          (col("k") % 4).cast("int").as("bucket"),
+          col("k").as("rowId"),
+          lit(txn).as("currentTransaction"),
+          struct(col("k").as("o_orderkey"), col("o_orderstatus"),
+            col("o_totalprice")).as("row"))
+        // decoys BELOW the compaction watermark: a stale full base with
+        // doubled prices and a stale delta — both must be invisible
+        acidify(o.withColumn("o_totalprice", col("o_totalprice") * 2), 1L)
+          .write.mode("overwrite").orc(s"$root/base_0000001")
+        acidify(o.where(col("k") % 2 === 1), 2L)
+          .write.mode("overwrite").orc(s"$root/delta_0000002_0000002")
+        // the compacted base (even keys) + a post-compaction insert
+        // delta (odd keys) the base does not absorb
+        acidify(o.where(col("k") % 2 === 0), 3L)
+          .write.mode("overwrite").orc(s"$root/base_0000003")
+        acidify(o.where(col("k") % 2 === 1), 4L)
+          .write.mode("overwrite").orc(s"$root/delta_0000004_0000004")
+        // post-compaction delete delta: kills every k%10==6 base row
+        // (originalTransaction 3) and every odd multiple of 9 from the
+        // new insert delta (originalTransaction 4); identity-only rows
+        o.where(col("k") % 10 === 6 || (col("k") % 2 === 1 && col("k") % 9 === 0))
+          .select(lit(2).as("operation"),
+            when(col("k") % 2 === 0, 3L).otherwise(4L).as("originalTransaction"),
+            (col("k") % 4).cast("int").as("bucket"),
+            col("k").as("rowId"),
+            lit(5L).as("currentTransaction"))
+          .write.mode("overwrite").orc(s"$root/delete_delta_0000005_0000005")
+        java.nio.file.Files.createFile(rootP.resolve("_STAGED"))
+      }
+      // the native ORC reader remaps the 6-field ACID tuple (see
+      // source_hive_acid_read); Hive's path is pinned for the scans
+      val prevVec = s.conf.getOption("spark.sql.orc.impl")
+      s.conf.set("spark.sql.orc.impl", "hive")
+      try {
+        val dirs = java.nio.file.Files.list(rootP).iterator().asScala
+          .map(_.getFileName.toString).toSeq.sorted
+        val DeltaRe = """delta_(\d+)_(\d+)""".r
+        val DelRe = """delete_delta_(\d+)_(\d+)""".r
+        val watermark = dirs.collect {
+          case n if n.startsWith("base_") => n.stripPrefix("base_").toLong
+        }.max
+        val live = Seq(s"base_%07d".format(watermark)) ++ dirs.collect {
+          case n @ DeltaRe(a, _) if a.toLong > watermark => n
+        }
+        val dels = dirs.collect { case n @ DelRe(a, _) if a.toLong > watermark => n }
+        val rows = live.map(n => s.read.orc(s"$root/$n")).reduce(_ unionByName _)
+        val merged =
+          if (dels.isEmpty) rows
+          else rows.join(
+            dels.map(n => s.read.orc(s"$root/$n")).reduce(_ unionByName _)
+              .select("originalTransaction", "bucket", "rowId"),
+            Seq("originalTransaction", "bucket", "rowId"), "left_anti")
+        merged
+          .select(col("row.o_orderstatus").as("o_orderstatus"),
+            col("row.o_totalprice").as("o_totalprice"))
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n_orders"),
+            sum(expr("CAST(FLOOR(o_totalprice * 100) AS BIGINT)")).as("cents"))
+          .orderBy("o_orderstatus")
+          .localCheckpoint()
+      } finally prevVec match {
+        case Some(p) => s.conf.set("spark.sql.orc.impl", p)
+        case None => s.conf.unset("spark.sql.orc.impl")
+      }
+    }),
+
+    // Audio VAD chunk plan — the speech-segmentation pass an audio
+    // pipeline runs before transcription/training: per file (one row
+    // per `part` key), 20 ms frames carry a deterministic md5-derived
+    // energy; voiced = energy ≥ 550; a chunk is a voiced island
+    // tolerating single-frame dropouts (gap ≤ 2 merges) and must hold
+    // ≥ 3 voiced frames to survive. Graded per file-length decile:
+    // file count, chunk count, voiced-in-chunk mass, widest chunk span,
+    // and exact speech ppm mass — the accounting that sizes the
+    // downstream ASR batch. One explode (frames ∝ corpus seconds), one
+    // per-file window pass, one rollup; the island merge is the
+    // gaps-and-islands cumsum, never a self-join.
+    "mm_audio_vad_chunks" -> ((s, d) => {
+      val files = Tables.part(s, d)
+        .select(col("p_partkey").cast("bigint").as("file_id"))
+        .withColumn("n_frames", col("file_id") % 60 + 40)
+      val frames = files
+        .select(col("file_id"), col("n_frames"),
+          explode(expr("sequence(CAST(0 AS BIGINT), n_frames - 1)")).as("fr"))
+        .withColumn("energy", expr(
+          "CAST(conv(substring(md5(concat('vad:', CAST(file_id AS STRING), ':', CAST(fr AS STRING))), 1, 6), 16, 10) AS BIGINT) % 1000"))
+      val voiced = frames.where(col("energy") >= 550)
+      val wF = Window.partitionBy("file_id").orderBy("fr")
+      val chunks = voiced
+        .withColumn("gap", col("fr") - lag("fr", 1).over(wF))
+        .withColumn("brk", when(col("gap").isNull || col("gap") > 2, 1L).otherwise(0L))
+        .withColumn("chunk_id", sum("brk").over(
+          wF.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("file_id", "chunk_id")
+        .agg(min("fr").as("c_start"), max("fr").as("c_end"),
+          count(lit(1)).as("n_voiced"))
+        .where(col("n_voiced") >= 3)
+      val perFile = files.join(
+        chunks.groupBy("file_id").agg(
+          count(lit(1)).as("n_chunks"),
+          sum("n_voiced").as("voiced_in_chunks"),
+          max(col("c_end") - col("c_start") + 1).as("max_span")),
+        Seq("file_id"), "left")
+        .select(col("file_id"), col("n_frames"),
+          coalesce(col("n_chunks"), lit(0L)).as("n_chunks"),
+          coalesce(col("voiced_in_chunks"), lit(0L)).as("vic"),
+          coalesce(col("max_span"), lit(0L)).as("max_span"))
+        .withColumn("speech_ppm", expr("(vic * 1000000) DIV n_frames"))
+      perFile
+        .groupBy(expr("n_frames DIV 10").as("len_decile"))
+        .agg(count(lit(1)).as("n_files"),
+          sum("n_chunks").as("total_chunks"),
+          sum("vic").as("voiced_in_chunks"),
+          max("max_span").as("max_chunk_span"),
+          sum("speech_ppm").as("speech_ppm_mass"))
+        .orderBy("len_decile")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "llm_unicode_normalize_audit" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang, text ||
+        |    CASE CAST(doc_id % 5 AS INT)
+        |      WHEN 1 THEN ' cafe' || chr(769)
+        |      WHEN 2 THEN ' caf' || chr(233)
+        |      WHEN 3 THEN ' ' || chr(945) || chr(946) || chr(947)
+        |      WHEN 4 THEN ' ' || chr(19968) || chr(20108)
+        |      ELSE '' END AS audit
+        |  FROM documents),
+        |n AS (
+        |  SELECT lang,
+        |    nfc_normalize(audit) = audit AS nfc_stable,
+        |    CAST(len(regexp_extract_all(audit, '[\p{Greek}]')) AS BIGINT) AS g,
+        |    CAST(len(regexp_extract_all(audit, '[\p{Han}]')) AS BIGINT) AS h,
+        |    CAST(len(regexp_extract_all(audit, '[\p{Mn}]')) AS BIGINT) AS m,
+        |    CAST(length(audit) - length(nfc_normalize(audit)) AS BIGINT) AS dlen
+        |  FROM t)
+        |SELECT lang, nfc_stable, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(g) AS BIGINT) AS greek_chars,
+        |  CAST(SUM(h) AS BIGINT) AS han_chars,
+        |  CAST(SUM(m) AS BIGINT) AS combining_marks,
+        |  CAST(SUM(dlen) AS BIGINT) AS chars_composed
+        |FROM n GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // The overlapping-compaction snapshot replayed as predicates over the
+    // source: live = compacted evens minus k%10=6, plus post-compaction
+    // odds minus odd multiples of 9; decoy dirs contribute nothing.
+    "source_hive_acid_overlap" ->
+      """WITH o AS (SELECT o_orderkey AS k, o_orderstatus, o_totalprice FROM orders),
+        |live AS (
+        |  SELECT * FROM o
+        |  WHERE NOT (k % 10 = 6)
+        |    AND NOT (k % 2 = 1 AND k % 9 = 0))
+        |SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |  CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM live GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "mm_audio_vad_chunks" ->
+      """WITH f AS (
+        |  SELECT CAST(p_partkey AS BIGINT) AS file_id,
+        |    CAST(p_partkey AS BIGINT) % 60 + 40 AS n_frames
+        |  FROM part),
+        |pos AS (SELECT CAST(t.i AS BIGINT) AS i FROM generate_series(0, 99) AS t(i)),
+        |fr AS (
+        |  SELECT file_id, n_frames, pos.i AS fr,
+        |    ('0x' || substring(md5('vad:' || CAST(file_id AS VARCHAR) || ':' || CAST(pos.i AS VARCHAR)), 1, 6))::BIGINT % 1000 AS energy
+        |  FROM f JOIN pos ON pos.i < f.n_frames),
+        |v AS (SELECT * FROM fr WHERE energy >= 550),
+        |g AS (
+        |  SELECT file_id, fr,
+        |    CASE WHEN fr - LAG(fr) OVER (PARTITION BY file_id ORDER BY fr) > 2
+        |           OR LAG(fr) OVER (PARTITION BY file_id ORDER BY fr) IS NULL
+        |      THEN 1 ELSE 0 END AS brk
+        |  FROM v),
+        |c AS (
+        |  SELECT file_id, fr,
+        |    SUM(brk) OVER (PARTITION BY file_id ORDER BY fr
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS chunk_id
+        |  FROM g),
+        |ch AS (
+        |  SELECT file_id, chunk_id, MIN(fr) AS c_start, MAX(fr) AS c_end,
+        |    CAST(COUNT(*) AS BIGINT) AS n_voiced
+        |  FROM c GROUP BY 1, 2 HAVING COUNT(*) >= 3),
+        |pf AS (
+        |  SELECT f.file_id, f.n_frames,
+        |    COALESCE(s.n_chunks, 0) AS n_chunks,
+        |    COALESCE(s.vic, 0) AS vic,
+        |    COALESCE(s.max_span, 0) AS max_span
+        |  FROM f LEFT JOIN (
+        |    SELECT file_id, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+        |      CAST(SUM(n_voiced) AS BIGINT) AS vic,
+        |      CAST(MAX(c_end - c_start + 1) AS BIGINT) AS max_span
+        |    FROM ch GROUP BY 1) s ON f.file_id = s.file_id)
+        |SELECT n_frames // 10 AS len_decile,
+        |  CAST(COUNT(*) AS BIGINT) AS n_files,
+        |  CAST(SUM(n_chunks) AS BIGINT) AS total_chunks,
+        |  CAST(SUM(vic) AS BIGINT) AS voiced_in_chunks,
+        |  CAST(MAX(max_span) AS BIGINT) AS max_chunk_span,
+        |  CAST(SUM((vic * 1000000) // n_frames) AS BIGINT) AS speech_ppm_mass
+        |FROM pf GROUP BY 1 ORDER BY 1""".stripMargin
+  )
+}
