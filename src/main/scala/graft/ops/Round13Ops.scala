@@ -200,6 +200,130 @@ object Round13Ops {
           max("max_span").as("max_chunk_span"),
           sum("speech_ppm").as("speech_ppm_mass"))
         .orderBy("len_decile")
+    }),
+
+    // robots.txt crawl-compliance gate — the FIRST filter a responsible
+    // corpus build runs: per-domain disallow prefixes (the synthetic
+    // rule table drives three rule classes: full-path block, unrelated
+    // path, leading-digit prefix) matched against each doc's URL path;
+    // a doc is blocked if ANY of its domain's rules prefix-match. The
+    // rule table is metadata (BROADCAST to the scan); the per-doc
+    // max-over-rules keeps multi-rule domains correct. Graded per
+    // domain: doc census, blocked census, exact block ppm.
+    "llm_robots_txt_gate" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"))
+        .withColumn("domain",
+          concat(lit("d"), (col("doc_id") % 40).cast("string"), lit(".example")))
+        .withColumn("path", concat(lit("/p/"), col("doc_id").cast("string")))
+      val rules = s.range(0, 40).select(
+        concat(lit("d"), col("id").cast("string"), lit(".example")).as("domain"),
+        when(col("id") % 4 === 0, lit("/p/"))        // blanket block
+          .when(col("id") % 4 === 1, lit("/private/")) // matches nothing here
+          .when(col("id") % 4 === 2, lit("/p/1"))    // leading-digit prefix
+          .otherwise(lit(null)).as("disallow"))
+        .where(col("disallow").isNotNull)
+      docs.join(broadcast(rules), Seq("domain"), "left")
+        .withColumn("hit",
+          when(col("disallow").isNotNull && col("path").startsWith(col("disallow")), 1L)
+            .otherwise(0L))
+        .groupBy("doc_id", "domain")
+        .agg(max("hit").as("blocked"))
+        .groupBy("domain")
+        .agg(count(lit(1)).as("n_docs"), sum("blocked").as("n_blocked"))
+        .withColumn("block_ppm", expr("(n_blocked * 1000000) DIV n_docs"))
+        .orderBy("domain")
+    }),
+
+    // License classifier — the compliance census beside the robots gate:
+    // planted license snippets per doc_id%6 (MIT / Apache-2.0 / GPL /
+    // CC-BY / all-rights-reserved / none), detected by substring screen
+    // and folded into the classes a curation policy keys on (permissive
+    // / copyleft / restricted / none) with the commercial-use verdict.
+    // Graded per (source, license_class): doc census, exact token mass.
+    // One linear projection + rollup; the lexicon is a literal, the
+    // screen is the real shape (contains over the doc body).
+    "llm_license_classifier" -> ((s, d) => {
+      val snip = when(col("doc_id") % 6 === 1, lit(" licensed under the mit license"))
+        .when(col("doc_id") % 6 === 2, lit(" apache license version 2.0"))
+        .when(col("doc_id") % 6 === 3, lit(" gnu general public license"))
+        .when(col("doc_id") % 6 === 4, lit(" creative commons attribution 4.0"))
+        .when(col("doc_id") % 6 === 5, lit(" all rights reserved"))
+        .otherwise(lit(""))
+      Tables.documents(s, d).select(col("doc_id"), col("source"), col("text"))
+        .withColumn("body", concat(col("text"), snip))
+        .withColumn("license_class",
+          when(col("body").contains("mit license")
+            || col("body").contains("apache license")
+            || col("body").contains("creative commons"), lit("permissive"))
+            .when(col("body").contains("general public license"), lit("copyleft"))
+            .when(col("body").contains("all rights reserved"), lit("restricted"))
+            .otherwise(lit("none")))
+        .withColumn("commercial_ok",
+          col("license_class") === "permissive" || col("license_class") === "none")
+        .withColumn("toks", size(split(col("body"), " ")).cast("bigint"))
+        .groupBy("source", "license_class", "commercial_ok")
+        .agg(count(lit(1)).as("n_docs"), sum("toks").as("token_mass"))
+        .orderBy("source", "license_class")
+    }),
+
+    // pass@k estimator — the unbiased combinatorial estimator every
+    // code/reasoning eval reports (1 − C(n−c,k)/C(n,k) over n=10
+    // deterministic attempts per task, c = per-task correct count):
+    // pass@1 and pass@5 in EXACT ppm via integer factorials (n=10 keeps
+    // every factorial « 2⁶³ — no float touches a graded column).
+    // Graded per difficulty centile-bucket: task census, correct mass,
+    // exact ppm masses. Attempts explode 10× the task table (linear);
+    // the rollup is one shuffle.
+    "llm_eval_pass_at_k" -> ((s, d) => {
+      val t = Tables.orders(s, d)
+        .select(col("o_orderkey").cast("bigint").as("task"))
+        .withColumn("difficulty", col("task") % 800 + 100)
+      val scored = t
+        .select(col("task"), col("difficulty"),
+          explode(expr("sequence(CAST(0 AS BIGINT), 9)")).as("j"))
+        .withColumn("ok", (expr(
+          "CAST(conv(substring(md5(concat('pass:', CAST(task AS STRING), ':', CAST(j AS STRING))), 1, 6), 16, 10) AS BIGINT) % 1000")
+          < col("difficulty")).cast("long"))
+        .groupBy("task", "difficulty")
+        .agg(sum("ok").as("c"))
+        // pass@1 = c/10; pass@5 = (C(10,5) − C(10−c,5)) / C(10,5)
+        .withColumn("pass1_ppm", expr("(c * 1000000) DIV 10"))
+        .withColumn("pass5_ppm", expr(
+          """((252 - CASE WHEN c > 5 THEN CAST(0 AS BIGINT)
+            |  ELSE factorial(CAST(10 - c AS INT)) DIV (120 * factorial(CAST(5 - c AS INT))) END) * 1000000) DIV 252""".stripMargin))
+      scored
+        .groupBy(expr("difficulty DIV 100").as("difficulty_bucket"))
+        .agg(count(lit(1)).as("n_tasks"), sum("c").as("correct_mass"),
+          sum("pass1_ppm").as("pass1_ppm_mass"),
+          sum("pass5_ppm").as("pass5_ppm_mass"))
+        .orderBy("difficulty_bucket")
+    }),
+
+    // Multi-window SLO burn rate — the SRE alerting arithmetic a serving
+    // layer runs over its own event stream: per-hour error rate (refunds
+    // = errors) plus a 6-hour trailing window via RANGE framing (gap-
+    // correct on the hour axis), both in exact ppm; the alert fires only
+    // when BOTH windows burn above budget (the standard fast+slow guard
+    // against blips and stale pages). One hour-rollup shuffle + one
+    // ordered window over the small hourly series.
+    "win_slo_burn_rate" -> ((s, d) => {
+      val hourly = Tables.events(s, d)
+        .withColumn("hour", expr("ts_us DIV 3600000000"))
+        .groupBy("hour")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("event_type") === "refund", 1L).otherwise(0L)).as("err"))
+      val w6 = Window.orderBy("hour").rangeBetween(-5, 0)
+      hourly
+        .withColumn("n6", sum("n").over(w6))
+        .withColumn("err6", sum("err").over(w6))
+        .withColumn("burn_short_ppm", expr("(err * 1000000) DIV n"))
+        .withColumn("burn_long_ppm", expr("(err6 * 1000000) DIV n6"))
+        .withColumn("alert",
+          col("burn_short_ppm") > 250000 && col("burn_long_ppm") > 220000)
+        .select("hour", "n", "err", "n6", "err6",
+          "burn_short_ppm", "burn_long_ppm", "alert")
+        .orderBy("hour")
     })
   )
 
@@ -284,6 +408,100 @@ object Round13Ops {
         |  CAST(SUM(vic) AS BIGINT) AS voiced_in_chunks,
         |  CAST(MAX(max_span) AS BIGINT) AS max_chunk_span,
         |  CAST(SUM((vic * 1000000) // n_frames) AS BIGINT) AS speech_ppm_mass
-        |FROM pf GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM pf GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "llm_robots_txt_gate" ->
+      """WITH docs AS (
+        |  SELECT doc_id,
+        |    'd' || CAST(doc_id % 40 AS VARCHAR) || '.example' AS domain,
+        |    '/p/' || CAST(doc_id AS VARCHAR) AS path
+        |  FROM documents),
+        |rules AS (
+        |  SELECT 'd' || CAST(t.i AS VARCHAR) || '.example' AS domain,
+        |    CASE CAST(t.i % 4 AS INT)
+        |      WHEN 0 THEN '/p/' WHEN 1 THEN '/private/' WHEN 2 THEN '/p/1' END AS disallow
+        |  FROM generate_series(0, 39) AS t(i)
+        |  WHERE t.i % 4 IN (0, 1, 2)),
+        |f AS (
+        |  SELECT d.doc_id, d.domain,
+        |    MAX(CASE WHEN r.disallow IS NOT NULL AND starts_with(d.path, r.disallow)
+        |      THEN 1 ELSE 0 END) AS blocked
+        |  FROM docs d LEFT JOIN rules r ON d.domain = r.domain
+        |  GROUP BY 1, 2)
+        |SELECT domain, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(blocked) AS BIGINT) AS n_blocked,
+        |  CAST((SUM(blocked) * 1000000) // COUNT(*) AS BIGINT) AS block_ppm
+        |FROM f GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "llm_license_classifier" ->
+      """WITH t AS (
+        |  SELECT source, text ||
+        |    CASE CAST(doc_id % 6 AS INT)
+        |      WHEN 1 THEN ' licensed under the mit license'
+        |      WHEN 2 THEN ' apache license version 2.0'
+        |      WHEN 3 THEN ' gnu general public license'
+        |      WHEN 4 THEN ' creative commons attribution 4.0'
+        |      WHEN 5 THEN ' all rights reserved'
+        |      ELSE '' END AS body
+        |  FROM documents),
+        |c AS (
+        |  SELECT source,
+        |    CASE
+        |      WHEN contains(body, 'mit license') OR contains(body, 'apache license')
+        |        OR contains(body, 'creative commons') THEN 'permissive'
+        |      WHEN contains(body, 'general public license') THEN 'copyleft'
+        |      WHEN contains(body, 'all rights reserved') THEN 'restricted'
+        |      ELSE 'none' END AS license_class,
+        |    CAST(len(string_split(body, ' ')) AS BIGINT) AS toks
+        |  FROM t)
+        |SELECT source, license_class,
+        |  license_class IN ('permissive', 'none') AS commercial_ok,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(toks) AS BIGINT) AS token_mass
+        |FROM c GROUP BY 1, 2, 3 ORDER BY 1, 2""".stripMargin,
+
+    "llm_eval_pass_at_k" ->
+      """WITH t AS (
+        |  SELECT CAST(o_orderkey AS BIGINT) AS task,
+        |    CAST(o_orderkey AS BIGINT) % 800 + 100 AS difficulty
+        |  FROM orders),
+        |att AS (
+        |  SELECT task, difficulty, CAST(j.i AS BIGINT) AS j,
+        |    CASE WHEN ('0x' || substring(md5('pass:' || CAST(task AS VARCHAR) || ':' || CAST(j.i AS VARCHAR)), 1, 6))::BIGINT % 1000 < difficulty
+        |      THEN 1 ELSE 0 END AS ok
+        |  FROM t, generate_series(0, 9) AS j(i)),
+        |pt AS (
+        |  SELECT task, difficulty, CAST(SUM(ok) AS BIGINT) AS c
+        |  FROM att GROUP BY 1, 2),
+        |scored AS (
+        |  SELECT task, difficulty, c,
+        |    (c * 1000000) // 10 AS pass1_ppm,
+        |    ((252 - CASE WHEN c > 5 THEN 0
+        |        ELSE factorial(CAST(10 - c AS INT)) // (120 * factorial(CAST(5 - c AS INT))) END) * 1000000) // 252 AS pass5_ppm
+        |  FROM pt)
+        |SELECT difficulty // 100 AS difficulty_bucket,
+        |  CAST(COUNT(*) AS BIGINT) AS n_tasks,
+        |  CAST(SUM(c) AS BIGINT) AS correct_mass,
+        |  CAST(SUM(pass1_ppm) AS BIGINT) AS pass1_ppm_mass,
+        |  CAST(SUM(pass5_ppm) AS BIGINT) AS pass5_ppm_mass
+        |FROM scored GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "win_slo_burn_rate" ->
+      """WITH h AS (
+        |  SELECT epoch_us(ts) // 3600000000 AS hour,
+        |    CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CASE WHEN event_type = 'refund' THEN 1 ELSE 0 END) AS BIGINT) AS err
+        |  FROM events GROUP BY 1),
+        |w AS (
+        |  SELECT hour, n, err,
+        |    CAST(SUM(n) OVER win AS BIGINT) AS n6,
+        |    CAST(SUM(err) OVER win AS BIGINT) AS err6
+        |  FROM h
+        |  WINDOW win AS (ORDER BY hour RANGE BETWEEN 5 PRECEDING AND CURRENT ROW))
+        |SELECT hour, n, err, n6, err6,
+        |  (err * 1000000) // n AS burn_short_ppm,
+        |  (err6 * 1000000) // n6 AS burn_long_ppm,
+        |  (err * 1000000) // n > 250000 AND (err6 * 1000000) // n6 > 220000 AS alert
+        |FROM w ORDER BY hour""".stripMargin
   )
 }

@@ -89,4 +89,39 @@ class Round13Wave1Spec extends AnyFunSuite {
       .count()
     assert(rows.map(_.getLong(3)).sum <= rawVoiced)
   }
+
+  test("llm_robots_txt_gate: blanket-block domains block everything, rule-free block nothing") {
+    val rows = SparkEntry.queries("llm_robots_txt_gate")(spark, sf).collect()
+    assert(rows.length == 40)
+    rows.foreach { r =>
+      val dom = r.getString(0)
+      val cls = dom.stripPrefix("d").stripSuffix(".example").toLong % 4
+      val (n, blocked, ppm) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      if (cls == 0) assert(blocked == n && ppm == 1000000L, s"blanket domain leaked: $r")
+      if (cls == 1 || cls == 3) assert(blocked == 0L, s"rule-free domain blocked: $r")
+      if (cls == 2) assert(blocked < n, s"digit-prefix domain over-blocked: $r")
+    }
+  }
+
+  test("llm_eval_pass_at_k: pass@5 dominates pass@1 and saturates at c>5") {
+    val rows = SparkEntry.queries("llm_eval_pass_at_k")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(4) >= r.getLong(3), s"pass@5 < pass@1 in $r") // masses
+      assert(r.getLong(4) <= r.getLong(1) * 1000000L)
+    }
+    // monotone in difficulty: the hardest bucket passes less than the easiest
+    val byBucket = rows.map(r => r.getLong(0) -> (r.getLong(3).toDouble / r.getLong(1))).toMap
+    assert(byBucket(byBucket.keys.max) > byBucket(byBucket.keys.min))
+  }
+
+  test("win_slo_burn_rate: alert implies both windows above budget") {
+    val rows = SparkEntry.queries("win_slo_burn_rate")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      if (r.getBoolean(7))
+        assert(r.getLong(5) > 250000L && r.getLong(6) > 220000L, s"bad alert: $r")
+      assert(r.getLong(3) >= r.getLong(1) && r.getLong(4) >= r.getLong(2))
+    }
+  }
 }
