@@ -324,6 +324,215 @@ object Round13Ops {
         .select("hour", "n", "err", "n6", "err6",
           "burn_short_ppm", "burn_long_ppm", "alert")
         .orderBy("hour")
+    }),
+
+    // Hive ACID MINOR compaction — the other half of the maintenance
+    // pair beside sink_hive_acid_compact's major pass: fold the INSERT
+    // DELTAS into one merged delta (directory span delta_2_3), leave
+    // the base AND the delete deltas untouched, and PRESERVE every row
+    // identity (minor compaction never re-stamps — a delete delta
+    // written against the old deltas must still hit after the merge,
+    // which is exactly what the graded read proves: the post-compaction
+    // state serves base + merged delta − deletes bit-for-bit). Spec
+    // asserts the directory census (merged span present, originals
+    // gone).
+    "sink_hive_acid_minor_compact" -> ((s, d) => {
+      val root = Scratch.opDir("hive_acid_mc", d)
+      val rootP = java.nio.file.Paths.get(root)
+      val prevVec = s.conf.getOption("spark.sql.orc.impl")
+      s.conf.set("spark.sql.orc.impl", "hive")
+      try {
+        if (!java.nio.file.Files.exists(rootP.resolve("_STAGED"))) {
+          val o = Tables.orders(s, d).select(
+            col("o_orderkey").cast("bigint").as("k"),
+            col("o_orderstatus"), col("o_totalprice"))
+          def acidify(df: DataFrame, txn: Long) = df.select(
+            lit(0).as("operation"),
+            lit(txn).as("originalTransaction"),
+            (col("k") % 4).cast("int").as("bucket"),
+            col("k").as("rowId"),
+            lit(txn).as("currentTransaction"),
+            struct(col("k").as("o_orderkey"), col("o_orderstatus"),
+              col("o_totalprice")).as("row"))
+          acidify(o.where(col("k") % 2 === 0), 1L)
+            .write.mode("overwrite").orc(s"$root/base_0000001")
+          acidify(o.where(col("k") % 4 === 1), 2L)
+            .write.mode("overwrite").orc(s"$root/delta_0000002_0000002")
+          acidify(o.where(col("k") % 4 === 3), 3L)
+            .write.mode("overwrite").orc(s"$root/delta_0000003_0000003")
+          // delete delta targets DELTA rows only (k%14==1 is always odd):
+          // identity preservation across the merge is the graded law
+          o.where(col("k") % 14 === 1)
+            .select(lit(2).as("operation"),
+              when(col("k") % 4 === 1, 2L).otherwise(3L).as("originalTransaction"),
+              (col("k") % 4).cast("int").as("bucket"),
+              col("k").as("rowId"),
+              lit(4L).as("currentTransaction"))
+            .write.mode("overwrite").orc(s"$root/delete_delta_0000004_0000004")
+          java.nio.file.Files.createFile(rootP.resolve("_STAGED"))
+        }
+        if (!java.nio.file.Files.exists(rootP.resolve("_MINOR_COMPACTED"))) {
+          // the minor compaction: insert deltas 2..3 → one merged delta,
+          // identities untouched, originals removed
+          val merged = Seq("delta_0000002_0000002", "delta_0000003_0000003")
+            .map(n => s.read.orc(s"$root/$n")).reduce(_ unionByName _)
+          merged.write.mode("overwrite").orc(s"$root/delta_0000002_0000003")
+          def rmTree(p: java.nio.file.Path): Unit = {
+            if (java.nio.file.Files.isDirectory(p))
+              java.nio.file.Files.list(p).iterator().asScala.foreach(rmTree)
+            java.nio.file.Files.delete(p)
+          }
+          rmTree(rootP.resolve("delta_0000002_0000002"))
+          rmTree(rootP.resolve("delta_0000003_0000003"))
+          java.nio.file.Files.createFile(rootP.resolve("_MINOR_COMPACTED"))
+        }
+        val rows = Seq("base_0000001", "delta_0000002_0000003")
+          .map(n => s.read.orc(s"$root/$n")).reduce(_ unionByName _)
+        val dels = s.read.orc(s"$root/delete_delta_0000004_0000004")
+          .select("originalTransaction", "bucket", "rowId")
+        rows.join(dels, Seq("originalTransaction", "bucket", "rowId"), "left_anti")
+          .select(col("row.o_orderstatus").as("o_orderstatus"),
+            col("row.o_totalprice").as("o_totalprice"))
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n_orders"),
+            sum(expr("CAST(FLOOR(o_totalprice * 100) AS BIGINT)")).as("cents"))
+          .orderBy("o_orderstatus")
+          .localCheckpoint()
+      } finally prevVec match {
+        case Some(p) => s.conf.set("spark.sql.orc.impl", p)
+        case None => s.conf.unset("spark.sql.orc.impl")
+      }
+    }),
+
+    // Hive ACID ABORTED-TRANSACTION visibility — the third leg of the
+    // snapshot grammar (read → compaction → txn state): a delta written
+    // by a transaction that ABORTED must be invisible even though its
+    // files sit in the directory (the cleaner removes them later; the
+    // reader cannot wait for it). The abort list is a tiny metadata
+    // sidecar (driver-side read, like any snapshot resolution); the
+    // aborted delta here is poison (doubled prices for even keys — a
+    // reader that unions every delta double-counts half the table).
+    // Committed delete deltas still apply.
+    "source_hive_acid_aborted" -> ((s, d) => {
+      val root = Scratch.opDir("hive_acid_ab", d)
+      val rootP = java.nio.file.Paths.get(root)
+      if (!java.nio.file.Files.exists(rootP.resolve("_STAGED"))) {
+        val o = Tables.orders(s, d).select(
+          col("o_orderkey").cast("bigint").as("k"),
+          col("o_orderstatus"), col("o_totalprice"))
+        def acidify(df: DataFrame, txn: Long) = df.select(
+          lit(0).as("operation"),
+          lit(txn).as("originalTransaction"),
+          (col("k") % 4).cast("int").as("bucket"),
+          col("k").as("rowId"),
+          lit(txn).as("currentTransaction"),
+          struct(col("k").as("o_orderkey"), col("o_orderstatus"),
+            col("o_totalprice")).as("row"))
+        acidify(o.where(col("k") % 2 === 0), 1L)
+          .write.mode("overwrite").orc(s"$root/base_0000001")
+        acidify(o.where(col("k") % 2 === 1), 2L)
+          .write.mode("overwrite").orc(s"$root/delta_0000002_0000002")
+        // the ABORTED writer's files: even keys again, doubled prices
+        acidify(o.where(col("k") % 2 === 0)
+          .withColumn("o_totalprice", col("o_totalprice") * 2), 3L)
+          .write.mode("overwrite").orc(s"$root/delta_0000003_0000003")
+        // committed delete delta: kills k%12==5 (odd → delta_2, txn 2)
+        o.where(col("k") % 12 === 5)
+          .select(lit(2).as("operation"), lit(2L).as("originalTransaction"),
+            (col("k") % 4).cast("int").as("bucket"), col("k").as("rowId"),
+            lit(4L).as("currentTransaction"))
+          .write.mode("overwrite").orc(s"$root/delete_delta_0000004_0000004")
+        java.nio.file.Files.writeString(rootP.resolve("_aborted"), "3\n")
+        java.nio.file.Files.createFile(rootP.resolve("_STAGED"))
+      }
+      val prevVec = s.conf.getOption("spark.sql.orc.impl")
+      s.conf.set("spark.sql.orc.impl", "hive")
+      try {
+        val aborted = java.nio.file.Files.readAllLines(rootP.resolve("_aborted"))
+          .asScala.map(_.trim).filter(_.nonEmpty).map(_.toLong).toSet
+        val DeltaRe = """delta_(\d+)_(\d+)""".r
+        val dirs = java.nio.file.Files.list(rootP).iterator().asScala
+          .map(_.getFileName.toString).toSeq.sorted
+        val live = dirs.filter {
+          case n if n.startsWith("base_") => true
+          case DeltaRe(a, _) => !aborted.contains(a.toLong)
+          case _ => false
+        }
+        val dels = dirs.collect {
+          case n if n.startsWith("delete_delta_") &&
+            !aborted.contains(n.stripPrefix("delete_delta_").split("_")(0).toLong) => n
+        }
+        val rows = live.map(n => s.read.orc(s"$root/$n")).reduce(_ unionByName _)
+        rows.join(
+          dels.map(n => s.read.orc(s"$root/$n")).reduce(_ unionByName _)
+            .select("originalTransaction", "bucket", "rowId"),
+          Seq("originalTransaction", "bucket", "rowId"), "left_anti")
+          .select(col("row.o_orderstatus").as("o_orderstatus"),
+            col("row.o_totalprice").as("o_totalprice"))
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n_orders"),
+            sum(expr("CAST(FLOOR(o_totalprice * 100) AS BIGINT)")).as("cents"))
+          .orderBy("o_orderstatus")
+          .localCheckpoint()
+      } finally prevVec match {
+        case Some(p) => s.conf.set("spark.sql.orc.impl", p)
+        case None => s.conf.unset("spark.sql.orc.impl")
+      }
+    }),
+
+    // Admission-control quota — the serving layer's per-principal rate
+    // gate: a broadcast quota table (principal → per-hour budget), the
+    // request log ordered by the (ts_us, event_id) total order inside
+    // each (principal, hour), admission = arrival index ≤ budget (the
+    // deterministic token-bucket refilled hourly). Graded per
+    // principal: request/admitted/rejected census + exact reject ppm.
+    // The window partitions by (principal, hour) — embarrassingly
+    // parallel; the quota side is metadata.
+    "service_admission_quota" -> ((s, d) => {
+      val reqs = Tables.events(s, d)
+        .select((col("user_id") % 8).as("principal"),
+          expr("ts_us DIV 3600000000").as("hour"),
+          col("ts_us"), col("event_id"))
+      val quotas = s.range(0, 8).select(col("id").as("principal"),
+        (col("id") * 5 + 30).as("hourly_quota"))
+      val w = Window.partitionBy("principal", "hour").orderBy("ts_us", "event_id")
+      reqs.join(broadcast(quotas), Seq("principal"))
+        .withColumn("arrival_idx", row_number().over(w).cast("bigint"))
+        .withColumn("admitted",
+          when(col("arrival_idx") <= col("hourly_quota"), 1L).otherwise(0L))
+        .groupBy("principal")
+        .agg(count(lit(1)).as("n_requests"), sum("admitted").as("n_admitted"),
+          (count(lit(1)) - sum("admitted")).as("n_rejected"))
+        .withColumn("reject_ppm", expr("(n_rejected * 1000000) DIV n_requests"))
+        .orderBy("principal")
+    }),
+
+    // Speculative-decoding plan — the inference-cost arithmetic beside
+    // llm_kv_cache_plan / llm_act_ckpt_plan: per statement class the
+    // draft-model acceptance rate a (ppm, md5-derived), k=4 drafted
+    // tokens per verify step, expected accepted per step E = Σ_{i=1..4}
+    // aⁱ (each term exact ppm via DECIMAL(38,0) powers — a⁴ ≤ 10²⁴,
+    // no float), tokens/step = 1 + E, steps = ceil(n·10⁶ / tps), and
+    // the speedup over one-token-per-step decoding in exact ppm. The
+    // plan that decides whether the draft model earns its keep.
+    "llm_speculative_plan" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_tokens"))
+        .withColumn("a_ppm", expr(
+          "CAST(conv(substring(md5(concat('spec:', event_type)), 1, 6), 16, 10) AS BIGINT) % 400000 + 550000"))
+        .withColumn("e_accept_ppm", expr(
+          """a_ppm
+            |+ CAST(CAST(a_ppm AS DECIMAL(38,0)) * a_ppm DIV 1000000 AS BIGINT)
+            |+ CAST(CAST(a_ppm AS DECIMAL(38,0)) * a_ppm * a_ppm DIV 1000000000000 AS BIGINT)
+            |+ CAST(CAST(a_ppm AS DECIMAL(38,0)) * a_ppm * a_ppm * a_ppm DIV 1000000000000000000 AS BIGINT)""".stripMargin))
+        .withColumn("tps_ppm", expr("1000000 + e_accept_ppm"))
+        .withColumn("steps_spec", expr(
+          "(n_tokens * 1000000 + tps_ppm - 1) DIV tps_ppm"))
+        .withColumn("speedup_ppm", expr("(n_tokens * 1000000) DIV steps_spec"))
+        .select("event_type", "n_tokens", "a_ppm", "e_accept_ppm",
+          "steps_spec", "speedup_ppm")
+        .orderBy("event_type")
     })
   )
 
@@ -502,6 +711,62 @@ object Round13Ops {
         |  (err * 1000000) // n AS burn_short_ppm,
         |  (err6 * 1000000) // n6 AS burn_long_ppm,
         |  (err * 1000000) // n > 250000 AND (err6 * 1000000) // n6 > 220000 AS alert
-        |FROM w ORDER BY hour""".stripMargin
+        |FROM w ORDER BY hour""".stripMargin,
+
+    // Post-minor-compaction state replayed as predicates: deletes hit
+    // k%14==1 (delta rows), identities preserved through the merge.
+    "sink_hive_acid_minor_compact" ->
+      """SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |  CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM orders WHERE NOT (o_orderkey % 14 = 1)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Aborted txn 3 contributes nothing; committed delete kills k%12==5.
+    "source_hive_acid_aborted" ->
+      """SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |  CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM orders WHERE NOT (o_orderkey % 12 = 5)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "service_admission_quota" ->
+      """WITH r AS (
+        |  SELECT user_id % 8 AS principal,
+        |    epoch_us(ts) // 3600000000 AS hour,
+        |    epoch_us(ts) AS ts_us, event_id
+        |  FROM events),
+        |q AS (SELECT CAST(t.i AS BIGINT) AS principal, CAST(t.i * 5 + 30 AS BIGINT) AS hourly_quota
+        |  FROM generate_series(0, 7) AS t(i)),
+        |a AS (
+        |  SELECT r.principal,
+        |    CASE WHEN ROW_NUMBER() OVER (PARTITION BY r.principal, r.hour
+        |        ORDER BY r.ts_us, r.event_id) <= q.hourly_quota
+        |      THEN 1 ELSE 0 END AS admitted
+        |  FROM r JOIN q ON r.principal = q.principal)
+        |SELECT principal, CAST(COUNT(*) AS BIGINT) AS n_requests,
+        |  CAST(SUM(admitted) AS BIGINT) AS n_admitted,
+        |  CAST(COUNT(*) - SUM(admitted) AS BIGINT) AS n_rejected,
+        |  CAST(((COUNT(*) - SUM(admitted)) * 1000000) // COUNT(*) AS BIGINT) AS reject_ppm
+        |FROM a GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "llm_speculative_plan" ->
+      """WITH t AS (
+        |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |    ('0x' || substring(md5('spec:' || event_type), 1, 6))::BIGINT % 400000 + 550000 AS a_ppm
+        |  FROM events GROUP BY 1),
+        |e AS (
+        |  SELECT event_type, n_tokens, a_ppm,
+        |    a_ppm
+        |      + CAST(CAST(a_ppm AS HUGEINT) * a_ppm // 1000000 AS BIGINT)
+        |      + CAST(CAST(a_ppm AS HUGEINT) * a_ppm * a_ppm // 1000000000000 AS BIGINT)
+        |      + CAST(CAST(a_ppm AS HUGEINT) * a_ppm * a_ppm * a_ppm // 1000000000000000000 AS BIGINT)
+        |      AS e_accept_ppm
+        |  FROM t),
+        |p AS (
+        |  SELECT event_type, n_tokens, a_ppm, e_accept_ppm,
+        |    (n_tokens * 1000000 + (1000000 + e_accept_ppm) - 1) // (1000000 + e_accept_ppm) AS steps_spec
+        |  FROM e)
+        |SELECT event_type, n_tokens, a_ppm, e_accept_ppm, steps_spec,
+        |  (n_tokens * 1000000) // steps_spec AS speedup_ppm
+        |FROM p ORDER BY event_type""".stripMargin
   )
 }
