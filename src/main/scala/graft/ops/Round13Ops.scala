@@ -533,6 +533,112 @@ object Round13Ops {
         .select("event_type", "n_tokens", "a_ppm", "e_accept_ppm",
           "steps_spec", "speedup_ppm")
         .orderBy("event_type")
+    }),
+
+    // ASR character-error-rate eval — the transcription-quality gate an
+    // audio pipeline grades hypotheses with: reference = the doc's
+    // leading 64 chars, hypothesis = a deterministic per-class
+    // corruption (vowel substitution / deletion / clean), CER = exact
+    // Levenshtein distance over reference length in ppm (both engines
+    // ship the same classic DP — the graded numbers are bit-equal).
+    // Bounding the ref window keeps the per-row DP constant (64² cells)
+    // so the scan stays linear in docs at any corpus size. Graded per
+    // (source, corruption class): doc census, CER ppm mass, worst CER.
+    "mm_asr_cer_eval" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          substring(col("text"), 1, 64).as("ref"))
+        .withColumn("corruption",
+          when(col("doc_id") % 3 === 0, lit("substitute"))
+            .when(col("doc_id") % 3 === 1, lit("delete"))
+            .otherwise(lit("clean")))
+        .withColumn("hyp",
+          when(col("corruption") === "substitute",
+            expr("replace(ref, 'a', 'x')"))
+            .when(col("corruption") === "delete",
+              expr("replace(ref, 'e', '')"))
+            .otherwise(col("ref")))
+        .withColumn("cer_ppm", expr(
+          "(levenshtein(ref, hyp) * CAST(1000000 AS BIGINT)) DIV length(ref)"))
+        .groupBy("source", "corruption")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("cer_ppm").as("cer_ppm_mass"), max("cer_ppm").as("worst_cer_ppm"))
+        .orderBy("source", "corruption")
+    }),
+
+    // Blocked fuzzy entity resolution — the person-service record-linkage
+    // core: a dirty roster (one-char typos for k%10==3, two-char damage
+    // for k%100==7) matched against the master by BLOCKING on the 11-char name
+    // prefix (candidate pairs per block, never an all-pairs product) and
+    // scoring candidates with exact Levenshtein ≤ 1; best match = (min
+    // distance, min master id) total order. Graded census: exact /
+    // fuzzy-matched / unmatched record counts — the two-char rows MUST
+    // land unmatched (the threshold proof). At 100 TB the block key is
+    // the shuffle key and block sizes stay bounded by construction.
+    "join_entity_resolution" -> ((s, d) => {
+      val master = Tables.customer(s, d)
+        .select(col("c_custkey").cast("bigint").as("mk"))
+        .withColumn("mname", concat(lit("cust_"), lpad(col("mk").cast("string"), 7, "0")))
+        .withColumn("block", substring(col("mname"), 1, 11))
+      val dirty = Tables.customer(s, d)
+        .select(col("c_custkey").cast("bigint").as("dk"))
+        .withColumn("base", concat(lit("cust_"), lpad(col("dk").cast("string"), 7, "0")))
+        .withColumn("dname",
+          when(col("dk") % 100 === 7,
+            concat(expr("substring(base, 1, length(base) - 2)"), lit("zz")))
+            .when(col("dk") % 10 === 3,
+              concat(expr("substring(base, 1, length(base) - 1)"), lit("x")))
+            .otherwise(col("base")))
+        .withColumn("block", substring(col("dname"), 1, 11))
+      val cand = dirty.join(master, Seq("block"))
+        .withColumn("dist", expr("levenshtein(dname, mname)"))
+        .where(col("dist") <= 1)
+      val wBest = Window.partitionBy("dk").orderBy(col("dist"), col("mk"))
+      val best = cand.withColumn("rn", row_number().over(wBest))
+        .where(col("rn") === 1)
+        .select(col("dk"), col("dist"))
+      dirty.join(best, Seq("dk"), "left")
+        .withColumn("match_class",
+          when(col("dist").isNull, lit("unmatched"))
+            .when(col("dist") === 0, lit("exact"))
+            .otherwise(lit("fuzzy")))
+        .groupBy("match_class")
+        .agg(count(lit(1)).as("n_records"))
+        .orderBy("match_class")
+    }),
+
+    // Person-name standardization — the cleanup pass every person
+    // service runs before identity joins: NFD + combining-mark strip
+    // (diacritic folding via the native UnicodeNormalize expression;
+    // DuckDB twin strip_accents), lowercase, whitespace collapse,
+    // generational-suffix removal, trim. Planted classes: decomposed
+    // diacritic + suffix + padding, combining diaeresis, double-space +
+    // suffix, already-clean. Graded per class: name census, distinct
+    // standardized forms, the lexicographically-first standardized name
+    // (the join key the downstream identity graph would use).
+    "fn_name_standardize" -> ((s, d) => {
+      GraftBridge.registerFunction(s, "graft_nfd",
+        exprs => UnicodeNormalize(exprs(0), "NFD"))
+      val jose = "jose\u0301 GARCIA jr." // decomposed e + combining acute
+      val anna = "Ana Mu\u0308ller"       // combining diaeresis
+      Tables.customer(s, d)
+        .select(col("c_custkey").cast("bigint").as("k"))
+        .withColumn("cls", (col("k") % 4).cast("int"))
+        .withColumn("raw",
+          when(col("cls") === 0, concat(lit("  "), lit(jose), lit(" ")))
+            .when(col("cls") === 1, lit(anna))
+            .when(col("cls") === 2, lit("MARY  ANNE  smith sr"))
+            .otherwise(concat(lit("bob lee "), col("k").cast("string"))))
+        .withColumn("folded",
+          regexp_replace(call_function("graft_nfd", col("raw")), "\\p{Mn}", ""))
+        .withColumn("std", regexp_replace(
+          trim(regexp_replace(lower(col("folded")), " +", " ")),
+          " (jr|sr)\\.?$", ""))
+        .groupBy("cls")
+        .agg(count(lit(1)).as("n_names"),
+          countDistinct(col("std")).as("n_distinct_std"),
+          min("std").as("std_example"))
+        .orderBy("cls")
     })
   )
 
@@ -767,6 +873,80 @@ object Round13Ops {
         |  FROM e)
         |SELECT event_type, n_tokens, a_ppm, e_accept_ppm, steps_spec,
         |  (n_tokens * 1000000) // steps_spec AS speedup_ppm
-        |FROM p ORDER BY event_type""".stripMargin
+        |FROM p ORDER BY event_type""".stripMargin,
+
+    "mm_asr_cer_eval" ->
+      """WITH t AS (
+        |  SELECT doc_id, source, substring(text, 1, 64) AS ref,
+        |    CASE CAST(doc_id % 3 AS INT)
+        |      WHEN 0 THEN 'substitute' WHEN 1 THEN 'delete' ELSE 'clean' END AS corruption
+        |  FROM documents),
+        |h AS (
+        |  SELECT source, corruption, ref,
+        |    CASE corruption
+        |      WHEN 'substitute' THEN replace(ref, 'a', 'x')
+        |      WHEN 'delete' THEN replace(ref, 'e', '')
+        |      ELSE ref END AS hyp
+        |  FROM t),
+        |c AS (
+        |  SELECT source, corruption,
+        |    (CAST(levenshtein(ref, hyp) AS BIGINT) * 1000000) // length(ref) AS cer_ppm
+        |  FROM h)
+        |SELECT source, corruption, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(cer_ppm) AS BIGINT) AS cer_ppm_mass,
+        |  CAST(MAX(cer_ppm) AS BIGINT) AS worst_cer_ppm
+        |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "join_entity_resolution" ->
+      """WITH master AS (
+        |  SELECT CAST(c_custkey AS BIGINT) AS mk,
+        |    'cust_' || lpad(CAST(c_custkey AS VARCHAR), 7, '0') AS mname
+        |  FROM customer),
+        |dirty AS (
+        |  SELECT CAST(c_custkey AS BIGINT) AS dk,
+        |    CASE
+        |      WHEN c_custkey % 100 = 7 THEN
+        |        substring('cust_' || lpad(CAST(c_custkey AS VARCHAR), 7, '0'), 1, 10) || 'zz'
+        |      WHEN c_custkey % 10 = 3 THEN
+        |        substring('cust_' || lpad(CAST(c_custkey AS VARCHAR), 7, '0'), 1, 11) || 'x'
+        |      ELSE 'cust_' || lpad(CAST(c_custkey AS VARCHAR), 7, '0')
+        |    END AS dname
+        |  FROM customer),
+        |cand AS (
+        |  SELECT d.dk, m.mk, levenshtein(d.dname, m.mname) AS dist
+        |  FROM dirty d JOIN master m
+        |    ON substring(d.dname, 1, 11) = substring(m.mname, 1, 11)
+        |  WHERE levenshtein(d.dname, m.mname) <= 1),
+        |best AS (
+        |  SELECT dk, dist FROM (
+        |    SELECT dk, dist,
+        |      ROW_NUMBER() OVER (PARTITION BY dk ORDER BY dist, mk) AS rn
+        |    FROM cand) WHERE rn = 1)
+        |SELECT CASE WHEN b.dist IS NULL THEN 'unmatched'
+        |    WHEN b.dist = 0 THEN 'exact' ELSE 'fuzzy' END AS match_class,
+        |  CAST(COUNT(*) AS BIGINT) AS n_records
+        |FROM dirty d LEFT JOIN best b ON d.dk = b.dk
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "fn_name_standardize" ->
+      """WITH t AS (
+        |  SELECT CAST(c_custkey AS BIGINT) AS k,
+        |    CAST(c_custkey % 4 AS INT) AS cls,
+        |    CASE CAST(c_custkey % 4 AS INT)
+        |      WHEN 0 THEN '  jose' || chr(769) || ' GARCIA jr. '
+        |      WHEN 1 THEN 'Ana Mu' || chr(776) || 'ller'
+        |      WHEN 2 THEN 'MARY  ANNE  smith sr'
+        |      ELSE 'bob lee ' || CAST(c_custkey AS VARCHAR) END AS raw
+        |  FROM customer),
+        |n AS (
+        |  SELECT cls,
+        |    regexp_replace(
+        |      trim(regexp_replace(lower(strip_accents(raw)), ' +', ' ', 'g')),
+        |      ' (jr|sr)\.?$', '') AS std
+        |  FROM t)
+        |SELECT cls, CAST(COUNT(*) AS BIGINT) AS n_names,
+        |  CAST(COUNT(DISTINCT std) AS BIGINT) AS n_distinct_std,
+        |  MIN(std) AS std_example
+        |FROM n GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

@@ -81,4 +81,40 @@ class Round13Wave3Spec extends AnyFunSuite {
       assert(steps >= 1L)
     }
   }
+
+  test("mm_asr_cer_eval: clean class has zero CER, corrupted classes positive") {
+    val rows = SparkEntry.queries("mm_asr_cer_eval")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (cls, mass) = (r.getString(1), r.getLong(3))
+      if (cls == "clean") assert(mass == 0L, s"clean class drifted: $r")
+      else assert(mass > 0L, s"corruption produced no errors: $r")
+      assert(r.getLong(4) <= 1000000L)
+    }
+  }
+
+  test("join_entity_resolution: two-char damage never matches under the <=1 bar") {
+    val rows = SparkEntry.queries("join_entity_resolution")(spark, sf).collect()
+    val byClass = rows.map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = graft.Tables.customer(spark, sf).count()
+    assert(byClass.values.sum == n)
+    val nZZ = graft.Tables.customer(spark, sf)
+      .where(col("c_custkey") % 100 === 7).count()
+    val nX = graft.Tables.customer(spark, sf)
+      .where(col("c_custkey") % 10 === 3 && !(col("c_custkey") % 100 === 7)).count()
+    assert(byClass.getOrElse("unmatched", 0L) == nZZ)
+    assert(byClass.getOrElse("fuzzy", 0L) == nX)
+    assert(byClass.getOrElse("exact", 0L) == n - nZZ - nX)
+  }
+
+  test("fn_name_standardize: diacritics fold, suffixes drop, whitespace collapses") {
+    val rows = SparkEntry.queries("fn_name_standardize")(spark, sf).collect()
+    val byCls = rows.map(r => r.getInt(0) -> r).toMap
+    assert(byCls(0).getString(3) == "jose garcia")
+    assert(byCls(1).getString(3) == "ana muller")
+    assert(byCls(2).getString(3) == "mary anne smith")
+    assert(byCls(0).getLong(2) == 1L && byCls(2).getLong(2) == 1L)
+    // the per-key class keeps one std form per name
+    assert(byCls(3).getLong(2) == byCls(3).getLong(1))
+  }
 }
