@@ -639,6 +639,105 @@ object Round13Ops {
           countDistinct(col("std")).as("n_distinct_std"),
           min("std").as("std_example"))
         .orderBy("cls")
+    }),
+
+    // GDPR subject-access export (DSAR) — the read-side twin of
+    // warehouse_erasure_audit/crypto_shred: for every data subject in
+    // the request batch (custkey % 97 == 13), gather their footprint
+    // ACROSS the fact tables — orders (count + exact cents), line items
+    // through the order join (count + quantity), events by user id —
+    // into one per-subject manifest. The subject list BROADCASTS into
+    // every fact scan (semi-join pushdown); missing facts export as
+    // zeros, never dropped subjects (a DSAR must answer even when the
+    // answer is 'nothing held').
+    "warehouse_gdpr_subject_export" -> ((s, d) => {
+      val subjects = Tables.customer(s, d)
+        .select(col("c_custkey").cast("bigint").as("subject_id"))
+        .where(col("subject_id") % 97 === 13)
+        .localCheckpoint()
+      val ords = Tables.orders(s, d)
+        .join(broadcast(subjects), col("o_custkey") === col("subject_id"))
+        .groupBy("subject_id")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(expr("CAST(FLOOR(o_totalprice * 100) AS BIGINT)")).as("order_cents"))
+      val items = Tables.lineitem(s, d)
+        .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(subjects), col("o_custkey") === col("subject_id"))
+        .groupBy("subject_id")
+        .agg(count(lit(1)).as("n_items"),
+          sum(expr("CAST(CAST(l_quantity AS DECIMAL(18,4)) AS BIGINT)")).as("total_qty"))
+      val evts = Tables.events(s, d)
+        .join(broadcast(subjects), col("user_id") === col("subject_id"))
+        .groupBy("subject_id")
+        .agg(count(lit(1)).as("n_events"))
+      subjects
+        .join(ords, Seq("subject_id"), "left")
+        .join(items, Seq("subject_id"), "left")
+        .join(evts, Seq("subject_id"), "left")
+        .select(col("subject_id"),
+          coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+          coalesce(col("order_cents"), lit(0L)).as("order_cents"),
+          coalesce(col("n_items"), lit(0L)).as("n_items"),
+          coalesce(col("total_qty"), lit(0L)).as("total_qty"),
+          coalesce(col("n_events"), lit(0L)).as("n_events"))
+        .orderBy("subject_id")
+    }),
+
+    // Bi-temporal as-of — the correction-aware history query a person
+    // service must answer ("what did we BELIEVE on tx-time T about the
+    // state valid at V?"): per subject three stored versions — the
+    // original (closed in TX time by a later correction), a forward
+    // price update, and the RETROACTIVE correction rewriting the same
+    // valid interval under a new transaction. The graded 2×2 (valid,
+    // tx) grid proves all four belief states: pre-correction reads see
+    // the original, post-correction reads see the corrected row, and
+    // the forward update is visible from its tx on. Pure projection +
+    // interval predicates — at scale this is one scan per grid cell
+    // over a tx/valid-pruned version table.
+    "warehouse_bitemporal_asof" -> ((s, d) => {
+      val base = Tables.orders(s, d)
+        .select(col("o_orderkey").cast("bigint").as("k"),
+          expr("CAST(FLOOR(o_totalprice * 100) AS BIGINT)").as("cents"))
+        .where(col("k") % 50 === 17)
+      val versions = base.select(col("k"), lit(100L).as("valid_from"),
+          lit(200L).as("valid_to"), lit(1L).as("tx_from"), lit(3L).as("tx_to"),
+          col("cents"))
+        .unionByName(base.select(col("k"), lit(200L).as("valid_from"),
+          lit(999L).as("valid_to"), lit(2L).as("tx_from"), lit(99L).as("tx_to"),
+          (col("cents") + 1000L).as("cents")))
+        .unionByName(base.select(col("k"), lit(100L).as("valid_from"),
+          lit(200L).as("valid_to"), lit(3L).as("tx_from"), lit(99L).as("tx_to"),
+          (col("cents") - 500L).as("cents")))
+      val grid = s.range(0, 4).select(
+        when(col("id") % 2 === 0, 150L).otherwise(250L).as("valid_t"),
+        when(col("id") < 2, 2L).otherwise(3L).as("tx_t"))
+      versions.join(broadcast(grid),
+          col("valid_from") <= col("valid_t") && col("valid_t") < col("valid_to") &&
+            col("tx_from") <= col("tx_t") && col("tx_t") < col("tx_to"))
+        .groupBy("valid_t", "tx_t")
+        .agg(count(lit(1)).as("n_subjects"), sum("cents").as("cents_sum"))
+        .orderBy("valid_t", "tx_t")
+    }),
+
+    // k-anonymity audit — the privacy gate before a person table ships
+    // to analytics: quasi-identifier tuple (nation, market segment,
+    // account-balance band), equivalence-class sizes, and the k-size
+    // distribution with the under-k₅ at-risk flag (the rows a
+    // suppression pass would redact). One groupBy for the classes, one
+    // for the distribution — the audit is two shuffles at any scale.
+    "agg_k_anonymity" -> ((s, d) => {
+      val classes = Tables.customer(s, d)
+        .select(col("c_nationkey").cast("bigint").as("nation"),
+          col("c_mktsegment").as("segment"),
+          expr("CAST(FLOOR(c_acctbal / 1000) AS BIGINT)").as("bal_band"))
+        .groupBy("nation", "segment", "bal_band")
+        .agg(count(lit(1)).as("k_size"))
+      classes.groupBy("k_size")
+        .agg(count(lit(1)).as("n_classes"),
+          sum("k_size").as("n_persons"))
+        .withColumn("at_risk", col("k_size") < 5)
+        .orderBy("k_size")
     })
   )
 
@@ -947,6 +1046,69 @@ object Round13Ops {
         |SELECT cls, CAST(COUNT(*) AS BIGINT) AS n_names,
         |  CAST(COUNT(DISTINCT std) AS BIGINT) AS n_distinct_std,
         |  MIN(std) AS std_example
-        |FROM n GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM n GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "warehouse_gdpr_subject_export" ->
+      """WITH subjects AS (
+        |  SELECT CAST(c_custkey AS BIGINT) AS subject_id FROM customer
+        |  WHERE c_custkey % 97 = 13),
+        |o AS (
+        |  SELECT subject_id, CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |    CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS order_cents
+        |  FROM orders JOIN subjects ON o_custkey = subject_id GROUP BY 1),
+        |li AS (
+        |  SELECT subject_id, CAST(COUNT(*) AS BIGINT) AS n_items,
+        |    CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,4)) AS BIGINT)) AS BIGINT) AS total_qty
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN subjects ON o_custkey = subject_id GROUP BY 1),
+        |e AS (
+        |  SELECT subject_id, CAST(COUNT(*) AS BIGINT) AS n_events
+        |  FROM events JOIN subjects ON user_id = subject_id GROUP BY 1)
+        |SELECT s.subject_id,
+        |  COALESCE(o.n_orders, 0) AS n_orders,
+        |  COALESCE(o.order_cents, 0) AS order_cents,
+        |  COALESCE(li.n_items, 0) AS n_items,
+        |  COALESCE(li.total_qty, 0) AS total_qty,
+        |  COALESCE(e.n_events, 0) AS n_events
+        |FROM subjects s
+        |LEFT JOIN o ON s.subject_id = o.subject_id
+        |LEFT JOIN li ON s.subject_id = li.subject_id
+        |LEFT JOIN e ON s.subject_id = e.subject_id
+        |ORDER BY s.subject_id""".stripMargin,
+
+    "warehouse_bitemporal_asof" ->
+      """WITH base AS (
+        |  SELECT CAST(o_orderkey AS BIGINT) AS k,
+        |    CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders WHERE o_orderkey % 50 = 17),
+        |versions AS (
+        |  SELECT k, 100 AS valid_from, 200 AS valid_to, 1 AS tx_from, 3 AS tx_to, cents FROM base
+        |  UNION ALL
+        |  SELECT k, 200, 999, 2, 99, cents + 1000 FROM base
+        |  UNION ALL
+        |  SELECT k, 100, 200, 3, 99, cents - 500 FROM base),
+        |grid AS (
+        |  SELECT CASE WHEN t.i % 2 = 0 THEN 150 ELSE 250 END AS valid_t,
+        |    CASE WHEN t.i < 2 THEN 2 ELSE 3 END AS tx_t
+        |  FROM generate_series(0, 3) AS t(i))
+        |SELECT CAST(valid_t AS BIGINT) AS valid_t, CAST(tx_t AS BIGINT) AS tx_t,
+        |  CAST(COUNT(*) AS BIGINT) AS n_subjects,
+        |  CAST(SUM(cents) AS BIGINT) AS cents_sum
+        |FROM versions JOIN grid
+        |  ON valid_from <= valid_t AND valid_t < valid_to
+        |  AND tx_from <= tx_t AND tx_t < tx_to
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "agg_k_anonymity" ->
+      """WITH classes AS (
+        |  SELECT CAST(c_nationkey AS BIGINT) AS nation, c_mktsegment AS segment,
+        |    CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS bal_band,
+        |    CAST(COUNT(*) AS BIGINT) AS k_size
+        |  FROM customer GROUP BY 1, 2, 3)
+        |SELECT k_size, CAST(COUNT(*) AS BIGINT) AS n_classes,
+        |  CAST(SUM(k_size) AS BIGINT) AS n_persons,
+        |  k_size < 5 AS at_risk
+        |FROM classes GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

@@ -117,4 +117,41 @@ class Round13Wave3Spec extends AnyFunSuite {
     // the per-key class keeps one std form per name
     assert(byCls(3).getLong(2) == byCls(3).getLong(1))
   }
+
+  test("warehouse_gdpr_subject_export: every subject answers, zeros never drop") {
+    val rows = SparkEntry.queries("warehouse_gdpr_subject_export")(spark, sf).collect()
+    val nSubjects = graft.Tables.customer(spark, sf)
+      .where(col("c_custkey") % 97 === 13).count()
+    assert(rows.length == nSubjects)
+    rows.foreach { r =>
+      assert(r.getLong(0) % 97 == 13)
+      // items only exist under orders
+      if (r.getLong(1) == 0) assert(r.getLong(3) == 0, s"orphan items: $r")
+    }
+  }
+
+  test("warehouse_bitemporal_asof: the 2x2 belief grid is exact") {
+    val rows = SparkEntry.queries("warehouse_bitemporal_asof")(spark, sf).collect()
+    assert(rows.length == 4)
+    val base = graft.Tables.orders(spark, sf)
+      .where(col("o_orderkey") % 50 === 17)
+      .agg(count(lit(1)), sum(expr("CAST(FLOOR(o_totalprice * 100) AS BIGINT)")))
+      .collect()(0)
+    val (n, cents) = (base.getLong(0), base.getLong(1))
+    val byCell = rows.map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(3)).toMap
+    assert(byCell((150L, 2L)) == cents)            // original belief
+    assert(byCell((150L, 3L)) == cents - 500 * n)  // retroactive correction
+    assert(byCell((250L, 2L)) == cents + 1000 * n) // forward update
+    assert(byCell((250L, 3L)) == cents + 1000 * n)
+    rows.foreach(r => assert(r.getLong(2) == n))
+  }
+
+  test("agg_k_anonymity: class sizes partition the table") {
+    val rows = SparkEntry.queries("agg_k_anonymity")(spark, sf).collect()
+    assert(rows.map(_.getLong(2)).sum == graft.Tables.customer(spark, sf).count())
+    rows.foreach { r =>
+      assert(r.getLong(2) == r.getLong(0) * r.getLong(1), s"k*classes != persons: $r")
+      assert(r.getBoolean(3) == (r.getLong(0) < 5))
+    }
+  }
 }
