@@ -738,6 +738,64 @@ object Round13Ops {
           sum("k_size").as("n_persons"))
         .withColumn("at_risk", col("k_size") < 5)
         .orderBy("k_size")
+    }),
+
+    // l-diversity audit — k-anonymity's necessary companion: a class
+    // can be large (k-safe) yet expose everyone if all its members
+    // share the SENSITIVE value. Per quasi-identifier class (nation,
+    // balance band) the distinct count of the sensitive attribute
+    // (market segment); graded distribution of l with the l<2
+    // homogeneous-class flag (the attribute-disclosure risk a k-only
+    // audit misses). Two shuffles at any scale.
+    "agg_l_diversity" -> ((s, d) => {
+      val classes = Tables.customer(s, d)
+        .select(col("c_nationkey").cast("bigint").as("nation"),
+          expr("CAST(FLOOR(c_acctbal / 1000) AS BIGINT)").as("bal_band"),
+          col("c_mktsegment").as("sensitive"))
+        .groupBy("nation", "bal_band")
+        .agg(count(lit(1)).as("k_size"),
+          countDistinct("sensitive").as("l_diversity"))
+      classes.groupBy("l_diversity")
+        .agg(count(lit(1)).as("n_classes"),
+          sum("k_size").as("n_persons"))
+        .withColumn("homogeneous", col("l_diversity") < 2)
+        .orderBy("l_diversity")
+    }),
+
+    // Health-check flap detection + debounce — the probe-series
+    // hygiene a serving fleet runs before paging: per service (event
+    // type) the check series in the (ts_us, event_id) total order,
+    // status = value ≥ 50, transitions counted via lag, and CONFIRMED
+    // down incidents = maximal down-runs of ≥ 3 consecutive checks
+    // (the debounce that keeps single-probe blips from paging).
+    // Gaps-and-islands cumsum per service; flap rate in exact milli.
+    "service_health_flap_debounce" -> ((s, d) => {
+      val w = Window.partitionBy("event_type").orderBy("ts_us", "event_id")
+      val checks = Tables.events(s, d)
+        .select(col("event_type"), col("ts_us"), col("event_id"),
+          (col("value") >= 50.0).cast("long").as("up"))
+        .withColumn("prev", lag("up", 1).over(w))
+        .withColumn("trans",
+          when(col("prev").isNotNull && col("prev") =!= col("up"), 1L).otherwise(0L))
+        .withColumn("run_id", sum(
+          when(col("prev").isNull || col("prev") =!= col("up"), 1L).otherwise(0L))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val downRuns = checks.where(col("up") === 0)
+        .groupBy("event_type", "run_id")
+        .agg(count(lit(1)).as("run_len"))
+        .where(col("run_len") >= 3)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_confirmed_down"))
+      checks.groupBy("event_type")
+        .agg(count(lit(1)).as("n_checks"),
+          sum(expr("1 - up")).as("n_down"),
+          sum("trans").as("n_transitions"))
+        .join(downRuns, Seq("event_type"), "left")
+        .select(col("event_type"), col("n_checks"), col("n_down"),
+          col("n_transitions"),
+          coalesce(col("n_confirmed_down"), lit(0L)).as("n_confirmed_down"))
+        .withColumn("flap_milli", expr("(n_transitions * 1000) DIV n_checks"))
+        .orderBy("event_type")
     })
   )
 
@@ -1109,6 +1167,51 @@ object Round13Ops {
         |SELECT k_size, CAST(COUNT(*) AS BIGINT) AS n_classes,
         |  CAST(SUM(k_size) AS BIGINT) AS n_persons,
         |  k_size < 5 AS at_risk
-        |FROM classes GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM classes GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "agg_l_diversity" ->
+      """WITH classes AS (
+        |  SELECT CAST(c_nationkey AS BIGINT) AS nation,
+        |    CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS bal_band,
+        |    CAST(COUNT(*) AS BIGINT) AS k_size,
+        |    CAST(COUNT(DISTINCT c_mktsegment) AS BIGINT) AS l_diversity
+        |  FROM customer GROUP BY 1, 2)
+        |SELECT l_diversity, CAST(COUNT(*) AS BIGINT) AS n_classes,
+        |  CAST(SUM(k_size) AS BIGINT) AS n_persons,
+        |  l_diversity < 2 AS homogeneous
+        |FROM classes GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "service_health_flap_debounce" ->
+      """WITH c AS (
+        |  SELECT event_type, epoch_us(ts) AS ts_us, event_id,
+        |    CASE WHEN value >= 50 THEN 1 ELSE 0 END AS up
+        |  FROM events),
+        |l AS (
+        |  SELECT event_type, ts_us, event_id, up,
+        |    LAG(up) OVER w AS prev
+        |  FROM c WINDOW w AS (PARTITION BY event_type ORDER BY ts_us, event_id)),
+        |r AS (
+        |  SELECT event_type, up,
+        |    CASE WHEN prev IS NOT NULL AND prev <> up THEN 1 ELSE 0 END AS trans,
+        |    SUM(CASE WHEN prev IS NULL OR prev <> up THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY event_type ORDER BY ts_us, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id
+        |  FROM l),
+        |dr AS (
+        |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_confirmed_down
+        |  FROM (
+        |    SELECT event_type, run_id, COUNT(*) AS run_len
+        |    FROM r WHERE up = 0 GROUP BY 1, 2 HAVING COUNT(*) >= 3)
+        |  GROUP BY 1),
+        |t AS (
+        |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_checks,
+        |    CAST(SUM(1 - up) AS BIGINT) AS n_down,
+        |    CAST(SUM(trans) AS BIGINT) AS n_transitions
+        |  FROM r GROUP BY 1)
+        |SELECT t.event_type, n_checks, n_down, n_transitions,
+        |  COALESCE(dr.n_confirmed_down, 0) AS n_confirmed_down,
+        |  (n_transitions * 1000) // n_checks AS flap_milli
+        |FROM t LEFT JOIN dr ON t.event_type = dr.event_type
+        |ORDER BY t.event_type""".stripMargin
   )
 }

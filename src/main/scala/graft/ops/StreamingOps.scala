@@ -561,6 +561,24 @@ object StreamingOps {
     "stream_stream_semi" -> ((s, d) =>
       sharedFixtureResult(s, "stream_stream_semi")),
 
+    // RIGHT-outer stream-stream join — completes the streaming join
+    // matrix (inner/left/full/semi/right): unmatched VIEWS null-pad
+    // once the purchase watermark passes their forward join window
+    // (view 103 @10:00 accepts purchases only in [10:00, 10:10];
+    // eviction proves none can still arrive); unmatched purchases
+    // (202) never emit. Shares the warmed fixture scope.
+    "stream_stream_right" -> ((s, d) =>
+      sharedFixtureResult(s, "stream_stream_right")),
+
+    // STREAMING session windows — the stateful sibling of the batch
+    // stream_session op: session_window + watermark in append mode,
+    // sessions emit only when the watermark proves them closed (u1
+    // closes twice, u9's trailing session never closes). Exact cents.
+    // Shares the warmed fixture scope (no-data batches ON for the
+    // final flush).
+    "stream_session_window" -> ((s, d) =>
+      sharedFixtureResult(s, "stream_session_window")),
+
     // UNION of two independently-watermarked streams feeding one
     // windowed aggregate — the multi-source ingestion shape (two Kafka
     // topics with different lateness SLAs landing in one table). Spark's
@@ -950,6 +968,26 @@ object StreamingOps {
             SEvent(6, Timestamp.valueOf("2024-01-01 10:05:00"), 1, "view", 1.0))),
           sink, Seq.empty)
       }
+      locally { // stream_stream_right — unmatched VIEWS null-pad on eviction
+        val ms = newMs(); val sink = newSinkName()
+        val (p, v) = twoSides(ms)
+        val q = p.join(v, iCond(p, v), "right_outer")
+          .select(col("p_id"), col("user_id"), fmt(col("p_ts")).as("p_ts"),
+            col("v_id"), col("v_user"), fmt(col("v_ts")).as("v_ts"))
+          .writeStream.format("memory").queryName(sink).outputMode("append").start()
+        runs += SharedRun("stream_stream_right", q, Seq(
+          () => ms.addData(
+            SEvent(101, Timestamp.valueOf("2024-01-01 10:00:00"), 1, "view", 1.0),
+            SEvent(103, Timestamp.valueOf("2024-01-01 10:00:00"), 2, "view", 1.0),
+            SEvent(104, Timestamp.valueOf("2024-01-01 12:00:00"), 3, "view", 1.0),
+            SEvent(201, Timestamp.valueOf("2024-01-01 10:05:00"), 1, "purchase", 1.0),
+            SEvent(202, Timestamp.valueOf("2024-01-01 10:30:00"), 2, "purchase", 1.0),
+            SEvent(204, Timestamp.valueOf("2024-01-01 12:00:00"), 3, "purchase", 1.0)),
+          () => ms.addData(
+            SEvent(105, Timestamp.valueOf("2024-01-01 13:00:00"), 4, "view", 1.0),
+            SEvent(206, Timestamp.valueOf("2024-01-01 13:00:00"), 4, "purchase", 1.0))),
+          sink, Seq("v_id", "p_id"))
+      }
       // ---- group B: no-data micro-batches ON (final evictions ride the
       // trailing empty batch; conf snapshot at query start) ----
       s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "true")
@@ -971,6 +1009,28 @@ object StreamingOps {
           () => ms.addData(
             SEvent(1, Timestamp.valueOf("2024-01-01 10:25:00"), 1, "view", 1.0))),
           sink, Seq.empty)
+      }
+      locally { // stream_session_window — streaming session aggregation
+        val ms = newMs(); val sink = newSinkName()
+        val q = ms.toDF()
+          .withWatermark("ts", "10 minutes")
+          .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+          .agg(count(lit(1)).as("cnt"),
+            sum(expr("CAST(FLOOR(value * 100) AS BIGINT)")).as("cents"))
+          .select(col("user_id"), fmt(col("session_window.start")).as("s_start"),
+            fmt(col("session_window.end")).as("s_end"), col("cnt"), col("cents"))
+          .writeStream.format("memory").queryName(sink).outputMode("append").start()
+        runs += SharedRun("stream_session_window", q, Seq(
+          () => ms.addData(
+            SEvent(1, Timestamp.valueOf("2024-01-01 10:00:00"), 1, "view", 2.0),
+            SEvent(2, Timestamp.valueOf("2024-01-01 10:05:00"), 1, "click", 3.0),
+            SEvent(3, Timestamp.valueOf("2024-01-01 10:00:00"), 2, "view", 5.0)),
+          () => ms.addData(
+            SEvent(4, Timestamp.valueOf("2024-01-01 12:00:00"), 3, "view", 1.0)),
+          () => ms.addData(
+            SEvent(5, Timestamp.valueOf("2024-01-01 13:00:00"), 1, "view", 4.0),
+            SEvent(6, Timestamp.valueOf("2024-01-01 20:00:00"), 9, "view", 1.0))),
+          sink, Seq("user_id", "s_start"))
       }
       withRocksDBStateStore(s) { // stream_stateful_timers — event-time timers
         val ms = newMs(); val sink = newSinkName()
@@ -1312,6 +1372,28 @@ object StreamingOps {
         |  (206, 4, '2024-01-01 13:00:00', 105, 4, '2024-01-01 13:00:00'))
         |  AS t(p_id, user_id, p_ts, v_id, v_user, v_ts)
         |ORDER BY p_id, v_id""".stripMargin,
+
+    "stream_stream_right" ->
+      """SELECT CAST(p_id AS BIGINT) AS p_id, CAST(user_id AS BIGINT) AS user_id, p_ts,
+        |  CAST(v_id AS BIGINT) AS v_id, CAST(v_user AS BIGINT) AS v_user, v_ts
+        |FROM (VALUES
+        |  (201, 1, '2024-01-01 10:05:00', 101, 1, '2024-01-01 10:00:00'),
+        |  (NULL, NULL, NULL, 103, 2, '2024-01-01 10:00:00'),
+        |  (204, 3, '2024-01-01 12:00:00', 104, 3, '2024-01-01 12:00:00'),
+        |  (206, 4, '2024-01-01 13:00:00', 105, 4, '2024-01-01 13:00:00'))
+        |  AS t(p_id, user_id, p_ts, v_id, v_user, v_ts)
+        |ORDER BY v_id, p_id""".stripMargin,
+
+    "stream_session_window" ->
+      """SELECT CAST(user_id AS BIGINT) AS user_id, s_start, s_end,
+        |  CAST(cnt AS BIGINT) AS cnt, CAST(cents AS BIGINT) AS cents
+        |FROM (VALUES
+        |  (1, '2024-01-01 10:00:00', '2024-01-01 10:35:00', 2, 500),
+        |  (2, '2024-01-01 10:00:00', '2024-01-01 10:30:00', 1, 500),
+        |  (3, '2024-01-01 12:00:00', '2024-01-01 12:30:00', 1, 100),
+        |  (1, '2024-01-01 13:00:00', '2024-01-01 13:30:00', 1, 400))
+        |  AS t(user_id, s_start, s_end, cnt, cents)
+        |ORDER BY user_id, s_start""".stripMargin,
 
     "stream_tumbling" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS win_start,
