@@ -267,37 +267,45 @@ object Round13Ops {
         .orderBy("source", "license_class")
     }),
 
-    // pass@k estimator — the unbiased combinatorial estimator every
-    // code/reasoning eval reports (1 − C(n−c,k)/C(n,k) over n=10
-    // deterministic attempts per task, c = per-task correct count):
-    // pass@1 and pass@5 in EXACT ppm via integer factorials (n=10 keeps
-    // every factorial « 2⁶³ — no float touches a graded column).
-    // Graded per difficulty centile-bucket: task census, correct mass,
-    // exact ppm masses. Attempts explode 10× the task table (linear);
-    // the rollup is one shuffle.
-    "llm_eval_pass_at_k" -> ((s, d) => {
-      val t = Tables.orders(s, d)
+    // Bootstrap confidence interval for an eval metric — the error-bar
+    // machinery a leaderboard needs before calling a 0.4-point gap real:
+    // per-task correctness (deterministic md5 draw), B=50 deterministic
+    // md5 RESAMPLES of the task set (with replacement — each resample
+    // draws n dense-indexed tasks), per-resample accuracy in exact ppm,
+    // and the 5/50/95 percentile of the resample means by exact rank.
+    // The resample draw is a join against the dense task index (hash-
+    // shardable at scale; the fixture uses one row_number pass), never
+    // a driver-side loop. Nothing random: same corpus -> same CI.
+    "llm_eval_bootstrap_ci" -> ((s, d) => {
+      val w = Window.orderBy("task")
+      val tasks = Tables.orders(s, d)
         .select(col("o_orderkey").cast("bigint").as("task"))
-        .withColumn("difficulty", col("task") % 800 + 100)
-      val scored = t
-        .select(col("task"), col("difficulty"),
-          explode(expr("sequence(CAST(0 AS BIGINT), 9)")).as("j"))
         .withColumn("ok", (expr(
-          "CAST(conv(substring(md5(concat('pass:', CAST(task AS STRING), ':', CAST(j AS STRING))), 1, 6), 16, 10) AS BIGINT) % 1000")
-          < col("difficulty")).cast("long"))
-        .groupBy("task", "difficulty")
-        .agg(sum("ok").as("c"))
-        // pass@1 = c/10; pass@5 = (C(10,5) − C(10−c,5)) / C(10,5)
-        .withColumn("pass1_ppm", expr("(c * 1000000) DIV 10"))
-        .withColumn("pass5_ppm", expr(
-          """((252 - CASE WHEN c > 5 THEN CAST(0 AS BIGINT)
-            |  ELSE factorial(CAST(10 - c AS INT)) DIV (120 * factorial(CAST(5 - c AS INT))) END) * 1000000) DIV 252""".stripMargin))
-      scored
-        .groupBy(expr("difficulty DIV 100").as("difficulty_bucket"))
-        .agg(count(lit(1)).as("n_tasks"), sum("c").as("correct_mass"),
-          sum("pass1_ppm").as("pass1_ppm_mass"),
-          sum("pass5_ppm").as("pass5_ppm_mass"))
-        .orderBy("difficulty_bucket")
+          "CAST(conv(substring(md5(concat('bsok:', CAST(task AS STRING))), 1, 6), 16, 10) AS BIGINT) % 1000") < 600).cast("long"))
+        .withColumn("idx", (row_number().over(w) - 1).cast("bigint"))
+        .localCheckpoint()
+      val n = tasks.count()
+      val draws = tasks.select(col("task").as("src_task"))
+        .crossJoin(broadcast(s.range(0, 50).select(col("id").as("b"))))
+        .select(col("b"), expr(
+          s"CAST(conv(substring(md5(concat('bs:', CAST(b AS STRING), ':', CAST(src_task AS STRING))), 1, 8), 16, 10) AS BIGINT) % $n")
+          .as("idx"))
+      val means = draws.join(tasks.select("idx", "ok"), Seq("idx"))
+        .groupBy("b")
+        .agg(expr(s"(sum(ok) * 1000000) DIV $n").as("mean_ppm"))
+      val wR = Window.orderBy("mean_ppm", "b")
+      val ranked = means.withColumn("rk", row_number().over(wR))
+      val point = tasks.agg(expr(s"(sum(ok) * 1000000) DIV $n").as("point_ppm"))
+      point
+        .crossJoin(broadcast(ranked.where(col("rk") === 3)
+          .select(col("mean_ppm").as("ci_low_ppm"))))
+        .crossJoin(broadcast(ranked.where(col("rk") === 25)
+          .select(col("mean_ppm").as("ci_med_ppm"))))
+        .crossJoin(broadcast(ranked.where(col("rk") === 48)
+          .select(col("mean_ppm").as("ci_high_ppm"))))
+        .select(lit(n).as("n_tasks"), lit(50L).as("n_resamples"),
+          col("point_ppm"), col("ci_low_ppm"), col("ci_med_ppm"),
+          col("ci_high_ppm"))
     }),
 
     // Multi-window SLO burn rate — the SRE alerting arithmetic a serving
@@ -932,31 +940,30 @@ object Round13Ops {
         |  CAST(SUM(toks) AS BIGINT) AS token_mass
         |FROM c GROUP BY 1, 2, 3 ORDER BY 1, 2""".stripMargin,
 
-    "llm_eval_pass_at_k" ->
-      """WITH t AS (
+    "llm_eval_bootstrap_ci" ->
+      """WITH tasks AS (
         |  SELECT CAST(o_orderkey AS BIGINT) AS task,
-        |    CAST(o_orderkey AS BIGINT) % 800 + 100 AS difficulty
+        |    CASE WHEN ('0x' || substring(md5('bsok:' || CAST(o_orderkey AS VARCHAR)), 1, 6))::BIGINT % 1000 < 600
+        |      THEN 1 ELSE 0 END AS ok,
+        |    ROW_NUMBER() OVER (ORDER BY CAST(o_orderkey AS BIGINT)) - 1 AS idx
         |  FROM orders),
-        |att AS (
-        |  SELECT task, difficulty, CAST(j.i AS BIGINT) AS j,
-        |    CASE WHEN ('0x' || substring(md5('pass:' || CAST(task AS VARCHAR) || ':' || CAST(j.i AS VARCHAR)), 1, 6))::BIGINT % 1000 < difficulty
-        |      THEN 1 ELSE 0 END AS ok
-        |  FROM t, generate_series(0, 9) AS j(i)),
-        |pt AS (
-        |  SELECT task, difficulty, CAST(SUM(ok) AS BIGINT) AS c
-        |  FROM att GROUP BY 1, 2),
-        |scored AS (
-        |  SELECT task, difficulty, c,
-        |    (c * 1000000) // 10 AS pass1_ppm,
-        |    ((252 - CASE WHEN c > 5 THEN 0
-        |        ELSE factorial(CAST(10 - c AS INT)) // (120 * factorial(CAST(5 - c AS INT))) END) * 1000000) // 252 AS pass5_ppm
-        |  FROM pt)
-        |SELECT difficulty // 100 AS difficulty_bucket,
-        |  CAST(COUNT(*) AS BIGINT) AS n_tasks,
-        |  CAST(SUM(c) AS BIGINT) AS correct_mass,
-        |  CAST(SUM(pass1_ppm) AS BIGINT) AS pass1_ppm_mass,
-        |  CAST(SUM(pass5_ppm) AS BIGINT) AS pass5_ppm_mass
-        |FROM scored GROUP BY 1 ORDER BY 1""".stripMargin,
+        |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM tasks),
+        |draws AS (
+        |  SELECT CAST(b.i AS BIGINT) AS b,
+        |    ('0x' || substring(md5('bs:' || CAST(b.i AS VARCHAR) || ':' || CAST(t.task AS VARCHAR)), 1, 8))::BIGINT % (SELECT n FROM n) AS idx
+        |  FROM tasks t, generate_series(0, 49) AS b(i)),
+        |means AS (
+        |  SELECT d.b, (SUM(t.ok) * 1000000) // (SELECT n FROM n) AS mean_ppm
+        |  FROM draws d JOIN tasks t ON d.idx = t.idx
+        |  GROUP BY d.b),
+        |ranked AS (
+        |  SELECT mean_ppm, ROW_NUMBER() OVER (ORDER BY mean_ppm, b) AS rk
+        |  FROM means)
+        |SELECT (SELECT n FROM n) AS n_tasks, CAST(50 AS BIGINT) AS n_resamples,
+        |  CAST((SELECT (SUM(ok) * 1000000) // (SELECT n FROM n) FROM tasks) AS BIGINT) AS point_ppm,
+        |  CAST((SELECT mean_ppm FROM ranked WHERE rk = 3) AS BIGINT) AS ci_low_ppm,
+        |  CAST((SELECT mean_ppm FROM ranked WHERE rk = 25) AS BIGINT) AS ci_med_ppm,
+        |  CAST((SELECT mean_ppm FROM ranked WHERE rk = 48) AS BIGINT) AS ci_high_ppm""".stripMargin,
 
     "win_slo_burn_rate" ->
       """WITH h AS (

@@ -103,16 +103,16 @@ class Round13Wave1Spec extends AnyFunSuite {
     }
   }
 
-  test("llm_eval_pass_at_k: pass@5 dominates pass@1 and saturates at c>5") {
-    val rows = SparkEntry.queries("llm_eval_pass_at_k")(spark, sf).collect()
-    assert(rows.nonEmpty)
-    rows.foreach { r =>
-      assert(r.getLong(4) >= r.getLong(3), s"pass@5 < pass@1 in $r") // masses
-      assert(r.getLong(4) <= r.getLong(1) * 1000000L)
-    }
-    // monotone in difficulty: the hardest bucket passes less than the easiest
-    val byBucket = rows.map(r => r.getLong(0) -> (r.getLong(3).toDouble / r.getLong(1))).toMap
-    assert(byBucket(byBucket.keys.max) > byBucket(byBucket.keys.min))
+  test("llm_eval_bootstrap_ci: CI brackets the point estimate and orders correctly") {
+    val r = SparkEntry.queries("llm_eval_bootstrap_ci")(spark, sf).collect()(0)
+    val (n, b, point, lo, med, hi) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+    assert(b == 50L)
+    assert(n == graft.Tables.orders(spark, sf).count())
+    assert(lo <= med && med <= hi, s"CI disordered: $r")
+    assert(lo <= point + 100000 && hi >= point - 100000, s"CI far from point: $r")
+    // the draw threshold is 600/1000; the point estimate must sit near it
+    assert(point > 400000L && point < 800000L)
   }
 
   test("win_slo_burn_rate: alert implies both windows above budget") {
