@@ -285,16 +285,21 @@ object Round13Ops {
         .withColumn("idx", (row_number().over(w) - 1).cast("bigint"))
         .localCheckpoint()
       val n = tasks.count()
-      val draws = tasks.select(col("task").as("src_task"))
+      // the row_number pass leaves ONE partition — spread the 50×n draw
+      // stage back over the executor threads, and BROADCAST the dense
+      // index so the draw rows never shuffle
+      val draws = tasks.select(col("task").as("src_task")).repartition(32)
         .crossJoin(broadcast(s.range(0, 50).select(col("id").as("b"))))
         .select(col("b"), expr(
           s"CAST(conv(substring(md5(concat('bs:', CAST(b AS STRING), ':', CAST(src_task AS STRING))), 1, 8), 16, 10) AS BIGINT) % $n")
           .as("idx"))
-      val means = draws.join(tasks.select("idx", "ok"), Seq("idx"))
+      val means = draws.join(broadcast(tasks.select("idx", "ok")), Seq("idx"))
         .groupBy("b")
         .agg(expr(s"(sum(ok) * 1000000) DIV $n").as("mean_ppm"))
       val wR = Window.orderBy("mean_ppm", "b")
-      val ranked = means.withColumn("rk", row_number().over(wR))
+      // 50 rows — materialize once so the three percentile filters below
+      // don't each re-execute the 50×n draw join
+      val ranked = means.withColumn("rk", row_number().over(wR)).localCheckpoint()
       val point = tasks.agg(expr(s"(sum(ok) * 1000000) DIV $n").as("point_ppm"))
       point
         .crossJoin(broadcast(ranked.where(col("rk") === 3)
