@@ -809,6 +809,119 @@ object Round13Ops {
           coalesce(col("n_confirmed_down"), lit(0L)).as("n_confirmed_down"))
         .withColumn("flap_milli", expr("(n_transitions * 1000) DIV n_checks"))
         .orderBy("event_type")
+    }),
+
+    // Consent ledger — the per-(person, purpose) grant/revoke state
+    // machine a person service must serve from: consent events in the
+    // (ts_us, event_id) total order (value ≥ 50 = grant, else revoke),
+    // current state = LAST event, churn = transition count. Graded per
+    // purpose: granted/revoked person census + flip-floppers (≥3
+    // transitions — the consent-fatigue signal a DPO watches). One
+    // (person, purpose) window + two rollups; the ledger shape scales
+    // on the person-purpose key.
+    "warehouse_consent_ledger" -> ((s, d) => {
+      val w = Window.partitionBy("person", "purpose").orderBy("ts_us", "event_id")
+      val ledger = Tables.events(s, d)
+        .select(col("user_id").as("person"), col("event_type").as("purpose"),
+          col("ts_us"), col("event_id"),
+          (col("value") >= 50.0).cast("long").as("granted"))
+        .withColumn("prev", lag("granted", 1).over(w))
+        .withColumn("trans",
+          when(col("prev").isNotNull && col("prev") =!= col("granted"), 1L)
+            .otherwise(0L))
+        .withColumn("rn_desc", row_number().over(
+          Window.partitionBy("person", "purpose")
+            .orderBy(desc("ts_us"), desc("event_id"))))
+      val state = ledger.groupBy("person", "purpose")
+        .agg(max(when(col("rn_desc") === 1, col("granted"))).as("final_granted"),
+          sum("trans").as("n_transitions"))
+      state.groupBy("purpose")
+        .agg(sum("final_granted").as("n_granted"),
+          sum(expr("1 - final_granted")).as("n_revoked"),
+          sum(when(col("n_transitions") >= 3, 1L).otherwise(0L)).as("n_flip_floppers"),
+          sum("n_transitions").as("total_transitions"))
+        .orderBy("purpose")
+    }),
+
+    // Golden-record survivorship — the MDM merge after entity
+    // resolution: three source systems (crm > web > legacy by declared
+    // precedence) each observe a person attribute with planted gaps
+    // (crm misses k%3==0, web misses k%4==1) and systematic conflicts;
+    // the golden value = highest-priority non-null via max_by over the
+    // (-priority) order, and the CONFLICT census counts entities where
+    // a surviving value disagrees with another system's observation
+    // (the data-steward queue). Explode-by-source projection + one
+    // max_by rollup + one census — two shuffles on the entity key.
+    "join_survivorship_merge" -> ((s, d) => {
+      def obs(sys: String, prio: Int, missing: String) =
+        Tables.customer(s, d)
+          .select(col("c_custkey").cast("bigint").as("entity"))
+          .where(expr(s"NOT ($missing)"))
+          .withColumn("system", lit(sys))
+          .withColumn("priority", lit(prio.toLong))
+          .withColumn("email_h", expr(
+            s"CAST(conv(substring(md5(concat('$sys:em:', CAST(entity AS STRING))), 1, 6), 16, 10) AS BIGINT) % 100000"))
+          .withColumn("phone_h", expr(
+            // crm and web AGREE on phone (shared upstream); legacy drifts
+            if (sys == "legacy")
+              "CAST(conv(substring(md5(concat('lg:ph:', CAST(entity AS STRING))), 1, 6), 16, 10) AS BIGINT) % 100000"
+            else
+              "CAST(conv(substring(md5(concat('ph:', CAST(entity AS STRING))), 1, 6), 16, 10) AS BIGINT) % 100000"))
+      val all = obs("crm", 1, "entity % 3 = 0")
+        .unionByName(obs("web", 2, "entity % 4 = 1"))
+        .unionByName(obs("legacy", 3, "1 = 0"))
+        .localCheckpoint()
+      val golden = all.groupBy("entity")
+        .agg(max_by(col("system"), -col("priority")).as("won_system"),
+          max_by(col("email_h"), -col("priority")).as("golden_email"),
+          max_by(col("phone_h"), -col("priority")).as("golden_phone"))
+      val conflicts = all.join(golden, Seq("entity"))
+        .groupBy("entity", "won_system")
+        .agg(max(when(col("email_h") =!= col("golden_email"), 1L).otherwise(0L))
+            .as("email_conflict"),
+          max(when(col("phone_h") =!= col("golden_phone"), 1L).otherwise(0L))
+            .as("phone_conflict"))
+      conflicts.groupBy("won_system")
+        .agg(count(lit(1)).as("n_entities"),
+          sum("email_conflict").as("email_conflicts"),
+          sum("phone_conflict").as("phone_conflicts"))
+        .orderBy("won_system")
+    }),
+
+    // Corpus erasure plan — the right-to-be-forgotten meets training
+    // data: an opt-out batch (persons user_id%13==4) maps to AUTHORED
+    // docs (author = doc_id%150, signed when doc_id%6==0) which the
+    // plan removes outright, and to residual MENTIONS in surviving
+    // docs (doc_id%7==2 mentions person (doc_id·3)%150) which need a
+    // redaction pass instead. Graded per source: removed docs + token
+    // mass, surviving docs flagged for redaction — the two-tier plan an
+    // LLM-era person service must produce before retraining. Opt-out
+    // list BROADCAST into both scans.
+    "llm_corpus_erasure_plan" -> ((s, d) => {
+      val optOut = s.range(0, 150).select(col("id").as("person"))
+        .where(col("person") % 13 === 4)
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          size(split(col("text"), " ")).cast("bigint").as("toks"))
+        .withColumn("author",
+          when(col("doc_id") % 6 === 0, col("doc_id") % 150).otherwise(lit(null)))
+        .withColumn("mentions",
+          when(col("doc_id") % 7 === 2, (col("doc_id") * 3) % 150).otherwise(lit(null)))
+      val flagged = docs
+        .join(broadcast(optOut.select(col("person").as("author"),
+          lit(1L).as("author_opted"))), Seq("author"), "left")
+        .join(broadcast(optOut.select(col("person").as("mentions"),
+          lit(1L).as("mention_opted"))), Seq("mentions"), "left")
+        .withColumn("remove", coalesce(col("author_opted"), lit(0L)))
+        .withColumn("redact",
+          when(col("remove") === 0L, coalesce(col("mention_opted"), lit(0L)))
+            .otherwise(0L))
+      flagged.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("remove").as("docs_removed"),
+          sum(col("remove") * col("toks")).as("tokens_removed"),
+          sum("redact").as("docs_to_redact"))
+        .orderBy("source")
     })
   )
 
@@ -1224,6 +1337,85 @@ object Round13Ops {
         |  COALESCE(dr.n_confirmed_down, 0) AS n_confirmed_down,
         |  (n_transitions * 1000) // n_checks AS flap_milli
         |FROM t LEFT JOIN dr ON t.event_type = dr.event_type
-        |ORDER BY t.event_type""".stripMargin
+        |ORDER BY t.event_type""".stripMargin,
+
+    "warehouse_consent_ledger" ->
+      """WITH l AS (
+        |  SELECT user_id AS person, event_type AS purpose,
+        |    epoch_us(ts) AS ts_us, event_id,
+        |    CASE WHEN value >= 50 THEN 1 ELSE 0 END AS granted
+        |  FROM events),
+        |w AS (
+        |  SELECT person, purpose, granted,
+        |    LAG(granted) OVER win AS prev,
+        |    ROW_NUMBER() OVER (PARTITION BY person, purpose
+        |      ORDER BY ts_us DESC, event_id DESC) AS rn_desc
+        |  FROM l WINDOW win AS (PARTITION BY person, purpose ORDER BY ts_us, event_id)),
+        |st AS (
+        |  SELECT person, purpose,
+        |    MAX(CASE WHEN rn_desc = 1 THEN granted END) AS final_granted,
+        |    SUM(CASE WHEN prev IS NOT NULL AND prev <> granted THEN 1 ELSE 0 END) AS n_transitions
+        |  FROM w GROUP BY 1, 2)
+        |SELECT purpose, CAST(SUM(final_granted) AS BIGINT) AS n_granted,
+        |  CAST(SUM(1 - final_granted) AS BIGINT) AS n_revoked,
+        |  CAST(SUM(CASE WHEN n_transitions >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_flip_floppers,
+        |  CAST(SUM(n_transitions) AS BIGINT) AS total_transitions
+        |FROM st GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "join_survivorship_merge" ->
+      """WITH ent AS (SELECT CAST(c_custkey AS BIGINT) AS entity FROM customer),
+        |o AS (
+        |  SELECT entity, 'crm' AS system, CAST(1 AS BIGINT) AS priority,
+        |    ('0x' || substring(md5('crm:em:' || CAST(entity AS VARCHAR)), 1, 6))::BIGINT % 100000 AS email_h,
+        |    ('0x' || substring(md5('ph:' || CAST(entity AS VARCHAR)), 1, 6))::BIGINT % 100000 AS phone_h
+        |  FROM ent WHERE NOT (entity % 3 = 0)
+        |  UNION ALL
+        |  SELECT entity, 'web', 2,
+        |    ('0x' || substring(md5('web:em:' || CAST(entity AS VARCHAR)), 1, 6))::BIGINT % 100000,
+        |    ('0x' || substring(md5('ph:' || CAST(entity AS VARCHAR)), 1, 6))::BIGINT % 100000
+        |  FROM ent WHERE NOT (entity % 4 = 1)
+        |  UNION ALL
+        |  SELECT entity, 'legacy', 3,
+        |    ('0x' || substring(md5('legacy:em:' || CAST(entity AS VARCHAR)), 1, 6))::BIGINT % 100000,
+        |    ('0x' || substring(md5('lg:ph:' || CAST(entity AS VARCHAR)), 1, 6))::BIGINT % 100000
+        |  FROM ent),
+        |g AS (
+        |  SELECT entity,
+        |    arg_max(system, -priority) AS won_system,
+        |    arg_max(email_h, -priority) AS golden_email,
+        |    arg_max(phone_h, -priority) AS golden_phone
+        |  FROM o GROUP BY 1),
+        |c AS (
+        |  SELECT o.entity, g.won_system,
+        |    MAX(CASE WHEN o.email_h <> g.golden_email THEN 1 ELSE 0 END) AS email_conflict,
+        |    MAX(CASE WHEN o.phone_h <> g.golden_phone THEN 1 ELSE 0 END) AS phone_conflict
+        |  FROM o JOIN g ON o.entity = g.entity
+        |  GROUP BY 1, 2)
+        |SELECT won_system, CAST(COUNT(*) AS BIGINT) AS n_entities,
+        |  CAST(SUM(email_conflict) AS BIGINT) AS email_conflicts,
+        |  CAST(SUM(phone_conflict) AS BIGINT) AS phone_conflicts
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "llm_corpus_erasure_plan" ->
+      """WITH opt AS (SELECT CAST(t.i AS BIGINT) AS person
+        |  FROM generate_series(0, 149) AS t(i) WHERE t.i % 13 = 4),
+        |docs AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS toks,
+        |    CASE WHEN doc_id % 6 = 0 THEN doc_id % 150 END AS author,
+        |    CASE WHEN doc_id % 7 = 2 THEN (doc_id * 3) % 150 END AS mentions
+        |  FROM documents),
+        |f AS (
+        |  SELECT d.source, d.toks,
+        |    CASE WHEN oa.person IS NOT NULL THEN 1 ELSE 0 END AS remove,
+        |    CASE WHEN oa.person IS NULL AND om.person IS NOT NULL THEN 1 ELSE 0 END AS redact
+        |  FROM docs d
+        |  LEFT JOIN opt oa ON d.author = oa.person
+        |  LEFT JOIN opt om ON d.mentions = om.person)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(remove) AS BIGINT) AS docs_removed,
+        |  CAST(SUM(remove * toks) AS BIGINT) AS tokens_removed,
+        |  CAST(SUM(redact) AS BIGINT) AS docs_to_redact
+        |FROM f GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

@@ -154,4 +154,39 @@ class Round13Wave3Spec extends AnyFunSuite {
       assert(r.getBoolean(3) == (r.getLong(0) < 5))
     }
   }
+
+  test("warehouse_consent_ledger: censuses partition the person-purpose pairs") {
+    val rows = SparkEntry.queries("warehouse_consent_ledger")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val pairs = graft.Tables.events(spark, sf)
+      .select("user_id", "event_type").distinct().count()
+    assert(rows.map(r => r.getLong(1) + r.getLong(2)).sum == pairs)
+    rows.foreach(r => assert(r.getLong(3) <= r.getLong(1) + r.getLong(2)))
+  }
+
+  test("join_survivorship_merge: precedence wins and the planted conflict classes hold") {
+    val rows = SparkEntry.queries("join_survivorship_merge")(spark, sf).collect()
+    val byS = rows.map(r => r.getString(0) -> r).toMap
+    val n = graft.Tables.customer(spark, sf).count()
+    assert(rows.map(_.getLong(1)).sum == n)
+    // crm wins whenever present (k%3!=0); legacy only when crm AND web miss
+    val crmN = graft.Tables.customer(spark, sf)
+      .where(!(col("c_custkey") % 3 === 0)).count()
+    assert(byS("crm").getLong(1) == crmN)
+    // email hashes are system-salted -> every multi-source entity conflicts
+    assert(byS("crm").getLong(2) > 0)
+    // phone agrees between crm and web; legacy-won entities saw only legacy
+    assert(byS("legacy").getLong(3) == 0)
+  }
+
+  test("llm_corpus_erasure_plan: removal and redaction tiers are disjoint") {
+    val rows = SparkEntry.queries("llm_corpus_erasure_plan")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val docs = rows.map(_.getLong(1)).sum
+    assert(docs == graft.Tables.documents(spark, sf).count())
+    rows.foreach { r =>
+      assert(r.getLong(2) + r.getLong(4) <= r.getLong(1))
+      if (r.getLong(2) > 0) assert(r.getLong(3) > 0, s"removed docs with no tokens: $r")
+    }
+  }
 }
