@@ -922,6 +922,104 @@ object Round13Ops {
           sum(col("remove") * col("toks")).as("tokens_removed"),
           sum("redact").as("docs_to_redact"))
         .orderBy("source")
+    }),
+
+    // SCD TYPE-6 hybrid — the 1+2+3 composite beside warehouse_scd2's
+    // pure type-2 history: version rows from per-user event-type
+    // changes (type 2), every row carrying the CURRENT value (type 1,
+    // denormalized for point reads) and the PREVIOUS version's value
+    // (type 3, the one-hop diff). Graded per user: version count,
+    // current/previous values, the open version's start — the shape a
+    // person-dim consumer reads without touching history. One (user)
+    // window pass; versions shuffle on the user key.
+    "warehouse_scd6_hybrid" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+      val chg = Tables.events(s, d)
+        .select(col("user_id"), col("ts_us"), col("event_id"),
+          col("event_type").as("value"))
+        .withColumn("prev_row", lag("value", 1).over(w))
+        .where(col("prev_row").isNull || col("prev_row") =!= col("value"))
+      val wV = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+      val versions = chg
+        .withColumn("version_no", row_number().over(wV).cast("bigint"))
+        .withColumn("prev_value", lag("value", 1).over(wV))
+        .withColumn("rn_desc", row_number().over(
+          Window.partitionBy("user_id").orderBy(desc("ts_us"), desc("event_id"))))
+      versions.groupBy("user_id")
+        .agg(max("version_no").as("n_versions"),
+          max(when(col("rn_desc") === 1, col("value"))).as("current_value"),
+          max(when(col("rn_desc") === 1, col("prev_value"))).as("prev_value"),
+          max(when(col("rn_desc") === 1, col("ts_us"))).as("current_from_us"))
+        .orderBy("user_id")
+    }),
+
+    // Speaker-turn diarization census — the meeting-audio analytics a
+    // transcript pipeline emits: per hour-long session, segments in the
+    // (ts_us, event_id) total order, speaker = the segment's channel
+    // (user_id % 4), a TURN = a maximal same-speaker run (islands via
+    // the lag-break cumsum), dominant-speaker share in exact ppm.
+    // Graded per session: segment/turn censuses, longest turn, balance.
+    "mm_diarization_turns" -> ((s, d) => {
+      val w = Window.partitionBy("session").orderBy("ts_us", "event_id")
+      val segs = Tables.events(s, d)
+        .select(expr("ts_us DIV 3600000000").as("session"),
+          col("ts_us"), col("event_id"), (col("user_id") % 4).as("speaker"))
+        .withColumn("prev", lag("speaker", 1).over(w))
+        .withColumn("brk",
+          when(col("prev").isNull || col("prev") =!= col("speaker"), 1L).otherwise(0L))
+        .withColumn("turn_id", sum("brk").over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val turns = segs.groupBy("session", "turn_id")
+        .agg(count(lit(1)).as("turn_len"))
+      val bySpeaker = segs.groupBy("session", "speaker")
+        .agg(count(lit(1)).as("n_seg"))
+        .groupBy("session")
+        .agg(max("n_seg").as("dom_segs"), sum("n_seg").as("n_segments"))
+      turns.groupBy("session")
+        .agg(count(lit(1)).as("n_turns"), max("turn_len").as("longest_turn"))
+        .join(bySpeaker, Seq("session"))
+        .withColumn("dominant_ppm", expr("(dom_segs * 1000000) DIV n_segments"))
+        .select("session", "n_segments", "n_turns", "longest_turn", "dominant_ppm")
+        .orderBy("session")
+    }),
+
+    // RFC 7396 JSON MERGE PATCH — the partial-update wire every person
+    // API speaks (PATCH /person/{id}): base profile object, per-class
+    // patches (value update / null-deletes-key / empty no-op), merge =
+    // patch keys override, null patch values DELETE. The Spark side
+    // works on typed maps (map_filter/map_concat — codegen'd, no UDF);
+    // the DuckDB twin is its native json_merge_patch. Canonical
+    // 'k=v|…' rendering on both engines makes the result hash-exact.
+    "fn_json_merge_patch" -> ((s, d) => {
+      val t = Tables.customer(s, d)
+        .select(col("c_custkey").cast("bigint").as("k"),
+          col("c_mktsegment").as("seg"),
+          col("c_nationkey").cast("bigint").as("nat"))
+        .withColumn("cls", (col("k") % 3).cast("int"))
+      val merged = t
+        .withColumn("base", map(
+          lit("name"), concat(lit("cust_"), col("k").cast("string")),
+          lit("tier"), col("seg"),
+          lit("region"), col("nat").cast("string")))
+        // patch as a map where a NULL value means RFC-7396 delete
+        .withColumn("patch",
+          when(col("cls") === 0, map(lit("tier"), lit("gold")))
+            .when(col("cls") === 1,
+              map(lit("region"), lit(null).cast("string")))
+            .otherwise(expr("map()")))
+        .withColumn("merged", expr(
+          """map_concat(
+            |  map_filter(base, (bk, bv) -> NOT array_contains(map_keys(patch), bk)),
+            |  map_filter(patch, (pk, pv) -> pv IS NOT NULL))""".stripMargin))
+        .withColumn("canon", expr(
+          """concat_ws('|', transform(array_sort(map_keys(merged)),
+            |  mk -> concat(mk, '=', element_at(merged, mk))))""".stripMargin))
+      merged.groupBy("cls")
+        .agg(count(lit(1)).as("n_profiles"),
+          min("canon").as("canon_example"),
+          countDistinct(expr("size(merged)")).as("n_distinct_sizes"),
+          max(expr("size(merged)")).cast("bigint").as("max_keys"))
+        .orderBy("cls")
     })
   )
 
@@ -1416,6 +1514,86 @@ object Round13Ops {
         |  CAST(SUM(remove) AS BIGINT) AS docs_removed,
         |  CAST(SUM(remove * toks) AS BIGINT) AS tokens_removed,
         |  CAST(SUM(redact) AS BIGINT) AS docs_to_redact
-        |FROM f GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM f GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "warehouse_scd6_hybrid" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type AS value,
+        |    LAG(event_type) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev_row
+        |  FROM events),
+        |chg AS (SELECT user_id, ts_us, event_id, value FROM e
+        |  WHERE prev_row IS NULL OR prev_row <> value),
+        |v AS (
+        |  SELECT user_id, ts_us, value,
+        |    ROW_NUMBER() OVER w AS version_no,
+        |    LAG(value) OVER w AS prev_value,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts_us DESC, event_id DESC) AS rn_desc
+        |  FROM chg WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id))
+        |SELECT user_id, CAST(MAX(version_no) AS BIGINT) AS n_versions,
+        |  MAX(CASE WHEN rn_desc = 1 THEN value END) AS current_value,
+        |  MAX(CASE WHEN rn_desc = 1 THEN prev_value END) AS prev_value,
+        |  CAST(MAX(CASE WHEN rn_desc = 1 THEN ts_us END) AS BIGINT) AS current_from_us
+        |FROM v GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "mm_diarization_turns" ->
+      """WITH segs AS (
+        |  SELECT epoch_us(ts) // 3600000000 AS session,
+        |    epoch_us(ts) AS ts_us, event_id, user_id % 4 AS speaker
+        |  FROM events),
+        |l AS (
+        |  SELECT session, ts_us, event_id, speaker,
+        |    LAG(speaker) OVER w AS prev
+        |  FROM segs WINDOW w AS (PARTITION BY session ORDER BY ts_us, event_id)),
+        |r AS (
+        |  SELECT session, speaker,
+        |    SUM(CASE WHEN prev IS NULL OR prev <> speaker THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY session ORDER BY ts_us, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS turn_id
+        |  FROM l),
+        |t AS (
+        |  SELECT session, CAST(COUNT(DISTINCT turn_id) AS BIGINT) AS n_turns,
+        |    CAST(MAX(cnt) AS BIGINT) AS longest_turn
+        |  FROM (SELECT session, turn_id, COUNT(*) AS cnt FROM r GROUP BY 1, 2)
+        |  GROUP BY 1),
+        |sp AS (
+        |  SELECT session, CAST(MAX(n_seg) AS BIGINT) AS dom_segs,
+        |    CAST(SUM(n_seg) AS BIGINT) AS n_segments
+        |  FROM (SELECT session, speaker, COUNT(*) AS n_seg FROM segs GROUP BY 1, 2)
+        |  GROUP BY 1)
+        |SELECT t.session, sp.n_segments, t.n_turns, t.longest_turn,
+        |  (sp.dom_segs * 1000000) // sp.n_segments AS dominant_ppm
+        |FROM t JOIN sp ON t.session = sp.session
+        |ORDER BY t.session""".stripMargin,
+
+    "fn_json_merge_patch" ->
+      """WITH t AS (
+        |  SELECT CAST(c_custkey AS BIGINT) AS k,
+        |    CAST(c_custkey % 3 AS INT) AS cls,
+        |    json_object('name', 'cust_' || CAST(c_custkey AS VARCHAR),
+        |      'tier', c_mktsegment,
+        |      'region', CAST(CAST(c_nationkey AS BIGINT) AS VARCHAR)) AS base,
+        |    CASE CAST(c_custkey % 3 AS INT)
+        |      WHEN 0 THEN '{"tier": "gold"}'
+        |      WHEN 1 THEN '{"region": null}'
+        |      ELSE '{}' END AS patch
+        |  FROM customer),
+        |m AS (
+        |  SELECT cls, json_merge_patch(base, patch) AS mg FROM t),
+        |c AS (
+        |  SELECT cls,
+        |    concat_ws('|',
+        |      CASE WHEN json_extract_string(mg, '$.name') IS NOT NULL
+        |        THEN 'name=' || json_extract_string(mg, '$.name') END,
+        |      CASE WHEN json_extract_string(mg, '$.region') IS NOT NULL
+        |        THEN 'region=' || json_extract_string(mg, '$.region') END,
+        |      CASE WHEN json_extract_string(mg, '$.tier') IS NOT NULL
+        |        THEN 'tier=' || json_extract_string(mg, '$.tier') END) AS canon,
+        |    CAST(len(json_keys(mg)) AS BIGINT) AS nk
+        |  FROM m)
+        |SELECT cls, CAST(COUNT(*) AS BIGINT) AS n_profiles,
+        |  MIN(canon) AS canon_example,
+        |  CAST(COUNT(DISTINCT nk) AS BIGINT) AS n_distinct_sizes,
+        |  CAST(MAX(nk) AS BIGINT) AS max_keys
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

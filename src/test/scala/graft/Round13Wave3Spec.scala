@@ -189,4 +189,41 @@ class Round13Wave3Spec extends AnyFunSuite {
       if (r.getLong(2) > 0) assert(r.getLong(3) > 0, s"removed docs with no tokens: $r")
     }
   }
+
+  test("warehouse_scd6_hybrid: type-1/2/3 columns agree per user") {
+    val rows = SparkEntry.queries("warehouse_scd6_hybrid")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nv, cur, prev) = (r.getLong(1), r.getString(2), r.getString(3))
+      assert(nv >= 1L)
+      if (nv == 1L) assert(prev == null, s"single version with a prev: $r")
+      else assert(prev != null && prev != cur, s"prev must differ from current: $r")
+    }
+  }
+
+  test("mm_diarization_turns: turns partition segments, dominance bounded") {
+    val rows = SparkEntry.queries("mm_diarization_turns")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (segs, turns, longest, dom) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(turns >= 1L && turns <= segs)
+      assert(longest >= 1L && longest <= segs)
+      assert(dom >= 1000000L / 4 - 1 && dom <= 1000000L)
+    }
+  }
+
+  test("fn_json_merge_patch: RFC 7396 classes produce the right key sets") {
+    val rows = SparkEntry.queries("fn_json_merge_patch")(spark, sf).collect()
+    val byCls = rows.map(r => r.getInt(0) -> r).toMap
+    // cls 0: tier overridden to gold, 3 keys
+    assert(byCls(0).getString(2).contains("tier=gold"))
+    assert(byCls(0).getLong(4) == 3L)
+    // cls 1: region DELETED, 2 keys
+    assert(!byCls(1).getString(2).contains("region="))
+    assert(byCls(1).getLong(4) == 2L)
+    // cls 2: no-op keeps all 3
+    assert(byCls(2).getLong(4) == 3L)
+    rows.foreach(r => assert(r.getLong(3) == 1L)) // uniform size per class
+  }
 }
