@@ -1020,6 +1020,112 @@ object Round13Ops {
           countDistinct(expr("size(merged)")).as("n_distinct_sizes"),
           max(expr("size(merged)")).cast("bigint").as("max_keys"))
         .orderBy("cls")
+    }),
+
+    // Demographic-parity fairness audit — the governance gate before a
+    // person-scoring model ships: per protected group (nation) the
+    // positive-decision rate in exact ppm (decisions md5-derived with a
+    // PLANTED per-group bias so the audit has real signal), the signed
+    // gap against the overall rate, and the disparate-impact ratio vs
+    // the best-treated group in exact milli via cross-multiplication
+    // (the EEOC 80% rule flags di < 800). Two rollups; group count is
+    // the nation alphabet.
+    "agg_fairness_parity" -> ((s, d) => {
+      val t = Tables.customer(s, d)
+        .select(col("c_custkey").cast("bigint").as("k"),
+          col("c_nationkey").cast("bigint").as("grp"))
+        .withColumn("pos", (expr(
+          "CAST(conv(substring(md5(concat('fair:', CAST(k AS STRING))), 1, 6), 16, 10) AS BIGINT) % 1000")
+          < (lit(450L) + col("grp") * 10L)).cast("long"))
+      val g = t.groupBy("grp")
+        .agg(count(lit(1)).as("n"), sum("pos").as("n_pos"))
+        .withColumn("rate_ppm", expr("(n_pos * 1000000) DIV n"))
+        .localCheckpoint()
+      val overall = g.agg(sum("n").as("nn"), sum("n_pos").as("pp"))
+        .select(expr("(pp * 1000000) DIV nn").as("overall_ppm"))
+      val best = g.orderBy(desc("rate_ppm"), col("grp")).limit(1)
+        .select(col("n").as("n_b"), col("n_pos").as("p_b"))
+      g.crossJoin(broadcast(overall)).crossJoin(broadcast(best))
+        .withColumn("gap_ppm", col("rate_ppm") - col("overall_ppm"))
+        .withColumn("di_milli", expr("(n_pos * n_b * 1000) DIV (n * p_b)"))
+        .withColumn("fails_80pct_rule", col("di_milli") < 800)
+        .select("grp", "n", "n_pos", "rate_ppm", "gap_ppm",
+          "di_milli", "fails_80pct_rule")
+        .orderBy("grp")
+    }),
+
+    // Phone E.164 normalization — the contact-hygiene pass of a person
+    // service: four planted dial formats (international with
+    // punctuation, national with trunk '0' → +44, too-short invalid,
+    // NANP with dashes), normalized by regex surgery (strip
+    // non-digits, trunk-zero replacement, NANP default) and validated
+    // by E.164 length bounds. Per class: census, valid count, the
+    // canonical example — the join key the identity graph dials on.
+    "fn_phone_normalize" -> ((s, d) => {
+      val t = Tables.customer(s, d)
+        .select(col("c_custkey").cast("bigint").as("k"))
+        .withColumn("cls", (col("k") % 4).cast("int"))
+        .withColumn("tail", lpad((col("k") % 100).cast("string"), 2, "0"))
+        .withColumn("raw",
+          when(col("cls") === 0, concat(lit("+44 20 7946 09"), col("tail")))
+            .when(col("cls") === 1, concat(lit("020 7946 09"), col("tail")))
+            .when(col("cls") === 2, concat(lit("555-12"), col("tail")))
+            .otherwise(concat(lit("+1-202-555-01"), col("tail"))))
+        // keep a leading +, drop every other non-digit
+        .withColumn("digits", regexp_replace(col("raw"), "[^0-9+]", ""))
+        .withColumn("e164",
+          when(col("digits").startsWith("+"), col("digits"))
+            .when(col("digits").startsWith("0"),
+              concat(lit("+44"), expr("substring(digits, 2)")))
+            .otherwise(concat(lit("+1"), col("digits"))))
+        .withColumn("valid",
+          (length(col("e164")) >= 12 && length(col("e164")) <= 14).cast("long"))
+      t.groupBy("cls")
+        .agg(count(lit(1)).as("n_phones"), sum("valid").as("n_valid"),
+          min("e164").as("e164_example"))
+        .orderBy("cls")
+    }),
+
+    // Fellegi–Sunter probabilistic record linkage — the scoring layer
+    // over blocked candidate pairs (the decision-theoretic classic
+    // beside join_entity_resolution's pure edit distance): per pair the
+    // name/city/birth-year field comparisons earn declared integer
+    // log-odds weights (agree +24/+8/+10, disagree −12/−4/−6, ×10 déci-
+    // bans), planted disagreements (city drifts for k%15==2, yob shifts
+    // for k%9==5), and the score classifies link / possible / non-link
+    // at the 30/8 thresholds. Graded per class: pair census, exact
+    // score mass — the clerical-review queue sizing.
+    "join_fellegi_sunter" -> ((s, d) => {
+      def roster(side: String) = Tables.customer(s, d)
+        .select(col("c_custkey").cast("bigint").as("k"),
+          col("c_nationkey").cast("bigint").as("city0"))
+        .withColumn("name", concat(lit("cust_"), lpad(col("k").cast("string"), 7, "0")))
+        .withColumn("yob", lit(1950L) + col("k") % 50)
+        .withColumn("city",
+          if (side == "dirty")
+            when(col("k") % 15 === 2, (col("city0") + 1) % 25).otherwise(col("city0"))
+          else col("city0"))
+        .withColumn("yob",
+          if (side == "dirty")
+            when(col("k") % 9 === 5, col("yob") + 1).otherwise(col("yob"))
+          else col("yob"))
+        .withColumn("block", substring(col("name"), 1, 11))
+      val m = roster("master").select(col("k").as("mk"), col("name").as("mname"),
+        col("city").as("mcity"), col("yob").as("myob"), col("block"))
+      val dd = roster("dirty").select(col("k").as("dk"), col("name").as("dname"),
+        col("city").as("dcity"), col("yob").as("dyob"), col("block"))
+      dd.join(m, Seq("block"))
+        .withColumn("score",
+          when(col("dname") === col("mname"), 240L).otherwise(-120L) +
+            when(col("dcity") === col("mcity"), 80L).otherwise(-40L) +
+            when(col("dyob") === col("myob"), 100L).otherwise(-60L))
+        .withColumn("classification",
+          when(col("score") >= 300L, lit("link"))
+            .when(col("score") >= 80L, lit("possible"))
+            .otherwise(lit("non_link")))
+        .groupBy("classification")
+        .agg(count(lit(1)).as("n_pairs"), sum("score").as("score_mass"))
+        .orderBy("classification")
     })
   )
 
@@ -1594,6 +1700,83 @@ object Round13Ops {
         |  MIN(canon) AS canon_example,
         |  CAST(COUNT(DISTINCT nk) AS BIGINT) AS n_distinct_sizes,
         |  CAST(MAX(nk) AS BIGINT) AS max_keys
-        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "agg_fairness_parity" ->
+      """WITH t AS (
+        |  SELECT CAST(c_custkey AS BIGINT) AS k,
+        |    CAST(c_nationkey AS BIGINT) AS grp,
+        |    CASE WHEN ('0x' || substring(md5('fair:' || CAST(c_custkey AS VARCHAR)), 1, 6))::BIGINT % 1000
+        |      < 450 + CAST(c_nationkey AS BIGINT) * 10 THEN 1 ELSE 0 END AS pos
+        |  FROM customer),
+        |g AS (
+        |  SELECT grp, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(pos) AS BIGINT) AS n_pos,
+        |    (CAST(SUM(pos) AS BIGINT) * 1000000) // COUNT(*) AS rate_ppm
+        |  FROM t GROUP BY 1),
+        |ov AS (SELECT (SUM(n_pos) * 1000000) // SUM(n) AS overall_ppm FROM g),
+        |b AS (
+        |  SELECT n AS n_b, n_pos AS p_b FROM g
+        |  ORDER BY rate_ppm DESC, grp LIMIT 1)
+        |SELECT grp, n, n_pos, CAST(rate_ppm AS BIGINT) AS rate_ppm,
+        |  CAST(rate_ppm - overall_ppm AS BIGINT) AS gap_ppm,
+        |  CAST((n_pos * n_b * 1000) // (n * p_b) AS BIGINT) AS di_milli,
+        |  (n_pos * n_b * 1000) // (n * p_b) < 800 AS fails_80pct_rule
+        |FROM g, ov, b ORDER BY grp""".stripMargin,
+
+    "fn_phone_normalize" ->
+      """WITH t AS (
+        |  SELECT CAST(c_custkey AS BIGINT) AS k,
+        |    CAST(c_custkey % 4 AS INT) AS cls,
+        |    lpad(CAST(c_custkey % 100 AS VARCHAR), 2, '0') AS tail
+        |  FROM customer),
+        |r AS (
+        |  SELECT k, cls,
+        |    CASE cls
+        |      WHEN 0 THEN '+44 20 7946 09' || tail
+        |      WHEN 1 THEN '020 7946 09' || tail
+        |      WHEN 2 THEN '555-12' || tail
+        |      ELSE '+1-202-555-01' || tail END AS raw
+        |  FROM t),
+        |n AS (
+        |  SELECT cls, regexp_replace(raw, '[^0-9+]', '', 'g') AS digits
+        |  FROM r),
+        |e AS (
+        |  SELECT cls,
+        |    CASE
+        |      WHEN starts_with(digits, '+') THEN digits
+        |      WHEN starts_with(digits, '0') THEN '+44' || substring(digits, 2)
+        |      ELSE '+1' || digits END AS e164
+        |  FROM n)
+        |SELECT cls, CAST(COUNT(*) AS BIGINT) AS n_phones,
+        |  CAST(SUM(CASE WHEN length(e164) BETWEEN 12 AND 14 THEN 1 ELSE 0 END) AS BIGINT) AS n_valid,
+        |  MIN(e164) AS e164_example
+        |FROM e GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "join_fellegi_sunter" ->
+      """WITH base AS (
+        |  SELECT CAST(c_custkey AS BIGINT) AS k,
+        |    CAST(c_nationkey AS BIGINT) AS city0,
+        |    'cust_' || lpad(CAST(c_custkey AS VARCHAR), 7, '0') AS name,
+        |    1950 + CAST(c_custkey AS BIGINT) % 50 AS yob0
+        |  FROM customer),
+        |m AS (SELECT k AS mk, name AS mname, city0 AS mcity, yob0 AS myob,
+        |    substring(name, 1, 11) AS block FROM base),
+        |dd AS (
+        |  SELECT k AS dk, name AS dname,
+        |    CASE WHEN k % 15 = 2 THEN (city0 + 1) % 25 ELSE city0 END AS dcity,
+        |    CASE WHEN k % 9 = 5 THEN yob0 + 1 ELSE yob0 END AS dyob,
+        |    substring(name, 1, 11) AS block
+        |  FROM base),
+        |p AS (
+        |  SELECT (CASE WHEN dname = mname THEN 240 ELSE -120 END
+        |    + CASE WHEN dcity = mcity THEN 80 ELSE -40 END
+        |    + CASE WHEN dyob = myob THEN 100 ELSE -60 END) AS score
+        |  FROM dd JOIN m ON dd.block = m.block)
+        |SELECT CASE WHEN score >= 300 THEN 'link'
+        |    WHEN score >= 80 THEN 'possible' ELSE 'non_link' END AS classification,
+        |  CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |  CAST(SUM(score) AS BIGINT) AS score_mass
+        |FROM p GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

@@ -226,4 +226,38 @@ class Round13Wave3Spec extends AnyFunSuite {
     assert(byCls(2).getLong(4) == 3L)
     rows.foreach(r => assert(r.getLong(3) == 1L)) // uniform size per class
   }
+
+  test("agg_fairness_parity: planted bias surfaces, best group passes the 80% rule") {
+    val rows = SparkEntry.queries("agg_fairness_parity")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val n = graft.Tables.customer(spark, sf).count()
+    assert(rows.map(_.getLong(1)).sum == n)
+    val best = rows.maxBy(_.getLong(5))
+    assert(best.getLong(5) == 1000L && !best.getBoolean(6))
+    // the planted bias grows with group id: top-coded groups treat better
+    val lowG = rows.minBy(_.getLong(0)); val hiG = rows.maxBy(_.getLong(0))
+    assert(hiG.getLong(3) > lowG.getLong(3), "planted bias did not surface")
+  }
+
+  test("fn_phone_normalize: classes normalize as declared") {
+    val rows = SparkEntry.queries("fn_phone_normalize")(spark, sf).collect()
+    val byCls = rows.map(r => r.getInt(0) -> r).toMap
+    assert(byCls(0).getString(3).startsWith("+4420794609"))
+    assert(byCls(1).getString(3).startsWith("+4420794609")) // trunk 0 folded
+    assert(byCls(2).getLong(2) == 0L)                       // too short: invalid
+    assert(byCls(3).getString(3).startsWith("+120255501"))
+    assert(byCls(0).getLong(2) == byCls(0).getLong(1))      // all valid
+  }
+
+  test("join_fellegi_sunter: thresholds respect the planted disagreement classes") {
+    val rows = SparkEntry.queries("join_fellegi_sunter")(spark, sf).collect()
+    val byCls = rows.map(r => r.getString(0) -> r.getLong(1)).toMap
+    // same-name pairs always score >= 240-40-60 >= 80: every self pair links
+    // or is possible; cross-block pairs within a block can be non_link
+    assert(byCls.getOrElse("link", 0L) > 0L)
+    assert(byCls.getOrElse("possible", 0L) > 0L || byCls.getOrElse("non_link", 0L) >= 0L)
+    // pairs census equals sum over blocks of |dirty block| x |master block|
+    val n = byCls.values.sum
+    assert(n >= graft.Tables.customer(spark, sf).count())
+  }
 }
