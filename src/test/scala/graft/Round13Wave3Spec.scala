@@ -234,9 +234,12 @@ class Round13Wave3Spec extends AnyFunSuite {
     assert(rows.map(_.getLong(1)).sum == n)
     val best = rows.maxBy(_.getLong(5))
     assert(best.getLong(5) == 1000L && !best.getBoolean(6))
-    // the planted bias grows with group id: top-coded groups treat better
-    val lowG = rows.minBy(_.getLong(0)); val hiG = rows.maxBy(_.getLong(0))
-    assert(hiG.getLong(3) > lowG.getLong(3), "planted bias did not surface")
+    // the planted bias grows with group id — visible in the HALVES even
+    // at the tiny fixture (per-group n is single digits there)
+    val (lo, hi) = rows.partition(_.getLong(0) < 12)
+    def rate(rs: Array[org.apache.spark.sql.Row]) =
+      rs.map(_.getLong(2)).sum.toDouble / rs.map(_.getLong(1)).sum
+    assert(rate(hi) > rate(lo), "planted bias did not surface")
   }
 
   test("fn_phone_normalize: classes normalize as declared") {
