@@ -1126,6 +1126,108 @@ object Round13Ops {
         .groupBy("classification")
         .agg(count(lit(1)).as("n_pairs"), sum("score").as("score_mass"))
         .orderBy("classification")
+    }),
+
+    // Postal-address component parsing — the other half of the person
+    // cleanup pair beside fn_name_standardize: four planted layout
+    // classes (US street + unit, bare street, PO box, UK flat) parsed
+    // by anchored regexp_extract into house/street/unit/postcode, with
+    // a per-class parse-complete census (a component the layout lacks
+    // parses empty by design, never by accident). One linear
+    // projection + rollup; both engines share the regex dialect for
+    // these patterns.
+    "fn_address_parse" -> ((s, d) => {
+      val t = Tables.customer(s, d)
+        .select(col("c_custkey").cast("bigint").as("k"))
+        .withColumn("cls", (col("k") % 4).cast("int"))
+        .withColumn("hn", (col("k") % 9000 + 1).cast("string"))
+        .withColumn("zip", lpad((col("k") % 100000).cast("string"), 5, "0"))
+        .withColumn("raw",
+          when(col("cls") === 0, concat(col("hn"), lit(" Oak Street Apt 7, "), col("zip")))
+            .when(col("cls") === 1, concat(col("hn"), lit(" Main St, "), col("zip")))
+            .when(col("cls") === 2, concat(lit("PO Box "), col("hn"), lit(", "), col("zip")))
+            .otherwise(concat(lit("Flat 3 "), col("hn"), lit(" High Road, "), col("zip"))))
+        .withColumn("house_no", regexp_extract(col("raw"), "^(?:Flat \\d+ )?(\\d+) ", 1))
+        .withColumn("street", regexp_extract(col("raw"), "\\d+ ([A-Za-z ]+?)(?: Apt \\d+)?, ", 1))
+        .withColumn("unit", regexp_extract(col("raw"), "(Apt \\d+|Flat \\d+|PO Box \\d+)", 1))
+        .withColumn("postcode", regexp_extract(col("raw"), ", (\\d{5})$", 1))
+      t.groupBy("cls")
+        .agg(count(lit(1)).as("n_addresses"),
+          sum(when(col("house_no") =!= "", 1L).otherwise(0L)).as("with_house"),
+          sum(when(col("unit") =!= "", 1L).otherwise(0L)).as("with_unit"),
+          sum(when(col("postcode") =!= "", 1L).otherwise(0L)).as("with_postcode"),
+          min("street").as("street_example"))
+        .orderBy("cls")
+    }),
+
+    // Meter-reading gap interpolation — the time-series fill that
+    // RESAMPLES VALUES, not zeros (agg_resample_gapfill's sibling for
+    // monotone counters): per meter an hourly grid with planted gaps
+    // (md5-dropped hours), missing readings linearly interpolated
+    // between the bracketing real readings in EXACT integer arithmetic
+    // (pv + Δv·Δt DIV span — every division floor on both engines).
+    // Per-meter census: hours, gaps, interpolated mass; the billing
+    // shape that cannot tolerate a float. One ignore-nulls window pair
+    // per meter.
+    "win_meter_interpolate" -> ((s, d) => {
+      val grid = Tables.supplier(s, d)
+        .select(col("s_suppkey").cast("bigint").as("meter"))
+        .select(col("meter"), explode(expr("sequence(CAST(0 AS BIGINT), 47)")).as("h"))
+        .withColumn("present", expr(
+          "CAST(conv(substring(md5(concat('mr:', CAST(meter AS STRING), ':', CAST(h AS STRING))), 1, 6), 16, 10) AS BIGINT) % 3 <> 0"))
+        .withColumn("reading",
+          when(col("present"),
+            col("meter") * 100000L + col("h") * 1000L +
+              expr("CAST(conv(substring(md5(concat('rv:', CAST(meter AS STRING), ':', CAST(h AS STRING))), 1, 6), 16, 10) AS BIGINT) % 500"))
+            .otherwise(lit(null)))
+      val w = Window.partitionBy("meter").orderBy("h")
+      val filled = grid
+        .withColumn("pv", last("reading", ignoreNulls = true)
+          .over(w.rowsBetween(Window.unboundedPreceding, -1)))
+        .withColumn("ph", last(when(col("reading").isNotNull, col("h")), ignoreNulls = true)
+          .over(w.rowsBetween(Window.unboundedPreceding, -1)))
+        .withColumn("nv", first("reading", ignoreNulls = true)
+          .over(w.rowsBetween(1, Window.unboundedFollowing)))
+        .withColumn("nh", first(when(col("reading").isNotNull, col("h")), ignoreNulls = true)
+          .over(w.rowsBetween(1, Window.unboundedFollowing)))
+        .withColumn("interp",
+          when(col("reading").isNotNull, col("reading"))
+            .when(col("pv").isNotNull && col("nv").isNotNull, expr(
+              "pv + ((nv - pv) * (h - ph)) DIV (nh - ph)"))
+            .otherwise(lit(null)))
+      filled.groupBy("meter")
+        .agg(count(lit(1)).as("n_hours"),
+          sum(when(col("reading").isNull, 1L).otherwise(0L)).as("n_gaps"),
+          sum(when(col("reading").isNull && col("interp").isNotNull, 1L)
+            .otherwise(0L)).as("n_interpolated"),
+          sum(when(col("reading").isNull, col("interp"))).as("interpolated_mass"))
+        .orderBy("meter")
+    }),
+
+    // Table-freshness SLA audit — the first data-quality page every
+    // warehouse on-call reads: per stream (event type) the last-arrival
+    // age against a declared per-stream SLA, plus the worst
+    // inter-arrival gap (the burst/stall detector). 'Now' is the
+    // corpus high-water mark, so the audit is a pure function of the
+    // data (replayable). One type rollup + one lag window.
+    "warehouse_freshness_sla" -> ((s, d) => {
+      val w = Window.partitionBy("event_type").orderBy("ts_us", "event_id")
+      val gaps = Tables.events(s, d)
+        .select(col("event_type"), col("ts_us"), col("event_id"))
+        .withColumn("gap_us", col("ts_us") - lag("ts_us", 1).over(w))
+      val perType = gaps.groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"), max("ts_us").as("last_ts_us"),
+          max("gap_us").as("max_gap_us"))
+      val now = perType.agg(max("last_ts_us").as("now_us"))
+      perType.crossJoin(broadcast(now))
+        .withColumn("age_hours", expr("(now_us - last_ts_us) DIV 3600000000"))
+        .withColumn("sla_hours", expr(
+          """CAST(CASE event_type WHEN 'view' THEN 1 WHEN 'click' THEN 2
+            |WHEN 'cart' THEN 6 WHEN 'purchase' THEN 24 ELSE 48 END AS BIGINT)""".stripMargin))
+        .withColumn("stale", col("age_hours") > col("sla_hours"))
+        .select("event_type", "n_events", "age_hours", "sla_hours",
+          "stale", "max_gap_us")
+        .orderBy("event_type")
     })
   )
 
@@ -1777,6 +1879,93 @@ object Round13Ops {
         |    WHEN score >= 80 THEN 'possible' ELSE 'non_link' END AS classification,
         |  CAST(COUNT(*) AS BIGINT) AS n_pairs,
         |  CAST(SUM(score) AS BIGINT) AS score_mass
-        |FROM p GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM p GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "fn_address_parse" ->
+      """WITH t AS (
+        |  SELECT CAST(c_custkey AS BIGINT) AS k, CAST(c_custkey % 4 AS INT) AS cls,
+        |    CAST(c_custkey % 9000 + 1 AS VARCHAR) AS hn,
+        |    lpad(CAST(c_custkey % 100000 AS VARCHAR), 5, '0') AS zip
+        |  FROM customer),
+        |r AS (
+        |  SELECT cls,
+        |    CASE cls
+        |      WHEN 0 THEN hn || ' Oak Street Apt 7, ' || zip
+        |      WHEN 1 THEN hn || ' Main St, ' || zip
+        |      WHEN 2 THEN 'PO Box ' || hn || ', ' || zip
+        |      ELSE 'Flat 3 ' || hn || ' High Road, ' || zip END AS raw
+        |  FROM t),
+        |p AS (
+        |  SELECT cls,
+        |    regexp_extract(raw, '^(?:Flat \d+ )?(\d+) ', 1) AS house_no,
+        |    regexp_extract(raw, '\d+ ([A-Za-z ]+?)(?: Apt \d+)?, ', 1) AS street,
+        |    regexp_extract(raw, '(Apt \d+|Flat \d+|PO Box \d+)', 1) AS unit,
+        |    regexp_extract(raw, ', (\d{5})$', 1) AS postcode
+        |  FROM r)
+        |SELECT cls, CAST(COUNT(*) AS BIGINT) AS n_addresses,
+        |  CAST(SUM(CASE WHEN house_no <> '' THEN 1 ELSE 0 END) AS BIGINT) AS with_house,
+        |  CAST(SUM(CASE WHEN unit <> '' THEN 1 ELSE 0 END) AS BIGINT) AS with_unit,
+        |  CAST(SUM(CASE WHEN postcode <> '' THEN 1 ELSE 0 END) AS BIGINT) AS with_postcode,
+        |  MIN(street) AS street_example
+        |FROM p GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "win_meter_interpolate" ->
+      """WITH pos AS (SELECT CAST(t.i AS BIGINT) AS h FROM generate_series(0, 47) AS t(i)),
+        |grid AS (
+        |  SELECT CAST(s_suppkey AS BIGINT) AS meter, pos.h,
+        |    ('0x' || substring(md5('mr:' || CAST(s_suppkey AS VARCHAR) || ':' || CAST(pos.h AS VARCHAR)), 1, 6))::BIGINT % 3 <> 0 AS present
+        |  FROM supplier, pos),
+        |rd AS (
+        |  SELECT meter, h,
+        |    CASE WHEN present THEN
+        |      meter * 100000 + h * 1000 +
+        |      ('0x' || substring(md5('rv:' || CAST(meter AS VARCHAR) || ':' || CAST(h AS VARCHAR)), 1, 6))::BIGINT % 500
+        |    END AS reading
+        |  FROM grid),
+        |f AS (
+        |  SELECT meter, h, reading,
+        |    LAST_VALUE(reading IGNORE NULLS) OVER
+        |      (PARTITION BY meter ORDER BY h ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pv,
+        |    LAST_VALUE(CASE WHEN reading IS NOT NULL THEN h END IGNORE NULLS) OVER
+        |      (PARTITION BY meter ORDER BY h ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS ph,
+        |    FIRST_VALUE(reading IGNORE NULLS) OVER
+        |      (PARTITION BY meter ORDER BY h ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nv,
+        |    FIRST_VALUE(CASE WHEN reading IS NOT NULL THEN h END IGNORE NULLS) OVER
+        |      (PARTITION BY meter ORDER BY h ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nh
+        |  FROM rd),
+        |i AS (
+        |  SELECT meter, reading,
+        |    CASE WHEN reading IS NOT NULL THEN reading
+        |      WHEN pv IS NOT NULL AND nv IS NOT NULL
+        |        THEN pv + ((nv - pv) * (h - ph)) // (nh - ph)
+        |    END AS interp
+        |  FROM f)
+        |SELECT meter, CAST(COUNT(*) AS BIGINT) AS n_hours,
+        |  CAST(SUM(CASE WHEN reading IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_gaps,
+        |  CAST(SUM(CASE WHEN reading IS NULL AND interp IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_interpolated,
+        |  CAST(SUM(CASE WHEN reading IS NULL THEN interp END) AS BIGINT) AS interpolated_mass
+        |FROM i GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "warehouse_freshness_sla" ->
+      """WITH e AS (
+        |  SELECT event_type, epoch_us(ts) AS ts_us, event_id,
+        |    epoch_us(ts) - LAG(epoch_us(ts)) OVER
+        |      (PARTITION BY event_type ORDER BY epoch_us(ts), event_id) AS gap_us
+        |  FROM events),
+        |pt AS (
+        |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |    CAST(MAX(ts_us) AS BIGINT) AS last_ts_us,
+        |    CAST(MAX(gap_us) AS BIGINT) AS max_gap_us
+        |  FROM e GROUP BY 1),
+        |nw AS (SELECT MAX(last_ts_us) AS now_us FROM pt)
+        |SELECT event_type, n_events,
+        |  CAST((now_us - last_ts_us) // 3600000000 AS BIGINT) AS age_hours,
+        |  CAST(CASE event_type WHEN 'view' THEN 1 WHEN 'click' THEN 2
+        |    WHEN 'cart' THEN 6 WHEN 'purchase' THEN 24 ELSE 48 END AS BIGINT) AS sla_hours,
+        |  (now_us - last_ts_us) // 3600000000 >
+        |    CASE event_type WHEN 'view' THEN 1 WHEN 'click' THEN 2
+        |      WHEN 'cart' THEN 6 WHEN 'purchase' THEN 24 ELSE 48 END AS stale,
+        |  max_gap_us
+        |FROM pt, nw ORDER BY event_type""".stripMargin
   )
 }

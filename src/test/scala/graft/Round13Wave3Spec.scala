@@ -263,4 +263,42 @@ class Round13Wave3Spec extends AnyFunSuite {
     val n = byCls.values.sum
     assert(n >= graft.Tables.customer(spark, sf).count())
   }
+
+  test("fn_address_parse: every class parses its declared components") {
+    val rows = SparkEntry.queries("fn_address_parse")(spark, sf).collect()
+    val byCls = rows.map(r => r.getInt(0) -> r).toMap
+    // postcode parses everywhere
+    rows.foreach(r => assert(r.getLong(4) == r.getLong(1), s"postcode missed: $r"))
+    // units exist only in Apt/PO/Flat classes
+    assert(byCls(0).getLong(3) == byCls(0).getLong(1))
+    assert(byCls(1).getLong(3) == 0L)
+    assert(byCls(2).getLong(3) == byCls(2).getLong(1))
+    assert(byCls(3).getLong(3) == byCls(3).getLong(1))
+    // street names parse in street classes
+    assert(byCls(0).getString(5).contains("Oak Street"))
+    assert(byCls(1).getString(5).contains("Main St"))
+  }
+
+  test("win_meter_interpolate: every interior gap interpolates between its brackets") {
+    val rows = SparkEntry.queries("win_meter_interpolate")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) == 48L)
+      // interior gaps always interpolate; only leading/trailing runs can't
+      assert(r.getLong(3) <= r.getLong(2))
+      assert(r.getLong(2) < 48L, s"a meter lost every reading: $r")
+    }
+    val totalGaps = rows.map(_.getLong(2)).sum
+    assert(totalGaps > 0, "the planted gap rate vanished")
+  }
+
+  test("warehouse_freshness_sla: the freshest stream is never stale") {
+    val rows = SparkEntry.queries("warehouse_freshness_sla")(spark, sf).collect()
+    assert(rows.length == 5)
+    assert(rows.exists(_.getLong(2) == 0L), "no stream at the high-water mark")
+    rows.foreach { r =>
+      assert(r.getBoolean(4) == (r.getLong(2) > r.getLong(3)))
+      assert(r.getLong(5) > 0L)
+    }
+  }
 }
