@@ -1228,6 +1228,101 @@ object Round13Ops {
         .select("event_type", "n_events", "age_hours", "sla_hours",
           "stale", "max_gap_us")
         .orderBy("event_type")
+    }),
+
+    // Linkage confusion matrix — the quality gate over the record-
+    // linkage ops: candidate pairs from the same 11-char blocking as
+    // join_entity_resolution, planted TRUTH = same entity key, predicted
+    // = Levenshtein ≤ 1, confusion census (TP/FP/FN/TN) with exact
+    // precision/recall ppm via cross-multiplication. The planted 2-char
+    // damage contributes the FN mass (truth says match, the threshold
+    // says no) — exactly the recall cost a linkage tuner reads.
+    "agg_linkage_confusion" -> ((s, d) => {
+      val master = Tables.customer(s, d)
+        .select(col("c_custkey").cast("bigint").as("mk"))
+        .withColumn("mname", concat(lit("cust_"), lpad(col("mk").cast("string"), 7, "0")))
+        .withColumn("block", substring(col("mname"), 1, 11))
+      val dirty = Tables.customer(s, d)
+        .select(col("c_custkey").cast("bigint").as("dk"))
+        .withColumn("base", concat(lit("cust_"), lpad(col("dk").cast("string"), 7, "0")))
+        .withColumn("dname",
+          when(col("dk") % 100 === 7,
+            concat(expr("substring(base, 1, length(base) - 2)"), lit("zz")))
+            .when(col("dk") % 10 === 3,
+              concat(expr("substring(base, 1, length(base) - 1)"), lit("x")))
+            .otherwise(col("base")))
+        .withColumn("block", substring(col("base"), 1, 11))
+      val pairs = dirty.join(master, Seq("block"))
+        .withColumn("truth", (col("dk") === col("mk")).cast("long"))
+        .withColumn("pred", (expr("levenshtein(dname, mname)") <= 1).cast("long"))
+      val cm = pairs.agg(
+        sum(expr("truth * pred")).as("tp"),
+        sum(expr("(1 - truth) * pred")).as("fp"),
+        sum(expr("truth * (1 - pred)")).as("fn"),
+        sum(expr("(1 - truth) * (1 - pred)")).as("tn"))
+      cm.select(col("tp"), col("fp"), col("fn"), col("tn"),
+        expr("(tp * 1000000) DIV (tp + fp)").as("precision_ppm"),
+        expr("(tp * 1000000) DIV (tp + fn)").as("recall_ppm"))
+    }),
+
+    // Generalization ladder — the remediation step AFTER the
+    // k-anonymity audit flags classes: balance-band width doubles up a
+    // declared 3-level ladder (1000 / 2000 / 4000) until every
+    // (nation, band) class reaches k ≥ 5; graded per level: classes,
+    // violating classes, exposed persons, and the INFO LOSS (distinct
+    // bands surrendered vs level 0). The audit-remediate pair a privacy
+    // officer actually runs.
+    "warehouse_generalization_ladder" -> ((s, d) => {
+      val base = Tables.customer(s, d)
+        .select(col("c_nationkey").cast("bigint").as("nation"),
+          col("c_acctbal"))
+      val levels = Seq(0, 1, 2).map { lvl =>
+        val width = 1000 * (1 << lvl)
+        base.withColumn("level", lit(lvl.toLong))
+          .withColumn("band", expr(s"CAST(FLOOR(c_acctbal / $width) AS BIGINT)"))
+      }.reduce(_ unionByName _)
+      val classes = levels.groupBy("level", "nation", "band")
+        .agg(count(lit(1)).as("k_size"))
+      classes.groupBy("level")
+        .agg(count(lit(1)).as("n_classes"),
+          sum(when(col("k_size") < 5, 1L).otherwise(0L)).as("violating_classes"),
+          sum(when(col("k_size") < 5, col("k_size")).otherwise(0L)).as("exposed_persons"),
+          countDistinct("band").as("distinct_bands"))
+        .orderBy("level")
+    }),
+
+    // Email normalization — the third contact-hygiene key beside phone
+    // and address: case fold, plus-addressing tag strip (local+tag@ →
+    // local@), gmail dot-collapse (dots in the local part are not
+    // significant there), domain alias fold (googlemail → gmail).
+    // Planted classes exercise each rule; per class: census, distinct
+    // normalized keys, canonical example — the identity-graph email key.
+    "fn_email_normalize" -> ((s, d) => {
+      val t = Tables.customer(s, d)
+        .select(col("c_custkey").cast("bigint").as("k"))
+        .withColumn("cls", (col("k") % 4).cast("int"))
+        .withColumn("who", concat(lit("user"), expr("CAST(k DIV 4 AS STRING)")))
+        .withColumn("raw",
+          when(col("cls") === 0, concat(lit("John."), col("who"), lit("@Gmail.com")))
+            .when(col("cls") === 1, concat(lit("john"), col("who"), lit("+promo@gmail.com")))
+            .when(col("cls") === 2, concat(lit("john"), col("who"), lit("@googlemail.com")))
+            .otherwise(concat(lit("JOHN"), col("who"), lit("@example.org"))))
+        .withColumn("lower", lower(col("raw")))
+        .withColumn("local", regexp_extract(col("lower"), "^([^@]+)@", 1))
+        .withColumn("domain", regexp_extract(col("lower"), "@(.+)$", 1))
+        .withColumn("domain",
+          when(col("domain") === "googlemail.com", lit("gmail.com"))
+            .otherwise(col("domain")))
+        .withColumn("local", regexp_replace(col("local"), "\\+.*$", ""))
+        .withColumn("local",
+          when(col("domain") === "gmail.com",
+            regexp_replace(col("local"), "\\.", "")).otherwise(col("local")))
+        .withColumn("norm", concat(col("local"), lit("@"), col("domain")))
+      t.groupBy("cls")
+        .agg(count(lit(1)).as("n_emails"),
+          countDistinct("norm").as("n_distinct"),
+          min("norm").as("norm_example"))
+        .orderBy("cls")
     })
   )
 
@@ -1966,6 +2061,80 @@ object Round13Ops {
         |    CASE event_type WHEN 'view' THEN 1 WHEN 'click' THEN 2
         |      WHEN 'cart' THEN 6 WHEN 'purchase' THEN 24 ELSE 48 END AS stale,
         |  max_gap_us
-        |FROM pt, nw ORDER BY event_type""".stripMargin
+        |FROM pt, nw ORDER BY event_type""".stripMargin,
+
+    "agg_linkage_confusion" ->
+      """WITH base AS (
+        |  SELECT CAST(c_custkey AS BIGINT) AS k,
+        |    'cust_' || lpad(CAST(c_custkey AS VARCHAR), 7, '0') AS name
+        |  FROM customer),
+        |m AS (SELECT k AS mk, name AS mname, substring(name, 1, 11) AS block FROM base),
+        |dd AS (
+        |  SELECT k AS dk,
+        |    CASE WHEN k % 100 = 7 THEN substring(name, 1, 10) || 'zz'
+        |      WHEN k % 10 = 3 THEN substring(name, 1, 11) || 'x'
+        |      ELSE name END AS dname,
+        |    substring(name, 1, 11) AS block
+        |  FROM base),
+        |p AS (
+        |  SELECT CASE WHEN dk = mk THEN 1 ELSE 0 END AS truth,
+        |    CASE WHEN levenshtein(dname, mname) <= 1 THEN 1 ELSE 0 END AS pred
+        |  FROM dd JOIN m ON dd.block = m.block),
+        |cm AS (
+        |  SELECT CAST(SUM(truth * pred) AS BIGINT) AS tp,
+        |    CAST(SUM((1 - truth) * pred) AS BIGINT) AS fp,
+        |    CAST(SUM(truth * (1 - pred)) AS BIGINT) AS fn,
+        |    CAST(SUM((1 - truth) * (1 - pred)) AS BIGINT) AS tn
+        |  FROM p)
+        |SELECT tp, fp, fn, tn,
+        |  (tp * 1000000) // (tp + fp) AS precision_ppm,
+        |  (tp * 1000000) // (tp + fn) AS recall_ppm
+        |FROM cm""".stripMargin,
+
+    "warehouse_generalization_ladder" ->
+      """WITH lv AS (SELECT CAST(t.i AS BIGINT) AS level, 1000 * (1 << t.i) AS width
+        |  FROM generate_series(0, 2) AS t(i)),
+        |b AS (
+        |  SELECT lv.level, CAST(c_nationkey AS BIGINT) AS nation,
+        |    CAST(FLOOR(c_acctbal / lv.width) AS BIGINT) AS band
+        |  FROM customer, lv),
+        |classes AS (
+        |  SELECT level, nation, band, CAST(COUNT(*) AS BIGINT) AS k_size
+        |  FROM b GROUP BY 1, 2, 3)
+        |SELECT level, CAST(COUNT(*) AS BIGINT) AS n_classes,
+        |  CAST(SUM(CASE WHEN k_size < 5 THEN 1 ELSE 0 END) AS BIGINT) AS violating_classes,
+        |  CAST(SUM(CASE WHEN k_size < 5 THEN k_size ELSE 0 END) AS BIGINT) AS exposed_persons,
+        |  CAST(COUNT(DISTINCT band) AS BIGINT) AS distinct_bands
+        |FROM classes GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "fn_email_normalize" ->
+      """WITH t AS (
+        |  SELECT CAST(c_custkey AS BIGINT) AS k, CAST(c_custkey % 4 AS INT) AS cls,
+        |    'user' || CAST(CAST(c_custkey AS BIGINT) // 4 AS VARCHAR) AS who
+        |  FROM customer),
+        |r AS (
+        |  SELECT cls,
+        |    lower(CASE cls
+        |      WHEN 0 THEN 'John.' || who || '@Gmail.com'
+        |      WHEN 1 THEN 'john' || who || '+promo@gmail.com'
+        |      WHEN 2 THEN 'john' || who || '@googlemail.com'
+        |      ELSE 'JOHN' || who || '@example.org' END) AS em
+        |  FROM t),
+        |s AS (
+        |  SELECT cls,
+        |    regexp_replace(regexp_extract(em, '^([^@]+)@', 1), '\+.*$', '') AS local0,
+        |    CASE WHEN regexp_extract(em, '@(.+)$', 1) = 'googlemail.com'
+        |      THEN 'gmail.com' ELSE regexp_extract(em, '@(.+)$', 1) END AS domain
+        |  FROM r),
+        |n AS (
+        |  SELECT cls,
+        |    (CASE WHEN domain = 'gmail.com'
+        |      THEN regexp_replace(local0, '\.', '', 'g') ELSE local0 END)
+        |      || '@' || domain AS norm
+        |  FROM s)
+        |SELECT cls, CAST(COUNT(*) AS BIGINT) AS n_emails,
+        |  CAST(COUNT(DISTINCT norm) AS BIGINT) AS n_distinct,
+        |  MIN(norm) AS norm_example
+        |FROM n GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

@@ -301,4 +301,38 @@ class Round13Wave3Spec extends AnyFunSuite {
       assert(r.getLong(5) > 0L)
     }
   }
+
+  test("agg_linkage_confusion: FN mass is exactly the 2-char damage, precision holds") {
+    val r = SparkEntry.queries("agg_linkage_confusion")(spark, sf).collect()(0)
+    val (tp, fp, fn, tn) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    val n = graft.Tables.customer(spark, sf).count()
+    val nZZ = graft.Tables.customer(spark, sf)
+      .where(col("c_custkey") % 100 === 7).count()
+    assert(tp == n - nZZ, s"TP should be every non-damaged self pair: $r")
+    assert(fn == nZZ, s"FN should be exactly the 2-char damage: $r")
+    assert(r.getLong(5) == (tp * 1000000L) / (tp + fn))
+    assert(tp + fp + fn + tn >= n)
+  }
+
+  test("warehouse_generalization_ladder: widening bands never increases exposure") {
+    val rows = SparkEntry.queries("warehouse_generalization_ladder")(spark, sf)
+      .orderBy("level").collect()
+    assert(rows.length == 3)
+    val exposed = rows.map(_.getLong(3))
+    assert(exposed(0) >= exposed(1) && exposed(1) >= exposed(2),
+      s"exposure must fall up the ladder: ${exposed.toSeq}")
+    val bands = rows.map(_.getLong(4))
+    assert(bands(0) >= bands(1) && bands(1) >= bands(2))
+  }
+
+  test("fn_email_normalize: tag/dot/alias variants collapse to one key per who") {
+    val rows = SparkEntry.queries("fn_email_normalize")(spark, sf).collect()
+    val byCls = rows.map(r => r.getInt(0) -> r).toMap
+    // classes 0-2 normalize to johnN@gmail.com forms
+    assert(byCls(0).getString(3).endsWith("@gmail.com"))
+    assert(!byCls(0).getString(3).split("@")(0).contains("."), "local dots must collapse")
+    assert(byCls(1).getString(3).startsWith("john") && !byCls(1).getString(3).contains("+"))
+    assert(byCls(2).getString(3).endsWith("@gmail.com"))
+    assert(byCls(3).getString(3).endsWith("@example.org"))
+  }
 }
