@@ -1323,6 +1323,37 @@ object Round13Ops {
           countDistinct("norm").as("n_distinct"),
           min("norm").as("norm_example"))
         .orderBy("cls")
+    }),
+
+    // Service queue backlog — Lindley's recursion B_t = max(0, B_{t-1}
+    // + arrivals_t − capacity) computed WITHOUT a sequential scan: over
+    // the per-minute net-load series, B_t = cum_t − min(0, min prefix
+    // of cum up to t) (the classic prefix-min identity), so one cumsum
+    // window + one running-min window replace the loop — the form that
+    // survives 10⁹ ticks. Graded per service (event type): peak
+    // backlog, minutes congested, total overflow-minutes; capacity
+    // declared per service.
+    "service_queue_backlog" -> ((s, d) => {
+      val perMin = Tables.events(s, d)
+        .groupBy(col("event_type"), expr("ts_us DIV 60000000").as("minute"))
+        .agg(count(lit(1)).as("arrivals"))
+      val w = Window.partitionBy("event_type").orderBy("minute")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val caps = expr(
+        """CAST(CASE event_type WHEN 'view' THEN 4 WHEN 'click' THEN 3
+          |WHEN 'cart' THEN 3 WHEN 'purchase' THEN 3 ELSE 2 END AS BIGINT)""".stripMargin)
+      perMin
+        .withColumn("cap", caps)
+        .withColumn("net", col("arrivals") - col("cap"))
+        .withColumn("cum", sum("net").over(w))
+        .withColumn("minpref", least(min("cum").over(w), lit(0L)))
+        .withColumn("backlog", col("cum") - col("minpref"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_minutes"),
+          max("backlog").as("peak_backlog"),
+          sum(when(col("backlog") > 0, 1L).otherwise(0L)).as("congested_minutes"),
+          sum("backlog").as("backlog_minute_mass"))
+        .orderBy("event_type")
     })
   )
 
@@ -2135,6 +2166,34 @@ object Round13Ops {
         |SELECT cls, CAST(COUNT(*) AS BIGINT) AS n_emails,
         |  CAST(COUNT(DISTINCT norm) AS BIGINT) AS n_distinct,
         |  MIN(norm) AS norm_example
-        |FROM n GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM n GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "service_queue_backlog" ->
+      """WITH pm AS (
+        |  SELECT event_type, epoch_us(ts) // 60000000 AS minute,
+        |    CAST(COUNT(*) AS BIGINT) AS arrivals
+        |  FROM events GROUP BY 1, 2),
+        |n AS (
+        |  SELECT event_type, minute, arrivals,
+        |    arrivals - CASE event_type WHEN 'view' THEN 4 WHEN 'click' THEN 3
+        |      WHEN 'cart' THEN 3 WHEN 'purchase' THEN 3 ELSE 2 END AS net
+        |  FROM pm),
+        |c1 AS (
+        |  SELECT event_type, minute, SUM(net) OVER w AS cum
+        |  FROM n
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY minute
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |c2 AS (
+        |  SELECT event_type, cum,
+        |    LEAST(MIN(cum) OVER w2, 0) AS minpref
+        |  FROM c1
+        |  WINDOW w2 AS (PARTITION BY event_type ORDER BY minute
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |b AS (SELECT event_type, cum - minpref AS backlog FROM c2)
+        |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_minutes,
+        |  CAST(MAX(backlog) AS BIGINT) AS peak_backlog,
+        |  CAST(SUM(CASE WHEN backlog > 0 THEN 1 ELSE 0 END) AS BIGINT) AS congested_minutes,
+        |  CAST(SUM(backlog) AS BIGINT) AS backlog_minute_mass
+        |FROM b GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

@@ -335,4 +335,25 @@ class Round13Wave3Spec extends AnyFunSuite {
     assert(byCls(2).getString(3).endsWith("@gmail.com"))
     assert(byCls(3).getString(3).endsWith("@example.org"))
   }
+
+  test("service_queue_backlog: Lindley via prefix-min matches a sequential replay") {
+    val rows = SparkEntry.queries("service_queue_backlog")(spark, sf).collect()
+    assert(rows.length == 5)
+    // sequential reference for one service
+    val svc = rows.head.getString(0)
+    val caps = Map("view" -> 4L, "click" -> 3L, "cart" -> 3L,
+      "purchase" -> 3L).withDefaultValue(2L)
+    val mins = graft.Tables.events(spark, sf)
+      .where(col("event_type") === svc)
+      .groupBy(expr("ts_us DIV 60000000").as("m")).count()
+      .orderBy("m").collect().map(r => r.getLong(1))
+    var b = 0L; var peak = 0L; var congested = 0L; var mass = 0L
+    mins.foreach { a =>
+      b = math.max(0L, b + a - caps(svc))
+      peak = math.max(peak, b); if (b > 0) congested += 1; mass += b
+    }
+    val r = rows.find(_.getString(0) == svc).get
+    assert(r.getLong(2) == peak, s"peak mismatch for $svc")
+    assert(r.getLong(3) == congested && r.getLong(4) == mass)
+  }
 }
