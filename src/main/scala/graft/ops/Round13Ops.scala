@@ -1354,6 +1354,35 @@ object Round13Ops {
           sum(when(col("backlog") > 0, 1L).otherwise(0L)).as("congested_minutes"),
           sum("backlog").as("backlog_minute_mass"))
         .orderBy("event_type")
+    }),
+
+    // LLM-judge rubric panel — the aggregation layer of judge-based
+    // evals: 5 judges score each sampled item on 3 rubric dimensions
+    // (0–4, md5-derived), the per-(item, dim) verdict is the TRIMMED
+    // mean (drop min and max, exact milli over the middle 3 — robust to
+    // one rogue judge by construction), and a disagreement flag fires
+    // when the judge range hits 3+ (the re-adjudication queue). Graded
+    // per dimension: item census, trimmed-score mass, disagreements.
+    // One 15× explode + two rollups.
+    "llm_rubric_judge_panel" -> ((s, d) => {
+      val items = Tables.documents(s, d)
+        .where(col("doc_id") % 10 === 3).select(col("doc_id"))
+      val scores = items
+        .crossJoin(broadcast(s.range(0, 5).select(col("id").as("judge"))))
+        .crossJoin(broadcast(s.createDataFrame(Seq(
+          Tuple1("helpfulness"), Tuple1("correctness"), Tuple1("style")))
+          .toDF("dim")))
+        .withColumn("score", expr(
+          "CAST(conv(substring(md5(concat('rub:', CAST(doc_id AS STRING), ':', CAST(judge AS STRING), ':', dim)), 1, 6), 16, 10) AS BIGINT) % 5"))
+      val perItem = scores.groupBy("doc_id", "dim")
+        .agg(sum("score").as("s"), min("score").as("lo"), max("score").as("hi"))
+        .withColumn("trimmed_milli", expr("((s - lo - hi) * 1000) DIV 3"))
+        .withColumn("disagree", (col("hi") - col("lo") >= 3).cast("long"))
+      perItem.groupBy("dim")
+        .agg(count(lit(1)).as("n_items"),
+          sum("trimmed_milli").as("trimmed_score_mass"),
+          sum("disagree").as("n_disagreements"))
+        .orderBy("dim")
     })
   )
 
@@ -2194,6 +2223,24 @@ object Round13Ops {
         |  CAST(MAX(backlog) AS BIGINT) AS peak_backlog,
         |  CAST(SUM(CASE WHEN backlog > 0 THEN 1 ELSE 0 END) AS BIGINT) AS congested_minutes,
         |  CAST(SUM(backlog) AS BIGINT) AS backlog_minute_mass
-        |FROM b GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "llm_rubric_judge_panel" ->
+      """WITH items AS (SELECT doc_id FROM documents WHERE doc_id % 10 = 3),
+        |dims AS (SELECT unnest(['helpfulness', 'correctness', 'style']) AS dim),
+        |judges AS (SELECT CAST(t.i AS BIGINT) AS judge FROM generate_series(0, 4) AS t(i)),
+        |sc AS (
+        |  SELECT i.doc_id, d.dim, j.judge,
+        |    ('0x' || substring(md5('rub:' || CAST(i.doc_id AS VARCHAR) || ':' || CAST(j.judge AS VARCHAR) || ':' || d.dim), 1, 6))::BIGINT % 5 AS score
+        |  FROM items i, judges j, dims d),
+        |pi AS (
+        |  SELECT doc_id, dim,
+        |    ((SUM(score) - MIN(score) - MAX(score)) * 1000) // 3 AS trimmed_milli,
+        |    CASE WHEN MAX(score) - MIN(score) >= 3 THEN 1 ELSE 0 END AS disagree
+        |  FROM sc GROUP BY 1, 2)
+        |SELECT dim, CAST(COUNT(*) AS BIGINT) AS n_items,
+        |  CAST(SUM(trimmed_milli) AS BIGINT) AS trimmed_score_mass,
+        |  CAST(SUM(disagree) AS BIGINT) AS n_disagreements
+        |FROM pi GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

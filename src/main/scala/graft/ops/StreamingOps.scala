@@ -561,6 +561,45 @@ object StreamingOps {
     "stream_stream_semi" -> ((s, d) =>
       sharedFixtureResult(s, "stream_stream_semi")),
 
+    // RESTART-FROM-CHECKPOINT recovery — the exactly-once property that
+    // actually matters in production: a stateful query is STOPPED with
+    // committed state, data keeps arriving while it is down, and a NEW
+    // query started from the SAME checkpoint must resume the offsets and
+    // the state store — the recovered totals cover both epochs even
+    // though the restarted query only executed the second one. Complete
+    // output mode makes the proof visible in one sink read. Fresh
+    // checkpoint per invocation (the lifecycle IS the op); golden sink.
+    "stream_restart_recovery" -> ((s, d) => withFewShufflePartitions(s) {
+      val classic = s.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      import classic.implicits._
+      implicit val sq = classic.sqlContext
+      val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[SEvent]
+      val ckpt = s"${Scratch.ckptDir}/restart_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      def agg = ms.toDF()
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n"),
+          sum(expr("CAST(FLOOR(value * 100) AS BIGINT)")).as("cents"))
+      val sink1 = newSinkName(); val sink2 = newSinkName()
+      val q1 = agg.writeStream.format("memory").queryName(sink1)
+        .outputMode("complete").option("checkpointLocation", ckpt).start()
+      ms.addData(
+        SEvent(1, Timestamp.valueOf("2024-01-01 10:00:00"), 1, "view", 2.0),
+        SEvent(2, Timestamp.valueOf("2024-01-01 10:01:00"), 1, "click", 3.0),
+        SEvent(3, Timestamp.valueOf("2024-01-01 10:02:00"), 2, "view", 5.0))
+      q1.processAllAvailable()
+      q1.stop()
+      // arrivals while the query is down
+      ms.addData(
+        SEvent(4, Timestamp.valueOf("2024-01-01 10:03:00"), 1, "purchase", 10.0),
+        SEvent(5, Timestamp.valueOf("2024-01-01 10:04:00"), 3, "view", 1.0))
+      val q2 = agg.writeStream.format("memory").queryName(sink2)
+        .outputMode("complete").option("checkpointLocation", ckpt).start()
+      q2.processAllAvailable()
+      q2.stop()
+      s.table(sink2).orderBy("user_id")
+    }),
+
     // RIGHT-outer stream-stream join — completes the streaming join
     // matrix (inner/left/full/semi/right): unmatched VIEWS null-pad
     // once the purchase watermark passes their forward join window
@@ -1372,6 +1411,15 @@ object StreamingOps {
         |  (206, 4, '2024-01-01 13:00:00', 105, 4, '2024-01-01 13:00:00'))
         |  AS t(p_id, user_id, p_ts, v_id, v_user, v_ts)
         |ORDER BY p_id, v_id""".stripMargin,
+
+    // the recovered state covers BOTH epochs: u1 accumulates across the
+    // stop/restart boundary, u3 arrives entirely while the query is down
+    "stream_restart_recovery" ->
+      """SELECT CAST(user_id AS BIGINT) AS user_id, CAST(n AS BIGINT) AS n,
+        |  CAST(cents AS BIGINT) AS cents
+        |FROM (VALUES (1, 3, 1500), (2, 1, 500), (3, 1, 100))
+        |  AS t(user_id, n, cents)
+        |ORDER BY user_id""".stripMargin,
 
     "stream_stream_right" ->
       """SELECT CAST(p_id AS BIGINT) AS p_id, CAST(user_id AS BIGINT) AS user_id, p_ts,
