@@ -1383,6 +1383,121 @@ object Round13Ops {
           sum("trimmed_milli").as("trimmed_score_mass"),
           sum("disagree").as("n_disagreements"))
         .orderBy("dim")
+    }),
+
+    // Temporal foreign-key integrity — warehouse_referential_audit's
+    // time-aware sibling: every fact must join a dim version VALID AT
+    // the fact's event day (SCD2 windows), and the audit counts the
+    // three outcomes exactly — ok (exactly one valid version), orphan
+    // (no version covers the day: planted via the uncovered day range
+    // and a deleted middle version for s%7==3), and ambiguous (overlap
+    // planted via an extra version for s%11==5 — the double-count bug
+    // a naive join silently commits). One fact⨝version range join on
+    // the supplier key.
+    "join_temporal_fk" -> ((s, d) => {
+      val versions = Tables.supplier(s, d)
+        .select(col("s_suppkey").cast("bigint").as("sk"))
+        .select(col("sk"), explode(expr("sequence(0, 2)")).as("v"))
+        .where(!(col("v") === 1 && col("sk") % 7 === 3)) // deleted middle version
+        .select(col("sk"), (col("v") * 100).cast("bigint").as("vf"),
+          ((col("v") + 1) * 100).cast("bigint").as("vt"))
+        .unionByName(Tables.supplier(s, d)
+          .select(col("s_suppkey").cast("bigint").as("sk"))
+          .where(col("sk") % 11 === 5) // planted overlap
+          .select(col("sk"), lit(150L).as("vf"), lit(250L).as("vt")))
+      val facts = Tables.lineitem(s, d)
+        .select(col("l_suppkey").cast("bigint").as("sk"),
+          expr("CAST(datediff(CAST(l_shipdate AS DATE), DATE'1992-01-01') % 350 AS BIGINT)")
+            .as("fact_day"))
+        .distinct() // audit DISTINCT (key, day) pairs: multiplicity is load, not integrity
+      val matched = facts.join(versions,
+          facts("sk") === versions("sk") &&
+            col("vf") <= col("fact_day") && col("fact_day") < col("vt"), "left")
+        .groupBy(facts("sk"), col("fact_day"))
+        .agg(count(col("vf")).as("n_versions"))
+      matched
+        .withColumn("outcome",
+          when(col("n_versions") === 0, lit("orphan"))
+            .when(col("n_versions") === 1, lit("ok"))
+            .otherwise(lit("ambiguous")))
+        .groupBy("outcome")
+        .agg(count(lit(1)).as("n_fact_days"), sum("n_versions").as("version_mass"))
+        .orderBy("outcome")
+    }),
+
+    // Agent trajectory statistics — the post-hoc audit of agentic
+    // traces (llm_tool_trace_audit parses per-doc JSON; THIS op reads
+    // the step SEQUENCE): an episode is a (user, hour) run of events in
+    // the total order, steps counted, action ratio (cart/purchase =
+    // tool actions) in exact ppm, LOOPS = ≥3 consecutive identical
+    // step types (the stuck-agent signature, islands cumsum), and the
+    // terminal step type. Graded per terminal type: episode census,
+    // step mass, looping episodes, action ppm mass.
+    "llm_agent_trajectory_stats" -> ((s, d) => {
+      val w = Window.partitionBy("user_id", "episode").orderBy("ts_us", "event_id")
+      val steps = Tables.events(s, d)
+        .select(col("user_id"), expr("ts_us DIV 3600000000").as("episode"),
+          col("ts_us"), col("event_id"), col("event_type"))
+        .withColumn("prev", lag("event_type", 1).over(w))
+        .withColumn("brk",
+          when(col("prev").isNull || col("prev") =!= col("event_type"), 1L)
+            .otherwise(0L))
+        .withColumn("run_id", sum("brk").over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("rn_desc", row_number().over(
+          Window.partitionBy("user_id", "episode")
+            .orderBy(desc("ts_us"), desc("event_id"))))
+      val runs = steps.groupBy("user_id", "episode", "run_id")
+        .agg(count(lit(1)).as("run_len"))
+      val loops = runs.where(col("run_len") >= 3)
+        .groupBy("user_id", "episode")
+        .agg(count(lit(1)).as("n_loops"))
+      val eps = steps.groupBy("user_id", "episode")
+        .agg(count(lit(1)).as("n_steps"),
+          sum(when(col("event_type") === "cart" || col("event_type") === "purchase", 1L)
+            .otherwise(0L)).as("n_actions"),
+          max(when(col("rn_desc") === 1, col("event_type"))).as("terminal"))
+        .join(loops, Seq("user_id", "episode"), "left")
+        .withColumn("n_loops", coalesce(col("n_loops"), lit(0L)))
+        .withColumn("action_ppm", expr("(n_actions * 1000000) DIV n_steps"))
+      eps.groupBy("terminal")
+        .agg(count(lit(1)).as("n_episodes"), sum("n_steps").as("step_mass"),
+          sum(when(col("n_loops") > 0, 1L).otherwise(0L)).as("looping_episodes"),
+          sum("action_ppm").as("action_ppm_mass"))
+        .orderBy("terminal")
+    }),
+
+    // Backfill watermark ledger — the incremental-pipeline bookkeeping
+    // audit: each job run covers a (low, high] watermark span; lag over
+    // the run sequence exposes GAPS (rows silently never processed)
+    // and OVERLAPS (rows reprocessed — the idempotency tax), both with
+    // exact mass. Planted: every 4th run starts early (overlap),
+    // every 5th ends short (gap). Per job: runs, gaps/overlaps and
+    // their masses, net covered span.
+    "warehouse_backfill_ledger" -> ((s, d) => {
+      val runs = Tables.events(s, d).select(col("event_type").as("job")).distinct()
+        .crossJoin(broadcast(s.range(0, 20).select(col("id").as("r"))))
+        .withColumn("low",
+          col("r") * 50 - when(col("r") % 4 === 1, 10L).otherwise(0L))
+        .withColumn("high",
+          col("r") * 50 + 50 - when(col("r") % 5 === 2, 15L).otherwise(0L))
+      val w = Window.partitionBy("job").orderBy("r")
+      val audited = runs
+        .withColumn("prev_high", lag("high", 1).over(w))
+        .withColumn("gap",
+          when(col("prev_high").isNotNull && col("low") > col("prev_high"),
+            col("low") - col("prev_high")).otherwise(0L))
+        .withColumn("overlap",
+          when(col("prev_high").isNotNull && col("low") < col("prev_high"),
+            col("prev_high") - col("low")).otherwise(0L))
+      audited.groupBy("job")
+        .agg(count(lit(1)).as("n_runs"),
+          sum(when(col("gap") > 0, 1L).otherwise(0L)).as("n_gaps"),
+          sum("gap").as("gap_mass"),
+          sum(when(col("overlap") > 0, 1L).otherwise(0L)).as("n_overlaps"),
+          sum("overlap").as("overlap_mass"),
+          (max("high") - min("low")).as("covered_span"))
+        .orderBy("job")
     })
   )
 
@@ -2241,6 +2356,95 @@ object Round13Ops {
         |SELECT dim, CAST(COUNT(*) AS BIGINT) AS n_items,
         |  CAST(SUM(trimmed_milli) AS BIGINT) AS trimmed_score_mass,
         |  CAST(SUM(disagree) AS BIGINT) AS n_disagreements
-        |FROM pi GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM pi GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "join_temporal_fk" ->
+      """WITH vs AS (
+        |  SELECT CAST(s_suppkey AS BIGINT) AS sk,
+        |    CAST(t.v * 100 AS BIGINT) AS vf, CAST((t.v + 1) * 100 AS BIGINT) AS vt
+        |  FROM supplier, generate_series(0, 2) AS t(v)
+        |  WHERE NOT (t.v = 1 AND s_suppkey % 7 = 3)
+        |  UNION ALL
+        |  SELECT CAST(s_suppkey AS BIGINT), 150, 250 FROM supplier
+        |  WHERE s_suppkey % 11 = 5),
+        |facts AS (
+        |  SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS sk,
+        |    CAST(datediff('day', DATE '1992-01-01', CAST(l_shipdate AS DATE)) % 350 AS BIGINT) AS fact_day
+        |  FROM lineitem),
+        |m AS (
+        |  SELECT f.sk, f.fact_day, COUNT(v.vf) AS n_versions
+        |  FROM facts f LEFT JOIN vs v
+        |    ON f.sk = v.sk AND v.vf <= f.fact_day AND f.fact_day < v.vt
+        |  GROUP BY 1, 2)
+        |SELECT CASE WHEN n_versions = 0 THEN 'orphan'
+        |    WHEN n_versions = 1 THEN 'ok' ELSE 'ambiguous' END AS outcome,
+        |  CAST(COUNT(*) AS BIGINT) AS n_fact_days,
+        |  CAST(SUM(n_versions) AS BIGINT) AS version_mass
+        |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "llm_agent_trajectory_stats" ->
+      """WITH st AS (
+        |  SELECT user_id, epoch_us(ts) // 3600000000 AS episode,
+        |    epoch_us(ts) AS ts_us, event_id, event_type
+        |  FROM events),
+        |l AS (
+        |  SELECT *,
+        |    LAG(event_type) OVER w AS prev,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id, episode
+        |      ORDER BY ts_us DESC, event_id DESC) AS rn_desc
+        |  FROM st WINDOW w AS (PARTITION BY user_id, episode ORDER BY ts_us, event_id)),
+        |r AS (
+        |  SELECT *,
+        |    SUM(CASE WHEN prev IS NULL OR prev <> event_type THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id, episode ORDER BY ts_us, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id
+        |  FROM l),
+        |runs AS (
+        |  SELECT user_id, episode, run_id, COUNT(*) AS run_len
+        |  FROM r GROUP BY 1, 2, 3),
+        |lo AS (
+        |  SELECT user_id, episode, CAST(COUNT(*) AS BIGINT) AS n_loops
+        |  FROM runs WHERE run_len >= 3 GROUP BY 1, 2),
+        |eps AS (
+        |  SELECT r.user_id, r.episode,
+        |    CAST(COUNT(*) AS BIGINT) AS n_steps,
+        |    CAST(SUM(CASE WHEN r.event_type IN ('cart', 'purchase') THEN 1 ELSE 0 END) AS BIGINT) AS n_actions,
+        |    MAX(CASE WHEN r.rn_desc = 1 THEN r.event_type END) AS terminal
+        |  FROM r GROUP BY 1, 2),
+        |j AS (
+        |  SELECT eps.terminal, eps.n_steps,
+        |    COALESCE(lo.n_loops, 0) AS n_loops,
+        |    (eps.n_actions * 1000000) // eps.n_steps AS action_ppm
+        |  FROM eps LEFT JOIN lo
+        |    ON eps.user_id = lo.user_id AND eps.episode = lo.episode)
+        |SELECT terminal, CAST(COUNT(*) AS BIGINT) AS n_episodes,
+        |  CAST(SUM(n_steps) AS BIGINT) AS step_mass,
+        |  CAST(SUM(CASE WHEN n_loops > 0 THEN 1 ELSE 0 END) AS BIGINT) AS looping_episodes,
+        |  CAST(SUM(action_ppm) AS BIGINT) AS action_ppm_mass
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "warehouse_backfill_ledger" ->
+      """WITH jobs AS (SELECT DISTINCT event_type AS job FROM events),
+        |runs AS (
+        |  SELECT job, CAST(t.r AS BIGINT) AS r,
+        |    CAST(t.r * 50 - CASE WHEN t.r % 4 = 1 THEN 10 ELSE 0 END AS BIGINT) AS low,
+        |    CAST(t.r * 50 + 50 - CASE WHEN t.r % 5 = 2 THEN 15 ELSE 0 END AS BIGINT) AS high
+        |  FROM jobs, generate_series(0, 19) AS t(r)),
+        |a AS (
+        |  SELECT job, low, high,
+        |    LAG(high) OVER (PARTITION BY job ORDER BY r) AS prev_high
+        |  FROM runs),
+        |g AS (
+        |  SELECT job, high, low,
+        |    CASE WHEN prev_high IS NOT NULL AND low > prev_high THEN low - prev_high ELSE 0 END AS gap,
+        |    CASE WHEN prev_high IS NOT NULL AND low < prev_high THEN prev_high - low ELSE 0 END AS overlap
+        |  FROM a)
+        |SELECT job, CAST(COUNT(*) AS BIGINT) AS n_runs,
+        |  CAST(SUM(CASE WHEN gap > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_gaps,
+        |  CAST(SUM(gap) AS BIGINT) AS gap_mass,
+        |  CAST(SUM(CASE WHEN overlap > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_overlaps,
+        |  CAST(SUM(overlap) AS BIGINT) AS overlap_mass,
+        |  CAST(MAX(high) - MIN(low) AS BIGINT) AS covered_span
+        |FROM g GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

@@ -377,4 +377,42 @@ class Round13Wave3Spec extends AnyFunSuite {
       .where(col("doc_id") % 10 === 3).count()
     rows.foreach(r => assert(r.getLong(1) == nItems))
   }
+
+  test("join_temporal_fk: orphans and ambiguity come only from the planted classes") {
+    val rows = SparkEntry.queries("join_temporal_fk")(spark, sf).collect()
+    val byO = rows.map(r => r.getString(0) -> r).toMap
+    assert(byO.contains("ok") && byO.contains("orphan"))
+    byO.get("ambiguous").foreach { r =>
+      // ambiguous fact-days sit inside [150,250) for s%11==5 suppliers
+      assert(r.getLong(2) == 2 * r.getLong(1), s"ambiguity must be exactly double-covered: $r")
+    }
+    assert(byO("ok").getLong(2) == byO("ok").getLong(1))
+    assert(byO("orphan").getLong(2) == 0L)
+  }
+
+  test("llm_agent_trajectory_stats: episode censuses add up") {
+    val rows = SparkEntry.queries("llm_agent_trajectory_stats")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val eps = graft.Tables.events(spark, sf)
+      .select(col("user_id"), expr("ts_us DIV 3600000000")).distinct().count()
+    assert(rows.map(_.getLong(1)).sum == eps)
+    assert(rows.map(_.getLong(2)).sum == graft.Tables.events(spark, sf).count())
+    rows.foreach(r => assert(r.getLong(3) <= r.getLong(1)))
+  }
+
+  test("warehouse_backfill_ledger: planted gap/overlap cadence is exact") {
+    val rows = SparkEntry.queries("warehouse_backfill_ledger")(spark, sf).collect()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      assert(r.getLong(1) == 20L)
+      // runs r%4==1 start early: r=1,5,9,13,17 -> 5 overlaps of 10 each,
+      // but a short PREVIOUS end (r-1 % 5 == 2) cancels one: r=13 follows
+      // r=12 (short by 15) -> 13's early start still overlaps? low(13)=640,
+      // high(12)=635 -> gap of 5 instead. So 4 overlaps, and gaps from
+      // r%5==3 boundaries plus that one.
+      assert(r.getLong(4) == 4L, s"overlap count: $r")
+      assert(r.getLong(5) == 40L, s"overlap mass: $r")
+      assert(r.getLong(2) >= 3L, s"gap count: $r")
+    }
+  }
 }
