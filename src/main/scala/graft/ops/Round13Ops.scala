@@ -1498,6 +1498,29 @@ object Round13Ops {
           sum("overlap").as("overlap_mass"),
           (max("high") - min("low")).as("covered_span"))
         .orderBy("job")
+    }),
+
+    // Sliding-window rate limiter — the OTHER canonical admission
+    // algorithm beside service_admission_quota's hourly token bucket:
+    // a request is throttled when its principal already landed ≥ L
+    // requests in the trailing 60 s (RANGE frame on the µs axis —
+    // gap-correct, no bucketing artifacts at window edges, which is
+    // exactly why production limiters prefer it). Per principal:
+    // request census, throttled census + ppm, the worst window
+    // pressure seen.
+    "service_rate_limit_sliding" -> ((s, d) => {
+      val w = Window.partitionBy("principal").orderBy("ts_us")
+        .rangeBetween(-59999999L, 0L)
+      Tables.events(s, d)
+        .select((col("user_id") % 8).as("principal"), col("ts_us"))
+        .withColumn("in_window", count(lit(1)).over(w))
+        .withColumn("throttled", (col("in_window") > 5L).cast("long"))
+        .groupBy("principal")
+        .agg(count(lit(1)).as("n_requests"),
+          sum("throttled").as("n_throttled"),
+          max("in_window").as("max_window_pressure"))
+        .withColumn("throttle_ppm", expr("(n_throttled * 1000000) DIV n_requests"))
+        .orderBy("principal")
     })
   )
 
@@ -2445,6 +2468,21 @@ object Round13Ops {
         |  CAST(SUM(CASE WHEN overlap > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_overlaps,
         |  CAST(SUM(overlap) AS BIGINT) AS overlap_mass,
         |  CAST(MAX(high) - MIN(low) AS BIGINT) AS covered_span
-        |FROM g GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM g GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "service_rate_limit_sliding" ->
+      """WITH r AS (
+        |  SELECT user_id % 8 AS principal, epoch_us(ts) AS ts_us
+        |  FROM events),
+        |c AS (
+        |  SELECT principal,
+        |    COUNT(*) OVER (PARTITION BY principal ORDER BY ts_us
+        |      RANGE BETWEEN 59999999 PRECEDING AND CURRENT ROW) AS in_window
+        |  FROM r)
+        |SELECT principal, CAST(COUNT(*) AS BIGINT) AS n_requests,
+        |  CAST(SUM(CASE WHEN in_window > 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_throttled,
+        |  CAST(MAX(in_window) AS BIGINT) AS max_window_pressure,
+        |  CAST((SUM(CASE WHEN in_window > 5 THEN 1 ELSE 0 END) * 1000000) // COUNT(*) AS BIGINT) AS throttle_ppm
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

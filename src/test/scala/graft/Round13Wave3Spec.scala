@@ -415,4 +415,14 @@ class Round13Wave3Spec extends AnyFunSuite {
       assert(r.getLong(2) >= 3L, s"gap count: $r")
     }
   }
+
+  test("service_rate_limit_sliding: pressure bounds and throttle census") {
+    val rows = SparkEntry.queries("service_rate_limit_sliding")(spark, sf).collect()
+    assert(rows.length == 8)
+    rows.foreach { r =>
+      assert(r.getLong(3) >= 1L)
+      assert(r.getLong(2) <= r.getLong(1))
+      assert(r.getLong(4) == r.getLong(2) * 1000000L / r.getLong(1))
+    }
+  }
 }
