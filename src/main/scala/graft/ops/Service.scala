@@ -82,7 +82,18 @@ object Service {
       s"AS SELECT '$svcToken' AS t")
     s.conf.set("hive.server2.thrift.port", want.toString)
     s.conf.set("hive.server2.thrift.bind.host", "localhost")
-    thriftServer = HiveThriftServer2.startWithContext(s.sqlContext)
+    // the HiveServer2 web UI binds a FIXED default port (10002) that a
+    // sibling JVM's server (test suite + Verify run concurrently) races
+    // for — "Failed to Start HiveServer2" with the thrift port still
+    // free. 0 disables the UI; one retry covers any remaining
+    // transient bind race.
+    s.conf.set("hive.server2.webui.port", "0")
+    try thriftServer = HiveThriftServer2.startWithContext(s.sqlContext)
+    catch {
+      case scala.util.control.NonFatal(_) =>
+        Thread.sleep(1000)
+        thriftServer = HiveThriftServer2.startWithContext(s.sqlContext)
+    }
     // the binary transport binds asynchronously: poll the socket
     val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
     while (boundPort < 0 && System.nanoTime() < deadline) {
