@@ -52,7 +52,8 @@ class OperatorSmokeSpec extends AnyFunSuite with SparkFixture {
       "Round12Ops" -> Round12Ops.queries, "Round12bOps" -> Round12bOps.queries,
       "Round12cOps" -> Round12cOps.queries,
       "Round12dOps" -> Round12dOps.queries,
-      "Round13Ops" -> Round13Ops.queries)
+      "Round13Ops" -> Round13Ops.queries,
+      "Round13bOps" -> Round13bOps.queries)
     val all = families.flatMap { case (fam, m) => m.keys.map(_ -> fam) }
     val dups = all.groupBy(_._1).filter(_._2.length > 1)
     assert(dups.isEmpty,

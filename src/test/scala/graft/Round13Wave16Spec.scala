@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-13 waves 16+ (Round13bOps): Bradley–Terry arena ranking,
+  * idempotency-replay audit, MRZ check-digit validation.
+  */
+class Round13Wave16Spec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[8]")
+      .appName("graft-r13w16")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+  private val sf = "/root/testdata/sf0.001"
+
+  test("agg_bradley_terry: fitted strengths recover the planted order") {
+    val rows = SparkEntry.queries("agg_bradley_terry")(spark, sf)
+      .orderBy("model").collect()
+    assert(rows.length == 6)
+    rows.foreach { r =>
+      val (m, battles, wins, p, rank) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getInt(4))
+      assert(wins >= 1 && wins < battles, s"degenerate wins: $r")
+      assert(p > 0, s"non-positive strength: $r")
+      assert(rank >= 1 && rank <= 6)
+      assert(m >= 0 && m <= 5)
+    }
+    // planted strengths s_i = i+1: the MM fit must order models 5..0
+    val byRank = rows.sortBy(_.getInt(4)).map(_.getLong(0)).toSeq
+    assert(byRank == Seq(5L, 4L, 3L, 2L, 1L, 0L),
+      s"rank order should follow planted strengths: $byRank")
+    // strengths strictly increase with model id (ppm, fitted)
+    val ps = rows.sortBy(_.getLong(0)).map(_.getLong(3)).toSeq
+    assert(ps == ps.sorted, s"strength not monotone in planted skill: $ps")
+  }
+
+  test("service_idempotency_replay: replay census matches the 1-in-7 plant") {
+    val rows = SparkEntry.queries("service_idempotency_replay")(spark, sf)
+      .collect()
+    assert(rows.length == 8)
+    val nKeys = rows.map(_.getLong(2)).sum
+    val nAttempts = rows.map(_.getLong(1)).sum
+    val nEvents = Tables.events(spark, sf).count()
+    assert(nAttempts == nEvents, "attempts must cover every event")
+    rows.foreach { r =>
+      val (att, keys, replayed, maxAtt, wasted, ppm) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(6), r.getLong(7))
+      assert(att == keys + wasted)
+      assert(maxAtt <= 3, s"plant caps attempts at 3: $r")
+      assert(replayed <= keys && ppm == replayed * 1000000L / keys)
+    }
+    // keys ≡ 3 mod 7 triple up: replayed keys ≈ 1/7 of ids ≡ 3 mod 7
+    val replayedTotal = rows.map(_.getLong(3)).sum
+    assert(replayedTotal * 6 > nKeys / 2 && replayedTotal < nKeys / 4,
+      s"replay mass off the planted rate: $replayedTotal of $nKeys")
+  }
+
+  test("fn_mrz_check: failures are exactly the corrupted class") {
+    val rows = SparkEntry.queries("fn_mrz_check")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val (nDocs, nFailed) =
+      (rows.map(_.getLong(1)).sum, rows.map(_.getLong(2)).sum)
+    val want = Tables.customer(spark, sf)
+      .where(col("c_custkey") % 11 === 7).count()
+    assert(nFailed == want,
+      s"every corrupted doc (custkey%11==7) must fail: $nFailed != $want")
+    assert(nDocs == Tables.customer(spark, sf).count())
+    rows.foreach { r =>
+      assert(r.getLong(4) == r.getLong(2) * 1000000L / r.getLong(1))
+    }
+  }
+}
