@@ -144,6 +144,116 @@ object Round13bOps {
           sum("carried_cd").as("carried_cd_sum"))
         .withColumn("fail_ppm", expr("(n_failed * 1000000) DIV n_docs"))
         .orderBy("c_mktsegment")
+    }),
+
+    // Population Stability Index — the model-monitoring drift gate (the
+    // score-distribution sibling of agg_ks_drift): baseline vs current
+    // populations split by user parity, a planted +80 score shift on two
+    // event types in the current half (two full bins of drift — the
+    // undrifted types stay near zero). PSI = Σ (p_c − p_b)·ln(p_c/p_b)
+    // over 10 equal-width bins, each bin's term rounded to integer
+    // micro-units BEFORE the sum (association-order free, the
+    // agg_entropy exactness law); bins empty on either side are skipped
+    // under the same rule in both engines and censused. Every term is
+    // mathematically ≥ 0, so the sum is a true divergence. One shuffle
+    // to the (type, bin) grid, then a bounded window + rollup.
+    "agg_psi_stability" -> ((s, d) => {
+      Tables.events(s, d)
+        .select(col("event_type"), (col("user_id") % 2).as("period"),
+          (col("value") + when(col("user_id") % 2 === 1 &&
+            col("event_type").isin("error", "purchase"), 80.0)
+            .otherwise(0.0)).as("score"))
+        .withColumn("bin", least(floor(col("score") / 40).cast("int"), lit(9)))
+        .groupBy("event_type", "bin")
+        .agg(sum(when(col("period") === 0, 1L).otherwise(0L)).as("b"),
+          sum(when(col("period") === 1, 1L).otherwise(0L)).as("c"))
+        .withColumn("bt", sum("b").over(Window.partitionBy("event_type")))
+        .withColumn("ct", sum("c").over(Window.partitionBy("event_type")))
+        .withColumn("term_micro",
+          when(col("b") > 0 && col("c") > 0, expr(
+            """CAST(round((CAST(c AS DOUBLE) / ct - CAST(b AS DOUBLE) / bt)
+              |  * ln(CAST(c * bt AS DOUBLE) / (b * ct)) * 1000000) AS BIGINT)"""
+              .stripMargin)).otherwise(lit(0L)))
+        .groupBy("event_type")
+        .agg(max("bt").as("base_n"), max("ct").as("cur_n"),
+          sum(when(col("b") > 0 && col("c") > 0, 1L).otherwise(0L)).as("bins_used"),
+          sum("term_micro").as("psi_micro"))
+        .withColumn("drift", col("psi_micro") >= 200000L)
+        .orderBy("event_type")
+    }),
+
+    // Circuit breaker — the request-indexed failure guard (time-window
+    // breakers starve on sparse traffic; production breakers count the
+    // trailing N calls): per service the last-20-requests failure count
+    // in the (ts_us, event_id) total order, OPEN at ≥ 8/20. Failures =
+    // error events plus planted dependency-outage blocks (every 13th
+    // 50-event id block fails wholesale — dense runs that provably trip
+    // the breaker at any scale). Trip episodes = gaps-and-islands over
+    // the open flag; census per service: requests, open requests, trips,
+    // longest open run, worst window pressure. Two stacked windows + two
+    // rollups, all partitioned by service — no global sort at any scale.
+    "service_circuit_breaker" -> ((s, d) => {
+      val w20 = Window.partitionBy("service").orderBy("ts_us", "event_id")
+        .rowsBetween(-19, 0)
+      val wSeq = Window.partitionBy("service").orderBy("ts_us", "event_id")
+      val wOpen = Window.partitionBy("service", "open").orderBy("ts_us", "event_id")
+      val flagged = Tables.events(s, d)
+        .select((col("user_id") % 4).as("service"), col("event_id"),
+          col("ts_us"), col("event_type"))
+        .withColumn("fail", when(col("event_type") === "error" ||
+          expr("event_id DIV 50") % 13 === 7, 1L).otherwise(0L))
+        .withColumn("werr", sum("fail").over(w20))
+        .withColumn("open", (col("werr") >= 8L).cast("int"))
+        .withColumn("island",
+          row_number().over(wSeq) - row_number().over(wOpen))
+      val runs = flagged.where(col("open") === 1)
+        .groupBy("service", "island")
+        .agg(count(lit(1)).as("run_len"))
+        .groupBy("service")
+        .agg(count(lit(1)).as("n_trips"), max("run_len").as("longest_open_run"))
+      flagged.groupBy("service")
+        .agg(count(lit(1)).as("n_requests"),
+          sum("open").as("open_requests"),
+          max("werr").as("max_window_fails"))
+        .join(runs, Seq("service"), "left")
+        .na.fill(0L, Seq("n_trips", "longest_open_run"))
+        .orderBy("service")
+    }),
+
+    // RAG context packing under a token budget — the inference-side
+    // sibling of llm_concat_packing (which packs TRAINING sequences):
+    // per query, candidate passages ranked by relevance, greedily packed
+    // in rank order until the 256-token context budget closes. The
+    // fixture's 64 queries × md5 relevance (top-10% filter) stand in for
+    // an ANN candidate stage — the expansion is a FIXED 6.4× of the doc
+    // mass, linear at any corpus size; the pack itself is one per-query
+    // running sum (never a knapsack solve — rank-greedy is what serving
+    // stacks run). Census per query bucket: packed passages, packed
+    // tokens, boundary casualties (the first passage that no longer
+    // fit), budget utilization ppm.
+    "llm_rag_budget_pack" -> ((s, d) => {
+      val q = s.range(64).select(col("id").as("q"))
+      val wPack = Window.partitionBy("q")
+        .orderBy(col("score").desc, col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.documents(s, d).select(col("doc_id"), col("n_chars"))
+        .crossJoin(broadcast(q))
+        .withColumn("score", expr(
+          """CAST(conv(substring(md5(concat(CAST(q AS STRING), ':',
+            |  CAST(doc_id AS STRING))), 1, 6), 16, 10) AS BIGINT) % 1000"""
+            .stripMargin))
+        .where(col("score") >= 900)
+        .withColumn("tok", expr("n_chars DIV 4"))
+        .withColumn("cumtok", sum("tok").over(wPack))
+        .groupBy((col("q") % 8).as("q_bucket"))
+        .agg(countDistinct("q").as("n_queries"),
+          sum(when(col("cumtok") <= 256, 1L).otherwise(0L)).as("n_packed"),
+          sum(when(col("cumtok") <= 256, col("tok")).otherwise(0L)).as("packed_tokens"),
+          sum(when(col("cumtok") > 256 && col("cumtok") - col("tok") <= 256, 1L)
+            .otherwise(0L)).as("boundary_dropped"))
+        .withColumn("util_ppm",
+          expr("(packed_tokens * 1000000) DIV (n_queries * 256)"))
+        .orderBy("q_bucket")
     })
   )
 
@@ -242,6 +352,92 @@ object Round13bOps {
          |  (CAST(SUM(CASE WHEN NOT valid THEN 1 ELSE 0 END) AS BIGINT) * 1000000)
          |    // CAST(COUNT(*) AS BIGINT) AS fail_ppm
          |FROM v GROUP BY 1 ORDER BY c_mktsegment""".stripMargin
-    }
+    },
+
+    "agg_psi_stability" ->
+      """WITH sc AS (
+        |  SELECT event_type, user_id % 2 AS period,
+        |    value + CASE WHEN user_id % 2 = 1
+        |      AND event_type IN ('error', 'purchase') THEN 80.0 ELSE 0.0 END AS score
+        |  FROM events),
+        |b AS (
+        |  SELECT event_type,
+        |    LEAST(CAST(FLOOR(score / 40) AS INT), 9) AS bin,
+        |    CAST(SUM(CASE WHEN period = 0 THEN 1 ELSE 0 END) AS BIGINT) AS b,
+        |    CAST(SUM(CASE WHEN period = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c
+        |  FROM sc GROUP BY 1, 2),
+        |t AS (
+        |  SELECT event_type, bin, b, c,
+        |    SUM(b) OVER (PARTITION BY event_type) AS bt,
+        |    SUM(c) OVER (PARTITION BY event_type) AS ct
+        |  FROM b),
+        |terms AS (
+        |  SELECT event_type, bt, ct,
+        |    CASE WHEN b > 0 AND c > 0 THEN 1 ELSE 0 END AS used,
+        |    CASE WHEN b > 0 AND c > 0 THEN
+        |      CAST(round((CAST(c AS DOUBLE) / ct - CAST(b AS DOUBLE) / bt)
+        |        * ln(CAST(c * bt AS DOUBLE) / (b * ct)) * 1000000) AS BIGINT)
+        |    ELSE 0 END AS term_micro
+        |  FROM t)
+        |SELECT event_type, CAST(MAX(bt) AS BIGINT) AS base_n,
+        |  CAST(MAX(ct) AS BIGINT) AS cur_n,
+        |  CAST(SUM(used) AS BIGINT) AS bins_used,
+        |  CAST(SUM(term_micro) AS BIGINT) AS psi_micro,
+        |  CAST(SUM(term_micro) AS BIGINT) >= 200000 AS drift
+        |FROM terms GROUP BY 1 ORDER BY event_type""".stripMargin,
+
+    "service_circuit_breaker" ->
+      """WITH ev AS (
+        |  SELECT user_id % 4 AS service, event_id, epoch_us(ts) AS ts_us,
+        |    CASE WHEN event_type = 'error'
+        |      OR (event_id // 50) % 13 = 7 THEN 1 ELSE 0 END AS fail
+        |  FROM events),
+        |w AS (
+        |  SELECT service, event_id, ts_us, fail,
+        |    SUM(fail) OVER (PARTITION BY service ORDER BY ts_us, event_id
+        |      ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS werr
+        |  FROM ev),
+        |o AS (
+        |  SELECT service, event_id, ts_us, werr,
+        |    CASE WHEN werr >= 8 THEN 1 ELSE 0 END AS open,
+        |    ROW_NUMBER() OVER (PARTITION BY service ORDER BY ts_us, event_id)
+        |      - ROW_NUMBER() OVER (PARTITION BY service,
+        |          CASE WHEN werr >= 8 THEN 1 ELSE 0 END
+        |          ORDER BY ts_us, event_id) AS island
+        |  FROM w),
+        |runs AS (
+        |  SELECT service, island, CAST(COUNT(*) AS BIGINT) AS run_len
+        |  FROM o WHERE open = 1 GROUP BY 1, 2),
+        |r AS (
+        |  SELECT service, CAST(COUNT(*) AS BIGINT) AS n_trips,
+        |    CAST(MAX(run_len) AS BIGINT) AS longest_open_run
+        |  FROM runs GROUP BY 1)
+        |SELECT o.service, CAST(COUNT(*) AS BIGINT) AS n_requests,
+        |  CAST(SUM(open) AS BIGINT) AS open_requests,
+        |  CAST(MAX(werr) AS BIGINT) AS max_window_fails,
+        |  COALESCE(MAX(r.n_trips), 0) AS n_trips,
+        |  COALESCE(MAX(r.longest_open_run), 0) AS longest_open_run
+        |FROM o LEFT JOIN r ON o.service = r.service
+        |GROUP BY 1 ORDER BY o.service""".stripMargin,
+
+    "llm_rag_budget_pack" ->
+      """WITH cand AS (
+        |  SELECT t.q, d.doc_id, d.n_chars // 4 AS tok,
+        |    ('0x' || substring(md5(CAST(t.q AS VARCHAR) || ':' ||
+        |      CAST(d.doc_id AS VARCHAR)), 1, 6))::BIGINT % 1000 AS score
+        |  FROM documents d CROSS JOIN (SELECT range AS q FROM range(0, 64)) t),
+        |packed AS (
+        |  SELECT q, tok,
+        |    SUM(tok) OVER (PARTITION BY q ORDER BY score DESC, doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS cumtok
+        |  FROM cand WHERE score >= 900)
+        |SELECT q % 8 AS q_bucket,
+        |  CAST(COUNT(DISTINCT q) AS BIGINT) AS n_queries,
+        |  CAST(SUM(CASE WHEN cumtok <= 256 THEN 1 ELSE 0 END) AS BIGINT) AS n_packed,
+        |  CAST(SUM(CASE WHEN cumtok <= 256 THEN tok ELSE 0 END) AS BIGINT) AS packed_tokens,
+        |  CAST(SUM(CASE WHEN cumtok > 256 AND cumtok - tok <= 256 THEN 1 ELSE 0 END) AS BIGINT) AS boundary_dropped,
+        |  (CAST(SUM(CASE WHEN cumtok <= 256 THEN tok ELSE 0 END) AS BIGINT) * 1000000)
+        |    // (CAST(COUNT(DISTINCT q) AS BIGINT) * 256) AS util_ppm
+        |FROM packed GROUP BY 1 ORDER BY q_bucket""".stripMargin
   )
 }

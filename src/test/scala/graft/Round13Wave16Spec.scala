@@ -79,4 +79,49 @@ class Round13Wave16Spec extends AnyFunSuite {
       assert(r.getLong(4) == r.getLong(2) * 1000000L / r.getLong(1))
     }
   }
+
+  test("agg_psi_stability: planted +80 shift drifts its two types only") {
+    val rows = SparkEntry.queries("agg_psi_stability")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val byType = rows.map(r => r.getString(0) ->
+      (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    byType.foreach { case (t, (bn, cn, used, psi)) =>
+      assert(psi >= 0, s"PSI is a divergence, must be >= 0: $t -> $psi")
+      assert(used >= 1 && used <= 10)
+      assert(bn > 0 && cn > 0)
+    }
+    val drifted = Seq("error", "purchase").map(byType(_)._4).min
+    val calm = byType.filterKeys(k => k != "error" && k != "purchase")
+      .values.map(_._4).max
+    assert(drifted > calm,
+      s"planted drift must dominate sampling noise: $drifted <= $calm")
+  }
+
+  test("service_circuit_breaker: planted outage blocks trip the breaker") {
+    val rows = SparkEntry.queries("service_circuit_breaker")(spark, sf).collect()
+    assert(rows.length == 4)
+    val nReq = rows.map(_.getLong(1)).sum
+    assert(nReq == Tables.events(spark, sf).count())
+    rows.foreach { r =>
+      val (open, maxW, trips, longest) =
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(trips >= 1, s"planted 50-event outage blocks must trip: $r")
+      assert(open >= trips, "every trip is at least one open request")
+      assert(longest <= open && maxW >= 8 && maxW <= 20)
+    }
+  }
+
+  test("llm_rag_budget_pack: packs never exceed budget, boundary accounted") {
+    val rows = SparkEntry.queries("llm_rag_budget_pack")(spark, sf).collect()
+    assert(rows.length == 8)
+    assert(rows.map(_.getLong(1)).sum == 64, "all 64 queries bucketed")
+    rows.foreach { r =>
+      val (nq, packed, toks, dropped, util) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(toks <= nq * 256, s"budget violated: $r")
+      assert(util == toks * 1000000L / (nq * 256))
+      assert(dropped <= nq, "at most one boundary casualty per query")
+      assert(packed >= nq, "every query packs at least its top passage")
+    }
+  }
 }
