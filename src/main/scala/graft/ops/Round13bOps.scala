@@ -254,6 +254,101 @@ object Round13bOps {
         .withColumn("util_ppm",
           expr("(packed_tokens * 1000000) DIV (n_queries * 256)"))
         .orderBy("q_bucket")
+    }),
+
+    // Retry-storm / backoff-discipline audit — the client-behavior twin
+    // of service_idempotency_replay (which counts replays; this one
+    // judges their TIMING): the request log viewed as 4-attempt retry
+    // chains, inter-attempt gaps from the (ts_us, event_id) total order,
+    // a chain VIOLATES exponential-backoff discipline when any later gap
+    // shrinks below its predecessor (the thundering-herd signature an
+    // SRE pages on). Per service: chains, attempts, amplification ppm,
+    // violating chains + ppm, and the tightest observed retry gap (the
+    // µs burst floor). Two stacked lags inside one chain window + two
+    // rollups; everything partitioned by chain then service.
+    "service_retry_storm" -> ((s, d) => {
+      val wc = Window.partitionBy("chain").orderBy("ts_us", "event_id")
+      val chains = Tables.events(s, d)
+        .select(col("event_id"), col("ts_us"))
+        .withColumn("chain", expr("event_id DIV 4"))
+        .withColumn("gap", col("ts_us") - lag("ts_us", 1).over(wc))
+        .withColumn("shrunk",
+          when(col("gap") < lag("gap", 1).over(wc), 1L).otherwise(0L))
+        .groupBy("chain")
+        .agg(count(lit(1)).as("attempts"), max("shrunk").as("viol"),
+          min("gap").as("min_gap"))
+      chains.groupBy((col("chain") % 4).as("service"))
+        .agg(count(lit(1)).as("n_chains"), sum("attempts").as("n_attempts"),
+          sum("viol").as("violating_chains"),
+          min("min_gap").as("min_gap_us"))
+        .withColumn("amplification_ppm",
+          expr("(n_attempts * 1000000) DIV n_chains"))
+        .withColumn("violation_ppm",
+          expr("(violating_chains * 1000000) DIV n_chains"))
+        .orderBy("service")
+    }),
+
+    // Word-error-rate eval by token fingerprinting — mm_asr_cer_eval's
+    // word-level sibling: the reference's first 12 words are ENCODED one
+    // char per word (md5 fingerprint → A-Z; collisions are the declared
+    // approximation both engines share bit-for-bit), so word-level edit
+    // distance reduces to the same constant-bounded Levenshtein DP the
+    // CER op runs — a 12² ceiling per row, linear in docs at any scale.
+    // Hypothesis corruptions per class: every 3rd word dropped (regex
+    // group surgery on the encoding), leading word swap, clean. Graded
+    // per (source, class): docs, WER-ppm mass, worst WER.
+    "llm_wer_eval" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          expr("""array_join(transform(slice(split(text, ' '), 1, 12),
+                 |  w -> chr(65 + CAST(conv(substring(md5(w), 1, 4), 16, 10)
+                 |           AS BIGINT) % 26)), '')""".stripMargin).as("enc"),
+          expr("least(size(split(text, ' ')), 12)").as("n_words"))
+        .withColumn("class",
+          when(col("doc_id") % 3 === 0, lit("drop3"))
+            .when(col("doc_id") % 3 === 1, lit("swap")).otherwise(lit("clean")))
+        .withColumn("hyp",
+          when(col("class") === "drop3",
+            regexp_replace(col("enc"), "(..).", "$1"))
+            .when(col("class") === "swap" && length(col("enc")) >= 2,
+              expr("concat(substring(enc, 2, 1), substring(enc, 1, 1), substring(enc, 3))"))
+            .otherwise(col("enc")))
+        .withColumn("wer_ppm", expr(
+          "(levenshtein(enc, hyp) * CAST(1000000 AS BIGINT)) DIV n_words"))
+        .groupBy("source", "class")
+        .agg(count(lit(1)).as("n_docs"), sum("wer_ppm").as("wer_ppm_mass"),
+          max("wer_ppm").as("worst_wer_ppm"))
+        .orderBy("source", "class")
+    }),
+
+    // Stable keyed pseudonymization — the GDPR-grade tokenization every
+    // person warehouse ships (warehouse_masked_view hides columns; this
+    // op REPLACES the join key and must prove referential integrity
+    // survives): pseudo = keyed md5 prefix of the customer key, applied
+    // independently to the customer dim and the orders fact, then the
+    // fact re-joined to the dim ON THE PSEUDONYM. Graded per segment:
+    // customers vs distinct pseudonyms and the max keys-per-pseudonym
+    // (the collision census — 48 bits keeps it 1:1 at any graded scale),
+    // plus the order count and cents mass that survive the pseudonym
+    // join. One shuffle join on the pseudonym + two rollups.
+    "warehouse_pseudonym_consistent" -> ((s, d) => {
+      def pseudo(key: String) = expr(
+        s"upper(substring(md5(concat('pepper2024:', CAST($key AS STRING))), 1, 12))")
+      val cust = Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_mktsegment"), pseudo("c_custkey").as("pseudo"))
+      val perPseudo = cust.groupBy("c_mktsegment", "pseudo")
+        .agg(count(lit(1)).as("keys"))
+        .groupBy("c_mktsegment")
+        .agg(sum("keys").as("n_customers"), count(lit(1)).as("n_pseudonyms"),
+          max("keys").as("max_keys_per_pseudo"))
+      val ordSide = Tables.orders(s, d)
+        .select(pseudo("o_custkey").as("pseudo"), col("o_totalprice"))
+        .join(cust.select("pseudo", "c_mktsegment"), Seq("pseudo"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(expr("CAST(FLOOR(o_totalprice * 100) AS BIGINT)")).as("order_cents"))
+      perPseudo.join(ordSide, Seq("c_mktsegment"))
+        .orderBy("c_mktsegment")
     })
   )
 
@@ -438,6 +533,78 @@ object Round13bOps {
         |  CAST(SUM(CASE WHEN cumtok > 256 AND cumtok - tok <= 256 THEN 1 ELSE 0 END) AS BIGINT) AS boundary_dropped,
         |  (CAST(SUM(CASE WHEN cumtok <= 256 THEN tok ELSE 0 END) AS BIGINT) * 1000000)
         |    // (CAST(COUNT(DISTINCT q) AS BIGINT) * 256) AS util_ppm
-        |FROM packed GROUP BY 1 ORDER BY q_bucket""".stripMargin
+        |FROM packed GROUP BY 1 ORDER BY q_bucket""".stripMargin,
+
+    "service_retry_storm" ->
+      """WITH g AS (
+        |  SELECT event_id // 4 AS chain, event_id, epoch_us(ts) AS ts_us,
+        |    epoch_us(ts) - LAG(epoch_us(ts)) OVER w AS gap
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY event_id // 4 ORDER BY epoch_us(ts), event_id)),
+        |s2 AS (
+        |  SELECT chain, gap,
+        |    CASE WHEN gap < LAG(gap) OVER
+        |      (PARTITION BY chain ORDER BY ts_us, event_id)
+        |      THEN 1 ELSE 0 END AS shrunk
+        |  FROM g),
+        |c AS (
+        |  SELECT chain, CAST(COUNT(*) AS BIGINT) AS attempts,
+        |    CAST(MAX(shrunk) AS BIGINT) AS viol,
+        |    MIN(gap) AS min_gap
+        |  FROM s2 GROUP BY 1)
+        |SELECT chain % 4 AS service, CAST(COUNT(*) AS BIGINT) AS n_chains,
+        |  CAST(SUM(attempts) AS BIGINT) AS n_attempts,
+        |  CAST(SUM(viol) AS BIGINT) AS violating_chains,
+        |  CAST(MIN(min_gap) AS BIGINT) AS min_gap_us,
+        |  (CAST(SUM(attempts) AS BIGINT) * 1000000) // CAST(COUNT(*) AS BIGINT) AS amplification_ppm,
+        |  (CAST(SUM(viol) AS BIGINT) * 1000000) // CAST(COUNT(*) AS BIGINT) AS violation_ppm
+        |FROM c GROUP BY 1 ORDER BY service""".stripMargin,
+
+    "llm_wer_eval" ->
+      """WITH e AS (
+        |  SELECT doc_id, source,
+        |    array_to_string(list_transform(str_split(text, ' ')[1:12],
+        |      w -> chr(CAST(65 + ('0x' || substring(md5(w), 1, 4))::BIGINT % 26 AS INT))),
+        |      '') AS enc,
+        |    LEAST(len(str_split(text, ' ')), 12) AS n_words,
+        |    CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'drop3'
+        |      WHEN 1 THEN 'swap' ELSE 'clean' END AS class
+        |  FROM documents),
+        |h AS (
+        |  SELECT source, class, n_words, enc,
+        |    CASE WHEN class = 'drop3' THEN regexp_replace(enc, '(..).', '\1', 'g')
+        |         WHEN class = 'swap' AND length(enc) >= 2 THEN
+        |           substring(enc, 2, 1) || substring(enc, 1, 1) || substring(enc, 3)
+        |         ELSE enc END AS hyp
+        |  FROM e)
+        |SELECT source, class, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM((levenshtein(enc, hyp) * CAST(1000000 AS BIGINT)) // n_words) AS BIGINT) AS wer_ppm_mass,
+        |  CAST(MAX((levenshtein(enc, hyp) * CAST(1000000 AS BIGINT)) // n_words) AS BIGINT) AS worst_wer_ppm
+        |FROM h GROUP BY 1, 2 ORDER BY source, class""".stripMargin,
+
+    "warehouse_pseudonym_consistent" ->
+      """WITH cust AS (
+        |  SELECT c_custkey, c_mktsegment,
+        |    upper(substring(md5('pepper2024:' || CAST(c_custkey AS VARCHAR)), 1, 12)) AS pseudo
+        |  FROM customer),
+        |pc AS (
+        |  SELECT c_mktsegment, pseudo, CAST(COUNT(*) AS BIGINT) AS keys
+        |  FROM cust GROUP BY 1, 2),
+        |dim AS (
+        |  SELECT c_mktsegment, CAST(SUM(keys) AS BIGINT) AS n_customers,
+        |    CAST(COUNT(*) AS BIGINT) AS n_pseudonyms,
+        |    CAST(MAX(keys) AS BIGINT) AS max_keys_per_pseudo
+        |  FROM pc GROUP BY 1),
+        |fact AS (
+        |  SELECT cust.c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |    CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS order_cents
+        |  FROM orders
+        |  JOIN cust ON upper(substring(md5('pepper2024:' ||
+        |    CAST(o_custkey AS VARCHAR)), 1, 12)) = cust.pseudo
+        |  GROUP BY 1)
+        |SELECT dim.c_mktsegment, n_customers, n_pseudonyms, max_keys_per_pseudo,
+        |  n_orders, order_cents
+        |FROM dim JOIN fact ON dim.c_mktsegment = fact.c_mktsegment
+        |ORDER BY dim.c_mktsegment""".stripMargin
   )
 }

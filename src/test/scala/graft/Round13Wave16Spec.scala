@@ -124,4 +124,49 @@ class Round13Wave16Spec extends AnyFunSuite {
       assert(packed >= nq, "every query packs at least its top passage")
     }
   }
+
+  test("service_retry_storm: chains conserve attempts, gaps audited") {
+    val rows = SparkEntry.queries("service_retry_storm")(spark, sf).collect()
+    assert(rows.length == 4)
+    val nAttempts = rows.map(_.getLong(2)).sum
+    assert(nAttempts == Tables.events(spark, sf).count())
+    rows.foreach { r =>
+      val (chains, attempts, viol, minGap, amp, vppm) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6))
+      assert(attempts <= chains * 4 && amp == attempts * 1000000L / chains)
+      assert(viol <= chains && vppm == viol * 1000000L / chains)
+      assert(viol >= 1, "iid gaps make shrinking gaps certain in bulk")
+      assert(minGap >= 0, "total order makes gaps non-negative")
+    }
+  }
+
+  test("llm_wer_eval: clean class is zero-WER, drop3 dominates") {
+    val rows = SparkEntry.queries("llm_wer_eval")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val byClass = rows.groupBy(_.getString(1))
+    assert(byClass("clean").forall(r => r.getLong(3) == 0 && r.getLong(4) == 0),
+      "identity hypothesis must grade zero WER")
+    byClass("drop3").foreach { r =>
+      assert(r.getLong(3) > 0, "dropping every 3rd word must cost edits")
+      assert(r.getLong(4) <= 1000000L, "WER bounded by 1 under deletion")
+    }
+    byClass("swap").foreach { r =>
+      // swapping two adjacent words costs at most 2 edits of >= 2 words
+      assert(r.getLong(4) <= 1000000L, s"swap WER bounded: $r")
+    }
+  }
+
+  test("warehouse_pseudonym_consistent: tokenization is 1:1 and FK-preserving") {
+    val rows = SparkEntry.queries("warehouse_pseudonym_consistent")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getLong(1)).sum == Tables.customer(spark, sf).count())
+    assert(rows.map(_.getLong(4)).sum == Tables.orders(spark, sf).count(),
+      "every order must survive the pseudonym join")
+    rows.foreach { r =>
+      assert(r.getLong(1) == r.getLong(2), s"collision: $r")
+      assert(r.getLong(3) == 1L, s"pseudonym maps multiple keys: $r")
+    }
+  }
 }
