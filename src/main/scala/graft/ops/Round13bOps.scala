@@ -349,6 +349,112 @@ object Round13bOps {
           sum(expr("CAST(FLOOR(o_totalprice * 100) AS BIGINT)")).as("order_cents"))
       perPseudo.join(ordSide, Seq("c_mktsegment"))
         .orderBy("c_mktsegment")
+    }),
+
+    // Impossible-travel detection — the account-takeover heuristic every
+    // person-service security team runs: each login resolves to a city
+    // grid cell (home cell per user; planted md5 trips relocate every
+    // 17th event), consecutive logins per user in the (ts_us, event_id)
+    // total order yield a Chebyshev grid distance and an EXACT integer
+    // speed (units·3600e6 DIV Δµs — no haversine floats to drift), a
+    // transition is IMPOSSIBLE above 900 units/h. Per principal bucket:
+    // transitions, relocations, impossible count + ppm, worst observed
+    // speed. One user-partitioned lag window + one rollup.
+    "service_impossible_travel" -> ((s, d) => {
+      val wu = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("ts_us"))
+        .withColumn("city",
+          when(col("event_id") % 17 === 3, col("event_id") % 20)
+            .otherwise(col("user_id") % 20))
+        .withColumn("x", (col("city") % 5) * 1000)
+        .withColumn("y", expr("city DIV 5") * 1000)
+        .withColumn("dist", greatest(
+          abs(col("x") - lag("x", 1).over(wu)),
+          abs(col("y") - lag("y", 1).over(wu))))
+        .withColumn("dt_us",
+          greatest(col("ts_us") - lag("ts_us", 1).over(wu), lit(1L)))
+        .withColumn("speed", expr("(dist * 3600000000) DIV dt_us"))
+        .where(col("dist").isNotNull)
+        .groupBy((col("user_id") % 8).as("principal"))
+        .agg(count(lit(1)).as("n_transitions"),
+          sum(when(col("dist") > 0, 1L).otherwise(0L)).as("n_moves"),
+          sum(when(col("speed") > 900L, 1L).otherwise(0L)).as("n_impossible"),
+          max("speed").as("max_speed"))
+        .withColumn("impossible_ppm",
+          expr("(n_impossible * 1000000) DIV n_transitions"))
+        .orderBy("principal")
+    }),
+
+    // Subtitle-to-speech alignment — the mm tier's interval-join QA: even
+    // events are SPEECH segments, odd events are subtitle CUES (duration
+    // = value·10⁴ µs, up to ~3.3 s), both per session (user). Candidate
+    // pairs are BLOCKED on the (user, start-hour) cell — the declared
+    // alignment window every subtitle QA tool uses; pairs straddling an
+    // hour boundary are out of scope by that rule in BOTH engines, and
+    // the cell population is bounded (traffic/hour), so the join is
+    // linear at any scale, never |cues|×|segments|. A cue is MATCHED if
+    // any segment overlaps it, ALIGNED if some segment covers ≥ half of
+    // it (exact integer µs overlap). Per principal bucket: cues, matched,
+    // aligned, orphans, total overlap mass.
+    "mm_subtitle_align" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("ts_us"),
+          expr("CAST(FLOOR(value * 10000) AS BIGINT)").as("dur_us"))
+        .withColumn("hour", expr("ts_us DIV 3600000000"))
+      val segs = ev.where(col("event_id") % 2 === 0)
+        .select(col("user_id"), col("hour"), col("ts_us").as("s_start"),
+          (col("ts_us") + col("dur_us")).as("s_end"))
+      val cues = ev.where(col("event_id") % 2 === 1)
+        .select(col("user_id"), col("hour"), col("event_id").as("cue_id"),
+          col("ts_us").as("c_start"), (col("ts_us") + col("dur_us")).as("c_end"))
+      val perCue = cues.join(segs, Seq("user_id", "hour"), "left")
+        .withColumn("overlap", greatest(
+          least(col("c_end"), col("s_end")) -
+            greatest(col("c_start"), col("s_start")), lit(0L)))
+        .groupBy(col("user_id"), col("cue_id"),
+          (col("c_end") - col("c_start")).as("c_dur"))
+        .agg(sum(when(col("overlap") > 0, 1L).otherwise(0L)).as("n_overlapping"),
+          max(coalesce(col("overlap"), lit(0L))).as("best_overlap"),
+          sum(coalesce(col("overlap"), lit(0L))).as("overlap_mass"))
+      perCue.groupBy((col("user_id") % 8).as("principal"))
+        .agg(count(lit(1)).as("n_cues"),
+          sum(when(col("n_overlapping") > 0, 1L).otherwise(0L)).as("matched_cues"),
+          sum(when(col("best_overlap") * 2 >= col("c_dur"), 1L).otherwise(0L))
+            .as("aligned_cues"),
+          sum(when(col("n_overlapping") === 0, 1L).otherwise(0L)).as("orphan_cues"),
+          sum("overlap_mass").as("overlap_mass_us"))
+        .orderBy("principal")
+    }),
+
+    // Crawl-frontier scheduling — the politeness-budgeted fetch plan a
+    // web-corpus pipeline runs upstream of everything else: URLs (docs)
+    // grouped by host (source × md5 shard), ranked inside each host by
+    // (priority desc, doc_id), and drained at ≤ 2 fetches per host per
+    // round (the crawl-delay law), so a URL's round = (host-rank−1) DIV 2.
+    // Per source: URLs, hosts, rounds-to-drain (frontier latency), the
+    // round-0 share — the scheduling telemetry that decides crawler
+    // capacity. One host-partitioned rank window + one rollup; hosts
+    // scale with the corpus so no partition ever exceeds its own host's
+    // URL count.
+    "llm_crawl_frontier_plan" -> ((s, d) => {
+      val wh = Window.partitionBy("host").orderBy(col("prio").desc, col("doc_id"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("source"))
+        .withColumn("host", concat(col("source"), lit("-"),
+          (col("doc_id") % 50).cast("string")))
+        .withColumn("prio", expr(
+          "CAST(conv(substring(md5(concat('url:', CAST(doc_id AS STRING))), 1, 6), 16, 10) AS BIGINT) % 1000"))
+        .withColumn("rn", row_number().over(wh))
+        .withColumn("round", expr("(CAST(rn AS BIGINT) - 1) DIV 2"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_urls"),
+          countDistinct("host").as("n_hosts"),
+          (max("round") + 1).as("rounds_to_drain"),
+          sum(when(col("round") === 0, 1L).otherwise(0L)).as("round0_urls"))
+        .withColumn("round0_share_ppm",
+          expr("(round0_urls * 1000000) DIV n_urls"))
+        .orderBy("source")
     })
   )
 
@@ -605,6 +711,85 @@ object Round13bOps {
         |SELECT dim.c_mktsegment, n_customers, n_pseudonyms, max_keys_per_pseudo,
         |  n_orders, order_cents
         |FROM dim JOIN fact ON dim.c_mktsegment = fact.c_mktsegment
-        |ORDER BY dim.c_mktsegment""".stripMargin
+        |ORDER BY dim.c_mktsegment""".stripMargin,
+
+    "service_impossible_travel" ->
+      """WITH loc AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        |    CASE WHEN event_id % 17 = 3 THEN event_id % 20
+        |         ELSE user_id % 20 END AS city
+        |  FROM events),
+        |xy AS (
+        |  SELECT user_id, event_id, ts_us,
+        |    (city % 5) * 1000 AS x, (city // 5) * 1000 AS y
+        |  FROM loc),
+        |tr AS (
+        |  SELECT user_id,
+        |    GREATEST(abs(x - LAG(x) OVER w), abs(y - LAG(y) OVER w)) AS dist,
+        |    GREATEST(ts_us - LAG(ts_us) OVER w, 1) AS dt_us
+        |  FROM xy WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+        |sp AS (
+        |  SELECT user_id, dist, (dist * 3600000000) // dt_us AS speed
+        |  FROM tr WHERE dist IS NOT NULL)
+        |SELECT user_id % 8 AS principal,
+        |  CAST(COUNT(*) AS BIGINT) AS n_transitions,
+        |  CAST(SUM(CASE WHEN dist > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_moves,
+        |  CAST(SUM(CASE WHEN speed > 900 THEN 1 ELSE 0 END) AS BIGINT) AS n_impossible,
+        |  CAST(MAX(speed) AS BIGINT) AS max_speed,
+        |  (CAST(SUM(CASE WHEN speed > 900 THEN 1 ELSE 0 END) AS BIGINT) * 1000000)
+        |    // CAST(COUNT(*) AS BIGINT) AS impossible_ppm
+        |FROM sp GROUP BY 1 ORDER BY principal""".stripMargin,
+
+    "mm_subtitle_align" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        |    CAST(FLOOR(value * 10000) AS BIGINT) AS dur_us,
+        |    epoch_us(ts) // 3600000000 AS hour
+        |  FROM events),
+        |segs AS (
+        |  SELECT user_id, hour, ts_us AS s_start, ts_us + dur_us AS s_end
+        |  FROM ev WHERE event_id % 2 = 0),
+        |cues AS (
+        |  SELECT user_id, hour, event_id AS cue_id, ts_us AS c_start,
+        |    ts_us + dur_us AS c_end
+        |  FROM ev WHERE event_id % 2 = 1),
+        |pairs AS (
+        |  SELECT c.user_id, c.cue_id, c.c_end - c.c_start AS c_dur,
+        |    GREATEST(LEAST(c.c_end, s.s_end) - GREATEST(c.c_start, s.s_start), 0)
+        |      AS overlap
+        |  FROM cues c LEFT JOIN segs s
+        |    ON c.user_id = s.user_id AND c.hour = s.hour),
+        |per_cue AS (
+        |  SELECT user_id, cue_id, c_dur,
+        |    CAST(SUM(CASE WHEN overlap > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_overlapping,
+        |    CAST(MAX(COALESCE(overlap, 0)) AS BIGINT) AS best_overlap,
+        |    CAST(SUM(COALESCE(overlap, 0)) AS BIGINT) AS overlap_mass
+        |  FROM pairs GROUP BY 1, 2, 3)
+        |SELECT user_id % 8 AS principal, CAST(COUNT(*) AS BIGINT) AS n_cues,
+        |  CAST(SUM(CASE WHEN n_overlapping > 0 THEN 1 ELSE 0 END) AS BIGINT) AS matched_cues,
+        |  CAST(SUM(CASE WHEN best_overlap * 2 >= c_dur THEN 1 ELSE 0 END) AS BIGINT) AS aligned_cues,
+        |  CAST(SUM(CASE WHEN n_overlapping = 0 THEN 1 ELSE 0 END) AS BIGINT) AS orphan_cues,
+        |  CAST(SUM(overlap_mass) AS BIGINT) AS overlap_mass_us
+        |FROM per_cue GROUP BY 1 ORDER BY principal""".stripMargin,
+
+    "llm_crawl_frontier_plan" ->
+      """WITH u AS (
+        |  SELECT doc_id, source,
+        |    source || '-' || CAST(doc_id % 50 AS VARCHAR) AS host,
+        |    ('0x' || substring(md5('url:' || CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT
+        |      % 1000 AS prio
+        |  FROM documents),
+        |r AS (
+        |  SELECT source, host,
+        |    (CAST(ROW_NUMBER() OVER (PARTITION BY host ORDER BY prio DESC, doc_id)
+        |      AS BIGINT) - 1) // 2 AS round
+        |  FROM u)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_urls,
+        |  CAST(COUNT(DISTINCT host) AS BIGINT) AS n_hosts,
+        |  CAST(MAX(round) + 1 AS BIGINT) AS rounds_to_drain,
+        |  CAST(SUM(CASE WHEN round = 0 THEN 1 ELSE 0 END) AS BIGINT) AS round0_urls,
+        |  (CAST(SUM(CASE WHEN round = 0 THEN 1 ELSE 0 END) AS BIGINT) * 1000000)
+        |    // CAST(COUNT(*) AS BIGINT) AS round0_share_ppm
+        |FROM r GROUP BY 1 ORDER BY source""".stripMargin
   )
 }

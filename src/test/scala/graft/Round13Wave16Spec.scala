@@ -169,4 +169,52 @@ class Round13Wave16Spec extends AnyFunSuite {
       assert(r.getLong(3) == 1L, s"pseudonym maps multiple keys: $r")
     }
   }
+
+  test("service_impossible_travel: home-cell stays feasible, trips flag") {
+    val rows = SparkEntry.queries("service_impossible_travel")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    val nTrans = rows.map(_.getLong(1)).sum
+    val nUsers = Tables.events(spark, sf).select("user_id").distinct().count()
+    assert(nTrans == Tables.events(spark, sf).count() - nUsers,
+      "transitions = events minus one first-login per user")
+    rows.foreach { r =>
+      val (trans, moves, imp, maxSpeed, ppm) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(imp <= moves && moves <= trans, s"ordering violated: $r")
+      assert(ppm == imp * 1000000L / trans)
+      if (imp > 0) assert(maxSpeed > 900L)
+    }
+    assert(rows.map(_.getLong(3)).sum >= 1,
+      "planted every-17th relocations must trip at least once")
+  }
+
+  test("mm_subtitle_align: cues conserve, aligned within matched") {
+    val rows = SparkEntry.queries("mm_subtitle_align")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val nCues = rows.map(_.getLong(1)).sum
+    assert(nCues == Tables.events(spark, sf)
+      .where(col("event_id") % 2 === 1).count())
+    rows.foreach { r =>
+      val (cues, matched, aligned, orphans, mass) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(matched + orphans == cues, s"match census must partition: $r")
+      assert(aligned <= matched, s"aligned is a subset of matched: $r")
+      assert(mass >= 0)
+    }
+  }
+
+  test("llm_crawl_frontier_plan: politeness budget bounds every round") {
+    val rows = SparkEntry.queries("llm_crawl_frontier_plan")(spark, sf)
+      .collect()
+    assert(rows.length == 20)
+    rows.foreach { r =>
+      val (urls, hosts, rounds, r0, share) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(r0 <= hosts * 2, s"round 0 exceeds 2-per-host politeness: $r")
+      assert(rounds >= (urls + 2 * hosts - 1) / (2 * hosts),
+        s"cannot drain faster than the budget allows: $r")
+      assert(share == r0 * 1000000L / urls)
+    }
+  }
 }
