@@ -455,6 +455,102 @@ object Round13bOps {
         .withColumn("round0_share_ppm",
           expr("(round0_urls * 1000000) DIV n_urls"))
         .orderBy("source")
+    }),
+
+    // MoE router load-balance audit — the expert-parallel training
+    // telemetry (a skewed router starves experts and blows the all-to-all
+    // step): tokens route top-2 over 16 experts per layer (md5 gates; the
+    // second choice re-indexed past the first so the pair is always
+    // distinct — the standard distinct-sampling trick). Per layer the
+    // exact integer balance factor n_experts·Σload² ·1e6 DIV (Σload)² —
+    // EXACTLY 1e6 when perfectly balanced, growing with skew (the L2
+    // imbalance every MoE paper reports), plus max-load ppm and the
+    // expert census. One shuffle to (layer, expert), bounded rollups.
+    "llm_moe_router_balance" -> ((s, d) => {
+      val routed = Tables.events(s, d)
+        .select(col("event_id"), (col("event_id") % 4).as("layer"))
+        .withColumn("e1", expr(
+          "CAST(conv(substring(md5(concat('e1:', CAST(event_id AS STRING))), 1, 6), 16, 10) AS BIGINT) % 16"))
+        .withColumn("e2r", expr(
+          "CAST(conv(substring(md5(concat('e2:', CAST(event_id AS STRING))), 1, 6), 16, 10) AS BIGINT) % 15"))
+        .withColumn("e2", when(col("e2r") >= col("e1"), col("e2r") + 1)
+          .otherwise(col("e2r")))
+      val loads = routed.select(col("layer"), col("e1").as("expert"))
+        .unionByName(routed.select(col("layer"), col("e2").as("expert")))
+        .groupBy("layer", "expert")
+        .agg(count(lit(1)).as("load"))
+      loads.groupBy("layer")
+        .agg(sum("load").as("n_assignments"),
+          count(lit(1)).as("experts_used"),
+          max("load").as("max_load"),
+          sum(col("load") * col("load")).as("l2"))
+        .select(col("layer"),
+          expr("n_assignments DIV 2").as("n_tokens"),
+          col("n_assignments"), col("experts_used"),
+          expr("(max_load * 1000000) DIV n_assignments").as("max_load_ppm"),
+          expr("(16 * l2 * 1000000) DIV (n_assignments * n_assignments)")
+            .as("balance_factor_ppm"))
+        .orderBy("layer")
+    }),
+
+    // Temporal frame dedup — the video-preprocessing pass that drops
+    // near-identical consecutive frames BEFORE any decode/embedding cost:
+    // frames (events per session) carry a 60-bit perceptual hash that is
+    // stable within a 5-frame SHOT (planted: same md5 base XOR a ≤2-bit
+    // jitter; shots keyed by frame sequence, not wall-clock, so the plant
+    // holds at sparse and dense traffic alike) and random across shots; a
+    // frame is DROPPED when its Hamming distance to the PREDECESSOR is
+    // ≤ 4 (lag-1 greedy — the streaming-friendly rule, one window, no
+    // pairwise). bit_count(xor) is codegen'd in both engines. Per
+    // principal: frames, dropped, kept, drop ppm — the decode-cost
+    // saving this pass buys.
+    "mm_frame_dedup_temporal" -> ((s, d) => {
+      val wu = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("ts_us"))
+        .withColumn("shot", expr("(CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS BIGINT) - 1) DIV 5"))
+        .withColumn("phash", expr(
+          """CAST(conv(substring(md5(concat('ph:', CAST(user_id AS STRING), ':',
+            |  CAST(shot AS STRING))), 1, 15), 16, 10) AS BIGINT)"""
+            .stripMargin).bitwiseXOR(col("event_id") % 3))
+        .withColumn("prev", lag("phash", 1).over(wu))
+        .withColumn("dropped", when(col("prev").isNotNull &&
+          bit_count(col("phash").bitwiseXOR(col("prev"))) <= 4, 1L).otherwise(0L))
+        .groupBy((col("user_id") % 8).as("principal"))
+        .agg(count(lit(1)).as("n_frames"), sum("dropped").as("n_dropped"))
+        .withColumn("n_kept", col("n_frames") - col("n_dropped"))
+        .withColumn("drop_ppm", expr("(n_dropped * 1000000) DIV n_frames"))
+        .orderBy("principal")
+    }),
+
+    // Semantic-version ordering — the deployment-ledger gate that
+    // lexicographic MAX silently corrupts (v2.9.9 > v2.9.19 as strings):
+    // component versions rendered as strings, re-PARSED by anchored
+    // regexp_extract (the fn surface under test), latest picked by
+    // max_by on the exact numeric key, and the lexicographic answer
+    // carried beside it with a divergence flag — the proof the numeric
+    // path matters. One rollup per component.
+    "fn_semver_latest" -> ((s, d) => {
+      Tables.orders(s, d)
+        .select((col("o_orderkey") % 12).as("component"),
+          concat(lit("v"), (col("o_orderkey") % 3).cast("string"), lit("."),
+            (expr("o_orderkey DIV 3") % 10).cast("string"), lit("."),
+            (expr("o_orderkey DIV 30") % 20).cast("string")).as("version"))
+        .withColumn("maj", regexp_extract(col("version"),
+          "^v(\\d+)\\.(\\d+)\\.(\\d+)$", 1).cast("bigint"))
+        .withColumn("min_", regexp_extract(col("version"),
+          "^v(\\d+)\\.(\\d+)\\.(\\d+)$", 2).cast("bigint"))
+        .withColumn("pat", regexp_extract(col("version"),
+          "^v(\\d+)\\.(\\d+)\\.(\\d+)$", 3).cast("bigint"))
+        .withColumn("numkey",
+          col("maj") * 1000000L + col("min_") * 1000L + col("pat"))
+        .groupBy("component")
+        .agg(count(lit(1)).as("n_versions"),
+          countDistinct("version").as("n_distinct_versions"),
+          expr("max_by(version, numkey)").as("latest_semver"),
+          max("version").as("lex_max"))
+        .withColumn("lex_wrong", col("latest_semver") =!= col("lex_max"))
+        .orderBy("component")
     })
   )
 
@@ -790,6 +886,79 @@ object Round13bOps {
         |  CAST(SUM(CASE WHEN round = 0 THEN 1 ELSE 0 END) AS BIGINT) AS round0_urls,
         |  (CAST(SUM(CASE WHEN round = 0 THEN 1 ELSE 0 END) AS BIGINT) * 1000000)
         |    // CAST(COUNT(*) AS BIGINT) AS round0_share_ppm
-        |FROM r GROUP BY 1 ORDER BY source""".stripMargin
+        |FROM r GROUP BY 1 ORDER BY source""".stripMargin,
+
+    "llm_moe_router_balance" ->
+      """WITH g AS (
+        |  SELECT event_id, event_id % 4 AS layer,
+        |    ('0x' || substring(md5('e1:' || CAST(event_id AS VARCHAR)), 1, 6))::BIGINT % 16 AS e1,
+        |    ('0x' || substring(md5('e2:' || CAST(event_id AS VARCHAR)), 1, 6))::BIGINT % 15 AS e2r
+        |  FROM events),
+        |r AS (
+        |  SELECT layer, e1 AS expert FROM g
+        |  UNION ALL
+        |  SELECT layer, CASE WHEN e2r >= e1 THEN e2r + 1 ELSE e2r END FROM g),
+        |loads AS (
+        |  SELECT layer, expert, CAST(COUNT(*) AS BIGINT) AS load
+        |  FROM r GROUP BY 1, 2),
+        |agg AS (
+        |  SELECT layer, CAST(SUM(load) AS BIGINT) AS n_assignments,
+        |    CAST(COUNT(*) AS BIGINT) AS experts_used,
+        |    CAST(MAX(load) AS BIGINT) AS max_load,
+        |    CAST(SUM(load * load) AS BIGINT) AS l2
+        |  FROM loads GROUP BY 1)
+        |SELECT layer, n_assignments // 2 AS n_tokens, n_assignments,
+        |  experts_used,
+        |  (max_load * 1000000) // n_assignments AS max_load_ppm,
+        |  (16 * l2 * 1000000) // (n_assignments * n_assignments) AS balance_factor_ppm
+        |FROM agg ORDER BY layer""".stripMargin,
+
+    "mm_frame_dedup_temporal" ->
+      """WITH sh AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        |    (CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts), event_id) AS BIGINT) - 1) // 5 AS shot
+        |  FROM events),
+        |f AS (
+        |  SELECT user_id, event_id, ts_us,
+        |    xor(('0x' || substring(md5('ph:' || CAST(user_id AS VARCHAR) || ':' ||
+        |      CAST(shot AS VARCHAR)), 1, 15))::BIGINT,
+        |      event_id % 3) AS phash
+        |  FROM sh),
+        |l AS (
+        |  SELECT user_id, phash,
+        |    LAG(phash) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev
+        |  FROM f),
+        |d AS (
+        |  SELECT user_id,
+        |    CASE WHEN prev IS NOT NULL
+        |      AND bit_count(CAST(xor(phash, prev) AS BIGINT)) <= 4
+        |      THEN 1 ELSE 0 END AS dropped
+        |  FROM l)
+        |SELECT user_id % 8 AS principal, CAST(COUNT(*) AS BIGINT) AS n_frames,
+        |  CAST(SUM(dropped) AS BIGINT) AS n_dropped,
+        |  CAST(COUNT(*) - SUM(dropped) AS BIGINT) AS n_kept,
+        |  (CAST(SUM(dropped) AS BIGINT) * 1000000) // CAST(COUNT(*) AS BIGINT) AS drop_ppm
+        |FROM d GROUP BY 1 ORDER BY principal""".stripMargin,
+
+    "fn_semver_latest" ->
+      """WITH v AS (
+        |  SELECT o_orderkey % 12 AS component,
+        |    'v' || CAST(o_orderkey % 3 AS VARCHAR) || '.' ||
+        |      CAST((o_orderkey // 3) % 10 AS VARCHAR) || '.' ||
+        |      CAST((o_orderkey // 30) % 20 AS VARCHAR) AS version
+        |  FROM orders),
+        |p AS (
+        |  SELECT component, version,
+        |    CAST(regexp_extract(version, '^v(\d+)\.(\d+)\.(\d+)$', 1) AS BIGINT) * 1000000
+        |    + CAST(regexp_extract(version, '^v(\d+)\.(\d+)\.(\d+)$', 2) AS BIGINT) * 1000
+        |    + CAST(regexp_extract(version, '^v(\d+)\.(\d+)\.(\d+)$', 3) AS BIGINT) AS numkey
+        |  FROM v)
+        |SELECT component, CAST(COUNT(*) AS BIGINT) AS n_versions,
+        |  CAST(COUNT(DISTINCT version) AS BIGINT) AS n_distinct_versions,
+        |  max_by(version, numkey) AS latest_semver,
+        |  MAX(version) AS lex_max,
+        |  max_by(version, numkey) <> MAX(version) AS lex_wrong
+        |FROM p GROUP BY 1 ORDER BY component""".stripMargin
   )
 }

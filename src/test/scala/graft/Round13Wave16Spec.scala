@@ -217,4 +217,52 @@ class Round13Wave16Spec extends AnyFunSuite {
       assert(share == r0 * 1000000L / urls)
     }
   }
+
+  test("llm_moe_router_balance: top-2 routing conserves, balance >= 1e6") {
+    val rows = SparkEntry.queries("llm_moe_router_balance")(spark, sf).collect()
+    assert(rows.length == 4)
+    val nAssign = rows.map(_.getLong(2)).sum
+    assert(nAssign == 2 * Tables.events(spark, sf).count(),
+      "every token routes to exactly two experts")
+    rows.foreach { r =>
+      val (tokens, assigns, used, maxPpm, bal) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(tokens * 2 == assigns)
+      assert(used <= 16 && maxPpm >= 1000000L / 16,
+        s"max load cannot undercut the uniform floor: $r")
+      assert(bal >= 1000000L - 16, s"L2 balance factor floors at 1e6: $r")
+      assert(bal < 2000000L, s"md5 gates should stay near balanced: $r")
+    }
+  }
+
+  test("mm_frame_dedup_temporal: in-shot jitter drops, shot cuts survive") {
+    val rows = SparkEntry.queries("mm_frame_dedup_temporal")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getLong(1)).sum == Tables.events(spark, sf).count())
+    rows.foreach { r =>
+      val (frames, dropped, kept, ppm) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(kept == frames - dropped && ppm == dropped * 1000000L / frames)
+      assert(kept >= 1, "the first frame of a session is always kept")
+      assert(dropped >= 1, "10-minute shots guarantee in-shot near-dups")
+    }
+  }
+
+  test("fn_semver_latest: numeric order beats lexicographic where planted") {
+    val rows = SparkEntry.queries("fn_semver_latest")(spark, sf).collect()
+    assert(rows.length == 12)
+    rows.foreach { r =>
+      val (latest, lexMax) = (r.getString(3), r.getString(4))
+      val Array(maj, min, pat) =
+        latest.stripPrefix("v").split("\\.").map(_.toLong)
+      assert(maj <= 2 && min <= 9 && pat <= 19)
+      assert(r.getBoolean(5) == (latest != lexMax))
+      // the true numeric latest dominates the lex pick numerically
+      val Array(lm, ln, lp) = lexMax.stripPrefix("v").split("\\.").map(_.toLong)
+      assert(maj * 1000000 + min * 1000 + pat >= lm * 1000000 + ln * 1000 + lp,
+        s"numeric max must dominate: $latest vs $lexMax")
+    }
+    assert(rows.exists(_.getBoolean(5)),
+      "patch 19 vs 9 must make lexicographic order wrong somewhere")
+  }
 }
