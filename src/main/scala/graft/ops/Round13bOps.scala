@@ -551,6 +551,114 @@ object Round13bOps {
           max("version").as("lex_max"))
         .withColumn("lex_wrong", col("latest_semver") =!= col("lex_max"))
         .orderBy("component")
+    }),
+
+    // Retention vs legal-hold conflict audit — the governance collision
+    // every DPO adjudicates: the TTL policy says DELETE (order older than
+    // the per-segment retention horizon, measured against the corpus
+    // high-water mark so the audit replays exactly), the litigation-hold
+    // ledger says KEEP (planted: every custkey ≡ 5 mod 23 is under
+    // hold). The sweep may only remove EXPIRED ∧ ¬HELD; conflicted rows
+    // (expired ∧ held) go to the review queue. Per segment: rows,
+    // expired, held, conflicts, deletable, and the deletable cents mass
+    // leaving the warehouse. Broadcast horizon + one rollup.
+    "warehouse_retention_legal_hold" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val hwm = o.agg(max("o_orderdate").as("hwm"))
+      o.select(col("o_custkey"), col("o_orderdate"), col("o_totalprice"))
+        .join(Tables.customer(s, d).select(col("c_custkey"), col("c_mktsegment")),
+          col("o_custkey") === col("c_custkey"))
+        .crossJoin(broadcast(hwm))
+        .withColumn("horizon_days",
+          when(col("c_mktsegment").isin("BUILDING", "MACHINERY"), 365)
+            .otherwise(540))
+        .withColumn("expired",
+          datediff(col("hwm"), col("o_orderdate")) > col("horizon_days"))
+        .withColumn("held", col("o_custkey") % 23 === 5)
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(when(col("expired"), 1L).otherwise(0L)).as("n_expired"),
+          sum(when(col("held"), 1L).otherwise(0L)).as("n_held"),
+          sum(when(col("expired") && col("held"), 1L).otherwise(0L)).as("n_conflicts"),
+          sum(when(col("expired") && !col("held"), 1L).otherwise(0L)).as("n_deletable"),
+          sum(when(col("expired") && !col("held"),
+            expr("CAST(FLOOR(o_totalprice * 100) AS BIGINT)")).otherwise(0L))
+            .as("deletable_cents"))
+        .orderBy("c_mktsegment")
+    }),
+
+    // API version adoption / deprecation readiness — the service-owner
+    // dashboard before turning an endpoint off: calls carry an API
+    // version (md5-assigned: a 0.5% ancient v0 — under the 1% bar, so
+    // READY — and an 8% legacy v1 that is not), graded per (version,
+    // week): call share in exact ppm via the week-total broadcast, plus
+    // per version the last active week and the READY flag — share over
+    // the TRAILING 4 WEEKS < 1% (a single final week is too small a
+    // sample to turn an endpoint off on; the trailing window is the
+    // production rule). Two rollups + broadcast joins — no windows over
+    // the raw log.
+    "service_api_version_adoption" -> ((s, d) => {
+      val calls = Tables.events(s, d)
+        .select(expr("ts_us DIV 604800000000").as("week"),
+          expr("""CASE WHEN CAST(conv(substring(md5(concat('ver:',
+                 |  CAST(event_id AS STRING))), 1, 6), 16, 10) AS BIGINT) % 1000 < 5
+                 |THEN 'v0'
+                 |WHEN CAST(conv(substring(md5(concat('ver:',
+                 |  CAST(event_id AS STRING))), 1, 6), 16, 10) AS BIGINT) % 1000 < 85
+                 |THEN 'v1' ELSE 'v2' END""".stripMargin).as("version"))
+      val perWeek = calls.groupBy("week", "version")
+        .agg(count(lit(1)).as("calls"))
+      val weekTot = perWeek.groupBy("week").agg(sum("calls").as("week_calls"))
+      val lastWeek = weekTot.agg(max("week").as("final_week"))
+      val trailTot = weekTot.crossJoin(broadcast(lastWeek))
+        .where(col("week") > col("final_week") - 4)
+        .agg(sum("week_calls").as("trail_total"))
+      perWeek.join(broadcast(weekTot), Seq("week"))
+        .withColumn("share_ppm", expr("(calls * 1000000) DIV week_calls"))
+        .crossJoin(broadcast(lastWeek))
+        .groupBy("version")
+        .agg(sum("calls").as("total_calls"),
+          count(lit(1)).as("active_weeks"),
+          max("week").as("last_active_week"),
+          expr("max_by(share_ppm, week)").as("final_week_share_ppm"),
+          sum(when(col("week") > col("final_week") - 4, col("calls"))
+            .otherwise(0L)).as("trailing4w_calls"))
+        .crossJoin(broadcast(trailTot))
+        .withColumn("trailing4w_share_ppm",
+          expr("(trailing4w_calls * 1000000) DIV trail_total"))
+        .withColumn("deprecation_ready", col("trailing4w_share_ppm") < 10000L)
+        .select("version", "total_calls", "active_weeks", "last_active_week",
+          "final_week_share_ppm", "trailing4w_calls", "trailing4w_share_ppm",
+          "deprecation_ready")
+        .orderBy("version")
+    }),
+
+    // Teacher–student distillation agreement — the eval gate before a
+    // distilled model ships: teacher labels from the embeddings table,
+    // student predictions planted to flip every vec_id ≡ 2 mod 9 to the
+    // next class (a known ~11% disagreement mass). Per teacher class:
+    // support, agreements, exact agreement ppm, and the dominant
+    // confusion target via max_by over the off-diagonal census — the
+    // per-class error anatomy a distillation run is judged on. Two
+    // bounded rollups after one scan.
+    "llm_distill_agreement" -> ((s, d) => {
+      val k = 8 // embeddings.label classes are bounded; fold into 8
+      val preds = Tables.embeddings(s, d)
+        .select(col("vec_id"), (col("label") % k).as("teacher"))
+        .withColumn("student",
+          when(col("vec_id") % 9 === 2, (col("teacher") + 1) % k)
+            .otherwise(col("teacher")))
+      val confusion = preds.groupBy("teacher", "student")
+        .agg(count(lit(1)).as("n"))
+      confusion.groupBy("teacher")
+        .agg(sum("n").as("support"),
+          sum(when(col("student") === col("teacher"), col("n")).otherwise(0L))
+            .as("agreements"),
+          expr("max_by(student, CASE WHEN student = teacher THEN -1 ELSE n END)")
+            .as("top_confusion"))
+        .withColumn("agreement_ppm",
+          expr("(agreements * 1000000) DIV support"))
+        .orderBy("teacher")
     })
   )
 
@@ -959,6 +1067,77 @@ object Round13bOps {
         |  max_by(version, numkey) AS latest_semver,
         |  MAX(version) AS lex_max,
         |  max_by(version, numkey) <> MAX(version) AS lex_wrong
-        |FROM p GROUP BY 1 ORDER BY component""".stripMargin
+        |FROM p GROUP BY 1 ORDER BY component""".stripMargin,
+
+    "warehouse_retention_legal_hold" ->
+      """WITH hwm AS (SELECT MAX(o_orderdate) AS h FROM orders),
+        |j AS (
+        |  SELECT c_mktsegment, o_custkey, o_totalprice,
+        |    date_diff('day', o_orderdate, (SELECT h FROM hwm)) >
+        |      CASE WHEN c_mktsegment IN ('BUILDING', 'MACHINERY')
+        |        THEN 365 ELSE 540 END AS expired,
+        |    o_custkey % 23 = 5 AS held
+        |  FROM orders JOIN customer ON o_custkey = c_custkey)
+        |SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |  CAST(SUM(CASE WHEN expired THEN 1 ELSE 0 END) AS BIGINT) AS n_expired,
+        |  CAST(SUM(CASE WHEN held THEN 1 ELSE 0 END) AS BIGINT) AS n_held,
+        |  CAST(SUM(CASE WHEN expired AND held THEN 1 ELSE 0 END) AS BIGINT) AS n_conflicts,
+        |  CAST(SUM(CASE WHEN expired AND NOT held THEN 1 ELSE 0 END) AS BIGINT) AS n_deletable,
+        |  CAST(SUM(CASE WHEN expired AND NOT held
+        |    THEN CAST(FLOOR(o_totalprice * 100) AS BIGINT) ELSE 0 END) AS BIGINT)
+        |    AS deletable_cents
+        |FROM j GROUP BY 1 ORDER BY c_mktsegment""".stripMargin,
+
+    "service_api_version_adoption" ->
+      """WITH calls AS (
+        |  SELECT epoch_us(ts) // 604800000000 AS week,
+        |    CASE WHEN ('0x' || substring(md5('ver:' || CAST(event_id AS VARCHAR)), 1, 6))::BIGINT % 1000 < 5 THEN 'v0'
+        |         WHEN ('0x' || substring(md5('ver:' || CAST(event_id AS VARCHAR)), 1, 6))::BIGINT % 1000 < 85 THEN 'v1'
+        |         ELSE 'v2' END AS version
+        |  FROM events),
+        |pw AS (
+        |  SELECT week, version, CAST(COUNT(*) AS BIGINT) AS calls
+        |  FROM calls GROUP BY 1, 2),
+        |wt AS (SELECT week, CAST(SUM(calls) AS BIGINT) AS week_calls
+        |       FROM pw GROUP BY 1),
+        |fw AS (SELECT MAX(week) AS final_week FROM wt),
+        |tt AS (
+        |  SELECT CAST(SUM(week_calls) AS BIGINT) AS trail_total FROM wt
+        |  WHERE week > (SELECT final_week FROM fw) - 4),
+        |sh AS (
+        |  SELECT pw.version, pw.week, pw.calls,
+        |    (pw.calls * 1000000) // wt.week_calls AS share_ppm
+        |  FROM pw JOIN wt ON pw.week = wt.week),
+        |v AS (
+        |  SELECT version, CAST(SUM(calls) AS BIGINT) AS total_calls,
+        |    CAST(COUNT(*) AS BIGINT) AS active_weeks,
+        |    CAST(MAX(week) AS BIGINT) AS last_active_week,
+        |    max_by(share_ppm, week) AS final_week_share_ppm,
+        |    CAST(SUM(CASE WHEN week > (SELECT final_week FROM fw) - 4
+        |      THEN calls ELSE 0 END) AS BIGINT) AS trailing4w_calls
+        |  FROM sh GROUP BY 1)
+        |SELECT version, total_calls, active_weeks, last_active_week,
+        |  final_week_share_ppm, trailing4w_calls,
+        |  (trailing4w_calls * 1000000) // (SELECT trail_total FROM tt)
+        |    AS trailing4w_share_ppm,
+        |  (trailing4w_calls * 1000000) // (SELECT trail_total FROM tt) < 10000
+        |    AS deprecation_ready
+        |FROM v ORDER BY version""".stripMargin,
+
+    "llm_distill_agreement" ->
+      """WITH p AS (
+        |  SELECT vec_id, label % 8 AS teacher,
+        |    CASE WHEN vec_id % 9 = 2 THEN (label % 8 + 1) % 8
+        |         ELSE label % 8 END AS student
+        |  FROM embeddings),
+        |conf AS (
+        |  SELECT teacher, student, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM p GROUP BY 1, 2)
+        |SELECT teacher, CAST(SUM(n) AS BIGINT) AS support,
+        |  CAST(SUM(CASE WHEN student = teacher THEN n ELSE 0 END) AS BIGINT) AS agreements,
+        |  max_by(student, CASE WHEN student = teacher THEN -1 ELSE n END) AS top_confusion,
+        |  (CAST(SUM(CASE WHEN student = teacher THEN n ELSE 0 END) AS BIGINT) * 1000000)
+        |    // CAST(SUM(n) AS BIGINT) AS agreement_ppm
+        |FROM conf GROUP BY 1 ORDER BY teacher""".stripMargin
   )
 }

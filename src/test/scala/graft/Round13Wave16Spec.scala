@@ -265,4 +265,49 @@ class Round13Wave16Spec extends AnyFunSuite {
     assert(rows.exists(_.getBoolean(5)),
       "patch 19 vs 9 must make lexicographic order wrong somewhere")
   }
+
+  test("warehouse_retention_legal_hold: sweep never touches held rows") {
+    val rows = SparkEntry.queries("warehouse_retention_legal_hold")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getLong(1)).sum == Tables.orders(spark, sf).count())
+    rows.foreach { r =>
+      val (n, exp, held, conf, del) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(conf + del == exp, s"expired must partition into held/deletable: $r")
+      assert(conf <= held && del <= n)
+      assert(exp >= 1, "a 6.5-year corpus has expired rows under any horizon")
+    }
+    assert(rows.map(_.getLong(4)).sum >= 1, "the planted hold set must conflict")
+  }
+
+  test("service_api_version_adoption: only the 0.5% tail is ready") {
+    val rows = SparkEntry.queries("service_api_version_adoption")(spark, sf)
+      .collect()
+    val byV = rows.map(r => r.getString(0) -> r).toMap
+    assert(byV.keySet == Set("v0", "v1", "v2"))
+    val total = rows.map(_.getLong(1)).sum
+    assert(total == Tables.events(spark, sf).count())
+    assert(byV("v2").getLong(1) > byV("v1").getLong(1))
+    assert(byV("v1").getLong(1) > byV("v0").getLong(1))
+    assert(byV("v0").getBoolean(7), "v0 sits under the 1% deprecation bar")
+    assert(!byV("v2").getBoolean(7), "the majority version is never ready")
+    assert(byV("v0").getLong(6) < 10000L && byV("v1").getLong(6) > 10000L,
+      "trailing-month shares straddle the bar exactly as planted")
+  }
+
+  test("llm_distill_agreement: flips land on the next class only") {
+    val rows = SparkEntry.queries("llm_distill_agreement")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val support = rows.map(_.getLong(1)).sum
+    assert(support == Tables.embeddings(spark, sf).count())
+    rows.foreach { r =>
+      val (t, sup, agree, conf, ppm) =
+        (r.getInt(0), r.getLong(1), r.getLong(2), r.getInt(3), r.getLong(4))
+      assert(agree <= sup && ppm == agree * 1000000L / sup)
+      if (agree < sup)
+        assert(conf == (t + 1) % 8, s"planted flips target the next class: $r")
+      assert(ppm > 800000L, "the ~11% flip mass caps disagreement")
+    }
+  }
 }
