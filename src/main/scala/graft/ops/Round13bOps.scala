@@ -659,6 +659,103 @@ object Round13bOps {
         .withColumn("agreement_ppm",
           expr("(agreements * 1000000) DIV support"))
         .orderBy("teacher")
+    }),
+
+    // Schema-registry compatibility matrix — the evolution gate between
+    // consecutive schema versions (source_schema_evolution reads the
+    // DATA; this op grades the REGISTRY rules that decide whether a
+    // version may ship at all): 8 versions over a 15-field universe,
+    // each version widening by one field per two versions and dropping
+    // one planted field from v5 on; field i is REQUIRED iff i % 3 ≠ 0.
+    // BACKWARD compatible (new reader, old data) ⇔ nothing REQUIRED was
+    // added; FORWARD (old reader, new data) ⇔ nothing REQUIRED was
+    // dropped. Set-diffs via one full-outer join per consecutive pair —
+    // registry-scale metadata, the engine shape is the join grammar.
+    "warehouse_schema_registry_compat" -> ((s, d) => {
+      val fields = s.range(8).select(col("id").as("version"))
+        .crossJoin(s.range(15).select(col("id").as("field")))
+        .where(col("field") < lit(10) + expr("version DIV 2") &&
+          !(col("field") === col("version") - 3 && col("version") >= 5))
+        .withColumn("required", col("field") % 3 =!= 0)
+      val prev = fields.select((col("version") + 1).as("version"),
+        col("field").as("p_field"), col("required").as("p_required"))
+      val cur = fields.select(col("version"), col("field").as("c_field"),
+        col("required").as("c_required"))
+      cur.join(prev, cur("version") === prev("version") &&
+          cur("c_field") === prev("p_field"), "full")
+        .where(coalesce(cur("version"), prev("version")).between(1, 7))
+        .select(coalesce(cur("version"), prev("version")).as("v"),
+          col("c_field"), col("p_field"),
+          col("c_required"), col("p_required"))
+        .groupBy("v")
+        .agg(sum(when(col("p_field").isNull, 1L).otherwise(0L)).as("added"),
+          sum(when(col("c_field").isNull, 1L).otherwise(0L)).as("dropped"),
+          sum(when(col("p_field").isNull && col("c_required"), 1L)
+            .otherwise(0L)).as("added_required"),
+          sum(when(col("c_field").isNull && col("p_required"), 1L)
+            .otherwise(0L)).as("dropped_required"),
+          count(lit(1)).as("fields_compared"))
+        .withColumn("backward_compatible", col("added_required") === 0L)
+        .withColumn("forward_compatible", col("dropped_required") === 0L)
+        .withColumn("full_compatible",
+          col("backward_compatible") && col("forward_compatible"))
+        .orderBy("v")
+    }),
+
+    // Conformed-dimension drift audit — two marts carry "the same"
+    // customer dimension; the replica drifted (planted: a stale segment
+    // sync on custkey ≡ 5 mod 13, an off-by-a-cent balance on ≡ 2 mod
+    // 17). The audit joins the replicas 1:1 on the key (co-partitioned
+    // shuffle — the natural layout when both marts bucket by key) and
+    // censuses per segment: keys compared, per-attribute mismatches,
+    // any-drift count + ppm, and the highest drifted key (the incident
+    // cursor a repair job resumes from). join_survivorship_merge PICKS a
+    // winner; this op is the DETECTION side.
+    "warehouse_dim_drift" -> ((s, d) => {
+      val a = Tables.customer(s, d).select(col("c_custkey"),
+        col("c_mktsegment"), expr("CAST(FLOOR(c_acctbal * 100) AS BIGINT)").as("cents"))
+      val b = a.select(col("c_custkey"),
+        when(col("c_custkey") % 13 === 5, lower(col("c_mktsegment")))
+          .otherwise(col("c_mktsegment")).as("b_seg"),
+        (col("cents") + when(col("c_custkey") % 17 === 2, 1L).otherwise(0L))
+          .as("b_cents"))
+      a.join(b, Seq("c_custkey"))
+        .withColumn("seg_drift", (col("c_mktsegment") =!= col("b_seg")).cast("long"))
+        .withColumn("bal_drift", (col("cents") =!= col("b_cents")).cast("long"))
+        .withColumn("any_drift",
+          greatest(col("seg_drift"), col("bal_drift")))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_keys"),
+          sum("seg_drift").as("segment_mismatches"),
+          sum("bal_drift").as("balance_mismatches"),
+          sum("any_drift").as("drifted_keys"),
+          max(when(col("any_drift") === 1L, col("c_custkey"))).as("max_drifted_key"))
+        .withColumn("drift_ppm", expr("(drifted_keys * 1000000) DIV n_keys"))
+        .orderBy("c_mktsegment")
+    }),
+
+    // Prefix-cache hit telemetry — the serving-cost lever vLLM-class
+    // engines report: requests share system prompts (doc_id mod 7 picks
+    // one of seven), so every prompt with an already-seen (source,
+    // system-prompt) prefix re-uses the cached KV block. Hits = prompts
+    // minus distinct prefixes per source; tokens saved = hits × the
+    // 16-char ≈ 4-token prefix. One rollup over the request log — the
+    // llm_kv_cache_plan sibling that grades REUSE, not residency.
+    "llm_prefix_cache_hits" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("source"))
+        .withColumn("sys_prompt", concat(lit("sys-"),
+          (col("doc_id") % 7).cast("string")))
+        .groupBy("source", "sys_prompt")
+        .agg(count(lit(1)).as("prompts"))
+        .groupBy("source")
+        .agg(sum("prompts").as("n_prompts"),
+          count(lit(1)).as("distinct_prefixes"),
+          sum(col("prompts") - 1).as("cache_hits"),
+          max("prompts").as("hottest_prefix"))
+        .withColumn("hit_ppm", expr("(cache_hits * 1000000) DIV n_prompts"))
+        .withColumn("tokens_saved", col("cache_hits") * 4L)
+        .orderBy("source")
     })
   )
 
@@ -1138,6 +1235,77 @@ object Round13bOps {
         |  max_by(student, CASE WHEN student = teacher THEN -1 ELSE n END) AS top_confusion,
         |  (CAST(SUM(CASE WHEN student = teacher THEN n ELSE 0 END) AS BIGINT) * 1000000)
         |    // CAST(SUM(n) AS BIGINT) AS agreement_ppm
-        |FROM conf GROUP BY 1 ORDER BY teacher""".stripMargin
+        |FROM conf GROUP BY 1 ORDER BY teacher""".stripMargin,
+
+    "warehouse_schema_registry_compat" ->
+      """WITH f AS (
+        |  SELECT v.range AS version, fl.range AS field,
+        |    (fl.range % 3) <> 0 AS required
+        |  FROM range(0, 8) v CROSS JOIN range(0, 15) fl
+        |  WHERE fl.range < 10 + v.range // 2
+        |    AND NOT (fl.range = v.range - 3 AND v.range >= 5)),
+        |cur AS (SELECT version, field AS c_field, required AS c_required FROM f),
+        |prev AS (SELECT version + 1 AS version, field AS p_field,
+        |         required AS p_required FROM f),
+        |j AS (
+        |  SELECT COALESCE(cur.version, prev.version) AS v,
+        |    c_field, p_field, c_required, p_required
+        |  FROM cur FULL OUTER JOIN prev
+        |    ON cur.version = prev.version AND cur.c_field = prev.p_field
+        |  WHERE COALESCE(cur.version, prev.version) BETWEEN 1 AND 7),
+        |a AS (
+        |  SELECT v,
+        |    CAST(SUM(CASE WHEN p_field IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS added,
+        |    CAST(SUM(CASE WHEN c_field IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS dropped,
+        |    CAST(SUM(CASE WHEN p_field IS NULL AND c_required THEN 1 ELSE 0 END) AS BIGINT) AS added_required,
+        |    CAST(SUM(CASE WHEN c_field IS NULL AND p_required THEN 1 ELSE 0 END) AS BIGINT) AS dropped_required,
+        |    CAST(COUNT(*) AS BIGINT) AS fields_compared
+        |  FROM j GROUP BY 1)
+        |SELECT v, added, dropped, added_required, dropped_required,
+        |  fields_compared,
+        |  added_required = 0 AS backward_compatible,
+        |  dropped_required = 0 AS forward_compatible,
+        |  added_required = 0 AND dropped_required = 0 AS full_compatible
+        |FROM a ORDER BY v""".stripMargin,
+
+    "warehouse_dim_drift" ->
+      """WITH a AS (
+        |  SELECT c_custkey, c_mktsegment,
+        |    CAST(FLOOR(c_acctbal * 100) AS BIGINT) AS cents
+        |  FROM customer),
+        |b AS (
+        |  SELECT c_custkey,
+        |    CASE WHEN c_custkey % 13 = 5 THEN lower(c_mktsegment)
+        |         ELSE c_mktsegment END AS b_seg,
+        |    cents + CASE WHEN c_custkey % 17 = 2 THEN 1 ELSE 0 END AS b_cents
+        |  FROM a),
+        |j AS (
+        |  SELECT a.c_mktsegment, a.c_custkey,
+        |    CASE WHEN a.c_mktsegment <> b.b_seg THEN 1 ELSE 0 END AS seg_drift,
+        |    CASE WHEN a.cents <> b.b_cents THEN 1 ELSE 0 END AS bal_drift
+        |  FROM a JOIN b ON a.c_custkey = b.c_custkey)
+        |SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_keys,
+        |  CAST(SUM(seg_drift) AS BIGINT) AS segment_mismatches,
+        |  CAST(SUM(bal_drift) AS BIGINT) AS balance_mismatches,
+        |  CAST(SUM(GREATEST(seg_drift, bal_drift)) AS BIGINT) AS drifted_keys,
+        |  CAST(MAX(CASE WHEN GREATEST(seg_drift, bal_drift) = 1
+        |    THEN c_custkey END) AS BIGINT) AS max_drifted_key,
+        |  (CAST(SUM(GREATEST(seg_drift, bal_drift)) AS BIGINT) * 1000000)
+        |    // CAST(COUNT(*) AS BIGINT) AS drift_ppm
+        |FROM j GROUP BY 1 ORDER BY c_mktsegment""".stripMargin,
+
+    "llm_prefix_cache_hits" ->
+      """WITH g AS (
+        |  SELECT source, 'sys-' || CAST(doc_id % 7 AS VARCHAR) AS sys_prompt,
+        |    CAST(COUNT(*) AS BIGINT) AS prompts
+        |  FROM documents GROUP BY 1, 2)
+        |SELECT source, CAST(SUM(prompts) AS BIGINT) AS n_prompts,
+        |  CAST(COUNT(*) AS BIGINT) AS distinct_prefixes,
+        |  CAST(SUM(prompts - 1) AS BIGINT) AS cache_hits,
+        |  CAST(MAX(prompts) AS BIGINT) AS hottest_prefix,
+        |  (CAST(SUM(prompts - 1) AS BIGINT) * 1000000)
+        |    // CAST(SUM(prompts) AS BIGINT) AS hit_ppm,
+        |  CAST(SUM(prompts - 1) * 4 AS BIGINT) AS tokens_saved
+        |FROM g GROUP BY 1 ORDER BY source""".stripMargin
   )
 }

@@ -310,4 +310,51 @@ class Round13Wave16Spec extends AnyFunSuite {
       assert(ppm > 800000L, "the ~11% flip mass caps disagreement")
     }
   }
+
+  test("warehouse_schema_registry_compat: the planted evolution grades right") {
+    val rows = SparkEntry.queries("warehouse_schema_registry_compat")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(rows.keySet == (1L to 7L).toSet)
+    // v1: no change — fully compatible
+    assert(rows(1L).getBoolean(6) && rows(1L).getBoolean(7))
+    // v2 adds required field 10 — backward incompatible, forward fine
+    assert(!rows(2L).getBoolean(6) && rows(2L).getBoolean(7))
+    // v5 drops required field 2 — forward incompatible
+    assert(!rows(5L).getBoolean(7))
+    rows.values.foreach { r =>
+      assert(r.getBoolean(8) == (r.getBoolean(6) && r.getBoolean(7)))
+      assert(r.getLong(3) <= r.getLong(1) && r.getLong(4) <= r.getLong(2))
+    }
+  }
+
+  test("warehouse_dim_drift: planted drift is found, clean keys stay clean") {
+    val rows = SparkEntry.queries("warehouse_dim_drift")(spark, sf).collect()
+    assert(rows.map(_.getLong(1)).sum == Tables.customer(spark, sf).count())
+    val segDrift = rows.map(_.getLong(2)).sum
+    val balDrift = rows.map(_.getLong(3)).sum
+    val wantSeg = Tables.customer(spark, sf)
+      .where(col("c_custkey") % 13 === 5).count()
+    val wantBal = Tables.customer(spark, sf)
+      .where(col("c_custkey") % 17 === 2).count()
+    assert(segDrift == wantSeg && balDrift == wantBal,
+      s"drift census must be exactly the plant: $segDrift/$wantSeg $balDrift/$wantBal")
+    rows.foreach { r =>
+      assert(r.getLong(4) <= r.getLong(2) + r.getLong(3))
+      assert(r.getLong(6) == r.getLong(4) * 1000000L / r.getLong(1))
+    }
+  }
+
+  test("llm_prefix_cache_hits: hits + distinct prefixes conserve prompts") {
+    val rows = SparkEntry.queries("llm_prefix_cache_hits")(spark, sf).collect()
+    assert(rows.length == 20)
+    rows.foreach { r =>
+      val (n, distinct, hits, hottest, ppm, saved) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6))
+      assert(distinct <= 7, "seven system prompts exist")
+      assert(hits == n - distinct, s"hits must be prompts minus misses: $r")
+      assert(hottest >= (n + 6) / 7, "pigeonhole floors the hottest prefix")
+      assert(ppm == hits * 1000000L / n && saved == hits * 4)
+    }
+  }
 }
