@@ -756,6 +756,103 @@ object Round13bOps {
         .withColumn("hit_ppm", expr("(cache_hits * 1000000) DIV n_prompts"))
         .withColumn("tokens_saved", col("cache_hits") * 4L)
         .orderBy("source")
+    }),
+
+    // Priority load shedding — the overload policy between the rate
+    // limiter (service_rate_limit_sliding) and the breaker
+    // (service_circuit_breaker): each (user, day) cell holds a 2-request
+    // budget and requests are admitted STRICTLY by priority class
+    // (purchase > signup > error > click > view), ties broken on the
+    // (ts_us, event_id) total order; everything past the budget sheds.
+    // Cell population scales with per-principal traffic, so the rank
+    // window never sees more than one principal-day. Graded per class:
+    // requests, shed, shed ppm — the strict-priority invariant is that
+    // senior classes shed at most as hard as junior ones.
+    "service_load_shedding" -> ((s, d) => {
+      val wCell = Window.partitionBy("user_id", "day")
+        .orderBy("priority", "ts_us", "event_id")
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("ts_us"), col("event_type"))
+        .withColumn("day", expr("ts_us DIV 86400000000"))
+        .withColumn("priority",
+          when(col("event_type") === "purchase", 0)
+            .when(col("event_type") === "signup", 1)
+            .when(col("event_type") === "error", 2)
+            .when(col("event_type") === "click", 3).otherwise(4))
+        .withColumn("shed",
+          when(row_number().over(wCell) > 2, 1L).otherwise(0L))
+        .groupBy("priority")
+        .agg(count(lit(1)).as("n_requests"), sum("shed").as("n_shed"))
+        .withColumn("kept", col("n_requests") - col("n_shed"))
+        .withColumn("shed_ppm", expr("(n_shed * 1000000) DIV n_requests"))
+        .orderBy("priority")
+    }),
+
+    // Annotator qualification by gold seeding — the labeling-ops gate
+    // every human-data pipeline runs: every 5th item is a GOLD with a
+    // known answer; good annotators (id % 3 ≠ 0) answer golds correctly
+    // 9 times in 10, bad ones answer md5-noise (~25% right), and only
+    // annotators at ≥ 70% gold accuracy keep their production labels.
+    // Per annotator cohort: annotators, qualified, gold census, and the
+    // production-label mass retained vs discarded — the cost of the
+    // quality bar. Per-annotator rollup then cohort rollup, one scan.
+    "llm_annotator_qualification" -> ((s, d) => {
+      val tasks = Tables.events(s, d)
+        .select(col("event_id"), (col("event_id") % 24).as("annotator"))
+        .withColumn("is_gold", col("event_id") % 5 === 0)
+        .withColumn("gold_answer", expr(
+          "CAST(conv(substring(md5(concat('gold:', CAST(event_id AS STRING))), 1, 6), 16, 10) AS BIGINT) % 4"))
+        .withColumn("answer",
+          when(col("is_gold") && col("annotator") % 3 =!= 0 &&
+            col("event_id") % 50 =!= 45, col("gold_answer"))
+            .otherwise(expr(
+              "CAST(conv(substring(md5(concat('ans:', CAST(event_id AS STRING))), 1, 6), 16, 10) AS BIGINT) % 4")))
+      val perAnnotator = tasks.groupBy("annotator")
+        .agg(sum(when(col("is_gold"), 1L).otherwise(0L)).as("golds"),
+          sum(when(col("is_gold") && col("answer") === col("gold_answer"), 1L)
+            .otherwise(0L)).as("gold_correct"),
+          sum(when(!col("is_gold"), 1L).otherwise(0L)).as("prod_labels"))
+        .withColumn("qualified",
+          col("gold_correct") * 10L >= col("golds") * 7L)
+      perAnnotator.groupBy((col("annotator") % 8).as("cohort"))
+        .agg(count(lit(1)).as("n_annotators"),
+          sum(when(col("qualified"), 1L).otherwise(0L)).as("n_qualified"),
+          sum("golds").as("gold_tasks"),
+          sum("gold_correct").as("gold_correct"),
+          sum("prod_labels").as("labels_total"),
+          sum(when(col("qualified"), col("prod_labels")).otherwise(0L))
+            .as("labels_retained"))
+        .withColumn("retention_ppm",
+          expr("(labels_retained * 1000000) DIV labels_total"))
+        .orderBy("cohort")
+    }),
+
+    // Conversion-lag cohorts — the signup→first-purchase funnel timing
+    // (agg_funnel counts stage mass; this op grades the LAG): per user
+    // the first signup, then the first purchase strictly after it, lag
+    // in exact whole hours; cohorted by signup week: signed, converted,
+    // conversion ppm, min/max lag and total lag mass (the inputs every
+    // activation dashboard plots). Two conditional rollups + one join —
+    // no window over the raw log.
+    "agg_conversion_lag" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val signup = ev.where(col("event_type") === "signup")
+        .groupBy("user_id").agg(min("ts_us").as("s_ts"))
+      val conv = ev.where(col("event_type") === "purchase")
+        .join(signup, Seq("user_id"))
+        .where(col("ts_us") > col("s_ts"))
+        .groupBy("user_id").agg(min("ts_us").as("p_ts"), min("s_ts").as("s_ts2"))
+        .withColumn("lag_hours", expr("(p_ts - s_ts2) DIV 3600000000"))
+      signup.join(conv.select("user_id", "lag_hours"), Seq("user_id"), "left")
+        .groupBy(expr("s_ts DIV 604800000000").as("cohort_week"))
+        .agg(count(lit(1)).as("signed_up"),
+          sum(when(col("lag_hours").isNotNull, 1L).otherwise(0L)).as("converted"),
+          min("lag_hours").as("min_lag_hours"),
+          max("lag_hours").as("max_lag_hours"),
+          sum(coalesce(col("lag_hours"), lit(0L))).as("lag_hours_mass"))
+        .withColumn("conversion_ppm",
+          expr("(converted * 1000000) DIV signed_up"))
+        .orderBy("cohort_week")
     })
   )
 
@@ -1306,6 +1403,74 @@ object Round13bOps {
         |  (CAST(SUM(prompts - 1) AS BIGINT) * 1000000)
         |    // CAST(SUM(prompts) AS BIGINT) AS hit_ppm,
         |  CAST(SUM(prompts - 1) * 4 AS BIGINT) AS tokens_saved
-        |FROM g GROUP BY 1 ORDER BY source""".stripMargin
+        |FROM g GROUP BY 1 ORDER BY source""".stripMargin,
+
+    "service_load_shedding" ->
+      """WITH p AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        |    epoch_us(ts) // 86400000000 AS day,
+        |    CASE event_type WHEN 'purchase' THEN 0 WHEN 'signup' THEN 1
+        |      WHEN 'error' THEN 2 WHEN 'click' THEN 3 ELSE 4 END AS priority
+        |  FROM events),
+        |r AS (
+        |  SELECT priority,
+        |    CASE WHEN ROW_NUMBER() OVER (PARTITION BY user_id, day
+        |      ORDER BY priority, ts_us, event_id) > 2 THEN 1 ELSE 0 END AS shed
+        |  FROM p)
+        |SELECT priority, CAST(COUNT(*) AS BIGINT) AS n_requests,
+        |  CAST(SUM(shed) AS BIGINT) AS n_shed,
+        |  CAST(COUNT(*) - SUM(shed) AS BIGINT) AS kept,
+        |  (CAST(SUM(shed) AS BIGINT) * 1000000) // CAST(COUNT(*) AS BIGINT) AS shed_ppm
+        |FROM r GROUP BY 1 ORDER BY priority""".stripMargin,
+
+    "llm_annotator_qualification" ->
+      """WITH t AS (
+        |  SELECT event_id, event_id % 24 AS annotator,
+        |    event_id % 5 = 0 AS is_gold,
+        |    ('0x' || substring(md5('gold:' || CAST(event_id AS VARCHAR)), 1, 6))::BIGINT % 4 AS gold_answer,
+        |    ('0x' || substring(md5('ans:' || CAST(event_id AS VARCHAR)), 1, 6))::BIGINT % 4 AS noise
+        |  FROM events),
+        |a AS (
+        |  SELECT annotator, is_gold, gold_answer,
+        |    CASE WHEN is_gold AND annotator % 3 <> 0 AND event_id % 50 <> 45
+        |      THEN gold_answer ELSE noise END AS answer
+        |  FROM t),
+        |pa AS (
+        |  SELECT annotator,
+        |    CAST(SUM(CASE WHEN is_gold THEN 1 ELSE 0 END) AS BIGINT) AS golds,
+        |    CAST(SUM(CASE WHEN is_gold AND answer = gold_answer THEN 1 ELSE 0 END) AS BIGINT) AS gold_correct,
+        |    CAST(SUM(CASE WHEN NOT is_gold THEN 1 ELSE 0 END) AS BIGINT) AS prod_labels
+        |  FROM a GROUP BY 1),
+        |q AS (SELECT *, gold_correct * 10 >= golds * 7 AS qualified FROM pa)
+        |SELECT annotator % 8 AS cohort, CAST(COUNT(*) AS BIGINT) AS n_annotators,
+        |  CAST(SUM(CASE WHEN qualified THEN 1 ELSE 0 END) AS BIGINT) AS n_qualified,
+        |  CAST(SUM(golds) AS BIGINT) AS gold_tasks,
+        |  CAST(SUM(gold_correct) AS BIGINT) AS gold_correct,
+        |  CAST(SUM(prod_labels) AS BIGINT) AS labels_total,
+        |  CAST(SUM(CASE WHEN qualified THEN prod_labels ELSE 0 END) AS BIGINT) AS labels_retained,
+        |  (CAST(SUM(CASE WHEN qualified THEN prod_labels ELSE 0 END) AS BIGINT) * 1000000)
+        |    // CAST(SUM(prod_labels) AS BIGINT) AS retention_ppm
+        |FROM q GROUP BY 1 ORDER BY cohort""".stripMargin,
+
+    "agg_conversion_lag" ->
+      """WITH s AS (
+        |  SELECT user_id, MIN(epoch_us(ts)) AS s_ts
+        |  FROM events WHERE event_type = 'signup' GROUP BY 1),
+        |c AS (
+        |  SELECT e.user_id,
+        |    (MIN(epoch_us(e.ts)) - MIN(s.s_ts)) // 3600000000 AS lag_hours
+        |  FROM events e JOIN s ON e.user_id = s.user_id
+        |  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > s.s_ts
+        |  GROUP BY 1)
+        |SELECT s.s_ts // 604800000000 AS cohort_week,
+        |  CAST(COUNT(*) AS BIGINT) AS signed_up,
+        |  CAST(SUM(CASE WHEN lag_hours IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS converted,
+        |  CAST(MIN(lag_hours) AS BIGINT) AS min_lag_hours,
+        |  CAST(MAX(lag_hours) AS BIGINT) AS max_lag_hours,
+        |  CAST(SUM(COALESCE(lag_hours, 0)) AS BIGINT) AS lag_hours_mass,
+        |  (CAST(SUM(CASE WHEN lag_hours IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) * 1000000)
+        |    // CAST(COUNT(*) AS BIGINT) AS conversion_ppm
+        |FROM s LEFT JOIN c ON s.user_id = c.user_id
+        |GROUP BY 1 ORDER BY cohort_week""".stripMargin
   )
 }

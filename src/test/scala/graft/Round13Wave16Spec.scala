@@ -357,4 +357,51 @@ class Round13Wave16Spec extends AnyFunSuite {
       assert(ppm == hits * 1000000L / n && saved == hits * 4)
     }
   }
+
+  test("service_load_shedding: strict priority — seniors shed no harder") {
+    val rows = SparkEntry.queries("service_load_shedding")(spark, sf)
+      .orderBy("priority").collect()
+    assert(rows.length == 5)
+    assert(rows.map(_.getLong(1)).sum == Tables.events(spark, sf).count())
+    rows.foreach { r =>
+      assert(r.getLong(3) == r.getLong(1) - r.getLong(2))
+      assert(r.getLong(4) == r.getLong(2) * 1000000L / r.getLong(1))
+    }
+    val ppms = rows.map(_.getLong(4)).toSeq
+    assert(ppms.head <= ppms.last,
+      s"top priority must shed no harder than bottom: $ppms")
+  }
+
+  test("llm_annotator_qualification: the quality bar splits good from bad") {
+    val rows = SparkEntry.queries("llm_annotator_qualification")(spark, sf)
+      .collect()
+    assert(rows.length == 8)
+    assert(rows.map(_.getLong(1)).sum == 24)
+    val qualified = rows.map(_.getLong(2)).sum
+    assert(qualified >= 8 && qualified <= 20,
+      s"roughly the 2-in-3 good cohort qualifies: $qualified")
+    rows.foreach { r =>
+      assert(r.getLong(4) <= r.getLong(3), "correct golds bounded by golds")
+      assert(r.getLong(6) <= r.getLong(5), "retained bounded by total")
+      assert(r.getLong(7) == r.getLong(6) * 1000000L / r.getLong(5))
+    }
+  }
+
+  test("agg_conversion_lag: converted is a subset with positive lags") {
+    val rows = SparkEntry.queries("agg_conversion_lag")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val signed = rows.map(_.getLong(1)).sum
+    val wantSigned = Tables.events(spark, sf)
+      .where(col("event_type") === "signup")
+      .select("user_id").distinct().count()
+    assert(signed == wantSigned, "every signup user lands in one cohort")
+    rows.foreach { r =>
+      val (su, conv, ppm) = (r.getLong(1), r.getLong(2), r.getLong(6))
+      assert(conv <= su && ppm == conv * 1000000L / su)
+      if (conv > 0) {
+        assert(r.getLong(3) >= 0, "first purchase is strictly after signup")
+        assert(r.getLong(4) >= r.getLong(3))
+      }
+    }
+  }
 }
