@@ -53,7 +53,8 @@ class OperatorSmokeSpec extends AnyFunSuite with SparkFixture {
       "Round12cOps" -> Round12cOps.queries,
       "Round12dOps" -> Round12dOps.queries,
       "Round13Ops" -> Round13Ops.queries,
-      "Round13bOps" -> Round13bOps.queries)
+      "Round13bOps" -> Round13bOps.queries,
+      "Round13cOps" -> Round13cOps.queries)
     val all = families.flatMap { case (fam, m) => m.keys.map(_ -> fam) }
     val dups = all.groupBy(_._1).filter(_._2.length > 1)
     assert(dups.isEmpty,
