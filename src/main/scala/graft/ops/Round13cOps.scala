@@ -100,6 +100,119 @@ object Round13cOps {
         .withColumn("overflow_ppm",
           expr("(overflow_turns * 1000000) DIV n_turns"))
         .orderBy("principal")
+    }),
+
+    // Band (theta) join by bucket expansion — the |a−b| ≤ δ join a naive
+    // planner turns into a cartesian product: bucket both sides at the
+    // band width, explode ONE side into its 3 neighbor buckets, and
+    // equi-join on (priority, bucket) — |ca−cb| ≤ 100¢ implies the
+    // buckets differ by ≤ 1, so every qualifying pair is found EXACTLY
+    // once, and the join stays an equi-shuffle with a 3× fan-out instead
+    // of |A|×|B|. Graded per priority: bucket-join candidates vs band
+    // survivors (the pruning ratio) and the tightest pair. The a<b key
+    // order kills self-pairs and mirrors.
+    "join_band_bucketed" -> ((s, d) => {
+      val o = Tables.orders(s, d).select(col("o_orderkey").as("k"),
+        col("o_orderpriority").as("prio"),
+        expr("CAST(FLOOR(o_totalprice * 100) AS BIGINT)").as("c"))
+        .withColumn("bucket", expr("c DIV 100"))
+      val probe = o.withColumn("off", explode(array(lit(-1L), lit(0L), lit(1L))))
+        .select(col("k").as("ka"), col("prio"), col("c").as("ca"),
+          (col("bucket") + col("off")).as("bucket"))
+      probe.join(o.select(col("k").as("kb"), col("prio"),
+          col("c").as("cb"), col("bucket")), Seq("prio", "bucket"))
+        .where(col("ka") < col("kb"))
+        .withColumn("in_band", abs(col("ca") - col("cb")) <= 100L)
+        .groupBy("prio")
+        .agg(count(lit(1)).as("candidate_pairs"),
+          sum(when(col("in_band"), 1L).otherwise(0L)).as("band_pairs"),
+          min(when(col("in_band"), abs(col("ca") - col("cb"))))
+            .as("tightest_diff_cents"))
+        .withColumn("survival_ppm",
+          expr("(band_pairs * 1000000) DIV candidate_pairs"))
+        .orderBy("prio")
+    }),
+
+    // Locale-aware money parsing — the ETL staple behind every ledger
+    // ingest: amounts arrive as '$1,234.56' (US), '1.234,56 €' (EU,
+    // separators swapped) or bare '1234.56'; the parser strips currency
+    // marks, removes grouping separators, normalizes the decimal comma
+    // and reassembles EXACT integer cents. The fixture renders each
+    // class from the order's own cents, so the graded round-trip (parsed
+    // cents mass == source cents mass, zero mismatches) is a proof, not
+    // a spot check. Pure string surgery — codegen'd, no UDF.
+    "fn_money_parse_locale" -> ((s, d) => {
+      val base = Tables.orders(s, d)
+        .select(col("o_orderkey"),
+          expr("CAST(FLOOR(o_totalprice * 100) AS BIGINT)").as("cents"))
+        .withColumn("d", expr("cents DIV 100"))
+        .withColumn("f", expr("cents % 100"))
+        .withColumn("grouped", when(col("d") >= 1000L,
+          concat(expr("CAST(d DIV 1000 AS STRING)"), lit(","),
+            lpad(expr("CAST(d % 1000 AS STRING)"), 3, "0")))
+          .otherwise(expr("CAST(d AS STRING)")))
+        .withColumn("cls",
+          when(col("o_orderkey") % 3 === 0, lit("us"))
+            .when(col("o_orderkey") % 3 === 1, lit("eu")).otherwise(lit("plain")))
+        .withColumn("raw",
+          when(col("cls") === "us", concat(lit("$"), col("grouped"), lit("."),
+            lpad(expr("CAST(f AS STRING)"), 2, "0")))
+            .when(col("cls") === "eu", concat(
+              translate(col("grouped"), ",", "."), lit(","),
+              lpad(expr("CAST(f AS STRING)"), 2, "0"), lit(" €")))
+            .otherwise(concat(col("d").cast("string"), lit("."),
+              lpad(expr("CAST(f AS STRING)"), 2, "0"))))
+      base
+        .withColumn("norm",
+          when(col("cls") === "eu",
+            translate(regexp_replace(col("raw"), "[€ ]", ""), ".,", ",."))
+            .otherwise(regexp_replace(col("raw"), "[$]", "")))
+        .withColumn("clean", regexp_replace(col("norm"), ",", ""))
+        .withColumn("parsed_cents",
+          expr("CAST(split(clean, '\\\\.')[0] AS BIGINT) * 100 + CAST(split(clean, '\\\\.')[1] AS BIGINT)"))
+        .groupBy("cls")
+        .agg(count(lit(1)).as("n_amounts"),
+          sum("cents").as("source_cents"),
+          sum("parsed_cents").as("parsed_cents"),
+          sum(when(col("parsed_cents") =!= col("cents"), 1L).otherwise(0L))
+            .as("mismatches"))
+        .withColumn("roundtrip_exact", col("mismatches") === 0L)
+        .orderBy("cls")
+    }),
+
+    // Access recertification — the quarterly governance sweep over the
+    // grant matrix (warehouse_grants declares WHO may; this op audits
+    // whether they still DO): a bounded principal×object grant matrix
+    // joined against last-use telemetry from the event log; grants never
+    // used revoke immediately, grants idle past 30 days (vs the corpus
+    // high-water mark, so the audit replays exactly) go to the recert
+    // queue. Per principal cohort: grants, active, stale, never-used,
+    // revoke-candidate ppm. Usage rollup is the only data-scaled work;
+    // the matrix side is broadcast.
+    "warehouse_access_recert" -> ((s, d) => {
+      val grants = s.range(16).select(col("id").as("p"))
+        .crossJoin(s.range(10).select(col("id").as("o")))
+        .where((col("p") + col("o")) % 3 =!= 1)
+      val usage = Tables.events(s, d)
+        .select((col("user_id") % 16).as("p"), (col("event_id") % 10).as("o"),
+          col("ts_us"))
+        .groupBy("p", "o").agg(max("ts_us").as("last_use"))
+      val hwm = Tables.events(s, d).agg(max("ts_us").as("hwm"))
+      usage.join(broadcast(grants), Seq("p", "o"), "right")
+        .crossJoin(broadcast(hwm))
+        .withColumn("status",
+          when(col("last_use").isNull, lit("never_used"))
+            .when(col("hwm") - col("last_use") > 2592000000000L, lit("stale"))
+            .otherwise(lit("active")))
+        .groupBy((col("p") % 4).as("cohort"))
+        .agg(count(lit(1)).as("n_grants"),
+          sum(when(col("status") === "active", 1L).otherwise(0L)).as("active"),
+          sum(when(col("status") === "stale", 1L).otherwise(0L)).as("stale"),
+          sum(when(col("status") === "never_used", 1L).otherwise(0L))
+            .as("never_used"))
+        .withColumn("revoke_ppm",
+          expr("((stale + never_used) * 1000000) DIV n_grants"))
+        .orderBy("cohort")
     })
   )
 
@@ -168,6 +281,95 @@ object Round13cOps {
         |    AS overflow_turns,
         |  (CAST(SUM(CASE WHEN cum_tokens > 4096 THEN 1 ELSE 0 END) AS BIGINT)
         |    * 1000000) // CAST(COUNT(*) AS BIGINT) AS overflow_ppm
-        |FROM w GROUP BY 1 ORDER BY principal""".stripMargin
+        |FROM w GROUP BY 1 ORDER BY principal""".stripMargin,
+
+    "join_band_bucketed" ->
+      """WITH o AS (
+        |  SELECT o_orderkey AS k, o_orderpriority AS prio,
+        |    CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS c,
+        |    CAST(FLOOR(o_totalprice * 100) AS BIGINT) // 100 AS bucket
+        |  FROM orders),
+        |probe AS (
+        |  SELECT k AS ka, prio, c AS ca, bucket + off.off AS bucket
+        |  FROM o CROSS JOIN (SELECT UNNEST([-1, 0, 1]) AS off) off),
+        |j AS (
+        |  SELECT probe.prio, ca, cb,
+        |    abs(ca - cb) <= 100 AS in_band
+        |  FROM probe JOIN (SELECT k AS kb, prio, c AS cb, bucket FROM o) b
+        |    ON probe.prio = b.prio AND probe.bucket = b.bucket
+        |  WHERE probe.ka < b.kb)
+        |SELECT prio, CAST(COUNT(*) AS BIGINT) AS candidate_pairs,
+        |  CAST(SUM(CASE WHEN in_band THEN 1 ELSE 0 END) AS BIGINT) AS band_pairs,
+        |  CAST(MIN(CASE WHEN in_band THEN abs(ca - cb) END) AS BIGINT)
+        |    AS tightest_diff_cents,
+        |  (CAST(SUM(CASE WHEN in_band THEN 1 ELSE 0 END) AS BIGINT) * 1000000)
+        |    // CAST(COUNT(*) AS BIGINT) AS survival_ppm
+        |FROM j GROUP BY 1 ORDER BY prio""".stripMargin,
+
+    "fn_money_parse_locale" ->
+      """WITH b AS (
+        |  SELECT o_orderkey, CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents,
+        |    CAST(FLOOR(o_totalprice * 100) AS BIGINT) // 100 AS d,
+        |    CAST(FLOOR(o_totalprice * 100) AS BIGINT) % 100 AS f
+        |  FROM orders),
+        |g AS (
+        |  SELECT *, CASE WHEN d >= 1000 THEN
+        |      CAST(d // 1000 AS VARCHAR) || ',' || lpad(CAST(d % 1000 AS VARCHAR), 3, '0')
+        |    ELSE CAST(d AS VARCHAR) END AS grouped,
+        |    CASE CAST(o_orderkey % 3 AS INT) WHEN 0 THEN 'us'
+        |      WHEN 1 THEN 'eu' ELSE 'plain' END AS cls
+        |  FROM b),
+        |raws AS (
+        |  SELECT cls, cents,
+        |    CASE cls
+        |      WHEN 'us' THEN '$' || grouped || '.' || lpad(CAST(f AS VARCHAR), 2, '0')
+        |      WHEN 'eu' THEN replace(grouped, ',', '.') || ',' ||
+        |        lpad(CAST(f AS VARCHAR), 2, '0') || ' €'
+        |      ELSE CAST(d AS VARCHAR) || '.' || lpad(CAST(f AS VARCHAR), 2, '0')
+        |    END AS raw
+        |  FROM g),
+        |n AS (
+        |  SELECT cls, cents,
+        |    replace(CASE WHEN cls = 'eu'
+        |      THEN translate(regexp_replace(raw, '[€ ]', '', 'g'), '.,', ',.')
+        |      ELSE regexp_replace(raw, '[$]', '', 'g') END, ',', '') AS clean
+        |  FROM raws),
+        |p AS (
+        |  SELECT cls, cents,
+        |    CAST(str_split(clean, '.')[1] AS BIGINT) * 100 +
+        |    CAST(str_split(clean, '.')[2] AS BIGINT) AS parsed_cents
+        |  FROM n)
+        |SELECT cls, CAST(COUNT(*) AS BIGINT) AS n_amounts,
+        |  CAST(SUM(cents) AS BIGINT) AS source_cents,
+        |  CAST(SUM(parsed_cents) AS BIGINT) AS parsed_cents,
+        |  CAST(SUM(CASE WHEN parsed_cents <> cents THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS mismatches,
+        |  SUM(CASE WHEN parsed_cents <> cents THEN 1 ELSE 0 END) = 0 AS roundtrip_exact
+        |FROM p GROUP BY 1 ORDER BY cls""".stripMargin,
+
+    "warehouse_access_recert" ->
+      """WITH grants AS (
+        |  SELECT p.range AS p, o.range AS o
+        |  FROM range(0, 16) p CROSS JOIN range(0, 10) o
+        |  WHERE (p.range + o.range) % 3 <> 1),
+        |usage AS (
+        |  SELECT user_id % 16 AS p, event_id % 10 AS o,
+        |    MAX(epoch_us(ts)) AS last_use
+        |  FROM events GROUP BY 1, 2),
+        |hwm AS (SELECT MAX(epoch_us(ts)) AS h FROM events),
+        |st AS (
+        |  SELECT grants.p,
+        |    CASE WHEN last_use IS NULL THEN 'never_used'
+        |         WHEN (SELECT h FROM hwm) - last_use > 2592000000000 THEN 'stale'
+        |         ELSE 'active' END AS status
+        |  FROM grants LEFT JOIN usage
+        |    ON grants.p = usage.p AND grants.o = usage.o)
+        |SELECT p % 4 AS cohort, CAST(COUNT(*) AS BIGINT) AS n_grants,
+        |  CAST(SUM(CASE WHEN status = 'active' THEN 1 ELSE 0 END) AS BIGINT) AS active,
+        |  CAST(SUM(CASE WHEN status = 'stale' THEN 1 ELSE 0 END) AS BIGINT) AS stale,
+        |  CAST(SUM(CASE WHEN status = 'never_used' THEN 1 ELSE 0 END) AS BIGINT) AS never_used,
+        |  (CAST(SUM(CASE WHEN status IN ('stale', 'never_used') THEN 1 ELSE 0 END) AS BIGINT)
+        |    * 1000000) // CAST(COUNT(*) AS BIGINT) AS revoke_ppm
+        |FROM st GROUP BY 1 ORDER BY cohort""".stripMargin
   )
 }

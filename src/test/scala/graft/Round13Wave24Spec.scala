@@ -68,4 +68,54 @@ class Round13Wave24Spec extends AnyFunSuite {
       assert(ppm == overflowTurns * 1000000L / turns)
     }
   }
+
+  test("join_band_bucketed: bucket expansion finds each band pair once") {
+    val rows = SparkEntry.queries("join_band_bucketed")(spark, sf).collect()
+    assert(rows.length <= 5 && rows.nonEmpty,
+      "priorities with zero candidates legitimately drop out")
+    rows.foreach { r =>
+      val (cand, band) = (r.getLong(1), r.getLong(2))
+      assert(band <= cand, s"band pairs are a candidate subset: $r")
+      if (band > 0) {
+        assert(!r.isNullAt(3) && r.getLong(3) <= 100L)
+        assert(r.getLong(4) == band * 1000000L / cand)
+      }
+    }
+    // brute-force one priority as ground truth
+    val o = Tables.orders(spark, sf)
+      .where(org.apache.spark.sql.functions.col("o_orderpriority") === "1-URGENT")
+      .select("o_orderkey", "o_totalprice").collect()
+      .map(r => (r.getLong(0), math.floor(r.getDouble(1) * 100).toLong))
+    val want = (for {
+      (ka, ca) <- o; (kb, cb) <- o
+      if ka < kb && math.abs(ca - cb) <= 100
+    } yield 1).size
+    val got = rows.find(_.getString(0) == "1-URGENT").map(_.getLong(2)).getOrElse(0L)
+    assert(got == want, s"banded join must equal brute force: $got != $want")
+  }
+
+  test("fn_money_parse_locale: every locale round-trips to exact cents") {
+    val rows = SparkEntry.queries("fn_money_parse_locale")(spark, sf).collect()
+    assert(rows.map(_.getString(0)).toSet == Set("us", "eu", "plain"))
+    rows.foreach { r =>
+      assert(r.getLong(4) == 0, s"parser must be exact: $r")
+      assert(r.getBoolean(5))
+      assert(r.getLong(2) == r.getLong(3), "cents mass conserved through text")
+    }
+    assert(rows.map(_.getLong(1)).sum == Tables.orders(spark, sf).count())
+  }
+
+  test("warehouse_access_recert: statuses partition the grant matrix") {
+    val rows = SparkEntry.queries("warehouse_access_recert")(spark, sf).collect()
+    assert(rows.length == 4)
+    val grants = rows.map(_.getLong(1)).sum
+    assert(grants == (for (p <- 0 until 16; o <- 0 until 10
+      if (p + o) % 3 != 1) yield 1).size)
+    rows.foreach { r =>
+      val (n, active, stale, never) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(active + stale + never == n, s"status must partition: $r")
+      assert(r.getLong(5) == (stale + never) * 1000000L / n)
+    }
+  }
 }
