@@ -213,6 +213,101 @@ object Round13cOps {
         .withColumn("revoke_ppm",
           expr("((stale + never_used) * 1000000) DIV n_grants"))
         .orderBy("cohort")
+    }),
+
+    // JWT claims parsing + expiry validation — the auth gate in front of
+    // every person-service endpoint: tokens carry a base64url payload
+    // (fixture-minted from the event's own fields, padding stripped like
+    // real JWTs); the parser re-pads, maps the url alphabet back to
+    // base64, decodes, and extracts claims by JSON path; a token is
+    // EXPIRED when its exp claim sits at or before the corpus
+    // high-water second (exact integer compare). Per scope: tokens,
+    // expired + ppm, distinct subjects. All codegen'd string/JSON
+    // builtins — no UDF.
+    "fn_jwt_parse" -> ((s, d) => {
+      val hwm = Tables.events(s, d)
+        .agg(expr("MAX(ts_us DIV 1000000)").as("now_sec"))
+      val minted = Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          expr("ts_us DIV 1000000").as("ts_sec"),
+          expr("CAST(FLOOR(value) AS BIGINT)").as("v"))
+        .withColumn("payload", concat(lit("{\"sub\":\"u"),
+          col("user_id").cast("string"), lit("\",\"exp\":"),
+          (col("ts_sec") + col("v") * 10000L).cast("string"),
+          lit(",\"scope\":\""), col("event_type"), lit("\"}")))
+        .withColumn("token", concat(lit("eyJhbGciOiJIUzI1NiJ9."),
+          regexp_replace(translate(expr("base64(CAST(payload AS BINARY))"),
+            "+/", "-_"), "=", ""), lit(".sig")))
+      minted
+        .withColumn("p64", expr("split(token, '\\\\.')[1]"))
+        .withColumn("p64pad", concat(col("p64"),
+          expr("repeat('=', (4 - length(p64) % 4) % 4)")))
+        .withColumn("claims",
+          expr("CAST(unbase64(translate(p64pad, '-_', '+/')) AS STRING)"))
+        .withColumn("sub", expr("get_json_object(claims, '$.sub')"))
+        .withColumn("exp", expr("CAST(get_json_object(claims, '$.exp') AS BIGINT)"))
+        .withColumn("scope", expr("get_json_object(claims, '$.scope')"))
+        .crossJoin(broadcast(hwm))
+        .withColumn("expired", col("exp") <= col("now_sec"))
+        .groupBy("scope")
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(when(col("expired"), 1L).otherwise(0L)).as("n_expired"),
+          countDistinct("sub").as("n_subjects"))
+        .withColumn("expired_ppm", expr("(n_expired * 1000000) DIV n_tokens"))
+        .orderBy("scope")
+    }),
+
+    // GPU bin-packing plan — the training-cluster capacity question: jobs
+    // (memory demand from doc size) packed pool-by-pool in size-DESC
+    // order onto 80 GB nodes by contiguous cumulative allocation; a job
+    // whose span crosses a node boundary pays a migration (the straddler
+    // census — the cost of NOT solving true bin packing, reported
+    // honestly). Per pool: jobs, memory mass, nodes used (= the ceil
+    // lower bound under contiguous allocation), straddlers + ppm, and
+    // node utilization ppm. One pool-partitioned cumsum window + rollup.
+    "llm_gpu_packing_plan" -> ((s, d) => {
+      val wp = Window.partitionBy("pool")
+        .orderBy(col("mem_gb").desc, col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("source").as("pool"),
+          (expr("n_chars DIV 100") + 1L).as("mem_gb"))
+        .withColumn("cum", sum("mem_gb").over(wp))
+        .withColumn("straddle",
+          when(expr("(cum - 1) DIV 80") =!= expr("(cum - mem_gb) DIV 80"), 1L)
+            .otherwise(0L))
+        .groupBy("pool")
+        .agg(count(lit(1)).as("n_jobs"), sum("mem_gb").as("mem_total_gb"),
+          expr("(MAX(cum) + 79) DIV 80").as("nodes_used"),
+          sum("straddle").as("straddlers"))
+        .withColumn("straddle_ppm", expr("(straddlers * 1000000) DIV n_jobs"))
+        .withColumn("utilization_ppm",
+          expr("(mem_total_gb * 1000000) DIV (nodes_used * 80)"))
+        .orderBy("pool")
+    }),
+
+    // Dormancy → reactivation census — the growth-analytics counterpart
+    // of agg_cohort_retention (retention asks who stays; this asks who
+    // COMES BACK): a user event after a > 7-day silence is a
+    // reactivation; graded per calendar week: active users, reactivated
+    // users, events, reactivation ppm — the resurrection curve a growth
+    // team plots. One user-partitioned lag + one week rollup.
+    "agg_dormancy_reactivation" -> ((s, d) => {
+      val wu = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("ts_us"))
+        .withColumn("gap_us", col("ts_us") - lag("ts_us", 1).over(wu))
+        .withColumn("reactivated",
+          when(col("gap_us") > 604800000000L, 1L).otherwise(0L))
+        .groupBy(expr("ts_us DIV 604800000000").as("week"))
+        .agg(countDistinct("user_id").as("active_users"),
+          count(lit(1)).as("n_events"),
+          sum("reactivated").as("reactivations"),
+          countDistinct(when(col("reactivated") === 1L, col("user_id")))
+            .as("reactivated_users"))
+        .withColumn("reactivation_ppm",
+          expr("(reactivated_users * 1000000) DIV active_users"))
+        .orderBy("week")
     })
   )
 
@@ -370,6 +465,83 @@ object Round13cOps {
         |  CAST(SUM(CASE WHEN status = 'never_used' THEN 1 ELSE 0 END) AS BIGINT) AS never_used,
         |  (CAST(SUM(CASE WHEN status IN ('stale', 'never_used') THEN 1 ELSE 0 END) AS BIGINT)
         |    * 1000000) // CAST(COUNT(*) AS BIGINT) AS revoke_ppm
-        |FROM st GROUP BY 1 ORDER BY cohort""".stripMargin
+        |FROM st GROUP BY 1 ORDER BY cohort""".stripMargin,
+
+    "fn_jwt_parse" ->
+      """WITH hwm AS (SELECT MAX(epoch_us(ts) // 1000000) AS now_sec FROM events),
+        |minted AS (
+        |  SELECT user_id, event_type,
+        |    '{"sub":"u' || CAST(user_id AS VARCHAR) || '","exp":' ||
+        |    CAST(epoch_us(ts) // 1000000 +
+        |      CAST(FLOOR(value) AS BIGINT) * 10000 AS VARCHAR) ||
+        |    ',"scope":"' || event_type || '"}' AS payload
+        |  FROM events),
+        |tok AS (
+        |  SELECT 'eyJhbGciOiJIUzI1NiJ9.' ||
+        |    replace(translate(to_base64(encode(payload)), '+/', '-_'), '=', '')
+        |    || '.sig' AS token
+        |  FROM minted),
+        |p AS (
+        |  SELECT str_split(token, '.')[2] AS p64 FROM tok),
+        |dec AS (
+        |  SELECT decode(from_base64(translate(
+        |    p64 || repeat('=', (4 - length(p64) % 4) % 4), '-_', '+/'))) AS claims
+        |  FROM p),
+        |c AS (
+        |  SELECT json_extract_string(claims, '$.sub') AS sub,
+        |    CAST(json_extract_string(claims, '$.exp') AS BIGINT) AS exp,
+        |    json_extract_string(claims, '$.scope') AS scope
+        |  FROM dec)
+        |SELECT scope, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(CASE WHEN exp <= (SELECT now_sec FROM hwm)
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_expired,
+        |  CAST(COUNT(DISTINCT sub) AS BIGINT) AS n_subjects,
+        |  (CAST(SUM(CASE WHEN exp <= (SELECT now_sec FROM hwm)
+        |    THEN 1 ELSE 0 END) AS BIGINT) * 1000000)
+        |    // CAST(COUNT(*) AS BIGINT) AS expired_ppm
+        |FROM c GROUP BY 1 ORDER BY scope""".stripMargin,
+
+    "llm_gpu_packing_plan" ->
+      """WITH j AS (
+        |  SELECT doc_id, source AS pool, n_chars // 100 + 1 AS mem_gb
+        |  FROM documents),
+        |w AS (
+        |  SELECT pool, mem_gb,
+        |    SUM(mem_gb) OVER (PARTITION BY pool ORDER BY mem_gb DESC, doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM j),
+        |st AS (
+        |  SELECT pool, mem_gb, cum,
+        |    CASE WHEN (cum - 1) // 80 <> (cum - mem_gb) // 80
+        |      THEN 1 ELSE 0 END AS straddle
+        |  FROM w)
+        |SELECT pool, CAST(COUNT(*) AS BIGINT) AS n_jobs,
+        |  CAST(SUM(mem_gb) AS BIGINT) AS mem_total_gb,
+        |  CAST((MAX(cum) + 79) // 80 AS BIGINT) AS nodes_used,
+        |  CAST(SUM(straddle) AS BIGINT) AS straddlers,
+        |  (CAST(SUM(straddle) AS BIGINT) * 1000000) // CAST(COUNT(*) AS BIGINT)
+        |    AS straddle_ppm,
+        |  (CAST(SUM(mem_gb) AS BIGINT) * 1000000)
+        |    // (CAST((MAX(cum) + 79) // 80 AS BIGINT) * 80) AS utilization_ppm
+        |FROM st GROUP BY 1 ORDER BY pool""".stripMargin,
+
+    "agg_dormancy_reactivation" ->
+      """WITH g AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        |    epoch_us(ts) - LAG(epoch_us(ts)) OVER
+        |      (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS gap_us
+        |  FROM events),
+        |r AS (
+        |  SELECT user_id, ts_us // 604800000000 AS week,
+        |    CASE WHEN gap_us > 604800000000 THEN 1 ELSE 0 END AS reactivated
+        |  FROM g)
+        |SELECT week, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS active_users,
+        |  CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  CAST(SUM(reactivated) AS BIGINT) AS reactivations,
+        |  CAST(COUNT(DISTINCT CASE WHEN reactivated = 1 THEN user_id END) AS BIGINT)
+        |    AS reactivated_users,
+        |  (CAST(COUNT(DISTINCT CASE WHEN reactivated = 1 THEN user_id END) AS BIGINT)
+        |    * 1000000) // CAST(COUNT(DISTINCT user_id) AS BIGINT) AS reactivation_ppm
+        |FROM r GROUP BY 1 ORDER BY week""".stripMargin
   )
 }

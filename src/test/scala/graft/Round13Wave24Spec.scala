@@ -118,4 +118,43 @@ class Round13Wave24Spec extends AnyFunSuite {
       assert(r.getLong(5) == (stale + never) * 1000000L / n)
     }
   }
+
+  test("fn_jwt_parse: decode inverts the mint, expiry splits on the hwm") {
+    val rows = SparkEntry.queries("fn_jwt_parse")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getLong(1)).sum == Tables.events(spark, sf).count(),
+      "every token must decode — a parse failure would drop rows")
+    rows.foreach { r =>
+      val (n, exp, subs, ppm) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(exp <= n && ppm == exp * 1000000L / n)
+      assert(subs >= 1 && subs <= 15)
+    }
+    assert(rows.map(_.getLong(2)).sum >= 1, "short-lived tokens must expire")
+  }
+
+  test("llm_gpu_packing_plan: contiguous packing meets the ceil lower bound") {
+    val rows = SparkEntry.queries("llm_gpu_packing_plan")(spark, sf).collect()
+    assert(rows.length == 20)
+    rows.foreach { r =>
+      val (jobs, mem, nodes, straddlers, util) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(6))
+      assert(nodes == (mem + 79) / 80, "contiguous allocation hits the ceil bound")
+      assert(straddlers < nodes, "at most one straddler per node boundary")
+      assert(util == mem * 1000000L / (nodes * 80) && util <= 1000000L)
+    }
+  }
+
+  test("agg_dormancy_reactivation: reactivated is a user subset per week") {
+    val rows = SparkEntry.queries("agg_dormancy_reactivation")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (active, events, reacts, rUsers, ppm) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(rUsers <= active && rUsers <= reacts || reacts == 0 && rUsers == 0)
+      assert(events >= active)
+      assert(ppm == rUsers * 1000000L / active)
+    }
+  }
 }
