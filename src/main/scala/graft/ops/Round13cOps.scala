@@ -308,6 +308,105 @@ object Round13cOps {
         .withColumn("reactivation_ppm",
           expr("(reactivated_users * 1000000) DIV active_users"))
         .orderBy("week")
+    }),
+
+    // IP-range lookup join — the classic geo/ASN enrich that a naive
+    // planner executes as a range-predicate cartesian: the range dim
+    // (256 /8 blocks, each split at a planted offset into two owners) is
+    // BUCKETED at /8 granularity so the probe joins on an exact equi-key
+    // (ip DIV 2²⁴) and only the in-bucket containment check remains —
+    // the range join becomes one broadcast equi-join at any traffic
+    // volume. Per owner class: lookups, matched, unmatched (the planted
+    // reserved blocks), match ppm.
+    "join_ip_range_lookup" -> ((s, d) => {
+      val ranges = s.range(256).select(col("id").as("block"))
+        .withColumn("split_at", expr(
+          "CAST(conv(substring(md5(concat('ip:', CAST(block AS STRING))), 1, 6), 16, 10) AS BIGINT) % 16777216"))
+        .select(
+          struct(col("block"), (col("block") * 16777216L).as("lo"),
+            (col("block") * 16777216L + col("split_at")).as("hi"),
+            concat(lit("as"), (col("block") % 5).cast("string")).as("owner")).as("r"))
+        .unionByName(s.range(256).select(col("id").as("block"))
+          .withColumn("split_at", expr(
+            "CAST(conv(substring(md5(concat('ip:', CAST(block AS STRING))), 1, 6), 16, 10) AS BIGINT) % 16777216"))
+          .where(col("block") % 8 =!= 3) // every 8th block's upper half is reserved
+          .select(struct(col("block"),
+            (col("block") * 16777216L + col("split_at")).as("lo"),
+            ((col("block") + 1) * 16777216L).as("hi"),
+            concat(lit("as"), ((col("block") + 2) % 5).cast("string")).as("owner")).as("r")))
+        .select(col("r.block").as("block"), col("r.lo").as("lo"),
+          col("r.hi").as("hi"), col("r.owner").as("owner"))
+      val probes = Tables.events(s, d)
+        .select(col("event_id"), expr(
+          "CAST(conv(substring(md5(concat('addr:', CAST(event_id AS STRING))), 1, 8), 16, 10) AS BIGINT) % 4294967296").as("ip"))
+        .withColumn("block", expr("ip DIV 16777216"))
+      probes.join(broadcast(ranges), Seq("block"), "left")
+        .withColumn("hit",
+          when(col("ip") >= col("lo") && col("ip") < col("hi"), 1L).otherwise(0L))
+        .groupBy("event_id", "ip")
+        .agg(max(when(col("hit") === 1L, col("owner"))).as("owner"))
+        .groupBy(coalesce(col("owner"), lit("unrouted")).as("owner"))
+        .agg(count(lit(1)).as("n_lookups"))
+        .withColumn("routed", col("owner") =!= "unrouted")
+        .orderBy("owner")
+    }),
+
+    // Train/test split-leakage audit — the contamination check BETWEEN
+    // llm_dedup_* (which dedups one corpus) and llm_decontam_ngram
+    // (which screens against a known eval set): docs hash-split 90/10
+    // into train/test, near-dup clusters keyed by a fingerprint (planted
+    // pairs: every doc_id ≡ 1 mod 6 clusters with its predecessor — the
+    // dedup stage's output, consumed here as the cluster key), and any
+    // cluster spanning BOTH sides leaks test signal into training. Per
+    // source:
+    // clusters, leaking clusters, test docs, tainted test docs + ppm
+    // (the fraction of the eval set whose score is untrustworthy). Two
+    // rollups over one scan.
+    "llm_split_leakage_audit" -> ((s, d) => {
+      val split = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          expr("""md5(concat('fp:', CAST(doc_id -
+                 |  (CASE WHEN doc_id % 6 = 1 THEN 1 ELSE 0 END) AS STRING)))"""
+            .stripMargin).as("fp"))
+        .withColumn("side", when(expr(
+          "CAST(conv(substring(md5(concat('split:', CAST(doc_id AS STRING))), 1, 6), 16, 10) AS BIGINT) % 10") === 7,
+          lit("test")).otherwise(lit("train")))
+      val clusters = split.groupBy("fp")
+        .agg(expr("min_by(source, doc_id)").as("source"),
+          sum(when(col("side") === "train", 1L).otherwise(0L)).as("train_docs"),
+          sum(when(col("side") === "test", 1L).otherwise(0L)).as("test_docs"))
+        .withColumn("leaks", col("train_docs") > 0L && col("test_docs") > 0L)
+      clusters.groupBy("source")
+        .agg(count(lit(1)).as("n_clusters"),
+          sum(when(col("leaks"), 1L).otherwise(0L)).as("leaking_clusters"),
+          sum("test_docs").as("test_docs"),
+          sum(when(col("leaks"), col("test_docs")).otherwise(0L))
+            .as("tainted_test_docs"))
+        .withColumn("taint_ppm",
+          when(col("test_docs") > 0L,
+            expr("(tainted_test_docs * 1000000) DIV test_docs")).otherwise(0L))
+        .orderBy("source")
+    }),
+
+    // Consent bitmask decode — the ad-tech/privacy purpose-string gate
+    // (TCF-style): each user carries a 12-purpose consent bitmask; the
+    // decoder explodes the bounded purpose axis and tests bits by shift
+    // — a 12× fixed fan-out, linear at any scale. Planted: purpose 3 is
+    // universally denied (masked off), purpose 0 universally granted.
+    // Per purpose: users, granted + ppm — the audience-size readout a
+    // consent-management platform serves.
+    "fn_consent_bitmask_decode" -> ((s, d) => {
+      val masks = Tables.customer(s, d)
+        .select(col("c_custkey"),
+          (expr("CAST(conv(substring(md5(concat('cm:', CAST(c_custkey AS STRING))), 1, 4), 16, 10) AS BIGINT) % 4096")
+            .bitwiseOR(lit(1L))).bitwiseAND(lit(4087L)).as("mask"))
+      masks
+        .withColumn("purpose", explode(expr("sequence(0, 11)")))
+        .withColumn("granted", expr("shiftright(mask, purpose) % 2"))
+        .groupBy("purpose")
+        .agg(count(lit(1)).as("n_users"), sum("granted").as("n_granted"))
+        .withColumn("grant_ppm", expr("(n_granted * 1000000) DIV n_users"))
+        .orderBy("purpose")
     })
   )
 
@@ -542,6 +641,76 @@ object Round13cOps {
         |    AS reactivated_users,
         |  (CAST(COUNT(DISTINCT CASE WHEN reactivated = 1 THEN user_id END) AS BIGINT)
         |    * 1000000) // CAST(COUNT(DISTINCT user_id) AS BIGINT) AS reactivation_ppm
-        |FROM r GROUP BY 1 ORDER BY week""".stripMargin
+        |FROM r GROUP BY 1 ORDER BY week""".stripMargin,
+
+    "join_ip_range_lookup" ->
+      """WITH blocks AS (
+        |  SELECT b.range AS block,
+        |    ('0x' || substring(md5('ip:' || CAST(b.range AS VARCHAR)), 1, 6))::BIGINT
+        |      % 16777216 AS split_at
+        |  FROM range(0, 256) b),
+        |ranges AS (
+        |  SELECT block, block * 16777216 AS lo,
+        |    block * 16777216 + split_at AS hi,
+        |    'as' || CAST(block % 5 AS VARCHAR) AS owner
+        |  FROM blocks
+        |  UNION ALL
+        |  SELECT block, block * 16777216 + split_at,
+        |    (block + 1) * 16777216,
+        |    'as' || CAST((block + 2) % 5 AS VARCHAR)
+        |  FROM blocks WHERE block % 8 <> 3),
+        |probes AS (
+        |  SELECT event_id,
+        |    ('0x' || substring(md5('addr:' || CAST(event_id AS VARCHAR)), 1, 8))::BIGINT
+        |      % 4294967296 AS ip
+        |  FROM events),
+        |m AS (
+        |  SELECT p.event_id, p.ip,
+        |    MAX(CASE WHEN p.ip >= r.lo AND p.ip < r.hi THEN r.owner END) AS owner
+        |  FROM probes p LEFT JOIN ranges r ON p.ip // 16777216 = r.block
+        |  GROUP BY 1, 2)
+        |SELECT COALESCE(owner, 'unrouted') AS owner,
+        |  CAST(COUNT(*) AS BIGINT) AS n_lookups,
+        |  COALESCE(owner, 'unrouted') <> 'unrouted' AS routed
+        |FROM m GROUP BY 1 ORDER BY owner""".stripMargin,
+
+    "llm_split_leakage_audit" ->
+      """WITH sp AS (
+        |  SELECT doc_id, source,
+        |    md5('fp:' || CAST(doc_id -
+        |      (CASE WHEN doc_id % 6 = 1 THEN 1 ELSE 0 END) AS VARCHAR)) AS fp,
+        |    CASE WHEN ('0x' || substring(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT % 10 = 7
+        |      THEN 'test' ELSE 'train' END AS side
+        |  FROM documents),
+        |cl AS (
+        |  SELECT fp, min_by(source, doc_id) AS source,
+        |    CAST(SUM(CASE WHEN side = 'train' THEN 1 ELSE 0 END) AS BIGINT) AS train_docs,
+        |    CAST(SUM(CASE WHEN side = 'test' THEN 1 ELSE 0 END) AS BIGINT) AS test_docs
+        |  FROM sp GROUP BY 1),
+        |lk AS (SELECT *, train_docs > 0 AND test_docs > 0 AS leaks FROM cl)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_clusters,
+        |  CAST(SUM(CASE WHEN leaks THEN 1 ELSE 0 END) AS BIGINT) AS leaking_clusters,
+        |  CAST(SUM(test_docs) AS BIGINT) AS test_docs,
+        |  CAST(SUM(CASE WHEN leaks THEN test_docs ELSE 0 END) AS BIGINT) AS tainted_test_docs,
+        |  CASE WHEN SUM(test_docs) > 0 THEN
+        |    (CAST(SUM(CASE WHEN leaks THEN test_docs ELSE 0 END) AS BIGINT) * 1000000)
+        |      // CAST(SUM(test_docs) AS BIGINT)
+        |  ELSE 0 END AS taint_ppm
+        |FROM lk GROUP BY 1 ORDER BY source""".stripMargin,
+
+    "fn_consent_bitmask_decode" ->
+      """WITH m AS (
+        |  SELECT c_custkey,
+        |    ((('0x' || substring(md5('cm:' || CAST(c_custkey AS VARCHAR)), 1, 4))::BIGINT
+        |      % 4096) | 1) & 4087 AS mask
+        |  FROM customer),
+        |e AS (
+        |  SELECT mask, p.range AS purpose FROM m
+        |  CROSS JOIN range(0, 12) p)
+        |SELECT CAST(purpose AS INT) AS purpose, CAST(COUNT(*) AS BIGINT) AS n_users,
+        |  CAST(SUM((mask >> CAST(purpose AS INT)) % 2) AS BIGINT) AS n_granted,
+        |  (CAST(SUM((mask >> CAST(purpose AS INT)) % 2) AS BIGINT) * 1000000)
+        |    // CAST(COUNT(*) AS BIGINT) AS grant_ppm
+        |FROM e GROUP BY 1 ORDER BY purpose""".stripMargin
   )
 }

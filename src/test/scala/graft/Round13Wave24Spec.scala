@@ -157,4 +157,48 @@ class Round13Wave24Spec extends AnyFunSuite {
       assert(ppm == rUsers * 1000000L / active)
     }
   }
+
+  test("join_ip_range_lookup: unrouted is exactly the reserved tail mass") {
+    val rows = SparkEntry.queries("join_ip_range_lookup")(spark, sf).collect()
+    assert(rows.map(_.getLong(1)).sum == Tables.events(spark, sf).count())
+    val owners = rows.map(_.getString(0)).toSet
+    assert(owners.contains("unrouted"),
+      "every 8th block's reserved upper half must strand some probes")
+    assert((owners - "unrouted").subsetOf(Set("as0", "as1", "as2", "as3", "as4")))
+    rows.foreach { r =>
+      assert(r.getBoolean(2) == (r.getString(0) != "unrouted"))
+    }
+    val unrouted = rows.find(_.getString(0) == "unrouted").get.getLong(1)
+    val total = rows.map(_.getLong(1)).sum
+    assert(unrouted * 16 < total * 2,
+      s"reserved mass is ~1/16 of the address space: $unrouted of $total")
+  }
+
+  test("llm_split_leakage_audit: pairs straddling the split leak") {
+    val rows = SparkEntry.queries("llm_split_leakage_audit")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val (clusters, leaking, testDocs, tainted) =
+      (rows.map(_.getLong(1)).sum, rows.map(_.getLong(2)).sum,
+        rows.map(_.getLong(3)).sum, rows.map(_.getLong(4)).sum)
+    val nDocs = Tables.documents(spark, sf).count()
+    assert(testDocs < nDocs / 5, "the 10% hash split holds roughly")
+    assert(clusters < nDocs, "planted pairs must merge some clusters")
+    assert(leaking >= 1, "some pair must straddle the split")
+    assert(tainted >= leaking, "a leaking cluster taints >= 1 test doc")
+    rows.foreach { r => assert(r.getLong(4) <= r.getLong(3)) }
+  }
+
+  test("fn_consent_bitmask_decode: planted purposes pin the extremes") {
+    val rows = SparkEntry.queries("fn_consent_bitmask_decode")(spark, sf)
+      .orderBy("purpose").collect()
+    assert(rows.length == 12)
+    val nCust = Tables.customer(spark, sf).count()
+    rows.foreach { r => assert(r.getLong(1) == nCust) }
+    assert(rows.head.getLong(2) == nCust, "purpose 0 universally granted")
+    assert(rows(3).getLong(2) == 0, "purpose 3 universally denied")
+    rows.filter(r => r.getInt(0) != 0 && r.getInt(0) != 3).foreach { r =>
+      val ppm = r.getLong(3)
+      assert(ppm > 300000 && ppm < 700000, s"md5 bits are near-fair: $r")
+    }
+  }
 }
