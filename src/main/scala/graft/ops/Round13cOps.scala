@@ -407,6 +407,106 @@ object Round13cOps {
         .agg(count(lit(1)).as("n_users"), sum("granted").as("n_granted"))
         .withColumn("grant_ppm", expr("(n_granted * 1000000) DIV n_users"))
         .orderBy("purpose")
+    }),
+
+    // Playback QoE rollup — the streaming-video telemetry triple every
+    // player team tracks: per (user, day) viewing session the bitrate
+    // ladder rung is md5-assigned per event, SWITCHES are lag-detected
+    // rung changes (the instability cost), REBUFFERS are the error
+    // events; the session QoE in exact milli = 1000 − rebuffer-rate
+    // penalty − half the switch rate. One session-partitioned lag + two
+    // rollups; everything integer.
+    "mm_playback_qoe" -> ((s, d) => {
+      val wSess = Window.partitionBy("user_id", "day").orderBy("ts_us", "event_id")
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("ts_us"), col("event_type"))
+        .withColumn("day", expr("ts_us DIV 86400000000"))
+        .withColumn("rung", expr(
+          "element_at(array(240, 360, 480, 720, 1080), CAST(CAST(conv(substring(md5(concat('br:', CAST(event_id AS STRING))), 1, 4), 16, 10) AS BIGINT) % 5 AS INT) + 1)"))
+        .withColumn("switched",
+          when(col("rung") =!= lag("rung", 1).over(wSess), 1L).otherwise(0L))
+        .withColumn("rebuffer",
+          when(col("event_type") === "error", 1L).otherwise(0L))
+        .groupBy((col("user_id") % 8).as("principal"))
+        .agg(countDistinct("user_id", "day").as("n_sessions"),
+          count(lit(1)).as("n_events"),
+          sum("switched").as("switches"),
+          sum("rebuffer").as("rebuffers"),
+          sum("rung").as("rung_mass"))
+        .withColumn("mean_rung", expr("rung_mass DIV n_events"))
+        .withColumn("qoe_milli", expr(
+          "1000 - (rebuffers * 1000) DIV n_events - (switches * 500) DIV n_events"))
+        .orderBy("principal")
+    }),
+
+    // PII tag propagation through lineage — the governance closure every
+    // catalog runs (tag the sources, and every derived table downstream
+    // inherits the tag): a bounded 20-table lineage DAG (edges strictly
+    // increasing, so it IS a DAG), PII seeded on the three ingest tables,
+    // propagated a hop at a time — four bounded joins, the frontier
+    // shrinking as coverage saturates. Graded per hop: newly tagged
+    // tables (count + sorted list) — the blast-radius report a DPO reads.
+    "warehouse_tag_propagation" -> ((s, d) => {
+      val tables = s.range(20).select(col("id").as("t"))
+      val edges = tables.select(col("t").as("src"), (col("t") + 3).as("dst"))
+        .where(col("dst") < 20)
+        .unionByName(tables.where(col("t") % 2 === 0)
+          .select(col("t").as("src"), (col("t") + 5).as("dst"))
+          .where(col("dst") < 20))
+      var tagged = tables.where(col("t") <= 2)
+        .select(col("t"), lit(0).as("hop"))
+      var frontier = tagged.select("t")
+      for (h <- 1 to 4) {
+        val next = frontier.join(edges, frontier("t") === edges("src"))
+          .select(col("dst").as("t")).distinct()
+          .join(tagged.select(col("t").as("seen")), col("t") === col("seen"), "left_anti")
+        tagged = tagged.unionByName(next.select(col("t"), lit(h).as("hop")))
+        frontier = next
+      }
+      tagged.groupBy("hop")
+        .agg(count(lit(1)).as("newly_tagged"),
+          expr("array_join(sort_array(collect_list(CAST(t AS STRING))), ',')")
+            .as("tables_csv"))
+        .orderBy("hop")
+    }),
+
+    // Saga compensation audit — the distributed-transaction ledger check
+    // for a microservice person-store: the request log as 6-step sagas;
+    // a quarter of sagas fail at an md5-chosen step, and every executed
+    // step of a failed saga must log a compensation in reverse — except
+    // the planted txn ≡ 3 mod 19 class, which lost one (the dangling
+    // side-effect an auditor hunts). Per shard: sagas, failed, fully
+    // compensated, missing-compensation count + ppm, and the orphaned
+    // step mass. One rollup over the txn grouping.
+    "service_saga_audit" -> ((s, d) => {
+      Tables.events(s, d)
+        .select(expr("event_id DIV 6").as("txn"))
+        .groupBy("txn")
+        .agg(count(lit(1)).as("observed_steps"))
+        .withColumn("h", expr(
+          "CAST(conv(substring(md5(concat('saga:', CAST(txn AS STRING))), 1, 6), 16, 10) AS BIGINT)"))
+        .withColumn("failed", col("h") % 4 === 0)
+        .withColumn("fail_at", when(col("failed"), col("h") % 6 + 1))
+        .withColumn("executed",
+          when(col("failed"), least(col("observed_steps"), col("fail_at") - 1))
+            .otherwise(col("observed_steps")))
+        .withColumn("compensations",
+          when(!col("failed"), lit(0L))
+            .when(col("txn") % 19 === 3, greatest(col("executed") - 1, lit(0L)))
+            .otherwise(col("executed")))
+        .withColumn("missing",
+          col("failed") && col("compensations") < col("executed"))
+        .groupBy((col("txn") % 8).as("shard"))
+        .agg(count(lit(1)).as("n_sagas"),
+          sum(when(col("failed"), 1L).otherwise(0L)).as("n_failed"),
+          sum(when(col("failed") && !col("missing"), 1L).otherwise(0L))
+            .as("fully_compensated"),
+          sum(when(col("missing"), 1L).otherwise(0L)).as("missing_compensation"),
+          sum(when(col("missing"), col("executed") - col("compensations"))
+            .otherwise(0L)).as("orphaned_steps"))
+        .withColumn("missing_ppm",
+          expr("(missing_compensation * 1000000) DIV n_sagas"))
+        .orderBy("shard")
     })
   )
 
@@ -711,6 +811,96 @@ object Round13cOps {
         |  CAST(SUM((mask >> CAST(purpose AS INT)) % 2) AS BIGINT) AS n_granted,
         |  (CAST(SUM((mask >> CAST(purpose AS INT)) % 2) AS BIGINT) * 1000000)
         |    // CAST(COUNT(*) AS BIGINT) AS grant_ppm
-        |FROM e GROUP BY 1 ORDER BY purpose""".stripMargin
+        |FROM e GROUP BY 1 ORDER BY purpose""".stripMargin,
+
+    "mm_playback_qoe" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type,
+        |    epoch_us(ts) // 86400000000 AS day,
+        |    ([240, 360, 480, 720, 1080])[CAST(('0x' ||
+        |      substring(md5('br:' || CAST(event_id AS VARCHAR)), 1, 4))::BIGINT
+        |      % 5 AS INT) + 1] AS rung
+        |  FROM events),
+        |l AS (
+        |  SELECT user_id, day, event_type, rung,
+        |    CASE WHEN rung <> LAG(rung) OVER (PARTITION BY user_id, day
+        |      ORDER BY ts_us, event_id) THEN 1 ELSE 0 END AS switched
+        |  FROM ev)
+        |SELECT user_id % 8 AS principal,
+        |  CAST(COUNT(DISTINCT (user_id, day)) AS BIGINT) AS n_sessions,
+        |  CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  CAST(SUM(switched) AS BIGINT) AS switches,
+        |  CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS rebuffers,
+        |  CAST(SUM(rung) AS BIGINT) AS rung_mass,
+        |  CAST(SUM(rung) AS BIGINT) // CAST(COUNT(*) AS BIGINT) AS mean_rung,
+        |  1000 - (CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT)
+        |    * 1000) // CAST(COUNT(*) AS BIGINT)
+        |  - (CAST(SUM(switched) AS BIGINT) * 500) // CAST(COUNT(*) AS BIGINT) AS qoe_milli
+        |FROM l GROUP BY 1 ORDER BY principal""".stripMargin,
+
+    "warehouse_tag_propagation" ->
+      """WITH tables AS (SELECT range AS t FROM range(0, 20)),
+        |edges AS (
+        |  SELECT t AS src, t + 3 AS dst FROM tables WHERE t + 3 < 20
+        |  UNION ALL
+        |  SELECT t, t + 5 FROM tables WHERE t % 2 = 0 AND t + 5 < 20),
+        |h0 AS (SELECT t, 0 AS hop FROM tables WHERE t <= 2),
+        |f1 AS (SELECT DISTINCT dst AS t FROM edges
+        |       WHERE src IN (SELECT t FROM h0) AND dst NOT IN (SELECT t FROM h0)),
+        |a1 AS (SELECT t FROM h0 UNION SELECT t FROM f1),
+        |f2 AS (SELECT DISTINCT dst AS t FROM edges
+        |       WHERE src IN (SELECT t FROM f1) AND dst NOT IN (SELECT t FROM a1)),
+        |a2 AS (SELECT t FROM a1 UNION SELECT t FROM f2),
+        |f3 AS (SELECT DISTINCT dst AS t FROM edges
+        |       WHERE src IN (SELECT t FROM f2) AND dst NOT IN (SELECT t FROM a2)),
+        |a3 AS (SELECT t FROM a2 UNION SELECT t FROM f3),
+        |f4 AS (SELECT DISTINCT dst AS t FROM edges
+        |       WHERE src IN (SELECT t FROM f3) AND dst NOT IN (SELECT t FROM a3)),
+        |tagged AS (
+        |  SELECT t, hop FROM h0
+        |  UNION ALL SELECT t, 1 FROM f1
+        |  UNION ALL SELECT t, 2 FROM f2
+        |  UNION ALL SELECT t, 3 FROM f3
+        |  UNION ALL SELECT t, 4 FROM f4)
+        |SELECT CAST(hop AS INT) AS hop, CAST(COUNT(*) AS BIGINT) AS newly_tagged,
+        |  string_agg(CAST(t AS VARCHAR), ',' ORDER BY CAST(t AS VARCHAR)) AS tables_csv
+        |FROM tagged GROUP BY 1 ORDER BY hop""".stripMargin,
+
+    "service_saga_audit" ->
+      """WITH tx AS (
+        |  SELECT event_id // 6 AS txn, CAST(COUNT(*) AS BIGINT) AS observed_steps
+        |  FROM events GROUP BY 1),
+        |h AS (
+        |  SELECT *, ('0x' || substring(md5('saga:' || CAST(txn AS VARCHAR)), 1, 6))::BIGINT AS hv
+        |  FROM tx),
+        |st AS (
+        |  SELECT txn, observed_steps, hv % 4 = 0 AS failed,
+        |    CASE WHEN hv % 4 = 0 THEN hv % 6 + 1 END AS fail_at
+        |  FROM h),
+        |ex AS (
+        |  SELECT txn, failed,
+        |    CASE WHEN failed THEN LEAST(observed_steps, fail_at - 1)
+        |         ELSE observed_steps END AS executed
+        |  FROM st),
+        |cp AS (
+        |  SELECT txn, failed, executed,
+        |    CASE WHEN NOT failed THEN 0
+        |         WHEN txn % 19 = 3 THEN GREATEST(executed - 1, 0)
+        |         ELSE executed END AS compensations
+        |  FROM ex),
+        |ms AS (
+        |  SELECT txn, failed, executed, compensations,
+        |    failed AND compensations < executed AS missing
+        |  FROM cp)
+        |SELECT txn % 8 AS shard, CAST(COUNT(*) AS BIGINT) AS n_sagas,
+        |  CAST(SUM(CASE WHEN failed THEN 1 ELSE 0 END) AS BIGINT) AS n_failed,
+        |  CAST(SUM(CASE WHEN failed AND NOT missing THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS fully_compensated,
+        |  CAST(SUM(CASE WHEN missing THEN 1 ELSE 0 END) AS BIGINT) AS missing_compensation,
+        |  CAST(SUM(CASE WHEN missing THEN executed - compensations ELSE 0 END) AS BIGINT)
+        |    AS orphaned_steps,
+        |  (CAST(SUM(CASE WHEN missing THEN 1 ELSE 0 END) AS BIGINT) * 1000000)
+        |    // CAST(COUNT(*) AS BIGINT) AS missing_ppm
+        |FROM ms GROUP BY 1 ORDER BY shard""".stripMargin
   )
 }

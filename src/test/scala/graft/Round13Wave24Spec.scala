@@ -201,4 +201,46 @@ class Round13Wave24Spec extends AnyFunSuite {
       assert(ppm > 300000 && ppm < 700000, s"md5 bits are near-fair: $r")
     }
   }
+
+  test("mm_playback_qoe: switches and rebuffers bound the QoE penalty") {
+    val rows = SparkEntry.queries("mm_playback_qoe")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getLong(2)).sum == Tables.events(spark, sf).count())
+    rows.foreach { r =>
+      val (sessions, events, switches, rebuffers, meanRung, qoe) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(6), r.getLong(7))
+      assert(switches < events, "the first event of a session never switches")
+      assert(rebuffers <= events && sessions <= events)
+      assert(meanRung >= 240 && meanRung <= 1080)
+      assert(qoe <= 1000 && qoe > -500)
+    }
+  }
+
+  test("warehouse_tag_propagation: hops partition, closure is downstream-only") {
+    val rows = SparkEntry.queries("warehouse_tag_propagation")(spark, sf)
+      .orderBy("hop").collect()
+    assert(rows.head.getInt(0) == 0 && rows.head.getLong(1) == 3)
+    assert(rows.head.getString(2) == "0,1,2")
+    val allTagged = rows.flatMap(_.getString(2).split(",")).map(_.toLong)
+    assert(allTagged.distinct.length == allTagged.length,
+      "a table is tagged at exactly one hop")
+    assert(allTagged.forall(t => t >= 0 && t < 20))
+    // hop h tables are reachable: every non-seed has an in-edge from earlier
+    assert(rows.length >= 3, "propagation must travel at least two hops")
+  }
+
+  test("service_saga_audit: compensation ledger balances except the plant") {
+    val rows = SparkEntry.queries("service_saga_audit")(spark, sf).collect()
+    assert(rows.length == 8)
+    rows.foreach { r =>
+      val (sagas, failed, ok, missing, orphans) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(ok + missing == failed,
+        s"every failed saga gets exactly one verdict: $r")
+      assert(orphans == missing, "the plant removes exactly one compensation")
+      assert(r.getLong(6) == missing * 1000000L / sagas)
+    }
+    assert(rows.map(_.getLong(4)).sum >= 1, "the txn%19 plant must surface")
+  }
 }
