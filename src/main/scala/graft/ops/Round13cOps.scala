@@ -507,6 +507,121 @@ object Round13cOps {
         .withColumn("missing_ppm",
           expr("(missing_compensation * 1000000) DIV n_sagas"))
         .orderBy("shard")
+    }),
+
+    // Damerau–Levenshtein edit eval — exercises the new NATIVE
+    // graftbridge expression (true Lowrance–Wagner DL, not OSA; Spark
+    // ships only plain levenshtein): 16-char md5 keys corrupted per
+    // class — adjacent TRANSPOSITION (DL charges 1 where levenshtein
+    // charges 2 — the point of the algorithm), single substitution,
+    // single deletion, clean. Graded per class: both distance masses and
+    // the transposition SAVINGS (lev − dl), positive exactly where
+    // transpositions were planted. DuckDB's damerau_levenshtein has the
+    // identical true-DL semantics ("CA"→"ABC" = 2) — the oracle twin.
+    "fn_damerau_edit_eval" -> ((s, d) => {
+      org.apache.spark.sql.graftbridge.GraftBridge.registerFunction(s,
+        "graft_damerau", exprs =>
+          org.apache.spark.sql.graftbridge.DamerauLevenshtein(exprs(0), exprs(1)))
+      Tables.customer(s, d)
+        .select(col("c_custkey"),
+          expr("substring(md5(concat('dl:', CAST(c_custkey AS STRING))), 1, 16)")
+            .as("ref"))
+        .withColumn("cls",
+          when(col("c_custkey") % 4 === 0, lit("transpose"))
+            .when(col("c_custkey") % 4 === 1, lit("substitute"))
+            .when(col("c_custkey") % 4 === 2, lit("delete"))
+            .otherwise(lit("clean")))
+        .withColumn("hyp",
+          when(col("cls") === "transpose", expr(
+            "concat(substring(ref, 1, 4), substring(ref, 6, 1), substring(ref, 5, 1), substring(ref, 7, 10))"))
+            .when(col("cls") === "substitute", expr(
+              """concat(substring(ref, 1, 8),
+                |  CASE WHEN substring(ref, 9, 1) = '9' THEN '0'
+                |       WHEN substring(ref, 9, 1) = 'f' THEN 'a'
+                |       ELSE chr(ascii(substring(ref, 9, 1)) + 1) END,
+                |  substring(ref, 10, 7))""".stripMargin))
+            .when(col("cls") === "delete", expr(
+              "concat(substring(ref, 1, 2), substring(ref, 4, 13))"))
+            .otherwise(col("ref")))
+        .withColumn("dl", expr("graft_damerau(ref, hyp)"))
+        .withColumn("lev", expr("levenshtein(ref, hyp)"))
+        .groupBy("cls")
+        .agg(count(lit(1)).as("n"),
+          sum("dl").as("dl_mass"), sum("lev").as("lev_mass"),
+          max("dl").as("max_dl"))
+        .withColumn("transposition_savings", col("lev_mass") - col("dl_mass"))
+        .orderBy("cls")
+    }),
+
+    // Entity resolution under transposition-aware matching — the person-
+    // linkage upgrade join_entity_resolution can't express with plain
+    // levenshtein: every master key carries a constant 'xy' checksum
+    // suffix and the dirty roster corrupts ONLY that suffix ('yx'
+    // transposed / 'xz' shifted / 'zw' double-damaged / clean), so a
+    // cross-candidate in the same 8-char block always sits at key-digit
+    // distance ≥ 1 PLUS suffix distance ≥ 1 — no false links by
+    // construction, bounded candidates, corruptions never touch the
+    // block key. Matched at true-DL ≤ 1: the transposed class links at
+    // DL 1 where levenshtein says 2 — `lev_missed` counts exactly the
+    // records a plain-edit matcher would orphan; the double-damaged
+    // class is provably unmatchable at ≤ 1. Per class: exact/fuzzy/
+    // unmatched + lev_missed.
+    "join_entity_resolution_dl" -> ((s, d) => {
+      org.apache.spark.sql.graftbridge.GraftBridge.registerFunction(s,
+        "graft_damerau", exprs =>
+          org.apache.spark.sql.graftbridge.DamerauLevenshtein(exprs(0), exprs(1)))
+      val master = Tables.customer(s, d)
+        .select(expr("concat('p', lpad(CAST(c_custkey AS STRING), 9, '0'), 'xy')")
+          .as("m_name"))
+        .withColumn("block", expr("substring(m_name, 1, 8)"))
+      val dirty = Tables.customer(s, d)
+        .select(col("c_custkey"),
+          expr("concat('p', lpad(CAST(c_custkey AS STRING), 9, '0'))").as("stem"))
+        .withColumn("cls",
+          when(col("c_custkey") % 5 === 1, lit("transposed"))
+            .when(col("c_custkey") % 5 === 2, lit("shifted"))
+            .when(col("c_custkey") % 5 === 3, lit("double_shift"))
+            .otherwise(lit("clean")))
+        .withColumn("d_name", concat(col("stem"),
+          when(col("cls") === "transposed", lit("yx"))
+            .when(col("cls") === "shifted", lit("xz"))
+            .when(col("cls") === "double_shift", lit("zw"))
+            .otherwise(lit("xy"))))
+        .withColumn("block", expr("substring(d_name, 1, 8)"))
+      val scored = dirty.join(master, Seq("block"), "left")
+        .withColumn("dl", expr("graft_damerau(d_name, m_name)"))
+        .withColumn("lev", expr("levenshtein(d_name, m_name)"))
+        .groupBy("c_custkey", "cls")
+        .agg(min(when(col("dl") <= 1, col("dl"))).as("best_dl"),
+          min(when(col("dl") <= 1, col("lev"))).as("best_lev"))
+      scored.groupBy("cls")
+        .agg(count(lit(1)).as("n_records"),
+          sum(when(col("best_dl") === 0, 1L).otherwise(0L)).as("matched_exact"),
+          sum(when(col("best_dl") === 1, 1L).otherwise(0L)).as("matched_fuzzy"),
+          sum(when(col("best_dl").isNull, 1L).otherwise(0L)).as("unmatched"),
+          sum(when(col("best_dl") <= 1 && col("best_lev") > 1, 1L).otherwise(0L))
+            .as("lev_missed"))
+        .orderBy("cls")
+    }),
+
+    // Dead-column audit — the warehouse hygiene sweep before a schema
+    // diet: the query log references a 16-column bitmask per query
+    // (md5-drawn, with columns 13–15 masked off — the planted dead
+    // tier); per column: referencing queries, the last week it was
+    // touched, and the DEAD flag that feeds the drop-column proposal.
+    // Bounded 16× explode over the log + one rollup.
+    "warehouse_dead_column_audit" -> ((s, d) => {
+      Tables.events(s, d)
+        .select(col("event_id"), expr("ts_us DIV 604800000000").as("week"),
+          expr("CAST(conv(substring(md5(concat('q:', CAST(event_id AS STRING))), 1, 4), 16, 10) AS BIGINT) % 65536")
+            .bitwiseAND(lit(8191L)).as("mask"))
+        .withColumn("column_id", explode(expr("sequence(0, 15)")))
+        .withColumn("referenced", expr("shiftright(mask, column_id) % 2"))
+        .groupBy("column_id")
+        .agg(sum("referenced").as("ref_queries"),
+          max(when(col("referenced") === 1L, col("week"))).as("last_ref_week"))
+        .withColumn("dead", col("ref_queries") === 0L)
+        .orderBy("column_id")
     })
   )
 
@@ -901,6 +1016,82 @@ object Round13cOps {
         |    AS orphaned_steps,
         |  (CAST(SUM(CASE WHEN missing THEN 1 ELSE 0 END) AS BIGINT) * 1000000)
         |    // CAST(COUNT(*) AS BIGINT) AS missing_ppm
-        |FROM ms GROUP BY 1 ORDER BY shard""".stripMargin
+        |FROM ms GROUP BY 1 ORDER BY shard""".stripMargin,
+
+    "fn_damerau_edit_eval" ->
+      """WITH r AS (
+        |  SELECT c_custkey,
+        |    substring(md5('dl:' || CAST(c_custkey AS VARCHAR)), 1, 16) AS ref,
+        |    CASE CAST(c_custkey % 4 AS INT) WHEN 0 THEN 'transpose'
+        |      WHEN 1 THEN 'substitute' WHEN 2 THEN 'delete'
+        |      ELSE 'clean' END AS cls
+        |  FROM customer),
+        |h AS (
+        |  SELECT cls, ref,
+        |    CASE cls
+        |      WHEN 'transpose' THEN substring(ref, 1, 4) || substring(ref, 6, 1)
+        |        || substring(ref, 5, 1) || substring(ref, 7, 10)
+        |      WHEN 'substitute' THEN substring(ref, 1, 8) ||
+        |        (CASE WHEN substring(ref, 9, 1) = '9' THEN '0'
+        |              WHEN substring(ref, 9, 1) = 'f' THEN 'a'
+        |              ELSE chr(ascii(substring(ref, 9, 1)) + 1) END) ||
+        |        substring(ref, 10, 7)
+        |      WHEN 'delete' THEN substring(ref, 1, 2) || substring(ref, 4, 13)
+        |      ELSE ref END AS hyp
+        |  FROM r)
+        |SELECT cls, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(damerau_levenshtein(ref, hyp)) AS BIGINT) AS dl_mass,
+        |  CAST(SUM(levenshtein(ref, hyp)) AS BIGINT) AS lev_mass,
+        |  CAST(MAX(damerau_levenshtein(ref, hyp)) AS INT) AS max_dl,
+        |  CAST(SUM(levenshtein(ref, hyp)) - SUM(damerau_levenshtein(ref, hyp)) AS BIGINT)
+        |    AS transposition_savings
+        |FROM h GROUP BY 1 ORDER BY cls""".stripMargin,
+
+    "join_entity_resolution_dl" ->
+      """WITH master AS (
+        |  SELECT 'p' || lpad(CAST(c_custkey AS VARCHAR), 9, '0') || 'xy' AS m_name,
+        |    substring('p' || lpad(CAST(c_custkey AS VARCHAR), 9, '0'), 1, 8) AS block
+        |  FROM customer),
+        |dirty AS (
+        |  SELECT c_custkey,
+        |    CASE CAST(c_custkey % 5 AS INT) WHEN 1 THEN 'transposed'
+        |      WHEN 2 THEN 'shifted' WHEN 3 THEN 'double_shift'
+        |      ELSE 'clean' END AS cls,
+        |    'p' || lpad(CAST(c_custkey AS VARCHAR), 9, '0') ||
+        |    CASE CAST(c_custkey % 5 AS INT) WHEN 1 THEN 'yx'
+        |      WHEN 2 THEN 'xz' WHEN 3 THEN 'zw' ELSE 'xy' END AS d_name
+        |  FROM customer),
+        |sc AS (
+        |  SELECT d.c_custkey, d.cls,
+        |    MIN(CASE WHEN damerau_levenshtein(d.d_name, m.m_name) <= 1
+        |      THEN damerau_levenshtein(d.d_name, m.m_name) END) AS best_dl,
+        |    MIN(CASE WHEN damerau_levenshtein(d.d_name, m.m_name) <= 1
+        |      THEN levenshtein(d.d_name, m.m_name) END) AS best_lev
+        |  FROM dirty d LEFT JOIN master m
+        |    ON substring(d.d_name, 1, 8) = m.block
+        |  GROUP BY 1, 2)
+        |SELECT cls, CAST(COUNT(*) AS BIGINT) AS n_records,
+        |  CAST(SUM(CASE WHEN best_dl = 0 THEN 1 ELSE 0 END) AS BIGINT) AS matched_exact,
+        |  CAST(SUM(CASE WHEN best_dl = 1 THEN 1 ELSE 0 END) AS BIGINT) AS matched_fuzzy,
+        |  CAST(SUM(CASE WHEN best_dl IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS unmatched,
+        |  CAST(SUM(CASE WHEN best_dl <= 1 AND best_lev > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS lev_missed
+        |FROM sc GROUP BY 1 ORDER BY cls""".stripMargin,
+
+    "warehouse_dead_column_audit" ->
+      """WITH q AS (
+        |  SELECT event_id, epoch_us(ts) // 604800000000 AS week,
+        |    (('0x' || substring(md5('q:' || CAST(event_id AS VARCHAR)), 1, 4))::BIGINT
+        |      % 65536) & 8191 AS mask
+        |  FROM events),
+        |e AS (
+        |  SELECT mask, week, c.range AS column_id FROM q
+        |  CROSS JOIN range(0, 16) c)
+        |SELECT CAST(column_id AS INT) AS column_id,
+        |  CAST(SUM((mask >> CAST(column_id AS INT)) % 2) AS BIGINT) AS ref_queries,
+        |  CAST(MAX(CASE WHEN (mask >> CAST(column_id AS INT)) % 2 = 1
+        |    THEN week END) AS BIGINT) AS last_ref_week,
+        |  SUM((mask >> CAST(column_id AS INT)) % 2) = 0 AS dead
+        |FROM e GROUP BY 1 ORDER BY column_id""".stripMargin
   )
 }

@@ -243,4 +243,64 @@ class Round13Wave24Spec extends AnyFunSuite {
     }
     assert(rows.map(_.getLong(4)).sum >= 1, "the txn%19 plant must surface")
   }
+
+  test("fn_damerau_edit_eval: the native DL charges transpositions once") {
+    val rows = SparkEntry.queries("fn_damerau_edit_eval")(spark, sf)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(rows.keySet == Set("transpose", "substitute", "delete", "clean"))
+    val t = rows("transpose")
+    // dl = 1 per corrupted row (0 when the swapped hex chars were equal);
+    // lev = 2 there — savings is exactly the planted transposition mass
+    assert(t.getLong(5) == t.getLong(2) && t.getLong(5) > 0,
+      s"savings must equal dl_mass on the transpose class: $t")
+    assert(t.getLong(2) * 2 == t.getLong(3), "lev charges the swap twice")
+    Seq("substitute", "delete").foreach { c =>
+      val r = rows(c)
+      assert(r.getLong(2) == r.getLong(3) && r.getLong(5) == 0,
+        s"dl == lev when no transposition exists: $r")
+      assert(r.getInt(4) == 1)
+    }
+    val cl = rows("clean")
+    assert(cl.getLong(2) == 0 && cl.getLong(3) == 0)
+    // direct probes of the native expression against known DL values
+    assert(org.apache.spark.sql.graftbridge.DamerauLevenshtein.distance("CA", "ABC") == 2)
+    assert(org.apache.spark.sql.graftbridge.DamerauLevenshtein.distance("ab", "ba") == 1)
+    assert(org.apache.spark.sql.graftbridge.DamerauLevenshtein.distance("abcd", "acbd") == 1)
+  }
+
+  test("join_entity_resolution_dl: transpositions link under DL, not lev") {
+    val rows = SparkEntry.queries("join_entity_resolution_dl")(spark, sf)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(rows.keySet ==
+      Set("transposed", "shifted", "double_shift", "clean"))
+    def parts(c: String) = {
+      val r = rows(c)
+      (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+    }
+    val (tn, te, tf, tu, tm) = parts("transposed")
+    assert(te == 0 && tf == tn && tu == 0 && tm == tn,
+      s"every transposed record links at DL 1 and lev would miss it: ${rows("transposed")}")
+    val (sn, se, sf2, su, sm) = parts("shifted")
+    assert(se == 0 && sf2 == sn && su == 0 && sm == 0,
+      "shifted records link under both metrics")
+    val (dn, de, df, du, dm) = parts("double_shift")
+    assert(de == 0 && df == 0 && du == dn && dm == 0,
+      "double damage is unmatchable at DL <= 1")
+    val (cn, ce, cf, cu, cm) = parts("clean")
+    assert(ce == cn && cf == 0 && cu == 0 && cm == 0)
+  }
+
+  test("warehouse_dead_column_audit: the masked-off tier is exactly dead") {
+    val rows = SparkEntry.queries("warehouse_dead_column_audit")(spark, sf)
+      .orderBy("column_id").collect()
+    assert(rows.length == 16)
+    rows.foreach { r =>
+      val (id, refs, dead) = (r.getInt(0), r.getLong(1), r.getBoolean(3))
+      if (id >= 13) assert(dead && refs == 0, s"columns 13-15 are planted dead: $r")
+      else {
+        assert(!dead && refs > 0, s"live columns see md5 traffic: $r")
+        assert(!r.isNullAt(2))
+      }
+    }
+  }
 }
