@@ -622,6 +622,120 @@ object Round13cOps {
           max(when(col("referenced") === 1L, col("week"))).as("last_ref_week"))
         .withColumn("dead", col("ref_queries") === 0L)
         .orderBy("column_id")
+    }),
+
+    // Shapley-value channel attribution — the game-theoretic upgrade of
+    // linear attribution (win_attribution splits credit by position; this
+    // op computes the EXACT Shapley value of the 3-channel cooperative
+    // game): journeys = (user, week) with touched-channel flags, a
+    // conversion is a purchase that week; v(S) = conversions whose
+    // touched set fits inside coalition S. With n = 3 the formula is a
+    // bounded 8-coalition algebra — subset sums by bitmask join, Shapley
+    // weights 2/6, 1/6, 1/6, 2/6 in exact sixths of a micro-credit. The
+    // graded efficiency law Σφ = v(N) − v(∅) ties the whole table out.
+    // One journey rollup is the only data-scaled work.
+    "agg_shapley_attribution" -> ((s, d) => {
+      val journeys = Tables.events(s, d)
+        .select(col("user_id"), expr("ts_us DIV 604800000000").as("week"),
+          col("event_type"))
+        .groupBy("user_id", "week")
+        .agg(max(when(col("event_type") === "click", 1).otherwise(0)).as("c0"),
+          max(when(col("event_type") === "view", 1).otherwise(0)).as("c1"),
+          max(when(col("event_type") === "signup", 1).otherwise(0)).as("c2"),
+          max(when(col("event_type") === "purchase", 1).otherwise(0)).as("conv"))
+        .where(col("conv") === 1)
+        .select((col("c0") + col("c1") * 2 + col("c2") * 4).as("cell"))
+        .groupBy("cell").agg(count(lit(1)).as("n"))
+        .localCheckpoint() // bounded 8 rows
+      val coalitions = s.range(8).select(col("id").cast("int").as("coalition"))
+      val v = coalitions.join(journeys,
+          (col("cell").bitwiseAND(col("coalition"))) === col("cell"))
+        .groupBy("coalition").agg(sum("n").as("v"))
+      val vFull = coalitions.join(v, Seq("coalition"), "left")
+        .na.fill(0L, Seq("v"))
+      val channels = s.range(3).select(col("id").cast("int").as("channel"))
+      channels
+        .join(vFull.select(col("coalition").as("s"), col("v").as("vs")),
+          (col("s").bitwiseAND(expr("shiftleft(1, channel)"))) === 0)
+        .join(vFull.select(col("coalition").as("si"), col("v").as("vsi")),
+          col("si") === col("s") + expr("shiftleft(1, channel)"))
+        .withColumn("wnum",
+          when(expr("bit_count(s)") === 0, 2L)
+            .when(expr("bit_count(s)") === 1, 1L).otherwise(2L))
+        .groupBy("channel")
+        .agg(sum(col("wnum") * (col("vsi") - col("vs"))).as("six_marginals"))
+        .withColumn("phi_micro", expr("(six_marginals * 1000000) DIV 6"))
+        .crossJoin(broadcast(vFull.where(col("coalition") === 7)
+          .select(col("v").as("v_full"))))
+        .crossJoin(broadcast(vFull.where(col("coalition") === 0)
+          .select(col("v").as("v_empty"))))
+        .select("channel", "phi_micro", "six_marginals", "v_full", "v_empty")
+        .orderBy("channel")
+    }),
+
+    // Max-min fair share (water-filling) — the multi-tenant allocator
+    // every shared cluster runs: demands per principal, capacity = 60%
+    // of total demand, the fill level found by the classic sorted-prefix
+    // test (d_i affordable for everyone from rank i up ⇔ satisfied), the
+    // unsatisfied tail split at the integer level with the remainder
+    // handed one unit each to the largest demands (deterministic total
+    // order). Graded per principal: demand, allocation, clipped — and
+    // the allocations sum EXACTLY to capacity. The demand rollup is the
+    // only data-scaled work; the fill algebra runs on 8 rows.
+    "service_maxmin_fair_share" -> ((s, d) => {
+      val demands = Tables.events(s, d)
+        .groupBy((col("user_id") % 8).as("principal"))
+        .agg(count(lit(1)).as("demand"))
+      val wAsc = Window.orderBy(col("demand"), col("principal"))
+      val n = 8
+      val ranked = demands
+        .withColumn("idx", row_number().over(wAsc))
+        .withColumn("prefix", sum("demand").over(
+          wAsc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .crossJoin(broadcast(demands.agg(
+          expr("(SUM(demand) * 3) DIV 5").as("cap"))))
+        .withColumn("affordable",
+          col("demand") * (lit(n) - col("idx") + 1) + col("prefix")
+            - col("demand") <= col("cap"))
+      val k = ranked.agg(
+        sum(when(col("affordable"), 1).otherwise(0)).as("k"),
+        max(when(col("affordable"), col("prefix"))).as("prefix_k")).na.fill(0)
+      ranked.crossJoin(broadcast(k))
+        .withColumn("level", expr(
+          "(cap - coalesce(prefix_k, 0)) DIV (CASE WHEN k < 8 THEN 8 - k ELSE 1 END)"))
+        .withColumn("rem", expr(
+          "(cap - coalesce(prefix_k, 0)) % (CASE WHEN k < 8 THEN 8 - k ELSE 1 END)"))
+        .withColumn("allocation",
+          when(col("affordable"), col("demand"))
+            .otherwise(col("level") +
+              when(col("idx") > lit(n) - col("rem"), 1L).otherwise(0L)))
+        .withColumn("clipped", !col("affordable"))
+        .select("principal", "demand", "allocation", "clipped")
+        .orderBy("principal")
+    }),
+
+    // T5-style span-corruption plan — the pretraining-objective budget:
+    // 15% of each doc's tokens corrupted in mean-length-3 spans, one
+    // sentinel token per span; graded per source: token mass, corrupted
+    // mass, sentinel mass, denoised output length and the realized
+    // corruption ratio ppm (≈ 150000 with the exact ceil-div bias the
+    // plan must account for). One projection + one rollup.
+    "llm_span_corruption_plan" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), expr("n_chars DIV 4").as("tokens"))
+        .withColumn("target", expr("(tokens * 150000) DIV 1000000"))
+        .withColumn("spans", expr("(target + 2) DIV 3"))
+        .withColumn("corrupted", least(col("spans") * 3, col("tokens")))
+        .withColumn("out_len",
+          col("tokens") - col("corrupted") + col("spans"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("tokens").as("token_mass"),
+          sum("corrupted").as("corrupted_mass"),
+          sum("spans").as("sentinel_mass"),
+          sum("out_len").as("output_mass"))
+        .withColumn("realized_ratio_ppm",
+          expr("(corrupted_mass * 1000000) DIV token_mass"))
+        .orderBy("source")
     })
   )
 
@@ -1092,6 +1206,88 @@ object Round13cOps {
         |  CAST(MAX(CASE WHEN (mask >> CAST(column_id AS INT)) % 2 = 1
         |    THEN week END) AS BIGINT) AS last_ref_week,
         |  SUM((mask >> CAST(column_id AS INT)) % 2) = 0 AS dead
-        |FROM e GROUP BY 1 ORDER BY column_id""".stripMargin
+        |FROM e GROUP BY 1 ORDER BY column_id""".stripMargin,
+
+    "agg_shapley_attribution" ->
+      """WITH j AS (
+        |  SELECT user_id, epoch_us(ts) // 604800000000 AS week,
+        |    MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS c0,
+        |    MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS c1,
+        |    MAX(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS c2,
+        |    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+        |  FROM events GROUP BY 1, 2),
+        |cells AS (
+        |  SELECT c0 + c1 * 2 + c2 * 4 AS cell, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM j WHERE conv = 1 GROUP BY 1),
+        |co AS (SELECT CAST(range AS INT) AS coalition FROM range(0, 8)),
+        |v AS (
+        |  SELECT coalition, CAST(COALESCE(SUM(n), 0) AS BIGINT) AS v
+        |  FROM co LEFT JOIN cells ON (cell & coalition) = cell
+        |  GROUP BY 1),
+        |ch AS (SELECT CAST(range AS INT) AS channel FROM range(0, 3)),
+        |marg AS (
+        |  SELECT ch.channel,
+        |    CASE WHEN bit_count(vs.coalition) = 0 THEN 2
+        |         WHEN bit_count(vs.coalition) = 1 THEN 1 ELSE 2 END
+        |      * (vsi.v - vs.v) AS m
+        |  FROM ch
+        |  JOIN v vs ON (vs.coalition & (1 << ch.channel)) = 0
+        |  JOIN v vsi ON vsi.coalition = vs.coalition + (1 << ch.channel))
+        |SELECT channel, CAST(SUM(m) AS BIGINT) AS six_marginals,
+        |  (CAST(SUM(m) AS BIGINT) * 1000000) // 6 AS phi_micro,
+        |  (SELECT v FROM v WHERE coalition = 7) AS v_full,
+        |  (SELECT v FROM v WHERE coalition = 0) AS v_empty
+        |FROM marg GROUP BY 1 ORDER BY channel""".stripMargin,
+
+    "service_maxmin_fair_share" ->
+      """WITH dm AS (
+        |  SELECT user_id % 8 AS principal, CAST(COUNT(*) AS BIGINT) AS demand
+        |  FROM events GROUP BY 1),
+        |cp AS (SELECT CAST((SUM(demand) * 3) // 5 AS BIGINT) AS cap FROM dm),
+        |rk AS (
+        |  SELECT principal, demand,
+        |    CAST(ROW_NUMBER() OVER w AS BIGINT) AS idx,
+        |    SUM(demand) OVER (w ROWS UNBOUNDED PRECEDING) AS prefix
+        |  FROM dm WINDOW w AS (ORDER BY demand, principal)),
+        |af AS (
+        |  SELECT *, demand * (8 - idx + 1) + prefix - demand
+        |    <= (SELECT cap FROM cp) AS affordable
+        |  FROM rk),
+        |kk AS (
+        |  SELECT CAST(SUM(CASE WHEN affordable THEN 1 ELSE 0 END) AS BIGINT) AS k,
+        |    COALESCE(MAX(CASE WHEN affordable THEN prefix END), 0) AS prefix_k
+        |  FROM af)
+        |SELECT principal, demand,
+        |  CAST(CASE WHEN affordable THEN demand
+        |    ELSE ((SELECT cap FROM cp) - (SELECT prefix_k FROM kk))
+        |           // (CASE WHEN (SELECT k FROM kk) < 8
+        |               THEN 8 - (SELECT k FROM kk) ELSE 1 END)
+        |      + (CASE WHEN idx > 8 - (((SELECT cap FROM cp) - (SELECT prefix_k FROM kk))
+        |             % (CASE WHEN (SELECT k FROM kk) < 8
+        |                 THEN 8 - (SELECT k FROM kk) ELSE 1 END))
+        |          THEN 1 ELSE 0 END)
+        |  END AS BIGINT) AS allocation,
+        |  NOT affordable AS clipped
+        |FROM af ORDER BY principal""".stripMargin,
+
+    "llm_span_corruption_plan" ->
+      """WITH t AS (
+        |  SELECT doc_id, source, n_chars // 4 AS tokens FROM documents),
+        |p AS (
+        |  SELECT source, tokens,
+        |    (tokens * 150000) // 1000000 AS target
+        |  FROM t),
+        |sp AS (
+        |  SELECT source, tokens, (target + 2) // 3 AS spans,
+        |    LEAST(((target + 2) // 3) * 3, tokens) AS corrupted
+        |  FROM p)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(tokens) AS BIGINT) AS token_mass,
+        |  CAST(SUM(corrupted) AS BIGINT) AS corrupted_mass,
+        |  CAST(SUM(spans) AS BIGINT) AS sentinel_mass,
+        |  CAST(SUM(tokens - corrupted + spans) AS BIGINT) AS output_mass,
+        |  (CAST(SUM(corrupted) AS BIGINT) * 1000000) // CAST(SUM(tokens) AS BIGINT)
+        |    AS realized_ratio_ppm
+        |FROM sp GROUP BY 1 ORDER BY source""".stripMargin
   )
 }

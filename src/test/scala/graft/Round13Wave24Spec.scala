@@ -303,4 +303,53 @@ class Round13Wave24Spec extends AnyFunSuite {
       }
     }
   }
+
+  test("agg_shapley_attribution: efficiency — credits sum to the grand value") {
+    val rows = SparkEntry.queries("agg_shapley_attribution")(spark, sf)
+      .orderBy("channel").collect()
+    assert(rows.length == 3)
+    val (vFull, vEmpty) = (rows.head.getLong(3), rows.head.getLong(4))
+    val sixSum = rows.map(_.getLong(2)).sum
+    assert(sixSum == 6 * (vFull - vEmpty),
+      s"Shapley efficiency must hold exactly in sixths: $sixSum vs ${6 * (vFull - vEmpty)}")
+    rows.foreach { r =>
+      assert(r.getLong(2) >= 0, "v is monotone, so marginals are non-negative")
+      assert(r.getLong(1) == r.getLong(2) * 1000000L / 6)
+    }
+  }
+
+  test("service_maxmin_fair_share: allocations exhaust capacity exactly") {
+    val rows = SparkEntry.queries("service_maxmin_fair_share")(spark, sf)
+      .collect()
+    assert(rows.length == 8)
+    val demand = rows.map(_.getLong(1)).sum
+    val alloc = rows.map(_.getLong(2)).sum
+    assert(alloc == demand * 3 / 5, s"water-filling must spend the cap: $alloc")
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1), "never allocate above demand")
+      if (!r.getBoolean(3)) assert(r.getLong(2) == r.getLong(1))
+    }
+    val clippedAllocs = rows.filter(_.getBoolean(3)).map(_.getLong(2))
+    if (clippedAllocs.nonEmpty)
+      assert(clippedAllocs.max - clippedAllocs.min <= 1,
+        s"clipped principals sit at the common level: ${clippedAllocs.toSeq}")
+    val unclippedMax = rows.filter(!_.getBoolean(3)).map(_.getLong(1))
+    if (unclippedMax.nonEmpty && clippedAllocs.nonEmpty)
+      assert(unclippedMax.max <= clippedAllocs.max + 1,
+        "satisfied demands sit at or below the fill level")
+  }
+
+  test("llm_span_corruption_plan: realized ratio hugs the 15% target") {
+    val rows = SparkEntry.queries("llm_span_corruption_plan")(spark, sf)
+      .collect()
+    assert(rows.length == 20)
+    rows.foreach { r =>
+      val (tokens, corrupted, sentinels, out, ppm) =
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))
+      assert(out == tokens - corrupted + sentinels)
+      assert(sentinels * 3 >= corrupted, "mean span length is at most 3")
+      assert(ppm >= 130000 && ppm <= 190000,
+        s"ceil-div bias keeps the ratio near 15%: $r")
+    }
+  }
 }
