@@ -736,6 +736,87 @@ object Round13cOps {
         .withColumn("realized_ratio_ppm",
           expr("(corrupted_mass * 1000000) DIV token_mass"))
         .orderBy("source")
+    }),
+
+    // Distributed clock-skew audit — the NTP-style minimum filter over
+    // observed offsets: each node (user % 8) stamps events with a
+    // planted constant skew (node·1500 − 4000 µs) plus md5 jitter in
+    // [0, 1000); the receive-side offset series per node is filtered by
+    // MIN (jitter is strictly additive, so the minimum recovers the true
+    // skew to within the smallest jitter draw — the classic argument).
+    // Per node: events, estimated skew, jitter spread, and the
+    // second-boundary drift mass (events whose send and receive stamps
+    // land in different wall-clock seconds — the bucketing disagreement
+    // any per-second rollup downstream inherits).
+    "service_clock_skew_audit" -> ((s, d) => {
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("ts_us"))
+        .withColumn("node", col("user_id") % 8)
+        .withColumn("offset", col("node") * 1500L - 4000L +
+          expr("CAST(conv(substring(md5(concat('j:', CAST(event_id AS STRING))), 1, 4), 16, 10) AS BIGINT) % 1000"))
+        .withColumn("recv_us", col("ts_us") + col("offset"))
+        .withColumn("crossed",
+          when(expr("recv_us DIV 1000000") =!= expr("ts_us DIV 1000000"), 1L)
+            .otherwise(0L))
+        .groupBy("node")
+        .agg(count(lit(1)).as("n_events"),
+          min("offset").as("est_skew_us"),
+          (max("offset") - min("offset")).as("jitter_spread_us"),
+          sum("crossed").as("bucket_drift"))
+        .withColumn("drift_ppm", expr("(bucket_drift * 1000000) DIV n_events"))
+        .orderBy("node")
+    }),
+
+    // Ingest watermark alignment — the multi-source barrier every
+    // incremental pipeline computes before advancing: per source stream
+    // (event type) the high-water mark, the GLOBAL SAFE BARRIER is the
+    // minimum of them, and each source's lead over the barrier names the
+    // straggler holding everyone back. Exact µs integers; one rollup +
+    // one broadcast scalar.
+    "warehouse_watermark_alignment" -> ((s, d) => {
+      val marks = Tables.events(s, d)
+        .groupBy("event_type")
+        .agg(max("ts_us").as("hwm_us"), count(lit(1)).as("n_rows"))
+      val barrier = marks.agg(min("hwm_us").as("barrier_us"))
+      marks.crossJoin(broadcast(barrier))
+        .withColumn("lead_us", col("hwm_us") - col("barrier_us"))
+        .withColumn("is_straggler", col("lead_us") === 0L)
+        .select("event_type", "n_rows", "hwm_us", "barrier_us", "lead_us",
+          "is_straggler")
+        .orderBy("event_type")
+    }),
+
+    // Model-router threshold sweep — the serving cost/quality frontier:
+    // requests carry an md5 router confidence (milli) and a planted
+    // quality structure (the large model wins the low-confidence tail);
+    // FOUR candidate thresholds are swept in one pass (a bounded 4×
+    // explode — the whole frontier from one scan, the way a router is
+    // actually tuned offline): below the threshold the request escalates
+    // to the large model at 10× cost. Per threshold: requests escalated,
+    // cost units, quality wins kept vs always-large, and the
+    // cost-per-win frontier point in exact milli.
+    "llm_model_router_sweep" -> ((s, d) => {
+      Tables.events(s, d)
+        .select(col("event_id"))
+        .withColumn("conf_milli", expr(
+          "CAST(conv(substring(md5(concat('rc:', CAST(event_id AS STRING))), 1, 6), 16, 10) AS BIGINT) % 1000"))
+        .withColumn("large_wins", expr(
+          "CAST(conv(substring(md5(concat('rq:', CAST(event_id AS STRING))), 1, 6), 16, 10) AS BIGINT) % 1000") <
+          (lit(900L) - col("conf_milli")))
+        .withColumn("threshold", explode(expr("array(200, 400, 600, 800)")))
+        .withColumn("escalated", col("conf_milli") < col("threshold"))
+        .groupBy("threshold")
+        .agg(count(lit(1)).as("n_requests"),
+          sum(when(col("escalated"), 1L).otherwise(0L)).as("n_escalated"),
+          sum(when(col("escalated"), 10L).otherwise(1L)).as("cost_units"),
+          sum(when(col("escalated") && col("large_wins"), 1L).otherwise(0L))
+            .as("wins_kept"),
+          sum(when(col("large_wins"), 1L).otherwise(0L)).as("wins_possible"))
+        .withColumn("recall_milli",
+          expr("(wins_kept * 1000) DIV wins_possible"))
+        .withColumn("cost_per_win_milli",
+          expr("(cost_units * 1000) DIV (wins_kept + 1)"))
+        .orderBy("threshold")
     })
   )
 
@@ -1288,6 +1369,68 @@ object Round13cOps {
         |  CAST(SUM(tokens - corrupted + spans) AS BIGINT) AS output_mass,
         |  (CAST(SUM(corrupted) AS BIGINT) * 1000000) // CAST(SUM(tokens) AS BIGINT)
         |    AS realized_ratio_ppm
-        |FROM sp GROUP BY 1 ORDER BY source""".stripMargin
+        |FROM sp GROUP BY 1 ORDER BY source""".stripMargin,
+
+    "service_clock_skew_audit" ->
+      """WITH o AS (
+        |  SELECT user_id % 8 AS node, event_id, epoch_us(ts) AS ts_us,
+        |    (user_id % 8) * 1500 - 4000 +
+        |    ('0x' || substring(md5('j:' || CAST(event_id AS VARCHAR)), 1, 4))::BIGINT
+        |      % 1000 AS off_us
+        |  FROM events),
+        |c AS (
+        |  SELECT node, off_us,
+        |    CASE WHEN (ts_us + off_us) // 1000000 <> ts_us // 1000000
+        |      THEN 1 ELSE 0 END AS crossed
+        |  FROM o)
+        |SELECT node, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  CAST(MIN(off_us) AS BIGINT) AS est_skew_us,
+        |  CAST(MAX(off_us) - MIN(off_us) AS BIGINT) AS jitter_spread_us,
+        |  CAST(SUM(crossed) AS BIGINT) AS bucket_drift,
+        |  (CAST(SUM(crossed) AS BIGINT) * 1000000) // CAST(COUNT(*) AS BIGINT)
+        |    AS drift_ppm
+        |FROM c GROUP BY 1 ORDER BY node""".stripMargin,
+
+    "warehouse_watermark_alignment" ->
+      """WITH m AS (
+        |  SELECT event_type, MAX(epoch_us(ts)) AS hwm_us,
+        |    CAST(COUNT(*) AS BIGINT) AS n_rows
+        |  FROM events GROUP BY 1),
+        |b AS (SELECT MIN(hwm_us) AS barrier_us FROM m)
+        |SELECT event_type, n_rows, hwm_us,
+        |  (SELECT barrier_us FROM b) AS barrier_us,
+        |  hwm_us - (SELECT barrier_us FROM b) AS lead_us,
+        |  hwm_us - (SELECT barrier_us FROM b) = 0 AS is_straggler
+        |FROM m ORDER BY event_type""".stripMargin,
+
+    "llm_model_router_sweep" ->
+      """WITH r AS (
+        |  SELECT event_id,
+        |    ('0x' || substring(md5('rc:' || CAST(event_id AS VARCHAR)), 1, 6))::BIGINT
+        |      % 1000 AS conf_milli,
+        |    ('0x' || substring(md5('rq:' || CAST(event_id AS VARCHAR)), 1, 6))::BIGINT
+        |      % 1000 AS q
+        |  FROM events),
+        |x AS (
+        |  SELECT conf_milli, q < (900 - conf_milli) AS large_wins,
+        |    t.range * 200 + 200 AS threshold
+        |  FROM r CROSS JOIN range(0, 4) t),
+        |e AS (
+        |  SELECT CAST(threshold AS INT) AS threshold, large_wins,
+        |    conf_milli < threshold AS escalated
+        |  FROM x)
+        |SELECT threshold, CAST(COUNT(*) AS BIGINT) AS n_requests,
+        |  CAST(SUM(CASE WHEN escalated THEN 1 ELSE 0 END) AS BIGINT) AS n_escalated,
+        |  CAST(SUM(CASE WHEN escalated THEN 10 ELSE 1 END) AS BIGINT) AS cost_units,
+        |  CAST(SUM(CASE WHEN escalated AND large_wins THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS wins_kept,
+        |  CAST(SUM(CASE WHEN large_wins THEN 1 ELSE 0 END) AS BIGINT) AS wins_possible,
+        |  (CAST(SUM(CASE WHEN escalated AND large_wins THEN 1 ELSE 0 END) AS BIGINT)
+        |    * 1000) // CAST(SUM(CASE WHEN large_wins THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS recall_milli,
+        |  (CAST(SUM(CASE WHEN escalated THEN 10 ELSE 1 END) AS BIGINT) * 1000)
+        |    // (CAST(SUM(CASE WHEN escalated AND large_wins THEN 1 ELSE 0 END) AS BIGINT) + 1)
+        |    AS cost_per_win_milli
+        |FROM e GROUP BY 1 ORDER BY threshold""".stripMargin
   )
 }

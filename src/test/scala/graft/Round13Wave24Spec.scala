@@ -352,4 +352,46 @@ class Round13Wave24Spec extends AnyFunSuite {
         s"ceil-div bias keeps the ratio near 15%: $r")
     }
   }
+
+  test("service_clock_skew_audit: the minimum filter recovers planted skew") {
+    val rows = SparkEntry.queries("service_clock_skew_audit")(spark, sf)
+      .orderBy("node").collect()
+    assert(rows.length == 8)
+    rows.foreach { r =>
+      val (node, n, skew, spread, drift) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      val planted = node * 1500L - 4000L
+      assert(skew >= planted && skew < planted + 1000,
+        s"min filter lands within one jitter draw of the plant: $r")
+      assert(spread < 1000 && drift <= n)
+      assert(r.getLong(5) == drift * 1000000L / n)
+    }
+  }
+
+  test("warehouse_watermark_alignment: exactly one straggler pins the barrier") {
+    val rows = SparkEntry.queries("warehouse_watermark_alignment")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    assert(rows.count(_.getBoolean(5)) >= 1, "the minimum is attained")
+    val barrier = rows.head.getLong(3)
+    rows.foreach { r =>
+      assert(r.getLong(3) == barrier, "one global barrier")
+      assert(r.getLong(4) == r.getLong(2) - barrier && r.getLong(4) >= 0)
+      assert(r.getBoolean(5) == (r.getLong(4) == 0))
+    }
+  }
+
+  test("llm_model_router_sweep: escalation and recall are monotone in the threshold") {
+    val rows = SparkEntry.queries("llm_model_router_sweep")(spark, sf)
+      .orderBy("threshold").collect()
+    assert(rows.length == 4)
+    val esc = rows.map(_.getLong(2)).toSeq
+    val recall = rows.map(_.getLong(6)).toSeq
+    assert(esc == esc.sorted, s"higher threshold escalates more: $esc")
+    assert(recall == recall.sorted, s"recall grows with escalation: $recall")
+    rows.foreach { r =>
+      assert(r.getLong(4) <= r.getLong(5), "kept wins bounded by possible")
+      assert(r.getLong(3) == r.getLong(2) * 10 + (r.getLong(1) - r.getLong(2)))
+    }
+  }
 }
