@@ -817,6 +817,101 @@ object Round13cOps {
         .withColumn("cost_per_win_milli",
           expr("(cost_units * 1000) DIV (wins_kept + 1)"))
         .orderBy("threshold")
+    }),
+
+    // HTML stripping + entity decoding — the first pass of every web
+    // corpus: planted markup per class (block tags, attributed tags with
+    // escaped entities, entity-only, plain), tags removed by one regex
+    // sweep, entities decoded in the STANDARD order (&amp; strictly
+    // last, so '&amp;lt;' decodes to the literal '&lt;' and not '<' —
+    // the double-decode bug this op guards against). Graded per class:
+    // docs, chars in/out, tags removed, entities decoded — all counted
+    // by the engines' regex machinery, no UDF.
+    "llm_html_strip" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), col("text"))
+        .withColumn("cls",
+          when(col("doc_id") % 4 === 0, lit("block"))
+            .when(col("doc_id") % 4 === 1, lit("attributed"))
+            .when(col("doc_id") % 4 === 2, lit("entities")).otherwise(lit("plain")))
+        .withColumn("html",
+          when(col("cls") === "block", concat(lit("<p>"), col("text"), lit("</p>")))
+            .when(col("cls") === "attributed", concat(
+              lit("<div class=\"a\">"), col("text"), lit(" &amp; &lt;tag&gt;</div>")))
+            .when(col("cls") === "entities", concat(
+              col("text"), lit(" &quot;q&quot; &#39;s&#39;")))
+            .otherwise(col("text")))
+        .withColumn("tags", regexp_count(col("html"), lit("<[^>]*>")))
+        .withColumn("entities", regexp_count(col("html"),
+          lit("&(amp|lt|gt|quot|#39);")))
+        .withColumn("stripped", regexp_replace(col("html"), "<[^>]*>", ""))
+        .withColumn("decoded",
+          regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+            regexp_replace(col("stripped"),
+              "&lt;", "<"), "&gt;", ">"), "&quot;", "\""), "&#39;", "'"),
+            "&amp;", "&"))
+        .groupBy("cls")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(length(col("html"))).as("chars_in"),
+          sum(length(col("decoded"))).as("chars_out"),
+          sum("tags").as("tags_removed"),
+          sum("entities").as("entities_decoded"))
+        .withColumn("shrink_ppm",
+          expr("((chars_in - chars_out) * 1000000) DIV chars_in"))
+        .orderBy("cls")
+    }),
+
+    // Dataset datasheet — the one-row-per-source summary a corpus ships
+    // with (the "datasheets for datasets" practice): doc census, token
+    // mass and mean, language diversity (distinct + dominant via max_by
+    // over the language sub-rollup), the flagged-content rate (planted
+    // 1-in-50 md5 tier) and the short-doc tail. Two rollups + one
+    // broadcast join — the composite read every downstream consumer
+    // starts from.
+    "llm_dataset_datasheet" -> ((s, d) => {
+      val base = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), col("lang"), col("n_chars"))
+        .withColumn("flagged", expr(
+          "CAST(conv(substring(md5(concat('tox:', CAST(doc_id AS STRING))), 1, 6), 16, 10) AS BIGINT) % 50") === 7L)
+      val counts = base.groupBy("source", "lang").agg(count(lit(1)).as("n"))
+      val wDom = Window.partitionBy("source")
+        .orderBy(col("n").desc, col("lang").desc)
+      val perLang = counts
+        .withColumn("rn", row_number().over(wDom)).where(col("rn") === 1)
+        .select(col("source"), col("lang").as("dominant_lang"))
+        .join(counts.groupBy("source").agg(countDistinct("lang").as("n_langs")),
+          Seq("source"))
+      base.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(expr("n_chars DIV 4")).as("token_mass"),
+          sum(when(col("flagged"), 1L).otherwise(0L)).as("flagged_docs"),
+          sum(when(col("n_chars") < 100, 1L).otherwise(0L)).as("short_docs"))
+        .withColumn("mean_tokens", expr("token_mass DIV n_docs"))
+        .withColumn("flagged_ppm", expr("(flagged_docs * 1000000) DIV n_docs"))
+        .join(broadcast(perLang), Seq("source"))
+        .orderBy("source")
+    }),
+
+    // Language rebalancing plan — the multilingual sampling policy
+    // upstream of training (English dominates every web crawl; the plan
+    // upsamples tail languages under a 3× cap so no language is ever
+    // repeated more than thrice): per language the natural share, the
+    // uniform target, the capped sampling factor in exact milli and the
+    // corpus size after resampling. One rollup + broadcast totals.
+    "llm_lang_rebalance_plan" -> ((s, d) => {
+      val byLang = Tables.documents(s, d)
+        .groupBy("lang").agg(count(lit(1)).as("docs"))
+      val tot = byLang.agg(sum("docs").as("total"),
+        count(lit(1)).as("n_langs"))
+      byLang.crossJoin(broadcast(tot))
+        .withColumn("natural_ppm", expr("(docs * 1000000) DIV total"))
+        .withColumn("target_docs", expr("total DIV n_langs"))
+        .withColumn("factor_milli",
+          least(expr("(target_docs * 1000) DIV docs"), lit(3000L)))
+        .withColumn("docs_after", expr("(docs * factor_milli) DIV 1000"))
+        .select("lang", "docs", "natural_ppm", "target_docs", "factor_milli",
+          "docs_after")
+        .orderBy("lang")
     })
   )
 
@@ -1431,6 +1526,93 @@ object Round13cOps {
         |  (CAST(SUM(CASE WHEN escalated THEN 10 ELSE 1 END) AS BIGINT) * 1000)
         |    // (CAST(SUM(CASE WHEN escalated AND large_wins THEN 1 ELSE 0 END) AS BIGINT) + 1)
         |    AS cost_per_win_milli
-        |FROM e GROUP BY 1 ORDER BY threshold""".stripMargin
+        |FROM e GROUP BY 1 ORDER BY threshold""".stripMargin,
+
+    "llm_html_strip" ->
+      """WITH c AS (
+        |  SELECT doc_id, text,
+        |    CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 'block'
+        |      WHEN 1 THEN 'attributed' WHEN 2 THEN 'entities'
+        |      ELSE 'plain' END AS cls
+        |  FROM documents),
+        |h AS (
+        |  SELECT cls,
+        |    CASE cls
+        |      WHEN 'block' THEN '<p>' || text || '</p>'
+        |      WHEN 'attributed' THEN '<div class="a">' || text || ' &amp; &lt;tag&gt;</div>'
+        |      WHEN 'entities' THEN text || ' &quot;q&quot; &#39;s&#39;'
+        |      ELSE text END AS html
+        |  FROM c),
+        |st AS (
+        |  SELECT cls, html,
+        |    CAST(len(regexp_extract_all(html, '<[^>]*>')) AS BIGINT) AS tags,
+        |    CAST(len(regexp_extract_all(html, '&(amp|lt|gt|quot|#39);')) AS BIGINT)
+        |      AS entities,
+        |    regexp_replace(
+        |      regexp_replace(
+        |        regexp_replace(
+        |          regexp_replace(
+        |            regexp_replace(
+        |              regexp_replace(html, '<[^>]*>', '', 'g'),
+        |              '&lt;', '<', 'g'),
+        |            '&gt;', '>', 'g'),
+        |          '&quot;', '"', 'g'),
+        |        '&#39;', chr(39), 'g'),
+        |      '&amp;', '&', 'g') AS decoded
+        |  FROM h)
+        |SELECT cls, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(length(html)) AS BIGINT) AS chars_in,
+        |  CAST(SUM(length(decoded)) AS BIGINT) AS chars_out,
+        |  CAST(SUM(tags) AS BIGINT) AS tags_removed,
+        |  CAST(SUM(entities) AS BIGINT) AS entities_decoded,
+        |  ((CAST(SUM(length(html)) AS BIGINT) - CAST(SUM(length(decoded)) AS BIGINT))
+        |    * 1000000) // CAST(SUM(length(html)) AS BIGINT) AS shrink_ppm
+        |FROM st GROUP BY 1 ORDER BY cls""".stripMargin,
+
+    "llm_dataset_datasheet" ->
+      """WITH base AS (
+        |  SELECT doc_id, source, lang, n_chars,
+        |    ('0x' || substring(md5('tox:' || CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT
+        |      % 50 = 7 AS flagged
+        |  FROM documents),
+        |counts AS (
+        |  SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM base GROUP BY 1, 2),
+        |dom AS (
+        |  SELECT source, lang AS dominant_lang FROM (
+        |    SELECT source, lang,
+        |      ROW_NUMBER() OVER (PARTITION BY source ORDER BY n DESC, lang DESC) AS rn
+        |    FROM counts) WHERE rn = 1),
+        |nl AS (
+        |  SELECT source, CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+        |  FROM counts GROUP BY 1),
+        |agg AS (
+        |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(n_chars // 4) AS BIGINT) AS token_mass,
+        |    CAST(SUM(CASE WHEN flagged THEN 1 ELSE 0 END) AS BIGINT) AS flagged_docs,
+        |    CAST(SUM(CASE WHEN n_chars < 100 THEN 1 ELSE 0 END) AS BIGINT) AS short_docs
+        |  FROM base GROUP BY 1)
+        |SELECT agg.source, n_docs, token_mass, flagged_docs, short_docs,
+        |  token_mass // n_docs AS mean_tokens,
+        |  (flagged_docs * 1000000) // n_docs AS flagged_ppm,
+        |  dominant_lang, n_langs
+        |FROM agg JOIN dom ON agg.source = dom.source
+        |JOIN nl ON agg.source = nl.source
+        |ORDER BY agg.source""".stripMargin,
+
+    "llm_lang_rebalance_plan" ->
+      """WITH bl AS (
+        |  SELECT lang, CAST(COUNT(*) AS BIGINT) AS docs
+        |  FROM documents GROUP BY 1),
+        |t AS (SELECT CAST(SUM(docs) AS BIGINT) AS total,
+        |        CAST(COUNT(*) AS BIGINT) AS n_langs FROM bl)
+        |SELECT lang, docs,
+        |  (docs * 1000000) // (SELECT total FROM t) AS natural_ppm,
+        |  (SELECT total FROM t) // (SELECT n_langs FROM t) AS target_docs,
+        |  LEAST((((SELECT total FROM t) // (SELECT n_langs FROM t)) * 1000) // docs,
+        |    1000 * 3) AS factor_milli,
+        |  (docs * LEAST((((SELECT total FROM t) // (SELECT n_langs FROM t)) * 1000)
+        |    // docs, 3000)) // 1000 AS docs_after
+        |FROM bl ORDER BY lang""".stripMargin
   )
 }

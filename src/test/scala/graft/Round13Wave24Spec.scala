@@ -394,4 +394,51 @@ class Round13Wave24Spec extends AnyFunSuite {
       assert(r.getLong(3) == r.getLong(2) * 10 + (r.getLong(1) - r.getLong(2)))
     }
   }
+
+  test("llm_html_strip: markup leaves, decoded entities stay as content") {
+    val rows = SparkEntry.queries("llm_html_strip")(spark, sf)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(rows.keySet == Set("block", "attributed", "entities", "plain"))
+    val p = rows("plain")
+    assert(p.getLong(4) == 0 && p.getLong(5) == 0 &&
+      p.getLong(2) == p.getLong(3), s"plain passes through untouched: $p")
+    val b = rows("block")
+    assert(b.getLong(4) == 2 * b.getLong(1), s"<p></p> per doc: $b")
+    val a = rows("attributed")
+    assert(a.getLong(4) == 2 * a.getLong(1) && a.getLong(5) == 3 * a.getLong(1),
+      s"&amp; &lt; &gt; per attributed doc: $a")
+    val e = rows("entities")
+    assert(e.getLong(4) == 0 && e.getLong(5) == 4 * e.getLong(1))
+    assert(e.getLong(3) < e.getLong(2), "entity decode shrinks the text")
+  }
+
+  test("llm_dataset_datasheet: composite stats tie out per source") {
+    val rows = SparkEntry.queries("llm_dataset_datasheet")(spark, sf).collect()
+    assert(rows.length == 20)
+    assert(rows.map(_.getLong(1)).sum == Tables.documents(spark, sf).count())
+    rows.foreach { r =>
+      assert(r.getLong(5) == r.getLong(2) / r.getLong(1))
+      assert(r.getLong(6) == r.getLong(3) * 1000000L / r.getLong(1))
+      assert(r.getLong(8) >= 1 && r.getLong(8) <= 5, "five languages exist")
+      assert(Set("en", "de", "fr", "es", "zh").contains(r.getString(7)) ||
+        r.getString(7).nonEmpty)
+    }
+  }
+
+  test("llm_lang_rebalance_plan: upsample capped, downsample exact") {
+    val rows = SparkEntry.queries("llm_lang_rebalance_plan")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val total = rows.map(_.getLong(1)).sum
+    rows.foreach { r =>
+      val (docs, natural, target, factor, after) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(natural == docs * 1000000L / total)
+      assert(factor <= 3000 && factor >= 1,
+        s"sampling factor capped at 3x: $r")
+      assert(after == docs * factor / 1000)
+      if (factor < 3000)
+        assert(math.abs(after - target) <= docs / 100 + 3,
+          s"uncapped languages land on the target: $r")
+    }
+  }
 }
