@@ -912,6 +912,108 @@ object Round13cOps {
         .select("lang", "docs", "natural_ppm", "target_docs", "factor_milli",
           "docs_after")
         .orderBy("lang")
+    }),
+
+    // Composite-SLO chain availability — the SRE dependency math: four
+    // serving chains of three components each, per-component error ppm
+    // from the request log, chain availability = the EXACT product
+    // Π(1e6 − err_c) carried in DECIMAL(38,0)/HUGEINT (a 10¹⁸-scale
+    // triple product that double arithmetic would round), plus the
+    // weakest link per chain (tie-safe window). One rollup + bounded
+    // algebra — the "your SLO is the product of your dependencies'"
+    // lesson, made exact.
+    "service_composite_slo" -> ((s, d) => {
+      val comp = Tables.events(s, d)
+        .select((col("event_id") % 12).as("component"), col("event_type"))
+        .groupBy("component")
+        .agg(count(lit(1)).as("requests"),
+          sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("errors"))
+        .withColumn("err_ppm", expr("(errors * 1000000) DIV requests"))
+        .withColumn("chain", expr("component DIV 3"))
+      val wWeak = Window.partitionBy("chain")
+        .orderBy(col("err_ppm").desc, col("component").desc)
+      val weak = comp.withColumn("rn", row_number().over(wWeak))
+        .where(col("rn") === 1)
+        .select(col("chain"), col("component").as("weakest_component"),
+          col("err_ppm").as("weakest_err_ppm"))
+      comp.groupBy("chain")
+        .agg(sum("requests").as("requests"),
+          expr("""CAST(
+                 |  CAST(MIN(CASE WHEN component % 3 = 0 THEN 1000000 - err_ppm END) AS DECIMAL(38,0))
+                 |  * MIN(CASE WHEN component % 3 = 1 THEN 1000000 - err_ppm END)
+                 |  * MIN(CASE WHEN component % 3 = 2 THEN 1000000 - err_ppm END)
+                 |  DIV 1000000000000 AS BIGINT)""".stripMargin)
+            .as("composite_avail_ppm"))
+        .join(broadcast(weak), Seq("chain"))
+        .orderBy("chain")
+    }),
+
+    // Difference-in-differences — the causal workhorse beside
+    // agg_stratified_ate (which adjusts a cross-section; DiD removes
+    // time-invariant confounding with a pre/post × treat/control grid):
+    // treatment by user parity, the post period opens at the corpus
+    // midpoint (broadcast bounds, so the split replays exactly), a
+    // planted +700 effect lands ONLY on treated-post (the outcome is the
+    // bounded cents-mod-1000 band so the effect dominates sampling noise
+    // at every scale). All four cell means in exact micro-units, DiD =
+    // the double difference. One
+    // conditional rollup per event type — no joins, no windows.
+    "agg_diff_in_diff" -> ((s, d) => {
+      val bounds = Tables.events(s, d)
+        .agg(min("ts_us").as("lo"), max("ts_us").as("hi"))
+      Tables.events(s, d)
+        .select(col("event_type"), col("user_id"), col("ts_us"),
+          expr("CAST(FLOOR(value * 100) AS BIGINT)").as("cents"))
+        .crossJoin(broadcast(bounds))
+        .withColumn("treated", col("user_id") % 2 === 1)
+        .withColumn("post", (col("ts_us") - col("lo")) * 2 >= col("hi") - col("lo"))
+        .withColumn("y", col("cents") % 1000 +
+          when(col("treated") && col("post"), 700L).otherwise(0L))
+        .groupBy("event_type")
+        .agg(
+          expr("(SUM(CASE WHEN treated AND post THEN y ELSE 0 END) * 1000000) DIV SUM(CASE WHEN treated AND post THEN 1 ELSE 0 END)").as("m_t_post"),
+          expr("(SUM(CASE WHEN treated AND NOT post THEN y ELSE 0 END) * 1000000) DIV SUM(CASE WHEN treated AND NOT post THEN 1 ELSE 0 END)").as("m_t_pre"),
+          expr("(SUM(CASE WHEN NOT treated AND post THEN y ELSE 0 END) * 1000000) DIV SUM(CASE WHEN NOT treated AND post THEN 1 ELSE 0 END)").as("m_c_post"),
+          expr("(SUM(CASE WHEN NOT treated AND NOT post THEN y ELSE 0 END) * 1000000) DIV SUM(CASE WHEN NOT treated AND NOT post THEN 1 ELSE 0 END)").as("m_c_pre"),
+          count(lit(1)).as("n_obs"))
+        .withColumn("did_micro",
+          (col("m_t_post") - col("m_t_pre")) - (col("m_c_post") - col("m_c_pre")))
+        .orderBy("event_type")
+    }),
+
+    // Query-fingerprint cache analysis — the DBA's statement-cache
+    // telemetry: the query log rendered from its own fields, literals
+    // normalized away by one digit-sweep regex, and the surviving
+    // TEMPLATE census per table answers "how big need the plan cache
+    // be": distinct templates, cache hit ppm (repeat executions), the
+    // hottest template's share. Per-table rollup + tie-safe hottest
+    // window.
+    "warehouse_query_fingerprint" -> ((s, d) => {
+      val q = Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("value"))
+        .withColumn("tbl", concat(lit("t"), (col("event_id") % 7).cast("string")))
+        .withColumn("qtext",
+          when(col("event_id") % 3 === 0, expr(
+            "concat('SELECT v FROM ', tbl, ' WHERE user_id = ', CAST(user_id AS STRING))"))
+            .when(col("event_id") % 3 === 1, expr(
+              "concat('SELECT v FROM ', tbl, ' WHERE v > ', CAST(CAST(FLOOR(value) AS BIGINT) AS STRING))"))
+            .otherwise(expr(
+              "concat('SELECT v FROM ', tbl, ' WHERE v BETWEEN 0 AND ', CAST(CAST(FLOOR(value) AS BIGINT) AS STRING))")))
+        .withColumn("template", regexp_replace(col("qtext"), "[0-9]+", "?"))
+      val perTemplate = q.groupBy("tbl", "template")
+        .agg(count(lit(1)).as("execs"))
+      val wHot = Window.partitionBy("tbl")
+        .orderBy(col("execs").desc, col("template").desc)
+      val hottest = perTemplate.withColumn("rn", row_number().over(wHot))
+        .where(col("rn") === 1)
+        .select(col("tbl"), col("execs").as("hottest_execs"))
+      perTemplate.groupBy("tbl")
+        .agg(sum("execs").as("n_queries"),
+          count(lit(1)).as("n_templates"))
+        .withColumn("cache_hit_ppm",
+          expr("((n_queries - n_templates) * 1000000) DIV n_queries"))
+        .join(broadcast(hottest), Seq("tbl"))
+        .orderBy("tbl")
     })
   )
 
@@ -1613,6 +1715,95 @@ object Round13cOps {
         |    1000 * 3) AS factor_milli,
         |  (docs * LEAST((((SELECT total FROM t) // (SELECT n_langs FROM t)) * 1000)
         |    // docs, 3000)) // 1000 AS docs_after
-        |FROM bl ORDER BY lang""".stripMargin
+        |FROM bl ORDER BY lang""".stripMargin,
+
+    "service_composite_slo" ->
+      """WITH c AS (
+        |  SELECT event_id % 12 AS component,
+        |    CAST(COUNT(*) AS BIGINT) AS requests,
+        |    CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS errors
+        |  FROM events GROUP BY 1),
+        |e AS (
+        |  SELECT component, requests,
+        |    (errors * 1000000) // requests AS err_ppm,
+        |    component // 3 AS chain
+        |  FROM c),
+        |weak AS (
+        |  SELECT chain, component AS weakest_component, err_ppm AS weakest_err_ppm
+        |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY chain
+        |          ORDER BY err_ppm DESC, component DESC) AS rn FROM e)
+        |  WHERE rn = 1),
+        |ch AS (
+        |  SELECT chain, CAST(SUM(requests) AS BIGINT) AS requests,
+        |    CAST(
+        |      CAST(MIN(CASE WHEN component % 3 = 0 THEN 1000000 - err_ppm END) AS HUGEINT)
+        |      * MIN(CASE WHEN component % 3 = 1 THEN 1000000 - err_ppm END)
+        |      * MIN(CASE WHEN component % 3 = 2 THEN 1000000 - err_ppm END)
+        |      // 1000000000000 AS BIGINT) AS composite_avail_ppm
+        |  FROM e GROUP BY 1)
+        |SELECT ch.chain, requests, composite_avail_ppm,
+        |  weakest_component, weakest_err_ppm
+        |FROM ch JOIN weak ON ch.chain = weak.chain
+        |ORDER BY ch.chain""".stripMargin,
+
+    "agg_diff_in_diff" ->
+      """WITH b AS (
+        |  SELECT MIN(epoch_us(ts)) AS lo, MAX(epoch_us(ts)) AS hi FROM events),
+        |g AS (
+        |  SELECT event_type, user_id % 2 = 1 AS treated,
+        |    (epoch_us(ts) - (SELECT lo FROM b)) * 2 >=
+        |      (SELECT hi FROM b) - (SELECT lo FROM b) AS post,
+        |    CAST(FLOOR(value * 100) AS BIGINT) AS cents
+        |  FROM events),
+        |y AS (
+        |  SELECT event_type, treated, post,
+        |    cents % 1000 + CASE WHEN treated AND post THEN 700 ELSE 0 END AS y
+        |  FROM g),
+        |m AS (
+        |  SELECT event_type,
+        |    CAST((SUM(CASE WHEN treated AND post THEN y ELSE 0 END) * 1000000)
+        |      // SUM(CASE WHEN treated AND post THEN 1 ELSE 0 END) AS BIGINT) AS m_t_post,
+        |    CAST((SUM(CASE WHEN treated AND NOT post THEN y ELSE 0 END) * 1000000)
+        |      // SUM(CASE WHEN treated AND NOT post THEN 1 ELSE 0 END) AS BIGINT) AS m_t_pre,
+        |    CAST((SUM(CASE WHEN NOT treated AND post THEN y ELSE 0 END) * 1000000)
+        |      // SUM(CASE WHEN NOT treated AND post THEN 1 ELSE 0 END) AS BIGINT) AS m_c_post,
+        |    CAST((SUM(CASE WHEN NOT treated AND NOT post THEN y ELSE 0 END) * 1000000)
+        |      // SUM(CASE WHEN NOT treated AND NOT post THEN 1 ELSE 0 END) AS BIGINT) AS m_c_pre,
+        |    CAST(COUNT(*) AS BIGINT) AS n_obs
+        |  FROM y GROUP BY 1)
+        |SELECT event_type, m_t_post, m_t_pre, m_c_post, m_c_pre, n_obs,
+        |  (m_t_post - m_t_pre) - (m_c_post - m_c_pre) AS did_micro
+        |FROM m ORDER BY event_type""".stripMargin,
+
+    "warehouse_query_fingerprint" ->
+      """WITH q AS (
+        |  SELECT 't' || CAST(event_id % 7 AS VARCHAR) AS tbl,
+        |    regexp_replace(
+        |      CASE CAST(event_id % 3 AS INT)
+        |        WHEN 0 THEN 'SELECT v FROM t' || CAST(event_id % 7 AS VARCHAR)
+        |          || ' WHERE user_id = ' || CAST(user_id AS VARCHAR)
+        |        WHEN 1 THEN 'SELECT v FROM t' || CAST(event_id % 7 AS VARCHAR)
+        |          || ' WHERE v > ' || CAST(CAST(FLOOR(value) AS BIGINT) AS VARCHAR)
+        |        ELSE 'SELECT v FROM t' || CAST(event_id % 7 AS VARCHAR)
+        |          || ' WHERE v BETWEEN 0 AND ' || CAST(CAST(FLOOR(value) AS BIGINT) AS VARCHAR)
+        |      END, '[0-9]+', '?', 'g') AS template
+        |  FROM events),
+        |pt AS (
+        |  SELECT tbl, template, CAST(COUNT(*) AS BIGINT) AS execs
+        |  FROM q GROUP BY 1, 2),
+        |hot AS (
+        |  SELECT tbl, execs AS hottest_execs FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY tbl
+        |      ORDER BY execs DESC, template DESC) AS rn FROM pt)
+        |  WHERE rn = 1),
+        |agg AS (
+        |  SELECT tbl, CAST(SUM(execs) AS BIGINT) AS n_queries,
+        |    CAST(COUNT(*) AS BIGINT) AS n_templates
+        |  FROM pt GROUP BY 1)
+        |SELECT agg.tbl, n_queries, n_templates,
+        |  ((n_queries - n_templates) * 1000000) // n_queries AS cache_hit_ppm,
+        |  hottest_execs
+        |FROM agg JOIN hot ON agg.tbl = hot.tbl
+        |ORDER BY agg.tbl""".stripMargin
   )
 }

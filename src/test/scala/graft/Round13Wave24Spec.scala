@@ -441,4 +441,41 @@ class Round13Wave24Spec extends AnyFunSuite {
           s"uncapped languages land on the target: $r")
     }
   }
+
+  test("service_composite_slo: chain availability is the exact triple product") {
+    val rows = SparkEntry.queries("service_composite_slo")(spark, sf).collect()
+    assert(rows.length == 4)
+    rows.foreach { r =>
+      val (avail, weakPpm) = (r.getLong(2), r.getLong(4))
+      assert(avail <= 1000000L - weakPpm,
+        s"the chain is never better than its weakest link: $r")
+      assert(avail > 0 && weakPpm < 1000000L)
+      assert(r.getLong(3) / 3 == r.getLong(0),
+        "the weakest component belongs to its chain")
+    }
+  }
+
+  test("agg_diff_in_diff: the planted +700-cent effect is recovered") {
+    val rows = SparkEntry.queries("agg_diff_in_diff")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val did = r.getLong(6)
+      assert(did > 400L * 1000000L && did < 1000L * 1000000L,
+        s"DiD must land near the planted 700 units (in micro): $did")
+    }
+  }
+
+  test("warehouse_query_fingerprint: three templates per table, hits conserve") {
+    val rows = SparkEntry.queries("warehouse_query_fingerprint")(spark, sf)
+      .collect()
+    assert(rows.length == 7)
+    assert(rows.map(_.getLong(1)).sum == Tables.events(spark, sf).count())
+    rows.foreach { r =>
+      val (n, templates, ppm, hot) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(templates == 3, s"the three WHERE shapes survive normalization: $r")
+      assert(ppm == (n - templates) * 1000000L / n)
+      assert(hot >= (n + 2) / 3, "pigeonhole floors the hottest template")
+    }
+  }
 }
