@@ -1014,6 +1014,113 @@ object Round13cOps {
           expr("((n_queries - n_templates) * 1000000) DIV n_queries"))
         .join(broadcast(hottest), Seq("tbl"))
         .orderBy("tbl")
+    }),
+
+    // Cross-system row-count reconciliation — the nightly data-eng
+    // ritual: the replica silently dropped every event_id ≡ 13 mod 101
+    // (a planted CDC bug), and the per-day recon report must localize
+    // it: source vs replica counts, the per-day and cumulative missing
+    // mass, and the FIRST divergent day (where the incident review
+    // starts). One conditional rollup + one ~30-row day window.
+    "warehouse_recon_rowcounts" -> ((s, d) => {
+      val wDay = Window.orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, d)
+        .select(col("event_id"), expr("ts_us DIV 86400000000").as("day"))
+        .groupBy("day")
+        .agg(count(lit(1)).as("src_n"),
+          sum(when(col("event_id") % 101 === 13, 0L).otherwise(1L)).as("rep_n"))
+        .withColumn("missing", col("src_n") - col("rep_n"))
+        .withColumn("cum_missing", sum("missing").over(wDay))
+        .withColumn("is_first_divergent",
+          col("missing") > 0L && col("cum_missing") === col("missing"))
+        .orderBy("day")
+    }),
+
+    // Failover ring plan — the multi-region capacity rehearsal: eight
+    // regions in a ring, two planted outages (regions 2 and 5), each
+    // unhealthy region fails over to the NEXT HEALTHY region clockwise
+    // (bounded ring self-join, min hop wins); graded per region: own
+    // load, failover target, the post-failover load including adopted
+    // traffic, and the headroom pressure vs the uniform mean in exact
+    // ppm — the question a failover drill must answer BEFORE the outage.
+    "service_failover_ring_plan" -> ((s, d) => {
+      val loads = Tables.events(s, d)
+        .groupBy((col("user_id") % 8).as("region"))
+        .agg(count(lit(1)).as("load"))
+        .withColumn("healthy", !col("region").isin(2L, 5L))
+        .localCheckpoint() // bounded 8 rows, reused by the ring join
+      val hops = s.range(1, 8).select(col("id").as("hop"))
+      val targets = loads.where(!col("healthy"))
+        .select(col("region").as("src"), col("load").as("moved_load"))
+        .crossJoin(hops)
+        .withColumn("cand", (col("src") + col("hop")) % 8)
+        .join(loads.where(col("healthy")).select(col("region").as("cand")),
+          Seq("cand"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("src").orderBy("hop")))
+        .where(col("rn") === 1)
+        .select(col("src"), col("cand").as("target"), col("moved_load"))
+      val adopted = targets.groupBy(col("target").as("region"))
+        .agg(sum("moved_load").as("adopted_load"))
+      val mean = loads.agg(expr("SUM(load) DIV 8").as("mean_load"))
+      loads.join(broadcast(targets.select(col("src").as("region"), col("target"))),
+          Seq("region"), "left")
+        .join(broadcast(adopted), Seq("region"), "left")
+        .na.fill(0L, Seq("adopted_load"))
+        .withColumn("post_failover_load",
+          when(col("healthy"), col("load") + col("adopted_load")).otherwise(0L))
+        .crossJoin(broadcast(mean))
+        .withColumn("pressure_ppm",
+          expr("(post_failover_load * 1000000) DIV mean_load"))
+        .select("region", "healthy", "load", "target", "post_failover_load",
+          "pressure_ppm")
+        .orderBy("region")
+    }),
+
+    // Allen's interval algebra census — the formal 13-relation
+    // classification (precedes/meets/overlaps/starts/during/finishes,
+    // their inverses, equals) over session intervals (value·3e7 µs, up
+    // to ~2.7 h, so the overlap classes actually occur at sparse and
+    // dense traffic alike), pairs BLOCKED on
+    // the (user, hour) cell exactly like mm_subtitle_align (bounded
+    // candidates, linear at any scale); the CASE ladder is exhaustive
+    // and mutually exclusive on exact µs endpoints, so the census
+    // partitions the pair set — the relationship histogram every
+    // temporal-reasoning engine is validated against.
+    "join_allen_relations" -> ((s, d) => {
+      val iv = Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("ts_us").as("s"),
+          (col("ts_us") + expr("CAST(FLOOR(value * 30000000) AS BIGINT)")).as("e"))
+        .withColumn("hour", expr("s DIV 3600000000"))
+      val a = iv.select(col("user_id"), col("hour"), col("event_id").as("a_id"),
+        col("s").as("a_s"), col("e").as("a_e"))
+      val b = iv.select(col("user_id"), col("hour"), col("event_id").as("b_id"),
+        col("s").as("b_s"), col("e").as("b_e"))
+      val pairs = a.join(b, Seq("user_id", "hour"))
+        .where(col("a_id") < col("b_id"))
+        .withColumn("relation", expr(
+          """CASE
+            |  WHEN a_e < b_s THEN 'precedes'
+            |  WHEN b_e < a_s THEN 'preceded_by'
+            |  WHEN a_e = b_s THEN 'meets'
+            |  WHEN b_e = a_s THEN 'met_by'
+            |  WHEN a_s < b_s AND a_e < b_e THEN 'overlaps'
+            |  WHEN a_s < b_s AND a_e = b_e THEN 'finished_by'
+            |  WHEN a_s < b_s THEN 'contains'
+            |  WHEN a_s = b_s AND a_e < b_e THEN 'starts'
+            |  WHEN a_s = b_s AND a_e = b_e THEN 'equals'
+            |  WHEN a_s = b_s THEN 'started_by'
+            |  WHEN a_e < b_e THEN 'during'
+            |  WHEN a_e = b_e THEN 'finishes'
+            |  ELSE 'overlapped_by'
+            |END""".stripMargin))
+      val tot = pairs.agg(count(lit(1)).as("total"))
+      pairs.groupBy("relation").agg(count(lit(1)).as("n_pairs"))
+        .crossJoin(broadcast(tot))
+        .withColumn("share_ppm", expr("(n_pairs * 1000000) DIV total"))
+        .select("relation", "n_pairs", "share_ppm")
+        .orderBy("relation")
     })
   )
 
@@ -1804,6 +1911,85 @@ object Round13cOps {
         |  ((n_queries - n_templates) * 1000000) // n_queries AS cache_hit_ppm,
         |  hottest_execs
         |FROM agg JOIN hot ON agg.tbl = hot.tbl
-        |ORDER BY agg.tbl""".stripMargin
+        |ORDER BY agg.tbl""".stripMargin,
+
+    "warehouse_recon_rowcounts" ->
+      """WITH r AS (
+        |  SELECT epoch_us(ts) // 86400000000 AS day,
+        |    CAST(COUNT(*) AS BIGINT) AS src_n,
+        |    CAST(SUM(CASE WHEN event_id % 101 = 13 THEN 0 ELSE 1 END) AS BIGINT) AS rep_n
+        |  FROM events GROUP BY 1),
+        |w AS (
+        |  SELECT day, src_n, rep_n, src_n - rep_n AS missing,
+        |    CAST(SUM(src_n - rep_n) OVER (ORDER BY day
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_missing
+        |  FROM r)
+        |SELECT day, src_n, rep_n, missing, cum_missing,
+        |  missing > 0 AND cum_missing = missing AS is_first_divergent
+        |FROM w ORDER BY day""".stripMargin,
+
+    "service_failover_ring_plan" ->
+      """WITH loads AS (
+        |  SELECT user_id % 8 AS region, CAST(COUNT(*) AS BIGINT) AS load,
+        |    user_id % 8 NOT IN (2, 5) AS healthy
+        |  FROM events GROUP BY 1),
+        |t AS (
+        |  SELECT src, cand AS target, moved_load FROM (
+        |    SELECT u.region AS src, u.load AS moved_load, h.hop,
+        |      (u.region + h.hop) % 8 AS cand,
+        |      ROW_NUMBER() OVER (PARTITION BY u.region ORDER BY h.hop) AS rn
+        |    FROM loads u
+        |    CROSS JOIN (SELECT range AS hop FROM range(1, 8)) h
+        |    JOIN loads c ON (u.region + h.hop) % 8 = c.region AND c.healthy
+        |    WHERE NOT u.healthy)
+        |  WHERE rn = 1),
+        |ad AS (
+        |  SELECT target AS region, CAST(SUM(moved_load) AS BIGINT) AS adopted_load
+        |  FROM t GROUP BY 1),
+        |m AS (SELECT CAST(SUM(load) // 8 AS BIGINT) AS mean_load FROM loads)
+        |SELECT l.region, l.healthy, l.load, t.target,
+        |  CAST(CASE WHEN l.healthy THEN l.load + COALESCE(ad.adopted_load, 0)
+        |       ELSE 0 END AS BIGINT) AS post_failover_load,
+        |  (CAST(CASE WHEN l.healthy THEN l.load + COALESCE(ad.adopted_load, 0)
+        |        ELSE 0 END AS BIGINT) * 1000000) // (SELECT mean_load FROM m)
+        |    AS pressure_ppm
+        |FROM loads l
+        |LEFT JOIN t ON l.region = t.src
+        |LEFT JOIN ad ON l.region = ad.region
+        |ORDER BY l.region""".stripMargin,
+
+    "join_allen_relations" ->
+      """WITH iv AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS s,
+        |    epoch_us(ts) + CAST(FLOOR(value * 30000000) AS BIGINT) AS e,
+        |    epoch_us(ts) // 3600000000 AS hour
+        |  FROM events),
+        |p AS (
+        |  SELECT a.s AS a_s, a.e AS a_e, b.s AS b_s, b.e AS b_e
+        |  FROM iv a JOIN iv b
+        |    ON a.user_id = b.user_id AND a.hour = b.hour
+        |   AND a.event_id < b.event_id),
+        |c AS (
+        |  SELECT CASE
+        |    WHEN a_e < b_s THEN 'precedes'
+        |    WHEN b_e < a_s THEN 'preceded_by'
+        |    WHEN a_e = b_s THEN 'meets'
+        |    WHEN b_e = a_s THEN 'met_by'
+        |    WHEN a_s < b_s AND a_e < b_e THEN 'overlaps'
+        |    WHEN a_s < b_s AND a_e = b_e THEN 'finished_by'
+        |    WHEN a_s < b_s THEN 'contains'
+        |    WHEN a_s = b_s AND a_e < b_e THEN 'starts'
+        |    WHEN a_s = b_s AND a_e = b_e THEN 'equals'
+        |    WHEN a_s = b_s THEN 'started_by'
+        |    WHEN a_e < b_e THEN 'during'
+        |    WHEN a_e = b_e THEN 'finishes'
+        |    ELSE 'overlapped_by'
+        |  END AS relation
+        |  FROM p),
+        |tt AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM c)
+        |SELECT relation, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |  (CAST(COUNT(*) AS BIGINT) * 1000000) // (SELECT total FROM tt)
+        |    AS share_ppm
+        |FROM c GROUP BY 1 ORDER BY relation""".stripMargin
   )
 }

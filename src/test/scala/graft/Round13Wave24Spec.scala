@@ -478,4 +478,54 @@ class Round13Wave24Spec extends AnyFunSuite {
       assert(hot >= (n + 2) / 3, "pigeonhole floors the hottest template")
     }
   }
+
+  test("warehouse_recon_rowcounts: the CDC drop is localized to one first day") {
+    val rows = SparkEntry.queries("warehouse_recon_rowcounts")(spark, sf)
+      .orderBy("day").collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getLong(1)).sum == Tables.events(spark, sf).count())
+    val totalMissing = rows.map(_.getLong(3)).sum
+    val want = Tables.events(spark, sf)
+      .where(org.apache.spark.sql.functions.col("event_id") % 101 === 13).count()
+    assert(totalMissing == want, "every planted drop is found")
+    assert(rows.last.getLong(4) == totalMissing, "cumulative closes the books")
+    assert(rows.count(_.getBoolean(5)) == (if (want > 0) 1 else 0),
+      "exactly one first divergent day")
+  }
+
+  test("service_failover_ring_plan: outage traffic lands on healthy neighbors") {
+    val rows = SparkEntry.queries("service_failover_ring_plan")(spark, sf)
+      .orderBy("region").collect()
+    assert(rows.length == 8)
+    val unhealthy = rows.filter(!_.getBoolean(1))
+    assert(unhealthy.map(_.getLong(0)).toSet == Set(2L, 5L))
+    unhealthy.foreach { r =>
+      assert(!r.isNullAt(3), "every outage region has a failover target")
+      val t = r.getLong(3)
+      assert(t != 2L && t != 5L, "never fail over to another outage")
+      assert(r.getLong(4) == 0, "an unhealthy region serves nothing")
+    }
+    assert(unhealthy.map(_.getLong(3)).toSet == Set(3L, 6L),
+      "clockwise next-healthy: 2 -> 3, 5 -> 6")
+    val conserved = rows.map(_.getLong(4)).sum
+    assert(conserved == rows.map(_.getLong(2)).sum,
+      "post-failover load conserves total traffic")
+  }
+
+  test("join_allen_relations: the 13-class ladder partitions all pairs") {
+    val rows = SparkEntry.queries("join_allen_relations")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val legal = Set("precedes", "preceded_by", "meets", "met_by", "overlaps",
+      "overlapped_by", "finished_by", "finishes", "contains", "during",
+      "starts", "started_by", "equals")
+    assert(rows.map(_.getString(0)).toSet.subsetOf(legal))
+    val total = rows.map(_.getLong(1)).sum
+    assert(rows.map(_.getLong(2)).sum <= 1000000L,
+      "shares are a sub-unit partition after truncation")
+    rows.foreach { r =>
+      assert(r.getLong(2) == r.getLong(1) * 1000000L / total)
+    }
+    assert(rows.exists(_.getString(0) == "precedes"),
+      "well-separated sessions dominate sparse hours")
+  }
 }
