@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.GraftBridge
 import graft.Tables
 
 /** Round-13 operators, third compilation unit (waves 24+) — same paired
@@ -1121,6 +1122,92 @@ object Round13cOps {
         .withColumn("share_ppm", expr("(n_pairs * 1000000) DIV total"))
         .select("relation", "n_pairs", "share_ppm")
         .orderBy("relation")
+    }),
+
+    // Wilson lower-bound ranking — the comment-sort classic (rank by the
+    // LOWER confidence bound, never the raw rate, so a 2/2 item cannot
+    // outrank a 95/100 one): per item the z=2 Wilson bound computed
+    // ENTIRELY in integers — LB = (ns + 2 − 2·√(ns·nf/n + 1))/(n + 4)
+    // in ppm, the root taken by the native IntSqrt expression (exact
+    // integer floor; the DuckDB twin is the corrected FLOOR(SQRT)) — and
+    // the global rank over the bounded item table. The item rollup is
+    // the only data-scaled work. phat is carried beside the bound so the
+    // small-sample demotion is visible in the graded output.
+    "agg_wilson_lower_bound" -> ((s, d) => {
+      GraftBridge.registerFunction(s, "isqrt",
+        exprs => org.apache.spark.sql.graftbridge.IntSqrt(exprs(0)))
+      val items = Tables.orders(s, d)
+        .groupBy((col("o_orderkey") % 100).as("item"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("o_orderstatus") === "F", 1L).otherwise(0L)).as("ns"))
+        .withColumn("nf", col("n") - col("ns"))
+        .withColumn("phat_ppm", expr("(ns * 1000000) DIV n"))
+        .withColumn("root", expr(
+          "isqrt(((ns * nf) DIV n + 1) * 1000000000000)"))
+        .withColumn("wilson_lb_ppm", expr(
+          "(ns * 1000000 + 2000000 - 2 * root) DIV (n + 4)"))
+      items
+        .withColumn("rank_wilson", row_number().over(
+          Window.orderBy(col("wilson_lb_ppm").desc, col("item"))))
+        .select("item", "n", "ns", "phat_ppm", "wilson_lb_ppm", "rank_wilson")
+        .orderBy("item")
+    }),
+
+    // Active-learning batch selection — the labeling-ops loop: model
+    // scores in milli, uncertainty = distance from the 500 decision
+    // boundary, the next annotation batch is the 25 MOST UNCERTAIN per
+    // pool (rank window, deterministic ties); graded per pool: the
+    // selected batch's mean uncertainty vs the pool's — the gap that
+    // justifies active over random labeling. One rank window + one
+    // rollup.
+    "llm_active_label_selection" -> ((s, d) => {
+      val wU = Window.partitionBy("source")
+        .orderBy(col("uncertainty"), col("doc_id"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("source"))
+        .withColumn("score_milli", expr(
+          "CAST(conv(substring(md5(concat('al:', CAST(doc_id AS STRING))), 1, 6), 16, 10) AS BIGINT) % 1000"))
+        .withColumn("uncertainty", abs(col("score_milli") - 500L))
+        .withColumn("selected", row_number().over(wU) <= 25)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_candidates"),
+          sum(when(col("selected"), 1L).otherwise(0L)).as("n_selected"),
+          sum(when(col("selected"), col("uncertainty")).otherwise(0L))
+            .as("sel_uncertainty_mass"),
+          sum("uncertainty").as("pool_uncertainty_mass"))
+        .withColumn("mean_sel_unc_milli",
+          expr("sel_uncertainty_mass DIV n_selected"))
+        .withColumn("mean_pool_unc_milli",
+          expr("pool_uncertainty_mass DIV n_candidates"))
+        .orderBy("source")
+    }),
+
+    // Daily-activity streaks — the engagement metric every consumer
+    // product reports: per user the DISTINCT active days collapse into
+    // consecutive-day islands (day − row_number, the gaps-and-islands
+    // identity on the calendar axis), longest streak per user, then per
+    // principal cohort: users, the record streak, streak mass, and the
+    // ≥ 7-day power-user census. Distinct-day rollup + user window +
+    // cohort rollup.
+    "win_activity_streaks" -> ((s, d) => {
+      val wDay = Window.partitionBy("user_id").orderBy("day")
+      val streaks = Tables.events(s, d)
+        .select(col("user_id"), expr("ts_us DIV 86400000000").as("day"))
+        .distinct()
+        .withColumn("island", col("day") - row_number().over(wDay))
+        .groupBy("user_id", "island")
+        .agg(count(lit(1)).as("len"))
+        .groupBy("user_id")
+        .agg(max("len").as("longest"), count(lit(1)).as("n_streaks"),
+          sum("len").as("active_days"))
+      streaks.groupBy((col("user_id") % 8).as("principal"))
+        .agg(count(lit(1)).as("n_users"),
+          max("longest").as("record_streak"),
+          sum("longest").as("longest_mass"),
+          sum("active_days").as("active_day_mass"),
+          sum(when(col("longest") >= 7L, 1L).otherwise(0L)).as("power_users"))
+        .withColumn("power_ppm", expr("(power_users * 1000000) DIV n_users"))
+        .orderBy("principal")
     })
   )
 
@@ -1990,6 +2077,74 @@ object Round13cOps {
         |SELECT relation, CAST(COUNT(*) AS BIGINT) AS n_pairs,
         |  (CAST(COUNT(*) AS BIGINT) * 1000000) // (SELECT total FROM tt)
         |    AS share_ppm
-        |FROM c GROUP BY 1 ORDER BY relation""".stripMargin
+        |FROM c GROUP BY 1 ORDER BY relation""".stripMargin,
+
+    "agg_wilson_lower_bound" -> {
+      val root = Round12cOps.duckIsqrt("((ns * nf) // n + 1) * 1000000000000")
+      s"""WITH i AS (
+         |  SELECT o_orderkey % 100 AS item, CAST(COUNT(*) AS BIGINT) AS n,
+         |    CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS ns
+         |  FROM orders GROUP BY 1),
+         |w AS (
+         |  SELECT item, n, ns, n - ns AS nf,
+         |    (ns * 1000000) // n AS phat_ppm
+         |  FROM i),
+         |lb AS (
+         |  SELECT item, n, ns, phat_ppm,
+         |    (ns * 1000000 + 2000000 - 2 * $root) // (n + 4) AS wilson_lb_ppm
+         |  FROM w)
+         |SELECT item, n, ns, phat_ppm, wilson_lb_ppm,
+         |  CAST(ROW_NUMBER() OVER (ORDER BY wilson_lb_ppm DESC, item) AS INT)
+         |    AS rank_wilson
+         |FROM lb ORDER BY item""".stripMargin
+    },
+
+    "llm_active_label_selection" ->
+      """WITH sc AS (
+        |  SELECT doc_id, source,
+        |    abs(('0x' || substring(md5('al:' || CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT
+        |      % 1000 - 500) AS uncertainty
+        |  FROM documents),
+        |r AS (
+        |  SELECT source, uncertainty,
+        |    ROW_NUMBER() OVER (PARTITION BY source
+        |      ORDER BY uncertainty, doc_id) <= 25 AS selected
+        |  FROM sc)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_candidates,
+        |  CAST(SUM(CASE WHEN selected THEN 1 ELSE 0 END) AS BIGINT) AS n_selected,
+        |  CAST(SUM(CASE WHEN selected THEN uncertainty ELSE 0 END) AS BIGINT)
+        |    AS sel_uncertainty_mass,
+        |  CAST(SUM(uncertainty) AS BIGINT) AS pool_uncertainty_mass,
+        |  CAST(SUM(CASE WHEN selected THEN uncertainty ELSE 0 END) AS BIGINT)
+        |    // CAST(SUM(CASE WHEN selected THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS mean_sel_unc_milli,
+        |  CAST(SUM(uncertainty) AS BIGINT) // CAST(COUNT(*) AS BIGINT)
+        |    AS mean_pool_unc_milli
+        |FROM r GROUP BY 1 ORDER BY source""".stripMargin,
+
+    "win_activity_streaks" ->
+      """WITH days AS (
+        |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+        |  FROM events),
+        |isl AS (
+        |  SELECT user_id,
+        |    day - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) AS island
+        |  FROM days),
+        |st AS (
+        |  SELECT user_id, island, CAST(COUNT(*) AS BIGINT) AS len
+        |  FROM isl GROUP BY 1, 2),
+        |pu AS (
+        |  SELECT user_id, CAST(MAX(len) AS BIGINT) AS longest,
+        |    CAST(COUNT(*) AS BIGINT) AS n_streaks,
+        |    CAST(SUM(len) AS BIGINT) AS active_days
+        |  FROM st GROUP BY 1)
+        |SELECT user_id % 8 AS principal, CAST(COUNT(*) AS BIGINT) AS n_users,
+        |  CAST(MAX(longest) AS BIGINT) AS record_streak,
+        |  CAST(SUM(longest) AS BIGINT) AS longest_mass,
+        |  CAST(SUM(active_days) AS BIGINT) AS active_day_mass,
+        |  CAST(SUM(CASE WHEN longest >= 7 THEN 1 ELSE 0 END) AS BIGINT) AS power_users,
+        |  (CAST(SUM(CASE WHEN longest >= 7 THEN 1 ELSE 0 END) AS BIGINT) * 1000000)
+        |    // CAST(COUNT(*) AS BIGINT) AS power_ppm
+        |FROM pu GROUP BY 1 ORDER BY principal""".stripMargin
   )
 }

@@ -528,4 +528,46 @@ class Round13Wave24Spec extends AnyFunSuite {
     assert(rows.exists(_.getString(0) == "precedes"),
       "well-separated sessions dominate sparse hours")
   }
+
+  test("agg_wilson_lower_bound: the bound always sits below the raw rate") {
+    val rows = SparkEntry.queries("agg_wilson_lower_bound")(spark, sf).collect()
+    assert(rows.length == 100)
+    assert(rows.map(_.getInt(5)).sorted.toSeq == (1 to 100))
+    rows.foreach { r =>
+      val (n, ns, phat, lb) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(ns <= n && phat == ns * 1000000L / n)
+      assert(lb <= phat, s"the lower bound never exceeds phat: $r")
+      assert(lb >= -2000000L && lb <= 1000000L)
+    }
+  }
+
+  test("llm_active_label_selection: the batch is strictly more uncertain") {
+    val rows = SparkEntry.queries("llm_active_label_selection")(spark, sf)
+      .collect()
+    assert(rows.length == 20)
+    rows.foreach { r =>
+      val (cand, sel, selMean, poolMean) =
+        (r.getLong(1), r.getLong(2), r.getLong(5), r.getLong(6))
+      assert(sel == math.min(25, cand))
+      assert(selMean <= poolMean,
+        s"selecting minimal uncertainty can only lower the mean: $r")
+    }
+  }
+
+  test("win_activity_streaks: streak algebra conserves active days") {
+    val rows = SparkEntry.queries("win_activity_streaks")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val users = rows.map(_.getLong(1)).sum
+    val wantUsers = Tables.events(spark, sf)
+      .select("user_id").distinct().count()
+    assert(users == wantUsers)
+    rows.foreach { r =>
+      val (n, record, longestMass, dayMass, power) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(record >= 1 && longestMass <= dayMass)
+      assert(longestMass >= record && power <= n)
+      assert(r.getLong(6) == power * 1000000L / n)
+    }
+  }
 }
