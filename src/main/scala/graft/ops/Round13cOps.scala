@@ -1208,6 +1208,102 @@ object Round13cOps {
           sum(when(col("longest") >= 7L, 1L).otherwise(0L)).as("power_users"))
         .withColumn("power_ppm", expr("(power_users * 1000000) DIV n_users"))
         .orderBy("principal")
+    }),
+
+    // ISO-8601 duration round-trip — the API serialization gate (PnDTnHnMnS
+    // is how a person-service wire carries intervals): durations rendered
+    // from exact integer seconds, re-parsed by anchored regexp_extract,
+    // and the graded round-trip (zero mismatches, seconds mass conserved)
+    // is a proof over the whole log. Pure integer/string surgery, both
+    // engines codegen'd.
+    "fn_iso8601_duration" -> ((s, d) => {
+      Tables.events(s, d)
+        .select(col("event_type"),
+          expr("CAST(FLOOR(value * 1000) AS BIGINT)").as("secs"))
+        .withColumn("iso", expr(
+          """concat('P', CAST(secs DIV 86400 AS STRING), 'DT',
+            |  CAST(secs % 86400 DIV 3600 AS STRING), 'H',
+            |  CAST(secs % 3600 DIV 60 AS STRING), 'M',
+            |  CAST(secs % 60 AS STRING), 'S')""".stripMargin))
+        .withColumn("parsed", expr(
+          """CAST(regexp_extract(iso, '^P(\\d+)DT(\\d+)H(\\d+)M(\\d+)S$', 1) AS BIGINT) * 86400
+            |+ CAST(regexp_extract(iso, '^P(\\d+)DT(\\d+)H(\\d+)M(\\d+)S$', 2) AS BIGINT) * 3600
+            |+ CAST(regexp_extract(iso, '^P(\\d+)DT(\\d+)H(\\d+)M(\\d+)S$', 3) AS BIGINT) * 60
+            |+ CAST(regexp_extract(iso, '^P(\\d+)DT(\\d+)H(\\d+)M(\\d+)S$', 4) AS BIGINT)"""
+            .stripMargin))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("parsed") =!= col("secs"), 1L).otherwise(0L))
+            .as("mismatches"),
+          sum("secs").as("seconds_mass"),
+          max(expr("secs DIV 86400")).as("max_days"))
+        .withColumn("roundtrip_exact", col("mismatches") === 0L)
+        .orderBy("event_type")
+    }),
+
+    // SRT timecode round-trip — the subtitle-file serialization beside
+    // mm_subtitle_align: millisecond offsets rendered as the fixed-width
+    // HH:MM:SS,mmm cue stamp, re-parsed by position, round-trip proven;
+    // and because the rendering is FIXED-WIDTH, lexicographic MAX equals
+    // the numeric max — the graded `lex_is_numeric_max` column proves the
+    // property subtitle tooling silently relies on when sorting cue
+    // files as text (the same property fn_semver_latest proves violated
+    // for variable-width versions).
+    "mm_srt_timecode" -> ((s, d) => {
+      Tables.events(s, d)
+        .select((col("user_id") % 8).as("principal"),
+          expr("CAST(FLOOR(value * 100000) AS BIGINT) % 86400000").as("ms"))
+        .withColumn("tc", expr(
+          """concat(lpad(CAST(ms DIV 3600000 AS STRING), 2, '0'), ':',
+            |  lpad(CAST(ms % 3600000 DIV 60000 AS STRING), 2, '0'), ':',
+            |  lpad(CAST(ms % 60000 DIV 1000 AS STRING), 2, '0'), ',',
+            |  lpad(CAST(ms % 1000 AS STRING), 3, '0'))""".stripMargin))
+        .withColumn("parsed", expr(
+          """CAST(substring(tc, 1, 2) AS BIGINT) * 3600000
+            |+ CAST(substring(tc, 4, 2) AS BIGINT) * 60000
+            |+ CAST(substring(tc, 7, 2) AS BIGINT) * 1000
+            |+ CAST(substring(tc, 10, 3) AS BIGINT)""".stripMargin))
+        .groupBy("principal")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("parsed") =!= col("ms"), 1L).otherwise(0L))
+            .as("mismatches"),
+          max("ms").as("max_ms"), max("tc").as("lex_max_tc"))
+        .withColumn("lex_is_numeric_max", expr(
+          """lex_max_tc = concat(lpad(CAST(max_ms DIV 3600000 AS STRING), 2, '0'), ':',
+            |  lpad(CAST(max_ms % 3600000 DIV 60000 AS STRING), 2, '0'), ':',
+            |  lpad(CAST(max_ms % 60000 DIV 1000 AS STRING), 2, '0'), ',',
+            |  lpad(CAST(max_ms % 1000 AS STRING), 3, '0'))""".stripMargin))
+        .orderBy("principal")
+    }),
+
+    // RFM segment-migration matrix — the CRM follow-on to agg_rfm (which
+    // scores ONE period; retention marketing lives on the TRANSITIONS):
+    // customers tiered by spend in each half of the order history
+    // (1995–97 vs 1998+), the full-outer join yields the migration
+    // matrix with 'absent' pseudo-tiers for churned and newly-acquired
+    // customers; census per (from, to) cell with share ppm — the
+    // movement report a lifecycle team acts on.
+    "agg_segment_migration" -> ((s, d) => {
+      def half(pred: org.apache.spark.sql.Column) = Tables.orders(s, d)
+        .where(pred)
+        .groupBy("o_custkey")
+        .agg(sum(expr("CAST(FLOOR(o_totalprice * 100) AS BIGINT)")).as("cents"))
+        .withColumn("tier",
+          when(col("cents") >= 30000000L, lit("high"))
+            .when(col("cents") >= 15000000L, lit("mid")).otherwise(lit("low")))
+      val p1 = half(col("o_orderdate") < "1998-01-01")
+        .select(col("o_custkey"), col("tier").as("tier_from"))
+      val p2 = half(col("o_orderdate") >= "1998-01-01")
+        .select(col("o_custkey"), col("tier").as("tier_to"))
+      val m = p1.join(p2, Seq("o_custkey"), "full")
+        .select(coalesce(col("tier_from"), lit("absent")).as("tier_from"),
+          coalesce(col("tier_to"), lit("absent")).as("tier_to"))
+      val tot = m.agg(count(lit(1)).as("total"))
+      m.groupBy("tier_from", "tier_to").agg(count(lit(1)).as("customers"))
+        .crossJoin(broadcast(tot))
+        .withColumn("share_ppm", expr("(customers * 1000000) DIV total"))
+        .select("tier_from", "tier_to", "customers", "share_ppm")
+        .orderBy("tier_from", "tier_to")
     })
   )
 
@@ -2145,6 +2241,83 @@ object Round13cOps {
         |  CAST(SUM(CASE WHEN longest >= 7 THEN 1 ELSE 0 END) AS BIGINT) AS power_users,
         |  (CAST(SUM(CASE WHEN longest >= 7 THEN 1 ELSE 0 END) AS BIGINT) * 1000000)
         |    // CAST(COUNT(*) AS BIGINT) AS power_ppm
-        |FROM pu GROUP BY 1 ORDER BY principal""".stripMargin
+        |FROM pu GROUP BY 1 ORDER BY principal""".stripMargin,
+
+    "fn_iso8601_duration" ->
+      """WITH t AS (
+        |  SELECT event_type, CAST(FLOOR(value * 1000) AS BIGINT) AS secs
+        |  FROM events),
+        |r AS (
+        |  SELECT event_type, secs,
+        |    'P' || CAST(secs // 86400 AS VARCHAR) || 'DT' ||
+        |    CAST(secs % 86400 // 3600 AS VARCHAR) || 'H' ||
+        |    CAST(secs % 3600 // 60 AS VARCHAR) || 'M' ||
+        |    CAST(secs % 60 AS VARCHAR) || 'S' AS iso
+        |  FROM t),
+        |p AS (
+        |  SELECT event_type, secs,
+        |    CAST(regexp_extract(iso, '^P(\d+)DT(\d+)H(\d+)M(\d+)S$', 1) AS BIGINT) * 86400
+        |    + CAST(regexp_extract(iso, '^P(\d+)DT(\d+)H(\d+)M(\d+)S$', 2) AS BIGINT) * 3600
+        |    + CAST(regexp_extract(iso, '^P(\d+)DT(\d+)H(\d+)M(\d+)S$', 3) AS BIGINT) * 60
+        |    + CAST(regexp_extract(iso, '^P(\d+)DT(\d+)H(\d+)M(\d+)S$', 4) AS BIGINT) AS parsed
+        |  FROM r)
+        |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CASE WHEN parsed <> secs THEN 1 ELSE 0 END) AS BIGINT) AS mismatches,
+        |  CAST(SUM(secs) AS BIGINT) AS seconds_mass,
+        |  CAST(MAX(secs // 86400) AS BIGINT) AS max_days,
+        |  SUM(CASE WHEN parsed <> secs THEN 1 ELSE 0 END) = 0 AS roundtrip_exact
+        |FROM p GROUP BY 1 ORDER BY event_type""".stripMargin,
+
+    "mm_srt_timecode" ->
+      """WITH t AS (
+        |  SELECT user_id % 8 AS principal,
+        |    CAST(FLOOR(value * 100000) AS BIGINT) % 86400000 AS ms
+        |  FROM events),
+        |r AS (
+        |  SELECT principal, ms,
+        |    lpad(CAST(ms // 3600000 AS VARCHAR), 2, '0') || ':' ||
+        |    lpad(CAST(ms % 3600000 // 60000 AS VARCHAR), 2, '0') || ':' ||
+        |    lpad(CAST(ms % 60000 // 1000 AS VARCHAR), 2, '0') || ',' ||
+        |    lpad(CAST(ms % 1000 AS VARCHAR), 3, '0') AS tc
+        |  FROM t),
+        |p AS (
+        |  SELECT principal, ms, tc,
+        |    CAST(substring(tc, 1, 2) AS BIGINT) * 3600000
+        |    + CAST(substring(tc, 4, 2) AS BIGINT) * 60000
+        |    + CAST(substring(tc, 7, 2) AS BIGINT) * 1000
+        |    + CAST(substring(tc, 10, 3) AS BIGINT) AS parsed
+        |  FROM r)
+        |SELECT principal, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CASE WHEN parsed <> ms THEN 1 ELSE 0 END) AS BIGINT) AS mismatches,
+        |  CAST(MAX(ms) AS BIGINT) AS max_ms,
+        |  MAX(tc) AS lex_max_tc,
+        |  MAX(tc) = lpad(CAST(MAX(ms) // 3600000 AS VARCHAR), 2, '0') || ':' ||
+        |    lpad(CAST(MAX(ms) % 3600000 // 60000 AS VARCHAR), 2, '0') || ':' ||
+        |    lpad(CAST(MAX(ms) % 60000 // 1000 AS VARCHAR), 2, '0') || ',' ||
+        |    lpad(CAST(MAX(ms) % 1000 AS VARCHAR), 3, '0') AS lex_is_numeric_max
+        |FROM p GROUP BY 1 ORDER BY principal""".stripMargin,
+
+    "agg_segment_migration" ->
+      """WITH h1 AS (
+        |  SELECT o_custkey,
+        |    CASE WHEN SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) >= 30000000 THEN 'high'
+        |         WHEN SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) >= 15000000 THEN 'mid'
+        |         ELSE 'low' END AS tier_from
+        |  FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01' GROUP BY 1),
+        |h2 AS (
+        |  SELECT o_custkey,
+        |    CASE WHEN SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) >= 30000000 THEN 'high'
+        |         WHEN SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) >= 15000000 THEN 'mid'
+        |         ELSE 'low' END AS tier_to
+        |  FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01' GROUP BY 1),
+        |m AS (
+        |  SELECT COALESCE(tier_from, 'absent') AS tier_from,
+        |    COALESCE(tier_to, 'absent') AS tier_to
+        |  FROM h1 FULL OUTER JOIN h2 ON h1.o_custkey = h2.o_custkey),
+        |tt AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM m)
+        |SELECT tier_from, tier_to, CAST(COUNT(*) AS BIGINT) AS customers,
+        |  (CAST(COUNT(*) AS BIGINT) * 1000000) // (SELECT total FROM tt)
+        |    AS share_ppm
+        |FROM m GROUP BY 1, 2 ORDER BY tier_from, tier_to""".stripMargin
   )
 }

@@ -570,4 +570,39 @@ class Round13Wave24Spec extends AnyFunSuite {
       assert(r.getLong(6) == power * 1000000L / n)
     }
   }
+
+  test("fn_iso8601_duration: render/parse is the identity over the log") {
+    val rows = SparkEntry.queries("fn_iso8601_duration")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getLong(1)).sum == Tables.events(spark, sf).count())
+    rows.foreach { r =>
+      assert(r.getLong(2) == 0 && r.getBoolean(5), s"roundtrip must be exact: $r")
+      assert(r.getLong(4) <= 3, "327k seconds caps out under 4 days")
+    }
+  }
+
+  test("mm_srt_timecode: fixed width makes lex order numeric order") {
+    val rows = SparkEntry.queries("mm_srt_timecode")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(2) == 0, s"timecode roundtrip must be exact: $r")
+      assert(r.getBoolean(5), s"lexicographic max must be the numeric max: $r")
+      assert(r.getString(4).length == 12)
+    }
+  }
+
+  test("agg_segment_migration: the matrix partitions the customer union") {
+    val rows = SparkEntry.queries("agg_segment_migration")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val tiers = Set("high", "mid", "low", "absent")
+    rows.foreach { r =>
+      assert(tiers.contains(r.getString(0)) && tiers.contains(r.getString(1)))
+      assert(!(r.getString(0) == "absent" && r.getString(1) == "absent"),
+        "a customer absent in both halves cannot exist")
+    }
+    val total = rows.map(_.getLong(2)).sum
+    val want = Tables.orders(spark, sf).select("o_custkey").distinct().count()
+    assert(total == want, "every ordering customer lands in exactly one cell")
+    rows.foreach(r => assert(r.getLong(3) == r.getLong(2) * 1000000L / total))
+  }
 }
