@@ -18,6 +18,27 @@
 set -euo pipefail
 cd "$(dirname "$0")/.."
 
+# Coverage guard (VERDICT r13 brief item 8): the attestation must cover
+# every operator SparkEntry registers — SURVEY.md's mechanically-enforced
+# totals line (SurveyContractSpec pins it to the registry) is the cheap
+# ground truth. Post-close waves that add ops without re-attesting leave
+# bench_attestation.json short, and this refuses the close.
+check_coverage() {
+  local reg nq
+  reg=$(grep -oP '(?<=\*\*Totals: )\d+' SURVEY.md | head -1)
+  nq=$(python3 -c "import json; print(len(json.load(open('bench_attestation.json'))['queries']))")
+  if [[ "$nq" -lt "$reg" ]]; then
+    echo "REFUSING: bench_attestation.json covers $nq queries but SparkEntry registers $reg — re-run scripts/attest.sh" >&2
+    return 1
+  fi
+  echo "coverage guard OK: attestation covers $nq/$reg registered operators"
+}
+
+if [[ "${1:-}" == "--check" ]]; then
+  check_coverage
+  exit $?
+fi
+
 PRIOR="${1:-bench_attestation.json}"
 if [[ -f "$PRIOR" ]]; then
   cp "$PRIOR" /tmp/attest_prior.json
@@ -52,3 +73,5 @@ if [[ -f /tmp/attest_prior.json ]]; then
 else
   echo "attestation gate SKIPPED (no prior)"
 fi
+
+check_coverage

@@ -277,17 +277,33 @@ object Round13Ops {
     // shardable at scale; the fixture uses one row_number pass), never
     // a driver-side loop. Nothing random: same corpus -> same CI.
     "llm_eval_bootstrap_ci" -> ((s, d) => {
-      val w = Window.orderBy("task")
-      val tasks = Tables.orders(s, d)
+      val base = Tables.orders(s, d)
         .select(col("o_orderkey").cast("bigint").as("task"))
         .withColumn("ok", (expr(
           "CAST(conv(substring(md5(concat('bsok:', CAST(task AS STRING))), 1, 6), 16, 10) AS BIGINT) % 1000") < 600).cast("long"))
-        .withColumn("idx", (row_number().over(w) - 1).cast("bigint"))
+      // Dense 0..n-1 task index WITHOUT a global single-partition sort:
+      // range-bucket on the key (task DIV c is monotonic, so buckets are
+      // ordered key ranges), per-bucket counts rolled into cumulative
+      // offsets (a ≤33-row bounded window), broadcast back, then a
+      // PARTITIONED row_number within each bucket — zipWithIndex as one
+      // declarative plan. Same dense order as ROW_NUMBER() OVER (ORDER BY
+      // task); the oracle is unchanged.
+      val maxTask = base.agg(max("task")).head.getLong(0)
+      val withB = base.withColumn("bkt", expr(s"task DIV ${maxTask / 32 + 1}"))
+      val wOff = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+      val offsets = withB.groupBy("bkt").agg(count(lit(1)).as("cnt"))
+        .withColumn("off", coalesce(sum("cnt").over(wOff), lit(0L)))
+        .select("bkt", "off")
+      val wB = Window.partitionBy("bkt").orderBy("task")
+      val tasks = withB.join(broadcast(offsets), Seq("bkt"))
+        .withColumn("idx", (col("off") + row_number().over(wB) - 1).cast("bigint"))
+        .select("task", "ok", "idx")
         .localCheckpoint()
       val n = tasks.count()
-      // the row_number pass leaves ONE partition — spread the 50×n draw
-      // stage back over the executor threads, and BROADCAST the dense
-      // index so the draw rows never shuffle
+      // Round-robin the draw source: tasks is hash(bkt)-partitioned over
+      // ~33 keys, which leaves some of the 32 slots empty — the 50×n draw
+      // expansion needs EVEN partitions. BROADCAST the dense index so the
+      // draw rows never shuffle.
       val draws = tasks.select(col("task").as("src_task")).repartition(32)
         .crossJoin(broadcast(s.range(0, 50).select(col("id").as("b"))))
         .select(col("b"), expr(

@@ -65,10 +65,13 @@ object Round13bOps {
           .join(p.select(col("m"), col("p").as("pm")), Seq("m"))
           .join(p.select(col("m").as("o"), col("p").as("po")), Seq("o"))
           .select(col("m"),
-            expr("(n * 1000000000000) DIV (pm + po)").as("term"))
+            // n*1e12 overflows Long at ~9.2M battles/pair — route the wide
+            // product through DECIMAL(38,0) (HUGEINT twin in the oracle).
+            expr("(CAST(n AS DECIMAL(38,0)) * 1000000000000) DIV (pm + po)").as("term"))
           .groupBy("m").agg(sum("term").as("denom"))
         base.join(d2, Seq("m"))
-          .select(col("m"), expr("(wins * 1000000000000) DIV denom").as("p"))
+          .select(col("m"),
+            expr("(CAST(wins AS DECIMAL(38,0)) * 1000000000000) DIV denom").as("p"))
       }
       val p1 = mmStep(base.select(col("m"), lit(1000000L).as("p")))
       val p2 = mmStep(p1)
@@ -172,7 +175,7 @@ object Round13bOps {
         .withColumn("term_micro",
           when(col("b") > 0 && col("c") > 0, expr(
             """CAST(round((CAST(c AS DOUBLE) / ct - CAST(b AS DOUBLE) / bt)
-              |  * ln(CAST(c * bt AS DOUBLE) / (b * ct)) * 1000000) AS BIGINT)"""
+              |  * ln((CAST(c AS DOUBLE) * bt) / (CAST(b AS DOUBLE) * ct)) * 1000000) AS BIGINT)"""
               .stripMargin)).otherwise(lit(0L)))
         .groupBy("event_type")
         .agg(max("bt").as("base_n"), max("ct").as("cur_n"),
@@ -225,8 +228,10 @@ object Round13bOps {
     // per query, candidate passages ranked by relevance, greedily packed
     // in rank order until the 256-token context budget closes. The
     // fixture's 64 queries × md5 relevance (top-10% filter) stand in for
-    // an ANN candidate stage — the expansion is a FIXED 6.4× of the doc
-    // mass, linear at any corpus size; the pack itself is one per-query
+    // an ANN candidate stage — the broadcast cross join SCORES 64× the doc
+    // mass (that is the evaluated volume); the score≥900 filter then prunes
+    // the surviving candidates to a fixed 6.4× before the window. Both are
+    // linear in corpus size; the pack itself is one per-query
     // running sum (never a knapsack solve — rank-greedy is what serving
     // stacks run). Census per query bucket: packed passages, packed
     // tokens, boundary casualties (the first passage that no longer
@@ -488,7 +493,12 @@ object Round13bOps {
           expr("n_assignments DIV 2").as("n_tokens"),
           col("n_assignments"), col("experts_used"),
           expr("(max_load * 1000000) DIV n_assignments").as("max_load_ppm"),
-          expr("(16 * l2 * 1000000) DIV (n_assignments * n_assignments)")
+          // DECIMAL(38,0) product chain: l2 ~ n^2/16, so 16*l2*1e6 overflows
+          // Long near ~3M assignments/layer — route through decimal exactly
+          // as service_composite_slo does (HUGEINT on the DuckDB side).
+          expr("""CAST((CAST(16 AS DECIMAL(38,0)) * l2 * 1000000)
+                 |  DIV (CAST(n_assignments AS DECIMAL(38,0)) * n_assignments)
+                 |  AS BIGINT)""".stripMargin)
             .as("balance_factor_ppm"))
         .orderBy("layer")
     }),
@@ -888,17 +898,17 @@ object Round13bOps {
         |        UNION ALL SELECT j, n - wi, n FROM pairs)
         |  GROUP BY 1),
         |d1 AS (
-        |  SELECT m, CAST(SUM((n * 1000000000000) // 2000000) AS BIGINT) AS denom
+        |  SELECT m, CAST(SUM((CAST(n AS HUGEINT) * 1000000000000) // 2000000) AS BIGINT) AS denom
         |  FROM edges GROUP BY 1),
         |p1 AS (
-        |  SELECT base.m, (wins * 1000000000000) // denom AS p
+        |  SELECT base.m, CAST((CAST(wins AS HUGEINT) * 1000000000000) // denom AS BIGINT) AS p
         |  FROM base JOIN d1 ON base.m = d1.m),
         |d2 AS (
-        |  SELECT e.m, CAST(SUM((e.n * 1000000000000) // (pm.p + po.p)) AS BIGINT) AS denom
+        |  SELECT e.m, CAST(SUM((CAST(e.n AS HUGEINT) * 1000000000000) // (pm.p + po.p)) AS BIGINT) AS denom
         |  FROM edges e JOIN p1 pm ON e.m = pm.m JOIN p1 po ON e.o = po.m
         |  GROUP BY 1),
         |p2 AS (
-        |  SELECT base.m, (wins * 1000000000000) // denom AS p
+        |  SELECT base.m, CAST((CAST(wins AS HUGEINT) * 1000000000000) // denom AS BIGINT) AS p
         |  FROM base JOIN d2 ON base.m = d2.m)
         |SELECT base.m AS model, battles, wins, p AS strength_ppm,
         |  CAST(ROW_NUMBER() OVER (ORDER BY p DESC, base.m) AS INT) AS rank
@@ -975,7 +985,7 @@ object Round13bOps {
         |    CASE WHEN b > 0 AND c > 0 THEN 1 ELSE 0 END AS used,
         |    CASE WHEN b > 0 AND c > 0 THEN
         |      CAST(round((CAST(c AS DOUBLE) / ct - CAST(b AS DOUBLE) / bt)
-        |        * ln(CAST(c * bt AS DOUBLE) / (b * ct)) * 1000000) AS BIGINT)
+        |        * ln((CAST(c AS DOUBLE) * bt) / (CAST(b AS DOUBLE) * ct)) * 1000000) AS BIGINT)
         |    ELSE 0 END AS term_micro
         |  FROM t)
         |SELECT event_type, CAST(MAX(bt) AS BIGINT) AS base_n,
@@ -1212,7 +1222,8 @@ object Round13bOps {
         |SELECT layer, n_assignments // 2 AS n_tokens, n_assignments,
         |  experts_used,
         |  (max_load * 1000000) // n_assignments AS max_load_ppm,
-        |  (16 * l2 * 1000000) // (n_assignments * n_assignments) AS balance_factor_ppm
+        |  CAST((CAST(16 AS HUGEINT) * l2 * 1000000)
+        |    // (CAST(n_assignments AS HUGEINT) * n_assignments) AS BIGINT) AS balance_factor_ppm
         |FROM agg ORDER BY layer""".stripMargin,
 
     "mm_frame_dedup_temporal" ->

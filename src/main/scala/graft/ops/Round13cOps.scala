@@ -443,27 +443,31 @@ object Round13cOps {
     // PII tag propagation through lineage — the governance closure every
     // catalog runs (tag the sources, and every derived table downstream
     // inherits the tag): a bounded 20-table lineage DAG (edges strictly
-    // increasing, so it IS a DAG), PII seeded on the three ingest tables,
-    // propagated a hop at a time — four bounded joins, the frontier
-    // shrinking as coverage saturates. Graded per hop: newly tagged
-    // tables (count + sorted list) — the blast-radius report a DPO reads.
+    // increasing, so it IS a DAG), PII seeded on the three ingest tables.
+    // The ≤4-hop closure is built in ONE plan — walks of length 0..4 via
+    // chained self-joins of the 20-row edge table (≤48 walks total), then
+    // min-hop per table = the BFS level. The r13 shape ran four
+    // SEQUENTIAL frontier anti-join job waves and paid ~8 calib-units of
+    // pure stage-scheduling latency for 20 rows of metadata (VERDICT r13
+    // item 5); one declarative plan schedules once.
     "warehouse_tag_propagation" -> ((s, d) => {
-      val tables = s.range(20).select(col("id").as("t"))
-      val edges = tables.select(col("t").as("src"), (col("t") + 3).as("dst"))
+      def tables = s.range(20).select(col("id").as("t"))
+      def edges = tables.select(col("t").as("src"), (col("t") + 3).as("dst"))
         .where(col("dst") < 20)
         .unionByName(tables.where(col("t") % 2 === 0)
           .select(col("t").as("src"), (col("t") + 5).as("dst"))
           .where(col("dst") < 20))
-      var tagged = tables.where(col("t") <= 2)
-        .select(col("t"), lit(0).as("hop"))
-      var frontier = tagged.select("t")
-      for (h <- 1 to 4) {
-        val next = frontier.join(edges, frontier("t") === edges("src"))
-          .select(col("dst").as("t")).distinct()
-          .join(tagged.select(col("t").as("seen")), col("t") === col("seen"), "left_anti")
-        tagged = tagged.unionByName(next.select(col("t"), lit(h).as("hop")))
-        frontier = next
+      def step(w: DataFrame, h: Int): DataFrame = {
+        val e = edges
+        w.join(e, w("n") === e("src")).select(col("dst").as("n"), lit(h).as("hop"))
       }
+      val w0 = tables.where(col("t") <= 2)
+        .select(col("t").as("n"), lit(0).as("hop"))
+      val w1 = step(w0, 1); val w2 = step(w1, 2)
+      val w3 = step(w2, 3); val w4 = step(w3, 4)
+      val tagged = w0.unionByName(w1).unionByName(w2).unionByName(w3)
+        .unionByName(w4)
+        .groupBy(col("n").as("t")).agg(min("hop").as("hop"))
       tagged.groupBy("hop")
         .agg(count(lit(1)).as("newly_tagged"),
           expr("array_join(sort_array(collect_list(CAST(t AS STRING))), ',')")
@@ -814,7 +818,7 @@ object Round13cOps {
             .as("wins_kept"),
           sum(when(col("large_wins"), 1L).otherwise(0L)).as("wins_possible"))
         .withColumn("recall_milli",
-          expr("(wins_kept * 1000) DIV wins_possible"))
+          expr("(wins_kept * 1000) DIV NULLIF(wins_possible, 0)"))
         .withColumn("cost_per_win_milli",
           expr("(cost_units * 1000) DIV (wins_kept + 1)"))
         .orderBy("threshold")
@@ -972,10 +976,10 @@ object Round13cOps {
           when(col("treated") && col("post"), 700L).otherwise(0L))
         .groupBy("event_type")
         .agg(
-          expr("(SUM(CASE WHEN treated AND post THEN y ELSE 0 END) * 1000000) DIV SUM(CASE WHEN treated AND post THEN 1 ELSE 0 END)").as("m_t_post"),
-          expr("(SUM(CASE WHEN treated AND NOT post THEN y ELSE 0 END) * 1000000) DIV SUM(CASE WHEN treated AND NOT post THEN 1 ELSE 0 END)").as("m_t_pre"),
-          expr("(SUM(CASE WHEN NOT treated AND post THEN y ELSE 0 END) * 1000000) DIV SUM(CASE WHEN NOT treated AND post THEN 1 ELSE 0 END)").as("m_c_post"),
-          expr("(SUM(CASE WHEN NOT treated AND NOT post THEN y ELSE 0 END) * 1000000) DIV SUM(CASE WHEN NOT treated AND NOT post THEN 1 ELSE 0 END)").as("m_c_pre"),
+          expr("(SUM(CASE WHEN treated AND post THEN y ELSE 0 END) * 1000000) DIV NULLIF(SUM(CASE WHEN treated AND post THEN 1 ELSE 0 END), 0)").as("m_t_post"),
+          expr("(SUM(CASE WHEN treated AND NOT post THEN y ELSE 0 END) * 1000000) DIV NULLIF(SUM(CASE WHEN treated AND NOT post THEN 1 ELSE 0 END), 0)").as("m_t_pre"),
+          expr("(SUM(CASE WHEN NOT treated AND post THEN y ELSE 0 END) * 1000000) DIV NULLIF(SUM(CASE WHEN NOT treated AND post THEN 1 ELSE 0 END), 0)").as("m_c_post"),
+          expr("(SUM(CASE WHEN NOT treated AND NOT post THEN y ELSE 0 END) * 1000000) DIV NULLIF(SUM(CASE WHEN NOT treated AND NOT post THEN 1 ELSE 0 END), 0)").as("m_c_pre"),
           count(lit(1)).as("n_obs"))
         .withColumn("did_micro",
           (col("m_t_post") - col("m_t_pre")) - (col("m_c_post") - col("m_c_pre")))
@@ -1913,7 +1917,7 @@ object Round13cOps {
         |    AS wins_kept,
         |  CAST(SUM(CASE WHEN large_wins THEN 1 ELSE 0 END) AS BIGINT) AS wins_possible,
         |  (CAST(SUM(CASE WHEN escalated AND large_wins THEN 1 ELSE 0 END) AS BIGINT)
-        |    * 1000) // CAST(SUM(CASE WHEN large_wins THEN 1 ELSE 0 END) AS BIGINT)
+        |    * 1000) // NULLIF(CAST(SUM(CASE WHEN large_wins THEN 1 ELSE 0 END) AS BIGINT), 0)
         |    AS recall_milli,
         |  (CAST(SUM(CASE WHEN escalated THEN 10 ELSE 1 END) AS BIGINT) * 1000)
         |    // (CAST(SUM(CASE WHEN escalated AND large_wins THEN 1 ELSE 0 END) AS BIGINT) + 1)
@@ -2052,13 +2056,13 @@ object Round13cOps {
         |m AS (
         |  SELECT event_type,
         |    CAST((SUM(CASE WHEN treated AND post THEN y ELSE 0 END) * 1000000)
-        |      // SUM(CASE WHEN treated AND post THEN 1 ELSE 0 END) AS BIGINT) AS m_t_post,
+        |      // NULLIF(SUM(CASE WHEN treated AND post THEN 1 ELSE 0 END), 0) AS BIGINT) AS m_t_post,
         |    CAST((SUM(CASE WHEN treated AND NOT post THEN y ELSE 0 END) * 1000000)
-        |      // SUM(CASE WHEN treated AND NOT post THEN 1 ELSE 0 END) AS BIGINT) AS m_t_pre,
+        |      // NULLIF(SUM(CASE WHEN treated AND NOT post THEN 1 ELSE 0 END), 0) AS BIGINT) AS m_t_pre,
         |    CAST((SUM(CASE WHEN NOT treated AND post THEN y ELSE 0 END) * 1000000)
-        |      // SUM(CASE WHEN NOT treated AND post THEN 1 ELSE 0 END) AS BIGINT) AS m_c_post,
+        |      // NULLIF(SUM(CASE WHEN NOT treated AND post THEN 1 ELSE 0 END), 0) AS BIGINT) AS m_c_post,
         |    CAST((SUM(CASE WHEN NOT treated AND NOT post THEN y ELSE 0 END) * 1000000)
-        |      // SUM(CASE WHEN NOT treated AND NOT post THEN 1 ELSE 0 END) AS BIGINT) AS m_c_pre,
+        |      // NULLIF(SUM(CASE WHEN NOT treated AND NOT post THEN 1 ELSE 0 END), 0) AS BIGINT) AS m_c_pre,
         |    CAST(COUNT(*) AS BIGINT) AS n_obs
         |  FROM y GROUP BY 1)
         |SELECT event_type, m_t_post, m_t_pre, m_c_post, m_c_pre, n_obs,
