@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-14 wave 1 (Round14Ops): identity-graph clustering, householding,
+  * DSAR fulfilment SLA — the person-service seams from the round-13 brief.
+  */
+class Round14Wave1Spec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[8]")
+      .appName("graft-r14w1")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+  private val sf = "/root/testdata/sf0.001"
+
+  test("join_identity_clusters: components partition all records, bridges over-link") {
+    val rows = SparkEntry.queries("join_identity_clusters")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val nPersons = Tables.customer(spark, sf).count()
+    // every record lands in exactly one cluster
+    assert(rows.map(_.getLong(2)).sum == nPersons * 3)
+    rows.foreach { r =>
+      val (size, clusters, records, overlinked) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(records == size * clusters)
+      assert(overlinked <= clusters)
+      // a cluster needs >3 records OR a bridge to span two persons;
+      // any cluster larger than 3 records MUST be over-linked
+      if (size > 3) assert(overlinked == clusters)
+      if (size <= 1) assert(overlinked == 0)
+    }
+    // the 1-in-50 bridge must produce at least one over-linked cluster
+    assert(rows.map(_.getLong(3)).sum >= 1)
+  }
+
+  test("join_householding: blocks partition persons, lodgers stay singleton") {
+    val rows = SparkEntry.queries("join_householding")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getLong(2)).sum == Tables.customer(spark, sf).count())
+    rows.foreach { r =>
+      val (size, hh, persons, lodgerHh) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(persons == size * hh)
+      assert(lodgerHh <= hh)
+      // lodger surnames are unique per person — lodger households are
+      // always singletons
+      if (size > 1) assert(lodgerHh == 0)
+    }
+    // family households of size >= 2 must exist (h%3 plants 2..4)
+    assert(rows.exists(r => r.getLong(0) >= 2 && r.getLong(1) > 0))
+  }
+
+  test("warehouse_dsar_sla: breaches are exact and bounded by volume") {
+    val rows = SparkEntry.queries("warehouse_dsar_sla")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val totalReq = Tables.events(spark, sf)
+      .where(org.apache.spark.sql.functions.expr("event_id % 13 = 4")).count()
+    assert(rows.map(_.getLong(1)).sum == totalReq)
+    rows.foreach { r =>
+      val (status, n, breaches, maxLat, mass, ppm) =
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5))
+      assert(Set("restricted", "standard").contains(status))
+      assert(breaches <= n)
+      assert(maxLat <= 44)
+      assert(mass <= n * 44)
+      assert(ppm == breaches * 1000000L / n)
+      // latencies are ~uniform 0..44: the standard 30-day SLA must not
+      // breach everything, and with >= 20 requests some breach exists
+      if (status == "standard" && n >= 20) {
+        assert(breaches < n)
+        assert(breaches >= 1)
+      }
+    }
+  }
+}
