@@ -15,6 +15,11 @@ run / fork := true
 //   testOnly graft.ScaleWitnessSpec -- -n graft.ScaleWitness
 // and is excluded from the default `sbt test` run:
 Test / testOptions += Tests.Argument(TestFrameworks.ScalaTest, "-l", "graft.ScaleWitness")
+// The spill witness (constrained-memory SparkSession) likewise runs once
+// per round; the global -l beats -n, so override for the session:
+//   set Test / testOptions := Seq(Tests.Argument(TestFrameworks.ScalaTest, "-n", "graft.SpillWitness"))
+//   testOnly graft.SpillWitnessSpec
+Test / testOptions += Tests.Argument(TestFrameworks.ScalaTest, "-l", "graft.SpillWitness")
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

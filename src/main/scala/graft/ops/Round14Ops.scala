@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.{CosineSimilarity, GraftBridge}
 import graft.Tables
 
 /** Round-14 operators — same paired impl/oracle style and engine-exactness
@@ -143,10 +144,196 @@ object Round14Ops {
           sum("latency_days").as("latency_mass"))
         .withColumn("breach_ppm", expr("(n_breaches * 1000000) DIV n_requests"))
         .orderBy("status")
+    }),
+
+    // Graph-based ANN (HNSW-style, single layer) — the similarity-family
+    // completion the round-13 verdict asked for beside brute force
+    // (llm_sim_topk) and IVF (llm_sim_ann): a deterministic bounded-
+    // degree neighbor graph (8 md5-chosen edges per node — the NSW
+    // random-graph baseline every HNSW layer degenerates to), greedy
+    // BEAM search from a fixed entry point (3 synchronous hops, beam 8:
+    // expand the beam's neighbors, score by cosine, keep the best 8),
+    // and the recall@5 audit against the exact top-5 full scan. Each
+    // hop scores ≤ 72 candidates per probe against a BROADCAST
+    // candidate list — the data-scaled work is the one exact-scan
+    // recall baseline (10·n cosines), everything else is O(probes).
+    // Rounded sims + id tie-break keep both engines' rankings identical.
+    "llm_ann_hnsw" -> ((s, d) => {
+      GraftBridge.registerFunction(s, "cosine_sim",
+        exprs => CosineSimilarity(exprs(0), exprs(1)))
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      val n = e.count()
+      val probes = e.where(col("vec_id") < 10)
+        .select(col("vec_id").as("probe_id"), col("emb").as("p_emb"))
+      val nbrExpr =
+        s"CAST(conv(substring(md5(concat('hnsw:', CAST(node AS STRING), ':', CAST(j AS STRING))), 1, 8), 16, 10) AS BIGINT) % $n"
+      def expand(beam: DataFrame): DataFrame =
+        beam.select(col("probe_id"), col("node"))
+          .withColumn("j", explode(expr("sequence(0, 7)")))
+          .withColumn("v", expr(nbrExpr))
+          .select(col("probe_id"),
+            when(col("v") === col("node"), (col("v") + 1) % n)
+              .otherwise(col("v")).as("node"))
+          .unionByName(beam.select("probe_id", "node"))
+          .distinct()
+      def score(cand: DataFrame): DataFrame =
+        e.join(broadcast(cand), e("vec_id") === cand("node"))
+          .join(broadcast(probes), Seq("probe_id"))
+          .where(col("vec_id") =!= col("probe_id"))
+          .select(col("probe_id"), col("node"),
+            round(call_function("cosine_sim", col("p_emb"), col("emb")), 4)
+              .as("sim"))
+      val wB = Window.partitionBy("probe_id").orderBy(desc("sim"), col("node"))
+      def top(scored: DataFrame, k: Int): DataFrame =
+        scored.withColumn("r", row_number().over(wB)).where(col("r") <= k)
+          .select("probe_id", "node")
+      val b0 = probes.select(col("probe_id"), lit(0L).as("node"))
+      val s1 = score(expand(b0)).localCheckpoint()
+      val s2 = score(expand(top(s1, 8))).localCheckpoint()
+      val s3 = score(expand(top(s2, 8))).localCheckpoint()
+      val visited = s1.unionByName(s2).unionByName(s3)
+        .groupBy("probe_id", "node").agg(max("sim").as("sim"))
+      val found5 = top(visited, 5)
+      val exact = broadcast(probes).join(e, col("vec_id") =!= col("probe_id"))
+        .select(col("probe_id"), col("vec_id").as("node"),
+          round(call_function("cosine_sim", col("p_emb"), col("emb")), 4)
+            .as("sim"))
+      val exact5 = top(exact, 5)
+      val hits = exact5
+        .join(found5.withColumn("hit", lit(1L)), Seq("probe_id", "node"), "left")
+        .groupBy("probe_id").agg(sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+      val vstats = visited.groupBy("probe_id")
+        .agg(count(lit(1)).as("n_visited"), max("sim").as("ann_best_sim"))
+      val estats = exact.groupBy("probe_id").agg(max("sim").as("exact_best_sim"))
+      vstats.join(hits, Seq("probe_id")).join(estats, Seq("probe_id"))
+        .select(col("probe_id"), col("n_visited"), col("ann_best_sim"),
+          col("exact_best_sim"), col("n_hits"),
+          expr("n_hits * 200000").as("recall_ppm"))
+        .orderBy("probe_id")
+    }),
+
+    // Phonetic blocking (Soundex) — the third blocking key in the ER
+    // toolbox beside the prefix block (join_entity_resolution) and the
+    // address block (join_householding): a 12-surname authored pool in
+    // which SMITH/SMYTH/SCHMIDT, JOHNSON/JONSON, MEYER/MAYER and
+    // BROWN/BRAUN are planted homophone groups, coded by the engine's
+    // soundex and censused per code — records, distinct spellings,
+    // homophone flag, and the candidate-pair mass n(n−1)/2 the block
+    // would feed a matcher (the blocking-cost driver). The oracle
+    // carries the authored pool's expected codes, so an engine soundex
+    // drift on ANY of the 12 names breaks the rollup. One projection +
+    // rollup, linear at any scale.
+    "fn_soundex_block" -> ((s, d) => {
+      val pool = array(lit("SMITH"), lit("SMYTH"), lit("SCHMIDT"),
+        lit("JOHNSON"), lit("JONSON"), lit("MEYER"), lit("MAYER"),
+        lit("BROWN"), lit("BRAUN"), lit("TAYLOR"), lit("WALKER"),
+        lit("HARRIS"))
+      Tables.customer(s, d)
+        .select(col("c_custkey").cast("bigint").as("k"))
+        .withColumn("name", element_at(pool, (col("k") % 12 + 1).cast("int")))
+        .withColumn("code", soundex(col("name")))
+        .groupBy("code")
+        .agg(count(lit(1)).as("n_records"),
+          countDistinct("name").as("n_spellings"))
+        .withColumn("homophone", col("n_spellings") > 1)
+        .withColumn("pair_mass", expr(
+          "CAST((CAST(n_records AS DECIMAL(38,0)) * (n_records - 1)) DIV 2 AS BIGINT)"))
+        .orderBy("code")
     })
   )
 
+  /** One greedy-search hop of the llm_ann_hnsw oracle: expand `prev`'s
+    * md5 neighbor lists (self-loops redirected), score the candidate set
+    * against the probe embeddings. Mirrors the Spark expand/score pair. */
+  private def hnswHopSql(i: Int, prev: String): String =
+    s"""x$i AS (
+       |  SELECT DISTINCT probe_id, node FROM (
+       |    SELECT probe_id,
+       |      CASE WHEN v = node THEN (v + 1) % (SELECT n FROM nn) ELSE v END AS node
+       |    FROM (SELECT probe_id, node,
+       |            ('0x' || substring(md5('hnsw:' || CAST(node AS VARCHAR) || ':' || CAST(j.range AS VARCHAR)), 1, 8))::BIGINT
+       |              % (SELECT n FROM nn) AS v
+       |          FROM $prev CROSS JOIN range(0, 8) j) q1
+       |    UNION ALL SELECT probe_id, node FROM $prev) q2),
+       |s$i AS (
+       |  SELECT x.probe_id, x.node,
+       |    ROUND(list_cosine_similarity(p.p_emb, e.emb), 4) AS sim
+       |  FROM x$i x JOIN e ON e.vec_id = x.node JOIN p ON p.probe_id = x.probe_id
+       |  WHERE x.node <> x.probe_id),
+       |b$i AS (
+       |  SELECT probe_id, node FROM (
+       |    SELECT probe_id, node,
+       |      ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY sim DESC, node) AS r
+       |    FROM s$i) q3 WHERE r <= 8)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "llm_ann_hnsw" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         |nn AS (SELECT COUNT(*) AS n FROM e),
+         |p AS (SELECT vec_id AS probe_id, emb AS p_emb FROM e WHERE vec_id < 10),
+         |b0 AS (SELECT probe_id, CAST(0 AS BIGINT) AS node FROM p),
+         |${hnswHopSql(1, "b0")},
+         |${hnswHopSql(2, "b1")},
+         |${hnswHopSql(3, "b2")},
+         |visited AS (
+         |  SELECT probe_id, node, MAX(sim) AS sim FROM (
+         |    SELECT * FROM s1 UNION ALL SELECT * FROM s2 UNION ALL SELECT * FROM s3) u
+         |  GROUP BY 1, 2),
+         |found5 AS (
+         |  SELECT probe_id, node FROM (
+         |    SELECT probe_id, node,
+         |      ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY sim DESC, node) AS r
+         |    FROM visited) qf WHERE r <= 5),
+         |exact AS (
+         |  SELECT p.probe_id, e.vec_id AS node,
+         |    ROUND(list_cosine_similarity(p.p_emb, e.emb), 4) AS sim
+         |  FROM p, e WHERE e.vec_id <> p.probe_id),
+         |exact5 AS (
+         |  SELECT probe_id, node FROM (
+         |    SELECT probe_id, node,
+         |      ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY sim DESC, node) AS r
+         |    FROM exact) qe WHERE r <= 5),
+         |hits AS (
+         |  SELECT x.probe_id,
+         |    CAST(SUM(CASE WHEN f.node IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
+         |  FROM exact5 x LEFT JOIN found5 f
+         |    ON f.probe_id = x.probe_id AND f.node = x.node
+         |  GROUP BY 1),
+         |v AS (SELECT probe_id, CAST(COUNT(*) AS BIGINT) AS n_visited,
+         |        MAX(sim) AS ann_best_sim FROM visited GROUP BY 1),
+         |ex AS (SELECT probe_id, MAX(sim) AS exact_best_sim FROM exact GROUP BY 1)
+         |SELECT v.probe_id, n_visited, ann_best_sim, exact_best_sim, n_hits,
+         |  n_hits * 200000 AS recall_ppm
+         |FROM v JOIN hits USING (probe_id) JOIN ex USING (probe_id)
+         |ORDER BY probe_id""".stripMargin,
+
+    "fn_soundex_block" ->
+      """WITH t AS (
+        |  SELECT CAST(c_custkey AS BIGINT) AS k,
+        |    ['SMITH','SMYTH','SCHMIDT','JOHNSON','JONSON','MEYER','MAYER',
+        |     'BROWN','BRAUN','TAYLOR','WALKER','HARRIS'][CAST(c_custkey % 12 AS INT) + 1] AS name
+        |  FROM customer),
+        |c AS (
+        |  -- the authored pool's expected American-Soundex codes: the
+        |  -- oracle pins the CONTRACT (engine soundex drift on any of
+        |  -- the 12 names breaks the rollup)
+        |  SELECT k, name,
+        |    CASE name
+        |      WHEN 'SMITH' THEN 'S530' WHEN 'SMYTH' THEN 'S530'
+        |      WHEN 'SCHMIDT' THEN 'S530'
+        |      WHEN 'JOHNSON' THEN 'J525' WHEN 'JONSON' THEN 'J525'
+        |      WHEN 'MEYER' THEN 'M600' WHEN 'MAYER' THEN 'M600'
+        |      WHEN 'BROWN' THEN 'B650' WHEN 'BRAUN' THEN 'B650'
+        |      WHEN 'TAYLOR' THEN 'T460' WHEN 'WALKER' THEN 'W426'
+        |      ELSE 'H620' END AS code
+        |  FROM t)
+        |SELECT code, CAST(COUNT(*) AS BIGINT) AS n_records,
+        |  CAST(COUNT(DISTINCT name) AS BIGINT) AS n_spellings,
+        |  COUNT(DISTINCT name) > 1 AS homophone,
+        |  CAST((CAST(COUNT(*) AS HUGEINT) * (COUNT(*) - 1)) // 2 AS BIGINT) AS pair_mass
+        |FROM c GROUP BY 1 ORDER BY code""".stripMargin,
+
     "join_identity_clusters" ->
       """WITH RECURSIVE
         |p AS (SELECT CAST(c_custkey AS BIGINT) AS p FROM customer),

@@ -81,4 +81,40 @@ class Round14Wave1Spec extends AnyFunSuite {
       }
     }
   }
+
+  test("llm_ann_hnsw: beam search visits a bounded set, recall is exact arithmetic") {
+    val rows = SparkEntry.queries("llm_ann_hnsw")(spark, sf).collect()
+    assert(rows.length == 10, "one row per probe")
+    rows.foreach { r =>
+      val (visited, annBest, exactBest, hits, ppm) =
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getLong(4), r.getLong(5))
+      // 3 hops x beam 8 x degree 8 caps the candidate set well under the
+      // brute-force corpus scan
+      assert(visited >= 8 && visited <= 3 * (8 * 8 + 8))
+      assert(hits >= 0 && hits <= 5)
+      assert(ppm == hits * 200000L)
+      // the greedy path can never beat the exact scan
+      assert(annBest <= exactBest + 1e-9)
+    }
+    // the NSW random graph plus 3 greedy hops must find SOMETHING real:
+    // at least one probe recalls at least one exact top-5 neighbor
+    assert(rows.map(_.getLong(4)).sum >= 1)
+  }
+
+  test("fn_soundex_block: homophone groups collapse, pair mass is exact") {
+    val rows = SparkEntry.queries("fn_soundex_block")(spark, sf).collect()
+    val codes = rows.map(_.getString(0)).toSet
+    assert(codes == Set("S530", "J525", "M600", "B650", "T460", "W426", "H620"))
+    assert(rows.map(_.getLong(1)).sum == Tables.customer(spark, sf).count())
+    rows.foreach { r =>
+      val (code, n, spellings, homophone, pairs) =
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getBoolean(3), r.getLong(4))
+      assert(pairs == n * (n - 1) / 2)
+      assert(homophone == (spellings > 1))
+      // the planted pool puts 3 spellings behind S530, 2 behind J525/M600/B650
+      if (code == "S530") assert(spellings == 3)
+      if (Set("J525", "M600", "B650").contains(code)) assert(spellings == 2)
+      if (Set("T460", "W426", "H620").contains(code)) assert(spellings == 1)
+    }
+  }
 }

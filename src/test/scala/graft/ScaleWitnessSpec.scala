@@ -267,6 +267,31 @@ class ScaleWitnessSpec extends AnyFunSuite {
       scala.jdk.CollectionConverters.SeqHasAsJava(lines).asJava)
   }
 
+  test("round-14 heavy shapes measured near-linear across 10^4..10^6 rows", ScaleWitness) {
+    val results = Seq(
+      // B=50 bootstrap resample: dense index via range-bucket offsets
+      // (no global sort), the draw join is a fixed 50x of the task table
+      // against a broadcast index -> linear
+      "llm_eval_bootstrap_ci" -> 1.4,
+      // graph-ANN beam search: per-hop work is O(probes x beam x degree)
+      // scored against broadcast candidates; the data-scaled term is the
+      // 10*n exact-scan recall baseline -> linear
+      "llm_ann_hnsw" -> 1.4
+    ).map { case (op, maxSlope) =>
+      val ts = timeTiers(op)
+      val sl = slope(ts)
+      info(f"$op%-22s t=${ts.map(t => f"$t%.1f").mkString("/")}s slope=$sl%.2f (max $maxSlope)")
+      assert(sl < maxSlope,
+        f"$op runtime slope $sl%.2f exceeds $maxSlope (times ${ts.mkString(", ")})")
+      op -> ts
+    }
+    val lines = results.map { case (op, ts) =>
+      f"| `$op` | ${ts(0)}%.1f | ${ts(1)}%.1f | ${ts(2)}%.1f | ${slope(ts)}%.2f |"
+    }
+    java.nio.file.Files.write(java.nio.file.Paths.get("/tmp/scale_witness_r14.md"),
+      scala.jdk.CollectionConverters.SeqHasAsJava(lines).asJava)
+  }
+
   test("LSH band buckets hold their occupancy bounds at the largest tier", ScaleWitness) {
     val big = dirs(2)
     // SRP-LSH over 10^5 vectors: 8 bands × 16 bits → 2^16 values per band,
