@@ -240,6 +240,108 @@ object Round14Ops {
         .withColumn("pair_mass", expr(
           "CAST((CAST(n_records AS DECIMAL(38,0)) * (n_records - 1)) DIV 2 AS BIGINT)"))
         .orderBy("code")
+    }),
+
+    // Hedged requests — the tail-latency defense every serving layer
+    // runs (issue a second copy once the first has been in flight past
+    // the hedge threshold, take whichever answers first): md5-planted
+    // primary latencies 0–999 ms, hedge fires at 300 ms, effective
+    // latency = min(primary, 300 + hedge). Per service: requests,
+    // hedged, hedge wins (+ exact win ppm), total effective-latency
+    // mass and the saved-ms mass — the report that justifies the 2×
+    // request cost. One projection + rollup, linear at any scale.
+    "service_hedged_requests" -> ((s, d) => {
+      Tables.events(s, d)
+        .select((col("user_id") % 4).as("svc"), col("event_id"))
+        .withColumn("l1", expr(
+          "CAST(conv(substring(md5(concat('h1:', CAST(event_id AS STRING))), 1, 6), 16, 10) AS BIGINT) % 1000"))
+        .withColumn("l2", expr(
+          "CAST(conv(substring(md5(concat('h2:', CAST(event_id AS STRING))), 1, 6), 16, 10) AS BIGINT) % 1000"))
+        .withColumn("hedged", col("l1") > 300)
+        .withColumn("eff",
+          when(col("hedged"), least(col("l1"), col("l2") + 300))
+            .otherwise(col("l1")))
+        .groupBy("svc")
+        .agg(count(lit(1)).as("n_requests"),
+          sum(when(col("hedged"), 1L).otherwise(0L)).as("n_hedged"),
+          sum(when(col("hedged") && col("l2") + 300 < col("l1"), 1L)
+            .otherwise(0L)).as("n_wins"),
+          sum("eff").as("latency_mass_ms"),
+          sum(col("l1") - col("eff")).as("saved_ms"))
+        .withColumn("win_ppm",
+          expr("(n_wins * 1000000) DIV NULLIF(n_hedged, 0)"))
+        .orderBy("svc")
+    }),
+
+    // Canary analysis — the deploy gate beside agg_ab_srm (which checks
+    // assignment; this checks OUTCOME): 10% of principals route to the
+    // canary, the baseline error gate is 5%, and service 2's canary
+    // carries a planted +4-point regression. Per service: exact
+    // base/canary error ppm, the delta, and a PRACTICAL-significance
+    // verdict on pure integers (delta > 20 000 ppm AND ≥ 200 canary
+    // requests — the min-sample gate that keeps sparse fixtures from
+    // flapping, the same integer-verdict trick as llm_watermark_detect).
+    // One conditional rollup, linear at any scale.
+    "service_canary_analysis" -> ((s, d) => {
+      Tables.events(s, d)
+        .select((col("event_id") % 4).as("svc"), col("event_id"), col("user_id"))
+        .withColumn("canary", col("user_id") % 10 === 0)
+        .withColumn("gate", expr(
+          "CAST(conv(substring(md5(concat('ce:', CAST(event_id AS STRING))), 1, 6), 16, 10) AS BIGINT) % 1000"))
+        .withColumn("err",
+          col("gate") < when(col("canary") && col("svc") === 2, 90L).otherwise(50L))
+        .groupBy("svc")
+        .agg(sum(when(!col("canary"), 1L).otherwise(0L)).as("n_base"),
+          sum(when(!col("canary") && col("err"), 1L).otherwise(0L)).as("err_base"),
+          sum(when(col("canary"), 1L).otherwise(0L)).as("n_canary"),
+          sum(when(col("canary") && col("err"), 1L).otherwise(0L)).as("err_canary"))
+        .withColumn("base_err_ppm",
+          expr("(err_base * 1000000) DIV NULLIF(n_base, 0)"))
+        .withColumn("canary_err_ppm",
+          expr("(err_canary * 1000000) DIV NULLIF(n_canary, 0)"))
+        .withColumn("delta_ppm", col("canary_err_ppm") - col("base_err_ppm"))
+        .withColumn("regression",
+          coalesce(col("delta_ppm") > 20000 && col("n_canary") >= 200, lit(false)))
+        .orderBy("svc")
+    }),
+
+    // Best-of-n selection — the rejection-sampling serving pattern
+    // (sample 8 completions per prompt, ship the reward argmax; the
+    // SELECTION telemetry beside llm_grpo_advantage's training-side
+    // advantage math): md5 rewards with the group's v=0 member carrying
+    // a +500 planted bonus the selector must rediscover. The group
+    // argmax uses the collision-free key r·8 + (7−v), so both engines
+    // break reward ties identically; the division-free advantage
+    // r·n − Σr conserves to zero per group and is emitted as an
+    // invariant. Per cohort: groups, samples, positive-advantage ppm,
+    // planted-winner ppm. One group window + two rollups.
+    "llm_best_of_n_select" -> ((s, d) => {
+      val wG = Window.partitionBy("g")
+      val samples = Tables.orders(s, d)
+        .select(col("o_orderkey").cast("bigint").as("k"))
+        .withColumn("g", expr("k DIV 8"))
+        .withColumn("v", col("k") % 8)
+        .withColumn("r", expr(
+          "CAST(conv(substring(md5(concat('r:', CAST(k AS STRING))), 1, 6), 16, 10) AS BIGINT) % 1000")
+          + when(col("v") === 0, 500L).otherwise(0L))
+        .withColumn("n", count(lit(1)).over(wG))
+        .withColumn("sum_r", sum("r").over(wG))
+        .withColumn("adv", col("r") * col("n") - col("sum_r"))
+      val groups = samples.groupBy("g")
+        .agg(max("n").as("n"),
+          sum(when(col("adv") > 0, 1L).otherwise(0L)).as("adv_pos"),
+          max_by(col("v"), col("r") * 8 + (lit(7) - col("v"))).as("argmax_v"),
+          sum("adv").as("adv_sum"))
+      groups.groupBy((col("g") % 6).as("cohort"))
+        .agg(count(lit(1)).as("n_groups"),
+          sum("n").as("n_samples"),
+          sum("adv_pos").as("adv_pos"),
+          sum(when(col("argmax_v") === 0, 1L).otherwise(0L)).as("planted_top"),
+          sum("adv_sum").as("adv_scaled_sum"))
+        .withColumn("pos_ppm", expr("(adv_pos * 1000000) DIV n_samples"))
+        .withColumn("planted_top_ppm",
+          expr("(planted_top * 1000000) DIV n_groups"))
+        .orderBy("cohort")
     })
   )
 
@@ -307,6 +409,81 @@ object Round14Ops {
          |  n_hits * 200000 AS recall_ppm
          |FROM v JOIN hits USING (probe_id) JOIN ex USING (probe_id)
          |ORDER BY probe_id""".stripMargin,
+
+    "service_hedged_requests" ->
+      """WITH r AS (
+        |  SELECT user_id % 4 AS svc,
+        |    ('0x' || substring(md5('h1:' || CAST(event_id AS VARCHAR)), 1, 6))::BIGINT % 1000 AS l1,
+        |    ('0x' || substring(md5('h2:' || CAST(event_id AS VARCHAR)), 1, 6))::BIGINT % 1000 AS l2
+        |  FROM events),
+        |e AS (
+        |  SELECT svc, l1, l2, l1 > 300 AS hedged,
+        |    CASE WHEN l1 > 300 THEN LEAST(l1, l2 + 300) ELSE l1 END AS eff
+        |  FROM r)
+        |SELECT svc, CAST(COUNT(*) AS BIGINT) AS n_requests,
+        |  CAST(SUM(CASE WHEN hedged THEN 1 ELSE 0 END) AS BIGINT) AS n_hedged,
+        |  CAST(SUM(CASE WHEN hedged AND l2 + 300 < l1 THEN 1 ELSE 0 END) AS BIGINT) AS n_wins,
+        |  CAST(SUM(eff) AS BIGINT) AS latency_mass_ms,
+        |  CAST(SUM(l1 - eff) AS BIGINT) AS saved_ms,
+        |  (CAST(SUM(CASE WHEN hedged AND l2 + 300 < l1 THEN 1 ELSE 0 END) AS BIGINT) * 1000000)
+        |    // NULLIF(CAST(SUM(CASE WHEN hedged THEN 1 ELSE 0 END) AS BIGINT), 0) AS win_ppm
+        |FROM e GROUP BY 1 ORDER BY svc""".stripMargin,
+
+    "service_canary_analysis" ->
+      """WITH r AS (
+        |  SELECT event_id % 4 AS svc, user_id % 10 = 0 AS canary,
+        |    ('0x' || substring(md5('ce:' || CAST(event_id AS VARCHAR)), 1, 6))::BIGINT % 1000 AS gate
+        |  FROM events),
+        |e AS (
+        |  SELECT svc, canary,
+        |    gate < CASE WHEN canary AND svc = 2 THEN 90 ELSE 50 END AS err
+        |  FROM r),
+        |a AS (
+        |  SELECT svc,
+        |    CAST(SUM(CASE WHEN NOT canary THEN 1 ELSE 0 END) AS BIGINT) AS n_base,
+        |    CAST(SUM(CASE WHEN NOT canary AND err THEN 1 ELSE 0 END) AS BIGINT) AS err_base,
+        |    CAST(SUM(CASE WHEN canary THEN 1 ELSE 0 END) AS BIGINT) AS n_canary,
+        |    CAST(SUM(CASE WHEN canary AND err THEN 1 ELSE 0 END) AS BIGINT) AS err_canary
+        |  FROM e GROUP BY 1),
+        |p AS (
+        |  SELECT svc, n_base, err_base, n_canary, err_canary,
+        |    (err_base * 1000000) // NULLIF(n_base, 0) AS base_err_ppm,
+        |    (err_canary * 1000000) // NULLIF(n_canary, 0) AS canary_err_ppm
+        |  FROM a)
+        |SELECT svc, n_base, err_base, n_canary, err_canary,
+        |  base_err_ppm, canary_err_ppm,
+        |  canary_err_ppm - base_err_ppm AS delta_ppm,
+        |  COALESCE(canary_err_ppm - base_err_ppm > 20000 AND n_canary >= 200,
+        |    FALSE) AS regression
+        |FROM p ORDER BY svc""".stripMargin,
+
+    "llm_best_of_n_select" ->
+      """WITH s AS (
+        |  SELECT CAST(o_orderkey AS BIGINT) AS k, o_orderkey // 8 AS g,
+        |    CAST(o_orderkey AS BIGINT) % 8 AS v,
+        |    ('0x' || substring(md5('r:' || CAST(o_orderkey AS VARCHAR)), 1, 6))::BIGINT % 1000
+        |      + CASE WHEN o_orderkey % 8 = 0 THEN 500 ELSE 0 END AS r
+        |  FROM orders),
+        |w AS (
+        |  SELECT g, v, r,
+        |    CAST(COUNT(*) OVER (PARTITION BY g) AS BIGINT) AS n,
+        |    CAST(SUM(r) OVER (PARTITION BY g) AS BIGINT) AS sum_r
+        |  FROM s),
+        |gr AS (
+        |  SELECT g, CAST(MAX(n) AS BIGINT) AS n,
+        |    CAST(SUM(CASE WHEN r * n - sum_r > 0 THEN 1 ELSE 0 END) AS BIGINT) AS adv_pos,
+        |    arg_max(v, r * 8 + (7 - v)) AS argmax_v,
+        |    CAST(SUM(r * n - sum_r) AS BIGINT) AS adv_sum
+        |  FROM w GROUP BY 1)
+        |SELECT g % 6 AS cohort, CAST(COUNT(*) AS BIGINT) AS n_groups,
+        |  CAST(SUM(n) AS BIGINT) AS n_samples,
+        |  CAST(SUM(adv_pos) AS BIGINT) AS adv_pos,
+        |  CAST(SUM(CASE WHEN argmax_v = 0 THEN 1 ELSE 0 END) AS BIGINT) AS planted_top,
+        |  CAST(SUM(adv_sum) AS BIGINT) AS adv_scaled_sum,
+        |  (CAST(SUM(adv_pos) AS BIGINT) * 1000000) // CAST(SUM(n) AS BIGINT) AS pos_ppm,
+        |  (CAST(SUM(CASE WHEN argmax_v = 0 THEN 1 ELSE 0 END) AS BIGINT) * 1000000)
+        |    // CAST(COUNT(*) AS BIGINT) AS planted_top_ppm
+        |FROM gr GROUP BY 1 ORDER BY cohort""".stripMargin,
 
     "fn_soundex_block" ->
       """WITH t AS (

@@ -117,4 +117,57 @@ class Round14Wave1Spec extends AnyFunSuite {
       if (Set("T460", "W426", "H620").contains(code)) assert(spellings == 1)
     }
   }
+
+  test("service_hedged_requests: hedging only ever saves, wins bounded") {
+    val rows = SparkEntry.queries("service_hedged_requests")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getLong(1)).sum == Tables.events(spark, sf).count())
+    rows.foreach { r =>
+      val (n, hedged, wins, mass, saved, ppm) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getLong(6))
+      assert(hedged <= n)
+      assert(wins <= hedged)
+      assert(saved >= 0, "effective latency can never exceed the primary")
+      assert(mass <= n * 999)
+      if (hedged > 0) assert(ppm == wins * 1000000L / hedged)
+      // ~70% of requests exceed the 300ms hedge point; with volume, some
+      // hedge must win (l2+300 < l1 needs l1 > 300+l2, ~24% of hedges)
+      if (n >= 100) { assert(hedged > 0); assert(wins > 0) }
+    }
+  }
+
+  test("service_canary_analysis: only the planted service regresses at volume") {
+    val rows = SparkEntry.queries("service_canary_analysis")(spark, sf).collect()
+    assert(rows.length == 4)
+    rows.foreach { r =>
+      val (svc, nBase, errBase, nCanary, errCanary) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(errBase <= nBase && errCanary <= nCanary)
+      // the verdict needs >=200 canary requests; at sparse scales it must
+      // simply never fire for the clean services
+      if (svc != 2 && r.getLong(7) < 15000) assert(!r.getBoolean(8))
+    }
+    // error masses exist at every scale (5% gate over >=1000 events)
+    assert(rows.map(_.getLong(2)).sum >= 1)
+  }
+
+  test("llm_best_of_n_select: advantages conserve to zero, planted winner dominates") {
+    val rows = SparkEntry.queries("llm_best_of_n_select")(spark, sf).collect()
+    assert(rows.length == 6)
+    assert(rows.map(_.getLong(2)).sum == Tables.orders(spark, sf).count())
+    rows.foreach { r =>
+      val (groups, samples, advPos, top, advSum, posPpm, topPpm) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getLong(6), r.getLong(7))
+      assert(advSum == 0L, "per-group advantages must sum to zero exactly")
+      assert(top <= groups)
+      assert(advPos < samples, "not every sample can beat the group mean")
+      assert(posPpm == advPos * 1000000L / samples)
+      assert(topPpm == top * 1000000L / groups)
+      // the +500 bonus makes the planted member the argmax ~62% of the
+      // time; with >=30 groups per cohort it must clear a majority
+      if (groups >= 30) assert(topPpm > 500000L)
+    }
+  }
 }
