@@ -342,6 +342,117 @@ object Round14Ops {
         .withColumn("planted_top_ppm",
           expr("(planted_top * 1000000) DIV n_groups"))
         .orderBy("cohort")
+    }),
+
+    // Equivalised household income — the OECD-modified scale every
+    // welfare/segmentation analysis applies after householding (raw
+    // household income over-states large households): households of
+    // planted size 2–4 (join_householding's quads, lodgers excluded),
+    // members v<2 are adults, the rest children, scale_milli = 1000 +
+    // 500·(adults−1) + 300·children, equivalised cents = income·1000
+    // DIV scale — exact at every step. Census per household size:
+    // households, raw income mass, equivalised mass + mean. Two
+    // rollups, linear at any scale.
+    "agg_household_equivalence" -> ((s, d) => {
+      val hh = Tables.customer(s, d)
+        .select(col("c_custkey").cast("bigint").as("k"))
+        .withColumn("h", expr("k DIV 4"))
+        .withColumn("v", col("k") % 4)
+        .withColumn("hsize", col("h") % 3 + 2)
+        .where(col("v") < col("hsize"))
+        .withColumn("inc_cents", expr(
+          "CAST(conv(substring(md5(concat('inc:', CAST(k AS STRING))), 1, 8), 16, 10) AS BIGINT) % 900000 + 100000"))
+        .groupBy("h")
+        .agg(sum("inc_cents").as("income_cents"),
+          count(lit(1)).as("n_members"))
+        // partial tail quads can author fewer members than hsize — scale
+        // by the members PRESENT so the arithmetic stays conserved
+        .withColumn("adults", least(col("n_members"), lit(2L)))
+        .withColumn("children", col("n_members") - col("adults"))
+        .withColumn("scale_milli",
+          lit(1000L) + (col("adults") - 1) * 500 + col("children") * 300)
+        .withColumn("equiv_cents",
+          expr("(income_cents * 1000) DIV scale_milli"))
+      hh.groupBy(col("n_members").as("household_size"))
+        .agg(count(lit(1)).as("n_households"),
+          sum("income_cents").as("income_mass_cents"),
+          sum("equiv_cents").as("equiv_mass_cents"))
+        .withColumn("mean_equiv_cents",
+          expr("equiv_mass_cents DIV n_households"))
+        .orderBy("household_size")
+    }),
+
+    // Deadline-budget propagation — the call-chain timeout arithmetic a
+    // distributed person-service must get right (each hop inherits the
+    // REMAINING budget, and a request dies at the first hop whose
+    // latency exceeds it): md5-planted deadlines 1000–4999 ms, four
+    // chained hop latencies 0–799 ms, failure depth = the first hop
+    // where the cumulative latency passes the deadline. Per service:
+    // completions, the per-hop failure histogram (where the chain
+    // actually dies — the timeout-tuning report), and the exact
+    // end-to-end slack mass on completions. Pure unrolled projection +
+    // rollup, linear at any scale.
+    "service_deadline_propagation" -> ((s, d) => {
+      def hop(i: Int) =
+        s"CAST(conv(substring(md5(concat('hl:', CAST(event_id AS STRING), ':', '$i')), 1, 6), 16, 10) AS BIGINT) % 800"
+      Tables.events(s, d)
+        .select((col("event_id") % 4).as("svc"), col("event_id"))
+        .withColumn("dl", expr(
+          "CAST(conv(substring(md5(concat('dl:', CAST(event_id AS STRING))), 1, 6), 16, 10) AS BIGINT) % 4000 + 1000"))
+        .withColumn("c1", expr(hop(1)))
+        .withColumn("c2", col("c1") + expr(hop(2)))
+        .withColumn("c3", col("c2") + expr(hop(3)))
+        .withColumn("c4", col("c3") + expr(hop(4)))
+        .withColumn("fail_hop",
+          when(col("c1") > col("dl"), 1L).when(col("c2") > col("dl"), 2L)
+            .when(col("c3") > col("dl"), 3L).when(col("c4") > col("dl"), 4L)
+            .otherwise(0L))
+        .groupBy("svc")
+        .agg(count(lit(1)).as("n_requests"),
+          sum(when(col("fail_hop") === 0, 1L).otherwise(0L)).as("n_completed"),
+          sum(when(col("fail_hop") === 1, 1L).otherwise(0L)).as("failed_h1"),
+          sum(when(col("fail_hop") === 2, 1L).otherwise(0L)).as("failed_h2"),
+          sum(when(col("fail_hop") === 3, 1L).otherwise(0L)).as("failed_h3"),
+          sum(when(col("fail_hop") === 4, 1L).otherwise(0L)).as("failed_h4"),
+          sum(when(col("fail_hop") === 0, col("dl") - col("c4")).otherwise(0L))
+            .as("slack_mass_ms"))
+        .withColumn("mean_slack_ms",
+          expr("slack_mass_ms DIV NULLIF(n_completed, 0)"))
+        .orderBy("svc")
+    }),
+
+    // Inverse-propensity-weighted ATE — the design-weight causal
+    // estimator beside agg_stratified_ate (stratify-then-average) and
+    // agg_diff_in_diff (pre/post): treatment assignment is confounded
+    // by stratum (p_milli = 200 + z·150), the outcome carries both the
+    // stratum drift (+100·z) and the planted +250 treatment effect, and
+    // IPTW undoes the confounding with EXACT integer design weights
+    // w = 1e6 DIV p (treated) / 1e6 DIV (1000−p) (control). The op
+    // emits the per-stratum weighted masses; the global Horvitz–
+    // Thompson ratio built from them recovers the +250 (the spec's
+    // assertion). One distinct + conditional rollup.
+    "agg_iptw_ate" -> ((s, d) => {
+      Tables.events(s, d).select(col("user_id")).distinct()
+        .withColumn("z", col("user_id") % 5)
+        .withColumn("p_milli", lit(200L) + col("z") * 150)
+        .withColumn("treated", expr(
+          "CAST(conv(substring(md5(concat('t:', CAST(user_id AS STRING))), 1, 6), 16, 10) AS BIGINT) % 1000") < col("p_milli"))
+        .withColumn("y_cents", expr(
+          "CAST(conv(substring(md5(concat('y:', CAST(user_id AS STRING))), 1, 6), 16, 10) AS BIGINT) % 1000")
+          + col("z") * 100 + when(col("treated"), 250L).otherwise(0L))
+        .withColumn("w", when(col("treated"), expr("1000000 DIV p_milli"))
+          .otherwise(expr("1000000 DIV (1000 - p_milli)")))
+        .groupBy("z")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("treated"), 1L).otherwise(0L)).as("n_treated"),
+          max("p_milli").as("p_milli"),
+          sum(when(col("treated"), col("w") * col("y_cents")).otherwise(0L))
+            .as("wy_treated"),
+          sum(when(col("treated"), col("w")).otherwise(0L)).as("w_treated"),
+          sum(when(!col("treated"), col("w") * col("y_cents")).otherwise(0L))
+            .as("wy_control"),
+          sum(when(!col("treated"), col("w")).otherwise(0L)).as("w_control"))
+        .orderBy("z")
     })
   )
 
@@ -370,6 +481,85 @@ object Round14Ops {
        |    FROM s$i) q3 WHERE r <= 8)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "agg_household_equivalence" ->
+      """WITH m AS (
+        |  SELECT CAST(c_custkey AS BIGINT) AS k, c_custkey // 4 AS h,
+        |    CAST(c_custkey AS BIGINT) % 4 AS v,
+        |    (c_custkey // 4) % 3 + 2 AS hsize,
+        |    ('0x' || substring(md5('inc:' || CAST(c_custkey AS VARCHAR)), 1, 8))::BIGINT
+        |      % 900000 + 100000 AS inc_cents
+        |  FROM customer),
+        |hh AS (
+        |  SELECT h, CAST(SUM(inc_cents) AS BIGINT) AS income_cents,
+        |    CAST(COUNT(*) AS BIGINT) AS n_members
+        |  FROM m WHERE v < hsize GROUP BY h),
+        |sc AS (
+        |  SELECT n_members, income_cents,
+        |    1000 + (LEAST(n_members, 2) - 1) * 500
+        |      + (n_members - LEAST(n_members, 2)) * 300 AS scale_milli
+        |  FROM hh),
+        |eq AS (
+        |  SELECT n_members AS household_size, income_cents,
+        |    (income_cents * 1000) // scale_milli AS equiv_cents
+        |  FROM sc)
+        |SELECT household_size, CAST(COUNT(*) AS BIGINT) AS n_households,
+        |  CAST(SUM(income_cents) AS BIGINT) AS income_mass_cents,
+        |  CAST(SUM(equiv_cents) AS BIGINT) AS equiv_mass_cents,
+        |  CAST(SUM(equiv_cents) AS BIGINT) // CAST(COUNT(*) AS BIGINT) AS mean_equiv_cents
+        |FROM eq GROUP BY 1 ORDER BY household_size""".stripMargin,
+
+    "service_deadline_propagation" ->
+      """WITH r AS (
+        |  SELECT event_id % 4 AS svc,
+        |    ('0x' || substring(md5('dl:' || CAST(event_id AS VARCHAR)), 1, 6))::BIGINT % 4000 + 1000 AS dl,
+        |    ('0x' || substring(md5('hl:' || CAST(event_id AS VARCHAR) || ':1'), 1, 6))::BIGINT % 800 AS l1,
+        |    ('0x' || substring(md5('hl:' || CAST(event_id AS VARCHAR) || ':2'), 1, 6))::BIGINT % 800 AS l2,
+        |    ('0x' || substring(md5('hl:' || CAST(event_id AS VARCHAR) || ':3'), 1, 6))::BIGINT % 800 AS l3,
+        |    ('0x' || substring(md5('hl:' || CAST(event_id AS VARCHAR) || ':4'), 1, 6))::BIGINT % 800 AS l4
+        |  FROM events),
+        |c AS (
+        |  SELECT svc, dl, l1 AS c1, l1 + l2 AS c2, l1 + l2 + l3 AS c3,
+        |    l1 + l2 + l3 + l4 AS c4
+        |  FROM r),
+        |f AS (
+        |  SELECT svc, dl, c4,
+        |    CASE WHEN c1 > dl THEN 1 WHEN c2 > dl THEN 2
+        |         WHEN c3 > dl THEN 3 WHEN c4 > dl THEN 4 ELSE 0 END AS fail_hop
+        |  FROM c)
+        |SELECT svc, CAST(COUNT(*) AS BIGINT) AS n_requests,
+        |  CAST(SUM(CASE WHEN fail_hop = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_completed,
+        |  CAST(SUM(CASE WHEN fail_hop = 1 THEN 1 ELSE 0 END) AS BIGINT) AS failed_h1,
+        |  CAST(SUM(CASE WHEN fail_hop = 2 THEN 1 ELSE 0 END) AS BIGINT) AS failed_h2,
+        |  CAST(SUM(CASE WHEN fail_hop = 3 THEN 1 ELSE 0 END) AS BIGINT) AS failed_h3,
+        |  CAST(SUM(CASE WHEN fail_hop = 4 THEN 1 ELSE 0 END) AS BIGINT) AS failed_h4,
+        |  CAST(SUM(CASE WHEN fail_hop = 0 THEN dl - c4 ELSE 0 END) AS BIGINT) AS slack_mass_ms,
+        |  CAST(SUM(CASE WHEN fail_hop = 0 THEN dl - c4 ELSE 0 END) AS BIGINT)
+        |    // NULLIF(CAST(SUM(CASE WHEN fail_hop = 0 THEN 1 ELSE 0 END) AS BIGINT), 0)
+        |    AS mean_slack_ms
+        |FROM f GROUP BY 1 ORDER BY svc""".stripMargin,
+
+    "agg_iptw_ate" ->
+      """WITH u AS (
+        |  SELECT user_id, user_id % 5 AS z, 200 + (user_id % 5) * 150 AS p_milli,
+        |    ('0x' || substring(md5('t:' || CAST(user_id AS VARCHAR)), 1, 6))::BIGINT % 1000
+        |      < 200 + (user_id % 5) * 150 AS treated,
+        |    ('0x' || substring(md5('y:' || CAST(user_id AS VARCHAR)), 1, 6))::BIGINT % 1000 AS ybase
+        |  FROM (SELECT DISTINCT user_id FROM events)),
+        |v AS (
+        |  SELECT z, p_milli, treated,
+        |    ybase + z * 100 + CASE WHEN treated THEN 250 ELSE 0 END AS y_cents,
+        |    CASE WHEN treated THEN 1000000 // p_milli
+        |         ELSE 1000000 // (1000 - p_milli) END AS w
+        |  FROM u)
+        |SELECT z, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CASE WHEN treated THEN 1 ELSE 0 END) AS BIGINT) AS n_treated,
+        |  CAST(MAX(p_milli) AS BIGINT) AS p_milli,
+        |  CAST(SUM(CASE WHEN treated THEN w * y_cents ELSE 0 END) AS BIGINT) AS wy_treated,
+        |  CAST(SUM(CASE WHEN treated THEN w ELSE 0 END) AS BIGINT) AS w_treated,
+        |  CAST(SUM(CASE WHEN NOT treated THEN w * y_cents ELSE 0 END) AS BIGINT) AS wy_control,
+        |  CAST(SUM(CASE WHEN NOT treated THEN w ELSE 0 END) AS BIGINT) AS w_control
+        |FROM v GROUP BY 1 ORDER BY z""".stripMargin,
+
     "llm_ann_hnsw" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
          |nn AS (SELECT COUNT(*) AS n FROM e),

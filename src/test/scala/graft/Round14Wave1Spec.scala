@@ -165,7 +165,7 @@ class Round14Wave1Spec extends AnyFunSuite {
       assert(advPos < samples, "not every sample can beat the group mean")
       assert(posPpm == advPos * 1000000L / samples)
       assert(topPpm == top * 1000000L / groups)
-      // the +500 bonus makes the planted member the argmax ~62% of the
+      // the +500 bonus makes the planted member the argmax about 62% of the
       // time; with >=30 groups per cohort it must clear a majority
       if (groups >= 30) assert(topPpm > 500000L)
     }

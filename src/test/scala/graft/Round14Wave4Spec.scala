@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-14 wave 4 (Round14Ops): equivalised household income, KV-cache
+  * capacity packing, capture–recapture coverage estimation.
+  */
+class Round14Wave4Spec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[8]")
+      .appName("graft-r14w4")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+  private val sf = "/root/testdata/sf0.001"
+
+  test("agg_household_equivalence: equivalising always shrinks multi-member income") {
+    val rows = SparkEntry.queries("agg_household_equivalence")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (size, hh, incMass, eqMass, meanEq) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(size >= 1 && size <= 4)
+      // scale_milli > 1000 for any household with 2+ members, so the
+      // equivalised mass is strictly below the raw mass; singletons equal
+      if (size >= 2) assert(eqMass < incMass)
+      if (size == 1) assert(eqMass == incMass)
+      assert(meanEq == eqMass / hh)
+      // member incomes are 1000-10000 dollars in cents
+      assert(incMass >= size * hh * 100000L)
+      assert(incMass < size * hh * 1000000L)
+    }
+  }
+
+  test("service_deadline_propagation: failure depth partitions requests") {
+    val rows = SparkEntry.queries("service_deadline_propagation")(spark, sf).collect()
+    assert(rows.length == 4)
+    assert(rows.map(_.getLong(1)).sum == Tables.events(spark, sf).count())
+    rows.foreach { r =>
+      val (n, done, f1, f2, f3, f4, slack) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getLong(6), r.getLong(7))
+      assert(done + f1 + f2 + f3 + f4 == n, "every request completes or dies once")
+      // hop latency < 800 < min deadline 1000: the chain can never die at
+      // hop 1, and cum2 < 1600 can pass a deadline only in the low band
+      assert(f1 == 0)
+      assert(slack >= 0)
+      if (done > 0) assert(r.getLong(8) == slack / done)
+      // cum4 is ~1600 on average against deadlines averaging ~3000:
+      // completions dominate but both classes exist at volume
+      if (n >= 200) { assert(done > 0); assert(f3 + f4 > 0) }
+    }
+  }
+
+  test("agg_iptw_ate: design weights recover the planted +250 effect") {
+    val rows = SparkEntry.queries("agg_iptw_ate")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, nT, pMilli, wT, wC) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(5), r.getLong(7))
+      assert(nT <= n)
+      assert(pMilli == 200 + r.getLong(0) * 150)
+      // weights are the exact integer reciprocals of the design
+      assert(wT == nT * (1000000L / pMilli))
+      assert(wC == (n - nT) * (1000000L / (1000L - pMilli)))
+    }
+    val totalN = rows.map(_.getLong(1)).sum
+    val wyT = rows.map(_.getLong(4)).sum; val wT = rows.map(_.getLong(5)).sum
+    val wyC = rows.map(_.getLong(6)).sum; val wC = rows.map(_.getLong(7)).sum
+    if (totalN >= 500 && wT > 0 && wC > 0) {
+      val ate = wyT / wT - wyC / wC
+      assert(ate > 150 && ate < 350,
+        s"IPTW should recover the planted +250 cents effect, got $ate")
+    }
+  }
+}
