@@ -453,6 +453,213 @@ object Round14Ops {
             .as("wy_control"),
           sum(when(!col("treated"), col("w")).otherwise(0L)).as("w_control"))
         .orderBy("z")
+    }),
+
+    // Homoglyph / confusable-script detection — the impersonation screen
+    // a person-service runs over handles (a Cyrillic 'а' in a Latin name
+    // is the classic account-spoof): authored handles carry planted
+    // substitutions (class 1: Latin a → Cyrillic а; class 2: both o → о
+    // and e → е), the detector skeleton-maps the confusable set back to
+    // Latin with one translate() and flags any handle the mapping
+    // changes. Graded per class: handles, flagged, confusable-char mass,
+    // and the skeletons that round-trip to the authored clean form (must
+    // be ALL of the flagged — the detector recovers identity, not just
+    // suspicion). One projection + rollup, linear at any scale.
+    "fn_homoglyph_detect" -> ((s, d) => {
+      Tables.customer(s, d)
+        .select(col("c_custkey").cast("bigint").as("k"))
+        .withColumn("clean",
+          concat(lit("pace"), lpad((col("k") % 1000).cast("string"), 3, "0"),
+            lit("oxe")))
+        .withColumn("cls", (col("k") % 9).cast("int"))
+        .withColumn("handle",
+          when(col("cls") === 4, regexp_replace(col("clean"), "a", "а"))
+            .when(col("cls") === 5, regexp_replace(
+              regexp_replace(col("clean"), "o", "о"), "e", "е"))
+            .otherwise(col("clean")))
+        .withColumn("skeleton",
+          translate(col("handle"), "аеосрх",
+            "aeocpx"))
+        .withColumn("flagged", col("handle") =!= col("skeleton"))
+        .withColumn("n_confusable",
+          length(col("handle")) -
+            length(translate(col("handle"), "аео", "")))
+        .groupBy(when(col("cls") === 4, lit("single_sub"))
+          .when(col("cls") === 5, lit("double_sub"))
+          .otherwise(lit("clean")).as("cls"))
+        .agg(count(lit(1)).as("n_handles"),
+          sum(when(col("flagged"), 1L).otherwise(0L)).as("n_flagged"),
+          sum("n_confusable").as("confusable_mass"),
+          sum(when(col("flagged") && col("skeleton") === col("clean"), 1L)
+            .otherwise(0L)).as("n_recovered"))
+        .orderBy("cls")
+    }),
+
+    // Envelope-encryption key-rotation audit — the crypto-hygiene ledger
+    // beside warehouse_crypto_shred (which deletes keys; this tracks the
+    // RE-WRAP of data keys after a KEK rotation): 70% of records were
+    // written under the retired KEK v1, the re-wrap job has md5-planted
+    // ~60% coverage — except segment 3, whose re-wrap is stalled at ~10%
+    // (the backlog a KMS on-call hunts). Per segment: records, v1
+    // records, re-wrapped, exact backlog ppm over the v1 population, and
+    // the stalled verdict at > 500 000 ppm. One conditional rollup.
+    "warehouse_key_rotation_audit" -> ((s, d) => {
+      Tables.orders(s, d)
+        .select(col("o_orderkey").cast("bigint").as("k"))
+        .withColumn("segment", col("k") % 5)
+        .withColumn("kek_v1", col("k") % 100 < 70)
+        .withColumn("rw_gate", expr(
+          "CAST(conv(substring(md5(concat('rw:', CAST(k AS STRING))), 1, 6), 16, 10) AS BIGINT) % 1000"))
+        .withColumn("rewrapped", col("kek_v1") &&
+          col("rw_gate") < when(col("segment") === 3, 100L).otherwise(600L))
+        .groupBy("segment")
+        .agg(count(lit(1)).as("n_records"),
+          sum(when(col("kek_v1"), 1L).otherwise(0L)).as("v1_records"),
+          sum(when(col("rewrapped"), 1L).otherwise(0L)).as("n_rewrapped"))
+        .withColumn("backlog", col("v1_records") - col("n_rewrapped"))
+        .withColumn("backlog_ppm",
+          expr("(backlog * 1000000) DIV NULLIF(v1_records, 0)"))
+        .withColumn("stalled", coalesce(col("backlog_ppm") > 500000, lit(false)))
+        .orderBy("segment")
+    }),
+
+    // Hampel filter — the rolling-median outlier REPLACER every sensor/
+    // telemetry ingest runs (win_running_median locates; Hampel decides
+    // and repairs): a centered 7-row window per principal in the
+    // (ts_us, event_id) total order, lower-median and lower-MAD by exact
+    // rank selection inside sorted array HOFs (no float percentiles),
+    // outlier ⟺ |x − med| > 4·MAD + 2 (the +2 keeps a zero-MAD window
+    // from flagging everything). Per event type: points, outliers
+    // replaced, exact replaced-delta mass, outlier ppm. One user window
+    // + rollup — no global sort at any scale.
+    "win_hampel_filter" -> ((s, d) => {
+      val w7 = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+        .rowsBetween(-3, 3)
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("ts_us"), col("event_type"),
+          expr("CAST(FLOOR(value * 100) AS BIGINT)").as("c"))
+        .withColumn("vals", collect_list("c").over(w7))
+        .withColumn("srt", expr("sort_array(vals)"))
+        .withColumn("med", expr(
+          "element_at(srt, CAST((size(srt) + 1) DIV 2 AS INT))"))
+        .withColumn("mad", expr(
+          """element_at(sort_array(transform(srt, x -> abs(x - med))),
+            |  CAST((size(srt) + 1) DIV 2 AS INT))""".stripMargin))
+        .withColumn("outlier", expr("abs(c - med) > 4 * mad + 2"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_points"),
+          sum(when(col("outlier"), 1L).otherwise(0L)).as("n_outliers"),
+          sum(when(col("outlier"), expr("abs(c - med)")).otherwise(0L))
+            .as("replaced_delta_mass"))
+        .withColumn("outlier_ppm",
+          expr("(n_outliers * 1000000) DIV n_points"))
+        .orderBy("event_type")
+    }),
+
+    // Agent tool-call audit — the serving telemetry an LLM agent loop
+    // emits (every turn issues 0–3 tool calls; arguments are model-
+    // generated JSON that sometimes doesn't parse): per call an md5
+    // tool id and an md5 malformed gate (1-in-17); malformed calls are
+    // retried once and the retry itself hard-fails 1-in-5. Census per
+    // tool: calls, malformed, recovered-by-retry, hard failures, exact
+    // malformed ppm — the report that decides which tool needs a schema
+    // guard. One bounded explode + rollup, linear at any scale.
+    "llm_tool_call_audit" -> ((s, d) => {
+      Tables.events(s, d)
+        .select(col("event_id"))
+        .withColumn("n_calls", expr(
+          "CAST(conv(substring(md5(concat('tc:', CAST(event_id AS STRING))), 1, 4), 16, 10) AS BIGINT) % 4"))
+        .where(col("n_calls") > 0)
+        .withColumn("i", explode(expr("sequence(1, CAST(n_calls AS INT))")))
+        .withColumn("tool", expr(
+          "CAST(conv(substring(md5(concat('tt:', CAST(event_id AS STRING), ':', CAST(i AS STRING))), 1, 6), 16, 10) AS BIGINT) % 6"))
+        .withColumn("malformed", expr(
+          "CAST(conv(substring(md5(concat('tm:', CAST(event_id AS STRING), ':', CAST(i AS STRING))), 1, 6), 16, 10) AS BIGINT) % 17") === 3)
+        .withColumn("hard_fail", col("malformed") && expr(
+          "CAST(conv(substring(md5(concat('tr:', CAST(event_id AS STRING), ':', CAST(i AS STRING))), 1, 6), 16, 10) AS BIGINT) % 5") === 0)
+        .groupBy("tool")
+        .agg(count(lit(1)).as("n_calls"),
+          sum(when(col("malformed"), 1L).otherwise(0L)).as("n_malformed"),
+          sum(when(col("malformed") && !col("hard_fail"), 1L).otherwise(0L))
+            .as("n_recovered"),
+          sum(when(col("hard_fail"), 1L).otherwise(0L)).as("n_hard_failures"))
+        .withColumn("malformed_ppm",
+          expr("(n_malformed * 1000000) DIV n_calls"))
+        .orderBy("tool")
+    }),
+
+    // Column-grain lineage taint — tag_propagation's finer sibling (the
+    // question a DPO actually asks is "which COLUMNS carry PII", not
+    // which tables): 12 tables × 4 columns, pass-through mappings
+    // (t, c) ← (t−1, c) plus a transform edge (t, c) ← (t−2, (c+1)%4)
+    // on even tables; PII seeded on (0,1) and (1,3). The ≤4-hop taint
+    // closure is built in ONE plan — walks of length 0..4 via chained
+    // self-joins of the 88-row mapping table, min-hop per column = the
+    // taint level (the flattened shape VERDICT r13 item 5 prescribed
+    // for tag_propagation). Graded per hop: newly tainted columns,
+    // sorted list.
+    "warehouse_column_lineage" -> ((s, d) => {
+      def cols0 = s.range(48).select(col("id").as("n"))
+      def edges = {
+        val t = s.range(12).select(col("id").as("t"))
+        val c = s.range(4).select(col("id").as("c"))
+        val tc = t.crossJoin(c)
+        val pass = tc.where(col("t") >= 1)
+          .select(((col("t") - 1) * 4 + col("c")).as("src"),
+            (col("t") * 4 + col("c")).as("dst"))
+        val xform = tc.where(col("t") >= 2 && col("t") % 2 === 0)
+          .select(((col("t") - 2) * 4 + (col("c") + 1) % 4).as("src"),
+            (col("t") * 4 + col("c")).as("dst"))
+        pass.unionByName(xform)
+      }
+      def step(w: DataFrame, h: Int): DataFrame = {
+        val e = edges
+        w.join(e, w("n") === e("src")).select(col("dst").as("n"), lit(h).as("hop"))
+      }
+      val w0 = cols0.where(col("n") === 1 || col("n") === 7)
+        .select(col("n"), lit(0).as("hop"))
+      val w1 = step(w0, 1); val w2 = step(w1, 2)
+      val w3 = step(w2, 3); val w4 = step(w3, 4)
+      w0.unionByName(w1).unionByName(w2).unionByName(w3).unionByName(w4)
+        .groupBy("n").agg(min("hop").as("hop"))
+        .groupBy("hop")
+        .agg(count(lit(1)).as("newly_tainted"),
+          expr("array_join(sort_array(collect_list(CAST(n AS STRING))), ',')")
+            .as("columns_csv"))
+        .orderBy("hop")
+    }),
+
+    // Color-palette quantization — the image-preprocessing census over
+    // the opaque payload column (the codec stub convention of
+    // mm_decode_meta: real decoders aren't in this container, so the
+    // "pixels" are the payload's own bytes at 32 strided offsets — the
+    // plumbing, schema and arithmetic are real): 4-level luminance
+    // palette (byte DIV 32 capped at 3), dominant level by exact count
+    // with lowest-level tie-break, contrast = max−min. Census per
+    // (source, dominant level): docs, exact mean contrast. One bounded
+    // explode + two rollups + a doc-partitioned argmax window.
+    "mm_color_quantize" -> ((s, d) => {
+      val px = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), col("text"),
+          length(col("text")).as("len"))
+        .where(col("len") >= 32)
+        .withColumn("i", explode(expr("sequence(0, 31)")))
+        .withColumn("p", expr("ascii(substring(text, (i * 37) % len + 1, 1))"))
+        .withColumn("lvl", least(expr("p DIV 32"), lit(3)).cast("long"))
+      val perDoc = px.groupBy("doc_id", "source")
+        .agg(max("p").as("pmax"), min("p").as("pmin"))
+      val wDom = Window.partitionBy("doc_id")
+        .orderBy(col("cnt").desc, col("lvl"))
+      val dom = px.groupBy("doc_id", "lvl").agg(count(lit(1)).as("cnt"))
+        .withColumn("rn", row_number().over(wDom))
+        .where(col("rn") === 1)
+        .select(col("doc_id"), col("lvl").as("dominant_lvl"))
+      perDoc.join(dom, Seq("doc_id"))
+        .groupBy("source", "dominant_lvl")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("pmax") - col("pmin")).as("contrast_mass"))
+        .withColumn("mean_contrast", expr("contrast_mass DIV n_docs"))
+        .orderBy("source", "dominant_lvl")
     })
   )
 
@@ -481,6 +688,147 @@ object Round14Ops {
        |    FROM s$i) q3 WHERE r <= 8)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "llm_tool_call_audit" ->
+      """WITH t AS (
+        |  SELECT event_id,
+        |    ('0x' || substring(md5('tc:' || CAST(event_id AS VARCHAR)), 1, 4))::BIGINT % 4 AS n_calls
+        |  FROM events),
+        |c AS (
+        |  SELECT event_id, i.range + 1 AS i FROM t
+        |  CROSS JOIN range(0, 3) i WHERE i.range + 1 <= n_calls),
+        |x AS (
+        |  SELECT
+        |    ('0x' || substring(md5('tt:' || CAST(event_id AS VARCHAR) || ':' || CAST(i AS VARCHAR)), 1, 6))::BIGINT % 6 AS tool,
+        |    ('0x' || substring(md5('tm:' || CAST(event_id AS VARCHAR) || ':' || CAST(i AS VARCHAR)), 1, 6))::BIGINT % 17 = 3 AS malformed,
+        |    ('0x' || substring(md5('tr:' || CAST(event_id AS VARCHAR) || ':' || CAST(i AS VARCHAR)), 1, 6))::BIGINT % 5 = 0 AS retry_dies
+        |  FROM c)
+        |SELECT tool, CAST(COUNT(*) AS BIGINT) AS n_calls,
+        |  CAST(SUM(CASE WHEN malformed THEN 1 ELSE 0 END) AS BIGINT) AS n_malformed,
+        |  CAST(SUM(CASE WHEN malformed AND NOT retry_dies THEN 1 ELSE 0 END) AS BIGINT) AS n_recovered,
+        |  CAST(SUM(CASE WHEN malformed AND retry_dies THEN 1 ELSE 0 END) AS BIGINT) AS n_hard_failures,
+        |  (CAST(SUM(CASE WHEN malformed THEN 1 ELSE 0 END) AS BIGINT) * 1000000)
+        |    // CAST(COUNT(*) AS BIGINT) AS malformed_ppm
+        |FROM x GROUP BY 1 ORDER BY tool""".stripMargin,
+
+    "warehouse_column_lineage" ->
+      """WITH RECURSIVE
+        |tc AS (SELECT t.range AS t, c.range AS c
+        |       FROM range(0, 12) t CROSS JOIN range(0, 4) c),
+        |edges AS (
+        |  SELECT (t - 1) * 4 + c AS src, t * 4 + c AS dst FROM tc WHERE t >= 1
+        |  UNION ALL
+        |  SELECT (t - 2) * 4 + (c + 1) % 4, t * 4 + c FROM tc
+        |    WHERE t >= 2 AND t % 2 = 0),
+        |seed AS (SELECT 1 AS n UNION ALL SELECT 7),
+        |reach AS (SELECT n, 0 AS hop FROM seed
+        |          UNION
+        |          SELECT e.dst, r.hop + 1 FROM reach r JOIN edges e ON r.n = e.src
+        |          WHERE r.hop < 4),
+        |lvl AS (SELECT n, CAST(MIN(hop) AS INT) AS hop FROM reach GROUP BY n)
+        |SELECT hop, CAST(COUNT(*) AS BIGINT) AS newly_tainted,
+        |  list_aggregate(list_sort(list(CAST(n AS VARCHAR))), 'string_agg', ',')
+        |    AS columns_csv
+        |FROM lvl GROUP BY 1 ORDER BY hop""".stripMargin,
+
+    "mm_color_quantize" ->
+      """WITH d AS (
+        |  SELECT doc_id, source, text, length(text) AS len FROM documents
+        |  WHERE length(text) >= 32),
+        |px AS (
+        |  SELECT doc_id, source,
+        |    ascii(substring(text, CAST((i.range * 37) % len + 1 AS INT), 1)) AS p
+        |  FROM d CROSS JOIN range(0, 32) i),
+        |lv AS (SELECT doc_id, source, p, LEAST(p // 32, 3) AS lvl FROM px),
+        |pd AS (SELECT doc_id, source, CAST(MAX(p) AS BIGINT) AS pmax,
+        |         CAST(MIN(p) AS BIGINT) AS pmin FROM lv GROUP BY 1, 2),
+        |cnts AS (SELECT doc_id, lvl, COUNT(*) AS cnt FROM lv GROUP BY 1, 2),
+        |dom AS (
+        |  SELECT doc_id, lvl AS dominant_lvl FROM (
+        |    SELECT doc_id, lvl,
+        |      ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY cnt DESC, lvl) AS rn
+        |    FROM cnts) q WHERE rn = 1)
+        |SELECT source, CAST(dominant_lvl AS BIGINT) AS dominant_lvl,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(pmax - pmin) AS BIGINT) AS contrast_mass,
+        |  CAST(SUM(pmax - pmin) AS BIGINT) // CAST(COUNT(*) AS BIGINT) AS mean_contrast
+        |FROM pd JOIN dom USING (doc_id)
+        |GROUP BY 1, 2 ORDER BY source, dominant_lvl""".stripMargin,
+
+    "fn_homoglyph_detect" ->
+      """WITH h AS (
+        |  SELECT CAST(c_custkey AS BIGINT) AS k,
+        |    'pace' || lpad(CAST(c_custkey % 1000 AS VARCHAR), 3, '0') || 'oxe' AS clean,
+        |    CAST(c_custkey % 9 AS INT) AS cls
+        |  FROM customer),
+        |x AS (
+        |  SELECT k, clean, cls,
+        |    CASE WHEN cls = 4 THEN regexp_replace(clean, 'a', 'а', 'g')
+        |         WHEN cls = 5 THEN regexp_replace(regexp_replace(clean, 'o', 'о', 'g'), 'e', 'е', 'g')
+        |         ELSE clean END AS handle
+        |  FROM h),
+        |f AS (
+        |  SELECT cls, clean, handle,
+        |    translate(handle, 'аеосрх', 'aeocpx') AS skeleton,
+        |    length(handle) - length(translate(handle, 'аео', '')) AS n_confusable
+        |  FROM x)
+        |SELECT CASE WHEN cls = 4 THEN 'single_sub'
+        |            WHEN cls = 5 THEN 'double_sub' ELSE 'clean' END AS cls,
+        |  CAST(COUNT(*) AS BIGINT) AS n_handles,
+        |  CAST(SUM(CASE WHEN handle <> skeleton THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+        |  CAST(SUM(n_confusable) AS BIGINT) AS confusable_mass,
+        |  CAST(SUM(CASE WHEN handle <> skeleton AND skeleton = clean
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_recovered
+        |FROM f GROUP BY 1 ORDER BY cls""".stripMargin,
+
+    "warehouse_key_rotation_audit" ->
+      """WITH r AS (
+        |  SELECT CAST(o_orderkey AS BIGINT) AS k,
+        |    CAST(o_orderkey AS BIGINT) % 5 AS segment,
+        |    o_orderkey % 100 < 70 AS kek_v1,
+        |    ('0x' || substring(md5('rw:' || CAST(o_orderkey AS VARCHAR)), 1, 6))::BIGINT % 1000 AS rw_gate
+        |  FROM orders),
+        |w AS (
+        |  SELECT segment, kek_v1,
+        |    kek_v1 AND rw_gate < CASE WHEN segment = 3 THEN 100 ELSE 600 END AS rewrapped
+        |  FROM r),
+        |a AS (
+        |  SELECT segment, CAST(COUNT(*) AS BIGINT) AS n_records,
+        |    CAST(SUM(CASE WHEN kek_v1 THEN 1 ELSE 0 END) AS BIGINT) AS v1_records,
+        |    CAST(SUM(CASE WHEN rewrapped THEN 1 ELSE 0 END) AS BIGINT) AS n_rewrapped
+        |  FROM w GROUP BY 1)
+        |SELECT segment, n_records, v1_records, n_rewrapped,
+        |  v1_records - n_rewrapped AS backlog,
+        |  ((v1_records - n_rewrapped) * 1000000) // NULLIF(v1_records, 0) AS backlog_ppm,
+        |  COALESCE(((v1_records - n_rewrapped) * 1000000) // NULLIF(v1_records, 0)
+        |    > 500000, FALSE) AS stalled
+        |FROM a ORDER BY segment""".stripMargin,
+
+    "win_hampel_filter" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type,
+        |    CAST(FLOOR(value * 100) AS BIGINT) AS c
+        |  FROM events),
+        |w AS (
+        |  SELECT event_type, c,
+        |    list_sort(list(c) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |      ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)) AS srt
+        |  FROM e),
+        |m AS (
+        |  SELECT event_type, c, srt,
+        |    srt[(len(srt) + 1) // 2] AS med
+        |  FROM w),
+        |o AS (
+        |  SELECT event_type, c, med,
+        |    list_sort(list_transform(srt, x -> abs(x - med)))[(len(srt) + 1) // 2] AS mad
+        |  FROM m)
+        |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_points,
+        |  CAST(SUM(CASE WHEN abs(c - med) > 4 * mad + 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+        |  CAST(SUM(CASE WHEN abs(c - med) > 4 * mad + 2 THEN abs(c - med) ELSE 0 END) AS BIGINT)
+        |    AS replaced_delta_mass,
+        |  (CAST(SUM(CASE WHEN abs(c - med) > 4 * mad + 2 THEN 1 ELSE 0 END) AS BIGINT) * 1000000)
+        |    // CAST(COUNT(*) AS BIGINT) AS outlier_ppm
+        |FROM o GROUP BY 1 ORDER BY event_type""".stripMargin,
+
     "agg_household_equivalence" ->
       """WITH m AS (
         |  SELECT CAST(c_custkey AS BIGINT) AS k, c_custkey // 4 AS h,

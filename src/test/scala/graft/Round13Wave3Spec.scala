@@ -12,6 +12,10 @@ class Round13Wave3Spec extends AnyFunSuite {
     val s = SparkSession.builder()
       .master("local[8]")
       .appName("graft-r13w3")
+      // the shared-JVM session race: whichever suite builds the root session
+      // first must carry the build-time extensions, or GraftExtensionsSpec's
+      // config-driven assertions (and the native-function specs) lose them
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

@@ -12,6 +12,10 @@ class Round14Wave4Spec extends AnyFunSuite {
     val s = SparkSession.builder()
       .master("local[8]")
       .appName("graft-r14w4")
+      // the shared-JVM session race: whichever suite builds the root session
+      // first must carry the build-time extensions, or GraftExtensionsSpec's
+      // config-driven assertions (and the native-function specs) lose them
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
@@ -78,6 +82,62 @@ class Round14Wave4Spec extends AnyFunSuite {
       val ate = wyT / wT - wyC / wC
       assert(ate > 150 && ate < 350,
         s"IPTW should recover the planted +250 cents effect, got $ate")
+    }
+  }
+
+  test("fn_homoglyph_detect: exactly the planted classes flag, skeletons recover") {
+    val rows = SparkEntry.queries("fn_homoglyph_detect")(spark, sf).collect()
+    assert(rows.map(_.getString(0)).toSet == Set("clean", "single_sub", "double_sub"))
+    assert(rows.map(_.getLong(1)).sum == Tables.customer(spark, sf).count())
+    rows.foreach { r =>
+      val (cls, n, flagged, mass, recovered) =
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      cls match {
+        case "clean" =>
+          assert(flagged == 0); assert(mass == 0); assert(recovered == 0)
+        case "single_sub" =>
+          assert(flagged == n, "every a-substituted handle must flag")
+          // 'pace...oxe' has exactly one 'a'
+          assert(mass == n)
+          assert(recovered == flagged, "skeleton must round-trip to the clean form")
+        case "double_sub" =>
+          assert(flagged == n)
+          // 'pace...oxe' has one 'o' (in 'oxe') and two 'e's (pace, oxe)
+          assert(mass == 3 * n)
+          assert(recovered == flagged)
+      }
+    }
+  }
+
+  test("warehouse_key_rotation_audit: only the planted segment stalls") {
+    val rows = SparkEntry.queries("warehouse_key_rotation_audit")(spark, sf).collect()
+    assert(rows.length == 5)
+    assert(rows.map(_.getLong(1)).sum == Tables.orders(spark, sf).count())
+    rows.foreach { r =>
+      val (seg, n, v1, rw, backlog, ppm, stalled) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getBoolean(6))
+      assert(v1 <= n); assert(rw <= v1); assert(backlog == v1 - rw)
+      if (v1 > 0) assert(ppm == backlog * 1000000L / v1)
+      // ~60% coverage vs ~10%: with >=50 v1 records per segment the
+      // verdict separates cleanly
+      if (v1 >= 50) assert(stalled == (seg == 3))
+    }
+  }
+
+  test("win_hampel_filter: outliers are a minority and the mass is consistent") {
+    val rows = SparkEntry.queries("win_hampel_filter")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getLong(1)).sum == Tables.events(spark, sf).count())
+    rows.foreach { r =>
+      val (n, out, mass, ppm) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(out <= n)
+      assert(ppm == out * 1000000L / n)
+      // every replaced point moved by MORE than its window's 4*MAD+2 > 2
+      if (out > 0) assert(mass > 2 * out)
+      // the 4-MAD fence keeps the filter surgical, never wholesale
+      assert(ppm < 500000, "Hampel must not replace a majority of points")
     }
   }
 }

@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-14 wave 6 (Round14Ops): tool-call audit, column-grain lineage,
+  * color quantization.
+  */
+class Round14Wave6Spec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[8]")
+      .appName("graft-r14w6")
+      // the shared-JVM session race: whichever suite builds the root session
+      // first must carry the build-time extensions, or GraftExtensionsSpec's
+      // config-driven assertions (and the native-function specs) lose them
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+  private val sf = "/root/testdata/sf0.001"
+
+  test("llm_tool_call_audit: failure classes partition malformed calls") {
+    val rows = SparkEntry.queries("llm_tool_call_audit")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, mal, rec, hard, ppm) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(rec + hard == mal, "every malformed call recovers or hard-fails")
+      assert(mal <= n)
+      assert(ppm == mal * 1000000L / n)
+      // 1-in-17 gate: the malformed share stays a small minority
+      if (n >= 100) assert(ppm < 200000)
+    }
+  }
+
+  test("warehouse_column_lineage: taint reaches the planted depth exactly") {
+    val rows = SparkEntry.queries("warehouse_column_lineage")(spark, sf).collect()
+    val byHop = rows.map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // hop 0 = the two seeds
+    assert(byHop(0) == 2)
+    assert(rows.map(_.getLong(1)).sum <= 48, "never more columns than exist")
+    // seeds sit on tables 0/1 and every table t>=1 pass-through maps from
+    // t-1: the taint must keep spreading through all 4 graded hops
+    (0 to 4).foreach(h => assert(byHop.getOrElse(h, 0L) >= 1, s"hop $h empty"))
+    // the hop-0 list is exactly the seeded column ids
+    assert(rows.find(_.getInt(0) == 0).get.getString(2) == "1,7")
+  }
+
+  test("mm_color_quantize: dominant levels are real argmaxes, contrast sane") {
+    val rows = SparkEntry.queries("mm_color_quantize")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (lvl, n, mass, mean) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(lvl >= 0 && lvl <= 3)
+      assert(mean == mass / n)
+      // 32 sampled chars of real text always span more than one byte value
+      assert(mass >= n, "zero contrast would mean a constant payload")
+    }
+    val total = rows.map(_.getLong(2)).sum
+    val eligible = Tables.documents(spark, sf)
+      .where(org.apache.spark.sql.functions.expr("length(text) >= 32")).count()
+    assert(total == eligible, "every eligible doc gets exactly one dominant level")
+  }
+}

@@ -130,6 +130,10 @@ class ScaleWitnessSpec extends AnyFunSuite {
     val s = SparkSession.builder()
       .master("local[16]")
       .appName("graft-scale-witness")
+      // the shared-JVM session race: whichever suite builds the root session
+      // first must carry the build-time extensions, or GraftExtensionsSpec's
+      // config-driven assertions (and the native-function specs) lose them
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.shuffle.partitions", "16")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
