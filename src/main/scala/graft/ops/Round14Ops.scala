@@ -660,6 +660,115 @@ object Round14Ops {
           sum(col("pmax") - col("pmin")).as("contrast_mass"))
         .withColumn("mean_contrast", expr("contrast_mass DIV n_docs"))
         .orderBy("source", "dominant_lvl")
+    }),
+
+    // Sanctions / watchlist screening — the KYC gate every person
+    // service runs at onboarding: surnames from the 12-name authored
+    // pool (1-in-11 carries a position-2 typo), screened against a
+    // 6-name broadcast watchlist BLOCKED on the first letter, matched at
+    // levenshtein ≤ 1. The pool plants the real screening taxonomy:
+    // exact hits, typo'd true hits, and lookalike FALSE positives
+    // (SMYTH→SMITH, MAYER→MEYER, BROWN→BRAUN, JOHNSON→JONSON all sit at
+    // distance 1) — the clerical-review volume the threshold choice
+    // buys. Per watchlist name: exact, fuzzy, candidates compared.
+    "join_sanctions_screen" -> ((s, d) => {
+      val pool = array(lit("SMITH"), lit("SMYTH"), lit("SCHMIDT"),
+        lit("JOHNSON"), lit("JONSON"), lit("MEYER"), lit("MAYER"),
+        lit("BROWN"), lit("BRAUN"), lit("TAYLOR"), lit("WALKER"),
+        lit("HARRIS"))
+      val persons = Tables.customer(s, d)
+        .select(col("c_custkey").cast("bigint").as("k"))
+        .withColumn("name0", element_at(pool, (col("k") % 12 + 1).cast("int")))
+        .withColumn("name",
+          when(col("k") % 11 === 7, concat(substring(col("name0"), 1, 1),
+            lit("Q"), expr("substring(name0, 3)")))
+            .otherwise(col("name0")))
+        .withColumn("blk", substring(col("name"), 1, 1))
+      val wl = s.range(1)
+        .select(explode(array(lit("SMITH"), lit("BRAUN"), lit("MEYER"),
+          lit("HARRIS"), lit("WALKER"), lit("JONSON"))).as("wl_name"))
+        .withColumn("blk", substring(col("wl_name"), 1, 1))
+      persons.join(broadcast(wl), Seq("blk"))
+        .withColumn("dist", levenshtein(col("name"), col("wl_name")))
+        .groupBy("wl_name")
+        .agg(count(lit(1)).as("n_candidates"),
+          sum(when(col("dist") === 0, 1L).otherwise(0L)).as("n_exact"),
+          sum(when(col("dist") === 1, 1L).otherwise(0L)).as("n_fuzzy"))
+        .orderBy("wl_name")
+    }),
+
+    // Transaction-structuring (smurfing) detection — the AML screen for
+    // amounts engineered to sit just under the 10 000 reporting
+    // threshold: planted structurer accounts (1-in-37) squeeze ~60% of
+    // their transactions into the 9 000–9 999.99 band while organic
+    // amounts spread uniformly to 15 000. Per account the sub-threshold
+    // band census; an account flags at ≥ 3 banded transactions AND a
+    // band share > 400 000 ppm (both integer-exact). Graded per cohort:
+    // accounts, flagged accounts, transaction and banded mass. Two
+    // rollups, linear at any scale.
+    "agg_txn_structuring" -> ((s, d) => {
+      val acct = Tables.orders(s, d)
+        .select(col("o_orderkey").cast("bigint").as("k"),
+          col("o_custkey").cast("bigint").as("acct"))
+        .withColumn("structurer", col("acct") % 37 === 5)
+        .withColumn("g", expr(
+          "CAST(conv(substring(md5(concat('am:', CAST(k AS STRING))), 1, 8), 16, 10) AS BIGINT)"))
+        .withColumn("cents",
+          when(col("structurer") && col("g") % 10 < 6,
+            lit(900000L) + col("g") % 100000)
+            .otherwise(col("g") % 1500000))
+        .withColumn("banded",
+          col("cents") >= 900000L && col("cents") < 1000000L)
+        .groupBy("acct")
+        .agg(count(lit(1)).as("n_txn"),
+          sum(when(col("banded"), 1L).otherwise(0L)).as("n_banded"),
+          sum("cents").as("txn_mass_cents"),
+          sum(when(col("banded"), col("cents")).otherwise(0L))
+            .as("banded_mass_cents"))
+        .withColumn("band_ppm", expr("(n_banded * 1000000) DIV n_txn"))
+        .withColumn("flagged",
+          col("n_banded") >= 3 && col("band_ppm") > 400000)
+      acct.groupBy((col("acct") % 6).as("cohort"))
+        .agg(count(lit(1)).as("n_accounts"),
+          sum(when(col("flagged"), 1L).otherwise(0L)).as("n_flagged"),
+          sum("n_txn").as("n_txns"),
+          sum("txn_mass_cents").as("txn_mass_cents"),
+          sum("banded_mass_cents").as("banded_mass_cents"))
+        .orderBy("cohort")
+    }),
+
+    // Account-takeover detection — the credential-stuffing signal: every
+    // principal owns a stable 5-device household (md5 of user and slot),
+    // but compromised principals (1-in-19) see a third of their events
+    // arrive from UNIQUE attacker devices. The trailing-10-event window
+    // counts distinct devices — an organic window can never exceed 5, so
+    // the ≥ 7 threshold has zero false positives BY CONSTRUCTION, and
+    // the spec asserts exactly that. Per cohort: events, flagged events,
+    // compromised principals. One user-partitioned window (collect +
+    // array_distinct, bounded at 10) + two rollups.
+    "service_account_takeover" -> ((s, d) => {
+      val w10 = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+        .rowsBetween(-9, 0)
+      val flagged = Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("ts_us"))
+        .withColumn("device",
+          when(col("user_id") % 19 === 3 && col("event_id") % 3 === 0,
+            expr("md5(concat('atk:', CAST(event_id AS STRING)))"))
+            .otherwise(expr(
+              "md5(concat('dev:', CAST(user_id AS STRING), ':', CAST(event_id % 5 AS STRING)))")))
+        .withColumn("devs", collect_list("device").over(w10))
+        .withColumn("nd", size(array_distinct(col("devs"))).cast("long"))
+        .withColumn("flag", col("nd") >= 7)
+      val perUser = flagged.groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"),
+          sum(when(col("flag"), 1L).otherwise(0L)).as("n_flagged"))
+        .withColumn("compromised", col("n_flagged") > 0)
+      perUser.groupBy((col("user_id") % 8).as("cohort"))
+        .agg(count(lit(1)).as("n_users"),
+          sum(when(col("compromised"), 1L).otherwise(0L)).as("n_compromised"),
+          sum("n_events").as("n_events"),
+          sum("n_flagged").as("n_flagged_events"))
+        .orderBy("cohort")
     })
   )
 
@@ -688,6 +797,78 @@ object Round14Ops {
        |    FROM s$i) q3 WHERE r <= 8)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "join_sanctions_screen" ->
+      """WITH p AS (
+        |  SELECT CAST(c_custkey AS BIGINT) AS k,
+        |    ['SMITH','SMYTH','SCHMIDT','JOHNSON','JONSON','MEYER','MAYER',
+        |     'BROWN','BRAUN','TAYLOR','WALKER','HARRIS'][CAST(c_custkey % 12 AS INT) + 1] AS name0
+        |  FROM customer),
+        |n AS (
+        |  SELECT k,
+        |    CASE WHEN k % 11 = 7
+        |      THEN substring(name0, 1, 1) || 'Q' || substring(name0, 3)
+        |      ELSE name0 END AS name
+        |  FROM p),
+        |wl AS (SELECT unnest(['SMITH','BRAUN','MEYER','HARRIS','WALKER','JONSON']) AS wl_name)
+        |SELECT wl_name, CAST(COUNT(*) AS BIGINT) AS n_candidates,
+        |  CAST(SUM(CASE WHEN levenshtein(name, wl_name) = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_exact,
+        |  CAST(SUM(CASE WHEN levenshtein(name, wl_name) = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_fuzzy
+        |FROM n JOIN wl ON substring(name, 1, 1) = substring(wl_name, 1, 1)
+        |GROUP BY 1 ORDER BY wl_name""".stripMargin,
+
+    "agg_txn_structuring" ->
+      """WITH t AS (
+        |  SELECT CAST(o_orderkey AS BIGINT) AS k, CAST(o_custkey AS BIGINT) AS acct,
+        |    ('0x' || substring(md5('am:' || CAST(o_orderkey AS VARCHAR)), 1, 8))::BIGINT AS g
+        |  FROM orders),
+        |a AS (
+        |  SELECT acct,
+        |    CASE WHEN acct % 37 = 5 AND g % 10 < 6
+        |      THEN 900000 + g % 100000 ELSE g % 1500000 END AS cents
+        |  FROM t),
+        |b AS (
+        |  SELECT acct, cents, cents >= 900000 AND cents < 1000000 AS banded FROM a),
+        |per AS (
+        |  SELECT acct, CAST(COUNT(*) AS BIGINT) AS n_txn,
+        |    CAST(SUM(CASE WHEN banded THEN 1 ELSE 0 END) AS BIGINT) AS n_banded,
+        |    CAST(SUM(cents) AS BIGINT) AS txn_mass_cents,
+        |    CAST(SUM(CASE WHEN banded THEN cents ELSE 0 END) AS BIGINT) AS banded_mass_cents
+        |  FROM b GROUP BY 1),
+        |v AS (
+        |  SELECT acct, n_txn, n_banded, txn_mass_cents, banded_mass_cents,
+        |    n_banded >= 3 AND (n_banded * 1000000) // n_txn > 400000 AS flagged
+        |  FROM per)
+        |SELECT acct % 6 AS cohort, CAST(COUNT(*) AS BIGINT) AS n_accounts,
+        |  CAST(SUM(CASE WHEN flagged THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+        |  CAST(SUM(n_txn) AS BIGINT) AS n_txns,
+        |  CAST(SUM(txn_mass_cents) AS BIGINT) AS txn_mass_cents,
+        |  CAST(SUM(banded_mass_cents) AS BIGINT) AS banded_mass_cents
+        |FROM v GROUP BY 1 ORDER BY cohort""".stripMargin,
+
+    "service_account_takeover" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        |    CASE WHEN user_id % 19 = 3 AND event_id % 3 = 0
+        |      THEN md5('atk:' || CAST(event_id AS VARCHAR))
+        |      ELSE md5('dev:' || CAST(user_id AS VARCHAR) || ':' || CAST(event_id % 5 AS VARCHAR))
+        |    END AS device
+        |  FROM events),
+        |w AS (
+        |  SELECT user_id,
+        |    len(list_distinct(list(device) OVER (PARTITION BY user_id
+        |      ORDER BY ts_us, event_id ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)))
+        |      >= 7 AS flag
+        |  FROM e),
+        |per AS (
+        |  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |    CAST(SUM(CASE WHEN flag THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged
+        |  FROM w GROUP BY 1)
+        |SELECT user_id % 8 AS cohort, CAST(COUNT(*) AS BIGINT) AS n_users,
+        |  CAST(SUM(CASE WHEN n_flagged > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_compromised,
+        |  CAST(SUM(n_events) AS BIGINT) AS n_events,
+        |  CAST(SUM(n_flagged) AS BIGINT) AS n_flagged_events
+        |FROM per GROUP BY 1 ORDER BY cohort""".stripMargin,
+
     "llm_tool_call_audit" ->
       """WITH t AS (
         |  SELECT event_id,

@@ -68,4 +68,52 @@ class Round14Wave6Spec extends AnyFunSuite {
       .where(org.apache.spark.sql.functions.expr("length(text) >= 32")).count()
     assert(total == eligible, "every eligible doc gets exactly one dominant level")
   }
+
+  test("join_sanctions_screen: hits split into exact, typo'd and lookalike classes") {
+    val rows = SparkEntry.queries("join_sanctions_screen")(spark, sf).collect()
+    assert(rows.map(_.getString(0)).toSet ==
+      Set("SMITH", "BRAUN", "MEYER", "HARRIS", "WALKER", "JONSON"))
+    rows.foreach { r =>
+      val (wl, cands, exact, fuzzy) =
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(exact + fuzzy <= cands)
+      assert(exact > 0, s"$wl is in the pool, exact hits must exist")
+      // SMITH/BRAUN/MEYER/JONSON each have a distance-1 pool lookalike
+      // (SMYTH/BROWN/MAYER/JOHNSON) plus typo'd variants of themselves
+      if (Set("SMITH", "BRAUN", "MEYER", "JONSON").contains(wl))
+        assert(fuzzy > 0, s"$wl must collect lookalike fuzzy hits")
+    }
+  }
+
+  test("agg_txn_structuring: flags concentrate on the planted accounts") {
+    val rows = SparkEntry.queries("agg_txn_structuring")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getLong(3)).sum == Tables.orders(spark, sf).count())
+    rows.foreach { r =>
+      val (accounts, flagged, txns, mass, bandedMass) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(flagged <= accounts)
+      assert(bandedMass <= mass)
+      // ~1-in-37 accounts structure: flags are a small minority
+      assert(flagged * 10 <= accounts,
+        "structuring flags must stay a minority of accounts")
+    }
+    assert(rows.map(_.getLong(2)).sum >= 1, "the planted structurers must flag")
+  }
+
+  test("service_account_takeover: zero false positives by construction") {
+    val rows = SparkEntry.queries("service_account_takeover")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getLong(3)).sum == Tables.events(spark, sf).count())
+    // compromised principals are exactly flagged users; organic windows
+    // hold <= 5 distinct devices so every flag is a planted attacker
+    val users = Tables.events(spark, sf)
+      .select(org.apache.spark.sql.functions.col("user_id")).distinct()
+    val planted = users
+      .where(org.apache.spark.sql.functions.expr("user_id % 19 = 3")).count()
+    val compromised = rows.map(_.getLong(2)).sum
+    assert(compromised <= planted,
+      "every compromised principal must be in the planted class")
+    rows.foreach { r => assert(r.getLong(2) <= r.getLong(1)) }
+  }
 }
