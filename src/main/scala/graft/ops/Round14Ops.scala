@@ -769,6 +769,111 @@ object Round14Ops {
           sum("n_events").as("n_events"),
           sum("n_flagged").as("n_flagged_events"))
         .orderBy("cohort")
+    }),
+
+    // Quorum read staleness — the replication-lag arithmetic of an
+    // N=3 / R=2 person-store: each write reaches the two read-quorum
+    // replicas with md5 lags of 0–499 ms, the follow-up read lands
+    // 0–199 ms later, and the read is STALE iff neither contacted
+    // replica has the write yet (min lag > read delay). Per service:
+    // reads, stale reads, exact stale ppm, and the staleness-gap mass
+    // (how long past the read the data stayed invisible — the
+    // consistency-SLA budget). One projection + rollup, linear at any
+    // scale.
+    "service_quorum_staleness" -> ((s, d) => {
+      Tables.events(s, d)
+        .select((col("user_id") % 4).as("svc"), col("event_id"))
+        .withColumn("l1", expr(
+          "CAST(conv(substring(md5(concat('q1:', CAST(event_id AS STRING))), 1, 6), 16, 10) AS BIGINT) % 500"))
+        .withColumn("l2", expr(
+          "CAST(conv(substring(md5(concat('q2:', CAST(event_id AS STRING))), 1, 6), 16, 10) AS BIGINT) % 500"))
+        .withColumn("rd", expr(
+          "CAST(conv(substring(md5(concat('qr:', CAST(event_id AS STRING))), 1, 6), 16, 10) AS BIGINT) % 200"))
+        .withColumn("lag", least(col("l1"), col("l2")))
+        .withColumn("stale", col("lag") > col("rd"))
+        .groupBy("svc")
+        .agg(count(lit(1)).as("n_reads"),
+          sum(when(col("stale"), 1L).otherwise(0L)).as("n_stale"),
+          sum(when(col("stale"), col("lag") - col("rd")).otherwise(0L))
+            .as("gap_mass_ms"))
+        .withColumn("stale_ppm", expr("(n_stale * 1000000) DIV n_reads"))
+        .withColumn("mean_gap_ms",
+          expr("gap_mass_ms DIV NULLIF(n_stale, 0)"))
+        .orderBy("svc")
+    }),
+
+    // Vector-clock comparison — the causality classifier a multi-master
+    // person-store runs on conflicting updates: 3-node clocks with four
+    // PLANTED relationships (equal, A→B happened-before, B→A, and a
+    // cross-bumped concurrent pair), classified by the exact
+    // all-≤ / all-≥ lattice test. The graded matrix (planted class ×
+    // detected verdict) must be DIAGONAL — any off-diagonal cell is a
+    // causality bug. One projection + rollup.
+    "fn_vector_clock_compare" -> ((s, d) => {
+      def a(i: Int) =
+        s"CAST(conv(substring(md5(concat('vc$i:', CAST(event_id AS STRING))), 1, 6), 16, 10) AS BIGINT) % 100 + 10"
+      Tables.events(s, d)
+        .select(col("event_id"))
+        .withColumn("cls", (col("event_id") % 4).cast("int"))
+        .withColumn("a1", expr(a(1))).withColumn("a2", expr(a(2)))
+        .withColumn("a3", expr(a(3)))
+        .withColumn("b1", col("a1") +
+          when(col("cls") === 1 || col("cls") === 2, 5L).otherwise(0L))
+        .withColumn("b2", col("a2") -
+          when(col("cls") === 2, 5L).otherwise(0L))
+        .withColumn("b3", col("a3") -
+          when(col("cls") === 3, 5L).otherwise(0L))
+        .withColumn("a_le_b",
+          col("a1") <= col("b1") && col("a2") <= col("b2") && col("a3") <= col("b3"))
+        .withColumn("b_le_a",
+          col("b1") <= col("a1") && col("b2") <= col("a2") && col("b3") <= col("a3"))
+        .withColumn("verdict",
+          when(col("a_le_b") && col("b_le_a"), lit("equal"))
+            .when(col("a_le_b"), lit("before"))
+            .when(col("b_le_a"), lit("after"))
+            .otherwise(lit("concurrent")))
+        .groupBy("cls")
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(when(col("verdict") === "equal", 1L).otherwise(0L)).as("n_equal"),
+          sum(when(col("verdict") === "before", 1L).otherwise(0L)).as("n_before"),
+          sum(when(col("verdict") === "after", 1L).otherwise(0L)).as("n_after"),
+          sum(when(col("verdict") === "concurrent", 1L).otherwise(0L))
+            .as("n_concurrent"))
+        .orderBy("cls")
+    }),
+
+    // Hybrid logical clock — the timestamping every multi-region person
+    // ledger needs (physical clocks skew; HLC keeps causal order while
+    // staying close to wall time): per node the HLC physical part is the
+    // RUNNING MAX of the (deliberately skewed) physical timestamps, and
+    // the logical counter counts events since the running max last
+    // advanced (the gaps-and-islands form of the HLC recurrence — no
+    // iterative state). Per node: events, advances, the max and total
+    // logical counter (the drift a skewed node pays). Three stacked
+    // node-partitioned windows + one rollup.
+    "win_hlc_clock" -> ((s, d) => {
+      val wSeq = Window.partitionBy("node").orderBy("ts_us", "event_id")
+      val wRun = wSeq.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, d)
+        .select((col("user_id") % 4).as("node"), col("event_id"), col("ts_us"))
+        // planted skew: each node's physical clock runs node*500ms ahead,
+        // and 1-in-9 events report a 2s-stale physical read
+        .withColumn("pt", col("ts_us") + (col("node") * 500000L) -
+          when(col("event_id") % 9 === 2, 2000000L).otherwise(0L))
+        .withColumn("rmax", max("pt").over(wRun))
+        .withColumn("advance",
+          when(col("rmax") > coalesce(lag("rmax", 1).over(wSeq), lit(Long.MinValue)),
+            1L).otherwise(0L))
+        .withColumn("grp", sum("advance").over(wRun))
+        .withColumn("c", row_number().over(
+          Window.partitionBy("node", "grp").orderBy("ts_us", "event_id"))
+          .cast("long") - 1)
+        .groupBy("node")
+        .agg(count(lit(1)).as("n_events"),
+          sum("advance").as("n_advances"),
+          max("c").as("max_logical"),
+          sum("c").as("logical_mass"))
+        .orderBy("node")
     })
   )
 
@@ -797,6 +902,88 @@ object Round14Ops {
        |    FROM s$i) q3 WHERE r <= 8)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "service_quorum_staleness" ->
+      """WITH r AS (
+        |  SELECT user_id % 4 AS svc,
+        |    ('0x' || substring(md5('q1:' || CAST(event_id AS VARCHAR)), 1, 6))::BIGINT % 500 AS l1,
+        |    ('0x' || substring(md5('q2:' || CAST(event_id AS VARCHAR)), 1, 6))::BIGINT % 500 AS l2,
+        |    ('0x' || substring(md5('qr:' || CAST(event_id AS VARCHAR)), 1, 6))::BIGINT % 200 AS rd
+        |  FROM events),
+        |x AS (SELECT svc, LEAST(l1, l2) AS lag, rd FROM r)
+        |SELECT svc, CAST(COUNT(*) AS BIGINT) AS n_reads,
+        |  CAST(SUM(CASE WHEN lag > rd THEN 1 ELSE 0 END) AS BIGINT) AS n_stale,
+        |  CAST(SUM(CASE WHEN lag > rd THEN lag - rd ELSE 0 END) AS BIGINT) AS gap_mass_ms,
+        |  (CAST(SUM(CASE WHEN lag > rd THEN 1 ELSE 0 END) AS BIGINT) * 1000000)
+        |    // CAST(COUNT(*) AS BIGINT) AS stale_ppm,
+        |  CAST(SUM(CASE WHEN lag > rd THEN lag - rd ELSE 0 END) AS BIGINT)
+        |    // NULLIF(CAST(SUM(CASE WHEN lag > rd THEN 1 ELSE 0 END) AS BIGINT), 0)
+        |    AS mean_gap_ms
+        |FROM x GROUP BY 1 ORDER BY svc""".stripMargin,
+
+    "fn_vector_clock_compare" ->
+      """WITH v AS (
+        |  SELECT CAST(event_id % 4 AS INT) AS cls,
+        |    ('0x' || substring(md5('vc1:' || CAST(event_id AS VARCHAR)), 1, 6))::BIGINT % 100 + 10 AS a1,
+        |    ('0x' || substring(md5('vc2:' || CAST(event_id AS VARCHAR)), 1, 6))::BIGINT % 100 + 10 AS a2,
+        |    ('0x' || substring(md5('vc3:' || CAST(event_id AS VARCHAR)), 1, 6))::BIGINT % 100 + 10 AS a3
+        |  FROM events),
+        |b AS (
+        |  SELECT cls, a1, a2, a3,
+        |    a1 + CASE WHEN cls IN (1, 2) THEN 5 ELSE 0 END AS b1,
+        |    a2 - CASE WHEN cls = 2 THEN 5 ELSE 0 END AS b2,
+        |    a3 - CASE WHEN cls = 3 THEN 5 ELSE 0 END AS b3
+        |  FROM v),
+        |c AS (
+        |  SELECT cls,
+        |    a1 <= b1 AND a2 <= b2 AND a3 <= b3 AS a_le_b,
+        |    b1 <= a1 AND b2 <= a2 AND b3 <= a3 AS b_le_a
+        |  FROM b),
+        |x AS (
+        |  SELECT cls,
+        |    CASE WHEN a_le_b AND b_le_a THEN 'equal'
+        |         WHEN a_le_b THEN 'before'
+        |         WHEN b_le_a THEN 'after'
+        |         ELSE 'concurrent' END AS verdict
+        |  FROM c)
+        |SELECT cls, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |  CAST(SUM(CASE WHEN verdict = 'equal' THEN 1 ELSE 0 END) AS BIGINT) AS n_equal,
+        |  CAST(SUM(CASE WHEN verdict = 'before' THEN 1 ELSE 0 END) AS BIGINT) AS n_before,
+        |  CAST(SUM(CASE WHEN verdict = 'after' THEN 1 ELSE 0 END) AS BIGINT) AS n_after,
+        |  CAST(SUM(CASE WHEN verdict = 'concurrent' THEN 1 ELSE 0 END) AS BIGINT) AS n_concurrent
+        |FROM x GROUP BY 1 ORDER BY cls""".stripMargin,
+
+    "win_hlc_clock" ->
+      """WITH e AS (
+        |  SELECT user_id % 4 AS node, event_id, epoch_us(ts) AS ts_us,
+        |    epoch_us(ts) + (user_id % 4) * 500000
+        |      - CASE WHEN event_id % 9 = 2 THEN 2000000 ELSE 0 END AS pt
+        |  FROM events),
+        |rm AS (
+        |  SELECT node, event_id, ts_us,
+        |    MAX(pt) OVER (PARTITION BY node ORDER BY ts_us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rmax
+        |  FROM e),
+        |ad AS (
+        |  SELECT node, event_id, ts_us,
+        |    CASE WHEN rmax > COALESCE(lag(rmax) OVER (PARTITION BY node
+        |      ORDER BY ts_us, event_id), -9223372036854775807) THEN 1 ELSE 0 END AS advance
+        |  FROM rm),
+        |g AS (
+        |  SELECT node, event_id, ts_us, advance,
+        |    CAST(SUM(advance) OVER (PARTITION BY node ORDER BY ts_us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS grp
+        |  FROM ad),
+        |cc AS (
+        |  SELECT node, advance,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY node, grp
+        |      ORDER BY ts_us, event_id) AS BIGINT) - 1 AS c
+        |  FROM g)
+        |SELECT node, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  CAST(SUM(advance) AS BIGINT) AS n_advances,
+        |  CAST(MAX(c) AS BIGINT) AS max_logical,
+        |  CAST(SUM(c) AS BIGINT) AS logical_mass
+        |FROM cc GROUP BY 1 ORDER BY node""".stripMargin,
+
     "join_sanctions_screen" ->
       """WITH p AS (
         |  SELECT CAST(c_custkey AS BIGINT) AS k,

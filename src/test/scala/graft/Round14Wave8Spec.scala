@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-14 wave 8 (Round14Ops): quorum staleness, vector clocks, HLC —
+  * the multi-region consistency arithmetic of a replicated person-store.
+  */
+class Round14Wave8Spec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[8]")
+      .appName("graft-r14w8")
+      // the shared-JVM session race: whichever suite builds the root session
+      // first must carry the build-time extensions (see GraftExtensionsSpec)
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+  private val sf = "/root/testdata/sf0.001"
+
+  test("service_quorum_staleness: stale share matches the lag/delay geometry") {
+    val rows = SparkEntry.queries("service_quorum_staleness")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getLong(1)).sum == Tables.events(spark, sf).count())
+    rows.foreach { r =>
+      val (n, stale, gap, ppm) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(stale <= n)
+      assert(ppm == stale * 1000000L / n)
+      if (stale > 0) assert(gap > 0)
+      // min of two U(0,500) lags vs U(0,200) read delay: stale ~57%;
+      // with volume both classes must exist
+      if (n >= 100) { assert(stale > 0); assert(stale < n) }
+    }
+  }
+
+  test("fn_vector_clock_compare: the class/verdict matrix is diagonal") {
+    val rows = SparkEntry.queries("fn_vector_clock_compare")(spark, sf).collect()
+    assert(rows.length == 4)
+    rows.foreach { r =>
+      val (cls, n, eq, before, after, conc) =
+        (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5))
+      assert(eq + before + after + conc == n)
+      cls match {
+        case 0 => assert(eq == n)
+        case 1 => assert(before == n)
+        case 2 => assert(conc == n)
+        case 3 => assert(after == n)
+      }
+    }
+  }
+
+  test("win_hlc_clock: counters reset on every advance, drift is bounded") {
+    val rows = SparkEntry.queries("win_hlc_clock")(spark, sf).collect()
+    assert(rows.length <= 4 && rows.nonEmpty)
+    assert(rows.map(_.getLong(1)).sum == Tables.events(spark, sf).count())
+    rows.foreach { r =>
+      val (n, adv, maxC, mass) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(adv >= 1, "the first event always advances the clock")
+      assert(adv <= n)
+      // every non-advancing event contributes at least 1 to the counter
+      // mass, and the counter is bounded by the events in its island
+      assert(mass >= n - adv)
+      assert(maxC < n)
+      // stale physical reads are 1-in-9: the clock advances most of the time
+      assert(adv * 2 > n, "advances must dominate (skew plants are 1-in-9)")
+    }
+  }
+}
