@@ -874,6 +874,87 @@ object Round14Ops {
           max("c").as("max_logical"),
           sum("c").as("logical_mass"))
         .orderBy("node")
+    }),
+
+    // Constrained-decoding mask telemetry — the grammar-guided JSON
+    // generation a structured-output endpoint runs: an 8-step decode per
+    // request cycles the 4-state JSON automaton (key → colon → value →
+    // comma), each state admits a known mask of the 50 000-token vocab
+    // (5 000 / 1 / 30 000 / 2), and the model's raw sample misses the
+    // mask with probability 1 − mask/50 000 (md5 gate) forcing a
+    // resample. Per state: steps, mask mass, forced resamples, exact
+    // resample ppm — the constrained-decode overhead report. One
+    // bounded explode + rollup.
+    "llm_constrained_decode_mask" -> ((s, d) => {
+      Tables.orders(s, d)
+        .select(col("o_orderkey").cast("bigint").as("k"))
+        .withColumn("i", explode(expr("sequence(0, 7)")))
+        .withColumn("state", (col("i") % 4).cast("long"))
+        .withColumn("mask", expr(
+          "element_at(array(5000L, 1L, 30000L, 2L), CAST(state AS INT) + 1)"))
+        .withColumn("draw", expr(
+          "CAST(conv(substring(md5(concat('cd:', CAST(k AS STRING), ':', CAST(i AS STRING))), 1, 8), 16, 10) AS BIGINT) % 50000"))
+        .withColumn("forced", col("draw") >= col("mask"))
+        .groupBy("state")
+        .agg(count(lit(1)).as("n_steps"),
+          sum("mask").as("mask_mass"),
+          sum(when(col("forced"), 1L).otherwise(0L)).as("n_forced"))
+        .withColumn("resample_ppm",
+          expr("(n_forced * 1000000) DIV n_steps"))
+        .orderBy("state")
+    }),
+
+    // Glitch-token screen — the vocabulary hygiene audit before a
+    // tokenizer ships (tokens IN the vocab but absent from the corpus
+    // are the 'SolidGoldMagikarp' class: their embeddings never
+    // trained): the vocab is the corpus' own distinct tokens PLUS 40
+    // planted phantom entries, left-joined back to the corpus term
+    // frequencies; glitch = zero occurrences, rare = under 3. Census
+    // per class: vocab entries, occurrence mass. One token rollup + one
+    // left join + rollup — the corpus scan dominates, linear at scale.
+    "llm_glitch_token_screen" -> ((s, d) => {
+      val tf = Tables.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("tok"))
+        .where(col("tok") =!= "")
+        .groupBy("tok").agg(count(lit(1)).as("freq"))
+      val vocab = tf.select(col("tok"))
+        .unionByName(s.range(40)
+          .select(concat(lit("zzglitch"), col("id").cast("string")).as("tok")))
+      vocab.join(tf, Seq("tok"), "left")
+        .withColumn("f", coalesce(col("freq"), lit(0L)))
+        .withColumn("cls",
+          when(col("f") === 0, lit("glitch"))
+            .when(col("f") < 3, lit("rare"))
+            .otherwise(lit("common")))
+        .groupBy("cls")
+        .agg(count(lit(1)).as("n_tokens"), sum("f").as("occurrence_mass"))
+        .orderBy("cls")
+    }),
+
+    // Cache-stampede (dogpile) census — the thundering herd a cache
+    // expiry triggers: requests bucket into hourly TTL epochs per key,
+    // and the first FIVE arrivals of each (key, epoch) all recompute
+    // (they arrive before the first recompute finishes — the
+    // request-indexed form that holds at sparse and dense traffic
+    // alike); later arrivals hit the warm entry. Per key shard: epochs,
+    // requests, recomputes, the wasted duplicate work (recomputes −
+    // epochs) and exact waste ppm — the case for a single-flight lock.
+    // One (key, epoch) window + two rollups.
+    "service_cache_stampede" -> ((s, d) => {
+      val wKE = Window.partitionBy("key", "epoch").orderBy("ts_us", "event_id")
+      Tables.events(s, d)
+        .select(col("event_id"), col("ts_us"), (col("user_id") % 32).as("key"))
+        .withColumn("epoch", expr("ts_us DIV 3600000000"))
+        .withColumn("arrival", row_number().over(wKE).cast("long"))
+        .withColumn("recompute", col("arrival") <= 5)
+        .groupBy((col("key") % 8).as("shard"))
+        .agg(count(lit(1)).as("n_requests"),
+          countDistinct("key", "epoch").as("n_epochs"),
+          sum(when(col("recompute"), 1L).otherwise(0L)).as("n_recomputes"))
+        .withColumn("wasted", col("n_recomputes") - col("n_epochs"))
+        .withColumn("waste_ppm",
+          expr("(wasted * 1000000) DIV n_requests"))
+        .orderBy("shard")
     })
   )
 
@@ -902,6 +983,59 @@ object Round14Ops {
        |    FROM s$i) q3 WHERE r <= 8)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "llm_constrained_decode_mask" ->
+      """WITH st AS (
+        |  SELECT CAST(o_orderkey AS BIGINT) AS k, i.range AS i,
+        |    i.range % 4 AS state,
+        |    [5000, 1, 30000, 2][CAST(i.range % 4 AS INT) + 1] AS mask,
+        |    ('0x' || substring(md5('cd:' || CAST(o_orderkey AS VARCHAR) || ':' || CAST(i.range AS VARCHAR)), 1, 8))::BIGINT % 50000 AS draw
+        |  FROM orders CROSS JOIN range(0, 8) i)
+        |SELECT state, CAST(COUNT(*) AS BIGINT) AS n_steps,
+        |  CAST(SUM(mask) AS BIGINT) AS mask_mass,
+        |  CAST(SUM(CASE WHEN draw >= mask THEN 1 ELSE 0 END) AS BIGINT) AS n_forced,
+        |  (CAST(SUM(CASE WHEN draw >= mask THEN 1 ELSE 0 END) AS BIGINT) * 1000000)
+        |    // CAST(COUNT(*) AS BIGINT) AS resample_ppm
+        |FROM st GROUP BY 1 ORDER BY state""".stripMargin,
+
+    "llm_glitch_token_screen" ->
+      """WITH tf AS (
+        |  SELECT tok, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS tok FROM documents) q
+        |  WHERE tok <> '' GROUP BY tok),
+        |vocab AS (
+        |  SELECT tok FROM tf
+        |  UNION ALL
+        |  SELECT 'zzglitch' || CAST(i.range AS VARCHAR) FROM range(0, 40) i),
+        |j AS (
+        |  SELECT COALESCE(freq, 0) AS f FROM vocab LEFT JOIN tf USING (tok)),
+        |c AS (
+        |  SELECT CASE WHEN f = 0 THEN 'glitch'
+        |              WHEN f < 3 THEN 'rare' ELSE 'common' END AS cls, f
+        |  FROM j)
+        |SELECT cls, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(f) AS BIGINT) AS occurrence_mass
+        |FROM c GROUP BY 1 ORDER BY cls""".stripMargin,
+
+    "service_cache_stampede" ->
+      """WITH r AS (
+        |  SELECT event_id, epoch_us(ts) AS ts_us, user_id % 32 AS key,
+        |    epoch_us(ts) // 3600000000 AS epoch
+        |  FROM events),
+        |w AS (
+        |  SELECT key, epoch,
+        |    ROW_NUMBER() OVER (PARTITION BY key, epoch ORDER BY ts_us, event_id)
+        |      <= 5 AS recompute
+        |  FROM r),
+        |a AS (
+        |  SELECT key % 8 AS shard, CAST(COUNT(*) AS BIGINT) AS n_requests,
+        |    CAST(COUNT(DISTINCT (key, epoch)) AS BIGINT) AS n_epochs,
+        |    CAST(SUM(CASE WHEN recompute THEN 1 ELSE 0 END) AS BIGINT) AS n_recomputes
+        |  FROM w GROUP BY 1)
+        |SELECT shard, n_requests, n_epochs, n_recomputes,
+        |  n_recomputes - n_epochs AS wasted,
+        |  ((n_recomputes - n_epochs) * 1000000) // n_requests AS waste_ppm
+        |FROM a ORDER BY shard""".stripMargin,
+
     "service_quorum_staleness" ->
       """WITH r AS (
         |  SELECT user_id % 4 AS svc,
