@@ -955,6 +955,179 @@ object Round14Ops {
         .withColumn("waste_ppm",
           expr("(wasted * 1000000) DIV n_requests"))
         .orderBy("shard")
+    }),
+
+    // Diacritics transliteration fold — the accent-insensitive name
+    // matching beside fn_homoglyph_detect (that one catches foreign
+    // lookalikes; this one RECOVERS legitimate accented spellings):
+    // four planted accent classes (MÜLLER, GARCÍA, FRANÇOIS, ØRSTED)
+    // against their folded canonical forms, folded by one translate().
+    // Raw equality must MISS every accented class and fold-equality
+    // must recover 100% — both censused per class. One projection +
+    // rollup, linear at any scale.
+    "fn_transliterate_fold" -> ((s, d) => {
+      Tables.customer(s, d)
+        .select(col("c_custkey").cast("bigint").as("k"))
+        .withColumn("cls", (col("k") % 5).cast("int"))
+        .withColumn("clean",
+          element_at(array(lit("MULLER"), lit("MULLER"), lit("GARCIA"),
+            lit("FRANCOIS"), lit("ORSTED")), col("cls") + 1))
+        .withColumn("name",
+          element_at(array(lit("MULLER"), lit("MÜLLER"), lit("GARCÍA"),
+            lit("FRANÇOIS"), lit("ØRSTED")), col("cls") + 1))
+        .withColumn("fold", translate(col("name"), "ÜÍÇØ", "UICO"))
+        .groupBy("cls")
+        .agg(count(lit(1)).as("n_names"),
+          sum(when(col("name") === col("clean"), 1L).otherwise(0L))
+            .as("raw_matches"),
+          sum(when(col("fold") === col("clean"), 1L).otherwise(0L))
+            .as("fold_matches"))
+        .orderBy("cls")
+    }),
+
+    // Synthetic-identity detection — the attribute-sharing signal a
+    // fraud desk hunts (real identities own their SSN token; synthetic
+    // rings RECYCLE one): every person carries a unique md5 token
+    // except the planted rings (persons with k%43==11 inside each
+    // 200-person block share one ring token → rings of ~4-5). The
+    // token fan-out census answers "how many identities share each
+    // attribute": share size → tokens, persons — everything above
+    // size 1 is a ring. One token rollup + one size rollup.
+    "join_synthetic_identity" -> ((s, d) => {
+      Tables.customer(s, d)
+        .select(col("c_custkey").cast("bigint").as("k"))
+        .withColumn("ssn_token",
+          when(col("k") % 43 === 11,
+            expr("md5(concat('ring:', CAST(k DIV 200 AS STRING)))"))
+            .otherwise(expr("md5(concat('ssn:', CAST(k AS STRING)))")))
+        .groupBy("ssn_token").agg(count(lit(1)).as("share_size"))
+        .groupBy("share_size")
+        .agg(count(lit(1)).as("n_tokens"),
+          sum("share_size").as("n_persons"))
+        .orderBy("share_size")
+    }),
+
+    // Chargeback-lag (delayed feedback) census — the label-latency
+    // problem every fraud model trains under: 1-in-23 purchases
+    // eventually charge back after an md5 lag of 0–89 days, but a
+    // model trained at the 30-day cutoff sees only the early arrivals.
+    // Per cohort: purchases, eventual chargebacks, the subset visible
+    // at 30 days, exact visibility ppm and the lag mass — the bias
+    // correction a delayed-feedback loss needs. One conditional rollup.
+    "agg_chargeback_lag" -> ((s, d) => {
+      Tables.events(s, d)
+        .where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"))
+        .withColumn("cb", expr(
+          "CAST(conv(substring(md5(concat('cb:', CAST(event_id AS STRING))), 1, 6), 16, 10) AS BIGINT) % 23") === 4)
+        .withColumn("lag_days", expr(
+          "CAST(conv(substring(md5(concat('cl:', CAST(event_id AS STRING))), 1, 6), 16, 10) AS BIGINT) % 90"))
+        .groupBy((col("user_id") % 6).as("cohort"))
+        .agg(count(lit(1)).as("n_purchases"),
+          sum(when(col("cb"), 1L).otherwise(0L)).as("n_chargebacks"),
+          sum(when(col("cb") && col("lag_days") <= 30, 1L).otherwise(0L))
+            .as("visible_at_30d"),
+          sum(when(col("cb"), col("lag_days")).otherwise(0L)).as("lag_mass_days"))
+        .withColumn("visibility_ppm",
+          expr("(visible_at_30d * 1000000) DIV NULLIF(n_chargebacks, 0)"))
+        .orderBy("cohort")
+    }),
+
+    // Cohen's kappa — the inter-annotator agreement behind every
+    // labeling program (raw agreement flatters; kappa subtracts the
+    // chance level the marginals imply): two md5 annotators over 4
+    // classes (annotator B agrees ~70% and otherwise drifts), kappa on
+    // PURE integers via the cross-multiplied form (agree·n − Σ nᵃ·nᵇ)
+    // ·1e6 DIV (n² − Σ nᵃ·nᵇ), the wide products routed through
+    // DECIMAL(38,0)/HUGEINT per the repo convention. Per cohort: n,
+    // agreement, po/pe/kappa ppm. One conditional rollup.
+    "agg_cohen_kappa" -> ((s, d) => {
+      val t = Tables.orders(s, d)
+        .select(col("o_orderkey").cast("bigint").as("k"))
+        .withColumn("a", expr(
+          "CAST(conv(substring(md5(concat('an1:', CAST(k AS STRING))), 1, 6), 16, 10) AS BIGINT) % 4"))
+        .withColumn("g", expr(
+          "CAST(conv(substring(md5(concat('an2:', CAST(k AS STRING))), 1, 6), 16, 10) AS BIGINT) % 10"))
+        .withColumn("b", when(col("g") < 7, col("a"))
+          .otherwise((col("a") + 1 + expr(
+            "CAST(conv(substring(md5(concat('an3:', CAST(k AS STRING))), 1, 6), 16, 10) AS BIGINT) % 3")) % 4))
+      val agg = t.groupBy((col("k") % 3).as("cohort"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("a") === col("b"), 1L).otherwise(0L)).as("agree"),
+          sum(when(col("a") === 0, 1L).otherwise(0L)).as("a0"),
+          sum(when(col("a") === 1, 1L).otherwise(0L)).as("a1"),
+          sum(when(col("a") === 2, 1L).otherwise(0L)).as("a2"),
+          sum(when(col("a") === 3, 1L).otherwise(0L)).as("a3"),
+          sum(when(col("b") === 0, 1L).otherwise(0L)).as("b0"),
+          sum(when(col("b") === 1, 1L).otherwise(0L)).as("b1"),
+          sum(when(col("b") === 2, 1L).otherwise(0L)).as("b2"),
+          sum(when(col("b") === 3, 1L).otherwise(0L)).as("b3"))
+        .withColumn("pe_num", expr(
+          """CAST(a0 AS DECIMAL(38,0)) * b0 + CAST(a1 AS DECIMAL(38,0)) * b1
+            |  + CAST(a2 AS DECIMAL(38,0)) * b2 + CAST(a3 AS DECIMAL(38,0)) * b3"""
+            .stripMargin))
+      agg.select(col("cohort"), col("n"), col("agree"),
+        expr("(agree * 1000000) DIV n").as("po_ppm"),
+        expr("CAST((pe_num * 1000000) DIV (CAST(n AS DECIMAL(38,0)) * n) AS BIGINT)")
+          .as("pe_ppm"),
+        expr("""CAST(((CAST(agree AS DECIMAL(38,0)) * n - pe_num) * 1000000)
+               |  DIV (CAST(n AS DECIMAL(38,0)) * n - pe_num) AS BIGINT)"""
+          .stripMargin).as("kappa_ppm"))
+        .orderBy("cohort")
+    }),
+
+    // Label-noise audit — the class-conditional noise census a labeling
+    // program runs against its gold set: observed labels flip away from
+    // gold at a planted 10% — except class 3, whose annotators drift at
+    // 30% (the asymmetric noise that silently poisons a classifier).
+    // Per gold class: items, flips, exact noise ppm, and the full
+    // confusion row into the four observed classes. One projection +
+    // conditional rollup.
+    "llm_label_noise_audit" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"))
+        .withColumn("gold", col("doc_id") % 4)
+        .withColumn("flip", expr(
+          "CAST(conv(substring(md5(concat('nl:', CAST(doc_id AS STRING))), 1, 6), 16, 10) AS BIGINT) % 100")
+          < when(col("gold") === 3, 30L).otherwise(10L))
+        .withColumn("obs", when(!col("flip"), col("gold"))
+          .otherwise((col("gold") + 1 + expr(
+            "CAST(conv(substring(md5(concat('nf:', CAST(doc_id AS STRING))), 1, 6), 16, 10) AS BIGINT) % 3")) % 4))
+        .groupBy("gold")
+        .agg(count(lit(1)).as("n_items"),
+          sum(when(col("flip"), 1L).otherwise(0L)).as("n_flipped"),
+          sum(when(col("obs") === 0, 1L).otherwise(0L)).as("obs0"),
+          sum(when(col("obs") === 1, 1L).otherwise(0L)).as("obs1"),
+          sum(when(col("obs") === 2, 1L).otherwise(0L)).as("obs2"),
+          sum(when(col("obs") === 3, 1L).otherwise(0L)).as("obs3"))
+        .withColumn("noise_ppm", expr("(n_flipped * 1000000) DIV n_items"))
+        .orderBy("gold")
+    }),
+
+    // Example-forgetting score — the training-dynamics census (Toneva
+    // et al.: examples that flip correct → incorrect across epochs are
+    // the hard/noisy ones worth curating): six md5 epochs per example
+    // with accuracy rising 48% → 88%, forgetting events counted inside
+    // one array HOF (no per-epoch shuffle — the 6-epoch axis never
+    // leaves the row). Per cohort: examples, never-learned,
+    // forgettable (≥1 event), total event mass. One projection +
+    // rollup.
+    "win_forgetting_score" -> ((s, d) => {
+      val corr = (e: String) =>
+        s"CAST(conv(substring(md5(concat('fg:', CAST(k AS STRING), ':', CAST($e AS STRING))), 1, 6), 16, 10) AS BIGINT) % 100 < 40 + ($e) * 8"
+      Tables.orders(s, d)
+        .select(col("o_orderkey").cast("bigint").as("k"))
+        .withColumn("forget_events", expr(
+          s"CAST(size(filter(sequence(2, 6), e -> (${corr("e - 1")}) AND NOT (${corr("e")}))) AS BIGINT)"))
+        .withColumn("learned", expr(
+          s"size(filter(sequence(1, 6), e -> ${corr("e")})) > 0"))
+        .groupBy((col("k") % 5).as("cohort"))
+        .agg(count(lit(1)).as("n_examples"),
+          sum(when(!col("learned"), 1L).otherwise(0L)).as("never_learned"),
+          sum(when(col("forget_events") >= 1, 1L).otherwise(0L))
+            .as("forgettable"),
+          sum("forget_events").as("forget_event_mass"))
+        .orderBy("cohort")
     })
   )
 
@@ -983,6 +1156,109 @@ object Round14Ops {
        |    FROM s$i) q3 WHERE r <= 8)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "fn_transliterate_fold" ->
+      """WITH t AS (
+        |  SELECT CAST(c_custkey % 5 AS INT) AS cls,
+        |    ['MULLER','MULLER','GARCIA','FRANCOIS','ORSTED'][CAST(c_custkey % 5 AS INT) + 1] AS clean,
+        |    ['MULLER','MÜLLER','GARCÍA','FRANÇOIS','ØRSTED'][CAST(c_custkey % 5 AS INT) + 1] AS name
+        |  FROM customer),
+        |f AS (SELECT cls, clean, name, translate(name, 'ÜÍÇØ', 'UICO') AS fold FROM t)
+        |SELECT cls, CAST(COUNT(*) AS BIGINT) AS n_names,
+        |  CAST(SUM(CASE WHEN name = clean THEN 1 ELSE 0 END) AS BIGINT) AS raw_matches,
+        |  CAST(SUM(CASE WHEN fold = clean THEN 1 ELSE 0 END) AS BIGINT) AS fold_matches
+        |FROM f GROUP BY 1 ORDER BY cls""".stripMargin,
+
+    "join_synthetic_identity" ->
+      """WITH p AS (
+        |  SELECT CASE WHEN c_custkey % 43 = 11
+        |    THEN md5('ring:' || CAST(c_custkey // 200 AS VARCHAR))
+        |    ELSE md5('ssn:' || CAST(c_custkey AS VARCHAR)) END AS ssn_token
+        |  FROM customer),
+        |g AS (SELECT ssn_token, CAST(COUNT(*) AS BIGINT) AS share_size FROM p GROUP BY 1)
+        |SELECT share_size, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(share_size) AS BIGINT) AS n_persons
+        |FROM g GROUP BY 1 ORDER BY share_size""".stripMargin,
+
+    "agg_chargeback_lag" ->
+      """WITH p AS (
+        |  SELECT user_id % 6 AS cohort,
+        |    ('0x' || substring(md5('cb:' || CAST(event_id AS VARCHAR)), 1, 6))::BIGINT % 23 = 4 AS cb,
+        |    ('0x' || substring(md5('cl:' || CAST(event_id AS VARCHAR)), 1, 6))::BIGINT % 90 AS lag_days
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT cohort, CAST(COUNT(*) AS BIGINT) AS n_purchases,
+        |  CAST(SUM(CASE WHEN cb THEN 1 ELSE 0 END) AS BIGINT) AS n_chargebacks,
+        |  CAST(SUM(CASE WHEN cb AND lag_days <= 30 THEN 1 ELSE 0 END) AS BIGINT) AS visible_at_30d,
+        |  CAST(SUM(CASE WHEN cb THEN lag_days ELSE 0 END) AS BIGINT) AS lag_mass_days,
+        |  (CAST(SUM(CASE WHEN cb AND lag_days <= 30 THEN 1 ELSE 0 END) AS BIGINT) * 1000000)
+        |    // NULLIF(CAST(SUM(CASE WHEN cb THEN 1 ELSE 0 END) AS BIGINT), 0) AS visibility_ppm
+        |FROM p GROUP BY 1 ORDER BY cohort""".stripMargin,
+
+    "agg_cohen_kappa" ->
+      """WITH t AS (
+        |  SELECT CAST(o_orderkey AS BIGINT) AS k,
+        |    ('0x' || substring(md5('an1:' || CAST(o_orderkey AS VARCHAR)), 1, 6))::BIGINT % 4 AS a,
+        |    ('0x' || substring(md5('an2:' || CAST(o_orderkey AS VARCHAR)), 1, 6))::BIGINT % 10 AS g,
+        |    ('0x' || substring(md5('an3:' || CAST(o_orderkey AS VARCHAR)), 1, 6))::BIGINT % 3 AS dr
+        |  FROM orders),
+        |x AS (
+        |  SELECT k % 3 AS cohort, a,
+        |    CASE WHEN g < 7 THEN a ELSE (a + 1 + dr) % 4 END AS b
+        |  FROM t),
+        |m AS (
+        |  SELECT cohort, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CASE WHEN a = b THEN 1 ELSE 0 END) AS BIGINT) AS agree,
+        |    CAST(SUM(CASE WHEN a = 0 THEN 1 ELSE 0 END) AS HUGEINT) * SUM(CASE WHEN b = 0 THEN 1 ELSE 0 END)
+        |      + CAST(SUM(CASE WHEN a = 1 THEN 1 ELSE 0 END) AS HUGEINT) * SUM(CASE WHEN b = 1 THEN 1 ELSE 0 END)
+        |      + CAST(SUM(CASE WHEN a = 2 THEN 1 ELSE 0 END) AS HUGEINT) * SUM(CASE WHEN b = 2 THEN 1 ELSE 0 END)
+        |      + CAST(SUM(CASE WHEN a = 3 THEN 1 ELSE 0 END) AS HUGEINT) * SUM(CASE WHEN b = 3 THEN 1 ELSE 0 END)
+        |      AS pe_num
+        |  FROM x GROUP BY 1)
+        |SELECT cohort, n, agree,
+        |  (agree * 1000000) // n AS po_ppm,
+        |  CAST((pe_num * 1000000) // (CAST(n AS HUGEINT) * n) AS BIGINT) AS pe_ppm,
+        |  CAST(((CAST(agree AS HUGEINT) * n - pe_num) * 1000000)
+        |    // (CAST(n AS HUGEINT) * n - pe_num) AS BIGINT) AS kappa_ppm
+        |FROM m ORDER BY cohort""".stripMargin,
+
+    "llm_label_noise_audit" ->
+      """WITH t AS (
+        |  SELECT doc_id % 4 AS gold,
+        |    ('0x' || substring(md5('nl:' || CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT % 100
+        |      < CASE WHEN doc_id % 4 = 3 THEN 30 ELSE 10 END AS flip,
+        |    ('0x' || substring(md5('nf:' || CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT % 3 AS dr
+        |  FROM documents),
+        |x AS (
+        |  SELECT gold, flip,
+        |    CASE WHEN NOT flip THEN gold ELSE (gold + 1 + dr) % 4 END AS obs
+        |  FROM t)
+        |SELECT gold, CAST(COUNT(*) AS BIGINT) AS n_items,
+        |  CAST(SUM(CASE WHEN flip THEN 1 ELSE 0 END) AS BIGINT) AS n_flipped,
+        |  CAST(SUM(CASE WHEN obs = 0 THEN 1 ELSE 0 END) AS BIGINT) AS obs0,
+        |  CAST(SUM(CASE WHEN obs = 1 THEN 1 ELSE 0 END) AS BIGINT) AS obs1,
+        |  CAST(SUM(CASE WHEN obs = 2 THEN 1 ELSE 0 END) AS BIGINT) AS obs2,
+        |  CAST(SUM(CASE WHEN obs = 3 THEN 1 ELSE 0 END) AS BIGINT) AS obs3,
+        |  (CAST(SUM(CASE WHEN flip THEN 1 ELSE 0 END) AS BIGINT) * 1000000)
+        |    // CAST(COUNT(*) AS BIGINT) AS noise_ppm
+        |FROM x GROUP BY 1 ORDER BY gold""".stripMargin,
+
+    "win_forgetting_score" -> {
+      def corr(e: String) =
+        s"('0x' || substring(md5('fg:' || CAST(k AS VARCHAR) || ':' || CAST($e AS VARCHAR)), 1, 6))::BIGINT % 100 < 40 + ($e) * 8"
+      s"""WITH t AS (
+         |  SELECT CAST(o_orderkey AS BIGINT) AS k FROM orders),
+         |f AS (
+         |  SELECT k % 5 AS cohort,
+         |    CAST(len(list_filter(generate_series(2, 6),
+         |      e -> (${corr("e - 1")}) AND NOT (${corr("e")}))) AS BIGINT) AS forget_events,
+         |    len(list_filter(generate_series(1, 6), e -> ${corr("e")})) > 0 AS learned
+         |  FROM t)
+         |SELECT cohort, CAST(COUNT(*) AS BIGINT) AS n_examples,
+         |  CAST(SUM(CASE WHEN NOT learned THEN 1 ELSE 0 END) AS BIGINT) AS never_learned,
+         |  CAST(SUM(CASE WHEN forget_events >= 1 THEN 1 ELSE 0 END) AS BIGINT) AS forgettable,
+         |  CAST(SUM(forget_events) AS BIGINT) AS forget_event_mass
+         |FROM f GROUP BY 1 ORDER BY cohort""".stripMargin
+    },
+
     "llm_constrained_decode_mask" ->
       """WITH st AS (
         |  SELECT CAST(o_orderkey AS BIGINT) AS k, i.range AS i,
