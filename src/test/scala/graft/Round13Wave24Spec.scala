@@ -8,21 +8,10 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class Round13Wave24Spec extends AnyFunSuite {
 
-  private lazy val spark: SparkSession = {
-    val s = SparkSession.builder()
-      .master("local[8]")
-      .appName("graft-r13w24")
-      // the shared-JVM session race: whichever suite builds the root session
-      // first must carry the build-time extensions, or GraftExtensionsSpec's
-      // config-driven assertions (and the native-function specs) lose them
-      .config("spark.sql.extensions", "graft.GraftExtensions")
-      .config("spark.sql.shuffle.partitions", "8")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    s.sparkContext.setLogLevel("WARN")
-    s
-  }
+  // the shared JVM-wide fixture session: one builder (SparkFixture)
+  // owns the root-session confs (extensions, scratch warehouse dir,
+  // derby metastore), so suite ordering can never race them
+  private def spark: SparkSession = SparkFixture.spark
   private val sf = "/root/testdata/sf0.001"
 
   test("service_concurrent_sessions: sweep conserves sessions, overlaps bound") {
