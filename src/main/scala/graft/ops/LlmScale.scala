@@ -543,8 +543,8 @@ object LlmScale {
     // run). Pure integer planning over one corpus-total scalar.
     "llm_lr_schedule_plan" -> ((s, d) => {
       val total = Tables.documents(s, d)
-        .agg(sum(size(split(col("text"), " ")).cast("decimal(38,0)"))
-          .cast("bigint")).head.getLong(0)
+        .agg(coalesce(sum(size(split(col("text"), " ")).cast("decimal(38,0)"))
+          .cast("bigint"), lit(0L))).head.getLong(0)
       val classic = s.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       import classic.implicits._
       val b1 = total * 8 / 100
@@ -904,7 +904,8 @@ object LlmScale {
           size(split(col("text"), " ")).cast("bigint").as("tok"),
           expr("CAST(conv(substring(md5(concat('split:', CAST(doc_id AS STRING))), 1, 8), 16, 10) AS BIGINT)")
             .as("u"))
-      val total = t.agg(sum(col("tok").cast("decimal(38,0)")).cast("bigint"))
+      val total = t.agg(coalesce(
+          sum(col("tok").cast("decimal(38,0)")).cast("bigint"), lit(0L)))
         .head.getLong(0)
       t.withColumn("cum", sum("tok").over(w))
         .withColumn("split",

@@ -288,7 +288,8 @@ object Round13Ops {
       // PARTITIONED row_number within each bucket — zipWithIndex as one
       // declarative plan. Same dense order as ROW_NUMBER() OVER (ORDER BY
       // task); the oracle is unchanged.
-      val maxTask = base.agg(max("task")).head.getLong(0)
+      // coalesce: total on an empty input dir (max() is null over 0 rows)
+      val maxTask = base.agg(coalesce(max("task"), lit(0L))).head.getLong(0)
       val withB = base.withColumn("bkt", expr(s"task DIV ${maxTask / 32 + 1}"))
       val wOff = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
       val offsets = withB.groupBy("bkt").agg(count(lit(1)).as("cnt"))

@@ -39,7 +39,8 @@ object Round14Ops {
     "join_identity_clusters" -> ((s, d) => {
       val p = Tables.customer(s, d)
         .select(col("c_custkey").cast("bigint").as("p"))
-      val maxP = p.agg(max("p")).head.getLong(0)
+      // coalesce: total on an empty input dir (max() is null over 0 rows)
+      val maxP = p.agg(coalesce(max("p"), lit(0L))).head.getLong(0)
       val recs = p.withColumn("sys", explode(expr("sequence(0, 2)")))
         .select((col("p") * 3 + col("sys")).as("rid"))
       val e01 = p.where(col("p") % 7 =!= 3)
@@ -163,7 +164,8 @@ object Round14Ops {
         exprs => CosineSimilarity(exprs(0), exprs(1)))
       val e = Tables.embeddings(s, d)
         .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
-      val n = e.count()
+      // max(1, n): the md5 neighbor expr takes `% n` — total on empty input
+      val n = math.max(1L, e.count())
       val probes = e.where(col("vec_id") < 10)
         .select(col("vec_id").as("probe_id"), col("emb").as("p_emb"))
       val nbrExpr =

@@ -26,15 +26,31 @@ case class DamerauLevenshtein(left: Expression, right: Expression)
   override def inputTypes: Seq[AbstractDataType] = Seq(StringType, StringType)
   override def dataType: DataType = IntegerType
   override def prettyName: String = "damerau_levenshtein"
+  // Oversized operands (> MaxOperandLength) degrade to NULL rather than
+  // failing the task — a registered session function fed free text must
+  // never abort the job on one pathological row. (DuckDB's twin is
+  // uncapped; the divergence is confined to > 1024-char operands.)
+  override def nullable: Boolean = true
 
-  override protected def nullSafeEval(a: Any, b: Any): Any =
-    DamerauLevenshtein.distance(
-      a.asInstanceOf[UTF8String].toString, b.asInstanceOf[UTF8String].toString)
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[UTF8String].toString
+    val y = b.asInstanceOf[UTF8String].toString
+    if (x.length > DamerauLevenshtein.MaxOperandLength ||
+        y.length > DamerauLevenshtein.MaxOperandLength) null
+    else DamerauLevenshtein.distance(x, y)
+  }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (x, y) =>
-      s"""${ev.value} = org.apache.spark.sql.graftbridge.DamerauLevenshtein
-         |  .distance($x.toString(), $y.toString());
+      s"""String ${ev.value}_a = $x.toString();
+         |String ${ev.value}_b = $y.toString();
+         |if (${ev.value}_a.length() > org.apache.spark.sql.graftbridge.DamerauLevenshtein.MaxOperandLength()
+         |    || ${ev.value}_b.length() > org.apache.spark.sql.graftbridge.DamerauLevenshtein.MaxOperandLength()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = org.apache.spark.sql.graftbridge.DamerauLevenshtein
+         |    .distance(${ev.value}_a, ${ev.value}_b);
+         |}
        """.stripMargin)
 
   override protected def withNewChildrenInternal(
@@ -43,10 +59,12 @@ case class DamerauLevenshtein(left: Expression, right: Expression)
 }
 
 object DamerauLevenshtein {
-  /** Hard operand-length cap: the DP is O(|a|·|b|) time and memory per ROW,
+  /** Operand-length cap: the DP is O(|a|·|b|) time and memory per ROW,
     * and `graft_damerau` is registered as a general session function — an
     * unbounded caller would pay (and possibly OOM) quadratically. 1024 chars
-    * bounds the table at ~4 MB; the graded matcher fixtures use ≤ 16. */
+    * bounds the table at ~4 MB; the graded matcher fixtures use ≤ 16.
+    * The EXPRESSION degrades oversized operands to NULL (see nullSafeEval);
+    * this direct entry point still enforces the cap for programmatic use. */
   val MaxOperandLength: Int = 1024
 
   /** Lowrance–Wagner DP over Java chars. The `da` table carries each
