@@ -18,20 +18,34 @@
 set -euo pipefail
 cd "$(dirname "$0")/.."
 
-# Coverage guard (VERDICT r13 brief item 8): the attestation must cover
-# every operator SparkEntry registers — SURVEY.md's mechanically-enforced
-# totals line (SurveyContractSpec pins it to the registry) is the cheap
-# ground truth. Post-close waves that add ops without re-attesting leave
-# bench_attestation.json short, and this refuses the close.
+# Coverage guard (VERDICT r13 brief item 8, hardened per r14 ADVICE): the
+# attestation must cover EXACTLY the operator set SparkEntry registers —
+# SURVEY.md §2's row keys (SurveyContractSpec pins them to the registry,
+# both directions) are the cheap ground truth. A count-only check missed
+# renames (add+remove keeps counts equal while a dead name lingers in the
+# attestation), so this compares the NAME SETS and refuses on any diff.
 check_coverage() {
-  local reg nq
-  reg=$(grep -oP '(?<=\*\*Totals: )\d+' SURVEY.md | head -1)
-  nq=$(python3 -c "import json; print(len(json.load(open('bench_attestation.json'))['queries']))")
-  if [[ "$nq" -lt "$reg" ]]; then
-    echo "REFUSING: bench_attestation.json covers $nq queries but SparkEntry registers $reg — re-run scripts/attest.sh" >&2
-    return 1
-  fi
-  echo "coverage guard OK: attestation covers $nq/$reg registered operators"
+  python3 - <<'PYEOF'
+import json, re, sys
+lines = open('SURVEY.md', encoding='utf-8').read().splitlines()
+s2, on = [], False
+for l in lines:
+    if l.startswith('## 2.'): on = True
+    elif l.startswith('## 3.'): on = False
+    elif on: s2.append(l)
+reg = set(m.group(1) for m in
+          (re.match(r'^\| `([a-z0-9_]+)` \|', l) for l in s2) if m)
+att = set(json.load(open('bench_attestation.json'))['queries'])
+missing = sorted(reg - att)
+extra = sorted(att - reg)
+if missing or extra:
+    print(f"REFUSING: attestation/registry name-set mismatch — "
+          f"{len(missing)} registered ops unattested {missing[:8]}, "
+          f"{len(extra)} stale attested names {extra[:8]} — "
+          f"re-run scripts/attest.sh", file=sys.stderr)
+    sys.exit(1)
+print(f"coverage guard OK: attestation name-set == all {len(reg)} registered operators")
+PYEOF
 }
 
 if [[ "${1:-}" == "--check" ]]; then
@@ -75,3 +89,20 @@ else
 fi
 
 check_coverage
+
+# Spill witness (VERDICT r14 brief item 7): the tag-excluded constrained-
+# memory suite rots silently unless something re-runs it — every close
+# does, with the heap PINNED (SPARK_DRIVER_MEM=4g -> deterministic spill
+# threshold across hosts; the spec additionally scales its key count with
+# the actual -Xmx). Spilled bytes land in /tmp/attest_spill.log for the
+# BASELINE.md close note.
+echo "=== spill witness (pinned 4g heap) ==="
+SPARK_DRIVER_MEM=4g sbt -batch \
+  'set Test / testOptions := Seq(Tests.Argument(TestFrameworks.ScalaTest, "-n", "graft.SpillWitness"))' \
+  'testOnly graft.SpillWitnessSpec' >/tmp/attest_spill.log 2>&1 || {
+    tail -20 /tmp/attest_spill.log >&2
+    echo "REFUSING: spill witness failed — see /tmp/attest_spill.log" >&2
+    exit 1
+  }
+grep -E "spilled bytes|heap " /tmp/attest_spill.log | sed 's/^\[info\] *//'
+echo "spill witness PASSED"

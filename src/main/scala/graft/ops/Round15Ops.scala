@@ -121,6 +121,161 @@ object Round15Ops {
           lit(null).cast("long").as("n_pairs"), col("value_ppm"))
       patterns.unionByName(classes).unionByName(params)
         .orderBy("kind", "key")
+    }),
+
+    // Metadata-filtered ANN — the single most common production vector
+    // query ("nearest neighbors WHERE lang = 'en'") the unfiltered family
+    // (topk / IVF / IVF+PQ / HNSW) lacked, graded as the PRE-filter vs
+    // POST-filter design decision itself: one shared IVF index (√n md5
+    // centroids over the FULL corpus — production builds one index and
+    // serves every predicate), probes search their nprobe=4 cells, and a
+    // selective predicate (vec_id % 10 = 3, the lang-tag stand-in) is
+    // applied either BEFORE the top-5 cut (pre-filter: rank only matching
+    // vectors — recall bounded by cell coverage alone) or AFTER it
+    // (post-filter: cut first, then filter — the ~90% of the top-5 that
+    // fail the predicate are simply lost). Post ⊆ pre by construction;
+    // both graded per probe against the exact FILTERED brute-force top-5
+    // (hits, returned, recall ppm). Rounded 4-dp cosines + id tie-breaks
+    // keep both engines' rankings identical; the data-scaled work is the
+    // n·√n assignment + the filtered exact scan, everything downstream is
+    // O(probes).
+    "llm_ann_filtered" -> ((s, d) => {
+      org.apache.spark.sql.graftbridge.GraftBridge.registerFunction(s,
+        "cosine_sim", exprs =>
+          org.apache.spark.sql.graftbridge.CosineSimilarity(exprs(0), exprs(1)))
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      val nTot = e.agg(count(lit(1)).cast("double").as("n_tot"))
+      val cent = e.crossJoin(broadcast(nTot))
+        .where(expr("CAST(conv(substring(md5(CAST(vec_id AS STRING)), 1, 8), 16, 10) AS BIGINT)")
+          .cast("double") < lit(4294967296.0) / sqrt(col("n_tot")))
+        .select(col("vec_id").as("cid"), col("emb").as("cemb"))
+      val wA = Window.partitionBy("vec_id").orderBy(desc("ccos"), col("cid"))
+      val assigned = e.join(broadcast(cent))
+        .withColumn("ccos", round(call_function("cosine_sim", col("emb"), col("cemb")), 4))
+        .withColumn("crn", row_number().over(wA)).where(col("crn") === 1)
+        .select(col("vec_id"), col("emb"), col("cid").as("cluster"),
+          (col("vec_id") % 10 === 3).as("pred"))
+      val probes = e.where(col("vec_id") < 10)
+        .select(col("vec_id").as("probe_id"), col("emb").as("p_emb"))
+      val wP = Window.partitionBy("probe_id").orderBy(desc("pcos"), col("cid"))
+      val cells = probes.join(broadcast(cent))
+        .withColumn("pcos", round(call_function("cosine_sim", col("p_emb"), col("cemb")), 4))
+        .withColumn("prn", row_number().over(wP)).where(col("prn") <= 4)
+        .select(col("probe_id"), col("p_emb"), col("cid").as("cluster"))
+      val wT = Window.partitionBy("probe_id").orderBy(desc("sim"), col("vec_id"))
+      val cand = cells.join(assigned, Seq("cluster"))
+        .where(col("vec_id") =!= col("probe_id"))
+        .select(col("probe_id"), col("vec_id"), col("pred"),
+          round(call_function("cosine_sim", col("p_emb"), col("emb")), 4).as("sim"))
+        .localCheckpoint() // consumed by BOTH strategies
+      val pre = cand.where(col("pred"))
+        .withColumn("r", row_number().over(wT)).where(col("r") <= 5)
+        .select("probe_id", "vec_id")
+      val post = cand.withColumn("r", row_number().over(wT)).where(col("r") <= 5)
+        .where(col("pred")).select("probe_id", "vec_id")
+      val truth = broadcast(probes)
+        .join(e.where(col("vec_id") % 10 === 3), col("vec_id") =!= col("probe_id"))
+        .select(col("probe_id"), col("vec_id"),
+          round(call_function("cosine_sim", col("p_emb"), col("emb")), 4).as("sim"))
+        .withColumn("r", row_number().over(wT)).where(col("r") <= 5)
+        .select("probe_id", "vec_id")
+        .localCheckpoint() // consumed by both grade joins
+      val nTruth = truth.groupBy("probe_id").agg(count(lit(1)).as("n_truth"))
+      def grade(strategy: String, found: DataFrame): DataFrame =
+        probes.select("probe_id")
+          .join(found.groupBy("probe_id").agg(count(lit(1)).as("ret0")),
+            Seq("probe_id"), "left")
+          .join(found.join(truth, Seq("probe_id", "vec_id"), "left_semi")
+            .groupBy("probe_id").agg(count(lit(1)).as("hit0")),
+            Seq("probe_id"), "left")
+          .join(nTruth, Seq("probe_id"), "left")
+          .select(lit(strategy).as("strategy"), col("probe_id"),
+            coalesce(col("ret0"), lit(0L)).as("n_returned"),
+            coalesce(col("hit0"), lit(0L)).as("n_hits"),
+            coalesce(col("n_truth"), lit(0L)).as("n_truth"))
+          .withColumn("recall_ppm",
+            expr("(n_hits * 1000000) DIV NULLIF(n_truth, 0)"))
+      grade("pre_filter", pre).unionByName(grade("post_filter", post))
+        .orderBy("strategy", "probe_id")
+    }),
+
+    // Incremental entity resolution — the serving half join_identity_clusters
+    // (batch-only) lacked: a PERSISTED golden-record index (one cluster per
+    // person, parquet lifecycle like llm_dedup_incremental's LSH index), an
+    // arriving batch linked by BLOCKING + Fellegi–Sunter score against only
+    // its block's candidates, existing cluster ids assigned on a match and
+    // new ids minted DETERMINISTICALLY (2·10⁹ + person key) on a miss, and
+    // the merged index written back. The batch plants both dispositions:
+    // re-observations (even keys of the 1-in-23 slice, city/yob drifted —
+    // name agreement alone clears the ≥120 déciban bar, so every one links
+    // to its true cluster) and genuinely new persons (odd keys, an unseen
+    // 'newp_' block → zero candidates → minted). The op then RE-RUNS the
+    // same batch against the merged index and grades idempotence in-band:
+    // re-observations still link, minted records now match themselves at
+    // the full 420 score — rerun_minted must be 0. Cost per batch is
+    // O(batch × block) at any corpus size; the full-corpus work is the one
+    // index write.
+    "join_er_incremental" -> ((s, d) => {
+      val base = Tables.customer(s, d)
+        .select(col("c_custkey").cast("bigint").as("k"),
+          col("c_nationkey").cast("bigint").as("city0"))
+        .withColumn("name",
+          concat(lit("cust_"), lpad(col("k").cast("string"), 7, "0")))
+        .withColumn("yob0", lit(1950L) + col("k") % 50)
+        .withColumn("block", substring(col("name"), 1, 11))
+      val idxDir = Scratch.opDir("er_idx", d)
+      base.select(col("k").as("cluster_id"), col("name"),
+          col("city0").as("city"), col("yob0").as("yob"), col("block"))
+        .write.mode("overwrite").parquet(idxDir)
+      val idx0 = s.read.parquet(idxDir)
+      val batch = base.where(col("k") % 23 === 7)
+        .select(col("k"),
+          when(col("k") % 2 === 0, col("name"))
+            .otherwise(concat(lit("newp_"), lpad(col("k").cast("string"), 7, "0")))
+            .as("bname"),
+          when(col("k") % 2 === 0 && col("k") % 15 === 2, (col("city0") + 1) % 25)
+            .otherwise(col("city0")).as("bcity"),
+          when(col("k") % 2 === 0 && col("k") % 9 === 5, col("yob0") + 1)
+            .otherwise(col("yob0")).as("byob"))
+        .withColumn("bblock", substring(col("bname"), 1, 11))
+        .localCheckpoint() // two link passes fold over it
+      def linkPass(index: DataFrame): DataFrame = {
+        val w = Window.partitionBy("k")
+          .orderBy(desc_nulls_last("score"), asc_nulls_last("cluster_id"))
+        batch.join(index, col("bblock") === col("block"), "left")
+          .withColumn("score",
+            when(col("cluster_id").isNull, lit(null).cast("long"))
+              .otherwise(
+                when(col("bname") === col("name"), 240L).otherwise(-120L) +
+                  when(col("bcity") === col("city"), 80L).otherwise(-40L) +
+                  when(col("byob") === col("yob"), 100L).otherwise(-60L)))
+          .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+          .select(col("k"), col("bname"), col("bcity"), col("byob"), col("bblock"),
+            when(col("score") >= 120L, col("cluster_id")).as("linked_cluster"),
+            when(col("score") >= 120L, col("score")).as("lscore"))
+      }
+      val pass1 = linkPass(idx0).localCheckpoint()
+      val minted = pass1.where(col("linked_cluster").isNull)
+        .select((col("k") + 2000000000L).as("cluster_id"), col("bname").as("name"),
+          col("bcity").as("city"), col("byob").as("yob"), col("bblock").as("block"))
+      val idx2Dir = Scratch.opDir("er_idx_merged", d)
+      idx0.unionByName(minted).write.mode("overwrite").parquet(idx2Dir)
+      val idx2 = s.read.parquet(idx2Dir)
+      val pass2 = linkPass(idx2).localCheckpoint()
+      def stat(step: String, df: DataFrame, massCol: Option[String]): DataFrame =
+        df.agg(count(lit(1)).as("n"),
+            massCol.map(c => coalesce(sum(col(c)), lit(0L)))
+              .getOrElse(lit(null).cast("long")).as("score_mass"))
+          .select(lit(step).as("step"), col("n"), col("score_mass"))
+      stat("01_clusters_before", idx0, None)
+        .unionByName(stat("02_batch", batch, None))
+        .unionByName(stat("03_linked", pass1.where(col("linked_cluster").isNotNull), Some("lscore")))
+        .unionByName(stat("04_minted", pass1.where(col("linked_cluster").isNull), None))
+        .unionByName(stat("05_clusters_after", idx2, None))
+        .unionByName(stat("06_rerun_linked", pass2.where(col("linked_cluster").isNotNull), Some("lscore")))
+        .unionByName(stat("07_rerun_minted", pass2.where(col("linked_cluster").isNull), None))
+        .orderBy("step")
     })
   )
 
@@ -181,7 +336,67 @@ object Round15Ops {
        |      // SUM(cnt * (1000000 - r)) AS BIGINT) AS uy
        |  FROM $e)""".stripMargin
 
+  /** One blocked FS link pass of the join_er_incremental oracle against
+    * the index CTE `idx`: best block candidate per batch record, link at
+    * score ≥ 120, else leave NULL (→ mint). Mirrors the Spark linkPass. */
+  private def erLinkPassSql(out: String, idx: String): String =
+    s"""$out AS (
+       |  SELECT k, bname, bcity, byob, bblock,
+       |    CASE WHEN score >= 120 THEN cluster_id END AS linked_cluster,
+       |    CASE WHEN score >= 120 THEN score END AS lscore
+       |  FROM (
+       |    SELECT b.k, b.bname, b.bcity, b.byob, b.bblock, i.cluster_id,
+       |      CASE WHEN i.cluster_id IS NULL THEN NULL
+       |        ELSE (CASE WHEN b.bname = i.name THEN 240 ELSE -120 END
+       |            + CASE WHEN b.bcity = i.city THEN 80 ELSE -40 END
+       |            + CASE WHEN b.byob = i.yob THEN 100 ELSE -60 END) END AS score,
+       |      ROW_NUMBER() OVER (PARTITION BY b.k ORDER BY
+       |        CASE WHEN i.cluster_id IS NULL THEN NULL
+       |          ELSE (CASE WHEN b.bname = i.name THEN 240 ELSE -120 END
+       |              + CASE WHEN b.bcity = i.city THEN 80 ELSE -40 END
+       |              + CASE WHEN b.byob = i.yob THEN 100 ELSE -60 END) END DESC NULLS LAST,
+       |        i.cluster_id ASC NULLS LAST) AS rn
+       |    FROM b2 b LEFT JOIN $idx i ON b.bblock = i.block) q
+       |  WHERE rn = 1)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "join_er_incremental" ->
+      s"""WITH base AS (
+         |  SELECT CAST(c_custkey AS BIGINT) AS k,
+         |    CAST(c_nationkey AS BIGINT) AS city0,
+         |    'cust_' || lpad(CAST(c_custkey AS VARCHAR), 7, '0') AS name,
+         |    1950 + CAST(c_custkey AS BIGINT) % 50 AS yob0
+         |  FROM customer),
+         |idx0 AS (SELECT k AS cluster_id, name, city0 AS city, yob0 AS yob,
+         |    substring(name, 1, 11) AS block FROM base),
+         |batch AS (
+         |  SELECT k,
+         |    CASE WHEN k % 2 = 0 THEN name
+         |      ELSE 'newp_' || lpad(CAST(k AS VARCHAR), 7, '0') END AS bname,
+         |    CASE WHEN k % 2 = 0 AND k % 15 = 2 THEN (city0 + 1) % 25 ELSE city0 END AS bcity,
+         |    CASE WHEN k % 2 = 0 AND k % 9 = 5 THEN yob0 + 1 ELSE yob0 END AS byob
+         |  FROM base WHERE k % 23 = 7),
+         |b2 AS (SELECT k, bname, bcity, byob, substring(bname, 1, 11) AS bblock FROM batch),
+         |${erLinkPassSql("p1", "idx0")},
+         |minted AS (SELECT k + 2000000000 AS cluster_id, bname AS name,
+         |    bcity AS city, byob AS yob, bblock AS block
+         |  FROM p1 WHERE linked_cluster IS NULL),
+         |idx2 AS (SELECT * FROM idx0 UNION ALL SELECT * FROM minted),
+         |${erLinkPassSql("p2", "idx2")}
+         |SELECT step, n, score_mass FROM (
+         |  SELECT '01_clusters_before' AS step, CAST(COUNT(*) AS BIGINT) AS n,
+         |    CAST(NULL AS BIGINT) AS score_mass FROM idx0
+         |  UNION ALL SELECT '02_batch', CAST(COUNT(*) AS BIGINT), CAST(NULL AS BIGINT) FROM b2
+         |  UNION ALL SELECT '03_linked', CAST(COUNT(*) AS BIGINT),
+         |    CAST(coalesce(SUM(lscore), 0) AS BIGINT) FROM p1 WHERE linked_cluster IS NOT NULL
+         |  UNION ALL SELECT '04_minted', CAST(COUNT(*) AS BIGINT), CAST(NULL AS BIGINT)
+         |    FROM p1 WHERE linked_cluster IS NULL
+         |  UNION ALL SELECT '05_clusters_after', CAST(COUNT(*) AS BIGINT), CAST(NULL AS BIGINT) FROM idx2
+         |  UNION ALL SELECT '06_rerun_linked', CAST(COUNT(*) AS BIGINT),
+         |    CAST(coalesce(SUM(lscore), 0) AS BIGINT) FROM p2 WHERE linked_cluster IS NOT NULL
+         |  UNION ALL SELECT '07_rerun_minted', CAST(COUNT(*) AS BIGINT), CAST(NULL AS BIGINT)
+         |    FROM p2 WHERE linked_cluster IS NULL
+         |) ORDER BY step""".stripMargin,
     "join_fs_em_weights" -> {
       val init = """p0 AS (SELECT CAST(500000 AS BIGINT) AS pi,
                    |  CAST(800000 AS BIGINT) AS mn, CAST(800000 AS BIGINT) AS mc,
@@ -216,6 +431,74 @@ object Round15Ops {
          |    ('pi', pi), ('m_name', mn), ('m_city', mc), ('m_yob', my),
          |    ('u_name', un), ('u_city', uc), ('u_yob', uy)) AS u(key, value_ppm)
          |) ORDER BY kind, key""".stripMargin
-    }
+    },
+
+    "llm_ann_filtered" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |st AS (SELECT COUNT(*) AS n_tot FROM e),
+        |cent AS (SELECT vec_id AS cid, emb AS cemb FROM e, st
+        |         WHERE ('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT * 1.0
+        |               < 4294967296.0 / sqrt(n_tot * 1.0)),
+        |assigned AS (
+        |  SELECT vec_id, emb, cluster, vec_id % 10 = 3 AS pred FROM (
+        |    SELECT e.vec_id, e.emb, c.cid AS cluster,
+        |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+        |        ORDER BY ROUND(list_cosine_similarity(e.emb, c.cemb), 4) DESC, c.cid) AS crn
+        |    FROM e CROSS JOIN cent c)
+        |  WHERE crn = 1),
+        |probes AS (SELECT vec_id AS probe_id, emb AS p_emb FROM e WHERE vec_id < 10),
+        |cells AS (
+        |  SELECT probe_id, p_emb, cluster FROM (
+        |    SELECT p.probe_id, p.p_emb, c.cid AS cluster,
+        |      ROW_NUMBER() OVER (PARTITION BY p.probe_id
+        |        ORDER BY ROUND(list_cosine_similarity(p.p_emb, c.cemb), 4) DESC, c.cid) AS prn
+        |    FROM probes p CROSS JOIN cent c)
+        |  WHERE prn <= 4),
+        |cand AS (
+        |  SELECT ce.probe_id, a.vec_id, a.pred,
+        |    ROUND(list_cosine_similarity(ce.p_emb, a.emb), 4) AS sim
+        |  FROM cells ce JOIN assigned a ON ce.cluster = a.cluster
+        |  WHERE a.vec_id <> ce.probe_id),
+        |pre AS (
+        |  SELECT probe_id, vec_id FROM (
+        |    SELECT probe_id, vec_id,
+        |      ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY sim DESC, vec_id) AS r
+        |    FROM cand WHERE pred) q WHERE r <= 5),
+        |post AS (
+        |  SELECT probe_id, vec_id FROM (
+        |    SELECT probe_id, vec_id, pred,
+        |      ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY sim DESC, vec_id) AS r
+        |    FROM cand) q WHERE r <= 5 AND pred),
+        |truth AS (
+        |  SELECT probe_id, vec_id FROM (
+        |    SELECT p.probe_id, e.vec_id,
+        |      ROW_NUMBER() OVER (PARTITION BY p.probe_id
+        |        ORDER BY ROUND(list_cosine_similarity(p.p_emb, e.emb), 4) DESC, e.vec_id) AS r
+        |    FROM probes p JOIN e ON e.vec_id % 10 = 3 AND e.vec_id <> p.probe_id) q
+        |  WHERE r <= 5),
+        |nt AS (SELECT probe_id, CAST(COUNT(*) AS BIGINT) AS n_truth FROM truth GROUP BY 1),
+        |grade AS (
+        |  SELECT s.strategy, p.probe_id,
+        |    CAST(coalesce(f.ret, 0) AS BIGINT) AS n_returned,
+        |    CAST(coalesce(h.hits, 0) AS BIGINT) AS n_hits,
+        |    CAST(coalesce(nt.n_truth, 0) AS BIGINT) AS n_truth
+        |  FROM probes p
+        |  CROSS JOIN (VALUES ('pre_filter'), ('post_filter')) AS s(strategy)
+        |  LEFT JOIN (
+        |    SELECT 'pre_filter' AS strategy, probe_id, COUNT(*) AS ret FROM pre GROUP BY 2
+        |    UNION ALL
+        |    SELECT 'post_filter' AS strategy, probe_id, COUNT(*) AS ret FROM post GROUP BY 2
+        |  ) f ON f.strategy = s.strategy AND f.probe_id = p.probe_id
+        |  LEFT JOIN (
+        |    SELECT 'pre_filter' AS strategy, x.probe_id, COUNT(*) AS hits
+        |    FROM pre x JOIN truth t ON t.probe_id = x.probe_id AND t.vec_id = x.vec_id GROUP BY 2
+        |    UNION ALL
+        |    SELECT 'post_filter' AS strategy, x.probe_id, COUNT(*) AS hits
+        |    FROM post x JOIN truth t ON t.probe_id = x.probe_id AND t.vec_id = x.vec_id GROUP BY 2
+        |  ) h ON h.strategy = s.strategy AND h.probe_id = p.probe_id
+        |  LEFT JOIN nt ON nt.probe_id = p.probe_id)
+        |SELECT strategy, probe_id, n_returned, n_hits, n_truth,
+        |  (n_hits * 1000000) // NULLIF(n_truth, 0) AS recall_ppm
+        |FROM grade ORDER BY strategy, probe_id""".stripMargin
   )
 }

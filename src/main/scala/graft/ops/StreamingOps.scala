@@ -502,6 +502,48 @@ object StreamingOps {
         .orderBy("part")
     }),
 
+    // Sanctions screening at ARRIVAL time — join_sanctions_screen's KYC
+    // gate moved onto the event stream: arriving principals (watermarked
+    // event time) broadcast-joined against the static 6-name watchlist
+    // blocked on first letter, matched at levenshtein ≤ 1 — exact hits,
+    // typo'd true hits (SMYTH→SMITH, JOHNSON→JONSON) land in the clerical
+    // queue as they arrive; off-block and distance-2+ names never emit.
+    // Stream-static inner join holds no state (the static side is
+    // broadcast per micro-batch), so the watermark only bounds lateness —
+    // the streaming tax is one projection + one broadcast probe per batch
+    // at any scale. Golden-sink oracle (VALUES literal).
+    "stream_sanctions_screen" -> ((s, d) => runStream(s) { (ms, sink) =>
+      val classic = s.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      import classic.implicits._
+      val pool = array(lit("SMITH"), lit("SMYTH"), lit("SCHMIDT"),
+        lit("JOHNSON"), lit("JONSON"), lit("MEYER"), lit("MAYER"),
+        lit("BROWN"), lit("BRAUN"), lit("TAYLOR"), lit("WALKER"),
+        lit("HARRIS"))
+      val wl = Seq("SMITH", "BRAUN", "MEYER", "HARRIS", "WALKER", "JONSON")
+        .toDF("wl_name").withColumn("wblk", substring(col("wl_name"), 1, 1))
+      val q = ms.toDF()
+        .withWatermark("ts", "10 minutes")
+        .withColumn("surname",
+          element_at(pool, (col("user_id") % 12 + 1).cast("int")))
+        .withColumn("blk", substring(col("surname"), 1, 1))
+        .join(broadcast(wl), col("blk") === col("wblk"))
+        .withColumn("dist", levenshtein(col("surname"), col("wl_name")))
+        .where(col("dist") <= 1)
+        .select(col("event_id"), col("user_id"), col("surname"),
+          col("wl_name"), col("dist"))
+        .writeStream.format("memory").queryName(sink).outputMode("append").start()
+      ms.addData(
+        SEvent(1, Timestamp.valueOf("2024-01-01 10:00:00"), 0, "signup", 1.0), // SMITH exact
+        SEvent(2, Timestamp.valueOf("2024-01-01 10:01:00"), 1, "signup", 1.0), // SMYTH→SMITH d1
+        SEvent(3, Timestamp.valueOf("2024-01-01 10:02:00"), 2, "signup", 1.0), // SCHMIDT: d≥2, silent
+        SEvent(4, Timestamp.valueOf("2024-01-01 10:03:00"), 3, "signup", 1.0), // JOHNSON→JONSON d1
+        SEvent(5, Timestamp.valueOf("2024-01-01 10:04:00"), 5, "signup", 1.0), // MEYER exact
+        SEvent(6, Timestamp.valueOf("2024-01-01 10:05:00"), 9, "signup", 1.0), // TAYLOR: no T block
+        SEvent(7, Timestamp.valueOf("2024-01-01 10:06:00"), 8, "signup", 1.0)) // BRAUN exact
+      q.processAllAvailable()
+      q.stop()
+    }),
+
     "stream_static_join" -> ((s, d) => runStream(s) { (ms, sink) =>
       val classic = s.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       import classic.implicits._
@@ -1326,6 +1368,17 @@ object StreamingOps {
         |FROM (VALUES ('click', 1, 200, 1), ('purchase', 1, 400, 1), ('view', 2, 400, 2))
         |  AS t(event_type, n, cents, n_batches)
         |ORDER BY event_type""".stripMargin,
+
+    // Golden sink: SMITH/BRAUN/MEYER exact, SMYTH→SMITH and JOHNSON→JONSON
+    // at distance 1; SCHMIDT (d≥2) and TAYLOR (no T block) never emit.
+    "stream_sanctions_screen" ->
+      """SELECT CAST(event_id AS BIGINT) AS event_id, CAST(user_id AS BIGINT) AS user_id,
+        |  surname, wl_name, CAST(dist AS INT) AS dist
+        |FROM (VALUES (1, 0, 'SMITH', 'SMITH', 0), (2, 1, 'SMYTH', 'SMITH', 1),
+        |             (4, 3, 'JOHNSON', 'JONSON', 1), (5, 5, 'MEYER', 'MEYER', 0),
+        |             (7, 8, 'BRAUN', 'BRAUN', 0))
+        |  AS t(event_id, user_id, surname, wl_name, dist)
+        |ORDER BY event_id""".stripMargin,
 
     "stream_static_join" ->
       """SELECT CAST(event_id AS BIGINT) AS event_id, CAST(user_id AS BIGINT) AS user_id,

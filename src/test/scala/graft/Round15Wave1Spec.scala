@@ -64,4 +64,29 @@ class Round15Wave1Spec extends AnyFunSuite {
       if (r.getString(1) == "000") assert(v < 100000L, s"000 r=$v")
     }
   }
+
+  test("llm_ann_filtered: post-filter recall never beats pre-filter, bounds hold") {
+    val rows = SparkEntry.queries("llm_ann_filtered")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val byStrat = rows.groupBy(_.getString(0))
+    assert(byStrat.keySet == Set("pre_filter", "post_filter"))
+    // 10 probes per strategy, each graded against the same filtered truth
+    assert(byStrat("pre_filter").length == byStrat("post_filter").length)
+    val pre = byStrat("pre_filter").map(r => r.getLong(1) -> r).toMap
+    byStrat("post_filter").foreach { r =>
+      val p = pre(r.getLong(1))
+      // post ⊆ pre by construction → per-probe hits can never exceed
+      assert(r.getLong(3) <= p.getLong(3),
+        s"probe ${r.getLong(1)}: post hits ${r.getLong(3)} > pre ${p.getLong(3)}")
+      assert(r.getLong(2) <= 5L && r.getLong(3) <= r.getLong(2))
+      assert(p.getLong(2) <= 5L && p.getLong(3) <= p.getLong(2))
+    }
+    // the strategy gap is the whole point: pre-filter must find strictly
+    // more across the probe set (the predicate keeps only ~10% of each
+    // unfiltered top-5)
+    val preHits = byStrat("pre_filter").map(_.getLong(3)).sum
+    val postHits = byStrat("post_filter").map(_.getLong(3)).sum
+    assert(preHits > postHits, s"pre=$preHits post=$postHits")
+    assert(preHits >= 1L)
+  }
 }

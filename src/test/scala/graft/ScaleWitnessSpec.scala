@@ -296,6 +296,51 @@ class ScaleWitnessSpec extends AnyFunSuite {
       scala.jdk.CollectionConverters.SeqHasAsJava(lines).asJava)
   }
 
+  /** Persons-only corpus for the identity-stack witnesses: the op reads
+    * just `customer`, and the shared ScaleCorpus customer table is fixed
+    * at 1000 rows — these dirs scale it with the tier instead. */
+  private def personsDir(n: Long): String = {
+    val dir = s"${graft.ops.Scratch.dir}/scale_persons_$n"
+    val done = java.nio.file.Paths.get(dir, "_DONE")
+    if (!java.nio.file.Files.exists(done)) {
+      spark.range(1, n + 1, 1, 32)
+        .select(col("id").as("c_custkey"), (col("id") % 25).cast("int").as("c_nationkey"))
+        .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+      java.nio.file.Files.createFile(done)
+    }
+    dir
+  }
+
+  test("round-15 heavy shapes measured near-linear across 10^4..10^6 rows", ScaleWitness) {
+    // identity-graph clustering: 6 synchronous min-label join rounds over
+    // bounded-diameter components — each round is one edges⋈labels
+    // shuffle, so the whole walk is a constant number of linear passes
+    val pdirs = Seq(10000L, 100000L, 1000000L).map(personsDir)
+    SparkEntry.queries("join_identity_clusters")(spark, pdirs.head).count()
+    val tsClusters = pdirs.map(d =>
+      time { SparkEntry.queries("join_identity_clusters")(spark, d).count() })
+    val slC = slope(tsClusters)
+    info(f"join_identity_clusters t=${tsClusters.map(t => f"$t%.1f").mkString("/")}s slope=$slC%.2f (max 1.4)")
+    assert(slC < 1.4,
+      f"join_identity_clusters runtime slope $slC%.2f exceeds 1.4 (times ${tsClusters.mkString(", ")})")
+
+    // filtered ANN: same IVF Θ(n·√n) assignment law as llm_sim_ann /
+    // llm_ann_ivf_pq — bound at the analytic exponent, not at linear
+    val results = Seq("llm_ann_filtered" -> 1.8).map { case (op, maxSlope) =>
+      val ts = timeTiers(op)
+      val sl = slope(ts)
+      info(f"$op%-22s t=${ts.map(t => f"$t%.1f").mkString("/")}s slope=$sl%.2f (max $maxSlope)")
+      assert(sl < maxSlope,
+        f"$op runtime slope $sl%.2f exceeds $maxSlope (times ${ts.mkString(", ")})")
+      op -> ts
+    }
+    val lines = (("join_identity_clusters" -> tsClusters) +: results).map { case (op, ts) =>
+      f"| `$op` | ${ts(0)}%.1f | ${ts(1)}%.1f | ${ts(2)}%.1f | ${slope(ts)}%.2f |"
+    }
+    java.nio.file.Files.write(java.nio.file.Paths.get("/tmp/scale_witness_r15.md"),
+      scala.jdk.CollectionConverters.SeqHasAsJava(lines).asJava)
+  }
+
   test("LSH band buckets hold their occupancy bounds at the largest tier", ScaleWitness) {
     val big = dirs(2)
     // SRP-LSH over 10^5 vectors: 8 bands × 16 bits → 2^16 values per band,

@@ -52,7 +52,15 @@ class SpillWitnessSpec extends AnyFunSuite {
             spilledBytes += m.memoryBytesSpilled + m.diskBytesSpilled
         }
       })
-      val n = 6000000L
+      // Heap-proportional key count (r14 ADVICE: the fixed 6M was
+      // environment-sensitive — a roomy heap might not spill): per task
+      // the hash table must exceed the 0.08-fraction execution share at
+      // ANY heap, so size it off the actual -Xmx. 1600 keys/heap-MB →
+      // ~2× the per-task execution memory in 32-char md5 keys. attest.sh
+      // additionally pins SPARK_DRIVER_MEM=4g for stable wall-clock.
+      val heapMb = Runtime.getRuntime.maxMemory() / (1024L * 1024L)
+      val n = math.max(6000000L, heapMb * 1600L)
+      info(s"heap ${heapMb}MB -> $n keys")
       val agg = s.range(0, n, 1, 16)
         .select(md5(concat(lit("spill:"), col("id").cast("string"))).as("k"))
         .groupBy("k").agg(count(lit(1)).as("c"))
