@@ -276,6 +276,173 @@ object Round15Ops {
         .unionByName(stat("06_rerun_linked", pass2.where(col("linked_cluster").isNotNull), Some("lscore")))
         .unionByName(stat("07_rerun_minted", pass2.where(col("linked_cluster").isNull), None))
         .orderBy("step")
+    }),
+
+    // Hierarchical (multi-layer) HNSW — the upper layers llm_ann_hnsw's
+    // single-layer NSW lacked (round-14 "What's missing" #4): layer
+    // membership by id stride (L2 = ids ≡ 0 mod 16, L1 = mod 4, L0 = all
+    // — deterministic AND dense, so the j-th md5 neighbor is direct
+    // arithmetic `stride · (h % layer_count)`, no member-ranking join at
+    // any scale), one greedy hop per upper layer to pick the next layer's
+    // entry, then the standard beam-8 2-hop search at L0. The sparse
+    // upper layers replace the fixed entry point with a probe-adapted one
+    // — the hop-count bound that matters at 10⁹ vectors. Graded per
+    // probe: the L0 entry the descent chose, candidates visited, and
+    // recall@5 vs the exact scan; rounded sims + id tie-breaks keep both
+    // engines' descents identical. Data-scaled work is the exact-scan
+    // recall baseline; the search itself is O(probes · beam · degree).
+    "llm_ann_hnsw_layered" -> ((s, d) => {
+      org.apache.spark.sql.graftbridge.GraftBridge.registerFunction(s,
+        "cosine_sim", exprs =>
+          org.apache.spark.sql.graftbridge.CosineSimilarity(exprs(0), exprs(1)))
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      val n = math.max(1L, e.count())
+      val n2 = (n + 15) / 16
+      val n1 = (n + 3) / 4
+      val probes = e.where(col("vec_id") < 10)
+        .select(col("vec_id").as("probe_id"), col("emb").as("p_emb"))
+      def expand(beam: DataFrame, layer: Int, cnt: Long, stride: Long, deg: Int): DataFrame =
+        beam.select(col("probe_id"), col("node"))
+          .withColumn("j", explode(expr(s"sequence(0, ${deg - 1})")))
+          .withColumn("v", expr(
+            s"$stride * (CAST(conv(substring(md5(concat('hl$layer:', CAST(node AS STRING), ':', CAST(j AS STRING))), 1, 8), 16, 10) AS BIGINT) % $cnt)"))
+          .select(col("probe_id"),
+            when(col("v") === col("node"),
+              expr(s"$stride * ((node DIV $stride + 1) % $cnt)"))
+              .otherwise(col("v")).as("node"))
+          .unionByName(beam.select("probe_id", "node"))
+          .distinct()
+      def score(cand: DataFrame): DataFrame =
+        e.join(broadcast(cand), e("vec_id") === cand("node"))
+          .join(broadcast(probes), Seq("probe_id"))
+          .where(col("vec_id") =!= col("probe_id"))
+          .select(col("probe_id"), col("node"),
+            round(call_function("cosine_sim", col("p_emb"), col("emb")), 4).as("sim"))
+      val wB = Window.partitionBy("probe_id").orderBy(desc("sim"), col("node"))
+      def top(scored: DataFrame, k: Int): DataFrame =
+        scored.withColumn("r", row_number().over(wB)).where(col("r") <= k)
+          .select("probe_id", "node")
+      val entry = probes.select(col("probe_id"), lit(0L).as("node"))
+      val s2u = score(expand(entry, 2, n2, 16L, 4)).localCheckpoint()
+      val b2 = top(s2u, 1)
+      val s1u = score(expand(b2, 1, n1, 4L, 4)).localCheckpoint()
+      val b1 = top(s1u, 1).localCheckpoint() // the L0 entry, also graded
+      val t1 = score(expand(b1, 0, n, 1L, 8)).localCheckpoint()
+      val t2 = score(expand(top(t1, 8), 0, n, 1L, 8)).localCheckpoint()
+      val visited = s2u.unionByName(s1u).unionByName(t1).unionByName(t2)
+        .groupBy("probe_id", "node").agg(max("sim").as("sim"))
+      val found5 = top(visited, 5)
+      val exact5 = top(broadcast(probes)
+        .join(e, col("vec_id") =!= col("probe_id"))
+        .select(col("probe_id"), col("vec_id").as("node"),
+          round(call_function("cosine_sim", col("p_emb"), col("emb")), 4).as("sim")), 5)
+      val hits = exact5
+        .join(found5.withColumn("hit", lit(1L)), Seq("probe_id", "node"), "left")
+        .groupBy("probe_id").agg(sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+      visited.groupBy("probe_id").agg(count(lit(1)).as("n_visited"))
+        .join(b1.select(col("probe_id"), col("node").as("entry_l0")), Seq("probe_id"))
+        .join(hits, Seq("probe_id"))
+        .select(col("probe_id"), col("entry_l0"), col("n_visited"), col("n_hits"),
+          expr("n_hits * 200000").as("recall_ppm"))
+        .orderBy("probe_id")
+    }),
+
+    // Nickname canonicalization — the name-standardization step every
+    // person matcher runs BEFORE blocking (BILL and WILLIAM must block
+    // together or the matcher never sees the pair): a 12-entry authored
+    // nickname→canonical table (broadcast — real deployments use the
+    // ~1000-row pccc/HDI lists) resolves an 18-way raw-name plant (6
+    // canonicals + their 12 nicknames) via one left join; unresolved raws
+    // pass through as their own canonical. Census per canonical: records,
+    // nickname-resolved records, distinct raw spellings unified — the
+    // block-key consolidation the table buys. Linear projection +
+    // broadcast join + rollup.
+    "fn_nickname_resolve" -> ((s, d) => {
+      val pool = array(lit("WILLIAM"), lit("BILL"), lit("WILL"),
+        lit("ROBERT"), lit("BOB"), lit("ROB"),
+        lit("MARGARET"), lit("PEGGY"), lit("MEG"),
+        lit("JOHN"), lit("JACK"), lit("JOHNNY"),
+        lit("ELIZABETH"), lit("BETH"), lit("LIZ"),
+        lit("KATHERINE"), lit("KATE"), lit("KITTY"))
+      val nicks = s.range(1).select(explode(array(
+        struct(lit("BILL").as("nick"), lit("WILLIAM").as("canon")),
+        struct(lit("WILL").as("nick"), lit("WILLIAM").as("canon")),
+        struct(lit("BOB").as("nick"), lit("ROBERT").as("canon")),
+        struct(lit("ROB").as("nick"), lit("ROBERT").as("canon")),
+        struct(lit("PEGGY").as("nick"), lit("MARGARET").as("canon")),
+        struct(lit("MEG").as("nick"), lit("MARGARET").as("canon")),
+        struct(lit("JACK").as("nick"), lit("JOHN").as("canon")),
+        struct(lit("JOHNNY").as("nick"), lit("JOHN").as("canon")),
+        struct(lit("BETH").as("nick"), lit("ELIZABETH").as("canon")),
+        struct(lit("LIZ").as("nick"), lit("ELIZABETH").as("canon")),
+        struct(lit("KATE").as("nick"), lit("KATHERINE").as("canon")),
+        struct(lit("KITTY").as("nick"), lit("KATHERINE").as("canon")))).as("m"))
+        .select(col("m.nick").as("nick"), col("m.canon").as("canon"))
+      Tables.customer(s, d)
+        .select(col("c_custkey").cast("bigint").as("k"))
+        .withColumn("raw", element_at(pool, (col("k") % 18 + 1).cast("int")))
+        .join(broadcast(nicks), col("raw") === col("nick"), "left")
+        .withColumn("canonical", coalesce(col("canon"), col("raw")))
+        .groupBy("canonical")
+        .agg(count(lit(1)).as("n_records"),
+          sum(when(col("canon").isNotNull, 1L).otherwise(0L)).as("n_from_nick"),
+          countDistinct("raw").as("n_spellings"))
+        .orderBy("canonical")
+    }),
+
+    // Money-mule network detection — the AML graph screen beside
+    // agg_txn_structuring (amounts) and join_sanctions_screen (names):
+    // organic payments fan out user → unique md5 account, but a planted
+    // 1-in-29 slice routes through THREE mule accounts (fan-IN from many
+    // payers) which forward every cent to 5 md5 cashout accounts
+    // (fan-OUT) — the in≥3 AND out≥2 conjunction is impossible for
+    // organic accounts by construction (payers never receive, sinks
+    // never send), so the flag has zero false positives at every scale.
+    // Per account class: accounts, in/out edge mass in exact cents (the
+    // mule pass-through conserves: mule in_mass == out_mass, asserted in
+    // the wave spec), max degrees. Two degree rollups + one full outer
+    // join — linear, no pairwise graph work.
+    "join_mule_network" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("user_id"))
+        .withColumn("cents", expr(
+          "CAST(conv(substring(md5(concat('amt:', CAST(event_id AS STRING))), 1, 6), 16, 10) AS BIGINT) % 100000"))
+      val organic = ev.where(col("event_id") % 29 =!= 11)
+        .select(concat(lit("u"), col("user_id").cast("string")).as("src"),
+          expr("md5(concat('org:', CAST(event_id AS STRING)))").as("dst"),
+          col("cents"))
+      val planted = ev.where(col("event_id") % 29 === 11)
+      val inflow = planted
+        .select(concat(lit("u"), col("user_id").cast("string")).as("src"),
+          concat(lit("mule"), (col("event_id") % 3).cast("string")).as("dst"),
+          col("cents"))
+      val outflow = planted
+        .select(concat(lit("mule"), (col("event_id") % 3).cast("string")).as("src"),
+          expr("md5(concat('cash:', CAST(event_id % 3 AS STRING), ':', CAST(event_id % 5 AS STRING)))")
+            .as("dst"),
+          col("cents"))
+      val edges = organic.unionByName(inflow).unionByName(outflow)
+      val outs = edges.groupBy(col("src").as("acct"))
+        .agg(countDistinct("dst").as("out_deg"), sum("cents").as("out_mass"))
+      val ins = edges.groupBy(col("dst").as("acct"))
+        .agg(countDistinct("src").as("in_deg"), sum("cents").as("in_mass"))
+      outs.join(ins, Seq("acct"), "full_outer")
+        .select(col("acct"),
+          coalesce(col("out_deg"), lit(0L)).as("out_deg"),
+          coalesce(col("out_mass"), lit(0L)).as("out_mass"),
+          coalesce(col("in_deg"), lit(0L)).as("in_deg"),
+          coalesce(col("in_mass"), lit(0L)).as("in_mass"))
+        .withColumn("cls",
+          when(col("in_deg") >= 3 && col("out_deg") >= 2, "mule")
+            .when(col("in_deg") === 0, "payer")
+            .when(col("out_deg") === 0, "sink")
+            .otherwise("passthrough"))
+        .groupBy("cls")
+        .agg(count(lit(1)).as("n_accounts"),
+          sum("in_mass").as("in_mass"), sum("out_mass").as("out_mass"),
+          max("in_deg").as("max_in_deg"), max("out_deg").as("max_out_deg"))
+        .orderBy("cls")
     })
   )
 
@@ -359,7 +526,131 @@ object Round15Ops {
        |    FROM b2 b LEFT JOIN $idx i ON b.bblock = i.block) q
        |  WHERE rn = 1)""".stripMargin
 
+  /** One greedy hop of the llm_ann_hnsw_layered oracle at layer `layer`
+    * (stride/cnt define the id-arithmetic membership; deg neighbors per
+    * beam node; keep top `k`). Mirrors the Spark expand/score/top trio. */
+  private def layerHopSql(i: String, prev: String, layer: Int,
+      cntCol: String, stride: Long, deg: Int, k: Int): String =
+    s"""x$i AS (
+       |  SELECT DISTINCT probe_id, node FROM (
+       |    SELECT probe_id,
+       |      CASE WHEN v = node
+       |        THEN $stride * ((node // $stride + 1) % (SELECT $cntCol FROM nn))
+       |        ELSE v END AS node
+       |    FROM (SELECT probe_id, node,
+       |            $stride * (('0x' || substring(md5('hl$layer:' || CAST(node AS VARCHAR) || ':' || CAST(j.range AS VARCHAR)), 1, 8))::BIGINT
+       |              % (SELECT $cntCol FROM nn)) AS v
+       |          FROM $prev CROSS JOIN range(0, $deg) j) q1
+       |    UNION ALL SELECT probe_id, node FROM $prev) q2),
+       |s$i AS (
+       |  SELECT x.probe_id, x.node,
+       |    ROUND(list_cosine_similarity(p.p_emb, e.emb), 4) AS sim
+       |  FROM x$i x JOIN e ON e.vec_id = x.node JOIN p ON p.probe_id = x.probe_id
+       |  WHERE x.node <> x.probe_id),
+       |b$i AS (
+       |  SELECT probe_id, node FROM (
+       |    SELECT probe_id, node,
+       |      ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY sim DESC, node) AS r
+       |    FROM s$i) q WHERE r <= $k)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "llm_ann_hnsw_layered" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         |nn AS (SELECT COUNT(*) AS n, (COUNT(*) + 15) // 16 AS n2,
+         |       (COUNT(*) + 3) // 4 AS n1 FROM e),
+         |p AS (SELECT vec_id AS probe_id, emb AS p_emb FROM e WHERE vec_id < 10),
+         |b3 AS (SELECT probe_id, CAST(0 AS BIGINT) AS node FROM p),
+         |${layerHopSql("u2", "b3", 2, "n2", 16L, 4, 1)},
+         |${layerHopSql("u1", "bu2", 1, "n1", 4L, 4, 1)},
+         |${layerHopSql("01", "bu1", 0, "n", 1L, 8, 8)},
+         |${layerHopSql("02", "b01", 0, "n", 1L, 8, 8)},
+         |visited AS (
+         |  SELECT probe_id, node, MAX(sim) AS sim FROM (
+         |    SELECT * FROM su2 UNION ALL SELECT * FROM su1
+         |    UNION ALL SELECT * FROM s01 UNION ALL SELECT * FROM s02) u
+         |  GROUP BY 1, 2),
+         |found5 AS (
+         |  SELECT probe_id, node FROM (
+         |    SELECT probe_id, node,
+         |      ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY sim DESC, node) AS r
+         |    FROM visited) q WHERE r <= 5),
+         |exact5 AS (
+         |  SELECT probe_id, node FROM (
+         |    SELECT p.probe_id, e.vec_id AS node,
+         |      ROW_NUMBER() OVER (PARTITION BY p.probe_id
+         |        ORDER BY ROUND(list_cosine_similarity(p.p_emb, e.emb), 4) DESC, e.vec_id) AS r
+         |    FROM p JOIN e ON e.vec_id <> p.probe_id) q WHERE r <= 5),
+         |hits AS (
+         |  SELECT x.probe_id,
+         |    CAST(SUM(CASE WHEN f.node IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
+         |  FROM exact5 x LEFT JOIN found5 f
+         |    ON f.probe_id = x.probe_id AND f.node = x.node
+         |  GROUP BY 1),
+         |vs AS (SELECT probe_id, CAST(COUNT(*) AS BIGINT) AS n_visited FROM visited GROUP BY 1)
+         |SELECT vs.probe_id, bu1.node AS entry_l0, vs.n_visited, h.n_hits,
+         |  h.n_hits * 200000 AS recall_ppm
+         |FROM vs JOIN bu1 ON bu1.probe_id = vs.probe_id
+         |JOIN hits h ON h.probe_id = vs.probe_id
+         |ORDER BY vs.probe_id""".stripMargin,
+
+    "fn_nickname_resolve" ->
+      """WITH t AS (
+        |  SELECT ['WILLIAM','BILL','WILL','ROBERT','BOB','ROB',
+        |          'MARGARET','PEGGY','MEG','JOHN','JACK','JOHNNY',
+        |          'ELIZABETH','BETH','LIZ','KATHERINE','KATE','KITTY']
+        |      [CAST(c_custkey % 18 AS INT) + 1] AS raw
+        |  FROM customer),
+        |nicks(nick, canon) AS (VALUES
+        |  ('BILL', 'WILLIAM'), ('WILL', 'WILLIAM'),
+        |  ('BOB', 'ROBERT'), ('ROB', 'ROBERT'),
+        |  ('PEGGY', 'MARGARET'), ('MEG', 'MARGARET'),
+        |  ('JACK', 'JOHN'), ('JOHNNY', 'JOHN'),
+        |  ('BETH', 'ELIZABETH'), ('LIZ', 'ELIZABETH'),
+        |  ('KATE', 'KATHERINE'), ('KITTY', 'KATHERINE')),
+        |r AS (SELECT raw, canon FROM t LEFT JOIN nicks ON t.raw = nicks.nick)
+        |SELECT coalesce(canon, raw) AS canonical,
+        |  CAST(COUNT(*) AS BIGINT) AS n_records,
+        |  CAST(SUM(CASE WHEN canon IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_from_nick,
+        |  CAST(COUNT(DISTINCT raw) AS BIGINT) AS n_spellings
+        |FROM r GROUP BY 1 ORDER BY canonical""".stripMargin,
+
+    "join_mule_network" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id,
+        |    ('0x' || substring(md5('amt:' || CAST(event_id AS VARCHAR)), 1, 6))::BIGINT % 100000 AS cents
+        |  FROM events),
+        |edges AS (
+        |  SELECT 'u' || CAST(user_id AS VARCHAR) AS src,
+        |    md5('org:' || CAST(event_id AS VARCHAR)) AS dst, cents
+        |  FROM ev WHERE event_id % 29 <> 11
+        |  UNION ALL
+        |  SELECT 'u' || CAST(user_id AS VARCHAR),
+        |    'mule' || CAST(event_id % 3 AS VARCHAR), cents
+        |  FROM ev WHERE event_id % 29 = 11
+        |  UNION ALL
+        |  SELECT 'mule' || CAST(event_id % 3 AS VARCHAR),
+        |    md5('cash:' || CAST(event_id % 3 AS VARCHAR) || ':' || CAST(event_id % 5 AS VARCHAR)),
+        |    cents
+        |  FROM ev WHERE event_id % 29 = 11),
+        |outs AS (SELECT src AS acct, CAST(COUNT(DISTINCT dst) AS BIGINT) AS out_deg,
+        |    CAST(SUM(cents) AS BIGINT) AS out_mass FROM edges GROUP BY 1),
+        |ins AS (SELECT dst AS acct, CAST(COUNT(DISTINCT src) AS BIGINT) AS in_deg,
+        |    CAST(SUM(cents) AS BIGINT) AS in_mass FROM edges GROUP BY 1),
+        |acct AS (
+        |  SELECT coalesce(o.acct, i.acct) AS acct,
+        |    coalesce(out_deg, 0) AS out_deg, coalesce(out_mass, 0) AS out_mass,
+        |    coalesce(in_deg, 0) AS in_deg, coalesce(in_mass, 0) AS in_mass
+        |  FROM outs o FULL OUTER JOIN ins i ON o.acct = i.acct)
+        |SELECT CASE WHEN in_deg >= 3 AND out_deg >= 2 THEN 'mule'
+        |    WHEN in_deg = 0 THEN 'payer'
+        |    WHEN out_deg = 0 THEN 'sink' ELSE 'passthrough' END AS cls,
+        |  CAST(COUNT(*) AS BIGINT) AS n_accounts,
+        |  CAST(SUM(in_mass) AS BIGINT) AS in_mass,
+        |  CAST(SUM(out_mass) AS BIGINT) AS out_mass,
+        |  CAST(MAX(in_deg) AS BIGINT) AS max_in_deg,
+        |  CAST(MAX(out_deg) AS BIGINT) AS max_out_deg
+        |FROM acct GROUP BY 1 ORDER BY cls""".stripMargin,
+
     "join_er_incremental" ->
       s"""WITH base AS (
          |  SELECT CAST(c_custkey AS BIGINT) AS k,
