@@ -443,6 +443,101 @@ object Round15Ops {
           sum("in_mass").as("in_mass"), sum("out_mass").as("out_mass"),
           max("in_deg").as("max_in_deg"), max("out_deg").as("max_out_deg"))
         .orderBy("cls")
+    }),
+
+    // Count-Min sketch — the sublinear heavy-hitter counter every
+    // streaming telemetry plane runs when exact per-key counts can't fit
+    // (d=4 rows × w=256 md5 counters here): the sketch BUILD is one
+    // 4×-explode + rollup over the event keys (1024 cells at any corpus
+    // size — the whole point), the QUERY takes min over the 4 row cells,
+    // and the one-sided guarantee (estimate ≥ true, overestimate bounded
+    // by collisions) is graded directly: per probe (5 planted heavy
+    // hitters at ~13% each + one rare key) the exact true count, the CM
+    // estimate, and the overestimate. Deterministic md5 hash family →
+    // DuckDB replays the sketch bit-for-bit.
+    "agg_count_min" -> ((s, d) => {
+      val items = Tables.events(s, d)
+        .select(col("event_id"))
+        .withColumn("key", expr(
+          """CASE WHEN event_id % 3 < 2 THEN concat('hh', CAST(event_id % 5 AS STRING))
+            |  WHEN event_id % 997 = 5 THEN 'rare'
+            |  ELSE concat('k', CAST(CAST(conv(substring(md5(concat('ck:', CAST(event_id AS STRING))), 1, 6), 16, 10) AS BIGINT) % 5000 AS STRING))
+            |END""".stripMargin))
+        .localCheckpoint() // sketch build + truth both fold over it
+      val sketch = items
+        .withColumn("i", explode(expr("sequence(0, 3)")))
+        .withColumn("slot", expr(
+          "CAST(conv(substring(md5(concat('cm', CAST(i AS STRING), ':', key)), 1, 8), 16, 10) AS BIGINT) % 256"))
+        .groupBy("i", "slot").agg(count(lit(1)).as("cnt"))
+      val probeKeys = array((0 until 5).map(h => lit(s"hh$h")) :+ lit("rare"): _*)
+      val probes = s.range(1).select(explode(probeKeys).as("key"))
+        .withColumn("i", explode(expr("sequence(0, 3)")))
+        .withColumn("slot", expr(
+          "CAST(conv(substring(md5(concat('cm', CAST(i AS STRING), ':', key)), 1, 8), 16, 10) AS BIGINT) % 256"))
+      val estimates = probes.join(sketch, Seq("i", "slot"))
+        .groupBy("key").agg(min("cnt").as("estimate"))
+      val truth = items.groupBy("key").agg(count(lit(1)).as("true_count"))
+      estimates.join(truth, Seq("key"))
+        .withColumn("overestimate", col("estimate") - col("true_count"))
+        .select("key", "true_count", "estimate", "overestimate")
+        .orderBy("key")
+    }),
+
+    // Deterministic reservoir sample — the fixed-k uniform sample every
+    // profiling/debug path needs from an unbounded table: priority =
+    // md5('rs:'||id) (the hash-priority form of Algorithm A-Res; both
+    // engines share the total order), sample = top-100 by (priority, id)
+    // — a TakeOrdered constant-size heap scan, NO global sort, identical
+    // on both engines. Graded: the sample's per-bucket (id % 5)
+    // composition and exact id mass — any divergence in the priority
+    // order breaks the rollup.
+    "agg_reservoir_sample" -> ((s, d) => {
+      Tables.orders(s, d)
+        .select(col("o_orderkey").cast("bigint").as("id"))
+        .withColumn("pri", expr("md5(concat('rs:', CAST(id AS STRING)))"))
+        .orderBy("pri", "id").limit(100)
+        .groupBy((col("id") % 5).as("bucket"))
+        .agg(count(lit(1)).as("n_sampled"), sum("id").as("id_mass"),
+          min("id").as("min_id"))
+        .orderBy("bucket")
+    }),
+
+    // t-closeness audit — the third leg of the privacy triad beside
+    // k-anonymity (class size) and l-diversity (distinct sensitive
+    // values): per quasi-identifier class the TOTAL VARIATION distance
+    // between the class's sensitive-value distribution and the global
+    // one, in exact cross-multiplied ppm (Σ|cnt_cs·N − g_s·n_c| · 10⁶
+    // DIV (2·n_c·N) — every product ≤ 10¹⁵, plain BIGINT). Class 3
+    // plants a 70% skew toward value 0 (the attribute-disclosure leak
+    // t-closeness exists to catch) and must exceed the 300 000-ppm bar.
+    // Two rollups + one broadcast global join — linear.
+    "warehouse_t_closeness" -> ((s, d) => {
+      val t = Tables.customer(s, d)
+        .select(col("c_custkey").cast("bigint").as("k"))
+        .withColumn("qi", (col("k") % 8).cast("int"))
+        .withColumn("g", expr(
+          "CAST(conv(substring(md5(concat('sv:', CAST(k AS STRING))), 1, 6), 16, 10) AS BIGINT)"))
+        .withColumn("sv",
+          when(col("qi") === 3 && col("g") % 100 < 70, lit(0L))
+            .otherwise(col("g") % 5))
+      val cls = t.groupBy("qi", "sv").agg(count(lit(1)).as("c_cs"))
+      val glob = t.groupBy("sv").agg(count(lit(1)).as("g_s"))
+      val sizes = cls.groupBy("qi").agg(sum("c_cs").as("n_c"))
+      val nTot = glob.agg(sum("g_s").as("n_tot"))
+      // per (class, value): |cnt_cs·N − g_s·n_c| — values the class never
+      // holds still contribute g_s·n_c, so build the full grid from the
+      // broadcast global dist and left-join the class counts
+      sizes.crossJoin(broadcast(glob)).crossJoin(broadcast(nTot))
+        .join(cls, Seq("qi", "sv"), "left")
+        .withColumn("c_cs", coalesce(col("c_cs"), lit(0L)))
+        .withColumn("dev", abs(col("c_cs") * col("n_tot") - col("g_s") * col("n_c")))
+        .groupBy("qi")
+        .agg(max("n_c").as("n_persons"),
+          expr("CAST((SUM(dev) * 1000000) DIV (2 * MAX(n_c) * MAX(n_tot)) AS BIGINT)")
+            .as("tvd_ppm"))
+        .withColumn("leaky", col("tvd_ppm") > 300000L)
+        .select("qi", "n_persons", "tvd_ppm", "leaky")
+        .orderBy("qi")
     })
   )
 
@@ -592,6 +687,62 @@ object Round15Ops {
          |FROM vs JOIN bu1 ON bu1.probe_id = vs.probe_id
          |JOIN hits h ON h.probe_id = vs.probe_id
          |ORDER BY vs.probe_id""".stripMargin,
+
+    "agg_count_min" ->
+      """WITH items AS (
+        |  SELECT CASE WHEN event_id % 3 < 2 THEN 'hh' || CAST(event_id % 5 AS VARCHAR)
+        |    WHEN event_id % 997 = 5 THEN 'rare'
+        |    ELSE 'k' || CAST(('0x' || substring(md5('ck:' || CAST(event_id AS VARCHAR)), 1, 6))::BIGINT % 5000 AS VARCHAR)
+        |  END AS key
+        |  FROM events),
+        |sketch AS (
+        |  SELECT i.range AS i,
+        |    ('0x' || substring(md5('cm' || CAST(i.range AS VARCHAR) || ':' || key), 1, 8))::BIGINT % 256 AS slot,
+        |    CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM items CROSS JOIN range(0, 4) i GROUP BY 1, 2),
+        |probes AS (
+        |  SELECT key, i.range AS i,
+        |    ('0x' || substring(md5('cm' || CAST(i.range AS VARCHAR) || ':' || key), 1, 8))::BIGINT % 256 AS slot
+        |  FROM (SELECT unnest(['hh0','hh1','hh2','hh3','hh4','rare']) AS key) pk
+        |  CROSS JOIN range(0, 4) i),
+        |est AS (
+        |  SELECT p.key, CAST(MIN(s.cnt) AS BIGINT) AS estimate
+        |  FROM probes p JOIN sketch s ON s.i = p.i AND s.slot = p.slot GROUP BY 1),
+        |tr AS (SELECT key, CAST(COUNT(*) AS BIGINT) AS true_count FROM items GROUP BY 1)
+        |SELECT e.key, t.true_count, e.estimate,
+        |  e.estimate - t.true_count AS overestimate
+        |FROM est e JOIN tr t ON t.key = e.key ORDER BY e.key""".stripMargin,
+
+    "agg_reservoir_sample" ->
+      """WITH sm AS (
+        |  SELECT CAST(o_orderkey AS BIGINT) AS id
+        |  FROM orders
+        |  ORDER BY md5('rs:' || CAST(o_orderkey AS VARCHAR)), CAST(o_orderkey AS BIGINT)
+        |  LIMIT 100)
+        |SELECT id % 5 AS bucket, CAST(COUNT(*) AS BIGINT) AS n_sampled,
+        |  CAST(SUM(id) AS BIGINT) AS id_mass, CAST(MIN(id) AS BIGINT) AS min_id
+        |FROM sm GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    "warehouse_t_closeness" ->
+      """WITH t AS (
+        |  SELECT CAST(c_custkey % 8 AS INT) AS qi,
+        |    ('0x' || substring(md5('sv:' || CAST(c_custkey AS VARCHAR)), 1, 6))::BIGINT AS g
+        |  FROM customer),
+        |x AS (SELECT qi, CASE WHEN qi = 3 AND g % 100 < 70 THEN 0 ELSE g % 5 END AS sv FROM t),
+        |cls AS (SELECT qi, sv, CAST(COUNT(*) AS BIGINT) AS c_cs FROM x GROUP BY 1, 2),
+        |gdist AS (SELECT sv, CAST(COUNT(*) AS BIGINT) AS g_s FROM x GROUP BY 1),
+        |sizes AS (SELECT qi, CAST(SUM(c_cs) AS BIGINT) AS n_c FROM cls GROUP BY 1),
+        |nt AS (SELECT CAST(SUM(g_s) AS BIGINT) AS n_tot FROM gdist),
+        |grid AS (
+        |  SELECT z.qi, z.n_c, gl.sv, gl.g_s, nt.n_tot, coalesce(c.c_cs, 0) AS c_cs
+        |  FROM sizes z CROSS JOIN gdist gl CROSS JOIN nt
+        |  LEFT JOIN cls c ON c.qi = z.qi AND c.sv = gl.sv)
+        |SELECT qi, CAST(MAX(n_c) AS BIGINT) AS n_persons,
+        |  CAST((SUM(abs(c_cs * n_tot - g_s * n_c)) * 1000000)
+        |    // (2 * MAX(n_c) * MAX(n_tot)) AS BIGINT) AS tvd_ppm,
+        |  CAST((SUM(abs(c_cs * n_tot - g_s * n_c)) * 1000000)
+        |    // (2 * MAX(n_c) * MAX(n_tot)) AS BIGINT) > 300000 AS leaky
+        |FROM grid GROUP BY 1 ORDER BY qi""".stripMargin,
 
     "fn_nickname_resolve" ->
       """WITH t AS (

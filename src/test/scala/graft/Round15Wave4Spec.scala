@@ -62,4 +62,38 @@ class Round15Wave4Spec extends AnyFunSuite {
     assert(rows("sink").getLong(3) == 0L)
     assert(!rows.contains("passthrough"))
   }
+
+  test("agg_count_min: estimates never undercount, heavies dominate the rare key") {
+    val rows = SparkEntry.queries("agg_count_min")(spark, sf).collect()
+    assert(rows.length == 6)
+    val byKey = rows.map(r => r.getString(0) -> r).toMap
+    assert(byKey.keySet == Set("hh0", "hh1", "hh2", "hh3", "hh4", "rare"))
+    rows.foreach { r =>
+      // the CM one-sided guarantee: estimate ≥ true, always
+      assert(r.getLong(3) >= 0L, s"${r.getString(0)} undercounts")
+      assert(r.getLong(2) == r.getLong(1) + r.getLong(3))
+    }
+    // each planted heavy hitter carries ~13% of events; 'rare' ≤ 1/997
+    val minHeavy = (0 to 4).map(h => byKey(s"hh$h").getLong(1)).min
+    assert(minHeavy > byKey("rare").getLong(1) * 10)
+  }
+
+  test("agg_reservoir_sample: exactly 100 rows sampled, composition is stable") {
+    val rows = SparkEntry.queries("agg_reservoir_sample")(spark, sf).collect()
+    assert(rows.map(_.getLong(1)).sum == 100L)
+    assert(rows.length <= 5)
+    rows.foreach(r => assert(r.getLong(0) >= 0L && r.getLong(0) < 5L))
+  }
+
+  test("warehouse_t_closeness: the planted skew class leaks, TVD is a ppm") {
+    val rows = SparkEntry.queries("warehouse_t_closeness")(spark, sf).collect()
+    assert(rows.length == 8)
+    rows.foreach { r =>
+      assert(r.getLong(2) >= 0L && r.getLong(2) <= 1000000L)
+      assert(r.getBoolean(3) == (r.getLong(2) > 300000L))
+    }
+    val skewed = rows.find(_.getInt(0) == 3).get
+    assert(skewed.getBoolean(3), s"class 3 tvd=${skewed.getLong(2)} not flagged")
+    assert(rows.map(_.getLong(1)).sum == Tables.customer(spark, sf).count())
+  }
 }
