@@ -538,6 +538,118 @@ object Round15Ops {
         .withColumn("leaky", col("tvd_ppm") > 300000L)
         .select("qi", "n_persons", "tvd_ppm", "leaky")
         .orderBy("qi")
+    }),
+
+    // Interrupted time series — the pre/post causal read on a KPI when
+    // there is no control group (the deploy-went-out-at-bucket-24 story):
+    // 48 sequence-indexed buckets (event_id % 48 — wall-clock buckets die
+    // at sparse SFs), per-bucket mean in exact milli-cents (floor DIV),
+    // and per segment the OLS slope in closed cross-multiplied form
+    // (n·Σty − Σt·Σy)·10⁶ DIV (n·Σt² − (Σt)²) — no sequential division,
+    // DECIMAL(38,0) products. The plant: pre slope 200 cents/bucket, at
+    // bucket 24 a +5000-cent level shift AND a +300 slope break — the
+    // segmented fit must read both. Per (cohort, segment): buckets, mean
+    // milli, slope micro. Two rollups — linear.
+    "agg_interrupted_ts" -> ((s, d) => {
+      val byBucket = Tables.events(s, d)
+        .select(col("event_id"), col("user_id"))
+        .withColumn("b", (col("event_id") % 48).cast("bigint"))
+        .withColumn("cohort", (col("user_id") % 3).cast("int"))
+        .withColumn("cents",
+          lit(10000L) + col("b") * 200L +
+            when(col("b") >= 24, lit(5000L) + (col("b") - 24) * 300L).otherwise(0L) +
+            expr("CAST(conv(substring(md5(concat('n:', CAST(event_id AS STRING))), 1, 6), 16, 10) AS BIGINT) % 200"))
+        .groupBy("cohort", "b")
+        .agg(expr("(SUM(cents) * 1000) DIV COUNT(*)").as("y"))
+      byBucket
+        .withColumn("segment", when(col("b") < 24, "pre").otherwise("post"))
+        .groupBy("cohort", "segment")
+        .agg(count(lit(1)).as("n_buckets"),
+          expr("SUM(y) DIV COUNT(*)").as("y_mean_milli"),
+          expr("""CAST((CAST(COUNT(*) AS DECIMAL(38,0)) * SUM(b * y) - SUM(b) * SUM(y)) * 1000000
+                 | DIV (CAST(COUNT(*) AS DECIMAL(38,0)) * SUM(b * b) - SUM(b) * SUM(b)) AS BIGINT)""".stripMargin)
+            .as("slope_micro"))
+        .orderBy("cohort", "segment")
+    }),
+
+    // Synthetic control by donor matching — the program-evaluation shape
+    // when ONE unit is treated and the counterfactual must be assembled
+    // from untreated donors: 8 units with md5-planted level offsets, 12
+    // pre + 12 post sequence buckets, per-unit bucket means in exact
+    // milli; the donor minimizing the exact pre-period L1 distance to
+    // the treated unit becomes the synthetic control (min-dist, unit
+    // tie-break — deterministic on both engines), and the effect is the
+    // post-gap mean minus the pre-gap mean (the DiD correction for the
+    // residual level mismatch). Unit 0 plants a +4000-cent post effect.
+    // Graded per donor: pre L1 mass, selection, and the att estimate on
+    // the selected row. Bucket rollup + broadcast treated join — linear.
+    "agg_synthetic_control" -> ((s, d) => {
+      val byUnit = Tables.events(s, d)
+        .select(col("event_id"), col("user_id"))
+        .withColumn("unit", (col("user_id") % 8).cast("bigint"))
+        .withColumn("b", (col("event_id") % 24).cast("bigint"))
+        .withColumn("cents",
+          lit(10000L) + col("b") * 100L +
+            expr("CAST(conv(substring(md5(concat('lv:', CAST(user_id % 8 AS STRING))), 1, 6), 16, 10) AS BIGINT) % 2000") +
+            when(col("unit") === 0 && col("b") >= 12, 4000L).otherwise(0L) +
+            expr("CAST(conv(substring(md5(concat('sc:', CAST(event_id AS STRING))), 1, 6), 16, 10) AS BIGINT) % 200"))
+        .groupBy("unit", "b")
+        .agg(expr("(SUM(cents) * 1000) DIV COUNT(*)").as("y"))
+        .localCheckpoint() // treated series + donor sweep both read it
+      val treated = byUnit.where(col("unit") === 0)
+        .select(col("b"), col("y").as("y0"))
+      val donors = byUnit.where(col("unit") =!= 0)
+        .join(broadcast(treated), Seq("b"))
+        .groupBy("unit")
+        .agg(sum(when(col("b") < 12, abs(col("y") - col("y0"))).otherwise(0L))
+            .as("pre_l1_mass"),
+          // gap MASSES, not means: y0 − y is signed and Spark DIV
+          // truncates where DuckDB // floors — exact sums divide nowhere
+          sum(when(col("b") < 12, col("y0") - col("y")).otherwise(0L))
+            .as("pre_gap_mass"),
+          sum(when(col("b") >= 12, col("y0") - col("y")).otherwise(0L))
+            .as("post_gap_mass"))
+      val w = Window.orderBy(col("pre_l1_mass"), col("unit"))
+      donors
+        .withColumn("rk", row_number().over(w))
+        .withColumn("selected", col("rk") === 1)
+        .withColumn("att_mass",
+          when(col("selected"), col("post_gap_mass") - col("pre_gap_mass")))
+        .select("unit", "pre_l1_mass", "selected", "att_mass")
+        .orderBy("unit")
+    }),
+
+    // Two-model uplift (incrementality) — the causal segmentation every
+    // retention campaign needs: md5 1:1 treatment assignment over four
+    // planted behavioral segments (sure-things respond regardless,
+    // persuadables only if treated, lost causes never, sleeping dogs
+    // only if NOT treated — all with a 10% md5 flip so no rate is a
+    // degenerate 0/1), per-segment response rates by arm in exact ppm
+    // and their difference — positive uplift isolates the persuadables
+    // (the only segment worth the contact cost), negative exposes the
+    // sleeping dogs a blanket campaign damages. One conditional rollup.
+    "agg_uplift_twomodel" -> ((s, d) => {
+      val t = Tables.customer(s, d)
+        .select(col("c_custkey").cast("bigint").as("k"))
+        .withColumn("segment", (col("k") % 4).cast("int"))
+        .withColumn("treated", expr(
+          "CAST(conv(substring(md5(concat('tr:', CAST(k AS STRING))), 1, 6), 16, 10) AS BIGINT) % 2 = 1"))
+        .withColumn("flip", expr(
+          "CAST(conv(substring(md5(concat('fl:', CAST(k AS STRING))), 1, 6), 16, 10) AS BIGINT) % 10 = 0"))
+        .withColumn("base_resp",
+          when(col("segment") === 0, lit(true))
+            .when(col("segment") === 1, col("treated"))
+            .when(col("segment") === 2, lit(false))
+            .otherwise(!col("treated")))
+        .withColumn("resp", col("base_resp") =!= col("flip"))
+      t.groupBy("segment")
+        .agg(sum(when(col("treated"), 1L).otherwise(0L)).as("n_treated"),
+          sum(when(!col("treated"), 1L).otherwise(0L)).as("n_control"),
+          sum(when(col("treated") && col("resp"), 1L).otherwise(0L)).as("resp_t"),
+          sum(when(!col("treated") && col("resp"), 1L).otherwise(0L)).as("resp_c"))
+        .withColumn("uplift_ppm", expr(
+          "(resp_t * 1000000) DIV NULLIF(n_treated, 0) - (resp_c * 1000000) DIV NULLIF(n_control, 0)"))
+        .orderBy("segment")
     })
   )
 
@@ -687,6 +799,71 @@ object Round15Ops {
          |FROM vs JOIN bu1 ON bu1.probe_id = vs.probe_id
          |JOIN hits h ON h.probe_id = vs.probe_id
          |ORDER BY vs.probe_id""".stripMargin,
+
+    "agg_interrupted_ts" ->
+      """WITH e AS (
+        |  SELECT event_id % 48 AS b, CAST(user_id % 3 AS INT) AS cohort,
+        |    10000 + (event_id % 48) * 200
+        |      + CASE WHEN event_id % 48 >= 24 THEN 5000 + (event_id % 48 - 24) * 300 ELSE 0 END
+        |      + ('0x' || substring(md5('n:' || CAST(event_id AS VARCHAR)), 1, 6))::BIGINT % 200 AS cents
+        |  FROM events),
+        |bk AS (
+        |  SELECT cohort, b, CAST((SUM(cents) * 1000) // COUNT(*) AS BIGINT) AS y
+        |  FROM e GROUP BY 1, 2),
+        |seg AS (SELECT cohort, CASE WHEN b < 24 THEN 'pre' ELSE 'post' END AS segment, b, y FROM bk)
+        |SELECT cohort, segment, CAST(COUNT(*) AS BIGINT) AS n_buckets,
+        |  CAST(SUM(y) // COUNT(*) AS BIGINT) AS y_mean_milli,
+        |  CAST((CAST(COUNT(*) AS HUGEINT) * SUM(b * y) - CAST(SUM(b) AS HUGEINT) * SUM(y)) * 1000000
+        |    // (CAST(COUNT(*) AS HUGEINT) * SUM(b * b) - CAST(SUM(b) AS HUGEINT) * SUM(b)) AS BIGINT) AS slope_micro
+        |FROM seg GROUP BY 1, 2 ORDER BY cohort, segment""".stripMargin,
+
+    "agg_synthetic_control" ->
+      """WITH e AS (
+        |  SELECT user_id % 8 AS unit, event_id % 24 AS b,
+        |    10000 + (event_id % 24) * 100
+        |      + ('0x' || substring(md5('lv:' || CAST(user_id % 8 AS VARCHAR)), 1, 6))::BIGINT % 2000
+        |      + CASE WHEN user_id % 8 = 0 AND event_id % 24 >= 12 THEN 4000 ELSE 0 END
+        |      + ('0x' || substring(md5('sc:' || CAST(event_id AS VARCHAR)), 1, 6))::BIGINT % 200 AS cents
+        |  FROM events),
+        |bu AS (SELECT unit, b, CAST((SUM(cents) * 1000) // COUNT(*) AS BIGINT) AS y
+        |  FROM e GROUP BY 1, 2),
+        |tr AS (SELECT b, y AS y0 FROM bu WHERE unit = 0),
+        |dn AS (
+        |  SELECT d.unit,
+        |    CAST(SUM(CASE WHEN d.b < 12 THEN abs(d.y - t.y0) ELSE 0 END) AS BIGINT) AS pre_l1_mass,
+        |    CAST(SUM(CASE WHEN d.b < 12 THEN t.y0 - d.y ELSE 0 END) AS BIGINT) AS pre_gap_mass,
+        |    CAST(SUM(CASE WHEN d.b >= 12 THEN t.y0 - d.y ELSE 0 END) AS BIGINT) AS post_gap_mass
+        |  FROM bu d JOIN tr t ON t.b = d.b WHERE d.unit <> 0 GROUP BY 1),
+        |rk AS (
+        |  SELECT unit, pre_l1_mass, pre_gap_mass, post_gap_mass,
+        |    ROW_NUMBER() OVER (ORDER BY pre_l1_mass, unit) AS r
+        |  FROM dn)
+        |SELECT unit, pre_l1_mass, r = 1 AS selected,
+        |  CASE WHEN r = 1 THEN post_gap_mass - pre_gap_mass END AS att_mass
+        |FROM rk ORDER BY unit""".stripMargin,
+
+    "agg_uplift_twomodel" ->
+      """WITH t AS (
+        |  SELECT CAST(c_custkey % 4 AS INT) AS segment,
+        |    ('0x' || substring(md5('tr:' || CAST(c_custkey AS VARCHAR)), 1, 6))::BIGINT % 2 = 1 AS treated,
+        |    ('0x' || substring(md5('fl:' || CAST(c_custkey AS VARCHAR)), 1, 6))::BIGINT % 10 = 0 AS flip
+        |  FROM customer),
+        |r AS (
+        |  SELECT segment, treated,
+        |    (CASE segment WHEN 0 THEN TRUE WHEN 1 THEN treated
+        |      WHEN 2 THEN FALSE ELSE NOT treated END) <> flip AS resp
+        |  FROM t),
+        |m AS (
+        |  SELECT segment,
+        |    CAST(SUM(CASE WHEN treated THEN 1 ELSE 0 END) AS BIGINT) AS n_treated,
+        |    CAST(SUM(CASE WHEN NOT treated THEN 1 ELSE 0 END) AS BIGINT) AS n_control,
+        |    CAST(SUM(CASE WHEN treated AND resp THEN 1 ELSE 0 END) AS BIGINT) AS resp_t,
+        |    CAST(SUM(CASE WHEN NOT treated AND resp THEN 1 ELSE 0 END) AS BIGINT) AS resp_c
+        |  FROM r GROUP BY 1)
+        |SELECT segment, n_treated, n_control, resp_t, resp_c,
+        |  (resp_t * 1000000) // NULLIF(n_treated, 0)
+        |    - (resp_c * 1000000) // NULLIF(n_control, 0) AS uplift_ppm
+        |FROM m ORDER BY segment""".stripMargin,
 
     "agg_count_min" ->
       """WITH items AS (
