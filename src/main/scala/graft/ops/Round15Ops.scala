@@ -650,6 +650,91 @@ object Round15Ops {
         .withColumn("uplift_ppm", expr(
           "(resp_t * 1000000) DIV NULLIF(n_treated, 0) - (resp_c * 1000000) DIV NULLIF(n_control, 0)"))
         .orderBy("segment")
+    }),
+
+    // Sliding-window-counter rate limiter — the Cloudflare-style
+    // estimator every API gateway actually deploys (a true rolling log is
+    // O(requests) state; the counter pair is O(1)): per (principal,
+    // window) request counts, and at the mid-window evaluation point the
+    // estimated rate = ½·previous-window count + current count, exact in
+    // milli-requests (prev·500 + cur·1000). Windows are sequence-indexed
+    // (event_id % 24 — wall-clock windows die at sparse SFs); the w−1
+    // adjacency comes from ONE per-user lag join. Planted pressure: the
+    // 1-in-5 cohort-0 principals carry ~2.4× the request rate, so their
+    // windows dominate the over-limit census at the 8-request bar. Per
+    // cohort: windows, over-limit windows, estimate mass — the
+    // shed-traffic sizing. Two rollups + one equi-join, linear.
+    "service_sliding_window_limit" -> ((s, d) => {
+      val req = Tables.events(s, d)
+        .select(col("user_id"), col("event_id"))
+        // cohort-0 principals absorb a planted burst: events re-keyed so
+        // user%5==0 receives the 1-in-3 overflow slice too
+        .withColumn("principal",
+          when(col("event_id") % 3 === 0, expr("(user_id DIV 5) * 5"))
+            .otherwise(col("user_id")))
+        .withColumn("w", (col("event_id") % 24).cast("bigint"))
+      val cnt = req.groupBy("principal", "w")
+        .agg(count(lit(1)).as("cur")).localCheckpoint()
+      val prev = cnt.select(col("principal"), (col("w") + 1).as("w"),
+        col("cur").as("prv"))
+      cnt.join(prev, Seq("principal", "w"), "left")
+        .withColumn("est_milli",
+          coalesce(col("prv"), lit(0L)) * 500L + col("cur") * 1000L)
+        .withColumn("over", col("est_milli") > 8000L)
+        .groupBy((col("principal") % 5).as("cohort"))
+        .agg(count(lit(1)).as("n_windows"),
+          sum(when(col("over"), 1L).otherwise(0L)).as("n_over"),
+          sum("cur").as("n_requests"),
+          sum("est_milli").as("est_mass_milli"))
+        .withColumn("over_ppm", expr("(n_over * 1000000) DIV n_windows"))
+        .orderBy("cohort")
+    }),
+
+    // Retry-budget accounting — the Finagle/Envoy 20%-budget rule that
+    // stops retry storms (unbounded retries turn a 15% failure blip into
+    // 2× load): per service the md5 failure census (service 2 plants a
+    // 35% failure regression), the budget = requests·20 DIV 100, retries
+    // granted = min(failures, budget), and the overflow census — failures
+    // the budget refused to retry, the load-shed a storm would have
+    // amplified. Exact integer budget arithmetic; one rollup.
+    "service_retry_budget" -> ((s, d) => {
+      Tables.events(s, d)
+        .select(col("event_id"), (col("user_id") % 4).as("svc"))
+        .withColumn("failed", expr(
+          "CAST(conv(substring(md5(concat('rf:', CAST(event_id AS STRING))), 1, 6), 16, 10) AS BIGINT) % 100") <
+          when(col("svc") === 2, 35L).otherwise(15L))
+        .groupBy("svc")
+        .agg(count(lit(1)).as("n_requests"),
+          sum(when(col("failed"), 1L).otherwise(0L)).as("n_failures"))
+        .withColumn("budget", expr("(n_requests * 20) DIV 100"))
+        .withColumn("retries_granted", least(col("n_failures"), col("budget")))
+        .withColumn("refused", col("n_failures") - col("retries_granted"))
+        .withColumn("budget_util_ppm",
+          expr("(retries_granted * 1000000) DIV NULLIF(budget, 0)"))
+        .orderBy("svc")
+    }),
+
+    // Apdex score — the user-satisfaction index SLO reviews quote
+    // (satisfied ≤ T, tolerating ≤ 4T, apdex = (sat + tol/2) / n): md5
+    // latencies 0–1999 ms against T = 300 ms, service 3 planting a
+    // +800 ms regression, the score exact in milli-Apdex
+    // ((sat·1000 + tol·500) DIV n — no floats). Per service: census +
+    // the milli score. One conditional rollup.
+    "agg_apdex" -> ((s, d) => {
+      Tables.events(s, d)
+        .select(col("event_id"), (col("user_id") % 4).as("svc"))
+        .withColumn("lat_ms", expr(
+          "CAST(conv(substring(md5(concat('ap:', CAST(event_id AS STRING))), 1, 6), 16, 10) AS BIGINT) % 2000") +
+          when(col("svc") === 3, 800L).otherwise(0L))
+        .groupBy("svc")
+        .agg(count(lit(1)).as("n_requests"),
+          sum(when(col("lat_ms") <= 300, 1L).otherwise(0L)).as("n_satisfied"),
+          sum(when(col("lat_ms") > 300 && col("lat_ms") <= 1200, 1L).otherwise(0L))
+            .as("n_tolerating"),
+          sum(when(col("lat_ms") > 1200, 1L).otherwise(0L)).as("n_frustrated"))
+        .withColumn("apdex_milli",
+          expr("(n_satisfied * 1000 + n_tolerating * 500) DIV n_requests"))
+        .orderBy("svc")
     })
   )
 
@@ -799,6 +884,56 @@ object Round15Ops {
          |FROM vs JOIN bu1 ON bu1.probe_id = vs.probe_id
          |JOIN hits h ON h.probe_id = vs.probe_id
          |ORDER BY vs.probe_id""".stripMargin,
+
+    "service_sliding_window_limit" ->
+      """WITH req AS (
+        |  SELECT CASE WHEN event_id % 3 = 0 THEN (user_id // 5) * 5 ELSE user_id END AS principal,
+        |    event_id % 24 AS w
+        |  FROM events),
+        |cnt AS (SELECT principal, w, CAST(COUNT(*) AS BIGINT) AS cur FROM req GROUP BY 1, 2),
+        |est AS (
+        |  SELECT c.principal, c.w, c.cur,
+        |    coalesce(p.cur, 0) * 500 + c.cur * 1000 AS est_milli
+        |  FROM cnt c LEFT JOIN cnt p ON p.principal = c.principal AND p.w = c.w - 1)
+        |SELECT principal % 5 AS cohort, CAST(COUNT(*) AS BIGINT) AS n_windows,
+        |  CAST(SUM(CASE WHEN est_milli > 8000 THEN 1 ELSE 0 END) AS BIGINT) AS n_over,
+        |  CAST(SUM(cur) AS BIGINT) AS n_requests,
+        |  CAST(SUM(est_milli) AS BIGINT) AS est_mass_milli,
+        |  CAST((SUM(CASE WHEN est_milli > 8000 THEN 1 ELSE 0 END) * 1000000)
+        |    // COUNT(*) AS BIGINT) AS over_ppm
+        |FROM est GROUP BY 1 ORDER BY cohort""".stripMargin,
+
+    "service_retry_budget" ->
+      """WITH t AS (
+        |  SELECT user_id % 4 AS svc,
+        |    ('0x' || substring(md5('rf:' || CAST(event_id AS VARCHAR)), 1, 6))::BIGINT % 100
+        |      < CASE WHEN user_id % 4 = 2 THEN 35 ELSE 15 END AS failed
+        |  FROM events),
+        |m AS (SELECT svc, CAST(COUNT(*) AS BIGINT) AS n_requests,
+        |    CAST(SUM(CASE WHEN failed THEN 1 ELSE 0 END) AS BIGINT) AS n_failures
+        |  FROM t GROUP BY 1)
+        |SELECT svc, n_requests, n_failures,
+        |  (n_requests * 20) // 100 AS budget,
+        |  least(n_failures, (n_requests * 20) // 100) AS retries_granted,
+        |  n_failures - least(n_failures, (n_requests * 20) // 100) AS refused,
+        |  CAST((least(n_failures, (n_requests * 20) // 100) * 1000000)
+        |    // NULLIF((n_requests * 20) // 100, 0) AS BIGINT) AS budget_util_ppm
+        |FROM m ORDER BY svc""".stripMargin,
+
+    "agg_apdex" ->
+      """WITH t AS (
+        |  SELECT user_id % 4 AS svc,
+        |    ('0x' || substring(md5('ap:' || CAST(event_id AS VARCHAR)), 1, 6))::BIGINT % 2000
+        |      + CASE WHEN user_id % 4 = 3 THEN 800 ELSE 0 END AS lat_ms
+        |  FROM events)
+        |SELECT svc, CAST(COUNT(*) AS BIGINT) AS n_requests,
+        |  CAST(SUM(CASE WHEN lat_ms <= 300 THEN 1 ELSE 0 END) AS BIGINT) AS n_satisfied,
+        |  CAST(SUM(CASE WHEN lat_ms > 300 AND lat_ms <= 1200 THEN 1 ELSE 0 END) AS BIGINT) AS n_tolerating,
+        |  CAST(SUM(CASE WHEN lat_ms > 1200 THEN 1 ELSE 0 END) AS BIGINT) AS n_frustrated,
+        |  CAST((SUM(CASE WHEN lat_ms <= 300 THEN 1 ELSE 0 END) * 1000
+        |    + SUM(CASE WHEN lat_ms > 300 AND lat_ms <= 1200 THEN 1 ELSE 0 END) * 500)
+        |    // COUNT(*) AS BIGINT) AS apdex_milli
+        |FROM t GROUP BY 1 ORDER BY svc""".stripMargin,
 
     "agg_interrupted_ts" ->
       """WITH e AS (
