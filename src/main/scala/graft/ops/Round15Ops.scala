@@ -735,6 +735,132 @@ object Round15Ops {
         .withColumn("apdex_milli",
           expr("(n_satisfied * 1000 + n_tolerating * 500) DIV n_requests"))
         .orderBy("svc")
+    }),
+
+    // Read-repair census — the quorum-read side effect service_quorum_
+    // staleness doesn't cover (it measures staleness; this measures the
+    // REPAIR work): every key lives on N=3 replicas whose versions drift
+    // by md5 plant (replica r of key k misses the last write 1-in-(3+r)),
+    // a read contacts R=2 md5-chosen replicas, divergence (different
+    // versions) triggers a repair that writes back the max version. Per
+    // shard: reads, divergent reads, repair-write mass (version gap) —
+    // the background write amplification quorum reads pay. One projection
+    // + rollup, linear.
+    "service_read_repair" -> ((s, d) => {
+      val t = Tables.events(s, d)
+        .select(col("event_id"), (col("user_id") % 8).as("shard"))
+        .withColumn("v_latest", expr(
+          "CAST(conv(substring(md5(concat('vw:', CAST(event_id AS STRING))), 1, 6), 16, 10) AS BIGINT) % 50 + 10"))
+      // replica r's version: latest unless the md5 plant says it lags
+      def vr(r: Int) = when(expr(
+        s"CAST(conv(substring(md5(concat('lag$r:', CAST(event_id AS STRING))), 1, 6), 16, 10) AS BIGINT) % ${3 + r}") === 0,
+        col("v_latest") - (expr(
+          s"CAST(conv(substring(md5(concat('gap$r:', CAST(event_id AS STRING))), 1, 6), 16, 10) AS BIGINT) % 5") + 1))
+        .otherwise(col("v_latest"))
+      val read = t
+        .withColumn("r0", vr(0)).withColumn("r1", vr(1)).withColumn("r2", vr(2))
+        .withColumn("pick", expr(
+          "CAST(conv(substring(md5(concat('pk:', CAST(event_id AS STRING))), 1, 6), 16, 10) AS BIGINT) % 3"))
+        // R=2: contacted pair excludes replica `pick`
+        .withColumn("va", when(col("pick") === 0, col("r1")).otherwise(col("r0")))
+        .withColumn("vb", when(col("pick") === 2, col("r1")).otherwise(col("r2")))
+      read.groupBy("shard")
+        .agg(count(lit(1)).as("n_reads"),
+          sum(when(col("va") =!= col("vb"), 1L).otherwise(0L)).as("n_divergent"),
+          sum(abs(col("va") - col("vb"))).as("repair_gap_mass"),
+          sum(greatest(col("va"), col("vb"))).as("resolved_version_mass"))
+        .withColumn("divergent_ppm", expr("(n_divergent * 1000000) DIV n_reads"))
+        .orderBy("shard")
+    }),
+
+    // Merkle-tree anti-entropy — the replica-sync protocol (Dynamo/
+    // Cassandra repair) that finds divergent key ranges in O(log n)
+    // hash comparisons instead of shipping the keyspace: 64 leaf ranges,
+    // leaf digest = SUM of md5(key:value) % 2⁴⁰ over members, re-modded at every level so the fold is bounded at any corpus size (commutative
+    // — order-free, so both engines aggregate identically), inner levels
+    // by halving the leaf index, replica B planting a value drift on
+    // 1-in-16 keys. Graded per tree level (6 → 0): nodes, differing
+    // nodes — the comparison frontier — plus the leaf-level transfer
+    // census the protocol ends with (keys in differing leaves vs total:
+    // the bandwidth anti-entropy saves). Pure rollups per level.
+    "fn_merkle_antientropy" -> ((s, d) => {
+      val keys = Tables.orders(s, d)
+        .select(col("o_orderkey").cast("bigint").as("k"))
+        .withColumn("leaf", expr(
+          "CAST(conv(substring(md5(concat('mk:', CAST(k AS STRING))), 1, 8), 16, 10) AS BIGINT) % 64"))
+        .withColumn("va", expr(
+          "CAST(conv(substring(md5(concat('mv:', CAST(k AS STRING))), 1, 6), 16, 10) AS BIGINT)"))
+        .withColumn("vb",
+          when(col("k") % 16 === 9, col("va") + 1).otherwise(col("va")))
+        .withColumn("ha", expr(
+          "CAST(conv(substring(md5(concat('mh:', CAST(k AS STRING), ':', CAST(va AS STRING))), 1, 12), 16, 10) AS BIGINT) % 1099511627776"))
+        .withColumn("hb", expr(
+          "CAST(conv(substring(md5(concat('mh:', CAST(k AS STRING), ':', CAST(vb AS STRING))), 1, 12), 16, 10) AS BIGINT) % 1099511627776"))
+        .localCheckpoint() // leaf digests + transfer census share it
+      val leaves = keys.groupBy("leaf")
+        .agg(expr("SUM(ha) % 1099511627776").as("da"),
+          expr("SUM(hb) % 1099511627776").as("db"),
+          count(lit(1)).as("n_keys"))
+        .localCheckpoint()
+      val levels = (0 to 6).map { lvl =>
+        val width = 1 << (6 - lvl) // nodes at this level
+        leaves.groupBy(expr(s"leaf DIV ${64 / width}").as("node"))
+          // digest fold re-mods at every level: bounded at ANY corpus size
+          .agg(expr("SUM(da) % 1099511627776").as("da"),
+            expr("SUM(db) % 1099511627776").as("db"))
+          .agg(count(lit(1)).as("n_nodes"),
+            sum(when(col("da") =!= col("db"), 1L).otherwise(0L)).as("n_differing"))
+          .select(lit(lvl).as("level"), col("n_nodes"), col("n_differing"),
+            lit(null).cast("long").as("n_keys_transferred"),
+            lit(null).cast("long").as("n_keys_total"))
+      }.reduce(_ unionByName _)
+      val transfer = leaves
+        .agg(sum(when(col("da") =!= col("db"), col("n_keys")).otherwise(0L))
+            .as("n_keys_transferred"),
+          sum("n_keys").as("n_keys_total"))
+        .select(lit(99).as("level"), lit(null).cast("long").as("n_nodes"),
+          lit(null).cast("long").as("n_differing"),
+          col("n_keys_transferred"), col("n_keys_total"))
+      levels.unionByName(transfer).orderBy("level")
+    }),
+
+    // State-based CRDT counter (G-counter pair = PN-counter) — the
+    // coordination-free aggregate a multi-region service merges: three
+    // nodes shard the increments (node = event_id % 3, P on g%4≠0 /
+    // N on g%4=0), three REPLICA VIEWS each see one node fully and the
+    // others through a partial md5 window; merge = per-(key, node) MAX
+    // over views (the CRDT join), then Σ nodes. Every node has one full
+    // viewer, so the merged value must equal the ground truth at every
+    // key while every single view undercounts — eventual consistency
+    // graded exactly. Per key: the three local values, merged, truth,
+    // convergence flag. Two rollups, linear.
+    "agg_crdt_counter" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), (col("user_id") % 7).as("key"))
+        .withColumn("node", (col("event_id") % 3).cast("int"))
+        .withColumn("isP", expr(
+          "CAST(conv(substring(md5(concat('pn:', CAST(event_id AS STRING))), 1, 6), 16, 10) AS BIGINT) % 4 <> 0"))
+      def sees(view: Int) = col("node") === view || expr(
+        s"CAST(conv(substring(md5(concat('sv$view:', CAST(event_id AS STRING))), 1, 6), 16, 10) AS BIGINT) % 10 < 7")
+      val perNode = ev.groupBy("key", "node")
+        .agg(
+          sum(when(col("isP"), 1L).otherwise(0L)).as("tp"),
+          sum(when(!col("isP"), 1L).otherwise(0L)).as("tn"),
+          sum(when(sees(0) && col("isP"), 1L).otherwise(0L)).as("p0"),
+          sum(when(sees(0) && !col("isP"), 1L).otherwise(0L)).as("n0"),
+          sum(when(sees(1) && col("isP"), 1L).otherwise(0L)).as("p1"),
+          sum(when(sees(1) && !col("isP"), 1L).otherwise(0L)).as("n1"),
+          sum(when(sees(2) && col("isP"), 1L).otherwise(0L)).as("p2"),
+          sum(when(sees(2) && !col("isP"), 1L).otherwise(0L)).as("n2"))
+      perNode.groupBy("key")
+        .agg(
+          sum(expr("p0 - n0")).as("view0_value"),
+          sum(expr("p1 - n1")).as("view1_value"),
+          sum(expr("p2 - n2")).as("view2_value"),
+          sum(expr("greatest(p0, p1, p2) - greatest(n0, n1, n2)")).as("merged_value"),
+          sum(expr("tp - tn")).as("true_value"))
+        .withColumn("converged", col("merged_value") === col("true_value"))
+        .orderBy("key")
     })
   )
 
@@ -884,6 +1010,98 @@ object Round15Ops {
          |FROM vs JOIN bu1 ON bu1.probe_id = vs.probe_id
          |JOIN hits h ON h.probe_id = vs.probe_id
          |ORDER BY vs.probe_id""".stripMargin,
+
+    "service_read_repair" ->
+      """WITH t AS (
+        |  SELECT event_id, user_id % 8 AS shard,
+        |    ('0x' || substring(md5('vw:' || CAST(event_id AS VARCHAR)), 1, 6))::BIGINT % 50 + 10 AS v_latest
+        |  FROM events),
+        |r AS (
+        |  SELECT shard, event_id, v_latest,
+        |    CASE WHEN ('0x' || substring(md5('lag0:' || CAST(event_id AS VARCHAR)), 1, 6))::BIGINT % 3 = 0
+        |      THEN v_latest - (('0x' || substring(md5('gap0:' || CAST(event_id AS VARCHAR)), 1, 6))::BIGINT % 5 + 1)
+        |      ELSE v_latest END AS r0,
+        |    CASE WHEN ('0x' || substring(md5('lag1:' || CAST(event_id AS VARCHAR)), 1, 6))::BIGINT % 4 = 0
+        |      THEN v_latest - (('0x' || substring(md5('gap1:' || CAST(event_id AS VARCHAR)), 1, 6))::BIGINT % 5 + 1)
+        |      ELSE v_latest END AS r1,
+        |    CASE WHEN ('0x' || substring(md5('lag2:' || CAST(event_id AS VARCHAR)), 1, 6))::BIGINT % 5 = 0
+        |      THEN v_latest - (('0x' || substring(md5('gap2:' || CAST(event_id AS VARCHAR)), 1, 6))::BIGINT % 5 + 1)
+        |      ELSE v_latest END AS r2,
+        |    ('0x' || substring(md5('pk:' || CAST(event_id AS VARCHAR)), 1, 6))::BIGINT % 3 AS pick
+        |  FROM t),
+        |p AS (SELECT shard,
+        |    CASE WHEN pick = 0 THEN r1 ELSE r0 END AS va,
+        |    CASE WHEN pick = 2 THEN r1 ELSE r2 END AS vb
+        |  FROM r)
+        |SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_reads,
+        |  CAST(SUM(CASE WHEN va <> vb THEN 1 ELSE 0 END) AS BIGINT) AS n_divergent,
+        |  CAST(SUM(abs(va - vb)) AS BIGINT) AS repair_gap_mass,
+        |  CAST(SUM(greatest(va, vb)) AS BIGINT) AS resolved_version_mass,
+        |  CAST((SUM(CASE WHEN va <> vb THEN 1 ELSE 0 END) * 1000000) // COUNT(*) AS BIGINT) AS divergent_ppm
+        |FROM p GROUP BY 1 ORDER BY shard""".stripMargin,
+
+    "fn_merkle_antientropy" ->
+      """WITH ks AS (
+        |  SELECT CAST(o_orderkey AS BIGINT) AS k,
+        |    ('0x' || substring(md5('mk:' || CAST(o_orderkey AS VARCHAR)), 1, 8))::BIGINT % 64 AS leaf,
+        |    ('0x' || substring(md5('mv:' || CAST(o_orderkey AS VARCHAR)), 1, 6))::BIGINT AS va
+        |  FROM orders),
+        |kv AS (SELECT k, leaf, va, CASE WHEN k % 16 = 9 THEN va + 1 ELSE va END AS vb FROM ks),
+        |kh AS (SELECT leaf,
+        |    ('0x' || substring(md5('mh:' || CAST(k AS VARCHAR) || ':' || CAST(va AS VARCHAR)), 1, 12))::BIGINT % 1099511627776 AS ha,
+        |    ('0x' || substring(md5('mh:' || CAST(k AS VARCHAR) || ':' || CAST(vb AS VARCHAR)), 1, 12))::BIGINT % 1099511627776 AS hb
+        |  FROM kv),
+        |leaves AS (SELECT leaf, CAST(SUM(ha) % 1099511627776 AS BIGINT) AS da,
+        |    CAST(SUM(hb) % 1099511627776 AS BIGINT) AS db,
+        |    CAST(COUNT(*) AS BIGINT) AS n_keys FROM kh GROUP BY 1),
+        |nodes AS (
+        |  SELECT CAST(l.range AS INT) AS level, leaf // (1 << CAST(l.range AS INT)) AS node,
+        |    CAST(SUM(da) % 1099511627776 AS BIGINT) AS da,
+        |    CAST(SUM(db) % 1099511627776 AS BIGINT) AS db
+        |  FROM leaves CROSS JOIN range(0, 7) l GROUP BY 1, 2),
+        |lvlstats AS (
+        |  SELECT level, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+        |    CAST(SUM(CASE WHEN da <> db THEN 1 ELSE 0 END) AS BIGINT) AS n_differing,
+        |    CAST(NULL AS BIGINT) AS n_keys_transferred,
+        |    CAST(NULL AS BIGINT) AS n_keys_total
+        |  FROM nodes GROUP BY 1)
+        |SELECT * FROM (
+        |  SELECT * FROM lvlstats
+        |  UNION ALL
+        |  SELECT 99 AS level, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+        |    CAST(SUM(CASE WHEN da <> db THEN n_keys ELSE 0 END) AS BIGINT),
+        |    CAST(SUM(n_keys) AS BIGINT)
+        |  FROM leaves
+        |) ORDER BY level""".stripMargin,
+
+    "agg_crdt_counter" ->
+      """WITH ev AS (
+        |  SELECT user_id % 7 AS key, CAST(event_id % 3 AS INT) AS node,
+        |    ('0x' || substring(md5('pn:' || CAST(event_id AS VARCHAR)), 1, 6))::BIGINT % 4 <> 0 AS isp,
+        |    (event_id % 3 = 0) OR (('0x' || substring(md5('sv0:' || CAST(event_id AS VARCHAR)), 1, 6))::BIGINT % 10 < 7) AS s0,
+        |    (event_id % 3 = 1) OR (('0x' || substring(md5('sv1:' || CAST(event_id AS VARCHAR)), 1, 6))::BIGINT % 10 < 7) AS s1,
+        |    (event_id % 3 = 2) OR (('0x' || substring(md5('sv2:' || CAST(event_id AS VARCHAR)), 1, 6))::BIGINT % 10 < 7) AS s2
+        |  FROM events),
+        |pn AS (
+        |  SELECT key, node,
+        |    CAST(SUM(CASE WHEN isp THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+        |    CAST(SUM(CASE WHEN NOT isp THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+        |    CAST(SUM(CASE WHEN s0 AND isp THEN 1 ELSE 0 END) AS BIGINT) AS p0,
+        |    CAST(SUM(CASE WHEN s0 AND NOT isp THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+        |    CAST(SUM(CASE WHEN s1 AND isp THEN 1 ELSE 0 END) AS BIGINT) AS p1,
+        |    CAST(SUM(CASE WHEN s1 AND NOT isp THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |    CAST(SUM(CASE WHEN s2 AND isp THEN 1 ELSE 0 END) AS BIGINT) AS p2,
+        |    CAST(SUM(CASE WHEN s2 AND NOT isp THEN 1 ELSE 0 END) AS BIGINT) AS n2
+        |  FROM ev GROUP BY 1, 2)
+        |SELECT key,
+        |  CAST(SUM(p0 - n0) AS BIGINT) AS view0_value,
+        |  CAST(SUM(p1 - n1) AS BIGINT) AS view1_value,
+        |  CAST(SUM(p2 - n2) AS BIGINT) AS view2_value,
+        |  CAST(SUM(greatest(p0, p1, p2) - greatest(n0, n1, n2)) AS BIGINT) AS merged_value,
+        |  CAST(SUM(tp - tn) AS BIGINT) AS true_value,
+        |  CAST(SUM(greatest(p0, p1, p2) - greatest(n0, n1, n2)) AS BIGINT)
+        |    = CAST(SUM(tp - tn) AS BIGINT) AS converged
+        |FROM pn GROUP BY 1 ORDER BY key""".stripMargin,
 
     "service_sliding_window_limit" ->
       """WITH req AS (
