@@ -861,6 +861,98 @@ object Round15Ops {
           sum(expr("tp - tn")).as("true_value"))
         .withColumn("converged", col("merged_value") === col("true_value"))
         .orderBy("key")
+    }),
+
+    // Reward-hacking audit (length bias) — the RLHF data-quality screen
+    // beside llm_best_of_n_select (which picks winners; this audits the
+    // REWARD MODEL): per model variant the exact Pearson machinery
+    // between completion length and reward in cross-multiplied integers
+    // (cov_num = n·Σlr − Σl·Σr; flag iff cov > 0 AND 4·cov² > varl·varr,
+    // i.e. correlation > 0.5 — all DECIMAL(38,0), no sqrt, no floats).
+    // Variant 2 plants reward = 200 + 2·len (the length-gamed model a
+    // verbosity-biased judge produces); organic variants draw reward
+    // independently, so only variant 2 may flag. One rollup.
+    "llm_reward_hacking_audit" -> ((s, d) => {
+      val t = Tables.orders(s, d)
+        .select(col("o_orderkey").cast("bigint").as("k"))
+        .withColumn("variant", (col("k") % 4).cast("int"))
+        .withColumn("len", expr(
+          "CAST(conv(substring(md5(concat('cl:', CAST(k AS STRING))), 1, 6), 16, 10) AS BIGINT) % 400 + 100"))
+        .withColumn("reward_milli",
+          when(col("variant") === 2, lit(200L) + col("len") * 2L)
+            .otherwise(expr(
+              "CAST(conv(substring(md5(concat('rw:', CAST(k AS STRING))), 1, 6), 16, 10) AS BIGINT) % 1000")))
+      t.groupBy("variant")
+        .agg(count(lit(1)).as("n_pairs"),
+          expr("""CAST(CAST(COUNT(*) AS DECIMAL(38,0)) * SUM(len * reward_milli)
+                 | - CAST(SUM(len) AS DECIMAL(38,0)) * SUM(reward_milli) AS DECIMAL(38,0))""".stripMargin)
+            .as("cov_num"),
+          expr("""CAST(CAST(COUNT(*) AS DECIMAL(38,0)) * SUM(len * len)
+                 | - CAST(SUM(len) AS DECIMAL(38,0)) * SUM(len) AS DECIMAL(38,0))""".stripMargin)
+            .as("var_l"),
+          expr("""CAST(CAST(COUNT(*) AS DECIMAL(38,0)) * SUM(reward_milli * reward_milli)
+                 | - CAST(SUM(reward_milli) AS DECIMAL(38,0)) * SUM(reward_milli) AS DECIMAL(38,0))""".stripMargin)
+            .as("var_r"))
+        .withColumn("length_gamed",
+          col("cov_num") > 0 && col("cov_num") * col("cov_num") * 4 > col("var_l") * col("var_r"))
+        .select(col("variant"), col("n_pairs"),
+          col("cov_num").cast("long").as("cov_num"), col("length_gamed"))
+        .orderBy("variant")
+    }),
+
+    // Context-chunk dedup — the KV-cache sharing audit of a RAG serving
+    // batch: each query retrieves 12 chunks, the first 4 slots from a
+    // 50-chunk POPULAR pool (the hot head every retrieval distribution
+    // has) and the rest from a 100k-chunk tail; chunks retrieved by more
+    // than one query in the batch can share a prefix-cache entry, so the
+    // graded quantity is Σ(refs − 1)·chunk_tokens — the recompute the
+    // dedup saves. Per query cohort: retrievals, distinct chunks, dup
+    // ppm, saved-token mass. Two rollups, linear.
+    "llm_context_dedup" -> ((s, d) => {
+      val ret = Tables.orders(s, d)
+        .select(col("o_orderkey").cast("bigint").as("q"))
+        .withColumn("slot", explode(expr("sequence(0, 11)")))
+        .withColumn("chunk", when(col("slot") < 4,
+          expr("CAST(conv(substring(md5(concat('rc:', CAST(q AS STRING), ':', CAST(slot AS STRING))), 1, 8), 16, 10) AS BIGINT) % 50"))
+          .otherwise(expr(
+            "50 + CAST(conv(substring(md5(concat('rc:', CAST(q AS STRING), ':', CAST(slot AS STRING))), 1, 8), 16, 10) AS BIGINT) % 100000")))
+        .withColumn("cohort", (col("q") % 4).cast("int"))
+      val perChunk = ret.groupBy("cohort", "chunk")
+        .agg(count(lit(1)).as("refs"))
+        .withColumn("tok", expr(
+          "CAST(conv(substring(md5(concat('ct:', CAST(chunk AS STRING))), 1, 6), 16, 10) AS BIGINT) % 200 + 50"))
+      perChunk.groupBy("cohort")
+        .agg(sum("refs").as("n_retrievals"),
+          count(lit(1)).as("n_distinct_chunks"),
+          sum(expr("(refs - 1) * tok")).as("saved_token_mass"))
+        .withColumn("dup_ppm", expr(
+          "((n_retrievals - n_distinct_chunks) * 1000000) DIV n_retrievals"))
+        .orderBy("cohort")
+    }),
+
+    // Synthetic-data mix gate — the model-collapse guard a 2026 corpus
+    // needs before training: md5 synthetic tagging at a 30% base rate
+    // with source src2 planting 80% (the over-synthetic feed), per source
+    // the exact synthetic share in ppm and the ≤50% cap verdict, split
+    // over doc and token mass (a few long synthetic docs can breach the
+    // TOKEN cap while the doc cap holds — both graded). One rollup.
+    "llm_synthetic_mix_gate" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          size(split(col("text"), " ")).cast("bigint").as("tok"))
+        .withColumn("synth", expr(
+          "CAST(conv(substring(md5(concat('sy:', CAST(doc_id AS STRING))), 1, 6), 16, 10) AS BIGINT) % 100") <
+          when(col("source") === "src2", 80L).otherwise(30L))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("synth"), 1L).otherwise(0L)).as("n_synth"),
+          sum("tok").as("token_mass"),
+          sum(when(col("synth"), col("tok")).otherwise(0L)).as("synth_token_mass"))
+        .withColumn("synth_doc_ppm", expr("(n_synth * 1000000) DIV n_docs"))
+        .withColumn("synth_token_ppm",
+          expr("(synth_token_mass * 1000000) DIV token_mass"))
+        .withColumn("cap_breached", col("synth_token_ppm") > 500000L)
+        .orderBy("source")
     })
   )
 
@@ -1010,6 +1102,63 @@ object Round15Ops {
          |FROM vs JOIN bu1 ON bu1.probe_id = vs.probe_id
          |JOIN hits h ON h.probe_id = vs.probe_id
          |ORDER BY vs.probe_id""".stripMargin,
+
+    "llm_reward_hacking_audit" ->
+      """WITH t AS (
+        |  SELECT CAST(o_orderkey AS BIGINT) AS k, CAST(o_orderkey % 4 AS INT) AS variant,
+        |    ('0x' || substring(md5('cl:' || CAST(o_orderkey AS VARCHAR)), 1, 6))::BIGINT % 400 + 100 AS len
+        |  FROM orders),
+        |r AS (SELECT variant, len,
+        |    CASE WHEN variant = 2 THEN 200 + len * 2
+        |      ELSE ('0x' || substring(md5('rw:' || CAST(k AS VARCHAR)), 1, 6))::BIGINT % 1000 END AS reward_milli
+        |  FROM t),
+        |m AS (
+        |  SELECT variant, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |    CAST(COUNT(*) AS HUGEINT) * SUM(len * reward_milli)
+        |      - CAST(SUM(len) AS HUGEINT) * SUM(reward_milli) AS cov_num,
+        |    CAST(COUNT(*) AS HUGEINT) * SUM(len * len)
+        |      - CAST(SUM(len) AS HUGEINT) * SUM(len) AS var_l,
+        |    CAST(COUNT(*) AS HUGEINT) * SUM(reward_milli * reward_milli)
+        |      - CAST(SUM(reward_milli) AS HUGEINT) * SUM(reward_milli) AS var_r
+        |  FROM r GROUP BY 1)
+        |SELECT variant, n_pairs, CAST(cov_num AS BIGINT) AS cov_num,
+        |  cov_num > 0 AND cov_num * cov_num * 4 > var_l * var_r AS length_gamed
+        |FROM m ORDER BY variant""".stripMargin,
+
+    "llm_context_dedup" ->
+      """WITH ret AS (
+        |  SELECT CAST(o_orderkey AS BIGINT) AS q,
+        |    CASE WHEN j.range < 4
+        |      THEN ('0x' || substring(md5('rc:' || CAST(o_orderkey AS VARCHAR) || ':' || CAST(j.range AS VARCHAR)), 1, 8))::BIGINT % 50
+        |      ELSE 50 + ('0x' || substring(md5('rc:' || CAST(o_orderkey AS VARCHAR) || ':' || CAST(j.range AS VARCHAR)), 1, 8))::BIGINT % 100000
+        |    END AS chunk
+        |  FROM orders CROSS JOIN range(0, 12) j),
+        |pc AS (
+        |  SELECT CAST(q % 4 AS INT) AS cohort, chunk, CAST(COUNT(*) AS BIGINT) AS refs
+        |  FROM ret GROUP BY 1, 2),
+        |pt AS (SELECT cohort, refs,
+        |    ('0x' || substring(md5('ct:' || CAST(chunk AS VARCHAR)), 1, 6))::BIGINT % 200 + 50 AS tok
+        |  FROM pc)
+        |SELECT cohort, CAST(SUM(refs) AS BIGINT) AS n_retrievals,
+        |  CAST(COUNT(*) AS BIGINT) AS n_distinct_chunks,
+        |  CAST(SUM((refs - 1) * tok) AS BIGINT) AS saved_token_mass,
+        |  CAST(((SUM(refs) - COUNT(*)) * 1000000) // SUM(refs) AS BIGINT) AS dup_ppm
+        |FROM pt GROUP BY 1 ORDER BY cohort""".stripMargin,
+
+    "llm_synthetic_mix_gate" ->
+      """WITH t AS (
+        |  SELECT source, CAST(len(string_split(text, ' ')) AS BIGINT) AS tok,
+        |    ('0x' || substring(md5('sy:' || CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT % 100
+        |      < CASE WHEN source = 'src2' THEN 80 ELSE 30 END AS synth
+        |  FROM documents)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(CASE WHEN synth THEN 1 ELSE 0 END) AS BIGINT) AS n_synth,
+        |  CAST(SUM(tok) AS BIGINT) AS token_mass,
+        |  CAST(SUM(CASE WHEN synth THEN tok ELSE 0 END) AS BIGINT) AS synth_token_mass,
+        |  CAST((SUM(CASE WHEN synth THEN 1 ELSE 0 END) * 1000000) // COUNT(*) AS BIGINT) AS synth_doc_ppm,
+        |  CAST((SUM(CASE WHEN synth THEN tok ELSE 0 END) * 1000000) // SUM(tok) AS BIGINT) AS synth_token_ppm,
+        |  CAST((SUM(CASE WHEN synth THEN tok ELSE 0 END) * 1000000) // SUM(tok) AS BIGINT) > 500000 AS cap_breached
+        |FROM t GROUP BY 1 ORDER BY source""".stripMargin,
 
     "service_read_repair" ->
       """WITH t AS (
