@@ -953,6 +953,124 @@ object Round15Ops {
           expr("(synth_token_mass * 1000000) DIV token_mass"))
         .withColumn("cap_breached", col("synth_token_ppm") > 500000L)
         .orderBy("source")
+    }),
+
+    // Keyboard-adjacency typo model — the fat-finger prior an ER scorer
+    // should charge less for (an 'n'→'m' slip is evidence FOR a match;
+    // 'n'→'q' is not): a broadcast QWERTY adjacency table over the
+    // 12-name pool's position-2 characters, planted typos replace that
+    // character with an ADJACENT key 85% of the time (md5) and a
+    // guaranteed non-adjacent 'q' otherwise; the classifier joins the
+    // (original, observed) pair against the adjacency table and the
+    // graded census recovers the planted 85/15 split per cohort — the
+    // empirical fat-finger rate the matcher weight is calibrated from.
+    // Projection + broadcast join + rollup, linear.
+    "fn_keyboard_typo_model" -> ((s, d) => {
+      val pool = array(lit("SMITH"), lit("SMYTH"), lit("SCHMIDT"),
+        lit("JOHNSON"), lit("JONSON"), lit("MEYER"), lit("MAYER"),
+        lit("BROWN"), lit("BRAUN"), lit("TAYLOR"), lit("WALKER"),
+        lit("HARRIS"))
+      // QWERTY neighbors of the pool's position-2 characters
+      // (M,C,O,E,A,R): enough rows to classify every planted slip
+      val adj = s.range(1).select(explode(array(
+        struct(lit("M").as("orig"), lit("N").as("adjc")),
+        struct(lit("M").as("orig"), lit("K").as("adjc")),
+        struct(lit("C").as("orig"), lit("X").as("adjc")),
+        struct(lit("C").as("orig"), lit("V").as("adjc")),
+        struct(lit("O").as("orig"), lit("I").as("adjc")),
+        struct(lit("O").as("orig"), lit("P").as("adjc")),
+        struct(lit("E").as("orig"), lit("W").as("adjc")),
+        struct(lit("E").as("orig"), lit("R").as("adjc")),
+        struct(lit("A").as("orig"), lit("S").as("adjc")),
+        struct(lit("A").as("orig"), lit("Q").as("adjc")),
+        struct(lit("R").as("orig"), lit("E").as("adjc")),
+        struct(lit("R").as("orig"), lit("T").as("adjc")))).as("m"))
+        .select(col("m.orig").as("orig"), col("m.adjc").as("adjc"))
+      val t = Tables.customer(s, d)
+        .select(col("c_custkey").cast("bigint").as("k"))
+        .withColumn("name0", element_at(pool, (col("k") % 12 + 1).cast("int")))
+        .withColumn("c2", substring(col("name0"), 2, 1))
+        .withColumn("typo", col("k") % 7 === 3)
+        .withColumn("fat", expr(
+          "CAST(conv(substring(md5(concat('kb:', CAST(k AS STRING))), 1, 6), 16, 10) AS BIGINT) % 100 < 85"))
+        .withColumn("pick", expr(
+          "CAST(conv(substring(md5(concat('ka:', CAST(k AS STRING))), 1, 6), 16, 10) AS BIGINT) % 2"))
+      // observed char: an md5-picked adjacent key when fat-fingered,
+      // the guaranteed-non-adjacent 'q' otherwise
+      val firstAdj = adj.groupBy("orig")
+        .agg(min("adjc").as("a0"), max("adjc").as("a1"))
+        .withColumnRenamed("orig", "fa_orig")
+      val obs = t.join(broadcast(firstAdj), t("c2") === firstAdj("fa_orig"))
+        .withColumn("oc",
+          when(!col("typo"), col("c2"))
+            .when(col("fat"), when(col("pick") === 0, col("a0")).otherwise(col("a1")))
+            .otherwise(lit("q")))
+      val cls = obs.join(broadcast(adj),
+          obs("c2") === adj("orig") && obs("oc") === adj("adjc"), "left")
+        .withColumn("is_adjacent", col("adjc").isNotNull)
+      cls.groupBy((col("k") % 4).as("cohort"))
+        .agg(count(lit(1)).as("n_records"),
+          sum(when(col("typo"), 1L).otherwise(0L)).as("n_typos"),
+          sum(when(col("typo") && col("is_adjacent"), 1L).otherwise(0L))
+            .as("n_adjacent"))
+        .withColumn("adjacent_ppm",
+          expr("(n_adjacent * 1000000) DIV NULLIF(n_typos, 0)"))
+        .orderBy("cohort")
+    }),
+
+    // OCR confusion repair — the scanned-document cleanup a KYC intake
+    // runs (0↔O, 1↔I, 5↔S, 8↔B are THE glyph confusions): document ids
+    // 'REF' + 6 digits, a planted 1-in-6 slice OCR-corrupts one md5-
+    // chosen confusable digit to its glyph twin, and the repair pass
+    // translate()s the confusion alphabet back to digits. Graded per
+    // corruption class: documents, corrupted, repaired-to-exact — the
+    // recovery census proving the translate table is total over the
+    // planted confusions. Linear projection + rollup.
+    "fn_ocr_confusion" -> ((s, d) => {
+      val t = Tables.orders(s, d)
+        .select(col("o_orderkey").cast("bigint").as("k"))
+        .withColumn("ref", concat(lit("REF"), lpad((col("k") % 1000000).cast("string"), 6, "0")))
+        .withColumn("corrupt", col("k") % 6 === 2)
+        .withColumn("cls", expr(
+          "CAST(conv(substring(md5(concat('oc:', CAST(k AS STRING))), 1, 6), 16, 10) AS BIGINT) % 4"))
+        .withColumn("seen",
+          when(!col("corrupt"), col("ref"))
+            .when(col("cls") === 0, expr("translate(ref, '0', 'O')"))
+            .when(col("cls") === 1, expr("translate(ref, '1', 'I')"))
+            .when(col("cls") === 2, expr("translate(ref, '5', 'S')"))
+            .otherwise(expr("translate(ref, '8', 'B')")))
+        .withColumn("repaired", expr("translate(seen, 'OISB', '0158')"))
+      t.groupBy(when(col("corrupt"), col("cls")).otherwise(lit(-1L)).as("cls"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("seen") =!= col("ref"), 1L).otherwise(0L)).as("n_visibly_corrupted"),
+          sum(when(col("repaired") === col("ref"), 1L).otherwise(0L)).as("n_repaired_exact"))
+        .orderBy("cls")
+    }),
+
+    // Flesch reading-ease scoring — the readability leg of the quality-
+    // classifier family (llm_quality_classifier scores stopwords/length;
+    // this scores SENTENCE STRUCTURE): words by whitespace split,
+    // sentences by terminal-punctuation count (+1), syllables by vowel-
+    // group count (one regex both engines share), the score per doc in
+    // exact milli via the floor-division variant 206835 − (1015·W) DIV S
+    // − (84600·Y) DIV W. Per language: corpus mass of each component,
+    // the SIGNED score mass (sums only — no signed division), and the
+    // easy-band (≥ 60) census. One projection + rollup, linear.
+    "agg_flesch_reading" -> ((s, d) => {
+      val t = Tables.documents(s, d)
+        .select(col("lang"),
+          size(split(col("text"), " ")).cast("bigint").as("w"),
+          (expr("regexp_count(text, '[.!?]')") + 1).cast("bigint").as("st"),
+          greatest(expr("regexp_count(lower(text), '[aeiouy]+')").cast("bigint"), lit(1L))
+            .as("y"))
+        .withColumn("score_milli",
+          lit(206835L) - expr("(1015 * w) DIV st") - expr("(84600 * y) DIV w"))
+      t.groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("w").as("word_mass"), sum("st").as("sentence_mass"),
+          sum("y").as("syllable_mass"), sum("score_milli").as("score_mass_milli"),
+          sum(when(col("score_milli") >= 60000L, 1L).otherwise(0L)).as("n_easy"))
+        .orderBy("lang")
     })
   )
 
@@ -1102,6 +1220,74 @@ object Round15Ops {
          |FROM vs JOIN bu1 ON bu1.probe_id = vs.probe_id
          |JOIN hits h ON h.probe_id = vs.probe_id
          |ORDER BY vs.probe_id""".stripMargin,
+
+    "fn_keyboard_typo_model" ->
+      """WITH adj(orig, adjc) AS (VALUES
+        |  ('M','N'), ('M','K'), ('C','X'), ('C','V'), ('O','I'), ('O','P'),
+        |  ('E','W'), ('E','R'), ('A','S'), ('A','Q'), ('R','E'), ('R','T')),
+        |fa AS (SELECT orig, MIN(adjc) AS a0, MAX(adjc) AS a1 FROM adj GROUP BY 1),
+        |t AS (
+        |  SELECT CAST(c_custkey AS BIGINT) AS k,
+        |    ['SMITH','SMYTH','SCHMIDT','JOHNSON','JONSON','MEYER','MAYER',
+        |     'BROWN','BRAUN','TAYLOR','WALKER','HARRIS'][CAST(c_custkey % 12 AS INT) + 1] AS name0
+        |  FROM customer),
+        |o AS (
+        |  SELECT k, substring(name0, 2, 1) AS c2, k % 7 = 3 AS typo,
+        |    CASE WHEN k % 7 <> 3 THEN substring(name0, 2, 1)
+        |      WHEN ('0x' || substring(md5('kb:' || CAST(k AS VARCHAR)), 1, 6))::BIGINT % 100 < 85
+        |        THEN CASE WHEN ('0x' || substring(md5('ka:' || CAST(k AS VARCHAR)), 1, 6))::BIGINT % 2 = 0
+        |          THEN fa.a0 ELSE fa.a1 END
+        |      ELSE 'q' END AS oc
+        |  FROM t JOIN fa ON fa.orig = substring(t.name0, 2, 1)),
+        |c AS (
+        |  SELECT o.k, o.typo, a.adjc IS NOT NULL AS is_adjacent
+        |  FROM o LEFT JOIN adj a ON a.orig = o.c2 AND a.adjc = o.oc)
+        |SELECT k % 4 AS cohort, CAST(COUNT(*) AS BIGINT) AS n_records,
+        |  CAST(SUM(CASE WHEN typo THEN 1 ELSE 0 END) AS BIGINT) AS n_typos,
+        |  CAST(SUM(CASE WHEN typo AND is_adjacent THEN 1 ELSE 0 END) AS BIGINT) AS n_adjacent,
+        |  CAST((SUM(CASE WHEN typo AND is_adjacent THEN 1 ELSE 0 END) * 1000000)
+        |    // NULLIF(SUM(CASE WHEN typo THEN 1 ELSE 0 END), 0) AS BIGINT) AS adjacent_ppm
+        |FROM c GROUP BY 1 ORDER BY cohort""".stripMargin,
+
+    "fn_ocr_confusion" ->
+      """WITH t AS (
+        |  SELECT CAST(o_orderkey AS BIGINT) AS k,
+        |    'REF' || lpad(CAST(o_orderkey % 1000000 AS VARCHAR), 6, '0') AS ref,
+        |    o_orderkey % 6 = 2 AS corrupt,
+        |    ('0x' || substring(md5('oc:' || CAST(o_orderkey AS VARCHAR)), 1, 6))::BIGINT % 4 AS cls
+        |  FROM orders),
+        |o AS (
+        |  SELECT k, ref, corrupt, cls,
+        |    CASE WHEN NOT corrupt THEN ref
+        |      WHEN cls = 0 THEN translate(ref, '0', 'O')
+        |      WHEN cls = 1 THEN translate(ref, '1', 'I')
+        |      WHEN cls = 2 THEN translate(ref, '5', 'S')
+        |      ELSE translate(ref, '8', 'B') END AS seen
+        |  FROM t),
+        |r AS (SELECT *, translate(seen, 'OISB', '0158') AS repaired FROM o)
+        |SELECT CASE WHEN corrupt THEN cls ELSE -1 END AS cls,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(CASE WHEN seen <> ref THEN 1 ELSE 0 END) AS BIGINT) AS n_visibly_corrupted,
+        |  CAST(SUM(CASE WHEN repaired = ref THEN 1 ELSE 0 END) AS BIGINT) AS n_repaired_exact
+        |FROM r GROUP BY 1 ORDER BY cls""".stripMargin,
+
+    "agg_flesch_reading" ->
+      """WITH t AS (
+        |  SELECT lang, CAST(len(string_split(text, ' ')) AS BIGINT) AS w,
+        |    CAST(len(regexp_extract_all(text, '[.!?]')) + 1 AS BIGINT) AS st,
+        |    greatest(CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT), 1) AS y
+        |  FROM documents),
+        |sc AS (
+        |  SELECT lang, w, st, y,
+        |    206835 - (1015 * w) // st - (84600 * y) // w AS score_milli
+        |  FROM t)
+        |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(w) AS BIGINT) AS word_mass,
+        |  CAST(SUM(st) AS BIGINT) AS sentence_mass,
+        |  CAST(SUM(y) AS BIGINT) AS syllable_mass,
+        |  CAST(SUM(score_milli) AS BIGINT) AS score_mass_milli,
+        |  CAST(SUM(CASE WHEN score_milli >= 60000 THEN 1 ELSE 0 END) AS BIGINT) AS n_easy
+        |FROM sc GROUP BY 1 ORDER BY lang""".stripMargin,
 
     "llm_reward_hacking_audit" ->
       """WITH t AS (
