@@ -147,6 +147,10 @@ object GraphOps {
       |t AS MATERIALIZED (SELECT CAST(SUM(w) AS BIGINT) AS tw, COUNT(*) AS ne FROM und),
       |hw AS MATERIALIZED (SELECT a, b, w FROM und, t WHERE w * ne > tw)""".stripMargin
 
+  /** Oracle CTE prefix for Round15Ops.graph_louvain_pass (edges + the
+    * weighted heavy cut), mirroring `heavyBackboneW`. */
+  private[ops] def louvainOracleCtes: String = s"$EdgesCte,\n$HeavyWCte"
+
   /** Weighted-SSSP geometry: integer edge cost = max(1, 1e6 DIV w) —
     * heavier trade = cheaper hop — relaxed for 6 Bellman-Ford rounds
     * (diameter bound ≤ 3 hops, but a cheap 3-hop path can undercut an

@@ -1071,6 +1071,144 @@ object Round15Ops {
           sum("y").as("syllable_mass"), sum("score_milli").as("score_mass_milli"),
           sum(when(col("score_milli") >= 60000L, 1L).otherwise(0L)).as("n_easy"))
         .orderBy("lang")
+    }),
+
+    // One synchronous Louvain pass — modularity-based community
+    // detection over the weighted trade backbone (the label-propagation
+    // family's principled sibling: LPA adopts the heaviest label, Louvain
+    // adopts the label maximizing MODULARITY GAIN): every node starts in
+    // its own community and adopts the neighbor community maximizing the
+    // exact cross-multiplied gain 2m·w(i,j) − k_i·k_j when positive
+    // (gain DESC, community ASC tie-break — deterministic both engines).
+    // The data-scaled work is the one shared trade-edge build; the pass
+    // itself runs on the bounded 25-nation backbone. Graded per adopted
+    // community: members, internal edge weight, gain mass.
+    "graph_louvain_pass" -> ((s, d) => {
+      val hw = GraphOps.heavyBackboneW(s, d) // (a, b, w) undirected
+      val deg = hw.select(col("a").as("n"), col("w"))
+        .unionByName(hw.select(col("b").as("n"), col("w")))
+        .groupBy("n").agg(sum("w").as("k"))
+      val m2 = deg.agg(sum("k").as("m2")) // 2m
+      val dir = hw.select(col("a").as("i"), col("b").as("j"), col("w"))
+        .unionByName(hw.select(col("b").as("i"), col("a").as("j"), col("w")))
+      val wAdopt = Window.partitionBy("i").orderBy(desc("gain2m"), col("j"))
+      val adopt = dir
+        .join(deg.select(col("n").as("i"), col("k").as("ki")), Seq("i"))
+        .join(deg.select(col("n").as("j"), col("k").as("kj")), Seq("j"))
+        .crossJoin(broadcast(m2))
+        .withColumn("gain2m", col("m2") * col("w") - col("ki") * col("kj"))
+        .withColumn("rn", row_number().over(wAdopt)).where(col("rn") === 1)
+        .select(col("i"),
+          when(col("gain2m") > 0, col("j")).otherwise(col("i"))
+            .cast("long").as("comm"),
+          when(col("gain2m") > 0, col("gain2m")).otherwise(lit(0L)).as("gain"))
+      val members = deg.select(col("n").as("i"))
+        .join(adopt, Seq("i"), "left")
+        .select(col("i"), coalesce(col("comm"), col("i").cast("long")).as("comm"),
+          coalesce(col("gain"), lit(0L)).as("gain"))
+        .localCheckpoint() // census + internal-weight join share it
+      val internal = hw
+        .join(members.select(col("i").as("a"), col("comm").as("ca")), Seq("a"))
+        .join(members.select(col("i").as("b"), col("comm").as("cb")), Seq("b"))
+        .where(col("ca") === col("cb"))
+        .groupBy(col("ca").as("comm")).agg(sum("w").as("internal_w"))
+      members.groupBy("comm")
+        .agg(count(lit(1)).as("n_members"), sum("gain").as("gain_mass"))
+        .join(internal, Seq("comm"), "left")
+        .withColumn("internal_w", coalesce(col("internal_w"), lit(0L)))
+        .orderBy("comm")
+    }),
+
+    // Grid-DBSCAN over a 1-d exact-cents axis — density clustering with
+    // the deterministic grid-neighborhood variant (ε-buckets of 400; a
+    // bucket is CORE iff its ±1-bucket population ≥ 1% of n — the
+    // RELATIVE minPts that keeps the plant scale-invariant where an
+    // absolute one flips class at 100× the data): 70% of points draw
+    // from three planted dense centers, 30% uniform noise; clusters are
+    // ISLANDS of consecutive core buckets (gaps-and-islands — no
+    // iteration), border buckets attach to their nearest island, the
+    // rest is noise. Graded per cluster: core/border points, bucket
+    // span; plus the noise row. Bucket rollup + one ≤250-row window.
+    "agg_dbscan_grid" -> ((s, d) => {
+      val pts = Tables.orders(s, d)
+        .select(col("o_orderkey").cast("bigint").as("k"))
+        .withColumn("dense", expr(
+          "CAST(conv(substring(md5(concat('db:', CAST(k AS STRING))), 1, 6), 16, 10) AS BIGINT) % 10 < 7"))
+        .withColumn("x",
+          when(col("dense"),
+            lit(10000L) + expr("CAST(conv(substring(md5(concat('dc:', CAST(k AS STRING))), 1, 6), 16, 10) AS BIGINT) % 3") * 40000L +
+              expr("CAST(conv(substring(md5(concat('dx:', CAST(k AS STRING))), 1, 6), 16, 10) AS BIGINT) % 501"))
+            .otherwise(expr(
+              "CAST(conv(substring(md5(concat('du:', CAST(k AS STRING))), 1, 6), 16, 10) AS BIGINT) % 100000")))
+        .withColumn("b", expr("x DIV 400"))
+      val n = pts.count()
+      val minPts = math.max(1L, n / 100)
+      val bc = pts.groupBy("b").agg(count(lit(1)).as("cnt")).localCheckpoint()
+      val nb = bc.as("c")
+        .join(bc.select((col("b") + 1).as("b"), col("cnt").as("cl")), Seq("b"), "left")
+        .join(bc.select((col("b") - 1).as("b"), col("cnt").as("cr")), Seq("b"), "left")
+        .withColumn("hood",
+          col("cnt") + coalesce(col("cl"), lit(0L)) + coalesce(col("cr"), lit(0L)))
+        .withColumn("core", col("hood") >= minPts)
+        .localCheckpoint()
+      val wI = Window.orderBy("b")
+      val islands = nb.where(col("core"))
+        .withColumn("rn", row_number().over(wI))
+        .withColumn("grp", col("b") - col("rn"))
+      val wC = Window.partitionBy("grp")
+      val coreB = islands.withColumn("cluster", min("b").over(wC))
+        .select(col("b"), col("cluster"), col("cnt"))
+        .localCheckpoint()
+      val border = nb.where(!col("core"))
+        .join(coreB.select((col("b") + 1).as("b"), col("cluster").as("cu")), Seq("b"), "left")
+        .join(coreB.select((col("b") - 1).as("b"), col("cluster").as("cd")), Seq("b"), "left")
+        .withColumn("cluster", least(col("cu"), col("cd")))
+      val clusters = coreB.groupBy("cluster")
+        .agg(sum("cnt").as("n_core_points"), count(lit(1)).as("n_buckets"))
+        .join(border.where(col("cluster").isNotNull)
+          .groupBy("cluster").agg(sum("cnt").as("nb0")), Seq("cluster"), "left")
+        .select(col("cluster"), col("n_core_points"),
+          coalesce(col("nb0"), lit(0L)).as("n_border_points"), col("n_buckets"))
+      val noise = border.where(col("cluster").isNull)
+        .agg(coalesce(sum("cnt"), lit(0L)).as("n_border_points"),
+          count(lit(1)).as("n_buckets"))
+        .select(lit(-1L).as("cluster"), lit(0L).as("n_core_points"),
+          col("n_border_points"), col("n_buckets"))
+      clusters.unionByName(noise).orderBy("cluster")
+    }),
+
+    // IBAN mod-97 validation — the checksum gate a payments intake runs
+    // (ISO 13616: move the country+check prefix to the tail, digitize,
+    // valid iff the 24-digit number ≡ 1 mod 97): the 24 digits exceed
+    // int64, so both engines fold in CHUNKS with precomputed radix
+    // residues (10⁹ ≡ 34, 10⁶ ≡ 27 mod 97) — three small multiplies, no
+    // big-int. Check digits are DERIVED by the same arithmetic (98 − r),
+    // then a 1-in-9 slice corrupts one account digit; mod 97 detects
+    // EVERY single-digit substitution, so the invalid census must equal
+    // the planted corruption census exactly (asserted in the spec). One
+    // projection + rollup, linear.
+    "fn_iban_mod97" -> ((s, d) => {
+      val t = Tables.customer(s, d)
+        .select(col("c_custkey").cast("bigint").as("k"))
+        .withColumn("hi", (col("k") * 7919L + 13L) % 1000000000L)
+        .withColumn("lo", expr(
+          "CAST(conv(substring(md5(concat('ib:', CAST(k AS STRING))), 1, 8), 16, 10) AS BIGINT) % 1000000000"))
+        // check digits for account || 'DE00' tail: r over acct·10⁶+131400
+        .withColumn("m2c", expr("((hi % 97) * 34 + lo) % 97"))
+        .withColumn("check", lit(98L) - expr("(m2c * 27 + 131400) % 97"))
+        .withColumn("corrupted", col("k") % 9 === 4)
+        .withColumn("lo_seen",
+          when(col("corrupted"),
+            when(col("lo") % 10 < 9, col("lo") + 1).otherwise(col("lo") - 1))
+            .otherwise(col("lo")))
+        .withColumn("m2v", expr("((hi % 97) * 34 + lo_seen) % 97"))
+        .withColumn("valid", expr("(m2v * 27 + 131400 + check) % 97 = 1"))
+      t.groupBy((col("k") % 5).as("cohort"))
+        .agg(count(lit(1)).as("n_ibans"),
+          sum(when(col("valid"), 1L).otherwise(0L)).as("n_valid"),
+          sum(when(!col("valid"), 1L).otherwise(0L)).as("n_invalid"),
+          sum(when(col("corrupted"), 1L).otherwise(0L)).as("n_corrupted"))
+        .orderBy("cohort")
     })
   )
 
@@ -1220,6 +1358,97 @@ object Round15Ops {
          |FROM vs JOIN bu1 ON bu1.probe_id = vs.probe_id
          |JOIN hits h ON h.probe_id = vs.probe_id
          |ORDER BY vs.probe_id""".stripMargin,
+
+    "graph_louvain_pass" -> {
+      s"""WITH ${GraphOps.louvainOracleCtes},
+         |deg AS (SELECT n, CAST(SUM(w) AS BIGINT) AS k FROM (
+         |  SELECT a AS n, w FROM hw UNION ALL SELECT b AS n, w FROM hw) q GROUP BY 1),
+         |m2 AS (SELECT CAST(SUM(k) AS BIGINT) AS m2 FROM deg),
+         |dirx AS (SELECT a AS i, b AS j, w FROM hw UNION ALL SELECT b AS i, a AS j, w FROM hw),
+         |ad AS (
+         |  SELECT i, CASE WHEN gain2m > 0 THEN j ELSE i END AS comm,
+         |    CASE WHEN gain2m > 0 THEN gain2m ELSE 0 END AS gain
+         |  FROM (
+         |    SELECT d.i, d.j, m2.m2 * d.w - ki.k * kj.k AS gain2m,
+         |      ROW_NUMBER() OVER (PARTITION BY d.i
+         |        ORDER BY m2.m2 * d.w - ki.k * kj.k DESC, d.j) AS rn
+         |    FROM dirx d JOIN deg ki ON ki.n = d.i JOIN deg kj ON kj.n = d.j
+         |    CROSS JOIN m2) q
+         |  WHERE rn = 1),
+         |internal AS (
+         |  SELECT ma.comm AS comm, CAST(SUM(hw.w) AS BIGINT) AS internal_w
+         |  FROM hw JOIN ad ma ON ma.i = hw.a JOIN ad mb ON mb.i = hw.b
+         |  WHERE ma.comm = mb.comm GROUP BY 1)
+         |SELECT ad.comm, CAST(COUNT(*) AS BIGINT) AS n_members,
+         |  CAST(SUM(ad.gain) AS BIGINT) AS gain_mass,
+         |  CAST(coalesce(MAX(i2.internal_w), 0) AS BIGINT) AS internal_w
+         |FROM ad LEFT JOIN internal i2 ON i2.comm = ad.comm
+         |GROUP BY 1 ORDER BY ad.comm""".stripMargin
+    },
+
+    "agg_dbscan_grid" ->
+      """WITH pts AS (
+        |  SELECT CASE WHEN ('0x' || substring(md5('db:' || CAST(o_orderkey AS VARCHAR)), 1, 6))::BIGINT % 10 < 7
+        |    THEN 10000 + (('0x' || substring(md5('dc:' || CAST(o_orderkey AS VARCHAR)), 1, 6))::BIGINT % 3) * 40000
+        |       + ('0x' || substring(md5('dx:' || CAST(o_orderkey AS VARCHAR)), 1, 6))::BIGINT % 501
+        |    ELSE ('0x' || substring(md5('du:' || CAST(o_orderkey AS VARCHAR)), 1, 6))::BIGINT % 100000
+        |  END AS x
+        |  FROM orders),
+        |b0 AS (SELECT x // 400 AS b FROM pts),
+        |nt AS (SELECT GREATEST(1, COUNT(*) // 100) AS minpts FROM b0),
+        |bc AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS cnt FROM b0 GROUP BY 1),
+        |nb AS (
+        |  SELECT c.b, c.cnt,
+        |    c.cnt + coalesce(l.cnt, 0) + coalesce(r.cnt, 0) AS hood
+        |  FROM bc c LEFT JOIN bc l ON l.b = c.b - 1 LEFT JOIN bc r ON r.b = c.b + 1),
+        |nc AS (SELECT nb.*, hood >= (SELECT minpts FROM nt) AS core FROM nb),
+        |isl AS (
+        |  SELECT b, cnt, b - ROW_NUMBER() OVER (ORDER BY b) AS grp
+        |  FROM nc WHERE core),
+        |coreb AS (SELECT b, cnt, MIN(b) OVER (PARTITION BY grp) AS cluster FROM isl),
+        |bord AS (
+        |  SELECT n.b, n.cnt, LEAST(cu.cluster, cd.cluster) AS cluster
+        |  FROM nc n LEFT JOIN coreb cu ON cu.b = n.b - 1
+        |  LEFT JOIN coreb cd ON cd.b = n.b + 1
+        |  WHERE NOT n.core),
+        |cl AS (
+        |  SELECT cluster, CAST(SUM(cnt) AS BIGINT) AS n_core_points,
+        |    CAST(COUNT(*) AS BIGINT) AS n_buckets
+        |  FROM coreb GROUP BY 1),
+        |bd AS (SELECT cluster, CAST(SUM(cnt) AS BIGINT) AS n_border_points
+        |  FROM bord WHERE cluster IS NOT NULL GROUP BY 1),
+        |nz AS (SELECT CAST(coalesce(SUM(cnt), 0) AS BIGINT) AS n_border_points,
+        |    CAST(COUNT(*) AS BIGINT) AS n_buckets FROM bord WHERE cluster IS NULL)
+        |SELECT * FROM (
+        |  SELECT cl.cluster, cl.n_core_points,
+        |    CAST(coalesce(bd.n_border_points, 0) AS BIGINT) AS n_border_points,
+        |    cl.n_buckets
+        |  FROM cl LEFT JOIN bd ON bd.cluster = cl.cluster
+        |  UNION ALL
+        |  SELECT CAST(-1 AS BIGINT), CAST(0 AS BIGINT), n_border_points, n_buckets FROM nz
+        |) ORDER BY cluster""".stripMargin,
+
+    "fn_iban_mod97" ->
+      """WITH t AS (
+        |  SELECT CAST(c_custkey AS BIGINT) AS k,
+        |    (CAST(c_custkey AS BIGINT) * 7919 + 13) % 1000000000 AS hi,
+        |    ('0x' || substring(md5('ib:' || CAST(c_custkey AS VARCHAR)), 1, 8))::BIGINT % 1000000000 AS lo
+        |  FROM customer),
+        |c AS (
+        |  SELECT k, hi, lo, k % 9 = 4 AS corrupted,
+        |    98 - (((hi % 97) * 34 + lo) % 97 * 27 + 131400) % 97 AS chk
+        |  FROM t),
+        |v AS (
+        |  SELECT k, corrupted,
+        |    (((hi % 97) * 34 + CASE WHEN corrupted THEN
+        |        CASE WHEN lo % 10 < 9 THEN lo + 1 ELSE lo - 1 END
+        |      ELSE lo END) % 97 * 27 + 131400 + chk) % 97 = 1 AS valid
+        |  FROM c)
+        |SELECT k % 5 AS cohort, CAST(COUNT(*) AS BIGINT) AS n_ibans,
+        |  CAST(SUM(CASE WHEN valid THEN 1 ELSE 0 END) AS BIGINT) AS n_valid,
+        |  CAST(SUM(CASE WHEN NOT valid THEN 1 ELSE 0 END) AS BIGINT) AS n_invalid,
+        |  CAST(SUM(CASE WHEN corrupted THEN 1 ELSE 0 END) AS BIGINT) AS n_corrupted
+        |FROM v GROUP BY 1 ORDER BY cohort""".stripMargin,
 
     "fn_keyboard_typo_model" ->
       """WITH adj(orig, adjc) AS (VALUES
