@@ -1343,6 +1343,110 @@ object Round15Ops {
         .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"),
           min("okey").as("min_key"), max("okey").as("max_key"))
         .orderBy("status")
+    }),
+
+    // Shewhart control chart with Nelson rules 1 & 2 — the SPC screen a
+    // data-quality monitor runs on any KPI stream: per machine 48
+    // sequence-indexed samples, control limits estimated from the FIRST
+    // 16 (baseline mean + average moving range, σ ≈ MR̄/1.128), then
+    // rule 1 (|x − center|·1128 > 3000·MR̄ milli — the cross-multiplied
+    // form, no division, no sqrt) and rule 2 (9 consecutive samples the
+    // same side of center, one 9-row window). Machine class 2 plants a
+    // +4σ jump at sample 30 (rule 1 must fire), class 5 a +1.2σ drift
+    // at sample 20 (rule 2 fires where rule 1 stays silent — the whole
+    // point of the run rule). Census per class. Windows + rollups.
+    "win_control_chart" -> ((s, d) => {
+      val base = Tables.supplier(s, d)
+        .select(col("s_suppkey").cast("bigint").as("m"))
+        .withColumn("i", explode(expr("sequence(0, 47)")))
+        .withColumn("cls", (col("m") % 7).cast("int"))
+        .withColumn("noise", expr(
+          "CAST(conv(substring(md5(concat('cc:', CAST(m AS STRING), ':', CAST(i AS STRING))), 1, 6), 16, 10) AS BIGINT) % 41") - 20L)
+        .withColumn("x",
+          lit(500L) + col("noise") +
+            when(col("cls") === 2 && col("i") >= 30, 80L).otherwise(0L) +
+            when(col("cls") === 5 && col("i") >= 20, 14L).otherwise(0L))
+      val wOrd = Window.partitionBy("m").orderBy("i")
+      val withMr = base
+        .withColumn("prev", lag("x", 1).over(wOrd))
+        .withColumn("mr", abs(col("x") - col("prev")))
+      val baseline = withMr.where(col("i") < 16)
+        .groupBy("m")
+        .agg(expr("(SUM(x) * 1000) DIV 16").as("center_milli"),
+          expr("(SUM(CASE WHEN i >= 1 THEN mr ELSE 0 END) * 1000) DIV 15")
+            .as("mrbar_milli"))
+      val marked = base.join(baseline, Seq("m"))
+        .withColumn("dev_milli", abs(col("x") * 1000L - col("center_milli")))
+        .withColumn("rule1",
+          col("i") >= 16 && col("dev_milli") * 1128L > col("mrbar_milli") * 3000L)
+        .withColumn("above", (col("x") * 1000L > col("center_milli")).cast("int"))
+        .withColumn("run9",
+          sum("above").over(wOrd.rowsBetween(-8, 0)))
+        .withColumn("rule2", col("i") >= 24 && (col("run9") === 9 || col("run9") === 0))
+      val perM = marked.groupBy("m", "cls")
+        .agg(sum(when(col("rule1"), 1L).otherwise(0L)).as("n_rule1"),
+          sum(when(col("rule2"), 1L).otherwise(0L)).as("n_rule2"))
+      perM.groupBy("cls")
+        .agg(count(lit(1)).as("n_machines"),
+          sum("n_rule1").as("rule1_mass"), sum("n_rule2").as("rule2_mass"),
+          sum(when(col("n_rule1") > 0, 1L).otherwise(0L)).as("machines_rule1"),
+          sum(when(col("n_rule2") > 0, 1L).otherwise(0L)).as("machines_rule2"))
+        .orderBy("cls")
+    }),
+
+    // Honorific strip — the title/suffix cleanup fn_name_standardize's
+    // family still lacked (a matcher that blocks 'DR JOHN SMITH JR'
+    // against 'JOHN SMITH' never sees the pair): four planted prefix
+    // classes (DR/MR/MS/PROF) × suffix classes (JR/SR/III/none) around
+    // a canonical core, stripped by two anchored regexes; graded per
+    // layout class: records, stripped == canonical recovery (must be
+    // total), residual char mass. Linear projection + rollup.
+    "fn_honorific_strip" -> ((s, d) => {
+      val pre = array(lit("DR "), lit("MR "), lit("MS "), lit("PROF "))
+      val suf = array(lit(" JR"), lit(" SR"), lit(" III"), lit(""))
+      val t = Tables.customer(s, d)
+        .select(col("c_custkey").cast("bigint").as("k"))
+        .withColumn("canon",
+          concat(lit("PERSON "), lpad((col("k") % 997).cast("string"), 4, "0")))
+        .withColumn("p", (col("k") % 4).cast("int"))
+        .withColumn("q", (expr("k DIV 4") % 4).cast("int"))
+        .withColumn("raw", concat(
+          element_at(pre, col("p") + 1), col("canon"), element_at(suf, col("q") + 1)))
+        .withColumn("stripped", regexp_replace(regexp_replace(
+          col("raw"), "^(DR|MR|MS|PROF) ", ""), " (JR|SR|III)$", ""))
+      t.groupBy("p", "q")
+        .agg(count(lit(1)).as("n_records"),
+          sum(when(col("stripped") === col("canon"), 1L).otherwise(0L))
+            .as("n_recovered"),
+          sum(length(col("raw")) - length(col("stripped"))).as("chars_stripped"))
+        .orderBy("p", "q")
+    }),
+
+    // Deceased / gone-away suppression — the mailing-list hygiene join
+    // every person service runs before contact (and a regulatory duty
+    // after a death notification): two broadcast suppression registries
+    // (deceased 1-in-23, gone-away 1-in-17 — keys OVERLAP at lcm 391,
+    // the inclusion-exclusion case a naive subtraction double-counts),
+    // the mailable census graded per cohort with the overlap made
+    // explicit: mailable = n − deceased − goneaway + both. Two broadcast
+    // semi-join flags + one rollup, linear.
+    "warehouse_deceased_suppression" -> ((s, d) => {
+      val persons = Tables.customer(s, d)
+        .select(col("c_custkey").cast("bigint").as("k"))
+      val dec = persons.where(col("k") % 23 === 6).select(col("k").as("dk"))
+      val gone = persons.where(col("k") % 17 === 6).select(col("k").as("gk"))
+      persons
+        .join(broadcast(dec), col("k") === col("dk"), "left")
+        .join(broadcast(gone), col("k") === col("gk"), "left")
+        .withColumn("is_dec", col("dk").isNotNull)
+        .withColumn("is_gone", col("gk").isNotNull)
+        .groupBy((col("k") % 4).as("cohort"))
+        .agg(count(lit(1)).as("n_persons"),
+          sum(when(col("is_dec"), 1L).otherwise(0L)).as("n_deceased"),
+          sum(when(col("is_gone"), 1L).otherwise(0L)).as("n_goneaway"),
+          sum(when(col("is_dec") && col("is_gone"), 1L).otherwise(0L)).as("n_both"),
+          sum(when(!col("is_dec") && !col("is_gone"), 1L).otherwise(0L)).as("n_mailable"))
+        .orderBy("cohort")
     })
   )
 
@@ -1538,6 +1642,66 @@ object Round15Ops {
          |FROM vs JOIN bu1 ON bu1.probe_id = vs.probe_id
          |JOIN hits h ON h.probe_id = vs.probe_id
          |ORDER BY vs.probe_id""".stripMargin,
+
+    "win_control_chart" ->
+      """WITH base AS (
+        |  SELECT CAST(s_suppkey AS BIGINT) AS m, CAST(i.range AS INT) AS i,
+        |    CAST(s_suppkey % 7 AS INT) AS cls,
+        |    500 + (('0x' || substring(md5('cc:' || CAST(s_suppkey AS VARCHAR) || ':' || CAST(i.range AS VARCHAR)), 1, 6))::BIGINT % 41) - 20
+        |      + CASE WHEN s_suppkey % 7 = 2 AND i.range >= 30 THEN 80 ELSE 0 END
+        |      + CASE WHEN s_suppkey % 7 = 5 AND i.range >= 20 THEN 14 ELSE 0 END AS x
+        |  FROM supplier CROSS JOIN range(0, 48) i),
+        |mr AS (SELECT m, i, cls, x,
+        |    abs(x - lag(x) OVER (PARTITION BY m ORDER BY i)) AS mr
+        |  FROM base),
+        |bl AS (SELECT m, CAST((SUM(x) * 1000) // 16 AS BIGINT) AS center_milli,
+        |    CAST((SUM(CASE WHEN i >= 1 THEN mr ELSE 0 END) * 1000) // 15 AS BIGINT) AS mrbar_milli
+        |  FROM mr WHERE i < 16 GROUP BY 1),
+        |mk AS (
+        |  SELECT b.m, b.cls, b.i,
+        |    b.i >= 16 AND abs(b.x * 1000 - bl.center_milli) * 1128 > bl.mrbar_milli * 3000 AS rule1,
+        |    CASE WHEN b.x * 1000 > bl.center_milli THEN 1 ELSE 0 END AS above
+        |  FROM base b JOIN bl ON bl.m = b.m),
+        |r2 AS (SELECT m, cls, i, rule1,
+        |    SUM(above) OVER (PARTITION BY m ORDER BY i
+        |      ROWS BETWEEN 8 PRECEDING AND CURRENT ROW) AS run9
+        |  FROM mk),
+        |pm AS (SELECT m, cls,
+        |    CAST(SUM(CASE WHEN rule1 THEN 1 ELSE 0 END) AS BIGINT) AS n_rule1,
+        |    CAST(SUM(CASE WHEN i >= 24 AND (run9 = 9 OR run9 = 0) THEN 1 ELSE 0 END) AS BIGINT) AS n_rule2
+        |  FROM r2 GROUP BY 1, 2)
+        |SELECT cls, CAST(COUNT(*) AS BIGINT) AS n_machines,
+        |  CAST(SUM(n_rule1) AS BIGINT) AS rule1_mass,
+        |  CAST(SUM(n_rule2) AS BIGINT) AS rule2_mass,
+        |  CAST(SUM(CASE WHEN n_rule1 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS machines_rule1,
+        |  CAST(SUM(CASE WHEN n_rule2 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS machines_rule2
+        |FROM pm GROUP BY 1 ORDER BY cls""".stripMargin,
+
+    "fn_honorific_strip" ->
+      """WITH t AS (
+        |  SELECT CAST(c_custkey AS BIGINT) AS k,
+        |    'PERSON ' || lpad(CAST(c_custkey % 997 AS VARCHAR), 4, '0') AS canon,
+        |    CAST(c_custkey % 4 AS INT) AS p, CAST((c_custkey // 4) % 4 AS INT) AS q
+        |  FROM customer),
+        |r AS (SELECT k, canon, p, q,
+        |    ['DR ','MR ','MS ','PROF '][p + 1] || canon || [' JR',' SR',' III',''][q + 1] AS raw
+        |  FROM t),
+        |x AS (SELECT p, q, canon, raw,
+        |    regexp_replace(regexp_replace(raw, '^(DR|MR|MS|PROF) ', ''), ' (JR|SR|III)$', '') AS stripped
+        |  FROM r)
+        |SELECT p, q, CAST(COUNT(*) AS BIGINT) AS n_records,
+        |  CAST(SUM(CASE WHEN stripped = canon THEN 1 ELSE 0 END) AS BIGINT) AS n_recovered,
+        |  CAST(SUM(len(raw) - len(stripped)) AS BIGINT) AS chars_stripped
+        |FROM x GROUP BY 1, 2 ORDER BY p, q""".stripMargin,
+
+    "warehouse_deceased_suppression" ->
+      """WITH p AS (SELECT CAST(c_custkey AS BIGINT) AS k FROM customer)
+        |SELECT k % 4 AS cohort, CAST(COUNT(*) AS BIGINT) AS n_persons,
+        |  CAST(SUM(CASE WHEN k % 23 = 6 THEN 1 ELSE 0 END) AS BIGINT) AS n_deceased,
+        |  CAST(SUM(CASE WHEN k % 17 = 6 THEN 1 ELSE 0 END) AS BIGINT) AS n_goneaway,
+        |  CAST(SUM(CASE WHEN k % 23 = 6 AND k % 17 = 6 THEN 1 ELSE 0 END) AS BIGINT) AS n_both,
+        |  CAST(SUM(CASE WHEN k % 23 <> 6 AND k % 17 <> 6 THEN 1 ELSE 0 END) AS BIGINT) AS n_mailable
+        |FROM p GROUP BY 1 ORDER BY cohort""".stripMargin,
 
     // Sample grouping + payload byte conservation vs the relational slice.
     "source_webdataset_shard" ->
