@@ -1447,6 +1447,99 @@ object Round15Ops {
           sum(when(col("is_dec") && col("is_gone"), 1L).otherwise(0L)).as("n_both"),
           sum(when(!col("is_dec") && !col("is_gone"), 1L).otherwise(0L)).as("n_mailable"))
         .orderBy("cohort")
+    }),
+
+    // Age-gate classification (COPPA / GDPR Art. 8) — the age-derived
+    // consent regime every person service must route on: DOBs spread
+    // 1950–2025, age at the FIXED reference date 2026-08-16 computed by
+    // the integer-date trick ((refYMD − dobYMD) DIV 10000 — exact
+    // birthday handling, no date-type dialect drift); classes child
+    // (<13, COPPA), consent_age (13–15, parental consent), minor
+    // (16–17), adult (≥18). Graded per class: persons, consent-required
+    // flag, age mass (the retention-schedule driver). One projection +
+    // rollup, linear.
+    "fn_age_gate" -> ((s, d) => {
+      val t = Tables.customer(s, d)
+        .select(col("c_custkey").cast("bigint").as("k"))
+        .withColumn("by", lit(1950L) + col("k") % 76)
+        .withColumn("bm", col("k") % 12 + 1)
+        .withColumn("bd", col("k") % 28 + 1)
+        .withColumn("age", expr(
+          "(20260816 - (by * 10000 + bm * 100 + bd)) DIV 10000"))
+        .withColumn("cls",
+          when(col("age") < 13, "1_child")
+            .when(col("age") < 16, "2_consent_age")
+            .when(col("age") < 18, "3_minor")
+            .otherwise("4_adult"))
+      t.groupBy("cls")
+        .agg(count(lit(1)).as("n_persons"), sum("age").as("age_mass"),
+          min("age").as("min_age"), max("age").as("max_age"))
+        .withColumn("consent_required", col("cls") =!= "4_adult")
+        .orderBy("cls")
+    }),
+
+    // DOB day/month-transposition check — the US/EU date-format hazard
+    // (03/04/1990 is April 3rd in one system and March 4th in the
+    // other): system B stores the SWAPPED date whenever day ≤ 12 makes
+    // the swap legal; records classify as unambiguous (day > 12 — a
+    // swap would be an illegal month), ambiguous-consistent (day ==
+    // month — the swap is the identity), or ambiguous-divergent (the
+    // dangerous class). Graded per class: records, raw date agreement,
+    // agreement AFTER the swap-back repair — divergent must go 0 → all.
+    // One projection + rollup, linear.
+    "fn_dob_transpose_check" -> ((s, d) => {
+      val t = Tables.customer(s, d)
+        .select(col("c_custkey").cast("bigint").as("k"))
+        .withColumn("y", lit(1960L) + col("k") % 50)
+        .withColumn("m", col("k") % 12 + 1)
+        .withColumn("dd", col("k") % 28 + 1)
+        .withColumn("a_date", expr("y * 10000 + m * 100 + dd"))
+        // system B: day/month swapped when the swap is a legal date
+        .withColumn("b_date",
+          when(col("dd") <= 12, expr("y * 10000 + dd * 100 + m"))
+            .otherwise(col("a_date")))
+        .withColumn("cls",
+          when(col("dd") > 12, "unambiguous")
+            .when(col("dd") === col("m"), "ambiguous_consistent")
+            .otherwise("ambiguous_divergent"))
+        .withColumn("b_swapback", expr(
+          "(b_date DIV 10000) * 10000 + (b_date % 100) * 100 + (b_date % 10000) DIV 100"))
+      t.groupBy("cls")
+        .agg(count(lit(1)).as("n_records"),
+          sum(when(col("a_date") === col("b_date"), 1L).otherwise(0L))
+            .as("n_match_raw"),
+          sum(when(col("a_date") === col("b_swapback")
+            || col("a_date") === col("b_date"), 1L).otherwise(0L))
+            .as("n_match_after_swap"))
+        .orderBy("cls")
+    }),
+
+    // Round-number bias census — the AML red flag beside
+    // agg_txn_structuring (amounts engineered UNDER a threshold; this
+    // catches amounts engineered ON round values): organic md5 cents
+    // spread uniformly, account cohort 3 planting 40% exact $100
+    // multiples; per cohort the exact multiples-of-100/1000/10000-cents
+    // census and the $100-multiple ppm — at uniform the expected rate is
+    // 100 ppm, so the planted cohort reads 3 orders of magnitude hot.
+    // One projection + rollup, linear.
+    "agg_round_number_bias" -> ((s, d) => {
+      val t = Tables.orders(s, d)
+        .select(col("o_orderkey").cast("bigint").as("k"),
+          col("o_custkey").cast("bigint").as("acct"))
+        .withColumn("cohort", (col("acct") % 5).cast("int"))
+        .withColumn("g", expr(
+          "CAST(conv(substring(md5(concat('rn:', CAST(k AS STRING))), 1, 8), 16, 10) AS BIGINT)"))
+        .withColumn("cents",
+          when(col("cohort") === 3 && col("g") % 10 < 4,
+            (col("g") % 150 + 1) * 10000L)
+            .otherwise(col("g") % 1500000 + 1))
+      t.groupBy("cohort")
+        .agg(count(lit(1)).as("n_txns"),
+          sum(when(col("cents") % 100 === 0, 1L).otherwise(0L)).as("n_r100"),
+          sum(when(col("cents") % 1000 === 0, 1L).otherwise(0L)).as("n_r1000"),
+          sum(when(col("cents") % 10000 === 0, 1L).otherwise(0L)).as("n_r10000"))
+        .withColumn("r10000_ppm", expr("(n_r10000 * 1000000) DIV n_txns"))
+        .orderBy("cohort")
     })
   )
 
@@ -1642,6 +1735,65 @@ object Round15Ops {
          |FROM vs JOIN bu1 ON bu1.probe_id = vs.probe_id
          |JOIN hits h ON h.probe_id = vs.probe_id
          |ORDER BY vs.probe_id""".stripMargin,
+
+    "fn_age_gate" ->
+      """WITH t AS (
+        |  SELECT CAST(c_custkey AS BIGINT) AS k,
+        |    1950 + CAST(c_custkey AS BIGINT) % 76 AS by,
+        |    CAST(c_custkey AS BIGINT) % 12 + 1 AS bm,
+        |    CAST(c_custkey AS BIGINT) % 28 + 1 AS bd
+        |  FROM customer),
+        |a AS (SELECT (20260816 - (by * 10000 + bm * 100 + bd)) // 10000 AS age FROM t),
+        |c AS (SELECT age,
+        |    CASE WHEN age < 13 THEN '1_child' WHEN age < 16 THEN '2_consent_age'
+        |      WHEN age < 18 THEN '3_minor' ELSE '4_adult' END AS cls
+        |  FROM a)
+        |SELECT cls, CAST(COUNT(*) AS BIGINT) AS n_persons,
+        |  CAST(SUM(age) AS BIGINT) AS age_mass,
+        |  CAST(MIN(age) AS BIGINT) AS min_age, CAST(MAX(age) AS BIGINT) AS max_age,
+        |  cls <> '4_adult' AS consent_required
+        |FROM c GROUP BY 1 ORDER BY cls""".stripMargin,
+
+    "fn_dob_transpose_check" ->
+      """WITH t AS (
+        |  SELECT CAST(c_custkey AS BIGINT) AS k,
+        |    1960 + CAST(c_custkey AS BIGINT) % 50 AS y,
+        |    CAST(c_custkey AS BIGINT) % 12 + 1 AS m,
+        |    CAST(c_custkey AS BIGINT) % 28 + 1 AS dd
+        |  FROM customer),
+        |x AS (
+        |  SELECT y * 10000 + m * 100 + dd AS a_date,
+        |    CASE WHEN dd <= 12 THEN y * 10000 + dd * 100 + m
+        |      ELSE y * 10000 + m * 100 + dd END AS b_date,
+        |    CASE WHEN dd > 12 THEN 'unambiguous'
+        |      WHEN dd = m THEN 'ambiguous_consistent'
+        |      ELSE 'ambiguous_divergent' END AS cls
+        |  FROM t),
+        |r AS (SELECT cls, a_date, b_date,
+        |    (b_date // 10000) * 10000 + (b_date % 100) * 100 + (b_date % 10000) // 100 AS b_swapback
+        |  FROM x)
+        |SELECT cls, CAST(COUNT(*) AS BIGINT) AS n_records,
+        |  CAST(SUM(CASE WHEN a_date = b_date THEN 1 ELSE 0 END) AS BIGINT) AS n_match_raw,
+        |  CAST(SUM(CASE WHEN a_date = b_swapback OR a_date = b_date THEN 1 ELSE 0 END) AS BIGINT) AS n_match_after_swap
+        |FROM r GROUP BY 1 ORDER BY cls""".stripMargin,
+
+    "agg_round_number_bias" ->
+      """WITH t AS (
+        |  SELECT CAST(o_custkey % 5 AS INT) AS cohort,
+        |    ('0x' || substring(md5('rn:' || CAST(o_orderkey AS VARCHAR)), 1, 8))::BIGINT AS g
+        |  FROM orders),
+        |c AS (
+        |  SELECT cohort,
+        |    CASE WHEN cohort = 3 AND g % 10 < 4 THEN (g % 150 + 1) * 10000
+        |      ELSE g % 1500000 + 1 END AS cents
+        |  FROM t)
+        |SELECT cohort, CAST(COUNT(*) AS BIGINT) AS n_txns,
+        |  CAST(SUM(CASE WHEN cents % 100 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_r100,
+        |  CAST(SUM(CASE WHEN cents % 1000 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_r1000,
+        |  CAST(SUM(CASE WHEN cents % 10000 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_r10000,
+        |  CAST((SUM(CASE WHEN cents % 10000 = 0 THEN 1 ELSE 0 END) * 1000000)
+        |    // COUNT(*) AS BIGINT) AS r10000_ppm
+        |FROM c GROUP BY 1 ORDER BY cohort""".stripMargin,
 
     "win_control_chart" ->
       """WITH base AS (
