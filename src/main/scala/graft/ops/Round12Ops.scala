@@ -226,14 +226,18 @@ object Round12Ops {
     // the assignment join is Θ(n·√n) at every scale (the IVF law from
     // llm_ann_ivf_pq).
     "llm_ann_index_maintain" -> ((s, d) => {
-      // Coordinates stay ARRAYS end to end: every dot product is a
-      // zip_with/aggregate fold inside the scan projection instead of a
-      // 64×-exploded shuffle — the first cut shuffled n·√n·64 rows per
-      // phase and cost 28 calib-units; this form moves the same exact
-      // integer arithmetic scan-side (products ≤ 1.5·10⁴² ≪ 2⁶³, plain
-      // BIGINT folds) against a BROADCAST centroid table.
-      def dot(a: String, b: String) =
-        s"aggregate(zip_with($a, $b, (x, y) -> x * y), CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+      // Coordinates stay ARRAYS end to end: every dot product runs
+      // scan-side against a BROADCAST centroid table — the first cut
+      // shuffled n·√n·64 rows per phase and cost 28 calib-units. The
+      // arithmetic itself is the native codegen'd graft_ldot expression
+      // (round-15: the earlier aggregate/zip_with HOF fold evaluates
+      // INTERPRETED per element and was ~4 s of this op's 6 s at sf0.1;
+      // LongDotProduct computes the identical exact BIGINT Σ a(i)·b(i)
+      // inside whole-stage codegen).
+      org.apache.spark.sql.graftbridge.GraftBridge.registerFunction(s,
+        "graft_ldot", exprs =>
+          org.apache.spark.sql.graftbridge.LongDotProduct(exprs(0), exprs(1)))
+      def dot(a: String, b: String) = s"graft_ldot($a, $b)"
       val vecs = Tables.embeddings(s, d).select(col("vec_id"),
         expr("transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 10000) AS BIGINT))")
           .as("xs"))
@@ -241,8 +245,12 @@ object Round12Ops {
       val drift = vecs.where(col("vec_id") % 5 === 4)
         .withColumn("xs", expr("transform(xs, x -> x + 5000)"))
       val union = corpus.unionByName(drift).localCheckpoint()
-      val nCorpus = union.where(col("vec_id") % 5 =!= 4).count()
-      val nTotal = union.count()
+      // ONE pass for both sizes (round-15 job-count trim: two .count()
+      // actions were two full scans of the checkpointed union)
+      val sizes = union.agg(count(lit(1)).as("t"),
+        sum(when(col("vec_id") % 5 =!= 4, 1L).otherwise(0L)).as("c")).head()
+      val nTotal = sizes.getLong(0)
+      val nCorpus = sizes.getLong(1)
       def centroidsOf(vs: DataFrame, mod: Long) = vs.where(
         expr(s"CAST(conv(substring(md5(CAST(vec_id AS STRING)), 1, 8), 16, 10) AS BIGINT) % $mod = 0"))
         .select(col("vec_id").as("cid"), col("xs").as("cs"))
@@ -267,7 +275,10 @@ object Round12Ops {
         .localCheckpoint()
       def phase(name: String, cent0: DataFrame, indexed: DataFrame,
           idxDir: String): DataFrame = {
-        val cent = broadcast(cent0.localCheckpoint())
+        // no localCheckpoint: cent0 is one md5 filter over the already-
+        // checkpointed union — recomputing it inside each broadcast is
+        // cheaper than the extra materialization job (round-15 trim)
+        val cent = broadcast(cent0)
         // the persisted index: (vec_id, cluster) over the vectors that
         // EXISTED at build time — written, then read back (the
         // lifecycle under grade is the FILES, not the lineage). The
