@@ -1540,6 +1540,115 @@ object Round15Ops {
           sum(when(col("cents") % 10000 === 0, 1L).otherwise(0L)).as("n_r10000"))
         .withColumn("r10000_ppm", expr("(n_r10000 * 1000000) DIV n_txns"))
         .orderBy("cohort")
+    }),
+
+    // Chain-ladder development factors — the claims run-off triangle
+    // every insurer (and every delayed-feedback pipeline, cf.
+    // agg_chargeback_lag) projects from: 8 accident periods × development
+    // lags observed only up to the current diagonal (lag ≤ 7 − accident),
+    // cumulative paid in exact cents, volume-weighted factor per lag as a
+    // cross-multiplied mass pair (f_j = Σ C(i,j+1) / Σ C(i,j) over rows
+    // where BOTH lags exist — the all-year chain-ladder estimator), and
+    // the one-step next-diagonal projection per accident period (latest ×
+    // factor via one floor division — no factor-product overflow).
+    // Graded: per-lag factor masses + milli, per-accident latest and
+    // projection. Two rollups + one broadcast factor join.
+    "agg_chain_ladder" -> ((s, d) => {
+      val pay = Tables.orders(s, d)
+        .select(col("o_orderkey").cast("bigint").as("k"))
+        .withColumn("acc", (col("k") % 8).cast("int"))
+        .withColumn("lag", expr(
+          "CAST(CAST(conv(substring(md5(concat('cd:', CAST(k AS STRING))), 1, 6), 16, 10) AS BIGINT) % (8 - k % 8) AS INT)"))
+        .withColumn("cents", expr(
+          "CAST(conv(substring(md5(concat('cp:', CAST(k AS STRING))), 1, 6), 16, 10) AS BIGINT) % 100000 + 1000"))
+      val incr = pay.groupBy("acc", "lag").agg(sum("cents").as("inc"))
+      val wCum = Window.partitionBy("acc").orderBy("lag")
+      val cum = incr.withColumn("c", sum("inc").over(wCum))
+        .select("acc", "lag", "c").localCheckpoint()
+      val paired = cum.as("a")
+        .join(cum.select(col("acc"), (col("lag") - 1).as("lag"),
+          col("c").as("c_next")), Seq("acc", "lag"))
+      val factors = paired.groupBy("lag")
+        .agg(count(lit(1)).as("n_cells"),
+          sum("c").as("mass_j"), sum("c_next").as("mass_j1"))
+        .withColumn("factor_milli", expr("(mass_j1 * 1000) DIV mass_j"))
+        .localCheckpoint()
+      val wLatest = Window.partitionBy("acc").orderBy(desc("lag"))
+      val latest = cum.withColumn("rn", row_number().over(wLatest))
+        .where(col("rn") === 1)
+        .select(col("acc"), col("lag").as("latest_lag"), col("c").as("latest"))
+      val perAcc = latest
+        .join(broadcast(factors.select(col("lag").as("latest_lag"),
+          col("mass_j"), col("mass_j1"))), Seq("latest_lag"), "left")
+        .select(lit("accident").as("kind"), col("acc").cast("long").as("idx"),
+          col("latest").as("v1"),
+          expr("CAST((CAST(latest AS DECIMAL(38,0)) * mass_j1) DIV mass_j AS BIGINT)").as("v2"),
+          lit(null).cast("long").as("v3"))
+      val perLag = factors
+        .select(lit("factor").as("kind"), col("lag").cast("long").as("idx"),
+          col("mass_j").as("v1"), col("mass_j1").as("v2"), col("factor_milli").as("v3"))
+      perLag.unionByName(perAcc).orderBy("kind", "idx")
+    }),
+
+    // Bonus-malus (no-claims-discount) ladder — the merit-rating state
+    // machine motor insurance prices on: drivers start at level 5, each
+    // of 6 md5 claim-years moves them down 2 on a claim / up 1 (cap 5)
+    // on a clean year — the fold UNROLLS into 6 chained CASE steps
+    // (bounded horizon, no iteration, both engines replay identically).
+    // Cohort 2 plants a 40% claim rate vs the 20% base; premium =
+    // 10 000 · level-multiplier (150/130/115/100/90/80 %) exact. Graded
+    // per (cohort, final level): drivers, claim mass, premium mass.
+    "agg_bonus_malus" -> ((s, d) => {
+      var t = Tables.customer(s, d)
+        .select(col("c_custkey").cast("bigint").as("k"))
+        .withColumn("cohort", (col("k") % 4).cast("int"))
+        .withColumn("lvl", lit(5L))
+        .withColumn("n_claims", lit(0L))
+      for (yr <- 1 to 6) {
+        t = t.withColumn("claim", expr(
+          s"CAST(conv(substring(md5(concat('bm$yr:', CAST(k AS STRING))), 1, 6), 16, 10) AS BIGINT) % 100") <
+          when(col("cohort") === 2, 40L).otherwise(20L))
+          .withColumn("lvl",
+            when(col("claim"), greatest(col("lvl") - 2, lit(0L)))
+              .otherwise(least(col("lvl") + 1, lit(5L))))
+          .withColumn("n_claims",
+            col("n_claims") + when(col("claim"), 1L).otherwise(0L))
+      }
+      t.withColumn("premium", expr(
+          "(10000 * element_at(array(150L, 130L, 115L, 100L, 90L, 80L), CAST(lvl + 1 AS INT))) DIV 100"))
+        .groupBy("cohort", "lvl")
+        .agg(count(lit(1)).as("n_drivers"), sum("n_claims").as("claim_mass"),
+          sum("premium").as("premium_mass"))
+        .orderBy("cohort", "lvl")
+    }),
+
+    // Bühlmann credibility premium — the blended rate a class is charged
+    // when its own history is thin: Z = n/(n+k) with declared k = 40, and
+    // the blend computed in ONE floor division ((ind_mass·1000 +
+    // k·coll_mean_milli) DIV (n+k) — algebraically n·Z-weighted, no
+    // intermediate mean division to lose exactness). Class 4 plants 2×
+    // claim severity, so its credibility premium must sit strictly
+    // between the collective mean and its individual mean — the
+    // shrinkage the estimator exists for (asserted in the spec). Two
+    // rollups + one broadcast scalar join.
+    "agg_credibility_buhlmann" -> ((s, d) => {
+      val t = Tables.orders(s, d)
+        .select(col("o_orderkey").cast("bigint").as("k"))
+        .withColumn("cls", (col("k") % 8).cast("int"))
+        .withColumn("cents", expr(
+          "CAST(conv(substring(md5(concat('cb:', CAST(k AS STRING))), 1, 6), 16, 10) AS BIGINT) % 50000 + 1000") *
+          when(col("cls") === 4, 2L).otherwise(1L))
+      val coll = t.agg(
+        expr("(SUM(cents) * 1000) DIV COUNT(*)").as("coll_mean_milli"))
+      t.groupBy("cls")
+        .agg(count(lit(1)).as("n_claims"), sum("cents").as("ind_mass"))
+        .crossJoin(broadcast(coll))
+        .withColumn("z_ppm", expr("(n_claims * 1000000) DIV (n_claims + 40)"))
+        .withColumn("premium_milli", expr(
+          "(ind_mass * 1000 + 40 * coll_mean_milli) DIV (n_claims + 40)"))
+        .select("cls", "n_claims", "ind_mass", "coll_mean_milli",
+          "z_ppm", "premium_milli")
+        .orderBy("cls")
     })
   )
 
@@ -1735,6 +1844,72 @@ object Round15Ops {
          |FROM vs JOIN bu1 ON bu1.probe_id = vs.probe_id
          |JOIN hits h ON h.probe_id = vs.probe_id
          |ORDER BY vs.probe_id""".stripMargin,
+
+    "agg_chain_ladder" ->
+      """WITH pay AS (
+        |  SELECT CAST(o_orderkey % 8 AS INT) AS acc,
+        |    CAST(('0x' || substring(md5('cd:' || CAST(o_orderkey AS VARCHAR)), 1, 6))::BIGINT % (8 - o_orderkey % 8) AS INT) AS lag,
+        |    ('0x' || substring(md5('cp:' || CAST(o_orderkey AS VARCHAR)), 1, 6))::BIGINT % 100000 + 1000 AS cents
+        |  FROM orders),
+        |incr AS (SELECT acc, lag, CAST(SUM(cents) AS BIGINT) AS inc FROM pay GROUP BY 1, 2),
+        |cum AS (SELECT acc, lag,
+        |    CAST(SUM(inc) OVER (PARTITION BY acc ORDER BY lag) AS BIGINT) AS c
+        |  FROM incr),
+        |paired AS (
+        |  SELECT a.lag, a.c, b.c AS c_next
+        |  FROM cum a JOIN cum b ON b.acc = a.acc AND b.lag = a.lag + 1),
+        |factors AS (
+        |  SELECT lag, CAST(COUNT(*) AS BIGINT) AS n_cells,
+        |    CAST(SUM(c) AS BIGINT) AS mass_j, CAST(SUM(c_next) AS BIGINT) AS mass_j1
+        |  FROM paired GROUP BY 1),
+        |latest AS (
+        |  SELECT acc, lag AS latest_lag, c AS latest FROM (
+        |    SELECT acc, lag, c, ROW_NUMBER() OVER (PARTITION BY acc ORDER BY lag DESC) AS rn
+        |    FROM cum) q WHERE rn = 1)
+        |SELECT kind, idx, v1, v2, v3 FROM (
+        |  SELECT 'factor' AS kind, CAST(lag AS BIGINT) AS idx, mass_j AS v1, mass_j1 AS v2,
+        |    CAST((mass_j1 * 1000) // mass_j AS BIGINT) AS v3
+        |  FROM factors
+        |  UNION ALL
+        |  SELECT 'accident', CAST(l.acc AS BIGINT), l.latest,
+        |    CAST((CAST(l.latest AS HUGEINT) * f.mass_j1) // f.mass_j AS BIGINT),
+        |    CAST(NULL AS BIGINT)
+        |  FROM latest l LEFT JOIN factors f ON f.lag = l.latest_lag
+        |) ORDER BY kind, idx""".stripMargin,
+
+    "agg_bonus_malus" -> {
+      val steps = (1 to 6).map { yr =>
+        s"""y$yr AS (SELECT k, cohort,
+           |    CASE WHEN claim THEN GREATEST(lvl - 2, 0) ELSE LEAST(lvl + 1, 5) END AS lvl,
+           |    n_claims + CASE WHEN claim THEN 1 ELSE 0 END AS n_claims
+           |  FROM (SELECT y${yr - 1}.*,
+           |      ('0x' || substring(md5('bm$yr:' || CAST(k AS VARCHAR)), 1, 6))::BIGINT % 100
+           |        < CASE WHEN cohort = 2 THEN 40 ELSE 20 END AS claim
+           |    FROM y${yr - 1}) q)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH y0 AS (SELECT CAST(c_custkey AS BIGINT) AS k,
+         |    CAST(c_custkey % 4 AS INT) AS cohort,
+         |    CAST(5 AS BIGINT) AS lvl, CAST(0 AS BIGINT) AS n_claims FROM customer),
+         |$steps
+         |SELECT cohort, lvl, CAST(COUNT(*) AS BIGINT) AS n_drivers,
+         |  CAST(SUM(n_claims) AS BIGINT) AS claim_mass,
+         |  CAST(SUM((10000 * [150, 130, 115, 100, 90, 80][CAST(lvl + 1 AS INT)]) // 100) AS BIGINT) AS premium_mass
+         |FROM y6 GROUP BY 1, 2 ORDER BY cohort, lvl""".stripMargin
+    },
+
+    "agg_credibility_buhlmann" ->
+      """WITH t AS (
+        |  SELECT CAST(o_orderkey % 8 AS INT) AS cls,
+        |    (('0x' || substring(md5('cb:' || CAST(o_orderkey AS VARCHAR)), 1, 6))::BIGINT % 50000 + 1000)
+        |      * CASE WHEN o_orderkey % 8 = 4 THEN 2 ELSE 1 END AS cents
+        |  FROM orders),
+        |coll AS (SELECT CAST((SUM(cents) * 1000) // COUNT(*) AS BIGINT) AS coll_mean_milli FROM t),
+        |m AS (SELECT cls, CAST(COUNT(*) AS BIGINT) AS n_claims,
+        |    CAST(SUM(cents) AS BIGINT) AS ind_mass FROM t GROUP BY 1)
+        |SELECT cls, n_claims, ind_mass, coll.coll_mean_milli,
+        |  CAST((n_claims * 1000000) // (n_claims + 40) AS BIGINT) AS z_ppm,
+        |  CAST((ind_mass * 1000 + 40 * coll_mean_milli) // (n_claims + 40) AS BIGINT) AS premium_milli
+        |FROM m CROSS JOIN coll ORDER BY cls""".stripMargin,
 
     "fn_age_gate" ->
       """WITH t AS (
