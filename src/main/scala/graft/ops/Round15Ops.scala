@@ -1649,6 +1649,97 @@ object Round15Ops {
         .select("cls", "n_claims", "ind_mass", "coll_mean_milli",
           "z_ppm", "premium_milli")
         .orderBy("cls")
+    }),
+
+    // Loan amortization schedule — the exact-cents annuity unroll a
+    // consumer-finance book reconciles on: 1%/month over 12 months, the
+    // annuity factor (1.01)¹² precomputed by the SAME floor chain both
+    // engines share (micro 1126822), payment A = P·10⁴·f DIV
+    // ((f − 10⁶)·10⁶), then 12 unrolled months of interest = bal DIV 100
+    // and balance reduction — all floor cents, so the FINAL RESIDUAL is
+    // the rounding drift a float schedule silently hides (graded
+    // per cohort along with interest and scheduled-payment mass).
+    "agg_loan_amortization" -> ((s, d) => {
+      var t = Tables.customer(s, d)
+        .select(col("c_custkey").cast("bigint").as("k"))
+        .withColumn("cohort", (col("k") % 4).cast("int"))
+        .withColumn("p0", expr(
+          "CAST(conv(substring(md5(concat('ln:', CAST(k AS STRING))), 1, 8), 16, 10) AS BIGINT) % 2000000 + 100000"))
+        .withColumn("pay", expr(
+          "(p0 * 10000 * 1126822) DIV 126822000000"))
+        .withColumn("bal", col("p0"))
+        .withColumn("interest_total", lit(0L))
+      for (_ <- 1 to 12) {
+        t = t.withColumn("i_m", expr("bal DIV 100"))
+          .withColumn("interest_total", col("interest_total") + col("i_m"))
+          .withColumn("bal", col("bal") + col("i_m") - col("pay"))
+      }
+      t.groupBy("cohort")
+        .agg(count(lit(1)).as("n_loans"),
+          sum("p0").as("principal_mass"),
+          sum(expr("pay * 12")).as("scheduled_mass"),
+          sum("interest_total").as("interest_mass"),
+          sum("bal").as("residual_mass"),
+          max(abs(col("bal"))).as("max_residual"))
+        .orderBy("cohort")
+    }),
+
+    // Macaulay bond duration — the interest-rate-risk number a treasury
+    // desk quotes: 8 annual coupons + face at par, 5% yield with the
+    // discount-factor ladder PRECOMPUTED by the same floor chain both
+    // engines inline (952380, 907028, … micro), duration =
+    // Σ t·CF_t·df_t · 1000 DIV Σ CF_t·df_t in DECIMAL(38,0)/HUGEINT.
+    // Coupon classes 2%..9% planted by key: higher coupons must shorten
+    // the duration (more mass arrives early) — asserted in the spec.
+    // One bounded explode + rollup.
+    "agg_bond_duration" -> ((s, d) => {
+      val dfArr = "array(952380L, 907028L, 863836L, 822700L, 783523L, 746212L, 710678L, 676836L)"
+      val t = Tables.customer(s, d)
+        .select(col("c_custkey").cast("bigint").as("k"))
+        .withColumn("coupon_pct", (col("k") % 8 + 2).cast("int"))
+        .withColumn("t", explode(expr("sequence(1, 8)")))
+        .withColumn("cf", expr(
+          "coupon_pct * 10000 + CASE WHEN t = 8 THEN 1000000 ELSE 0 END"))
+        .withColumn("df", expr(s"element_at($dfArr, t)"))
+      t.groupBy("coupon_pct")
+        .agg(countDistinct("k").as("n_bonds"),
+          expr("CAST(SUM(CAST(cf AS DECIMAL(38,0)) * df) AS DECIMAL(38,0))").as("pv_num"),
+          expr("""CAST((SUM(CAST(t AS DECIMAL(38,0)) * cf * df) * 1000)
+                 | DIV SUM(CAST(cf AS DECIMAL(38,0)) * df) AS BIGINT)""".stripMargin)
+            .as("duration_milli"))
+        .select(col("coupon_pct"), col("n_bonds"),
+          col("pv_num").cast("long").as("pv_num"), col("duration_milli"))
+        .orderBy("coupon_pct")
+    }),
+
+    // 12-step binomial (CRR-style) option valuation — the lattice kept
+    // EXACT by rational node prices (S·11^k·9^(12−k) over 10¹², never a
+    // floored intermediate — floor-per-step would break the tree's
+    // recombination), risk-neutral p = ½ so the terminal weights are the
+    // binomial row C(12,k)/4096, and the call value one DECIMAL(38,0)
+    // floor division at the very end. Moneyness classes plant strikes
+    // from deep ITM to far OTM; the value must be monotone in strike
+    // (asserted). One 13-way bounded explode + rollup per class.
+    "agg_binomial_option" -> ((s, d) => {
+      val t = Tables.orders(s, d)
+        .select(col("o_orderkey").cast("bigint").as("key"))
+        .withColumn("cls", (col("key") % 5).cast("int"))
+        .withColumn("spot", expr(
+          "CAST(conv(substring(md5(concat('op:', CAST(key AS STRING))), 1, 6), 16, 10) AS BIGINT) % 5000 + 8000"))
+        .withColumn("strike", expr("spot + (cls - 2) * 2000"))
+        .withColumn("k", explode(expr("sequence(0, 12)")))
+        .withColumn("coef", expr(
+          "element_at(array(1L, 12L, 66L, 220L, 495L, 792L, 924L, 792L, 495L, 220L, 66L, 12L, 1L), CAST(k + 1 AS INT))"))
+        .withColumn("price_num", expr(
+          "CAST(spot AS DECIMAL(38,0)) * CAST(power(11, k) AS DECIMAL(38,0)) * CAST(power(9, 12 - k) AS DECIMAL(38,0))"))
+        .withColumn("payoff_num", expr(
+          "GREATEST(price_num - CAST(strike AS DECIMAL(38,0)) * 1000000000000, CAST(0 AS DECIMAL(38,0)))"))
+      t.groupBy("cls")
+        .agg(countDistinct("key").as("n_options"),
+          expr("""CAST(SUM(coef * payoff_num)
+                 | DIV (4096 * CAST(1000000000000 AS DECIMAL(38,0))) AS BIGINT)""".stripMargin)
+            .as("value_mass_cents"))
+        .orderBy("cls")
     })
   )
 
@@ -1844,6 +1935,67 @@ object Round15Ops {
          |FROM vs JOIN bu1 ON bu1.probe_id = vs.probe_id
          |JOIN hits h ON h.probe_id = vs.probe_id
          |ORDER BY vs.probe_id""".stripMargin,
+
+    "agg_loan_amortization" -> {
+      val months = (1 to 12).map { m =>
+        s"""m$m AS (SELECT k, cohort, p0, pay,
+           |    interest_total + bal // 100 AS interest_total,
+           |    bal + bal // 100 - pay AS bal
+           |  FROM m${m - 1})""".stripMargin
+      }.mkString(",\n")
+      s"""WITH m0 AS (
+         |  SELECT CAST(c_custkey AS BIGINT) AS k, CAST(c_custkey % 4 AS INT) AS cohort,
+         |    ('0x' || substring(md5('ln:' || CAST(c_custkey AS VARCHAR)), 1, 8))::BIGINT % 2000000 + 100000 AS p0,
+         |    ((('0x' || substring(md5('ln:' || CAST(c_custkey AS VARCHAR)), 1, 8))::BIGINT % 2000000 + 100000)
+         |      * 10000 * 1126822) // 126822000000 AS pay,
+         |    ('0x' || substring(md5('ln:' || CAST(c_custkey AS VARCHAR)), 1, 8))::BIGINT % 2000000 + 100000 AS bal,
+         |    CAST(0 AS BIGINT) AS interest_total
+         |  FROM customer),
+         |$months
+         |SELECT cohort, CAST(COUNT(*) AS BIGINT) AS n_loans,
+         |  CAST(SUM(p0) AS BIGINT) AS principal_mass,
+         |  CAST(SUM(pay * 12) AS BIGINT) AS scheduled_mass,
+         |  CAST(SUM(interest_total) AS BIGINT) AS interest_mass,
+         |  CAST(SUM(bal) AS BIGINT) AS residual_mass,
+         |  CAST(MAX(abs(bal)) AS BIGINT) AS max_residual
+         |FROM m12 GROUP BY 1 ORDER BY cohort""".stripMargin
+    },
+
+    "agg_bond_duration" ->
+      """WITH t AS (
+        |  SELECT CAST(c_custkey AS BIGINT) AS k,
+        |    CAST(c_custkey % 8 + 2 AS INT) AS coupon_pct,
+        |    CAST(s.range AS INT) AS t
+        |  FROM customer CROSS JOIN range(1, 9) s),
+        |c AS (
+        |  SELECT k, coupon_pct, t,
+        |    coupon_pct * 10000 + CASE WHEN t = 8 THEN 1000000 ELSE 0 END AS cf,
+        |    [952380, 907028, 863836, 822700, 783523, 746212, 710678, 676836][t] AS df
+        |  FROM t)
+        |SELECT coupon_pct, CAST(COUNT(DISTINCT k) AS BIGINT) AS n_bonds,
+        |  CAST(SUM(CAST(cf AS HUGEINT) * df) AS BIGINT) AS pv_num,
+        |  CAST((SUM(CAST(t AS HUGEINT) * cf * df) * 1000)
+        |    // SUM(CAST(cf AS HUGEINT) * df) AS BIGINT) AS duration_milli
+        |FROM c GROUP BY 1 ORDER BY coupon_pct""".stripMargin,
+
+    "agg_binomial_option" ->
+      """WITH t AS (
+        |  SELECT CAST(o_orderkey AS BIGINT) AS key, CAST(o_orderkey % 5 AS INT) AS cls,
+        |    ('0x' || substring(md5('op:' || CAST(o_orderkey AS VARCHAR)), 1, 6))::BIGINT % 5000 + 8000 AS spot
+        |  FROM orders),
+        |x AS (
+        |  SELECT key, cls, spot, spot + (cls - 2) * 2000 AS strike,
+        |    CAST(j.range AS INT) AS k,
+        |    [1, 12, 66, 220, 495, 792, 924, 792, 495, 220, 66, 12, 1][CAST(j.range AS INT) + 1] AS coef
+        |  FROM t CROSS JOIN range(0, 13) j),
+        |p AS (
+        |  SELECT cls, key, coef,
+        |    GREATEST(CAST(spot AS HUGEINT) * CAST(power(11, k) AS HUGEINT) * CAST(power(9, 12 - k) AS HUGEINT)
+        |      - CAST(strike AS HUGEINT) * 1000000000000, CAST(0 AS HUGEINT)) AS payoff_num
+        |  FROM x)
+        |SELECT cls, CAST(COUNT(DISTINCT key) AS BIGINT) AS n_options,
+        |  CAST(SUM(coef * payoff_num) // (4096 * CAST(1000000000000 AS HUGEINT)) AS BIGINT) AS value_mass_cents
+        |FROM p GROUP BY 1 ORDER BY cls""".stripMargin,
 
     "agg_chain_ladder" ->
       """WITH pay AS (
