@@ -1740,6 +1740,115 @@ object Round15Ops {
                  | DIV (4096 * CAST(1000000000000 AS DECIMAL(38,0))) AS BIGINT)""".stripMargin)
             .as("value_mass_cents"))
         .orderBy("cls")
+    }),
+
+    // PII scan — the redaction pre-pass every LLM training corpus runs
+    // before tokenization: four planted PII classes appended to document
+    // text by doc_id residue (SSN xxx-xx-xxxx, 16-digit PAN in 4-blocks,
+    // email, NANP phone), detected with anchored character-class regexes
+    // both engines parse identically. Graded per planted class: docs,
+    // hits per detector (the off-diagonal must stay 0 — an SSN detector
+    // that fires on phone numbers over-redacts), and the redaction char
+    // mass. One projection + rollup, linear.
+    "llm_pii_scan" -> ((s, d) => {
+      val t = Tables.documents(s, d)
+        .select(col("doc_id"), col("text"))
+        .withColumn("cls", (col("doc_id") % 5).cast("int"))
+        .withColumn("g", expr(
+          "CAST(conv(substring(md5(concat('pii:', CAST(doc_id AS STRING))), 1, 8), 16, 10) AS BIGINT)"))
+        .withColumn("planted",
+          when(col("cls") === 1, concat(lit(" ssn "),
+            lpad((col("g") % 900 + 100).cast("string"), 3, "0"), lit("-"),
+            lpad((col("g") % 90 + 10).cast("string"), 2, "0"), lit("-"),
+            lpad((col("g") % 9000 + 1000).cast("string"), 4, "0")))
+            .when(col("cls") === 2, concat(lit(" card 4"),
+              lpad((col("g") % 1000).cast("string"), 3, "0"), lit(" "),
+              lpad((col("g") % 10000).cast("string"), 4, "0"), lit(" "),
+              lpad((col("g") % 10000).cast("string"), 4, "0"), lit(" "),
+              lpad((col("g") % 10000).cast("string"), 4, "0")))
+            .when(col("cls") === 3, concat(lit(" mail user"),
+              (col("g") % 1000).cast("string"), lit("@example.com")))
+            .when(col("cls") === 4, concat(lit(" call (555) "),
+              lpad((col("g") % 900 + 100).cast("string"), 3, "0"), lit("-"),
+              lpad((col("g") % 9000 + 1000).cast("string"), 4, "0")))
+            .otherwise(lit("")))
+        .withColumn("full", concat(col("text"), col("planted")))
+        .withColumn("n_ssn", expr(
+          "regexp_count(full, '[0-9]{3}-[0-9]{2}-[0-9]{4}')").cast("bigint"))
+        .withColumn("n_pan", expr(
+          "regexp_count(full, '4[0-9]{3} [0-9]{4} [0-9]{4} [0-9]{4}')").cast("bigint"))
+        .withColumn("n_email", expr(
+          "regexp_count(full, '[a-z0-9]+@[a-z]+\\\\.[a-z]+')").cast("bigint"))
+        .withColumn("n_phone", expr(
+          "regexp_count(full, '\\\\([0-9]{3}\\\\) [0-9]{3}-[0-9]{4}')").cast("bigint"))
+      t.groupBy("cls")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_ssn").as("ssn_hits"), sum("n_pan").as("pan_hits"),
+          sum("n_email").as("email_hits"), sum("n_phone").as("phone_hits"),
+          sum(length(col("planted"))).as("redaction_char_mass"))
+        .orderBy("cls")
+    }),
+
+    // Secret scan — the credential screen beside the PII pass (a leaked
+    // key in training data is a breach, not just a privacy risk): three
+    // planted key shapes by doc residue (AKIA+16 upper-alnum AWS-style,
+    // ghp_+36 token, 40-hex SHA1-style) plus a SHORT-hex control class
+    // the 40-hex rule must NOT fire on (the false-positive guard an
+    // entropy-only scanner fails). Graded per class: docs, per-detector
+    // hits. One projection + rollup, linear.
+    "llm_secret_scan" -> ((s, d) => {
+      val t = Tables.documents(s, d)
+        .select(col("doc_id"), col("text"))
+        .withColumn("cls", (col("doc_id") % 4).cast("int"))
+        .withColumn("h", expr("md5(concat('sk:', CAST(doc_id AS STRING)))"))
+        .withColumn("planted",
+          when(col("cls") === 1, concat(lit(" AKIA"),
+            upper(expr("substring(regexp_replace(h, '[^a-z0-9]', ''), 1, 16)"))))
+            .when(col("cls") === 2, concat(lit(" ghp_"), col("h"),
+              expr("substring(md5(concat('sk2:', CAST(doc_id AS STRING))), 1, 4)")))
+            .when(col("cls") === 3, concat(lit(" sha "), col("h"),
+              expr("substring(md5(concat('sk3:', CAST(doc_id AS STRING))), 1, 8)")))
+            .otherwise(concat(lit(" ref "), expr("substring(h, 1, 16)"))))
+        .withColumn("full", concat(col("text"), col("planted")))
+        .withColumn("n_akia",
+          expr("regexp_count(full, 'AKIA[A-Z0-9]{16}')").cast("bigint"))
+        .withColumn("n_ghp",
+          expr("regexp_count(full, 'ghp_[A-Za-z0-9]{36}')").cast("bigint"))
+        .withColumn("n_hex40",
+          expr("regexp_count(full, '[0-9a-f]{40}')").cast("bigint"))
+      t.groupBy("cls")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_akia").as("akia_hits"), sum("n_ghp").as("ghp_hits"),
+          sum("n_hex40").as("hex40_hits"))
+        .orderBy("cls")
+    }),
+
+    // PMI collocations — the pointwise-mutual-information ranking a
+    // phrase miner runs over corpus bigrams: adjacent-token pairs, left/
+    // right marginals by position (the deterministic convention both
+    // engines share), association as the exact cross-multiplied ratio
+    // c_xy·N·10⁶ DIV (c_x·c_y) (> 10⁶ ⟺ positive PMI — the log is
+    // monotone, so ranking needs no floats), support floor c_xy ≥ 5,
+    // top-20 by (ratio DESC, pair). One token explode + three rollups.
+    "llm_pmi_collocations" -> ((s, d) => {
+      val bg = Tables.documents(s, d)
+        .select(split(col("text"), " ").as("t"))
+        .where(size(col("t")) > 1)
+        .select(explode(expr(
+          "transform(sequence(0, size(t) - 2), i -> struct(t[i] AS x, t[i+1] AS y))"))
+          .as("b"))
+        .select(col("b.x").as("x"), col("b.y").as("y"))
+        .localCheckpoint() // three rollups fold over it
+      val n = bg.count()
+      val cx = bg.groupBy("x").agg(count(lit(1)).as("c_x"))
+      val cy = bg.groupBy("y").agg(count(lit(1)).as("c_y"))
+      bg.groupBy("x", "y").agg(count(lit(1)).as("c_xy"))
+        .where(col("c_xy") >= 5)
+        .join(cx, Seq("x")).join(cy, Seq("y"))
+        .withColumn("ratio_ppm", expr(
+          s"CAST((CAST(c_xy AS DECIMAL(38,0)) * ${n}L * 1000000) DIV (CAST(c_x AS DECIMAL(38,0)) * c_y) AS BIGINT)"))
+        .select(col("x"), col("y"), col("c_xy"), col("c_x"), col("c_y"), col("ratio_ppm"))
+        .orderBy(desc("ratio_ppm"), col("x"), col("y")).limit(20)
     })
   )
 
@@ -1935,6 +2044,72 @@ object Round15Ops {
          |FROM vs JOIN bu1 ON bu1.probe_id = vs.probe_id
          |JOIN hits h ON h.probe_id = vs.probe_id
          |ORDER BY vs.probe_id""".stripMargin,
+
+    "llm_pii_scan" ->
+      """WITH t AS (
+        |  SELECT CAST(doc_id % 5 AS INT) AS cls, text,
+        |    ('0x' || substring(md5('pii:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS g
+        |  FROM documents),
+        |p AS (
+        |  SELECT cls, text,
+        |    CASE WHEN cls = 1 THEN ' ssn ' || lpad(CAST(g % 900 + 100 AS VARCHAR), 3, '0')
+        |        || '-' || lpad(CAST(g % 90 + 10 AS VARCHAR), 2, '0')
+        |        || '-' || lpad(CAST(g % 9000 + 1000 AS VARCHAR), 4, '0')
+        |      WHEN cls = 2 THEN ' card 4' || lpad(CAST(g % 1000 AS VARCHAR), 3, '0')
+        |        || ' ' || lpad(CAST(g % 10000 AS VARCHAR), 4, '0')
+        |        || ' ' || lpad(CAST(g % 10000 AS VARCHAR), 4, '0')
+        |        || ' ' || lpad(CAST(g % 10000 AS VARCHAR), 4, '0')
+        |      WHEN cls = 3 THEN ' mail user' || CAST(g % 1000 AS VARCHAR) || '@example.com'
+        |      WHEN cls = 4 THEN ' call (555) ' || lpad(CAST(g % 900 + 100 AS VARCHAR), 3, '0')
+        |        || '-' || lpad(CAST(g % 9000 + 1000 AS VARCHAR), 4, '0')
+        |      ELSE '' END AS planted
+        |  FROM t),
+        |f AS (SELECT cls, planted, text || planted AS ftxt FROM p)
+        |SELECT cls, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(len(regexp_extract_all(ftxt, '[0-9]{3}-[0-9]{2}-[0-9]{4}'))) AS BIGINT) AS ssn_hits,
+        |  CAST(SUM(len(regexp_extract_all(ftxt, '4[0-9]{3} [0-9]{4} [0-9]{4} [0-9]{4}'))) AS BIGINT) AS pan_hits,
+        |  CAST(SUM(len(regexp_extract_all(ftxt, '[a-z0-9]+@[a-z]+\.[a-z]+'))) AS BIGINT) AS email_hits,
+        |  CAST(SUM(len(regexp_extract_all(ftxt, '\([0-9]{3}\) [0-9]{3}-[0-9]{4}'))) AS BIGINT) AS phone_hits,
+        |  CAST(SUM(len(planted)) AS BIGINT) AS redaction_char_mass
+        |FROM f GROUP BY 1 ORDER BY cls""".stripMargin,
+
+    "llm_secret_scan" ->
+      """WITH t AS (
+        |  SELECT CAST(doc_id % 4 AS INT) AS cls, text,
+        |    md5('sk:' || CAST(doc_id AS VARCHAR)) AS h,
+        |    md5('sk2:' || CAST(doc_id AS VARCHAR)) AS h2,
+        |    md5('sk3:' || CAST(doc_id AS VARCHAR)) AS h3
+        |  FROM documents),
+        |p AS (
+        |  SELECT cls, text,
+        |    CASE WHEN cls = 1 THEN ' AKIA' || upper(substring(regexp_replace(h, '[^a-z0-9]', '', 'g'), 1, 16))
+        |      WHEN cls = 2 THEN ' ghp_' || h || substring(h2, 1, 4)
+        |      WHEN cls = 3 THEN ' sha ' || h || substring(h3, 1, 8)
+        |      ELSE ' ref ' || substring(h, 1, 16) END AS planted
+        |  FROM t),
+        |f AS (SELECT cls, text || planted AS ftxt FROM p)
+        |SELECT cls, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(len(regexp_extract_all(ftxt, 'AKIA[A-Z0-9]{16}'))) AS BIGINT) AS akia_hits,
+        |  CAST(SUM(len(regexp_extract_all(ftxt, 'ghp_[A-Za-z0-9]{36}'))) AS BIGINT) AS ghp_hits,
+        |  CAST(SUM(len(regexp_extract_all(ftxt, '[0-9a-f]{40}'))) AS BIGINT) AS hex40_hits
+        |FROM f GROUP BY 1 ORDER BY cls""".stripMargin,
+
+    "llm_pmi_collocations" ->
+      """WITH bg AS (
+        |  SELECT t[i] AS x, t[i + 1] AS y FROM (
+        |    SELECT string_split(text, ' ') AS t FROM documents) d,
+        |    LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS i) s
+        |  WHERE len(t) > 1),
+        |nn AS (SELECT COUNT(*) AS n FROM bg),
+        |cx AS (SELECT x, CAST(COUNT(*) AS BIGINT) AS c_x FROM bg GROUP BY 1),
+        |cy AS (SELECT y, CAST(COUNT(*) AS BIGINT) AS c_y FROM bg GROUP BY 1),
+        |cxy AS (SELECT x, y, CAST(COUNT(*) AS BIGINT) AS c_xy FROM bg GROUP BY 1, 2)
+        |SELECT b.x, b.y, b.c_xy, cx.c_x, cy.c_y,
+        |  CAST((CAST(b.c_xy AS HUGEINT) * (SELECT n FROM nn) * 1000000)
+        |    // (CAST(cx.c_x AS HUGEINT) * cy.c_y) AS BIGINT) AS ratio_ppm
+        |FROM cxy b JOIN cx ON cx.x = b.x JOIN cy ON cy.y = b.y
+        |WHERE b.c_xy >= 5
+        |ORDER BY ratio_ppm DESC, b.x, b.y LIMIT 20""".stripMargin,
 
     "agg_loan_amortization" -> {
       val months = (1 to 12).map { m =>
