@@ -1849,6 +1849,97 @@ object Round15Ops {
           s"CAST((CAST(c_xy AS DECIMAL(38,0)) * ${n}L * 1000000) DIV (CAST(c_x AS DECIMAL(38,0)) * c_y) AS BIGINT)"))
         .select(col("x"), col("y"), col("c_xy"), col("c_x"), col("c_y"), col("ratio_ppm"))
         .orderBy(desc("ratio_ppm"), col("x"), col("y")).limit(20)
+    }),
+
+    // Double-entry trial balance — the closing control every ledger runs:
+    // each business event posts a debit AND a credit line of the same
+    // cents (a 2-row explode), except a planted 1-in-997 slice that DROPS
+    // the credit line — the broken posting the trial balance exists to
+    // catch. Per period: debit/credit mass, the exact imbalance (must
+    // equal the planted single-sided cents), and the broken-posting
+    // census by a per-event line-count rollup. Two rollups, linear.
+    "warehouse_trial_balance" -> ((s, d) => {
+      val ev = Tables.orders(s, d)
+        .select(col("o_orderkey").cast("bigint").as("k"))
+        .withColumn("period", (col("k") % 12).cast("int"))
+        .withColumn("cents", expr(
+          "CAST(conv(substring(md5(concat('tb:', CAST(k AS STRING))), 1, 6), 16, 10) AS BIGINT) % 500000 + 100"))
+        .withColumn("broken", col("k") % 997 === 13)
+      val lines = ev.withColumn("side", explode(
+          when(col("broken"), array(lit("debit")))
+            .otherwise(array(lit("debit"), lit("credit")))))
+      val balance = lines.groupBy("period")
+        .agg(sum(when(col("side") === "debit", col("cents")).otherwise(0L))
+            .as("debit_mass"),
+          sum(when(col("side") === "credit", col("cents")).otherwise(0L))
+            .as("credit_mass"))
+        .withColumn("imbalance", col("debit_mass") - col("credit_mass"))
+      val brokenCnt = ev.groupBy("period")
+        .agg(count(lit(1)).as("n_events"),
+          sum(when(col("broken"), 1L).otherwise(0L)).as("n_broken"),
+          sum(when(col("broken"), col("cents")).otherwise(0L)).as("broken_mass"))
+      balance.join(brokenCnt, Seq("period")).orderBy("period")
+    }),
+
+    // Accounts-receivable aging — the dunning report beside the ledger:
+    // invoice ages md5 0–119 days with customer cohort 1 planted +30
+    // (the slow payer a collections team tiers), bucketed current /
+    // 1-30 / 31-60 / 61-90 / 90+ with the dunning escalation level per
+    // bucket; per (cohort, bucket): invoices, exact cents exposure — the
+    // working-capital number. One projection + rollup, linear.
+    "warehouse_ar_aging" -> ((s, d) => {
+      Tables.orders(s, d)
+        .select(col("o_orderkey").cast("bigint").as("k"),
+          col("o_custkey").cast("bigint").as("cust"))
+        .withColumn("cohort", (col("cust") % 4).cast("int"))
+        .withColumn("age_days", expr(
+          "CAST(conv(substring(md5(concat('ar:', CAST(k AS STRING))), 1, 6), 16, 10) AS BIGINT) % 120") +
+          when(col("cohort") === 1, 30L).otherwise(0L))
+        .withColumn("cents", expr(
+          "CAST(conv(substring(md5(concat('ai:', CAST(k AS STRING))), 1, 6), 16, 10) AS BIGINT) % 800000 + 5000"))
+        .withColumn("bucket",
+          when(col("age_days") === 0, "0_current")
+            .when(col("age_days") <= 30, "1_1to30")
+            .when(col("age_days") <= 60, "2_31to60")
+            .when(col("age_days") <= 90, "3_61to90")
+            .otherwise("4_over90"))
+        .withColumn("dunning_level",
+          when(col("bucket") === "0_current", 0L)
+            .when(col("bucket") === "1_1to30", 0L)
+            .when(col("bucket") === "2_31to60", 1L)
+            .when(col("bucket") === "3_61to90", 2L).otherwise(3L))
+        .groupBy("cohort", "bucket")
+        .agg(count(lit(1)).as("n_invoices"), sum("cents").as("exposure_cents"),
+          max("dunning_level").as("dunning_level"))
+        .orderBy("cohort", "bucket")
+    }),
+
+    // Late-arriving fact census — the partition-layout decision every
+    // event warehouse makes: facts carry an event sequence and an
+    // md5-delayed processing sequence (0–20 organic, a 1-in-13 slice
+    // +50 very late); a partition "closes" 10 ticks after its event
+    // bucket, so delay > 10 lands OUTSIDE the closed partition (the
+    // late-arriving case) and delay > 40 forces a RESTATEMENT of an
+    // already-published aggregate. Per event bucket: facts, late,
+    // restatements, restated cents mass — the reprocessing bill the
+    // watermark choice controls. One projection + rollup, linear.
+    "warehouse_late_arriving_fact" -> ((s, d) => {
+      Tables.events(s, d)
+        .select(col("event_id"))
+        .withColumn("bucket", (col("event_id") % 8).cast("int"))
+        .withColumn("delay", expr(
+          "CAST(conv(substring(md5(concat('la:', CAST(event_id AS STRING))), 1, 6), 16, 10) AS BIGINT) % 21") +
+          when(col("event_id") % 13 === 7, 50L).otherwise(0L))
+        .withColumn("cents", expr(
+          "CAST(conv(substring(md5(concat('lc:', CAST(event_id AS STRING))), 1, 6), 16, 10) AS BIGINT) % 10000"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_facts"),
+          sum(when(col("delay") > 10, 1L).otherwise(0L)).as("n_late"),
+          sum(when(col("delay") > 40, 1L).otherwise(0L)).as("n_restatements"),
+          sum(when(col("delay") > 40, col("cents")).otherwise(0L))
+            .as("restated_mass"))
+        .withColumn("late_ppm", expr("(n_late * 1000000) DIV n_facts"))
+        .orderBy("bucket")
     })
   )
 
@@ -2044,6 +2135,68 @@ object Round15Ops {
          |FROM vs JOIN bu1 ON bu1.probe_id = vs.probe_id
          |JOIN hits h ON h.probe_id = vs.probe_id
          |ORDER BY vs.probe_id""".stripMargin,
+
+    "warehouse_trial_balance" ->
+      """WITH ev AS (
+        |  SELECT CAST(o_orderkey AS BIGINT) AS k, CAST(o_orderkey % 12 AS INT) AS period,
+        |    ('0x' || substring(md5('tb:' || CAST(o_orderkey AS VARCHAR)), 1, 6))::BIGINT % 500000 + 100 AS cents,
+        |    o_orderkey % 997 = 13 AS broken
+        |  FROM orders),
+        |ln AS (
+        |  SELECT period, cents, 'debit' AS side FROM ev
+        |  UNION ALL
+        |  SELECT period, cents, 'credit' FROM ev WHERE NOT broken),
+        |bal AS (
+        |  SELECT period,
+        |    CAST(SUM(CASE WHEN side = 'debit' THEN cents ELSE 0 END) AS BIGINT) AS debit_mass,
+        |    CAST(SUM(CASE WHEN side = 'credit' THEN cents ELSE 0 END) AS BIGINT) AS credit_mass
+        |  FROM ln GROUP BY 1),
+        |bc AS (
+        |  SELECT period, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |    CAST(SUM(CASE WHEN broken THEN 1 ELSE 0 END) AS BIGINT) AS n_broken,
+        |    CAST(SUM(CASE WHEN broken THEN cents ELSE 0 END) AS BIGINT) AS broken_mass
+        |  FROM ev GROUP BY 1)
+        |SELECT bal.period, bal.debit_mass, bal.credit_mass,
+        |  bal.debit_mass - bal.credit_mass AS imbalance,
+        |  bc.n_events, bc.n_broken, bc.broken_mass
+        |FROM bal JOIN bc ON bc.period = bal.period ORDER BY bal.period""".stripMargin,
+
+    "warehouse_ar_aging" ->
+      """WITH t AS (
+        |  SELECT CAST(o_custkey % 4 AS INT) AS cohort,
+        |    ('0x' || substring(md5('ar:' || CAST(o_orderkey AS VARCHAR)), 1, 6))::BIGINT % 120
+        |      + CASE WHEN o_custkey % 4 = 1 THEN 30 ELSE 0 END AS age_days,
+        |    ('0x' || substring(md5('ai:' || CAST(o_orderkey AS VARCHAR)), 1, 6))::BIGINT % 800000 + 5000 AS cents
+        |  FROM orders),
+        |b AS (
+        |  SELECT cohort, cents,
+        |    CASE WHEN age_days = 0 THEN '0_current'
+        |      WHEN age_days <= 30 THEN '1_1to30'
+        |      WHEN age_days <= 60 THEN '2_31to60'
+        |      WHEN age_days <= 90 THEN '3_61to90'
+        |      ELSE '4_over90' END AS bucket,
+        |    CASE WHEN age_days <= 30 THEN 0
+        |      WHEN age_days <= 60 THEN 1
+        |      WHEN age_days <= 90 THEN 2 ELSE 3 END AS dunning_level
+        |  FROM t)
+        |SELECT cohort, bucket, CAST(COUNT(*) AS BIGINT) AS n_invoices,
+        |  CAST(SUM(cents) AS BIGINT) AS exposure_cents,
+        |  CAST(MAX(dunning_level) AS BIGINT) AS dunning_level
+        |FROM b GROUP BY 1, 2 ORDER BY cohort, bucket""".stripMargin,
+
+    "warehouse_late_arriving_fact" ->
+      """WITH t AS (
+        |  SELECT CAST(event_id % 8 AS INT) AS bucket,
+        |    ('0x' || substring(md5('la:' || CAST(event_id AS VARCHAR)), 1, 6))::BIGINT % 21
+        |      + CASE WHEN event_id % 13 = 7 THEN 50 ELSE 0 END AS delay,
+        |    ('0x' || substring(md5('lc:' || CAST(event_id AS VARCHAR)), 1, 6))::BIGINT % 10000 AS cents
+        |  FROM events)
+        |SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_facts,
+        |  CAST(SUM(CASE WHEN delay > 10 THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+        |  CAST(SUM(CASE WHEN delay > 40 THEN 1 ELSE 0 END) AS BIGINT) AS n_restatements,
+        |  CAST(SUM(CASE WHEN delay > 40 THEN cents ELSE 0 END) AS BIGINT) AS restated_mass,
+        |  CAST((SUM(CASE WHEN delay > 10 THEN 1 ELSE 0 END) * 1000000) // COUNT(*) AS BIGINT) AS late_ppm
+        |FROM t GROUP BY 1 ORDER BY bucket""".stripMargin,
 
     "llm_pii_scan" ->
       """WITH t AS (
