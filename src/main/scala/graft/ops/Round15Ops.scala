@@ -1940,6 +1940,91 @@ object Round15Ops {
             .as("restated_mass"))
         .withColumn("late_ppm", expr("(n_late * 1000000) DIV n_facts"))
         .orderBy("bucket")
+    }),
+
+    // Erlang-B blocking probability — the trunk/capacity-sizing recursion
+    // (B_n = aB_{n−1}/(n + aB_{n−1})) every call-center and connection-
+    // pool planner runs, kept exact in ppm by the cross-multiplied form
+    // B_n = a_milli·B·10⁶ DIV (n·10⁹ + a_milli·B), unrolled for 12
+    // servers (bounded recursion, no iteration). Per offered-load band:
+    // trunk groups, blocking mass, max blocking — the planted heavy band
+    // (≥ 10 erlangs on 12 servers) must block an order of magnitude more
+    // than the light one. One projection + rollup.
+    "agg_erlang_b" -> ((s, d) => {
+      var t = Tables.supplier(s, d)
+        .select(col("s_suppkey").cast("bigint").as("g"))
+        .withColumn("a_milli", expr(
+          "CAST(conv(substring(md5(concat('el:', CAST(g AS STRING))), 1, 6), 16, 10) AS BIGINT) % 19000 + 1000"))
+        .withColumn("b", lit(1000000L))
+      for (n <- 1 to 12) {
+        t = t.withColumn("b", expr(
+          s"(a_milli * b * 1000000) DIV (${n * 1000000000L}L + a_milli * b)"))
+      }
+      t.withColumn("band",
+          when(col("a_milli") < 5000, "1_light")
+            .when(col("a_milli") < 10000, "2_medium").otherwise("3_heavy"))
+        .groupBy("band")
+        .agg(count(lit(1)).as("n_groups"),
+          sum("b").as("blocking_mass_ppm"), max("b").as("max_blocking_ppm"),
+          min("b").as("min_blocking_ppm"))
+        .orderBy("band")
+    }),
+
+    // Fill-rate / stockout census — the service-level number an
+    // inventory planner answers for: md5 demand against a planted stock
+    // position (cohort 2 under-stocks at 60% of mean demand), fulfilled
+    // = min(demand, stock), fill rate exact in ppm of UNITS (not orders
+    // — the distinction that matters when big orders stock out). Per
+    // cohort: orders, stockouts, demanded/fulfilled unit mass, fill ppm.
+    // One projection + rollup, linear.
+    "agg_fill_rate" -> ((s, d) => {
+      Tables.orders(s, d)
+        .select(col("o_orderkey").cast("bigint").as("k"))
+        .withColumn("cohort", (col("k") % 4).cast("int"))
+        .withColumn("demand", expr(
+          "CAST(conv(substring(md5(concat('fd:', CAST(k AS STRING))), 1, 6), 16, 10) AS BIGINT) % 100 + 1"))
+        .withColumn("stock", expr(
+          "CAST(conv(substring(md5(concat('fs:', CAST(k AS STRING))), 1, 6), 16, 10) AS BIGINT) % 120") +
+          when(col("cohort") === 2, 0L).otherwise(40L))
+        .withColumn("fulfilled", least(col("demand"), col("stock")))
+        .groupBy("cohort")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(when(col("fulfilled") < col("demand"), 1L).otherwise(0L))
+            .as("n_stockouts"),
+          sum("demand").as("demand_units"),
+          sum("fulfilled").as("fulfilled_units"))
+        .withColumn("fill_ppm",
+          expr("(fulfilled_units * 1000000) DIV demand_units"))
+        .orderBy("cohort")
+    }),
+
+    // Laplace-smoothed CTR — the additive-(α=5) shrinkage every ranking
+    // pipeline applies before sorting by rate (a 1-view/1-click item must
+    // NOT outrank a 95/100 one): md5 views 0–99 and clicks ≤ views,
+    // smoothed = (clicks+5)·10⁶ DIV (views+50) exact ppm. Graded per
+    // cohort: items, zero-view items (raw undefined — smoothed lands at
+    // the 100 000-ppm prior), raw-extreme items (0 or 10⁶) vs
+    // smoothed-extreme (must be 0 — the whole point), smoothed mass.
+    "agg_laplace_ctr" -> ((s, d) => {
+      Tables.part(s, d)
+        .select(col("p_partkey").cast("bigint").as("k"))
+        .withColumn("cohort", (col("k") % 3).cast("int"))
+        .withColumn("views", expr(
+          "CAST(conv(substring(md5(concat('lv:', CAST(k AS STRING))), 1, 6), 16, 10) AS BIGINT) % 100"))
+        .withColumn("clicks",
+          when(col("views") === 0, 0L).otherwise(expr(
+            "CAST(conv(substring(md5(concat('lk:', CAST(k AS STRING))), 1, 6), 16, 10) AS BIGINT) % (views + 1)")))
+        .withColumn("raw_ppm", expr("(clicks * 1000000) DIV NULLIF(views, 0)"))
+        .withColumn("smoothed_ppm", expr("((clicks + 5) * 1000000) DIV (views + 50)"))
+        .groupBy("cohort")
+        .agg(count(lit(1)).as("n_items"),
+          sum(when(col("views") === 0, 1L).otherwise(0L)).as("n_zero_view"),
+          sum(when(col("raw_ppm") === 0L || col("raw_ppm") === 1000000L, 1L)
+            .otherwise(0L)).as("n_raw_extreme"),
+          sum(when(col("smoothed_ppm") === 0L || col("smoothed_ppm") === 1000000L, 1L)
+            .otherwise(0L)).as("n_smoothed_extreme"),
+          sum("smoothed_ppm").as("smoothed_mass_ppm"))
+        .orderBy("cohort")
     })
   )
 
@@ -2135,6 +2220,65 @@ object Round15Ops {
          |FROM vs JOIN bu1 ON bu1.probe_id = vs.probe_id
          |JOIN hits h ON h.probe_id = vs.probe_id
          |ORDER BY vs.probe_id""".stripMargin,
+
+    "agg_erlang_b" -> {
+      val steps = (1 to 12).map { n =>
+        s"""e$n AS (SELECT g, a_milli,
+           |    (a_milli * b * 1000000) // (${n * 1000000000L} + a_milli * b) AS b
+           |  FROM e${n - 1})""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e0 AS (
+         |  SELECT CAST(s_suppkey AS BIGINT) AS g,
+         |    ('0x' || substring(md5('el:' || CAST(s_suppkey AS VARCHAR)), 1, 6))::BIGINT % 19000 + 1000 AS a_milli,
+         |    CAST(1000000 AS BIGINT) AS b
+         |  FROM supplier),
+         |$steps
+         |SELECT CASE WHEN a_milli < 5000 THEN '1_light'
+         |    WHEN a_milli < 10000 THEN '2_medium' ELSE '3_heavy' END AS band,
+         |  CAST(COUNT(*) AS BIGINT) AS n_groups,
+         |  CAST(SUM(b) AS BIGINT) AS blocking_mass_ppm,
+         |  CAST(MAX(b) AS BIGINT) AS max_blocking_ppm,
+         |  CAST(MIN(b) AS BIGINT) AS min_blocking_ppm
+         |FROM e12 GROUP BY 1 ORDER BY band""".stripMargin
+    },
+
+    "agg_fill_rate" ->
+      """WITH t AS (
+        |  SELECT CAST(o_orderkey % 4 AS INT) AS cohort,
+        |    ('0x' || substring(md5('fd:' || CAST(o_orderkey AS VARCHAR)), 1, 6))::BIGINT % 100 + 1 AS demand,
+        |    ('0x' || substring(md5('fs:' || CAST(o_orderkey AS VARCHAR)), 1, 6))::BIGINT % 120
+        |      + CASE WHEN o_orderkey % 4 = 2 THEN 0 ELSE 40 END AS stock
+        |  FROM orders),
+        |f AS (SELECT cohort, demand, LEAST(demand, stock) AS fulfilled FROM t)
+        |SELECT cohort, CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |  CAST(SUM(CASE WHEN fulfilled < demand THEN 1 ELSE 0 END) AS BIGINT) AS n_stockouts,
+        |  CAST(SUM(demand) AS BIGINT) AS demand_units,
+        |  CAST(SUM(fulfilled) AS BIGINT) AS fulfilled_units,
+        |  CAST((SUM(fulfilled) * 1000000) // SUM(demand) AS BIGINT) AS fill_ppm
+        |FROM f GROUP BY 1 ORDER BY cohort""".stripMargin,
+
+    "agg_laplace_ctr" ->
+      """WITH t AS (
+        |  SELECT CAST(p_partkey % 3 AS INT) AS cohort,
+        |    ('0x' || substring(md5('lv:' || CAST(p_partkey AS VARCHAR)), 1, 6))::BIGINT % 100 AS views,
+        |    p_partkey AS k
+        |  FROM part),
+        |c AS (
+        |  SELECT cohort, views,
+        |    CASE WHEN views = 0 THEN 0
+        |      ELSE ('0x' || substring(md5('lk:' || CAST(k AS VARCHAR)), 1, 6))::BIGINT % (views + 1) END AS clicks
+        |  FROM t),
+        |r AS (
+        |  SELECT cohort, views, clicks,
+        |    (clicks * 1000000) // NULLIF(views, 0) AS raw_ppm,
+        |    ((clicks + 5) * 1000000) // (views + 50) AS smoothed_ppm
+        |  FROM c)
+        |SELECT cohort, CAST(COUNT(*) AS BIGINT) AS n_items,
+        |  CAST(SUM(CASE WHEN views = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_view,
+        |  CAST(SUM(CASE WHEN raw_ppm = 0 OR raw_ppm = 1000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_raw_extreme,
+        |  CAST(SUM(CASE WHEN smoothed_ppm = 0 OR smoothed_ppm = 1000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_smoothed_extreme,
+        |  CAST(SUM(smoothed_ppm) AS BIGINT) AS smoothed_mass_ppm
+        |FROM r GROUP BY 1 ORDER BY cohort""".stripMargin,
 
     "warehouse_trial_balance" ->
       """WITH ev AS (
