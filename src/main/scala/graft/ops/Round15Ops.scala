@@ -2025,6 +2025,133 @@ object Round15Ops {
             .otherwise(0L)).as("n_smoothed_extreme"),
           sum("smoothed_ppm").as("smoothed_mass_ppm"))
         .orderBy("cohort")
+    }),
+
+    // Term-frequency-adjusted Fellegi–Sunter — the Splink feature the
+    // EM op (join_fs_em_weights) learns GLOBAL weights for, applied at
+    // the VALUE level: agreement on a rare surname is strong evidence,
+    // on a hot one weak. Two system rosters block on surname (2-in-3
+    // draw 200 hot 'S###' names, 1-in-3 a unique 'R' name), the name
+    // weight buckets by the block's OWN frequency (unique +240,
+    // uncommon ≤20 +160, common +80) plus the usual city field
+    // (+80/−40, drift k%15=2), link at ≥ 200 — so a unique name links
+    // even through city drift while a common name NEVER links on name
+    // alone (the over-merge TF adjustment prevents). Oversize blocks
+    // (> 2000) are SKIPPED outright — the production block-size guard
+    // that keeps hot-key pairs from going quadratic at corpus scale —
+    // and censused. Graded per bucket: pairs, links, true matches, true
+    // links. One frequency rollup + one blocked self-join + census.
+    "join_fs_tf_adjust" -> ((s, d) => {
+      def roster(drift: Boolean) = {
+        val base = Tables.customer(s, d)
+          .select(col("c_custkey").cast("bigint").as("k"),
+            col("c_nationkey").cast("bigint").as("city0"))
+          .withColumn("surname",
+            when(col("k") % 3 < 2, concat(lit("S"), lpad(expr(
+              "CAST(conv(substring(md5(concat('tf:', CAST(k DIV 3 AS STRING))), 1, 6), 16, 10) AS BIGINT) % 200")
+              .cast("string"), 3, "0")))
+              .otherwise(concat(lit("R"), col("k").cast("string"))))
+        if (drift) base.withColumn("city",
+          when(col("k") % 15 === 2, (col("city0") + 1) % 25).otherwise(col("city0")))
+        else base.withColumn("city", col("city0"))
+      }
+      val a = roster(drift = false)
+        .select(col("k").as("ak"), col("surname"), col("city").as("acity"))
+      val b = roster(drift = true)
+        .select(col("k").as("bk"), col("surname"), col("city").as("bcity"))
+      val freq = a.groupBy("surname").agg(count(lit(1)).as("f"))
+      val pairs = a.join(b, Seq("surname"))
+        .join(freq, Seq("surname"))
+        .where(col("f") <= 2000) // the block-size guard under grade
+        .withColumn("bucket",
+          when(col("f") === 1, "1_unique")
+            .when(col("f") <= 20, "2_uncommon").otherwise("3_common"))
+        .withColumn("score",
+          when(col("f") === 1, 240L).when(col("f") <= 20, 160L).otherwise(80L) +
+            when(col("acity") === col("bcity"), 80L).otherwise(-40L))
+        .withColumn("link", col("score") >= 200L)
+        .withColumn("true_match", col("ak") === col("bk"))
+      // the pair mass the guard AVOIDED (f² per skipped block), censused
+      val skipped = freq.where(col("f") > 2000)
+        .agg(coalesce(sum(expr("f * f")), lit(0L)).as("n_pairs"))
+        .select(lit("4_oversize_skipped").as("bucket"), col("n_pairs"),
+          lit(0L).as("n_links"), lit(0L).as("n_true"), lit(0L).as("n_true_linked"))
+      pairs.groupBy("bucket")
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(when(col("link"), 1L).otherwise(0L)).as("n_links"),
+          sum(when(col("true_match"), 1L).otherwise(0L)).as("n_true"),
+          sum(when(col("true_match") && col("link"), 1L).otherwise(0L))
+            .as("n_true_linked"))
+        .unionByName(skipped)
+        .orderBy("bucket")
+    }),
+
+    // ER split detection — the UNDER-linking audit dual to
+    // join_identity_clusters' over-link census: each person has 3 system
+    // records chained 0–1–2, the matcher drops the 0–1 link for k%7==3
+    // (a 2-way split) and BOTH links for k%11==4 (a 3-way shatter; keys
+    // hitting both plants shatter too). After 3 synchronous min-label
+    // rounds (diameter ≤ 2), the per-person cluster-span census grades
+    // the split rate — the recall-side ER quality number every steward
+    // report pairs with the merge queue. Bounded join rounds, linear.
+    "join_er_split_detection" -> ((s, d) => {
+      val p = Tables.customer(s, d)
+        .select(col("c_custkey").cast("bigint").as("p"))
+      val recs = p.withColumn("sys", explode(expr("sequence(0, 2)")))
+        .select(col("p"), (col("p") * 3 + col("sys")).as("rid"))
+      val e01 = p.where(col("p") % 7 =!= 3 && col("p") % 11 =!= 4)
+        .select((col("p") * 3).as("a"), (col("p") * 3 + 1).as("b"))
+      val e12 = p.where(col("p") % 11 =!= 4)
+        .select((col("p") * 3 + 1).as("a"), (col("p") * 3 + 2).as("b"))
+      val und = e01.unionByName(e12)
+      val edges = und
+        .unionByName(und.select(col("b").as("a"), col("a").as("b")))
+        .localCheckpoint()
+      var lab = recs.select(col("rid"), col("rid").as("l"))
+      for (_ <- 1 to 3) {
+        val cand = edges
+          .join(lab.select(col("rid").as("a"), col("l").as("al")), "a")
+          .groupBy(col("b").as("rid")).agg(min("al").as("cand"))
+        lab = lab.join(cand, Seq("rid"), "left")
+          .select(col("rid"),
+            least(col("l"), coalesce(col("cand"), col("l"))).as("l"))
+      }
+      recs.join(lab, Seq("rid"))
+        .groupBy("p").agg(countDistinct("l").as("n_clusters"))
+        .groupBy("n_clusters")
+        .agg(count(lit(1)).as("n_persons"),
+          (count(lit(1)) * 3).as("n_records"))
+        .orderBy("n_clusters")
+    }),
+
+    // Customer lifetime value — 8 retention-decayed, discounted margin
+    // periods in exact micro-units: per-cohort md5 retention 700–949
+    // milli chained by floor per period (surv_t = surv·r DIV 1000), the
+    // 5%-yield discount ladder shared with agg_bond_duration, margin in
+    // exact cents; CLV = Σ margin·surv_t·df_t DIV 10¹² cents. Cohort
+    // retention is the planted lever: higher-retention cohorts must
+    // grade strictly higher CLV per customer. 8 unrolled steps + rollup.
+    "agg_clv_discounted" -> ((s, d) => {
+      val dfLadder = Seq(952380L, 907028L, 863836L, 822700L, 783523L, 746212L, 710678L, 676836L)
+      var t = Tables.customer(s, d)
+        .select(col("c_custkey").cast("bigint").as("k"))
+        .withColumn("cohort", (col("k") % 5).cast("int"))
+        .withColumn("r_milli", expr("700 + (k % 5) * 50 + CAST(conv(substring(md5(concat('rt:', CAST(k AS STRING))), 1, 4), 16, 10) AS BIGINT) % 50"))
+        .withColumn("margin", expr(
+          "CAST(conv(substring(md5(concat('mg:', CAST(k AS STRING))), 1, 6), 16, 10) AS BIGINT) % 5000 + 500"))
+        .withColumn("surv", lit(1000000L))
+        .withColumn("clv_num", lit(0L))
+      for (p <- 1 to 8) {
+        t = t.withColumn("surv", expr("(surv * r_milli) DIV 1000"))
+          .withColumn("clv_num", expr(
+            s"clv_num + (margin * surv) DIV 1000000 * ${dfLadder(p - 1)}"))
+      }
+      t.withColumn("clv_cents", expr("clv_num DIV 1000000"))
+        .groupBy("cohort")
+        .agg(count(lit(1)).as("n_customers"),
+          sum("clv_cents").as("clv_mass_cents"),
+          expr("SUM(clv_cents) DIV COUNT(*)").as("clv_per_customer"))
+        .orderBy("cohort")
     })
   )
 
@@ -2220,6 +2347,90 @@ object Round15Ops {
          |FROM vs JOIN bu1 ON bu1.probe_id = vs.probe_id
          |JOIN hits h ON h.probe_id = vs.probe_id
          |ORDER BY vs.probe_id""".stripMargin,
+
+    "join_fs_tf_adjust" ->
+      """WITH a AS (
+        |  SELECT CAST(c_custkey AS BIGINT) AS ak,
+        |    CASE WHEN c_custkey % 3 < 2
+        |      THEN 'S' || lpad(CAST(('0x' || substring(md5('tf:' || CAST(c_custkey // 3 AS VARCHAR)), 1, 6))::BIGINT % 200 AS VARCHAR), 3, '0')
+        |      ELSE 'R' || CAST(c_custkey AS VARCHAR) END AS surname,
+        |    CAST(c_nationkey AS BIGINT) AS acity
+        |  FROM customer),
+        |b AS (
+        |  SELECT CAST(c_custkey AS BIGINT) AS bk,
+        |    CASE WHEN c_custkey % 3 < 2
+        |      THEN 'S' || lpad(CAST(('0x' || substring(md5('tf:' || CAST(c_custkey // 3 AS VARCHAR)), 1, 6))::BIGINT % 200 AS VARCHAR), 3, '0')
+        |      ELSE 'R' || CAST(c_custkey AS VARCHAR) END AS surname,
+        |    CASE WHEN c_custkey % 15 = 2 THEN (CAST(c_nationkey AS BIGINT) + 1) % 25
+        |      ELSE CAST(c_nationkey AS BIGINT) END AS bcity
+        |  FROM customer),
+        |freq AS (SELECT surname, CAST(COUNT(*) AS BIGINT) AS f FROM a GROUP BY 1),
+        |pr AS (
+        |  SELECT CASE WHEN f = 1 THEN '1_unique'
+        |      WHEN f <= 20 THEN '2_uncommon' ELSE '3_common' END AS bucket,
+        |    (CASE WHEN f = 1 THEN 240 WHEN f <= 20 THEN 160 ELSE 80 END
+        |      + CASE WHEN acity = bcity THEN 80 ELSE -40 END) >= 200 AS lnk,
+        |    ak = bk AS tm
+        |  FROM a JOIN b USING (surname) JOIN freq USING (surname)
+        |  WHERE f <= 2000)
+        |SELECT bucket, n_pairs, n_links, n_true, n_true_linked FROM (
+        |  SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |    CAST(SUM(CASE WHEN lnk THEN 1 ELSE 0 END) AS BIGINT) AS n_links,
+        |    CAST(SUM(CASE WHEN tm THEN 1 ELSE 0 END) AS BIGINT) AS n_true,
+        |    CAST(SUM(CASE WHEN tm AND lnk THEN 1 ELSE 0 END) AS BIGINT) AS n_true_linked
+        |  FROM pr GROUP BY 1
+        |  UNION ALL
+        |  SELECT '4_oversize_skipped', CAST(coalesce(SUM(f * f), 0) AS BIGINT),
+        |    CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+        |  FROM freq WHERE f > 2000
+        |) ORDER BY bucket""".stripMargin,
+
+    "join_er_split_detection" -> {
+      val rounds = (1 to 3).map { r =>
+        s"""l$r AS (
+           |  SELECT x.rid, LEAST(x.l, coalesce(c.cand, x.l)) AS l, x.p
+           |  FROM l${r - 1} x LEFT JOIN (
+           |    SELECT e.b AS rid, MIN(y.l) AS cand
+           |    FROM edges e JOIN l${r - 1} y ON y.rid = e.a GROUP BY 1) c
+           |  ON c.rid = x.rid)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH pp AS (SELECT CAST(c_custkey AS BIGINT) AS p FROM customer),
+         |recs AS (SELECT p, p * 3 + s.range AS rid FROM pp CROSS JOIN range(0, 3) s),
+         |e01 AS (SELECT p * 3 AS a, p * 3 + 1 AS b FROM pp WHERE p % 7 <> 3 AND p % 11 <> 4),
+         |e12 AS (SELECT p * 3 + 1 AS a, p * 3 + 2 AS b FROM pp WHERE p % 11 <> 4),
+         |und AS (SELECT a, b FROM e01 UNION ALL SELECT a, b FROM e12),
+         |edges AS (SELECT a, b FROM und UNION ALL SELECT b AS a, a AS b FROM und),
+         |l0 AS (SELECT rid, rid AS l, p FROM recs),
+         |$rounds
+         |SELECT n_clusters, CAST(COUNT(*) AS BIGINT) AS n_persons,
+         |  CAST(COUNT(*) * 3 AS BIGINT) AS n_records
+         |FROM (SELECT p, CAST(COUNT(DISTINCT l) AS BIGINT) AS n_clusters
+         |      FROM l3 GROUP BY 1) q
+         |GROUP BY 1 ORDER BY n_clusters""".stripMargin
+    },
+
+    "agg_clv_discounted" -> {
+      val dfLadder = Seq(952380L, 907028L, 863836L, 822700L, 783523L, 746212L, 710678L, 676836L)
+      val steps = (1 to 8).map { p =>
+        s"""c$p AS (
+           |  SELECT k, cohort, r_milli, margin, surv,
+           |    clv_num + (margin * surv) // 1000000 * ${dfLadder(p - 1)} AS clv_num
+           |  FROM (SELECT k, cohort, r_milli, margin,
+           |      (surv * r_milli) // 1000 AS surv, clv_num FROM c${p - 1}) q)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH c0 AS (
+         |  SELECT CAST(c_custkey AS BIGINT) AS k, CAST(c_custkey % 5 AS INT) AS cohort,
+         |    700 + (c_custkey % 5) * 50
+         |      + ('0x' || substring(md5('rt:' || CAST(c_custkey AS VARCHAR)), 1, 4))::BIGINT % 50 AS r_milli,
+         |    ('0x' || substring(md5('mg:' || CAST(c_custkey AS VARCHAR)), 1, 6))::BIGINT % 5000 + 500 AS margin,
+         |    CAST(1000000 AS BIGINT) AS surv, CAST(0 AS BIGINT) AS clv_num
+         |  FROM customer),
+         |$steps
+         |SELECT cohort, CAST(COUNT(*) AS BIGINT) AS n_customers,
+         |  CAST(SUM(clv_num // 1000000) AS BIGINT) AS clv_mass_cents,
+         |  CAST(SUM(clv_num // 1000000) // COUNT(*) AS BIGINT) AS clv_per_customer
+         |FROM c8 GROUP BY 1 ORDER BY cohort""".stripMargin
+    },
 
     "agg_erlang_b" -> {
       val steps = (1 to 12).map { n =>
