@@ -2152,6 +2152,112 @@ object Round15Ops {
           sum("clv_cents").as("clv_mass_cents"),
           expr("SUM(clv_cents) DIV COUNT(*)").as("clv_per_customer"))
         .orderBy("cohort")
+    }),
+
+    // Batch padding waste — the serving-throughput number a continuous
+    // batcher optimizes: requests pad to the LONGEST sequence in their
+    // batch of 16, so arrival-order batching wastes Σ(max − len) tokens
+    // while LENGTH-BUCKETED batching (rank by length within the service
+    // shard, then group by rank DIV 16 — partitioned ranking, no global
+    // sort) collapses the waste. Both strategies graded side by side:
+    // batches, token mass, padding waste, waste ppm — sorted must waste
+    // strictly less (the spec asserts it). Two window passes + rollups.
+    "llm_batch_padding" -> ((s, d) => {
+      val req = Tables.events(s, d)
+        .select(col("event_id"), (col("user_id") % 4).as("svc"))
+        .withColumn("len", expr(
+          "CAST(conv(substring(md5(concat('bl:', CAST(event_id AS STRING))), 1, 6), 16, 10) AS BIGINT) % 491 + 10"))
+        .localCheckpoint() // both strategies fold over it
+      val wArr = Window.partitionBy("svc").orderBy("event_id")
+      val wLen = Window.partitionBy("svc").orderBy("len", "event_id")
+      def waste(assigned: DataFrame, strategy: String): DataFrame =
+        assigned.groupBy("svc", "batch")
+          .agg(count(lit(1)).as("n"), max("len").as("mx"), sum("len").as("tok"))
+          .withColumn("pad", col("mx") * col("n") - col("tok"))
+          .groupBy("svc")
+          .agg(count(lit(1)).as("n_batches"), sum("tok").as("token_mass"),
+            sum("pad").as("padding_waste"))
+          .withColumn("waste_ppm", expr(
+            "(padding_waste * 1000000) DIV (token_mass + padding_waste)"))
+          .select(lit(strategy).as("strategy"), col("svc"), col("n_batches"),
+            col("token_mass"), col("padding_waste"), col("waste_ppm"))
+      val naive = waste(req.withColumn("batch",
+        expr("(row_number() OVER (PARTITION BY svc ORDER BY event_id) - 1) DIV 16")),
+        "1_arrival")
+      val sorted = waste(req.withColumn("batch",
+        expr("(row_number() OVER (PARTITION BY svc ORDER BY len, event_id) - 1) DIV 16")),
+        "2_length_bucketed")
+      naive.unionByName(sorted).orderBy("strategy", "svc")
+    }),
+
+    // Int8 scalar quantization of embeddings — the 4× memory cut every
+    // vector store offers: per-vector scale = max|x| in exact milli,
+    // q_i = sign·(|x_milli|·127 DIV scale) (magnitude division only —
+    // the signed-division floor/trunc engine divergence never fires),
+    // reconstruction error |x·127 − q·scale| in exact integer mass.
+    // Graded per cohort: vectors, saturated dims (|q| = 127 — exactly
+    // the max-magnitude dims), error mass, max per-dim error (bounded
+    // by scale: one quantization step). One explode + two rollups.
+    "llm_embed_int8_quantize" -> ((s, d) => {
+      val v = Tables.embeddings(s, d)
+        .select(col("vec_id"),
+          expr("transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT))")
+            .as("xs"))
+        .withColumn("scale", expr("aggregate(xs, CAST(0 AS BIGINT), (a, x) -> greatest(a, abs(x)))"))
+        .where(col("scale") > 0)
+        .withColumn("x", explode(col("xs")))
+        .withColumn("q", expr(
+          "CASE WHEN x < 0 THEN -((-x * 127) DIV scale) ELSE (x * 127) DIV scale END"))
+        .withColumn("err", abs(col("x") * 127 - col("q") * col("scale")))
+      v.groupBy((col("vec_id") % 4).as("cohort"))
+        .agg(countDistinct("vec_id").as("n_vecs"),
+          sum(when(abs(col("q")) === 127, 1L).otherwise(0L)).as("n_saturated"),
+          sum(when(abs(col("q")) > 127, 1L).otherwise(0L)).as("n_overflow"),
+          sum("err").as("err_mass"),
+          max(expr("(err * 1000000) DIV scale")).as("max_err_ppm_of_scale"))
+        .orderBy("cohort")
+    }),
+
+    // 1-bit (sign) embedding sketch — the 32× memory cut binary
+    // retrieval runs on: each 64-dim vector folds into two 32-bit sign
+    // words (bit 63 would overflow int64 — the simhash two-word layout),
+    // Hamming distance via bit_count(xor), and the Hamming top-5 graded
+    // against the exact cosine top-5 per probe (rounded sims + id
+    // tie-breaks). The data-scaled work is one linear sketch pass + the
+    // exact-scan recall baseline. Graded per probe: hits, recall ppm.
+    "llm_embed_binary_sketch" -> ((s, d) => {
+      org.apache.spark.sql.graftbridge.GraftBridge.registerFunction(s,
+        "cosine_sim", exprs =>
+          org.apache.spark.sql.graftbridge.CosineSimilarity(exprs(0), exprs(1)))
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+        .withColumn("lo", expr(
+          "aggregate(transform(sequence(0, 31), i -> IF(emb[i] > 0, shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT))), CAST(0 AS BIGINT), (a, x) -> a + x)"))
+        .withColumn("hi", expr(
+          "aggregate(transform(sequence(32, 63), i -> IF(emb[i] > 0, shiftleft(CAST(1 AS BIGINT), i - 32), CAST(0 AS BIGINT))), CAST(0 AS BIGINT), (a, x) -> a + x)"))
+        .localCheckpoint()
+      val probes = e.where(col("vec_id") < 10)
+        .select(col("vec_id").as("probe_id"), col("emb").as("p_emb"),
+          col("lo").as("plo"), col("hi").as("phi"))
+      val wH = Window.partitionBy("probe_id").orderBy("ham", "vec_id")
+      val hamm5 = e.crossJoin(broadcast(probes))
+        .where(col("vec_id") =!= col("probe_id"))
+        .withColumn("ham", expr(
+          "CAST(bit_count(lo ^ plo) + bit_count(hi ^ phi) AS INT)"))
+        .withColumn("r", row_number().over(wH)).where(col("r") <= 5)
+        .select("probe_id", "vec_id")
+      val wT = Window.partitionBy("probe_id").orderBy(desc("sim"), col("vec_id"))
+      val exact5 = e.crossJoin(broadcast(probes))
+        .where(col("vec_id") =!= col("probe_id"))
+        .withColumn("sim",
+          round(call_function("cosine_sim", col("p_emb"), col("emb")), 4))
+        .withColumn("r", row_number().over(wT)).where(col("r") <= 5)
+        .select("probe_id", "vec_id")
+      exact5.join(hamm5.withColumn("hit", lit(1L)), Seq("probe_id", "vec_id"), "left")
+        .groupBy("probe_id")
+        .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+        .withColumn("recall_ppm", expr("n_hits * 200000"))
+        .orderBy("probe_id")
     })
   )
 
@@ -2347,6 +2453,83 @@ object Round15Ops {
          |FROM vs JOIN bu1 ON bu1.probe_id = vs.probe_id
          |JOIN hits h ON h.probe_id = vs.probe_id
          |ORDER BY vs.probe_id""".stripMargin,
+
+    "llm_batch_padding" ->
+      """WITH req AS (
+        |  SELECT event_id, user_id % 4 AS svc,
+        |    ('0x' || substring(md5('bl:' || CAST(event_id AS VARCHAR)), 1, 6))::BIGINT % 491 + 10 AS len
+        |  FROM events),
+        |a1 AS (SELECT svc, len,
+        |    (ROW_NUMBER() OVER (PARTITION BY svc ORDER BY event_id) - 1) // 16 AS batch
+        |  FROM req),
+        |a2 AS (SELECT svc, len,
+        |    (ROW_NUMBER() OVER (PARTITION BY svc ORDER BY len, event_id) - 1) // 16 AS batch
+        |  FROM req),
+        |w1 AS (SELECT svc, batch, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(MAX(len) AS BIGINT) AS mx, CAST(SUM(len) AS BIGINT) AS tok
+        |  FROM a1 GROUP BY 1, 2),
+        |w2 AS (SELECT svc, batch, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(MAX(len) AS BIGINT) AS mx, CAST(SUM(len) AS BIGINT) AS tok
+        |  FROM a2 GROUP BY 1, 2)
+        |SELECT strategy, svc, n_batches, token_mass, padding_waste, waste_ppm FROM (
+        |  SELECT '1_arrival' AS strategy, svc, CAST(COUNT(*) AS BIGINT) AS n_batches,
+        |    CAST(SUM(tok) AS BIGINT) AS token_mass,
+        |    CAST(SUM(mx * n - tok) AS BIGINT) AS padding_waste,
+        |    CAST((SUM(mx * n - tok) * 1000000) // (SUM(tok) + SUM(mx * n - tok)) AS BIGINT) AS waste_ppm
+        |  FROM w1 GROUP BY 2
+        |  UNION ALL
+        |  SELECT '2_length_bucketed', svc, CAST(COUNT(*) AS BIGINT),
+        |    CAST(SUM(tok) AS BIGINT),
+        |    CAST(SUM(mx * n - tok) AS BIGINT),
+        |    CAST((SUM(mx * n - tok) * 1000000) // (SUM(tok) + SUM(mx * n - tok)) AS BIGINT)
+        |  FROM w2 GROUP BY 2
+        |) ORDER BY strategy, svc""".stripMargin,
+
+    "llm_embed_int8_quantize" ->
+      """WITH v AS (
+        |  SELECT vec_id,
+        |    list_transform(CAST(embedding AS DOUBLE[]), x -> CAST(FLOOR(x * 1000) AS BIGINT)) AS xs
+        |  FROM embeddings),
+        |e AS (SELECT vec_id,
+        |    list_max(list_transform(xs, x -> abs(x))) AS scale,
+        |    unnest(xs) AS x
+        |  FROM v),
+        |q AS (SELECT vec_id % 4 AS cohort, vec_id, scale, x,
+        |    CASE WHEN x < 0 THEN -((-x * 127) // scale) ELSE (x * 127) // scale END AS q
+        |  FROM e WHERE scale > 0),
+        |r AS (SELECT cohort, vec_id, scale, q, abs(x * 127 - q * scale) AS err FROM q)
+        |SELECT cohort, CAST(COUNT(DISTINCT vec_id) AS BIGINT) AS n_vecs,
+        |  CAST(SUM(CASE WHEN abs(q) = 127 THEN 1 ELSE 0 END) AS BIGINT) AS n_saturated,
+        |  CAST(SUM(CASE WHEN abs(q) > 127 THEN 1 ELSE 0 END) AS BIGINT) AS n_overflow,
+        |  CAST(SUM(err) AS BIGINT) AS err_mass,
+        |  CAST(MAX((err * 1000000) // scale) AS BIGINT) AS max_err_ppm_of_scale
+        |FROM r GROUP BY 1 ORDER BY cohort""".stripMargin,
+
+    "llm_embed_binary_sketch" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+        |    CAST(list_sum(list_transform(generate_series(1, 32),
+        |      i -> CASE WHEN embedding[i] > 0 THEN (1::BIGINT << (i - 1)) ELSE 0 END)) AS BIGINT) AS lo,
+        |    CAST(list_sum(list_transform(generate_series(33, 64),
+        |      i -> CASE WHEN embedding[i] > 0 THEN (1::BIGINT << (i - 33)) ELSE 0 END)) AS BIGINT) AS hi
+        |  FROM embeddings),
+        |p AS (SELECT vec_id AS probe_id, emb AS p_emb, lo AS plo, hi AS phi
+        |  FROM e WHERE vec_id < 10),
+        |h5 AS (SELECT probe_id, vec_id FROM (
+        |    SELECT p.probe_id, e.vec_id,
+        |      ROW_NUMBER() OVER (PARTITION BY p.probe_id
+        |        ORDER BY bit_count(xor(e.lo, p.plo)) + bit_count(xor(e.hi, p.phi)), e.vec_id) AS r
+        |    FROM e CROSS JOIN p WHERE e.vec_id <> p.probe_id) q WHERE r <= 5),
+        |x5 AS (SELECT probe_id, vec_id FROM (
+        |    SELECT p.probe_id, e.vec_id,
+        |      ROW_NUMBER() OVER (PARTITION BY p.probe_id
+        |        ORDER BY ROUND(list_cosine_similarity(p.p_emb, e.emb), 4) DESC, e.vec_id) AS r
+        |    FROM e CROSS JOIN p WHERE e.vec_id <> p.probe_id) q WHERE r <= 5)
+        |SELECT x.probe_id,
+        |  CAST(SUM(CASE WHEN h.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+        |  CAST(SUM(CASE WHEN h.vec_id IS NOT NULL THEN 1 ELSE 0 END) * 200000 AS BIGINT) AS recall_ppm
+        |FROM x5 x LEFT JOIN h5 h ON h.probe_id = x.probe_id AND h.vec_id = x.vec_id
+        |GROUP BY 1 ORDER BY x.probe_id""".stripMargin,
 
     "join_fs_tf_adjust" ->
       """WITH a AS (
