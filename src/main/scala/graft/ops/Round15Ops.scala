@@ -2258,6 +2258,95 @@ object Round15Ops {
         .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
         .withColumn("recall_ppm", expr("n_hits * 200000"))
         .orderBy("probe_id")
+    }),
+
+    // Gift-card breakage — the unclaimed-balance revenue-recognition
+    // number beside the trial balance: cards carry md5 issued cents and
+    // an md5 redemption fraction (cohort 2 plants heavy redeemers), a
+    // 1-in-5 slice is past expiry, and BREAKAGE = the expired unredeemed
+    // remainder (recognizable) vs live unredeemed (still a liability).
+    // Per cohort: issued / redeemed / breakage / liability mass, exact
+    // breakage ppm of issued. One projection + rollup, linear.
+    "agg_gift_card_breakage" -> ((s, d) => {
+      Tables.customer(s, d)
+        .select(col("c_custkey").cast("bigint").as("k"))
+        .withColumn("cohort", (col("k") % 4).cast("int"))
+        .withColumn("issued", expr(
+          "CAST(conv(substring(md5(concat('gc:', CAST(k AS STRING))), 1, 6), 16, 10) AS BIGINT) % 20000 + 500"))
+        .withColumn("redeem_pct", expr(
+          "CAST(conv(substring(md5(concat('gr:', CAST(k AS STRING))), 1, 6), 16, 10) AS BIGINT) % 101") +
+          when(col("cohort") === 2, 40L).otherwise(0L))
+        .withColumn("redeemed", expr("(issued * least(redeem_pct, 100)) DIV 100"))
+        .withColumn("expired", col("k") % 5 === 3)
+        .withColumn("remainder", col("issued") - col("redeemed"))
+        .groupBy("cohort")
+        .agg(count(lit(1)).as("n_cards"),
+          sum("issued").as("issued_mass"),
+          sum("redeemed").as("redeemed_mass"),
+          sum(when(col("expired"), col("remainder")).otherwise(0L)).as("breakage_mass"),
+          sum(when(!col("expired"), col("remainder")).otherwise(0L)).as("liability_mass"))
+        .withColumn("breakage_ppm",
+          expr("(breakage_mass * 1000000) DIV issued_mass"))
+        .orderBy("cohort")
+    }),
+
+    // Column null-rate drift — the schema-drift monitor a feed contract
+    // runs between snapshots (warehouse_expectations verdicts ONE
+    // snapshot; this compares TWO): snapshot A (even keys) vs B (odd),
+    // per modeled column the exact null-rate ppm in each and the drift —
+    // 'email' plants a 10% → 40% null jump in B (the upstream-regression
+    // signature), 'phone' stays at 20% both sides. Stack projection +
+    // one rollup, linear.
+    "warehouse_schema_drift" -> ((s, d) => {
+      val t = Tables.customer(s, d)
+        .select(col("c_custkey").cast("bigint").as("k"))
+        .withColumn("snapshot", when(col("k") % 2 === 0, "a").otherwise("b"))
+        .withColumn("email_null", expr(
+          "CAST(conv(substring(md5(concat('ne:', CAST(k AS STRING))), 1, 6), 16, 10) AS BIGINT) % 10") <
+          when(col("k") % 2 === 0, 1L).otherwise(4L))
+        .withColumn("phone_null", expr(
+          "CAST(conv(substring(md5(concat('np:', CAST(k AS STRING))), 1, 6), 16, 10) AS BIGINT) % 10 < 2"))
+        .select(col("snapshot"), expr(
+          "stack(2, 'email', email_null, 'phone', phone_null) AS (col_name, is_null)"))
+      val rates = t.groupBy("col_name", "snapshot")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("is_null"), 1L).otherwise(0L)).as("nulls"))
+        .withColumn("null_ppm", expr("(nulls * 1000000) DIV n"))
+      rates.where(col("snapshot") === "a")
+        .select(col("col_name"), col("n").as("n_a"), col("null_ppm").as("null_ppm_a"))
+        .join(rates.where(col("snapshot") === "b")
+          .select(col("col_name"), col("n").as("n_b"), col("null_ppm").as("null_ppm_b")),
+          Seq("col_name"))
+        .withColumn("drift_ppm", abs(col("null_ppm_a") - col("null_ppm_b")))
+        .withColumn("drifted", col("drift_ppm") > 100000L)
+        .orderBy("col_name")
+    }),
+
+    // Conversation-window truncation — the context-cap policy a chat
+    // serving layer applies (keep the MOST RECENT turns whose token sum
+    // fits): 12 md5-length turns per conversation, cap 1200 tokens, the
+    // keep set by one reverse cumulative window (suffix sum ≤ cap — no
+    // iteration), dropped turns censused with their token mass — the
+    // context the model silently never saw, the #1 cause of "it forgot
+    // my earlier message" reports. One window + rollup per cohort.
+    "llm_turn_truncation" -> ((s, d) => {
+      val turns = Tables.orders(s, d)
+        .select(col("o_orderkey").cast("bigint").as("cv"))
+        .withColumn("turn", explode(expr("sequence(0, 11)")))
+        .withColumn("tok", expr(
+          "CAST(conv(substring(md5(concat('tt:', CAST(cv AS STRING), ':', CAST(turn AS STRING))), 1, 6), 16, 10) AS BIGINT) % 290 + 10"))
+      val wSuffix = Window.partitionBy("cv").orderBy(desc("turn"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      turns.withColumn("suffix_tok", sum("tok").over(wSuffix))
+        .withColumn("kept", col("suffix_tok") <= 1200L)
+        .groupBy((col("cv") % 4).as("cohort"))
+        .agg(countDistinct("cv").as("n_conversations"),
+          count(lit(1)).as("n_turns"),
+          sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+          sum(when(!col("kept"), 1L).otherwise(0L)).as("n_dropped"),
+          sum(when(!col("kept"), col("tok")).otherwise(0L)).as("dropped_token_mass"))
+        .withColumn("dropped_ppm", expr("(n_dropped * 1000000) DIV n_turns"))
+        .orderBy("cohort")
     })
   )
 
@@ -2453,6 +2542,64 @@ object Round15Ops {
          |FROM vs JOIN bu1 ON bu1.probe_id = vs.probe_id
          |JOIN hits h ON h.probe_id = vs.probe_id
          |ORDER BY vs.probe_id""".stripMargin,
+
+    "agg_gift_card_breakage" ->
+      """WITH t AS (
+        |  SELECT CAST(c_custkey % 4 AS INT) AS cohort,
+        |    ('0x' || substring(md5('gc:' || CAST(c_custkey AS VARCHAR)), 1, 6))::BIGINT % 20000 + 500 AS issued,
+        |    LEAST(('0x' || substring(md5('gr:' || CAST(c_custkey AS VARCHAR)), 1, 6))::BIGINT % 101
+        |      + CASE WHEN c_custkey % 4 = 2 THEN 40 ELSE 0 END, 100) AS redeem_pct,
+        |    c_custkey % 5 = 3 AS expired
+        |  FROM customer),
+        |r AS (SELECT cohort, issued, (issued * redeem_pct) // 100 AS redeemed, expired FROM t)
+        |SELECT cohort, CAST(COUNT(*) AS BIGINT) AS n_cards,
+        |  CAST(SUM(issued) AS BIGINT) AS issued_mass,
+        |  CAST(SUM(redeemed) AS BIGINT) AS redeemed_mass,
+        |  CAST(SUM(CASE WHEN expired THEN issued - redeemed ELSE 0 END) AS BIGINT) AS breakage_mass,
+        |  CAST(SUM(CASE WHEN NOT expired THEN issued - redeemed ELSE 0 END) AS BIGINT) AS liability_mass,
+        |  CAST((SUM(CASE WHEN expired THEN issued - redeemed ELSE 0 END) * 1000000)
+        |    // SUM(issued) AS BIGINT) AS breakage_ppm
+        |FROM r GROUP BY 1 ORDER BY cohort""".stripMargin,
+
+    "warehouse_schema_drift" ->
+      """WITH t AS (
+        |  SELECT CASE WHEN c_custkey % 2 = 0 THEN 'a' ELSE 'b' END AS snapshot,
+        |    ('0x' || substring(md5('ne:' || CAST(c_custkey AS VARCHAR)), 1, 6))::BIGINT % 10
+        |      < CASE WHEN c_custkey % 2 = 0 THEN 1 ELSE 4 END AS email_null,
+        |    ('0x' || substring(md5('np:' || CAST(c_custkey AS VARCHAR)), 1, 6))::BIGINT % 10 < 2 AS phone_null
+        |  FROM customer),
+        |u AS (
+        |  SELECT snapshot, 'email' AS col_name, email_null AS is_null FROM t
+        |  UNION ALL SELECT snapshot, 'phone', phone_null FROM t),
+        |rates AS (
+        |  SELECT col_name, snapshot, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST((SUM(CASE WHEN is_null THEN 1 ELSE 0 END) * 1000000) // COUNT(*) AS BIGINT) AS null_ppm
+        |  FROM u GROUP BY 1, 2)
+        |SELECT a.col_name, a.n AS n_a, a.null_ppm AS null_ppm_a,
+        |  b.n AS n_b, b.null_ppm AS null_ppm_b,
+        |  abs(a.null_ppm - b.null_ppm) AS drift_ppm,
+        |  abs(a.null_ppm - b.null_ppm) > 100000 AS drifted
+        |FROM rates a JOIN rates b ON b.col_name = a.col_name
+        |WHERE a.snapshot = 'a' AND b.snapshot = 'b'
+        |ORDER BY a.col_name""".stripMargin,
+
+    "llm_turn_truncation" ->
+      """WITH turns AS (
+        |  SELECT CAST(o_orderkey AS BIGINT) AS cv, CAST(j.range AS INT) AS turn,
+        |    ('0x' || substring(md5('tt:' || CAST(o_orderkey AS VARCHAR) || ':' || CAST(j.range AS VARCHAR)), 1, 6))::BIGINT % 290 + 10 AS tok
+        |  FROM orders CROSS JOIN range(0, 12) j),
+        |k AS (
+        |  SELECT cv, turn, tok,
+        |    SUM(tok) OVER (PARTITION BY cv ORDER BY turn DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) <= 1200 AS kept
+        |  FROM turns)
+        |SELECT cv % 4 AS cohort, CAST(COUNT(DISTINCT cv) AS BIGINT) AS n_conversations,
+        |  CAST(COUNT(*) AS BIGINT) AS n_turns,
+        |  CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  CAST(SUM(CASE WHEN NOT kept THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+        |  CAST(SUM(CASE WHEN NOT kept THEN tok ELSE 0 END) AS BIGINT) AS dropped_token_mass,
+        |  CAST((SUM(CASE WHEN NOT kept THEN 1 ELSE 0 END) * 1000000) // COUNT(*) AS BIGINT) AS dropped_ppm
+        |FROM k GROUP BY 1 ORDER BY cohort""".stripMargin,
 
     "llm_batch_padding" ->
       """WITH req AS (
