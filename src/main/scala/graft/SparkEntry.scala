@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.ops.{Aggregates, Analytics, ApiSurface, DeltaRead, Functions, GraphOps, IcebergRead, Lakehouse, LlmExt, LlmOps, LlmPipeline, LlmPrep, LlmScale, Relational, Round11Ops, Round12Ops, Round12bOps, Round12cOps, Round12dOps, Round13Ops, Round13bOps, Round13cOps, Round14Ops, Round15Ops, Service, Showcase, StreamingOps, Warehouse, WindowOps}
+import graft.ops.{Aggregates, Analytics, ApiSurface, DeltaRead, Functions, GraphOps, IcebergRead, Lakehouse, LlmExt, LlmOps, LlmPipeline, LlmPrep, LlmScale, Relational, Round11Ops, Round12Ops, Round12bOps, Round12cOps, Round12dOps, Round13Ops, Round13bOps, Round13cOps, Round14Ops, Round15Ops, Round16Ops, Service, Showcase, StreamingOps, Warehouse, WindowOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 (operator inventory) and §7.
   *
@@ -23,7 +23,7 @@ object SparkEntry {
       LlmExt.queries ++ LlmScale.queries ++ LlmPipeline.queries ++ Showcase.queries ++ Warehouse.queries ++
       Analytics.queries ++ LlmPrep.queries ++ ApiSurface.queries ++ Lakehouse.queries ++
       GraphOps.queries ++ Service.queries ++ IcebergRead.queries ++
-      DeltaRead.queries ++ Round11Ops.queries ++ Round12Ops.queries ++ Round12bOps.queries ++ Round12cOps.queries ++ Round12dOps.queries ++ Round13Ops.queries ++ Round13bOps.queries ++ Round13cOps.queries ++ Round14Ops.queries ++ Round15Ops.queries
+      DeltaRead.queries ++ Round11Ops.queries ++ Round12Ops.queries ++ Round12bOps.queries ++ Round12cOps.queries ++ Round12dOps.queries ++ Round13Ops.queries ++ Round13bOps.queries ++ Round13cOps.queries ++ Round14Ops.queries ++ Round15Ops.queries ++ Round16Ops.queries
 
   /** For each oracle-verified key in `queries`, equivalent SQL runnable by
     * DuckDB on the same parquet tables. */
@@ -33,5 +33,5 @@ object SparkEntry {
       LlmExt.oracles ++ LlmScale.oracles ++ LlmPipeline.oracles ++ Showcase.oracles ++ Warehouse.oracles ++
       Analytics.oracles ++ LlmPrep.oracles ++ ApiSurface.oracles ++ Lakehouse.oracles ++
       GraphOps.oracles ++ Service.oracles ++ IcebergRead.oracles ++
-      DeltaRead.oracles ++ Round11Ops.oracles ++ Round12Ops.oracles ++ Round12bOps.oracles ++ Round12cOps.oracles ++ Round12dOps.oracles ++ Round13Ops.oracles ++ Round13bOps.oracles ++ Round13cOps.oracles ++ Round14Ops.oracles ++ Round15Ops.oracles
+      DeltaRead.oracles ++ Round11Ops.oracles ++ Round12Ops.oracles ++ Round12bOps.oracles ++ Round12cOps.oracles ++ Round12dOps.oracles ++ Round13Ops.oracles ++ Round13bOps.oracles ++ Round13cOps.oracles ++ Round14Ops.oracles ++ Round15Ops.oracles ++ Round16Ops.oracles
 }

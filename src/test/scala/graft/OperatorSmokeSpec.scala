@@ -56,7 +56,8 @@ class OperatorSmokeSpec extends AnyFunSuite with SparkFixture {
       "Round13bOps" -> Round13bOps.queries,
       "Round13cOps" -> Round13cOps.queries,
       "Round14Ops" -> Round14Ops.queries,
-      "Round15Ops" -> Round15Ops.queries)
+      "Round15Ops" -> Round15Ops.queries,
+      "Round16Ops" -> Round16Ops.queries)
     val all = families.flatMap { case (fam, m) => m.keys.map(_ -> fam) }
     val dups = all.groupBy(_._1).filter(_._2.length > 1)
     assert(dups.isEmpty,
