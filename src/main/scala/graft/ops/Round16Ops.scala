@@ -221,10 +221,306 @@ object Round16Ops {
         .select(lit(-1).cast("int").as("cohort"), col("n_items"),
           col("b_shrink_ppm"), col("raw_sse"), col("js_sse"))
       per.unionByName(tot).orderBy("cohort")
+    }),
+
+    // Multi-level Louvain — graph_louvain_pass iterated with community
+    // COARSENING (the real algorithm's outer loop): after each adoption
+    // pass, communities contract to supernodes (edge weights summed,
+    // intra-community mass becoming self-loops that count TWICE in the
+    // supernode degree — the standard contraction law), and the pass
+    // re-runs on the smaller graph. Three levels unrolled; a converged
+    // level (no positive-gain adoptions) re-emits its census unchanged,
+    // so the unroll is also the convergence detector. Graded per level:
+    // nodes entering, communities leaving, adoption gain mass, internal
+    // edge mass — the wave spec asserts coarsening monotonicity (each
+    // level has no more communities than the last, internal mass never
+    // shrinks). The contraction join is the scale shape: each level is
+    // one members-join + rollup, and the graph SHRINKS geometrically —
+    // the 100 TB community detection recipe.
+    "graph_louvain_levels" -> ((s, d) => {
+      def pass(e: DataFrame): DataFrame = {
+        val deg = e.select(col("a").as("n"),
+            when(col("a") === col("b"), col("w") * 2).otherwise(col("w")).as("w"))
+          .unionByName(e.where(col("a") =!= col("b"))
+            .select(col("b").as("n"), col("w")))
+          .groupBy("n").agg(sum("w").as("k"))
+        val m2 = deg.agg(sum("k").as("m2"))
+        val dirE = e.where(col("a") =!= col("b"))
+        val dir = dirE.select(col("a").as("i"), col("b").as("j"), col("w"))
+          .unionByName(dirE.select(col("b").as("i"), col("a").as("j"), col("w")))
+        val wAdopt = Window.partitionBy("i").orderBy(desc("gain2m"), col("j"))
+        val adopt = dir
+          .join(deg.select(col("n").as("i"), col("k").as("ki")), Seq("i"))
+          .join(deg.select(col("n").as("j"), col("k").as("kj")), Seq("j"))
+          .crossJoin(broadcast(m2))
+          .withColumn("gain2m", col("m2") * col("w") - col("ki") * col("kj"))
+          .withColumn("rn", row_number().over(wAdopt)).where(col("rn") === 1)
+          .select(col("i"),
+            when(col("gain2m") > 0, col("j")).otherwise(col("i"))
+              .cast("long").as("comm"),
+            when(col("gain2m") > 0, col("gain2m")).otherwise(lit(0L)).as("gain"))
+        deg.select(col("n").as("i"))
+          .join(adopt, Seq("i"), "left")
+          .select(col("i"),
+            coalesce(col("comm"), col("i").cast("long")).as("comm"),
+            coalesce(col("gain"), lit(0L)).as("gain"))
+          .localCheckpoint()
+      }
+      def census(lvl: Int, e: DataFrame, mem: DataFrame): DataFrame = {
+        val internal = e
+          .join(mem.select(col("i").as("a"), col("comm").as("ca")), Seq("a"))
+          .join(mem.select(col("i").as("b"), col("comm").as("cb")), Seq("b"))
+          .where(col("ca") === col("cb"))
+          .agg(coalesce(sum("w"), lit(0L)).as("internal_w_mass"))
+        mem.agg(count(lit(1)).as("n_nodes"),
+            countDistinct("comm").as("n_communities"),
+            sum("gain").as("gain_mass"))
+          .crossJoin(broadcast(internal))
+          .select(lit(lvl).cast("int").as("level"), col("n_nodes"),
+            col("n_communities"), col("gain_mass"), col("internal_w_mass"))
+      }
+      def coarsen(e: DataFrame, mem: DataFrame): DataFrame = e
+        .join(mem.select(col("i").as("a"), col("comm").as("ca")), Seq("a"))
+        .join(mem.select(col("i").as("b"), col("comm").as("cb")), Seq("b"))
+        .select(least(col("ca"), col("cb")).as("a"),
+          greatest(col("ca"), col("cb")).as("b"), col("w"))
+        .groupBy("a", "b").agg(sum("w").as("w"))
+        .localCheckpoint()
+      val g1 = GraphOps.heavyBackboneW(s, d)
+      val m1 = pass(g1)
+      val g2 = coarsen(g1, m1)
+      val m2 = pass(g2)
+      val g3 = coarsen(g2, m2)
+      val m3 = pass(g3)
+      census(1, g1, m1).unionByName(census(2, g2, m2))
+        .unionByName(census(3, g3, m3)).orderBy("level")
+    }),
+
+    // Max-flow on the layered supply DAG — S → supplier_i → sink_j → T
+    // with per-chain integer capacities (supply 500–699, demand 100–299,
+    // same key count ⇒ Σdemand < Σsupply ALWAYS) and an uncapacitated
+    // complete bipartite middle. On this network Ford–Fulkerson with
+    // lexicographic shortest-path augmentation needs no residual
+    // back-edges (any live supply reaches any live demand), and its
+    // outcome is EXACTLY the northwest-corner transportation rule: arc
+    // flow = overlap of the cumulative supply/demand intervals — a
+    // closed form both engines compute with two cumulative windows and
+    // one RANGE-BUCKETED interval join (bucket 1000 ≥ max span, so each
+    // interval explodes to ≤2 buckets: bounded fan-out equi-join, no n²,
+    // at any scale). Graded: max-flow value == the planted min cut (the
+    // saturated demand arcs, LP duality made exact), arc census, the
+    // northwest-corner staircase shape (every demand saturated, at most
+    // one partially-used supply), slack mass.
+    "graph_max_flow" -> ((s, d) => {
+      // the ordered cumulative ledger IS the operator (northwest-corner
+      // is order-defined); at cluster scale the cumsum distributes via
+      // the standard per-partition-offset two-pass
+      val wK = Window.orderBy("k")
+      val base = Tables.customer(s, d)
+        .select(col("c_custkey").cast("bigint").as("k"))
+      val sup = base
+        .withColumn("s", expr(
+          "CAST(conv(substring(md5(concat('mfs:', CAST(k AS STRING))), 1, 6), 16, 10) AS BIGINT) % 200") + 500L)
+        .withColumn("se", sum("s").over(wK))
+        .withColumn("ss", col("se") - col("s"))
+        .localCheckpoint()
+      val dem = base
+        .withColumn("dc", expr(
+          "CAST(conv(substring(md5(concat('mfd:', CAST(k AS STRING))), 1, 6), 16, 10) AS BIGINT) % 200") + 100L)
+        .withColumn("de", sum("dc").over(wK))
+        .withColumn("ds", col("de") - col("dc"))
+        .localCheckpoint()
+      val supB = sup.select(col("k").as("sk"), col("s"), col("ss"), col("se"))
+        .withColumn("bkt", explode(expr("sequence(ss DIV 1000, (se - 1) DIV 1000)")))
+      val demB = dem.select(col("k").as("dk"), col("dc"), col("ds"), col("de"))
+        .withColumn("bkt", explode(expr("sequence(ds DIV 1000, (de - 1) DIV 1000)")))
+      val arcs = supB.join(demB, Seq("bkt"))
+        .where(col("ss") < col("de") && col("ds") < col("se"))
+        .select(col("sk"), col("dk"), col("s"), col("dc"),
+          (least(col("se"), col("de")) - greatest(col("ss"), col("ds"))).as("flow"))
+        .dropDuplicates("sk", "dk")
+        .localCheckpoint()
+      val tot = arcs.agg(sum("flow").as("total_flow"),
+        count(lit(1)).as("n_arcs"), max("flow").as("max_arc_flow"))
+      val cut = dem.agg(sum("dc").as("min_cut_mass"))
+      val perSup = arcs.groupBy("sk", "s").agg(sum("flow").as("out"))
+      val supCls = sup.join(perSup.select(col("sk").as("k"), col("out")), Seq("k"), "left")
+        .withColumn("out", coalesce(col("out"), lit(0L)))
+        .agg(sum(when(col("out") === col("s"), 1L).otherwise(0L)).as("n_supplies_full"),
+          sum(when(col("out") > 0L && col("out") < col("s"), 1L).otherwise(0L))
+            .as("n_supplies_partial"),
+          sum(when(col("out") === 0L, 1L).otherwise(0L)).as("n_supplies_idle"),
+          sum(col("s") - col("out")).as("supply_slack_mass"))
+      val demCls = arcs.groupBy("dk", "dc").agg(sum("flow").as("inn"))
+        .agg(sum(when(col("inn") === col("dc"), 1L).otherwise(0L))
+          .as("n_demands_saturated"),
+          count(lit(1)).as("n_demands_touched"))
+      tot.crossJoin(broadcast(cut)).crossJoin(broadcast(supCls))
+        .crossJoin(broadcast(demCls))
+        .select("total_flow", "min_cut_mass", "n_arcs", "max_arc_flow",
+          "n_demands_saturated", "n_demands_touched", "n_supplies_full",
+          "n_supplies_partial", "n_supplies_idle", "supply_slack_mass")
+    }),
+
+    // TFRecord shard ingest — closes the training-shard format matrix
+    // (WebDataset tar / zip / SequenceFile / TFRecord): a 1-in-6 doc
+    // slice staged as 3 genuine TFRecord shards (8-byte LE length +
+    // masked CRC32C of the length bytes + payload + masked CRC32C of the
+    // payload — mask = ((crc>>15)|(crc<<17)) + 0xa282ead8, JDK CRC32C),
+    // then read DISTRIBUTED via binaryFile + the in-executor frame
+    // decoder with BOTH checksums re-verified per record (a flipped byte
+    // fails the mass AND the crc census). Staging is fixture-only (the
+    // _STAGED sentinel); production shard WRITING would be
+    // foreachPartition-side like every sink here. Graded per lang:
+    // records, exact payload byte conservation, both-CRC-ok counts, key
+    // range.
+    "source_tfrecord" -> ((s, d) => {
+      val dir = Scratch.opDir("tfrec", d)
+      val staged = java.nio.file.Paths.get(dir, "_STAGED")
+      if (!java.nio.file.Files.exists(staged)) {
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+        val rows = Tables.documents(s, d).where(col("doc_id") % 6 === 2)
+          .select(col("doc_id"), col("lang"), col("text")).collect()
+        rows.groupBy(_.getLong(0) % 3).foreach { case (part, rs) =>
+          val out = java.nio.file.Files.newOutputStream(
+            java.nio.file.Paths.get(dir, s"shard_$part.tfrecord"))
+          rs.sortBy(_.getLong(0)).foreach { r =>
+            TfRecordUtil.writeRecord(out,
+              s"${r.getLong(0)}|${r.getString(1)}|${r.getString(2)}"
+                .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          }
+          out.close()
+        }
+        java.nio.file.Files.write(staged, Array.emptyByteArray)
+      }
+      val classic = s.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      import classic.implicits._
+      s.read.format("binaryFile")
+        .option("pathGlobFilter", "*.tfrecord").load(dir)
+        .select(col("content")).as[Array[Byte]]
+        .flatMap(TfRecordUtil.readRecords _)
+        .toDF("payload", "len_crc_ok", "data_crc_ok")
+        .withColumn("n_bytes", expr("CAST(length(payload) AS BIGINT)"))
+        .withColumn("txt", expr("CAST(payload AS STRING)"))
+        // limit-3 split: the TEXT itself may contain '|'
+        .withColumn("doc_id", split(col("txt"), "\\|", 3).getItem(0).cast("bigint"))
+        .withColumn("lang", split(col("txt"), "\\|", 3).getItem(1))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_records"),
+          sum("n_bytes").as("payload_byte_mass"),
+          sum(when(col("len_crc_ok") && col("data_crc_ok"), 1L).otherwise(0L))
+            .as("n_crc_ok"),
+          min("doc_id").as("min_doc"), max("doc_id").as("max_doc"))
+        .orderBy("lang")
     })
   )
 
+  /** One Louvain level in DuckDB: degree (self-loops count twice), 2m,
+    * best-gain adoption, membership, census, contraction to g{lvl+1}.
+    * Mirrors the Spark `pass`/`census`/`coarsen` trio bit for bit. */
+  private def louvLevelSql(lvl: Int, e: String): String =
+    s"""deg$lvl AS (SELECT n, CAST(SUM(w) AS BIGINT) AS k FROM (
+       |    SELECT a AS n, CASE WHEN a = b THEN 2 * w ELSE w END AS w FROM $e
+       |    UNION ALL SELECT b, w FROM $e WHERE a <> b) q GROUP BY 1),
+       |m2x$lvl AS (SELECT CAST(SUM(k) AS BIGINT) AS m2 FROM deg$lvl),
+       |dir$lvl AS (SELECT a AS i, b AS j, w FROM $e WHERE a <> b
+       |  UNION ALL SELECT b, a, w FROM $e WHERE a <> b),
+       |ad$lvl AS (
+       |  SELECT i, CASE WHEN gain2m > 0 THEN j ELSE i END AS comm,
+       |    CASE WHEN gain2m > 0 THEN gain2m ELSE 0 END AS gain
+       |  FROM (
+       |    SELECT dd.i, dd.j, m2.m2 * dd.w - ki.k * kj.k AS gain2m,
+       |      ROW_NUMBER() OVER (PARTITION BY dd.i
+       |        ORDER BY m2.m2 * dd.w - ki.k * kj.k DESC, dd.j) AS rn
+       |    FROM dir$lvl dd JOIN deg$lvl ki ON ki.n = dd.i
+       |    JOIN deg$lvl kj ON kj.n = dd.j CROSS JOIN m2x$lvl m2) q
+       |  WHERE rn = 1),
+       |mem$lvl AS (
+       |  SELECT dg.n AS i, CAST(coalesce(ad.comm, dg.n) AS BIGINT) AS comm,
+       |    CAST(coalesce(ad.gain, 0) AS BIGINT) AS gain
+       |  FROM deg$lvl dg LEFT JOIN ad$lvl ad ON ad.i = dg.n),
+       |cen$lvl AS (
+       |  SELECT CAST($lvl AS INT) AS level, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+       |    CAST(COUNT(DISTINCT comm) AS BIGINT) AS n_communities,
+       |    CAST(SUM(gain) AS BIGINT) AS gain_mass FROM mem$lvl),
+       |intx$lvl AS (
+       |  SELECT CAST(coalesce(SUM(ee.w), 0) AS BIGINT) AS internal_w_mass
+       |  FROM $e ee JOIN mem$lvl ma ON ma.i = ee.a
+       |  JOIN mem$lvl mb ON mb.i = ee.b
+       |  WHERE ma.comm = mb.comm),
+       |g${lvl + 1} AS (
+       |  SELECT LEAST(ma.comm, mb.comm) AS a, GREATEST(ma.comm, mb.comm) AS b,
+       |    CAST(SUM(ee.w) AS BIGINT) AS w
+       |  FROM $e ee JOIN mem$lvl ma ON ma.i = ee.a
+       |  JOIN mem$lvl mb ON mb.i = ee.b
+       |  GROUP BY 1, 2)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "graph_louvain_levels" -> {
+      s"""WITH ${GraphOps.louvainOracleCtes},
+         |g1 AS (SELECT a, b, w FROM hw),
+         |${louvLevelSql(1, "g1")},
+         |${louvLevelSql(2, "g2")},
+         |${louvLevelSql(3, "g3")}
+         |SELECT * FROM (
+         |  SELECT cen1.*, intx1.internal_w_mass FROM cen1, intx1
+         |  UNION ALL SELECT cen2.*, intx2.internal_w_mass FROM cen2, intx2
+         |  UNION ALL SELECT cen3.*, intx3.internal_w_mass FROM cen3, intx3) q
+         |ORDER BY level""".stripMargin
+    },
+
+    "graph_max_flow" ->
+      """WITH base AS (SELECT CAST(c_custkey AS BIGINT) AS k FROM customer),
+        |sup AS (
+        |  SELECT k, s, CAST(SUM(s) OVER (ORDER BY k) AS BIGINT) AS se,
+        |    CAST(SUM(s) OVER (ORDER BY k) - s AS BIGINT) AS ss
+        |  FROM (SELECT k,
+        |      ('0x' || substring(md5('mfs:' || CAST(k AS VARCHAR)), 1, 6))::BIGINT % 200 + 500 AS s
+        |    FROM base) q),
+        |dem AS (
+        |  SELECT k, dc, CAST(SUM(dc) OVER (ORDER BY k) AS BIGINT) AS de,
+        |    CAST(SUM(dc) OVER (ORDER BY k) - dc AS BIGINT) AS ds
+        |  FROM (SELECT k,
+        |      ('0x' || substring(md5('mfd:' || CAST(k AS VARCHAR)), 1, 6))::BIGINT % 200 + 100 AS dc
+        |    FROM base) q),
+        |arcs AS (
+        |  SELECT sup.k AS sk, dem.k AS dk, sup.s, dem.dc,
+        |    CAST(LEAST(sup.se, dem.de) - GREATEST(sup.ss, dem.ds) AS BIGINT) AS flow
+        |  FROM sup JOIN dem ON sup.ss < dem.de AND dem.ds < sup.se),
+        |tot AS (SELECT CAST(SUM(flow) AS BIGINT) AS total_flow,
+        |    CAST(COUNT(*) AS BIGINT) AS n_arcs,
+        |    CAST(MAX(flow) AS BIGINT) AS max_arc_flow FROM arcs),
+        |cut AS (SELECT CAST(SUM(dc) AS BIGINT) AS min_cut_mass FROM dem),
+        |ps AS (SELECT sk, MAX(s) AS s, CAST(SUM(flow) AS BIGINT) AS outf
+        |  FROM arcs GROUP BY 1),
+        |scl AS (
+        |  SELECT
+        |    CAST(SUM(CASE WHEN coalesce(outf, 0) = sup.s THEN 1 ELSE 0 END) AS BIGINT) AS n_supplies_full,
+        |    CAST(SUM(CASE WHEN coalesce(outf, 0) > 0 AND coalesce(outf, 0) < sup.s THEN 1 ELSE 0 END) AS BIGINT) AS n_supplies_partial,
+        |    CAST(SUM(CASE WHEN coalesce(outf, 0) = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_supplies_idle,
+        |    CAST(SUM(sup.s - coalesce(outf, 0)) AS BIGINT) AS supply_slack_mass
+        |  FROM sup LEFT JOIN ps ON ps.sk = sup.k),
+        |pd AS (SELECT dk, MAX(dc) AS dc, CAST(SUM(flow) AS BIGINT) AS inn
+        |  FROM arcs GROUP BY 1),
+        |dcl AS (
+        |  SELECT CAST(SUM(CASE WHEN inn = dc THEN 1 ELSE 0 END) AS BIGINT) AS n_demands_saturated,
+        |    CAST(COUNT(*) AS BIGINT) AS n_demands_touched
+        |  FROM pd)
+        |SELECT tot.total_flow, cut.min_cut_mass, tot.n_arcs, tot.max_arc_flow,
+        |  dcl.n_demands_saturated, dcl.n_demands_touched, scl.n_supplies_full,
+        |  scl.n_supplies_partial, scl.n_supplies_idle, scl.supply_slack_mass
+        |FROM tot, cut, scl, dcl""".stripMargin,
+
+    "source_tfrecord" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang, text FROM documents WHERE doc_id % 6 = 2)
+        |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_records,
+        |  CAST(SUM(strlen(CAST(doc_id AS VARCHAR) || '|' || lang || '|' || text)) AS BIGINT) AS payload_byte_mass,
+        |  CAST(COUNT(*) AS BIGINT) AS n_crc_ok,
+        |  CAST(MIN(doc_id) AS BIGINT) AS min_doc,
+        |  CAST(MAX(doc_id) AS BIGINT) AS max_doc
+        |FROM t GROUP BY 1 ORDER BY lang""".stripMargin,
+
     "llm_ann_index_delete" ->
       """WITH pos AS (SELECT CAST(i AS BIGINT) AS pos FROM generate_series(0, 63) AS t(i)),
         |raw AS (
@@ -389,4 +685,50 @@ object Round16Ops {
         |  FROM sc) q
         |ORDER BY cohort""".stripMargin
   )
+
+  /** TFRecord framing (public format): [uint64 LE length][uint32 LE masked
+    * CRC32C of the 8 length bytes][payload][uint32 LE masked CRC32C of the
+    * payload], mask(c) = ((c >> 15) | (c << 17)) + 0xa282ead8 in uint32
+    * arithmetic. JDK CRC32C (Castagnoli) does the checksums — no extra
+    * dependency. Reader re-verifies BOTH crcs per record. */
+  private[ops] object TfRecordUtil {
+    private val MaskDelta = 0xa282ead8L
+
+    private def maskedCrc(bytes: Array[Byte]): Int = {
+      val c = new java.util.zip.CRC32C
+      c.update(bytes)
+      val crc = c.getValue
+      val rot = ((crc >>> 15) | (crc << 17)) & 0xffffffffL
+      ((rot + MaskDelta) & 0xffffffffL).toInt
+    }
+
+    private def le(n: Int): java.nio.ByteBuffer =
+      java.nio.ByteBuffer.allocate(n).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+
+    def writeRecord(out: java.io.OutputStream, data: Array[Byte]): Unit = {
+      val lenBytes = le(8).putLong(data.length.toLong).array
+      out.write(lenBytes)
+      out.write(le(4).putInt(maskedCrc(lenBytes)).array)
+      out.write(data)
+      out.write(le(4).putInt(maskedCrc(data)).array)
+    }
+
+    def readRecords(shard: Array[Byte]): Seq[(Array[Byte], Boolean, Boolean)] = {
+      val buf = java.nio.ByteBuffer.wrap(shard)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      val out = Seq.newBuilder[(Array[Byte], Boolean, Boolean)]
+      while (buf.remaining >= 16) {
+        val lenBytes = new Array[Byte](8)
+        buf.get(lenBytes)
+        val lenCrc = buf.getInt
+        val len = java.nio.ByteBuffer.wrap(lenBytes)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN).getLong.toInt
+        val data = new Array[Byte](len)
+        buf.get(data)
+        val dataCrc = buf.getInt
+        out += ((data, maskedCrc(lenBytes) == lenCrc, maskedCrc(data) == dataCrc))
+      }
+      out.result()
+    }
+  }
 }
