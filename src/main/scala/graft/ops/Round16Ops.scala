@@ -412,6 +412,188 @@ object Round16Ops {
             .as("n_crc_ok"),
           min("doc_id").as("min_doc"), max("doc_id").as("max_doc"))
         .orderBy("lang")
+    }),
+
+    // Hierarchical geo cells (H3/S2-style integer quadtree) — the
+    // multi-resolution blocking a person-service address matcher runs:
+    // md5 micro-coords on a 2²⁰ grid, cell ids at resolutions 4/6/8
+    // (cell_r = (x>>(20−r))·2^r + (y>>(20−r))), child→parent containment
+    // graded by recomputing the coarse cell FROM the fine cell id (must
+    // equal the direct computation — zero violations), and an ε-pair
+    // sweep on an md5 sample: the 3×3 neighbor ring at r=8 (cell edge
+    // 4096 > ε=4000) must find EVERY true pair — recall is exactly 10⁶
+    // ppm by the ring-covering law, graded against the brute-force truth
+    // on the sample. Candidate mass is the boundedness metric: ring
+    // candidates ≪ n²/2 brute pairs. Tall metric/value output.
+    "join_geo_cell" -> ((s, d) => {
+      // 16 planted cluster centers on a 4×4 macro-grid, ±3000 md5 offsets:
+      // ε-pairs (ε = 4000) exist at EVERY scale factor, and clusters
+      // straddle r=8 cell boundaries so the ring join is non-trivial
+      val pts = Tables.part(s, d)
+        .select(col("p_partkey").cast("bigint").as("k"))
+        .withColumn("gc", expr(
+          "CAST(conv(substring(md5(concat('gc:', CAST(k AS STRING))), 1, 6), 16, 10) AS BIGINT) % 16"))
+        .withColumn("x", expr(
+          "(gc % 4) * 262144 + 131072 + CAST(conv(substring(md5(concat('gox:', CAST(k AS STRING))), 1, 6), 16, 10) AS BIGINT) % 6001 - 3000"))
+        .withColumn("y", expr(
+          "(gc DIV 4) * 262144 + 131072 + CAST(conv(substring(md5(concat('goy:', CAST(k AS STRING))), 1, 6), 16, 10) AS BIGINT) % 6001 - 3000"))
+        .withColumn("c4", expr("(x DIV 65536) * 16 + (y DIV 65536)"))
+        .withColumn("c6", expr("(x DIV 16384) * 64 + (y DIV 16384)"))
+        .withColumn("c8", expr("(x DIV 4096) * 256 + (y DIV 4096)"))
+        .localCheckpoint()
+      def metric(name: String, v: DataFrame): DataFrame =
+        v.select(lit(name).as("metric"), col(v.columns.head).cast("bigint").as("value"))
+      val cells4 = metric("cells_r4", pts.agg(countDistinct("c4")))
+      val cells6 = metric("cells_r6", pts.agg(countDistinct("c6")))
+      val cells8 = metric("cells_r8", pts.agg(countDistinct("c8")))
+      val maxPop = metric("max_pop_r8",
+        pts.groupBy("c8").agg(count(lit(1)).as("p")).agg(max("p")))
+      // containment: the r6/r4 cell DERIVED from the r8 id must equal the
+      // directly-computed one (child ⊂ parent, zero violations)
+      val viol46 = metric("containment_viol_4_6", pts.agg(sum(when(
+        expr("((c6 DIV 64) DIV 4) * 16 + ((c6 % 64) DIV 4)") =!= col("c4"), 1L)
+        .otherwise(0L))))
+      val viol68 = metric("containment_viol_6_8", pts.agg(sum(when(
+        expr("((c8 DIV 256) DIV 4) * 64 + ((c8 % 256) DIV 4)") =!= col("c6"), 1L)
+        .otherwise(0L))))
+      // fixed-size md5-ranked sample: the brute-force truth sweep stays
+      // O(K²) at every scale (the probe-set law from llm_ann_*)
+      val sample = pts
+        .orderBy(md5(concat(lit("gs:"), col("k").cast("string"))), col("k"))
+        .limit(300)
+        .select(col("k"), col("x"), col("y"), col("c8")).localCheckpoint()
+      val b = broadcast(sample.select(col("k").as("k2"), col("x").as("x2"),
+        col("y").as("y2"), col("c8").as("c82")))
+      val truePairs = sample.join(b, col("k") < col("k2"))
+        .where(expr("(x - x2) * (x - x2) + (y - y2) * (y - y2) <= 16000000"))
+        .select("k", "k2").localCheckpoint()
+      // ring join: p2's r8 cell within p1's 3×3 ring (axis deltas ≤ 1)
+      val ringCand = sample.join(b, col("k") < col("k2"))
+        .where(expr("abs(c8 DIV 256 - c82 DIV 256) <= 1 AND abs(c8 % 256 - c82 % 256) <= 1"))
+        .localCheckpoint()
+      val found = ringCand
+        .where(expr("(x - x2) * (x - x2) + (y - y2) * (y - y2) <= 16000000"))
+        .select("k", "k2")
+      val nTrue = metric("true_pairs", truePairs.agg(count(lit(1))))
+      val nCand = metric("ring_candidate_pairs", ringCand.agg(count(lit(1))))
+      val nFound = metric("found_pairs", found.agg(count(lit(1))))
+      val recall = metric("recall_ppm",
+        found.join(truePairs, Seq("k", "k2"), "left_semi")
+          .agg(count(lit(1)).as("h"))
+          .crossJoin(broadcast(truePairs.agg(count(lit(1)).as("nt"))))
+          .select(expr("(h * 1000000) DIV NULLIF(nt, 0)")))
+      cells4.unionByName(cells6).unionByName(cells8).unionByName(maxPop)
+        .unionByName(viol46).unionByName(viol68).unionByName(nCand)
+        .unionByName(nTrue).unionByName(nFound).unionByName(recall)
+        .orderBy("metric")
+    }),
+
+    // Safety stock + reorder point — the inventory control law a supply
+    // planner serves: per part 24 sequence-indexed demand samples with
+    // class-planted spread (uniform width 20·(class+1) — variance grows
+    // with class) and lead time L = class%3 + 1; σ_floor via the exact
+    // integer variance numerator (24·Σx² − S², non-negative by
+    // Cauchy–Schwarz) and the native isqrt: ss = 196·isqrt(var_floor·L)
+    // DIV 100 (z = 1.96 exactly), rop = mean_floor·L + ss. Graded per
+    // class: parts, ss/rop masses, max ss — the wave spec asserts ss
+    // grows with the planted demand spread. Projection + two rollups.
+    "agg_safety_stock" -> ((s, d) => {
+      org.apache.spark.sql.graftbridge.GraftBridge.registerFunction(s,
+        "isqrt", exprs => org.apache.spark.sql.graftbridge.IntSqrt(exprs(0)))
+      val per = Tables.part(s, d)
+        .select(col("p_partkey").cast("bigint").as("p"))
+        .withColumn("cls", (col("p") % 5).cast("int"))
+        .withColumn("i", explode(expr("sequence(0, 23)")))
+        .withColumn("x", expr(
+          "CAST(conv(substring(md5(concat('sd:', CAST(p AS STRING), ':', CAST(i AS STRING))), 1, 6), 16, 10) AS BIGINT) % (20 * (cls + 1))") + 100L)
+        .groupBy("p", "cls")
+        .agg(sum("x").as("sx"), sum(expr("x * x")).as("qx"))
+        .withColumn("lt", col("p") % 3 + 1L)
+        .withColumn("var_floor", expr("(24 * qx - sx * sx) DIV (24 * 24)"))
+        .withColumn("ss", expr("(196 * isqrt(var_floor * lt)) DIV 100"))
+        .withColumn("rop", expr("(sx DIV 24) * lt + ss"))
+      per.groupBy("cls")
+        .agg(count(lit(1)).as("n_parts"), sum("ss").as("ss_mass"),
+          sum("rop").as("rop_mass"), max("ss").as("max_ss"))
+        .orderBy("cls")
+    }),
+
+    // WebDataset index sidecars — the .idx offset files that make tar
+    // shards randomly addressable (the member-seek path a training loader
+    // uses instead of streaming the whole shard): the staging writer
+    // tracks byte offsets under the ustar 512-block law (header 512 +
+    // ceil(size/512)·512 payload) into a sidecar per shard; the reader
+    // re-derives every member's offset INDEPENDENTLY from the decoded
+    // member sizes (cumulative window per shard) and joins the sidecar —
+    // offset and size must match on every member, graded per shard with
+    // exact byte masses. The oracle replays the 512-block arithmetic from
+    // the documents table directly.
+    "source_webdataset_index" -> ((s, d) => {
+      val dir = Scratch.opDir("wdsidx", d)
+      val staged = java.nio.file.Paths.get(dir, "_STAGED")
+      if (!java.nio.file.Files.exists(staged)) {
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+        val rows = Tables.documents(s, d).where(col("doc_id") % 9 === 4)
+          .select(col("doc_id"), col("text")).collect()
+        rows.groupBy(_.getLong(0) % 2).foreach { case (part, rs) =>
+          val out = java.nio.file.Files.newOutputStream(
+            java.nio.file.Paths.get(dir, s"shard_$part.tar"))
+          val idx = new StringBuilder
+          var off = 0L
+          rs.sortBy(_.getLong(0)).foreach { r =>
+            val data = r.getString(1)
+              .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+            val name = s"d${r.getLong(0)}.txt"
+            Round15Ops.TarUtil.writeEntry(out, name, data)
+            idx.append(s"$name $off ${data.length}\n")
+            off += 512L + ((data.length + 511L) / 512L) * 512L
+          }
+          out.write(new Array[Byte](1024))
+          out.close()
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(dir, s"shard_$part.idx"),
+            idx.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        }
+        java.nio.file.Files.write(staged, Array.emptyByteArray)
+      }
+      val classic = s.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      import classic.implicits._
+      val members = s.read.format("binaryFile")
+        .option("pathGlobFilter", "*.tar").load(dir)
+        .select(col("path"), col("content"))
+        .as[(String, Array[Byte])]
+        .flatMap { case (p, c) =>
+          Round15Ops.TarUtil.readEntries(c).zipWithIndex.map {
+            case ((n, b), i) => (p, i, n, b.length.toLong)
+          }
+        }
+        .toDF("path", "ord", "name", "size")
+        .withColumn("shard",
+          regexp_extract(col("path"), "shard_(\\d+)", 1).cast("int"))
+      val wOrd = Window.partitionBy("shard").orderBy("ord")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val derived = members.withColumn("off", coalesce(
+        sum(expr("512 + ((size + 511) DIV 512) * 512")).over(wOrd), lit(0L)))
+      val sidecar = s.read.format("binaryFile")
+        .option("pathGlobFilter", "*.idx").load(dir)
+        .select(regexp_extract(col("path"), "shard_(\\d+)", 1).cast("int")
+          .as("shard"), expr("CAST(content AS STRING)").as("txt"))
+        .withColumn("line", explode(split(col("txt"), "\n")))
+        .where(length(col("line")) > 0)
+        .select(col("shard"),
+          split(col("line"), " ").getItem(0).as("name"),
+          split(col("line"), " ").getItem(1).cast("bigint").as("idx_off"),
+          split(col("line"), " ").getItem(2).cast("bigint").as("idx_size"))
+      derived.join(sidecar, Seq("shard", "name"))
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_members"),
+          sum(when(col("off") === col("idx_off"), 1L).otherwise(0L))
+            .as("n_offset_match"),
+          sum(when(col("size") === col("idx_size"), 1L).otherwise(0L))
+            .as("n_size_match"),
+          sum("size").as("payload_byte_mass"),
+          max("off").as("max_offset"))
+        .orderBy("shard")
     })
   )
 
@@ -510,6 +692,97 @@ object Round16Ops {
         |  dcl.n_demands_saturated, dcl.n_demands_touched, scl.n_supplies_full,
         |  scl.n_supplies_partial, scl.n_supplies_idle, scl.supply_slack_mass
         |FROM tot, cut, scl, dcl""".stripMargin,
+
+    "join_geo_cell" ->
+      """WITH pts AS (
+        |  SELECT k, gc,
+        |    (gc % 4) * 262144 + 131072 + ox % 6001 - 3000 AS x,
+        |    (gc // 4) * 262144 + 131072 + oy % 6001 - 3000 AS y
+        |  FROM (
+        |    SELECT CAST(p_partkey AS BIGINT) AS k,
+        |      ('0x' || substring(md5('gc:' || CAST(p_partkey AS VARCHAR)), 1, 6))::BIGINT % 16 AS gc,
+        |      ('0x' || substring(md5('gox:' || CAST(p_partkey AS VARCHAR)), 1, 6))::BIGINT AS ox,
+        |      ('0x' || substring(md5('goy:' || CAST(p_partkey AS VARCHAR)), 1, 6))::BIGINT AS oy
+        |    FROM part) q),
+        |cc AS (
+        |  SELECT k, x, y,
+        |    (x // 65536) * 16 + (y // 65536) AS c4,
+        |    (x // 16384) * 64 + (y // 16384) AS c6,
+        |    (x // 4096) * 256 + (y // 4096) AS c8
+        |  FROM pts),
+        |smp AS (
+        |  SELECT k, x, y, c8 FROM cc
+        |  ORDER BY md5('gs:' || CAST(k AS VARCHAR)), k LIMIT 300),
+        |tp AS (
+        |  SELECT a.k AS k1, b.k AS k2 FROM smp a JOIN smp b ON a.k < b.k
+        |  WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= 16000000),
+        |rc AS (
+        |  SELECT a.k AS k1, b.k AS k2, a.x AS x1, a.y AS y1, b.x AS x2, b.y AS y2
+        |  FROM smp a JOIN smp b ON a.k < b.k
+        |  WHERE abs(a.c8 // 256 - b.c8 // 256) <= 1 AND abs(a.c8 % 256 - b.c8 % 256) <= 1),
+        |fp AS (
+        |  SELECT k1, k2 FROM rc
+        |  WHERE (x1 - x2) * (x1 - x2) + (y1 - y2) * (y1 - y2) <= 16000000)
+        |SELECT * FROM (
+        |  SELECT 'cells_r4' AS metric, CAST(COUNT(DISTINCT c4) AS BIGINT) AS value FROM cc
+        |  UNION ALL SELECT 'cells_r6', CAST(COUNT(DISTINCT c6) AS BIGINT) FROM cc
+        |  UNION ALL SELECT 'cells_r8', CAST(COUNT(DISTINCT c8) AS BIGINT) FROM cc
+        |  UNION ALL SELECT 'max_pop_r8', CAST(MAX(p) AS BIGINT) FROM (
+        |    SELECT COUNT(*) AS p FROM cc GROUP BY c8) q
+        |  UNION ALL SELECT 'containment_viol_4_6', CAST(SUM(CASE WHEN
+        |      ((c6 // 64) // 4) * 16 + ((c6 % 64) // 4) <> c4 THEN 1 ELSE 0 END) AS BIGINT) FROM cc
+        |  UNION ALL SELECT 'containment_viol_6_8', CAST(SUM(CASE WHEN
+        |      ((c8 // 256) // 4) * 64 + ((c8 % 256) // 4) <> c6 THEN 1 ELSE 0 END) AS BIGINT) FROM cc
+        |  UNION ALL SELECT 'ring_candidate_pairs', CAST(COUNT(*) AS BIGINT) FROM rc
+        |  UNION ALL SELECT 'true_pairs', CAST(COUNT(*) AS BIGINT) FROM tp
+        |  UNION ALL SELECT 'found_pairs', CAST(COUNT(*) AS BIGINT) FROM fp
+        |  UNION ALL SELECT 'recall_ppm',
+        |    CAST(((SELECT COUNT(*) FROM fp f JOIN tp t ON t.k1 = f.k1 AND t.k2 = f.k2)
+        |      * 1000000) // NULLIF((SELECT COUNT(*) FROM tp), 0) AS BIGINT)) q
+        |ORDER BY metric""".stripMargin,
+
+    "agg_safety_stock" -> {
+      val isq = Round12cOps.duckIsqrt("var_floor * lt")
+      s"""WITH obs AS (
+         |  SELECT p, cls, i,
+         |    ('0x' || substring(md5('sd:' || CAST(p AS VARCHAR) || ':' || CAST(i AS VARCHAR)), 1, 6))::BIGINT
+         |      % (20 * (cls + 1)) + 100 AS x
+         |  FROM (SELECT CAST(p_partkey AS BIGINT) AS p,
+         |      CAST(p_partkey % 5 AS INT) AS cls FROM part) q,
+         |    generate_series(0, 23) AS t(i)),
+         |per AS (
+         |  SELECT p, cls, p % 3 + 1 AS lt,
+         |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(x * x) AS BIGINT) AS qx
+         |  FROM obs GROUP BY 1, 2),
+         |v AS (SELECT p, cls, lt, sx,
+         |    (24 * qx - sx * sx) // (24 * 24) AS var_floor FROM per),
+         |ss AS (SELECT p, cls,
+         |    (196 * $isq) // 100 AS ss, lt, sx FROM v),
+         |r AS (SELECT cls, ss, (sx // 24) * lt + ss AS rop FROM ss)
+         |SELECT cls, CAST(COUNT(*) AS BIGINT) AS n_parts,
+         |  CAST(SUM(ss) AS BIGINT) AS ss_mass,
+         |  CAST(SUM(rop) AS BIGINT) AS rop_mass,
+         |  CAST(MAX(ss) AS BIGINT) AS max_ss
+         |FROM r GROUP BY 1 ORDER BY cls""".stripMargin
+    },
+
+    "source_webdataset_index" ->
+      """WITH t AS (
+        |  SELECT doc_id, CAST(doc_id % 2 AS INT) AS shard,
+        |    CAST(strlen(text) AS BIGINT) AS size
+        |  FROM documents WHERE doc_id % 9 = 4),
+        |o AS (
+        |  SELECT shard, doc_id, size,
+        |    CAST(coalesce(SUM(512 + ((size + 511) // 512) * 512) OVER (
+        |      PARTITION BY shard ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off
+        |  FROM t)
+        |SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_members,
+        |  CAST(COUNT(*) AS BIGINT) AS n_offset_match,
+        |  CAST(COUNT(*) AS BIGINT) AS n_size_match,
+        |  CAST(SUM(size) AS BIGINT) AS payload_byte_mass,
+        |  CAST(MAX(off) AS BIGINT) AS max_offset
+        |FROM o GROUP BY 1 ORDER BY shard""".stripMargin,
 
     "source_tfrecord" ->
       """WITH t AS (
