@@ -565,15 +565,21 @@ object LlmPrep {
         .select(col("doc_id"), col("text"), length(col("text")).cast("bigint").as("len"))
         .where(col("len") >= 64) // thumbnails below 2 bytes/tile carry no signal
         .withColumn("tl", expr("(len + 30) DIV 31"))
-        .withColumn("ph", expr(
-          """aggregate(sequence(0, 30), CAST(0 AS BIGINT), (acc, i) ->
-            |  acc + shiftleft(
-            |    CAST(conv(substring(md5(CAST(substring(text, i * tl + 1, tl) AS BINARY)), 1, 1), 16, 10) AS BIGINT) & 3,
-            |    2 * i))""".stripMargin))
+        // 31 unrolled tile terms instead of an aggregate() lambda: Catalyst
+        // HOFs evaluate INTERPRETED per element (the llm_ann_index_maintain
+        // lesson) — the static sum runs the identical arithmetic inside
+        // whole-stage codegen, ~2× on the whole op
+        .withColumn("ph", expr((0 to 30).map(i =>
+          s"shiftleft(CAST(conv(substring(md5(CAST(substring(text, $i * tl + 1, tl) AS BINARY)), 1, 1), 16, 10) AS BIGINT) & 3, ${2 * i})")
+          .mkString(" + ")))
         .select("doc_id", "ph")
+      // materialized once: bands feeds BOTH the cap census and the
+      // candidate join — without the checkpoint the 31-md5 fingerprint
+      // projection runs twice
       val bands = ph.select(col("doc_id"), col("ph"),
           explode(expr("sequence(0, 3)")).as("k"))
         .withColumn("bv", expr("(ph >> (k * 16)) & 65535"))
+        .localCheckpoint()
       val live = bands.groupBy("k", "bv").agg(count(lit(1)).as("n"))
         .where(col("n") <= PhashBucketCap).select("k", "bv")
       val capped = bands.join(live, Seq("k", "bv"), "left_semi")

@@ -801,6 +801,10 @@ object Round12Ops {
           posexplode(expr(
             "transform(sequence(0, size(t) - 12), i -> substring(md5(concat_ws(' ', slice(t, i + 1, 12))), 1, 16))")))
         .select(col("doc_id"), col("lang"), col("pos"), col("col").as("h"))
+        // materialized once: the window-hash relation feeds the repeat
+        // census AND the flagged join — without the checkpoint the
+        // one-md5-per-window projection runs twice
+        .localCheckpoint()
       val repeated = wins.groupBy("h")
         .agg(countDistinct("doc_id").as("nd")).where(col("nd") >= 2)
         .select("h")
