@@ -341,6 +341,37 @@ class ScaleWitnessSpec extends AnyFunSuite {
       scala.jdk.CollectionConverters.SeqHasAsJava(lines).asJava)
   }
 
+  test("round-16 heavy shapes measured near-linear across the tiers", ScaleWitness) {
+    // incremental ER: two blocked link passes + one index merge — every
+    // stage is O(batch × block) with md5-bounded blocks, so the walk is a
+    // constant number of linear passes over the persons corpus
+    val pdirs = Seq(10000L, 100000L, 1000000L).map(personsDir)
+    SparkEntry.queries("join_er_incremental")(spark, pdirs.head).count()
+    val tsEr = pdirs.map(d =>
+      time { SparkEntry.queries("join_er_incremental")(spark, d).count() })
+    val slEr = slope(tsEr)
+    info(f"join_er_incremental t=${tsEr.map(t => f"$t%.1f").mkString("/")}s slope=$slEr%.2f (max 1.4)")
+    assert(slEr < 1.4,
+      f"join_er_incremental runtime slope $slEr%.2f exceeds 1.4 (times ${tsEr.mkString(", ")})")
+
+    // layered NSW: id-stride layer membership keeps each hop O(beam ×
+    // degree); the corpus-linear stage is the exact-scan recall baseline
+    // the grading itself requires — bound at 1.8 like the ANN family
+    val results = Seq("llm_ann_hnsw_layered" -> 1.8).map { case (op, maxSlope) =>
+      val ts = timeTiers(op)
+      val sl = slope(ts)
+      info(f"$op%-22s t=${ts.map(t => f"$t%.1f").mkString("/")}s slope=$sl%.2f (max $maxSlope)")
+      assert(sl < maxSlope,
+        f"$op runtime slope $sl%.2f exceeds $maxSlope (times ${ts.mkString(", ")})")
+      op -> ts
+    }
+    val lines = (("join_er_incremental" -> tsEr) +: results).map { case (op, ts) =>
+      f"| `$op` | ${ts(0)}%.1f | ${ts(1)}%.1f | ${ts(2)}%.1f | ${slope(ts)}%.2f |"
+    }
+    java.nio.file.Files.write(java.nio.file.Paths.get("/tmp/scale_witness_r16.md"),
+      scala.jdk.CollectionConverters.SeqHasAsJava(lines).asJava)
+  }
+
   test("LSH band buckets hold their occupancy bounds at the largest tier", ScaleWitness) {
     val big = dirs(2)
     // SRP-LSH over 10^5 vectors: 8 bands × 16 bits → 2^16 values per band,
