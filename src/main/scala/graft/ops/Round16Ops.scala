@@ -594,8 +594,152 @@ object Round16Ops {
           sum("size").as("payload_byte_mass"),
           max("off").as("max_offset"))
         .orderBy("shard")
+    }),
+
+    // Articulation points (cut vertices) — the single-point-of-failure
+    // census a network/AML analyst runs on a transaction graph: planted
+    // 120-node chain of 20 six-rings joined by single bridge edges (the
+    // ring interiors are 2-connected, the 38 bridge endpoints are exactly
+    // the cut set). Vertex v is articulation iff components(G−v) >
+    // components(G), with connectivity computed for ALL 121 exclusion
+    // variants AT ONCE (exclusion id as a column — one vectorized frame,
+    // no driver loop) by 9 rounds of min-label propagation WITH pointer
+    // jumping (l ← min(l, min_neighbor l, l(l)) — doubling makes the
+    // 76-hop worst-case diameter converge in ≤ log₂ rounds; plain
+    // propagation would need 76). Work is O(rounds · exclusions · |E|) —
+    // at corpus scale the exclusion set narrows to candidate vertices,
+    // the same vectorized shape. The oracle replays all 9 rounds.
+    "graph_articulation" -> ((s, d) => {
+      val (nodes, edges) = ringChainGraph(s, d)
+      val excl = nodes.select(col("v").as("x"))
+        .unionByName(s.range(1).select(lit(-1L).as("x")))
+      val nodesX = excl.crossJoin(nodes).where(col("v") =!= col("x"))
+      val edgesX = excl.crossJoin(edges)
+        .where(col("a") =!= col("x") && col("b") =!= col("x"))
+      val comps = ccComponents(nodesX, edgesX)
+      val base = broadcast(comps.where(col("x") === -1L)
+        .select(col("ncomp").as("base_comps")))
+      comps.where(col("x") =!= -1L).crossJoin(base)
+        .select(col("x").as("node"), col("ncomp").as("n_comps_without"),
+          (col("ncomp") > col("base_comps")).as("is_articulation"))
+        .orderBy("node")
+    }),
+
+    // Bridge edges — the companion census (an edge is a bridge iff its
+    // removal disconnects its endpoints): same planted ring-chain, same
+    // vectorized pointer-jumping connectivity, exclusion id = the edge
+    // being removed (plus the -1 baseline). The 19 inter-ring connectors
+    // are exactly the bridge set; every ring edge sits on a cycle and
+    // survives. Graded per edge with the component count its removal
+    // leaves.
+    "graph_bridges" -> ((s, d) => {
+      val (nodes, edges) = ringChainGraph(s, d)
+      val eid = edges.withColumn("eid", col("a") * 1000L + col("b"))
+      val excl = eid.select(col("eid").as("x"))
+        .unionByName(s.range(1).select(lit(-1L).as("x")))
+      val nodesX = excl.crossJoin(nodes)
+      val edgesX = excl.crossJoin(eid.select(col("a"), col("b"), col("eid")))
+        .where(col("eid") =!= col("x")).drop("eid")
+      val comps = ccComponents(nodesX, edgesX)
+      val base = broadcast(comps.where(col("x") === -1L)
+        .select(col("ncomp").as("base_comps")))
+      comps.where(col("x") =!= -1L).crossJoin(base)
+        .select(expr("x DIV 1000").as("a"), (col("x") % 1000L).as("b"),
+          col("ncomp").as("n_comps_without"),
+          (col("ncomp") > col("base_comps")).as("is_bridge"))
+        .orderBy("a", "b")
+    }),
+
+    // ABA routing-number checksum — the payments-intake gate beside
+    // fn_iban_mod97: 8 md5 digits + a DERIVED ninth so the weighted sum
+    // 3·(d1+d4+d7) + 7·(d2+d5+d8) + (d3+d6+d9) ≡ 0 (mod 10); a 1-in-9
+    // slice then corrupts one md5-chosen digit (+δ, δ∈1..9). All three
+    // weights are units mod 10, so EVERY single-digit substitution is
+    // caught — the invalid census must equal the planted corruption
+    // census exactly (asserted in the wave spec). Linear projection +
+    // rollup.
+    "fn_aba_routing" -> ((s, d) => {
+      def dig(i: Int) =
+        s"CAST(conv(substring(md5(concat('aba:', CAST(k AS STRING))), $i, 1), 16, 10) AS BIGINT) % 10"
+      val t = Tables.customer(s, d)
+        .select(col("c_custkey").cast("bigint").as("k"))
+        .withColumn("wsum8", expr(
+          s"3 * (${dig(1)} + ${dig(4)} + ${dig(7)}) + 7 * (${dig(2)} + ${dig(5)} + ${dig(8)}) + (${dig(3)} + ${dig(6)})"))
+        .withColumn("d9", expr("(10 - wsum8 % 10) % 10"))
+        .withColumn("corrupt", col("k") % 9 === 4)
+        .withColumn("cpos", expr(
+          "CAST(conv(substring(md5(concat('abp:', CAST(k AS STRING))), 1, 4), 16, 10) AS BIGINT) % 9 + 1"))
+        .withColumn("cdelta", expr(
+          "CAST(conv(substring(md5(concat('abd:', CAST(k AS STRING))), 1, 4), 16, 10) AS BIGINT) % 9 + 1"))
+        // corrupting digit p adds w(p)·δ to the weighted sum
+        .withColumn("wpos", expr(
+          "CASE WHEN cpos IN (1, 4, 7) THEN 3 WHEN cpos IN (2, 5, 8) THEN 7 ELSE 1 END"))
+        .withColumn("wsum", expr(
+          "wsum8 + d9 + CASE WHEN corrupt THEN wpos * cdelta ELSE 0 END"))
+        .withColumn("valid", expr("wsum % 10 = 0"))
+      t.groupBy((col("k") % 4).cast("int").as("cohort"))
+        .agg(count(lit(1)).as("n_numbers"),
+          sum(when(col("valid"), 1L).otherwise(0L)).as("n_valid"),
+          sum(when(!col("valid"), 1L).otherwise(0L)).as("n_invalid"),
+          sum(when(col("corrupt"), 1L).otherwise(0L)).as("n_corrupted"))
+        .orderBy("cohort")
     })
   )
+
+  /** Planted 120-node ring-chain for the articulation/bridge census: 20
+    * six-node rings (2-connected interiors) joined in a chain by single
+    * bridge edges (6c+5)—(6c+6). Node set realized through the customer
+    * table so the fixture rides the driver's parquet at every sf. */
+  private def ringChainGraph(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val nodes = Tables.customer(s, d)
+      .select((col("c_custkey") % 120).cast("bigint").as("v")).distinct()
+      .localCheckpoint()
+    val ring = nodes.select(col("v").as("a"),
+      (expr("(v DIV 6) * 6") + (col("v") % 6 + 1L) % 6L).as("b"))
+    val bridges = nodes.where(col("v") % 6 === 5L && col("v") < 114L)
+      .select(col("v").as("a"), (col("v") + 1L).as("b"))
+    val edges = ring.select(least(col("a"), col("b")).as("a"),
+        greatest(col("a"), col("b")).as("b"))
+      .unionByName(bridges).distinct().localCheckpoint()
+    (nodes, edges)
+  }
+
+  /** Connected components per exclusion variant: ONE shuffle groups each
+    * variant's (bounded, ≤260-row) node+edge list, then an executor-side
+    * union-find counts components — exact and algorithm-independent, so
+    * the DuckDB oracle may converge by its own method (9 unrolled
+    * min-label + pointer-jump rounds, enough for the ≤60-hop worst-case
+    * diameter; the wave spec pins the TRUE component counts, certifying
+    * both routes). The earlier all-SQL Spark formulation spent ~3.5 s on
+    * 18 scheduling-bound shuffle stages over ~15k rows — the grouped
+    * imperative form is the right tool for many tiny independent graphs. */
+  private def ccComponents(nodesX: DataFrame, edgesX: DataFrame): DataFrame = {
+    val classic = nodesX.sparkSession
+      .asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    import classic.implicits._
+    val rows = nodesX.select(col("x"), col("v").as("a"), lit(-1L).as("b"))
+      .unionByName(edgesX.select(col("x"), col("a"), col("b")))
+      .as[(Long, Long, Long)]
+    rows.groupByKey(_._1).mapGroups { (x, it) =>
+      val nodes = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val edges = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      it.foreach { case (_, a, b) =>
+        if (b == -1L) nodes += a else edges += ((a, b))
+      }
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      nodes.foreach(n => parent(n) = n)
+      def find(u: Long): Long = {
+        var r = u
+        while (parent(r) != r) { parent(r) = parent(parent(r)); r = parent(r) }
+        r
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      (x, nodes.iterator.map(find).toSet.size.toLong)
+    }.toDF("x", "ncomp")
+  }
 
   /** One Louvain level in DuckDB: degree (self-loops count twice), 2m,
     * best-gain adoption, membership, census, contraction to g{lvl+1}.
@@ -637,7 +781,95 @@ object Round16Ops {
        |  JOIN mem$lvl mb ON mb.i = ee.b
        |  GROUP BY 1, 2)""".stripMargin
 
+  /** Shared oracle CTEs for the ring-chain graph fixture. */
+  private val RingChainCtes =
+    """nodes AS MATERIALIZED (
+      |  SELECT DISTINCT CAST(c_custkey % 120 AS BIGINT) AS v FROM customer),
+      |ring AS (
+      |  SELECT LEAST(v, (v // 6) * 6 + (v % 6 + 1) % 6) AS a,
+      |    GREATEST(v, (v // 6) * 6 + (v % 6 + 1) % 6) AS b
+      |  FROM nodes),
+      |edges AS MATERIALIZED (SELECT DISTINCT a, b FROM (
+      |  SELECT a, b FROM ring
+      |  UNION ALL SELECT v AS a, v + 1 AS b FROM nodes
+      |  WHERE v % 6 = 5 AND v < 114) q)""".stripMargin
+
+  /** Nine unrolled min-label + pointer-jump rounds (the ccComponents
+    * mirror): lab0 must exist; emits lab1..lab9 over `dire`. */
+  private val CcRoundsSql: String = (1 to 9).map { r =>
+    s"""lab$r AS MATERIALIZED (
+       |  SELECT p.x, p.v, LEAST(p.l, q.l, coalesce(nm.nl, p.l)) AS l
+       |  FROM lab${r - 1} p
+       |  JOIN lab${r - 1} q ON q.x = p.x AND q.v = p.l
+       |  LEFT JOIN (SELECT e.x, e.b AS v, MIN(m.l) AS nl
+       |    FROM dire e JOIN lab${r - 1} m ON m.x = e.x AND m.v = e.a
+       |    GROUP BY 1, 2) nm ON nm.x = p.x AND nm.v = p.v)""".stripMargin
+  }.mkString(",\n")
+
   val oracles: Map[String, String] = Map(
+    "graph_articulation" ->
+      s"""WITH $RingChainCtes,
+         |excl AS (SELECT v AS x FROM nodes UNION ALL SELECT -1),
+         |nodesx AS (SELECT e.x, n.v FROM excl e, nodes n WHERE n.v <> e.x),
+         |ex0 AS (SELECT e.x, g.a, g.b FROM excl e, edges g
+         |  WHERE g.a <> e.x AND g.b <> e.x),
+         |dire AS MATERIALIZED (
+         |  SELECT x, a, b FROM ex0 UNION ALL SELECT x, b, a FROM ex0),
+         |lab0 AS MATERIALIZED (SELECT x, v, v AS l FROM nodesx),
+         |$CcRoundsSql,
+         |comps AS (SELECT x, CAST(COUNT(DISTINCT l) AS BIGINT) AS ncomp
+         |  FROM lab9 GROUP BY 1),
+         |base AS (SELECT ncomp AS base_comps FROM comps WHERE x = -1)
+         |SELECT c.x AS node, c.ncomp AS n_comps_without,
+         |  c.ncomp > b.base_comps AS is_articulation
+         |FROM comps c, base b WHERE c.x <> -1 ORDER BY node""".stripMargin,
+
+    "graph_bridges" ->
+      s"""WITH $RingChainCtes,
+         |eid AS (SELECT a, b, a * 1000 + b AS eid FROM edges),
+         |excl AS (SELECT eid AS x FROM eid UNION ALL SELECT -1),
+         |nodesx AS (SELECT e.x, n.v FROM excl e, nodes n),
+         |ex0 AS (SELECT e.x, g.a, g.b FROM excl e, eid g WHERE g.eid <> e.x),
+         |dire AS MATERIALIZED (
+         |  SELECT x, a, b FROM ex0 UNION ALL SELECT x, b, a FROM ex0),
+         |lab0 AS MATERIALIZED (SELECT x, v, v AS l FROM nodesx),
+         |$CcRoundsSql,
+         |comps AS (SELECT x, CAST(COUNT(DISTINCT l) AS BIGINT) AS ncomp
+         |  FROM lab9 GROUP BY 1),
+         |base AS (SELECT ncomp AS base_comps FROM comps WHERE x = -1)
+         |SELECT c.x // 1000 AS a, c.x % 1000 AS b,
+         |  c.ncomp AS n_comps_without, c.ncomp > bs.base_comps AS is_bridge
+         |FROM comps c, base bs WHERE c.x <> -1 ORDER BY a, b""".stripMargin,
+
+    "fn_aba_routing" -> {
+      def dig(i: Int) =
+        s"('0x' || substring(md5('aba:' || CAST(k AS VARCHAR)), $i, 1))::BIGINT % 10"
+      s"""WITH t AS (SELECT CAST(c_custkey AS BIGINT) AS k FROM customer),
+         |w AS (
+         |  SELECT k,
+         |    3 * (${dig(1)} + ${dig(4)} + ${dig(7)})
+         |      + 7 * (${dig(2)} + ${dig(5)} + ${dig(8)})
+         |      + (${dig(3)} + ${dig(6)}) AS wsum8,
+         |    k % 9 = 4 AS corrupt,
+         |    ('0x' || substring(md5('abp:' || CAST(k AS VARCHAR)), 1, 4))::BIGINT % 9 + 1 AS cpos,
+         |    ('0x' || substring(md5('abd:' || CAST(k AS VARCHAR)), 1, 4))::BIGINT % 9 + 1 AS cdelta
+         |  FROM t),
+         |v AS (
+         |  SELECT k, corrupt,
+         |    wsum8 + (10 - wsum8 % 10) % 10
+         |      + CASE WHEN corrupt THEN
+         |          (CASE WHEN cpos IN (1, 4, 7) THEN 3
+         |                WHEN cpos IN (2, 5, 8) THEN 7 ELSE 1 END) * cdelta
+         |        ELSE 0 END AS wsum
+         |  FROM w)
+         |SELECT CAST(k % 4 AS INT) AS cohort,
+         |  CAST(COUNT(*) AS BIGINT) AS n_numbers,
+         |  CAST(SUM(CASE WHEN wsum % 10 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_valid,
+         |  CAST(SUM(CASE WHEN wsum % 10 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_invalid,
+         |  CAST(SUM(CASE WHEN corrupt THEN 1 ELSE 0 END) AS BIGINT) AS n_corrupted
+         |FROM v GROUP BY 1 ORDER BY cohort""".stripMargin
+    },
+
     "graph_louvain_levels" -> {
       s"""WITH ${GraphOps.louvainOracleCtes},
          |g1 AS (SELECT a, b, w FROM hw),
