@@ -683,8 +683,148 @@ object Round16Ops {
           sum(when(!col("valid"), 1L).otherwise(0L)).as("n_invalid"),
           sum(when(col("corrupt"), 1L).otherwise(0L)).as("n_corrupted"))
         .orderBy("cohort")
+    }),
+
+    // Holt–Winters additive triple smoothing — the seasonal forecaster
+    // win_holt_linear's family still lacked: per machine 24 samples with
+    // planted trend (8·class/step) and 4-period seasonal (±amp pattern),
+    // α/β/γ = 0.3/0.2/0.1 in exact milli. The 20 smoothing steps run as
+    // ONE wide codegen'd projection (series pivoted to x0..x23, then a
+    // chained column per state — no per-step shuffle, no driver loop);
+    // every division uses the +10¹⁵ floor-offset form so negative trend/
+    // seasonal states floor IDENTICALLY in both engines (Spark DIV
+    // truncates, DuckDB // floors — the offset makes both a true floor).
+    // DuckDB replays via lateral column aliases in one SELECT. Graded per
+    // (class, amp-class): level/trend masses, h=1..4 forecast mass,
+    // seasonal amplitude mass — the wave spec asserts trend recovery
+    // ordering and seasonal amplitude separation.
+    "agg_holt_winters" -> ((s, d) => {
+      val obs = Tables.supplier(s, d)
+        .select(col("s_suppkey").cast("bigint").as("m"))
+        .withColumn("cls", (col("m") % 3).cast("int"))
+        .withColumn("amp", (col("m") % 2 + 1L) * 100L)
+        .withColumn("t", explode(expr("sequence(0, 23)")))
+        .withColumn("x", expr(
+          """500 + cls * 8 * t
+            | + (CASE WHEN t % 4 = 0 THEN amp WHEN t % 4 = 2 THEN -amp ELSE 0 END)
+            | + CAST(conv(substring(md5(concat('hw:', CAST(m AS STRING), ':', CAST(t AS STRING))), 1, 6), 16, 10) AS BIGINT) % 41 - 20""".stripMargin))
+      val aggs = (0 to 23).map(t =>
+        max(when(col("t") === t, col("x"))).as(s"x$t"))
+      var wide = obs.groupBy("m", "cls", "amp")
+        .agg(aggs.head, aggs.tail: _*)
+      holtWintersCols("DIV").foreach { case (n, e) =>
+        wide = wide.withColumn(n, expr(e))
+      }
+      wide.groupBy(col("cls"), (col("m") % 2).cast("int").as("ampcls"))
+        .agg(count(lit(1)).as("n_machines"),
+          sum("l23").as("l_mass"), sum("b23").as("b_mass"),
+          sum(expr("fc1 + fc2 + fc3 + fc4")).as("fc_mass"),
+          sum(expr("abs(s20) + abs(s21) + abs(s22) + abs(s23)")).as("s_amp_mass"))
+        .orderBy("cls", "ampcls")
+    }),
+
+    // Bitrate-ladder planning — the per-title encode plan a video
+    // pipeline emits: source height by class (2160/1080/720/480),
+    // complexity-adjusted rung bitrates ((base·(80+c)) DIV 130), rungs
+    // capped at the source height, then a 600 MB per-title byte budget
+    // consumed GREEDILY from the top rung down (one cumulative window
+    // over ≤5 rungs per title — partitioned, scalable). Graded per source
+    // class: titles, eligible/kept rung masses, kept byte mass, titles
+    // where the budget bound (kept < eligible) — the 2160 class must hit
+    // the budget, the 480 class never does.
+    "mm_bitrate_ladder" -> ((s, d) => {
+      val t = Tables.orders(s, d)
+        .select(col("o_orderkey").cast("bigint").as("k"))
+        .withColumn("src_h", element_at(
+          array(lit(2160L), lit(1080L), lit(720L), lit(480L)),
+          (col("k") % 4 + 1).cast("int")))
+        .withColumn("dur_s", expr(
+          "CAST(conv(substring(md5(concat('vd:', CAST(k AS STRING))), 1, 6), 16, 10) AS BIGINT) % 540 + 60"))
+        .withColumn("cx", expr(
+          "CAST(conv(substring(md5(concat('vc:', CAST(k AS STRING))), 1, 6), 16, 10) AS BIGINT) % 100"))
+      val rungs = t
+        .withColumn("rung", explode(expr(
+          """array(named_struct('h', CAST(2160 AS BIGINT), 'kbps', CAST(12000 AS BIGINT)),
+            |  named_struct('h', CAST(1080 AS BIGINT), 'kbps', CAST(5000 AS BIGINT)),
+            |  named_struct('h', CAST(720 AS BIGINT), 'kbps', CAST(2500 AS BIGINT)),
+            |  named_struct('h', CAST(480 AS BIGINT), 'kbps', CAST(1000 AS BIGINT)),
+            |  named_struct('h', CAST(360 AS BIGINT), 'kbps', CAST(600 AS BIGINT)))""".stripMargin)))
+        .select(col("k"), col("src_h"), col("dur_s"), col("cx"),
+          col("rung.h").as("h"), col("rung.kbps").as("kbps_base"))
+        .where(col("h") <= col("src_h"))
+        .withColumn("kbps", expr("(kbps_base * (80 + cx)) DIV 130"))
+        .withColumn("bytes", expr("kbps * dur_s * 125"))
+      val wCum = Window.partitionBy("k").orderBy(desc("h"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val kept = rungs
+        .withColumn("cum_bytes", sum("bytes").over(wCum))
+        .withColumn("kept", col("cum_bytes") <= 600000000L)
+      kept.groupBy((col("k") % 4).cast("int").as("src_cls"))
+        .agg(countDistinct("k").as("n_titles"),
+          count(lit(1)).as("eligible_rungs"),
+          sum(when(col("kept"), 1L).otherwise(0L)).as("kept_rungs"),
+          sum(when(col("kept"), col("bytes")).otherwise(0L)).as("kept_byte_mass"))
+        .orderBy("src_cls")
+    }),
+
+    // Model-cascade routing — the cost/quality frontier of serving easy
+    // queries with the small model and escalating the rest (the
+    // production router llm_speculative_plan's economics sibling): md5
+    // difficulty, small-model confidence = 100 − d + noise, threshold 60;
+    // answered-small cost 1 / quality 92 − d DIV 5, escalated cost 12 /
+    // quality 97 − d DIV 10 (all exact integers). Graded per cohort
+    // BESIDE both counterfactuals (all-small, all-big) — the wave spec
+    // asserts frontier dominance: cascade is cheaper than all-big and
+    // better than all-small on every cohort.
+    "llm_router_cascade" -> ((s, d) => {
+      val q = Tables.orders(s, d)
+        .select(col("o_orderkey").cast("bigint").as("k"))
+        .withColumn("diff", expr(
+          "CAST(conv(substring(md5(concat('rd:', CAST(k AS STRING))), 1, 6), 16, 10) AS BIGINT) % 100"))
+        .withColumn("conf", expr(
+          """GREATEST(CAST(0 AS BIGINT), LEAST(CAST(100 AS BIGINT), 100 - diff
+            | + CAST(conv(substring(md5(concat('rn:', CAST(k AS STRING))), 1, 6), 16, 10) AS BIGINT) % 21 - 10))""".stripMargin))
+        .withColumn("escalate", col("conf") < 60L)
+        .withColumn("q_small", expr("92 - diff DIV 5"))
+        .withColumn("q_big", expr("97 - diff DIV 10"))
+        .withColumn("cost", when(col("escalate"), 12L).otherwise(1L))
+        .withColumn("quality",
+          when(col("escalate"), col("q_big")).otherwise(col("q_small")))
+      q.groupBy((col("k") % 4).cast("int").as("cohort"))
+        .agg(count(lit(1)).as("n_queries"),
+          sum(when(col("escalate"), 1L).otherwise(0L)).as("n_escalated"),
+          sum("cost").as("cascade_cost"),
+          sum("quality").as("cascade_quality"),
+          sum("q_small").as("all_small_quality"),
+          sum("q_big").as("all_big_quality"),
+          (count(lit(1)) * 12L).as("all_big_cost"))
+        .orderBy("cohort")
     })
   )
+
+  /** The Holt–Winters column chain shared conceptually with the oracle:
+    * init (l3 from the first season mean, b3 from the season-mean slope,
+    * s0..s3 as deviations), then 20 recurrence steps and 4 forecasts.
+    * `div` is the dialect's integer division token; every division goes
+    * through the +10¹⁵ offset so truncation == floor in both engines. */
+  private[ops] def holtWintersCols(div: String): Seq[(String, String)] = {
+    def fdiv(e: String, k: Long) =
+      s"((($e) + 1000000000000000) $div $k - ${1000000000000000L / k})"
+    val init = Seq(
+      "l3" -> fdiv("(x0 + x1 + x2 + x3) * 1000", 4),
+      "b3" -> fdiv("((x4 + x5 + x6 + x7) - (x0 + x1 + x2 + x3)) * 1000", 16),
+      "s0" -> "(x0 * 1000 - l3)", "s1" -> "(x1 * 1000 - l3)",
+      "s2" -> "(x2 * 1000 - l3)", "s3" -> "(x3 * 1000 - l3)")
+    val steps = (4 to 23).flatMap { t =>
+      Seq(
+        s"l$t" -> fdiv(
+          s"300 * (x$t * 1000 - s${t - 4}) + 700 * (l${t - 1} + b${t - 1})", 1000),
+        s"b$t" -> fdiv(s"200 * (l$t - l${t - 1}) + 800 * b${t - 1}", 1000),
+        s"s$t" -> fdiv(s"100 * (x$t * 1000 - l$t) + 900 * s${t - 4}", 1000))
+    }
+    val fc = (1 to 4).map(h => s"fc$h" -> s"(l23 + $h * b23 + s${19 + h})")
+    init ++ steps ++ fc
+  }
 
   /** Planted 120-node ring-chain for the articulation/bridge census: 20
     * six-node rings (2-connected interiors) joined in a chain by single
@@ -869,6 +1009,90 @@ object Round16Ops {
          |  CAST(SUM(CASE WHEN corrupt THEN 1 ELSE 0 END) AS BIGINT) AS n_corrupted
          |FROM v GROUP BY 1 ORDER BY cohort""".stripMargin
     },
+
+    "agg_holt_winters" -> {
+      // one CTE per smoothing step: DuckDB substitutes lateral column
+      // aliases textually, so the flat 70-alias SELECT exceeds the
+      // binder's 128-deep recursion — chained CTEs keep every level
+      // shallow while computing the identical column sequence
+      val cols = holtWintersCols("//").toMap
+      val initCte = "st3 AS (SELECT *, " +
+        Seq("l3", "b3", "s0", "s1", "s2", "s3")
+          .map(n => s"${cols(n)} AS $n").mkString(", ") + " FROM wide)"
+      val stepCtes = (4 to 23).map { t =>
+        s"st$t AS (SELECT *, ${cols(s"l$t")} AS l$t, ${cols(s"b$t")} AS b$t, " +
+          s"${cols(s"s$t")} AS s$t FROM st${t - 1})"
+      }.mkString(",\n")
+      val fcCols = (1 to 4)
+        .map(h => s"${cols(s"fc$h")} AS fc$h").mkString(", ")
+      s"""WITH obs AS (
+         |  SELECT m, cls, amp, t,
+         |    500 + cls * 8 * t
+         |      + (CASE WHEN t % 4 = 0 THEN amp WHEN t % 4 = 2 THEN -amp ELSE 0 END)
+         |      + ('0x' || substring(md5('hw:' || CAST(m AS VARCHAR) || ':' || CAST(t AS VARCHAR)), 1, 6))::BIGINT % 41 - 20 AS x
+         |  FROM (SELECT CAST(s_suppkey AS BIGINT) AS m,
+         |      CAST(s_suppkey % 3 AS INT) AS cls,
+         |      (s_suppkey % 2 + 1) * 100 AS amp FROM supplier) q,
+         |    generate_series(0, 23) AS g(t)),
+         |wide AS (
+         |  SELECT m, cls, amp,
+         |${(0 to 23).map(t => s"    MAX(CASE WHEN t = $t THEN x END) AS x$t").mkString(",\n")}
+         |  FROM obs GROUP BY 1, 2, 3),
+         |$initCte,
+         |$stepCtes,
+         |st AS (SELECT *, $fcCols FROM st23)
+         |SELECT cls, CAST(m % 2 AS INT) AS ampcls,
+         |  CAST(COUNT(*) AS BIGINT) AS n_machines,
+         |  CAST(SUM(l23) AS BIGINT) AS l_mass,
+         |  CAST(SUM(b23) AS BIGINT) AS b_mass,
+         |  CAST(SUM(fc1 + fc2 + fc3 + fc4) AS BIGINT) AS fc_mass,
+         |  CAST(SUM(abs(s20) + abs(s21) + abs(s22) + abs(s23)) AS BIGINT) AS s_amp_mass
+         |FROM st GROUP BY 1, 2 ORDER BY cls, ampcls""".stripMargin
+    },
+
+    "mm_bitrate_ladder" ->
+      """WITH t AS (
+        |  SELECT CAST(o_orderkey AS BIGINT) AS k,
+        |    CASE o_orderkey % 4 WHEN 0 THEN 2160 WHEN 1 THEN 1080
+        |      WHEN 2 THEN 720 ELSE 480 END AS src_h,
+        |    ('0x' || substring(md5('vd:' || CAST(o_orderkey AS VARCHAR)), 1, 6))::BIGINT % 540 + 60 AS dur_s,
+        |    ('0x' || substring(md5('vc:' || CAST(o_orderkey AS VARCHAR)), 1, 6))::BIGINT % 100 AS cx
+        |  FROM orders),
+        |r0 AS (SELECT * FROM (VALUES (2160, 12000), (1080, 5000), (720, 2500),
+        |  (480, 1000), (360, 600)) AS v(h, kbps_base)),
+        |el AS (
+        |  SELECT t.k, t.dur_s, r0.h,
+        |    (r0.kbps_base * (80 + t.cx)) // 130 AS kbps
+        |  FROM t, r0 WHERE r0.h <= t.src_h),
+        |b AS (SELECT *, kbps * dur_s * 125 AS bytes FROM el),
+        |c AS (SELECT *, SUM(bytes) OVER (PARTITION BY k ORDER BY h DESC) AS cum_bytes FROM b)
+        |SELECT CAST(k % 4 AS INT) AS src_cls,
+        |  CAST(COUNT(DISTINCT k) AS BIGINT) AS n_titles,
+        |  CAST(COUNT(*) AS BIGINT) AS eligible_rungs,
+        |  CAST(SUM(CASE WHEN cum_bytes <= 600000000 THEN 1 ELSE 0 END) AS BIGINT) AS kept_rungs,
+        |  CAST(SUM(CASE WHEN cum_bytes <= 600000000 THEN bytes ELSE 0 END) AS BIGINT) AS kept_byte_mass
+        |FROM c GROUP BY 1 ORDER BY src_cls""".stripMargin,
+
+    "llm_router_cascade" ->
+      """WITH q0 AS (
+        |  SELECT CAST(o_orderkey AS BIGINT) AS k,
+        |    ('0x' || substring(md5('rd:' || CAST(o_orderkey AS VARCHAR)), 1, 6))::BIGINT % 100 AS diff,
+        |    ('0x' || substring(md5('rn:' || CAST(o_orderkey AS VARCHAR)), 1, 6))::BIGINT % 21 - 10 AS nz
+        |  FROM orders),
+        |q1 AS (
+        |  SELECT k, diff,
+        |    GREATEST(CAST(0 AS BIGINT), LEAST(CAST(100 AS BIGINT), 100 - diff + nz)) < 60 AS escalate,
+        |    92 - diff // 5 AS q_small, 97 - diff // 10 AS q_big
+        |  FROM q0)
+        |SELECT CAST(k % 4 AS INT) AS cohort,
+        |  CAST(COUNT(*) AS BIGINT) AS n_queries,
+        |  CAST(SUM(CASE WHEN escalate THEN 1 ELSE 0 END) AS BIGINT) AS n_escalated,
+        |  CAST(SUM(CASE WHEN escalate THEN 12 ELSE 1 END) AS BIGINT) AS cascade_cost,
+        |  CAST(SUM(CASE WHEN escalate THEN q_big ELSE q_small END) AS BIGINT) AS cascade_quality,
+        |  CAST(SUM(q_small) AS BIGINT) AS all_small_quality,
+        |  CAST(SUM(q_big) AS BIGINT) AS all_big_quality,
+        |  CAST(COUNT(*) * 12 AS BIGINT) AS all_big_cost
+        |FROM q1 GROUP BY 1 ORDER BY cohort""".stripMargin,
 
     "graph_louvain_levels" -> {
       s"""WITH ${GraphOps.louvainOracleCtes},
