@@ -799,8 +799,166 @@ object Round16Ops {
           sum("q_big").as("all_big_quality"),
           (count(lit(1)) * 12L).as("all_big_cost"))
         .orderBy("cohort")
+    }),
+
+    // Varint-delimited shard ingest — the protobuf wire-format framing
+    // (LEB128 length prefix + payload, the fifth member of the shard
+    // codec matrix after tar/zip/SequenceFile/TFRecord): a 1-in-7 doc
+    // slice staged as 3 shards, read distributed via binaryFile + the
+    // in-executor varint decoder. The frame overhead (Σ varint widths) is
+    // re-derived ARITHMETICALLY by the oracle (width = 1/2/3 bytes by
+    // length band) and must equal the decoder's byte accounting — a
+    // mis-stepped varint shifts every later frame and shatters both
+    // masses. Graded per lang.
+    "source_varint_delimited" -> ((s, d) => {
+      val dir = Scratch.opDir("varint", d)
+      val staged = java.nio.file.Paths.get(dir, "_STAGED")
+      if (!java.nio.file.Files.exists(staged)) {
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+        val rows = Tables.documents(s, d).where(col("doc_id") % 7 === 5)
+          .select(col("doc_id"), col("lang"), col("text")).collect()
+        rows.groupBy(_.getLong(0) % 3).foreach { case (part, rs) =>
+          val out = java.nio.file.Files.newOutputStream(
+            java.nio.file.Paths.get(dir, s"shard_$part.pbs"))
+          rs.sortBy(_.getLong(0)).foreach { r =>
+            VarintUtil.writeRecord(out,
+              s"${r.getLong(0)}|${r.getString(1)}|${r.getString(2)}"
+                .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          }
+          out.close()
+        }
+        java.nio.file.Files.write(staged, Array.emptyByteArray)
+      }
+      val classic = s.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      import classic.implicits._
+      s.read.format("binaryFile")
+        .option("pathGlobFilter", "*.pbs").load(dir)
+        .select(col("content")).as[Array[Byte]]
+        .flatMap(VarintUtil.readRecords _)
+        .toDF("payload", "frame_bytes")
+        .withColumn("n_bytes", expr("CAST(length(payload) AS BIGINT)"))
+        .withColumn("txt", expr("CAST(payload AS STRING)"))
+        .withColumn("doc_id", split(col("txt"), "\\|", 3).getItem(0).cast("bigint"))
+        .withColumn("lang", split(col("txt"), "\\|", 3).getItem(1))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_records"),
+          sum("n_bytes").as("payload_byte_mass"),
+          sum("frame_bytes").as("varint_overhead_bytes"),
+          min("doc_id").as("min_doc"), max("doc_id").as("max_doc"))
+        .orderBy("lang")
+    }),
+
+    // Hedge-delay tuning — service_hedged_requests (Round14Ops) grades
+    // ONE policy; the operational question is choosing the delay. Three
+    // candidate delays (75/150/300 ms) swept over the same md5 latencies
+    // with a planted 1-in-20 +900 ms tail: hedged = min(primary,
+    // delay + backup), extra load fires when the primary outlives the
+    // delay. Graded per delay: >500 ms exceedance before/after, latency
+    // masses, extra load — the wave spec asserts the frontier is real
+    // (shorter delay buys a smaller tail at strictly more load).
+    "service_hedge_delay_sweep" -> ((s, d) => {
+      def lat(salt: String) =
+        s"""CAST(conv(substring(md5(concat('$salt', CAST(k AS STRING))), 1, 6), 16, 10) AS BIGINT) % 100 + 50
+           | + (CASE WHEN CAST(conv(substring(md5(concat('${salt}t', CAST(k AS STRING))), 1, 6), 16, 10) AS BIGINT) % 20 = 0
+           |    THEN 900 ELSE 0 END)""".stripMargin
+      val t = Tables.orders(s, d)
+        .select(col("o_orderkey").cast("bigint").as("k"))
+        .withColumn("l1", expr(lat("hl:")))
+        .withColumn("l2", expr(lat("hm:")))
+        .withColumn("delay", explode(expr("array(CAST(75 AS BIGINT), 150, 300)")))
+        .withColumn("hedged", least(col("l1"), col("l2") + col("delay")))
+        .withColumn("fired", col("l1") > col("delay"))
+      t.groupBy("delay")
+        .agg(count(lit(1)).as("n_requests"),
+          sum(when(col("l1") > 500L, 1L).otherwise(0L)).as("tail_primary"),
+          sum(when(col("hedged") > 500L, 1L).otherwise(0L)).as("tail_hedged"),
+          sum("l1").as("primary_latency_mass"),
+          sum("hedged").as("hedged_latency_mass"),
+          sum(when(col("fired"), 1L).otherwise(0L)).as("extra_load"))
+        .orderBy("delay")
+    }),
+
+    // Biometric score fusion — the multi-modality decision layer an
+    // identity-verification service runs: face/voice/document scores with
+    // planted genuine (1-in-4) and imposter distributions that OVERLAP in
+    // each single modality, fused by the weighted integer mean
+    // (3f + 2v + d) DIV 6. A five-threshold sweep grades FAR/FRR in exact
+    // ppm for the fused score AND the face-only baseline on the same
+    // trials — the wave spec asserts fusion dominates the single modality
+    // at the operating point (narrower overlap: independent noise
+    // averages down). Explode over 5 declared thresholds + rollup.
+    "join_score_fusion" -> ((s, d) => {
+      val t = Tables.customer(s, d)
+        .select(col("c_custkey").cast("bigint").as("k"))
+        .withColumn("genuine", col("k") % 4 === 0)
+        .withColumn("face", expr(
+          """CASE WHEN k % 4 = 0
+            | THEN 600 + CAST(conv(substring(md5(concat('bf:', CAST(k AS STRING))), 1, 6), 16, 10) AS BIGINT) % 400
+            | ELSE CAST(conv(substring(md5(concat('bf:', CAST(k AS STRING))), 1, 6), 16, 10) AS BIGINT) % 700 END""".stripMargin))
+        .withColumn("voice", expr(
+          """CASE WHEN k % 4 = 0
+            | THEN 550 + CAST(conv(substring(md5(concat('bv:', CAST(k AS STRING))), 1, 6), 16, 10) AS BIGINT) % 450
+            | ELSE CAST(conv(substring(md5(concat('bv:', CAST(k AS STRING))), 1, 6), 16, 10) AS BIGINT) % 750 END""".stripMargin))
+        .withColumn("doc", expr(
+          """CASE WHEN k % 4 = 0
+            | THEN 500 + CAST(conv(substring(md5(concat('bd:', CAST(k AS STRING))), 1, 6), 16, 10) AS BIGINT) % 500
+            | ELSE CAST(conv(substring(md5(concat('bd:', CAST(k AS STRING))), 1, 6), 16, 10) AS BIGINT) % 600 END""".stripMargin))
+        .withColumn("fused", expr("(3 * face + 2 * voice + doc) DIV 6"))
+        .withColumn("tau", explode(expr("array(CAST(400 AS BIGINT), 500, 550, 600, 650)")))
+      t.groupBy("tau")
+        .agg(sum(when(!col("genuine"), 1L).otherwise(0L)).as("n_imposters"),
+          sum(when(col("genuine"), 1L).otherwise(0L)).as("n_genuine"),
+          sum(when(!col("genuine") && col("fused") >= col("tau"), 1L).otherwise(0L))
+            .as("fused_fa"),
+          sum(when(col("genuine") && col("fused") < col("tau"), 1L).otherwise(0L))
+            .as("fused_fr"),
+          sum(when(!col("genuine") && col("face") >= col("tau"), 1L).otherwise(0L))
+            .as("face_fa"),
+          sum(when(col("genuine") && col("face") < col("tau"), 1L).otherwise(0L))
+            .as("face_fr"))
+        .withColumn("fused_far_ppm", expr("(fused_fa * 1000000) DIV n_imposters"))
+        .withColumn("fused_frr_ppm", expr("(fused_fr * 1000000) DIV n_genuine"))
+        .withColumn("face_far_ppm", expr("(face_fa * 1000000) DIV n_imposters"))
+        .withColumn("face_frr_ppm", expr("(face_fr * 1000000) DIV n_genuine"))
+        .orderBy("tau")
     })
   )
+
+  /** LEB128 varint framing (the protobuf length-delimited wire shape):
+    * each record = varint(length) + payload. Reader returns (payload,
+    * frame width in bytes) so the oracle can re-derive the overhead
+    * arithmetically (1 byte < 128, 2 < 16384, 3 < 2097152). */
+  private[ops] object VarintUtil {
+    def writeRecord(out: java.io.OutputStream, data: Array[Byte]): Unit = {
+      var v = data.length
+      while ((v & ~0x7f) != 0) { out.write((v & 0x7f) | 0x80); v >>>= 7 }
+      out.write(v)
+      out.write(data)
+    }
+
+    def readRecords(shard: Array[Byte]): Seq[(Array[Byte], Long)] = {
+      val out = Seq.newBuilder[(Array[Byte], Long)]
+      var i = 0
+      while (i < shard.length) {
+        var len = 0L
+        var shift = 0
+        var width = 0L
+        var more = true
+        while (more) {
+          val b = shard(i + width.toInt) & 0xff
+          len |= (b & 0x7fL) << shift
+          shift += 7
+          width += 1
+          more = (b & 0x80) != 0
+        }
+        i += width.toInt
+        val data = java.util.Arrays.copyOfRange(shard, i, i + len.toInt)
+        i += len.toInt
+        out += ((data, width))
+      }
+      out.result()
+    }
+  }
 
   /** The Holt–Winters column chain shared conceptually with the oracle:
     * init (l3 from the first season mean, b3 from the season-mean slope,
@@ -1093,6 +1251,75 @@ object Round16Ops {
         |  CAST(SUM(q_big) AS BIGINT) AS all_big_quality,
         |  CAST(COUNT(*) * 12 AS BIGINT) AS all_big_cost
         |FROM q1 GROUP BY 1 ORDER BY cohort""".stripMargin,
+
+    "source_varint_delimited" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |    CAST(strlen(CAST(doc_id AS VARCHAR) || '|' || lang || '|' || text) AS BIGINT) AS len
+        |  FROM documents WHERE doc_id % 7 = 5)
+        |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_records,
+        |  CAST(SUM(len) AS BIGINT) AS payload_byte_mass,
+        |  CAST(SUM(CASE WHEN len < 128 THEN 1 WHEN len < 16384 THEN 2 ELSE 3 END) AS BIGINT) AS varint_overhead_bytes,
+        |  CAST(MIN(doc_id) AS BIGINT) AS min_doc,
+        |  CAST(MAX(doc_id) AS BIGINT) AS max_doc
+        |FROM t GROUP BY 1 ORDER BY lang""".stripMargin,
+
+    "service_hedge_delay_sweep" -> {
+      def lat(salt: String) =
+        s"""('0x' || substring(md5('$salt' || CAST(k AS VARCHAR)), 1, 6))::BIGINT % 100 + 50
+           | + (CASE WHEN ('0x' || substring(md5('${salt}t' || CAST(k AS VARCHAR)), 1, 6))::BIGINT % 20 = 0
+           |    THEN 900 ELSE 0 END)""".stripMargin
+      s"""WITH t AS (
+         |  SELECT k, l1, l2, CAST(v.delay AS BIGINT) AS delay,
+         |    LEAST(l1, l2 + v.delay) AS hedged, l1 > v.delay AS fired
+         |  FROM (
+         |    SELECT CAST(o_orderkey AS BIGINT) AS k,
+         |      ${lat("hl:")} AS l1,
+         |      ${lat("hm:")} AS l2
+         |    FROM orders) q
+         |  CROSS JOIN (VALUES (75), (150), (300)) AS v(delay))
+         |SELECT delay,
+         |  CAST(COUNT(*) AS BIGINT) AS n_requests,
+         |  CAST(SUM(CASE WHEN l1 > 500 THEN 1 ELSE 0 END) AS BIGINT) AS tail_primary,
+         |  CAST(SUM(CASE WHEN hedged > 500 THEN 1 ELSE 0 END) AS BIGINT) AS tail_hedged,
+         |  CAST(SUM(l1) AS BIGINT) AS primary_latency_mass,
+         |  CAST(SUM(hedged) AS BIGINT) AS hedged_latency_mass,
+         |  CAST(SUM(CASE WHEN fired THEN 1 ELSE 0 END) AS BIGINT) AS extra_load
+         |FROM t GROUP BY 1 ORDER BY delay""".stripMargin
+    },
+
+    "join_score_fusion" -> {
+      def score(salt: String, gBase: Int, gW: Int, iW: Int) =
+        s"""CASE WHEN k % 4 = 0
+           | THEN $gBase + ('0x' || substring(md5('$salt' || CAST(k AS VARCHAR)), 1, 6))::BIGINT % $gW
+           | ELSE ('0x' || substring(md5('$salt' || CAST(k AS VARCHAR)), 1, 6))::BIGINT % $iW END""".stripMargin
+      s"""WITH t AS (
+         |  SELECT k, k % 4 = 0 AS genuine, face, voice, doc,
+         |    (3 * face + 2 * voice + doc) // 6 AS fused
+         |  FROM (
+         |    SELECT CAST(c_custkey AS BIGINT) AS k,
+         |      ${score("bf:", 600, 400, 700)} AS face,
+         |      ${score("bv:", 550, 450, 750)} AS voice,
+         |      ${score("bd:", 500, 500, 600)} AS doc
+         |    FROM customer) q),
+         |x AS (SELECT t.*, CAST(v.tau AS BIGINT) AS tau
+         |  FROM t CROSS JOIN (VALUES (400), (500), (550), (600), (650)) AS v(tau)),
+         |g AS (
+         |  SELECT tau,
+         |    CAST(SUM(CASE WHEN NOT genuine THEN 1 ELSE 0 END) AS BIGINT) AS n_imposters,
+         |    CAST(SUM(CASE WHEN genuine THEN 1 ELSE 0 END) AS BIGINT) AS n_genuine,
+         |    CAST(SUM(CASE WHEN NOT genuine AND fused >= tau THEN 1 ELSE 0 END) AS BIGINT) AS fused_fa,
+         |    CAST(SUM(CASE WHEN genuine AND fused < tau THEN 1 ELSE 0 END) AS BIGINT) AS fused_fr,
+         |    CAST(SUM(CASE WHEN NOT genuine AND face >= tau THEN 1 ELSE 0 END) AS BIGINT) AS face_fa,
+         |    CAST(SUM(CASE WHEN genuine AND face < tau THEN 1 ELSE 0 END) AS BIGINT) AS face_fr
+         |  FROM x GROUP BY 1)
+         |SELECT tau, n_imposters, n_genuine, fused_fa, fused_fr, face_fa, face_fr,
+         |  (fused_fa * 1000000) // n_imposters AS fused_far_ppm,
+         |  (fused_fr * 1000000) // n_genuine AS fused_frr_ppm,
+         |  (face_fa * 1000000) // n_imposters AS face_far_ppm,
+         |  (face_fr * 1000000) // n_genuine AS face_frr_ppm
+         |FROM g ORDER BY tau""".stripMargin
+    },
 
     "graph_louvain_levels" -> {
       s"""WITH ${GraphOps.louvainOracleCtes},
