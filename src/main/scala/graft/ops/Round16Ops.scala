@@ -921,6 +921,141 @@ object Round16Ops {
         .withColumn("face_far_ppm", expr("(face_fa * 1000000) DIV n_imposters"))
         .withColumn("face_frr_ppm", expr("(face_fr * 1000000) DIV n_genuine"))
         .orderBy("tau")
+    }),
+
+    // ISIN checksum — the securities-identifier gate beside IBAN/ABA:
+    // country prefix (US/GB/DE by cohort), one A–Z letter + 8 md5 digits
+    // as the NSIN, letters digitized A=10..Z=35, then Luhn over the
+    // resulting FIXED 14-digit expansion (the letter widths make the
+    // doubling patter n position-dependent — fixed here by construction,
+    // D2/D4/…/D14 doubled), check digit derived, 1-in-8 slice corrupts
+    // one expansion digit. Luhn detects every single-digit substitution,
+    // so the invalid census equals the planted corruption census exactly.
+    "fn_isin_check" -> ((s, d) => {
+      // expansion digits D1..D14: country (4), letter (2), 8 md5 digits
+      def md(i: Int) =
+        s"CAST(conv(substring(md5(concat('is:', CAST(k AS STRING))), $i, 1), 16, 10) AS BIGINT) % 10"
+      val cc = (1 to 4).map(j =>
+        s"(CASE WHEN k % 3 = 0 THEN ${Seq(3, 0, 2, 8)(j - 1)} WHEN k % 3 = 1 THEN ${Seq(1, 6, 1, 1)(j - 1)} ELSE ${Seq(1, 3, 1, 4)(j - 1)} END)")
+      val letter =
+        s"(10 + CAST(conv(substring(md5(concat('il:', CAST(k AS STRING))), 1, 4), 16, 10) AS BIGINT) % 26)"
+      val ds: Seq[String] = cc ++ Seq(s"($letter DIV 10)", s"($letter % 10)") ++
+        (1 to 8).map(i => s"(${md(i)})")
+      def luhn2(e: String) = s"(CASE WHEN 2 * $e > 9 THEN 2 * $e - 9 ELSE 2 * $e END)"
+      val sum14 = ds.zipWithIndex.map { case (e, idx) =>
+        if ((idx + 1) % 2 == 0) luhn2(e) else e
+      }.mkString(" + ")
+      val t = Tables.customer(s, d)
+        .select(col("c_custkey").cast("bigint").as("k"))
+        .withColumn("s14", expr(sum14))
+        .withColumn("check", expr("(10 - s14 % 10) % 10"))
+        .withColumn("corrupt", col("k") % 8 === 5)
+        .withColumn("cpos", expr(
+          "CAST(conv(substring(md5(concat('ip:', CAST(k AS STRING))), 1, 4), 16, 10) AS BIGINT) % 14 + 1"))
+        .withColumn("cdelta", expr(
+          "CAST(conv(substring(md5(concat('ic:', CAST(k AS STRING))), 1, 4), 16, 10) AS BIGINT) % 9 + 1"))
+        // corrupting D_cpos changes its transformed contribution; the
+        // validity recheck recomputes the transformed digit both ways
+        .withColumn("dorig", expr(
+          ds.zipWithIndex.map { case (e, idx) =>
+            s"WHEN cpos = ${idx + 1} THEN $e"
+          }.mkString("CASE ", " ", " END")))
+        .withColumn("dnew", expr("(dorig + cdelta) % 10"))
+        .withColumn("contrib_orig", expr(
+          s"CASE WHEN cpos % 2 = 0 THEN ${luhn2("dorig")} ELSE dorig END"))
+        .withColumn("contrib_new", expr(
+          s"CASE WHEN cpos % 2 = 0 THEN ${luhn2("dnew")} ELSE dnew END"))
+        .withColumn("s_final", expr(
+          "s14 + check + CASE WHEN corrupt THEN contrib_new - contrib_orig ELSE 0 END"))
+        .withColumn("valid", expr("s_final % 10 = 0"))
+      t.groupBy((col("k") % 3).cast("int").as("country"))
+        .agg(count(lit(1)).as("n_isins"),
+          sum(when(col("valid"), 1L).otherwise(0L)).as("n_valid"),
+          sum(when(!col("valid"), 1L).otherwise(0L)).as("n_invalid"),
+          sum(when(col("corrupt"), 1L).otherwise(0L)).as("n_corrupted"))
+        .orderBy("country")
+    }),
+
+    // Wash-trade surveillance — the market-abuse screen an exchange
+    // runs: a beneficial-owner registry (5 accounts per owner) joined to
+    // BOTH legs of every trade; a wash trade is same-owner-both-sides,
+    // different accounts, and not an exempt internal transfer. A 1-in-11
+    // slice plants the counter-account inside the trader's own owner
+    // group, 1-in-7 of everything is an exempt transfer — the detected
+    // census must equal the planted non-exempt census EXACTLY (the rule
+    // is exact, the join is the op). Broadcast registry, linear.
+    "join_wash_trades" -> ((s, d) => {
+      val trades = Tables.orders(s, d)
+        .select(col("o_orderkey").cast("bigint").as("k"),
+          round(col("o_totalprice") * 100).cast("bigint").as("cents"))
+        .withColumn("acct", col("k") % 500L)
+        .withColumn("wash_plant", col("k") % 11 === 6)
+        .withColumn("counter", when(col("wash_plant"),
+          col("acct") - col("acct") % 5 + expr(
+            "CAST(conv(substring(md5(concat('wc:', CAST(k AS STRING))), 1, 6), 16, 10) AS BIGINT) % 5"))
+          .otherwise(expr(
+            "CAST(conv(substring(md5(concat('wo:', CAST(k AS STRING))), 1, 6), 16, 10) AS BIGINT) % 500")))
+        .withColumn("itf", col("k") % 7 === 3)
+      // registry keyed off the order stream so all 500 accounts exist at
+      // every sf (customer at sf0.001 only reaches 150)
+      val owners = Tables.orders(s, d)
+        .select((col("o_orderkey") % 500).cast("bigint").as("acct")).distinct()
+        .withColumn("owner", expr("acct DIV 5"))
+      val joined = trades
+        .join(broadcast(owners), Seq("acct"))
+        .join(broadcast(owners.select(col("acct").as("counter"),
+          col("owner").as("counter_owner"))), Seq("counter"))
+        .withColumn("wash", col("owner") === col("counter_owner")
+          && col("acct") =!= col("counter") && !col("itf"))
+      joined.groupBy((col("k") % 4).cast("int").as("symbol"))
+        .agg(count(lit(1)).as("n_trades"),
+          sum(when(col("wash"), 1L).otherwise(0L)).as("n_wash"),
+          sum(when(col("wash_plant") && !col("itf")
+            && col("acct") =!= col("counter"), 1L).otherwise(0L))
+            .as("n_planted_live"),
+          sum(when(col("wash"), col("cents")).otherwise(0L)).as("wash_cents"))
+        .orderBy("symbol")
+    }),
+
+    // Agent-trace audit — the tool-call hygiene screen an LLM-agent
+    // pipeline runs over its transcripts: 16 steps per trace, md5 tool
+    // ids, class-planted failure rates (30/50/70%); per trace the MAX
+    // consecutive-failure run (one gaps-and-islands window over the
+    // bounded 16-step series), a stuck-loop flag at ≥3, and the retry
+    // mass. Graded per agent class: traces, loop rate ppm, failure mass,
+    // retry-depth mass — the wave spec asserts the loop rate orders with
+    // the planted failure rates.
+    "llm_tool_call_audit" -> ((s, d) => {
+      val steps = Tables.orders(s, d)
+        .select(col("o_orderkey").cast("bigint").as("k"))
+        .withColumn("cls", (col("k") % 3).cast("int"))
+        .withColumn("i", explode(expr("sequence(0, 15)")))
+        .withColumn("fail", expr(
+          "CAST(conv(substring(md5(concat('tc:', CAST(k AS STRING), ':', CAST(i AS STRING))), 1, 6), 16, 10) AS BIGINT) % 10 >= 7 - 2 * cls"))
+      val wOrd = Window.partitionBy("k").orderBy("i")
+      val runs = steps
+        .withColumn("failseq",
+          sum(when(col("fail"), 1L).otherwise(0L)).over(
+            wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .where(col("fail"))
+        .withColumn("grp", col("i") - col("failseq"))
+        .groupBy("k", "cls", "grp").agg(count(lit(1)).as("run_len"))
+        .groupBy("k", "cls")
+        .agg(max("run_len").as("max_run"), sum("run_len").as("n_fails"))
+      val per = Tables.orders(s, d)
+        .select(col("o_orderkey").cast("bigint").as("k"))
+        .withColumn("cls", (col("k") % 3).cast("int"))
+        .join(runs.select(col("k"), col("max_run"), col("n_fails")), Seq("k"), "left")
+        .select(col("k"), col("cls"),
+          coalesce(col("max_run"), lit(0L)).as("max_run"),
+          coalesce(col("n_fails"), lit(0L)).as("n_fails"))
+      per.groupBy("cls")
+        .agg(count(lit(1)).as("n_traces"),
+          sum(when(col("max_run") >= 3L, 1L).otherwise(0L)).as("n_stuck"),
+          sum("n_fails").as("fail_mass"),
+          sum("max_run").as("retry_depth_mass"))
+        .withColumn("stuck_ppm", expr("(n_stuck * 1000000) DIV n_traces"))
+        .orderBy("cls")
     })
   )
 
@@ -1251,6 +1386,111 @@ object Round16Ops {
         |  CAST(SUM(q_big) AS BIGINT) AS all_big_quality,
         |  CAST(COUNT(*) * 12 AS BIGINT) AS all_big_cost
         |FROM q1 GROUP BY 1 ORDER BY cohort""".stripMargin,
+
+    "fn_isin_check" -> {
+      def md(i: Int) =
+        s"('0x' || substring(md5('is:' || CAST(k AS VARCHAR)), $i, 1))::BIGINT % 10"
+      val cc = (1 to 4).map(j =>
+        s"(CASE WHEN k % 3 = 0 THEN ${Seq(3, 0, 2, 8)(j - 1)} WHEN k % 3 = 1 THEN ${Seq(1, 6, 1, 1)(j - 1)} ELSE ${Seq(1, 3, 1, 4)(j - 1)} END)")
+      val letter =
+        s"(10 + ('0x' || substring(md5('il:' || CAST(k AS VARCHAR)), 1, 4))::BIGINT % 26)"
+      val ds: Seq[String] = cc ++ Seq(s"($letter // 10)", s"($letter % 10)") ++
+        (1 to 8).map(i => s"(${md(i)})")
+      def luhn2(e: String) = s"(CASE WHEN 2 * $e > 9 THEN 2 * $e - 9 ELSE 2 * $e END)"
+      val sum14 = ds.zipWithIndex.map { case (e, idx) =>
+        if ((idx + 1) % 2 == 0) luhn2(e) else e
+      }.mkString(" + ")
+      val dorig = ds.zipWithIndex.map { case (e, idx) =>
+        s"WHEN cpos = ${idx + 1} THEN $e"
+      }.mkString("CASE ", " ", " END")
+      s"""WITH t AS (SELECT CAST(c_custkey AS BIGINT) AS k FROM customer),
+         |a AS (
+         |  SELECT k, ($sum14) AS s14, k % 8 = 5 AS corrupt,
+         |    ('0x' || substring(md5('ip:' || CAST(k AS VARCHAR)), 1, 4))::BIGINT % 14 + 1 AS cpos,
+         |    ('0x' || substring(md5('ic:' || CAST(k AS VARCHAR)), 1, 4))::BIGINT % 9 + 1 AS cdelta
+         |  FROM t),
+         |b AS (SELECT *, (10 - s14 % 10) % 10 AS chk, ($dorig) AS dorig FROM a),
+         |c AS (SELECT *, (dorig + cdelta) % 10 AS dnew FROM b),
+         |v AS (
+         |  SELECT k, corrupt,
+         |    s14 + chk + CASE WHEN corrupt THEN
+         |      (CASE WHEN cpos % 2 = 0 THEN ${luhn2("dnew")} ELSE dnew END)
+         |      - (CASE WHEN cpos % 2 = 0 THEN ${luhn2("dorig")} ELSE dorig END)
+         |    ELSE 0 END AS s_final
+         |  FROM c)
+         |SELECT CAST(k % 3 AS INT) AS country,
+         |  CAST(COUNT(*) AS BIGINT) AS n_isins,
+         |  CAST(SUM(CASE WHEN s_final % 10 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_valid,
+         |  CAST(SUM(CASE WHEN s_final % 10 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_invalid,
+         |  CAST(SUM(CASE WHEN corrupt THEN 1 ELSE 0 END) AS BIGINT) AS n_corrupted
+         |FROM v GROUP BY 1 ORDER BY country""".stripMargin
+    },
+
+    "join_wash_trades" ->
+      """WITH trades AS (
+        |  SELECT CAST(o_orderkey AS BIGINT) AS k,
+        |    CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+        |    o_orderkey % 500 AS acct,
+        |    o_orderkey % 11 = 6 AS wash_plant,
+        |    o_orderkey % 7 = 3 AS itf,
+        |    CASE WHEN o_orderkey % 11 = 6
+        |      THEN (o_orderkey % 500) - (o_orderkey % 500) % 5
+        |        + ('0x' || substring(md5('wc:' || CAST(o_orderkey AS VARCHAR)), 1, 6))::BIGINT % 5
+        |      ELSE ('0x' || substring(md5('wo:' || CAST(o_orderkey AS VARCHAR)), 1, 6))::BIGINT % 500
+        |    END AS counter
+        |  FROM orders),
+        |owners AS (
+        |  SELECT DISTINCT CAST(o_orderkey % 500 AS BIGINT) AS acct,
+        |    (o_orderkey % 500) // 5 AS owner
+        |  FROM orders),
+        |j AS (
+        |  SELECT t.*,
+        |    oa.owner = ob.owner AND t.acct <> t.counter AND NOT t.itf AS wash
+        |  FROM trades t
+        |  JOIN owners oa ON oa.acct = t.acct
+        |  JOIN owners ob ON ob.acct = t.counter)
+        |SELECT CAST(k % 4 AS INT) AS symbol,
+        |  CAST(COUNT(*) AS BIGINT) AS n_trades,
+        |  CAST(SUM(CASE WHEN wash THEN 1 ELSE 0 END) AS BIGINT) AS n_wash,
+        |  CAST(SUM(CASE WHEN wash_plant AND NOT itf AND acct <> counter
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_planted_live,
+        |  CAST(SUM(CASE WHEN wash THEN cents ELSE 0 END) AS BIGINT) AS wash_cents
+        |FROM j GROUP BY 1 ORDER BY symbol""".stripMargin,
+
+    "llm_tool_call_audit" ->
+      """WITH steps AS (
+        |  SELECT CAST(o_orderkey AS BIGINT) AS k,
+        |    CAST(o_orderkey % 3 AS INT) AS cls, g.i,
+        |    ('0x' || substring(md5('tc:' || CAST(o_orderkey AS VARCHAR) || ':' || CAST(g.i AS VARCHAR)), 1, 6))::BIGINT % 10
+        |      >= 7 - 2 * (o_orderkey % 3) AS fail
+        |  FROM orders, generate_series(0, 15) AS g(i)),
+        |f AS (
+        |  SELECT k, cls, i,
+        |    SUM(CASE WHEN fail THEN 1 ELSE 0 END) OVER (
+        |      PARTITION BY k ORDER BY i
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS failseq
+        |  FROM steps WHERE fail),
+        |r AS (
+        |  SELECT k, cls, MAX(run_len) AS max_run, SUM(run_len) AS n_fails
+        |  FROM (
+        |    SELECT k, cls, i - failseq AS grp, CAST(COUNT(*) AS BIGINT) AS run_len
+        |    FROM f GROUP BY k, cls, i - failseq) q
+        |  GROUP BY 1, 2),
+        |per AS (
+        |  SELECT t.k, t.cls,
+        |    coalesce(r.max_run, 0) AS max_run, coalesce(r.n_fails, 0) AS n_fails
+        |  FROM (SELECT CAST(o_orderkey AS BIGINT) AS k,
+        |      CAST(o_orderkey % 3 AS INT) AS cls FROM orders) t
+        |  LEFT JOIN r ON r.k = t.k),
+        |g2 AS (
+        |  SELECT cls, CAST(COUNT(*) AS BIGINT) AS n_traces,
+        |    CAST(SUM(CASE WHEN max_run >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_stuck,
+        |    CAST(SUM(n_fails) AS BIGINT) AS fail_mass,
+        |    CAST(SUM(max_run) AS BIGINT) AS retry_depth_mass
+        |  FROM per GROUP BY 1)
+        |SELECT cls, n_traces, n_stuck, fail_mass, retry_depth_mass,
+        |  (n_stuck * 1000000) // n_traces AS stuck_ppm
+        |FROM g2 ORDER BY cls""".stripMargin,
 
     "source_varint_delimited" ->
       """WITH t AS (
