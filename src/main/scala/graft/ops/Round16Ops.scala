@@ -1025,7 +1025,7 @@ object Round16Ops {
     // mass. Graded per agent class: traces, loop rate ppm, failure mass,
     // retry-depth mass — the wave spec asserts the loop rate orders with
     // the planted failure rates.
-    "llm_tool_call_audit" -> ((s, d) => {
+    "llm_agent_loop_detect" -> ((s, d) => {
       val steps = Tables.orders(s, d)
         .select(col("o_orderkey").cast("bigint").as("k"))
         .withColumn("cls", (col("k") % 3).cast("int"))
@@ -1457,7 +1457,7 @@ object Round16Ops {
         |  CAST(SUM(CASE WHEN wash THEN cents ELSE 0 END) AS BIGINT) AS wash_cents
         |FROM j GROUP BY 1 ORDER BY symbol""".stripMargin,
 
-    "llm_tool_call_audit" ->
+    "llm_agent_loop_detect" ->
       """WITH steps AS (
         |  SELECT CAST(o_orderkey AS BIGINT) AS k,
         |    CAST(o_orderkey % 3 AS INT) AS cls, g.i,

@@ -34,8 +34,8 @@ class Round16Wave7Spec extends AnyFunSuite {
     }
   }
 
-  test("llm_tool_call_audit: loop rate orders with the planted fail rate") {
-    val rows = SparkEntry.queries("llm_tool_call_audit")(spark, sf).collect()
+  test("llm_agent_loop_detect: loop rate orders with the planted fail rate") {
+    val rows = SparkEntry.queries("llm_agent_loop_detect")(spark, sf).collect()
     assert(rows.length == 3)
     val byCls = rows.map(r => r.getInt(0) -> r).toMap
     // planted fail rates 30/50/70% → stuck-loop rates strictly ordered
