@@ -1056,8 +1056,135 @@ object Round16Ops {
           sum("max_run").as("retry_depth_mass"))
         .withColumn("stuck_ppm", expr("(n_stuck * 1000000) DIV n_traces"))
         .orderBy("cls")
+    }),
+
+    // Dataset cartography — the training-dynamics map (mean confidence ×
+    // variability over epochs) a data-curation pipeline uses to split a
+    // corpus into easy-to-learn / ambiguous / hard-to-learn regions:
+    // 8 md5 epoch confidences per example with class-planted dynamics
+    // (easy 800+%150 stable, hard 100+%150 stable, ambiguous 200+%600
+    // swinging), mean by exact DIV, variability as the integer stddev
+    // floor (isqrt of the 8·Σc²−S² numerator). Region rules: hard if
+    // mean < 300, else ambiguous if var ≥ 120, else easy (the easy plant
+    // samples σ≈43, the ambiguous one σ≈173 — 120 splits them). Graded as the
+    // planted-class × region confusion census — the wave spec asserts
+    // diagonal dominance (the map actually separates the plants).
+    "llm_dataset_cartography" -> ((s, d) => {
+      org.apache.spark.sql.graftbridge.GraftBridge.registerFunction(s,
+        "isqrt", exprs => org.apache.spark.sql.graftbridge.IntSqrt(exprs(0)))
+      val per = Tables.documents(s, d)
+        .select(col("doc_id").cast("bigint").as("k"))
+        .withColumn("cls", (col("k") % 3).cast("int"))
+        .withColumn("e", explode(expr("sequence(0, 7)")))
+        .withColumn("conf", expr(
+          """CASE WHEN k % 3 = 0
+            | THEN 800 + CAST(conv(substring(md5(concat('dc:', CAST(k AS STRING), ':', CAST(e AS STRING))), 1, 6), 16, 10) AS BIGINT) % 150
+            | WHEN k % 3 = 2
+            | THEN 100 + CAST(conv(substring(md5(concat('dc:', CAST(k AS STRING), ':', CAST(e AS STRING))), 1, 6), 16, 10) AS BIGINT) % 150
+            | ELSE 200 + CAST(conv(substring(md5(concat('dc:', CAST(k AS STRING), ':', CAST(e AS STRING))), 1, 6), 16, 10) AS BIGINT) % 600
+            | END""".stripMargin))
+        .groupBy("k", "cls")
+        .agg(sum("conf").as("sc"), sum(expr("conf * conf")).as("qc"))
+        .withColumn("mean_conf", expr("sc DIV 8"))
+        .withColumn("variability", expr("isqrt(8 * qc - sc * sc) DIV 8"))
+        .withColumn("region", expr(
+          """CASE WHEN mean_conf < 300 THEN 'hard'
+            | WHEN variability >= 120 THEN 'ambiguous'
+            | ELSE 'easy' END""".stripMargin))
+      per.groupBy("cls", "region")
+        .agg(count(lit(1)).as("n_examples"),
+          sum("mean_conf").as("mean_conf_mass"),
+          sum("variability").as("variability_mass"))
+        .orderBy("cls", "region")
+    }),
+
+    // Backpressure / bounded-queue admission — the token-bucket shape a
+    // streaming ingester runs: 24 windows per service, md5 arrivals with
+    // class-planted intensity (capacity 100, classes arrive at ~80/~100/
+    // ~130), queue depth q ← clamp(q + a − 100, 0, 400) and overflow
+    // drops — pure LEAST/GREATEST integer recurrences (no division, no
+    // floor hazard) run as ONE wide chained projection, replayed by the
+    // oracle as chained CTEs. Graded per class: drop mass, peak depth
+    // mass, windows spent above the 300 high-water mark — the wave spec
+    // asserts only the over-capacity class drops.
+    "service_backpressure" -> ((s, d) => {
+      val obs = Tables.supplier(s, d)
+        .select(col("s_suppkey").cast("bigint").as("m"))
+        .withColumn("cls", (col("m") % 3).cast("int"))
+        .withColumn("t", explode(expr("sequence(0, 23)")))
+        .withColumn("a", expr(
+          "55 + 25 * cls + CAST(conv(substring(md5(concat('bp:', CAST(m AS STRING), ':', CAST(t AS STRING))), 1, 6), 16, 10) AS BIGINT) % 51"))
+      val aggs = (0 to 23).map(t =>
+        max(when(col("t") === t, col("a"))).as(s"a$t"))
+      var wide = obs.groupBy("m", "cls").agg(aggs.head, aggs.tail: _*)
+      backpressureCols.foreach { case (n, e) =>
+        wide = wide.withColumn(n, expr(e))
+      }
+      wide.groupBy("cls")
+        .agg(count(lit(1)).as("n_services"),
+          sum(expr((0 to 23).map(t => s"d$t").mkString(" + "))).as("drop_mass"),
+          sum(expr((0 to 23).map(t => s"q$t").mkString("GREATEST(", ", ", ")")))
+            .as("peak_depth_mass"),
+          sum(expr((0 to 23).map(t => s"(CASE WHEN q$t > 300 THEN 1 ELSE 0 END)")
+            .mkString(" + "))).as("high_water_windows"))
+        .orderBy("cls")
+    }),
+
+    // Device-fingerprint linking — the identity signal a person-service
+    // mines with an entropy guard: 1-in-9 accounts sit in planted fraud
+    // rings sharing a rare fingerprint (3 accounts each), 1-in-15 carry a
+    // DEFAULT fingerprint (factory browser — hot, meaningless), the rest
+    // are unique. Blocking on the fingerprint with a population cap ≤ 5
+    // links ring members pairwise while the hot default value is excluded
+    // wholesale (the dfCap law applied to identity signals — a hot key
+    // must never drive O(n²) pairs OR false links). Graded per cohort:
+    // fingerprints, linkable pairs, hot-excluded accounts; the spec
+    // asserts every planted ring pair is found and the default
+    // fingerprint yields zero.
+    "join_device_fingerprint" -> ((s, d) => {
+      val acct = Tables.customer(s, d)
+        .select(col("c_custkey").cast("bigint").as("k"))
+        .withColumn("fp", expr(
+          """CASE WHEN k % 15 = 7 THEN 'default_fp'
+            | WHEN k % 9 = 4 THEN concat('ring_', CAST(k DIV 27 AS STRING))
+            | ELSE concat('uniq_', substring(md5(concat('fp:', CAST(k AS STRING))), 1, 10))
+            | END""".stripMargin))
+      val pops = acct.groupBy("fp").agg(count(lit(1)).as("pop"))
+      val live = acct.join(pops, Seq("fp")).where(col("pop") <= 5)
+      val pairs = live.as("x").join(live.as("y"),
+          col("x.fp") === col("y.fp") && col("x.k") < col("y.k"))
+        .select(col("x.fp").as("fp"), col("x.k").as("a"), col("y.k").as("b"))
+      val perCohort = acct.groupBy((col("k") % 2).cast("int").as("cohort"))
+        .agg(count(lit(1)).as("n_accounts"),
+          sum(when(col("k") % 15 === 7, 1L).otherwise(0L)).as("n_default_fp"))
+      pairs.groupBy((col("a") % 2).cast("int").as("cohort"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(when(col("fp").startsWith("ring_"), 1L).otherwise(0L))
+            .as("n_ring_pairs"),
+          countDistinct("fp").as("n_linking_fps"))
+        .join(perCohort, Seq("cohort"), "right")
+        .select(col("cohort"),
+          col("n_accounts"), col("n_default_fp"),
+          coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+          coalesce(col("n_ring_pairs"), lit(0L)).as("n_ring_pairs"),
+          coalesce(col("n_linking_fps"), lit(0L)).as("n_linking_fps"))
+        .orderBy("cohort")
     })
   )
+
+  /** Bounded-queue recurrence columns: q_t = clamp(q_{t-1} + a_t − 100,
+    * 0, 400), d_t = overflow above the 400 buffer. Pure min/max integer
+    * arithmetic — no division, so Spark and DuckDB agree bit-for-bit
+    * with no offset tricks. */
+  private[ops] def backpressureCols: Seq[(String, String)] = {
+    (0 to 23).flatMap { t =>
+      val prev = if (t == 0) "0" else s"q${t - 1}"
+      Seq(
+        s"r$t" -> s"($prev + a$t - 100)",
+        s"d$t" -> s"GREATEST(r$t - 400, 0)",
+        s"q$t" -> s"LEAST(GREATEST(r$t, 0), 400)")
+    }
+  }
 
   /** LEB128 varint framing (the protobuf length-delimited wire shape):
     * each record = varint(length) + payload. Reader returns (payload,
@@ -1386,6 +1513,96 @@ object Round16Ops {
         |  CAST(SUM(q_big) AS BIGINT) AS all_big_quality,
         |  CAST(COUNT(*) * 12 AS BIGINT) AS all_big_cost
         |FROM q1 GROUP BY 1 ORDER BY cohort""".stripMargin,
+
+    "llm_dataset_cartography" -> {
+      val isq = Round12cOps.duckIsqrt("8 * qc - sc * sc")
+      s"""WITH obs AS (
+         |  SELECT k, cls, e,
+         |    CASE WHEN k % 3 = 0
+         |      THEN 800 + ('0x' || substring(md5('dc:' || CAST(k AS VARCHAR) || ':' || CAST(e AS VARCHAR)), 1, 6))::BIGINT % 150
+         |      WHEN k % 3 = 2
+         |      THEN 100 + ('0x' || substring(md5('dc:' || CAST(k AS VARCHAR) || ':' || CAST(e AS VARCHAR)), 1, 6))::BIGINT % 150
+         |      ELSE 200 + ('0x' || substring(md5('dc:' || CAST(k AS VARCHAR) || ':' || CAST(e AS VARCHAR)), 1, 6))::BIGINT % 600
+         |    END AS conf
+         |  FROM (SELECT CAST(doc_id AS BIGINT) AS k,
+         |      CAST(doc_id % 3 AS INT) AS cls FROM documents) q,
+         |    generate_series(0, 7) AS g(e)),
+         |per AS (
+         |  SELECT k, cls, CAST(SUM(conf) AS BIGINT) AS sc,
+         |    CAST(SUM(conf * conf) AS BIGINT) AS qc
+         |  FROM obs GROUP BY 1, 2),
+         |m AS (
+         |  SELECT k, cls, sc // 8 AS mean_conf, $isq // 8 AS variability
+         |  FROM per),
+         |r AS (
+         |  SELECT cls,
+         |    CASE WHEN mean_conf < 300 THEN 'hard'
+         |      WHEN variability >= 120 THEN 'ambiguous'
+         |      ELSE 'easy' END AS region,
+         |    mean_conf, variability
+         |  FROM m)
+         |SELECT cls, region, CAST(COUNT(*) AS BIGINT) AS n_examples,
+         |  CAST(SUM(mean_conf) AS BIGINT) AS mean_conf_mass,
+         |  CAST(SUM(variability) AS BIGINT) AS variability_mass
+         |FROM r GROUP BY 1, 2 ORDER BY cls, region""".stripMargin
+    },
+
+    "service_backpressure" -> {
+      val bpMap: Map[String, String] = backpressureCols.toMap
+      val stepCtes = (0 to 23).map { t =>
+        val from = if (t == 0) "wide" else s"bp${t - 1}"
+        s"bp$t AS (SELECT *, ${bpMap(s"r$t")} AS r$t, " +
+          s"${bpMap(s"d$t")} AS d$t, ${bpMap(s"q$t")} AS q$t FROM $from)"
+      }.mkString(",\n")
+      s"""WITH obs AS (
+         |  SELECT m, cls, t,
+         |    55 + 25 * cls + ('0x' || substring(md5('bp:' || CAST(m AS VARCHAR) || ':' || CAST(t AS VARCHAR)), 1, 6))::BIGINT % 51 AS a
+         |  FROM (SELECT CAST(s_suppkey AS BIGINT) AS m,
+         |      CAST(s_suppkey % 3 AS INT) AS cls FROM supplier) q,
+         |    generate_series(0, 23) AS g(t)),
+         |wide AS (
+         |  SELECT m, cls,
+         |${(0 to 23).map(t => s"    MAX(CASE WHEN t = $t THEN a END) AS a$t").mkString(",\n")}
+         |  FROM obs GROUP BY 1, 2),
+         |$stepCtes
+         |SELECT cls, CAST(COUNT(*) AS BIGINT) AS n_services,
+         |  CAST(SUM(${(0 to 23).map(t => s"d$t").mkString(" + ")}) AS BIGINT) AS drop_mass,
+         |  CAST(SUM(${(0 to 23).map(t => s"q$t").mkString("GREATEST(", ", ", ")")}) AS BIGINT) AS peak_depth_mass,
+         |  CAST(SUM(${(0 to 23).map(t => s"(CASE WHEN q$t > 300 THEN 1 ELSE 0 END)").mkString(" + ")}) AS BIGINT) AS high_water_windows
+         |FROM bp23 GROUP BY 1 ORDER BY cls""".stripMargin
+    },
+
+    "join_device_fingerprint" ->
+      """WITH acct AS (
+        |  SELECT CAST(c_custkey AS BIGINT) AS k,
+        |    CASE WHEN c_custkey % 15 = 7 THEN 'default_fp'
+        |      WHEN c_custkey % 9 = 4 THEN 'ring_' || CAST(c_custkey // 27 AS VARCHAR)
+        |      ELSE 'uniq_' || substring(md5('fp:' || CAST(c_custkey AS VARCHAR)), 1, 10)
+        |    END AS fp
+        |  FROM customer),
+        |pops AS (SELECT fp, COUNT(*) AS pop FROM acct GROUP BY 1),
+        |live AS (SELECT a.k, a.fp FROM acct a JOIN pops p ON p.fp = a.fp
+        |  WHERE p.pop <= 5),
+        |pairs AS (
+        |  SELECT x.fp, x.k AS a, y.k AS b
+        |  FROM live x JOIN live y ON x.fp = y.fp AND x.k < y.k),
+        |pc AS (
+        |  SELECT CAST(a % 2 AS INT) AS cohort,
+        |    CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |    CAST(SUM(CASE WHEN fp LIKE 'ring!_%' ESCAPE '!' THEN 1 ELSE 0 END) AS BIGINT) AS n_ring_pairs,
+        |    CAST(COUNT(DISTINCT fp) AS BIGINT) AS n_linking_fps
+        |  FROM pairs GROUP BY 1),
+        |ac AS (
+        |  SELECT CAST(k % 2 AS INT) AS cohort,
+        |    CAST(COUNT(*) AS BIGINT) AS n_accounts,
+        |    CAST(SUM(CASE WHEN k % 15 = 7 THEN 1 ELSE 0 END) AS BIGINT) AS n_default_fp
+        |  FROM acct GROUP BY 1)
+        |SELECT ac.cohort, ac.n_accounts, ac.n_default_fp,
+        |  CAST(coalesce(pc.n_pairs, 0) AS BIGINT) AS n_pairs,
+        |  CAST(coalesce(pc.n_ring_pairs, 0) AS BIGINT) AS n_ring_pairs,
+        |  CAST(coalesce(pc.n_linking_fps, 0) AS BIGINT) AS n_linking_fps
+        |FROM ac LEFT JOIN pc ON pc.cohort = ac.cohort
+        |ORDER BY ac.cohort""".stripMargin,
 
     "fn_isin_check" -> {
       def md(i: Int) =
