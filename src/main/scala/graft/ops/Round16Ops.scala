@@ -1169,8 +1169,174 @@ object Round16Ops {
           coalesce(col("n_ring_pairs"), lit(0L)).as("n_ring_pairs"),
           coalesce(col("n_linking_fps"), lit(0L)).as("n_linking_fps"))
         .orderBy("cohort")
+    }),
+
+    // Bech32 (BIP-173) checksum — the segwit-address validation gate: 12
+    // md5 5-bit groups folded through the polymod LFSR (state transition
+    // ((chk & 0x1ffffff) << 5) ^ g ^ ⊕GEN[bits of chk>>25], the fixed
+    // 'bc' hrp expansion pre-folded to a literal), one fold over the
+    // clean groups and one over a 1-in-5 single-group corruption. The
+    // step is BIJECTIVE, so any single substitution changes the final
+    // state — valid ⟺ states equal, and the invalid census equals the
+    // planted corruption census exactly. 24 unrolled steps as one wide
+    // codegen'd projection; DuckDB replays via chained CTEs with xor()
+    // (its ^ is POWER — the dialect split lives in the generator).
+    "fn_bech32_check" -> ((s, d) => {
+      val hrpState = bech32Fold(1L, Seq(3L, 3L, 0L, 2L, 3L))
+      def grp(j: Int) =
+        s"CAST(conv(substring(md5(concat('bw:', CAST(k AS STRING))), ${2 * j + 1}, 2), 16, 10) AS BIGINT) % 32"
+      var t = Tables.customer(s, d)
+        .select(col("c_custkey").cast("bigint").as("k"))
+        .withColumn("corrupt", col("k") % 5 === 2)
+        .withColumn("cpos", expr(
+          "CAST(conv(substring(md5(concat('bp:', CAST(k AS STRING))), 1, 4), 16, 10) AS BIGINT) % 12"))
+        .withColumn("cdelta", expr(
+          "CAST(conv(substring(md5(concat('bd:', CAST(k AS STRING))), 1, 4), 16, 10) AS BIGINT) % 31 + 1"))
+      (0 until 12).foreach { j =>
+        t = t.withColumn(s"g$j", expr(grp(j)))
+          .withColumn(s"xg$j", expr(
+            s"CASE WHEN corrupt AND cpos = $j THEN (g$j + cdelta) % 32 ELSE g$j END"))
+      }
+      val sx: (String, String) => String = (a, b) => s"($a ^ $b)"
+      val sl: (String, Int) => String = (e, n) => s"shiftleft($e, $n)"
+      val sr: (String, Int) => String = (e, n) => s"shiftright($e, $n)"
+      val init = s"CAST($hrpState AS BIGINT)"
+      (bech32Steps("c", init, (0 until 12).map(j => s"g$j"), sx, sl, sr) ++
+        bech32Steps("x", init, (0 until 12).map(j => s"xg$j"), sx, sl, sr))
+        .foreach { case (n, e) => t = t.withColumn(n, expr(e)) }
+      t.withColumn("valid", col("c11") === col("x11"))
+        .groupBy((col("k") % 3).cast("int").as("cohort"))
+        .agg(count(lit(1)).as("n_addresses"),
+          sum(when(col("valid"), 1L).otherwise(0L)).as("n_valid"),
+          sum(when(!col("valid"), 1L).otherwise(0L)).as("n_invalid"),
+          sum(when(col("corrupt"), 1L).otherwise(0L)).as("n_corrupted"),
+          sum("c11").as("checksum_state_mass"))
+        .orderBy("cohort")
+    }),
+
+    // Hawkes-style self-exciting intensity — the burst detector an AML
+    // monitor runs on transaction streams: λ_t = μ + excitation, with
+    // excitation_t = (excitation_{t-1} + 400·n_{t-1})·700 DIV 1000 (the
+    // exponential kernel in exact milli, all values non-negative so plain
+    // DIV floors identically both engines), md5 arrivals 0–2 per window
+    // and a planted 4-extra-event burst at windows 8–10 for class 2.
+    // 24 windows as one wide chained projection; flag λ > 2500 milli —
+    // provably above the baseline worst case (all-2 arrivals cap the
+    // excitation at 1867, λ ≤ 2067) and provably below the burst floor
+    // (three +4 windows from empty reach λ ≥ 2653).
+    // Graded per class: flagged windows, peak intensity mass, intensity
+    // mass — the spec asserts only the burst class trips the flag in the
+    // burst window and intensity decays back below threshold by t=20.
+    "agg_hawkes_decay" -> ((s, d) => {
+      val obs = Tables.customer(s, d)
+        .select(col("c_custkey").cast("bigint").as("m"))
+        .withColumn("cls", (col("m") % 3).cast("int"))
+        .withColumn("t", explode(expr("sequence(0, 23)")))
+        .withColumn("n", expr(
+          """CAST(conv(substring(md5(concat('hk:', CAST(m AS STRING), ':', CAST(t AS STRING))), 1, 6), 16, 10) AS BIGINT) % 3
+            | + (CASE WHEN m % 3 = 2 AND t BETWEEN 8 AND 10 THEN 4 ELSE 0 END)""".stripMargin))
+      val aggs = (0 to 23).map(t =>
+        max(when(col("t") === t, col("n"))).as(s"n$t"))
+      var wide = obs.groupBy("m", "cls").agg(aggs.head, aggs.tail: _*)
+      hawkesCols("DIV").foreach { case (n, e) => wide = wide.withColumn(n, expr(e)) }
+      wide.groupBy("cls")
+        .agg(count(lit(1)).as("n_accounts"),
+          sum(expr((0 to 23).map(t => s"(CASE WHEN lam$t > 2500 THEN 1 ELSE 0 END)")
+            .mkString(" + "))).as("flagged_windows"),
+          sum(expr((0 to 23).map(t => s"lam$t").mkString("GREATEST(", ", ", ")")))
+            .as("peak_intensity_mass"),
+          sum(expr((0 to 23).map(t => s"lam$t").mkString(" + ")))
+            .as("intensity_mass"),
+          sum(expr("CASE WHEN lam20 > 2500 THEN 1 ELSE 0 END")).as("still_hot_t20"))
+        .orderBy("cls")
+    }),
+
+    // 1:1 propensity matching with a bucket caliper — the causal-cohort
+    // builder beside agg_stratified_ate/agg_iptw_ate: treatment planted
+    // to CORRELATE with the score (higher-score units treat more often),
+    // so raw treated/control means diverge; greedy within-bucket rank
+    // pairing (i-th treated ↔ i-th control by (score, k), caliper = same
+    // score DIV 20000 bucket) — deterministic, window-based, no driver
+    // loop. Graded: group sizes, matched pairs, score sums all/matched —
+    // the spec asserts matching shrinks the mean-score gap (the balance
+    // property that makes the downstream outcome diff causal).
+    "join_propensity_match" -> ((s, d) => {
+      val units = Tables.customer(s, d)
+        .select(col("c_custkey").cast("bigint").as("k"))
+        .withColumn("score", expr(
+          "300000 + (k % 7) * 50000 + CAST(conv(substring(md5(concat('ps:', CAST(k AS STRING))), 1, 6), 16, 10) AS BIGINT) % 100000"))
+        .withColumn("treated", expr(
+          "CAST(conv(substring(md5(concat('pt:', CAST(k AS STRING))), 1, 6), 16, 10) AS BIGINT) % 1000 < 100 + score DIV 2000"))
+        .withColumn("bucket", expr("score DIV 20000"))
+        .localCheckpoint()
+      val wB = Window.partitionBy("bucket", "treated").orderBy("score", "k")
+      val ranked = units.withColumn("rn", row_number().over(wB))
+      val matched = ranked.where(col("treated"))
+        .select(col("bucket"), col("rn"), col("k").as("tk"), col("score").as("ts"))
+        .join(ranked.where(!col("treated"))
+          .select(col("bucket"), col("rn"), col("k").as("ck"), col("score").as("cs")),
+          Seq("bucket", "rn"))
+      val all = units.agg(
+        sum(when(col("treated"), 1L).otherwise(0L)).as("n_treated"),
+        sum(when(!col("treated"), 1L).otherwise(0L)).as("n_control"),
+        sum(when(col("treated"), col("score")).otherwise(0L)).as("score_treated_all"),
+        sum(when(!col("treated"), col("score")).otherwise(0L)).as("score_control_all"))
+      val m = matched.agg(count(lit(1)).as("n_matched"),
+        sum("ts").as("score_treated_matched"),
+        sum("cs").as("score_control_matched"))
+      all.crossJoin(broadcast(m))
+        .select("n_treated", "n_control", "n_matched",
+          "score_treated_all", "score_control_all",
+          "score_treated_matched", "score_control_matched")
     })
   )
+
+  /** Hawkes excitation recurrence columns (exact milli, non-negative):
+    * le_t = (le_{t-1} + 400·n_{t-1})·700 DIV 1000; λ_t = 200 + le_t. */
+  private[ops] def hawkesCols(div: String): Seq[(String, String)] =
+    (0 to 23).flatMap { t =>
+      val exc =
+        if (t == 0) s"le$t" -> "CAST(0 AS BIGINT)"
+        else s"le$t" -> s"(((le${t - 1} + 400 * n${t - 1}) * 700) $div 1000)"
+      Seq(exc, s"lam$t" -> s"(200 + le$t)")
+    }
+
+  /** Bech32 polymod steps (BIP-173): the state transition
+    * chk' = ((chk & 0x1ffffff) << 5) ^ g ^ ⊕{GEN_i : bit i of chk>>25}
+    * is a bijective LFSR step, so ANY single 5-bit-group substitution
+    * changes the final state — the detection law the op grades. `xor`,
+    * `shl`, `shr` abstract the dialect (Spark `a ^ b`; DuckDB `xor()`
+    * since its `^` is POWER). */
+  private[ops] val Bech32Gen =
+    Seq(0x3b6a57b2L, 0x26508e6dL, 0x1ea119faL, 0x3d4233ddL, 0x2a1462b3L)
+
+  /** One polymod step in plain Scala — folds the fixed hrp expansion to a
+    * literal so the SQL chains start mid-state. */
+  private[ops] def bech32Fold(init: Long, groups: Seq[Long]): Long =
+    groups.foldLeft(init) { (chk, g) =>
+      val b = chk >>> 25
+      var n = ((chk & 0x1ffffffL) << 5) ^ g
+      Bech32Gen.zipWithIndex.foreach { case (c, i) =>
+        if (((b >> i) & 1L) == 1L) n ^= c
+      }
+      n
+    }
+
+  private[ops] def bech32Steps(prefix: String, init: String,
+      groups: Seq[String], xor: (String, String) => String,
+      shl: (String, Int) => String, shr: (String, Int) => String)
+      : Seq[(String, String)] = {
+    groups.zipWithIndex.map { case (g, i) =>
+      val prev = if (i == 0) init else s"$prefix${i - 1}"
+      val shifted = s"(${shl(s"(($prev) & 33554431)", 5)})"
+      val genTerm = Bech32Gen.zipWithIndex.map { case (c, bit) =>
+        val mask = 1 << bit
+        s"(CASE WHEN (((${shr(s"($prev)", 25)}) & $mask) = $mask) " +
+          s"THEN CAST($c AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+      }.reduce(xor)
+      s"$prefix$i" -> xor(xor(shifted, s"($g)"), genTerm)
+    }
+  }
 
   /** Bounded-queue recurrence columns: q_t = clamp(q_{t-1} + a_t − 100,
     * 0, 400), d_t = overflow above the 400 buffer. Pure min/max integer
@@ -1513,6 +1679,105 @@ object Round16Ops {
         |  CAST(SUM(q_big) AS BIGINT) AS all_big_quality,
         |  CAST(COUNT(*) * 12 AS BIGINT) AS all_big_cost
         |FROM q1 GROUP BY 1 ORDER BY cohort""".stripMargin,
+
+    "fn_bech32_check" -> {
+      val hrpState = bech32Fold(1L, Seq(3L, 3L, 0L, 2L, 3L))
+      def grp(j: Int) =
+        s"('0x' || substring(md5('bw:' || CAST(k AS VARCHAR)), ${2 * j + 1}, 2))::BIGINT % 32"
+      val dx: (String, String) => String = (a, b) => s"xor($a, $b)"
+      val dl: (String, Int) => String = (e, n) => s"($e << $n)"
+      val dr: (String, Int) => String = (e, n) => s"($e >> $n)"
+      val init = s"CAST($hrpState AS BIGINT)"
+      val cSteps = bech32Steps("c", init, (0 until 12).map(j => s"g$j"), dx, dl, dr)
+      val xSteps = bech32Steps("x", init, (0 until 12).map(j => s"xg$j"), dx, dl, dr)
+      val stepCtes = (0 until 12).map { i =>
+        val from = if (i == 0) "base" else s"bc${i - 1}"
+        s"bc$i AS (SELECT *, ${cSteps(i)._2} AS c$i, ${xSteps(i)._2} AS x$i FROM $from)"
+      }.mkString(",\n")
+      s"""WITH t AS (
+         |  SELECT CAST(c_custkey AS BIGINT) AS k,
+         |    c_custkey % 5 = 2 AS corrupt,
+         |    ('0x' || substring(md5('bp:' || CAST(c_custkey AS VARCHAR)), 1, 4))::BIGINT % 12 AS cpos,
+         |    ('0x' || substring(md5('bd:' || CAST(c_custkey AS VARCHAR)), 1, 4))::BIGINT % 31 + 1 AS cdelta
+         |  FROM customer),
+         |base AS (
+         |  SELECT *,
+         |${(0 until 12).map(j => s"    ${grp(j)} AS g$j").mkString(",\n")},
+         |${(0 until 12).map(j => s"    CASE WHEN corrupt AND cpos = $j THEN ((${grp(j)}) + cdelta) % 32 ELSE ${grp(j)} END AS xg$j").mkString(",\n")}
+         |  FROM t),
+         |$stepCtes
+         |SELECT CAST(k % 3 AS INT) AS cohort,
+         |  CAST(COUNT(*) AS BIGINT) AS n_addresses,
+         |  CAST(SUM(CASE WHEN c11 = x11 THEN 1 ELSE 0 END) AS BIGINT) AS n_valid,
+         |  CAST(SUM(CASE WHEN c11 <> x11 THEN 1 ELSE 0 END) AS BIGINT) AS n_invalid,
+         |  CAST(SUM(CASE WHEN corrupt THEN 1 ELSE 0 END) AS BIGINT) AS n_corrupted,
+         |  CAST(SUM(c11) AS BIGINT) AS checksum_state_mass
+         |FROM bc11 GROUP BY 1 ORDER BY cohort""".stripMargin
+    },
+
+    "agg_hawkes_decay" -> {
+      val hkMap: Map[String, String] = hawkesCols("//").toMap
+      val stepCtes = (0 to 23).map { t =>
+        val from = if (t == 0) "wide" else s"hk${t - 1}"
+        s"hk$t AS (SELECT *, ${hkMap(s"le$t")} AS le$t, ${hkMap(s"lam$t")} AS lam$t FROM $from)"
+      }.mkString(",\n")
+      s"""WITH obs AS (
+         |  SELECT m, cls, t,
+         |    ('0x' || substring(md5('hk:' || CAST(m AS VARCHAR) || ':' || CAST(t AS VARCHAR)), 1, 6))::BIGINT % 3
+         |      + (CASE WHEN m % 3 = 2 AND t BETWEEN 8 AND 10 THEN 4 ELSE 0 END) AS n
+         |  FROM (SELECT CAST(c_custkey AS BIGINT) AS m,
+         |      CAST(c_custkey % 3 AS INT) AS cls FROM customer) q,
+         |    generate_series(0, 23) AS g(t)),
+         |wide AS (
+         |  SELECT m, cls,
+         |${(0 to 23).map(t => s"    MAX(CASE WHEN t = $t THEN n END) AS n$t").mkString(",\n")}
+         |  FROM obs GROUP BY 1, 2),
+         |$stepCtes
+         |SELECT cls, CAST(COUNT(*) AS BIGINT) AS n_accounts,
+         |  CAST(SUM(${(0 to 23).map(t => s"(CASE WHEN lam$t > 2500 THEN 1 ELSE 0 END)").mkString(" + ")}) AS BIGINT) AS flagged_windows,
+         |  CAST(SUM(${(0 to 23).map(t => s"lam$t").mkString("GREATEST(", ", ", ")")}) AS BIGINT) AS peak_intensity_mass,
+         |  CAST(SUM(${(0 to 23).map(t => s"lam$t").mkString(" + ")}) AS BIGINT) AS intensity_mass,
+         |  CAST(SUM(CASE WHEN lam20 > 2500 THEN 1 ELSE 0 END) AS BIGINT) AS still_hot_t20
+         |FROM hk23 GROUP BY 1 ORDER BY cls""".stripMargin
+    },
+
+    "join_propensity_match" ->
+      """WITH units AS (
+        |  SELECT CAST(c_custkey AS BIGINT) AS k,
+        |    300000 + (c_custkey % 7) * 50000
+        |      + ('0x' || substring(md5('ps:' || CAST(c_custkey AS VARCHAR)), 1, 6))::BIGINT % 100000 AS score
+        |  FROM customer),
+        |u2 AS (
+        |  SELECT k, score,
+        |    ('0x' || substring(md5('pt:' || CAST(k AS VARCHAR)), 1, 6))::BIGINT % 1000
+        |      < 100 + score // 2000 AS treated,
+        |    score // 20000 AS bucket
+        |  FROM units),
+        |ranked AS (
+        |  SELECT *, ROW_NUMBER() OVER (
+        |    PARTITION BY bucket, treated ORDER BY score, k) AS rn
+        |  FROM u2),
+        |matched AS (
+        |  SELECT t.score AS ts, c.score AS cs
+        |  FROM ranked t JOIN ranked c
+        |    ON t.bucket = c.bucket AND t.rn = c.rn
+        |    AND t.treated AND NOT c.treated),
+        |a AS (
+        |  SELECT
+        |    CAST(SUM(CASE WHEN treated THEN 1 ELSE 0 END) AS BIGINT) AS n_treated,
+        |    CAST(SUM(CASE WHEN NOT treated THEN 1 ELSE 0 END) AS BIGINT) AS n_control,
+        |    CAST(SUM(CASE WHEN treated THEN score ELSE 0 END) AS BIGINT) AS score_treated_all,
+        |    CAST(SUM(CASE WHEN NOT treated THEN score ELSE 0 END) AS BIGINT) AS score_control_all
+        |  FROM u2),
+        |m AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_matched,
+        |    CAST(coalesce(SUM(ts), 0) AS BIGINT) AS score_treated_matched,
+        |    CAST(coalesce(SUM(cs), 0) AS BIGINT) AS score_control_matched
+        |  FROM matched)
+        |SELECT a.n_treated, a.n_control, m.n_matched,
+        |  a.score_treated_all, a.score_control_all,
+        |  m.score_treated_matched, m.score_control_matched
+        |FROM a, m""".stripMargin,
 
     "llm_dataset_cartography" -> {
       val isq = Round12cOps.duckIsqrt("8 * qc - sc * sc")
