@@ -1288,8 +1288,129 @@ object Round16Ops {
         .select("n_treated", "n_control", "n_matched",
           "score_treated_all", "score_control_all",
           "score_treated_matched", "score_control_matched")
+    }),
+
+    // Write-audit-publish — the staging gate a lakehouse ingestion runs:
+    // each batch lands on a STAGING path, an audit pass checks it (row
+    // floor, null-rate ≤ 5%, exact payload conservation), and only a
+    // passing batch is published into the live table (a real second
+    // parquet write — the files are the lifecycle). Batch A is clean;
+    // batch B plants a 12% null spike and must be rejected. Graded: both
+    // audit ledgers plus the final live census, which must equal base +
+    // A exactly — the quarantined B rows are nowhere in the live files.
+    "warehouse_write_audit_publish" -> ((s, d) => {
+      val base = Tables.orders(s, d).where(col("o_orderkey") % 3 === 0)
+        .select(col("o_orderkey").cast("bigint").as("k"),
+          round(col("o_totalprice") * 100).cast("bigint").as("cents"))
+      def batch(tag: String, rule: Int, nullRule: org.apache.spark.sql.Column) =
+        Tables.orders(s, d).where(col("o_orderkey") % 3 === rule)
+          .select(col("o_orderkey").cast("bigint").as("k"),
+            when(nullRule, lit(null).cast("bigint"))
+              .otherwise(round(col("o_totalprice") * 100).cast("bigint")).as("cents"))
+      val bA = batch("a", 1, lit(false))
+      val bB = batch("b", 2, expr(
+        "CAST(conv(substring(md5(concat('wb:', CAST(o_orderkey AS STRING))), 1, 6), 16, 10) AS BIGINT) % 100 < 12"))
+      val liveDir = Scratch.opDir("wap_live", d)
+      base.write.mode("overwrite").parquet(liveDir)
+      def audit(tag: String, b: DataFrame): (DataFrame, Boolean) = {
+        val stageDir = Scratch.opDir(s"wap_stage_$tag", d)
+        b.write.mode("overwrite").parquet(stageDir)
+        val staged = s.read.parquet(stageDir)
+        val row = staged.agg(count(lit(1)).as("n_rows"),
+          sum(when(col("cents").isNull, 1L).otherwise(0L)).as("n_nulls")).head()
+        val passed = row.getLong(0) > 0 &&
+          row.getLong(1) * 100L <= row.getLong(0) * 5L
+        val ledger = s.range(1).select(lit(tag).as("batch"),
+          lit(row.getLong(0)).as("n_rows"), lit(row.getLong(1)).as("n_nulls"),
+          lit(row.getLong(1) * 1000000L / row.getLong(0)).as("null_ppm"),
+          lit(passed).as("published"))
+        if (passed)
+          staged.write.mode("append").parquet(liveDir)
+        (ledger, passed)
+      }
+      val (la, _) = audit("a", bA)
+      val (lb, _) = audit("b", bB)
+      val live = s.read.parquet(liveDir)
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(col("cents").isNull, 1L).otherwise(0L)).as("n_nulls"))
+        .select(lit("live_final").as("batch"), col("n_rows"),
+          col("n_nulls"), lit(0L).as("null_ppm"), lit(true).as("published"))
+      la.unionByName(lb).unionByName(live).orderBy("batch")
+    }),
+
+    // Bass diffusion forward model — the adoption forecast a
+    // go-to-market planner runs: N' = N + (p·(M−N) + q·N·(M−N) DIV M)
+    // DIV 1000 over 24 periods in exact units of a 10⁶ market, planted
+    // (p, q) per-mille classes (innovator-heavy 30/100, imitator-heavy
+    // 5/500, balanced 15/300). All states non-negative ⇒ plain DIV
+    // floors identically. Graded per class: final penetration ppm, peak
+    // single-period adoption, time-to-half-market — the spec asserts the
+    // innovator class starts faster while the imitator class shows the
+    // S-curve (later half-market crossing, higher peak period).
+    "agg_bass_diffusion" -> ((s, d) => {
+      val mkts = Tables.supplier(s, d)
+        .select(col("s_suppkey").cast("bigint").as("m"))
+        .withColumn("cls", (col("m") % 3).cast("int"))
+        .withColumn("p", expr("CASE WHEN m % 3 = 0 THEN 30 WHEN m % 3 = 1 THEN 5 ELSE 15 END"))
+        .withColumn("q", expr("CASE WHEN m % 3 = 0 THEN 100 WHEN m % 3 = 1 THEN 500 ELSE 300 END"))
+      var wide = mkts
+      bassCols("DIV").foreach { case (n, e) => wide = wide.withColumn(n, expr(e)) }
+      wide.groupBy("cls")
+        .agg(count(lit(1)).as("n_markets"),
+          sum(expr("nn23")).as("final_adopters_mass"),
+          sum(expr((1 to 23).map(t => s"(nn$t - nn${t - 1})")
+            .mkString("GREATEST(", ", ", ")"))).as("peak_adoption_mass"),
+          sum(expr((0 to 23).map(t => s"(CASE WHEN nn$t < 500000 THEN 1 ELSE 0 END)")
+            .mkString(" + "))).as("periods_below_half_mass"))
+        .orderBy("cls")
+    }),
+
+    // NHS-number mod-11 checksum — the healthcare-id gate in the
+    // person-service intake family: 9 md5 digits with weights 10..2, r =
+    // Σ dᵢ·(11−i) mod 11, check digit 11−r (11→0; r=1 makes the number
+    // UNISSUABLE — real NHS numbers with check 10 are never allocated,
+    // censused here as their own class). A 1-in-7 slice of issuable
+    // numbers corrupts one digit; 11 is prime so every weighted single
+    // substitution is caught: invalid census == planted census.
+    "fn_nhs_number" -> ((s, d) => {
+      def dig(i: Int) =
+        s"CAST(conv(substring(md5(concat('nh:', CAST(k AS STRING))), $i, 1), 16, 10) AS BIGINT) % 10"
+      val wsum = (1 to 9).map(i => s"(${dig(i)}) * ${11 - i}").mkString(" + ")
+      val t = Tables.customer(s, d)
+        .select(col("c_custkey").cast("bigint").as("k"))
+        .withColumn("r", expr(s"($wsum) % 11"))
+        .withColumn("unissuable", col("r") === 1L)
+        .withColumn("check", expr("(11 - r) % 11"))
+        .withColumn("corrupt", !col("unissuable") && col("k") % 7 === 2)
+        .withColumn("cpos", expr(
+          "CAST(conv(substring(md5(concat('np:', CAST(k AS STRING))), 1, 4), 16, 10) AS BIGINT) % 9 + 1"))
+        .withColumn("cdelta", expr(
+          "CAST(conv(substring(md5(concat('nd:', CAST(k AS STRING))), 1, 4), 16, 10) AS BIGINT) % 9 + 1"))
+        .withColumn("wdelta", expr(
+          (1 to 9).map(i => s"WHEN cpos = $i THEN ${11 - i} * cdelta")
+            .mkString("CASE ", " ", " END")))
+        .withColumn("s_final", expr(
+          s"($wsum) + check + CASE WHEN corrupt THEN wdelta ELSE 0 END"))
+        .withColumn("valid", !col("unissuable") && expr("s_final % 11 = 0"))
+      t.groupBy((col("k") % 4).cast("int").as("cohort"))
+        .agg(count(lit(1)).as("n_numbers"),
+          sum(when(col("unissuable"), 1L).otherwise(0L)).as("n_unissuable"),
+          sum(when(col("valid"), 1L).otherwise(0L)).as("n_valid"),
+          sum(when(!col("valid") && !col("unissuable"), 1L).otherwise(0L))
+            .as("n_invalid"),
+          sum(when(col("corrupt"), 1L).otherwise(0L)).as("n_corrupted"))
+        .orderBy("cohort")
     })
   )
+
+  /** Bass recurrence columns: nn_t adopters after period t of a 10⁶
+    * market; all states in [0, 10⁶], plain integer DIV. */
+  private[ops] def bassCols(div: String): Seq[(String, String)] =
+    (0 to 23).map { t =>
+      if (t == 0) "nn0" -> "CAST(0 AS BIGINT)"
+      else s"nn$t" ->
+        s"(nn${t - 1} + (p * (1000000 - nn${t - 1}) + ((q * nn${t - 1}) * (1000000 - nn${t - 1})) $div 1000000) $div 1000)"
+    }
 
   /** Hawkes excitation recurrence columns (exact milli, non-negative):
     * le_t = (le_{t-1} + 400·n_{t-1})·700 DIV 1000; λ_t = 200 + le_t. */
@@ -1679,6 +1800,81 @@ object Round16Ops {
         |  CAST(SUM(q_big) AS BIGINT) AS all_big_quality,
         |  CAST(COUNT(*) * 12 AS BIGINT) AS all_big_cost
         |FROM q1 GROUP BY 1 ORDER BY cohort""".stripMargin,
+
+    "warehouse_write_audit_publish" ->
+      """WITH a AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_rows, CAST(0 AS BIGINT) AS n_nulls
+        |  FROM orders WHERE o_orderkey % 3 = 1),
+        |b AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |    CAST(SUM(CASE WHEN ('0x' || substring(md5('wb:' || CAST(o_orderkey AS VARCHAR)), 1, 6))::BIGINT % 100 < 12
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls
+        |  FROM orders WHERE o_orderkey % 3 = 2),
+        |base AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows FROM orders WHERE o_orderkey % 3 = 0)
+        |SELECT * FROM (
+        |  SELECT 'a' AS batch, a.n_rows, a.n_nulls,
+        |    (a.n_nulls * 1000000) // a.n_rows AS null_ppm,
+        |    a.n_rows > 0 AND a.n_nulls * 100 <= a.n_rows * 5 AS published
+        |  FROM a
+        |  UNION ALL
+        |  SELECT 'b', b.n_rows, b.n_nulls, (b.n_nulls * 1000000) // b.n_rows,
+        |    b.n_rows > 0 AND b.n_nulls * 100 <= b.n_rows * 5
+        |  FROM b
+        |  UNION ALL
+        |  SELECT 'live_final', base.n_rows + a.n_rows, CAST(0 AS BIGINT),
+        |    CAST(0 AS BIGINT), TRUE
+        |  FROM base, a) q
+        |ORDER BY batch""".stripMargin,
+
+    "agg_bass_diffusion" -> {
+      val bMap: Map[String, String] = bassCols("//").toMap
+      val stepCtes = (0 to 23).map { t =>
+        val from = if (t == 0) "mkts" else s"bs${t - 1}"
+        s"bs$t AS (SELECT *, ${bMap(s"nn$t")} AS nn$t FROM $from)"
+      }.mkString(",\n")
+      s"""WITH mkts AS (
+         |  SELECT CAST(s_suppkey AS BIGINT) AS m,
+         |    CAST(s_suppkey % 3 AS INT) AS cls,
+         |    CASE WHEN s_suppkey % 3 = 0 THEN 30 WHEN s_suppkey % 3 = 1 THEN 5 ELSE 15 END AS p,
+         |    CASE WHEN s_suppkey % 3 = 0 THEN 100 WHEN s_suppkey % 3 = 1 THEN 500 ELSE 300 END AS q
+         |  FROM supplier),
+         |$stepCtes
+         |SELECT cls, CAST(COUNT(*) AS BIGINT) AS n_markets,
+         |  CAST(SUM(nn23) AS BIGINT) AS final_adopters_mass,
+         |  CAST(SUM(${(1 to 23).map(t => s"(nn$t - nn${t - 1})").mkString("GREATEST(", ", ", ")")}) AS BIGINT) AS peak_adoption_mass,
+         |  CAST(SUM(${(0 to 23).map(t => s"(CASE WHEN nn$t < 500000 THEN 1 ELSE 0 END)").mkString(" + ")}) AS BIGINT) AS periods_below_half_mass
+         |FROM bs23 GROUP BY 1 ORDER BY cls""".stripMargin
+    },
+
+    "fn_nhs_number" -> {
+      def dig(i: Int) =
+        s"('0x' || substring(md5('nh:' || CAST(k AS VARCHAR)), $i, 1))::BIGINT % 10"
+      val wsum = (1 to 9).map(i => s"(${dig(i)}) * ${11 - i}").mkString(" + ")
+      val wdelta = (1 to 9).map(i => s"WHEN cpos = $i THEN ${11 - i} * cdelta")
+        .mkString("CASE ", " ", " END")
+      s"""WITH t AS (SELECT CAST(c_custkey AS BIGINT) AS k FROM customer),
+         |a AS (
+         |  SELECT k, ($wsum) % 11 AS r,
+         |    ('0x' || substring(md5('np:' || CAST(k AS VARCHAR)), 1, 4))::BIGINT % 9 + 1 AS cpos,
+         |    ('0x' || substring(md5('nd:' || CAST(k AS VARCHAR)), 1, 4))::BIGINT % 9 + 1 AS cdelta
+         |  FROM t),
+         |b AS (
+         |  SELECT k, r = 1 AS unissuable, (11 - r) % 11 AS chk,
+         |    r <> 1 AND k % 7 = 2 AS corrupt, cpos, cdelta, ($wdelta) AS wdelta
+         |  FROM a),
+         |v AS (
+         |  SELECT k, unissuable, corrupt,
+         |    NOT unissuable AND
+         |      (($wsum) + chk + CASE WHEN corrupt THEN wdelta ELSE 0 END) % 11 = 0 AS valid
+         |  FROM b)
+         |SELECT CAST(k % 4 AS INT) AS cohort,
+         |  CAST(COUNT(*) AS BIGINT) AS n_numbers,
+         |  CAST(SUM(CASE WHEN unissuable THEN 1 ELSE 0 END) AS BIGINT) AS n_unissuable,
+         |  CAST(SUM(CASE WHEN valid THEN 1 ELSE 0 END) AS BIGINT) AS n_valid,
+         |  CAST(SUM(CASE WHEN NOT valid AND NOT unissuable THEN 1 ELSE 0 END) AS BIGINT) AS n_invalid,
+         |  CAST(SUM(CASE WHEN corrupt THEN 1 ELSE 0 END) AS BIGINT) AS n_corrupted
+         |FROM v GROUP BY 1 ORDER BY cohort""".stripMargin
+    },
 
     "fn_bech32_check" -> {
       val hrpState = bech32Fold(1L, Seq(3L, 3L, 0L, 2L, 3L))
