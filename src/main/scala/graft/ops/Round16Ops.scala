@@ -1400,6 +1400,125 @@ object Round16Ops {
             .as("n_invalid"),
           sum(when(col("corrupt"), 1L).otherwise(0L)).as("n_corrupted"))
         .orderBy("cohort")
+    }),
+
+    // MoE capacity-factor token dropping — llm_moe_balance grades router
+    // SKEW; this grades what the capacity factor does about it: tokens
+    // route top-1 by md5 with a planted hot expert (30% forced to 0),
+    // per-(batch, expert) capacity C = 25% above the uniform share; over-
+    // capacity tokens try their second choice and are admitted iff that
+    // expert's PRIMARY load is under capacity (the single-reroute rule —
+    // deterministic, window-based), else DROPPED. Conservation admitted +
+    // rerouted + dropped == tokens is graded per expert alongside the
+    // loads — the spec asserts only the hot expert drops and the drop
+    // mass matches its overflow minus successful reroutes.
+    "llm_moe_capacity_drop" -> ((s, d) => {
+      val toks = Tables.orders(s, d)
+        .select(col("o_orderkey").cast("bigint").as("k"))
+        .withColumn("batch", expr("k DIV 256"))
+        .withColumn("g", expr(
+          "CAST(conv(substring(md5(concat('me:', CAST(k AS STRING))), 1, 6), 16, 10) AS BIGINT) % 10"))
+        .withColumn("e1", expr(
+          "CASE WHEN g < 3 THEN CAST(0 AS BIGINT) ELSE CAST(conv(substring(md5(concat('m1:', CAST(k AS STRING))), 1, 6), 16, 10) AS BIGINT) % 8 END"))
+        .withColumn("e2x", expr(
+          "CAST(conv(substring(md5(concat('m2:', CAST(k AS STRING))), 1, 6), 16, 10) AS BIGINT) % 8"))
+        .withColumn("e2", expr("CASE WHEN e2x = e1 THEN (e2x + 1) % 8 ELSE e2x END"))
+        .localCheckpoint()
+      val batchSizes = toks.groupBy("batch").agg(count(lit(1)).as("bn"))
+        .withColumn("cap", expr("(bn * 125) DIV (8 * 100) + 1"))
+      val wE = Window.partitionBy("batch", "e1")
+        .orderBy(md5(concat(lit("mo:"), col("k").cast("string"))), col("k"))
+      val ranked = toks.withColumn("rn", row_number().over(wE))
+        .join(broadcast(batchSizes), Seq("batch"))
+        .withColumn("admitted", col("rn") <= col("cap"))
+        .localCheckpoint()
+      val primaryLoad = ranked.groupBy(col("batch").as("b2"), col("e1").as("pe"))
+        .agg(count(lit(1)).as("pload"))
+      val routed = ranked.join(primaryLoad,
+          col("batch") === col("b2") && col("e2") === col("pe"), "left")
+        .withColumn("pload", coalesce(col("pload"), lit(0L)))
+        .withColumn("outcome", expr(
+          """CASE WHEN admitted THEN 'admitted'
+            | WHEN pload < cap THEN 'rerouted'
+            | ELSE 'dropped' END""".stripMargin))
+      routed.groupBy("e1")
+        .agg(count(lit(1)).as("primary_tokens"),
+          sum(when(col("outcome") === "admitted", 1L).otherwise(0L)).as("n_admitted"),
+          sum(when(col("outcome") === "rerouted", 1L).otherwise(0L)).as("n_rerouted_out"),
+          sum(when(col("outcome") === "dropped", 1L).otherwise(0L)).as("n_dropped"))
+        .orderBy("e1")
+    }),
+
+    // Counter-rollover correction — the uint24 wrap every metrics
+    // pipeline must undo (network byte counters, energy meters): planted
+    // monotone cumulative series read modulo 2²⁴, reconstructed delta =
+    // (r_t − r_{t−1} + 2²⁴) % 2²⁴ via one lag window. The reconstruction
+    // law is graded EXACTLY: Σ deltas == true cumulative growth (every
+    // wrap undone — one missed wrap shifts the mass by 2²⁴), wraps
+    // census == planted wrap count. Per device-class rollup.
+    "fn_counter_rollover" -> ((s, d) => {
+      val wOrd = Window.partitionBy("m").orderBy("t")
+      val obs = Tables.supplier(s, d)
+        .select(col("s_suppkey").cast("bigint").as("m"))
+        .withColumn("cls", (col("m") % 3).cast("int"))
+        .withColumn("t", explode(expr("sequence(0, 23)")))
+        .withColumn("inc", expr(
+          "(1 + m % 3) * (CAST(conv(substring(md5(concat('cr:', CAST(m AS STRING), ':', CAST(t AS STRING))), 1, 6), 16, 10) AS BIGINT) % 3000000)"))
+        .withColumn("cum",
+          sum("inc").over(wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("reading", expr("cum % 16777216"))
+      val rec = obs
+        .withColumn("prev", lag("reading", 1).over(wOrd))
+        .withColumn("delta", expr("(reading - prev + 16777216) % 16777216"))
+        .withColumn("wrap", expr("reading < prev"))
+      val per = rec.groupBy("m", "cls")
+        .agg(sum("delta").as("recon_growth"),
+          (max("cum") - min("cum")).as("true_growth"),
+          sum(when(col("wrap"), 1L).otherwise(0L)).as("n_wraps"))
+      per.groupBy("cls")
+        .agg(count(lit(1)).as("n_devices"),
+          sum("recon_growth").as("recon_mass"),
+          sum("true_growth").as("true_mass"),
+          sum(when(col("recon_growth") === col("true_growth"), 1L).otherwise(0L))
+            .as("n_exact"),
+          sum("n_wraps").as("wrap_mass"))
+        .orderBy("cls")
+    }),
+
+    // Data-contract check — the schema/domain gate a landing feed passes
+    // before merge: the orders stream with three PLANTED violation
+    // classes (status 'X' at 1-in-97, negative price at 1-in-89, a
+    // duplicated-key slice at 1-in-101) audited against the contract
+    // (status enum, price > 0, key uniqueness via a count window).
+    // Graded per rule: violations == the planted census exactly, plus
+    // the overall pass verdict each rule's threshold implies. One scan +
+    // one key rollup.
+    "warehouse_data_contract" -> ((s, d) => {
+      val feed = Tables.orders(s, d)
+        .select(col("o_orderkey").cast("bigint").as("k"),
+          col("o_orderstatus").as("status0"),
+          round(col("o_totalprice") * 100).cast("bigint").as("cents0"))
+        .withColumn("status",
+          when(col("k") % 97 === 5, lit("X")).otherwise(col("status0")))
+        .withColumn("cents",
+          when(col("k") % 89 === 7, -col("cents0")).otherwise(col("cents0")))
+      val dupes = feed.where(col("k") % 101 === 9)
+      val landed = feed.unionByName(dupes).localCheckpoint()
+      val keyCounts = landed.groupBy("k").agg(count(lit(1)).as("kc"))
+      val enumViol = landed.agg(
+        sum(when(!col("status").isin("O", "F", "P"), 1L).otherwise(0L)).as("v"))
+        .select(lit("status_enum").as("rule"), col("v").as("n_violations"))
+      val rangeViol = landed.agg(
+        sum(when(col("cents") <= 0L, 1L).otherwise(0L)).as("v"))
+        .select(lit("price_positive").as("rule"), col("v").as("n_violations"))
+      val dupViol = keyCounts.where(col("kc") > 1)
+        .agg(coalesce(sum(col("kc") - 1), lit(0L)).as("v"))
+        .select(lit("key_unique").as("rule"), col("v").as("n_violations"))
+      val total = landed.agg(count(lit(1)).as("v"))
+        .select(lit("rows_landed").as("rule"), col("v").as("n_violations"))
+      enumViol.unionByName(rangeViol).unionByName(dupViol).unionByName(total)
+        .withColumn("passed", col("n_violations") === 0L)
+        .orderBy("rule")
     })
   )
 
@@ -1800,6 +1919,95 @@ object Round16Ops {
         |  CAST(SUM(q_big) AS BIGINT) AS all_big_quality,
         |  CAST(COUNT(*) * 12 AS BIGINT) AS all_big_cost
         |FROM q1 GROUP BY 1 ORDER BY cohort""".stripMargin,
+
+    "llm_moe_capacity_drop" ->
+      """WITH toks AS (
+        |  SELECT CAST(o_orderkey AS BIGINT) AS k, o_orderkey // 256 AS batch,
+        |    CASE WHEN ('0x' || substring(md5('me:' || CAST(o_orderkey AS VARCHAR)), 1, 6))::BIGINT % 10 < 3
+        |      THEN CAST(0 AS BIGINT)
+        |      ELSE ('0x' || substring(md5('m1:' || CAST(o_orderkey AS VARCHAR)), 1, 6))::BIGINT % 8 END AS e1,
+        |    ('0x' || substring(md5('m2:' || CAST(o_orderkey AS VARCHAR)), 1, 6))::BIGINT % 8 AS e2x
+        |  FROM orders),
+        |t2 AS (SELECT *, CASE WHEN e2x = e1 THEN (e2x + 1) % 8 ELSE e2x END AS e2 FROM toks),
+        |bs AS (SELECT batch, COUNT(*) AS bn, (COUNT(*) * 125) // (8 * 100) + 1 AS cap
+        |  FROM t2 GROUP BY 1),
+        |ranked AS (
+        |  SELECT t2.*, bs.cap,
+        |    ROW_NUMBER() OVER (PARTITION BY t2.batch, t2.e1
+        |      ORDER BY md5('mo:' || CAST(t2.k AS VARCHAR)), t2.k) AS rn
+        |  FROM t2 JOIN bs ON bs.batch = t2.batch),
+        |pl AS (SELECT batch AS b2, e1 AS pe, CAST(COUNT(*) AS BIGINT) AS pload
+        |  FROM ranked GROUP BY 1, 2),
+        |routed AS (
+        |  SELECT r.e1,
+        |    CASE WHEN r.rn <= r.cap THEN 'admitted'
+        |      WHEN coalesce(pl.pload, 0) < r.cap THEN 'rerouted'
+        |      ELSE 'dropped' END AS outcome
+        |  FROM ranked r LEFT JOIN pl ON pl.b2 = r.batch AND pl.pe = r.e2)
+        |SELECT e1, CAST(COUNT(*) AS BIGINT) AS primary_tokens,
+        |  CAST(SUM(CASE WHEN outcome = 'admitted' THEN 1 ELSE 0 END) AS BIGINT) AS n_admitted,
+        |  CAST(SUM(CASE WHEN outcome = 'rerouted' THEN 1 ELSE 0 END) AS BIGINT) AS n_rerouted_out,
+        |  CAST(SUM(CASE WHEN outcome = 'dropped' THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+        |FROM routed GROUP BY 1 ORDER BY e1""".stripMargin,
+
+    "fn_counter_rollover" ->
+      """WITH obs AS (
+        |  SELECT m, cls, t,
+        |    (1 + m % 3) * (('0x' || substring(md5('cr:' || CAST(m AS VARCHAR) || ':' || CAST(t AS VARCHAR)), 1, 6))::BIGINT % 3000000) AS inc
+        |  FROM (SELECT CAST(s_suppkey AS BIGINT) AS m,
+        |      CAST(s_suppkey % 3 AS INT) AS cls FROM supplier) q,
+        |    generate_series(0, 23) AS g(t)),
+        |c AS (
+        |  SELECT m, cls, t,
+        |    CAST(SUM(inc) OVER (PARTITION BY m ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        |  FROM obs),
+        |r AS (
+        |  SELECT m, cls, cum, cum % 16777216 AS reading,
+        |    LAG(cum % 16777216, 1) OVER (PARTITION BY m ORDER BY t) AS prev
+        |  FROM c),
+        |x AS (
+        |  SELECT m, cls, cum,
+        |    (reading - prev + 16777216) % 16777216 AS delta,
+        |    CASE WHEN reading < prev THEN 1 ELSE 0 END AS wrap
+        |  FROM r),
+        |per AS (
+        |  SELECT m, cls, CAST(SUM(delta) AS BIGINT) AS recon_growth,
+        |    CAST(MAX(cum) - MIN(cum) AS BIGINT) AS true_growth,
+        |    CAST(SUM(wrap) AS BIGINT) AS n_wraps
+        |  FROM x GROUP BY 1, 2)
+        |SELECT cls, CAST(COUNT(*) AS BIGINT) AS n_devices,
+        |  CAST(SUM(recon_growth) AS BIGINT) AS recon_mass,
+        |  CAST(SUM(true_growth) AS BIGINT) AS true_mass,
+        |  CAST(SUM(CASE WHEN recon_growth = true_growth THEN 1 ELSE 0 END) AS BIGINT) AS n_exact,
+        |  CAST(SUM(n_wraps) AS BIGINT) AS wrap_mass
+        |FROM per GROUP BY 1 ORDER BY cls""".stripMargin,
+
+    "warehouse_data_contract" ->
+      """WITH feed AS (
+        |  SELECT CAST(o_orderkey AS BIGINT) AS k,
+        |    CASE WHEN o_orderkey % 97 = 5 THEN 'X' ELSE o_orderstatus END AS status,
+        |    CASE WHEN o_orderkey % 89 = 7
+        |      THEN -CAST(ROUND(o_totalprice * 100) AS BIGINT)
+        |      ELSE CAST(ROUND(o_totalprice * 100) AS BIGINT) END AS cents
+        |  FROM orders),
+        |landed AS (
+        |  SELECT * FROM feed
+        |  UNION ALL SELECT * FROM feed WHERE k % 101 = 9),
+        |kc AS (SELECT k, COUNT(*) AS n FROM landed GROUP BY 1),
+        |rules AS (
+        |  SELECT 'key_unique' AS rule,
+        |    CAST(coalesce((SELECT SUM(n - 1) FROM kc WHERE n > 1), 0) AS BIGINT) AS n_violations
+        |  UNION ALL
+        |  SELECT 'price_positive',
+        |    (SELECT CAST(SUM(CASE WHEN cents <= 0 THEN 1 ELSE 0 END) AS BIGINT) FROM landed)
+        |  UNION ALL
+        |  SELECT 'rows_landed', (SELECT CAST(COUNT(*) AS BIGINT) FROM landed)
+        |  UNION ALL
+        |  SELECT 'status_enum',
+        |    (SELECT CAST(SUM(CASE WHEN status NOT IN ('O', 'F', 'P') THEN 1 ELSE 0 END) AS BIGINT) FROM landed))
+        |SELECT rule, n_violations, n_violations = 0 AS passed
+        |FROM rules ORDER BY rule""".stripMargin,
 
     "warehouse_write_audit_publish" ->
       """WITH a AS (
