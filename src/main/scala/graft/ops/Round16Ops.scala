@@ -1519,6 +1519,129 @@ object Round16Ops {
       enumViol.unionByName(rangeViol).unionByName(dupViol).unionByName(total)
         .withColumn("passed", col("n_violations") === 0L)
         .orderBy("rule")
+    }),
+
+    // OFAC 50%-rule ownership cascade — the sanctions-exposure screen a
+    // KYC service runs over an ownership DAG: sanctioned roots (k%50=0),
+    // level-1 entities owned 60% or 40% by a root (the 60% branch is
+    // blocked, the 40% is not), level-2 owned 80% by their level-1
+    // parent. Blocked status CASCADES as full ownership (the OFAC rule:
+    // property of a blocked person): three unrolled rounds of
+    // "Σ ownership pct held by blocked owners ≥ 50%" — so the level-2
+    // children of blocked level-1 parents are blocked even though the
+    // multiplied-through exposure (48%) is not. Graded per level class:
+    // entities, blocked census, blocked-ownership mass.
+    "join_ownership_sanctions" -> ((s, d) => {
+      val ents = Tables.customer(s, d)
+        .select(col("c_custkey").cast("bigint").as("k"))
+        .withColumn("lvl", expr(
+          """CASE WHEN k % 50 = 0 THEN 0 WHEN k % 50 = 1 THEN 1
+            | WHEN k % 50 = 2 THEN 2 ELSE 9 END""".stripMargin))
+        .localCheckpoint()
+      val edges = ents.where(col("lvl") === 1)
+        .select(col("k").as("child"), (col("k") - 1).as("owner"),
+          when(col("k") % 100 === 1, 60L).otherwise(40L).as("pct"))
+        .unionByName(ents.where(col("lvl") === 2)
+          .select(col("k").as("child"), (col("k") - 1).as("owner"),
+            lit(80L).as("pct")))
+        .localCheckpoint()
+      var blocked = ents.where(col("lvl") === 0).select(col("k")).localCheckpoint()
+      for (_ <- 1 to 3) {
+        val newly = edges
+          .join(blocked.select(col("k").as("owner")), Seq("owner"), "left_semi")
+          .groupBy("child").agg(sum("pct").as("bpct"))
+          .where(col("bpct") >= 50L)
+          .select(col("child").as("k"))
+        blocked = blocked.unionByName(newly).distinct().localCheckpoint()
+      }
+      val bset = blocked.withColumn("isb", lit(true))
+      ents.join(bset, Seq("k"), "left")
+        .withColumn("isb", coalesce(col("isb"), lit(false)))
+        .groupBy("lvl")
+        .agg(count(lit(1)).as("n_entities"),
+          sum(when(col("isb"), 1L).otherwise(0L)).as("n_blocked"))
+        .orderBy("lvl")
+    }),
+
+    // Time-respecting reachability — the layering trace an AML monitor
+    // follows (funds hop a→b→c only along INCREASING timestamps within a
+    // window): planted 3-hop chains (three consecutive ledger slots form
+    // base→base+1→base+2→base+3 at t, t+1, t+2) inside md5 background
+    // noise; 2-hop and 3-hop paths found by unrolled self-joins keyed on
+    // the account (equi) with the ≤5-slot window as residual — per-edge
+    // successor fan-out is window-bounded, never all-pairs. Graded:
+    // per-hop path censuses and completed planted chains (every planted
+    // chain must be found; background accidentals are the honest
+    // surplus).
+    "join_temporal_reachability" -> ((s, d) => {
+      val e = Tables.orders(s, d)
+        .select(col("o_orderkey").cast("bigint").as("t"))
+        .withColumn("planted", col("t") % 90 < 3)
+        .withColumn("hop", col("t") % 90)
+        .withColumn("base", expr("((t DIV 90) * 10) % 1000"))
+        .withColumn("src", when(col("planted"), col("base") + col("hop"))
+          .otherwise(expr(
+            "CAST(conv(substring(md5(concat('ts:', CAST(t AS STRING))), 1, 6), 16, 10) AS BIGINT) % 1000")))
+        .withColumn("dst", when(col("planted"), col("base") + col("hop") + 1)
+          .otherwise(expr(
+            "CAST(conv(substring(md5(concat('td:', CAST(t AS STRING))), 1, 6), 16, 10) AS BIGINT) % 1000")))
+        .where(col("src") =!= col("dst"))
+        .select("src", "dst", "t")
+        .localCheckpoint()
+      // the successor join keys on (account, 5-slot time bucket) — the
+      // probe side explodes to its 2 candidate buckets, so the equi-join
+      // carries the window and the account-only fan-out (~in·out per hot
+      // account) never materializes
+      val eB = e.withColumn("bkt", expr("t DIV 5")).localCheckpoint()
+      def successors(probe: DataFrame, acctCol: String, tCol: String): DataFrame =
+        probe
+          .withColumn("cand", explode(array(expr(s"$tCol DIV 5"), expr(s"$tCol DIV 5 + 1"))))
+          .join(eB.select(col("src").as("nsrc"), col("dst").as("ndst"),
+            col("t").as("nt"), col("bkt").as("cand")), Seq("cand"))
+          .where(col(acctCol) === col("nsrc") && col("nt") > col(tCol)
+            && col("nt") <= col(tCol) + 5)
+      val hop2 = successors(
+          e.select(col("src").as("s"), col("dst").as("mid1"), col("t").as("t1")),
+          "mid1", "t1")
+        .select(col("s"), col("t1"), col("ndst").as("mid2"), col("nt").as("t2"))
+        .localCheckpoint()
+      val hop3 = successors(hop2, "mid2", "t2")
+        .select(col("s"), col("ndst").as("d3"), col("t1"))
+      val nChains = e.agg(sum(when(col("t") % 90 === 0, 1L).otherwise(0L))
+        .as("n_planted_starts"))
+      hop3.agg(count(lit(1)).as("n_3hop_paths"),
+          sum(when(col("d3") === col("s") + 3, 1L).otherwise(0L))
+            .as("n_chain_completions"))
+        .crossJoin(broadcast(hop2.agg(count(lit(1)).as("n_2hop_paths"))))
+        .crossJoin(broadcast(nChains))
+        .select("n_2hop_paths", "n_3hop_paths", "n_chain_completions",
+          "n_planted_starts")
+    }),
+
+    // Demand-censoring audit — the stockout bias a forecaster must
+    // quantify before trusting sales as demand: planted daily demand
+    // (md5 % 40 + 10·class) against a fixed shelf stock of 35, observed
+    // sales = min(demand, stock). Graded per class with the TRUE demand
+    // in hand: true vs observed mass, censored-day census, bias ppm —
+    // the spec asserts the bias grows with the planted demand level (the
+    // higher class stocks out more) and the uncensored class reads
+    // nearly unbiased.
+    "agg_demand_censoring" -> ((s, d) => {
+      Tables.part(s, d)
+        .select(col("p_partkey").cast("bigint").as("p"))
+        .withColumn("cls", (col("p") % 3).cast("int"))
+        .withColumn("t", explode(expr("sequence(0, 23)")))
+        .withColumn("demand", expr(
+          "CAST(conv(substring(md5(concat('dm:', CAST(p AS STRING), ':', CAST(t AS STRING))), 1, 6), 16, 10) AS BIGINT) % 40") + col("cls") * 10L)
+        .withColumn("sales", least(col("demand"), lit(35L)))
+        .groupBy("cls")
+        .agg(count(lit(1)).as("n_days"),
+          sum("demand").as("true_mass"),
+          sum("sales").as("observed_mass"),
+          sum(when(col("demand") >= 35L, 1L).otherwise(0L)).as("censored_days"))
+        .withColumn("bias_ppm", expr(
+          "((true_mass - observed_mass) * 1000000) DIV true_mass"))
+        .orderBy("cls")
     })
   )
 
@@ -1919,6 +2042,76 @@ object Round16Ops {
         |  CAST(SUM(q_big) AS BIGINT) AS all_big_quality,
         |  CAST(COUNT(*) * 12 AS BIGINT) AS all_big_cost
         |FROM q1 GROUP BY 1 ORDER BY cohort""".stripMargin,
+
+    "join_ownership_sanctions" ->
+      """WITH ents AS (
+        |  SELECT CAST(c_custkey AS BIGINT) AS k,
+        |    CASE WHEN c_custkey % 50 = 0 THEN 0 WHEN c_custkey % 50 = 1 THEN 1
+        |      WHEN c_custkey % 50 = 2 THEN 2 ELSE 9 END AS lvl
+        |  FROM customer),
+        |edges AS (
+        |  SELECT k AS child, k - 1 AS owner,
+        |    CASE WHEN k % 100 = 1 THEN 60 ELSE 40 END AS pct
+        |  FROM ents WHERE lvl = 1
+        |  UNION ALL SELECT k, k - 1, 80 FROM ents WHERE lvl = 2),
+        |blk0 AS (SELECT k FROM ents WHERE lvl = 0),
+        |n1 AS (SELECT child AS k FROM edges
+        |  JOIN blk0 ON blk0.k = edges.owner
+        |  GROUP BY child HAVING SUM(pct) >= 50),
+        |blk1 AS (SELECT k FROM blk0 UNION SELECT k FROM n1),
+        |n2 AS (SELECT child AS k FROM edges
+        |  JOIN blk1 ON blk1.k = edges.owner
+        |  GROUP BY child HAVING SUM(pct) >= 50),
+        |blk2 AS (SELECT k FROM blk1 UNION SELECT k FROM n2),
+        |n3 AS (SELECT child AS k FROM edges
+        |  JOIN blk2 ON blk2.k = edges.owner
+        |  GROUP BY child HAVING SUM(pct) >= 50),
+        |blk3 AS (SELECT k FROM blk2 UNION SELECT k FROM n3)
+        |SELECT lvl, CAST(COUNT(*) AS BIGINT) AS n_entities,
+        |  CAST(SUM(CASE WHEN b.k IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_blocked
+        |FROM ents e LEFT JOIN blk3 b ON b.k = e.k
+        |GROUP BY 1 ORDER BY lvl""".stripMargin,
+
+    "join_temporal_reachability" ->
+      """WITH e AS (
+        |  SELECT
+        |    CASE WHEN t % 90 < 3 THEN ((t // 90) * 10) % 1000 + (t % 90)
+        |      ELSE ('0x' || substring(md5('ts:' || CAST(t AS VARCHAR)), 1, 6))::BIGINT % 1000 END AS src,
+        |    CASE WHEN t % 90 < 3 THEN ((t // 90) * 10) % 1000 + (t % 90) + 1
+        |      ELSE ('0x' || substring(md5('td:' || CAST(t AS VARCHAR)), 1, 6))::BIGINT % 1000 END AS dst,
+        |    t
+        |  FROM (SELECT CAST(o_orderkey AS BIGINT) AS t FROM orders) q0),
+        |e2 AS (SELECT * FROM e WHERE src <> dst),
+        |h2 AS (
+        |  SELECT a.src AS s, a.t AS t1, b.dst AS mid2, b.t AS t2
+        |  FROM e2 a JOIN e2 b ON b.src = a.dst AND b.t > a.t AND b.t <= a.t + 5),
+        |h3 AS (
+        |  SELECT h2.s, c.dst AS d3, h2.t1
+        |  FROM h2 JOIN e2 c ON c.src = h2.mid2 AND c.t > h2.t2 AND c.t <= h2.t2 + 5)
+        |SELECT
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM h2) AS n_2hop_paths,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM h3) AS n_3hop_paths,
+        |  (SELECT CAST(SUM(CASE WHEN d3 = s + 3 THEN 1 ELSE 0 END) AS BIGINT) FROM h3) AS n_chain_completions,
+        |  (SELECT CAST(SUM(CASE WHEN t % 90 = 0 THEN 1 ELSE 0 END) AS BIGINT) FROM e2) AS n_planted_starts""".stripMargin,
+
+    "agg_demand_censoring" ->
+      """WITH obs AS (
+        |  SELECT p, cls, t,
+        |    ('0x' || substring(md5('dm:' || CAST(p AS VARCHAR) || ':' || CAST(t AS VARCHAR)), 1, 6))::BIGINT % 40
+        |      + cls * 10 AS demand
+        |  FROM (SELECT CAST(p_partkey AS BIGINT) AS p,
+        |      CAST(p_partkey % 3 AS INT) AS cls FROM part) q,
+        |    generate_series(0, 23) AS g(t)),
+        |x AS (SELECT cls, demand, LEAST(demand, 35) AS sales FROM obs),
+        |r AS (
+        |  SELECT cls, CAST(COUNT(*) AS BIGINT) AS n_days,
+        |    CAST(SUM(demand) AS BIGINT) AS true_mass,
+        |    CAST(SUM(sales) AS BIGINT) AS observed_mass,
+        |    CAST(SUM(CASE WHEN demand >= 35 THEN 1 ELSE 0 END) AS BIGINT) AS censored_days
+        |  FROM x GROUP BY 1)
+        |SELECT cls, n_days, true_mass, observed_mass, censored_days,
+        |  ((true_mass - observed_mass) * 1000000) // true_mass AS bias_ppm
+        |FROM r ORDER BY cls""".stripMargin,
 
     "llm_moe_capacity_drop" ->
       """WITH toks AS (
