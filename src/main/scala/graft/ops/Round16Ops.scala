@@ -1642,6 +1642,108 @@ object Round16Ops {
         .withColumn("bias_ppm", expr(
           "((true_mass - observed_mass) * 1000000) DIV true_mass"))
         .orderBy("cls")
+    }),
+
+    // Four-eyes / segregation-of-duties audit — the governance screen an
+    // approval ledger passes: requester and approver ids with team =
+    // id DIV 10; planted self-approvals (1-in-41) and same-team
+    // approvals (1-in-43, adjacent id), background approvers md5-random
+    // (≈1-in-20 land same-team by chance — the honest surplus). Rule R1
+    // (approver == requester) fires EXACTLY on its plant; R2 (same team,
+    // different id) fires on its plant plus the chance mass. Graded per
+    // cohort with both planted censuses alongside.
+    "join_four_eyes" -> ((s, d) => {
+      val t = Tables.orders(s, d)
+        .select(col("o_orderkey").cast("bigint").as("k"))
+        .withColumn("req", col("k") % 200L)
+        .withColumn("appr", expr(
+          """CASE WHEN k % 41 = 3 THEN k % 200
+            | WHEN k % 43 = 5 THEN (k % 200) - (k % 200) % 10 + ((k % 200) + 1) % 10
+            | ELSE CAST(conv(substring(md5(concat('ap:', CAST(k AS STRING))), 1, 6), 16, 10) AS BIGINT) % 200
+            | END""".stripMargin))
+        .withColumn("r1", col("req") === col("appr"))
+        .withColumn("r2", expr("req DIV 10 = appr DIV 10") && col("req") =!= col("appr"))
+      t.groupBy((col("k") % 4).cast("int").as("cohort"))
+        .agg(count(lit(1)).as("n_approvals"),
+          sum(when(col("r1"), 1L).otherwise(0L)).as("r1_violations"),
+          sum(when(col("r2"), 1L).otherwise(0L)).as("r2_violations"),
+          sum(when(col("k") % 41 === 3, 1L).otherwise(0L)).as("planted_r1"),
+          sum(when(col("k") % 43 === 5 && col("k") % 41 =!= 3, 1L).otherwise(0L))
+            .as("planted_r2"))
+        .orderBy("cohort")
+    }),
+
+    // Embedding-snapshot drift monitor — warehouse_schema_drift's twin
+    // for the vector column: snapshot B carries a planted +0.05 shift on
+    // dims 0–7 of every even vector; per-dim means in exact micro
+    // integers (floor(x·10⁶) sums), delta = meanB − meanA is EXACTLY
+    // zero on unshifted dims (same vectors) and ≈ +25000 µ on shifted
+    // ones — flag |delta| > 20000. Graded per 8-dim block: flagged dims
+    // (block 0 → 8, rest → 0, exactly), |delta| mass. One posexplode +
+    // two rollups.
+    "llm_embed_drift" -> ((s, d) => {
+      val dims = Tables.embeddings(s, d)
+        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "v")))
+        .withColumn("a", expr("CAST(FLOOR(CAST(v AS DOUBLE) * 1000000) AS BIGINT)"))
+        .withColumn("b", expr(
+          "CAST(FLOOR((CAST(v AS DOUBLE) + CASE WHEN dim < 8 AND vec_id % 2 = 0 THEN 0.05 ELSE 0.0 END) * 1000000) AS BIGINT)"))
+      val perDim = dims.groupBy("dim")
+        .agg(count(lit(1)).as("n"), sum("a").as("sa"), sum("b").as("sb"))
+        .withColumn("delta_micro", expr("(sb - sa) DIV n"))
+        .withColumn("flagged", abs(col("delta_micro")) > 20000L)
+      perDim.groupBy(expr("CAST(dim DIV 8 AS INT)").as("dim_block"))
+        .agg(count(lit(1)).as("n_dims"),
+          sum(when(col("flagged"), 1L).otherwise(0L)).as("n_flagged"),
+          sum(abs(col("delta_micro"))).as("abs_delta_mass"))
+        .orderBy("dim_block")
+    }),
+
+    // Max-min fair allocation (water-filling) — the per-pool quota
+    // division a multi-tenant service computes: tenants sorted by
+    // demand, the satisfied prefix takes its demand, the rest split the
+    // remaining capacity at the fair level θ = (C − satisfied mass) DIV
+    // n_unsatisfied — all via per-pool windows, no iteration; C = 250
+    // per tenant so the class split survives every scale factor. Pools
+    // with total demand ≤ C satisfy everyone; overloaded pools never
+    // exceed C (floor guarantees Σ alloc ≤ C). Graded per pool-load
+    // class: demand/alloc masses, satisfied/throttled censuses.
+    "service_maxmin_fair" -> ((s, d) => {
+      val ten = Tables.customer(s, d)
+        .select(col("c_custkey").cast("bigint").as("tn"))
+        .withColumn("pool", col("tn") % 40L)
+        .withColumn("cls", (col("pool") % 2).cast("int"))
+        // even pools stay under the 1000 capacity, odd pools overload
+        .withColumn("dem", expr(
+          "CAST(conv(substring(md5(concat('mf:', CAST(tn AS STRING))), 1, 6), 16, 10) AS BIGINT) % (120 + (pool % 2) * 400) + 20"))
+      val wP = Window.partitionBy("pool").orderBy("dem", "tn")
+      val ranked = ten
+        .withColumn("rn", row_number().over(wP))
+        .withColumn("cum", sum("dem").over(
+          wP.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("cnt", count(lit(1)).over(Window.partitionBy("pool")))
+        // capacity rides the pool population (250 per tenant) so the
+        // under/over class split is scale-invariant: even pools (demand
+        // ≤ 139 < 250) can NEVER overload, odd pools (mean ≈ 280) do
+        .withColumn("cap", col("cnt") * 250L)
+        .withColumn("level", expr("(cap - (cum - dem)) DIV (cnt - rn + 1)"))
+        .withColumn("satisfied", col("dem") <= col("level"))
+      val poolTheta = ranked.groupBy("pool")
+        .agg(max("cap").as("cap"),
+          sum(when(col("satisfied"), col("dem")).otherwise(0L)).as("sat_mass"),
+          sum(when(!col("satisfied"), 1L).otherwise(0L)).as("n_unsat"))
+        .withColumn("theta", expr(
+          "CASE WHEN n_unsat > 0 THEN (cap - sat_mass) DIV n_unsat ELSE 0 END"))
+      ranked.join(broadcast(poolTheta.select("pool", "theta")), Seq("pool"))
+        .withColumn("alloc",
+          when(col("satisfied"), col("dem")).otherwise(col("theta")))
+        .groupBy("cls")
+        .agg(countDistinct("pool").as("n_pools"),
+          count(lit(1)).as("n_tenants"),
+          sum("dem").as("demand_mass"),
+          sum("alloc").as("alloc_mass"),
+          sum(when(col("satisfied"), 1L).otherwise(0L)).as("n_satisfied"),
+          sum(when(!col("satisfied"), 1L).otherwise(0L)).as("n_throttled"))
+        .orderBy("cls")
     })
   )
 
@@ -2042,6 +2144,81 @@ object Round16Ops {
         |  CAST(SUM(q_big) AS BIGINT) AS all_big_quality,
         |  CAST(COUNT(*) * 12 AS BIGINT) AS all_big_cost
         |FROM q1 GROUP BY 1 ORDER BY cohort""".stripMargin,
+
+    "join_four_eyes" ->
+      """WITH t AS (
+        |  SELECT CAST(o_orderkey AS BIGINT) AS k, o_orderkey % 200 AS req,
+        |    CASE WHEN o_orderkey % 41 = 3 THEN o_orderkey % 200
+        |      WHEN o_orderkey % 43 = 5
+        |        THEN (o_orderkey % 200) - (o_orderkey % 200) % 10 + ((o_orderkey % 200) + 1) % 10
+        |      ELSE ('0x' || substring(md5('ap:' || CAST(o_orderkey AS VARCHAR)), 1, 6))::BIGINT % 200
+        |    END AS appr
+        |  FROM orders)
+        |SELECT CAST(k % 4 AS INT) AS cohort,
+        |  CAST(COUNT(*) AS BIGINT) AS n_approvals,
+        |  CAST(SUM(CASE WHEN req = appr THEN 1 ELSE 0 END) AS BIGINT) AS r1_violations,
+        |  CAST(SUM(CASE WHEN req // 10 = appr // 10 AND req <> appr THEN 1 ELSE 0 END) AS BIGINT) AS r2_violations,
+        |  CAST(SUM(CASE WHEN k % 41 = 3 THEN 1 ELSE 0 END) AS BIGINT) AS planted_r1,
+        |  CAST(SUM(CASE WHEN k % 43 = 5 AND k % 41 <> 3 THEN 1 ELSE 0 END) AS BIGINT) AS planted_r2
+        |FROM t GROUP BY 1 ORDER BY cohort""".stripMargin,
+
+    "llm_embed_drift" ->
+      """WITH pos AS (SELECT CAST(i AS BIGINT) AS dim FROM generate_series(0, 63) AS t(i)),
+        |dims AS (
+        |  SELECT e.vec_id, p.dim,
+        |    CAST(FLOOR(CAST(e.embedding[p.dim + 1] AS DOUBLE) * 1000000) AS BIGINT) AS a,
+        |    CAST(FLOOR((CAST(e.embedding[p.dim + 1] AS DOUBLE)
+        |      + CASE WHEN p.dim < 8 AND e.vec_id % 2 = 0 THEN 0.05 ELSE 0.0 END) * 1000000) AS BIGINT) AS b
+        |  FROM embeddings e, pos p WHERE p.dim + 1 <= len(e.embedding)),
+        |per AS (
+        |  SELECT dim, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(a) AS BIGINT) AS sa, CAST(SUM(b) AS BIGINT) AS sb
+        |  FROM dims GROUP BY 1),
+        |x AS (
+        |  SELECT dim, (sb - sa) // n AS delta_micro FROM per)
+        |SELECT CAST(dim // 8 AS INT) AS dim_block,
+        |  CAST(COUNT(*) AS BIGINT) AS n_dims,
+        |  CAST(SUM(CASE WHEN abs(delta_micro) > 20000 THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+        |  CAST(SUM(abs(delta_micro)) AS BIGINT) AS abs_delta_mass
+        |FROM x GROUP BY 1 ORDER BY dim_block""".stripMargin,
+
+    "service_maxmin_fair" ->
+      """WITH ten AS (
+        |  SELECT CAST(c_custkey AS BIGINT) AS tn, c_custkey % 40 AS pool,
+        |    CAST((c_custkey % 40) % 2 AS INT) AS cls,
+        |    ('0x' || substring(md5('mf:' || CAST(c_custkey AS VARCHAR)), 1, 6))::BIGINT
+        |      % (120 + ((c_custkey % 40) % 2) * 400) + 20 AS dem
+        |  FROM customer),
+        |ranked AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY pool ORDER BY dem, tn) AS rn,
+        |    CAST(SUM(dem) OVER (PARTITION BY pool ORDER BY dem, tn
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+        |    COUNT(*) OVER (PARTITION BY pool) AS cnt
+        |  FROM ten),
+        |lv AS (
+        |  SELECT *, cnt * 250 AS cap,
+        |    (cnt * 250 - (cum - dem)) // (cnt - rn + 1) AS level
+        |  FROM ranked),
+        |sf AS (SELECT *, dem <= level AS satisfied FROM lv),
+        |pt AS (
+        |  SELECT pool, MAX(cap) AS cap,
+        |    CAST(SUM(CASE WHEN satisfied THEN dem ELSE 0 END) AS BIGINT) AS sat_mass,
+        |    CAST(SUM(CASE WHEN NOT satisfied THEN 1 ELSE 0 END) AS BIGINT) AS n_unsat
+        |  FROM sf GROUP BY 1),
+        |th AS (SELECT pool,
+        |    CASE WHEN n_unsat > 0 THEN (cap - sat_mass) // n_unsat ELSE 0 END AS theta
+        |  FROM pt),
+        |al AS (
+        |  SELECT sf.cls, sf.pool, sf.dem, sf.satisfied,
+        |    CASE WHEN sf.satisfied THEN sf.dem ELSE th.theta END AS alloc
+        |  FROM sf JOIN th ON th.pool = sf.pool)
+        |SELECT cls, CAST(COUNT(DISTINCT pool) AS BIGINT) AS n_pools,
+        |  CAST(COUNT(*) AS BIGINT) AS n_tenants,
+        |  CAST(SUM(dem) AS BIGINT) AS demand_mass,
+        |  CAST(SUM(alloc) AS BIGINT) AS alloc_mass,
+        |  CAST(SUM(CASE WHEN satisfied THEN 1 ELSE 0 END) AS BIGINT) AS n_satisfied,
+        |  CAST(SUM(CASE WHEN NOT satisfied THEN 1 ELSE 0 END) AS BIGINT) AS n_throttled
+        |FROM al GROUP BY 1 ORDER BY cls""".stripMargin,
 
     "join_ownership_sanctions" ->
       """WITH ents AS (
