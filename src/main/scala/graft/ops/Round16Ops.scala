@@ -1744,6 +1744,98 @@ object Round16Ops {
           sum(when(col("satisfied"), 1L).otherwise(0L)).as("n_satisfied"),
           sum(when(!col("satisfied"), 1L).otherwise(0L)).as("n_throttled"))
         .orderBy("cls")
+    }),
+
+    // T+2 settlement-fail ageing — the fails ledger a custodian reports
+    // (CSDR-style): each trade settles two days after trade date unless
+    // it fails; a failed attempt retries next day, and four consecutive
+    // fails trigger a buy-in. Per-attempt fail draws are md5 with a
+    // class-planted rate (30% vs 60%), the leading-fail run is a closed
+    // CASE chain (bounded 4 — no iteration). Graded per counterparty
+    // class: on-time census, delay-day mass, age histogram, buy-ins —
+    // the spec asserts the high-fail class ages worse at every bucket.
+    "agg_settlement_fails" -> ((s, d) => {
+      def fail(j: Int) =
+        s"(CAST(conv(substring(md5(concat('sf$j:', CAST(k AS STRING))), 1, 6), 16, 10) AS BIGINT) % 10 < 3 + 3 * (k % 2))"
+      val t = Tables.orders(s, d)
+        .select(col("o_orderkey").cast("bigint").as("k"))
+        .withColumn("cp_cls", (col("k") % 2).cast("int"))
+        .withColumn("delay", expr(
+          s"""CASE WHEN NOT ${fail(1)} THEN 0
+             | WHEN NOT ${fail(2)} THEN 1
+             | WHEN NOT ${fail(3)} THEN 2
+             | WHEN NOT ${fail(4)} THEN 3
+             | ELSE 4 END""".stripMargin))
+        .withColumn("buy_in", col("delay") === 4L)
+      t.groupBy("cp_cls")
+        .agg(count(lit(1)).as("n_trades"),
+          sum(when(col("delay") === 0L, 1L).otherwise(0L)).as("n_on_time"),
+          sum("delay").as("delay_day_mass"),
+          sum(when(col("delay") === 1L, 1L).otherwise(0L)).as("age1"),
+          sum(when(col("delay") === 2L, 1L).otherwise(0L)).as("age2"),
+          sum(when(col("delay") === 3L, 1L).otherwise(0L)).as("age3"),
+          sum(when(col("buy_in"), 1L).otherwise(0L)).as("n_buy_ins"))
+        .orderBy("cp_cls")
+    }),
+
+    // BIC (ISO 9362) structural validation — the counterparty-id gate
+    // beside IBAN/ABA/ISIN: BICs synthesized from md5 letters with a
+    // country code from the k%5 wheel (the fifth value 'XX' is a planted
+    // non-member) and a 1-in-9 lowercase corruption that breaks the
+    // [A-Z0-9] form; validity = structural regex AND country membership.
+    // Both planted censuses are caught exactly. Projection + rollup.
+    "fn_bic_validate" -> ((s, d) => {
+      def ch(i: Int) =
+        s"chr(65 + CAST(conv(substring(md5(concat('bc:', CAST(k AS STRING))), $i, 2), 16, 10) AS BIGINT) % 26)"
+      val t = Tables.customer(s, d)
+        .select(col("c_custkey").cast("bigint").as("k"))
+        .withColumn("country", expr(
+          "element_at(array('US', 'GB', 'DE', 'FR', 'XX'), CAST(k % 5 AS INT) + 1)"))
+        .withColumn("bank", expr(s"concat(${ch(1)}, ${ch(3)}, ${ch(5)}, ${ch(7)})"))
+        .withColumn("loc", expr(
+          "lpad(CAST(CAST(conv(substring(md5(concat('bl:', CAST(k AS STRING))), 1, 4), 16, 10) AS BIGINT) % 100 AS STRING), 2, '0')"))
+        .withColumn("bic0", concat(col("bank"), col("country"), col("loc")))
+        .withColumn("bic", when(col("k") % 9 === 4,
+          concat(lower(substring(col("bic0"), 1, 1)), substring(col("bic0"), 2, 7)))
+          .otherwise(col("bic0")))
+        .withColumn("form_ok", col("bic").rlike("^[A-Z]{4}[A-Z]{2}[A-Z0-9]{2}$"))
+        .withColumn("country_ok", col("country").isin("US", "GB", "DE", "FR"))
+        .withColumn("valid", col("form_ok") && col("country_ok"))
+      t.groupBy((col("k") % 3).cast("int").as("cohort"))
+        .agg(count(lit(1)).as("n_bics"),
+          sum(when(col("valid"), 1L).otherwise(0L)).as("n_valid"),
+          sum(when(!col("form_ok"), 1L).otherwise(0L)).as("n_bad_form"),
+          sum(when(!col("country_ok"), 1L).otherwise(0L)).as("n_bad_country"),
+          sum(when(col("k") % 9 === 4, 1L).otherwise(0L)).as("planted_form"),
+          sum(when(col("k") % 5 === 4, 1L).otherwise(0L)).as("planted_country"))
+        .orderBy("cohort")
+    }),
+
+    // Mean reciprocal rank — the retrieval-eval summary the recall@k /
+    // NDCG family still lacked: each query's first relevant document
+    // lands at a planted md5 rank (retriever A uniform 1..20, retriever
+    // B boosted into 1..8 for 70% of queries — strictly better), per-item
+    // reciprocal rank as exact floor(10⁶/r), masses summed per class.
+    // The wave spec asserts B's MRR mass beats A's on every class and
+    // rank-1 hits bound the mass from above.
+    "llm_retrieval_mrr" -> ((s, d) => {
+      val t = Tables.orders(s, d)
+        .select(col("o_orderkey").cast("bigint").as("k"))
+        .withColumn("cls", (col("k") % 3).cast("int"))
+        .withColumn("ra", expr(
+          "CAST(conv(substring(md5(concat('ma:', CAST(k AS STRING))), 1, 6), 16, 10) AS BIGINT) % 20 + 1"))
+        .withColumn("rb", expr(
+          """CASE WHEN CAST(conv(substring(md5(concat('mb:', CAST(k AS STRING))), 1, 6), 16, 10) AS BIGINT) % 10 < 7
+            | THEN CAST(conv(substring(md5(concat('mc:', CAST(k AS STRING))), 1, 6), 16, 10) AS BIGINT) % 8 + 1
+            | ELSE CAST(conv(substring(md5(concat('mc:', CAST(k AS STRING))), 1, 6), 16, 10) AS BIGINT) % 20 + 1
+            | END""".stripMargin))
+      t.groupBy("cls")
+        .agg(count(lit(1)).as("n_queries"),
+          sum(expr("1000000 DIV ra")).as("mrr_a_mass"),
+          sum(expr("1000000 DIV rb")).as("mrr_b_mass"),
+          sum(when(col("ra") === 1L, 1L).otherwise(0L)).as("a_at_1"),
+          sum(when(col("rb") === 1L, 1L).otherwise(0L)).as("b_at_1"))
+        .orderBy("cls")
     })
   )
 
@@ -2144,6 +2236,80 @@ object Round16Ops {
         |  CAST(SUM(q_big) AS BIGINT) AS all_big_quality,
         |  CAST(COUNT(*) * 12 AS BIGINT) AS all_big_cost
         |FROM q1 GROUP BY 1 ORDER BY cohort""".stripMargin,
+
+    "agg_settlement_fails" -> {
+      def fail(j: Int) =
+        s"(('0x' || substring(md5('sf$j:' || CAST(k AS VARCHAR)), 1, 6))::BIGINT % 10 < 3 + 3 * (k % 2))"
+      s"""WITH t AS (
+         |  SELECT CAST(o_orderkey AS BIGINT) AS k,
+         |    CAST(o_orderkey % 2 AS INT) AS cp_cls
+         |  FROM orders),
+         |x AS (
+         |  SELECT k, cp_cls,
+         |    CASE WHEN NOT ${fail(1)} THEN 0
+         |      WHEN NOT ${fail(2)} THEN 1
+         |      WHEN NOT ${fail(3)} THEN 2
+         |      WHEN NOT ${fail(4)} THEN 3
+         |      ELSE 4 END AS delay
+         |  FROM t)
+         |SELECT cp_cls, CAST(COUNT(*) AS BIGINT) AS n_trades,
+         |  CAST(SUM(CASE WHEN delay = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_on_time,
+         |  CAST(SUM(delay) AS BIGINT) AS delay_day_mass,
+         |  CAST(SUM(CASE WHEN delay = 1 THEN 1 ELSE 0 END) AS BIGINT) AS age1,
+         |  CAST(SUM(CASE WHEN delay = 2 THEN 1 ELSE 0 END) AS BIGINT) AS age2,
+         |  CAST(SUM(CASE WHEN delay = 3 THEN 1 ELSE 0 END) AS BIGINT) AS age3,
+         |  CAST(SUM(CASE WHEN delay = 4 THEN 1 ELSE 0 END) AS BIGINT) AS n_buy_ins
+         |FROM x GROUP BY 1 ORDER BY cp_cls""".stripMargin
+    },
+
+    "fn_bic_validate" -> {
+      def ch(i: Int) =
+        s"chr(65 + CAST(('0x' || substring(md5('bc:' || CAST(k AS VARCHAR)), $i, 2))::BIGINT % 26 AS INT))"
+      s"""WITH t AS (SELECT CAST(c_custkey AS BIGINT) AS k FROM customer),
+         |b AS (
+         |  SELECT k,
+         |    (['US', 'GB', 'DE', 'FR', 'XX'])[CAST(k % 5 AS INT) + 1] AS country,
+         |    ${ch(1)} || ${ch(3)} || ${ch(5)} || ${ch(7)} AS bank,
+         |    lpad(CAST(('0x' || substring(md5('bl:' || CAST(k AS VARCHAR)), 1, 4))::BIGINT % 100 AS VARCHAR), 2, '0') AS loc
+         |  FROM t),
+         |c AS (SELECT k, country, bank || country || loc AS bic0 FROM b),
+         |e AS (
+         |  SELECT k, country,
+         |    CASE WHEN k % 9 = 4
+         |      THEN lower(substring(bic0, 1, 1)) || substring(bic0, 2, 7)
+         |      ELSE bic0 END AS bic
+         |  FROM c),
+         |v AS (
+         |  SELECT k,
+         |    regexp_matches(bic, '^[A-Z]{4}[A-Z]{2}[A-Z0-9]{2}$$') AS form_ok,
+         |    country IN ('US', 'GB', 'DE', 'FR') AS country_ok
+         |  FROM e)
+         |SELECT CAST(k % 3 AS INT) AS cohort,
+         |  CAST(COUNT(*) AS BIGINT) AS n_bics,
+         |  CAST(SUM(CASE WHEN form_ok AND country_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_valid,
+         |  CAST(SUM(CASE WHEN NOT form_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_bad_form,
+         |  CAST(SUM(CASE WHEN NOT country_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_bad_country,
+         |  CAST(SUM(CASE WHEN k % 9 = 4 THEN 1 ELSE 0 END) AS BIGINT) AS planted_form,
+         |  CAST(SUM(CASE WHEN k % 5 = 4 THEN 1 ELSE 0 END) AS BIGINT) AS planted_country
+         |FROM v GROUP BY 1 ORDER BY cohort""".stripMargin
+    },
+
+    "llm_retrieval_mrr" ->
+      """WITH t AS (
+        |  SELECT CAST(o_orderkey AS BIGINT) AS k,
+        |    CAST(o_orderkey % 3 AS INT) AS cls,
+        |    ('0x' || substring(md5('ma:' || CAST(o_orderkey AS VARCHAR)), 1, 6))::BIGINT % 20 + 1 AS ra,
+        |    CASE WHEN ('0x' || substring(md5('mb:' || CAST(o_orderkey AS VARCHAR)), 1, 6))::BIGINT % 10 < 7
+        |      THEN ('0x' || substring(md5('mc:' || CAST(o_orderkey AS VARCHAR)), 1, 6))::BIGINT % 8 + 1
+        |      ELSE ('0x' || substring(md5('mc:' || CAST(o_orderkey AS VARCHAR)), 1, 6))::BIGINT % 20 + 1
+        |    END AS rb
+        |  FROM orders)
+        |SELECT cls, CAST(COUNT(*) AS BIGINT) AS n_queries,
+        |  CAST(SUM(1000000 // ra) AS BIGINT) AS mrr_a_mass,
+        |  CAST(SUM(1000000 // rb) AS BIGINT) AS mrr_b_mass,
+        |  CAST(SUM(CASE WHEN ra = 1 THEN 1 ELSE 0 END) AS BIGINT) AS a_at_1,
+        |  CAST(SUM(CASE WHEN rb = 1 THEN 1 ELSE 0 END) AS BIGINT) AS b_at_1
+        |FROM t GROUP BY 1 ORDER BY cls""".stripMargin,
 
     "join_four_eyes" ->
       """WITH t AS (
