@@ -1818,7 +1818,7 @@ object Round16Ops {
     // reciprocal rank as exact floor(10⁶/r), masses summed per class.
     // The wave spec asserts B's MRR mass beats A's on every class and
     // rank-1 hits bound the mass from above.
-    "llm_retrieval_mrr" -> ((s, d) => {
+    "llm_retriever_ab_mrr" -> ((s, d) => {
       val t = Tables.orders(s, d)
         .select(col("o_orderkey").cast("bigint").as("k"))
         .withColumn("cls", (col("k") % 3).cast("int"))
@@ -2294,7 +2294,7 @@ object Round16Ops {
          |FROM v GROUP BY 1 ORDER BY cohort""".stripMargin
     },
 
-    "llm_retrieval_mrr" ->
+    "llm_retriever_ab_mrr" ->
       """WITH t AS (
         |  SELECT CAST(o_orderkey AS BIGINT) AS k,
         |    CAST(o_orderkey % 3 AS INT) AS cls,

@@ -38,8 +38,8 @@ class Round16Wave14Spec extends AnyFunSuite {
     assert(rows.map(_.getLong(5)).sum > 0L && rows.map(_.getLong(6)).sum > 0L)
   }
 
-  test("llm_retrieval_mrr: the boosted retriever wins every class") {
-    val rows = SparkEntry.queries("llm_retrieval_mrr")(spark, sf).collect()
+  test("llm_retriever_ab_mrr: the boosted retriever wins every class") {
+    val rows = SparkEntry.queries("llm_retriever_ab_mrr")(spark, sf).collect()
     assert(rows.length == 3)
     rows.foreach { r =>
       assert(r.getLong(3) > r.getLong(2), s"cls ${r.getInt(0)} MRR")
