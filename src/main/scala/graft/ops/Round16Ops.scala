@@ -1836,6 +1836,115 @@ object Round16Ops {
           sum(when(col("ra") === 1L, 1L).otherwise(0L)).as("a_at_1"),
           sum(when(col("rb") === 1L, 1L).otherwise(0L)).as("b_at_1"))
         .orderBy("cls")
+    }),
+
+    // RPC deadline propagation — the budget arithmetic a 3-tier call
+    // chain runs (gateway → service → db): overall deadline 800 ms, each
+    // hop's effective deadline = min(its local limit 400/350/300,
+    // remaining budget), md5 latencies with a 1-in-20 +400 ms tail at
+    // every tier, first timeout aborts the chain. One closed CASE chain
+    // (no iteration). Graded per cohort: outcome censuses + success
+    // latency mass — the spec asserts the db tier (thinnest residual
+    // budget) times out the most.
+    "service_deadline_propagation" -> ((s, d) => {
+      def lat(salt: String, base: Int, w: Int) =
+        s"""(CAST(conv(substring(md5(concat('$salt', CAST(k AS STRING))), 1, 6), 16, 10) AS BIGINT) % $w + $base
+           | + (CASE WHEN CAST(conv(substring(md5(concat('${salt}t', CAST(k AS STRING))), 1, 6), 16, 10) AS BIGINT) % 20 = 0
+           |    THEN 400 ELSE 0 END))""".stripMargin
+      val t = Tables.orders(s, d)
+        .select(col("o_orderkey").cast("bigint").as("k"))
+        .withColumn("lg", expr(lat("dg:", 50, 150)))
+        .withColumn("ls", expr(lat("ds:", 50, 200)))
+        .withColumn("ldb", expr(lat("dd:", 50, 300)))
+        .withColumn("eg", least(lit(400L), lit(800L)))
+        .withColumn("es", least(lit(350L), lit(800L) - col("lg")))
+        .withColumn("edb", least(lit(300L), lit(800L) - col("lg") - col("ls")))
+        .withColumn("outcome", expr(
+          """CASE WHEN lg > eg THEN 'timeout_gw'
+            | WHEN ls > es THEN 'timeout_svc'
+            | WHEN ldb > edb THEN 'timeout_db'
+            | ELSE 'ok' END""".stripMargin))
+      t.groupBy((col("k") % 3).cast("int").as("cohort"))
+        .agg(count(lit(1)).as("n_requests"),
+          sum(when(col("outcome") === "ok", 1L).otherwise(0L)).as("n_ok"),
+          sum(when(col("outcome") === "timeout_gw", 1L).otherwise(0L)).as("n_timeout_gw"),
+          sum(when(col("outcome") === "timeout_svc", 1L).otherwise(0L)).as("n_timeout_svc"),
+          sum(when(col("outcome") === "timeout_db", 1L).otherwise(0L)).as("n_timeout_db"),
+          sum(when(col("outcome") === "ok", col("lg") + col("ls") + col("ldb"))
+            .otherwise(0L)).as("ok_latency_mass"))
+        .orderBy("cohort")
+    }),
+
+    // Erlang C — the wait-probability the staffing calculator needs
+    // (agg_erlang_b blocks, C queues): c = class+2 servers at utilization
+    // ρ = 0.7 exactly (A = 700·c milli-erlangs), the whole formula
+    // cleared to integers by c!·1000^c (T_k = A^k·(c!/k!)·1000^(c−k),
+    // all ≤ 5.3·10¹⁷; the final P_wait division cross-multiplies in
+    // DECIMAL(38,0)/HUGEINT). Graded per class: P_wait ppm and the mean
+    // wait factor — the spec asserts the POOLING law: more servers at
+    // the same utilization wait strictly less.
+    "agg_erlang_c" -> ((s, d) => {
+      val t = Tables.supplier(s, d)
+        .select(col("s_suppkey").cast("bigint").as("m"))
+        .withColumn("cls", (col("m") % 4).cast("int"))
+        .withColumn("c", col("cls") + 2L)
+        .withColumn("a", col("c") * 700L) // milli-erlangs, rho = 0.7
+        .withColumn("sumt", expr(
+          // Σ_{k<c} T_k with T_k = a^k · (c!/k!) · 1000^(c−k), c ≤ 5
+          """CASE c
+            | WHEN 2 THEN 2000000 + a * 2000
+            | WHEN 3 THEN 6000000000 + a * 6000000 + a * a * 3000
+            | WHEN 4 THEN 24000000000000 + a * 24000000000 + a * a * 12000000 + a * a * a * 4000
+            | WHEN 5 THEN 120000000000000000 + a * 120000000000000 + a * a * 60000000000
+            |   + a * a * a * 20000000 + a * a * a * a * 5000
+            | END""".stripMargin))
+        .withColumn("tc", expr(
+          "CASE c WHEN 2 THEN a * a WHEN 3 THEN a * a * a WHEN 4 THEN a * a * a * a ELSE a * a * a * a * a END"))
+        .withColumn("pwait_ppm", expr(
+          """CAST((CAST(1000 AS DECIMAL(38,0)) * tc * 1000000)
+            | DIV (CAST(300 AS DECIMAL(38,0)) * sumt + CAST(1000 AS DECIMAL(38,0)) * tc) AS BIGINT)""".stripMargin))
+        .withColumn("wq_factor_ppm", expr("(pwait_ppm * 1000) DIV (c * 300)"))
+      t.groupBy("cls")
+        .agg(count(lit(1)).as("n_pools"), max("c").as("c_servers"),
+          max("a").as("a_milli"), max("pwait_ppm").as("pwait_ppm"),
+          max("wq_factor_ppm").as("wq_factor_ppm"))
+        .orderBy("cls")
+    }),
+
+    // Order-book imbalance signal — the microstructure screen beside
+    // agg_ohlc_candles: per (symbol, tick) md5 bid/ask depths, planted
+    // next-move direction agreeing with the imbalance sign 7 times in
+    // 10; the lead window grades the signal's hit rate in exact ppm
+    // (≈ 700000 by construction) beside the depth masses. Per-symbol
+    // windows, linear.
+    "win_orderbook_imbalance" -> ((s, d) => {
+      val wS = Window.partitionBy("m").orderBy("t")
+      val t = Tables.supplier(s, d)
+        .select(col("s_suppkey").cast("bigint").as("m"))
+        .withColumn("cls", (col("m") % 2).cast("int"))
+        .withColumn("t", explode(expr("sequence(0, 23)")))
+        .withColumn("bid", expr(
+          "CAST(conv(substring(md5(concat('ob:', CAST(m AS STRING), ':', CAST(t AS STRING))), 1, 6), 16, 10) AS BIGINT) % 900 + 100"))
+        .withColumn("ask", expr(
+          "CAST(conv(substring(md5(concat('oa:', CAST(m AS STRING), ':', CAST(t AS STRING))), 1, 6), 16, 10) AS BIGINT) % 900 + 100"))
+        .withColumn("imb_sign", expr(
+          "CASE WHEN bid > ask THEN 1 WHEN bid < ask THEN -1 ELSE 0 END"))
+        .withColumn("agree", expr(
+          "CAST(conv(substring(md5(concat('om:', CAST(m AS STRING), ':', CAST(t AS STRING))), 1, 6), 16, 10) AS BIGINT) % 10 < 7"))
+        .withColumn("next_move", expr(
+          "CASE WHEN agree THEN imb_sign ELSE -imb_sign END"))
+      val scored = t
+        .withColumn("pred", lag("imb_sign", 1).over(wS))
+        .withColumn("actual", col("next_move"))
+        .withColumn("actual_prev", lag("next_move", 1).over(wS))
+        .where(col("pred").isNotNull && col("pred") =!= 0)
+      scored.groupBy("cls")
+        .agg(count(lit(1)).as("n_signals"),
+          sum(when(col("actual_prev") === col("pred"), 1L).otherwise(0L))
+            .as("n_hits"),
+          sum("bid").as("bid_mass"), sum("ask").as("ask_mass"))
+        .withColumn("hit_ppm", expr("(n_hits * 1000000) DIV n_signals"))
+        .orderBy("cls")
     })
   )
 
@@ -2236,6 +2345,95 @@ object Round16Ops {
         |  CAST(SUM(q_big) AS BIGINT) AS all_big_quality,
         |  CAST(COUNT(*) * 12 AS BIGINT) AS all_big_cost
         |FROM q1 GROUP BY 1 ORDER BY cohort""".stripMargin,
+
+    "service_deadline_propagation" -> {
+      def lat(salt: String, base: Int, w: Int) =
+        s"""(('0x' || substring(md5('$salt' || CAST(k AS VARCHAR)), 1, 6))::BIGINT % $w + $base
+           | + (CASE WHEN ('0x' || substring(md5('${salt}t' || CAST(k AS VARCHAR)), 1, 6))::BIGINT % 20 = 0
+           |    THEN 400 ELSE 0 END))""".stripMargin
+      s"""WITH t AS (
+         |  SELECT CAST(o_orderkey AS BIGINT) AS k,
+         |    ${lat("dg:", 50, 150)} AS lg,
+         |    ${lat("ds:", 50, 200)} AS ls,
+         |    ${lat("dd:", 50, 300)} AS ldb
+         |  FROM orders),
+         |x AS (
+         |  SELECT k, lg, ls, ldb,
+         |    CASE WHEN lg > LEAST(400, 800) THEN 'timeout_gw'
+         |      WHEN ls > LEAST(350, 800 - lg) THEN 'timeout_svc'
+         |      WHEN ldb > LEAST(300, 800 - lg - ls) THEN 'timeout_db'
+         |      ELSE 'ok' END AS outcome
+         |  FROM t)
+         |SELECT CAST(k % 3 AS INT) AS cohort,
+         |  CAST(COUNT(*) AS BIGINT) AS n_requests,
+         |  CAST(SUM(CASE WHEN outcome = 'ok' THEN 1 ELSE 0 END) AS BIGINT) AS n_ok,
+         |  CAST(SUM(CASE WHEN outcome = 'timeout_gw' THEN 1 ELSE 0 END) AS BIGINT) AS n_timeout_gw,
+         |  CAST(SUM(CASE WHEN outcome = 'timeout_svc' THEN 1 ELSE 0 END) AS BIGINT) AS n_timeout_svc,
+         |  CAST(SUM(CASE WHEN outcome = 'timeout_db' THEN 1 ELSE 0 END) AS BIGINT) AS n_timeout_db,
+         |  CAST(SUM(CASE WHEN outcome = 'ok' THEN lg + ls + ldb ELSE 0 END) AS BIGINT) AS ok_latency_mass
+         |FROM x GROUP BY 1 ORDER BY cohort""".stripMargin
+    },
+
+    "agg_erlang_c" ->
+      """WITH t AS (
+        |  SELECT CAST(s_suppkey AS BIGINT) AS m,
+        |    CAST(s_suppkey % 4 AS INT) AS cls,
+        |    CAST(s_suppkey % 4 + 2 AS BIGINT) AS c,
+        |    (s_suppkey % 4 + 2) * 700 AS a
+        |  FROM supplier),
+        |x AS (
+        |  SELECT m, cls, c, a,
+        |    CASE c
+        |      WHEN 2 THEN 2000000 + a * 2000
+        |      WHEN 3 THEN 6000000000 + a * 6000000 + a * a * 3000
+        |      WHEN 4 THEN 24000000000000 + a * 24000000000 + a * a * 12000000 + a * a * a * 4000
+        |      WHEN 5 THEN 120000000000000000 + a * 120000000000000 + a * a * 60000000000
+        |        + a * a * a * 20000000 + a * a * a * a * 5000
+        |    END AS sumt,
+        |    CASE c WHEN 2 THEN a * a WHEN 3 THEN a * a * a
+        |      WHEN 4 THEN a * a * a * a ELSE a * a * a * a * a END AS tc
+        |  FROM t),
+        |p AS (
+        |  SELECT m, cls, c, a,
+        |    CAST((CAST(1000 AS HUGEINT) * tc * 1000000)
+        |      // (CAST(300 AS HUGEINT) * sumt + CAST(1000 AS HUGEINT) * tc) AS BIGINT) AS pwait_ppm
+        |  FROM x),
+        |w AS (SELECT *, (pwait_ppm * 1000) // (c * 300) AS wq_factor_ppm FROM p)
+        |SELECT cls, CAST(COUNT(*) AS BIGINT) AS n_pools,
+        |  CAST(MAX(c) AS BIGINT) AS c_servers, CAST(MAX(a) AS BIGINT) AS a_milli,
+        |  CAST(MAX(pwait_ppm) AS BIGINT) AS pwait_ppm,
+        |  CAST(MAX(wq_factor_ppm) AS BIGINT) AS wq_factor_ppm
+        |FROM w GROUP BY 1 ORDER BY cls""".stripMargin,
+
+    "win_orderbook_imbalance" ->
+      """WITH t AS (
+        |  SELECT m, cls, t,
+        |    ('0x' || substring(md5('ob:' || CAST(m AS VARCHAR) || ':' || CAST(t AS VARCHAR)), 1, 6))::BIGINT % 900 + 100 AS bid,
+        |    ('0x' || substring(md5('oa:' || CAST(m AS VARCHAR) || ':' || CAST(t AS VARCHAR)), 1, 6))::BIGINT % 900 + 100 AS ask,
+        |    ('0x' || substring(md5('om:' || CAST(m AS VARCHAR) || ':' || CAST(t AS VARCHAR)), 1, 6))::BIGINT % 10 < 7 AS agree
+        |  FROM (SELECT CAST(s_suppkey AS BIGINT) AS m,
+        |      CAST(s_suppkey % 2 AS INT) AS cls FROM supplier) q,
+        |    generate_series(0, 23) AS g(t)),
+        |s1 AS (
+        |  SELECT m, cls, t, bid, ask,
+        |    CASE WHEN bid > ask THEN 1 WHEN bid < ask THEN -1 ELSE 0 END AS imb_sign,
+        |    CASE WHEN agree THEN (CASE WHEN bid > ask THEN 1 WHEN bid < ask THEN -1 ELSE 0 END)
+        |      ELSE -(CASE WHEN bid > ask THEN 1 WHEN bid < ask THEN -1 ELSE 0 END) END AS next_move
+        |  FROM t),
+        |s2 AS (
+        |  SELECT m, cls, bid, ask,
+        |    LAG(imb_sign, 1) OVER (PARTITION BY m ORDER BY t) AS pred,
+        |    LAG(next_move, 1) OVER (PARTITION BY m ORDER BY t) AS actual_prev
+        |  FROM s1),
+        |f AS (SELECT * FROM s2 WHERE pred IS NOT NULL AND pred <> 0),
+        |g2 AS (
+        |  SELECT cls, CAST(COUNT(*) AS BIGINT) AS n_signals,
+        |    CAST(SUM(CASE WHEN actual_prev = pred THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+        |    CAST(SUM(bid) AS BIGINT) AS bid_mass, CAST(SUM(ask) AS BIGINT) AS ask_mass
+        |  FROM f GROUP BY 1)
+        |SELECT cls, n_signals, n_hits, bid_mass, ask_mass,
+        |  (n_hits * 1000000) // n_signals AS hit_ppm
+        |FROM g2 ORDER BY cls""".stripMargin,
 
     "agg_settlement_fails" -> {
       def fail(j: Int) =
