@@ -1846,7 +1846,7 @@ object Round16Ops {
     // (no iteration). Graded per cohort: outcome censuses + success
     // latency mass — the spec asserts the db tier (thinnest residual
     // budget) times out the most.
-    "service_deadline_propagation" -> ((s, d) => {
+    "service_deadline_budgets" -> ((s, d) => {
       def lat(salt: String, base: Int, w: Int) =
         s"""(CAST(conv(substring(md5(concat('$salt', CAST(k AS STRING))), 1, 6), 16, 10) AS BIGINT) % $w + $base
            | + (CASE WHEN CAST(conv(substring(md5(concat('${salt}t', CAST(k AS STRING))), 1, 6), 16, 10) AS BIGINT) % 20 = 0
@@ -2346,7 +2346,7 @@ object Round16Ops {
         |  CAST(COUNT(*) * 12 AS BIGINT) AS all_big_cost
         |FROM q1 GROUP BY 1 ORDER BY cohort""".stripMargin,
 
-    "service_deadline_propagation" -> {
+    "service_deadline_budgets" -> {
       def lat(salt: String, base: Int, w: Int) =
         s"""(('0x' || substring(md5('$salt' || CAST(k AS VARCHAR)), 1, 6))::BIGINT % $w + $base
            | + (CASE WHEN ('0x' || substring(md5('${salt}t' || CAST(k AS VARCHAR)), 1, 6))::BIGINT % 20 = 0

@@ -10,8 +10,8 @@ class Round16Wave15Spec extends AnyFunSuite {
   private def spark: SparkSession = SparkFixture.spark
   private val sf = "/root/testdata/sf0.001"
 
-  test("service_deadline_propagation: the thin residual budget pays") {
-    val rows = SparkEntry.queries("service_deadline_propagation")(spark, sf).collect()
+  test("service_deadline_budgets: the thin residual budget pays") {
+    val rows = SparkEntry.queries("service_deadline_budgets")(spark, sf).collect()
     assert(rows.length == 3)
     rows.foreach { r =>
       assert(r.getLong(2) + r.getLong(3) + r.getLong(4) + r.getLong(5) == r.getLong(1))
