@@ -1945,6 +1945,119 @@ object Round16Ops {
           sum("bid").as("bid_mass"), sum("ask").as("ask_mass"))
         .withColumn("hit_ppm", expr("(n_hits * 1000000) DIV n_signals"))
         .orderBy("cls")
+    }),
+
+    // Garnishment priority allocation — the payroll-compliance waterfall
+    // a person-service runs: up to three orders per employee (child
+    // support > tax levy > creditor), allocated IN PRIORITY ORDER
+    // against the 25%-of-disposable-income ceiling via one cumulative
+    // window (alloc = min(amount, remaining ceiling)). Graded per
+    // priority class: orders, requested vs allocated mass, shortfall,
+    // fully-paid census — the spec asserts seniority (child support
+    // never shorts while a junior class collects) and the ceiling is
+    // never exceeded.
+    "join_garnishment_priority" -> ((s, d) => {
+      val emp = Tables.customer(s, d)
+        .select(col("c_custkey").cast("bigint").as("k"))
+        .withColumn("di", expr(
+          "CAST(conv(substring(md5(concat('gd:', CAST(k AS STRING))), 1, 6), 16, 10) AS BIGINT) % 3000 + 1000"))
+        .withColumn("ceiling", expr("(di * 25) DIV 100"))
+      val orders = emp
+        .withColumn("pri", explode(expr("sequence(1, 3)")))
+        .where(expr(
+          "CAST(conv(substring(md5(concat('go:', CAST(k AS STRING), ':', CAST(pri AS STRING))), 1, 6), 16, 10) AS BIGINT) % 10 < 6"))
+        .withColumn("amount", expr(
+          "CAST(conv(substring(md5(concat('ga:', CAST(k AS STRING), ':', CAST(pri AS STRING))), 1, 6), 16, 10) AS BIGINT) % 400 + 50"))
+      val wP = Window.partitionBy("k").orderBy("pri")
+      val alloc = orders
+        .withColumn("cum_before", coalesce(sum("amount").over(
+          wP.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .withColumn("alloc", greatest(lit(0L),
+          least(col("amount"), col("ceiling") - col("cum_before"))))
+      alloc.groupBy(col("pri").cast("int").as("pri"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum("amount").as("requested_mass"),
+          sum("alloc").as("allocated_mass"),
+          sum(col("amount") - col("alloc")).as("shortfall_mass"),
+          sum(when(col("alloc") === col("amount"), 1L).otherwise(0L))
+            .as("n_fully_paid"))
+        .orderBy("pri")
+    }),
+
+    // VWAP execution quality — the best-execution report a broker files:
+    // 24 market ticks per parent order (md5 prices around 100.00, md5
+    // volumes), the child executes on 8 ticks — class 0 picks uniformly,
+    // class 1 is PLANTED to execute only on the top-half price ranks
+    // (bad for a buyer). Market and execution VWAPs carried as exact
+    // (Σp·v, Σv) masses; the slippage verdict is the cross-multiplied
+    // integer comparison (no division anywhere). The spec asserts class
+    // 1 executes above market VWAP on nearly every order and class 0
+    // splits.
+    "win_vwap_execution" -> ((s, d) => {
+      val wR = Window.partitionBy("m").orderBy(desc("p"), col("t"))
+      val ticks = Tables.supplier(s, d)
+        .select(col("s_suppkey").cast("bigint").as("m"))
+        .withColumn("cls", (col("m") % 2).cast("int"))
+        .withColumn("t", explode(expr("sequence(0, 23)")))
+        .withColumn("p", expr(
+          "10000 + CAST(conv(substring(md5(concat('vp:', CAST(m AS STRING), ':', CAST(t AS STRING))), 1, 6), 16, 10) AS BIGINT) % 200 - 100"))
+        .withColumn("v", expr(
+          "CAST(conv(substring(md5(concat('vv:', CAST(m AS STRING), ':', CAST(t AS STRING))), 1, 6), 16, 10) AS BIGINT) % 900 + 100"))
+        .withColumn("prank", row_number().over(wR))
+        .withColumn("pick", expr(
+          "CAST(conv(substring(md5(concat('vx:', CAST(m AS STRING), ':', CAST(t AS STRING))), 1, 6), 16, 10) AS BIGINT) % 3 = 0"))
+        .withColumn("execd",
+          when(col("cls") === 1, col("pick") && col("prank") <= 12)
+            .otherwise(col("pick")))
+        .withColumn("ev", when(col("execd"), expr(
+          "CAST(conv(substring(md5(concat('ve:', CAST(m AS STRING), ':', CAST(t AS STRING))), 1, 6), 16, 10) AS BIGINT) % 90 + 10"))
+          .otherwise(lit(0L)))
+      val per = ticks.groupBy("m", "cls")
+        .agg(sum(expr("p * v")).as("pv_mkt"), sum("v").as("v_mkt"),
+          sum(expr("p * ev")).as("pv_exec"), sum("ev").as("v_exec"))
+        .where(col("v_exec") > 0)
+        .withColumn("above_mkt", expr("pv_exec * v_mkt > pv_mkt * v_exec"))
+      per.groupBy("cls")
+        .agg(count(lit(1)).as("n_orders"),
+          sum("pv_mkt").as("pv_mkt_mass"), sum("v_mkt").as("v_mkt_mass"),
+          sum("pv_exec").as("pv_exec_mass"), sum("v_exec").as("v_exec_mass"),
+          sum(when(col("above_mkt"), 1L).otherwise(0L)).as("n_above_mkt"))
+        .orderBy("cls")
+    }),
+
+    // SSN structural validation — the US person-service intake gate:
+    // area 001–899 excluding 666, group 01–99, serial 0001–9999, with
+    // four DISJOINT planted defect classes on the k%23 wheel (area 666,
+    // area 9xx, group 00, serial 0000); base md5 digits are drawn valid
+    // except the honest 1-in-898 chance of area 666. First-matching-rule
+    // classification keeps the censuses disjoint; each planted defect is
+    // caught, graded beside its plant.
+    "fn_ssn_validate" -> ((s, d) => {
+      val t = Tables.customer(s, d)
+        .select(col("c_custkey").cast("bigint").as("k"))
+        .withColumn("area0", expr(
+          "1 + CAST(conv(substring(md5(concat('sa:', CAST(k AS STRING))), 1, 6), 16, 10) AS BIGINT) % 898"))
+        .withColumn("grp0", expr(
+          "1 + CAST(conv(substring(md5(concat('sg:', CAST(k AS STRING))), 1, 6), 16, 10) AS BIGINT) % 99"))
+        .withColumn("ser0", expr(
+          "1 + CAST(conv(substring(md5(concat('sn:', CAST(k AS STRING))), 1, 6), 16, 10) AS BIGINT) % 9999"))
+        .withColumn("area", expr(
+          """CASE WHEN k % 23 = 4 THEN 666
+            | WHEN k % 23 = 5 THEN 900 + CAST(conv(substring(md5(concat('s9:', CAST(k AS STRING))), 1, 4), 16, 10) AS BIGINT) % 100
+            | ELSE area0 END""".stripMargin))
+        .withColumn("grp", expr("CASE WHEN k % 23 = 6 THEN 0 ELSE grp0 END"))
+        .withColumn("ser", expr("CASE WHEN k % 23 = 7 THEN 0 ELSE ser0 END"))
+        .withColumn("verdict", expr(
+          """CASE WHEN area = 666 THEN 'bad_area_666'
+            | WHEN area >= 900 THEN 'bad_area_9xx'
+            | WHEN grp = 0 THEN 'bad_group'
+            | WHEN ser = 0 THEN 'bad_serial'
+            | ELSE 'valid' END""".stripMargin))
+      t.groupBy("verdict")
+        .agg(count(lit(1)).as("n_ssns"),
+          sum(when(col("k") % 23 >= 4 && col("k") % 23 <= 7, 1L).otherwise(0L))
+            .as("n_planted"))
+        .orderBy("verdict")
     })
   )
 
@@ -2345,6 +2458,94 @@ object Round16Ops {
         |  CAST(SUM(q_big) AS BIGINT) AS all_big_quality,
         |  CAST(COUNT(*) * 12 AS BIGINT) AS all_big_cost
         |FROM q1 GROUP BY 1 ORDER BY cohort""".stripMargin,
+
+    "join_garnishment_priority" ->
+      """WITH emp AS (
+        |  SELECT CAST(c_custkey AS BIGINT) AS k,
+        |    (('0x' || substring(md5('gd:' || CAST(c_custkey AS VARCHAR)), 1, 6))::BIGINT % 3000 + 1000) AS di
+        |  FROM customer),
+        |e2 AS (SELECT k, (di * 25) // 100 AS ceiling FROM emp),
+        |ords AS (
+        |  SELECT e2.k, e2.ceiling, g.pri,
+        |    ('0x' || substring(md5('ga:' || CAST(e2.k AS VARCHAR) || ':' || CAST(g.pri AS VARCHAR)), 1, 6))::BIGINT % 400 + 50 AS amount
+        |  FROM e2, generate_series(1, 3) AS g(pri)
+        |  WHERE ('0x' || substring(md5('go:' || CAST(e2.k AS VARCHAR) || ':' || CAST(g.pri AS VARCHAR)), 1, 6))::BIGINT % 10 < 6),
+        |al AS (
+        |  SELECT k, pri, amount, ceiling,
+        |    CAST(coalesce(SUM(amount) OVER (PARTITION BY k ORDER BY pri
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+        |  FROM ords),
+        |x AS (
+        |  SELECT pri, amount,
+        |    GREATEST(0, LEAST(amount, ceiling - cum_before)) AS alloc
+        |  FROM al)
+        |SELECT CAST(pri AS INT) AS pri, CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |  CAST(SUM(amount) AS BIGINT) AS requested_mass,
+        |  CAST(SUM(alloc) AS BIGINT) AS allocated_mass,
+        |  CAST(SUM(amount - alloc) AS BIGINT) AS shortfall_mass,
+        |  CAST(SUM(CASE WHEN alloc = amount THEN 1 ELSE 0 END) AS BIGINT) AS n_fully_paid
+        |FROM x GROUP BY 1 ORDER BY pri""".stripMargin,
+
+    "win_vwap_execution" ->
+      """WITH ticks AS (
+        |  SELECT m, cls, t,
+        |    10000 + ('0x' || substring(md5('vp:' || CAST(m AS VARCHAR) || ':' || CAST(t AS VARCHAR)), 1, 6))::BIGINT % 200 - 100 AS p,
+        |    ('0x' || substring(md5('vv:' || CAST(m AS VARCHAR) || ':' || CAST(t AS VARCHAR)), 1, 6))::BIGINT % 900 + 100 AS v,
+        |    ('0x' || substring(md5('vx:' || CAST(m AS VARCHAR) || ':' || CAST(t AS VARCHAR)), 1, 6))::BIGINT % 3 = 0 AS pick,
+        |    ('0x' || substring(md5('ve:' || CAST(m AS VARCHAR) || ':' || CAST(t AS VARCHAR)), 1, 6))::BIGINT % 90 + 10 AS ev0
+        |  FROM (SELECT CAST(s_suppkey AS BIGINT) AS m,
+        |      CAST(s_suppkey % 2 AS INT) AS cls FROM supplier) q,
+        |    generate_series(0, 23) AS g(t)),
+        |rk AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY m ORDER BY p DESC, t) AS prank
+        |  FROM ticks),
+        |ex AS (
+        |  SELECT m, cls, p, v,
+        |    CASE WHEN (CASE WHEN cls = 1 THEN pick AND prank <= 12 ELSE pick END)
+        |      THEN ev0 ELSE 0 END AS ev
+        |  FROM rk),
+        |per AS (
+        |  SELECT m, cls, CAST(SUM(p * v) AS BIGINT) AS pv_mkt,
+        |    CAST(SUM(v) AS BIGINT) AS v_mkt,
+        |    CAST(SUM(p * ev) AS BIGINT) AS pv_exec,
+        |    CAST(SUM(ev) AS BIGINT) AS v_exec
+        |  FROM ex GROUP BY 1, 2),
+        |f AS (SELECT *, pv_exec * v_mkt > pv_mkt * v_exec AS above_mkt
+        |  FROM per WHERE v_exec > 0)
+        |SELECT cls, CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |  CAST(SUM(pv_mkt) AS BIGINT) AS pv_mkt_mass,
+        |  CAST(SUM(v_mkt) AS BIGINT) AS v_mkt_mass,
+        |  CAST(SUM(pv_exec) AS BIGINT) AS pv_exec_mass,
+        |  CAST(SUM(v_exec) AS BIGINT) AS v_exec_mass,
+        |  CAST(SUM(CASE WHEN above_mkt THEN 1 ELSE 0 END) AS BIGINT) AS n_above_mkt
+        |FROM f GROUP BY 1 ORDER BY cls""".stripMargin,
+
+    "fn_ssn_validate" ->
+      """WITH t AS (
+        |  SELECT CAST(c_custkey AS BIGINT) AS k,
+        |    1 + ('0x' || substring(md5('sa:' || CAST(c_custkey AS VARCHAR)), 1, 6))::BIGINT % 898 AS area0,
+        |    1 + ('0x' || substring(md5('sg:' || CAST(c_custkey AS VARCHAR)), 1, 6))::BIGINT % 99 AS grp0,
+        |    1 + ('0x' || substring(md5('sn:' || CAST(c_custkey AS VARCHAR)), 1, 6))::BIGINT % 9999 AS ser0
+        |  FROM customer),
+        |x AS (
+        |  SELECT k,
+        |    CASE WHEN k % 23 = 4 THEN 666
+        |      WHEN k % 23 = 5 THEN 900 + ('0x' || substring(md5('s9:' || CAST(k AS VARCHAR)), 1, 4))::BIGINT % 100
+        |      ELSE area0 END AS area,
+        |    CASE WHEN k % 23 = 6 THEN 0 ELSE grp0 END AS grp,
+        |    CASE WHEN k % 23 = 7 THEN 0 ELSE ser0 END AS ser
+        |  FROM t),
+        |v AS (
+        |  SELECT k,
+        |    CASE WHEN area = 666 THEN 'bad_area_666'
+        |      WHEN area >= 900 THEN 'bad_area_9xx'
+        |      WHEN grp = 0 THEN 'bad_group'
+        |      WHEN ser = 0 THEN 'bad_serial'
+        |      ELSE 'valid' END AS verdict
+        |  FROM x)
+        |SELECT verdict, CAST(COUNT(*) AS BIGINT) AS n_ssns,
+        |  CAST(SUM(CASE WHEN k % 23 >= 4 AND k % 23 <= 7 THEN 1 ELSE 0 END) AS BIGINT) AS n_planted
+        |FROM v GROUP BY 1 ORDER BY verdict""".stripMargin,
 
     "service_deadline_budgets" -> {
       def lat(salt: String, base: Int, w: Int) =
