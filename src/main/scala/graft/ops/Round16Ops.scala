@@ -2058,8 +2058,130 @@ object Round16Ops {
           sum(when(col("k") % 23 >= 4 && col("k") % 23 <= 7, 1L).otherwise(0L))
             .as("n_planted"))
         .orderBy("verdict")
+    }),
+
+    // Ad-budget pacing — the spend governor a delivery system runs: a
+    // declared 24-hour diurnal weight curve paces the daily budget
+    // (target cumulative = B·Σw DIV 1000), hourly spend = min(demand,
+    // remaining target) as a 24-step chained recurrence (non-negative —
+    // plain DIV/LEAST). Graded per budget class: total spend ≤ budget
+    // ALWAYS (the pacing law), throttled-hour census, fill ppm — the
+    // spec asserts spend never exceeds target and the tight-budget class
+    // throttles more.
+    "agg_budget_pacing" -> ((s, d) => {
+      val t = Tables.part(s, d)
+        .select(col("p_partkey").cast("bigint").as("p"))
+        .withColumn("cls", (col("p") % 3).cast("int"))
+        .withColumn("budget", (col("p") % 3 + 1L) * 100000L)
+      var wide = t
+      (0 to 23).foreach { h =>
+        wide = wide.withColumn(s"dm$h", expr(
+          s"CAST(conv(substring(md5(concat('bp$h:', CAST(p AS STRING))), 1, 6), 16, 10) AS BIGINT) % 9000 + 1000"))
+      }
+      pacingCols("DIV").foreach { case (n, e) => wide = wide.withColumn(n, expr(e)) }
+      wide.groupBy("cls")
+        .agg(count(lit(1)).as("n_campaigns"),
+          sum("budget").as("budget_mass"),
+          sum("sp23c").as("spend_mass"),
+          sum(expr((0 to 23).map(h => s"(CASE WHEN sp$h < dm$h THEN 1 ELSE 0 END)")
+            .mkString(" + "))).as("throttled_hours"),
+          sum(expr("(sp23c * 1000000) DIV budget")).as("fill_ppm_mass"))
+        .orderBy("cls")
+    }),
+
+    // LLM-judge position-bias audit — the eval-harness hygiene check a
+    // pairwise-judging pipeline runs: every pair is judged in BOTH
+    // presentation orders; an unbiased judge (class 0) prefers the truly
+    // better answer at a planted 75% regardless of order, the biased
+    // class 1 additionally leans 15 points toward the FIRST position.
+    // The swap test grades: order-consistency census (verdicts that
+    // agree under swap), first-position win ppm — the spec asserts class
+    // 1's first-position rate is inflated and its consistency is lower,
+    // the full positional-bias signature.
+    "llm_judge_position_bias" -> ((s, d) => {
+      val t = Tables.orders(s, d)
+        .select(col("o_orderkey").cast("bigint").as("k"))
+        .withColumn("jcls", (col("k") % 2).cast("int"))
+        .withColumn("a_better", expr(
+          "CAST(conv(substring(md5(concat('jb:', CAST(k AS STRING))), 1, 6), 16, 10) AS BIGINT) % 2 = 0"))
+        .withColumn("d1", expr(
+          "CAST(conv(substring(md5(concat('j1:', CAST(k AS STRING))), 1, 6), 16, 10) AS BIGINT) % 100"))
+        .withColumn("d2", expr(
+          "CAST(conv(substring(md5(concat('j2:', CAST(k AS STRING))), 1, 6), 16, 10) AS BIGINT) % 100"))
+        // order 1 presents A first; order 2 presents B first. The judge
+        // picks the first slot iff draw < p(first wins): 75/25 by truth,
+        // +15 first-slot lean for the biased class.
+        .withColumn("p1", expr(
+          "(CASE WHEN a_better THEN 75 ELSE 25 END) + jcls * 15"))
+        .withColumn("p2", expr(
+          "(CASE WHEN a_better THEN 25 ELSE 75 END) + jcls * 15"))
+        .withColumn("pick_first_1", col("d1") < col("p1"))
+        .withColumn("pick_first_2", col("d2") < col("p2"))
+        // verdict in truth space: did the judge pick A?
+        .withColumn("picked_a_1", col("pick_first_1"))
+        .withColumn("picked_a_2", !col("pick_first_2"))
+        .withColumn("consistent", col("picked_a_1") === col("picked_a_2"))
+      t.groupBy("jcls")
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(when(col("consistent"), 1L).otherwise(0L)).as("n_consistent"),
+          sum(when(col("pick_first_1"), 1L).otherwise(0L))
+            .as("first_wins_o1"),
+          sum(when(col("pick_first_2"), 1L).otherwise(0L))
+            .as("first_wins_o2"),
+          sum(when(col("picked_a_1") === col("a_better"), 1L).otherwise(0L))
+            .as("correct_o1"))
+        .withColumn("first_win_ppm", expr(
+          "((first_wins_o1 + first_wins_o2) * 1000000) DIV (2 * n_pairs)"))
+        .orderBy("jcls")
+    }),
+
+    // Subtitle-timing drift detection — the resync screen a captioning
+    // pipeline runs: 24 cues per video, subtitle time = audio anchor +
+    // planted LINEAR drift (0 / +2 / +5 ms per cue by class) + bounded
+    // jitter; the drift rate estimated by the exact integer least-squares
+    // slope over cue index (cross-multiplied — no division), resync
+    // flagged when |slope numerator| clears 1 ms/cue × the constant
+    // denominator 27600. Worst-case ±4 ms jitter bounds the flat class's
+    // |numerator| at 13824 < 27600 (it can NEVER flag) while the 2 ms/cue
+    // class sits at 55200 ± 13824 (it ALWAYS does) — both censuses exact
+    // by construction, not by luck.
+    "mm_subtitle_drift" -> ((s, d) => {
+      // Σt = 276, Σt² = 4324, n = 24 → den = n·Σt² − (Σt)² = 27600
+      val cues = Tables.documents(s, d)
+        .select(col("doc_id").cast("bigint").as("v"))
+        .withColumn("cls", (col("v") % 3).cast("int"))
+        .withColumn("t", explode(expr("sequence(0, 23)")))
+        .withColumn("off", expr(
+          "(CASE WHEN cls = 1 THEN 2 * t WHEN cls = 2 THEN 5 * t ELSE 0 END)"
+            + " + CAST(conv(substring(md5(concat('sd:', CAST(v AS STRING), ':', CAST(t AS STRING))), 1, 6), 16, 10) AS BIGINT) % 9 - 4"))
+      val per = cues.groupBy("v", "cls")
+        .agg(count(lit(1)).as("n"), sum("off").as("sx"),
+          sum(expr("t * off")).as("stx"))
+        .withColumn("slope_num", expr("24 * stx - 276 * sx"))
+        // threshold 1 ms/cue: |num| > 1 · 27600
+        .withColumn("resync", abs(col("slope_num")) > 27600L)
+      per.groupBy("cls")
+        .agg(count(lit(1)).as("n_videos"),
+          sum(when(col("resync"), 1L).otherwise(0L)).as("n_resync"),
+          sum(abs(col("slope_num"))).as("slope_num_mass"))
+        .orderBy("cls")
     })
   )
+
+  /** Budget-pacing recurrence: spend_h = min(demand_h, target_cum_h −
+    * spent cumulative), target from the declared diurnal per-mille curve. */
+  private[ops] def pacingCols(div: String): Seq[(String, String)] = {
+    val w = Seq(10, 10, 10, 10, 20, 30, 50, 60, 60, 50, 50, 50,
+      50, 50, 50, 50, 60, 70, 80, 70, 50, 30, 20, 10)
+    val cumW = w.scanLeft(0)(_ + _).tail // 24 cumulative weights, end 1000
+    (0 to 23).flatMap { h =>
+      val spent = if (h == 0) "0" else s"sp${h - 1}c"
+      Seq(
+        s"tg$h" -> s"((budget * ${cumW(h)}) $div 1000)",
+        s"sp$h" -> s"GREATEST(CAST(0 AS BIGINT), LEAST(dm$h, tg$h - $spent))",
+        s"sp${h}c" -> s"($spent + sp$h)")
+    }
+  }
 
   /** Bass recurrence columns: nn_t adopters after period t of a 10⁶
     * market; all states in [0, 10⁶], plain integer DIV. */
@@ -2458,6 +2580,76 @@ object Round16Ops {
         |  CAST(SUM(q_big) AS BIGINT) AS all_big_quality,
         |  CAST(COUNT(*) * 12 AS BIGINT) AS all_big_cost
         |FROM q1 GROUP BY 1 ORDER BY cohort""".stripMargin,
+
+    "agg_budget_pacing" -> {
+      val pcMap: Map[String, String] = pacingCols("//").toMap
+      val stepCtes = (0 to 23).map { h =>
+        val from = if (h == 0) "wide" else s"pc${h - 1}"
+        s"pc$h AS (SELECT *, ${pcMap(s"tg$h")} AS tg$h, ${pcMap(s"sp$h")} AS sp$h, " +
+          s"${pcMap(s"sp${h}c")} AS sp${h}c FROM $from)"
+      }.mkString(",\n")
+      s"""WITH wide AS (
+         |  SELECT CAST(p_partkey AS BIGINT) AS p,
+         |    CAST(p_partkey % 3 AS INT) AS cls,
+         |    (p_partkey % 3 + 1) * 100000 AS budget,
+         |${(0 to 23).map(h => s"    ('0x' || substring(md5('bp$h:' || CAST(p_partkey AS VARCHAR)), 1, 6))::BIGINT % 9000 + 1000 AS dm$h").mkString(",\n")}
+         |  FROM part),
+         |$stepCtes
+         |SELECT cls, CAST(COUNT(*) AS BIGINT) AS n_campaigns,
+         |  CAST(SUM(budget) AS BIGINT) AS budget_mass,
+         |  CAST(SUM(sp23c) AS BIGINT) AS spend_mass,
+         |  CAST(SUM(${(0 to 23).map(h => s"(CASE WHEN sp$h < dm$h THEN 1 ELSE 0 END)").mkString(" + ")}) AS BIGINT) AS throttled_hours,
+         |  CAST(SUM((sp23c * 1000000) // budget) AS BIGINT) AS fill_ppm_mass
+         |FROM pc23 GROUP BY 1 ORDER BY cls""".stripMargin
+    },
+
+    "llm_judge_position_bias" ->
+      """WITH t AS (
+        |  SELECT CAST(o_orderkey AS BIGINT) AS k,
+        |    CAST(o_orderkey % 2 AS INT) AS jcls,
+        |    ('0x' || substring(md5('jb:' || CAST(o_orderkey AS VARCHAR)), 1, 6))::BIGINT % 2 = 0 AS a_better,
+        |    ('0x' || substring(md5('j1:' || CAST(o_orderkey AS VARCHAR)), 1, 6))::BIGINT % 100 AS d1,
+        |    ('0x' || substring(md5('j2:' || CAST(o_orderkey AS VARCHAR)), 1, 6))::BIGINT % 100 AS d2
+        |  FROM orders),
+        |x AS (
+        |  SELECT k, jcls, a_better,
+        |    d1 < (CASE WHEN a_better THEN 75 ELSE 25 END) + jcls * 15 AS pf1,
+        |    d2 < (CASE WHEN a_better THEN 25 ELSE 75 END) + jcls * 15 AS pf2
+        |  FROM t),
+        |v AS (
+        |  SELECT k, jcls, a_better, pf1, pf2,
+        |    pf1 AS pa1, NOT pf2 AS pa2
+        |  FROM x),
+        |g AS (
+        |  SELECT jcls, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |    CAST(SUM(CASE WHEN pa1 = pa2 THEN 1 ELSE 0 END) AS BIGINT) AS n_consistent,
+        |    CAST(SUM(CASE WHEN pf1 THEN 1 ELSE 0 END) AS BIGINT) AS first_wins_o1,
+        |    CAST(SUM(CASE WHEN pf2 THEN 1 ELSE 0 END) AS BIGINT) AS first_wins_o2,
+        |    CAST(SUM(CASE WHEN pa1 = a_better THEN 1 ELSE 0 END) AS BIGINT) AS correct_o1
+        |  FROM v GROUP BY 1)
+        |SELECT jcls, n_pairs, n_consistent, first_wins_o1, first_wins_o2,
+        |  correct_o1,
+        |  ((first_wins_o1 + first_wins_o2) * 1000000) // (2 * n_pairs) AS first_win_ppm
+        |FROM g ORDER BY jcls""".stripMargin,
+
+    "mm_subtitle_drift" ->
+      """WITH cues AS (
+        |  SELECT v, cls, t,
+        |    (CASE WHEN cls = 1 THEN 2 * t WHEN cls = 2 THEN 5 * t ELSE 0 END)
+        |      + ('0x' || substring(md5('sd:' || CAST(v AS VARCHAR) || ':' || CAST(t AS VARCHAR)), 1, 6))::BIGINT % 9 - 4 AS off
+        |  FROM (SELECT CAST(doc_id AS BIGINT) AS v,
+        |      CAST(doc_id % 3 AS INT) AS cls FROM documents) q,
+        |    generate_series(0, 23) AS g(t)),
+        |per AS (
+        |  SELECT v, cls, CAST(SUM(off) AS BIGINT) AS sx,
+        |    CAST(SUM(t * off) AS BIGINT) AS stx
+        |  FROM cues GROUP BY 1, 2),
+        |x AS (
+        |  SELECT v, cls, 24 * stx - 276 * sx AS slope_num FROM per)
+        |SELECT cls, CAST(COUNT(*) AS BIGINT) AS n_videos,
+        |  CAST(SUM(CASE WHEN abs(slope_num) > 27600 THEN 1 ELSE 0 END) AS BIGINT) AS n_resync,
+        |  CAST(SUM(abs(slope_num)) AS BIGINT) AS slope_num_mass
+        |FROM x GROUP BY 1 ORDER BY cls""".stripMargin,
 
     "join_garnishment_priority" ->
       """WITH emp AS (
